@@ -1,0 +1,32 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** One declared, oracle-checkable query.
+  *
+  * @param name      stable key; becomes the Verify output dir name
+  * @param surveyRef SURVEY.md §2 row(s) this query exercises (e.g. "A1,F1")
+  * @param build     Spark-side query over the parquet tables in `dir`
+  * @param oracle    equivalent ANSI SQL for DuckDB over the same tables
+  *                  (None → driver falls back to a rows-only check)
+  * @param scaleNote how this holds up at 100 TB / 1000 executors:
+  *                  shuffle keys, broadcast choices, skew story
+  *
+  * Conventions (driver contract):
+  *  - every computed column is aliased IDENTICALLY in Spark and SQL;
+  *  - both sides ORDER BY the full key so row order is deterministic;
+  *  - double-valued aggregates are rounded on BOTH sides (same digits)
+  *    so accumulation-order ulp noise cannot flip the hash compare.
+  */
+final case class Declared(
+    name: String,
+    surveyRef: String,
+    build: (SparkSession, String) => DataFrame,
+    oracle: Option[String],
+    scaleNote: String = "")
+
+object Declared {
+  /** All declared queries, every module. Order = documentation order. */
+  lazy val all: Seq[Declared] =
+    Relational.all ++ TimeSeries.all ++ Spatial.all ++ LlmExt.all
+}
