@@ -1,0 +1,56 @@
+package graft.ops
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Named aggregation-function registry (SURVEY.md X2).
+  *
+  * The reference accepts any `iterable -> scalar` callable and keys the
+  * output column name on the function's `__name__`
+  * (reference: src/data_preprocessing.py:176-177, :197). We keep the
+  * same observable contract — a registry of named aggregators plus the
+  * deterministic `func_source_col` naming product (F1, reference :197,
+  * :226) — while each built-in maps to a codegen'd Catalyst aggregate.
+  *
+  * Trap pinned here: numpy's `np.std` defaults to POPULATION std
+  * (ddof=0), so "std" maps to `stddev_pop`, not Spark's default
+  * `stddev` (= sample std). A silent-wrong-answer divergence otherwise.
+  */
+object Aggregates {
+
+  /** name -> column aggregator */
+  private var registry: Map[String, Column => Column] = Map(
+    "mean" -> (c => avg(c)),
+    "max" -> (c => max(c)),
+    "min" -> (c => min(c)),
+    "std" -> (c => stddev_pop(c)), // numpy ddof=0 semantics
+    "var" -> (c => var_pop(c)),
+    "sum" -> (c => sum(c)),
+    "count" -> (c => count(c)),
+    "median" -> (c => median(c)),
+    "first" -> (c => first(c, ignoreNulls = true)),
+    "last" -> (c => last(c, ignoreNulls = true)))
+
+  /** Register a user aggregator under a name (the reference's "any
+    * callable" surface; users bring `functions.udaf(Aggregator)` here). */
+  def register(name: String, f: Column => Column): Unit = synchronized {
+    registry = registry + (name -> f)
+  }
+
+  def apply(name: String): Column => Column =
+    registry.getOrElse(name,
+      throw graft.core.ColumnException(Seq(name), registry.keys.toSeq.sorted))
+
+  def known: Seq[String] = registry.keys.toSeq.sorted
+
+  /** The reference's deterministic output-name product:
+    * `'_'.join([func.__name__, name, col])` (reference :197, :226). */
+  def statName(func: String, source: String, col: String): String =
+    Seq(func, source, col).filter(_.nonEmpty).mkString("_")
+
+  /** The func × cols aggregation block (A1): everything in ONE
+    * hash-aggregate pass instead of the reference's per-row applies. */
+  def block(funcs: Seq[String], source: String, cols: Seq[String]): Seq[Column] =
+    for (f <- funcs; c <- cols)
+      yield apply(f)(col(c)).as(statName(f, source, c))
+}

@@ -1,0 +1,119 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.core.ColumnException
+
+/** Time-series operators (SURVEY.md A5, A8, P8, P9).
+  *
+  * The reference loads long-format observations, slices a date range on
+  * a (ts, id_sensor) MultiIndex, filters per hour-interval with pandas
+  * `between_time`, and aggregates per sensor
+  * (reference: src/data_preprocessing.py:276-351, :563-585).
+  *
+  * Divergences implemented as INTENDED semantics (unit-test-pinned):
+  *  - the reference's interval loop overwrites `stats` each iteration
+  *    (:571-584) so only the last interval survives; we emit ALL
+  *    intervals (the docstring :301-302 and the naming machinery show
+  *    multi-interval output is the intent);
+  *  - overnight wrap (`('22:00:00','05:00:00')`) is the documented
+  *    default interval (:301) — pandas `between_time` wraps, so the
+  *    predicate must be `t >= beg OR t <= end` when beg > end.
+  */
+object TimeSeriesOps {
+
+  /** Seconds-of-day of a timestamp column (wrap-aware interval basis). */
+  def secondsOfDay(ts: Column): Column =
+    hour(ts) * 3600 + minute(ts) * 60 + second(ts)
+
+  private def parseTod(s: String): Int = {
+    val p = s.split(":").map(_.toInt)
+    p(0) * 3600 + (if (p.length > 1) p(1) * 60 else 0) + (if (p.length > 2) p(2) else 0)
+  }
+
+  /** P9 — hour-of-day predicate, inclusive bounds, overnight-wrap-aware
+    * (pandas between_time semantics, reference :574, :581). */
+  def hourIntervalPredicate(ts: Column, beg: String, end: String): Column = {
+    val (b, e) = (parseTod(beg), parseTod(end))
+    val t = secondsOfDay(ts)
+    if (b <= e) t.between(b, e) else (t >= b) || (t <= e)
+  }
+
+  /** P8 — date-range filter, inclusive of the full end day (pandas
+    * label-slice semantics on date-level strings, reference :329-331).
+    * `requireNonEmpty` reproduces the reference's empty-slice error
+    * (:332-333); it costs one cheap `isEmpty` action. */
+  def dateRangeFilter(df: DataFrame, tsCol: String, beg: String, end: String,
+      requireNonEmpty: Boolean = false): DataFrame = {
+    val out = df.filter(col(tsCol) >= to_timestamp(lit(beg)) &&
+      col(tsCol) < date_add(to_timestamp(lit(end)).cast("date"), 1).cast("timestamp"))
+    if (requireNonEmpty && out.isEmpty)
+      throw graft.core.DataIOError(s"$tsCol in [$beg, $end]", "empty date-range slice")
+    out
+  }
+
+  /** A5 (intended semantics) — per-id, per-hour-interval, per-column
+    * aggregation over a date range; ALL interval blocks are computed and
+    * joined, with the reference's `func_col_interval` naming flatten
+    * (:341-343 `'_'.join`).
+    *
+    * Plan shape: one scan; each interval block is a conditional
+    * aggregation over the SAME groupBy — so there is exactly ONE
+    * shuffle (on `idCol`) regardless of the interval count, not one
+    * pass per interval as in the reference.
+    */
+  def intervalStats(
+      obs: DataFrame,
+      idCol: String,
+      tsCol: String,
+      valueCols: Seq[String],
+      funcs: Seq[String],
+      intervals: Seq[(String, String)],
+      dateRange: Option[(String, String)] = None): DataFrame = {
+
+    val missing = (valueCols :+ idCol :+ tsCol).filterNot(obs.columns.contains)
+    if (missing.nonEmpty) throw ColumnException(missing, obs.columns.toSeq)
+
+    val sliced = dateRange match {
+      case Some((b, e)) => dateRangeFilter(obs, tsCol, b, e)
+      case None => obs
+    }
+
+    def tag(s: String) = s.replace(":", "")
+    val aggs = for {
+      (iv @ (b, e)) <- intervals
+      c <- valueCols
+      f <- funcs
+    } yield {
+      val pred = hourIntervalPredicate(col(tsCol), b, e)
+      // conditional agg: rows outside the interval contribute null
+      Aggregates(f)(when(pred, col(c)))
+        .as(Aggregates.statName(f, c, s"${tag(b)}_${tag(e)}"))
+    }
+    sliced.groupBy(col(idCol)).agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** A8 — per-id min/max time profile + global bounds.
+    * Returns (perId, global): perId has (id, min_ts, max_ts, n_obs);
+    * global is the 1-row min/max of those (reference :619-637 prints;
+    * we return DataFrames). */
+  def timeProfile(obs: DataFrame, idCol: String, tsCol: String): (DataFrame, DataFrame) = {
+    val perId = obs.groupBy(col(idCol)).agg(
+      min(col(tsCol)).as("min_ts"), max(col(tsCol)).as("max_ts"),
+      count(lit(1)).as("n_obs"))
+    val global = perId.agg(min(col("min_ts")).as("global_min"),
+      max(col("max_ts")).as("global_max"))
+    (perId, global)
+  }
+
+  /** U2 (deterministic form) — keep the first row per key by a total
+    * order. The reference's drop-by-index (:643-647) is order-dependent;
+    * Spark's dropDuplicates is nondeterministic under parallelism, so
+    * the engine's canonical dedup is rank-based: min over
+    * (orderCols, tieBreak). */
+  def dedupFirst(df: DataFrame, keys: Seq[String], orderCols: Seq[Column]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(orderCols: _*)
+    df.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1).drop("__rn")
+  }
+}

@@ -42,7 +42,7 @@ object Relational {
           // (where Spark HALF_UP and DuckDB would disagree)
           round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4).as("sum_disc_price"),
           round(avg(col("l_quantity")), 4).as("avg_qty"),
-          round(avg(col("l_discount")), 4).as("avg_disc"),
+          (round(sum(col("l_discount")), 2) / count(col("l_discount"))).as("avg_disc"),
           count(lit(1)).as("count_order"))
         .orderBy(col("l_returnflag"), col("l_linestatus"))
     },
@@ -51,7 +51,7 @@ object Relational {
            |  round(sum(l_extendedprice), 2) AS sum_base_price,
            |  round(sum(l_extendedprice * (1 - l_discount)), 4) AS sum_disc_price,
            |  round(avg(l_quantity), 4) AS avg_qty,
-           |  round(avg(l_discount), 4) AS avg_disc,
+           |  round(sum(l_discount), 2) / count(l_discount) AS avg_disc,
            |  count(*) AS count_order
            |FROM lineitem
            |WHERE l_shipdate <= TIMESTAMP '2000-01-01'
@@ -344,11 +344,11 @@ object Relational {
         .groupBy(col("c_mktsegment"))
         .agg(countDistinct(col("c_nationkey")).as("n_nations"),
           count(lit(1)).as("n_customers"),
-          round(avg(col("c_acctbal")), 4).as("avg_bal"))
+          (round(sum(col("c_acctbal")), 2) / count(col("c_acctbal"))).as("avg_bal"))
         .orderBy(col("c_mktsegment"))
     },
     Some("""SELECT c_mktsegment, count(DISTINCT c_nationkey) AS n_nations,
-           |  count(*) AS n_customers, round(avg(c_acctbal), 4) AS avg_bal
+           |  count(*) AS n_customers, round(sum(c_acctbal), 2) / count(c_acctbal) AS avg_bal
            |FROM customer
            |GROUP BY c_mktsegment
            |ORDER BY c_mktsegment""".stripMargin),
@@ -369,12 +369,13 @@ object Relational {
           least(floor((col("l_extendedprice") - col("mn")) / ((col("mx") - col("mn")) / 10)),
             lit(9)).cast("int"))
         .groupBy(col("bucket"))
-        .agg(count(lit(1)).as("n"), round(avg(col("l_extendedprice")), 4).as("avg_price"))
+        .agg(count(lit(1)).as("n"),
+          (round(sum(col("l_extendedprice")), 2) / count(col("l_extendedprice"))).as("avg_price"))
         .orderBy(col("bucket"))
     },
     Some("""WITH b AS (SELECT min(l_extendedprice) AS mn, max(l_extendedprice) AS mx FROM lineitem)
            |SELECT CAST(least(floor((l_extendedprice - mn) / ((mx - mn) / 10)), 9) AS INT) AS bucket,
-           |  count(*) AS n, round(avg(l_extendedprice), 4) AS avg_price
+           |  count(*) AS n, round(sum(l_extendedprice), 2) / count(l_extendedprice) AS avg_price
            |FROM lineitem, b
            |GROUP BY 1
            |ORDER BY bucket""".stripMargin),
@@ -390,12 +391,13 @@ object Relational {
         .withColumn("type_key", concat_ws("_", col("p_brand"), upper(substring(col("p_type"), 1, 5))))
         .withColumn("type_slug", regexp_replace(col("p_type"), " ", "-"))
         .groupBy(col("type_key"), col("type_slug"))
-        .agg(count(lit(1)).as("n"), round(avg(col("p_retailprice")), 4).as("avg_price"))
+        .agg(count(lit(1)).as("n"),
+          (round(sum(col("p_retailprice")), 2) / count(col("p_retailprice"))).as("avg_price"))
         .orderBy(col("type_key"), col("type_slug"))
     },
     Some("""SELECT concat_ws('_', p_brand, upper(substr(p_type, 1, 5))) AS type_key,
            |  replace(p_type, ' ', '-') AS type_slug,
-           |  count(*) AS n, round(avg(p_retailprice), 4) AS avg_price
+           |  count(*) AS n, round(sum(p_retailprice), 2) / count(p_retailprice) AS avg_price
            |FROM part
            |GROUP BY 1, 2
            |ORDER BY type_key, type_slug""".stripMargin),

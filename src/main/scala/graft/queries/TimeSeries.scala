@@ -1,7 +1,167 @@
 package graft.queries
 
-/** Time-series operator coverage (SURVEY.md §2: A5, A8, P8, P9) over the
-  * `events` table. Filled in with declared queries in this round. */
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.core.Tables
+import graft.ops.TimeSeriesOps
+
+/** Time-series operator coverage (SURVEY.md A5, A8, P8, P9, U2, F11)
+  * over the `events` table, driven through the graft.ops library. */
 object TimeSeries {
-  val all: Seq[Declared] = Seq.empty
+
+  /** q20 — A5+P8+P9: per-user hour-interval stats over a date range,
+    * BOTH intervals emitted (intended multi-interval semantics; the
+    * reference bug keeps only the last — SURVEY A5), second interval
+    * exercises the overnight wrap. ONE shuffle for all intervals via
+    * conditional aggregation. */
+  val q20 = Declared(
+    "q20_interval_stats", "A5,P8,P9,F1",
+    (s, dir) => {
+      val stats = TimeSeriesOps.intervalStats(
+        Tables.events(s, dir),
+        idCol = "user_id", tsCol = "ts",
+        valueCols = Seq("value"), funcs = Seq("sum", "max", "count"),
+        intervals = Seq(("09:00:00", "17:00:00"), ("22:00:00", "05:00:00")),
+        dateRange = Some(("2024-01-05", "2024-01-25")))
+      // mean derived as round(sum,2)/count: the inner round collapses
+      // accumulation-order ulp noise to a bit-identical double in both
+      // engines BEFORE the division, so the quotient is exact-compare-safe
+      // (value has 2 decimal digits → round(sum,2) is the true sum).
+      def mean(tag: String) =
+        (round(col(s"sum_value_$tag"), 2) / col(s"count_value_$tag")).as(s"mean_value_$tag")
+      stats.select(col("user_id"),
+        mean("090000_170000"),
+        col("max_value_090000_170000"),
+        col("count_value_090000_170000"),
+        mean("220000_050000"),
+        col("max_value_220000_050000"),
+        col("count_value_220000_050000"))
+        .orderBy(col("user_id"))
+    },
+    Some("""SELECT user_id,
+           |  round(sum(value) FILTER (WHERE t BETWEEN 32400 AND 61200), 2)
+           |    / count(value) FILTER (WHERE t BETWEEN 32400 AND 61200) AS mean_value_090000_170000,
+           |  max(value) FILTER (WHERE t BETWEEN 32400 AND 61200) AS max_value_090000_170000,
+           |  count(value) FILTER (WHERE t BETWEEN 32400 AND 61200) AS count_value_090000_170000,
+           |  round(sum(value) FILTER (WHERE t >= 79200 OR t <= 18000), 2)
+           |    / count(value) FILTER (WHERE t >= 79200 OR t <= 18000) AS mean_value_220000_050000,
+           |  max(value) FILTER (WHERE t >= 79200 OR t <= 18000) AS max_value_220000_050000,
+           |  count(value) FILTER (WHERE t >= 79200 OR t <= 18000) AS count_value_220000_050000
+           |FROM (
+           |  SELECT user_id, value, hour(ts)*3600 + minute(ts)*60 + second(ts) AS t
+           |  FROM events
+           |  WHERE ts >= TIMESTAMP '2024-01-05' AND ts < TIMESTAMP '2024-01-26')
+           |GROUP BY user_id
+           |ORDER BY user_id""".stripMargin),
+    "All intervals fold into one conditional-agg pass: 1 scan + 1 shuffle on user_id regardless of interval count.")
+
+  /** q21 — P9 standalone: overnight-wrap filter then agg by type. */
+  val q21 = Declared(
+    "q21_overnight_wrap", "P9",
+    (s, dir) => {
+      Tables.events(s, dir)
+        .filter(TimeSeriesOps.hourIntervalPredicate(col("ts"), "22:00:00", "05:00:00"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), round(sum(col("value")), 4).as("sum_value"))
+        .orderBy(col("event_type"))
+    },
+    Some("""SELECT event_type, count(*) AS n, round(sum(value), 4) AS sum_value
+           |FROM events
+           |WHERE (hour(ts)*3600 + minute(ts)*60 + second(ts)) >= 79200
+           |   OR (hour(ts)*3600 + minute(ts)*60 + second(ts)) <= 18000
+           |GROUP BY event_type
+           |ORDER BY event_type""".stripMargin),
+    "Pure scan-side predicate — no join, partial agg shrinks before the 1-key shuffle.")
+
+  /** q22 — A8: per-id min/max time profile. */
+  val q22 = Declared(
+    "q22_time_profile", "A8",
+    (s, dir) => {
+      val (perId, _) = TimeSeriesOps.timeProfile(Tables.events(s, dir), "user_id", "ts")
+      perId.orderBy(col("user_id"))
+    },
+    Some("""SELECT user_id, min(ts) AS min_ts, max(ts) AS max_ts, count(*) AS n_obs
+           |FROM events
+           |GROUP BY user_id
+           |ORDER BY user_id""".stripMargin),
+    "min/max/count are all mergeable — map-side partials, single small shuffle.")
+
+  /** q23 — U2 deterministic dedup: first event per (user, type) by
+    * (ts, event_id) total order. Spark dropDuplicates is
+    * pick-any-under-parallelism; the engine's canonical dedup is
+    * rank-based so results are stable on any cluster. */
+  val q23 = Declared(
+    "q23_dedup_first", "U2,W2",
+    (s, dir) => {
+      TimeSeriesOps.dedupFirst(Tables.events(s, dir),
+        keys = Seq("user_id", "event_type"),
+        orderCols = Seq(col("ts").asc, col("event_id").asc))
+        .select(col("user_id"), col("event_type"), col("event_id"), col("ts"))
+        .orderBy(col("user_id"), col("event_type"))
+    },
+    Some("""SELECT user_id, event_type, event_id, ts
+           |FROM events
+           |QUALIFY row_number() OVER (PARTITION BY user_id, event_type
+           |                           ORDER BY ts ASC, event_id ASC) = 1
+           |ORDER BY user_id, event_type""".stripMargin),
+    "Rank-based dedup = one shuffle on the dedup key; deterministic under any partitioning (unlike dropDuplicates).")
+
+  /** q24 — F11: JSON-in-string column extraction (events.props). */
+  val q24 = Declared(
+    "q24_json_extract", "F11",
+    (s, dir) => {
+      Tables.events(s, dir)
+        .withColumn("k", get_json_object(col("props"), "$.k").cast("int"))
+        .groupBy(col("event_type"))
+        .agg(sum(col("k")).as("sum_k"), count(col("k")).as("n_k"),
+          round(avg(col("k")), 4).as("avg_k"))
+        .orderBy(col("event_type"))
+    },
+    Some("""SELECT event_type,
+           |  CAST(sum(k) AS BIGINT) AS sum_k, count(k) AS n_k, round(avg(k), 4) AS avg_k
+           |FROM (SELECT event_type,
+           |        CAST(json_extract_string(props, '$.k') AS INT) AS k
+           |      FROM events)
+           |GROUP BY event_type
+           |ORDER BY event_type""".stripMargin),
+    "get_json_object is codegen'd; at 100TB prefer from_json into a struct once, not N extractions.")
+
+  /** q25 — sessionization (gap > 30 min) via lag + running sum:
+    * the batch shadow of streaming session windows (T3). */
+  val q25 = Declared(
+    "q25_sessionize", "W-frame,T3",
+    (s, dir) => {
+      val wOrd = Window.partitionBy(col("user_id")).orderBy(col("ts").asc, col("event_id").asc)
+      Tables.events(s, dir)
+        .withColumn("prev_us", lag(unix_micros(col("ts")), 1).over(wOrd))
+        .withColumn("new_sess",
+          when(col("prev_us").isNull ||
+            unix_micros(col("ts")) - col("prev_us") > 1800L * 1000000L, 1).otherwise(0))
+        .withColumn("session_no",
+          sum(col("new_sess")).over(wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .groupBy(col("user_id"), col("session_no"))
+        .agg(count(lit(1)).as("n_events"),
+          min(col("ts")).as("session_start"), max(col("ts")).as("session_end"))
+        .orderBy(col("user_id"), col("session_no"))
+    },
+    Some("""WITH marked AS (
+           |  SELECT user_id, event_id, ts,
+           |    CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+           |           OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
+           |         THEN 1 ELSE 0 END AS new_sess
+           |  FROM events
+           |  WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+           |), numbered AS (
+           |  SELECT user_id, ts,
+           |    CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+           |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_no
+           |  FROM marked)
+           |SELECT user_id, session_no, count(*) AS n_events,
+           |  min(ts) AS session_start, max(ts) AS session_end
+           |FROM numbered
+           |GROUP BY user_id, session_no
+           |ORDER BY user_id, session_no""".stripMargin),
+    "lag + running sum + agg all share one shuffle on user_id; AQE coalesces the tiny output.")
+
+  val all: Seq[Declared] = Seq(q20, q21, q22, q23, q24, q25)
 }

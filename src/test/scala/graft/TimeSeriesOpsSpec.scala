@@ -1,0 +1,110 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.ops.{Aggregates, TimeSeriesOps}
+
+object SparkTestSession {
+  lazy val spark: SparkSession = graft.core.GraftSession.local("4", "graft-test")
+}
+
+class TimeSeriesOpsSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private def ts(s: String) = java.sql.Timestamp.valueOf(s)
+
+  test("P9: hour-interval predicate wraps overnight (pandas between_time semantics)") {
+    val df = Seq(
+      (1L, ts("2024-01-01 23:30:00")), // in 22-05
+      (2L, ts("2024-01-01 04:59:59")), // in 22-05
+      (3L, ts("2024-01-01 12:00:00")), // out
+      (4L, ts("2024-01-01 22:00:00")), // boundary inclusive
+      (5L, ts("2024-01-01 05:00:00")), // boundary inclusive
+      (6L, ts("2024-01-01 05:00:01"))  // just out
+    ).toDF("id", "t")
+    val in = df.filter(TimeSeriesOps.hourIntervalPredicate(col("t"), "22:00:00", "05:00:00"))
+      .select("id").as[Long].collect().sorted
+    assert(in.toSeq == Seq(1L, 2L, 4L, 5L))
+  }
+
+  test("P9: non-wrapping interval is a plain inclusive between") {
+    val df = Seq((1L, ts("2024-01-01 09:00:00")), (2L, ts("2024-01-01 17:00:00")),
+      (3L, ts("2024-01-01 08:59:59")), (4L, ts("2024-01-01 17:00:01"))).toDF("id", "t")
+    val in = df.filter(TimeSeriesOps.hourIntervalPredicate(col("t"), "09:00:00", "17:00:00"))
+      .select("id").as[Long].collect().sorted
+    assert(in.toSeq == Seq(1L, 2L))
+  }
+
+  test("P8: date range keeps the whole end day and errors on empty slice") {
+    val df = Seq((1L, ts("2024-01-05 00:00:00")), (2L, ts("2024-01-10 23:59:59")),
+      (3L, ts("2024-01-11 00:00:00"))).toDF("id", "t")
+    val in = TimeSeriesOps.dateRangeFilter(df, "t", "2024-01-05", "2024-01-10")
+      .select("id").as[Long].collect().sorted
+    assert(in.toSeq == Seq(1L, 2L))
+    intercept[graft.core.DataIOError] {
+      TimeSeriesOps.dateRangeFilter(df, "t", "2030-01-01", "2030-01-02", requireNonEmpty = true)
+    }
+  }
+
+  test("A5: ALL intervals survive (reference bug overwrites all but the last)") {
+    val df = Seq(
+      (1L, ts("2024-01-01 10:00:00"), 10.0),
+      (1L, ts("2024-01-01 23:00:00"), 20.0),
+      (2L, ts("2024-01-01 11:00:00"), 30.0)
+    ).toDF("id", "t", "v")
+    val out = TimeSeriesOps.intervalStats(df, "id", "t", Seq("v"), Seq("mean", "count"),
+      Seq(("09:00:00", "17:00:00"), ("22:00:00", "05:00:00")))
+    // both interval column blocks present — the intended multi-interval output
+    assert(out.columns.toSet == Set("id",
+      "mean_v_090000_170000", "count_v_090000_170000",
+      "mean_v_220000_050000", "count_v_220000_050000"))
+    val r = out.orderBy("id").collect()
+    assert(r(0).getAs[Double]("mean_v_090000_170000") == 10.0)
+    assert(r(0).getAs[Double]("mean_v_220000_050000") == 20.0)
+    assert(r(1).getAs[Long]("count_v_220000_050000") == 0L)
+  }
+
+  test("A5: unknown column raises ColumnException listing available columns") {
+    val df = Seq((1L, ts("2024-01-01 10:00:00"), 1.0)).toDF("id", "t", "v")
+    val e = intercept[graft.core.ColumnException] {
+      TimeSeriesOps.intervalStats(df, "id", "t", Seq("nope"), Seq("mean"),
+        Seq(("09:00:00", "17:00:00")))
+    }
+    assert(e.available.contains("v"))
+  }
+
+  test("X2: std maps to POPULATION std (numpy ddof=0), not sample std") {
+    val df = Seq(1.0, 2.0, 3.0, 4.0).toDF("x")
+    val got = df.agg(Aggregates("std")(col("x"))).head.getDouble(0)
+    assert(math.abs(got - math.sqrt(1.25)) < 1e-12) // pop var of 1..4 = 1.25
+  }
+
+  test("U2: dedupFirst keeps the first row by total order, deterministically") {
+    val df = Seq(
+      (1L, "a", ts("2024-01-01 00:00:02"), 102L),
+      (1L, "a", ts("2024-01-01 00:00:01"), 101L),
+      (1L, "a", ts("2024-01-01 00:00:01"), 100L), // ts tie → id tiebreak
+      (2L, "b", ts("2024-01-01 00:00:05"), 200L)
+    ).toDF("k", "g", "t", "id")
+    val out = TimeSeriesOps.dedupFirst(df, Seq("k", "g"), Seq(col("t").asc, col("id").asc))
+      .select("id").as[Long].collect().sorted
+    assert(out.toSeq == Seq(100L, 200L))
+  }
+
+  test("A8: time profile per id + global bounds") {
+    val df = Seq((1L, ts("2024-01-01 00:00:00")), (1L, ts("2024-01-02 00:00:00")),
+      (2L, ts("2024-01-03 00:00:00"))).toDF("id", "t")
+    val (per, global) = TimeSeriesOps.timeProfile(df, "id", "t")
+    assert(per.count() == 2)
+    val g = global.head
+    assert(g.getTimestamp(0) == ts("2024-01-01 00:00:00"))
+    assert(g.getTimestamp(1) == ts("2024-01-03 00:00:00"))
+  }
+
+  test("F1: statName reproduces the reference's '_'.join naming product") {
+    assert(Aggregates.statName("mean", "buildings", "height") == "mean_buildings_height")
+    assert(Aggregates.statName("max", "", "band1") == "max_band1")
+  }
+}
