@@ -1,0 +1,106 @@
+package graft.pipeline
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import scala.collection.immutable.ListMap
+import graft.ops.TimeSeriesOps
+
+/** X1 — the named-operator registry: the Scala analog of the
+  * reference's "any callable, serialized by __name__" pluggable-op
+  * surface (reference: README.md:16-20, src/data_preprocessing.py:
+  * 108-111, :683-689).
+  *
+  * An operator factory takes the op's kwargs (JSON) and returns a
+  * DataFrame transform. Everything stays lazy — registering an op adds
+  * plan nodes, never executes.
+  */
+final class OpRegistry private (
+    private val ops: Map[String, ListMap[String, Json] => DataFrame => DataFrame]) {
+
+  def apply(function: String): ListMap[String, Json] => DataFrame => DataFrame =
+    ops.getOrElse(function,
+      throw graft.core.ColumnException(Seq(function), ops.keys.toSeq.sorted))
+
+  /** User extension point: register a custom op under a name (the spec
+    * stays serializable because only the name is persisted). */
+  def register(name: String,
+      f: ListMap[String, Json] => DataFrame => DataFrame): OpRegistry =
+    new OpRegistry(ops + (name -> f))
+
+  def known: Seq[String] = ops.keys.toSeq.sorted
+}
+
+object OpRegistry {
+
+  // ---- kwarg extractors ----
+  private def str(p: ListMap[String, Json], k: String): String = p.get(k) match {
+    case Some(JStr(s)) => s
+    case other => sys.error(s"kwarg '$k' must be a string, got $other")
+  }
+  private def strOpt(p: ListMap[String, Json], k: String): Option[String] =
+    p.get(k).collect { case JStr(s) => s }
+  private def num(p: ListMap[String, Json], k: String): Double = p.get(k) match {
+    case Some(JNum(n)) => n
+    case other => sys.error(s"kwarg '$k' must be a number, got $other")
+  }
+  private def strs(p: ListMap[String, Json], k: String): Seq[String] = p.get(k) match {
+    case Some(JArr(xs)) => xs.map { case JStr(s) => s; case o => sys.error(s"'$k': $o") }
+    case None => Seq.empty
+    case other => sys.error(s"kwarg '$k' must be a string array, got $other")
+  }
+  private def pairs(p: ListMap[String, Json], k: String): Seq[(String, String)] =
+    p.get(k) match {
+      case Some(JArr(xs)) => xs.map {
+        case JArr(Vector(JStr(a), JStr(b))) => (a, b)
+        case o => sys.error(s"'$k' entries must be [beg, end] pairs, got $o")
+      }
+      case None => Seq.empty
+      case other => sys.error(s"kwarg '$k' must be an array of pairs, got $other")
+    }
+
+  /** Built-in operator set. Each op is a thin declarative wrapper —
+    * the heavy lifting (and the unit tests) live in graft.ops. */
+  val default: OpRegistry = new OpRegistry(Map(
+    // projections / filters (P1-P3, P5)
+    "filter" -> (p => df => df.filter(expr(str(p, "condition")))),
+    "select" -> (p => df => df.select(strs(p, "columns").map(col): _*)),
+    "drop" -> (p => df => df.drop(strs(p, "columns"): _*)),
+    "rename" -> (p => df => {
+      val mapping = p.get("mapping") match {
+        case Some(JObj(m)) => m.map { case (k, JStr(v)) => (k, v); case (k, o) => sys.error(s"$k: $o") }
+        case other => sys.error(s"'mapping' must be an object, got $other")
+      }
+      mapping.foldLeft(df) { case (d, (from, to)) => d.withColumnRenamed(from, to) }
+    }),
+    "with_column" -> (p => df => df.withColumn(str(p, "name"), expr(str(p, "expr")))),
+    // null handling (P10) — reference zero-fills pre-interpolation
+    "fillna" -> (p => df => {
+      val v = num(p, "value")
+      val cols = strs(p, "columns")
+      if (cols.isEmpty) df.na.fill(v) else df.na.fill(v, cols)
+    }),
+    "dropna" -> (p => df => {
+      val cols = strs(p, "columns")
+      if (cols.isEmpty) df.na.drop() else df.na.drop(cols)
+    }),
+    // P11 — CSV index artifact scrub
+    "drop_unnamed" -> (_ => df =>
+      df.drop(df.columns.filter(_.toLowerCase.contains("unnamed")).toIndexedSeq: _*)),
+    // sorts / limits (O1)
+    "order_by" -> (p => df => df.orderBy(strs(p, "columns").map(expr): _*)),
+    "limit" -> (p => df => df.limit(num(p, "n").toInt)),
+    // set ops (U2, U3)
+    "distinct" -> (_ => df => df.distinct()),
+    "dedup_first" -> (p => df => TimeSeriesOps.dedupFirst(df,
+      strs(p, "keys"), strs(p, "order").map(expr(_).asc))),
+    // time series (P8, P9, A5)
+    "date_range_filter" -> (p => df => TimeSeriesOps.dateRangeFilter(
+      df, str(p, "ts_col"), str(p, "beg"), str(p, "end"))),
+    "hour_interval_filter" -> (p => df => df.filter(
+      TimeSeriesOps.hourIntervalPredicate(col(str(p, "ts_col")), str(p, "beg"), str(p, "end")))),
+    "interval_stats" -> (p => df => TimeSeriesOps.intervalStats(
+      df, str(p, "id_col"), str(p, "ts_col"),
+      strs(p, "value_cols"), strs(p, "funcs"), pairs(p, "intervals"),
+      strOpt(p, "beg").zip(strOpt(p, "end")).headOption))
+  ))
+}

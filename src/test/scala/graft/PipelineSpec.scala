@@ -1,0 +1,156 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.pipeline._
+
+class PipelineSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private def pipe = Pipeline("test")
+    .addOperation(Operation("keep_recent", "filter", "condition" -> JStr("v > 1")))
+    .addOperation(Operation("shape", "select",
+      "columns" -> JArr(Vector(JStr("id"), JStr("v")))))
+
+  private def data = Seq((1L, 1.0, "x"), (2L, 2.0, "y"), (3L, 3.0, "z")).toDF("id", "v", "s")
+
+  test("C8: run folds ops into one lazy plan and validates") {
+    val (out, validated) = pipe.run(data)
+    assert(out.columns.toSeq == Seq("id", "v"))
+    assert(out.count() == 2)
+    assert(validated.validated)
+    validated.requireValidated() // no throw
+  }
+
+  test("C11: unvalidated pipeline guard throws") {
+    intercept[graft.core.UnvalidatedPipeline] { pipe.requireValidated() }
+  }
+
+  test("C2/C3: JSON round-trip is identity") {
+    val json = pipe.toJson.render
+    val back = Pipeline.fromJson(json)
+    assert(back.name == pipe.name)
+    assert(back.operations == pipe.operations)
+    // and re-rendering is byte-stable
+    assert(back.toJson.render == json)
+  }
+
+  test("C8: run writes the provenance spec JSON") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_spec").toString
+    pipe.run(data, specOut = Some(dir))
+    val spec = java.nio.file.Files.readString(java.nio.file.Paths.get(dir, "test_pipe.json"))
+    assert(Pipeline.fromJson(spec).operations.length == 2)
+  }
+
+  test("C4-C7: editors are immutable and invalidate") {
+    val p0 = pipe.run(data)._2
+    assert(p0.validated)
+    val p1 = p0.addOperation(Operation("lim", "limit", "n" -> JNum(1)))
+    assert(!p1.validated && p0.validated && p1.operations.length == 3)
+    val p2 = p1.popOperation("lim")
+    assert(p2.operations.map(_.name) == Vector("keep_recent", "shape"))
+    val p3 = p1.moveOperation("lim", 0)
+    assert(p3.operations.head.name == "lim")
+    intercept[IllegalArgumentException] { p1.moveOperation("ghost", 0) }
+    val p4 = p0.setKwarg("keep_recent", "condition", JStr("v > 2"))
+    assert(p4.run(data)._1.count() == 1)
+    // setKwarg on absent op: silent no-op (reference behavior)
+    assert(p0.setKwarg("ghost", "k", JNull).operations == p0.operations)
+  }
+
+  test("C9: sweep runs one result per parameter value") {
+    val res = pipe.sweep(data, "keep_recent", "condition",
+      Seq(JStr("v > 0"), JStr("v > 2")))
+    assert(res.map(_._2.count()) == Seq(3L, 1L))
+  }
+
+  test("X1: unknown operator lists known ones") {
+    val bad = Pipeline("p").addOperation(Operation("x", "not_an_op"))
+    val e = intercept[graft.core.ColumnException] { bad.run(data) }
+    assert(e.available.contains("filter"))
+  }
+
+  test("X1: user-registered op works and spec stays serializable") {
+    val reg = OpRegistry.default.register("double_v",
+      _ => df => df.withColumn("v", col("v") * 2))
+    val p = Pipeline("p").addOperation(Operation("d", "double_v"))
+    val (out, _) = p.run(data, reg)
+    assert(out.agg(sum("v")).head.getDouble(0) == 12.0)
+    assert(p.toJson.render.contains("double_v"))
+  }
+
+  test("ops: interval_stats + dedup_first work from specs") {
+    val ev = Seq(
+      (1L, java.sql.Timestamp.valueOf("2024-01-01 10:00:00"), 4.0),
+      (1L, java.sql.Timestamp.valueOf("2024-01-01 10:30:00"), 6.0),
+      (1L, java.sql.Timestamp.valueOf("2024-01-01 23:00:00"), 100.0)
+    ).toDF("id", "ts", "v")
+    val p = Pipeline("iv").addOperation(Operation("stats", "interval_stats",
+      "id_col" -> JStr("id"), "ts_col" -> JStr("ts"),
+      "value_cols" -> JArr(Vector(JStr("v"))),
+      "funcs" -> JArr(Vector(JStr("mean"))),
+      "intervals" -> JArr(Vector(JArr(Vector(JStr("09:00:00"), JStr("17:00:00")))))))
+    val (out, _) = p.run(ev)
+    assert(out.head.getAs[Double]("mean_v_090000_170000") == 5.0)
+  }
+}
+
+class SourcesSinksSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private def tmpDir() = java.nio.file.Files.createTempDirectory("graft_io").toString
+
+  test("S2: openData reads CSV, falls back to JSON, errors with cascade detail") {
+    val dir = tmpDir()
+    val csv = s"$dir/a.csv"
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(csv), "a,b\n1,x\n2,y\n")
+    val df = graft.io.Sources.openData(spark, csv)
+    assert(df.columns.toSeq == Seq("a", "b") && df.count() == 2)
+
+    val jsonf = s"$dir/a.json"
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(jsonf),
+      """{"a": 1, "nested": {"m": 5}}""" + "\n" + """{"a": 2, "nested": {"m": 6}}""")
+    val dj = graft.io.Sources.openData(spark, jsonf)
+    // dotted-path access = json_normalize analog (F11)
+    assert(dj.select(col("nested.m")).as[Long].collect().sorted.toSeq == Seq(5L, 6L))
+
+    val e = intercept[graft.core.DataIOError] {
+      graft.io.Sources.openData(spark, s"$dir/missing.bin")
+    }
+    assert(e.getMessage.contains("csv") && e.getMessage.contains("json"))
+  }
+
+  test("S3: openSensorRecords scrubs unnamed index columns (P11)") {
+    val dir = tmpDir()
+    val csv = s"$dir/rec.csv"
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(csv),
+      "Unnamed: 0,ts,m\n0,2024-01-01,1.5\n1,2024-01-02,2.5\n")
+    val df = graft.io.Sources.openSensorRecords(spark, csv)
+    assert(df.columns.toSeq == Seq("ts", "m"))
+  }
+
+  test("S4: openDirOfData unions by name with per-file id stamping (intended semantics)") {
+    val dir = tmpDir()
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$dir/s1.json"),
+      """{"m": 1.0, "extra": "only_in_1"}""")
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$dir/s2.json"),
+      """{"m": 2.0}""" + "\n" + """{"m": 3.0}""")
+    val df = graft.io.Sources.openDirOfData(spark, dir, Some(Seq(10L, 20L)))
+    assert(df.count() == 3)
+    // file 2's rows stamped 20 (reference bug would stamp len(df1) everywhere)
+    assert(df.filter(col("id_sensor") === 20L).count() == 2)
+    // missing column null-filled by unionByName
+    assert(df.filter(col("extra").isNull).count() == 2)
+  }
+
+  test("S6: writeSafe swallows sink failures and reports them") {
+    val df = Seq((1, "a")).toDF("id", "s")
+    val err = graft.io.Sinks.writeSafe(df, "/proc/definitely/not/writable", "parquet")
+    assert(err.isDefined) // failure captured, no throw
+    val dir = tmpDir()
+    assert(graft.io.Sinks.writeSafe(df, s"$dir/ok", "json", singleFile = true).isEmpty)
+    assert(graft.io.Sinks.writeSafe(df, s"$dir/x", "shapefile").get.contains("GDAL"))
+  }
+}
