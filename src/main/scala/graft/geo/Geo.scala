@@ -1,0 +1,260 @@
+package graft.geo
+
+import org.apache.spark.sql.{Column, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Geometry model (SURVEY.md §1.1, F9-F10).
+  *
+  * No Sedona jars ship in this build, so geometry is a plain Spark
+  * struct — `STRUCT<kind: STRING, points: ARRAY<STRUCT<x,y: DOUBLE>>>`
+  * — with `st_*` functions over it. kinds: "point" (1 vertex) and
+  * "polygon" (ring, implicitly closed: last vertex != first, edges wrap).
+  *
+  * Everything that can be a pure column expression IS one (shoelace
+  * area/centroid/bounds via `transform`/`aggregate`/`zip_with`): those
+  * stay inside codegen and need no serialization. Only buffer,
+  * general distance and intersects are Scala UDFs — they are API-compat
+  * surface, not the hot path: the aggregation kernels (graft.ops.
+  * SpatialOps) run on extracted centroid/bbox DOUBLE columns precisely
+  * so the 100 TB joins never evaluate a UDF per pair.
+  *
+  * CRS (mirrors reference crs attribute, src/data_preprocessing.py:
+  * 184-185): an `epsg: INT` column travels next to the geometry;
+  * `st_transform` implements EPSG:4326 ↔ 3857 (spherical Mercator) —
+  * the reference workflows' reprojection pair; a full proj database is
+  * documented out of scope.
+  */
+object Geo {
+
+  val pointType: StructType = StructType(Seq(
+    StructField("x", DoubleType), StructField("y", DoubleType)))
+  val geometryType: StructType = StructType(Seq(
+    StructField("kind", StringType),
+    StructField("points", ArrayType(pointType))))
+
+  // ---- constructors ----
+
+  def stPoint(x: Column, y: Column): Column =
+    struct(lit("point").as("kind"), array(struct(x.as("x"), y.as("y"))).as("points"))
+
+  /** Polygon from an array<struct<x,y>> column (ring, open). */
+  def stPolygon(points: Column): Column =
+    struct(lit("polygon").as("kind"), points.as("points"))
+
+  // ---- pure column-expression accessors ----
+
+  def stKind(g: Column): Column = g.getField("kind")
+  private def pts(g: Column): Column = g.getField("points")
+
+  def stX(g: Column): Column = element_at(pts(g), 1).getField("x")
+  def stY(g: Column): Column = element_at(pts(g), 1).getField("y")
+
+  def stIsEmpty(g: Column): Column = g.isNull || size(pts(g)) === 0
+
+  /** Validity: point = exactly 1 finite vertex; polygon = >= 3 vertices,
+    * all finite, nonzero area (degenerate rings are invalid). */
+  def stIsValid(g: Column): Column = {
+    val finite = forall(pts(g), p =>
+      !isnan(p.getField("x")) && !isnan(p.getField("y")) &&
+        p.getField("x").isNotNull && p.getField("y").isNotNull)
+    when(stIsEmpty(g), lit(false))
+      .when(stKind(g) === "point", size(pts(g)) === 1 && finite)
+      .otherwise(size(pts(g)) >= 3 && finite && stArea(g) > 0)
+  }
+
+  /** Ring edges as zip of (p_i, p_{i+1 mod n}) — basis for shoelace. */
+  private def edges(g: Column): Column = {
+    val p = pts(g)
+    val shifted = concat(slice(p, lit(2), size(p) - 1), slice(p, lit(1), lit(1)))
+    zip_with(p, shifted, (a, b) => struct(a.as("a"), b.as("b")))
+  }
+
+  /** Shoelace cross-term sum Σ (x_i·y_{i+1} − x_{i+1}·y_i). */
+  private def cross2Sum(g: Column): Column =
+    aggregate(edges(g), lit(0.0), (acc, e) => acc +
+      (e.getField("a").getField("x") * e.getField("b").getField("y") -
+       e.getField("b").getField("x") * e.getField("a").getField("y")))
+
+  /** F9 — area: 0 for points, |shoelace|/2 for polygons. */
+  def stArea(g: Column): Column =
+    when(stKind(g) === "point", lit(0.0)).otherwise(abs(cross2Sum(g)) / 2)
+
+  /** F9 — bounds as struct(xmin, ymin, xmax, ymax). */
+  def stBounds(g: Column): Column = {
+    val xs = transform(pts(g), _.getField("x"))
+    val ys = transform(pts(g), _.getField("y"))
+    struct(array_min(xs).as("xmin"), array_min(ys).as("ymin"),
+      array_max(xs).as("xmax"), array_max(ys).as("ymax"))
+  }
+
+  /** F9 — centroid (shapely semantics): point → itself; polygon →
+    * area-weighted centroid; degenerate (zero-area) ring → vertex mean. */
+  def stCentroid(g: Column): Column = {
+    val n = size(pts(g)).cast("double")
+    val mx = aggregate(pts(g), lit(0.0), (acc, p) => acc + p.getField("x")) / n
+    val my = aggregate(pts(g), lit(0.0), (acc, p) => acc + p.getField("y")) / n
+    val a2 = cross2Sum(g) // signed, ×2
+    val cx = aggregate(edges(g), lit(0.0), (acc, e) => acc +
+      (e.getField("a").getField("x") + e.getField("b").getField("x")) *
+        (e.getField("a").getField("x") * e.getField("b").getField("y") -
+         e.getField("b").getField("x") * e.getField("a").getField("y"))) / (lit(3.0) * a2)
+    val cy = aggregate(edges(g), lit(0.0), (acc, e) => acc +
+      (e.getField("a").getField("y") + e.getField("b").getField("y")) *
+        (e.getField("a").getField("x") * e.getField("b").getField("y") -
+         e.getField("b").getField("x") * e.getField("a").getField("y"))) / (lit(3.0) * a2)
+    when(stKind(g) === "point", g)
+      .when(a2 === 0, stPoint(mx, my))
+      .otherwise(stPoint(cx, cy))
+  }
+
+  // ---- scala-side geometry kernels (UDF surface) ----
+
+  private case class P(x: Double, y: Double)
+
+  private def rowPts(g: Row): IndexedSeq[P] = {
+    val seq = g.getSeq[Row](1)
+    seq.map(r => P(r.getDouble(0), r.getDouble(1))).toIndexedSeq
+  }
+
+  private def segDist(p: P, a: P, b: P): Double = {
+    val (dx, dy) = (b.x - a.x, b.y - a.y)
+    val len2 = dx * dx + dy * dy
+    val t = if (len2 == 0) 0.0
+    else math.max(0.0, math.min(1.0, ((p.x - a.x) * dx + (p.y - a.y) * dy) / len2))
+    math.hypot(p.x - (a.x + t * dx), p.y - (a.y + t * dy))
+  }
+
+  private def ringEdges(ps: IndexedSeq[P]): Iterator[(P, P)] =
+    ps.indices.iterator.map(i => (ps(i), ps((i + 1) % ps.length)))
+
+  private def pointInRing(p: P, ring: IndexedSeq[P]): Boolean = {
+    // ray cast to +x
+    var inside = false
+    ringEdges(ring).foreach { case (a, b) =>
+      val intersects = (a.y > p.y) != (b.y > p.y) &&
+        p.x < (b.x - a.x) * (p.y - a.y) / (b.y - a.y) + a.x
+      if (intersects) inside = !inside
+    }
+    inside
+  }
+
+  private def segsIntersect(p1: P, p2: P, p3: P, p4: P): Boolean = {
+    def orient(a: P, b: P, c: P): Double =
+      (b.x - a.x) * (c.y - a.y) - (b.y - a.y) * (c.x - a.x)
+    def onSeg(a: P, b: P, c: P): Boolean =
+      math.min(a.x, b.x) <= c.x && c.x <= math.max(a.x, b.x) &&
+        math.min(a.y, b.y) <= c.y && c.y <= math.max(a.y, b.y)
+    val (d1, d2) = (orient(p3, p4, p1), orient(p3, p4, p2))
+    val (d3, d4) = (orient(p1, p2, p3), orient(p1, p2, p4))
+    if (((d1 > 0 && d2 < 0) || (d1 < 0 && d2 > 0)) &&
+        ((d3 > 0 && d4 < 0) || (d3 < 0 && d4 > 0))) true
+    else (d1 == 0 && onSeg(p3, p4, p1)) || (d2 == 0 && onSeg(p3, p4, p2)) ||
+      (d3 == 0 && onSeg(p1, p2, p3)) || (d4 == 0 && onSeg(p1, p2, p4))
+  }
+
+  private def geomDistance(g1: Row, g2: Row): Double = {
+    val (k1, k2) = (g1.getString(0), g2.getString(0))
+    val (p1, p2) = (rowPts(g1), rowPts(g2))
+    if (p1.isEmpty || p2.isEmpty) Double.NaN
+    else (k1, k2) match {
+      case ("point", "point") => math.hypot(p1.head.x - p2.head.x, p1.head.y - p2.head.y)
+      case ("point", "polygon") =>
+        if (pointInRing(p1.head, p2)) 0.0
+        else ringEdges(p2).map { case (a, b) => segDist(p1.head, a, b) }.min
+      case ("polygon", "point") => geomDistance(g2, g1)
+      case _ => // polygon-polygon: 0 if intersecting, else min edge-pair distance
+        if (geomIntersects(g1, g2)) 0.0
+        else {
+          var best = Double.MaxValue
+          ringEdges(p1).foreach { case (a, b) =>
+            ringEdges(p2).foreach { case (c, d) =>
+              best = math.min(best, math.min(
+                math.min(segDist(a, c, d), segDist(b, c, d)),
+                math.min(segDist(c, a, b), segDist(d, a, b))))
+            }
+          }
+          best
+        }
+    }
+  }
+
+  private def geomIntersects(g1: Row, g2: Row): Boolean = {
+    val (k1, k2) = (g1.getString(0), g2.getString(0))
+    val (p1, p2) = (rowPts(g1), rowPts(g2))
+    if (p1.isEmpty || p2.isEmpty) false
+    else (k1, k2) match {
+      case ("point", "point") => p1.head == p2.head
+      case ("point", "polygon") => pointInRing(p1.head, p2) ||
+        ringEdges(p2).exists { case (a, b) => segDist(p1.head, a, b) == 0.0 }
+      case ("polygon", "point") => geomIntersects(g2, g1)
+      case _ =>
+        pointInRing(p1.head, p2) || pointInRing(p2.head, p1) ||
+          ringEdges(p1).exists { case (a, b) =>
+            ringEdges(p2).exists { case (c, d) => segsIntersect(a, b, c, d) }
+          }
+    }
+  }
+
+  private def bufferPoly(cx: Double, cy: Double, r: Double, resolution: Int): Seq[Row] = {
+    val n = 4 * resolution // shapely: `resolution` segments per quarter circle
+    (0 until n).map { i =>
+      val theta = 2 * math.Pi * i / n
+      Row(cx + r * math.cos(theta), cy + r * math.sin(theta))
+    }
+  }
+
+  /** F9 — shapely-style `distance` (min distance between geometries).
+    * Option return: null geometry → null distance (struct-typed UDF
+    * inputs are not auto-null-skipped). */
+  val stDistance = udf((g1: Row, g2: Row) =>
+    if (g1 == null || g2 == null) None else Some(geomDistance(g1, g2)))
+
+  /** F9 — `intersects` predicate; null geometry → null. */
+  val stIntersects = udf((g1: Row, g2: Row) =>
+    if (g1 == null || g2 == null) None else Some(geomIntersects(g1, g2)))
+
+  /** F9 — `buffer(r, resolution)` of a geometry's centroid-as-point:
+    * a 4·resolution-gon, default resolution 16 matching shapely
+    * (reference :194, :221 buffer(r, resolution=16)). Java UDF API:
+    * Row-returning Scala UDFs need an explicit result type. */
+  val stBuffer: (Column, Column, Column) => Column = {
+    val f = new org.apache.spark.sql.api.java.UDF3[Row, java.lang.Double, java.lang.Integer, Row] {
+      override def call(g: Row, r: java.lang.Double, resolution: java.lang.Integer): Row = {
+        val ps = rowPts(g)
+        if (ps.isEmpty) Row("polygon", Seq.empty[Row])
+        else {
+          // reference only ever buffers centroids (centroid.buffer(r),
+          // :194/:221): buffer the first vertex for points, the ring's
+          // centroid-as-first-vertex convention for polygons
+          val c = ps.head
+          Row("polygon", bufferPoly(c.x, c.y, r, resolution))
+        }
+      }
+    }
+    val u = udf(f, geometryType)
+    (g, r, res) => u(g, r, res)
+  }
+
+  // ---- F10: CRS transform (4326 <-> 3857), pure column math ----
+
+  private val R = 6378137.0
+
+  /** st_transform for the supported EPSG pair; identity when from==to.
+    * Returns a transformed geometry struct. */
+  def stTransform(g: Column, fromEpsg: Int, toEpsg: Int): Column = {
+    val tx: Column => Column = (fromEpsg, toEpsg) match {
+      case (f, t) if f == t => identity
+      case (4326, 3857) => p => struct(
+        (radians(p.getField("x")) * R).as("x"),
+        (log(tan(lit(math.Pi / 4) + radians(p.getField("y")) / 2)) * R).as("y"))
+      case (3857, 4326) => p => struct(
+        degrees(p.getField("x") / R).as("x"),
+        // atan(sinh(y/R)) via exp (no sinh Column fn)
+        degrees(atan((exp(p.getField("y") / R) - exp(-(p.getField("y") / R))) / 2)).as("y"))
+      case (f, t) =>
+        throw graft.core.MissingCRS(s"transform $f -> $t unsupported (4326<->3857 only)")
+    }
+    struct(stKind(g).as("kind"), transform(pts(g), p => tx(p)).as("points"))
+  }
+}

@@ -1,0 +1,185 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Spatial aggregation kernels (SURVEY.md J2/J3, A2/A3/A4, A6, P5).
+  *
+  * The reference implements every one of these as an O(sensors ×
+  * features) per-row pandas apply with a linear scan
+  * (reference: src/data_preprocessing.py:199, :228, :267, :340). Here
+  * each is ONE declarative plan: bbox prefilter (P5) → join (broadcast
+  * or grid-bucketed) → hash aggregate, all codegen'd column arithmetic —
+  * no UDFs in the hot path.
+  *
+  * Kernels take explicit x/y DOUBLE columns. The geometry-struct layer
+  * (graft.geo) reduces real geometries to centroid/bbox columns before
+  * calling in — keeping bbox/distance predicates visible to Catalyst so
+  * Parquet min/max skipping and pushdown stay effective at 100 TB.
+  */
+object SpatialOps {
+
+  /** Squared Euclidean distance — exact on integer-valued doubles,
+    * avoids the sqrt until a real distance is needed. */
+  def dist2(x1: Column, y1: Column, x2: Column, y2: Column): Column =
+    (x1 - x2) * (x1 - x2) + (y1 - y2) * (y1 - y2)
+
+  /** P5 — bbox prefilter: clip `features` to the total bounds of the
+    * sensor set expanded by `margin` (the reference's `.cx[...]` clip,
+    * :222-223 — its single optimization; here it composes with Parquet
+    * min/max skipping because x/y are plain columns). */
+  def bboxClip(features: DataFrame, sensors: DataFrame, margin: Double,
+      fx: String = "x", fy: String = "y",
+      sx: String = "x", sy: String = "y"): DataFrame = {
+    val b = sensors.agg(
+      min(col(sx)).as("xmin"), max(col(sx)).as("xmax"),
+      min(col(sy)).as("ymin"), max(col(sy)).as("ymax"))
+    features.crossJoin(broadcast(b))
+      .filter(col(fx).between(col("xmin") - margin, col("xmax") + margin) &&
+        col(fy).between(col("ymin") - margin, col("ymax") + margin))
+      .drop("xmin", "xmax", "ymin", "ymax")
+  }
+
+  /** J2+A2 — buffer aggregation: stats of feature columns within radius
+    * `r` of each sensor. Broadcast strategy: the sensor side is the
+    * small one (bounded device fleet vs unbounded observations), so
+    * broadcast sensors against the big feature table → the radius
+    * predicate evaluates scan-side, features never shuffle; only the
+    * tiny per-sensor partial aggregates move. Sensors with an empty
+    * buffer keep a row with nulls (reference :507-508 NaN-row
+    * semantics) via the final left join.
+    */
+  def bufferAggregate(
+      sensors: DataFrame,   // id_sensor, x, y (+ payload)
+      features: DataFrame,  // x, y + valueCols
+      radius: Double,
+      funcs: Seq[String],
+      valueCols: Seq[String],
+      sourceName: String = ""): DataFrame = {
+    val clipped = bboxClip(features, sensors, radius)
+    val s = broadcast(sensors.select(col("id_sensor"), col("x").as("sx"), col("y").as("sy")))
+    val joined = clipped.join(s,
+      dist2(col("sx"), col("sy"), col("x"), col("y")) <= radius * radius)
+    val stats = joined.groupBy(col("id_sensor"))
+      .agg(Aggregates.block(funcs, sourceName, valueCols).head,
+        Aggregates.block(funcs, sourceName, valueCols).tail: _*)
+    sensors.join(stats, Seq("id_sensor"), "left")
+  }
+
+  /** J2 scale path — grid-bucket spatial join for large×large inputs
+    * where neither side broadcasts: both sides are assigned to covering
+    * cells of size `cell` (a point buffer of radius r covers at most 4
+    * cells when cell >= 2r... we explode each sensor to the cells its
+    * disc can touch), equi-join on the cell id, then exact-filter.
+    * Turns a cartesian into a shuffle-equi-join keyed by space. */
+  def gridBucketJoin(
+      sensors: DataFrame, features: DataFrame, radius: Double,
+      cell: Double): DataFrame = {
+    require(cell >= radius, "cell must be >= radius so a disc spans <= 4 cells")
+    val s = sensors
+      .withColumn("cx", floor(col("x") / cell).cast("long"))
+      .withColumn("cy", floor(col("y") / cell).cast("long"))
+      .withColumn("gx", explode(sequence(col("cx") - 1, col("cx") + 1)))
+      .withColumn("gy", explode(sequence(col("cy") - 1, col("cy") + 1)))
+      // keep only cells the disc can actually touch
+      .filter(
+        (col("x") - (col("gx") + 1) * cell <= radius) && ((col("gx") * cell) - col("x") <= radius) &&
+        (col("y") - (col("gy") + 1) * cell <= radius) && ((col("gy") * cell) - col("y") <= radius))
+      .select(col("id_sensor"), col("x").as("sx"), col("y").as("sy"), col("gx"), col("gy"))
+    val f = features
+      .withColumn("gx", floor(col("x") / cell).cast("long"))
+      .withColumn("gy", floor(col("y") / cell).cast("long"))
+    f.join(s, Seq("gx", "gy"))
+      .filter(dist2(col("sx"), col("sy"), col("x"), col("y")) <= radius * radius)
+      .drop("gx", "gy")
+  }
+
+  /** J3+A4 — kNN aggregation: stats over the k nearest features per
+    * sensor. Ranking by (distance, featureId) — `row_number`, matching
+    * the reference's first-occurrence nsmallest tie-break (:553). The
+    * bbox/candidate pruning is the caller's job (compose bboxClip or
+    * gridBucketJoin in front at scale). */
+  def knnAggregate(
+      sensors: DataFrame, features: DataFrame, k: Int,
+      funcs: Seq[String], valueCols: Seq[String],
+      featureId: String, sourceName: String = ""): DataFrame = {
+    val s = broadcast(sensors.select(col("id_sensor"), col("x").as("sx"), col("y").as("sy")))
+    val withDist = features.join(s)
+      .withColumn("d2", dist2(col("sx"), col("sy"), col("x"), col("y")))
+    val w = Window.partitionBy(col("id_sensor"))
+      .orderBy(col("d2").asc, col(featureId).asc)
+    val topk = withDist.withColumn("__rn", row_number().over(w)).filter(col("__rn") <= k)
+    val stats = topk.groupBy(col("id_sensor"))
+      .agg(Aggregates.block(funcs, sourceName, valueCols).head,
+        Aggregates.block(funcs, sourceName, valueCols).tail: _*)
+    sensors.join(stats, Seq("id_sensor"), "left")
+  }
+
+  /** A3 — raster buffer stats over the cell-table model: per sensor,
+    * per band, stats of non-nodata cell values within the buffer.
+    * Output long format (id_sensor, band, stats...); the named-column
+    * pivot (`mean_<raster>_band<b>`, reference :195-197) is
+    * [[pivotBands]]. */
+  def rasterBufferStats(
+      sensors: DataFrame, cells: DataFrame, radius: Double,
+      funcs: Seq[String], nodata: Double = 0.0,
+      bands: Option[Seq[Int]] = None): DataFrame = {
+    val clipped = bboxClip(cells, sensors, radius)
+      .filter(col("value") =!= nodata)
+    val banded = bands.map(bs => clipped.filter(col("band").isin(bs: _*))).getOrElse(clipped)
+    val s = broadcast(sensors.select(col("id_sensor"), col("x").as("sx"), col("y").as("sy")))
+    banded.join(s, dist2(col("sx"), col("sy"), col("x"), col("y")) <= radius * radius)
+      .groupBy(col("id_sensor"), col("band"))
+      .agg(Aggregates.block(funcs, "", Seq("value")).head,
+        Aggregates.block(funcs, "", Seq("value")).tail: _*)
+  }
+
+  /** Pivot the long band stats into the reference's
+    * `func_<raster>_band<b>` wide naming (:195-197). */
+  def pivotBands(longStats: DataFrame, rasterName: String, funcs: Seq[String],
+      bands: Seq[Int]): DataFrame = {
+    val aggs = for (f <- funcs; b <- bands) yield
+      first(when(col("band") === b, col(Aggregates.statName(f, "", "value"))), ignoreNulls = true)
+        .as(Aggregates.statName(f, rasterName, s"band$b"))
+    longStats.groupBy(col("id_sensor")).agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** A6 — IDW interpolation of `valueCol` onto a regular lattice.
+    * Implements the INTENDED math (the reference's loop index bug writes
+    * only cell 0, :381-385) with an exact-hit guard: a lattice point
+    * coinciding with a sensor takes that sensor's value (the reference
+    * would divide by zero).
+    *
+    * grid × sensors is a bounded crossJoin (|grid| chosen by the
+    * caller; sensors broadcast); the heavy part is the groupBy(grid
+    * point) — keyed uniformly, no skew.
+    */
+  def idw(
+      sensors: DataFrame, valueCol: String, power: Int,
+      x0: Double, y0: Double, nx: Int, ny: Int, stepX: Double, stepY: Double): DataFrame = {
+    val spark = sensors.sparkSession
+    val grid = spark.range(nx.toLong * ny)
+      .withColumn("gx", lit(x0) + (col("id") % nx).cast("double") * stepX)
+      .withColumn("gy", lit(y0) + floor(col("id") / nx).cast("double") * stepY)
+      .select("gx", "gy")
+    val s = broadcast(sensors.select(col("x"), col("y"),
+      coalesce(col(valueCol), lit(0.0)).as("v"))) // reference zero-fills (:374)
+    val d2 = dist2(col("gx"), col("gy"), col("x"), col("y"))
+    // even powers avoid sqrt entirely: d^p = d2^(p/2) — exact-compare-safe
+    // (pow(x,1) is the identity in IEEE libm); odd powers need the sqrt
+    val dpow: Column =
+      if (power == 2) d2
+      else if (power % 2 == 0) pow(d2, power / 2)
+      else pow(sqrt(d2), power)
+    val dp = when(d2 === 0, lit(null)).otherwise(dpow) // null marks exact hits
+    grid.join(s)
+      .withColumn("w", lit(1.0) / dp)
+      .groupBy(col("gx"), col("gy"))
+      .agg(
+        max(when(dist2(col("gx"), col("gy"), col("x"), col("y")) === 0, col("v"))).as("exact"),
+        (sum(col("w") * col("v")) / sum(col("w"))).as("idw_est"))
+      .select(col("gx"), col("gy"),
+        coalesce(col("exact"), col("idw_est")).as(s"${valueCol}_idw"))
+  }
+}

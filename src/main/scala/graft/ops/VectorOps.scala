@@ -1,0 +1,112 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.core.ColumnException
+import graft.geo.Geo
+
+/** Vector-geometry operators over geometry-struct tables — the
+  * reference's flagship surface (SURVEY.md S1, P4, P6, P7, A2, A4).
+  *
+  * Plan strategy: every geometry is reduced to centroid (cx, cy) and
+  * bbox columns FIRST (pure column expressions), the join candidates
+  * are pruned with plain double predicates (broadcast sensors → the
+  * feature scan filters locally), and only surviving pairs evaluate
+  * the exact `st_distance`/`st_intersects` UDF. At 100 TB the UDF
+  * therefore runs on ~|result| pairs, not |sensors|×|features|.
+  */
+object VectorOps {
+
+  /** S1/P7 — vector-load hygiene: drop empty then invalid geometries,
+    * reporting counts (the reference warns, :477-485). Counts are
+    * computed with one extra aggregate, not a collect. */
+  def cleanGeometries(df: DataFrame, geomCol: String = "geometry"): (DataFrame, Long, Long) = {
+    val g = col(geomCol)
+    val counts = df.agg(
+      sum(when(Geo.stIsEmpty(g), 1L).otherwise(0L)).as("empty"),
+      sum(when(!Geo.stIsEmpty(g) && !Geo.stIsValid(g), 1L).otherwise(0L)).as("invalid")).head
+    val (nEmpty, nInvalid) = (counts.getLong(0), counts.getLong(1))
+    if (nEmpty > 0) System.err.println(s"[graft.geo] dropping $nEmpty empty geometries")
+    if (nInvalid > 0) System.err.println(s"[graft.geo] dropping $nInvalid invalid geometries")
+    (df.filter(!Geo.stIsEmpty(g) && Geo.stIsValid(g)), nEmpty, nInvalid)
+  }
+
+  /** P4 — derive `area`/`bounds` stat columns on demand (reference
+    * :212-215); error listing available columns otherwise (:209-217). */
+  def withDerived(features: DataFrame, statCols: Seq[String],
+      geomCol: String = "geometry"): DataFrame = {
+    val have = features.columns.toSet
+    val missing = statCols.filterNot(have)
+    val known = Map(
+      "area" -> (() => features.withColumn("area", Geo.stArea(col(geomCol)))),
+      "bounds_width" -> (() => features.withColumn("bounds_width",
+        Geo.stBounds(col(geomCol)).getField("xmax") - Geo.stBounds(col(geomCol)).getField("xmin"))))
+    missing.foldLeft(features) { (df, c) =>
+      known.get(c) match {
+        case Some(derive) if df.columns.contains(c) => df
+        case Some(_) => known(c)().select(df.columns.map(col) :+ col(c): _*)
+        case None if df.columns.contains(c) => df
+        case None => throw ColumnException(Seq(c), df.columns.toSeq ++ known.keys)
+      }
+    }
+  }
+
+  private def withCentroidXY(df: DataFrame, geomCol: String, xn: String, yn: String): DataFrame = {
+    val c = Geo.stCentroid(col(geomCol))
+    df.withColumn(xn, Geo.stX(c)).withColumn(yn, Geo.stY(c))
+  }
+
+  /** A2 — buffer-aggregated stats over real geometries: for each
+    * sensor, stats of `statCols` across features whose geometry
+    * intersects the circle buffer of radius r around the sensor
+    * centroid. Circle∩geometry ⟺ distance(centroid, geometry) <= r,
+    * so no polygon buffer is materialized at all.
+    * Empty buffers keep their sensor row with nulls (left join). */
+  def addBufferAggregatedData(
+      sensors: DataFrame,   // id_sensor + geometry
+      features: DataFrame,  // geometry + statCols
+      radius: Double,
+      funcs: Seq[String],
+      statCols: Seq[String],
+      sourceName: String,
+      geomCol: String = "geometry"): DataFrame = {
+    val feats = withDerived(features, statCols, geomCol)
+    val s = broadcast(withCentroidXY(
+      sensors.select(col("id_sensor"), col(geomCol).as("__sgeom")), "__sgeom", "sx", "sy"))
+    val b = Geo.stBounds(col(geomCol))
+    val pruned = feats
+      .withColumn("__bx0", b.getField("xmin")).withColumn("__bx1", b.getField("xmax"))
+      .withColumn("__by0", b.getField("ymin")).withColumn("__by1", b.getField("ymax"))
+      .join(s,
+        col("sx") >= col("__bx0") - radius && col("sx") <= col("__bx1") + radius &&
+        col("sy") >= col("__by0") - radius && col("sy") <= col("__by1") + radius)
+      // exact test only on bbox survivors
+      .filter(Geo.stDistance(Geo.stPoint(col("sx"), col("sy")), col(geomCol)) <= radius)
+    val stats = pruned.groupBy(col("id_sensor"))
+      .agg(Aggregates.block(funcs, sourceName, statCols).head,
+        Aggregates.block(funcs, sourceName, statCols).tail: _*)
+    sensors.join(stats, Seq("id_sensor"), "left")
+  }
+
+  /** A4/J3 — kNN-aggregated stats over real geometries: distance is
+    * feature-geometry → sensor-centroid (reference :552), ranking by
+    * (distance, featureId) = nsmallest first-occurrence. */
+  def addKnnAggregatedData(
+      sensors: DataFrame, features: DataFrame, k: Int,
+      funcs: Seq[String], statCols: Seq[String],
+      featureId: String, sourceName: String,
+      geomCol: String = "geometry"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val feats = withDerived(features, statCols, geomCol)
+    val s = broadcast(withCentroidXY(
+      sensors.select(col("id_sensor"), col(geomCol).as("__sgeom")), "__sgeom", "sx", "sy"))
+    val withDist = feats.join(s)
+      .withColumn("__d", Geo.stDistance(Geo.stPoint(col("sx"), col("sy")), col(geomCol)))
+    val w = Window.partitionBy(col("id_sensor")).orderBy(col("__d").asc, col(featureId).asc)
+    val topk = withDist.withColumn("__rn", row_number().over(w)).filter(col("__rn") <= k)
+    val stats = topk.groupBy(col("id_sensor"))
+      .agg(Aggregates.block(funcs, sourceName, statCols).head,
+        Aggregates.block(funcs, sourceName, statCols).tail: _*)
+    sensors.join(stats, Seq("id_sensor"), "left")
+  }
+}

@@ -1,7 +1,232 @@
 package graft.queries
 
-/** Spatial operator coverage (SURVEY.md §2: J2/J3, A2/A3/A4, A6/A7) via
-  * relational reductions on deterministic synthetic coordinates. */
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.core.Tables
+import graft.ops.SpatialOps
+
+/** Spatial operator coverage (SURVEY.md J2/J3, A2/A3/A4, A6, P5) via
+  * relational reductions the DuckDB oracle can compute without a
+  * spatial extension: sensor/feature coordinates are derived
+  * deterministically from supplier/part keys with exact integer
+  * arithmetic, so distances are exact doubles and rankings can never
+  * diverge between engines.
+  */
 object Spatial {
-  val all: Seq[Declared] = Seq.empty
+
+  /** Synthetic sensor table: 100 sensors on an integer 100×100 grid. */
+  private[queries] def sensors(s: SparkSession, dir: String): DataFrame =
+    Tables.supplier(s, dir).select(
+      col("s_suppkey").as("id_sensor"),
+      expr("CAST((s_suppkey * 37) % 100 AS DOUBLE)").as("x"),
+      expr("CAST((s_suppkey * 73) % 100 AS DOUBLE)").as("y"),
+      col("s_acctbal").as("v"))
+
+  private val sensorsSql =
+    """sensors AS (
+      |  SELECT s_suppkey AS id_sensor,
+      |    CAST((s_suppkey * 37) % 100 AS DOUBLE) AS x,
+      |    CAST((s_suppkey * 73) % 100 AS DOUBLE) AS y,
+      |    s_acctbal AS v
+      |  FROM supplier)""".stripMargin
+
+  /** Synthetic feature table: 2000 features (parts) with a value col. */
+  private[queries] def features(s: SparkSession, dir: String): DataFrame =
+    Tables.part(s, dir).select(
+      col("p_partkey").as("feature_id"),
+      expr("CAST((p_partkey * 29) % 100 AS DOUBLE)").as("x"),
+      expr("CAST((p_partkey * 53) % 100 AS DOUBLE)").as("y"),
+      col("p_retailprice").as("val"))
+
+  private val featuresSql =
+    """feats AS (
+      |  SELECT p_partkey AS feature_id,
+      |    CAST((p_partkey * 29) % 100 AS DOUBLE) AS x,
+      |    CAST((p_partkey * 53) % 100 AS DOUBLE) AS y,
+      |    p_retailprice AS val
+      |  FROM part)""".stripMargin
+
+  /** q30 — J3/A4/W2: kNN aggregation, k=5, row_number tie-break on
+    * feature id (reference nsmallest first-occurrence semantics). */
+  val q30 = Declared(
+    "q30_knn_agg", "J3,A4,W2",
+    (s, dir) => {
+      val out = SpatialOps.knnAggregate(
+        sensors(s, dir).drop("v"), features(s, dir), k = 5,
+        funcs = Seq("mean", "max", "count"), valueCols = Seq("val"),
+        featureId = "feature_id", sourceName = "part")
+      out.select(col("id_sensor"), col("x"), col("y"),
+        round(col("mean_part_val"), 4).as("mean_part_val"),
+        col("max_part_val"), col("count_part_val"))
+        .orderBy(col("id_sensor"))
+    },
+    Some(s"""WITH $sensorsSql, $featuresSql,
+            |ranked AS (
+            |  SELECT id_sensor, s.x AS sx, s.y AS sy, val,
+            |    row_number() OVER (PARTITION BY id_sensor
+            |      ORDER BY (s.x-f.x)*(s.x-f.x) + (s.y-f.y)*(s.y-f.y) ASC,
+            |               feature_id ASC) AS rn
+            |  FROM sensors s, feats f)
+            |SELECT id_sensor, sx AS x, sy AS y,
+            |  round(avg(val), 4) AS mean_part_val,
+            |  max(val) AS max_part_val,
+            |  count(val) AS count_part_val
+            |FROM ranked WHERE rn <= 5
+            |GROUP BY id_sensor, sx, sy
+            |ORDER BY id_sensor""".stripMargin),
+    "Broadcast sensors × scan features, one window shuffle on id_sensor; " +
+      "at 100TB compose gridBucketJoin in front to prune candidates before ranking.")
+
+  /** q31 — J2/A2: buffer aggregation with empty-buffer null-row
+    * semantics (left join). Mean derived as round(sum,2)/count for
+    * exact cross-engine compare. */
+  val q31 = Declared(
+    "q31_buffer_agg", "J2,A2,P5",
+    (s, dir) => {
+      val out = SpatialOps.bufferAggregate(
+        sensors(s, dir).drop("v"), features(s, dir), radius = 7.0,
+        funcs = Seq("sum", "count"), valueCols = Seq("val"), sourceName = "part")
+      out.select(col("id_sensor"), col("x"), col("y"),
+        round(col("sum_part_val"), 2).as("sum_part_val"),
+        col("count_part_val"),
+        (round(col("sum_part_val"), 2) / col("count_part_val")).as("mean_part_val"))
+        .orderBy(col("id_sensor"))
+    },
+    Some(s"""WITH $sensorsSql, $featuresSql,
+            |stats AS (
+            |  SELECT id_sensor,
+            |    round(sum(val), 2) AS sum_part_val,
+            |    count(val) AS count_part_val
+            |  FROM sensors s JOIN feats f
+            |    ON (s.x-f.x)*(s.x-f.x) + (s.y-f.y)*(s.y-f.y) <= 49
+            |  GROUP BY id_sensor)
+            |SELECT s.id_sensor, s.x, s.y, st.sum_part_val, st.count_part_val,
+            |  st.sum_part_val / st.count_part_val AS mean_part_val
+            |FROM sensors s LEFT JOIN stats st ON s.id_sensor = st.id_sensor
+            |ORDER BY s.id_sensor""".stripMargin),
+    "Radius predicate evaluates scan-side against broadcast sensors — features never shuffle; " +
+      "empty buffers surface as null rows via the left join, matching reference NaN semantics.")
+
+  /** q32 — A6: IDW interpolation onto a 10×10 lattice, power 2
+    * (weights = 1/d² — no pow/sqrt, exact same IEEE ops both engines),
+    * intended-math semantics with exact-hit guard. */
+  val q32 = Declared(
+    "q32_idw", "A6,J5,F7,F8",
+    (s, dir) => {
+      SpatialOps.idw(sensors(s, dir), "v", power = 2,
+        x0 = 5.0, y0 = 5.0, nx = 10, ny = 10, stepX = 10.0, stepY = 10.0)
+        .select(col("gx"), col("gy"), round(col("v_idw"), 4).as("v_idw"))
+        .orderBy(col("gx"), col("gy"))
+    },
+    Some(s"""WITH $sensorsSql,
+            |grid AS (
+            |  SELECT 5.0 + CAST(i % 10 AS DOUBLE) * 10.0 AS gx,
+            |         5.0 + CAST(i // 10 AS DOUBLE) * 10.0 AS gy
+            |  FROM generate_series(0, 99) t(i)),
+            |j AS (
+            |  SELECT gx, gy, coalesce(v, 0.0) AS v,
+            |    (gx-x)*(gx-x) + (gy-y)*(gy-y) AS d2
+            |  FROM grid, sensors)
+            |SELECT gx, gy,
+            |  round(coalesce(
+            |    max(CASE WHEN d2 = 0 THEN v END),
+            |    sum(CASE WHEN d2 > 0 THEN v / d2 END)
+            |      / sum(CASE WHEN d2 > 0 THEN 1.0 / d2 END)), 4) AS v_idw
+            |FROM j
+            |GROUP BY gx, gy
+            |ORDER BY gx, gy""".stripMargin),
+    "grid×sensors is bounded by the lattice size with sensors broadcast; groupBy lattice point " +
+      "is uniform. At 100TB sensors stay the broadcast side; lattice partitions scale linearly.")
+
+  /** q33 — A3/F12: raster buffer stats on the cell-table model with
+    * nodata exclusion. Cell values are dyadic rationals (k/8) so sums
+    * and means are EXACT doubles — no rounding needed anywhere. */
+  val q33 = Declared(
+    "q33_raster_stats", "A3,F12",
+    (s, dir) => {
+      val cells = s.range(4800).select(
+        (col("id") % 3 + 1).cast("int").as("band"),
+        expr("CAST((id div 3) % 40 AS DOUBLE) * 2.5").as("x"),
+        expr("CAST((id div 3) div 40 AS DOUBLE) * 2.5").as("y"),
+        expr("CASE WHEN (id * 7) % 11 = 0 THEN 0.0 ELSE CAST((id * 13) % 97 AS DOUBLE) / 8 END").as("value"))
+      SpatialOps.rasterBufferStats(
+        sensors(s, dir).filter(col("id_sensor") <= 40).drop("v"),
+        cells, radius = 8.0, funcs = Seq("mean", "max", "count"))
+        .orderBy(col("id_sensor"), col("band"))
+    },
+    Some(s"""WITH $sensorsSql,
+            |cells AS (
+            |  SELECT CAST(i % 3 + 1 AS INT) AS band,
+            |    CAST((i // 3) % 40 AS DOUBLE) * 2.5 AS x,
+            |    CAST((i // 3) // 40 AS DOUBLE) * 2.5 AS y,
+            |    CASE WHEN (i * 7) % 11 = 0 THEN 0.0
+            |         ELSE CAST((i * 13) % 97 AS DOUBLE) / 8 END AS value
+            |  FROM generate_series(0, 4799) t(i))
+            |SELECT id_sensor, band,
+            |  avg(value) AS mean_value, max(value) AS max_value, count(value) AS count_value
+            |FROM sensors s JOIN cells c
+            |  ON (s.x-c.x)*(s.x-c.x) + (s.y-c.y)*(s.y-c.y) <= 64
+            |WHERE value <> 0 AND id_sensor <= 40
+            |GROUP BY id_sensor, band
+            |ORDER BY id_sensor, band""".stripMargin),
+    "Raster-as-cell-table turns rasterio per-row window reads into one parallel filter+agg; " +
+      "nodata is a scan predicate; band pivot happens after the shrink.")
+
+  /** q34 — J2 scale path: grid-bucket join must equal the plain
+    * distance join (correctness of the cell decomposition + exact
+    * post-filter). Oracle computes the naive join. */
+  val q34 = Declared(
+    "q34_grid_bucket_join", "J2-scale",
+    (s, dir) => {
+      SpatialOps.gridBucketJoin(sensors(s, dir).drop("v"), features(s, dir),
+        radius = 10.0, cell = 10.0)
+        .groupBy(col("id_sensor"))
+        .agg(count(lit(1)).as("n_pairs"), round(sum(col("val")), 2).as("sum_val"))
+        .orderBy(col("id_sensor"))
+    },
+    Some(s"""WITH $sensorsSql, $featuresSql
+            |SELECT id_sensor, count(*) AS n_pairs, round(sum(val), 2) AS sum_val
+            |FROM sensors s JOIN feats f
+            |  ON (s.x-f.x)*(s.x-f.x) + (s.y-f.y)*(s.y-f.y) <= 100
+            |GROUP BY id_sensor
+            |ORDER BY id_sensor""".stripMargin),
+    "The large×large strategy: explode sensors to <=4 covering cells, equi-join on cell id " +
+      "(a real shuffle key instead of a cartesian), exact distance post-filter. " +
+      "This is what replaces broadcast when both sides are 100TB-scale.")
+
+  /** q35 — P5: bbox clip with margin (the reference's .cx[] prefilter)
+    * as a standalone declared op. */
+  val q35 = Declared(
+    "q35_bbox_clip", "P5",
+    (s, dir) => {
+      val sub = sensors(s, dir).filter(col("id_sensor") <= 10)
+      SpatialOps.bboxClip(features(s, dir), sub, margin = 5.0)
+        .agg(count(lit(1)).as("n_features"), round(sum(col("val")), 2).as("sum_val"))
+    },
+    Some(s"""WITH $sensorsSql, $featuresSql,
+            |b AS (SELECT min(x) AS xmin, max(x) AS xmax, min(y) AS ymin, max(y) AS ymax
+            |      FROM sensors WHERE id_sensor <= 10)
+            |SELECT count(*) AS n_features, round(sum(val), 2) AS sum_val
+            |FROM feats, b
+            |WHERE feats.x BETWEEN xmin - 5 AND xmax + 5
+            |  AND feats.y BETWEEN ymin - 5 AND ymax + 5""".stripMargin),
+    "Bbox bounds come from a 1-row broadcast agg; the between predicates are plain Catalyst " +
+      "filters → Parquet min/max row-group skipping applies at scale.")
+
+  /** q36 — A7: ordinary kriging (linear variogram) onto a lattice.
+    * Not DuckDB-expressible (LU solve) → rows-only check; numeric
+    * semantics are pinned by KrigingSpec (exactness, unbiasedness,
+    * constant-field properties). */
+  val q36 = Declared(
+    "q36_kriging", "A7",
+    (s, dir) => {
+      graft.ops.Kriging.krige(sensors(s, dir), "v", model = "linear",
+        x0 = 5.0, y0 = 5.0, nx = 10, ny = 10, stepX = 10.0, stepY = 10.0)
+        .orderBy(col("gx"), col("gy"))
+    },
+    None,
+    "Driver solves the (n+1)² system once (n = bounded sensor fleet); lattice evaluation " +
+      "distributes with broadcast LU factors — no shuffle, scales linearly in grid size.")
+
+  val all: Seq[Declared] = Seq(q30, q31, q32, q33, q34, q35, q36)
 }

@@ -1,0 +1,186 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.Row
+import graft.geo.Geo
+import graft.ops.{SpatialOps, VectorOps}
+
+class GeoSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private def poly(pts: (Double, Double)*): Row =
+    Row("polygon", pts.map { case (x, y) => Row(x, y) })
+  private def point(x: Double, y: Double): Row = Row("point", Seq(Row(x, y)))
+
+  private def geomDf(gs: Row*) = {
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("geometry", Geo.geometryType)))
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(gs.map(Row(_))), schema)
+  }
+
+  test("F9: area — unit square = 1, point = 0") {
+    val df = geomDf(poly((0, 0), (1, 0), (1, 1), (0, 1)), point(3, 4))
+    val areas = df.select(Geo.stArea(col("geometry"))).as[Double].collect()
+    assert(areas.toSeq == Seq(1.0, 0.0))
+  }
+
+  test("F9: centroid — square centroid, L-shape area-weighted (shapely semantics)") {
+    val df = geomDf(poly((0, 0), (2, 0), (2, 2), (0, 2)))
+    val c = df.select(Geo.stX(Geo.stCentroid(col("geometry"))),
+      Geo.stY(Geo.stCentroid(col("geometry")))).head
+    assert(c.getDouble(0) == 1.0 && c.getDouble(1) == 1.0)
+    // L-shape: 3 unit squares; area centroid != vertex mean
+    val l = geomDf(poly((0, 0), (2, 0), (2, 1), (1, 1), (1, 2), (0, 2)))
+    val lc = l.select(Geo.stX(Geo.stCentroid(col("geometry"))),
+      Geo.stY(Geo.stCentroid(col("geometry")))).head
+    // decomposition: [0,2]×[0,1] (area 2, c=(1,.5)) + [0,1]×[1,2] (area 1,
+    // c=(.5,1.5)) → centroid (2·1+1·.5)/3 = (2·.5+1·1.5)/3 = 5/6
+    assert(math.abs(lc.getDouble(0) - 5.0 / 6) < 1e-12)
+    assert(math.abs(lc.getDouble(1) - 5.0 / 6) < 1e-12)
+  }
+
+  test("F9: bounds") {
+    val df = geomDf(poly((1, 2), (5, 2), (5, 7), (1, 7)))
+    val b = df.select(Geo.stBounds(col("geometry"))).head.getStruct(0)
+    assert((b.getDouble(0), b.getDouble(1), b.getDouble(2), b.getDouble(3)) == (1.0, 2.0, 5.0, 7.0))
+  }
+
+  test("P7: isEmpty / isValid") {
+    val df = geomDf(
+      Row("polygon", Seq.empty[Row]),                      // empty
+      poly((0, 0), (1, 0)),                                // < 3 pts: invalid
+      poly((0, 0), (1, 1), (2, 2)),                        // zero area: invalid
+      poly((0, 0), (1, 0), (0, 1)),                        // valid
+      point(1, 1))                                         // valid
+    val flags = df.select(Geo.stIsEmpty(col("geometry")), Geo.stIsValid(col("geometry"))).collect()
+    assert(flags.map(r => (r.getBoolean(0), r.getBoolean(1))).toSeq ==
+      Seq((true, false), (false, false), (false, false), (false, true), (false, true)))
+  }
+
+  test("F9: distance point-point, point-polygon (outside edge / inside)") {
+    val df = geomDf(point(0, 0))
+    val d1 = df.select(Geo.stDistance(col("geometry"),
+      typedLit(null).cast(Geo.geometryType))).head // null geom → null
+    assert(d1.isNullAt(0))
+    val pairs = Seq(
+      (point(0, 0), point(3, 4), 5.0),
+      (point(2, 0.5), poly((0, 0), (1, 0), (1, 1), (0, 1)), 1.0), // right of unit square
+      (point(0.5, 0.5), poly((0, 0), (1, 0), (1, 1), (0, 1)), 0.0)) // inside
+    pairs.foreach { case (a, b, want) =>
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("a", Geo.geometryType),
+        org.apache.spark.sql.types.StructField("b", Geo.geometryType)))
+      val df2 = spark.createDataFrame(spark.sparkContext.parallelize(Seq(Row(a, b))), schema)
+      val got = df2.select(Geo.stDistance(col("a"), col("b"))).head.getDouble(0)
+      assert(math.abs(got - want) < 1e-12, s"distance $a $b: got $got want $want")
+    }
+  }
+
+  test("P6: intersects — overlapping, disjoint, point-in-polygon, edge-touching") {
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("a", Geo.geometryType),
+      org.apache.spark.sql.types.StructField("b", Geo.geometryType)))
+    val cases = Seq(
+      (poly((0, 0), (2, 0), (2, 2), (0, 2)), poly((1, 1), (3, 1), (3, 3), (1, 3)), true),
+      (poly((0, 0), (1, 0), (1, 1), (0, 1)), poly((5, 5), (6, 5), (6, 6), (5, 6)), false),
+      (point(1, 1), poly((0, 0), (2, 0), (2, 2), (0, 2)), true),
+      (point(5, 5), poly((0, 0), (2, 0), (2, 2), (0, 2)), false),
+      // containment without edge crossing (small inside big)
+      (poly((0.4, 0.4), (0.6, 0.4), (0.6, 0.6), (0.4, 0.6)),
+        poly((0, 0), (1, 0), (1, 1), (0, 1)), true))
+    cases.foreach { case (a, b, want) =>
+      val df2 = spark.createDataFrame(spark.sparkContext.parallelize(Seq(Row(a, b))), schema)
+      assert(df2.select(Geo.stIntersects(col("a"), col("b"))).head.getBoolean(0) == want,
+        s"intersects($a, $b) should be $want")
+    }
+  }
+
+  test("F9: buffer — 64-gon at resolution 16, area converges to circle") {
+    val df = geomDf(point(10, 20))
+    val buf = df.select(Geo.stBuffer(col("geometry"), lit(2.0), lit(16)).as("b"))
+    val n = buf.select(size(col("b").getField("points"))).head.getInt(0)
+    assert(n == 64)
+    val area = buf.select(Geo.stArea(col("b"))).head.getDouble(0)
+    assert(math.abs(area - math.Pi * 4) / (math.Pi * 4) < 0.01) // 64-gon ≈ circle within 1%
+  }
+
+  test("F10: transform 4326 <-> 3857 round-trips and hits known pairs") {
+    val df = geomDf(point(2.3522, 48.8566)) // Paris lon/lat
+    val merc = df.select(Geo.stTransform(col("geometry"), 4326, 3857).as("g"))
+    val m = merc.select(Geo.stX(col("g")), Geo.stY(col("g"))).head
+    assert(math.abs(m.getDouble(0) - 261845.706) < 0.01) // known Web-Mercator x
+    assert(math.abs(m.getDouble(1) - 6250564.350) < 0.01)
+    val back = merc.select(Geo.stTransform(col("g"), 3857, 4326).as("g2"))
+      .select(Geo.stX(col("g2")), Geo.stY(col("g2"))).head
+    assert(math.abs(back.getDouble(0) - 2.3522) < 1e-9)
+    assert(math.abs(back.getDouble(1) - 48.8566) < 1e-9)
+  }
+
+  test("S1: cleanGeometries drops empty+invalid with counts") {
+    val df = geomDf(
+      Row("polygon", Seq.empty[Row]),
+      poly((0, 0), (1, 1), (2, 2)),
+      poly((0, 0), (1, 0), (0, 1)))
+    val (clean, nEmpty, nInvalid) = VectorOps.cleanGeometries(df)
+    assert(clean.count() == 1 && nEmpty == 1 && nInvalid == 1)
+  }
+
+  test("A2 geometry flagship: circle-buffer agg equals x/y kernel on point features") {
+    // sensors and features as points: geometry path must equal SpatialOps path
+    val sensors = (1 to 20).map(i =>
+      (i.toLong, point((i * 7 % 50).toDouble, (i * 13 % 50).toDouble)))
+    val features = (1 to 200).map(j =>
+      (j.toLong, point((j * 3 % 50).toDouble, (j * 11 % 50).toDouble), (j % 10) / 2.0))
+    val sschema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id_sensor", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("geometry", Geo.geometryType)))
+    val fschema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("feature_id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("geometry", Geo.geometryType),
+      org.apache.spark.sql.types.StructField("height", org.apache.spark.sql.types.DoubleType)))
+    val sdf = spark.createDataFrame(
+      spark.sparkContext.parallelize(sensors.map { case (i, g) => Row(i, g) }), sschema)
+    val fdf = spark.createDataFrame(
+      spark.sparkContext.parallelize(features.map { case (j, g, h) => Row(j, g, h) }), fschema)
+
+    val viaGeo = VectorOps.addBufferAggregatedData(
+      sdf, fdf, radius = 8.0, funcs = Seq("mean", "count"),
+      statCols = Seq("height"), sourceName = "b")
+      .select(col("id_sensor"), col("mean_b_height"), col("count_b_height"))
+      .orderBy("id_sensor").collect()
+
+    val sXy = sdf.select(col("id_sensor"),
+      Geo.stX(col("geometry")).as("x"), Geo.stY(col("geometry")).as("y"))
+    val fXy = fdf.select(Geo.stX(col("geometry")).as("x"),
+      Geo.stY(col("geometry")).as("y"), col("height"))
+    val viaKernel = SpatialOps.bufferAggregate(sXy, fXy, 8.0,
+      Seq("mean", "count"), Seq("height"), "b")
+      .select(col("id_sensor"), col("mean_b_height"), col("count_b_height"))
+      .orderBy("id_sensor").collect()
+
+    assert(viaGeo.toSeq == viaKernel.toSeq)
+  }
+
+  test("A4 geometry kNN: k = |features| equals full aggregation (property)") {
+    val sensors = (1 to 5).map(i => (i.toLong, point(i.toDouble, 0.0)))
+    val features = (1 to 30).map(j => (j.toLong, point((j % 10).toDouble, 1.0), j.toDouble))
+    val sschema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id_sensor", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("geometry", Geo.geometryType)))
+    val fschema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("feature_id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("geometry", Geo.geometryType),
+      org.apache.spark.sql.types.StructField("v", org.apache.spark.sql.types.DoubleType)))
+    val sdf = spark.createDataFrame(
+      spark.sparkContext.parallelize(sensors.map { case (i, g) => Row(i, g) }), sschema)
+    val fdf = spark.createDataFrame(
+      spark.sparkContext.parallelize(features.map { case (j, g, v) => Row(j, g, v) }), fschema)
+    val knn = VectorOps.addKnnAggregatedData(sdf, fdf, k = 30,
+      funcs = Seq("sum"), statCols = Seq("v"), featureId = "feature_id", sourceName = "f")
+    val sums = knn.select("sum_f_v").as[Double].collect()
+    assert(sums.forall(_ == (1 to 30).map(_.toDouble).sum))
+  }
+}
