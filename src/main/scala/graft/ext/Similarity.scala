@@ -1,0 +1,91 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** E3 — similarity search over embedding columns (ARRAY<FLOAT>).
+  *
+  * Baseline: brute-force cosine top-k — a scan with a codegen'd
+  * `aggregate`/`zip_with` dot product (no UDF), TakeOrdered for the
+  * top-k (per-partition k-heaps, no full sort).
+  *
+  * Scale path: LSH bucketing via random-hyperplane signs — candidate
+  * set shrinks ~2^bits×, bucket id is a uniform equi-join/groupBy key.
+  * An IVF variant (assign to nearest of C sampled centroids, probe P)
+  * follows the same plan shape: the pruning key is precomputable,
+  * partition-prunable, and skew-free.
+  */
+object Similarity {
+
+  /** Dot product of two array<double|float> columns — sequential
+    * index-order fold, stays inside whole-stage codegen. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /** Brute-force top-k cosine against one query vector (broadcast as a
+    * literal array — no join at all, one scan + TakeOrdered). */
+  def topKCosine(embeddings: DataFrame, vecCol: String, idCol: String,
+      query: Array[Float], k: Int): DataFrame = {
+    val q = array(query.map(v => lit(v.toDouble)): _*)
+    embeddings
+      .withColumn("cosine", cosine(col(vecCol), q))
+      .select(col(idCol), col("cosine"))
+      .orderBy(col("cosine").desc, col(idCol).asc)
+      .limit(k)
+  }
+
+  /** Batch form: top-k neighbours for EVERY query row (small query
+    * side broadcast; ranking window per query id). */
+  def topKCosineBatch(embeddings: DataFrame, queries: DataFrame,
+      vecCol: String, idCol: String, k: Int): DataFrame = {
+    val e = embeddings.select(col(idCol).as("item_id"), col(vecCol).as("item_vec"))
+    val q = broadcast(queries.select(col(idCol).as("query_id"), col(vecCol).as("query_vec")))
+    val scored = e.join(q, col("item_id") =!= col("query_id"))
+      .withColumn("cosine", cosine(col("item_vec"), col("query_vec")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("item_id").asc)
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+      .select("query_id", "item_id", "rank", "cosine")
+  }
+
+  /** Deterministic pseudo-random hyperplanes for sign-LSH: plane p,
+    * dim d weight = hash-derived value in [-1, 1). */
+  private def planeWeight(p: Int, d: Int): Double = {
+    val h = scala.util.hashing.MurmurHash3.productHash((p, d, 0x9e3779b9))
+    (h.toDouble / Int.MaxValue)
+  }
+
+  /** E3 scale path — sign-LSH bucket id per row: `bits` hyperplane
+    * sign bits packed into a long. Pure column expressions (the plane
+    * weights are literals baked into the plan). */
+  def lshBucket(vec: Column, dim: Int, bits: Int): Column =
+    (0 until bits).map { p =>
+      val proj = (0 until dim).map(d =>
+        element_at(vec, d + 1).cast("double") * lit(planeWeight(p, d))).reduce(_ + _)
+      when(proj >= 0, shiftleft(lit(1L), p)).otherwise(lit(0L))
+    }.reduce((a, b) => a.bitwiseOR(b))
+
+  /** Bucketed ANN: exact cosine only within the query's bucket.
+    * Recall is tunable via `bits` (fewer bits → bigger buckets). */
+  def lshTopKCosine(embeddings: DataFrame, vecCol: String, idCol: String,
+      query: Array[Float], k: Int, dim: Int, bits: Int = 8): DataFrame = {
+    val bucketed = embeddings.withColumn("bucket", lshBucket(col(vecCol), dim, bits))
+    // compute the query's bucket driver-side with the same weights
+    val qBucket = (0 until bits).map { p =>
+      val proj = (0 until dim).map(d => query(d).toDouble * planeWeight(p, d)).sum
+      if (proj >= 0) 1L << p else 0L
+    }.reduce(_ | _)
+    val q = array(query.map(v => lit(v.toDouble)): _*)
+    bucketed.filter(col("bucket") === qBucket)
+      .withColumn("cosine", cosine(col(vecCol), q))
+      .select(col(idCol), col("cosine"))
+      .orderBy(col("cosine").desc, col(idCol).asc)
+      .limit(k)
+  }
+}

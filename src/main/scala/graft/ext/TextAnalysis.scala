@@ -1,0 +1,81 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** E4 — text analysis for training-data pipelines: language ID
+  * (stopword-hit heuristic), quality scoring, token counting,
+  * document fingerprinting. All pure column expressions — these run
+  * per-document in the scan, no shuffle, no UDFs.
+  */
+object TextAnalysis {
+
+  /** Tiny built-in stopword profiles for the n-gram/stopword language
+    * heuristic. Deliberately small — the contract is "cheap scan-side
+    * lang-id", not a full classifier. */
+  val stopwords: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "and", "of", "to", "a", "in", "is", "that", "it", "for"),
+    "fr" -> Seq("le", "la", "et", "les", "des", "un", "une", "du", "que", "pour"),
+    "de" -> Seq("der", "die", "und", "das", "ein", "mit", "von", "zu", "den", "ist"),
+    "es" -> Seq("el", "la", "de", "que", "los", "una", "por", "con", "para", "las"))
+
+  def tokens(text: Column): Column = split(lower(text), "\\s+")
+
+  /** Whitespace token count. */
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  /** BPE-ish subword count: word-piece regex (letter runs, digit runs,
+    * single punctuation marks) — a cheap proxy for tokenizer cost. */
+  def subwordCount(text: Column): Column =
+    size(regexp_extract_all(text, lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"), lit(0)))
+
+  /** Stopword hit ratio for one language profile. */
+  def stopwordRatio(text: Column, lang: String): Column = {
+    val sw = stopwords(lang)
+    val toks = tokens(text)
+    size(filter(toks, t => t.isin(sw: _*))) / greatest(size(toks), lit(1)).cast("double")
+  }
+
+  /** Language ID: argmax of stopword hit ratio; "und" (undetermined)
+    * when no profile scores above `minRatio`. */
+  def langId(text: Column, minRatio: Double = 0.02): Column = {
+    val scored = stopwords.keys.toSeq.sorted.map(l => struct(
+      stopwordRatio(text, l).as("score"), lit(l).as("lang")))
+    val best = array_max(array(scored: _*))
+    when(best.getField("score") >= minRatio, best.getField("lang")).otherwise(lit("und"))
+  }
+
+  /** Quality features + a composite score in [0,1]: length band,
+    * mean word length band, punctuation ratio, all-caps ratio.
+    * (Heuristics in the C4/Gopher-rules tradition, scan-side.) */
+  def qualityFeatures(df: DataFrame, textCol: String): DataFrame = {
+    val t = col(textCol)
+    val nChars = length(t)
+    val toks = tokens(t)
+    val nToks = greatest(size(toks), lit(1))
+    val punct = size(regexp_extract_all(t, lit("[.,;:!?]"), lit(0)))
+    df.withColumn("n_chars", nChars)
+      .withColumn("n_tokens", size(toks))
+      .withColumn("mean_word_len",
+        (nChars - size(toks) + 1).cast("double") / nToks)
+      .withColumn("punct_ratio", punct.cast("double") / greatest(nChars, lit(1)))
+      .withColumn("quality_score",
+        (when(nChars.between(50, 20000), 0.4).otherwise(0.0) +
+         when((nChars.cast("double") / nToks).between(3, 12), 0.4).otherwise(0.0) +
+         when(punct.cast("double") / greatest(nChars, lit(1)) < 0.1, 0.2).otherwise(0.0)))
+  }
+
+  /** Document fingerprint: 64-bit hash of whitespace-normalized
+    * lowercase text — the cheap exact-dup / shard-routing key. */
+  def fingerprint(text: Column): Column =
+    xxhash64(regexp_replace(trim(lower(text)), "\\s+", " "))
+
+  /** Rolling-window chunk fingerprints (w tokens, stride s) for
+    * partial-overlap detection: array of xxhash64 per chunk. */
+  def chunkFingerprints(text: Column, w: Int, stride: Int): Column = {
+    val toks = tokens(text)
+    val starts = sequence(lit(0),
+      greatest(size(toks) - w, lit(0)), lit(stride))
+    transform(starts, i => xxhash64(concat_ws(" ", slice(toks, i + 1, lit(w)))))
+  }
+}

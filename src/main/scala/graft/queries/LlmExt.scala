@@ -1,7 +1,185 @@
 package graft.queries
 
-/** LLM-data-pipeline extension coverage (SURVEY.md §2.12: E1-E5) over
+import org.apache.spark.sql.functions._
+import graft.core.Tables
+import graft.ext.{Dedup, Similarity, TextAnalysis}
+
+/** LLM-data-pipeline extension coverage (SURVEY.md §2.12: E1-E4) over
   * `documents` and `embeddings`. */
 object LlmExt {
-  val all: Seq[Declared] = Seq.empty
+
+  /** q40 — E1: exact dedup bookkeeping on content hash (sha256 parity
+    * between Spark sha2 and DuckDB sha256). */
+  val q40 = Declared(
+    "q40_exact_dedup", "E1,U2",
+    (s, dir) => {
+      Dedup.exact(Tables.documents(s, dir), "text", "doc_id")
+        .select(col("doc_id"), col("content_hash"), col("dup_group_size"), col("is_canonical"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""SELECT doc_id, sha256(text) AS content_hash,
+           |  count(*) OVER (PARTITION BY sha256(text)) AS dup_group_size,
+           |  doc_id = min(doc_id) OVER (PARTITION BY sha256(text)) AS is_canonical
+           |FROM documents
+           |ORDER BY doc_id""".stripMargin),
+    "Hash-partitioned window; content hashes are uniform keys — no skew at any corpus size.")
+
+  /** q41 — E4: per-document token statistics (portable split-free
+    * arithmetic: counts derived from length/replace so both engines
+    * compute identical integers). */
+  val q41 = Declared(
+    "q41_text_stats", "E4",
+    (s, dir) => {
+      val t = col("text")
+      Tables.documents(s, dir)
+        .select(col("doc_id"), col("lang"),
+          length(t).as("n_chars_calc"),
+          (length(t) - length(regexp_replace(t, " ", "")) + 1).as("n_tokens"),
+          round((length(regexp_replace(t, " ", "")).cast("double")) /
+            (length(t) - length(regexp_replace(t, " ", "")) + 1), 6).as("mean_word_len"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""SELECT doc_id, lang, length(text) AS n_chars_calc,
+           |  length(text) - length(replace(text, ' ', '')) + 1 AS n_tokens,
+           |  round(CAST(length(replace(text, ' ', '')) AS DOUBLE)
+           |    / (length(text) - length(replace(text, ' ', '')) + 1), 6) AS mean_word_len
+           |FROM documents
+           |ORDER BY doc_id""".stripMargin),
+    "Scan-only map stage; at 100TB this is the cheap first pass that feeds quality filters.")
+
+  /** q42 — E4: corpus profile by language × source. */
+  val q42 = Declared(
+    "q42_lang_profile", "E4,A1",
+    (s, dir) => {
+      Tables.documents(s, dir)
+        .groupBy(col("lang"), col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("total_chars"),
+          (round(sum(col("n_chars")), 2) / count(col("n_chars"))).as("mean_chars"))
+        .orderBy(col("lang"), col("source"))
+    },
+    Some("""SELECT lang, source, count(*) AS n_docs,
+           |  CAST(sum(n_chars) AS BIGINT) AS total_chars,
+           |  round(sum(n_chars), 2) / count(n_chars) AS mean_chars
+           |FROM documents
+           |GROUP BY lang, source
+           |ORDER BY lang, source""".stripMargin),
+    "Classic partial-agg reduction; output bounded by |lang|×|source|.")
+
+  /** q43 — E2: exact pairwise token-set Jaccard via explode+join (the
+    * relational reduction of n-gram near-dup; bounded to a doc prefix
+    * so the oracle's pair space stays small). */
+  val q43 = Declared(
+    "q43_ngram_jaccard", "E2",
+    (s, dir) => {
+      val docs = Tables.documents(s, dir).filter(col("doc_id") < 40)
+      val pairs = docs.select(col("doc_id").as("id_a"))
+        .crossJoin(docs.select(col("doc_id").as("id_b")))
+        .filter(col("id_a") < col("id_b"))
+      Dedup.verifyJaccard(docs, "text", "doc_id", pairs, shingleSize = 1)
+        .filter(col("jaccard") >= 0.62)
+        .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
+        .orderBy(col("id_a"), col("id_b"))
+    },
+    Some("""WITH d AS (
+           |  SELECT DISTINCT doc_id, unnest(string_split(lower(text), ' ')) AS w
+           |  FROM documents WHERE doc_id < 40),
+           |c AS (SELECT doc_id, count(*) AS n FROM d GROUP BY doc_id),
+           |i AS (
+           |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+           |  FROM d a JOIN d b ON a.w = b.w AND a.doc_id < b.doc_id
+           |  GROUP BY 1, 2)
+           |SELECT id_a, id_b,
+           |  round(CAST(inter AS DOUBLE) / (ca.n + cb.n - inter), 6) AS jaccard
+           |FROM i JOIN c ca ON i.id_a = ca.doc_id JOIN c cb ON i.id_b = cb.doc_id
+           |WHERE CAST(inter AS DOUBLE) / (ca.n + cb.n - inter) >= 0.62
+           |ORDER BY id_a, id_b""".stripMargin),
+    "Candidate generation must NOT be this crossJoin at scale — that's what MinHash LSH (q45) " +
+      "is for; this query is the exact-verification kernel both paths share.")
+
+  /** q44 — E3: brute-force cosine top-k against one query vector.
+    * Dot products fold in index order in both engines → bit-identical
+    * before rounding. */
+  val q44 = Declared(
+    "q44_cosine_topk", "E3",
+    (s, dir) => {
+      val q = Tables.embeddings(s, dir).filter(col("vec_id") === 0)
+        .select(col("embedding")).head.getSeq[Float](0).toArray
+      Similarity.topKCosine(
+        Tables.embeddings(s, dir).filter(col("vec_id") =!= 0),
+        "embedding", "vec_id", q, k = 10)
+        .select(col("vec_id"), round(col("cosine"), 6).as("cosine"))
+    },
+    Some("""WITH q AS (
+           |  SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv
+           |  FROM embeddings WHERE vec_id = 0),
+           |scored AS (
+           |  SELECT vec_id,
+           |    list_dot_product(list_transform(embedding, x -> CAST(x AS DOUBLE)), qv)
+           |      / (sqrt(list_dot_product(qv, qv))
+           |         * sqrt(list_dot_product(list_transform(embedding, x -> CAST(x AS DOUBLE)),
+           |                                 list_transform(embedding, x -> CAST(x AS DOUBLE))))) AS c
+           |  FROM embeddings, q WHERE vec_id <> 0)
+           |SELECT vec_id, round(c, 6) AS cosine
+           |FROM scored
+           |ORDER BY c DESC, vec_id ASC
+           |LIMIT 10""".stripMargin),
+    "One scan + TakeOrdered (per-partition k-heaps). The LSH-bucketed variant " +
+      "(Similarity.lshTopKCosine) prunes candidates 2^bits× for the 100TB regime.")
+
+  /** q45 — E2: MinHash-LSH near-dup detection. Inputs are documents
+    * plus mutated copies (one word appended, id+100000) so true
+    * near-dups exist; the LSH path must find every planted pair.
+    * Banding/hashing is engine-specific → rows-only check here; the
+    * recall-vs-exact-Jaccard property is pinned in DedupSpec. */
+  val q45 = Declared(
+    "q45_minhash_lsh", "E2",
+    (s, dir) => {
+      val docs = Tables.documents(s, dir).filter(col("doc_id") < 100)
+        .select(col("doc_id"), col("text"))
+      val mutated = docs.select((col("doc_id") + 100000).as("doc_id"),
+        concat(col("text"), lit(" mutationtoken")).as("text"))
+      Dedup.minhashNearDuplicates(docs.unionByName(mutated),
+        "text", "doc_id", shingleSize = 3, numHashes = 16, bands = 4, threshold = 0.5)
+        .orderBy(col("id_a"), col("id_b"))
+    },
+    None,
+    "Shingle explode → per-doc signature agg → band equi-join: the pair space never " +
+      "materializes; every shuffle key (band hash) is uniform.")
+
+  /** q46 — E2: SimHash fingerprints + hamming near-dup candidates on
+    * the same planted near-dup corpus (rows-only; semantics pinned in
+    * DedupSpec). */
+  val q46 = Declared(
+    "q46_simhash", "E2",
+    (s, dir) => {
+      val docs = Tables.documents(s, dir).filter(col("doc_id") < 100)
+        .select(col("doc_id"), col("text"))
+      val mutated = docs.select((col("doc_id") + 100000).as("doc_id"),
+        concat(col("text"), lit(" zz")).as("text"))
+      Dedup.simhashNearDuplicates(docs.unionByName(mutated), "text", "doc_id",
+        maxDistance = 3)
+        .orderBy(col("id_a"), col("id_b"))
+    },
+    None,
+    "64-bit fingerprint agg + 16-bit chunk blocking (pigeonhole ≤3 bit flips): " +
+      "4 rows per doc, equi-join on chunk value — linear in corpus size.")
+
+  /** q47 — E4: language-ID heuristic vs the labeled lang column —
+    * accuracy profile per true language (the en-corpus should mostly
+    * hit 'en' or 'und'; the score itself is engine-internal → rows-only).
+    */
+  val q47 = Declared(
+    "q47_lang_id", "E4",
+    (s, dir) => {
+      Tables.documents(s, dir)
+        .withColumn("pred_lang", TextAnalysis.langId(col("text")))
+        .groupBy(col("lang"), col("pred_lang"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("lang"), col("pred_lang"))
+    },
+    None,
+    "Pure scan-side expression; confusion-matrix agg output bounded by |langs|².")
+
+  val all: Seq[Declared] = Seq(q40, q41, q42, q43, q44, q45, q46, q47)
 }

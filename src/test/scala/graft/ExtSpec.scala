@@ -1,0 +1,168 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.ext.{Dedup, Similarity, TextAnalysis, Multimodal}
+
+class DedupSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private def docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog"),
+    (2L, "the quick brown fox jumps over the lazy cat"),   // near-dup of 1
+    (3L, "completely different words entirely unrelated text here"),
+    (4L, "the quick brown fox jumps over the lazy dog"),   // exact dup of 1
+    (5L, "spark catalyst optimizer rewrites logical plans")
+  ).toDF("doc_id", "text")
+
+  test("E1: exact dedup groups identical texts, min-id canonical") {
+    val out = Dedup.exact(docs, "text", "doc_id").collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("dup_group_size"), r.getAs[Boolean]("is_canonical"))).toMap
+    assert(out(1L) == (2L, true) && out(4L) == (2L, false))
+    assert(out(3L) == (1L, true))
+  }
+
+  test("E2: verifyJaccard computes exact token-set jaccard") {
+    val pairs = Seq((1L, 2L), (1L, 3L)).toDF("id_a", "id_b")
+    val j = Dedup.verifyJaccard(docs, "text", "doc_id", pairs, 1).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getAs[Double]("jaccard")).toMap
+    // doc1: {the,quick,brown,fox,jumps,over,lazy,dog} (8 distinct)
+    // doc2: same minus dog plus cat → inter 7, union 9
+    assert(math.abs(j((1L, 2L)) - 7.0 / 9) < 1e-12)
+    assert(j((1L, 3L)) == 0.0)
+  }
+
+  test("E2: minhash LSH finds near-dups and skips unrelated docs") {
+    val out = Dedup.minhashNearDuplicates(docs, "text", "doc_id",
+      shingleSize = 1, numHashes = 16, bands = 8, threshold = 0.5)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(out.contains((1L, 4L))) // exact dup always found (identical signatures)
+    assert(out.contains((1L, 2L)) || out.contains((2L, 4L))) // near-dup pair found
+    assert(!out.exists { case (a, b) => a == 3L || b == 3L }) // unrelated never passes verify
+  }
+
+  test("E2: simhash — identical docs distance 0, near-dups close, unrelated far") {
+    val fp = Dedup.simhash(docs, "text", "doc_id").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(fp(a) ^ fp(b))
+    assert(ham(1L, 4L) == 0)
+    assert(ham(1L, 2L) < ham(1L, 3L))
+  }
+
+  test("E2: simhash blocking finds all pairs within distance 3 (pigeonhole)") {
+    val out = Dedup.simhashNearDuplicates(docs, "text", "doc_id", maxDistance = 3)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(out.contains((1L, 4L)))
+  }
+}
+
+class SimilaritySpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private def vecs = Seq(
+    (0L, Array(1.0f, 0.0f, 0.0f)),
+    (1L, Array(0.9f, 0.1f, 0.0f)),
+    (2L, Array(0.0f, 1.0f, 0.0f)),
+    (3L, Array(-1.0f, 0.0f, 0.0f)),
+    (4L, Array(0.7f, 0.7f, 0.0f))
+  ).toDF("vec_id", "embedding")
+
+  test("E3: brute-force top-k cosine ranks by true cosine") {
+    val out = Similarity.topKCosine(vecs.filter($"vec_id" =!= 0L),
+      "embedding", "vec_id", Array(1.0f, 0.0f, 0.0f), 3)
+      .select("vec_id").as[Long].collect()
+    assert(out.toSeq == Seq(1L, 4L, 2L)) // cos: .9938, .7071, 0
+  }
+
+  test("E3: batch top-k returns per-query ranks") {
+    val out = Similarity.topKCosineBatch(vecs, vecs.filter($"vec_id" === 0L),
+      "embedding", "vec_id", 2).orderBy("rank")
+      .select("item_id").as[Long].collect()
+    assert(out.toSeq == Seq(1L, 4L))
+  }
+
+  test("E3: LSH bucket search returns a subset of brute force, query bucket consistent") {
+    val q = Array(1.0f, 0.0f, 0.0f)
+    val brute = Similarity.topKCosine(vecs.filter($"vec_id" =!= 0L),
+      "embedding", "vec_id", q, 5).select("vec_id").as[Long].collect().toSet
+    val lsh = Similarity.lshTopKCosine(vecs.filter($"vec_id" =!= 0L),
+      "embedding", "vec_id", q, 5, dim = 3, bits = 2)
+      .select("vec_id").as[Long].collect().toSet
+    assert(lsh.subsetOf(brute))
+    assert(lsh.nonEmpty) // vec 1 at least lands in the query's bucket
+    assert(lsh.contains(1L))
+  }
+}
+
+class TextAnalysisSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  test("E4: langId picks the stopword-matching language") {
+    val df = Seq(
+      "the cat and the dog sat in the house for a while",
+      "le chat et les chiens du village pour une promenade",
+      "der hund und die katze mit dem ball ist ein spiel",
+      "xyzzy qwerty asdf").toDF("text")
+    val out = df.select(TextAnalysis.langId(col("text"))).as[String].collect()
+    assert(out.toSeq == Seq("en", "fr", "de", "und"))
+  }
+
+  test("E4: token and subword counts") {
+    val df = Seq("hello world, it's 42 degrees!").toDF("text")
+    val r = df.select(TextAnalysis.tokenCount(col("text")),
+      TextAnalysis.subwordCount(col("text"))).head
+    assert(r.getInt(0) == 5)
+    // hello|world|,|it|'|s|42|degrees|! → 9
+    assert(r.getInt(1) == 9)
+  }
+
+  test("E4: quality features flag short junk low, prose high") {
+    val df = Seq(
+      "good plain prose with reasonable words that continues for a while and ends",
+      "x").toDF("text")
+    val out = TextAnalysis.qualityFeatures(df, "text")
+      .select("quality_score").as[Double].collect()
+    assert(out(0) > out(1))
+  }
+
+  test("E4: fingerprint is whitespace/case-insensitive stable") {
+    val df = Seq(("A  B\tC", "a b c")).toDF("t1", "t2")
+    val r = df.select(TextAnalysis.fingerprint(col("t1")) === TextAnalysis.fingerprint(col("t2")))
+      .head.getBoolean(0)
+    assert(r)
+  }
+
+  test("E4: chunk fingerprints slide with stride") {
+    val df = Seq("a b c d e f g h").toDF("text")
+    val n = df.select(size(TextAnalysis.chunkFingerprints(col("text"), 4, 2))).head.getInt(0)
+    assert(n == 3) // starts at 0,2,4
+  }
+}
+
+class MultimodalSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+
+  test("E5: synthetic media → batch feature extraction keeps schema contract") {
+    val media = Multimodal.withSyntheticMedia(spark, 30)
+    val feats = Multimodal.extractFeatures(media, numPartitions = 4)
+    assert(feats.schema == Multimodal.featureSchema)
+    assert(feats.count() == 30)
+    val r = feats.filter(col("media_id") === 5L).head
+    assert(r.getAs[Int]("n_bytes") == 256 + (5 % 7) * 128)
+    assert(r.getSeq[Double](r.fieldIndex("feature_vec")).length == 8)
+    // deterministic: re-extraction yields identical features
+    val again = Multimodal.extractFeatures(media).filter(col("media_id") === 5L).head
+    assert(again.getAs[Double]("mean_intensity") == r.getAs[Double]("mean_intensity"))
+  }
+
+  test("E5: frame sampling indices are declarative and bounded") {
+    import spark.implicits._
+    val df = Seq(100).toDF("n_frames")
+    val idx = df.select(Multimodal.frameSampleIndices(col("n_frames"), 10, 5)).head.getSeq[Long](0)
+    assert(idx == Seq(0L, 10L, 20L, 30L, 40L))
+  }
+}
