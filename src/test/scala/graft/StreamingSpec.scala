@@ -1,0 +1,129 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.streaming.StreamOps
+
+class StreamingSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private val schema = StructType(Seq(
+    StructField("event_id", LongType), StructField("ts", TimestampType),
+    StructField("user_id", LongType), StructField("value", DoubleType)))
+
+  private def writeBatch(dir: String, name: String, rows: Seq[(Long, String, Long, Double)]): Unit =
+    rows.map { case (id, ts, uid, v) => (id, java.sql.Timestamp.valueOf(ts), uid, v) }
+      .toDF("event_id", "ts", "user_id", "value")
+      .coalesce(1).write.mode("append").json(s"$dir")
+
+  private def tmp() = java.nio.file.Files.createTempDirectory("graft_stream").toString
+
+  test("T1+T2: file stream → tumbling window stats (memory sink)") {
+    val dir = tmp()
+    writeBatch(dir, "b1", Seq(
+      (1L, "2024-01-01 10:05:00", 1L, 10.0),
+      (2L, "2024-01-01 10:20:00", 1L, 20.0),
+      (3L, "2024-01-01 11:05:00", 1L, 40.0),
+      (4L, "2024-01-01 10:10:00", 2L, 5.0)))
+    val stream = StreamOps.fileStream(spark, dir, schema)
+    assert(stream.isStreaming)
+    val agg = StreamOps.windowedStats(stream, "ts", "user_id", "value", "1 hour")
+    val q = agg.writeStream.outputMode("complete")
+      .format("memory").queryName("t2out").start()
+    StreamOps.runOnce(q)
+    val out = spark.table("t2out")
+      .select("user_id", "window_start", "n", "sum_value")
+      .as[(Long, java.sql.Timestamp, Long, Double)].collect().toSet
+    assert(out == Set(
+      (1L, java.sql.Timestamp.valueOf("2024-01-01 10:00:00"), 2L, 30.0),
+      (1L, java.sql.Timestamp.valueOf("2024-01-01 11:00:00"), 1L, 40.0),
+      (2L, java.sql.Timestamp.valueOf("2024-01-01 10:00:00"), 1L, 5.0)))
+  }
+
+  test("T2 sliding: overlapping windows double-count as expected") {
+    val dir = tmp()
+    writeBatch(dir, "b1", Seq((1L, "2024-01-01 10:30:00", 1L, 7.0)))
+    val stream = StreamOps.fileStream(spark, dir, schema)
+    val agg = StreamOps.windowedStats(stream, "ts", "user_id", "value",
+      "1 hour", slide = Some("30 minutes"))
+    val q = agg.writeStream.outputMode("complete").format("memory")
+      .queryName("t2slide").start()
+    StreamOps.runOnce(q)
+    // event at 10:30 belongs to [10:00,11:00) and [10:30,11:30)
+    assert(spark.table("t2slide").count() == 2)
+  }
+
+  test("T4: watermark drops late data that batch keeps (documented divergence)") {
+    val dir = tmp()
+    writeBatch(dir, "b1", Seq(
+      (1L, "2024-01-01 10:00:00", 1L, 1.0),
+      (2L, "2024-01-01 12:00:00", 1L, 2.0))) // advances watermark to 11:50
+    val stream = StreamOps.fileStream(spark, dir, schema)
+    val agg = StreamOps.windowedStats(stream, "ts", "user_id", "value",
+      "1 hour", watermark = Some("10 minutes"))
+    val q = agg.writeStream.outputMode("append").format("memory")
+      .queryName("t4out").start()
+    q.processAllAvailable()
+    // second batch arrives far behind the watermark
+    writeBatch(dir, "b2", Seq((3L, "2024-01-01 09:00:00", 1L, 100.0)))
+    q.processAllAvailable()
+    // third batch pushes watermark far forward, closing all open windows
+    writeBatch(dir, "b3", Seq((4L, "2024-01-01 20:00:00", 1L, 3.0)))
+    q.processAllAvailable()
+    q.stop()
+    val sums = spark.table("t4out").select("sum_value").as[Double].collect().toSet
+    assert(!sums.contains(100.0), s"late row must be dropped, got $sums")
+    assert(sums.contains(1.0) && sums.contains(2.0))
+    // batch over the same files KEEPS the late row — the divergence
+    val batch = spark.read.schema(schema).json(dir)
+    assert(batch.agg(sum("value")).head.getDouble(0) == 106.0)
+  }
+
+  test("T5: dropDuplicatesWithinWatermark dedups by key") {
+    val dir = tmp()
+    writeBatch(dir, "b1", Seq(
+      (1L, "2024-01-01 10:00:00", 1L, 1.0),
+      (1L, "2024-01-01 10:00:05", 1L, 1.0), // dup event_id
+      (2L, "2024-01-01 10:01:00", 2L, 2.0)))
+    val stream = StreamOps.fileStream(spark, dir, schema)
+    val dedup = StreamOps.streamingDedup(stream, "ts", "1 hour", Seq("event_id"))
+    val q = dedup.writeStream.outputMode("append").format("memory")
+      .queryName("t5out").start()
+    StreamOps.runOnce(q)
+    assert(spark.table("t5out").count() == 2)
+  }
+
+  test("T3: session windows merge events within gap") {
+    val dir = tmp()
+    writeBatch(dir, "b1", Seq(
+      (1L, "2024-01-01 10:00:00", 1L, 1.0),
+      (2L, "2024-01-01 10:10:00", 1L, 1.0),  // same session (gap 30m)
+      (3L, "2024-01-01 12:00:00", 1L, 1.0))) // new session
+    val stream = StreamOps.fileStream(spark, dir, schema)
+    val sess = StreamOps.sessionStats(stream, "ts", "user_id", "30 minutes", "0 seconds")
+    val q = sess.writeStream.outputMode("complete").format("memory")
+      .queryName("t3out").start()
+    StreamOps.runOnce(q)
+    val out = spark.table("t3out").select("n_events").as[Long].collect().sorted
+    assert(out.toSeq == Seq(1L, 2L))
+  }
+
+  test("T6: parquet sink + stream-static enrichment via foreachBatch") {
+    val dir = tmp(); val out = tmp(); val ckpt = tmp()
+    writeBatch(dir, "b1", Seq(
+      (1L, "2024-01-01 10:00:00", 1L, 10.0),
+      (2L, "2024-01-01 10:30:00", 2L, 20.0)))
+    val users = Seq((1L, "alice"), (2L, "bob")).toDF("user_id", "name")
+    val stream = StreamOps.fileStream(spark, dir, schema)
+    val agg = StreamOps.windowedStats(stream, "ts", "user_id", "value",
+      "1 hour", watermark = Some("1 minute"))
+    val q = StreamOps.enrichedSink(agg, users, "user_id", s"$out/data", s"$ckpt/c")
+      .outputMode("update").start()
+    StreamOps.runOnce(q)
+    val res = spark.read.parquet(s"$out/data")
+    assert(res.count() == 2)
+    assert(res.filter(col("name") === "alice").count() == 1)
+  }
+}
