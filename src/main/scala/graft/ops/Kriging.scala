@@ -136,9 +136,12 @@ object Kriging {
       stepX: Double = 1, stepY: Double = 1, nBins: Int = 6): DataFrame = {
     val spark = sensors.sparkSession
 
-    // bounded driver collect — same regime as the reference feeding pykrige
-    val pts = sensors.select(col("x"), col("y"),
-      coalesce(col(valueCol), lit(0.0))).collect()
+    // bounded driver collect — same regime as the reference feeding pykrige.
+    // Duplicate sensor locations make the kriging matrix singular; collapse
+    // them to their mean value first (standard practice; pykrige errors).
+    val pts = sensors.groupBy(col("x"), col("y"))
+      .agg(avg(coalesce(col(valueCol), lit(0.0))).as("__v"))
+      .collect()
       .map(r => (r.getDouble(0), r.getDouble(1), r.getDouble(2)))
     require(pts.length >= 3, "kriging needs >= 3 sensors")
     val vario = fitVariogram(empiricalVariogram(pts, math.min(nBins, pts.length)), model)

@@ -25,6 +25,18 @@ object SpatialOps {
   def dist2(x1: Column, y1: Column, x2: Column, y2: Column): Column =
     (x1 - x2) * (x1 - x2) + (y1 - y2) * (y1 - y2)
 
+  /** The broadcast joins below multiply row counts by orders of
+    * magnitude; their output inherits the probe side's partitioning. A
+    * small input (one parquet row-group) would funnel the whole
+    * explosion through one task, so widen the probe side to the
+    * cluster's parallelism first. No-op when the input is already wide
+    * (the 100 TB case — there the scan arrives with thousands of
+    * splits and repartitioning would be a pure pessimization). */
+  private def ensureParallelism(df: DataFrame): DataFrame = {
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions * 2 < target) df.repartition(target) else df
+  }
+
   /** P5 — bbox prefilter: clip `features` to the total bounds of the
     * sensor set expanded by `margin` (the reference's `.cx[...]` clip,
     * :222-223 — its single optimization; here it composes with Parquet
@@ -57,7 +69,7 @@ object SpatialOps {
       funcs: Seq[String],
       valueCols: Seq[String],
       sourceName: String = ""): DataFrame = {
-    val clipped = bboxClip(features, sensors, radius)
+    val clipped = ensureParallelism(bboxClip(features, sensors, radius))
     val s = broadcast(sensors.select(col("id_sensor"), col("x").as("sx"), col("y").as("sy")))
     val joined = clipped.join(s,
       dist2(col("sx"), col("sy"), col("x"), col("y")) <= radius * radius)
@@ -87,7 +99,7 @@ object SpatialOps {
         (col("x") - (col("gx") + 1) * cell <= radius) && ((col("gx") * cell) - col("x") <= radius) &&
         (col("y") - (col("gy") + 1) * cell <= radius) && ((col("gy") * cell) - col("y") <= radius))
       .select(col("id_sensor"), col("x").as("sx"), col("y").as("sy"), col("gx"), col("gy"))
-    val f = features
+    val f = ensureParallelism(features)
       .withColumn("gx", floor(col("x") / cell).cast("long"))
       .withColumn("gy", floor(col("y") / cell).cast("long"))
     f.join(s, Seq("gx", "gy"))
@@ -105,7 +117,7 @@ object SpatialOps {
       funcs: Seq[String], valueCols: Seq[String],
       featureId: String, sourceName: String = ""): DataFrame = {
     val s = broadcast(sensors.select(col("id_sensor"), col("x").as("sx"), col("y").as("sy")))
-    val withDist = features.join(s)
+    val withDist = ensureParallelism(features).join(s)
       .withColumn("d2", dist2(col("sx"), col("sy"), col("x"), col("y")))
     val w = Window.partitionBy(col("id_sensor"))
       .orderBy(col("d2").asc, col(featureId).asc)
@@ -127,7 +139,8 @@ object SpatialOps {
       bands: Option[Seq[Int]] = None): DataFrame = {
     val clipped = bboxClip(cells, sensors, radius)
       .filter(col("value") =!= nodata)
-    val banded = bands.map(bs => clipped.filter(col("band").isin(bs: _*))).getOrElse(clipped)
+    val banded = ensureParallelism(
+      bands.map(bs => clipped.filter(col("band").isin(bs: _*))).getOrElse(clipped))
     val s = broadcast(sensors.select(col("id_sensor"), col("x").as("sx"), col("y").as("sy")))
     banded.join(s, dist2(col("sx"), col("sy"), col("x"), col("y")) <= radius * radius)
       .groupBy(col("id_sensor"), col("band"))
