@@ -1,0 +1,21 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
+import graft.geo.Haversine
+
+/** SparkSessionExtensions entry point: makes graft's native SQL
+  * functions available in any session built with
+  * `--conf spark.sql.extensions=graft.GraftExtensions` (or
+  * `.withExtensions(new GraftExtensions)`), the idiomatic way to ship
+  * engine extensions to a cluster without code on the driver path.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(e: SparkSessionExtensions): Unit = {
+    e.injectFunction((
+      FunctionIdentifier("st_haversine"),
+      new ExpressionInfo(classOf[Haversine].getName, "st_haversine"),
+      exprs => Haversine.cast(exprs)))
+  }
+}

@@ -257,4 +257,49 @@ object Geo {
     }
     struct(stKind(g).as("kind"), transform(pts(g), p => tx(p)).as("points"))
   }
+
+  // ---- S5: GeoJSON / WKT rendering (pure column expressions) ----
+
+  private def num(c: Column): Column = c.cast("string")
+
+  /** GeoJSON fragment for a geometry struct: Point → coordinates pair,
+    * Polygon → one closed ring (first vertex repeated). */
+  def stAsGeoJson(g: Column): Column = {
+    val p = pts(g)
+    val pair = (q: Column) =>
+      concat(lit("["), num(q.getField("x")), lit(","), num(q.getField("y")), lit("]"))
+    val ringPts = concat(transform(p, pair), array(pair(element_at(p, 1))))
+    when(stIsEmpty(g), lit(null).cast("string"))
+      .when(stKind(g) === "point",
+        concat(lit("""{"type":"Point","coordinates":"""), pair(element_at(p, 1)), lit("}")))
+      .otherwise(concat(lit("""{"type":"Polygon","coordinates":[["""),
+        array_join(ringPts, ","), lit("]]}")))
+  }
+
+  /** WKT rendering: POINT (x y) / POLYGON ((x y, x y, …)) with the ring
+    * closed. */
+  def stAsText(g: Column): Column = {
+    val p = pts(g)
+    val pair = (q: Column) =>
+      concat(num(q.getField("x")), lit(" "), num(q.getField("y")))
+    val ringPts = concat(transform(p, pair), array(pair(element_at(p, 1))))
+    when(stIsEmpty(g), lit(null).cast("string"))
+      .when(stKind(g) === "point",
+        concat(lit("POINT ("), pair(element_at(p, 1)), lit(")")))
+      .otherwise(concat(lit("POLYGON (("), array_join(ringPts, ", "), lit("))")))
+  }
+
+  /** Register the st_* surface for spark.sql() use: UDF-backed functions
+    * through the UDF registry, the native Haversine expression through
+    * the function registry (full codegen in SQL too). The
+    * [[graft.GraftExtensions]] class does the same through
+    * `SparkSessionExtensions` for --conf spark.sql.extensions wiring. */
+  def registerSql(spark: org.apache.spark.sql.SparkSession): Unit = {
+    spark.udf.register("st_distance", stDistance)
+    spark.udf.register("st_intersects", stIntersects)
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "st_haversine",
+      exprs => Haversine.cast(exprs),
+      "scala_udf")
+  }
 }

@@ -14,10 +14,21 @@ import org.apache.spark.sql.DataFrame
   */
 object Sinks {
 
+  /** geometry-struct columns rendered as GeoJSON fragments before a
+    * geojson sink (S5: `to_file(driver='GeoJSON')` analog). */
+  private def renderGeometry(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    df.schema.fields.foldLeft(df) { (d, f) =>
+      if (f.dataType == graft.geo.Geo.geometryType)
+        d.withColumn(f.name, graft.geo.Geo.stAsGeoJson(col(f.name)))
+      else d
+    }
+  }
+
   private val formats: Map[String, (DataFrame, String) => Unit] = Map(
     "parquet" -> ((df, path) => df.write.mode("overwrite").parquet(path)),
     "json" -> ((df, path) => df.write.mode("overwrite").json(path)),
-    "geojson" -> ((df, path) => df.write.mode("overwrite").json(path)),
+    "geojson" -> ((df, path) => renderGeometry(df).write.mode("overwrite").json(path)),
     "csv" -> ((df, path) => df.write.mode("overwrite").option("header", "true").csv(path)))
 
   def known: Seq[String] = formats.keys.toSeq.sorted

@@ -1,0 +1,99 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** A9 — equal-width binning with pandas-cut-compatible labels, color
+  * maps and style emission (reference: README.md:248-261 `get_intervals`,
+  * `get_cm`, `get_styling_*`, `to_hex`).
+  *
+  * Observable contract reproduced exactly:
+  *  - pd.cut makes n equal-width bins over [min, max], widening the
+  *    FIRST bin's lower edge by 0.1% of the range so the minimum is
+  *    included; labels are `str(Interval)` = "(lo, hi]" with the
+  *    reference's `(` → `[` replacement applied (README.md:254-256);
+  *  - edge values are printed with pandas' default 3-decimal rounding;
+  *  - the color map is n hex colors linearly interpolated between two
+  *    RGB endpoints (matplotlib-style `to_hex` lowercase output).
+  *
+  * The bin computation itself is one broadcast of a 1-row min/max agg +
+  * a map-side expression — no extra shuffle at any scale.
+  */
+object Binning {
+
+  /** pandas `_round_frac(x, precision=3)`: whole-part present → round
+    * to 3 decimals; pure fraction → 3 significant fraction digits. */
+  private[ops] def roundFrac(x: Double, precision: Int = 3): Double = {
+    if (!java.lang.Double.isFinite(x) || x == 0.0) x
+    else {
+      val frac = x - x.toLong
+      val digits =
+        if (x.toLong == 0 && frac != 0)
+          -math.floor(math.log10(math.abs(frac))).toInt - 1 + precision
+        else precision
+      BigDecimal(x).setScale(digits, BigDecimal.RoundingMode.HALF_EVEN).toDouble
+    }
+  }
+
+  /** pandas label: `str(Interval)` is "(lo, hi]"; the reference replaces
+    * `(` with `[` (README.md:254-256). Scala's Double.toString matches
+    * Python's shortest-repr for these rounded edges. */
+  private[ops] def label(lo: Double, hi: Double): String =
+    s"[${roundFrac(lo)}, ${roundFrac(hi)}]"
+
+  private val labelUdf = udf((bucket: Int, mn: Double, mx: Double, n: Int) => {
+    val width = (mx - mn) / n
+    val adj = if (mx == mn) 0.001 else (mx - mn) * 0.001
+    val lo = if (bucket == 0) mn - adj else mn + bucket * width
+    val hi = mn + (bucket + 1) * width
+    label(lo, hi)
+  })
+
+  /** Add `bucket` (0..n-1 int) and `intervals_<col>` (pandas-style
+    * label) columns for n equal-width bins of `valueCol`. Bucketing is
+    * exact arithmetic; only the label string goes through rounding
+    * (matching pd.cut, which rounds breaks for display only). */
+  def cut(df: DataFrame, valueCol: String, n: Int): DataFrame = {
+    require(n >= 1, "need at least one bin")
+    val bounds = df.agg(
+      min(col(valueCol)).as("__mn"), max(col(valueCol)).as("__mx"))
+    val withB = df.crossJoin(broadcast(bounds))
+    val width = (col("__mx") - col("__mn")) / n
+    val bucket = least(greatest(
+      ceil((col(valueCol) - col("__mn")) / width) - 1, lit(0)), lit(n - 1))
+      .cast("int")
+    withB
+      .withColumn("bucket", bucket)
+      .withColumn(s"intervals_$valueCol",
+        labelUdf(col("bucket"), col("__mn"), col("__mx"), lit(n)))
+      .drop("__mn", "__mx")
+  }
+
+  /** Ordered distinct bin labels (the reference's
+    * `sort_values().unique()` legend basis, README.md:252). */
+  def legend(binned: DataFrame, valueCol: String): DataFrame =
+    binned.select(col("bucket"), col(s"intervals_$valueCol"))
+      .distinct().orderBy(col("bucket"))
+
+  /** n hex colors linearly interpolated from `from` to `to` RGB —
+    * matplotlib to_hex-style lowercase "#rrggbb" (README.md:243-246). */
+  def colorMap(n: Int, from: (Int, Int, Int) = (255, 237, 160),
+      to: (Int, Int, Int) = (189, 0, 38)): Seq[String] = {
+    require(n >= 1)
+    (0 until n).map { i =>
+      val t = if (n == 1) 0.0 else i.toDouble / (n - 1)
+      def mix(a: Int, b: Int) = math.round(a + (b - a) * t).toInt
+      f"#${mix(from._1, to._1)}%02x${mix(from._2, to._2)}%02x${mix(from._3, to._3)}%02x"
+    }
+  }
+
+  /** Style lines `<label> <color>` for legend/styling export — the
+    * driver-side formatting analog of the reference's GeoServer/CAVI
+    * style emitters (README.md:225-246). Pure formatting of the n
+    * bucket bounds; no cluster work. */
+  def styling(binned: DataFrame, valueCol: String): Seq[(String, String)] = {
+    val labels = legend(binned, valueCol).collect()
+      .map(r => r.getString(1))
+    labels.zip(colorMap(labels.length))
+  }
+}

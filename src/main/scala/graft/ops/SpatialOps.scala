@@ -158,6 +158,19 @@ object SpatialOps {
     longStats.groupBy(col("id_sensor")).agg(aggs.head, aggs.tail: _*)
   }
 
+  /** A3 end-to-end (reference flagship raster branch, :189-206): buffer
+    * stats per band, pivoted to `func_<raster>_band<b>` columns, joined
+    * back onto the sensor table; sensors whose buffer misses the raster
+    * keep a null row (:521-526). Bands default = all (:190-191). */
+  def addRasterBufferData(sensors: DataFrame, cells: DataFrame,
+      rasterName: String, radius: Double, funcs: Seq[String],
+      bands: Option[Seq[Int]] = None, nodata: Double = 0.0): DataFrame = {
+    val bandList = bands.getOrElse(
+      cells.select(col("band")).distinct().collect().map(_.getInt(0)).sorted.toSeq)
+    val stats = rasterBufferStats(sensors, cells, radius, funcs, nodata, Some(bandList))
+    sensors.join(pivotBands(stats, rasterName, funcs, bandList), Seq("id_sensor"), "left")
+  }
+
   /** A6 — IDW interpolation of `valueCol` onto a regular lattice.
     * Implements the INTENDED math (the reference's loop index bug writes
     * only cell 0, :381-385) with an exact-hit guard: a lattice point

@@ -101,6 +101,33 @@ object OpRegistry {
     "interval_stats" -> (p => df => TimeSeriesOps.intervalStats(
       df, str(p, "id_col"), str(p, "ts_col"),
       strs(p, "value_cols"), strs(p, "funcs"), pairs(p, "intervals"),
-      strOpt(p, "beg").zip(strOpt(p, "end")).headOption))
+      strOpt(p, "beg").zip(strOpt(p, "end")).headOption)),
+    // spatial flagships (A2-A4, A6-A7, A9): the feature/raster dataset is
+    // read from the 'file' kwarg, mirroring the reference signature
+    // add_buffer_aggregated_data(gdf, file, ...) (:166-206)
+    "add_buffer_aggregated_data" -> (p => df => graft.ops.SpatialOps.bufferAggregate(
+      df, df.sparkSession.read.parquet(str(p, "file")), num(p, "radius"),
+      strs(p, "funcs"), strs(p, "value_cols"), strOpt(p, "source_name").getOrElse(""))),
+    "add_knn_aggregated_data" -> (p => df => graft.ops.SpatialOps.knnAggregate(
+      df, df.sparkSession.read.parquet(str(p, "file")), num(p, "k").toInt,
+      strs(p, "funcs"), strs(p, "value_cols"), str(p, "feature_id"),
+      strOpt(p, "source_name").getOrElse(""))),
+    "add_raster_buffer_data" -> (p => df => graft.ops.SpatialOps.addRasterBufferData(
+      df, df.sparkSession.read.parquet(str(p, "file")),
+      strOpt(p, "raster_name").getOrElse("raster"), num(p, "radius"), strs(p, "funcs"),
+      Some(strs(p, "bands").map(_.toInt)).filter(_.nonEmpty))),
+    "inverse_distance_weighting" -> (p => df => graft.ops.SpatialOps.idw(
+      df, str(p, "value_col"), num(p, "power").toInt,
+      num(p, "x0"), num(p, "y0"), num(p, "nx").toInt, num(p, "ny").toInt,
+      num(p, "step_x"), num(p, "step_y"))),
+    "simple_kriging" -> (p => df => graft.ops.Kriging.krige(
+      df, str(p, "value_col"), strOpt(p, "model").getOrElse("linear"),
+      num(p, "x0"), num(p, "y0"), num(p, "nx").toInt, num(p, "ny").toInt,
+      num(p, "step_x"), num(p, "step_y"))),
+    "clean_geometries" -> (p => df =>
+      graft.ops.VectorOps.cleanGeometries(df,
+        strOpt(p, "geometry_col").getOrElse("geometry"))._1),
+    "get_intervals" -> (p => df => graft.ops.Binning.cut(
+      df, str(p, "column"), num(p, "n").toInt))
   ))
 }
