@@ -1,7 +1,25 @@
 package graft.ops
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, Encoder, Encoders}
+import org.apache.spark.sql.expressions.Aggregator
 import org.apache.spark.sql.functions._
+
+/** Example user aggregator for the X2 extension surface: geometric
+  * mean via a typed `Aggregator` registered through `functions.udaf` —
+  * the path a user takes to bring "any iterable -> scalar" callable
+  * (reference contract :176-177) into the engine under a name. */
+object GeoMeanAggregator extends Aggregator[Double, (Double, Long), Double] {
+  override def zero: (Double, Long) = (0.0, 0L)
+  override def reduce(b: (Double, Long), a: Double): (Double, Long) =
+    (b._1 + math.log(a), b._2 + 1)
+  override def merge(a: (Double, Long), b: (Double, Long)): (Double, Long) =
+    (a._1 + b._1, a._2 + b._2)
+  override def finish(b: (Double, Long)): Double =
+    if (b._2 == 0) Double.NaN else math.exp(b._1 / b._2)
+  override def bufferEncoder: Encoder[(Double, Long)] =
+    Encoders.tuple(Encoders.scalaDouble, Encoders.scalaLong)
+  override def outputEncoder: Encoder[Double] = Encoders.scalaDouble
+}
 
 /** Named aggregation-function registry (SURVEY.md X2).
   *
@@ -29,7 +47,9 @@ object Aggregates {
     "count" -> (c => count(c)),
     "median" -> (c => median(c)),
     "first" -> (c => first(c, ignoreNulls = true)),
-    "last" -> (c => last(c, ignoreNulls = true)))
+    "last" -> (c => last(c, ignoreNulls = true)),
+    // X2 user-aggregator example: typed Aggregator via functions.udaf
+    "geomean" -> { val u = udaf(GeoMeanAggregator); c => u(c) })
 
   /** Register a user aggregator under a name (the reference's "any
     * callable" surface; users bring `functions.udaf(Aggregator)` here). */

@@ -1,0 +1,161 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.core.Tables
+import graft.ext.Similarity
+
+/** Second relational batch: correlated-style subqueries, median,
+  * calendar truncation, LIKE/regexp predicates, array ops over
+  * embeddings, map-typed JSON, grouping sets through the spark.sql
+  * surface. */
+object Relational2 {
+
+  /** q26 — correlated comparison: orders above their customer's average
+    * order value (window form; the oracle states it as a correlated
+    * subquery — same semantics, exercises the rewrite equivalence). */
+  val q26 = Declared(
+    "q26_above_cust_avg", "J1,W-frame",
+    (s, dir) => {
+      val w = Window.partitionBy(col("o_custkey"))
+      Tables.orders(s, dir)
+        .withColumn("cust_avg", avg(col("o_totalprice")).over(w))
+        .filter(col("o_totalprice") > col("cust_avg") * 1.5)
+        .select(col("o_orderkey"), col("o_custkey"), round(col("o_totalprice"), 2).as("price"))
+        .orderBy(col("o_orderkey"))
+    },
+    Some("""SELECT o_orderkey, o_custkey, round(o_totalprice, 2) AS price
+           |FROM orders o1
+           |WHERE o_totalprice > 1.5 * (SELECT avg(o_totalprice) FROM orders o2
+           |                            WHERE o2.o_custkey = o1.o_custkey)
+           |ORDER BY o_orderkey""".stripMargin),
+    "Window form shuffles once on custkey; the correlated-subquery phrasing would re-aggregate — " +
+      "Catalyst rewrites both to the same join at scale.")
+
+  /** q27 — median (continuous interpolation parity Spark/DuckDB). */
+  val q27 = Declared(
+    "q27_median", "A-quantile",
+    (s, dir) => {
+      Tables.lineitem(s, dir)
+        .groupBy(col("l_returnflag"))
+        .agg(median(col("l_quantity")).as("med_qty"),
+          round(percentile(col("l_quantity"), lit(0.25)), 2).as("p25"),
+          round(percentile(col("l_quantity"), lit(0.75)), 2).as("p75"))
+        .orderBy(col("l_returnflag"))
+    },
+    Some("""SELECT l_returnflag, median(l_quantity) AS med_qty,
+           |  round(quantile_cont(l_quantity, 0.25), 2) AS p25,
+           |  round(quantile_cont(l_quantity, 0.75), 2) AS p75
+           |FROM lineitem
+           |GROUP BY l_returnflag
+           |ORDER BY l_returnflag""".stripMargin),
+    "Exact median needs a per-group sort; percentile_approx (KLL-style sketch) is the mergeable " +
+      "100TB path — here the discrete quantile doubles as its exact check on integer-valued data.")
+
+  /** q28 — calendar truncation (date_trunc month). */
+  val q28 = Declared(
+    "q28_date_trunc", "F6",
+    (s, dir) => {
+      Tables.lineitem(s, dir)
+        .filter(col("l_shipdate") >= lit("1998-01-01").cast("timestamp"))
+        .groupBy(date_trunc("month", col("l_shipdate")).cast("date").as("ship_month"))
+        .agg(count(lit(1)).as("n"), round(sum(col("l_extendedprice")), 2).as("revenue"))
+        .orderBy(col("ship_month"))
+    },
+    Some("""SELECT CAST(date_trunc('month', l_shipdate) AS DATE) AS ship_month,
+           |  count(*) AS n, round(sum(l_extendedprice), 2) AS revenue
+           |FROM lineitem
+           |WHERE l_shipdate >= TIMESTAMP '1998-01-01'
+           |GROUP BY 1
+           |ORDER BY ship_month""".stripMargin),
+    "Truncation is a scan-side expression; grouping key cardinality = months in range.")
+
+  /** q29 — LIKE and regexp predicates. */
+  val q29 = Declared(
+    "q29_like_regexp", "F2,F3",
+    (s, dir) => {
+      Tables.part(s, dir)
+        .filter(col("p_type").like("%AND%") ||
+          col("p_name").rlike("^[ab]"))
+        .groupBy(col("p_brand"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("p_brand"))
+    },
+    Some("""SELECT p_brand, count(*) AS n
+           |FROM part
+           |WHERE p_type LIKE '%AND%' OR regexp_matches(p_name, '^[ab]')
+           |GROUP BY p_brand
+           |ORDER BY p_brand""".stripMargin),
+    "Both predicates evaluate in the scan; LIKE '%..%' can't use stats but costs one codegen'd pass.")
+
+  /** q48 — array ops over embeddings: indexing, size, norm. */
+  val q48 = Declared(
+    "q48_array_ops", "E3,F-array",
+    (s, dir) => {
+      Tables.embeddings(s, dir)
+        .groupBy(col("label"))
+        .agg(count(lit(1)).as("n"),
+          max(size(col("embedding"))).as("dim"),
+          round(avg(element_at(col("embedding"), 1).cast("double")), 6).as("mean_first"),
+          round(max(Similarity.norm(col("embedding"))), 6).as("max_norm"))
+        .orderBy(col("label"))
+    },
+    Some("""SELECT label, count(*) AS n, CAST(max(len(embedding)) AS INT) AS dim,
+           |  round(avg(CAST(embedding[1] AS DOUBLE)), 6) AS mean_first,
+           |  round(max(sqrt(list_dot_product(
+           |    list_transform(embedding, x -> CAST(x AS DOUBLE)),
+           |    list_transform(embedding, x -> CAST(x AS DOUBLE))))), 6) AS max_norm
+           |FROM embeddings
+           |GROUP BY label
+           |ORDER BY label""".stripMargin),
+    "Array kernels (element_at/size/aggregate) are codegen'd per row — no explode, no shuffle " +
+      "beyond the label agg.")
+
+  /** q49 — JSON-in-string to typed MapType, then aggregate on the
+    * extracted value. */
+  val q49 = Declared(
+    "q49_json_map", "F11",
+    (s, dir) => {
+      Tables.events(s, dir)
+        .withColumn("m", from_json(col("props"), org.apache.spark.sql.types.DataType.fromDDL("map<string,int>")))
+        .withColumn("k", element_at(col("m"), "k"))
+        .groupBy((col("user_id") % 10).as("user_mod"))
+        .agg(sum(col("k")).as("sum_k"), count(col("k")).as("n"))
+        .orderBy(col("user_mod"))
+    },
+    Some("""SELECT user_id % 10 AS user_mod,
+           |  CAST(sum(CAST(json_extract_string(props, '$.k') AS INT)) AS BIGINT) AS sum_k,
+           |  count(json_extract_string(props, '$.k')) AS n
+           |FROM events
+           |GROUP BY 1
+           |ORDER BY user_mod""".stripMargin),
+    "from_json parses once into a typed map; at 100TB parse in the scan projection, " +
+      "never per-extraction.")
+
+  /** q50 — explicit GROUPING SETS through the spark.sql surface
+    * (registered temp view), plus grouping() to disambiguate nulls. */
+  val q50 = Declared(
+    "q50_grouping_sets", "A-rollup,SQL",
+    (s, dir) => {
+      Tables.lineitem(s, dir).createOrReplaceTempView("lineitem_q50")
+      s.sql("""SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+              |  coalesce(l_linestatus, 'ALL') AS linestatus,
+              |  CAST(grouping(l_returnflag) AS INT) AS g_flag,
+              |  round(sum(l_quantity), 2) AS sum_qty, count(*) AS n
+              |FROM lineitem_q50
+              |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+              |ORDER BY returnflag, linestatus""".stripMargin)
+    },
+    Some("""SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+           |  coalesce(l_linestatus, 'ALL') AS linestatus,
+           |  CAST(grouping(l_returnflag) AS INT) AS g_flag,
+           |  round(sum(l_quantity), 2) AS sum_qty, count(*) AS n
+           |FROM lineitem
+           |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+           |ORDER BY returnflag, linestatus""".stripMargin),
+    "Grouping sets expand pre-shuffle like rollup; identical SQL text runs on both engines — " +
+      "the engine's SQL surface is part of the public API.")
+
+  val all: Seq[Declared] = Seq(q26, q27, q28, q29, q48, q49, q50)
+}

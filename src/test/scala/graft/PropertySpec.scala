@@ -1,0 +1,125 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import org.apache.spark.sql.functions._
+import graft.ops.SpatialOps
+import graft.pipeline._
+
+/** Property-based tests (SURVEY §5.2 item 3): algebraic laws checked
+  * over ScalaCheck-generated inputs (raw Gen + fixed seed — the
+  * scalatest-plus bridge isn't in the offline cache; determinism is a
+  * feature here anyway). */
+class PropertySpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  /** n deterministic samples of g. */
+  private def samples[A](g: Gen[A], n: Int): Seq[A] =
+    Gen.listOfN(n, g).apply(Gen.Parameters.default, Seed(42L)).get
+
+  private val coordGen = Gen.chooseNum(0, 50)
+
+  test("law: bbox prefilter never changes buffer-aggregate results") {
+    val cases = samples(for {
+      sxy <- Gen.listOfN(8, Gen.zip(coordGen, coordGen))
+      fxy <- Gen.listOfN(40, Gen.zip(coordGen, coordGen))
+      r <- Gen.chooseNum(2, 10)
+    } yield (sxy, fxy, r), 4)
+    cases.foreach { case (sxy, fxy, r) =>
+      val sensors = sxy.zipWithIndex
+        .map { case ((x, y), i) => (i.toLong, x.toDouble, y.toDouble) }
+        .toDF("id_sensor", "x", "y")
+      val features = fxy.zipWithIndex
+        .map { case ((x, y), j) => (x.toDouble, y.toDouble, j.toDouble) }
+        .toDF("x", "y", "v")
+      val withClip = SpatialOps.bufferAggregate(sensors, features, r,
+        Seq("sum", "count"), Seq("v")).orderBy("id_sensor").collect().toSeq
+      val s = sensors.select(col("id_sensor"), col("x").as("sx"), col("y").as("sy"))
+      val noClip = features.join(broadcast(s),
+        SpatialOps.dist2(col("sx"), col("sy"), col("x"), col("y")) <= r * r)
+        .groupBy("id_sensor").agg(sum("v").as("sum_v"), count(lit(1)).as("count_v"))
+        .join(sensors, Seq("id_sensor"), "right")
+        .select("id_sensor", "x", "y", "sum_v", "count_v")
+        .orderBy("id_sensor").collect().toSeq
+      assert(withClip.map(r0 => (r0.getLong(0), Option(r0.get(3)), Option(r0.get(4)))) ==
+        noClip.map(r0 => (r0.getLong(0), Option(r0.get(3)), Option(r0.get(4)))),
+        s"clip law failed for r=$r")
+    }
+  }
+
+  test("law: kNN with k >= |features| equals the unrestricted aggregate") {
+    val cases = samples(for {
+      sxy <- Gen.listOfN(4, Gen.zip(coordGen, coordGen))
+      fxy <- Gen.listOfN(12, Gen.zip(coordGen, coordGen))
+    } yield (sxy, fxy), 4)
+    cases.foreach { case (sxy, fxy) =>
+      val sensors = sxy.zipWithIndex
+        .map { case ((x, y), i) => (i.toLong, x.toDouble, y.toDouble) }
+        .toDF("id_sensor", "x", "y")
+      val features = fxy.zipWithIndex
+        .map { case ((x, y), j) => (j.toLong, x.toDouble, y.toDouble, (j % 5).toDouble) }
+        .toDF("feature_id", "x", "y", "v")
+      val knn = SpatialOps.knnAggregate(sensors, features, k = 100,
+        Seq("sum"), Seq("v"), "feature_id")
+        .select("id_sensor", "sum_v").orderBy("id_sensor").collect()
+      val full = features.agg(sum("v")).head.getDouble(0)
+      assert(knn.forall(_.getDouble(1) == full))
+    }
+  }
+
+  test("law: IDW at an exact sensor location returns that sensor's value") {
+    val cases = samples(
+      Gen.listOfN(6, Gen.zip(Gen.zip(coordGen, coordGen), Gen.chooseNum(-100, 100))), 4)
+    cases.foreach { pts =>
+      val distinct = pts.map { case ((x, y), v) => ((x.toDouble, y.toDouble), v.toDouble) }
+        .toMap.toSeq
+      val sensors = distinct.map { case ((x, y), v) => (x, y, v) }.toDF("x", "y", "v")
+      val ((x0, y0), v0) = distinct.head
+      val out = SpatialOps.idw(sensors, "v", 2, x0, y0, 1, 1, 1, 1).head
+      assert(out.getDouble(2) == v0, s"exact-hit law failed at ($x0,$y0)")
+    }
+  }
+
+  test("law: pipeline JSON round-trip is identity for arbitrary specs") {
+    val jsonGen: Gen[Json] = Gen.oneOf(
+      Gen.alphaNumStr.map(JStr(_)),
+      Gen.chooseNum(-1000000, 1000000).map(n => JNum(n.toDouble)),
+      Gen.oneOf(true, false).map(JBool(_)),
+      Gen.listOfN(3, Gen.alphaNumStr).map(xs => JArr(xs.map(JStr(_): Json).toVector)))
+    val opGen = for {
+      name <- Gen.identifier.suchThat(_.nonEmpty)
+      fn <- Gen.identifier.suchThat(_.nonEmpty)
+      n <- Gen.chooseNum(0, 4)
+      keys <- Gen.listOfN(n, Gen.identifier.suchThat(_.nonEmpty))
+      vals <- Gen.listOfN(n, jsonGen)
+    } yield Operation(name, fn, scala.collection.immutable.ListMap(keys.zip(vals): _*))
+    val cases = samples(for {
+      name <- Gen.identifier.suchThat(_.nonEmpty)
+      ops <- Gen.listOfN(4, opGen)
+    } yield (name, ops), 20)
+    cases.foreach { case (name, ops) =>
+      val p = Pipeline(name, ops.toVector)
+      val back = Pipeline.fromJson(p.toJson.render)
+      assert(back.name == p.name && back.operations == p.operations)
+      assert(back.toJson.render == p.toJson.render)
+    }
+  }
+
+  test("law: union of per-file reads equals whole-directory read (S4)") {
+    val cases = samples(Gen.listOfN(3, Gen.listOfN(4, Gen.chooseNum(0, 1000))), 3)
+    cases.foreach { fileRows =>
+      val dir = java.nio.file.Files.createTempDirectory("graft_prop").toString
+      fileRows.zipWithIndex.foreach { case (rows, i) =>
+        java.nio.file.Files.writeString(
+          java.nio.file.Paths.get(s"$dir/f$i.json"),
+          rows.map(v => s"""{"m": $v}""").mkString("\n"))
+      }
+      val whole = spark.read.json(s"$dir").agg(sum("m"), count(lit(1))).head
+      val parts = graft.io.Sources.openDirOfData(spark, dir)
+        .agg(sum("m"), count(lit(1))).head
+      assert(whole == parts)
+    }
+  }
+}

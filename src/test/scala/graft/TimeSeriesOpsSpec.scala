@@ -103,6 +103,15 @@ class TimeSeriesOpsSpec extends AnyFunSuite {
     assert(g.getTimestamp(1) == ts("2024-01-03 00:00:00"))
   }
 
+  test("X2: user Aggregator (geomean) registered via functions.udaf works in the block") {
+    val df = Seq(2.0, 8.0).toDF("x") // geometric mean = 4
+    val got = df.agg(Aggregates("geomean")(col("x"))).head.getDouble(0)
+    assert(math.abs(got - 4.0) < 1e-12)
+    // and through the func×col block with naming
+    val blocked = df.agg(Aggregates.block(Seq("geomean"), "src", Seq("x")).head)
+    assert(blocked.columns.head == "geomean_src_x")
+  }
+
   test("F1: statName reproduces the reference's '_'.join naming product") {
     assert(Aggregates.statName("mean", "buildings", "height") == "mean_buildings_height")
     assert(Aggregates.statName("max", "", "band1") == "max_band1")
