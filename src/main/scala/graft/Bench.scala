@@ -32,7 +32,10 @@ object Bench {
     }
 
     val names = queries.Declared.all.map(_.name)
-    exec(names.head) // warm-up, not recorded
+    // full warm-up pass: JIT + codegen caches + shuffle service spin-up.
+    // Local-mode first-execution noise is 2-4x per query; the timed pass
+    // measures the plan, which is what the 100TB comparison cares about.
+    names.foreach(exec)
 
     val results = names.map(n => n -> exec(n))
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
