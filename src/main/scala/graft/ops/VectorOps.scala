@@ -70,7 +70,7 @@ object VectorOps {
       statCols: Seq[String],
       sourceName: String,
       geomCol: String = "geometry"): DataFrame = {
-    val feats = withDerived(features, statCols, geomCol)
+    val feats = SpatialOps.ensureParallelism(withDerived(features, statCols, geomCol))
     val s = broadcast(withCentroidXY(
       sensors.select(col("id_sensor"), col(geomCol).as("__sgeom")), "__sgeom", "sx", "sy"))
     val b = Geo.stBounds(col(geomCol))
@@ -97,7 +97,7 @@ object VectorOps {
       featureId: String, sourceName: String,
       geomCol: String = "geometry"): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val feats = withDerived(features, statCols, geomCol)
+    val feats = SpatialOps.ensureParallelism(withDerived(features, statCols, geomCol))
     val s = broadcast(withCentroidXY(
       sensors.select(col("id_sensor"), col(geomCol).as("__sgeom")), "__sgeom", "sx", "sy"))
     val withDist = feats.join(s)

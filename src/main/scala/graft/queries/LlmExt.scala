@@ -181,5 +181,39 @@ object LlmExt {
     None,
     "Pure scan-side expression; confusion-matrix agg output bounded by |langs|².")
 
-  val all: Seq[Declared] = Seq(q40, q41, q42, q43, q44, q45, q46, q47)
+  /** q51 — composite corpus pipeline (the E1+E4 shape of a real
+    * training-data job): quality gate → canonical-only dedup → per-lang
+    * profile, all in one declarative plan. */
+  val q51 = Declared(
+    "q51_corpus_pipeline", "E1,E4,A1",
+    (s, dir) => {
+      val t = col("text")
+      val nToks = length(t) - length(regexp_replace(t, " ", "")) + 1
+      val gated = Tables.documents(s, dir)
+        .filter(col("n_chars").between(150, 1500) && nToks >= 20)
+      Dedup.exact(gated, "text", "doc_id")
+        .filter(col("is_canonical"))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("total_chars"),
+          (round(sum(col("n_chars")), 2) / count(col("n_chars"))).as("mean_chars"))
+        .orderBy(col("lang"))
+    },
+    Some("""WITH gated AS (
+           |  SELECT * FROM documents
+           |  WHERE n_chars BETWEEN 150 AND 1500
+           |    AND length(text) - length(replace(text, ' ', '')) + 1 >= 20),
+           |canon AS (
+           |  SELECT * FROM gated
+           |  QUALIFY doc_id = min(doc_id) OVER (PARTITION BY sha256(text)))
+           |SELECT lang, count(*) AS n_docs,
+           |  CAST(sum(n_chars) AS BIGINT) AS total_chars,
+           |  round(sum(n_chars), 2) / count(n_chars) AS mean_chars
+           |FROM canon
+           |GROUP BY lang
+           |ORDER BY lang""".stripMargin),
+    "Quality gate is scan-side (pushdown-friendly arithmetic); dedup window shuffles on the " +
+      "content hash; final agg output bounded by |langs| — the canonical 100TB corpus-prep shape.")
+
+  val all: Seq[Declared] = Seq(q40, q41, q42, q43, q44, q45, q46, q47, q51)
 }

@@ -228,5 +228,32 @@ object Spatial {
     "Driver solves the (n+1)² system once (n = bounded sensor fleet); lattice evaluation " +
       "distributes with broadcast LU factors — no shuffle, scales linearly in grid size.")
 
-  val all: Seq[Declared] = Seq(q30, q31, q32, q33, q34, q35, q36)
+  /** q37 — A2 through the GEOMETRY layer (VectorOps flagship): same
+    * oracle as q31's relational reduction, but the Spark side goes
+    * sensors→geometry structs→centroid extraction→bbox-pruned
+    * st_distance — proving the geometry path computes exactly what the
+    * x/y kernel (and DuckDB) compute. */
+  val q37 = Declared(
+    "q37_vector_buffer_agg", "A2,P4,P6,F9",
+    (s, dir) => {
+      import graft.geo.Geo
+      val sGeo = sensors(s, dir).select(col("id_sensor"),
+        Geo.stPoint(col("x"), col("y")).as("geometry"))
+      val fGeo = features(s, dir).select(
+        Geo.stPoint(col("x"), col("y")).as("geometry"), col("val"))
+      val out = graft.ops.VectorOps.addBufferAggregatedData(
+        sGeo, fGeo, radius = 7.0, funcs = Seq("sum", "count"),
+        statCols = Seq("val"), sourceName = "part")
+      out.select(col("id_sensor"),
+        Geo.stX(col("geometry")).as("x"), Geo.stY(col("geometry")).as("y"),
+        round(col("sum_part_val"), 2).as("sum_part_val"),
+        col("count_part_val"),
+        (round(col("sum_part_val"), 2) / col("count_part_val")).as("mean_part_val"))
+        .orderBy(col("id_sensor"))
+    },
+    q31.oracle, // identical semantics to the x/y kernel reduction
+    "Geometry reduces to centroid+bbox DOUBLE columns before the join; the exact st_distance " +
+      "UDF runs only on bbox survivors — same plan skeleton as the kernel path.")
+
+  val all: Seq[Declared] = Seq(q30, q31, q32, q33, q34, q35, q36, q37)
 }
