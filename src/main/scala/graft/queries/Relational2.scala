@@ -157,5 +157,28 @@ object Relational2 {
     "Grouping sets expand pre-shuffle like rollup; identical SQL text runs on both engines — " +
       "the engine's SQL surface is part of the public API.")
 
-  val all: Seq[Declared] = Seq(q26, q27, q28, q29, q48, q49, q50)
+  /** q52 — E6: salted two-phase aggregation must equal the plain
+    * aggregate (the skew-mitigation path, oracle-checked against the
+    * unsalted SQL). */
+  val q52 = Declared(
+    "q52_salted_agg", "E6,A1",
+    (s, dir) => {
+      val out = graft.ops.Salting.saltedAggregate(
+        Tables.lineitem(s, dir), "l_returnflag", salt = 8, Seq("l_quantity"))
+      out.select(col("l_returnflag"),
+        round(col("sum_l_quantity"), 2).as("sum_qty"),
+        col("count_l_quantity").as("n"),
+        col("min_l_quantity").as("min_qty"),
+        col("max_l_quantity").as("max_qty"))
+        .orderBy(col("l_returnflag"))
+    },
+    Some("""SELECT l_returnflag, round(sum(l_quantity), 2) AS sum_qty,
+           |  count(l_quantity) AS n, min(l_quantity) AS min_qty, max(l_quantity) AS max_qty
+           |FROM lineitem
+           |GROUP BY l_returnflag
+           |ORDER BY l_returnflag""".stripMargin),
+    "Two-phase (key,salt)->key aggregation: a hot key spreads over 8 reducers in phase 1; " +
+      "phase 2 merges 8 partial rows per key — the explicit partial/final split for skewed keys.")
+
+  val all: Seq[Declared] = Seq(q26, q27, q28, q29, q48, q49, q50, q52)
 }

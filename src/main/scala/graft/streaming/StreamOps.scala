@@ -55,6 +55,23 @@ object StreamOps {
       .select(col("w.start").as("session_start"), col("w.end").as("session_end"),
         col(keyCol), col("n_events"))
 
+  /** Streaming twin of A5 (batch `TimeSeriesOps.intervalStats`):
+    * per-key, per-hour-of-day-interval conditional aggregation. Hour
+    * intervals aren't event-time windows — they recur daily — so this
+    * is a running aggregate per key (complete/update output), exactly
+    * the reference's semantics applied to an unbounded stream. */
+  def intervalStats(events: DataFrame, tsCol: String, keyCol: String,
+      valueCol: String, intervals: Seq[(String, String)]): DataFrame = {
+    val aggs = intervals.flatMap { case (b, e) =>
+      val tag = s"${b.replace(":", "")}_${e.replace(":", "")}"
+      val pred = graft.ops.TimeSeriesOps.hourIntervalPredicate(col(tsCol), b, e)
+      Seq(
+        sum(when(pred, col(valueCol))).as(s"sum_${valueCol}_$tag"),
+        count(when(pred, col(valueCol))).as(s"count_${valueCol}_$tag"))
+    }
+    events.groupBy(col(keyCol)).agg(aggs.head, aggs.tail: _*)
+  }
+
   /** T5 — stateful dedup by key within the watermark horizon. */
   def streamingDedup(events: DataFrame, tsCol: String, watermark: String,
       keys: Seq[String]): DataFrame =

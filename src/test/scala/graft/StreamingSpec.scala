@@ -81,6 +81,25 @@ class StreamingSpec extends AnyFunSuite {
     assert(batch.agg(sum("value")).head.getDouble(0) == 106.0)
   }
 
+  test("A5 streaming twin: hour-interval stats over a stream match batch") {
+    val dir = tmp()
+    writeBatch(dir, "b1", Seq(
+      (1L, "2024-01-01 10:00:00", 1L, 5.0),   // in 09-17
+      (2L, "2024-01-01 23:00:00", 1L, 7.0),   // in 22-05 (wrap)
+      (3L, "2024-01-02 03:00:00", 1L, 9.0),   // in 22-05 next day
+      (4L, "2024-01-01 20:00:00", 1L, 100.0)))// in neither
+    val stream = StreamOps.fileStream(spark, dir, schema)
+    val agg = StreamOps.intervalStats(stream, "ts", "user_id", "value",
+      Seq(("09:00:00", "17:00:00"), ("22:00:00", "05:00:00")))
+    val q = agg.writeStream.outputMode("complete").format("memory")
+      .queryName("a5s").start()
+    StreamOps.runOnce(q)
+    val r = spark.table("a5s").head
+    assert(r.getAs[Double]("sum_value_090000_170000") == 5.0)
+    assert(r.getAs[Double]("sum_value_220000_050000") == 16.0)
+    assert(r.getAs[Long]("count_value_220000_050000") == 2L)
+  }
+
   test("T5: dropDuplicatesWithinWatermark dedups by key") {
     val dir = tmp()
     writeBatch(dir, "b1", Seq(
