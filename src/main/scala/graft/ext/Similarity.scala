@@ -71,6 +71,68 @@ object Similarity {
       when(proj >= 0, shiftleft(lit(1L), p)).otherwise(lit(0L))
     }.reduce((a, b) => a.bitwiseOR(b))
 
+  /** IVF (inverted-file) index: Lloyd's k-means over the embedding
+    * column, entirely in DataFrame ops — assignment is an argmin over
+    * broadcast centroid literals; the update step collects only nC
+    * centroid rows (bounded, like the kriging solve). Returns the
+    * embeddings annotated with `cluster` plus the centroids. At 100 TB
+    * the `cluster` column becomes the partition key: a probe touches
+    * nProbe/nCentroids of the data. */
+  def ivfIndex(embeddings: DataFrame, vecCol: String, idCol: String,
+      dim: Int, nCentroids: Int, iterations: Int = 5)
+      : (DataFrame, Array[Array[Double]]) = {
+    // deterministic seed centroids: first nC vectors by id
+    var centroids: Array[Array[Double]] = embeddings
+      .orderBy(col(idCol)).limit(nCentroids)
+      .select(col(vecCol)).collect()
+      .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+
+    def assignExpr(cs: Array[Array[Double]]): Column = {
+      // argmin over squared distance to each centroid literal
+      val scored = cs.zipWithIndex.map { case (c, i) =>
+        val d2 = (0 until dim).map { d =>
+          val diff = element_at(col(vecCol), d + 1).cast("double") - lit(c(d))
+          diff * diff
+        }.reduce(_ + _)
+        struct(d2.as("d2"), lit(i).as("i"))
+      }
+      array_min(array(scored: _*)).getField("i")
+    }
+
+    for (_ <- 1 to iterations) {
+      val assigned = embeddings.withColumn("cluster", assignExpr(centroids))
+      val sums = (0 until dim).map(d =>
+        sum(element_at(col(vecCol), d + 1).cast("double")).as(s"s$d")) :+
+        count(lit(1)).as("n")
+      val updated = assigned.groupBy(col("cluster"))
+        .agg(sums.head, sums.tail: _*)
+        .collect()
+        .map { r =>
+          val n = r.getAs[Long]("n").toDouble
+          r.getAs[Int]("cluster") -> (0 until dim).map(d => r.getAs[Double](s"s$d") / n).toArray
+        }.toMap
+      centroids = centroids.indices.map(i => updated.getOrElse(i, centroids(i))).toArray
+    }
+    (embeddings.withColumn("cluster", assignExpr(centroids)), centroids)
+  }
+
+  /** IVF search: exact cosine top-k within the query's nProbe nearest
+    * clusters. Probing every cluster degrades gracefully to brute force. */
+  def ivfTopKCosine(indexed: DataFrame, centroids: Array[Array[Double]],
+      vecCol: String, idCol: String, query: Array[Float], k: Int,
+      nProbe: Int): DataFrame = {
+    val qd = query.map(_.toDouble)
+    val probes = centroids.zipWithIndex
+      .map { case (c, i) => (i, c.zip(qd).map { case (a, b) => (a - b) * (a - b) }.sum) }
+      .sortBy(_._2).take(nProbe).map(_._1)
+    val q = array(query.map(v => lit(v.toDouble)): _*)
+    indexed.filter(col("cluster").isin(probes.toIndexedSeq: _*))
+      .withColumn("cosine", cosine(col(vecCol), q))
+      .select(col(idCol), col("cosine"))
+      .orderBy(col("cosine").desc, col(idCol).asc)
+      .limit(k)
+  }
+
   /** Bucketed ANN: exact cosine only within the query's bucket.
     * Recall is tunable via `bits` (fewer bits → bigger buckets). */
   def lshTopKCosine(embeddings: DataFrame, vecCol: String, idCol: String,

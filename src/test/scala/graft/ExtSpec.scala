@@ -84,6 +84,32 @@ class SimilaritySpec extends AnyFunSuite {
     assert(out.toSeq == Seq(1L, 4L))
   }
 
+  test("E3: IVF — probing all clusters equals brute force; fewer probes stay a subset") {
+    val s = spark
+    val dim = 4
+    val data = (0L until 60L).map { i =>
+      // three well-separated blobs
+      val base = (i % 3).toInt
+      val v = Array.tabulate(dim)(d =>
+        (if (d == base) 10f else 0f) + ((i * 7 + d) % 5) * 0.1f)
+      (i, v)
+    }.toDF("vec_id", "embedding")
+    val (indexed, cents) = Similarity.ivfIndex(data, "embedding", "vec_id",
+      dim, nCentroids = 3, iterations = 4)
+    assert(indexed.select("cluster").distinct().count() <= 3)
+    val q = Array(10f, 0.2f, 0.1f, 0.3f)
+    val brute = Similarity.topKCosine(data, "embedding", "vec_id", q, 5)
+      .select("vec_id").as[Long].collect().toSeq
+    val allProbe = Similarity.ivfTopKCosine(indexed, cents, "embedding", "vec_id",
+      q, 5, nProbe = 3).select("vec_id").as[Long].collect().toSeq
+    assert(allProbe == brute) // full probe = brute force
+    val oneProbe = Similarity.ivfTopKCosine(indexed, cents, "embedding", "vec_id",
+      q, 5, nProbe = 1).select("vec_id").as[Long].collect().toSet
+    assert(oneProbe.subsetOf(brute.toSet) && oneProbe.nonEmpty)
+    // blobs are separated → the single nearest cluster holds the true top-5
+    assert(oneProbe == brute.toSet)
+  }
+
   test("E3: LSH bucket search returns a subset of brute force, query bucket consistent") {
     val q = Array(1.0f, 0.0f, 0.0f)
     val brute = Similarity.topKCosine(vecs.filter($"vec_id" =!= 0L),
