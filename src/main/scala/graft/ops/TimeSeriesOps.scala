@@ -106,6 +106,42 @@ object TimeSeriesOps {
     (perId, global)
   }
 
+  /** As-of join — for every left row, attach the latest right row with
+    * `rightTs <= leftTs` for the same key (tie at equal ts: the right
+    * row wins, i.e. <=-semantics, matching DuckDB/kdb ASOF JOIN).
+    *
+    * Spark has no native as-of join; the scalable shape is the
+    * union+window trick: tag both sides, sort each key's timeline once,
+    * carry the last-seen right payload forward with a running `last(
+    * ignoreNulls)`, keep left rows. ONE shuffle + sort on the key —
+    * same cost as a sort-merge join, no range-condition cartesian.
+    * `rightCols` must be unique per (key, ts); pre-dedup the right side
+    * otherwise (the helper enforces nothing — determinism is the
+    * caller's contract, as with any as-of).
+    */
+  def asofJoin(left: DataFrame, right: DataFrame, key: String, tsCol: String,
+      rightCols: Seq[String], prefix: String = "asof_"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val lCols = left.columns.toSeq
+    val tagged = left
+      .withColumn("__side", lit(1))
+      .select((lCols.map(col) :+ col("__side")) ++
+        rightCols.map(c => lit(null).cast(right.schema(c).dataType).as(s"__r_$c")): _*)
+      .unionByName(
+        right.select((Seq(col(key), col(tsCol), lit(0).as("__side")) ++
+          rightCols.map(c => col(c).as(s"__r_$c"))): _*),
+        allowMissingColumns = true)
+    // right rows (side 0) sort before left rows at equal ts → <= semantics
+    val w = Window.partitionBy(col(key))
+      .orderBy(col(tsCol).asc, col("__side").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val carried = rightCols.foldLeft(tagged) { (d, c) =>
+      d.withColumn(s"$prefix$c", last(col(s"__r_$c"), ignoreNulls = true).over(w))
+    }
+    carried.filter(col("__side") === 1)
+      .select(lCols.map(col) ++ rightCols.map(c => col(s"$prefix$c")): _*)
+  }
+
   /** U2 (deterministic form) — keep the first row per key by a total
     * order. The reference's drop-by-index (:643-647) is order-dependent;
     * Spark's dropDuplicates is nondeterministic under parallelism, so

@@ -163,5 +163,33 @@ object TimeSeries {
            |ORDER BY user_id, session_no""".stripMargin),
     "lag + running sum + agg all share one shuffle on user_id; AQE coalesces the tiny output.")
 
-  val all: Seq[Declared] = Seq(q20, q21, q22, q23, q24, q25)
+  /** q53 — as-of join: for each click, the user's most recent prior (or
+    * simultaneous) purchase value. Spark side = union+window carry-
+    * forward (one shuffle); oracle = DuckDB's native ASOF LEFT JOIN. */
+  val q53 = Declared(
+    "q53_asof_join", "J-asof,W-frame",
+    (s, dir) => {
+      val ev = Tables.events(s, dir)
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts"), col("event_id"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .groupBy(col("user_id"), col("ts"))
+        .agg(max(col("value")).as("pval")) // unique per (key, ts)
+      TimeSeriesOps.asofJoin(clicks, purchases, "user_id", "ts", Seq("pval"))
+        .select(col("user_id"), col("event_id"), col("asof_pval"))
+        .orderBy(col("user_id"), col("event_id"))
+    },
+    Some("""WITH clicks AS (
+           |  SELECT user_id, ts, event_id FROM events WHERE event_type = 'click'),
+           |purch AS (
+           |  SELECT user_id, ts, max(value) AS pval FROM events
+           |  WHERE event_type = 'purchase' GROUP BY 1, 2)
+           |SELECT clicks.user_id, event_id, pval AS asof_pval
+           |FROM clicks ASOF LEFT JOIN purch
+           |  ON clicks.user_id = purch.user_id AND clicks.ts >= purch.ts
+           |ORDER BY clicks.user_id, event_id""".stripMargin),
+    "Union + single window carry-forward: one shuffle+sort on the key, no range-condition " +
+      "cartesian — the same cost envelope as a sort-merge join at 100TB.")
+
+  val all: Seq[Declared] = Seq(q20, q21, q22, q23, q24, q25, q53)
 }

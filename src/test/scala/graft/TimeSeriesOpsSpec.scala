@@ -103,6 +103,27 @@ class TimeSeriesOpsSpec extends AnyFunSuite {
     assert(g.getTimestamp(1) == ts("2024-01-03 00:00:00"))
   }
 
+  test("J-asof: asofJoin — latest prior right row, <= tie semantics, null before first") {
+    val left = Seq(
+      (1L, ts("2024-01-01 10:00:00"), "a"),
+      (1L, ts("2024-01-01 12:00:00"), "b"),
+      (1L, ts("2024-01-01 09:00:00"), "early"), // before any right row
+      (2L, ts("2024-01-01 10:00:00"), "other")
+    ).toDF("k", "t", "tag")
+    val right = Seq(
+      (1L, ts("2024-01-01 09:30:00"), 1.0),
+      (1L, ts("2024-01-01 12:00:00"), 2.0), // equal ts as left "b" → must win
+      (2L, ts("2024-01-01 08:00:00"), 9.0)
+    ).toDF("k", "t", "v")
+    val out = TimeSeriesOps.asofJoin(left, right, "k", "t", Seq("v"))
+      .select("tag", "asof_v").collect()
+      .map(r => r.getString(0) -> Option(r.get(1))).toMap
+    assert(out("early").isEmpty)           // no prior right row → null
+    assert(out("a").contains(1.0))         // latest at 09:30
+    assert(out("b").contains(2.0))         // equal ts: right row included (<=)
+    assert(out("other").contains(9.0))     // keys independent
+  }
+
   test("X2: user Aggregator (geomean) registered via functions.udaf works in the block") {
     val df = Seq(2.0, 8.0).toDF("x") // geometric mean = 4
     val got = df.agg(Aggregates("geomean")(col("x"))).head.getDouble(0)
