@@ -142,6 +142,34 @@ object TimeSeriesOps {
       .select(lCols.map(col) ++ rightCols.map(c => col(s"$prefix$c")): _*)
   }
 
+  /** Range (interval) join — pair each point row with every interval
+    * containing its timestamp. Spark plans a raw `beg <= ts AND ts <=
+    * end` join as a nested loop; bucketing time into `bucketSeconds`
+    * slices turns it into an equi-join: intervals explode to the
+    * buckets they span, points map to one bucket, join on bucket id,
+    * exact-filter. The 1-D sibling of SpatialOps.gridBucketJoin —
+    * shuffle keyed on time buckets (uniform for bounded interval
+    * lengths), no cartesian.
+    *
+    * Choose bucketSeconds ≈ typical interval length: shorter buckets
+    * multiply the interval side's explosion factor, longer buckets
+    * inflate candidate pairs.
+    */
+  def rangeJoin(points: DataFrame, tsCol: String,
+      intervals: DataFrame, begCol: String, endCol: String,
+      bucketSeconds: Long): DataFrame = {
+    require(bucketSeconds > 0)
+    val us = bucketSeconds * 1000000L
+    val iv = intervals
+      .withColumn("__b", explode(sequence(
+        expr(s"unix_micros($begCol) div $us"),
+        expr(s"unix_micros($endCol) div $us"))))
+    val pt = points.withColumn("__b", expr(s"unix_micros($tsCol) div $us"))
+    pt.join(iv, Seq("__b"))
+      .filter(col(begCol) <= col(tsCol) && col(tsCol) <= col(endCol))
+      .drop("__b")
+  }
+
   /** U2 (deterministic form) — keep the first row per key by a total
     * order. The reference's drop-by-index (:643-647) is order-dependent;
     * Spark's dropDuplicates is nondeterministic under parallelism, so

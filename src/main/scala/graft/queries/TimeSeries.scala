@@ -191,5 +191,39 @@ object TimeSeries {
     "Union + single window carry-forward: one shuffle+sort on the key, no range-condition " +
       "cartesian — the same cost envelope as a sort-merge join at 100TB.")
 
-  val all: Seq[Declared] = Seq(q20, q21, q22, q23, q24, q25, q53)
+  /** q54 — range/interval join: events falling inside deterministic
+    * maintenance windows (derived from supplier keys so both engines
+    * build identical intervals). Spark side = time-bucket equi-join;
+    * oracle = plain inequality join. */
+  val q54 = Declared(
+    "q54_range_join", "J-range",
+    (s, dir) => {
+      val windows = Tables.supplier(s, dir)
+        .filter(col("s_suppkey") <= 40)
+        .select(col("s_suppkey").as("window_id"),
+          expr("timestampadd(HOUR, CAST((s_suppkey * 13) % 600 AS INT), TIMESTAMP '2024-01-01 00:00:00')").as("beg"),
+          expr("timestampadd(HOUR, CAST((s_suppkey * 13) % 600 + (s_suppkey % 5) + 1 AS INT), TIMESTAMP '2024-01-01 00:00:00')").as("end"))
+      TimeSeriesOps.rangeJoin(
+        Tables.events(s, dir).select(col("event_id"), col("ts"), col("value")),
+        "ts", windows, "beg", "end", bucketSeconds = 6 * 3600)
+        .groupBy(col("window_id"))
+        .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 4).as("sum_value"))
+        .orderBy(col("window_id"))
+    },
+    Some("""WITH windows AS (
+           |  SELECT s_suppkey AS window_id,
+           |    TIMESTAMP '2024-01-01 00:00:00'
+           |      + to_hours((s_suppkey * 13) % 600) AS beg,
+           |    TIMESTAMP '2024-01-01 00:00:00'
+           |      + to_hours((s_suppkey * 13) % 600 + (s_suppkey % 5) + 1) AS "end"
+           |  FROM supplier WHERE s_suppkey <= 40)
+           |SELECT window_id, count(*) AS n_events, round(sum(value), 4) AS sum_value
+           |FROM events JOIN windows
+           |  ON beg <= ts AND ts <= "end"
+           |GROUP BY window_id
+           |ORDER BY window_id""".stripMargin),
+    "Intervals explode to covering 6h buckets, points map to one bucket, equi-join on bucket id " +
+      "+ exact filter — the 1-D gridBucketJoin; a raw inequality join would be a nested loop.")
+
+  val all: Seq[Declared] = Seq(q20, q21, q22, q23, q24, q25, q53, q54)
 }

@@ -124,6 +124,25 @@ class TimeSeriesOpsSpec extends AnyFunSuite {
     assert(out("other").contains(9.0))     // keys independent
   }
 
+  test("J-range: rangeJoin matches naive inequality join incl. bucket-straddling intervals") {
+    val points = (0 until 200).map(i =>
+      (i.toLong, ts(f"2024-01-01 ${i % 24}%02d:${(i * 7) % 60}%02d:00"))).toDF("pid", "t")
+    val intervals = Seq(
+      (1L, ts("2024-01-01 02:30:00"), ts("2024-01-01 03:30:00")), // inside one bucket
+      (2L, ts("2024-01-01 05:59:00"), ts("2024-01-01 12:01:00")), // straddles buckets
+      (3L, ts("2024-01-01 23:00:00"), ts("2024-01-02 01:00:00")), // crosses midnight
+      (4L, ts("2024-03-01 00:00:00"), ts("2024-03-01 01:00:00"))  // matches nothing
+    ).toDF("wid", "beg", "end")
+    val bucketed = TimeSeriesOps.rangeJoin(points, "t", intervals, "beg", "end", 3600)
+      .select("pid", "wid").as[(Long, Long)].collect().toSet
+    val naive = points.join(intervals,
+      col("beg") <= col("t") && col("t") <= col("end"))
+      .select("pid", "wid").as[(Long, Long)].collect().toSet
+    assert(bucketed == naive)
+    assert(!naive.exists(_._2 == 4L))
+    assert(naive.exists(_._2 == 2L))
+  }
+
   test("X2: user Aggregator (geomean) registered via functions.udaf works in the block") {
     val df = Seq(2.0, 8.0).toDF("x") // geometric mean = 4
     val got = df.agg(Aggregates("geomean")(col("x"))).head.getDouble(0)
