@@ -152,6 +152,16 @@ class TimeSeriesOpsSpec extends AnyFunSuite {
     assert(blocked.columns.head == "geomean_src_x")
   }
 
+  test("A-distinct: approx_count_distinct within 5% of exact on real data (the 100TB path)") {
+    val li = graft.core.Tables.lineitem(spark, "/root/testdata/sf0.001")
+    val r = li.agg(
+      countDistinct(col("l_partkey")).as("exact"),
+      approx_count_distinct(col("l_partkey")).as("approx")).head
+    val (exact, approx) = (r.getLong(0).toDouble, r.getLong(1).toDouble)
+    assert(math.abs(approx - exact) / exact < 0.05,
+      s"approx $approx vs exact $exact")
+  }
+
   test("F1: statName reproduces the reference's '_'.join naming product") {
     assert(Aggregates.statName("mean", "buildings", "height") == "mean_buildings_height")
     assert(Aggregates.statName("max", "", "band1") == "max_band1")
