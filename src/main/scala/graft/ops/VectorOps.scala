@@ -61,6 +61,14 @@ object VectorOps {
     * intersects the circle buffer of radius r around the sensor
     * centroid. Circle∩geometry ⟺ distance(centroid, geometry) <= r,
     * so no polygon buffer is materialized at all.
+    *
+    * Candidate generation is the same cell equi-join as the x/y kernel
+    * (SpatialOps.gridBucketJoin semantics, generalized to bbox'd
+    * geometries): sensors explode to the ≤9 cells their disc can
+    * touch, features explode to the cells their bbox covers, join on
+    * cell id, dedup (a wide bbox can meet a disc in several cells),
+    * exact st_distance only on survivors. A raw bbox-range join would
+    * be a nested loop evaluating |sensors|×|features| predicates.
     * Empty buffers keep their sensor row with nulls (left join). */
   def addBufferAggregatedData(
       sensors: DataFrame,   // id_sensor + geometry
@@ -70,17 +78,31 @@ object VectorOps {
       statCols: Seq[String],
       sourceName: String,
       geomCol: String = "geometry"): DataFrame = {
+    val cell = radius
     val feats = SpatialOps.ensureParallelism(withDerived(features, statCols, geomCol))
-    val s = broadcast(withCentroidXY(
-      sensors.select(col("id_sensor"), col(geomCol).as("__sgeom")), "__sgeom", "sx", "sy"))
+      .withColumn("__fid", monotonically_increasing_id())
+    val s = withCentroidXY(
+      sensors.select(col("id_sensor"), col(geomCol).as("__sgeom")), "__sgeom", "sx", "sy")
+      .withColumn("__cx", floor(col("sx") / cell).cast("long"))
+      .withColumn("__cy", floor(col("sy") / cell).cast("long"))
+      .withColumn("gx", explode(sequence(col("__cx") - 1, col("__cx") + 1)))
+      .withColumn("gy", explode(sequence(col("__cy") - 1, col("__cy") + 1)))
+      .select(col("id_sensor"), col("sx"), col("sy"), col("gx"), col("gy"))
     val b = Geo.stBounds(col(geomCol))
-    val pruned = feats
-      .withColumn("__bx0", b.getField("xmin")).withColumn("__bx1", b.getField("xmax"))
-      .withColumn("__by0", b.getField("ymin")).withColumn("__by1", b.getField("ymax"))
-      .join(s,
-        col("sx") >= col("__bx0") - radius && col("sx") <= col("__bx1") + radius &&
-        col("sy") >= col("__by0") - radius && col("sy") <= col("__by1") + radius)
-      // exact test only on bbox survivors
+    val fCells = feats
+      .withColumn("__b", b)
+      .withColumn("gx", explode(sequence(
+        floor((col("__b").getField("xmin")) / cell).cast("long"),
+        floor((col("__b").getField("xmax")) / cell).cast("long"))))
+      .withColumn("gy", explode(sequence(
+        floor((col("__b").getField("ymin")) / cell).cast("long"),
+        floor((col("__b").getField("ymax")) / cell).cast("long"))))
+      .drop("__b")
+    val pruned = fCells.join(s, Seq("gx", "gy"))
+      .drop("gx", "gy")
+      // a feature bbox can share several cells with one sensor's disc
+      .dropDuplicates("id_sensor", "__fid")
+      // exact test only on cell-join survivors
       .filter(Geo.stDistance(Geo.stPoint(col("sx"), col("sy")), col(geomCol)) <= radius)
     val stats = pruned.groupBy(col("id_sensor"))
       .agg(Aggregates.block(funcs, sourceName, statCols).head,

@@ -78,6 +78,69 @@ object StreamOps {
     events.withWatermark(tsCol, watermark)
       .dropDuplicatesWithinWatermark(keys)
 
+  /** Input/output records for the custom-state sessionizer. */
+  final case class SessionEvent(event_id: Long, ts: java.sql.Timestamp,
+      user_id: Long, value: Double)
+  final case class SessionState(startUs: Long, lastUs: Long, n: Long, sum: Double)
+  final case class ClosedSession(user_id: Long, session_start: java.sql.Timestamp,
+      session_end: java.sql.Timestamp, n_events: Long, sum_value: Double)
+
+  /** T3 with CUSTOM state — `flatMapGroupsWithState` sessionization:
+    * per-user open-session state (start, last, count, sum) carried
+    * across micro-batches; a session closes (and emits) when a new
+    * event arrives more than `gap` after the last, or when the
+    * processing-time timeout fires with no new events. Unlike
+    * `session_window` this exposes the state machine — arbitrary
+    * session payloads (here a running sum) come for free.
+    *
+    * State store size = one fixed-size row per active user; shuffle is
+    * keyed on user_id. */
+  def statefulSessionize(events: org.apache.spark.sql.Dataset[SessionEvent],
+      gap: java.time.Duration,
+      timeout: org.apache.spark.sql.streaming.GroupStateTimeout =
+        org.apache.spark.sql.streaming.GroupStateTimeout.ProcessingTimeTimeout)
+      : org.apache.spark.sql.Dataset[ClosedSession] = {
+    import events.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, OutputMode}
+    val gapUs = gap.toNanos / 1000
+
+    def handle(uid: Long, batch: Iterator[SessionEvent],
+        state: GroupState[SessionState]): Iterator[ClosedSession] = {
+      def tsUs(t: java.sql.Timestamp) = t.getTime * 1000
+      def close(s: SessionState) = ClosedSession(uid,
+        new java.sql.Timestamp(s.startUs / 1000), new java.sql.Timestamp(s.lastUs / 1000),
+        s.n, s.sum)
+      if (batch.isEmpty && state.hasTimedOut) {
+        val out = state.getOption.map(close).iterator
+        state.remove()
+        return out
+      }
+      val events = batch.toSeq.sortBy(e => (tsUs(e.ts), e.event_id))
+      var closed = List.empty[ClosedSession]
+      var cur = state.getOption
+      events.foreach { e =>
+        val t = tsUs(e.ts)
+        cur match {
+          case Some(s) if t - s.lastUs <= gapUs =>
+            cur = Some(s.copy(lastUs = math.max(s.lastUs, t), n = s.n + 1, sum = s.sum + e.value))
+          case Some(s) =>
+            closed ::= close(s)
+            cur = Some(SessionState(t, t, 1, e.value))
+          case None =>
+            cur = Some(SessionState(t, t, 1, e.value))
+        }
+      }
+      cur.foreach(state.update)
+      if (state.getOption.isDefined &&
+          timeout == org.apache.spark.sql.streaming.GroupStateTimeout.ProcessingTimeTimeout)
+        state.setTimeoutDuration(gap.toMillis)
+      closed.reverseIterator
+    }
+
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, timeout)(handle)
+  }
+
   /** T6 — parquet sink with checkpoint (exactly-once file sink). */
   def parquetSink(df: DataFrame, path: String, checkpoint: String): DataStreamWriter[Row] =
     df.writeStream.format("parquet")

@@ -129,6 +129,33 @@ class StreamingSpec extends AnyFunSuite {
     assert(out.toSeq == Seq(1L, 2L))
   }
 
+  test("T3 custom state: flatMapGroupsWithState sessionizer closes sessions across batches") {
+    import graft.streaming.StreamOps.{SessionEvent, ClosedSession}
+    val dir = tmp()
+    // batch 1: two events in one session for user 1
+    writeBatch(dir, "b1", Seq(
+      (1L, "2024-01-01 10:00:00", 1L, 1.0),
+      (2L, "2024-01-01 10:10:00", 1L, 2.0)))
+    val stream = StreamOps.fileStream(spark, dir, schema).as[SessionEvent]
+    val sessions = StreamOps.statefulSessionize(stream, java.time.Duration.ofMinutes(30),
+      org.apache.spark.sql.streaming.GroupStateTimeout.NoTimeout)
+    val q = sessions.writeStream.outputMode("append").format("memory")
+      .queryName("t3state").start()
+    q.processAllAvailable()
+    assert(spark.table("t3state").count() == 0) // session still open
+    // batch 2: event far later → closes the first session (state crossed batches)
+    writeBatch(dir, "b2", Seq((3L, "2024-01-01 15:00:00", 1L, 5.0)))
+    q.processAllAvailable()
+    val closed = spark.table("t3state").as[ClosedSession].collect()
+    q.stop()
+    assert(closed.length == 1)
+    assert(closed.head.n_events == 2 && closed.head.sum_value == 3.0)
+    assert(closed.head.session_start == ts("2024-01-01 10:00:00"))
+    assert(closed.head.session_end == ts("2024-01-01 10:10:00"))
+  }
+
+  private def ts(s: String) = java.sql.Timestamp.valueOf(s)
+
   test("T6: parquet sink + stream-static enrichment via foreachBatch") {
     val dir = tmp(); val out = tmp(); val ckpt = tmp()
     writeBatch(dir, "b1", Seq(
