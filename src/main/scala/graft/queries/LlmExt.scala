@@ -215,5 +215,54 @@ object LlmExt {
     "Quality gate is scan-side (pushdown-friendly arithmetic); dedup window shuffles on the " +
       "content hash; final agg output bounded by |langs| — the canonical 100TB corpus-prep shape.")
 
-  val all: Seq[Declared] = Seq(q40, q41, q42, q43, q44, q45, q46, q47, q51)
+  /** q55 — partial-overlap (contamination) detection via rolling
+    * 20-token chunks, stride 10: docs sharing any aligned chunk pair
+    * up. The corpus plants plagiarized composites (prefix of doc i +
+    * middle of doc i+1) with identical string construction on both
+    * engines. The relational reduction of
+    * `TextAnalysis.chunkFingerprints` (hash-free so DuckDB can check). */
+  val q55 = Declared(
+    "q55_chunk_overlap", "E2,E4",
+    (s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val base = docs.filter(col("doc_id") < 60).select(col("doc_id"), col("text"))
+      val a = docs.filter(col("doc_id") < 20)
+        .select(col("doc_id").as("aid"), col("text").as("atext"))
+      val b = docs.select(col("doc_id").as("bid"), col("text").as("btext"))
+      val planted = a.join(b, col("bid") === col("aid") + 1)
+        .select((col("aid") + 200000).as("doc_id"),
+          concat(substring(col("atext"), 1, 300), lit(" "),
+            substring(col("btext"), 100, 200)).as("text"))
+      val corpus = base.unionByName(planted)
+      val toks = corpus.select(col("doc_id"), split(lower(col("text")), " ").as("toks"))
+        .filter(size(col("toks")) >= 20)
+      val chunks = toks
+        .withColumn("st", explode(sequence(lit(1), greatest(size(col("toks")) - 19, lit(1)), lit(10))))
+        .select(col("doc_id"),
+          concat_ws(" ", slice(col("toks"), col("st"), lit(20))).as("chunk"))
+      val ca = chunks.select(col("doc_id").as("id_a"), col("chunk"))
+      val cb = chunks.select(col("doc_id").as("id_b"), col("chunk"))
+      ca.join(cb, Seq("chunk")).filter(col("id_a") < col("id_b"))
+        .select("id_a", "id_b").distinct()
+        .orderBy(col("id_a"), col("id_b"))
+    },
+    Some("""WITH corpus AS (
+           |  SELECT doc_id, text FROM documents WHERE doc_id < 60
+           |  UNION ALL
+           |  SELECT a.doc_id + 200000, substr(a.text, 1, 300) || ' ' || substr(b.text, 100, 200)
+           |  FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1
+           |  WHERE a.doc_id < 20),
+           |t AS (SELECT doc_id, string_split(lower(text), ' ') AS toks FROM corpus),
+           |st AS (SELECT doc_id, toks,
+           |         unnest(range(1, greatest(len(toks) - 19, 1) + 1, 10)) AS s
+           |       FROM t WHERE len(toks) >= 20),
+           |c AS (SELECT doc_id, array_to_string(list_slice(toks, s, s + 19), ' ') AS chunk FROM st)
+           |SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+           |FROM c a JOIN c b ON a.chunk = b.chunk AND a.doc_id < b.doc_id
+           |ORDER BY id_a, id_b""".stripMargin),
+    "Chunk explode is ~n_tokens/stride rows per doc; the self-join keys on chunk content " +
+      "(uniform hash shuffle at scale — use chunkFingerprints' xxhash64 instead of raw strings " +
+      "to cut shuffle bytes 10x at 100TB).")
+
+  val all: Seq[Declared] = Seq(q40, q41, q42, q43, q44, q45, q46, q47, q51, q55)
 }
