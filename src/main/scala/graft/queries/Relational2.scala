@@ -180,5 +180,27 @@ object Relational2 {
     "Two-phase (key,salt)->key aggregation: a hot key spreads over 8 reducers in phase 1; " +
       "phase 2 merges 8 partial rows per key — the explicit partial/final split for skewed keys.")
 
-  val all: Seq[Declared] = Seq(q26, q27, q28, q29, q48, q49, q50, q52)
+  /** q56 — pivot: wide per-category columns (groupBy().pivot().agg());
+    * oracle states it as conditional aggregation with the same output
+    * names (cross-engine PIVOT syntax differs, semantics don't). */
+  val q56 = Declared(
+    "q56_pivot", "A-pivot",
+    (s, dir) => {
+      Tables.lineitem(s, dir)
+        .groupBy(col("l_returnflag"))
+        .pivot("l_linestatus", Seq("F", "O"))
+        .agg(round(sum(col("l_quantity")), 2))
+        .withColumnRenamed("F", "qty_F").withColumnRenamed("O", "qty_O")
+        .orderBy(col("l_returnflag"))
+    },
+    Some("""SELECT l_returnflag,
+           |  round(sum(CASE WHEN l_linestatus = 'F' THEN l_quantity END), 2) AS qty_F,
+           |  round(sum(CASE WHEN l_linestatus = 'O' THEN l_quantity END), 2) AS qty_O
+           |FROM lineitem
+           |GROUP BY l_returnflag
+           |ORDER BY l_returnflag""".stripMargin),
+    "Pivot with EXPLICIT value list compiles to conditional aggs in one pass; without the list " +
+      "Spark runs an extra distinct job to discover values — always pin the list at scale.")
+
+  val all: Seq[Declared] = Seq(q26, q27, q28, q29, q48, q49, q50, q52, q56)
 }
