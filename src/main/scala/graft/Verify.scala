@@ -7,12 +7,12 @@ object Verify {
   def main(args: Array[String]): Unit = {
     val Array(sfDir, outDir) = args
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    // same tuned config as Bench/production (AQE etc.) so correctness
-    // runs execute the same physical plans that get benchmarked
+    // same tuned config as Bench/production (AQE etc.); shuffle
+    // partitions follow the cpu count, set AFTER configure() so the
+    // tuned default of 32 doesn't override it (last write wins)
     val spark = graft.core.GraftSession.configure(
-      SparkSession.builder()
-        .master(s"local[$cpus]")
-        .config("spark.sql.shuffle.partitions", cpus))
+      SparkSession.builder().master(s"local[$cpus]"))
+      .config("spark.sql.shuffle.partitions", cpus)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()

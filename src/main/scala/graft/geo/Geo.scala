@@ -225,9 +225,21 @@ object Geo {
         if (ps.isEmpty) Row("polygon", Seq.empty[Row])
         else {
           // reference only ever buffers centroids (centroid.buffer(r),
-          // :194/:221): buffer the first vertex for points, the ring's
-          // centroid-as-first-vertex convention for polygons
-          val c = ps.head
+          // :194/:221): points buffer their vertex, polygons their
+          // area-weighted (shoelace) centroid — same math as stCentroid
+          val c =
+            if (g.getString(0) == "point" || ps.length < 3) ps.head
+            else {
+              val a2 = ringEdges(ps).map { case (a, b) => a.x * b.y - b.x * a.y }.sum
+              if (a2 == 0) P(ps.map(_.x).sum / ps.length, ps.map(_.y).sum / ps.length)
+              else {
+                val cx = ringEdges(ps).map { case (a, b) =>
+                  (a.x + b.x) * (a.x * b.y - b.x * a.y) }.sum / (3.0 * a2)
+                val cy = ringEdges(ps).map { case (a, b) =>
+                  (a.y + b.y) * (a.x * b.y - b.x * a.y) }.sum / (3.0 * a2)
+                P(cx, cy)
+              }
+            }
           Row("polygon", bufferPoly(c.x, c.y, r, resolution))
         }
       }

@@ -73,8 +73,10 @@ object Sources {
     * `input_file_name()` instead; that variant is `openDirStamped`. */
   def openDirOfData(spark: SparkSession, dir: String,
       sensorIds: Option[Seq[Long]] = None): DataFrame = {
-    val files = java.nio.file.Files.list(java.nio.file.Paths.get(dir))
-      .toArray.map(_.toString).filter(_.toLowerCase.endsWith(".json")).sorted
+    val listing = java.nio.file.Files.list(java.nio.file.Paths.get(dir))
+    val files =
+      try listing.toArray.map(_.toString).filter(_.toLowerCase.endsWith(".json")).sorted
+      finally listing.close() // Files.list leaks a directory handle otherwise
     if (files.isEmpty) throw DataIOError(dir, "no *.json files")
     sensorIds match {
       case None =>

@@ -36,8 +36,9 @@ object GeoMeanAggregator extends Aggregator[Double, (Double, Long), Double] {
   */
 object Aggregates {
 
-  /** name -> column aggregator */
-  private var registry: Map[String, Column => Column] = Map(
+  /** name -> column aggregator (@volatile: registered on one thread,
+    * read from any plan-building thread) */
+  @volatile private var registry: Map[String, Column => Column] = Map(
     "mean" -> (c => avg(c)),
     "max" -> (c => max(c)),
     "min" -> (c => min(c)),

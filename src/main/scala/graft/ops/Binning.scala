@@ -59,8 +59,11 @@ object Binning {
       min(col(valueCol)).as("__mn"), max(col(valueCol)).as("__mx"))
     val withB = df.crossJoin(broadcast(bounds))
     val width = (col("__mx") - col("__mn")) / n
-    val bucket = least(greatest(
-      ceil((col(valueCol) - col("__mn")) / width) - 1, lit(0)), lit(n - 1))
+    // constant column → width 0 → x/0 is null in Spark SQL; pandas puts
+    // every value in bucket 0 (widened degenerate bin) — match that
+    val bucket = when(col("__mx") === col("__mn"), lit(0)).otherwise(
+      least(greatest(
+        ceil((col(valueCol) - col("__mn")) / width) - 1, lit(0)), lit(n - 1)))
       .cast("int")
     withB
       .withColumn("bucket", bucket)

@@ -31,8 +31,10 @@ object Kriging {
       case "linear" => params(0) * h + params(1) // slope, nugget
       case "power" => params(0) * math.pow(h, params(1)) + params(2)
       case "gaussian" =>
+        // pykrige: exp(−h² / (r·4/7)²), i.e. r²·16/49 — not r²·4/7
         val Array(sill, range, nugget) = params
-        nugget + sill * (1 - math.exp(-(h * h) / (range * range * 4.0 / 7.0)))
+        val d = range * 4.0 / 7.0
+        nugget + sill * (1 - math.exp(-(h * h) / (d * d)))
       case "spherical" =>
         val Array(sill, range, nugget) = params
         if (h >= range) nugget + sill

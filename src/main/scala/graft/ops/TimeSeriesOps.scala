@@ -123,23 +123,28 @@ object TimeSeriesOps {
       rightCols: Seq[String], prefix: String = "asof_"): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val lCols = left.columns.toSeq
+    // the right payload travels as ONE struct that is non-null exactly
+    // for right rows — so a right row whose payload VALUES are null
+    // still supersedes older rows (last(ignoreNulls) skips only the
+    // left-row placeholders, never a real right row)
+    val rPayload = struct(rightCols.map(col): _*)
+    val rPayloadType = right.select(rPayload).schema.head.dataType
     val tagged = left
       .withColumn("__side", lit(1))
-      .select((lCols.map(col) :+ col("__side")) ++
-        rightCols.map(c => lit(null).cast(right.schema(c).dataType).as(s"__r_$c")): _*)
+      .withColumn("__rpay", lit(null).cast(rPayloadType))
+      .select(lCols.map(col) :+ col("__side") :+ col("__rpay"): _*)
       .unionByName(
-        right.select((Seq(col(key), col(tsCol), lit(0).as("__side")) ++
-          rightCols.map(c => col(c).as(s"__r_$c"))): _*),
+        right.select(col(key), col(tsCol), lit(0).as("__side"), rPayload.as("__rpay")),
         allowMissingColumns = true)
     // right rows (side 0) sort before left rows at equal ts → <= semantics
     val w = Window.partitionBy(col(key))
       .orderBy(col(tsCol).asc, col("__side").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val carried = rightCols.foldLeft(tagged) { (d, c) =>
-      d.withColumn(s"$prefix$c", last(col(s"__r_$c"), ignoreNulls = true).over(w))
-    }
-    carried.filter(col("__side") === 1)
-      .select(lCols.map(col) ++ rightCols.map(c => col(s"$prefix$c")): _*)
+    tagged
+      .withColumn("__carried", last(col("__rpay"), ignoreNulls = true).over(w))
+      .filter(col("__side") === 1)
+      .select(lCols.map(col) ++
+        rightCols.map(c => col("__carried").getField(c).as(s"$prefix$c")): _*)
   }
 
   /** Range (interval) join — pair each point row with every interval

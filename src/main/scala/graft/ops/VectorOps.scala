@@ -22,9 +22,10 @@ object VectorOps {
     * computed with one extra aggregate, not a collect. */
   def cleanGeometries(df: DataFrame, geomCol: String = "geometry"): (DataFrame, Long, Long) = {
     val g = col(geomCol)
+    // count(when(...)) not sum(): sum over zero rows is null (NPE on getLong)
     val counts = df.agg(
-      sum(when(Geo.stIsEmpty(g), 1L).otherwise(0L)).as("empty"),
-      sum(when(!Geo.stIsEmpty(g) && !Geo.stIsValid(g), 1L).otherwise(0L)).as("invalid")).head
+      count(when(Geo.stIsEmpty(g), 1)).as("empty"),
+      count(when(!Geo.stIsEmpty(g) && !Geo.stIsValid(g), 1)).as("invalid")).head
     val (nEmpty, nInvalid) = (counts.getLong(0), counts.getLong(1))
     if (nEmpty > 0) System.err.println(s"[graft.geo] dropping $nEmpty empty geometries")
     if (nInvalid > 0) System.err.println(s"[graft.geo] dropping $nInvalid invalid geometries")
@@ -35,17 +36,16 @@ object VectorOps {
     * :212-215); error listing available columns otherwise (:209-217). */
   def withDerived(features: DataFrame, statCols: Seq[String],
       geomCol: String = "geometry"): DataFrame = {
-    val have = features.columns.toSet
-    val missing = statCols.filterNot(have)
-    val known = Map(
-      "area" -> (() => features.withColumn("area", Geo.stArea(col(geomCol)))),
-      "bounds_width" -> (() => features.withColumn("bounds_width",
+    // derive against the fold accumulator, not the captured original —
+    // deriving two missing columns must keep the first one
+    val known: Map[String, DataFrame => DataFrame] = Map(
+      "area" -> (df => df.withColumn("area", Geo.stArea(col(geomCol)))),
+      "bounds_width" -> (df => df.withColumn("bounds_width",
         Geo.stBounds(col(geomCol)).getField("xmax") - Geo.stBounds(col(geomCol)).getField("xmin"))))
-    missing.foldLeft(features) { (df, c) =>
-      known.get(c) match {
-        case Some(derive) if df.columns.contains(c) => df
-        case Some(_) => known(c)().select(df.columns.map(col) :+ col(c): _*)
-        case None if df.columns.contains(c) => df
+    statCols.foldLeft(features) { (df, c) =>
+      if (df.columns.contains(c)) df
+      else known.get(c) match {
+        case Some(derive) => derive(df)
         case None => throw ColumnException(Seq(c), df.columns.toSeq ++ known.keys)
       }
     }

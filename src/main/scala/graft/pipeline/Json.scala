@@ -13,7 +13,9 @@ sealed trait Json {
     case JNull => "null"
     case JBool(b) => b.toString
     case JNum(n) =>
-      if (n.isWhole && math.abs(n) < 1e15) n.toLong.toString else n.toString
+      if (!java.lang.Double.isFinite(n)) "null" // NaN/Inf are not JSON
+      else if (n.isWhole && math.abs(n) < 1e15) n.toLong.toString
+      else n.toString
     case JStr(s) => JStr.escape(s)
     case JArr(xs) => xs.map(_.render).mkString("[", ", ", "]")
     case JObj(m) =>
