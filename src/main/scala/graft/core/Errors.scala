@@ -26,3 +26,10 @@ final case class UnvalidatedPipeline(name: String)
 final case class ColumnException(missing: Seq[String], available: Seq[String])
     extends EngineException(
       s"Column(s) ${missing.mkString(", ")} not found; available: ${available.mkString(", ")}")
+
+/** An operator / aggregator name is not registered; lists what is
+  * (the registry analog of ColumnException — a typo'd function name
+  * should not read like a missing DataFrame column). */
+final case class UnknownFunction(name: String, known: Seq[String])
+    extends EngineException(
+      s"No function or operator named '$name' is registered; known: ${known.mkString(", ")}")

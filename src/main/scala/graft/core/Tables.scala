@@ -30,7 +30,13 @@ object Tables {
     * long and truncate to microseconds — exactly what DuckDB does when
     * it coerces TIMESTAMP_NS to its µs TIMESTAMP, so oracle comparisons
     * stay bit-identical. Integer `div` (not double /) — ns-since-epoch
-    * exceeds double's 53-bit exact range. */
+    * exceeds double's 53-bit exact range.
+    *
+    * DELIBERATE session side effect: `nanosAsLong` stays set (it is a
+    * session conf, not a per-read option, and the scan consults it at
+    * execution time too). Scope of the change: columns Spark would
+    * otherwise REFUSE to read now arrive as LongType — strictly more
+    * permissive, never silently different for previously-working reads. */
   def events(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val raw = load(spark, dir, "events")

@@ -63,10 +63,14 @@ object Geo {
       .otherwise(size(pts(g)) >= 3 && finite && stArea(g) > 0)
   }
 
-  /** Ring edges as zip of (p_i, p_{i+1 mod n}) — basis for shoelace. */
+  /** Ring edges as zip of (p_i, p_{i+1 mod n}) — basis for shoelace.
+    * greatest(…, 0): an empty points array must yield an empty edge
+    * list, not a negative slice length (runtime error). */
   private def edges(g: Column): Column = {
     val p = pts(g)
-    val shifted = concat(slice(p, lit(2), size(p) - 1), slice(p, lit(1), lit(1)))
+    val shifted = concat(
+      slice(p, lit(2), greatest(size(p) - 1, lit(0))),
+      slice(p, lit(1), least(size(p), lit(1))))
     zip_with(p, shifted, (a, b) => struct(a.as("a"), b.as("b")))
   }
 
@@ -221,6 +225,7 @@ object Geo {
   val stBuffer: (Column, Column, Column) => Column = {
     val f = new org.apache.spark.sql.api.java.UDF3[Row, java.lang.Double, java.lang.Integer, Row] {
       override def call(g: Row, r: java.lang.Double, resolution: java.lang.Integer): Row = {
+        if (g == null) return null // struct UDF inputs are not auto-null-skipped
         val ps = rowPts(g)
         if (ps.isEmpty) Row("polygon", Seq.empty[Row])
         else {

@@ -60,7 +60,7 @@ object Aggregates {
 
   def apply(name: String): Column => Column =
     registry.getOrElse(name,
-      throw graft.core.ColumnException(Seq(name), registry.keys.toSeq.sorted))
+      throw graft.core.UnknownFunction(name, registry.keys.toSeq.sorted))
 
   def known: Seq[String] = registry.keys.toSeq.sorted
 

@@ -59,8 +59,11 @@ object Binning {
       min(col(valueCol)).as("__mn"), max(col(valueCol)).as("__mx"))
     val withB = df.crossJoin(broadcast(bounds))
     val width = (col("__mx") - col("__mn")) / n
-    // constant column → width 0 → x/0 is null in Spark SQL; pandas puts
-    // every value in bucket 0 (widened degenerate bin) — match that
+    // constant column → width 0 → x/0 is null in Spark SQL. DOCUMENTED
+    // DIVERGENCE: we put constant values in bucket 0 with a degenerate
+    // label; pandas pads both edges by 0.1% and lands them mid-bins —
+    // the degenerate case has no meaningful binning either way
+    // (pinned in RegressionSpec)
     val bucket = when(col("__mx") === col("__mn"), lit(0)).otherwise(
       least(greatest(
         ceil((col(valueCol) - col("__mn")) / width) - 1, lit(0)), lit(n - 1)))

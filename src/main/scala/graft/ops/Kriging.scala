@@ -83,8 +83,11 @@ object Kriging {
         val b = math.max(0.0, (sg - a * sh) / n)
         Variogram("linear", Array(math.max(a, 0.0), b))
       case "power" =>
-        // log-space linear fit of γ ≈ s·h^e (nugget 0 seed)
+        // log-space linear fit of γ ≈ s·h^e (nugget 0 seed); a constant
+        // field has no positive gammas → degenerate flat variogram
+        // (the ε·h regularizer in gamma() keeps the system solvable)
         val pos = hs.zip(gs).filter { case (h, g) => h > 0 && g > 0 }
+        if (pos.isEmpty) return Variogram("power", Array(0.0, 1.0, 0.0))
         val lx = pos.map(p => math.log(p._1)); val ly = pos.map(p => math.log(p._2))
         val n = lx.length.toDouble
         val denom = n * lx.map(x => x * x).sum - math.pow(lx.sum, 2)

@@ -71,6 +71,8 @@ object TimeSeriesOps {
       intervals: Seq[(String, String)],
       dateRange: Option[(String, String)] = None): DataFrame = {
 
+    require(valueCols.nonEmpty && funcs.nonEmpty && intervals.nonEmpty,
+      "intervalStats needs at least one value column, function, and interval")
     val missing = (valueCols :+ idCol :+ tsCol).filterNot(obs.columns.contains)
     if (missing.nonEmpty) throw ColumnException(missing, obs.columns.toSeq)
 

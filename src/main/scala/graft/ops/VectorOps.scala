@@ -120,8 +120,11 @@ object VectorOps {
       geomCol: String = "geometry"): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val feats = SpatialOps.ensureParallelism(withDerived(features, statCols, geomCol))
+    // drop the geometry payload before broadcasting — only sx/sy survive
+    // the join, and polygon structs would multiply shuffle bytes
     val s = broadcast(withCentroidXY(
-      sensors.select(col("id_sensor"), col(geomCol).as("__sgeom")), "__sgeom", "sx", "sy"))
+      sensors.select(col("id_sensor"), col(geomCol).as("__sgeom")), "__sgeom", "sx", "sy")
+      .select(col("id_sensor"), col("sx"), col("sy")))
     val withDist = feats.join(s)
       .withColumn("__d", Geo.stDistance(Geo.stPoint(col("sx"), col("sy")), col(geomCol)))
     val w = Window.partitionBy(col("id_sensor")).orderBy(col("__d").asc, col(featureId).asc)

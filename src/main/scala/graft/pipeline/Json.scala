@@ -133,7 +133,11 @@ object Json {
             case 'r' => sb += '\r'
             case 't' => sb += '\t'
             case 'u' =>
-              sb += Integer.parseInt(s.substring(pos + 1, pos + 5), 16).toChar
+              if (pos + 5 > s.length) sys.error(s"truncated \\u escape at offset $pos")
+              val hex = s.substring(pos + 1, pos + 5)
+              if (!hex.forall(c => Character.digit(c, 16) >= 0))
+                sys.error(s"bad \\u escape '$hex' at offset $pos")
+              sb += Integer.parseInt(hex, 16).toChar
               pos += 4
             case other => sys.error(s"bad escape '\\$other'")
           }

@@ -19,7 +19,7 @@ final class OpRegistry private (
 
   def apply(function: String): ListMap[String, Json] => DataFrame => DataFrame =
     ops.getOrElse(function,
-      throw graft.core.ColumnException(Seq(function), ops.keys.toSeq.sorted))
+      throw graft.core.UnknownFunction(function, ops.keys.toSeq.sorted))
 
   /** User extension point: register a custom op under a name (the spec
     * stays serializable because only the name is persisted). */

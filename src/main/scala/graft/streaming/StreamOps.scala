@@ -100,6 +100,11 @@ object StreamOps {
       timeout: org.apache.spark.sql.streaming.GroupStateTimeout =
         org.apache.spark.sql.streaming.GroupStateTimeout.ProcessingTimeTimeout)
       : org.apache.spark.sql.Dataset[ClosedSession] = {
+    // EventTimeTimeout would need a watermark + setTimeoutTimestamp
+    // wiring this helper doesn't do — reject rather than silently never
+    // closing idle sessions (unbounded state)
+    require(timeout != org.apache.spark.sql.streaming.GroupStateTimeout.EventTimeTimeout,
+      "statefulSessionize supports ProcessingTimeTimeout or NoTimeout")
     import events.sparkSession.implicits._
     import org.apache.spark.sql.streaming.{GroupState, OutputMode}
     val gapUs = gap.toNanos / 1000

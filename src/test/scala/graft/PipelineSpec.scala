@@ -65,10 +65,11 @@ class PipelineSpec extends AnyFunSuite {
     assert(res.map(_._2.count()) == Seq(3L, 1L))
   }
 
-  test("X1: unknown operator lists known ones") {
+  test("X1: unknown operator raises UnknownFunction listing known ones") {
     val bad = Pipeline("p").addOperation(Operation("x", "not_an_op"))
-    val e = intercept[graft.core.ColumnException] { bad.run(data) }
-    assert(e.available.contains("filter"))
+    val e = intercept[graft.core.UnknownFunction] { bad.run(data) }
+    assert(e.known.contains("filter"))
+    assert(!e.getMessage.contains("Column")) // not a column error
   }
 
   test("X1: user-registered op works and spec stays serializable") {
