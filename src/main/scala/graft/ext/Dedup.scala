@@ -26,10 +26,14 @@ object Dedup {
       .withColumn("is_canonical", col(idCol) === min(col(idCol)).over(w))
   }
 
-  /** Word shingles of size n as a distinct array column. */
+  /** Word shingles of size n as a distinct array column. Documents with
+    * fewer than n tokens yield an EMPTY array (no truncated shingle —
+    * a 1-token doc must not emit a 1-token "3-shingle" that silently
+    * skews Jaccard among very short docs). */
   def wordShingles(text: Column, n: Int): Column = {
     val toks = split(lower(text), "\\s+")
-    val idx = sequence(lit(0), greatest(size(toks) - n, lit(0)))
+    val idx = when(size(toks) >= n, sequence(lit(0), size(toks) - n))
+      .otherwise(array().cast("array<int>"))
     array_distinct(transform(idx, i => concat_ws(" ", slice(toks, i + 1, lit(n)))))
   }
 
@@ -90,34 +94,49 @@ object Dedup {
       .select("id_a", "id_b", "jaccard")
   }
 
-  /** E2 — 64-bit SimHash fingerprint over word tokens: per bit, sum of
-    * ±1 across token hashes; sign → bit. Pure column expressions. */
-  def simhash(docs: DataFrame, textCol: String, idCol: String): DataFrame = {
+  /** Cross-engine-portable 60-bit token hash: the first 15 hex chars of
+    * md5 as a long. DuckDB reconstructs the identical value
+    * nibble-by-nibble (q46's oracle does) — so a simhash built on it is
+    * exactly oracle-checkable. xxhash64 stays the production default
+    * (one codegen'd op vs an md5 round per token). */
+  def md5Hash60(c: Column): Column =
+    conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+
+  /** E2 — SimHash fingerprint over word tokens: per bit, sum of ±1
+    * across token hashes; sign → bit. Pure column expressions.
+    * `tokenHash`/`nBits` select the hash family (default xxhash64/64;
+    * [[md5Hash60]]/60 for cross-engine verification). */
+  def simhash(docs: DataFrame, textCol: String, idCol: String,
+      tokenHash: Column => Column = xxhash64(_), nBits: Int = 64): DataFrame = {
     val toks = docs.select(col(idCol),
       explode(array_distinct(split(lower(col(textCol)), "\\s+"))).as("tok"))
-      .withColumn("h", xxhash64(col("tok")))
-    val bitSums = (0 until 64).map { b =>
+      .withColumn("h", tokenHash(col("tok")))
+    val bitSums = (0 until nBits).map { b =>
       sum(when(shiftright(col("h"), b).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"b$b")
     }
     val agg = toks.groupBy(col(idCol)).agg(bitSums.head, bitSums.tail: _*)
-    val fp = (0 until 64).map(b =>
+    val fp = (0 until nBits).map(b =>
       when(col(s"b$b") > 0, shiftleft(lit(1L), b)).otherwise(lit(0L)))
       .reduce((x, y) => x.bitwiseOR(y))
     agg.select(col(idCol), fp.as("simhash"))
   }
 
-  /** Hamming distance between two 64-bit fingerprints. */
+  /** Hamming distance between two fingerprints. */
   def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
 
-  /** E2 — simhash near-dup candidates: block on 4×16-bit chunks (two
-    * fingerprints within hamming distance 3 share at least one exact
-    * chunk — pigeonhole), verify hamming <= maxDistance. */
+  /** E2 — simhash near-dup candidates: block on 4 equal-width bit
+    * chunks (two fingerprints within hamming distance 3 share at least
+    * one exact chunk — pigeonhole), verify hamming <= maxDistance. */
   def simhashNearDuplicates(docs: DataFrame, textCol: String, idCol: String,
-      maxDistance: Int = 3): DataFrame = {
-    val fp = simhash(docs, textCol, idCol)
+      maxDistance: Int = 3,
+      tokenHash: Column => Column = xxhash64(_), nBits: Int = 64): DataFrame = {
+    require(nBits % 4 == 0, "nBits must split into 4 equal chunks")
+    val width = nBits / 4
+    val mask = (1L << width) - 1
+    val fp = simhash(docs, textCol, idCol, tokenHash, nBits)
     val chunked = fp.select(col(idCol), col("simhash"),
       posexplode(array((0 until 4).map(c =>
-        shiftright(col("simhash"), c * 16).bitwiseAND(0xFFFFL)): _*)))
+        shiftright(col("simhash"), c * width).bitwiseAND(mask)): _*)))
       .withColumnRenamed("pos", "chunk").withColumnRenamed("col", "chunk_val")
     val a = chunked.select(col(idCol).as("id_a"), col("simhash").as("fp_a"),
       col("chunk"), col("chunk_val"))

@@ -19,7 +19,10 @@ object Sinks {
   private def renderGeometry(df: DataFrame): DataFrame = {
     import org.apache.spark.sql.functions.col
     df.schema.fields.foldLeft(df) { (d, f) =>
-      if (f.dataType == graft.geo.Geo.geometryType)
+      // catalogString compares field names+types but not nullability:
+      // expression-built geometries (e.g. stPoint output) carry
+      // non-nullable inner fields and must still render as GeoJSON
+      if (f.dataType.catalogString == graft.geo.Geo.geometryType.catalogString)
         d.withColumn(f.name, graft.geo.Geo.stAsGeoJson(col(f.name)))
       else d
     }

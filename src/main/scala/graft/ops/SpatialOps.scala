@@ -31,10 +31,18 @@ object SpatialOps {
     * explosion through one task, so widen the probe side to the
     * cluster's parallelism first. No-op when the input is already wide
     * (the 100 TB case — there the scan arrives with thousands of
-    * splits and repartitioning would be a pure pessimization). */
+    * splits and repartitioning would be a pure pessimization).
+    *
+    * The width probe reads `inputFiles` off the logical plan — a pure
+    * metadata walk, no physical planning, no plan→RDD conversion (the
+    * old `df.rdd.getNumPartitions` probe forced one and its answer
+    * predated AQE coalescing anyway). Non-file inputs (in-memory test
+    * frames, lattices) report zero files and get widened — harmless,
+    * they are small by construction. */
   private[ops] def ensureParallelism(df: DataFrame): DataFrame = {
     val target = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions * 2 < target) df.repartition(target) else df
+    val splits = df.inputFiles.length
+    if (splits * 2 >= target) df else df.repartition(target)
   }
 
   /** P5 — bbox prefilter: clip `features` to the total bounds of the
@@ -108,21 +116,64 @@ object SpatialOps {
       .drop("gx", "gy")
   }
 
+  /** Candidate-pruning radius for kNN: sized so a disc holds ~4k
+    * features under uniform density (one bounded agg over `features` —
+    * min/max/count reduce to a single row; at 100 TB parquet footer
+    * stats answer most of it). None → pruning not worthwhile (tiny or
+    * degenerate feature set) and the caller should go brute-force. */
+  private[ops] def estimateKnnRadius(features: DataFrame, k: Int): Option[Double] = {
+    val r = features.agg(min(col("x")), max(col("x")), min(col("y")), max(col("y")),
+      count(lit(1))).head
+    if (r.isNullAt(0) || r.getLong(4) <= k.toLong * 4) return None
+    val area = (r.getDouble(1) - r.getDouble(0)) * (r.getDouble(3) - r.getDouble(2))
+    if (!(area > 0)) return None
+    val rad = math.sqrt(4.0 * k * area / (math.Pi * r.getLong(4)))
+    if (rad > 0 && java.lang.Double.isFinite(rad)) Some(rad) else None
+  }
+
   /** J3+A4 — kNN aggregation: stats over the k nearest features per
     * sensor. Ranking by (distance, featureId) — `row_number`, matching
-    * the reference's first-occurrence nsmallest tie-break (:553). The
-    * bbox/candidate pruning is the caller's job (compose bboxClip or
-    * gridBucketJoin in front at scale). */
+    * the reference's first-occurrence nsmallest tie-break (:553).
+    *
+    * Scale path (default): candidates are pruned through
+    * [[gridBucketJoin]] at a density-derived radius. A sensor with >= k
+    * candidates inside radius r is EXACTLY solved by ranking its
+    * candidates only — its true k-th neighbour is at distance <= r and
+    * every feature within r is in its candidate set. Sensors left
+    * under-filled (sparse corners, skewed density) fall back to the
+    * broadcast-cross ranking, so the result is always exact; the
+    * fallback population shrinks to ~nothing under any roughly-uniform
+    * density. The full |sensors|×|features| pair space — the one
+    * scale-killer of the naive plan — is never materialized for solved
+    * sensors. `pruneRadius = Some(0)` forces the brute path (tests). */
   def knnAggregate(
       sensors: DataFrame, features: DataFrame, k: Int,
       funcs: Seq[String], valueCols: Seq[String],
-      featureId: String, sourceName: String = ""): DataFrame = {
-    val s = broadcast(sensors.select(col("id_sensor"), col("x").as("sx"), col("y").as("sy")))
-    val withDist = ensureParallelism(features).join(s)
-      .withColumn("d2", dist2(col("sx"), col("sy"), col("x"), col("y")))
+      featureId: String, sourceName: String = "",
+      pruneRadius: Option[Double] = None): DataFrame = {
     val w = Window.partitionBy(col("id_sensor"))
       .orderBy(col("d2").asc, col(featureId).asc)
-    val topk = withDist.withColumn("__rn", row_number().over(w)).filter(col("__rn") <= k)
+    def topkOf(pairs: DataFrame): DataFrame =
+      pairs.withColumn("__rn", row_number().over(w)).filter(col("__rn") <= k)
+    def brutePairs(ss: DataFrame): DataFrame = {
+      val s = broadcast(ss.select(col("id_sensor"), col("x").as("sx"), col("y").as("sy")))
+      ensureParallelism(features).join(s)
+        .withColumn("d2", dist2(col("sx"), col("sy"), col("x"), col("y")))
+    }
+    val sKey = sensors.select(col("id_sensor"), col("x"), col("y"))
+    val topk = pruneRadius.getOrElse(estimateKnnRadius(features, k).getOrElse(0.0)) match {
+      case r if r > 0 =>
+        val cand = gridBucketJoin(sKey, features, r, cell = r)
+          .withColumn("d2", dist2(col("sx"), col("sy"), col("x"), col("y")))
+        val ranked = cand
+          .withColumn("__cnt", count(lit(1)).over(Window.partitionBy(col("id_sensor"))))
+          .withColumn("__rn", row_number().over(w))
+        val solvedTopk = ranked.filter(col("__cnt") >= k && col("__rn") <= k).drop("__cnt")
+        val unsolved = sKey.join(
+          solvedTopk.select(col("id_sensor")).distinct(), Seq("id_sensor"), "left_anti")
+        solvedTopk.unionByName(topkOf(brutePairs(unsolved)))
+      case _ => topkOf(brutePairs(sKey))
+    }
     val stats = topk.groupBy(col("id_sensor"))
       .agg(Aggregates.block(funcs, sourceName, valueCols).head,
         Aggregates.block(funcs, sourceName, valueCols).tail: _*)

@@ -129,9 +129,12 @@ object LlmExt {
 
   /** q45 — E2: MinHash-LSH near-dup detection. Inputs are documents
     * plus mutated copies (one word appended, id+100000) so true
-    * near-dups exist; the LSH path must find every planted pair.
-    * Banding/hashing is engine-specific → rows-only check here; the
-    * recall-vs-exact-Jaccard property is pinned in DedupSpec. */
+    * near-dups exist. The ORACLE is the exact thresholded Jaccard pair
+    * set (DuckDB computes all-pairs ground truth at oracle scale) — so
+    * a green row certifies 100% LSH recall AND precision on this
+    * corpus, not just that the query ran. Banding/hashing stays
+    * engine-internal; the deterministic corpus makes the recall
+    * contract exact. DedupSpec pins the same property on planted pairs. */
   val q45 = Declared(
     "q45_minhash_lsh", "E2",
     (s, dir) => {
@@ -141,15 +144,40 @@ object LlmExt {
         concat(col("text"), lit(" mutationtoken")).as("text"))
       Dedup.minhashNearDuplicates(docs.unionByName(mutated),
         "text", "doc_id", shingleSize = 3, numHashes = 16, bands = 4, threshold = 0.5)
+        .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
         .orderBy(col("id_a"), col("id_b"))
     },
-    None,
+    Some("""WITH corpus AS (
+           |  SELECT doc_id, text FROM documents WHERE doc_id < 100
+           |  UNION ALL
+           |  SELECT doc_id + 100000, text || ' mutationtoken' FROM documents WHERE doc_id < 100),
+           |t AS (SELECT doc_id, string_split(lower(text), ' ') AS toks FROM corpus),
+           |st AS (SELECT doc_id, toks, unnest(range(1, len(toks) - 2 + 1)) AS i
+           |       FROM t WHERE len(toks) >= 3),
+           |sh AS (SELECT DISTINCT doc_id,
+           |         array_to_string(list_slice(toks, i, i + 2), ' ') AS shingle
+           |       FROM st),
+           |c AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+           |i AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+           |      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+           |      GROUP BY 1, 2)
+           |SELECT id_a, id_b,
+           |  round(CAST(inter AS DOUBLE) / (ca.n + cb.n - inter), 6) AS jaccard
+           |FROM i JOIN c ca ON i.id_a = ca.doc_id JOIN c cb ON i.id_b = cb.doc_id
+           |WHERE CAST(inter AS DOUBLE) / (ca.n + cb.n - inter) >= 0.5
+           |ORDER BY id_a, id_b""".stripMargin),
     "Shingle explode → per-doc signature agg → band equi-join: the pair space never " +
-      "materializes; every shuffle key (band hash) is uniform.")
+      "materializes; every shuffle key (band hash) is uniform. The oracle's all-pairs " +
+      "crossJoin exists ONLY on the DuckDB side as ground truth.")
 
   /** q46 — E2: SimHash fingerprints + hamming near-dup candidates on
-    * the same planted near-dup corpus (rows-only; semantics pinned in
-    * DedupSpec). */
+    * the planted near-dup corpus. Runs on the PORTABLE 60-bit
+    * md5-prefix token hash (Dedup.md5Hash60) so DuckDB can recompute
+    * the ENTIRE pipeline — token hash (nibble arithmetic over the md5
+    * hex), per-bit ±1 sums, sign→fingerprint, 15-bit chunk blocking,
+    * hamming verify — making every emitted pair AND its hamming value
+    * oracle-exact. The xxhash64/64-bit variant stays the production
+    * default (DedupSpec pins it). */
   val q46 = Declared(
     "q46_simhash", "E2",
     (s, dir) => {
@@ -158,17 +186,50 @@ object LlmExt {
       val mutated = docs.select((col("doc_id") + 100000).as("doc_id"),
         concat(col("text"), lit(" zz")).as("text"))
       Dedup.simhashNearDuplicates(docs.unionByName(mutated), "text", "doc_id",
-        maxDistance = 3)
+        maxDistance = 3, tokenHash = Dedup.md5Hash60, nBits = 60)
         .orderBy(col("id_a"), col("id_b"))
     },
-    None,
-    "64-bit fingerprint agg + 16-bit chunk blocking (pigeonhole ≤3 bit flips): " +
+    Some("""WITH corpus AS (
+           |  SELECT doc_id, text FROM documents WHERE doc_id < 100
+           |  UNION ALL
+           |  SELECT doc_id + 100000, text || ' zz' FROM documents WHERE doc_id < 100),
+           |tok AS (SELECT DISTINCT doc_id, unnest(string_split(lower(text), ' ')) AS w
+           |        FROM corpus),
+           |th AS (
+           |  SELECT doc_id, w,
+           |    CAST(sum(CAST(strpos('0123456789abcdef', substr(md5(w), i, 1)) - 1 AS BIGINT)
+           |             << ((15 - i) * 4)) AS BIGINT) AS h
+           |  FROM tok CROSS JOIN (SELECT unnest(range(1, 16)) AS i) idx
+           |  GROUP BY doc_id, w),
+           |bits AS (
+           |  SELECT doc_id, b,
+           |    sum(CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END) AS s
+           |  FROM th CROSS JOIN (SELECT unnest(range(0, 60)) AS b) bs
+           |  GROUP BY doc_id, b),
+           |fp AS (
+           |  SELECT doc_id,
+           |    CAST(sum(CASE WHEN s > 0 THEN CAST(1 AS BIGINT) << b ELSE 0 END) AS BIGINT) AS fp
+           |  FROM bits GROUP BY doc_id),
+           |ch AS (
+           |  SELECT doc_id, fp, c, (fp >> (c * 15)) & 32767 AS cv
+           |  FROM fp CROSS JOIN (SELECT unnest(range(0, 4)) AS c) cs),
+           |cand AS (
+           |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+           |    CAST(bit_count(xor(a.fp, b.fp)) AS INT) AS hamming
+           |  FROM ch a JOIN ch b ON a.c = b.c AND a.cv = b.cv AND a.doc_id < b.doc_id)
+           |SELECT id_a, id_b, hamming FROM cand
+           |WHERE hamming <= 3
+           |ORDER BY id_a, id_b""".stripMargin),
+    "Fingerprint agg + 15-bit chunk blocking (pigeonhole ≤3 bit flips): " +
       "4 rows per doc, equi-join on chunk value — linear in corpus size.")
 
   /** q47 — E4: language-ID heuristic vs the labeled lang column —
-    * accuracy profile per true language (the en-corpus should mostly
-    * hit 'en' or 'und'; the score itself is engine-internal → rows-only).
-    */
+    * accuracy profile per true language. The langId predicate is pure
+    * integer-ratio arithmetic, so the oracle transliterates it: per
+    * language, hits/tokens as an exact int/int IEEE division; argmax
+    * with Spark's array_max(struct) tie-break (equal scores → the
+    * lexicographically LARGER lang wins, hence the fr→es→en→de CASE
+    * order); 'und' below the 0.02 floor. */
   val q47 = Declared(
     "q47_lang_id", "E4",
     (s, dir) => {
@@ -178,7 +239,27 @@ object LlmExt {
         .agg(count(lit(1)).as("n"))
         .orderBy(col("lang"), col("pred_lang"))
     },
-    None,
+    Some {
+      def score(l: String): String = {
+        val words = TextAnalysis.stopwords(l).map(w => s"'$w'").mkString(", ")
+        s"CAST(len(list_filter(toks, t -> list_contains([$words], t))) AS DOUBLE)" +
+          s" / greatest(len(toks), 1) AS s_$l"
+      }
+      s"""WITH t AS (SELECT lang, string_split(lower(text), ' ') AS toks FROM documents),
+         |s AS (SELECT lang, ${score("de")}, ${score("en")}, ${score("es")}, ${score("fr")}
+         |      FROM t),
+         |p AS (
+         |  SELECT lang,
+         |    CASE WHEN greatest(s_de, s_en, s_es, s_fr) < 0.02 THEN 'und'
+         |         WHEN s_fr >= greatest(s_de, s_en, s_es) THEN 'fr'
+         |         WHEN s_es >= greatest(s_de, s_en) THEN 'es'
+         |         WHEN s_en >= s_de THEN 'en'
+         |         ELSE 'de' END AS pred_lang
+         |  FROM s)
+         |SELECT lang, pred_lang, count(*) AS n
+         |FROM p GROUP BY lang, pred_lang
+         |ORDER BY lang, pred_lang""".stripMargin
+    },
     "Pure scan-side expression; confusion-matrix agg output bounded by |langs|².")
 
   /** q51 — composite corpus pipeline (the E1+E4 shape of a real
@@ -236,13 +317,18 @@ object LlmExt {
       val corpus = base.unionByName(planted)
       val toks = corpus.select(col("doc_id"), split(lower(col("text")), " ").as("toks"))
         .filter(size(col("toks")) >= 20)
+      // self-join keys on the chunk's xxhash64 FINGERPRINT, not the raw
+      // 20-token string — ~10× fewer shuffle bytes (the scale note's
+      // prescription); 64-bit collisions are vanishing at any corpus
+      // size where this plan is sane, and the oracle (string join)
+      // would catch one
       val chunks = toks
         .withColumn("st", explode(sequence(lit(1), greatest(size(col("toks")) - 19, lit(1)), lit(10))))
         .select(col("doc_id"),
-          concat_ws(" ", slice(col("toks"), col("st"), lit(20))).as("chunk"))
-      val ca = chunks.select(col("doc_id").as("id_a"), col("chunk"))
-      val cb = chunks.select(col("doc_id").as("id_b"), col("chunk"))
-      ca.join(cb, Seq("chunk")).filter(col("id_a") < col("id_b"))
+          xxhash64(concat_ws(" ", slice(col("toks"), col("st"), lit(20)))).as("chunk_h"))
+      val ca = chunks.select(col("doc_id").as("id_a"), col("chunk_h"))
+      val cb = chunks.select(col("doc_id").as("id_b"), col("chunk_h"))
+      ca.join(cb, Seq("chunk_h")).filter(col("id_a") < col("id_b"))
         .select("id_a", "id_b").distinct()
         .orderBy(col("id_a"), col("id_b"))
     },

@@ -119,7 +119,9 @@ object Relational2 {
     (s, dir) => {
       Tables.events(s, dir)
         .withColumn("m", from_json(col("props"), org.apache.spark.sql.types.DataType.fromDDL("map<string,int>")))
-        .withColumn("k", element_at(col("m"), "k"))
+        // try_element_at: ANSI element_at throws MAP_KEY_DOES_NOT_EXIST
+        // on a missing key; the oracle's json_extract_string yields NULL
+        .withColumn("k", try_element_at(col("m"), lit("k")))
         .groupBy((col("user_id") % 10).as("user_mod"))
         .agg(sum(col("k")).as("sum_k"), count(col("k")).as("n"))
         .orderBy(col("user_mod"))
