@@ -32,12 +32,17 @@ object Bench {
     }
 
     val names = queries.Declared.all.map(_.name)
-    // full warm-up pass: JIT + codegen caches + shuffle service spin-up.
-    // Local-mode first-execution noise is 2-4x per query; the timed pass
-    // measures the plan, which is what the 100TB comparison cares about.
-    names.foreach(exec)
+    // Per-query warm-up, BACK-TO-BACK with the timed run: the untimed
+    // execution absorbs JIT + codegen compilation + shuffle spin-up for
+    // exactly this plan, and the timed run follows immediately while
+    // its code and file caches are hot. (A separate whole-suite warm-up
+    // pass — the round-1 scheme — lets 53 other queries evict those
+    // caches before the timed run; per-query numbers varied 2-4x run to
+    // run. The timed number measures the plan, which is what the 100TB
+    // comparison cares about.)
+    exec(names.head) // session-level first-job costs land here
 
-    val results = names.map(n => n -> exec(n))
+    val results = names.map { n => exec(n); n -> exec(n) }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum

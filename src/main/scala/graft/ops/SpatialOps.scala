@@ -116,68 +116,133 @@ object SpatialOps {
       .drop("gx", "gy")
   }
 
-  /** Candidate-pruning radius for kNN: sized so a disc holds ~4k
-    * features under uniform density (one bounded agg over `features` —
-    * min/max/count reduce to a single row; at 100 TB parquet footer
-    * stats answer most of it). None → pruning not worthwhile (tiny or
-    * degenerate feature set) and the caller should go brute-force. */
-  private[ops] def estimateKnnRadius(features: DataFrame, k: Int): Option[Double] = {
-    val r = features.agg(min(col("x")), max(col("x")), min(col("y")), max(col("y")),
-      count(lit(1))).head
-    if (r.isNullAt(0) || r.getLong(4) <= k.toLong * 4) return None
-    val area = (r.getDouble(1) - r.getDouble(0)) * (r.getDouble(3) - r.getDouble(2))
+  /** Candidate-pruning radius from the feature bbox+count row of
+    * [[knnAggregate]]'s stats pass: sized so a disc holds ~16k features
+    * under uniform density — generous enough that even a corner sensor
+    * (a quarter-disc, ~4k expected) stays covered. None → tiny or
+    * degenerate feature set: brute-force instead. */
+  private[graft] def estimateKnnRadius(stats: org.apache.spark.sql.Row, k: Int): Option[Double] = {
+    if (stats.isNullAt(0) || stats.getLong(4) <= k.toLong * 16) return None
+    val area = (stats.getDouble(1) - stats.getDouble(0)) *
+      (stats.getDouble(3) - stats.getDouble(2))
     if (!(area > 0)) return None
-    val rad = math.sqrt(4.0 * k * area / (math.Pi * r.getLong(4)))
+    val rad = math.sqrt(16.0 * k * area / (math.Pi * stats.getLong(4)))
     if (rad > 0 && java.lang.Double.isFinite(rad)) Some(rad) else None
   }
+
+  /** Pair budget under which a single-job brute ranking beats the
+    * multi-exchange pruned plan (each exchange is a scheduled stage;
+    * a ~16M-row window is cheaper than five of them). */
+  private val knnBrutePairBudget = 16L * 1000 * 1000
 
   /** J3+A4 — kNN aggregation: stats over the k nearest features per
     * sensor. Ranking by (distance, featureId) — `row_number`, matching
     * the reference's first-occurrence nsmallest tie-break (:553).
     *
-    * Scale path (default): candidates are pruned through
-    * [[gridBucketJoin]] at a density-derived radius. A sensor with >= k
-    * candidates inside radius r is EXACTLY solved by ranking its
-    * candidates only — its true k-th neighbour is at distance <= r and
-    * every feature within r is in its candidate set. Sensors left
-    * under-filled (sparse corners, skewed density) fall back to the
-    * broadcast-cross ranking, so the result is always exact; the
-    * fallback population shrinks to ~nothing under any roughly-uniform
-    * density. The full |sensors|×|features| pair space — the one
-    * scale-killer of the naive plan — is never materialized for solved
-    * sensors. `pruneRadius = Some(0)` forces the brute path (tests). */
+    * Scale design, three exactness-preserving layers:
+    *
+    *  1. POSITION DEDUP — two sensors at the same (x, y) have
+    *     provably identical top-k (distance and the feature-id
+    *     tie-break depend only on position), so ranking runs per
+    *     DISTINCT position and stats join back by position. Free when
+    *     positions are unique; collapses the pair space outright when
+    *     fleets share sites.
+    *  2. ADAPTIVE STRATEGY — |positions|×|features| under
+    *     [[knnBrutePairBudget]] takes the single-job broadcast ranking
+    *     (fewer exchanges = less wall time at that size); above it,
+    *     candidates are pruned through a grid-bucket join at a
+    *     density-derived radius.
+    *  3. PRUNED PATH IS STILL EXACT — a position with >= k candidates
+    *     inside radius r is exactly solved from its candidates (its
+    *     true k-th neighbour is within r and every feature within r is
+    *     a candidate); under-filled positions (sparse corners, skew,
+    *     clustered features) fall back to the broadcast ranking via
+    *     anti-join. The full pair space is never materialized for
+    *     solved positions.
+    *
+    * `pruneRadius = Some(0)` forces the brute path, `Some(r)` forces
+    * pruning at radius r (tests pin pruned ≡ brute). */
   def knnAggregate(
       sensors: DataFrame, features: DataFrame, k: Int,
       funcs: Seq[String], valueCols: Seq[String],
       featureId: String, sourceName: String = "",
       pruneRadius: Option[Double] = None): DataFrame = {
-    val w = Window.partitionBy(col("id_sensor"))
+    val w = Window.partitionBy(col("sx"), col("sy"))
       .orderBy(col("d2").asc, col(featureId).asc)
     def topkOf(pairs: DataFrame): DataFrame =
       pairs.withColumn("__rn", row_number().over(w)).filter(col("__rn") <= k)
-    def brutePairs(ss: DataFrame): DataFrame = {
-      val s = broadcast(ss.select(col("id_sensor"), col("x").as("sx"), col("y").as("sy")))
-      ensureParallelism(features).join(s)
+    def brutePairs(pos: DataFrame): DataFrame =
+      ensureParallelism(features).join(broadcast(pos))
         .withColumn("d2", dist2(col("sx"), col("sy"), col("x"), col("y")))
+    val pos = sensors.select(col("x").as("sx"), col("y").as("sy")).distinct()
+
+    def pruned(r: Double): DataFrame = {
+      // cached: the bounded candidate set (~16k rows per position,
+      // MEMORY_AND_DISK — spills, never OOMs); evaluated once, read by
+      // both the solved branch and the unsolved anti-join
+      val cand = posBucketJoin(pos, features, r, cell = r)
+        .withColumn("d2", dist2(col("sx"), col("sy"), col("x"), col("y")))
+        .cache()
+      val ranked = cand
+        .withColumn("__cnt", count(lit(1)).over(Window.partitionBy(col("sx"), col("sy"))))
+        .withColumn("__rn", row_number().over(w))
+      val solvedTopk = ranked.filter(col("__cnt") >= k && col("__rn") <= k).drop("__cnt")
+      // no broadcast hint: solved positions are bounded by |positions|,
+      // which can be large at scale — AQE picks broadcast when small
+      val unsolved = pos.join(solvedTopk.select(col("sx"), col("sy")).distinct(),
+        Seq("sx", "sy"), "left_anti")
+      solvedTopk.unionByName(topkOf(brutePairs(unsolved)))
     }
-    val sKey = sensors.select(col("id_sensor"), col("x"), col("y"))
-    val topk = pruneRadius.getOrElse(estimateKnnRadius(features, k).getOrElse(0.0)) match {
-      case r if r > 0 =>
-        val cand = gridBucketJoin(sKey, features, r, cell = r)
-          .withColumn("d2", dist2(col("sx"), col("sy"), col("x"), col("y")))
-        val ranked = cand
-          .withColumn("__cnt", count(lit(1)).over(Window.partitionBy(col("id_sensor"))))
-          .withColumn("__rn", row_number().over(w))
-        val solvedTopk = ranked.filter(col("__cnt") >= k && col("__rn") <= k).drop("__cnt")
-        val unsolved = sKey.join(
-          solvedTopk.select(col("id_sensor")).distinct(), Seq("id_sensor"), "left_anti")
-        solvedTopk.unionByName(topkOf(brutePairs(unsolved)))
-      case _ => topkOf(brutePairs(sKey))
+
+    val topk = pruneRadius match {
+      case Some(r) if r > 0 => pruned(r)
+      case Some(_) => topkOf(brutePairs(pos))
+      case None =>
+        // one bounded stats pass (bbox + count → a single row) feeds
+        // both the strategy choice and the pruning radius
+        val fStats = features.agg(min(col("x")), max(col("x")),
+          min(col("y")), max(col("y")), count(lit(1))).head
+        val nF = if (fStats.isNullAt(4)) 0L else fStats.getLong(4)
+        val nPos = pos.count()
+        // brute also requires a broadcastable position set
+        if (nF == 0 || nPos == 0 ||
+            (nPos <= 4L * 1000 * 1000 && nF <= knnBrutePairBudget / math.max(nPos, 1L)))
+          topkOf(brutePairs(pos))
+        else estimateKnnRadius(fStats, k) match {
+          case Some(r) => pruned(r)
+          case None => topkOf(brutePairs(pos))
+        }
     }
-    val stats = topk.groupBy(col("id_sensor"))
+    val stats = topk.groupBy(col("sx"), col("sy"))
       .agg(Aggregates.block(funcs, sourceName, valueCols).head,
         Aggregates.block(funcs, sourceName, valueCols).tail: _*)
-    sensors.join(stats, Seq("id_sensor"), "left")
+    // stats is bounded by |positions|; AQE broadcasts it when small,
+    // shuffles on position otherwise — no hard hint
+    sensors.join(stats,
+      sensors("x") === stats("sx") && sensors("y") === stats("sy"), "left")
+      .drop("sx", "sy")
+  }
+
+  /** [[gridBucketJoin]] keyed on raw (sx, sy) positions instead of an
+    * id column — the kNN candidate generator. Same cell math. */
+  private def posBucketJoin(pos: DataFrame, features: DataFrame, radius: Double,
+      cell: Double): DataFrame = {
+    require(cell >= radius, "cell must be >= radius so a disc spans <= 4 cells")
+    val s = pos
+      .withColumn("cx", floor(col("sx") / cell).cast("long"))
+      .withColumn("cy", floor(col("sy") / cell).cast("long"))
+      .withColumn("gx", explode(sequence(col("cx") - 1, col("cx") + 1)))
+      .withColumn("gy", explode(sequence(col("cy") - 1, col("cy") + 1)))
+      .filter(
+        (col("sx") - (col("gx") + 1) * cell <= radius) && ((col("gx") * cell) - col("sx") <= radius) &&
+        (col("sy") - (col("gy") + 1) * cell <= radius) && ((col("gy") * cell) - col("sy") <= radius))
+      .select(col("sx"), col("sy"), col("gx"), col("gy"))
+    val f = features
+      .withColumn("gx", floor(col("x") / cell).cast("long"))
+      .withColumn("gy", floor(col("y") / cell).cast("long"))
+    f.join(s, Seq("gx", "gy"))
+      .filter(dist2(col("sx"), col("sy"), col("x"), col("y")) <= radius * radius)
+      .drop("gx", "gy")
   }
 
   /** A3 — raster buffer stats over the cell-table model: per sensor,

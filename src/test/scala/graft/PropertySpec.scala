@@ -69,6 +69,31 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("law: pruned kNN (any radius, and auto) equals brute-force kNN") {
+    val cases = samples(for {
+      sxy <- Gen.listOfN(6, Gen.zip(coordGen, coordGen))
+      fxy <- Gen.listOfN(40, Gen.zip(coordGen, coordGen))
+      r <- Gen.chooseNum(1, 40)
+    } yield (sxy, fxy, r), 4)
+    cases.foreach { case (sxy, fxy, r) =>
+      val sensors = sxy.zipWithIndex
+        .map { case ((x, y), i) => (i.toLong, x.toDouble, y.toDouble) }
+        .toDF("id_sensor", "x", "y")
+      val features = fxy.zipWithIndex
+        .map { case ((x, y), j) => (j.toLong, x.toDouble, y.toDouble, (j % 7).toDouble) }
+        .toDF("feature_id", "x", "y", "v")
+      def run(pr: Option[Double]): Seq[(Long, Option[Any], Option[Any])] =
+        SpatialOps.knnAggregate(sensors, features, k = 3,
+          Seq("mean", "count"), Seq("v"), "feature_id", pruneRadius = pr)
+          .select("id_sensor", "mean_v", "count_v").orderBy("id_sensor").collect().toSeq
+          .map(row => (row.getLong(0), Option(row.get(1)), Option(row.get(2))))
+      val brute = run(Some(0.0))
+      // mid-size radius leaves a mix of solved positions and fallback
+      assert(run(Some(r.toDouble)) == brute, s"pruned != brute at r=$r")
+      assert(run(None) == brute, "auto strategy != brute")
+    }
+  }
+
   test("law: IDW at an exact sensor location returns that sensor's value") {
     val cases = samples(
       Gen.listOfN(6, Gen.zip(Gen.zip(coordGen, coordGen), Gen.chooseNum(-100, 100))), 4)
