@@ -253,12 +253,87 @@ object Geo {
     (g, r, res) => u(g, r, res)
   }
 
-  // ---- F10: CRS transform (4326 <-> 3857), pure column math ----
+  // ---- F10: CRS transform (4326 <-> 3857 <-> UTM), pure column math ----
 
   private val R = 6378137.0
 
-  /** st_transform for the supported EPSG pair; identity when from==to.
-    * Returns a transformed geometry struct. */
+  // WGS84 ellipsoid + transverse-Mercator (UTM) constants
+  private val TmF = 1.0 / 298.257223563        // flattening
+  private val TmE2 = TmF * (2 - TmF)           // first eccentricity²
+  private val TmEp2 = TmE2 / (1 - TmE2)        // second eccentricity²
+  private val TmK0 = 0.9996
+  // meridian-arc series coefficients (Snyder 3-21)
+  private val M0 = 1 - TmE2 / 4 - 3 * TmE2 * TmE2 / 64 - 5 * math.pow(TmE2, 3) / 256
+  private val M2 = 3 * TmE2 / 8 + 3 * TmE2 * TmE2 / 32 + 45 * math.pow(TmE2, 3) / 1024
+  private val M4 = 15 * TmE2 * TmE2 / 256 + 45 * math.pow(TmE2, 3) / 1024
+  private val M6 = 35 * math.pow(TmE2, 3) / 3072
+  private val TmE1 = (1 - math.sqrt(1 - TmE2)) / (1 + math.sqrt(1 - TmE2))
+
+  /** EPSG 326xx (UTM north) / 327xx (UTM south) → (zone, northHemisphere). */
+  private def utmZone(epsg: Int): Option[(Int, Boolean)] =
+    if (epsg >= 32601 && epsg <= 32660) Some((epsg - 32600, true))
+    else if (epsg >= 32701 && epsg <= 32760) Some((epsg - 32700, false))
+    else None
+
+  /** Forward transverse Mercator, WGS84 (Snyder 8-9..8-13): lon/lat
+    * degrees → UTM easting/northing meters. Pure column arithmetic,
+    * series accurate to ~mm inside the zone. */
+  private def llToUtm(zone: Int, north: Boolean): Column => Column = p => {
+    val phi = radians(p.getField("y"))
+    val lam0 = math.toRadians(-183.0 + 6.0 * zone)
+    val sinP = sin(phi); val cosP = cos(phi); val tanP = tan(phi)
+    val nR = lit(R) / sqrt(lit(1.0) - lit(TmE2) * sinP * sinP)
+    val t = tanP * tanP
+    val c = lit(TmEp2) * cosP * cosP
+    val a = (radians(p.getField("x")) - lit(lam0)) * cosP
+    val m = lit(R) * (lit(M0) * phi - lit(M2) * sin(phi * 2) +
+      lit(M4) * sin(phi * 4) - lit(M6) * sin(phi * 6))
+    val e = lit(500000.0) + lit(TmK0) * nR * (a +
+      (lit(1.0) - t + c) * pow(a, 3) / 6 +
+      (lit(5.0) - t * 18 + t * t + c * 72 - lit(58 * TmEp2)) * pow(a, 5) / 120)
+    val n = lit(if (north) 0.0 else 1.0e7) + lit(TmK0) * (m + nR * tanP * (
+      a * a / 2 +
+      (lit(5.0) - t + c * 9 + c * c * 4) * pow(a, 4) / 24 +
+      (lit(61.0) - t * 58 + t * t + c * 600 - lit(330 * TmEp2)) * pow(a, 6) / 720))
+    struct(e.as("x"), n.as("y"))
+  }
+
+  /** Inverse transverse Mercator, WGS84 (Snyder 8-17..8-25): UTM
+    * easting/northing meters → lon/lat degrees. */
+  private def utmToLl(zone: Int, north: Boolean): Column => Column = p => {
+    val lam0 = math.toRadians(-183.0 + 6.0 * zone)
+    val m = (p.getField("y") - lit(if (north) 0.0 else 1.0e7)) / TmK0
+    val mu = m / (R * M0)
+    val e1 = TmE1
+    val phi1 = mu +
+      lit(3 * e1 / 2 - 27 * math.pow(e1, 3) / 32) * sin(mu * 2) +
+      lit(21 * e1 * e1 / 16 - 55 * math.pow(e1, 4) / 32) * sin(mu * 4) +
+      lit(151 * math.pow(e1, 3) / 96) * sin(mu * 6) +
+      lit(1097 * math.pow(e1, 4) / 512) * sin(mu * 8)
+    val sin1 = sin(phi1); val cos1 = cos(phi1); val tan1 = tan(phi1)
+    val c1 = lit(TmEp2) * cos1 * cos1
+    val t1 = tan1 * tan1
+    val oneMinus = lit(1.0) - lit(TmE2) * sin1 * sin1
+    val n1 = lit(R) / sqrt(oneMinus)
+    val r1 = lit(R * (1 - TmE2)) / pow(oneMinus, 1.5)
+    val d = (p.getField("x") - lit(500000.0)) / (n1 * TmK0)
+    val phi = phi1 - (n1 * tan1 / r1) * (
+      d * d / 2 -
+      (lit(5.0) + t1 * 3 + c1 * 10 - c1 * c1 * 4 - lit(9 * TmEp2)) * pow(d, 4) / 24 +
+      (lit(61.0) + t1 * 90 + c1 * 298 + t1 * t1 * 45 - lit(252 * TmEp2) - c1 * c1 * 3) *
+        pow(d, 6) / 720)
+    val lam = lit(lam0) + (d -
+      (lit(1.0) + t1 * 2 + c1) * pow(d, 3) / 6 +
+      (lit(5.0) - c1 * 2 + t1 * 28 - c1 * c1 * 3 + lit(8 * TmEp2) + t1 * t1 * 24) *
+        pow(d, 5) / 120) / cos1
+    struct(degrees(lam).as("x"), degrees(phi).as("y"))
+  }
+
+  /** st_transform; identity when from==to. Supported: 4326 ↔ 3857,
+    * 4326 ↔ any UTM zone (EPSG 326xx north / 327xx south), and
+    * 3857 ↔ UTM composed through 4326. Returns a transformed
+    * geometry struct. (Reference `to_crs`,
+    * src/data_preprocessing.py:192-193, :218-220, :257-259.) */
   def stTransform(g: Column, fromEpsg: Int, toEpsg: Int): Column = {
     val tx: Column => Column = (fromEpsg, toEpsg) match {
       case (f, t) if f == t => identity
@@ -269,8 +344,26 @@ object Geo {
         degrees(p.getField("x") / R).as("x"),
         // atan(sinh(y/R)) via exp (no sinh Column fn)
         degrees(atan((exp(p.getField("y") / R) - exp(-(p.getField("y") / R))) / 2)).as("y"))
+      case (4326, t) if utmZone(t).isDefined =>
+        val (z, n) = utmZone(t).get; llToUtm(z, n)
+      case (f, 4326) if utmZone(f).isDefined =>
+        val (z, n) = utmZone(f).get; utmToLl(z, n)
+      case (f, t) if f == 3857 && utmZone(t).isDefined =>
+        val (z, n) = utmZone(t).get
+        p => llToUtm(z, n)(struct(
+          degrees(p.getField("x") / R).as("x"),
+          degrees(atan((exp(p.getField("y") / R) - exp(-(p.getField("y") / R))) / 2)).as("y")))
+      case (f, t) if utmZone(f).isDefined && t == 3857 =>
+        val (z, n) = utmZone(f).get
+        p => {
+          val ll = utmToLl(z, n)(p)
+          struct(
+            (radians(ll.getField("x")) * R).as("x"),
+            (log(tan(lit(math.Pi / 4) + radians(ll.getField("y")) / 2)) * R).as("y"))
+        }
       case (f, t) =>
-        throw graft.core.MissingCRS(s"transform $f -> $t unsupported (4326<->3857 only)")
+        throw graft.core.MissingCRS(
+          s"transform $f -> $t unsupported (4326/3857/UTM 326xx/327xx only)")
     }
     struct(stKind(g).as("kind"), transform(pts(g), p => tx(p)).as("points"))
   }

@@ -185,6 +185,26 @@ class MultimodalSpec extends AnyFunSuite {
     assert(again.getAs[Double]("mean_intensity") == r.getAs[Double]("mean_intensity"))
   }
 
+  test("E5: real PNG payloads decode to actual pixel dimensions and mean luminance") {
+    val media = Multimodal.withSyntheticMedia(spark, 12)
+    val feats = Multimodal.extractFeatures(media, numPartitions = 2)
+      .filter(col("media_type") === "image").collect()
+    assert(feats.nonEmpty)
+    feats.foreach { r =>
+      val id = r.getAs[Long]("media_id")
+      val expectedW = 64 + (id % 4).toInt * 32
+      assert(r.getAs[Int]("width") == expectedW, s"width of media $id")
+      assert(r.getAs[Int]("height") == 64)
+      // expected mean of the generated gradient, computed independently
+      val exp = (for (y <- 0 until 64; x <- 0 until expectedW)
+        yield ((x * 31 + y * 17 + id * 7) % 256).toDouble).sum / (64.0 * expectedW)
+      assert(math.abs(r.getAs[Double]("mean_intensity") - exp) < 1e-9,
+        s"mean luminance of media $id")
+      val hist = r.getSeq[Double](r.fieldIndex("feature_vec"))
+      assert(hist.length == 8 && math.abs(hist.sum - 1.0) < 1e-9)
+    }
+  }
+
   test("E5: frame sampling indices are declarative and bounded") {
     import spark.implicits._
     val df = Seq(100).toDF("n_frames")

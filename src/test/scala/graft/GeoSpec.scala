@@ -119,6 +119,58 @@ class GeoSpec extends AnyFunSuite {
     assert(math.abs(back.getDouble(1) - 48.8566) < 1e-9)
   }
 
+  test("F10: transform 4326 <-> UTM hits surveyed pairs in 3 zones, both hemispheres") {
+    // surveyed anchors (WGS84): CN Tower (17N), Eiffel Tower (31N),
+    // Sydney Opera House area (56S) — easting/northing to the meter
+    val cases = Seq(
+      (-79.387139, 43.642567, 32617, 630084.30, 4833438.59),
+      (2.2945, 48.858222, 32631, 448251.82, 5411935.12),
+      (151.215297, -33.856159, 32756, 334899.06, 6252359.83))
+    cases.foreach { case (lon, lat, epsg, e, n) =>
+      val utm = geomDf(point(lon, lat))
+        .select(Geo.stTransform(col("geometry"), 4326, epsg).as("g"))
+      val r = utm.select(Geo.stX(col("g")), Geo.stY(col("g"))).head
+      assert(math.abs(r.getDouble(0) - e) < 1.0, s"easting zone $epsg")
+      assert(math.abs(r.getDouble(1) - n) < 1.0, s"northing zone $epsg")
+      val back = utm.select(Geo.stTransform(col("g"), epsg, 4326).as("g2"))
+        .select(Geo.stX(col("g2")), Geo.stY(col("g2"))).head
+      assert(math.abs(back.getDouble(0) - lon) < 1e-8, s"round-trip lon zone $epsg")
+      assert(math.abs(back.getDouble(1) - lat) < 1e-8, s"round-trip lat zone $epsg")
+    }
+  }
+
+  test("F10: UTM invariants — central meridian at 500km false easting, equator at N=0") {
+    val df = geomDf(point(-81.0, 43.0), point(-81.0, 0.0)) // zone 17 central meridian
+    val out = df.select(Geo.stTransform(col("geometry"), 4326, 32617).as("g"))
+      .select(Geo.stX(col("g")).as("e"), Geo.stY(col("g")).as("n")).collect()
+    out.foreach(r => assert(math.abs(r.getDouble(0) - 500000.0) < 1e-6))
+    assert(math.abs(out.map(_.getDouble(1)).min - 0.0) < 1e-6)
+    // south hemisphere: just below the equator sits just under the 10,000km false northing
+    val s = geomDf(point(-81.0, -0.001))
+      .select(Geo.stTransform(col("geometry"), 4326, 32717).as("g"))
+      .select(Geo.stY(col("g"))).head.getDouble(0)
+    assert(s < 1.0e7 && s > 1.0e7 - 200)
+  }
+
+  test("F10: 3857 <-> UTM composes through 4326 consistently") {
+    val df = geomDf(point(2.2945, 48.858222))
+    val direct = df.select(Geo.stTransform(col("geometry"), 4326, 32631).as("g"))
+      .select(Geo.stX(col("g")), Geo.stY(col("g"))).head
+    val viaMerc = df.select(Geo.stTransform(
+        Geo.stTransform(col("geometry"), 4326, 3857), 3857, 32631).as("g"))
+      .select(Geo.stX(col("g")), Geo.stY(col("g"))).head
+    assert(math.abs(direct.getDouble(0) - viaMerc.getDouble(0)) < 1e-6)
+    assert(math.abs(direct.getDouble(1) - viaMerc.getDouble(1)) < 1e-6)
+    val backToMerc = df.select(Geo.stTransform(
+        Geo.stTransform(col("geometry"), 4326, 32631), 32631, 3857).as("g"))
+      .select(Geo.stX(col("g")), Geo.stY(col("g"))).head
+    val merc = df.select(Geo.stTransform(col("geometry"), 4326, 3857).as("g"))
+      .select(Geo.stX(col("g")), Geo.stY(col("g"))).head
+    // sub-cm: inverse-TM series truncation dominates
+    assert(math.abs(backToMerc.getDouble(0) - merc.getDouble(0)) < 1e-2)
+    assert(math.abs(backToMerc.getDouble(1) - merc.getDouble(1)) < 1e-2)
+  }
+
   test("S1: cleanGeometries drops empty+invalid with counts") {
     val df = geomDf(
       Row("polygon", Seq.empty[Row]),

@@ -41,6 +41,41 @@ class KrigingSpec extends AnyFunSuite {
     }
   }
 
+  test("A7 golden: equilateral triangle — hand-solved system gives the exact mean") {
+    // 3 sensors on an equilateral triangle (side 2): the single-bin
+    // empirical variogram fits a pure-nugget linear model with
+    // b = mean(0.5·Δv²) = 0.5·(4+49+25)/3 = 13. At the circumcenter
+    // (equidistant), full symmetry forces λ = (1/3,1/3,1/3) exactly:
+    // est = mean(v) = 4, variance = γ(r) + μ = b (± the 1e-10·h
+    // regularizer). Hand-derived, no reference to the implementation.
+    val s3 = math.sqrt(3.0)
+    val sensors = Seq((0.0, 0.0, 1.0), (2.0, 0.0, 3.0), (1.0, s3, 8.0)).toDF("x", "y", "v")
+    val out = Kriging.krige(sensors, "v", "linear",
+      x0 = 1.0, y0 = 1.0 / s3, nx = 1, ny = 1).head
+    assert(math.abs(out.getDouble(2) - 4.0) < 1e-8, "estimate = mean by symmetry")
+    assert(math.abs(out.getDouble(3) - 13.0) < 1e-6, "variance = nugget 13")
+  }
+
+  test("A7 golden: collinear sensors — hand-solved λ = (1/2, 1/2, 0) and exact hit") {
+    // sensors at x = 0,1,2 with v = 0,1,4. Empirical variogram:
+    // bin1 (d=1 pairs): mean(0.5·1, 0.5·9) = 2.5 at h=1.0;
+    // bin2 (d=2): 0.5·16 = 8 at h=5/3. Least-squares line:
+    // a = (8−2.5)/(5/3−1) = 8.25, b = max(0, 5.25 − 8.25·4/3) = 0.
+    // At (0.5, 0) the system solves BY HAND to λ = (1/2, 1/2, 0),
+    // μ = 0 → est = 0.5 exactly, variance = 0.5·a = 4.125.
+    // At (1, 0) — a sensor — λ = (0, 1, 0) → est = 1, variance = 0.
+    val sensors = Seq((0.0, 0.0, 0.0), (1.0, 0.0, 1.0), (2.0, 0.0, 4.0)).toDF("x", "y", "v")
+    val out = Kriging.krige(sensors, "v", "linear",
+      x0 = 0.5, y0 = 0.0, nx = 2, ny = 1, stepX = 0.5).collect()
+      .map(r => (r.getDouble(0), r.getDouble(2), r.getDouble(3))).sortBy(_._1)
+    val (_, est1, var1) = out(0)
+    val (_, est2, var2) = out(1)
+    assert(math.abs(est1 - 0.5) < 1e-8, "λ=(1/2,1/2,0) → est 0.5")
+    assert(math.abs(var1 - 4.125) < 1e-6, "variance = a/2 = 4.125")
+    assert(math.abs(est2 - 1.0) < 1e-8, "exact hit at sensor 2")
+    assert(math.abs(var2) < 1e-6, "zero variance at a sensor")
+  }
+
   test("A7: weights sum to 1 (unbiasedness) — prediction of shifted field shifts") {
     val sensors = Seq((0.0, 0.0, 1.0), (6.0, 0.0, 2.0), (0.0, 6.0, 3.0), (6.0, 6.0, 4.0))
       .toDF("x", "y", "v")
