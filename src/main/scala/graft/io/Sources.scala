@@ -8,10 +8,9 @@ import graft.core.DataIOError
   *
   * Reproduces the reference's reader cascade and directory-union
   * semantics with Spark-native readers:
-  *  - `openData` — try CSV, then JSON, raise listing what failed
-  *    (reference: src/data_preprocessing.py:444-458; xlsx leg is
-  *    documented-unsupported here: no POI jar in the image, the
-  *    error cascade contract is kept);
+  *  - `openData` — try CSV, then JSON, then XLSX (a minimal sheet-1
+  *    zip+XML parser — no POI needed), raise listing what failed
+  *    (reference: src/data_preprocessing.py:444-458);
   *  - `openSensorRecords` — per-file CSV (scrubbing `unnamed*` index
   *    artifacts) or JSON, nested fields natively addressable by dotted
   *    path — json_normalize for free (reference :602-613);
@@ -23,10 +22,11 @@ import graft.core.DataIOError
   */
 object Sources {
 
-  /** S2 — tabular reader cascade: CSV → JSON → DataIOError. A `.json`
-    * extension flips the attempt order: the CSV reader "succeeds" on
-    * JSON text by comma-splitting it, so extension is the stronger
-    * signal and the cascade remains the fallback contract. */
+  /** S2 — tabular reader cascade: CSV → JSON → XLSX → DataIOError
+    * (reference: src/data_preprocessing.py:444-458). A `.json` / `.xlsx`
+    * extension moves that attempt first: the CSV reader "succeeds" on
+    * almost any text by comma-splitting it, so extension is the
+    * stronger signal and the cascade remains the fallback contract. */
   def openData(spark: SparkSession, path: String): DataFrame = {
     val csvAttempt = "csv" -> (() => {
       val df = spark.read.option("header", "true").option("inferSchema", "true").csv(path)
@@ -38,16 +38,92 @@ object Sources {
       if (df.columns.isEmpty || df.columns.sameElements(Array("_corrupt_record")))
         sys.error("not valid JSON lines") else df
     })
+    val xlsxAttempt = "xlsx" -> (() => openXlsx(spark, path))
+    val lower = path.toLowerCase
     val attempts =
-      if (path.toLowerCase.endsWith(".json")) Seq(jsonAttempt, csvAttempt)
-      else Seq(csvAttempt, jsonAttempt)
+      if (lower.endsWith(".json")) Seq(jsonAttempt, csvAttempt, xlsxAttempt)
+      else if (lower.endsWith(".xlsx")) Seq(xlsxAttempt, csvAttempt, jsonAttempt)
+      else Seq(csvAttempt, jsonAttempt, xlsxAttempt)
     val errors = Seq.newBuilder[String]
     attempts.foreach { case (fmt, read) =>
       try return read()
       catch { case e: Exception => errors += s"$fmt: ${e.getMessage}" }
     }
-    throw DataIOError(path, errors.result().mkString("; ") +
-      "; xlsx: unsupported (no spreadsheet codec in this build)")
+    throw DataIOError(path, errors.result().mkString("; "))
+  }
+
+  /** S2 — minimal XLSX reader, sheet 1 only: an xlsx is a zip of XML,
+    * so JDK java.util.zip + DOM suffice — no POI. Supports shared and
+    * inline strings and numeric cells; row 1 is the header; column
+    * types are inferred (long → double → string) like the CSV leg.
+    *
+    * Parsed on the DRIVER by design: a spreadsheet is a config-scale
+    * input (the reference hands it to pandas.read_excel the same way,
+    * :453-456); anything big arrives as parquet/CSV/JSON. */
+  def openXlsx(spark: SparkSession, path: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    val zf = new java.util.zip.ZipFile(path)
+    val raw: Seq[Array[String]] =
+      try {
+        def parse(name: String): Option[org.w3c.dom.Document] =
+          Option(zf.getEntry(name)).map { e =>
+            javax.xml.parsers.DocumentBuilderFactory.newInstance()
+              .newDocumentBuilder().parse(zf.getInputStream(e))
+          }
+        val shared: IndexedSeq[String] = parse("xl/sharedStrings.xml").map { d =>
+          val nodes = d.getElementsByTagName("si")
+          (0 until nodes.getLength).map(i => nodes.item(i).getTextContent)
+        }.getOrElse(IndexedSeq.empty)
+        val sheet = parse("xl/worksheets/sheet1.xml")
+          .getOrElse(sys.error("no xl/worksheets/sheet1.xml entry (not an xlsx?)"))
+        def colIdx(ref: String): Int =
+          ref.takeWhile(_.isLetter).foldLeft(0)((a, c) => a * 26 + (c.toUpper - 'A' + 1)) - 1
+        val rowNodes = sheet.getElementsByTagName("row")
+        (0 until rowNodes.getLength).map { i =>
+          val r = rowNodes.item(i).asInstanceOf[org.w3c.dom.Element]
+          val cells = r.getElementsByTagName("c")
+          val m = scala.collection.mutable.Map.empty[Int, String]
+          (0 until cells.getLength).foreach { j =>
+            val c = cells.item(j).asInstanceOf[org.w3c.dom.Element]
+            val idx = colIdx(c.getAttribute("r"))
+            val t = c.getAttribute("t")
+            val vs = c.getElementsByTagName("v")
+            val v =
+              if (t == "inlineStr") c.getTextContent
+              else if (vs.getLength == 0) null
+              else if (t == "s") shared(vs.item(0).getTextContent.trim.toInt)
+              else vs.item(0).getTextContent
+            if (v != null && idx >= 0) m(idx) = v
+          }
+          if (m.isEmpty) Array.empty[String]
+          else Array.tabulate(m.keys.max + 1)(k => m.getOrElse(k, null))
+        }
+      } finally zf.close()
+    if (raw.isEmpty || raw.head.isEmpty) sys.error("xlsx sheet1 has no header row")
+    val header = raw.head.map(h => if (h == null) "" else h)
+    val data = raw.tail.map(r => Array.tabulate(header.length)(i =>
+      if (i < r.length) r(i) else null))
+    // CSV-style inference per column: long → double → string
+    def allParse(i: Int, p: String => Boolean): Boolean =
+      data.forall(r => r(i) == null || p(r(i)))
+    val types: Array[DataType] = header.indices.map { i =>
+      if (allParse(i, s => s.toLongOption.isDefined)) LongType
+      else if (allParse(i, s => s.toDoubleOption.isDefined)) DoubleType
+      else StringType
+    }.toArray
+    val schema = StructType(header.zip(types).map { case (n, t) => StructField(n, t) })
+    val rows = data.map(r => org.apache.spark.sql.Row.fromSeq(
+      header.indices.map { i =>
+        val v = r(i)
+        if (v == null) null
+        else types(i) match {
+          case LongType => v.toLong
+          case DoubleType => v.toDouble
+          case _ => v
+        }
+      }))
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows.toIndexedSeq), schema)
   }
 
   /** S3 — single sensor-record file: CSV (scrub unnamed index cols) or

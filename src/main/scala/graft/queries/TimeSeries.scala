@@ -225,5 +225,53 @@ object TimeSeries {
     "Intervals explode to covering 6h buckets, points map to one bucket, equi-join on bucket id " +
       "+ exact filter — the 1-D gridBucketJoin; a raw inequality join would be a nested loop.")
 
-  val all: Seq[Declared] = Seq(q20, q21, q22, q23, q24, q25, q53, q54)
+  /** q57 — T1+T2/A5 end-to-end STREAMING row: the events table flows
+    * through the Structured Streaming path (file stream source →
+    * StreamOps.intervalStats running conditional agg → memory sink,
+    * complete mode) and the result must hash-match a batch DuckDB
+    * oracle — the stream≡batch replay law promoted from StreamingSpec
+    * into the driver's correctness gate. */
+  val q57 = Declared(
+    "q57_stream_interval", "T1,T2,A5",
+    (s, dir) => {
+      // same TIMESTAMP(NANOS) handling as Tables.events, streaming-side
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val path = s"$dir/events.parquet"
+      val rawSchema = s.read.parquet(path).schema
+      // the file stream source wants a DIRECTORY of arriving files (its
+      // real production shape); stage the fixture as a symlink in one
+      val stage = java.nio.file.Files.createTempDirectory("graft_q57_stream")
+      java.nio.file.Files.createSymbolicLink(
+        stage.resolve("events.parquet"), java.nio.file.Paths.get(path))
+      val raw = s.readStream.schema(rawSchema).parquet(stage.toString)
+      val ev =
+        if (rawSchema("ts").dataType == org.apache.spark.sql.types.LongType)
+          raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        else raw
+      val stats = graft.streaming.StreamOps.intervalStats(
+        ev, "ts", "user_id", "value", Seq(("09:00:00", "17:00:00")))
+      val qname = "q57_mem_" + java.util.UUID.randomUUID().toString.replace("-", "")
+      val q = stats.writeStream.format("memory").queryName(qname)
+        .outputMode("complete").start()
+      graft.streaming.StreamOps.runOnce(q)
+      s.table(qname).select(col("user_id"),
+        (round(col("sum_value_090000_170000"), 2) / col("count_value_090000_170000"))
+          .as("mean_value_090000_170000"),
+        col("count_value_090000_170000"))
+        .orderBy(col("user_id"))
+    },
+    Some("""SELECT user_id,
+           |  round(sum(value) FILTER (WHERE t BETWEEN 32400 AND 61200), 2)
+           |    / count(value) FILTER (WHERE t BETWEEN 32400 AND 61200) AS mean_value_090000_170000,
+           |  count(value) FILTER (WHERE t BETWEEN 32400 AND 61200) AS count_value_090000_170000
+           |FROM (
+           |  SELECT user_id, value, hour(ts)*3600 + minute(ts)*60 + second(ts) AS t
+           |  FROM events)
+           |GROUP BY user_id
+           |ORDER BY user_id""".stripMargin),
+    "Streaming state = one agg row per user (complete-mode running totals, no watermark " +
+      "needed); the shuffle is keyed on user_id exactly like the batch twin. Production " +
+      "sinks are the parquet/foreachBatch writers in StreamOps; memory sink is the gate.")
+
+  val all: Seq[Declared] = Seq(q20, q21, q22, q23, q24, q25, q53, q54, q57)
 }

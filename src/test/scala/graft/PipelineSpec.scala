@@ -123,6 +123,40 @@ class SourcesSinksSpec extends AnyFunSuite {
     assert(e.getMessage.contains("csv") && e.getMessage.contains("json"))
   }
 
+  test("S2: openData reads a generated xlsx (sheet 1, shared strings, type inference)") {
+    // hand-built minimal xlsx: a zip with sheet1 + sharedStrings —
+    // independent of the reader under test (no POI on either side)
+    val dir = tmpDir()
+    val path = s"$dir/book.xlsx"
+    val zos = new java.util.zip.ZipOutputStream(new java.io.FileOutputStream(path))
+    def entry(name: String, content: String): Unit = {
+      zos.putNextEntry(new java.util.zip.ZipEntry(name))
+      zos.write(content.getBytes("UTF-8")); zos.closeEntry()
+    }
+    entry("xl/sharedStrings.xml",
+      """<?xml version="1.0"?><sst><si><t>id</t></si><si><t>name</t></si>""" +
+      """<si><t>score</t></si><si><t>alice</t></si><si><t>bob</t></si></sst>""")
+    entry("xl/worksheets/sheet1.xml",
+      """<?xml version="1.0"?><worksheet><sheetData>""" +
+      """<row r="1"><c r="A1" t="s"><v>0</v></c><c r="B1" t="s"><v>1</v></c><c r="C1" t="s"><v>2</v></c></row>""" +
+      """<row r="2"><c r="A2"><v>1</v></c><c r="B2" t="s"><v>3</v></c><c r="C2"><v>1.5</v></c></row>""" +
+      """<row r="3"><c r="A3"><v>2</v></c><c r="B3" t="s"><v>4</v></c><c r="C3"><v>2.5</v></c></row>""" +
+      """<row r="4"><c r="A4"><v>3</v></c><c r="C4"><v>9</v></c></row>""" + // B4 missing
+      """</sheetData></worksheet>""")
+    zos.close()
+
+    val df = graft.io.Sources.openData(spark, path)
+    assert(df.columns.toSeq == Seq("id", "name", "score"))
+    assert(df.schema("id").dataType == org.apache.spark.sql.types.LongType)
+    assert(df.schema("name").dataType == org.apache.spark.sql.types.StringType)
+    assert(df.schema("score").dataType == org.apache.spark.sql.types.DoubleType)
+    val rows = df.orderBy("id").collect()
+    assert(rows.length == 3)
+    assert(rows(0).getLong(0) == 1L && rows(0).getString(1) == "alice" &&
+      rows(0).getDouble(2) == 1.5)
+    assert(rows(2).isNullAt(1) && rows(2).getDouble(2) == 9.0) // sparse cell → null
+  }
+
   test("S3: openSensorRecords scrubs unnamed index columns (P11)") {
     val dir = tmpDir()
     val csv = s"$dir/rec.csv"
