@@ -1,0 +1,131 @@
+package graft.io
+
+import java.nio.{ByteBuffer, ByteOrder}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.types._
+import graft.core.DataIOError
+
+/** S6 — minimal ESRI Shapefile sink (POINT layer): hand-written
+  * .shp/.shx/.dbf triple per the public ESRI whitepaper format — no
+  * GDAL. Closes the reference's default `out_driver='ESRI Shapefile'`
+  * contract (src/data_preprocessing.py:156, :201-206).
+  *
+  * Scope: Point geometries + scalar attribute columns (numeric → DBF
+  * 'N', boolean → 'L', everything else → 'C' text). Assembled on the
+  * DRIVER by design: a shapefile is a single-file (non-splittable,
+  * 2 GB-capped) format, so it is a RESULT-scale sink — the same regime
+  * as `Sinks.write(singleFile = true)`; bulk data belongs in parquet.
+  */
+object Shapefile {
+
+  /** Write `df` (one geometry-struct column + attributes) as
+    * `basePath.shp` / `.shx` / `.dbf`. Returns the row count. */
+  def writePoints(df: DataFrame, basePath: String): Int = {
+    import graft.geo.Geo
+    val geomField = df.schema.fields
+      .find(f => f.dataType.catalogString == Geo.geometryType.catalogString)
+      .getOrElse(throw DataIOError(basePath, "shapefile sink needs a geometry column"))
+    val attrs = df.schema.fields.filter(_.name != geomField.name).toIndexedSeq
+    val rows = df.select(
+      (Seq(Geo.stX(col(geomField.name)).as("__x"), Geo.stY(col(geomField.name)).as("__y")) ++
+        attrs.map(a => col(a.name))): _*).collect()
+    val n = rows.length
+    val xs = rows.map(_.getDouble(0)); val ys = rows.map(_.getDouble(1))
+    val (xmin, xmax) = if (n == 0) (0.0, 0.0) else (xs.min, xs.max)
+    val (ymin, ymax) = if (n == 0) (0.0, 0.0) else (ys.min, ys.max)
+
+    def mainHeader(fileWords: Int): Array[Byte] = {
+      val b = ByteBuffer.allocate(100)
+      b.order(ByteOrder.BIG_ENDIAN)
+      b.putInt(0, 9994)               // file code
+      b.putInt(24, fileWords)         // length in 16-bit words
+      b.order(ByteOrder.LITTLE_ENDIAN)
+      b.putInt(28, 1000)              // version
+      b.putInt(32, 1)                 // shape type: Point
+      b.putDouble(36, xmin); b.putDouble(44, ymin)
+      b.putDouble(52, xmax); b.putDouble(60, ymax)
+      b.array()
+    }
+
+    // .shp — 100-byte header + per record: 8-byte record header (BE) +
+    // 20-byte point content (LE shape type, x, y)
+    val shp = ByteBuffer.allocate(100 + n * 28)
+    shp.put(mainHeader((100 + n * 28) / 2))
+    rows.zipWithIndex.foreach { case (r, i) =>
+      shp.order(ByteOrder.BIG_ENDIAN)
+      shp.putInt(i + 1)               // record number, 1-based
+      shp.putInt(10)                  // content length in words
+      shp.order(ByteOrder.LITTLE_ENDIAN)
+      shp.putInt(1)                   // Point
+      shp.putDouble(r.getDouble(0)); shp.putDouble(r.getDouble(1))
+    }
+    java.nio.file.Files.write(java.nio.file.Paths.get(basePath + ".shp"), shp.array())
+
+    // .shx — same header + per record: offset (words) + content length
+    val shx = ByteBuffer.allocate(100 + n * 8)
+    shx.put(mainHeader((100 + n * 8) / 2))
+    shx.order(ByteOrder.BIG_ENDIAN)
+    (0 until n).foreach { i => shx.putInt((100 + i * 28) / 2); shx.putInt(10) }
+    java.nio.file.Files.write(java.nio.file.Paths.get(basePath + ".shx"), shx.array())
+
+    // .dbf — dBase III: attribute table (always present, even with 0 fields)
+    final case class F(name: String, kind: Char, len: Int, dec: Int,
+        fmt: org.apache.spark.sql.Row => String)
+    def text(v: Any): String = if (v == null) "" else v.toString
+    val fields: IndexedSeq[F] = attrs.zipWithIndex.map { case (a, i) =>
+      val idx = i + 2
+      a.dataType match {
+        case ByteType | ShortType | IntegerType | LongType =>
+          F(a.name, 'N', 19, 0, r => if (r.isNullAt(idx)) "" else r.get(idx).toString)
+        case FloatType | DoubleType | _: DecimalType =>
+          F(a.name, 'N', 19, 6, r =>
+            if (r.isNullAt(idx)) ""
+            else BigDecimal(r.get(idx).toString).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+              .bigDecimal.toPlainString)
+        case BooleanType =>
+          F(a.name, 'L', 1, 0, r => if (r.isNullAt(idx)) "?"
+            else if (r.getBoolean(idx)) "T" else "F")
+        case _ =>
+          val w = math.max(1, math.min(254,
+            if (rows.isEmpty) 1 else rows.map(r => text(r.get(idx)).length).max))
+          F(a.name, 'C', w, 0, r => text(r.get(idx)).take(w))
+      }
+    }
+    val recLen = 1 + fields.map(_.len).sum
+    val headLen = 32 + 32 * fields.length + 1
+    val dbf = ByteBuffer.allocate(headLen + n * recLen + 1)
+    dbf.order(ByteOrder.LITTLE_ENDIAN)
+    dbf.put(0, 0x03.toByte)
+    dbf.put(1, 95.toByte); dbf.put(2, 7.toByte); dbf.put(3, 26.toByte) // fixed date stamp
+    dbf.putInt(4, n)
+    dbf.putShort(8, headLen.toShort)
+    dbf.putShort(10, recLen.toShort)
+    fields.zipWithIndex.foreach { case (f, i) =>
+      val off = 32 + 32 * i
+      val nameBytes = f.name.getBytes("US-ASCII").take(10)
+      (0 until nameBytes.length).foreach(j => dbf.put(off + j, nameBytes(j)))
+      dbf.put(off + 11, f.kind.toByte)
+      dbf.put(off + 16, f.len.toByte)
+      dbf.put(off + 17, f.dec.toByte)
+    }
+    dbf.put(32 + 32 * fields.length, 0x0D.toByte)
+    var pos = headLen
+    rows.foreach { r =>
+      dbf.put(pos, ' '.toByte); pos += 1 // not-deleted flag
+      fields.foreach { f =>
+        val s = f.fmt(r)
+        val bytes = s.getBytes("US-ASCII")
+        // 'N' right-justified, 'C' left-justified, space-padded
+        val pad = f.len - bytes.length
+        val (lead, trail) = if (f.kind == 'N') (pad, 0) else (0, pad)
+        (0 until lead).foreach(_ => { dbf.put(pos, ' '.toByte); pos += 1 })
+        bytes.foreach(b => { dbf.put(pos, b); pos += 1 })
+        (0 until trail).foreach(_ => { dbf.put(pos, ' '.toByte); pos += 1 })
+      }
+    }
+    dbf.put(pos, 0x1A.toByte) // EOF
+    java.nio.file.Files.write(java.nio.file.Paths.get(basePath + ".dbf"), dbf.array())
+    n
+  }
+}

@@ -8,7 +8,8 @@ import org.apache.spark.sql.DataFrame
   * GDAL driver, and — critically — SWALLOWS write failures: the
   * exception is printed and the result is still returned
   * (reference: src/data_preprocessing.py:201-206). `writeSafe` keeps
-  * that contract. Shapefile output is documented-unsupported (no GDAL);
+  * that contract. Shapefile output goes through [[Shapefile]] (a
+  * hand-written point-layer .shp/.shx/.dbf triple — no GDAL needed);
   * GeoJSON maps to Spark's json writer with geometry columns rendered
   * by graft.geo before sinking.
   */
@@ -32,7 +33,9 @@ object Sinks {
     "parquet" -> ((df, path) => df.write.mode("overwrite").parquet(path)),
     "json" -> ((df, path) => df.write.mode("overwrite").json(path)),
     "geojson" -> ((df, path) => renderGeometry(df).write.mode("overwrite").json(path)),
-    "csv" -> ((df, path) => df.write.mode("overwrite").option("header", "true").csv(path)))
+    "csv" -> ((df, path) => df.write.mode("overwrite").option("header", "true").csv(path)),
+    "shapefile" -> ((df, path) => Shapefile.writePoints(df, path)),
+    "esri shapefile" -> ((df, path) => Shapefile.writePoints(df, path)))
 
   def known: Seq[String] = formats.keys.toSeq.sorted
 
@@ -42,9 +45,7 @@ object Sinks {
       singleFile: Boolean = false): Unit = {
     val writer = formats.getOrElse(format.toLowerCase,
       throw graft.core.DataIOError(path,
-        s"unknown sink format '$format'; known: ${known.mkString(", ")}" +
-          (if (format.equalsIgnoreCase("shapefile") || format.equalsIgnoreCase("esri shapefile"))
-            " (Shapefile needs GDAL — unsupported in this build)" else "")))
+        s"unknown sink format '$format'; known: ${known.mkString(", ")}"))
     writer(if (singleFile) df.coalesce(1) else df, path)
   }
 

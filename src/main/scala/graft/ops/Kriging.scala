@@ -104,6 +104,54 @@ object Kriging {
     }
   }
 
+  /** Weighted variogram fit (pykrige's `weight=True` refinement,
+    * src/data_preprocessing.py:392-421 via pykrige 1.4): residuals are
+    * weighted by DESCENDING lag order (w_i ∝ nBins − i, normalized), so
+    * the near-origin structure — what kriging weights actually depend
+    * on — dominates the fit instead of the noisy far-lag plateau.
+    *
+    * linear/power keep their closed-form solutions (weighting those is
+    * a 2×2 normal-equation change with no behavioural payoff); the
+    * three curved models refine the moment seed by a deterministic
+    * bounded pattern search on (sill, range, nugget) minimizing
+    * Σ wᵢ (γ_model(hᵢ) − γᵢ)². Driver-side, O(iters·nBins), nBins ≤ ~10. */
+  def fitVariogramWeighted(emp: Array[(Double, Double, Long)], model: String): Variogram =
+    model match {
+      case "linear" | "power" => fitVariogram(emp, model)
+      case m @ ("gaussian" | "spherical" | "exponential") =>
+        val hs = emp.map(_._1); val gs = emp.map(_._2)
+        val wRaw = hs.indices.map(i => (hs.length - i).toDouble)
+        val w = wRaw.map(_ / wRaw.sum).toArray
+        def loss(p: Array[Double]): Double = {
+          val vg = Variogram(m, p)
+          hs.indices.map(i => w(i) * math.pow(vg.gamma(hs(i)) - gs(i), 2)).sum
+        }
+        var best = fitVariogram(emp, m).params.clone()
+        var bestLoss = loss(best)
+        var step = 0.25
+        var iter = 0
+        while (step > 1e-4 && iter < 400) {
+          var improved = false
+          var j = 0
+          while (j < 3) {
+            for (dir <- Seq(1.0 + step, 1.0 / (1.0 + step))) {
+              val cand = best.clone()
+              cand(j) = math.max(if (j == 2) 0.0 else 1e-12, cand(j) * dir)
+              // nugget can start at 0 — multiplicative moves never leave it;
+              // give it an additive probe scaled by the sill
+              if (j == 2 && best(2) == 0.0) cand(2) = best(0) * step * 0.1
+              val l = loss(cand)
+              if (l < bestLoss - 1e-15) { best = cand; bestLoss = l; improved = true }
+            }
+            j += 1
+          }
+          if (!improved) step /= 2
+          iter += 1
+        }
+        Variogram(m, best)
+      case other => sys.error(s"unknown variogram model '$other'")
+    }
+
   /** LU decomposition with partial pivoting (in place); returns pivots. */
   def luFactor(a: Array[Array[Double]]): Array[Int] = {
     val n = a.length
@@ -138,7 +186,8 @@ object Kriging {
   def krige(
       sensors: DataFrame, valueCol: String, model: String = "linear",
       x0: Double = 0, y0: Double = 0, nx: Int = 10, ny: Int = 10,
-      stepX: Double = 1, stepY: Double = 1, nBins: Int = 6): DataFrame = {
+      stepX: Double = 1, stepY: Double = 1, nBins: Int = 6,
+      weightedFit: Boolean = false): DataFrame = {
     val spark = sensors.sparkSession
 
     // bounded driver collect — same regime as the reference feeding pykrige.
@@ -149,7 +198,9 @@ object Kriging {
       .collect()
       .map(r => (r.getDouble(0), r.getDouble(1), r.getDouble(2)))
     require(pts.length >= 3, "kriging needs >= 3 sensors")
-    val vario = fitVariogram(empiricalVariogram(pts, math.min(nBins, pts.length)), model)
+    val emp = empiricalVariogram(pts, math.min(nBins, pts.length))
+    val vario =
+      if (weightedFit) fitVariogramWeighted(emp, model) else fitVariogram(emp, model)
 
     // ordinary kriging system: K λ = k, K = [[γ(dij), 1], [1, 0]]
     val n = pts.length

@@ -76,6 +76,31 @@ class KrigingSpec extends AnyFunSuite {
     assert(math.abs(var2) < 1e-6, "zero variance at a sensor")
   }
 
+  test("A7: weighted variogram fit recovers a known model and resists far-lag noise") {
+    // exact spherical gammas: the weighted refinement must (a) fit exact
+    // data essentially exactly, and (b) beat the moment fit when the
+    // far-lag plateau is corrupted
+    val sill = 10.0; val range = 8.0
+    def sph(h: Double): Double =
+      if (h >= range) sill else sill * (1.5 * h / range - 0.5 * math.pow(h / range, 3))
+    val hs = Array(1.0, 2.0, 3.0, 4.0, 5.0, 6.0, 7.0, 9.0)
+    val exact = hs.map(h => (h, sph(h), 10L))
+    val fitted = Kriging.fitVariogramWeighted(exact, "spherical")
+    val maxErr = hs.map(h => math.abs(fitted.gamma(h) - sph(h))).max
+    assert(maxErr < 0.05, s"weighted fit off by $maxErr on exact data")
+
+    // corrupt the two farthest lags (measurement noise at the plateau)
+    val noisy = exact.zipWithIndex.map { case ((h, g, n), i) =>
+      (h, if (i >= 6) g * 1.8 else g, n)
+    }
+    def nearErr(v: Kriging.Variogram): Double =
+      hs.take(5).map(h => math.abs(v.gamma(h) - sph(h))).max
+    val weighted = Kriging.fitVariogramWeighted(noisy, "spherical")
+    val moment = Kriging.fitVariogram(noisy, "spherical")
+    assert(nearErr(weighted) < nearErr(moment),
+      s"weighted ${nearErr(weighted)} should beat moment ${nearErr(moment)} near the origin")
+  }
+
   test("A7: weights sum to 1 (unbiasedness) — prediction of shifted field shifts") {
     val sensors = Seq((0.0, 0.0, 1.0), (6.0, 0.0, 2.0), (0.0, 6.0, 3.0), (6.0, 6.0, 4.0))
       .toDF("x", "y", "v")

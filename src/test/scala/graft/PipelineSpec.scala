@@ -186,6 +186,39 @@ class SourcesSinksSpec extends AnyFunSuite {
     assert(err.isDefined) // failure captured, no throw
     val dir = tmpDir()
     assert(graft.io.Sinks.writeSafe(df, s"$dir/ok", "json", singleFile = true).isEmpty)
-    assert(graft.io.Sinks.writeSafe(df, s"$dir/x", "shapefile").get.contains("GDAL"))
+    // shapefile sink needs a geometry column — failure swallowed, reported
+    assert(graft.io.Sinks.writeSafe(df, s"$dir/x", "shapefile").get.contains("geometry"))
+  }
+
+  test("S6: shapefile sink writes a parseable .shp/.shx/.dbf point layer") {
+    import graft.geo.Geo
+    val dir = tmpDir()
+    val df = Seq((1L, "alpha", 1.5, 2.0, 3.0), (2L, "bravo", -2.25, -4.0, 8.5))
+      .toDF("id", "name", "v", "x", "y")
+      .select(col("id"), col("name"), col("v"),
+        Geo.stPoint(col("x"), col("y")).as("geometry"))
+    graft.io.Sinks.write(df, s"$dir/pts", "ESRI Shapefile")
+
+    val shp = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(s"$dir/pts.shp"))
+    val bb = java.nio.ByteBuffer.wrap(shp)
+    assert(bb.getInt(0) == 9994)                      // file code (BE)
+    assert(bb.getInt(24) * 2 == shp.length)           // length in words
+    bb.order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    assert(bb.getInt(28) == 1000 && bb.getInt(32) == 1) // version, Point type
+    assert(bb.getDouble(36) == -4.0 && bb.getDouble(44) == 3.0) // bbox xmin,ymin
+    // record 1: 8-byte header then LE (type=1, x, y)
+    assert(bb.getInt(100 + 8) == 1)
+    assert(bb.getDouble(100 + 12) == 2.0 && bb.getDouble(100 + 20) == 3.0)
+
+    val shx = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(s"$dir/pts.shx"))
+    assert((shx.length - 100) / 8 == 2)               // 2 index records
+
+    val dbf = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(s"$dir/pts.dbf"))
+    val db = java.nio.ByteBuffer.wrap(dbf).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    assert(db.get(0) == 0x03.toByte && db.getInt(4) == 2) // dBase III, 2 records
+    val headLen = db.getShort(8); val recLen = db.getShort(10)
+    assert(headLen == 32 + 32 * 3 + 1)                // 3 attribute fields
+    val rec1 = new String(dbf, headLen, recLen, "US-ASCII")
+    assert(rec1.contains("1") && rec1.contains("alpha") && rec1.contains("1.500000"))
   }
 }
