@@ -28,7 +28,11 @@ object Bench {
       catch { case e: Throwable =>
         System.err.println(s"[bench] $name failed: ${e.getMessage}"); return -1.0
       }
-      (System.nanoTime() - t0) / 1e9
+      val dt = (System.nanoTime() - t0) / 1e9
+      // scope operator-cached intermediates (e.g. kNN candidates) to the
+      // run that created them — 110 executions must not accumulate blocks
+      spark.catalog.clearCache()
+      dt
     }
 
     val names = queries.Declared.all.map(_.name)

@@ -361,9 +361,15 @@ object Geo {
             (radians(ll.getField("x")) * R).as("x"),
             (log(tan(lit(math.Pi / 4) + radians(ll.getField("y")) / 2)) * R).as("y"))
         }
+      case (f, t) if utmZone(f).isDefined && utmZone(t).isDefined =>
+        // re-zoning (routine near zone boundaries): compose through 4326
+        val (zf, nf) = utmZone(f).get
+        val (zt, nt) = utmZone(t).get
+        p => llToUtm(zt, nt)(utmToLl(zf, nf)(p))
       case (f, t) =>
         throw graft.core.MissingCRS(
-          s"transform $f -> $t unsupported (4326/3857/UTM 326xx/327xx only)")
+          s"transform $f -> $t unsupported (4326, 3857, UTM 326xx/327xx " +
+            "and compositions among them only)")
     }
     struct(stKind(g).as("kind"), transform(pts(g), p => tx(p)).as("points"))
   }

@@ -73,16 +73,26 @@ object Shapefile {
     final case class F(name: String, kind: Char, len: Int, dec: Int,
         fmt: org.apache.spark.sql.Row => String)
     def text(v: Any): String = if (v == null) "" else v.toString
+    // DBF 'N' fields are fixed-width ASCII: a value that cannot be
+    // represented in `len` chars (overflow, NaN, Infinity) is written
+    // blank (= null) rather than overrunning the record layout
+    def numClamp(len: Int)(s: String): String = if (s.length > len) "" else s
     val fields: IndexedSeq[F] = attrs.zipWithIndex.map { case (a, i) =>
       val idx = i + 2
       a.dataType match {
         case ByteType | ShortType | IntegerType | LongType =>
-          F(a.name, 'N', 19, 0, r => if (r.isNullAt(idx)) "" else r.get(idx).toString)
+          F(a.name, 'N', 19, 0, r =>
+            if (r.isNullAt(idx)) "" else numClamp(19)(r.get(idx).toString))
         case FloatType | DoubleType | _: DecimalType =>
           F(a.name, 'N', 19, 6, r =>
             if (r.isNullAt(idx)) ""
-            else BigDecimal(r.get(idx).toString).setScale(6, BigDecimal.RoundingMode.HALF_UP)
-              .bigDecimal.toPlainString)
+            else {
+              val raw = r.get(idx).toString
+              if (raw == "NaN" || raw.endsWith("Infinity")) ""
+              else numClamp(19)(
+                BigDecimal(raw).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+                  .bigDecimal.toPlainString)
+            })
         case BooleanType =>
           F(a.name, 'L', 1, 0, r => if (r.isNullAt(idx)) "?"
             else if (r.getBoolean(idx)) "T" else "F")

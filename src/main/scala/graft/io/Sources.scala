@@ -67,8 +67,13 @@ object Sources {
       try {
         def parse(name: String): Option[org.w3c.dom.Document] =
           Option(zf.getEntry(name)).map { e =>
-            javax.xml.parsers.DocumentBuilderFactory.newInstance()
-              .newDocumentBuilder().parse(zf.getInputStream(e))
+            val dbf = javax.xml.parsers.DocumentBuilderFactory.newInstance()
+            // XXE hardening: spreadsheet XML needs no DTDs or external
+            // entities — refuse them outright
+            dbf.setFeature("http://apache.org/xml/features/disallow-doctype-decl", true)
+            dbf.setXIncludeAware(false)
+            dbf.setExpandEntityReferences(false)
+            dbf.newDocumentBuilder().parse(zf.getInputStream(e))
           }
         val shared: IndexedSeq[String] = parse("xl/sharedStrings.xml").map { d =>
           val nodes = d.getElementsByTagName("si")
@@ -83,9 +88,14 @@ object Sources {
           val r = rowNodes.item(i).asInstanceOf[org.w3c.dom.Element]
           val cells = r.getElementsByTagName("c")
           val m = scala.collection.mutable.Map.empty[Int, String]
+          var lastIdx = -1
           (0 until cells.getLength).foreach { j =>
             val c = cells.item(j).asInstanceOf[org.w3c.dom.Element]
-            val idx = colIdx(c.getAttribute("r"))
+            // the r= cell reference is optional (ECMA-376): without it
+            // the cell takes the next sequential column
+            val ref = c.getAttribute("r")
+            val idx = if (ref.isEmpty) lastIdx + 1 else colIdx(ref)
+            lastIdx = idx
             val t = c.getAttribute("t")
             val vs = c.getElementsByTagName("v")
             val v =

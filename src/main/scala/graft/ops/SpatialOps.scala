@@ -96,18 +96,28 @@ object SpatialOps {
     * Turns a cartesian into a shuffle-equi-join keyed by space. */
   def gridBucketJoin(
       sensors: DataFrame, features: DataFrame, radius: Double,
+      cell: Double): DataFrame =
+    cellJoin(
+      sensors.select(col("id_sensor"), col("x").as("sx"), col("y").as("sy")),
+      features, radius, cell)
+
+  /** Shared cell-bucket core: `probe` carries (sx, sy) plus any payload
+    * columns; each probe point explodes to the 3×3 cells its disc can
+    * touch, features map to their containing cell, equi-join on cell id,
+    * exact distance post-filter. Output: features.* + probe.*. */
+  private def cellJoin(probe: DataFrame, features: DataFrame, radius: Double,
       cell: Double): DataFrame = {
     require(cell >= radius, "cell must be >= radius so a disc spans <= 4 cells")
-    val s = sensors
-      .withColumn("cx", floor(col("x") / cell).cast("long"))
-      .withColumn("cy", floor(col("y") / cell).cast("long"))
+    val s = probe
+      .withColumn("cx", floor(col("sx") / cell).cast("long"))
+      .withColumn("cy", floor(col("sy") / cell).cast("long"))
       .withColumn("gx", explode(sequence(col("cx") - 1, col("cx") + 1)))
       .withColumn("gy", explode(sequence(col("cy") - 1, col("cy") + 1)))
       // keep only cells the disc can actually touch
       .filter(
-        (col("x") - (col("gx") + 1) * cell <= radius) && ((col("gx") * cell) - col("x") <= radius) &&
-        (col("y") - (col("gy") + 1) * cell <= radius) && ((col("gy") * cell) - col("y") <= radius))
-      .select(col("id_sensor"), col("x").as("sx"), col("y").as("sy"), col("gx"), col("gy"))
+        (col("sx") - (col("gx") + 1) * cell <= radius) && ((col("gx") * cell) - col("sx") <= radius) &&
+        (col("sy") - (col("gy") + 1) * cell <= radius) && ((col("gy") * cell) - col("sy") <= radius))
+      .drop("cx", "cy")
     val f = ensureParallelism(features)
       .withColumn("gx", floor(col("x") / cell).cast("long"))
       .withColumn("gy", floor(col("y") / cell).cast("long"))
@@ -123,10 +133,17 @@ object SpatialOps {
     * degenerate feature set: brute-force instead. */
   private[graft] def estimateKnnRadius(stats: org.apache.spark.sql.Row, k: Int): Option[Double] = {
     if (stats.isNullAt(0) || stats.getLong(4) <= k.toLong * 16) return None
-    val area = (stats.getDouble(1) - stats.getDouble(0)) *
-      (stats.getDouble(3) - stats.getDouble(2))
-    if (!(area > 0)) return None
-    val rad = math.sqrt(16.0 * k * area / (math.Pi * stats.getLong(4)))
+    val n = stats.getLong(4)
+    val ex = stats.getDouble(1) - stats.getDouble(0)
+    val ey = stats.getDouble(3) - stats.getDouble(2)
+    val area = ex * ey
+    val rad =
+      if (area > 0) math.sqrt(16.0 * k * area / (math.Pi * n))
+      // degenerate (collinear) extent: 1-D density — an interval of
+      // length 2r should hold ~16k features. Keeps a huge collinear
+      // feature set off the unpruned brute path.
+      else if (math.max(ex, ey) > 0) 8.0 * k * math.max(ex, ey) / n
+      else return None // point-mass features: every distance ties; brute is one window
     if (rad > 0 && java.lang.Double.isFinite(rad)) Some(rad) else None
   }
 
@@ -171,8 +188,14 @@ object SpatialOps {
       .orderBy(col("d2").asc, col(featureId).asc)
     def topkOf(pairs: DataFrame): DataFrame =
       pairs.withColumn("__rn", row_number().over(w)).filter(col("__rn") <= k)
-    def brutePairs(pos: DataFrame): DataFrame =
-      ensureParallelism(features).join(broadcast(pos))
+    // broadcast hint ONLY when the caller has PROVEN the position set
+    // small (the adaptive branch counts it); un-hinted callers (pruned
+    // fallback, forced brute) leave the strategy to the planner, so a
+    // degenerate path with an unbounded position set cannot force a
+    // driver-side broadcast materialization
+    def brutePairs(pos: DataFrame, hintBroadcast: Boolean = false): DataFrame =
+      ensureParallelism(features)
+        .crossJoin(if (hintBroadcast) broadcast(pos) else pos)
         .withColumn("d2", dist2(col("sx"), col("sy"), col("x"), col("y")))
     val pos = sensors.select(col("x").as("sx"), col("y").as("sy")).distinct()
 
@@ -180,7 +203,7 @@ object SpatialOps {
       // cached: the bounded candidate set (~16k rows per position,
       // MEMORY_AND_DISK — spills, never OOMs); evaluated once, read by
       // both the solved branch and the unsolved anti-join
-      val cand = posBucketJoin(pos, features, r, cell = r)
+      val cand = cellJoin(pos, features, r, cell = r)
         .withColumn("d2", dist2(col("sx"), col("sy"), col("x"), col("y")))
         .cache()
       val ranked = cand
@@ -207,7 +230,7 @@ object SpatialOps {
         // brute also requires a broadcastable position set
         if (nF == 0 || nPos == 0 ||
             (nPos <= 4L * 1000 * 1000 && nF <= knnBrutePairBudget / math.max(nPos, 1L)))
-          topkOf(brutePairs(pos))
+          topkOf(brutePairs(pos, hintBroadcast = true))
         else estimateKnnRadius(fStats, k) match {
           case Some(r) => pruned(r)
           case None => topkOf(brutePairs(pos))
@@ -223,27 +246,6 @@ object SpatialOps {
       .drop("sx", "sy")
   }
 
-  /** [[gridBucketJoin]] keyed on raw (sx, sy) positions instead of an
-    * id column — the kNN candidate generator. Same cell math. */
-  private def posBucketJoin(pos: DataFrame, features: DataFrame, radius: Double,
-      cell: Double): DataFrame = {
-    require(cell >= radius, "cell must be >= radius so a disc spans <= 4 cells")
-    val s = pos
-      .withColumn("cx", floor(col("sx") / cell).cast("long"))
-      .withColumn("cy", floor(col("sy") / cell).cast("long"))
-      .withColumn("gx", explode(sequence(col("cx") - 1, col("cx") + 1)))
-      .withColumn("gy", explode(sequence(col("cy") - 1, col("cy") + 1)))
-      .filter(
-        (col("sx") - (col("gx") + 1) * cell <= radius) && ((col("gx") * cell) - col("sx") <= radius) &&
-        (col("sy") - (col("gy") + 1) * cell <= radius) && ((col("gy") * cell) - col("sy") <= radius))
-      .select(col("sx"), col("sy"), col("gx"), col("gy"))
-    val f = features
-      .withColumn("gx", floor(col("x") / cell).cast("long"))
-      .withColumn("gy", floor(col("y") / cell).cast("long"))
-    f.join(s, Seq("gx", "gy"))
-      .filter(dist2(col("sx"), col("sy"), col("x"), col("y")) <= radius * radius)
-      .drop("gx", "gy")
-  }
 
   /** A3 — raster buffer stats over the cell-table model: per sensor,
     * per band, stats of non-nodata cell values within the buffer.

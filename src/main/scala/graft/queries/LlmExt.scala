@@ -151,7 +151,7 @@ object LlmExt {
            |  SELECT doc_id, text FROM documents WHERE doc_id < 100
            |  UNION ALL
            |  SELECT doc_id + 100000, text || ' mutationtoken' FROM documents WHERE doc_id < 100),
-           |t AS (SELECT doc_id, string_split(lower(text), ' ') AS toks FROM corpus),
+           |t AS (SELECT doc_id, regexp_split_to_array(lower(text), '\s+') AS toks FROM corpus),
            |st AS (SELECT doc_id, toks, unnest(range(1, len(toks) - 2 + 1)) AS i
            |       FROM t WHERE len(toks) >= 3),
            |sh AS (SELECT DISTINCT doc_id,
@@ -193,7 +193,7 @@ object LlmExt {
            |  SELECT doc_id, text FROM documents WHERE doc_id < 100
            |  UNION ALL
            |  SELECT doc_id + 100000, text || ' zz' FROM documents WHERE doc_id < 100),
-           |tok AS (SELECT DISTINCT doc_id, unnest(string_split(lower(text), ' ')) AS w
+           |tok AS (SELECT DISTINCT doc_id, unnest(regexp_split_to_array(lower(text), '\s+')) AS w
            |        FROM corpus),
            |th AS (
            |  SELECT doc_id, w,
@@ -245,7 +245,7 @@ object LlmExt {
         s"CAST(len(list_filter(toks, t -> list_contains([$words], t))) AS DOUBLE)" +
           s" / greatest(len(toks), 1) AS s_$l"
       }
-      s"""WITH t AS (SELECT lang, string_split(lower(text), ' ') AS toks FROM documents),
+      s"""WITH t AS (SELECT lang, regexp_split_to_array(lower(text), '\\s+') AS toks FROM documents),
          |s AS (SELECT lang, ${score("de")}, ${score("en")}, ${score("es")}, ${score("fr")}
          |      FROM t),
          |p AS (

@@ -239,10 +239,12 @@ object TimeSeries {
       val path = s"$dir/events.parquet"
       val rawSchema = s.read.parquet(path).schema
       // the file stream source wants a DIRECTORY of arriving files (its
-      // real production shape); stage the fixture as a symlink in one
+      // real production shape); stage the fixture as a symlink in one.
+      // Absolute target — a relative sfDir would make the link dangle.
       val stage = java.nio.file.Files.createTempDirectory("graft_q57_stream")
       java.nio.file.Files.createSymbolicLink(
-        stage.resolve("events.parquet"), java.nio.file.Paths.get(path))
+        stage.resolve("events.parquet"),
+        java.nio.file.Paths.get(path).toAbsolutePath)
       val raw = s.readStream.schema(rawSchema).parquet(stage.toString)
       val ev =
         if (rawSchema("ts").dataType == org.apache.spark.sql.types.LongType)
@@ -253,7 +255,11 @@ object TimeSeries {
       val qname = "q57_mem_" + java.util.UUID.randomUUID().toString.replace("-", "")
       val q = stats.writeStream.format("memory").queryName(qname)
         .outputMode("complete").start()
-      graft.streaming.StreamOps.runOnce(q)
+      try graft.streaming.StreamOps.runOnce(q)
+      finally { // the memory table owns the data now; drop the staging dir
+        java.nio.file.Files.deleteIfExists(stage.resolve("events.parquet"))
+        java.nio.file.Files.deleteIfExists(stage)
+      }
       s.table(qname).select(col("user_id"),
         (round(col("sum_value_090000_170000"), 2) / col("count_value_090000_170000"))
           .as("mean_value_090000_170000"),

@@ -171,6 +171,17 @@ class GeoSpec extends AnyFunSuite {
     assert(math.abs(backToMerc.getDouble(1) - merc.getDouble(1)) < 1e-2)
   }
 
+  test("F10: UTM re-zoning (17N -> 18N) round-trips through the zone boundary") {
+    val (lon, lat) = (-78.2, 41.0) // near the 17/18 boundary at 78W
+    val rezoned = geomDf(point(lon, lat))
+      .select(Geo.stTransform(
+        Geo.stTransform(col("geometry"), 4326, 32617), 32617, 32618).as("g"))
+    val back = rezoned.select(Geo.stTransform(col("g"), 32618, 4326).as("b"))
+      .select(Geo.stX(col("b")), Geo.stY(col("b"))).head
+    assert(math.abs(back.getDouble(0) - lon) < 1e-7)
+    assert(math.abs(back.getDouble(1) - lat) < 1e-7)
+  }
+
   test("S1: cleanGeometries drops empty+invalid with counts") {
     val df = geomDf(
       Row("polygon", Seq.empty[Row]),
