@@ -36,14 +36,26 @@ object TextAnalysis {
     size(filter(toks, t => t.isin(sw: _*))) / greatest(size(toks), lit(1)).cast("double")
   }
 
-  /** Language ID: argmax of stopword hit ratio; "und" (undetermined)
-    * when no profile scores above `minRatio`. */
-  def langId(text: Column, minRatio: Double = 0.02): Column = {
+  /** Language ID over a PRE-TOKENIZED array column: argmax of stopword
+    * hit ratio; "und" (undetermined) when no profile scores above
+    * `minRatio`. Callers should project `tokens(text)` into a named
+    * column first — Catalyst's CollapseProject keeps a non-cheap
+    * expression referenced this many times in its own projection, so
+    * the split runs once per row instead of once per stopword filter
+    * (16× in the inlined form). */
+  def langIdFromTokens(toks: Column, minRatio: Double = 0.02): Column = {
+    val n = greatest(size(toks), lit(1)).cast("double")
     val scored = stopwords.keys.toSeq.sorted.map(l => struct(
-      stopwordRatio(text, l).as("score"), lit(l).as("lang")))
+      (size(filter(toks, t => t.isin(stopwords(l): _*))) / n).as("score"),
+      lit(l).as("lang")))
     val best = array_max(array(scored: _*))
     when(best.getField("score") >= minRatio, best.getField("lang")).otherwise(lit("und"))
   }
+
+  /** Language ID from raw text (single-expression convenience; prefer
+    * [[langIdFromTokens]] over a named token column in wide scans). */
+  def langId(text: Column, minRatio: Double = 0.02): Column =
+    langIdFromTokens(tokens(text), minRatio)
 
   /** Quality features + a composite score in [0,1]: length band,
     * mean word length band, punctuation ratio, all-caps ratio.

@@ -234,7 +234,10 @@ object LlmExt {
     "q47_lang_id", "E4",
     (s, dir) => {
       Tables.documents(s, dir)
-        .withColumn("pred_lang", TextAnalysis.langId(col("text")))
+        // tokenize in a named projection: the split runs once per row,
+        // not once per stopword filter (see langIdFromTokens)
+        .select(col("lang"), TextAnalysis.tokens(col("text")).as("toks"))
+        .select(col("lang"), TextAnalysis.langIdFromTokens(col("toks")).as("pred_lang"))
         .groupBy(col("lang"), col("pred_lang"))
         .agg(count(lit(1)).as("n"))
         .orderBy(col("lang"), col("pred_lang"))

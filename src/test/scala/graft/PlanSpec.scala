@@ -1,0 +1,54 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.ext.TextAnalysis
+
+/** Plan-shape regressions: properties of the PHYSICAL plan that keep
+  * the engine honest at 100 TB — filter/column pushdown into the
+  * parquet scan, and single evaluation of named expensive expressions.
+  * (Value-correctness lives in the oracle gate; these pin the plans.) */
+class PlanSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private def planString(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("extended"))
+
+  test("q02's filter and projection reach the parquet scan") {
+    val dir = "/root/testdata/sf0.001"
+    assume(new java.io.File(s"$dir/lineitem.parquet").exists())
+    val plan = planString(SparkEntry.queries("q02_filter_project")(spark, dir))
+    assert(plan.contains("PushedFilters: ["), "filters must push into the scan")
+    assert(!plan.contains("PushedFilters: []"), "pushed filter list must be non-empty")
+    val readSchema = plan.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(!readSchema.contains("l_comment"),
+      s"scan must prune unused columns, got: $readSchema")
+  }
+
+  test("langIdFromTokens over a named token column tokenizes once per row") {
+    val df = Seq("the cat and the dog of it", "der hund und die katze").toDF("text")
+      .select(TextAnalysis.tokens(col("text")).as("toks"))
+      .select(TextAnalysis.langIdFromTokens(col("toks")).as("pred"))
+    val physical = df.queryExecution.executedPlan.toString
+    val splits = "split\\(".r.findAllIn(physical).length
+    assert(splits <= 1, s"token split must not be inlined per filter; saw $splits")
+    // and the semantics still hold
+    assert(df.collect().map(_.getString(0)).toSeq == Seq("en", "de"))
+  }
+
+  test("adaptive kNN with a small position set plans a broadcast, not a cartesian") {
+    val sensors = (1 to 20).map(i => (i.toLong, (i % 5).toDouble, (i / 5).toDouble))
+      .toDF("id_sensor", "x", "y")
+    val features = (1 to 50).map(j => (j.toLong, (j % 10).toDouble, (j % 7).toDouble, j.toDouble))
+      .toDF("feature_id", "x", "y", "v")
+    val out = graft.ops.SpatialOps.knnAggregate(sensors, features, 3,
+      Seq("mean"), Seq("v"), "feature_id")
+    val physical = out.queryExecution.executedPlan.toString
+    assert(physical.contains("BroadcastNestedLoopJoin"),
+      "small position set must broadcast")
+    assert(!physical.contains("CartesianProduct"),
+      "pair generation must never plan a cartesian product")
+  }
+}
