@@ -60,7 +60,11 @@ object Dedup {
       threshold: Double = 0.5): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val rows = numHashes / bands
-    val sig = minhashSignature(docs, textCol, idCol, shingleSize, numHashes)
+    // cached: one signature row per doc — the bounded sketch. The band
+    // self-join references it twice (a and b sides differ by alias, so
+    // exchange reuse can't kick in); without the cache the shingle
+    // explode + signature agg runs once PER SIDE.
+    val sig = minhashSignature(docs, textCol, idCol, shingleSize, numHashes).cache()
     val banded = sig.select(col(idCol),
       posexplode(transform(sequence(lit(0), lit(bands - 1)), b =>
         xxhash64(concat_ws("_", b,
@@ -78,8 +82,10 @@ object Dedup {
   /** Exact Jaccard for given candidate pairs via shingle-set join. */
   def verifyJaccard(docs: DataFrame, textCol: String, idCol: String,
       pairs: DataFrame, shingleSize: Int): DataFrame = {
+    // cached: the exploded shingle set feeds three consumers (two join
+    // sides + the per-doc counts); ~n_tokens rows per doc, bounded
     val sh = docs.select(col(idCol).as("__id"),
-      explode(wordShingles(col(textCol), shingleSize)).as("shingle")).distinct()
+      explode(wordShingles(col(textCol), shingleSize)).as("shingle")).distinct().cache()
     val counts = sh.groupBy("__id").agg(count(lit(1)).as("n"))
     val shA = sh.select(col("__id").as("id_a"), col("shingle"))
     val shB = sh.select(col("__id").as("id_b"), col("shingle"))
@@ -133,7 +139,9 @@ object Dedup {
     require(nBits % 4 == 0, "nBits must split into 4 equal chunks")
     val width = nBits / 4
     val mask = (1L << width) - 1
-    val fp = simhash(docs, textCol, idCol, tokenHash, nBits)
+    // cached: one fingerprint row per doc; the chunk self-join reads it
+    // from both sides (see minhashNearDuplicates note)
+    val fp = simhash(docs, textCol, idCol, tokenHash, nBits).cache()
     val chunked = fp.select(col(idCol), col("simhash"),
       posexplode(array((0 until 4).map(c =>
         shiftright(col("simhash"), c * width).bitwiseAND(mask)): _*)))

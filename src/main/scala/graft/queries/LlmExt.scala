@@ -325,10 +325,12 @@ object LlmExt {
       // prescription); 64-bit collisions are vanishing at any corpus
       // size where this plan is sane, and the oracle (string join)
       // would catch one
+      // cached: both self-join sides read the chunk fingerprints
       val chunks = toks
         .withColumn("st", explode(sequence(lit(1), greatest(size(col("toks")) - 19, lit(1)), lit(10))))
         .select(col("doc_id"),
           xxhash64(concat_ws(" ", slice(col("toks"), col("st"), lit(20)))).as("chunk_h"))
+        .cache()
       val ca = chunks.select(col("doc_id").as("id_a"), col("chunk_h"))
       val cb = chunks.select(col("doc_id").as("id_b"), col("chunk_h"))
       ca.join(cb, Seq("chunk_h")).filter(col("id_a") < col("id_b"))
