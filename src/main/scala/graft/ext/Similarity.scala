@@ -88,12 +88,18 @@ object Similarity {
       .map(_.getSeq[Float](0).map(_.toDouble).toArray)
 
     def assignExpr(cs: Array[Array[Double]]): Column = {
-      // argmin over squared distance to each centroid literal
+      // argmin over squared distance to each centroid literal array.
+      // zip_with/aggregate, not dim-unrolled element_at arithmetic: the
+      // unrolled form is ~4·dim expression nodes PER CENTROID, which
+      // overflows whole-stage codegen's method budget and drops the
+      // scan to interpreted evaluation
       val scored = cs.zipWithIndex.map { case (c, i) =>
-        val d2 = (0 until dim).map { d =>
-          val diff = element_at(col(vecCol), d + 1).cast("double") - lit(c(d))
-          diff * diff
-        }.reduce(_ + _)
+        val carr = array(c.map(lit): _*)
+        val d2 = aggregate(
+          zip_with(col(vecCol), carr, (x, cd) => {
+            val diff = x.cast("double") - cd; diff * diff
+          }),
+          lit(0.0), (acc, v) => acc + v)
         struct(d2.as("d2"), lit(i).as("i"))
       }
       array_min(array(scored: _*)).getField("i")

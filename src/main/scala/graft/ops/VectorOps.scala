@@ -100,10 +100,16 @@ object VectorOps {
       .drop("__b")
     val pruned = fCells.join(s, Seq("gx", "gy"))
       .drop("gx", "gy")
-      // a feature bbox can share several cells with one sensor's disc
-      .dropDuplicates("id_sensor", "__fid")
-      // exact test only on cell-join survivors
+      // exact test on cell-join survivors. A feature bbox sharing
+      // several cells with one sensor's disc pays the distance UDF up
+      // to 4x here — cheap next to the alternative (dedup BEFORE the
+      // filter must carry the geometry struct through the aggregate,
+      // which degrades HashAggregate to SortAggregate + two sorts)
       .filter(Geo.stDistance(Geo.stPoint(col("sx"), col("sy")), col(geomCol)) <= radius)
+      // dedup after dropping the geometry payload: distinct over plain
+      // ids hash-aggregates
+      .select((Seq(col("id_sensor"), col("__fid")) ++ statCols.map(col)): _*)
+      .dropDuplicates("id_sensor", "__fid")
     val stats = pruned.groupBy(col("id_sensor"))
       .agg(Aggregates.block(funcs, sourceName, statCols).head,
         Aggregates.block(funcs, sourceName, statCols).tail: _*)

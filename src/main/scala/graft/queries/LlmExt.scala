@@ -265,6 +265,77 @@ object LlmExt {
     },
     "Pure scan-side expression; confusion-matrix agg output bounded by |langs|².")
 
+  /** q58 — E3 scale path under the oracle gate: IVF index (k-means in
+    * DataFrame ops) probed at nProbe = nCentroids, which provably
+    * degrades to exact brute-force — so the brute SQL is its oracle.
+    * A partial probe (the 100 TB configuration) is the same plan minus
+    * clusters; SimilaritySpec pins partial ≡ brute on planted data. */
+  val q58 = Declared(
+    "q58_ann_ivf_fullprobe", "E3",
+    (s, dir) => {
+      val emb = Tables.embeddings(s, dir).filter(col("vec_id") =!= 0)
+      val qv = Tables.embeddings(s, dir).filter(col("vec_id") === 0)
+        .select(col("embedding")).head.getSeq[Float](0).toArray
+      // the declared query rebuilds the index EVERY run (production
+      // builds once, probes many); one Lloyd iteration over 4 centroids
+      // exercises the full build path at bench-friendly cost — full
+      // probe is exact regardless of centroid quality
+      val (indexed, centroids) = Similarity.ivfIndex(
+        emb, "embedding", "vec_id", dim = qv.length, nCentroids = 4, iterations = 1)
+      Similarity.ivfTopKCosine(indexed, centroids, "embedding", "vec_id",
+        qv, k = 10, nProbe = 4)
+        .select(col("vec_id"), round(col("cosine"), 6).as("cosine"))
+    },
+    Some("""WITH q AS (
+           |  SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv
+           |  FROM embeddings WHERE vec_id = 0),
+           |scored AS (
+           |  SELECT vec_id,
+           |    list_dot_product(list_transform(embedding, x -> CAST(x AS DOUBLE)), qv)
+           |      / (sqrt(list_dot_product(list_transform(embedding, x -> CAST(x AS DOUBLE)),
+           |                               list_transform(embedding, x -> CAST(x AS DOUBLE))))
+           |         * sqrt(list_dot_product(qv, qv))) AS c
+           |  FROM embeddings, q WHERE vec_id <> 0)
+           |SELECT vec_id, round(c, 6) AS cosine
+           |FROM scored
+           |ORDER BY c DESC, vec_id ASC
+           |LIMIT 10""".stripMargin),
+    "The cluster column is the partition key at 100TB: a real probe touches " +
+      "nProbe/nCentroids of the data; full probe = correctness proof, not the scale config.")
+
+  /** q59 — E3 batch form: top-3 neighbours for EVERY query row (small
+    * query side broadcast, ranking window per query). */
+  val q59 = Declared(
+    "q59_ann_batch", "E3,W2",
+    (s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      Similarity.topKCosineBatch(
+        emb.filter(col("vec_id") >= 5), emb.filter(col("vec_id") < 5),
+        "embedding", "vec_id", k = 3)
+        .select(col("query_id"), col("item_id"), col("rank"),
+          round(col("cosine"), 6).as("cosine"))
+        .orderBy(col("query_id"), col("rank"))
+    },
+    Some("""WITH e AS (
+           |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+           |  FROM embeddings),
+           |q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 5),
+           |i AS (SELECT vec_id AS item_id, v AS iv FROM e WHERE vec_id >= 5),
+           |scored AS (
+           |  SELECT query_id, item_id,
+           |    list_dot_product(iv, qv)
+           |      / (sqrt(list_dot_product(iv, iv)) * sqrt(list_dot_product(qv, qv))) AS c
+           |  FROM i CROSS JOIN q),
+           |ranked AS (
+           |  SELECT query_id, item_id, c,
+           |    row_number() OVER (PARTITION BY query_id ORDER BY c DESC, item_id ASC) AS rank
+           |  FROM scored)
+           |SELECT query_id, item_id, CAST(rank AS INT) AS rank, round(c, 6) AS cosine
+           |FROM ranked WHERE rank <= 3
+           |ORDER BY query_id, rank""".stripMargin),
+    "Query side broadcasts (bounded); scoring is a codegen'd map over the item scan; " +
+      "one shuffle for the per-query ranking window — scales with |items|, not pairs.")
+
   /** q51 — composite corpus pipeline (the E1+E4 shape of a real
     * training-data job): quality gate → canonical-only dedup → per-lang
     * profile, all in one declarative plan. */
@@ -355,5 +426,5 @@ object LlmExt {
       "(uniform hash shuffle at scale — use chunkFingerprints' xxhash64 instead of raw strings " +
       "to cut shuffle bytes 10x at 100TB).")
 
-  val all: Seq[Declared] = Seq(q40, q41, q42, q43, q44, q45, q46, q47, q51, q55)
+  val all: Seq[Declared] = Seq(q40, q41, q42, q43, q44, q45, q46, q47, q51, q55, q58, q59)
 }
