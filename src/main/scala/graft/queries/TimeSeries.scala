@@ -279,5 +279,52 @@ object TimeSeries {
       "needed); the shuffle is keyed on user_id exactly like the batch twin. Production " +
       "sinks are the parquet/foreachBatch writers in StreamOps; memory sink is the gate.")
 
-  val all: Seq[Declared] = Seq(q20, q21, q22, q23, q24, q25, q53, q54, q57)
+  /** q60 — T2/T4 under the oracle gate: event-time tumbling windows
+    * with a watermark through the streaming path; complete output mode
+    * emits every window, so the batch hour-truncation SQL is the exact
+    * oracle (the watermark's late-DROP divergence is pinned separately
+    * in StreamingSpec — this query has no late data by construction). */
+  val q60 = Declared(
+    "q60_stream_windows", "T2,T4",
+    (s, dir) => {
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val path = s"$dir/events.parquet"
+      val rawSchema = s.read.parquet(path).schema
+      val stage = java.nio.file.Files.createTempDirectory("graft_q60_stream")
+      java.nio.file.Files.createSymbolicLink(
+        stage.resolve("events.parquet"),
+        java.nio.file.Paths.get(path).toAbsolutePath)
+      val raw = s.readStream.schema(rawSchema).parquet(stage.toString)
+      val ev =
+        if (rawSchema("ts").dataType == org.apache.spark.sql.types.LongType)
+          raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        else raw
+      val stats = graft.streaming.StreamOps.windowedStats(
+        ev, "ts", "event_type", "value", window = "1 hour",
+        watermark = Some("1 hour"))
+      val qname = "q60_mem_" + java.util.UUID.randomUUID().toString.replace("-", "")
+      val q = stats.writeStream.format("memory").queryName(qname)
+        .outputMode("complete").start()
+      try graft.streaming.StreamOps.runOnce(q)
+      finally {
+        java.nio.file.Files.deleteIfExists(stage.resolve("events.parquet"))
+        java.nio.file.Files.deleteIfExists(stage)
+      }
+      s.table(qname).select(col("window_start"), col("event_type"), col("n"),
+        round(col("sum_value"), 2).as("sum_value"),
+        (round(col("sum_value"), 2) / col("n")).as("mean_value"),
+        col("max_value"))
+        .orderBy(col("window_start"), col("event_type"))
+    },
+    Some("""SELECT date_trunc('hour', ts) AS window_start, event_type,
+           |  count(*) AS n, round(sum(value), 2) AS sum_value,
+           |  round(sum(value), 2) / count(*) AS mean_value,
+           |  max(value) AS max_value
+           |FROM events
+           |GROUP BY 1, 2
+           |ORDER BY window_start, event_type""".stripMargin),
+    "Streaming state = one row per (window, type) inside the watermark horizon in the " +
+      "production (append/update) configuration; the shuffle key matches the batch twin.")
+
+  val all: Seq[Declared] = Seq(q20, q21, q22, q23, q24, q25, q53, q54, q57, q60)
 }
