@@ -139,6 +139,53 @@ object Similarity {
       .limit(k)
   }
 
+  /** E2+E3 — embedding-cosine near-duplicate PAIRS: banded sign-LSH
+    * candidate generation, then exact cosine verification.
+    *
+    * Band b packs `bitsPerBand` hyperplane sign bits; two vectors at
+    * angle θ agree on one band w.p. (1−θ/π)^bits and escape ALL bands
+    * w.p. (1−(1−θ/π)^bits)^bands — for near-dup thresholds (cosine
+    * ≥ 0.99 → θ/π ≈ 0.045, defaults 16×6) that is ~1e-10: recall is
+    * structural, so the exact all-pairs ground truth is a valid oracle.
+    * Wider bands also do the candidate PRUNING: a random pair collides
+    * per band w.p. 2^-bits, so 6-bit bands admit ~16/64 of random
+    * pairs vs ~all of them at 2 bits.
+    * Precision is exact: candidates verify true cosine ≥ threshold.
+    * The O(n²) pair space never materializes — candidates come from an
+    * equi-join on (band, bucket), a uniform key. */
+  def cosineNearDuplicates(embeddings: DataFrame, vecCol: String, idCol: String,
+      threshold: Double, dim: Int, bands: Int = 16, bitsPerBand: Int = 6): DataFrame = {
+    // cached: (id, vec, norm) feeds the bucketing pass and both verify
+    // sides; precomputing the norm halves the per-pair verify cost
+    val e = embeddings.select(col(idCol).as("__id"), col(vecCol).as("__vec"))
+      .withColumn("__norm", norm(col("__vec"))).cache()
+    def bandBucket(b: Int): Column =
+      (0 until bitsPerBand).map { j =>
+        val p = b * bitsPerBand + j
+        val planes = array((0 until dim).map(d => lit(planeWeight(p, d))): _*)
+        // zip_with/aggregate, not dim-unrolled arithmetic (codegen budget)
+        val proj = aggregate(
+          zip_with(col("__vec"), planes, (x, pw) => x.cast("double") * pw),
+          lit(0.0), (acc, v) => acc + v)
+        when(proj >= 0, shiftleft(lit(1L), j)).otherwise(lit(0L))
+      }.reduce((x, y) => x.bitwiseOR(y))
+    val banded = e.select(col("__id"),
+      posexplode(array((0 until bands).map(bandBucket): _*)))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
+    val a = banded.select(col("__id").as("id_a"), col("band"), col("bucket"))
+    val b = banded.select(col("__id").as("id_b"), col("band"), col("bucket"))
+    val cand = a.join(b, Seq("band", "bucket")).filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+    cand
+      .join(e.select(col("__id").as("id_a"), col("__vec").as("__va"),
+        col("__norm").as("__na")), "id_a")
+      .join(e.select(col("__id").as("id_b"), col("__vec").as("__vb"),
+        col("__norm").as("__nb")), "id_b")
+      .withColumn("cosine", dot(col("__va"), col("__vb")) / (col("__na") * col("__nb")))
+      .filter(col("cosine") >= threshold)
+      .select(col("id_a"), col("id_b"), col("cosine"))
+  }
+
   /** Bucketed ANN: exact cosine only within the query's bucket.
     * Recall is tunable via `bits` (fewer bits → bigger buckets). */
   def lshTopKCosine(embeddings: DataFrame, vecCol: String, idCol: String,

@@ -343,6 +343,46 @@ object LlmExt {
     "Query side broadcasts (bounded); scoring is a codegen'd map over the item scan; " +
       "one shuffle for the per-query ranking window — scales with |items|, not pairs.")
 
+  /** q61 — E2/E3: embedding-cosine near-dup pairs. The corpus plants
+    * near-dups (v → 1.01·v + 0.005, cosine ≈ 0.998) with identical
+    * float→double arithmetic on both engines; banded sign-LSH recall
+    * is structural at threshold 0.99 (see cosineNearDuplicates), so
+    * the DuckDB all-pairs ground truth is the exact oracle. */
+  val q61 = Declared(
+    "q61_embed_near_dup", "E2,E3",
+    (s, dir) => {
+      // bounded corpus — the correctness kernel (q43's pattern); the
+      // operator itself is row-linear and the scale note carries the
+      // 100 TB story
+      val base = Tables.embeddings(s, dir).filter(col("vec_id") < 100)
+        .select(col("vec_id"),
+          transform(col("embedding"), x => x.cast("double")).as("embedding"))
+      val dim = base.select(size(col("embedding"))).head.getInt(0)
+      val mutated = base.select((col("vec_id") + 100000).as("vec_id"),
+        transform(col("embedding"), x => x * lit(1.01) + lit(0.005)).as("embedding"))
+      Similarity.cosineNearDuplicates(base.unionByName(mutated),
+        "embedding", "vec_id", threshold = 0.99, dim = dim)
+        .select(col("id_a"), col("id_b"), round(col("cosine"), 6).as("cosine"))
+        .orderBy(col("id_a"), col("id_b"))
+    },
+    Some("""WITH base AS (
+           |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+           |  FROM embeddings WHERE vec_id < 100),
+           |corpus AS (
+           |  SELECT vec_id, v FROM base
+           |  UNION ALL
+           |  SELECT vec_id + 100000, list_transform(v, x -> x * 1.01 + 0.005) FROM base),
+           |pairs AS (
+           |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           |    list_dot_product(a.v, b.v)
+           |      / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) AS c
+           |  FROM corpus a JOIN corpus b ON a.vec_id < b.vec_id)
+           |SELECT id_a, id_b, round(c, 6) AS cosine
+           |FROM pairs WHERE c >= 0.99
+           |ORDER BY id_a, id_b""".stripMargin),
+    "Candidates from an equi-join on (band, bucket) — the O(n²) pair space exists only " +
+      "in the ORACLE; every shuffle key is a uniform hash of vector signs.")
+
   /** q51 — composite corpus pipeline (the E1+E4 shape of a real
     * training-data job): quality gate → canonical-only dedup → per-lang
     * profile, all in one declarative plan. */
@@ -433,5 +473,6 @@ object LlmExt {
       "(uniform hash shuffle at scale — use chunkFingerprints' xxhash64 instead of raw strings " +
       "to cut shuffle bytes 10x at 100TB).")
 
-  val all: Seq[Declared] = Seq(q40, q41, q42, q43, q44, q45, q46, q47, q51, q55, q58, q59)
+  val all: Seq[Declared] =
+    Seq(q40, q41, q42, q43, q44, q45, q46, q47, q51, q55, q58, q59, q61)
 }
