@@ -82,7 +82,7 @@ object LlmExt {
         .orderBy(col("id_a"), col("id_b"))
     },
     Some("""WITH d AS (
-           |  SELECT DISTINCT doc_id, unnest(string_split(lower(text), ' ')) AS w
+           |  SELECT DISTINCT doc_id, unnest(regexp_split_to_array(lower(text), '\s+')) AS w
            |  FROM documents WHERE doc_id < 40),
            |c AS (SELECT doc_id, count(*) AS n FROM d GROUP BY doc_id),
            |i AS (
