@@ -61,14 +61,24 @@ object Similarity {
     (h.toDouble / Int.MaxValue)
   }
 
+  /** Projection of a vector column onto literal plane weights — a
+    * zip_with/aggregate fold, NOT dim-unrolled element_at arithmetic:
+    * the unrolled form is ~3·dim expression nodes per plane, which
+    * overflows whole-stage codegen's method budget. Fold order matches
+    * a driver-side left-to-right sum, so bucket ids agree with
+    * Scala-computed query buckets bit for bit. */
+  private def projectOnPlane(vec: Column, p: Int, dim: Int): Column =
+    aggregate(
+      zip_with(vec, array((0 until dim).map(d => lit(planeWeight(p, d))): _*),
+        (x, pw) => x.cast("double") * pw),
+      lit(0.0), (acc, v) => acc + v)
+
   /** E3 scale path — sign-LSH bucket id per row: `bits` hyperplane
     * sign bits packed into a long. Pure column expressions (the plane
     * weights are literals baked into the plan). */
   def lshBucket(vec: Column, dim: Int, bits: Int): Column =
     (0 until bits).map { p =>
-      val proj = (0 until dim).map(d =>
-        element_at(vec, d + 1).cast("double") * lit(planeWeight(p, d))).reduce(_ + _)
-      when(proj >= 0, shiftleft(lit(1L), p)).otherwise(lit(0L))
+      when(projectOnPlane(vec, p, dim) >= 0, shiftleft(lit(1L), p)).otherwise(lit(0L))
     }.reduce((a, b) => a.bitwiseOR(b))
 
   /** IVF (inverted-file) index: Lloyd's k-means over the embedding
@@ -161,13 +171,8 @@ object Similarity {
       .withColumn("__norm", norm(col("__vec"))).cache()
     def bandBucket(b: Int): Column =
       (0 until bitsPerBand).map { j =>
-        val p = b * bitsPerBand + j
-        val planes = array((0 until dim).map(d => lit(planeWeight(p, d))): _*)
-        // zip_with/aggregate, not dim-unrolled arithmetic (codegen budget)
-        val proj = aggregate(
-          zip_with(col("__vec"), planes, (x, pw) => x.cast("double") * pw),
-          lit(0.0), (acc, v) => acc + v)
-        when(proj >= 0, shiftleft(lit(1L), j)).otherwise(lit(0L))
+        when(projectOnPlane(col("__vec"), b * bitsPerBand + j, dim) >= 0,
+          shiftleft(lit(1L), j)).otherwise(lit(0L))
       }.reduce((x, y) => x.bitwiseOR(y))
     val banded = e.select(col("__id"),
       posexplode(array((0 until bands).map(bandBucket): _*)))

@@ -329,38 +329,37 @@ object Geo {
     struct(degrees(lam).as("x"), degrees(phi).as("y"))
   }
 
+  /** Spherical-Mercator forward (4326 → 3857) on a point struct. */
+  private val mercFwd: Column => Column = p => struct(
+    (radians(p.getField("x")) * R).as("x"),
+    (log(tan(lit(math.Pi / 4) + radians(p.getField("y")) / 2)) * R).as("y"))
+
+  /** Spherical-Mercator inverse (3857 → 4326); atan(sinh(y/R)) via exp
+    * (no sinh Column fn). */
+  private val mercInv: Column => Column = p => struct(
+    degrees(p.getField("x") / R).as("x"),
+    degrees(atan((exp(p.getField("y") / R) - exp(-(p.getField("y") / R))) / 2)).as("y"))
+
   /** st_transform; identity when from==to. Supported: 4326 ↔ 3857,
     * 4326 ↔ any UTM zone (EPSG 326xx north / 327xx south), and
-    * 3857 ↔ UTM composed through 4326. Returns a transformed
-    * geometry struct. (Reference `to_crs`,
+    * 3857 ↔ UTM / UTM ↔ UTM composed through 4326. Returns a
+    * transformed geometry struct. (Reference `to_crs`,
     * src/data_preprocessing.py:192-193, :218-220, :257-259.) */
   def stTransform(g: Column, fromEpsg: Int, toEpsg: Int): Column = {
     val tx: Column => Column = (fromEpsg, toEpsg) match {
       case (f, t) if f == t => identity
-      case (4326, 3857) => p => struct(
-        (radians(p.getField("x")) * R).as("x"),
-        (log(tan(lit(math.Pi / 4) + radians(p.getField("y")) / 2)) * R).as("y"))
-      case (3857, 4326) => p => struct(
-        degrees(p.getField("x") / R).as("x"),
-        // atan(sinh(y/R)) via exp (no sinh Column fn)
-        degrees(atan((exp(p.getField("y") / R) - exp(-(p.getField("y") / R))) / 2)).as("y"))
+      case (4326, 3857) => mercFwd
+      case (3857, 4326) => mercInv
       case (4326, t) if utmZone(t).isDefined =>
         val (z, n) = utmZone(t).get; llToUtm(z, n)
       case (f, 4326) if utmZone(f).isDefined =>
         val (z, n) = utmZone(f).get; utmToLl(z, n)
       case (f, t) if f == 3857 && utmZone(t).isDefined =>
         val (z, n) = utmZone(t).get
-        p => llToUtm(z, n)(struct(
-          degrees(p.getField("x") / R).as("x"),
-          degrees(atan((exp(p.getField("y") / R) - exp(-(p.getField("y") / R))) / 2)).as("y")))
+        p => llToUtm(z, n)(mercInv(p))
       case (f, t) if utmZone(f).isDefined && t == 3857 =>
         val (z, n) = utmZone(f).get
-        p => {
-          val ll = utmToLl(z, n)(p)
-          struct(
-            (radians(ll.getField("x")) * R).as("x"),
-            (log(tan(lit(math.Pi / 4) + radians(ll.getField("y")) / 2)) * R).as("y"))
-        }
+        p => mercFwd(utmToLl(z, n)(p))
       case (f, t) if utmZone(f).isDefined && utmZone(t).isDefined =>
         // re-zoning (routine near zone boundaries): compose through 4326
         val (zf, nf) = utmZone(f).get

@@ -246,7 +246,6 @@ object SpatialOps {
       .drop("sx", "sy")
   }
 
-
   /** A3 — raster buffer stats over the cell-table model: per sensor,
     * per band, stats of non-nodata cell values within the buffer.
     * Output long format (id_sensor, band, stats...); the named-column

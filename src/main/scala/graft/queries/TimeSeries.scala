@@ -1,5 +1,6 @@
 package graft.queries
 
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.core.Tables
@@ -225,6 +226,37 @@ object TimeSeries {
     "Intervals explode to covering 6h buckets, points map to one bucket, equi-join on bucket id " +
       "+ exact filter — the 1-D gridBucketJoin; a raw inequality join would be a nested loop.")
 
+  /** Shared harness for the streaming oracle rows (q57/q60): stream the
+    * events fixture (staged as a symlink directory — the file source's
+    * real production shape; absolute target so a relative sfDir can't
+    * dangle), apply `transform`, run to completion into a complete-mode
+    * memory table, and return it. Nanos-ts handling mirrors
+    * Tables.events. */
+  private def streamEventsToTable(s: SparkSession, dir: String, tag: String)(
+      transform: DataFrame => DataFrame): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val path = s"$dir/events.parquet"
+    val rawSchema = s.read.parquet(path).schema
+    val stage = java.nio.file.Files.createTempDirectory(s"graft_${tag}_stream")
+    java.nio.file.Files.createSymbolicLink(
+      stage.resolve("events.parquet"),
+      java.nio.file.Paths.get(path).toAbsolutePath)
+    val raw = s.readStream.schema(rawSchema).parquet(stage.toString)
+    val ev =
+      if (rawSchema("ts").dataType == org.apache.spark.sql.types.LongType)
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      else raw
+    val qname = s"${tag}_mem_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    val q = transform(ev).writeStream.format("memory").queryName(qname)
+      .outputMode("complete").start()
+    try graft.streaming.StreamOps.runOnce(q)
+    finally { // the memory table owns the data now; drop the staging dir
+      java.nio.file.Files.deleteIfExists(stage.resolve("events.parquet"))
+      java.nio.file.Files.deleteIfExists(stage)
+    }
+    s.table(qname)
+  }
+
   /** q57 — T1+T2/A5 end-to-end STREAMING row: the events table flows
     * through the Structured Streaming path (file stream source →
     * StreamOps.intervalStats running conditional agg → memory sink,
@@ -234,33 +266,10 @@ object TimeSeries {
   val q57 = Declared(
     "q57_stream_interval", "T1,T2,A5",
     (s, dir) => {
-      // same TIMESTAMP(NANOS) handling as Tables.events, streaming-side
-      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      val path = s"$dir/events.parquet"
-      val rawSchema = s.read.parquet(path).schema
-      // the file stream source wants a DIRECTORY of arriving files (its
-      // real production shape); stage the fixture as a symlink in one.
-      // Absolute target — a relative sfDir would make the link dangle.
-      val stage = java.nio.file.Files.createTempDirectory("graft_q57_stream")
-      java.nio.file.Files.createSymbolicLink(
-        stage.resolve("events.parquet"),
-        java.nio.file.Paths.get(path).toAbsolutePath)
-      val raw = s.readStream.schema(rawSchema).parquet(stage.toString)
-      val ev =
-        if (rawSchema("ts").dataType == org.apache.spark.sql.types.LongType)
-          raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-        else raw
-      val stats = graft.streaming.StreamOps.intervalStats(
-        ev, "ts", "user_id", "value", Seq(("09:00:00", "17:00:00")))
-      val qname = "q57_mem_" + java.util.UUID.randomUUID().toString.replace("-", "")
-      val q = stats.writeStream.format("memory").queryName(qname)
-        .outputMode("complete").start()
-      try graft.streaming.StreamOps.runOnce(q)
-      finally { // the memory table owns the data now; drop the staging dir
-        java.nio.file.Files.deleteIfExists(stage.resolve("events.parquet"))
-        java.nio.file.Files.deleteIfExists(stage)
-      }
-      s.table(qname).select(col("user_id"),
+      streamEventsToTable(s, dir, "q57")(ev =>
+        graft.streaming.StreamOps.intervalStats(
+          ev, "ts", "user_id", "value", Seq(("09:00:00", "17:00:00"))))
+        .select(col("user_id"),
         (round(col("sum_value_090000_170000"), 2) / col("count_value_090000_170000"))
           .as("mean_value_090000_170000"),
         col("count_value_090000_170000"))
@@ -287,30 +296,11 @@ object TimeSeries {
   val q60 = Declared(
     "q60_stream_windows", "T2,T4",
     (s, dir) => {
-      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      val path = s"$dir/events.parquet"
-      val rawSchema = s.read.parquet(path).schema
-      val stage = java.nio.file.Files.createTempDirectory("graft_q60_stream")
-      java.nio.file.Files.createSymbolicLink(
-        stage.resolve("events.parquet"),
-        java.nio.file.Paths.get(path).toAbsolutePath)
-      val raw = s.readStream.schema(rawSchema).parquet(stage.toString)
-      val ev =
-        if (rawSchema("ts").dataType == org.apache.spark.sql.types.LongType)
-          raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-        else raw
-      val stats = graft.streaming.StreamOps.windowedStats(
-        ev, "ts", "event_type", "value", window = "1 hour",
-        watermark = Some("1 hour"))
-      val qname = "q60_mem_" + java.util.UUID.randomUUID().toString.replace("-", "")
-      val q = stats.writeStream.format("memory").queryName(qname)
-        .outputMode("complete").start()
-      try graft.streaming.StreamOps.runOnce(q)
-      finally {
-        java.nio.file.Files.deleteIfExists(stage.resolve("events.parquet"))
-        java.nio.file.Files.deleteIfExists(stage)
-      }
-      s.table(qname).select(col("window_start"), col("event_type"), col("n"),
+      streamEventsToTable(s, dir, "q60")(ev =>
+        graft.streaming.StreamOps.windowedStats(
+          ev, "ts", "event_type", "value", window = "1 hour",
+          watermark = Some("1 hour")))
+        .select(col("window_start"), col("event_type"), col("n"),
         round(col("sum_value"), 2).as("sum_value"),
         (round(col("sum_value"), 2) / col("n")).as("mean_value"),
         col("max_value"))
