@@ -104,7 +104,12 @@ object SpatialOps {
   /** Shared cell-bucket core: `probe` carries (sx, sy) plus any payload
     * columns; each probe point explodes to the 3×3 cells its disc can
     * touch, features map to their containing cell, equi-join on cell id,
-    * exact distance post-filter. Output: features.* + probe.*. */
+    * exact distance post-filter. Output: features.* + probe.*.
+    *
+    * No ensureParallelism here: the cell-id equi-join SHUFFLES the
+    * feature side anyway, so a repartition in front would be a second
+    * exchange for nothing (width matters only for broadcast joins,
+    * whose output inherits the probe's partitioning). */
   private def cellJoin(probe: DataFrame, features: DataFrame, radius: Double,
       cell: Double): DataFrame = {
     require(cell >= radius, "cell must be >= radius so a disc spans <= 4 cells")
@@ -118,7 +123,7 @@ object SpatialOps {
         (col("sx") - (col("gx") + 1) * cell <= radius) && ((col("gx") * cell) - col("sx") <= radius) &&
         (col("sy") - (col("gy") + 1) * cell <= radius) && ((col("gy") * cell) - col("sy") <= radius))
       .drop("cx", "cy")
-    val f = ensureParallelism(features)
+    val f = features
       .withColumn("gx", floor(col("x") / cell).cast("long"))
       .withColumn("gy", floor(col("y") / cell).cast("long"))
     f.join(s, Seq("gx", "gy"))

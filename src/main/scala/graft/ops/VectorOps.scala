@@ -79,6 +79,11 @@ object VectorOps {
       sourceName: String,
       geomCol: String = "geometry"): DataFrame = {
     val cell = radius
+    // ensureParallelism MATTERS here even though the (gx, gy) join
+    // shuffles anyway: the map side explodes and shuffle-serializes
+    // full geometry structs, which is real per-row work — funneling it
+    // through one narrow input partition doubles the query (measured).
+    // cellJoin's plain-double features skip the widening instead.
     val feats = SpatialOps.ensureParallelism(withDerived(features, statCols, geomCol))
       .withColumn("__fid", monotonically_increasing_id())
     val s = withCentroidXY(
