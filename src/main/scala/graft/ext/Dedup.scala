@@ -12,6 +12,14 @@ import org.apache.spark.sql.expressions.Window
   * construction — cryptographic/xx hashes don't skew). Candidate
   * generation never materializes the O(n²) pair space: LSH bands and
   * simhash chunks turn near-dup search into equi-joins on bucket keys.
+  *
+  * CACHE LIFETIME: the near-dup operators `.cache()` their bounded
+  * per-doc sketches (signatures, fingerprints, shingle sets) because
+  * each feeds 2-3 aliased consumers that exchange reuse cannot
+  * deduplicate. The operator cannot unpersist before its result is
+  * consumed, so long-lived sessions issuing many calls should
+  * `spark.catalog.clearCache()` between queries (graft.Bench/Verify
+  * do) or unpersist via the catalog.
   */
 object Dedup {
 

@@ -66,11 +66,17 @@ object Similarity {
     * the unrolled form is ~3·dim expression nodes per plane, which
     * overflows whole-stage codegen's method budget. Fold order matches
     * a driver-side left-to-right sum, so bucket ids agree with
-    * Scala-computed query buckets bit for bit. */
+    * Scala-computed query buckets bit for bit.
+    *
+    * Dim-mismatch safety: the vector is sliced to `dim` (prefix
+    * semantics, like the element_at form) and missing trailing dims
+    * contribute 0 — without the guards, zip_with null-pads the shorter
+    * side and one null poisons the whole fold, silently zeroing every
+    * bucket bit. */
   private def projectOnPlane(vec: Column, p: Int, dim: Int): Column =
     aggregate(
-      zip_with(vec, array((0 until dim).map(d => lit(planeWeight(p, d))): _*),
-        (x, pw) => x.cast("double") * pw),
+      zip_with(slice(vec, 1, dim), array((0 until dim).map(d => lit(planeWeight(p, d))): _*),
+        (x, pw) => coalesce(x.cast("double") * pw, lit(0.0))),
       lit(0.0), (acc, v) => acc + v)
 
   /** E3 scale path — sign-LSH bucket id per row: `bits` hyperplane
@@ -105,9 +111,10 @@ object Similarity {
       // scan to interpreted evaluation
       val scored = cs.zipWithIndex.map { case (c, i) =>
         val carr = array(c.map(lit): _*)
+        // slice + coalesce: see projectOnPlane's dim-mismatch note
         val d2 = aggregate(
-          zip_with(col(vecCol), carr, (x, cd) => {
-            val diff = x.cast("double") - cd; diff * diff
+          zip_with(slice(col(vecCol), 1, dim), carr, (x, cd) => {
+            val diff = x.cast("double") - cd; coalesce(diff * diff, lit(0.0))
           }),
           lit(0.0), (acc, v) => acc + v)
         struct(d2.as("d2"), lit(i).as("i"))

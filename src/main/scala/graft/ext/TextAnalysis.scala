@@ -29,12 +29,16 @@ object TextAnalysis {
   def subwordCount(text: Column): Column =
     size(regexp_extract_all(text, lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"), lit(0)))
 
+  /** Stopword hit ratio of a pre-tokenized array for one language
+    * profile — the single definition of the score formula (q47's oracle
+    * transliterates exactly this). */
+  def stopwordRatioFromTokens(toks: Column, lang: String): Column =
+    size(filter(toks, t => t.isin(stopwords(lang): _*))) /
+      greatest(size(toks), lit(1)).cast("double")
+
   /** Stopword hit ratio for one language profile. */
-  def stopwordRatio(text: Column, lang: String): Column = {
-    val sw = stopwords(lang)
-    val toks = tokens(text)
-    size(filter(toks, t => t.isin(sw: _*))) / greatest(size(toks), lit(1)).cast("double")
-  }
+  def stopwordRatio(text: Column, lang: String): Column =
+    stopwordRatioFromTokens(tokens(text), lang)
 
   /** Language ID over a PRE-TOKENIZED array column: argmax of stopword
     * hit ratio; "und" (undetermined) when no profile scores above
@@ -44,10 +48,8 @@ object TextAnalysis {
     * the split runs once per row instead of once per stopword filter
     * (16× in the inlined form). */
   def langIdFromTokens(toks: Column, minRatio: Double = 0.02): Column = {
-    val n = greatest(size(toks), lit(1)).cast("double")
     val scored = stopwords.keys.toSeq.sorted.map(l => struct(
-      (size(filter(toks, t => t.isin(stopwords(l): _*))) / n).as("score"),
-      lit(l).as("lang")))
+      stopwordRatioFromTokens(toks, l).as("score"), lit(l).as("lang")))
     val best = array_max(array(scored: _*))
     when(best.getField("score") >= minRatio, best.getField("lang")).otherwise(lit("und"))
   }

@@ -106,10 +106,12 @@ object SpatialOps {
     * touch, features map to their containing cell, equi-join on cell id,
     * exact distance post-filter. Output: features.* + probe.*.
     *
-    * No ensureParallelism here: the cell-id equi-join SHUFFLES the
-    * feature side anyway, so a repartition in front would be a second
-    * exchange for nothing (width matters only for broadcast joins,
-    * whose output inherits the probe's partitioning). */
+    * The feature side IS widened first: with a small probe fleet the
+    * planner broadcast-hash-joins on the cell id, which streams the
+    * feature side in its scan partitioning — a 1-split parquet read
+    * would funnel the pair explosion, exact filter and partial agg
+    * through one task. (Only a sort-merge plan would re-shuffle the
+    * feature side and make the widening redundant.) */
   private def cellJoin(probe: DataFrame, features: DataFrame, radius: Double,
       cell: Double): DataFrame = {
     require(cell >= radius, "cell must be >= radius so a disc spans <= 4 cells")
@@ -123,7 +125,7 @@ object SpatialOps {
         (col("sx") - (col("gx") + 1) * cell <= radius) && ((col("gx") * cell) - col("sx") <= radius) &&
         (col("sy") - (col("gy") + 1) * cell <= radius) && ((col("gy") * cell) - col("sy") <= radius))
       .drop("cx", "cy")
-    val f = features
+    val f = ensureParallelism(features)
       .withColumn("gx", floor(col("x") / cell).cast("long"))
       .withColumn("gy", floor(col("y") / cell).cast("long"))
     f.join(s, Seq("gx", "gy"))

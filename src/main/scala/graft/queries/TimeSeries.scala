@@ -238,23 +238,30 @@ object TimeSeries {
     val path = s"$dir/events.parquet"
     val rawSchema = s.read.parquet(path).schema
     val stage = java.nio.file.Files.createTempDirectory(s"graft_${tag}_stream")
-    java.nio.file.Files.createSymbolicLink(
-      stage.resolve("events.parquet"),
-      java.nio.file.Paths.get(path).toAbsolutePath)
-    val raw = s.readStream.schema(rawSchema).parquet(stage.toString)
-    val ev =
-      if (rawSchema("ts").dataType == org.apache.spark.sql.types.LongType)
-        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-      else raw
-    val qname = s"${tag}_mem_" + java.util.UUID.randomUUID().toString.replace("-", "")
-    val q = transform(ev).writeStream.format("memory").queryName(qname)
-      .outputMode("complete").start()
-    try graft.streaming.StreamOps.runOnce(q)
-    finally { // the memory table owns the data now; drop the staging dir
+    try { // staging dir cleanup covers EVERY exit, incl. plan-build failures
+      java.nio.file.Files.createSymbolicLink(
+        stage.resolve("events.parquet"),
+        java.nio.file.Paths.get(path).toAbsolutePath)
+      val raw = s.readStream.schema(rawSchema).parquet(stage.toString)
+      val ev =
+        if (rawSchema("ts").dataType == org.apache.spark.sql.types.LongType)
+          raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        else raw
+      val qname = s"${tag}_mem_" + java.util.UUID.randomUUID().toString.replace("-", "")
+      val q = transform(ev).writeStream.format("memory").queryName(qname)
+        .outputMode("complete").start()
+      try graft.streaming.StreamOps.runOnce(q)
+      catch { case e: Throwable =>
+        // a failed drain must not leave an active stream polling a
+        // directory the finally below is about to delete
+        try q.stop() catch { case _: Exception => () }
+        throw e
+      }
+      s.table(qname)
+    } finally {
       java.nio.file.Files.deleteIfExists(stage.resolve("events.parquet"))
       java.nio.file.Files.deleteIfExists(stage)
     }
-    s.table(qname)
   }
 
   /** q57 — T1+T2/A5 end-to-end STREAMING row: the events table flows
