@@ -56,6 +56,13 @@ class DedupSpec extends AnyFunSuite {
       .select("id_a", "id_b").as[(Long, Long)].collect().toSet
     assert(out.contains((1L, 4L)))
   }
+
+  test("E2: md5Hash60 pins the portable token-hash values q46's oracle reconstructs") {
+    // expected = int(md5(s).hexdigest()[:15], 16), computed independently
+    val out = Seq("a", "spark catalyst").toDF("s")
+      .select(Dedup.md5Hash60(col("s"))).as[Long].collect().toSeq
+    assert(out == Seq(57446577476672362L, 790351668529426805L))
+  }
 }
 
 class SimilaritySpec extends AnyFunSuite {
