@@ -4,6 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
 import graft.geo.Haversine
+import graft.ext.ArrayDotProduct
 
 /** SparkSessionExtensions entry point: makes graft's native SQL
   * functions available in any session built with
@@ -17,5 +18,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("st_haversine"),
       new ExpressionInfo(classOf[Haversine].getName, "st_haversine"),
       exprs => Haversine.cast(exprs)))
+    e.injectFunction((
+      FunctionIdentifier("array_dot"),
+      new ExpressionInfo(classOf[ArrayDotProduct].getName, "array_dot"),
+      exprs => ArrayDotProduct.cast(exprs)))
   }
 }

@@ -18,11 +18,12 @@ import org.apache.spark.sql.expressions.Window
   */
 object Similarity {
 
-  /** Dot product of two array<double|float> columns — sequential
-    * index-order fold, stays inside whole-stage codegen. */
-  def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0), (acc, v) => acc + v)
+  /** Dot product of two array<double|float> columns — the native
+    * codegen [[ArrayDotProduct]] expression: a primitive double loop
+    * inside whole-stage codegen, index-order accumulation (IEEE-equal
+    * to the old `aggregate`/`zip_with` fold and to DuckDB's
+    * list_dot_product — the oracle gate re-proves it per round). */
+  def dot(a: Column, b: Column): Column = VectorExpressions.arrayDot(a, b)
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 

@@ -77,6 +77,26 @@ class SimilaritySpec extends AnyFunSuite {
     (4L, Array(0.7f, 0.7f, 0.0f))
   ).toDF("vec_id", "embedding")
 
+  test("E3: native array_dot equals the HOF fold bit-for-bit; null/mismatch yield null") {
+    val df = Seq((Array(1.5, -2.25, 3.0, 0.125), Array(0.5, 4.0, -1.25, 8.0)))
+      .toDF("a", "b")
+    val Seq(native, fold) = df.select(
+      graft.ext.VectorExpressions.arrayDot(col("a"), col("b")),
+      aggregate(zip_with(col("a"), col("b"), (x, y) => x * y),
+        lit(0.0), (acc, x) => acc + x)).head.toSeq.map(_.asInstanceOf[Double])
+    assert(native == fold) // identical accumulation order → identical doubles
+    // SQL registration through SparkSessionExtensions-equivalent path
+    val viaSql = df.select(expr("array(1.0d, 2.0d)").as("x"), expr("array(3.0d, 4.0d)").as("y"))
+      .select(graft.ext.VectorExpressions.arrayDot(col("x"), col("y"))).head.getDouble(0)
+    assert(viaSql == 11.0)
+    val mismatch = df.select(graft.ext.VectorExpressions.arrayDot(
+      col("a"), expr("array(1.0d, 2.0d)"))).head
+    assert(mismatch.isNullAt(0), "length mismatch must yield null")
+    val withNull = df.select(graft.ext.VectorExpressions.arrayDot(
+      col("a"), expr("array(1.0d, CAST(null AS DOUBLE), 2.0d, 3.0d)"))).head
+    assert(withNull.isNullAt(0), "a null element must poison to null")
+  }
+
   test("E3: brute-force top-k cosine ranks by true cosine") {
     val out = Similarity.topKCosine(vecs.filter($"vec_id" =!= 0L),
       "embedding", "vec_id", Array(1.0f, 0.0f, 0.0f), 3)
