@@ -38,6 +38,14 @@ class PlanSpec extends AnyFunSuite {
     assert(df.collect().map(_.getString(0)).toSeq == Seq("en", "de"))
   }
 
+  test("cosine scoring uses the native array_dot expression, not an interpreted fold") {
+    val dir = "/root/testdata/sf0.001"
+    assume(new java.io.File(s"$dir/embeddings.parquet").exists())
+    val plan = planString(SparkEntry.queries("q44_cosine_topk")(spark, dir))
+    assert(plan.contains("array_dot"),
+      "the E3 hot kernel must stay on the codegen ArrayDotProduct expression")
+  }
+
   test("adaptive kNN with a small position set plans a broadcast, not a cartesian") {
     val sensors = (1 to 20).map(i => (i.toLong, (i % 5).toDouble, (i / 5).toDouble))
       .toDF("id_sensor", "x", "y")
