@@ -31,7 +31,7 @@ object Bench {
       val dt = (System.nanoTime() - t0) / 1e9
       // scope operator-cached intermediates (e.g. kNN candidates) to the
       // run that created them — 110 executions must not accumulate blocks
-      spark.catalog.clearCache()
+      graft.core.OperatorCaches.releaseAll(spark); spark.catalog.clearCache()
       dt
     }
 

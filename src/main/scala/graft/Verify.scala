@@ -25,7 +25,7 @@ object Verify {
       // operators may cache bounded intermediates (e.g. kNN candidate
       // sets) whose lifetime the operator can't scope; clear between
       // queries so 55 runs don't accumulate pinned blocks
-      spark.catalog.clearCache()
+      graft.core.OperatorCaches.releaseAll(spark); spark.catalog.clearCache()
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

@@ -3,6 +3,7 @@ package graft.ext
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
+import graft.core.OperatorCaches
 
 /** E1/E2 — deduplication for training-data pipelines: exact, MinHash
   * LSH, SimHash, and n-gram Jaccard.
@@ -13,13 +14,15 @@ import org.apache.spark.sql.expressions.Window
   * generation never materializes the O(n²) pair space: LSH bands and
   * simhash chunks turn near-dup search into equi-joins on bucket keys.
   *
-  * CACHE LIFETIME: the near-dup operators `.cache()` their bounded
+  * CACHE LIFETIME: the near-dup operators cache their bounded
   * per-doc sketches (signatures, fingerprints, shingle sets) because
   * each feeds 2-3 aliased consumers that exchange reuse cannot
   * deduplicate. The operator cannot unpersist before its result is
-  * consumed, so long-lived sessions issuing many calls should
-  * `spark.catalog.clearCache()` between queries (graft.Bench/Verify
-  * do) or unpersist via the catalog.
+  * consumed, so every such cache registers with
+  * [[graft.core.OperatorCaches]]: long-lived sessions call
+  * `OperatorCaches.releaseAll(spark)` after consuming a result
+  * (graft.Bench/Verify do, between queries) — deterministic cleanup
+  * without clobbering user-owned caches.
   */
 object Dedup {
 
@@ -72,7 +75,8 @@ object Dedup {
     // self-join references it twice (a and b sides differ by alias, so
     // exchange reuse can't kick in); without the cache the shingle
     // explode + signature agg runs once PER SIDE.
-    val sig = minhashSignature(docs, textCol, idCol, shingleSize, numHashes).cache()
+    val sig = OperatorCaches.cached(
+      minhashSignature(docs, textCol, idCol, shingleSize, numHashes))
     val banded = sig.select(col(idCol),
       posexplode(transform(sequence(lit(0), lit(bands - 1)), b =>
         xxhash64(concat_ws("_", b,
@@ -92,8 +96,8 @@ object Dedup {
       pairs: DataFrame, shingleSize: Int): DataFrame = {
     // cached: the exploded shingle set feeds three consumers (two join
     // sides + the per-doc counts); ~n_tokens rows per doc, bounded
-    val sh = docs.select(col(idCol).as("__id"),
-      explode(wordShingles(col(textCol), shingleSize)).as("shingle")).distinct().cache()
+    val sh = OperatorCaches.cached(docs.select(col(idCol).as("__id"),
+      explode(wordShingles(col(textCol), shingleSize)).as("shingle")).distinct())
     val counts = sh.groupBy("__id").agg(count(lit(1)).as("n"))
     val shA = sh.select(col("__id").as("id_a"), col("shingle"))
     val shB = sh.select(col("__id").as("id_b"), col("shingle"))
@@ -149,7 +153,7 @@ object Dedup {
     val mask = (1L << width) - 1
     // cached: one fingerprint row per doc; the chunk self-join reads it
     // from both sides (see minhashNearDuplicates note)
-    val fp = simhash(docs, textCol, idCol, tokenHash, nBits).cache()
+    val fp = OperatorCaches.cached(simhash(docs, textCol, idCol, tokenHash, nBits))
     val chunked = fp.select(col(idCol), col("simhash"),
       posexplode(array((0 until 4).map(c =>
         shiftright(col("simhash"), c * width).bitwiseAND(mask)): _*)))

@@ -3,6 +3,7 @@ package graft.ext
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
+import graft.core.OperatorCaches
 
 /** E3 — similarity search over embedding columns (ARRAY<FLOAT>).
   *
@@ -175,8 +176,9 @@ object Similarity {
       threshold: Double, dim: Int, bands: Int = 16, bitsPerBand: Int = 6): DataFrame = {
     // cached: (id, vec, norm) feeds the bucketing pass and both verify
     // sides; precomputing the norm halves the per-pair verify cost
-    val e = embeddings.select(col(idCol).as("__id"), col(vecCol).as("__vec"))
-      .withColumn("__norm", norm(col("__vec"))).cache()
+    val e = OperatorCaches.cached(
+      embeddings.select(col(idCol).as("__id"), col(vecCol).as("__vec"))
+        .withColumn("__norm", norm(col("__vec"))))
     def bandBucket(b: Int): Column =
       (0 until bitsPerBand).map { j =>
         when(projectOnPlane(col("__vec"), b * bitsPerBand + j, dim) >= 0,

@@ -31,6 +31,12 @@ case class ArrayDotProduct(left: Expression, right: Expression)
   override def nullIntolerant: Boolean = true
   override def prettyName: String = "array_dot"
 
+  // Introduces null beyond child nullability (length mismatch, null
+  // element) — without this, two non-nullable children would make
+  // nullSafeCodeGen bind ev.isNull to FalseLiteral and the generated
+  // `isNull = true;` assignments above would not compile.
+  override def nullable: Boolean = true
+
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]

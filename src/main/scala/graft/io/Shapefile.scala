@@ -104,6 +104,21 @@ object Shapefile {
     }
     val recLen = 1 + fields.map(_.len).sum
     val headLen = 32 + 32 * fields.length + 1
+    // DBF stores both lengths as unsigned 16-bit; >~128 max-width text
+    // columns (or >2046 fields) would silently wrap the .toShort below
+    // into a corrupt file. Fail loudly instead.
+    if (recLen > 0xFFFF)
+      throw DataIOError(basePath, s"DBF record length $recLen exceeds the " +
+        "65535-byte format limit; drop or narrow attribute columns")
+    if (headLen > 0xFFFF)
+      throw DataIOError(basePath, s"DBF header length $headLen exceeds the " +
+        s"65535-byte format limit (${fields.length} fields); drop columns")
+    // field names are truncated to 10 ASCII bytes — two columns that
+    // collide after truncation would be indistinguishable to readers
+    val truncated = fields.map(_.name.getBytes("US-ASCII").take(10).toSeq)
+    if (truncated.distinct.length != truncated.length)
+      throw DataIOError(basePath, "duplicate DBF field names after 10-byte " +
+        s"truncation: ${fields.map(_.name.take(10)).groupBy(identity).collect { case (k, v) if v.length > 1 => k }.mkString(", ")}")
     val dbf = ByteBuffer.allocate(headLen + n * recLen + 1)
     dbf.order(ByteOrder.LITTLE_ENDIAN)
     dbf.put(0, 0x03.toByte)

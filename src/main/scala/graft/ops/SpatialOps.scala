@@ -3,6 +3,7 @@ package graft.ops
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
+import graft.core.OperatorCaches
 
 /** Spatial aggregation kernels (SURVEY.md J2/J3, A2/A3/A4, A6, P5).
   *
@@ -204,15 +205,21 @@ object SpatialOps {
       ensureParallelism(features)
         .crossJoin(if (hintBroadcast) broadcast(pos) else pos)
         .withColumn("d2", dist2(col("sx"), col("sy"), col("x"), col("y")))
-    val pos = sensors.select(col("x").as("sx"), col("y").as("sy")).distinct()
+    // Null-coordinate sensors are excluded from ranking: an unknown
+    // position has no meaningful neighborhood, so (like SQL aggregates
+    // over null groups) they receive NULL stats from the left rejoin
+    // below. NaN positions are kept — Spark orders/equates NaN
+    // consistently (NaN = NaN), so they dedup and rejoin exactly.
+    val pos = sensors.select(col("x").as("sx"), col("y").as("sy"))
+      .where(col("x").isNotNull && col("y").isNotNull).distinct()
 
     def pruned(r: Double): DataFrame = {
       // cached: the bounded candidate set (~16k rows per position,
       // MEMORY_AND_DISK — spills, never OOMs); evaluated once, read by
       // both the solved branch and the unsolved anti-join
-      val cand = cellJoin(pos, features, r, cell = r)
-        .withColumn("d2", dist2(col("sx"), col("sy"), col("x"), col("y")))
-        .cache()
+      val cand = OperatorCaches.cached(
+        cellJoin(pos, features, r, cell = r)
+          .withColumn("d2", dist2(col("sx"), col("sy"), col("x"), col("y"))))
       val ranked = cand
         .withColumn("__cnt", count(lit(1)).over(Window.partitionBy(col("sx"), col("sy"))))
         .withColumn("__rn", row_number().over(w))
@@ -247,9 +254,11 @@ object SpatialOps {
       .agg(Aggregates.block(funcs, sourceName, valueCols).head,
         Aggregates.block(funcs, sourceName, valueCols).tail: _*)
     // stats is bounded by |positions|; AQE broadcasts it when small,
-    // shuffles on position otherwise — no hard hint
+    // shuffles on position otherwise — no hard hint. Null-safe equality
+    // keeps the rejoin total even if a future caller re-admits null
+    // positions; today the stats side has no null rows (see `pos`).
     sensors.join(stats,
-      sensors("x") === stats("sx") && sensors("y") === stats("sy"), "left")
+      sensors("x") <=> stats("sx") && sensors("y") <=> stats("sy"), "left")
       .drop("sx", "sy")
   }
 

@@ -1,7 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.functions._
-import graft.core.Tables
+import graft.core.{OperatorCaches, Tables}
 import graft.ext.{Dedup, Similarity, TextAnalysis}
 
 /** LLM-data-pipeline extension coverage (SURVEY.md §2.12: E1-E4) over
@@ -444,11 +444,11 @@ object LlmExt {
       // size where this plan is sane, and the oracle (string join)
       // would catch one
       // cached: both self-join sides read the chunk fingerprints
-      val chunks = toks
+      val chunks0 = toks
         .withColumn("st", explode(sequence(lit(1), greatest(size(col("toks")) - 19, lit(1)), lit(10))))
         .select(col("doc_id"),
           xxhash64(concat_ws(" ", slice(col("toks"), col("st"), lit(20)))).as("chunk_h"))
-        .cache()
+      val chunks = OperatorCaches.cached(chunks0)
       val ca = chunks.select(col("doc_id").as("id_a"), col("chunk_h"))
       val cb = chunks.select(col("doc_id").as("id_b"), col("chunk_h"))
       ca.join(cb, Seq("chunk_h")).filter(col("id_a") < col("id_b"))

@@ -97,6 +97,39 @@ class SimilaritySpec extends AnyFunSuite {
     assert(withNull.isNullAt(0), "a null element must poison to null")
   }
 
+  test("E3: array_dot over two NON-nullable children still nulls on length mismatch") {
+    // array(cast(id as double)) is non-foldable and non-nullable: without
+    // `override def nullable = true` nullSafeCodeGen binds ev.isNull to
+    // FalseLiteral and the generated `isNull = true;` does not compile
+    // (and interpreted eval hands null into a non-null slot).
+    val out = spark.range(2).select(graft.ext.VectorExpressions.arrayDot(
+      expr("array(cast(id as double))"), expr("array(1.0d, 2.0d)")).as("d"))
+    assert(out.schema("d").nullable, "array_dot must declare itself nullable")
+    val rows = out.collect()
+    assert(rows.length == 2 && rows.forall(_.isNullAt(0)),
+      "length mismatch over non-nullable inputs must yield null")
+    // equal-length non-nullable inputs still compute through the same path
+    val ok = spark.range(3).select(graft.ext.VectorExpressions.arrayDot(
+      expr("array(cast(id as double), 2.0d)"), expr("array(10.0d, 0.5d)")))
+      .as[Double].collect().toSeq
+    assert(ok == Seq(1.0, 11.0, 21.0))
+  }
+
+  test("E3/E2: operator caches register per session and release deterministically") {
+    import graft.core.OperatorCaches
+    OperatorCaches.releaseAll(spark)
+    val emb = (0L until 20L).map(i => (i, Array.tabulate(4)(d => (i * 7 + d) % 5 / 4.0f)))
+      .toDF("vec_id", "embedding")
+    val out = Similarity.cosineNearDuplicates(emb, "embedding", "vec_id",
+      threshold = 0.999, dim = 4)
+    out.count() // materialize: the norm frame is now cached
+    assert(OperatorCaches.registeredCount(spark) == 1)
+    OperatorCaches.releaseAll(spark)
+    assert(OperatorCaches.registeredCount(spark) == 0)
+    // result remains recomputable from lineage after release
+    assert(out.count() >= 0)
+  }
+
   test("E3: brute-force top-k cosine ranks by true cosine") {
     val out = Similarity.topKCosine(vecs.filter($"vec_id" =!= 0L),
       "embedding", "vec_id", Array(1.0f, 0.0f, 0.0f), 3)

@@ -190,6 +190,32 @@ class SourcesSinksSpec extends AnyFunSuite {
     assert(graft.io.Sinks.writeSafe(df, s"$dir/x", "shapefile").get.contains("geometry"))
   }
 
+  test("S6: DBF guards — name-truncation collisions and record overflow fail loudly") {
+    import graft.geo.Geo
+    import graft.core.DataIOError
+    val dir = tmpDir()
+    // two attribute names identical in their first 10 ASCII bytes
+    val collide = Seq((1.5, 2.0, "a", "b"))
+      .toDF("x", "y", "measurement_alpha", "measurement_beta")
+      .select(Geo.stPoint(col("x"), col("y")).as("geometry"),
+        col("measurement_alpha"), col("measurement_beta"))
+    val e1 = intercept[DataIOError] {
+      graft.io.Shapefile.writePoints(collide, s"$dir/collide")
+    }
+    assert(e1.getMessage.contains("truncation"))
+    // 260 max-width (254-byte) text columns overflow the 16-bit record length
+    val wide = ("x" * 254, "pad")
+    val base = Seq((0.0, 0.0, wide._1)).toDF("x", "y", "c0")
+    val fat = (1 until 260).foldLeft(
+      base.select(Geo.stPoint(col("x"), col("y")).as("geometry"), col("c0"))) {
+      (d, i) => d.withColumn(s"c$i", col("c0"))
+    }
+    val e2 = intercept[DataIOError] {
+      graft.io.Shapefile.writePoints(fat, s"$dir/fat")
+    }
+    assert(e2.getMessage.contains("record length"))
+  }
+
   test("S6: shapefile sink writes a parseable .shp/.shx/.dbf point layer") {
     import graft.geo.Geo
     val dir = tmpDir()

@@ -94,6 +94,28 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("kNN: null-coordinate sensors get NULL stats; NaN positions dedup and rejoin") {
+    val nan = Double.NaN
+    val sensors = Seq(
+      (1L, Some(0.0), Some(0.0)),
+      (2L, None, Some(5.0)),        // null x → NULL stats
+      (3L, Some(nan), Some(1.0)),   // NaN position, duplicated at 4
+      (4L, Some(nan), Some(1.0))
+    ).toDF("id_sensor", "x", "y")
+    val features = Seq((10L, 0.0, 1.0, 2.0), (11L, 3.0, 4.0, 6.0))
+      .toDF("feature_id", "x", "y", "v")
+    Seq(Some(0.0), Some(2.0), None).foreach { pr =>
+      val out = SpatialOps.knnAggregate(sensors, features, k = 1,
+        Seq("sum"), Seq("v"), "feature_id", pruneRadius = pr)
+        .select("id_sensor", "sum_v").collect()
+        .map(r => r.getLong(0) -> Option(r.get(1))).toMap
+      assert(out(1L) == Some(2.0), s"pr=$pr")
+      assert(out(2L).isEmpty, s"null-coordinate sensor must get NULL stats (pr=$pr)")
+      assert(out(3L) == out(4L) && out(3L).nonEmpty,
+        s"NaN-position duplicates must receive identical non-null stats (pr=$pr)")
+    }
+  }
+
   test("law: IDW at an exact sensor location returns that sensor's value") {
     val cases = samples(
       Gen.listOfN(6, Gen.zip(Gen.zip(coordGen, coordGen), Gen.chooseNum(-100, 100))), 4)
