@@ -1,0 +1,81 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** E4+ — corpus curation operators for training-data pipelines:
+  * deterministic dataset splits, per-domain caps (data mixing), and
+  * TF-IDF term scoring. All pure DataFrame plans.
+  *
+  * These model the assembly steps downstream of cleaning/dedup: decide
+  * which split each document belongs to, bound any single domain's
+  * contribution, and surface the terms that characterize a document.
+  */
+object Curation {
+
+  /** Deterministic split bucket in [0, 100): a content-derived hash of
+    * `content` mod 100. Content-addressed by design — a document keeps
+    * its split across re-shards, re-ingests and dedup reorderings, and
+    * exact duplicates always land in the SAME split (no train/test
+    * leakage through copies). `hash` defaults to xxhash64; pass
+    * [[Dedup.md5Hash60]] for a cross-engine-reconstructible bucket. */
+  def splitBucket(content: Column,
+      hash: Column => Column = xxhash64(_)): Column =
+    pmod(hash(content), lit(100))
+
+  /** Train/val/test label from [[splitBucket]]: bucket < trainPct →
+    * "train", < trainPct+valPct → "val", else "test". */
+  def split(content: Column, trainPct: Int = 80, valPct: Int = 10,
+      hash: Column => Column = xxhash64(_)): Column = {
+    require(trainPct >= 0 && valPct >= 0 && trainPct + valPct <= 100,
+      "trainPct + valPct must be <= 100")
+    val b = splitBucket(content, hash)
+    when(b < trainPct, "train")
+      .when(b < trainPct + valPct, "val")
+      .otherwise("test")
+  }
+
+  /** Per-key document cap (data mixing / domain balancing): keep at
+    * most `cap` rows per `key`, ranked by `order` (callers pass a full
+    * deterministic tie-break). Adds `rank_in_key`. One shuffle keyed on
+    * the domain key; a skewed mega-domain is exactly the case the cap
+    * exists for — its partition processes at most its own rows once,
+    * and emits `cap`. */
+  def capPerKey(df: DataFrame, key: Column, order: Seq[Column],
+      cap: Int): DataFrame =
+    df.withColumn("rank_in_key",
+        row_number().over(Window.partitionBy(key).orderBy(order: _*)))
+      .filter(col("rank_in_key") <= cap)
+
+  /** Top-`topK` TF-IDF terms per document. tf = term count in doc,
+    * idf = ln(N / df) with N = |docs|, df = docs containing the term.
+    * The score is rounded to 6 decimals BEFORE ranking so rank order is
+    * reproducible across engines/libms (mathematically-equal scores
+    * computed through different expressions — e.g. 2·ln10 vs ln100 —
+    * can differ in the last ulp); ties break on the term.
+    *
+    * Scale: tf and df are uniform content-keyed aggregations with
+    * map-side partial aggregation; N is a 1-row broadcast. The tf⋈df
+    * equi-join on `term` is Zipf-skewed (stopwords touch every doc) —
+    * the df side is one row per vocab term, so AQE's skew-join split
+    * handles the hot keys; at extreme vocabulary sizes pre-salting the
+    * stopword band is the documented fallback. */
+  def tfIdfTopTerms(docs: DataFrame, textCol: String, idCol: String,
+      topK: Int): DataFrame = {
+    val tok = docs.select(col(idCol),
+      explode(TextAnalysis.tokens(col(textCol))).as("term"))
+    val tf = tok.groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf"))
+    val dfreq = tok.groupBy(col("term"))
+      .agg(countDistinct(col(idCol)).as("df"))
+    val n = docs.agg(countDistinct(col(idCol)).as("n_docs"))
+    val scored = tf.join(dfreq, "term").crossJoin(broadcast(n))
+      .withColumn("tfidf",
+        round(col("tf") * log(col("n_docs").cast("double") / col("df")), 6))
+    scored
+      .withColumn("rank", row_number().over(Window.partitionBy(col(idCol))
+        .orderBy(col("tfidf").desc, col("term").asc)))
+      .filter(col("rank") <= topK)
+      .select(col(idCol), col("rank"), col("term"), col("tfidf"))
+  }
+}

@@ -92,4 +92,45 @@ object TextAnalysis {
       greatest(size(toks) - w, lit(0)), lit(stride))
     transform(starts, i => xxhash64(concat_ws(" ", slice(toks, i + 1, lit(w)))))
   }
+
+  /** E4 — winnowing fingerprints (Schleimer/Wilkerson/Aiken, SIGMOD'03
+    * — the MOSS algorithm): hash every k-token gram, slide a window of
+    * w consecutive gram hashes, keep each window's minimum; the
+    * distinct minima are the document's fingerprint set. Any shared
+    * token run of length >= k + w - 1 between two documents is
+    * guaranteed to share a fingerprint, at ~1/w of the full k-gram
+    * index size — the standard contamination/plagiarism sketch.
+    *
+    * Documents with fewer than k tokens emit no fingerprints; with
+    * fewer than w grams, the single truncated window (all grams) emits
+    * one — every hashable doc keeps at least one fingerprint.
+    *
+    * One shuffle, keyed on the doc id: the gram explode, the gram
+    * count, and the sliding min all evaluate inside a single
+    * sort-based window pass per document. Fingerprint values are
+    * content-derived hashes — uniform downstream join/group keys.
+    *
+    * `gramHash` defaults to xxhash64; pass [[graft.ext.Dedup.md5Hash60]]
+    * for a cross-engine-reconstructible fingerprint (q62's oracle). */
+  def winnowingFingerprints(docs: DataFrame, textCol: String, idCol: String,
+      k: Int, w: Int, gramHash: Column => Column = xxhash64(_)): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(k >= 1 && w >= 1, "k and w must be positive")
+    val grams = docs
+      .select(col(idCol), tokens(col(textCol)).as("__toks"))
+      .filter(size(col("__toks")) >= k)
+      .select(col(idCol),
+        posexplode(transform(sequence(lit(1), size(col("__toks")) - (k - 1)),
+          i => gramHash(concat_ws(" ", slice(col("__toks"), i, lit(k)))))))
+      .withColumnRenamed("pos", "__p").withColumnRenamed("col", "__h")
+    val byDoc = Window.partitionBy(col(idCol))
+    val frame = byDoc.orderBy(col("__p")).rowsBetween(Window.currentRow, w - 1)
+    grams
+      .withColumn("__ng", count(lit(1)).over(byDoc))
+      .withColumn("fingerprint", min(col("__h")).over(frame))
+      // full windows only — except the short-doc single window
+      .filter(col("__p") <= col("__ng") - w ||
+        (col("__ng") < w && col("__p") === 0))
+      .select(col(idCol), col("fingerprint")).distinct()
+  }
 }

@@ -28,5 +28,6 @@ final case class Declared(
 object Declared {
   /** All declared queries, every module. Order = documentation order. */
   lazy val all: Seq[Declared] =
-    Relational.all ++ Relational2.all ++ TimeSeries.all ++ Spatial.all ++ LlmExt.all
+    Relational.all ++ Relational2.all ++ TimeSeries.all ++ Spatial.all ++
+      LlmExt.all ++ LlmExt2.all
 }

@@ -272,3 +272,82 @@ class MultimodalSpec extends AnyFunSuite {
     assert(idx == Seq(0L, 10L, 20L, 30L, 40L))
   }
 }
+
+class CurationSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  test("E4: winnowing — shared runs of k+w-1 tokens share a fingerprint; short docs behave") {
+    import graft.ext.TextAnalysis
+    val sharedRun = "alpha beta gamma delta epsilon zeta eta" // 7 tokens = k+w-1 for k=w=4
+    val docs = Seq(
+      (1L, s"one two three $sharedRun red blue"),
+      (2L, s"$sharedRun nine ten eleven twelve"),
+      (3L, "completely unrelated words with nothing in common here at all"),
+      (4L, "tiny doc"),                   // < k tokens: no fingerprints
+      (5L, "exactly four tokens here"),   // k tokens, 1 gram < w: one truncated window
+      (6L, s"one two three $sharedRun red blue") // identical to 1
+    ).toDF("doc_id", "text")
+    val fp = TextAnalysis.winnowingFingerprints(docs, "text", "doc_id", k = 4, w = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1))
+    val byDoc = fp.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    // guarantee: >= k+w-1 shared tokens => >= 1 shared fingerprint
+    assert((byDoc(1L) & byDoc(2L)).nonEmpty)
+    // unrelated docs share nothing
+    assert((byDoc(1L) & byDoc(3L)).isEmpty)
+    // identical docs have identical fingerprint sets
+    assert(byDoc(1L) == byDoc(6L))
+    // < k tokens: absent; exactly one gram: exactly one fingerprint
+    assert(!byDoc.contains(4L))
+    assert(byDoc(5L).size == 1)
+  }
+
+  test("E4: hash split is deterministic, duplicate-safe, and percentage-shaped") {
+    import graft.ext.Curation
+    val docs = (0 until 2000).map(i => (i.toLong, s"document number $i with some text"))
+      .toDF("doc_id", "text")
+    val split = docs.select(col("doc_id"), Curation.split(col("text")).as("s"))
+    val counts = split.groupBy("s").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // hash buckets approximate the 80/10/10 request (binomial tolerance)
+    assert(counts("train") > 1500 && counts("val") > 120 && counts("test") > 120)
+    assert(counts.values.sum == 2000)
+    // determinism + content-addressing: identical text => identical split
+    val dup = Seq((9001L, "document number 7 with some text")).toDF("doc_id", "text")
+      .select(Curation.split(col("text")).as("s")).head.getString(0)
+    val orig = split.filter(col("doc_id") === 7L).head.getString(1)
+    assert(dup == orig)
+  }
+
+  test("E4: capPerKey keeps at most cap rows per key in the requested order") {
+    import graft.ext.Curation
+    val df = (0 until 100).map(i => (i.toLong, s"src${i % 3}", (i * 37) % 100))
+      .toDF("doc_id", "source", "sz")
+    val kept = Curation.capPerKey(df, col("source"),
+      Seq(col("sz").desc, col("doc_id").asc), cap = 5)
+    val byKey = kept.collect().groupBy(_.getString(1))
+    assert(byKey.size == 3 && byKey.values.forall(_.length == 5))
+    // kept rows are exactly the top-5 sz per key (with id tie-break)
+    byKey.foreach { case (src, rows) =>
+      val expect = (0 until 100).filter(i => s"src${i % 3}" == src)
+        .sortBy(i => (-((i * 37) % 100), i)).take(5).map(_.toLong).toSet
+      assert(rows.map(_.getLong(0)).toSet == expect, src)
+    }
+  }
+
+  test("E4: tfidf — ubiquitous terms score zero, distinctive terms rank first") {
+    import graft.ext.Curation
+    val docs = Seq(
+      (1L, "shared shared unique1 filler"),
+      (2L, "shared filler unique2 unique2"),
+      (3L, "shared filler other words")
+    ).toDF("doc_id", "text")
+    val out = Curation.tfIdfTopTerms(docs, "text", "doc_id", topK = 2).collect()
+      .map(r => (r.getLong(0), r.getInt(1)) -> (r.getString(2), r.getDouble(3))).toMap
+    // 'shared' appears in all 3 docs: idf = ln(1) = 0 — never outranks a unique term
+    assert(out((1L, 1))._1 == "unique1")
+    assert(out((2L, 1))._1 == "unique2")
+    // tf doubles the score: unique2 (tf=2) = 2 * ln(3)
+    assert(math.abs(out((2L, 1))._2 - math.rint(2 * math.log(3.0) * 1e6) / 1e6) < 1e-9)
+  }
+}
