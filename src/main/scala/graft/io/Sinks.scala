@@ -34,6 +34,7 @@ object Sinks {
     "json" -> ((df, path) => df.write.mode("overwrite").json(path)),
     "geojson" -> ((df, path) => renderGeometry(df).write.mode("overwrite").json(path)),
     "csv" -> ((df, path) => df.write.mode("overwrite").option("header", "true").csv(path)),
+    "orc" -> ((df, path) => df.write.mode("overwrite").orc(path)),
     "shapefile" -> ((df, path) => Shapefile.writePoints(df, path)),
     "esri shapefile" -> ((df, path) => Shapefile.writePoints(df, path)))
 

@@ -39,10 +39,17 @@ object Sources {
         sys.error("not valid JSON lines") else df
     })
     val xlsxAttempt = "xlsx" -> (() => openXlsx(spark, path))
+    // self-describing columnar formats: never worth cascading INTO
+    // (the csv leg would happily comma-split their binary framing),
+    // but an explicit extension routes straight to the native reader
+    val parquetAttempt = "parquet" -> (() => spark.read.parquet(path))
+    val orcAttempt = "orc" -> (() => spark.read.orc(path))
     val lower = path.toLowerCase
     val attempts =
       if (lower.endsWith(".json")) Seq(jsonAttempt, csvAttempt, xlsxAttempt)
       else if (lower.endsWith(".xlsx")) Seq(xlsxAttempt, csvAttempt, jsonAttempt)
+      else if (lower.endsWith(".parquet")) Seq(parquetAttempt)
+      else if (lower.endsWith(".orc")) Seq(orcAttempt)
       else Seq(csvAttempt, jsonAttempt, xlsxAttempt)
     val errors = Seq.newBuilder[String]
     attempts.foreach { case (fmt, read) =>

@@ -190,6 +190,17 @@ class SourcesSinksSpec extends AnyFunSuite {
     assert(graft.io.Sinks.writeSafe(df, s"$dir/x", "shapefile").get.contains("geometry"))
   }
 
+  test("S2/S6: ORC and parquet round-trip through sink + reader cascade") {
+    val dir = tmpDir()
+    val df = Seq((1L, "a", 1.5), (2L, "b", -2.0)).toDF("id", "s", "v")
+    graft.io.Sinks.write(df, s"$dir/t.orc", "orc")
+    val orc = graft.io.Sources.openData(spark, s"$dir/t.orc")
+    assert(orc.orderBy("id").collect().toSeq == df.orderBy("id").collect().toSeq)
+    graft.io.Sinks.write(df, s"$dir/t.parquet", "parquet")
+    val pq = graft.io.Sources.openData(spark, s"$dir/t.parquet")
+    assert(pq.orderBy("id").collect().toSeq == df.orderBy("id").collect().toSeq)
+  }
+
   test("S6: DBF guards — name-truncation collisions and record overflow fail loudly") {
     import graft.geo.Geo
     import graft.core.DataIOError

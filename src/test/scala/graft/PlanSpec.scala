@@ -46,6 +46,24 @@ class PlanSpec extends AnyFunSuite {
       "the E3 hot kernel must stay on the codegen ArrayDotProduct expression")
   }
 
+  test("winnowing runs in ONE doc-keyed exchange (count + sliding min share the sort)") {
+    val docs = Seq((1L, "a b c d e f g h"), (2L, "x y z w v u t s")).toDF("doc_id", "text")
+    val out = TextAnalysis.winnowingFingerprints(docs, "text", "doc_id", k = 4, w = 4)
+    val physical = out.queryExecution.executedPlan.toString
+    // both window functions partition on the doc id — one shuffle, one sort
+    val exchanges = "Exchange hashpartitioning\\(doc_id".r.findAllIn(physical).length
+    assert(exchanges <= 1, s"winnowing must not re-shuffle between windows; saw $exchanges:\n$physical")
+  }
+
+  test("tfidf keeps the corpus size as a 1-row broadcast, never a shuffle join") {
+    val docs = Seq((1L, "a b"), (2L, "b c")).toDF("doc_id", "text")
+    val out = graft.ext.Curation.tfIdfTopTerms(docs, "text", "doc_id", 2)
+    val physical = out.queryExecution.executedPlan.toString
+    assert(physical.contains("BroadcastNestedLoopJoin") || physical.contains("BroadcastExchange"),
+      "the N-docs scalar must broadcast")
+    assert(!physical.contains("CartesianProduct"), "no cartesian for the 1-row N join")
+  }
+
   test("adaptive kNN with a small position set plans a broadcast, not a cartesian") {
     val sensors = (1 to 20).map(i => (i.toLong, (i % 5).toDouble, (i / 5).toDouble))
       .toDF("id_sensor", "x", "y")
