@@ -12,10 +12,18 @@ import org.apache.spark.sql.types._
   * payload-hash partitioning for decode locality, and the feature
   * schema contract. IMAGE DECODE IS REAL — javax.imageio ships with the
   * JDK (PNG/JPEG/BMP/GIF), so width/height/mean-luminance/histogram
-  * come from actual pixels. Audio/video decode remains a clearly-marked
-  * deterministic STUB (no ffmpeg-style codecs in this environment);
-  * swapping in a real codec changes only `byteStatsStub`'s body,
-  * nothing in the plan shape.
+  * come from actual pixels. AUDIO DECODE IS REAL for WAV/PCM — RIFF is
+  * a length-prefixed chunk format parseable with plain byte arithmetic
+  * (no codec library): sample rate, channel count, RMS amplitude and an
+  * amplitude histogram come from actual samples. Video decode remains a
+  * clearly-marked deterministic STUB (ffmpeg-class codecs don't exist
+  * in this environment); swapping one in changes only `byteStatsStub`'s
+  * body, nothing in the plan shape.
+  *
+  * Feature-column mapping per modality (featureSchema is shared):
+  * image → (width, height, mean luminance, luminance histogram);
+  * audio → (sample rate, channels, RMS amplitude, amplitude histogram);
+  * video stub → (declared dims, byte mean, byte histogram).
   */
 object Multimodal {
 
@@ -39,15 +47,17 @@ object Multimodal {
 
   /** Deterministic synthetic payloads for tests/benchmarks. IMAGE rows
     * carry REAL PNG payloads (a deterministic grayscale gradient keyed
-    * by id, encoded via the JDK's ImageIO) so the decode path is
-    * exercised end to end; audio/video rows carry pseudo-random bytes
-    * (splitmix-style), length keyed by id. */
+    * by id, encoded via the JDK's ImageIO) and AUDIO rows carry REAL
+    * WAV/PCM16 payloads (a deterministic triangle wave keyed by id), so
+    * both decode paths are exercised end to end; video rows carry
+    * pseudo-random bytes (splitmix-style), length keyed by id. */
   def withSyntheticMedia(spark: org.apache.spark.sql.SparkSession, n: Int): DataFrame = {
     val rows = spark.range(n).rdd.map { id =>
       val w = 64 + (id % 4).toInt * 32
       val kind = Seq("image", "audio", "video")((id % 3).toInt)
       val payload =
         if (kind == "image") syntheticPng(w, 64, id)
+        else if (kind == "audio") syntheticWav(800 + (id % 5).toInt * 160, 16000, id)
         else {
           var x = id * 0x9E3779B97F4A7C15L + 0xBF58476D1CE4E5B9L
           def next(): Byte = { x ^= x >>> 27; x *= 0x94D049BB133111EBL; (x >>> 56).toByte }
@@ -106,13 +116,80 @@ object Multimodal {
       }
     } catch { case _: Exception => None }
 
-  /** ================== AUDIO/VIDEO DECODE STUB ==================
-    * Stands in for a real audio/video decoder (no ffmpeg-style codecs
-    * in this environment — unlike images, the JDK ships none).
-    * Deterministic: features derive from byte statistics, so tests are
-    * stable. A real implementation replaces ONLY this function body,
-    * keeping the batch shape. Also the fallback for undecodable image
-    * payloads (corrupt/unknown format).
+  /** Deterministic mono PCM16 WAV: sample i of the triangle-ish wave
+    * `(((i * (7 + seed % 5)) % 2048) - 1024) * 16` — integer math only,
+    * so tests recompute expected RMS bit-exactly without libm. */
+  def syntheticWav(nSamples: Int, sampleRate: Int, seed: Long): Array[Byte] = {
+    val dataLen = nSamples * 2
+    val b = java.nio.ByteBuffer.allocate(44 + dataLen)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    b.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen)
+      .put("WAVE".getBytes("US-ASCII"))
+    b.put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1).putShort(1)            // PCM, mono
+      .putInt(sampleRate).putInt(sampleRate * 2)
+      .putShort(2).putShort(16)           // block align, bits/sample
+    b.put("data".getBytes("US-ASCII")).putInt(dataLen)
+    val k = (7 + (seed % 5)).toInt
+    var i = 0
+    while (i < nSamples) {
+      b.putShort((((i.toLong * k) % 2048 - 1024) * 16).toShort)
+      i += 1
+    }
+    b.array()
+  }
+
+  /** REAL audio decode for WAV/PCM (8/16-bit): walks the RIFF chunk
+    * list with plain byte arithmetic — no codec library exists or is
+    * needed for PCM. Features: (sampleRate, channels, RMS of samples
+    * normalized to [-1,1), 8-bin histogram of normalized amplitude).
+    * None when the payload isn't RIFF/WAVE PCM. */
+  private[graft] def decodeWav(payload: Array[Byte]): Option[(Int, Int, Double, Array[Double])] =
+    try {
+      if (payload.length < 44) return None
+      val b = java.nio.ByteBuffer.wrap(payload).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      def tag(off: Int) = new String(payload, off, 4, "US-ASCII")
+      if (tag(0) != "RIFF" || tag(8) != "WAVE") return None
+      var off = 12
+      var fmt: Option[(Int, Int, Int)] = None // channels, sampleRate, bits
+      var data: Option[(Int, Int)] = None     // offset, length
+      while (off + 8 <= payload.length && (fmt.isEmpty || data.isEmpty)) {
+        val id = tag(off); val len = b.getInt(off + 4)
+        if (id == "fmt " && len >= 16) {
+          if (b.getShort(off + 8) != 1) return None // PCM only
+          fmt = Some((b.getShort(off + 10).toInt, b.getInt(off + 12),
+            b.getShort(off + 22).toInt))
+        } else if (id == "data")
+          data = Some((off + 8, math.min(len, payload.length - off - 8)))
+        off += 8 + len + (len & 1) // chunks are word-aligned
+      }
+      for ((channels, rate, bits) <- fmt; (dOff, dLen) <- data) yield {
+        if (bits != 8 && bits != 16) return None
+        val bytesPer = bits / 8
+        val n = dLen / bytesPer
+        val hist = new Array[Double](8)
+        var sumSq = 0.0
+        var i = 0
+        while (i < n) {
+          val s =
+            if (bits == 16) b.getShort(dOff + i * 2) / 32768.0
+            else ((payload(dOff + i) & 0xFF) - 128) / 128.0
+          sumSq += s * s
+          hist(math.min(((s + 1.0) / 2.0 * 8).toInt, 7)) += 1.0
+          i += 1
+        }
+        val rms = if (n == 0) 0.0 else math.sqrt(sumSq / n)
+        (rate, channels, rms, if (n == 0) hist else hist.map(_ / n))
+      }
+    } catch { case _: Exception => None }
+
+  /** ================== VIDEO DECODE STUB ==================
+    * Stands in for a real video decoder (ffmpeg-class codecs don't
+    * exist in this environment; unlike PNG/WAV, compressed video can't
+    * be parsed with JDK-only means). Deterministic: features derive
+    * from byte statistics, so tests are stable. A real implementation
+    * replaces ONLY this function body, keeping the batch shape. Also
+    * the fallback for undecodable image/audio payloads.
     */
   private def byteStatsStub(payload: Array[Byte],
       declaredW: Int, declaredH: Int): (Int, Int, Double, Array[Double]) = {
@@ -129,6 +206,8 @@ object Multimodal {
       declaredW: Int, declaredH: Int): (Int, Int, Double, Array[Double]) =
     if (mediaType == "image")
       decodeImage(payload).getOrElse(byteStatsStub(payload, declaredW, declaredH))
+    else if (mediaType == "audio")
+      decodeWav(payload).getOrElse(byteStatsStub(payload, declaredW, declaredH))
     else byteStatsStub(payload, declaredW, declaredH)
 
   /** Batch feature extraction: one mapPartitions pass, partition-local

@@ -265,6 +265,32 @@ class MultimodalSpec extends AnyFunSuite {
     }
   }
 
+  test("E5: real WAV payloads decode to sample rate, channels, and exact RMS") {
+    val media = Multimodal.withSyntheticMedia(spark, 12)
+    val feats = Multimodal.extractFeatures(media, numPartitions = 2)
+      .filter(col("media_type") === "audio").collect()
+    assert(feats.nonEmpty)
+    feats.foreach { r =>
+      val id = r.getAs[Long]("media_id")
+      assert(r.getAs[Int]("width") == 16000, "width carries the decoded sample rate")
+      assert(r.getAs[Int]("height") == 1, "height carries the channel count")
+      // recompute expected RMS from the same integer triangle wave
+      val n = 800 + (id % 5).toInt * 160
+      val k = (7 + (id % 5)).toInt
+      val sumSq = (0 until n).map { i =>
+        val s = ((i.toLong * k) % 2048 - 1024) * 16 / 32768.0; s * s
+      }.sum
+      assert(math.abs(r.getAs[Double]("mean_intensity") - math.sqrt(sumSq / n)) < 1e-12,
+        s"RMS of media $id")
+      val hist = r.getSeq[Double](r.fieldIndex("feature_vec"))
+      assert(hist.length == 8 && math.abs(hist.sum - 1.0) < 1e-9)
+      // triangle wave spans roughly ±0.5: outer amplitude bins stay empty
+      assert(hist(0) == 0.0 && hist(7) == 0.0)
+    }
+    // a non-WAV payload falls back to the byte-stats stub, not a crash
+    assert(Multimodal.decodeWav("not a riff file at all".getBytes).isEmpty)
+  }
+
   test("E5: frame sampling indices are declarative and bounded") {
     import spark.implicits._
     val df = Seq(100).toDF("n_frames")
