@@ -39,6 +39,8 @@ object OpRegistry {
   }
   private def strOpt(p: ListMap[String, Json], k: String): Option[String] =
     p.get(k).collect { case JStr(s) => s }
+  private def numOpt(p: ListMap[String, Json], k: String): Option[Double] =
+    p.get(k).collect { case JNum(n) => n }
   private def num(p: ListMap[String, Json], k: String): Double = p.get(k) match {
     case Some(JNum(n)) => n
     case other => sys.error(s"kwarg '$k' must be a number, got $other")
@@ -128,6 +130,39 @@ object OpRegistry {
       graft.ops.VectorOps.cleanGeometries(df,
         strOpt(p, "geometry_col").getOrElse("geometry"))._1),
     "get_intervals" -> (p => df => graft.ops.Binning.cut(
-      df, str(p, "column"), num(p, "n").toInt))
+      df, str(p, "column"), num(p, "n").toInt)),
+    // LLM-corpus extensions (E1/E2/E4/E7) as pipeline citizens: the
+    // same operators the declared queries exercise, addressable from a
+    // serialized pipeline spec
+    "exact_dedup" -> (p => df => graft.ext.Dedup.exact(
+      df, str(p, "text_col"), str(p, "id_col"))),
+    "minhash_near_dups" -> (p => df => graft.ext.Dedup.minhashNearDuplicates(
+      df, str(p, "text_col"), str(p, "id_col"),
+      numOpt(p, "shingle_size").map(_.toInt).getOrElse(3),
+      numOpt(p, "num_hashes").map(_.toInt).getOrElse(16),
+      numOpt(p, "bands").map(_.toInt).getOrElse(4),
+      numOpt(p, "threshold").getOrElse(0.5))),
+    "quality_features" -> (p => df =>
+      graft.ext.TextAnalysis.qualityFeatures(df, str(p, "text_col"))),
+    "lang_id" -> (p => df => {
+      val toksCol = "__toks_" + str(p, "text_col")
+      df.withColumn(toksCol, graft.ext.TextAnalysis.tokens(col(str(p, "text_col"))))
+        .withColumn(strOpt(p, "out_col").getOrElse("lang_pred"),
+          graft.ext.TextAnalysis.langIdFromTokens(col(toksCol)))
+        .drop(toksCol)
+    }),
+    "winnowing_fingerprints" -> (p => df =>
+      graft.ext.TextAnalysis.winnowingFingerprints(df,
+        str(p, "text_col"), str(p, "id_col"),
+        num(p, "k").toInt, num(p, "w").toInt)),
+    "hash_split" -> (p => df => df.withColumn(
+      strOpt(p, "out_col").getOrElse("split"),
+      graft.ext.Curation.split(col(str(p, "text_col")),
+        numOpt(p, "train_pct").map(_.toInt).getOrElse(80),
+        numOpt(p, "val_pct").map(_.toInt).getOrElse(10)))),
+    "cap_per_key" -> (p => df => graft.ext.Curation.capPerKey(
+      df, col(str(p, "key")), strs(p, "order").map(expr), num(p, "cap").toInt)),
+    "tfidf_top_terms" -> (p => df => graft.ext.Curation.tfIdfTopTerms(
+      df, str(p, "text_col"), str(p, "id_col"), num(p, "top_k").toInt))
   ))
 }

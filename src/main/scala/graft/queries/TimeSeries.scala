@@ -232,7 +232,8 @@ object TimeSeries {
     * dangle), apply `transform`, run to completion into a complete-mode
     * memory table, and return it. Nanos-ts handling mirrors
     * Tables.events. */
-  private def streamEventsToTable(s: SparkSession, dir: String, tag: String)(
+  private def streamEventsToTable(s: SparkSession, dir: String, tag: String,
+      mode: String = "complete")(
       transform: DataFrame => DataFrame): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val path = s"$dir/events.parquet"
@@ -249,7 +250,7 @@ object TimeSeries {
         else raw
       val qname = s"${tag}_mem_" + java.util.UUID.randomUUID().toString.replace("-", "")
       val q = transform(ev).writeStream.format("memory").queryName(qname)
-        .outputMode("complete").start()
+        .outputMode(mode).start()
       try graft.streaming.StreamOps.runOnce(q)
       catch { case e: Throwable =>
         // a failed drain must not leave an active stream polling a
@@ -323,5 +324,29 @@ object TimeSeries {
     "Streaming state = one row per (window, type) inside the watermark horizon in the " +
       "production (append/update) configuration; the shuffle key matches the batch twin.")
 
-  val all: Seq[Declared] = Seq(q20, q21, q22, q23, q24, q25, q53, q54, q57, q60)
+  /** q66 — T5 under the oracle gate: stateful streaming dedup
+    * (`dropDuplicatesWithinWatermark`) over (user_id, event_type),
+    * projecting the KEYS — every kept representative is identical in
+    * the projected columns, so the output is order- and
+    * batching-independent and the batch DISTINCT is the exact oracle.
+    * The watermark spans the fixture's full horizon, making the dedup
+    * state global (the production trade: state size vs dedup window —
+    * a bounded window evicts state but re-admits far-apart
+    * duplicates). */
+  val q66 = Declared(
+    "q66_stream_dedup", "T5,U2",
+    (s, dir) => {
+      streamEventsToTable(s, dir, "q66", mode = "append")(ev =>
+        graft.streaming.StreamOps.streamingDedup(
+          ev, "ts", "3650 days", Seq("user_id", "event_type"))
+          .select(col("user_id"), col("event_type")))
+        .orderBy(col("user_id"), col("event_type"))
+    },
+    Some("""SELECT DISTINCT user_id, event_type FROM events
+           |ORDER BY user_id, event_type""".stripMargin),
+    "Dedup state = one row per distinct key inside the watermark horizon, shuffle keyed on " +
+      "the dedup key (uniform). At 100TB the horizon IS the knob: watermark bounds state " +
+      "size; global exactness composes this with the batch exact-dedup operator downstream.")
+
+  val all: Seq[Declared] = Seq(q20, q21, q22, q23, q24, q25, q53, q54, q57, q60, q66)
 }

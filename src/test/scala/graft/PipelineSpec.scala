@@ -95,6 +95,32 @@ class PipelineSpec extends AnyFunSuite {
     val (out, _) = p.run(ev)
     assert(out.head.getAs[Double]("mean_v_090000_170000") == 5.0)
   }
+
+  test("ops: corpus-curation ops compose from a JSON round-tripped spec") {
+    val docs = Seq(
+      (1L, "the cat sat on the mat", "a"),
+      (2L, "the cat sat on the mat", "a"),   // exact dup of 1
+      (3L, "der hund und die katze sind da und da", "b"),
+      (4L, "el perro y el gato por la casa con una manta", "b")
+    ).toDF("doc_id", "text", "source")
+    val p = Pipeline("curate")
+      .addOperation(Operation("dedup", "exact_dedup",
+        "text_col" -> JStr("text"), "id_col" -> JStr("doc_id")))
+      .addOperation(Operation("keep", "filter", "condition" -> JStr("is_canonical")))
+      .addOperation(Operation("lang", "lang_id", "text_col" -> JStr("text")))
+      .addOperation(Operation("split", "hash_split", "text_col" -> JStr("text")))
+      .addOperation(Operation("cap", "cap_per_key",
+        "key" -> JStr("source"), "order" -> JArr(Vector(JStr("doc_id"))),
+        "cap" -> JNum(1)))
+    // the spec survives serialization (every op addressable by name)
+    val rt = Pipeline.fromJson(p.toJson.render)
+    val (out, _) = rt.run(docs)
+    val rows = out.collect()
+    assert(rows.map(_.getAs[Long]("doc_id")).toSet == Set(1L, 3L)) // dedup + cap
+    val byId = rows.map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("lang_pred")).toMap
+    assert(byId(1L) == "en" && byId(3L) == "de")
+    assert(rows.forall(r => Set("train", "val", "test")(r.getAs[String]("split"))))
+  }
 }
 
 class SourcesSinksSpec extends AnyFunSuite {
