@@ -78,6 +78,26 @@ object StreamOps {
     events.withWatermark(tsCol, watermark)
       .dropDuplicatesWithinWatermark(keys)
 
+  /** T7 — stream-stream inner join with an event-time range bound: a
+    * left row at time t matches right rows with the same key whose
+    * timestamp lies in [t, t + within] (the ad-impression/click,
+    * order/payment correlation pattern). Both sides carry watermarks,
+    * which is what lets Spark EXPIRE join state: a buffered left row
+    * can stop waiting once the right watermark passes t + within.
+    * State size ≈ (input rate × (watermark + within)) per side, shuffle
+    * keyed on the join key — the only viable shape at unbounded input.
+    * Column names must be disjoint apart from `key`. */
+  def streamStreamJoin(left: DataFrame, right: DataFrame, key: String,
+      ltsCol: String, rtsCol: String, watermark: String,
+      within: String): DataFrame = {
+    val l = left.withWatermark(ltsCol, watermark)
+    val r = right.withWatermark(rtsCol, watermark)
+    l.join(r, l(key) === r(key) &&
+        r(rtsCol) >= l(ltsCol) &&
+        r(rtsCol) <= l(ltsCol) + expr(s"INTERVAL $within"))
+      .drop(r(key))
+  }
+
   /** Input/output records for the custom-state sessionizer. */
   final case class SessionEvent(event_id: Long, ts: java.sql.Timestamp,
       user_id: Long, value: Double)

@@ -156,6 +156,37 @@ class StreamingSpec extends AnyFunSuite {
 
   private def ts(s: String) = java.sql.Timestamp.valueOf(s)
 
+  test("T7: stream-stream join matches right rows within the event-time bound") {
+    val ldir = tmp(); val rdir = tmp()
+    // impressions
+    writeBatch(ldir, "b1", Seq(
+      (1L, "2024-01-01 10:00:00", 1L, 0.0),
+      (2L, "2024-01-01 10:00:00", 2L, 0.0),
+      (3L, "2024-01-01 12:00:00", 1L, 0.0)))
+    // clicks: one in-window per user 1 impression, one too late, one for user 2
+    val clickSchema = StructType(Seq(
+      StructField("click_id", LongType), StructField("cts", TimestampType),
+      StructField("user_id", LongType), StructField("amount", DoubleType)))
+    Seq((10L, java.sql.Timestamp.valueOf("2024-01-01 10:20:00"), 1L, 1.0),
+        (11L, java.sql.Timestamp.valueOf("2024-01-01 11:10:00"), 1L, 2.0),
+        (12L, java.sql.Timestamp.valueOf("2024-01-01 10:29:00"), 2L, 3.0))
+      .toDF("click_id", "cts", "user_id", "amount")
+      .coalesce(1).write.mode("append").json(rdir)
+    val li = StreamOps.fileStream(spark, ldir, schema)
+    val ri = StreamOps.fileStream(spark, rdir, clickSchema)
+    val joined = StreamOps.streamStreamJoin(li, ri, "user_id",
+      "ts", "cts", watermark = "1 hour", within = "30 minutes")
+    val q = joined.writeStream.outputMode("append")
+      .format("memory").queryName("t7out").start()
+    StreamOps.runOnce(q)
+    val out = spark.table("t7out").select("event_id", "click_id")
+      .as[(Long, Long)].collect().toSet
+    // impression 1 ↔ click 10 (20 min later); impression 2 ↔ click 12;
+    // click 11 is 70 min after impression 1 (out of window) and 50 min
+    // BEFORE impression 3 (right must not precede left)
+    assert(out == Set((1L, 10L), (2L, 12L)))
+  }
+
   test("T6: parquet sink + stream-static enrichment via foreachBatch") {
     val dir = tmp(); val out = tmp(); val ckpt = tmp()
     writeBatch(dir, "b1", Seq(
