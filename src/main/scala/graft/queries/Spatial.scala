@@ -255,5 +255,35 @@ object Spatial {
     "Geometry reduces to centroid+bbox DOUBLE columns before the join; the exact st_distance " +
       "UDF runs only on bbox survivors — same plan skeleton as the kernel path.")
 
-  val all: Seq[Declared] = Seq(q30, q31, q32, q33, q34, q35, q36, q37)
+  /** q38 — E6 layout: Morton (Z-order) keys over the feature set —
+    * the write-side data-skipping primitive (Layout.writeZordered
+    * sorts by exactly this key; LayoutSpec proves the per-file bbox
+    * shrink). The key is pure shift/mask arithmetic, so DuckDB
+    * computes it identically bit for bit. */
+  val q38 = Declared(
+    "q38_zorder_key", "E6,F7",
+    (s, dir) => {
+      features(s, dir).select(col("feature_id"),
+        graft.ops.Layout.zorderKey(col("x"), col("y"),
+          0.0, 100.0, 0.0, 100.0, bits = 7).as("zkey"))
+        .orderBy(col("feature_id"))
+    },
+    Some {
+      val terms = (0 until 7).map(b =>
+        s"(((qx >> $b) & 1) << ${2 * b}) + (((qy >> $b) & 1) << ${2 * b + 1})")
+        .mkString(" + ")
+      s"""WITH $featuresSql,
+         |q AS (
+         |  SELECT feature_id,
+         |    greatest(0, least(127, CAST(floor((x - 0.0) / 100.0 * 128.0) AS BIGINT))) AS qx,
+         |    greatest(0, least(127, CAST(floor((y - 0.0) / 100.0 * 128.0) AS BIGINT))) AS qy
+         |  FROM feats)
+         |SELECT feature_id, $terms AS zkey
+         |FROM q ORDER BY feature_id""".stripMargin
+    },
+    "Scan-side arithmetic; sorting the write by this key gives every parquet file a compact " +
+      "2-D bbox, so min-max skipping prunes most files under any spatial predicate — the " +
+      "write-side complement of bboxClip/cellJoin at 100TB.")
+
+  val all: Seq[Declared] = Seq(q30, q31, q32, q33, q34, q35, q36, q37, q38)
 }

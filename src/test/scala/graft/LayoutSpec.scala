@@ -1,0 +1,50 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.ops.Layout
+
+class LayoutSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  test("E6: Morton key interleaves quantized bits (known values, clamping)") {
+    val df = Seq(
+      (1.0, 2.0),   // qx=1 (01), qy=2 (10) -> z = 1 + (1<<3) = 9
+      (0.0, 0.0),   // z = 0
+      (3.9, 3.9),   // qx=qy=3 -> z = 0b1111 = 15
+      (-5.0, 99.0)  // clamps to (0, 3) -> y bits only: (1<<1)+(1<<3) = 10
+    ).toDF("x", "y")
+    val z = df.select(Layout.zorderKey(col("x"), col("y"), 0.0, 4.0, 0.0, 4.0, bits = 2))
+      .as[Long].collect().toSeq
+    assert(z == Seq(9L, 0L, 15L, 10L))
+  }
+
+  test("E6: Z-ordered write shrinks per-file bboxes vs an unsorted write") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_layout").toString
+    val pts = (0 until 1024).map(i => (i.toLong, (i % 32).toDouble, (i / 32).toDouble))
+      .toDF("id", "x", "y")
+    Layout.writeZordered(pts, s"$dir/z", "x", "y", 0.0, 32.0, 0.0, 32.0,
+      bits = 5, numFiles = 4)
+    pts.repartition(4).write.parquet(s"$dir/flat") // hash layout baseline
+
+    def meanBboxArea(path: String): Double = {
+      val files = new java.io.File(path).listFiles()
+        .filter(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+      assert(files.length == 4)
+      val areas = files.map { f =>
+        val r = spark.read.parquet(f.getAbsolutePath)
+          .agg(min("x"), max("x"), min("y"), max("y")).head
+        (r.getDouble(1) - r.getDouble(0)) * (r.getDouble(3) - r.getDouble(2))
+      }
+      areas.sum / areas.length
+    }
+    val global = 31.0 * 31.0
+    val zArea = meanBboxArea(s"$dir/z")
+    val flatArea = meanBboxArea(s"$dir/flat")
+    // each Z file owns a compact region (~a quadrant); hash files span everything
+    assert(zArea < 0.45 * global, s"z-ordered mean bbox $zArea vs global $global")
+    assert(zArea < flatArea / 2,
+      s"z-ordered ($zArea) must beat the hash layout ($flatArea) by 2x+")
+  }
+}
