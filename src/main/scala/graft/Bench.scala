@@ -23,16 +23,18 @@ object Bench {
 
     def exec(name: String): Double = {
       val t0 = System.nanoTime()
-      try SparkEntry.queries(name)(spark, sfDir)
-        .write.format("noop").mode("overwrite").save()
-      catch { case e: Throwable =>
-        System.err.println(s"[bench] $name failed: ${e.getMessage}"); return -1.0
+      try {
+        SparkEntry.queries(name)(spark, sfDir)
+          .write.format("noop").mode("overwrite").save()
+        (System.nanoTime() - t0) / 1e9
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] $name failed: ${e.getMessage}"); -1.0
+      } finally {
+        // scope operator-cached intermediates (e.g. kNN candidates) to
+        // the run that created them — even a FAILED run may have
+        // registered caches; ~200 executions must not accumulate blocks
+        graft.core.OperatorCaches.releaseAll(spark); spark.catalog.clearCache()
       }
-      val dt = (System.nanoTime() - t0) / 1e9
-      // scope operator-cached intermediates (e.g. kNN candidates) to the
-      // run that created them — 110 executions must not accumulate blocks
-      graft.core.OperatorCaches.releaseAll(spark); spark.catalog.clearCache()
-      dt
     }
 
     val names = queries.Declared.all.map(_.name)

@@ -63,8 +63,11 @@ object Curation {
     * stopword band is the documented fallback. */
   def tfIdfTopTerms(docs: DataFrame, textCol: String, idCol: String,
       topK: Int): DataFrame = {
-    val tok = docs.select(col(idCol),
-      explode(TextAnalysis.tokens(col(textCol))).as("term"))
+    // cached: tf and df aggregate the exploded tokens under DIFFERENT
+    // keys, so exchange reuse can't deduplicate the scan+explode —
+    // without the cache the corpus tokenizes once per consumer
+    val tok = graft.core.OperatorCaches.cached(docs.select(col(idCol),
+      explode(TextAnalysis.tokens(col(textCol))).as("term")))
     val tf = tok.groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf"))
     val dfreq = tok.groupBy(col("term"))
       .agg(countDistinct(col(idCol)).as("df"))

@@ -155,6 +155,7 @@ object Multimodal {
       var data: Option[(Int, Int)] = None     // offset, length
       while (off + 8 <= payload.length && (fmt.isEmpty || data.isEmpty)) {
         val id = tag(off); val len = b.getInt(off + 4)
+        if (len < 0) return None // corrupt length would stall the walk
         if (id == "fmt " && len >= 16) {
           if (b.getShort(off + 8) != 1) return None // PCM only
           fmt = Some((b.getShort(off + 10).toInt, b.getInt(off + 12),

@@ -115,10 +115,12 @@ object Shapefile {
         s"65535-byte format limit (${fields.length} fields); drop columns")
     // field names are truncated to 10 ASCII bytes — two columns that
     // collide after truncation would be indistinguishable to readers
-    val truncated = fields.map(_.name.getBytes("US-ASCII").take(10).toSeq)
-    if (truncated.distinct.length != truncated.length)
+    val collisions = fields.map(_.name)
+      .groupBy(_.getBytes("US-ASCII").take(10).toSeq)
+      .collect { case (_, names) if names.length > 1 => names.mkString("/") }
+    if (collisions.nonEmpty)
       throw DataIOError(basePath, "duplicate DBF field names after 10-byte " +
-        s"truncation: ${fields.map(_.name.take(10)).groupBy(identity).collect { case (k, v) if v.length > 1 => k }.mkString(", ")}")
+        s"truncation: ${collisions.mkString(", ")}")
     val dbf = ByteBuffer.allocate(headLen + n * recLen + 1)
     dbf.order(ByteOrder.LITTLE_ENDIAN)
     dbf.put(0, 0x03.toByte)

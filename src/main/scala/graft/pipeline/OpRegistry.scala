@@ -50,6 +50,16 @@ object OpRegistry {
     case None => Seq.empty
     case other => sys.error(s"kwarg '$k' must be a string array, got $other")
   }
+  /** Sort expression with optional trailing direction — "col desc" /
+    * "expr asc" — since functions.expr() parses expressions only and
+    * would throw on sort-direction syntax. */
+  private def sortExpr(s: String): org.apache.spark.sql.Column = {
+    val t = s.trim
+    val lower = t.toLowerCase
+    if (lower.endsWith(" desc")) expr(t.dropRight(5)).desc
+    else if (lower.endsWith(" asc")) expr(t.dropRight(4)).asc
+    else expr(t)
+  }
   private def pairs(p: ListMap[String, Json], k: String): Seq[(String, String)] =
     p.get(k) match {
       case Some(JArr(xs)) => xs.map {
@@ -89,7 +99,7 @@ object OpRegistry {
     "drop_unnamed" -> (_ => df =>
       df.drop(df.columns.filter(_.toLowerCase.contains("unnamed")).toIndexedSeq: _*)),
     // sorts / limits (O1)
-    "order_by" -> (p => df => df.orderBy(strs(p, "columns").map(expr): _*)),
+    "order_by" -> (p => df => df.orderBy(strs(p, "columns").map(sortExpr): _*)),
     "limit" -> (p => df => df.limit(num(p, "n").toInt)),
     // set ops (U2, U3)
     "distinct" -> (_ => df => df.distinct()),
@@ -161,7 +171,7 @@ object OpRegistry {
         numOpt(p, "train_pct").map(_.toInt).getOrElse(80),
         numOpt(p, "val_pct").map(_.toInt).getOrElse(10)))),
     "cap_per_key" -> (p => df => graft.ext.Curation.capPerKey(
-      df, col(str(p, "key")), strs(p, "order").map(expr), num(p, "cap").toInt)),
+      df, col(str(p, "key")), strs(p, "order").map(sortExpr), num(p, "cap").toInt)),
     "tfidf_top_terms" -> (p => df => graft.ext.Curation.tfIdfTopTerms(
       df, str(p, "text_col"), str(p, "id_col"), num(p, "top_k").toInt))
   ))

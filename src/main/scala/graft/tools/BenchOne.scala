@@ -11,8 +11,9 @@ object BenchOne {
   def main(args: Array[String]): Unit = {
     val dir = args(0); val name = args(1)
     val n = if (args.length > 2) args(2).toInt else 3
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = GraftSession.configure(
-      SparkSession.builder().master("local[32]").appName("graft-benchone")).getOrCreate()
+      SparkSession.builder().master(s"local[$cpus]").appName("graft-benchone")).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val q = graft.SparkEntry.queries(name)
     for (i <- 0 until n) {

@@ -110,15 +110,16 @@ class PipelineSpec extends AnyFunSuite {
       .addOperation(Operation("lang", "lang_id", "text_col" -> JStr("text")))
       .addOperation(Operation("split", "hash_split", "text_col" -> JStr("text")))
       .addOperation(Operation("cap", "cap_per_key",
-        "key" -> JStr("source"), "order" -> JArr(Vector(JStr("doc_id"))),
+        "key" -> JStr("source"), "order" -> JArr(Vector(JStr("doc_id desc"))),
         "cap" -> JNum(1)))
     // the spec survives serialization (every op addressable by name)
     val rt = Pipeline.fromJson(p.toJson.render)
     val (out, _) = rt.run(docs)
     val rows = out.collect()
-    assert(rows.map(_.getAs[Long]("doc_id")).toSet == Set(1L, 3L)) // dedup + cap
+    // dedup kills 2; "doc_id desc" keeps the HIGHEST id per source
+    assert(rows.map(_.getAs[Long]("doc_id")).toSet == Set(1L, 4L))
     val byId = rows.map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("lang_pred")).toMap
-    assert(byId(1L) == "en" && byId(3L) == "de")
+    assert(byId(1L) == "en" && byId(4L) == "es")
     assert(rows.forall(r => Set("train", "val", "test")(r.getAs[String]("split"))))
   }
 }
