@@ -329,6 +329,146 @@ object Geo {
     struct(degrees(lam).as("x"), degrees(phi).as("y"))
   }
 
+  // ---- Lambert conformal conic (EPSG 2154, Lambert-93) and Lambert
+  // azimuthal equal-area (EPSG 3035, ETRS89-extended / LAEA Europe),
+  // ellipsoidal forms on GRS80 (Snyder, "Map Projections — A Working
+  // Manual", ch. 15 and 24). Projection constants are plain driver-side
+  // doubles; only the per-point trig runs as column math.
+
+  private val GrsA = 6378137.0
+  private val GrsF = 1.0 / 298.257222101
+  private val GrsE2 = GrsF * (2 - GrsF)
+  private val GrsE = math.sqrt(GrsE2)
+
+  // scalar (driver-side) Snyder helpers on GRS80
+  private def sM(phi: Double) =
+    math.cos(phi) / math.sqrt(1 - GrsE2 * math.sin(phi) * math.sin(phi))
+  private def sT(phi: Double) =
+    math.tan(math.Pi / 4 - phi / 2) /
+      math.pow((1 - GrsE * math.sin(phi)) / (1 + GrsE * math.sin(phi)), GrsE / 2)
+  private def sQ(phi: Double) = (1 - GrsE2) * (
+    math.sin(phi) / (1 - GrsE2 * math.sin(phi) * math.sin(phi)) -
+      (1 / (2 * GrsE)) *
+        math.log((1 - GrsE * math.sin(phi)) / (1 + GrsE * math.sin(phi))))
+
+  // column versions of the same helpers
+  private def cT(phi: Column): Column =
+    tan(lit(math.Pi / 4) - phi / 2) /
+      pow((lit(1.0) - lit(GrsE) * sin(phi)) / (lit(1.0) + lit(GrsE) * sin(phi)), GrsE / 2)
+  private def cQ(phi: Column): Column = lit(1 - GrsE2) * (
+    sin(phi) / (lit(1.0) - lit(GrsE2) * sin(phi) * sin(phi)) -
+      lit(1 / (2 * GrsE)) *
+        log((lit(1.0) - lit(GrsE) * sin(phi)) / (lit(1.0) + lit(GrsE) * sin(phi))))
+
+  /** Lambert-93 (EPSG 2154) constants: standard parallels 44/49°N,
+    * origin (3°E, 46.5°N), false origin (700000, 6600000). */
+  private object L93 {
+    val phi1 = math.toRadians(49.0); val phi2 = math.toRadians(44.0)
+    val phi0 = math.toRadians(46.5); val lam0 = math.toRadians(3.0)
+    val e0 = 700000.0; val n0 = 6600000.0
+    val n = (math.log(sM(phi1)) - math.log(sM(phi2))) /
+      (math.log(sT(phi1)) - math.log(sT(phi2)))
+    val fBig = sM(phi1) / (n * math.pow(sT(phi1), n))
+    val rho0 = GrsA * fBig * math.pow(sT(phi0), n)
+  }
+
+  /** LCC forward (Snyder 15-1..15-7): lon/lat degrees → Lambert-93 m. */
+  private val lccFwd: Column => Column = p => {
+    import L93._
+    val phi = radians(p.getField("y"))
+    val rho = lit(GrsA * fBig) * pow(cT(phi), n)
+    val theta = (radians(p.getField("x")) - lit(lam0)) * n
+    struct((lit(e0) + rho * sin(theta)).as("x"),
+      (lit(n0) + lit(rho0) - rho * cos(theta)).as("y"))
+  }
+
+  /** Conformal→geodetic latitude, closed-form series (Snyder 3-5) —
+    * no fixed-point iteration: an unrolled iteration re-references φ
+    * many times per step, and Catalyst expression trees grow
+    * multiplicatively with each reference (8^k nodes), which stalls
+    * analysis. The series is a single linear-size expression accurate
+    * to ~1e-10 rad on GRS80. */
+  private def conformalToGeodetic(chi: Column): Column = {
+    val e2 = GrsE2; val e4 = e2 * e2; val e6 = e4 * e2; val e8 = e4 * e4
+    chi +
+      lit(e2 / 2 + 5 * e4 / 24 + e6 / 12 + 13 * e8 / 360) * sin(chi * 2) +
+      lit(7 * e4 / 48 + 29 * e6 / 240 + 811 * e8 / 11520) * sin(chi * 4) +
+      lit(7 * e6 / 120 + 81 * e8 / 1120) * sin(chi * 6) +
+      lit(4279 * e8 / 161280) * sin(chi * 8)
+  }
+
+  /** Authalic→geodetic latitude, closed-form series (Snyder 3-18). */
+  private def authalicToGeodetic(beta: Column): Column = {
+    val e2 = GrsE2; val e4 = e2 * e2; val e6 = e4 * e2
+    beta +
+      lit(e2 / 3 + 31 * e4 / 180 + 517 * e6 / 5040) * sin(beta * 2) +
+      lit(23 * e4 / 360 + 251 * e6 / 3780) * sin(beta * 4) +
+      lit(761 * e6 / 45360) * sin(beta * 6)
+  }
+
+  /** LCC inverse (Snyder 15-8..15-11 + series 3-5): Lambert-93 m →
+    * lon/lat degrees. */
+  private val lccInv: Column => Column = p => {
+    import L93._
+    val dx = p.getField("x") - lit(e0)
+    val dy = lit(rho0) - (p.getField("y") - lit(n0))
+    val rho = sqrt(dx * dx + dy * dy) * lit(math.signum(n))
+    val t = pow(rho / lit(GrsA * fBig), 1.0 / n)
+    val theta = atan2(dx, dy)
+    val lam = lit(lam0) + theta / n
+    val chi = lit(math.Pi / 2) - atan(t) * 2
+    struct(degrees(lam).as("x"), degrees(conformalToGeodetic(chi)).as("y"))
+  }
+
+  /** LAEA Europe (EPSG 3035) constants: origin (10°E, 52°N), false
+    * origin (4321000, 3210000). */
+  private object Laea {
+    val phi0 = math.toRadians(52.0); val lam0 = math.toRadians(10.0)
+    val e0 = 4321000.0; val n0 = 3210000.0
+    val qp = sQ(math.Pi / 2)
+    val q0 = sQ(phi0)
+    val beta0 = math.asin(q0 / qp)
+    val rq = GrsA * math.sqrt(qp / 2)
+    val d = GrsA * sM(phi0) / (rq * math.cos(beta0))
+  }
+
+  /** LAEA forward (Snyder 24-2..24-14 ellipsoidal, oblique aspect). */
+  private val laeaFwd: Column => Column = p => {
+    import Laea._
+    val phi = radians(p.getField("y"))
+    val dl = radians(p.getField("x")) - lit(lam0)
+    val beta = asin(cQ(phi) / qp)
+    val b = lit(rq) * sqrt(lit(2.0) /
+      (lit(1.0) + lit(math.sin(beta0)) * sin(beta) +
+        lit(math.cos(beta0)) * cos(beta) * cos(dl)))
+    struct(
+      (lit(e0) + b * lit(d) * cos(beta) * sin(dl)).as("x"),
+      (lit(n0) + (b / d) * (lit(math.cos(beta0)) * sin(beta) -
+        lit(math.sin(beta0)) * cos(beta) * cos(dl))).as("y"))
+  }
+
+  /** LAEA inverse (Snyder 24-16..24-21 + series 3-18 for φ from the
+    * authalic latitude). */
+  private val laeaInv: Column => Column = p => {
+    import Laea._
+    val x = p.getField("x") - lit(e0)
+    val y = p.getField("y") - lit(n0)
+    val rho = sqrt((x / d) * (x / d) + (y * lit(d)) * (y * lit(d)))
+    val ce = asin(rho / lit(2 * rq)) * 2
+    val q = lit(qp) * (cos(ce) * lit(math.sin(beta0)) +
+      (y * lit(d) * sin(ce) * lit(math.cos(beta0))) / rho)
+    val lam = lit(lam0) + atan2(x * sin(ce),
+      lit(d) * rho * lit(math.cos(beta0)) * cos(ce) -
+        lit(d * d) * y * lit(math.sin(beta0)) * sin(ce))
+    val beta = asin(q / qp)
+    val phi = authalicToGeodetic(beta)
+    // exact-origin guard: at the projection center rho == 0 and the
+    // q expression divides by it
+    struct(
+      degrees(when(rho === 0, lit(lam0)).otherwise(lam)).as("x"),
+      degrees(when(rho === 0, lit(phi0)).otherwise(phi)).as("y"))
+  }
+
   /** Spherical-Mercator forward (4326 → 3857) on a point struct. */
   private val mercFwd: Column => Column = p => struct(
     (radians(p.getField("x")) * R).as("x"),
@@ -340,36 +480,34 @@ object Geo {
     degrees(p.getField("x") / R).as("x"),
     degrees(atan((exp(p.getField("y") / R) - exp(-(p.getField("y") / R))) / 2)).as("y"))
 
-  /** st_transform; identity when from==to. Supported: 4326 ↔ 3857,
-    * 4326 ↔ any UTM zone (EPSG 326xx north / 327xx south), and
-    * 3857 ↔ UTM / UTM ↔ UTM composed through 4326. Returns a
-    * transformed geometry struct. (Reference `to_crs`,
+  /** Per-EPSG projection pair (forward from 4326, inverse to 4326);
+    * None for unsupported codes. 4326 itself is the identity hub. */
+  private def projection(epsg: Int): Option[(Column => Column, Column => Column)] =
+    epsg match {
+      case 4326 => Some((identity, identity))
+      case 3857 => Some((mercFwd, mercInv))
+      case 2154 => Some((lccFwd, lccInv))
+      case 3035 => Some((laeaFwd, laeaInv))
+      case e => utmZone(e).map { case (z, n) => (llToUtm(z, n), utmToLl(z, n)) }
+    }
+
+  /** st_transform; identity when from==to. Any supported pair composes
+    * through 4326: spherical Mercator 3857, UTM 326xx/327xx,
+    * Lambert-93 2154 (LCC), LAEA Europe 3035. Returns a transformed
+    * geometry struct. (Reference `to_crs`,
     * src/data_preprocessing.py:192-193, :218-220, :257-259.) */
   def stTransform(g: Column, fromEpsg: Int, toEpsg: Int): Column = {
-    val tx: Column => Column = (fromEpsg, toEpsg) match {
-      case (f, t) if f == t => identity
-      case (4326, 3857) => mercFwd
-      case (3857, 4326) => mercInv
-      case (4326, t) if utmZone(t).isDefined =>
-        val (z, n) = utmZone(t).get; llToUtm(z, n)
-      case (f, 4326) if utmZone(f).isDefined =>
-        val (z, n) = utmZone(f).get; utmToLl(z, n)
-      case (f, t) if f == 3857 && utmZone(t).isDefined =>
-        val (z, n) = utmZone(t).get
-        p => llToUtm(z, n)(mercInv(p))
-      case (f, t) if utmZone(f).isDefined && t == 3857 =>
-        val (z, n) = utmZone(f).get
-        p => mercFwd(utmToLl(z, n)(p))
-      case (f, t) if utmZone(f).isDefined && utmZone(t).isDefined =>
-        // re-zoning (routine near zone boundaries): compose through 4326
-        val (zf, nf) = utmZone(f).get
-        val (zt, nt) = utmZone(t).get
-        p => llToUtm(zt, nt)(utmToLl(zf, nf)(p))
-      case (f, t) =>
-        throw graft.core.MissingCRS(
-          s"transform $f -> $t unsupported (4326, 3857, UTM 326xx/327xx " +
-            "and compositions among them only)")
-    }
+    def proj(e: Int) = projection(e).getOrElse(
+      throw graft.core.MissingCRS(
+        s"transform $fromEpsg -> $toEpsg unsupported (4326, 3857, 2154, " +
+          "3035, UTM 326xx/327xx and compositions among them only)"))
+    val tx: Column => Column =
+      if (fromEpsg == toEpsg) identity
+      else {
+        val (_, toLl) = proj(fromEpsg)
+        val (fromLl, _) = proj(toEpsg)
+        p => fromLl(toLl(p))
+      }
     struct(stKind(g).as("kind"), transform(pts(g), p => tx(p)).as("points"))
   }
 

@@ -139,6 +139,77 @@ class GeoSpec extends AnyFunSuite {
     }
   }
 
+  test("F10: Lambert-93 (2154) — exact false origin, round-trip, conformal distance") {
+    // the projection ORIGIN maps to the false origin exactly, by
+    // definition of the parameters — no surveyed anchor needed
+    val origin = geomDf(point(3.0, 46.5))
+      .select(Geo.stTransform(col("geometry"), 4326, 2154).as("g"))
+      .select(Geo.stX(col("g")), Geo.stY(col("g"))).head
+    assert(math.abs(origin.getDouble(0) - 700000.0) < 1e-4)
+    assert(math.abs(origin.getDouble(1) - 6600000.0) < 1e-4)
+    // round-trip across France
+    Seq((2.3522, 48.8566), (4.8357, 45.7640), (-1.5536, 47.2184), (7.75, 48.58))
+      .foreach { case (lon, lat) =>
+        val back = geomDf(point(lon, lat))
+          .select(Geo.stTransform(
+            Geo.stTransform(col("geometry"), 4326, 2154), 2154, 4326).as("g"))
+          .select(Geo.stX(col("g")), Geo.stY(col("g"))).head
+        assert(math.abs(back.getDouble(0) - lon) < 1e-8, s"lon $lon")
+        assert(math.abs(back.getDouble(1) - lat) < 1e-8, s"lat $lat")
+      }
+    // conformal, low distortion inside the parallels: projected
+    // Paris–Lyon Euclidean distance matches haversine within 0.2%
+    val two = geomDf(point(2.3522, 48.8566), point(4.8357, 45.7640))
+      .select(Geo.stTransform(col("geometry"), 4326, 2154).as("g"))
+      .select(Geo.stX(col("g")).as("x"), Geo.stY(col("g")).as("y")).collect()
+    val dx = two(0).getDouble(0) - two(1).getDouble(0)
+    val dy = two(0).getDouble(1) - two(1).getDouble(1)
+    val planar = math.sqrt(dx * dx + dy * dy)
+    val gc = { // haversine, sphere R=6371km (good to ~0.2%)
+      val (l1, p1, l2, p2) = (math.toRadians(2.3522), math.toRadians(48.8566),
+        math.toRadians(4.8357), math.toRadians(45.7640))
+      val h = math.pow(math.sin((p2 - p1) / 2), 2) +
+        math.cos(p1) * math.cos(p2) * math.pow(math.sin((l2 - l1) / 2), 2)
+      2 * 6371000.0 * math.asin(math.sqrt(h))
+    }
+    assert(math.abs(planar - gc) / gc < 0.002, s"planar $planar vs gc $gc")
+  }
+
+  test("F10: LAEA Europe (3035) — exact false origin, round-trip, equal-area") {
+    val origin = geomDf(point(10.0, 52.0))
+      .select(Geo.stTransform(col("geometry"), 4326, 3035).as("g"))
+      .select(Geo.stX(col("g")), Geo.stY(col("g"))).head
+    assert(math.abs(origin.getDouble(0) - 4321000.0) < 1e-4)
+    assert(math.abs(origin.getDouble(1) - 3210000.0) < 1e-4)
+    // round-trip across Europe (Lisbon, Helsinki, Athens, Reykjavik)
+    Seq((-9.14, 38.72), (24.94, 60.17), (23.73, 37.98), (-21.94, 64.15))
+      .foreach { case (lon, lat) =>
+        val back = geomDf(point(lon, lat))
+          .select(Geo.stTransform(
+            Geo.stTransform(col("geometry"), 4326, 3035), 3035, 4326).as("g"))
+          .select(Geo.stX(col("g")), Geo.stY(col("g"))).head
+        assert(math.abs(back.getDouble(0) - lon) < 1e-7, s"lon $lon")
+        assert(math.abs(back.getDouble(1) - lat) < 1e-7, s"lat $lat")
+      }
+    // equal-area: a 1°x1° quad far from the center keeps the same area
+    // as at the center (authalic property), within numerical tolerance.
+    def quadArea(lon: Double, lat: Double): Double = {
+      val corners = geomDf(point(lon, lat), point(lon + 1, lat),
+        point(lon + 1, lat + 1), point(lon, lat + 1))
+        .select(Geo.stTransform(col("geometry"), 4326, 3035).as("g"))
+        .select(Geo.stX(col("g")).as("x"), Geo.stY(col("g")).as("y")).collect()
+        .map(r => (r.getDouble(0), r.getDouble(1)))
+      // shoelace over the projected quad
+      math.abs((0 until 4).map { i =>
+        val (x1, y1) = corners(i); val (x2, y2) = corners((i + 1) % 4)
+        x1 * y2 - x2 * y1
+      }.sum / 2)
+    }
+    // same latitude band, different longitudes: areas equal to ~1e-6
+    val a1 = quadArea(10.0, 50.0); val a2 = quadArea(-8.0, 50.0)
+    assert(math.abs(a1 - a2) / a1 < 1e-6, s"$a1 vs $a2")
+  }
+
   test("F10: UTM invariants — central meridian at 500km false easting, equator at N=0") {
     val df = geomDf(point(-81.0, 43.0), point(-81.0, 0.0)) // zone 17 central meridian
     val out = df.select(Geo.stTransform(col("geometry"), 4326, 32617).as("g"))
