@@ -99,46 +99,104 @@ object Similarity {
   def ivfIndex(embeddings: DataFrame, vecCol: String, idCol: String,
       dim: Int, nCentroids: Int, iterations: Int = 5)
       : (DataFrame, Array[Array[Double]]) = {
-    // deterministic seed centroids: first nC vectors by id
-    var centroids: Array[Array[Double]] = embeddings
-      .orderBy(col(idCol)).limit(nCentroids)
-      .select(col(vecCol)).collect()
-      .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+    val centroids = kmeans(embeddings, col(vecCol), idCol, dim, nCentroids, iterations)
+    (embeddings.withColumn("cluster", argminExpr(centroids, col(vecCol), dim)), centroids)
+  }
 
-    def assignExpr(cs: Array[Array[Double]]): Column = {
-      // argmin over squared distance to each centroid literal array.
-      // zip_with/aggregate, not dim-unrolled element_at arithmetic: the
-      // unrolled form is ~4·dim expression nodes PER CENTROID, which
-      // overflows whole-stage codegen's method budget and drops the
-      // scan to interpreted evaluation
-      val scored = cs.zipWithIndex.map { case (c, i) =>
-        val carr = array(c.map(lit): _*)
-        // slice + coalesce: see projectOnPlane's dim-mismatch note
-        val d2 = aggregate(
-          zip_with(slice(col(vecCol), 1, dim), carr, (x, cd) => {
-            val diff = x.cast("double") - cd; coalesce(diff * diff, lit(0.0))
-          }),
-          lit(0.0), (acc, v) => acc + v)
-        struct(d2.as("d2"), lit(i).as("i"))
-      }
-      array_min(array(scored: _*)).getField("i")
+  /** Argmin over squared distance to each centroid literal array.
+    * zip_with/aggregate, not dim-unrolled element_at arithmetic: the
+    * unrolled form is ~4·dim expression nodes PER CENTROID, which
+    * overflows whole-stage codegen's method budget and drops the
+    * scan to interpreted evaluation. */
+  private def argminExpr(cs: Array[Array[Double]], vec: Column, dim: Int): Column = {
+    val scored = cs.zipWithIndex.map { case (c, i) =>
+      val carr = array(c.map(lit): _*)
+      // slice + coalesce: see projectOnPlane's dim-mismatch note
+      val d2 = aggregate(
+        zip_with(slice(vec, 1, dim), carr, (x, cd) => {
+          val diff = x.cast("double") - cd; coalesce(diff * diff, lit(0.0))
+        }),
+        lit(0.0), (acc, v) => acc + v)
+      struct(d2.as("d2"), lit(i).as("i"))
     }
+    array_min(array(scored: _*)).getField("i")
+  }
 
+  /** Lloyd k-means over an array column, deterministic seed (first nC
+    * vectors by id). Distributed assignment + aggregation; only the
+    * nC centroid rows ever reach the driver. */
+  private def kmeans(df: DataFrame, vec: Column, idCol: String, dim: Int,
+      nC: Int, iterations: Int): Array[Array[Double]] = {
+    var centroids: Array[Array[Double]] = df
+      .orderBy(col(idCol)).limit(nC)
+      .select(vec).collect()
+      .map(_.getSeq[Float](0).map(_.toDouble).toArray)
     for (_ <- 1 to iterations) {
-      val assigned = embeddings.withColumn("cluster", assignExpr(centroids))
+      val assigned = df.withColumn("__c", argminExpr(centroids, vec, dim))
       val sums = (0 until dim).map(d =>
-        sum(element_at(col(vecCol), d + 1).cast("double")).as(s"s$d")) :+
+        sum(element_at(vec, d + 1).cast("double")).as(s"s$d")) :+
         count(lit(1)).as("n")
-      val updated = assigned.groupBy(col("cluster"))
+      val updated = assigned.groupBy(col("__c"))
         .agg(sums.head, sums.tail: _*)
         .collect()
         .map { r =>
           val n = r.getAs[Long]("n").toDouble
-          r.getAs[Int]("cluster") -> (0 until dim).map(d => r.getAs[Double](s"s$d") / n).toArray
+          r.getAs[Int]("__c") -> (0 until dim).map(d => r.getAs[Double](s"s$d") / n).toArray
         }.toMap
       centroids = centroids.indices.map(i => updated.getOrElse(i, centroids(i))).toArray
     }
-    (embeddings.withColumn("cluster", assignExpr(centroids)), centroids)
+    centroids
+  }
+
+  /** E3 — product quantization (Jégou/Douze/Schmid, "Product
+    * Quantization for Nearest Neighbor Search", TPAMI 2011): split
+    * each vector into `m` subvectors, k-means each subspace to `k`
+    * codewords, store each vector as `m` small codes. Memory per
+    * vector drops from 4·dim bytes to m codes (one byte each at
+    * k ≤ 256) — the difference between an index that fits executor
+    * memory at 100 TB and one that doesn't. Returns the embeddings
+    * annotated with `pq_code: ARRAY<INT>` plus the per-subspace
+    * codebooks. Training is the same distributed Lloyd iteration as
+    * IVF, once per subspace; only codebook rows reach the driver. */
+  def pqIndex(embeddings: DataFrame, vecCol: String, idCol: String,
+      dim: Int, m: Int, k: Int, iterations: Int = 5)
+      : (DataFrame, Array[Array[Array[Double]]]) = {
+    require(dim % m == 0, s"m=$m must divide dim=$dim")
+    val sub = dim / m
+    val codebooks = Array.tabulate(m) { j =>
+      kmeans(embeddings, slice(col(vecCol), j * sub + 1, sub), idCol,
+        sub, k, iterations)
+    }
+    val codes = array(codebooks.zipWithIndex.map { case (cb, j) =>
+      argminExpr(cb, slice(col(vecCol), j * sub + 1, sub), sub)
+    }.toIndexedSeq: _*)
+    (embeddings.withColumn("pq_code", codes), codebooks)
+  }
+
+  /** PQ search via the asymmetric distance computation (ADC): the
+    * query stays exact; per subspace a k-entry lookup table of
+    * squared distances to each codeword is built ON THE DRIVER (m·k
+    * doubles — broadcast as plan literals), and each row's
+    * approximate distance is m table lookups + adds instead of dim
+    * multiplies over decoded floats. Returns top-k by ADC distance
+    * with `pq_d2`; exactness is what's traded — compose with an exact
+    * re-rank of the short list when needed. */
+  def pqTopK(encoded: DataFrame, codebooks: Array[Array[Array[Double]]],
+      idCol: String, query: Array[Float], topK: Int): DataFrame = {
+    val m = codebooks.length
+    val sub = codebooks.head.head.length
+    val luts: Array[Array[Double]] = Array.tabulate(m) { j =>
+      val q = query.slice(j * sub, (j + 1) * sub).map(_.toDouble)
+      codebooks(j).map(c => c.zip(q).map { case (a, b) => (a - b) * (a - b) }.sum)
+    }
+    val d2 = (0 until m).map { j =>
+      element_at(array(luts(j).map(lit).toIndexedSeq: _*),
+        element_at(col("pq_code"), j + 1) + 1)
+    }.reduce(_ + _)
+    encoded.withColumn("pq_d2", d2)
+      .select(col(idCol), col("pq_d2"))
+      .orderBy(col("pq_d2").asc, col(idCol).asc)
+      .limit(topK)
   }
 
   /** IVF search: exact cosine top-k within the query's nProbe nearest

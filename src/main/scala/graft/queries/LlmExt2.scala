@@ -142,5 +142,42 @@ object LlmExt2 {
       "The tf⋈df join on term is Zipf-skewed (stopwords hit every doc) — AQE skew-split " +
       "handles it; pre-salting the stopword band is the documented fallback at extreme vocab.")
 
-  val all: Seq[Declared] = Seq(q62, q63, q64, q65)
+  /** q67 — E3: product quantization under the oracle gate, via the
+    * lossless construction (q58's trick adapted to PQ): the derived
+    * corpus has exactly 4 distinct subvectors per subspace and the
+    * first-k-by-id seeds cover all of them, so Lloyd converges to the
+    * exact points, quantization error is zero, and the ADC distance
+    * equals the exact squared L2 — which DuckDB computes from the same
+    * integer arithmetic. Every value stays an exact small-integer
+    * double on both engines; no rounding needed. */
+  val q67 = Declared(
+    "q67_pq_lossless", "E3",
+    (s, dir) => {
+      import graft.ext.Similarity
+      val corpus = Tables.embeddings(s, dir).filter(col("vec_id") < 200)
+        .select(col("vec_id"),
+          transform(sequence(lit(0), lit(7)), d =>
+            (((col("vec_id") % 4) * 31 + d * 7) % 23).cast("float")).as("embedding"))
+      // one Lloyd iteration IS convergence here (seeds cover all 4
+      // patterns; the mean of identical points is the point); the
+      // 200-row corpus is cached across the 4 per-subspace trainings
+      val (encoded, codebooks) = Similarity.pqIndex(
+        graft.core.OperatorCaches.cached(corpus), "embedding", "vec_id",
+        dim = 8, m = 4, k = 4, iterations = 1)
+      val query = Array.tabulate(8)(d => ((d * 3) % 7).toFloat)
+      Similarity.pqTopK(encoded, codebooks, "vec_id", query, topK = 12)
+    },
+    Some("""SELECT vec_id,
+           |  CAST(list_sum(list_transform(range(0, 8), d ->
+           |    CAST(((vec_id % 4) * 31 + d * 7) % 23 - (d * 3) % 7 AS DOUBLE)
+           |      * CAST(((vec_id % 4) * 31 + d * 7) % 23 - (d * 3) % 7 AS DOUBLE)))
+           |    AS DOUBLE) AS pq_d2
+           |FROM embeddings WHERE vec_id < 200
+           |ORDER BY pq_d2, vec_id LIMIT 12""".stripMargin),
+    "PQ stores m byte-codes per vector instead of 4·dim bytes — the index that still fits " +
+      "executor memory at 100TB. Search is m table lookups per row (driver-built LUT as plan " +
+      "literals), a single scan-side projection + TakeOrdered; training reaches the driver " +
+      "only through k codebook rows per subspace.")
+
+  val all: Seq[Declared] = Seq(q62, q63, q64, q65, q67)
 }

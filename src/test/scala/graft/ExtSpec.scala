@@ -170,6 +170,34 @@ class SimilaritySpec extends AnyFunSuite {
     assert(oneProbe == brute.toSet)
   }
 
+  test("E3: PQ — codes compress to m smalls, ADC retrieves the query's blob") {
+    val dim = 8; val m = 4
+    val data = (0L until 60L).map { i =>
+      val base = (i % 3).toInt
+      val v = Array.tabulate(dim)(d =>
+        (if (d == base) 10f else 0f) + ((i * 7 + d) % 5) * 0.1f)
+      (i, v)
+    }.toDF("vec_id", "embedding")
+    val (encoded, codebooks) = Similarity.pqIndex(data, "embedding", "vec_id",
+      dim, m = m, k = 4, iterations = 4)
+    // code shape: m codes per vector, each within [0, k)
+    val codes = encoded.select("pq_code").as[Seq[Int]].collect()
+    assert(codes.forall(c => c.length == m && c.forall(x => x >= 0 && x < 4)))
+    assert(codebooks.length == m && codebooks.forall(_.length == 4)
+      && codebooks.forall(_.forall(_.length == dim / m)))
+    // blobs are far apart vs quantization error: ADC top-10 for a
+    // query at blob 0's center must come entirely from blob 0
+    val q = Array.tabulate(dim)(d => if (d == 0) 10f else 0.2f)
+    val top = Similarity.pqTopK(encoded, codebooks, "vec_id", q, 10)
+      .select("vec_id").as[Long].collect()
+    assert(top.length == 10 && top.forall(_ % 3 == 0), top.toSeq.toString)
+    // ADC distance to a vector's own codeword reconstruction is the
+    // quantization residual — far below the inter-blob distance
+    val d2 = Similarity.pqTopK(encoded, codebooks, "vec_id", q, 10)
+      .select("pq_d2").as[Double].collect()
+    assert(d2.forall(_ < 25.0), d2.toSeq.toString) // inter-blob d2 is ~200
+  }
+
   test("E3: LSH bucket search returns a subset of brute force, query bucket consistent") {
     val q = Array(1.0f, 0.0f, 0.0f)
     val brute = Similarity.topKCosine(vecs.filter($"vec_id" =!= 0L),
