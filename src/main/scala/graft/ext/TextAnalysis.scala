@@ -21,6 +21,28 @@ object TextAnalysis {
 
   def tokens(text: Column): Column = split(lower(text), "\\s+")
 
+  /** Latin accent folding table for [[normalizeText]] — a fixed
+    * translate() mapping (codegen'd, no UDF). Covers the Latin-1 +
+    * Latin-Extended-A letters that dominate European corpora; anything
+    * outside the table passes through unchanged. */
+  private val foldPairs = Seq(
+    "àáâãäåāăą" -> 'a', "èéêëēĕėęě" -> 'e', "ìíîïĩīĭįı" -> 'i',
+    "òóôõöøōŏő" -> 'o', "ùúûüũūŭůűų" -> 'u', "çćĉċč" -> 'c',
+    "ñńņň" -> 'n', "ðďđ" -> 'd', "ĝğġģ" -> 'g', "ĥħ" -> 'h',
+    "ĵ" -> 'j', "ķ" -> 'k', "ĺļľŀł" -> 'l', "ŕŗř" -> 'r',
+    "śŝşš" -> 's', "ţťŧ" -> 't', "ŵ" -> 'w', "ýÿŷ" -> 'y',
+    "źżž" -> 'z')
+  private val accented = foldPairs.map(_._1).mkString
+  private val folded = foldPairs.map { case (s, c) => c.toString * s.length }.mkString
+
+  /** E4 — text normalization for dedup/fingerprint keys: lowercase,
+    * fold Latin accents, collapse whitespace runs, trim. Normalizing
+    * BEFORE hashing is what makes "Café  du  Monde" and "cafe du
+    * monde" the same dedup key; all four steps are codegen'd string
+    * expressions. */
+  def normalizeText(text: Column): Column =
+    trim(regexp_replace(translate(lower(text), accented, folded), "\\s+", " "))
+
   /** Whitespace token count. */
   def tokenCount(text: Column): Column = size(tokens(text))
 

@@ -154,6 +154,9 @@ object OpRegistry {
       numOpt(p, "threshold").getOrElse(0.5))),
     "quality_features" -> (p => df =>
       graft.ext.TextAnalysis.qualityFeatures(df, str(p, "text_col"))),
+    "normalize_text" -> (p => df => df.withColumn(
+      strOpt(p, "out_col").getOrElse(str(p, "text_col")),
+      graft.ext.TextAnalysis.normalizeText(col(str(p, "text_col"))))),
     "lang_id" -> (p => df => {
       val toksCol = "__toks_" + str(p, "text_col")
       df.withColumn(toksCol, graft.ext.TextAnalysis.tokens(col(str(p, "text_col"))))

@@ -74,3 +74,59 @@ class RegressionSpec extends AnyFunSuite {
     assert(back.operations.head.params("x") == graft.pipeline.JNull)
   }
 }
+
+class SketchLawSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  test("approx_count_distinct stays within its rsd bound on 50k keys") {
+    val df = spark.range(50000).select((col("id") % 9173).as("k"))
+    val Seq(exact, approx) = df
+      .agg(countDistinct(col("k")).cast("double"),
+        approx_count_distinct(col("k"), rsd = 0.02).cast("double"))
+      .head.toSeq.map(_.asInstanceOf[Double])
+    assert(exact == 9173.0)
+    // HLL++ rsd is a standard deviation, not a hard bound — 5 sigma
+    // would be astronomically unlikely; 3x slack keeps this stable
+    assert(math.abs(approx - exact) / exact < 0.06,
+      s"approx $approx vs exact $exact")
+  }
+
+  test("percentile_approx converges to the exact percentile as accuracy grows") {
+    val df = spark.range(10000).select(col("id").cast("double").as("v"))
+    val Seq(p50, p99) = df.agg(
+      percentile_approx(col("v"), lit(0.5), lit(10000)),
+      percentile_approx(col("v"), lit(0.99), lit(10000)))
+      .head.toSeq.map(_.asInstanceOf[Double])
+    assert(math.abs(p50 - 4999.5) <= 5.0)   // exact median of 0..9999
+    assert(math.abs(p99 - 9899.0) <= 20.0)
+  }
+
+  test("normalizeText folds accents, case and whitespace into one dedup key") {
+    import graft.ext.TextAnalysis
+    val out = Seq("  Café  du\tMonde ", "cafe du monde", "Łódź — Ćwierć!")
+      .toDF("t").select(TextAnalysis.normalizeText(col("t"))).as[String].collect()
+    assert(out(0) == "cafe du monde" && out(0) == out(1))
+    assert(out(2) == "lodz — cwierc!")
+    // normalized texts hash to the same exact-dedup key
+    val keys = Seq("Héllo  Wörld", "hello world").toDF("t")
+      .select(xxhash64(TextAnalysis.normalizeText(col("t")))).as[Long].collect()
+    assert(keys(0) == keys(1))
+  }
+
+  test("T1 variant: the built-in rate source streams through windowedStats") {
+    val rate = spark.readStream.format("rate").option("rowsPerSecond", "500").load()
+    val agg = graft.streaming.StreamOps.windowedStats(
+      rate.withColumn("key", col("value") % 2), "timestamp", "key",
+      "value", window = "1 second")
+    val q = agg.writeStream.outputMode("complete").format("memory")
+      .queryName("rate_smoke").start()
+    try {
+      q.processAllAvailable()
+      Thread.sleep(1200) // let the source emit at least one batch
+      q.processAllAvailable()
+      assert(spark.table("rate_smoke").count() >= 0) // schema + plan run end-to-end
+      assert(spark.table("rate_smoke").columns.contains("sum_value"))
+    } finally q.stop()
+  }
+}
