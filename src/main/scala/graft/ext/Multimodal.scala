@@ -15,15 +15,19 @@ import org.apache.spark.sql.types._
   * come from actual pixels. AUDIO DECODE IS REAL for WAV/PCM — RIFF is
   * a length-prefixed chunk format parseable with plain byte arithmetic
   * (no codec library): sample rate, channel count, RMS amplitude and an
-  * amplitude histogram come from actual samples. Video decode remains a
-  * clearly-marked deterministic STUB (ffmpeg-class codecs don't exist
-  * in this environment); swapping one in changes only `byteStatsStub`'s
-  * body, nothing in the plan shape.
+  * amplitude histogram come from actual samples. VIDEO DECODE IS REAL
+  * for the JDK-decodable multi-frame formats (animated GIF — ImageIO
+  * exposes every frame): dims, mean luminance and a temporal profile
+  * of sampled frame means come from actual pixels. Only
+  * compressed-codec video (H.264 etc.) falls back to the
+  * clearly-marked deterministic byte-stats STUB; swapping a codec in
+  * changes only `byteStatsStub`'s body, nothing in the plan shape.
   *
   * Feature-column mapping per modality (featureSchema is shared):
   * image → (width, height, mean luminance, luminance histogram);
   * audio → (sample rate, channels, RMS amplitude, amplitude histogram);
-  * video stub → (declared dims, byte mean, byte histogram).
+  * video → (width, height, mean frame luminance, sampled per-frame
+  * mean luminances); codec-video stub → (declared dims, byte stats).
   */
 object Multimodal {
 
@@ -49,8 +53,9 @@ object Multimodal {
     * carry REAL PNG payloads (a deterministic grayscale gradient keyed
     * by id, encoded via the JDK's ImageIO) and AUDIO rows carry REAL
     * WAV/PCM16 payloads (a deterministic triangle wave keyed by id), so
-    * both decode paths are exercised end to end; video rows carry
-    * pseudo-random bytes (splitmix-style), length keyed by id. */
+    * both decode paths are exercised end to end; HALF the video rows
+    * carry REAL animated GIFs (multi-frame decode path), the rest
+    * pseudo-random bytes (splitmix-style) exercising the codec stub. */
   def withSyntheticMedia(spark: org.apache.spark.sql.SparkSession, n: Int): DataFrame = {
     val rows = spark.range(n).rdd.map { id =>
       val w = 64 + (id % 4).toInt * 32
@@ -58,6 +63,9 @@ object Multimodal {
       val payload =
         if (kind == "image") syntheticPng(w, 64, id)
         else if (kind == "audio") syntheticWav(800 + (id % 5).toInt * 160, 16000, id)
+        // half the video rows are REAL animated GIFs (decodable frames),
+        // half are opaque codec-like bytes exercising the stub fallback
+        else if (id % 6 == 2) syntheticGif(32, 16, frames = 3 + (id % 3).toInt, seed = id)
         else {
           var x = id * 0x9E3779B97F4A7C15L + 0xBF58476D1CE4E5B9L
           def next(): Byte = { x ^= x >>> 27; x *= 0x94D049BB133111EBL; (x >>> 56).toByte }
@@ -184,11 +192,83 @@ object Multimodal {
       }
     } catch { case _: Exception => None }
 
-  /** ================== VIDEO DECODE STUB ==================
-    * Stands in for a real video decoder (ffmpeg-class codecs don't
-    * exist in this environment; unlike PNG/WAV, compressed video can't
-    * be parsed with JDK-only means). Deterministic: features derive
-    * from byte statistics, so tests are stable. A real implementation
+  /** Deterministic animated GIF: frame f is the CONSTANT gray level
+    * `40 + (seed·7 mod 100) + f·16` — constant frames survive GIF's
+    * palette quantization losslessly, so per-frame means (and their
+    * +16 deltas) are exactly recomputable in tests. */
+  def syntheticGif(w: Int, h: Int, frames: Int, seed: Long): Array[Byte] = {
+    require(frames <= 13, "constant-gray levels must stay below 256")
+    val out = new java.io.ByteArrayOutputStream()
+    val writer = javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(out)
+    writer.setOutput(ios)
+    writer.prepareWriteSequence(null)
+    (0 until frames).foreach { f =>
+      val img = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val v = 40 + ((seed * 7) % 100).toInt + f * 16
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) { img.setRGB(x, y, (v << 16) | (v << 8) | v); x += 1 }
+        y += 1
+      }
+      writer.writeToSequence(new javax.imageio.IIOImage(img, null, null), null)
+    }
+    writer.endWriteSequence()
+    ios.close(); writer.dispose()
+    out.toByteArray
+  }
+
+  /** REAL video decode for the JDK-decodable multi-frame formats —
+    * animated GIF (ImageIO's GIF reader exposes every frame). Features:
+    * (width, height, mean luminance across sampled frames, per-sampled-
+    * frame mean luminance as the feature vector — a temporal profile,
+    * up to 8 frames via [[frameSampleIndices]]-style striding). None
+    * when the payload isn't a multi-frame-readable image format.
+    * Compressed codecs (H.264 etc.) have no JDK decoder and fall to
+    * the byte-stats stub — the one remaining honest stub. */
+  private[graft] def decodeVideo(payload: Array[Byte]): Option[(Int, Int, Double, Array[Double])] = {
+    var iis: javax.imageio.stream.ImageInputStream = null
+    try {
+      iis = javax.imageio.ImageIO.createImageInputStream(
+        new java.io.ByteArrayInputStream(payload))
+      val readers = javax.imageio.ImageIO.getImageReaders(iis)
+      if (!readers.hasNext) return None
+      val reader = readers.next()
+      reader.setInput(iis)
+      val n = reader.getNumImages(true)
+      if (n < 2) return None // single image is not a video
+      val stride = math.max(1, n / 8)
+      val sampled = (0 until n by stride).take(8)
+      val means = sampled.map { i =>
+        val img = reader.read(i)
+        var sum = 0.0
+        var y = 0
+        while (y < img.getHeight) {
+          var x = 0
+          while (x < img.getWidth) {
+            val rgb = img.getRGB(x, y)
+            sum += (((rgb >> 16) & 0xFF) + ((rgb >> 8) & 0xFF) + (rgb & 0xFF)) / 3.0
+            x += 1
+          }
+          y += 1
+        }
+        sum / (img.getWidth.toDouble * img.getHeight)
+      }
+      val w = reader.getWidth(0); val h = reader.getHeight(0)
+      reader.dispose()
+      Some((w, h, means.sum / means.length, means.toArray))
+    } catch { case _: Exception => None }
+    finally if (iis != null) iis.close()
+  }
+
+  /** ================== COMPRESSED-VIDEO DECODE STUB ==================
+    * Stands in for a real codec-video decoder (ffmpeg-class codecs
+    * don't exist in this environment; H.264 and friends can't be
+    * parsed with JDK-only means — multi-frame GIF/MJPEG CAN and are
+    * real, see [[decodeVideo]]). Deterministic: features derive from
+    * byte statistics, so tests are stable. A real implementation
     * replaces ONLY this function body, keeping the batch shape. Also
     * the fallback for undecodable image/audio payloads.
     */
@@ -209,7 +289,8 @@ object Multimodal {
       decodeImage(payload).getOrElse(byteStatsStub(payload, declaredW, declaredH))
     else if (mediaType == "audio")
       decodeWav(payload).getOrElse(byteStatsStub(payload, declaredW, declaredH))
-    else byteStatsStub(payload, declaredW, declaredH)
+    else
+      decodeVideo(payload).getOrElse(byteStatsStub(payload, declaredW, declaredH))
 
   /** Batch feature extraction: one mapPartitions pass, partition-local
     * batches (the mapInPandas analog). Repartitioning by payload hash

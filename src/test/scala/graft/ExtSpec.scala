@@ -319,6 +319,36 @@ class MultimodalSpec extends AnyFunSuite {
     assert(Multimodal.decodeWav("not a riff file at all".getBytes).isEmpty)
   }
 
+  test("E5: animated GIFs decode to real frame counts and per-frame luminance profile") {
+    val media = Multimodal.withSyntheticMedia(spark, 12)
+    val vids = Multimodal.extractFeatures(media, numPartitions = 2)
+      .filter(col("media_type") === "video").collect()
+      .map(r => r.getAs[Long]("media_id") -> r).toMap
+    // id 2 and 8 are real GIFs (id % 6 == 2); id 5 and 11 are stub bytes
+    Seq(2L, 8L).foreach { id =>
+      val r = vids(id)
+      assert(r.getAs[Int]("width") == 32 && r.getAs[Int]("height") == 16, s"dims of $id")
+      val frames = 3 + (id % 3).toInt
+      val profile = r.getSeq[Double](r.fieldIndex("feature_vec"))
+      assert(profile.length == frames, s"temporal profile length of $id")
+      // constant-gray frames survive palette quantization losslessly:
+      // frame f is exactly 40 + (id*7 % 100) + f*16
+      assert(profile.head == 40.0 + (id * 7 % 100) && profile.last == profile.head + (frames - 1) * 16,
+        s"profile $profile")
+      val deltas = profile.sliding(2).map(p => p(1) - p(0)).toSeq
+      assert(deltas.forall(_ == 16.0), s"deltas $deltas")
+      assert(math.abs(r.getAs[Double]("mean_intensity") -
+        profile.sum / profile.length) < 1e-9)
+    }
+    Seq(5L, 11L).foreach { id => // stub fallback: byte stats, declared dims
+      val r = vids(id)
+      assert(r.getAs[Int]("width") == 64 + (id % 4).toInt * 32)
+      assert(r.getSeq[Double](r.fieldIndex("feature_vec")).length == 8)
+    }
+    // a single-frame image payload is NOT a video
+    assert(Multimodal.decodeVideo(Multimodal.syntheticPng(8, 8, 1L)).isEmpty)
+  }
+
   test("E5: frame sampling indices are declarative and bounded") {
     import spark.implicits._
     val df = Seq(100).toDF("n_frames")
