@@ -48,6 +48,26 @@ object Curation {
         row_number().over(Window.partitionBy(key).orderBy(order: _*)))
       .filter(col("rank_in_key") <= cap)
 
+  /** Deterministic per-stratum sampling — the data-MIXING primitive:
+    * each key (domain/source/language) gets its own retention rate in
+    * [0, 100]%, and membership is a pure function of content hash, so
+    * the mix is reproducible across cluster layouts and re-ingests and
+    * exact duplicates sample identically. Keys absent from `rates` use
+    * `defaultPct`. Scan-side predicate — no shuffle, pushdown-friendly,
+    * and the retained fraction per stratum converges to rate/100 by
+    * hash uniformity. */
+  def stratifiedSample(df: DataFrame, keyCol: Column, content: Column,
+      rates: Map[String, Int], defaultPct: Int = 100,
+      hash: Column => Column = xxhash64(_)): DataFrame = {
+    require((rates.values ++ Seq(defaultPct)).forall(r => r >= 0 && r <= 100),
+      "rates must be percentages in [0, 100]")
+    val bucket = splitBucket(content, hash)
+    val rate = rates.foldLeft(lit(defaultPct)) { case (acc, (k, r)) =>
+      when(keyCol === k, lit(r)).otherwise(acc)
+    }
+    df.filter(bucket < rate)
+  }
+
   /** Top-`topK` TF-IDF terms per document. tf = term count in doc,
     * idf = ln(N / df) with N = |docs|, df = docs containing the term.
     * The score is rounded to 6 decimals BEFORE ranking so rank order is

@@ -175,6 +175,19 @@ object OpRegistry {
         numOpt(p, "val_pct").map(_.toInt).getOrElse(10)))),
     "cap_per_key" -> (p => df => graft.ext.Curation.capPerKey(
       df, col(str(p, "key")), strs(p, "order").map(sortExpr), num(p, "cap").toInt)),
+    "stratified_sample" -> (p => df => {
+      val rates = p.get("rates") match {
+        case Some(JObj(m)) => m.map {
+          case (k, JNum(v)) => (k, v.toInt)
+          case (k, o) => sys.error(s"rate '$k' must be a number, got $o")
+        }.toMap
+        case None => Map.empty[String, Int]
+        case other => sys.error(s"'rates' must be an object, got $other")
+      }
+      graft.ext.Curation.stratifiedSample(df, col(str(p, "key")),
+        col(str(p, "text_col")), rates,
+        numOpt(p, "default_pct").map(_.toInt).getOrElse(100))
+    }),
     "tfidf_top_terms" -> (p => df => graft.ext.Curation.tfIdfTopTerms(
       df, str(p, "text_col"), str(p, "id_col"), num(p, "top_k").toInt))
   ))

@@ -142,6 +142,36 @@ object LlmExt2 {
       "The tf⋈df join on term is Zipf-skewed (stopwords hit every doc) — AQE skew-split " +
       "handles it; pre-salting the stopword band is the documented fallback at extreme vocab.")
 
+  /** q68 — E7: weighted stratified sampling (data mixing): per-source
+    * retention rates applied via the portable md5-60 content hash, so
+    * DuckDB reproduces the exact kept set. The output is the mixed
+    * corpus profile — what a mixture-weights config turns into. */
+  val q68 = Declared(
+    "q68_stratified_sample", "E4,F1",
+    (s, dir) => {
+      val t = col("text")
+      Curation.stratifiedSample(Tables.documents(s, dir),
+        col("source"), t,
+        rates = Map("src0" -> 100, "src1" -> 50, "src2" -> 25),
+        defaultPct = 10, hash = Dedup.md5Hash60)
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("total_chars"))
+        .orderBy(col("source"))
+    },
+    Some(s"""WITH h AS (
+            |  SELECT source, n_chars, ${duckMd5Hash60("text")} % 100 AS bucket
+            |  FROM documents),
+            |kept AS (
+            |  SELECT source, n_chars FROM h
+            |  WHERE bucket < CASE source WHEN 'src0' THEN 100 WHEN 'src1' THEN 50
+            |                             WHEN 'src2' THEN 25 ELSE 10 END)
+            |SELECT source, count(*) AS n_docs,
+            |       CAST(sum(n_chars) AS BIGINT) AS total_chars
+            |FROM kept GROUP BY source ORDER BY source""".stripMargin),
+    "Scan-side hash predicate — no shuffle before the tiny profile agg; pushdown-friendly. " +
+      "Content-hash membership makes the mixture reproducible on any layout and " +
+      "duplicate-consistent; per-stratum retention converges to rate/100 by hash uniformity.")
+
   /** q67 — E3: product quantization under the oracle gate, via the
     * lossless construction (q58's trick adapted to PQ): the derived
     * corpus has exactly 4 distinct subvectors per subspace and the
@@ -179,5 +209,5 @@ object LlmExt2 {
       "literals), a single scan-side projection + TakeOrdered; training reaches the driver " +
       "only through k codebook rows per subspace.")
 
-  val all: Seq[Declared] = Seq(q62, q63, q64, q65, q67)
+  val all: Seq[Declared] = Seq(q62, q63, q64, q65, q67, q68)
 }

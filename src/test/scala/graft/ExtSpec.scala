@@ -419,6 +419,26 @@ class CurationSpec extends AnyFunSuite {
     }
   }
 
+  test("E7: stratified sampling applies per-stratum rates, duplicate-consistently") {
+    import graft.ext.Curation
+    val docs = (0 until 3000).map(i =>
+      (i.toLong, s"doc body number ${i % 1500}", s"src${i % 3}"))
+      .toDF("doc_id", "text", "source") // every text appears twice (dup pairs)
+    val kept = Curation.stratifiedSample(docs, col("source"), col("text"),
+      rates = Map("src0" -> 100, "src1" -> 50, "src2" -> 0))
+    val bySrc = kept.groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(bySrc("src0") == 1000)                       // 100% kept
+    assert(bySrc.getOrElse("src2", 0L) == 0)            // 0% kept
+    val s1 = bySrc.getOrElse("src1", 0L)
+    assert(s1 > 350 && s1 < 650, s"src1 kept $s1 of 1000 at 50%")
+    // duplicate texts sample identically: kept texts appear with BOTH ids
+    val perText = kept.filter(col("source") === "src1")
+      .groupBy("text").count().select("count").as[Long].collect()
+    assert(perText.nonEmpty && perText.forall(_ == 2L),
+      "every kept text must keep both its duplicate rows")
+  }
+
   test("E4: tfidf — ubiquitous terms score zero, distinctive terms rank first") {
     import graft.ext.Curation
     val docs = Seq(
