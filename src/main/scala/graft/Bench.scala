@@ -32,8 +32,11 @@ object Bench {
       } finally {
         // scope operator-cached intermediates (e.g. kNN candidates) to
         // the run that created them — even a FAILED run may have
-        // registered caches; ~200 executions must not accumulate blocks
-        graft.core.OperatorCaches.releaseAll(spark); spark.catalog.clearCache()
+        // registered caches; ~200 executions must not accumulate blocks.
+        // Guarded: if the failure killed the session, cleanup throwing
+        // here would supersede the -1.0 and abort the whole suite.
+        try { graft.core.OperatorCaches.releaseAll(spark); spark.catalog.clearCache() }
+        catch { case _: Exception => () }
       }
     }
 

@@ -82,12 +82,16 @@ object Curation {
     * handles the hot keys; at extreme vocabulary sizes pre-salting the
     * stopword band is the documented fallback. */
   def tfIdfTopTerms(docs: DataFrame, textCol: String, idCol: String,
-      topK: Int): DataFrame = {
+      topK: Int, cache: Boolean = true): DataFrame = {
     // cached: tf and df aggregate the exploded tokens under DIFFERENT
     // keys, so exchange reuse can't deduplicate the scan+explode —
-    // without the cache the corpus tokenizes once per consumer
-    val tok = graft.core.OperatorCaches.cached(docs.select(col(idCol),
-      explode(TextAnalysis.tokens(col(textCol))).as("term")))
+    // without the cache the corpus tokenizes once per consumer.
+    // `cache = false` opts out for callers with no release point
+    // (e.g. the pipeline registry, whose result lifetime is unmanaged);
+    // they pay the recompute instead of accumulating pinned blocks.
+    val tok0 = docs.select(col(idCol),
+      explode(TextAnalysis.tokens(col(textCol))).as("term"))
+    val tok = if (cache) graft.core.OperatorCaches.cached(tok0) else tok0
     val tf = tok.groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf"))
     val dfreq = tok.groupBy(col("term"))
       .agg(countDistinct(col(idCol)).as("df"))

@@ -18,7 +18,9 @@ import org.apache.spark.sql.types._
   * amplitude histogram come from actual samples. VIDEO DECODE IS REAL
   * for the JDK-decodable multi-frame formats (animated GIF — ImageIO
   * exposes every frame): dims, mean luminance and a temporal profile
-  * of sampled frame means come from actual pixels. Only
+  * of sampled frame means come from actual pixels (full-frame
+  * animations; inter-frame-optimized GIFs would need disposal
+  * compositing and fall back). Only
   * compressed-codec video (H.264 etc.) falls back to the
   * clearly-marked deterministic byte-stats STUB; swapping a codec in
   * changes only `byteStatsStub`'s body, nothing in the plan shape.
@@ -197,7 +199,8 @@ object Multimodal {
     * palette quantization losslessly, so per-frame means (and their
     * +16 deltas) are exactly recomputable in tests. */
   def syntheticGif(w: Int, h: Int, frames: Int, seed: Long): Array[Byte] = {
-    require(frames <= 13, "constant-gray levels must stay below 256")
+    // base <= 139 and (frames-1)*16 <= 112 keep every level in [40, 251]
+    require(frames >= 1 && frames <= 8, "constant-gray levels must stay below 256")
     val out = new java.io.ByteArrayOutputStream()
     val writer = javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
     val ios = javax.imageio.ImageIO.createImageOutputStream(out)
@@ -206,7 +209,7 @@ object Multimodal {
     (0 until frames).foreach { f =>
       val img = new java.awt.image.BufferedImage(w, h,
         java.awt.image.BufferedImage.TYPE_INT_RGB)
-      val v = 40 + ((seed * 7) % 100).toInt + f * 16
+      val v = 40 + math.floorMod(seed * 7, 100).toInt + f * 16
       var y = 0
       while (y < h) {
         var x = 0
@@ -230,19 +233,26 @@ object Multimodal {
     * the byte-stats stub — the one remaining honest stub. */
   private[graft] def decodeVideo(payload: Array[Byte]): Option[(Int, Int, Double, Array[Double])] = {
     var iis: javax.imageio.stream.ImageInputStream = null
+    var reader: javax.imageio.ImageReader = null
     try {
       iis = javax.imageio.ImageIO.createImageInputStream(
         new java.io.ByteArrayInputStream(payload))
       val readers = javax.imageio.ImageIO.getImageReaders(iis)
       if (!readers.hasNext) return None
-      val reader = readers.next()
+      reader = readers.next()
       reader.setInput(iis)
       val n = reader.getNumImages(true)
       if (n < 2) return None // single image is not a video
+      val w = reader.getWidth(0); val h = reader.getHeight(0)
       val stride = math.max(1, n / 8)
       val sampled = (0 until n by stride).take(8)
       val means = sampled.map { i =>
         val img = reader.read(i)
+        // inter-frame-optimized GIFs store only the changed
+        // sub-rectangle per frame; a correct luminance needs disposal
+        // compositing, which is out of scope — fall back honestly
+        // rather than average a partial raster
+        if (img.getWidth != w || img.getHeight != h) return None
         var sum = 0.0
         var y = 0
         while (y < img.getHeight) {
@@ -256,11 +266,12 @@ object Multimodal {
         }
         sum / (img.getWidth.toDouble * img.getHeight)
       }
-      val w = reader.getWidth(0); val h = reader.getHeight(0)
-      reader.dispose()
       Some((w, h, means.sum / means.length, means.toArray))
     } catch { case _: Exception => None }
-    finally if (iis != null) iis.close()
+    finally {
+      if (reader != null) reader.dispose()
+      if (iis != null) iis.close()
+    }
   }
 
   /** ================== COMPRESSED-VIDEO DECODE STUB ==================

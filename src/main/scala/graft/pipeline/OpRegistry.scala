@@ -188,7 +188,10 @@ object OpRegistry {
         col(str(p, "text_col")), rates,
         numOpt(p, "default_pct").map(_.toInt).getOrElse(100))
     }),
+    // cache = false: a pipeline result's lifetime is unmanaged, so
+    // there is no release point for an operator-registered cache
     "tfidf_top_terms" -> (p => df => graft.ext.Curation.tfIdfTopTerms(
-      df, str(p, "text_col"), str(p, "id_col"), num(p, "top_k").toInt))
+      df, str(p, "text_col"), str(p, "id_col"), num(p, "top_k").toInt,
+      cache = false))
   ))
 }

@@ -122,10 +122,16 @@ class SketchLawSpec extends AnyFunSuite {
     val q = agg.writeStream.outputMode("complete").format("memory")
       .queryName("rate_smoke").start()
     try {
-      q.processAllAvailable()
-      Thread.sleep(1200) // let the source emit at least one batch
-      q.processAllAvailable()
-      assert(spark.table("rate_smoke").count() >= 0) // schema + plan run end-to-end
+      // wait until rows actually flow (bounded retries, not a sleep race)
+      var rows = 0L
+      var tries = 0
+      while (rows == 0 && tries < 20) {
+        Thread.sleep(500)
+        q.processAllAvailable()
+        rows = spark.table("rate_smoke").count()
+        tries += 1
+      }
+      assert(rows > 0, "the rate source must emit rows through windowedStats")
       assert(spark.table("rate_smoke").columns.contains("sum_value"))
     } finally q.stop()
   }
