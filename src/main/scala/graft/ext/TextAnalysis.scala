@@ -115,6 +115,38 @@ object TextAnalysis {
     transform(starts, i => xxhash64(concat_ws(" ", slice(toks, i + 1, lit(w)))))
   }
 
+  /** E4 — unigram log-probability scoring (the perplexity-proxy
+    * quality filter in the CCNet tradition): the corpus itself is the
+    * language model — per-token log p(t) = ln(count(t) / N) — and a
+    * document's score is its mean token log-probability. Documents of
+    * rare/garbled tokens score very negative; boilerplate scores high.
+    * Token log-probs quantize to integer micro-nats before the
+    * per-doc mean, making the aggregation exact and order-independent
+    * — reproducible across engines, libms and partitionings.
+    *
+    * Scale: one token explode feeding a frequency agg (uniform
+    * content-keyed shuffle) + a 1-row total broadcast; the score join
+    * on `term` is Zipf-skewed like TF-IDF — AQE skew-split applies.
+    * `cache = false` for callers with no release point. */
+  def unigramLogProb(docs: DataFrame, textCol: String, idCol: String,
+      cache: Boolean = true): DataFrame = {
+    val tok0 = docs.select(col(idCol), explode(tokens(col(textCol))).as("term"))
+    val tok = if (cache) graft.core.OperatorCaches.cached(tok0) else tok0
+    val freq = tok.groupBy(col("term")).agg(count(lit(1)).as("n_t"))
+    val total = tok.agg(count(lit(1)).as("n_total"))
+    // per-token log-probs quantize to integer MICRO-nats, so the
+    // per-doc sum is exact and order-independent — a float sum's
+    // last-ulp depends on accumulation order, and a mean landing on a
+    // rounding boundary then flips between engines (seen in practice)
+    tok.join(freq, "term").crossJoin(broadcast(total))
+      .withColumn("__logp_u",
+        round(log(col("n_t").cast("double") / col("n_total")) * 1e6, 0).cast("long"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_tokens"),
+        round(sum(col("__logp_u")).cast("double") / count(lit(1)) / 1e6, 6)
+          .as("mean_logp"))
+  }
+
   /** E4 — winnowing fingerprints (Schleimer/Wilkerson/Aiken, SIGMOD'03
     * — the MOSS algorithm): hash every k-token gram, slide a window of
     * w consecutive gram hashes, keep each window's minimum; the

@@ -190,6 +190,8 @@ object OpRegistry {
     }),
     // cache = false: a pipeline result's lifetime is unmanaged, so
     // there is no release point for an operator-registered cache
+    "unigram_logprob" -> (p => df => graft.ext.TextAnalysis.unigramLogProb(
+      df, str(p, "text_col"), str(p, "id_col"), cache = false)),
     "tfidf_top_terms" -> (p => df => graft.ext.Curation.tfIdfTopTerms(
       df, str(p, "text_col"), str(p, "id_col"), num(p, "top_k").toInt,
       cache = false))

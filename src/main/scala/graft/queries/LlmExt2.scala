@@ -172,6 +172,36 @@ object LlmExt2 {
       "Content-hash membership makes the mixture reproducible on any layout and " +
       "duplicate-consistent; per-stratum retention converges to rate/100 by hash uniformity.")
 
+  /** q69 — E4: unigram log-probability quality scores (perplexity
+    * proxy). Token log-probs quantize to integer micro-nats so the
+    * per-doc aggregation is exact and order-independent; the corpus
+    * restriction keeps the oracle's token self-join bounded. */
+  val q69 = Declared(
+    "q69_unigram_logprob", "E4,A1",
+    (s, dir) => {
+      TextAnalysis.unigramLogProb(
+        Tables.documents(s, dir).filter(col("doc_id") < 400),
+        "text", "doc_id")
+        .orderBy(col("doc_id"))
+    },
+    Some("""WITH corpus AS (SELECT doc_id, text FROM documents WHERE doc_id < 400),
+           |tok AS (
+           |  SELECT doc_id, unnest(regexp_split_to_array(lower(text), '\s+')) AS term
+           |  FROM corpus),
+           |freq AS (SELECT term, count(*) AS n_t FROM tok GROUP BY term),
+           |total AS (SELECT count(*) AS n_total FROM tok),
+           |scored AS (
+           |  SELECT tok.doc_id,
+           |    CAST(round(ln(CAST(freq.n_t AS DOUBLE) / total.n_total) * 1e6, 0) AS BIGINT) AS logp_u
+           |  FROM tok JOIN freq USING (term) CROSS JOIN total)
+           |SELECT doc_id, count(*) AS n_tokens,
+           |       round(CAST(sum(logp_u) AS DOUBLE) / count(*) / 1e6, 6) AS mean_logp
+           |FROM scored GROUP BY doc_id
+           |ORDER BY doc_id""".stripMargin),
+    "The corpus IS the model: one uniform frequency agg + a 1-row broadcast N; the score " +
+      "join on term is Zipf-skewed like TF-IDF (AQE skew-split). The score is the standard " +
+      "first-pass quality gate before an actual LM perplexity filter at 100TB.")
+
   /** q67 — E3: product quantization under the oracle gate, via the
     * lossless construction (q58's trick adapted to PQ): the derived
     * corpus has exactly 4 distinct subvectors per subspace and the
@@ -209,5 +239,5 @@ object LlmExt2 {
       "literals), a single scan-side projection + TakeOrdered; training reaches the driver " +
       "only through k codebook rows per subspace.")
 
-  val all: Seq[Declared] = Seq(q62, q63, q64, q65, q67, q68)
+  val all: Seq[Declared] = Seq(q62, q63, q64, q65, q67, q68, q69)
 }

@@ -439,6 +439,22 @@ class CurationSpec extends AnyFunSuite {
       "every kept text must keep both its duplicate rows")
   }
 
+  test("E4: unigram log-prob — common-token docs outscore rare-token docs; exact mean") {
+    import graft.ext.TextAnalysis
+    val docs = Seq(
+      (1L, "common common common common"),  // all high-probability tokens
+      (2L, "common rare1 rare2 rare3"),     // mostly singletons
+      (3L, "common common rare4 common")
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.unigramLogProb(docs, "text", "doc_id").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(out(1L)._1 == 4)
+    assert(out(1L)._2 > out(3L)._2 && out(3L)._2 > out(2L)._2)
+    // exact value: 'common' appears 8 of 12 tokens; doc 1 is all-common
+    assert(math.abs(out(1L)._2 - math.rint(math.log(8.0 / 12) * 1e6) / 1e6) < 1e-9)
+    graft.core.OperatorCaches.releaseAll(spark)
+  }
+
   test("E4: tfidf — ubiquitous terms score zero, distinctive terms rank first") {
     import graft.ext.Curation
     val docs = Seq(
