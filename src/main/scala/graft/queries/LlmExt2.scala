@@ -4,10 +4,12 @@ import org.apache.spark.sql.functions._
 import graft.core.Tables
 import graft.ext.{Curation, Dedup, TextAnalysis}
 
-/** Round-3 corpus-curation coverage (SURVEY.md §2.12 E4+): winnowing
-  * fingerprints, deterministic dataset splits, per-domain caps, and
-  * TF-IDF term scoring — the assembly steps of a training-data
-  * pipeline downstream of cleaning/dedup. */
+/** Round-3 corpus-curation + retrieval coverage (SURVEY.md §2.12
+  * E3/E4/E7): winnowing fingerprints, deterministic dataset splits,
+  * per-domain caps, TF-IDF, weighted stratified sampling, unigram
+  * log-prob quality scores, and product-quantization ANN — the
+  * assembly/retrieval steps of a training-data pipeline downstream of
+  * cleaning/dedup. */
 object LlmExt2 {
 
   /** The q46-proven DuckDB reconstruction of [[Dedup.md5Hash60]]: the
