@@ -436,7 +436,7 @@ object LlmExt {
           concat(substring(col("atext"), 1, 300), lit(" "),
             substring(col("btext"), 100, 200)).as("text"))
       val corpus = base.unionByName(planted)
-      val toks = corpus.select(col("doc_id"), split(lower(col("text")), " ").as("toks"))
+      val toks = corpus.select(col("doc_id"), split(lower(col("text")), "\\s+").as("toks"))
         .filter(size(col("toks")) >= 20)
       // self-join keys on the chunk's xxhash64 FINGERPRINT, not the raw
       // 20-token string — ~10× fewer shuffle bytes (the scale note's
@@ -461,7 +461,7 @@ object LlmExt {
            |  SELECT a.doc_id + 200000, substr(a.text, 1, 300) || ' ' || substr(b.text, 100, 200)
            |  FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1
            |  WHERE a.doc_id < 20),
-           |t AS (SELECT doc_id, string_split(lower(text), ' ') AS toks FROM corpus),
+           |t AS (SELECT doc_id, regexp_split_to_array(lower(text), '\s+') AS toks FROM corpus),
            |st AS (SELECT doc_id, toks,
            |         unnest(range(1, greatest(len(toks) - 19, 1) + 1, 10)) AS s
            |       FROM t WHERE len(toks) >= 20),
