@@ -9,6 +9,12 @@ object Verify {
     // run (dev loop); the driver passes none and gets every query
     val Seq(sfDir, outDir, rest @ _*) = args.toSeq
     val only = rest.toSet
+    // a typo'd filter name would silently produce an empty run and let
+    // a dev-loop gate pass vacuously — fail fast instead
+    val unknown = only -- SparkEntry.queries.keySet
+    require(unknown.isEmpty,
+      s"unknown query name(s): ${unknown.toSeq.sorted.mkString(", ")} — " +
+        s"known: ${SparkEntry.queries.keys.toSeq.sorted.mkString(", ")}")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     // same tuned config as Bench/production (AQE etc.); shuffle
     // partitions follow the cpu count, set AFTER configure() so the

@@ -35,6 +35,12 @@ object OperatorCaches {
     df.cache()
   }
 
+  /** [[cached]] when `cond`, the plan untouched otherwise — for
+    * operators whose callers may have no release point (pipeline
+    * registry results with unmanaged lifetimes pass cond = false). */
+  def cachedIf(cond: Boolean, df: DataFrame): DataFrame =
+    if (cond) cached(df) else df
+
   /** Unpersist every operator cache registered against `spark`.
     * Safe to call while results are still un-materialized — Spark
     * recomputes from lineage — but the intended point is after the

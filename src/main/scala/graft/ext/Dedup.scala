@@ -68,14 +68,15 @@ object Dedup {
     * uniform shuffle key; no cartesian anywhere. */
   def minhashNearDuplicates(docs: DataFrame, textCol: String, idCol: String,
       shingleSize: Int = 3, numHashes: Int = 16, bands: Int = 4,
-      threshold: Double = 0.5): DataFrame = {
+      threshold: Double = 0.5, cache: Boolean = true): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val rows = numHashes / bands
     // cached: one signature row per doc — the bounded sketch. The band
     // self-join references it twice (a and b sides differ by alias, so
     // exchange reuse can't kick in); without the cache the shingle
-    // explode + signature agg runs once PER SIDE.
-    val sig = OperatorCaches.cached(
+    // explode + signature agg runs once PER SIDE. `cache = false` for
+    // callers with no release point (pipeline registry).
+    val sig = OperatorCaches.cachedIf(cache,
       minhashSignature(docs, textCol, idCol, shingleSize, numHashes))
     val banded = sig.select(col(idCol),
       posexplode(transform(sequence(lit(0), lit(bands - 1)), b =>
@@ -87,16 +88,16 @@ object Dedup {
     val candidates = a.join(b, Seq("band", "band_hash"))
       .filter(col("id_a") < col("id_b"))
       .select("id_a", "id_b").distinct()
-    verifyJaccard(docs, textCol, idCol, candidates, shingleSize)
+    verifyJaccard(docs, textCol, idCol, candidates, shingleSize, cache)
       .filter(col("jaccard") >= threshold)
   }
 
   /** Exact Jaccard for given candidate pairs via shingle-set join. */
   def verifyJaccard(docs: DataFrame, textCol: String, idCol: String,
-      pairs: DataFrame, shingleSize: Int): DataFrame = {
+      pairs: DataFrame, shingleSize: Int, cache: Boolean = true): DataFrame = {
     // cached: the exploded shingle set feeds three consumers (two join
     // sides + the per-doc counts); ~n_tokens rows per doc, bounded
-    val sh = OperatorCaches.cached(docs.select(col(idCol).as("__id"),
+    val sh = OperatorCaches.cachedIf(cache, docs.select(col(idCol).as("__id"),
       explode(wordShingles(col(textCol), shingleSize)).as("shingle")).distinct())
     val counts = sh.groupBy("__id").agg(count(lit(1)).as("n"))
     val shA = sh.select(col("__id").as("id_a"), col("shingle"))
@@ -147,13 +148,14 @@ object Dedup {
     * one exact chunk — pigeonhole), verify hamming <= maxDistance. */
   def simhashNearDuplicates(docs: DataFrame, textCol: String, idCol: String,
       maxDistance: Int = 3,
-      tokenHash: Column => Column = xxhash64(_), nBits: Int = 64): DataFrame = {
+      tokenHash: Column => Column = xxhash64(_), nBits: Int = 64,
+      cache: Boolean = true): DataFrame = {
     require(nBits % 4 == 0, "nBits must split into 4 equal chunks")
     val width = nBits / 4
     val mask = (1L << width) - 1
     // cached: one fingerprint row per doc; the chunk self-join reads it
     // from both sides (see minhashNearDuplicates note)
-    val fp = OperatorCaches.cached(simhash(docs, textCol, idCol, tokenHash, nBits))
+    val fp = OperatorCaches.cachedIf(cache, simhash(docs, textCol, idCol, tokenHash, nBits))
     val chunked = fp.select(col(idCol), col("simhash"),
       posexplode(array((0 until 4).map(c =>
         shiftright(col("simhash"), c * width).bitwiseAND(mask)): _*)))

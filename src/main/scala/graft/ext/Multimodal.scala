@@ -66,8 +66,10 @@ object Multimodal {
         if (kind == "image") syntheticPng(w, 64, id)
         else if (kind == "audio") syntheticWav(800 + (id % 5).toInt * 160, 16000, id)
         // half the video rows are REAL animated GIFs (decodable frames),
-        // half are opaque codec-like bytes exercising the stub fallback
-        else if (id % 6 == 2) syntheticGif(32, 16, frames = 3 + (id % 3).toInt, seed = id)
+        // half are opaque codec-like bytes exercising the stub fallback.
+        // frame count uses a residue independent of the id%6 GIF gate
+        // (id%3 would be constant on the gated ids)
+        else if (id % 6 == 2) syntheticGif(32, 16, frames = 3 + ((id / 6) % 3).toInt, seed = id)
         else {
           var x = id * 0x9E3779B97F4A7C15L + 0xBF58476D1CE4E5B9L
           def next(): Byte = { x ^= x >>> 27; x *= 0x94D049BB133111EBL; (x >>> 56).toByte }

@@ -146,12 +146,14 @@ object OpRegistry {
     // serialized pipeline spec
     "exact_dedup" -> (p => df => graft.ext.Dedup.exact(
       df, str(p, "text_col"), str(p, "id_col"))),
+    // cache = false: a pipeline result's lifetime is unmanaged, so
+    // there is no release point for an operator-registered cache
     "minhash_near_dups" -> (p => df => graft.ext.Dedup.minhashNearDuplicates(
       df, str(p, "text_col"), str(p, "id_col"),
       numOpt(p, "shingle_size").map(_.toInt).getOrElse(3),
       numOpt(p, "num_hashes").map(_.toInt).getOrElse(16),
       numOpt(p, "bands").map(_.toInt).getOrElse(4),
-      numOpt(p, "threshold").getOrElse(0.5))),
+      numOpt(p, "threshold").getOrElse(0.5), cache = false)),
     "quality_features" -> (p => df =>
       graft.ext.TextAnalysis.qualityFeatures(df, str(p, "text_col"))),
     "normalize_text" -> (p => df => df.withColumn(

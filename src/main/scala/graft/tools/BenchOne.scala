@@ -5,7 +5,7 @@ import graft.core.GraftSession
 
 /** Dev tool: reproduce graft.Bench's exact per-query scheme for ONE
   * query — warm-up run, clearCache, timed run — so a bench outlier can
-  * be isolated without the 59-query suite.
+  * be isolated without the full suite.
   * `runMain graft.tools.BenchOne <sfDir> <name> [n]` */
 object BenchOne {
   def main(args: Array[String]): Unit = {

@@ -328,7 +328,7 @@ class MultimodalSpec extends AnyFunSuite {
     Seq(2L, 8L).foreach { id =>
       val r = vids(id)
       assert(r.getAs[Int]("width") == 32 && r.getAs[Int]("height") == 16, s"dims of $id")
-      val frames = 3 + (id % 3).toInt
+      val frames = 3 + ((id / 6) % 3).toInt
       val profile = r.getSeq[Double](r.fieldIndex("feature_vec"))
       assert(profile.length == frames, s"temporal profile length of $id")
       // constant-gray frames survive palette quantization losslessly:
