@@ -124,20 +124,28 @@ object Dedup {
   /** E2 — SimHash fingerprint over word tokens: per bit, sum of ±1
     * across token hashes; sign → bit. Pure column expressions.
     * `tokenHash`/`nBits` select the hash family (default xxhash64/64;
-    * [[md5Hash60]]/60 for cross-engine verification). */
+    * [[md5Hash60]]/60 for cross-engine verification).
+    *
+    * Shape: a TALL (doc, bit) aggregation rather than one nBits-wide
+    * aggregate. The wide form generates one enormous codegen method (64
+    * buffer updates, each with a branch) whose JIT ramp dominated small
+    * runs (~2s until C2 lands vs a ~1s plan floor); the tall form's
+    * methods are tiny and compile immediately. Shuffle bytes are the
+    * same either way (nBits partial sums per doc per partition), and
+    * sign(Σ±1) ≡ 2·ones > n exactly, so fingerprints are unchanged. */
   def simhash(docs: DataFrame, textCol: String, idCol: String,
       tokenHash: Column => Column = xxhash64(_), nBits: Int = 64): DataFrame = {
     val toks = docs.select(col(idCol),
       explode(array_distinct(split(lower(col(textCol)), "\\s+"))).as("tok"))
       .withColumn("h", tokenHash(col("tok")))
-    val bitSums = (0 until nBits).map { b =>
-      sum(when(shiftright(col("h"), b).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"b$b")
-    }
-    val agg = toks.groupBy(col(idCol)).agg(bitSums.head, bitSums.tail: _*)
-    val fp = (0 until nBits).map(b =>
-      when(col(s"b$b") > 0, shiftleft(lit(1L), b)).otherwise(lit(0L)))
-      .reduce((x, y) => x.bitwiseOR(y))
-    agg.select(col(idCol), fp.as("simhash"))
+    val tall = toks.select(col(idCol), col("h"),
+      explode(sequence(lit(0), lit(nBits - 1))).as("bit"))
+    val perBit = tall.groupBy(col(idCol), col("bit"))
+      .agg(sum(call_function("shiftright", col("h"), col("bit")).bitwiseAND(1)).as("ones"),
+        count(lit(1)).as("n"))
+    perBit.groupBy(col(idCol))
+      .agg(sum(when(col("ones") * 2 > col("n"),
+        call_function("shiftleft", lit(1L), col("bit"))).otherwise(lit(0L))).as("simhash"))
   }
 
   /** Hamming distance between two fingerprints. */
