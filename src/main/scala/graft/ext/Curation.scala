@@ -68,6 +68,117 @@ object Curation {
     df.filter(bucket < rate)
   }
 
+  /** E7 — line-level dedup (the C4/CCNet boilerplate-removal pass):
+    * drop every line whose document frequency is >= `minDocFreq`
+    * (headers, footers, cookie banners, nav menus — content that
+    * repeats across many documents), keep the rest, and reassemble
+    * each document's surviving lines in their original order.
+    * Documents whose every line was boilerplate disappear from the
+    * output (callers wanting them keep an outer join on the id).
+    *
+    * Scale: line doc-frequency is one aggregation keyed on line
+    * CONTENT — a uniform hash key; the hot boilerplate lines are
+    * exactly the high-frequency ones, and AQE's skew-join split covers
+    * the line⋈df join's hot keys. Reassembly is one shuffle keyed on
+    * the doc id. At 100 TB, key the df aggregation on xxhash64(line)
+    * instead of the raw string to cut shuffle bytes — same plan shape. */
+  def removeDuplicateLines(docs: DataFrame, textCol: String, idCol: String,
+      minDocFreq: Int): DataFrame = {
+    require(minDocFreq >= 2, "minDocFreq < 2 would drop every line")
+    // functions.split qualified: Curation.split (the dataset splitter)
+    // shadows it in this scope
+    val lines = docs.select(col(idCol),
+      posexplode(org.apache.spark.sql.functions.split(col(textCol), "\n"))
+        .as(Seq("pos", "line")))
+    val lineDf = lines.groupBy(col("line"))
+      .agg(countDistinct(col(idCol)).as("line_df"))
+    lines.join(lineDf, "line")
+      .filter(col("line_df") < minDocFreq)
+      .groupBy(col(idCol))
+      .agg(array_join(
+        transform(array_sort(collect_list(struct(col("pos"), col("line")))),
+          s => s.getField("line")), "\n").as(textCol))
+  }
+
+  /** E7 — BM25 relevance scores (Robertson/Spärck Jones; the Lucene
+    * `(N - df + 0.5)/(df + 0.5)` idf variant inside `ln(1 + ·)` so idf
+    * stays positive) for a literal term query over the corpus:
+    *   score(d) = Σ_t idf(t) · tf · (k1+1) / (tf + k1·(1−b+b·dl/avgdl))
+    * Returns (id, score) for every document matching at least one term.
+    *
+    * Cross-engine determinism: each per-term contribution quantizes to
+    * integer MICRO units before the per-document sum — float addition
+    * is order-dependent, and both the sum order and a boundary-landing
+    * round differ between engines (the q69 lesson). The sum of
+    * integers is exact; `score` and the (score desc, id) rank order
+    * are therefore reproducible anywhere.
+    *
+    * Scale: the term filter collapses the token explode to |q| terms
+    * per doc BEFORE any shuffle; df/N/avgdl are tiny broadcast sides;
+    * the only real shuffle keys on the doc id. */
+  def bm25Scores(docs: DataFrame, textCol: String, idCol: String,
+      queryTerms: Seq[String], k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(queryTerms.nonEmpty, "queryTerms must be non-empty")
+    val withDl = docs.select(col(idCol),
+      TextAnalysis.tokens(col(textCol)).as("__toks"))
+      .select(col(idCol), col("__toks"), size(col("__toks")).as("dl"))
+    val tok = withDl.select(col(idCol), col("dl"),
+      explode(col("__toks")).as("term"))
+      .filter(col("term").isin(queryTerms: _*))
+    val tf = tok.groupBy(col(idCol), col("dl"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy(col("term")).agg(countDistinct(col(idCol)).as("df"))
+    val stats = withDl.agg(count(lit(1)).as("n_docs"),
+      (sum(col("dl")).cast("double") / count(lit(1))).as("avgdl"))
+    val contrib = tf.join(broadcast(dfreq), "term").crossJoin(broadcast(stats))
+      .withColumn("__idf",
+        log(lit(1.0) + (col("n_docs") - col("df") + 0.5) / (col("df") + 0.5)))
+      .withColumn("__contrib_u",
+        round(col("__idf") * col("tf") * lit(k1 + 1) /
+          (col("tf") + lit(k1) * (lit(1 - b) + lit(b) * col("dl") / col("avgdl"))) * 1e6, 0)
+          .cast("long"))
+    contrib.groupBy(col(idCol))
+      .agg(round(sum(col("__contrib_u")).cast("double") / 1e6, 6).as("score"))
+  }
+
+  /** E7 — benchmark decontamination via a broadcast Bloom-filter
+    * semi-join: find corpus documents sharing any `gramSize`-token
+    * gram with a benchmark/eval set (train-test leakage detection).
+    *
+    * The benchmark side is SMALL by definition (an eval set, not the
+    * corpus), so its distinct grams fit a driver-built Bloom filter
+    * (`df.stat.bloomFilter` — a merged sketch of size O(expected
+    * items), NOT O(corpus)); the sketch broadcasts to every executor
+    * and prunes the corpus gram stream scan-side to ~fpp of its
+    * volume BEFORE the only shuffle. Survivors are then exact-verified
+    * with a semi-join against the real benchmark grams, so Bloom false
+    * positives never reach the output — the sketch changes the plan's
+    * cost, never its result. Returns (id, n_shared_grams > 0 docs).
+    *
+    * The mightContain call is a Scala UDF by necessity (the sketch
+    * lives in a broadcast variable, not a Column); it sits OUTSIDE the
+    * shuffle hot path — scan-side filter only — which is the documented
+    * E6 exception to the no-UDF rule. */
+  def decontaminate(corpus: DataFrame, benchmark: DataFrame,
+      textCol: String, idCol: String, gramSize: Int,
+      expectedItems: Long = 1L << 20, fpp: Double = 0.01): DataFrame = {
+    def grams(df: DataFrame) = df
+      .select(col(idCol), TextAnalysis.tokens(col(textCol)).as("__toks"))
+      .filter(size(col("__toks")) >= gramSize)
+      .select(col(idCol), explode(transform(
+        sequence(lit(1), size(col("__toks")) - (gramSize - 1)),
+        i => concat_ws(" ", slice(col("__toks"), i, lit(gramSize))))).as("gram"))
+    val benchGrams = grams(benchmark).select("gram").distinct()
+    val bloom = benchGrams.stat.bloomFilter("gram", expectedItems, fpp)
+    val bc = corpus.sparkSession.sparkContext.broadcast(bloom)
+    val mightContain = udf((g: String) => g != null && bc.value.mightContain(g))
+    grams(corpus)
+      .filter(mightContain(col("gram")))          // sketch prefilter (lossy-in, no false drops)
+      .join(benchGrams, Seq("gram"), "left_semi") // exact verify — kills false positives
+      .groupBy(col(idCol))
+      .agg(countDistinct(col("gram")).as("n_shared_grams"))
+  }
+
   /** Top-`topK` TF-IDF terms per document. tf = term count in doc,
     * idf = ln(N / df) with N = |docs|, df = docs containing the term.
     * The score is rounded to 6 decimals BEFORE ranking so rank order is

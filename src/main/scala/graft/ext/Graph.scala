@@ -1,0 +1,85 @@
+package graft.ext
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** E2+ — distributed connected components over a pair graph: the
+  * clustering step a dedup pipeline runs AFTER candidate generation
+  * (MinHash/SimHash/embedding near-dup pairs are edges; a component is
+  * a duplicate cluster; the min doc id is its canonical document).
+  * The reference's dedup surface stops at pair emission — transitive
+  * closure is the Spark-gap operator that turns pairs into keep/drop
+  * decisions (A ~ B ~ C must collapse to ONE kept doc even when A ~ C
+  * was never emitted as a pair).
+  *
+  * Algorithm: iterative min-label propagation with path shortcutting.
+  * Each round does
+  *   1. neighbor step — comp(v) := min(comp(v), min over edges (v,u)
+  *      of comp(u)); one equi-join keyed on node id + one aggregation;
+  *   2. shortcut step — comp(v) := comp(comp(v)); pointer doubling, so
+  *      a chain of length L converges in O(log L) rounds instead of
+  *      O(L) (the large-star/small-star recurrence from Kiveris et al.,
+  *      "Connected Components in MapReduce and Beyond", SoCC'14 —
+  *      public literature).
+  * The loop is driver-side but each iteration's work is a pure
+  * distributed plan; the only driver-visible value per round is ONE
+  * aggregated change count. Labels are localCheckpoint'd each round —
+  * without it the plan doubles per iteration and Catalyst analysis,
+  * not the data, becomes the bottleneck.
+  *
+  * Scale: every join/agg keys on node id or label — uniform content
+  * hashes when nodes are dedup doc ids. Near-dup graphs are
+  * overwhelmingly small-diameter (duplicate clusters), so rounds ≈ 2-3;
+  * the shortcut step bounds pathological chains at O(log n) rounds.
+  */
+object Graph {
+
+  /** Connected components of the undirected graph given by `edges`
+    * (one row per edge; direction ignored; self-loops and duplicate
+    * edges are harmless). Returns one row per node that appears in at
+    * least one edge: (node, component), where `component` is the
+    * MINIMUM node id reachable from `node` — a deterministic canonical
+    * label independent of partitioning and iteration order. */
+  def connectedComponents(edges: DataFrame, srcCol: String, dstCol: String,
+      maxIter: Int = 25, cache: Boolean = true): DataFrame = {
+    // symmetrize once; cache — every iteration's neighbor step reads it
+    // (`cache = false` for callers with no release point)
+    val sym = graft.core.OperatorCaches.cachedIf(cache,
+      edges.select(col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst"))
+        .union(edges.select(col(dstCol).cast("long").as("src"), col(srcCol).cast("long").as("dst")))
+        .distinct())
+
+    var labels = sym.select(col("src").as("node")).distinct()
+      .withColumn("comp", col("node"))
+      .localCheckpoint()
+    var converged = false
+    var iter = 0
+    while (!converged && iter < maxIter) {
+      // 1. neighbor min: smallest label among self and direct neighbors
+      val nbrMin = sym.join(labels.withColumnRenamed("node", "dst"), "dst")
+        .groupBy(col("src").as("node")).agg(min(col("comp")).as("nbr_comp"))
+      val stepped = labels.join(nbrMin, Seq("node"), "left")
+        .select(col("node"),
+          least(col("comp"), coalesce(col("nbr_comp"), col("comp"))).as("comp"))
+      // 2. shortcut: follow the label's own label (pointer doubling)
+      val byComp = stepped.select(col("node").as("comp"), col("comp").as("comp2"))
+      val shortcut = stepped.join(byComp, Seq("comp"), "left")
+        .select(col("node"), coalesce(col("comp2"), col("comp")).as("comp"))
+        .localCheckpoint() // truncate lineage; plan size stays constant per round
+      // ONE scalar reaches the driver per round: the change count
+      val changes = shortcut.join(labels.withColumnRenamed("comp", "prev"), "node")
+        .filter(col("comp") =!= col("prev")).count()
+      labels = shortcut
+      converged = changes == 0
+      iter += 1
+    }
+    labels.select(col("node"), col("comp").as("component"))
+  }
+
+  /** Dedup clustering in one call: near-dup pairs (any generator) →
+    * components → per-node canonical flag (`node == component`, i.e.
+    * the minimum doc id of its duplicate cluster is kept). */
+  def dedupClusters(pairs: DataFrame, idA: String, idB: String): DataFrame =
+    connectedComponents(pairs, idA, idB)
+      .withColumn("is_canonical", col("node") === col("component"))
+}

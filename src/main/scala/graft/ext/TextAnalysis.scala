@@ -101,6 +101,73 @@ object TextAnalysis {
          when(punct.cast("double") / greatest(nChars, lit(1)) < 0.1, 0.2).otherwise(0.0)))
   }
 
+  /** E4 — PII patterns for [[redactPii]]: (kind, regex, replacement).
+    * Deliberately conservative character-class/bounded-repeat syntax —
+    * no backreferences or lookaround — so the SAME pattern string means
+    * the same thing to Java regex (Spark) and RE2 (DuckDB, the oracle
+    * engine): redaction is oracle-checkable, not just spec'd. Order
+    * matters: emails first (their local part could otherwise feed the
+    * number patterns). */
+  val piiPatterns: Seq[(String, String, String)] = Seq(
+    ("email", "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}", "<EMAIL>"),
+    ("ipv4", "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b", "<IP>"),
+    ("phone", "\\b\\d{3}-\\d{4}\\b", "<PHONE>"))
+
+  /** E4 — PII redaction (the pre-training privacy scrub): replace
+    * every email / IPv4 / phone-shaped span with a typed placeholder
+    * token. Pure codegen'd regexp_replace chain — scan-side, no
+    * shuffle, pushdown-friendly. */
+  def redactPii(text: Column): Column =
+    piiPatterns.foldLeft(text) { case (c, (_, pat, repl)) =>
+      regexp_replace(c, pat, repl)
+    }
+
+  /** Per-kind PII match count (audit surface for the scrub). */
+  def piiCount(text: Column, kind: String): Column = {
+    val pat = piiPatterns.collectFirst { case (`kind`, p, _) => p }
+      .getOrElse(sys.error(s"unknown PII kind '$kind'; known: ${piiPatterns.map(_._1)}"))
+    size(regexp_extract_all(text, lit(pat), lit(0)))
+  }
+
+  /** E4 — intra-document repetition signals (the Gopher repetition
+    * rules): the quality gates that kill machine-generated loops and
+    * template spam.
+    *   - top_token_frac:  occurrences of the most frequent token / all
+    *     tokens (Gopher kills docs > 0.?? depending on n)
+    *   - dup_token_frac:  (tokens − distinct tokens) / tokens
+    *   - top_bigram_frac: occurrences of the most frequent bigram /
+    *     all bigrams (0 for single-token docs)
+    * All ratios are exact int/int IEEE divisions of identical integer
+    * operands — bit-identical across engines WITHOUT rounding (and
+    * deliberately not rounded: c/2^k ratios can land exactly on a
+    * round-half boundary, where engines' tie rules differ). One token
+    * explode + one bigram explode, each feeding a doc-keyed
+    * aggregation: two shuffles keyed on the doc id, output one row per
+    * document. */
+  def repetitionSignals(docs: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val toks = docs.select(col(idCol), explode(tokens(col(textCol))).as("tok"))
+    val tokStats = toks.groupBy(col(idCol), col("tok")).agg(count(lit(1)).as("c"))
+      .groupBy(col(idCol))
+      .agg(sum(col("c")).as("n_tokens"),
+        max(col("c")).as("top_c"),
+        count(lit(1)).as("n_distinct"))
+      .select(col(idCol), col("n_tokens"),
+        (col("top_c") / col("n_tokens").cast("double")).as("top_token_frac"),
+        ((col("n_tokens") - col("n_distinct")) / col("n_tokens").cast("double"))
+          .as("dup_token_frac"))
+    // bigrams WITHOUT array_distinct — repetition is the signal here
+    val bigrams = docs.select(col(idCol), tokens(col(textCol)).as("__toks"))
+      .filter(size(col("__toks")) >= 2)
+      .select(col(idCol), explode(transform(
+        sequence(lit(1), size(col("__toks")) - 1),
+        i => concat_ws(" ", slice(col("__toks"), i, lit(2))))).as("bg"))
+    val bgStats = bigrams.groupBy(col(idCol), col("bg")).agg(count(lit(1)).as("c"))
+      .groupBy(col(idCol))
+      .agg((max(col("c")) / sum(col("c")).cast("double")).as("top_bigram_frac"))
+    tokStats.join(bgStats, Seq(idCol), "left")
+      .withColumn("top_bigram_frac", coalesce(col("top_bigram_frac"), lit(0.0)))
+  }
+
   /** Document fingerprint: 64-bit hash of whitespace-normalized
     * lowercase text — the cheap exact-dup / shard-routing key. */
   def fingerprint(text: Column): Column =

@@ -196,6 +196,30 @@ object OpRegistry {
       df, str(p, "text_col"), str(p, "id_col"), cache = false)),
     "tfidf_top_terms" -> (p => df => graft.ext.Curation.tfIdfTopTerms(
       df, str(p, "text_col"), str(p, "id_col"), num(p, "top_k").toInt,
-      cache = false))
+      cache = false)),
+    // round-4 corpus ops (E4/E7)
+    "remove_duplicate_lines" -> (p => df => graft.ext.Curation.removeDuplicateLines(
+      df, str(p, "text_col"), str(p, "id_col"), num(p, "min_doc_freq").toInt)),
+    "redact_pii" -> (p => df => df.withColumn(
+      strOpt(p, "out_col").getOrElse(str(p, "text_col")),
+      graft.ext.TextAnalysis.redactPii(col(str(p, "text_col"))))),
+    "repetition_signals" -> (p => df => graft.ext.TextAnalysis.repetitionSignals(
+      df, str(p, "text_col"), str(p, "id_col"))),
+    "bm25_scores" -> (p => df => graft.ext.Curation.bm25Scores(
+      df, str(p, "text_col"), str(p, "id_col"), strs(p, "query_terms"),
+      numOpt(p, "k1").getOrElse(1.2), numOpt(p, "b").getOrElse(0.75))),
+    "decontaminate" -> (p => df => graft.ext.Curation.decontaminate(
+      df, df.sparkSession.read.parquet(str(p, "benchmark_file")),
+      str(p, "text_col"), str(p, "id_col"), num(p, "gram_size").toInt)),
+    // near-dup pairs → duplicate clusters; cache = false (unmanaged
+    // pipeline result lifetime, see above)
+    "near_dup_components" -> (p => df => graft.ext.Graph.connectedComponents(
+      graft.ext.Dedup.minhashNearDuplicates(
+        df, str(p, "text_col"), str(p, "id_col"),
+        numOpt(p, "shingle_size").map(_.toInt).getOrElse(3),
+        numOpt(p, "num_hashes").map(_.toInt).getOrElse(16),
+        numOpt(p, "bands").map(_.toInt).getOrElse(4),
+        numOpt(p, "threshold").getOrElse(0.5), cache = false),
+      "id_a", "id_b", cache = false))
   ))
 }

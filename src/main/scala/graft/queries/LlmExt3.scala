@@ -1,0 +1,278 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.core.Tables
+import graft.ext.{Curation, Dedup, Graph, TextAnalysis}
+
+/** Round-4 corpus-pipeline coverage (SURVEY.md §2.12 E2/E4/E7): dedup
+  * clustering (connected components), line-level boilerplate removal,
+  * PII redaction, Gopher-style repetition signals, BM25 retrieval
+  * scoring, and Bloom-prefiltered benchmark decontamination — the
+  * remaining cleaning/audit stages of a training-data pipeline. */
+object LlmExt3 {
+
+  /** q70 — E2: near-dup pairs → connected components → duplicate
+    * clusters. The corpus is q45's (docs + mutated copies, exact
+    * ground-truth pair set at threshold 0.8, where LSH recall is
+    * structural); components then collapse transitive chains (A~B~C
+    * with no A~C pair). The oracle recomputes the SAME pair set in SQL
+    * and closes it with a recursive min-label CTE — so a green row
+    * certifies the distributed label propagation against a full
+    * transitive closure. */
+  val q70 = Declared(
+    "q70_dedup_components", "E2",
+    (s, dir) => {
+      val docs = Tables.documents(s, dir).filter(col("doc_id") < 100)
+        .select(col("doc_id"), col("text"))
+      val mutated = docs.select((col("doc_id") + 100000).as("doc_id"),
+        concat(col("text"), lit(" mutationtoken")).as("text"))
+      val pairs = Dedup.minhashNearDuplicates(docs.unionByName(mutated),
+        "text", "doc_id", shingleSize = 3, numHashes = 16, bands = 16, threshold = 0.8)
+      Graph.connectedComponents(pairs, "id_a", "id_b")
+        .orderBy(col("node"))
+    },
+    Some("""WITH RECURSIVE corpus AS (
+           |  SELECT doc_id, text FROM documents WHERE doc_id < 100
+           |  UNION ALL
+           |  SELECT doc_id + 100000, text || ' mutationtoken' FROM documents WHERE doc_id < 100),
+           |t AS (SELECT doc_id, regexp_split_to_array(lower(text), '\s+') AS toks FROM corpus),
+           |st AS (SELECT doc_id, toks, unnest(range(1, len(toks) - 2 + 1)) AS i
+           |       FROM t WHERE len(toks) >= 3),
+           |sh AS (SELECT DISTINCT doc_id,
+           |         array_to_string(list_slice(toks, i, i + 2), ' ') AS shingle
+           |       FROM st),
+           |c AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+           |i AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+           |      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+           |      GROUP BY 1, 2),
+           |p AS (
+           |  SELECT id_a, id_b
+           |  FROM i JOIN c ca ON i.id_a = ca.doc_id JOIN c cb ON i.id_b = cb.doc_id
+           |  WHERE CAST(inter AS DOUBLE) / (ca.n + cb.n - inter) >= 0.8),
+           |e AS (SELECT id_a AS a, id_b AS b FROM p
+           |      UNION ALL SELECT id_b, id_a FROM p),
+           |reach AS (
+           |  SELECT a AS node, a AS comp FROM e
+           |  UNION
+           |  SELECT e.a, reach.comp FROM e JOIN reach ON reach.node = e.b)
+           |SELECT node, min(comp) AS component
+           |FROM reach GROUP BY node
+           |ORDER BY node""".stripMargin),
+    "Label propagation with pointer doubling: O(log diameter) rounds, each one node-keyed " +
+      "equi-join + agg; ONE scalar (the change count) reaches the driver per round. The " +
+      "oracle's transitive closure exists only on the DuckDB side.")
+
+  /** q71 — E7: line-level dedup (C4-style boilerplate removal). The
+    * corpus plants a universal header/footer (removed), a mid-frequency
+    * promo line (doc_id%7 → ~21 docs ≥ 10, removed), a rare promo line
+    * (doc_id%30 → 5 docs < 10, kept) around each document's own text —
+    * identical string construction on both engines, so the surviving
+    * reassembled text is exactly comparable. */
+  val q71 = Declared(
+    "q71_line_dedup", "E7",
+    (s, dir) => {
+      val planted = Tables.documents(s, dir).filter(col("doc_id") < 150)
+        .select(col("doc_id"), concat(
+          lit("site header menu home about\n"),
+          col("text"), lit("\n"),
+          lit("promo block "), (col("doc_id") % 7).cast("string"), lit("\n"),
+          lit("rare promo "), (col("doc_id") % 30).cast("string"), lit("\n"),
+          lit("copyright footer all rights reserved")).as("text"))
+      Curation.removeDuplicateLines(planted, "text", "doc_id", minDocFreq = 10)
+        .orderBy(col("doc_id"))
+    },
+    Some("""WITH corpus AS (
+           |  SELECT doc_id,
+           |    'site header menu home about' || chr(10) || text || chr(10) ||
+           |    'promo block ' || CAST(doc_id % 7 AS VARCHAR) || chr(10) ||
+           |    'rare promo ' || CAST(doc_id % 30 AS VARCHAR) || chr(10) ||
+           |    'copyright footer all rights reserved' AS text
+           |  FROM documents WHERE doc_id < 150),
+           |sp AS (SELECT doc_id, string_split(text, chr(10)) AS lines FROM corpus),
+           |l AS (SELECT doc_id, unnest(range(1, len(lines) + 1)) AS pos, lines FROM sp),
+           |ln AS (SELECT doc_id, pos, lines[pos] AS line FROM l),
+           |ldf AS (SELECT line, count(DISTINCT doc_id) AS line_df FROM ln GROUP BY line),
+           |kept AS (SELECT doc_id, pos, ln.line FROM ln JOIN ldf USING (line)
+           |         WHERE line_df < 10)
+           |SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS text
+           |FROM kept GROUP BY doc_id
+           |ORDER BY doc_id""".stripMargin),
+    "Line doc-frequency keys on line CONTENT (uniform hash; at 100TB key on xxhash64(line) " +
+      "to cut shuffle bytes); boilerplate lines are the hot keys and AQE skew-split covers " +
+      "the rejoin; reassembly is one doc-keyed shuffle.")
+
+  /** q72 — E4: PII redaction + per-kind audit counts. Deterministic
+    * PII is planted (email / IPv4 / phone per doc, a second email on
+    * doc_id%3==0) with identical string construction on both engines;
+    * the patterns are RE2-and-Java-compatible by construction
+    * ([[TextAnalysis.piiPatterns]]), so the redacted text itself is
+    * hash-compared, not just the counts. */
+  val q72 = Declared(
+    "q72_pii_redact", "E4",
+    (s, dir) => {
+      val aug = Tables.documents(s, dir).filter(col("doc_id") < 200)
+        .select(col("doc_id"), concat(
+          col("text"),
+          lit(" contact doc"), col("doc_id").cast("string"), lit("@mail.example.com ip 10."),
+          (col("doc_id") % 250).cast("string"), lit(".0.7 phone 555-01"),
+          lpad((col("doc_id") % 100).cast("string"), 2, "0"),
+          when(col("doc_id") % 3 === 0,
+            concat(lit(" alt doc"), col("doc_id").cast("string"), lit("@alt.example.org")))
+            .otherwise(lit(""))).as("t"))
+      aug.select(col("doc_id"),
+        TextAnalysis.piiCount(col("t"), "email").as("n_emails"),
+        TextAnalysis.piiCount(col("t"), "ipv4").as("n_ips"),
+        TextAnalysis.piiCount(col("t"), "phone").as("n_phones"),
+        TextAnalysis.redactPii(col("t")).as("redacted"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""WITH aug AS (
+           |  SELECT doc_id,
+           |    text || ' contact doc' || CAST(doc_id AS VARCHAR) || '@mail.example.com ip 10.' ||
+           |    CAST(doc_id % 250 AS VARCHAR) || '.0.7 phone 555-01' ||
+           |    lpad(CAST(doc_id % 100 AS VARCHAR), 2, '0') ||
+           |    CASE WHEN doc_id % 3 = 0
+           |         THEN ' alt doc' || CAST(doc_id AS VARCHAR) || '@alt.example.org'
+           |         ELSE '' END AS t
+           |  FROM documents WHERE doc_id < 200)
+           |SELECT doc_id,
+           |  CAST(len(regexp_extract_all(t, '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}')) AS INT) AS n_emails,
+           |  CAST(len(regexp_extract_all(t, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS INT) AS n_ips,
+           |  CAST(len(regexp_extract_all(t, '\b\d{3}-\d{4}\b')) AS INT) AS n_phones,
+           |  regexp_replace(regexp_replace(regexp_replace(t,
+           |    '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}', '<EMAIL>', 'g'),
+           |    '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
+           |    '\b\d{3}-\d{4}\b', '<PHONE>', 'g') AS redacted
+           |FROM aug
+           |ORDER BY doc_id""".stripMargin),
+    "Pure scan-side regexp chain — codegen'd, no shuffle, pushdown-friendly; the privacy " +
+      "scrub costs one pass over the text bytes regardless of corpus size.")
+
+  /** q73 — E4: Gopher-style intra-document repetition signals over the
+    * full documents table. Ratios are exact int/int IEEE divisions —
+    * deliberately UNrounded (identical integer operands give
+    * bit-identical doubles; rounding could land c/2^k exactly on a
+    * tie boundary where engine rules differ). */
+  val q73 = Declared(
+    "q73_repetition", "E4",
+    (s, dir) => {
+      TextAnalysis.repetitionSignals(Tables.documents(s, dir), "text", "doc_id")
+        .orderBy(col("doc_id"))
+    },
+    Some("""WITH tok AS (
+           |  SELECT doc_id, unnest(regexp_split_to_array(lower(text), '\s+')) AS tok
+           |  FROM documents),
+           |tc AS (SELECT doc_id, tok, count(*) AS c FROM tok GROUP BY doc_id, tok),
+           |ts AS (
+           |  SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
+           |    CAST(max(c) AS DOUBLE) / CAST(sum(c) AS DOUBLE) AS top_token_frac,
+           |    CAST(sum(c) - count(*) AS DOUBLE) / CAST(sum(c) AS DOUBLE) AS dup_token_frac
+           |  FROM tc GROUP BY doc_id),
+           |tl AS (SELECT doc_id, regexp_split_to_array(lower(text), '\s+') AS toks
+           |       FROM documents),
+           |bg AS (
+           |  SELECT doc_id, array_to_string(list_slice(toks, i, i + 1), ' ') AS bg
+           |  FROM (SELECT doc_id, toks, unnest(range(1, len(toks))) AS i
+           |        FROM tl WHERE len(toks) >= 2)),
+           |bc AS (SELECT doc_id, bg, count(*) AS c FROM bg GROUP BY doc_id, bg),
+           |bs AS (
+           |  SELECT doc_id, CAST(max(c) AS DOUBLE) / CAST(sum(c) AS DOUBLE) AS top_bigram_frac
+           |  FROM bc GROUP BY doc_id)
+           |SELECT ts.doc_id, n_tokens, top_token_frac, dup_token_frac,
+           |  coalesce(top_bigram_frac, 0.0) AS top_bigram_frac
+           |FROM ts LEFT JOIN bs ON ts.doc_id = bs.doc_id
+           |ORDER BY ts.doc_id""".stripMargin),
+    "Two doc-keyed aggregations (tokens, bigrams) with map-side partials; output one row " +
+      "per doc — the canonical first-pass quality gate next to q41/q69 at 100TB.")
+
+  /** q74 — E7: BM25 retrieval scores for a literal term query. Each
+    * per-term contribution quantizes to an integer micro-unit BEFORE
+    * the per-doc sum (float addition is order-dependent — the q69
+    * lesson), so the score and the (score desc, id) order are exact on
+    * both engines. Derived constants (k1+1, 1−b) are computed in Scala
+    * and interpolated into the oracle via shortest-round-trip toString,
+    * so both engines parse the SAME double. */
+  val q74 = {
+    val (k1, b) = (1.2, 0.75)
+    Declared(
+      "q74_bm25", "E7,A1",
+      (s, dir) => {
+        Curation.bm25Scores(
+          Tables.documents(s, dir).filter(col("doc_id") < 300),
+          "text", "doc_id", queryTerms = Seq("table", "fast", "join"), k1 = k1, b = b)
+          .orderBy(col("score").desc, col("doc_id"))
+      },
+      Some(s"""WITH corpus AS (SELECT doc_id, text FROM documents WHERE doc_id < 300),
+              |tk AS (SELECT doc_id, regexp_split_to_array(lower(text), '\\s+') AS toks FROM corpus),
+              |dl AS (SELECT doc_id, len(toks) AS dl FROM tk),
+              |tok AS (SELECT doc_id, unnest(toks) AS term FROM tk),
+              |tf AS (SELECT doc_id, term, count(*) AS tf FROM tok
+              |       WHERE term IN ('table', 'fast', 'join') GROUP BY doc_id, term),
+              |dfq AS (SELECT term, count(DISTINCT doc_id) AS df FROM tf GROUP BY term),
+              |stats AS (SELECT count(*) AS n_docs, CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl
+              |          FROM dl),
+              |contrib AS (
+              |  SELECT tf.doc_id,
+              |    CAST(round(ln(1.0 + (stats.n_docs - dfq.df + 0.5) / (dfq.df + 0.5))
+              |      * tf.tf * ${k1 + 1} / (tf.tf + $k1 * (${1 - b} + $b * dl.dl / stats.avgdl))
+              |      * 1e6, 0) AS BIGINT) AS cu
+              |  FROM tf JOIN dfq USING (term) JOIN dl USING (doc_id) CROSS JOIN stats)
+              |SELECT doc_id, round(CAST(sum(cu) AS DOUBLE) / 1e6, 6) AS score
+              |FROM contrib GROUP BY doc_id
+              |ORDER BY score DESC, doc_id""".stripMargin),
+      "The term filter collapses the explode to |q| rows per doc BEFORE any shuffle; df and " +
+        "corpus stats broadcast; the one real shuffle keys on doc id. The inverted-index " +
+        "variant (pre-aggregated postings) is the same plan read from a bucketed term table.")
+  }
+
+  /** q75 — E7: benchmark decontamination. The corpus plants
+    * plagiarized composites embedding benchmark text (q55's
+    * construction); the Bloom sketch prunes scan-side and the exact
+    * semi-join kills its false positives, so the plain exact-join SQL
+    * is the oracle — a green row proves the sketch path changes cost,
+    * not results. */
+  val q75 = Declared(
+    "q75_decontaminate", "E7",
+    (s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val bench = docs.filter(col("doc_id") < 20).select(col("doc_id"), col("text"))
+      val base = docs.filter(col("doc_id") >= 100 && col("doc_id") < 300)
+        .select(col("doc_id"), col("text"))
+      val a = docs.filter(col("doc_id") < 10)
+        .select(col("doc_id").as("aid"), col("text").as("atext"))
+      val bsrc = docs.select(col("doc_id").as("bid"), col("text").as("btext"))
+      val planted = a.join(bsrc, col("bid") === col("aid") + 150)
+        .select((col("aid") + 400000).as("doc_id"),
+          concat(substring(col("btext"), 1, 150), lit(" "),
+            substring(col("atext"), 1, 120)).as("text"))
+      Curation.decontaminate(base.unionByName(planted), bench,
+        "text", "doc_id", gramSize = 8, expectedItems = 100000, fpp = 0.01)
+        .orderBy(col("doc_id"))
+    },
+    Some("""WITH bench AS (SELECT doc_id, text FROM documents WHERE doc_id < 20),
+           |corp AS (
+           |  SELECT doc_id, text FROM documents WHERE doc_id >= 100 AND doc_id < 300
+           |  UNION ALL
+           |  SELECT a.doc_id + 400000, substr(b.text, 1, 150) || ' ' || substr(a.text, 1, 120)
+           |  FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 150
+           |  WHERE a.doc_id < 10),
+           |bt AS (SELECT doc_id, regexp_split_to_array(lower(text), '\s+') AS toks FROM bench),
+           |bg AS (SELECT DISTINCT array_to_string(list_slice(toks, i, i + 7), ' ') AS gram
+           |       FROM (SELECT toks, unnest(range(1, len(toks) - 6)) AS i
+           |             FROM bt WHERE len(toks) >= 8)),
+           |ct AS (SELECT doc_id, regexp_split_to_array(lower(text), '\s+') AS toks FROM corp),
+           |cg AS (SELECT DISTINCT doc_id,
+           |         array_to_string(list_slice(toks, i, i + 7), ' ') AS gram
+           |       FROM (SELECT doc_id, toks, unnest(range(1, len(toks) - 6)) AS i
+           |             FROM ct WHERE len(toks) >= 8))
+           |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_shared_grams
+           |FROM cg JOIN bg USING (gram)
+           |GROUP BY doc_id
+           |ORDER BY doc_id""".stripMargin),
+    "The benchmark side is eval-set-sized by definition: its gram sketch is driver-bounded " +
+      "(O(expected items), NOT O(corpus)) and broadcasts once; the corpus gram stream prunes " +
+      "to ~fpp scan-side BEFORE the only shuffle — the 100TB plan reads everything, shuffles " +
+      "almost nothing.")
+
+  val all: Seq[Declared] = Seq(q70, q71, q72, q73, q74, q75)
+}

@@ -1,0 +1,154 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.ext.{Curation, Graph, TextAnalysis}
+
+class GraphSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  test("E2: components collapse transitive chains to the min label") {
+    // two components: a 4-chain (no 1-4 edge) and a disjoint pair
+    val edges = Seq((2L, 1L), (2L, 3L), (4L, 3L), (10L, 11L)).toDF("a", "b")
+    val out = Graph.connectedComponents(edges, "a", "b").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 10L -> 10L, 11L -> 10L))
+  }
+
+  test("E2: a long path converges within the round budget (pointer doubling)") {
+    val n = 40 // path 0-1-2-...-40: diameter >> log2 rounds
+    val edges = (0 until n).map(i => (i.toLong, i + 1L)).toDF("a", "b")
+    val out = Graph.connectedComponents(edges, "a", "b").collect()
+    assert(out.length == n + 1 && out.forall(_.getLong(1) == 0L))
+  }
+
+  test("E2: self-loops, duplicate and reversed edges are harmless") {
+    val edges = Seq((1L, 2L), (2L, 1L), (1L, 1L), (1L, 2L)).toDF("a", "b")
+    val out = Graph.connectedComponents(edges, "a", "b").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out == Map(1L -> 1L, 2L -> 1L))
+  }
+
+  test("E2: dedupClusters keeps exactly one canonical per component") {
+    val edges = Seq((5L, 9L), (9L, 7L), (3L, 2L)).toDF("id_a", "id_b")
+    val out = Graph.dedupClusters(edges, "id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+    val byComp = out.groupBy(_._2)
+    assert(byComp.keySet == Set(5L, 2L))
+    byComp.foreach { case (comp, rows) =>
+      assert(rows.count(_._3) == 1 && rows.find(_._3).get._1 == comp)
+    }
+  }
+}
+
+class CorpusCurationSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  test("E7: removeDuplicateLines drops boilerplate, keeps order, drops empty docs") {
+    val docs = Seq(
+      (1L, "header\nunique one\nfooter"),
+      (2L, "header\nunique two\nfooter"),
+      (3L, "header\nunique three\nfooter"),
+      (4L, "header\nfooter") // all lines are boilerplate
+    ).toDF("doc_id", "text")
+    val out = Curation.removeDuplicateLines(docs, "text", "doc_id", minDocFreq = 3)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out == Map(1L -> "unique one", 2L -> "unique two", 3L -> "unique three"))
+  }
+
+  test("E7: removeDuplicateLines preserves multi-line order by position") {
+    val docs = Seq(
+      (1L, "common\nalpha\ncommon\nbeta\ngamma"),
+      (2L, "common\nother\ncommon")
+    ).toDF("doc_id", "text")
+    val out = Curation.removeDuplicateLines(docs, "text", "doc_id", minDocFreq = 2)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out(1L) == "alpha\nbeta\ngamma" && out(2L) == "other")
+  }
+
+  test("E7: bm25 ranks the term-denser doc higher; termless docs absent") {
+    val docs = Seq(
+      (1L, "spark spark spark query engine"),
+      (2L, "spark row scan filter merge"),
+      (3L, "totally unrelated words here none")
+    ).toDF("doc_id", "text")
+    val out = Curation.bm25Scores(docs, "text", "doc_id", Seq("spark"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(out.keySet == Set(1L, 2L))
+    assert(out(1L) > out(2L) && out(2L) > 0.0)
+  }
+
+  test("E7: bm25 matches an independently computed 2-doc hand case") {
+    val docs = Seq((1L, "a b c d"), (2L, "a a b b")).toDF("doc_id", "text")
+    val out = Curation.bm25Scores(docs, "text", "doc_id", Seq("a"), k1 = 1.2, b = 0.75)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    // N=2, df=2, dl=4=avgdl for both docs: idf = ln(1 + 0.5/2.5)
+    val idf = math.log(1.0 + (2 - 2 + 0.5) / (2 + 0.5))
+    def score(tf: Int) =
+      math.round(idf * tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * 4 / 4.0)) * 1e6) / 1e6
+    assert(out(1L) == score(1) && out(2L) == score(2))
+  }
+
+  test("E7: decontaminate finds planted overlap and nothing else; bloom ≡ exact") {
+    val bench = Seq(
+      (100L, "one two three four five six seven eight nine ten")
+    ).toDF("doc_id", "text")
+    val corpus = Seq(
+      (1L, "prefix words then one two three four five six seven eight stolen"),
+      (2L, "completely clean document with no benchmark overlap at all whatsoever")
+    ).toDF("doc_id", "text")
+    val out = Curation.decontaminate(corpus, bench, "text", "doc_id", gramSize = 8)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // doc 1 contains bench tokens 1..8 → exactly one shared 8-gram
+    assert(out == Map(1L -> 1L))
+    // a sabotaged sketch (tiny capacity, high fpp → many false positives)
+    // must produce the SAME result: the exact semi-join kills them
+    val noisy = Curation.decontaminate(corpus, bench, "text", "doc_id",
+      gramSize = 8, expectedItems = 8, fpp = 0.5)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(noisy == out)
+  }
+}
+
+class TextSignalsSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  test("E4: redactPii replaces emails, IPs and phones; counts match") {
+    val df = Seq(
+      (1L, "reach me at jane.doe@example.com or 10.0.0.7 or 555-0142 thanks"),
+      (2L, "no pii in this row at all")
+    ).toDF("doc_id", "text")
+    val out = df.select(col("doc_id"),
+      TextAnalysis.redactPii(col("text")).as("red"),
+      TextAnalysis.piiCount(col("text"), "email").as("e"),
+      TextAnalysis.piiCount(col("text"), "ipv4").as("i"),
+      TextAnalysis.piiCount(col("text"), "phone").as("p"))
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getInt(2), r.getInt(3), r.getInt(4))).toMap
+    assert(out(1L) == ("reach me at <EMAIL> or <IP> or <PHONE> thanks", 1, 1, 1))
+    assert(out(2L) == ("no pii in this row at all", 0, 0, 0))
+  }
+
+  test("E4: version-like dotted numbers with word chars attached stay intact") {
+    val df = Seq((1L, "released v1.2.3.4suffix and kept")).toDF("doc_id", "text")
+    // trailing word char means no \b after the last octet — not an IP
+    val out = df.select(TextAnalysis.redactPii(col("text"))).head.getString(0)
+    assert(out == "released v1.2.3.4suffix and kept")
+  }
+
+  test("E4: repetition signals on a hand-computed doc") {
+    val df = Seq(
+      (1L, "a a a b"),   // 4 tokens, top a=3, distinct 2; bigrams: aa,aa,ab → top 2/3
+      (2L, "x y z w"),   // no repetition
+      (3L, "solo")       // single token: no bigrams
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.repetitionSignals(df, "text", "doc_id").collect()
+      .map(r => r.getLong(0) ->
+        (r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4))).toMap
+    assert(out(1L) == ((4L, 0.75, 0.5, 2.0 / 3)))
+    assert(out(2L) == ((4L, 0.25, 0.0, 1.0 / 3)))
+    assert(out(3L) == ((1L, 1.0, 0.0, 0.0)))
+  }
+}

@@ -64,6 +64,27 @@ class PlanSpec extends AnyFunSuite {
     assert(!physical.contains("CartesianProduct"), "no cartesian for the 1-row N join")
   }
 
+  test("bm25 broadcasts df and corpus stats; no cartesian anywhere") {
+    val docs = Seq((1L, "a b a"), (2L, "b c d")).toDF("doc_id", "text")
+    val out = graft.ext.Curation.bm25Scores(docs, "text", "doc_id", Seq("a", "b"))
+    val physical = out.queryExecution.executedPlan.toString
+    assert(physical.contains("BroadcastExchange") || physical.contains("BroadcastNestedLoopJoin"),
+      "df/stats sides must broadcast")
+    assert(!physical.contains("CartesianProduct"),
+      "the 1-row stats join must never plan a cartesian")
+  }
+
+  test("decontaminate prefilters scan-side and never plans a cartesian") {
+    val bench = Seq((1L, "a b c d e f g h i")).toDF("doc_id", "text")
+    val corpus = Seq((2L, "a b c d e f g h stolen")).toDF("doc_id", "text")
+    val out = graft.ext.Curation.decontaminate(corpus, bench, "text", "doc_id", 8)
+    val physical = out.queryExecution.executedPlan.toString
+    assert(!physical.contains("CartesianProduct"),
+      "gram matching must stay an equi-join")
+    assert(physical.contains("LeftSemi"),
+      "exact verification must be a semi-join (bloom false positives die there)")
+  }
+
   test("adaptive kNN with a small position set plans a broadcast, not a cartesian") {
     val sensors = (1 to 20).map(i => (i.toLong, (i % 5).toDouble, (i / 5).toDouble))
       .toDF("id_sensor", "x", "y")
