@@ -42,12 +42,17 @@ object Graph {
     * label independent of partitioning and iteration order. */
   def connectedComponents(edges: DataFrame, srcCol: String, dstCol: String,
       maxIter: Int = 25, cache: Boolean = true): DataFrame = {
-    // symmetrize once; cache — every iteration's neighbor step reads it
-    // (`cache = false` for callers with no release point)
+    // symmetrize in ONE pass over `edges` (explode of the two
+    // directions) — a self-union would evaluate the upstream pair
+    // generator (often a whole LSH pipeline) once per branch before
+    // the cache exists. Duplicate/self edges survive; min() absorbs
+    // them. (`cache = false` for callers with no release point.)
     val sym = graft.core.OperatorCaches.cachedIf(cache,
-      edges.select(col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst"))
-        .union(edges.select(col(dstCol).cast("long").as("src"), col(srcCol).cast("long").as("dst")))
-        .distinct())
+      edges.select(explode(array(
+        struct(col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst")),
+        struct(col(dstCol).cast("long").as("src"), col(srcCol).cast("long").as("dst"))))
+        .as("e"))
+        .select(col("e.src").as("src"), col("e.dst").as("dst")))
 
     var labels = sym.select(col("src").as("node")).distinct()
       .withColumn("comp", col("node"))
@@ -58,18 +63,20 @@ object Graph {
       // 1. neighbor min: smallest label among self and direct neighbors
       val nbrMin = sym.join(labels.withColumnRenamed("node", "dst"), "dst")
         .groupBy(col("src").as("node")).agg(min(col("comp")).as("nbr_comp"))
-      val stepped = labels.join(nbrMin, Seq("node"), "left")
-        .select(col("node"),
-          least(col("comp"), coalesce(col("nbr_comp"), col("comp"))).as("comp"))
-      // 2. shortcut: follow the label's own label (pointer doubling)
+      val stepped = labels.withColumnRenamed("comp", "prev")
+        .join(nbrMin, Seq("node"), "left")
+        .select(col("node"), col("prev"),
+          least(col("prev"), coalesce(col("nbr_comp"), col("prev"))).as("comp"))
+      // 2. shortcut: follow the label's own label (pointer doubling);
+      // the round's previous label rides along so convergence costs no
+      // extra join — the checkpointed frame answers it directly
       val byComp = stepped.select(col("node").as("comp"), col("comp").as("comp2"))
       val shortcut = stepped.join(byComp, Seq("comp"), "left")
-        .select(col("node"), coalesce(col("comp2"), col("comp")).as("comp"))
+        .select(col("node"), col("prev"), coalesce(col("comp2"), col("comp")).as("comp"))
         .localCheckpoint() // truncate lineage; plan size stays constant per round
       // ONE scalar reaches the driver per round: the change count
-      val changes = shortcut.join(labels.withColumnRenamed("comp", "prev"), "node")
-        .filter(col("comp") =!= col("prev")).count()
-      labels = shortcut
+      val changes = shortcut.filter(col("comp") =!= col("prev")).count()
+      labels = shortcut.select(col("node"), col("comp"))
       converged = changes == 0
       iter += 1
     }
