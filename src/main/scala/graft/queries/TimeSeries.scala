@@ -348,5 +348,35 @@ object TimeSeries {
       "the dedup key (uniform). At 100TB the horizon IS the knob: watermark bounds state " +
       "size; global exactness composes this with the batch exact-dedup operator downstream.")
 
-  val all: Seq[Declared] = Seq(q20, q21, q22, q23, q24, q25, q53, q54, q57, q60, q66)
+  /** q76 — T6/J1 under the oracle gate: stream-STATIC enrichment join
+    * (the production lookup-dimension shape): the events stream joins a
+    * broadcast static customer dimension mid-stream, then aggregates
+    * per (segment, event type) in complete mode. The batch join SQL is
+    * the exact oracle. Sums follow the round(sum(·), 2) convention of
+    * q57/q60. */
+  val q76 = Declared(
+    "q76_stream_enrich", "T6,J1",
+    (s, dir) => {
+      val dim = Tables.customer(s, dir)
+        .select(col("c_custkey"), col("c_mktsegment"))
+      streamEventsToTable(s, dir, "q76")(ev =>
+        ev.join(broadcast(dim), col("user_id") === col("c_custkey"))
+          .groupBy(col("c_mktsegment"), col("event_type"))
+          .agg(count(lit(1)).as("n_events"), sum(col("value")).as("__sum")))
+        .select(col("c_mktsegment"), col("event_type"), col("n_events"),
+          round(col("__sum"), 2).as("sum_value"),
+          (round(col("__sum"), 2) / col("n_events")).as("mean_value"))
+        .orderBy(col("c_mktsegment"), col("event_type"))
+    },
+    Some("""SELECT c_mktsegment, event_type, count(*) AS n_events,
+           |  round(sum(value), 2) AS sum_value,
+           |  round(sum(value), 2) / count(*) AS mean_value
+           |FROM events JOIN customer ON user_id = c_custkey
+           |GROUP BY 1, 2
+           |ORDER BY c_mktsegment, event_type""".stripMargin),
+    "The dimension broadcasts to every task — no stream-side shuffle for the join (static " +
+      "side is loaded once per micro-batch plan); agg state is one row per (segment, type). " +
+      "At 100TB this is the canonical enrich-then-aggregate stream topology.")
+
+  val all: Seq[Declared] = Seq(q20, q21, q22, q23, q24, q25, q53, q54, q57, q60, q66, q76)
 }
