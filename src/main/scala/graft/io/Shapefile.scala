@@ -1,57 +1,61 @@
 package graft.io
 
 import java.nio.{ByteBuffer, ByteOrder}
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, Row}
 import org.apache.spark.sql.functions.col
 import org.apache.spark.sql.types._
 import graft.core.DataIOError
 
-/** S6 — minimal ESRI Shapefile sink (POINT layer): hand-written
-  * .shp/.shx/.dbf triple per the public ESRI whitepaper format — no
-  * GDAL. Closes the reference's default `out_driver='ESRI Shapefile'`
-  * contract (src/data_preprocessing.py:156, :201-206).
+/** S6 — minimal ESRI Shapefile sink (Point and Polygon layers):
+  * hand-written .shp/.shx/.dbf triple per the public ESRI whitepaper
+  * format — no GDAL. Closes the reference's default
+  * `out_driver='ESRI Shapefile'` contract
+  * (src/data_preprocessing.py:156, :201-206).
   *
-  * Scope: Point geometries + scalar attribute columns (numeric → DBF
-  * 'N', boolean → 'L', everything else → 'C' text). Assembled on the
-  * DRIVER by design: a shapefile is a single-file (non-splittable,
-  * 2 GB-capped) format, so it is a RESULT-scale sink — the same regime
-  * as `Sinks.write(singleFile = true)`; bulk data belongs in parquet.
+  * Scope: Point and single-ring Polygon geometries + scalar attribute
+  * columns (numeric → DBF 'N', boolean → 'L', everything else → 'C'
+  * text). A layer is homogeneous by format definition — [[write]]
+  * dispatches on the (single) geometry kind and rejects mixed frames.
+  * Assembled on the DRIVER by design: a shapefile is a single-file
+  * (non-splittable, 2 GB-capped) format, so it is a RESULT-scale sink —
+  * the same regime as `Sinks.write(singleFile = true)`; bulk data
+  * belongs in parquet.
   */
 object Shapefile {
 
-  /** Write `df` (one geometry-struct column + attributes) as
-    * `basePath.shp` / `.shx` / `.dbf`. Returns the row count. */
+  /** Kind-dispatching entry: Point layer, Polygon layer, or a loud
+    * error for empty/mixed frames (a shapefile has ONE shape type). */
+  def write(df: DataFrame, basePath: String): Int = {
+    import graft.geo.Geo
+    val geomField = findGeom(df, basePath)
+    val kinds = df.select(Geo.stKind(col(geomField.name))).distinct()
+      .collect().map(_.getString(0)).sorted.toSeq
+    kinds match {
+      case Seq("point") => writePoints(df, basePath)
+      case Seq("polygon") => writePolygons(df, basePath)
+      case Seq() => writePoints(df, basePath) // empty frame → empty Point layer
+      case other => throw DataIOError(basePath,
+        s"shapefile layers are single-type; got kinds: ${other.mkString(", ")}")
+    }
+  }
+
+  /** Write `df` (one geometry-struct column + attributes) as a POINT
+    * layer `basePath.shp` / `.shx` / `.dbf`. Returns the row count. */
   def writePoints(df: DataFrame, basePath: String): Int = {
     import graft.geo.Geo
-    val geomField = df.schema.fields
-      .find(f => f.dataType.catalogString == Geo.geometryType.catalogString)
-      .getOrElse(throw DataIOError(basePath, "shapefile sink needs a geometry column"))
+    val geomField = findGeom(df, basePath)
     val attrs = df.schema.fields.filter(_.name != geomField.name).toIndexedSeq
     val rows = df.select(
       (Seq(Geo.stX(col(geomField.name)).as("__x"), Geo.stY(col(geomField.name)).as("__y")) ++
         attrs.map(a => col(a.name))): _*).collect()
     val n = rows.length
     val xs = rows.map(_.getDouble(0)); val ys = rows.map(_.getDouble(1))
-    val (xmin, xmax) = if (n == 0) (0.0, 0.0) else (xs.min, xs.max)
-    val (ymin, ymax) = if (n == 0) (0.0, 0.0) else (ys.min, ys.max)
-
-    def mainHeader(fileWords: Int): Array[Byte] = {
-      val b = ByteBuffer.allocate(100)
-      b.order(ByteOrder.BIG_ENDIAN)
-      b.putInt(0, 9994)               // file code
-      b.putInt(24, fileWords)         // length in 16-bit words
-      b.order(ByteOrder.LITTLE_ENDIAN)
-      b.putInt(28, 1000)              // version
-      b.putInt(32, 1)                 // shape type: Point
-      b.putDouble(36, xmin); b.putDouble(44, ymin)
-      b.putDouble(52, xmax); b.putDouble(60, ymax)
-      b.array()
-    }
+    val box = if (n == 0) (0.0, 0.0, 0.0, 0.0) else (xs.min, ys.min, xs.max, ys.max)
 
     // .shp — 100-byte header + per record: 8-byte record header (BE) +
     // 20-byte point content (LE shape type, x, y)
     val shp = ByteBuffer.allocate(100 + n * 28)
-    shp.put(mainHeader((100 + n * 28) / 2))
+    shp.put(mainHeader(shapeType = 1, fileWords = (100 + n * 28) / 2, box))
     rows.zipWithIndex.foreach { case (r, i) =>
       shp.order(ByteOrder.BIG_ENDIAN)
       shp.putInt(i + 1)               // record number, 1-based
@@ -64,21 +68,121 @@ object Shapefile {
 
     // .shx — same header + per record: offset (words) + content length
     val shx = ByteBuffer.allocate(100 + n * 8)
-    shx.put(mainHeader((100 + n * 8) / 2))
+    shx.put(mainHeader(shapeType = 1, fileWords = (100 + n * 8) / 2, box))
     shx.order(ByteOrder.BIG_ENDIAN)
     (0 until n).foreach { i => shx.putInt((100 + i * 28) / 2); shx.putInt(10) }
     java.nio.file.Files.write(java.nio.file.Paths.get(basePath + ".shx"), shx.array())
 
-    // .dbf — dBase III: attribute table (always present, even with 0 fields)
+    writeDbf(rows, attrs, attrOffset = 2, basePath)
+    n
+  }
+
+  /** Write `df` (one geometry-struct column + attributes) as a
+    * POLYGON layer. Rings are emitted closed (first vertex repeated)
+    * and in the spec's clockwise outer-ring orientation regardless of
+    * input winding; single-ring polygons only (the engine's geometry
+    * model). Returns the row count. */
+  def writePolygons(df: DataFrame, basePath: String): Int = {
+    import graft.geo.Geo
+    val geomField = findGeom(df, basePath)
+    val attrs = df.schema.fields.filter(_.name != geomField.name).toIndexedSeq
+    val rows = df.select(
+      (Seq(col(geomField.name).getField("points").as("__pts")) ++
+        attrs.map(a => col(a.name))): _*).collect()
+    val n = rows.length
+    val rings: IndexedSeq[IndexedSeq[(Double, Double)]] = rows.toIndexedSeq.map { r =>
+      val raw = r.getSeq[Row](0).toIndexedSeq
+        .map(p => (p.getDouble(0), p.getDouble(1)))
+      if (raw.length < 3)
+        throw DataIOError(basePath, s"polygon ring needs >= 3 vertices, got ${raw.length}")
+      // shoelace sign: > 0 = counter-clockwise in y-up coordinates;
+      // the shapefile spec wants outer rings CLOCKWISE
+      val closed = raw :+ raw.head
+      val signed2 = closed.zip(closed.tail).map {
+        case ((x1, y1), (x2, y2)) => x1 * y2 - x2 * y1
+      }.sum
+      val oriented = if (signed2 > 0) raw.reverse else raw
+      oriented :+ oriented.head      // explicit closure
+    }
+    val allPts = rings.flatten
+    val box =
+      if (allPts.isEmpty) (0.0, 0.0, 0.0, 0.0)
+      else (allPts.map(_._1).min, allPts.map(_._2).min,
+        allPts.map(_._1).max, allPts.map(_._2).max)
+
+    // per record: 4 shape type + 32 box + 4 numParts + 4 numPoints +
+    // 4 parts[0] + 16 * numPoints  (LE), after the 8-byte BE header
+    def contentBytes(np: Int): Int = 4 + 32 + 4 + 4 + 4 + 16 * np
+    val shpLen = 100 + rings.map(rg => 8 + contentBytes(rg.length)).sum
+    val shp = ByteBuffer.allocate(shpLen)
+    shp.put(mainHeader(shapeType = 5, fileWords = shpLen / 2, box))
+    val offsets = new Array[Int](n)
+    var off = 100
+    rings.zipWithIndex.foreach { case (ring, i) =>
+      offsets(i) = off
+      shp.order(ByteOrder.BIG_ENDIAN)
+      shp.putInt(i + 1)
+      shp.putInt(contentBytes(ring.length) / 2)
+      shp.order(ByteOrder.LITTLE_ENDIAN)
+      shp.putInt(5)                    // Polygon
+      shp.putDouble(ring.map(_._1).min); shp.putDouble(ring.map(_._2).min)
+      shp.putDouble(ring.map(_._1).max); shp.putDouble(ring.map(_._2).max)
+      shp.putInt(1)                    // numParts
+      shp.putInt(ring.length)          // numPoints
+      shp.putInt(0)                    // parts[0]: ring starts at 0
+      ring.foreach { case (x, y) => shp.putDouble(x); shp.putDouble(y) }
+      off += 8 + contentBytes(ring.length)
+    }
+    java.nio.file.Files.write(java.nio.file.Paths.get(basePath + ".shp"), shp.array())
+
+    val shx = ByteBuffer.allocate(100 + n * 8)
+    shx.put(mainHeader(shapeType = 5, fileWords = (100 + n * 8) / 2, box))
+    shx.order(ByteOrder.BIG_ENDIAN)
+    (0 until n).foreach { i =>
+      shx.putInt(offsets(i) / 2); shx.putInt(contentBytes(rings(i).length) / 2)
+    }
+    java.nio.file.Files.write(java.nio.file.Paths.get(basePath + ".shx"), shx.array())
+
+    writeDbf(rows, attrs, attrOffset = 1, basePath)
+    n
+  }
+
+  private def findGeom(df: DataFrame, basePath: String): StructField = {
+    import graft.geo.Geo
+    df.schema.fields
+      .find(f => f.dataType.catalogString == Geo.geometryType.catalogString)
+      .getOrElse(throw DataIOError(basePath, "shapefile sink needs a geometry column"))
+  }
+
+  /** 100-byte .shp/.shx main header (bbox in (xmin, ymin, xmax, ymax)). */
+  private def mainHeader(shapeType: Int, fileWords: Int,
+      box: (Double, Double, Double, Double)): Array[Byte] = {
+    val b = ByteBuffer.allocate(100)
+    b.order(ByteOrder.BIG_ENDIAN)
+    b.putInt(0, 9994)               // file code
+    b.putInt(24, fileWords)         // length in 16-bit words
+    b.order(ByteOrder.LITTLE_ENDIAN)
+    b.putInt(28, 1000)              // version
+    b.putInt(32, shapeType)
+    b.putDouble(36, box._1); b.putDouble(44, box._2)
+    b.putDouble(52, box._3); b.putDouble(60, box._4)
+    b.array()
+  }
+
+  /** .dbf (dBase III) attribute table — always present, even with 0
+    * fields. `attrOffset` = index of the first attribute inside the
+    * collected rows (geometry projections precede it). */
+  private def writeDbf(rows: Array[Row], attrs: IndexedSeq[StructField],
+      attrOffset: Int, basePath: String): Unit = {
     final case class F(name: String, kind: Char, len: Int, dec: Int,
-        fmt: org.apache.spark.sql.Row => String)
+        fmt: Row => String)
     def text(v: Any): String = if (v == null) "" else v.toString
     // DBF 'N' fields are fixed-width ASCII: a value that cannot be
     // represented in `len` chars (overflow, NaN, Infinity) is written
     // blank (= null) rather than overrunning the record layout
     def numClamp(len: Int)(s: String): String = if (s.length > len) "" else s
     val fields: IndexedSeq[F] = attrs.zipWithIndex.map { case (a, i) =>
-      val idx = i + 2
+      val idx = i + attrOffset
       a.dataType match {
         case ByteType | ShortType | IntegerType | LongType =>
           F(a.name, 'N', 19, 0, r =>
@@ -102,6 +206,7 @@ object Shapefile {
           F(a.name, 'C', w, 0, r => text(r.get(idx)).take(w))
       }
     }
+    val n = rows.length
     val recLen = 1 + fields.map(_.len).sum
     val headLen = 32 + 32 * fields.length + 1
     // DBF stores both lengths as unsigned 16-bit; >~128 max-width text
@@ -153,6 +258,5 @@ object Shapefile {
     }
     dbf.put(pos, 0x1A.toByte) // EOF
     java.nio.file.Files.write(java.nio.file.Paths.get(basePath + ".dbf"), dbf.array())
-    n
   }
 }

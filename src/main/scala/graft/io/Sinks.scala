@@ -35,8 +35,8 @@ object Sinks {
     "geojson" -> ((df, path) => renderGeometry(df).write.mode("overwrite").json(path)),
     "csv" -> ((df, path) => df.write.mode("overwrite").option("header", "true").csv(path)),
     "orc" -> ((df, path) => df.write.mode("overwrite").orc(path)),
-    "shapefile" -> ((df, path) => Shapefile.writePoints(df, path)),
-    "esri shapefile" -> ((df, path) => Shapefile.writePoints(df, path)))
+    "shapefile" -> ((df, path) => Shapefile.write(df, path)),
+    "esri shapefile" -> ((df, path) => Shapefile.write(df, path)))
 
   def known: Seq[String] = formats.keys.toSeq.sorted
 

@@ -285,4 +285,51 @@ class SourcesSinksSpec extends AnyFunSuite {
     val rec1 = new String(dbf, headLen, recLen, "US-ASCII")
     assert(rec1.contains("1") && rec1.contains("alpha") && rec1.contains("1.500000"))
   }
+
+  test("S6: shapefile sink writes a closed, clockwise polygon layer") {
+    import graft.geo.Geo
+    val dir = tmpDir()
+    // input ring is COUNTER-clockwise (unit square CCW) and open — the
+    // writer must close it and flip it to the spec's clockwise winding
+    val df = Seq((7L, Seq((0.0, 0.0), (2.0, 0.0), (2.0, 2.0), (0.0, 2.0))))
+      .toDF("id", "ring")
+      .select(col("id"), Geo.stPolygon(
+        expr("transform(ring, p -> struct(p._1 as x, p._2 as y))")).as("geometry"))
+    assert(graft.io.Shapefile.write(df, s"$dir/poly") == 1) // kind-dispatch → polygon
+
+    val shp = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(s"$dir/poly.shp"))
+    val bb = java.nio.ByteBuffer.wrap(shp)
+    assert(bb.getInt(0) == 9994 && bb.getInt(24) * 2 == shp.length)
+    bb.order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    assert(bb.getInt(32) == 5)                          // Polygon type
+    assert(bb.getDouble(36) == 0.0 && bb.getDouble(52) == 2.0) // file bbox
+    // record content: type, box(4), numParts=1, numPoints=5, parts[0]=0
+    val c = 100 + 8
+    assert(bb.getInt(c) == 5)
+    assert(bb.getInt(c + 36) == 1 && bb.getInt(c + 40) == 5 && bb.getInt(c + 44) == 0)
+    val pts = (0 until 5).map(i =>
+      (bb.getDouble(c + 48 + i * 16), bb.getDouble(c + 48 + i * 16 + 8)))
+    assert(pts.head == pts.last, "ring must be explicitly closed")
+    // clockwise: shoelace sum over the closed ring must be negative
+    val shoelace = pts.zip(pts.tail).map { case ((x1, y1), (x2, y2)) => x1 * y2 - x2 * y1 }.sum
+    assert(shoelace < 0, s"outer ring must be clockwise, shoelace=$shoelace")
+
+    val shx = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(s"$dir/poly.shx"))
+    assert((shx.length - 100) / 8 == 1)
+    val sb = java.nio.ByteBuffer.wrap(shx) // BE index record
+    assert(sb.getInt(100) == 50 && sb.getInt(104) * 2 == shp.length - 108)
+  }
+
+  test("S6: shapefile rejects mixed-kind frames with a typed error") {
+    import graft.geo.Geo
+    import graft.core.DataIOError
+    val dir = tmpDir()
+    val mixed = Seq((0.0, 0.0)).toDF("x", "y")
+      .select(Geo.stPoint(col("x"), col("y")).as("geometry"))
+      .unionByName(Seq(1).toDF("i").select(Geo.stPolygon(
+        expr("array(struct(0.0d as x, 0.0d as y), struct(1.0d as x, 0.0d as y), " +
+          "struct(1.0d as x, 1.0d as y))")).as("geometry")))
+    val e = intercept[DataIOError] { graft.io.Shapefile.write(mixed, s"$dir/mixed") }
+    assert(e.getMessage.contains("single-type"))
+  }
 }
