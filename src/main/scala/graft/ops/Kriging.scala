@@ -46,6 +46,14 @@ object Kriging {
     })
   }
 
+  /** Euclidean distance as sqrt(dx·dx + dy·dy) — NOT math.hypot.
+    * sqrt/mul/add are IEEE correctly-rounded, so this expression is
+    * bit-identical in any engine that evaluates it as written (the
+    * oracle's SQL does); hypot is only 1-ulp-accurate and its exact
+    * result is implementation-defined. Coordinate magnitudes here are
+    * far from the overflow regime hypot exists to handle. */
+  @inline def dist(dx: Double, dy: Double): Double = math.sqrt(dx * dx + dy * dy)
+
   /** Empirical semivariogram on n·(n−1)/2 driver-side pairs, `nBins`
     * equal-width distance bins → (binCenter, gamma, count). */
   def empiricalVariogram(pts: Array[(Double, Double, Double)], nBins: Int)
@@ -54,8 +62,10 @@ object Kriging {
       i <- pts.indices.iterator
       j <- (i + 1) until pts.length
     } yield {
-      val d = math.hypot(pts(i)._1 - pts(j)._1, pts(i)._2 - pts(j)._2)
-      val g = 0.5 * math.pow(pts(i)._3 - pts(j)._3, 2)
+      val d = dist(pts(i)._1 - pts(j)._1, pts(i)._2 - pts(j)._2)
+      // dv·dv, not pow(dv, 2): pow's exactness is implementation-defined
+      val dv = pts(i)._3 - pts(j)._3
+      val g = 0.5 * (dv * dv)
       (d, g)
     }
     val all = pairs.toArray
@@ -193,10 +203,15 @@ object Kriging {
     // bounded driver collect — same regime as the reference feeding pykrige.
     // Duplicate sensor locations make the kriging matrix singular; collapse
     // them to their mean value first (standard practice; pykrige errors).
+    // sorted: collect() row order depends on partitioning, and the LU
+    // elimination's rounding (hence the last-ulp of every prediction)
+    // depends on sensor order — sorting makes results reproducible
+    // across cluster layouts (and lets q77's oracle mirror the solve)
     val pts = sensors.groupBy(col("x"), col("y"))
       .agg(avg(coalesce(col(valueCol), lit(0.0))).as("__v"))
       .collect()
       .map(r => (r.getDouble(0), r.getDouble(1), r.getDouble(2)))
+      .sortBy(p => (p._1, p._2))
     require(pts.length >= 3, "kriging needs >= 3 sensors")
     val emp = empiricalVariogram(pts, math.min(nBins, pts.length))
     val vario =
@@ -206,7 +221,7 @@ object Kriging {
     val n = pts.length
     val k = Array.ofDim[Double](n + 1, n + 1)
     for (i <- 0 until n; j <- 0 until n)
-      k(i)(j) = vario.gamma(math.hypot(pts(i)._1 - pts(j)._1, pts(i)._2 - pts(j)._2))
+      k(i)(j) = vario.gamma(dist(pts(i)._1 - pts(j)._1, pts(i)._2 - pts(j)._2))
     for (i <- 0 until n) { k(i)(n) = 1.0; k(n)(i) = 1.0 }
     k(n)(n) = 0.0
     val piv = luFactor(k)
@@ -221,7 +236,7 @@ object Kriging {
       val gx = x0 + (id % nx) * stepX
       val gy = y0 + (id / nx) * stepY
       val rhs = Array.tabulate(ps.length + 1) { i =>
-        if (i < ps.length) vg.gamma(math.hypot(gx - ps(i)._1, gy - ps(i)._2)) else 1.0
+        if (i < ps.length) vg.gamma(dist(gx - ps(i)._1, gy - ps(i)._2)) else 1.0
       }
       val lambda = luSolve(lu, pv, rhs)
       val est = (0 until ps.length).map(i => lambda(i) * ps(i)._3).sum

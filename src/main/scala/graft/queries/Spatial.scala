@@ -285,5 +285,101 @@ object Spatial {
       "2-D bbox, so min-max skipping prunes most files under any spatial predicate — the " +
       "write-side complement of bboxClip/cellJoin at 100TB.")
 
-  val all: Seq[Declared] = Seq(q30, q31, q32, q33, q34, q35, q36, q37, q38)
+  /** q77 — A7 under the ORACLE gate: ordinary kriging on a portable
+    * fixture. q36 (the data-driven fleet) stays rows-only because
+    * arbitrary coordinates route through libm in ways SQL cannot
+    * reproduce — but kriging itself is just +,−,×,÷,sqrt once
+    * distances are sqrt(dx²+dy²) (all IEEE correctly-rounded), so with
+    * a fixture whose every step is exact-portable, DuckDB can mirror
+    * the ENTIRE solve bit-for-bit: empirical variogram → least-squares
+    * fit (with its clamp semantics) → K assembly (ε-regularized) → LU
+    * with the fixture's pinned pivot order (2,0,1,3 — KrigingSpec pins
+    * it; first pivot is structurally row 2 since γ(d02=10) is the
+    * column max for any a,b ≥ 0) → permuted forward/back substitution
+    * per lattice point → Σλᵢvᵢ. The oracle's doubles are compared
+    * UNROUNDED — a single mis-transliterated operation anywhere in the
+    * chain would flip the hash. Sensor locations are Pythagorean
+    * literals (distances 5 and 10 are exact); values come from the
+    * documents table, so data flows end to end. */
+  val q77 = Declared(
+    "q77_kriging_exact", "A7",
+    (s, dir) => {
+      val sensors3 = graft.core.Tables.documents(s, dir).filter(col("doc_id") < 3)
+        .select((col("doc_id") * 3).cast("double").as("x"),
+          (col("doc_id") * 4).cast("double").as("y"),
+          col("n_chars").cast("double").as("v"))
+      graft.ops.Kriging.krige(sensors3, "v", model = "linear",
+        x0 = 0, y0 = 0, nx = 4, ny = 4, stepX = 2.0, stepY = 3.0)
+        .orderBy(col("gy"), col("gx"))
+    },
+    Some("""WITH s AS (
+           |  SELECT
+           |    max(CASE WHEN doc_id = 0 THEN CAST(n_chars AS DOUBLE) END) AS v0,
+           |    max(CASE WHEN doc_id = 1 THEN CAST(n_chars AS DOUBLE) END) AS v1,
+           |    max(CASE WHEN doc_id = 2 THEN CAST(n_chars AS DOUBLE) END) AS v2
+           |  FROM documents WHERE doc_id < 3),
+           |emp AS ( -- pair gammas; bins are fixture-fixed (d: 5, 10, 5; w = 10/3)
+           |  SELECT *,
+           |    (1 + 0.5) * (10.0 / 3) AS h1, (2 + 0.5) * (10.0 / 3) AS h2,
+           |    (0.5 * ((v0 - v1) * (v0 - v1)) + 0.5 * ((v1 - v2) * (v1 - v2))) / 2 AS gb1,
+           |    0.5 * ((v0 - v2) * (v0 - v2)) / 1 AS gb2
+           |  FROM s),
+           |fit AS ( -- least-squares line through 2 bins, clamp semantics as implemented
+           |  SELECT *, greatest(araw, 0.0) AS a,
+           |    greatest(0.0, ((gb1 + gb2) - araw * (h1 + h2)) / 2.0) AS b
+           |  FROM (SELECT *,
+           |      CASE WHEN 2.0 * (h1 * h1 + h2 * h2) - (h1 + h2) * (h1 + h2) = 0 THEN 0.0
+           |           ELSE (2.0 * (h1 * gb1 + h2 * gb2) - (h1 + h2) * (gb1 + gb2))
+           |                / (2.0 * (h1 * h1 + h2 * h2) - (h1 + h2) * (h1 + h2)) END AS araw
+           |    FROM emp)),
+           |km AS ( -- gamma at the three fixture distances; K is symmetric toeplitz here
+           |  SELECT *,
+           |    1e-10 * 0.0 + (a * 0.0 + b) AS y0g,
+           |    1e-10 * 5.0 + (a * 5.0 + b) AS y5,
+           |    1e-10 * 10.0 + (a * 10.0 + b) AS y10
+           |  FROM fit),
+           |lu AS ( -- LU with pivot order (2,0,1,3): row swaps 0<->2 at k=0, 1<->2 at k=1
+           |  SELECT *, t32b / u22 AS m32x, t33b - (t32b / u22) * u23 AS u33
+           |  FROM (SELECT *,
+           |      t12 - m21 * t22 AS u22, t13 - m21 * t23 AS u23,
+           |      t32 - m31x * t22 AS t32b, t33 - m31x * t23 AS t33b
+           |    FROM (SELECT *, t11 / t21 AS m21, t31 / t21 AS m31x
+           |      FROM (SELECT *,
+           |          y0g - m10 * y5 AS t11, y5 - m10 * y0g AS t12, 1.0 - m10 * 1.0 AS t13,
+           |          y5 - m20 * y5 AS t21, y10 - m20 * y0g AS t22, 1.0 - m20 * 1.0 AS t23,
+           |          1.0 - m30 * y5 AS t31, 1.0 - m30 * y0g AS t32, 0.0 - m30 * 1.0 AS t33
+           |        FROM (SELECT *, y5 / y10 AS m10, y0g / y10 AS m20, 1.0 / y10 AS m30
+           |              FROM km))))),
+           |grid AS (
+           |  SELECT CAST(i % 4 AS DOUBLE) * 2.0 AS gx, CAST(i // 4 AS DOUBLE) * 3.0 AS gy
+           |  FROM range(0, 16) t(i)),
+           |rhs AS (
+           |  SELECT gx, gy,
+           |    1e-10 * sqrt((gx - 0.0) * (gx - 0.0) + (gy - 0.0) * (gy - 0.0))
+           |      + (a * sqrt((gx - 0.0) * (gx - 0.0) + (gy - 0.0) * (gy - 0.0)) + b) AS r0,
+           |    1e-10 * sqrt((gx - 3.0) * (gx - 3.0) + (gy - 4.0) * (gy - 4.0))
+           |      + (a * sqrt((gx - 3.0) * (gx - 3.0) + (gy - 4.0) * (gy - 4.0)) + b) AS r1,
+           |    1e-10 * sqrt((gx - 6.0) * (gx - 6.0) + (gy - 8.0) * (gy - 8.0))
+           |      + (a * sqrt((gx - 6.0) * (gx - 6.0) + (gy - 8.0) * (gy - 8.0)) + b) AS r2,
+           |    lu.* FROM grid CROSS JOIN lu),
+           |fwd AS ( -- x = P*rhs = (r2, r0, r1, 1); sequential forward elimination
+           |  SELECT *, ((1.0 - m30 * r2) - m31x * f1) - m32x * f2 AS f3
+           |  FROM (SELECT *, (r1 - m10 * r2) - m21 * f1 AS f2
+           |        FROM (SELECT *, r0 - m20 * r2 AS f1 FROM rhs))),
+           |bck AS (
+           |  SELECT *, (((r2 - y5 * l1) - y0g * l2) - 1.0 * l3) / y10 AS l0
+           |  FROM (SELECT *, ((f1 - t22 * l2) - t23 * l3) / t21 AS l1
+           |        FROM (SELECT *, (f2 - u23 * l3) / u22 AS l2
+           |              FROM (SELECT *, f3 / u33 AS l3 FROM fwd)))),
+           |out AS (
+           |  SELECT gx, gy,
+           |    (l0 * v0 + l1 * v1) + l2 * v2 AS v_krig,
+           |    ((l0 * r0 + l1 * r1) + l2 * r2) + l3 AS v_krig_var
+           |  FROM bck)
+           |SELECT gx, gy, v_krig, v_krig_var FROM out
+           |ORDER BY gy, gx""".stripMargin),
+    "Same plan as q36 (driver solve, broadcast factors, shuffle-free lattice eval); the " +
+      "fixture exists to make every double bit-portable so the hash compare is exact.")
+
+  val all: Seq[Declared] = Seq(q30, q31, q32, q33, q34, q35, q36, q37, q38, q77)
 }

@@ -101,6 +101,33 @@ class KrigingSpec extends AnyFunSuite {
       s"weighted ${nearErr(weighted)} should beat moment ${nearErr(moment)} near the origin")
   }
 
+  test("A7: q77's fixture pins the LU pivot order its oracle transliterates") {
+    // q77's oracle hardcodes pivot order (2,0,1,3); this pin fails
+    // loudly if a testdata refresh ever lands values that change the
+    // elimination's pivot choices (the first pivot is structurally row
+    // 2 — gamma(d02=10) is the column max for any slope/nugget >= 0)
+    for (sf <- Seq("0.001", "0.01", "0.1")) {
+      val dir = s"/root/testdata/sf$sf"
+      if (new java.io.File(s"$dir/documents.parquet").exists()) {
+        val pts = spark.read.parquet(s"$dir/documents.parquet")
+          .filter(org.apache.spark.sql.functions.col("doc_id") < 3)
+          .collect()
+          .map(r => (r.getAs[Long]("doc_id") * 3.0, r.getAs[Long]("doc_id") * 4.0,
+            r.getAs[Long]("n_chars").toDouble))
+          .sortBy(p => (p._1, p._2))
+        val emp = Kriging.empiricalVariogram(pts, 3)
+        val vario = Kriging.fitVariogram(emp, "linear")
+        val n = pts.length
+        val k = Array.ofDim[Double](n + 1, n + 1)
+        for (i <- 0 until n; j <- 0 until n)
+          k(i)(j) = vario.gamma(Kriging.dist(pts(i)._1 - pts(j)._1, pts(i)._2 - pts(j)._2))
+        for (i <- 0 until n) { k(i)(n) = 1.0; k(n)(i) = 1.0 }
+        val piv = Kriging.luFactor(k)
+        assert(piv.toSeq == Seq(2, 0, 1, 3), s"pivot order changed at sf$sf: ${piv.toSeq}")
+      }
+    }
+  }
+
   test("A7: weights sum to 1 (unbiasedness) — prediction of shifted field shifts") {
     val sensors = Seq((0.0, 0.0, 1.0), (6.0, 0.0, 2.0), (0.0, 6.0, 3.0), (6.0, 6.0, 4.0))
       .toDF("x", "y", "v")
