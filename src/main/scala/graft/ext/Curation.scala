@@ -83,13 +83,16 @@ object Curation {
     * the doc id. At 100 TB, key the df aggregation on xxhash64(line)
     * instead of the raw string to cut shuffle bytes — same plan shape. */
   def removeDuplicateLines(docs: DataFrame, textCol: String, idCol: String,
-      minDocFreq: Int): DataFrame = {
+      minDocFreq: Int, cache: Boolean = true): DataFrame = {
     require(minDocFreq >= 2, "minDocFreq < 2 would drop every line")
     // functions.split qualified: Curation.split (the dataset splitter)
-    // shadows it in this scope
-    val lines = docs.select(col(idCol),
+    // shadows it in this scope. cached: the exploded lines feed both
+    // the doc-frequency agg and the join side (different plan shapes —
+    // exchange reuse can't merge them); cache = false opts out for
+    // callers with no release point.
+    val lines = graft.core.OperatorCaches.cachedIf(cache, docs.select(col(idCol),
       posexplode(org.apache.spark.sql.functions.split(col(textCol), "\n"))
-        .as(Seq("pos", "line")))
+        .as(Seq("pos", "line"))))
     val lineDf = lines.groupBy(col("line"))
       .agg(countDistinct(col(idCol)).as("line_df"))
     lines.join(lineDf, "line")

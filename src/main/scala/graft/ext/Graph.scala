@@ -46,13 +46,18 @@ object Graph {
     // directions) — a self-union would evaluate the upstream pair
     // generator (often a whole LSH pipeline) once per branch before
     // the cache exists. Duplicate/self edges survive; min() absorbs
-    // them. (`cache = false` for callers with no release point.)
-    val sym = graft.core.OperatorCaches.cachedIf(cache,
-      edges.select(explode(array(
+    // them. Every round's neighbor step re-reads `sym`, so it MUST be
+    // materialized: cache = false callers (no release point) get a
+    // localCheckpoint instead — GC-managed blocks, same effect —
+    // rather than paying the whole edge pipeline once per round.
+    val symPlan = edges.select(explode(array(
         struct(col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst")),
         struct(col(dstCol).cast("long").as("src"), col(srcCol).cast("long").as("dst"))))
         .as("e"))
-        .select(col("e.src").as("src"), col("e.dst").as("dst")))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"))
+    val sym =
+      if (cache) graft.core.OperatorCaches.cached(symPlan)
+      else symPlan.localCheckpoint()
 
     var labels = sym.select(col("src").as("node")).distinct()
       .withColumn("comp", col("node"))

@@ -109,7 +109,10 @@ object TextAnalysis {
     * matters: emails first (their local part could otherwise feed the
     * number patterns). */
   val piiPatterns: Seq[(String, String, String)] = Seq(
-    ("email", "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}", "<EMAIL>"),
+    // (?i) — supported identically by Java regex and RE2 — because raw
+    // corpora carry mixed-case emails and a case-sensitive scrub would
+    // let them through
+    ("email", "(?i)[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}", "<EMAIL>"),
     ("ipv4", "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b", "<IP>"),
     ("phone", "\\b\\d{3}-\\d{4}\\b", "<PHONE>"))
 

@@ -28,8 +28,14 @@ object Shapefile {
   def write(df: DataFrame, basePath: String): Int = {
     import graft.geo.Geo
     val geomField = findGeom(df, basePath)
-    val kinds = df.select(Geo.stKind(col(geomField.name))).distinct()
-      .collect().map(_.getString(0)).sorted.toSeq
+    val raw = df.select(Geo.stKind(col(geomField.name))).distinct()
+      .collect().map(_.getString(0))
+    // a NULL geometry (outer-join artifact upstream) must hit the
+    // typed error, not an NPE inside the sort below
+    if (raw.contains(null))
+      throw DataIOError(basePath, "geometry column contains NULL rows; " +
+        "drop or fill them before the shapefile sink")
+    val kinds = raw.sorted.toSeq
     kinds match {
       case Seq("point") => writePoints(df, basePath)
       case Seq("polygon") => writePolygons(df, basePath)

@@ -199,7 +199,8 @@ object OpRegistry {
       cache = false)),
     // round-4 corpus ops (E4/E7)
     "remove_duplicate_lines" -> (p => df => graft.ext.Curation.removeDuplicateLines(
-      df, str(p, "text_col"), str(p, "id_col"), num(p, "min_doc_freq").toInt)),
+      df, str(p, "text_col"), str(p, "id_col"), num(p, "min_doc_freq").toInt,
+      cache = false)),
     "redact_pii" -> (p => df => df.withColumn(
       strOpt(p, "out_col").getOrElse(str(p, "text_col")),
       graft.ext.TextAnalysis.redactPii(col(str(p, "text_col"))))),

@@ -136,11 +136,11 @@ object LlmExt3 {
            |         ELSE '' END AS t
            |  FROM documents WHERE doc_id < 200)
            |SELECT doc_id,
-           |  CAST(len(regexp_extract_all(t, '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}')) AS INT) AS n_emails,
+           |  CAST(len(regexp_extract_all(t, '(?i)[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}')) AS INT) AS n_emails,
            |  CAST(len(regexp_extract_all(t, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS INT) AS n_ips,
            |  CAST(len(regexp_extract_all(t, '\b\d{3}-\d{4}\b')) AS INT) AS n_phones,
            |  regexp_replace(regexp_replace(regexp_replace(t,
-           |    '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}', '<EMAIL>', 'g'),
+           |    '(?i)[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}', '<EMAIL>', 'g'),
            |    '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
            |    '\b\d{3}-\d{4}\b', '<PHONE>', 'g') AS redacted
            |FROM aug

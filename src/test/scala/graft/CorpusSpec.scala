@@ -131,6 +131,12 @@ class TextSignalsSpec extends AnyFunSuite {
     assert(out(2L) == ("no pii in this row at all", 0, 0, 0))
   }
 
+  test("E4: mixed-case emails are still redacted (real corpora aren't lowercase)") {
+    val df = Seq((1L, "Contact Jane.Doe@Example.COM today")).toDF("doc_id", "text")
+    val out = df.select(TextAnalysis.redactPii(col("text"))).head.getString(0)
+    assert(out == "Contact <EMAIL> today")
+  }
+
   test("E4: version-like dotted numbers with word chars attached stay intact") {
     val df = Seq((1L, "released v1.2.3.4suffix and kept")).toDF("doc_id", "text")
     // trailing word char means no \b after the last octet — not an IP

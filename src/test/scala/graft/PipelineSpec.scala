@@ -331,5 +331,10 @@ class SourcesSinksSpec extends AnyFunSuite {
           "struct(1.0d as x, 1.0d as y))")).as("geometry")))
     val e = intercept[DataIOError] { graft.io.Shapefile.write(mixed, s"$dir/mixed") }
     assert(e.getMessage.contains("single-type"))
+    // a NULL geometry (outer-join artifact) gets the typed error, not an NPE
+    val withNull = Seq((0.0, 0.0)).toDF("x", "y")
+      .select(when(col("x") > 1, Geo.stPoint(col("x"), col("y"))).as("geometry"))
+    val e2 = intercept[DataIOError] { graft.io.Shapefile.write(withNull, s"$dir/nullg") }
+    assert(e2.getMessage.contains("NULL"))
   }
 }
