@@ -378,5 +378,36 @@ object TimeSeries {
       "side is loaded once per micro-batch plan); agg state is one row per (segment, type). " +
       "At 100TB this is the canonical enrich-then-aggregate stream topology.")
 
-  val all: Seq[Declared] = Seq(q20, q21, q22, q23, q24, q25, q53, q54, q57, q60, q66, q76)
+  /** q78 — T7 under the oracle gate: stream-STREAM inner join with an
+    * event-time range bound (click → purchase attribution within 30
+    * minutes, per user). Both sides derive from the events file
+    * stream; the output projects only join keys and ids, so it is
+    * batching-independent and the batch self-join SQL is the exact
+    * oracle. Append mode — the only mode stream-stream joins support. */
+  val q78 = Declared(
+    "q78_stream_join", "T7,J4",
+    (s, dir) => {
+      streamEventsToTable(s, dir, "q78", mode = "append") { ev =>
+        val clicks = ev.filter(col("event_type") === "click")
+          .select(col("user_id"), col("event_id").as("click_id"), col("ts").as("l_ts"))
+        val purchases = ev.filter(col("event_type") === "purchase")
+          .select(col("user_id"), col("event_id").as("purchase_id"), col("ts").as("r_ts"))
+        graft.streaming.StreamOps.streamStreamJoin(
+          clicks, purchases, "user_id", "l_ts", "r_ts",
+          watermark = "3650 days", within = "30 minutes")
+          .select(col("user_id"), col("click_id"), col("purchase_id"))
+      }.orderBy(col("user_id"), col("click_id"), col("purchase_id"))
+    },
+    Some("""SELECT l.user_id, l.event_id AS click_id, r.event_id AS purchase_id
+           |FROM events l JOIN events r
+           |  ON l.user_id = r.user_id
+           | AND r.ts >= l.ts AND r.ts <= l.ts + INTERVAL 30 MINUTE
+           |WHERE l.event_type = 'click' AND r.event_type = 'purchase'
+           |ORDER BY 1, 2, 3""".stripMargin),
+    "Join state is bounded by the watermark horizon on BOTH sides (the production knob); " +
+      "the shuffle keys on user_id for both streams — same co-partitioning a batch join " +
+      "would use. Attribution joins are the canonical stream-stream workload.")
+
+  val all: Seq[Declared] =
+    Seq(q20, q21, q22, q23, q24, q25, q53, q54, q57, q60, q66, q76, q78)
 }
