@@ -387,7 +387,14 @@ object TimeSeries {
   val q78 = Declared(
     "q78_stream_join", "T7,J4",
     (s, dir) => {
-      streamEventsToTable(s, dir, "q78", mode = "append") { ev =>
+      // a stream-stream join materializes FOUR state stores per shuffle
+      // partition; at this fixture scale 32 partitions is pure fixed
+      // overhead (128 stores for 23 result rows) — scope the join to 8
+      // and restore. At 100TB the knob goes the other way: partitions
+      // track state volume, not cores.
+      val prev = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "8")
+      try streamEventsToTable(s, dir, "q78", mode = "append") { ev =>{
         val clicks = ev.filter(col("event_type") === "click")
           .select(col("user_id"), col("event_id").as("click_id"), col("ts").as("l_ts"))
         val purchases = ev.filter(col("event_type") === "purchase")
@@ -396,7 +403,8 @@ object TimeSeries {
           clicks, purchases, "user_id", "l_ts", "r_ts",
           watermark = "3650 days", within = "30 minutes")
           .select(col("user_id"), col("click_id"), col("purchase_id"))
-      }.orderBy(col("user_id"), col("click_id"), col("purchase_id"))
+      }}.orderBy(col("user_id"), col("click_id"), col("purchase_id"))
+      finally s.conf.set("spark.sql.shuffle.partitions", prev)
     },
     Some("""SELECT l.user_id, l.event_id AS click_id, r.event_id AS purchase_id
            |FROM events l JOIN events r
