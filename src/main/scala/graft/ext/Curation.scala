@@ -121,19 +121,53 @@ object Curation {
     * the only real shuffle keys on the doc id. */
   def bm25Scores(docs: DataFrame, textCol: String, idCol: String,
       queryTerms: Seq[String], k1: Double = 1.2, b: Double = 0.75): DataFrame = {
-    require(queryTerms.nonEmpty, "queryTerms must be non-empty")
     val withDl = docs.select(col(idCol),
       TextAnalysis.tokens(col(textCol)).as("__toks"))
       .select(col(idCol), col("__toks"), size(col("__toks")).as("dl"))
     val tok = withDl.select(col(idCol), col("dl"),
       explode(col("__toks")).as("term"))
       .filter(col("term").isin(queryTerms: _*))
-    val tf = tok.groupBy(col(idCol), col("dl"), col("term"))
+    val postings = tok.groupBy(col(idCol), col("dl"), col("term"))
       .agg(count(lit(1)).as("tf"))
+    bm25FromPostings(postings, idCol, queryTerms, k1, b,
+      stats = withDl.agg(count(lit(1)).as("n_docs"),
+        (sum(col("dl")).cast("double") / count(lit(1))).as("avgdl")))
+  }
+
+  /** E7 — inverted-index postings: one row per (doc, term, tf) with
+    * the document length alongside — the build-ONCE artifact of a
+    * retrieval layer. At 100 TB this is written bucketed by `term`
+    * (io.Bucketing): a query's term lookups then prune to |q| buckets
+    * and join postings shuffle-free (PostingsSpec proves the
+    * zero-exchange plan). */
+  def buildPostings(docs: DataFrame, textCol: String, idCol: String): DataFrame =
+    docs.select(col(idCol), TextAnalysis.tokens(col(textCol)).as("__toks"))
+      .select(col(idCol), size(col("__toks")).as("dl"), explode(col("__toks")).as("term"))
+      .groupBy(col(idCol), col("dl"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+
+  /** Corpus stats (N, avgdl) from a postings table — one aggregation
+    * over the distinct (doc, dl) pairs. Exact-portable: the same
+    * integers q74's scan path aggregates, in the same expression. */
+  def postingsStats(postings: DataFrame, idCol: String): DataFrame =
+    postings.select(col(idCol), col("dl")).distinct()
+      .agg(count(lit(1)).as("n_docs"),
+        (sum(col("dl")).cast("double") / count(lit(1))).as("avgdl"))
+
+  /** E7 — BM25 from a postings index (the query-MANY path): identical
+    * arithmetic to [[bm25Scores]] — scoring from the index is
+    * bit-equal to scoring from the corpus scan (q79 proves it against
+    * q74's own oracle). `stats` defaults to [[postingsStats]] of the
+    * postings themselves; pass the corpus-wide stats when the postings
+    * were pre-filtered to the query terms. */
+  def bm25FromPostings(postings: DataFrame, idCol: String,
+      queryTerms: Seq[String], k1: Double = 1.2, b: Double = 0.75,
+      stats: DataFrame = null): DataFrame = {
+    require(queryTerms.nonEmpty, "queryTerms must be non-empty")
+    val tf = postings.filter(col("term").isin(queryTerms: _*))
+    val st = Option(stats).getOrElse(postingsStats(postings, idCol))
     val dfreq = tf.groupBy(col("term")).agg(countDistinct(col(idCol)).as("df"))
-    val stats = withDl.agg(count(lit(1)).as("n_docs"),
-      (sum(col("dl")).cast("double") / count(lit(1))).as("avgdl"))
-    val contrib = tf.join(broadcast(dfreq), "term").crossJoin(broadcast(stats))
+    val contrib = tf.join(broadcast(dfreq), "term").crossJoin(broadcast(st))
       .withColumn("__idf",
         log(lit(1.0) + (col("n_docs") - col("df") + 0.5) / (col("df") + 0.5)))
       .withColumn("__contrib_u",

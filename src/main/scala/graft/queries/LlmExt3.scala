@@ -274,5 +274,25 @@ object LlmExt3 {
       "to ~fpp scan-side BEFORE the only shuffle — the 100TB plan reads everything, shuffles " +
       "almost nothing.")
 
-  val all: Seq[Declared] = Seq(q70, q71, q72, q73, q74, q75)
+  /** q79 — E7: BM25 from an inverted-index postings table (the
+    * query-MANY retrieval path). Same corpus, terms and ORACLE as q74:
+    * a green row proves scoring from the index is bit-equal to scoring
+    * from the corpus scan. The build-once artifact is written bucketed
+    * by term at scale (PostingsSpec proves the pruned, shuffle-free
+    * lookup plan). */
+  val q79 = Declared(
+    "q79_bm25_indexed", "E7,A1",
+    (s, dir) => {
+      val corpus = Tables.documents(s, dir).filter(col("doc_id") < 300)
+      val postings = Curation.buildPostings(corpus, "text", "doc_id")
+      Curation.bm25FromPostings(postings, "doc_id",
+        queryTerms = Seq("table", "fast", "join"), k1 = 1.2, b = 0.75)
+        .orderBy(col("score").desc, col("doc_id"))
+    },
+    q74.oracle,
+    "Build once (term-bucketed postings: one uniform content-keyed agg), query many: a " +
+      "lookup touches |q| buckets, joins shuffle-free, and never rescans the corpus — " +
+      "THE retrieval economics at 100TB. Bit-equality with the scan path is the oracle.")
+
+  val all: Seq[Declared] = Seq(q70, q71, q72, q73, q74, q75, q79)
 }

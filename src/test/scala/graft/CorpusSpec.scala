@@ -91,6 +91,30 @@ class CorpusCurationSpec extends AnyFunSuite {
     assert(out(1L) == score(1) && out(2L) == score(2))
   }
 
+  test("E7: bucket-written postings serve a term lookup without a postings-side shuffle") {
+    val docs = Seq((1L, "spark query engine spark"), (2L, "row scan spark filter"))
+      .toDF("doc_id", "text")
+    val postings = Curation.buildPostings(docs, "text", "doc_id")
+    val dir = java.nio.file.Files.createTempDirectory("graft_postings").toString
+    val table = "postings_spec"
+    postings.write.bucketBy(8, "term").sortBy("term")
+      .option("path", s"$dir/postings").mode("overwrite").saveAsTable(table)
+    try {
+      val indexed = spark.table(table).filter(col("term").isin("spark", "scan"))
+      val scored = Curation.bm25FromPostings(indexed, "doc_id", Seq("spark", "scan"),
+        stats = Curation.postingsStats(spark.table(table), "doc_id"))
+      val physical = scored.queryExecution.executedPlan.toString
+      // the dfreq agg over bucketed postings needs no exchange before it
+      assert(!physical.contains("Exchange hashpartitioning(term"),
+        s"term-keyed work must ride the bucket layout:\n$physical")
+      // and the index path scores exactly what the scan path scores
+      val direct = Curation.bm25Scores(docs, "text", "doc_id", Seq("spark", "scan"))
+        .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      val viaIndex = scored.collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      assert(viaIndex == direct)
+    } finally spark.sql(s"DROP TABLE IF EXISTS $table")
+  }
+
   test("E7: decontaminate finds planted overlap and nothing else; bloom ≡ exact") {
     val bench = Seq(
       (100L, "one two three four five six seven eight nine ten")
