@@ -216,6 +216,66 @@ object Curation {
       .agg(countDistinct(col("gram")).as("n_shared_grams"))
   }
 
+  /** E7 — TOKEN-budget sampling (the real mixing primitive: "sample
+    * source X down to N tokens", not "to N% of documents"): within
+    * each key, documents are ordered by a content-derived hash (a
+    * deterministic shuffle — reproducible on any layout, and exact
+    * duplicates order adjacently), the running token total is
+    * accumulated, and a document is kept while the budget is not yet
+    * exhausted when it STARTS (so each stratum overshoots by at most
+    * one document). Keys absent from `budgets` get `defaultBudget`.
+    * Integer-only arithmetic — exactly portable.
+    *
+    * One window pass keyed on the stratum: the same shape as the
+    * per-domain cap; a mega-source costs one partition sort. Adds
+    * `n_tokens` (doc length) and `cum_tokens` (running total). */
+  def tokenBudgetSample(docs: DataFrame, keyCol: Column, textCol: String,
+      idCol: String, budgets: Map[String, Long], defaultBudget: Long,
+      hash: Column => Column = xxhash64(_)): DataFrame = {
+    val dl = size(TextAnalysis.tokens(col(textCol)))
+    val w = Window.partitionBy(keyCol)
+      .orderBy(hash(col(textCol)).asc, col(idCol).asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val budget = budgets.foldLeft(lit(defaultBudget)) { case (acc, (k, v)) =>
+      when(keyCol === k, lit(v)).otherwise(acc)
+    }
+    docs.withColumn("n_tokens", dl)
+      .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
+      .filter(col("cum_tokens") - col("n_tokens") < budget)
+  }
+
+  /** E7 — sequence packing (the pre-tokenization step that turns a
+    * cleaned corpus into fixed-length training sequences): documents
+    * are dealt to `nShards` shards by content hash, ordered within
+    * each shard by the same hash, and greedily concatenated; a
+    * document's sequence number is its starting offset ÷ `seqLen`.
+    * Returns (shard, seq_in_shard, offset_in_seq) per document —
+    * offset = where the doc's tokens begin inside its sequence (docs
+    * straddle boundaries; the tokenizer consumes the concatenation).
+    *
+    * Sharding IS the scale story: global packing is inherently
+    * sequential, per-shard packing is embarrassingly parallel and
+    * reproducible (shard and order are pure content functions).
+    * Integer-only arithmetic — exactly portable. */
+  def packSequences(docs: DataFrame, textCol: String, idCol: String,
+      seqLen: Int, nShards: Int,
+      hash: Column => Column = xxhash64(_)): DataFrame = {
+    require(seqLen > 0 && nShards > 0, "seqLen and nShards must be positive")
+    val dl = size(TextAnalysis.tokens(col(textCol)))
+    // cast: shard must be LongType regardless of the hash family's width
+    val shard = pmod(hash(col(textCol)), lit(nShards)).cast("long")
+    val w = Window.partitionBy(col("shard"))
+      .orderBy(hash(col(textCol)).asc, col(idCol).asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    docs.withColumn("n_tokens", dl)
+      .withColumn("shard", shard)
+      .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
+      // DIV, not `/`: Column./ is double division — integer DIV matches
+      // DuckDB's // exactly at any magnitude
+      .withColumn("seq_in_shard", expr(s"(cum_tokens - n_tokens) DIV $seqLen"))
+      .withColumn("offset_in_seq", pmod(col("cum_tokens") - col("n_tokens"), lit(seqLen.toLong)))
+  }
+
   /** Top-`topK` TF-IDF terms per document. tf = term count in doc,
     * idf = ln(N / df) with N = |docs|, df = docs containing the term.
     * The score is rounded to 6 decimals BEFORE ranking so rank order is

@@ -212,6 +212,22 @@ object OpRegistry {
     "decontaminate" -> (p => df => graft.ext.Curation.decontaminate(
       df, df.sparkSession.read.parquet(str(p, "benchmark_file")),
       str(p, "text_col"), str(p, "id_col"), num(p, "gram_size").toInt)),
+    "token_budget_sample" -> (p => df => {
+      val budgets = p.get("budgets") match {
+        case Some(JObj(m)) => m.map {
+          case (k, JNum(v)) => (k, v.toLong)
+          case (k, o) => sys.error(s"budget '$k' must be a number, got $o")
+        }.toMap
+        case None => Map.empty[String, Long]
+        case other => sys.error(s"'budgets' must be an object, got $other")
+      }
+      graft.ext.Curation.tokenBudgetSample(df, col(str(p, "key")),
+        str(p, "text_col"), str(p, "id_col"), budgets,
+        numOpt(p, "default_budget").map(_.toLong).getOrElse(Long.MaxValue))
+    }),
+    "pack_sequences" -> (p => df => graft.ext.Curation.packSequences(
+      df, str(p, "text_col"), str(p, "id_col"),
+      num(p, "seq_len").toInt, numOpt(p, "shards").map(_.toInt).getOrElse(64))),
     // near-dup pairs → duplicate clusters; cache = false (unmanaged
     // pipeline result lifetime, see above)
     "near_dup_components" -> (p => df => graft.ext.Graph.connectedComponents(

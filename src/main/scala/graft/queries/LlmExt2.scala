@@ -16,7 +16,7 @@ object LlmExt2 {
     * first 15 hex chars of md5 assembled nibble-by-nibble into a
     * BIGINT. `expr` must be a column expression over the enclosing
     * row; emits a correlated 15-row nibble aggregate. */
-  private def duckMd5Hash60(expr: String): String =
+  private[queries] def duckMd5Hash60(expr: String): String =
     s"""(SELECT CAST(sum(CAST(strpos('0123456789abcdef',
        |    substr(md5($expr), i, 1)) - 1 AS BIGINT) << ((15 - i) * 4)) AS BIGINT)
        |  FROM (SELECT unnest(range(1, 16)) AS i))""".stripMargin

@@ -294,5 +294,73 @@ object LlmExt3 {
       "lookup touches |q| buckets, joins shuffle-free, and never rescans the corpus — " +
       "THE retrieval economics at 100TB. Bit-equality with the scan path is the oracle.")
 
-  val all: Seq[Declared] = Seq(q70, q71, q72, q73, q74, q75, q79)
+  /** q80 — E7: TOKEN-budget sampling (mixing by token count, not doc
+    * percentage): per-source budgets applied over a content-hash
+    * deterministic order; every kept row carries its running token
+    * total. Integer-only arithmetic on the portable md5-60 hash, so
+    * DuckDB reproduces the exact kept set AND the running totals. */
+  val q80 = Declared(
+    "q80_token_budget", "E7,W1",
+    (s, dir) => {
+      Curation.tokenBudgetSample(Tables.documents(s, dir), col("source"),
+        "text", "doc_id", budgets = Map("src0" -> 600L, "src1" -> 300L),
+        defaultBudget = 150L, hash = Dedup.md5Hash60)
+        .select(col("source"), col("doc_id"),
+          col("n_tokens").cast("long").as("n_tokens"), col("cum_tokens"))
+        .orderBy(col("source"), col("cum_tokens"), col("doc_id"))
+    },
+    Some(s"""WITH h AS (
+            |  SELECT source, doc_id,
+            |    CAST(len(regexp_split_to_array(lower(text), '\\s+')) AS BIGINT) AS n_tokens,
+            |    ${LlmExt2.duckMd5Hash60("text")} AS hh
+            |  FROM documents),
+            |c AS (
+            |  SELECT source, doc_id, n_tokens,
+            |    CAST(sum(n_tokens) OVER (PARTITION BY source ORDER BY hh, doc_id
+            |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tokens
+            |  FROM h)
+            |SELECT source, doc_id, n_tokens, cum_tokens
+            |FROM c
+            |WHERE cum_tokens - n_tokens <
+            |  CASE source WHEN 'src0' THEN 600 WHEN 'src1' THEN 300 ELSE 150 END
+            |ORDER BY source, cum_tokens, doc_id""".stripMargin),
+    "One window pass keyed on the stratum (the per-domain-cap shape); the budget bounds " +
+      "output tokens per source exactly — mixing configs talk in tokens, and this is the " +
+      "operator that enforces them. Content-hash order = reproducible on any layout.")
+
+  /** q81 — E7: sequence packing — documents dealt to shards by content
+    * hash, greedily concatenated per shard, assigned (sequence number,
+    * starting offset) for a fixed 512-token training-sequence length.
+    * Integer-only; DuckDB reproduces every assignment exactly. */
+  val q81 = Declared(
+    "q81_sequence_pack", "E7,W1",
+    (s, dir) => {
+      Curation.packSequences(
+        Tables.documents(s, dir).filter(col("doc_id") < 250),
+        "text", "doc_id", seqLen = 512, nShards = 4, hash = Dedup.md5Hash60)
+        .select(col("doc_id"), col("shard"),
+          col("n_tokens").cast("long").as("n_tokens"),
+          col("seq_in_shard"), col("offset_in_seq"))
+        .orderBy(col("shard"), col("seq_in_shard"), col("offset_in_seq"), col("doc_id"))
+    },
+    Some(s"""WITH h AS (
+            |  SELECT doc_id,
+            |    CAST(len(regexp_split_to_array(lower(text), '\\s+')) AS BIGINT) AS n_tokens,
+            |    ${LlmExt2.duckMd5Hash60("text")} AS hh
+            |  FROM documents WHERE doc_id < 250),
+            |c AS (
+            |  SELECT doc_id, n_tokens, hh % 4 AS shard,
+            |    CAST(sum(n_tokens) OVER (PARTITION BY hh % 4 ORDER BY hh, doc_id
+            |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+            |  FROM h)
+            |SELECT doc_id, shard, n_tokens,
+            |  (cum - n_tokens) // 512 AS seq_in_shard,
+            |  (cum - n_tokens) % 512 AS offset_in_seq
+            |FROM c
+            |ORDER BY shard, seq_in_shard, offset_in_seq, doc_id""".stripMargin),
+    "Sharding IS the scale story: global packing is sequential by nature; per-shard packing " +
+      "is embarrassingly parallel, reproducible (shard and order are pure content " +
+      "functions), and feeds the tokenizer one shard per task.")
+
+  val all: Seq[Declared] = Seq(q70, q71, q72, q73, q74, q75, q79, q80, q81)
 }

@@ -115,6 +115,37 @@ class CorpusCurationSpec extends AnyFunSuite {
     } finally spark.sql(s"DROP TABLE IF EXISTS $table")
   }
 
+  test("E7: token-budget sampling keeps prefix-by-hash until the budget, overshooting <= 1 doc") {
+    // hash = length(text) gives a controlled deterministic order:
+    // doc 1 (1 token) < doc 2 (2 tokens) < doc 3 (3) < doc 4 (4)
+    val docs = Seq(
+      (1L, "a", "s"), (2L, "b b", "s"), (3L, "c c c", "s"), (4L, "d d d d", "s"),
+      (5L, "x x x x x", "t")
+    ).toDF("doc_id", "text", "src")
+    val out = Curation.tokenBudgetSample(docs, col("src"), "text", "doc_id",
+      budgets = Map("s" -> 4L), defaultBudget = 1L, hash = c => length(c))
+      .select("doc_id", "cum_tokens").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // s: cum = 1, 3, 6, 10 → kept while cum-n < 4: docs 1 (0), 2 (1), 3 (3); doc 4 (6) dropped
+    // t: doc 5 starts at 0 < 1 → kept (overshoot bounded by one doc)
+    assert(out == Map(1L -> 1L, 2L -> 3L, 3L -> 6L, 5L -> 5L))
+  }
+
+  test("E7: sequence packing assigns (shard, seq, offset) by running token count") {
+    val docs = Seq(
+      (1L, "a a a"), (2L, "b b b b"), (3L, "c c"), (4L, "d d d d d")
+    ).toDF("doc_id", "text") // lengths 3, 4, 2, 5 — hash=length orders 3,1,2,4
+    val out = Curation.packSequences(docs, "text", "doc_id",
+      seqLen = 4, nShards = 1, hash = c => length(c))
+      .select("doc_id", "shard", "seq_in_shard", "offset_in_seq").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    // order by length: doc3 (2 toks, start 0), doc1 (3, start 2), doc2 (4, start 5), doc4 (5, start 9)
+    assert(out(3L) == ((0L, 0L, 0L)))
+    assert(out(1L) == ((0L, 0L, 2L)))
+    assert(out(2L) == ((0L, 1L, 1L)))
+    assert(out(4L) == ((0L, 2L, 1L)))
+  }
+
   test("E7: decontaminate finds planted overlap and nothing else; bloom ≡ exact") {
     val bench = Seq(
       (100L, "one two three four five six seven eight nine ten")
