@@ -121,7 +121,10 @@ object Curation {
     * the only real shuffle keys on the doc id. */
   def bm25Scores(docs: DataFrame, textCol: String, idCol: String,
       queryTerms: Seq[String], k1: Double = 1.2, b: Double = 0.75): DataFrame = {
-    val withDl = docs.select(col(idCol),
+    // null-text rows are not documents — excluded HERE so corpus stats
+    // (N, avgdl) agree exactly with the postings path, where such rows
+    // can produce no postings at all
+    val withDl = docs.filter(col(textCol).isNotNull).select(col(idCol),
       TextAnalysis.tokens(col(textCol)).as("__toks"))
       .select(col(idCol), col("__toks"), size(col("__toks")).as("dl"))
     val tok = withDl.select(col(idCol), col("dl"),
@@ -138,10 +141,12 @@ object Curation {
     * the document length alongside — the build-ONCE artifact of a
     * retrieval layer. At 100 TB this is written bucketed by `term`
     * (io.Bucketing): a query's term lookups then prune to |q| buckets
-    * and join postings shuffle-free (PostingsSpec proves the
-    * zero-exchange plan). */
+    * and join postings shuffle-free (CorpusCurationSpec proves the
+    * zero-exchange plan). Null-text rows are excluded — mirroring
+    * [[bm25Scores]], so index and scan paths see the same corpus. */
   def buildPostings(docs: DataFrame, textCol: String, idCol: String): DataFrame =
-    docs.select(col(idCol), TextAnalysis.tokens(col(textCol)).as("__toks"))
+    docs.filter(col(textCol).isNotNull)
+      .select(col(idCol), TextAnalysis.tokens(col(textCol)).as("__toks"))
       .select(col(idCol), size(col("__toks")).as("dl"), explode(col("__toks")).as("term"))
       .groupBy(col(idCol), col("dl"), col("term"))
       .agg(count(lit(1)).as("tf"))
@@ -262,14 +267,17 @@ object Curation {
       hash: Column => Column = xxhash64(_)): DataFrame = {
     require(seqLen > 0 && nShards > 0, "seqLen and nShards must be positive")
     val dl = size(TextAnalysis.tokens(col(textCol)))
-    // cast: shard must be LongType regardless of the hash family's width
-    val shard = pmod(hash(col(textCol)), lit(nShards)).cast("long")
+    // the hash is projected ONCE and reused for both the shard and the
+    // window order — md5-class hashes dominate this scan's cost
     val w = Window.partitionBy(col("shard"))
-      .orderBy(hash(col(textCol)).asc, col(idCol).asc)
+      .orderBy(col("__h").asc, col(idCol).asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    docs.withColumn("n_tokens", dl)
-      .withColumn("shard", shard)
+    docs.withColumn("__h", hash(col(textCol)))
+      .withColumn("n_tokens", dl)
+      // cast: shard must be LongType regardless of the hash family's width
+      .withColumn("shard", pmod(col("__h"), lit(nShards)).cast("long"))
       .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
+      .drop("__h")
       // DIV, not `/`: Column./ is double division — integer DIV matches
       // DuckDB's // exactly at any magnitude
       .withColumn("seq_in_shard", expr(s"(cum_tokens - n_tokens) DIV $seqLen"))

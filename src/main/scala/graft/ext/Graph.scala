@@ -48,8 +48,11 @@ object Graph {
     // the cache exists. Duplicate/self edges survive; min() absorbs
     // them. Every round's neighbor step re-reads `sym`, so it MUST be
     // materialized: cache = false callers (no release point) get a
-    // localCheckpoint instead — GC-managed blocks, same effect —
-    // rather than paying the whole edge pipeline once per round.
+    // localCheckpoint — eager, lineage-truncated, GC-scoped blocks —
+    // rather than paying the whole edge pipeline once per round. The
+    // truncated lineage costs nothing extra here: `labels` is
+    // localCheckpoint'd unconditionally below, so the loop already has
+    // the restart-on-executor-loss profile either way.
     val symPlan = edges.select(explode(array(
         struct(col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst")),
         struct(col(dstCol).cast("long").as("src"), col(srcCol).cast("long").as("dst"))))

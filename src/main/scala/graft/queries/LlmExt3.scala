@@ -278,7 +278,7 @@ object LlmExt3 {
     * query-MANY retrieval path). Same corpus, terms and ORACLE as q74:
     * a green row proves scoring from the index is bit-equal to scoring
     * from the corpus scan. The build-once artifact is written bucketed
-    * by term at scale (PostingsSpec proves the pruned, shuffle-free
+    * by term at scale (CorpusCurationSpec proves the pruned, shuffle-free
     * lookup plan). */
   val q79 = Declared(
     "q79_bm25_indexed", "E7,A1",
