@@ -32,8 +32,10 @@ object TextAnalysis {
     "ĵ" -> 'j', "ķ" -> 'k', "ĺļľŀł" -> 'l', "ŕŗř" -> 'r',
     "śŝşš" -> 's', "ţťŧ" -> 't', "ŵ" -> 'w', "ýÿŷ" -> 'y',
     "źżž" -> 'z')
-  private val accented = foldPairs.map(_._1).mkString
-  private val folded = foldPairs.map { case (s, c) => c.toString * s.length }.mkString
+  // private[graft]: q83's oracle interpolates the same tables into its
+  // SQL so DuckDB folds with the identical mapping
+  private[graft] val accented = foldPairs.map(_._1).mkString
+  private[graft] val folded = foldPairs.map { case (s, c) => c.toString * s.length }.mkString
 
   /** E4 — text normalization for dedup/fingerprint keys: lowercase,
     * fold Latin accents, collapse whitespace runs, trim. Normalizing

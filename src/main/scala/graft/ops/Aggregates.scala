@@ -74,4 +74,36 @@ object Aggregates {
   def block(funcs: Seq[String], source: String, cols: Seq[String]): Seq[Column] =
     for (f <- funcs; c <- cols)
       yield apply(f)(col(c)).as(statName(f, source, c))
+
+  /** Per-key ordinary least squares + Pearson correlation via EXACT
+    * integer sums — not the corr()/regr_slope() builtins, whose online
+    * (Welford-style) accumulation is engine- and order-dependent. With
+    * integer-valued x and y, every sum (Σx, Σy, Σxy, Σx², Σy²) is
+    * exact in long arithmetic regardless of partitioning, so the final
+    * slope/intercept/corr divisions and sqrts are bit-identical on any
+    * engine that evaluates the same closed-form expression (IEEE
+    * division and sqrt are correctly rounded). One hash-agg pass.
+    *
+    * Emits (key…, n, slope, intercept, corr); degenerate keys
+    * (zero x-variance or zero y-variance) yield nulls. */
+  def linearFitExact(df: org.apache.spark.sql.DataFrame, keys: Seq[Column],
+      x: Column, y: Column): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    val agg = df.groupBy(keys: _*).agg(
+      count(lit(1)).as("n"),
+      sum(x.cast("long")).as("sx"), sum(y.cast("long")).as("sy"),
+      sum((x.cast("long") * y.cast("long"))).as("sxy"),
+      sum((x.cast("long") * x.cast("long"))).as("sxx"),
+      sum((y.cast("long") * y.cast("long"))).as("syy"))
+    val covN = (col("n") * col("sxy") - col("sx") * col("sy")).cast("double")
+    val varXN = (col("n") * col("sxx") - col("sx") * col("sx")).cast("double")
+    val varYN = (col("n") * col("syy") - col("sy") * col("sy")).cast("double")
+    agg.select((keys :+ col("n") :+
+      when(varXN =!= 0.0, covN / varXN).as("slope") :+
+      when(varXN =!= 0.0,
+        (col("sy").cast("double") - (covN / varXN) * col("sx")) / col("n"))
+        .as("intercept") :+
+      when(varXN =!= 0.0 && varYN =!= 0.0,
+        covN / (sqrt(varXN) * sqrt(varYN))).as("corr")): _*)
+  }
 }

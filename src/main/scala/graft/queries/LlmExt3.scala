@@ -362,5 +362,75 @@ object LlmExt3 {
       "is embarrassingly parallel, reproducible (shard and order are pure content " +
       "functions), and feeds the tokenizer one shard per task.")
 
-  val all: Seq[Declared] = Seq(q70, q71, q72, q73, q74, q75, q79, q80, q81)
+  /** q82 — A1/E4: per-source OLS + Pearson correlation between doc
+    * length (chars) and token count, via EXACT integer sums — the
+    * corr()/regr_* builtins accumulate online (Welford) and are engine-
+    * and order-dependent; closed-form over exact sums is bit-portable
+    * UNROUNDED (division and sqrt are IEEE correctly-rounded). */
+  val q82 = Declared(
+    "q82_corr_ols", "A1,E4",
+    (s, dir) => {
+      val t = col("text")
+      val d = Tables.documents(s, dir).select(col("source"),
+        col("n_chars").as("x"),
+        (length(t) - length(regexp_replace(t, " ", "")) + 1).as("y"))
+      graft.ops.Aggregates.linearFitExact(d, Seq(col("source")), col("x"), col("y"))
+        .orderBy(col("source"))
+    },
+    Some("""WITH d AS (
+           |  SELECT source, n_chars AS x,
+           |         length(text) - length(replace(text, ' ', '')) + 1 AS y
+           |  FROM documents),
+           |a AS (
+           |  SELECT source, count(*) AS n,
+           |    CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+           |    CAST(sum(x * y) AS BIGINT) AS sxy,
+           |    CAST(sum(x * x) AS BIGINT) AS sxx,
+           |    CAST(sum(y * y) AS BIGINT) AS syy
+           |  FROM d GROUP BY source),
+           |f AS (
+           |  SELECT source, n, sx, sy,
+           |    CAST(n * sxy - sx * sy AS DOUBLE) AS covn,
+           |    CAST(n * sxx - sx * sx AS DOUBLE) AS varxn,
+           |    CAST(n * syy - sy * sy AS DOUBLE) AS varyn
+           |  FROM a)
+           |SELECT source, n,
+           |  CASE WHEN varxn <> 0 THEN covn / varxn END AS slope,
+           |  CASE WHEN varxn <> 0
+           |       THEN (CAST(sy AS DOUBLE) - (covn / varxn) * sx) / n END AS intercept,
+           |  CASE WHEN varxn <> 0 AND varyn <> 0
+           |       THEN covn / (sqrt(varxn) * sqrt(varyn)) END AS corr
+           |FROM f
+           |ORDER BY source""".stripMargin),
+    "One hash-agg pass of five exact long sums with map-side partials — the portable form " +
+      "of regr_slope/corr; output bounded by |keys|. Exactness is partitioning-independent " +
+      "because integer addition is associative, unlike the builtins' float accumulation.")
+
+  /** q83 — E4: text normalization (lowercase, Latin accent fold,
+    * whitespace collapse, trim) under the oracle gate: accented
+    * prefixes are planted with identical string construction, and the
+    * oracle interpolates the SAME fold table into DuckDB's translate —
+    * both engines' lower() and translate() are codepoint-based, so the
+    * normalized text hash-compares exactly. */
+  val q83 = Declared(
+    "q83_normalize", "E4",
+    (s, dir) => {
+      val planted = Tables.documents(s, dir).filter(col("doc_id") < 100)
+        .select(col("doc_id"),
+          concat(lit("Café ÜBER naïve São Señor ÉLÈVE  çà\t"), col("text")).as("t"))
+      planted.select(col("doc_id"),
+        TextAnalysis.normalizeText(col("t")).as("normalized"))
+        .orderBy(col("doc_id"))
+    },
+    Some(s"""SELECT doc_id,
+            |  trim(regexp_replace(
+            |    translate(lower('Café ÜBER naïve São Señor ÉLÈVE  çà' || chr(9) || text),
+            |              '${TextAnalysis.accented}', '${TextAnalysis.folded}'),
+            |    '\\s+', ' ', 'g')) AS normalized
+            |FROM documents WHERE doc_id < 100
+            |ORDER BY doc_id""".stripMargin),
+    "Pure scan-side string expressions (codegen'd, no UDF) — normalization before hashing " +
+      "is what makes accent variants the same dedup key; cost is one pass over text bytes.")
+
+  val all: Seq[Declared] = Seq(q70, q71, q72, q73, q74, q75, q79, q80, q81, q82, q83)
 }
