@@ -131,6 +131,20 @@ class CorpusCurationSpec extends AnyFunSuite {
     assert(out == Map(1L -> 1L, 2L -> 3L, 3L -> 6L, 5L -> 5L))
   }
 
+  test("E7: token budget law — kept tokens never exceed budget + last doc's length") {
+    val docs = (1 to 40).map(i => (i.toLong, ("w " * (1 + i % 7)).trim, s"s${i % 3}"))
+      .toDF("doc_id", "text", "src")
+    val out = Curation.tokenBudgetSample(docs, col("src"), "text", "doc_id",
+      budgets = Map("s0" -> 10L, "s1" -> 15L), defaultBudget = 5L)
+      .groupBy(col("src")).agg(sum(col("n_tokens")).as("tot"), max(col("n_tokens")).as("mx"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getInt(2))).toMap
+    val budget = Map("s0" -> 10L, "s1" -> 15L).withDefaultValue(5L)
+    out.foreach { case (src, (tot, mx)) =>
+      assert(tot <= budget(src) + mx, s"$src kept $tot tokens for budget ${budget(src)}")
+      assert(tot > 0)
+    }
+  }
+
   test("E7: sequence packing assigns (shard, seq, offset) by running token count") {
     val docs = Seq(
       (1L, "a a a"), (2L, "b b b b"), (3L, "c c"), (4L, "d d d d d")

@@ -85,6 +85,23 @@ class PlanSpec extends AnyFunSuite {
       "exact verification must be a semi-join (bloom false positives die there)")
   }
 
+  test("exact-sum linear fit is ONE hash aggregate (one exchange, no joins)") {
+    val df = Seq(("a", 1, 2), ("a", 2, 4), ("b", 3, 5)).toDF("k", "x", "y")
+    val out = graft.ops.Aggregates.linearFitExact(df, Seq(col("k")), col("x"), col("y"))
+    val physical = out.queryExecution.executedPlan.toString
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(physical).length
+    assert(exchanges == 1, s"five sums must ride one agg pass; saw $exchanges exchanges")
+    assert(!physical.contains("Join"), "closed-form fit needs no join")
+  }
+
+  test("sequence packing runs in one shard-keyed window exchange") {
+    val docs = Seq((1L, "a b c"), (2L, "d e"), (3L, "f g h i")).toDF("doc_id", "text")
+    val out = graft.ext.Curation.packSequences(docs, "text", "doc_id", 4, 2)
+    val physical = out.queryExecution.executedPlan.toString
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(physical).length
+    assert(exchanges <= 1, s"cum/seq/offset must share the shard window sort; saw $exchanges")
+  }
+
   test("adaptive kNN with a small position set plans a broadcast, not a cartesian") {
     val sensors = (1 to 20).map(i => (i.toLong, (i % 5).toDouble, (i / 5).toDouble))
       .toDF("id_sensor", "x", "y")
