@@ -92,6 +92,38 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
   }
 
+  /** E2 — INCREMENTAL near-dup detection: a new batch checked against
+    * an existing corpus (the daily-crawl shape — the corpus's
+    * signatures are computed once and reused; production stores them
+    * as a table and this function's corpus side reads it back). Band
+    * hashes from each side meet in an equi-join — new×corpus candidate
+    * pairs only, never corpus×corpus — then exact-Jaccard verification
+    * exactly as the batch operator. Ids must be disjoint across sides.
+    * Returns (id_corpus, id_new, jaccard >= threshold). */
+  def minhashNearDuplicatesAgainst(corpus: DataFrame, newDocs: DataFrame,
+      textCol: String, idCol: String,
+      shingleSize: Int = 3, numHashes: Int = 16, bands: Int = 4,
+      threshold: Double = 0.5, cache: Boolean = true): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val rows = numHashes / bands
+    def banded(docs: DataFrame) = OperatorCaches.cachedIf(cache,
+      minhashSignature(docs, textCol, idCol, shingleSize, numHashes))
+      .select(col(idCol),
+        posexplode(transform(sequence(lit(0), lit(bands - 1)), b =>
+          xxhash64(concat_ws("_", b,
+            concat_ws(",", slice(col("signature"), b * rows + 1, lit(rows))))))))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "band_hash")
+    val c = banded(corpus).select(col(idCol).as("id_corpus"), col("band"), col("band_hash"))
+    val n = banded(newDocs).select(col(idCol).as("id_new"), col("band"), col("band_hash"))
+    val candidates = c.join(n, Seq("band", "band_hash"))
+      .select("id_corpus", "id_new").distinct()
+    val pairs = candidates
+      .select(col("id_corpus").as("id_a"), col("id_new").as("id_b"))
+    verifyJaccard(corpus.unionByName(newDocs), textCol, idCol, pairs, shingleSize, cache)
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a").as("id_corpus"), col("id_b").as("id_new"), col("jaccard"))
+  }
+
   /** Exact Jaccard for given candidate pairs via shingle-set join. */
   def verifyJaccard(docs: DataFrame, textCol: String, idCol: String,
       pairs: DataFrame, shingleSize: Int, cache: Boolean = true): DataFrame = {

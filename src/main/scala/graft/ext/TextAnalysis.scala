@@ -173,6 +173,32 @@ object TextAnalysis {
       .withColumn("top_bigram_frac", coalesce(col("top_bigram_frac"), lit(0.0)))
   }
 
+  /** E4 — markup stripping (the first step of web-corpus extraction):
+    * drop script blocks, then all tags, decode the five predefined
+    * HTML entities, collapse whitespace. Patterns use only negated
+    * character classes (no lazy quantifiers, no lookaround) so Java
+    * regex and RE2 agree span-for-span. Pure codegen'd scan-side
+    * expression chain. */
+  def stripMarkup(text: Column): Column = {
+    val noScript = regexp_replace(text, "<script[^>]*>[^<]*</script>", " ")
+    val noTags = regexp_replace(noScript, "<[^>]*>", " ")
+    val decoded = Seq("&amp;" -> "&", "&lt;" -> "<", "&gt;" -> ">",
+      "&quot;" -> "\"", "&#39;" -> "'")
+      .foldLeft(noTags) { case (c, (ent, ch)) => regexp_replace(c, ent, ch) }
+    trim(regexp_replace(decoded, "\\s+", " "))
+  }
+
+  /** Host part of a URL (scheme://host[/...]) — empty string when the
+    * value is not URL-shaped. Conservative portable regex. */
+  def urlHost(url: Column): Column =
+    regexp_extract(url, "^[a-z][a-z0-9+.-]*://([^/?#]+)", 1)
+
+  /** Registrable-domain approximation: the last two dot-labels of the
+    * host (public-suffix lists are a lookup-table refinement on top —
+    * the grouping key shape is identical). */
+  def urlDomain(url: Column): Column =
+    regexp_extract(urlHost(url), "([a-z0-9-]+\\.[a-z]+)$", 1)
+
   /** Document fingerprint: 64-bit hash of whitespace-normalized
     * lowercase text — the cheap exact-dup / shard-routing key. */
   def fingerprint(text: Column): Column =

@@ -212,6 +212,21 @@ object OpRegistry {
     "decontaminate" -> (p => df => graft.ext.Curation.decontaminate(
       df, df.sparkSession.read.parquet(str(p, "benchmark_file")),
       str(p, "text_col"), str(p, "id_col"), num(p, "gram_size").toInt)),
+    "strip_markup" -> (p => df => df.withColumn(
+      strOpt(p, "out_col").getOrElse(str(p, "text_col")),
+      graft.ext.TextAnalysis.stripMarkup(col(str(p, "text_col"))))),
+    "url_domain" -> (p => df => df.withColumn(
+      strOpt(p, "out_col").getOrElse("domain"),
+      graft.ext.TextAnalysis.urlDomain(col(str(p, "url_col"))))),
+    // incremental near-dup: the stored-corpus side reads from a file;
+    // cache = false (unmanaged pipeline result lifetime, see above)
+    "incremental_near_dups" -> (p => df => graft.ext.Dedup.minhashNearDuplicatesAgainst(
+      df.sparkSession.read.parquet(str(p, "corpus_file")), df,
+      str(p, "text_col"), str(p, "id_col"),
+      numOpt(p, "shingle_size").map(_.toInt).getOrElse(3),
+      numOpt(p, "num_hashes").map(_.toInt).getOrElse(16),
+      numOpt(p, "bands").map(_.toInt).getOrElse(4),
+      numOpt(p, "threshold").getOrElse(0.5), cache = false)),
     "token_budget_sample" -> (p => df => {
       val budgets = p.get("budgets") match {
         case Some(JObj(m)) => m.map {

@@ -181,6 +181,45 @@ class CorpusCurationSpec extends AnyFunSuite {
   }
 }
 
+class IngestionSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+  import graft.ext.Dedup
+
+  test("E2: incremental dedup flags new near-dups of the corpus, never corpus pairs") {
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog today"),
+      (2L, "the quick brown fox jumps over the lazy dog today"), // exact dup INSIDE corpus
+      (3L, "completely unrelated corpus document about spark plans")
+    ).toDF("doc_id", "text")
+    val fresh = Seq(
+      (10L, "the quick brown fox jumps over the lazy dog now"), // near-dup of 1/2
+      (11L, "entirely novel text with no corpus overlap at all")
+    ).toDF("doc_id", "text")
+    val out = Dedup.minhashNearDuplicatesAgainst(corpus, fresh, "text", "doc_id",
+      shingleSize = 2, numHashes = 16, bands = 16, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // the intra-corpus 1~2 dup must NOT appear; both corpus copies pair with 10
+    assert(out == Set((1L, 10L), (2L, 10L)))
+  }
+
+  test("E4: stripMarkup removes script blocks, tags and entities; keeps text") {
+    val df = Seq((1L,
+      "<html><p class=\"a\">Hello &amp; welcome</p><script>var x=1;</script> <b>ok</b></html>"))
+      .toDF("doc_id", "text")
+    val out = df.select(TextAnalysis.stripMarkup(col("text"))).head.getString(0)
+    assert(out == "Hello & welcome ok")
+  }
+
+  test("E4: url host/domain extraction; non-URLs yield empty strings") {
+    val df = Seq("https://sub.news.example/path?q=1", "not a url").toDF("u")
+    val out = df.select(TextAnalysis.urlHost(col("u")).as("h"),
+      TextAnalysis.urlDomain(col("u")).as("d")).collect()
+    assert(out(0).getString(0) == "sub.news.example" && out(0).getString(1) == "news.example")
+    assert(out(1).getString(0) == "" && out(1).getString(1) == "")
+  }
+}
+
 class TextSignalsSpec extends AnyFunSuite {
   lazy val spark = SparkTestSession.spark
   import spark.implicits._
