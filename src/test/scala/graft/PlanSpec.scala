@@ -102,6 +102,31 @@ class PlanSpec extends AnyFunSuite {
     assert(exchanges <= 1, s"cum/seq/offset must share the shard window sort; saw $exchanges")
   }
 
+  test("markup stripping and URL extraction stay scan-side (zero exchanges)") {
+    val docs = Seq((1L, "<p>hi &amp; bye</p>", "https://A.example/x?u=1"))
+      .toDF("doc_id", "t", "url")
+    val out = docs.select(
+      TextAnalysis.stripMarkup(col("t")).as("cleaned"),
+      TextAnalysis.urlHost(lower(col("url"))).as("host"),
+      TextAnalysis.urlDomain(lower(col("url"))).as("domain"))
+    val physical = out.queryExecution.executedPlan.toString
+    assert(!physical.contains("Exchange"),
+      s"per-row text extraction must not shuffle:\n$physical")
+  }
+
+  test("incremental near-dup joins corpus and batch on band keys, never a cartesian") {
+    val corpus = Seq((1L, "a b c d e f"), (2L, "g h i j k l")).toDF("doc_id", "text")
+    val fresh = Seq((10L, "a b c d e f x")).toDF("doc_id", "text")
+    val out = graft.ext.Dedup.minhashNearDuplicatesAgainst(corpus, fresh,
+      "text", "doc_id", shingleSize = 3, numHashes = 16, bands = 16, threshold = 0.8,
+      cache = false)
+    val physical = out.queryExecution.executedPlan.toString
+    assert(!physical.contains("CartesianProduct"),
+      "candidate generation must stay a band-key equi-join")
+    assert(!physical.contains("BroadcastNestedLoopJoin"),
+      "no unkeyed corpus×batch pairing anywhere in the plan")
+  }
+
   test("adaptive kNN with a small position set plans a broadcast, not a cartesian") {
     val sensors = (1 to 20).map(i => (i.toLong, (i % 5).toDouble, (i / 5).toDouble))
       .toDF("id_sensor", "x", "y")
