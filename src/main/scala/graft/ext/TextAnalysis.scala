@@ -103,6 +103,43 @@ object TextAnalysis {
          when(punct.cast("double") / greatest(nChars, lit(1)) < 0.1, 0.2).otherwise(0.0)))
   }
 
+  /** E4 — the composite C4/Gopher-style KEEP decision: every rule is a
+    * named boolean column plus the exact integer/ratio signal it reads,
+    * so a filtered corpus is auditable (why did this doc die?). All
+    * signals are exact int/int arithmetic over whitespace tokens —
+    * deliberately UNROUNDED (identical integer operands give
+    * bit-identical IEEE divisions; see q73) — and the whole thing is
+    * one scan-side projection: no shuffle, no UDF, pushdown-friendly.
+    *
+    * Rules (the Gopher/C4 tradition, thresholds as parameters):
+    *   - word count within [minWords, maxWords]
+    *   - mean word length within [minMeanLen, maxMeanLen]
+    *   - fraction of words containing a letter >= minAlphaFrac
+    *   - at least minStopHits English stopword hits
+    */
+  def qualityGate(df: DataFrame, textCol: String, idCol: String,
+      minWords: Int = 20, maxWords: Int = 100000,
+      minMeanLen: Double = 2.0, maxMeanLen: Double = 10.0,
+      minAlphaFrac: Double = 0.8, minStopHits: Int = 1): DataFrame = {
+    // named token column → the split runs once per row (langId lesson)
+    val toked = df.select(col(idCol), tokens(col(textCol)).as("__toks"))
+    val nW = size(col("__toks"))
+    val meanLen = aggregate(transform(col("__toks"), t => length(t)),
+      lit(0), (a, x) => a + x).cast("double") / nW
+    val alphaFrac = size(filter(col("__toks"), t => t.rlike("[a-z]")))
+      .cast("double") / nW
+    val stopHits = size(filter(col("__toks"), t => t.isin(stopwords("en"): _*)))
+    toked.select(col(idCol),
+        nW.as("n_words"), meanLen.as("mean_word_len"),
+        alphaFrac.as("alpha_frac"), stopHits.as("stop_hits"))
+      .withColumn("rule_len", col("n_words").between(minWords, maxWords))
+      .withColumn("rule_word_len", col("mean_word_len").between(minMeanLen, maxMeanLen))
+      .withColumn("rule_alpha", col("alpha_frac") >= minAlphaFrac)
+      .withColumn("rule_stop", col("stop_hits") >= minStopHits)
+      .withColumn("keep",
+        col("rule_len") && col("rule_word_len") && col("rule_alpha") && col("rule_stop"))
+  }
+
   /** E4 — PII patterns for [[redactPii]]: (kind, regex, replacement).
     * Deliberately conservative character-class/bounded-repeat syntax —
     * no backreferences or lookaround — so the SAME pattern string means

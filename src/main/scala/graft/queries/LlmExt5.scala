@@ -1,0 +1,71 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.core.Tables
+import graft.ext.TextAnalysis
+
+/** Round-4 (late) cleaning-decision coverage: the composite C4/Gopher
+  * quality gate (the keep/drop verdict the earlier signal queries feed),
+  * URL canonicalization, and bigram LM scoring. */
+object LlmExt5 {
+
+  /** q87 — E4: the composite quality KEEP decision. The corpus plants
+    * three failure modes with identical string construction on both
+    * engines — too-short docs (%13), symbol spam (%11), long-word
+    * garble (%17) — and the gate emits every rule verdict plus the
+    * exact signals behind it. Ratios are exact int/int divisions,
+    * deliberately UNROUNDED (q73's argument); the float thresholds are
+    * CAST AS DOUBLE in the oracle so both engines compare in the
+    * double domain. */
+  val q87 = Declared(
+    "q87_quality_gate", "E4",
+    (s, dir) => {
+      val planted = Tables.documents(s, dir).filter(col("doc_id") < 300)
+        .select(col("doc_id"),
+          when(col("doc_id") % 13 === 0, lit("tiny doc"))
+            .when(col("doc_id") % 11 === 0,
+              concat(col("text"), lit(" ### $$$ !!! ??? *** ### $$$ !!! ??? ***")))
+            .when(col("doc_id") % 17 === 0,
+              concat(col("text"), lit(" "), lit("z" * 40), lit(" "), lit("q" * 40)))
+            .otherwise(col("text")).as("text"))
+      TextAnalysis.qualityGate(planted, "text", "doc_id")
+        .select(col("doc_id"),
+          col("n_words").cast("long").as("n_words"),
+          col("mean_word_len"), col("alpha_frac"),
+          col("stop_hits").cast("long").as("stop_hits"),
+          col("rule_len"), col("rule_word_len"), col("rule_alpha"),
+          col("rule_stop"), col("keep"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""WITH corpus AS (
+           |  SELECT doc_id,
+           |    CASE WHEN doc_id % 13 = 0 THEN 'tiny doc'
+           |         WHEN doc_id % 11 = 0 THEN text || ' ### $$$ !!! ??? *** ### $$$ !!! ??? ***'
+           |         WHEN doc_id % 17 = 0 THEN text || ' ' || repeat('z', 40) || ' ' || repeat('q', 40)
+           |         ELSE text END AS text
+           |  FROM documents WHERE doc_id < 300),
+           |t AS (SELECT doc_id, regexp_split_to_array(lower(text), '\s+') AS toks FROM corpus),
+           |s AS (SELECT doc_id,
+           |        len(toks) AS n_words,
+           |        CAST(CAST(list_sum(list_transform(toks, x -> length(x))) AS BIGINT) AS DOUBLE)
+           |          / len(toks) AS mean_word_len,
+           |        CAST(len(list_filter(toks, x -> regexp_matches(x, '[a-z]'))) AS DOUBLE)
+           |          / len(toks) AS alpha_frac,
+           |        len(list_filter(toks,
+           |          x -> x IN ('the','and','of','to','a','in','is','that','it','for'))) AS stop_hits
+           |      FROM t)
+           |SELECT doc_id, n_words, mean_word_len, alpha_frac, stop_hits,
+           |  (n_words BETWEEN 20 AND 100000) AS rule_len,
+           |  (mean_word_len BETWEEN CAST(2.0 AS DOUBLE) AND CAST(10.0 AS DOUBLE)) AS rule_word_len,
+           |  (alpha_frac >= CAST(0.8 AS DOUBLE)) AS rule_alpha,
+           |  (stop_hits >= 1) AS rule_stop,
+           |  ((n_words BETWEEN 20 AND 100000)
+           |   AND (mean_word_len BETWEEN CAST(2.0 AS DOUBLE) AND CAST(10.0 AS DOUBLE))
+           |   AND (alpha_frac >= CAST(0.8 AS DOUBLE)) AND (stop_hits >= 1)) AS keep
+           |FROM s ORDER BY doc_id""".stripMargin),
+    "One scan-side projection per doc — no shuffle, no UDF; the gate is the decision " +
+      "stage every signal query (q41/q47/q73) feeds, and at 100TB it costs one pass " +
+      "over text bytes with full pushdown.")
+
+  val all: Seq[Declared] = Seq(q87)
+}

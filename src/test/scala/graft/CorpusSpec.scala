@@ -218,6 +218,29 @@ class IngestionSpec extends AnyFunSuite {
     assert(out(0).getString(0) == "sub.news.example" && out(0).getString(1) == "news.example")
     assert(out(1).getString(0) == "" && out(1).getString(1) == "")
   }
+
+  test("E4: qualityGate — each rule fires on its own failure mode") {
+    val good = "the quick brown fox jumps over a lazy dog and then runs back " +
+      "to the barn for some rest in it" // 21 words, all alpha, stopwords present
+    val df = Seq(
+      (1L, good),                                   // keep
+      (2L, "tiny doc"),                             // rule_len fails
+      (3L, good + " ### $$$ !!! ??? *** ### $$$ !!! ??? ***"), // alpha 23/33 < 0.8
+      (4L, ("zzzzzzzzzzzzzzzzzzzz " * 25).trim))    // mean len 20 > 10; no stopwords
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.qualityGate(df, "text", "doc_id")
+      .orderBy("doc_id").collect()
+    def flags(i: Int) = (out(i).getAs[Boolean]("rule_len"),
+      out(i).getAs[Boolean]("rule_word_len"), out(i).getAs[Boolean]("rule_alpha"),
+      out(i).getAs[Boolean]("rule_stop"), out(i).getAs[Boolean]("keep"))
+    assert(flags(0) == (true, true, true, true, true))
+    assert(flags(1) == (false, true, true, false, false))
+    assert(flags(2) == (true, true, false, true, false))
+    assert(flags(3) == (true, false, true, false, false))
+    // the signals behind doc 1's verdict, hand-computed
+    assert(out(0).getAs[Int]("n_words") == 21)
+    assert(out(0).getAs[Int]("stop_hits") == 8) // the×2, a, and, to, for, in, it
+  }
 }
 
 class TextSignalsSpec extends AnyFunSuite {

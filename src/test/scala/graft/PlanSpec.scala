@@ -114,6 +114,16 @@ class PlanSpec extends AnyFunSuite {
       s"per-row text extraction must not shuffle:\n$physical")
   }
 
+  test("quality gate is one scan-side projection (zero exchanges, no UDF)") {
+    val docs = Seq((1L, "the cat sat"), (2L, "### $$$")).toDF("doc_id", "text")
+    val out = TextAnalysis.qualityGate(docs, "text", "doc_id")
+    val physical = out.queryExecution.executedPlan.toString
+    assert(!physical.contains("Exchange"),
+      s"the keep decision must not shuffle:\n$physical")
+    assert(!physical.contains("BatchEvalPython") && !physical.contains("ScalaUDF"),
+      "gate rules must stay codegen'd column expressions")
+  }
+
   test("incremental near-dup joins corpus and batch on band keys, never a cartesian") {
     val corpus = Seq((1L, "a b c d e f"), (2L, "g h i j k l")).toDF("doc_id", "text")
     val fresh = Seq((10L, "a b c d e f x")).toDF("doc_id", "text")
