@@ -187,4 +187,44 @@ object TimeSeriesOps {
     val w = Window.partitionBy(keys.map(col): _*).orderBy(orderCols: _*)
     df.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1).drop("__rn")
   }
+
+  /** A5/P10 — resample to a regular grid + forward fill (the sensor
+    * pipeline's gap repair: pandas `resample(...).ffill()` re-expressed
+    * as a plan). Three stages, all keyed on the series id:
+    *   1. bin the observations (`epoch div binSeconds` — integer, exact)
+    *      and aggregate per (key, bin): event count + max value (an
+    *      exact selection, no float accumulation);
+    *   2. explode each key's full [min_bin, max_bin] range into the
+    *      regular grid and left-join the aggregates back;
+    *   3. forward-fill empty bins with `last(_, ignoreNulls)` over the
+    *      bin order — one window pass; the first bin of every key is
+    *      observed by construction, so no leading nulls survive.
+    *
+    * Scale: event volume collapses at the first (key, bin) aggregation
+    * (map-side partials); every later stage is grid-sized — span/
+    * binSeconds rows per key regardless of volume. The join shuffles on
+    * (key, bin) and the fill window re-keys on the series id alone (one
+    * additional grid-sized shuffle). Gap rows are `is_gap = true` with
+    * n_events = 0 — auditable fill, not silent interpolation. */
+  def resampleFill(df: DataFrame, keyCol: String, tsCol: String, valueCol: String,
+      binSeconds: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(binSeconds > 0, "binSeconds must be positive")
+    val binned = df
+      .withColumn("__sec", unix_timestamp(col(tsCol)))
+      .withColumn("bin", expr(s"__sec div $binSeconds"))
+      .groupBy(col(keyCol), col("bin"))
+      .agg(count(lit(1)).as("n_events"), max(col(valueCol)).as("v_max"))
+    val grid = binned.groupBy(col(keyCol))
+      .agg(min(col("bin")).as("__b0"), max(col("bin")).as("__b1"))
+      .select(col(keyCol), explode(sequence(col("__b0"), col("__b1"))).as("bin"))
+    val fillFrame = Window.partitionBy(col(keyCol)).orderBy(col("bin"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    grid.join(binned, Seq(keyCol, "bin"), "left")
+      .withColumn("bin_ts", timestamp_seconds(col("bin") * binSeconds))
+      .withColumn("is_gap", col("n_events").isNull)
+      .withColumn("n_events", coalesce(col("n_events"), lit(0L)))
+      .withColumn("v_fill", last(col("v_max"), ignoreNulls = true).over(fillFrame))
+      .drop("v_max")
+  }
 }

@@ -416,6 +416,41 @@ object TimeSeries {
       "the shuffle keys on user_id for both streams — same co-partitioning a batch join " +
       "would use. Attribution joins are the canonical stream-stream workload.")
 
+  /** q88 — A5/P10: resample to an hourly grid + forward fill (pandas
+    * `resample().ffill()` as a distributed plan). The bin index is
+    * integer epoch division (Spark `div` ≡ DuckDB `//`); the filled
+    * value is a max — an exact selection, so no float accumulation
+    * crosses engines; gap rows carry `is_gap = true`, n_events = 0. */
+  val q88 = Declared(
+    "q88_resample_ffill", "A5,P10",
+    (s, dir) => {
+      val ev = Tables.events(s, dir).filter(col("user_id") < 6)
+      graft.ops.TimeSeriesOps.resampleFill(ev, "user_id", "ts", "value", 3600)
+        .select(col("user_id"), col("bin"), col("bin_ts"),
+          col("n_events"), col("is_gap"), col("v_fill"))
+        .orderBy(col("user_id"), col("bin"))
+    },
+    Some("""WITH e AS (
+           |  SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) // 3600 AS bin, value
+           |  FROM events WHERE user_id < 6),
+           |b AS (SELECT user_id, bin, count(*) AS n_events, max(value) AS v_max
+           |      FROM e GROUP BY 1, 2),
+           |g AS (SELECT user_id, unnest(range(min(bin), max(bin) + 1)) AS bin
+           |      FROM b GROUP BY user_id),
+           |j AS (SELECT g.user_id, g.bin, b.n_events, b.v_max
+           |      FROM g LEFT JOIN b ON g.user_id = b.user_id AND g.bin = b.bin)
+           |SELECT user_id, bin, epoch_ms(bin * 3600 * 1000) AS bin_ts,
+           |  coalesce(n_events, 0) AS n_events,
+           |  (n_events IS NULL) AS is_gap,
+           |  last_value(v_max IGNORE NULLS) OVER (
+           |    PARTITION BY user_id ORDER BY bin
+           |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v_fill
+           |FROM j
+           |ORDER BY user_id, bin""".stripMargin),
+    "Event volume collapses at the first map-side-partial (key,bin) agg; everything after " +
+      "is grid-sized (span/bin rows per key, independent of volume): the (key,bin) join " +
+      "and one key-ordered fill window. All shuffle keys are content-derived and uniform.")
+
   val all: Seq[Declared] =
-    Seq(q20, q21, q22, q23, q24, q25, q53, q54, q57, q60, q66, q76, q78)
+    Seq(q20, q21, q22, q23, q24, q25, q53, q54, q57, q60, q66, q76, q78, q88)
 }

@@ -166,4 +166,23 @@ class TimeSeriesOpsSpec extends AnyFunSuite {
     assert(Aggregates.statName("mean", "buildings", "height") == "mean_buildings_height")
     assert(Aggregates.statName("max", "", "band1") == "max_band1")
   }
+
+  test("A5: resampleFill fills interior gaps forward, per key, with gap audit") {
+    val df = Seq(
+      (1L, ts("2024-01-01 00:10:00"), 5.0),
+      (1L, ts("2024-01-01 00:40:00"), 7.0), // same bin as above → max 7.0
+      (1L, ts("2024-01-01 03:10:00"), 2.0), // bins 1,2 are gaps
+      (2L, ts("2024-01-01 10:05:00"), 9.0)  // single-bin key: no gaps
+    ).toDF("user_id", "ts", "value")
+    val out = TimeSeriesOps.resampleFill(df, "user_id", "ts", "value", 3600)
+      .orderBy("user_id", "bin")
+      .select("user_id", "n_events", "is_gap", "v_fill")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2), r.getDouble(3)))
+    assert(out.toSeq == Seq(
+      (1L, 2L, false, 7.0), // bin 0: two events, max
+      (1L, 0L, true, 7.0),  // gap, filled from bin 0
+      (1L, 0L, true, 7.0),  // gap
+      (1L, 1L, false, 2.0), // observed again
+      (2L, 1L, false, 9.0)))
+  }
 }
