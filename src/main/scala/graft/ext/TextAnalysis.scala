@@ -236,6 +236,38 @@ object TextAnalysis {
   def urlDomain(url: Column): Column =
     regexp_extract(urlHost(url), "([a-z0-9-]+\\.[a-z]+)$", 1)
 
+  /** E7 — URL canonicalization: the key-maker for URL-level dedup,
+    * domain caps and crawl frontier merging. Steps (all portable
+    * regex — no backreferences, no lookaround, so the oracle runs the
+    * SAME patterns under RE2):
+    *   - scheme and host lowercase; default ports (:80/:443) dropped
+    *   - path: slash runs collapse, trailing slash drops, empty → "/"
+    *   - query: tracking params (utm_*, fbclid, gclid, ref) drop; the
+    *     survivors SORT (param order never distinguishes resources)
+    *   - fragment drops
+    * Pure scan-side column expressions — one pass per URL, no UDF. */
+  def canonicalizeUrl(url: Column): Column = {
+    val scheme = lower(regexp_extract(url, "^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
+    val host = regexp_replace(
+      lower(regexp_extract(url, "^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)", 1)),
+      ":(80|443)$", "")
+    val path0 = regexp_replace(
+      regexp_extract(url, "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]+([^?#]*)", 1), "/+", "/")
+    val path1 = regexp_replace(path0, "/+$", "")
+    val path = when(path1 === "", lit("/")).otherwise(path1)
+    // prefix '&' so the FIRST param matches the same &-form as the rest,
+    // strip tracking params, then drop the sentinel and sort survivors
+    val qClean = regexp_replace(
+      regexp_replace(concat(lit("&"), regexp_extract(url, "\\?([^#]*)", 1)),
+        "&(utm_[a-z]+|fbclid|gclid|ref)=[^&]*", ""),
+      "^&", "")
+    val query = when(qClean === "", lit(""))
+      .otherwise(concat(lit("?"), concat_ws("&", array_sort(split(qClean, "&")))))
+    // non-URL-shaped values canonicalize to "" (same contract as urlHost)
+    when(host === "", lit(""))
+      .otherwise(concat(scheme, lit("://"), host, path, query))
+  }
+
   /** Document fingerprint: 64-bit hash of whitespace-normalized
     * lowercase text — the cheap exact-dup / shard-routing key. */
   def fingerprint(text: Column): Column =

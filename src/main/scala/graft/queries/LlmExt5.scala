@@ -67,5 +67,86 @@ object LlmExt5 {
       "stage every signal query (q41/q47/q73) feeds, and at 100TB it costs one pass " +
       "over text bytes with full pushdown.")
 
-  val all: Seq[Declared] = Seq(q87)
+  /** q89 — E7: URL canonicalization + URL-level dedup. Four raw
+    * variants per resource are planted (case-mangled host, default
+    * port, slash runs + fragment, tracking params in varying order) —
+    * identical string construction on both engines — and must collapse
+    * to one canonical key; the groups' counts and representatives are
+    * compared. The oracle reruns every canonicalization regex under
+    * RE2 with the 'g' flag (Spark's regexp_replace is global by
+    * default; DuckDB's is per-first-match without it). */
+  val q89 = Declared(
+    "q89_url_canonicalize", "E7",
+    (s, dir) => {
+      val d = col("doc_id")
+      val host = concat(lit("site"), (d % 20).cast("string"), lit(".example"))
+      val p = (d % 10).cast("string")
+      val q = (d % 5).cast("string")
+      val raw = Tables.documents(s, dir).select(d.as("doc_id"),
+        when(d % 4 === 0,
+          concat(lit("https://"), host, lit("/p/"), p, lit("?q="), q))
+          .when(d % 4 === 1,
+            concat(lit("HTTPS://"), upper(host), lit(":443/p/"), p,
+              lit("?utm_source=feed&q="), q))
+          .when(d % 4 === 2,
+            concat(lit("https://"), host, lit("//p//"), p, lit("/?q="), q,
+              lit("&utm_campaign=x#top")))
+          .otherwise(
+            concat(lit("https://"), host, lit(":443/p/"), p, lit("?ref=tw&q="), q,
+              lit("#frag"))).as("url"))
+      raw.select(col("doc_id"), TextAnalysis.canonicalizeUrl(col("url")).as("canonical"))
+        .groupBy(col("canonical"))
+        .agg(count(lit(1)).as("n_raw"), min(col("doc_id")).as("kept_doc"))
+        .orderBy(col("canonical"))
+    },
+    Some("""WITH raw AS (
+           |  SELECT doc_id,
+           |    CASE
+           |      WHEN doc_id % 4 = 0 THEN
+           |        'https://site' || CAST(doc_id % 20 AS VARCHAR) || '.example/p/' ||
+           |        CAST(doc_id % 10 AS VARCHAR) || '?q=' || CAST(doc_id % 5 AS VARCHAR)
+           |      WHEN doc_id % 4 = 1 THEN
+           |        'HTTPS://' || upper('site' || CAST(doc_id % 20 AS VARCHAR) || '.example') ||
+           |        ':443/p/' || CAST(doc_id % 10 AS VARCHAR) ||
+           |        '?utm_source=feed&q=' || CAST(doc_id % 5 AS VARCHAR)
+           |      WHEN doc_id % 4 = 2 THEN
+           |        'https://site' || CAST(doc_id % 20 AS VARCHAR) || '.example//p//' ||
+           |        CAST(doc_id % 10 AS VARCHAR) || '/?q=' || CAST(doc_id % 5 AS VARCHAR) ||
+           |        '&utm_campaign=x#top'
+           |      ELSE
+           |        'https://site' || CAST(doc_id % 20 AS VARCHAR) || '.example:443/p/' ||
+           |        CAST(doc_id % 10 AS VARCHAR) || '?ref=tw&q=' || CAST(doc_id % 5 AS VARCHAR) ||
+           |        '#frag'
+           |    END AS url
+           |  FROM documents),
+           |c AS (
+           |  SELECT doc_id,
+           |    lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+           |    regexp_replace(
+           |      lower(regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)', 1)),
+           |      ':(80|443)$', '') AS host,
+           |    regexp_replace(regexp_replace(
+           |      regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]+([^?#]*)', 1),
+           |      '/+', '/', 'g'), '/+$', '') AS path1,
+           |    regexp_replace(
+           |      regexp_replace('&' || regexp_extract(url, '\?([^#]*)', 1),
+           |        '&(utm_[a-z]+|fbclid|gclid|ref)=[^&]*', '', 'g'),
+           |      '^&', '') AS qclean
+           |  FROM raw),
+           |k AS (
+           |  SELECT doc_id,
+           |    scheme || '://' || host ||
+           |    (CASE WHEN path1 = '' THEN '/' ELSE path1 END) ||
+           |    (CASE WHEN qclean = '' THEN ''
+           |          ELSE '?' || array_to_string(list_sort(string_split(qclean, '&')), '&')
+           |     END) AS canonical
+           |  FROM c)
+           |SELECT canonical, count(*) AS n_raw, min(doc_id) AS kept_doc
+           |FROM k GROUP BY canonical
+           |ORDER BY canonical""".stripMargin),
+    "Pure scan-side canonicalization (regex chain, codegen'd) followed by one uniform " +
+      "content-keyed agg — the canonical string is THE crawl dedup / frontier-merge key; " +
+      "at 100TB group on xxhash64(canonical) to cut shuffle bytes.")
+
+  val all: Seq[Declared] = Seq(q87, q89)
 }

@@ -219,6 +219,28 @@ class IngestionSpec extends AnyFunSuite {
     assert(out(1).getString(0) == "" && out(1).getString(1) == "")
   }
 
+  test("E7: canonicalizeUrl — variants of one resource share one key") {
+    val urls = Seq(
+      "https://site.example/p/1?q=2",
+      "HTTPS://SITE.Example:443/p/1?utm_source=feed&q=2",
+      "https://site.example//p//1/?q=2&utm_campaign=x#top",
+      "https://site.example:443/p/1?ref=tw&q=2#frag")
+    val out = urls.toDF("u")
+      .select(TextAnalysis.canonicalizeUrl(col("u"))).as[String].collect()
+    assert(out.toSet == Set("https://site.example/p/1?q=2"))
+  }
+
+  test("E7: canonicalizeUrl — param sort, tracking-only query, bare host, non-URL") {
+    val cases = Seq(
+      "http://h.example?b=2&a=1"            -> "http://h.example/?a=1&b=2",
+      "https://h.example/x?utm_source=only" -> "https://h.example/x",
+      "http://h.example:80"                 -> "http://h.example/",
+      "not a url"                           -> "")
+    val out = cases.map(_._1).toDF("u")
+      .select(TextAnalysis.canonicalizeUrl(col("u"))).as[String].collect()
+    assert(out.toSeq == cases.map(_._2))
+  }
+
   test("E4: qualityGate — each rule fires on its own failure mode") {
     val good = "the quick brown fox jumps over a lazy dog and then runs back " +
       "to the barn for some rest in it" // 21 words, all alpha, stopwords present
