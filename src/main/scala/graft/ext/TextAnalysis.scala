@@ -314,6 +314,42 @@ object TextAnalysis {
           .as("mean_logp"))
   }
 
+  /** E4 — bigram conditional log-probability scoring: the second rung
+    * of the perplexity-proxy ladder above [[unigramLogProb]]. The
+    * corpus is the model — p(w2|w1) = c(w1,w2) / c(w1,·) over observed
+    * bigrams — and a document's score is its mean bigram conditional
+    * log-probability: high for well-worn continuations, very negative
+    * for scrambled/garbled text that unigram frequency alone cannot
+    * distinguish (same words, wrong order). Token log-probs quantize
+    * to integer micro-nats before the per-doc mean (q69's exactness
+    * argument: the sum is exact and order-independent).
+    *
+    * Scale: one bigram explode cached for three consumers; pair and
+    * head frequencies are uniform content-keyed aggs; the score joins
+    * are Zipf-skewed on common heads (AQE skew-split). Docs with < 2
+    * tokens emit no row. `cache = false` for callers with no release
+    * point. */
+  def bigramLogProb(docs: DataFrame, textCol: String, idCol: String,
+      cache: Boolean = true): DataFrame = {
+    val bg0 = docs.select(col(idCol), tokens(col(textCol)).as("__toks"))
+      .filter(size(col("__toks")) >= 2)
+      .select(col(idCol), explode(transform(
+        sequence(lit(1), size(col("__toks")) - 1),
+        i => struct(element_at(col("__toks"), i).as("w1"),
+          element_at(col("__toks"), i + 1).as("w2")))).as("bg"))
+      .select(col(idCol), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+    val bg = if (cache) graft.core.OperatorCaches.cached(bg0) else bg0
+    val pairFreq = bg.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c_pair"))
+    val headFreq = bg.groupBy(col("w1")).agg(count(lit(1)).as("c_head"))
+    bg.join(pairFreq, Seq("w1", "w2")).join(headFreq, Seq("w1"))
+      .withColumn("__logp_u",
+        round(log(col("c_pair").cast("double") / col("c_head")) * 1e6, 0).cast("long"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_bigrams"),
+        round(sum(col("__logp_u")).cast("double") / count(lit(1)) / 1e6, 6)
+          .as("mean_logp"))
+  }
+
   /** E4 — winnowing fingerprints (Schleimer/Wilkerson/Aiken, SIGMOD'03
     * — the MOSS algorithm): hash every k-token gram, slide a window of
     * w consecutive gram hashes, keep each window's minimum; the

@@ -148,5 +148,45 @@ object LlmExt5 {
       "content-keyed agg — the canonical string is THE crawl dedup / frontier-merge key; " +
       "at 100TB group on xxhash64(canonical) to cut shuffle bytes.")
 
-  val all: Seq[Declared] = Seq(q87, q89)
+  /** q90 — E4: bigram conditional log-prob scoring (the word-order-
+    * aware rung above q69's unigram filter). A scrambled twin of each
+    * %9 doc is planted — same unigram profile, broken bigrams — and
+    * must score strictly below well-ordered text. Micro-nat
+    * quantization keeps the per-doc mean exact across engines. */
+  val q90 = Declared(
+    "q90_bigram_logprob", "E4",
+    (s, dir) => {
+      val base = Tables.documents(s, dir).filter(col("doc_id") < 300)
+        .select(col("doc_id"), col("text"))
+      // deterministic scramble: reverse the token order of %9 docs
+      val scrambled = base.filter(col("doc_id") % 9 === 0)
+        .select((col("doc_id") + 900000).as("doc_id"),
+          concat_ws(" ", reverse(split(col("text"), "\\s+"))).as("text"))
+      TextAnalysis.bigramLogProb(base.unionByName(scrambled), "text", "doc_id")
+        .orderBy(col("doc_id"))
+    },
+    Some("""WITH corpus AS (
+           |  SELECT doc_id, text FROM documents WHERE doc_id < 300
+           |  UNION ALL
+           |  SELECT doc_id + 900000,
+           |    array_to_string(list_reverse(regexp_split_to_array(text, '\s+')), ' ')
+           |  FROM documents WHERE doc_id < 300 AND doc_id % 9 = 0),
+           |t AS (SELECT doc_id, regexp_split_to_array(lower(text), '\s+') AS toks FROM corpus),
+           |bg AS (SELECT doc_id, toks[i] AS w1, toks[i + 1] AS w2
+           |       FROM (SELECT doc_id, toks, unnest(range(1, len(toks))) AS i
+           |             FROM t WHERE len(toks) >= 2)),
+           |pf AS (SELECT w1, w2, count(*) AS c_pair FROM bg GROUP BY 1, 2),
+           |hf AS (SELECT w1, count(*) AS c_head FROM bg GROUP BY 1),
+           |s AS (SELECT doc_id,
+           |        CAST(round(ln(CAST(c_pair AS DOUBLE) / c_head) * 1e6, 0) AS BIGINT) AS lp
+           |      FROM bg JOIN pf USING (w1, w2) JOIN hf USING (w1))
+           |SELECT doc_id, count(*) AS n_bigrams,
+           |  round(CAST(sum(lp) AS DOUBLE) / count(*) / 1e6, 6) AS mean_logp
+           |FROM s GROUP BY doc_id
+           |ORDER BY doc_id""".stripMargin),
+    "Same economics as q69 one rung up: a bigram explode cached for three consumers, " +
+      "uniform content-keyed pair/head aggs, and Zipf-skewed score joins on common heads " +
+      "(AQE skew-split) — the cheap word-order-aware gate before a real LM perplexity pass.")
+
+  val all: Seq[Declared] = Seq(q87, q89, q90)
 }

@@ -310,4 +310,21 @@ class TextSignalsSpec extends AnyFunSuite {
     assert(out(2L) == ((4L, 0.25, 0.0, 1.0 / 3)))
     assert(out(3L) == ((1L, 1.0, 0.0, 0.0)))
   }
+
+  test("E4: bigramLogProb ranks a scrambled twin below its well-ordered source") {
+    // three near-identical well-ordered docs establish the model;
+    // doc 10 is doc 1 reversed — same unigrams, broken bigrams
+    val df = Seq(
+      (1L, "the cat sat on the mat"),
+      (2L, "the cat sat on the rug"),
+      (3L, "the dog sat on the mat"),
+      (10L, "mat the on sat cat the")
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.bigramLogProb(df, "text", "doc_id").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(out.keySet == Set(1L, 2L, 3L, 10L))
+    assert(out(10L)._1 == 5L) // 6 tokens → 5 bigrams
+    assert(out(10L)._2 < out(1L)._2, s"scrambled ${out(10L)} must score below ${out(1L)}")
+    assert(out(10L)._2 < out(2L)._2 && out(10L)._2 < out(3L)._2)
+  }
 }
