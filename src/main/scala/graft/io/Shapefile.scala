@@ -2,7 +2,7 @@ package graft.io
 
 import java.nio.{ByteBuffer, ByteOrder}
 import org.apache.spark.sql.{DataFrame, Row}
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.functions.{array, col}
 import org.apache.spark.sql.types._
 import graft.core.DataIOError
 
@@ -86,58 +86,92 @@ object Shapefile {
   /** Write `df` (one geometry-struct column + attributes) as a
     * POLYGON layer. Rings are emitted closed (first vertex repeated)
     * and in the spec's clockwise outer-ring orientation regardless of
-    * input winding; single-ring polygons only (the engine's geometry
-    * model). Returns the row count. */
-  def writePolygons(df: DataFrame, basePath: String): Int = {
+    * input winding. Returns the row count. */
+  def writePolygons(df: DataFrame, basePath: String): Int =
+    writePolygonsWithHoles(df, basePath, holesCol = None)
+
+  /** Write a POLYGON layer with optional interior rings (holes).
+    * `holesCol`, when given, names an `ARRAY<ARRAY<STRUCT<x,y>>>`
+    * column carrying each record's holes (empty array = none). Per the
+    * ESRI spec the outer ring is written CLOCKWISE and every hole
+    * COUNTER-clockwise, each explicitly closed, as one multi-part
+    * record (`numParts = 1 + holes`). The engine's geometry struct
+    * stays single-ring — holes are a sink-level concept, exactly like
+    * the reference's writer delegating ring assembly to the format
+    * driver. Returns the row count. */
+  def writePolygonsWithHoles(df: DataFrame, basePath: String,
+      holesCol: Option[String]): Int = {
     import graft.geo.Geo
     val geomField = findGeom(df, basePath)
-    val attrs = df.schema.fields.filter(_.name != geomField.name).toIndexedSeq
+    val attrs = df.schema.fields
+      .filter(f => f.name != geomField.name && !holesCol.contains(f.name))
+      .toIndexedSeq
+    val holesExpr = holesCol.map(col)
+      .getOrElse(array().cast("array<array<struct<x:double,y:double>>>"))
     val rows = df.select(
-      (Seq(col(geomField.name).getField("points").as("__pts")) ++
-        attrs.map(a => col(a.name))): _*).collect()
+      (Seq(col(geomField.name).getField("points").as("__pts"),
+        holesExpr.as("__holes")) ++ attrs.map(a => col(a.name))): _*).collect()
     val n = rows.length
-    val rings: IndexedSeq[IndexedSeq[(Double, Double)]] = rows.toIndexedSeq.map { r =>
-      val raw = r.getSeq[Row](0).toIndexedSeq
-        .map(p => (p.getDouble(0), p.getDouble(1)))
+
+    def ringOf(raw: IndexedSeq[(Double, Double)], clockwise: Boolean)
+        : IndexedSeq[(Double, Double)] = {
       if (raw.length < 3)
         throw DataIOError(basePath, s"polygon ring needs >= 3 vertices, got ${raw.length}")
-      // shoelace sign: > 0 = counter-clockwise in y-up coordinates;
-      // the shapefile spec wants outer rings CLOCKWISE
+      // shoelace sign: > 0 = counter-clockwise in y-up coordinates
       val closed = raw :+ raw.head
       val signed2 = closed.zip(closed.tail).map {
         case ((x1, y1), (x2, y2)) => x1 * y2 - x2 * y1
       }.sum
-      val oriented = if (signed2 > 0) raw.reverse else raw
+      val oriented =
+        if (clockwise == (signed2 > 0)) raw.reverse // wrong winding → flip
+        else raw
       oriented :+ oriented.head      // explicit closure
     }
-    val allPts = rings.flatten
+    def ptSeq(v: Any): IndexedSeq[(Double, Double)] =
+      v.asInstanceOf[scala.collection.Seq[Row]].toIndexedSeq
+        .map(p => (p.getDouble(0), p.getDouble(1)))
+
+    // one record = outer ring first (CW), then holes (CCW)
+    val records: IndexedSeq[IndexedSeq[IndexedSeq[(Double, Double)]]] =
+      rows.toIndexedSeq.map { r =>
+        val outer = ringOf(ptSeq(r.getSeq[Row](0)), clockwise = true)
+        val holes =
+          if (r.isNullAt(1)) IndexedSeq.empty
+          else r.getSeq[Any](1).toIndexedSeq.map(h => ringOf(ptSeq(h), clockwise = false))
+        outer +: holes
+      }
+    val allPts = records.flatten.flatten
     val box =
       if (allPts.isEmpty) (0.0, 0.0, 0.0, 0.0)
       else (allPts.map(_._1).min, allPts.map(_._2).min,
         allPts.map(_._1).max, allPts.map(_._2).max)
 
     // per record: 4 shape type + 32 box + 4 numParts + 4 numPoints +
-    // 4 parts[0] + 16 * numPoints  (LE), after the 8-byte BE header
-    def contentBytes(np: Int): Int = 4 + 32 + 4 + 4 + 4 + 16 * np
-    val shpLen = 100 + rings.map(rg => 8 + contentBytes(rg.length)).sum
+    // 4 * numParts part offsets + 16 * numPoints  (LE), after the
+    // 8-byte BE record header
+    def contentBytes(np: Int, parts: Int): Int = 4 + 32 + 4 + 4 + 4 * parts + 16 * np
+    def recBytes(rec: IndexedSeq[IndexedSeq[(Double, Double)]]): Int =
+      contentBytes(rec.map(_.length).sum, rec.length)
+    val shpLen = 100 + records.map(rec => 8 + recBytes(rec)).sum
     val shp = ByteBuffer.allocate(shpLen)
     shp.put(mainHeader(shapeType = 5, fileWords = shpLen / 2, box))
     val offsets = new Array[Int](n)
     var off = 100
-    rings.zipWithIndex.foreach { case (ring, i) =>
+    records.zipWithIndex.foreach { case (rec, i) =>
+      val pts = rec.flatten
       offsets(i) = off
       shp.order(ByteOrder.BIG_ENDIAN)
       shp.putInt(i + 1)
-      shp.putInt(contentBytes(ring.length) / 2)
+      shp.putInt(recBytes(rec) / 2)
       shp.order(ByteOrder.LITTLE_ENDIAN)
       shp.putInt(5)                    // Polygon
-      shp.putDouble(ring.map(_._1).min); shp.putDouble(ring.map(_._2).min)
-      shp.putDouble(ring.map(_._1).max); shp.putDouble(ring.map(_._2).max)
-      shp.putInt(1)                    // numParts
-      shp.putInt(ring.length)          // numPoints
-      shp.putInt(0)                    // parts[0]: ring starts at 0
-      ring.foreach { case (x, y) => shp.putDouble(x); shp.putDouble(y) }
-      off += 8 + contentBytes(ring.length)
+      shp.putDouble(pts.map(_._1).min); shp.putDouble(pts.map(_._2).min)
+      shp.putDouble(pts.map(_._1).max); shp.putDouble(pts.map(_._2).max)
+      shp.putInt(rec.length)           // numParts
+      shp.putInt(pts.length)           // numPoints
+      rec.scanLeft(0)(_ + _.length).init.foreach(p => shp.putInt(p)) // part start indices
+      pts.foreach { case (x, y) => shp.putDouble(x); shp.putDouble(y) }
+      off += 8 + recBytes(rec)
     }
     java.nio.file.Files.write(java.nio.file.Paths.get(basePath + ".shp"), shp.array())
 
@@ -145,11 +179,11 @@ object Shapefile {
     shx.put(mainHeader(shapeType = 5, fileWords = (100 + n * 8) / 2, box))
     shx.order(ByteOrder.BIG_ENDIAN)
     (0 until n).foreach { i =>
-      shx.putInt(offsets(i) / 2); shx.putInt(contentBytes(rings(i).length) / 2)
+      shx.putInt(offsets(i) / 2); shx.putInt(recBytes(records(i)) / 2)
     }
     java.nio.file.Files.write(java.nio.file.Paths.get(basePath + ".shx"), shx.array())
 
-    writeDbf(rows, attrs, attrOffset = 1, basePath)
+    writeDbf(rows, attrs, attrOffset = 2, basePath)
     n
   }
 

@@ -320,6 +320,50 @@ class SourcesSinksSpec extends AnyFunSuite {
     assert(sb.getInt(100) == 50 && sb.getInt(104) * 2 == shp.length - 108)
   }
 
+  test("S6: shapefile writes multi-part polygons — outer CW, holes CCW") {
+    import graft.geo.Geo
+    val dir = tmpDir()
+    // record 1: 4x4 square (given CCW) with a CW-given unit hole — the
+    // writer must flip BOTH; record 2: plain triangle, no holes
+    val df = Seq(
+      (1L,
+        Seq((0.0, 0.0), (4.0, 0.0), (4.0, 4.0), (0.0, 4.0)),
+        Seq(Seq((1.0, 1.0), (1.0, 2.0), (2.0, 2.0), (2.0, 1.0)))),
+      (2L,
+        Seq((6.0, 0.0), (7.0, 0.0), (7.0, 1.0)),
+        Seq.empty[Seq[(Double, Double)]]))
+      .toDF("id", "ring", "holes_raw")
+      .select(col("id"),
+        Geo.stPolygon(expr("transform(ring, p -> struct(p._1 as x, p._2 as y))"))
+          .as("geometry"),
+        expr("transform(holes_raw, h -> transform(h, p -> struct(p._1 as x, p._2 as y)))")
+          .as("holes"))
+    assert(graft.io.Shapefile.writePolygonsWithHoles(df, s"$dir/holes", Some("holes")) == 2)
+
+    val shp = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(s"$dir/holes.shp"))
+    val bb = java.nio.ByteBuffer.wrap(shp)
+    assert(bb.getInt(0) == 9994 && bb.getInt(24) * 2 == shp.length)
+    bb.order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    assert(bb.getInt(32) == 5)
+    // record 1: numParts=2, numPoints=10 (5+5 closed), parts=[0,5]
+    val c = 100 + 8
+    assert(bb.getInt(c) == 5)
+    assert(bb.getInt(c + 36) == 2 && bb.getInt(c + 40) == 10)
+    assert(bb.getInt(c + 44) == 0 && bb.getInt(c + 48) == 5)
+    def ring(at: Int, k: Int) = (0 until k).map(i =>
+      (bb.getDouble(at + i * 16), bb.getDouble(at + i * 16 + 8)))
+    def shoelace(p: Seq[(Double, Double)]) =
+      p.zip(p.tail).map { case ((x1, y1), (x2, y2)) => x1 * y2 - x2 * y1 }.sum
+    val outer = ring(c + 52, 5); val hole = ring(c + 52 + 5 * 16, 5)
+    assert(outer.head == outer.last && hole.head == hole.last)
+    assert(shoelace(outer) < 0, s"outer must be CW: $outer")
+    assert(shoelace(hole) > 0, s"hole must be CCW: $hole")
+    assert(hole.forall { case (x, y) => x >= 1 && x <= 2 && y >= 1 && y <= 2 })
+    // record 2 follows immediately: single part, closed triangle
+    val c2 = c + (4 + 32 + 4 + 4 + 4 * 2 + 16 * 10) + 8 // rec-1 content + rec-2 header
+    assert(bb.getInt(c2 + 36) == 1 && bb.getInt(c2 + 40) == 4)
+  }
+
   test("S6: shapefile rejects mixed-kind frames with a typed error") {
     import graft.geo.Geo
     import graft.core.DataIOError
