@@ -188,6 +188,40 @@ object TimeSeriesOps {
     df.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1).drop("__rn")
   }
 
+  /** A8/F7 — lagged autocorrelation of a binned series: how strongly a
+    * sensor's signal at bin t predicts bin t+lag (periodicity /
+    * drift detection — the diagnostic a sensor fleet runs before
+    * choosing resampling windows). Values quantize to integer units
+    * (`round(value · quantScale)`) so the per-bin sums and the Pearson
+    * correlation ride [[Aggregates.linearFitExact]]'s exact long
+    * arithmetic — bit-portable on any partitioning. Only bins observed
+    * on BOTH sides of a lag pair contribute (no imputation here;
+    * compose [[resampleFill]] upstream to correlate a gapless grid).
+    *
+    * Shape: one (key, bin) agg collapses event volume; the lag
+    * explode multiplies the BINNED series (maxLag+1 rows per bin, not
+    * per event); the self-join keys on (key, bin+lag) — equi, uniform;
+    * the final stats agg keys on (key, lag) with bounded output. */
+  def laggedAutocorrelation(df: DataFrame, keyCol: String, tsCol: String,
+      valueCol: String, binSeconds: Int, maxLag: Int,
+      quantScale: Int = 100): DataFrame = {
+    require(maxLag >= 0, "maxLag must be non-negative")
+    val series = df
+      .withColumn("__sec", unix_timestamp(col(tsCol)))
+      .withColumn("bin", expr(s"__sec div $binSeconds"))
+      .withColumn("__vq", round(col(valueCol) * quantScale, 0).cast("long"))
+      .groupBy(col(keyCol), col("bin"))
+      .agg(sum(col("__vq")).as("sv"))
+    val a = series
+      .select(col(keyCol), col("bin"), col("sv").as("x"))
+      .withColumn("lag", explode(sequence(lit(0), lit(maxLag))))
+    val b = series.select(col(keyCol).as("__k"), col("bin").as("__tbin"),
+      col("sv").as("y"))
+    val joined = a.join(b,
+      col(keyCol) === col("__k") && col("__tbin") === col("bin") + col("lag"))
+    Aggregates.linearFitExact(joined, Seq(col(keyCol), col("lag")), col("x"), col("y"))
+  }
+
   /** A5/P10 — resample to a regular grid + forward fill (the sensor
     * pipeline's gap repair: pandas `resample(...).ffill()` re-expressed
     * as a plan). Three stages, all keyed on the series id:

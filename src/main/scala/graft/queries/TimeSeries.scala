@@ -451,6 +451,53 @@ object TimeSeries {
       "is grid-sized (span/bin rows per key, independent of volume): the (key,bin) join " +
       "and one key-ordered fill window. All shuffle keys are content-derived and uniform.")
 
+  /** q91 — A8/F7: lagged autocorrelation per sensor (hourly bins,
+    * lags 0-3). Values quantize to integer hundredths, so every sum in
+    * the Pearson closed form is exact long arithmetic (q82's
+    * machinery) and the corr divisions/sqrts are bit-portable
+    * UNROUNDED. Lag 0 must come out exactly 1.0 wherever variance is
+    * nonzero — a built-in sanity row per sensor. */
+  val q91 = Declared(
+    "q91_autocorrelation", "A8,F7",
+    (s, dir) => {
+      val ev = Tables.events(s, dir).filter(col("user_id") < 8)
+      graft.ops.TimeSeriesOps.laggedAutocorrelation(
+        ev, "user_id", "ts", "value", binSeconds = 3600, maxLag = 3)
+        .select(col("user_id"), col("lag"), col("n"), col("corr"))
+        .orderBy(col("user_id"), col("lag"))
+    },
+    Some("""WITH e AS (
+           |  SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) // 3600 AS bin,
+           |         CAST(round(value * 100, 0) AS BIGINT) AS vq
+           |  FROM events WHERE user_id < 8),
+           |s AS (SELECT user_id, bin, CAST(sum(vq) AS BIGINT) AS sv
+           |      FROM e GROUP BY 1, 2),
+           |p AS (SELECT a.user_id, l.lag, a.sv AS x, b.sv AS y
+           |      FROM s a
+           |      CROSS JOIN (SELECT unnest(range(0, 4)) AS lag) l
+           |      JOIN s b ON b.user_id = a.user_id AND b.bin = a.bin + l.lag),
+           |agg AS (
+           |  SELECT user_id, lag, count(*) AS n,
+           |    CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+           |    CAST(sum(x * y) AS BIGINT) AS sxy,
+           |    CAST(sum(x * x) AS BIGINT) AS sxx,
+           |    CAST(sum(y * y) AS BIGINT) AS syy
+           |  FROM p GROUP BY 1, 2),
+           |f AS (
+           |  SELECT user_id, lag, n,
+           |    CAST(n * sxy - sx * sy AS DOUBLE) AS covn,
+           |    CAST(n * sxx - sx * sx AS DOUBLE) AS varxn,
+           |    CAST(n * syy - sy * sy AS DOUBLE) AS varyn
+           |  FROM agg)
+           |SELECT user_id, lag, n,
+           |  CASE WHEN varxn <> 0 AND varyn <> 0
+           |       THEN covn / (sqrt(varxn) * sqrt(varyn)) END AS corr
+           |FROM f
+           |ORDER BY user_id, lag""".stripMargin),
+    "Event volume dies at the (key,bin) agg; the lag explode multiplies the BINNED series " +
+      "only (maxLag+1 per bin); the self-join is a uniform (key, bin+lag) equi-join and " +
+      "the stats agg output is |keys|·(maxLag+1) rows — exact longs, no float accumulation.")
+
   val all: Seq[Declared] =
-    Seq(q20, q21, q22, q23, q24, q25, q53, q54, q57, q60, q66, q76, q78, q88)
+    Seq(q20, q21, q22, q23, q24, q25, q53, q54, q57, q60, q66, q76, q78, q88, q91)
 }

@@ -167,6 +167,26 @@ class TimeSeriesOpsSpec extends AnyFunSuite {
     assert(Aggregates.statName("max", "", "band1") == "max_band1")
   }
 
+  test("A8: laggedAutocorrelation — alternating series gives corr ±1 by lag parity") {
+    val df = (0 until 6).map { h =>
+      (1L, ts(f"2024-01-01 $h%02d:30:00"), if (h % 2 == 0) 1.0 else 3.0)
+    }.toDF("user_id", "ts", "value")
+    val out = TimeSeriesOps.laggedAutocorrelation(df, "user_id", "ts", "value", 3600, 3)
+      .orderBy("lag")
+      .select("lag", "n", "corr")
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getDouble(2)))
+    // exact long sums make these fully deterministic, so they pin
+    // bit-exactly; the odd lags land one ulp off ±1 because
+    // sqrt(varXN)·sqrt(varYN) is not exactly |covN| there — that last
+    // ulp is the IEEE-portable value BOTH engines produce (q91's oracle
+    // hash-matches it unrounded)
+    assert(out.toSeq == Seq(
+      (0, 6L, 1.0),
+      (1, 5L, -0.9999999999999999), // perfectly anti-phase, one ulp shy
+      (2, 4L, 1.0),
+      (3, 3L, -1.0)))
+  }
+
   test("A5: resampleFill fills interior gaps forward, per key, with gap audit") {
     val df = Seq(
       (1L, ts("2024-01-01 00:10:00"), 5.0),
