@@ -29,5 +29,6 @@ object Declared {
   /** All declared queries, every module. Order = documentation order. */
   lazy val all: Seq[Declared] =
     Relational.all ++ Relational2.all ++ TimeSeries.all ++ Spatial.all ++
-      LlmExt.all ++ LlmExt2.all ++ LlmExt3.all ++ LlmExt4.all ++ LlmExt5.all
+      LlmExt.all ++ LlmExt2.all ++ LlmExt3.all ++ LlmExt4.all ++ LlmExt5.all ++
+      Events.all
 }

@@ -1,0 +1,104 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.core.Tables
+import graft.ops.EventAnalytics
+
+/** Round-4 (late) event-analytics coverage: concurrency profiles,
+  * conversion funnels and retention cohorts — the ops-analytics
+  * surface over the events stream. All-integer arithmetic: every
+  * query hash-matches unrounded. */
+object Events {
+
+  /** q92 — W1/A5: sweep-line concurrency of 10-minute click sessions.
+    * The engine's two-phase plan (per-day carry + day-partitioned
+    * RANGE window) must equal the oracle's single global cumulative —
+    * midnight-crossing intervals exercise the carry seam. */
+  val q92 = Declared(
+    "q92_concurrency", "W1,A5",
+    (s, dir) => {
+      val iv = Tables.events(s, dir).filter(col("event_type") === "click")
+        .select(col("ts").as("s"),
+          (col("ts") + expr("INTERVAL 10 MINUTES")).as("e"))
+      EventAnalytics.concurrencyProfile(iv, "s", "e")
+        .orderBy(col("t"))
+    },
+    Some("""WITH iv AS (
+           |  SELECT ts AS s, ts + INTERVAL 10 MINUTE AS e
+           |  FROM events WHERE event_type = 'click'),
+           |d AS (
+           |  SELECT s AS t, 1 AS d FROM iv
+           |  UNION ALL
+           |  SELECT e AS t, -1 AS d FROM iv)
+           |SELECT DISTINCT t,
+           |  CAST(sum(d) OVER (
+           |    ORDER BY t RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           |    AS BIGINT) AS concurrency
+           |FROM d
+           |ORDER BY t""".stripMargin),
+    "No global window: the per-day net rollup (|days| rows, broadcast) prefix-sums the " +
+      "carry-in and the sweep cumulates inside day partitions — a year of 100TB events " +
+      "is 365 independent sorts, with RANGE frames making equal instants tie-free.")
+
+  /** q93 — A1/F5: strictly-ordered conversion funnel view → click →
+    * purchase. Stage i is the first matching event strictly after
+    * stage i−1 — conditional-min aggs, no per-event path walk. */
+  val q93 = Declared(
+    "q93_funnel", "A1,F5",
+    (s, dir) => {
+      val ev = Tables.events(s, dir)
+      EventAnalytics.funnelReachTimes(ev, "user_id", "ts", "event_type",
+          Seq("view", "click", "purchase"))
+        .agg(count(col("t_view")).as("reached_view"),
+          count(col("t_click")).as("reached_click"),
+          count(col("t_purchase")).as("reached_purchase"))
+    },
+    Some("""WITH s1 AS (
+           |  SELECT user_id, min(ts) FILTER (WHERE event_type = 'view') AS t_view
+           |  FROM events GROUP BY user_id),
+           |s2 AS (
+           |  SELECT s1.user_id, s1.t_view,
+           |    min(e.ts) FILTER (WHERE e.event_type = 'click' AND e.ts > s1.t_view) AS t_click
+           |  FROM events e JOIN s1 ON e.user_id = s1.user_id
+           |  GROUP BY s1.user_id, s1.t_view),
+           |s3 AS (
+           |  SELECT s2.user_id, s2.t_view, s2.t_click,
+           |    min(e.ts) FILTER (WHERE e.event_type = 'purchase' AND e.ts > s2.t_click)
+           |      AS t_purchase
+           |  FROM events e JOIN s2 ON e.user_id = s2.user_id
+           |  GROUP BY s2.user_id, s2.t_view, s2.t_click)
+           |SELECT count(t_view) AS reached_view,
+           |       count(t_click) AS reached_click,
+           |       count(t_purchase) AS reached_purchase
+           |FROM s3""".stripMargin),
+    "One actor-keyed conditional-min agg per stage (map-side partials; k stages = k " +
+      "uniform shuffles on the actor id) — funnel semantics without materializing any " +
+      "per-event path state; the final count is a 1-row reduce.")
+
+  /** q94 — A1/F6: retention cohorts — actors cohort by first-seen day,
+    * cell (cohort_day, k) counts distinct actors active exactly k days
+    * later. Pure integer date arithmetic. */
+  val q94 = Declared(
+    "q94_retention", "A1,F6",
+    (s, dir) => {
+      val ev = Tables.events(s, dir)
+      EventAnalytics.retentionCohorts(ev, "user_id", "ts", maxDays = 7)
+        .select(col("cohort_day"), col("k").cast("long").as("k"), col("users"))
+        .orderBy(col("cohort_day"), col("k"))
+    },
+    Some("""WITH fs AS (
+           |  SELECT user_id, min(CAST(ts AS DATE)) AS cohort_day
+           |  FROM events GROUP BY user_id),
+           |act AS (
+           |  SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events)
+           |SELECT cohort_day, CAST(d - cohort_day AS BIGINT) AS k, count(*) AS users
+           |FROM act JOIN fs USING (user_id)
+           |WHERE d - cohort_day BETWEEN 0 AND 7
+           |GROUP BY cohort_day, k
+           |ORDER BY cohort_day, k""".stripMargin),
+    "Two actor-keyed aggs (first-seen, distinct active days) + one actor equi-join; " +
+      "output is |days| × (maxDays+1) cells — bounded and broadcast-friendly however " +
+      "large the event volume grows.")
+
+  val all: Seq[Declared] = Seq(q92, q93, q94)
+}

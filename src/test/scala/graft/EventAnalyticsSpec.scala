@@ -1,0 +1,83 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.ops.EventAnalytics
+
+class EventAnalyticsSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private def ts(s: String) = java.sql.Timestamp.valueOf(s)
+
+  test("W1: concurrencyProfile — half-open semantics across a midnight seam") {
+    // two intervals cross midnight; one lives inside the next day
+    val df = Seq(
+      (ts("2024-01-01 23:50:00"), ts("2024-01-02 00:05:00")),
+      (ts("2024-01-01 23:55:00"), ts("2024-01-02 00:10:00")),
+      (ts("2024-01-02 00:00:00"), ts("2024-01-02 00:02:00")))
+      .toDF("s", "e")
+    val out = EventAnalytics.concurrencyProfile(df, "s", "e")
+      .orderBy("t").collect()
+      .map(r => (r.getTimestamp(0).toString, r.getLong(1)))
+    assert(out.toSeq == Seq(
+      ("2024-01-01 23:50:00.0", 1L),
+      ("2024-01-01 23:55:00.0", 2L),
+      ("2024-01-02 00:00:00.0", 3L), // carry-in 2 from day 1 + new start
+      ("2024-01-02 00:02:00.0", 2L),
+      ("2024-01-02 00:05:00.0", 1L),
+      ("2024-01-02 00:10:00.0", 0L)))
+  }
+
+  test("W1: concurrencyProfile — a start and an end at the same instant cancel") {
+    val df = Seq(
+      (ts("2024-01-01 10:00:00"), ts("2024-01-01 11:00:00")),
+      (ts("2024-01-01 11:00:00"), ts("2024-01-01 12:00:00")))
+      .toDF("s", "e")
+    val out = EventAnalytics.concurrencyProfile(df, "s", "e")
+      .orderBy("t").collect().map(r => (r.getTimestamp(0).toString, r.getLong(1)))
+    // [10,11) and [11,12): at 11:00 exactly one is active (half-open)
+    assert(out.toSeq == Seq(
+      ("2024-01-01 10:00:00.0", 1L),
+      ("2024-01-01 11:00:00.0", 1L),
+      ("2024-01-01 12:00:00.0", 0L)))
+  }
+
+  test("A1: funnelReachTimes — strict order; wrong-order actors stall") {
+    val df = Seq(
+      (1L, ts("2024-01-01 10:00:00"), "view"),
+      (1L, ts("2024-01-01 10:05:00"), "click"),
+      (1L, ts("2024-01-01 10:10:00"), "purchase"), // completes
+      (2L, ts("2024-01-01 10:00:00"), "purchase"), // purchase BEFORE view/click
+      (2L, ts("2024-01-01 10:05:00"), "view"),
+      (2L, ts("2024-01-01 10:06:00"), "click"),    // reaches click only
+      (3L, ts("2024-01-01 09:00:00"), "click"))    // never views
+      .toDF("user_id", "ts", "event_type")
+    val out = EventAnalytics.funnelReachTimes(df, "user_id", "ts", "event_type",
+        Seq("view", "click", "purchase"))
+      .orderBy("user_id").collect()
+      .map(r => (r.getLong(0), !r.isNullAt(1), !r.isNullAt(2), !r.isNullAt(3)))
+    assert(out.toSeq == Seq(
+      (1L, true, true, true),
+      (2L, true, true, false),
+      (3L, false, false, false)))
+  }
+
+  test("A1: retentionCohorts counts distinct actors per (cohort, k) cell") {
+    val df = Seq(
+      (1L, ts("2024-01-01 10:00:00")),
+      (1L, ts("2024-01-01 18:00:00")), // same day — distinct-day dedup
+      (1L, ts("2024-01-03 09:00:00")), // k = 2
+      (2L, ts("2024-01-01 11:00:00")), // k = 0 only
+      (3L, ts("2024-01-02 08:00:00")), // own cohort, k = 0
+      (3L, ts("2024-01-12 08:00:00"))) // k = 10 > maxDays → dropped
+      .toDF("user_id", "ts")
+    val out = EventAnalytics.retentionCohorts(df, "user_id", "ts", maxDays = 7)
+      .orderBy("cohort_day", "k").collect()
+      .map(r => (r.getDate(0).toString, r.getInt(1), r.getLong(2)))
+    assert(out.toSeq == Seq(
+      ("2024-01-01", 0, 2L),
+      ("2024-01-01", 2, 1L),
+      ("2024-01-02", 0, 1L)))
+  }
+}
