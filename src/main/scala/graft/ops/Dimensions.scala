@@ -1,0 +1,54 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Slowly-changing-dimension maintenance — the warehouse-side merge
+  * that keeps attribute history when an upstream batch lands. */
+object Dimensions {
+
+  /** SCD type-2 merge of an updates batch into the OPEN slice of a
+    * dimension (rows with `valid_to IS NULL`; closed history passes
+    * through the caller untouched). One full-outer equi-join on the
+    * business key decides each key's fate:
+    *   - attribute change → the open row closes at `batchDate` and a
+    *     new open row starts there (two output rows);
+    *   - no-op update (attributes null-safe equal) → open row unchanged;
+    *   - dimension-only key → open row unchanged;
+    *   - brand-new key → one open row starting at `batchDate`.
+    * Comparison is null-safe (`<=>`) per attribute column; emission is
+    * a conditional struct-array explode — one pass, no second join.
+    *
+    * Scale: a single business-key equi-join (uniform hash key) + a
+    * scan-side explode; output ≤ |dim| + 2·|updates|. The operator is
+    * idempotent for a repeated identical batch: re-applying yields
+    * only no-op branches. */
+  def scd2Apply(dim: DataFrame, updates: DataFrame, keyCol: String,
+      attrCols: Seq[String], fromCol: String, toCol: String,
+      batchDate: String): DataFrame = {
+    require(attrCols.nonEmpty, "scd2 needs at least one tracked attribute")
+    val batch = to_date(lit(batchDate))
+    val d = dim.select(col(keyCol) +: (attrCols.map(c => col(c).as(s"__d_$c")) ++
+      Seq(col(fromCol).as("__d_from"), col(toCol).as("__d_to"),
+        lit(1).as("__d_present"))): _*)
+    val u = updates.select(col(keyCol) +: (attrCols.map(c => col(c).as(s"__u_$c")) :+
+      lit(1).as("__u_present")): _*)
+    val joined = d.join(u, Seq(keyCol), "full_outer")
+    // presence markers, not attr nullness: an all-null row still counts
+    val inDim = col("__d_present").isNotNull
+    val inUpd = col("__u_present").isNotNull
+    val changed = attrCols.map(c => !(col(s"__d_$c") <=> col(s"__u_$c"))).reduce(_ || _)
+    def rowOf(prefix: String, from: Column, to: Column) =
+      struct((attrCols.map(c => col(s"__$prefix$c").as(c)) ++
+        Seq(from.as(fromCol), to.as(toCol))): _*)
+    val keepOpen = rowOf("d_", col("__d_from"), col("__d_to"))
+    val branches = when(inDim && inUpd && changed,
+        array(rowOf("d_", col("__d_from"), batch),        // close old
+          rowOf("u_", batch, lit(null).cast("date"))))    // open new
+      .when(inDim, array(keepOpen))                       // no-op or dim-only
+      .otherwise(array(rowOf("u_", batch, lit(null).cast("date")))) // new key
+    joined.select(col(keyCol), explode(branches).as("__r"))
+      .select(col(keyCol) +: (attrCols.map(c => col(s"__r.$c")) ++
+        Seq(col(s"__r.$fromCol"), col(s"__r.$toCol"))): _*)
+  }
+}

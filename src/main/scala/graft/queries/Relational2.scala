@@ -204,5 +204,61 @@ object Relational2 {
     "Pivot with EXPLICIT value list compiles to conditional aggs in one pass; without the list " +
       "Spark runs an extra distinct job to discover values — always pin the list at scale.")
 
-  val all: Seq[Declared] = Seq(q26, q27, q28, q29, q48, q49, q50, q52, q56)
+  /** q95 — J1/U-merge: SCD type-2 dimension merge. The updates batch
+    * plants all four fates against the open customer dimension:
+    * %3 = changed segment (close + reopen), %5 = 1 no-op update, new
+    * keys (+100000), everything else dimension-only. The oracle
+    * rebuilds the same output as four explicit UNION ALL branches. */
+  val q95 = Declared(
+    "q95_scd2_merge", "J1,U2",
+    (s, dir) => {
+      val c = Tables.customer(s, dir)
+      val dim = c.select(col("c_custkey"), col("c_mktsegment"),
+        to_date(lit("2020-01-01")).as("valid_from"),
+        lit(null).cast("date").as("valid_to"))
+      val updates = c.filter(col("c_custkey") % 3 === 0)
+        .select(col("c_custkey"), concat(lit("moved "), col("c_mktsegment")).as("c_mktsegment"))
+        .unionByName(c.filter(col("c_custkey") % 5 === 1)
+          .select(col("c_custkey"), col("c_mktsegment")))   // no-op batch rows
+        .unionByName(c.filter(col("c_custkey") % 4 === 2)
+          .select((col("c_custkey") + 100000).as("c_custkey"),
+            lit("NEWSEGMENT").as("c_mktsegment")))
+      graft.ops.Dimensions.scd2Apply(dim, updates, "c_custkey",
+          Seq("c_mktsegment"), "valid_from", "valid_to", "2024-06-01")
+        .orderBy(col("c_custkey"), col("valid_from"), col("c_mktsegment"))
+    },
+    Some("""WITH dim AS (
+           |  SELECT c_custkey, c_mktsegment,
+           |         DATE '2020-01-01' AS valid_from, CAST(NULL AS DATE) AS valid_to
+           |  FROM customer),
+           |upd AS (
+           |  SELECT c_custkey, 'moved ' || c_mktsegment AS c_mktsegment
+           |  FROM customer WHERE c_custkey % 3 = 0
+           |  UNION ALL
+           |  SELECT c_custkey, c_mktsegment FROM customer WHERE c_custkey % 5 = 1
+           |  UNION ALL
+           |  SELECT c_custkey + 100000, 'NEWSEGMENT' FROM customer WHERE c_custkey % 4 = 2),
+           |changed AS (
+           |  SELECT d.c_custkey, d.c_mktsegment AS old_seg, u.c_mktsegment AS new_seg,
+           |         d.valid_from
+           |  FROM dim d JOIN upd u USING (c_custkey)
+           |  WHERE d.c_mktsegment IS DISTINCT FROM u.c_mktsegment)
+           |SELECT c_custkey, old_seg AS c_mktsegment, valid_from, DATE '2024-06-01' AS valid_to
+           |FROM changed
+           |UNION ALL
+           |SELECT c_custkey, new_seg, DATE '2024-06-01', CAST(NULL AS DATE) FROM changed
+           |UNION ALL
+           |SELECT d.c_custkey, d.c_mktsegment, d.valid_from, d.valid_to
+           |FROM dim d LEFT JOIN upd u USING (c_custkey)
+           |WHERE u.c_custkey IS NULL OR d.c_mktsegment IS NOT DISTINCT FROM u.c_mktsegment
+           |UNION ALL
+           |SELECT u.c_custkey, u.c_mktsegment, DATE '2024-06-01', CAST(NULL AS DATE)
+           |FROM upd u
+           |WHERE NOT EXISTS (SELECT 1 FROM dim d WHERE d.c_custkey = u.c_custkey)
+           |ORDER BY 1, 3, 2""".stripMargin),
+    "One business-key full-outer equi-join (uniform hash key) + a scan-side conditional " +
+      "explode — no second pass, output <= |dim| + 2|updates|; idempotent on a repeated " +
+      "batch (re-apply yields only no-op branches). THE nightly warehouse merge shape.")
+
+  val all: Seq[Declared] = Seq(q26, q27, q28, q29, q48, q49, q50, q52, q56, q95)
 }

@@ -63,6 +63,43 @@ class EventAnalyticsSpec extends AnyFunSuite {
       (3L, false, false, false)))
   }
 
+  test("U2: scd2Apply — all four fates in one merge, then idempotence") {
+    import graft.ops.Dimensions
+    val dim = Seq(
+      (1L, "gold"), (2L, "silver"), (3L, "bronze"))
+      .toDF("k", "seg")
+      .select(col("k"), col("seg"),
+        to_date(lit("2020-01-01")).as("vf"), lit(null).cast("date").as("vt"))
+    val upd = Seq(
+      (1L, "platinum"), // changed → close + reopen
+      (2L, "silver"),   // no-op update
+      (9L, "new"))      // brand-new key; 3L is dim-only
+      .toDF("k", "seg")
+    val out = Dimensions.scd2Apply(dim, upd, "k", Seq("seg"), "vf", "vt", "2024-06-01")
+      .orderBy("k", "vf")
+      .collect().map(r => (r.getLong(0), r.getString(1),
+        r.getDate(2).toString, Option(r.getDate(3)).map(_.toString).orNull))
+    assert(out.toSeq == Seq(
+      (1L, "gold", "2020-01-01", "2024-06-01"),
+      (1L, "platinum", "2024-06-01", null),
+      (2L, "silver", "2020-01-01", null),
+      (3L, "bronze", "2020-01-01", null),
+      (9L, "new", "2024-06-01", null)))
+    // idempotence: re-applying the SAME batch to the new open slice
+    // changes nothing (every key hits the no-op branch)
+    val open = Dimensions.scd2Apply(dim, upd, "k", Seq("seg"), "vf", "vt", "2024-06-01")
+      .filter(col("vt").isNull)
+    val again = Dimensions.scd2Apply(open, upd, "k", Seq("seg"), "vf", "vt", "2024-07-01")
+      .orderBy("k", "vf")
+      .collect().map(r => (r.getLong(0), r.getString(1),
+        r.getDate(2).toString, Option(r.getDate(3)).map(_.toString).orNull))
+    assert(again.toSeq == Seq(
+      (1L, "platinum", "2024-06-01", null),
+      (2L, "silver", "2020-01-01", null),
+      (3L, "bronze", "2020-01-01", null),
+      (9L, "new", "2024-06-01", null)))
+  }
+
   test("A1: retentionCohorts counts distinct actors per (cohort, k) cell") {
     val df = Seq(
       (1L, ts("2024-01-01 10:00:00")),
