@@ -260,5 +260,40 @@ object Relational2 {
       "explode — no second pass, output <= |dim| + 2|updates|; idempotent on a repeated " +
       "batch (re-apply yields only no-op branches). THE nightly warehouse merge shape.")
 
-  val all: Seq[Declared] = Seq(q26, q27, q28, q29, q48, q49, q50, q52, q56, q95)
+  /** q96 — X4 (pivot inverse): unpivot/melt — wide measure columns to
+    * tall (measure, value) rows, the reshape every plotting/export
+    * stage wants. Melt AFTER the aggregate: 6 rows × 3 measures, not
+    * 3× the fact table. */
+  val q96 = Declared(
+    "q96_unpivot", "X4,A1",
+    (s, dir) => {
+      val agg = Tables.lineitem(s, dir)
+        .groupBy(col("l_returnflag"))
+        .agg(round(sum(col("l_quantity")), 2).as("sum_qty"),
+          round(sum(col("l_extendedprice")), 2).as("sum_price"),
+          round(sum(col("l_discount")), 2).as("sum_disc"))
+      agg.unpivot(
+          ids = Array(col("l_returnflag")),
+          values = Array(col("sum_qty"), col("sum_price"), col("sum_disc")),
+          variableColumnName = "measure",
+          valueColumnName = "value")
+        .orderBy(col("l_returnflag"), col("measure"))
+    },
+    Some("""WITH a AS (
+           |  SELECT l_returnflag,
+           |    round(sum(l_quantity), 2) AS sum_qty,
+           |    round(sum(l_extendedprice), 2) AS sum_price,
+           |    round(sum(l_discount), 2) AS sum_disc
+           |  FROM lineitem GROUP BY 1)
+           |SELECT l_returnflag, 'sum_qty' AS measure, sum_qty AS value FROM a
+           |UNION ALL
+           |SELECT l_returnflag, 'sum_price', sum_price FROM a
+           |UNION ALL
+           |SELECT l_returnflag, 'sum_disc', sum_disc FROM a
+           |ORDER BY 1, 2""".stripMargin),
+    "Melt placement is the scale decision: after the aggregate it reshapes |groups| rows; " +
+      "before it, it would triple the fact-table scan. Unpivot itself is a scan-side " +
+      "generator — no shuffle beyond the agg that feeds it.")
+
+  val all: Seq[Declared] = Seq(q26, q27, q28, q29, q48, q49, q50, q52, q56, q95, q96)
 }
