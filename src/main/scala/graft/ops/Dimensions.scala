@@ -51,4 +51,30 @@ object Dimensions {
       .select(col(keyCol) +: (attrCols.map(c => col(s"__r.$c")) ++
         Seq(col(s"__r.$fromCol"), col(s"__r.$toCol"))): _*)
   }
+
+  /** Snapshot diff (the batch CDC kernel): compare two snapshots of
+    * the same table on a business key and emit one row per difference,
+    * tagged `insert` / `delete` / `update` (null-safe attribute
+    * compare; unchanged keys emit nothing). Old attribute values ride
+    * along `old_`-prefixed for update auditing. One full-outer
+    * equi-join on the key — uniform hash, map-side pruned to the
+    * changed minority by the filter. */
+  def snapshotDiff(before: DataFrame, after: DataFrame, keyCol: String,
+      attrCols: Seq[String]): DataFrame = {
+    require(attrCols.nonEmpty, "diff needs at least one compared attribute")
+    val b = before.select(col(keyCol) +: (attrCols.map(c => col(c).as(s"__b_$c")) :+
+      lit(1).as("__b_present")): _*)
+    val a = after.select(col(keyCol) +: (attrCols.map(c => col(c).as(s"__a_$c")) :+
+      lit(1).as("__a_present")): _*)
+    val changed = attrCols.map(c => !(col(s"__b_$c") <=> col(s"__a_$c"))).reduce(_ || _)
+    b.join(a, Seq(keyCol), "full_outer")
+      .withColumn("change_type",
+        when(col("__b_present").isNull, lit("insert"))
+          .when(col("__a_present").isNull, lit("delete"))
+          .when(changed, lit("update")))
+      .filter(col("change_type").isNotNull)
+      .select(col(keyCol) +: col("change_type") +:
+        (attrCols.map(c => col(s"__a_$c").as(c)) ++
+          attrCols.map(c => col(s"__b_$c").as(s"old_$c"))): _*)
+  }
 }

@@ -71,6 +71,34 @@ object EventAnalytics {
     }
   }
 
+  /** Merge overlapping-or-touching half-open intervals `[s, e)` per
+    * key (gaps-and-islands): an interval starts a new island exactly
+    * when its start exceeds the running max end of everything before
+    * it. One key-partitioned window sort computes the island flags and
+    * ids; a (key, island) agg emits each island's span and size. Both
+    * decisions depend only on VALUES (ties share start/end), so the
+    * output is deterministic under any tie order.
+    *
+    * Scale: one shuffle keyed on the series key for the window, one
+    * map-side-partial agg on (key, island) — a hot key costs one
+    * partition sort, the same regime as every window op here. */
+  def mergeIntervals(df: DataFrame, keyCol: String, startCol: String,
+      endCol: String): DataFrame = {
+    val byKey = Window.partitionBy(col(keyCol))
+      .orderBy(col(startCol), col(endCol))
+    val prevMaxEnd = max(col(endCol))
+      .over(byKey.rowsBetween(Window.unboundedPreceding, -1))
+    df.withColumn("__new_island",
+        when(prevMaxEnd.isNull || col(startCol) > prevMaxEnd, 1).otherwise(0))
+      .withColumn("__island",
+        sum(col("__new_island")).over(byKey.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy(col(keyCol), col("__island"))
+      .agg(min(col(startCol)).as("island_start"),
+        max(col(endCol)).as("island_end"),
+        count(lit(1)).as("n_intervals"))
+      .drop("__island")
+  }
+
   /** Retention cohorts: actors cohort by their first-seen day; the
     * (cohort_day, k) cell counts distinct actors active exactly k days
     * after their cohort day. Two actor-keyed aggs + one join; output

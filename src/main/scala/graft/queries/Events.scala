@@ -100,5 +100,43 @@ object Events {
       "output is |days| × (maxDays+1) cells — bounded and broadcast-friendly however " +
       "large the event volume grows.")
 
-  val all: Seq[Declared] = Seq(q92, q93, q94)
+  /** q98 — W-frame/A5: merge overlapping 10-minute click intervals per
+    * user (gaps-and-islands). Island starts depend only on VALUES
+    * (start vs running max end), so Spark's and DuckDB's tie orders
+    * cannot diverge the grouping. */
+  val q98 = Declared(
+    "q98_interval_merge", "W-frame,A5",
+    (s, dir) => {
+      val iv = Tables.events(s, dir).filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts").as("s"),
+          (col("ts") + expr("INTERVAL 10 MINUTES")).as("e"))
+      EventAnalytics.mergeIntervals(iv, "user_id", "s", "e")
+        .orderBy(col("user_id"), col("island_start"))
+    },
+    Some("""WITH iv AS (
+           |  SELECT user_id, ts AS s, ts + INTERVAL 10 MINUTE AS e
+           |  FROM events WHERE event_type = 'click'),
+           |w AS (
+           |  SELECT user_id, s, e,
+           |    max(e) OVER (PARTITION BY user_id ORDER BY s, e
+           |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pme
+           |  FROM iv),
+           |f AS (
+           |  SELECT user_id, s, e,
+           |    CASE WHEN pme IS NULL OR s > pme THEN 1 ELSE 0 END AS ni
+           |  FROM w),
+           |i AS (
+           |  SELECT user_id, s, e,
+           |    sum(ni) OVER (PARTITION BY user_id ORDER BY s, e
+           |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+           |  FROM f)
+           |SELECT user_id, min(s) AS island_start, max(e) AS island_end,
+           |       count(*) AS n_intervals
+           |FROM i GROUP BY user_id, island
+           |ORDER BY user_id, island_start""".stripMargin),
+    "One key-partitioned window sort (flags + island ids share it) and one map-side-" +
+      "partial (key, island) agg; a hot key costs one partition sort. The merged spans " +
+      "are what downstream joins should key on instead of raw bursty intervals.")
+
+  val all: Seq[Declared] = Seq(q92, q93, q94, q98)
 }

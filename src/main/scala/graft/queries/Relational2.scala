@@ -295,5 +295,49 @@ object Relational2 {
       "before it, it would triple the fact-table scan. Unpivot itself is a scan-side " +
       "generator — no shuffle beyond the agg that feeds it.")
 
-  val all: Seq[Declared] = Seq(q26, q27, q28, q29, q48, q49, q50, q52, q56, q95, q96)
+  /** q97 — J1/U-diff: snapshot diff (batch CDC). The after-image
+    * plants all three fates against orders: %7 = status flip (update),
+    * %11 = 3 dropped (delete), %13 = 0 re-keyed (+10M) as inserts;
+    * unchanged keys must emit nothing. The oracle rebuilds the diff
+    * as three explicit branches. */
+  val q97 = Declared(
+    "q97_snapshot_diff", "J1,U2",
+    (s, dir) => {
+      val o = Tables.orders(s, dir)
+      val before = o.select(col("o_orderkey"), col("o_orderstatus"))
+      val after = o.filter(col("o_orderkey") % 11 =!= 3)
+        .select(col("o_orderkey"),
+          when(col("o_orderkey") % 7 === 0, lit("X"))
+            .otherwise(col("o_orderstatus")).as("o_orderstatus"))
+        .unionByName(o.filter(col("o_orderkey") % 13 === 0)
+          .select((col("o_orderkey") + 10000000).as("o_orderkey"),
+            lit("N").as("o_orderstatus")))
+      graft.ops.Dimensions.snapshotDiff(before, after, "o_orderkey",
+          Seq("o_orderstatus"))
+        .orderBy(col("o_orderkey"), col("change_type"))
+    },
+    Some("""WITH b AS (SELECT o_orderkey AS k, o_orderstatus AS st FROM orders),
+           |a AS (
+           |  SELECT o_orderkey AS k,
+           |         CASE WHEN o_orderkey % 7 = 0 THEN 'X' ELSE o_orderstatus END AS st
+           |  FROM orders WHERE o_orderkey % 11 <> 3
+           |  UNION ALL
+           |  SELECT o_orderkey + 10000000, 'N' FROM orders WHERE o_orderkey % 13 = 0)
+           |SELECT a.k AS o_orderkey, 'insert' AS change_type,
+           |       a.st AS o_orderstatus, CAST(NULL AS VARCHAR) AS old_o_orderstatus
+           |FROM a WHERE NOT EXISTS (SELECT 1 FROM b WHERE b.k = a.k)
+           |UNION ALL
+           |SELECT b.k, 'delete', CAST(NULL AS VARCHAR), b.st
+           |FROM b WHERE NOT EXISTS (SELECT 1 FROM a WHERE a.k = b.k)
+           |UNION ALL
+           |SELECT b.k, 'update', a.st, b.st
+           |FROM b JOIN a ON b.k = a.k
+           |WHERE b.st IS DISTINCT FROM a.st
+           |ORDER BY 1, 2""".stripMargin),
+    "One full-outer equi-join on the business key; unchanged keys (the 100TB majority) " +
+      "die in the filter immediately after the join — the diff output is minority-sized. " +
+      "This is the kernel every incremental-materialization/CDC pipeline reduces to.")
+
+  val all: Seq[Declared] =
+    Seq(q26, q27, q28, q29, q48, q49, q50, q52, q56, q95, q96, q97)
 }
