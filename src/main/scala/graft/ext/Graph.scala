@@ -97,4 +97,65 @@ object Graph {
   def dedupClusters(pairs: DataFrame, idA: String, idB: String): DataFrame =
     connectedComponents(pairs, idA, idB)
       .withColumn("is_canonical", col("node") === col("component"))
+
+  /** Fixed-point integer PageRank over the UNDIRECTED graph given by
+    * `edges` (each edge contributes both directions; duplicate edges
+    * collapse). `iters` damped rounds from a uniform start:
+    *
+    *   r_0(v)     = unit                     (unit = 1.0 in micro-units)
+    *   r_{k+1}(v) = base + (num · Σ_{u∈N(v)} r_k(u) div deg(u)) div den
+    *   base       = unit − (num · unit) div den
+    *
+    * ALL arithmetic is 64-bit integer with explicit floor division
+    * (`div`), so the result is bit-identical under any partitioning,
+    * accumulation order, executor count — and any engine: long sums
+    * commute exactly, unlike the textbook double formulation whose low
+    * bits depend on reduce order. Precision loss per division is
+    * < 1 micro-unit per neighbor, irrelevant for ranking.
+    *
+    * Scale: the symmetrized edge list is localCheckpoint'd once and
+    * re-read each round; a round is ONE equi-join keyed on node id and
+    * ONE aggregation keyed on the destination — both uniform-key
+    * shuffles (no per-iteration driver traffic at all; the iteration
+    * count is fixed, not convergence-tested). Ranks are checkpointed
+    * per round so the plan stays constant-size. Link analysis like
+    * this is the crawl-frontier prioritizer of a web-scale corpus
+    * pipeline: rank mass ≈ how reachable a host/doc is.
+    *
+    * Returns one row per node: (node, rank_ppm) with rank in
+    * micro-units (1 000 000 = the uniform start mass). */
+  def pageRank(edges: DataFrame, srcCol: String, dstCol: String,
+      iters: Int = 3, dampNum: Int = 85, dampDen: Int = 100,
+      unit: Long = 1000000L): DataFrame = {
+    require(iters >= 1, "iters must be >= 1")
+    require(dampDen > 0 && dampNum >= 0 && dampNum <= dampDen,
+      "damping must satisfy 0 <= num <= den")
+    val sym = edges.select(explode(array(
+        struct(col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst")),
+        struct(col(dstCol).cast("long").as("src"), col(srcCol).cast("long").as("dst"))))
+        .as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"))
+      .distinct()
+      .localCheckpoint() // read twice per round (contrib side + degree base)
+    val deg = sym.groupBy(col("src").as("node")).agg(count(lit(1)).as("deg"))
+      .localCheckpoint()
+    val base = unit - (dampNum.toLong * unit) / dampDen
+    var ranks = deg.withColumn("rank_ppm", lit(unit))
+    var i = 0
+    while (i < iters) {
+      // every node keeps its own degree alongside its rank, so the
+      // contribution r div deg is a scan-side projection, not a join
+      val contrib = ranks.select(col("node").as("src"),
+        expr("rank_ppm div deg").as("c"))
+      val inflow = sym.join(contrib, "src")
+        .groupBy(col("dst").as("node")).agg(sum(col("c")).as("inflow"))
+      ranks = deg.join(inflow, Seq("node"), "left")
+        .select(col("node"), col("deg"),
+          expr(s"${base}L + (${dampNum}L * coalesce(inflow, 0L)) div ${dampDen}L")
+            .as("rank_ppm"))
+        .localCheckpoint() // constant-size plan per round
+      i += 1
+    }
+    ranks.select(col("node"), col("rank_ppm"))
+  }
 }

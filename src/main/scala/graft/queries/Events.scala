@@ -138,5 +138,39 @@ object Events {
       "partial (key, island) agg; a hot key costs one partition sort. The merged spans " +
       "are what downstream joins should key on instead of raw bursty intervals.")
 
-  val all: Seq[Declared] = Seq(q92, q93, q94, q98)
+  /** q102 — W-frame/A1: first-order event-type transition matrix (the
+    * Markov view of user journeys): per-user lead() pairs, counted,
+    * with the row-conditional probability. The per-user order is made
+    * TOTAL (ts, then event_id) so equal-timestamp neighbors can't pair
+    * differently between engines; p is the same int/int division of
+    * identical counts on both sides. */
+  val q102 = Declared(
+    "q102_transitions", "W-frame,A1",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      val pairs = Tables.events(s, dir)
+        .select(col("user_id"), col("event_type").as("src"),
+          lead(col("event_type"), 1).over(w).as("dst"))
+        .filter(col("dst").isNotNull)
+      pairs.groupBy(col("src"), col("dst")).agg(count(lit(1)).as("n"))
+        .withColumn("p", round(col("n") /
+          sum(col("n")).over(Window.partitionBy(col("src"))), 6))
+        .orderBy(col("src"), col("dst"))
+    },
+    Some("""WITH t AS (
+           |  SELECT event_type AS src,
+           |         lead(event_type) OVER (
+           |           PARTITION BY user_id ORDER BY ts, event_id) AS dst
+           |  FROM events),
+           |c AS (SELECT src, dst, count(*) AS n
+           |      FROM t WHERE dst IS NOT NULL GROUP BY src, dst)
+           |SELECT src, dst, n,
+           |       round(CAST(n AS DOUBLE) / sum(n) OVER (PARTITION BY src), 6) AS p
+           |FROM c ORDER BY src, dst""".stripMargin),
+    "One user-keyed window sort feeds a map-side-partial (src,dst) agg; the matrix is " +
+      "|types|² rows, so the probability window runs on a broadcast-sized frame. Event " +
+      "volume dies at the pair agg — the 100TB cost is the same sessionize sort q25 pays.")
+
+  val all: Seq[Declared] = Seq(q92, q93, q94, q98, q102)
 }

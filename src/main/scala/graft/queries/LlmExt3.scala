@@ -62,6 +62,59 @@ object LlmExt3 {
       "equi-join + agg; ONE scalar (the change count) reaches the driver per round. The " +
       "oracle's transitive closure exists only on the DuckDB side.")
 
+  /** q100 — E2+/E6: fixed-point integer PageRank (3 damped rounds) over
+    * the supplier↔part co-purchase graph from lineitem — the
+    * link-analysis primitive a crawl pipeline uses to prioritize its
+    * frontier. Every rank is a 64-bit integer in micro-units with
+    * explicit floor division, so Spark and DuckDB agree BIT-FOR-BIT
+    * with no rounding escape hatch: long sums commute exactly, which is
+    * the whole design point (a double formulation's low bits would
+    * depend on reduce order and partitioning). The oracle unrolls the
+    * three rounds as CTEs with DuckDB's `//` floor division. */
+  val q100 = Declared(
+    "q100_pagerank", "E2+,E6",
+    (s, dir) => {
+      val edges = Tables.lineitem(s, dir)
+        .select(col("l_suppkey").as("src"),
+          (col("l_partkey") + 1000000L).as("dst"))
+      Graph.pageRank(edges, "src", "dst", iters = 3)
+        .filter(col("node") < 1000000L) // report the supplier side
+        .select(col("node").as("supplier"), col("rank_ppm"))
+        .orderBy(col("supplier"))
+    },
+    Some("""WITH e0 AS (
+           |  SELECT DISTINCT l_suppkey AS src, l_partkey + 1000000 AS dst
+           |  FROM lineitem),
+           |sym AS (
+           |  SELECT src, dst FROM e0
+           |  UNION
+           |  SELECT dst AS src, src AS dst FROM e0),
+           |deg AS (SELECT src AS node, count(*) AS deg FROM sym GROUP BY src),
+           |r0 AS (SELECT node, deg, CAST(1000000 AS BIGINT) AS r FROM deg),
+           |i1 AS (SELECT s.dst AS node, sum(r.r // r.deg) AS inflow
+           |       FROM sym s JOIN r0 r ON s.src = r.node GROUP BY s.dst),
+           |r1 AS (SELECT d.node, d.deg,
+           |         CAST(150000 + (85 * coalesce(i.inflow, 0)) // 100 AS BIGINT) AS r
+           |       FROM deg d LEFT JOIN i1 i ON d.node = i.node),
+           |i2 AS (SELECT s.dst AS node, sum(r.r // r.deg) AS inflow
+           |       FROM sym s JOIN r1 r ON s.src = r.node GROUP BY s.dst),
+           |r2 AS (SELECT d.node, d.deg,
+           |         CAST(150000 + (85 * coalesce(i.inflow, 0)) // 100 AS BIGINT) AS r
+           |       FROM deg d LEFT JOIN i2 i ON d.node = i.node),
+           |i3 AS (SELECT s.dst AS node, sum(r.r // r.deg) AS inflow
+           |       FROM sym s JOIN r2 r ON s.src = r.node GROUP BY s.dst),
+           |r3 AS (SELECT d.node, d.deg,
+           |         CAST(150000 + (85 * coalesce(i.inflow, 0)) // 100 AS BIGINT) AS r
+           |       FROM deg d LEFT JOIN i3 i ON d.node = i.node)
+           |SELECT node AS supplier, r AS rank_ppm
+           |FROM r3 WHERE node < 1000000
+           |ORDER BY supplier""".stripMargin),
+    "Fixed iteration count, zero per-round driver traffic: each round is one node-keyed " +
+      "equi-join + one dst-keyed agg (uniform hash keys), ranks localCheckpoint'd so the " +
+      "plan is constant-size. Integer micro-unit arithmetic makes rank snapshots " +
+      "reproducible across any cluster layout — the property that lets two 1000-executor " +
+      "runs diff each other at 100 TB.")
+
   /** q71 — E7: line-level dedup (C4-style boilerplate removal). The
     * corpus plants a universal header/footer (removed), a mid-frequency
     * promo line (doc_id%7 → ~21 docs ≥ 10, removed), a rare promo line
@@ -432,5 +485,6 @@ object LlmExt3 {
     "Pure scan-side string expressions (codegen'd, no UDF) — normalization before hashing " +
       "is what makes accent variants the same dedup key; cost is one pass over text bytes.")
 
-  val all: Seq[Declared] = Seq(q70, q71, q72, q73, q74, q75, q79, q80, q81, q82, q83)
+  val all: Seq[Declared] =
+    Seq(q70, q71, q72, q73, q74, q75, q79, q80, q81, q82, q83, q100)
 }

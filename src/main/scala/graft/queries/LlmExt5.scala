@@ -188,5 +188,42 @@ object LlmExt5 {
       "uniform content-keyed pair/head aggs, and Zipf-skewed score joins on common heads " +
       "(AQE skew-split) — the cheap word-order-aware gate before a real LM perplexity pass.")
 
-  val all: Seq[Declared] = Seq(q87, q89, q90)
+  /** q101 — E4/F1: GROUP-leakage-safe train/val/test split — the split
+    * key is the md5-derived bucket of the SOURCE (domain), not the
+    * document, so every document of a domain lands in the same split
+    * and near-duplicate boilerplate within a domain can never straddle
+    * train/test. n_sources across the three rows must sum to the
+    * total distinct source count (straddle-freedom made visible). */
+  val q101 = Declared(
+    "q101_group_split", "E4,F1",
+    (s, dir) => {
+      import graft.ext.{Curation, Dedup}
+      Tables.documents(s, dir)
+        .select(Curation.split(col("source"), 80, 10, Dedup.md5Hash60).as("split"),
+          col("source"), col("n_chars"))
+        .groupBy(col("split"))
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct(col("source")).as("n_sources"),
+          sum(col("n_chars")).as("total_chars"))
+        .orderBy(col("split"))
+    },
+    Some(s"""WITH h AS (
+            |  SELECT source, n_chars,
+            |         ${LlmExt2.duckMd5Hash60("source")} % 100 AS bucket
+            |  FROM documents),
+            |s AS (
+            |  SELECT CASE WHEN bucket < 80 THEN 'train'
+            |              WHEN bucket < 90 THEN 'val'
+            |              ELSE 'test' END AS split, source, n_chars
+            |  FROM h)
+            |SELECT split, count(*) AS n_docs,
+            |       count(DISTINCT source) AS n_sources,
+            |       CAST(sum(n_chars) AS BIGINT) AS total_chars
+            |FROM s GROUP BY split ORDER BY split""".stripMargin),
+    "The split is a pure function of the group key: no shuffle to assign membership (scan-" +
+      "side hash), and group atomicity holds under any re-shard or re-ingest. This is how " +
+      "eval contamination through intra-domain boilerplate is prevented at 100TB — q63 " +
+      "splits by document, this splits by provenance.")
+
+  val all: Seq[Declared] = Seq(q87, q89, q90, q101)
 }

@@ -338,6 +338,35 @@ object Relational2 {
       "die in the filter immediately after the join — the diff output is minority-sized. " +
       "This is the kernel every incremental-materialization/CDC pipeline reduces to.")
 
+  /** q99 — W2/W-frame: distributional ranking bands — ntile quartiles,
+    * percent_rank and cume_dist per market segment. The window order is
+    * made TOTAL (balance, then custkey) so tie handling can't differ
+    * between engines; both ratios are the same int/int division of
+    * identical operands, rounded to 6 digits on both sides purely as
+    * belt-and-braces. */
+  val q99 = Declared(
+    "q99_rank_bands", "W2,W-frame",
+    (s, dir) => {
+      val w = Window.partitionBy(col("c_mktsegment"))
+        .orderBy(col("c_acctbal"), col("c_custkey"))
+      Tables.customer(s, dir)
+        .select(col("c_custkey"), col("c_mktsegment"),
+          ntile(4).over(w).as("band"),
+          round(percent_rank().over(w), 6).as("pr"),
+          round(cume_dist().over(w), 6).as("cd"))
+        .orderBy(col("c_custkey"))
+    },
+    Some("""SELECT c_custkey, c_mktsegment,
+           |  ntile(4) OVER w AS band,
+           |  round(percent_rank() OVER w, 6) AS pr,
+           |  round(cume_dist() OVER w, 6) AS cd
+           |FROM customer
+           |WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey)
+           |ORDER BY c_custkey""".stripMargin),
+    "All three ranking functions share ONE shuffle+sort on the segment key; each is O(1) " +
+      "per row once sorted. Segments are bounded-cardinality but huge — at 100TB the " +
+      "per-partition sort is the cost, and it's the same sort a single rank() would pay.")
+
   val all: Seq[Declared] =
-    Seq(q26, q27, q28, q29, q48, q49, q50, q52, q56, q95, q96, q97)
+    Seq(q26, q27, q28, q29, q48, q49, q50, q52, q56, q95, q96, q97, q99)
 }

@@ -40,6 +40,35 @@ class GraphSpec extends AnyFunSuite {
       assert(rows.count(_._3) == 1 && rows.find(_._3).get._1 == comp)
     }
   }
+
+  test("E2+: pageRank matches the hand-computed 2-iteration path graph") {
+    // path 1-2-3 undirected; degrees 1,2,1; unit 1e6, damping 85/100.
+    // iter1: r = (575000, 1850000, 575000)
+    // iter2: r = (936250, 1127500, 936250)    (integer floor division)
+    val edges = Seq((1L, 2L), (2L, 3L)).toDF("a", "b")
+    val out = Graph.pageRank(edges, "a", "b", iters = 2).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out == Map(1L -> 936250L, 2L -> 1127500L, 3L -> 936250L))
+  }
+
+  test("E2+: pageRank ranks a star's hub above its spokes") {
+    val edges = (1L to 8L).map(i => (0L, i)).toDF("a", "b")
+    val out = Graph.pageRank(edges, "a", "b", iters = 3).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert((1L to 8L).forall(i => out(0L) > out(i)))
+    assert((1L to 8L).map(out).distinct.size == 1) // spokes symmetric
+  }
+
+  test("E2+: pageRank is bit-identical under different partitionings") {
+    // the operator's whole claim: integer micro-unit arithmetic makes
+    // the result independent of accumulation order / cluster layout
+    val edges = (0 until 120)
+      .map(i => ((i * 7919 % 40).toLong, (i * 104729 % 40).toLong))
+      .filter(e => e._1 != e._2).toDF("a", "b")
+    def run(parts: Int) = Graph.pageRank(edges.repartition(parts), "a", "b", iters = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(run(1) == run(13))
+  }
 }
 
 class CorpusCurationSpec extends AnyFunSuite {
@@ -129,6 +158,20 @@ class CorpusCurationSpec extends AnyFunSuite {
     // s: cum = 1, 3, 6, 10 → kept while cum-n < 4: docs 1 (0), 2 (1), 3 (3); doc 4 (6) dropped
     // t: doc 5 starts at 0 < 1 → kept (overshoot bounded by one doc)
     assert(out == Map(1L -> 1L, 2L -> 3L, 3L -> 6L, 5L -> 5L))
+  }
+
+  test("E4: group-keyed split never straddles a group across splits") {
+    // q101's leakage contract: hashing the GROUP key means every doc of
+    // a source lands in exactly one split, under any doc-level shard
+    val docs = (1 to 200).map(i => (i.toLong, s"doc $i", s"host${i % 23}"))
+      .toDF("doc_id", "text", "source")
+    val out = docs
+      .select(Curation.split(col("source"), 60, 20, graft.ext.Dedup.md5Hash60)
+        .as("split"), col("source"))
+      .groupBy(col("source"))
+      .agg(countDistinct(col("split")).as("n_splits"))
+      .collect()
+    assert(out.length == 23 && out.forall(_.getLong(1) == 1L))
   }
 
   test("E7: token budget law — kept tokens never exceed budget + last doc's length") {
