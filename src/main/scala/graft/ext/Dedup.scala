@@ -209,4 +209,41 @@ object Dedup {
       .distinct()
       .filter(col("hamming") <= maxDistance)
   }
+
+  /** E2 — near-dup candidates over an EXISTING 64-bit fingerprint
+    * column (any family: simhash, image aHash, audio chromaprint-style
+    * hashes…): pigeonhole blocking on `maxDistance + 1` bit chunks —
+    * `maxDistance` flips cannot touch every chunk, so true pairs share
+    * at least one exact chunk value — then exact hamming verification.
+    *
+    * Chunk widths are floor(nBits/chunks) with the last chunk absorbing
+    * the remainder, so any (nBits, maxDistance) combination blocks
+    * correctly. Same scale shape as [[simhashNearDuplicates]]: the
+    * pair space never materializes; the join keys on (chunk index,
+    * chunk value) — content-derived, uniform. */
+  def fingerprintNearDuplicates(fps: DataFrame, idCol: String, fpCol: String,
+      maxDistance: Int = 3, nBits: Int = 64,
+      cache: Boolean = true): DataFrame = {
+    val nChunks = maxDistance + 1
+    require(nChunks >= 1 && nChunks <= nBits,
+      s"need 1..$nBits chunks, got $nChunks")
+    val baseW = nBits / nChunks
+    val f = OperatorCaches.cachedIf(cache,
+      fps.select(col(idCol), col(fpCol).cast("long").as("__fp")))
+    val chunked = f.select(col(idCol), col("__fp"),
+      posexplode(array((0 until nChunks).map { i =>
+        val w = if (i == nChunks - 1) nBits - i * baseW else baseW
+        val mask = if (w >= 64) -1L else (1L << w) - 1
+        shiftright(col("__fp"), i * baseW).bitwiseAND(lit(mask))
+      }: _*)))
+      .withColumnRenamed("pos", "chunk").withColumnRenamed("col", "chunk_val")
+    val a = chunked.select(col(idCol).as("id_a"), col("__fp").as("fp_a"),
+      col("chunk"), col("chunk_val"))
+    val b = chunked.select(col(idCol).as("id_b"), col("__fp").as("fp_b"),
+      col("chunk"), col("chunk_val"))
+    a.join(b, Seq("chunk", "chunk_val")).filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), hamming(col("fp_a"), col("fp_b")).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxDistance)
+  }
 }

@@ -335,4 +335,90 @@ object Multimodal {
   def frameSampleIndices(nFrames: org.apache.spark.sql.Column, stride: Int, maxFrames: Int)
       : org.apache.spark.sql.Column =
     slice(sequence(lit(0), greatest(nFrames - 1, lit(0)), lit(stride)), 1, maxFrames)
+
+  /** E5+E2 — average-hash (aHash) perceptual fingerprint of an image
+    * payload: REAL decode (javax.imageio), 8×8 box-averaged luminance,
+    * threshold each cell at the global cell mean → 64-bit fingerprint
+    * (bit index = cellY*8 + cellX). Re-encodes, resizes and small
+    * pixel-level edits preserve block means, so perceptual duplicates
+    * land within a few bits of hamming distance — the image analogue of
+    * text SimHash, feeding the same pigeonhole blocking. None when the
+    * payload isn't a decodable image (or is smaller than the 8×8 grid). */
+  private[graft] def averageHash(payload: Array[Byte]): Option[Long] =
+    try {
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+      if (img == null || img.getWidth < 8 || img.getHeight < 8) None
+      else {
+        val w = img.getWidth; val h = img.getHeight
+        val sums = new Array[Double](64)
+        val counts = new Array[Long](64)
+        var y = 0
+        while (y < h) {
+          val by = y * 8 / h
+          var x = 0
+          while (x < w) {
+            val rgb = img.getRGB(x, y)
+            val lum = (((rgb >> 16) & 0xFF) + ((rgb >> 8) & 0xFF) + (rgb & 0xFF)) / 3.0
+            val cell = by * 8 + x * 8 / w
+            sums(cell) += lum; counts(cell) += 1
+            x += 1
+          }
+          y += 1
+        }
+        val means = Array.tabulate(64)(i => if (counts(i) == 0) 0.0 else sums(i) / counts(i))
+        val global = means.sum / 64
+        var fp = 0L
+        var i = 0
+        while (i < 64) { if (means(i) > global) fp |= (1L << i); i += 1 }
+        Some(fp)
+      }
+    } catch { case _: Exception => None }
+
+  private val aHashUdf =
+    org.apache.spark.sql.functions.udf((p: Array[Byte]) => averageHash(p))
+
+  /** Per-row aHash column over a binary payload column (null where the
+    * payload doesn't decode as an image). */
+  def imageAHash(payload: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    aHashUdf(payload)
+
+  /** E5+E2 — near-duplicate IMAGE pairs: aHash each decodable payload,
+    * then [[Dedup.fingerprintNearDuplicates]] pigeonhole blocking +
+    * exact hamming verify. Non-image payloads drop out (null hash)
+    * instead of failing the job — a 100 TB media crawl always contains
+    * undecodable bytes. Output: (id_a, id_b, hamming). */
+  def imageNearDuplicates(media: DataFrame, idCol: String, payloadCol: String,
+      maxDistance: Int = 5, cache: Boolean = true): DataFrame = {
+    val fps = media.select(col(idCol), imageAHash(col(payloadCol)).as("ahash"))
+      .filter(col("ahash").isNotNull)
+    Dedup.fingerprintNearDuplicates(fps, idCol, "ahash", maxDistance,
+      nBits = 64, cache = cache)
+  }
+
+  /** Deterministic BLOCK-pattern PNG for perceptual-hash tests: the
+    * 8×8 cell grid renders `pattern` bit `by*8+bx` as bright (220) or
+    * dark (40) with a small per-pixel jitter (±10) that block averaging
+    * must wash out — so `averageHash` recovers `pattern` exactly and a
+    * k-bit pattern flip is exactly hamming k away. */
+  def syntheticBlockPng(pattern: Long, w: Int = 64, h: Int = 64): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      val by = y * 8 / h
+      var x = 0
+      while (x < w) {
+        val bit = by * 8 + x * 8 / w
+        val base = if (((pattern >>> bit) & 1L) == 1L) 220 else 40
+        val jitter = ((x * 13 + y * 7) % 21) - 10
+        val v = base + jitter
+        img.setRGB(x, y, (v << 16) | (v << 8) | v)
+        x += 1
+      }
+      y += 1
+    }
+    val out = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", out)
+    out.toByteArray
+  }
 }

@@ -154,6 +154,10 @@ object OpRegistry {
       numOpt(p, "num_hashes").map(_.toInt).getOrElse(16),
       numOpt(p, "bands").map(_.toInt).getOrElse(4),
       numOpt(p, "threshold").getOrElse(0.5), cache = false)),
+    // cache = false for the same unmanaged-lifetime reason
+    "image_near_dups" -> (p => df => graft.ext.Multimodal.imageNearDuplicates(
+      df, str(p, "id_col"), str(p, "payload_col"),
+      numOpt(p, "max_distance").map(_.toInt).getOrElse(5), cache = false)),
     "quality_features" -> (p => df =>
       graft.ext.TextAnalysis.qualityFeatures(df, str(p, "text_col"))),
     "normalize_text" -> (p => df => df.withColumn(

@@ -355,6 +355,39 @@ class MultimodalSpec extends AnyFunSuite {
     val idx = df.select(Multimodal.frameSampleIndices(col("n_frames"), 10, 5)).head.getSeq[Long](0)
     assert(idx == Seq(0L, 10L, 20L, 30L, 40L))
   }
+
+  test("E5+E2: averageHash recovers the planted block pattern exactly") {
+    // mixed bright/dark block grids: block averaging must wash out the
+    // ±10 per-pixel jitter and the threshold must split 220 vs 40
+    val patterns = Seq(0x5A5A5A5A5A5A5A5AL, 0x0F0F00FF33CC55AAL, 1L, ~1L)
+    patterns.foreach { p =>
+      assert(Multimodal.averageHash(Multimodal.syntheticBlockPng(p)) == Some(p),
+        s"pattern ${p.toHexString}")
+      // resolution-independent: 128x96 renders to the same fingerprint
+      assert(Multimodal.averageHash(Multimodal.syntheticBlockPng(p, 128, 96)) == Some(p),
+        s"pattern ${p.toHexString} at 128x96")
+    }
+    // non-image bytes hash to None, not an exception
+    assert(Multimodal.averageHash("not an image".getBytes).isEmpty)
+  }
+
+  test("E5+E2: imageNearDuplicates finds perturbed twins, skips unrelated and undecodable") {
+    import spark.implicits._
+    val base = 0x5A5A12345A5AFEDCL
+    val twin = base ^ (1L << 7) ^ (1L << 40)          // 2 block flips
+    val far = ~base                                    // hamming 64
+    val media = Seq(
+      (1L, Multimodal.syntheticBlockPng(base)),
+      (2L, Multimodal.syntheticBlockPng(twin)),
+      (3L, Multimodal.syntheticBlockPng(far)),
+      (4L, "undecodable junk bytes".getBytes)
+    ).toDF("media_id", "payload")
+    val pairs = Multimodal.imageNearDuplicates(media, "media_id", "payload",
+        maxDistance = 3, cache = false)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getAs[Number](2).longValue))
+    assert(pairs.toSeq == Seq((1L, 2L, 2L)),
+      s"expected exactly the planted twin pair at hamming 2, got ${pairs.toSeq}")
+  }
 }
 
 class CurationSpec extends AnyFunSuite {
