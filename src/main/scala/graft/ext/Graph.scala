@@ -153,7 +153,11 @@ object Graph {
         .select(col("node"), col("deg"),
           expr(s"${base}L + (${dampNum}L * coalesce(inflow, 0L)) div ${dampDen}L")
             .as("rank_ppm"))
-        .localCheckpoint() // constant-size plan per round
+      // rounds chain linearly (each rank frame feeds exactly the next
+      // round), so a shallow fixed loop runs fastest as ONE lazy plan —
+      // materializing every round would pay |nodes| writes × iters.
+      // Checkpoint periodically only to bound plan depth for deep runs.
+      if ((i + 1) % 8 == 0 && i < iters - 1) ranks = ranks.localCheckpoint()
       i += 1
     }
     ranks.select(col("node"), col("rank_ppm"))
