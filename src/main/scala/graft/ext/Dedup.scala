@@ -210,6 +210,60 @@ object Dedup {
       .filter(col("hamming") <= maxDistance)
   }
 
+  /** E2 — EXACT set-similarity self-join via prefix filtering (the
+    * SSJoin/PPJoin family — Chaudhuri et al. ICDE'06, Xiao et al.
+    * WWW'08, public literature): every pair with Jaccard ≥ tNum/tDen
+    * must share a shingle inside both documents' PREFIXES — the
+    * (L − ⌈t·L⌉ + 1) globally-rarest shingles of each — so the
+    * candidate join touches prefixes only, then verifies exactly.
+    * Deterministic and recall-COMPLETE, unlike MinHash LSH (q45):
+    * this is the exact candidate generator; LSH is the probabilistic
+    * one. The threshold is a rational tNum/tDen and every comparison
+    * is integer arithmetic (⌈t·L⌉ = (tNum·L + tDen − 1) div tDen;
+    * keep iff inter·tDen ≥ tNum·(nA + nB − inter)) — no float ceil
+    * can shorten a prefix below what the pigeonhole bound needs.
+    *
+    * Scale: the global document-frequency order biases prefixes toward
+    * the RARE end of the vocabulary, which is precisely the anti-skew
+    * device — a raw token equi-join would hot-spot on stopwords; the
+    * prefix join hot-spots on hapaxes, which don't hot-spot. One
+    * df agg + one doc-keyed ranking window + shingle equi-joins; the
+    * all-pairs space never materializes. */
+  def prefixFilterJaccardPairs(docs: DataFrame, textCol: String, idCol: String,
+      shingleSize: Int = 3, tNum: Int = 1, tDen: Int = 2,
+      cache: Boolean = true): DataFrame = {
+    require(tNum > 0 && tDen > 0 && tNum <= tDen,
+      "threshold tNum/tDen must be in (0, 1]")
+    import org.apache.spark.sql.expressions.Window
+    val sh = OperatorCaches.cachedIf(cache, docs.select(col(idCol).as("__id"),
+      explode(wordShingles(col(textCol), shingleSize)).as("shingle")).distinct())
+    val dfreq = sh.groupBy("shingle").agg(count(lit(1)).as("__df"))
+    // per-doc rank under the global (df asc, shingle asc) total order
+    val w = Window.partitionBy(col("__id")).orderBy(col("__df"), col("shingle"))
+    val prefix = sh.join(dfreq, "shingle")
+      .select(col("__id"), col("shingle"),
+        row_number().over(w).as("__pos"),
+        count(lit(1)).over(Window.partitionBy(col("__id"))).as("__len"))
+      // α = ⌈t·L⌉ in exact integers; keep positions 1 .. L − α + 1
+      .filter(col("__pos") <=
+        col("__len") - expr(s"(${tNum}L * __len + ${tDen - 1}L) div ${tDen}L") + 1)
+    val cand = prefix.select(col("__id").as("id_a"), col("shingle"))
+      .join(prefix.select(col("__id").as("id_b"), col("shingle")), "shingle")
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+    val counts = sh.groupBy("__id").agg(count(lit(1)).as("n"))
+    val interCount = cand
+      .join(sh.select(col("__id").as("id_a"), col("shingle")), "id_a")
+      .join(sh.select(col("__id").as("id_b"), col("shingle")), Seq("id_b", "shingle"))
+      .groupBy("id_a", "id_b").agg(count(lit(1)).as("inter"))
+    interCount
+      .join(counts.select(col("__id").as("id_a"), col("n").as("n_a")), "id_a")
+      .join(counts.select(col("__id").as("id_b"), col("n").as("n_b")), "id_b")
+      .filter(col("inter") * tDen >= (col("n_a") + col("n_b") - col("inter")) * tNum)
+      .select(col("id_a"), col("id_b"),
+        (col("inter") / (col("n_a") + col("n_b") - col("inter"))).as("jaccard"))
+  }
+
   /** E2 — near-dup candidates over an EXISTING 64-bit fingerprint
     * column (any family: simhash, image aHash, audio chromaprint-style
     * hashes…): pigeonhole blocking on `maxDistance + 1` bit chunks —

@@ -498,6 +498,49 @@ object TimeSeries {
       "only (maxLag+1 per bin); the self-join is a uniform (key, bin+lag) equi-join and " +
       "the stats agg output is |keys|·(maxLag+1) rows — exact longs, no float accumulation.")
 
+  /** q103 — T3 under the oracle gate: gap-based SESSION windows through
+    * the streaming path (`session_window`, append mode, 1 h watermark)
+    * hash-matched against q25's batch gaps-and-islands SQL extended
+    * with the window-end convention (last event + gap). Append mode
+    * only emits sessions the watermark has sealed, so BOTH sides keep
+    * sessions ending before Jan 30 — a full day before max event time,
+    * far from the eviction boundary (all sf dirs end Jan 30 ≥ 23:00; no
+    * exact-30-min gap exists at any sf, checked, so the merge-vs-split
+    * boundary convention can't diverge either). */
+  val q103 = Declared(
+    "q103_stream_sessions", "T3,W-frame",
+    (s, dir) => {
+      streamEventsToTable(s, dir, "q103", mode = "append")(ev =>
+        graft.streaming.StreamOps.sessionStats(
+          ev, "ts", "user_id", gap = "30 minutes", watermark = "1 hour"))
+        .filter(col("session_end") < lit("2024-01-30 00:00:00").cast("timestamp"))
+        .orderBy(col("user_id"), col("session_start"))
+    },
+    Some("""WITH marked AS (
+           |  SELECT user_id, event_id, ts,
+           |    CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+           |           OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
+           |         THEN 1 ELSE 0 END AS new_sess
+           |  FROM events
+           |  WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+           |), numbered AS (
+           |  SELECT user_id, ts,
+           |    CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+           |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_no
+           |  FROM marked)
+           |SELECT min(ts) AS session_start,
+           |       max(ts) + INTERVAL 30 MINUTE AS session_end,
+           |       user_id, count(*) AS n_events
+           |FROM numbered
+           |GROUP BY user_id, session_no
+           |HAVING max(ts) + INTERVAL 30 MINUTE < TIMESTAMP '2024-01-30 00:00:00'
+           |ORDER BY user_id, session_start""".stripMargin),
+    "Session state lives only inside the watermark horizon (append mode evicts sealed " +
+      "sessions); the shuffle keys on user_id exactly like batch sessionize — " +
+      "session_window is the state-merging operator Spark has that the batch islands " +
+      "window emulates. The horizon is the state-size knob at 100TB.")
+
   val all: Seq[Declared] =
-    Seq(q20, q21, q22, q23, q24, q25, q53, q54, q57, q60, q66, q76, q78, q88, q91)
+    Seq(q20, q21, q22, q23, q24, q25, q53, q54, q57, q60, q66, q76, q78, q88,
+      q91, q103)
 }

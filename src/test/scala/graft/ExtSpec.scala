@@ -34,6 +34,27 @@ class DedupSpec extends AnyFunSuite {
     assert(j((1L, 3L)) == 0.0)
   }
 
+  test("E2: prefix-filter join equals brute-force exact Jaccard (recall-complete)") {
+    // sliding-window corpus: doc i holds tokens t(i)..t(i+9), so near
+    // neighbors overlap heavily and far docs not at all — plus ties
+    val corpus = (0 until 50).map { i =>
+      (i.toLong, (0 until 10).map(j => s"t${i + j}").mkString(" "))
+    }.toDF("doc_id", "text")
+    val fast = Dedup.prefixFilterJaccardPairs(corpus, "text", "doc_id",
+        shingleSize = 1, tNum = 1, tDen = 3, cache = false)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val allPairs = corpus.select(col("doc_id").as("id_a"))
+      .crossJoin(corpus.select(col("doc_id").as("id_b")))
+      .filter(col("id_a") < col("id_b"))
+    // 1.0/3 and the k=5 pairs' 5.0/15 share one true quotient, hence
+    // one double — the >= can't disagree with the integer filter
+    val brute = Dedup.verifyJaccard(corpus, "text", "doc_id", allPairs, 1, cache = false)
+      .filter(col("jaccard") >= lit(1.0 / 3)).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getAs[Double]("jaccard")).toMap
+    assert(fast.nonEmpty && fast == brute,
+      s"prefix filter must drop nothing: ${brute.keySet -- fast.keySet} missed")
+  }
+
   test("E2: minhash LSH finds near-dups and skips unrelated docs") {
     val out = Dedup.minhashNearDuplicates(docs, "text", "doc_id",
       shingleSize = 1, numHashes = 16, bands = 8, threshold = 0.5)

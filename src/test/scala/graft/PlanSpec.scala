@@ -124,6 +124,18 @@ class PlanSpec extends AnyFunSuite {
       "gate rules must stay codegen'd column expressions")
   }
 
+  test("prefix-filter join generates candidates via shingle equi-joins, never a cartesian") {
+    val docs = Seq((1L, "a b c d e f"), (2L, "a b c d e g"), (3L, "x y z w v u"))
+      .toDF("doc_id", "text")
+    val out = graft.ext.Dedup.prefixFilterJaccardPairs(docs, "text", "doc_id",
+      shingleSize = 2, tNum = 1, tDen = 2, cache = false)
+    val physical = out.queryExecution.executedPlan.toString
+    assert(!physical.contains("CartesianProduct"),
+      "the pair space must come from the prefix-shingle equi-join")
+    assert(!physical.contains("BroadcastNestedLoopJoin"),
+      "no unkeyed all-pairs comparison anywhere in the plan")
+  }
+
   test("incremental near-dup joins corpus and batch on band keys, never a cartesian") {
     val corpus = Seq((1L, "a b c d e f"), (2L, "g h i j k l")).toDF("doc_id", "text")
     val fresh = Seq((10L, "a b c d e f x")).toDF("doc_id", "text")
