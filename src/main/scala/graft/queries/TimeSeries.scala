@@ -540,7 +540,40 @@ object TimeSeries {
       "session_window is the state-merging operator Spark has that the batch islands " +
       "window emulates. The horizon is the state-size knob at 100TB.")
 
+  /** q105 — W-frame/A5: trailing 1-hour RANGE moving average per user —
+    * the time-valued frame (RANGE BETWEEN INTERVAL PRECEDING) that
+    * rows-frames can't express: the frame width follows the CLOCK, not
+    * a row count, and equal-timestamp peers are in or out together, so
+    * no tie-break is even needed. Summands go through DECIMAL(18,2) —
+    * exact decimal addition in any order — and only the final sum is
+    * cast to double, so both engines divide identical operands. */
+  val q105 = Declared(
+    "q105_moving_avg", "W-frame,A5",
+    (s, dir) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("us"))
+        .rangeBetween(-3600L * 1000000L, Window.currentRow)
+      Tables.events(s, dir)
+        .withColumn("us", unix_micros(col("ts")))
+        .select(col("event_id"), col("user_id"), col("ts"),
+          count(lit(1)).over(w).as("mov_n"),
+          (sum(col("value").cast("decimal(18,2)")).over(w).cast("double") /
+            count(lit(1)).over(w)).as("mov_avg"))
+        .orderBy(col("event_id"))
+    },
+    Some("""SELECT event_id, user_id, ts,
+           |  count(*) OVER w AS mov_n,
+           |  CAST(sum(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE)
+           |    / count(*) OVER w AS mov_avg
+           |FROM events
+           |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+           |  RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+           |ORDER BY event_id""".stripMargin),
+    "One shuffle+sort on user_id; the RANGE frame is evaluated with a sliding two-pointer " +
+      "over the sorted partition (O(1) amortized per row). At 100TB this is the dashboard " +
+      "smoothing pass — same cost envelope as the q07 running frame, and decimal summands " +
+      "make the result independent of intra-frame order.")
+
   val all: Seq[Declared] =
     Seq(q20, q21, q22, q23, q24, q25, q53, q54, q57, q60, q66, q76, q78, q88,
-      q91, q103)
+      q91, q103, q105)
 }

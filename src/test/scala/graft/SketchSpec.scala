@@ -1,0 +1,56 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+/** E6 — the approximate-sketch laws that make 100 TB cardinality and
+  * quantile work feasible. Exact distinct (q15) and exact median (q27)
+  * are the correctness kernels; at scale the plan of record is
+  * HLL / KLL sketches, whose defining property is MERGEABILITY: a
+  * sketch built per partition and merged must equal the sketch built
+  * in one pass, so the reduction tree's shape (and any cluster
+  * layout) cannot change the answer. These laws pin that contract.
+  */
+class SketchSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+
+  test("E6: HLL estimates distinct counts within the configured error bound") {
+    val df = spark.range(100000).select((col("id") % 20000).as("k"))
+    val est = df
+      .agg(hll_sketch_estimate(hll_sketch_agg(col("k"), lit(12))).as("e"))
+      .head.getLong(0)
+    // lgConfigK=12 → ~1.6% relative standard error; 5% is >3 sigma
+    assert(math.abs(est - 20000.0) / 20000 < 0.05, s"estimate $est")
+  }
+
+  test("E6: HLL merge is partition/shape invariant — merged ≡ single-pass registers") {
+    val df = spark.range(60000)
+      .select((col("id") % 7000).as("k"), (col("id") % 13).as("g"))
+    val global = df
+      .agg(hll_sketch_estimate(hll_sketch_agg(col("k"), lit(12))))
+      .head.getLong(0)
+    // build one sketch per group, merge the 13 — register max is
+    // associative+commutative, so this is BIT-equal, not just close
+    val merged = df.groupBy(col("g"))
+      .agg(hll_sketch_agg(col("k"), lit(12)).as("sk"))
+      .agg(hll_sketch_estimate(hll_union_agg(col("sk"))))
+      .head.getLong(0)
+    assert(global == merged, s"global $global vs merged $merged")
+  }
+
+  test("E6: percentile_approx rank error stays within the accuracy contract") {
+    // long-tail skew: v = (id % 1000)^2 — exactly the shape that breaks
+    // naive sampling
+    val df = spark.range(50000)
+      .select(((col("id") % 1000) * (col("id") % 1000)).cast("double").as("v"))
+    val approx = df
+      .agg(percentile_approx(col("v"), lit(0.5), lit(1000)).as("p"))
+      .head.getDouble(0)
+    val n = 50000L
+    val rank = df.filter(col("v") <= approx).count()
+    // guarantee: |rank(approx) − 0.5·n| ≤ n/accuracy (+ duplicate mass:
+    // each distinct v holds 50 copies here, so allow one value's worth)
+    assert(math.abs(rank - n / 2) <= n / 1000 + 50,
+      s"approx p50 $approx has rank $rank of $n")
+  }
+}
