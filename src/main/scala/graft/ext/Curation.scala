@@ -68,6 +68,35 @@ object Curation {
     df.filter(bucket < rate)
   }
 
+  /** E7 — temperature-flattened source mixing at α = 1/2 (the
+    * n_s^α reweighting of multilingual/multi-source training mixes):
+    * each source's keep-rate is r_s = √(n_min / n_s) — the rarest
+    * source keeps everything; a source 100× larger keeps 1/10 —
+    * applied as a deterministic content-hash test
+    * (md5-derived ppm bucket < ⌊10⁶ · r_s⌋), so the SAME documents
+    * survive on every engine, re-shard and re-run.
+    *
+    * α is fixed at 1/2 deliberately: √ and ÷ are correctly-rounded
+    * IEEE operations, so ⌊10⁶·r_s⌋ is bit-reproducible anywhere;
+    * general α routes through libm pow, whose low bits are platform-
+    * dependent — unacceptable for a keep/drop decision that must be
+    * re-derivable forever.
+    *
+    * Scale: per-source counts are one partial-agg pass; the rate table
+    * is |sources| rows broadcast back; the keep test is scan-side. */
+  def sqrtTemperatureSample(df: DataFrame, keyCol: Column, content: Column,
+      hash: Column => Column = Dedup.md5Hash60): DataFrame = {
+    val counts = df.groupBy(keyCol.as("__key")).agg(count(lit(1)).as("__ns"))
+    val nmin = counts.agg(min(col("__ns")).as("__nmin")) // 1 row, broadcast
+    val rates = counts.crossJoin(broadcast(nmin))
+      .select(col("__key"),
+        floor(sqrt(col("__nmin").cast("double") / col("__ns")) * 1000000L)
+          .cast("long").as("__keep_ppm"))
+    df.join(broadcast(rates), keyCol === col("__key"))
+      .filter(pmod(hash(content), lit(1000000L)) < col("__keep_ppm"))
+      .drop("__key", "__keep_ppm")
+  }
+
   /** E7 — line-level dedup (the C4/CCNet boilerplate-removal pass):
     * drop every line whose document frequency is >= `minDocFreq`
     * (headers, footers, cookie banners, nav menus — content that

@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{Column, Encoder, Encoders}
+import org.apache.spark.sql.{Column, DataFrame, Encoder, Encoders}
 import org.apache.spark.sql.expressions.Aggregator
 import org.apache.spark.sql.functions._
 
@@ -105,5 +105,30 @@ object Aggregates {
         .as("intercept") :+
       when(varXN =!= 0.0 && varYN =!= 0.0,
         covN / (sqrt(varXN) * sqrt(varYN))).as("corr")): _*)
+  }
+
+  /** E6/A1 — merge two partial aggregation STATES: the incremental-
+    * materialization kernel. Each side holds (key, partial…) rows where
+    * every merge column is an ALGEBRAIC partial (sum, count — things
+    * addition merges); the merge is one full-outer equi-join with
+    * coalesced addition. This is the partial/final split Spark's hash
+    * aggregate performs internally, made explicit as data: yesterday's
+    * state table + today's delta partials = today's totals with no
+    * rescan of history. Keep sums in DECIMAL so merge order can never
+    * move a bit (exact addition), and derive means/ratios only AFTER
+    * the final merge.
+    *
+    * Scale: state and delta co-partition on the key (uniform business
+    * key); the join is the only shuffle and the output is |keys|-sized.
+    * This replaces a 100 TB rescan with a |keys|+|delta| job — the
+    * difference between a nightly window and a nightly impossibility. */
+  def mergeAggStates(a: DataFrame, b: DataFrame, key: String,
+      mergeCols: Seq[String]): DataFrame = {
+    val aa = a.select(col(key) +: mergeCols.map(c => col(c).as(s"__a_$c")): _*)
+    val bb = b.select(col(key) +: mergeCols.map(c => col(c).as(s"__b_$c")): _*)
+    aa.join(bb, Seq(key), "full_outer")
+      .select(col(key) +: mergeCols.map { c =>
+        (coalesce(col(s"__a_$c"), lit(0)) + coalesce(col(s"__b_$c"), lit(0))).as(c)
+      }: _*)
   }
 }

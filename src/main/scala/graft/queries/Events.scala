@@ -172,5 +172,38 @@ object Events {
       "|types|² rows, so the probability window runs on a broadcast-sized frame. Event " +
       "volume dies at the pair agg — the 100TB cost is the same sessionize sort q25 pays.")
 
-  val all: Seq[Declared] = Seq(q92, q93, q94, q98, q102)
+  /** q106 — A1/E6: incremental aggregation — yesterday's partial agg
+    * STATE merged with today's delta partials must equal a full
+    * recompute, which is exactly what the oracle performs (single-pass
+    * over all events). Sums ride in DECIMAL so the state+delta addition
+    * is exact regardless of how history was partitioned into batches;
+    * the mean is derived only after the merge. */
+  val q106 = Declared(
+    "q106_incremental_agg", "A1,E6",
+    (s, dir) => {
+      val ev = Tables.events(s, dir)
+      val cutoff = lit("2024-01-16 00:00:00").cast("timestamp")
+      def partial(df: org.apache.spark.sql.DataFrame) =
+        df.groupBy(col("user_id")).agg(count(lit(1)).as("n"),
+          sum(col("value").cast("decimal(18,2)")).as("sum_value"))
+      graft.ops.Aggregates.mergeAggStates(
+          partial(ev.filter(col("ts") < cutoff)),
+          partial(ev.filter(col("ts") >= cutoff)),
+          "user_id", Seq("n", "sum_value"))
+        .select(col("user_id"), col("n").cast("long").as("n"),
+          col("sum_value").cast("double").as("sum_value"),
+          (col("sum_value").cast("double") / col("n")).as("mean_value"))
+        .orderBy(col("user_id"))
+    },
+    Some("""SELECT user_id, count(*) AS n,
+           |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
+           |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS mean_value
+           |FROM events
+           |GROUP BY user_id
+           |ORDER BY user_id""".stripMargin),
+    "State and delta co-partition on the key; the merge join is the only shuffle and the " +
+      "output is |keys|-sized. This swaps a 100TB history rescan for a |keys|+|delta| job — " +
+      "the incremental-materialization kernel every nightly rollup reduces to.")
+
+  val all: Seq[Declared] = Seq(q92, q93, q94, q98, q102, q106)
 }

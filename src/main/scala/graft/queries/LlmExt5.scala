@@ -225,5 +225,41 @@ object LlmExt5 {
       "eval contamination through intra-domain boilerplate is prevented at 100TB — q63 " +
       "splits by document, this splits by provenance.")
 
-  val all: Seq[Declared] = Seq(q87, q89, q90, q101)
+  /** q107 — E7: temperature-flattened source mixing at α = 1/2. The
+    * keep-rate √(n_min/n_s) uses only correctly-rounded IEEE ops (√, ÷,
+    * ×, ⌊⌋), so the ppm thresholds — and therefore the exact surviving
+    * document set — are identical on both engines; the md5 bucket makes
+    * membership content-addressed. The oracle rebuilds rates and
+    * membership from scratch in SQL. */
+  val q107 = Declared(
+    "q107_temperature_mix", "E7,F1",
+    (s, dir) => {
+      import graft.ext.Curation
+      val kept = Curation.sqrtTemperatureSample(
+        Tables.documents(s, dir), col("source"), col("text"))
+      kept.groupBy(col("source"))
+        .agg(count(lit(1)).as("n_kept"), sum(col("n_chars")).as("kept_chars"))
+        .orderBy(col("source"))
+    },
+    Some(s"""WITH n AS (
+            |  SELECT source, count(*) AS ns FROM documents GROUP BY source),
+            |m AS (SELECT min(ns) AS nmin FROM n),
+            |r AS (
+            |  SELECT source,
+            |         CAST(floor(sqrt(CAST(nmin AS DOUBLE) / ns) * 1000000) AS BIGINT)
+            |           AS keep_ppm
+            |  FROM n, m),
+            |k AS (
+            |  SELECT d.source, d.n_chars
+            |  FROM documents d JOIN r ON d.source = r.source
+            |  WHERE ${LlmExt2.duckMd5Hash60("d.text")} % 1000000 < r.keep_ppm)
+            |SELECT source, count(*) AS n_kept,
+            |       CAST(sum(n_chars) AS BIGINT) AS kept_chars
+            |FROM k GROUP BY source ORDER BY source""".stripMargin),
+    "Per-source counts are one partial-agg pass; the |sources|-row rate table broadcasts " +
+      "back and the keep test is scan-side hash arithmetic — no shuffle touches the " +
+      "documents themselves. The α=1/2 restriction keeps the decision libm-free, hence " +
+      "bit-reproducible across engines and platforms forever.")
+
+  val all: Seq[Declared] = Seq(q87, q89, q90, q101, q107)
 }

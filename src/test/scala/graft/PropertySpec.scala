@@ -154,6 +154,44 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("law: merged agg partials equal the single-pass aggregate for ANY batch split") {
+    // the incremental-materialization contract (q106): however history
+    // is cut into state+delta, the merge must be bit-equal to recompute
+    val rows = (0 until 400)
+      .map(i => (i.toLong % 23, BigDecimal((i * 37 % 1000) / 100.0).setScale(2)))
+      .toDF("k", "v")
+    def partial(df: org.apache.spark.sql.DataFrame) =
+      df.groupBy(col("k")).agg(count(lit(1)).as("n"),
+        sum(col("v").cast("decimal(18,2)")).as("s"))
+    val full = partial(rows).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDecimal(2))).toMap
+    for (cut <- Seq(0, 1, 137, 399, 400)) {
+      val merged = graft.ops.Aggregates.mergeAggStates(
+          partial(rows.filter(col("v") * 100 < cut)),
+          partial(rows.filter(col("v") * 100 >= cut)), "k", Seq("n", "s"))
+        .collect().map(r => r.getLong(0) ->
+          (r.getLong(1), r.getDecimal(2).setScale(2))).toMap
+      assert(merged.view.mapValues { case (n, s) => (n, BigDecimal(s)) }.toMap ==
+        full.view.mapValues { case (n, s) => (n, BigDecimal(s)) }.toMap,
+        s"cut at $cut diverged")
+    }
+  }
+
+  test("law: sqrt-temperature mixing keeps every doc of the rarest source") {
+    val docs = (1 to 300).map { i =>
+      val src = if (i <= 4) "rare" else if (i <= 60) "mid" else "big"
+      (i.toLong, s"document body $i", src)
+    }.toDF("doc_id", "text", "source")
+    val kept = graft.ext.Curation
+      .sqrtTemperatureSample(docs, col("source"), col("text"))
+      .groupBy(col("source")).agg(count(lit(1)).as("n")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(kept("rare") == 4L, s"rarest source must keep all 4, got $kept")
+    // larger sources are subsampled harder: expected ~ sqrt(4*n)
+    assert(kept("big") < 240L && kept("big") > 0L, s"big source rate wrong: $kept")
+    assert(kept.getOrElse("mid", 0L) <= 56L)
+  }
+
   test("law: union of per-file reads equals whole-directory read (S4)") {
     val cases = samples(Gen.listOfN(3, Gen.listOfN(4, Gen.chooseNum(0, 1000))), 3)
     cases.foreach { fileRows =>
