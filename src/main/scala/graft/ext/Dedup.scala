@@ -183,32 +183,16 @@ object Dedup {
   /** Hamming distance between two fingerprints. */
   def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
 
-  /** E2 — simhash near-dup candidates: block on 4 equal-width bit
-    * chunks (two fingerprints within hamming distance 3 share at least
-    * one exact chunk — pigeonhole), verify hamming <= maxDistance. */
+  /** E2 — simhash near-dup candidates: fingerprint, then pigeonhole
+    * chunk blocking + exact hamming verify via
+    * [[fingerprintNearDuplicates]] (maxDistance+1 chunks — so, unlike
+    * a fixed 4-chunk split, recall holds for ANY maxDistance). */
   def simhashNearDuplicates(docs: DataFrame, textCol: String, idCol: String,
       maxDistance: Int = 3,
       tokenHash: Column => Column = xxhash64(_), nBits: Int = 64,
-      cache: Boolean = true): DataFrame = {
-    require(nBits % 4 == 0, "nBits must split into 4 equal chunks")
-    val width = nBits / 4
-    val mask = (1L << width) - 1
-    // cached: one fingerprint row per doc; the chunk self-join reads it
-    // from both sides (see minhashNearDuplicates note)
-    val fp = OperatorCaches.cachedIf(cache, simhash(docs, textCol, idCol, tokenHash, nBits))
-    val chunked = fp.select(col(idCol), col("simhash"),
-      posexplode(array((0 until 4).map(c =>
-        shiftright(col("simhash"), c * width).bitwiseAND(mask)): _*)))
-      .withColumnRenamed("pos", "chunk").withColumnRenamed("col", "chunk_val")
-    val a = chunked.select(col(idCol).as("id_a"), col("simhash").as("fp_a"),
-      col("chunk"), col("chunk_val"))
-    val b = chunked.select(col(idCol).as("id_b"), col("simhash").as("fp_b"),
-      col("chunk"), col("chunk_val"))
-    a.join(b, Seq("chunk", "chunk_val")).filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"), hamming(col("fp_a"), col("fp_b")).as("hamming"))
-      .distinct()
-      .filter(col("hamming") <= maxDistance)
-  }
+      cache: Boolean = true): DataFrame =
+    fingerprintNearDuplicates(simhash(docs, textCol, idCol, tokenHash, nBits),
+      idCol, "simhash", maxDistance, nBits, cache)
 
   /** E2 — EXACT set-similarity self-join via prefix filtering (the
     * SSJoin/PPJoin family — Chaudhuri et al. ICDE'06, Xiao et al.
@@ -279,6 +263,8 @@ object Dedup {
       maxDistance: Int = 3, nBits: Int = 64,
       cache: Boolean = true): DataFrame = {
     val nChunks = maxDistance + 1
+    require(nBits >= 1 && nBits <= 64,
+      s"fingerprints are 64-bit longs; nBits must be 1..64, got $nBits")
     require(nChunks >= 1 && nChunks <= nBits,
       s"need 1..$nBits chunks, got $nChunks")
     val baseW = nBits / nChunks

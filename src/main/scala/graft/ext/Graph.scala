@@ -117,8 +117,10 @@ object Graph {
     * re-read each round; a round is ONE equi-join keyed on node id and
     * ONE aggregation keyed on the destination — both uniform-key
     * shuffles (no per-iteration driver traffic at all; the iteration
-    * count is fixed, not convergence-tested). Ranks are checkpointed
-    * per round so the plan stays constant-size. Link analysis like
+    * count is fixed, not convergence-tested). Rounds chain as one lazy
+    * plan; ranks are checkpointed every 8th round, which bounds plan
+    * depth for deep runs without paying a |nodes|-row materialization
+    * per round on shallow ones. Link analysis like
     * this is the crawl-frontier prioritizer of a web-scale corpus
     * pipeline: rank mass ≈ how reachable a host/doc is.
     *

@@ -352,12 +352,15 @@ object Multimodal {
         val w = img.getWidth; val h = img.getHeight
         val sums = new Array[Double](64)
         val counts = new Array[Long](64)
+        // one bulk ARGB fetch — per-pixel getRGB pays a ColorModel
+        // conversion per call, several times slower on the media path
+        val px = img.getRGB(0, 0, w, h, null, 0, w)
         var y = 0
         while (y < h) {
           val by = y * 8 / h
           var x = 0
           while (x < w) {
-            val rgb = img.getRGB(x, y)
+            val rgb = px(y * w + x)
             val lum = (((rgb >> 16) & 0xFF) + ((rgb >> 8) & 0xFF) + (rgb & 0xFF)) / 3.0
             val cell = by * 8 + x * 8 / w
             sums(cell) += lum; counts(cell) += 1

@@ -62,6 +62,12 @@ object LlmExt3 {
       "equi-join + agg; ONE scalar (the change count) reaches the driver per round. The " +
       "oracle's transitive closure exists only on the DuckDB side.")
 
+  /** Part node ids live at +2^40 — beyond any TPC-H suppkey at any
+    * scale factor, so the supplier and part namespaces cannot collide
+    * (a small offset would silently merge nodes at large sf, and the
+    * oracle, applying the same encoding, would never notice). */
+  private val PartOffset = 1L << 40 // = 1099511627776, literal in the SQL
+
   /** q100 — E2+/E6: fixed-point integer PageRank (3 damped rounds) over
     * the supplier↔part co-purchase graph from lineitem — the
     * link-analysis primitive a crawl pipeline uses to prioritize its
@@ -76,14 +82,14 @@ object LlmExt3 {
     (s, dir) => {
       val edges = Tables.lineitem(s, dir)
         .select(col("l_suppkey").as("src"),
-          (col("l_partkey") + 1000000L).as("dst"))
+          (col("l_partkey") + PartOffset).as("dst"))
       Graph.pageRank(edges, "src", "dst", iters = 3)
-        .filter(col("node") < 1000000L) // report the supplier side
+        .filter(col("node") < PartOffset) // report the supplier side
         .select(col("node").as("supplier"), col("rank_ppm"))
         .orderBy(col("supplier"))
     },
     Some("""WITH e0 AS (
-           |  SELECT DISTINCT l_suppkey AS src, l_partkey + 1000000 AS dst
+           |  SELECT DISTINCT l_suppkey AS src, l_partkey + 1099511627776 AS dst
            |  FROM lineitem),
            |sym AS (
            |  SELECT src, dst FROM e0
@@ -107,13 +113,14 @@ object LlmExt3 {
            |         CAST(150000 + (85 * coalesce(i.inflow, 0)) // 100 AS BIGINT) AS r
            |       FROM deg d LEFT JOIN i3 i ON d.node = i.node)
            |SELECT node AS supplier, r AS rank_ppm
-           |FROM r3 WHERE node < 1000000
+           |FROM r3 WHERE node < 1099511627776
            |ORDER BY supplier""".stripMargin),
     "Fixed iteration count, zero per-round driver traffic: each round is one node-keyed " +
-      "equi-join + one dst-keyed agg (uniform hash keys), ranks localCheckpoint'd so the " +
-      "plan is constant-size. Integer micro-unit arithmetic makes rank snapshots " +
+      "equi-join + one dst-keyed agg (uniform hash keys). " +
+      "Integer micro-unit arithmetic makes rank snapshots " +
       "reproducible across any cluster layout — the property that lets two 1000-executor " +
-      "runs diff each other at 100 TB.")
+      "runs diff each other at 100 TB. Ranks checkpoint every 8th round (plan-depth " +
+      "bound for deep runs); 3 rounds chain as one lazy plan.")
 
   /** q71 — E7: line-level dedup (C4-style boilerplate removal). The
     * corpus plants a universal header/footer (removed), a mid-frequency

@@ -504,9 +504,12 @@ object TimeSeries {
     * with the window-end convention (last event + gap). Append mode
     * only emits sessions the watermark has sealed, so BOTH sides keep
     * sessions ending before Jan 30 — a full day before max event time,
-    * far from the eviction boundary (all sf dirs end Jan 30 ≥ 23:00; no
-    * exact-30-min gap exists at any sf, checked, so the merge-vs-split
-    * boundary convention can't diverge either). */
+    * far from the eviction boundary (all sf dirs end Jan 30 ≥ 23:00).
+    * The oracle's new-session condition is `diff >= gap`, matching
+    * session_window's half-open [start, start+gap) range where an event
+    * AT the boundary starts a new session — so an exact-gap pair can
+    * never diverge the two engines (none exists in the data, checked,
+    * but the convention is aligned, not assumed). */
   val q103 = Declared(
     "q103_stream_sessions", "T3,W-frame",
     (s, dir) => {
@@ -519,7 +522,7 @@ object TimeSeries {
     Some("""WITH marked AS (
            |  SELECT user_id, event_id, ts,
            |    CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
-           |           OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
+           |           OR epoch_us(ts) - lag(epoch_us(ts)) OVER w >= 1800000000
            |         THEN 1 ELSE 0 END AS new_sess
            |  FROM events
            |  WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
