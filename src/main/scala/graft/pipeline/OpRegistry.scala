@@ -202,6 +202,17 @@ object OpRegistry {
       df, str(p, "text_col"), str(p, "id_col"), num(p, "top_k").toInt,
       cache = false)),
     // round-4 corpus ops (E4/E7)
+    "pagerank" -> (p => df => graft.ext.Graph.pageRank(
+      df, str(p, "src_col"), str(p, "dst_col"),
+      numOpt(p, "iters").map(_.toInt).getOrElse(3))),
+    // cache = false: pipeline result lifetime is unmanaged (see above)
+    "prefix_jaccard_pairs" -> (p => df => graft.ext.Dedup.prefixFilterJaccardPairs(
+      df, str(p, "text_col"), str(p, "id_col"),
+      numOpt(p, "shingle_size").map(_.toInt).getOrElse(3),
+      numOpt(p, "t_num").map(_.toInt).getOrElse(1),
+      numOpt(p, "t_den").map(_.toInt).getOrElse(2), cache = false)),
+    "temperature_sample" -> (p => df => graft.ext.Curation.sqrtTemperatureSample(
+      df, col(str(p, "key")), col(str(p, "text_col")))),
     "remove_duplicate_lines" -> (p => df => graft.ext.Curation.removeDuplicateLines(
       df, str(p, "text_col"), str(p, "id_col"), num(p, "min_doc_freq").toInt,
       cache = false)),
