@@ -408,6 +408,38 @@ object Relational2 {
       "row; at 100TB the dictionary route is the difference between |dirty|·|block| and " +
       "|dirty|·|parts| DP evaluations.")
 
+  /** q110 — A-array/W2/X4: list-typed aggregation output — each
+    * customer's 3 largest order totals as an ORDERED array. collect_list
+    * has no order guarantee, so elements are collected as (rank, value)
+    * structs and array_sort'ed on the rank — deterministic under any
+    * partitioning; ties in price break on o_orderkey in both engines. */
+  val q110 = Declared(
+    "q110_array_agg_topk", "A-array,W2,X4",
+    (s, dir) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      Tables.orders(s, dir)
+        .withColumn("rn", row_number().over(w)).filter(col("rn") <= 3)
+        .groupBy(col("o_custkey"))
+        .agg(array_sort(collect_list(struct(col("rn"), col("o_totalprice"))))
+          .as("top"))
+        .select(col("o_custkey"),
+          expr("transform(top, t -> t.o_totalprice)").as("top_prices"),
+          size(col("top")).as("n_top"))
+        .orderBy(col("o_custkey"))
+    },
+    Some("""SELECT o_custkey,
+           |  list_slice(list(o_totalprice ORDER BY o_totalprice DESC, o_orderkey),
+           |             1, 3) AS top_prices,
+           |  CAST(least(count(*), 3) AS INT) AS n_top
+           |FROM orders
+           |GROUP BY o_custkey
+           |ORDER BY o_custkey""".stripMargin),
+    "One shuffle shared by the ranking window and the per-key agg (same key); the array " +
+      "is bounded at k elements, so list-typed results stay row-sized however large a " +
+      "key's group is — the contract that makes array outputs safe at 100TB.")
+
   val all: Seq[Declared] =
-    Seq(q26, q27, q28, q29, q48, q49, q50, q52, q56, q95, q96, q97, q99, q108)
+    Seq(q26, q27, q28, q29, q48, q49, q50, q52, q56, q95, q96, q97, q99, q108,
+      q110)
 }

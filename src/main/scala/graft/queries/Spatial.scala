@@ -381,5 +381,49 @@ object Spatial {
     "Same plan as q36 (driver solve, broadcast factors, shuffle-free lattice eval); the " +
       "fixture exists to make every double bit-portable so the hash compare is exact.")
 
-  val all: Seq[Declared] = Seq(q30, q31, q32, q33, q34, q35, q36, q37, q38, q77)
+  /** q109 — P6/F9: point-in-POLYGON containment through the real
+    * geometry layer (`Geo.stIntersects` ray cast), hash-matched against
+    * a SQL transliteration of the IDENTICAL crossing test (same
+    * comparison, same division — identical IEEE operands both sides).
+    * The pentagon's half-unit vertices are chosen so NO integer-lattice
+    * sensor sits exactly on an edge (checked for the full 100×100
+    * grid), so the boundary branch of stIntersects can never fire and
+    * parity alone decides on both engines. */
+  val q109 = Declared(
+    "q109_point_in_polygon", "P6,F9",
+    (s, dir) => {
+      import graft.geo.Geo
+      val verts = Seq((9.5, 8.5), (88.5, 12.5), (78.5, 83.5),
+        (37.5, 93.5), (7.5, 57.5))
+      val poly = Geo.stPolygon(array(verts.map { case (vx, vy) =>
+        struct(lit(vx).as("x"), lit(vy).as("y")) }: _*))
+      sensors(s, dir)
+        .filter(Geo.stIntersects(Geo.stPoint(col("x"), col("y")), poly))
+        .select(col("id_sensor"), col("x"), col("y"), col("v"))
+        .orderBy(col("id_sensor"))
+    },
+    Some(s"""WITH $sensorsSql,
+            |edges(ax, ay, bx, by) AS (
+            |  VALUES (9.5, 8.5, 88.5, 12.5),
+            |         (88.5, 12.5, 78.5, 83.5),
+            |         (78.5, 83.5, 37.5, 93.5),
+            |         (37.5, 93.5, 7.5, 57.5),
+            |         (7.5, 57.5, 9.5, 8.5)),
+            |cr AS (
+            |  SELECT s.id_sensor,
+            |    sum(CASE WHEN (e.ay > s.y) <> (e.by > s.y)
+            |              AND s.x < (e.bx - e.ax) * (s.y - e.ay) / (e.by - e.ay) + e.ax
+            |             THEN 1 ELSE 0 END) AS k
+            |  FROM sensors s CROSS JOIN edges e
+            |  GROUP BY s.id_sensor)
+            |SELECT s.id_sensor, s.x, s.y, s.v
+            |FROM sensors s JOIN cr ON s.id_sensor = cr.id_sensor
+            |WHERE cr.k % 2 = 1
+            |ORDER BY s.id_sensor""".stripMargin),
+    "The polygon is a plan literal — containment is a scan-side predicate, no join at " +
+      "all; at 100TB compose bboxClip in front so Parquet min/max skipping prunes files " +
+      "before the exact ray cast runs (the same bbox-then-exact discipline as q37).")
+
+  val all: Seq[Declared] =
+    Seq(q30, q31, q32, q33, q34, q35, q36, q37, q38, q77, q109)
 }
