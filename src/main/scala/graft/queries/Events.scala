@@ -205,5 +205,38 @@ object Events {
       "output is |keys|-sized. This swaps a 100TB history rescan for a |keys|+|delta| job — " +
       "the incremental-materialization kernel every nightly rollup reduces to.")
 
-  val all: Seq[Declared] = Seq(q92, q93, q94, q98, q102, q106)
+  /** q111 — W2/A1: deterministic MODE per key — the most frequent
+    * event type per user with an explicit (count desc, type asc)
+    * tie-break, because the built-in `mode()` aggregate picks an
+    * arbitrary winner on ties and is therefore unusable under a
+    * cross-engine hash gate (or any reproducibility contract). */
+  val q111 = Declared(
+    "q111_mode_per_key", "W2,A1",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val counts = Tables.events(s, dir)
+        .groupBy(col("user_id"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("n").desc, col("event_type"))
+      counts.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+        .select(col("user_id"), col("event_type").as("mode_type"), col("n"))
+        .orderBy(col("user_id"))
+    },
+    Some("""WITH c AS (
+           |  SELECT user_id, event_type, count(*) AS n
+           |  FROM events GROUP BY user_id, event_type),
+           |r AS (
+           |  SELECT user_id, event_type, n,
+           |    row_number() OVER (PARTITION BY user_id
+           |      ORDER BY n DESC, event_type) AS rn
+           |  FROM c)
+           |SELECT user_id, event_type AS mode_type, n
+           |FROM r WHERE rn = 1
+           |ORDER BY user_id""".stripMargin),
+    "Volume collapses at the (user, type) partial agg; the ranking window runs on " +
+      "|users|·|types| rows. The explicit tie-break is the point: reproducible winners " +
+      "under any partitioning, which the built-in mode() does not promise.")
+
+  val all: Seq[Declared] = Seq(q92, q93, q94, q98, q102, q106, q111)
 }
