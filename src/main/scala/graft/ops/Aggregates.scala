@@ -131,4 +131,35 @@ object Aggregates {
         (coalesce(col(s"__a_$c"), lit(0)) + coalesce(col(s"__b_$c"), lit(0))).as(c)
       }: _*)
   }
+
+  /** A1/E6 — one-pass numeric data PROFILE (the describe() every
+    * ingestion pipeline runs first): per column — non-null count, null
+    * count, exact distinct, min, max, exact decimal sum and the derived
+    * mean — ALL columns in a single aggregate pass over one scan; the
+    * wide 1-row result melts to one row per column afterwards (melt on
+    * 1 row costs nothing — q96's placement argument). Sums ride in
+    * DECIMAL(18,2), so column order, partitioning and engine cannot
+    * move a bit. Exact distinct is the correctness kernel; at 100 TB
+    * swap approx_count_distinct (mergeable HLL — SketchSpec pins the
+    * laws). */
+  def profile(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "profile needs at least one column")
+    val aggs = cols.flatMap { c =>
+      Seq(count(col(c)).as(s"__n_$c"),
+        sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"__nulls_$c"),
+        countDistinct(col(c)).as(s"__nd_$c"),
+        min(col(c)).cast("double").as(s"__min_$c"),
+        max(col(c)).cast("double").as(s"__max_$c"),
+        sum(col(c).cast("decimal(18,2)")).as(s"__sum_$c"))
+    }
+    val one = df.agg(aggs.head, aggs.tail: _*)
+    val rows = cols.map { c =>
+      struct(lit(c).as("col_name"), col(s"__n_$c").as("n"),
+        col(s"__nulls_$c").as("n_null"), col(s"__nd_$c").as("n_distinct"),
+        col(s"__min_$c").as("min"), col(s"__max_$c").as("max"),
+        col(s"__sum_$c").cast("double").as("sum"),
+        (col(s"__sum_$c").cast("double") / col(s"__n_$c")).as("mean"))
+    }
+    one.select(explode(array(rows: _*)).as("p")).select("p.*")
+  }
 }

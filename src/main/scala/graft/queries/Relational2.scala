@@ -439,7 +439,32 @@ object Relational2 {
       "is bounded at k elements, so list-typed results stay row-sized however large a " +
       "key's group is — the contract that makes array outputs safe at 100TB.")
 
+  /** q112 — A1/E6: one-pass numeric data profile (describe) over four
+    * lineitem measures — every stat for every column in a SINGLE
+    * aggregate job; the oracle recomputes each column's stats as its
+    * own aggregate and unions them. Decimal sums make the mean exact
+    * cross-engine. */
+  val q112 = Declared(
+    "q112_profile", "A1,E6",
+    (s, dir) => {
+      graft.ops.Aggregates.profile(Tables.lineitem(s, dir),
+          Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax"))
+        .orderBy(col("col_name"))
+    },
+    Some(Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax").map { c =>
+      s"""SELECT '$c' AS col_name, count($c) AS n,
+         |  CAST(sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+         |  count(DISTINCT $c) AS n_distinct,
+         |  CAST(min($c) AS DOUBLE) AS min, CAST(max($c) AS DOUBLE) AS max,
+         |  CAST(sum(CAST($c AS DECIMAL(18,2))) AS DOUBLE) AS sum,
+         |  CAST(sum(CAST($c AS DECIMAL(18,2))) AS DOUBLE) / count($c) AS mean
+         |FROM lineitem""".stripMargin
+    }.mkString("", "\nUNION ALL\n", "\nORDER BY col_name")),
+    "One scan, one aggregate job for ALL columns (Spark plans the multi-distinct via " +
+      "expand); the melt reshapes a 1-row aggregate — free. This is the first pass every " +
+      "ingestion run makes over new 100TB data; exact distinct swaps to HLL there.")
+
   val all: Seq[Declared] =
     Seq(q26, q27, q28, q29, q48, q49, q50, q52, q56, q95, q96, q97, q99, q108,
-      q110)
+      q110, q112)
 }

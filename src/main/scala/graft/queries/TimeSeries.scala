@@ -576,7 +576,82 @@ object TimeSeries {
       "smoothing pass — same cost envelope as the q07 running frame, and decimal summands " +
       "make the result independent of intra-frame order.")
 
+  /** q113 — A5/P10: LINEAR interpolation of missing hourly bins (the
+    * rung above q88's forward-fill): each user's hourly mean series is
+    * densified to the full [min,max] bin grid and interior gaps fill
+    * with pv + (nv−pv)·(bin−pb)/(nb−pb) from the nearest non-null
+    * neighbors (IGNORE NULLS window carry on both engines). Leading and
+    * trailing gaps stay null — interpolation, not extrapolation. Every
+    * arithmetic step is the same IEEE op on identical operands (decimal
+    * bin means, long bin indexes), so the result hash-matches
+    * UNROUNDED. */
+  val q113 = Declared(
+    "q113_linear_interp", "A5,P10",
+    (s, dir) => {
+      val ev = Tables.events(s, dir).filter(col("user_id") < 50)
+        .select(col("user_id"),
+          expr("unix_micros(ts) div 3600000000").as("bin"), col("value"))
+      val binned = ev.groupBy(col("user_id"), col("bin"))
+        .agg((sum(col("value").cast("decimal(18,2)")).cast("double") /
+          count(lit(1))).as("bv"))
+      val grid = binned.groupBy(col("user_id"))
+        .agg(min(col("bin")).as("mn"), max(col("bin")).as("mx"))
+        .select(col("user_id"),
+          explode(sequence(col("mn"), col("mx"))).as("bin"))
+      val wp = Window.partitionBy(col("user_id")).orderBy(col("bin"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val wn = Window.partitionBy(col("user_id")).orderBy(col("bin"))
+        .rowsBetween(1, Window.unboundedFollowing)
+      grid.join(binned, Seq("user_id", "bin"), "left")
+        .select(col("user_id"), col("bin"), col("bv"),
+          last(col("bv"), ignoreNulls = true).over(wp).as("pv"),
+          last(when(col("bv").isNotNull, col("bin")), ignoreNulls = true)
+            .over(wp).as("pb"),
+          first(col("bv"), ignoreNulls = true).over(wn).as("nv"),
+          first(when(col("bv").isNotNull, col("bin")), ignoreNulls = true)
+            .over(wn).as("nb"))
+        .select(col("user_id"), col("bin"), col("bv"),
+          when(col("bv").isNotNull, col("bv"))
+            .when(col("pv").isNotNull && col("nv").isNotNull,
+              col("pv") + (col("nv") - col("pv")) *
+                ((col("bin") - col("pb")).cast("double") / (col("nb") - col("pb"))))
+            .as("v_interp"))
+        .orderBy(col("user_id"), col("bin"))
+    },
+    Some("""WITH ev AS (
+           |  SELECT user_id, epoch_us(ts) // 3600000000 AS bin, value
+           |  FROM events WHERE user_id < 50),
+           |b AS (
+           |  SELECT user_id, bin,
+           |    CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS bv
+           |  FROM ev GROUP BY user_id, bin),
+           |s AS (SELECT user_id, min(bin) AS mn, max(bin) AS mx FROM b GROUP BY user_id),
+           |g AS (SELECT user_id, unnest(generate_series(mn, mx)) AS bin FROM s),
+           |j AS (SELECT g.user_id, g.bin, b.bv
+           |      FROM g LEFT JOIN b ON g.user_id = b.user_id AND g.bin = b.bin),
+           |w AS (
+           |  SELECT user_id, bin, bv,
+           |    last_value(bv IGNORE NULLS) OVER wp AS pv,
+           |    last_value(CASE WHEN bv IS NOT NULL THEN bin END IGNORE NULLS) OVER wp AS pb,
+           |    first_value(bv IGNORE NULLS) OVER wn AS nv,
+           |    first_value(CASE WHEN bv IS NOT NULL THEN bin END IGNORE NULLS) OVER wn AS nb
+           |  FROM j
+           |  WINDOW wp AS (PARTITION BY user_id ORDER BY bin
+           |                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+           |         wn AS (PARTITION BY user_id ORDER BY bin
+           |                ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING))
+           |SELECT user_id, bin, bv,
+           |  CASE WHEN bv IS NOT NULL THEN bv
+           |       WHEN pv IS NOT NULL AND nv IS NOT NULL
+           |       THEN pv + (nv - pv) * (CAST(bin - pb AS DOUBLE) / (nb - pb))
+           |  END AS v_interp
+           |FROM w ORDER BY user_id, bin""".stripMargin),
+    "Event volume dies at the (user, bin) agg; the grid explode is span-sized (bins per " +
+      "user, independent of volume) and both carry windows share ONE user-keyed " +
+      "shuffle+sort. Same cost envelope as q88's ffill — gap repair stays grid-priced " +
+      "at 100TB.")
+
   val all: Seq[Declared] =
     Seq(q20, q21, q22, q23, q24, q25, q53, q54, q57, q60, q66, q76, q78, q88,
-      q91, q103, q105)
+      q91, q103, q105, q113)
 }
