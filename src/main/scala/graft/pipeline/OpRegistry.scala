@@ -99,6 +99,13 @@ object OpRegistry {
     "drop_unnamed" -> (_ => df =>
       df.drop(df.columns.filter(_.toLowerCase.contains("unnamed")).toIndexedSeq: _*)),
     // sorts / limits (O1)
+    // A1 as a pipeline citizen: the multi-func × multi-col aggregation
+    // block with the reference's func_source_col output naming
+    "group_agg" -> (p => df => {
+      val aggs = graft.ops.Aggregates.block(
+        strs(p, "funcs"), strOpt(p, "source").getOrElse(""), strs(p, "value_cols"))
+      df.groupBy(strs(p, "by").map(col): _*).agg(aggs.head, aggs.tail: _*)
+    }),
     "order_by" -> (p => df => df.orderBy(strs(p, "columns").map(sortExpr): _*)),
     "limit" -> (p => df => df.limit(num(p, "n").toInt)),
     // set ops (U2, U3)

@@ -464,7 +464,43 @@ object Relational2 {
       "expand); the melt reshapes a 1-row aggregate — free. This is the first pass every " +
       "ingestion run makes over new 100TB data; exact distinct swaps to HLL there.")
 
+  /** q114 — C1-C8/A1/F1: a pipeline parsed FROM ITS SERIALIZED JSON
+    * SPEC runs under the oracle gate — the artifact a user stores,
+    * diffs and replays is itself correctness-checked end to end
+    * (filter → multi-func group_agg block with the reference's
+    * func_source_col naming → order). l_quantity is integer-valued, so
+    * every aggregate is exact. */
+  val q114 = Declared(
+    "q114_pipeline_json", "C1-C8,A1,F1",
+    (s, dir) => {
+      val spec = """{
+        "pipe": "li_rollup",
+        "operations": [
+          {"name": "recent", "function": "filter",
+           "kwargs": {"condition": "l_quantity > 10"}},
+          {"name": "rollup", "function": "group_agg",
+           "kwargs": {"by": ["l_returnflag", "l_linestatus"],
+                      "funcs": ["sum", "count", "min", "max"],
+                      "value_cols": ["l_quantity"]}},
+          {"name": "order", "function": "order_by",
+           "kwargs": {"columns": ["l_returnflag", "l_linestatus"]}}
+        ]
+      }"""
+      graft.pipeline.Pipeline.fromJson(spec).run(Tables.lineitem(s, dir))._1
+    },
+    Some("""SELECT l_returnflag, l_linestatus,
+           |  sum(l_quantity) AS sum_l_quantity,
+           |  count(l_quantity) AS count_l_quantity,
+           |  min(l_quantity) AS min_l_quantity,
+           |  max(l_quantity) AS max_l_quantity
+           |FROM lineitem WHERE l_quantity > 10
+           |GROUP BY l_returnflag, l_linestatus
+           |ORDER BY l_returnflag, l_linestatus""".stripMargin),
+    "The pipeline IR adds nothing to the plan: the parsed spec builds the same filter → " +
+      "partial-agg → shuffle → final-agg Catalyst tree a hand-written query gets, so the " +
+      "serialization layer is pure provenance — zero runtime tax at any scale.")
+
   val all: Seq[Declared] =
     Seq(q26, q27, q28, q29, q48, q49, q50, q52, q56, q95, q96, q97, q99, q108,
-      q110, q112)
+      q110, q112, q114)
 }
