@@ -156,7 +156,9 @@ object Multimodal {
     * needed for PCM. Features: (sampleRate, channels, RMS of samples
     * normalized to [-1,1), 8-bin histogram of normalized amplitude).
     * None when the payload isn't RIFF/WAVE PCM. */
-  private[graft] def decodeWav(payload: Array[Byte]): Option[(Int, Int, Double, Array[Double])] =
+  /** Shared RIFF/WAVE chunk walk: (channels, sampleRate, bits, dataOff,
+    * nSamples) for integer-PCM payloads; None for anything else. */
+  private def wavPcm(payload: Array[Byte]): Option[(Int, Int, Int, Int, Int)] =
     try {
       if (payload.length < 44) return None
       val b = java.nio.ByteBuffer.wrap(payload).order(java.nio.ByteOrder.LITTLE_ENDIAN)
@@ -178,23 +180,81 @@ object Multimodal {
       }
       for ((channels, rate, bits) <- fmt; (dOff, dLen) <- data) yield {
         if (bits != 8 && bits != 16) return None
-        val bytesPer = bits / 8
-        val n = dLen / bytesPer
-        val hist = new Array[Double](8)
-        var sumSq = 0.0
-        var i = 0
-        while (i < n) {
-          val s =
-            if (bits == 16) b.getShort(dOff + i * 2) / 32768.0
-            else ((payload(dOff + i) & 0xFF) - 128) / 128.0
-          sumSq += s * s
-          hist(math.min(((s + 1.0) / 2.0 * 8).toInt, 7)) += 1.0
-          i += 1
-        }
-        val rms = if (n == 0) 0.0 else math.sqrt(sumSq / n)
-        (rate, channels, rms, if (n == 0) hist else hist.map(_ / n))
+        (channels, rate, bits, dOff, dLen / (bits / 8))
       }
     } catch { case _: Exception => None }
+
+  /** Sample i in [-1, 1) for a parsed PCM payload. */
+  @inline private def pcmSample(payload: Array[Byte],
+      b: java.nio.ByteBuffer, bits: Int, dOff: Int, i: Int): Double =
+    if (bits == 16) b.getShort(dOff + i * 2) / 32768.0
+    else ((payload(dOff + i) & 0xFF) - 128) / 128.0
+
+  private[graft] def decodeWav(payload: Array[Byte]): Option[(Int, Int, Double, Array[Double])] =
+    wavPcm(payload).map { case (channels, rate, bits, dOff, n) =>
+      val b = java.nio.ByteBuffer.wrap(payload).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      val hist = new Array[Double](8)
+      var sumSq = 0.0
+      var i = 0
+      while (i < n) {
+        val s = pcmSample(payload, b, bits, dOff, i)
+        sumSq += s * s
+        hist(math.min(((s + 1.0) / 2.0 * 8).toInt, 7)) += 1.0
+        i += 1
+      }
+      val rms = if (n == 0) 0.0 else math.sqrt(sumSq / n)
+      (rate, channels, rms, if (n == 0) hist else hist.map(_ / n))
+    }
+
+  /** E5+E2 — audio perceptual fingerprint over the REAL PCM decode:
+    * 64 equal time frames, mean |amplitude| per frame, each frame
+    * thresholded at the global frame mean → 64-bit fingerprint
+    * (bit i = frame i is louder than average). The energy ENVELOPE
+    * survives re-encoding and low-level noise, so perceptual
+    * duplicates land within a few hamming bits — the audio analogue of
+    * the image aHash, feeding the same pigeonhole blocking. None for
+    * non-WAV payloads or clips shorter than the frame grid. */
+  private[graft] def audioHash(payload: Array[Byte]): Option[Long] =
+    wavPcm(payload).flatMap { case (_, _, bits, dOff, n) =>
+      if (n < 64) None
+      else {
+        val b = java.nio.ByteBuffer.wrap(payload).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+        val sums = new Array[Double](64)
+        val counts = new Array[Long](64)
+        var i = 0
+        while (i < n) {
+          val frame = (i.toLong * 64 / n).toInt
+          sums(frame) += math.abs(pcmSample(payload, b, bits, dOff, i))
+          counts(frame) += 1
+          i += 1
+        }
+        val means = Array.tabulate(64)(f => if (counts(f) == 0) 0.0 else sums(f) / counts(f))
+        val global = means.sum / 64
+        var fp = 0L
+        var f = 0
+        while (f < 64) { if (means(f) > global) fp |= (1L << f); f += 1 }
+        Some(fp)
+      }
+    }
+
+  private val audioHashUdf =
+    org.apache.spark.sql.functions.udf((p: Array[Byte]) => audioHash(p))
+
+  /** Per-row audio fingerprint column (null where the payload isn't
+    * decodable PCM). */
+  def audioAHash(payload: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    audioHashUdf(payload)
+
+  /** E5+E2 — near-duplicate AUDIO pairs: energy-envelope fingerprint +
+    * [[Dedup.fingerprintNearDuplicates]] pigeonhole blocking, exactly
+    * the image path's shape. Undecodable payloads drop out as nulls. */
+  def audioNearDuplicates(media: DataFrame, idCol: String, payloadCol: String,
+      maxDistance: Int = 5, cache: Boolean = true): DataFrame = {
+    val fps = media.select(col(idCol), audioAHash(col(payloadCol)).as("audio_hash"))
+      .filter(col("audio_hash").isNotNull)
+    Dedup.fingerprintNearDuplicates(fps, idCol, "audio_hash", maxDistance,
+      nBits = 64, cache = cache)
+  }
 
   /** Deterministic animated GIF: frame f is the CONSTANT gray level
     * `40 + (seed·7 mod 100) + f·16` — constant frames survive GIF's
@@ -396,6 +456,36 @@ object Multimodal {
       .filter(col("ahash").isNotNull)
     Dedup.fingerprintNearDuplicates(fps, idCol, "ahash", maxDistance,
       nBits = 64, cache = cache)
+  }
+
+  /** Deterministic block-ENVELOPE WAV for perceptual-hash tests: 64
+    * frames of `samplesPerFrame` PCM16 samples; frame f carries an
+    * alternating-sign square wave at amplitude 26000 (pattern bit set)
+    * or 1600 (clear), plus a small per-sample jitter (< 100 units) that
+    * frame averaging must wash out — so [[audioHash]] recovers
+    * `pattern` exactly and a k-bit pattern flip is hamming k away. */
+  def syntheticBlockWav(pattern: Long, samplesPerFrame: Int = 100): Array[Byte] = {
+    val nSamples = 64 * samplesPerFrame
+    val dataLen = nSamples * 2
+    val b = java.nio.ByteBuffer.allocate(44 + dataLen)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    b.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen)
+      .put("WAVE".getBytes("US-ASCII"))
+    b.put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1).putShort(1)            // PCM, mono
+      .putInt(16000).putInt(16000 * 2)
+      .putShort(2).putShort(16)           // block align, bits/sample
+    b.put("data".getBytes("US-ASCII")).putInt(dataLen)
+    var i = 0
+    while (i < nSamples) {
+      val frame = i / samplesPerFrame
+      val base = if (((pattern >>> frame) & 1L) == 1L) 26000 else 1600
+      val jitter = (i * 13) % 97
+      val amp = base + jitter
+      b.putShort((if (i % 2 == 0) amp else -amp).toShort)
+      i += 1
+    }
+    b.array()
   }
 
   /** Deterministic BLOCK-pattern PNG for perceptual-hash tests: the

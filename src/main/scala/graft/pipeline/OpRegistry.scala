@@ -165,6 +165,9 @@ object OpRegistry {
     "image_near_dups" -> (p => df => graft.ext.Multimodal.imageNearDuplicates(
       df, str(p, "id_col"), str(p, "payload_col"),
       numOpt(p, "max_distance").map(_.toInt).getOrElse(5), cache = false)),
+    "audio_near_dups" -> (p => df => graft.ext.Multimodal.audioNearDuplicates(
+      df, str(p, "id_col"), str(p, "payload_col"),
+      numOpt(p, "max_distance").map(_.toInt).getOrElse(5), cache = false)),
     "quality_features" -> (p => df =>
       graft.ext.TextAnalysis.qualityFeatures(df, str(p, "text_col"))),
     "normalize_text" -> (p => df => df.withColumn(

@@ -392,6 +392,37 @@ class MultimodalSpec extends AnyFunSuite {
     assert(Multimodal.averageHash("not an image".getBytes).isEmpty)
   }
 
+  test("E5+E2: audioHash recovers the planted energy-envelope pattern exactly") {
+    val patterns = Seq(0xA5A5A5A5A5A5A5A5L, 0x0FF0123456789ABCL, 1L, ~1L)
+    patterns.foreach { p =>
+      assert(Multimodal.audioHash(Multimodal.syntheticBlockWav(p)) == Some(p),
+        s"pattern ${p.toHexString}")
+      // frame-count independent: 50 samples/frame hashes identically
+      assert(Multimodal.audioHash(Multimodal.syntheticBlockWav(p, 50)) == Some(p),
+        s"pattern ${p.toHexString} at 50 samples/frame")
+    }
+    // non-audio bytes and too-short clips hash to None, not an exception
+    assert(Multimodal.audioHash("not a riff".getBytes).isEmpty)
+    assert(Multimodal.audioHash(Multimodal.syntheticWav(32, 16000, 1L)).isEmpty)
+  }
+
+  test("E5+E2: audioNearDuplicates finds perturbed twins among decoys") {
+    import spark.implicits._
+    val base = 0xA5A50F0F33CC55AAL
+    val twin = base ^ (1L << 3) ^ (1L << 47)           // 2 frame flips
+    val media = Seq(
+      (1L, Multimodal.syntheticBlockWav(base)),
+      (2L, Multimodal.syntheticBlockWav(twin)),
+      (3L, Multimodal.syntheticBlockWav(~base)),        // hamming 64
+      (4L, "undecodable junk".getBytes)
+    ).toDF("media_id", "payload")
+    val pairs = Multimodal.audioNearDuplicates(media, "media_id", "payload",
+        maxDistance = 3, cache = false)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getAs[Number](2).longValue))
+    assert(pairs.toSeq == Seq((1L, 2L, 2L)),
+      s"expected exactly the planted twin pair at hamming 2, got ${pairs.toSeq}")
+  }
+
   test("E5+E2: imageNearDuplicates finds perturbed twins, skips unrelated and undecodable") {
     import spark.implicits._
     val base = 0x5A5A12345A5AFEDCL
