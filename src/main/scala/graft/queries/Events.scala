@@ -238,5 +238,53 @@ object Events {
       "|users|·|types| rows. The explicit tie-break is the point: reproducible winners " +
       "under any partitioning, which the built-in mode() does not promise.")
 
-  val all: Seq[Declared] = Seq(q92, q93, q94, q98, q102, q106, q111)
+  /** q115 — A1/E6: per-user 3σ outlier flags with EXACT integer
+    * arithmetic end to end (q82's discipline): values quantize to
+    * centi-units, and the predicate |v−μ| > 3σ is compared SQUARED and
+    * scaled by n² — (u·n − Σ)² > 9(nΣq − Σ²) — so no sqrt, no division
+    * and no float enters the keep/drop decision on either engine.
+    * Means/stds are derived for reporting only, with identical
+    * operation order in both engines. */
+  val q115 = Declared(
+    "q115_outlier_flags", "A1,E6",
+    (s, dir) => {
+      val ev = Tables.events(s, dir)
+        .select(col("user_id"), round(col("value") * 100).cast("long").as("u"))
+      val stats = ev.groupBy(col("user_id")).agg(count(lit(1)).as("n"),
+        sum(col("u")).as("su"), sum(col("u") * col("u")).as("squ"))
+      val dev = col("u") * col("n") - col("su")
+      ev.join(stats, "user_id")
+        .select(col("user_id"), col("n"), col("su"), col("squ"),
+          (dev * dev > lit(9L) * (col("n") * col("squ") - col("su") * col("su")))
+            .as("is_out"))
+        .groupBy(col("user_id"), col("n"), col("su"), col("squ"))
+        .agg(sum(when(col("is_out"), 1L).otherwise(0L)).as("n_outliers"))
+        .select(col("user_id"), col("n"), col("n_outliers"),
+          round(col("su").cast("double") / col("n") / 100, 6).as("mean_value"),
+          round(sqrt((col("n") * col("squ") - col("su") * col("su")).cast("double"))
+            / col("n") / 100, 6).as("std_value"))
+        .orderBy(col("user_id"))
+    },
+    Some("""WITH ev AS (
+           |  SELECT user_id, CAST(round(value * 100) AS BIGINT) AS u FROM events),
+           |a AS (
+           |  SELECT user_id, count(*) AS n, CAST(sum(u) AS BIGINT) AS su,
+           |         CAST(sum(u * u) AS BIGINT) AS squ
+           |  FROM ev GROUP BY user_id),
+           |f AS (
+           |  SELECT e.user_id, a.n, a.su, a.squ,
+           |    CASE WHEN (e.u * a.n - a.su) * (e.u * a.n - a.su)
+           |              > 9 * (a.n * a.squ - a.su * a.su) THEN 1 ELSE 0 END AS o
+           |  FROM ev e JOIN a ON e.user_id = a.user_id)
+           |SELECT user_id, n, CAST(sum(o) AS BIGINT) AS n_outliers,
+           |  round(CAST(su AS DOUBLE) / n / 100, 6) AS mean_value,
+           |  round(sqrt(CAST(n * squ - su * su AS DOUBLE)) / n / 100, 6) AS std_value
+           |FROM f GROUP BY user_id, n, su, squ
+           |ORDER BY user_id""".stripMargin),
+    "Two passes sharing one user_id partitioning: a partial-agg stats pass (3 longs per " +
+      "user) and a flag pass against the joined stats — the stats side is |users|-sized, " +
+      "so at 100TB it broadcasts and the flag decision is scan-side integer math. The " +
+      "squared-inequality trick is what keeps an anomaly gate reproducible forever.")
+
+  val all: Seq[Declared] = Seq(q92, q93, q94, q98, q102, q106, q111, q115)
 }
