@@ -131,7 +131,10 @@ object Multimodal {
   /** Deterministic mono PCM16 WAV: sample i of the triangle-ish wave
     * `(((i * (7 + seed % 5)) % 2048) - 1024) * 16` — integer math only,
     * so tests recompute expected RMS bit-exactly without libm. */
-  def syntheticWav(nSamples: Int, sampleRate: Int, seed: Long): Array[Byte] = {
+  /** Allocate a PCM16-mono WAV buffer with its 44-byte RIFF header
+    * written, positioned at the data section (shared by both synthetic
+    * WAV builders so the header layout exists once). */
+  private def pcm16MonoWavBuffer(nSamples: Int, sampleRate: Int): java.nio.ByteBuffer = {
     val dataLen = nSamples * 2
     val b = java.nio.ByteBuffer.allocate(44 + dataLen)
       .order(java.nio.ByteOrder.LITTLE_ENDIAN)
@@ -142,6 +145,11 @@ object Multimodal {
       .putInt(sampleRate).putInt(sampleRate * 2)
       .putShort(2).putShort(16)           // block align, bits/sample
     b.put("data".getBytes("US-ASCII")).putInt(dataLen)
+    b
+  }
+
+  def syntheticWav(nSamples: Int, sampleRate: Int, seed: Long): Array[Byte] = {
+    val b = pcm16MonoWavBuffer(nSamples, sampleRate)
     val k = (7 + (seed % 5)).toInt
     var i = 0
     while (i < nSamples) {
@@ -466,16 +474,7 @@ object Multimodal {
     * `pattern` exactly and a k-bit pattern flip is hamming k away. */
   def syntheticBlockWav(pattern: Long, samplesPerFrame: Int = 100): Array[Byte] = {
     val nSamples = 64 * samplesPerFrame
-    val dataLen = nSamples * 2
-    val b = java.nio.ByteBuffer.allocate(44 + dataLen)
-      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
-    b.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen)
-      .put("WAVE".getBytes("US-ASCII"))
-    b.put("fmt ".getBytes("US-ASCII")).putInt(16)
-      .putShort(1).putShort(1)            // PCM, mono
-      .putInt(16000).putInt(16000 * 2)
-      .putShort(2).putShort(16)           // block align, bits/sample
-    b.put("data".getBytes("US-ASCII")).putInt(dataLen)
+    val b = pcm16MonoWavBuffer(nSamples, 16000)
     var i = 0
     while (i < nSamples) {
       val frame = i / samplesPerFrame

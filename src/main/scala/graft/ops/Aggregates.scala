@@ -132,16 +132,17 @@ object Aggregates {
       }: _*)
   }
 
-  /** A1/E6 — one-pass numeric data PROFILE (the describe() every
-    * ingestion pipeline runs first): per column — non-null count, null
-    * count, exact distinct, min, max, exact decimal sum and the derived
-    * mean — ALL columns in a single aggregate pass over one scan; the
-    * wide 1-row result melts to one row per column afterwards (melt on
-    * 1 row costs nothing — q96's placement argument). Sums ride in
-    * DECIMAL(18,2), so column order, partitioning and engine cannot
-    * move a bit. Exact distinct is the correctness kernel; at 100 TB
-    * swap approx_count_distinct (mergeable HLL — SketchSpec pins the
-    * laws). */
+  /** A1/E6 — numeric data PROFILE (the describe() every ingestion
+    * pipeline runs first): per column — non-null count, null count,
+    * exact distinct, min, max, exact decimal sum and the derived mean.
+    * The algebraic stats fuse into ONE aggregate pass; each distinct
+    * count runs as its own column-pruned pass (see inline comment);
+    * the wide 1-row result melts to one row per column afterwards
+    * (melt on 1 row costs nothing — q96's placement argument). Sums
+    * ride in DECIMAL(18,2), so column order, partitioning and engine
+    * cannot move a bit. Exact distinct is the correctness kernel; at
+    * 100 TB swap approx_count_distinct (mergeable HLL — SketchSpec
+    * pins the laws). */
   def profile(df: DataFrame, cols: Seq[String]): DataFrame = {
     require(cols.nonEmpty, "profile needs at least one column")
     // algebraic stats fuse into ONE pass; the distinct counts run as

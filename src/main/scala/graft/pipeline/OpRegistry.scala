@@ -102,8 +102,13 @@ object OpRegistry {
     // A1 as a pipeline citizen: the multi-func × multi-col aggregation
     // block with the reference's func_source_col output naming
     "group_agg" -> (p => df => {
+      val funcs = strs(p, "funcs"); val valueCols = strs(p, "value_cols")
+      // strs() maps a missing key to empty; fail with a message, not
+      // `head of empty list` (the registry's typed-error contract)
+      if (funcs.isEmpty) sys.error("group_agg requires a non-empty 'funcs' list")
+      if (valueCols.isEmpty) sys.error("group_agg requires a non-empty 'value_cols' list")
       val aggs = graft.ops.Aggregates.block(
-        strs(p, "funcs"), strOpt(p, "source").getOrElse(""), strs(p, "value_cols"))
+        funcs, strOpt(p, "source").getOrElse(""), valueCols)
       df.groupBy(strs(p, "by").map(col): _*).agg(aggs.head, aggs.tail: _*)
     }),
     "order_by" -> (p => df => df.orderBy(strs(p, "columns").map(sortExpr): _*)),

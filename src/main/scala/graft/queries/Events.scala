@@ -242,9 +242,12 @@ object Events {
     * arithmetic end to end (q82's discipline): values quantize to
     * centi-units, and the predicate |v−μ| > 3σ is compared SQUARED and
     * scaled by n² — (u·n − Σ)² > 9(nΣq − Σ²) — so no sqrt, no division
-    * and no float enters the keep/drop decision on either engine.
-    * Means/stds are derived for reporting only, with identical
-    * operation order in both engines. */
+    * and no float enters the keep/drop decision on either engine. The
+    * scaled comparison runs in DECIMAL(38,0)/HUGEINT: the n² factor
+    * would overflow 64 bits for a key with ~3·10⁵ events — silently in
+    * Spark, as an error in DuckDB — while 128-bit headroom holds to
+    * ~10¹² events per key. Means/stds are derived for reporting only,
+    * with identical operation order in both engines. */
   val q115 = Declared(
     "q115_outlier_flags", "A1,E6",
     (s, dir) => {
@@ -252,10 +255,12 @@ object Events {
         .select(col("user_id"), round(col("value") * 100).cast("long").as("u"))
       val stats = ev.groupBy(col("user_id")).agg(count(lit(1)).as("n"),
         sum(col("u")).as("su"), sum(col("u") * col("u")).as("squ"))
-      val dev = col("u") * col("n") - col("su")
+      def big(c: org.apache.spark.sql.Column) = c.cast("decimal(38,0)")
+      val dev = big(col("u")) * big(col("n")) - big(col("su"))
       ev.join(stats, "user_id")
         .select(col("user_id"), col("n"), col("su"), col("squ"),
-          (dev * dev > lit(9L) * (col("n") * col("squ") - col("su") * col("su")))
+          (dev * dev > big(lit(9L)) *
+            (big(col("n")) * big(col("squ")) - big(col("su")) * big(col("su"))))
             .as("is_out"))
         .groupBy(col("user_id"), col("n"), col("su"), col("squ"))
         .agg(sum(when(col("is_out"), 1L).otherwise(0L)).as("n_outliers"))
@@ -273,8 +278,10 @@ object Events {
            |  FROM ev GROUP BY user_id),
            |f AS (
            |  SELECT e.user_id, a.n, a.su, a.squ,
-           |    CASE WHEN (e.u * a.n - a.su) * (e.u * a.n - a.su)
-           |              > 9 * (a.n * a.squ - a.su * a.su) THEN 1 ELSE 0 END AS o
+           |    CASE WHEN (CAST(e.u AS HUGEINT) * a.n - a.su)
+           |               * (CAST(e.u AS HUGEINT) * a.n - a.su)
+           |              > 9 * (CAST(a.n AS HUGEINT) * a.squ
+           |                     - CAST(a.su AS HUGEINT) * a.su) THEN 1 ELSE 0 END AS o
            |  FROM ev e JOIN a ON e.user_id = a.user_id)
            |SELECT user_id, n, CAST(sum(o) AS BIGINT) AS n_outliers,
            |  round(CAST(su AS DOUBLE) / n / 100, 6) AS mean_value,

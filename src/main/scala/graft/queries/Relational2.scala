@@ -382,12 +382,19 @@ object Relational2 {
       val dirty = parts.filter(col("p_partkey") % 7 === 0)
         .select((col("p_partkey") + 10000000L).as("dirty_id"),
           expr("substring(p_name, 1, length(p_name) - 1)").as("dirty_name"))
+      // written as join-then-project-then-filter for clarity; Catalyst
+      // pushes the distance predicate back into the join residual (good
+      // — non-matches die before the shuffle boundary), so block
+      // SURVIVORS pay the O(len²) DP twice (residual + projection).
+      // That's |matches|-sized, not |candidates|-sized, and the builtin
+      // stays codegen'd — a UDF barrier to force single evaluation
+      // would cost more than it saves.
       dirty.join(broadcast(dict),
           substring(col("dirty_name"), 1, 4) === substring(col("clean_name"), 1, 4) &&
-          abs(length(col("dirty_name")) - length(col("clean_name"))) <= 2 &&
-          levenshtein(col("dirty_name"), col("clean_name")) <= 2)
+          abs(length(col("dirty_name")) - length(col("clean_name"))) <= 2)
         .select(col("dirty_id"), col("clean_name"),
           levenshtein(col("dirty_name"), col("clean_name")).as("distance"))
+        .filter(col("distance") <= 2)
         .orderBy(col("dirty_id"), col("clean_name"))
     },
     Some("""WITH dict AS (SELECT DISTINCT p_name AS clean_name FROM part),
@@ -460,9 +467,11 @@ object Relational2 {
          |  CAST(sum(CAST($c AS DECIMAL(18,2))) AS DOUBLE) / count($c) AS mean
          |FROM lineitem""".stripMargin
     }.mkString("", "\nUNION ALL\n", "\nORDER BY col_name")),
-    "One scan, one aggregate job for ALL columns (Spark plans the multi-distinct via " +
-      "expand); the melt reshapes a 1-row aggregate — free. This is the first pass every " +
-      "ingestion run makes over new 100TB data; exact distinct swaps to HLL there.")
+    "Algebraic stats fuse into ONE pass; each distinct count runs as its OWN column-" +
+      "pruned pass (map-side partial dedup, tiny shuffle) — folding N countDistinct into " +
+      "one aggregate makes Spark expand every row (N+1)× first, 3× slower here. The melt " +
+      "reshapes a 1-row aggregate — free. This is the first pass every ingestion run " +
+      "makes over new 100TB data; exact distinct swaps to HLL there.")
 
   /** q114 — C1-C8/A1/F1: a pipeline parsed FROM ITS SERIALIZED JSON
     * SPEC runs under the oracle gate — the artifact a user stores,
