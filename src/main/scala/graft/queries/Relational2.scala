@@ -509,7 +509,99 @@ object Relational2 {
       "partial-agg → shuffle → final-agg Catalyst tree a hand-written query gets, so the " +
       "serialization layer is pure provenance — zero runtime tax at any scale.")
 
+  /** q116 — A-quantile: exact INTERPOLATED quartiles per segment —
+    * Spark `percentile` and DuckDB `quantile_cont` share the same
+    * definition (linear interpolation at rank (n−1)·q over the sorted
+    * values), so identical inputs give identical doubles; rounded to 6
+    * as belt-and-braces. Complements q27's discrete median. */
+  val q116 = Declared(
+    "q116_quartiles", "A-quantile",
+    (s, dir) => {
+      Tables.customer(s, dir)
+        .groupBy(col("c_mktsegment"))
+        .agg(
+          round(expr("percentile(c_acctbal, 0.25)"), 6).as("p25"),
+          round(expr("percentile(c_acctbal, 0.5)"), 6).as("p50"),
+          round(expr("percentile(c_acctbal, 0.75)"), 6).as("p75"))
+        .orderBy(col("c_mktsegment"))
+    },
+    Some("""SELECT c_mktsegment,
+           |  round(quantile_cont(c_acctbal, 0.25), 6) AS p25,
+           |  round(quantile_cont(c_acctbal, 0.5), 6) AS p50,
+           |  round(quantile_cont(c_acctbal, 0.75), 6) AS p75
+           |FROM customer
+           |GROUP BY c_mktsegment
+           |ORDER BY c_mktsegment""".stripMargin),
+    "Exact percentile needs the per-group sort — the correctness kernel; the mergeable " +
+      "100TB path is percentile_approx (KLL sketch, rank-error bound pinned in " +
+      "SketchSpec). Segments are bounded-cardinality so the final agg is tiny.")
+
+  /** q117 — A-array/F1: ordered STRING aggregation (listagg) — the
+    * first five customer names per segment by custkey, comma-joined.
+    * collect_list is order-free, so elements collect as (key, name)
+    * structs, array_sort, slice, then join — deterministic under any
+    * partitioning; the oracle's string_agg carries an explicit ORDER
+    * BY inside the aggregate. */
+  val q117 = Declared(
+    "q117_string_agg", "A-array,F1",
+    (s, dir) => {
+      Tables.customer(s, dir)
+        .groupBy(col("c_mktsegment"))
+        .agg(array_join(expr(
+          "transform(slice(array_sort(collect_list(struct(c_custkey, c_name))), 1, 5)," +
+            " t -> t.c_name)"), ",").as("first_names"),
+          count(lit(1)).as("n_customers"))
+        .orderBy(col("c_mktsegment"))
+    },
+    Some("""WITH r AS (
+           |  SELECT c_mktsegment, c_name, c_custkey,
+           |    row_number() OVER (PARTITION BY c_mktsegment ORDER BY c_custkey) AS rn,
+           |    count(*) OVER (PARTITION BY c_mktsegment) AS n_customers
+           |  FROM customer)
+           |SELECT c_mktsegment,
+           |  string_agg(c_name, ',' ORDER BY c_custkey)
+           |    FILTER (WHERE rn <= 5) AS first_names,
+           |  CAST(max(n_customers) AS BIGINT) AS n_customers
+           |FROM r GROUP BY c_mktsegment
+           |ORDER BY c_mktsegment""".stripMargin),
+    "The per-group payload is bounded at 5 names BEFORE the string join, so the " +
+      "aggregation buffer stays row-sized however large the group — the same k-bound " +
+      "contract as q110's arrays. Unbounded listagg is the anti-pattern at 100TB.")
+
+  /** q118 — A-quantile: median absolute deviation per return flag —
+    * the robust dispersion stat (immune to the outliers q115 flags).
+    * Two exact grouped medians: the group median joins back (a
+    * |groups|-row broadcast), absolute deviations re-aggregate.
+    * Interpolation semantics match q116/q27. */
+  val q118 = Declared(
+    "q118_mad", "A-quantile,J1",
+    (s, dir) => {
+      val li = Tables.lineitem(s, dir)
+      val med = li.groupBy(col("l_returnflag"))
+        .agg(expr("median(l_quantity)").as("m"))
+      li.join(broadcast(med), "l_returnflag")
+        .select(col("l_returnflag"), col("m"),
+          abs(col("l_quantity") - col("m")).as("ad"))
+        .groupBy(col("l_returnflag"))
+        .agg(round(max(col("m")), 6).as("med"),
+          round(expr("median(ad)"), 6).as("mad"))
+        .orderBy(col("l_returnflag"))
+    },
+    Some("""WITH m AS (
+           |  SELECT l_returnflag, median(l_quantity) AS m
+           |  FROM lineitem GROUP BY l_returnflag),
+           |a AS (
+           |  SELECT l.l_returnflag, m.m, abs(l.l_quantity - m.m) AS ad
+           |  FROM lineitem l JOIN m ON l.l_returnflag = m.l_returnflag)
+           |SELECT l_returnflag, round(max(m), 6) AS med,
+           |       round(median(ad), 6) AS mad
+           |FROM a GROUP BY l_returnflag
+           |ORDER BY l_returnflag""".stripMargin),
+    "Pass 1 is a tiny grouped median; its |groups|-row result broadcasts back, so pass 2 " +
+      "costs one scan + one grouped median — no extra shuffle of the fact table. MAD is " +
+      "what q115's 3-sigma gate upgrades to when the data has heavy tails.")
+
   val all: Seq[Declared] =
     Seq(q26, q27, q28, q29, q48, q49, q50, q52, q56, q95, q96, q97, q99, q108,
-      q110, q112, q114)
+      q110, q112, q114, q116, q117, q118)
 }
