@@ -261,5 +261,108 @@ object LlmExt5 {
       "documents themselves. The α=1/2 restriction keeps the decision libm-free, hence " +
       "bit-reproducible across engines and platforms forever.")
 
-  val all: Seq[Declared] = Seq(q87, q89, q90, q101, q107)
+  /** q119 — E1/E2/E4/E7 capstone: the WHOLE curation DAG in one
+    * oracle-gated query — plant (tiny docs %13, near-dup twins
+    * +100000, exact copies +200000) → normalize (lower) → token-count
+    * quality gate → exact dedup (min-id canonical) → MinHash-LSH
+    * near-dup pairs → connected components → canonical keep → content-
+    * hash split → per-split totals. Every stage is individually proven
+    * (q40/q45/q63/q70/q87); this row proves the COMPOSITION: the
+    * oracle rebuilds the full chain in SQL, closing the near-dup pairs
+    * with the recursive transitive closure. Same LSH parameters and
+    * corpus family as q70, whose green row established exact candidate
+    * recall on these planted pairs. */
+  val q119 = Declared(
+    "q119_corpus_e2e", "E1,E2,E4,E7,C1",
+    (s, dir) => {
+      import graft.ext.{Curation, Dedup, Graph}
+      import org.apache.spark.sql.expressions.Window
+      val base = Tables.documents(s, dir).filter(col("doc_id") < 100)
+        .select(col("doc_id"),
+          when(col("doc_id") % 13 === 0, lit("tiny doc"))
+            .otherwise(col("text")).as("text"))
+      val corpus = base
+        .unionByName(base.select((col("doc_id") + 100000).as("doc_id"),
+          concat(col("text"), lit(" mutationtoken")).as("text")))
+        .unionByName(base.select((col("doc_id") + 200000).as("doc_id"), col("text")))
+        .select(col("doc_id"), lower(col("text")).as("text"))
+        .withColumn("n_tokens",
+          length(col("text")) - length(regexp_replace(col("text"), " ", "")) + 1)
+        .filter(col("n_tokens") >= 5)
+      val minIds = corpus.groupBy(col("text")).agg(min(col("doc_id")).as("keep_id"))
+      val afterExact = corpus.join(minIds, "text")
+        .filter(col("doc_id") === col("keep_id"))
+        .select(col("doc_id"), col("text"), col("n_tokens"))
+      val pairs = Dedup.minhashNearDuplicates(afterExact, "text", "doc_id",
+        shingleSize = 3, numHashes = 16, bands = 16, threshold = 0.8)
+      val clusters = Graph.dedupClusters(pairs, "id_a", "id_b")
+      afterExact
+        .join(clusters.select(col("node").as("doc_id"), col("is_canonical")),
+          Seq("doc_id"), "left")
+        .filter(col("is_canonical").isNull || col("is_canonical"))
+        .select(Curation.split(col("text"), 80, 10, Dedup.md5Hash60).as("split"),
+          col("n_tokens"))
+        .groupBy(col("split"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("total_tokens"))
+        .orderBy(col("split"))
+    },
+    Some(s"""WITH RECURSIVE base AS (
+            |  SELECT doc_id,
+            |         CASE WHEN doc_id % 13 = 0 THEN 'tiny doc' ELSE text END AS text
+            |  FROM documents WHERE doc_id < 100),
+            |corpus0 AS (
+            |  SELECT doc_id, lower(text) AS text FROM base
+            |  UNION ALL
+            |  SELECT doc_id + 100000, lower(text || ' mutationtoken') FROM base
+            |  UNION ALL
+            |  SELECT doc_id + 200000, lower(text) FROM base),
+            |gated AS (
+            |  SELECT doc_id, text,
+            |         length(text) - length(replace(text, ' ', '')) + 1 AS n_tokens
+            |  FROM corpus0
+            |  WHERE length(text) - length(replace(text, ' ', '')) + 1 >= 5),
+            |afterexact AS (
+            |  SELECT g.doc_id, g.text, g.n_tokens
+            |  FROM gated g
+            |  JOIN (SELECT text, min(doc_id) AS keep_id FROM gated GROUP BY text) k
+            |    ON g.text = k.text AND g.doc_id = k.keep_id),
+            |t AS (SELECT doc_id, regexp_split_to_array(text, '\\s+') AS toks FROM afterexact),
+            |st AS (SELECT doc_id, toks, unnest(range(1, len(toks) - 2 + 1)) AS i
+            |       FROM t WHERE len(toks) >= 3),
+            |sh AS (SELECT DISTINCT doc_id,
+            |         array_to_string(list_slice(toks, i, i + 2), ' ') AS shingle
+            |       FROM st),
+            |c AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+            |i AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+            |      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+            |      GROUP BY 1, 2),
+            |p AS (
+            |  SELECT id_a, id_b
+            |  FROM i JOIN c ca ON i.id_a = ca.doc_id JOIN c cb ON i.id_b = cb.doc_id
+            |  WHERE CAST(inter AS DOUBLE) / (ca.n + cb.n - inter) >= 0.8),
+            |e AS (SELECT id_a AS a, id_b AS b FROM p
+            |      UNION ALL SELECT id_b, id_a FROM p),
+            |reach AS (
+            |  SELECT a AS node, a AS comp FROM e
+            |  UNION
+            |  SELECT e.a, reach.comp FROM e JOIN reach ON reach.node = e.b),
+            |comp AS (SELECT node, min(comp) AS component FROM reach GROUP BY node),
+            |kept AS (
+            |  SELECT a.doc_id, a.text, a.n_tokens
+            |  FROM afterexact a LEFT JOIN comp ON a.doc_id = comp.node
+            |  WHERE comp.node IS NULL OR comp.component = a.doc_id),
+            |h AS (
+            |  SELECT n_tokens, ${LlmExt2.duckMd5Hash60("text")} % 100 AS bucket
+            |  FROM kept)
+            |SELECT CASE WHEN bucket < 80 THEN 'train'
+            |            WHEN bucket < 90 THEN 'val'
+            |            ELSE 'test' END AS split,
+            |       count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS total_tokens
+            |FROM h GROUP BY 1 ORDER BY 1""".stripMargin),
+    "The composition inherits each stage's scale shape: scan-side gate, content-hash " +
+      "dedup shuffle, banded LSH equi-joins, O(log diameter) component rounds, scan-side " +
+      "split hash, one final tiny agg. No stage materializes a pair space or collects to " +
+      "the driver — composing the operators composes their 100TB stories.")
+
+  val all: Seq[Declared] = Seq(q87, q89, q90, q101, q107, q119)
 }

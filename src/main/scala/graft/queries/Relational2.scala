@@ -382,19 +382,20 @@ object Relational2 {
       val dirty = parts.filter(col("p_partkey") % 7 === 0)
         .select((col("p_partkey") + 10000000L).as("dirty_id"),
           expr("substring(p_name, 1, length(p_name) - 1)").as("dirty_name"))
-      // written as join-then-project-then-filter for clarity; Catalyst
-      // pushes the distance predicate back into the join residual (good
-      // — non-matches die before the shuffle boundary), so block
-      // SURVIVORS pay the O(len²) DP twice (residual + projection).
-      // That's |matches|-sized, not |candidates|-sized, and the builtin
-      // stays codegen'd — a UDF barrier to force single evaluation
-      // would cost more than it saves.
+      // the THRESHOLDED levenshtein (3-arg, returns -1 past the bound)
+      // early-exits the DP at band width 2 instead of filling the full
+      // len² table. Catalyst pushes the >= 0 predicate back into the
+      // join residual (good — non-matches die before the shuffle
+      // boundary), so block survivors evaluate the banded DP twice
+      // (residual + projection) — |matches|-sized and cheap; a UDF
+      // barrier to force single evaluation would cost more than it
+      // saves.
       dirty.join(broadcast(dict),
           substring(col("dirty_name"), 1, 4) === substring(col("clean_name"), 1, 4) &&
           abs(length(col("dirty_name")) - length(col("clean_name"))) <= 2)
         .select(col("dirty_id"), col("clean_name"),
-          levenshtein(col("dirty_name"), col("clean_name")).as("distance"))
-        .filter(col("distance") <= 2)
+          expr("levenshtein(dirty_name, clean_name, 2)").as("distance"))
+        .filter(col("distance") >= 0)
         .orderBy(col("dirty_id"), col("clean_name"))
     },
     Some("""WITH dict AS (SELECT DISTINCT p_name AS clean_name FROM part),
