@@ -602,7 +602,70 @@ object Relational2 {
       "costs one scan + one grouped median — no extra shuffle of the fact table. MAD is " +
       "what q115's 3-sigma gate upgrades to when the data has heavy tails.")
 
+  /** q120 — E6/J1: SALTED fact⋈dim join — the hot-key spreader for
+    * joins (q52 covers aggregation salting): the fact side gets a
+    * row-random salt, the dim side replicates once per salt value, and
+    * the (key, salt) equi-join spreads any hot key over `salt`
+    * reducers. The oracle is the PLAIN join — salting must be
+    * invisible in the result, which is the whole contract. */
+  val q120 = Declared(
+    "q120_salted_join", "E6,J1",
+    (s, dir) => {
+      val fact = Tables.orders(s, dir)
+        .select(col("o_custkey"), col("o_totalprice"))
+      val dim = Tables.customer(s, dir)
+        .select(col("c_custkey").as("o_custkey"), col("c_mktsegment"))
+      graft.ops.Salting.saltedJoin(fact, dim, "o_custkey", salt = 8)
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n_orders"),
+          (round(sum(col("o_totalprice")), 2) / count(lit(1))).as("mean_price"))
+        .orderBy(col("c_mktsegment"))
+    },
+    Some("""SELECT c_mktsegment, count(*) AS n_orders,
+           |  round(sum(o_totalprice), 2) / count(*) AS mean_price
+           |FROM orders JOIN customer ON o_custkey = c_custkey
+           |GROUP BY c_mktsegment
+           |ORDER BY c_mktsegment""".stripMargin),
+    "The dim replicates salt× (bounded side only) and the join keys on (key, salt) — a " +
+      "key holding 30% of a 100TB fact table spreads over 8 reducers instead of one. " +
+      "AQE's skew split handles this adaptively; explicit salting is the portable, " +
+      "planner-independent form, and the oracle proves it changes nothing.")
+
+  /** q121 — A5/T2: HOPPING (sliding) event-time windows in batch —
+    * 1-hour windows every 30 minutes, so each event lands in exactly
+    * two windows. Spark's `window()` generator does the assignment; the
+    * oracle derives each event's two covering window starts by
+    * truncation arithmetic. Value sums ride DECIMAL then divide. */
+  val q121 = Declared(
+    "q121_hopping_windows", "A5,T2",
+    (s, dir) => {
+      Tables.events(s, dir)
+        .groupBy(window(col("ts"), "1 hour", "30 minutes").as("w"),
+          col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          (sum(col("value").cast("decimal(18,2)")).cast("double") /
+            count(lit(1))).as("mean_value"))
+        .select(col("w.start").as("window_start"), col("event_type"),
+          col("n"), col("mean_value"))
+        .orderBy(col("window_start"), col("event_type"))
+    },
+    Some("""WITH e AS (
+           |  SELECT ts, event_type, value,
+           |         make_timestamp(epoch_us(ts) // 1800000000 * 1800000000) AS t30
+           |  FROM events),
+           |x AS (
+           |  SELECT t30 AS window_start, event_type, value FROM e
+           |  UNION ALL
+           |  SELECT t30 - INTERVAL 30 MINUTE, event_type, value FROM e)
+           |SELECT window_start, event_type, count(*) AS n,
+           |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS mean_value
+           |FROM x GROUP BY window_start, event_type
+           |ORDER BY window_start, event_type""".stripMargin),
+    "The window generator expands each event window/slide = 2× BEFORE the shuffle — the " +
+      "expansion factor is the overlap ratio, the knob to mind at 100TB (1h/30m is 2×; " +
+      "1h/1m would be 60×). State and shuffle key on (window, type), both bounded.")
+
   val all: Seq[Declared] =
     Seq(q26, q27, q28, q29, q48, q49, q50, q52, q56, q95, q96, q97, q99, q108,
-      q110, q112, q114, q116, q117, q118)
+      q110, q112, q114, q116, q117, q118, q120, q121)
 }

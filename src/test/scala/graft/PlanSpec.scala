@@ -124,6 +124,20 @@ class PlanSpec extends AnyFunSuite {
       "gate rules must stay codegen'd column expressions")
   }
 
+  test("the q119 curation capstone's composed plan stays equi-join-only") {
+    // the component rounds are localCheckpoint'd (their plans are pinned
+    // by the LSH/graph specs); this pins the visible composed plan:
+    // gate → dedup joins → cluster join → split agg, no pair space
+    val dir = "/root/testdata/sf0.001"
+    assume(new java.io.File(s"$dir/documents.parquet").exists())
+    val physical = SparkEntry.queries("q119_corpus_e2e")(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(!physical.contains("CartesianProduct"),
+      "no stage of the composed pipeline may materialize a pair space")
+    assert(!physical.contains("BroadcastNestedLoopJoin"),
+      "no unkeyed join anywhere in the composed plan")
+  }
+
   test("prefix-filter join generates candidates via shingle equi-joins, never a cartesian") {
     val docs = Seq((1L, "a b c d e f"), (2L, "a b c d e g"), (3L, "x y z w v u"))
       .toDF("doc_id", "text")
