@@ -293,5 +293,53 @@ object Events {
       "so at 100TB it broadcasts and the flag decision is scan-side integer math. The " +
       "squared-inequality trick is what keeps an anomaly gate reproducible forever.")
 
-  val all: Seq[Declared] = Seq(q92, q93, q94, q98, q102, q106, q111, q115)
+  /** q122 — A5/A-quantile: TIME-to-convert distribution — for users
+    * who completed the strictly-ordered view→click→purchase funnel
+    * (q93's reach times), the view→purchase lag in seconds, summarized
+    * as interpolated quartiles (q116's cross-engine definition). Lags
+    * derive from integer microsecond differences, so the sort keys are
+    * exact. */
+  val q122 = Declared(
+    "q122_conversion_lag", "A5,A-quantile",
+    (s, dir) => {
+      val reach = EventAnalytics.funnelReachTimes(Tables.events(s, dir),
+        "user_id", "ts", "event_type", Seq("view", "click", "purchase"))
+      reach.filter(col("t_purchase").isNotNull)
+        .select(((unix_micros(col("t_purchase")) - unix_micros(col("t_view")))
+          .cast("double") / 1000000L).as("lag_s"))
+        .agg(count(lit(1)).as("n_converted"),
+          round(expr("percentile(lag_s, 0.25)"), 6).as("p25_s"),
+          round(expr("percentile(lag_s, 0.5)"), 6).as("p50_s"),
+          round(expr("percentile(lag_s, 0.75)"), 6).as("p75_s"))
+    },
+    Some("""WITH s1 AS (
+           |  SELECT user_id,
+           |    min(ts) FILTER (WHERE event_type = 'view') AS t_view
+           |  FROM events GROUP BY user_id),
+           |s2 AS (
+           |  SELECT s1.user_id, s1.t_view,
+           |    min(e.ts) FILTER (WHERE e.event_type = 'click' AND e.ts > s1.t_view)
+           |      AS t_click
+           |  FROM events e JOIN s1 ON e.user_id = s1.user_id
+           |  GROUP BY s1.user_id, s1.t_view),
+           |s3 AS (
+           |  SELECT s2.user_id, s2.t_view, s2.t_click,
+           |    min(e.ts) FILTER (WHERE e.event_type = 'purchase' AND e.ts > s2.t_click)
+           |      AS t_purchase
+           |  FROM events e JOIN s2 ON e.user_id = s2.user_id
+           |  GROUP BY s2.user_id, s2.t_view, s2.t_click),
+           |l AS (
+           |  SELECT CAST(epoch_us(t_purchase) - epoch_us(t_view) AS DOUBLE)
+           |           / 1000000 AS lag_s
+           |  FROM s3 WHERE t_purchase IS NOT NULL)
+           |SELECT count(*) AS n_converted,
+           |  round(quantile_cont(lag_s, 0.25), 6) AS p25_s,
+           |  round(quantile_cont(lag_s, 0.5), 6) AS p50_s,
+           |  round(quantile_cont(lag_s, 0.75), 6) AS p75_s
+           |FROM l""".stripMargin),
+    "The funnel's k actor-keyed aggs shrink everything to one row per converted user " +
+      "before the quantile; the final sort is |converted|-sized, not event-sized. The " +
+      "latency-distribution readout every growth dashboard runs.")
+
+  val all: Seq[Declared] = Seq(q92, q93, q94, q98, q102, q106, q111, q115, q122)
 }
