@@ -40,6 +40,25 @@ object Events {
       "carry-in and the sweep cumulates inside day partitions — a year of 100TB events " +
       "is 365 independent sorts, with RANGE frames making equal instants tie-free.")
 
+  /** The view→click→purchase reach-time CTEs shared by q93 and q122 —
+    * ONE definition of the strictly-ordered funnel on the oracle side,
+    * mirroring the single funnelReachTimes on the Spark side. */
+  private val funnelCtes =
+    """s1 AS (
+      |  SELECT user_id, min(ts) FILTER (WHERE event_type = 'view') AS t_view
+      |  FROM events GROUP BY user_id),
+      |s2 AS (
+      |  SELECT s1.user_id, s1.t_view,
+      |    min(e.ts) FILTER (WHERE e.event_type = 'click' AND e.ts > s1.t_view) AS t_click
+      |  FROM events e JOIN s1 ON e.user_id = s1.user_id
+      |  GROUP BY s1.user_id, s1.t_view),
+      |s3 AS (
+      |  SELECT s2.user_id, s2.t_view, s2.t_click,
+      |    min(e.ts) FILTER (WHERE e.event_type = 'purchase' AND e.ts > s2.t_click)
+      |      AS t_purchase
+      |  FROM events e JOIN s2 ON e.user_id = s2.user_id
+      |  GROUP BY s2.user_id, s2.t_view, s2.t_click)""".stripMargin
+
   /** q93 — A1/F5: strictly-ordered conversion funnel view → click →
     * purchase. Stage i is the first matching event strictly after
     * stage i−1 — conditional-min aggs, no per-event path walk. */
@@ -53,24 +72,11 @@ object Events {
           count(col("t_click")).as("reached_click"),
           count(col("t_purchase")).as("reached_purchase"))
     },
-    Some("""WITH s1 AS (
-           |  SELECT user_id, min(ts) FILTER (WHERE event_type = 'view') AS t_view
-           |  FROM events GROUP BY user_id),
-           |s2 AS (
-           |  SELECT s1.user_id, s1.t_view,
-           |    min(e.ts) FILTER (WHERE e.event_type = 'click' AND e.ts > s1.t_view) AS t_click
-           |  FROM events e JOIN s1 ON e.user_id = s1.user_id
-           |  GROUP BY s1.user_id, s1.t_view),
-           |s3 AS (
-           |  SELECT s2.user_id, s2.t_view, s2.t_click,
-           |    min(e.ts) FILTER (WHERE e.event_type = 'purchase' AND e.ts > s2.t_click)
-           |      AS t_purchase
-           |  FROM events e JOIN s2 ON e.user_id = s2.user_id
-           |  GROUP BY s2.user_id, s2.t_view, s2.t_click)
-           |SELECT count(t_view) AS reached_view,
-           |       count(t_click) AS reached_click,
-           |       count(t_purchase) AS reached_purchase
-           |FROM s3""".stripMargin),
+    Some(s"""WITH $funnelCtes
+            |SELECT count(t_view) AS reached_view,
+            |       count(t_click) AS reached_click,
+            |       count(t_purchase) AS reached_purchase
+            |FROM s3""".stripMargin),
     "One actor-keyed conditional-min agg per stage (map-side partials; k stages = k " +
       "uniform shuffles on the actor id) — funnel semantics without materializing any " +
       "per-event path state; the final count is a 1-row reduce.")
@@ -312,31 +318,16 @@ object Events {
           round(expr("percentile(lag_s, 0.5)"), 6).as("p50_s"),
           round(expr("percentile(lag_s, 0.75)"), 6).as("p75_s"))
     },
-    Some("""WITH s1 AS (
-           |  SELECT user_id,
-           |    min(ts) FILTER (WHERE event_type = 'view') AS t_view
-           |  FROM events GROUP BY user_id),
-           |s2 AS (
-           |  SELECT s1.user_id, s1.t_view,
-           |    min(e.ts) FILTER (WHERE e.event_type = 'click' AND e.ts > s1.t_view)
-           |      AS t_click
-           |  FROM events e JOIN s1 ON e.user_id = s1.user_id
-           |  GROUP BY s1.user_id, s1.t_view),
-           |s3 AS (
-           |  SELECT s2.user_id, s2.t_view, s2.t_click,
-           |    min(e.ts) FILTER (WHERE e.event_type = 'purchase' AND e.ts > s2.t_click)
-           |      AS t_purchase
-           |  FROM events e JOIN s2 ON e.user_id = s2.user_id
-           |  GROUP BY s2.user_id, s2.t_view, s2.t_click),
-           |l AS (
-           |  SELECT CAST(epoch_us(t_purchase) - epoch_us(t_view) AS DOUBLE)
-           |           / 1000000 AS lag_s
-           |  FROM s3 WHERE t_purchase IS NOT NULL)
-           |SELECT count(*) AS n_converted,
-           |  round(quantile_cont(lag_s, 0.25), 6) AS p25_s,
-           |  round(quantile_cont(lag_s, 0.5), 6) AS p50_s,
-           |  round(quantile_cont(lag_s, 0.75), 6) AS p75_s
-           |FROM l""".stripMargin),
+    Some(s"""WITH $funnelCtes,
+            |l AS (
+            |  SELECT CAST(epoch_us(t_purchase) - epoch_us(t_view) AS DOUBLE)
+            |           / 1000000 AS lag_s
+            |  FROM s3 WHERE t_purchase IS NOT NULL)
+            |SELECT count(*) AS n_converted,
+            |  round(quantile_cont(lag_s, 0.25), 6) AS p25_s,
+            |  round(quantile_cont(lag_s, 0.5), 6) AS p50_s,
+            |  round(quantile_cont(lag_s, 0.75), 6) AS p75_s
+            |FROM l""".stripMargin),
     "The funnel's k actor-keyed aggs shrink everything to one row per converted user " +
       "before the quantile; the final sort is |converted|-sized, not event-sized. The " +
       "latency-distribution readout every growth dashboard runs.")

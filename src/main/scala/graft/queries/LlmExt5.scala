@@ -290,9 +290,14 @@ object LlmExt5 {
           length(col("text")) - length(regexp_replace(col("text"), " ", "")) + 1)
         .filter(col("n_tokens") >= 5)
       val minIds = corpus.groupBy(col("text")).agg(min(col("doc_id")).as("keep_id"))
-      val afterExact = corpus.join(minIds, "text")
-        .filter(col("doc_id") === col("keep_id"))
-        .select(col("doc_id"), col("text"), col("n_tokens"))
+      // cached: three consumers read this frame (signature build,
+      // Jaccard-verify shingles, canonical-keep join) — uncached, the
+      // scan + gate + dedup join would re-execute per consumer. The
+      // driver's Verify/Bench release operator caches between queries.
+      val afterExact = graft.core.OperatorCaches.cached(
+        corpus.join(minIds, "text")
+          .filter(col("doc_id") === col("keep_id"))
+          .select(col("doc_id"), col("text"), col("n_tokens")))
       val pairs = Dedup.minhashNearDuplicates(afterExact, "text", "doc_id",
         shingleSize = 3, numHashes = 16, bands = 16, threshold = 0.8)
       val clusters = Graph.dedupClusters(pairs, "id_a", "id_b")

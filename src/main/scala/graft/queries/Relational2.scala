@@ -546,12 +546,22 @@ object Relational2 {
   val q117 = Declared(
     "q117_string_agg", "A-array,F1",
     (s, dir) => {
+      // rank BEFORE collecting so the agg buffer holds at most 5
+      // structs per group (collecting the whole group then slicing
+      // would be the unbounded-listagg anti-pattern this row forbids);
+      // the group size rides the same window pass
+      val w = Window.partitionBy(col("c_mktsegment")).orderBy(col("c_custkey"))
       Tables.customer(s, dir)
+        .select(col("c_mktsegment"), col("c_name"), col("c_custkey"),
+          row_number().over(w).as("rn"),
+          count(lit(1)).over(Window.partitionBy(col("c_mktsegment")))
+            .as("n_cust"))
+        .filter(col("rn") <= 5)
         .groupBy(col("c_mktsegment"))
         .agg(array_join(expr(
-          "transform(slice(array_sort(collect_list(struct(c_custkey, c_name))), 1, 5)," +
-            " t -> t.c_name)"), ",").as("first_names"),
-          count(lit(1)).as("n_customers"))
+          "transform(array_sort(collect_list(struct(rn, c_name))), t -> t.c_name)"),
+          ",").as("first_names"),
+          max(col("n_cust")).as("n_customers"))
         .orderBy(col("c_mktsegment"))
     },
     Some("""WITH r AS (
