@@ -27,6 +27,57 @@ class PipelineSpec extends AnyFunSuite {
     intercept[graft.core.UnvalidatedPipeline] { pipe.requireValidated() }
   }
 
+  test("X1: newest registry ops run end-to-end from serialized JSON specs") {
+    // the kwargs plumbing is stringly-typed and otherwise exercised
+    // only where a declared query uses the op — run each one here
+    def run(json: String, df: org.apache.spark.sql.DataFrame) =
+      Pipeline.fromJson(json).run(df)._1
+
+    val docs = Seq((1L, "alpha beta gamma delta", "s0"),
+      (2L, "alpha beta gamma delta", "s0"),
+      (3L, "epsilon zeta eta theta", "s1")).toDF("doc_id", "text", "source")
+    val pairs = run("""{"pipe":"p","operations":[{"name":"pp","function":
+      "prefix_jaccard_pairs","kwargs":{"text_col":"text","id_col":"doc_id",
+      "shingle_size":1,"t_num":1,"t_den":2}}]}""", docs).collect()
+    assert(pairs.map(r => (r.getLong(0), r.getLong(1))).toSeq == Seq((1L, 2L)))
+
+    val kept = run("""{"pipe":"p","operations":[{"name":"t","function":
+      "temperature_sample","kwargs":{"key":"source","text_col":"text"}}]}""",
+      docs).collect()
+    assert(kept.nonEmpty && kept.length <= 3)
+
+    val edges = Seq((1L, 2L), (2L, 3L)).toDF("a", "b")
+    val ranks = run("""{"pipe":"p","operations":[{"name":"pr","function":
+      "pagerank","kwargs":{"src_col":"a","dst_col":"b","iters":2}}]}""",
+      edges).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(ranks == Map(1L -> 936250L, 2L -> 1127500L, 3L -> 936250L))
+
+    val media = Seq(
+      (1L, graft.ext.Multimodal.syntheticBlockPng(0x0F0F00FF33CC55AAL)),
+      (2L, graft.ext.Multimodal.syntheticBlockPng(0x0F0F00FF33CC55AAL ^ 3L)))
+      .toDF("media_id", "payload")
+    val imgPairs = run("""{"pipe":"p","operations":[{"name":"i","function":
+      "image_near_dups","kwargs":{"id_col":"media_id","payload_col":"payload",
+      "max_distance":3}}]}""", media).collect()
+    assert(imgPairs.map(r => (r.getLong(0), r.getLong(1))).toSeq == Seq((1L, 2L)))
+
+    val wavs = Seq(
+      (1L, graft.ext.Multimodal.syntheticBlockWav(0xA5A50F0F33CC55AAL)),
+      (2L, graft.ext.Multimodal.syntheticBlockWav(0xA5A50F0F33CC55AAL ^ 5L)))
+      .toDF("media_id", "payload")
+    val audPairs = run("""{"pipe":"p","operations":[{"name":"a","function":
+      "audio_near_dups","kwargs":{"id_col":"media_id","payload_col":"payload",
+      "max_distance":3}}]}""", wavs).collect()
+    assert(audPairs.map(r => (r.getLong(0), r.getLong(1))).toSeq == Seq((1L, 2L)))
+
+    // malformed group_agg fails with the typed message, not head-of-empty
+    val e = intercept[RuntimeException] {
+      run("""{"pipe":"p","operations":[{"name":"g","function":"group_agg",
+        "kwargs":{"by":["source"]}}]}""", docs)
+    }
+    assert(e.getMessage.contains("group_agg requires"), e.getMessage)
+  }
+
   test("C2/C3: JSON round-trip is identity") {
     val json = pipe.toJson.render
     val back = Pipeline.fromJson(json)
