@@ -77,4 +77,15 @@ object Dimensions {
         (attrCols.map(c => col(s"__a_$c").as(c)) ++
           attrCols.map(c => col(s"__b_$c").as(s"old_$c"))): _*)
   }
+
+  /** The SCD2 READ side: the dimension as it stood on `asOfDate` —
+    * rows whose validity interval covers the probe
+    * (`valid_from <= D < valid_to`, open rows have null `valid_to`).
+    * A scan-side filter: history tables partitioned/z-ordered by the
+    * validity dates prune to the covering slice at 100 TB. */
+  def snapshotAsOf(history: DataFrame, fromCol: String, toCol: String,
+      asOfDate: String): DataFrame = {
+    val d = to_date(lit(asOfDate))
+    history.filter(col(fromCol) <= d && (col(toCol).isNull || col(toCol) > d))
+  }
 }

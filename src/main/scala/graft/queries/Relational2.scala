@@ -204,6 +204,60 @@ object Relational2 {
     "Pivot with EXPLICIT value list compiles to conditional aggs in one pass; without the list " +
       "Spark runs an extra distinct job to discover values — always pin the list at scale.")
 
+  /** The planted SCD2 fixture shared by q95 (the merge) and q123 (the
+    * point-in-time read): open customer dimension + an updates batch
+    * carrying every fate (%3 changed, %5 no-op, +100000 new). */
+  private def scd2History(s: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(s, dir)
+    val dim = c.select(col("c_custkey"), col("c_mktsegment"),
+      to_date(lit("2020-01-01")).as("valid_from"),
+      lit(null).cast("date").as("valid_to"))
+    val updates = c.filter(col("c_custkey") % 3 === 0)
+      .select(col("c_custkey"), concat(lit("moved "), col("c_mktsegment")).as("c_mktsegment"))
+      .unionByName(c.filter(col("c_custkey") % 5 === 1)
+        .select(col("c_custkey"), col("c_mktsegment")))   // no-op batch rows
+      .unionByName(c.filter(col("c_custkey") % 4 === 2)
+        .select((col("c_custkey") + 100000).as("c_custkey"),
+          lit("NEWSEGMENT").as("c_mktsegment")))
+    graft.ops.Dimensions.scd2Apply(dim, updates, "c_custkey",
+      Seq("c_mktsegment"), "valid_from", "valid_to", "2024-06-01")
+  }
+
+  /** The oracle-side twin of [[scd2History]]: the four-branch merge as
+    * a CTE block ending in `hist(c_custkey, c_mktsegment, valid_from,
+    * valid_to)` — ONE definition for both q95 and q123. */
+  private val scd2HistSql =
+    """dim AS (
+      |  SELECT c_custkey, c_mktsegment,
+      |         DATE '2020-01-01' AS valid_from, CAST(NULL AS DATE) AS valid_to
+      |  FROM customer),
+      |upd AS (
+      |  SELECT c_custkey, 'moved ' || c_mktsegment AS c_mktsegment
+      |  FROM customer WHERE c_custkey % 3 = 0
+      |  UNION ALL
+      |  SELECT c_custkey, c_mktsegment FROM customer WHERE c_custkey % 5 = 1
+      |  UNION ALL
+      |  SELECT c_custkey + 100000, 'NEWSEGMENT' FROM customer WHERE c_custkey % 4 = 2),
+      |changed AS (
+      |  SELECT d.c_custkey, d.c_mktsegment AS old_seg, u.c_mktsegment AS new_seg,
+      |         d.valid_from
+      |  FROM dim d JOIN upd u USING (c_custkey)
+      |  WHERE d.c_mktsegment IS DISTINCT FROM u.c_mktsegment),
+      |hist AS (
+      |  SELECT c_custkey, old_seg AS c_mktsegment, valid_from,
+      |         DATE '2024-06-01' AS valid_to
+      |  FROM changed
+      |  UNION ALL
+      |  SELECT c_custkey, new_seg, DATE '2024-06-01', CAST(NULL AS DATE) FROM changed
+      |  UNION ALL
+      |  SELECT d.c_custkey, d.c_mktsegment, d.valid_from, d.valid_to
+      |  FROM dim d LEFT JOIN upd u USING (c_custkey)
+      |  WHERE u.c_custkey IS NULL OR d.c_mktsegment IS NOT DISTINCT FROM u.c_mktsegment
+      |  UNION ALL
+      |  SELECT u.c_custkey, u.c_mktsegment, DATE '2024-06-01', CAST(NULL AS DATE)
+      |  FROM upd u
+      |  WHERE NOT EXISTS (SELECT 1 FROM dim d WHERE d.c_custkey = u.c_custkey))""".stripMargin
+
   /** q95 — J1/U-merge: SCD type-2 dimension merge. The updates batch
     * plants all four fates against the open customer dimension:
     * %3 = changed segment (close + reopen), %5 = 1 no-op update, new
@@ -211,51 +265,11 @@ object Relational2 {
     * rebuilds the same output as four explicit UNION ALL branches. */
   val q95 = Declared(
     "q95_scd2_merge", "J1,U2",
-    (s, dir) => {
-      val c = Tables.customer(s, dir)
-      val dim = c.select(col("c_custkey"), col("c_mktsegment"),
-        to_date(lit("2020-01-01")).as("valid_from"),
-        lit(null).cast("date").as("valid_to"))
-      val updates = c.filter(col("c_custkey") % 3 === 0)
-        .select(col("c_custkey"), concat(lit("moved "), col("c_mktsegment")).as("c_mktsegment"))
-        .unionByName(c.filter(col("c_custkey") % 5 === 1)
-          .select(col("c_custkey"), col("c_mktsegment")))   // no-op batch rows
-        .unionByName(c.filter(col("c_custkey") % 4 === 2)
-          .select((col("c_custkey") + 100000).as("c_custkey"),
-            lit("NEWSEGMENT").as("c_mktsegment")))
-      graft.ops.Dimensions.scd2Apply(dim, updates, "c_custkey",
-          Seq("c_mktsegment"), "valid_from", "valid_to", "2024-06-01")
-        .orderBy(col("c_custkey"), col("valid_from"), col("c_mktsegment"))
-    },
-    Some("""WITH dim AS (
-           |  SELECT c_custkey, c_mktsegment,
-           |         DATE '2020-01-01' AS valid_from, CAST(NULL AS DATE) AS valid_to
-           |  FROM customer),
-           |upd AS (
-           |  SELECT c_custkey, 'moved ' || c_mktsegment AS c_mktsegment
-           |  FROM customer WHERE c_custkey % 3 = 0
-           |  UNION ALL
-           |  SELECT c_custkey, c_mktsegment FROM customer WHERE c_custkey % 5 = 1
-           |  UNION ALL
-           |  SELECT c_custkey + 100000, 'NEWSEGMENT' FROM customer WHERE c_custkey % 4 = 2),
-           |changed AS (
-           |  SELECT d.c_custkey, d.c_mktsegment AS old_seg, u.c_mktsegment AS new_seg,
-           |         d.valid_from
-           |  FROM dim d JOIN upd u USING (c_custkey)
-           |  WHERE d.c_mktsegment IS DISTINCT FROM u.c_mktsegment)
-           |SELECT c_custkey, old_seg AS c_mktsegment, valid_from, DATE '2024-06-01' AS valid_to
-           |FROM changed
-           |UNION ALL
-           |SELECT c_custkey, new_seg, DATE '2024-06-01', CAST(NULL AS DATE) FROM changed
-           |UNION ALL
-           |SELECT d.c_custkey, d.c_mktsegment, d.valid_from, d.valid_to
-           |FROM dim d LEFT JOIN upd u USING (c_custkey)
-           |WHERE u.c_custkey IS NULL OR d.c_mktsegment IS NOT DISTINCT FROM u.c_mktsegment
-           |UNION ALL
-           |SELECT u.c_custkey, u.c_mktsegment, DATE '2024-06-01', CAST(NULL AS DATE)
-           |FROM upd u
-           |WHERE NOT EXISTS (SELECT 1 FROM dim d WHERE d.c_custkey = u.c_custkey)
-           |ORDER BY 1, 3, 2""".stripMargin),
+    (s, dir) => scd2History(s, dir)
+      .orderBy(col("c_custkey"), col("valid_from"), col("c_mktsegment")),
+    Some(s"""WITH $scd2HistSql
+            |SELECT c_custkey, c_mktsegment, valid_from, valid_to
+            |FROM hist ORDER BY 1, 3, 2""".stripMargin),
     "One business-key full-outer equi-join (uniform hash key) + a scan-side conditional " +
       "explode — no second pass, output <= |dim| + 2|updates|; idempotent on a repeated " +
       "batch (re-apply yields only no-op branches). THE nightly warehouse merge shape.")
@@ -675,7 +689,40 @@ object Relational2 {
       "expansion factor is the overlap ratio, the knob to mind at 100TB (1h/30m is 2×; " +
       "1h/1m would be 60×). State and shuffle key on (window, type), both bounded.")
 
+  /** q123 — J1/P8: the SCD2 READ side — point-in-time snapshots from
+    * the history q95 writes: segment populations as the dimension
+    * stood on each probe date. Before the merge date the NEWSEGMENT
+    * keys and the moves must be invisible; after it, all present —
+    * write once, read any point in time. */
+  val q123 = Declared(
+    "q123_scd2_asof", "J1,P8",
+    (s, dir) => {
+      // cached: both probe snapshots read the same merged history
+      val hist = graft.core.OperatorCaches.cached(scd2History(s, dir))
+      def snap(d: String) =
+        graft.ops.Dimensions.snapshotAsOf(hist, "valid_from", "valid_to", d)
+          .groupBy(col("c_mktsegment")).agg(count(lit(1)).as("n"))
+          .select(lit(d).as("as_of"), col("c_mktsegment"), col("n"))
+      snap("2024-01-01").unionByName(snap("2024-12-01"))
+        .orderBy(col("as_of"), col("c_mktsegment"))
+    },
+    Some(s"""WITH $scd2HistSql,
+            |s AS (
+            |  SELECT '2024-01-01' AS as_of, c_mktsegment FROM hist
+            |  WHERE valid_from <= DATE '2024-01-01'
+            |    AND (valid_to IS NULL OR valid_to > DATE '2024-01-01')
+            |  UNION ALL
+            |  SELECT '2024-12-01', c_mktsegment FROM hist
+            |  WHERE valid_from <= DATE '2024-12-01'
+            |    AND (valid_to IS NULL OR valid_to > DATE '2024-12-01'))
+            |SELECT as_of, c_mktsegment, count(*) AS n
+            |FROM s GROUP BY as_of, c_mktsegment
+            |ORDER BY as_of, c_mktsegment""".stripMargin),
+    "Snapshot reconstruction is a scan-side validity filter over the history — z-order " +
+      "the history on (valid_from, valid_to) and the probe prunes to the covering files. " +
+      "Write once (q95), read any point in time: the bitemporal read contract.")
+
   val all: Seq[Declared] =
     Seq(q26, q27, q28, q29, q48, q49, q50, q52, q56, q95, q96, q97, q99, q108,
-      q110, q112, q114, q116, q117, q118, q120, q121)
+      q110, q112, q114, q116, q117, q118, q120, q121, q123)
 }
