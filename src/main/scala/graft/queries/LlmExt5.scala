@@ -369,5 +369,43 @@ object LlmExt5 {
       "split hash, one final tiny agg. No stage materializes a pair space or collects to " +
       "the driver — composing the operators composes their 100TB stories.")
 
-  val all: Seq[Declared] = Seq(q87, q89, q90, q101, q107, q119)
+  /** q124 — E4/F7: the feature-HASHING trick (hashing vectorizer) —
+    * token counts folded into a fixed 8-bucket space by content hash,
+    * one row per document with explicit bucket columns. The fixed
+    * output dimensionality regardless of vocabulary size is the whole
+    * point at scale: no vocabulary dictionary to build, broadcast or
+    * keep consistent across batches. Buckets use the md5-derived hash
+    * both engines can compute. */
+  val q124 = Declared(
+    "q124_feature_hash", "E4,F7",
+    (s, dir) => {
+      import graft.ext.Dedup
+      val toks = Tables.documents(s, dir).filter(col("doc_id") < 200)
+        .select(col("doc_id"),
+          explode(split(lower(col("text")), "\\s+")).as("tok"))
+        .filter(length(col("tok")) > 0)
+        .select(col("doc_id"), pmod(Dedup.md5Hash60(col("tok")), lit(8)).as("b"))
+      val buckets = (0 until 8).map(i =>
+        sum(when(col("b") === i, 1L).otherwise(0L)).as(s"b$i"))
+      toks.groupBy(col("doc_id")).agg(buckets.head, buckets.tail: _*)
+        .orderBy(col("doc_id"))
+    },
+    Some(s"""WITH t AS (
+            |  SELECT doc_id, unnest(regexp_split_to_array(lower(text), '\\s+')) AS tok
+            |  FROM documents WHERE doc_id < 200),
+            |b AS (
+            |  SELECT doc_id, ${LlmExt2.duckMd5Hash60("tok")} % 8 AS b
+            |  FROM t WHERE length(tok) > 0)
+            |SELECT doc_id,
+            |  ${(0 until 8).map(i =>
+                 s"CAST(count(*) FILTER (WHERE b = $i) AS BIGINT) AS b$i")
+                 .mkString(",\n            |  ")}
+            |FROM b GROUP BY doc_id
+            |ORDER BY doc_id""".stripMargin),
+    "One explode + ONE conditional-agg pass keyed on doc_id (the 8 buckets are columns, " +
+      "not rows — no pivot discovery job, no second shuffle). Output width is fixed by " +
+      "the bucket count, never the vocabulary: the property that lets 100TB of text " +
+      "vectorize without a dictionary build.")
+
+  val all: Seq[Declared] = Seq(q87, q89, q90, q101, q107, q119, q124)
 }
