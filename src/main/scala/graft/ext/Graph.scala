@@ -164,4 +164,50 @@ object Graph {
     }
     ranks.select(col("node"), col("rank_ppm"))
   }
+
+  /** Per-node triangle counts of the undirected simple graph given by
+    * `edges` (self-loops and duplicate/mirror edges collapse). Returns
+    * one row per node appearing in ≥1 triangle: (node, n_triangles).
+    *
+    * Algorithm: DEGREE-ORDERED edge orientation (Chiba–Nishizeki /
+    * the MapReduce formulation of Suri & Vassilvitskii, WWW'11 —
+    * public literature): orient every edge from its (degree, id)-
+    * smaller endpoint to the larger; enumerate wedges b←a→c with
+    * b ≺ c from each source a; a wedge closes into a triangle iff the
+    * oriented edge b→c exists. Each triangle is emitted EXACTLY once
+    * (at its ≺-smallest vertex), so the per-node counts are
+    * orientation-invariant — an id-ordered oracle must agree.
+    *
+    * Scale: orientation caps every out-degree at O(√m) on any graph
+    * (a high-degree hub is always the wedge TARGET, never the fan-out
+    * source), so the wedge join — the one potentially quadratic step —
+    * generates Σ out-deg² = O(m^1.5) rows worst case instead of
+    * Σ deg² (unbounded under skew). All joins are node-keyed
+    * equi-joins. */
+  def triangleCounts(edges: DataFrame, srcCol: String, dstCol: String): DataFrame = {
+    val canon = edges.select(
+        least(col(srcCol).cast("long"), col(dstCol).cast("long")).as("u"),
+        greatest(col(srcCol).cast("long"), col(dstCol).cast("long")).as("v"))
+      .filter(col("u") =!= col("v")).distinct()
+    val deg = canon.select(explode(array(col("u"), col("v"))).as("node"))
+      .groupBy(col("node")).agg(count(lit(1)).as("deg"))
+    val withDeg = canon
+      .join(deg.select(col("node").as("u"), col("deg").as("du")), "u")
+      .join(deg.select(col("node").as("v"), col("deg").as("dv")), "v")
+    // ≺ = (degree, id) lexicographic; orient from ≺-smaller endpoint
+    val uFirst = col("du") < col("dv") || (col("du") === col("dv") && col("u") < col("v"))
+    val oriented = withDeg.select(
+      when(uFirst, col("u")).otherwise(col("v")).as("a"),
+      when(uFirst, col("v")).otherwise(col("u")).as("b"),
+      when(uFirst, col("dv")).otherwise(col("du")).as("db"))
+    // wedges b←a→c with (db,b) ≺ (dc,c); close against oriented b→c
+    val e2 = oriented.select(col("a"), col("b").as("c"), col("db").as("dc"))
+    val wedges = oriented.join(e2, Seq("a"))
+      .filter(col("db") < col("dc") ||
+        (col("db") === col("dc") && col("b") < col("c")))
+    val triangles = wedges.join(
+      oriented.select(col("a").as("b"), col("b").as("c")), Seq("b", "c"))
+    triangles.select(explode(array(col("a"), col("b"), col("c"))).as("node"))
+      .groupBy(col("node")).agg(count(lit(1)).as("n_triangles"))
+  }
 }

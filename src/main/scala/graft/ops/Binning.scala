@@ -75,6 +75,25 @@ object Binning {
       .drop("__mn", "__mx")
   }
 
+  /** Equal-FREQUENCY binning (pandas qcut's rank flavor): `bin` =
+    * 1..n with bucket sizes differing by at most one, assigned by
+    * exact global rank under the (valueCol, tieCol) total order —
+    * bin = (rank−1)·n div N + 1, pure integer arithmetic shared by
+    * any engine. Unlike [[cut]] (equal-width), the buckets hold equal
+    * COUNTS, which is what score deciles / lift tables want.
+    *
+    * Scale: the rank comes from [[Ranking.globalRowNumber]] (range
+    * repartition + bounded offset rollup — no single-partition
+    * window); N is a 1-row broadcast. */
+  def qcut(df: DataFrame, valueCol: String, tieCol: String, n: Int): DataFrame = {
+    require(n >= 1, "need at least one bin")
+    val ranked = Ranking.globalRowNumber(df, Seq(col(valueCol), col(tieCol)))
+    val total = df.groupBy().agg(count(lit(1)).as("__N"))
+    ranked.crossJoin(broadcast(total))
+      .withColumn("bin", expr(s"(row_num - 1) * $n div __N + 1").cast("int"))
+      .drop("__N")
+  }
+
   /** Ordered distinct bin labels (the reference's
     * `sort_values().unique()` legend basis, README.md:252). */
   def legend(binned: DataFrame, valueCol: String): DataFrame =

@@ -114,4 +114,75 @@ object EventAnalytics {
       .groupBy(col("cohort_day"), col("k"))
       .agg(count(lit(1)).as("users"))
   }
+
+  /** CUSUM drift detection per series key: flag the positions where
+    * the running cumulative deviation from the series mean exceeds
+    * `cNum/cDen` standard deviations of the random-walk envelope —
+    * |Σ_{i≤k}(vᵢ − μ)| > (cNum/cDen)·σ·√k, the classic change-point
+    * excursion test (Page 1954, public literature).
+    *
+    * Exactness: values quantize to cents (DECIMAL(18,2)·100 → integer),
+    * and the test is evaluated SQUARED with every term exact:
+    *   (n·P_k − k·S)² · cDen²  >  cNum² · k · (n·Q − S²)
+    * where P_k is the running cents sum, S/Q/n the series totals —
+    * both sides are integer-valued DECIMAL(38,0) products, so no
+    * float accumulation, division or sqrt can move the decision on any
+    * engine or partitioning. Returns the flagged positions only:
+    * (key, position k, tie id).
+    *
+    * Scale: one groupBy(key) for the totals (broadcast back), one
+    * key-partitioned window sort for the running sum — the q07/q105
+    * cost envelope. Hot keys: the window is per-key sequential by
+    * definition (CUSUM is a sequential statistic); a year-long key at
+    * 100 TB splits by recording per-day totals and carrying, the
+    * concurrencyProfile two-phase trick. */
+  def cusumFlags(df: DataFrame, keyCol: String, tsCol: String, tieCol: String,
+      valueCol: String, cNum: Long = 2, cDen: Long = 1): DataFrame = {
+    require(cNum > 0 && cDen > 0, "threshold cNum/cDen must be positive")
+    val d38 = "decimal(38,0)"
+    val cents = (col(valueCol).cast("decimal(18,2)") * 100).cast("long")
+    val vals = df.select(col(keyCol), col(tsCol), col(tieCol), cents.as("__vc"))
+    val totals = vals.groupBy(col(keyCol)).agg(
+      count(lit(1)).as("__n"),
+      sum(col("__vc")).cast(d38).as("__s"),
+      sum(col("__vc").cast(d38) * col("__vc").cast(d38)).cast(d38).as("__q"))
+    val w = Window.partitionBy(col(keyCol)).orderBy(col(tsCol), col(tieCol))
+    vals
+      .withColumn("__pk", sum(col("__vc").cast(d38)).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("__k", row_number().over(w).cast("long"))
+      .join(broadcast(totals), Seq(keyCol))
+      .withColumn("__dev",
+        col("__n").cast(d38) * col("__pk") - col("__k").cast(d38) * col("__s"))
+      .withColumn("__env",
+        col("__k").cast(d38) *
+          (col("__n").cast(d38) * col("__q") - col("__s") * col("__s")))
+      .filter(col("__dev") * col("__dev") * lit(cDen * cDen).cast(d38) >
+        lit(cNum * cNum).cast(d38) * col("__env"))
+      .select(col(keyCol), col("__k").as("k"), col(tieCol))
+  }
+
+  /** Last-touch attribution: each conversion event (`convType`) is
+    * credited to the actor's most recent PRECEDING non-conversion
+    * event under the (ts, tie) total order; conversions with no prior
+    * touch credit `(none)`. Returns per attributed type: conversions
+    * and distinct converting actors.
+    *
+    * One actor-partitioned window (IGNORE NULLS last over the strict
+    * ROWS .. -1 frame) + one tiny agg — the marketing-attribution
+    * primitive, as a single pass instead of a per-conversion point
+    * lookup. Scale: shuffle keys on the actor id (uniform); output is
+    * |event types|-sized. */
+  def lastTouchAttribution(df: DataFrame, actorCol: String, tsCol: String,
+      tieCol: String, typeCol: String, convType: String): DataFrame = {
+    val w = Window.partitionBy(col(actorCol)).orderBy(col(tsCol), col(tieCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    df.withColumn("__touch",
+        last(when(col(typeCol) =!= convType, col(typeCol)), ignoreNulls = true)
+          .over(w))
+      .filter(col(typeCol) === convType)
+      .groupBy(coalesce(col("__touch"), lit("(none)")).as("attributed_type"))
+      .agg(count(lit(1)).as("conversions"),
+        count_distinct(col(actorCol)).as("users"))
+  }
 }
