@@ -248,6 +248,53 @@ object Dedup {
         (col("inter") / (col("n_a") + col("n_b") - col("inter"))).as("jaccard"))
   }
 
+  /** E2 — EXACT directional CONTAINMENT self-join: pairs (a, b) with
+    * |shingles(a) ∩ shingles(b)| ≥ (tNum/tDen)·|shingles(a)| — the
+    * ASYMMETRIC near-dup relation Jaccard misses entirely: an excerpt
+    * quoted inside a much larger document has containment ≈ 1 but
+    * Jaccard ≈ |a|/|b| ≈ 0. The dedup pass that catches quote-farms
+    * and page-in-page mirrors.
+    *
+    * Same prefix-filter machinery as [[prefixFilterJaccardPairs]] but
+    * ONE-SIDED: if a pair shares none of a's (|a| − ⌈t·|a|⌉ + 1)
+    * globally-rarest shingles, then inter ≤ ⌈t·|a|⌉ − 1 < t·|a| —
+    * so probing a's prefix against ALL of b's shingles is
+    * recall-complete for the directional threshold. Exact integer
+    * verify: keep iff inter·tDen ≥ tNum·|a|.
+    *
+    * Scale: candidates key on rare shingles (anti-skew, as in the
+    * Jaccard form); the b side is the full shingle set, so the join is
+    * |prefix(a)|·df-bounded, never |docs|². */
+  def containmentPairs(docs: DataFrame, textCol: String, idCol: String,
+      shingleSize: Int = 3, tNum: Int = 3, tDen: Int = 4,
+      cache: Boolean = true): DataFrame = {
+    require(tNum > 0 && tDen > 0 && tNum <= tDen,
+      "threshold tNum/tDen must be in (0, 1]")
+    import org.apache.spark.sql.expressions.Window
+    val sh = OperatorCaches.cachedIf(cache, docs.select(col(idCol).as("__id"),
+      explode(wordShingles(col(textCol), shingleSize)).as("shingle")).distinct())
+    val dfreq = sh.groupBy("shingle").agg(count(lit(1)).as("__df"))
+    val w = Window.partitionBy(col("__id")).orderBy(col("__df"), col("shingle"))
+    val prefix = sh.join(dfreq, "shingle")
+      .select(col("__id"), col("shingle"),
+        row_number().over(w).as("__pos"),
+        count(lit(1)).over(Window.partitionBy(col("__id"))).as("__len"))
+      .filter(col("__pos") <=
+        col("__len") - expr(s"(${tNum}L * __len + ${tDen - 1}L) div ${tDen}L") + 1)
+    val cand = prefix.select(col("__id").as("id_a"), col("shingle"))
+      .join(sh.select(col("__id").as("id_b"), col("shingle")), "shingle")
+      .filter(col("id_a") =!= col("id_b"))
+      .select("id_a", "id_b").distinct()
+    val counts = sh.groupBy("__id").agg(count(lit(1)).as("n"))
+    cand
+      .join(sh.select(col("__id").as("id_a"), col("shingle")), "id_a")
+      .join(sh.select(col("__id").as("id_b"), col("shingle")), Seq("id_b", "shingle"))
+      .groupBy("id_a", "id_b").agg(count(lit(1)).as("inter"))
+      .join(counts.select(col("__id").as("id_a"), col("n").as("n_a")), "id_a")
+      .filter(col("inter") * tDen >= col("n_a") * tNum)
+      .select(col("id_a"), col("id_b"), col("inter"), col("n_a"))
+  }
+
   /** E2 — near-dup candidates over an EXISTING 64-bit fingerprint
     * column (any family: simhash, image aHash, audio chromaprint-style
     * hashes…): pigeonhole blocking on `maxDistance + 1` bit chunks —

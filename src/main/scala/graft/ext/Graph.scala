@@ -210,4 +210,41 @@ object Graph {
     triangles.select(explode(array(col("a"), col("b"), col("c"))).as("node"))
       .groupBy(col("node")).agg(count(lit(1)).as("n_triangles"))
   }
+
+  /** k-core peeling, `rounds` FIXED iterations: each round drops every
+    * node of current degree < k (with all its edges) simultaneously —
+    * the Matula–Beck bulk-peel, the dense-subgraph extractor a spam/
+    * bot-cluster pass runs over link graphs. Fixed rounds (not
+    * converge-tested) make the operator a pure deterministic function
+    * of the input — an engine unrolling the same rounds must agree
+    * bit-for-bit even on inputs where peeling hasn't converged yet;
+    * peeling converges in ≤ |V| rounds and in practice a handful.
+    * Returns the surviving nodes with their residual degree.
+    *
+    * Scale: each round is ONE degree agg + TWO node-keyed semi-join
+    * filters on the (checkpointed) edge list — uniform keys, no
+    * driver traffic; plan depth stays constant via per-round
+    * localCheckpoint. */
+  def kCore(edges: DataFrame, srcCol: String, dstCol: String,
+      k: Int, rounds: Int): DataFrame = {
+    require(k >= 1 && rounds >= 1, "k and rounds must be >= 1")
+    var sym = edges.select(explode(array(
+        struct(col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst")),
+        struct(col(dstCol).cast("long").as("src"), col(srcCol).cast("long").as("dst"))))
+        .as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"))
+      .filter(col("src") =!= col("dst")).distinct()
+      .localCheckpoint()
+    var i = 0
+    while (i < rounds) {
+      val keep = sym.groupBy(col("src")).agg(count(lit(1)).as("__deg"))
+        .filter(col("__deg") >= k).select(col("src"))
+      sym = sym.join(keep, Seq("src"), "left_semi")
+        .join(keep.withColumnRenamed("src", "dst"), Seq("dst"), "left_semi")
+        .select(col("src"), col("dst"))
+        .localCheckpoint()
+      i += 1
+    }
+    sym.groupBy(col("src").as("node")).agg(count(lit(1)).as("degree"))
+  }
 }

@@ -390,4 +390,94 @@ object TextAnalysis {
         (col("__ng") < w && col("__p") === 0))
       .select(col(idCol), col("fingerprint")).distinct()
   }
+
+  /** E4 — collocation extraction: the corpus's top-k adjacent-token
+    * bigrams by pointwise mutual information, PMI ∝ n_xy·N/(n_x·n_y).
+    * The ranking never takes a log: the score is the exact integer
+    * products' IEEE quotient — identical on any engine — and log is
+    * monotone, so the PMI order is the quotient order. Ties break on
+    * the bigram itself. `minCount` kills the hapax-pair noise floor
+    * (the standard collocation guard).
+    *
+    * Scale: two content-keyed aggs (unigrams, bigrams) with map-side
+    * partials + two vocabulary joins (Zipf-skewed on stopword heads —
+    * AQE skew-split) + a 1-row broadcast total; top-k is a
+    * TakeOrdered, never a full sort. */
+  def pmiCollocations(docs: DataFrame, textCol: String,
+      minCount: Int, topK: Int): DataFrame = {
+    val toks = docs.select(tokens(col(textCol)).as("__t"))
+    val uni = toks.select(explode(col("__t")).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("__nw"))
+    val total = uni.agg(sum(col("__nw")).as("__N"))
+    val bi = toks.filter(size(col("__t")) >= 2)
+      .select(explode(transform(
+        sequence(lit(1), size(col("__t")) - 1),
+        i => struct(element_at(col("__t"), i).as("w1"),
+          element_at(col("__t"), i + 1).as("w2")))).as("bg"))
+      .groupBy(col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+      .agg(count(lit(1)).as("n_xy"))
+      .filter(col("n_xy") >= minCount)
+    bi.join(uni.select(col("w").as("w1"), col("__nw").as("n_x")), "w1")
+      .join(uni.select(col("w").as("w2"), col("__nw").as("n_y")), "w2")
+      .crossJoin(broadcast(total))
+      .withColumn("score",
+        (col("n_xy") * col("__N")).cast("double") /
+          (col("n_x") * col("n_y")).cast("double"))
+      .orderBy(col("score").desc, col("w1"), col("w2"))
+      .limit(topK)
+      .select(col("w1"), col("w2"), col("n_xy"), col("score"))
+  }
+
+  /** Adjacent-token bigrams (id, w1, w2) — shared by [[bigramLogProb]]
+    * -style scorers. Docs with < 2 tokens emit nothing. */
+  private def bigramPairs(docs: DataFrame, textCol: String, idCol: String) =
+    docs.select(col(idCol), tokens(col(textCol)).as("__toks"))
+      .filter(size(col("__toks")) >= 2)
+      .select(col(idCol), explode(transform(
+        sequence(lit(1), size(col("__toks")) - 1),
+        i => struct(element_at(col("__toks"), i).as("w1"),
+          element_at(col("__toks"), i + 1).as("w2")))).as("bg"))
+      .select(col(idCol), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+
+  /** E4 — Stupid Backoff scoring (Brants et al., EMNLP'07 — the
+    * web-scale LM that never normalizes): score a PROBE corpus against
+    * a MODEL corpus —
+    *   S(w2|w1) = c(w1w2)/c(w1·)           if the bigram is in the model
+    *            = 0.4·(c(w2)+1)/(N+|V|)    otherwise (add-one unigram
+    *                                        floor keeps OOV finite).
+    * The third rung of the quality ladder over [[unigramLogProb]] and
+    * [[bigramLogProb]] — and the first that handles text the model has
+    * never seen, which is the production case (yesterday's corpus
+    * scores today's crawl). Per-bigram log scores quantize to integer
+    * micro-nats (q69's exactness argument) before the per-doc mean.
+    *
+    * Scale: model aggs are content-keyed with map-side partials; the
+    * probe joins are Zipf-skewed on stopword heads (AQE skew-split);
+    * N/|V| ride a 1-row broadcast. Probe docs with < 2 tokens emit no
+    * row. */
+  def stupidBackoffScore(model: DataFrame, probe: DataFrame,
+      textCol: String, idCol: String): DataFrame = {
+    val mtoks = model.select(explode(tokens(col(textCol))).as("w"))
+    val uni = mtoks.groupBy(col("w")).agg(count(lit(1)).as("__nw"))
+    val totals = mtoks.agg(count(lit(1)).as("__N"))
+      .crossJoin(uni.agg(count(lit(1)).as("__V")))
+    val mbg = bigramPairs(model, textCol, idCol)
+    val pair = mbg.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("__nxy"))
+    val head = mbg.groupBy(col("w1")).agg(count(lit(1)).as("__nhead"))
+    bigramPairs(probe, textCol, idCol)
+      .join(pair, Seq("w1", "w2"), "left")
+      .join(head, Seq("w1"), "left")
+      .join(uni.withColumnRenamed("w", "w2"), Seq("w2"), "left")
+      .crossJoin(broadcast(totals))
+      .withColumn("__logs_u", round(
+        when(col("__nxy").isNotNull,
+          log(col("__nxy").cast("double") / col("__nhead")))
+          .otherwise(log(lit(0.4) *
+            (coalesce(col("__nw"), lit(0L)) + 1).cast("double") /
+            (col("__N") + col("__V")))) * 1e6, 0).cast("long"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_bigrams"),
+        round(sum(col("__logs_u")).cast("double") / count(lit(1)) / 1e6, 6)
+          .as("mean_logsb"))
+  }
 }

@@ -162,6 +162,27 @@ object EventAnalytics {
       .select(col(keyCol), col("__k").as("k"), col(tieCol))
   }
 
+  /** Top-k most frequent length-3 event-type paths across actors —
+    * the n-gram view of user journeys (one rung above the q102 pair
+    * transitions). Consecutive triples come from two leads over the
+    * (ts, tie) total order inside each actor; the count ranks with a
+    * full lexicographic tie-break, so top-k is deterministic.
+    *
+    * Scale: one actor-keyed window shuffle; the triple space is
+    * |event types|³-bounded, so the agg output is tiny and top-k is a
+    * TakeOrdered. */
+  def topPaths(df: DataFrame, actorCol: String, tsCol: String, tieCol: String,
+      typeCol: String, topK: Int): DataFrame = {
+    val w = Window.partitionBy(col(actorCol)).orderBy(col(tsCol), col(tieCol))
+    df.withColumn("__t2", lead(col(typeCol), 1).over(w))
+      .withColumn("__t3", lead(col(typeCol), 2).over(w))
+      .filter(col("__t2").isNotNull && col("__t3").isNotNull)
+      .groupBy(col(typeCol).as("s1"), col("__t2").as("s2"), col("__t3").as("s3"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("s1"), col("s2"), col("s3"))
+      .limit(topK)
+  }
+
   /** Last-touch attribution: each conversion event (`convType`) is
     * credited to the actor's most recent PRECEDING non-conversion
     * event under the (ts, tie) total order; conversions with no prior

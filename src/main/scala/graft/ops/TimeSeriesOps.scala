@@ -261,4 +261,105 @@ object TimeSeriesOps {
       .withColumn("v_fill", last(col("v_max"), ignoreNulls = true).over(fillFrame))
       .drop("v_max")
   }
+
+  /** Time-weighted average per series key: each observation's value
+    * holds from its timestamp until the key's NEXT observation (the
+    * final observation holds nothing — no extrapolation), so
+    * TWAP = Σ(vᵢ·Δtᵢ) / ΣΔtᵢ over the hold intervals. The metric a
+    * tick stream needs where a plain mean over-weights bursts.
+    *
+    * Exactness: values quantize to cents, durations are integer µs;
+    * both sums are exact DECIMAL(38,0), and the single float op — the
+    * final division — runs on identical operands in any engine.
+    * Returns (key, n_intervals, span_us, twap); keys with fewer than
+    * two observations drop (no interval to weight).
+    *
+    * Scale: one key-partitioned window sort for the lead (uniform
+    * actor keys), then a map-side-partial agg to |keys| rows. */
+  def twap(df: DataFrame, keyCol: String, tsCol: String, tieCol: String,
+      valueCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val d38 = "decimal(38,0)"
+    // µs are strictly monotone in ts, so (__us, tie) is the same total
+    // order as (ts, tie) and the projected frame needs no ts column
+    val w = Window.partitionBy(col(keyCol)).orderBy(col("__us"), col(tieCol))
+    df.select(col(keyCol), col(tieCol),
+        unix_micros(col(tsCol)).as("__us"),
+        (col(valueCol).cast("decimal(18,2)") * 100).cast("long").as("__vc"))
+      .withColumn("__dt", lead(col("__us"), 1).over(w) - col("__us"))
+      .filter(col("__dt").isNotNull)
+      .groupBy(col(keyCol))
+      .agg(count(lit(1)).as("n_intervals"),
+        sum(col("__dt")).as("span_us"),
+        sum(col("__vc").cast(d38) * col("__dt").cast(d38)).cast(d38).as("__num"))
+      .withColumn("twap",
+        col("__num").cast("double") / (col("span_us").cast("double") * 100))
+      .drop("__num")
+  }
+
+  /** OHLC bars: per fixed time bin, the opening/high/low/closing
+    * values and the observation count — the candle aggregation.
+    * Open/close are the values at the (ts, tie)-first/-last rows of
+    * the bin, made deterministic with ascending/descending
+    * `row_number` flags folded into ONE hash aggregate (no arg-min
+    * tie ambiguity). No arithmetic touches the value column, so
+    * results hash-match unrounded.
+    *
+    * Scale: one shuffle+sort keyed on the time bin (naturally
+    * balanced); the agg is map-side-partial on the same key. */
+  def ohlcBars(df: DataFrame, tsCol: String, tieCol: String,
+      valueCol: String, binMicros: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(binMicros > 0, "binMicros must be positive")
+    val binned = df.select(
+      expr(s"unix_micros($tsCol) div ${binMicros}L").as("bin"),
+      col(tsCol), col(tieCol), col(valueCol))
+    val asc = Window.partitionBy(col("bin")).orderBy(col(tsCol), col(tieCol))
+    val desc = Window.partitionBy(col("bin"))
+      .orderBy(col(tsCol).desc, col(tieCol).desc)
+    binned
+      .withColumn("__ra", row_number().over(asc))
+      .withColumn("__rd", row_number().over(desc))
+      .groupBy(col("bin"))
+      .agg(max(when(col("__ra") === 1, col(valueCol))).as("open"),
+        max(col(valueCol)).as("high"),
+        min(col(valueCol)).as("low"),
+        max(when(col("__rd") === 1, col(valueCol))).as("close"),
+        count(lit(1)).as("n"))
+  }
+
+  /** INTERVAL × INTERVAL overlap join per series key — the two-sided
+    * upgrade of [[rangeJoin]] (point-in-interval): emit (key, id_a,
+    * id_b) for every pair of half-open intervals with
+    * a.s < b.e AND b.s < a.e. The Spark-gap operator: expressed
+    * directly, Catalyst plans the inequality pair as a key-only join
+    * with a quadratic per-key residual.
+    *
+    * Plan: tile time into `cellMicros` cells, explode each interval to
+    * the cells it covers, equi-join on (key, cell). Deduplication is
+    * arithmetic, not distinct(): a pair is KEPT only in the cell
+    * containing max(a.s, b.s) — the first cell both intervals occupy —
+    * so every overlapping pair survives exactly once and no
+    * |pairs|-sized shuffle-dedup exists. Empty intervals (s ≥ e)
+    * cannot overlap and are dropped.
+    *
+    * Scale: shuffle keys on (series key, time cell) — bounded skew by
+    * construction; cost is Σ cells-per-interval, the classic
+    * resolution/selectivity knob (cell ≈ median interval length). */
+  def intervalOverlapJoin(a: DataFrame, b: DataFrame, keyCol: String,
+      idCol: String, sCol: String, eCol: String, cellMicros: Long): DataFrame = {
+    require(cellMicros > 0, "cellMicros must be positive")
+    def cells(df: DataFrame, side: String) = df
+      .select(col(keyCol), col(idCol).as(s"id_$side"),
+        unix_micros(col(sCol)).as(s"__s_$side"),
+        unix_micros(col(eCol)).as(s"__e_$side"))
+      .filter(col(s"__s_$side") < col(s"__e_$side"))
+      .withColumn("__cell", explode(sequence(
+        expr(s"__s_$side div ${cellMicros}L"),
+        expr(s"(__e_$side - 1) div ${cellMicros}L"))))
+    cells(a, "a").join(cells(b, "b"), Seq(keyCol, "__cell"))
+      .filter(col("__s_a") < col("__e_b") && col("__s_b") < col("__e_a") &&
+        col("__cell") === expr(s"greatest(__s_a, __s_b) div ${cellMicros}L"))
+      .select(col(keyCol), col("id_a"), col("id_b"))
+  }
 }

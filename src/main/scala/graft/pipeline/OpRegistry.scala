@@ -282,6 +282,49 @@ object OpRegistry {
         numOpt(p, "num_hashes").map(_.toInt).getOrElse(16),
         numOpt(p, "bands").map(_.toInt).getOrElse(4),
         numOpt(p, "threshold").getOrElse(0.5), cache = false),
-      "id_a", "id_b", cache = false))
+      "id_a", "id_b", cache = false)),
+    // order-statistics / graph analytics (q125-q130) as pipeline citizens
+    "skyline" -> (p => df => graft.ops.Dominance.skyline2D(
+      df, str(p, "x_col"), str(p, "y_col"))),
+    "qcut" -> (p => df => graft.ops.Binning.qcut(
+      df, str(p, "column"), str(p, "tie_col"), num(p, "n").toInt)),
+    "cusum_flags" -> (p => df => graft.ops.EventAnalytics.cusumFlags(
+      df, str(p, "key_col"), str(p, "ts_col"), str(p, "tie_col"),
+      str(p, "value_col"),
+      numOpt(p, "c_num").map(_.toLong).getOrElse(2L),
+      numOpt(p, "c_den").map(_.toLong).getOrElse(1L))),
+    "triangle_counts" -> (p => df => graft.ext.Graph.triangleCounts(
+      df, str(p, "src_col"), str(p, "dst_col"))),
+    "last_touch_attribution" -> (p => df =>
+      graft.ops.EventAnalytics.lastTouchAttribution(
+        df, str(p, "actor_col"), str(p, "ts_col"), str(p, "tie_col"),
+        str(p, "type_col"), str(p, "conv_type"))),
+    "twap" -> (p => df => graft.ops.TimeSeriesOps.twap(
+      df, str(p, "key_col"), str(p, "ts_col"), str(p, "tie_col"),
+      str(p, "value_col"))),
+    "ohlc_bars" -> (p => df => graft.ops.TimeSeriesOps.ohlcBars(
+      df, str(p, "ts_col"), str(p, "tie_col"), str(p, "value_col"),
+      num(p, "bin_micros").toLong)),
+    "pmi_collocations" -> (p => df => graft.ext.TextAnalysis.pmiCollocations(
+      df, str(p, "text_col"),
+      numOpt(p, "min_count").map(_.toInt).getOrElse(5),
+      numOpt(p, "top_k").map(_.toInt).getOrElse(20))),
+    "k_core" -> (p => df => graft.ext.Graph.kCore(
+      df, str(p, "src_col"), str(p, "dst_col"),
+      num(p, "k").toInt, numOpt(p, "rounds").map(_.toInt).getOrElse(8))),
+    "sorted_neighborhood_pairs" -> (p => df =>
+      graft.ops.EntityResolution.sortedNeighborhoodPairs(
+        df, str(p, "sort_key_col"), str(p, "id_col"),
+        numOpt(p, "window").map(_.toInt).getOrElse(4),
+        numOpt(p, "max_dist").map(_.toInt).getOrElse(2))),
+    // cache = false: pipeline result lifetime is unmanaged (see above)
+    "containment_pairs" -> (p => df => graft.ext.Dedup.containmentPairs(
+      df, str(p, "text_col"), str(p, "id_col"),
+      numOpt(p, "shingle_size").map(_.toInt).getOrElse(3),
+      numOpt(p, "t_num").map(_.toInt).getOrElse(3),
+      numOpt(p, "t_den").map(_.toInt).getOrElse(4), cache = false)),
+    "top_paths" -> (p => df => graft.ops.EventAnalytics.topPaths(
+      df, str(p, "actor_col"), str(p, "ts_col"), str(p, "tie_col"),
+      str(p, "type_col"), numOpt(p, "top_k").map(_.toInt).getOrElse(20)))
   ))
 }

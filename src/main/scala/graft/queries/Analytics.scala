@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.functions._
 import graft.core.Tables
 import graft.ops.{Aggregates, Binning, Dominance, EventAnalytics}
-import graft.ext.Graph
+import graft.ext.{Dedup, Graph}
 
 /** Round-4 (continued) order-statistics + graph analytics coverage:
   * skyline dominance, CUSUM change detection, equal-frequency
@@ -235,5 +235,325 @@ object Analytics {
       "attribution as a single pass, not a per-conversion lookup. The classic " +
       "marketing-credit primitive at any event volume.")
 
-  val all: Seq[Declared] = Seq(q125, q126, q127, q128, q129, q130)
+  /** q131 — A5/A1: time-weighted average of each user's event values —
+    * each value holds until the user's next event, no extrapolation
+    * past the last. Cent-quantized values × µs durations: both sums
+    * exact DECIMAL(38,0)/HUGEINT; the single float division runs on
+    * identical operands, so the result hash-matches unrounded. */
+  val q131 = Declared(
+    "q131_twap", "A5,A1",
+    (s, dir) =>
+      graft.ops.TimeSeriesOps.twap(Tables.events(s, dir),
+          "user_id", "ts", "event_id", "value")
+        .orderBy(col("user_id")),
+    Some("""WITH v AS (
+           |  SELECT user_id, event_id, epoch_us(ts) AS us,
+           |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS vc
+           |  FROM events),
+           |l AS (
+           |  SELECT user_id, vc,
+           |    lead(us) OVER (PARTITION BY user_id ORDER BY us, event_id) - us AS dt
+           |  FROM v)
+           |SELECT user_id, count(*) AS n_intervals,
+           |  CAST(sum(dt) AS BIGINT) AS span_us,
+           |  CAST(sum(CAST(vc AS HUGEINT) * dt) AS DOUBLE)
+           |    / (CAST(sum(dt) AS DOUBLE) * 100) AS twap
+           |FROM l WHERE dt IS NOT NULL
+           |GROUP BY user_id ORDER BY user_id""".stripMargin),
+    "One actor-keyed window sort for the lead + a map-side-partial agg to |users| rows. " +
+      "The tick-stream average that a plain mean gets wrong under bursty arrival — and " +
+      "the exactness discipline makes it reproducible under any partitioning.")
+
+  /** q132 — A5/W2: hourly OHLC candles over purchase values. Open and
+    * close are (ts, event_id)-first/-last — ascending/descending
+    * row_number flags folded into one hash agg, so first/last are
+    * total-order-deterministic on both engines (no arg-min tie
+    * ambiguity). No value arithmetic → unrounded hash match. */
+  val q132 = Declared(
+    "q132_ohlc", "A5,W2",
+    (s, dir) =>
+      graft.ops.TimeSeriesOps.ohlcBars(
+          Tables.events(s, dir).filter(col("event_type") === "purchase"),
+          "ts", "event_id", "value", 3600000000L)
+        .orderBy(col("bin")),
+    Some("""WITH b AS (
+           |  SELECT epoch_us(ts) // 3600000000 AS bin, value,
+           |    row_number() OVER (PARTITION BY epoch_us(ts) // 3600000000
+           |      ORDER BY ts, event_id) AS ra,
+           |    row_number() OVER (PARTITION BY epoch_us(ts) // 3600000000
+           |      ORDER BY ts DESC, event_id DESC) AS rd
+           |  FROM events WHERE event_type = 'purchase')
+           |SELECT bin, max(CASE WHEN ra = 1 THEN value END) AS open,
+           |  max(value) AS high, min(value) AS low,
+           |  max(CASE WHEN rd = 1 THEN value END) AS close,
+           |  count(*) AS n
+           |FROM b GROUP BY bin ORDER BY bin""".stripMargin),
+    "One shuffle+sort keyed on the time bin (naturally balanced across history); the " +
+      "agg is map-side-partial on the same key. The candle readout every monitoring " +
+      "dashboard draws, with deterministic open/close under ties.")
+
+  /** q133 — E4: collocation extraction — the corpus's top-20
+    * adjacent-token bigrams by PMI (min pair count 5). The rank never
+    * takes a log: PMI is monotone in n_xy·N/(n_x·n_y), and that
+    * quotient of exact integer products is the same IEEE double on
+    * both engines; ties break on the bigram itself. */
+  val q133 = Declared(
+    "q133_pmi", "E4",
+    (s, dir) =>
+      graft.ext.TextAnalysis.pmiCollocations(
+          Tables.documents(s, dir), "text", minCount = 5, topK = 20)
+        .orderBy(col("score").desc, col("w1"), col("w2")),
+    Some("""WITH tok AS (
+           |  SELECT regexp_split_to_array(lower(text), '\s+') AS t FROM documents),
+           |uni AS (
+           |  SELECT w, count(*) AS n
+           |  FROM (SELECT unnest(t) AS w FROM tok) GROUP BY w),
+           |tot AS (SELECT CAST(sum(n) AS BIGINT) AS n_tot FROM uni),
+           |bi AS (
+           |  SELECT t[i] AS w1, t[i + 1] AS w2, count(*) AS n_xy
+           |  FROM (SELECT t, unnest(range(1, len(t))) AS i
+           |        FROM tok WHERE len(t) >= 2)
+           |  GROUP BY 1, 2 HAVING count(*) >= 5)
+           |SELECT w1, w2, n_xy,
+           |  CAST(n_xy * n_tot AS DOUBLE) / CAST(a.n * b.n AS DOUBLE) AS score
+           |FROM bi JOIN uni a ON bi.w1 = a.w JOIN uni b ON bi.w2 = b.w
+           |CROSS JOIN tot
+           |ORDER BY score DESC, w1, w2 LIMIT 20""".stripMargin),
+    "Two content-keyed aggs + two vocabulary joins (Zipf heads are the skew — AQE " +
+      "splits them) + a 1-row broadcast; top-k is a TakeOrdered, never a global sort. " +
+      "The phrase-mining primitive for tokenizer/vocab curation.")
+
+  /** q134 — E2/X4: 3-core of the co-purchase part graph after 5 FIXED
+    * peel rounds (Matula–Beck bulk peeling). Fixed rounds make the
+    * result a pure function of the input — the oracle unrolls the
+    * SAME 5 rounds as chained CTEs, so the survivors and residual
+    * degrees must match bit-for-bit, converged or not. */
+  val q134 = Declared(
+    "q134_kcore", "E2,X4",
+    (s, dir) => {
+      val pr = Tables.lineitem(s, dir).filter(col("l_orderkey") % 7 === 0)
+        .select(col("l_orderkey"), col("l_partkey")).distinct()
+      val edges = pr.select(col("l_orderkey"), col("l_partkey").as("p1"))
+        .join(pr.select(col("l_orderkey"), col("l_partkey").as("p2")), "l_orderkey")
+        .filter(col("p1") < col("p2"))
+        .select(col("p1"), col("p2")).distinct()
+      Graph.kCore(edges, "p1", "p2", k = 3, rounds = 5).orderBy(col("node"))
+    },
+    Some {
+      val rounds = (0 until 5).map { r =>
+        s"""k$r AS (SELECT src FROM e$r GROUP BY src HAVING count(*) >= 3),
+           |e${r + 1} AS (
+           |  SELECT e.src, e.dst FROM e$r e
+           |  JOIN k$r a ON e.src = a.src JOIN k$r b ON e.dst = b.src)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH pr AS (
+         |  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+         |  WHERE l_orderkey % 7 = 0),
+         |ed AS (
+         |  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+         |  FROM pr a JOIN pr b
+         |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+         |e0 AS (SELECT u AS src, v AS dst FROM ed
+         |       UNION ALL SELECT v AS src, u AS dst FROM ed),
+         |$rounds
+         |SELECT src AS node, count(*) AS degree
+         |FROM e5 GROUP BY src ORDER BY node""".stripMargin
+    },
+    "Each round is one degree agg + two node-keyed semi-joins over the checkpointed " +
+      "edge list — uniform keys, zero driver traffic, constant plan depth. Bulk " +
+      "peeling halves the graph per round in practice; the dense-cluster extractor " +
+      "for spam/bot detection on link graphs.")
+
+  /** q135 — J-fuzzy/W2: sorted-neighborhood entity resolution — the
+    * complementary blocking family to q108's prefix blocks. Clean part
+    * names + planted last-char-dropped variants sort by name; only
+    * records within 4 rank positions pair; levenshtein ≤ 2 verifies.
+    * The engine's distributed rank (q127's machinery) must agree with
+    * the oracle's single-node row_number — same total order. */
+  val q135 = Declared(
+    "q135_sorted_neighborhood", "J-fuzzy,W2",
+    (s, dir) => {
+      val parts = Tables.part(s, dir)
+      val recs = parts.select(col("p_partkey").as("rec_id"), col("p_name").as("name"))
+        .unionByName(parts.filter(col("p_partkey") % 11 === 0)
+          .select((col("p_partkey") + 10000000L).as("rec_id"),
+            expr("substring(p_name, 1, length(p_name) - 1)").as("name")))
+      graft.ops.EntityResolution.sortedNeighborhoodPairs(
+          recs, "name", "rec_id", window = 4, maxDist = 2)
+        .orderBy(col("id_a"), col("id_b"))
+    },
+    Some("""WITH recs AS (
+           |  SELECT p_partkey AS rec_id, p_name AS name FROM part
+           |  UNION ALL
+           |  SELECT p_partkey + 10000000, substring(p_name, 1, length(p_name) - 1)
+           |  FROM part WHERE p_partkey % 11 = 0),
+           |r AS (SELECT rec_id, name,
+           |        row_number() OVER (ORDER BY name, rec_id) AS rn
+           |      FROM recs)
+           |SELECT a.rec_id AS id_a, b.rec_id AS id_b,
+           |  a.name AS key_a, b.name AS key_b,
+           |  CAST(levenshtein(a.name, b.name) AS INT) AS distance
+           |FROM r a JOIN r b ON b.rn BETWEEN a.rn + 1 AND a.rn + 4
+           |WHERE levenshtein(a.name, b.name) <= 2
+           |ORDER BY id_a, id_b""".stripMargin),
+    "The pair space is |rows|·window, never |rows|² — the rank comes from the " +
+      "distributed global row-number (no single-partition window), the neighborhood " +
+      "is an offset explode + rank equi-join, and the banded levenshtein early-exits " +
+      "at width 2. Catches first-character typos that prefix blocking (q108) misses.")
+
+  /** q136 — E4: Stupid Backoff scoring — even-doc model scores odd-doc
+    * probes; unseen bigrams fall back to the 0.4-discounted add-one
+    * unigram, so the query exercises BOTH branches (the model has
+    * never seen the probe docs). Micro-nat quantization before the
+    * per-doc mean (q69's exactness argument). */
+  val q136 = Declared(
+    "q136_backoff", "E4",
+    (s, dir) => {
+      val docs = Tables.documents(s, dir)
+      graft.ext.TextAnalysis.stupidBackoffScore(
+          docs.filter(col("doc_id") % 2 === 0),
+          docs.filter(col("doc_id") % 2 === 1),
+          "text", "doc_id")
+        .orderBy(col("doc_id"))
+    },
+    Some("""WITH m AS (SELECT text FROM documents WHERE doc_id % 2 = 0),
+           |p AS (SELECT doc_id, text FROM documents WHERE doc_id % 2 = 1),
+           |mt AS (SELECT unnest(regexp_split_to_array(lower(text), '\s+')) AS w FROM m),
+           |uni AS (SELECT w, count(*) AS nw FROM mt GROUP BY w),
+           |tot AS (SELECT (SELECT CAST(count(*) AS BIGINT) FROM mt) AS n_tot,
+           |               (SELECT CAST(count(*) AS BIGINT) FROM uni) AS n_vocab),
+           |mb AS (
+           |  SELECT t[i] AS w1, t[i + 1] AS w2
+           |  FROM (SELECT regexp_split_to_array(lower(text), '\s+') AS t,
+           |               unnest(range(1, len(regexp_split_to_array(lower(text), '\s+')))) AS i
+           |        FROM m)),
+           |pair AS (SELECT w1, w2, count(*) AS nxy FROM mb GROUP BY w1, w2),
+           |head AS (SELECT w1, count(*) AS nhead FROM mb GROUP BY w1),
+           |pb AS (
+           |  SELECT doc_id, t[i] AS w1, t[i + 1] AS w2
+           |  FROM (SELECT doc_id, regexp_split_to_array(lower(text), '\s+') AS t,
+           |               unnest(range(1, len(regexp_split_to_array(lower(text), '\s+')))) AS i
+           |        FROM p)),
+           |sc AS (
+           |  SELECT pb.doc_id,
+           |    CAST(round(CASE WHEN pair.nxy IS NOT NULL
+           |      THEN ln(CAST(pair.nxy AS DOUBLE) / head.nhead)
+           |      ELSE ln(0.4 * (coalesce(uni.nw, 0) + 1) / (tot.n_tot + tot.n_vocab))
+           |      END * 1e6, 0) AS BIGINT) AS ls
+           |  FROM pb
+           |  LEFT JOIN pair ON pb.w1 = pair.w1 AND pb.w2 = pair.w2
+           |  LEFT JOIN head ON pb.w1 = head.w1
+           |  LEFT JOIN uni ON pb.w2 = uni.w
+           |  CROSS JOIN tot)
+           |SELECT doc_id, count(*) AS n_bigrams,
+           |  round(CAST(sum(ls) AS DOUBLE) / count(*) / 1e6, 6) AS mean_logsb
+           |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin),
+    "The production LM-quality shape: yesterday's corpus (model aggs, content-keyed " +
+      "partials) scores today's crawl (probe joins, AQE-split Zipf heads); N and |V| " +
+      "ride a 1-row broadcast. Stupid Backoff never normalizes — no per-head " +
+      "distribution pass, which is exactly why it web-scales.")
+
+  /** q137 — E2: directional CONTAINMENT near-dup — planted excerpts
+    * (each doc's first 16 tokens as a new doc) must surface as
+    * contained in their source even though Jaccard is far below any
+    * near-dup threshold. The engine prunes with one-sided rare-shingle
+    * prefixes; the oracle computes exact all-pairs containment over
+    * the bounded corpus, so a green row proves zero missed pairs. */
+  val q137 = Declared(
+    "q137_containment", "E2",
+    (s, dir) => {
+      val base = Tables.documents(s, dir).filter(col("doc_id") < 150)
+        .select(col("doc_id"), col("text"))
+      val excerpts = base.select((col("doc_id") + 200000).as("doc_id"),
+        array_join(slice(split(lower(col("text")), "\\s+"), 1, 16), " ").as("text"))
+      Dedup.containmentPairs(base.unionByName(excerpts), "text", "doc_id",
+          shingleSize = 2, tNum = 9, tDen = 10)
+        .orderBy(col("id_a"), col("id_b"))
+    },
+    Some("""WITH base AS (
+           |  SELECT doc_id, lower(text) AS text FROM documents WHERE doc_id < 150),
+           |corpus AS (
+           |  SELECT doc_id, text FROM base
+           |  UNION ALL
+           |  SELECT doc_id + 200000,
+           |    array_to_string(regexp_split_to_array(text, '\s+')[1:16], ' ')
+           |  FROM base),
+           |d AS (
+           |  SELECT DISTINCT doc_id, t[i] || ' ' || t[i + 1] AS w
+           |  FROM (SELECT doc_id, regexp_split_to_array(lower(text), '\s+') AS t,
+           |               unnest(range(1, len(regexp_split_to_array(lower(text), '\s+')))) AS i
+           |        FROM corpus)),
+           |c AS (SELECT doc_id, count(*) AS n FROM d GROUP BY doc_id),
+           |i AS (
+           |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+           |  FROM d a JOIN d b ON a.w = b.w AND a.doc_id <> b.doc_id
+           |  GROUP BY 1, 2)
+           |SELECT id_a, id_b, inter, ca.n AS n_a
+           |FROM i JOIN c ca ON i.id_a = ca.doc_id
+           |WHERE inter * 10 >= ca.n * 9
+           |ORDER BY id_a, id_b""".stripMargin),
+    "Jaccard-blind duplication (quotes, page-in-page mirrors) needs the directional " +
+      "measure. The one-sided rare-shingle prefix keeps recall complete for the " +
+      "threshold while candidates stay hapax-keyed (anti-skew); the oracle's crossJoin " +
+      "is the bounded ground truth, never the scale plan.")
+
+  /** q138 — J-range/A5: interval × interval overlap join per user —
+    * each user's view windows against their purchase windows (both
+    * ±10 min half-open). The engine tiles time into 10-minute cells
+    * and credits each pair to the cell holding max(s_a, s_b) — kept
+    * exactly once, NO distinct — while the oracle states the textbook
+    * inequality join. */
+  val q138 = Declared(
+    "q138_interval_join", "J-range,A5",
+    (s, dir) => {
+      val ev = Tables.events(s, dir)
+      def iv(t: String) = ev.filter(col("event_type") === t)
+        .select(col("user_id"), col("event_id"), col("ts").as("s"),
+          (col("ts") + expr("INTERVAL 10 MINUTES")).as("e"))
+      graft.ops.TimeSeriesOps.intervalOverlapJoin(
+          iv("view"), iv("purchase"), "user_id", "event_id",
+          "s", "e", 600000000L)
+        .orderBy(col("user_id"), col("id_a"), col("id_b"))
+    },
+    Some("""WITH iv AS (
+           |  SELECT user_id, event_id, event_type, ts AS s,
+           |         ts + INTERVAL 10 MINUTE AS e
+           |  FROM events WHERE event_type IN ('view', 'purchase'))
+           |SELECT a.user_id AS user_id, a.event_id AS id_a, b.event_id AS id_b
+           |FROM iv a JOIN iv b
+           |  ON a.user_id = b.user_id
+           | AND a.event_type = 'view' AND b.event_type = 'purchase'
+           | AND a.s < b.e AND b.s < a.e
+           |ORDER BY a.user_id, id_a, id_b""".stripMargin),
+    "Directly expressed, Catalyst plans the inequality pair as a quadratic per-key " +
+      "residual; the cell tiling makes it an equi-join on (user, time cell) with " +
+      "arithmetic dedup — no |pairs| shuffle-distinct. Cell width ≈ interval length " +
+      "is the selectivity knob at 100 TB.")
+
+  /** q139 — W2/A1: top-20 length-3 event-type journeys — the n-gram
+    * view of user paths, one rung above q102's pair transitions. Two
+    * leads over the per-user (ts, event_id) order; full lexicographic
+    * tie-break makes the top-k deterministic. */
+  val q139 = Declared(
+    "q139_top_paths", "W2,A1",
+    (s, dir) =>
+      EventAnalytics.topPaths(Tables.events(s, dir),
+          "user_id", "ts", "event_id", "event_type", topK = 20)
+        .orderBy(col("n").desc, col("s1"), col("s2"), col("s3")),
+    Some("""WITH t AS (
+           |  SELECT event_type AS s1,
+           |    lead(event_type, 1) OVER w AS s2,
+           |    lead(event_type, 2) OVER w AS s3
+           |  FROM events
+           |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+           |SELECT s1, s2, s3, count(*) AS n
+           |FROM t WHERE s2 IS NOT NULL AND s3 IS NOT NULL
+           |GROUP BY s1, s2, s3
+           |ORDER BY n DESC, s1, s2, s3 LIMIT 20""".stripMargin),
+    "One actor-keyed window shuffle; the triple space is |event types|³-bounded so " +
+      "the agg output is tiny and top-k plans as TakeOrdered. The journey-mining " +
+      "readout product analytics runs daily.")
+
+  val all: Seq[Declared] = Seq(q125, q126, q127, q128, q129, q130,
+    q131, q132, q133, q134, q135, q136, q137, q138, q139)
 }

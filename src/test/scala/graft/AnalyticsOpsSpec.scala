@@ -124,4 +124,137 @@ class AnalyticsOpsSpec extends AnyFunSuite {
   private implicit class Tuple3Ops(rows: Array[(String, Long, Long)]) {
     def toMap2: Map[String, (Long, Long)] = rows.map(r => r._1 -> (r._2, r._3)).toMap
   }
+
+  test("twap: hold-until-next weighting, no extrapolation past the last value") {
+    // 10.0 held 10s, 20.0 held 5s, 99.0 held nothing -> (100+100)/15
+    val df = Seq(
+      (7L, ts("2024-01-01 10:00:00"), 1L, 10.0),
+      (7L, ts("2024-01-01 10:00:10"), 2L, 20.0),
+      (7L, ts("2024-01-01 10:00:15"), 3L, 99.0),
+      (8L, ts("2024-01-01 10:00:00"), 4L, 50.0)) // single obs: no interval
+      .toDF("user_id", "ts", "event_id", "value")
+    val out = graft.ops.TimeSeriesOps.twap(df, "user_id", "ts", "event_id", "value")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(out.length == 1)
+    val (uid, n, span, v) = out.head
+    assert(uid == 7L && n == 2L && span == 15000000L)
+    assert(math.abs(v - 40.0 / 3) < 1e-12)
+  }
+
+  test("ohlcBars: deterministic open/close under same-timestamp ties") {
+    val df = Seq(
+      (ts("2024-01-01 10:00:00"), 1L, 5.0),  // bin A open (tie broken by id)
+      (ts("2024-01-01 10:00:00"), 2L, 9.0),
+      (ts("2024-01-01 10:30:00"), 3L, 1.0),
+      (ts("2024-01-01 10:59:00"), 4L, 7.0),  // bin A close
+      (ts("2024-01-01 11:00:00"), 5L, 3.0))  // bin B: single row
+      .toDF("ts", "event_id", "value")
+    val out = graft.ops.TimeSeriesOps.ohlcBars(df, "ts", "event_id", "value",
+        3600000000L)
+      .orderBy("bin").collect()
+      .map(r => (r.getDouble(1), r.getDouble(2), r.getDouble(3), r.getDouble(4), r.getLong(5)))
+    assert(out.toSeq == Seq((5.0, 9.0, 1.0, 7.0, 4L), (3.0, 3.0, 3.0, 3.0, 1L)))
+  }
+
+  test("pmiCollocations: planted collocation wins; hapax pairs die at min count") {
+    // every adjacency except "zig zag" (10×) and "the the" (diffuse,
+    // low PMI) is unique, so min_count = 5 leaves exactly two pairs
+    // and the perfectly-associated rare one must rank first
+    val docs = (1 to 10).map(i =>
+      (i.toLong, s"a$i zig zag b$i the the c$i"))
+    val out = graft.ext.TextAnalysis.pmiCollocations(
+        docs.toDF("doc_id", "text"), "text", minCount = 5, topK = 5)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    assert(out.map(t => (t._1, t._2)).toSeq == Seq(("zig", "zag"), ("the", "the")))
+    assert(out.head._3 == 10L)
+  }
+
+  test("kCore: K4 survives 3-core peeling; pendant chain peels away") {
+    val k4 = for { u <- 1 to 4; v <- 1 to 4 if u < v } yield (u.toLong, v.toLong)
+    val chain = Seq((4L, 5L), (5L, 6L)) // degree-1/2 tail
+    val out = Graph.kCore((k4 ++ chain).toDF("u", "v"), "u", "v", k = 3, rounds = 4)
+      .as[(Long, Long)].collect().toMap
+    assert(out == Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L))
+  }
+
+  test("containmentPairs: directional — the excerpt is contained, the source is not") {
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (2L, "alpha beta gamma delta"), // full prefix excerpt of 1
+      (3L, "iota kappa lambda mu nu xi"))
+      .toDF("doc_id", "text")
+    val out = graft.ext.Dedup.containmentPairs(docs, "text", "doc_id",
+        shingleSize = 2, tNum = 9, tDen = 10)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(out == Set((2L, 1L))) // 2 ⊆ 1; 1 ⊄ 2; 3 unrelated
+  }
+
+  test("law: containmentPairs equals brute-force directional containment") {
+    val vocab = Vector("a", "b", "c", "d", "e", "f", "g", "h")
+    val docs = Gen.listOfN(20, Gen.listOfN(8, Gen.chooseNum(0, 7)))
+      .apply(Gen.Parameters.default, Seed(23L)).get
+      .zipWithIndex.map { case (ws, i) => (i.toLong, ws.map(vocab).mkString(" ")) }
+    def shingles(t: String) = t.split(" ").sliding(2).map(_.mkString(" ")).toSet
+    val expected = (for {
+      (ia, ta) <- docs; (ib, tb) <- docs if ia != ib
+      sa = shingles(ta); inter = (sa & shingles(tb)).size
+      if inter * 2 >= sa.size // t = 1/2
+    } yield (ia, ib)).toSet
+    val got = graft.ext.Dedup.containmentPairs(docs.toDF("doc_id", "text"),
+        "text", "doc_id", shingleSize = 2, tNum = 1, tDen = 2)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(got == expected)
+  }
+
+  test("stupidBackoffScore: seen bigram scores c(ab)/c(a.); unseen backs off") {
+    val model = Seq((10L, "a b c")).toDF("doc_id", "text")
+    val probe = Seq((1L, "a b x")).toDF("doc_id", "text")
+    val out = graft.ext.TextAnalysis.stupidBackoffScore(model, probe, "text", "doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    // "a b": ln(1/1)=0; "b x": x is OOV -> ln(0.4*(0+1)/(3+3)) = ln(1/15)
+    val expected = (0.0 + math.round(math.log(1.0 / 15) * 1e6)) / 2 / 1e6
+    assert(out.toSeq == Seq((1L, 2L, BigDecimal(expected)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)))
+  }
+
+  test("intervalOverlapJoin: half-open semantics, cross-cell dedup-by-arithmetic") {
+    val a = Seq((1L, 10L, ts("2024-01-01 10:00:00"), ts("2024-01-01 11:30:00")))
+      .toDF("k", "id", "s", "e")
+    val b = Seq(
+      (1L, 20L, ts("2024-01-01 11:00:00"), ts("2024-01-01 12:00:00")), // overlaps, shares 2 cells
+      (1L, 21L, ts("2024-01-01 11:30:00"), ts("2024-01-01 12:30:00")), // touches only: no
+      (2L, 22L, ts("2024-01-01 10:30:00"), ts("2024-01-01 11:00:00"))) // other key: no
+      .toDF("k", "id", "s", "e")
+    val out = graft.ops.TimeSeriesOps.intervalOverlapJoin(
+        a, b, "k", "id", "s", "e", 1800000000L) // 30-min cells
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(out.toSeq == Seq((1L, 10L, 20L))) // exactly once despite 2 shared cells
+  }
+
+  test("topPaths: consecutive triples only, deterministic ranking") {
+    val df = Seq(
+      (1L, ts("2024-01-01 10:00:00"), 1L, "v"),
+      (1L, ts("2024-01-01 10:01:00"), 2L, "c"),
+      (1L, ts("2024-01-01 10:02:00"), 3L, "p"),
+      (1L, ts("2024-01-01 10:03:00"), 4L, "v"),
+      (2L, ts("2024-01-01 10:00:00"), 5L, "v"),
+      (2L, ts("2024-01-01 10:01:00"), 6L, "c"),
+      (2L, ts("2024-01-01 10:02:00"), 7L, "p"))
+      .toDF("user_id", "ts", "event_id", "event_type")
+    val out = EventAnalytics.topPaths(df, "user_id", "ts", "event_id",
+        "event_type", topK = 5)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2), r.getLong(3)))
+    assert(out.toSeq == Seq(("v", "c", "p", 2L), ("c", "p", "v", 1L)))
+  }
+
+  test("sortedNeighborhoodPairs: adjacent-in-sort-order typos pair; far rows don't") {
+    val df = Seq((1L, "aquamarine"), (2L, "aquamarinX"), (3L, "zzzebra"))
+      .toDF("rec_id", "name")
+    val out = graft.ops.EntityResolution.sortedNeighborhoodPairs(
+        df, "name", "rec_id", window = 2, maxDist = 2)
+      .select("id_a", "id_b", "distance").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    // sort order: aquamarinX < aquamarine < zzzebra; only the typo pair verifies
+    assert(out.toSeq == Seq((2L, 1L, 1)))
+  }
 }

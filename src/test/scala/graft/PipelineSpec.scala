@@ -76,6 +76,36 @@ class PipelineSpec extends AnyFunSuite {
         "kwargs":{"by":["source"]}}]}""", docs)
     }
     assert(e.getMessage.contains("group_agg requires"), e.getMessage)
+
+    // order-statistics / graph ops (q125-q130 registry twins)
+    val pts = Seq((1L, 1L, 10.0), (2L, 2L, 12.0), (3L, 3L, 11.0))
+      .toDF("id", "x", "y")
+    val sky = run("""{"pipe":"p","operations":[{"name":"s","function":
+      "skyline","kwargs":{"x_col":"x","y_col":"y"}}]}""", pts)
+      .select("id").collect().map(_.getLong(0)).sorted
+    assert(sky.toSeq == Seq(1L, 2L))
+
+    val binned = run("""{"pipe":"p","operations":[{"name":"q","function":
+      "qcut","kwargs":{"column":"y","tie_col":"id","n":3}}]}""", pts)
+      .select("id", "bin").collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(binned == Map(1L -> 1, 3L -> 2, 2L -> 3))
+
+    val tri = run("""{"pipe":"p","operations":[{"name":"t","function":
+      "triangle_counts","kwargs":{"src_col":"a","dst_col":"b"}}]}""",
+      Seq((1L, 2L), (2L, 3L), (1L, 3L)).toDF("a", "b")).count()
+    assert(tri == 3)
+
+    val core = run("""{"pipe":"p","operations":[{"name":"k","function":
+      "k_core","kwargs":{"src_col":"a","dst_col":"b","k":2,"rounds":3}}]}""",
+      Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L)).toDF("a", "b")).count()
+    assert(core == 3) // the triangle survives the 2-core; the pendant drops
+
+    val snp = run("""{"pipe":"p","operations":[{"name":"s","function":
+      "sorted_neighborhood_pairs","kwargs":{"sort_key_col":"name",
+      "id_col":"rid","window":2,"max_dist":2}}]}""",
+      Seq((1L, "alpha"), (2L, "alphX"), (3L, "zzzzz")).toDF("rid", "name"))
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(snp.toSeq == Seq((2L, 1L))) // alphX sorts before alpha
   }
 
   test("C2/C3: JSON round-trip is identity") {

@@ -176,4 +176,44 @@ class PlanSpec extends AnyFunSuite {
     assert(!physical.contains("CartesianProduct"),
       "pair generation must never plan a cartesian product")
   }
+
+  test("skyline's ordered window runs on the per-x rollup, never the fact table") {
+    val df = (1 to 100).map(i => (i.toLong, (i % 13).toLong, (i % 7).toDouble))
+      .toDF("id", "x", "y")
+    val out = graft.ops.Dominance.skyline2D(df, "x", "y")
+    val physical = out.queryExecution.executedPlan.toString
+    // the fact side re-enters via a broadcast join; the only sort feeds
+    // the rollup window
+    assert(physical.contains("BroadcastHashJoin") ||
+      physical.contains("BroadcastExchange"),
+      s"rollup must broadcast back to the fact table:\n$physical")
+    assert("Window ".r.findAllIn(physical).length <= 1,
+      "exactly one window (the rollup prefix max)")
+  }
+
+  test("globalRowNumber ranks via range repartition, not a single-partition window") {
+    val df = (1 to 200).map(i => (i.toLong, (i * 37 % 101).toDouble)).toDF("id", "v")
+    val out = graft.ops.Ranking.globalRowNumber(df, Seq(col("v"), col("id")))
+    val physical = out.queryExecution.executedPlan.toString
+    assert(physical.contains("rangepartitioning"),
+      s"rank must range-repartition:\n$physical")
+    // the data-row window must partition on the pid — the only
+    // single-partition stage allowed is the |partitions|-row offset
+    // rollup on the broadcast side
+    assert(physical.contains("windowspecdefinition(__pid"),
+      s"the per-row window must partition on __pid:\n$physical")
+  }
+
+  test("interval overlap join plans cell equi-joins, never a cartesian/nested loop") {
+    val mk = (1 to 30).map(i => (i.toLong % 3, i.toLong,
+      java.sql.Timestamp.valueOf(f"2024-01-01 ${i % 24}%02d:00:00"),
+      java.sql.Timestamp.valueOf(f"2024-01-01 ${i % 24}%02d:30:00")))
+    val a = mk.toDF("k", "id", "s", "e")
+    val out = graft.ops.TimeSeriesOps.intervalOverlapJoin(
+      a, a, "k", "id", "s", "e", 1800000000L)
+    val physical = out.queryExecution.executedPlan.toString
+    assert(!physical.contains("CartesianProduct") &&
+      !physical.contains("BroadcastNestedLoopJoin"),
+      s"overlap join must stay an equi-join on (key, cell):\n$physical")
+  }
 }
