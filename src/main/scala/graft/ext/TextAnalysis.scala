@@ -480,4 +480,32 @@ object TextAnalysis {
         round(sum(col("__logs_u")).cast("double") / count(lit(1)) / 1e6, 6)
           .as("mean_logsb"))
   }
+
+  /** E4 — Shannon token entropy per corpus key (source, language…):
+    * H = −Σ (c/N)·ln(c/N) over the key's token distribution — the
+    * lexical-diversity signal a mixing pipeline reads per domain
+    * (template farms score low, organic text high). Per-token
+    * log-probs quantize to integer micro-nats, the weighted sum
+    * Σ c·lp is an exact long, and only the final division and sign
+    * touch floats — on identical operands (q69's exactness argument).
+    * Returns (key, n_tokens, n_vocab, entropy) with entropy in nats
+    * rounded to 6 dp.
+    *
+    * Scale: one (key, token) agg with map-side partials + a key-sized
+    * join; output is |keys| rows. */
+  def tokenEntropy(docs: DataFrame, textCol: String, keyCol: String): DataFrame = {
+    val tk = docs.select(col(keyCol), explode(tokens(col(textCol))).as("__w"))
+    val cnt = tk.groupBy(col(keyCol), col("__w")).agg(count(lit(1)).as("__c"))
+    val tot = tk.groupBy(col(keyCol)).agg(count(lit(1)).as("n_tokens"))
+    cnt.join(tot, keyCol)
+      .withColumn("__lp_u",
+        round(log(col("__c").cast("double") / col("n_tokens")) * 1e6, 0).cast("long"))
+      .groupBy(col(keyCol), col("n_tokens"))
+      .agg(count(lit(1)).as("n_vocab"),
+        sum(col("__c") * col("__lp_u")).as("__s"))
+      .withColumn("entropy",
+        round(-col("__s").cast("double") / col("n_tokens") / 1e6, 6))
+      .drop("__s")
+      .select(col(keyCol), col("n_tokens"), col("n_vocab"), col("entropy"))
+  }
 }

@@ -162,6 +162,53 @@ object EventAnalytics {
       .select(col(keyCol), col("__k").as("k"), col(tieCol))
   }
 
+  /** Rolling distinct actives: for every time bin `w` in the data's
+    * span, the count of distinct actors seen in the trailing
+    * `windowBins` bins (w − windowBins + 1 .. w]. The rolling-DAU/WAU
+    * readout — and a window Spark cannot express directly
+    * (`count(DISTINCT) OVER RANGE` is unsupported), made exact with a
+    * BOUNDED explode: each (actor, bin) first collapses by distinct,
+    * then fans out to the ≤ windowBins window-ends it serves.
+    *
+    * Scale: the explode factor is windowBins — a fixed resolution
+    * knob, not data-dependent — and it runs on the deduped
+    * (actor, bin) set, already shrunk by the first agg. Both shuffles
+    * key uniformly (actor/bin). */
+  def rollingActives(df: DataFrame, actorCol: String, tsCol: String,
+      windowBins: Int, binMicros: Long): DataFrame = {
+    require(windowBins >= 1 && binMicros > 0, "windowBins >= 1, binMicros > 0")
+    val uh = df.select(col(actorCol),
+      expr(s"unix_micros($tsCol) div ${binMicros}L").as("__h")).distinct()
+    val bounds = uh.agg(max(col("__h")).as("__mx"))
+    uh.withColumn("w", explode(sequence(col("__h"), col("__h") + (windowBins - 1))))
+      .crossJoin(broadcast(bounds)).filter(col("w") <= col("__mx"))
+      .groupBy(col("w"))
+      .agg(count_distinct(col(actorCol)).as("active"))
+  }
+
+  /** Gini concentration of actor activity per key: how unequally the
+    * key's events distribute over its actors (0 = uniform, →1 = one
+    * actor dominates) — the abuse/bot-skew signal. Exact integer form
+    * over ascending per-actor counts c₁..c_n:
+    *   G = (2·Σ i·cᵢ − (n+1)·Σc) / (n·Σc)
+    * Σ i·cᵢ is tie-order-invariant (equal counts commute), so the
+    * row_number tie-break never moves the value; the one float op is
+    * the final division of identical exact operands. */
+  def giniConcentration(df: DataFrame, keyCol: String, actorCol: String): DataFrame = {
+    val counts = df.groupBy(col(keyCol), col(actorCol))
+      .agg(count(lit(1)).as("__c"))
+    val w = Window.partitionBy(col(keyCol)).orderBy(col("__c"), col(actorCol))
+    counts.withColumn("__i", row_number().over(w).cast("long"))
+      .groupBy(col(keyCol))
+      .agg(count(lit(1)).as("n_actors"),
+        sum(col("__c")).as("n_events"),
+        sum(col("__i") * col("__c")).as("__s"))
+      .withColumn("gini",
+        (lit(2) * col("__s") - (col("n_actors") + 1) * col("n_events"))
+          .cast("double") / (col("n_actors") * col("n_events")).cast("double"))
+      .drop("__s")
+  }
+
   /** Top-k most frequent length-3 event-type paths across actors —
     * the n-gram view of user journeys (one rung above the q102 pair
     * transitions). Consecutive triples come from two leads over the

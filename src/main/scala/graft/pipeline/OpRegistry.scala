@@ -325,6 +325,14 @@ object OpRegistry {
       numOpt(p, "t_den").map(_.toInt).getOrElse(4), cache = false)),
     "top_paths" -> (p => df => graft.ops.EventAnalytics.topPaths(
       df, str(p, "actor_col"), str(p, "ts_col"), str(p, "tie_col"),
-      str(p, "type_col"), numOpt(p, "top_k").map(_.toInt).getOrElse(20)))
+      str(p, "type_col"), numOpt(p, "top_k").map(_.toInt).getOrElse(20))),
+    "rolling_actives" -> (p => df => graft.ops.EventAnalytics.rollingActives(
+      df, str(p, "actor_col"), str(p, "ts_col"),
+      num(p, "window_bins").toInt, num(p, "bin_micros").toLong)),
+    "gini_concentration" -> (p => df =>
+      graft.ops.EventAnalytics.giniConcentration(
+        df, str(p, "key_col"), str(p, "actor_col"))),
+    "token_entropy" -> (p => df => graft.ext.TextAnalysis.tokenEntropy(
+      df, str(p, "text_col"), str(p, "key_col")))
   ))
 }

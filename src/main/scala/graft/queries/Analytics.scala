@@ -554,6 +554,116 @@ object Analytics {
       "the agg output is tiny and top-k plans as TakeOrdered. The journey-mining " +
       "readout product analytics runs daily.")
 
+  /** q140 — A5/U3: rolling 24-hour distinct actives at hourly steps —
+    * the window Spark can't express (`count(DISTINCT) OVER RANGE`),
+    * made exact with a BOUNDED fan-out: dedup to (user, hour) first,
+    * then explode each to the ≤ 24 window-ends it serves. */
+  val q140 = Declared(
+    "q140_rolling_actives", "A5,U3",
+    (s, dir) =>
+      EventAnalytics.rollingActives(Tables.events(s, dir),
+          "user_id", "ts", windowBins = 24, binMicros = 3600000000L)
+        .orderBy(col("w")),
+    Some("""WITH uh AS (
+           |  SELECT DISTINCT user_id, epoch_us(ts) // 3600000000 AS h FROM events),
+           |b AS (SELECT max(h) AS mx FROM uh),
+           |e AS (SELECT user_id, h + i AS w
+           |      FROM uh, (SELECT unnest(range(0, 24)) AS i) u)
+           |SELECT w, count(DISTINCT user_id) AS active
+           |FROM e, b WHERE w <= mx
+           |GROUP BY w ORDER BY w""".stripMargin),
+    "The explode factor is the window/step ratio — a fixed resolution knob — and it " +
+      "fans out the DEDUPED (actor, bin) set, not raw events. Both shuffles key " +
+      "uniformly; the rolling-DAU curve every ops dashboard draws, exactly.")
+
+  /** q141 — E4: Shannon token entropy per source — the
+    * lexical-diversity signal a mixing pipeline reads per domain.
+    * Per-token log-probs quantize to micro-nats; Σ c·lp is an exact
+    * long; only the final division touches floats (identical
+    * operands). */
+  val q141 = Declared(
+    "q141_entropy", "E4",
+    (s, dir) =>
+      graft.ext.TextAnalysis.tokenEntropy(
+          Tables.documents(s, dir), "text", "source")
+        .orderBy(col("source")),
+    Some("""WITH tk AS (
+           |  SELECT source, unnest(regexp_split_to_array(lower(text), '\s+')) AS w
+           |  FROM documents),
+           |cnt AS (SELECT source, w, count(*) AS c FROM tk GROUP BY source, w),
+           |tot AS (SELECT source, count(*) AS n_tokens FROM tk GROUP BY source),
+           |sm AS (
+           |  SELECT cnt.source, n_tokens, count(*) AS n_vocab,
+           |    CAST(sum(c * CAST(round(ln(CAST(c AS DOUBLE) / n_tokens) * 1e6, 0)
+           |                      AS BIGINT)) AS BIGINT) AS s
+           |  FROM cnt JOIN tot ON cnt.source = tot.source
+           |  GROUP BY cnt.source, n_tokens)
+           |SELECT source, n_tokens, n_vocab,
+           |  round(-CAST(s AS DOUBLE) / n_tokens / 1e6, 6) AS entropy
+           |FROM sm ORDER BY source""".stripMargin),
+    "One (key, token) agg with map-side partials + a key-sized join; output is " +
+      "|sources| rows. Template farms score low, organic text high — the diversity " +
+      "dial of corpus mixing.")
+
+  /** q142 — A1/W2: Gini concentration of per-user activity within
+    * each event type — the bot/abuse skew signal. Exact integer
+    * numerator/denominator over rank-weighted counts; Σ i·cᵢ is
+    * tie-order-invariant, so both engines agree bit-for-bit. */
+  val q142 = Declared(
+    "q142_gini", "A1,W2",
+    (s, dir) =>
+      EventAnalytics.giniConcentration(Tables.events(s, dir),
+          "event_type", "user_id")
+        .orderBy(col("event_type")),
+    Some("""WITH c AS (
+           |  SELECT event_type, user_id, count(*) AS c
+           |  FROM events GROUP BY 1, 2),
+           |r AS (SELECT event_type, c,
+           |        row_number() OVER (PARTITION BY event_type ORDER BY c, user_id) AS i
+           |      FROM c),
+           |a AS (SELECT event_type, count(*) AS n_actors,
+           |        CAST(sum(c) AS BIGINT) AS n_events,
+           |        CAST(sum(i * c) AS BIGINT) AS s
+           |      FROM r GROUP BY event_type)
+           |SELECT event_type, n_actors, n_events,
+           |  CAST(2 * s - (n_actors + 1) * n_events AS DOUBLE)
+           |    / CAST(n_actors * n_events AS DOUBLE) AS gini
+           |FROM a ORDER BY event_type""".stripMargin),
+    "Volume collapses at the (type, user) partial agg; the ranking window runs on " +
+      "|types|·|users| rows, not events. The inequality readout that flags " +
+      "single-actor domination however large the stream.")
+
+  /** q143 — A5/A1: DAU/MAU stickiness per active day — daily actives
+    * over trailing-30-day actives, both from the same bounded-explode
+    * rolling-actives machinery (q140), ratio of exact longs. */
+  val q143 = Declared(
+    "q143_stickiness", "A5,A1",
+    (s, dir) => {
+      val ev = Tables.events(s, dir)
+      val day = 86400000000L
+      val dau = EventAnalytics.rollingActives(ev, "user_id", "ts", 1, day)
+        .withColumnRenamed("active", "dau")
+      val mau = EventAnalytics.rollingActives(ev, "user_id", "ts", 30, day)
+        .withColumnRenamed("active", "mau")
+      dau.join(mau, "w")
+        .withColumn("stickiness", col("dau").cast("double") / col("mau"))
+        .orderBy(col("w"))
+    },
+    Some("""WITH ud AS (
+           |  SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS d FROM events),
+           |b AS (SELECT max(d) AS mx FROM ud),
+           |dau AS (SELECT d AS w, count(DISTINCT user_id) AS dau FROM ud GROUP BY d),
+           |me AS (SELECT user_id, d + i AS w
+           |       FROM ud, (SELECT unnest(range(0, 30)) AS i) u),
+           |mau AS (SELECT w, count(DISTINCT user_id) AS mau
+           |        FROM me, b WHERE w <= mx GROUP BY w)
+           |SELECT w, dau, mau, CAST(dau AS DOUBLE) / mau AS stickiness
+           |FROM dau JOIN mau USING (w) ORDER BY w""".stripMargin),
+    "Two passes of the same bounded fan-out over the deduped (user, day) set — the " +
+      "30× explode is the resolution knob, never data-dependent. The canonical " +
+      "engagement ratio, exact.")
+
   val all: Seq[Declared] = Seq(q125, q126, q127, q128, q129, q130,
-    q131, q132, q133, q134, q135, q136, q137, q138, q139)
+    q131, q132, q133, q134, q135, q136, q137, q138, q139,
+    q140, q141, q142, q143)
 }

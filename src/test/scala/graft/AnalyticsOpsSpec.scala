@@ -247,6 +247,46 @@ class AnalyticsOpsSpec extends AnyFunSuite {
     assert(out.toSeq == Seq(("v", "c", "p", 2L), ("c", "p", "v", 1L)))
   }
 
+  test("rollingActives: trailing window counts distinct, not events; span is capped") {
+    val df = Seq(
+      (1L, ts("2024-01-01 10:00:00")), (1L, ts("2024-01-01 10:30:00")), // same (user, hour)
+      (2L, ts("2024-01-01 11:15:00")),
+      (1L, ts("2024-01-01 13:05:00")))
+      .toDF("user_id", "ts")
+    val out = EventAnalytics.rollingActives(df, "user_id", "ts", 3, 3600000000L)
+      .orderBy("w").collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val h0 = ts("2024-01-01 10:00:00").getTime * 1000L / 3600000000L
+    // w=h0: {1}; h0+1: {1,2}; h0+2: {1,2}; h0+3: {2,1}; beyond max hour: absent
+    assert(out == Map(h0 -> 1L, (h0 + 1) -> 2L, (h0 + 2) -> 2L, (h0 + 3) -> 2L))
+  }
+
+  test("giniConcentration: uniform counts score 0; domination approaches 1") {
+    val uniform = (1 to 10).flatMap(u => Seq.fill(5)(("u", u.toLong)))
+    val skewed = Seq.fill(96)(("s", 1L)) ++ (2 to 5).map(u => ("s", u.toLong))
+    val df = (uniform ++ skewed).toDF("k", "actor")
+    val out = EventAnalytics.giniConcentration(df, "k", "actor")
+      .collect().map(r => r.getString(0) -> r.getDouble(3)).toMap
+    assert(out("u") == 0.0)
+    // exact: n=5, counts asc (1,1,1,1,96), sum=100, s=1+2+3+4+480=490
+    // gini = (980 - 600) / 500 = 0.76
+    assert(out("s") == 0.76)
+  }
+
+  test("tokenEntropy: uniform distribution hits ln(k); repetition scores lower") {
+    val docs = Seq(
+      ("flat", "a b c d"),          // 4 distinct -> H = ln 4
+      ("rep", "a a a b"))           // skewed -> H < ln 2... exact below
+      .toDF("key", "text")
+    val out = graft.ext.TextAnalysis.tokenEntropy(docs, "text", "key")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .map(t => t._1 -> t).toMap
+    assert(out("flat")._2 == 4 && out("flat")._3 == 4)
+    assert(math.abs(out("flat")._4 - math.log(4)) < 1e-5)
+    // H = -(3/4 ln 3/4 + 1/4 ln 1/4)
+    val expected = -(0.75 * math.log(0.75) + 0.25 * math.log(0.25))
+    assert(math.abs(out("rep")._4 - expected) < 1e-5)
+  }
+
   test("sortedNeighborhoodPairs: adjacent-in-sort-order typos pair; far rows don't") {
     val df = Seq((1L, "aquamarine"), (2L, "aquamarinX"), (3L, "zzzebra"))
       .toDF("rec_id", "name")
