@@ -107,6 +107,35 @@ object Aggregates {
         covN / (sqrt(varXN) * sqrt(varYN))).as("corr")): _*)
   }
 
+  /** A-quantile — weighted median (lower convention): per key, the
+    * smallest value whose cumulative weight reaches half the total —
+    * the quantile Spark has no builtin for when rows carry integer
+    * multiplicities (quantities, token counts, durations). The
+    * crossing test is all-integer (2·cumw ≥ W); the value column is
+    * never touched arithmetically, so results hash-match unrounded.
+    * Ties in the value are safe: any tie order crosses inside the
+    * same value run.
+    *
+    * Scale: one key-partitioned window sort (the same q07 envelope) +
+    * a |keys|-row min. */
+  def weightedMedian(df: org.apache.spark.sql.DataFrame, keys: Seq[Column],
+      valueCol: Column, weightCol: Column,
+      tieCols: Seq[Column]): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(keys: _*)
+      .orderBy((valueCol +: tieCols).map(_.asc): _*)
+    val total = Window.partitionBy(keys: _*)
+    df.withColumn("__w", weightCol.cast("long"))
+      .withColumn("__cumw", sum(col("__w")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("__W", sum(col("__w")).over(total))
+      .filter(col("__cumw") * 2 >= col("__W"))
+      .groupBy(keys: _*)
+      .agg(min(valueCol).as("weighted_median"),
+        min(col("__W")).as("total_weight"))
+  }
+
   /** E6/A1 — merge two partial aggregation STATES: the incremental-
     * materialization kernel. Each side holds (key, partial…) rows where
     * every merge column is an ALGEBRAIC partial (sum, count — things

@@ -1,0 +1,51 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Market-basket association rules (Agrawal & Srikant, VLDB'94 —
+  * public literature): for item pairs co-occurring in ≥ `minSupport`
+  * baskets, the directional rules x→y with
+  *   confidence = n_xy / n_x   and   lift = n_xy·N / (n_x·n_y).
+  * Both are quotients of exact integer counts — the same IEEE double
+  * on any engine — so no probability estimate ever needs a log or an
+  * accumulation-order caveat.
+  */
+object Associations {
+
+  /** Pair rules over (basket, item) rows. Returns one row per ordered
+    * rule (x→y and y→x for each qualifying pair): (item_x, item_y,
+    * n_xy, n_x, confidence, lift).
+    *
+    * Scale: baskets dedup to (basket, item) first; pair generation is
+    * a basket-keyed self-join bounded by per-basket item counts (the
+    * classic k² per basket, not |items|²); item frequencies join on
+    * the item id — Zipf-skewed on staples, AQE-split. The support
+    * threshold prunes BEFORE the frequency joins. */
+  def pairRules(df: DataFrame, basketCol: String, itemCol: String,
+      minSupport: Long): DataFrame = {
+    require(minSupport >= 1, "minSupport >= 1")
+    val bi = df.select(col(basketCol).as("__b"), col(itemCol).as("__i")).distinct()
+    val n = bi.select(col("__b")).distinct()
+      .agg(count(lit(1)).as("__N"))
+    val freq = bi.groupBy(col("__i")).agg(count(lit(1)).as("__n"))
+    val pairs = bi.select(col("__b"), col("__i").as("__x"))
+      .join(bi.select(col("__b"), col("__i").as("__y")), "__b")
+      .filter(col("__x") < col("__y"))
+      .groupBy(col("__x"), col("__y")).agg(count(lit(1)).as("n_xy"))
+      .filter(col("n_xy") >= minSupport)
+    // both rule directions from each unordered pair
+    val rules = pairs.select(col("__x"), col("__y"), col("n_xy"))
+      .unionByName(pairs.select(col("__y").as("__x"), col("__x").as("__y"),
+        col("n_xy")))
+    rules
+      .join(freq.select(col("__i").as("__x"), col("__n").as("n_x")), "__x")
+      .join(freq.select(col("__i").as("__y"), col("__n").as("__ny")), "__y")
+      .crossJoin(broadcast(n))
+      .select(col("__x").as("item_x"), col("__y").as("item_y"),
+        col("n_xy"), col("n_x"),
+        (col("n_xy").cast("double") / col("n_x")).as("confidence"),
+        ((col("n_xy") * col("__N")).cast("double") /
+          (col("n_x") * col("__ny")).cast("double")).as("lift"))
+  }
+}

@@ -186,6 +186,46 @@ object EventAnalytics {
       .agg(count_distinct(col(actorCol)).as("active"))
   }
 
+  /** Cohort value curve (LTV): actors cohort by first-seen day; cell
+    * (cohort_day, k) accumulates the cohort's total `valueCol` from
+    * conversion events within k days of the cohort day, divided by
+    * cohort size → cumulative value per user. Values quantize to
+    * cents, the running sum is an exact long cumulated over the
+    * bounded (cohort, k) grid, and the per-user division is the one
+    * float op (identical operands).
+    *
+    * Scale: two actor-keyed aggs (first-seen, per-(actor-day) value)
+    * + one actor join; the cumulative window runs on the
+    * |days|·(maxDays+1) grid, never on events. */
+  def cohortValueCurve(df: DataFrame, actorCol: String, tsCol: String,
+      valueCol: String, typeCol: String, convType: String,
+      maxDays: Int): DataFrame = {
+    val firstSeen = df.groupBy(col(actorCol))
+      .agg(min(to_date(col(tsCol))).as("cohort_day"))
+    val cohortSize = firstSeen.groupBy(col("cohort_day"))
+      .agg(count(lit(1)).as("cohort_users"))
+    val cents = (col(valueCol).cast("decimal(18,2)") * 100).cast("long")
+    val purchases = df.filter(col(typeCol) === convType)
+      .select(col(actorCol), to_date(col(tsCol)).as("__d"), cents.as("__vc"))
+      .join(firstSeen, actorCol)
+      .withColumn("k", datediff(col("__d"), col("cohort_day")))
+      .filter(col("k").between(0, maxDays))
+      .groupBy(col("cohort_day"), col("k"))
+      .agg(sum(col("__vc")).as("__cell"))
+    // densify ks so the running sum has a row even for quiet days
+    val grid = cohortSize.select(col("cohort_day"),
+      explode(sequence(lit(0), lit(maxDays))).as("k"))
+    val wCum = Window.partitionBy(col("cohort_day")).orderBy(col("k"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    grid.join(purchases, Seq("cohort_day", "k"), "left")
+      .withColumn("__cum", sum(coalesce(col("__cell"), lit(0L))).over(wCum))
+      .join(cohortSize, "cohort_day")
+      .select(col("cohort_day"), col("k").cast("long").as("k"),
+        col("cohort_users"),
+        (col("__cum").cast("double") / (col("cohort_users") * 100))
+          .as("ltv_per_user"))
+  }
+
   /** Gini concentration of actor activity per key: how unequally the
     * key's events distribute over its actors (0 = uniform, →1 = one
     * actor dominates) — the abuse/bot-skew signal. Exact integer form

@@ -333,6 +333,17 @@ object OpRegistry {
       graft.ops.EventAnalytics.giniConcentration(
         df, str(p, "key_col"), str(p, "actor_col"))),
     "token_entropy" -> (p => df => graft.ext.TextAnalysis.tokenEntropy(
-      df, str(p, "text_col"), str(p, "key_col")))
+      df, str(p, "text_col"), str(p, "key_col"))),
+    "cohort_value_curve" -> (p => df =>
+      graft.ops.EventAnalytics.cohortValueCurve(
+        df, str(p, "actor_col"), str(p, "ts_col"), str(p, "value_col"),
+        str(p, "type_col"), str(p, "conv_type"),
+        numOpt(p, "max_days").map(_.toInt).getOrElse(7))),
+    "pair_rules" -> (p => df => graft.ops.Associations.pairRules(
+      df, str(p, "basket_col"), str(p, "item_col"),
+      numOpt(p, "min_support").map(_.toLong).getOrElse(2L))),
+    "weighted_median" -> (p => df => graft.ops.Aggregates.weightedMedian(
+      df, strs(p, "keys").map(col), col(str(p, "value_col")),
+      col(str(p, "weight_col")), strs(p, "tie_cols").map(col)))
   ))
 }

@@ -663,7 +663,151 @@ object Analytics {
       "30× explode is the resolution knob, never data-dependent. The canonical " +
       "engagement ratio, exact.")
 
+  /** q144 — A1/F6: cohort LTV curve — cumulative purchase value per
+    * user by days-since-cohort, the revenue view of q94's retention
+    * grid. Cents-exact cells cumulated over the bounded
+    * (cohort, k) grid; the per-user division is the one float op. */
+  val q144 = Declared(
+    "q144_cohort_ltv", "A1,F6",
+    (s, dir) =>
+      EventAnalytics.cohortValueCurve(Tables.events(s, dir),
+          "user_id", "ts", "value", "event_type", "purchase", maxDays = 7)
+        .orderBy(col("cohort_day"), col("k")),
+    Some("""WITH fs AS (
+           |  SELECT user_id, min(CAST(ts AS DATE)) AS cohort_day
+           |  FROM events GROUP BY user_id),
+           |cs AS (SELECT cohort_day, count(*) AS cohort_users FROM fs GROUP BY cohort_day),
+           |pv AS (
+           |  SELECT fs.cohort_day,
+           |    CAST(CAST(e.ts AS DATE) - fs.cohort_day AS BIGINT) AS k,
+           |    sum(CAST(CAST(e.value AS DECIMAL(18,2)) * 100 AS BIGINT)) AS cell
+           |  FROM events e JOIN fs ON e.user_id = fs.user_id
+           |  WHERE e.event_type = 'purchase'
+           |    AND CAST(e.ts AS DATE) - fs.cohort_day BETWEEN 0 AND 7
+           |  GROUP BY 1, 2),
+           |grid AS (SELECT cohort_day, unnest(range(0, 8)) AS k FROM cs),
+           |cum AS (
+           |  SELECT g.cohort_day, g.k,
+           |    CAST(sum(coalesce(pv.cell, 0)) OVER (
+           |      PARTITION BY g.cohort_day ORDER BY g.k
+           |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cumv
+           |  FROM grid g LEFT JOIN pv ON g.cohort_day = pv.cohort_day AND g.k = pv.k)
+           |SELECT c.cohort_day AS cohort_day, c.k, cs.cohort_users,
+           |  CAST(cumv AS DOUBLE) / (cs.cohort_users * 100) AS ltv_per_user
+           |FROM cum c JOIN cs ON c.cohort_day = cs.cohort_day
+           |ORDER BY c.cohort_day, c.k""".stripMargin),
+    "Two actor-keyed aggs + one actor join; the cumulative window runs on the " +
+      "|days|·8 grid, never on events. The unit-economics readout next to q94's " +
+      "retention counts.")
+
+  /** q145 — J-anti/A1: referential-integrity audit against DAMAGED
+    * dimension snapshots (every 5th customer, every 7th part dropped —
+    * simulating a bad partition load): orphan counts per relation.
+    * Anti-joins with pushed filters; the intact lineitem→orders
+    * relation pins the zero row. */
+  val q145 = Declared(
+    "q145_ri_audit", "J-anti,A1",
+    (s, dir) => {
+      val orders = Tables.orders(s, dir)
+      val li = Tables.lineitem(s, dir)
+      val cust = Tables.customer(s, dir).filter(col("c_custkey") % 5 =!= 0)
+      val part = Tables.part(s, dir).filter(col("p_partkey") % 7 =!= 0)
+      def audit(rel: String, child: org.apache.spark.sql.DataFrame,
+          childKey: String, parent: org.apache.spark.sql.DataFrame,
+          parentKey: String) =
+        child.join(parent, child(childKey) === parent(parentKey), "left_anti")
+          .agg(count(lit(1)).as("orphans"))
+          .withColumn("relation", lit(rel))
+      audit("lineitem->orders", li, "l_orderkey", orders, "o_orderkey")
+        .unionByName(audit("lineitem->part", li, "l_partkey", part, "p_partkey"))
+        .unionByName(audit("orders->customer", orders, "o_custkey", cust, "c_custkey"))
+        .select(col("relation"), col("orphans"))
+        .orderBy(col("relation"))
+    },
+    Some("""WITH cust AS (SELECT c_custkey FROM customer WHERE c_custkey % 5 <> 0),
+           |pt AS (SELECT p_partkey FROM part WHERE p_partkey % 7 <> 0)
+           |SELECT 'lineitem->orders' AS relation,
+           |  (SELECT count(*) FROM lineitem l WHERE NOT EXISTS
+           |    (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)) AS orphans
+           |UNION ALL
+           |SELECT 'lineitem->part',
+           |  (SELECT count(*) FROM lineitem l WHERE NOT EXISTS
+           |    (SELECT 1 FROM pt WHERE pt.p_partkey = l.l_partkey))
+           |UNION ALL
+           |SELECT 'orders->customer',
+           |  (SELECT count(*) FROM orders o WHERE NOT EXISTS
+           |    (SELECT 1 FROM cust WHERE cust.c_custkey = o.o_custkey))
+           |ORDER BY relation""".stripMargin),
+    "Each relation is one anti-join on its key — the child side never carries payload " +
+      "columns past the scan, and at 100 TB the damaged-dimension side broadcasts. " +
+      "The nightly data-quality gate every warehouse runs.")
+
+  /** q146 — A1/E2: market-basket association rules — directional
+    * confidence and lift for part pairs co-ordered ≥ 2 times.
+    * Both measures are quotients of exact integer counts (the q133
+    * rational-ranking argument), so the hash matches unrounded. */
+  val q146 = Declared(
+    "q146_market_basket", "A1,E2",
+    (s, dir) =>
+      graft.ops.Associations.pairRules(
+          Tables.lineitem(s, dir).filter(col("l_orderkey") % 3 === 0)
+            .select(col("l_orderkey"), col("l_partkey")),
+          "l_orderkey", "l_partkey", minSupport = 2)
+        .orderBy(col("lift").desc, col("item_x"), col("item_y")),
+    Some("""WITH bi AS (
+           |  SELECT DISTINCT l_orderkey AS b, l_partkey AS i
+           |  FROM lineitem WHERE l_orderkey % 3 = 0),
+           |n AS (SELECT count(DISTINCT b) AS n_b FROM bi),
+           |freq AS (SELECT i, count(*) AS n_i FROM bi GROUP BY i),
+           |pairs AS (
+           |  SELECT a.i AS x, b.i AS y, count(*) AS n_xy
+           |  FROM bi a JOIN bi b ON a.b = b.b AND a.i < b.i
+           |  GROUP BY 1, 2 HAVING count(*) >= 2),
+           |rules AS (
+           |  SELECT x, y, n_xy FROM pairs
+           |  UNION ALL SELECT y, x, n_xy FROM pairs)
+           |SELECT r.x AS item_x, r.y AS item_y, r.n_xy, fx.n_i AS n_x,
+           |  CAST(r.n_xy AS DOUBLE) / fx.n_i AS confidence,
+           |  CAST(r.n_xy * n.n_b AS DOUBLE)
+           |    / CAST(fx.n_i * fy.n_i AS DOUBLE) AS lift
+           |FROM rules r
+           |JOIN freq fx ON r.x = fx.i JOIN freq fy ON r.y = fy.i
+           |CROSS JOIN n
+           |ORDER BY lift DESC, item_x, item_y""".stripMargin),
+    "Pair generation is basket-keyed (k² per basket, never |items|²) and the support " +
+      "threshold prunes before the Zipf-skewed frequency joins (AQE splits staples). " +
+      "The cross-sell primitive, exact.")
+
+  /** q147 — A-quantile: weighted median order-line price per return
+    * flag, weighted by quantity — the quantile Spark has no builtin
+    * for. All-integer crossing test (2·cumw ≥ W); the price column is
+    * never touched arithmetically. */
+  val q147 = Declared(
+    "q147_weighted_median", "A-quantile",
+    (s, dir) =>
+      Aggregates.weightedMedian(Tables.lineitem(s, dir),
+          Seq(col("l_returnflag")), col("l_extendedprice"),
+          col("l_quantity").cast("decimal(18,2)"),
+          Seq(col("l_orderkey"), col("l_linenumber")))
+        .orderBy(col("l_returnflag")),
+    Some("""WITH r AS (
+           |  SELECT l_returnflag, l_extendedprice,
+           |    sum(CAST(CAST(l_quantity AS DECIMAL(18,2)) AS BIGINT)) OVER (
+           |      PARTITION BY l_returnflag
+           |      ORDER BY l_extendedprice, l_orderkey, l_linenumber
+           |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cumw,
+           |    sum(CAST(CAST(l_quantity AS DECIMAL(18,2)) AS BIGINT)) OVER (
+           |      PARTITION BY l_returnflag) AS w_total
+           |  FROM lineitem)
+           |SELECT l_returnflag, min(l_extendedprice) AS weighted_median,
+           |  CAST(min(w_total) AS BIGINT) AS total_weight
+           |FROM r WHERE cumw * 2 >= w_total
+           |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin),
+    "One key-partitioned window sort (the q07 envelope) + a |keys|-row min. Weighted " +
+      "quantiles are what duration/volume-weighted SLOs actually need; ties in the " +
+      "value are safe because any tie order crosses inside the same value run.")
+
   val all: Seq[Declared] = Seq(q125, q126, q127, q128, q129, q130,
     q131, q132, q133, q134, q135, q136, q137, q138, q139,
-    q140, q141, q142, q143)
+    q140, q141, q142, q143, q144, q145, q146, q147)
 }

@@ -4,7 +4,7 @@ import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 import org.scalacheck.Gen
 import org.scalacheck.rng.Seed
-import graft.ops.{Binning, Dominance, EventAnalytics, Ranking}
+import graft.ops.{Aggregates, Binning, Dominance, EventAnalytics, Ranking}
 import graft.ext.Graph
 
 /** Specs for the order-statistics / graph analytics ops behind
@@ -285,6 +285,50 @@ class AnalyticsOpsSpec extends AnyFunSuite {
     // H = -(3/4 ln 3/4 + 1/4 ln 1/4)
     val expected = -(0.75 * math.log(0.75) + 0.25 * math.log(0.25))
     assert(math.abs(out("rep")._4 - expected) < 1e-5)
+  }
+
+  test("cohortValueCurve: cents accumulate along k; quiet days carry forward") {
+    val df = Seq(
+      (1L, ts("2024-01-01 10:00:00"), "view", 0.0),
+      (1L, ts("2024-01-01 11:00:00"), "purchase", 10.50),
+      (1L, ts("2024-01-03 11:00:00"), "purchase", 4.50), // k=2; k=1 quiet
+      (2L, ts("2024-01-01 09:00:00"), "view", 0.0))      // same cohort, never buys
+      .toDF("user_id", "ts", "event_type", "value")
+    val out = EventAnalytics.cohortValueCurve(df, "user_id", "ts", "value",
+        "event_type", "purchase", maxDays = 3)
+      .orderBy("k").collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getDouble(3)))
+    // cohort of 2 users; cumulative 10.50, 10.50, 15.00, 15.00 over k=0..3
+    assert(out.toSeq == Seq((0L, 2L, 5.25), (1L, 2L, 5.25), (2L, 2L, 7.5), (3L, 2L, 7.5)))
+  }
+
+  test("pairRules: confidence is directional, lift symmetric, support gates") {
+    // baskets: {a,b} x3, {a} x1, {b,c} x1 -> pair (a,b) support 3
+    val rows = Seq((1L, "a"), (1L, "b"), (2L, "a"), (2L, "b"), (3L, "a"), (3L, "b"),
+      (4L, "a"), (5L, "b"), (5L, "c"))
+    val out = graft.ops.Associations.pairRules(rows.toDF("b", "i"), "b", "i", 2)
+      .collect().map(r => ((r.getString(0), r.getString(1)),
+        (r.getLong(2), r.getLong(3), r.getDouble(4), r.getDouble(5)))).toMap
+    // n_a = 4, n_b = 4, n_ab = 3, N = 5
+    assert(out(("a", "b")) == ((3L, 4L, 0.75, 3.0 * 5 / 16)))
+    assert(out(("b", "a")) == ((3L, 4L, 0.75, 3.0 * 5 / 16)))
+    assert(!out.contains(("b", "c"))) // support 1 < 2
+  }
+
+  test("weightedMedian: crossing at half the total weight, lower convention") {
+    // values 1(w=1), 2(w=1), 3(w=10): W=12, crossing at cumw>=6 -> 3
+    val df = Seq((1L, 1.0, 1L), (2L, 2.0, 1L), (3L, 3.0, 10L)).toDF("id", "v", "wt")
+    val out = Aggregates.weightedMedian(df, Seq(lit(1).as("g")), col("v"),
+        col("wt"), Seq(col("id")))
+      .collect().map(r => (r.getDouble(1), r.getLong(2)))
+    assert(out.toSeq == Seq((3.0, 12L)))
+    // uniform weights reduce to the plain lower median
+    val df2 = Seq((1L, 1.0, 1L), (2L, 2.0, 1L), (3L, 3.0, 1L), (4L, 4.0, 1L))
+      .toDF("id", "v", "wt")
+    val out2 = Aggregates.weightedMedian(df2, Seq(lit(1).as("g")), col("v"),
+        col("wt"), Seq(col("id")))
+      .collect().map(_.getDouble(1))
+    assert(out2.toSeq == Seq(2.0))
   }
 
   test("sortedNeighborhoodPairs: adjacent-in-sort-order typos pair; far rows don't") {
