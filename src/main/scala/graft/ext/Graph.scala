@@ -1,6 +1,6 @@
 package graft.ext
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** E2+ — distributed connected components over a pair graph: the
@@ -33,6 +33,14 @@ import org.apache.spark.sql.functions._
   * the shortcut step bounds pathological chains at O(log n) rounds.
   */
 object Graph {
+
+  /** Node-id cast that FAILS on non-numeric ids instead of silently
+    * nulling them away (a string-keyed edge list through the registry
+    * surface would otherwise read as "no triangles / empty core"). */
+  private def checkedLong(c: Column): Column =
+    when(c.isNotNull && c.cast("long").isNull,
+      raise_error(lit("graph ops require numeric node ids — hash string " +
+        "ids (xxhash64) upstream"))).otherwise(c.cast("long"))
 
   /** Connected components of the undirected graph given by `edges`
     * (one row per edge; direction ignored; self-loops and duplicate
@@ -186,8 +194,8 @@ object Graph {
     * equi-joins. */
   def triangleCounts(edges: DataFrame, srcCol: String, dstCol: String): DataFrame = {
     val canon = edges.select(
-        least(col(srcCol).cast("long"), col(dstCol).cast("long")).as("u"),
-        greatest(col(srcCol).cast("long"), col(dstCol).cast("long")).as("v"))
+        least(checkedLong(col(srcCol)), checkedLong(col(dstCol))).as("u"),
+        greatest(checkedLong(col(srcCol)), checkedLong(col(dstCol))).as("v"))
       .filter(col("u") =!= col("v")).distinct()
     val deg = canon.select(explode(array(col("u"), col("v"))).as("node"))
       .groupBy(col("node")).agg(count(lit(1)).as("deg"))
@@ -229,8 +237,8 @@ object Graph {
       k: Int, rounds: Int): DataFrame = {
     require(k >= 1 && rounds >= 1, "k and rounds must be >= 1")
     var sym = edges.select(explode(array(
-        struct(col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst")),
-        struct(col(dstCol).cast("long").as("src"), col(srcCol).cast("long").as("dst"))))
+        struct(checkedLong(col(srcCol)).as("src"), checkedLong(col(dstCol)).as("dst")),
+        struct(checkedLong(col(dstCol)).as("src"), checkedLong(col(srcCol)).as("dst"))))
         .as("e"))
       .select(col("e.src").as("src"), col("e.dst").as("dst"))
       .filter(col("src") =!= col("dst")).distinct()

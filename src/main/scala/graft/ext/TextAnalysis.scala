@@ -420,9 +420,12 @@ object TextAnalysis {
     bi.join(uni.select(col("w").as("w1"), col("__nw").as("n_x")), "w1")
       .join(uni.select(col("w").as("w2"), col("__nw").as("n_y")), "w2")
       .crossJoin(broadcast(total))
+      // widen BEFORE multiplying: long*long wraps silently past 9.2e18
+      // (web-scale N × a frequent pair), flipping the sign of the top
+      // collocations; decimal products can't wrap
       .withColumn("score",
-        (col("n_xy") * col("__N")).cast("double") /
-          (col("n_x") * col("n_y")).cast("double"))
+        (col("n_xy").cast("decimal(38,0)") * col("__N")).cast("double") /
+          (col("n_x").cast("decimal(38,0)") * col("n_y")).cast("double"))
       .orderBy(col("score").desc, col("w1"), col("w2"))
       .limit(topK)
       .select(col("w1"), col("w2"), col("n_xy"), col("score"))

@@ -123,6 +123,12 @@ object Aggregates {
       tieCols: Seq[Column]): org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.functions._
     import org.apache.spark.sql.expressions.Window
+    // empty keys would silently plan the global single-partition
+    // window this codebase forbids; empty ties weaken the total order
+    require(keys.nonEmpty, "weightedMedian requires at least one key column " +
+      "(use a constant literal key for a global median)")
+    require(tieCols.nonEmpty, "weightedMedian requires tie-break column(s) " +
+      "for a total order")
     val w = Window.partitionBy(keys: _*)
       .orderBy((valueCol +: tieCols).map(_.asc): _*)
     val total = Window.partitionBy(keys: _*)

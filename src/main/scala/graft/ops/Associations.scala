@@ -45,7 +45,10 @@ object Associations {
       .select(col("__x").as("item_x"), col("__y").as("item_y"),
         col("n_xy"), col("n_x"),
         (col("n_xy").cast("double") / col("n_x")).as("confidence"),
-        ((col("n_xy") * col("__N")).cast("double") /
-          (col("n_x") * col("__ny")).cast("double")).as("lift"))
+        // widen BEFORE multiplying: long*long wraps past 9.2e18 and
+        // would rank a staple pair's lift negative; decimals can't wrap
+        ((col("n_xy").cast("decimal(38,0)") * col("__N")).cast("double") /
+          (col("n_x").cast("decimal(38,0)") * col("__ny")).cast("double"))
+          .as("lift"))
   }
 }

@@ -91,7 +91,7 @@ object Binning {
     val total = df.groupBy().agg(count(lit(1)).as("__N"))
     ranked.crossJoin(broadcast(total))
       .withColumn("bin", expr(s"(row_num - 1) * $n div __N + 1").cast("int"))
-      .drop("__N")
+      .drop("__N", "row_num") // internals; the documented output adds only `bin`
   }
 
   /** Ordered distinct bin labels (the reference's

@@ -130,12 +130,17 @@ object EventAnalytics {
     * engine or partitioning. Returns the flagged positions only:
     * (key, position k, tie id).
     *
+    * Envelope bound: dev² needs ~(n·P_k)² digits — within
+    * DECIMAL(38,0) up to ~1e8 cent-scale rows per key. Beyond that a
+    * product would overflow to NULL and SILENTLY unflag the deepest
+    * excursions, so both sides are null-guarded with raise_error —
+    * the engine fails as loudly as the oracle's HUGEINT does. The
+    * 100 TB path splits hot keys by per-day subtotal carry (the
+    * concurrencyProfile two-phase trick) before the envelope matters.
+    *
     * Scale: one groupBy(key) for the totals (broadcast back), one
     * key-partitioned window sort for the running sum — the q07/q105
-    * cost envelope. Hot keys: the window is per-key sequential by
-    * definition (CUSUM is a sequential statistic); a year-long key at
-    * 100 TB splits by recording per-day totals and carrying, the
-    * concurrencyProfile two-phase trick. */
+    * cost envelope. */
   def cusumFlags(df: DataFrame, keyCol: String, tsCol: String, tieCol: String,
       valueCol: String, cNum: Long = 2, cDen: Long = 1): DataFrame = {
     require(cNum > 0 && cDen > 0, "threshold cNum/cDen must be positive")
@@ -144,9 +149,14 @@ object EventAnalytics {
     val vals = df.select(col(keyCol), col(tsCol), col(tieCol), cents.as("__vc"))
     val totals = vals.groupBy(col(keyCol)).agg(
       count(lit(1)).as("__n"),
-      sum(col("__vc")).cast(d38).as("__s"),
+      // sum DECIMAL inputs: a long sum would wrap at 9.2e18 total cents
+      sum(col("__vc").cast(d38)).cast(d38).as("__s"),
       sum(col("__vc").cast(d38) * col("__vc").cast(d38)).cast(d38).as("__q"))
     val w = Window.partitionBy(col(keyCol)).orderBy(col(tsCol), col(tieCol))
+    def guarded(c: Column, name: String): Column =
+      when(c.isNull, raise_error(lit(
+        s"cusumFlags: DECIMAL(38,0) overflow in $name — split the key " +
+          "(per-day carry) before flagging"))).otherwise(c)
     vals
       .withColumn("__pk", sum(col("__vc").cast(d38)).over(
         w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
@@ -157,14 +167,19 @@ object EventAnalytics {
       .withColumn("__env",
         col("__k").cast(d38) *
           (col("__n").cast(d38) * col("__q") - col("__s") * col("__s")))
-      .filter(col("__dev") * col("__dev") * lit(cDen * cDen).cast(d38) >
-        lit(cNum * cNum).cast(d38) * col("__env"))
+      .withColumn("__lhs",
+        guarded(col("__dev") * col("__dev") * lit(cDen * cDen).cast(d38), "dev²"))
+      .withColumn("__rhs",
+        guarded(lit(cNum * cNum).cast(d38) * col("__env"), "envelope"))
+      .filter(col("__lhs") > col("__rhs"))
       .select(col(keyCol), col("__k").as("k"), col(tieCol))
   }
 
-  /** Rolling distinct actives: for every time bin `w` in the data's
-    * span, the count of distinct actors seen in the trailing
-    * `windowBins` bins (w − windowBins + 1 .. w]. The rolling-DAU/WAU
+  /** Rolling distinct actives: for every time bin `w` whose trailing
+    * `windowBins` bins (w − windowBins + 1 .. w] saw at least one
+    * actor, the count of distinct actors in that window — SPARSE
+    * output: a window with zero activity emits no row (densify from a
+    * bin spine if a chart needs explicit zeros). The rolling-DAU/WAU
     * readout — and a window Spark cannot express directly
     * (`count(DISTINCT) OVER RANGE` is unsupported), made exact with a
     * BOUNDED explode: each (actor, bin) first collapses by distinct,
@@ -176,11 +191,23 @@ object EventAnalytics {
     * key uniformly (actor/bin). */
   def rollingActives(df: DataFrame, actorCol: String, tsCol: String,
       windowBins: Int, binMicros: Long): DataFrame = {
-    require(windowBins >= 1 && binMicros > 0, "windowBins >= 1, binMicros > 0")
-    val uh = df.select(col(actorCol),
-      expr(s"unix_micros($tsCol) div ${binMicros}L").as("__h")).distinct()
-    val bounds = uh.agg(max(col("__h")).as("__mx"))
-    uh.withColumn("w", explode(sequence(col("__h"), col("__h") + (windowBins - 1))))
+    require(binMicros > 0, "binMicros > 0")
+    rollingActivesFromBins(
+      df.select(col(actorCol),
+        expr(s"unix_micros($tsCol) div ${binMicros}L").as("__h")).distinct(),
+      actorCol, "__h", windowBins)
+  }
+
+  /** [[rollingActives]] over an ALREADY-binned distinct (actor, bin)
+    * frame — the shared-scan form: a caller computing several window
+    * widths (DAU + MAU, q143) dedups the event table once, caches the
+    * |actors|·|bins|-sized result, and fans out per width. */
+  def rollingActivesFromBins(bins: DataFrame, actorCol: String,
+      binCol: String, windowBins: Int): DataFrame = {
+    require(windowBins >= 1, "windowBins >= 1")
+    val bounds = bins.agg(max(col(binCol)).as("__mx"))
+    bins.withColumn("w",
+        explode(sequence(col(binCol), col(binCol) + (windowBins - 1))))
       .crossJoin(broadcast(bounds)).filter(col("w") <= col("__mx"))
       .groupBy(col("w"))
       .agg(count_distinct(col(actorCol)).as("active"))

@@ -315,16 +315,18 @@ object TimeSeriesOps {
       expr(s"unix_micros($tsCol) div ${binMicros}L").as("bin"),
       col(tsCol), col(tieCol), col(valueCol))
     val asc = Window.partitionBy(col("bin")).orderBy(col(tsCol), col(tieCol))
-    val desc = Window.partitionBy(col("bin"))
-      .orderBy(col(tsCol).desc, col(tieCol).desc)
+    // the close flag derives from the SAME ascending sort: last row ⇔
+    // __ra == count over the bin — an unordered window the existing
+    // sort satisfies. A second descending window would re-sort every
+    // bin partition for one flag.
     binned
       .withColumn("__ra", row_number().over(asc))
-      .withColumn("__rd", row_number().over(desc))
+      .withColumn("__cnt", count(lit(1)).over(Window.partitionBy(col("bin"))))
       .groupBy(col("bin"))
       .agg(max(when(col("__ra") === 1, col(valueCol))).as("open"),
         max(col(valueCol)).as("high"),
         min(col(valueCol)).as("low"),
-        max(when(col("__rd") === 1, col(valueCol))).as("close"),
+        max(when(col("__ra") === col("__cnt"), col(valueCol))).as("close"),
         count(lit(1)).as("n"))
   }
 

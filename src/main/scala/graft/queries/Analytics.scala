@@ -13,6 +13,19 @@ import graft.ext.{Dedup, Graph}
   * ops only on identical operands. */
 object Analytics {
 
+  /** Co-purchase part graph shared by q128/q134: parts sharing an
+    * order (keys filtered by `modulus` to bound the fixture) are
+    * adjacent; edges are distinct (p1 < p2) pairs. */
+  private def coPurchaseEdges(s: org.apache.spark.sql.SparkSession,
+      dir: String, modulus: Int): org.apache.spark.sql.DataFrame = {
+    val pr = Tables.lineitem(s, dir).filter(col("l_orderkey") % modulus === 0)
+      .select(col("l_orderkey"), col("l_partkey")).distinct()
+    pr.select(col("l_orderkey"), col("l_partkey").as("p1"))
+      .join(pr.select(col("l_orderkey"), col("l_partkey").as("p2")), "l_orderkey")
+      .filter(col("p1") < col("p2"))
+      .select(col("p1"), col("p2")).distinct()
+  }
+
   /** q125 — W-frame/O1: 2-D skyline of orders — the Pareto frontier
     * minimizing order day and maximizing total price ("no earlier
     * order was worth as much"). The engine's two-phase plan (per-day
@@ -124,15 +137,9 @@ object Analytics {
     * agree bit-for-bit. */
   val q128 = Declared(
     "q128_triangles", "E2,X4",
-    (s, dir) => {
-      val pr = Tables.lineitem(s, dir).filter(col("l_orderkey") % 10 === 0)
-        .select(col("l_orderkey"), col("l_partkey")).distinct()
-      val edges = pr.select(col("l_orderkey"), col("l_partkey").as("p1"))
-        .join(pr.select(col("l_orderkey"), col("l_partkey").as("p2")), "l_orderkey")
-        .filter(col("p1") < col("p2"))
-        .select(col("p1"), col("p2")).distinct()
-      Graph.triangleCounts(edges, "p1", "p2").orderBy(col("node"))
-    },
+    (s, dir) =>
+      Graph.triangleCounts(coPurchaseEdges(s, dir, 10), "p1", "p2")
+        .orderBy(col("node")),
     Some("""WITH pr AS (
            |  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
            |  WHERE l_orderkey % 10 = 0),
@@ -330,15 +337,9 @@ object Analytics {
     * degrees must match bit-for-bit, converged or not. */
   val q134 = Declared(
     "q134_kcore", "E2,X4",
-    (s, dir) => {
-      val pr = Tables.lineitem(s, dir).filter(col("l_orderkey") % 7 === 0)
-        .select(col("l_orderkey"), col("l_partkey")).distinct()
-      val edges = pr.select(col("l_orderkey"), col("l_partkey").as("p1"))
-        .join(pr.select(col("l_orderkey"), col("l_partkey").as("p2")), "l_orderkey")
-        .filter(col("p1") < col("p2"))
-        .select(col("p1"), col("p2")).distinct()
-      Graph.kCore(edges, "p1", "p2", k = 3, rounds = 5).orderBy(col("node"))
-    },
+    (s, dir) =>
+      Graph.kCore(coPurchaseEdges(s, dir, 7), "p1", "p2", k = 3, rounds = 5)
+        .orderBy(col("node")),
     Some {
       val rounds = (0 until 5).map { r =>
         s"""k$r AS (SELECT src FROM e$r GROUP BY src HAVING count(*) >= 3),
@@ -639,11 +640,15 @@ object Analytics {
   val q143 = Declared(
     "q143_stickiness", "A5,A1",
     (s, dir) => {
-      val ev = Tables.events(s, dir)
-      val day = 86400000000L
-      val dau = EventAnalytics.rollingActives(ev, "user_id", "ts", 1, day)
+      // ONE event scan + dedup serves both window widths (the oracle's
+      // shared `ud` CTE); cached because the two widths are separate
+      // Spark jobs over the same |users|·|days| frame
+      val ud = graft.core.OperatorCaches.cached(
+        Tables.events(s, dir).select(col("user_id"),
+          expr("unix_micros(ts) div 86400000000").as("__d")).distinct())
+      val dau = EventAnalytics.rollingActivesFromBins(ud, "user_id", "__d", 1)
         .withColumnRenamed("active", "dau")
-      val mau = EventAnalytics.rollingActives(ev, "user_id", "ts", 30, day)
+      val mau = EventAnalytics.rollingActivesFromBins(ud, "user_id", "__d", 30)
         .withColumnRenamed("active", "mau")
       dau.join(mau, "w")
         .withColumn("stickiness", col("dau").cast("double") / col("mau"))
