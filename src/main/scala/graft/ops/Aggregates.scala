@@ -122,12 +122,26 @@ object Aggregates {
       valueCol: Column, weightCol: Column,
       tieCols: Seq[Column]): org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.functions._
+    weightedQuantile(df, keys, valueCol, weightCol, tieCols, 1, 2)
+      .withColumnRenamed("weighted_quantile", "weighted_median")
+  }
+
+  /** A-quantile — generalized exact weighted LOWER quantile: per key,
+    * the smallest value whose cumulative weight reaches qNum/qDen of
+    * the total (crossing test cumw·qDen ≥ W·qNum, all-integer). The
+    * p10/p90 form is the winsorization primitive; qNum/qDen = 1/2 is
+    * [[weightedMedian]]. */
+  def weightedQuantile(df: org.apache.spark.sql.DataFrame, keys: Seq[Column],
+      valueCol: Column, weightCol: Column, tieCols: Seq[Column],
+      qNum: Long, qDen: Long): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
     import org.apache.spark.sql.expressions.Window
+    require(qNum > 0 && qDen > 0 && qNum <= qDen, "quantile qNum/qDen in (0, 1]")
     // empty keys would silently plan the global single-partition
     // window this codebase forbids; empty ties weaken the total order
-    require(keys.nonEmpty, "weightedMedian requires at least one key column " +
-      "(use a constant literal key for a global median)")
-    require(tieCols.nonEmpty, "weightedMedian requires tie-break column(s) " +
+    require(keys.nonEmpty, "weightedQuantile requires at least one key column " +
+      "(use a constant literal key for a global quantile)")
+    require(tieCols.nonEmpty, "weightedQuantile requires tie-break column(s) " +
       "for a total order")
     val w = Window.partitionBy(keys: _*)
       .orderBy((valueCol +: tieCols).map(_.asc): _*)
@@ -136,10 +150,87 @@ object Aggregates {
       .withColumn("__cumw", sum(col("__w")).over(
         w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
       .withColumn("__W", sum(col("__w")).over(total))
-      .filter(col("__cumw") * 2 >= col("__W"))
+      .filter(col("__cumw") * qDen >= col("__W") * qNum)
       .groupBy(keys: _*)
-      .agg(min(valueCol).as("weighted_median"),
+      .agg(min(valueCol).as("weighted_quantile"),
         min(col("__W")).as("total_weight"))
+  }
+
+  /** A-stat — Mann–Whitney U (Wilcoxon rank-sum) between two groups,
+    * all-integer: the A/B significance primitive for skewed metrics
+    * where the t-test's normality assumption fails. Tie handling is
+    * the textbook average rank, kept integral by working with DOUBLED
+    * ranks (first+last of each tie run), so
+    *   u2_a = 2·U_A = Σ_A rank2 − n_a·(n_a+1)
+    * is exact on any engine/partitioning; the rank-biserial effect
+    * size r = u2_a/(n_a·n_b) − 1 is the one float op (identical
+    * operands). Returns (n_a, n_b, u2_a, rank_biserial).
+    *
+    * Scale: ranks come from a DISTINCT-VALUE rollup (value, count,
+    * group-A count) — the ordered window runs on the rollup (the
+    * skyline/globalRowNumber trick), never the fact table; all sums
+    * widen to DECIMAL(38,0) before multiplying. */
+  def mannWhitneyU(df: org.apache.spark.sql.DataFrame, valueCol: Column,
+      groupCol: Column, groupA: String,
+      groupB: String): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.expressions.Window
+    val d38 = "decimal(38,0)"
+    val d = df.filter(groupCol.isin(groupA, groupB))
+      .select(groupCol.as("__g"), valueCol.as("__v"))
+    val perV = d.groupBy(col("__v")).agg(count(lit(1)).as("__cnt"),
+      sum(when(col("__g") === groupA, 1L).otherwise(0L)).as("__ca"))
+    val before = coalesce(sum(col("__cnt")).over(
+      Window.orderBy(col("__v")).rowsBetween(Window.unboundedPreceding, -1)),
+      lit(0L))
+    perV
+      .withColumn("__rank2", lit(2) * before + col("__cnt") + 1)
+      .agg(sum(col("__ca")).as("n_a"),
+        sum(col("__cnt") - col("__ca")).as("n_b"),
+        sum(col("__ca").cast(d38) * col("__rank2").cast(d38)).cast(d38).as("__r2a"))
+      .withColumn("u2_a",
+        col("__r2a") - col("n_a").cast(d38) * (col("n_a") + 1).cast(d38))
+      .select(col("n_a"), col("n_b"), col("u2_a").cast("long").as("u2_a"),
+        (col("u2_a").cast("double") /
+          (col("n_a").cast(d38) * col("n_b").cast(d38)).cast("double") - 1)
+          .as("rank_biserial"))
+  }
+
+  /** A-stat — chi-square independence statistic over an R×C
+    * contingency of two categorical columns:
+    *   χ² = Σ_cells (o·N − r·c)² / (N·r·c)
+    * (the (o−e)²/e form cleared of fractions). Each cell's term is a
+    * quotient of exact DECIMAL(38,0) integer products, quantized to
+    * micro-units before the sum so accumulation order cannot move a
+    * bit (the q74 trick). Returns one row: (chi2, dof, n).
+    *
+    * Scale: one (r, c) agg + two marginal rollups joined back —
+    * contingency-sized, never data-sized. */
+  def chiSquare(df: org.apache.spark.sql.DataFrame, rowCol: Column,
+      colCol: Column): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    val d38 = "decimal(38,0)"
+    val observed = df.groupBy(rowCol.as("__r"), colCol.as("__c"))
+      .agg(count(lit(1)).as("__o"))
+    val rm = observed.groupBy(col("__r")).agg(sum(col("__o")).as("__rn"))
+    val cm = observed.groupBy(col("__c")).agg(sum(col("__o")).as("__cn"))
+    // ZERO cells still contribute (o=0 → term = r·c/N): densify to the
+    // full R×C grid — contingency-sized, so the crossJoin is bounded
+    val cells = rm.select(col("__r")).crossJoin(broadcast(cm.select(col("__c"))))
+      .join(observed, Seq("__r", "__c"), "left")
+      .withColumn("__o", coalesce(col("__o"), lit(0L)))
+    // Spark name resolution is case-insensitive: totals must not
+    // collide with the __r/__c keys, hence __dr/__dc/__tot
+    val tot = cells.agg(sum(col("__o")).as("__tot"),
+      count_distinct(col("__r")).as("__dr"), count_distinct(col("__c")).as("__dc"))
+    val num = (col("__o").cast(d38) * col("__tot") -
+      col("__rn").cast(d38) * col("__cn")).cast("double")
+    val den = (col("__rn").cast(d38) * col("__cn") * col("__tot")).cast("double")
+    cells.join(rm, "__r").join(cm, "__c").crossJoin(broadcast(tot))
+      .withColumn("__term_u", round(num * num / den * 1e6, 0).cast("long"))
+      .agg(round(sum(col("__term_u")).cast("double") / 1e6, 6).as("chi2"),
+        ((max(col("__dr")) - 1) * (max(col("__dc")) - 1)).as("dof"),
+        max(col("__tot")).cast("long").as("n"))
   }
 
   /** E6/A1 — merge two partial aggregation STATES: the incremental-

@@ -88,4 +88,32 @@ object Dimensions {
     val d = to_date(lit(asOfDate))
     history.filter(col(fromCol) <= d && (col(toCol).isNull || col(toCol) > d))
   }
+
+  /** CDC log application — the MERGE-shaped "apply_changes" every
+    * lakehouse ingestion runs: reduce a change log to each key's
+    * LATEST operation under the (orderCols) total order, then merge
+    * into the base snapshot —
+    *   latest op 'D'        → key dropped (even if present in base);
+    *   latest op upsert     → delta payload wins (insert if absent);
+    *   no delta for the key → base row unchanged.
+    * Returns base columns + the delta's payload columns (null where
+    * the base row was never touched). Callers pass tie-broken
+    * orderCols so "latest" is a total order — out-of-order log
+    * delivery then cannot change the outcome.
+    *
+    * Scale: one key-partitioned window over the DELTA (log-sized, not
+    * snapshot-sized) + one full-outer equi-join on the business key.
+    * This is the compaction step that turns an append-only change
+    * stream into a queryable snapshot without rescanning history. */
+  def applyCdc(base: DataFrame, delta: DataFrame, keyCol: String,
+      orderCols: Seq[Column], opCol: String,
+      deleteOp: String = "D"): DataFrame = {
+    require(orderCols.nonEmpty, "applyCdc needs ordering column(s)")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(keyCol)).orderBy(orderCols.map(_.desc): _*)
+    val latest = delta.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1).drop("__rn")
+    base.join(latest, Seq(keyCol), "full_outer")
+      .filter(col(opCol).isNull || col(opCol) =!= deleteOp)
+  }
 }

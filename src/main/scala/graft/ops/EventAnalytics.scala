@@ -71,6 +71,29 @@ object EventAnalytics {
     }
   }
 
+  /** Time-BOUNDED funnel: stage i must occur strictly after stage
+    * i−1 AND within `withinSeconds` of it — the form product
+    * analytics actually ships ("purchased within 30 minutes of the
+    * click"), where [[funnelReachTimes]]'s unbounded variant
+    * over-counts lazy conversions. Same conditional-min plan shape:
+    * one actor-keyed agg per stage, no per-event path walk. */
+  def windowedFunnelReachTimes(df: DataFrame, actorCol: String, tsCol: String,
+      typeCol: String, stages: Seq[String], withinSeconds: Long): DataFrame = {
+    require(stages.nonEmpty, "funnel needs at least one stage")
+    require(withinSeconds > 0, "withinSeconds must be positive")
+    val first = df.groupBy(col(actorCol))
+      .agg(min(when(col(typeCol) === stages.head, col(tsCol))).as(s"t_${stages.head}"))
+    stages.tail.zipWithIndex.foldLeft(first) { case (acc, (stage, i)) =>
+      val prev = s"t_${stages(i)}"
+      val accCols = acc.columns.map(col).toIndexedSeq
+      df.join(acc, Seq(actorCol))
+        .groupBy(accCols: _*)
+        .agg(min(when(col(typeCol) === stage && col(tsCol) > col(prev) &&
+          col(tsCol) <= col(prev) + expr(s"INTERVAL $withinSeconds SECONDS"),
+          col(tsCol))).as(s"t_$stage"))
+    }
+  }
+
   /** Merge overlapping-or-touching half-open intervals `[s, e)` per
     * key (gaps-and-islands): an interval starts a new island exactly
     * when its start exceeds the running max end of everything before

@@ -344,6 +344,25 @@ object OpRegistry {
       numOpt(p, "min_support").map(_.toLong).getOrElse(2L))),
     "weighted_median" -> (p => df => graft.ops.Aggregates.weightedMedian(
       df, strs(p, "keys").map(col), col(str(p, "value_col")),
-      col(str(p, "weight_col")), strs(p, "tie_cols").map(col)))
+      col(str(p, "weight_col")), strs(p, "tie_cols").map(col))),
+    // df is the BASE snapshot; the change log reads from a file (the
+    // decontaminate / incremental_near_dups two-input pattern)
+    "apply_cdc" -> (p => df => graft.ops.Dimensions.applyCdc(
+      df, df.sparkSession.read.parquet(str(p, "delta_file")),
+      str(p, "key_col"), strs(p, "order").map(col), str(p, "op_col"),
+      strOpt(p, "delete_op").getOrElse("D"))),
+    "windowed_funnel" -> (p => df =>
+      graft.ops.EventAnalytics.windowedFunnelReachTimes(
+        df, str(p, "actor_col"), str(p, "ts_col"), str(p, "type_col"),
+        strs(p, "stages"), num(p, "within_seconds").toLong)),
+    "weighted_quantile" -> (p => df => graft.ops.Aggregates.weightedQuantile(
+      df, strs(p, "keys").map(col), col(str(p, "value_col")),
+      col(str(p, "weight_col")), strs(p, "tie_cols").map(col),
+      num(p, "q_num").toLong, num(p, "q_den").toLong)),
+    "mann_whitney" -> (p => df => graft.ops.Aggregates.mannWhitneyU(
+      df, col(str(p, "value_col")), col(str(p, "group_col")),
+      str(p, "group_a"), str(p, "group_b"))),
+    "chi_square" -> (p => df => graft.ops.Aggregates.chiSquare(
+      df, col(str(p, "row_col")), col(str(p, "col_col"))))
   ))
 }

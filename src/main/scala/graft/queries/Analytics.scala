@@ -812,7 +812,207 @@ object Analytics {
       "quantiles are what duration/volume-weighted SLOs actually need; ties in the " +
       "value are safe because any tie order crosses inside the same value run.")
 
+  /** q149 — U-merge/J1: CDC log application — orders become a change
+    * log over the customer dimension (every 13th order key is a
+    * delete, the rest upsert the account balance); each key's LATEST
+    * op under the (o_orderdate, o_orderkey) total order wins, deletes
+    * drop the row even if the base had it, untouched customers pass
+    * through. The lakehouse "apply_changes" compaction as one
+    * window + one full-outer join. */
+  val q149 = Declared(
+    "q149_cdc_apply", "U-merge,J1",
+    (s, dir) => {
+      val base = Tables.customer(s, dir)
+        .select(col("c_custkey"), col("c_acctbal"))
+      val delta = Tables.orders(s, dir).select(
+        col("o_custkey").as("c_custkey"),
+        col("o_orderdate"), col("o_orderkey"),
+        when(col("o_orderkey") % 13 === 0, lit("D")).otherwise(lit("U")).as("op"),
+        col("o_totalprice").as("new_bal"))
+      graft.ops.Dimensions.applyCdc(base, delta, "c_custkey",
+          Seq(col("o_orderdate"), col("o_orderkey")), "op")
+        .select(col("c_custkey"), col("c_acctbal"), col("op"), col("new_bal"))
+        .orderBy(col("c_custkey"))
+    },
+    Some("""WITH delta AS (
+           |  SELECT o_custkey AS c_custkey, o_orderdate, o_orderkey,
+           |    CASE WHEN o_orderkey % 13 = 0 THEN 'D' ELSE 'U' END AS op,
+           |    o_totalprice AS new_bal
+           |  FROM orders),
+           |latest AS (
+           |  SELECT c_custkey, op, new_bal FROM (
+           |    SELECT *, row_number() OVER (PARTITION BY c_custkey
+           |      ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+           |    FROM delta) WHERE rn = 1)
+           |SELECT c.c_custkey AS c_custkey, c.c_acctbal, l.op, l.new_bal
+           |FROM customer c FULL OUTER JOIN latest l USING (c_custkey)
+           |WHERE l.op IS NULL OR l.op <> 'D'
+           |ORDER BY c_custkey""".stripMargin),
+    "The window runs over the LOG (delta-sized), never the snapshot; the merge is one " +
+      "business-key full-outer join. Out-of-order delivery cannot change the outcome " +
+      "because 'latest' is a total order — the compaction every lakehouse table runs.")
+
+  /** q150 — A1/F5: time-BOUNDED funnel — view → click within 30 min →
+    * purchase within 30 min of the click. The unbounded q93 funnel
+    * over-counts lazy conversions; this is the windowed form product
+    * analytics ships. Same conditional-min shape, one agg per
+    * stage. */
+  val q150 = Declared(
+    "q150_windowed_funnel", "A1,F5",
+    (s, dir) =>
+      EventAnalytics.windowedFunnelReachTimes(Tables.events(s, dir),
+          "user_id", "ts", "event_type",
+          Seq("view", "click", "purchase"), withinSeconds = 1800)
+        .agg(count(col("t_view")).as("reached_view"),
+          count(col("t_click")).as("reached_click"),
+          count(col("t_purchase")).as("reached_purchase")),
+    Some("""WITH s1 AS (
+           |  SELECT user_id, min(ts) FILTER (WHERE event_type = 'view') AS t_view
+           |  FROM events GROUP BY user_id),
+           |s2 AS (
+           |  SELECT s1.user_id, s1.t_view,
+           |    min(e.ts) FILTER (WHERE e.event_type = 'click'
+           |      AND e.ts > s1.t_view
+           |      AND e.ts <= s1.t_view + INTERVAL 1800 SECOND) AS t_click
+           |  FROM events e JOIN s1 ON e.user_id = s1.user_id
+           |  GROUP BY s1.user_id, s1.t_view),
+           |s3 AS (
+           |  SELECT s2.user_id, s2.t_view, s2.t_click,
+           |    min(e.ts) FILTER (WHERE e.event_type = 'purchase'
+           |      AND e.ts > s2.t_click
+           |      AND e.ts <= s2.t_click + INTERVAL 1800 SECOND) AS t_purchase
+           |  FROM events e JOIN s2 ON e.user_id = s2.user_id
+           |  GROUP BY s2.user_id, s2.t_view, s2.t_click)
+           |SELECT count(t_view) AS reached_view,
+           |       count(t_click) AS reached_click,
+           |       count(t_purchase) AS reached_purchase
+           |FROM s3""".stripMargin),
+    "k stages = k actor-keyed conditional-min aggs (map-side partials, uniform actor " +
+      "shuffle); the 30-minute bound is a scan-side predicate, so the windowed form " +
+      "costs exactly what the unbounded one does.")
+
+  /** q151 — A-quantile/A1: winsorized mean — per return flag, clip
+    * line prices at the exact lower-convention p10/p90 (all-integer
+    * crossing over the (price, key) total order), then average the
+    * clipped values with the round-sum-then-divide convention. The
+    * robust mean every metrics pipeline ships next to the raw one. */
+  val q151 = Declared(
+    "q151_winsorize", "A-quantile,A1",
+    (s, dir) => {
+      val li = Tables.lineitem(s, dir).select(col("l_returnflag"),
+        col("l_extendedprice"), col("l_orderkey"), col("l_linenumber"))
+      def q(num: Long, as: String) =
+        Aggregates.weightedQuantile(li, Seq(col("l_returnflag")),
+            col("l_extendedprice"), lit(1L),
+            Seq(col("l_orderkey"), col("l_linenumber")), num, 10)
+          .select(col("l_returnflag"), col("weighted_quantile").as(as))
+      li.join(broadcast(q(1, "p10")), "l_returnflag")
+        .join(broadcast(q(9, "p90")), "l_returnflag")
+        .withColumn("__clip",
+          least(greatest(col("l_extendedprice"), col("p10")), col("p90")))
+        .groupBy(col("l_returnflag"), col("p10"), col("p90"))
+        .agg(count(lit(1)).as("n"),
+          (round(sum(col("__clip").cast("decimal(18,2)")), 2).cast("double") /
+            count(lit(1))).as("win_mean"))
+        .orderBy(col("l_returnflag"))
+    },
+    Some("""WITH r AS (
+           |  SELECT l_returnflag, l_extendedprice,
+           |    row_number() OVER (PARTITION BY l_returnflag
+           |      ORDER BY l_extendedprice, l_orderkey, l_linenumber) AS rn,
+           |    count(*) OVER (PARTITION BY l_returnflag) AS nn
+           |  FROM lineitem),
+           |q AS (
+           |  SELECT l_returnflag,
+           |    min(CASE WHEN rn * 10 >= nn * 1 THEN l_extendedprice END) AS p10,
+           |    min(CASE WHEN rn * 10 >= nn * 9 THEN l_extendedprice END) AS p90
+           |  FROM r GROUP BY l_returnflag)
+           |SELECT li.l_returnflag AS l_returnflag, q.p10, q.p90,
+           |  count(*) AS n,
+           |  CAST(round(sum(CAST(least(greatest(l_extendedprice, p10), p90)
+           |    AS DECIMAL(18,2))), 2) AS DOUBLE) / count(*) AS win_mean
+           |FROM lineitem li JOIN q USING (l_returnflag)
+           |GROUP BY li.l_returnflag, q.p10, q.p90
+           |ORDER BY l_returnflag""".stripMargin),
+    "The quantiles come from one key-partitioned window sort (shared by both cuts); the " +
+      "clip pass is scan-side against two broadcast |keys|-row frames. Winsorization is " +
+      "the outlier guard that keeps means reportable at any scale.")
+
+  /** q152 — A-stat: Mann–Whitney U between returned ('R') and
+    * accepted ('A') line quantities — the rank-sum A/B test with
+    * textbook average-rank ties kept integral via DOUBLED ranks.
+    * Heavy ties (quantities 1..50) exercise the tie path hard. */
+  val q152 = Declared(
+    "q152_mannwhitney", "A-stat",
+    (s, dir) =>
+      Aggregates.mannWhitneyU(Tables.lineitem(s, dir),
+        col("l_quantity"), col("l_returnflag"), "A", "R"),
+    Some("""WITH d AS (
+           |  SELECT l_returnflag AS g, l_quantity AS v FROM lineitem
+           |  WHERE l_returnflag IN ('A', 'R')),
+           |pv AS (
+           |  SELECT v, count(*) AS cnt,
+           |    sum(CASE WHEN g = 'A' THEN 1 ELSE 0 END) AS ca
+           |  FROM d GROUP BY v),
+           |rk AS (
+           |  SELECT v, cnt, ca,
+           |    2 * coalesce(sum(cnt) OVER (ORDER BY v
+           |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           |      + cnt + 1 AS rank2
+           |  FROM pv),
+           |a AS (
+           |  SELECT CAST(sum(ca) AS BIGINT) AS n_a,
+           |    CAST(sum(cnt - ca) AS BIGINT) AS n_b,
+           |    CAST(sum(CAST(ca AS HUGEINT) * rank2) AS HUGEINT) AS r2a
+           |  FROM rk)
+           |SELECT n_a, n_b,
+           |  CAST(r2a - CAST(n_a AS HUGEINT) * (n_a + 1) AS BIGINT) AS u2_a,
+           |  CAST(r2a - CAST(n_a AS HUGEINT) * (n_a + 1) AS DOUBLE)
+           |    / CAST(CAST(n_a AS HUGEINT) * n_b AS DOUBLE) - 1 AS rank_biserial
+           |FROM a""".stripMargin),
+    "Ranks come from the DISTINCT-VALUE rollup (50 rows here) — the ordered window " +
+      "never touches the fact table, so the test costs one value-keyed agg at any " +
+      "volume. The nonparametric A/B readout for skewed metrics.")
+
+  /** q153 — A-stat: chi-square independence of event type × 6-hour
+    * time-of-day bucket. Each cell term is a quotient of exact
+    * DECIMAL(38,0)/HUGEINT products quantized to micro-units before
+    * the sum (the q74 trick), so accumulation order cannot move a
+    * bit. */
+  val q153 = Declared(
+    "q153_chisq", "A-stat",
+    (s, dir) =>
+      Aggregates.chiSquare(
+        Tables.events(s, dir).withColumn("hod_bucket", expr("hour(ts) div 6")),
+        col("event_type"), col("hod_bucket")),
+    Some("""WITH obs AS (
+           |  SELECT event_type AS r, hour(ts) // 6 AS c, count(*) AS o
+           |  FROM events GROUP BY 1, 2),
+           |rm AS (SELECT r, sum(o) AS rsum FROM obs GROUP BY r),
+           |cm AS (SELECT c, sum(o) AS csum FROM obs GROUP BY c),
+           |cells AS (
+           |  SELECT rm.r, cm.c, coalesce(obs.o, 0) AS o
+           |  FROM rm CROSS JOIN cm
+           |  LEFT JOIN obs ON obs.r = rm.r AND obs.c = cm.c),
+           |tot AS (SELECT CAST(sum(o) AS HUGEINT) AS nn,
+           |               count(DISTINCT r) AS nr, count(DISTINCT c) AS nc
+           |        FROM obs),
+           |t AS (
+           |  SELECT CAST(round(
+           |    CAST(CAST(o AS HUGEINT) * nn - CAST(rsum AS HUGEINT) * csum AS DOUBLE)
+           |      * CAST(CAST(o AS HUGEINT) * nn - CAST(rsum AS HUGEINT) * csum AS DOUBLE)
+           |      / CAST(CAST(rsum AS HUGEINT) * csum * nn AS DOUBLE)
+           |      * 1e6, 0) AS BIGINT) AS term
+           |  FROM cells JOIN rm USING (r) JOIN cm USING (c) CROSS JOIN tot)
+           |SELECT round(CAST(sum(term) AS DOUBLE) / 1e6, 6) AS chi2,
+           |  (SELECT CAST((nr - 1) * (nc - 1) AS BIGINT) FROM tot) AS dof,
+           |  (SELECT CAST(nn AS BIGINT) FROM tot) AS n
+           |FROM t""".stripMargin),
+    "One (r, c) contingency agg + two marginal rollups joined back — contingency-sized, " +
+      "never data-sized. The independence check behind seasonality/anomaly triage.")
+
   val all: Seq[Declared] = Seq(q125, q126, q127, q128, q129, q130,
     q131, q132, q133, q134, q135, q136, q137, q138, q139,
-    q140, q141, q142, q143, q144, q145, q146, q147)
+    q140, q141, q142, q143, q144, q145, q146, q147, q149, q150,
+    q151, q152, q153)
 }

@@ -651,7 +651,46 @@ object TimeSeries {
       "shuffle+sort. Same cost envelope as q88's ffill — gap repair stays grid-priced " +
       "at 100TB.")
 
+  /** q148 — T2/A5 under the oracle gate: STREAMING OHLC candles —
+    * hourly open/high/low/close of purchase values computed as a
+    * windowed streaming aggregation (complete mode). Open/close are
+    * `min_by`/`max_by` keyed on the unique (ts, event_id) struct, so
+    * the result is deterministic under any micro-batch split; the
+    * batch q132 formulation is the exact oracle restated on
+    * date_trunc windows. */
+  val q148 = Declared(
+    "q148_stream_ohlc", "T2,A5",
+    (s, dir) => {
+      streamEventsToTable(s, dir, "q148")(ev =>
+        ev.filter(col("event_type") === "purchase")
+          .groupBy(window(col("ts"), "1 hour"))
+          .agg(min_by(col("value"), struct(col("ts"), col("event_id"))).as("open"),
+            max(col("value")).as("high"),
+            min(col("value")).as("low"),
+            max_by(col("value"), struct(col("ts"), col("event_id"))).as("close"),
+            count(lit(1)).as("n")))
+        .select(col("window.start").as("window_start"), col("open"),
+          col("high"), col("low"), col("close"), col("n"))
+        .orderBy(col("window_start"))
+    },
+    Some("""WITH b AS (
+           |  SELECT date_trunc('hour', ts) AS window_start, value,
+           |    row_number() OVER (PARTITION BY date_trunc('hour', ts)
+           |      ORDER BY ts, event_id) AS ra,
+           |    count(*) OVER (PARTITION BY date_trunc('hour', ts)) AS cnt
+           |  FROM events WHERE event_type = 'purchase')
+           |SELECT window_start,
+           |  max(CASE WHEN ra = 1 THEN value END) AS open,
+           |  max(value) AS high, min(value) AS low,
+           |  max(CASE WHEN ra = cnt THEN value END) AS close,
+           |  count(*) AS n
+           |FROM b GROUP BY window_start
+           |ORDER BY window_start""".stripMargin),
+    "Streaming state = one OHLC row per open hour window; min_by/max_by fold " +
+      "incrementally per micro-batch, so the candle dashboard never replays history. " +
+      "The shuffle key (window) matches the batch twin q132.")
+
   val all: Seq[Declared] =
     Seq(q20, q21, q22, q23, q24, q25, q53, q54, q57, q60, q66, q76, q78, q88,
-      q91, q103, q105, q113)
+      q91, q103, q105, q113, q148)
 }

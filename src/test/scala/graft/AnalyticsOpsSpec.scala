@@ -331,6 +331,65 @@ class AnalyticsOpsSpec extends AnyFunSuite {
     assert(out2.toSeq == Seq(2.0))
   }
 
+  test("applyCdc: latest op wins, deletes drop, untouched and inserts pass") {
+    val base = Seq((1L, 10.0), (2L, 20.0), (3L, 30.0)).toDF("k", "bal")
+    val delta = Seq(
+      (1L, 1L, "U", 11.0), (1L, 2L, "D", 0.0),   // delete is latest -> key 1 drops
+      (2L, 1L, "D", 0.0), (2L, 2L, "U", 22.0),   // upsert is latest -> key 2 updates
+      (9L, 1L, "U", 99.0))                        // pure insert
+      .toDF("k", "seq", "op", "new_bal")
+    val out = graft.ops.Dimensions.applyCdc(base, delta, "k", Seq(col("seq")), "op")
+      .select("k", "bal", "new_bal").collect()
+      .map(r => r.getLong(0) -> ((Option(r.get(1)), Option(r.get(2))))).toMap
+    assert(out == Map(
+      2L -> ((Some(20.0), Some(22.0))),  // updated
+      3L -> ((Some(30.0), None)),        // untouched
+      9L -> ((None, Some(99.0)))))       // inserted
+  }
+
+  test("windowedFunnelReachTimes: in-window advances, out-of-window stalls") {
+    val df = Seq(
+      (1L, ts("2024-01-01 10:00:00"), "view"),
+      (1L, ts("2024-01-01 10:10:00"), "click"),    // within 30 min
+      (1L, ts("2024-01-01 10:20:00"), "purchase"), // within 30 min of click
+      (2L, ts("2024-01-01 10:00:00"), "view"),
+      (2L, ts("2024-01-01 11:00:00"), "click"),    // 60 min: too late
+      (2L, ts("2024-01-01 11:05:00"), "purchase"))
+      .toDF("user_id", "ts", "event_type")
+    val out = EventAnalytics.windowedFunnelReachTimes(df, "user_id", "ts",
+        "event_type", Seq("view", "click", "purchase"), withinSeconds = 1800)
+      .orderBy("user_id").collect()
+      .map(r => (r.getLong(0), !r.isNullAt(1), !r.isNullAt(2), !r.isNullAt(3)))
+    assert(out.toSeq == Seq((1L, true, true, true), (2L, true, false, false)))
+  }
+
+  test("mannWhitneyU: hand case with a tie run — doubled ranks stay exact") {
+    // A = {1, 2}, B = {2, 3}: ranks 1, 2.5, 2.5, 4 -> R_A = 3.5, U_A = 0.5
+    val df = Seq(("A", 1.0), ("A", 2.0), ("B", 2.0), ("B", 3.0)).toDF("g", "v")
+    val out = Aggregates.mannWhitneyU(df, col("v"), col("g"), "A", "B")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(out.toSeq == Seq((2L, 2L, 1L, 1.0 / 4 - 1))) // u2_a = 2*U_A = 1
+  }
+
+  test("chiSquare: exact independence scores zero; dependence is positive") {
+    val indep = Seq.fill(10)(("a", 0)) ++ Seq.fill(10)(("a", 1)) ++
+      Seq.fill(10)(("b", 0)) ++ Seq.fill(10)(("b", 1))
+    val o1 = Aggregates.chiSquare(indep.toDF("r", "c"), col("r"), col("c"))
+      .collect().head
+    assert(o1.getDouble(0) == 0.0 && o1.getLong(1) == 1L && o1.getLong(2) == 40L)
+    val dep = Seq.fill(10)(("a", 0)) ++ Seq.fill(10)(("b", 1))
+    val o2 = Aggregates.chiSquare(dep.toDF("r", "c"), col("r"), col("c"))
+      .collect().head
+    assert(o2.getDouble(0) == 20.0) // 2x2 perfect association: chi2 = n
+  }
+
+  test("weightedQuantile: p10/p90 crossings under unit weights") {
+    val df = (1 to 10).map(i => (i.toLong, i.toDouble, 1L)).toDF("id", "v", "wt")
+    def q(num: Long) = Aggregates.weightedQuantile(df, Seq(lit(1).as("g")),
+      col("v"), col("wt"), Seq(col("id")), num, 10).collect().head.getDouble(1)
+    assert(q(1) == 1.0 && q(5) == 5.0 && q(9) == 9.0 && q(10) == 10.0)
+  }
+
   test("sortedNeighborhoodPairs: adjacent-in-sort-order typos pair; far rows don't") {
     val df = Seq((1L, "aquamarine"), (2L, "aquamarinX"), (3L, "zzzebra"))
       .toDF("rec_id", "name")
