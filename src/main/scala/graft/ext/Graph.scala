@@ -219,6 +219,51 @@ object Graph {
       .groupBy(col("node")).agg(count(lit(1)).as("n_triangles"))
   }
 
+  /** Multi-source BFS hop distance over the undirected graph given by
+    * `edges`, `rounds` FIXED relaxation rounds: dist(v) starts at 0 on
+    * the seed set and ∞ (absent) elsewhere; each round does
+    *   dist(v) := min(dist(v), 1 + min over neighbors u of dist(u))
+    * simultaneously for every node. After r rounds the result is the
+    * EXACT hop distance for every node within r hops of a seed (absent
+    * beyond) — integer min/plus state, so bit-identical under any
+    * partitioning, and an engine unrolling the same rounds as chained
+    * CTEs must agree exactly even before convergence. The reachability
+    * layer of contamination tracing ("everything within k links of a
+    * flagged host") and blast-radius queries.
+    *
+    * Scale: each round is ONE node-keyed equi-join (frontier side is
+    * only the nodes with a finite label, never |V|) + ONE dst-keyed min
+    * agg + ONE full-outer label merge — uniform keys, zero per-round
+    * driver traffic; rounds chain as one lazy plan with periodic
+    * checkpoints bounding depth. Returns (node, dist) for reached
+    * nodes only. */
+  def bfsHops(edges: DataFrame, srcCol: String, dstCol: String,
+      seeds: DataFrame, seedCol: String, rounds: Int): DataFrame = {
+    require(rounds >= 1, "rounds must be >= 1")
+    val sym = edges.select(explode(array(
+        struct(checkedLong(col(srcCol)).as("src"), checkedLong(col(dstCol)).as("dst")),
+        struct(checkedLong(col(dstCol)).as("src"), checkedLong(col(srcCol)).as("dst"))))
+        .as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"))
+      .distinct()
+      .localCheckpoint() // re-read every round
+    var labels = seeds.select(checkedLong(col(seedCol)).as("node")).distinct()
+      .withColumn("dist", lit(0L))
+    var i = 0
+    while (i < rounds) {
+      val nbr = sym.join(labels.withColumnRenamed("node", "src"), "src")
+        .groupBy(col("dst").as("node"))
+        .agg((min(col("dist")) + 1L).as("__nd"))
+      labels = labels.join(nbr, Seq("node"), "full_outer")
+        .select(col("node"),
+          least(coalesce(col("dist"), col("__nd")),
+            coalesce(col("__nd"), col("dist"))).as("dist"))
+      if ((i + 1) % 6 == 0 && i < rounds - 1) labels = labels.localCheckpoint()
+      i += 1
+    }
+    labels
+  }
+
   /** k-core peeling, `rounds` FIXED iterations: each round drops every
     * node of current degree < k (with all its edges) simultaneously —
     * the Matula–Beck bulk-peel, the dense-subgraph extractor a spam/

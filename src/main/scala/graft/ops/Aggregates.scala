@@ -233,6 +233,124 @@ object Aggregates {
         max(col("__tot")).cast("long").as("n"))
   }
 
+  /** A-stat — two-sample Kolmogorov–Smirnov statistic between two
+    * groups: D = max over values of |F_A(v) − F_B(v)|, kept integral by
+    * clearing denominators — the crossing quantity is
+    *   d_num = max |cumA·n_b − cumB·n_a|,  D = d_num / (n_a·n_b).
+    * The complement of [[mannWhitneyU]]: MW detects a location shift,
+    * KS any distributional difference (shape, spread, tails). Returns
+    * one row: (n_a, n_b, d_num, ks_stat) — the one float op is the
+    * final division of identical exact integers.
+    *
+    * Scale: like MW, the ordered window runs over the DISTINCT-VALUE
+    * rollup (value, per-group counts), never the fact table; products
+    * widen to DECIMAL(38,0) before the |·| so 10¹²-row groups can't
+    * overflow. */
+  def ksTest(df: DataFrame, valueCol: Column, groupCol: Column,
+      groupA: String, groupB: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val d38 = "decimal(38,0)"
+    val perV = df.filter(groupCol.isin(groupA, groupB))
+      .groupBy(valueCol.as("__v"))
+      .agg(sum(when(groupCol === groupA, 1L).otherwise(0L)).as("__ca"),
+        sum(when(groupCol === groupB, 1L).otherwise(0L)).as("__cb"))
+    val cum = Window.orderBy(col("__v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val tot = Window.rowsBetween(Window.unboundedPreceding,
+      Window.unboundedFollowing)
+    perV
+      .withColumn("__cuma", sum(col("__ca")).over(cum))
+      .withColumn("__cumb", sum(col("__cb")).over(cum))
+      .withColumn("__na", sum(col("__ca")).over(tot))
+      .withColumn("__nb", sum(col("__cb")).over(tot))
+      .agg(max(col("__na")).as("n_a"), max(col("__nb")).as("n_b"),
+        max(abs(col("__cuma").cast(d38) * col("__nb") -
+          col("__cumb").cast(d38) * col("__na"))).as("__dnum"))
+      .select(col("n_a"), col("n_b"), col("__dnum").cast("long").as("d_num"),
+        (col("__dnum").cast("double") /
+          (col("n_a").cast(d38) * col("n_b").cast(d38)).cast("double"))
+          .as("ks_stat"))
+  }
+
+  /** A1 — largest-remainder (Hamilton) apportionment: split an integer
+    * `total` across keys proportionally to an integer weight, exactly —
+    * per key floor(total·w / W), then the leftover units go one each to
+    * the largest remainders (key-ordered tie-break), so Σ alloc ≡ total
+    * ALWAYS. The rounding step every budget/quota/shard-count
+    * allocation needs; naive per-key round() drifts off the total.
+    * Returns (key…, weight, alloc).
+    *
+    * Scale: the window runs over the |keys|-row weight rollup, never
+    * the fact table; products widen to DECIMAL(38,0). */
+  def largestRemainder(df: DataFrame, keys: Seq[Column], weightCol: Column,
+      total: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(keys.nonEmpty, "largestRemainder requires key column(s)")
+    require(total >= 0, "total must be >= 0")
+    val d38 = "decimal(38,0)"
+    val rollup = df.groupBy(keys: _*)
+      .agg(sum(weightCol.cast("long")).as("weight"))
+    val keyNames = rollup.columns.dropRight(1).toSeq
+    val tot = Window.rowsBetween(Window.unboundedPreceding,
+      Window.unboundedFollowing)
+    val scaled = rollup
+      .withColumn("__W", sum(col("weight")).over(tot))
+      .withColumn("__num", lit(total).cast(d38) * col("weight").cast(d38))
+      .withColumn("__floor", expr("__num div __W").cast("long"))
+      .withColumn("__rem", (col("__num") - col("__floor").cast(d38) *
+        col("__W").cast(d38)).cast("long"))
+      .withColumn("__left", (lit(total) - sum(col("__floor")).over(tot))
+        .cast("long"))
+    // leftover units < |keys|: rank remainders desc, keys asc tie-break
+    val rn = row_number().over(Window.orderBy(
+      (col("__rem").desc +: keyNames.map(col(_).asc)): _*))
+    scaled.withColumn("__rn", rn)
+      .select(keyNames.map(col) :+ col("weight") :+
+        (col("__floor") + when(col("__rn") <= col("__left"), 1L)
+          .otherwise(0L)).as("alloc"): _*)
+  }
+
+  /** Benford first-significant-digit PPM table: log10(1 + 1/d) in
+    * micro-units, d = 1..9 — literal constants (no libm on either
+    * engine), summing to exactly 1 000 000. */
+  val BenfordPpm: Seq[(Int, Long)] = Seq(1 -> 301030L, 2 -> 176091L,
+    3 -> 124939L, 4 -> 96910L, 5 -> 79181L, 6 -> 66947L, 7 -> 57992L,
+    8 -> 51153L, 9 -> 45757L)
+
+  /** A1/E4 — Benford first-digit audit: the observed first-significant-
+    * digit distribution of a positive integer column vs the Benford
+    * expectation, both in exact ppm (observed = cnt·10⁶ div n; expected
+    * from the literal [[BenfordPpm]] table — no logs at runtime).
+    * The classic fraud/synthetic-data screen: fabricated numerics are
+    * uniform-ish in the leading digit, organic ones are not. Returns
+    * one row per digit 1-9 (absent digits densified to 0):
+    * (digit, n, obs_ppm, exp_ppm, dev_ppm = |obs−exp|).
+    *
+    * Scale: a 9-row rollup off one scan-side projection (first char of
+    * the decimal rendering — no float log10); everything after is
+    * constant-sized. */
+  def benfordProfile(df: DataFrame, valueCol: Column): DataFrame = {
+    val digits = BenfordPpm.map { case (d, ppm) =>
+      struct(lit(d).as("digit"), lit(ppm).as("exp_ppm"))
+    }
+    val obs = df.select(valueCol.cast("long").as("__v"))
+      .filter(col("__v") > 0)
+      .select(substring(col("__v").cast("string"), 1, 1).cast("int").as("digit"))
+      .groupBy(col("digit")).agg(count(lit(1)).as("n"))
+    val exp = df.sparkSession.range(1)
+      .select(explode(array(digits: _*)).as("e")).select(col("e.*"))
+    val tot = org.apache.spark.sql.expressions.Window
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.unboundedFollowing)
+    exp.join(obs, Seq("digit"), "left")
+      .withColumn("n", coalesce(col("n"), lit(0L)))
+      .withColumn("__tot", sum(col("n")).over(tot))
+      .withColumn("obs_ppm", expr("(n * 1000000L) div __tot"))
+      .select(col("digit"), col("n"), col("obs_ppm"), col("exp_ppm"),
+        abs(col("obs_ppm") - col("exp_ppm")).as("dev_ppm"))
+      .orderBy(col("digit"))
+  }
+
   /** E6/A1 — merge two partial aggregation STATES: the incremental-
     * materialization kernel. Each side holds (key, partial…) rows where
     * every merge column is an ALGEBRAIC partial (sum, count — things

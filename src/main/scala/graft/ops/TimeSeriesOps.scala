@@ -364,4 +364,50 @@ object TimeSeriesOps {
         col("__cell") === expr(s"greatest(__s_a, __s_b) div ${cellMicros}L"))
       .select(col(keyCol), col("id_a"), col("id_b"))
   }
+
+  /** A5/A8 — integer EWMA over each key's ordered series: s₁ = v₁,
+    *   s_t = (num·v_t + (den−num)·s_{t−1}) div den
+    * — the recursive smoother pandas `ewm(alpha=num/den).mean()`
+    * approximates, as exact integer state, so the result is
+    * bit-identical under any partitioning AND any engine that unrolls
+    * the same recurrence (floor division on non-negative operands).
+    * Recursion is the one shape neither a window frame nor an agg can
+    * express (each output depends on ALL priors with decaying weights);
+    * Spark's gap is closed with an ordered `aggregate` fold over the
+    * collected per-key series — the per-key sequential scan the
+    * recurrence inherently is. Values must be non-negative longs
+    * (Spark `div` truncates toward zero, DuckDB `//` floors: identical
+    * only on non-negatives — guarded with a typed error). Returns one
+    * row per input point: (key…, order, value, ewma).
+    *
+    * Scale: ONE key-partitioned shuffle; state is the key's own series,
+    * so this is for ROLLUP-sized series (daily/hourly aggregates —
+    * bounded by the calendar, not event volume). Aggregate raw events
+    * to the grain FIRST; the fold then costs O(points-per-key) with no
+    * window machinery at all. */
+  def ewmaInt(df: DataFrame, keys: Seq[Column], orderCol: Column,
+      valueCol: Column, num: Long, den: Long): DataFrame = {
+    require(num > 0 && den > 0 && num <= den, "alpha num/den must be in (0, 1]")
+    require(keys.nonEmpty, "ewmaInt requires key column(s) " +
+      "(use a constant literal key for one global series)")
+    val guarded = when(valueCol.cast("long") < 0,
+      raise_error(lit("ewmaInt requires non-negative values — floor and " +
+        "truncating division diverge below zero"))).otherwise(valueCol.cast("long"))
+    val keyed = df.groupBy(keys: _*)
+      .agg(array_sort(collect_list(struct(orderCol.as("o"), guarded.as("v"))))
+        .as("__arr"))
+    val keyNames = keyed.columns.dropRight(1).toSeq
+    // the fold: acc = the running EWMA sequence; each step appends
+    // f(last(acc), v). element_at(acc, -1) reads the previous state.
+    val folded = keyed.withColumn("__sm", expr(
+      s"""aggregate(__arr, cast(array() as array<bigint>),
+         |  (acc, x) -> array_append(acc,
+         |    CASE WHEN size(acc) = 0 THEN x.v
+         |         ELSE (${num}L * x.v + ${den - num}L * element_at(acc, -1))
+         |              div ${den}L END))""".stripMargin))
+    folded.select(keyNames.map(col) :+
+        posexplode(arrays_zip(col("__arr"), col("__sm"))).as(Seq("__i", "__z")): _*)
+      .select(keyNames.map(col) :+ col("__z.__arr.o").as("order") :+
+        col("__z.__arr.v").as("value") :+ col("__z.__sm").as("ewma"): _*)
+  }
 }

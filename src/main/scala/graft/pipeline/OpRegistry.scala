@@ -363,6 +363,22 @@ object OpRegistry {
       df, col(str(p, "value_col")), col(str(p, "group_col")),
       str(p, "group_a"), str(p, "group_b"))),
     "chi_square" -> (p => df => graft.ops.Aggregates.chiSquare(
-      df, col(str(p, "row_col")), col(str(p, "col_col"))))
+      df, col(str(p, "row_col")), col(str(p, "col_col")))),
+    "ks_test" -> (p => df => graft.ops.Aggregates.ksTest(
+      df, col(str(p, "value_col")), col(str(p, "group_col")),
+      str(p, "group_a"), str(p, "group_b"))),
+    // df is the EDGE list; seeds read from a file (two-input pattern)
+    "bfs_hops" -> (p => df => graft.ext.Graph.bfsHops(
+      df, str(p, "src_col"), str(p, "dst_col"),
+      df.sparkSession.read.parquet(str(p, "seeds_file")),
+      str(p, "seed_col"), num(p, "rounds").toInt)),
+    "ewma" -> (p => df => graft.ops.TimeSeriesOps.ewmaInt(
+      df, strs(p, "keys").map(col), col(str(p, "order_col")),
+      col(str(p, "value_col")), num(p, "num").toLong, num(p, "den").toLong)),
+    "largest_remainder" -> (p => df => graft.ops.Aggregates.largestRemainder(
+      df, strs(p, "keys").map(col), col(str(p, "weight_col")),
+      num(p, "total").toLong)),
+    "benford" -> (p => df => graft.ops.Aggregates.benfordProfile(
+      df, col(str(p, "value_col"))))
   ))
 }

@@ -4,7 +4,7 @@ import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 import org.scalacheck.Gen
 import org.scalacheck.rng.Seed
-import graft.ops.{Aggregates, Binning, Dominance, EventAnalytics, Ranking}
+import graft.ops.{Aggregates, Binning, Dominance, EventAnalytics, Ranking, TimeSeriesOps}
 import graft.ext.Graph
 
 /** Specs for the order-statistics / graph analytics ops behind
@@ -388,6 +388,82 @@ class AnalyticsOpsSpec extends AnyFunSuite {
     def q(num: Long) = Aggregates.weightedQuantile(df, Seq(lit(1).as("g")),
       col("v"), col("wt"), Seq(col("id")), num, 10).collect().head.getDouble(1)
     assert(q(1) == 1.0 && q(5) == 5.0 && q(9) == 9.0 && q(10) == 10.0)
+  }
+
+  test("ksTest: hand case — D from the integer crossing quantity") {
+    // A = {1, 2}, B = {2, 3}: F_A = 1/2, 1, 1; F_B = 0, 1/2, 1
+    // → max|F_A − F_B| = 1/2 at v = 1 (and v = 2); d_num = 2, nA·nB = 4
+    val df = Seq(("A", 1.0), ("A", 2.0), ("B", 2.0), ("B", 3.0)).toDF("g", "v")
+    val out = Aggregates.ksTest(df, col("v"), col("g"), "A", "B")
+      .collect().head
+    assert((out.getLong(0), out.getLong(1), out.getLong(2), out.getDouble(3)) ==
+      ((2L, 2L, 2L, 0.5)))
+  }
+
+  test("ksTest: identical samples give D = 0") {
+    val df = Seq(("A", 1.0), ("A", 5.0), ("B", 1.0), ("B", 5.0)).toDF("g", "v")
+    assert(Aggregates.ksTest(df, col("v"), col("g"), "A", "B")
+      .collect().head.getLong(2) == 0L)
+  }
+
+  test("bfsHops: exact hops within the round budget, absent beyond") {
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (5L, 6L)).toDF("a", "b")
+    val seeds = Seq(Tuple1(1L)).toDF("node")
+    val out = Graph.bfsHops(edges, "a", "b", seeds, "node", rounds = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    // 4 is 3 hops away (beyond 2 rounds); 5/6 are disconnected
+    assert(out == Map(1L -> 0L, 2L -> 1L, 3L -> 2L))
+  }
+
+  test("bfsHops: multi-source takes the nearer seed; seed set wins at 0") {
+    val edges = Seq((1L, 2L), (2L, 3L), (4L, 3L)).toDF("a", "b")
+    val seeds = Seq(Tuple1(1L), Tuple1(4L)).toDF("node")
+    val out = Graph.bfsHops(edges, "a", "b", seeds, "node", rounds = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(out == Map(1L -> 0L, 2L -> 1L, 3L -> 1L, 4L -> 0L))
+  }
+
+  test("ewmaInt: hand recurrence with floor division; negatives raise") {
+    val df = Seq(("k", 1L, 4L), ("k", 2L, 8L), ("k", 3L, 4L))
+      .toDF("g", "t", "v")
+    val out = TimeSeriesOps.ewmaInt(df, Seq(col("g")), col("t"),
+        col("v"), 1, 4)
+      .orderBy("order").select("ewma").as[Long].collect().toSeq
+    // s1 = 4; s2 = (8 + 3·4) div 4 = 5; s3 = (4 + 3·5) div 4 = 4
+    assert(out == Seq(4L, 5L, 4L))
+    val neg = Seq(("k", 1L, -1L)).toDF("g", "t", "v")
+    val e = intercept[Exception] {
+      TimeSeriesOps.ewmaInt(neg, Seq(col("g")), col("t"),
+        col("v"), 1, 4).collect()
+    }
+    assert(e.getMessage.contains("non-negative"))
+  }
+
+  test("largestRemainder: allocations sum to the total; remainders rank") {
+    val df = Seq(("a", 5L), ("b", 3L), ("c", 2L)).toDF("k", "w")
+    val out = Aggregates.largestRemainder(df, Seq(col("k")), col("w"), 7L)
+      .collect().map(r => (r.getString(0), r.getLong(2))).toMap
+    // floors 3/2/1 (sum 6); remainders 5/1/4 → the leftover unit goes to a
+    assert(out == Map("a" -> 4L, "b" -> 2L, "c" -> 1L))
+    // equal weights: tie-break by key, total always preserved
+    val eq = Seq(("a", 1L), ("b", 1L), ("c", 1L)).toDF("k", "w")
+    val out2 = Aggregates.largestRemainder(eq, Seq(col("k")), col("w"), 10L)
+      .collect().map(r => (r.getString(0), r.getLong(2))).toMap
+    assert(out2 == Map("a" -> 4L, "b" -> 3L, "c" -> 3L) &&
+      out2.values.sum == 10L)
+  }
+
+  test("benfordProfile: densified 9-row output with exact ppm arithmetic") {
+    val df = Seq(1L, 1L, 2L, 0L, -5L).toDF("v") // non-positives drop
+    val out = Aggregates.benfordProfile(df, col("v")).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(out.size == 9)
+    val byDigit = out.map(t => (t._1, (t._2, t._3))).toMap
+    assert(byDigit(1) == ((2L, 666666L))) // 2·10⁶ div 3
+    assert(byDigit(2) == ((1L, 333333L)))
+    assert(byDigit(9) == ((0L, 0L)))
+    // expected column is the exact literal table, summing to 10⁶
+    assert(Aggregates.BenfordPpm.map(_._2).sum == 1000000L)
   }
 
   test("sortedNeighborhoodPairs: adjacent-in-sort-order typos pair; far rows don't") {

@@ -108,6 +108,82 @@ class PipelineSpec extends AnyFunSuite {
     assert(snp.toSeq == Seq((2L, 1L))) // alphX sorts before alpha
   }
 
+  test("X1: batch-7/8 registry ops run end-to-end from serialized JSON specs") {
+    def run(json: String, df: org.apache.spark.sql.DataFrame) =
+      Pipeline.fromJson(json).run(df)._1
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+
+    val obs = Seq(("A", 1.0, 1L, 1L), ("A", 2.0, 1L, 2L),
+      ("B", 2.0, 1L, 3L), ("B", 3.0, 1L, 4L)).toDF("g", "v", "wt", "id")
+    val wq = run("""{"pipe":"p","operations":[{"name":"w","function":
+      "weighted_quantile","kwargs":{"keys":["g"],"value_col":"v",
+      "weight_col":"wt","tie_cols":["id"],"q_num":1,"q_den":2}}]}""", obs)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(wq == Map("A" -> 1.0, "B" -> 2.0))
+
+    val mw = run("""{"pipe":"p","operations":[{"name":"m","function":
+      "mann_whitney","kwargs":{"value_col":"v","group_col":"g",
+      "group_a":"A","group_b":"B"}}]}""", obs).collect().head
+    assert(mw.getLong(2) == 1L) // u2_a from the spec's hand case
+
+    val ks = run("""{"pipe":"p","operations":[{"name":"k","function":
+      "ks_test","kwargs":{"value_col":"v","group_col":"g",
+      "group_a":"A","group_b":"B"}}]}""", obs).collect().head
+    assert(ks.getLong(2) == 2L && ks.getDouble(3) == 0.5)
+
+    val chi = run("""{"pipe":"p","operations":[{"name":"c","function":
+      "chi_square","kwargs":{"row_col":"g","col_col":"id"}}]}""", obs)
+      .collect().head
+    assert(chi.getLong(1) == 3L) // dof = (2-1)(4-1)
+
+    val funnel = Seq((1L, ts("2024-01-01 10:00:00"), "view"),
+      (1L, ts("2024-01-01 10:10:00"), "buy")).toDF("u", "ts", "et")
+    val f = run("""{"pipe":"p","operations":[{"name":"f","function":
+      "windowed_funnel","kwargs":{"actor_col":"u","ts_col":"ts",
+      "type_col":"et","stages":["view","buy"],"within_seconds":1800}}]}""",
+      funnel).collect().head
+    assert(!f.isNullAt(1) && !f.isNullAt(2))
+
+    val ew = run("""{"pipe":"p","operations":[{"name":"e","function":
+      "ewma","kwargs":{"keys":["g"],"order_col":"id","value_col":"wt",
+      "num":1,"den":4}}]}""", obs)
+    assert(ew.columns.toSeq == Seq("g", "order", "value", "ewma") &&
+      ew.count() == 4)
+
+    val lr = run("""{"pipe":"p","operations":[{"name":"l","function":
+      "largest_remainder","kwargs":{"keys":["g"],"weight_col":"wt",
+      "total":7}}]}""", obs)
+      .collect().map(r => r.getLong(2)).sum
+    assert(lr == 7L)
+
+    val bf = run("""{"pipe":"p","operations":[{"name":"b","function":
+      "benford","kwargs":{"value_col":"id"}}]}""", obs)
+    assert(bf.count() == 9)
+
+    // two-input ops: the secondary frame reads from a parquet file
+    val tmp = java.nio.file.Files.createTempDirectory("graft_pipe").toString
+    Seq((2L, "U", 1L, 22.0), (9L, "I", 1L, 99.0))
+      .toDF("id", "op", "seq", "nv").write.parquet(s"$tmp/cdc")
+    val snap = Seq((2L, 20.0), (3L, 30.0)).toDF("id", "v")
+    val cdc = run(s"""{"pipe":"p","operations":[
+      {"name":"c","function":"apply_cdc","kwargs":{
+        "delta_file":"$tmp/cdc","key_col":"id","order":["seq"],"op_col":"op"}},
+      {"name":"m","function":"select","kwargs":{"columns":["id","v","nv"]}}]}""",
+      snap)
+      .collect()
+      .map(r => r.getLong(0) ->
+        (if (r.isNullAt(2)) r.getDouble(1) else r.getDouble(2))).toMap
+    assert(cdc == Map(2L -> 22.0, 3L -> 30.0, 9L -> 99.0))
+
+    Seq(Tuple1(1L)).toDF("node").write.parquet(s"$tmp/seeds")
+    val edges = Seq((1L, 2L), (2L, 3L)).toDF("a", "b")
+    val hops = run(s"""{"pipe":"p","operations":[{"name":"h","function":
+      "bfs_hops","kwargs":{"src_col":"a","dst_col":"b",
+      "seeds_file":"$tmp/seeds","seed_col":"node","rounds":2}}]}""", edges)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(hops == Map(1L -> 0L, 2L -> 1L, 3L -> 2L))
+  }
+
   test("C2/C3: JSON round-trip is identity") {
     val json = pipe.toJson.render
     val back = Pipeline.fromJson(json)
