@@ -351,6 +351,42 @@ object Aggregates {
       .orderBy(col("digit"))
   }
 
+  /** E6/A1 — join-key SKEW AUDIT: the distribution profile of a key
+    * column that decides whether a join/agg on it needs salting, AQE
+    * skew handling, or nothing — run BEFORE the 100 TB job, not after
+    * it straggles. One row: total rows, distinct keys, the heaviest
+    * key's count and ppm share, and the exact lower p50/p99 of the
+    * per-key count distribution (integer crossing test over the
+    * |keys|-row rollup — rn·100 ≥ K·q). All-integer decisions; the
+    * hot-key ratio max/p50 is the one float op (identical operands).
+    *
+    * Scale: one key-keyed count agg (map-side combine) + a
+    * |keys|-row window — the audit costs one pass at any volume. */
+  def skewAudit(df: DataFrame, keyCol: Column): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val rollup = df.groupBy(keyCol.as("__k")).agg(count(lit(1)).as("__cnt"))
+    // one key per rollup row → row_number over (cnt, key) is the
+    // cumulative key count for the quantile crossing
+    val rn = row_number().over(Window.orderBy(col("__cnt"), col("__k")))
+    val tot = Window.rowsBetween(Window.unboundedPreceding,
+      Window.unboundedFollowing)
+    rollup
+      .withColumn("__rn", rn)
+      .withColumn("__K", sum(lit(1L)).over(tot))
+      .withColumn("__N", sum(col("__cnt")).over(tot))
+      .agg(max(col("__N")).as("n_rows"), max(col("__K")).as("n_keys"),
+        max(col("__cnt")).as("max_cnt"),
+        min(when(col("__rn") * 100 >= col("__K") * 50, col("__cnt")))
+          .as("p50_cnt"),
+        min(when(col("__rn") * 100 >= col("__K") * 99, col("__cnt")))
+          .as("p99_cnt"))
+      .select(col("n_rows"), col("n_keys"), col("max_cnt"),
+        expr("(max_cnt * 1000000L) div n_rows").as("top_share_ppm"),
+        col("p50_cnt"), col("p99_cnt"),
+        (col("max_cnt").cast("double") / col("p50_cnt").cast("double"))
+          .as("hot_ratio"))
+  }
+
   /** E6/A1 — merge two partial aggregation STATES: the incremental-
     * materialization kernel. Each side holds (key, partial…) rows where
     * every merge column is an ALGEBRAIC partial (sum, count — things

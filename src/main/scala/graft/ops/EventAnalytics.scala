@@ -343,4 +343,66 @@ object EventAnalytics {
       .agg(count(lit(1)).as("conversions"),
         count_distinct(col(actorCol)).as("users"))
   }
+
+  /** W-frame/A1 — POSITION-BASED (U-shaped) multi-touch attribution:
+    * each conversion's 10 000 basis points split across the touch
+    * events since the actor's previous conversion — 40/20/40: first
+    * and last touch get 4 000 bps each, the middle touches share the
+    * remaining 2 000 via floor division with the leftover going one
+    * each to the EARLIEST middles (the largest-remainder rule with
+    * equal remainders — deterministic, Σ ≡ 10 000 per conversion
+    * always). One touch → 10 000; two → 5 000 each; zero → the
+    * conversion credits '(none)'. All-integer credit arithmetic — the
+    * exactness [[lastTouchAttribution]] doesn't need but a
+    * revenue-split model does. Returns per attributed type:
+    * (attributed_type, touches, credit_bps).
+    *
+    * Scale: segment assignment and positions are two functions over
+    * ONE actor-keyed window sort; the credit formula is scan-side
+    * integer arithmetic. Same cost envelope as the q07 running frame
+    * at any volume. */
+  def positionAttribution(df: DataFrame, actorCol: String, tsCol: String,
+      tieCol: String, typeCol: String, convType: String): DataFrame = {
+    val order = Seq(col(tsCol), col(tieCol))
+    val wAll = Window.partitionBy(col(actorCol)).orderBy(order: _*)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    // seg = conversions strictly before this event: touches of segment
+    // k attribute to the actor's (k+1)-th conversion
+    val seg = df.withColumn("__seg",
+      coalesce(sum(when(col(typeCol) === convType, 1L).otherwise(0L))
+        .over(wAll), lit(0L)))
+    val touches = seg.filter(col(typeCol) =!= convType)
+      .select(col(actorCol), col("__seg"), col(tsCol), col(tieCol),
+        col(typeCol).as("__touch"))
+    val convs = seg.filter(col(typeCol) === convType)
+      .select(col(actorCol).as("__conv_actor"), col("__seg").as("__conv_seg"))
+    // keep only touch segments whose conversion actually happened
+    val attributed = touches.join(convs,
+      col(actorCol) === col("__conv_actor") &&
+        col("__seg") === col("__conv_seg"), "left_semi")
+    val wSeg = Window.partitionBy(col(actorCol), col("__seg"))
+      .orderBy(order: _*)
+    val wSegAll = Window.partitionBy(col(actorCol), col("__seg"))
+    val credit = attributed
+      .withColumn("__p", row_number().over(wSeg))
+      .withColumn("__n", count(lit(1)).over(wSegAll))
+      .withColumn("credit_bps",
+        when(col("__n") === 1, 10000L)
+          .when(col("__n") === 2, 5000L)
+          .when(col("__p") === 1 || col("__p") === col("__n"), 4000L)
+          .otherwise(expr("2000L div (__n - 2)") +
+            when(col("__p") - 1 <= expr("2000L % (__n - 2)"), 1L)
+              .otherwise(0L)))
+    // conversions with an empty segment credit '(none)' in full;
+    // for '(none)' the `touches` output column counts conversions
+    val orphan = convs.join(
+        touches.select(col(actorCol).as("__conv_actor"),
+          col("__seg").as("__conv_seg")),
+        Seq("__conv_actor", "__conv_seg"), "left_anti")
+      .select(lit("(none)").as("__touch"), lit(10000L).as("credit_bps"))
+    credit.select(col("__touch"), col("credit_bps"))
+      .unionByName(orphan)
+      .groupBy(col("__touch").as("attributed_type"))
+      .agg(count(lit(1)).as("touches"), sum(col("credit_bps")).as("credit_bps"))
+  }
 }

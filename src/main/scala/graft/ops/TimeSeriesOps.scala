@@ -365,6 +365,39 @@ object TimeSeriesOps {
       .select(col(keyCol), col("id_a"), col("id_b"))
   }
 
+  /** A5/W-frame — running balance CLAMPED at zero over each key's
+    * ordered integer deltas:
+    *   s_t = max(0, s_{t−1} + x_t)
+    * — the inventory/credit-balance recurrence (stock can't go
+    * negative; a refund can't overdraw past zero). Superficially
+    * recursive like [[ewmaInt]], but this one has a CLOSED FORM
+    * (the reflection identity from queueing theory / Lindley's
+    * recursion, public literature):
+    *   s_t = P_t − min(0, min_{j≤t} P_j),   P = prefix sum
+    * so it runs as ONE key-partitioned window (two functions sharing
+    * the same frame+sort — one shuffle, one sort) on the fact table,
+    * with no per-key sequential fold at all. All-integer, so exact
+    * under any partitioning and engine; an oracle running the naive
+    * recurrence must agree bit-for-bit — which is precisely what the
+    * q160 recursive-CTE oracle checks. Returns the input grain with
+    * `balance` appended.
+    *
+    * Scale: the q07 running-frame cost envelope — one shuffle+sort on
+    * the key; no rollup-grain restriction (unlike ewmaInt, there is
+    * no fold, so event-volume series are fine). */
+  def clampedRunningBalance(df: DataFrame, keys: Seq[Column],
+      orderCols: Seq[Column], deltaCol: Column): DataFrame = {
+    require(keys.nonEmpty, "clampedRunningBalance requires key column(s)")
+    require(orderCols.nonEmpty, "clampedRunningBalance requires order column(s)")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(keys: _*).orderBy(orderCols.map(_.asc): _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.withColumn("__p", sum(deltaCol.cast("long")).over(w))
+      .withColumn("balance",
+        col("__p") - least(lit(0L), min(col("__p")).over(w)))
+      .drop("__p")
+  }
+
   /** A5/A8 — integer EWMA over each key's ordered series: s₁ = v₁,
     *   s_t = (num·v_t + (den−num)·s_{t−1}) div den
     * — the recursive smoother pandas `ewm(alpha=num/den).mean()`

@@ -379,6 +379,23 @@ object OpRegistry {
       df, strs(p, "keys").map(col), col(str(p, "weight_col")),
       num(p, "total").toLong)),
     "benford" -> (p => df => graft.ops.Aggregates.benfordProfile(
-      df, col(str(p, "value_col"))))
+      df, col(str(p, "value_col")))),
+    "count_min_build" -> (p => df => graft.ext.Sketches.countMinBuild(
+      df, col(str(p, "key_col")), num(p, "width").toInt,
+      num(p, "depth").toInt)),
+    // df is the SKETCH; probes read from a file (two-input pattern)
+    "count_min_estimate" -> (p => df => graft.ext.Sketches.countMinEstimate(
+      df, df.sparkSession.read.parquet(str(p, "probes_file")),
+      col(str(p, "key_col")), num(p, "width").toInt, num(p, "depth").toInt)),
+    "clamped_balance" -> (p => df =>
+      graft.ops.TimeSeriesOps.clampedRunningBalance(
+        df, strs(p, "keys").map(col), strs(p, "order").map(col),
+        col(str(p, "delta_col")))),
+    "position_attribution" -> (p => df =>
+      graft.ops.EventAnalytics.positionAttribution(
+        df, str(p, "actor_col"), str(p, "ts_col"), str(p, "tie_col"),
+        str(p, "type_col"), str(p, "conv_type"))),
+    "skew_audit" -> (p => df => graft.ops.Aggregates.skewAudit(
+      df, col(str(p, "key_col"))))
   ))
 }

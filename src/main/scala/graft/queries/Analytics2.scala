@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 import graft.core.Tables
-import graft.ops.{Aggregates, TimeSeriesOps}
+import graft.ops.{Aggregates, EventAnalytics, TimeSeriesOps}
 import graft.ext.Graph
 
 /** Round-4 (batch 8): distribution testing (Kolmogorov–Smirnov),
@@ -224,5 +224,193 @@ object Analytics2 {
       "rendering — no float log10); everything downstream is constant-sized. The " +
       "fraud / synthetic-data screen that runs as cheaply at 100 TB as at 1 GB.")
 
-  val all: Seq[Declared] = Seq(q154, q155, q156, q157, q158)
+  /** q159 — E6: count-min sketch heavy-hitter estimates. The md5-keyed
+    * hash family makes the d×w grid bit-identical on both engines, so
+    * the oracle verifies the sketch EXACTLY — including the one-sided
+    * error (est ≥ true for every probe), not just statistically. The
+    * probe set is the top-20 true-frequency parts. */
+  val q159 = Declared(
+    "q159_count_min", "E6",
+    (s, dir) => {
+      import graft.ext.Sketches
+      val li = Tables.lineitem(s, dir)
+      val truth = li.groupBy(col("l_partkey")).agg(count(lit(1)).as("true_cnt"))
+      val probes = truth.orderBy(col("true_cnt").desc, col("l_partkey"))
+        .limit(20)
+      val sketch = Sketches.countMinBuild(li, col("l_partkey"),
+        width = 512, depth = 4)
+      Sketches.countMinEstimate(sketch, probes, col("l_partkey"),
+          width = 512, depth = 4)
+        .join(probes.withColumnRenamed("l_partkey", "key"), "key")
+        .select(col("key").as("l_partkey"), col("true_cnt"),
+          col("est").as("est_cnt"))
+        .orderBy(col("l_partkey"))
+    },
+    Some {
+      def bucket(j: Int, key: String) =
+        s"${LlmExt2.duckMd5Hash60(s"'$j:' || CAST($key AS VARCHAR)")} % 512"
+      val buildArms = (0 until 4).map(j =>
+        s"SELECT $j AS row_j, ${bucket(j, "l_partkey")} AS bucket FROM lineitem")
+        .mkString("\n    UNION ALL\n    ")
+      val probeArms = (0 until 4).map(j =>
+        s"SELECT l_partkey, true_cnt, $j AS row_j, " +
+          s"${bucket(j, "l_partkey")} AS bucket FROM probes")
+        .mkString("\n    UNION ALL\n    ")
+      s"""WITH cells AS (
+         |  SELECT row_j, bucket, count(*) AS cnt FROM (
+         |    $buildArms)
+         |  GROUP BY row_j, bucket),
+         |truth AS (
+         |  SELECT l_partkey, CAST(count(*) AS BIGINT) AS true_cnt
+         |  FROM lineitem GROUP BY 1),
+         |probes AS (
+         |  SELECT l_partkey, true_cnt FROM truth
+         |  ORDER BY true_cnt DESC, l_partkey LIMIT 20),
+         |pb AS (
+         |    $probeArms)
+         |SELECT pb.l_partkey, pb.true_cnt,
+         |  CAST(min(coalesce(c.cnt, 0)) AS BIGINT) AS est_cnt
+         |FROM pb LEFT JOIN cells c
+         |  ON pb.row_j = c.row_j AND pb.bucket = c.bucket
+         |GROUP BY pb.l_partkey, pb.true_cnt
+         |ORDER BY pb.l_partkey""".stripMargin
+    },
+    "The build's map-side combine collapses each partition to <= d*w cells before the " +
+      "shuffle, so shuffle volume is d*w*partitions REGARDLESS of input size — the " +
+      "frequency summary that fits in one executor's L2 at 100 TB; the sketch side " +
+      "of the probe join broadcasts.")
+
+  /** q160 — A5/W-frame: running balance clamped at zero (Lindley's
+    * recursion) over per-user daily purchase−click cent deltas. The
+    * engine runs the CLOSED FORM — P_t − min(0, min_{j≤t} P_j), one
+    * window — while the oracle runs the naive recurrence
+    * s_t = max(0, s_{t−1} + Δ_t) as a recursive CTE: the hash match
+    * PROVES the reflection identity on real data. */
+  val q160 = Declared(
+    "q160_clamped_balance", "A5,W-frame",
+    (s, dir) => {
+      val cents = (col("value").cast("decimal(18,2)") * 100).cast("long")
+      val deltas = Tables.events(s, dir)
+        .filter(col("event_type").isin("purchase", "click"))
+        .groupBy(col("user_id"), to_date(col("ts")).as("day"))
+        .agg(sum(when(col("event_type") === "purchase", cents)
+          .otherwise(-cents)).as("delta"))
+      TimeSeriesOps.clampedRunningBalance(deltas, Seq(col("user_id")),
+          Seq(col("day")), col("delta"))
+        .orderBy(col("user_id"), col("day"))
+    },
+    Some("""WITH RECURSIVE d AS (
+           |  SELECT user_id, CAST(ts AS DATE) AS day,
+           |    CAST(sum(CASE WHEN event_type = 'purchase'
+           |      THEN CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)
+           |      ELSE -CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) END)
+           |      AS BIGINT) AS delta
+           |  FROM events WHERE event_type IN ('purchase', 'click')
+           |  GROUP BY 1, 2),
+           |r AS (
+           |  SELECT user_id, day, delta,
+           |    row_number() OVER (PARTITION BY user_id ORDER BY day) AS rn
+           |  FROM d),
+           |s AS (
+           |  SELECT user_id, day, delta, rn,
+           |    greatest(CAST(0 AS BIGINT), delta) AS balance
+           |  FROM r WHERE rn = 1
+           |  UNION ALL
+           |  SELECT r.user_id, r.day, r.delta, r.rn,
+           |    greatest(CAST(0 AS BIGINT), s.balance + r.delta)
+           |  FROM r JOIN s ON r.user_id = s.user_id AND r.rn = s.rn + 1)
+           |SELECT user_id, day, delta, balance FROM s
+           |ORDER BY user_id, day""".stripMargin),
+    "The closed form runs as ONE key-partitioned window (two functions, one " +
+      "shuffle+sort — the q07 envelope) on series of ANY length; the naive recurrence " +
+      "the oracle uses would need a sequential fold per key. Inventory / credit-balance " +
+      "semantics (stock can't go negative) at event volume, not rollup grain.")
+
+  /** q161 — W-frame/A1: position-based (U-shaped, 40/20/40) multi-touch
+    * attribution in exact basis points. First and last touch of each
+    * conversion's segment get 4 000 bps, middles share 2 000 by floor
+    * division with the leftover to the earliest middles — Σ ≡ 10 000
+    * per conversion ALWAYS, the invariant float credit splitting
+    * silently breaks. */
+  val q161 = Declared(
+    "q161_position_attrib", "W-frame,A1",
+    (s, dir) =>
+      EventAnalytics.positionAttribution(Tables.events(s, dir),
+          "user_id", "ts", "event_id", "event_type", "purchase")
+        .orderBy(col("attributed_type")),
+    Some("""WITH seg AS (
+           |  SELECT user_id, ts, event_id, event_type,
+           |    coalesce(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+           |      OVER (PARTITION BY user_id ORDER BY ts, event_id
+           |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS seg
+           |  FROM events),
+           |touches AS (
+           |  SELECT user_id, seg, ts, event_id, event_type AS touch
+           |  FROM seg WHERE event_type <> 'purchase'),
+           |convs AS (
+           |  SELECT user_id, seg FROM seg WHERE event_type = 'purchase'),
+           |att AS (
+           |  SELECT t.* FROM touches t
+           |  WHERE EXISTS (SELECT 1 FROM convs c
+           |    WHERE c.user_id = t.user_id AND c.seg = t.seg)),
+           |pos AS (
+           |  SELECT touch,
+           |    row_number() OVER (PARTITION BY user_id, seg
+           |      ORDER BY ts, event_id) AS p,
+           |    count(*) OVER (PARTITION BY user_id, seg) AS n
+           |  FROM att),
+           |credit AS (
+           |  SELECT touch,
+           |    CASE WHEN n = 1 THEN 10000
+           |         WHEN n = 2 THEN 5000
+           |         WHEN p = 1 OR p = n THEN 4000
+           |         ELSE 2000 // (n - 2) +
+           |           CASE WHEN p - 1 <= 2000 % (n - 2) THEN 1 ELSE 0 END
+           |    END AS credit_bps
+           |  FROM pos),
+           |orphan AS (
+           |  SELECT '(none)' AS touch, 10000 AS credit_bps FROM convs c
+           |  WHERE NOT EXISTS (SELECT 1 FROM touches t
+           |    WHERE t.user_id = c.user_id AND t.seg = c.seg)),
+           |u AS (SELECT * FROM credit UNION ALL SELECT * FROM orphan)
+           |SELECT touch AS attributed_type, count(*) AS touches,
+           |  CAST(sum(credit_bps) AS BIGINT) AS credit_bps
+           |FROM u GROUP BY 1 ORDER BY 1""".stripMargin),
+    "Segment ids and positions are two functions over ONE actor-keyed window sort; " +
+      "the credit formula is scan-side integer arithmetic — the q07 cost envelope. " +
+      "Exact bps mean per-channel revenue splits reconcile to the cent at 100 TB.")
+
+  /** q162 — E6/A1: join-key skew audit of orders.o_custkey — the
+    * pre-flight check that decides salting / AQE-skew / nothing for a
+    * key BEFORE the big join runs. Exact lower p50/p99 via the integer
+    * crossing test over the |keys|-row count rollup. */
+  val q162 = Declared(
+    "q162_skew_audit", "E6,A1",
+    (s, dir) =>
+      Aggregates.skewAudit(Tables.orders(s, dir), col("o_custkey")),
+    Some("""WITH r AS (
+           |  SELECT o_custkey AS k, count(*) AS cnt FROM orders GROUP BY 1),
+           |w AS (
+           |  SELECT k, cnt, row_number() OVER (ORDER BY cnt, k) AS rn,
+           |    count(*) OVER () AS kk, sum(cnt) OVER () AS nn
+           |  FROM r)
+           |SELECT CAST(max(nn) AS BIGINT) AS n_rows,
+           |  CAST(max(kk) AS BIGINT) AS n_keys,
+           |  CAST(max(cnt) AS BIGINT) AS max_cnt,
+           |  CAST((max(cnt) * 1000000) // CAST(max(nn) AS BIGINT) AS BIGINT)
+           |    AS top_share_ppm,
+           |  CAST(min(CASE WHEN rn * 100 >= kk * 50 THEN cnt END) AS BIGINT)
+           |    AS p50_cnt,
+           |  CAST(min(CASE WHEN rn * 100 >= kk * 99 THEN cnt END) AS BIGINT)
+           |    AS p99_cnt,
+           |  CAST(max(cnt) AS DOUBLE) /
+           |    CAST(min(CASE WHEN rn * 100 >= kk * 50 THEN cnt END) AS DOUBLE)
+           |    AS hot_ratio
+           |FROM w""".stripMargin),
+    "One key-keyed count agg (map-side combine) + a |keys|-row window: the audit " +
+      "costs one pass at any volume. This is E6 made operational — the number that " +
+      "tells you whether the NEXT job needs `Salting.saltedJoin` before it straggles.")
+
+  val all: Seq[Declared] = Seq(q154, q155, q156, q157, q158, q159, q160,
+    q161, q162)
 }

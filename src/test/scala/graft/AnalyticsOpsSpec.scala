@@ -466,6 +466,74 @@ class AnalyticsOpsSpec extends AnyFunSuite {
     assert(Aggregates.BenfordPpm.map(_._2).sum == 1000000L)
   }
 
+  test("clampedRunningBalance: closed form equals the sequential recurrence") {
+    val df = Seq(("k", 1L, 5L), ("k", 2L, -10L), ("k", 3L, 3L),
+      ("j", 1L, -4L), ("j", 2L, 7L)).toDF("g", "t", "d")
+    val out = TimeSeriesOps.clampedRunningBalance(df, Seq(col("g")),
+        Seq(col("t")), col("d"))
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getLong(3)).toMap
+    // k: 5, max(0,5-10)=0, 3;  j: max(0,-4)=0, 7
+    assert(out == Map(("k", 1L) -> 5L, ("k", 2L) -> 0L, ("k", 3L) -> 3L,
+      ("j", 1L) -> 0L, ("j", 2L) -> 7L))
+  }
+
+  test("law: clampedRunningBalance equals a driver-side fold on random series") {
+    val deltas = Gen.listOfN(200, Gen.chooseNum(-50L, 50L))
+      .apply(Gen.Parameters.default, Seed(23L)).get
+    val df = deltas.zipWithIndex.map { case (d, i) => ("k", i.toLong, d) }
+      .toDF("g", "t", "d")
+    val got = TimeSeriesOps.clampedRunningBalance(df, Seq(col("g")),
+        Seq(col("t")), col("d"))
+      .orderBy("t").select("balance").as[Long].collect().toSeq
+    val expected = deltas.scanLeft(0L)((s, x) => math.max(0L, s + x)).tail
+    assert(got == expected)
+  }
+
+  test("positionAttribution: U-shape credits, orphan fallback, bps conserve") {
+    val df = Seq(
+      // u1: 3 touches -> first/last 4000, middle 2000
+      (1L, ts("2024-01-01 10:00:00"), 1L, "view"),
+      (1L, ts("2024-01-01 10:01:00"), 2L, "click"),
+      (1L, ts("2024-01-01 10:02:00"), 3L, "view"),
+      (1L, ts("2024-01-01 10:03:00"), 4L, "purchase"),
+      // u2: conversion with no touches -> (none) 10000
+      (2L, ts("2024-01-01 09:00:00"), 5L, "purchase"),
+      // u2 second segment: single touch -> 10000
+      (2L, ts("2024-01-01 09:10:00"), 6L, "click"),
+      (2L, ts("2024-01-01 09:20:00"), 7L, "purchase"))
+      .toDF("user_id", "ts", "event_id", "event_type")
+    val out = EventAnalytics.positionAttribution(df, "user_id", "ts",
+        "event_id", "event_type", "purchase")
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(out == Map("view" -> ((2L, 8000L)), "click" -> ((2L, 12000L)),
+      "(none)" -> ((1L, 10000L))))
+    assert(out.values.map(_._2).sum == 30000L) // 3 conversions x 10000
+  }
+
+  test("positionAttribution: middle remainder goes to the earliest middles") {
+    // 5 touches: middles get 2000 div 3 = 666 each, remainder 2 to the
+    // first two middles -> 667, 667, 666
+    val df = (1 to 5).map(i =>
+      (1L, ts(f"2024-01-01 10:0$i%d:00"), i.toLong, s"ch$i")) :+
+      ((1L, ts("2024-01-01 10:09:00"), 9L, "purchase"))
+    val out = EventAnalytics.positionAttribution(df.toDF("user_id", "ts",
+        "event_id", "event_type"), "user_id", "ts", "event_id",
+        "event_type", "purchase")
+      .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+    assert(out == Map("ch1" -> 4000L, "ch2" -> 667L, "ch3" -> 667L,
+      "ch4" -> 666L, "ch5" -> 4000L))
+    assert(out.values.sum == 10000L)
+  }
+
+  test("skewAudit: exact rollup stats and crossing quantiles") {
+    val df = (Seq.fill(4)("a") ++ Seq("b", "c")).toDF("k")
+    val r = Aggregates.skewAudit(df, col("k")).collect().head
+    // rows 6, keys 3, max 4, share 4e6 div 6, p50 = 1, p99 = 4
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+      r.getLong(4), r.getLong(5), r.getDouble(6)) ==
+      ((6L, 3L, 4L, 666666L, 1L, 4L, 4.0)))
+  }
+
   test("sortedNeighborhoodPairs: adjacent-in-sort-order typos pair; far rows don't") {
     val df = Seq((1L, "aquamarine"), (2L, "aquamarinX"), (3L, "zzzebra"))
       .toDF("rec_id", "name")

@@ -182,6 +182,36 @@ class PipelineSpec extends AnyFunSuite {
       "seeds_file":"$tmp/seeds","seed_col":"node","rounds":2}}]}""", edges)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(hops == Map(1L -> 0L, 2L -> 1L, 3L -> 2L))
+
+    val bal = run("""{"pipe":"p","operations":[{"name":"b","function":
+      "clamped_balance","kwargs":{"keys":["g"],"order":["id"],
+      "delta_col":"wt"}}]}""", obs)
+    assert(bal.columns.contains("balance") && bal.count() == 4)
+
+    val sa = run("""{"pipe":"p","operations":[{"name":"s","function":
+      "skew_audit","kwargs":{"key_col":"g"}}]}""", obs).collect().head
+    assert(sa.getLong(0) == 4L && sa.getLong(1) == 2L)
+
+    val pa = run("""{"pipe":"p","operations":[{"name":"pa","function":
+      "position_attribution","kwargs":{"actor_col":"u","ts_col":"ts",
+      "tie_col":"et","type_col":"et","conv_type":"buy"}}]}""", funnel)
+      .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+    assert(pa == Map("view" -> 10000L))
+
+    keysDf.write.parquet(s"$tmp/probes")
+    val cms = run(s"""{"pipe":"p","operations":[
+      {"name":"b","function":"count_min_build","kwargs":{
+        "key_col":"id","width":64,"depth":2}},
+      {"name":"e","function":"count_min_estimate","kwargs":{
+        "probes_file":"$tmp/probes","key_col":"id","width":64,"depth":2}}]}""",
+      obs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(cms.values.forall(_ >= 1L) && cms.size == 4)
+  }
+
+  private def keysDf = {
+    import spark.implicits._
+    Seq(1L, 2L, 3L, 4L).toDF("id")
   }
 
   test("C2/C3: JSON round-trip is identity") {

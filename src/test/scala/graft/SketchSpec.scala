@@ -38,6 +38,39 @@ class SketchSpec extends AnyFunSuite {
     assert(global == merged, s"global $global vs merged $merged")
   }
 
+  test("E6: count-min estimates are one-sided — est >= true for every key") {
+    import graft.ext.Sketches
+    // Zipf-ish: key k appears ~200/k times over a 200-key domain
+    val df = spark.range(40000).select((col("id") % 200 + 1).as("k"))
+      .filter(col("id") % (col("k")) === 0)
+    val truth = df.groupBy(col("k")).agg(count(lit(1)).as("t"))
+    val sk = Sketches.countMinBuild(df, col("k"), width = 64, depth = 4)
+    val est = Sketches.countMinEstimate(sk, truth, col("k"), 64, 4)
+    val joined = est.join(truth, col("key") === col("k"))
+      .select(col("t"), col("est")).collect()
+    assert(joined.nonEmpty)
+    joined.foreach(r => assert(r.getLong(1) >= r.getLong(0),
+      s"est ${r.getLong(1)} < true ${r.getLong(0)}"))
+  }
+
+  test("E6: count-min is exact when the grid is collision-free") {
+    import graft.ext.Sketches
+    val df = spark.range(300).select((col("id") % 3).as("k"))
+    val truth = df.groupBy(col("k")).agg(count(lit(1)).as("t"))
+    // 3 keys in a 4096-wide, 4-deep grid: some row is collision-free,
+    // and min() finds it — estimates are exact
+    val sk = Sketches.countMinBuild(df, col("k"), width = 4096, depth = 4)
+    val est = Sketches.countMinEstimate(sk, truth, col("k"), 4096, 4)
+      .join(truth, col("key") === col("k")).select(col("t"), col("est"))
+      .collect()
+    est.foreach(r => assert(r.getLong(0) == r.getLong(1)))
+    // degenerate width 1: every cell holds the full row count
+    val sk1 = Sketches.countMinBuild(df, col("k"), width = 1, depth = 2)
+    val est1 = Sketches.countMinEstimate(sk1, truth, col("k"), 1, 2)
+      .select(col("est")).collect()
+    est1.foreach(r => assert(r.getLong(0) == 300L))
+  }
+
   test("E6: percentile_approx rank error stays within the accuracy contract") {
     // long-tail skew: v = (id % 1000)^2 — exactly the shape that breaks
     // naive sampling
