@@ -235,8 +235,10 @@ object Analytics2 {
       import graft.ext.Sketches
       val li = Tables.lineitem(s, dir)
       val truth = li.groupBy(col("l_partkey")).agg(count(lit(1)).as("true_cnt"))
+      // two consumers (estimate probes + the final join-back): pin the
+      // 20-row frame so the full-table truth agg runs once, not twice
       val probes = truth.orderBy(col("true_cnt").desc, col("l_partkey"))
-        .limit(20)
+        .limit(20).localCheckpoint()
       val sketch = Sketches.countMinBuild(li, col("l_partkey"),
         width = 512, depth = 4)
       Sketches.countMinEstimate(sketch, probes, col("l_partkey"),
@@ -247,8 +249,13 @@ object Analytics2 {
         .orderBy(col("l_partkey"))
     },
     Some {
+      // row j's bucket = j-th 8-hex-char chunk of md5(key), nibble-
+      // reassembled to a 32-bit int (the q46 trick), mod width
       def bucket(j: Int, key: String) =
-        s"${LlmExt2.duckMd5Hash60(s"'$j:' || CAST($key AS VARCHAR)")} % 512"
+        s"""(SELECT CAST(sum(CAST(strpos('0123456789abcdef',
+           |    substr(md5(CAST($key AS VARCHAR)), ${j * 8} + i, 1)) - 1
+           |    AS BIGINT) << ((8 - i) * 4)) AS BIGINT)
+           |  FROM (SELECT unnest(range(1, 9)) AS i)) % 512""".stripMargin
       val buildArms = (0 until 4).map(j =>
         s"SELECT $j AS row_j, ${bucket(j, "l_partkey")} AS bucket FROM lineitem")
         .mkString("\n    UNION ALL\n    ")
