@@ -405,4 +405,48 @@ object EventAnalytics {
       .groupBy(col("__touch").as("attributed_type"))
       .agg(count(lit(1)).as("touches"), sum(col("credit_bps")).as("credit_bps"))
   }
+
+  /** A-stat/A8 — Kaplan–Meier survival curve over per-subject
+    * (duration, event) rows: at each distinct duration t,
+    *   S(t) = Π_{t'≤t} (n_{t'} − d_{t'}) / n_{t'}
+    * with n = subjects still at risk (duration ≥ t) and d = events at
+    * exactly t; censored subjects leave the risk set without an event
+    * — the estimator churn/retention analysis needs when observation
+    * windows cut subjects off mid-life (treating censored users as
+    * churned biases survival DOWN). State is integer ppm:
+    *   S_k = (S_{k−1} · (n_k − d_k)) div n_k,  S_0 = 10⁶
+    * so the curve is bit-identical on any engine unrolling the same
+    * recurrence (floor division, non-negative operands; S·n stays
+    * < 10⁶·|subjects| — inside long range up to 10¹² subjects).
+    * Returns one row per distinct duration:
+    * (t, n_risk, d_events, surv_ppm), ordered by t.
+    *
+    * Scale: the curve folds over the DISTINCT-DURATION rollup
+    * (calendar-bounded), never the subject table — one duration-keyed
+    * agg + one rollup-sized suffix window + one rollup-sized fold.
+    * `eventCol` must be 0/1. */
+  def kaplanMeier(subjects: DataFrame, durationCol: Column,
+      eventCol: Column): DataFrame = {
+    val rollup = subjects.groupBy(durationCol.as("t"))
+      .agg(sum(eventCol.cast("long")).as("d"), count(lit(1)).as("__all"))
+    // risk set at t = subjects with duration >= t: suffix sum over the
+    // rollup (rollup-sized window — the q125/q152 altitude)
+    val suffix = Window.orderBy(col("t"))
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val withN = rollup.withColumn("n_risk", sum(col("__all")).over(suffix))
+    val folded = withN
+      .agg(array_sort(collect_list(struct(col("t"), col("n_risk"), col("d"))))
+        .as("__a"))
+      .withColumn("__s", expr(
+        """aggregate(__a, cast(array() as array<bigint>),
+          |  (acc, x) -> array_append(acc,
+          |    ((CASE WHEN size(acc) = 0 THEN 1000000L
+          |           ELSE element_at(acc, -1) END)
+          |     * (x.n_risk - x.d)) div x.n_risk))""".stripMargin))
+    folded
+      .select(posexplode(arrays_zip(col("__a"), col("__s")))
+        .as(Seq("__i", "__z")))
+      .select(col("__z.__a.t").as("t"), col("__z.__a.n_risk").as("n_risk"),
+        col("__z.__a.d").as("d_events"), col("__z.__s").as("surv_ppm"))
+  }
 }

@@ -25,12 +25,27 @@ object Ranking {
     * rollup. Range boundaries come from sampling, but with a total
     * order the assigned rank is boundary-independent, so results are
     * deterministic run to run. */
-  def globalRowNumber(df: DataFrame, orderCols: Seq[Column]): DataFrame = {
+  /** The pre-materialization ranked frame — exposed for plan-shape
+    * specs (the checkpoint below hides the range exchange and the
+    * pid-partitioned window from the final plan string). */
+  private[graft] def rankedWithPid(df: DataFrame,
+      orderCols: Seq[Column]): DataFrame = {
     val parts = math.max(df.sparkSession.sparkContext.defaultParallelism, 2)
     val ranged = df.repartitionByRange(parts, orderCols: _*)
       .withColumn("__pid", spark_partition_id())
     val inPart = Window.partitionBy(col("__pid")).orderBy(orderCols: _*)
-    val withRn = ranged.withColumn("__rn", row_number().over(inPart).cast("long"))
+    ranged.withColumn("__rn", row_number().over(inPart).cast("long"))
+  }
+
+  def globalRowNumber(df: DataFrame, orderCols: Seq[Column]): DataFrame = {
+    // MUST materialize: the frame feeds two consumers (the ranks and
+    // the offset rollup), and RangePartitioner samples its boundaries
+    // with an RDD-id-derived seed — if exchange reuse ever fails (it
+    // does under e.g. a downstream coalesce), each consumer re-runs
+    // the range shuffle with DIFFERENT boundaries and the offsets no
+    // longer describe the join side's __pid ranges. The checkpoint
+    // pins one boundary draw for both.
+    val withRn = rankedWithPid(df, orderCols).localCheckpoint()
     val offsets = withRn.groupBy(col("__pid")).agg(count(lit(1)).as("__cnt"))
       .withColumn("__off",
         coalesce(sum(col("__cnt")).over(
@@ -40,5 +55,50 @@ object Ranking {
     withRn.join(broadcast(offsets), Seq("__pid"))
       .withColumn("row_num", col("__off") + col("__rn"))
       .drop("__pid", "__rn", "__off")
+  }
+
+  /** NDCG@k position-discount table in ppm: round(10⁶ / log2(pos+1))
+    * for pos = 1..10 — LITERAL constants (like the Benford table), so
+    * no runtime log on either engine and the metric is exact integer
+    * arithmetic end to end. */
+  val NdcgDiscountPpm: Seq[Long] = Seq(1000000L, 630930L, 500000L,
+    430677L, 386853L, 356207L, 333333L, 315465L, 301030L, 289065L)
+
+  /** W2/A-stat — NDCG@k per key: how well the ACTUAL item order
+    * (`orderCols`, e.g. arrival/serving order) agrees with the ideal
+    * order (relevance descending) — the offline ranking-evaluation
+    * metric of search/recsys. DCG = Σ rel·disc(pos) with the literal
+    * ppm discount table, IDCG the same over the relevance-sorted
+    * positions; both are exact integer sums (rel must be an integer
+    * column — quantize money to cents first), and the one float op is
+    * the final dcg/idcg division of identical exact operands. Items
+    * beyond position k are ignored in both orders. Returns
+    * (key, n_items, dcg_u, idcg_u, ndcg); keys whose relevance is all
+    * zero get ndcg null (0/0).
+    *
+    * Scale: two row_number windows over the SAME key partitioning —
+    * one shuffle, two in-partition sorts; the discount lookup is a
+    * scan-side array index. */
+  def ndcgAtK(df: DataFrame, keyCol: Column, orderCols: Seq[Column],
+      relCol: Column, k: Int): DataFrame = {
+    require(k >= 1 && k <= NdcgDiscountPpm.size,
+      s"k must be in 1..${NdcgDiscountPpm.size}")
+    val disc = array(NdcgDiscountPpm.map(lit): _*)
+    val actual = Window.partitionBy(keyCol).orderBy(orderCols.map(_.asc): _*)
+    val ideal = Window.partitionBy(keyCol)
+      .orderBy(relCol.desc +: orderCols.map(_.asc): _*)
+    df.select(keyCol.as("key"), relCol.cast("long").as("__rel"),
+        row_number().over(actual).as("__p"),
+        row_number().over(ideal).as("__ip"))
+      .groupBy(col("key"))
+      .agg(sum(when(col("__p") <= k, 1L).otherwise(0L)).as("n_items"),
+        sum(when(col("__p") <= k,
+          col("__rel") * element_at(disc, col("__p"))).otherwise(0L))
+          .as("dcg_u"),
+        sum(when(col("__ip") <= k,
+          col("__rel") * element_at(disc, col("__ip"))).otherwise(0L))
+          .as("idcg_u"))
+      .withColumn("ndcg", when(col("idcg_u") > 0,
+        col("dcg_u").cast("double") / col("idcg_u").cast("double")))
   }
 }

@@ -396,6 +396,13 @@ object OpRegistry {
         df, str(p, "actor_col"), str(p, "ts_col"), str(p, "tie_col"),
         str(p, "type_col"), str(p, "conv_type"))),
     "skew_audit" -> (p => df => graft.ops.Aggregates.skewAudit(
-      df, col(str(p, "key_col"))))
+      df, col(str(p, "key_col")))),
+    "kaplan_meier" -> (p => df => graft.ops.EventAnalytics.kaplanMeier(
+      df, col(str(p, "duration_col")), col(str(p, "event_col")))),
+    "ndcg" -> (p => df => graft.ops.Ranking.ndcgAtK(
+      df, col(str(p, "key_col")), strs(p, "order").map(col),
+      col(str(p, "rel_col")), num(p, "k").toInt)),
+    "global_row_number" -> (p => df => graft.ops.Ranking.globalRowNumber(
+      df, strs(p, "order").map(col)))
   ))
 }

@@ -418,6 +418,148 @@ object Analytics2 {
       "costs one pass at any volume. This is E6 made operational — the number that " +
       "tells you whether the NEXT job needs `Salting.saltedJoin` before it straggles.")
 
+  /** q163 — A-stat/A8: Kaplan–Meier user-survival curve. Duration =
+    * days between a user's first and last event; users still active in
+    * the last 5 observed days are CENSORED (they leave the risk set
+    * without counting as churn) — the distinction naive retention
+    * curves miss. Survival state is integer ppm, so the oracle's
+    * recursive CTE unrolling S_k = (S_{k−1}·(n_k−d_k)) div n_k must
+    * match bit-for-bit. */
+  val q163 = Declared(
+    "q163_kaplan_meier", "A-stat,A8",
+    (s, dir) => {
+      val per = Tables.events(s, dir).groupBy(col("user_id"))
+        .agg(min(to_date(col("ts"))).as("fd"), max(to_date(col("ts"))).as("ld"))
+      val subj = per
+        .crossJoin(broadcast(per.agg(max(col("ld")).as("obs_end"))))
+        .select(datediff(col("ld"), col("fd")).as("dur"),
+          (col("ld") < date_sub(col("obs_end"), 5)).cast("int").as("churned"))
+      EventAnalytics.kaplanMeier(subj, col("dur"), col("churned"))
+        .orderBy(col("t"))
+    },
+    Some("""WITH RECURSIVE per AS (
+           |  SELECT user_id, min(CAST(ts AS DATE)) AS fd,
+           |    max(CAST(ts AS DATE)) AS ld
+           |  FROM events GROUP BY 1),
+           |oe AS (SELECT max(ld) AS obs_end FROM per),
+           |subj AS (
+           |  SELECT ld - fd AS dur,
+           |    CASE WHEN ld < obs_end - 5 THEN 1 ELSE 0 END AS ev
+           |  FROM per CROSS JOIN oe),
+           |r AS (
+           |  SELECT dur AS t, CAST(sum(ev) AS BIGINT) AS d,
+           |    count(*) AS alln
+           |  FROM subj GROUP BY 1),
+           |w AS (
+           |  SELECT t, d,
+           |    CAST(sum(alln) OVER (ORDER BY t DESC) AS BIGINT) AS n_risk,
+           |    row_number() OVER (ORDER BY t) AS rn
+           |  FROM r),
+           |s AS (
+           |  SELECT t, n_risk, d, rn,
+           |    (1000000 * (n_risk - d)) // n_risk AS surv
+           |  FROM w WHERE rn = 1
+           |  UNION ALL
+           |  SELECT w.t, w.n_risk, w.d, w.rn,
+           |    (s.surv * (w.n_risk - w.d)) // w.n_risk
+           |  FROM w JOIN s ON w.rn = s.rn + 1)
+           |SELECT t, n_risk, d AS d_events, CAST(surv AS BIGINT) AS surv_ppm
+           |FROM s ORDER BY t""".stripMargin),
+    "The curve folds over the DISTINCT-DURATION rollup (calendar-bounded, ~30 rows), " +
+      "never the subject table — one duration-keyed agg + a rollup-sized suffix window. " +
+      "Churn/retention with correct censoring at any subject count.")
+
+  /** q164 — W2/A-stat: NDCG@10 per user — does arrival order agree
+    * with value order? The offline ranking-eval metric, exact: the
+    * position discounts are LITERAL ppm constants (like q158's Benford
+    * table — no runtime log2), DCG/IDCG are integer sums, and the one
+    * float op divides identical exact operands. */
+  val q164 = Declared(
+    "q164_ndcg", "W2,A-stat",
+    (s, dir) => {
+      val rel = coalesce(
+        (col("value").cast("decimal(18,2)") * 100).cast("long"), lit(0L))
+      graft.ops.Ranking.ndcgAtK(
+          Tables.events(s, dir).withColumn("__rel", rel),
+          col("user_id"), Seq(col("ts"), col("event_id")), col("__rel"), 10)
+        .select(col("key").as("user_id"), col("n_items"), col("dcg_u"),
+          col("idcg_u"), round(col("ndcg"), 6).as("ndcg"))
+        .orderBy(col("user_id"))
+    },
+    Some {
+      val list = graft.ops.Ranking.NdcgDiscountPpm.mkString("[", ", ", "]")
+      s"""WITH d AS (
+         |  SELECT user_id, ts, event_id,
+         |    coalesce(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT), 0)
+         |      AS rel
+         |  FROM events),
+         |p AS (
+         |  SELECT user_id, rel,
+         |    row_number() OVER (PARTITION BY user_id
+         |      ORDER BY ts, event_id) AS p,
+         |    row_number() OVER (PARTITION BY user_id
+         |      ORDER BY rel DESC, ts, event_id) AS ip
+         |  FROM d),
+         |a AS (
+         |  SELECT user_id,
+         |    CAST(sum(CASE WHEN p <= 10 THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS n_items,
+         |    CAST(sum(CASE WHEN p <= 10 THEN rel * ($list)[p]
+         |      ELSE 0 END) AS BIGINT) AS dcg_u,
+         |    CAST(sum(CASE WHEN ip <= 10 THEN rel * ($list)[ip]
+         |      ELSE 0 END) AS BIGINT) AS idcg_u
+         |  FROM p GROUP BY user_id)
+         |SELECT user_id, n_items, dcg_u, idcg_u,
+         |  CASE WHEN idcg_u > 0
+         |    THEN round(CAST(dcg_u AS DOUBLE) / CAST(idcg_u AS DOUBLE), 6)
+         |  END AS ndcg
+         |FROM a ORDER BY user_id""".stripMargin
+    },
+    "Two row_number windows over the SAME user partitioning — one shuffle, two " +
+      "in-partition sorts; the discount lookup is a scan-side array index. The " +
+      "serving-log replay metric at 100 TB: exact integer DCG sums reconcile across " +
+      "reruns, cluster layouts and engines.")
+
+  /** q165 — W2/E6: systematic 1-in-100 sample by EXACT global rank —
+    * the auditable sampling design (every 100th row of a total order)
+    * that hash sampling can't give you. Runs on
+    * [[graft.ops.Ranking.globalRowNumber]], so no single-partition
+    * window touches the fact table; the oracle's plain row_number
+    * proves the distributed rank exact. */
+  val q165 = Declared(
+    "q165_systematic_sample", "W2,E6",
+    (s, dir) => {
+      // (orderkey, linenumber) is NOT unique in this generator's data —
+      // the order must be total or the two engines sample different
+      // rows; six columns pin it at every SF
+      val li = Tables.lineitem(s, dir).select(col("l_orderkey"),
+        col("l_linenumber"), col("l_partkey"), col("l_suppkey"),
+        col("l_quantity"), col("l_returnflag"), col("l_extendedprice"))
+      graft.ops.Ranking.globalRowNumber(li,
+          Seq(col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
+            col("l_suppkey"), col("l_extendedprice"), col("l_quantity")))
+        .filter(pmod(col("row_num"), lit(100L)) === 1)
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n_sampled"),
+          sum((col("l_extendedprice").cast("decimal(18,2)") * 100)
+            .cast("long")).as("sum_cents"))
+        .orderBy(col("l_returnflag"))
+    },
+    Some("""WITH r AS (
+           |  SELECT l_returnflag, l_extendedprice,
+           |    row_number() OVER (ORDER BY l_orderkey, l_linenumber,
+           |      l_partkey, l_suppkey, l_extendedprice, l_quantity) AS rn
+           |  FROM lineitem)
+           |SELECT l_returnflag, count(*) AS n_sampled,
+           |  CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100
+           |    AS BIGINT)) AS BIGINT) AS sum_cents
+           |FROM r WHERE rn % 100 = 1
+           |GROUP BY 1 ORDER BY 1""".stripMargin),
+    "The rank comes from range repartition + per-partition windows + a bounded offset " +
+      "rollup (q127's machinery) — no global sort bottleneck; the 1-in-k predicate is " +
+      "scan-side. Systematic designs beat Bernoulli sampling for audits because the " +
+      "inclusion set is a pure function of the total order — rerunnable bit-for-bit.")
+
   val all: Seq[Declared] = Seq(q154, q155, q156, q157, q158, q159, q160,
-    q161, q162)
+    q161, q162, q163, q164, q165)
 }

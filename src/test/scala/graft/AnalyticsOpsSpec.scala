@@ -534,6 +534,56 @@ class AnalyticsOpsSpec extends AnyFunSuite {
       ((6L, 3L, 4L, 666666L, 1L, 4L, 4.0)))
   }
 
+  test("kaplanMeier: censoring shrinks the risk set without dropping survival") {
+    // durations: t=1 x2 (1 event, 1 censored), t=2 x1 (event), t=3 x1 (censored)
+    val subj = Seq((1, 1), (1, 0), (2, 1), (3, 0)).toDF("dur", "ev")
+    val out = EventAnalytics.kaplanMeier(subj, col("dur"), col("ev"))
+      .orderBy("t").collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // n_risk 4/2/1; S = 1e6*3/4 = 750000, *1/2 = 375000, *1/1 = 375000
+    assert(out.toSeq == Seq((1, 4L, 1L, 750000L), (2, 2L, 1L, 375000L),
+      (3, 1L, 0L, 375000L)))
+  }
+
+  test("kaplanMeier: no censoring reaches zero; all-censored stays at 1e6") {
+    val dead = Seq((1, 1), (2, 1)).toDF("dur", "ev")
+    val s1 = EventAnalytics.kaplanMeier(dead, col("dur"), col("ev"))
+      .orderBy("t").select("surv_ppm").as[Long].collect().toSeq
+    assert(s1 == Seq(500000L, 0L))
+    val alive = Seq((1, 0), (2, 0)).toDF("dur", "ev")
+    val s2 = EventAnalytics.kaplanMeier(alive, col("dur"), col("ev"))
+      .orderBy("t").select("surv_ppm").as[Long].collect().toSeq
+    assert(s2 == Seq(1000000L, 1000000L))
+  }
+
+  test("ndcgAtK: hand DCG/IDCG, perfect order hits 1.0, zero relevance nulls") {
+    val df = Seq(
+      ("u1", 1L, 3L), ("u1", 2L, 1L), ("u1", 3L, 2L), // actual 3,1,2
+      ("u2", 1L, 9L), ("u2", 2L, 5L),                 // already ideal
+      ("u3", 1L, 0L), ("u3", 2L, 0L))                 // all-zero -> null
+      .toDF("u", "pos", "rel")
+    val out = Ranking.ndcgAtK(df, col("u"), Seq(col("pos")), col("rel"), 10)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(2), r.getLong(3), if (r.isNullAt(4)) None else Some(r.getDouble(4))))
+      .toMap
+    // u1: dcg = 3e6 + 630930 + 2*500000; idcg = 3e6 + 2*630930 + 500000
+    assert(out("u1")._1 == 4630930L && out("u1")._2 == 4761860L)
+    assert(math.abs(out("u1")._3.get - 4630930.0 / 4761860.0) < 1e-12)
+    assert(out("u2")._3.contains(1.0))
+    assert(out("u3")._3.isEmpty)
+  }
+
+  test("ndcgAtK: items beyond k are ignored in both orders") {
+    // 3 items, k=2: actual keeps pos 1-2; ideal keeps the TOP-2 rels
+    val df = Seq(("u", 1L, 1L), ("u", 2L, 5L), ("u", 3L, 9L))
+      .toDF("u", "pos", "rel")
+    val r = Ranking.ndcgAtK(df, col("u"), Seq(col("pos")), col("rel"), 2)
+      .collect().head
+    // dcg = 1*1e6 + 5*630930; idcg = 9*1e6 + 5*630930
+    assert(r.getLong(1) == 2L && r.getLong(2) == 4154650L &&
+      r.getLong(3) == 12154650L)
+  }
+
   test("sortedNeighborhoodPairs: adjacent-in-sort-order typos pair; far rows don't") {
     val df = Seq((1L, "aquamarine"), (2L, "aquamarinX"), (3L, "zzzebra"))
       .toDF("rec_id", "name")

@@ -198,6 +198,22 @@ class PipelineSpec extends AnyFunSuite {
       .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
     assert(pa == Map("view" -> 10000L))
 
+    val km = run("""{"pipe":"p","operations":[{"name":"k","function":
+      "kaplan_meier","kwargs":{"duration_col":"id","event_col":"wt"}}]}""",
+      obs)
+    assert(km.columns.toSeq == Seq("t", "n_risk", "d_events", "surv_ppm") &&
+      km.count() == 4)
+
+    val nd = run("""{"pipe":"p","operations":[{"name":"n","function":
+      "ndcg","kwargs":{"key_col":"g","order":["id"],"rel_col":"wt",
+      "k":10}}]}""", obs)
+    assert(nd.columns.contains("ndcg") && nd.count() == 2)
+
+    val gr = run("""{"pipe":"p","operations":[{"name":"g","function":
+      "global_row_number","kwargs":{"order":["v","id"]}}]}""", obs)
+      .select("row_num").as[Long].collect().sorted.toSeq
+    assert(gr == Seq(1L, 2L, 3L, 4L))
+
     keysDf.write.parquet(s"$tmp/probes")
     val cms = run(s"""{"pipe":"p","operations":[
       {"name":"b","function":"count_min_build","kwargs":{

@@ -193,8 +193,11 @@ class PlanSpec extends AnyFunSuite {
 
   test("globalRowNumber ranks via range repartition, not a single-partition window") {
     val df = (1 to 200).map(i => (i.toLong, (i * 37 % 101).toDouble)).toDF("id", "v")
-    val out = graft.ops.Ranking.globalRowNumber(df, Seq(col("v"), col("id")))
-    val physical = out.queryExecution.executedPlan.toString
+    // the checkpoint inside globalRowNumber hides the rank stage from
+    // the final plan — assert on the pre-materialization frame, where
+    // the range exchange and the pid-partitioned window must live
+    val ranked = graft.ops.Ranking.rankedWithPid(df, Seq(col("v"), col("id")))
+    val physical = ranked.queryExecution.executedPlan.toString
     assert(physical.contains("rangepartitioning"),
       s"rank must range-repartition:\n$physical")
     // the data-row window must partition on the pid — the only
@@ -202,6 +205,11 @@ class PlanSpec extends AnyFunSuite {
     // rollup on the broadcast side
     assert(physical.contains("windowspecdefinition(__pid"),
       s"the per-row window must partition on __pid:\n$physical")
+    // and the final assembly joins the offsets back via broadcast
+    val out = graft.ops.Ranking.globalRowNumber(df, Seq(col("v"), col("id")))
+    val outPlan = out.queryExecution.executedPlan.toString
+    assert(outPlan.contains("BroadcastHashJoin"),
+      s"offsets must broadcast back:\n$outPlan")
   }
 
   test("interval overlap join plans cell equi-joins, never a cartesian/nested loop") {
