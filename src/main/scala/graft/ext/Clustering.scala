@@ -1,0 +1,126 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** E3+ — feature-space operators over embedding columns: fixed-
+  * iteration integer k-means (the semantic-clustering step a corpus
+  * pipeline runs between near-dup removal and mixture balancing) and
+  * the exact dimension correlation matrix (the redundancy screen run
+  * before distance-based anything).
+  *
+  * Both quantize the float vectors to micro-units ONCE and then stay
+  * in 64-bit/decimal integer arithmetic, so results are bit-identical
+  * under any partitioning and any engine unrolling the same steps —
+  * float k-means can't even reproduce itself across two of its own
+  * runs on a cluster (reduce-order-dependent centroid sums).
+  */
+object Clustering {
+
+  /** Quantize a float-array column to micro-unit longs (×10⁶,
+    * half-away-from-zero — Spark round and DuckDB round agree). */
+  def microQuantize(vec: Column): Column =
+    transform(vec, x => round(x.cast("double") * 1e6, 0).cast("long"))
+
+  /** Lloyd's k-means, `iters` FIXED iterations, all-integer:
+    * distances are Σ(q−c)² over micro-unit longs, assignment breaks
+    * ties on the lower cluster id, and centroid updates use the
+    * TRUNCATING integer mean (Spark `div` and DuckDB `//` both
+    * truncate toward zero, so negative sums agree too). Init = the k
+    * lowest-id vectors; an emptied cluster keeps its previous
+    * centroid. Fixed rounds → a pure function of the input (the
+    * q100/q134 determinism contract) — an engine unrolling the same
+    * rounds as chained CTEs agrees bit-for-bit even before
+    * convergence. Returns (id, cluster, dist2) — dist2 the exact
+    * squared distance to the winning centroid in micro².
+    *
+    * Scale: points live in LONG FORM (id, dim, q), checkpointed once
+    * and re-read per round; a round is one broadcast-joined distance
+    * agg keyed on (id, cluster) + one (cluster, dim) mean agg —
+    * centroids are k·d rows and always broadcast. The k×d cost per
+    * point per round is Lloyd's lower bound; nothing here shuffles
+    * the points more than once per round. */
+  def kMeansInt(vectors: DataFrame, idCol: String, vecCol: String,
+      k: Int, iters: Int): DataFrame = {
+    require(k >= 1 && iters >= 1, "k and iters must be >= 1")
+    val pts = vectors.select(col(idCol).cast("long").as("id"),
+        posexplode(microQuantize(col(vecCol))).as(Seq("d", "q")))
+      .localCheckpoint() // re-read every round
+    val initIds = pts.select(col("id")).distinct()
+      .orderBy(col("id")).limit(k)
+      .withColumn("ck", (row_number().over(Window.orderBy(col("id"))) - 1)
+        .cast("long"))
+    var centroids = pts.join(initIds, "id")
+      .select(col("ck"), col("d"), col("q").as("c"))
+      .localCheckpoint()
+    def assigned(cs: DataFrame): DataFrame = {
+      val dist = pts.join(broadcast(cs), "d")
+        .groupBy(col("id"), col("ck"))
+        .agg(sum((col("q") - col("c")) * (col("q") - col("c"))).as("dist2"))
+      dist.withColumn("__rn", row_number().over(
+          Window.partitionBy(col("id")).orderBy(col("dist2"), col("ck"))))
+        .filter(col("__rn") === 1)
+        .select(col("id"), col("ck"), col("dist2"))
+    }
+    var i = 0
+    while (i < iters) {
+      val assign = assigned(centroids)
+      // TRUNCATING mean: Spark `div` and DuckDB `//` both truncate
+      // toward zero (including on negative sums), so the centroid
+      // update is engine-exact without any floor adjustment
+      val updated = pts.join(assign.select(col("id"), col("ck")), "id")
+        .groupBy(col("ck"), col("d"))
+        .agg(expr("sum(q) div count(1)").as("__u"))
+      centroids = centroids
+        .join(updated, Seq("ck", "d"), "left")
+        .select(col("ck"), col("d"), coalesce(col("__u"), col("c")).as("c"))
+        .localCheckpoint()
+      i += 1
+    }
+    assigned(centroids).select(col("id"), col("ck").as("cluster"), col("dist2"))
+  }
+
+  /** Exact dimension correlation matrix over the first `dims` vector
+    * components (upper triangle i ≤ j): per pair, the scaled
+    * co-moment SPP = n·Σxy − Σx·Σy in DECIMAL(38,0), then
+    * corr = SPP_ij / (√SPP_ii · √SPP_jj) — the q82 closed form lifted
+    * to a matrix. The pair explode is dims²-bounded per row (never
+    * |rows|²); the ÷ and √ are IEEE correctly-rounded over identical
+    * exact operands, so the matrix hash-compares UNROUNDED.
+    *
+    * Scale: one explode + one (i, j)-keyed agg with map-side partials;
+    * the diagonal joins back from a broadcast |dims|-row frame. The
+    * feature-redundancy screen at any corpus size. */
+  def correlationMatrix(vectors: DataFrame, vecCol: String,
+      dims: Int): DataFrame = {
+    require(dims >= 2, "dims must be >= 2")
+    val d38 = "decimal(38,0)"
+    val pairs = vectors
+      .select(microQuantize(col(vecCol)).as("__q"))
+      .select(explode(expr(
+        s"""flatten(transform(sequence(0, ${dims - 1}), i ->
+           |  transform(sequence(i, ${dims - 1}), j ->
+           |    struct(i, j, element_at(__q, i + 1) AS x,
+           |      element_at(__q, j + 1) AS y))))""".stripMargin)).as("p"))
+      .select(col("p.i").as("i"), col("p.j").as("j"),
+        col("p.x").as("x"), col("p.y").as("y"))
+    val moments = pairs.groupBy(col("i"), col("j"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x").cast(d38) * col("y")).as("sxy"))
+      .withColumn("spp", (col("n").cast(d38) * col("sxy") -
+        col("sx").cast(d38) * col("sy")).cast(d38))
+    val diag = moments.filter(col("i") === col("j"))
+      .select(col("i").as("__k"), col("spp").cast("double").as("__sppk"))
+    moments
+      .join(broadcast(diag.withColumnRenamed("__k", "i")
+        .withColumnRenamed("__sppk", "__si")), "i")
+      .join(broadcast(diag.withColumnRenamed("__k", "j")
+        .withColumnRenamed("__sppk", "__sj")), "j")
+      .select(col("i"), col("j"), col("n"), col("spp").cast("double").as("spp"),
+        when(col("__si") > 0 && col("__sj") > 0,
+          col("spp").cast("double") / (sqrt(col("__si")) * sqrt(col("__sj"))))
+          .as("corr"))
+  }
+}

@@ -403,14 +403,15 @@ object TimeSeriesOps {
     * — the recursive smoother pandas `ewm(alpha=num/den).mean()`
     * approximates, as exact integer state, so the result is
     * bit-identical under any partitioning AND any engine that unrolls
-    * the same recurrence (floor division on non-negative operands).
+    * the same recurrence (truncating division, both engines).
     * Recursion is the one shape neither a window frame nor an agg can
     * express (each output depends on ALL priors with decaying weights);
     * Spark's gap is closed with an ordered `aggregate` fold over the
     * collected per-key series — the per-key sequential scan the
     * recurrence inherently is. Values must be non-negative longs
-    * (Spark `div` truncates toward zero, DuckDB `//` floors: identical
-    * only on non-negatives — guarded with a typed error). Returns one
+    * (Spark `div` and DuckDB `//` both truncate toward zero, but a
+    * smoother over signed data invites floor-vs-trunc convention bugs
+    * on OTHER engines — guarded with a typed error). Returns one
     * row per input point: (key…, order, value, ewma).
     *
     * Scale: ONE key-partitioned shuffle; state is the key's own series,

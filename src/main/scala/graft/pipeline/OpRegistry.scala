@@ -403,6 +403,11 @@ object OpRegistry {
       df, col(str(p, "key_col")), strs(p, "order").map(col),
       col(str(p, "rel_col")), num(p, "k").toInt)),
     "global_row_number" -> (p => df => graft.ops.Ranking.globalRowNumber(
-      df, strs(p, "order").map(col)))
+      df, strs(p, "order").map(col))),
+    "kmeans" -> (p => df => graft.ext.Clustering.kMeansInt(
+      df, str(p, "id_col"), str(p, "vec_col"),
+      num(p, "k").toInt, num(p, "iters").toInt)),
+    "correlation_matrix" -> (p => df => graft.ext.Clustering.correlationMatrix(
+      df, str(p, "vec_col"), num(p, "dims").toInt))
   ))
 }

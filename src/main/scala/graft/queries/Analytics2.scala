@@ -560,6 +560,104 @@ object Analytics2 {
       "scan-side. Systematic designs beat Bernoulli sampling for audits because the " +
       "inclusion set is a pure function of the total order — rerunnable bit-for-bit.")
 
+  /** q166 — E3+: fixed-iteration integer k-means over the embeddings
+    * (k = 4, 3 Lloyd rounds, micro-unit quantization). Float k-means
+    * cannot reproduce itself across two runs (reduce-order centroid
+    * sums); the integer form is a pure function of the input, so the
+    * oracle unrolling the SAME rounds as chained CTEs must agree on
+    * every assignment AND every exact squared distance. */
+  val q166 = Declared(
+    "q166_kmeans", "E3+,E6",
+    (s, dir) =>
+      graft.ext.Clustering.kMeansInt(Tables.embeddings(s, dir),
+          "vec_id", "embedding", k = 4, iters = 3)
+        .select(col("id").as("vec_id"), col("cluster"), col("dist2"))
+        .orderBy(col("vec_id")),
+    Some {
+      def dist(tag: String, cs: String) =
+        s"""d$tag AS (
+           |  SELECT p.id, c.ck, sum((p.q - c.c) * (p.q - c.c)) AS dist2
+           |  FROM pts p JOIN $cs c ON p.d = c.d GROUP BY p.id, c.ck),
+           |a$tag AS (
+           |  SELECT id, ck, dist2 FROM (
+           |    SELECT id, ck, dist2,
+           |      row_number() OVER (PARTITION BY id ORDER BY dist2, ck) AS rn
+           |    FROM d$tag) WHERE rn = 1)""".stripMargin
+      val rounds = (1 to 3).map { i =>
+        s"""${dist(i.toString, s"c${i - 1}")},
+           |u$i AS (
+           |  SELECT a.ck, p.d, CAST(sum(p.q) // count(*) AS BIGINT) AS c
+           |  FROM pts p JOIN a$i a USING (id) GROUP BY a.ck, p.d),
+           |c$i AS (
+           |  SELECT c.ck, c.d, coalesce(u.c, c.c) AS c
+           |  FROM c${i - 1} c LEFT JOIN u$i u ON c.ck = u.ck AND c.d = u.d)"""
+          .stripMargin
+      }.mkString(",\n")
+      s"""WITH pts AS (
+         |  SELECT vec_id AS id, i - 1 AS d,
+         |    CAST(round(CAST(embedding[i] AS DOUBLE) * 1000000, 0) AS BIGINT)
+         |      AS q
+         |  FROM embeddings, (SELECT unnest(range(1, 65)) AS i) idx),
+         |init AS (
+         |  SELECT id, row_number() OVER (ORDER BY id) - 1 AS ck
+         |  FROM (SELECT DISTINCT id FROM pts) ORDER BY id LIMIT 4),
+         |c0 AS (
+         |  SELECT init.ck, pts.d, pts.q AS c FROM pts JOIN init USING (id)),
+         |$rounds,
+         |${dist("f", "c3")}
+         |SELECT id AS vec_id, CAST(ck AS BIGINT) AS cluster,
+         |  CAST(dist2 AS BIGINT) AS dist2
+         |FROM af ORDER BY vec_id""".stripMargin
+    },
+    "Points live in checkpointed LONG form re-read per round; a round is one " +
+      "broadcast-joined distance agg keyed on (id, cluster) + one (cluster, dim) " +
+      "mean agg — centroids are k*d rows and ALWAYS broadcast, so the per-round " +
+      "shuffle is one pass over the points. Fixed rounds, zero driver traffic: the " +
+      "semantic-clustering step between dedup and mixture balancing at corpus scale.")
+
+  /** q167 — E3+/A1: exact dimension correlation matrix over the first
+    * 16 embedding components — q82's closed form lifted to a matrix.
+    * Co-moments are DECIMAL(38,0)/HUGEINT integers; ÷ and √ are
+    * correctly-rounded IEEE over identical operands, so the matrix
+    * hash-compares UNROUNDED. */
+  val q167 = Declared(
+    "q167_corr_matrix", "E3+,A1",
+    (s, dir) =>
+      graft.ext.Clustering.correlationMatrix(
+          Tables.embeddings(s, dir), "embedding", dims = 16)
+        .select(col("i").cast("long").as("i"), col("j").cast("long").as("j"),
+          col("n"), col("spp"), col("corr"))
+        .orderBy(col("i"), col("j")),
+    Some("""WITH q AS (
+           |  SELECT list_transform(embedding,
+           |    x -> CAST(round(CAST(x AS DOUBLE) * 1000000, 0) AS BIGINT)) AS qv
+           |  FROM embeddings),
+           |p AS (
+           |  SELECT ii.i, jj.j, qv[ii.i + 1] AS x, qv[jj.j + 1] AS y
+           |  FROM q,
+           |    (SELECT unnest(range(0, 16)) AS i) ii,
+           |    (SELECT unnest(range(0, 16)) AS j) jj
+           |  WHERE jj.j >= ii.i),
+           |s AS (
+           |  SELECT i, j, count(*) AS n,
+           |    CAST(sum(x) AS HUGEINT) AS sx, CAST(sum(y) AS HUGEINT) AS sy,
+           |    CAST(sum(CAST(x AS HUGEINT) * y) AS HUGEINT) AS sxy
+           |  FROM p GROUP BY 1, 2),
+           |m AS (
+           |  SELECT i, j, n, CAST(n AS HUGEINT) * sxy - sx * sy AS spp
+           |  FROM s),
+           |v AS (SELECT i AS k, CAST(spp AS DOUBLE) AS sppk FROM m WHERE i = j)
+           |SELECT m.i, m.j, n, CAST(m.spp AS DOUBLE) AS spp,
+           |  CASE WHEN vi.sppk > 0 AND vj.sppk > 0
+           |    THEN CAST(m.spp AS DOUBLE) / (sqrt(vi.sppk) * sqrt(vj.sppk))
+           |  END AS corr
+           |FROM m JOIN v vi ON m.i = vi.k JOIN v vj ON m.j = vj.k
+           |ORDER BY m.i, m.j""".stripMargin),
+    "The pair explode is dims^2-bounded PER ROW (never |rows|^2); one (i, j)-keyed " +
+      "agg with map-side partials does the rest, and the diagonal joins back from a " +
+      "broadcast |dims|-row frame. The feature-redundancy screen before any " +
+      "distance-based pipeline stage, exact at any corpus size.")
+
   val all: Seq[Declared] = Seq(q154, q155, q156, q157, q158, q159, q160,
-    q161, q162, q163, q164, q165)
+    q161, q162, q163, q164, q165, q166, q167)
 }

@@ -1,0 +1,68 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.ext.Clustering
+
+/** E3+ feature-space ops: integer k-means and the exact dimension
+  * correlation matrix. */
+class ClusteringSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private def vecs(rows: (Long, Seq[Float])*) =
+    rows.toSeq.toDF("vec_id", "embedding")
+
+  test("kMeansInt: well-separated blobs are recovered exactly") {
+    // two tight blobs around (0, 0) and (10, 10); k = 2, ids 0/1 seed
+    // one blob each, so one round converges
+    val df = vecs(
+      0L -> Seq(0.0f, 0.1f), 2L -> Seq(0.1f, 0.0f), 4L -> Seq(0.05f, 0.05f),
+      1L -> Seq(10.0f, 10.1f), 3L -> Seq(10.1f, 10.0f), 5L -> Seq(9.9f, 10.0f))
+    val out = Clustering.kMeansInt(df, "vec_id", "embedding", k = 2, iters = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out(0L) == out(2L) && out(2L) == out(4L))
+    assert(out(1L) == out(3L) && out(3L) == out(5L))
+    assert(out(0L) != out(1L))
+  }
+
+  test("kMeansInt: an emptied cluster keeps its previous centroid") {
+    // k = 3 over two distinct points: init takes ids 0, 1, 2 but id 2
+    // duplicates id 0's vector, so cluster 2 empties after round 1
+    // (ties break to the LOWER cluster id) and must keep its centroid
+    val df = vecs(0L -> Seq(0.0f), 1L -> Seq(5.0f), 2L -> Seq(0.0f))
+    val out = Clustering.kMeansInt(df, "vec_id", "embedding", k = 3, iters = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out == Map(0L -> 0L, 2L -> 0L, 1L -> 1L))
+  }
+
+  test("kMeansInt: dist2 is the exact integer squared distance") {
+    // one point, one cluster: centroid = the point itself -> dist2 = 0
+    val df = vecs(7L -> Seq(0.25f, -0.5f))
+    val r = Clustering.kMeansInt(df, "vec_id", "embedding", 1, 1)
+      .collect().head
+    assert(r.getLong(1) == 0L && r.getLong(2) == 0L)
+  }
+
+  test("correlationMatrix: perfect +/- correlation and unit diagonal") {
+    // dim1 = 2*dim0 (corr +1), dim2 = -dim0 (corr -1)
+    val df = vecs(
+      1L -> Seq(1.0f, 2.0f, -1.0f),
+      2L -> Seq(2.0f, 4.0f, -2.0f),
+      3L -> Seq(3.0f, 6.0f, -3.0f))
+    val out = Clustering.correlationMatrix(df, "embedding", dims = 3)
+      .collect().map(r => (r.getInt(0), r.getInt(1)) -> r.getDouble(4)).toMap
+    assert(math.abs(out((0, 0)) - 1.0) < 1e-12)
+    assert(math.abs(out((0, 1)) - 1.0) < 1e-12)
+    assert(math.abs(out((0, 2)) + 1.0) < 1e-12)
+    assert(out.size == 6) // upper triangle of 3 dims
+  }
+
+  test("correlationMatrix: constant dimension yields null corr, not NaN") {
+    val df = vecs(1L -> Seq(1.0f, 5.0f), 2L -> Seq(2.0f, 5.0f))
+    val rows = Clustering.correlationMatrix(df, "embedding", dims = 2)
+      .collect().map(r => ((r.getInt(0), r.getInt(1)), r.isNullAt(4))).toMap
+    assert(rows((0, 1)) && rows((1, 1))) // anything vs the constant dim
+    assert(!rows((0, 0)))
+  }
+}
