@@ -350,4 +350,29 @@ object Curation {
       .filter(col("rank") <= topK)
       .select(col(idCol), col("rank"), col("term"), col("tfidf"))
   }
+
+  /** E7 — reciprocal-rank fusion (Cormack et al. 2009, public
+    * literature): merge rankings from heterogeneous retrievers
+    * (lexical BM25, vector cosine, …) without score calibration —
+    * each list contributes unit div (k + rank) to its members, summed.
+    * Integer micro-unit quotients (truncating division on both
+    * engines), so the fused ranking is exact and engine-portable —
+    * the property score-sum fusion can't have (incomparable scales).
+    * Input frames carry (idCol, rankCol) with rank 1-based. Returns
+    * (id, n_lists, rrf_u) — ids in fewer lists simply earn fewer
+    * contributions.
+    *
+    * Scale: each list is already rank-bounded (top-k per retriever);
+    * the fusion is one union + one id-keyed agg over |lists|·k rows —
+    * the cheap last stage of a hybrid search/retrieval pipeline. */
+  def reciprocalRankFusion(lists: Seq[DataFrame], idCol: String,
+      rankCol: String, k: Int = 60, unit: Long = 1000000L): DataFrame = {
+    require(lists.nonEmpty, "rrf needs at least one ranked list")
+    require(k >= 0 && unit > 0, "k must be >= 0, unit positive")
+    lists.map(df => df.select(col(idCol).as("id"),
+        expr(s"${unit}L div (${k}L + $rankCol)").as("__s")))
+      .reduce(_ unionByName _)
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_lists"), sum(col("__s")).as("rrf_u"))
+  }
 }

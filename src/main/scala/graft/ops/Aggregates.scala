@@ -387,6 +387,66 @@ object Aggregates {
           .as("hot_ratio"))
   }
 
+  /** E6 — order-invariant dataset fingerprint: per group, the row
+    * count plus the SUM (DECIMAL(38,0), overflow-free) and XOR of a
+    * portable per-row hash ([[graft.ext.Dedup.md5Hash60]] over the
+    * canonical column rendering). Addition and XOR commute, so two
+    * copies of a dataset fingerprint equal REGARDLESS of row order,
+    * partitioning, file layout or engine — the replica-verification /
+    * migration-audit primitive that avoids sorting 100 TB to compare
+    * it. Nulls render as an explicit sentinel so (null, "a") and
+    * ("a", null) cannot collide through separator skipping.
+    *
+    * Scale: one scan + one group agg with map-side partials; output
+    * is |groups| rows. Compare fingerprints, not data. */
+  def datasetFingerprint(df: DataFrame, groupBy: Seq[Column],
+      cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "fingerprint needs at least one column")
+    val rendered = cols.map(c =>
+      coalesce(col(c).cast("string"), lit("\u0000NULL\u0000")))
+    val withH = df.withColumn("__h",
+      graft.ext.Dedup.md5Hash60(concat_ws("\u0001", rendered: _*)))
+    val grouped = if (groupBy.isEmpty)
+      withH.groupBy(lit(1).as("__g")) else withH.groupBy(groupBy: _*)
+    // the exact sum can exceed int64; reduce mod the Mersenne prime
+    // 2^61 - 1 — modular addition still commutes, so order invariance
+    // and the BIGINT output type both hold
+    val out = grouped.agg(count(lit(1)).as("n_rows"),
+      (sum(col("__h").cast("decimal(38,0)")) % lit(2305843009213693951L))
+        .cast("long").as("sum_sig"),
+      expr("bit_xor(__h)").as("xor_sig"))
+    if (groupBy.isEmpty) out.drop("__g") else out
+  }
+
+  /** E6/J1 — join-cardinality audit: the EXACT inner-join row count
+    * |A ⋈ B| = Σ_k cntA(k)·cntB(k) plus key-overlap counts, computed
+    * from the two key rollups WITHOUT materializing the join — the
+    * pre-flight that catches a fan-out join (many-to-many key reuse)
+    * before it multiplies 100 TB by 40×. Returns one row:
+    * (rows_a, rows_b, keys_a, keys_b, keys_matched, inner_rows,
+    * max_fanout) — max_fanout the largest single-key cntA·cntB.
+    *
+    * Scale: two key-keyed count aggs + one |keys|-sized join; products
+    * widen to DECIMAL(38,0). Nothing touches the fact rows twice. */
+  def joinCardinality(a: DataFrame, keyA: Column,
+      b: DataFrame, keyB: Column): DataFrame = {
+    val d38 = "decimal(38,0)"
+    val ra = a.groupBy(keyA.as("__k")).agg(count(lit(1)).as("__ca"))
+    val rb = b.groupBy(keyB.as("__k")).agg(count(lit(1)).as("__cb"))
+    ra.join(rb, Seq("__k"), "full_outer")
+      .agg(sum(col("__ca")).cast("long").as("rows_a"),
+        sum(col("__cb")).cast("long").as("rows_b"),
+        count(col("__ca")).as("keys_a"),
+        count(col("__cb")).as("keys_b"),
+        sum(when(col("__ca").isNotNull && col("__cb").isNotNull, 1L)
+          .otherwise(0L)).as("keys_matched"),
+        sum(col("__ca").cast(d38) * col("__cb").cast(d38)).cast("long")
+          .as("inner_rows"), // fits int64 for any join a cluster could run
+
+        max(col("__ca").cast(d38) * col("__cb").cast(d38)).cast("long")
+          .as("max_fanout"))
+  }
+
   /** E6/A1 — merge two partial aggregation STATES: the incremental-
     * materialization kernel. Each side holds (key, partial…) rows where
     * every merge column is an ALGEBRAIC partial (sum, count — things

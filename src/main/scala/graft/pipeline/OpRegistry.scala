@@ -408,6 +408,16 @@ object OpRegistry {
       df, str(p, "id_col"), str(p, "vec_col"),
       num(p, "k").toInt, num(p, "iters").toInt)),
     "correlation_matrix" -> (p => df => graft.ext.Clustering.correlationMatrix(
-      df, str(p, "vec_col"), num(p, "dims").toInt))
+      df, str(p, "vec_col"), num(p, "dims").toInt)),
+    "fingerprint" -> (p => df => graft.ops.Aggregates.datasetFingerprint(
+      df, strs(p, "keys").map(col), strs(p, "columns"))),
+    // df is side A; side B reads from a file (two-input pattern)
+    "join_cardinality" -> (p => df => graft.ops.Aggregates.joinCardinality(
+      df, col(str(p, "key_a")),
+      df.sparkSession.read.parquet(str(p, "b_file")), col(str(p, "key_b")))),
+    "rrf" -> (p => df => graft.ext.Curation.reciprocalRankFusion(
+      Seq(df, df.sparkSession.read.parquet(str(p, "other_file"))),
+      str(p, "id_col"), str(p, "rank_col"),
+      numOpt(p, "k").map(_.toInt).getOrElse(60)))
   ))
 }

@@ -658,6 +658,141 @@ object Analytics2 {
       "broadcast |dims|-row frame. The feature-redundancy screen before any " +
       "distance-based pipeline stage, exact at any corpus size.")
 
+  /** q168 — E7: hybrid retrieval via reciprocal-rank fusion — the
+    * lexical BM25 list (q74's scorer) and the vector cosine list
+    * (q44's scorer) merged WITHOUT score calibration: each list
+    * contributes 10⁶ div (60 + rank). RRF is how production hybrid
+    * search actually combines incomparable retrievers; integer
+    * quotients make the fusion exact cross-engine. */
+  val q168 = Declared(
+    "q168_rrf_fusion", "E7,E3",
+    (s, dir) => {
+      import graft.ext.{Curation, Similarity}
+      import org.apache.spark.sql.expressions.Window
+      val docs = Tables.documents(s, dir).filter(col("doc_id") < 300)
+      val bm = Curation.bm25Scores(docs, "text", "doc_id",
+          Seq("table", "fast", "join"))
+        .withColumn("rank", row_number().over(
+          Window.orderBy(col("score").desc, col("doc_id"))))
+        .filter(col("rank") <= 50)
+        .select(col("doc_id").as("id"), col("rank"))
+      val probe = Tables.embeddings(s, dir).filter(col("vec_id") === 0)
+        .select(col("embedding")).head.getSeq[Float](0).toArray
+      val cos = Similarity.topKCosine(
+          Tables.embeddings(s, dir)
+            .filter(col("vec_id") =!= 0 && col("vec_id") < 300),
+          "embedding", "vec_id", probe, k = 50)
+        .withColumn("rank", row_number().over(
+          Window.orderBy(col("cosine").desc, col("vec_id"))))
+        .select(col("vec_id").as("id"), col("rank"))
+      Curation.reciprocalRankFusion(Seq(bm, cos), "id", "rank")
+        .orderBy(col("rrf_u").desc, col("id")).limit(20)
+    },
+    Some("""WITH corpus AS (SELECT doc_id, text FROM documents WHERE doc_id < 300),
+           |tk AS (SELECT doc_id, regexp_split_to_array(lower(text), '\s+') AS toks FROM corpus),
+           |dl AS (SELECT doc_id, len(toks) AS dl FROM tk),
+           |tok AS (SELECT doc_id, unnest(toks) AS term FROM tk),
+           |tf AS (SELECT doc_id, term, count(*) AS tf FROM tok
+           |       WHERE term IN ('table', 'fast', 'join') GROUP BY doc_id, term),
+           |dfq AS (SELECT term, count(DISTINCT doc_id) AS df FROM tf GROUP BY term),
+           |stats AS (SELECT count(*) AS n_docs, CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl
+           |          FROM dl),
+           |contrib AS (
+           |  SELECT tf.doc_id,
+           |    CAST(round(ln(1.0 + (stats.n_docs - dfq.df + 0.5) / (dfq.df + 0.5))
+           |      * tf.tf * 2.2 / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / stats.avgdl))
+           |      * 1e6, 0) AS BIGINT) AS cu
+           |  FROM tf JOIN dfq USING (term) JOIN dl USING (doc_id) CROSS JOIN stats),
+           |bm AS (SELECT doc_id, round(CAST(sum(cu) AS DOUBLE) / 1e6, 6) AS score
+           |       FROM contrib GROUP BY doc_id),
+           |bmrank AS (
+           |  SELECT doc_id AS id,
+           |    row_number() OVER (ORDER BY score DESC, doc_id) AS r
+           |  FROM bm),
+           |qv AS (SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv
+           |       FROM embeddings WHERE vec_id = 0),
+           |scored AS (
+           |  SELECT vec_id,
+           |    list_dot_product(list_transform(embedding, x -> CAST(x AS DOUBLE)), qv)
+           |      / (sqrt(list_dot_product(qv, qv))
+           |         * sqrt(list_dot_product(list_transform(embedding, x -> CAST(x AS DOUBLE)),
+           |                                 list_transform(embedding, x -> CAST(x AS DOUBLE))))) AS c
+           |  FROM embeddings, qv WHERE vec_id <> 0 AND vec_id < 300),
+           |cosrank AS (
+           |  SELECT vec_id AS id, row_number() OVER (ORDER BY c DESC, vec_id) AS r
+           |  FROM (SELECT * FROM scored ORDER BY c DESC, vec_id LIMIT 50)),
+           |u AS (
+           |  SELECT id, 1000000 // (60 + r) AS s FROM bmrank WHERE r <= 50
+           |  UNION ALL
+           |  SELECT id, 1000000 // (60 + r) AS s FROM cosrank)
+           |SELECT id, count(*) AS n_lists, CAST(sum(s) AS BIGINT) AS rrf_u
+           |FROM u GROUP BY id
+           |ORDER BY rrf_u DESC, id LIMIT 20""".stripMargin),
+    "Each retriever is already rank-bounded (top-50), so the fusion is one union + " +
+      "one id-keyed agg over |lists|*k rows — the cheap last stage of hybrid search. " +
+      "The ranking windows run over retriever outputs (bounded), never corpus rows. " +
+      "This is the RAG-era read path: lexical recall + semantic recall, exact merge.")
+
+  /** q169 — E6: order-invariant dataset fingerprints per return flag —
+    * count + SUM + XOR of a portable per-row md5. Addition and XOR
+    * commute, so any row order / partitioning / file layout / engine
+    * yields the identical signature: replica verification without
+    * sorting the table. Money renders through DECIMAL(18,2) (double
+    * formatting is NOT engine-portable; decimal is). */
+  val q169 = Declared(
+    "q169_fingerprint", "E6",
+    (s, dir) => {
+      val li = Tables.lineitem(s, dir).select(col("l_returnflag"),
+        col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
+        col("l_suppkey"), col("l_quantity").cast("long").as("l_qty"),
+        col("l_extendedprice").cast("decimal(18,2)").as("l_price"))
+      Aggregates.datasetFingerprint(li, Seq(col("l_returnflag")),
+          Seq("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey",
+            "l_qty", "l_price"))
+        .orderBy(col("l_returnflag"))
+    },
+    Some(s"""WITH r AS (
+            |  SELECT l_returnflag,
+            |    ${LlmExt2.duckMd5Hash60(
+      "concat_ws(chr(1), CAST(l_orderkey AS VARCHAR), " +
+        "CAST(l_linenumber AS VARCHAR), CAST(l_partkey AS VARCHAR), " +
+        "CAST(l_suppkey AS VARCHAR), CAST(CAST(l_quantity AS BIGINT) AS VARCHAR), " +
+        "CAST(CAST(l_extendedprice AS DECIMAL(18,2)) AS VARCHAR))")} AS h
+            |  FROM lineitem)
+            |SELECT l_returnflag, count(*) AS n_rows,
+            |  CAST(CAST(sum(h) AS HUGEINT) % 2305843009213693951 AS BIGINT)
+            |    AS sum_sig, bit_xor(h) AS xor_sig
+            |FROM r GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin),
+    "One scan + one group agg with map-side partials; compare |groups|-row " +
+      "fingerprints instead of sorting and diffing 100 TB. The migration/replication " +
+      "audit primitive — and because + and XOR commute, two 1000-executor runs with " +
+      "completely different layouts still produce bit-equal signatures.")
+
+  /** q170 — E6/J1: join-cardinality audit of orders ⋈ customer —
+    * |A ⋈ B| and key overlap computed from the two key ROLLUPS,
+    * without materializing the join. The pre-flight that catches
+    * fan-out joins before they multiply 100 TB. */
+  val q170 = Declared(
+    "q170_join_cardinality", "E6,J1",
+    (s, dir) =>
+      Aggregates.joinCardinality(
+        Tables.orders(s, dir), col("o_custkey"),
+        Tables.customer(s, dir), col("c_custkey")),
+    Some("""WITH ra AS (SELECT o_custkey AS k, count(*) AS ca FROM orders GROUP BY 1),
+           |rb AS (SELECT c_custkey AS k, count(*) AS cb FROM customer GROUP BY 1),
+           |j AS (SELECT ra.ca, rb.cb FROM ra FULL OUTER JOIN rb USING (k))
+           |SELECT CAST(sum(ca) AS BIGINT) AS rows_a,
+           |  CAST(sum(cb) AS BIGINT) AS rows_b,
+           |  count(ca) AS keys_a, count(cb) AS keys_b,
+           |  CAST(sum(CASE WHEN ca IS NOT NULL AND cb IS NOT NULL THEN 1 ELSE 0 END)
+           |    AS BIGINT) AS keys_matched,
+           |  CAST(sum(CAST(ca AS HUGEINT) * cb) AS BIGINT) AS inner_rows,
+           |  CAST(max(CAST(ca AS HUGEINT) * cb) AS BIGINT) AS max_fanout
+           |FROM j""".stripMargin),
+    "Two key-keyed count aggs + one |keys|-sized join; the fact rows are scanned " +
+      "once each and never joined. Paired with q162's skew audit, this is the " +
+      "planning pass a 100 TB join pipeline runs before committing executor-hours.")
+
   val all: Seq[Declared] = Seq(q154, q155, q156, q157, q158, q159, q160,
-    q161, q162, q163, q164, q165, q166, q167)
+    q161, q162, q163, q164, q165, q166, q167, q168, q169, q170)
 }

@@ -584,6 +584,42 @@ class AnalyticsOpsSpec extends AnyFunSuite {
       r.getLong(3) == 12154650L)
   }
 
+  test("reciprocalRankFusion: integer quotients, membership-weighted") {
+    val a = Seq(("a", 1), ("b", 2)).toDF("id", "rank")
+    val b = Seq(("b", 1), ("c", 2)).toDF("id", "rank")
+    val out = graft.ext.Curation.reciprocalRankFusion(Seq(a, b), "id", "rank")
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // 1e6 div 61 = 16393, div 62 = 16129
+    assert(out == Map("a" -> ((1L, 16393L)), "b" -> ((2L, 32522L)),
+      "c" -> ((1L, 16129L))))
+  }
+
+  test("datasetFingerprint: order/partitioning-invariant, value-sensitive") {
+    val df = Seq((1L, "x"), (2L, "y"), (3L, "z")).toDF("id", "s")
+    def fp(d: org.apache.spark.sql.DataFrame) =
+      Aggregates.datasetFingerprint(d, Nil, Seq("id", "s"))
+        .collect().head match { case r => (r.getLong(0), r.getLong(1), r.getLong(2)) }
+    val base = fp(df)
+    assert(fp(df.orderBy(col("s").desc)) == base)
+    assert(fp(df.repartition(7)) == base)
+    val changed = fp(Seq((1L, "x"), (2L, "y"), (3L, "Z")).toDF("id", "s"))
+    assert(changed != base)
+    // null sentinel: (null, "a") must not collide with ("a", null)
+    val n1 = fp(Seq((Option.empty[String], Some("a"))).toDF("id", "s"))
+    val n2 = fp(Seq((Some("a"), Option.empty[String])).toDF("id", "s"))
+    assert(n1 != n2)
+  }
+
+  test("joinCardinality: exact fan-out arithmetic from the rollups") {
+    val a = Seq(1L, 1L, 2L).toDF("k")
+    val b = Seq(1L, 3L).toDF("k2")
+    val r = Aggregates.joinCardinality(a, col("k"), b, col("k2"))
+      .collect().head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+      r.getLong(4), r.getLong(5), r.getLong(6)) ==
+      ((3L, 2L, 2L, 2L, 1L, 2L, 2L)))
+  }
+
   test("sortedNeighborhoodPairs: adjacent-in-sort-order typos pair; far rows don't") {
     val df = Seq((1L, "aquamarine"), (2L, "aquamarinX"), (3L, "zzzebra"))
       .toDF("rec_id", "name")
