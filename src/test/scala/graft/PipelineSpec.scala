@@ -214,6 +214,38 @@ class PipelineSpec extends AnyFunSuite {
       .select("row_num").as[Long].collect().sorted.toSeq
     assert(gr == Seq(1L, 2L, 3L, 4L))
 
+    val vecs = Seq((1L, Seq(0.0f, 0.0f)), (2L, Seq(9.0f, 9.0f)),
+      (3L, Seq(0.1f, 0.1f))).toDF("vec_id", "embedding")
+    val kmj = run("""{"pipe":"p","operations":[{"name":"k","function":
+      "kmeans","kwargs":{"id_col":"vec_id","vec_col":"embedding",
+      "k":2,"iters":1}}]}""", vecs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(kmj(1L) == kmj(3L) && kmj(1L) != kmj(2L))
+
+    val cmj = run("""{"pipe":"p","operations":[{"name":"c","function":
+      "correlation_matrix","kwargs":{"vec_col":"embedding","dims":2}}]}""",
+      vecs)
+    assert(cmj.count() == 3)
+
+    val fpj = run("""{"pipe":"p","operations":[{"name":"f","function":
+      "fingerprint","kwargs":{"keys":["g"],"columns":["id","v"]}}]}""", obs)
+    assert(fpj.columns.toSeq ==
+      Seq("g", "n_rows", "sum_sig", "xor_sig") && fpj.count() == 2)
+
+    obs.select(col("id").as("k2")).write.parquet(s"$tmp/bside")
+    val jcj = run(s"""{"pipe":"p","operations":[{"name":"j","function":
+      "join_cardinality","kwargs":{"key_a":"id","b_file":"$tmp/bside",
+      "key_b":"k2"}}]}""", obs).collect().head
+    assert(jcj.getLong(5) == 4L) // 4 ids, 1:1
+
+    Seq(("a", 1L), ("b", 2L)).toDF("id", "rank").write.parquet(s"$tmp/listb")
+    val rrfj = run(s"""{"pipe":"p","operations":[{"name":"r","function":
+      "rrf","kwargs":{"other_file":"$tmp/listb","id_col":"id",
+      "rank_col":"rank"}}]}""",
+      Seq(("a", 1L), ("c", 2L)).toDF("id", "rank"))
+      .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+    assert(rrfj("a") == 32786L && rrfj("b") == 16129L) // 2x div61, div62
+
     keysDf.write.parquet(s"$tmp/probes")
     val cms = run(s"""{"pipe":"p","operations":[
       {"name":"b","function":"count_min_build","kwargs":{
