@@ -66,4 +66,100 @@ object Sketches {
       .join(broadcast(sketch), Seq("row_j", "bucket"), "left")
       .groupBy(col("key"))
       .agg(min(coalesce(col("cnt"), lit(0L))).as("est"))
+
+  /** HLL rank scale: registers hold values in [1, 33] (leading zeros
+    * of a 32-bit sub-hash + 1); the indicator sum is kept as the
+    * INTEGER Σ 2^(33−M_j) — empty registers contribute 2^33 — so the
+    * whole sketch state is exact BIGINT arithmetic that a second
+    * engine reproduces bit-for-bit. */
+  private val HllRankMax = 33
+
+  /** E6 — HyperLogLog register table (Flajolet et al. 2007, public
+    * literature): per (group, register-index), the max over member
+    * keys of (leading-zero count of a 32-bit sub-hash + 1). Hashes
+    * are md5-derived like [[countMinBuild]] — chars 1-8 pick the
+    * register (mod m), chars 9-16 give the rank word — so the
+    * register table is deterministic and cross-engine-verifiable
+    * EXACTLY, not just statistically.
+    *
+    * Scale: one explode-free scan + one (group, idx)-keyed agg with
+    * map-side combine; shuffle volume ≤ groups·m rows no matter the
+    * input size. Register max is associative+commutative, so any
+    * partitioning / merge tree yields the identical table (the
+    * mergeability law SketchSpec pins for Spark's own HLL). */
+  def hllRegisters(df: DataFrame, groupKeys: Seq[Column], keyCol: Column,
+      m: Int): DataFrame = {
+    require(m >= 2 && (m & (m - 1)) == 0 && m <= 65536,
+      "register count m must be a power of two in [2, 65536]")
+    val h = md5(keyCol.cast("string"))
+    val idx = pmod(conv(substring(h, 1, 8), 16, 10).cast("long"), lit(m.toLong))
+    val w = conv(substring(h, 9, 8), 16, 10).cast("long")
+    // rank = leading zeros in the 32-bit word + 1 = 33 − bitlen(w);
+    // bin() prints the minimal binary form, so length(bin(w)) = bitlen
+    val rank = when(w === 0L, lit(HllRankMax.toLong))
+      .otherwise(lit(HllRankMax.toLong) - length(bin(w)).cast("long"))
+    val projected = df.select(groupKeys :+ idx.as("idx") :+ rank.as("rank"): _*)
+    val gNames = projected.columns.dropRight(2).toSeq
+    projected.groupBy((gNames :+ "idx").map(col): _*)
+      .agg(max(col("rank")).as("m_rank"))
+  }
+
+  /** Collapse an [[hllRegisters]] table to per-group estimates:
+    * (…group, registers_hit, sum_scaled, est_hll) where
+    * sum_scaled = Σ_j 2^(33−M_j) (empty registers count 2^33) and
+    * est_hll = α_m·m²·2^33 / sum_scaled — the RAW HLL estimate. The
+    * single float op divides identical exact integers by a shared
+    * literal product, so even the double hash-matches across engines.
+    * No small/large-range correction (those need ln); callers read
+    * `registers_hit` < m as the linear-counting signal instead. */
+  def hllEstimate(registers: DataFrame, groupNames: Seq[String], m: Int): DataFrame = {
+    val numLit = hllAlpha(m) * m * m * (1L << HllRankMax).toDouble
+    registers.groupBy(groupNames.map(col): _*)
+      .agg(count(lit(1)).as("registers_hit"),
+        // scala functions.shiftleft takes a literal shift; the SQL
+        // form accepts a column shift amount (ShiftLeft expression)
+        (sum(expr(s"shiftleft(1L, $HllRankMax - m_rank)")) +
+          (lit(m.toLong) - count(lit(1))) * lit(1L << HllRankMax)).as("sum_scaled"))
+      .withColumn("est_hll", lit(numLit) / col("sum_scaled").cast("double"))
+  }
+
+  /** α_m bias constant (Flajolet et al. 2007): 0.7213/(1 + 1.079/m)
+    * for m ≥ 128, with the published small-m values below. Public
+    * constants; interpolate the SAME double literal into oracle SQL. */
+  def hllAlpha(m: Int): Double = m match {
+    case 16 => 0.673
+    case 32 => 0.697
+    case 64 => 0.709
+    case _ => 0.7213 / (1.0 + 1.079 / m)
+  }
+
+  /** E6 — Bloom filter build: the distinct set-bit positions of a
+    * `bits`-wide, k-hash filter over `keyCol` (Bloom 1970, public
+    * literature). Hash j = j-th 32-bit md5 chunk mod bits (k ≤ 4 —
+    * one md5 per key, same family as [[countMinBuild]]).
+    *
+    * Scale: the filter is the DISTINCT of ≤ k·|keys| bucket ids —
+    * bounded by `bits` rows total, broadcastable at any input size.
+    * This is the op behind semi-join pushdown: ship the bit set to
+    * the scan side and drop non-members before the shuffle. */
+  def bloomBuild(df: DataFrame, keyCol: Column, bits: Int, k: Int): DataFrame =
+    df.select(md5(keyCol.cast("string")).as("__h"))
+      .select(explode(chunkPairs(col("__h"), bits, k)).as("c"))
+      .select(col("c.bucket").as("bit"))
+      .distinct()
+
+  /** Probe: per distinct probe key, how many of its k positions are
+    * set (`hits`) and whether ALL are (`positive` — the Bloom
+    * membership verdict: no false negatives, tunable false-positive
+    * rate (1−e^(−kn/bits))^k). The filter side broadcasts. */
+  def bloomProbe(bloom: DataFrame, probes: DataFrame, keyCol: Column,
+      bits: Int, k: Int): DataFrame =
+    probes.select(keyCol.as("key")).distinct()
+      .select(col("key"), md5(col("key").cast("string")).as("__h"))
+      .select(col("key"), explode(chunkPairs(col("__h"), bits, k)).as("c"))
+      .select(col("key"), col("c.row_j").as("row_j"), col("c.bucket").as("bit"))
+      .join(broadcast(bloom.withColumn("__set", lit(1))), Seq("bit"), "left")
+      .groupBy(col("key"))
+      .agg(sum(coalesce(col("__set"), lit(0))).cast("long").as("hits"))
+      .withColumn("positive", (col("hits") === k.toLong).cast("int"))
 }

@@ -511,4 +511,34 @@ object TextAnalysis {
       .drop("__s")
       .select(col(keyCol), col("n_tokens"), col("n_vocab"), col("entropy"))
   }
+
+  /** E4 — Flesch reading-ease in exact integer milli-points (Flesch
+    * 1948; the readability gate of corpus quality filters):
+    *   flesch_milli = 206835 − (1015·W) div S − (84600·Y) div W
+    * where W = letter-words, S = sentence-ending punctuation runs,
+    * Y = vowel-group syllable proxy — all regexp counts, all guarded
+    * to ≥ 1 so empty docs score rather than crash. Truncating integer
+    * division on non-negative counts is engine-portable, so the score
+    * (unlike the float textbook formula) hash-matches an oracle.
+    * Returns (…df, words, sentences, syllables, flesch_milli, band).
+    *
+    * Scale: pure scan-side codegen'd column arithmetic — no shuffle,
+    * no UDF; composes with the q87-style quality gate as one more
+    * pushdown-friendly predicate column. */
+  def readability(df: DataFrame, textCol: Column): DataFrame = {
+    val t = lower(textCol)
+    val w = greatest(lit(1L), size(regexp_extract_all(t, lit("[a-z]+"), lit(0))).cast("long"))
+    val s = greatest(lit(1L), size(regexp_extract_all(t, lit("[.!?]+"), lit(0))).cast("long"))
+    val y = greatest(lit(1L), size(regexp_extract_all(t, lit("[aeiouy]+"), lit(0))).cast("long"))
+    df.withColumn("words", w)
+      .withColumn("sentences", s)
+      .withColumn("syllables", y)
+      .withColumn("flesch_milli", expr(
+        "206835L - (1015L * words) div sentences - (84600L * syllables) div words"))
+      .withColumn("band",
+        when(col("flesch_milli") >= 90000L, "very_easy")
+          .when(col("flesch_milli") >= 60000L, "standard")
+          .when(col("flesch_milli") >= 30000L, "difficult")
+          .otherwise("very_confusing"))
+  }
 }

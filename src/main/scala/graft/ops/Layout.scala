@@ -38,6 +38,43 @@ object Layout {
     }.reduce(_ + _)
   }
 
+  /** E6 — zone-map pruning audit: given a physical layout (a chunk id
+    * standing in for a parquet file / row group), compute the per-chunk
+    * min-max "zone map" of `valueCol` and report how much of the table
+    * a `[lo, hi]` range predicate could skip WITHOUT reading it:
+    * (layout, chunks, chunks_pruned, rows_total, rows_skipped,
+    * rows_selected, prune_ppm). A chunk is pruned when its zone
+    * [min, max] misses [lo, hi] entirely — exactly the file-skip
+    * decision Parquet readers make from footer stats.
+    *
+    * This is the MEASUREMENT side of the layout story: run it with the
+    * natural (insertion-order) chunking and with a clustered chunking
+    * (sort / partition / Z-order key) and the ppm gap is the fraction
+    * of 100 TB the clustered layout never reads. All arithmetic is
+    * integer; one chunk-keyed agg (map-side combined) + one
+    * chunks-sized final agg. */
+  def zoneMapAudit(df: DataFrame, layout: String, chunkCol: Column,
+      valueCol: Column, lo: Long, hi: Long): DataFrame = {
+    require(lo <= hi, "empty predicate range")
+    val v = valueCol.cast("long")
+    df.select(chunkCol.cast("long").as("__chunk"), v.as("__v"))
+      .groupBy(col("__chunk"))
+      .agg(min(col("__v")).as("__mn"), max(col("__v")).as("__mx"),
+        count(lit(1)).as("__n"),
+        sum(when(col("__v").isNotNull && col("__v").between(lo, hi), 1L)
+          .otherwise(0L)).as("__sel"))
+      .agg(count(lit(1)).as("chunks"),
+        sum(when(col("__mx") < lo || col("__mn") > hi, 1L).otherwise(0L))
+          .as("chunks_pruned"),
+        sum(col("__n")).as("rows_total"),
+        sum(when(col("__mx") < lo || col("__mn") > hi, col("__n"))
+          .otherwise(0L)).as("rows_skipped"),
+        sum(col("__sel")).as("rows_selected"))
+      .select(lit(layout).as("layout"), col("chunks"), col("chunks_pruned"),
+        col("rows_total"), col("rows_skipped"), col("rows_selected"),
+        expr("(1000000L * rows_skipped) div rows_total").as("prune_ppm"))
+  }
+
   /** Write `df` as Z-ordered parquet: range-partition on the Morton
     * key (so files own contiguous key ranges = compact 2-D regions),
     * sort within partitions (so row groups inherit the same

@@ -444,4 +444,58 @@ object TimeSeriesOps {
       .select(keyNames.map(col) :+ col("__z.__arr.o").as("order") :+
         col("__z.__arr.v").as("value") :+ col("__z.__sm").as("ewma"): _*)
   }
+
+  /** A5/A8 — integer Holt double-exponential smoothing (level +
+    * trend) over each key's ordered series, the one-step forecaster
+    * EWMA can't be (EWMA lags any trending series by design):
+    *   l₁ = v₁·S,  t₁ = 0, and for t > 1
+    *   l_t = (aNum·v_t·S + (aDen−aNum)·(l_{t−1} + b_{t−1})) div aDen
+    *   b_t = (bNum·(l_t − l_{t−1}) + (bDen−bNum)·b_{t−1}) div bDen
+    * with all state scaled by `scale` = S so the truncating divisions
+    * keep 1/S precision. Trend is SIGNED — safe because Spark `div`
+    * and DuckDB `//` both truncate toward zero (verified, q166).
+    * Returns (key…, order, value, level_s, trend_s, forecast_s) with
+    * forecast_s = l_t + b_t = the scaled one-step-ahead prediction.
+    *
+    * Same fold-over-rollup shape (and the same scale contract) as
+    * [[ewmaInt]]: ONE key-partitioned shuffle, state bounded by the
+    * key's own rollup-grain series, oracle = the identical recurrence
+    * as a recursive CTE. */
+  def holtInt(df: DataFrame, keys: Seq[Column], orderCol: Column,
+      valueCol: Column, aNum: Long, aDen: Long, bNum: Long, bDen: Long,
+      scale: Long): DataFrame = {
+    require(aNum > 0 && aDen > 0 && aNum <= aDen, "alpha num/den must be in (0, 1]")
+    require(bNum > 0 && bDen > 0 && bNum <= bDen, "beta num/den must be in (0, 1]")
+    require(scale >= 1, "scale must be >= 1")
+    require(keys.nonEmpty, "holtInt requires key column(s) " +
+      "(use a constant literal key for one global series)")
+    val keyed = df.groupBy(keys: _*)
+      .agg(array_sort(collect_list(struct(orderCol.as("o"),
+        valueCol.cast("long").as("v")))).as("__arr"))
+    val keyNames = keyed.columns.dropRight(1).toSeq
+    // acc = running array<struct<l, b>>; element_at(acc, -1) is the
+    // previous (level, trend) state
+    val folded = keyed.withColumn("__st", expr(
+      s"""aggregate(__arr, cast(array() as array<struct<l: bigint, b: bigint>>),
+         |  (acc, x) -> array_append(acc,
+         |    CASE WHEN size(acc) = 0
+         |         THEN named_struct('l', x.v * ${scale}L, 'b', 0L)
+         |         ELSE named_struct(
+         |           'l', (${aNum}L * x.v * ${scale}L +
+         |                 ${aDen - aNum}L * (element_at(acc, -1).l +
+         |                                    element_at(acc, -1).b))
+         |                div ${aDen}L,
+         |           'b', (${bNum}L * ((${aNum}L * x.v * ${scale}L +
+         |                  ${aDen - aNum}L * (element_at(acc, -1).l +
+         |                                     element_at(acc, -1).b))
+         |                 div ${aDen}L - element_at(acc, -1).l) +
+         |                 ${bDen - bNum}L * element_at(acc, -1).b)
+         |                div ${bDen}L) END))""".stripMargin))
+    folded.select(keyNames.map(col) :+
+        posexplode(arrays_zip(col("__arr"), col("__st"))).as(Seq("__i", "__z")): _*)
+      .select(keyNames.map(col) :+ col("__z.__arr.o").as("order") :+
+        col("__z.__arr.v").as("value") :+ col("__z.__st.l").as("level_s") :+
+        col("__z.__st.b").as("trend_s") :+
+        (col("__z.__st.l") + col("__z.__st.b")).as("forecast_s"): _*)
+  }
 }

@@ -418,6 +418,28 @@ object OpRegistry {
     "rrf" -> (p => df => graft.ext.Curation.reciprocalRankFusion(
       Seq(df, df.sparkSession.read.parquet(str(p, "other_file"))),
       str(p, "id_col"), str(p, "rank_col"),
-      numOpt(p, "k").map(_.toInt).getOrElse(60)))
+      numOpt(p, "k").map(_.toInt).getOrElse(60))),
+    "hll_registers" -> (p => df => graft.ext.Sketches.hllRegisters(
+      df, strs(p, "keys").map(col), col(str(p, "key_col")),
+      num(p, "m").toInt)),
+    // df is the REGISTER table (hll_registers output)
+    "hll_estimate" -> (p => df => graft.ext.Sketches.hllEstimate(
+      df, strs(p, "keys"), num(p, "m").toInt)),
+    "bloom_build" -> (p => df => graft.ext.Sketches.bloomBuild(
+      df, col(str(p, "key_col")), num(p, "bits").toInt, num(p, "k").toInt)),
+    // df is the FILTER (bloom_build output); probes read from a file
+    "bloom_probe" -> (p => df => graft.ext.Sketches.bloomProbe(
+      df, df.sparkSession.read.parquet(str(p, "probes_file")),
+      col(str(p, "key_col")), num(p, "bits").toInt, num(p, "k").toInt)),
+    "holt" -> (p => df => graft.ops.TimeSeriesOps.holtInt(
+      df, strs(p, "keys").map(col), col(str(p, "order_col")),
+      col(str(p, "value_col")), num(p, "a_num").toLong,
+      num(p, "a_den").toLong, num(p, "b_num").toLong,
+      num(p, "b_den").toLong, num(p, "scale").toLong)),
+    "readability" -> (p => df => graft.ext.TextAnalysis.readability(
+      df, col(str(p, "text_col")))),
+    "zone_map_audit" -> (p => df => graft.ops.Layout.zoneMapAudit(
+      df, str(p, "layout"), expr(str(p, "chunk_expr")),
+      col(str(p, "value_col")), num(p, "lo").toLong, num(p, "hi").toLong))
   ))
 }

@@ -439,6 +439,28 @@ class AnalyticsOpsSpec extends AnyFunSuite {
     assert(e.getMessage.contains("non-negative"))
   }
 
+  test("holtInt: hand recurrence; constant series has zero trend forever") {
+    // ramp 10, 20, 30 with α=1/5, β=1/10, S=1000:
+    //   l1=10000 b1=0
+    //   l2=(20000+4·10000) div 5=12000  b2=(2000+0) div 10=200
+    //   l3=(30000+4·12200) div 5=15760  b3=(3760+9·200) div 10=556
+    val df = Seq(("k", 1L, 10L), ("k", 2L, 20L), ("k", 3L, 30L))
+      .toDF("g", "t", "v")
+    val out = TimeSeriesOps.holtInt(df, Seq(col("g")), col("t"), col("v"),
+        aNum = 1, aDen = 5, bNum = 1, bDen = 10, scale = 1000)
+      .orderBy("order").select("level_s", "trend_s", "forecast_s")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(out == Seq((10000L, 0L, 10000L), (12000L, 200L, 12200L),
+      (15760L, 556L, 16316L)))
+    // constant series: level locked at v·S, trend identically zero —
+    // and the one-step forecast is exact
+    val const = (1 to 20).map(i => ("c", i.toLong, 7L)).toDF("g", "t", "v")
+    val c = TimeSeriesOps.holtInt(const, Seq(col("g")), col("t"), col("v"),
+        1, 5, 1, 10, 1000)
+      .select("level_s", "trend_s").collect()
+    c.foreach(r => assert((r.getLong(0), r.getLong(1)) == ((7000L, 0L))))
+  }
+
   test("largestRemainder: allocations sum to the total; remainders rank") {
     val df = Seq(("a", 5L), ("b", 3L), ("c", 2L)).toDF("k", "w")
     val out = Aggregates.largestRemainder(df, Seq(col("k")), col("w"), 7L)

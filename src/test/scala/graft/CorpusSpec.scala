@@ -370,4 +370,26 @@ class TextSignalsSpec extends AnyFunSuite {
     assert(out(10L)._2 < out(1L)._2, s"scrambled ${out(10L)} must score below ${out(1L)}")
     assert(out(10L)._2 < out(2L)._2 && out(10L)._2 < out(3L)._2)
   }
+
+  test("E4: readability — hand-computed Flesch milli-points; empty-doc guards") {
+    val df = Seq(
+      (1L, "The cat sat. It ran!"), // W=5 S=2 Y=5
+      (2L, "")                      // all guards floor to 1
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.readability(df, col("text"))
+      .select("doc_id", "words", "sentences", "syllables", "flesch_milli", "band")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getString(5)))
+      .toMap
+    // 206835 − (1015·5) div 2 − (84600·5) div 5 = 206835 − 2537 − 84600
+    assert(out(1L) == ((5L, 2L, 5L, 119698L, "very_easy")))
+    // 206835 − 1015 − 84600 = 121220
+    assert(out(2L) == ((1L, 1L, 1L, 121220L, "very_easy")))
+    // dense prose scores lower than simple prose: many-syllable words
+    val hard = Seq((3L, "Incomprehensibility characterizes bureaucratization"))
+      .toDF("doc_id", "text")
+    val h = TextAnalysis.readability(hard, col("text"))
+      .select("flesch_milli").head.getLong(0)
+    assert(h < 0L, s"polysyllabic one-sentence doc must score negative, got $h")
+  }
 }

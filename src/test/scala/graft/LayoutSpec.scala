@@ -20,6 +20,24 @@ class LayoutSpec extends AnyFunSuite {
     assert(z == Seq(9L, 0L, 15L, 10L))
   }
 
+  test("E6: zoneMapAudit — clustered layout prunes, scrambled layout cannot") {
+    // 100 rows, value = id; predicate [0, 9] selects 10 rows either way
+    val df = spark.range(100).toDF("id")
+    val sorted = Layout.zoneMapAudit(df, "sorted",
+      expr("id div 10"), col("id"), 0L, 9L).collect().head
+    // chunks 0..9; only chunk 0 overlaps [0,9] → 9 pruned, 90 skipped
+    assert((sorted.getString(0), sorted.getLong(1), sorted.getLong(2),
+      sorted.getLong(3), sorted.getLong(4), sorted.getLong(5),
+      sorted.getLong(6)) ==
+      (("sorted", 10L, 9L, 100L, 90L, 10L, 900000L)))
+    // round-robin chunking: every chunk spans [chunk, 90+chunk] → its
+    // zone overlaps the predicate and NOTHING prunes
+    val scrambled = Layout.zoneMapAudit(df, "scrambled",
+      expr("id % 10"), col("id"), 0L, 9L).collect().head
+    assert((scrambled.getLong(2), scrambled.getLong(4), scrambled.getLong(5)) ==
+      ((0L, 0L, 10L)))
+  }
+
   test("E6: Z-ordered write shrinks per-file bboxes vs an unsorted write") {
     val dir = java.nio.file.Files.createTempDirectory("graft_layout").toString
     val pts = (0 until 1024).map(i => (i.toLong, (i % 32).toDouble, (i / 32).toDouble))

@@ -255,6 +255,38 @@ class PipelineSpec extends AnyFunSuite {
       obs)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(cms.values.forall(_ >= 1L) && cms.size == 4)
+
+    val hll = run("""{"pipe":"p","operations":[
+      {"name":"r","function":"hll_registers","kwargs":{
+        "keys":["g"],"key_col":"id","m":16}},
+      {"name":"e","function":"hll_estimate","kwargs":{"keys":["g"],"m":16}}]}""",
+      obs)
+    assert(hll.columns.toSeq ==
+      Seq("g", "registers_hit", "sum_scaled", "est_hll") && hll.count() == 2)
+
+    val blm = run(s"""{"pipe":"p","operations":[
+      {"name":"b","function":"bloom_build","kwargs":{
+        "key_col":"id","bits":64,"k":2}},
+      {"name":"pr","function":"bloom_probe","kwargs":{
+        "probes_file":"$tmp/probes","key_col":"id","bits":64,"k":2}}]}""",
+      obs).collect()
+    // every probe key was inserted: all 2 hashes hit, verdict positive
+    assert(blm.length == 4 && blm.forall(r => r.getLong(1) == 2L))
+
+    val ho = run("""{"pipe":"p","operations":[{"name":"h","function":
+      "holt","kwargs":{"keys":["g"],"order_col":"id","value_col":"wt",
+      "a_num":1,"a_den":5,"b_num":1,"b_den":10,"scale":1000}}]}""", obs)
+    assert(ho.columns.toSeq == Seq("g", "order", "value", "level_s",
+      "trend_s", "forecast_s") && ho.count() == 4)
+
+    val rd = run("""{"pipe":"p","operations":[{"name":"r","function":
+      "readability","kwargs":{"text_col":"g"}}]}""", obs)
+    assert(rd.columns.contains("flesch_milli") && rd.count() == 4)
+
+    val zm = run("""{"pipe":"p","operations":[{"name":"z","function":
+      "zone_map_audit","kwargs":{"layout":"nat","chunk_expr":"id div 2",
+      "value_col":"id","lo":1,"hi":2}}]}""", obs).collect().head
+    assert(zm.getString(0) == "nat" && zm.getLong(3) == 4L)
   }
 
   private def keysDf = {

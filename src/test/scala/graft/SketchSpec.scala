@@ -71,6 +71,51 @@ class SketchSpec extends AnyFunSuite {
     est1.foreach(r => assert(r.getLong(0) == 300L))
   }
 
+  test("E6: custom HLL registers are partition/merge invariant; estimate in band") {
+    import graft.ext.Sketches
+    val df = spark.range(30000).select((col("id") % 5000).as("k"),
+      lit("g").as("grp"))
+    def regs(d: org.apache.spark.sql.DataFrame) =
+      Sketches.hllRegisters(d, Seq(col("grp")), col("k"), m = 64)
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    val base = regs(df)
+    // register max is associative+commutative: any partitioning and
+    // any split/merge produces the bit-identical table
+    assert(regs(df.repartition(13)) == base)
+    val halves = regs(df.filter(col("id") % 2 === 0)) ++
+      regs(df.filter(col("id") % 2 === 1))
+    val merged = halves.groupBy(t => (t._1, t._2))
+      .map { case (k, vs) => (k._1, k._2, vs.map(_._3).max) }.toSet
+    assert(merged == base)
+    // m=64 → RSE ~1.04/8 = 13%; 40% is ~3 sigma
+    val est = Sketches.hllEstimate(
+        Sketches.hllRegisters(df, Seq(col("grp")), col("k"), 64),
+        Seq("grp"), 64)
+      .select(col("est_hll")).head.getDouble(0)
+    assert(math.abs(est - 5000.0) / 5000.0 < 0.4, s"estimate $est")
+  }
+
+  test("E6: Bloom filter has zero false negatives; bit count bounded by k*n") {
+    import graft.ext.Sketches
+    val allow = spark.range(20).select((col("id") * 7).as("k"))
+    val bloom = Sketches.bloomBuild(allow, col("k"), bits = 64, k = 3)
+    val bitsSet = bloom.count()
+    assert(bitsSet <= 60, s"more bits than k*n: $bitsSet")
+    val probes = spark.range(200).select(col("id").as("k"))
+    val out = Sketches.bloomProbe(bloom, probes, col("k"), bits = 64, k = 3)
+    val members = (0 until 20).map(_ * 7L).toSet
+    out.collect().foreach { r =>
+      val (key, hits, pos) = (r.getLong(0), r.getLong(1), r.getInt(2))
+      if (members(key))
+        assert(pos == 1 && hits == 3, s"false negative on member $key")
+      assert(hits >= 0 && hits <= 3)
+    }
+    // a crowded 64-bit filter over 200 probes MUST show the tradeoff:
+    // some non-member collides on all 3 hashes (P(fp) ~ (bits/64)^3)
+    val fp = out.collect().count(r => r.getInt(2) == 1 && !members(r.getLong(0)))
+    assert(fp > 0, "expected at least one false positive in a crowded filter")
+  }
+
   test("E6: percentile_approx rank error stays within the accuracy contract") {
     // long-tail skew: v = (id % 1000)^2 — exactly the shape that breaks
     // naive sampling
