@@ -1,6 +1,7 @@
 package graft.ext
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** E6 — count-min sketch: the fixed-size frequency summary behind
@@ -162,4 +163,70 @@ object Sketches {
       .groupBy(col("key"))
       .agg(sum(coalesce(col("__set"), lit(0))).cast("long").as("hits"))
       .withColumn("positive", (col("hits") === k.toLong).cast("int"))
+
+  /** E6 — KMV (k-minimum-values / bottom-k) distinct sketch per group
+    * (Bar-Yossef et al. 2002, public literature): the k smallest
+    * DISTINCT 32-bit md5-chunk hashes of `keyCol`. Returns the sketch
+    * table (…groups, h) — ≤ k rows per group, mergeable by
+    * re-taking the bottom k of a union. Completes the sketch family:
+    * count-min answers "how often", HLL "how many", Bloom "have I
+    * seen it", KMV "how many AND how similar" (resemblance comes free
+    * from comparing sketches — [[kmvResemblance]]).
+    *
+    * Scale: the (group, h) DISTINCT agg map-side combines; the
+    * per-group bottom-k rank filter is a WindowGroupLimit (per-
+    * partition k-heaps before the shuffle), so shuffle volume is
+    * ≤ groups·k no matter the input size. */
+  def kmvSketch(df: DataFrame, groupKeys: Seq[Column], keyCol: Column,
+      k: Int): DataFrame = {
+    require(k >= 2, "sketch size k must be >= 2")
+    val h = conv(substring(md5(keyCol.cast("string")), 1, 8), 16, 10)
+      .cast("long")
+    val projected = df.select(groupKeys :+ h.as("h"): _*)
+    val gNames = projected.columns.dropRight(1).toSeq
+    val dedup = projected.groupBy((gNames :+ "h").map(col): _*).agg(lit(1).as("__one"))
+    val w =
+      if (gNames.isEmpty) Window.orderBy(col("h"))
+      else Window.partitionBy(gNames.map(col): _*).orderBy(col("h"))
+    dedup.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= k)
+      .select((gNames :+ "h").map(col): _*)
+  }
+
+  /** Collapse a [[kmvSketch]] table to per-group distinct estimates:
+    * (…groups, n_kept, h_max, est_kmv). A full sketch (n_kept = k)
+    * estimates (k−1)·2³² div h_max — exact integer arithmetic on the
+    * exact k-th minimum; a partial sketch (fewer distinct hashes than
+    * k) IS the distinct count, so the estimate degrades to exact. */
+  def kmvEstimate(sketch: DataFrame, groupNames: Seq[String],
+      k: Int): DataFrame = {
+    val grouped =
+      if (groupNames.isEmpty) sketch.groupBy()
+      else sketch.groupBy(groupNames.map(col): _*)
+    grouped
+      .agg(count(lit(1)).as("n_kept"), max(col("h")).as("h_max"))
+      .withColumn("est_kmv",
+        when(col("n_kept") === k.toLong && col("h_max") > 0,
+          expr(s"(${k - 1}L * 4294967296L) div h_max"))
+          .otherwise(col("n_kept")))
+  }
+
+  /** Jaccard resemblance estimate between two single-group
+    * [[kmvSketch]] tables: take the bottom k of the hash UNION, count
+    * how many of those survivors sit in BOTH sketches —
+    * j_ppm = 10⁶ · |U_k ∩ A ∩ B| div |U_k| (Broder 1997 bottom-k
+    * minhash, exact integer arithmetic given the sketches). The
+    * source-vs-source overlap audit that never rescans either side:
+    * both operands are ≤ k rows. */
+  def kmvResemblance(a: DataFrame, b: DataFrame, k: Int): DataFrame = {
+    val ha = a.select(col("h")).withColumn("__ina", lit(1))
+    val hb = b.select(col("h")).withColumn("__inb", lit(1))
+    ha.join(hb, Seq("h"), "full_outer")
+      .withColumn("__rn", row_number().over(Window.orderBy(col("h"))))
+      .filter(col("__rn") <= k)
+      .agg(count(lit(1)).as("union_kept"),
+        sum(when(col("__ina") === 1 && col("__inb") === 1, 1L)
+          .otherwise(0L)).as("inter_kept"))
+      .withColumn("j_est_ppm", expr("1000000 * inter_kept div union_kept"))
+  }
 }

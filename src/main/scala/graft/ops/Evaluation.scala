@@ -1,0 +1,180 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Offline evaluation metrics — the measurement side of a training-data
+  * pipeline: did the quality score actually separate good from bad
+  * (AUC, lift), did retrieval return the right neighbours (P@k / R@k /
+  * MRR), did the classifier's per-class errors stay balanced
+  * (precision/recall/F1)? The reference has no evaluation layer at all
+  * (its pipelines end at aggregation — `/root/reference/src/
+  * data_preprocessing.py` ends in buffer stats); these are the ops a
+  * user curating 100 TB of training data runs right after every gate
+  * in `graft.ext.Curation` to know whether the gate worked.
+  *
+  * Exactness discipline (see SURVEY §7.5): every decision quantity is
+  * integer — doubled ranks for AUC (the [[Aggregates.mannWhitneyU]]
+  * trick), ppm quotients via integer `div` for ratios — so a second
+  * engine reproduces each metric bit-for-bit, not approximately. */
+object Evaluation {
+
+  private val d38 = "decimal(38,0)"
+
+  /** A-stat — exact ROC AUC of a score against a binary label, per
+    * group: the probability a random positive outranks a random
+    * negative. Kept integral with DOUBLED pair counts,
+    *   u2 = Σ_s pos_s · (2·negBelow_s + neg_s)  = 2·#(pos>neg) + #ties,
+    * accumulated over the DISTINCT-SCORE rollup (never the fact
+    * table), so AUC = u2 / (2·n_pos·n_neg) is one IEEE division of
+    * exact integers. Groups with no positives or no negatives get
+    * auc null (undefined, not 0). Returns
+    * (…groups, n_pos, n_neg, u2, auc).
+    *
+    * Scale: one (group, score) agg with map-side combine → a
+    * rollup-sized ordered window partitioned by group → a group-sized
+    * final agg. Shuffle volume ≤ |groups|·|distinct scores|. */
+  def aucExact(df: DataFrame, groupKeys: Seq[Column], scoreCol: Column,
+      labelCol: Column): DataFrame = {
+    val base = df.select(groupKeys :+ scoreCol.as("__s") :+
+      labelCol.cast("long").as("__y"): _*)
+    val gNames = base.columns.dropRight(2).toSeq
+    val perS = base.groupBy((gNames :+ "__s").map(col): _*)
+      .agg(count(lit(1)).as("__cnt"), sum(col("__y")).as("__pos"))
+      .withColumn("__neg", col("__cnt") - col("__pos"))
+    val w = if (gNames.isEmpty) Window.orderBy(col("__s"))
+      else Window.partitionBy(gNames.map(col): _*).orderBy(col("__s"))
+    val negBelow = coalesce(sum(col("__neg")).over(
+      w.rowsBetween(Window.unboundedPreceding, -1)), lit(0L))
+    val grouped =
+      if (gNames.isEmpty) perS.withColumn("__nb", negBelow).groupBy()
+      else perS.withColumn("__nb", negBelow).groupBy(gNames.map(col): _*)
+    grouped
+      .agg(sum(col("__pos")).cast("long").as("n_pos"),
+        sum(col("__neg")).cast("long").as("n_neg"),
+        sum(col("__pos").cast(d38) *
+          (lit(2) * col("__nb") + col("__neg")).cast(d38)).cast("long").as("u2"))
+      .withColumn("auc",
+        when(col("n_pos") > 0 && col("n_neg") > 0,
+          col("u2").cast("double") /
+            (lit(2).cast(d38) * col("n_pos").cast(d38) * col("n_neg").cast(d38))
+              .cast("double")))
+  }
+
+  /** A-stat — per-query retrieval quality of a ranked run against a
+    * relevance set: hits@k, precision@k, recall@k and the reciprocal
+    * rank, all in exact ppm (integer `div`). `runs` is
+    * (query_id, item_id, rank) with rank 1-based and ≤ k per query;
+    * `truth` is the relevant (query_id, item_id) pairs (its per-query
+    * count is the recall denominator — items never retrieved still
+    * count against recall). Queries present in `truth` but absent
+    * from `runs` surface with zero hits; recall_ppm is null when a
+    * query has no relevant items at all.
+    *
+    * Scale: one equi-join runs⋈truth on (query, item) + two
+    * query-keyed aggs — run-sized, never corpus-sized; the truth
+    * rollup is reused for both the join and the denominators. */
+  def retrievalEval(runs: DataFrame, truth: DataFrame, k: Int): DataFrame = {
+    require(k > 0, "k must be positive")
+    val r = runs.select(col("query_id"), col("item_id"), col("rank"))
+      .filter(col("rank") <= k)
+    val t = truth.select(col("query_id"), col("item_id"))
+    val nRel = t.groupBy(col("query_id")).agg(count(lit(1)).as("n_rel"))
+    val hits = r.join(t, Seq("query_id", "item_id"), "left_semi")
+      .groupBy(col("query_id"))
+      .agg(count(lit(1)).as("hits"), min(col("rank")).as("__first"))
+    nRel.join(hits, Seq("query_id"), "left")
+      .select(col("query_id"), col("n_rel"),
+        coalesce(col("hits"), lit(0L)).as("hits"),
+        coalesce(col("__first"), lit(0L)).as("first_hit_rank"))
+      .withColumn("prec_ppm", expr(s"1000000 * hits div $k"))
+      .withColumn("rec_ppm",
+        when(col("n_rel") > 0, expr("1000000 * hits div n_rel")))
+      .withColumn("rr_ppm",
+        when(col("first_hit_rank") > 0,
+          expr("1000000 div first_hit_rank")).otherwise(lit(0L)))
+  }
+
+  /** A-stat — per-class precision / recall / F1 of a multiclass
+    * prediction, in exact ppm: the per-class readout of the q47
+    * confusion matrix. F1 avoids the harmonic-mean float entirely via
+    * the identity F1 = 2·tp / (2·tp + fp + fn) — one integer `div` in
+    * ppm. Classes are the UNION of observed labels and predictions
+    * (a class never predicted still shows recall; a hallucinated
+    * class shows precision 0); metrics with a zero denominator are
+    * null. Returns (class, n_true, n_pred, tp, fp, fn, prec_ppm,
+    * rec_ppm, f1_ppm).
+    *
+    * Scale: one (label, pred) agg — confusion-sized — then two
+    * |classes|-row rollups joined back; never data-sized. */
+  def classMetrics(df: DataFrame, labelCol: Column,
+      predCol: Column): DataFrame = {
+    val cells = df.groupBy(labelCol.as("__l"), predCol.as("__p"))
+      .agg(count(lit(1)).as("__n"))
+    val byTrue = cells.groupBy(col("__l").as("class"))
+      .agg(sum(col("__n")).as("n_true"))
+    val byPred = cells.groupBy(col("__p").as("class"))
+      .agg(sum(col("__n")).as("n_pred"))
+    val tp = cells.filter(col("__l") === col("__p"))
+      .select(col("__l").as("class"), col("__n").as("tp"))
+    byTrue.join(byPred, Seq("class"), "full_outer")
+      .join(tp, Seq("class"), "left")
+      .select(col("class"),
+        coalesce(col("n_true"), lit(0L)).as("n_true"),
+        coalesce(col("n_pred"), lit(0L)).as("n_pred"),
+        coalesce(col("tp"), lit(0L)).as("tp"))
+      .withColumn("fp", col("n_pred") - col("tp"))
+      .withColumn("fn", col("n_true") - col("tp"))
+      .withColumn("prec_ppm",
+        when(col("n_pred") > 0, expr("1000000 * tp div n_pred")))
+      .withColumn("rec_ppm",
+        when(col("n_true") > 0, expr("1000000 * tp div n_true")))
+      .withColumn("f1_ppm",
+        when(col("tp") + col("fp") + col("fn") > 0,
+          expr("2000000 * tp div (2 * tp + fp + fn)")))
+  }
+
+  /** A-stat — cumulative gains / lift table: rank the population by a
+    * score (descending, under a caller-supplied TOTAL tie-break
+    * order), cut it into `nBins` equal-frequency bins by the EXACT
+    * distributed global rank ([[Ranking.globalRowNumber]] — no
+    * single-partition window), and report per bin how much of the
+    * positive class the top of the ranking captures:
+    *   capture_ppm = 10⁶ · cum_pos div total_pos,
+    *   lift_ppm    = 10⁶ · cum_pos·N div (cum_n·total_pos)
+    * (lift 10⁶ = no better than random). The "would sorting by this
+    * quality score concentrate the good documents?" audit. Returns
+    * (bin, n, n_pos, cum_n, cum_pos, capture_ppm, lift_ppm).
+    *
+    * Scale: the fact table is touched once (range repartition + local
+    * sort); windows run over the nBins-row rollup. */
+  def decileLift(df: DataFrame, orderCols: Seq[Column], labelCol: Column,
+      nBins: Int = 10): DataFrame = {
+    require(nBins > 0, "nBins must be positive")
+    // orderCols may be sort orders (.desc) — rank over the full frame
+    // rather than projecting them (sort expressions don't project)
+    val ranked = Ranking.globalRowNumber(
+      df.withColumn("__y", labelCol.cast("long")), orderCols)
+    val n = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val withN = ranked.withColumn("__total", count(lit(1)).over(n))
+      .withColumn("bin", expr(s"(row_num - 1) * $nBins div __total"))
+    val bins = withN.groupBy(col("bin"))
+      .agg(count(lit(1)).as("n"), sum(col("__y")).as("n_pos"))
+    val cum = Window.orderBy(col("bin"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    bins
+      .withColumn("cum_n", sum(col("n")).over(cum))
+      .withColumn("cum_pos", sum(col("n_pos")).over(cum))
+      .withColumn("__tn", sum(col("n")).over(n))
+      .withColumn("__tp", sum(col("n_pos")).over(n))
+      .withColumn("capture_ppm",
+        when(col("__tp") > 0, expr("1000000 * cum_pos div __tp")))
+      .withColumn("lift_ppm",
+        when(col("__tp") > 0,
+          // IntegralDivide on decimal(38,0) operands → exact BIGINT
+          expr("(cast(1000000 as decimal(38,0)) * cum_pos * __tn)" +
+            " div (cast(cum_n as decimal(38,0)) * __tp)")))
+      .drop("__tn", "__tp")
+  }
+}

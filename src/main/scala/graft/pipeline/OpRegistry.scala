@@ -440,6 +440,24 @@ object OpRegistry {
       df, col(str(p, "text_col")))),
     "zone_map_audit" -> (p => df => graft.ops.Layout.zoneMapAudit(
       df, str(p, "layout"), expr(str(p, "chunk_expr")),
-      col(str(p, "value_col")), num(p, "lo").toLong, num(p, "hi").toLong))
+      col(str(p, "value_col")), num(p, "lo").toLong, num(p, "hi").toLong)),
+    "auc" -> (p => df => graft.ops.Evaluation.aucExact(
+      df, strs(p, "keys").map(col), expr(str(p, "score_expr")),
+      expr(str(p, "label_expr")))),
+    // df is the RUN (query_id, item_id, rank); truth pairs from a file
+    "retrieval_eval" -> (p => df => graft.ops.Evaluation.retrievalEval(
+      df, df.sparkSession.read.parquet(str(p, "truth_file")),
+      num(p, "k").toInt)),
+    "class_metrics" -> (p => df => graft.ops.Evaluation.classMetrics(
+      df, col(str(p, "label_col")), col(str(p, "pred_col")))),
+    "decile_lift" -> (p => df => graft.ops.Evaluation.decileLift(
+      df, strs(p, "order").map(col), expr(str(p, "label_expr")),
+      numOpt(p, "bins").map(_.toInt).getOrElse(10))),
+    "kmv_sketch" -> (p => df => graft.ext.Sketches.kmvSketch(
+      df, strs(p, "keys").map(col), col(str(p, "key_col")),
+      num(p, "k").toInt)),
+    // df is the SKETCH table (kmv_sketch output)
+    "kmv_estimate" -> (p => df => graft.ext.Sketches.kmvEstimate(
+      df, strs(p, "keys"), num(p, "k").toInt))
   ))
 }

@@ -3,11 +3,13 @@ package graft.queries
 import org.apache.spark.sql.functions._
 import graft.core.Tables
 import graft.ext.{Sketches, TextAnalysis}
-import graft.ops.{Layout, TimeSeriesOps}
+import graft.ops.{Evaluation, Layout, TimeSeriesOps}
 
-/** Round-4 (batch 12): the remaining sketch family (HyperLogLog
-  * cardinality, Bloom membership), trend-aware smoothing (Holt),
-  * integer readability scoring, and the zone-map pruning audit that
+/** Round-4 (batches 12-13): the remaining sketch family (HyperLogLog
+  * cardinality, Bloom membership, KMV bottom-k), trend-aware smoothing
+  * (Holt), integer readability scoring, the zone-map pruning audit,
+  * and the offline evaluation family (exact AUC, retrieval P@k/R@k/MRR,
+  * per-class F1, decile lift) that
   * quantifies what a clustered layout saves at 100 TB. Same
   * hash-exactness discipline as Analytics/Analytics2: integer/decimal
   * decision arithmetic; float ops only on identical exact operands. */
@@ -298,5 +300,271 @@ object Analytics3 {
       "fraction of a 100 TB scan that Z-order/sort clustering (q38, " +
       "Layout.writeZordered) converts from IO into footer reads.")
 
-  val all: Seq[Declared] = Seq(q171, q172, q173, q174, q175)
+  /** q176 — A-stat: exact ROC AUC per lineitem line number — does the
+    * discount level predict a return? Doubled-pair counts over the
+    * distinct-score rollup ([[Evaluation.aucExact]]) keep the metric
+    * integral; the one float op divides identical exact integers. */
+  val q176 = Declared(
+    "q176_auc", "E13",
+    (s, dir) => {
+      val li = Tables.lineitem(s, dir)
+      Evaluation.aucExact(li, Seq(col("l_linenumber")),
+        (col("l_discount").cast("decimal(18,2)") * 100).cast("long"),
+        (col("l_returnflag") === "R").cast("int"))
+        .orderBy(col("l_linenumber"))
+    },
+    Some("""WITH b AS (
+           |  SELECT l_linenumber,
+           |    CAST(CAST(l_discount AS DECIMAL(18,2)) * 100 AS BIGINT) AS s,
+           |    CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS y
+           |  FROM lineitem),
+           |r AS (
+           |  SELECT l_linenumber, s, count(*) AS cnt,
+           |    CAST(sum(y) AS BIGINT) AS pos
+           |  FROM b GROUP BY 1, 2),
+           |w AS (
+           |  SELECT l_linenumber, pos, cnt - pos AS neg,
+           |    COALESCE(CAST(sum(cnt - pos) OVER (PARTITION BY l_linenumber
+           |      ORDER BY s ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+           |      AS BIGINT), 0) AS nb
+           |  FROM r)
+           |SELECT l_linenumber, CAST(sum(pos) AS BIGINT) AS n_pos,
+           |  CAST(sum(neg) AS BIGINT) AS n_neg,
+           |  CAST(sum(pos * (2 * nb + neg)) AS BIGINT) AS u2,
+           |  CASE WHEN sum(pos) > 0 AND sum(neg) > 0 THEN
+           |    CAST(sum(pos * (2 * nb + neg)) AS DOUBLE) /
+           |    CAST(2 * CAST(sum(pos) AS HUGEINT) * CAST(sum(neg) AS HUGEINT)
+           |         AS DOUBLE)
+           |  END AS auc
+           |FROM w GROUP BY l_linenumber
+           |ORDER BY l_linenumber""".stripMargin),
+    "The ordered window runs on the (group, distinct-score) rollup — 11 discount " +
+      "levels per group — never the fact table; shuffle volume is rollup-sized at " +
+      "any input size. This is the gate-audit primitive: run it on a quality " +
+      "score before sorting 100 TB by that score (q180 shows the lift view).")
+
+  /** q177 — E3/A-stat: retrieval evaluation of cosine top-10 against
+    * label ground truth — P@10, R@10 and reciprocal rank per query in
+    * exact ppm. Ranks come from the q44-proven IEEE cosine (folds in
+    * index order on both engines); everything after the rank is
+    * integer `div`. */
+  val q177 = Declared(
+    "q177_retrieval_eval", "E13",
+    (s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val q = emb.filter(col("vec_id") % 10 === 1)
+      val runs = graft.ext.Similarity.topKCosineBatch(
+        emb, q, "embedding", "vec_id", k = 10)
+        .select(col("query_id"), col("item_id"), col("rank"))
+      val items = emb.select(col("vec_id").as("item_id"), col("label"))
+      val truth = q.select(col("vec_id").as("query_id"), col("label"))
+        .join(items, Seq("label"))
+        .filter(col("item_id") =!= col("query_id"))
+        .select(col("query_id"), col("item_id"))
+      Evaluation.retrievalEval(runs, truth, k = 10)
+        .orderBy(col("query_id"))
+    },
+    Some("""WITH e AS (
+           |  SELECT vec_id, label,
+           |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+           |  FROM embeddings),
+           |q AS (SELECT * FROM e WHERE vec_id % 10 = 1),
+           |scored AS (
+           |  SELECT q.vec_id AS query_id, e.vec_id AS item_id,
+           |    e.label AS item_label, q.label AS query_label,
+           |    list_dot_product(e.v, q.v) /
+           |      (sqrt(list_dot_product(e.v, e.v)) *
+           |       sqrt(list_dot_product(q.v, q.v))) AS c
+           |  FROM e, q WHERE e.vec_id <> q.vec_id),
+           |runs AS (
+           |  SELECT query_id, item_id, item_label, query_label,
+           |    row_number() OVER (PARTITION BY query_id
+           |      ORDER BY c DESC, item_id ASC) AS rnk
+           |  FROM scored),
+           |hits AS (
+           |  SELECT query_id, CAST(count(*) AS BIGINT) AS hits,
+           |    CAST(min(rnk) AS BIGINT) AS firsthit
+           |  FROM runs WHERE rnk <= 10 AND item_label = query_label
+           |  GROUP BY 1),
+           |nrel AS (
+           |  SELECT q.vec_id AS query_id, CAST(count(*) AS BIGINT) AS n_rel
+           |  FROM q JOIN e ON e.label = q.label AND e.vec_id <> q.vec_id
+           |  GROUP BY 1)
+           |SELECT nrel.query_id, n_rel,
+           |  COALESCE(hits, 0) AS hits,
+           |  COALESCE(firsthit, 0) AS first_hit_rank,
+           |  1000000 * COALESCE(hits, 0) // 10 AS prec_ppm,
+           |  CASE WHEN n_rel > 0
+           |    THEN 1000000 * COALESCE(hits, 0) // n_rel END AS rec_ppm,
+           |  CASE WHEN COALESCE(firsthit, 0) > 0
+           |    THEN 1000000 // firsthit ELSE 0 END AS rr_ppm
+           |FROM nrel LEFT JOIN hits ON nrel.query_id = hits.query_id
+           |ORDER BY nrel.query_id""".stripMargin),
+    "The scoring join is |Q|×|corpus| with the query side broadcast; at 100 TB " +
+      "the run comes from the IVF/LSH path (q58/q59) instead and this op evaluates " +
+      "it unchanged — metrics cost is run-sized (|Q|·k rows), never corpus-sized.")
+
+  /** q178 — E4/A-stat: per-class precision/recall/F1 of the language-ID
+    * heuristic against the labeled lang column — the per-class readout
+    * of q47's confusion matrix, F1 via the integer identity
+    * 2tp div (2tp+fp+fn). Classes are the union of labels and
+    * predictions ('und' appears only as a prediction). */
+  val q178 = Declared(
+    "q178_class_metrics", "E13",
+    (s, dir) => {
+      val pred = Tables.documents(s, dir)
+        .select(col("lang"), TextAnalysis.tokens(col("text")).as("toks"))
+        .select(col("lang"), TextAnalysis.langIdFromTokens(col("toks")).as("pred"))
+      Evaluation.classMetrics(pred, col("lang"), col("pred"))
+        .orderBy(col("class"))
+    },
+    Some {
+      def score(l: String): String = {
+        val words = TextAnalysis.stopwords(l).map(w => s"'$w'").mkString(", ")
+        s"CAST(len(list_filter(toks, t -> list_contains([$words], t))) AS DOUBLE)" +
+          s" / greatest(len(toks), 1) AS s_$l"
+      }
+      s"""WITH t AS (SELECT lang, regexp_split_to_array(lower(text), '\\s+') AS toks
+         |           FROM documents),
+         |s AS (SELECT lang, ${score("de")}, ${score("en")}, ${score("es")}, ${score("fr")}
+         |      FROM t),
+         |p AS (
+         |  SELECT lang,
+         |    CASE WHEN greatest(s_de, s_en, s_es, s_fr) < 0.02 THEN 'und'
+         |         WHEN s_fr >= greatest(s_de, s_en, s_es) THEN 'fr'
+         |         WHEN s_es >= greatest(s_de, s_en) THEN 'es'
+         |         WHEN s_en >= s_de THEN 'en'
+         |         ELSE 'de' END AS pred
+         |  FROM s),
+         |cells AS (SELECT lang AS l, pred AS pr, count(*) AS n FROM p GROUP BY 1, 2),
+         |bt AS (SELECT l AS class, CAST(sum(n) AS BIGINT) AS n_true FROM cells GROUP BY 1),
+         |bp AS (SELECT pr AS class, CAST(sum(n) AS BIGINT) AS n_pred FROM cells GROUP BY 1),
+         |tpc AS (SELECT l AS class, CAST(n AS BIGINT) AS tp FROM cells WHERE l = pr),
+         |j AS (
+         |  SELECT COALESCE(bt.class, bp.class) AS class,
+         |    COALESCE(n_true, 0) AS n_true, COALESCE(n_pred, 0) AS n_pred
+         |  FROM bt FULL OUTER JOIN bp ON bt.class = bp.class)
+         |SELECT j.class, n_true, n_pred, COALESCE(tp, 0) AS tp,
+         |  n_pred - COALESCE(tp, 0) AS fp,
+         |  n_true - COALESCE(tp, 0) AS fn,
+         |  CASE WHEN n_pred > 0
+         |    THEN 1000000 * COALESCE(tp, 0) // n_pred END AS prec_ppm,
+         |  CASE WHEN n_true > 0
+         |    THEN 1000000 * COALESCE(tp, 0) // n_true END AS rec_ppm,
+         |  CASE WHEN 2 * COALESCE(tp, 0) + (n_pred - COALESCE(tp, 0))
+         |         + (n_true - COALESCE(tp, 0)) > 0
+         |    THEN 2000000 * COALESCE(tp, 0) //
+         |      (2 * COALESCE(tp, 0) + (n_pred - COALESCE(tp, 0))
+         |       + (n_true - COALESCE(tp, 0))) END AS f1_ppm
+         |FROM j LEFT JOIN tpc ON j.class = tpc.class
+         |ORDER BY j.class""".stripMargin
+    },
+    "Metrics aggregate the |classes|² confusion cells — the scan is q47's " +
+      "(one tokenize pass, map-side combine); everything after is confusion-sized.")
+
+  /** q179 — E6: KMV bottom-k distinct sketch per return flag over
+    * l_partkey, verified register-exact like q171: the oracle rebuilds
+    * the same 64 minimum md5-chunk hashes and the same integer
+    * (k−1)·2³² div h_k estimate. `n_exact` rides along to show the
+    * estimate inside the ~1/√(k−2) ≈ 13% band. */
+  val q179 = Declared(
+    "q179_kmv_distinct", "E13",
+    (s, dir) => {
+      val li = Tables.lineitem(s, dir)
+      val sk = Sketches.kmvSketch(li, Seq(col("l_returnflag")),
+        col("l_partkey"), k = 64)
+      val est = Sketches.kmvEstimate(sk, Seq("l_returnflag"), k = 64)
+      val exact = li.groupBy(col("l_returnflag"))
+        .agg(countDistinct(col("l_partkey")).as("n_exact"))
+      est.join(exact, "l_returnflag")
+        .select(col("l_returnflag"), col("n_exact"), col("n_kept"),
+          col("h_max"), col("est_kmv"))
+        .orderBy(col("l_returnflag"))
+    },
+    Some {
+      s"""WITH d AS (SELECT DISTINCT l_returnflag, l_partkey FROM lineitem),
+         |h0 AS (
+         |  SELECT l_returnflag,
+         |    ${chunkRawSql(0, "l_partkey")} AS h
+         |  FROM d),
+         |hd AS (SELECT DISTINCT l_returnflag, h FROM h0),
+         |r AS (
+         |  SELECT l_returnflag, h,
+         |    row_number() OVER (PARTITION BY l_returnflag ORDER BY h) AS rn
+         |  FROM hd),
+         |kk AS (
+         |  SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n_kept,
+         |    max(h) AS h_max
+         |  FROM r WHERE rn <= 64 GROUP BY 1),
+         |x AS (
+         |  SELECT l_returnflag, CAST(count(DISTINCT l_partkey) AS BIGINT) AS n_exact
+         |  FROM lineitem GROUP BY 1)
+         |SELECT kk.l_returnflag, n_exact, n_kept, h_max,
+         |  CASE WHEN n_kept = 64 AND h_max > 0
+         |    THEN CAST((63 * 4294967296) // h_max AS BIGINT)
+         |    ELSE n_kept END AS est_kmv
+         |FROM kk JOIN x ON kk.l_returnflag = x.l_returnflag
+         |ORDER BY kk.l_returnflag""".stripMargin
+    },
+    "The (group, hash) DISTINCT map-side combines and the bottom-k rank filter " +
+      "is a WindowGroupLimit (per-partition 64-heaps), so shuffle volume is " +
+      "groups·k at any scale. Two KMV sketches also answer source-overlap " +
+      "resemblance without rescanning either side (Sketches.kmvResemblance, " +
+      "SketchSpec).")
+
+  /** q180 — A-stat: cumulative gains / lift table — rank lineitem by
+    * extended price (cents, exact global rank), cut into deciles, and
+    * measure how much of the big-quantity class the top deciles
+    * capture. All-integer: capture and lift are ppm integer `div`
+    * quotients over the 10-row bin rollup. */
+  val q180 = Declared(
+    "q180_decile_lift", "E13",
+    (s, dir) => {
+      val li = Tables.lineitem(s, dir).select(
+        (col("l_extendedprice").cast("decimal(18,2)") * 100).cast("long")
+          .as("price_c"),
+        col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
+        col("l_suppkey"), col("l_quantity"))
+      Evaluation.decileLift(li,
+        Seq(col("price_c").desc, col("l_orderkey").asc, col("l_linenumber").asc,
+          col("l_partkey").asc, col("l_suppkey").asc, col("l_quantity").asc),
+        (col("l_quantity") >= 40).cast("int"), nBins = 10)
+        .orderBy(col("bin"))
+    },
+    Some("""WITH b AS (
+           |  SELECT CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+           |      AS price_c,
+           |    l_orderkey, l_linenumber, l_partkey, l_suppkey, l_quantity,
+           |    CASE WHEN l_quantity >= 40 THEN 1 ELSE 0 END AS y
+           |  FROM lineitem),
+           |r AS (
+           |  SELECT y,
+           |    row_number() OVER (ORDER BY price_c DESC, l_orderkey, l_linenumber,
+           |      l_partkey, l_suppkey, l_quantity) AS rn,
+           |    count(*) OVER () AS total
+           |  FROM b),
+           |g AS (
+           |  SELECT CAST((rn - 1) * 10 // total AS BIGINT) AS bin,
+           |    count(*) AS n, sum(y) AS pos
+           |  FROM r GROUP BY 1),
+           |c AS (
+           |  SELECT bin, CAST(n AS BIGINT) AS n, CAST(pos AS BIGINT) AS n_pos,
+           |    CAST(sum(n) OVER (ORDER BY bin) AS BIGINT) AS cum_n,
+           |    CAST(sum(pos) OVER (ORDER BY bin) AS BIGINT) AS cum_pos,
+           |    CAST(sum(n) OVER () AS BIGINT) AS tn,
+           |    CAST(sum(pos) OVER () AS BIGINT) AS tpos
+           |  FROM g)
+           |SELECT bin, n, n_pos, cum_n, cum_pos,
+           |  CASE WHEN tpos > 0 THEN 1000000 * cum_pos // tpos END AS capture_ppm,
+           |  CASE WHEN tpos > 0 THEN CAST(
+           |    (1000000 * CAST(cum_pos AS HUGEINT) * tn) //
+           |    (CAST(cum_n AS HUGEINT) * tpos) AS BIGINT) END AS lift_ppm
+           |FROM c ORDER BY bin""".stripMargin),
+    "The fact table is touched once (range repartition + per-partition sort — " +
+      "Ranking.globalRowNumber, no single-partition window); every window after " +
+      "runs on the 10-row bin rollup. The audit that justifies sorting 100 TB " +
+      "by a quality score before truncation.")
+
+  val all: Seq[Declared] = Seq(q171, q172, q173, q174, q175,
+    q176, q177, q178, q179, q180)
 }

@@ -1,0 +1,133 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.ops.Evaluation
+
+/** Specs for the offline evaluation family behind q176-q180: exact
+  * AUC, retrieval P@k/R@k/MRR, per-class precision/recall/F1 and the
+  * decile lift table — hand-checkable cases plus the conservation
+  * laws the ppm arithmetic must satisfy. */
+class EvaluationSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  // ---- aucExact -------------------------------------------------------
+
+  test("aucExact: perfect separation scores 1, reversed scores 0") {
+    val df = Seq((10L, 1), (9L, 1), (2L, 0), (1L, 0)).toDF("s", "y")
+    val up = Evaluation.aucExact(df, Nil, col("s"), col("y")).head()
+    assert(up.getAs[Long]("n_pos") == 2 && up.getAs[Long]("n_neg") == 2)
+    assert(up.getAs[Long]("u2") == 8L)          // 2 * (2x2 pairs all won)
+    assert(up.getAs[Double]("auc") == 1.0)
+    val down = Evaluation.aucExact(df, Nil, -col("s"), col("y")).head()
+    assert(down.getAs[Long]("u2") == 0L && down.getAs[Double]("auc") == 0.0)
+  }
+
+  test("aucExact: all-tied scores give exactly 0.5; textbook mid case") {
+    val tied = Seq((5L, 1), (5L, 0), (5L, 1), (5L, 0)).toDF("s", "y")
+    val t = Evaluation.aucExact(tied, Nil, col("s"), col("y")).head()
+    assert(t.getAs[Long]("u2") == 4L)           // 4 pairs, all half-credit
+    assert(t.getAs[Double]("auc") == 0.5)
+    // scores pos {3,1}, neg {2,0}: pairs won = 3 (3>2, 3>0, 1>0), lost 1
+    val mid = Seq((3L, 1), (1L, 1), (2L, 0), (0L, 0)).toDF("s", "y")
+    val m = Evaluation.aucExact(mid, Nil, col("s"), col("y")).head()
+    assert(m.getAs[Long]("u2") == 6L && m.getAs[Double]("auc") == 0.75)
+  }
+
+  test("aucExact: per-group independence and null on a degenerate group") {
+    val df = Seq(("a", 2L, 1), ("a", 1L, 0), ("b", 7L, 1), ("b", 7L, 1))
+      .toDF("g", "s", "y")
+    val out = Evaluation.aucExact(df, Seq(col("g")), col("s"), col("y"))
+      .orderBy("g").collect()
+    assert(out(0).getAs[Double]("auc") == 1.0)
+    assert(out(1).isNullAt(out(1).fieldIndex("auc"))) // no negatives
+  }
+
+  // ---- retrievalEval --------------------------------------------------
+
+  test("retrievalEval: hits, first rank and the ppm quotients") {
+    // q1: rel items {10, 11, 12}; run returns 10 at rank 2, 11 at rank 5
+    // q2: rel items {20}; run has no relevant item
+    val runs = Seq((1L, 99L, 1), (1L, 10L, 2), (1L, 50L, 3), (1L, 51L, 4),
+      (1L, 11L, 5), (2L, 98L, 1), (2L, 97L, 2)).toDF("query_id", "item_id", "rank")
+    val truth = Seq((1L, 10L), (1L, 11L), (1L, 12L), (2L, 20L))
+      .toDF("query_id", "item_id")
+    val out = Evaluation.retrievalEval(runs, truth, k = 5)
+      .orderBy("query_id").collect()
+    val q1 = out(0)
+    assert(q1.getAs[Long]("n_rel") == 3 && q1.getAs[Long]("hits") == 2)
+    assert(q1.getAs[Long]("first_hit_rank") == 2)
+    assert(q1.getAs[Long]("prec_ppm") == 400000L)   // 2/5
+    assert(q1.getAs[Long]("rec_ppm") == 666666L)    // 2/3 floored
+    assert(q1.getAs[Long]("rr_ppm") == 500000L)     // 1/2
+    val q2 = out(1)
+    assert(q2.getAs[Long]("hits") == 0 && q2.getAs[Long]("rr_ppm") == 0L)
+    assert(q2.getAs[Long]("prec_ppm") == 0L && q2.getAs[Long]("rec_ppm") == 0L)
+  }
+
+  test("retrievalEval: ranks beyond k are ignored") {
+    val runs = Seq((1L, 10L, 1), (1L, 11L, 7)).toDF("query_id", "item_id", "rank")
+    val truth = Seq((1L, 10L), (1L, 11L)).toDF("query_id", "item_id")
+    val r = Evaluation.retrievalEval(runs, truth, k = 5).head()
+    assert(r.getAs[Long]("hits") == 1)
+  }
+
+  // ---- classMetrics ---------------------------------------------------
+
+  test("classMetrics: hallucinated and never-predicted classes surface") {
+    // truth: a,a,b ; pred: a,b,c — c is hallucinated, b never correct
+    val df = Seq(("a", "a"), ("a", "b"), ("b", "c")).toDF("l", "p")
+    val out = Evaluation.classMetrics(df, col("l"), col("p"))
+      .orderBy("class").collect()
+    val a = out(0); val b = out(1); val c = out(2)
+    assert(a.getAs[Long]("tp") == 1 && a.getAs[Long]("fn") == 1
+      && a.getAs[Long]("fp") == 0)
+    assert(a.getAs[Long]("prec_ppm") == 1000000L)
+    assert(a.getAs[Long]("rec_ppm") == 500000L)
+    assert(a.getAs[Long]("f1_ppm") == 666666L)      // 2/3 floored
+    assert(b.getAs[Long]("n_true") == 1 && b.getAs[Long]("n_pred") == 1
+      && b.getAs[Long]("tp") == 0 && b.getAs[Long]("f1_ppm") == 0L)
+    // hallucinated class: no truth rows → recall null, precision 0
+    assert(c.getAs[Long]("n_true") == 0 && c.getAs[Long]("n_pred") == 1)
+    assert(c.getAs[Long]("prec_ppm") == 0L)
+    assert(c.isNullAt(c.fieldIndex("rec_ppm")))
+  }
+
+  test("classMetrics: Σtp/Σfp/Σfn are consistent with the population") {
+    val df = Seq(("x", "x"), ("x", "y"), ("y", "y"), ("y", "x"), ("y", "y"))
+      .toDF("l", "p")
+    val out = Evaluation.classMetrics(df, col("l"), col("p")).collect()
+    assert(out.map(_.getAs[Long]("tp")).sum == 3)
+    // every error is one class's fp and another's fn
+    assert(out.map(_.getAs[Long]("fp")).sum == out.map(_.getAs[Long]("fn")).sum)
+    assert(out.map(_.getAs[Long]("n_true")).sum == 5)
+  }
+
+  // ---- decileLift -----------------------------------------------------
+
+  test("decileLift: conservation — bins tile the population, cum hits totals") {
+    val df = (1 to 100).map(i => (i.toLong, if (i > 80) 1 else 0))
+      .toDF("s", "y")
+    val out = Evaluation.decileLift(df,
+      Seq(col("s").desc, col("s").asc), col("y"), nBins = 10)
+      .orderBy("bin").collect()
+    assert(out.length == 10 && out.forall(_.getAs[Long]("n") == 10))
+    // top two deciles hold ALL positives (scores 81-100)
+    assert(out(0).getAs[Long]("n_pos") == 10 && out(1).getAs[Long]("n_pos") == 10)
+    assert(out(1).getAs[Long]("capture_ppm") == 1000000L)
+    // decile-1 lift = (10/10) / (20/100) = 5x
+    assert(out(0).getAs[Long]("lift_ppm") == 5000000L)
+    // full-population lift is exactly 1
+    assert(out(9).getAs[Long]("lift_ppm") == 1000000L)
+    assert(out(9).getAs[Long]("cum_n") == 100 && out(9).getAs[Long]("cum_pos") == 20)
+  }
+
+  test("decileLift: uneven population — bin sizes differ by at most one") {
+    val df = (1 to 23).map(i => (i.toLong, i % 2)).toDF("s", "y")
+    val out = Evaluation.decileLift(df, Seq(col("s").asc), col("y"), nBins = 4)
+      .orderBy("bin").collect()
+    val sizes = out.map(_.getAs[Long]("n"))
+    assert(sizes.sum == 23 && (sizes.max - sizes.min) <= 1)
+  }
+}

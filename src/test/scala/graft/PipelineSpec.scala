@@ -287,6 +287,39 @@ class PipelineSpec extends AnyFunSuite {
       "zone_map_audit","kwargs":{"layout":"nat","chunk_expr":"id div 2",
       "value_col":"id","lo":1,"hi":2}}]}""", obs).collect().head
     assert(zm.getString(0) == "nat" && zm.getLong(3) == 4L)
+
+    // batch-13: evaluation + KMV ops
+    val auc = run("""{"pipe":"p","operations":[{"name":"a","function":
+      "auc","kwargs":{"keys":[],"score_expr":"id",
+      "label_expr":"case when g = 'B' then 1 else 0 end"}}]}""", obs)
+      .collect().head
+    assert(auc.getAs[Double]("auc") == 1.0) // B holds the top ids
+
+    val cm = run("""{"pipe":"p","operations":[{"name":"c","function":
+      "class_metrics","kwargs":{"label_col":"g","pred_col":"g"}}]}""", obs)
+      .collect()
+    assert(cm.length == 2 && cm.forall(_.getAs[Long]("f1_ppm") == 1000000L))
+
+    val dl = run("""{"pipe":"p","operations":[{"name":"d","function":
+      "decile_lift","kwargs":{"order":["id"],"bins":2,
+      "label_expr":"case when id >= 3 then 1 else 0 end"}}]}""", obs)
+      .collect()
+    assert(dl.length == 2 && dl.last.getAs[Long]("capture_ppm") == 1000000L)
+
+    val kmv = run("""{"pipe":"p","operations":[
+      {"name":"s","function":"kmv_sketch","kwargs":{
+        "keys":["g"],"key_col":"id","k":8}},
+      {"name":"e","function":"kmv_estimate","kwargs":{"keys":["g"],"k":8}}]}""",
+      obs).collect()
+    assert(kmv.length == 2 && kmv.forall(_.getAs[Long]("est_kmv") == 2L))
+
+    Seq((1L, 10L), (1L, 11L)).toDF("query_id", "item_id")
+      .write.parquet(s"$tmp/truth")
+    val re = run(s"""{"pipe":"p","operations":[{"name":"r","function":
+      "retrieval_eval","kwargs":{"truth_file":"$tmp/truth","k":5}}]}""",
+      Seq((1L, 10L, 1), (1L, 99L, 2)).toDF("query_id", "item_id", "rank"))
+      .collect().head
+    assert(re.getAs[Long]("hits") == 1L && re.getAs[Long]("rr_ppm") == 1000000L)
   }
 
   private def keysDf = {

@@ -2,6 +2,7 @@ package graft
 
 import org.scalatest.funsuite.AnyFunSuite
 import org.apache.spark.sql.functions._
+import graft.ext.Sketches
 
 /** E6 — the approximate-sketch laws that make 100 TB cardinality and
   * quantile work feasible. Exact distinct (q15) and exact median (q27)
@@ -130,5 +131,46 @@ class SketchSpec extends AnyFunSuite {
     // each distinct v holds 50 copies here, so allow one value's worth)
     assert(math.abs(rank - n / 2) <= n / 1000 + 50,
       s"approx p50 $approx has rank $rank of $n")
+  }
+
+  test("E6: KMV sketch is exact below k, in-band above, and merge-invariant") {
+    import spark.implicits._
+    // below k: the sketch IS the distinct set
+    val small = (1L to 40L).map(i => ("g", i)).toDF("g", "key")
+    val smallEst = Sketches.kmvEstimate(
+      Sketches.kmvSketch(small, Seq(col("g")), col("key"), k = 64),
+      Seq("g"), k = 64).head()
+    assert(smallEst.getAs[Long]("n_kept") == 40L
+      && smallEst.getAs[Long]("est_kmv") == 40L)
+    // above k: estimate within the ~1/sqrt(k-2) relative-error band (3x slack)
+    val big = (1L to 5000L).map(i => ("g", i)).toDF("g", "key")
+    val est = Sketches.kmvEstimate(
+      Sketches.kmvSketch(big, Seq(col("g")), col("key"), k = 64),
+      Seq("g"), k = 64).head().getAs[Long]("est_kmv")
+    assert(math.abs(est - 5000L) < 5000 * 3 / math.sqrt(62),
+      s"KMV estimate $est too far from 5000")
+    // mergeability: bottom-k of the union of two sketches == sketch of union
+    val a = (1L to 3000L).map(i => ("g", i)).toDF("g", "key")
+    val b = (2000L to 5000L).map(i => ("g", i)).toDF("g", "key")
+    val direct = Sketches.kmvSketch(a.unionByName(b), Seq(col("g")), col("key"), k = 64)
+      .select("h").as[Long].collect().sorted.toSeq
+    val viaMerge = Sketches.kmvSketch(a, Seq(col("g")), col("key"), k = 64)
+      .unionByName(Sketches.kmvSketch(b, Seq(col("g")), col("key"), k = 64))
+      .select("h").distinct().as[Long].collect().sorted.take(64).toSeq
+    assert(direct == viaMerge, "bottom-k of sketch union must equal union sketch")
+  }
+
+  test("E6: KMV resemblance — identical sets 10^6 ppm, disjoint 0, overlap in band") {
+    import spark.implicits._
+    def sk(lo: Long, hi: Long) = Sketches.kmvSketch(
+      (lo to hi).map(i => ("g", i)).toDF("g", "key"), Nil, col("key"), k = 64)
+    val same = Sketches.kmvResemblance(sk(1, 2000), sk(1, 2000), k = 64).head()
+    assert(same.getAs[Long]("j_est_ppm") == 1000000L)
+    val disjoint = Sketches.kmvResemblance(sk(1, 2000), sk(3000, 5000), k = 64).head()
+    assert(disjoint.getAs[Long]("j_est_ppm") == 0L)
+    // true J = 1000/3000 = 1/3; allow a generous sampling band
+    val half = Sketches.kmvResemblance(sk(1, 2000), sk(1001, 3000), k = 64)
+      .head().getAs[Long]("j_est_ppm")
+    assert(half > 120000L && half < 550000L, s"J estimate $half ppm out of band")
   }
 }
