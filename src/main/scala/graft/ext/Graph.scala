@@ -173,6 +173,59 @@ object Graph {
     ranks.select(col("node"), col("rank_ppm"))
   }
 
+  /** Personalized PageRank: identical fixed-round integer recursion to
+    * [[pageRank]], but the teleport mass returns ONLY to the `sources`
+    * node set — rank becomes proximity-to-S instead of global
+    * centrality (Page et al. 1999 §6 "personalized" vector, public
+    * literature). The seed-expansion primitive of corpus curation:
+    * seed S with known-good domains/docs, rank the rest by how much
+    * S-mass flows to them, keep the top. Source nodes start at `unit`,
+    * all others at 0; each round
+    *   rank = 1[S]·(unit − d·unit) + d·inflow,
+    * all truncating-long arithmetic, so the result is bit-identical
+    * under any partitioning and against an unrolled-CTE oracle.
+    *
+    * Scale: same contract as [[pageRank]] — one node-keyed equi-join +
+    * one dst-keyed agg per round, fixed rounds, no driver traffic; the
+    * source flag is a broadcast of |S| rows. */
+  def personalizedPageRank(edges: DataFrame, srcCol: String, dstCol: String,
+      sources: DataFrame, sourceIdCol: String, iters: Int = 3,
+      dampNum: Int = 85, dampDen: Int = 100,
+      unit: Long = 1000000L): DataFrame = {
+    require(iters >= 1, "iters must be >= 1")
+    require(dampDen > 0 && dampNum >= 0 && dampNum <= dampDen,
+      "damping must satisfy 0 <= num <= den")
+    val sym = edges.select(explode(array(
+        struct(col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst")),
+        struct(col(dstCol).cast("long").as("src"), col(srcCol).cast("long").as("dst"))))
+        .as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"))
+      .distinct()
+      .localCheckpoint()
+    val flag = sources.select(col(sourceIdCol).cast("long").as("node"))
+      .distinct().withColumn("__s", lit(1L)).localCheckpoint()
+    val deg = sym.groupBy(col("src").as("node")).agg(count(lit(1)).as("deg"))
+      .join(broadcast(flag), Seq("node"), "left")
+      .withColumn("__s", coalesce(col("__s"), lit(0L)))
+      .localCheckpoint()
+    val base = unit - (dampNum.toLong * unit) / dampDen
+    var ranks = deg.withColumn("rank_ppm", col("__s") * unit)
+    var i = 0
+    while (i < iters) {
+      val contrib = ranks.select(col("node").as("src"),
+        expr("rank_ppm div deg").as("c"))
+      val inflow = sym.join(contrib, "src")
+        .groupBy(col("dst").as("node")).agg(sum(col("c")).as("inflow"))
+      ranks = deg.join(inflow, Seq("node"), "left")
+        .select(col("node"), col("deg"), col("__s"),
+          expr(s"__s * ${base}L + (${dampNum}L * coalesce(inflow, 0L)) div ${dampDen}L")
+            .as("rank_ppm"))
+      if ((i + 1) % 8 == 0 && i < iters - 1) ranks = ranks.localCheckpoint()
+      i += 1
+    }
+    ranks.select(col("node"), col("rank_ppm"))
+  }
+
   /** Per-node triangle counts of the undirected simple graph given by
     * `edges` (self-loops and duplicate/mirror edges collapse). Returns
     * one row per node appearing in ≥1 triangle: (node, n_triangles).

@@ -511,4 +511,45 @@ object Aggregates {
     }
     withNd.select(explode(array(rows: _*)).as("p")).select("p.*")
   }
+
+  /** A-stat — Theil–Sen robust trend slope per key: the median of all
+    * pairwise slopes (y_j−y_i)/(x_j−x_i) over x_i < x_j (Theil 1950 /
+    * Sen 1968, public literature) — the outlier-resistant alternative
+    * to the OLS slope (q82), with ~29% breakdown instead of 0.
+    * Deterministic median: pairs sort by the IEEE quotient with the
+    * exact (num, den) pair as tie-break — equal-quotient ties are
+    * interchangeable, colliding-double near-ties resolve identically
+    * on any engine — and the LOWER median (rank ⌈m/2⌉) is selected, so
+    * no averaging of two fractions. Returns
+    * (…keys, n_pairs, slope_num, slope_den, slope) with slope the one
+    * float op (num/den of exact integers).
+    *
+    * Scale: the caller aggregates to a rollup-grain series first
+    * (days/weeks per key); the pair join is key-local and
+    * O(series²) per key — bounded by the GRAIN, never the fact count.
+    * The join and the rank window share one key partitioning. */
+  def theilSen(df: DataFrame, keys: Seq[Column], xCol: Column,
+      yCol: Column): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = df.select(keys :+ xCol.cast("long").as("__x") :+
+      yCol.cast("long").as("__y"): _*)
+    val kNames = base.columns.dropRight(2).toSeq
+    val lhs = base.toDF(kNames ++ Seq("__x1", "__y1"): _*)
+    val rhs = base.toDF(kNames ++ Seq("__x2", "__y2"): _*)
+    val pairs = lhs.join(rhs, kNames).filter(col("__x1") < col("__x2"))
+      .withColumn("__num", col("__y2") - col("__y1"))
+      .withColumn("__den", col("__x2") - col("__x1"))
+    val w = Window.partitionBy(kNames.map(col): _*)
+      .orderBy(col("__num").cast("double") / col("__den").cast("double"),
+        col("__num"), col("__den"))
+    val wAll = Window.partitionBy(kNames.map(col): _*)
+    pairs
+      .withColumn("__rn", row_number().over(w))
+      .withColumn("n_pairs", count(lit(1)).over(wAll))
+      .filter(col("__rn") === expr("(n_pairs + 1) div 2"))
+      .select(kNames.map(col) :+ col("n_pairs") :+
+        col("__num").as("slope_num") :+ col("__den").as("slope_den") :+
+        (col("__num").cast("double") / col("__den").cast("double"))
+          .as("slope"): _*)
+  }
 }

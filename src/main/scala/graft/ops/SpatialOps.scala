@@ -342,4 +342,73 @@ object SpatialOps {
       .select(col("gx"), col("gy"),
         coalesce(col("exact"), col("idw_est")).as(s"${valueCol}_idw"))
   }
+
+  // --- geohash (F9-adjacent): the prefix-mergeable spatial cell key ---
+
+  /** Standard geohash base-32 alphabet (Niemeyer 2008, public spec). */
+  val GeohashAlphabet = "0123456789bcdefghjkmnpqrstuvwxyz"
+
+  /** SQL for the quantized coordinate: floor((c + off) / span · 2^bits)
+    * clamped to [0, 2^bits). Pure IEEE ops on identical operands —
+    * generated once here for BOTH engines, so the text (and hence the
+    * arithmetic order) cannot drift between them. */
+  def quantSql(coordE: String, off: Int, span: Int,
+      bits: Int): String =
+    s"greatest(least(CAST(floor((($coordE) + $off.0) / $span.0 * " +
+      s"${1L << bits}.0) AS BIGINT), ${(1L << bits) - 1}), 0)"
+
+  /** SQL for the interleaved geohash bit word over columns named
+    * `lonq`/`latq`: bit i of the result (MSB first) is lon bit i/2
+    * when i is even, lat bit i/2 when odd — the standard geohash
+    * interleave. `duck` switches shift syntax only. */
+  def bitsSql(precision: Int, duck: Boolean): String = {
+    val bits = 5 * precision
+    val lonBits = (bits + 1) / 2
+    val latBits = bits / 2
+    def shr(x: String, n: Int) =
+      if (n == 0) x else if (duck) s"(($x) >> $n)" else s"shiftright($x, $n)"
+    (0 until bits).map { i =>
+      val isLon = i % 2 == 0
+      val srcBits = if (isLon) lonBits else latBits
+      val src = if (isLon) "lonq" else "latq"
+      val bit = s"(${shr(src, srcBits - 1 - i / 2)} & 1)"
+      val shift = bits - 1 - i
+      if (shift == 0) bit else s"($bit * ${1L << shift})"
+    }.mkString(" + ")
+  }
+
+  /** SQL for the base-32 rendering of a bit word column `ghbits`. */
+  def charsSql(precision: Int, duck: Boolean): String = {
+    def shr(x: String, n: Int) =
+      if (n == 0) x else if (duck) s"(($x) >> $n)" else s"shiftright($x, $n)"
+    (0 until precision).map { g =>
+      val grp = s"(${shr("ghbits", 5 * (precision - 1 - g))} & 31)"
+      s"substr('$GeohashAlphabet', CAST($grp AS INT) + 1, 1)"
+    }.mkString("concat(", ", ", ")")
+  }
+
+  /** Append a geohash cell column for (lat, lon) at the given
+    * precision (chars). The geohash IS a Z-order key over the
+    * lat/lon square ([[graft.ops.Layout]] writes Z-ordered layouts;
+    * this is the portable string spelling): prefix-truncation merges
+    * 32 cells into their parent, so per-cell aggregates roll up by
+    * `substr(gh, 1, p−1)` with NO re-scan — the multi-resolution
+    * spatial groupBy key at 100 TB.
+    *
+    * Scale: pure scan-side codegen arithmetic (quantize, interleave,
+    * render) — no join, no shuffle, no UDF. */
+  def withGeohash(df: DataFrame, latCol: Column, lonCol: Column,
+      precision: Int, outCol: String = "geohash"): DataFrame = {
+    require(precision >= 1 && precision <= 12,
+      "precision must be in [1, 12] chars")
+    val bits = 5 * precision
+    df.withColumn("__lat", latCol.cast("double"))
+      .withColumn("__lon", lonCol.cast("double"))
+      .withColumn("lonq", expr(quantSql("__lon", 180, 360, (bits + 1) / 2)))
+      .withColumn("latq", expr(quantSql("__lat", 90, 180, bits / 2)))
+      .withColumn("ghbits", expr(bitsSql(precision, duck = false)))
+      .withColumn(outCol, expr(charsSql(precision, duck = false)))
+      .drop("__lat", "__lon", "lonq", "latq", "ghbits")
+  }
+
 }

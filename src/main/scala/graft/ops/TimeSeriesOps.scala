@@ -498,4 +498,65 @@ object TimeSeriesOps {
         col("__z.__st.b").as("trend_s") :+
         (col("__z.__st.l") + col("__z.__st.b")).as("forecast_s"): _*)
   }
+
+  /** A5/A8 — additive seasonal decomposition with an INTEGER seasonal
+    * component: value = seasonal + residual, where seasonal is the
+    * per-(keys, season) truncating integer mean (sum div count) of the
+    * value. The classical "seasonal means" decomposition (the first
+    * step of STL-style analysis, kept libm-free): deseasonalized
+    * residuals feed anomaly detection (q115's 3-sigma gate) without the
+    * weekday/hour cycle drowning the signal. Adds
+    * (seasonal_c, resid_c) to every input row.
+    *
+    * Scale: one (keys, season)-keyed agg with map-side combine — the
+    * profile is |keys|·|seasons| rows — broadcast-joined back onto the
+    * facts; no window over the fact table at all. */
+  def seasonalDecompose(df: DataFrame, keys: Seq[Column], seasonCol: Column,
+      valueCol: Column): DataFrame = {
+    val base = df.withColumn("__season", seasonCol)
+      .withColumn("__v", valueCol.cast("long"))
+    val keyed = keys :+ col("__season")
+    val profile = base.groupBy(keyed: _*)
+      .agg(sum(col("__v")).as("__sum"), count(lit(1)).as("__n"))
+      .withColumn("seasonal_c", expr("__sum div __n"))
+      .drop("__sum", "__n")
+    base.join(broadcast(profile),
+        profile.columns.dropRight(1).toSeq)
+      .withColumn("resid_c", col("__v") - col("seasonal_c"))
+      .drop("__season", "__v")
+  }
+
+  /** A5/A8 — one-step-ahead forecast evaluation: Holt ([[holtInt]])
+    * against the naive last-value forecast, per key. For every row
+    * after a key's first, the Holt error is
+    * value_t·scale − forecast_s_{t−1} and the naive error is
+    * (value_t − value_{t−1})·scale; the verdict is
+    *   mase_ppm = 10⁶ · Σ|err_holt| div Σ|err_naive|
+    * — the scale-free MASE quotient (Hyndman & Koehler 2006, public
+    * literature), < 10⁶ iff the smoother actually beats naive. All
+    * integer: sums of absolute scaled longs, one integer div. Input is
+    * [[holtInt]]'s output; returns per key
+    * (…keys, n_eval, sae_holt, sae_naive, mase_ppm).
+    *
+    * Scale: one key-partitioned lag window over the rollup-grain
+    * series (the same grain holtInt already reduced to), then a
+    * key-sized agg. */
+  def forecastEval(holtOut: DataFrame, keyNames: Seq[String],
+      scale: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(keyNames.map(col): _*).orderBy(col("order"))
+    val lagged = holtOut
+      .withColumn("__pf", lag(col("forecast_s"), 1).over(w))
+      .withColumn("__pv", lag(col("value"), 1).over(w))
+      .filter(col("__pf").isNotNull)
+      .withColumn("__eh", abs(col("value") * scale - col("__pf")))
+      .withColumn("__en", abs((col("value") - col("__pv")) * scale))
+    lagged.groupBy(keyNames.map(col): _*)
+      .agg(count(lit(1)).as("n_eval"),
+        sum(col("__eh")).as("sae_holt"),
+        sum(col("__en")).as("sae_naive"))
+      .withColumn("mase_ppm",
+        when(col("sae_naive") > 0,
+          expr("1000000 * sae_holt div sae_naive")))
+  }
 }

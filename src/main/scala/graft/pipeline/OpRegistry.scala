@@ -458,6 +458,25 @@ object OpRegistry {
       num(p, "k").toInt)),
     // df is the SKETCH table (kmv_sketch output)
     "kmv_estimate" -> (p => df => graft.ext.Sketches.kmvEstimate(
-      df, strs(p, "keys"), num(p, "k").toInt))
+      df, strs(p, "keys"), num(p, "k").toInt)),
+    "seasonal_decompose" -> (p => df => graft.ops.TimeSeriesOps.seasonalDecompose(
+      df, strs(p, "keys").map(col), expr(str(p, "season_expr")),
+      col(str(p, "value_col")))),
+    // df is holtInt's output frame
+    "forecast_eval" -> (p => df => graft.ops.TimeSeriesOps.forecastEval(
+      df, strs(p, "keys"), num(p, "scale").toLong)),
+    "theil_sen" -> (p => df => graft.ops.Aggregates.theilSen(
+      df, strs(p, "keys").map(col), col(str(p, "x_col")),
+      col(str(p, "y_col")))),
+    // df is the EDGE list; the seed set reads from a file
+    "ppr" -> (p => df => graft.ext.Graph.personalizedPageRank(
+      df, str(p, "src_col"), str(p, "dst_col"),
+      df.sparkSession.read.parquet(str(p, "sources_file")),
+      str(p, "source_id_col"),
+      numOpt(p, "iters").map(_.toInt).getOrElse(3))),
+    "geohash" -> (p => df => graft.ops.SpatialOps.withGeohash(
+      df, col(str(p, "lat_col")), col(str(p, "lon_col")),
+      num(p, "precision").toInt,
+      strOpt(p, "out").getOrElse("geohash")))
   ))
 }

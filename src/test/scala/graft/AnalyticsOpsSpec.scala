@@ -652,4 +652,49 @@ class AnalyticsOpsSpec extends AnyFunSuite {
     // sort order: aquamarinX < aquamarine < zzzebra; only the typo pair verifies
     assert(out.toSeq == Seq((2L, 1L, 1)))
   }
+
+  test("A-stat: theilSen — exact slope on a line, immune to one outlier") {
+    import graft.ops.Aggregates
+    // y = 2x with one wild outlier; OLS would move, the median slope not
+    val pts = Seq((0L, 0L), (1L, 2L), (2L, 4L), (3L, 6L), (4L, 1000L))
+      .map { case (x, y) => ("k", x, y) }.toDF("g", "x", "y")
+    val r = Aggregates.theilSen(pts, Seq(col("g")), col("x"), col("y")).head()
+    assert(r.getAs[Long]("n_pairs") == 10L)
+    assert(r.getAs[Long]("slope_num") == 2L * r.getAs[Long]("slope_den"))
+    assert(r.getAs[Double]("slope") == 2.0)
+  }
+
+  test("A-stat: theilSen lower median is deterministic on an even pair count") {
+    import graft.ops.Aggregates
+    // 3 points -> 3 pairs? no: use 2 points -> 1 pair; 4 points -> 6 pairs
+    val pts = Seq(("k", 0L, 0L), ("k", 1L, 1L), ("k", 2L, 4L), ("k", 3L, 9L))
+      .toDF("g", "x", "y")
+    val r = Aggregates.theilSen(pts, Seq(col("g")), col("x"), col("y")).head()
+    // slopes sorted: 1, 3/2=1.5? pairs: (0,1)=1,(0,2)=2,(0,3)=3,(1,2)=3,(1,3)=4,(2,3)=5
+    // sorted: 1,2,3,3,4,5 -> lower median rank (6+1) div 2 = 3 -> slope 3
+    assert(r.getAs[Long]("n_pairs") == 6L)
+    assert(r.getAs[Double]("slope") == 3.0)
+  }
+
+  test("F9: geohash matches the published test vector and the prefix law") {
+    import graft.ops.SpatialOps
+    val df = Seq((1L, 57.64911, 10.40744), (2L, 57.64911, 10.40744))
+      .toDF("id", "lat", "lon")
+    val out = SpatialOps.withGeohash(df, col("lat"), col("lon"), 11)
+      .select("geohash").head().getString(0)
+    // canonical example cell (geohash.org): u4pruydqqvj
+    assert(out == "u4pruydqqvj", s"got $out")
+    // prefix law: precision-5 hash is the prefix of the precision-11 one
+    val p5 = SpatialOps.withGeohash(df, col("lat"), col("lon"), 5)
+      .select("geohash").head().getString(0)
+    assert(out.startsWith(p5))
+    // domain edges survive and stay in the alphabet
+    val edge = Seq((1L, 90.0, 180.0), (2L, -90.0, -180.0))
+      .toDF("id", "lat", "lon")
+    val es = SpatialOps.withGeohash(edge, col("lat"), col("lon"), 6)
+      .select("geohash").collect().map(_.getString(0))
+    assert(es.forall(g => g.length == 6 &&
+      g.forall(SpatialOps.GeohashAlphabet.contains(_))))
+    assert(es(0) == "zzzzzz" && es(1) == "000000")
+  }
 }

@@ -392,4 +392,25 @@ class TextSignalsSpec extends AnyFunSuite {
       .select("flesch_milli").head.getLong(0)
     assert(h < 0L, s"polysyllabic one-sentence doc must score negative, got $h")
   }
+
+  test("E2+: personalizedPageRank — seed proximity beats symmetric centrality") {
+    import spark.implicits._
+    // barbell: 1-2-3 and 4-5-6 joined 3-4; seed {1}. By symmetry plain
+    // pageRank ranks (1,6), (2,5), (3,4) equally; PPR must break every
+    // pair toward the seed side.
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (5L, 6L))
+      .toDF("a", "b")
+    val seeds = Seq(1L).toDF("id")
+    val ppr = Graph.personalizedPageRank(edges, "a", "b", seeds, "id", iters = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(ppr(1L) > ppr(6L) && ppr(2L) > ppr(5L) && ppr(3L) > ppr(4L))
+    // teleporting to EVERY node degenerates to plain pageRank exactly
+    val allNodes = Seq(1L, 2L, 3L, 4L, 5L, 6L).toDF("id")
+    val asPlain = Graph.personalizedPageRank(edges, "a", "b", allNodes, "id",
+        iters = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val plain = Graph.pageRank(edges, "a", "b", iters = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(asPlain == plain)
+  }
 }

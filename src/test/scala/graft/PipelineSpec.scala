@@ -320,6 +320,35 @@ class PipelineSpec extends AnyFunSuite {
       Seq((1L, 10L, 1), (1L, 99L, 2)).toDF("query_id", "item_id", "rank"))
       .collect().head
     assert(re.getAs[Long]("hits") == 1L && re.getAs[Long]("rr_ppm") == 1000000L)
+
+    // batch-14: trend, seed-proximity and spatial-cell ops
+    val sd = run("""{"pipe":"p","operations":[{"name":"s","function":
+      "seasonal_decompose","kwargs":{"keys":[],"season_expr":"id % 2",
+      "value_col":"id"}}]}""", obs)
+    assert(sd.columns.contains("seasonal_c") && sd.count() == 4)
+
+    val fe = run("""{"pipe":"p","operations":[{"name":"f","function":
+      "forecast_eval","kwargs":{"keys":["g"],"scale":1}}]}""",
+      Seq(("A", 1L, 5L, 4L), ("A", 2L, 6L, 5L))
+        .toDF("g", "order", "value", "forecast_s"))
+    assert(fe.count() == 1 && fe.head().getAs[Long]("n_eval") == 1L)
+
+    val tsn = run("""{"pipe":"p","operations":[{"name":"t","function":
+      "theil_sen","kwargs":{"keys":["g"],"x_col":"id","y_col":"id"}}]}""",
+      obs).collect()
+    assert(tsn.forall(_.getAs[Double]("slope") == 1.0))
+
+    Seq(1L).toDF("nid").write.parquet(s"$tmp/ppr_seeds")
+    val pr = run(s"""{"pipe":"p","operations":[{"name":"p","function":
+      "ppr","kwargs":{"src_col":"id","dst_col":"wt",
+      "sources_file":"$tmp/ppr_seeds","source_id_col":"nid","iters":2}}]}""",
+      obs)
+    assert(pr.columns.toSeq == Seq("node", "rank_ppm") && pr.count() >= 2)
+
+    val gh = run("""{"pipe":"p","operations":[{"name":"g","function":
+      "geohash","kwargs":{"lat_col":"v","lon_col":"v","precision":4}}]}""",
+      obs)
+    assert(gh.select("geohash").collect().forall(_.getString(0).length == 4))
   }
 
   private def keysDf = {

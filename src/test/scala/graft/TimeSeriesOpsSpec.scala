@@ -205,4 +205,37 @@ class TimeSeriesOpsSpec extends AnyFunSuite {
       (1L, 1L, false, 2.0), // observed again
       (2L, 1L, false, 9.0)))
   }
+
+  test("A5: seasonalDecompose — integer seasonal means and exact residuals") {
+    import spark.implicits._
+    import graft.ops.TimeSeriesOps
+    // season 0 values {10, 20} -> mean 15; season 1 values {7} -> 7
+    val df = Seq((0L, 0L, 10L), (1L, 1L, 7L), (2L, 0L, 20L))
+      .toDF("t", "season", "v")
+    val out = TimeSeriesOps.seasonalDecompose(df, Nil, col("season"), col("v"))
+      .orderBy("t").collect()
+    assert(out.map(_.getAs[Long]("seasonal_c")).toSeq == Seq(15L, 7L, 15L))
+    assert(out.map(_.getAs[Long]("resid_c")).toSeq == Seq(-5L, 0L, 5L))
+    // truncating div: {1, 2} -> 1 (not 1.5)
+    val t = TimeSeriesOps.seasonalDecompose(
+      Seq((0L, 0L, 1L), (1L, 0L, 2L)).toDF("t", "season", "v"),
+      Nil, col("season"), col("v")).orderBy("t").collect()
+    assert(t.forall(_.getAs[Long]("seasonal_c") == 1L))
+  }
+
+  test("A5: forecastEval — hand MASE on a constructed holt-output frame") {
+    import spark.implicits._
+    import graft.ops.TimeSeriesOps
+    // scale 10: values 10,20,30; forecasts (prev-step) chosen so holt
+    // errors are |200-f1|=50, |300-f2|=10; naive errors 100, 100
+    val holtOut = Seq(
+      ("g", 1L, 10L, 150L), ("g", 2L, 20L, 290L), ("g", 3L, 30L, 999L))
+      .toDF("g", "order", "value", "forecast_s")
+    val out = TimeSeriesOps.forecastEval(holtOut, Seq("g"), scale = 10L)
+      .head()
+    assert(out.getAs[Long]("n_eval") == 2L)
+    assert(out.getAs[Long]("sae_holt") == 60L)   // |200-150| + |300-290|
+    assert(out.getAs[Long]("sae_naive") == 200L) // 100 + 100
+    assert(out.getAs[Long]("mase_ppm") == 300000L)
+  }
 }
