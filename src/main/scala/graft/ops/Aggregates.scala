@@ -528,6 +528,124 @@ object Aggregates {
     * (days/weeks per key); the pair join is key-local and
     * O(series²) per key — bounded by the GRAIN, never the fact count.
     * The join and the rank window share one key partitioning. */
+  /** A-stat — Welch's unequal-variance t-test of an integer-valued
+    * metric between two groups: the parametric complement of
+    * [[mannWhitneyU]] (MW detects location shift rank-wise; Welch
+    * quantifies it in the metric's own units with no equal-variance
+    * assumption). State is three exact sums per group (n, Σx, Σx²) in
+    * DECIMAL(38,0); the finish — means, variances via
+    * (n·Q − S²)/(n·(n−1)), t, and the Welch–Satterthwaite df — is a
+    * fixed sequence of correctly-rounded IEEE ops on those exact
+    * operands, written in the SAME order as the oracle SQL, so even
+    * the doubles hash-match. Returns one row:
+    * (n_a, n_b, mean_a, mean_b, t_stat, df). */
+  def welchTTest(df: DataFrame, valueCol: Column, groupCol: Column,
+      groupA: String, groupB: String): DataFrame = {
+    val d38 = "decimal(38,0)"
+    def side(g: String, tag: String) = {
+      val v = valueCol.cast("long")
+      df.filter(groupCol === g).agg(
+        count(lit(1)).cast(d38).as(s"n_$tag"),
+        sum(v).cast(d38).as(s"s_$tag"),
+        sum(v.cast(d38) * v.cast(d38)).cast(d38).as(s"q_$tag"))
+    }
+    def mean(t: String) =
+      col(s"s_$t").cast("double") / col(s"n_$t").cast("double")
+    // sample variance over n-1; exact integer numerator, one division
+    def variance(t: String) =
+      (col(s"n_$t") * col(s"q_$t") - col(s"s_$t") * col(s"s_$t")).cast("double") /
+        (col(s"n_$t") * (col(s"n_$t") - 1)).cast("double")
+    def se2(t: String) = variance(t) / col(s"n_$t").cast("double")
+    val tStat = (mean("a") - mean("b")) / sqrt(se2("a") + se2("b"))
+    val dfW = (se2("a") + se2("b")) * (se2("a") + se2("b")) /
+      (se2("a") * se2("a") / (col("n_a").cast("double") - 1.0) +
+        se2("b") * se2("b") / (col("n_b").cast("double") - 1.0))
+    side(groupA, "a").crossJoin(side(groupB, "b"))
+      .select(col("n_a").cast("long").as("n_a"),
+        col("n_b").cast("long").as("n_b"),
+        mean("a").as("mean_a"), mean("b").as("mean_b"),
+        when(col("n_a") > 1 && col("n_b") > 1, tStat).as("t_stat"),
+        when(col("n_a") > 1 && col("n_b") > 1, dfW).as("df"))
+  }
+
+  /** A-stat — one-way ANOVA F statistic of an integer-valued metric
+    * across ALL levels of a categorical column: does the group mean
+    * differ anywhere (the k-group generalization Welch can't ask)?
+    * Between/within sums of squares come from per-group exact sums;
+    * each group's S²/n term is quantized to micro-units BEFORE
+    * summing (the q74/chi-square trick) so accumulation order cannot
+    * move a bit:
+    *   ssb_u = Σ_g round(10⁶·S_g²/n_g) − round(10⁶·S²/N)
+    *   ssw_u = 10⁶·Q − Σ_g round(10⁶·S_g²/n_g)
+    * and F = (ssb_u/(k−1)) / (ssw_u/(N−k)) divides exact longs.
+    * Returns one row: (k, n, ssb_u, ssw_u, f_stat).
+    *
+    * Scale: one group-keyed agg (map-side combine) + a k-row finish;
+    * never data-sized past the first pass. */
+  def anovaF(df: DataFrame, valueCol: Column, groupCol: Column): DataFrame = {
+    val d38 = "decimal(38,0)"
+    val v = valueCol.cast("long")
+    val per = df.groupBy(groupCol.as("__g")).agg(
+      count(lit(1)).cast(d38).as("__n"),
+      sum(v).cast(d38).as("__s"),
+      sum(v.cast(d38) * v.cast(d38)).cast(d38).as("__q"))
+    val term = round((col("__s") * col("__s")).cast("double") /
+      col("__n").cast("double") * 1e6, 0).cast("long")
+    per.withColumn("__t", term)
+      .agg(count(lit(1)).as("k"),
+        sum(col("__n")).cast(d38).as("__nn"),
+        sum(col("__s")).cast(d38).as("__ss"),
+        sum(col("__q")).cast(d38).as("__qq"),
+        sum(col("__t")).as("__sumt"))
+      .select(col("k"), col("__nn").cast("long").as("n"),
+        (col("__sumt") -
+          round((col("__ss") * col("__ss")).cast("double") /
+            col("__nn").cast("double") * 1e6, 0).cast("long")).as("ssb_u"),
+        (col("__qq").cast("long") * 1000000L - col("__sumt")).as("ssw_u"))
+      .withColumn("f_stat",
+        when(col("k") > 1 && col("n") > col("k") && col("ssw_u") > 0,
+          (col("ssb_u").cast("double") / (col("k") - 1).cast("double")) /
+            (col("ssw_u").cast("double") / (col("n") - col("k")).cast("double"))))
+  }
+
+  /** A1 — two-feature exact OLS (y on x1, x2 with intercept), per key:
+    * [[linearFitExact]] lifted one dimension. The normal equations are
+    * solved on CENTERED co-moments with cleared denominators —
+    *   Sjk = n·Σxjxk − Σxj·Σxk   (exact DECIMAL(38,0) integers)
+    *   b1 = (S22·S1y − S12·S2y) / (S11·S22 − S12²), b2 symmetric —
+    * with the 2×2 Cramer finish in doubles (exact operands, fixed op
+    * order, mirrored literally in the oracle SQL). Returns per key
+    * (…keys, n, b1, b2, intercept); a singular design (collinear
+    * features) yields nulls rather than garbage. */
+  def linearFit2Exact(df: DataFrame, keys: Seq[Column], x1: Column,
+      x2: Column, y: Column): DataFrame = {
+    val d38 = "decimal(38,0)"
+    def l(c: Column) = c.cast("long").cast(d38)
+    val agg = df.groupBy(keys: _*).agg(
+      count(lit(1)).cast(d38).as("n"),
+      sum(l(x1)).cast(d38).as("s1"), sum(l(x2)).cast(d38).as("s2"),
+      sum(l(y)).cast(d38).as("sy"),
+      sum(l(x1) * l(x1)).cast(d38).as("s11"),
+      sum(l(x2) * l(x2)).cast(d38).as("s22"),
+      sum(l(x1) * l(x2)).cast(d38).as("s12"),
+      sum(l(x1) * l(y)).cast(d38).as("s1y"),
+      sum(l(x2) * l(y)).cast(d38).as("s2y"))
+    def cm(sjk: String, sj: String, sk: String) =
+      (col("n") * col(sjk) - col(sj) * col(sk)).cast("double")
+    val (c11, c22, c12) = (cm("s11", "s1", "s1"), cm("s22", "s2", "s2"),
+      cm("s12", "s1", "s2"))
+    val (c1y, c2y) = (cm("s1y", "s1", "sy"), cm("s2y", "s2", "sy"))
+    val det = c11 * c22 - c12 * c12
+    val b1 = (c22 * c1y - c12 * c2y) / det
+    val b2 = (c11 * c2y - c12 * c1y) / det
+    val icept = (col("sy").cast("double") - b1 * col("s1").cast("double") -
+      b2 * col("s2").cast("double")) / col("n").cast("double")
+    agg.select(keys :+ col("n").cast("long").as("n") :+
+      when(det =!= 0.0, b1).as("b1") :+
+      when(det =!= 0.0, b2).as("b2") :+
+      when(det =!= 0.0, icept).as("intercept"): _*)
+  }
+
   def theilSen(df: DataFrame, keys: Seq[Column], xCol: Column,
       yCol: Column): DataFrame = {
     import org.apache.spark.sql.expressions.Window

@@ -449,4 +449,41 @@ object EventAnalytics {
       .select(col("__z.__a.t").as("t"), col("__z.__a.n_risk").as("n_risk"),
         col("__z.__a.d").as("d_events"), col("__z.__s").as("surv_ppm"))
   }
+
+  /** A-stat — next-event prediction accuracy of the first-order Markov
+    * model (q102's transition matrix used as a predictor): for each
+    * source event type, predict the modal next type (count desc, type
+    * asc — deterministic), then score every observed transition
+    * against that prediction. The sequence-model readout of the
+    * journey view: acc_ppm far above the modal-class base rate means
+    * real sequential structure worth a session feature; at the base
+    * rate the "model" is noise. Resubstitution scoring (train = eval)
+    * — the standard first look. Returns per source type:
+    * (src, predicted, n_trans, n_correct, acc_ppm).
+    *
+    * Scale: one actor-keyed window sort (the q25/q102 envelope) feeds
+    * a |types|²-row matrix; prediction and scoring are joins on that
+    * broadcast-sized matrix, never on the event stream. */
+  def markovAccuracy(df: DataFrame, actorCol: Column, tsCol: Column,
+      typeCol: Column, tieCol: Column): DataFrame = {
+    val w = Window.partitionBy(actorCol).orderBy(tsCol, tieCol)
+    val pairs = df
+      .select(actorCol.as("__actor"), typeCol.as("src"),
+        lead(typeCol, 1).over(w).as("dst"))
+      .filter(col("dst").isNotNull)
+    val matrix = pairs.groupBy(col("src"), col("dst"))
+      .agg(count(lit(1)).as("n"))
+    val pred = matrix
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy(col("src"))
+          .orderBy(col("n").desc, col("dst").asc)))
+      .filter(col("__rn") === 1)
+      .select(col("src"), col("dst").as("predicted"))
+    matrix.join(broadcast(pred), Seq("src"))
+      .groupBy(col("src"), col("predicted"))
+      .agg(sum(col("n")).as("n_trans"),
+        sum(when(col("dst") === col("predicted"), col("n"))
+          .otherwise(0L)).as("n_correct"))
+      .withColumn("acc_ppm", expr("1000000 * n_correct div n_trans"))
+  }
 }

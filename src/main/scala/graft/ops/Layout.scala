@@ -89,4 +89,35 @@ object Layout {
       .sortWithinPartitions(col("__zkey"))
       .drop("__zkey")
       .write.mode("overwrite").parquet(path)
+
+  /** E6 — greedy file-compaction plan: assign size-ordered input files
+    * to output groups of ~`targetBytes` by the running prefix sum —
+    * group = cum_bytes_before div target. The small-files problem IS
+    * a 100 TB problem (a day of streaming ingest leaves millions of
+    * KB-sized parquet files whose per-file open cost dwarfs the read);
+    * this op turns the file listing into the rewrite plan and its
+    * audit: groups_used vs ceil(total/target) says how close greedy
+    * sits to the packing lower bound. Returns one row per output
+    * group: (grp, n_files, bytes, file_lo, file_hi).
+    *
+    * Scale: the input is the file LISTING (metadata, ~10⁵ rows for
+    * 100 TB), not data; the one ordered prefix window runs over that
+    * listing — document-level exception to the no-single-partition
+    * rule, bounded by metadata size. */
+  def compactionPlan(files: DataFrame, fileIdCol: Column, bytesCol: Column,
+      targetBytes: Long): DataFrame = {
+    require(targetBytes > 0, "targetBytes must be positive")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.orderBy(col("__fid"))
+    val planned = files
+      .select(fileIdCol.cast("long").as("__fid"),
+        bytesCol.cast("long").as("__b"))
+      .withColumn("__before",
+        coalesce(sum(col("__b")).over(
+          w.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("grp", expr(s"__before div ${targetBytes}L"))
+    planned.groupBy(col("grp"))
+      .agg(count(lit(1)).as("n_files"), sum(col("__b")).as("bytes"),
+        min(col("__fid")).as("file_lo"), max(col("__fid")).as("file_hi"))
+  }
 }

@@ -477,6 +477,20 @@ object OpRegistry {
     "geohash" -> (p => df => graft.ops.SpatialOps.withGeohash(
       df, col(str(p, "lat_col")), col(str(p, "lon_col")),
       num(p, "precision").toInt,
-      strOpt(p, "out").getOrElse("geohash")))
+      strOpt(p, "out").getOrElse("geohash"))),
+    "welch_t" -> (p => df => graft.ops.Aggregates.welchTTest(
+      df, col(str(p, "value_col")), col(str(p, "group_col")),
+      str(p, "group_a"), str(p, "group_b"))),
+    "anova_f" -> (p => df => graft.ops.Aggregates.anovaF(
+      df, col(str(p, "value_col")), col(str(p, "group_col")))),
+    "ols2" -> (p => df => graft.ops.Aggregates.linearFit2Exact(
+      df, strs(p, "keys").map(col), col(str(p, "x1_col")),
+      col(str(p, "x2_col")), col(str(p, "y_col")))),
+    "compaction_plan" -> (p => df => graft.ops.Layout.compactionPlan(
+      df, col(str(p, "file_id_col")), col(str(p, "bytes_col")),
+      num(p, "target").toLong)),
+    "markov_accuracy" -> (p => df => graft.ops.EventAnalytics.markovAccuracy(
+      df, col(str(p, "actor_col")), col(str(p, "ts_col")),
+      col(str(p, "type_col")), col(str(p, "tie_col"))))
   ))
 }

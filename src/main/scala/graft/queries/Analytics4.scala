@@ -261,5 +261,211 @@ object Analytics4 {
       "predicate, and per-cell aggregates roll up to coarser cells by prefix " +
       "truncation alone.")
 
-  val all: Seq[Declared] = Seq(q181, q182, q183, q184, q185)
+  /** q186 — A-stat: Welch's unequal-variance t-test of quantity
+    * between returned (R) and accepted (A) line items — the parametric
+    * complement of q152's Mann–Whitney. Exact integer state; the
+    * double finish mirrors the op's exact operation order, so the
+    * statistic hash-matches unrounded. */
+  val q186 = Declared(
+    "q186_welch_t", "A-stat",
+    (s, dir) => Aggregates.welchTTest(Tables.lineitem(s, dir),
+      col("l_quantity"), col("l_returnflag"), "A", "R"),
+    Some("""WITH g AS (
+           |  SELECT l_returnflag AS f,
+           |    CAST(count(*) AS HUGEINT) AS n,
+           |    CAST(sum(CAST(l_quantity AS BIGINT)) AS HUGEINT) AS s,
+           |    CAST(sum(CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT))
+           |      AS HUGEINT) AS q
+           |  FROM lineitem WHERE l_returnflag IN ('A', 'R') GROUP BY 1),
+           |w AS (
+           |  SELECT
+           |    a.n AS na, b.n AS nb, a.s AS sa, b.s AS sb,
+           |    CAST(a.s AS DOUBLE) / CAST(a.n AS DOUBLE) AS ma,
+           |    CAST(b.s AS DOUBLE) / CAST(b.n AS DOUBLE) AS mb,
+           |    (CAST(a.n * a.q - a.s * a.s AS DOUBLE) /
+           |     CAST(a.n * (a.n - 1) AS DOUBLE)) / CAST(a.n AS DOUBLE) AS ea,
+           |    (CAST(b.n * b.q - b.s * b.s AS DOUBLE) /
+           |     CAST(b.n * (b.n - 1) AS DOUBLE)) / CAST(b.n AS DOUBLE) AS eb
+           |  FROM (SELECT * FROM g WHERE f = 'A') a,
+           |       (SELECT * FROM g WHERE f = 'R') b)
+           |SELECT CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+           |  ma AS mean_a, mb AS mean_b,
+           |  CASE WHEN na > 1 AND nb > 1 THEN
+           |    (ma - mb) / sqrt(ea + eb) END AS t_stat,
+           |  CASE WHEN na > 1 AND nb > 1 THEN
+           |    (ea + eb) * (ea + eb) /
+           |    (ea * ea / (CAST(na AS DOUBLE) - 1.0) +
+           |     eb * eb / (CAST(nb AS DOUBLE) - 1.0)) END AS df
+           |FROM w""".stripMargin),
+    "State is 3 exact sums per group with map-side combine — the whole test is " +
+      "one agg pass + a 2-row finish at any input size. Run it alongside q152: " +
+      "MW answers 'shifted at all?', Welch answers 'by how much, in units?'.")
+
+  /** q187 — A-stat: one-way ANOVA F of quantity across ALL return
+    * flags — the k-group mean-difference screen. Per-group S²/n terms
+    * micro-quantized before summing (the chi-square trick) keep the
+    * sums order-independent. */
+  val q187 = Declared(
+    "q187_anova_f", "A-stat",
+    (s, dir) => Aggregates.anovaF(Tables.lineitem(s, dir),
+      col("l_quantity"), col("l_returnflag")),
+    Some("""WITH g AS (
+           |  SELECT l_returnflag AS f,
+           |    CAST(count(*) AS HUGEINT) AS n,
+           |    CAST(sum(CAST(l_quantity AS BIGINT)) AS HUGEINT) AS s,
+           |    CAST(sum(CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT))
+           |      AS HUGEINT) AS q
+           |  FROM lineitem GROUP BY 1),
+           |t AS (
+           |  SELECT f, n, s, q,
+           |    CAST(round(CAST(s * s AS DOUBLE) / CAST(n AS DOUBLE) * 1000000.0,
+           |      0) AS BIGINT) AS term
+           |  FROM g),
+           |a AS (
+           |  SELECT CAST(count(*) AS BIGINT) AS k,
+           |    CAST(sum(n) AS BIGINT) AS n,
+           |    CAST(sum(s) AS HUGEINT) AS ss,
+           |    CAST(sum(q) AS BIGINT) AS qq,
+           |    CAST(sum(term) AS BIGINT) AS sumt
+           |  FROM t)
+           |SELECT k, n,
+           |  sumt - CAST(round(CAST(ss * ss AS DOUBLE) /
+           |    CAST(n AS DOUBLE) * 1000000.0, 0) AS BIGINT) AS ssb_u,
+           |  qq * 1000000 - sumt AS ssw_u,
+           |  CASE WHEN k > 1 AND n > k AND qq * 1000000 - sumt > 0 THEN
+           |    (CAST(sumt - CAST(round(CAST(ss * ss AS DOUBLE) /
+           |       CAST(n AS DOUBLE) * 1000000.0, 0) AS BIGINT) AS DOUBLE) /
+           |     CAST(k - 1 AS DOUBLE)) /
+           |    (CAST(qq * 1000000 - sumt AS DOUBLE) / CAST(n - k AS DOUBLE))
+           |  END AS f_stat
+           |FROM a""".stripMargin),
+    "One group-keyed agg with map-side combine + a |groups|-row finish. The " +
+      "micro-unit quantization is what makes ssb/ssw reproducible under any " +
+      "reduce order — the same trick as q153's chi-square terms.")
+
+  /** q188 — A1: two-feature exact OLS — line-item revenue regressed on
+    * quantity and discount, per return flag. q82 lifted one dimension:
+    * centered co-moments exact in DECIMAL(38,0), Cramer finish in
+    * doubles mirrored operation-for-operation in the SQL. */
+  val q188 = Declared(
+    "q188_ols2", "A1",
+    (s, dir) => {
+      val li = Tables.lineitem(s, dir)
+      Aggregates.linearFit2Exact(li, Seq(col("l_returnflag")),
+          col("l_quantity"),
+          (col("l_discount").cast("decimal(18,2)") * 100).cast("long"),
+          (col("l_extendedprice").cast("decimal(18,2)") * 100).cast("long"))
+        .orderBy(col("l_returnflag"))
+    },
+    Some(s"""WITH d AS (
+           |  SELECT l_returnflag,
+           |    CAST(l_quantity AS BIGINT) AS x1,
+           |    ${centsSql("l_discount")} AS x2,
+           |    ${centsSql("l_extendedprice")} AS y
+           |  FROM lineitem),
+           |a AS (
+           |  SELECT l_returnflag, CAST(count(*) AS HUGEINT) AS n,
+           |    CAST(sum(x1) AS HUGEINT) AS s1, CAST(sum(x2) AS HUGEINT) AS s2,
+           |    CAST(sum(y) AS HUGEINT) AS sy,
+           |    CAST(sum(x1 * x1) AS HUGEINT) AS s11,
+           |    CAST(sum(x2 * x2) AS HUGEINT) AS s22,
+           |    CAST(sum(x1 * x2) AS HUGEINT) AS s12,
+           |    CAST(sum(CAST(x1 AS HUGEINT) * y) AS HUGEINT) AS s1y,
+           |    CAST(sum(CAST(x2 AS HUGEINT) * y) AS HUGEINT) AS s2y
+           |  FROM d GROUP BY 1),
+           |c AS (
+           |  SELECT l_returnflag, n, s1, s2, sy,
+           |    CAST(n * s11 - s1 * s1 AS DOUBLE) AS c11,
+           |    CAST(n * s22 - s2 * s2 AS DOUBLE) AS c22,
+           |    CAST(n * s12 - s1 * s2 AS DOUBLE) AS c12,
+           |    CAST(n * s1y - s1 * sy AS DOUBLE) AS c1y,
+           |    CAST(n * s2y - s2 * sy AS DOUBLE) AS c2y
+           |  FROM a),
+           |f AS (
+           |  SELECT l_returnflag, n, s1, s2, sy,
+           |    c11 * c22 - c12 * c12 AS det, c11, c22, c12, c1y, c2y
+           |  FROM c)
+           |SELECT l_returnflag, CAST(n AS BIGINT) AS n,
+           |  CASE WHEN det <> 0 THEN (c22 * c1y - c12 * c2y) / det END AS b1,
+           |  CASE WHEN det <> 0 THEN (c11 * c2y - c12 * c1y) / det END AS b2,
+           |  CASE WHEN det <> 0 THEN
+           |    (CAST(sy AS DOUBLE) - (c22 * c1y - c12 * c2y) / det *
+           |       CAST(s1 AS DOUBLE) - (c11 * c2y - c12 * c1y) / det *
+           |       CAST(s2 AS DOUBLE)) / CAST(n AS DOUBLE)
+           |  END AS intercept
+           |FROM f ORDER BY l_returnflag""".stripMargin),
+    "Nine exact sums in one map-side-combined agg pass — the multi-feature " +
+      "regression at 100 TB costs exactly one scan, like q82. The Cramer finish " +
+      "touches |keys| rows. Collinear features yield nulls, not garbage.")
+
+  /** q189 — E6: greedy file-compaction plan — the small-files rewrite
+    * audit. Pseudo-files are l_orderkey div 512 row batches; the plan
+    * packs them into ~4096-row output groups by prefix sum. */
+  val q189 = Declared(
+    "q189_compaction_plan", "E6",
+    (s, dir) => {
+      val files = Tables.lineitem(s, dir)
+        .groupBy(expr("l_orderkey div 512").as("fid"))
+        .agg(count(lit(1)).as("bytes"))
+      graft.ops.Layout.compactionPlan(files, col("fid"), col("bytes"),
+          targetBytes = 4096L)
+        .orderBy(col("grp"))
+    },
+    Some("""WITH f AS (
+           |  SELECT l_orderkey // 512 AS fid, CAST(count(*) AS BIGINT) AS b
+           |  FROM lineitem GROUP BY 1),
+           |p AS (
+           |  SELECT fid, b,
+           |    COALESCE(CAST(sum(b) OVER (ORDER BY fid
+           |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT),
+           |      0) AS before
+           |  FROM f)
+           |SELECT before // 4096 AS grp, CAST(count(*) AS BIGINT) AS n_files,
+           |  CAST(sum(b) AS BIGINT) AS bytes,
+           |  min(fid) AS file_lo, max(fid) AS file_hi
+           |FROM p GROUP BY 1 ORDER BY grp""".stripMargin),
+    "The plan runs over the file LISTING (metadata-sized: ~10^5 rows for " +
+      "100 TB), not data — the one ordered window is bounded by that listing. " +
+      "Greedy prefix packing is within one group of the bin-packing lower bound " +
+      "when file sizes are <= target, the compaction-rewrite case.")
+
+  /** q190 — A-stat: next-event prediction accuracy of the first-order
+    * Markov model — q102's transition matrix scored as a predictor
+    * (modal next type per source, deterministic tie-break). The
+    * sequence-model readout of the journey view. */
+  val q190 = Declared(
+    "q190_markov_accuracy", "A-stat",
+    (s, dir) => graft.ops.EventAnalytics.markovAccuracy(
+        Tables.events(s, dir), col("user_id"), col("ts"),
+        col("event_type"), col("event_id"))
+      .orderBy(col("src")),
+    Some("""WITH t AS (
+           |  SELECT event_type AS src,
+           |    lead(event_type) OVER (
+           |      PARTITION BY user_id ORDER BY ts, event_id) AS dst
+           |  FROM events),
+           |c AS (
+           |  SELECT src, dst, count(*) AS n
+           |  FROM t WHERE dst IS NOT NULL GROUP BY src, dst),
+           |pred AS (
+           |  SELECT src, dst AS predicted FROM (
+           |    SELECT src, dst,
+           |      row_number() OVER (PARTITION BY src
+           |        ORDER BY n DESC, dst ASC) AS rn
+           |    FROM c) WHERE rn = 1)
+           |SELECT c.src, predicted,
+           |  CAST(sum(n) AS BIGINT) AS n_trans,
+           |  CAST(sum(CASE WHEN dst = predicted THEN n ELSE 0 END) AS BIGINT)
+           |    AS n_correct,
+           |  1000000 * CAST(sum(CASE WHEN dst = predicted THEN n ELSE 0 END)
+           |    AS BIGINT) // CAST(sum(n) AS BIGINT) AS acc_ppm
+           |FROM c JOIN pred ON c.src = pred.src
+           |GROUP BY c.src, predicted
+           |ORDER BY c.src""".stripMargin),
+    "Event volume dies at the |types|^2 matrix agg (the q102 cost envelope); " +
+      "prediction and scoring join on the broadcast-sized matrix. acc_ppm vs " +
+      "the modal base rate is the go/no-go for sequence features at 100 TB.")
+
+  val all: Seq[Declared] = Seq(q181, q182, q183, q184, q185,
+    q186, q187, q188, q189, q190)
 }

@@ -697,4 +697,48 @@ class AnalyticsOpsSpec extends AnyFunSuite {
       g.forall(SpatialOps.GeohashAlphabet.contains(_))))
     assert(es(0) == "zzzzzz" && es(1) == "000000")
   }
+
+  test("A-stat: welchTTest — hand case, zero under exchangeability") {
+    import graft.ops.Aggregates
+    val df = Seq(("a", 10L), ("a", 12L), ("a", 14L), ("b", 1L), ("b", 2L), ("b", 3L))
+      .toDF("g", "v")
+    val r = Aggregates.welchTTest(df, col("v"), col("g"), "a", "b").head()
+    assert(r.getAs[Long]("n_a") == 3 && r.getAs[Long]("n_b") == 3)
+    assert(r.getAs[Double]("mean_a") == 12.0 && r.getAs[Double]("mean_b") == 2.0)
+    // t = 10/sqrt(4/3 + 1/3), df = (5/3)^2 / ((16/9)/2 + (1/9)/2)
+    assert(math.abs(r.getAs[Double]("t_stat") - 7.745966692414834) < 1e-12)
+    assert(math.abs(r.getAs[Double]("df") - 50.0 / 17.0) < 1e-12)
+    val same = Aggregates.welchTTest(
+      Seq(("a", 5L), ("a", 6L), ("a", 7L), ("b", 5L), ("b", 6L), ("b", 7L))
+        .toDF("g", "v"),
+      col("v"), col("g"), "a", "b").head()
+    assert(same.getAs[Double]("t_stat") == 0.0)
+  }
+
+  test("A-stat: anovaF — textbook three-group case gives F = 3 exactly") {
+    import graft.ops.Aggregates
+    val df = (Seq(1L, 2L, 3L).map(("a", _)) ++ Seq(2L, 3L, 4L).map(("b", _)) ++
+      Seq(3L, 4L, 5L).map(("c", _))).toDF("g", "v")
+    val r = Aggregates.anovaF(df, col("v"), col("g")).head()
+    assert(r.getAs[Long]("k") == 3 && r.getAs[Long]("n") == 9)
+    assert(r.getAs[Long]("ssb_u") == 6000000L && r.getAs[Long]("ssw_u") == 6000000L)
+    assert(r.getAs[Double]("f_stat") == 3.0)
+  }
+
+  test("A1: linearFit2Exact recovers an exact planted plane; collinear -> nulls") {
+    import graft.ops.Aggregates
+    // y = 3 + 2*x1 - x2, exactly
+    val pts = Seq((0L, 0L), (1L, 0L), (0L, 1L), (2L, 1L), (1L, 2L))
+      .map { case (x1, x2) => ("k", x1, x2, 3 + 2 * x1 - x2) }
+      .toDF("g", "x1", "x2", "y")
+    val r = Aggregates.linearFit2Exact(pts, Seq(col("g")), col("x1"),
+      col("x2"), col("y")).head()
+    assert(r.getAs[Double]("b1") == 2.0 && r.getAs[Double]("b2") == -1.0)
+    assert(r.getAs[Double]("intercept") == 3.0)
+    val bad = Seq(("k", 1L, 2L, 5L), ("k", 2L, 4L, 7L), ("k", 3L, 6L, 9L))
+      .toDF("g", "x1", "x2", "y")
+    val rb = Aggregates.linearFit2Exact(bad, Seq(col("g")), col("x1"),
+      col("x2"), col("y")).head()
+    assert(rb.isNullAt(rb.fieldIndex("b1")) && rb.isNullAt(rb.fieldIndex("intercept")))
+  }
 }

@@ -117,4 +117,26 @@ class EventAnalyticsSpec extends AnyFunSuite {
       ("2024-01-01", 2, 1L),
       ("2024-01-02", 0, 1L)))
   }
+
+  test("A-stat: markovAccuracy — modal prediction, deterministic ties, exact ppm") {
+    import graft.ops.EventAnalytics
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    // user journeys: A->B, A->B, A->C, B->A  (per-user consecutive pairs)
+    val ev = Seq(
+      (1L, ts("2024-01-01 10:00:00"), "A", 1L),
+      (1L, ts("2024-01-01 10:01:00"), "B", 2L),
+      (1L, ts("2024-01-01 10:02:00"), "A", 3L),
+      (1L, ts("2024-01-01 10:03:00"), "B", 4L),
+      (2L, ts("2024-01-01 10:00:00"), "A", 5L),
+      (2L, ts("2024-01-01 10:01:00"), "C", 6L))
+      .toDF("user_id", "ts", "event_type", "event_id")
+    val out = EventAnalytics.markovAccuracy(ev, col("user_id"), col("ts"),
+      col("event_type"), col("event_id")).orderBy("src").collect()
+    val a = out.find(_.getString(0) == "A").get
+    assert(a.getAs[String]("predicted") == "B")
+    assert(a.getAs[Long]("n_trans") == 3L && a.getAs[Long]("n_correct") == 2L)
+    assert(a.getAs[Long]("acc_ppm") == 666666L)
+    val b = out.find(_.getString(0) == "B").get
+    assert(b.getAs[String]("predicted") == "A" && b.getAs[Long]("acc_ppm") == 1000000L)
+  }
 }

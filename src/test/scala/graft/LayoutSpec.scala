@@ -65,4 +65,17 @@ class LayoutSpec extends AnyFunSuite {
     assert(zArea < flatArea / 2,
       s"z-ordered ($zArea) must beat the hash layout ($flatArea) by 2x+")
   }
+
+  test("E6: compactionPlan packs the listing greedily and conserves bytes") {
+    import spark.implicits._
+    import graft.ops.Layout
+    val files = Seq((1L, 3L), (2L, 3L), (3L, 3L), (4L, 5L)).toDF("fid", "b")
+    val out = Layout.compactionPlan(files, col("fid"), col("b"), 4L)
+      .orderBy("grp").collect()
+    // prefix sums 0,3,6,9 -> groups 0,0,1,2
+    assert(out.length == 3)
+    assert(out.map(_.getAs[Long]("bytes")).sum == 14L)
+    assert(out(0).getAs[Long]("n_files") == 2L &&
+      out(0).getAs[Long]("file_lo") == 1L && out(0).getAs[Long]("file_hi") == 2L)
+  }
 }

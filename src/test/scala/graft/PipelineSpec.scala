@@ -349,6 +349,32 @@ class PipelineSpec extends AnyFunSuite {
       "geohash","kwargs":{"lat_col":"v","lon_col":"v","precision":4}}]}""",
       obs)
     assert(gh.select("geohash").collect().forall(_.getString(0).length == 4))
+
+    // batch-15: parametric stats, compaction, markov scoring
+    val wt = run("""{"pipe":"p","operations":[{"name":"w","function":
+      "welch_t","kwargs":{"value_col":"id","group_col":"g",
+      "group_a":"A","group_b":"B"}}]}""", obs).collect().head
+    assert(wt.getAs[Long]("n_a") == 2L && wt.getAs[Double]("t_stat") < 0.0)
+
+    val af = run("""{"pipe":"p","operations":[{"name":"a","function":
+      "anova_f","kwargs":{"value_col":"id","group_col":"g"}}]}""", obs)
+      .collect().head
+    assert(af.getAs[Long]("k") == 2L && af.getAs[Long]("n") == 4L)
+
+    val o2 = run("""{"pipe":"p","operations":[{"name":"o","function":
+      "ols2","kwargs":{"keys":["g"],"x1_col":"id","x2_col":"wt",
+      "y_col":"id"}}]}""", obs)
+    assert(o2.columns.toSeq == Seq("g", "n", "b1", "b2", "intercept"))
+
+    val cp = run("""{"pipe":"p","operations":[{"name":"c","function":
+      "compaction_plan","kwargs":{"file_id_col":"id","bytes_col":"wt",
+      "target":2}}]}""", obs).collect()
+    assert(cp.map(_.getAs[Long]("bytes")).sum == 4L)
+
+    val ma = run("""{"pipe":"p","operations":[{"name":"m","function":
+      "markov_accuracy","kwargs":{"actor_col":"g","ts_col":"id",
+      "type_col":"g","tie_col":"id"}}]}""", obs)
+    assert(ma.columns.contains("acc_ppm") && ma.count() == 2)
   }
 
   private def keysDf = {
