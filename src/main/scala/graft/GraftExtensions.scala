@@ -22,5 +22,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("array_dot"),
       new ExpressionInfo(classOf[ArrayDotProduct].getName, "array_dot"),
       exprs => ArrayDotProduct.cast(exprs)))
+    // plan audit (E6): non-mutating hazard detector — cartesian joins,
+    // single-partition windows, mid-plan global sorts (see
+    // graft.plans.Guardrails)
+    e.injectOptimizerRule(_ => new graft.plans.GuardrailRule)
   }
 }

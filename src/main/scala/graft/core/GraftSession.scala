@@ -23,10 +23,14 @@ object GraftSession {
     .config("spark.sql.parquet.filterPushdown", "true")
     .config("spark.ui.enabled", "false")
 
-  /** Local session for tests / tools. */
+  /** Local session for tests / tools — carries the full extension set
+    * (native SQL functions + the Guardrails plan audit), exactly as a
+    * cluster session launched with
+    * `--conf spark.sql.extensions=graft.GraftExtensions` would. */
   def local(cores: String = "*", appName: String = "graft"): SparkSession = {
     val s = configure(
       SparkSession.builder().master(s"local[$cores]").appName(appName)
+        .withExtensions(new graft.GraftExtensions)
     ).getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     s

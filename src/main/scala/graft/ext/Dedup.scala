@@ -142,7 +142,10 @@ object Dedup {
       .join(counts.select(col("__id").as("id_b"), col("n").as("n_b")), "id_b")
       .withColumn("inter", coalesce(col("inter"), lit(0L)))
       .withColumn("jaccard", col("inter") / (col("n_a") + col("n_b") - col("inter")))
-      .select("id_a", "id_b", "jaccard")
+      // the integer (inter, n_a, n_b) triple rides along so callers
+      // can threshold EXACTLY (inter·k >= t·union) instead of via the
+      // float quotient — q195's threshold sweep needs it
+      .select("id_a", "id_b", "jaccard", "inter", "n_a", "n_b")
   }
 
   /** Cross-engine-portable 60-bit token hash: the first 15 hex chars of

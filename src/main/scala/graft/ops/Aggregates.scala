@@ -646,6 +646,48 @@ object Aggregates {
       when(det =!= 0.0, icept).as("intercept"): _*)
   }
 
+  /** A-stat — delete-one-group jackknife for the global mean of an
+    * integer-valued metric: the distribution-free error bar at 100 TB,
+    * where the "groups" are natural data blocks (shards, days,
+    * sources). Each leave-group-out mean (S−S_g)/(N−n_g) divides exact
+    * integers; the pseudo-value spread is quantized to micro-units
+    * BEFORE the cross-group sums (the chi-square trick) so
+    * accumulation order cannot move a bit:
+    *   var_jk = (G−1)·(G·Σθ_u² − (Σθ_u)²) / G²   [micro-units²]
+    * Returns one row: (g, n, mean, jk_var_u2, jk_se_u).
+    *
+    * Scale: one group-keyed agg pass (map-side combine) + a G-row
+    * finish. The same pass structure as [[anovaF]] — the two share a
+    * rollup if run together. */
+  def jackknifeMeanByGroup(df: DataFrame, groupCol: Column,
+      valueCol: Column): DataFrame = {
+    val d38 = "decimal(38,0)"
+    val v = valueCol.cast("long")
+    val per = df.groupBy(groupCol.as("__g"))
+      .agg(count(lit(1)).cast(d38).as("__n"), sum(v).cast(d38).as("__s"))
+    val tot = per.agg(sum(col("__n")).cast(d38).as("__nn"),
+      sum(col("__s")).cast(d38).as("__ss"),
+      count(lit(1)).as("__gg"))
+    val thetaU = round((col("__ss") - col("__s")).cast("double") /
+      (col("__nn") - col("__n")).cast("double") * 1e6, 0).cast("long")
+    per.crossJoin(broadcast(tot))
+      .withColumn("__tu", thetaU)
+      .groupBy()
+      .agg(max(col("__gg")).as("g"),
+        max(col("__nn")).cast("long").as("n"),
+        (max(col("__ss")).cast("double") / max(col("__nn")).cast("double"))
+          .as("mean"),
+        sum(col("__tu")).cast(d38).as("__sumt"),
+        sum(col("__tu").cast(d38) * col("__tu").cast(d38)).cast(d38).as("__sumt2"))
+      .withColumn("jk_var_u2",
+        (col("g") - 1).cast("double") *
+          (col("g").cast(d38) * col("__sumt2") - col("__sumt") * col("__sumt"))
+            .cast("double") /
+          (col("g").cast("double") * col("g").cast("double")))
+      .withColumn("jk_se_u", sqrt(col("jk_var_u2")))
+      .select(col("g"), col("n"), col("mean"), col("jk_var_u2"), col("jk_se_u"))
+  }
+
   def theilSen(df: DataFrame, keys: Seq[Column], xCol: Column,
       yCol: Column): DataFrame = {
     import org.apache.spark.sql.expressions.Window

@@ -491,6 +491,8 @@ object OpRegistry {
       num(p, "target").toLong)),
     "markov_accuracy" -> (p => df => graft.ops.EventAnalytics.markovAccuracy(
       df, col(str(p, "actor_col")), col(str(p, "ts_col")),
-      col(str(p, "type_col")), col(str(p, "tie_col"))))
+      col(str(p, "type_col")), col(str(p, "tie_col")))),
+    "jackknife" -> (p => df => graft.ops.Aggregates.jackknifeMeanByGroup(
+      df, col(str(p, "group_col")), expr(str(p, "value_expr"))))
   ))
 }

@@ -741,4 +741,21 @@ class AnalyticsOpsSpec extends AnyFunSuite {
       col("x2"), col("y")).head()
     assert(rb.isNullAt(rb.fieldIndex("b1")) && rb.isNullAt(rb.fieldIndex("intercept")))
   }
+
+  test("A-stat: jackknifeMeanByGroup — hand pseudo-values, exact micro variance") {
+    import graft.ops.Aggregates
+    val df = Seq(("a", 1L), ("a", 3L), ("b", 5L), ("b", 7L), ("c", 9L), ("c", 11L))
+      .toDF("g", "v")
+    val r = Aggregates.jackknifeMeanByGroup(df, col("g"), col("v")).head()
+    assert(r.getAs[Long]("g") == 3L && r.getAs[Long]("n") == 6L)
+    assert(r.getAs[Double]("mean") == 6.0)
+    // loo means 8, 6, 4 -> theta_u {8e6, 6e6, 4e6}:
+    // var = (G-1)*(G*Sum2 - Sum^2)/G^2 = 2 * 2.4e13 / 9
+    assert(r.getAs[Double]("jk_var_u2") == 2.0 * 2.4e13 / 9.0)
+    assert(r.getAs[Double]("jk_se_u") == math.sqrt(2.0 * 2.4e13 / 9.0))
+    // constant data -> zero variance exactly
+    val const = Seq(("a", 5L), ("b", 5L), ("c", 5L)).toDF("g", "v")
+    assert(Aggregates.jackknifeMeanByGroup(const, col("g"), col("v"))
+      .head().getAs[Double]("jk_var_u2") == 0.0)
+  }
 }

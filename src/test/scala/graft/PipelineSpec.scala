@@ -736,4 +736,14 @@ class SourcesSinksSpec extends AnyFunSuite {
     val e2 = intercept[DataIOError] { graft.io.Shapefile.write(withNull, s"$dir/nullg") }
     assert(e2.getMessage.contains("NULL"))
   }
+
+  test("X1: jackknife registry op runs from JSON") {
+    def run(json: String, df: org.apache.spark.sql.DataFrame) =
+      Pipeline.fromJson(json).run(df)._1
+    val obs = Seq(("A", 1L), ("A", 3L), ("B", 5L), ("B", 7L)).toDF("g", "v")
+    val jk = run("""{"pipe":"p","operations":[{"name":"j","function":
+      "jackknife","kwargs":{"group_col":"g","value_expr":"v"}}]}""", obs)
+      .collect().head
+    assert(jk.getAs[Long]("g") == 2L && jk.getAs[Double]("mean") == 4.0)
+  }
 }

@@ -224,4 +224,41 @@ class PlanSpec extends AnyFunSuite {
       !physical.contains("BroadcastNestedLoopJoin"),
       s"overlap join must stay an equi-join on (key, cell):\n$physical")
   }
+
+  test("E6: Guardrails audit fires on each hazard class and stays quiet on clean plans") {
+    import graft.plans.Guardrails
+    val big = spark.range(100000).toDF("id")       // beyond the bounded-side threshold
+    val dim = spark.range(2000).toDF("k")
+
+    // clean plan: equi-join + partitioned window + final orderBy
+    Guardrails.drain()
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("id") % 10).orderBy(col("id"))
+    big.join(dim, col("id") === col("k"))
+      .withColumn("rn", row_number().over(w))
+      .orderBy(col("id")).collect()
+    val clean = Guardrails.drain()
+    assert(clean.isEmpty, s"clean plan flagged: $clean")
+
+    // cartesian join between two unbounded sides
+    big.crossJoin(dim).count()
+    assert(Guardrails.drain().exists(_.kind == "cartesian_join"))
+
+    // but an aggregate (bounded) broadcast side is NOT flagged
+    big.crossJoin(dim.agg(max(col("k")).as("mx"))).count()
+    assert(!Guardrails.drain().exists(_.kind == "cartesian_join"))
+
+    // single-partition window
+    val wg = org.apache.spark.sql.expressions.Window.orderBy(col("id"))
+    big.withColumn("rn", row_number().over(wg)).collect()
+    assert(Guardrails.drain().exists(_.kind == "single_partition_window"))
+
+    // mid-plan global sort (sort feeding an aggregation, not the result)
+    big.orderBy(col("id")).groupBy(col("id") % 7).count().collect()
+    assert(Guardrails.drain().exists(_.kind == "global_sort"))
+
+    // final presentation ORDER BY alone is not a hazard
+    big.groupBy(col("id") % 7).count().orderBy(col("count")).collect()
+    assert(!Guardrails.drain().exists(_.kind == "global_sort"))
+  }
 }
