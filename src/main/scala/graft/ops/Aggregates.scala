@@ -50,7 +50,11 @@ object Aggregates {
     "first" -> (c => first(c, ignoreNulls = true)),
     "last" -> (c => last(c, ignoreNulls = true)),
     // X2 user-aggregator example: typed Aggregator via functions.udaf
-    "geomean" -> { val u = udaf(GeoMeanAggregator); c => u(c) })
+    "geomean" -> { val u = udaf(GeoMeanAggregator); c => u(c) },
+    // X2/E6 production-shaped aggregator: exact bitmap distinct over a
+    // dense bounded id domain (see ext.BitmapDistinctAgg)
+    "bitmap_distinct" -> {
+      val u = udaf(new graft.ext.BitmapDistinctAgg(1 << 20)); c => u(c) })
 
   /** Register a user aggregator under a name (the reference's "any
     * callable" surface; users bring `functions.udaf(Aggregator)` here). */
@@ -644,6 +648,58 @@ object Aggregates {
       when(det =!= 0.0, b1).as("b1") :+
       when(det =!= 0.0, b2).as("b2") :+
       when(det =!= 0.0, icept).as("intercept"): _*)
+  }
+
+  /** A-stat — augmented-free Dickey–Fuller unit-root test per key: is
+    * the series a random walk (γ ≈ 0 — difference before modeling) or
+    * mean-reverting (γ < 0 — levels are safe)? The stationarity screen
+    * run BEFORE trusting q173's Holt smoothing or q183's trend slope.
+    * Regresses Δy_t on y_{t−1} (with intercept); the reported t-stat
+    * compares against the Dickey–Fuller critical value (−2.86 at 5%,
+    * a literal constant): `stationary` = t < −2.86. State is six
+    * exact DECIMAL(38,0) sums over the lag pairs; the finish
+    *   b = covN/varXN,
+    *   se² = (varDN − covN²/varXN) / ((n−2)·varXN),
+    *   t = b / √se²
+    * is a pinned sequence of IEEE ops on exact operands, mirrored
+    * literally in the oracle. Returns (…keys, n, gamma, t_stat,
+    * stationary).
+    *
+    * Scale: one key-partitioned lag window over the rollup-grain
+    * series + one exact-sum agg — the q82 envelope with a lag in
+    * front. */
+  def adfTest(df: DataFrame, keys: Seq[Column], orderCol: Column,
+      valueCol: Column): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val d38 = "decimal(38,0)"
+    val base = df.select(keys :+ orderCol.as("__o") :+
+      valueCol.cast("long").as("__y"): _*)
+    val kNames = base.columns.dropRight(2).toSeq
+    val w =
+      if (kNames.isEmpty) Window.orderBy(col("__o"))
+      else Window.partitionBy(kNames.map(col): _*).orderBy(col("__o"))
+    val lagged = base.withColumn("__x", lag(col("__y"), 1).over(w))
+      .filter(col("__x").isNotNull)
+      .withColumn("__d", col("__y") - col("__x"))
+    def s38(c: Column) = sum(c.cast(d38)).cast(d38)
+    val agg = lagged.groupBy(kNames.map(col): _*).agg(
+      count(lit(1)).cast(d38).as("n"),
+      s38(col("__x")).as("sx"), s38(col("__d")).as("sd"),
+      s38(col("__x").cast(d38) * col("__x").cast(d38)).as("sxx"),
+      s38(col("__x").cast(d38) * col("__d").cast(d38)).as("sxd"),
+      s38(col("__d").cast(d38) * col("__d").cast(d38)).as("sdd"))
+    val vx = (col("n") * col("sxx") - col("sx") * col("sx")).cast("double")
+    val cv = (col("n") * col("sxd") - col("sx") * col("sd")).cast("double")
+    val vd = (col("n") * col("sdd") - col("sd") * col("sd")).cast("double")
+    val b = cv / vx
+    val se2 = (vd - cv * cv / vx) /
+      ((col("n").cast("double") - 2.0) * vx)
+    val t = b / sqrt(se2)
+    agg.select(kNames.map(col) :+ col("n").cast("long").as("n") :+
+      when(vx =!= 0.0 && col("n") > 2, b).as("gamma") :+
+      when(vx =!= 0.0 && col("n") > 2, t).as("t_stat") :+
+      when(vx =!= 0.0 && col("n") > 2, (t < -2.86).cast("int"))
+        .as("stationary"): _*)
   }
 
   /** A-stat — delete-one-group jackknife for the global mean of an

@@ -493,6 +493,9 @@ object OpRegistry {
       df, col(str(p, "actor_col")), col(str(p, "ts_col")),
       col(str(p, "type_col")), col(str(p, "tie_col")))),
     "jackknife" -> (p => df => graft.ops.Aggregates.jackknifeMeanByGroup(
-      df, col(str(p, "group_col")), expr(str(p, "value_expr"))))
+      df, col(str(p, "group_col")), expr(str(p, "value_expr")))),
+    "adf" -> (p => df => graft.ops.Aggregates.adfTest(
+      df, strs(p, "keys").map(col), col(str(p, "order_col")),
+      col(str(p, "value_col"))))
   ))
 }

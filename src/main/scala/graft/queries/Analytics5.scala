@@ -361,5 +361,270 @@ object Analytics5 {
       "list comes from LSH candidates (q45) and the same sweep costs a " +
       "pair-list scan — threshold tuning without re-running detection.")
 
-  val all: Seq[Declared] = Seq(q191, q192, q193, q194, q195)
+  // md5-chunk helpers (the q159 nibble-reassembly idiom), local copy
+  private def chunkSql(j: Int, key: String, m: Int): String =
+    s"""(SELECT CAST(sum(CAST(strpos('0123456789abcdef',
+       |    substr(md5(CAST($key AS VARCHAR)), ${j * 8} + i, 1)) - 1
+       |    AS BIGINT) << ((8 - i) * 4)) AS BIGINT)
+       |  FROM (SELECT unnest(range(1, 9)) AS i)) % $m""".stripMargin
+
+  private def chunkRawSql(j: Int, key: String): String =
+    s"""(SELECT CAST(sum(CAST(strpos('0123456789abcdef',
+       |    substr(md5(CAST($key AS VARCHAR)), ${j * 8} + i, 1)) - 1
+       |    AS BIGINT) << ((8 - i) * 4)) AS BIGINT)
+       |  FROM (SELECT unnest(range(1, 9)) AS i))""".stripMargin
+
+  /** q196 — X2/E6: exact distinct via the bitmap typed Aggregator —
+    * per return flag, bitmap-OR distinct of l_partkey against the
+    * engine's own countDistinct. The dense-bounded-domain companion
+    * to q171's HLL: same mergeability law, zero error. */
+  val q196 = Declared(
+    "q196_bitmap_distinct", "X2,E6",
+    (s, dir) => Tables.lineitem(s, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(graft.ext.BitmapDistinct
+          .bitmapDistinct(col("l_partkey"), 1 << 20).as("n_bitmap"),
+        countDistinct(col("l_partkey")).as("n_exact"))
+      .orderBy(col("l_returnflag")),
+    Some("""SELECT l_returnflag,
+           |  CAST(count(DISTINCT l_partkey) AS BIGINT) AS n_bitmap,
+           |  CAST(count(DISTINCT l_partkey) AS BIGINT) AS n_exact
+           |FROM lineitem GROUP BY 1 ORDER BY l_returnflag""".stripMargin),
+    "The buffer is domain/8 bytes per (group, partition) and merge is wordwise " +
+      "OR — the shuffle carries bitmaps, never keys. Bitmap when the id domain " +
+      "is dense and bounded (surrogate keys), HLL (q171) when huge or sparse; " +
+      "both merge associatively so pre-agged cubes reaggregate without rescan.")
+
+  /** q197 — A-stat: Dickey–Fuller unit-root screen per order priority —
+    * is the daily-count series mean-reverting (model levels) or a
+    * random walk (difference first)? The stationarity gate in front of
+    * q173's smoothing and q183's trend. */
+  val q197 = Declared(
+    "q197_adf", "A-stat",
+    (s, dir) => {
+      val daily = Tables.orders(s, dir)
+        .groupBy(col("o_orderpriority"), to_date(col("o_orderdate")).as("day"))
+        .agg(count(lit(1)).as("y"))
+      Aggregates.adfTest(daily, Seq(col("o_orderpriority")), col("day"),
+          col("y"))
+        .orderBy(col("o_orderpriority"))
+    },
+    Some("""WITH d AS (
+           |  SELECT o_orderpriority AS pri, CAST(o_orderdate AS DATE) AS day,
+           |    CAST(count(*) AS BIGINT) AS y
+           |  FROM orders GROUP BY 1, 2),
+           |l AS (
+           |  SELECT pri, y, lag(y) OVER (PARTITION BY pri ORDER BY day) AS x
+           |  FROM d),
+           |p AS (SELECT pri, x, y - x AS dd FROM l WHERE x IS NOT NULL),
+           |a AS (
+           |  SELECT pri, CAST(count(*) AS HUGEINT) AS n,
+           |    CAST(sum(x) AS HUGEINT) AS sx, CAST(sum(dd) AS HUGEINT) AS sd,
+           |    CAST(sum(CAST(x AS HUGEINT) * x) AS HUGEINT) AS sxx,
+           |    CAST(sum(CAST(x AS HUGEINT) * dd) AS HUGEINT) AS sxd,
+           |    CAST(sum(CAST(dd AS HUGEINT) * dd) AS HUGEINT) AS sdd
+           |  FROM p GROUP BY 1),
+           |f AS (
+           |  SELECT pri, n,
+           |    CAST(n * sxx - sx * sx AS DOUBLE) AS vx,
+           |    CAST(n * sxd - sx * sd AS DOUBLE) AS cv,
+           |    CAST(n * sdd - sd * sd AS DOUBLE) AS vd
+           |  FROM a)
+           |SELECT pri AS o_orderpriority, CAST(n AS BIGINT) AS n,
+           |  CASE WHEN vx <> 0 AND n > 2 THEN cv / vx END AS gamma,
+           |  CASE WHEN vx <> 0 AND n > 2 THEN
+           |    (cv / vx) / sqrt((vd - cv * cv / vx) /
+           |      ((CAST(n AS DOUBLE) - 2.0) * vx)) END AS t_stat,
+           |  CASE WHEN vx <> 0 AND n > 2 THEN
+           |    CAST((cv / vx) / sqrt((vd - cv * cv / vx) /
+           |      ((CAST(n AS DOUBLE) - 2.0) * vx)) < -2.86 AS INT)
+           |  END AS stationary
+           |FROM f ORDER BY o_orderpriority""".stripMargin),
+    "One lag window over the rollup-grain series + six exact sums — the q82 " +
+      "envelope. gamma near -1 with t << -2.86 (iid daily counts) says model " +
+      "levels; gamma near 0 says difference first. Literal critical value, no " +
+      "distribution functions.")
+
+  /** q198 — E6: join-overlap estimate from KMV sketches — how many
+    * distinct join keys do two sides share, WITHOUT scanning either
+    * side again: |A∩B| ≈ J·|A∪B| from two 128-hash bottom-k sketches.
+    * The sketch-side answer to q170's exact join-cardinality audit,
+    * register-exact against the oracle like q171/q179. */
+  val q198 = Declared(
+    "q198_kmv_join_overlap", "E6",
+    (s, dir) => {
+      val li = Tables.lineitem(s, dir)
+      val k = 128
+      def sk(flag: String) = graft.ext.Sketches.kmvSketch(
+        li.filter(col("l_returnflag") === flag), Nil, col("l_partkey"), k)
+      val a = sk("A").localCheckpoint()
+      val b = sk("R").localCheckpoint()
+      def est(sketch: org.apache.spark.sql.DataFrame, name: String) =
+        graft.ext.Sketches.kmvEstimate(sketch, Nil, k)
+          .select(col("est_kmv").as(name))
+      val unionSketch = a.unionByName(b).distinct()
+        .withColumn("__rn", row_number().over(Window.orderBy(col("h"))))
+        .filter(col("__rn") <= k).select(col("h"))
+      val unionEst = graft.ext.Sketches.kmvEstimate(unionSketch, Nil, k)
+        .select(col("est_kmv").as("union_est"))
+      val res = graft.ext.Sketches.kmvResemblance(a, b, k)
+        .select(col("j_est_ppm"))
+      val exact = li.filter(col("l_returnflag") === "A")
+        .select(col("l_partkey")).distinct()
+        .join(li.filter(col("l_returnflag") === "R")
+          .select(col("l_partkey")).distinct(), Seq("l_partkey"), "left_semi")
+        .agg(count(lit(1)).as("overlap_exact"))
+      est(a, "d_a_est").crossJoin(est(b, "d_b_est"))
+        .crossJoin(unionEst).crossJoin(res).crossJoin(exact)
+        .withColumn("overlap_est", expr("j_est_ppm * union_est div 1000000"))
+        .select(col("d_a_est"), col("d_b_est"), col("union_est"),
+          col("j_est_ppm"), col("overlap_est"), col("overlap_exact"))
+    },
+    Some {
+      def arm(flag: String, tag: String) =
+        s"""hd$tag AS (
+           |  SELECT DISTINCT h FROM (
+           |    SELECT ${chunkRawSql(0, "l_partkey")} AS h
+           |    FROM (SELECT DISTINCT l_partkey FROM lineitem
+           |          WHERE l_returnflag = '$flag'))),
+           |s$tag AS (
+           |  SELECT h FROM (
+           |    SELECT h, row_number() OVER (ORDER BY h) AS rn FROM hd$tag)
+           |  WHERE rn <= 128),
+           |e$tag AS (
+           |  SELECT CASE WHEN count(*) = 128 AND max(h) > 0
+           |    THEN (127 * 4294967296) // max(h)
+           |    ELSE count(*) END AS est
+           |  FROM s$tag)""".stripMargin
+      s"""WITH ${arm("A", "a")},
+         |${arm("R", "b")},
+         |uh AS (SELECT DISTINCT h FROM (
+         |         SELECT h FROM sa UNION SELECT h FROM sb)),
+         |su AS (
+         |  SELECT h FROM (
+         |    SELECT h, row_number() OVER (ORDER BY h) AS rn FROM uh)
+         |  WHERE rn <= 128),
+         |eu AS (
+         |  SELECT CASE WHEN count(*) = 128 AND max(h) > 0
+         |    THEN (127 * 4294967296) // max(h)
+         |    ELSE count(*) END AS union_est,
+         |    count(*) AS union_kept
+         |  FROM su),
+         |res AS (
+         |  SELECT CAST(1000000 * sum(CASE WHEN sa.h IS NOT NULL
+         |      AND sb.h IS NOT NULL THEN 1 ELSE 0 END) // count(*) AS BIGINT)
+         |    AS j_est_ppm
+         |  FROM su LEFT JOIN sa ON su.h = sa.h LEFT JOIN sb ON su.h = sb.h),
+         |ex AS (
+         |  SELECT CAST(count(*) AS BIGINT) AS overlap_exact FROM (
+         |    SELECT DISTINCT l_partkey FROM lineitem WHERE l_returnflag = 'A'
+         |    INTERSECT
+         |    SELECT DISTINCT l_partkey FROM lineitem WHERE l_returnflag = 'R'))
+         |SELECT CAST(ea.est AS BIGINT) AS d_a_est,
+         |  CAST(eb.est AS BIGINT) AS d_b_est,
+         |  CAST(eu.union_est AS BIGINT) AS union_est,
+         |  j_est_ppm,
+         |  CAST(j_est_ppm * eu.union_est // 1000000 AS BIGINT) AS overlap_est,
+         |  overlap_exact
+         |FROM ea, eb, eu, res, ex""".stripMargin
+    },
+    "The estimator's operands are two <=128-row sketches — join planning " +
+      "(semi-join pushdown worth it? broadcast the intersection?) from state " +
+      "that fits in a driver heartbeat, maintained incrementally as data lands. " +
+      "q170 is the exact audit you run after; this is the cheap screen before.")
+
+  /** q199 — E6: sketch re-aggregation — nation-level HLL registers
+    * rolled up to regions by register max, against the exact distinct.
+    * THE pre-aggregated-cube property: a 100 TB scan builds the finest
+    * grain once; every coarser grain merges sketches without rescan,
+    * and the oracle (which builds regions DIRECTLY) certifies the
+    * merge is lossless. */
+  val q199 = Declared(
+    "q199_hll_rollup", "E6",
+    (s, dir) => {
+      val sup = Tables.supplier(s, dir)
+        .select(col("s_suppkey"), col("s_nationkey"))
+      val nat = Tables.nation(s, dir)
+        .select(col("n_nationkey"), col("n_regionkey"))
+      val keyed = Tables.lineitem(s, dir)
+        .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+        .select(col("s_nationkey").as("nation"), col("l_partkey"))
+      val natRegs = graft.ext.Sketches.hllRegisters(keyed,
+        Seq(col("nation")), col("l_partkey"), m = 64)
+      val regRegs = natRegs
+        .join(broadcast(nat), col("nation") === col("n_nationkey"))
+        .groupBy(col("n_regionkey").as("region"), col("idx"))
+        .agg(max(col("m_rank")).as("m_rank"))
+      val est = graft.ext.Sketches.hllEstimate(regRegs, Seq("region"), m = 64)
+      val exact = keyed.join(broadcast(nat), col("nation") === col("n_nationkey"))
+        .groupBy(col("n_regionkey").as("region"))
+        .agg(countDistinct(col("l_partkey")).as("n_exact"))
+      est.join(exact, "region")
+        .select(col("region"), col("n_exact"), col("registers_hit"),
+          col("sum_scaled"), col("est_hll"))
+        .orderBy(col("region"))
+    },
+    Some {
+      val numLit = graft.ext.Sketches.hllAlpha(64) * 64 * 64 * (1L << 33).toDouble
+      s"""WITH h AS (
+         |  SELECT n.n_regionkey AS region,
+         |    ${chunkSql(0, "l.l_partkey", 64)} AS idx,
+         |    ${chunkRawSql(1, "l.l_partkey")} AS w
+         |  FROM lineitem l
+         |  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+         |  JOIN nation n ON s.s_nationkey = n.n_nationkey),
+         |regs AS (
+         |  SELECT region, idx,
+         |    max(CASE WHEN w = 0 THEN 33
+         |             ELSE 33 - length(format('{:b}', w)) END) AS m_rank
+         |  FROM h GROUP BY 1, 2),
+         |est AS (
+         |  SELECT region, count(*) AS registers_hit,
+         |    CAST(sum(CAST(1 AS BIGINT) << (33 - m_rank)) +
+         |      (64 - count(*)) * 8589934592 AS BIGINT) AS sum_scaled
+         |  FROM regs GROUP BY 1),
+         |exact AS (
+         |  SELECT n.n_regionkey AS region,
+         |    count(DISTINCT l.l_partkey) AS n_exact
+         |  FROM lineitem l
+         |  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+         |  JOIN nation n ON s.s_nationkey = n.n_nationkey
+         |  GROUP BY 1)
+         |SELECT e.region, x.n_exact, e.registers_hit, e.sum_scaled,
+         |  $numLit / CAST(e.sum_scaled AS DOUBLE) AS est_hll
+         |FROM est e JOIN exact x ON e.region = x.region
+         |ORDER BY e.region""".stripMargin
+    },
+    "The Spark side builds NATION sketches and max-merges to regions; the " +
+      "oracle builds regions directly — equality IS the lossless-rollup proof. " +
+      "At 100 TB this is the cube strategy: materialize registers at the finest " +
+      "grain (groups x 64 rows), answer every ancestor grain by merge.")
+
+  /** q200 — T-family/E6: count-min sketch built THROUGH the streaming
+    * path — the event stream's user-frequency grid maintained by a
+    * streaming aggregation, equal to the batch-built grid because cell
+    * counts merge associatively across micro-batches. Streaming ingest
+    * + sketch state: the 100 TB frequency monitor. */
+  val q200 = Declared(
+    "q200_stream_count_min", "T2,E6",
+    (s, dir) => TimeSeries.streamEventsToTable(s, dir, "q200")(ev =>
+        graft.ext.Sketches.countMinBuild(ev.select(col("user_id")),
+          col("user_id"), width = 64, depth = 4))
+      .orderBy(col("row_j"), col("bucket")),
+    Some {
+      val arms = (0 until 4).map(j =>
+        s"SELECT $j AS row_j, ${chunkSql(j, "user_id", 64)} AS bucket FROM events")
+        .mkString("\n    UNION ALL\n    ")
+      s"""SELECT row_j, bucket, count(*) AS cnt FROM (
+         |    $arms)
+         |GROUP BY row_j, bucket
+         |ORDER BY row_j, bucket""".stripMargin
+    },
+    "Streaming state is the grid itself (<= d*w rows) — bounded forever, no " +
+      "watermark needed, complete-mode emit. Cell increments commute, so ANY " +
+      "micro-batch split yields the identical grid (StreamingSpec pins the " +
+      "multi-batch law); the oracle equals the batch build.")
+
+  val all: Seq[Declared] = Seq(q191, q192, q193, q194, q195,
+    q196, q197, q198, q199, q200)
 }

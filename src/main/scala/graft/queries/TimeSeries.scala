@@ -232,7 +232,7 @@ object TimeSeries {
     * dangle), apply `transform`, run to completion into a complete-mode
     * memory table, and return it. Nanos-ts handling mirrors
     * Tables.events. */
-  private def streamEventsToTable(s: SparkSession, dir: String, tag: String,
+  private[queries] def streamEventsToTable(s: SparkSession, dir: String, tag: String,
       mode: String = "complete")(
       transform: DataFrame => DataFrame): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")

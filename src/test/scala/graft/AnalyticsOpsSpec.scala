@@ -758,4 +758,31 @@ class AnalyticsOpsSpec extends AnyFunSuite {
     assert(Aggregates.jackknifeMeanByGroup(const, col("g"), col("v"))
       .head().getAs[Double]("jk_var_u2") == 0.0)
   }
+
+  test("A-stat: adfTest — white noise rejects the unit root, a trendless walk does not") {
+    import graft.ops.Aggregates
+    // mean-reverting: deterministic noise around a constant
+    val noise = (1 to 300).map(i => ("n", i.toLong, 50L + (i * 37) % 11))
+    // random walk: cumulative sum of iid +-1 steps (splitmix64 parity)
+    def mix(i: Long): Long = {
+      var x = i * 0x9E3779B97F4A7C15L
+      x ^= x >>> 30; x *= 0xBF58476D1CE4E5B9L
+      x ^= x >>> 27; x *= 0x94D049BB133111EBL
+      x ^ (x >>> 31)
+    }
+    var acc = 0L
+    val walk = (1 to 500).map { i =>
+      acc += (if ((mix(i) & 1L) == 0L) 1L else -1L)
+      ("w", i.toLong, acc)
+    }
+    val df = (noise ++ walk).toDF("g", "t", "y")
+    val out = Aggregates.adfTest(df, Seq(col("g")), col("t"), col("y"))
+      .collect().map(r => r.getString(0) -> r).toMap
+    val n = out("n")
+    assert(n.getAs[Double]("gamma") < -0.5 && n.getAs[Int]("stationary") == 1,
+      s"noise: ${n}")
+    val w = out("w")
+    assert(w.getAs[Double]("gamma") > -0.5 && w.getAs[Int]("stationary") == 0,
+      s"walk: ${w}")
+  }
 }

@@ -745,5 +745,17 @@ class SourcesSinksSpec extends AnyFunSuite {
       "jackknife","kwargs":{"group_col":"g","value_expr":"v"}}]}""", obs)
       .collect().head
     assert(jk.getAs[Long]("g") == 2L && jk.getAs[Double]("mean") == 4.0)
+
+    val adf = run("""{"pipe":"p","operations":[{"name":"a","function":
+      "adf","kwargs":{"keys":["g"],"order_col":"v","value_col":"v"}}]}""",
+      obs)
+    assert(adf.columns.toSeq == Seq("g", "n", "gamma", "t_stat", "stationary"))
+
+    // bitmap_distinct reaches pipelines through the named-agg registry
+    val bd = run("""{"pipe":"p","operations":[{"name":"b","function":
+      "group_agg","kwargs":{"by":["g"],"funcs":["bitmap_distinct"],
+      "value_cols":["v"]}}]}""", obs)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(bd == Map("A" -> 2L, "B" -> 2L))
   }
 }

@@ -173,4 +173,28 @@ class SketchSpec extends AnyFunSuite {
       .head().getAs[Long]("j_est_ppm")
     assert(half > 120000L && half < 550000L, s"J estimate $half ppm out of band")
   }
+
+  test("X2/E6: bitmap distinct is exact, partitioning-invariant, and range-guarded") {
+    import spark.implicits._
+    import graft.ext.BitmapDistinct
+    val keys = (1 to 5000).map(i => (i % 7).toLong -> ((i * 131) % 1200).toLong)
+    val df = keys.toDF("g", "k")
+    val got = df.groupBy("g")
+      .agg(BitmapDistinct.bitmapDistinct(col("k"), 4096).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val exact = keys.groupBy(_._1).map { case (g, xs) => g -> xs.map(_._2).distinct.size.toLong }
+    assert(got == exact)
+    // OR-merge is partitioning-invariant: any repartition, same answer
+    val re = df.repartition(13).groupBy("g")
+      .agg(BitmapDistinct.bitmapDistinct(col("k"), 4096).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(re == got)
+    // out-of-domain keys fail fast instead of aliasing
+    val err = intercept[org.apache.spark.SparkException] {
+      Seq(5000L).toDF("k")
+        .agg(BitmapDistinct.bitmapDistinct(col("k"), 4096)).collect()
+    }
+    assert(err.getMessage.contains("bitmap domain") ||
+      Option(err.getCause).exists(_.getMessage.contains("bitmap domain")))
+  }
 }

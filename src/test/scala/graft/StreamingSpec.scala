@@ -203,4 +203,32 @@ class StreamingSpec extends AnyFunSuite {
     assert(res.count() == 2)
     assert(res.filter(col("name") === "alice").count() == 1)
   }
+
+  test("E6: count-min grid is micro-batch-split invariant (one file per trigger)") {
+    import graft.ext.Sketches
+    val dir = java.nio.file.Files.createTempDirectory("graft_cm_stream")
+    val all = (1 to 900).map(i => ((i * 131) % 97).toLong)
+    // three staged files = three micro-batches with maxFilesPerTrigger=1
+    all.grouped(300).zipWithIndex.foreach { case (chunk, i) =>
+      chunk.toDF("k").coalesce(1).write.parquet(s"$dir/part_$i")
+    }
+    val batchGrid = Sketches.countMinBuild(all.toDF("k"), col("k"), 32, 4)
+      .collect().map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val kSchema = StructType(Seq(StructField("k", LongType)))
+    val stream = spark.readStream.schema(kSchema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(s"$dir/part_*")
+    val qname = "cm_stream_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    val q = Sketches.countMinBuild(stream, col("k"), 32, 4)
+      .writeStream.format("memory").queryName(qname)
+      .outputMode("complete").start()
+    try {
+      q.processAllAvailable()
+      assert(q.recentProgress.length >= 3, "expected >= 3 micro-batches")
+      val streamGrid = spark.table(qname)
+        .collect().map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+      assert(streamGrid == batchGrid,
+        "stream-built grid must equal the batch-built grid")
+    } finally { q.stop() }
+  }
 }
