@@ -541,4 +541,56 @@ object TextAnalysis {
           .when(col("flesch_milli") >= 30000L, "difficult")
           .otherwise("very_confusing"))
   }
+
+  /** E4 — corpus boilerplate detection: word shingles ranked by
+    * DOCUMENT frequency. Navigation chrome, license headers and
+    * template fragments repeat verbatim across unrelated pages; a
+    * shingle present in >= minDfPpm of documents is boilerplate to
+    * strip before training (the dedup family removes whole near-dup
+    * DOCS; this removes repeated SPANS inside otherwise-unique docs).
+    * Returns (shingle, df, df_ppm), integer-exact.
+    *
+    * Scale: the distinct (doc, shingle) explode map-side combines into
+    * a shingle-keyed agg; the doc count is one broadcast scalar. */
+  def boilerplateShingles(df: DataFrame, textCol: Column, idCol: Column,
+      shingleSize: Int, minDfPpm: Long): DataFrame = {
+    val sh = df.select(idCol.as("__id"),
+        explode(graft.ext.Dedup.wordShingles(textCol, shingleSize))
+          .as("shingle"))
+      .distinct()
+    val nDocs = df.agg(countDistinct(idCol).as("__nd"))
+    sh.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
+      .crossJoin(broadcast(nDocs))
+      .withColumn("df_ppm", expr("1000000 * df div __nd"))
+      .filter(col("df_ppm") >= minDfPpm)
+      .drop("__nd")
+  }
+
+  /** E4 — vocabulary growth curve (Heaps' law, empirically): distinct
+    * tokens seen after ingesting the first c documents, at checkpoint
+    * grain `every`. Each token contributes at its FIRST document —
+    * min() over doc ids, associative, so one agg pass — and the curve
+    * is a cumulative sum over the checkpoint ROLLUP, never the corpus.
+    * Flattening growth = the tokenizer's open-vocabulary pressure
+    * easing; still-linear growth at corpus end = more data still buys
+    * vocabulary. Returns (docs_seen, new_tokens, vocab). */
+  def vocabGrowth(df: DataFrame, tokensCol: Column, idCol: Column,
+      every: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(every > 0, "checkpoint grain must be positive")
+    val firstDoc = df.select(idCol.as("__id"), explode(tokensCol).as("tok"))
+      .filter(col("tok") =!= "")
+      .groupBy(col("tok")).agg(min(col("__id")).as("__first"))
+    val total = df.agg(countDistinct(idCol).as("__nd"))
+    val perCheckpoint = firstDoc
+      .withColumn("__cp", expr(s"(__first div ${every}L + 1) * ${every}L"))
+      .groupBy(col("__cp")).agg(count(lit(1)).as("new_tokens"))
+    perCheckpoint
+      .withColumn("vocab", sum(col("new_tokens")).over(
+        Window.orderBy(col("__cp"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .crossJoin(broadcast(total))
+      .select(least(col("__cp"), col("__nd")).as("docs_seen"),
+        col("new_tokens"), col("vocab"))
+  }
 }

@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Market-basket association rules (Agrawal & Srikant, VLDB'94 —
@@ -50,5 +50,31 @@ object Associations {
         ((col("n_xy").cast("decimal(38,0)") * col("__N")).cast("double") /
           (col("n_x").cast("decimal(38,0)") * col("__ny")).cast("double"))
           .as("lift"))
+  }
+
+  /** E2+/graph — bipartite co-occurrence projection: project the
+    * (basket, item) relation onto an item-item edge list weighted by
+    * shared-basket count — the item graph behind co-purchase recsys
+    * and co-citation analysis. Each basket of size k contributes
+    * k·(k−1)/2 pairs, so fan-out is bounded by the basket-size cap the
+    * caller's domain implies (a TPC-H order holds <= 7 line items),
+    * never by catalog size. Returns (item_a, item_b, weight) for the
+    * top `topK` edges under (weight desc, item_a, item_b).
+    *
+    * Scale: distinct + one basket-keyed self-equi-join + a pair-keyed
+    * agg with map-side combine; TakeOrdered handles the top-k. Skewed
+    * giant baskets are the hazard — cap basket size upstream (q64's
+    * domain-cap pattern) before projecting. */
+  def coOccurrence(df: DataFrame, basketCol: Column, itemCol: Column,
+      topK: Int): DataFrame = {
+    require(topK > 0, "topK must be positive")
+    val base = df.select(basketCol.as("__b"), itemCol.as("__i")).distinct()
+    val a = base.toDF("__b", "item_a")
+    val b = base.toDF("__b", "item_b")
+    a.join(b, "__b").filter(col("item_a") < col("item_b"))
+      .groupBy(col("item_a"), col("item_b"))
+      .agg(count(lit(1)).as("weight"))
+      .orderBy(col("weight").desc, col("item_a"), col("item_b"))
+      .limit(topK)
   }
 }

@@ -1,0 +1,83 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** ML feature-engineering operators — the last mile between curated
+  * data (graft.ext) and a training run: leakage-safe categorical
+  * encoding and class rebalancing. Both are exact-arithmetic and
+  * deterministic, so feature tables regenerate bit-identically on any
+  * cluster layout — the reproducibility contract the rest of the
+  * engine keeps. */
+object Features {
+
+  /** A1/ML — leave-one-out target encoding of a categorical column:
+    * each row's feature is the mean target of ITS OWN category
+    * computed WITHOUT the row —
+    *   loo = (S_cat − y_row) / (n_cat − 1)
+    * — the standard guard against target leakage that plain
+    * mean-encoding commits. Exact: the division is one IEEE op on
+    * exact integer operands. Categories with a single row get null
+    * (no leave-one-out information), not the global mean — imputation
+    * is the caller's policy decision. Appends `loo_mean`.
+    *
+    * Scale: one category-keyed agg (map-side combine, |categories|
+    * rows) broadcast back; the fact table is touched once, no
+    * window. */
+  def targetEncodeLoo(df: DataFrame, catCol: Column,
+      targetCol: Column): DataFrame = {
+    val d38 = "decimal(38,0)"
+    val base = df.withColumn("__cat", catCol)
+      .withColumn("__y", targetCol.cast("long"))
+    val stats = base.groupBy(col("__cat"))
+      .agg(sum(col("__y")).cast(d38).as("__s"), count(lit(1)).as("__n"))
+    base.join(broadcast(stats), Seq("__cat"))
+      .withColumn("loo_mean",
+        when(col("__n") > 1,
+          (col("__s") - col("__y")).cast("double") /
+            (col("__n") - 1).cast("double")))
+      .drop("__cat", "__y", "__s", "__n")
+  }
+
+  /** ML — majority-class cap: bound every class to at most
+    * `ratio` × the minority-class count, keeping each class's FIRST
+    * rows under a caller-supplied total order (deterministic — no
+    * sampling lottery). Returns the kept rows. The class-imbalance
+    * fix applied before a classifier ever sees the data; the audit
+    * twin [[classBalanceAudit]] reports per-class kept/dropped
+    * without materializing the kept rows.
+    *
+    * Scale: per-class rank is a key-partitioned window; the cap is a
+    * broadcast of |classes| rows. The WindowGroupLimit optimization
+    * turns rank ≤ cap into per-partition heaps before the shuffle. */
+  def classBalanceCap(df: DataFrame, classCol: Column, ratio: Int,
+      orderCols: Seq[Column]): DataFrame = {
+    require(ratio >= 1, "ratio must be >= 1")
+    val base = df.withColumn("__class", classCol)
+    val counts = base.groupBy(col("__class")).agg(count(lit(1)).as("__n"))
+    val minCount = counts.agg(min(col("__n")).as("__m"))
+    val caps = counts.crossJoin(broadcast(minCount))
+      .select(col("__class"), least(col("__n"),
+        col("__m") * ratio).as("__cap"))
+    val w = Window.partitionBy(col("__class")).orderBy(orderCols: _*)
+    base.withColumn("__rn", row_number().over(w))
+      .join(broadcast(caps), Seq("__class"))
+      .filter(col("__rn") <= col("__cap"))
+      .drop("__class", "__rn", "__cap")
+  }
+
+  /** Per-class summary of what [[classBalanceCap]] would keep:
+    * (class, n_before, n_kept, dropped). */
+  def classBalanceAudit(df: DataFrame, classCol: Column,
+      ratio: Int): DataFrame = {
+    require(ratio >= 1, "ratio must be >= 1")
+    val counts = df.groupBy(classCol.as("class"))
+      .agg(count(lit(1)).as("n_before"))
+    val minCount = counts.agg(min(col("n_before")).as("__m"))
+    counts.crossJoin(broadcast(minCount))
+      .select(col("class"), col("n_before"),
+        least(col("n_before"), col("__m") * ratio).as("n_kept"))
+      .withColumn("dropped", col("n_before") - col("n_kept"))
+  }
+}

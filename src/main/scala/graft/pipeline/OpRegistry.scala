@@ -496,6 +496,24 @@ object OpRegistry {
       df, col(str(p, "group_col")), expr(str(p, "value_expr")))),
     "adf" -> (p => df => graft.ops.Aggregates.adfTest(
       df, strs(p, "keys").map(col), col(str(p, "order_col")),
-      col(str(p, "value_col"))))
+      col(str(p, "value_col")))),
+    "target_encode_loo" -> (p => df => graft.ops.Features.targetEncodeLoo(
+      df, col(str(p, "cat_col")), expr(str(p, "target_expr")))),
+    "class_balance_cap" -> (p => df => graft.ops.Features.classBalanceCap(
+      df, col(str(p, "class_col")), num(p, "ratio").toInt,
+      strs(p, "order").map(col))),
+    "class_balance_audit" -> (p => df => graft.ops.Features.classBalanceAudit(
+      df, col(str(p, "class_col")), num(p, "ratio").toInt)),
+    "co_occurrence" -> (p => df => graft.ops.Associations.coOccurrence(
+      df, col(str(p, "basket_col")), col(str(p, "item_col")),
+      num(p, "top_k").toInt)),
+    "boilerplate_shingles" -> (p => df =>
+      graft.ext.TextAnalysis.boilerplateShingles(
+        df, col(str(p, "text_col")), col(str(p, "id_col")),
+        num(p, "shingle_size").toInt, num(p, "min_df_ppm").toLong)),
+    "vocab_growth" -> (p => df => graft.ext.TextAnalysis.vocabGrowth(
+      df, graft.ext.Dedup.wordShingles(col(str(p, "text_col")),
+        num(p, "shingle_size").toInt),
+      col(str(p, "id_col")), num(p, "every").toLong))
   ))
 }

@@ -785,4 +785,39 @@ class AnalyticsOpsSpec extends AnyFunSuite {
     assert(w.getAs[Double]("gamma") > -0.5 && w.getAs[Int]("stationary") == 0,
       s"walk: ${w}")
   }
+
+  test("ML: targetEncodeLoo excludes the row itself; singletons get null") {
+    import graft.ops.Features
+    val df = Seq((1L, "a", 10L), (2L, "a", 20L), (3L, "a", 30L), (4L, "b", 7L))
+      .toDF("id", "cat", "y")
+    val out = Features.targetEncodeLoo(df, col("cat"), col("y"))
+      .orderBy("id").collect()
+    assert(out(0).getAs[Double]("loo_mean") == 25.0) // (20+30)/2
+    assert(out(1).getAs[Double]("loo_mean") == 20.0) // (10+30)/2
+    assert(out(2).getAs[Double]("loo_mean") == 15.0)
+    assert(out(3).isNullAt(out(3).fieldIndex("loo_mean")))
+  }
+
+  test("ML: classBalanceCap keeps the FIRST rows per class, audit agrees") {
+    import graft.ops.Features
+    val df = (1 to 10).map(i => (i.toLong, "big")) ++ Seq((11L, "small"), (12L, "small"))
+    val d = df.toDF("id", "cls")
+    val kept = Features.classBalanceCap(d, col("cls"), ratio = 2,
+      Seq(col("id").asc)).select("id").as[Long].collect().sorted.toSeq
+    // small has 2 -> cap = 4: big keeps ids 1..4, small keeps both
+    assert(kept == Seq(1L, 2L, 3L, 4L, 11L, 12L))
+    val audit = Features.classBalanceAudit(d, col("cls"), ratio = 2)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(audit == Map("big" -> (10L, 4L), "small" -> (2L, 2L)))
+  }
+
+  test("E2+: coOccurrence — bounded pair projection with deterministic top-k") {
+    import graft.ops.Associations
+    val baskets = Seq((1L, 10L), (1L, 11L), (1L, 12L), (2L, 10L), (2L, 11L),
+      (3L, 10L), (3L, 11L), (3L, 10L)) // dup (3,10) must not double-count
+      .toDF("b", "i")
+    val out = Associations.coOccurrence(baskets, col("b"), col("i"), topK = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(out.toSeq == Seq((10L, 11L, 3L), (10L, 12L, 1L)))
+  }
 }

@@ -413,4 +413,32 @@ class TextSignalsSpec extends AnyFunSuite {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(asPlain == plain)
   }
+
+  test("E4: boilerplateShingles finds the planted repeated span, ppm-exact") {
+    val docs = (1L to 20L).map { i =>
+      val body = s"unique$i words here number$i"
+      // the span 'all rights reserved' rides on 60% of docs
+      (i, if (i % 5 != 0) s"$body all rights reserved" else body)
+    }.toDF("doc_id", "text")
+    val out = TextAnalysis.boilerplateShingles(docs, col("text"),
+      col("doc_id"), shingleSize = 2, minDfPpm = 500000L)
+      .collect().map(r => r.getString(0) -> r.getAs[Long]("df_ppm")).toMap
+    // 'words here' rides on EVERY doc (the fixture's own template)
+    assert(out.keySet == Set("all rights", "rights reserved", "words here"))
+    assert(out("words here") == 1000000L)
+    assert(out("all rights") == 800000L && out("rights reserved") == 800000L)
+  }
+
+  test("E4: vocabGrowth — first-occurrence curve, cumulative and saturating") {
+    val docs = Seq(
+      (0L, "a b"), (1L, "a c"),          // checkpoint 10: a, b, c (+bigrams n/a at size 1)
+      (12L, "d"), (13L, "a"),            // checkpoint 20: d
+      (25L, "e f"))                      // checkpoint 30 -> clamped to n_docs
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.vocabGrowth(docs,
+      TextAnalysis.tokens(col("text")), col("doc_id"), every = 10L)
+      .orderBy("docs_seen").collect()
+      .map(r => (r.getLong(0), r.getAs[Long]("new_tokens"), r.getAs[Long]("vocab")))
+    assert(out.toSeq == Seq((5L, 3L, 3L), (5L, 1L, 4L), (5L, 2L, 6L)))
+  }
 }

@@ -758,4 +758,36 @@ class SourcesSinksSpec extends AnyFunSuite {
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(bd == Map("A" -> 2L, "B" -> 2L))
   }
+
+  test("X1: batch-18 registry ops run from JSON") {
+    def run(json: String, df: org.apache.spark.sql.DataFrame) =
+      Pipeline.fromJson(json).run(df)._1
+    val obs = Seq((1L, "a", 10L), (2L, "a", 20L), (3L, "b", 5L))
+      .toDF("id", "cat", "y")
+    val te = run("""{"pipe":"p","operations":[{"name":"t","function":
+      "target_encode_loo","kwargs":{"cat_col":"cat","target_expr":"y"}}]}""",
+      obs)
+    assert(te.columns.contains("loo_mean") && te.count() == 3)
+
+    val ca = run("""{"pipe":"p","operations":[{"name":"c","function":
+      "class_balance_audit","kwargs":{"class_col":"cat","ratio":1}}]}""", obs)
+      .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+    assert(ca == Map("a" -> 1L, "b" -> 1L))
+
+    val cc = run("""{"pipe":"p","operations":[{"name":"c","function":
+      "co_occurrence","kwargs":{"basket_col":"cat","item_col":"id",
+      "top_k":5}}]}""", obs).collect()
+    assert(cc.length == 1 && cc.head.getLong(2) == 1L)
+
+    val docs = Seq((1L, "x y z"), (2L, "x y w")).toDF("doc_id", "text")
+    val bp = run("""{"pipe":"p","operations":[{"name":"b","function":
+      "boilerplate_shingles","kwargs":{"text_col":"text","id_col":"doc_id",
+      "shingle_size":2,"min_df_ppm":900000}}]}""", docs).collect()
+    assert(bp.map(_.getString(0)).toSet == Set("x y"))
+
+    val vg = run("""{"pipe":"p","operations":[{"name":"v","function":
+      "vocab_growth","kwargs":{"text_col":"text","id_col":"doc_id",
+      "shingle_size":1,"every":10}}]}""", docs)
+    assert(vg.columns.toSeq == Seq("docs_seen", "new_tokens", "vocab"))
+  }
 }
