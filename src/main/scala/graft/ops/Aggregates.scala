@@ -650,6 +650,158 @@ object Aggregates {
       when(det =!= 0.0, icept).as("intercept"): _*)
   }
 
+  /** A-stat — Spearman rank correlation per key, tie-aware and exact:
+    * Pearson on DOUBLED midranks (integers — first+last of each tie
+    * run, the [[mannWhitneyU]] device), so every sum is exact and the
+    * final correlation is one IEEE expression on exact operands. The
+    * monotone-association complement to [[linearFitExact]]'s Pearson:
+    * immune to monotone transforms and far less outlier-sensitive.
+    * Returns (…keys, n, rho).
+    *
+    * Scale: per variable, ranks come from the (key, distinct-value)
+    * rollup (a key-partitioned window over the rollup, never the fact
+    * table) joined back broadcast; the co-moment agg is one pass. */
+  def spearmanExact(df: DataFrame, keys: Seq[Column], xCol: Column,
+      yCol: Column): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val d38 = "decimal(38,0)"
+    val base = df.select(keys :+ xCol.cast("long").as("__x") :+
+      yCol.cast("long").as("__y"): _*)
+    val kNames = base.columns.dropRight(2).toSeq
+    def rankMap(vCol: String, out: String) = {
+      val w =
+        if (kNames.isEmpty) Window.orderBy(col(vCol))
+        else Window.partitionBy(kNames.map(col): _*).orderBy(col(vCol))
+      base.groupBy((kNames :+ vCol).map(col): _*)
+        .agg(count(lit(1)).as("__cnt"))
+        .withColumn(out,
+          lit(2) * coalesce(sum(col("__cnt")).over(
+            w.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)) +
+            col("__cnt") + 1)
+        .drop("__cnt")
+    }
+    val rx = rankMap("__x", "__rx")
+    val ry = rankMap("__y", "__ry")
+    val ranked = base
+      .join(broadcast(rx), kNames :+ "__x")
+      .join(broadcast(ry), kNames :+ "__y")
+    def s38(c: Column) = sum(c.cast(d38)).cast(d38)
+    val agg = ranked.groupBy(kNames.map(col): _*).agg(
+      count(lit(1)).cast(d38).as("n"),
+      s38(col("__rx")).as("sx"), s38(col("__ry")).as("sy"),
+      s38(col("__rx").cast(d38) * col("__ry").cast(d38)).as("sxy"),
+      s38(col("__rx").cast(d38) * col("__rx").cast(d38)).as("sxx"),
+      s38(col("__ry").cast(d38) * col("__ry").cast(d38)).as("syy"))
+    val covN = (col("n") * col("sxy") - col("sx") * col("sy")).cast("double")
+    val varXN = (col("n") * col("sxx") - col("sx") * col("sx")).cast("double")
+    val varYN = (col("n") * col("syy") - col("sy") * col("sy")).cast("double")
+    agg.select(kNames.map(col) :+ col("n").cast("long").as("n") :+
+      when(varXN =!= 0.0 && varYN =!= 0.0,
+        covN / (sqrt(varXN) * sqrt(varYN))).as("rho"): _*)
+  }
+
+  /** A-stat — Kendall's τ-b per key, tie-aware and exact: concordant /
+    * discordant pair counts computed over the (x, y) CELL rollup —
+    * every distinct value combination with its multiplicity — so the
+    * pair "loop" is |cells|² per key (value-domain-bounded: 11
+    * discounts × 50 quantities = 550 cells regardless of row count),
+    * never row². All counts are exact DECIMAL(38,0);
+    *   τ_b = (nc − nd) / (√(n0−n1) · √(n0−n2))
+    * is the one IEEE expression. Returns
+    * (…keys, n, nc, nd, tau_b). */
+  def kendallTau(df: DataFrame, keys: Seq[Column], xCol: Column,
+      yCol: Column): DataFrame = {
+    val d38 = "decimal(38,0)"
+    val base = df.select(keys :+ xCol.cast("long").as("__x") :+
+      yCol.cast("long").as("__y"): _*)
+    val kNames = base.columns.dropRight(2).toSeq
+    val cells = base.groupBy((kNames :+ "__x" :+ "__y").map(col): _*)
+      .agg(count(lit(1)).cast(d38).as("__c"))
+    val a = cells.toDF(kNames ++ Seq("__x1", "__y1", "__c1"): _*)
+    val b = cells.toDF(kNames ++ Seq("__x2", "__y2", "__c2"): _*)
+    // each unordered cell pair once: lexicographic (x, y) order
+    val pairs = a.join(b, kNames)
+      .filter(col("__x1") < col("__x2") ||
+        (col("__x1") === col("__x2") && col("__y1") < col("__y2")))
+      .withColumn("__w", col("__c1") * col("__c2"))
+    val perKey = pairs.groupBy(kNames.map(col): _*).agg(
+      sum(when(col("__x1") =!= col("__x2") && col("__y1") =!= col("__y2") &&
+        ((col("__x1") < col("__x2")) === (col("__y1") < col("__y2"))),
+        col("__w")).otherwise(lit(0).cast(d38))).cast(d38).as("__nc"),
+      sum(when(col("__x1") =!= col("__x2") && col("__y1") =!= col("__y2") &&
+        ((col("__x1") < col("__x2")) =!= (col("__y1") < col("__y2"))),
+        col("__w")).otherwise(lit(0).cast(d38))).cast(d38).as("__nd"))
+    val ties = cells.groupBy(kNames.map(col): _*).agg(
+      sum(col("__c")).cast(d38).as("__n"))
+    val tx = base.groupBy((kNames :+ "__x").map(col): _*)
+      .agg(count(lit(1)).cast(d38).as("__c"))
+      .groupBy(kNames.map(col): _*)
+      .agg(sum(col("__c") * (col("__c") - 1)).cast(d38).as("__txd"))
+    val ty = base.groupBy((kNames :+ "__y").map(col): _*)
+      .agg(count(lit(1)).cast(d38).as("__c"))
+      .groupBy(kNames.map(col): _*)
+      .agg(sum(col("__c") * (col("__c") - 1)).cast(d38).as("__tyd"))
+    val joined =
+      if (kNames.isEmpty) perKey.crossJoin(ties).crossJoin(tx).crossJoin(ty)
+      else perKey.join(ties, kNames).join(tx, kNames).join(ty, kNames)
+    val n0d = (col("__n") * (col("__n") - 1)).cast("double") // doubled n0
+    joined
+      .withColumn("__den",
+        sqrt(n0d - col("__txd").cast("double")) *
+          sqrt(n0d - col("__tyd").cast("double")))
+      .select(kNames.map(col) :+ col("__n").cast("long").as("n") :+
+        col("__nc").cast("long").as("nc") :+
+        col("__nd").cast("long").as("nd") :+
+        when(col("__den") =!= 0.0,
+          lit(2.0) * (col("__nc") - col("__nd")).cast("double") / col("__den"))
+          .as("tau_b"): _*)
+  }
+
+  /** A-stat — Cramér's V effect size for a two-way contingency: the
+    * [0,1]-normalized strength behind [[chiSquare]]'s significance
+    * (χ² grows with n even for trivial association; V does not).
+    * V = √(χ² / (n·min(r−1, c−1))) — χ² comes micro-quantized from
+    * chiSquare, so V is deterministic too. Returns one row:
+    * (chi2, dof, n, r_levels, c_levels, cramers_v). */
+  def cramersV(df: DataFrame, rowCol: Column, colCol: Column): DataFrame = {
+    val chi = chiSquare(df, rowCol, colCol)
+    val dims = df.agg(count_distinct(rowCol).as("r_levels"),
+      count_distinct(colCol).as("c_levels"))
+    chi.crossJoin(broadcast(dims))
+      .withColumn("cramers_v",
+        when(col("n") > 0 && least(col("r_levels"), col("c_levels")) > 1,
+          sqrt(col("chi2") / (col("n").cast("double") *
+            (least(col("r_levels"), col("c_levels")) - 1).cast("double")))))
+  }
+
+  /** A-stat — 2×2 odds ratio and risk ratio of a binary outcome given
+    * a binary exposure, integer-exact: OR = a·d/(b·c) reported both as
+    * the exact-ppm integer quotient and the IEEE double of the same
+    * exact operands. The case-control effect measure chi-square can't
+    * give. Returns one row:
+    * (n_ee, n_en, n_ne, n_nn, or_ppm, odds_ratio, rr_ppm). */
+  def oddsRatio(df: DataFrame, exposure: Column, outcome: Column): DataFrame = {
+    val d38 = "decimal(38,0)"
+    df.agg(
+      sum(when(exposure && outcome, 1L).otherwise(0L)).as("n_ee"),
+      sum(when(exposure && !outcome, 1L).otherwise(0L)).as("n_en"),
+      sum(when(!exposure && outcome, 1L).otherwise(0L)).as("n_ne"),
+      sum(when(!exposure && !outcome, 1L).otherwise(0L)).as("n_nn"))
+      .withColumn("or_ppm",
+        when(col("n_en") > 0 && col("n_ne") > 0,
+          expr("(cast(1000000 as decimal(38,0)) * n_ee * n_nn)" +
+            " div (cast(n_en as decimal(38,0)) * n_ne)")))
+      .withColumn("odds_ratio",
+        when(col("n_en") > 0 && col("n_ne") > 0,
+          (col("n_ee").cast(d38) * col("n_nn").cast(d38)).cast("double") /
+            (col("n_en").cast(d38) * col("n_ne").cast(d38)).cast("double")))
+      .withColumn("rr_ppm",
+        when(col("n_ne") + col("n_nn") > 0 && col("n_ee") + col("n_en") > 0 &&
+          col("n_ne") > 0,
+          expr("(cast(1000000 as decimal(38,0)) * n_ee * (n_ne + n_nn))" +
+            " div (cast(n_ne as decimal(38,0)) * (n_ee + n_en))")))
+  }
+
   /** A-stat — augmented-free Dickey–Fuller unit-root test per key: is
     * the series a random walk (γ ≈ 0 — difference before modeling) or
     * mean-reverting (γ < 0 — levels are safe)? The stationarity screen

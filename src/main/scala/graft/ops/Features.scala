@@ -80,4 +80,53 @@ object Features {
         least(col("n_before"), col("__m") * ratio).as("n_kept"))
       .withColumn("dropped", col("n_before") - col("n_kept"))
   }
+
+  /** ML — split-conformal prediction intervals per category, with the
+    * empirical-coverage audit (Vovk et al., distribution-free
+    * conformal prediction — public literature). Calibration rows fit
+    * a truncating-integer category-mean predictor; the conformal
+    * radius is the ⌈(n_cal+1)·(1−α)⌉-th smallest absolute residual
+    * (an EXACT rank statistic — no interpolation, so any engine
+    * agrees bit-for-bit); test rows then measure realized coverage.
+    * Marginal coverage ≥ 1−α holds by exchangeability REGARDLESS of
+    * how bad the mean predictor is — that guarantee is the point.
+    * Returns per category:
+    * (…, n_cal, n_test, pred_c, qhat, cover_ppm).
+    *
+    * Scale: one category agg (broadcast back), one category-keyed
+    * rank window over calibration rows, one test agg. */
+  def conformalInterval(df: DataFrame, catCol: Column, targetCol: Column,
+      isCalib: Column, alphaNum: Long = 1L,
+      alphaDen: Long = 10L): DataFrame = {
+    require(alphaNum > 0 && alphaDen > 0 && alphaNum < alphaDen,
+      "alpha = alphaNum/alphaDen must be in (0, 1)")
+    val d38 = "decimal(38,0)"
+    val base = df.select(catCol.as("__cat"), targetCol.cast("long").as("__y"),
+      isCalib.as("__cal"))
+    val calStats = base.filter(col("__cal"))
+      .groupBy(col("__cat"))
+      .agg(sum(col("__y")).cast(d38).as("__s"), count(lit(1)).as("n_cal"))
+      .withColumn("pred_c", expr("__s div n_cal").cast("long"))
+      .drop("__s")
+    val withResid = base.join(broadcast(calStats), Seq("__cat"))
+      .withColumn("__r", abs(col("__y") - col("pred_c")))
+    // conformal rank: k = ceil((n_cal + 1) * (1 - alpha)), capped at n_cal
+    val k = expr(s"least(n_cal, ((n_cal + 1) * ${alphaDen - alphaNum}L" +
+      s" + ${alphaDen - 1}L) div ${alphaDen}L)")
+    val w = Window.partitionBy(col("__cat"))
+      .orderBy(col("__r").asc, col("__y").asc)
+    val qhat = withResid.filter(col("__cal"))
+      .withColumn("__rn", row_number().over(w))
+      .withColumn("__k", k)
+      .filter(col("__rn") === col("__k"))
+      .select(col("__cat"), col("__r").as("qhat"))
+    withResid.filter(!col("__cal"))
+      .join(broadcast(qhat), Seq("__cat"))
+      .groupBy(col("__cat").as("category"))
+      .agg(max(col("n_cal")).as("n_cal"), count(lit(1)).as("n_test"),
+        max(col("pred_c")).as("pred_c"), max(col("qhat")).as("qhat"),
+        sum(when(col("__r") <= col("qhat"), 1L).otherwise(0L)).as("__cov"))
+      .withColumn("cover_ppm", expr("1000000 * __cov div n_test"))
+      .drop("__cov")
+  }
 }

@@ -514,6 +514,21 @@ object OpRegistry {
     "vocab_growth" -> (p => df => graft.ext.TextAnalysis.vocabGrowth(
       df, graft.ext.Dedup.wordShingles(col(str(p, "text_col")),
         num(p, "shingle_size").toInt),
-      col(str(p, "id_col")), num(p, "every").toLong))
+      col(str(p, "id_col")), num(p, "every").toLong)),
+    "spearman" -> (p => df => graft.ops.Aggregates.spearmanExact(
+      df, strs(p, "keys").map(col), expr(str(p, "x_expr")),
+      expr(str(p, "y_expr")))),
+    "kendall" -> (p => df => graft.ops.Aggregates.kendallTau(
+      df, strs(p, "keys").map(col), expr(str(p, "x_expr")),
+      expr(str(p, "y_expr")))),
+    "cramers_v" -> (p => df => graft.ops.Aggregates.cramersV(
+      df, col(str(p, "row_col")), col(str(p, "col_col")))),
+    "odds_ratio" -> (p => df => graft.ops.Aggregates.oddsRatio(
+      df, expr(str(p, "exposure_expr")), expr(str(p, "outcome_expr")))),
+    "conformal" -> (p => df => graft.ops.Features.conformalInterval(
+      df, col(str(p, "cat_col")), expr(str(p, "target_expr")),
+      expr(str(p, "calib_expr")),
+      numOpt(p, "alpha_num").map(_.toLong).getOrElse(1L),
+      numOpt(p, "alpha_den").map(_.toLong).getOrElse(10L)))
   ))
 }

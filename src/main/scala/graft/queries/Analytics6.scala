@@ -162,5 +162,238 @@ object Analytics6 {
       "rows). Flattening growth is the 'more data stops buying vocabulary' " +
       "signal that sizes the tokenizer before a 100 TB training run.")
 
-  val all: Seq[Declared] = Seq(q201, q202, q203, q204, q205)
+  /** q206 — A-stat: Spearman rank correlation of discount vs quantity
+    * per return flag — Pearson on doubled midranks, tie-aware,
+    * integer-exact until the one IEEE finish. */
+  val q206 = Declared(
+    "q206_spearman", "A-stat",
+    (s, dir) => graft.ops.Aggregates.spearmanExact(Tables.lineitem(s, dir),
+        Seq(col("l_returnflag")),
+        (col("l_discount").cast("decimal(18,2)") * 100).cast("long"),
+        col("l_quantity"))
+      .orderBy(col("l_returnflag")),
+    Some(s"""WITH b AS (
+           |  SELECT l_returnflag AS f,
+           |    ${centsSql("l_discount")} AS x,
+           |    CAST(l_quantity AS BIGINT) AS y
+           |  FROM lineitem),
+           |rx AS (
+           |  SELECT f, x,
+           |    2 * COALESCE(CAST(sum(cnt) OVER (PARTITION BY f ORDER BY x
+           |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT),
+           |      0) + cnt + 1 AS r
+           |  FROM (SELECT f, x, count(*) AS cnt FROM b GROUP BY 1, 2)),
+           |ry AS (
+           |  SELECT f, y,
+           |    2 * COALESCE(CAST(sum(cnt) OVER (PARTITION BY f ORDER BY y
+           |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT),
+           |      0) + cnt + 1 AS r
+           |  FROM (SELECT f, y, count(*) AS cnt FROM b GROUP BY 1, 2)),
+           |j AS (
+           |  SELECT b.f, rx.r AS u, ry.r AS v
+           |  FROM b JOIN rx ON b.f = rx.f AND b.x = rx.x
+           |         JOIN ry ON b.f = ry.f AND b.y = ry.y),
+           |a AS (
+           |  SELECT f, CAST(count(*) AS HUGEINT) AS n,
+           |    CAST(sum(u) AS HUGEINT) AS sx, CAST(sum(v) AS HUGEINT) AS sy,
+           |    CAST(sum(CAST(u AS HUGEINT) * v) AS HUGEINT) AS sxy,
+           |    CAST(sum(CAST(u AS HUGEINT) * u) AS HUGEINT) AS sxx,
+           |    CAST(sum(CAST(v AS HUGEINT) * v) AS HUGEINT) AS syy
+           |  FROM j GROUP BY 1),
+           |g AS (
+           |  SELECT f, n,
+           |    CAST(n * sxy - sx * sy AS DOUBLE) AS cv,
+           |    CAST(n * sxx - sx * sx AS DOUBLE) AS vx,
+           |    CAST(n * syy - sy * sy AS DOUBLE) AS vy
+           |  FROM a)
+           |SELECT f AS l_returnflag, CAST(n AS BIGINT) AS n,
+           |  CASE WHEN vx <> 0 AND vy <> 0
+           |    THEN cv / (sqrt(vx) * sqrt(vy)) END AS rho
+           |FROM g ORDER BY f""".stripMargin),
+    "Ranks come from the (key, distinct-value) rollup — 11 discounts, 50 " +
+      "quantities — broadcast back; the fact table is scanned once and the " +
+      "co-moment agg map-side combines. Monotone association at 100 TB for " +
+      "the cost of q82's Pearson.")
+
+  /** q207 — A-stat: Kendall's τ-b per return flag — concordant /
+    * discordant counts over the value-domain-bounded (x, y) cell
+    * rollup, never row pairs. */
+  val q207 = Declared(
+    "q207_kendall", "A-stat",
+    (s, dir) => graft.ops.Aggregates.kendallTau(Tables.lineitem(s, dir),
+        Seq(col("l_returnflag")),
+        (col("l_discount").cast("decimal(18,2)") * 100).cast("long"),
+        col("l_quantity"))
+      .orderBy(col("l_returnflag")),
+    Some(s"""WITH b AS (
+           |  SELECT l_returnflag AS f,
+           |    ${centsSql("l_discount")} AS x,
+           |    CAST(l_quantity AS BIGINT) AS y
+           |  FROM lineitem),
+           |cells AS (
+           |  SELECT f, x, y, CAST(count(*) AS HUGEINT) AS c
+           |  FROM b GROUP BY 1, 2, 3),
+           |p AS (
+           |  SELECT a.f,
+           |    CAST(sum(CASE WHEN a.x <> b2.x AND a.y <> b2.y AND
+           |      ((a.x < b2.x) = (a.y < b2.y)) THEN a.c * b2.c ELSE 0 END)
+           |      AS HUGEINT) AS nc,
+           |    CAST(sum(CASE WHEN a.x <> b2.x AND a.y <> b2.y AND
+           |      ((a.x < b2.x) <> (a.y < b2.y)) THEN a.c * b2.c ELSE 0 END)
+           |      AS HUGEINT) AS nd
+           |  FROM cells a JOIN cells b2 ON a.f = b2.f AND
+           |    (a.x < b2.x OR (a.x = b2.x AND a.y < b2.y))
+           |  GROUP BY 1),
+           |nn AS (SELECT f, CAST(count(*) AS HUGEINT) AS n FROM b GROUP BY 1),
+           |tx AS (
+           |  SELECT f, CAST(sum(c * (c - 1)) AS HUGEINT) AS txd FROM (
+           |    SELECT f, x, CAST(count(*) AS HUGEINT) AS c FROM b GROUP BY 1, 2)
+           |  GROUP BY 1),
+           |ty AS (
+           |  SELECT f, CAST(sum(c * (c - 1)) AS HUGEINT) AS tyd FROM (
+           |    SELECT f, y, CAST(count(*) AS HUGEINT) AS c FROM b GROUP BY 1, 2)
+           |  GROUP BY 1),
+           |g AS (
+           |  SELECT p.f, nn.n, p.nc, p.nd,
+           |    sqrt(CAST(nn.n * (nn.n - 1) AS DOUBLE) - CAST(txd AS DOUBLE)) *
+           |    sqrt(CAST(nn.n * (nn.n - 1) AS DOUBLE) - CAST(tyd AS DOUBLE))
+           |      AS den
+           |  FROM p JOIN nn ON p.f = nn.f JOIN tx ON p.f = tx.f
+           |    JOIN ty ON p.f = ty.f)
+           |SELECT f AS l_returnflag, CAST(n AS BIGINT) AS n,
+           |  CAST(nc AS BIGINT) AS nc, CAST(nd AS BIGINT) AS nd,
+           |  CASE WHEN den <> 0
+           |    THEN 2.0 * CAST(nc - nd AS DOUBLE) / den END AS tau_b
+           |FROM g ORDER BY f""".stripMargin),
+    "The pair space is |cells|² per key with cells bounded by the VALUE domains " +
+      "(11×50 here) — constant work per key at any row count, after one " +
+      "cell-rollup pass. The rank statistic to reach for when even Spearman's " +
+      "rank map is too wide.")
+
+  /** q208 — A-stat: Cramér's V — the [0,1] effect size that q153's
+    * χ² significance lacks, over return flag × line number. */
+  val q208 = Declared(
+    "q208_cramers_v", "A-stat",
+    (s, dir) => graft.ops.Aggregates.cramersV(Tables.lineitem(s, dir),
+      col("l_returnflag"), col("l_linenumber")),
+    Some("""WITH obs AS (
+           |  SELECT l_returnflag AS r, l_linenumber AS c, count(*) AS o
+           |  FROM lineitem GROUP BY 1, 2),
+           |rm AS (SELECT r, sum(o) AS rsum FROM obs GROUP BY r),
+           |cm AS (SELECT c, sum(o) AS csum FROM obs GROUP BY c),
+           |cells AS (
+           |  SELECT rm.r, cm.c, coalesce(obs.o, 0) AS o
+           |  FROM rm CROSS JOIN cm
+           |  LEFT JOIN obs ON obs.r = rm.r AND obs.c = cm.c),
+           |tot AS (SELECT CAST(sum(o) AS HUGEINT) AS nn,
+           |               count(DISTINCT r) AS nr, count(DISTINCT c) AS ncc
+           |        FROM obs),
+           |t AS (
+           |  SELECT CAST(round(
+           |    CAST(CAST(o AS HUGEINT) * nn - CAST(rsum AS HUGEINT) * csum AS DOUBLE)
+           |      * CAST(CAST(o AS HUGEINT) * nn - CAST(rsum AS HUGEINT) * csum AS DOUBLE)
+           |      / CAST(CAST(rsum AS HUGEINT) * csum * nn AS DOUBLE)
+           |      * 1e6, 0) AS BIGINT) AS term
+           |  FROM cells JOIN rm USING (r) JOIN cm USING (c) CROSS JOIN tot)
+           |SELECT round(CAST(sum(term) AS DOUBLE) / 1e6, 6) AS chi2,
+           |  (SELECT CAST((nr - 1) * (ncc - 1) AS BIGINT) FROM tot) AS dof,
+           |  (SELECT CAST(nn AS BIGINT) FROM tot) AS n,
+           |  (SELECT CAST(nr AS BIGINT) FROM tot) AS r_levels,
+           |  (SELECT CAST(ncc AS BIGINT) FROM tot) AS c_levels,
+           |  CASE WHEN (SELECT nn FROM tot) > 0
+           |         AND (SELECT least(nr, ncc) FROM tot) > 1 THEN
+           |    sqrt(round(CAST(sum(term) AS DOUBLE) / 1e6, 6) /
+           |      (CAST((SELECT nn FROM tot) AS DOUBLE) *
+           |       CAST((SELECT least(nr, ncc) FROM tot) - 1 AS DOUBLE)))
+           |  END AS cramers_v
+           |FROM t""".stripMargin),
+    "Contingency-sized arithmetic on top of the q153 χ² pass — V normalizes by " +
+      "n·min(r−1, c−1), so growing 100 TB of rows cannot inflate the effect the " +
+      "way it inflates χ². Screen associations by V, then test by χ².")
+
+  /** q209 — A-stat: 2×2 odds ratio — deep-discount exposure vs return
+    * outcome, exact-ppm integer quotient + the IEEE double of the same
+    * operands. */
+  val q209 = Declared(
+    "q209_odds_ratio", "A-stat",
+    (s, dir) => graft.ops.Aggregates.oddsRatio(Tables.lineitem(s, dir),
+      (col("l_discount").cast("decimal(18,2)") * 100).cast("long") >= 5L,
+      col("l_returnflag") === "R"),
+    Some("""WITH b AS (
+           |  SELECT
+           |    CAST(CAST(l_discount AS DECIMAL(18,2)) * 100 AS BIGINT) >= 5
+           |      AS e,
+           |    l_returnflag = 'R' AS o
+           |  FROM lineitem),
+           |a AS (
+           |  SELECT
+           |    CAST(sum(CASE WHEN e AND o THEN 1 ELSE 0 END) AS BIGINT) AS n_ee,
+           |    CAST(sum(CASE WHEN e AND NOT o THEN 1 ELSE 0 END) AS BIGINT) AS n_en,
+           |    CAST(sum(CASE WHEN NOT e AND o THEN 1 ELSE 0 END) AS BIGINT) AS n_ne,
+           |    CAST(sum(CASE WHEN NOT e AND NOT o THEN 1 ELSE 0 END) AS BIGINT) AS n_nn
+           |  FROM b)
+           |SELECT n_ee, n_en, n_ne, n_nn,
+           |  CASE WHEN n_en > 0 AND n_ne > 0 THEN CAST(
+           |    (CAST(1000000 AS HUGEINT) * n_ee * n_nn) //
+           |    (CAST(n_en AS HUGEINT) * n_ne) AS BIGINT) END AS or_ppm,
+           |  CASE WHEN n_en > 0 AND n_ne > 0 THEN
+           |    CAST(CAST(n_ee AS HUGEINT) * n_nn AS DOUBLE) /
+           |    CAST(CAST(n_en AS HUGEINT) * n_ne AS DOUBLE) END AS odds_ratio,
+           |  CASE WHEN n_ne + n_nn > 0 AND n_ee + n_en > 0 AND n_ne > 0 THEN
+           |    CAST((CAST(1000000 AS HUGEINT) * n_ee * (n_ne + n_nn)) //
+           |    (CAST(n_ne AS HUGEINT) * (n_ee + n_en)) AS BIGINT) END AS rr_ppm
+           |FROM a""".stripMargin),
+    "One agg pass, four exact cells — the effect measure for binary gates " +
+      "(did the discount CAUSE the return?) that composes with q153/q208 for " +
+      "significance and strength.")
+
+  /** q210 — ML: split-conformal prediction intervals per order
+    * priority with the empirical-coverage audit — the distribution-
+    * free ±qhat band whose ≥90% coverage holds by exchangeability no
+    * matter how crude the category-mean predictor is. Exact rank
+    * statistic, integer residuals. */
+  val q210 = Declared(
+    "q210_conformal", "A-stat",
+    (s, dir) => Features.conformalInterval(
+        Tables.orders(s, dir),
+        col("o_orderpriority"),
+        (col("o_totalprice").cast("decimal(18,2)") * 100).cast("long"),
+        col("o_orderkey") % 2 === 0, alphaNum = 1L, alphaDen = 10L)
+      .orderBy(col("category")),
+    Some(s"""WITH b AS (
+           |  SELECT o_orderpriority AS cat,
+           |    ${centsSql("o_totalprice")} AS y,
+           |    o_orderkey % 2 = 0 AS cal
+           |  FROM orders),
+           |st AS (
+           |  SELECT cat, CAST(sum(y) AS HUGEINT) AS s, count(*) AS n_cal
+           |  FROM b WHERE cal GROUP BY 1),
+           |pr AS (SELECT cat, n_cal, CAST(s // n_cal AS BIGINT) AS pred_c
+           |       FROM st),
+           |r AS (
+           |  SELECT b.cat, b.cal, b.y, pr.n_cal, pr.pred_c,
+           |    abs(b.y - pr.pred_c) AS resid
+           |  FROM b JOIN pr ON b.cat = pr.cat),
+           |ranked AS (
+           |  SELECT cat, resid,
+           |    row_number() OVER (PARTITION BY cat
+           |      ORDER BY resid ASC, y ASC) AS rn,
+           |    least(n_cal, ((n_cal + 1) * 9 + 9) // 10) AS k
+           |  FROM r WHERE cal),
+           |q AS (SELECT cat, resid AS qhat FROM ranked WHERE rn = k)
+           |SELECT r.cat AS category, max(r.n_cal) AS n_cal,
+           |  CAST(count(*) AS BIGINT) AS n_test,
+           |  max(r.pred_c) AS pred_c, max(q.qhat) AS qhat,
+           |  1000000 * CAST(sum(CASE WHEN r.resid <= q.qhat THEN 1 ELSE 0 END)
+           |    AS BIGINT) // CAST(count(*) AS BIGINT) AS cover_ppm
+           |FROM r JOIN q ON r.cat = q.cat
+           |WHERE NOT r.cal
+           |GROUP BY r.cat
+           |ORDER BY category""".stripMargin),
+    "One category agg broadcast back, one category-keyed rank window over the " +
+      "calibration half, one test agg — error bars on a 100 TB prediction table " +
+      "for two scans. cover_ppm ≈ 900000 certifies the guarantee empirically.")
+
+  val all: Seq[Declared] = Seq(q201, q202, q203, q204, q205,
+    q206, q207, q208, q209, q210)
 }

@@ -820,4 +820,74 @@ class AnalyticsOpsSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
     assert(out.toSeq == Seq((10L, 11L, 3L), (10L, 12L, 1L)))
   }
+
+  test("A-stat: spearmanExact — monotone-transform invariance and tie handling") {
+    import graft.ops.Aggregates
+    // y = x^3 (monotone, nonlinear): Spearman 1, where Pearson < 1
+    val mono = Seq(1L, 2L, 3L, 4L, 5L).map(x => ("k", x, x * x * x))
+      .toDF("g", "x", "y")
+    val r = Aggregates.spearmanExact(mono, Seq(col("g")), col("x"), col("y"))
+      .head()
+    assert(math.abs(r.getAs[Double]("rho") - 1.0) < 1e-12)
+    val anti = Seq(("k", 1L, 9L), ("k", 2L, 5L), ("k", 3L, 1L)).toDF("g", "x", "y")
+    val ra = Aggregates.spearmanExact(anti, Seq(col("g")), col("x"), col("y"))
+      .head()
+    assert(math.abs(ra.getAs[Double]("rho") + 1.0) < 1e-12)
+    // aligned ties stay perfectly correlated under midranks
+    val tied = Seq(("k", 1L, 10L), ("k", 2L, 20L), ("k", 2L, 20L), ("k", 3L, 40L))
+      .toDF("g", "x", "y")
+    val rt = Aggregates.spearmanExact(tied, Seq(col("g")), col("x"), col("y"))
+      .head()
+    assert(math.abs(rt.getAs[Double]("rho") - 1.0) < 1e-12)
+  }
+
+  test("A-stat: kendallTau — hand counts, tie-aware tau_b") {
+    import graft.ops.Aggregates
+    val clean = Seq(("k", 1L, 1L), ("k", 2L, 2L), ("k", 3L, 3L)).toDF("g", "x", "y")
+    val rc = Aggregates.kendallTau(clean, Seq(col("g")), col("x"), col("y")).head()
+    assert(rc.getAs[Long]("nc") == 3L && rc.getAs[Long]("nd") == 0L)
+    assert(math.abs(rc.getAs[Double]("tau_b") - 1.0) < 1e-12)
+    // one x-tie: tau_b = 2/sqrt(6)
+    val tied = Seq(("k", 1L, 1L), ("k", 1L, 2L), ("k", 2L, 3L)).toDF("g", "x", "y")
+    val rt = Aggregates.kendallTau(tied, Seq(col("g")), col("x"), col("y")).head()
+    assert(rt.getAs[Long]("nc") == 2L && rt.getAs[Long]("nd") == 0L)
+    assert(math.abs(rt.getAs[Double]("tau_b") - 2.0 / math.sqrt(6.0)) < 1e-12)
+  }
+
+  test("A-stat: cramersV is 1 on perfect association, ~0 on independence") {
+    import graft.ops.Aggregates
+    val perfect = Seq(("a", "x"), ("a", "x"), ("b", "y"), ("b", "y"))
+      .toDF("r", "c")
+    val v = Aggregates.cramersV(perfect, col("r"), col("c")).head()
+    assert(math.abs(v.getAs[Double]("cramers_v") - 1.0) < 1e-6)
+    val indep = Seq(("a", "x"), ("a", "y"), ("b", "x"), ("b", "y"))
+      .toDF("r", "c")
+    val vi = Aggregates.cramersV(indep, col("r"), col("c")).head()
+    assert(vi.getAs[Double]("cramers_v") < 1e-6)
+  }
+
+  test("A-stat: oddsRatio — hand 2x2 in exact ppm and IEEE double") {
+    import graft.ops.Aggregates
+    val rows = Seq.fill(10)((true, true)) ++ Seq.fill(5)((true, false)) ++
+      Seq.fill(2)((false, true)) ++ Seq.fill(8)((false, false))
+    val df = rows.toDF("e", "o")
+    val r = Aggregates.oddsRatio(df, col("e"), col("o")).head()
+    assert(r.getAs[Long]("or_ppm") == 8000000L)
+    assert(r.getAs[Double]("odds_ratio") == 8.0)
+    assert(r.getAs[Long]("rr_ppm") == 3333333L) // (10/15)/(2/10)
+  }
+
+  test("ML: conformalInterval — exact rank radius and measured coverage") {
+    import graft.ops.Features
+    val cal = (0 to 9).map(i => ("k", i * 10L, true))
+    val test = Seq(("k", 45L, false), ("k", 200L, false))
+    val df = (cal ++ test).toDF("g", "y", "cal")
+    val r = Features.conformalInterval(df, col("g"), col("y"), col("cal"))
+      .head()
+    // cal mean floor = 45; sorted |resid| = 5,5,15,15,25,25,35,35,45,45
+    // k = min(10, ceil(11 * 0.9)) = 10 -> qhat = 45
+    assert(r.getAs[Long]("pred_c") == 45L && r.getAs[Long]("qhat") == 45L)
+    assert(r.getAs[Long]("n_cal") == 10L && r.getAs[Long]("n_test") == 2L)
+    assert(r.getAs[Long]("cover_ppm") == 500000L) // 45 in, 200 out
+  }
 }

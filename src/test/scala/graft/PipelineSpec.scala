@@ -790,4 +790,29 @@ class SourcesSinksSpec extends AnyFunSuite {
       "shingle_size":1,"every":10}}]}""", docs)
     assert(vg.columns.toSeq == Seq("docs_seen", "new_tokens", "vocab"))
   }
+
+  test("X1: batch-19 registry ops run from JSON") {
+    def run(json: String, df: org.apache.spark.sql.DataFrame) =
+      Pipeline.fromJson(json).run(df)._1
+    val obs = Seq(("A", 1L, 1L, true), ("A", 2L, 8L, true),
+      ("A", 3L, 27L, false), ("B", 1L, 2L, true), ("B", 2L, 1L, false))
+      .toDF("g", "x", "y", "flag")
+    val sp = run("""{"pipe":"p","operations":[{"name":"s","function":
+      "spearman","kwargs":{"keys":["g"],"x_expr":"x","y_expr":"y"}}]}""", obs)
+    assert(sp.columns.toSeq == Seq("g", "n", "rho"))
+    val kd = run("""{"pipe":"p","operations":[{"name":"k","function":
+      "kendall","kwargs":{"keys":["g"],"x_expr":"x","y_expr":"y"}}]}""", obs)
+    assert(kd.columns.contains("tau_b"))
+    val cv = run("""{"pipe":"p","operations":[{"name":"c","function":
+      "cramers_v","kwargs":{"row_col":"g","col_col":"x"}}]}""", obs)
+    assert(cv.columns.contains("cramers_v"))
+    val or = run("""{"pipe":"p","operations":[{"name":"o","function":
+      "odds_ratio","kwargs":{"exposure_expr":"flag",
+      "outcome_expr":"y > 1"}}]}""", obs).head()
+    assert(or.schema.fieldNames.contains("or_ppm"))
+    val cf = run("""{"pipe":"p","operations":[{"name":"c","function":
+      "conformal","kwargs":{"cat_col":"g","target_expr":"y",
+      "calib_expr":"flag","alpha_num":1,"alpha_den":2}}]}""", obs)
+    assert(cf.columns.contains("cover_ppm"))
+  }
 }
