@@ -64,9 +64,11 @@ class GuardrailRule extends Rule[LogicalPlan] {
   private def bounded(p: LogicalPlan): Boolean = p.maxRows.exists(_ <= 1000L)
 
   override def apply(plan: LogicalPlan): LogicalPlan = {
-    // the presentation prefix — a Sort/Project/Limit chain at the
-    // root — is the legitimate "final ORDER BY of a small result";
-    // only sorts BELOW it are mid-plan hazards
+    // two legitimate sort shapes are whitelisted:
+    //  - the presentation prefix (Sort/Project/Limit chain at the
+    //    root): the final ORDER BY of a small result;
+    //  - any Sort under a Limit (through Projects): plans as
+    //    TakeOrdered (per-partition heaps), never a full sort.
     var presentation: List[LogicalPlan] = Nil
     var cur: LogicalPlan = plan
     var descend = true
@@ -76,6 +78,19 @@ class GuardrailRule extends Rule[LogicalPlan] {
       case l: GlobalLimit => cur = l.child
       case l: LocalLimit => cur = l.child
       case _ => descend = false
+    }
+    plan.foreachUp {
+      case l @ (_: GlobalLimit | _: LocalLimit) =>
+        var c = l.children.head
+        var go = true
+        while (go) c match {
+          case s: Sort => presentation ::= s; go = false
+          case p: Project => c = p.child
+          case li: GlobalLimit => c = li.child
+          case li: LocalLimit => c = li.child
+          case _ => go = false
+        }
+      case _ =>
     }
     plan.foreachUp {
       case j: Join

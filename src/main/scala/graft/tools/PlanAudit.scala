@@ -1,0 +1,44 @@
+package graft.tools
+
+import graft.SparkEntry
+import graft.core.GraftSession
+import graft.plans.Guardrails
+
+/** Dev tool — run EVERY declared query's plan through the Guardrails
+  * optimizer audit (cartesian joins, single-partition windows,
+  * mid-plan global sorts) and print a per-query hazard summary:
+  * the suite-wide enforcement pass of the no-hazard discipline each
+  * operator was written under. Queries whose builders execute eagerly
+  * (streaming drains, literal-vector fetches) are audited through
+  * that execution; pure-lazy builders are audited by forcing the
+  * optimized plan only — no job runs.
+  *
+  * `runMain graft.tools.PlanAudit <sfDir> [nameSubstring]` */
+object PlanAudit {
+  def main(args: Array[String]): Unit = {
+    val dir = args.headOption.getOrElse("/root/testdata/sf0.001")
+    val filter = args.drop(1).headOption.getOrElse("")
+    val spark = GraftSession.local(appName = "graft-plan-audit")
+    var clean = 0
+    val entries = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter(_._1.contains(filter))
+    entries.foreach { case (name, build) =>
+      Guardrails.drain()
+      val verdict =
+        try {
+          val df = build(spark, dir)
+          df.queryExecution.optimizedPlan // force optimizer (and the rule)
+          val hz = Guardrails.drain()
+          if (hz.isEmpty) { clean += 1; "" }
+          else hz.groupBy(_.kind).toSeq.sortBy(_._1)
+            .map { case (k, v) => s"$k x${v.size}" }.mkString(", ")
+        } catch {
+          case e: Throwable =>
+            s"ERROR ${Option(e.getMessage).getOrElse(e.toString).linesIterator.next().take(100)}"
+        }
+      if (verdict.nonEmpty) println(f"$name%-28s $verdict")
+    }
+    println(s"== ${entries.size} queries audited, $clean hazard-free ==")
+    spark.stop()
+  }
+}
