@@ -123,4 +123,52 @@ object Clustering {
           col("spp").cast("double") / (sqrt(col("__si")) * sqrt(col("__sj"))))
           .as("corr"))
   }
+
+  /** E3+/A1 — dominant eigenvector of the feature-correlation matrix
+    * by INTEGER power iteration (PCA's first component, von Mises
+    * iteration — public literature): quantize the [[correlationMatrix]]
+    * to micro-unit longs, then repeat
+    *   w = C_u · v;   v = (w · 10⁶) div max|w|
+    * for a fixed round count — matrix-vector products are exact
+    * integer sums and the max-norm rescale is one integer division,
+    * so the vector is bit-identical on any engine/partitioning and an
+    * unrolled-CTE oracle can replay it. max|w| of the final round
+    * estimates the top eigenvalue (v is max-normalized to 10⁶).
+    * Returns (j, v_u, lambda_u) — dims rows.
+    *
+    * Scale: the expensive pass is correlationMatrix's co-moment scan;
+    * iteration runs on the dims² broadcast-sized cell frame —
+    * driver-free, rounds × (join + agg) over ≤ dims² rows. */
+  def powerIterationInt(corr: DataFrame, dims: Int, rounds: Int): DataFrame = {
+    require(rounds >= 1, "rounds must be >= 1")
+    val d38 = "decimal(38,0)"
+    val cells = corr
+      .select(col("i").cast("int").as("i"), col("j").cast("int").as("j"),
+        round(col("corr") * 1e6, 0).cast("long").as("c_u"))
+    val full = cells.unionByName(
+        cells.filter(col("i") =!= col("j"))
+          .select(col("j").as("i"), col("i").as("j"), col("c_u")))
+      .localCheckpoint() // re-read every round
+    val spark = corr.sparkSession
+    var v = spark.range(dims)
+      .select(col("id").cast("int").as("j"), lit(1000000L).as("v_u"))
+    var lambdaScale: DataFrame = null
+    var r = 0
+    while (r < rounds) {
+      val w = full
+        .join(v.select(col("j").as("i"), col("v_u").as("__vi")), "i")
+        .groupBy(col("j"))
+        .agg(sum(col("c_u").cast(d38) * col("__vi")).cast(d38).as("__w"))
+      val mx = w.agg(max(abs(col("__w"))).cast(d38).as("__mx"))
+      v = w.crossJoin(broadcast(mx))
+        .select(col("j"),
+          expr("(__w * 1000000) div __mx").as("v_u"))
+        .localCheckpoint() // dims rows; bounds plan depth across rounds
+      lambdaScale = mx
+      r += 1
+    }
+    v.crossJoin(broadcast(
+        lambdaScale.select(expr("__mx div 1000000").as("lambda_u"))))
+      .select(col("j").cast("long").as("j"), col("v_u"), col("lambda_u"))
+  }
 }

@@ -486,4 +486,55 @@ object EventAnalytics {
           .otherwise(0L)).as("n_correct"))
       .withColumn("acc_ppm", expr("1000000 * n_correct div n_trans"))
   }
+
+  /** A-stat — two-group log-rank test over censored durations: does
+    * cohort A churn on a different schedule than cohort B? The
+    * hypothesis test PAIRED with [[kaplanMeier]]'s curve (Mantel 1966,
+    * public literature). At each distinct event time, observed-vs-
+    * expected group-A deaths under the null; per-time terms are
+    * micro-quantized before summing (order-independent), and
+    *   chi2 = (10⁶·O1 − E1_u)² / (10⁶·V_u)
+    * divides exact longs. Returns one row:
+    * (n_a, n_b, o1, e1_u, v_u, chi2).
+    *
+    * Scale: at-risk counts come from suffix sums over the
+    * DISTINCT-DURATION rollup (the kaplanMeier envelope), never the
+    * subject table. */
+  def logRank(subjects: DataFrame, durationCol: Column, eventCol: Column,
+      groupCol: Column, groupA: String): DataFrame = {
+    val base = subjects.select(durationCol.cast("long").as("__t"),
+      eventCol.cast("long").as("__e"),
+      when(groupCol === groupA, 1L).otherwise(0L).as("__a"))
+    val roll = base.groupBy(col("__t")).agg(
+      count(lit(1)).as("__c"), sum(col("__a")).as("__ca"),
+      sum(col("__e")).as("__d"), sum(col("__e") * col("__a")).as("__da"))
+    val suffix = Window.orderBy(col("__t"))
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val terms = roll
+      .withColumn("__n", sum(col("__c")).over(suffix))
+      .withColumn("__n1", sum(col("__ca")).over(suffix))
+      .filter(col("__d") > 0)
+      .withColumn("__e1u", round(col("__d").cast("double") *
+        col("__n1").cast("double") / col("__n").cast("double") * 1e6, 0)
+        .cast("long"))
+      .withColumn("__vu", when(col("__n") > 1, round(
+        (col("__d").cast("decimal(38,0)") * col("__n1") *
+          (col("__n") - col("__n1")) * (col("__n") - col("__d")))
+          .cast("double") /
+        (col("__n").cast("decimal(38,0)") * col("__n") *
+          (col("__n") - 1)).cast("double") * 1e6, 0).cast("long"))
+        .otherwise(lit(0L)))
+    val counts = base.agg(sum(col("__a")).as("n_a"),
+      (count(lit(1)) - sum(col("__a"))).as("n_b"))
+    terms.agg(sum(col("__da")).as("o1"), sum(col("__e1u")).as("e1_u"),
+        sum(col("__vu")).as("v_u"))
+      .crossJoin(broadcast(counts))
+      .withColumn("chi2",
+        when(col("v_u") > 0,
+          (col("o1").cast("double") * 1e6 - col("e1_u").cast("double")) *
+            (col("o1").cast("double") * 1e6 - col("e1_u").cast("double")) /
+            (lit(1e6) * col("v_u").cast("double"))))
+      .select(col("n_a"), col("n_b"), col("o1"), col("e1_u"), col("v_u"),
+        col("chi2"))
+  }
 }

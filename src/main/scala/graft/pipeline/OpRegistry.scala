@@ -529,6 +529,15 @@ object OpRegistry {
       df, col(str(p, "cat_col")), expr(str(p, "target_expr")),
       expr(str(p, "calib_expr")),
       numOpt(p, "alpha_num").map(_.toLong).getOrElse(1L),
-      numOpt(p, "alpha_den").map(_.toLong).getOrElse(10L)))
+      numOpt(p, "alpha_den").map(_.toLong).getOrElse(10L))),
+    "log_rank" -> (p => df => graft.ops.EventAnalytics.logRank(
+      df, col(str(p, "duration_col")), col(str(p, "event_col")),
+      col(str(p, "group_col")), str(p, "group_a"))),
+    "expect" -> (p => df => graft.ops.Expectations.validate(
+      df, pairs(p, "rules").map { case (n, pred) =>
+        graft.ops.Expectations.Rule(n, pred) })),
+    // df is the correlation-matrix cell frame (correlation_matrix output)
+    "power_iteration" -> (p => df => graft.ext.Clustering.powerIterationInt(
+      df, num(p, "dims").toInt, num(p, "rounds").toInt))
   ))
 }

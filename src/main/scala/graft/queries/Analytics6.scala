@@ -394,6 +394,186 @@ object Analytics6 {
       "calibration half, one test agg — error bars on a 100 TB prediction table " +
       "for two scans. cover_ppm ≈ 900000 certifies the guarantee empirically.")
 
+  /** q211 — A-stat: two-group log-rank test — do even- and odd-id user
+    * cohorts hit their first error on different schedules? Durations
+    * are minutes from first activity to first 'error' (censored at
+    * last activity); the hypothesis test paired with q163's
+    * Kaplan–Meier curve, micro-quantized O−E terms over the
+    * distinct-duration rollup. */
+  val q211 = Declared(
+    "q211_logrank", "A-stat",
+    (s, dir) => {
+      val per = Tables.events(s, dir).groupBy(col("user_id"))
+        .agg(min(col("ts")).as("t0"),
+          min(when(col("event_type") === "error", col("ts"))).as("te"),
+          max(col("ts")).as("tl"))
+      val subj = per.select(expr("cast(user_id % 2 as string)").as("grp"),
+        expr("(unix_micros(coalesce(te, tl)) - unix_micros(t0))" +
+          " div 60000000").as("dur"),
+        col("te").isNotNull.cast("int").as("churned"))
+      graft.ops.EventAnalytics.logRank(subj, col("dur"), col("churned"),
+        col("grp"), "0")
+    },
+    Some("""WITH per AS (
+           |  SELECT user_id, min(ts) AS t0,
+           |    min(CASE WHEN event_type = 'error' THEN ts END) AS te,
+           |    max(ts) AS tl
+           |  FROM events GROUP BY 1),
+           |subj AS (
+           |  SELECT user_id % 2 AS grp,
+           |    (epoch_us(coalesce(te, tl)) - epoch_us(t0)) // 60000000 AS t,
+           |    CASE WHEN te IS NOT NULL THEN 1 ELSE 0 END AS e
+           |  FROM per),
+           |roll AS (
+           |  SELECT t, count(*) AS c,
+           |    sum(CASE WHEN grp = 0 THEN 1 ELSE 0 END) AS ca,
+           |    CAST(sum(e) AS BIGINT) AS d,
+           |    CAST(sum(e * CASE WHEN grp = 0 THEN 1 ELSE 0 END) AS BIGINT)
+           |      AS da
+           |  FROM subj GROUP BY 1),
+           |at AS (
+           |  SELECT t, d, da,
+           |    CAST(sum(c) OVER (ORDER BY t ROWS BETWEEN CURRENT ROW AND
+           |      UNBOUNDED FOLLOWING) AS BIGINT) AS n,
+           |    CAST(sum(ca) OVER (ORDER BY t ROWS BETWEEN CURRENT ROW AND
+           |      UNBOUNDED FOLLOWING) AS BIGINT) AS n1
+           |  FROM roll),
+           |terms AS (
+           |  SELECT da,
+           |    CAST(round(CAST(d AS DOUBLE) * CAST(n1 AS DOUBLE) /
+           |      CAST(n AS DOUBLE) * 1000000.0, 0) AS BIGINT) AS e1u,
+           |    CASE WHEN n > 1 THEN CAST(round(
+           |      CAST(CAST(d AS HUGEINT) * n1 * (n - n1) * (n - d) AS DOUBLE) /
+           |      CAST(CAST(n AS HUGEINT) * n * (n - 1) AS DOUBLE)
+           |      * 1000000.0, 0) AS BIGINT) ELSE 0 END AS vu
+           |  FROM at WHERE d > 0),
+           |counts AS (
+           |  SELECT CAST(sum(CASE WHEN grp = 0 THEN 1 ELSE 0 END) AS BIGINT)
+           |      AS n_a,
+           |    CAST(count(*) - sum(CASE WHEN grp = 0 THEN 1 ELSE 0 END)
+           |      AS BIGINT) AS n_b
+           |  FROM subj)
+           |SELECT n_a, n_b,
+           |  CAST(sum(da) AS BIGINT) AS o1,
+           |  CAST(sum(e1u) AS BIGINT) AS e1_u,
+           |  CAST(sum(vu) AS BIGINT) AS v_u,
+           |  CASE WHEN sum(vu) > 0 THEN
+           |    (CAST(sum(da) AS DOUBLE) * 1000000.0 - CAST(sum(e1u) AS DOUBLE)) *
+           |    (CAST(sum(da) AS DOUBLE) * 1000000.0 - CAST(sum(e1u) AS DOUBLE)) /
+           |    (1000000.0 * CAST(sum(vu) AS DOUBLE))
+           |  END AS chi2
+           |FROM terms, counts
+           |GROUP BY n_a, n_b""".stripMargin),
+    "At-risk counts are suffix sums over the distinct-duration rollup — the " +
+      "q163 envelope; subjects are touched once. With parity cohorts the null " +
+      "is true by construction, so chi2 ~ small — the A/B churn test whose " +
+      "significance machinery costs one rollup window at any fleet size.")
+
+  /** q212 — C11+/E6: declarative data contract — five rules over
+    * lineitem evaluated in ONE agg pass; `qty_le_30` is planted to
+    * fail so the report proves violations are counted, not assumed. */
+  val q212 = Declared(
+    "q212_data_contract", "C11+,E6",
+    (s, dir) => graft.ops.Expectations.validate(Tables.lineitem(s, dir), Seq(
+        graft.ops.Expectations.Rule("qty_range",
+          "l_quantity BETWEEN 1 AND 50"),
+        graft.ops.Expectations.Rule("disc_range",
+          "l_discount BETWEEN 0 AND 0.1"),
+        graft.ops.Expectations.Rule("price_positive", "l_extendedprice > 0"),
+        graft.ops.Expectations.Rule("ship_not_null", "l_shipdate IS NOT NULL"),
+        graft.ops.Expectations.Rule("qty_le_30", "l_quantity <= 30")))
+      .orderBy(col("rule")),
+    Some("""WITH n AS (SELECT count(*) AS n_rows FROM lineitem),
+           |v AS (
+           |  SELECT
+           |    CAST(count(*) FILTER (WHERE NOT coalesce(
+           |      l_quantity BETWEEN 1 AND 50, false)) AS BIGINT) AS qty_range,
+           |    CAST(count(*) FILTER (WHERE NOT coalesce(
+           |      l_discount BETWEEN 0 AND 0.1, false)) AS BIGINT) AS disc_range,
+           |    CAST(count(*) FILTER (WHERE NOT coalesce(
+           |      l_extendedprice > 0, false)) AS BIGINT) AS price_positive,
+           |    CAST(count(*) FILTER (WHERE l_shipdate IS NULL) AS BIGINT)
+           |      AS ship_not_null,
+           |    CAST(count(*) FILTER (WHERE NOT coalesce(
+           |      l_quantity <= 30, false)) AS BIGINT) AS qty_le_30
+           |  FROM lineitem),
+           |rows_out AS (
+           |  SELECT 'qty_range' AS rule, qty_range AS n_violations FROM v
+           |  UNION ALL SELECT 'disc_range', disc_range FROM v
+           |  UNION ALL SELECT 'price_positive', price_positive FROM v
+           |  UNION ALL SELECT 'ship_not_null', ship_not_null FROM v
+           |  UNION ALL SELECT 'qty_le_30', qty_le_30 FROM v)
+           |SELECT rule, CAST(n_rows AS BIGINT) AS n_rows, n_violations,
+           |  CAST(CASE WHEN n_violations = 0 THEN 1 ELSE 0 END AS INT) AS pass
+           |FROM rows_out, n
+           |ORDER BY rule""".stripMargin),
+    "All rules share one scan + one conditional-sum agg (map-side combined): " +
+      "adding a rule costs a column, never a pass. The |rules|-row report is " +
+      "what the pipeline routes on — quarantine/alert/proceed — which is how a " +
+      "contract survives 100 TB: no exception-per-row, no second scan.")
+
+  /** q213 — E3+/A1: first principal component by integer power
+    * iteration over the exact 16-dim correlation matrix — micro-unit
+    * matrix-vector products and a max-norm integer rescale, replayed
+    * round-for-round by the unrolled-CTE oracle. */
+  val q213 = Declared(
+    "q213_power_iteration", "E3+,A1",
+    (s, dir) => graft.ext.Clustering.powerIterationInt(
+        graft.ext.Clustering.correlationMatrix(
+          Tables.embeddings(s, dir), "embedding", dims = 16),
+        dims = 16, rounds = 8)
+      .orderBy(col("j")),
+    Some {
+      def round(k: Int): String =
+        s"""w$k AS (
+           |  SELECT f.j, CAST(sum(CAST(f.c AS HUGEINT) * r${k - 1}.v)
+           |    AS HUGEINT) AS w
+           |  FROM fm f JOIN r${k - 1} ON f.i = r${k - 1}.j GROUP BY f.j),
+           |m$k AS (SELECT max(abs(w)) AS mx FROM w$k),
+           |r$k AS (
+           |  SELECT j, CAST((w * 1000000) // mx AS BIGINT) AS v
+           |  FROM w$k, m$k)""".stripMargin
+      s"""WITH q AS (
+         |  SELECT list_transform(embedding,
+         |    x -> CAST(round(CAST(x AS DOUBLE) * 1000000, 0) AS BIGINT)) AS qv
+         |  FROM embeddings),
+         |p AS (
+         |  SELECT ii.i, jj.j, qv[ii.i + 1] AS x, qv[jj.j + 1] AS y
+         |  FROM q,
+         |    (SELECT unnest(range(0, 16)) AS i) ii,
+         |    (SELECT unnest(range(0, 16)) AS j) jj
+         |  WHERE jj.j >= ii.i),
+         |s AS (
+         |  SELECT i, j, count(*) AS n,
+         |    CAST(sum(x) AS HUGEINT) AS sx, CAST(sum(y) AS HUGEINT) AS sy,
+         |    CAST(sum(CAST(x AS HUGEINT) * y) AS HUGEINT) AS sxy
+         |  FROM p GROUP BY 1, 2),
+         |m AS (
+         |  SELECT i, j, CAST(n AS HUGEINT) * sxy - sx * sy AS spp
+         |  FROM s),
+         |vv AS (SELECT i AS k, CAST(spp AS DOUBLE) AS sppk FROM m WHERE i = j),
+         |cm AS (
+         |  SELECT m.i, m.j,
+         |    CAST(round(CASE WHEN vi.sppk > 0 AND vj.sppk > 0
+         |      THEN CAST(m.spp AS DOUBLE) / (sqrt(vi.sppk) * sqrt(vj.sppk))
+         |      END * 1000000, 0) AS BIGINT) AS c
+         |  FROM m JOIN vv vi ON m.i = vi.k JOIN vv vj ON m.j = vj.k),
+         |fm AS (
+         |  SELECT i, j, c FROM cm
+         |  UNION ALL
+         |  SELECT j AS i, i AS j, c FROM cm WHERE i <> j),
+         |r0 AS (SELECT unnest(range(0, 16)) AS j,
+         |       CAST(1000000 AS BIGINT) AS v),
+         |${(1 to 8).map(round).mkString(",\n")}
+         |SELECT CAST(r8.j AS BIGINT) AS j, r8.v AS v_u,
+         |  (SELECT CAST(mx // 1000000 AS BIGINT) FROM m8) AS lambda_u
+         |FROM r8 ORDER BY j""".stripMargin
+    },
+    "The only corpus-sized pass is the co-moment scan (q167); iteration runs " +
+      "on the dims^2 broadcast frame — 8 rounds of a 256-row join+agg, no " +
+      "driver solve. Integer state makes each round bit-identical under any " +
+      "partitioning, which is what lets a second engine replay all 8 rounds.")
+
   val all: Seq[Declared] = Seq(q201, q202, q203, q204, q205,
-    q206, q207, q208, q209, q210)
+    q206, q207, q208, q209, q210, q211, q212, q213)
 }

@@ -890,4 +890,37 @@ class AnalyticsOpsSpec extends AnyFunSuite {
     assert(r.getAs[Long]("n_cal") == 10L && r.getAs[Long]("n_test") == 2L)
     assert(r.getAs[Long]("cover_ppm") == 500000L) // 45 in, 200 out
   }
+
+  test("C11+: Expectations.validate — one-pass report, null is a violation") {
+    import graft.ops.Expectations
+    val df = Seq((1L, Some(5.0)), (2L, None), (3L, Some(-1.0)))
+      .toDF("id", "v")
+    val out = Expectations.validate(df, Seq(
+      Expectations.Rule("id_positive", "id > 0"),
+      Expectations.Rule("v_nonneg", "v >= 0")))
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getInt(3))).toMap
+    assert(out("id_positive") == (3L, 0L, 1))
+    // null v AND negative v both violate
+    assert(out("v_nonneg") == (3L, 2L, 0))
+    intercept[IllegalArgumentException] {
+      Expectations.validate(df, Seq(
+        Expectations.Rule("dup", "id > 0"), Expectations.Rule("dup", "v >= 0")))
+    }
+  }
+
+  test("E3+: powerIterationInt — symmetric fixed point and exact decay") {
+    import graft.ext.Clustering
+    val sym = Seq((0, 0, 1.0), (0, 1, 0.8), (1, 1, 1.0)).toDF("i", "j", "corr")
+    val r = Clustering.powerIterationInt(sym, dims = 2, rounds = 4)
+      .orderBy("j").collect()
+    assert(r.map(_.getAs[Long]("v_u")).toSeq == Seq(1000000L, 1000000L))
+    assert(r.head.getAs[Long]("lambda_u") == 1800000L)
+    // decoupled dims: the weak one decays by exactly 1/2 per round
+    val dec = Seq((0, 0, 1.0), (0, 1, 0.0), (1, 1, 0.5)).toDF("i", "j", "corr")
+    val rd = Clustering.powerIterationInt(dec, dims = 2, rounds = 4)
+      .orderBy("j").collect()
+    assert(rd.map(_.getAs[Long]("v_u")).toSeq == Seq(1000000L, 62500L))
+    assert(rd.head.getAs[Long]("lambda_u") == 1000000L)
+  }
 }

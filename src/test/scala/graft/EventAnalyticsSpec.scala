@@ -139,4 +139,21 @@ class EventAnalyticsSpec extends AnyFunSuite {
     val b = out.find(_.getString(0) == "B").get
     assert(b.getAs[String]("predicted") == "A" && b.getAs[Long]("acc_ppm") == 1000000L)
   }
+
+  test("A-stat: logRank — hand two-subject case gives chi2 = 1 exactly") {
+    import graft.ops.EventAnalytics
+    // A dies at t=1 (n=2 at risk), B dies at t=2 (n=1 at risk)
+    val subj = Seq(("A", 1L, 1), ("B", 2L, 1)).toDF("g", "dur", "ev")
+    val r = EventAnalytics.logRank(subj, col("dur"), col("ev"), col("g"), "A")
+      .head()
+    assert(r.getAs[Long]("o1") == 1L)
+    assert(r.getAs[Long]("e1_u") == 500000L)
+    assert(r.getAs[Long]("v_u") == 250000L)
+    assert(r.getAs[Double]("chi2") == 1.0)
+    // exchangeable groups: mirrored death schedule -> O1 == E1, chi2 0
+    val sym = Seq(("A", 1L, 1), ("B", 1L, 1)).toDF("g", "dur", "ev")
+    val rs = EventAnalytics.logRank(sym, col("dur"), col("ev"), col("g"), "A")
+      .head()
+    assert(rs.getAs[Long]("o1") * 1000000L == rs.getAs[Long]("e1_u"))
+  }
 }

@@ -815,4 +815,24 @@ class SourcesSinksSpec extends AnyFunSuite {
       "calib_expr":"flag","alpha_num":1,"alpha_den":2}}]}""", obs)
     assert(cf.columns.contains("cover_ppm"))
   }
+
+  test("X1: batch-20 registry ops run from JSON") {
+    def run(json: String, df: org.apache.spark.sql.DataFrame) =
+      Pipeline.fromJson(json).run(df)._1
+    val subj = Seq(("A", 1L, 1), ("B", 2L, 1)).toDF("g", "dur", "ev")
+    val lr = run("""{"pipe":"p","operations":[{"name":"l","function":
+      "log_rank","kwargs":{"duration_col":"dur","event_col":"ev",
+      "group_col":"g","group_a":"A"}}]}""", subj).head()
+    assert(lr.getAs[Double]("chi2") == 1.0)
+
+    val ex = run("""{"pipe":"p","operations":[{"name":"e","function":
+      "expect","kwargs":{"rules":[["pos","dur > 0"],["ev_set","ev = 1"]]}}]}""",
+      subj).collect().map(r => r.getString(0) -> r.getInt(3)).toMap
+    assert(ex == Map("pos" -> 1, "ev_set" -> 1))
+
+    val corr = Seq((0, 0, 1.0), (0, 1, 0.5), (1, 1, 1.0)).toDF("i", "j", "corr")
+    val pi = run("""{"pipe":"p","operations":[{"name":"p","function":
+      "power_iteration","kwargs":{"dims":2,"rounds":3}}]}""", corr)
+    assert(pi.columns.toSeq == Seq("j", "v_u", "lambda_u") && pi.count() == 2)
+  }
 }
