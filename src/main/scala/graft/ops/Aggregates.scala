@@ -52,9 +52,10 @@ object Aggregates {
     // X2 user-aggregator example: typed Aggregator via functions.udaf
     "geomean" -> { val u = udaf(GeoMeanAggregator); c => u(c) },
     // X2/E6 production-shaped aggregator: exact bitmap distinct over a
-    // dense bounded id domain (see ext.BitmapDistinctAgg)
-    "bitmap_distinct" -> {
-      val u = udaf(new graft.ext.BitmapDistinctAgg(1 << 20)); c => u(c) })
+    // dense bounded id domain — the NATIVE TypedImperativeAggregate
+    // (see ext.BitmapDistinctExpr; the udaf twin is the API example)
+    "bitmap_distinct" ->
+      (c => graft.ext.BitmapDistinct.bitmapDistinct(c, 1 << 20)))
 
   /** Register a user aggregator under a name (the reference's "any
     * callable" surface; users bring `functions.udaf(Aggregator)` here). */

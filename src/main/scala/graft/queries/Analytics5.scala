@@ -380,12 +380,20 @@ object Analytics5 {
     * to q171's HLL: same mergeability law, zero error. */
   val q196 = Declared(
     "q196_bitmap_distinct", "X2,E6",
-    (s, dir) => Tables.lineitem(s, dir)
-      .groupBy(col("l_returnflag"))
-      .agg(graft.ext.BitmapDistinct
-          .bitmapDistinct(col("l_partkey"), 1 << 20).as("n_bitmap"),
-        countDistinct(col("l_partkey")).as("n_exact"))
-      .orderBy(col("l_returnflag")),
+    (s, dir) => {
+      val li = Tables.lineitem(s, dir)
+      // the two aggregates MUST NOT share one agg: Spark rewrites the
+      // mixed distinct+imperative combination through an Expand whose
+      // first phase groups by (flag, partkey) — allocating a bitmap
+      // buffer per PARTKEY group. Separate aggs keep the bitmap at
+      // |flags| buffers; the join is 3 rows.
+      val bm = li.groupBy(col("l_returnflag"))
+        .agg(graft.ext.BitmapDistinct
+          .bitmapDistinct(col("l_partkey"), 1 << 20).as("n_bitmap"))
+      val exact = li.groupBy(col("l_returnflag"))
+        .agg(countDistinct(col("l_partkey")).as("n_exact"))
+      bm.join(exact, "l_returnflag").orderBy(col("l_returnflag"))
+    },
     Some("""SELECT l_returnflag,
            |  CAST(count(DISTINCT l_partkey) AS BIGINT) AS n_bitmap,
            |  CAST(count(DISTINCT l_partkey) AS BIGINT) AS n_exact

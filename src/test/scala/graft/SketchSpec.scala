@@ -179,16 +179,21 @@ class SketchSpec extends AnyFunSuite {
     import graft.ext.BitmapDistinct
     val keys = (1 to 5000).map(i => (i % 7).toLong -> ((i * 131) % 1200).toLong)
     val df = keys.toDF("g", "k")
-    val got = df.groupBy("g")
-      .agg(BitmapDistinct.bitmapDistinct(col("k"), 4096).as("n"))
-      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     val exact = keys.groupBy(_._1).map { case (g, xs) => g -> xs.map(_._2).distinct.size.toLong }
-    assert(got == exact)
-    // OR-merge is partitioning-invariant: any repartition, same answer
-    val re = df.repartition(13).groupBy("g")
-      .agg(BitmapDistinct.bitmapDistinct(col("k"), 4096).as("n"))
-      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-    assert(re == got)
+    // BOTH forms agree with ground truth: the native
+    // TypedImperativeAggregate (production) and the udaf Aggregator
+    // (the user-registration example, same algebra)
+    for (agg <- Seq(
+        (c: org.apache.spark.sql.Column) => BitmapDistinct.bitmapDistinct(c, 4096),
+        (c: org.apache.spark.sql.Column) => BitmapDistinct.bitmapDistinctUdaf(c, 4096))) {
+      val got = df.groupBy("g").agg(agg(col("k")).as("n"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == exact)
+      // OR-merge is partitioning-invariant: any repartition, same answer
+      val re = df.repartition(13).groupBy("g").agg(agg(col("k")).as("n"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(re == got)
+    }
     // out-of-domain keys fail fast instead of aliasing
     val err = intercept[org.apache.spark.SparkException] {
       Seq(5000L).toDF("k")
