@@ -6,12 +6,14 @@ import graft.core.Tables
 import graft.ext.{Dedup, Graph, TextAnalysis}
 import graft.ops.Aggregates
 
-/** Round-4 (batch 16): uncertainty quantification (grouped jackknife),
-  * dedup-coverage estimation (capture–recapture over two detectors),
-  * cluster canonicalization, PII-detector evaluation, and the dedup
-  * threshold-tuning curve. The data-quality OPERATIONS layer: not new
-  * detectors, but the ops that tell you whether the detectors you
-  * already run (q43-q46, q70, q72) are good enough. */
+/** Round-4 (batches 16-17): the data-quality OPERATIONS layer — not
+  * new detectors, but the ops that tell you whether the detectors you
+  * already run (q43-q46, q70, q72) are good enough: grouped jackknife
+  * error bars, capture–recapture dedup-coverage estimation, cluster
+  * canonicalization, PII-detector evaluation, the dedup threshold
+  * curve — plus the exact/approximate cardinality kit (native bitmap
+  * aggregate, KMV join-overlap, HLL rollup, streaming count-min) and
+  * the Dickey–Fuller stationarity screen. */
 object Analytics5 {
 
   private def mutatedCorpusSql(maxId: Int) =

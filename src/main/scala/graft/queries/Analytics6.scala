@@ -5,11 +5,13 @@ import graft.core.Tables
 import graft.ext.TextAnalysis
 import graft.ops.{Associations, Features}
 
-/** Round-4 (batch 18): the feature-engineering & corpus-shape layer —
-  * boilerplate-span detection, the co-occurrence item graph,
-  * leakage-safe target encoding, deterministic class rebalancing and
-  * the vocabulary-growth curve. Same exactness discipline as the
-  * other Analytics modules. */
+/** Round-4 (batches 18-20): the feature-engineering, corpus-shape &
+  * distribution-free-ML layer — boilerplate spans, the co-occurrence
+  * item graph, leakage-safe target encoding, class rebalancing, the
+  * vocabulary-growth curve; rank statistics (Spearman, Kendall τ-b,
+  * Cramér's V, odds ratio) and conformal intervals; log-rank survival
+  * testing, declarative data contracts and power-iteration PCA. Same
+  * exactness discipline as the other Analytics modules. */
 object Analytics6 {
 
   private def centsSql(e: String) =
