@@ -921,4 +921,73 @@ object Aggregates {
         (col("__num").cast("double") / col("__den").cast("double"))
           .as("slope"): _*)
   }
+
+  /** A-stat — sample-ratio mismatch (SRM) check: are k assignment
+    * buckets uniform, as the experiment design claims? The goodness-
+    * of-fit chi-square against EQUAL expected counts, cleared of
+    * fractions so the statistic is EXACT rational arithmetic (no
+    * quantization at all):
+    *   χ² = Σ_i (k·o_i − n)² / (k·n).
+    * The pre-analysis gate of every A/B test — an SRM means the
+    * assignment mechanism is broken and no downstream metric can be
+    * trusted. Missing buckets still contribute (densified against the
+    * declared k; buckets must land in [0, k)). Returns one row:
+    * (k, n, chi2, max_dev_ppm) with max_dev_ppm the worst bucket's
+    * relative deviation |k·o − n| / n in ppm.
+    *
+    * Scale: one bucket-keyed agg (k rows) + a k-row finish. */
+  def srmCheck(df: DataFrame, bucketCol: Column, k: Int): DataFrame = {
+    require(k >= 2, "k must be >= 2")
+    val d38 = "decimal(38,0)"
+    val counts = df.groupBy(bucketCol.cast("long").as("__b"))
+      .agg(count(lit(1)).as("__o"))
+    val dense = counts.sparkSession.range(k).select(col("id").as("__b"))
+      .join(counts, Seq("__b"), "left")
+      .withColumn("__o", coalesce(col("__o"), lit(0L)))
+    val tot = dense.agg(sum(col("__o")).as("n"))
+    dense.crossJoin(broadcast(tot))
+      .withColumn("__dev",
+        (col("__o").cast(d38) * k - col("n").cast(d38)).cast(d38))
+      .agg(max(col("n")).as("n"),
+        sum(col("__dev") * col("__dev")).cast(d38).as("__num"),
+        max(expr("1000000 * abs(__dev) div cast(n as decimal(38,0))"))
+          .as("max_dev_ppm"))
+      .select(lit(k).cast("long").as("k"), col("n"),
+        (col("__num").cast("double") /
+          (lit(k).cast(d38) * col("n").cast(d38)).cast("double")).as("chi2"),
+        col("max_dev_ppm"))
+  }
+
+  /** A-stat — Cohen's d standardized effect size between two groups:
+    * the "how big, in standard deviations" companion to
+    * [[welchTTest]]'s "how sure". Pooled variance from the same three
+    * exact sums per group; the finish is pinned IEEE on exact
+    * operands. Returns one row: (n_a, n_b, mean_a, mean_b, cohens_d).
+    * |d| ~ 0.2 small / 0.5 medium / 0.8 large (Cohen 1988, public
+    * literature). */
+  def cohensD(df: DataFrame, valueCol: Column, groupCol: Column,
+      groupA: String, groupB: String): DataFrame = {
+    val d38 = "decimal(38,0)"
+    def side(g: String, tag: String) = {
+      val v = valueCol.cast("long")
+      df.filter(groupCol === g).agg(
+        count(lit(1)).cast(d38).as(s"n_$tag"),
+        sum(v).cast(d38).as(s"s_$tag"),
+        sum(v.cast(d38) * v.cast(d38)).cast(d38).as(s"q_$tag"))
+    }
+    def mean(t: String) =
+      col(s"s_$t").cast("double") / col(s"n_$t").cast("double")
+    // (n-1)·s² = (n·Q − S²)/n, exact numerator
+    def ssd(t: String) =
+      (col(s"n_$t") * col(s"q_$t") - col(s"s_$t") * col(s"s_$t"))
+        .cast("double") / col(s"n_$t").cast("double")
+    val sp = sqrt((ssd("a") + ssd("b")) /
+      (col("n_a") + col("n_b") - 2).cast("double"))
+    side(groupA, "a").crossJoin(side(groupB, "b"))
+      .select(col("n_a").cast("long").as("n_a"),
+        col("n_b").cast("long").as("n_b"),
+        mean("a").as("mean_a"), mean("b").as("mean_b"),
+        when(col("n_a") + col("n_b") > 2,
+          (mean("a") - mean("b")) / sp).as("cohens_d"))
+  }
 }

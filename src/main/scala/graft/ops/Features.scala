@@ -129,4 +129,62 @@ object Features {
       .withColumn("cover_ppm", expr("1000000 * __cov div n_test"))
       .drop("__cov")
   }
+
+  /** ML — best binary split of an integer feature against a binary
+    * label by weighted Gini impurity: the decision-stump / tree-node
+    * primitive (CART, Breiman et al. — public literature). Candidate
+    * thresholds are the feature's DISTINCT values; left/right class
+    * counts come from prefix sums over that rollup, and each split's
+    * impurity is micro-quantized from exact integer operands in a
+    * pinned order, so the argmin (impurity asc, value asc) is
+    * deterministic cross-engine. Returns one row:
+    * (split_value, n, baseline_u, wg_u, gain_u) — split means
+    * feature ≤ split_value goes left.
+    *
+    * Scale: one (value)-rollup agg with map-side combine + a
+    * rollup-sized prefix window — never the fact table. The stump is
+    * the screen; a full tree is this op recursed over partitions. */
+  def giniSplit(df: DataFrame, featureCol: Column,
+      labelCol: Column): DataFrame = {
+    val d38 = "decimal(38,0)"
+    val roll = df.select(featureCol.cast("long").as("__v"),
+        labelCol.cast("long").as("__y"))
+      .groupBy(col("__v"))
+      .agg(count(lit(1)).as("__c"), sum(col("__y")).as("__p"))
+    val w = Window.orderBy(col("__v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val all = Window.rowsBetween(Window.unboundedPreceding,
+      Window.unboundedFollowing)
+    def sq(c: Column) = c.cast(d38) * c.cast(d38)
+    val scored = roll
+      .withColumn("__nl", sum(col("__c")).over(w))
+      .withColumn("__pl", sum(col("__p")).over(w))
+      .withColumn("__n", sum(col("__c")).over(all))
+      .withColumn("__ptot", sum(col("__p")).over(all))
+      .withColumn("__nr", col("__n") - col("__nl"))
+      .withColumn("__pr", col("__ptot") - col("__pl"))
+      .filter(col("__nr") > 0)
+      .withColumn("__gl",
+        (sq(col("__nl")) - sq(col("__pl")) - sq(col("__nl") - col("__pl")))
+          .cast(d38))
+      .withColumn("__gr",
+        (sq(col("__nr")) - sq(col("__pr")) - sq(col("__nr") - col("__pr")))
+          .cast(d38))
+      .withColumn("wg_u", round(
+        (col("__gl").cast("double") / col("__nl").cast("double") +
+          col("__gr").cast("double") / col("__nr").cast("double")) /
+          col("__n").cast("double") * 1e6, 0).cast("long"))
+      .withColumn("baseline_u", round(
+        (sq(col("__n")) - sq(col("__ptot")) - sq(col("__n") - col("__ptot")))
+          .cast("double") /
+          (col("__n").cast("double") * col("__n").cast("double")) * 1e6, 0)
+        .cast("long"))
+    scored
+      .withColumn("__rn", row_number().over(
+        Window.orderBy(col("wg_u").asc, col("__v").asc)))
+      .filter(col("__rn") === 1)
+      .select(col("__v").as("split_value"), col("__n").cast("long").as("n"),
+        col("baseline_u"), col("wg_u"),
+        (col("baseline_u") - col("wg_u")).as("gain_u"))
+  }
 }

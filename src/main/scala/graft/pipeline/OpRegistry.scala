@@ -538,6 +538,13 @@ object OpRegistry {
         graft.ops.Expectations.Rule(n, pred) })),
     // df is the correlation-matrix cell frame (correlation_matrix output)
     "power_iteration" -> (p => df => graft.ext.Clustering.powerIterationInt(
-      df, num(p, "dims").toInt, num(p, "rounds").toInt))
+      df, num(p, "dims").toInt, num(p, "rounds").toInt)),
+    "gini_split" -> (p => df => graft.ops.Features.giniSplit(
+      df, expr(str(p, "feature_expr")), expr(str(p, "label_expr")))),
+    "srm_check" -> (p => df => graft.ops.Aggregates.srmCheck(
+      df, expr(str(p, "bucket_expr")), num(p, "k").toInt)),
+    "cohens_d" -> (p => df => graft.ops.Aggregates.cohensD(
+      df, col(str(p, "value_col")), col(str(p, "group_col")),
+      str(p, "group_a"), str(p, "group_b")))
   ))
 }

@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.functions._
 import graft.core.Tables
 import graft.ext.TextAnalysis
-import graft.ops.{Associations, Features}
+import graft.ops.{Aggregates, Associations, Features}
 
 /** Round-4 (batches 18-20): the feature-engineering, corpus-shape &
   * distribution-free-ML layer — boilerplate spans, the co-occurrence
@@ -576,6 +576,114 @@ object Analytics6 {
       "driver solve. Integer state makes each round bit-identical under any " +
       "partitioning, which is what lets a second engine replay all 8 rounds.")
 
+  /** q214 — ML: best decision-stump split — which quantity threshold
+    * best separates returned from accepted line items, by weighted
+    * Gini over the distinct-value rollup with a deterministic
+    * argmin. */
+  val q214 = Declared(
+    "q214_gini_split", "A-stat",
+    (s, dir) => Features.giniSplit(Tables.lineitem(s, dir),
+      col("l_quantity"), (col("l_returnflag") === "R").cast("int")),
+    Some("""WITH roll AS (
+           |  SELECT CAST(l_quantity AS BIGINT) AS v, count(*) AS c,
+           |    CAST(sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)
+           |      AS BIGINT) AS p
+           |  FROM lineitem GROUP BY 1),
+           |pre AS (
+           |  SELECT v,
+           |    CAST(sum(c) OVER (ORDER BY v) AS HUGEINT) AS nl,
+           |    CAST(sum(p) OVER (ORDER BY v) AS HUGEINT) AS pl,
+           |    CAST(sum(c) OVER () AS HUGEINT) AS n,
+           |    CAST(sum(p) OVER () AS HUGEINT) AS ptot
+           |  FROM roll),
+           |scored AS (
+           |  SELECT v, n,
+           |    CAST(round((
+           |      CAST(nl * nl - pl * pl - (nl - pl) * (nl - pl) AS DOUBLE) /
+           |        CAST(nl AS DOUBLE) +
+           |      CAST((n - nl) * (n - nl) - (ptot - pl) * (ptot - pl) -
+           |        ((n - nl) - (ptot - pl)) * ((n - nl) - (ptot - pl))
+           |        AS DOUBLE) / CAST(n - nl AS DOUBLE)
+           |      ) / CAST(n AS DOUBLE) * 1e6, 0) AS BIGINT) AS wg_u,
+           |    CAST(round(
+           |      CAST(n * n - ptot * ptot - (n - ptot) * (n - ptot) AS DOUBLE) /
+           |      (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)) * 1e6, 0) AS BIGINT)
+           |      AS baseline_u
+           |  FROM pre WHERE n - nl > 0)
+           |SELECT v AS split_value, CAST(n AS BIGINT) AS n, baseline_u, wg_u,
+           |  baseline_u - wg_u AS gain_u
+           |FROM scored
+           |ORDER BY wg_u ASC, v ASC LIMIT 1""".stripMargin),
+    "Candidates are the DISTINCT feature values (50 here), scored from prefix " +
+      "sums over that rollup — never the fact table. A full tree is this op " +
+      "recursed over node partitions; at 100 TB the rollup agg is the only " +
+      "data-sized pass per node.")
+
+  /** q215 — A-stat: sample-ratio mismatch — is the orderkey mod-7
+    * bucketing uniform? EXACT rational chi-square (cleared of
+    * fractions, zero quantization) — the pre-analysis gate of every
+    * A/B test. */
+  val q215 = Declared(
+    "q215_srm", "A-stat",
+    (s, dir) => Aggregates.srmCheck(Tables.orders(s, dir),
+      pmod(col("o_orderkey"), lit(7)), k = 7),
+    Some("""WITH counts AS (
+           |  SELECT o_orderkey % 7 AS b, count(*) AS o
+           |  FROM orders GROUP BY 1),
+           |dense AS (
+           |  SELECT k.b, COALESCE(counts.o, 0) AS o
+           |  FROM (SELECT unnest(range(0, 7)) AS b) k
+           |  LEFT JOIN counts ON k.b = counts.b),
+           |tot AS (SELECT CAST(sum(o) AS BIGINT) AS n FROM dense),
+           |dev AS (
+           |  SELECT CAST(o AS HUGEINT) * 7 - n AS d, n
+           |  FROM dense CROSS JOIN tot)
+           |SELECT CAST(7 AS BIGINT) AS k, CAST(max(n) AS BIGINT) AS n,
+           |  CAST(sum(d * d) AS DOUBLE) /
+           |    CAST(7 * CAST(max(n) AS HUGEINT) AS DOUBLE) AS chi2,
+           |  CAST(max(1000000 * abs(d) // CAST(n AS HUGEINT)) AS BIGINT)
+           |    AS max_dev_ppm
+           |FROM dev""".stripMargin),
+    "One bucket agg (k rows) + a k-row finish. chi2 >> k-1 on an assignment " +
+      "column means the randomizer is broken and every downstream metric is " +
+      "biased — the cheapest test in the suite guards the most expensive " +
+      "mistakes.")
+
+  /** q216 — A-stat: Cohen's d standardized effect size — how big is
+    * the quantity gap between returned and accepted line items, in
+    * pooled standard deviations (the companion to q186's 'how
+    * sure'). */
+  val q216 = Declared(
+    "q216_cohens_d", "A-stat",
+    (s, dir) => Aggregates.cohensD(Tables.lineitem(s, dir),
+      col("l_quantity"), col("l_returnflag"), "A", "R"),
+    Some("""WITH g AS (
+           |  SELECT l_returnflag AS f,
+           |    CAST(count(*) AS HUGEINT) AS n,
+           |    CAST(sum(CAST(l_quantity AS BIGINT)) AS HUGEINT) AS s,
+           |    CAST(sum(CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT))
+           |      AS HUGEINT) AS q
+           |  FROM lineitem WHERE l_returnflag IN ('A', 'R') GROUP BY 1),
+           |w AS (
+           |  SELECT a.n AS na, b.n AS nb,
+           |    CAST(a.s AS DOUBLE) / CAST(a.n AS DOUBLE) AS ma,
+           |    CAST(b.s AS DOUBLE) / CAST(b.n AS DOUBLE) AS mb,
+           |    CAST(a.n * a.q - a.s * a.s AS DOUBLE) / CAST(a.n AS DOUBLE)
+           |      AS ssa,
+           |    CAST(b.n * b.q - b.s * b.s AS DOUBLE) / CAST(b.n AS DOUBLE)
+           |      AS ssb
+           |  FROM (SELECT * FROM g WHERE f = 'A') a,
+           |       (SELECT * FROM g WHERE f = 'R') b)
+           |SELECT CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+           |  ma AS mean_a, mb AS mean_b,
+           |  CASE WHEN na + nb > 2 THEN
+           |    (ma - mb) / sqrt((ssa + ssb) / CAST(na + nb - 2 AS DOUBLE))
+           |  END AS cohens_d
+           |FROM w""".stripMargin),
+    "Same 3-exact-sums-per-group state as q186 — the two statistics share one " +
+      "agg pass when run together. Report d WITH the t-stat: at 100 TB " +
+      "everything is 'significant'; d says whether it matters.")
+
   val all: Seq[Declared] = Seq(q201, q202, q203, q204, q205,
-    q206, q207, q208, q209, q210, q211, q212, q213)
+    q206, q207, q208, q209, q210, q211, q212, q213, q214, q215, q216)
 }

@@ -923,4 +923,31 @@ class AnalyticsOpsSpec extends AnyFunSuite {
     assert(rd.map(_.getAs[Long]("v_u")).toSeq == Seq(1000000L, 62500L))
     assert(rd.head.getAs[Long]("lambda_u") == 1000000L)
   }
+
+  test("ML: giniSplit finds the perfect threshold; SRM and Cohen's d hand cases") {
+    import graft.ops.{Aggregates, Features}
+    // y = 1 iff x >= 3: the split at v = 2 is pure on both sides
+    val pts = Seq((1L, 0), (2L, 0), (3L, 1), (4L, 1)).toDF("x", "y")
+    val g = Features.giniSplit(pts, col("x"), col("y")).head()
+    assert(g.getAs[Long]("split_value") == 2L)
+    assert(g.getAs[Long]("wg_u") == 0L)
+    assert(g.getAs[Long]("baseline_u") == 500000L &&
+      g.getAs[Long]("gain_u") == 500000L)
+
+    // SRM: buckets 6 vs 4 of 10 -> chi2 = 0.4 exactly, worst dev 20%
+    val asg = (Seq.fill(6)(0L) ++ Seq.fill(4)(1L)).toDF("b")
+    val srm = Aggregates.srmCheck(asg, col("b"), k = 2).head()
+    assert(srm.getAs[Double]("chi2") == 0.4)
+    assert(srm.getAs[Long]("max_dev_ppm") == 200000L)
+    // a missing bucket is a catastrophic SRM, not a crash
+    val missing = Aggregates.srmCheck(Seq.fill(4)(0L).toDF("b"),
+      col("b"), k = 2).head()
+    assert(missing.getAs[Long]("max_dev_ppm") == 1000000L)
+
+    // Cohen's d: means 12 vs 2, pooled sd sqrt(2.5)
+    val df2 = Seq(("a", 10L), ("a", 12L), ("a", 14L),
+      ("b", 1L), ("b", 2L), ("b", 3L)).toDF("g", "v")
+    val d = Aggregates.cohensD(df2, col("v"), col("g"), "a", "b").head()
+    assert(math.abs(d.getAs[Double]("cohens_d") - 10.0 / math.sqrt(2.5)) < 1e-12)
+  }
 }

@@ -835,4 +835,22 @@ class SourcesSinksSpec extends AnyFunSuite {
       "power_iteration","kwargs":{"dims":2,"rounds":3}}]}""", corr)
     assert(pi.columns.toSeq == Seq("j", "v_u", "lambda_u") && pi.count() == 2)
   }
+
+  test("X1: batch-21 registry ops run from JSON") {
+    def run(json: String, df: org.apache.spark.sql.DataFrame) =
+      Pipeline.fromJson(json).run(df)._1
+    val obs = Seq(("A", 1L, 0), ("A", 2L, 0), ("B", 3L, 1), ("B", 4L, 1))
+      .toDF("g", "x", "y")
+    val gs = run("""{"pipe":"p","operations":[{"name":"g","function":
+      "gini_split","kwargs":{"feature_expr":"x","label_expr":"y"}}]}""", obs)
+      .head()
+    assert(gs.getAs[Long]("split_value") == 2L)
+    val sr = run("""{"pipe":"p","operations":[{"name":"s","function":
+      "srm_check","kwargs":{"bucket_expr":"x % 2","k":2}}]}""", obs).head()
+    assert(sr.getAs[Long]("k") == 2L && sr.getAs[Long]("n") == 4L)
+    val cd = run("""{"pipe":"p","operations":[{"name":"c","function":
+      "cohens_d","kwargs":{"value_col":"x","group_col":"g",
+      "group_a":"A","group_b":"B"}}]}""", obs).head()
+    assert(cd.getAs[Double]("cohens_d") < 0.0)
+  }
 }
