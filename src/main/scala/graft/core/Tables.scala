@@ -42,6 +42,13 @@ object Tables {
     val raw = load(spark, dir, "events")
     if (raw.schema("ts").dataType == LongType)
       raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    else if (raw.schema("ts").dataType == org.apache.spark.sql.types.TimestampNTZType)
+      // parquet timestamp[us] WITHOUT isAdjustedToUTC arrives as
+      // TIMESTAMP_NTZ, which instant functions (unix_micros, windows)
+      // reject. The session timezone is pinned to UTC everywhere
+      // (build + GraftSession), so the NTZ→LTZ cast is wall-clock
+      // identity and matches DuckDB's naive-timestamp read exactly.
+      raw.withColumn("ts", col("ts").cast(org.apache.spark.sql.types.TimestampType))
     else raw
   }
   def documents(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "documents")

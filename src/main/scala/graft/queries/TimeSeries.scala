@@ -247,6 +247,11 @@ object TimeSeries {
       val ev =
         if (rawSchema("ts").dataType == org.apache.spark.sql.types.LongType)
           raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        else if (rawSchema("ts").dataType == org.apache.spark.sql.types.TimestampNTZType)
+          // micros-without-UTC-flag parquet: NTZ → LTZ is wall-clock
+          // identity under the pinned UTC session (see Tables.events);
+          // watermarks/windows require the instant type
+          raw.withColumn("ts", col("ts").cast(org.apache.spark.sql.types.TimestampType))
         else raw
       val qname = s"${tag}_mem_" + java.util.UUID.randomUUID().toString.replace("-", "")
       val q = transform(ev).writeStream.format("memory").queryName(qname)
