@@ -353,4 +353,68 @@ object Graph {
     }
     sym.groupBy(col("src").as("node")).agg(count(lit(1)).as("degree"))
   }
+
+  /** Synchronous label propagation (Raghavan, Albert & Kumara 2007 —
+    * public literature), the community-detection counterpart to
+    * [[connectedComponents]]: components find REACHABILITY clusters;
+    * LPA finds DENSITY clusters inside a connected graph (topic pools
+    * in a co-purchase graph, template families in a near-dup graph
+    * that q70's transitive closure would fuse into one blob).
+    *
+    * Determinism contract (what makes it oracle-replayable, unlike
+    * textbook asynchronous LPA): every node starts labeled with its
+    * own id; each round ALL nodes simultaneously adopt the most
+    * frequent label among their neighbors, ties broken by SMALLEST
+    * label; a fixed `iters` rounds, no convergence test. Integer
+    * labels + integer counts → bit-identical under any partitioning.
+    *
+    * Returns (node, community) for every node with at least one edge.
+    *
+    * Scale: per round, one node-keyed equi-join (labels onto edge
+    * sources) + one (dst, label) agg + one per-node argmax — all keyed
+    * on uniform node ids; rounds chain as one lazy plan exactly like
+    * [[pageRank]], with no driver-side data movement. */
+  def labelPropagation(edges: DataFrame, srcCol: String, dstCol: String,
+      iters: Int = 3): DataFrame = {
+    require(iters >= 1, "iters must be >= 1")
+    val sym = edges.select(explode(array(
+        struct(checkedLong(col(srcCol)).as("src"), checkedLong(col(dstCol)).as("dst")),
+        struct(checkedLong(col(dstCol)).as("src"), checkedLong(col(srcCol)).as("dst"))))
+        .as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"))
+      .filter(col("src") =!= col("dst")).distinct()
+      .localCheckpoint() // re-read every round
+    // Round 1 specialization: with every node carrying its OWN id as
+    // the initial label, neighbor labels are pairwise distinct, so
+    // every count is provably 1 and the most-frequent-with-min-tie
+    // winner degenerates to min(neighbor id) — ONE primitive hash agg
+    // over the edge list instead of the full argmax machinery on the
+    // round where the (dst, label) frame would be largest (zero
+    // reduction). The generic oracle recursion agrees: its round-1
+    // counts are all 1 and its tie-break picks the same minimum.
+    var labels = sym.groupBy(col("dst").as("node"))
+      .agg(min(col("src")).as("lab"))
+      .localCheckpoint() // node-sized; read by round 2's join
+    var i = 1
+    while (i < iters) {
+      // argmax-by-count with min-label tie-break as ONE agg: the
+      // lexicographically smallest (-count, label) struct IS the
+      // winner. struct min is a SortAggregate (off codegen), but by
+      // round 2 communities have begun merging, so the (dst, label)
+      // frame it sorts is far smaller than round 1's — measured
+      // faster here than a 3×-hash-agg max/filter/min rewrite, whose
+      // two-consumer count frame forces either a 1M-row eager
+      // materialization per round or an ReuseExchange gamble.
+      val counted = sym.join(labels, sym("src") === labels("node"))
+        .groupBy(col("dst"), col("lab")).agg(count(lit(1)).as("__c"))
+      labels = counted
+        .groupBy(col("dst").as("node"))
+        .agg(min(struct((-col("__c")).as("__negc"), col("lab").as("__l")))
+          .as("__best"))
+        .select(col("node"), col("__best.__l").as("lab"))
+      if ((i + 1) % 8 == 0 && i < iters - 1) labels = labels.localCheckpoint()
+      i += 1
+    }
+    labels.select(col("node"), col("lab").as("community"))
+  }
 }

@@ -593,4 +593,62 @@ object TextAnalysis {
       .select(least(col("__cp"), col("__nd")).as("docs_seen"),
         col("new_tokens"), col("vocab"))
   }
+
+  /** E4 — Jensen-Shannon divergence (nats) between the unigram
+    * distributions of two corpus slices — the symmetric, bounded
+    * (≤ ln 2) drift metric of corpus curation (Lin 1991, public
+    * literature): did this week's crawl shift against the reference
+    * mix? is the 'de' slice distributionally distinct from 'en'?
+    * Unlike KL it tolerates tokens present on only one side, which is
+    * exactly the vocabulary-mismatch regime real corpus pairs live in.
+    *
+    *   JSD = ½·Σ_w [ p_w·ln(p_w/m_w) + q_w·ln(q_w/m_w) ],
+    *   m_w = (p_w + q_w)/2
+    *
+    * Token counts are exact longs from one (slice, token) agg; each
+    * TOKEN's double contribution is rounded to integer nano-nats and
+    * summed as longs (same order-independence discipline as
+    * [[tokenEntropy]]), so the result survives any partitioning and an
+    * oracle replays it exactly.
+    *
+    * Returns ONE row: (n_a, n_b, vocab_a, vocab_b, vocab_union, jsd).
+    *
+    * Scale: one token-keyed agg with map-side combine over each slice
+    * (vocabulary-sized output), a full-outer merge on token, and a
+    * scalar finish — the corpus is read once; nothing downstream
+    * exceeds vocabulary size. */
+  def jsDivergence(docs: DataFrame, textCol: Column, sliceCol: Column,
+      sliceA: String, sliceB: String): DataFrame = {
+    val tk = docs.filter(sliceCol.isin(sliceA, sliceB))
+      .select(sliceCol.as("__s"), explode(tokens(textCol)).as("__w"))
+      .filter(col("__w") =!= "")
+    // vocabulary-sized and read twice (totals + the term pass) —
+    // localCheckpoint (eager, GC-scoped: safe for unmanaged callers),
+    // or the corpus explode+agg runs once per consumer
+    val cnt = tk.groupBy(col("__w")).agg(
+      sum(when(col("__s") === sliceA, 1L).otherwise(0L)).as("__ca"),
+      sum(when(col("__s") === sliceB, 1L).otherwise(0L)).as("__cb"))
+      .localCheckpoint()
+    val tot = cnt.agg(sum(col("__ca")).as("__na"), sum(col("__cb")).as("__nb"))
+    cnt.crossJoin(broadcast(tot))
+      // pa, pb, m and both logs are evaluated in this exact token
+      // order in the oracle SQL — per-token rounding is what makes the
+      // corpus-sized sum engine-portable
+      .withColumn("__pa", col("__ca").cast("double") / col("__na").cast("double"))
+      .withColumn("__pb", col("__cb").cast("double") / col("__nb").cast("double"))
+      .withColumn("__m", (col("__pa") + col("__pb")) / 2)
+      .withColumn("__term_nano", round(
+        (when(col("__ca") > 0, col("__pa") * log(col("__pa") / col("__m")))
+          .otherwise(lit(0.0)) +
+         when(col("__cb") > 0, col("__pb") * log(col("__pb") / col("__m")))
+          .otherwise(lit(0.0))) * 1e9, 0).cast("long"))
+      .agg(max(col("__na")).as("n_a"), max(col("__nb")).as("n_b"),
+        sum(when(col("__ca") > 0, 1L).otherwise(0L)).as("vocab_a"),
+        sum(when(col("__cb") > 0, 1L).otherwise(0L)).as("vocab_b"),
+        count(lit(1)).as("vocab_union"),
+        sum(col("__term_nano")).as("__s_nano"))
+      .select(col("n_a"), col("n_b"), col("vocab_a"), col("vocab_b"),
+        col("vocab_union"),
+        round(col("__s_nano").cast("double") / 2 / 1e9, 6).as("jsd"))
+  }
 }

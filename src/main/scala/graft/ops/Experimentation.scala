@@ -1,0 +1,148 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Online-experimentation statistics beyond the per-metric tests in
+  * [[Aggregates]] (Welch t q186, SRM q215, Cohen's d q216): CUPED
+  * variance reduction and Benjamini-Hochberg multiple-testing control —
+  * the two ops an A/B platform runs over EVERY experiment readout.
+  * Reference surface: the sensor-stats aggregation loop
+  * (`data_preprocessing.py:540-560`) computes per-group means; these
+  * operators are what turns group means into decisions at fleet scale.
+  *
+  * Exactness discipline (shared with the Analytics modules): all
+  * corpus-sized accumulation is exact integer/decimal sums; doubles
+  * appear only in the O(groups)-sized finish, via formulas written
+  * token-for-token identically in the oracle SQL.
+  */
+object Experimentation {
+
+  /** CUPED (Controlled-experiment Using Pre-Experiment Data; Deng,
+    * Xu, Kohavi & Walker, WSDM'13 — public literature): adjust the
+    * experiment metric by its pre-period covariate,
+    *   y' = y − θ·(x − x̄),  θ = cov(x,y) / var(x),
+    * which shrinks metric variance by the squared correlation ρ² while
+    * leaving arm-mean DIFFERENCES unbiased. The workhorse sensitivity
+    * boost of every mature A/B platform.
+    *
+    * Input: one row per unit with integer-cent metric (`yCents`),
+    * integer-cent covariate (`xCents`) and an arm label. Exact
+    * decimal(38) sums of n, Σx, Σy, Σx², Σxy, Σy² (per-row products
+    * fit a long; their corpus sums do not); θ and ρ² are a double
+    * finish over those six numbers. Per arm: n, raw mean, adjusted
+    * mean y̅ₐ − θ(x̅ₐ − x̄), all in dollars rounded to 6dp.
+    *
+    * Returns (arm, n, mean_y, mean_y_adj, theta_ppm, var_reduction_ppm)
+    * — the last two are experiment-level constants repeated per row.
+    *
+    * Scale: one unit-grain agg (map-side combinable) + one arm-grain
+    * agg over it; the six global sums broadcast to the arm rows. No
+    * window, no per-unit second pass — 100 TB of exposures reduce to
+    * |arms| rows in two shuffles. */
+  def cuped(units: DataFrame, xCentsName: String, yCentsName: String,
+      armName: String): DataFrame = {
+    val d38 = "decimal(38,0)"
+    val x = col(xCentsName).cast("long")
+    val y = col(yCentsName).cast("long")
+    // ONE unit-grain pass computes all six sums per arm; the global
+    // sums are a |arms|-row rollup of it — never a second fact scan
+    val perArm = units.groupBy(col(armName).as("arm")).agg(
+      count(lit(1)).as("n"),
+      sum(x.cast(d38)).as("__sx_a"),
+      sum(y.cast(d38)).as("__sy_a"),
+      sum((x * x).cast(d38)).as("__sxx_a"),
+      sum((x * y).cast(d38)).as("__sxy_a"),
+      sum((y * y).cast(d38)).as("__syy_a"))
+    // |arms| rows, read twice (global rollup + finish) — eager,
+    // GC-scoped materialization
+    val armSums = perArm.localCheckpoint()
+    val globals = armSums.agg(
+      sum(col("n")).as("__n"),
+      sum(col("__sx_a")).as("__sx"),
+      sum(col("__sy_a")).as("__sy"),
+      sum(col("__sxx_a")).as("__sxx"),
+      sum(col("__sxy_a")).as("__sxy"),
+      sum(col("__syy_a")).as("__syy"))
+    armSums.crossJoin(broadcast(globals))
+      // θ num/den and ρ² stay exact (decimal×decimal fits: cents² sums
+      // are ≲10²⁸ « 10³⁸); the double division is the only rounding
+      .withColumn("__cov_n", col("__n").cast(d38) * col("__sxy") - col("__sx") * col("__sy"))
+      .withColumn("__var_x", col("__n").cast(d38) * col("__sxx") - col("__sx") * col("__sx"))
+      .withColumn("__var_y", col("__n").cast(d38) * col("__syy") - col("__sy") * col("__sy"))
+      .withColumn("theta", col("__cov_n").cast("double") / col("__var_x").cast("double"))
+      .withColumn("mean_y",
+        round(col("__sy_a").cast("double") / col("n") / 100.0, 6))
+      .withColumn("mean_y_adj",
+        round((col("__sy_a").cast("double") / col("n") -
+          col("theta") * (col("__sx_a").cast("double") / col("n") -
+            col("__sx").cast("double") / col("__n"))) / 100.0, 6))
+      .withColumn("theta_ppm", round(col("theta") * lit(1e6), 0).cast("long"))
+      .withColumn("var_reduction_ppm",
+        round(col("__cov_n").cast("double") * col("__cov_n").cast("double") /
+          (col("__var_x").cast("double") * col("__var_y").cast("double")) * 1e6,
+          0).cast("long"))
+      .select(col("arm"), col("n"), col("mean_y"), col("mean_y_adj"),
+        col("theta_ppm"), col("var_reduction_ppm"))
+  }
+
+  /** Benjamini-Hochberg step-up FDR control (Benjamini & Hochberg
+    * 1995 — public literature) over per-group two-sided one-proportion
+    * z-tests: which groups' success rates differ from the global rate,
+    * with expected false-discovery fraction ≤ q? THE correction for
+    * "we just tested 1 000 suppliers and 63 look significant".
+    *
+    * p-values use the Abramowitz-Stegun 7.1.26 erfc polynomial
+    * (max abs error 1.5e-7) — evaluated token-for-token identically
+    * here and in the oracle SQL, so both engines produce the SAME
+    * IEEE doubles and the step-up comparisons agree exactly; no
+    * tolerance band needed. The step-up rule: sort p ascending, find
+    * the LARGEST rank i with p(i) ≤ i·q/m, reject hypotheses 1..i.
+    *
+    * Returns (group, n, successes, rate_ppm, z_milli, p_nano, p_rank,
+    * discovery) ordered by (p_rank).
+    *
+    * Scale: the fact-table pass is one group-keyed agg; everything
+    * after runs on |groups| rows. The global rank uses
+    * [[Ranking.globalRowNumber]] (range shuffle + offset rollup), so
+    * a million hypotheses never meet a single-partition window; the
+    * two scalars (m, cutoff rank k) broadcast back. */
+  def bhDiscoveries(df: DataFrame, groupName: String, successCond: org.apache.spark.sql.Column,
+      qNum: Int = 5, qDen: Int = 100): DataFrame = {
+    require(qNum > 0 && qDen > 0 && qNum < qDen, "need 0 < q < 1")
+    // |groups| rows, read twice (global totals + scoring) —
+    // materialize, or the fact-table agg runs once per consumer
+    val g = df.groupBy(col(groupName).as("grp")).agg(
+      count(lit(1)).as("n"),
+      sum(successCond.cast("long")).as("successes"))
+      .localCheckpoint()
+    val glob = g.agg(sum(col("n")).as("__tn"), sum(col("successes")).as("__ts"),
+      count(lit(1)).as("m"))
+    val scored = g.crossJoin(broadcast(glob))
+      .withColumn("__p0", col("__ts").cast("double") / col("__tn").cast("double"))
+      .withColumn("__z",
+        (col("successes").cast("double") / col("n").cast("double") - col("__p0")) /
+          sqrt(col("__p0") * (lit(1.0) - col("__p0")) / col("n").cast("double")))
+      // A&S 7.1.26 in Horner form — mirrored verbatim in the oracle
+      .withColumn("__xa", abs(col("__z")) / sqrt(lit(2.0)))
+      .withColumn("__t", lit(1.0) / (lit(1.0) + lit(0.3275911) * col("__xa")))
+      .withColumn("__p",
+        (((((lit(1.061405429) * col("__t") - lit(1.453152027)) * col("__t") +
+          lit(1.421413741)) * col("__t") - lit(0.284496736)) * col("__t") +
+          lit(0.254829592)) * col("__t")) * exp(-(col("__xa") * col("__xa"))))
+    val ranked = Ranking.globalRowNumber(scored, Seq(col("__p"), col("grp")))
+      .withColumnRenamed("row_num", "p_rank")
+      .withColumn("__pass",
+        when(col("__p") <= col("p_rank").cast("double") * qNum / qDen / col("m"),
+          col("p_rank")).otherwise(lit(0L)))
+    val cutoff = ranked.agg(max(col("__pass")).as("__k"))
+    ranked.crossJoin(broadcast(cutoff))
+      .select(col("grp").as(groupName), col("n"), col("successes"),
+        expr("(successes * 1000000L) div n").as("rate_ppm"),
+        round(col("__z") * 1000, 0).cast("long").as("z_milli"),
+        round(col("__p") * 1e9, 0).cast("long").as("p_nano"),
+        col("p_rank"),
+        (col("p_rank") <= col("__k")).as("discovery"))
+      .orderBy(col("p_rank"))
+  }
+}

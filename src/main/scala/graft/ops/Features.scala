@@ -187,4 +187,52 @@ object Features {
         col("baseline_u"), col("wg_u"),
         (col("baseline_u") - col("wg_u")).as("gain_u"))
   }
+
+  /** Mutual information I(X;Y) in nats between two categorical
+    * columns — the model-free feature-relevance score (Cover & Thomas
+    * ch. 2, public literature) that, unlike χ² (q153) or Cramér's V
+    * (q208), is directly comparable across features with different
+    * cardinalities when ranking candidates for a model.
+    *
+    *   I = Σ_{x,y} (n_xy/n) · ln(n·n_xy / (n_x·n_y))
+    *
+    * Counts are exact longs from one contingency agg; each CELL's
+    * double term is rounded to integer nano-nats and the cell terms
+    * are summed as longs — so the total is independent of partitioning
+    * and accumulation order, and an oracle replays it bit-for-bit
+    * (same per-term rounding discipline as [[graft.ext.TextAnalysis.tokenEntropy]]).
+    *
+    * Returns ONE row: (feature, n, levels_x, levels_y, mi_nano, mi)
+    * with `feature` an arbitrary label for stacking into rankings.
+    *
+    * Scale: the only corpus-sized pass is the (x,y) cell agg with
+    * map-side combine; margins derive from the cell frame (kx·ky
+    * rows), never the fact table. */
+  def mutualInformation(df: DataFrame, featureLabel: String, xCol: Column,
+      yCol: Column): DataFrame = {
+    // the cell frame (kx·ky rows, bounded) feeds four consumers
+    // (margins ×2, total, term join) — localCheckpoint (eager,
+    // lineage-truncated, GC-scoped blocks: no release point needed),
+    // or the fact-table agg runs once per consumer
+    val cells = df.select(xCol.as("__x"), yCol.as("__y"))
+      .groupBy(col("__x"), col("__y")).agg(count(lit(1)).as("__nxy"))
+      .localCheckpoint()
+    val mx = cells.groupBy(col("__x")).agg(sum(col("__nxy")).as("__nx"))
+    val my = cells.groupBy(col("__y")).agg(sum(col("__nxy")).as("__ny"))
+    cells.join(broadcast(mx), "__x").join(broadcast(my), "__y")
+      .crossJoin(broadcast(cells.agg(sum(col("__nxy")).as("__n"))))
+      .withColumn("__term_nano", round(
+        col("__nxy").cast("double") / col("__n").cast("double") *
+          log(col("__n").cast("double") * col("__nxy").cast("double") /
+            (col("__nx").cast("double") * col("__ny").cast("double"))) * 1e9,
+        0).cast("long"))
+      .groupBy()
+      .agg(max(col("__n")).as("n"),
+        countDistinct(col("__x")).as("levels_x"),
+        countDistinct(col("__y")).as("levels_y"),
+        sum(col("__term_nano")).as("mi_nano"))
+      .select(lit(featureLabel).as("feature"), col("n"),
+        col("levels_x"), col("levels_y"), col("mi_nano"),
+        round(col("mi_nano").cast("double") / 1e9, 6).as("mi"))
+  }
 }

@@ -31,5 +31,5 @@ object Declared {
     Relational.all ++ Relational2.all ++ TimeSeries.all ++ Spatial.all ++
       LlmExt.all ++ LlmExt2.all ++ LlmExt3.all ++ LlmExt4.all ++ LlmExt5.all ++
       Events.all ++ Analytics.all ++ Analytics2.all ++ Analytics3.all ++
-      Analytics4.all ++ Analytics5.all ++ Analytics6.all
+      Analytics4.all ++ Analytics5.all ++ Analytics6.all ++ Analytics7.all
 }

@@ -1,0 +1,200 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.ext.{Graph, JaroWinkler, TextAnalysis}
+import graft.ops.{Experimentation, Features}
+
+/** Specs for batch 22 (q217-q222): the Jaro-Winkler native expression,
+  * JS divergence, mutual information, BH-FDR, CUPED and label
+  * propagation. */
+class ExperimentationSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  // ---- JaroWinkler: doubles pinned to the oracle engine's
+  // jaro_winkler_similarity on the classic literature pairs ----
+  test("X3: JaroWinkler.compute matches oracle-engine doubles bit-for-bit") {
+    def jw(a: String, b: String): Double = JaroWinkler.compute(
+      org.apache.spark.unsafe.types.UTF8String.fromString(a),
+      org.apache.spark.unsafe.types.UTF8String.fromString(b))
+    assert(jw("martha", "marhta") == 0.9611111111111111)
+    assert(jw("dwayne", "duane") == 0.8400000000000001)
+    assert(jw("dixon", "dicksonx") == 0.8133333333333332)
+    assert(jw("abcdef", "badcfe") == 0.8333333333333334) // jaro > 0.7, no prefix
+    assert(jw("CRATE", "TRACE") == 0.7333333333333334)   // below boost gate
+    assert(jw("goldenrod lavender", "goldenrod lavendre") == 0.9888888888888889)
+    assert(jw("same", "same") == 1.0)
+    // empty-side contract is the ORACLE'S, not the textbook's: '' vs ''
+    // is 0, not 1
+    assert(jw("", "") == 0.0)
+    assert(jw("a", "") == 0.0)
+    assert(jw("", "x") == 0.0)
+  }
+
+  test("X3: JaroWinkler codegen path agrees with interpreted compute()") {
+    val pairs = (0 until 200).map { i =>
+      val r = new scala.util.Random(i)
+      (r.alphanumeric.take(r.nextInt(9)).mkString,
+        r.alphanumeric.take(r.nextInt(9)).mkString)
+    }
+    val got = pairs.toDF("a", "b")
+      .select(JaroWinkler.jaroWinkler(col("a"), col("b")).as("jw"))
+      .as[Double].collect()
+    val want = pairs.map { case (a, b) => JaroWinkler.compute(
+      org.apache.spark.unsafe.types.UTF8String.fromString(a),
+      org.apache.spark.unsafe.types.UTF8String.fromString(b)) }
+    assert(got.toSeq == want.toSeq)
+    // null poisoning
+    val n = Seq((Option.empty[String], Option("x"))).toDF("a", "b")
+      .select(JaroWinkler.jaroWinkler(col("a"), col("b")).as("jw"))
+      .collect()
+    assert(n.head.isNullAt(0))
+  }
+
+  test("X3: jaro_winkler registered via SparkSessionExtensions") {
+    val s2 = SparkSession.builder().master("local[2]")
+      .appName("jw-ext-test").config("spark.ui.enabled", "false")
+      .withExtensions(new GraftExtensions).getOrCreate()
+    val v = s2.sql("SELECT jaro_winkler('martha', 'marhta')").head.getDouble(0)
+    assert(v == 0.9611111111111111)
+  }
+
+  // ---- JS divergence ----
+  test("E4: jsDivergence — identical slices give 0, disjoint vocab gives ln 2") {
+    val same = Seq(("a", "x y z"), ("b", "x y z")).toDF("lang", "text")
+    val j0 = TextAnalysis.jsDivergence(same, col("text"), col("lang"), "a", "b")
+      .select("jsd").as[Double].head()
+    assert(j0 == 0.0)
+    val disjoint = Seq(("a", "p q r s"), ("b", "t u v w")).toDF("lang", "text")
+    val j1 = TextAnalysis.jsDivergence(disjoint, col("text"), col("lang"), "a", "b")
+      .select("jsd").as[Double].head()
+    assert(math.abs(j1 - math.log(2)) < 1e-5)
+  }
+
+  test("E4: jsDivergence counts vocab per side and is symmetric") {
+    val df = Seq(("a", "x x y"), ("b", "x z")).toDF("lang", "text")
+    val r = TextAnalysis.jsDivergence(df, col("text"), col("lang"), "a", "b")
+      .head()
+    assert(r.getAs[Long]("n_a") == 3L && r.getAs[Long]("n_b") == 2L)
+    assert(r.getAs[Long]("vocab_a") == 2L && r.getAs[Long]("vocab_b") == 2L)
+    assert(r.getAs[Long]("vocab_union") == 3L)
+    val fwd = r.getAs[Double]("jsd")
+    val rev = TextAnalysis.jsDivergence(df, col("text"), col("lang"), "b", "a")
+      .select("jsd").as[Double].head()
+    assert(fwd == rev && fwd > 0.0 && fwd < math.log(2))
+  }
+
+  // ---- mutual information ----
+  test("A-stat: mutualInformation — independence gives 0, identity gives H(X)") {
+    // x uniform over {0,1}, y independent uniform over {0,1}: all four
+    // cells equal -> every term's log is ln(1) = 0
+    val indep = Seq((0L, 0L), (0L, 1L), (1L, 0L), (1L, 1L)).toDF("x", "y")
+    val mi0 = Features.mutualInformation(indep, "f", col("x"), col("y"))
+      .select("mi").as[Double].head()
+    assert(mi0 == 0.0)
+    // y = x, x uniform over {0,1}: I = H(X) = ln 2
+    val ident = Seq((0L, 0L), (1L, 1L), (0L, 0L), (1L, 1L)).toDF("x", "y")
+    val mi1 = Features.mutualInformation(ident, "f", col("x"), col("y"))
+      .select("mi").as[Double].head()
+    assert(math.abs(mi1 - math.log(2)) < 1e-6)
+  }
+
+  test("A-stat: mutualInformation is symmetric and reports levels") {
+    val df = Seq(("a", 0L), ("a", 0L), ("a", 1L), ("b", 1L), ("b", 1L), ("c", 0L))
+      .toDF("x", "y")
+    val f = Features.mutualInformation(df, "f", col("x"), col("y")).head()
+    val b = Features.mutualInformation(df, "f", col("y"), col("x")).head()
+    assert(f.getAs[Long]("mi_nano") == b.getAs[Long]("mi_nano"))
+    assert(f.getAs[Long]("levels_x") == 3L && f.getAs[Long]("levels_y") == 2L)
+    assert(f.getAs[Long]("n") == 6L)
+  }
+
+  // ---- BH-FDR ----
+  test("A-stat: bhDiscoveries — a deviant group is discovered, uniform ones are not") {
+    // 9 groups at the global rate, one group far above it
+    val rows = (0 until 9).flatMap { g =>
+      (0 until 100).map(i => (g.toLong, if (i < 20) "R" else "N"))
+    } ++ (0 until 100).map(i => (9L, if (i < 80) "R" else "N"))
+    val df = rows.toDF("grp", "flag")
+    val out = Experimentation.bhDiscoveries(df, "grp", col("flag") === "R")
+      .collect()
+    val byGrp = out.map(r => r.getAs[Long]("grp") -> r).toMap
+    assert(byGrp(9L).getAs[Boolean]("discovery"))
+    assert(byGrp(9L).getAs[Long]("p_rank") == 1L)
+    // the uniform groups sit close to the (shifted) global rate; none
+    // should clear the BH bar once group 9 is accounted
+    assert(out.count(_.getAs[Boolean]("discovery")) < 10)
+    // discoveries form a PREFIX of the p-rank order (step-up property)
+    val flags = out.sortBy(_.getAs[Long]("p_rank")).map(_.getAs[Boolean]("discovery"))
+    assert(!flags.dropWhile(identity).contains(true))
+  }
+
+  test("A-stat: bhDiscoveries p-value finish — z=0 maps to p within approx error of 1") {
+    // two groups, identical rates -> z exactly 0 -> erfc approx at 0
+    val df = ((0 until 50).map(i => (1L, i < 10)) ++
+      (0 until 50).map(i => (2L, i < 10))).toDF("grp", "s")
+    val out = Experimentation.bhDiscoveries(df, "grp", col("s"))
+      .select("p_nano").as[Long].collect()
+    assert(out.forall(p => math.abs(p - 1000000000L) < 10L)) // A&S |err| <= 1.5e-7
+  }
+
+  // ---- CUPED ----
+  test("A-stat: cuped — hand-computed theta and adjusted means on a 6-unit fixture") {
+    // units: (x pre-cents, y post-cents, arm)
+    val units = Seq(
+      (100L, 210L, 0L), (200L, 395L, 0L), (300L, 610L, 0L),
+      (100L, 205L, 1L), (200L, 410L, 1L), (300L, 590L, 1L))
+      .toDF("x_cents", "y_cents", "arm")
+    val out = Experimentation.cuped(units, "x_cents", "y_cents", "arm")
+      .orderBy("arm").collect()
+    // exact-sums finish, recomputed by hand:
+    val xs = Seq(100.0, 200.0, 300.0, 100.0, 200.0, 300.0)
+    val ys = Seq(210.0, 395.0, 610.0, 205.0, 410.0, 590.0)
+    val n = 6.0
+    val theta = (n * xs.zip(ys).map { case (a, b) => a * b }.sum - xs.sum * ys.sum) /
+      (n * xs.map(a => a * a).sum - xs.sum * xs.sum)
+    val xbar = xs.sum / n
+    def adj(ix: Seq[Int]) = {
+      val ya = ix.map(ys).sum / ix.size
+      val xa = ix.map(xs).sum / ix.size
+      (ya - theta * (xa - xbar)) / 100.0
+    }
+    assert(out(0).getAs[Long]("theta_ppm") == math.round(theta * 1e6))
+    assert(math.abs(out(0).getAs[Double]("mean_y_adj") - adj(Seq(0, 1, 2))) < 1e-6)
+    assert(math.abs(out(1).getAs[Double]("mean_y_adj") - adj(Seq(3, 4, 5))) < 1e-6)
+    // both arms see the same pre-period mix here, so the adjustment
+    // must leave the arm DIFFERENCE unchanged (CUPED unbiasedness)
+    val rawDiff = out(0).getAs[Double]("mean_y") - out(1).getAs[Double]("mean_y")
+    val adjDiff = out(0).getAs[Double]("mean_y_adj") - out(1).getAs[Double]("mean_y_adj")
+    assert(math.abs(rawDiff - adjDiff) < 1e-6)
+    // strong x-y correlation in the fixture -> large variance reduction
+    assert(out(0).getAs[Long]("var_reduction_ppm") > 900000L)
+  }
+
+  // ---- label propagation ----
+  test("E2+: labelPropagation separates two cliques joined by a bridge") {
+    val edges = Seq(
+      (1L, 2L), (1L, 3L), (2L, 3L), // clique A
+      (4L, 5L), (4L, 6L), (5L, 6L), // clique B
+      (3L, 4L))                     // bridge
+      .toDF("src", "dst")
+    val out = Graph.labelPropagation(edges, "src", "dst", iters = 3)
+      .collect().map(r => r.getAs[Long]("node") -> r.getAs[Long]("community"))
+      .toMap
+    // hand-simulated synchronous min-tie-break rounds
+    assert(out == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 3L, 5L -> 3L, 6L -> 3L))
+  }
+
+  test("E2+: labelPropagation is deterministic under repartitioning") {
+    val r = new scala.util.Random(11)
+    val edges = (0 until 300).map(_ => (r.nextInt(40).toLong, r.nextInt(40).toLong))
+      .filter { case (a, b) => a != b }
+    val a = Graph.labelPropagation(edges.toDF("src", "dst"), "src", "dst", 3)
+      .collect().map(x => (x.getLong(0), x.getLong(1))).sorted.toSeq
+    val b = Graph.labelPropagation(edges.toDF("src", "dst").repartition(7), "src", "dst", 3)
+      .collect().map(x => (x.getLong(0), x.getLong(1))).sorted.toSeq
+    assert(a == b)
+  }
+}
