@@ -417,4 +417,69 @@ object Graph {
     }
     labels.select(col("node"), col("lab").as("community"))
   }
+
+  /** HITS hubs & authorities (Kleinberg 1999 — public literature) on a
+    * DIRECTED edge list: authority = endorsed by good hubs, hub =
+    * endorses good authorities — the asymmetric companion to
+    * [[pageRank]] for bipartite-flavored graphs (buyers→products,
+    * crawlers→documents, queries→clicked results) where "important on
+    * the left" and "important on the right" are different questions.
+    *
+    * Fixed `iters` synchronous rounds in integer micro-units: each
+    * half-round is one equi-join + one key-side sum; scores renormalize
+    * by the round's MAX via integer floor division (`v * unit div
+    * max`), so every intermediate is a long and the trajectory is
+    * bit-identical under any partitioning and against an unrolled-CTE
+    * oracle. Duplicate edges are collapsed.
+    *
+    * Returns (node, hub_u, auth_u) for every node on either side;
+    * nodes with no out-edges have hub_u = 0, no in-edges auth_u = 0.
+    *
+    * Scale: per half-round, one node-keyed join + one dst(src)-keyed
+    * agg — uniform id keys, no driver traffic; the two normalization
+    * maxima broadcast as scalars. Degree × unit products stay ≤
+    * 10¹⁵ for degrees to 10⁹. */
+  def hits(edges: DataFrame, srcCol: String, dstCol: String,
+      iters: Int = 2, unit: Long = 1000000L): DataFrame = {
+    require(iters >= 1, "iters must be >= 1")
+    val e = edges.select(checkedLong(col(srcCol)).as("src"),
+        checkedLong(col(dstCol)).as("dst"))
+      .distinct().localCheckpoint() // read 2× per round
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node"))).distinct()
+      .localCheckpoint()
+    var scores = nodes.withColumn("hub_u", lit(unit))
+      .withColumn("auth_u", lit(unit))
+    var i = 0
+    while (i < iters) {
+      // the raw half-round sums are node-sized and feed two consumers
+      // (their max + the normalized frame) — materialize the expensive
+      // join+agg once; the derived selects re-read the blocks
+      val authRaw = e.join(
+          scores.select(col("node").as("src"), col("hub_u")), "src")
+        .groupBy(col("dst").as("node")).agg(sum(col("hub_u")).as("__a"))
+        .localCheckpoint()
+      val aMax = authRaw.agg(max(col("__a")).as("__amax"))
+      val auth = authRaw.crossJoin(broadcast(aMax))
+        .select(col("node"), expr(s"(__a * ${unit}L) div __amax").as("auth_u"))
+      val hubRaw = e.join(
+          auth.select(col("node").as("dst"), col("auth_u")), "dst")
+        .groupBy(col("src").as("node")).agg(sum(col("auth_u")).as("__h"))
+        .localCheckpoint()
+      val hMax = hubRaw.agg(max(col("__h")).as("__hmax"))
+      val hub = hubRaw.crossJoin(broadcast(hMax))
+        .select(col("node"), expr(s"(__h * ${unit}L) div __hmax").as("hub_u"))
+      // scores has a SINGLE consumer (next round's join, or the
+      // caller) and its parents are checkpointed — keep it lazy; the
+      // raw-frame checkpoints above already bound re-execution
+      scores = nodes
+        .join(hub, Seq("node"), "left")
+        .join(auth, Seq("node"), "left")
+        .select(col("node"),
+          coalesce(col("hub_u"), lit(0L)).as("hub_u"),
+          coalesce(col("auth_u"), lit(0L)).as("auth_u"))
+      i += 1
+    }
+    scores
+  }
 }

@@ -177,4 +177,121 @@ object Evaluation {
             " div (cast(cum_n as decimal(38,0)) * __tp)")))
       .drop("__tn", "__tp")
   }
+
+  /** Calibration audit (reliability bins + expected calibration
+    * error; Naeini et al. AAAI'15 popularized ECE — public
+    * literature): does a confidence score MEAN what it says? Bin rows
+    * by confidence (ppm, `bins` equal-width bins of [0, 1]), compare
+    * each bin's mean confidence against its realized positive rate,
+    * and weight the absolute gaps into one number. The standard audit
+    * of quality/filter scores before they gate a corpus, and of LLM
+    * judge confidences before they route data.
+    *
+    * Fully integer: confidence arrives in exact ppm, bin means and
+    * rates are integer `div` quotients, ECE is the count-weighted
+    * integer gap sum — bit-identical on any engine/partitioning.
+    *
+    * Returns one row per non-empty bin: (bin, n, mean_conf_ppm,
+    * rate_ppm, gap_ppm, ece_ppm) — ece_ppm is the dataset-level
+    * constant repeated per row.
+    *
+    * Scale: one bin-keyed agg over the fact table (map-side combine,
+    * ≤ `bins` groups) + a broadcast-back of the scalar ECE. */
+  def calibrationBins(df: DataFrame, confPpmCol: Column, labelCol: Column,
+      bins: Int = 10): DataFrame = {
+    require(bins >= 2, "need >= 2 bins")
+    val binned = df.select(
+        confPpmCol.cast("long").as("__conf"),
+        labelCol.cast("long").as("__y"))
+      .withColumn("bin",
+        expr(s"least(${bins - 1}L, (__conf * $bins) div 1000000L)"))
+      .groupBy(col("bin")).agg(
+        count(lit(1)).as("n"),
+        sum(col("__conf")).as("__sc"),
+        sum(col("__y")).as("__sy"))
+      .withColumn("mean_conf_ppm", expr("__sc div n"))
+      .withColumn("rate_ppm", expr("(__sy * 1000000L) div n"))
+      .withColumn("gap_ppm", abs(col("mean_conf_ppm") - col("rate_ppm")))
+      .localCheckpoint() // ≤ bins rows; read by the ECE rollup + output
+    val ece = binned.agg(
+      expr("sum(n * gap_ppm) div sum(n)").as("ece_ppm"))
+    binned.crossJoin(broadcast(ece))
+      .select(col("bin"), col("n"), col("mean_conf_ppm"), col("rate_ppm"),
+        col("gap_ppm"), col("ece_ppm"))
+  }
+
+  /** Bradley-Terry strength estimation (Bradley & Terry 1952; the
+    * minorization-maximization update from Hunter 2004 — public
+    * literature) over pairwise win/loss records: the aggregation step
+    * that turns "A beat B" preference data — LLM judge votes, arena
+    * battles, interleaving clicks — into a single strength ranking.
+    *   p_i ← w_i / Σ_j n_ij / (p_i + p_j)
+    *
+    * Determinism contract: strengths live in integer micro-units;
+    * each round's pair term is `round(n·10¹² / (p_i+p_j))` (one
+    * correctly-rounded double divide of integer-valued operands —
+    * identical on any engine), summed as integers, and the update is
+    * an exact integral divide. Fixed `iters` rounds, no convergence
+    * test — the whole trajectory replays bit-for-bit in an
+    * unrolled-CTE oracle.
+    *
+    * Returns (item, games, wins, strength_u, share_ppm) — share is
+    * strength normalized over items.
+    *
+    * Scale: the game log reduces once to the pair matrix (bounded by
+    * items², usually far sparser); every round is pair-matrix-sized —
+    * two item-keyed joins + one item-keyed sum. 10⁹ games over 10³
+    * items iterate on ≤ 10⁶ pair rows regardless of log size. */
+  def bradleyTerry(games: DataFrame, winnerCol: Column, loserCol: Column,
+      iters: Int = 3, unit: Long = 1000000L): DataFrame = {
+    require(iters >= 1, "iters must be >= 1")
+    val g = games.select(winnerCol.cast("long").as("__w"),
+      loserCol.cast("long").as("__l")).filter(col("__w") =!= col("__l"))
+    // collapse the game log ONCE to directed pair counts — wins and
+    // the undirected matrix both derive from it, so the (possibly
+    // join-heavy) game generation upstream is evaluated exactly once
+    val dp = g.groupBy(col("__w"), col("__l")).agg(count(lit(1)).as("__c"))
+      .localCheckpoint()
+    val np = dp.select(least(col("__w"), col("__l")).as("i"),
+        greatest(col("__w"), col("__l")).as("j"), col("__c"))
+      .groupBy(col("i"), col("j")).agg(sum(col("__c")).as("n"))
+      .localCheckpoint() // pair matrix: read twice per round
+    val wins = dp.groupBy(col("__w").as("item")).agg(sum(col("__c")).as("wins"))
+    val items = np.select(explode(array(
+        struct(col("i").as("item"), col("n")),
+        struct(col("j").as("item"), col("n")))).as("e"))
+      .select(col("e.item").as("item"), col("e.n").as("n"))
+      .groupBy(col("item")).agg(sum(col("n")).as("games"))
+      .join(wins, Seq("item"), "left")
+      .select(col("item"), col("games"), coalesce(col("wins"), lit(0L)).as("wins"))
+      .localCheckpoint() // node-sized; read every round + at finish
+    var p = items.select(col("item"), lit(unit).as("p_u"))
+    var r = 0
+    while (r < iters) {
+      val d = np
+        .join(p.select(col("item").as("i"), col("p_u").as("__pi")), "i")
+        .join(p.select(col("item").as("j"), col("p_u").as("__pj")), "j")
+        .withColumn("__d", round(col("n").cast("double") * 1e12 /
+          greatest(lit(1L), col("__pi") + col("__pj")).cast("double"), 0)
+          .cast("long"))
+      val dsum = d.select(explode(array(
+          struct(col("i").as("item"), col("__d")),
+          struct(col("j").as("item"), col("__d")))).as("e"))
+        .select(col("e.item").as("item"), col("e.__d").as("__d"))
+        .groupBy(col("item"))
+        .agg(sum(col("__d").cast("decimal(38,0)")).as("__D"))
+      p = items.join(dsum, Seq("item"))
+        .select(col("item"),
+          expr("(cast(wins as decimal(38,0)) * 1000000000000)" +
+            " div greatest(cast(1 as decimal(38,0)), __D)").as("p_u"))
+        .localCheckpoint() // node-sized round snapshot
+      r += 1
+    }
+    val tot = p.agg(sum(col("p_u").cast("decimal(38,0)")).as("__tot"))
+    items.join(p, Seq("item")).crossJoin(broadcast(tot))
+      .select(col("item"), col("games"), col("wins"),
+        col("p_u").as("strength_u"),
+        expr("(cast(p_u as decimal(38,0)) * 1000000)" +
+          " div greatest(cast(1 as decimal(38,0)), __tot)").as("share_ppm"))
+  }
 }

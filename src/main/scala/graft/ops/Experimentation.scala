@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Online-experimentation statistics beyond the per-metric tests in
@@ -144,5 +144,78 @@ object Experimentation {
         col("p_rank"),
         (col("p_rank") <= col("__k")).as("discovery"))
       .orderBy(col("p_rank"))
+  }
+
+  /** Difference-in-differences (Card & Krueger 1994 canonical form —
+    * public literature): the causal workhorse when treatment was NOT
+    * randomized — compare the treated group's pre→post change against
+    * the control group's, so any shared trend subtracts out:
+    *   DiD = (ȳ_t,post − ȳ_t,pre) − (ȳ_c,post − ȳ_c,pre).
+    *
+    * Input: unit-grain rows with integer-cent metric, a boolean
+    * treated flag and a boolean post flag. One pass computes the four
+    * exact cell sums; means and the estimate are a 4-row double finish
+    * (dollars, 6dp) mirrored in the oracle.
+    *
+    * Returns ONE row: (n_t_pre, n_t_post, n_c_pre, n_c_post,
+    * mean_t_pre, mean_t_post, mean_c_pre, mean_c_post, did).
+    *
+    * Scale: one map-side-combinable agg to FOUR groups, then a 4-row
+    * pivot — nothing downstream of the fact scan exceeds four rows. */
+  def diffInDiff(df: DataFrame, yCents: Column, treatedCond: Column,
+      postCond: Column): DataFrame = {
+    val d38 = "decimal(38,0)"
+    val cells = df.select(yCents.cast("long").as("__y"),
+        treatedCond.cast("int").as("__t"), postCond.cast("int").as("__p"))
+      .groupBy(col("__t"), col("__p"))
+      .agg(count(lit(1)).as("__n"), sum(col("__y").cast(d38)).as("__s"))
+    def cell(t: Int, p: Int, alias: String) = Seq(
+      max(when(col("__t") === t && col("__p") === p, col("__n")))
+        .as(s"n_$alias"),
+      max(when(col("__t") === t && col("__p") === p,
+        col("__s").cast("double") / col("__n") / 100.0)).as(s"mean_$alias"))
+    val aggs = cell(1, 0, "t_pre") ++ cell(1, 1, "t_post") ++
+      cell(0, 0, "c_pre") ++ cell(0, 1, "c_post")
+    cells.agg(aggs.head, aggs.tail: _*)
+      .select(col("n_t_pre"), col("n_t_post"), col("n_c_pre"), col("n_c_post"),
+        round(col("mean_t_pre"), 6).as("mean_t_pre"),
+        round(col("mean_t_post"), 6).as("mean_t_post"),
+        round(col("mean_c_pre"), 6).as("mean_c_pre"),
+        round(col("mean_c_post"), 6).as("mean_c_post"),
+        round((col("mean_t_post") - col("mean_t_pre")) -
+          (col("mean_c_post") - col("mean_c_pre")), 6).as("did"))
+  }
+
+  /** Experiment power planning: absolute minimum detectable effect on
+    * a conversion rate, per stratum — "with this many units split
+    * 50/50, how small a lift could we even see?" The sizing question
+    * every experiment review asks FIRST, answered from data already
+    * in the warehouse.
+    *
+    *   MDE ≈ (z_{1−α/2} + z_{power}) · √(2·p·(1−p)/(n/2))
+    *
+    * z-values are LITERAL constants (α = 5% two-sided → 1.959964,
+    * power = 80% → 0.841621 — the Benford/NDCG literal-table
+    * discipline), so the finish touches only ×, ÷ and √, ALL
+    * correctly-rounded IEEE operations: both engines produce
+    * identical doubles with no libm exposure.
+    *
+    * Returns per stratum: (stratum, n, positives, p (6dp), mde_ppm).
+    *
+    * Scale: one stratum-keyed agg over the fact table; the finish is
+    * |strata|-sized. */
+  def mdeByStratum(df: DataFrame, stratumCol: Column,
+      successCond: Column): DataFrame = {
+    val zSum = 1.959964 + 0.841621 // z_0.975 + z_0.80, literal
+    df.select(stratumCol.as("stratum"), successCond.cast("long").as("__y"))
+      .groupBy(col("stratum"))
+      .agg(count(lit(1)).as("n"), sum(col("__y")).as("positives"))
+      .withColumn("__p", col("positives").cast("double") / col("n").cast("double"))
+      .withColumn("p", round(col("__p"), 6))
+      .withColumn("mde_ppm",
+        round(lit(zSum) * sqrt(lit(2.0) * col("__p") * (lit(1.0) - col("__p")) /
+          (col("n").cast("double") / 2.0)) * 1e6, 0).cast("long"))
+      .select(col("stratum"), col("n"), col("positives"), col("p"),
+        col("mde_ppm"))
   }
 }

@@ -4,15 +4,17 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.core.Tables
 import graft.ext.{Graph, JaroWinkler, TextAnalysis}
-import graft.ops.{Experimentation, Features}
+import graft.ops.{Evaluation, Experimentation, Features}
 
-/** Round-4 (batch 22): similarity-scored entity resolution on a native
-  * Jaro-Winkler expression, corpus drift (Jensen-Shannon), mutual-
-  * information feature ranking, multiple-testing control (Benjamini-
-  * Hochberg), CUPED variance reduction, and label-propagation
-  * communities. Same exactness discipline as the other Analytics
-  * modules: integer/decimal corpus sums, double finishes mirrored
-  * token-for-token in the oracle SQL. */
+/** Round-4 (batches 22-23): similarity-scored entity resolution on a
+  * native Jaro-Winkler expression, corpus drift (Jensen-Shannon),
+  * mutual-information feature ranking, multiple-testing control
+  * (Benjamini-Hochberg), CUPED variance reduction, label-propagation
+  * communities; HITS hubs/authorities, difference-in-differences,
+  * MDE power planning, Bradley-Terry preference strengths and the
+  * calibration/ECE audit. Same exactness discipline as the other
+  * Analytics modules: integer/decimal corpus sums, double finishes
+  * mirrored token-for-token in the oracle SQL. */
 object Analytics7 {
 
   private val PartOffset = 1099511627776L // 2^40, same node-space split as q100
@@ -344,5 +346,248 @@ object Analytics7 {
       "result is partition-invariant; on a dedup pair graph this splits the " +
       "mega-component q70 would report into template families.")
 
-  val all: Seq[Declared] = Seq(q217, q218, q219, q220, q221, q222)
+  /** q223 — E2+/E6: HITS hubs & authorities on the DIRECTED
+    * supplier→part graph — hub quality for suppliers, authority for
+    * parts, in one fixed-round integer recursion (q100's PageRank
+    * answers "globally central?"; HITS answers the asymmetric
+    * question). 2 rounds, max-normalized in integer micro-units,
+    * replayed by an unrolled oracle. */
+  val q223 = Declared(
+    "q223_hits", "E2+,E6",
+    (s, dir) => {
+      val edges = Tables.lineitem(s, dir)
+        .select(col("l_suppkey").as("src"),
+          (col("l_partkey") + PartOffset).as("dst"))
+      Graph.hits(edges, "src", "dst", iters = 2)
+        .filter(col("node") < PartOffset)
+        .select(col("node").as("supplier"), col("hub_u"), col("auth_u"))
+        .orderBy(col("supplier"))
+    },
+    Some {
+      def half(r: Int, prev: String) =
+        s"""ar$r AS MATERIALIZED (
+           |  SELECT e.dst AS node, CAST(sum(s.hub_u) AS BIGINT) AS a
+           |  FROM e JOIN $prev s ON e.src = s.node GROUP BY e.dst),
+           |am$r AS (SELECT max(a) AS amax FROM ar$r),
+           |au$r AS MATERIALIZED (
+           |         SELECT node, (a * 1000000) // amax AS auth_u
+           |         FROM ar$r CROSS JOIN am$r),
+           |hr$r AS MATERIALIZED (
+           |  SELECT e.src AS node, CAST(sum(au.auth_u) AS BIGINT) AS h
+           |  FROM e JOIN au$r au ON e.dst = au.node GROUP BY e.src),
+           |hm$r AS (SELECT max(h) AS hmax FROM hr$r),
+           |hu$r AS (SELECT node, (h * 1000000) // hmax AS hub_u
+           |         FROM hr$r CROSS JOIN hm$r),
+           |s$r AS MATERIALIZED (
+           |  SELECT n.node,
+           |    coalesce(hu$r.hub_u, 0) AS hub_u,
+           |    coalesce(au$r.auth_u, 0) AS auth_u
+           |  FROM nodes n
+           |  LEFT JOIN hu$r ON n.node = hu$r.node
+           |  LEFT JOIN au$r ON n.node = au$r.node)""".stripMargin
+      s"""WITH e AS MATERIALIZED (
+         |  SELECT DISTINCT l_suppkey AS src, l_partkey + 1099511627776 AS dst
+         |  FROM lineitem),
+         |nodes AS MATERIALIZED (
+         |  SELECT src AS node FROM e UNION SELECT dst FROM e),
+         |s0 AS (SELECT node, CAST(1000000 AS BIGINT) AS hub_u,
+         |              CAST(1000000 AS BIGINT) AS auth_u FROM nodes),
+         |${half(1, "s0")},
+         |${half(2, "s1")}
+         |SELECT node AS supplier, hub_u, auth_u
+         |FROM s2 WHERE node < 1099511627776
+         |ORDER BY supplier""".stripMargin
+    },
+    "Each half-round is one node-keyed equi-join + one sum keyed on the other " +
+      "side — uniform id keys, fixed rounds, the normalization max broadcasts " +
+      "as a scalar. Integer floor-normalization keeps every intermediate a " +
+      "long, so the trajectory is partition-invariant; degree×unit products " +
+      "bound at 10¹⁵ for degrees to 10⁹.")
+
+  /** q224 — A-stat: difference-in-differences — did odd-parity
+    * customers' order values move differently across the 1998
+    * boundary than even-parity ones? Four exact cell sums in one
+    * pass; the estimate is a 4-cell double finish. */
+  val q224 = Declared(
+    "q224_did", "A-stat",
+    (s, dir) => Experimentation.diffInDiff(
+      Tables.orders(s, dir),
+      (col("o_totalprice").cast("decimal(18,2)") * 100).cast("long"),
+      col("o_custkey") % 2 === 1,
+      col("o_orderdate") >= lit("1998-01-01").cast("timestamp")),
+    Some("""WITH c AS (
+           |  SELECT CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS y,
+           |    CASE WHEN o_custkey % 2 = 1 THEN 1 ELSE 0 END AS t,
+           |    CASE WHEN o_orderdate >= TIMESTAMP '1998-01-01' THEN 1 ELSE 0 END AS p
+           |  FROM orders),
+           |g AS (SELECT t, p, CAST(count(*) AS BIGINT) AS n,
+           |             CAST(sum(y) AS HUGEINT) AS sy
+           |      FROM c GROUP BY t, p),
+           |w AS (SELECT
+           |  max(CASE WHEN t = 1 AND p = 0 THEN n END) AS n_t_pre,
+           |  max(CASE WHEN t = 1 AND p = 1 THEN n END) AS n_t_post,
+           |  max(CASE WHEN t = 0 AND p = 0 THEN n END) AS n_c_pre,
+           |  max(CASE WHEN t = 0 AND p = 1 THEN n END) AS n_c_post,
+           |  max(CASE WHEN t = 1 AND p = 0 THEN CAST(sy AS DOUBLE) / n / 100.0 END) AS m_t_pre,
+           |  max(CASE WHEN t = 1 AND p = 1 THEN CAST(sy AS DOUBLE) / n / 100.0 END) AS m_t_post,
+           |  max(CASE WHEN t = 0 AND p = 0 THEN CAST(sy AS DOUBLE) / n / 100.0 END) AS m_c_pre,
+           |  max(CASE WHEN t = 0 AND p = 1 THEN CAST(sy AS DOUBLE) / n / 100.0 END) AS m_c_post
+           |  FROM g)
+           |SELECT n_t_pre, n_t_post, n_c_pre, n_c_post,
+           |  round(m_t_pre, 6) AS mean_t_pre, round(m_t_post, 6) AS mean_t_post,
+           |  round(m_c_pre, 6) AS mean_c_pre, round(m_c_post, 6) AS mean_c_post,
+           |  round((m_t_post - m_t_pre) - (m_c_post - m_c_pre), 6) AS did
+           |FROM w""".stripMargin),
+    "One map-side-combinable agg to FOUR groups; everything after is 4 rows. " +
+      "The estimator subtracts the shared trend, which is why it survives the " +
+      "non-randomized rollouts that CUPED (q221) cannot rescue.")
+
+  /** q225 — A-stat: minimum detectable effect per customer segment —
+    * the experiment-sizing table. z-constants are literals, so the
+    * finish uses only correctly-rounded IEEE ops (×, ÷, √) and both
+    * engines agree exactly. */
+  val q225 = Declared(
+    "q225_mde", "A-stat",
+    (s, dir) => Experimentation.mdeByStratum(
+        Tables.customer(s, dir), col("c_mktsegment"),
+        col("c_acctbal") > 5000.0)
+      .orderBy(col("stratum")),
+    Some("""WITH g AS (
+           |  SELECT c_mktsegment AS stratum, CAST(count(*) AS BIGINT) AS n,
+           |    CAST(sum(CASE WHEN c_acctbal > 5000.0 THEN 1 ELSE 0 END)
+           |      AS BIGINT) AS positives
+           |  FROM customer GROUP BY 1)
+           |SELECT stratum, n, positives,
+           |  round(CAST(positives AS DOUBLE) / CAST(n AS DOUBLE), 6) AS p,
+           |  CAST(round((1.959964 + 0.841621) *
+           |    sqrt(2.0 * (CAST(positives AS DOUBLE) / CAST(n AS DOUBLE)) *
+           |         (1.0 - CAST(positives AS DOUBLE) / CAST(n AS DOUBLE)) /
+           |         (CAST(n AS DOUBLE) / 2.0)) * 1e6, 0) AS BIGINT) AS mde_ppm
+           |FROM g ORDER BY stratum""".stripMargin),
+    "One stratum-keyed agg; the finish is |strata| rows. Run BEFORE an " +
+      "experiment: a segment whose MDE exceeds the plausible effect size is a " +
+      "segment the experiment cannot read — at 100 TB this table is what stops " +
+      "underpowered launches, not the post-hoc p-value.")
+
+  /** q226 — A-stat/ML: Bradley-Terry supplier strengths from pairwise
+    * price contests inside each order — the preference-aggregation
+    * op that turns LLM-judge-style "A beat B" records into one
+    * ranking. 3 integer MM rounds, unrolled in the oracle. */
+  val q226 = Declared(
+    "q226_bradley_terry", "A-stat,E2+",
+    (s, dir) => {
+      val li = Tables.lineitem(s, dir).select(col("l_orderkey"),
+        col("l_linenumber"), col("l_suppkey"), col("l_extendedprice"))
+      val a = li.select(col("l_orderkey"), col("l_linenumber").as("__ln1"),
+        col("l_suppkey").as("__s1"), col("l_extendedprice").as("__p1"))
+      val b = li.select(col("l_orderkey"), col("l_linenumber").as("__ln2"),
+        col("l_suppkey").as("__s2"), col("l_extendedprice").as("__p2"))
+      val games = a.join(b, "l_orderkey")
+        .filter(col("__ln1") < col("__ln2") && col("__s1") =!= col("__s2") &&
+          col("__p1") =!= col("__p2"))
+        .select(
+          when(col("__p1") > col("__p2"), col("__s1")).otherwise(col("__s2"))
+            .as("winner"),
+          when(col("__p1") > col("__p2"), col("__s2")).otherwise(col("__s1"))
+            .as("loser"))
+      Evaluation.bradleyTerry(games, col("winner"), col("loser"), iters = 3)
+        .orderBy(col("strength_u").desc, col("item"))
+    },
+    Some {
+      // every multiply-referenced CTE is MATERIALIZED: the oracle
+      // engine otherwise INLINES each reference, and the per-round
+      // double references compound to 2^rounds evaluations of the
+      // pair-generation self-join (measured: minutes at sf0.1 vs
+      // seconds materialized)
+      def rnd(r: Int) =
+        s"""d$r AS MATERIALIZED (
+           |  SELECT np.i, np.j, np.n,
+           |    CAST(round(CAST(np.n AS DOUBLE) * 1e12 /
+           |      CAST(greatest(1, pi.p_u + pj.p_u) AS DOUBLE), 0) AS BIGINT) AS d
+           |  FROM np JOIN p${r - 1} pi ON np.i = pi.item
+           |          JOIN p${r - 1} pj ON np.j = pj.item),
+           |ds$r AS (
+           |  SELECT item, CAST(sum(d) AS HUGEINT) AS dd FROM (
+           |    SELECT i AS item, d FROM d$r
+           |    UNION ALL SELECT j AS item, d FROM d$r) GROUP BY item),
+           |p$r AS MATERIALIZED (
+           |  SELECT it.item,
+           |    CAST(CAST(it.wins AS HUGEINT) * 1000000000000 //
+           |         greatest(CAST(1 AS HUGEINT), ds$r.dd) AS BIGINT) AS p_u
+           |  FROM items it JOIN ds$r ON it.item = ds$r.item)""".stripMargin
+      s"""WITH g AS MATERIALIZED (
+         |  SELECT CASE WHEN a.l_extendedprice > b.l_extendedprice
+         |              THEN a.l_suppkey ELSE b.l_suppkey END AS w,
+         |         CASE WHEN a.l_extendedprice > b.l_extendedprice
+         |              THEN b.l_suppkey ELSE a.l_suppkey END AS l
+         |  FROM lineitem a JOIN lineitem b
+         |    ON a.l_orderkey = b.l_orderkey
+         |   AND a.l_linenumber < b.l_linenumber
+         |   AND a.l_suppkey <> b.l_suppkey
+         |   AND a.l_extendedprice <> b.l_extendedprice),
+         |np AS MATERIALIZED (
+         |       SELECT least(w, l) AS i, greatest(w, l) AS j,
+         |              CAST(count(*) AS BIGINT) AS n
+         |       FROM g GROUP BY 1, 2),
+         |wn AS (SELECT w AS item, CAST(count(*) AS BIGINT) AS wins
+         |       FROM g GROUP BY 1),
+         |items AS MATERIALIZED (
+         |  SELECT u.item, CAST(sum(u.n) AS BIGINT) AS games,
+         |         coalesce(max(wn.wins), 0) AS wins
+         |  FROM (SELECT i AS item, n FROM np
+         |        UNION ALL SELECT j AS item, n FROM np) u
+         |  LEFT JOIN wn ON u.item = wn.item
+         |  GROUP BY u.item),
+         |p0 AS (SELECT item, CAST(1000000 AS BIGINT) AS p_u FROM items),
+         |${(1 to 3).map(rnd).mkString(",\n")},
+         |tot AS (SELECT CAST(sum(p_u) AS HUGEINT) AS t FROM p3)
+         |SELECT it.item, it.games, it.wins, p3.p_u AS strength_u,
+         |  CAST(CAST(p3.p_u AS HUGEINT) * 1000000 //
+         |       greatest(CAST(1 AS HUGEINT), tot.t) AS BIGINT) AS share_ppm
+         |FROM items it JOIN p3 ON it.item = p3.item CROSS JOIN tot
+         |ORDER BY strength_u DESC, it.item""".stripMargin
+    },
+    "The game log reduces ONCE to the supplier-pair matrix (≤ items², far " +
+      "sparser in practice); every MM round is pair-matrix-sized — two " +
+      "item-keyed joins + one item-keyed sum. 10⁹ judge votes over 10³ models " +
+      "iterate on ≤ 10⁶ pair rows; per-order pair fan-out is bounded (≤ 7 " +
+      "line items), so game generation is linear in orders.")
+
+  /** q227 — A-stat/E4: calibration audit + ECE — does the
+    * quantity-derived pseudo-confidence mean what it says about
+    * return rates? Fully integer (ppm quotients, count-weighted gap
+    * sum), so both engines agree bit-for-bit. */
+  val q227 = Declared(
+    "q227_calibration", "A-stat,E4",
+    (s, dir) => Evaluation.calibrationBins(
+        Tables.lineitem(s, dir),
+        expr("CAST(l_quantity AS BIGINT) * 20000"),
+        (col("l_returnflag") === "R").cast("int"),
+        bins = 10)
+      .orderBy(col("bin")),
+    Some("""WITH b AS (
+           |  SELECT least(9, (CAST(l_quantity AS BIGINT) * 20000 * 10) // 1000000)
+           |           AS bin,
+           |         CAST(l_quantity AS BIGINT) * 20000 AS conf,
+           |         CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS y
+           |  FROM lineitem),
+           |a AS (SELECT bin, CAST(count(*) AS BIGINT) AS n,
+           |             CAST(sum(conf) AS BIGINT) AS sc,
+           |             CAST(sum(y) AS BIGINT) AS sy
+           |      FROM b GROUP BY 1),
+           |c AS (SELECT bin, n, sc // n AS mean_conf_ppm,
+           |             (sy * 1000000) // n AS rate_ppm
+           |      FROM a),
+           |d AS (SELECT *, abs(mean_conf_ppm - rate_ppm) AS gap_ppm FROM c),
+           |e AS (SELECT CAST(sum(n * gap_ppm) // sum(n) AS BIGINT) AS ece_ppm
+           |      FROM d)
+           |SELECT bin, n, mean_conf_ppm, rate_ppm, gap_ppm, ece_ppm
+           |FROM d CROSS JOIN e ORDER BY bin""".stripMargin),
+    "One ≤-bins-group agg over the fact table with map-side combine + a scalar " +
+      "broadcast-back. The audit every confidence-gated corpus filter needs " +
+      "BEFORE its threshold is trusted; a miscalibrated judge score silently " +
+      "reweights the training mix.")
+
+  val all: Seq[Declared] = Seq(q217, q218, q219, q220, q221, q222,
+    q223, q224, q225, q226, q227)
 }

@@ -197,4 +197,106 @@ class ExperimentationSpec extends AnyFunSuite {
       .collect().map(x => (x.getLong(0), x.getLong(1))).sorted.toSeq
     assert(a == b)
   }
+
+  // ---- HITS ----
+  test("E2+: hits — hand-computed integer trajectory on a directed star") {
+    val edges = Seq((1L, 10L), (2L, 10L), (1L, 11L)).toDF("src", "dst")
+    val out = Graph.hits(edges, "src", "dst", iters = 1)
+      .collect().map(r => r.getAs[Long]("node") ->
+        (r.getAs[Long]("hub_u"), r.getAs[Long]("auth_u"))).toMap
+    // round 1 by hand: authRaw(10)=2e6, authRaw(11)=1e6, amax=2e6
+    //   auth: 10 -> 1000000, 11 -> 500000; sources have no in-edges -> 0
+    // hubRaw(1)=1.5e6, hubRaw(2)=1e6, hmax=1.5e6
+    //   hub: 1 -> 1000000, 2 -> 666666; sinks have no out-edges -> 0
+    assert(out == Map(
+      1L -> (1000000L, 0L), 2L -> (666666L, 0L),
+      10L -> (0L, 1000000L), 11L -> (0L, 500000L)))
+  }
+
+  test("E2+: hits is deterministic under repartitioning") {
+    val r = new scala.util.Random(5)
+    val edges = (0 until 400).map(_ => (r.nextInt(30).toLong, (30 + r.nextInt(30)).toLong))
+    val a = Graph.hits(edges.toDF("src", "dst"), "src", "dst", 2)
+      .collect().map(x => (x.getLong(0), x.getLong(1), x.getLong(2))).sorted.toSeq
+    val b = Graph.hits(edges.toDF("src", "dst").repartition(9), "src", "dst", 2)
+      .collect().map(x => (x.getLong(0), x.getLong(1), x.getLong(2))).sorted.toSeq
+    assert(a == b)
+  }
+
+  // ---- difference-in-differences ----
+  test("A-stat: diffInDiff — hand cells; a shared post-period shift cancels") {
+    // treated: pre mean $2, post mean $5 (delta 3); control: $1 -> $3
+    // (delta 2) => DiD = 1
+    def rows(shift: Long) = Seq(
+      (200L, true, false), (200L, true, false),
+      (500L + shift, true, true), (500L + shift, true, true),
+      (100L, false, false), (100L, false, false),
+      (300L + shift, false, true), (300L + shift, false, true))
+    val out = rows(0L).toDF("y", "t", "p")
+    val r0 = Experimentation.diffInDiff(out, col("y"), col("t"), col("p")).head()
+    assert(r0.getAs[Double]("mean_t_pre") == 2.0 && r0.getAs[Double]("mean_t_post") == 5.0)
+    assert(r0.getAs[Double]("mean_c_pre") == 1.0 && r0.getAs[Double]("mean_c_post") == 3.0)
+    assert(r0.getAs[Double]("did") == 1.0)
+    assert(r0.getAs[Long]("n_t_pre") == 2L && r0.getAs[Long]("n_c_post") == 2L)
+    // add $7 to EVERY post-period unit: the shared trend subtracts out
+    val r1 = Experimentation.diffInDiff(rows(700L).toDF("y", "t", "p"),
+      col("y"), col("t"), col("p")).head()
+    assert(r1.getAs[Double]("did") == 1.0)
+  }
+
+  // ---- MDE ----
+  test("A-stat: mdeByStratum matches the closed-form on a known stratum") {
+    val df = ((0 until 50).map(_ => ("A", true)) ++
+      (0 until 150).map(_ => ("A", false))).toDF("s", "y")
+    val r = Experimentation.mdeByStratum(df, col("s"), col("y")).head()
+    assert(r.getAs[Long]("n") == 200L && r.getAs[Long]("positives") == 50L)
+    assert(r.getAs[Double]("p") == 0.25)
+    val want = math.round((1.959964 + 0.841621) *
+      math.sqrt(2.0 * 0.25 * 0.75 / 100.0) * 1e6)
+    assert(r.getAs[Long]("mde_ppm") == want)
+  }
+
+  // ---- Bradley-Terry ----
+  test("A-stat: bradleyTerry — two-item fixed point equals the win rate") {
+    // A beats B 3x, B beats A 1x: BT strengths settle at ratio 3:1
+    val games = Seq((1L, 2L), (1L, 2L), (1L, 2L), (2L, 1L))
+      .toDF("winner", "loser")
+    val out = graft.ops.Evaluation.bradleyTerry(games, col("winner"), col("loser"), 3)
+      .collect().map(r => r.getAs[Long]("item") ->
+        (r.getAs[Long]("games"), r.getAs[Long]("wins"),
+          r.getAs[Long]("strength_u"), r.getAs[Long]("share_ppm"))).toMap
+    assert(out(1L) == ((4L, 3L, 1500000L, 750000L)))
+    assert(out(2L) == ((4L, 1L, 500000L, 250000L)))
+  }
+
+  test("A-stat: bradleyTerry recovers the transitive order") {
+    val games = (Seq.fill(4)((1L, 2L)) ++ Seq.fill(4)((2L, 3L)) ++
+      Seq.fill(1)((3L, 1L))).toDF("winner", "loser")
+    val s = graft.ops.Evaluation.bradleyTerry(games, col("winner"), col("loser"), 3)
+      .collect().map(r => r.getAs[Long]("item") -> r.getAs[Long]("strength_u")).toMap
+    assert(s(1L) > s(2L) && s(2L) > s(3L))
+  }
+
+  // ---- calibration ----
+  test("A-stat: calibrationBins — integer bin stats and count-weighted ECE") {
+    val rows = Seq.fill(4)((100000L, 0)) ++ Seq((100000L, 1)).map(t => (t._1, t._2)) ++
+      Seq.fill(5)((950000L, 1))
+    // bin 1: 5 rows conf 100000, 1 positive -> rate 200000, gap 100000
+    // bin 9: 5 rows conf 950000, all positive -> rate 1000000, gap 50000
+    val df = rows.toDF("conf", "y")
+    val out = graft.ops.Evaluation.calibrationBins(df, col("conf"), col("y"))
+      .orderBy("bin").collect()
+    assert(out.length == 2)
+    assert(out(0).getAs[Long]("bin") == 1L && out(0).getAs[Long]("n") == 5L)
+    assert(out(0).getAs[Long]("mean_conf_ppm") == 100000L)
+    assert(out(0).getAs[Long]("rate_ppm") == 200000L)
+    assert(out(0).getAs[Long]("gap_ppm") == 100000L)
+    assert(out(1).getAs[Long]("bin") == 9L && out(1).getAs[Long]("gap_ppm") == 50000L)
+    // ECE = (5*100000 + 5*50000) div 10 = 75000, repeated on every row
+    assert(out.forall(_.getAs[Long]("ece_ppm") == 75000L))
+    // conf exactly 1.0 clamps into the top bin
+    val clamp = Seq((1000000L, 1)).toDF("conf", "y")
+    val c = graft.ops.Evaluation.calibrationBins(clamp, col("conf"), col("y")).head()
+    assert(c.getAs[Long]("bin") == 9L)
+  }
 }
