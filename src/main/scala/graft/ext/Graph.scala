@@ -374,16 +374,28 @@ object Graph {
     * sources) + one (dst, label) agg + one per-node argmax — all keyed
     * on uniform node ids; rounds chain as one lazy plan exactly like
     * [[pageRank]], with no driver-side data movement. */
-  def labelPropagation(edges: DataFrame, srcCol: String, dstCol: String,
-      iters: Int = 3): DataFrame = {
-    require(iters >= 1, "iters must be >= 1")
-    val sym = edges.select(explode(array(
+  /** Symmetrize + dedupe an edge list into the canonical (src, dst)
+    * both-directions form the undirected ops iterate over, MATERIALIZED
+    * (it is re-read every round). Public so a caller composing several
+    * undirected ops over the SAME graph (e.g. [[labelPropagation]] then
+    * [[modularity]]) pays the explode+distinct once and passes
+    * `symmetric = true` downstream. */
+  def symmetrize(edges: DataFrame, srcCol: String, dstCol: String): DataFrame =
+    edges.select(explode(array(
         struct(checkedLong(col(srcCol)).as("src"), checkedLong(col(dstCol)).as("dst")),
         struct(checkedLong(col(dstCol)).as("src"), checkedLong(col(srcCol)).as("dst"))))
         .as("e"))
       .select(col("e.src").as("src"), col("e.dst").as("dst"))
       .filter(col("src") =!= col("dst")).distinct()
-      .localCheckpoint() // re-read every round
+      .localCheckpoint()
+
+  def labelPropagation(edges: DataFrame, srcCol: String, dstCol: String,
+      iters: Int = 3, symmetric: Boolean = false): DataFrame = {
+    require(iters >= 1, "iters must be >= 1")
+    val sym =
+      if (symmetric) edges.select(col(srcCol).cast("long").as("src"),
+        col(dstCol).cast("long").as("dst"))
+      else symmetrize(edges, srcCol, dstCol)
     // Round 1 specialization: with every node carrying its OWN id as
     // the initial label, neighbor labels are pairwise distinct, so
     // every count is provably 1 and the most-frequent-with-min-tie
@@ -481,5 +493,62 @@ object Graph {
       i += 1
     }
     scores
+  }
+
+  /** Newman modularity of a node partition (Newman & Girvan 2004 —
+    * public literature): how much denser are communities than a
+    * degree-preserving random rewiring? THE quality score for
+    * [[labelPropagation]] output — Q near 0 means the "communities"
+    * are noise; Q ≳ 0.3 means real structure worth acting on.
+    *
+    *   Q = Σ_c [ e_c/m − (d_c/2m)² ]
+    *     = Σ_c (4·m·e_c − d_c²) / (4·m²)
+    *
+    * computed EXACTLY as one integer numerator + denominator (e_c =
+    * intra-community edges, d_c = community degree sum, m = undirected
+    * edge count), then one correctly-rounded double division — so the
+    * score is bit-identical on any engine with no libm exposure.
+    *
+    * `labels`: (node, community) covering every edge endpoint.
+    * Returns ONE row: (n_communities, m, q_num, q_den, modularity).
+    *
+    * Scale: one node-keyed join per endpoint (labels onto the
+    * symmetrized edge list), one community-keyed agg each for e_c and
+    * d_c — all uniform keys; the finish is |communities| rows. */
+  def modularity(edges: DataFrame, srcCol: String, dstCol: String,
+      labels: DataFrame, nodeCol: String, communityCol: String,
+      symmetric: Boolean = false): DataFrame = {
+    val sym =
+      if (symmetric) edges.select(col(srcCol).cast("long").as("src"),
+        col(dstCol).cast("long").as("dst"))
+      else symmetrize(edges, srcCol, dstCol)
+    val lab = labels.select(col(nodeCol).cast("long").as("node"),
+      col(communityCol).cast("long").as("__c"))
+      .localCheckpoint() // read by both endpoint joins + degree side
+    // every sym row is one directed copy: m = |sym|/2; within-edges
+    // counted directed then halved keeps everything integral ×2
+    val tagged = sym
+      .join(lab.select(col("node").as("src"), col("__c").as("__cs")), "src")
+      .join(lab.select(col("node").as("dst"), col("__c").as("__cd")), "dst")
+    val perC = tagged.groupBy(col("__cs").as("community")).agg(
+      count(lit(1)).as("__deg2"), // Σ degrees in c (directed copies)
+      sum(when(col("__cs") === col("__cd"), 1L).otherwise(0L)).as("__in2"))
+    val mRow = sym.agg((count(lit(1)) / 2).cast("long").as("m"))
+    perC.crossJoin(broadcast(mRow))
+      // 4·m·e_c − d_c² with e_c = __in2/2, d_c = __deg2 →
+      // 2·m·__in2 − __deg2², all exact in decimal(38,0)
+      .withColumn("__t",
+        lit(2L).cast("decimal(38,0)") * col("m") * col("__in2") -
+          col("__deg2").cast("decimal(38,0)") * col("__deg2"))
+      .agg(count(lit(1)).as("n_communities"),
+        max(col("m")).as("m"),
+        sum(col("__t")).as("__qn"))
+      // BIGINT output surface (den = 4m² ≤ 9·10¹⁸ up to m ≈ 1.5·10⁹
+      // edges — beyond that, widen to the decimal internals)
+      .withColumn("q_num", col("__qn").cast("long"))
+      .withColumn("q_den", expr("4L * m * m"))
+      .select(col("n_communities"), col("m"), col("q_num"), col("q_den"),
+        round(col("q_num").cast("double") / col("q_den").cast("double"), 6)
+          .as("modularity"))
   }
 }

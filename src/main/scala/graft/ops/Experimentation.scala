@@ -218,4 +218,100 @@ object Experimentation {
       .select(col("stratum"), col("n"), col("positives"), col("p"),
         col("mde_ppm"))
   }
+
+  /** Inverse-propensity-scored off-policy evaluation (Horvitz-Thompson
+    * estimator; Li et al. WWW'11 replay evaluation — public
+    * literature): estimate what reward a NEW deterministic policy
+    * would have earned from logs collected under a randomized logging
+    * policy — the offline gate for router/ranker changes (e.g. "send
+    * this prompt to which model?") before any live traffic.
+    *
+    *   V̂(π) = (1/N) Σ r · 1[π(x) = a_logged] / p_log(a_logged)
+    *
+    * Input: one row per logged decision with the logged arm, the
+    * target policy's arm, an integer reward and the logging
+    * propensity as an exact PPM integer. The estimator is then fully
+    * integer: Σ r·match·10⁶·10⁶/p_ppm in exact decimal, one integral
+    * divide by N — bit-identical on any engine.
+    *
+    * Returns ONE row: (n, matches, matched_reward, value_ppm,
+    * naive_value_ppm) — naive = logged-policy mean reward, the number
+    * V̂ must beat.
+    *
+    * Scale: a single map-side-combinable global agg; no shuffle wider
+    * than one row. The variance caveat of IPS (rare-match blowup) is
+    * visible in `matches` — a small count means the estimate is
+    * noise, exactly as in production OPE. */
+  def ipsPolicyValue(df: DataFrame, loggedArm: Column, targetArm: Column,
+      reward: Column, propensityPpm: Column): DataFrame = {
+    val d38 = "decimal(38,0)"
+    df.select(loggedArm.cast("long").as("__a"),
+        targetArm.cast("long").as("__pi"),
+        reward.cast("long").as("__r"),
+        propensityPpm.cast("long").as("__p"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("__a") === col("__pi"), 1L).otherwise(0L)).as("matches"),
+        sum(when(col("__a") === col("__pi"), col("__r")).otherwise(0L))
+          .as("matched_reward"),
+        sum(when(col("__a") === col("__pi"),
+          // r · 10⁶ (ppm out) · 10⁶ / p_ppm, floor-divided exactly
+          expr("(cast(__r as decimal(38,0)) * 1000000 * 1000000) div __p")
+            .cast(d38)).otherwise(lit(0L).cast(d38))).as("__w"),
+        sum(col("__r").cast(d38)).as("__sr"))
+      .select(col("n"), col("matches"), col("matched_reward"),
+        expr("cast(__w div n as bigint)").as("value_ppm"),
+        expr("cast((__sr * 1000000) div n as bigint)").as("naive_value_ppm"))
+  }
+
+  /** Post-stratification / direct standardization (classic survey +
+    * causal adjustment — Cochran 1977, public literature): the
+    * stratum-weighted treatment effect when assignment is only
+    * ignorable WITHIN strata. Each stratum contributes its arm-mean
+    * gap weighted by its population share:
+    *   ATE = Σ_s (n_s/N) · (ȳ_t,s − ȳ_c,s)
+    *
+    * Exact integer-cent sums per (stratum, arm); each stratum's
+    * weighted term is quantized to integer micro-dollars and the
+    * terms sum as longs (order-independent); per-stratum means are a
+    * double finish. Strata missing an arm are excluded from the
+    * effect (and flagged by null means).
+    *
+    * Returns per stratum: (stratum, n, n_t, n_c, mean_t, mean_c,
+    * diff, ate_micro) with `ate_micro` the dataset-level constant.
+    *
+    * Scale: one (stratum, arm) agg over the fact table + a
+    * |strata|-row finish; the scalar ATE broadcasts back. */
+  def stratifiedAte(df: DataFrame, stratumCol: Column, yCents: Column,
+      treatedCond: Column): DataFrame = {
+    val d38 = "decimal(38,0)"
+    val cells = df.select(stratumCol.as("stratum"),
+        treatedCond.cast("int").as("__t"), yCents.cast("long").as("__y"))
+      .groupBy(col("stratum"), col("__t"))
+      .agg(count(lit(1)).as("__n"), sum(col("__y").cast(d38)).as("__s"))
+    val strata = cells.groupBy(col("stratum")).agg(
+        sum(col("__n")).as("n"),
+        max(when(col("__t") === 1, col("__n"))).as("n_t"),
+        max(when(col("__t") === 0, col("__n"))).as("n_c"),
+        max(when(col("__t") === 1, col("__s"))).as("__st"),
+        max(when(col("__t") === 0, col("__s"))).as("__sc"))
+      .withColumn("mean_t",
+        round(col("__st").cast("double") / col("n_t") / 100.0, 6))
+      .withColumn("mean_c",
+        round(col("__sc").cast("double") / col("n_c") / 100.0, 6))
+      .withColumn("diff",
+        round(col("__st").cast("double") / col("n_t") / 100.0 -
+          col("__sc").cast("double") / col("n_c") / 100.0, 6))
+      .localCheckpoint() // |strata| rows; read by the ATE rollup + output
+    val tot = strata.filter(col("n_t").isNotNull && col("n_c").isNotNull)
+      .withColumn("__term_micro", round(
+        col("n").cast("double") *
+          (col("__st").cast("double") / col("n_t") / 100.0 -
+            col("__sc").cast("double") / col("n_c") / 100.0) * 1e6, 0)
+        .cast("long"))
+      .agg(sum(col("__term_micro")).as("__tm"), sum(col("n")).as("__tn"))
+      .select(expr("__tm div __tn").as("ate_micro"))
+    strata.crossJoin(broadcast(tot))
+      .select(col("stratum"), col("n"), col("n_t"), col("n_c"),
+        col("mean_t"), col("mean_c"), col("diff"), col("ate_micro"))
+  }
 }

@@ -588,6 +588,159 @@ object Analytics7 {
       "BEFORE its threshold is trusted; a miscalibrated judge score silently " +
       "reweights the training mix.")
 
+  /** q228 — E2+/E6: modularity of the q222 label-propagation
+    * partition — the quality gate that tells you whether those
+    * communities are real structure or noise. Exact integer
+    * numerator/denominator; the only double op is one
+    * correctly-rounded division. */
+  val q228 = Declared(
+    "q228_modularity", "E2+,E6",
+    (s, dir) => {
+      val edges = Tables.lineitem(s, dir)
+        .select(col("l_suppkey").as("src"),
+          (col("l_partkey") + PartOffset).as("dst"))
+      // one symmetrize pays for both the LPA rounds and the audit
+      val sym = Graph.symmetrize(edges, "src", "dst")
+      val labels = Graph.labelPropagation(sym, "src", "dst", iters = 3,
+        symmetric = true)
+      Graph.modularity(sym, "src", "dst", labels, "node", "community",
+        symmetric = true)
+    },
+    Some {
+      def round(i: Int) =
+        s"""c$i AS (
+           |  SELECT s.dst AS node, l.lab, count(*) AS c
+           |  FROM sym s JOIN l${i - 1} l ON s.src = l.node GROUP BY 1, 2),
+           |l$i AS MATERIALIZED (
+           |  SELECT node, lab FROM (
+           |    SELECT node, lab,
+           |      row_number() OVER (PARTITION BY node ORDER BY c DESC, lab) AS rn
+           |    FROM c$i) WHERE rn = 1)""".stripMargin
+      s"""WITH e0 AS MATERIALIZED (
+         |  SELECT DISTINCT l_suppkey AS a, l_partkey + 1099511627776 AS b
+         |  FROM lineitem),
+         |sym AS MATERIALIZED (
+         |  SELECT a AS src, b AS dst FROM e0
+         |  UNION
+         |  SELECT b AS src, a AS dst FROM e0),
+         |l0 AS (SELECT DISTINCT src AS node, src AS lab FROM sym),
+         |${(1 to 3).map(round).mkString(",\n")},
+         |tagged AS (
+         |  SELECT ls.lab AS cs, ld.lab AS cd
+         |  FROM sym s JOIN l3 ls ON s.src = ls.node
+         |              JOIN l3 ld ON s.dst = ld.node),
+         |perc AS (
+         |  SELECT cs AS community, CAST(count(*) AS BIGINT) AS deg2,
+         |    CAST(sum(CASE WHEN cs = cd THEN 1 ELSE 0 END) AS BIGINT) AS in2
+         |  FROM tagged GROUP BY 1),
+         |mm AS (SELECT CAST(count(*) // 2 AS BIGINT) AS m FROM sym),
+         |t AS (SELECT 2 * m * in2 - deg2 * deg2 AS tt
+         |      FROM perc CROSS JOIN mm),
+         |a AS (SELECT CAST(count(*) AS BIGINT) AS n_communities,
+         |             CAST(sum(tt) AS BIGINT) AS q_num FROM t)
+         |SELECT n_communities, m, q_num, 4 * m * m AS q_den,
+         |  round(CAST(q_num AS DOUBLE) / CAST(4 * m * m AS DOUBLE), 6)
+         |    AS modularity
+         |FROM a CROSS JOIN mm""".stripMargin
+    },
+    "Two node-keyed joins (labels onto each endpoint) + two community-keyed " +
+      "aggs — the same key discipline as the LPA rounds it audits. Run after " +
+      "every community detection at scale: acting on a Q≈0 partition (routing, " +
+      "dedup pools) is acting on noise.")
+
+  /** q229 — A-stat/eval: IPS off-policy evaluation — from decisions
+    * logged under uniform-over-k randomization (the first line's
+    * supplier), estimate the reward of the deterministic min-supplier
+    * routing policy. Fully integer Horvitz-Thompson estimator. */
+  val q229 = Declared(
+    "q229_ips_policy_value", "A-stat",
+    (s, dir) => {
+      val per = Tables.lineitem(s, dir).groupBy(col("l_orderkey")).agg(
+        countDistinct(col("l_suppkey")).as("k"),
+        min(col("l_suppkey")).as("target"),
+        max(when(col("l_linenumber") === 1, col("l_suppkey"))).as("logged"),
+        max(when(col("l_linenumber") === 1,
+          when(col("l_returnflag") =!= "R", 1L).otherwise(0L))).as("reward"))
+      Experimentation.ipsPolicyValue(per, col("logged"), col("target"),
+        col("reward"), expr("1000000L div k"))
+    },
+    Some("""WITH per AS (
+           |  SELECT l_orderkey,
+           |    CAST(count(DISTINCT l_suppkey) AS BIGINT) AS k,
+           |    min(l_suppkey) AS target,
+           |    max(CASE WHEN l_linenumber = 1 THEN l_suppkey END) AS logged,
+           |    max(CASE WHEN l_linenumber = 1 THEN
+           |      CASE WHEN l_returnflag <> 'R' THEN 1 ELSE 0 END END) AS reward
+           |  FROM lineitem GROUP BY l_orderkey),
+           |w AS (
+           |  SELECT CAST(count(*) AS BIGINT) AS n,
+           |    CAST(sum(CASE WHEN logged = target THEN 1 ELSE 0 END)
+           |      AS BIGINT) AS matches,
+           |    CAST(sum(CASE WHEN logged = target THEN reward ELSE 0 END)
+           |      AS BIGINT) AS matched_reward,
+           |    CAST(sum(CASE WHEN logged = target THEN
+           |      (CAST(reward AS HUGEINT) * 1000000 * 1000000) //
+           |        (1000000 // k)
+           |      ELSE 0 END) AS HUGEINT) AS wsum,
+           |    CAST(sum(reward) AS HUGEINT) AS sr
+           |  FROM per)
+           |SELECT n, matches, matched_reward,
+           |  CAST(wsum // n AS BIGINT) AS value_ppm,
+           |  CAST((sr * 1000000) // n AS BIGINT) AS naive_value_ppm
+           |FROM w""".stripMargin),
+    "One order-grain agg + one scalar agg — no row ever leaves its partition " +
+      "twice. The gate for router changes (which model serves which prompt) " +
+      "evaluated on logs alone; `matches` exposes the IPS variance caveat " +
+      "before anyone trusts the point estimate.")
+
+  /** q230 — A-stat: post-stratification treatment effect — the
+    * order-priority-adjusted spend gap between custkey parities:
+    * per-stratum arm means (exact sums) and the share-weighted ATE
+    * with per-stratum micro-quantized terms. */
+  val q230 = Declared(
+    "q230_strat_ate", "A-stat",
+    (s, dir) => Experimentation.stratifiedAte(
+        Tables.orders(s, dir), col("o_orderpriority"),
+        (col("o_totalprice").cast("decimal(18,2)") * 100).cast("long"),
+        col("o_custkey") % 2 === 1)
+      .orderBy(col("stratum")),
+    Some("""WITH c AS (
+           |  SELECT o_orderpriority AS stratum,
+           |    CASE WHEN o_custkey % 2 = 1 THEN 1 ELSE 0 END AS t,
+           |    CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS y
+           |  FROM orders),
+           |g AS (SELECT stratum, t, CAST(count(*) AS BIGINT) AS nn,
+           |             CAST(sum(y) AS HUGEINT) AS s
+           |      FROM c GROUP BY 1, 2),
+           |st AS (
+           |  SELECT stratum, CAST(sum(nn) AS BIGINT) AS n,
+           |    max(CASE WHEN t = 1 THEN nn END) AS n_t,
+           |    max(CASE WHEN t = 0 THEN nn END) AS n_c,
+           |    max(CASE WHEN t = 1 THEN s END) AS s_t,
+           |    max(CASE WHEN t = 0 THEN s END) AS s_c
+           |  FROM g GROUP BY stratum),
+           |f AS (
+           |  SELECT stratum, n, n_t, n_c,
+           |    round(CAST(s_t AS DOUBLE) / n_t / 100.0, 6) AS mean_t,
+           |    round(CAST(s_c AS DOUBLE) / n_c / 100.0, 6) AS mean_c,
+           |    round(CAST(s_t AS DOUBLE) / n_t / 100.0 -
+           |          CAST(s_c AS DOUBLE) / n_c / 100.0, 6) AS diff,
+           |    CAST(round(CAST(n AS DOUBLE) *
+           |      (CAST(s_t AS DOUBLE) / n_t / 100.0 -
+           |       CAST(s_c AS DOUBLE) / n_c / 100.0) * 1e6, 0) AS BIGINT)
+           |      AS term
+           |  FROM st),
+           |tot AS (
+           |  SELECT CAST(sum(term) AS BIGINT) // CAST(sum(n) AS BIGINT)
+           |           AS ate_micro
+           |  FROM f WHERE n_t IS NOT NULL AND n_c IS NOT NULL)
+           |SELECT stratum, n, n_t, n_c, mean_t, mean_c, diff, ate_micro
+           |FROM f CROSS JOIN tot ORDER BY stratum""".stripMargin),
+    "One (stratum, arm) agg over the fact table; the ATE is a |strata|-row " +
+      "rollup whose scalar broadcasts back. The adjustment that answers " +
+      "'is the gap just mix shift?' — the first objection to any " +
+      "non-randomized comparison at warehouse scale.")
+
   val all: Seq[Declared] = Seq(q217, q218, q219, q220, q221, q222,
-    q223, q224, q225, q226, q227)
+    q223, q224, q225, q226, q227, q228, q229, q230)
 }

@@ -299,4 +299,60 @@ class ExperimentationSpec extends AnyFunSuite {
     val c = graft.ops.Evaluation.calibrationBins(clamp, col("conf"), col("y")).head()
     assert(c.getAs[Long]("bin") == 9L)
   }
+
+  // ---- modularity ----
+  test("E2+: modularity — exact rationals on the two-clique bridge graph") {
+    val edges = Seq((1L, 2L), (1L, 3L), (2L, 3L), (4L, 5L), (4L, 6L),
+      (5L, 6L), (3L, 4L)).toDF("src", "dst")
+    val labels = Seq((1L, 1L), (2L, 1L), (3L, 1L), (4L, 2L), (5L, 2L), (6L, 2L))
+      .toDF("node", "community")
+    val r = Graph.modularity(edges, "src", "dst", labels, "node", "community")
+      .head()
+    // m = 7; per clique e = 3, d = 7: q_num = 2·(4·7·3 − 49) = 70,
+    // q_den = 4·49 = 196, Q = 70/196 ≈ 0.357143
+    assert(r.getAs[Long]("n_communities") == 2L && r.getAs[Long]("m") == 7L)
+    assert(r.getAs[Long]("q_num") == 70L && r.getAs[Long]("q_den") == 196L)
+    assert(r.getAs[Double]("modularity") == math.rint(70.0 / 196.0 * 1e6) / 1e6 ||
+      r.getAs[Double]("modularity") == 0.357143)
+    // everything-in-one-community is Q = 0 by construction
+    val one = labels.withColumn("community", lit(1L))
+    val r1 = Graph.modularity(edges, "src", "dst", one, "node", "community").head()
+    assert(r1.getAs[Long]("q_num") == 0L && r1.getAs[Double]("modularity") == 0.0)
+  }
+
+  // ---- IPS off-policy value ----
+  test("A-stat: ipsPolicyValue — hand-computed Horvitz-Thompson fixture") {
+    val rows = Seq(
+      (1L, 1L, 1L, 500000L), // match, k=2
+      (2L, 2L, 0L, 250000L), // match, zero reward
+      (1L, 2L, 1L, 500000L), // no match
+      (3L, 3L, 1L, 200000L)) // match, k=5
+      .toDF("logged", "target", "reward", "p_ppm")
+    val r = Experimentation.ipsPolicyValue(rows, col("logged"), col("target"),
+      col("reward"), col("p_ppm")).head()
+    assert(r.getAs[Long]("n") == 4L && r.getAs[Long]("matches") == 3L)
+    assert(r.getAs[Long]("matched_reward") == 2L)
+    // wsum = 1e12/5e5 + 0 + 1e12/2e5 = 2e6 + 5e6 = 7e6; value = 7e6/4
+    assert(r.getAs[Long]("value_ppm") == 1750000L)
+    assert(r.getAs[Long]("naive_value_ppm") == 750000L)
+  }
+
+  // ---- stratified ATE ----
+  test("A-stat: stratifiedAte — hand strata; single-arm stratum excluded") {
+    val rows = Seq(
+      ("A", 300L, true), ("A", 300L, true), ("A", 100L, false),
+      ("B", 500L, true), ("B", 500L, false), ("B", 500L, false),
+      ("C", 700L, true)) // no control arm: excluded from the effect
+      .toDF("s", "y", "t")
+    val out = Experimentation.stratifiedAte(rows, col("s"), col("y"), col("t"))
+      .orderBy("stratum").collect()
+    val a = out(0); val b = out(1); val cRow = out(2)
+    assert(a.getAs[Double]("mean_t") == 3.0 && a.getAs[Double]("mean_c") == 1.0)
+    assert(a.getAs[Double]("diff") == 2.0)
+    assert(b.getAs[Double]("diff") == 0.0)
+    assert(cRow.isNullAt(cRow.fieldIndex("mean_c")) &&
+      cRow.isNullAt(cRow.fieldIndex("diff")))
+    // ATE over A (n=3, diff $2) and B (n=3, diff 0): 6e6 div 6 = 1e6 micro
+    assert(out.forall(_.getAs[Long]("ate_micro") == 1000000L))
+  }
 }
