@@ -41,12 +41,12 @@ object Dedup {
     * fewer than n tokens yield an EMPTY array (no truncated shingle —
     * a 1-token doc must not emit a 1-token "3-shingle" that silently
     * skews Jaccard among very short docs). */
-  def wordShingles(text: Column, n: Int): Column = {
-    val toks = split(lower(text), "\\s+")
-    val idx = when(size(toks) >= n, sequence(lit(0), size(toks) - n))
-      .otherwise(array().cast("array<int>"))
-    array_distinct(transform(idx, i => concat_ws(" ", slice(toks, i + 1, lit(n)))))
-  }
+  def wordShingles(text: Column, n: Int): Column =
+    // native codegen expression (see [[graft.ext.WordShingles]]) —
+    // replaces the transform/slice/concat_ws higher-order formula,
+    // which never enters codegen and paid an interpreted lambda per
+    // shingle; semantics pinned identical by ExperimentationSpec
+    WordShingles.wordShingles(text, n)
 
   /** E2 — MinHash signature: `numHashes` independent min-hashes over the
     * shingle set. Hash family: xxhash64 salted by the hash index —

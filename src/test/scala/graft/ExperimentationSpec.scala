@@ -355,4 +355,38 @@ class ExperimentationSpec extends AnyFunSuite {
     // ATE over A (n=3, diff $2) and B (n=3, diff 0): 6e6 div 6 = 1e6 micro
     assert(out.forall(_.getAs[Long]("ate_micro") == 1000000L))
   }
+
+  // ---- native word shingles ----
+  test("X3: WordShingles ≡ the higher-order column formula it replaced") {
+    import graft.ext.WordShingles
+    // the OLD formula, verbatim, as the parity oracle
+    def oldShingles(text: org.apache.spark.sql.Column, n: Int) = {
+      val toks = split(lower(text), "\\s+")
+      val idx = when(size(toks) >= n, sequence(lit(0), size(toks) - n))
+        .otherwise(array().cast("array<int>"))
+      array_distinct(transform(idx, i => concat_ws(" ", slice(toks, i + 1, lit(n)))))
+    }
+    val r = new scala.util.Random(23)
+    val words = Seq("the", "Cat", "ÉTÉ", "ب", "x1", "", "straße")
+    val adversarial = Seq("", " ", "  a", "a  b   c", "one", "tab\tsep",
+      "line\nbreak", " lead and trail ", "rep rep rep rep")
+    val random = (0 until 150).map(_ =>
+      (0 until r.nextInt(12)).map(_ => words(r.nextInt(words.length)))
+        .mkString(Seq(" ", "  ", "\t")(r.nextInt(3))))
+    for (n <- Seq(1, 2, 3)) {
+      val df = (adversarial ++ random).toDF("text")
+      val both = df.select(
+        WordShingles.wordShingles(col("text"), n).as("nu"),
+        oldShingles(col("text"), n).as("old"))
+        .collect()
+      both.foreach { row =>
+        assert(row.getSeq[String](0) == row.getSeq[String](1),
+          s"n=$n mismatch: ${row.getSeq[String](0)} vs ${row.getSeq[String](1)}")
+      }
+    }
+    // null poisoning
+    val nr = Seq(Option.empty[String]).toDF("text")
+      .select(WordShingles.wordShingles(col("text"), 2)).collect()
+    assert(nr.head.isNullAt(0))
+  }
 }
