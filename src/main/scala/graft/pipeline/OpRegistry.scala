@@ -545,6 +545,52 @@ object OpRegistry {
       df, expr(str(p, "bucket_expr")), num(p, "k").toInt)),
     "cohens_d" -> (p => df => graft.ops.Aggregates.cohensD(
       df, col(str(p, "value_col")), col(str(p, "group_col")),
-      str(p, "group_a"), str(p, "group_b")))
+      str(p, "group_a"), str(p, "group_b"))),
+    // round-4 batches 22-24: entity-resolution scoring, drift,
+    // experimentation readouts, preference aggregation, communities
+    "jaro_winkler" -> (p => df => df.withColumn(
+      strOpt(p, "out_col").getOrElse("jw"),
+      graft.ext.JaroWinkler.jaroWinkler(
+        col(str(p, "a_col")), col(str(p, "b_col"))))),
+    "js_divergence" -> (p => df => graft.ext.TextAnalysis.jsDivergence(
+      df, col(str(p, "text_col")), col(str(p, "slice_col")),
+      str(p, "slice_a"), str(p, "slice_b"))),
+    "mutual_information" -> (p => df => graft.ops.Features.mutualInformation(
+      df, strOpt(p, "label").getOrElse("feature"),
+      expr(str(p, "x_expr")), expr(str(p, "y_expr")))),
+    "bh_discoveries" -> (p => df => graft.ops.Experimentation.bhDiscoveries(
+      df, str(p, "group_col"), expr(str(p, "success_expr")),
+      numOpt(p, "q_num").map(_.toInt).getOrElse(5),
+      numOpt(p, "q_den").map(_.toInt).getOrElse(100))),
+    "cuped" -> (p => df => graft.ops.Experimentation.cuped(
+      df, str(p, "x_col"), str(p, "y_col"), str(p, "arm_col"))),
+    "label_propagation" -> (p => df => graft.ext.Graph.labelPropagation(
+      df, str(p, "src_col"), str(p, "dst_col"),
+      numOpt(p, "iters").map(_.toInt).getOrElse(3))),
+    "hits" -> (p => df => graft.ext.Graph.hits(
+      df, str(p, "src_col"), str(p, "dst_col"),
+      numOpt(p, "iters").map(_.toInt).getOrElse(2))),
+    // df is the EDGE list; the partition reads from a file
+    "modularity" -> (p => df => graft.ext.Graph.modularity(
+      df, str(p, "src_col"), str(p, "dst_col"),
+      df.sparkSession.read.parquet(str(p, "labels_file")),
+      str(p, "node_col"), str(p, "community_col"))),
+    "diff_in_diff" -> (p => df => graft.ops.Experimentation.diffInDiff(
+      df, expr(str(p, "y_expr")), expr(str(p, "treated_expr")),
+      expr(str(p, "post_expr")))),
+    "mde" -> (p => df => graft.ops.Experimentation.mdeByStratum(
+      df, col(str(p, "stratum_col")), expr(str(p, "success_expr")))),
+    "bradley_terry" -> (p => df => graft.ops.Evaluation.bradleyTerry(
+      df, col(str(p, "winner_col")), col(str(p, "loser_col")),
+      numOpt(p, "iters").map(_.toInt).getOrElse(3))),
+    "calibration" -> (p => df => graft.ops.Evaluation.calibrationBins(
+      df, expr(str(p, "conf_ppm_expr")), expr(str(p, "label_expr")),
+      numOpt(p, "bins").map(_.toInt).getOrElse(10))),
+    "ips_value" -> (p => df => graft.ops.Experimentation.ipsPolicyValue(
+      df, col(str(p, "logged_col")), col(str(p, "target_col")),
+      col(str(p, "reward_col")), expr(str(p, "propensity_ppm_expr")))),
+    "stratified_ate" -> (p => df => graft.ops.Experimentation.stratifiedAte(
+      df, col(str(p, "stratum_col")), expr(str(p, "y_expr")),
+      expr(str(p, "treated_expr"))))
   ))
 }

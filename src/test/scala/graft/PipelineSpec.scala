@@ -853,4 +853,96 @@ class SourcesSinksSpec extends AnyFunSuite {
       "group_a":"A","group_b":"B"}}]}""", obs).head()
     assert(cd.getAs[Double]("cohens_d") < 0.0)
   }
+
+  test("X1: batch-22-24 registry ops run from JSON") {
+    def run(json: String, df: org.apache.spark.sql.DataFrame) =
+      Pipeline.fromJson(json).run(df)._1
+
+    val jw = run("""{"pipe":"p","operations":[{"name":"j","function":
+      "jaro_winkler","kwargs":{"a_col":"a","b_col":"b"}}]}""",
+      Seq(("martha", "marhta")).toDF("a", "b")).head()
+    assert(jw.getAs[Double]("jw") == 0.9611111111111111)
+
+    val docs = Seq(("a", "x y"), ("b", "x z")).toDF("lang", "text")
+    val jsd = run("""{"pipe":"p","operations":[{"name":"d","function":
+      "js_divergence","kwargs":{"text_col":"text","slice_col":"lang",
+      "slice_a":"a","slice_b":"b"}}]}""", docs).head()
+    assert(jsd.getAs[Long]("vocab_union") == 3L)
+
+    val mi = run("""{"pipe":"p","operations":[{"name":"m","function":
+      "mutual_information","kwargs":{"x_expr":"x","y_expr":"y",
+      "label":"f"}}]}""",
+      Seq((0L, 0L), (1L, 1L)).toDF("x", "y")).head()
+    assert(mi.getAs[String]("feature") == "f" && mi.getAs[Long]("n") == 2L)
+
+    val cup = run("""{"pipe":"p","operations":[{"name":"c","function":
+      "cuped","kwargs":{"x_col":"x","y_col":"y","arm_col":"arm"}}]}""",
+      Seq((100L, 200L, 0L), (200L, 400L, 0L), (100L, 210L, 1L),
+        (200L, 390L, 1L)).toDF("x", "y", "arm"))
+    assert(cup.count() == 2)
+
+    val edges = Seq((1L, 2L), (1L, 3L), (2L, 3L), (4L, 5L), (4L, 6L),
+      (5L, 6L), (3L, 4L)).toDF("src", "dst")
+    val lp = run("""{"pipe":"p","operations":[{"name":"l","function":
+      "label_propagation","kwargs":{"src_col":"src","dst_col":"dst",
+      "iters":3}}]}""", edges)
+    assert(lp.count() == 6)
+
+    val hits = run("""{"pipe":"p","operations":[{"name":"h","function":
+      "hits","kwargs":{"src_col":"src","dst_col":"dst","iters":1}}]}""",
+      Seq((1L, 10L), (2L, 10L)).toDF("src", "dst")).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(hits(10L) == 1000000L)
+
+    val labDir = java.nio.file.Files.createTempDirectory("graft_mod").toString
+    Seq((1L, 1L), (2L, 1L), (3L, 1L), (4L, 2L), (5L, 2L), (6L, 2L))
+      .toDF("node", "community").write.mode("overwrite")
+      .parquet(s"$labDir/labels")
+    val mod = run(s"""{"pipe":"p","operations":[{"name":"q","function":
+      "modularity","kwargs":{"src_col":"src","dst_col":"dst",
+      "labels_file":"$labDir/labels","node_col":"node",
+      "community_col":"community"}}]}""", edges).head()
+    assert(mod.getAs[Long]("q_num") == 70L && mod.getAs[Long]("q_den") == 196L)
+
+    val orders = Seq((200L, 1, 0), (500L, 1, 1), (100L, 0, 0), (300L, 0, 1))
+      .toDF("y", "t", "p")
+    val did = run("""{"pipe":"p","operations":[{"name":"d","function":
+      "diff_in_diff","kwargs":{"y_expr":"y","treated_expr":"t = 1",
+      "post_expr":"p = 1"}}]}""", orders).head()
+    assert(did.getAs[Double]("did") == 1.0)
+
+    val mde = run("""{"pipe":"p","operations":[{"name":"m","function":
+      "mde","kwargs":{"stratum_col":"s","success_expr":"y = 1"}}]}""",
+      Seq(("A", 1), ("A", 0), ("A", 0), ("A", 0)).toDF("s", "y")).head()
+    assert(mde.getAs[Double]("p") == 0.25)
+
+    val bt = run("""{"pipe":"p","operations":[{"name":"b","function":
+      "bradley_terry","kwargs":{"winner_col":"w","loser_col":"l"}}]}""",
+      Seq((1L, 2L), (1L, 2L), (1L, 2L), (2L, 1L)).toDF("w", "l"))
+      .collect().map(r => r.getLong(0) -> r.getAs[Long]("strength_u")).toMap
+    assert(bt(1L) == 1500000L && bt(2L) == 500000L)
+
+    val cal = run("""{"pipe":"p","operations":[{"name":"c","function":
+      "calibration","kwargs":{"conf_ppm_expr":"conf","label_expr":"y",
+      "bins":10}}]}""",
+      Seq((100000L, 0), (100000L, 1)).toDF("conf", "y")).head()
+    assert(cal.getAs[Long]("bin") == 1L && cal.getAs[Long]("rate_ppm") == 500000L)
+
+    val ips = run("""{"pipe":"p","operations":[{"name":"i","function":
+      "ips_value","kwargs":{"logged_col":"a","target_col":"pi",
+      "reward_col":"r","propensity_ppm_expr":"p"}}]}""",
+      Seq((1L, 1L, 1L, 500000L)).toDF("a", "pi", "r", "p")).head()
+    assert(ips.getAs[Long]("value_ppm") == 2000000L)
+
+    val ate = run("""{"pipe":"p","operations":[{"name":"a","function":
+      "stratified_ate","kwargs":{"stratum_col":"s","y_expr":"y",
+      "treated_expr":"t"}}]}""",
+      Seq(("A", 300L, true), ("A", 100L, false)).toDF("s", "y", "t")).head()
+    assert(ate.getAs[Long]("ate_micro") == 2000000L)
+
+    val bh = run("""{"pipe":"p","operations":[{"name":"b","function":
+      "bh_discoveries","kwargs":{"group_col":"g","success_expr":"y = 1"}}]}""",
+      (Seq.fill(20)((1L, 1)) ++ Seq.fill(20)((2L, 0))).toDF("g", "y"))
+    assert(bh.count() == 2)
+  }
 }
