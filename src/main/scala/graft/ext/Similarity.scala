@@ -34,7 +34,7 @@ object Similarity {
     * literal array — no join at all, one scan + TakeOrdered). */
   def topKCosine(embeddings: DataFrame, vecCol: String, idCol: String,
       query: Array[Float], k: Int): DataFrame = {
-    val q = array(query.map(v => lit(v.toDouble)): _*)
+    val q = array(query.toIndexedSeq.map(v => lit(v.toDouble)): _*)
     embeddings
       .withColumn("cosine", cosine(col(vecCol), q))
       .select(col(idCol), col("cosine"))
@@ -57,7 +57,13 @@ object Similarity {
   }
 
   /** Deterministic pseudo-random hyperplanes for sign-LSH: plane p,
-    * dim d weight = hash-derived value in [-1, 1). */
+    * dim d weight = hash-derived value in [-1, 1).
+    *
+    * productHash is deprecated in favor of caseClassHash, but the two
+    * hash DIFFERENTLY — switching would silently reassign every LSH
+    * bucket and break stored signatures; the exact current values are
+    * the contract. */
+  @annotation.nowarn("cat=deprecation")
   private def planeWeight(p: Int, d: Int): Double = {
     val h = scala.util.hashing.MurmurHash3.productHash((p, d, 0x9e3779b9))
     (h.toDouble / Int.MaxValue)
@@ -110,7 +116,7 @@ object Similarity {
     * scan to interpreted evaluation. */
   private def argminExpr(cs: Array[Array[Double]], vec: Column, dim: Int): Column = {
     val scored = cs.zipWithIndex.map { case (c, i) =>
-      val carr = array(c.map(lit): _*)
+      val carr = array(c.toIndexedSeq.map(lit): _*)
       // slice + coalesce: see projectOnPlane's dim-mismatch note
       val d2 = aggregate(
         zip_with(slice(vec, 1, dim), carr, (x, cd) => {
@@ -119,7 +125,7 @@ object Similarity {
         lit(0.0), (acc, v) => acc + v)
       struct(d2.as("d2"), lit(i).as("i"))
     }
-    array_min(array(scored: _*)).getField("i")
+    array_min(array(scored.toIndexedSeq: _*)).getField("i")
   }
 
   /** Lloyd k-means over an array column, deterministic seed (first nC
@@ -208,7 +214,7 @@ object Similarity {
     val probes = centroids.zipWithIndex
       .map { case (c, i) => (i, c.zip(qd).map { case (a, b) => (a - b) * (a - b) }.sum) }
       .sortBy(_._2).take(nProbe).map(_._1)
-    val q = array(query.map(v => lit(v.toDouble)): _*)
+    val q = array(query.toIndexedSeq.map(v => lit(v.toDouble)): _*)
     indexed.filter(col("cluster").isin(probes.toIndexedSeq: _*))
       .withColumn("cosine", cosine(col(vecCol), q))
       .select(col(idCol), col("cosine"))
@@ -269,7 +275,7 @@ object Similarity {
       val proj = (0 until dim).map(d => query(d).toDouble * planeWeight(p, d)).sum
       if (proj >= 0) 1L << p else 0L
     }.reduce(_ | _)
-    val q = array(query.map(v => lit(v.toDouble)): _*)
+    val q = array(query.toIndexedSeq.map(v => lit(v.toDouble)): _*)
     bucketed.filter(col("bucket") === qBucket)
       .withColumn("cosine", cosine(col(vecCol), q))
       .select(col(idCol), col("cosine"))

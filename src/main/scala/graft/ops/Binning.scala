@@ -119,6 +119,6 @@ object Binning {
   def styling(binned: DataFrame, valueCol: String): Seq[(String, String)] = {
     val labels = legend(binned, valueCol).collect()
       .map(r => r.getString(1))
-    labels.zip(colorMap(labels.length))
+    labels.toIndexedSeq.zip(colorMap(labels.length))
   }
 }

@@ -238,7 +238,7 @@ object SpatialOps {
         // one bounded stats pass (bbox + count → a single row) feeds
         // both the strategy choice and the pruning radius
         val fStats = features.agg(min(col("x")), max(col("x")),
-          min(col("y")), max(col("y")), count(lit(1))).head
+          min(col("y")), max(col("y")), count(lit(1))).head()
         val nF = if (fStats.isNullAt(4)) 0L else fStats.getLong(4)
         val nPos = pos.count()
         // brute also requires a broadcastable position set

@@ -25,7 +25,7 @@ object VectorOps {
     // count(when(...)) not sum(): sum over zero rows is null (NPE on getLong)
     val counts = df.agg(
       count(when(Geo.stIsEmpty(g), 1)).as("empty"),
-      count(when(!Geo.stIsEmpty(g) && !Geo.stIsValid(g), 1)).as("invalid")).head
+      count(when(!Geo.stIsEmpty(g) && !Geo.stIsValid(g), 1)).as("invalid")).head()
     val (nEmpty, nInvalid) = (counts.getLong(0), counts.getLong(1))
     if (nEmpty > 0) System.err.println(s"[graft.geo] dropping $nEmpty empty geometries")
     if (nInvalid > 0) System.err.println(s"[graft.geo] dropping $nInvalid invalid geometries")

@@ -677,7 +677,7 @@ object Analytics2 {
         .filter(col("rank") <= 50)
         .select(col("doc_id").as("id"), col("rank"))
       val probe = Tables.embeddings(s, dir).filter(col("vec_id") === 0)
-        .select(col("embedding")).head.getSeq[Float](0).toArray
+        .select(col("embedding")).head().getSeq[Float](0).toArray
       val cos = Similarity.topKCosine(
           Tables.embeddings(s, dir)
             .filter(col("vec_id") =!= 0 && col("vec_id") < 300),

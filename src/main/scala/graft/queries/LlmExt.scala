@@ -104,7 +104,7 @@ object LlmExt {
     "q44_cosine_topk", "E3",
     (s, dir) => {
       val q = Tables.embeddings(s, dir).filter(col("vec_id") === 0)
-        .select(col("embedding")).head.getSeq[Float](0).toArray
+        .select(col("embedding")).head().getSeq[Float](0).toArray
       Similarity.topKCosine(
         Tables.embeddings(s, dir).filter(col("vec_id") =!= 0),
         "embedding", "vec_id", q, k = 10)
@@ -282,7 +282,7 @@ object LlmExt {
     (s, dir) => {
       val emb = Tables.embeddings(s, dir).filter(col("vec_id") =!= 0)
       val qv = Tables.embeddings(s, dir).filter(col("vec_id") === 0)
-        .select(col("embedding")).head.getSeq[Float](0).toArray
+        .select(col("embedding")).head().getSeq[Float](0).toArray
       // the declared query rebuilds the index EVERY run (production
       // builds once, probes many); one Lloyd iteration over 4 centroids
       // exercises the full build path at bench-friendly cost — full
@@ -357,7 +357,7 @@ object LlmExt {
       val base = Tables.embeddings(s, dir).filter(col("vec_id") < 100)
         .select(col("vec_id"),
           transform(col("embedding"), x => x.cast("double")).as("embedding"))
-      val dim = base.select(size(col("embedding"))).head.getInt(0)
+      val dim = base.select(size(col("embedding"))).head().getInt(0)
       val mutated = base.select((col("vec_id") + 100000).as("vec_id"),
         transform(col("embedding"), x => x * lit(1.01) + lit(0.005)).as("embedding"))
       Similarity.cosineNearDuplicates(base.unionByName(mutated),

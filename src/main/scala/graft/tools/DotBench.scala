@@ -21,7 +21,7 @@ object DotBench {
     def t(label: String)(c: org.apache.spark.sql.Column): Unit =
       for (i <- 1 to 3) {
         val t0 = System.nanoTime()
-        df.select(sum(c)).head
+        df.select(sum(c)).head()
         println(f"[dotbench] $label run$i: ${(System.nanoTime() - t0) / 1e9}%.3f s")
       }
     t("hof fold")(aggregate(zip_with(col("v"), col("w"),

@@ -37,8 +37,8 @@ object StreamDemo {
     val streamed = spark.table("win")
     val batch = events.groupBy(window(col("ts"), "6 hours").as("w"), col("user_id"))
       .agg(count(lit(1)).as("n"))
-    val sCount = streamed.agg(sum("n")).head.getLong(0)
-    val bCount = batch.agg(sum("n")).head.getLong(0)
+    val sCount = streamed.agg(sum("n")).head().getLong(0)
+    val bCount = batch.agg(sum("n")).head().getLong(0)
     println(s"streamed_rows=${streamed.count()} batch_groups=${batch.count()}")
     println(s"streamed_events=$sCount batch_events=$bCount match=${sCount == bCount}")
     spark.stop()
