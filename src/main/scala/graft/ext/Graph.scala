@@ -551,4 +551,46 @@ object Graph {
         round(col("q_num").cast("double") / col("q_den").cast("double"), 6)
           .as("modularity"))
   }
+
+  /** E2+/ML — Adamic–Adar link prediction over a bipartite incidence
+    * (basket, item): score a candidate item pair by
+    *   AA(a,b) = Σ_{baskets o ∋ a,b} 1/ln(deg(o)),
+    * the "rare shared context counts more" principle (Adamic & Adar,
+    * "Friends and neighbors on the Web", Social Networks 2003 — public
+    * literature). Each shared basket's contribution is nano-quantized
+    * (per-basket constant — one IEEE ln of an exact integer), so the
+    * pair sum is a plain long aggregation any engine reproduces.
+    * Baskets of degree < 2 contribute no pairs and drop; a degree cap
+    * guards the quadratic per-basket explode (a basket shared by
+    * thousands of items carries ~no signal and quadratic cost — the
+    * standard frequent-item guard, same reasoning as the q202
+    * co-occurrence kernel). Returns the top-k scored pairs:
+    * (item_a, item_b, n_common, aa_nano).
+    *
+    * Scale: deg is a basket-grain agg of the distinct incidence; the
+    * pair space is Σ_o deg(o)² with deg capped — linear in baskets,
+    * never |items|². Everything keys on basket id then pair — uniform
+    * content-derived keys, map-side combinable. */
+  def adamicAdar(incidence: DataFrame, basketCol: Column, itemCol: Column,
+      topK: Int, maxBasketDegree: Int = 1000): DataFrame = {
+    val inc = incidence.select(basketCol.cast("long").as("__b"),
+      itemCol.cast("long").as("__i")).distinct()
+    val deg = inc.groupBy(col("__b")).agg(count(lit(1)).as("__deg"))
+      .filter(col("__deg") >= 2 && col("__deg") <= maxBasketDegree)
+      // nano-quantized per-basket weight: one ln per BASKET, not per pair
+      .withColumn("__w", round(lit(1e9) / log(col("__deg").cast("double")), 0)
+        .cast("long"))
+    // weight rides the a-side BEFORE the pair explode — deg is
+    // basket-grain (data-sized), so this is a plain shuffle equi-join,
+    // never a broadcast; it also semi-filters both sides to baskets
+    // that survive the degree gate
+    val a = inc.join(deg.select(col("__b"), col("__w")), "__b")
+      .select(col("__b"), col("__i").as("__ia"), col("__w"))
+    val b = inc.toDF("__b", "__ib")
+    a.join(b, "__b").filter(col("__ia") < col("__ib"))
+      .groupBy(col("__ia").as("item_a"), col("__ib").as("item_b"))
+      .agg(count(lit(1)).as("n_common"), sum(col("__w")).as("aa_nano"))
+      .orderBy(col("aa_nano").desc, col("item_a"), col("item_b"))
+      .limit(topK)
+  }
 }

@@ -651,4 +651,120 @@ object TextAnalysis {
         col("vocab_union"),
         round(col("__s_nano").cast("double") / 2 / 1e9, 6).as("jsd"))
   }
+
+  /** E4 — interpolated Kneser–Ney bigram scoring (Kneser & Ney,
+    * ICASSP'95; Chen & Goodman, 1998 — public literature): the
+    * fourth rung of the LM-quality ladder, above [[stupidBackoffScore]]
+    * — instead of backing off to raw unigram frequency it backs off to
+    * the CONTINUATION probability ("how many contexts does w2 follow"),
+    * which is what makes "francisco" (frequent, one context) score
+    * below "report" (less frequent, many contexts). With absolute
+    * discount D = 0.75 (dyadic — `c − D` is exact IEEE):
+    *   P(w2|w1) = max(c(w1w2)−D, 0)/c(w1·) + D·N1+(w1·)/c(w1·)·Pc(w2)
+    *   Pc(w2)   = (N1+(·w2) + 1) / (T + V)    (add-one keeps OOV finite)
+    * where N1+ are distinct-continuation counts, T = bigram types,
+    * V = model vocabulary. Unseen heads fall back to Pc(w2) alone.
+    * Per-bigram log scores quantize to integer micro-nats before the
+    * per-doc mean (q69's exactness argument). Returns per probe doc:
+    * (id, n_bigrams, mean_logkn).
+    *
+    * Scale: all model aggs are content-keyed with map-side partials;
+    * probe joins are Zipf-skewed on stopword heads (AQE skew-split);
+    * T/V ride a 1-row broadcast. */
+  def kneserNeyScore(model: DataFrame, probe: DataFrame,
+      textCol: String, idCol: String): DataFrame = {
+    val mbg = bigramPairs(model, textCol, idCol)
+    val pair = mbg.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("__nxy"))
+    // one pass over the pair rollup yields both head aggregates
+    val head = pair.groupBy(col("w1")).agg(sum(col("__nxy")).as("__nhead"),
+      count(lit(1)).as("__types_after"))
+    val cont = pair.groupBy(col("w2")).agg(count(lit(1)).as("__nc"))
+    val totals = pair.agg(count(lit(1)).as("__T")).crossJoin(
+      model.select(explode(tokens(col(textCol))).as("w"))
+        .agg(count_distinct(col("w")).as("__V")))
+    val pc = (coalesce(col("__nc"), lit(0L)) + 1).cast("double") /
+      (col("__T") + col("__V")).cast("double")
+    bigramPairs(probe, textCol, idCol)
+      .join(pair, Seq("w1", "w2"), "left")
+      .join(head, Seq("w1"), "left")
+      .join(cont, Seq("w2"), "left")
+      .crossJoin(broadcast(totals))
+      .withColumn("__logs_u", round(
+        when(col("__nhead").isNotNull,
+          log(greatest(coalesce(col("__nxy"), lit(0L)).cast("double") -
+            lit(0.75), lit(0.0)) / col("__nhead").cast("double") +
+            lit(0.75) * col("__types_after").cast("double") /
+            col("__nhead").cast("double") * pc))
+          .otherwise(log(pc)) * 1e6, 0).cast("long"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_bigrams"),
+        round(sum(col("__logs_u")).cast("double") / count(lit(1)) / 1e6, 6)
+          .as("mean_logkn"))
+  }
+
+  /** E4/eval — ROUGE-2 overlap between paired texts (Lin, "ROUGE: a
+    * Package for Automatic Evaluation of Summaries", ACL'04 — public
+    * literature): clipped bigram-multiset overlap,
+    *   overlap = Σ_g min(c_cand(g), c_ref(g)),
+    * precision/recall/F1 as exact-ppm integer quotients. The pairwise
+    * n-gram fidelity score a distillation or summarization pipeline
+    * tracks per generated/reference pair. Input is a PAIRS frame
+    * (pairId, candidate text, reference text). Returns
+    * (pair…, n_bi_cand, n_bi_ref, overlap, p_ppm, r_ppm, f1_ppm).
+    *
+    * Scale: both sides explode to (pair, bigram, count) rollups —
+    * content-keyed, map-side combinable; the min-join keys on
+    * (pair, bigram). Pair count, not pair², bounds everything. */
+  def rouge2(pairs: DataFrame, pairIdCol: String, candCol: String,
+      refCol: String): DataFrame = {
+    def grams(c: String, tag: String) =
+      bigramPairs(pairs.select(col(pairIdCol), col(c)), c, pairIdCol)
+        .groupBy(col(pairIdCol), concat_ws(" ", col("w1"), col("w2")).as("__g"))
+        .agg(count(lit(1)).as(s"__c$tag"))
+    val cand = grams(candCol, "c")
+    val ref = grams(refCol, "r")
+    val ov = cand.join(ref, Seq(pairIdCol, "__g"))
+      .groupBy(col(pairIdCol))
+      .agg(sum(least(col("__cc"), col("__cr"))).as("__ov"))
+    val nc = cand.groupBy(col(pairIdCol)).agg(sum(col("__cc")).as("n_bi_cand"))
+    val nr = ref.groupBy(col(pairIdCol)).agg(sum(col("__cr")).as("n_bi_ref"))
+    nc.join(nr, pairIdCol)
+      .join(ov, Seq(pairIdCol), "left")
+      .withColumn("overlap", coalesce(col("__ov"), lit(0L)))
+      .withColumn("p_ppm", expr("1000000 * overlap div n_bi_cand"))
+      .withColumn("r_ppm", expr("1000000 * overlap div n_bi_ref"))
+      // F1 cleared of fractions: 2·ov·10⁶ div (n_c + n_r)
+      .withColumn("f1_ppm", expr("2000000 * overlap div (n_bi_cand + n_bi_ref)"))
+      .select(col(pairIdCol), col("n_bi_cand"), col("n_bi_ref"),
+        col("overlap"), col("p_ppm"), col("r_ppm"), col("f1_ppm"))
+  }
+
+  /** E4/E7 — n-gram novelty of a probe corpus against a model corpus:
+    * the fraction of each probe doc's token n-gram OCCURRENCES whose
+    * TYPE never appears in the model — the cheap memorization /
+    * split-leakage screen (a "new" document whose trigrams are 90%
+    * known is a paraphrase or a leak; complements q75's exact-match
+    * decontamination). Integer counts, ppm via integer div. Returns
+    * per probe doc: (id, n_grams, n_unseen, novelty_ppm).
+    *
+    * Scale: the model's n-gram TYPE set is a content-keyed distinct —
+    * the join is an equi-join on the gram hash; no pair space. */
+  def ngramNovelty(model: DataFrame, probe: DataFrame, textCol: String,
+      idCol: String, n: Int): DataFrame = {
+    def grams(df: DataFrame) =
+      df.select(col(idCol), tokens(col(textCol)).as("__toks"))
+        .filter(size(col("__toks")) >= n)
+        .select(col(idCol), explode(transform(
+          sequence(lit(1), size(col("__toks")) - (n - 1)),
+          i => concat_ws(" ", (0 until n).map(j =>
+            element_at(col("__toks"), i + j)): _*))).as("__g"))
+    val known = grams(model).select(col("__g")).distinct()
+      .withColumn("__known", lit(1L))
+    grams(probe)
+      .join(known, Seq("__g"), "left")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("__known").isNull, 1L).otherwise(0L)).as("n_unseen"))
+      .withColumn("novelty_ppm", expr("1000000 * n_unseen div n_grams"))
+  }
 }

@@ -990,4 +990,95 @@ object Aggregates {
         when(col("n_a") + col("n_b") > 2,
           (mean("a") - mean("b")) / sp).as("cohens_d"))
   }
+
+  /** A-stat — Kruskal–Wallis H test across k groups: the k-sample
+    * generalization of [[mannWhitneyU]] (one-way ANOVA on ranks,
+    * normality-free). Tie handling via the same DOUBLED-midrank
+    * device, so every per-group rank sum R2ᵢ = 2·Rᵢ is an exact
+    * integer; with Rᵢ² = R2ᵢ²/4,
+    *   H₀ = 12/(N(N+1))·Σ Rᵢ²/nᵢ − 3(N+1) = Σ 3·R2ᵢ²/(N(N+1)nᵢ) − 3(N+1)
+    * and the tie correction divides by C = 1 − Σ(t³−t)/(N³−N). Each
+    * group's term is micro-quantized before the k-row sum, so the
+    * statistic is reproducible bit-for-bit. Returns one row:
+    * (k, n, tie_sum, h).
+    *
+    * Scale: ranks come from the DISTINCT-VALUE rollup — the ordered
+    * window never touches the fact table; the (group, value) rollup
+    * joins the value ranks broadcast. One fact pass at any volume. */
+  def kruskalWallis(df: DataFrame, valueCol: Column,
+      groupCol: Column): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val d38 = "decimal(38,0)"
+    val perGV = df.groupBy(groupCol.as("__g"), valueCol.as("__v"))
+      .agg(count(lit(1)).as("__c"))
+    val perV = perGV.groupBy(col("__v")).agg(sum(col("__c")).as("__cv"))
+    val rank2 = perV.withColumn("__rank2",
+      lit(2) * coalesce(sum(col("__cv")).over(
+        Window.orderBy(col("__v")).rowsBetween(Window.unboundedPreceding, -1)),
+        lit(0L)) + col("__cv") + 1)
+    val grp = perGV.join(broadcast(rank2.select(col("__v"), col("__rank2"))), "__v")
+      .groupBy(col("__g"))
+      .agg(sum(col("__c")).as("__ni"),
+        sum(col("__c").cast(d38) * col("__rank2").cast(d38)).cast(d38).as("__r2"))
+    val tot = grp.agg(sum(col("__ni")).as("__n"),
+      count(lit(1)).as("__k"))
+    val ties = perV.agg(sum(col("__cv").cast(d38) * col("__cv").cast(d38) *
+      col("__cv").cast(d38) - col("__cv").cast(d38)).cast(d38).as("__t"))
+    // per-group H term, micro-quantized: 3·R2ᵢ² / (N(N+1)·nᵢ)
+    grp.crossJoin(broadcast(tot)).crossJoin(broadcast(ties))
+      .withColumn("__term_u", round(lit(3.0) *
+        (col("__r2") * col("__r2")).cast("double") /
+        ((col("__n").cast(d38) * (col("__n") + 1).cast(d38)).cast("double") *
+          col("__ni").cast("double")) * 1e6, 0).cast("long"))
+      .agg(max(col("__k")).cast("long").as("k"),
+        max(col("__n")).cast("long").as("n"),
+        max(col("__t")).cast("long").as("tie_sum"),
+        round((sum(col("__term_u")).cast("double") / 1e6 -
+          lit(3.0) * (max(col("__n")) + 1).cast("double")) /
+          (lit(1.0) - max(col("__t")).cast("double") /
+            (max(col("__n")).cast(d38) * max(col("__n")).cast(d38) *
+              max(col("__n")).cast(d38) - max(col("__n")).cast(d38))
+              .cast("double")), 6).as("h"))
+  }
+
+  /** A-stat — Wilcoxon signed-rank test over paired integer metrics
+    * (x, y): the paired complement to [[mannWhitneyU]] — did the
+    * second condition shift the metric, unit by unit? Zero diffs drop
+    * (the standard Wilcoxon convention); |d| ranks use the DOUBLED-
+    * midrank device over the DISTINCT-|d| rollup, so
+    * W2⁺ = 2·W⁺ = Σ_{d>0} rank2(|d|) is an exact integer. The
+    * normal-approximation z clears nothing — it is one pinned IEEE
+    * expression on exact operands:
+    *   z = (W2⁺ − n(n+1)/2) / (2·√(n(n+1)(2n+1)/24 − Σ(t³−t)/48)).
+    * Returns one row: (n, n_pos, w2_plus, z).
+    *
+    * Scale: one pair-grain projection, one |d|-rollup (window over the
+    * rollup, never the pairs), one broadcast join back. */
+  def wilcoxonSignedRank(pairs: DataFrame, xCol: Column,
+      yCol: Column): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val d38 = "decimal(38,0)"
+    val d = pairs.select((yCol.cast("long") - xCol.cast("long")).as("__d"))
+      .filter(col("__d") =!= 0)
+      .select(abs(col("__d")).as("__ad"),
+        when(col("__d") > 0, 1L).otherwise(0L).as("__pos"))
+    val perAd = d.groupBy(col("__ad"))
+      .agg(count(lit(1)).as("__c"), sum(col("__pos")).as("__cp"))
+    val rank2 = perAd.withColumn("__rank2",
+      lit(2) * coalesce(sum(col("__c")).over(
+        Window.orderBy(col("__ad")).rowsBetween(Window.unboundedPreceding, -1)),
+        lit(0L)) + col("__c") + 1)
+    rank2.agg(
+      sum(col("__c")).cast("long").as("n"),
+      sum(col("__cp")).cast("long").as("n_pos"),
+      sum(col("__cp").cast(d38) * col("__rank2").cast(d38)).cast(d38).as("__w2"),
+      sum(col("__c").cast(d38) * col("__c").cast(d38) * col("__c").cast(d38) -
+        col("__c").cast(d38)).cast(d38).as("__t"))
+      .select(col("n"), col("n_pos"), col("__w2").cast("long").as("w2_plus"),
+        round((col("__w2").cast("double") -
+          col("n").cast("double") * (col("n") + 1).cast("double") / 2.0) /
+          (lit(2.0) * sqrt(col("n").cast("double") * (col("n") + 1).cast("double") *
+            (col("n") * 2 + 1).cast("double") / 24.0 -
+            col("__t").cast("double") / 48.0)), 6).as("z"))
+  }
 }

@@ -77,4 +77,41 @@ object Associations {
       .orderBy(col("weight").desc, col("item_a"), col("item_b"))
       .limit(topK)
   }
+
+  /** E2+/ML — item-item cosine similarity over binary (basket, item)
+    * incidence — the memory-based collaborative-filtering kernel
+    * (Sarwar et al., "Item-based collaborative filtering", WWW'01 —
+    * public literature). With binary ratings the dot product is the
+    * shared-basket count and the norm is √degree, so
+    *   cos(a,b) = n_ab / (√n_a·√n_b)
+    * is one pinned IEEE expression over exact integers, reported
+    * ppm-rounded. `minCommon` prunes noise pairs BEFORE the degree
+    * joins; returns the top `topK` under (cosine desc, item_a, item_b):
+    * (item_a, item_b, n_common, n_a, n_b, cos_ppm).
+    *
+    * Scale: same basket-keyed self-join shape as [[coOccurrence]] —
+    * pair space Σ k², never |items|²; degrees join on item id
+    * (Zipf-skewed staples → AQE skew-split); TakeOrdered serves the
+    * top-k with per-partition heaps. */
+  def itemCosine(df: DataFrame, basketCol: Column, itemCol: Column,
+      minCommon: Long, topK: Int): DataFrame = {
+    require(topK > 0, "topK must be positive")
+    val base = df.select(basketCol.as("__b"), itemCol.as("__i")).distinct()
+    val deg = base.groupBy(col("__i")).agg(count(lit(1)).as("__n"))
+    val a = base.toDF("__b", "item_a")
+    val b = base.toDF("__b", "item_b")
+    a.join(b, "__b").filter(col("item_a") < col("item_b"))
+      .groupBy(col("item_a"), col("item_b"))
+      .agg(count(lit(1)).as("n_common"))
+      .filter(col("n_common") >= minCommon)
+      .join(deg.select(col("__i").as("item_a"), col("__n").as("n_a")), "item_a")
+      .join(deg.select(col("__i").as("item_b"), col("__n").as("n_b")), "item_b")
+      .withColumn("cos_ppm", round(col("n_common").cast("double") /
+        (sqrt(col("n_a").cast("double")) * sqrt(col("n_b").cast("double"))) *
+        1e6, 0).cast("long"))
+      .select(col("item_a"), col("item_b"), col("n_common"), col("n_a"),
+        col("n_b"), col("cos_ppm"))
+      .orderBy(col("cos_ppm").desc, col("item_a"), col("item_b"))
+      .limit(topK)
+  }
 }

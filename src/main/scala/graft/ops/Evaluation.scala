@@ -294,4 +294,77 @@ object Evaluation {
         expr("(cast(p_u as decimal(38,0)) * 1000000)" +
           " div greatest(cast(1 as decimal(38,0)), __tot)").as("share_ppm"))
   }
+
+  /** A-stat — Cohen's κ inter-rater agreement over two nominal label
+    * columns: chance-corrected agreement, THE metric for deciding
+    * whether two annotation passes (two labeling prompts, a heuristic
+    * vs a model, two human raters) agree beyond what marginal label
+    * frequencies force. Cleared of fractions,
+    *   κ = (N·Σ_l o_ll − Σ_l r_l·c_l) / (N² − Σ_l r_l·c_l),
+    * all exact DECIMAL(38,0); κ, p_o, p_e are pinned IEEE finishes of
+    * the same exact operands. Returns one row:
+    * (n, n_agree, p_o, p_e, kappa).
+    *
+    * Scale: one (a, b) contingency agg with map-side combine, two
+    * label-sized marginal rollups of IT, a scalar finish — the fact
+    * table is read once, shuffled at contingency grain. */
+  def cohensKappa(df: DataFrame, raterA: Column, raterB: Column): DataFrame = {
+    val obs = df.groupBy(raterA.as("__a"), raterB.as("__b"))
+      .agg(count(lit(1)).as("__o"))
+    val rm = obs.groupBy(col("__a")).agg(sum(col("__o")).as("__ra"))
+    val cm = obs.groupBy(col("__b")).agg(sum(col("__o")).as("__cb"))
+    val pe = rm.join(cm, col("__a") === col("__b"))
+      .agg(coalesce(sum(col("__ra").cast(d38) * col("__cb").cast(d38)),
+        lit(0).cast(d38)).cast(d38).as("__rc"))
+    val agree = obs.agg(sum(col("__o")).cast(d38).as("__n"),
+      coalesce(sum(when(col("__a") === col("__b"), col("__o"))), lit(0L))
+        .cast(d38).as("__d"))
+    agree.crossJoin(broadcast(pe))
+      .select(col("__n").cast("long").as("n"),
+        col("__d").cast("long").as("n_agree"),
+        round(col("__d").cast("double") / col("__n").cast("double"), 6)
+          .as("p_o"),
+        round(col("__rc").cast("double") /
+          (col("__n") * col("__n")).cast("double"), 6).as("p_e"),
+        round((col("__n") * col("__d") - col("__rc")).cast("double") /
+          (col("__n") * col("__n") - col("__rc")).cast("double"), 6)
+          .as("kappa"))
+  }
+
+  /** A-stat — Krippendorff's α (nominal, two raters with abstentions;
+    * Krippendorff, "Content Analysis", public literature): the
+    * agreement coefficient that HANDLES MISSING RATINGS — units where
+    * either rater abstained (null) drop from the pairable set, and
+    * chance agreement comes from the pooled value distribution of the
+    * remaining ratings, not per-rater marginals (the κ difference).
+    * With two raters every pairable unit contributes the two ordered
+    * rating pairs, so
+    *   α = 1 − (n−1)·D_o / (n² − Σ_v n_v²),  D_o = 2·#disagreeing units
+    * with n = 2·#pairable units and n_v pooled value counts — all
+    * exact integers, one IEEE finish. Returns one row:
+    * (n_units, n_values, do_num, de_num, alpha).
+    *
+    * Scale: one unit-grain projection, one value-sized rollup of the
+    * pooled ratings, a scalar finish. */
+  def krippendorffAlpha(df: DataFrame, raterA: Column,
+      raterB: Column): DataFrame = {
+    val pairable = df.select(raterA.as("__a"), raterB.as("__b"))
+      .filter(col("__a").isNotNull && col("__b").isNotNull)
+    val pooled = pairable.select(col("__a").as("__v"))
+      .unionAll(pairable.select(col("__b").as("__v")))
+      .groupBy(col("__v")).agg(count(lit(1)).as("__nv"))
+    val vals = pooled.agg(count(lit(1)).as("n_values"),
+      sum(col("__nv")).cast(d38).as("__n"),
+      sum(col("__nv").cast(d38) * col("__nv").cast(d38)).cast(d38).as("__sq"))
+    val dis = pairable.agg(count(lit(1)).as("n_units"),
+      (sum(when(col("__a") =!= col("__b"), 1L).otherwise(0L)) * 2)
+        .cast(d38).as("__do"))
+    dis.crossJoin(broadcast(vals))
+      .select(col("n_units"), col("n_values"),
+        col("__do").cast("long").as("do_num"),
+        (col("__n") * col("__n") - col("__sq")).cast("long").as("de_num"),
+        round(lit(1.0) - ((col("__n") - 1) * col("__do")).cast("double") /
+          (col("__n") * col("__n") - col("__sq")).cast("double"), 6)
+          .as("alpha"))
+  }
 }

@@ -314,4 +314,83 @@ object Experimentation {
       .select(col("stratum"), col("n"), col("n_t"), col("n_c"),
         col("mean_t"), col("mean_c"), col("diff"), col("ate_micro"))
   }
+
+  /** A-stat/ML — UCB1 bandit scoring of logged arm outcomes: for each
+    * arm, mean reward plus the optimism bonus √(2·ln T / nᵢ) (Auer,
+    * Cesa-Bianchi & Fischer, "Finite-time Analysis of the Multiarmed
+    * Bandit Problem", MLJ 2002 — public literature). Deterministic —
+    * this is the SCORING step a batch re-ranker runs over yesterday's
+    * logs to pick today's allocation; no randomness lives here. All
+    * counts are exact; mean and bonus are pinned IEEE finishes,
+    * reported ppm-rounded. Returns per arm:
+    * (arm, pulls, wins, mean_ppm, ucb_ppm, ucb_rank).
+    *
+    * Scale: one arm-grain agg with map-side combine, a 1-row total
+    * broadcast, an |arms|-row window. The fact table is read once. */
+  def ucb1(df: DataFrame, armCol: Column, rewardCond: Column): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val arms = df.groupBy(armCol.as("arm")).agg(
+      count(lit(1)).as("pulls"),
+      sum(when(rewardCond, 1L).otherwise(0L)).as("wins"))
+    val tot = arms.agg(sum(col("pulls")).as("__t"))
+    arms.crossJoin(broadcast(tot))
+      .withColumn("mean_ppm", round(col("wins").cast("double") /
+        col("pulls").cast("double") * 1e6, 0).cast("long"))
+      .withColumn("ucb_ppm", round((col("wins").cast("double") /
+        col("pulls").cast("double") +
+        sqrt(lit(2.0) * log(col("__t").cast("double")) /
+          col("pulls").cast("double"))) * 1e6, 0).cast("long"))
+      .withColumn("ucb_rank", row_number().over(
+        Window.orderBy(col("ucb_ppm").desc, col("arm"))).cast("long"))
+      .select(col("arm"), col("pulls"), col("wins"), col("mean_ppm"),
+        col("ucb_ppm"), col("ucb_rank"))
+  }
+
+  /** A-stat — group-sequential monitoring with an O'Brien–Fleming-
+    * shaped spending boundary: the experiment readout is CHECKED at K
+    * interim looks, and the two-proportion z at look k must clear
+    *   boundary(k) = z_final · √(K/k)
+    * (conservative early, nominal at the end — the OBF shape; Pocock/
+    * OBF group-sequential designs, public literature) before anyone
+    * stops early. Inputs are unit-grain exposures with an arm flag, a
+    * success condition and an integer look index; counts cumulate over
+    * a |looks|-sized rollup window, z is the pooled two-proportion
+    * statistic — one pinned IEEE finish per look over exact cumulative
+    * counts. Returns per look:
+    * (look, n_a, n_b, conv_a, conv_b, z, boundary, crossed).
+    *
+    * Scale: one (look, arm) agg with map-side combine; the cumulative
+    * window runs over the K-row rollup, never the exposures. */
+  def sequentialBoundary(df: DataFrame, lookCol: Column, armACond: Column,
+      successCond: Column, zFinal: Double = 1.96): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val looks = df.groupBy(lookCol.cast("long").as("look")).agg(
+      sum(when(armACond, 1L).otherwise(0L)).as("__na"),
+      sum(when(!armACond, 1L).otherwise(0L)).as("__nb"),
+      sum(when(armACond && successCond, 1L).otherwise(0L)).as("__ca"),
+      sum(when(!armACond && successCond, 1L).otherwise(0L)).as("__cb"))
+    val cum = Window.orderBy(col("look"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val all = Window.rowsBetween(Window.unboundedPreceding,
+      Window.unboundedFollowing)
+    val pa = col("n_a").cast("double")
+    val pb = col("n_b").cast("double")
+    val pooled = (col("conv_a") + col("conv_b")).cast("double") / (pa + pb)
+    looks
+      .withColumn("n_a", sum(col("__na")).over(cum))
+      .withColumn("n_b", sum(col("__nb")).over(cum))
+      .withColumn("conv_a", sum(col("__ca")).over(cum))
+      .withColumn("conv_b", sum(col("__cb")).over(cum))
+      .withColumn("__k", row_number().over(Window.orderBy(col("look"))))
+      .withColumn("__kmax", count(lit(1)).over(all))
+      .withColumn("z", round(
+        (col("conv_a").cast("double") / pa - col("conv_b").cast("double") / pb) /
+          sqrt(pooled * (lit(1.0) - pooled) * (lit(1.0) / pa + lit(1.0) / pb)),
+        6))
+      .withColumn("boundary", round(lit(zFinal) *
+        sqrt(col("__kmax").cast("double") / col("__k").cast("double")), 6))
+      .withColumn("crossed", abs(col("z")) >= col("boundary"))
+      .select(col("look"), col("n_a"), col("n_b"), col("conv_a"),
+        col("conv_b"), col("z"), col("boundary"), col("crossed"))
+  }
 }

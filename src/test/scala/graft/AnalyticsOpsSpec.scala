@@ -950,4 +950,133 @@ class AnalyticsOpsSpec extends AnyFunSuite {
     val d = Aggregates.cohensD(df2, col("v"), col("g"), "a", "b").head()
     assert(math.abs(d.getAs[Double]("cohens_d") - 10.0 / math.sqrt(2.5)) < 1e-12)
   }
+
+  test("kruskalWallis: textbook three-group case, no ties") {
+    // A: 1,2  B: 3,4  C: 5,6 — ranks 1..6, R = 3/7/11,
+    // H = 12/42·(9/2+49/2+121/2) − 21 = 4.571428… (micro-quantized
+    // per-group terms give 4.571428 exactly)
+    val df = Seq(("A", 1L), ("A", 2L), ("B", 3L), ("B", 4L),
+      ("C", 5L), ("C", 6L)).toDF("g", "v")
+    val r = Aggregates.kruskalWallis(df, col("v"), col("g")).head()
+    assert(r.getAs[Long]("k") == 3L && r.getAs[Long]("n") == 6L)
+    assert(r.getAs[Long]("tie_sum") == 0L)
+    assert(r.getAs[Double]("h") == 4.571428)
+  }
+
+  test("kruskalWallis: tie correction — hand-solved H = 1.5 exactly") {
+    // A: 1,2  B: 2,3 — midranks 1, 2.5, 2.5, 4; H0 = 1.35,
+    // C = 1 − 6/60 = 0.9, H = 1.5
+    val df = Seq(("A", 1L), ("A", 2L), ("B", 2L), ("B", 3L)).toDF("g", "v")
+    val r = Aggregates.kruskalWallis(df, col("v"), col("g")).head()
+    assert(r.getAs[Long]("tie_sum") == 6L)
+    assert(r.getAs[Double]("h") == 1.5)
+  }
+
+  test("wilcoxonSignedRank: zero diffs drop, ties midrank, z pinned") {
+    // diffs 0, +2, +2, −3 → n=3, |d| ranks (doubled) 3,3,6,
+    // W2⁺ = 6 = n(n+1)/2 → z = 0 exactly
+    val df = Seq((5L, 5L), (1L, 3L), (10L, 12L), (7L, 4L)).toDF("x", "y")
+    val r = Aggregates.wilcoxonSignedRank(df, col("x"), col("y")).head()
+    assert(r.getAs[Long]("n") == 3L && r.getAs[Long]("n_pos") == 2L)
+    assert(r.getAs[Long]("w2_plus") == 6L)
+    assert(r.getAs[Double]("z") == 0.0)
+  }
+
+  test("wilcoxonSignedRank: textbook no-tie case") {
+    // diffs +1, −2, +3, +4 → W⁺ = 8, W2⁺ = 16,
+    // z = 6 / (2·√7.5) = 1.095445
+    val df = Seq((0L, 1L), (2L, 0L), (0L, 3L), (0L, 4L)).toDF("x", "y")
+    val r = Aggregates.wilcoxonSignedRank(df, col("x"), col("y")).head()
+    assert(r.getAs[Long]("w2_plus") == 16L)
+    assert(r.getAs[Double]("z") ==
+      math.rint(6.0 / (2.0 * math.sqrt(7.5)) * 1e6) / 1e6)
+  }
+
+  test("rouge2: clipped multiset overlap — hand-counted P/R/F1 ppm") {
+    // cand "a b c a b": bigrams {a b:2, b c:1, c a:1} (4); ref
+    // "a b c d": {a b:1, b c:1, c d:1} (3); clipped overlap = 2
+    val pairs = Seq((1L, "a b c a b", "a b c d")).toDF("pid", "cand", "ref")
+    val r = graft.ext.TextAnalysis.rouge2(pairs, "pid", "cand", "ref").head()
+    assert(r.getAs[Long]("n_bi_cand") == 4L && r.getAs[Long]("n_bi_ref") == 3L)
+    assert(r.getAs[Long]("overlap") == 2L)
+    assert(r.getAs[Long]("p_ppm") == 500000L)
+    assert(r.getAs[Long]("r_ppm") == 666666L)
+    assert(r.getAs[Long]("f1_ppm") == 4000000L / 7L)
+  }
+
+  test("rouge2: disjoint pair scores zero, not null") {
+    val pairs = Seq((1L, "a b", "x y")).toDF("pid", "cand", "ref")
+    val r = graft.ext.TextAnalysis.rouge2(pairs, "pid", "cand", "ref").head()
+    assert(r.getAs[Long]("overlap") == 0L && r.getAs[Long]("f1_ppm") == 0L)
+  }
+
+  test("kneserNeyScore: discounted seen mass + continuation backoff") {
+    val model = Seq((10L, "a b c")).toDF("doc_id", "text")
+    val probe = Seq((1L, "a b x")).toDF("doc_id", "text")
+    val out = graft.ext.TextAnalysis.kneserNeyScore(model, probe,
+      "text", "doc_id").head()
+    // T=2 types, V=3 vocab. "a b": (1−0.75)/1 + 0.75·(1/1)·Pc(b),
+    // Pc(b) = (1+1)/5; "b x": 0 + 0.75·(1/1)·Pc(x), Pc(x) = (0+1)/5
+    val p1 = math.max(1.0 - 0.75, 0.0) / 1.0 +
+      0.75 * 1.0 / 1.0 * ((1.0 + 1.0) / 5.0)
+    val p2 = math.max(0.0 - 0.75, 0.0) / 1.0 +
+      0.75 * 1.0 / 1.0 * ((0.0 + 1.0) / 5.0)
+    val mean = (math.rint(math.log(p1) * 1e6) +
+      math.rint(math.log(p2) * 1e6)) / 2 / 1e6
+    assert(out.getAs[Long]("n_bigrams") == 2L)
+    assert(out.getAs[Double]("mean_logkn") == BigDecimal(mean)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+  }
+
+  test("kneserNeyScore: unseen head falls back to continuation prob") {
+    val model = Seq((10L, "a b")).toDF("doc_id", "text")
+    val probe = Seq((1L, "z b")).toDF("doc_id", "text") // head z unseen
+    val out = graft.ext.TextAnalysis.kneserNeyScore(model, probe,
+      "text", "doc_id").head()
+    // T=1, V=2; Pc(b) = (1+1)/(1+2) = 2/3
+    val expected = math.rint(math.log(2.0 / 3.0) * 1e6) / 1e6
+    assert(out.getAs[Double]("mean_logkn") == BigDecimal(expected)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+  }
+
+  test("ngramNovelty: per-occurrence novelty against the model type set") {
+    val model = Seq((10L, "a b c d")).toDF("doc_id", "text")
+    val probe = Seq((1L, "a b c x y"), (2L, "a b")).toDF("doc_id", "text")
+    val out = graft.ext.TextAnalysis.ngramNovelty(model, probe,
+      "text", "doc_id", n = 3).collect()
+    // doc 2 has < 3 tokens → no row; doc 1: "a b c" seen,
+    // "b c x"/"c x y" unseen → 2/3
+    assert(out.length == 1)
+    val r = out.head
+    assert(r.getAs[Long]("n_grams") == 3L && r.getAs[Long]("n_unseen") == 2L)
+    assert(r.getAs[Long]("novelty_ppm") == 666666L)
+  }
+
+  test("itemCosine: binary cosine from shared-basket counts, support gate") {
+    val inc = Seq((1L, 1L), (1L, 2L), (2L, 1L), (2L, 2L), (3L, 1L), (3L, 3L))
+      .toDF("b", "i")
+    val out = graft.ops.Associations.itemCosine(inc, col("b"), col("i"),
+      minCommon = 2L, topK = 10).collect()
+    // only (1,2) survives support >= 2: cos = 2/(√3·√2)
+    assert(out.length == 1)
+    val r = out.head
+    assert(r.getAs[Long]("n_common") == 2L &&
+      r.getAs[Long]("n_a") == 3L && r.getAs[Long]("n_b") == 2L)
+    assert(r.getAs[Long]("cos_ppm") ==
+      math.rint(2.0 / (math.sqrt(3.0) * math.sqrt(2.0)) * 1e6).toLong)
+  }
+
+  test("adamicAdar: shared selective baskets outscore broad ones") {
+    // b1 = {1,2,3}, b2 = {1,2}, b3 = {1} (deg 1 drops).
+    // (1,2) shares b1+b2: 1e9/ln3 + 1e9/ln2 rounded per basket;
+    // (1,3), (2,3) share b1 only.
+    val inc = Seq((10L, 1L), (10L, 2L), (10L, 3L), (20L, 1L), (20L, 2L),
+      (30L, 1L)).toDF("b", "i")
+    val r = Graph.adamicAdar(inc, col("b"), col("i"), topK = 10).collect()
+    val w3 = math.rint(1e9 / math.log(3.0)).toLong // 910239227
+    val w2 = math.rint(1e9 / math.log(2.0)).toLong // 1442695041
+    assert(r.map(x => (x.getLong(0), x.getLong(1), x.getLong(2),
+      x.getLong(3))).toSeq == Seq(
+      (1L, 2L, 2L, w3 + w2), (1L, 3L, 1L, w3), (2L, 3L, 1L, w3)))
+  }
 }

@@ -130,4 +130,42 @@ class EvaluationSpec extends AnyFunSuite {
     val sizes = out.map(_.getAs[Long]("n"))
     assert(sizes.sum == 23 && (sizes.max - sizes.min) <= 1)
   }
+
+  test("cohensKappa: hand-solved 2×2 — κ = 0.4 exactly") {
+    import spark.implicits._
+    // 4 keep/keep, 3 drop/drop, 2 keep/drop, 1 drop/keep:
+    // p_o = 0.7, marginals 6·5 + 4·5 = 50 → p_e = 0.5,
+    // κ = (70 − 50) / (100 − 50) = 0.4
+    val rows = Seq.fill(4)(("keep", "keep")) ++ Seq.fill(3)(("drop", "drop")) ++
+      Seq.fill(2)(("keep", "drop")) ++ Seq.fill(1)(("drop", "keep"))
+    val r = Evaluation.cohensKappa(rows.toDF("a", "b"),
+      col("a"), col("b")).head()
+    assert(r.getAs[Long]("n") == 10L && r.getAs[Long]("n_agree") == 7L)
+    assert(r.getAs[Double]("p_o") == 0.7)
+    assert(r.getAs[Double]("p_e") == 0.5)
+    assert(r.getAs[Double]("kappa") == 0.4)
+  }
+
+  test("cohensKappa: perfect agreement is 1, marginal-independent") {
+    import spark.implicits._
+    val rows = Seq(("x", "x"), ("y", "y"), ("z", "z"), ("x", "x"))
+    val r = Evaluation.cohensKappa(rows.toDF("a", "b"),
+      col("a"), col("b")).head()
+    assert(r.getAs[Double]("kappa") == 1.0)
+  }
+
+  test("krippendorffAlpha: abstentions drop; pooled-distribution chance") {
+    import spark.implicits._
+    // pairable units (k,k),(k,d),(d,d),(d,d) + one dropped abstention:
+    // Do = 2, pooled k=3 d=5 → n=8, Σnv²=34, De=30, α = 1 − 7·2/30
+    val rows = Seq(Some("k") -> Some("k"), Some("k") -> Some("d"),
+      Some("d") -> Some("d"), Some("d") -> Some("d"),
+      Some("k") -> Option.empty[String])
+    val r = Evaluation.krippendorffAlpha(rows.toDF("a", "b"),
+      col("a"), col("b")).head()
+    assert(r.getAs[Long]("n_units") == 4L && r.getAs[Long]("n_values") == 2L)
+    assert(r.getAs[Long]("do_num") == 2L && r.getAs[Long]("de_num") == 30L)
+    assert(r.getAs[Double]("alpha") == BigDecimal(1.0 - 14.0 / 30.0)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+  }
 }

@@ -389,4 +389,44 @@ class ExperimentationSpec extends AnyFunSuite {
       .select(WordShingles.wordShingles(col("text"), 2)).collect()
     assert(nr.head.isNullAt(0))
   }
+
+  test("ucb1: undersampled arm outranks a better-mean arm via the bonus") {
+    // a: 4 pulls 2 wins, b: 1 pull 1 win, T = 5 —
+    // ucb_b = 1 + √(2·ln5) > ucb_a = 0.5 + √(2·ln5/4)
+    val df = (Seq.fill(2)(("a", 1)) ++ Seq.fill(2)(("a", 0)) ++
+      Seq(("b", 1))).toDF("arm", "r")
+    val out = Experimentation.ucb1(df, col("arm"), col("r") === 1)
+      .orderBy("ucb_rank").collect()
+    assert(out.map(_.getAs[String]("arm")).toSeq == Seq("b", "a"))
+    val a = out(1)
+    assert(a.getAs[Long]("pulls") == 4L && a.getAs[Long]("wins") == 2L)
+    assert(a.getAs[Long]("mean_ppm") == 500000L)
+    assert(a.getAs[Long]("ucb_ppm") ==
+      math.rint((0.5 + math.sqrt(2.0 * math.log(5.0) / 4.0)) * 1e6).toLong)
+    assert(out(0).getAs[Long]("ucb_ppm") ==
+      math.rint((1.0 + math.sqrt(2.0 * math.log(5.0))) * 1e6).toLong)
+  }
+
+  test("sequentialBoundary: OBF shape — conservative early, nominal late") {
+    // look 1: A 1/2 vs B 0/2 → z = 0.5/√(0.25·0.75·1) = 1.154701,
+    //   boundary = 1.96·√2 = 2.771859 — NOT crossed;
+    // look 2 cumulative: A 3/4 vs B 1/4 → z = 0.5/√0.125 = 1.414214,
+    //   boundary = 1.96 — still not crossed (the A/A-ish outcome)
+    val rows = Seq((1, "A", 1), (1, "A", 0), (1, "B", 0), (1, "B", 0),
+      (2, "A", 1), (2, "A", 1), (2, "B", 1), (2, "B", 0))
+    val out = Experimentation.sequentialBoundary(rows.toDF("look", "arm", "s"),
+      col("look"), col("arm") === "A", col("s") === 1)
+      .orderBy("look").collect()
+    assert(out.length == 2)
+    val l1 = out(0); val l2 = out(1)
+    assert(l1.getAs[Long]("n_a") == 2L && l1.getAs[Long]("conv_a") == 1L)
+    assert(l1.getAs[Double]("z") == 1.154701)
+    assert(l1.getAs[Double]("boundary") ==
+      math.rint(1.96 * math.sqrt(2.0) * 1e6) / 1e6)
+    assert(!l1.getAs[Boolean]("crossed"))
+    assert(l2.getAs[Long]("n_a") == 4L && l2.getAs[Long]("conv_a") == 3L)
+    assert(l2.getAs[Double]("z") == 1.414214)
+    assert(l2.getAs[Double]("boundary") == 1.96)
+    assert(!l2.getAs[Boolean]("crossed"))
+  }
 }

@@ -158,6 +158,34 @@ class SimilaritySpec extends AnyFunSuite {
     assert(out.toSeq == Seq(1L, 4L, 2L)) // cos: .9938, .7071, 0
   }
 
+  test("E3: jlSigns is a deterministic public ±1 matrix; jlProject = manual dot") {
+    val signs = Similarity.jlSigns(4, 2)
+    assert(signs.map(_.toSeq).toSeq == Similarity.jlSigns(4, 2).map(_.toSeq).toSeq)
+    assert(signs.flatten.forall(v => v == 1.0 || v == -1.0))
+    val v = Array(1.0f, 2.0f, 3.0f, 4.0f)
+    val got = Seq((1L, v)).toDF("id", "emb")
+      .select(Similarity.jlProject(col("emb"), signs).as("p"))
+      .head().getSeq[Double](0)
+    val want = signs.map(row =>
+      row.zip(v).map { case (s, x) => s * x.toDouble }.sum)
+    assert(got.toSeq == want.toSeq)
+  }
+
+  test("E3: JL projection preserves cosine contrast on separated blobs") {
+    val signs = Similarity.jlSigns(16, 8)
+    val a = Array.tabulate(16)(d => if (d < 8) 1.0f else 0.0f)
+    val b = Array.tabulate(16)(d => if (d < 8) 1.0f else 0.1f) // near a
+    val c = Array.tabulate(16)(d => if (d >= 8) 1.0f else 0.0f) // far from a
+    val df = Seq((1L, a), (2L, b), (3L, c)).toDF("id", "emb")
+      .withColumn("p", Similarity.jlProject(col("emb"), signs))
+    val rows = df.select("id", "p").as[(Long, Seq[Double])].collect().toMap
+    def cos(x: Seq[Double], y: Seq[Double]) = {
+      val d = x.zip(y).map { case (u, w) => u * w }.sum
+      d / (math.sqrt(x.map(u => u * u).sum) * math.sqrt(y.map(u => u * u).sum))
+    }
+    assert(cos(rows(1L), rows(2L)) > cos(rows(1L), rows(3L)))
+  }
+
   test("E3: batch top-k returns per-query ranks") {
     val out = Similarity.topKCosineBatch(vecs, vecs.filter($"vec_id" === 0L),
       "embedding", "vec_id", 2).orderBy("rank")
