@@ -552,6 +552,69 @@ object Graph {
           .as("modularity"))
   }
 
+  /** E2+/graph — degree assortativity coefficient (Newman, "Mixing
+    * patterns in networks", PRE 2003 — public literature): the Pearson
+    * correlation of endpoint degrees over every DIRECTED edge copy of
+    * the undirected graph. r > 0 — hubs attach to hubs (social shape);
+    * r < 0 — hubs attach to leaves (web/tech shape); the one-number
+    * topology fingerprint read before trusting sampled-subgraph stats.
+    * All five sums are exact DECIMAL(38,0) over the edge list; r is
+    * one pinned IEEE finish. Returns one row: (m, r) with m the
+    * undirected edge count.
+    *
+    * Scale: degree is a node-keyed agg; each endpoint tag is an
+    * equi-join on node id (Zipf hubs → AQE skew-split); the correlation
+    * is one edge-grain agg. No pair space beyond the edges themselves. */
+  def assortativity(edges: DataFrame, srcCol: String,
+      dstCol: String): DataFrame = {
+    val d38 = "decimal(38,0)"
+    val sym = symmetrize(edges, srcCol, dstCol)
+    val deg = sym.groupBy(col("src").as("node")).agg(count(lit(1)).as("deg"))
+    val tagged = sym
+      .join(deg.select(col("node").as("src"), col("deg").as("__dx")), "src")
+      .join(deg.select(col("node").as("dst"), col("deg").as("__dy")), "dst")
+    def s38(c: Column) = sum(c.cast(d38)).cast(d38)
+    tagged.agg(count(lit(1)).cast(d38).as("__m2"),
+      s38(col("__dx")).as("__sx"), s38(col("__dy")).as("__sy"),
+      s38(col("__dx").cast(d38) * col("__dy").cast(d38)).as("__sxy"),
+      s38(col("__dx").cast(d38) * col("__dx").cast(d38)).as("__sxx"),
+      s38(col("__dy").cast(d38) * col("__dy").cast(d38)).as("__syy"))
+      .select((col("__m2") / 2).cast("long").as("m"),
+        round((col("__m2") * col("__sxy") - col("__sx") * col("__sy"))
+          .cast("double") /
+          (sqrt((col("__m2") * col("__sxx") - col("__sx") * col("__sx"))
+            .cast("double")) *
+           sqrt((col("__m2") * col("__syy") - col("__sy") * col("__sy"))
+            .cast("double"))), 6).as("r"))
+  }
+
+  /** E2+/graph — local clustering coefficients: for each node with
+    * degree ≥ 2, c_v = 2·T_v / (deg_v·(deg_v−1)) — how close the
+    * node's neighborhood is to a clique. Triangle counts come from
+    * [[triangleCounts]] (the degree-oriented wedge-closing kernel);
+    * nodes with no triangles report 0, not null. The coefficient is an
+    * exact-ppm integer quotient. Returns
+    * (node, degree, n_triangles, local_cc_ppm).
+    *
+    * Scale: triangleCounts' oriented wedge join bounds the work by
+    * Σ deg(v)² over the ≺-ordered orientation (the standard m^{3/2}
+    * bound); the coefficient join is node-keyed. */
+  def clusteringCoefficients(edges: DataFrame, srcCol: String,
+      dstCol: String): DataFrame = {
+    val canon = edges.select(
+        least(checkedLong(col(srcCol)), checkedLong(col(dstCol))).as("u"),
+        greatest(checkedLong(col(srcCol)), checkedLong(col(dstCol))).as("v"))
+      .filter(col("u") =!= col("v")).distinct()
+    val deg = canon.select(explode(array(col("u"), col("v"))).as("node"))
+      .groupBy(col("node")).agg(count(lit(1)).as("degree"))
+    deg.filter(col("degree") >= 2)
+      .join(triangleCounts(edges, srcCol, dstCol), Seq("node"), "left")
+      .withColumn("n_triangles", coalesce(col("n_triangles"), lit(0L)))
+      .select(col("node"), col("degree"), col("n_triangles"),
+        expr("2000000 * n_triangles div (degree * (degree - 1))")
+          .as("local_cc_ppm"))
+  }
+
   /** E2+/ML — Adamic–Adar link prediction over a bipartite incidence
     * (basket, item): score a candidate item pair by
     *   AA(a,b) = Σ_{baskets o ∋ a,b} 1/ln(deg(o)),

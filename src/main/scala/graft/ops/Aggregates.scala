@@ -1041,6 +1041,108 @@ object Aggregates {
               .cast("double")), 6).as("h"))
   }
 
+  /** A-stat — Mann–Kendall trend test over an ordered series (Mann
+    * 1945; Kendall 1975 — public literature): the nonparametric "is
+    * this metric drifting" readout run on time-grain rollups, immune
+    * to outliers and monotone transforms.
+    *   S = Σ_{i<j} sgn(x_j − x_i)          (exact integer)
+    *   18·Var(S) = n(n−1)(2n+5) − Σ_t t(t−1)(2t+5)   (tie-corrected)
+    * and the continuity-corrected z = (S∓1)/√(Var) is one pinned IEEE
+    * finish. Returns one row: (n, s, var18, z).
+    *
+    * Scale: the input is a SERIES — pass the time-grain rollup, never
+    * raw facts; the pair space is series², bounded by the rollup grain
+    * (monthly/daily), not data volume. */
+  def mannKendall(series: DataFrame, orderCol: Column,
+      valueCol: Column): DataFrame = {
+    val d38 = "decimal(38,0)"
+    val s = series.select(orderCol.as("__t"), valueCol.cast("long").as("__v"))
+    val a = s.toDF("__t1", "__v1")
+    val b = s.toDF("__t2", "__v2")
+    val pairs = a.join(b, col("__t1") < col("__t2"))
+      .agg(count(lit(1)).as("__np"),
+        sum(signum(col("__v2") - col("__v1")).cast("long")).as("__s"))
+    val ties = s.groupBy(col("__v")).agg(count(lit(1)).as("__c"))
+      .agg(sum(col("__c")).as("__n"),
+        sum(col("__c").cast(d38) * (col("__c") - 1).cast(d38) *
+          (col("__c") * 2 + 5).cast(d38)).cast(d38).as("__tsum"))
+    pairs.crossJoin(broadcast(ties))
+      .withColumn("__var18",
+        (col("__n").cast(d38) * (col("__n") - 1).cast(d38) *
+          (col("__n") * 2 + 5).cast(d38) - col("__tsum")).cast(d38))
+      .select(col("__n").cast("long").as("n"),
+        col("__s").cast("long").as("s"),
+        col("__var18").cast("long").as("var18"),
+        round(when(col("__var18") > 0,
+          when(col("__s") > 0, (col("__s") - 1).cast("double") /
+            sqrt(col("__var18").cast("double") / 18.0))
+            .when(col("__s") < 0, (col("__s") + 1).cast("double") /
+              sqrt(col("__var18").cast("double") / 18.0))
+            .otherwise(lit(0.0))).otherwise(lit(0.0)), 6).as("z"))
+  }
+
+  /** A-stat — Pettitt changepoint test over an ordered series
+    * (Pettitt, JRSS-C 1979 — public literature): locates the single
+    * most likely level-shift point without assuming a distribution.
+    *   U_t = Σ_{i≤t} Σ_{j>t} sgn(x_j − x_i)     (exact integers)
+    * and the report is the maximizing split: K = max_t |U_t|, t* the
+    * smallest maximizer. Returns one row: (n, t_star, u_t, k_abs).
+    *
+    * Scale: series-grain like [[mannKendall]] — the pair space and the
+    * |U_t| scan are rollup², never data-sized. */
+  def pettitt(series: DataFrame, orderCol: Column,
+      valueCol: Column): DataFrame = {
+    val s = series.select(orderCol.as("__t"), valueCol.cast("long").as("__v"))
+    val a = s.toDF("__t1", "__v1")
+    val b = s.toDF("__t2", "__v2")
+    // pair (i, j), i < j, contributes sgn(x_j − x_i) to every U_t with
+    // t in [t_i, t_j) — realized as a range join against the split grid
+    val pairs = a.join(b, col("__t1") < col("__t2"))
+      .select(col("__t1"), col("__t2"),
+        signum(col("__v2") - col("__v1")).cast("long").as("__sgn"))
+    val grid = s.select(col("__t").as("__split"))
+    val u = pairs.join(grid,
+        col("__t1") <= col("__split") && col("__split") < col("__t2"))
+      .groupBy(col("__split")).agg(sum(col("__sgn")).as("__u"))
+    val n = s.agg(count(lit(1)).as("__n"))
+    u.crossJoin(broadcast(n))
+      .orderBy(abs(col("__u")).desc, col("__split"))
+      .limit(1)
+      .select(col("__n").cast("long").as("n"),
+        col("__split").as("t_star"),
+        col("__u").cast("long").as("u_t"),
+        abs(col("__u")).cast("long").as("k_abs"))
+  }
+
+  /** A-stat — G-test (log-likelihood-ratio) of independence over an
+    * R×C contingency: G = 2·Σ_{o>0} o·ln(o·N/(r·c)) — the
+    * information-theoretic twin of [[chiSquare]] (G = 2N·MI in nats),
+    * better behaved when expected counts are small. Each cell's term
+    * is micro-quantized before the contingency-sized sum (zero cells
+    * contribute 0 — lim x·ln x = 0). Returns one row: (g, dof, n).
+    *
+    * Scale: one (r, c) agg + two marginal rollups of it — identical
+    * plan shape to chiSquare; the fact table is read once. */
+  def gTest(df: DataFrame, rowCol: Column, colCol: Column): DataFrame = {
+    val d38 = "decimal(38,0)"
+    val observed = df.groupBy(rowCol.as("__r"), colCol.as("__c"))
+      .agg(count(lit(1)).as("__o"))
+    val rm = observed.groupBy(col("__r")).agg(sum(col("__o")).as("__rn"))
+    val cm = observed.groupBy(col("__c")).agg(sum(col("__o")).as("__cn"))
+    val tot = observed.agg(sum(col("__o")).as("__tot"),
+      count_distinct(col("__r")).as("__dr"),
+      count_distinct(col("__c")).as("__dc"))
+    observed.join(rm, "__r").join(cm, "__c").crossJoin(broadcast(tot))
+      .withColumn("__term_u", round(col("__o").cast("double") *
+        log((col("__o").cast(d38) * col("__tot")).cast("double") /
+          (col("__rn").cast(d38) * col("__cn")).cast("double")) * 1e6, 0)
+        .cast("long"))
+      .agg(round(lit(2.0) * sum(col("__term_u")).cast("double") / 1e6, 6)
+        .as("g"),
+        ((max(col("__dr")) - 1) * (max(col("__dc")) - 1)).as("dof"),
+        max(col("__tot")).cast("long").as("n"))
+  }
+
   /** A-stat — Wilcoxon signed-rank test over paired integer metrics
     * (x, y): the paired complement to [[mannWhitneyU]] — did the
     * second condition shift the metric, unit by unit? Zero diffs drop

@@ -96,6 +96,44 @@ object Evaluation {
           expr("1000000 div first_hit_rank")).otherwise(lit(0L)))
   }
 
+  /** A-stat — Mean-Average-Precision companion to [[retrievalEval]]:
+    * per query, AP@k = Σ_{i≤k, hit at i} P@i / min(|rel|, k) — the
+    * rank-sensitive retrieval quality number (a hit at rank 1 counts
+    * full, at rank k barely). Each hit's P@i = hits_so_far/i is
+    * micro-quantized (one IEEE division of exact integers per HIT), so
+    * the per-query sum is a plain long aggregation; the final division
+    * is a pinned finish. Queries with no relevant items report ap
+    * null. Returns (query_id, n_rel, hits, ap).
+    *
+    * Scale: the cumulative-hits window partitions by query over the
+    * top-k run rows (≤ k per query) — never the corpus; truth joins
+    * as a left-semi mark on (query, item). */
+  def mapAtK(runs: DataFrame, truth: DataFrame, k: Int): DataFrame = {
+    require(k > 0, "k must be positive")
+    val r = runs.select(col("query_id"), col("item_id"), col("rank"))
+      .filter(col("rank") <= k)
+    val t = truth.select(col("query_id"), col("item_id"))
+    val nRel = t.groupBy(col("query_id")).agg(count(lit(1)).as("n_rel"))
+    val marked = r.join(t.withColumn("__rel", lit(1L)),
+        Seq("query_id", "item_id"), "left")
+      .withColumn("__rel", coalesce(col("__rel"), lit(0L)))
+      .withColumn("__hits_i", sum(col("__rel")).over(
+        Window.partitionBy(col("query_id")).orderBy(col("rank"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("__term_u", when(col("__rel") === 1,
+        round(lit(1e6) * col("__hits_i").cast("double") /
+          col("rank").cast("double"), 0).cast("long")).otherwise(0L))
+    val perQ = marked.groupBy(col("query_id"))
+      .agg(sum(col("__rel")).as("hits"), sum(col("__term_u")).as("__apsum"))
+    nRel.join(perQ, Seq("query_id"), "left")
+      .select(col("query_id"), col("n_rel"),
+        coalesce(col("hits"), lit(0L)).as("hits"),
+        when(col("n_rel") > 0, round(
+          coalesce(col("__apsum"), lit(0L)).cast("double") /
+            least(col("n_rel"), lit(k.toLong)).cast("double") / 1e6, 6))
+          .as("ap"))
+  }
+
   /** A-stat — per-class precision / recall / F1 of a multiclass
     * prediction, in exact ppm: the per-class readout of the q47
     * confusion matrix. F1 avoids the harmonic-mean float entirely via

@@ -992,6 +992,62 @@ class AnalyticsOpsSpec extends AnyFunSuite {
       math.rint(6.0 / (2.0 * math.sqrt(7.5)) * 1e6) / 1e6)
   }
 
+  test("mannKendall: monotone series, no ties — S = n(n−1)/2, pinned z") {
+    val s = Seq((1L, 1L), (2L, 2L), (3L, 3L), (4L, 4L)).toDF("t", "v")
+    val r = Aggregates.mannKendall(s, col("t"), col("v")).head()
+    assert(r.getAs[Long]("n") == 4L && r.getAs[Long]("s") == 6L)
+    assert(r.getAs[Long]("var18") == 156L) // 4·3·13, no tie correction
+    val z = 5.0 / math.sqrt(156.0 / 18.0)
+    assert(r.getAs[Double]("z") == BigDecimal(z)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+  }
+
+  test("mannKendall: ties shrink the variance; decreasing series flips sign") {
+    val s = Seq((1L, 3L), (2L, 2L), (3L, 2L), (4L, 1L)).toDF("t", "v")
+    val r = Aggregates.mannKendall(s, col("t"), col("v")).head()
+    assert(r.getAs[Long]("s") == -5L)
+    assert(r.getAs[Long]("var18") == 156L - 18L) // one pair tie: 2·1·9
+    val z = -4.0 / math.sqrt(138.0 / 18.0)
+    assert(r.getAs[Double]("z") == BigDecimal(z)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+  }
+
+  test("pettitt: level shift located at the split maximizing |U|") {
+    val s = Seq((1L, 1L), (2L, 1L), (3L, 5L), (4L, 5L)).toDF("t", "v")
+    val r = Aggregates.pettitt(s, col("t"), col("v")).head()
+    assert(r.getAs[Long]("n") == 4L)
+    assert(r.getAs[Long]("t_star") == 2L) // shift between t=2 and t=3
+    assert(r.getAs[Long]("u_t") == 4L && r.getAs[Long]("k_abs") == 4L)
+  }
+
+  test("gTest: independent table scores 0; diagonal scores 8·ln2") {
+    val indep = (Seq.fill(2)(("a", "x")) ++ Seq.fill(2)(("a", "y")) ++
+      Seq(("b", "x"), ("b", "y"))).toDF("r", "c")
+    val r0 = Aggregates.gTest(indep, col("r"), col("c")).head()
+    assert(r0.getAs[Double]("g") == 0.0 && r0.getAs[Long]("dof") == 1L)
+    val diag = (Seq.fill(2)(("a", "x")) ++ Seq.fill(2)(("b", "y"))).toDF("r", "c")
+    val r1 = Aggregates.gTest(diag, col("r"), col("c")).head()
+    // per-cell term 2·ln2 micro-quantized: 1386294 → g = 2·2·1386294/1e6
+    assert(r1.getAs[Double]("g") == 5.545176)
+  }
+
+  test("assortativity: a path graph is perfectly disassortative (r = −1)") {
+    val e = Seq((1L, 2L), (2L, 3L)).toDF("a", "b")
+    val r = Graph.assortativity(e, "a", "b").head()
+    assert(r.getAs[Long]("m") == 2L)
+    assert(r.getAs[Double]("r") == -1.0)
+  }
+
+  test("clusteringCoefficients: triangle nodes are cliques; pendant drops") {
+    val e = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L)).toDF("a", "b")
+    val out = Graph.clusteringCoefficients(e, "a", "b")
+      .orderBy("node").collect()
+      .map(r => (r.getAs[Long]("node"), r.getAs[Long]("degree"),
+        r.getAs[Long]("n_triangles"), r.getAs[Long]("local_cc_ppm")))
+    assert(out.toSeq == Seq((1L, 2L, 1L, 1000000L), (2L, 2L, 1L, 1000000L),
+      (3L, 3L, 1L, 333333L))) // node 4 has degree 1 → excluded
+  }
+
   test("rouge2: clipped multiset overlap — hand-counted P/R/F1 ppm") {
     // cand "a b c a b": bigrams {a b:2, b c:1, c a:1} (4); ref
     // "a b c d": {a b:1, b c:1, c d:1} (3); clipped overlap = 2

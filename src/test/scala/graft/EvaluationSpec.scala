@@ -154,6 +154,29 @@ class EvaluationSpec extends AnyFunSuite {
     assert(r.getAs[Double]("kappa") == 1.0)
   }
 
+  test("mapAtK: rank-weighted hits; empty-truth query reports null ap") {
+    import spark.implicits._
+    val runs = Seq((1L, 10L, 1L), (1L, 11L, 2L), (1L, 12L, 3L), (1L, 13L, 4L),
+      (2L, 10L, 1L)).toDF("query_id", "item_id", "rank")
+    val truth = Seq((1L, 11L), (1L, 13L), (1L, 99L)).toDF("query_id", "item_id")
+    val out = Evaluation.mapAtK(runs, truth, k = 10)
+      .orderBy("query_id").collect()
+    // q1: hits at ranks 2 (P=1/2) and 4 (P=2/4); AP = 1.0/min(3,10)/...
+    assert(out.length == 1) // q2 has no truth rows → no n_rel row
+    val r = out.head
+    assert(r.getAs[Long]("n_rel") == 3L && r.getAs[Long]("hits") == 2L)
+    assert(r.getAs[Double]("ap") == 0.333333)
+  }
+
+  test("mapAtK: perfect top-ranked retrieval scores AP = 1") {
+    import spark.implicits._
+    val runs = Seq((1L, 10L, 1L), (1L, 11L, 2L), (1L, 12L, 3L))
+      .toDF("query_id", "item_id", "rank")
+    val truth = Seq((1L, 10L), (1L, 11L), (1L, 12L)).toDF("query_id", "item_id")
+    val r = Evaluation.mapAtK(runs, truth, k = 3).head()
+    assert(r.getAs[Double]("ap") == 1.0)
+  }
+
   test("krippendorffAlpha: abstentions drop; pooled-distribution chance") {
     import spark.implicits._
     // pairable units (k,k),(k,d),(d,d),(d,d) + one dropped abstention:
