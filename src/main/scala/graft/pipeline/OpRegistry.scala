@@ -591,6 +591,63 @@ object OpRegistry {
       col(str(p, "reward_col")), expr(str(p, "propensity_ppm_expr")))),
     "stratified_ate" -> (p => df => graft.ops.Experimentation.stratifiedAte(
       df, col(str(p, "stratum_col")), expr(str(p, "y_expr")),
-      expr(str(p, "treated_expr"))))
+      expr(str(p, "treated_expr")))),
+    // round-4 batches 25-27: nonparametric tests, agreement, bandits,
+    // link prediction, CF, LM scoring, JL compression, graph topology,
+    // retrieval MAP
+    "kruskal_wallis" -> (p => df => graft.ops.Aggregates.kruskalWallis(
+      df, col(str(p, "value_col")), col(str(p, "group_col")))),
+    "wilcoxon_signed_rank" -> (p => df =>
+      graft.ops.Aggregates.wilcoxonSignedRank(
+        df, col(str(p, "x_col")), col(str(p, "y_col")))),
+    "mann_kendall" -> (p => df => graft.ops.Aggregates.mannKendall(
+      df, col(str(p, "order_col")), col(str(p, "value_col")))),
+    "pettitt" -> (p => df => graft.ops.Aggregates.pettitt(
+      df, col(str(p, "order_col")), col(str(p, "value_col")))),
+    "g_test" -> (p => df => graft.ops.Aggregates.gTest(
+      df, col(str(p, "row_col")), col(str(p, "col_col")))),
+    "cohens_kappa" -> (p => df => graft.ops.Evaluation.cohensKappa(
+      df, expr(str(p, "rater_a_expr")), expr(str(p, "rater_b_expr")))),
+    "krippendorff_alpha" -> (p => df =>
+      graft.ops.Evaluation.krippendorffAlpha(
+        df, expr(str(p, "rater_a_expr")), expr(str(p, "rater_b_expr")))),
+    "ucb1" -> (p => df => graft.ops.Experimentation.ucb1(
+      df, col(str(p, "arm_col")), expr(str(p, "reward_expr")))),
+    "sequential_boundary" -> (p => df =>
+      graft.ops.Experimentation.sequentialBoundary(
+        df, expr(str(p, "look_expr")), expr(str(p, "arm_a_expr")),
+        expr(str(p, "success_expr")))),
+    "adamic_adar" -> (p => df => graft.ext.Graph.adamicAdar(
+      df, col(str(p, "basket_col")), col(str(p, "item_col")),
+      numOpt(p, "top_k").map(_.toInt).getOrElse(100))),
+    "item_cosine" -> (p => df => graft.ops.Associations.itemCosine(
+      df, col(str(p, "basket_col")), col(str(p, "item_col")),
+      numOpt(p, "min_common").map(_.toLong).getOrElse(2L),
+      numOpt(p, "top_k").map(_.toInt).getOrElse(100))),
+    "assortativity" -> (p => df => graft.ext.Graph.assortativity(
+      df, str(p, "src_col"), str(p, "dst_col"))),
+    "clustering_coefficients" -> (p => df =>
+      graft.ext.Graph.clusteringCoefficients(
+        df, str(p, "src_col"), str(p, "dst_col"))),
+    // df is the PROBE corpus; the model reads from a file
+    // (two-input pattern, like modularity's labels_file)
+    "kneser_ney_score" -> (p => df => graft.ext.TextAnalysis.kneserNeyScore(
+      df.sparkSession.read.parquet(str(p, "model_file")), df,
+      str(p, "text_col"), str(p, "id_col"))),
+    "ngram_novelty" -> (p => df => graft.ext.TextAnalysis.ngramNovelty(
+      df.sparkSession.read.parquet(str(p, "model_file")), df,
+      str(p, "text_col"), str(p, "id_col"),
+      numOpt(p, "n").map(_.toInt).getOrElse(3))),
+    "rouge2" -> (p => df => graft.ext.TextAnalysis.rouge2(
+      df, str(p, "pair_id_col"), str(p, "cand_col"), str(p, "ref_col"))),
+    "jl_project" -> (p => df => df.withColumn(
+      strOpt(p, "out_col").getOrElse("projected"),
+      graft.ext.Similarity.jlProject(col(str(p, "vec_col")),
+        graft.ext.Similarity.jlSigns(num(p, "dim_in").toInt,
+          num(p, "dim_out").toInt)))),
+    // df is the RUNS frame; truth reads from a file
+    "map_at_k" -> (p => df => graft.ops.Evaluation.mapAtK(
+      df, df.sparkSession.read.parquet(str(p, "truth_file")),
+      numOpt(p, "k").map(_.toInt).getOrElse(10)))
   ))
 }

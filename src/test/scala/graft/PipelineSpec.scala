@@ -945,4 +945,118 @@ class SourcesSinksSpec extends AnyFunSuite {
       (Seq.fill(20)((1L, 1)) ++ Seq.fill(20)((2L, 0))).toDF("g", "y"))
     assert(bh.count() == 2)
   }
+
+  test("X1: batch-25-27 registry ops run from JSON") {
+    def run(json: String, df: org.apache.spark.sql.DataFrame) =
+      Pipeline.fromJson(json).run(df)._1
+
+    val kw = run("""{"pipe":"p","operations":[{"name":"k","function":
+      "kruskal_wallis","kwargs":{"value_col":"v","group_col":"g"}}]}""",
+      Seq(("A", 1L), ("A", 2L), ("B", 3L), ("B", 4L), ("C", 5L), ("C", 6L))
+        .toDF("g", "v")).head()
+    assert(kw.getAs[Long]("k") == 3L && kw.getAs[Double]("h") == 4.571428)
+
+    val wsr = run("""{"pipe":"p","operations":[{"name":"w","function":
+      "wilcoxon_signed_rank","kwargs":{"x_col":"x","y_col":"y"}}]}""",
+      Seq((0L, 1L), (2L, 0L), (0L, 3L), (0L, 4L)).toDF("x", "y")).head()
+    assert(wsr.getAs[Long]("w2_plus") == 16L)
+
+    val mk = run("""{"pipe":"p","operations":[{"name":"m","function":
+      "mann_kendall","kwargs":{"order_col":"t","value_col":"v"}}]}""",
+      Seq((1L, 1L), (2L, 2L), (3L, 3L), (4L, 4L)).toDF("t", "v")).head()
+    assert(mk.getAs[Long]("s") == 6L)
+
+    val pt = run("""{"pipe":"p","operations":[{"name":"p","function":
+      "pettitt","kwargs":{"order_col":"t","value_col":"v"}}]}""",
+      Seq((1L, 1L), (2L, 1L), (3L, 5L), (4L, 5L)).toDF("t", "v")).head()
+    assert(pt.getAs[Long]("t_star") == 2L)
+
+    val gt = run("""{"pipe":"p","operations":[{"name":"g","function":
+      "g_test","kwargs":{"row_col":"r","col_col":"c"}}]}""",
+      (Seq.fill(2)(("a", "x")) ++ Seq.fill(2)(("b", "y"))).toDF("r", "c"))
+      .head()
+    assert(gt.getAs[Double]("g") == 5.545176)
+
+    val ck = run("""{"pipe":"p","operations":[{"name":"c","function":
+      "cohens_kappa","kwargs":{"rater_a_expr":"a","rater_b_expr":"b"}}]}""",
+      (Seq.fill(4)(("k", "k")) ++ Seq.fill(3)(("d", "d")) ++
+        Seq.fill(2)(("k", "d")) ++ Seq(("d", "k"))).toDF("a", "b")).head()
+    assert(ck.getAs[Double]("kappa") == 0.4)
+
+    val ka = run("""{"pipe":"p","operations":[{"name":"k","function":
+      "krippendorff_alpha","kwargs":{"rater_a_expr":"a",
+      "rater_b_expr":"b"}}]}""",
+      Seq(("k", "k"), ("k", "d"), ("d", "d"), ("d", "d")).toDF("a", "b"))
+      .head()
+    assert(ka.getAs[Long]("de_num") == 30L)
+
+    val ucb = run("""{"pipe":"p","operations":[{"name":"u","function":
+      "ucb1","kwargs":{"arm_col":"arm","reward_expr":"r = 1"}}]}""",
+      (Seq.fill(2)(("a", 1)) ++ Seq.fill(2)(("a", 0)) ++ Seq(("b", 1)))
+        .toDF("arm", "r")).orderBy("ucb_rank").head()
+    assert(ucb.getAs[String]("arm") == "b")
+
+    val sb = run("""{"pipe":"p","operations":[{"name":"s","function":
+      "sequential_boundary","kwargs":{"look_expr":"lk",
+      "arm_a_expr":"arm = 'A'","success_expr":"y = 1"}}]}""",
+      Seq((1, "A", 1), (1, "A", 0), (1, "B", 0), (1, "B", 0))
+        .toDF("lk", "arm", "y")).head()
+    assert(sb.getAs[Double]("z") == 1.154701)
+
+    val aa = run("""{"pipe":"p","operations":[{"name":"a","function":
+      "adamic_adar","kwargs":{"basket_col":"b","item_col":"i",
+      "top_k":5}}]}""",
+      Seq((10L, 1L), (10L, 2L), (20L, 1L), (20L, 2L)).toDF("b", "i")).head()
+    assert(aa.getAs[Long]("n_common") == 2L)
+
+    val ic = run("""{"pipe":"p","operations":[{"name":"i","function":
+      "item_cosine","kwargs":{"basket_col":"b","item_col":"i",
+      "min_common":2,"top_k":5}}]}""",
+      Seq((1L, 1L), (1L, 2L), (2L, 1L), (2L, 2L), (3L, 1L), (3L, 3L))
+        .toDF("b", "i")).head()
+    assert(ic.getAs[Long]("n_common") == 2L)
+
+    val as = run("""{"pipe":"p","operations":[{"name":"a","function":
+      "assortativity","kwargs":{"src_col":"s","dst_col":"d"}}]}""",
+      Seq((1L, 2L), (2L, 3L)).toDF("s", "d")).head()
+    assert(as.getAs[Double]("r") == -1.0)
+
+    val cc = run("""{"pipe":"p","operations":[{"name":"c","function":
+      "clustering_coefficients","kwargs":{"src_col":"s","dst_col":"d"}}]}""",
+      Seq((1L, 2L), (2L, 3L), (1L, 3L)).toDF("s", "d"))
+    assert(cc.count() == 3)
+
+    val tmp = java.nio.file.Files.createTempDirectory("graft_reg27").toString
+    Seq((10L, "a b c")).toDF("doc_id", "text").write.mode("overwrite")
+      .parquet(s"$tmp/model")
+    val kn = run(s"""{"pipe":"p","operations":[{"name":"k","function":
+      "kneser_ney_score","kwargs":{"model_file":"$tmp/model",
+      "text_col":"text","id_col":"doc_id"}}]}""",
+      Seq((1L, "a b x")).toDF("doc_id", "text")).head()
+    assert(kn.getAs[Long]("n_bigrams") == 2L)
+
+    val nv = run(s"""{"pipe":"p","operations":[{"name":"n","function":
+      "ngram_novelty","kwargs":{"model_file":"$tmp/model",
+      "text_col":"text","id_col":"doc_id","n":2}}]}""",
+      Seq((1L, "a b z")).toDF("doc_id", "text")).head()
+    assert(nv.getAs[Long]("n_unseen") == 1L) // "a b" seen, "b z" not
+
+    val rg = run("""{"pipe":"p","operations":[{"name":"r","function":
+      "rouge2","kwargs":{"pair_id_col":"pid","cand_col":"c",
+      "ref_col":"f"}}]}""",
+      Seq((1L, "a b c", "a b d")).toDF("pid", "c", "f")).head()
+    assert(rg.getAs[Long]("overlap") == 1L)
+
+    val jp = run("""{"pipe":"p","operations":[{"name":"j","function":
+      "jl_project","kwargs":{"vec_col":"v","dim_in":4,"dim_out":2}}]}""",
+      Seq((1L, Array(1.0f, 0.0f, 0.0f, 0.0f))).toDF("id", "v")).head()
+    assert(jp.getSeq[Double](jp.fieldIndex("projected")).length == 2)
+
+    Seq((1L, 10L)).toDF("query_id", "item_id").write.mode("overwrite")
+      .parquet(s"$tmp/truth")
+    val mp = run(s"""{"pipe":"p","operations":[{"name":"m","function":
+      "map_at_k","kwargs":{"truth_file":"$tmp/truth","k":5}}]}""",
+      Seq((1L, 10L, 1L)).toDF("query_id", "item_id", "rank")).head()
+    assert(mp.getAs[Double]("ap") == 1.0)
+  }
 }
