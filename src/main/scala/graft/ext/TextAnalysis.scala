@@ -652,6 +652,53 @@ object TextAnalysis {
         round(col("__s_nano").cast("double") / 2 / 1e9, 6).as("jsd"))
   }
 
+  /** E4 — Zipf slope of the corpus frequency spectrum: OLS of
+    * ln(freq) on ln(rank) over the top-N token frequencies. Healthy
+    * organic text sits near −1 (Zipf 1949 — public literature);
+    * template/boilerplate farms flatten the head, spam steepens it —
+    * the one-number spectrum fingerprint beside q141's entropy. Ranks
+    * are exact (freq desc, token tie-break); both logs are
+    * micro-quantized per TERM, so the OLS moments are exact decimal
+    * sums of integers and the slope/intercept are pinned finishes.
+    * Returns one row: (n_terms, top_freq, slope, intercept).
+    *
+    * Scale: one token agg with map-side combine; the ordered window
+    * runs on the top-N rollup (TakeOrdered), never the token stream. */
+  def zipfSlope(docs: DataFrame, textCol: String, topN: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(topN >= 2, "topN >= 2")
+    val d38 = "decimal(38,0)"
+    val freq = docs.select(explode(tokens(col(textCol))).as("__w"))
+      .filter(col("__w") =!= "")
+      .groupBy(col("__w")).agg(count(lit(1)).as("__f"))
+      .orderBy(col("__f").desc, col("__w")).limit(topN)
+    val ranked = freq
+      .withColumn("__r", row_number().over(
+        Window.orderBy(col("__f").desc, col("__w"))).cast("long"))
+      .withColumn("__x", round(log(col("__r").cast("double")) * 1e6, 0)
+        .cast("long"))
+      .withColumn("__y", round(log(col("__f").cast("double")) * 1e6, 0)
+        .cast("long"))
+    def s38(c: Column) = sum(c.cast(d38)).cast(d38)
+    ranked.agg(count(lit(1)).cast(d38).as("__n"),
+      max(col("__f")).as("top_freq"),
+      s38(col("__x")).as("__sx"), s38(col("__y")).as("__sy"),
+      s38(col("__x").cast(d38) * col("__y").cast(d38)).as("__sxy"),
+      s38(col("__x").cast(d38) * col("__x").cast(d38)).as("__sxx"))
+      .select(col("__n").cast("long").as("n_terms"),
+        col("top_freq").cast("long").as("top_freq"),
+        round((col("__n") * col("__sxy") - col("__sx") * col("__sy"))
+          .cast("double") /
+          (col("__n") * col("__sxx") - col("__sx") * col("__sx"))
+          .cast("double"), 6).as("slope"),
+        round((col("__sy").cast("double") -
+          (col("__n") * col("__sxy") - col("__sx") * col("__sy"))
+            .cast("double") /
+          (col("__n") * col("__sxx") - col("__sx") * col("__sx"))
+            .cast("double") * col("__sx").cast("double")) /
+          col("__n").cast("double") / 1e6, 6).as("intercept"))
+  }
+
   /** E4 — interpolated Kneser–Ney bigram scoring (Kneser & Ney,
     * ICASSP'95; Chen & Goodman, 1998 — public literature): the
     * fourth rung of the LM-quality ladder, above [[stupidBackoffScore]]

@@ -1041,6 +1041,180 @@ object Aggregates {
               .cast("double")), 6).as("h"))
   }
 
+  /** A-stat — Cochran's Q test over binary block×treatment outcomes
+    * (Cochran, Biometrika 1950 — public literature): did any of k
+    * related binary conditions (did the user convert in year 1/2/3,
+    * did the doc pass gate A/B/C) differ, accounting for per-block
+    * baselines? With C_j treatment totals, R_i block totals, N = ΣR_i,
+    *   Q = (k−1)·(k·ΣC_j² − N²) / (k·N − ΣR_i²)
+    * — every sum exact DECIMAL(38,0); Q is one pinned IEEE division.
+    * All-zero blocks contribute nothing and may be absent. Input is
+    * one row per (block, treatment) with a boolean success. Returns
+    * one row: (n_blocks, k, q).
+    *
+    * Scale: one block-grain agg + one treatment-grain agg with
+    * map-side combine; no window, no pair space. */
+  def cochranQ(df: DataFrame, blockCol: Column, treatmentCol: Column,
+      successCond: Column): DataFrame = {
+    val d38 = "decimal(38,0)"
+    val cell = df.groupBy(blockCol.as("__b"), treatmentCol.as("__t"))
+      .agg(max(when(successCond, 1L).otherwise(0L)).as("__x"))
+    val k1 = cell.agg(count_distinct(col("__t")).as("__k"))
+    val cj = cell.groupBy(col("__t")).agg(sum(col("__x")).as("__c"))
+      .agg(sum(col("__c").cast(d38) * col("__c").cast(d38)).cast(d38)
+        .as("__sc2"), sum(col("__c")).cast(d38).as("__n"))
+    val ri = cell.groupBy(col("__b")).agg(sum(col("__x")).as("__r"))
+      .agg(count(lit(1)).as("__nb"),
+        sum(col("__r").cast(d38) * col("__r").cast(d38)).cast(d38).as("__sr2"))
+    cj.crossJoin(broadcast(ri)).crossJoin(broadcast(k1))
+      .select(col("__nb").cast("long").as("n_blocks"),
+        col("__k").cast("long").as("k"),
+        round(((col("__k") - 1).cast(d38) *
+          (col("__k").cast(d38) * col("__sc2") - col("__n") * col("__n")))
+          .cast("double") /
+          (col("__k").cast(d38) * col("__n") - col("__sr2")).cast("double"),
+          6).as("q"))
+  }
+
+  /** A-stat — Ljung–Box portmanteau test over an ordered series
+    * (Ljung & Box, Biometrika 1978 — public literature): is ANY of the
+    * first K autocorrelations nonzero — the "is this residual white
+    * noise" gate run before trusting a forecast model. Centered values
+    * are cleared of the mean fraction (c_i = n·x_i − S, exact longs),
+    * so every ρ_k = Σc_i·c_{i+k} / Σc_i² is a ratio of exact decimals;
+    * each lag's ρ_k²/(n−k) is nano-quantized before the K-term sum and
+    *   Q = n(n+2)·Σ_k ρ_k²/(n−k)
+    * finishes pinned. Returns one row: (n, k_lags, q).
+    *
+    * Scale: series-grain like [[mannKendall]] — the lag join offsets a
+    * dense row_number over the rollup, never the fact table. */
+  def ljungBox(series: DataFrame, orderCol: Column, valueCol: Column,
+      kLags: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(kLags >= 1, "kLags >= 1")
+    val d38 = "decimal(38,0)"
+    val s = series.select(orderCol.as("__t"), valueCol.cast("long").as("__v"))
+      .withColumn("__i", row_number().over(Window.orderBy(col("__t"))).cast("long"))
+    val tot = s.agg(count(lit(1)).as("__n"), sum(col("__v")).as("__s"))
+    val c = s.crossJoin(broadcast(tot))
+      .select(col("__i"),
+        (col("__n").cast(d38) * col("__v").cast(d38) -
+          col("__s").cast(d38)).cast(d38).as("__c"), col("__n"))
+      .localCheckpoint() // rollup-sized; read by the base and K lag joins
+    val den = c.agg(sum(col("__c") * col("__c")).cast(d38).as("__d"))
+    val lagged = c.select(col("__i").as("__i2"), col("__c").as("__c2"))
+    val nums = (1 to kLags).map { lag =>
+      c.join(lagged, col("__i2") === col("__i") + lag)
+        .agg(coalesce(sum(col("__c") * col("__c2")),
+          lit(0).cast(d38)).cast(d38).as("__num"))
+        .select(lit(lag.toLong).as("__lag"), col("__num"))
+    }.reduce(_ unionAll _)
+    nums.crossJoin(broadcast(den)).crossJoin(broadcast(tot))
+      .withColumn("__rho", col("__num").cast("double") / col("__d").cast("double"))
+      .withColumn("__term_nano", round(col("__rho") * col("__rho") /
+        (col("__n") - col("__lag")).cast("double") * 1e9, 0).cast("long"))
+      .agg(max(col("__n")).cast("long").as("n"),
+        count(lit(1)).as("k_lags"),
+        round(max(col("__n")).cast("double") *
+          (max(col("__n")) + 2).cast("double") *
+          (sum(col("__term_nano")).cast("double") / 1e9), 6).as("q"))
+  }
+
+  /** A-stat — Simpson diversity per key: the probability two draws
+    * without replacement differ,
+    *   D = 1 − Σ_c n_c(n_c−1) / (N(N−1)),
+    * exact-integer numerators, one pinned IEEE division per key. The
+    * concentration gauge a mixing pipeline reads per slice (one
+    * dominating category → D ≈ 0). Returns
+    * (…keys, n, n_categories, d).
+    *
+    * Scale: one (key, category) agg with map-side combine + a
+    * key-sized rollup of it. */
+  def simpsonDiversity(df: DataFrame, keys: Seq[Column],
+      catCol: Column): DataFrame = {
+    val d38 = "decimal(38,0)"
+    val base = df.select(keys :+ catCol.as("__cat"): _*)
+    val kNames = base.columns.dropRight(1).toSeq
+    val cells = base.groupBy((kNames :+ "__cat").map(col): _*)
+      .agg(count(lit(1)).as("__c"))
+    cells.groupBy(kNames.map(col): _*)
+      .agg(sum(col("__c")).as("n"), count(lit(1)).as("n_categories"),
+        sum(col("__c").cast(d38) * (col("__c") - 1).cast(d38)).cast(d38)
+          .as("__same"))
+      .select(kNames.map(col) :+ col("n").cast("long").as("n") :+
+        col("n_categories").cast("long").as("n_categories") :+
+        when(col("n") > 1, round(lit(1.0) - col("__same").cast("double") /
+          (col("n").cast(d38) * (col("n") - 1).cast(d38)).cast("double"), 6))
+          .as("d"): _*)
+  }
+
+  /** A-stat — Theil T inequality index over positive integer values
+    * (Theil 1967 — public literature): T = (1/N)·Σ (x/μ)·ln(x/μ),
+    * the decomposable concentration measure beside q142's Gini.
+    * x/μ clears the mean fraction as (x·N)/S — one IEEE division of
+    * exact integers per DISTINCT value — and each distinct value's
+    * term is micro-quantized then weighted by its exact count, so the
+    * data-sized sum is a long aggregation. Returns one row:
+    * (n, sum_x, theil).
+    *
+    * Scale: one distinct-value rollup with map-side combine; the libm
+    * ln runs once per distinct value, never per row. */
+  def theilIndex(df: DataFrame, valueCol: Column): DataFrame = {
+    val d38 = "decimal(38,0)"
+    val perV = df.select(valueCol.cast("long").as("__x"))
+      .filter(col("__x") > 0)
+      .groupBy(col("__x")).agg(count(lit(1)).as("__c"))
+    val tot = perV.agg(sum(col("__c")).as("__n"),
+      sum(col("__x").cast(d38) * col("__c").cast(d38)).cast(d38).as("__s"))
+    perV.crossJoin(broadcast(tot))
+      .withColumn("__ratio",
+        (col("__x").cast(d38) * col("__n").cast(d38)).cast("double") /
+          col("__s").cast("double"))
+      .withColumn("__term_u",
+        round(col("__ratio") * log(col("__ratio")) * 1e6, 0).cast("long"))
+      .agg(max(col("__n")).cast("long").as("n"),
+        max(col("__s")).cast("long").as("sum_x"),
+        round(sum(col("__c").cast(d38) * col("__term_u").cast(d38))
+          .cast("double") / 1e6 / max(col("__n")).cast("double"), 6)
+          .as("theil"))
+  }
+
+  /** A-stat — Cochran–Armitage trend test: is a binary outcome's rate
+    * MONOTONE across k ordered exposure groups (dose, decile, version)
+    * — strictly more powerful than the omnibus χ² when the alternative
+    * is a trend. With integer scores w_i, group sizes n_i, successes
+    * r_i, N, R totals:
+    *   Z² = N·(N·Σw·r − R·Σw·n)² /
+    *        (R·(N−R)·(N·Σw²·n − (Σw·n)²))
+    * — every sum exact DECIMAL(38,0), one pinned finish. Returns one
+    * row: (n, k_groups, chi2_trend).
+    *
+    * Scale: one group-grain agg with map-side combine; group count is
+    * domain-bounded. */
+  def cochranArmitage(df: DataFrame, scoreCol: Column,
+      successCond: Column): DataFrame = {
+    val d38 = "decimal(38,0)"
+    val g = df.groupBy(scoreCol.cast("long").as("__w"))
+      .agg(count(lit(1)).as("__ni"),
+        sum(when(successCond, 1L).otherwise(0L)).as("__ri"))
+    g.agg(sum(col("__ni")).cast(d38).as("__n"),
+      count(lit(1)).as("__k"),
+      sum(col("__ri")).cast(d38).as("__r"),
+      sum(col("__w").cast(d38) * col("__ri").cast(d38)).cast(d38).as("__swr"),
+      sum(col("__w").cast(d38) * col("__ni").cast(d38)).cast(d38).as("__swn"),
+      sum(col("__w").cast(d38) * col("__w").cast(d38) *
+        col("__ni").cast(d38)).cast(d38).as("__swwn"))
+      .select(col("__n").cast("long").as("n"),
+        col("__k").cast("long").as("k_groups"),
+        round((col("__n") *
+          (col("__n") * col("__swr") - col("__r") * col("__swn")) *
+          (col("__n") * col("__swr") - col("__r") * col("__swn")))
+          .cast("double") /
+          (col("__r") * (col("__n") - col("__r")) *
+            (col("__n") * col("__swwn") - col("__swn") * col("__swn")))
+          .cast("double"), 6).as("chi2_trend"))
+  }
+
   /** A-stat — Mann–Kendall trend test over an ordered series (Mann
     * 1945; Kendall 1975 — public literature): the nonparametric "is
     * this metric drifting" readout run on time-grain rollups, immune

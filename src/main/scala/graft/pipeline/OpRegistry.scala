@@ -648,6 +648,22 @@ object OpRegistry {
     // df is the RUNS frame; truth reads from a file
     "map_at_k" -> (p => df => graft.ops.Evaluation.mapAtK(
       df, df.sparkSession.read.parquet(str(p, "truth_file")),
-      numOpt(p, "k").map(_.toInt).getOrElse(10)))
+      numOpt(p, "k").map(_.toInt).getOrElse(10))),
+    // round-4 batch 28: related-samples/trend tests, whiteness,
+    // concentration and spectrum fingerprints
+    "cochran_q" -> (p => df => graft.ops.Aggregates.cochranQ(
+      df, col(str(p, "block_col")), expr(str(p, "treatment_expr")),
+      expr(str(p, "success_expr")))),
+    "ljung_box" -> (p => df => graft.ops.Aggregates.ljungBox(
+      df, col(str(p, "order_col")), col(str(p, "value_col")),
+      numOpt(p, "lags").map(_.toInt).getOrElse(6))),
+    "simpson_diversity" -> (p => df => graft.ops.Aggregates.simpsonDiversity(
+      df, strs(p, "keys").map(col), col(str(p, "category_col")))),
+    "theil_index" -> (p => df => graft.ops.Aggregates.theilIndex(
+      df, col(str(p, "value_col")))),
+    "cochran_armitage" -> (p => df => graft.ops.Aggregates.cochranArmitage(
+      df, expr(str(p, "score_expr")), expr(str(p, "success_expr")))),
+    "zipf_slope" -> (p => df => graft.ext.TextAnalysis.zipfSlope(
+      df, str(p, "text_col"), numOpt(p, "top_n").map(_.toInt).getOrElse(200)))
   ))
 }

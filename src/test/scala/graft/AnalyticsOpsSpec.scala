@@ -992,6 +992,72 @@ class AnalyticsOpsSpec extends AnyFunSuite {
       math.rint(6.0 / (2.0 * math.sqrt(7.5)) * 1e6) / 1e6)
   }
 
+  test("cochranQ: hand-solved 3×3 presence table — Q = 3 exactly") {
+    // C = (3,2,1), R = (2,1,3): Q = 2·(3·14 − 36)/(3·6 − 14) = 3
+    val rows = Seq((1L, 1L), (1L, 2L), (2L, 1L), (3L, 1L), (3L, 2L),
+      (3L, 3L)).toDF("b", "t")
+    val r = Aggregates.cochranQ(rows, col("b"), col("t"), lit(true)).head()
+    assert(r.getAs[Long]("n_blocks") == 3L && r.getAs[Long]("k") == 3L)
+    assert(r.getAs[Double]("q") == 3.0)
+  }
+
+  test("ljungBox: alternating series — hand-solved Q = 7.5") {
+    // v = 1,2,1,2: c = (−2,2,−2,2), den 16; ρ1 = −0.75, ρ2 = 0.5;
+    // Q = 4·6·(0.5625/3 + 0.25/2) = 7.5
+    val s = Seq((1L, 1L), (2L, 2L), (3L, 1L), (4L, 2L)).toDF("t", "v")
+    val r = Aggregates.ljungBox(s, col("t"), col("v"), kLags = 2).head()
+    assert(r.getAs[Long]("n") == 4L && r.getAs[Long]("k_lags") == 2L)
+    assert(r.getAs[Double]("q") == 7.5)
+  }
+
+  test("simpsonDiversity: two even categories → 2/3; singleton → null") {
+    val df = Seq(("s1", "a"), ("s1", "a"), ("s1", "b"), ("s1", "b"),
+      ("s2", "a")).toDF("k", "c")
+    val out = Aggregates.simpsonDiversity(df, Seq(col("k")), col("c"))
+      .orderBy("k").collect()
+    assert(out(0).getAs[Long]("n") == 4L &&
+      out(0).getAs[Double]("d") == 0.666667)
+    assert(out(1).isNullAt(out(1).fieldIndex("d")))
+  }
+
+  test("theilIndex: replicated micro-quantized arithmetic on 1,1,2") {
+    val df = Seq(1L, 1L, 2L).toDF("x")
+    val r = Aggregates.theilIndex(df, col("x")).head()
+    assert(r.getAs[Long]("n") == 3L && r.getAs[Long]("sum_x") == 4L)
+    def tu(ratio: Double) = math.rint(ratio * math.log(ratio) * 1e6).toLong
+    val expected = BigDecimal((2 * tu(3.0 / 4.0) + 1 * tu(6.0 / 4.0))
+      .toDouble / 1e6 / 3.0)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(r.getAs[Double]("theil") == expected)
+  }
+
+  test("cochranArmitage: two-dose trend — chi2 = 7.2 exactly") {
+    // w=1: 2/10 success; w=2: 8/10 → 20·60²/(10·10·100) = 7.2
+    val rows = (Seq.fill(2)((1L, 1)) ++ Seq.fill(8)((1L, 0)) ++
+      Seq.fill(8)((2L, 1)) ++ Seq.fill(2)((2L, 0))).toDF("w", "y")
+    val r = Aggregates.cochranArmitage(rows, col("w"), col("y") === 1).head()
+    assert(r.getAs[Long]("n") == 20L && r.getAs[Long]("k_groups") == 2L)
+    assert(r.getAs[Double]("chi2_trend") == 7.2)
+  }
+
+  test("zipfSlope: replicated micro-log OLS on a tiny spectrum") {
+    val docs = Seq("a a a a b b c").toDF("text")
+    val r = graft.ext.TextAnalysis.zipfSlope(docs, "text", topN = 3).head()
+    assert(r.getAs[Long]("n_terms") == 3L && r.getAs[Long]("top_freq") == 4L)
+    val pts = Seq((1L, 4L), (2L, 2L), (3L, 1L)).map { case (rk, f) =>
+      (math.rint(math.log(rk.toDouble) * 1e6).toLong,
+        math.rint(math.log(f.toDouble) * 1e6).toLong)
+    }
+    val n = pts.length.toLong
+    val sx = pts.map(_._1).sum; val sy = pts.map(_._2).sum
+    val sxy = pts.map(p => p._1 * p._2).sum
+    val sxx = pts.map(p => p._1 * p._1).sum
+    val slope = (n * sxy - sx * sy).toDouble / (n * sxx - sx * sx).toDouble
+    assert(r.getAs[Double]("slope") == BigDecimal(slope)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    assert(r.getAs[Double]("slope") < -0.5) // decaying spectrum
+  }
+
   test("mannKendall: monotone series, no ties — S = n(n−1)/2, pinned z") {
     val s = Seq((1L, 1L), (2L, 2L), (3L, 3L), (4L, 4L)).toDF("t", "v")
     val r = Aggregates.mannKendall(s, col("t"), col("v")).head()

@@ -1058,5 +1058,39 @@ class SourcesSinksSpec extends AnyFunSuite {
       "map_at_k","kwargs":{"truth_file":"$tmp/truth","k":5}}]}""",
       Seq((1L, 10L, 1L)).toDF("query_id", "item_id", "rank")).head()
     assert(mp.getAs[Double]("ap") == 1.0)
+
+    val cq = run("""{"pipe":"p","operations":[{"name":"c","function":
+      "cochran_q","kwargs":{"block_col":"b","treatment_expr":"t",
+      "success_expr":"true"}}]}""",
+      Seq((1L, 1L), (1L, 2L), (2L, 1L), (3L, 1L), (3L, 2L), (3L, 3L))
+        .toDF("b", "t")).head()
+    assert(cq.getAs[Double]("q") == 3.0)
+
+    val lb = run("""{"pipe":"p","operations":[{"name":"l","function":
+      "ljung_box","kwargs":{"order_col":"t","value_col":"v","lags":2}}]}""",
+      Seq((1L, 1L), (2L, 2L), (3L, 1L), (4L, 2L)).toDF("t", "v")).head()
+    assert(lb.getAs[Double]("q") == 7.5)
+
+    val sd = run("""{"pipe":"p","operations":[{"name":"s","function":
+      "simpson_diversity","kwargs":{"keys":["k"],"category_col":"c"}}]}""",
+      Seq(("s1", "a"), ("s1", "b")).toDF("k", "c")).head()
+    assert(sd.getAs[Long]("n_categories") == 2L)
+
+    val th = run("""{"pipe":"p","operations":[{"name":"t","function":
+      "theil_index","kwargs":{"value_col":"x"}}]}""",
+      Seq(2L, 2L).toDF("x")).head()
+    assert(th.getAs[Double]("theil") == 0.0) // equal values → no inequality
+
+    val ca = run("""{"pipe":"p","operations":[{"name":"c","function":
+      "cochran_armitage","kwargs":{"score_expr":"w",
+      "success_expr":"y = 1"}}]}""",
+      (Seq.fill(2)((1L, 1)) ++ Seq.fill(8)((1L, 0)) ++
+        Seq.fill(8)((2L, 1)) ++ Seq.fill(2)((2L, 0))).toDF("w", "y")).head()
+    assert(ca.getAs[Double]("chi2_trend") == 7.2)
+
+    val zs = run("""{"pipe":"p","operations":[{"name":"z","function":
+      "zipf_slope","kwargs":{"text_col":"text","top_n":3}}]}""",
+      Seq("a a a a b b c").toDF("text")).head()
+    assert(zs.getAs[Long]("n_terms") == 3L)
   }
 }
