@@ -375,4 +375,38 @@ object Curation {
       .groupBy(col("id"))
       .agg(count(lit(1)).as("n_lists"), sum(col("__s")).as("rrf_u"))
   }
+
+  /** E7 — greedy quality-first mixture under a token budget: rank
+    * sources by an integer quality score (tie: source id), walk the
+    * cumulative token count, take each source whole until the budget
+    * line, and split the boundary source pro-rata. The simplest
+    * defensible mixture when the constraint is "best B tokens", and
+    * the baseline every learned mixture (DoReMi-style) is judged
+    * against. Budget = total·num div den — exact integers throughout;
+    * alloc_ppm is the per-source inclusion rate a downstream sampler
+    * (q63's hash split) enforces. Returns per source:
+    * (source, tokens, quality_u, alloc_tokens, alloc_ppm).
+    *
+    * Scale: the walk is a window over the SOURCE-grain rollup (tens
+    * to thousands of rows), never documents; the emitted alloc_ppm
+    * turns into a content-hash keep rule applied scan-side. */
+  def greedyMixture(perSource: DataFrame, sourceCol: Column,
+      tokensCol: Column, qualityCol: Column,
+      budgetNum: Long, budgetDen: Long): DataFrame = {
+    require(budgetNum >= 0 && budgetDen > 0, "budget fraction invalid")
+    val base = perSource.select(sourceCol.as("source"),
+      tokensCol.cast("long").as("tokens"),
+      qualityCol.cast("long").as("quality_u"))
+    val tot = base.agg(sum(col("tokens")).as("__total"))
+    val w = Window.orderBy(col("quality_u").desc, col("source"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    base.crossJoin(broadcast(tot))
+      .withColumn("__budget", expr(s"__total * ${budgetNum}L div ${budgetDen}L"))
+      .withColumn("__before", coalesce(sum(col("tokens")).over(w), lit(0L)))
+      .withColumn("alloc_tokens",
+        greatest(lit(0L), least(col("tokens"), col("__budget") - col("__before"))))
+      .withColumn("alloc_ppm", expr("1000000 * alloc_tokens div tokens"))
+      .select(col("source"), col("tokens"), col("quality_u"),
+        col("alloc_tokens"), col("alloc_ppm"))
+  }
 }

@@ -229,4 +229,60 @@ object Sketches {
           .otherwise(0L)).as("inter_kept"))
       .withColumn("j_est_ppm", expr("1000000 * inter_kept div union_kept"))
   }
+
+  /** E6/sketch — fixed-width-bin histogram quantiles AUDITED against
+    * the exact order statistic: the mergeable-histogram quantile is
+    * the 100 TB path (per-partition bin counts combine map-side; the
+    * sketch is bin-domain-sized), and this op reports, per requested
+    * level, both the histogram estimate (upper edge of the crossing
+    * bin) and the exact lower-quantile value, with the signed ppm
+    * error — the audit that sizes `binWidth` before trusting the
+    * sketch in production. Rank convention: target = ⌈level·N⌉ (ppm),
+    * estimate and exact both = first bin/value whose cumulative count
+    * reaches it. All integers. Returns per level:
+    * (level_ppm, target_rank, exact_q, binned_q, err_ppm).
+    *
+    * Scale: the histogram side is the scale path (bin-grain agg,
+    * map-side combine, tiny ordered window). The exact side windows
+    * the distinct-VALUE rollup — the bounded verification kernel
+    * (q34's bucket≡naive pattern), not the production path. */
+  def binnedQuantileAudit(df: DataFrame, valueCol: Column, binWidth: Long,
+      levelsPpm: Seq[Long]): DataFrame = {
+    require(binWidth > 0, "binWidth > 0")
+    require(levelsPpm.nonEmpty, "need at least one level")
+    val d = df.select(valueCol.cast("long").as("__x"))
+    val spark = df.sparkSession
+    import scala.jdk.CollectionConverters._
+    val levels = spark.createDataFrame(
+      levelsPpm.map(org.apache.spark.sql.Row(_)).asJava,
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("level_ppm",
+          org.apache.spark.sql.types.LongType, nullable = false))))
+    val n1 = d.agg(count(lit(1)).as("__n"))
+    // target rank: ceil(level·N / 1e6), exact in integers
+    val tgt = levels.crossJoin(broadcast(n1))
+      .withColumn("target_rank",
+        expr("(level_ppm * __n + 999999) div 1000000"))
+      .select(col("level_ppm"), col("target_rank"))
+    val hist = d.groupBy(expr(s"__x div $binWidth").as("__bin"))
+      .agg(count(lit(1)).as("__c"))
+      .withColumn("__cum", sum(col("__c")).over(
+        Window.orderBy(col("__bin"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val binned = tgt.join(hist, col("__cum") >= col("target_rank"))
+      .groupBy(col("level_ppm"), col("target_rank"))
+      .agg(((min(col("__bin")) + 1) * binWidth - 1).as("binned_q"))
+    val vals = d.groupBy(col("__x")).agg(count(lit(1)).as("__c"))
+      .withColumn("__cum", sum(col("__c")).over(
+        Window.orderBy(col("__x"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val exact = tgt.join(vals, col("__cum") >= col("target_rank"))
+      .groupBy(col("level_ppm"))
+      .agg(min(col("__x")).as("exact_q"))
+    binned.join(exact, "level_ppm")
+      .withColumn("err_ppm",
+        expr("1000000 * (binned_q - exact_q) div exact_q"))
+      .select(col("level_ppm"), col("target_rank"), col("exact_q"),
+        col("binned_q"), col("err_ppm"))
+  }
 }

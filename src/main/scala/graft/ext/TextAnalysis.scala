@@ -652,6 +652,30 @@ object TextAnalysis {
         round(col("__s_nano").cast("double") / 2 / 1e9, 6).as("jsd"))
   }
 
+  /** E4 — Good–Turing unseen-mass estimate (Good, Biometrika 1953 —
+    * public literature): from the frequency-of-frequencies spectrum,
+    * the probability the NEXT token is a never-seen type is p₀ ≈ N₁/N
+    * (singleton share), and the adjusted count for once-seen types is
+    * r₁* = 2·N₂/N₁. The "how much of the language have we actually
+    * covered" number a corpus-growth decision reads next to q205's
+    * vocab curve — all exact integers and exact-ppm quotients.
+    * Returns one row: (n_tokens, n_types, n1, n2, p0_ppm, r1_star_ppm).
+    *
+    * Scale: one token agg → one count-of-counts rollup, both with
+    * map-side combine. */
+  def goodTuring(docs: DataFrame, textCol: String): DataFrame = {
+    val freq = docs.select(explode(tokens(col(textCol))).as("__w"))
+      .filter(col("__w") =!= "")
+      .groupBy(col("__w")).agg(count(lit(1)).as("__f"))
+    freq.agg(sum(col("__f")).as("n_tokens"),
+      count(lit(1)).as("n_types"),
+      sum(when(col("__f") === 1, 1L).otherwise(0L)).as("n1"),
+      sum(when(col("__f") === 2, 1L).otherwise(0L)).as("n2"))
+      .withColumn("p0_ppm", expr("1000000 * n1 div n_tokens"))
+      .withColumn("r1_star_ppm",
+        when(col("n1") > 0, expr("2000000 * n2 div n1")))
+  }
+
   /** E4 — Zipf slope of the corpus frequency spectrum: OLS of
     * ln(freq) on ln(rank) over the top-N token frequencies. Healthy
     * organic text sits near −1 (Zipf 1949 — public literature);

@@ -1041,6 +1041,38 @@ object Aggregates {
               .cast("double")), 6).as("h"))
   }
 
+  /** A-stat — Hill tail-index estimator over the top-k order
+    * statistics (Hill, Annals of Statistics 1975 — public literature):
+    *   α̂ = k / Σ_{i≤k} ln(x_(i) / x_(k+1)),
+    * the heavy-tail exponent of doc lengths / degree / spend — α < 2
+    * means the mean is tail-dominated and per-partition skew guards
+    * (salting, caps) are mandatory, which makes this the diagnostic
+    * behind every q52/q64-style decision. Only the top-(k+1) VALUE
+    * multiset matters, so ties need no ordering contract; each ln is
+    * micro-quantized (k of them, bounded). Returns one row:
+    * (k, x_tail, alpha).
+    *
+    * Scale: TakeOrdered pulls k+1 values with per-partition heaps; the
+    * window runs over k+1 rows. One pass at any volume. */
+  def hillTailIndex(df: DataFrame, valueCol: Column, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(k >= 1, "k >= 1")
+    val top = df.select(valueCol.cast("long").as("__x"))
+      .filter(col("__x") > 0)
+      .orderBy(col("__x").desc).limit(k + 1)
+      .withColumn("__rn", row_number().over(Window.orderBy(col("__x").desc)))
+    val xk1 = top.filter(col("__rn") === k + 1)
+      .select(col("__x").as("__xk1"))
+    top.filter(col("__rn") <= k).crossJoin(broadcast(xk1))
+      .withColumn("__term_u", round(
+        log(col("__x").cast("double") / col("__xk1").cast("double")) * 1e6, 0)
+        .cast("long"))
+      .agg(count(lit(1)).cast("long").as("k"),
+        max(col("__xk1")).cast("long").as("x_tail"),
+        round(count(lit(1)).cast("double") /
+          (sum(col("__term_u")).cast("double") / 1e6), 6).as("alpha"))
+  }
+
   /** A-stat — Cochran's Q test over binary block×treatment outcomes
     * (Cochran, Biometrika 1950 — public literature): did any of k
     * related binary conditions (did the user convert in year 1/2/3,

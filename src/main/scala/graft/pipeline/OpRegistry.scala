@@ -664,6 +664,26 @@ object OpRegistry {
     "cochran_armitage" -> (p => df => graft.ops.Aggregates.cochranArmitage(
       df, expr(str(p, "score_expr")), expr(str(p, "success_expr")))),
     "zipf_slope" -> (p => df => graft.ext.TextAnalysis.zipfSlope(
-      df, str(p, "text_col"), numOpt(p, "top_n").map(_.toInt).getOrElse(200)))
+      df, str(p, "text_col"), numOpt(p, "top_n").map(_.toInt).getOrElse(200))),
+    // round-4 batch 29: privacy release gates, tail/unseen-mass
+    // estimators, sketch-quantile audit, mixture allocation
+    "k_anonymity" -> (p => df => graft.ops.Privacy.kAnonymityAudit(
+      df, strs(p, "quasi_ids").map(col), num(p, "k").toLong)),
+    "l_diversity" -> (p => df => graft.ops.Privacy.lDiversityAudit(
+      df, strs(p, "quasi_ids").map(col), col(str(p, "sensitive_col")),
+      num(p, "l").toLong)),
+    "hill_tail" -> (p => df => graft.ops.Aggregates.hillTailIndex(
+      df, col(str(p, "value_col")),
+      numOpt(p, "k").map(_.toInt).getOrElse(100))),
+    "good_turing" -> (p => df => graft.ext.TextAnalysis.goodTuring(
+      df, str(p, "text_col"))),
+    "binned_quantiles" -> (p => df => graft.ext.Sketches.binnedQuantileAudit(
+      df, col(str(p, "value_col")), num(p, "bin_width").toLong,
+      strs(p, "levels_ppm").map(_.toLong))),
+    "greedy_mixture" -> (p => df => graft.ext.Curation.greedyMixture(
+      df, col(str(p, "source_col")), col(str(p, "tokens_col")),
+      col(str(p, "quality_col")),
+      numOpt(p, "budget_num").map(_.toLong).getOrElse(1L),
+      numOpt(p, "budget_den").map(_.toLong).getOrElse(2L)))
   ))
 }

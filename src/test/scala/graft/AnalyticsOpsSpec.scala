@@ -992,6 +992,73 @@ class AnalyticsOpsSpec extends AnyFunSuite {
       math.rint(6.0 / (2.0 * math.sqrt(7.5)) * 1e6) / 1e6)
   }
 
+  test("kAnonymityAudit: smallest class and at-risk row share") {
+    val df = Seq(("n1", "A"), ("n1", "A"), ("n1", "A"), ("n2", "B"))
+      .toDF("nat", "seg")
+    val r = graft.ops.Privacy.kAnonymityAudit(df,
+      Seq(col("nat"), col("seg")), k = 2L).head()
+    assert(r.getAs[Long]("n_rows") == 4L && r.getAs[Long]("n_groups") == 2L)
+    assert(r.getAs[Long]("k_min") == 1L)
+    assert(r.getAs[Long]("groups_below_k") == 1L)
+    assert(r.getAs[Long]("rows_below_ppm") == 250000L)
+  }
+
+  test("lDiversityAudit: a uniform class is flagged regardless of size") {
+    val df = Seq(("g1", "x"), ("g1", "y"), ("g2", "x"), ("g2", "x"),
+      ("g2", "x")).toDF("qi", "s")
+    val r = graft.ops.Privacy.lDiversityAudit(df, Seq(col("qi")),
+      col("s"), l = 2L).head()
+    assert(r.getAs[Long]("n_groups") == 2L && r.getAs[Long]("l_min") == 1L)
+    assert(r.getAs[Long]("groups_below_l") == 1L)
+    assert(r.getAs[Long]("below_ppm") == 500000L)
+  }
+
+  test("hillTailIndex: geometric top-4 — replicated micro-ln arithmetic") {
+    val df = Seq(16L, 8L, 4L, 2L, 1L).toDF("x")
+    val r = Aggregates.hillTailIndex(df, col("x"), k = 3).head()
+    assert(r.getAs[Long]("k") == 3L && r.getAs[Long]("x_tail") == 2L)
+    val sum = Seq(8.0, 4.0, 2.0).map(v =>
+      math.rint(math.log(v) * 1e6).toLong).sum
+    val expected = BigDecimal(3.0 / (sum.toDouble / 1e6))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(r.getAs[Double]("alpha") == expected)
+  }
+
+  test("goodTuring: spectrum 'a a b c' — p0 = 1/2, r1* = 1") {
+    val r = graft.ext.TextAnalysis.goodTuring(
+      Seq("a a b c").toDF("text"), "text").head()
+    assert(r.getAs[Long]("n_tokens") == 4L && r.getAs[Long]("n_types") == 3L)
+    assert(r.getAs[Long]("n1") == 2L && r.getAs[Long]("n2") == 1L)
+    assert(r.getAs[Long]("p0_ppm") == 500000L)
+    assert(r.getAs[Long]("r1_star_ppm") == 1000000L)
+  }
+
+  test("binnedQuantileAudit: hand-traced bins on 1..10, width 5") {
+    val df = (1L to 10L).toDF("x")
+    val out = graft.ext.Sketches.binnedQuantileAudit(df, col("x"), 5L,
+      Seq(500000L, 990000L)).orderBy("level_ppm").collect()
+    val p50 = out(0)
+    assert(p50.getAs[Long]("target_rank") == 5L)
+    assert(p50.getAs[Long]("exact_q") == 5L)
+    assert(p50.getAs[Long]("binned_q") == 9L) // bin [5,9] upper edge
+    assert(p50.getAs[Long]("err_ppm") == 800000L)
+    val p99 = out(1)
+    assert(p99.getAs[Long]("exact_q") == 10L &&
+      p99.getAs[Long]("binned_q") == 14L)
+  }
+
+  test("greedyMixture: quality-ranked fill, boundary source pro-rata") {
+    val s = Seq(("A", 60L, 9L), ("B", 40L, 5L)).toDF("src", "tok", "q")
+    val out = graft.ext.Curation.greedyMixture(s, col("src"), col("tok"),
+      col("q"), 1L, 2L).orderBy("source").collect()
+    // budget 50: A (better) takes 50 of 60, B gets 0
+    assert(out(0).getAs[Long]("alloc_tokens") == 50L)
+    assert(out(0).getAs[Long]("alloc_ppm") == 833333L)
+    assert(out(1).getAs[Long]("alloc_tokens") == 0L)
+    // conservation: allocations sum to the budget
+    assert(out.map(_.getAs[Long]("alloc_tokens")).sum == 50L)
+  }
+
   test("cochranQ: hand-solved 3×3 presence table — Q = 3 exactly") {
     // C = (3,2,1), R = (2,1,3): Q = 2·(3·14 − 36)/(3·6 − 14) = 3
     val rows = Seq((1L, 1L), (1L, 2L), (2L, 1L), (3L, 1L), (3L, 2L),

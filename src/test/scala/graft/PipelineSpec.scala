@@ -1092,5 +1092,38 @@ class SourcesSinksSpec extends AnyFunSuite {
       "zipf_slope","kwargs":{"text_col":"text","top_n":3}}]}""",
       Seq("a a a a b b c").toDF("text")).head()
     assert(zs.getAs[Long]("n_terms") == 3L)
+
+    val kan = run("""{"pipe":"p","operations":[{"name":"k","function":
+      "k_anonymity","kwargs":{"quasi_ids":["nat","seg"],"k":2}}]}""",
+      Seq(("n1", "A"), ("n1", "A"), ("n2", "B")).toDF("nat", "seg")).head()
+    assert(kan.getAs[Long]("k_min") == 1L)
+
+    val ld = run("""{"pipe":"p","operations":[{"name":"l","function":
+      "l_diversity","kwargs":{"quasi_ids":["qi"],"sensitive_col":"s",
+      "l":2}}]}""",
+      Seq(("g1", "x"), ("g1", "y"), ("g2", "x")).toDF("qi", "s")).head()
+    assert(ld.getAs[Long]("l_min") == 1L)
+
+    val ht = run("""{"pipe":"p","operations":[{"name":"h","function":
+      "hill_tail","kwargs":{"value_col":"x","k":3}}]}""",
+      Seq(16L, 8L, 4L, 2L, 1L).toDF("x")).head()
+    assert(ht.getAs[Long]("x_tail") == 2L)
+
+    val gtu = run("""{"pipe":"p","operations":[{"name":"g","function":
+      "good_turing","kwargs":{"text_col":"text"}}]}""",
+      Seq("a a b c").toDF("text")).head()
+    assert(gtu.getAs[Long]("p0_ppm") == 500000L)
+
+    val bqa = run("""{"pipe":"p","operations":[{"name":"b","function":
+      "binned_quantiles","kwargs":{"value_col":"x","bin_width":5,
+      "levels_ppm":["500000"]}}]}""",
+      (1L to 10L).toDF("x")).head()
+    assert(bqa.getAs[Long]("binned_q") == 9L)
+
+    val gm = run("""{"pipe":"p","operations":[{"name":"g","function":
+      "greedy_mixture","kwargs":{"source_col":"s","tokens_col":"t",
+      "quality_col":"q","budget_num":1,"budget_den":2}}]}""",
+      Seq(("A", 60L, 9L), ("B", 40L, 5L)).toDF("s", "t", "q"))
+    assert(gm.orderBy("source").head().getAs[Long]("alloc_tokens") == 50L)
   }
 }
