@@ -1041,6 +1041,43 @@ object Aggregates {
               .cast("double")), 6).as("h"))
   }
 
+  /** A-stat — η² (eta-squared) one-way effect size: the share of
+    * total variance explained by the grouping,
+    *   η² = SS_between / SS_total,
+    * the "how much does the factor matter" companion to q187's
+    * ANOVA F (which only says whether it matters at all). Group
+    * terms S_g²/n_g are micro-quantized (groups are domain-bounded);
+    * SS components are IEEE finishes over exact decimal sums.
+    * Returns one row: (n, k_groups, eta_sq).
+    *
+    * Scale: one group-grain agg with map-side combine — identical
+    * plan shape to anovaF. */
+  def etaSquared(df: DataFrame, valueCol: Column,
+      groupCol: Column): DataFrame = {
+    val d38 = "decimal(38,0)"
+    val v = valueCol.cast("long")
+    val g = df.groupBy(groupCol.as("__g")).agg(
+      count(lit(1)).as("__ng"),
+      sum(v).cast(d38).as("__sg"),
+      sum(v.cast(d38) * v.cast(d38)).cast(d38).as("__qg"))
+    g.withColumn("__term_u", round(
+        (col("__sg") * col("__sg")).cast("double") /
+          col("__ng").cast("double") * 1e6, 0).cast("long"))
+      .agg(sum(col("__ng")).cast(d38).as("__n"),
+        count(lit(1)).as("__k"),
+        sum(col("__sg")).cast(d38).as("__s"),
+        sum(col("__qg")).cast(d38).as("__q"),
+        sum(col("__term_u")).as("__tb"))
+      .select(col("__n").cast("long").as("n"),
+        col("__k").cast("long").as("k_groups"),
+        round((col("__tb").cast("double") / 1e6 -
+          (col("__s") * col("__s")).cast("double") /
+            col("__n").cast("double")) /
+          (col("__q").cast("double") -
+            (col("__s") * col("__s")).cast("double") /
+              col("__n").cast("double")), 6).as("eta_sq"))
+  }
+
   /** A-stat — Hill tail-index estimator over the top-k order
     * statistics (Hill, Annals of Statistics 1975 — public literature):
     *   α̂ = k / Σ_{i≤k} ln(x_(i) / x_(k+1)),

@@ -537,4 +537,112 @@ object EventAnalytics {
       .select(col("n_a"), col("n_b"), col("o1"), col("e1_u"), col("v_u"),
         col("chi2"))
   }
+
+  /** A1/ML — RFM segmentation (recency / frequency / monetary — the
+    * classic behavioral segmentation; public marketing-analytics
+    * literature): per actor, days since last activity (vs the corpus
+    * max date), activity count and integer-cent spend, each scored
+    * 1-5 by ntile over a TOTAL order (metric, actor id — ties can
+    * never float between engines), composed into a 3-digit code.
+    * Recency ntiles ascending (recent = low days = score 1 … keep the
+    * raw convention stated, not inverted). Returns the segment-grain
+    * rollup: (rfm_code, n_actors) — 125 rows max.
+    *
+    * Scale: one actor-grain agg; the three ntile windows run over the
+    * ACTOR rollup (one row per actor), a single-digit fraction of
+    * fact volume; the final rollup is segment-sized. */
+  def rfmSegments(df: DataFrame, actorCol: Column, tsCol: Column,
+      amountCents: Column): DataFrame = {
+    val actors = df.groupBy(actorCol.as("__a")).agg(
+      max(to_date(tsCol)).as("__last"),
+      count(lit(1)).as("__f"),
+      sum(amountCents.cast("long")).as("__m"))
+    val maxD = actors.agg(max(col("__last")).as("__maxd"))
+    def score(c: Column, tie: Column) =
+      ntile(5).over(Window.orderBy(c, tie)).cast("long")
+    actors.crossJoin(broadcast(maxD))
+      .withColumn("__rdays", datediff(col("__maxd"), col("__last")).cast("long"))
+      .withColumn("__rs", score(col("__rdays"), col("__a")))
+      .withColumn("__fs", score(col("__f"), col("__a")))
+      .withColumn("__ms", score(col("__m"), col("__a")))
+      .withColumn("rfm_code",
+        col("__rs") * 100 + col("__fs") * 10 + col("__ms"))
+      .groupBy(col("rfm_code")).agg(count(lit(1)).as("n_actors"))
+  }
+
+  /** A-stat — burstiness of inter-event gaps per actor (Goh &
+    * Barabási, EPL 2008 — public literature):
+    *   B = (σ − μ) / (σ + μ)
+    * over the actor's inter-arrival times — B → −1 periodic, 0
+    * Poisson, → 1 bursty. The traffic-shape fingerprint that decides
+    * whether an actor is a human, a cron job, or a scraper. σ, μ are
+    * IEEE finishes over exact integer micro-gap sums (population sd
+    * cleared as √(n·Q − S²)/n). Actors with < `minGaps` gaps drop.
+    * Returns (actor, n_gaps, mean_gap_us, b).
+    *
+    * Scale: gaps come from a lag window keyed by actor (the q25
+    * sessionize shuffle); the moment agg is actor-grain. */
+  def burstiness(df: DataFrame, actorCol: Column, tsCol: Column,
+      minGaps: Long): DataFrame = {
+    val d38 = "decimal(38,0)"
+    val w = Window.partitionBy(col("__a")).orderBy(col("__ts"))
+    val gaps = df.select(actorCol.as("__a"), unix_micros(tsCol).as("__ts"))
+      .withColumn("__prev", lag(col("__ts"), 1).over(w))
+      .filter(col("__prev").isNotNull)
+      .select(col("__a"), (col("__ts") - col("__prev")).as("__g"))
+    val m = gaps.groupBy(col("__a")).agg(count(lit(1)).as("n_gaps"),
+      sum(col("__g")).cast(d38).as("__s"),
+      sum(col("__g").cast(d38) * col("__g").cast(d38)).cast(d38).as("__q"))
+      .filter(col("n_gaps") >= minGaps)
+    val mu = col("__s").cast("double") / col("n_gaps").cast("double")
+    val sd = sqrt((col("n_gaps").cast(d38) * col("__q") -
+      col("__s") * col("__s")).cast("double")) / col("n_gaps").cast("double")
+    m.select(col("__a").as("actor"), col("n_gaps"),
+      expr("__s div n_gaps").cast("long").as("mean_gap_us"),
+      round((sd - mu) / (sd + mu), 6).as("b"))
+  }
+
+  /** A1 — log-linear retention-decay fit: pool retention cohorts to
+    * day-k rates, fit ln(rate_k) ~ a + b·k by OLS over micro-quantized
+    * log rates (exact integer moments — the q250 device), and report
+    * the decay half-life −ln2/b. The one-number retention summary a
+    * growth dashboard tracks release over release. Day 0 anchors the
+    * rate denominator and is excluded from the fit (its rate is 1 by
+    * construction). Returns one row:
+    * (n_days, slope, intercept, half_life_days).
+    *
+    * Scale: cohort pooling is a k-grain rollup of the retention agg;
+    * the OLS is a maxDays-row plan. */
+  def retentionDecayFit(df: DataFrame, actorCol: String, tsCol: String,
+      maxDays: Int): DataFrame = {
+    val d38 = "decimal(38,0)"
+    val pooled = retentionCohorts(df, actorCol, tsCol, maxDays)
+      .groupBy(col("k")).agg(sum(col("users")).as("__u"))
+    val base = pooled.filter(col("k") === 0)
+      .select(col("__u").as("__n0"))
+    val pts = pooled.filter(col("k") >= 1).crossJoin(broadcast(base))
+      .withColumn("__y", round(log(col("__u").cast("double") /
+        col("__n0").cast("double")) * 1e6, 0).cast("long"))
+      .withColumn("__x", col("k").cast("long"))
+    def s38(c: Column) = sum(c.cast(d38)).cast(d38)
+    pts.agg(count(lit(1)).cast(d38).as("__n"),
+        s38(col("__x")).as("__sx"), s38(col("__y")).as("__sy"),
+        s38(col("__x").cast(d38) * col("__y").cast(d38)).as("__sxy"),
+        s38(col("__x").cast(d38) * col("__x").cast(d38)).as("__sxx"))
+      // one-point fits (n·Σx² = (Σx)²) have no slope: null, not a
+      // divide-by-zero (ANSI decimal./ raises before the double cast
+      // when the whole quotient folds to a decimal division)
+      .withColumn("__den",
+        (col("__n") * col("__sxx") - col("__sx") * col("__sx")).cast("double"))
+      .withColumn("__slope_u", when(col("__den") =!= 0.0,
+        (col("__n") * col("__sxy") - col("__sx") * col("__sy")).cast("double") /
+          col("__den")))
+      .select(col("__n").cast("long").as("n_days"),
+        round(col("__slope_u") / 1e6, 6).as("slope"),
+        round((col("__sy").cast("double") -
+          col("__slope_u") * col("__sx").cast("double")) /
+          col("__n").cast("double") / 1e6, 6).as("intercept"),
+        round(-log(lit(2.0)) / (col("__slope_u") / 1e6), 6)
+          .as("half_life_days"))
+  }
 }

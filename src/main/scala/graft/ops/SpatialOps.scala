@@ -411,4 +411,47 @@ object SpatialOps {
       .drop("__lat", "__lon", "lonq", "latq", "ghbits")
   }
 
+  /** J2/E2+ — grid-density clustering (a DBSCAN-shaped pass made
+    * fully relational; DBSCAN — Ester et al., KDD'96, public
+    * literature): points bucket to integer cells, cells with ≥
+    * `minPts` points are DENSE, 4-adjacent dense cells connect, and
+    * connected components of dense cells are the clusters. Trades
+    * DBSCAN's exact ε-ball for the cell approximation every
+    * large-scale implementation makes — and becomes three bounded
+    * relational steps instead of a neighborhood graph over points.
+    * Returns per cluster: (cluster_id = min member cell key,
+    * n_cells, n_points) with cell key = cx·100000 + cy.
+    *
+    * Scale: the density agg is cell-keyed with map-side combine
+    * (cells, not points, flow onward); adjacency is a self equi-join
+    * of the DENSE cell list shifted by unit offsets; the component
+    * pass is [[graft.ext.Graph.connectedComponents]] — O(log n)
+    * pointer-doubling rounds over the (small) dense-cell graph. */
+  def gridDensityClusters(points: DataFrame, xCol: Column, yCol: Column,
+      cellSize: Double, minPts: Long): DataFrame = {
+    require(cellSize > 0, "cellSize > 0")
+    require(minPts >= 1, "minPts >= 1")
+    val cells = points.select(
+        floor(xCol / cellSize).cast("long").as("__cx"),
+        floor(yCol / cellSize).cast("long").as("__cy"))
+      .groupBy(col("__cx"), col("__cy")).agg(count(lit(1)).as("__np"))
+      .filter(col("__np") >= minPts)
+      .withColumn("__cell", col("__cx") * 100000 + col("__cy"))
+      .localCheckpoint() // dense-cell list: read by adjacency + rollup
+    val right = cells.select(col("__cx").as("__dx"), col("__cy").as("__dy"),
+      col("__cell").as("__dst"))
+    // 4-neighborhood: emit each undirected adjacency once (E then N)
+    val edges = cells.join(right,
+      (col("__dx") === col("__cx") + 1 && col("__dy") === col("__cy")) ||
+        (col("__dx") === col("__cx") && col("__dy") === col("__cy") + 1))
+      .select(col("__cell").as("src"), col("__dst").as("dst"))
+    // isolated dense cells still form singleton clusters: union them
+    // in as self-edges so the component pass assigns them labels
+    val withSelf = edges.unionByName(
+      cells.select(col("__cell").as("src"), col("__cell").as("dst")))
+    val comp = graft.ext.Graph.connectedComponents(withSelf, "src", "dst")
+    cells.join(comp, col("__cell") === col("node"))
+      .groupBy(col("component").as("cluster_id"))
+      .agg(count(lit(1)).as("n_cells"), sum(col("__np")).as("n_points"))
+  }
 }

@@ -559,4 +559,40 @@ object TimeSeriesOps {
         when(col("sae_naive") > 0,
           expr("1000000 * sae_holt div sae_naive")))
   }
+
+  /** A1 — XmR (individuals / moving-range) control chart over an
+    * ordered integer series (Shewhart SPC; the 2.66 = 3/d₂ constant
+    * is standard public SPC practice): limits
+    *   UCL/LCL = x̄ ± 2.66·M̄R,  M̄R = mean |xᵢ − xᵢ₋₁|,
+    * and each point is flagged when it falls outside. The
+    * "is this metric merely noisy or actually broken" verdict a
+    * pipeline-health dashboard renders per ingest series. x̄ and M̄R
+    * are IEEE finishes over exact integer sums; the flag compares
+    * doubles computed identically on both engines. Returns per point:
+    * (t…, v, mr, ucl, lcl, out_of_control).
+    *
+    * Scale: the lag window and both means run over the SERIES rollup
+    * (pass the time-grain rollup, never raw facts). */
+  def xmrChart(series: DataFrame, orderCol: Column,
+      valueCol: Column): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val s = series.select(orderCol.as("t"), valueCol.cast("long").as("v"))
+    val w = Window.orderBy(col("t"))
+    val withMr = s.withColumn("mr",
+      abs(col("v") - lag(col("v"), 1).over(w)))
+    val stats = withMr.agg(count(lit(1)).as("__n"),
+      sum(col("v")).as("__sv"),
+      sum(col("mr")).as("__smr"),
+      count(col("mr")).as("__nmr"))
+    withMr.crossJoin(broadcast(stats))
+      .withColumn("__xbar", col("__sv").cast("double") / col("__n").cast("double"))
+      .withColumn("__mrbar", col("__smr").cast("double") / col("__nmr").cast("double"))
+      .withColumn("ucl", round(col("__xbar") + lit(2.66) * col("__mrbar"), 6))
+      .withColumn("lcl", round(col("__xbar") - lit(2.66) * col("__mrbar"), 6))
+      .withColumn("out_of_control",
+        col("v").cast("double") > col("ucl") ||
+          col("v").cast("double") < col("lcl"))
+      .select(col("t"), col("v"), col("mr"), col("ucl"), col("lcl"),
+        col("out_of_control"))
+  }
 }

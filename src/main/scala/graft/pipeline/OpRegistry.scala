@@ -684,6 +684,26 @@ object OpRegistry {
       df, col(str(p, "source_col")), col(str(p, "tokens_col")),
       col(str(p, "quality_col")),
       numOpt(p, "budget_num").map(_.toLong).getOrElse(1L),
-      numOpt(p, "budget_den").map(_.toLong).getOrElse(2L)))
+      numOpt(p, "budget_den").map(_.toLong).getOrElse(2L))),
+    // round-4 batch 30: behavioral segmentation, SPC, variance
+    // decomposition, relational density clustering, retention decay
+    "rfm_segments" -> (p => df => graft.ops.EventAnalytics.rfmSegments(
+      df, col(str(p, "actor_col")), col(str(p, "ts_col")),
+      expr(str(p, "amount_cents_expr")))),
+    "burstiness" -> (p => df => graft.ops.EventAnalytics.burstiness(
+      df, col(str(p, "actor_col")), col(str(p, "ts_col")),
+      numOpt(p, "min_gaps").map(_.toLong).getOrElse(10L))),
+    "xmr_chart" -> (p => df => graft.ops.TimeSeriesOps.xmrChart(
+      df, col(str(p, "order_col")), col(str(p, "value_col")))),
+    "eta_squared" -> (p => df => graft.ops.Aggregates.etaSquared(
+      df, col(str(p, "value_col")), col(str(p, "group_col")))),
+    "grid_density_clusters" -> (p => df =>
+      graft.ops.SpatialOps.gridDensityClusters(
+        df, col(str(p, "x_col")), col(str(p, "y_col")),
+        num(p, "cell_size"), num(p, "min_pts").toLong)),
+    "retention_decay_fit" -> (p => df =>
+      graft.ops.EventAnalytics.retentionDecayFit(
+        df, str(p, "actor_col"), str(p, "ts_col"),
+        numOpt(p, "max_days").map(_.toInt).getOrElse(14)))
   ))
 }

@@ -33,5 +33,6 @@ object Declared {
       LlmExt6.all ++
       Events.all ++ Analytics.all ++ Analytics2.all ++ Analytics3.all ++
       Analytics4.all ++ Analytics5.all ++ Analytics6.all ++ Analytics7.all ++
-      Analytics8.all ++ Analytics9.all ++ Analytics10.all ++ Analytics11.all
+      Analytics8.all ++ Analytics9.all ++ Analytics10.all ++ Analytics11.all ++
+      Analytics12.all
 }

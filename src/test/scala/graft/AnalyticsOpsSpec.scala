@@ -992,6 +992,42 @@ class AnalyticsOpsSpec extends AnyFunSuite {
       math.rint(6.0 / (2.0 * math.sqrt(7.5)) * 1e6) / 1e6)
   }
 
+  test("xmrChart: level shift breaches the 2.66·MR limit") {
+    val s = Seq((1L, 10L), (2L, 10L), (3L, 10L), (4L, 10L), (5L, 30L))
+      .toDF("tt", "v")
+    val out = TimeSeriesOps.xmrChart(s, col("tt"), col("v"))
+      .orderBy("t").collect()
+    // x̄ = 14, M̄R = 5 → UCL = 27.3: only the 30 breaches
+    assert(out.map(_.getAs[Boolean]("out_of_control")).toSeq ==
+      Seq(false, false, false, false, true))
+    assert(out.last.getAs[Double]("ucl") == 27.3)
+    assert(out.head.isNullAt(out.head.fieldIndex("mr")))
+  }
+
+  test("etaSquared: separated groups → 1; identical groups → 0") {
+    val sep = Seq(("a", 1L), ("a", 1L), ("b", 3L), ("b", 3L)).toDF("g", "v")
+    assert(Aggregates.etaSquared(sep, col("v"), col("g"))
+      .head().getAs[Double]("eta_sq") == 1.0)
+    val same = Seq(("a", 1L), ("a", 3L), ("b", 1L), ("b", 3L)).toDF("g", "v")
+    assert(Aggregates.etaSquared(same, col("v"), col("g"))
+      .head().getAs[Double]("eta_sq") == 0.0)
+  }
+
+  test("gridDensityClusters: adjacent dense cells merge; sparse drop") {
+    import graft.ops.SpatialOps
+    val pts = Seq(
+      (0.5, 0.5), (0.6, 0.6),   // dense cell (0,0)
+      (1.5, 0.5), (1.6, 0.6),   // dense cell (1,0) — adjacent → merges
+      (5.5, 5.5), (5.6, 5.6),   // dense cell (5,5) — isolated cluster
+      (9.5, 9.5)                // single point → not dense → dropped
+    ).toDF("x", "y")
+    val out = SpatialOps.gridDensityClusters(pts, col("x"), col("y"),
+      cellSize = 1.0, minPts = 2L).orderBy("cluster_id").collect()
+      .map(r => (r.getAs[Long]("cluster_id"), r.getAs[Long]("n_cells"),
+        r.getAs[Long]("n_points")))
+    assert(out.toSeq == Seq((0L, 2L, 4L), (500005L, 1L, 2L)))
+  }
+
   test("kAnonymityAudit: smallest class and at-risk row share") {
     val df = Seq(("n1", "A"), ("n1", "A"), ("n1", "A"), ("n2", "B"))
       .toDF("nat", "seg")

@@ -156,4 +156,49 @@ class EventAnalyticsSpec extends AnyFunSuite {
       .head()
     assert(rs.getAs[Long]("o1") * 1000000L == rs.getAs[Long]("e1_u"))
   }
+
+  test("rfmSegments: two-actor quintiles — recency inverts, F/M ascend") {
+    // c1: old single small order; c2: recent, two, big
+    val df = Seq(
+      (1L, ts("2024-01-01 10:00:00"), 100L),
+      (2L, ts("2024-01-05 10:00:00"), 300L),
+      (2L, ts("2024-01-06 10:00:00"), 300L)).toDF("c", "t", "cents")
+    val out = EventAnalytics.rfmSegments(df, col("c"), col("t"), col("cents"))
+      .orderBy("rfm_code").collect()
+      .map(r => (r.getAs[Long]("rfm_code"), r.getAs[Long]("n_actors")))
+    // c2: rdays 0 → rs 1, f 2 → fs 2, m 600 → ms 2 → 122
+    // c1: rdays 5 → rs 2, f 1 → fs 1, m 100 → ms 1 → 211
+    assert(out.toSeq == Seq((122L, 1L), (211L, 1L)))
+  }
+
+  test("burstiness: a perfectly periodic actor scores exactly −1") {
+    val events = (0 until 12).map(i =>
+      (7L, ts(f"2024-01-01 10:${i}%02d:00"))).toDF("u", "t")
+    val r = EventAnalytics.burstiness(events, col("u"), col("t"),
+      minGaps = 10L).head()
+    assert(r.getAs[Long]("n_gaps") == 11L)
+    assert(r.getAs[Long]("mean_gap_us") == 60000000L)
+    assert(r.getAs[Double]("b") == -1.0)
+  }
+
+  test("burstiness: actors under the minimum gap count drop") {
+    val events = Seq((1L, ts("2024-01-01 10:00:00")),
+      (1L, ts("2024-01-01 10:01:00"))).toDF("u", "t")
+    assert(EventAnalytics.burstiness(events, col("u"), col("t"),
+      minGaps = 10L).count() == 0)
+  }
+
+  test("retentionDecayFit: perfect halving gives a one-day half-life") {
+    // 4 users on day 0, 2 on day 1, 1 on day 2 → slope = ln(1/2)/day
+    val df = Seq(
+      (1L, ts("2024-01-01 10:00:00")), (1L, ts("2024-01-02 10:00:00")),
+      (1L, ts("2024-01-03 10:00:00")),
+      (2L, ts("2024-01-01 11:00:00")), (2L, ts("2024-01-02 11:00:00")),
+      (3L, ts("2024-01-01 12:00:00")), (4L, ts("2024-01-01 13:00:00")))
+      .toDF("user_id", "ts")
+    val r = EventAnalytics.retentionDecayFit(df, "user_id", "ts", 14).head()
+    assert(r.getAs[Long]("n_days") == 2L)
+    assert(r.getAs[Double]("slope") == -0.693147)
+    assert(r.getAs[Double]("half_life_days") == 1.0)
+  }
 }

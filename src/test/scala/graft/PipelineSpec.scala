@@ -1125,5 +1125,43 @@ class SourcesSinksSpec extends AnyFunSuite {
       "quality_col":"q","budget_num":1,"budget_den":2}}]}""",
       Seq(("A", 60L, 9L), ("B", 40L, 5L)).toDF("s", "t", "q"))
     assert(gm.orderBy("source").head().getAs[Long]("alloc_tokens") == 50L)
+
+    def t30(s: String) = java.sql.Timestamp.valueOf(s)
+    val rfm = run("""{"pipe":"p","operations":[{"name":"r","function":
+      "rfm_segments","kwargs":{"actor_col":"c","ts_col":"t",
+      "amount_cents_expr":"cents"}}]}""",
+      Seq((1L, t30("2024-01-01 10:00:00"), 100L),
+        (2L, t30("2024-01-05 10:00:00"), 300L)).toDF("c", "t", "cents"))
+    assert(rfm.count() == 2)
+
+    val bu = run("""{"pipe":"p","operations":[{"name":"b","function":
+      "burstiness","kwargs":{"actor_col":"u","ts_col":"t",
+      "min_gaps":2}}]}""",
+      Seq((7L, t30("2024-01-01 10:00:00")), (7L, t30("2024-01-01 10:01:00")),
+        (7L, t30("2024-01-01 10:02:00"))).toDF("u", "t")).head()
+    assert(bu.getAs[Double]("b") == -1.0)
+
+    val xc = run("""{"pipe":"p","operations":[{"name":"x","function":
+      "xmr_chart","kwargs":{"order_col":"tt","value_col":"v"}}]}""",
+      Seq((1L, 10L), (2L, 10L), (3L, 30L)).toDF("tt", "v"))
+    assert(xc.count() == 3)
+
+    val es = run("""{"pipe":"p","operations":[{"name":"e","function":
+      "eta_squared","kwargs":{"value_col":"v","group_col":"g"}}]}""",
+      Seq(("a", 1L), ("a", 1L), ("b", 3L), ("b", 3L)).toDF("g", "v")).head()
+    assert(es.getAs[Double]("eta_sq") == 1.0)
+
+    val gd = run("""{"pipe":"p","operations":[{"name":"g","function":
+      "grid_density_clusters","kwargs":{"x_col":"x","y_col":"y",
+      "cell_size":1,"min_pts":2}}]}""",
+      Seq((0.5, 0.5), (0.6, 0.6)).toDF("x", "y"))
+    assert(gd.count() == 1)
+
+    val rdf = run("""{"pipe":"p","operations":[{"name":"r","function":
+      "retention_decay_fit","kwargs":{"actor_col":"user_id",
+      "ts_col":"ts","max_days":14}}]}""",
+      Seq((1L, t30("2024-01-01 10:00:00")), (1L, t30("2024-01-02 10:00:00")),
+        (2L, t30("2024-01-01 11:00:00"))).toDF("user_id", "ts")).head()
+    assert(rdf.getAs[Long]("n_days") == 1L)
   }
 }
