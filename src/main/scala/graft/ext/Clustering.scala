@@ -171,4 +171,54 @@ object Clustering {
         lambdaScale.select(expr("__mx div 1000000").as("lambda_u"))))
       .select(col("j").cast("long").as("j"), col("v_u"), col("lambda_u"))
   }
+
+  /** E3/ML — label-centroid cosine audit over an embedding column:
+    * for every pair of labels, the cosine between their class
+    * centroids — the embedding-space health check run before trusting
+    * labels for retrieval or dedup ("are 'news' and 'sports' actually
+    * separated, or is the encoder collapsing them?"). High off-diagonal
+    * cosines flag label pairs a nearest-centroid classifier will
+    * confuse and a mixture-balancing pipeline will double-count.
+    *
+    * Determinism contract: components are micro-quantized to longs at
+    * the scan (round(1e6·x) — float→double widening is exact, so both
+    * engines quantize identically); per-(label, dim) sums are exact
+    * DECIMAL(38,0); and because cos(Sa/na, Sb/nb) = cos(Sa, Sb) the
+    * counts cancel — the finish is one dot/(√·√) over exact integers.
+    * Returns one row per unordered label pair:
+    * (label_a, label_b, n_a, n_b, cosine).
+    *
+    * Scale: one posexplode + (label, dim) agg with map-side combine →
+    * a |labels|·dims rollup; the pair join is |labels|²·dims over that
+    * broadcast-sized frame, never the vector table. */
+  def labelCentroidCosines(df: DataFrame, vecCol: Column,
+      labelCol: Column): DataFrame = {
+    val d38 = "decimal(38,0)"
+    val comps = df.select(labelCol.as("__l"),
+        posexplode(vecCol).as(Seq("__d", "__x")))
+      .select(col("__l"), col("__d"),
+        round(col("__x").cast("double") * 1e6, 0).cast("long").as("__q"))
+    val sums = comps.groupBy(col("__l"), col("__d"))
+      .agg(sum(col("__q")).cast(d38).as("__s"))
+      .localCheckpoint() // |labels|·dims rows; both pair sides read it
+    val counts = df.groupBy(labelCol.as("__l")).agg(count(lit(1)).as("__n"))
+      .localCheckpoint() // |labels| rows
+    val a = sums.select(col("__l").as("__la"), col("__d"), col("__s").as("__sa"))
+    val b = sums.select(col("__l").as("__lb"), col("__d"), col("__s").as("__sb"))
+    val pair = a.join(b, Seq("__d")).filter(col("__la") < col("__lb"))
+      .groupBy(col("__la"), col("__lb"))
+      .agg(sum(col("__sa") * col("__sb")).cast(d38).as("__dot"),
+        sum(col("__sa") * col("__sa")).cast(d38).as("__na2"),
+        sum(col("__sb") * col("__sb")).cast(d38).as("__nb2"))
+    pair
+      .join(broadcast(counts.select(col("__l").as("__la"),
+        col("__n").as("n_a"))), Seq("__la"))
+      .join(broadcast(counts.select(col("__l").as("__lb"),
+        col("__n").as("n_b"))), Seq("__lb"))
+      .select(col("__la").as("label_a"), col("__lb").as("label_b"),
+        col("n_a"), col("n_b"),
+        round(col("__dot").cast("double") /
+          (sqrt(col("__na2").cast("double")) *
+            sqrt(col("__nb2").cast("double"))), 6).as("cosine"))
+  }
 }

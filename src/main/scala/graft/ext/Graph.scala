@@ -656,4 +656,60 @@ object Graph {
       .orderBy(col("aa_nano").desc, col("item_a"), col("item_b"))
       .limit(topK)
   }
+
+  /** E2+/E6 — k-truss decomposition by bulk edge peeling (Cohen 2008 —
+    * public literature): keep only edges supported by ≥ k−2 triangles,
+    * recompute, repeat `rounds` times. The EDGE-grain cohesion filter
+    * [[kCore]]'s degree test can't express — a k-core can be a sparse
+    * star-of-stars; a k-truss is built of triangles, the signature of
+    * genuinely tight communities (near-dup template families, real
+    * co-purchase pools).
+    *
+    * Determinism: fixed `rounds` bulk peels (no convergence test) →
+    * the output is a pure function of the input edge set, replayable
+    * by an oracle that unrolls the same rounds; support counting is
+    * exact triangle enumeration over canonical (u < v) edges — each
+    * triangle {x<y<z} found once as wedge (x,y)+(x,z) closed by (y,z).
+    * Returns surviving edges with their support in the survivor set:
+    * (u, v, support).
+    *
+    * Scale: per round, one self equi-join on the shared LOWER endpoint
+    * + one closing semi-join + one edge-keyed count — all equi-joins;
+    * localCheckpoint between rounds cuts the lineage (the [[kCore]]
+    * pattern). For skew-heavy graphs compose the [[triangleCounts]]
+    * degree orientation in front; the canonical form here keeps the
+    * oracle transliteration 1:1. */
+  def kTruss(edges: DataFrame, srcCol: String, dstCol: String, k: Int,
+      rounds: Int): DataFrame = {
+    require(k >= 3 && rounds >= 1, "k >= 3 and rounds >= 1")
+    def support(cur: DataFrame): DataFrame = {
+      val e1 = cur.select(col("u").as("a"), col("v").as("b"))
+      val e2 = cur.select(col("u").as("a"), col("v").as("c"))
+      val tri = e1.join(e2, Seq("a")).filter(col("b") < col("c"))
+        .join(cur.select(col("u").as("b"), col("v").as("c")),
+          Seq("b", "c"), "left_semi")
+      tri.select(explode(array(
+          struct(col("a").as("u"), col("b").as("v")),
+          struct(col("a").as("u"), col("c").as("v")),
+          struct(col("b").as("u"), col("c").as("v")))).as("e"))
+        .select(col("e.u").as("u"), col("e.v").as("v"))
+        .groupBy(col("u"), col("v")).agg(count(lit(1)).as("support"))
+    }
+    var e = edges.select(
+        least(checkedLong(col(srcCol)), checkedLong(col(dstCol))).as("u"),
+        greatest(checkedLong(col(srcCol)), checkedLong(col(dstCol))).as("v"))
+      .filter(col("u") =!= col("v")).distinct()
+      .localCheckpoint()
+    var i = 0
+    while (i < rounds) {
+      e = e.join(support(e), Seq("u", "v"), "left")
+        .filter(coalesce(col("support"), lit(0L)) >= (k - 2).toLong)
+        .select(col("u"), col("v"))
+        .localCheckpoint()
+      i += 1
+    }
+    e.join(support(e), Seq("u", "v"), "left")
+      .select(col("u"), col("v"),
+        coalesce(col("support"), lit(0L)).as("support"))
+  }
 }

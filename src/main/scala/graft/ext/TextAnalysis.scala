@@ -838,4 +838,44 @@ object TextAnalysis {
         sum(when(col("__known").isNull, 1L).otherwise(0L)).as("n_unseen"))
       .withColumn("novelty_ppm", expr("1000000 * n_unseen div n_grams"))
   }
+
+  /** E4 — Heaps' law fit (Heaps 1978 — public literature): V ≈ K·nᵝ
+    * over the [[vocabGrowth]] checkpoints (n = documents seen, V =
+    * vocabulary size), fit as ln V ~ ln K + β·ln n by exact-moment OLS
+    * over micro-quantized logs (the q250/q266 device). β near 1 means
+    * vocabulary still grows linearly — more data keeps buying new
+    * types; β well below 1 quantifies the flattening q205 only shows
+    * visually, and K·Nᵝ extrapolates tokenizer vocabulary pressure to
+    * the 100 TB corpus before it is crawled. Returns one row:
+    * (n_points, beta, ln_k, k).
+    *
+    * Scale: the fit runs over the checkpoint rollup (corpus/every
+    * rows) — [[vocabGrowth]]'s cost envelope, nothing more. */
+  def heapsFit(df: DataFrame, tokensCol: Column, idCol: Column,
+      every: Long): DataFrame = {
+    val d38 = "decimal(38,0)"
+    val pts = vocabGrowth(df, tokensCol, idCol, every)
+      .select(
+        round(log(col("docs_seen").cast("double")) * 1e6, 0).cast("long")
+          .as("__x"),
+        round(log(col("vocab").cast("double")) * 1e6, 0).cast("long")
+          .as("__y"))
+    def s38(c: Column) = sum(c.cast(d38)).cast(d38)
+    pts.agg(count(lit(1)).cast(d38).as("__n"),
+        s38(col("__x")).as("__sx"), s38(col("__y")).as("__sy"),
+        s38(col("__x").cast(d38) * col("__y").cast(d38)).as("__sxy"),
+        s38(col("__x").cast(d38) * col("__x").cast(d38)).as("__sxx"))
+      .withColumn("__den",
+        (col("__n") * col("__sxx") - col("__sx") * col("__sx")).cast("double"))
+      .withColumn("__beta", when(col("__den") =!= 0.0,
+        (col("__n") * col("__sxy") - col("__sx") * col("__sy")).cast("double") /
+          col("__den")))
+      .withColumn("__lnk",
+        (col("__sy").cast("double") - col("__beta") * col("__sx").cast("double")) /
+          col("__n").cast("double") / 1e6)
+      .select(col("__n").cast("long").as("n_points"),
+        round(col("__beta"), 6).as("beta"),
+        round(col("__lnk"), 6).as("ln_k"),
+        round(exp(col("__lnk")), 6).as("k"))
+  }
 }

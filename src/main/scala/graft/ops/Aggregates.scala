@@ -1426,4 +1426,243 @@ object Aggregates {
             (col("n") * 2 + 1).cast("double") / 24.0 -
             col("__t").cast("double") / 48.0)), 6).as("z"))
   }
+
+  /** A-stat/A-quantile — Hodges–Lehmann pseudo-median per key (Hodges
+    * & Lehmann, Ann. Math. Stat. 1963 — public literature): the median
+    * of all pairwise Walsh averages (x_i + x_j)/2, i ≤ j — the
+    * location estimate behind the Wilcoxon test, ~30% outlier-robust
+    * like the median but far more efficient at clean data.
+    *
+    * Determinism contract: the pair multiset is built from the
+    * DISTINCT-VALUE rollup (value v_a pairs with v_b carry weight
+    * c_a·c_b, a diagonal cell c·(c+1)/2), kept in DOUBLED integer
+    * units d = v_i + v_j so nothing floats; the median is the
+    * all-integer LOWER crossing cumw·2 ≥ W of [[weightedQuantile]].
+    * Returns per key: (keys…, n, n_pairs, hl_doubled, hl) with
+    * hl = hl_doubled/2 as the one readout division.
+    *
+    * Scale: the pair space is |distinct values|² PER KEY — rollup
+    * grain, never the fact table (the [[theilSen]] altitude); the
+    * windows run over the distinct-SUM rollup. Wide-domain value
+    * columns should be quantized before calling (the house rule every
+    * rank op here shares). */
+  def hodgesLehmann(df: org.apache.spark.sql.DataFrame, keys: Seq[String],
+      valueCol: Column): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(keys.nonEmpty, "hodgesLehmann requires at least one key column " +
+      "(use a constant literal key for a global estimate)")
+    val kc = keys.map(col)
+    val rollup = df.groupBy((kc :+ valueCol.cast("long").as("__v")): _*)
+      .agg(count(lit(1)).as("__c"))
+      .localCheckpoint() // distinct-value grain; both pair sides + n read it
+    val n = rollup.groupBy(kc: _*).agg(sum(col("__c")).as("n"))
+    val a = rollup.select((kc :+ col("__v").as("__v1") :+
+      col("__c").as("__c1")): _*)
+    val b = rollup.select((kc :+ col("__v").as("__v2") :+
+      col("__c").as("__c2")): _*)
+    val pairs = a.join(b, keys).filter(col("__v1") <= col("__v2"))
+      .withColumn("__d", col("__v1") + col("__v2"))
+      .withColumn("__pw", when(col("__v1") === col("__v2"),
+          expr("(__c1 * (__c1 + 1)) div 2"))
+        .otherwise(col("__c1") * col("__c2")))
+      .groupBy((kc :+ col("__d")): _*)
+      .agg(sum(col("__pw")).as("__w"))
+    val wk = Window.partitionBy(kc: _*).orderBy(col("__d"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val tot = Window.partitionBy(kc: _*)
+    pairs
+      .withColumn("__cumw", sum(col("__w")).over(wk))
+      .withColumn("__tw", sum(col("__w")).over(tot))
+      .filter(col("__cumw") * 2 >= col("__tw"))
+      .groupBy(kc: _*)
+      .agg(min(col("__d")).as("hl_doubled"), min(col("__tw")).as("n_pairs"))
+      .join(n, keys)
+      .select((kc :+ col("n") :+ col("n_pairs") :+ col("hl_doubled") :+
+        round(col("hl_doubled").cast("double") / 2, 6).as("hl")): _*)
+  }
+
+  /** A-stat — Friedman test (Friedman, JASA 1937 — public literature):
+    * do k treatments differ across b matched blocks, rank-based — the
+    * repeated-measures counterpart to [[kruskalWallis]] (which assumes
+    * independent groups and is wrong for within-block designs like
+    * per-order line positions or per-user variant exposures). Only
+    * COMPLETE blocks (all k treatments present) enter; one observation
+    * per (block, treatment) is enforced by a deterministic max.
+    *
+    * Ranks are DOUBLED midranks computed inside each block from two
+    * windows (2·|≤v| − |=v| + 1 — the [[spearmanExact]] device), so the
+    * tie-corrected statistic
+    *   Fr = (k−1)·Σ_j (R2_j − b(k+1))² / (Σ r2² − b·k·(k+1)²)
+    * is a ratio of exact integers (doubled units clear every ½) with
+    * ONE final double division. Ties across a whole block cancel from
+    * both sides, as they must. Returns one row: (n_blocks, k, fr).
+    *
+    * Scale: a (block, treatment) cell agg, block-keyed windows over
+    * k-row partitions, then a k-row treatment rollup — the fact table
+    * is touched once, everything after is block/treatment grain. */
+  def friedman(df: org.apache.spark.sql.DataFrame, blockCol: Column,
+      treatmentCol: Column, valueCol: Column): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val d38 = "decimal(38,0)"
+    val cell = df.groupBy(blockCol.as("__b"), treatmentCol.as("__t"))
+      .agg(max(valueCol.cast("long")).as("__v"))
+    val k1 = cell.agg(count_distinct(col("__t")).as("__k"))
+    val sized = cell.groupBy(col("__b")).agg(count(lit(1)).as("__nt"))
+    val complete = cell.join(sized, "__b").crossJoin(broadcast(k1))
+      .filter(col("__nt") === col("__k"))
+    val wLE = Window.partitionBy(col("__b")).orderBy(col("__v"))
+      .rangeBetween(Window.unboundedPreceding, Window.currentRow)
+    val wEq = Window.partitionBy(col("__b"), col("__v"))
+    val ranked = complete
+      .withColumn("__le", count(lit(1)).over(wLE))
+      .withColumn("__eq", count(lit(1)).over(wEq))
+      .withColumn("__r2", lit(2) * col("__le") - col("__eq") + 1)
+      .localCheckpoint() // cell grain; treatment rollup + square sum read it
+    val perT = ranked.groupBy(col("__t"))
+      .agg(sum(col("__r2")).cast(d38).as("__rsum"))
+    val tot = ranked.agg(
+      sum(col("__r2").cast(d38) * col("__r2").cast(d38)).cast(d38).as("__sr2"),
+      count_distinct(col("__b")).cast(d38).as("__nb"),
+      count_distinct(col("__t")).cast(d38).as("__kk"))
+    perT.crossJoin(broadcast(tot))
+      .withColumn("__dev", col("__rsum") - col("__nb") * (col("__kk") + 1))
+      .agg(max(col("__nb")).as("__b2"), max(col("__kk")).as("__k2"),
+        max(col("__sr2")).as("__q2"),
+        sum(col("__dev") * col("__dev")).cast(d38).as("__sd2"))
+      .select(col("__b2").cast("long").as("n_blocks"),
+        col("__k2").cast("long").as("k"),
+        round(((col("__k2") - 1) * col("__sd2")).cast("double") /
+          (col("__q2") - col("__b2") * col("__k2") *
+            (col("__k2") + 1) * (col("__k2") + 1)).cast("double"), 6)
+          .as("fr"))
+  }
+
+  /** A-quantile/E6 — Lorenz concentration curve: for each of nBins
+    * population quantiles (bottom 10%, 20%, … of rows in VALUE order),
+    * the exact share of total value that prefix holds — the curve
+    * behind [[graft.ops.EventAnalytics.giniConcentration]]'s one
+    * number, and the "what do the bottom 80% of documents contribute"
+    * readout that sizes a corpus-pruning decision.
+    *
+    * Exactness: the prefix of m = (N·d) div nBins rows may SPLIT a tie
+    * group; the split is integer arithmetic on the distinct-value
+    * rollup (prev groups' full sum + (m − cum_before)·v), so the curve
+    * is exact under any tie order. share = (1e6·prefix) div total.
+    * Returns one row per quantile: (quantile, pop_rows, cum_value,
+    * share_ppm).
+    *
+    * Scale: one distinct-value rollup agg (map-side combine), a
+    * rollup-sized prefix window, and an nBins-row broadcast range join
+    * to locate each crossing — fact table touched once. */
+  def lorenzCurve(df: org.apache.spark.sql.DataFrame, valueCol: Column,
+      nBins: Int): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(nBins >= 2, "lorenzCurve needs >= 2 quantiles")
+    val d38 = "decimal(38,0)"
+    val rollup = df.groupBy(valueCol.cast("long").as("__v"))
+      .agg(count(lit(1)).as("__c"))
+      .withColumn("__s", col("__v").cast(d38) * col("__c").cast(d38))
+    val prev = Window.orderBy(col("__v"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val all = Window.rowsBetween(Window.unboundedPreceding,
+      Window.unboundedFollowing)
+    val cum = rollup
+      .withColumn("__cb", coalesce(sum(col("__c")).over(prev), lit(0L)))
+      .withColumn("__sb", coalesce(sum(col("__s")).over(prev),
+        lit(0).cast(d38)))
+      .withColumn("__nn", sum(col("__c")).over(all))
+      .withColumn("__tt", sum(col("__s")).over(all))
+    val bins = df.sparkSession.range(1, nBins + 1)
+      .select(col("id").as("quantile"))
+    cum.join(broadcast(bins),
+        expr(s"__cb < (__nn * quantile) div ${nBins}L") &&
+          expr(s"(__nn * quantile) div ${nBins}L <= __cb + __c"))
+      .withColumn("__m", expr(s"(__nn * quantile) div ${nBins}L"))
+      .withColumn("__cv",
+        col("__sb") + (col("__m") - col("__cb")).cast(d38) * col("__v").cast(d38))
+      .select(col("quantile"), col("__m").as("pop_rows"),
+        col("__cv").cast("long").as("cum_value"),
+        expr("(__cv * 1000000) div __tt").cast("long").as("share_ppm"))
+  }
+
+  /** A-stat — TOST equivalence test (two one-sided tests; Schuirmann,
+    * J. Pharmacokinetics 1987 — public literature): is the A−B mean
+    * difference provably WITHIN ±margin — the question a "no
+    * regression" launch review actually asks, which [[welchTTest]]'s
+    * "is there a difference" cannot answer (absence of evidence ≠
+    * evidence of absence).
+    *   t_lower = (Δ + margin)/se,  t_upper = (Δ − margin)/se
+    * and equivalence holds at α = 0.05 when t_lower ≥ 1.644854 AND
+    * t_upper ≤ −1.644854 (the large-sample z criterion, literal
+    * constant — no t-quantile lookup, the q225 discipline). Built on
+    * the same three exact sums per group as Welch; doubles appear only
+    * in the 1-row finish. Returns one row: (n_a, n_b, mean_diff, se,
+    * t_lower, t_upper, equivalent). */
+  def tostEquivalence(df: org.apache.spark.sql.DataFrame, valueCol: Column,
+      groupCol: Column, groupA: String, groupB: String,
+      margin: Long): org.apache.spark.sql.DataFrame = {
+    require(margin > 0, "equivalence margin must be positive")
+    val d38 = "decimal(38,0)"
+    def side(g: String, tag: String) = {
+      val v = valueCol.cast("long")
+      df.filter(groupCol === g).agg(
+        count(lit(1)).cast(d38).as(s"n_$tag"),
+        sum(v).cast(d38).as(s"s_$tag"),
+        sum(v.cast(d38) * v.cast(d38)).cast(d38).as(s"q_$tag"))
+    }
+    def mean(t: String) =
+      col(s"s_$t").cast("double") / col(s"n_$t").cast("double")
+    def variance(t: String) =
+      (col(s"n_$t") * col(s"q_$t") - col(s"s_$t") * col(s"s_$t")).cast("double") /
+        (col(s"n_$t") * (col(s"n_$t") - 1)).cast("double")
+    def se2(t: String) = variance(t) / col(s"n_$t").cast("double")
+    val delta = mean("a") - mean("b")
+    val se = sqrt(se2("a") + se2("b"))
+    val zCrit = 1.644854
+    side(groupA, "a").crossJoin(side(groupB, "b"))
+      .withColumn("__tl", round((delta + margin) / se, 6))
+      .withColumn("__tu", round((delta - margin) / se, 6))
+      .select(col("n_a").cast("long").as("n_a"),
+        col("n_b").cast("long").as("n_b"),
+        round(delta, 6).as("mean_diff"), round(se, 6).as("se"),
+        col("__tl").as("t_lower"), col("__tu").as("t_upper"),
+        (col("__tl") >= zCrit && col("__tu") <= -zCrit).as("equivalent"))
+  }
+
+  /** A-stat — Gumbel extreme-value fit by the method of moments
+    * (Gumbel 1958 — public literature) over per-block MAXIMA: group
+    * the metric into blocks (months, days), keep each block's max,
+    * and fit the Type-I extreme-value law those maxima converge to
+    * (Fisher–Tippett): scale β = s·√6/π and location μ = x̄ − γ·β
+    * (γ = Euler–Mascheroni), then read the exceedance probability
+    * P(X > T) = 1 − exp(−exp(−(T−μ)/β)) for a design threshold T.
+    * "How likely is next month's peak to blow past X" — capacity
+    * planning's question, which a normal fit materially understates
+    * (maxima have the heavier Gumbel tail).
+    *
+    * Exactness: block maxima and both moments are exact integers
+    * (moment agg over the block rollup); β, μ and the double-exp
+    * readout are a bounded finish with LITERAL constants
+    * (√6/π = 0.7796968012336293, γ = 0.5772156649015329), written
+    * token-for-token in the oracle. Returns one row:
+    * (n_blocks, mean, sd, beta, mu, p_exceed). */
+  def gumbelFit(df: org.apache.spark.sql.DataFrame, blockCol: Column,
+      valueCol: Column, threshold: Long): org.apache.spark.sql.DataFrame = {
+    val d38 = "decimal(38,0)"
+    val maxima = df.groupBy(blockCol.as("__b"))
+      .agg(max(valueCol.cast("long")).as("__m"))
+    val mom = maxima.agg(count(lit(1)).cast(d38).as("__n"),
+      sum(col("__m")).cast(d38).as("__s"),
+      sum(col("__m").cast(d38) * col("__m").cast(d38)).cast(d38).as("__q"))
+    val mean = col("__s").cast("double") / col("__n").cast("double")
+    val sd = sqrt((col("__n") * col("__q") - col("__s") * col("__s"))
+      .cast("double") / (col("__n") * (col("__n") - 1)).cast("double"))
+    val beta = sd * 0.7796968012336293
+    val mu = mean - lit(0.5772156649015329) * beta
+    mom.select(col("__n").cast("long").as("n_blocks"),
+      round(mean, 6).as("mean"), round(sd, 6).as("sd"),
+      round(beta, 6).as("beta"), round(mu, 6).as("mu"),
+      round(lit(1.0) - exp(-exp((mu - threshold) / beta)), 6)
+        .as("p_exceed"))
+  }
 }

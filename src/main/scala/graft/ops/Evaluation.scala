@@ -405,4 +405,154 @@ object Evaluation {
           (col("__n") * col("__n") - col("__sq")).cast("double"), 6)
           .as("alpha"))
   }
+
+  /** A-stat — Fleiss' kappa (Fleiss, Psych. Bulletin 1971 — public
+    * literature): chance-corrected agreement when EVERY item is rated
+    * by the same number `nRaters` of (anonymous, interchangeable)
+    * raters — the multi-rater generalization [[cohensKappa]]'s two-rater
+    * contingency can't express. Items with a rating count ≠ nRaters
+    * are dropped (the classic estimator is undefined for them).
+    *   P̄  = (Σ_ij n_ij² − N·n) / (N·n·(n−1))
+    *   P̄e = Σ_j c_j² / (N·n)²       κ = (P̄ − P̄e) / (1 − P̄e)
+    * Everything up to the readout is exact DECIMAL(38,0) integer
+    * arithmetic (fraction-cleared as in [[graft.ops.Aggregates.cochranQ]]);
+    * the three reported ratios are single correctly-rounded double
+    * divisions of identical integer operands on any engine. All raters
+    * agreeing on one category for every item → P̄e = 1 → null kappa
+    * (0/0), the [[graft.ops.Aggregates.linearFit2Exact]] singular
+    * convention. Returns one row:
+    * (n_items, n_raters, p_bar, p_e, kappa).
+    *
+    * Scale: an item-grain size filter (semi-join), one (item, category)
+    * cell agg and two bounded rollups — map-side combine end to end;
+    * nothing wider than the cell frame ever shuffles. */
+  def fleissKappa(ratings: DataFrame, itemCol: Column, categoryCol: Column,
+      nRaters: Int): DataFrame = {
+    require(nRaters >= 2, "fleissKappa needs >= 2 raters per item")
+    val d38 = "decimal(38,0)"
+    val sized = ratings.groupBy(itemCol.as("__i"))
+      .agg(count(lit(1)).as("__nr"))
+      .filter(col("__nr") === nRaters)
+      .select(col("__i"))
+    val kept = ratings.select(itemCol.as("__i"), categoryCol.as("__cat"))
+      .join(sized, Seq("__i"), "left_semi")
+    val s2 = kept.groupBy(col("__i"), col("__cat"))
+      .agg(count(lit(1)).as("__nij"))
+      .agg(sum(col("__nij").cast(d38) * col("__nij").cast(d38)).cast(d38)
+        .as("__s2"), count_distinct(col("__i")).cast(d38).as("__ni"))
+    val sc2 = kept.groupBy(col("__cat")).agg(count(lit(1)).as("__c"))
+      .agg(sum(col("__c").cast(d38) * col("__c").cast(d38)).cast(d38)
+        .as("__sc2"))
+    val nn = col("__ni") * nRaters
+    val pbarNum = (col("__s2") - nn).cast(d38)
+    val pbarDen = (nn * (nRaters - 1)).cast(d38)
+    val nn2 = (nn * nn).cast(d38)
+    s2.crossJoin(broadcast(sc2))
+      .select(col("__ni").cast("long").as("n_items"),
+        lit(nRaters.toLong).as("n_raters"),
+        round(pbarNum.cast("double") / pbarDen.cast("double"), 6).as("p_bar"),
+        round(col("__sc2").cast("double") / nn2.cast("double"), 6).as("p_e"),
+        when((nn2 - col("__sc2")) =!= lit(0).cast(d38), round(
+          (pbarNum * nn2 - pbarDen * col("__sc2")).cast("double") /
+            (pbarDen * (nn2 - col("__sc2"))).cast("double"), 6))
+          .as("kappa"))
+  }
+
+  /** A-stat — Murphy decomposition of the Brier score (Murphy, J.
+    * Applied Meteorology 1973 — public literature) over K confidence
+    * bins: BRIER ≈ RELIABILITY − RESOLUTION + UNCERTAINTY, i.e.
+    *   REL = Σ_k n_k(conf̄_k − rate_k)²/N   (calibration error — want 0)
+    *   RES = Σ_k n_k(rate_k − ȳ)²/N        (discrimination — want big)
+    *   UNC = ȳ(1 − ȳ)                      (irreducible base rate)
+    * — the readout that tells you whether a judge score is bad because
+    * it's MISCALIBRATED (fixable by remapping, q227's ECE view) or
+    * because it doesn't SEPARATE classes at all (not fixable without a
+    * better judge). Complements [[calibrationBins]] on the same input.
+    *
+    * Determinism contract: the exact Brier sum and all bin stats are
+    * integers; bin means are ppm-QUANTIZED (integral div — documented
+    * ≤1 ppm bias vs the rational form) before the squared-gap sums, so
+    * every engine computes identical DECIMAL(38,0) terms. All outputs
+    * in ppm² microprobability units (1e12 = probability 1).
+    * Returns one row: (n, y_bar_ppm, brier_ppm2, reliability_ppm2,
+    * resolution_ppm2, uncertainty_ppm2).
+    *
+    * Scale: one K-group agg over the fact table with map-side combine
+    * + two passes over the K-row rollup. */
+  def brierDecomposition(df: DataFrame, confPpmCol: Column, labelCol: Column,
+      bins: Int = 10): DataFrame = {
+    require(bins >= 2, "need >= 2 bins")
+    val d38 = "decimal(38,0)"
+    val diff = col("__conf") - col("__y") * 1000000L
+    val binned = df.select(confPpmCol.cast("long").as("__conf"),
+        labelCol.cast("long").as("__y"))
+      .withColumn("__bin",
+        expr(s"least(${bins - 1}L, (__conf * $bins) div 1000000L)"))
+      .groupBy(col("__bin")).agg(
+        count(lit(1)).as("__n"), sum(col("__conf")).as("__sc"),
+        sum(col("__y")).as("__sy"),
+        sum(diff.cast(d38) * diff.cast(d38)).cast(d38).as("__sq"))
+      .withColumn("__mc", expr("__sc div __n"))
+      .withColumn("__r", expr("(__sy * 1000000L) div __n"))
+      .localCheckpoint() // ≤ bins rows; totals + both gap sums read it
+    // names stay DISJOINT from binned's even case-insensitively — Spark
+    // resolves case-insensitively, so __N vs __n would be ambiguous
+    val tot = binned.agg(sum(col("__n")).as("__tn"), sum(col("__sy")).as("__tsy"),
+      sum(col("__sq")).cast(d38).as("__tsq"))
+      .withColumn("__ybar", expr("(__tsy * 1000000L) div __tn"))
+    binned.crossJoin(broadcast(tot))
+      .agg(max(col("__tn")).as("__n2"), max(col("__ybar")).as("__yb"),
+        max(col("__tsq")).as("__sq2"),
+        sum(col("__n").cast(d38) * (col("__mc") - col("__r")).cast(d38) *
+          (col("__mc") - col("__r")).cast(d38)).cast(d38).as("__rel"),
+        sum(col("__n").cast(d38) * (col("__r") - col("__ybar")).cast(d38) *
+          (col("__r") - col("__ybar")).cast(d38)).cast(d38).as("__res"))
+      // integral div (truncating), NOT decimal '/', which Spark rounds
+      // half-up at result scale and would disagree with the oracle's //
+      .select(col("__n2").as("n"), col("__yb").as("y_bar_ppm"),
+        expr("__sq2 div __n2").as("brier_ppm2"),
+        expr("__rel div __n2").as("reliability_ppm2"),
+        expr("__res div __n2").as("resolution_ppm2"),
+        (col("__yb") * (lit(1000000L) - col("__yb"))).as("uncertainty_ppm2"))
+  }
+
+  /** A-stat/ML — one-pass binary-classifier diagnostics from boolean
+    * (prediction, label) pairs: the 2×2 confusion cells plus the
+    * derived rates a class-imbalanced eval actually needs —
+    * sensitivity, specificity, Youden's J (J = sens + spec − 1,
+    * Youden 1950), balanced accuracy and Matthews correlation (MCC,
+    * Matthews 1975; all public literature). Plain accuracy and F1 both
+    * mislead at skewed base rates; MCC is the one single number that
+    * doesn't.
+    *
+    * Exactness: cells are one conditional-sum agg; rates are ppm
+    * integral quotients; MCC's numerator tp·tn − fp·fn is exact
+    * DECIMAL(38,0) and the denominator is ONE sqrt of an exact
+    * product — a pinned two-op double finish. Degenerate margins
+    * (any factor zero) → null MCC, the 0/0 convention. Returns one
+    * row: (tp, fp, fn, tn, sens_ppm, spec_ppm, youden_j_ppm,
+    * balanced_acc_ppm, mcc). */
+  def binaryDiagnostics(df: DataFrame, predCond: Column,
+      labelCond: Column): DataFrame = {
+    val d38 = "decimal(38,0)"
+    val cells = df.agg(
+      sum(when(predCond && labelCond, 1L).otherwise(0L)).as("tp"),
+      sum(when(predCond && !labelCond, 1L).otherwise(0L)).as("fp"),
+      sum(when(!predCond && labelCond, 1L).otherwise(0L)).as("fn"),
+      sum(when(!predCond && !labelCond, 1L).otherwise(0L)).as("tn"))
+    val den = (col("tp") + col("fp")).cast(d38) *
+      (col("tp") + col("fn")).cast(d38) *
+      (col("tn") + col("fp")).cast(d38) * (col("tn") + col("fn")).cast(d38)
+    cells
+      .withColumn("sens_ppm", expr("(tp * 1000000L) div (tp + fn)"))
+      .withColumn("spec_ppm", expr("(tn * 1000000L) div (tn + fp)"))
+      .select(col("tp"), col("fp"), col("fn"), col("tn"),
+        col("sens_ppm"), col("spec_ppm"),
+        (col("sens_ppm") + col("spec_ppm") - 1000000L).as("youden_j_ppm"),
+        expr("(sens_ppm + spec_ppm) div 2L").as("balanced_acc_ppm"),
+        when(den =!= lit(0).cast(d38), round(
+          (col("tp").cast(d38) * col("tn").cast(d38) -
+            col("fp").cast(d38) * col("fn").cast(d38)).cast("double") /
+            sqrt(den.cast("double")), 6)).as("mcc"))
+  }
 }

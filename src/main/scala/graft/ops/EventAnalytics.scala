@@ -645,4 +645,164 @@ object EventAnalytics {
         round(-log(lit(2.0)) / (col("__slope_u") / 1e6), 6)
           .as("half_life_days"))
   }
+
+  /** W-frame/A1 — TIME-DECAY multi-touch attribution: each conversion
+    * splits its 10000 bps across the touches in its segment with
+    * weight halving every `halfLifeSeconds` of age — the recency
+    * counterpart to [[positionAttribution]]'s U-shape (same segment
+    * machinery, same conservation law).
+    *
+    * Determinism contract: the decay is the DYADIC staircase
+    * w = 1e6 div 2^min(19, Δt div halfLife) — exact integer ppm on any
+    * engine, no exp/pow; the 19 cap keeps every weight ≥ 1 so the
+    * per-segment total can never be zero. Credit is the largest-
+    * remainder split of [[graft.ops.Aggregates.largestRemainder]]:
+    * base = (10000·w) div W, the shortfall goes +1 to the most RECENT
+    * touches — so Σ credit ≡ 10000 per conversion, exactly.
+    * Conversions with no preceding touch credit '(none)' in full.
+    * Returns per touch type: (attributed_type, touches, credit_bps).
+    *
+    * Scale: segment ids, conversion stamps and recency ranks are
+    * functions over ONE actor-keyed window sort (the q161 envelope);
+    * the weight/credit math is scan-side integer arithmetic. */
+  def timeDecayAttribution(df: DataFrame, actorCol: String, tsCol: String,
+      tieCol: String, typeCol: String, convType: String,
+      halfLifeSeconds: Long): DataFrame = {
+    require(halfLifeSeconds > 0, "halfLifeSeconds must be positive")
+    val order = Seq(col(tsCol), col(tieCol))
+    val wAll = Window.partitionBy(col(actorCol)).orderBy(order: _*)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val seg = df.withColumn("__seg",
+      coalesce(sum(when(col(typeCol) === convType, 1L).otherwise(0L))
+        .over(wAll), lit(0L)))
+    val touches = seg.filter(col(typeCol) =!= convType)
+      .select(col(actorCol), col("__seg"), col(tsCol), col(tieCol),
+        col(typeCol).as("__touch"))
+    // exactly one conversion per (actor, seg): __seg strictly increases
+    // across an actor's conversions under the total (ts, tie) order
+    val convs = seg.filter(col(typeCol) === convType)
+      .select(col(actorCol), col("__seg"), col(tsCol).as("__conv_ts"))
+    val wSeg = Window.partitionBy(col(actorCol), col("__seg"))
+      .orderBy(col(tsCol).desc, col(tieCol).desc)
+    val wSegAll = Window.partitionBy(col(actorCol), col("__seg"))
+    val credit = touches.join(convs, Seq(actorCol, "__seg"))
+      .withColumn("__e", least(lit(19L),
+        expr(s"(unix_micros(__conv_ts) - unix_micros(${tsCol})) div " +
+          s"${halfLifeSeconds * 1000000L}L")))
+      .withColumn("__w", expr("1000000L div shiftleft(1L, cast(__e as int))"))
+      .withColumn("__rr", row_number().over(wSeg)) // 1 = most recent
+      // NOT "__W": Spark resolves column names case-insensitively, so a
+      // name differing only in case would silently REPLACE __w
+      .withColumn("__wsum", sum(col("__w")).over(wSegAll))
+      .withColumn("__base", expr("(10000L * __w) div __wsum"))
+      .withColumn("__shortfall",
+        lit(10000L) - sum(col("__base")).over(wSegAll))
+      .withColumn("credit_bps",
+        col("__base") + when(col("__rr") <= col("__shortfall"), 1L)
+          .otherwise(0L))
+    val orphan = convs.join(
+        touches.select(col(actorCol), col("__seg")),
+        Seq(actorCol, "__seg"), "left_anti")
+      .select(lit("(none)").as("__touch"), lit(10000L).as("credit_bps"))
+    credit.select(col("__touch"), col("credit_bps"))
+      .unionByName(orphan)
+      .groupBy(col("__touch").as("attributed_type"))
+      .agg(count(lit(1)).as("touches"),
+        sum(col("credit_bps")).as("credit_bps"))
+  }
+
+  /** A-stat/A8 — Nelson–Aalen cumulative-hazard estimator (Nelson
+    * 1972, Aalen 1978 — public literature) over the same per-subject
+    * (duration, event) rows as [[kaplanMeier]]:
+    *   H(t) = Σ_{t'≤t} d_{t'} / n_{t'}
+    * — the additive view of the survival data: its slope IS the hazard
+    * rate, so plateaus/spikes localize when churn actually happens,
+    * which the multiplicative KM curve smooths over.
+    *
+    * Determinism contract: each term is the ppm integral quotient
+    * (1e6·d) div n_risk; the curve is a prefix sum of those integers —
+    * no fold recursion needed (sums commute where products don't).
+    * Returns one row per distinct duration:
+    * (t, n_risk, d_events, cumhaz_ppm).
+    *
+    * Scale: the [[kaplanMeier]] envelope exactly — a duration-keyed agg
+    * with map-side combine, then suffix/prefix windows over the
+    * calendar-bounded rollup, never the subject table. */
+  def nelsonAalen(subjects: DataFrame, durationCol: Column,
+      eventCol: Column): DataFrame = {
+    val rollup = subjects.groupBy(durationCol.as("t"))
+      .agg(sum(eventCol.cast("long")).as("d"), count(lit(1)).as("__all"))
+    val suffix = Window.orderBy(col("t"))
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val prefix = Window.orderBy(col("t"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    rollup
+      .withColumn("n_risk", sum(col("__all")).over(suffix))
+      .withColumn("__term", expr("(d * 1000000L) div n_risk"))
+      .withColumn("cumhaz_ppm", sum(col("__term")).over(prefix))
+      .select(col("t"), col("n_risk"), col("d").as("d_events"),
+        col("cumhaz_ppm"))
+  }
+
+  /** A-stat/E6 — period-over-period CATEGORY-MIX drift series: for
+    * each period, the Jensen–Shannon divergence between its category
+    * distribution and the PREVIOUS period's — q218's one-number corpus
+    * drift turned into the time series an ops dashboard actually
+    * watches ("did today's event mix move against yesterday's"), with
+    * JSD's bounded (≤ ln 2) symmetric behavior and tolerance for
+    * categories present on only one side.
+    *
+    * Determinism contract: per-(period, category) counts are exact
+    * longs; p, q, m and both logs are evaluated in pinned token order
+    * and each category's contribution is nano-quantized before the
+    * per-period integer sum (the [[graft.ext.TextAnalysis.jsDivergence]]
+    * discipline). Periods pair by POSITION in period order (lag over
+    * the period rollup), so calendar gaps compare adjacent OBSERVED
+    * periods. Returns one row per period with a predecessor:
+    * (period, prev_period, n_cur, n_prev, jsd).
+    *
+    * Scale: one (period, category) agg with map-side combine; the
+    * pairing lag and the term sum run over the period×category rollup
+    * (calendar × domain bounded), never the event stream. */
+  def categoryMixDrift(df: DataFrame, periodCol: Column,
+      categoryCol: Column): DataFrame = {
+    val cells = df.groupBy(periodCol.as("__p"), categoryCol.as("__c"))
+      .agg(count(lit(1)).as("__n"))
+      .localCheckpoint() // rollup grain; totals + both pair sides read it
+    val w = Window.orderBy(col("__p"))
+    val pairs = cells.groupBy(col("__p")).agg(sum(col("__n")).as("__tot"))
+      .withColumn("__prev", lag(col("__p"), 1).over(w))
+      .withColumn("__ptot", lag(col("__tot"), 1).over(w))
+      .filter(col("__prev").isNotNull)
+      .localCheckpoint() // period rollup; three consumers
+    // per pair, the category union: current counts ⟗ previous counts,
+    // both keyed to the CURRENT period of the pair
+    val curSide = pairs.select(col("__p")).join(cells, Seq("__p"))
+      .select(col("__p"), col("__c"), col("__n").as("__a"))
+    val prvSide = pairs.select(col("__p"), col("__prev"))
+      .join(cells.withColumnRenamed("__p", "__prev"), Seq("__prev"))
+      .select(col("__p"), col("__c"), col("__n").as("__b"))
+    val merged = curSide.join(prvSide, Seq("__p", "__c"), "full_outer")
+      .select(col("__p"), coalesce(col("__a"), lit(0L)).as("__a"),
+        coalesce(col("__b"), lit(0L)).as("__b"))
+    // p, q, m and both logs in pinned token order; per-category
+    // nano-rounding makes the per-period sum engine-portable
+    val terms = merged.join(broadcast(pairs), Seq("__p"))
+      .withColumn("__pa",
+        col("__a").cast("double") / col("__tot").cast("double"))
+      .withColumn("__pb",
+        col("__b").cast("double") / col("__ptot").cast("double"))
+      .withColumn("__m", (col("__pa") + col("__pb")) / 2)
+      .withColumn("__term_nano", round(
+        (when(col("__a") > 0, col("__pa") * log(col("__pa") / col("__m")))
+          .otherwise(lit(0.0)) +
+         when(col("__b") > 0, col("__pb") * log(col("__pb") / col("__m")))
+          .otherwise(lit(0.0))) * 1e9, 0).cast("long"))
+    terms.groupBy(col("__p").as("period"))
+      .agg(max(col("__prev")).as("prev_period"), max(col("__tot")).as("n_cur"),
+        max(col("__ptot")).as("n_prev"),
+        sum(col("__term_nano")).as("__s_nano"))
+      .select(col("period"), col("prev_period"), col("n_cur"), col("n_prev"),
+        round(col("__s_nano").cast("double") / 2 / 1e9, 6).as("jsd"))
+  }
 }

@@ -393,4 +393,59 @@ object Experimentation {
       .select(col("look"), col("n_a"), col("n_b"), col("conv_a"),
         col("conv_b"), col("z"), col("boundary"), col("crossed"))
   }
+
+  /** A-stat — Population Stability Index (the standard credit-risk /
+    * model-monitoring drift score; public literature, e.g. Siddiqi,
+    * "Credit Risk Scorecards" 2006):
+    *   PSI = Σ_bins (p_i − q_i) · ln(p_i / q_i)
+    * between a REFERENCE slice and a CURRENT slice of the same
+    * population, over caller-computed integer bins in [0, nBins).
+    * Rule-of-thumb readout: <0.1 stable, 0.1–0.25 drifting, >0.25
+    * shifted — the distribution-level alarm a JSD (q218) gives for
+    * token text, here for any binned numeric.
+    *
+    * Determinism contract: bins are densified from a literal frame so
+    * both engines see all nBins rows; counts get add-one (Laplace)
+    * smoothing so empty bins contribute finite terms with NO epsilon
+    * tuning; p and q are each ONE double division and the per-bin term
+    * is nano-quantized (the [[graft.ext.TextAnalysis.jsDivergence]]
+    * discipline) before the integer sum, so the total is identical on
+    * any engine and any partitioning.
+    *
+    * Returns one row per bin: (bin, ref_n, cur_n, term_nano, psi) with
+    * `psi` the broadcast total on every row.
+    *
+    * Scale: one conditional-count agg over the fact table (map-side
+    * combine) → an nBins-row frame for everything after; the audit
+    * costs one scan at any volume. */
+  def psi(df: DataFrame, binCol: Column, sliceCol: Column,
+      refSlice: String, curSlice: String, nBins: Int): DataFrame = {
+    require(nBins >= 2, "psi needs >= 2 bins")
+    val obs = df.filter(sliceCol.isin(refSlice, curSlice))
+      .select(binCol.cast("long").as("bin"), sliceCol.as("__s"))
+      .groupBy(col("bin")).agg(
+        sum(when(col("__s") === refSlice, 1L).otherwise(0L)).as("__r"),
+        sum(when(col("__s") === curSlice, 1L).otherwise(0L)).as("__c"))
+    val frame = df.sparkSession.range(nBins).select(col("id").as("bin"))
+    val cells = frame.join(obs, Seq("bin"), "left")
+      .select(col("bin"), coalesce(col("__r"), lit(0L)).as("ref_n"),
+        coalesce(col("__c"), lit(0L)).as("cur_n"))
+      .localCheckpoint() // nBins rows; totals + the term pass both read it
+    val tot = cells.agg(sum(col("ref_n")).as("__nr"),
+      sum(col("cur_n")).as("__nc"))
+    // p, q and both logs are evaluated in this exact token order in the
+    // oracle SQL — per-bin rounding is what makes the sum portable
+    val terms = cells.crossJoin(broadcast(tot))
+      .withColumn("__p", (col("ref_n") + 1).cast("double") /
+        (col("__nr") + nBins).cast("double"))
+      .withColumn("__q", (col("cur_n") + 1).cast("double") /
+        (col("__nc") + nBins).cast("double"))
+      .withColumn("term_nano", round((col("__p") - col("__q")) *
+        (log(col("__p")) - log(col("__q"))) * 1e9, 0).cast("long"))
+      .localCheckpoint() // nBins rows; total + output both read it
+    val s = terms.agg(sum(col("term_nano")).as("__s_nano"))
+    terms.crossJoin(broadcast(s))
+      .select(col("bin"), col("ref_n"), col("cur_n"), col("term_nano"),
+        round(col("__s_nano").cast("double") / 1e9, 6).as("psi"))
+  }
 }

@@ -595,4 +595,134 @@ object TimeSeriesOps {
       .select(col("t"), col("v"), col("mr"), col("ucl"), col("lcl"),
         col("out_of_control"))
   }
+
+  /** A5/A8 — Croston's method for INTERMITTENT demand (Croston, Oper.
+    * Res. Quarterly 1972 — public literature): series that are mostly
+    * zeros (spare parts, long-tail SKUs, rare event types) wreck plain
+    * EWMA — the zeros drag the level toward 0 and the forecast
+    * whipsaws. Croston smooths two series at the DEMAND POINTS only:
+    * demand size ẑ and inter-demand interval q̂ (both [[ewmaInt]]-style
+    * integer recursions, state scaled by `scale`), and forecasts
+    * demand-per-period as ẑ/q̂.
+    *
+    * Determinism contract: rows with demand ≤ 0 are dropped (zeros
+    * carry no update by construction); the first demand point
+    * initializes (ẑ = z·S, q̂ = 1·S — the "first gap is 1" convention,
+    * documented); later points use gap = order − prev order. Both
+    * recursions are truncating integer folds, so an unrolled recursive
+    * CTE replays the trajectory bit-for-bit. forecast_s =
+    * (z_s · scale) div q_s, still in scale units.
+    * Returns per demand point: (keys…, order, demand, gap, z_s, q_s,
+    * forecast_s).
+    *
+    * Scale: one key-keyed agg collects each key's DEMAND-POINT series
+    * (bounded by the calendar, the [[ewmaInt]] envelope); the fold is
+    * per-key scan-side work. */
+  def crostonInt(df: DataFrame, keys: Seq[Column], orderCol: Column,
+      demandCol: Column, aNum: Long, aDen: Long, scale: Long): DataFrame = {
+    require(aNum > 0 && aDen > 0 && aNum <= aDen, "alpha num/den in (0, 1]")
+    require(scale > 0, "scale must be positive")
+    require(keys.nonEmpty, "crostonInt requires key column(s) " +
+      "(use a constant literal key for one global series)")
+    val keyed = df.filter(demandCol.cast("long") > 0)
+      .groupBy(keys: _*)
+      .agg(array_sort(collect_list(struct(orderCol.cast("long").as("o"),
+        demandCol.cast("long").as("z")))).as("__arr"))
+    val keyNames = keyed.columns.dropRight(1).toSeq
+    // acc = running array<struct<o, z, g, zs, qs>>: previous state is
+    // element_at(acc, -1); gap derives from the previous ORDER
+    val folded = keyed.withColumn("__st", expr(
+      s"""aggregate(__arr,
+         |  cast(array() as array<struct<o: bigint, g: bigint,
+         |                               zs: bigint, qs: bigint>>),
+         |  (acc, x) -> array_append(acc,
+         |    CASE WHEN size(acc) = 0
+         |         THEN named_struct('o', x.o, 'g', 1L,
+         |           'zs', x.z * ${scale}L, 'qs', ${scale}L)
+         |         ELSE named_struct('o', x.o,
+         |           'g', x.o - element_at(acc, -1).o,
+         |           'zs', (${aNum}L * x.z * ${scale}L +
+         |                  ${aDen - aNum}L * element_at(acc, -1).zs)
+         |                 div ${aDen}L,
+         |           'qs', (${aNum}L * (x.o - element_at(acc, -1).o) * ${scale}L +
+         |                  ${aDen - aNum}L * element_at(acc, -1).qs)
+         |                 div ${aDen}L) END))""".stripMargin))
+    folded.select(keyNames.map(col) :+
+        posexplode(arrays_zip(col("__arr"), col("__st"))).as(Seq("__i", "__z")): _*)
+      .select(keyNames.map(col) :+ col("__z.__arr.o").as("order") :+
+        col("__z.__arr.z").as("demand") :+ col("__z.__st.g").as("gap") :+
+        col("__z.__st.zs").as("z_s") :+ col("__z.__st.qs").as("q_s") :+
+        expr(s"(__z.__st.zs * ${scale}L) div __z.__st.qs").as("forecast_s"): _*)
+  }
+
+  /** A-stat/A8 — Page–Hinkley mean-shift detector (Page, Biometrika
+    * 1954; Hinkley 1971 — public literature) over each key's ordered
+    * series: the sequential change alarm that fires when the metric's
+    * mean DRIFTS UP past tolerance δ — the online counterpart to the
+    * retrospective Pettitt test (q244), and the standard concept-drift
+    * monitor of streaming-ML systems.
+    *   m_t = Σ_{i≤t} (x_i − x̄_i − δ),   PH_t = m_t − min_{0≤i≤t} m_i,
+    * alarm when PH_t ≥ λ (x̄_i = running mean through i; the m_0 = 0
+    * baseline is included in the min, the standard "increase" form —
+    * an upward shift makes the increments positive and m climbs away
+    * from its historical minimum).
+    *
+    * Determinism contract: the running-mean term is micro-quantized
+    * per step with an integral div — term_u = (1e6·(t·x_t − S_t))
+    * div t − 1e6·δ over exact longs — inside a struct fold (the
+    * [[holtInt]] device), so the whole trajectory is integers and an
+    * unrolled recursive CTE replays it bit-for-bit. Values must be
+    * non-negative (floor vs truncating division diverge below zero —
+    * the [[ewmaInt]] rule; pre-shift signed series).
+    * Returns per point: (keys…, order, value, m_u, min_m_u, ph_u,
+    * alarm).
+    *
+    * Scale: one key-keyed agg collects each series (the [[ewmaInt]]
+    * envelope); the fold is per-key scan-side work. */
+  def pageHinkleyInt(df: DataFrame, keys: Seq[Column], orderCol: Column,
+      valueCol: Column, deltaMicro: Long, lambdaMicro: Long): DataFrame = {
+    require(deltaMicro >= 0 && lambdaMicro > 0,
+      "delta must be >= 0 and lambda > 0 (micro-units)")
+    require(keys.nonEmpty, "pageHinkleyInt requires key column(s) " +
+      "(use a constant literal key for one global series)")
+    val guarded = when(valueCol.cast("long") < 0,
+      raise_error(lit("pageHinkleyInt requires non-negative values"))
+      ).otherwise(valueCol.cast("long"))
+    val keyed = df.groupBy(keys: _*)
+      .agg(array_sort(collect_list(struct(orderCol.cast("long").as("o"),
+        guarded.as("v")))).as("__arr"))
+    val keyNames = keyed.columns.dropRight(1).toSeq
+    // acc struct: t (count), s (value sum), m (PH cumulative, micro),
+    // mn (running min of m, micro)
+    val folded = keyed.withColumn("__st", expr(
+      s"""aggregate(__arr,
+         |  cast(array() as array<struct<t: bigint, s: bigint,
+         |                               m: bigint, mn: bigint>>),
+         |  (acc, x) -> array_append(acc,
+         |    CASE WHEN size(acc) = 0
+         |      THEN named_struct('t', 1L, 's', x.v,
+         |        'm', 0L - ${deltaMicro}L,
+         |        'mn', least(0L, 0L - ${deltaMicro}L))
+         |      ELSE named_struct(
+         |        't', element_at(acc, -1).t + 1L,
+         |        's', element_at(acc, -1).s + x.v,
+         |        'm', element_at(acc, -1).m +
+         |          (1000000L * ((element_at(acc, -1).t + 1L) * x.v -
+         |                       (element_at(acc, -1).s + x.v)))
+         |            div (element_at(acc, -1).t + 1L) - ${deltaMicro}L,
+         |        'mn', least(element_at(acc, -1).mn,
+         |          element_at(acc, -1).m +
+         |          (1000000L * ((element_at(acc, -1).t + 1L) * x.v -
+         |                       (element_at(acc, -1).s + x.v)))
+         |            div (element_at(acc, -1).t + 1L) - ${deltaMicro}L))
+         |      END))""".stripMargin))
+    folded.select(keyNames.map(col) :+
+        posexplode(arrays_zip(col("__arr"), col("__st"))).as(Seq("__i", "__z")): _*)
+      .select(keyNames.map(col) :+ col("__z.__arr.o").as("order") :+
+        col("__z.__arr.v").as("value") :+ col("__z.__st.m").as("m_u") :+
+        col("__z.__st.mn").as("min_m_u") :+
+        (col("__z.__st.m") - col("__z.__st.mn")).as("ph_u") :+
+        ((col("__z.__st.m") - col("__z.__st.mn")) >= lambdaMicro)
+          .as("alarm"): _*)
+  }
 }

@@ -704,6 +704,71 @@ object OpRegistry {
     "retention_decay_fit" -> (p => df =>
       graft.ops.EventAnalytics.retentionDecayFit(
         df, str(p, "actor_col"), str(p, "ts_col"),
-        numOpt(p, "max_days").map(_.toInt).getOrElse(14)))
+        numOpt(p, "max_days").map(_.toInt).getOrElse(14))),
+    // batch 31 (q267-q272)
+    "psi_drift" -> (p => df => graft.ops.Experimentation.psi(
+      df, col(str(p, "bin_col")), col(str(p, "slice_col")),
+      str(p, "ref_slice"), str(p, "cur_slice"),
+      numOpt(p, "n_bins").map(_.toInt).getOrElse(10))),
+    "fleiss_kappa" -> (p => df => graft.ops.Evaluation.fleissKappa(
+      df, col(str(p, "item_col")), col(str(p, "category_col")),
+      num(p, "n_raters").toInt)),
+    "brier_decomposition" -> (p => df =>
+      graft.ops.Evaluation.brierDecomposition(
+        df, col(str(p, "conf_ppm_col")), col(str(p, "label_col")),
+        numOpt(p, "bins").map(_.toInt).getOrElse(10))),
+    "time_decay_attribution" -> (p => df =>
+      graft.ops.EventAnalytics.timeDecayAttribution(
+        df, str(p, "actor_col"), str(p, "ts_col"), str(p, "tie_col"),
+        str(p, "type_col"), str(p, "conv_type"),
+        num(p, "half_life_seconds").toLong)),
+    "hodges_lehmann" -> (p => df => graft.ops.Aggregates.hodgesLehmann(
+      df, strs(p, "keys"), col(str(p, "value_col")))),
+    "nelson_aalen" -> (p => df => graft.ops.EventAnalytics.nelsonAalen(
+      df, col(str(p, "duration_col")), col(str(p, "event_col")))),
+    // batch 32 (q273-q278)
+    "friedman" -> (p => df => graft.ops.Aggregates.friedman(
+      df, col(str(p, "block_col")), col(str(p, "treatment_col")),
+      col(str(p, "value_col")))),
+    "soundex_pairs" -> (p => df => graft.ops.EntityResolution.soundexPairs(
+      df, str(p, "name_col"))),
+    "heaps_fit" -> (p => df => graft.ext.TextAnalysis.heapsFit(
+      df, graft.ext.Dedup.wordShingles(col(str(p, "text_col")),
+        numOpt(p, "shingle_size").map(_.toInt).getOrElse(2)),
+      col(str(p, "id_col")),
+      numOpt(p, "every").map(_.toLong).getOrElse(25L))),
+    "lorenz_curve" -> (p => df => graft.ops.Aggregates.lorenzCurve(
+      df, col(str(p, "value_col")),
+      numOpt(p, "n_bins").map(_.toInt).getOrElse(10))),
+    "croston" -> (p => df => graft.ops.TimeSeriesOps.crostonInt(
+      df, strs(p, "keys").map(col), col(str(p, "order_col")),
+      col(str(p, "demand_col")),
+      numOpt(p, "alpha_num").map(_.toLong).getOrElse(1L),
+      numOpt(p, "alpha_den").map(_.toLong).getOrElse(5L),
+      numOpt(p, "scale").map(_.toLong).getOrElse(1000L))),
+    "tost_equivalence" -> (p => df => graft.ops.Aggregates.tostEquivalence(
+      df, col(str(p, "value_col")), col(str(p, "group_col")),
+      str(p, "group_a"), str(p, "group_b"), num(p, "margin").toLong)),
+    // batch 33 (q279-q284)
+    "page_hinkley" -> (p => df => graft.ops.TimeSeriesOps.pageHinkleyInt(
+      df, strs(p, "keys").map(col), col(str(p, "order_col")),
+      col(str(p, "value_col")),
+      numOpt(p, "delta_micro").map(_.toLong).getOrElse(0L),
+      num(p, "lambda_micro").toLong)),
+    "binary_diagnostics" -> (p => df =>
+      graft.ops.Evaluation.binaryDiagnostics(
+        df, expr(str(p, "pred_cond")), expr(str(p, "label_cond")))),
+    "k_truss" -> (p => df => graft.ext.Graph.kTruss(
+      df, str(p, "src_col"), str(p, "dst_col"), num(p, "k").toInt,
+      numOpt(p, "rounds").map(_.toInt).getOrElse(3))),
+    "gumbel_fit" -> (p => df => graft.ops.Aggregates.gumbelFit(
+      df, col(str(p, "block_col")), col(str(p, "value_col")),
+      num(p, "threshold").toLong)),
+    "category_mix_drift" -> (p => df =>
+      graft.ops.EventAnalytics.categoryMixDrift(
+        df, col(str(p, "period_col")), col(str(p, "category_col")))),
+    "label_centroid_cosines" -> (p => df =>
+      graft.ext.Clustering.labelCentroidCosines(
+        df, col(str(p, "vec_col")), col(str(p, "label_col"))))
   ))
 }

@@ -34,5 +34,6 @@ object Declared {
       Events.all ++ Analytics.all ++ Analytics2.all ++ Analytics3.all ++
       Analytics4.all ++ Analytics5.all ++ Analytics6.all ++ Analytics7.all ++
       Analytics8.all ++ Analytics9.all ++ Analytics10.all ++ Analytics11.all ++
-      Analytics12.all
+      Analytics12.all ++ Analytics13.all ++ Analytics14.all ++
+      Analytics15.all
 }

@@ -177,6 +177,44 @@ class AnalyticsOpsSpec extends AnyFunSuite {
     assert(out == Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L))
   }
 
+  test("kTruss: K4 is a 4-truss; K4 minus an edge cascades to empty") {
+    val k4 = for { u <- 1 to 4; v <- 1 to 4 if u < v } yield (u.toLong, v.toLong)
+    val full = Graph.kTruss(k4.toDF("u", "v"), "u", "v", k = 4, rounds = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(full.size == 6 && full.values.forall(_ == 2L))
+    // drop (3,4): only (1,2) keeps support 2 in round 1, then its last
+    // triangles are gone and round 2 peels it too
+    val broken = k4.filterNot(_ == ((3L, 4L)))
+    val out = Graph.kTruss(broken.toDF("u", "v"), "u", "v", k = 4, rounds = 2)
+    assert(out.count() == 0L)
+  }
+
+  test("kTruss: k=3 keeps exactly the triangle-supported edges") {
+    // a triangle plus a pendant edge: the pendant has no triangle
+    val edges = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L))
+    val out = Graph.kTruss(edges.toDF("u", "v"), "u", "v", k = 3, rounds = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(out == Map((1L, 2L) -> 1L, (2L, 3L) -> 1L, (1L, 3L) -> 1L))
+  }
+
+  test("gumbelFit: hand moments over block maxima {10, 20, 30}") {
+    val df = Seq((1L, 5L), (1L, 10L), (2L, 20L), (3L, 30L), (3L, 7L))
+      .toDF("b", "v")
+    val r = Aggregates.gumbelFit(df, col("b"), col("v"), threshold = 25L)
+      .head()
+    assert(r.getAs[Long]("n_blocks") == 3L)
+    assert(r.getAs[Double]("mean") == 20.0)
+    assert(r.getAs[Double]("sd") == 10.0)
+    val beta = 10.0 * 0.7796968012336293
+    val mu = 20.0 - 0.5772156649015329 * beta
+    def r6(x: Double) =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(r.getAs[Double]("beta") == r6(beta))
+    assert(r.getAs[Double]("mu") == r6(mu))
+    assert(r.getAs[Double]("p_exceed") ==
+      r6(1.0 - math.exp(-math.exp((mu - 25.0) / beta))))
+  }
+
   test("containmentPairs: directional — the excerpt is contained, the source is not") {
     val docs = Seq(
       (1L, "alpha beta gamma delta epsilon zeta eta theta"),
@@ -1303,5 +1341,108 @@ class AnalyticsOpsSpec extends AnyFunSuite {
     assert(r.map(x => (x.getLong(0), x.getLong(1), x.getLong(2),
       x.getLong(3))).toSeq == Seq(
       (1L, 2L, 2L, w3 + w2), (1L, 3L, 1L, w3), (2L, 3L, 1L, w3)))
+  }
+
+  test("friedman: consistent treatment order across blocks — textbook Fr = 4") {
+    // two complete blocks, ranks (1,2,3) in both; a third block missing
+    // treatments drops entirely
+    val df = Seq((1L, "t1", 10L), (1L, "t2", 20L), (1L, "t3", 30L),
+      (2L, "t1", 1L), (2L, "t2", 2L), (2L, "t3", 3L),
+      (3L, "t1", 99L)).toDF("b", "t", "v")
+    val r = graft.ops.Aggregates.friedman(df, col("b"), col("t"), col("v"))
+      .head()
+    assert(r.getAs[Long]("n_blocks") == 2L && r.getAs[Long]("k") == 3L)
+    assert(r.getAs[Double]("fr") == 4.0)
+  }
+
+  test("friedman: within-block ties use midranks; all-tied blocks cancel") {
+    // blocks 1-2: values (5,5,9) → midranks (1.5,1.5,3); block 3 fully
+    // tied contributes nothing to either side of the ratio
+    val base = Seq((1L, "t1", 5L), (1L, "t2", 5L), (1L, "t3", 9L),
+      (2L, "t1", 5L), (2L, "t2", 5L), (2L, "t3", 9L))
+    val tied = Seq((3L, "t1", 7L), (3L, "t2", 7L), (3L, "t3", 7L))
+    val f1 = graft.ops.Aggregates.friedman(base.toDF("b", "t", "v"),
+      col("b"), col("t"), col("v")).head().getAs[Double]("fr")
+    val f2 = graft.ops.Aggregates.friedman((base ++ tied).toDF("b", "t", "v"),
+      col("b"), col("t"), col("v")).head().getAs[Double]("fr")
+    assert(f1 == 4.0 && f2 == 4.0)
+  }
+
+  test("soundexCode: the classic NARA reference codes") {
+    import graft.ops.EntityResolution
+    val cases = Seq("Robert" -> "R163", "Rupert" -> "R163",
+      "Ashcraft" -> "A261", "Ashcroft" -> "A261", "Tymczak" -> "T522",
+      "Pfister" -> "P236", "Honeyman" -> "H555", "Jackson" -> "J250")
+    val out = cases.map(_._1).toDF("name")
+      .select(col("name"), EntityResolution.soundexCode(col("name")).as("c"))
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    cases.foreach { case (n, want) => assert(out(n) == want, s"$n") }
+  }
+
+  test("soundexPairs: phonetic twins pair, non-twins don't; " +
+      "non-alphabetic drops") {
+    import graft.ops.EntityResolution
+    val df = Seq("Robert", "Rupert", "Ashcraft", "Ashcroft", "Tymczak",
+      "12345").toDF("name")
+    val pairs = EntityResolution.soundexPairs(df, "name")
+      .collect().map(r => (r.getAs[String]("code"),
+        r.getAs[String]("name_a"), r.getAs[String]("name_b"))).toSet
+    assert(pairs == Set(("R163", "Robert", "Rupert"),
+      ("A261", "Ashcraft", "Ashcroft")))
+  }
+
+  test("lorenzCurve: tie-splitting decile walk on {1,1,1,1,6}") {
+    val df = Seq(1L, 1L, 1L, 1L, 6L).toDF("v")
+    val out = Aggregates.lorenzCurve(df, col("v"), nBins = 10)
+      .orderBy(col("quantile")).collect()
+      .map(r => r.getAs[Long]("quantile") ->
+        (r.getAs[Long]("cum_value"), r.getAs[Long]("share_ppm"))).toMap
+    assert(out(2L) == ((1L, 100000L)))  // bottom 20% = 1 row of value 1
+    assert(out(8L) == ((4L, 400000L)))  // bottom 80% = all four 1s
+    assert(out(10L) == ((10L, 1000000L)))
+  }
+
+  test("tostEquivalence: equivalent within a wide margin, not a tight one") {
+    val df = (Seq(100L, 102L).map(("a", _)) ++ Seq(99L, 101L).map(("b", _)))
+      .toDF("g", "v")
+    val wide = Aggregates.tostEquivalence(df, col("v"), col("g"), "a", "b",
+      margin = 10L).head()
+    assert(wide.getAs[Double]("mean_diff") == 1.0)
+    assert(wide.getAs[Double]("se") == 1.414214)
+    assert(wide.getAs[Double]("t_lower") == 7.778175)
+    assert(wide.getAs[Double]("t_upper") == -6.363961)
+    assert(wide.getAs[Boolean]("equivalent"))
+    val tight = Aggregates.tostEquivalence(df, col("v"), col("g"), "a", "b",
+      margin = 1L).head()
+    assert(tight.getAs[Double]("t_lower") == 1.414214)
+    assert(!tight.getAs[Boolean]("equivalent"))
+  }
+
+  test("hodgesLehmann: textbook {1,2,6} — lower median of Walsh averages") {
+    // Walsh averages {1, 1.5, 2, 3.5, 4, 6}; even count → LOWER median 2
+    val df = Seq(("x", 1L), ("x", 2L), ("x", 6L)).toDF("k", "v")
+    val r = Aggregates.hodgesLehmann(df, Seq("k"), col("v")).head()
+    assert(r.getAs[Long]("n") == 3L && r.getAs[Long]("n_pairs") == 6L)
+    assert(r.getAs[Long]("hl_doubled") == 4L)
+    assert(r.getAs[Double]("hl") == 2.0)
+  }
+
+  test("hodgesLehmann: duplicate values weight the diagonal c(c+1)/2") {
+    // {1,1,3}: sums 2(w3), 4(w2), 6(w1); crossing at d=2 → HL = 1
+    val df = Seq(("x", 1L), ("x", 1L), ("x", 3L)).toDF("k", "v")
+    val r = Aggregates.hodgesLehmann(df, Seq("k"), col("v")).head()
+    assert(r.getAs[Long]("n_pairs") == 6L && r.getAs[Long]("hl_doubled") == 2L)
+    assert(r.getAs[Double]("hl") == 1.0)
+  }
+
+  test("hodgesLehmann: outlier-immune per key where the mean is not") {
+    // key a: {10,11,12} HL=11; key b adds an outlier 1000 to the same
+    // base — HL moves only to the next Walsh average (11.5), mean to 258
+    val df = (Seq(("a", 10L), ("a", 11L), ("a", 12L)) ++
+      Seq(("b", 10L), ("b", 11L), ("b", 12L), ("b", 1000L))).toDF("k", "v")
+    val out = Aggregates.hodgesLehmann(df, Seq("k"), col("v"))
+      .orderBy(col("k")).collect()
+    assert(out(0).getAs[Double]("hl") == 11.0)
+    assert(out(1).getAs[Double]("hl") == 11.5)
   }
 }

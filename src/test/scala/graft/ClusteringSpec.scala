@@ -65,4 +65,22 @@ class ClusteringSpec extends AnyFunSuite {
     assert(rows((0, 1)) && rows((1, 1))) // anything vs the constant dim
     assert(!rows((0, 0)))
   }
+
+  test("labelCentroidCosines: orthogonal labels score 0, aligned score 1") {
+    // label 1 lives on the x axis, label 2 on the y axis, label 3 is a
+    // scaled copy of label 1's direction
+    val df = Seq(
+      (1, Seq(1.0f, 0.0f)), (1, Seq(3.0f, 0.0f)),
+      (2, Seq(0.0f, 2.0f)),
+      (3, Seq(2.0f, 0.0f)))
+      .toDF("label", "embedding")
+    val out = Clustering.labelCentroidCosines(df, col("embedding"),
+        col("label"))
+      .collect().map(r => (r.getInt(0), r.getInt(1)) ->
+        (r.getAs[Long]("n_a"), r.getAs[Long]("n_b"),
+          r.getAs[Double]("cosine"))).toMap
+    assert(out((1, 2)) == ((2L, 1L, 0.0)))
+    assert(out((2, 3)) == ((1L, 1L, 0.0)))
+    assert(out((1, 3)) == ((2L, 1L, 1.0)))
+  }
 }

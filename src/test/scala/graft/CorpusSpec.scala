@@ -441,4 +441,28 @@ class TextSignalsSpec extends AnyFunSuite {
       .map(r => (r.getLong(0), r.getAs[Long]("new_tokens"), r.getAs[Long]("vocab")))
     assert(out.toSeq == Seq((5L, 3L, 3L), (5L, 1L, 4L), (5L, 2L, 6L)))
   }
+
+  test("E4: heapsFit — a linear vocabulary curve fits beta 1, K 1 exactly") {
+    // 50 docs, each contributing exactly one NEW token → V(n) = n at
+    // every checkpoint → ln-ln OLS gives slope 1, intercept 0
+    val docs = (0L until 50L).map(i => (i, s"w$i")).toDF("doc_id", "text")
+    val r = TextAnalysis.heapsFit(docs, TextAnalysis.tokens(col("text")),
+      col("doc_id"), every = 25L).head()
+    assert(r.getAs[Long]("n_points") == 2L)
+    assert(r.getAs[Double]("beta") == 1.0)
+    assert(r.getAs[Double]("ln_k") == 0.0)
+    assert(r.getAs[Double]("k") == 1.0)
+  }
+
+  test("E4: heapsFit — sublinear growth fits beta below 1") {
+    // second half of the corpus adds half as many new tokens per doc:
+    // checkpoints (25, 25) and (50, 37) → beta = ln(37/25)/ln 2 < 1
+    val docs = ((0L until 25L).map(i => (i, s"w$i")) ++
+      (25L until 50L).map(i =>
+        (i, if (i % 2 == 0) s"w${i}" else "w0"))).toDF("doc_id", "text")
+    val r = TextAnalysis.heapsFit(docs, TextAnalysis.tokens(col("text")),
+      col("doc_id"), every = 25L).head()
+    val beta = r.getAs[Double]("beta")
+    assert(beta > 0.5 && beta < 0.7)
+  }
 }

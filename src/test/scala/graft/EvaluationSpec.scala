@@ -191,4 +191,101 @@ class EvaluationSpec extends AnyFunSuite {
     assert(r.getAs[Double]("alpha") == BigDecimal(1.0 - 14.0 / 30.0)
       .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
   }
+
+  // ---- fleissKappa ----------------------------------------------------
+
+  test("fleissKappa: unanimous raters with split categories score 1") {
+    // 4 items × 2 raters; both raters agree on every item, categories
+    // split 2/2 → P̄ = 1, P̄e = 0.5, κ = 1
+    val df = Seq((1L, "A"), (1L, "A"), (2L, "A"), (2L, "A"),
+      (3L, "B"), (3L, "B"), (4L, "B"), (4L, "B")).toDF("item", "cat")
+    val r = Evaluation.fleissKappa(df, col("item"), col("cat"), 2).head()
+    assert(r.getAs[Long]("n_items") == 4L && r.getAs[Long]("n_raters") == 2L)
+    assert(r.getAs[Double]("p_bar") == 1.0)
+    assert(r.getAs[Double]("p_e") == 0.5)
+    assert(r.getAs[Double]("kappa") == 1.0)
+  }
+
+  test("fleissKappa: total disagreement with balanced margins scores -1") {
+    // every item rated (A, B) → P̄ = 0; margins 4/4 → P̄e = 0.5 → κ = −1
+    val df = Seq((1L, "A"), (1L, "B"), (2L, "A"), (2L, "B"),
+      (3L, "A"), (3L, "B"), (4L, "A"), (4L, "B")).toDF("item", "cat")
+    val r = Evaluation.fleissKappa(df, col("item"), col("cat"), 2).head()
+    assert(r.getAs[Double]("p_bar") == 0.0)
+    assert(r.getAs[Double]("kappa") == -1.0)
+  }
+
+  test("fleissKappa: degenerate single category → null kappa; " +
+      "wrong-size items drop") {
+    // item 3 has three ratings → dropped by the nRaters = 2 filter;
+    // the survivors all say A → P̄e = 1 → κ = 0/0 = null
+    val df = Seq((1L, "A"), (1L, "A"), (2L, "A"), (2L, "A"),
+      (3L, "A"), (3L, "A"), (3L, "A")).toDF("item", "cat")
+    val r = Evaluation.fleissKappa(df, col("item"), col("cat"), 2).head()
+    assert(r.getAs[Long]("n_items") == 2L)
+    assert(r.getAs[Double]("p_bar") == 1.0 && r.getAs[Double]("p_e") == 1.0)
+    assert(r.isNullAt(r.fieldIndex("kappa")))
+  }
+
+  // ---- brierDecomposition ---------------------------------------------
+
+  test("brierDecomposition: perfectly calibrated bins → zero reliability, " +
+      "hand-checked resolution and Brier") {
+    // bin 2: conf 200 000 ppm, 1 of 5 positive (rate = conf);
+    // bin 8: conf 800 000 ppm, 4 of 5 positive (rate = conf);
+    // ȳ = 0.5 → REL = 0, RES = (5·3e5² + 5·3e5²)/10 = 9e10,
+    // UNC = 5e5·5e5 = 2.5e11, BRIER = 1.6e12/10 = 1.6e11
+    val rows = Seq.fill(1)((200000L, 1)) ++ Seq.fill(4)((200000L, 0)) ++
+      Seq.fill(4)((800000L, 1)) ++ Seq.fill(1)((800000L, 0))
+    val r = Evaluation.brierDecomposition(rows.toDF("conf", "y"),
+      col("conf"), col("y"), bins = 10).head()
+    assert(r.getAs[Long]("n") == 10L)
+    assert(r.getAs[Long]("y_bar_ppm") == 500000L)
+    assert(r.getAs[Long]("reliability_ppm2") == 0L)
+    assert(r.getAs[Long]("resolution_ppm2") == 90000000000L)
+    assert(r.getAs[Long]("uncertainty_ppm2") == 250000000000L)
+    assert(r.getAs[Long]("brier_ppm2") == 160000000000L)
+    // Murphy identity holds exactly on this fixture: REL − RES + UNC
+    assert(r.getAs[Long]("reliability_ppm2") - r.getAs[Long]("resolution_ppm2")
+      + r.getAs[Long]("uncertainty_ppm2") == r.getAs[Long]("brier_ppm2"))
+  }
+
+  // ---- binaryDiagnostics ----------------------------------------------
+
+  test("binaryDiagnostics: hand 2×2 — rates, Youden's J and MCC") {
+    // tp=4 fp=1 fn=2 tn=3: sens = 4/6, spec = 3/4
+    val rows = Seq.fill(4)((true, true)) ++ Seq.fill(1)((true, false)) ++
+      Seq.fill(2)((false, true)) ++ Seq.fill(3)((false, false))
+    val r = Evaluation.binaryDiagnostics(rows.toDF("p", "y"),
+      col("p"), col("y")).head()
+    assert((r.getAs[Long]("tp"), r.getAs[Long]("fp"), r.getAs[Long]("fn"),
+      r.getAs[Long]("tn")) == ((4L, 1L, 2L, 3L)))
+    assert(r.getAs[Long]("sens_ppm") == 666666L)
+    assert(r.getAs[Long]("spec_ppm") == 750000L)
+    assert(r.getAs[Long]("youden_j_ppm") == 416666L)
+    assert(r.getAs[Long]("balanced_acc_ppm") == 708333L)
+    // mcc = (12 − 2)/√(5·6·4·5) = 10/√600
+    assert(r.getAs[Double]("mcc") == BigDecimal(10.0 / math.sqrt(600.0))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+  }
+
+  test("binaryDiagnostics: degenerate margin → null MCC") {
+    // predictor always fires: tn + fn = 0 column margin zero
+    val rows = Seq((true, true), (true, false))
+    val r = Evaluation.binaryDiagnostics(rows.toDF("p", "y"),
+      col("p"), col("y")).head()
+    assert(r.isNullAt(r.fieldIndex("mcc")))
+  }
+
+  test("brierDecomposition: anti-calibrated predictor — reliability " +
+      "dominates, resolution zero") {
+    // both bins have the SAME outcome rate 0.5 → no discrimination;
+    // conf says 0.2 and 0.8 → pure miscalibration
+    val rows = Seq.fill(2)((200000L, 1)) ++ Seq.fill(2)((200000L, 0)) ++
+      Seq.fill(2)((800000L, 1)) ++ Seq.fill(2)((800000L, 0))
+    val r = Evaluation.brierDecomposition(rows.toDF("conf", "y"),
+      col("conf"), col("y"), bins = 10).head()
+    assert(r.getAs[Long]("resolution_ppm2") == 0L)
+    assert(r.getAs[Long]("reliability_ppm2") == 90000000000L)
+  }
 }

@@ -201,4 +201,74 @@ class EventAnalyticsSpec extends AnyFunSuite {
     assert(r.getAs[Double]("slope") == -0.693147)
     assert(r.getAs[Double]("half_life_days") == 1.0)
   }
+
+  test("timeDecayAttribution: dyadic halving + largest-remainder to the " +
+      "most recent touch") {
+    // touch a at −2 half-lives (w 250 000), touch b at −1 (w 500 000):
+    // base a = 3333, b = 6666; shortfall 1 goes to b (most recent)
+    val df = Seq(
+      (1L, ts("2024-01-01 00:00:00"), 1L, "a"),
+      (1L, ts("2024-01-01 01:00:00"), 2L, "b"),
+      (1L, ts("2024-01-01 02:00:00"), 3L, "conv"))
+      .toDF("u", "t", "id", "k")
+    val out = EventAnalytics.timeDecayAttribution(df, "u", "t", "id", "k",
+      "conv", halfLifeSeconds = 3600L)
+      .collect().map(r => r.getAs[String]("attributed_type") ->
+        r.getAs[Long]("credit_bps")).toMap
+    assert(out == Map("a" -> 3333L, "b" -> 6667L))
+  }
+
+  test("timeDecayAttribution: credit conserves per conversion; " +
+      "touchless conversions credit (none)") {
+    val df = Seq(
+      (1L, ts("2024-01-01 00:00:00"), 1L, "a"),
+      (1L, ts("2024-01-01 00:00:30"), 2L, "b"),
+      (1L, ts("2024-01-01 00:01:00"), 3L, "conv"),
+      (2L, ts("2024-01-01 09:00:00"), 4L, "conv"))
+      .toDF("u", "t", "id", "k")
+    val out = EventAnalytics.timeDecayAttribution(df, "u", "t", "id", "k",
+      "conv", halfLifeSeconds = 3600L)
+      .collect().map(r => r.getAs[String]("attributed_type") ->
+        r.getAs[Long]("credit_bps")).toMap
+    // both touches inside one half-life → equal weights → 5000/5000
+    assert(out("a") == 5000L && out("b") == 5000L)
+    assert(out("(none)") == 10000L)
+    assert(out.values.sum == 20000L) // 10000 per conversion, exactly
+  }
+
+  test("categoryMixDrift: identical mixes score 0, disjoint mixes ln 2") {
+    // day1 {a}, day2 {b} (disjoint → ln 2), day3 {b} (same → 0)
+    val df = Seq(("d1", "a"), ("d2", "b"), ("d3", "b")).toDF("p", "c")
+    val out = EventAnalytics.categoryMixDrift(df, col("p"), col("c"))
+      .orderBy(col("period")).collect()
+    assert(out.map(_.getAs[String]("period")).toSeq == Seq("d2", "d3"))
+    assert(out(0).getAs[Double]("jsd") == 0.693147)
+    assert(out(1).getAs[Double]("jsd") == 0.0)
+  }
+
+  test("categoryMixDrift: partial overlap — hand term check") {
+    // day1: a×2; day2: a×1, b×1 → p_a=(1, 0), p_b=(.5, .5)
+    // jsd = ½[1·ln(1/.75) + .5·ln(.5/.75) + .5·ln(.5/.25)]
+    val df = Seq(("d1", "a"), ("d1", "a"), ("d2", "a"), ("d2", "b"))
+      .toDF("p", "c")
+    val r = EventAnalytics.categoryMixDrift(df, col("p"), col("c")).head()
+    assert(r.getAs[Long]("n_cur") == 2L && r.getAs[Long]("n_prev") == 2L)
+    val t1 = math.round((0.5 * math.log(0.5 / 0.75) +
+      1.0 * math.log(1.0 / 0.75)) * 1e9)    // category a (cur .5, prev 1)
+    val t2 = math.round(0.5 * math.log(0.5 / 0.25) * 1e9) // category b
+    val want = BigDecimal((t1 + t2).toDouble / 2 / 1e9)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(r.getAs[Double]("jsd") == want)
+  }
+
+  test("nelsonAalen: hand-computed hazard with censoring") {
+    // (dur, event): (1,1),(1,0),(2,1),(3,0) → at t=1: n=4,d=1 (term
+    // 250000); t=2: n=2,d=1 (term 500000); t=3: n=1,d=0
+    val df = Seq((1L, 1), (1L, 0), (2L, 1), (3L, 0)).toDF("dur", "ev")
+    val out = EventAnalytics.nelsonAalen(df, col("dur"), col("ev"))
+      .orderBy(col("t")).collect()
+    assert(out.map(_.getAs[Long]("n_risk")).toSeq == Seq(4L, 2L, 1L))
+    assert(out.map(_.getAs[Long]("cumhaz_ppm")).toSeq ==
+      Seq(250000L, 750000L, 750000L))
+  }
 }

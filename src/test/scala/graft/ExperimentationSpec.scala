@@ -429,4 +429,32 @@ class ExperimentationSpec extends AnyFunSuite {
     assert(l2.getAs[Double]("boundary") == 1.96)
     assert(!l2.getAs[Boolean]("crossed"))
   }
+
+  // ---- psi ------------------------------------------------------------
+
+  test("psi: identical slices score exactly 0; bins densify") {
+    // same shape in both slices → every term_nano = 0; bin 2 appears in
+    // neither slice but the frame still emits its row
+    val rows = Seq((0L, "ref"), (0L, "ref"), (1L, "ref"),
+      (0L, "cur"), (0L, "cur"), (1L, "cur"))
+    val out = Experimentation.psi(rows.toDF("bin", "s"), col("bin"),
+      col("s"), "ref", "cur", nBins = 3).orderBy(col("bin")).collect()
+    assert(out.length == 3)
+    assert(out.forall(_.getAs[Long]("term_nano") == 0L))
+    assert(out.forall(_.getAs[Double]("psi") == 0.0))
+    assert(out(2).getAs[Long]("ref_n") == 0L &&
+      out(2).getAs[Long]("cur_n") == 0L)
+  }
+
+  test("psi: a mirrored 8/2 → 2/8 shift scores 2·(0.5·ln 3) = ln 3") {
+    // smoothed p = (8+1)/(10+2) = .75 vs q = .25 in bin 0, mirrored in
+    // bin 1 → each term .5·ln3, psi = ln 3 = 1.098612
+    val rows = Seq.fill(8)((0L, "ref")) ++ Seq.fill(2)((1L, "ref")) ++
+      Seq.fill(2)((0L, "cur")) ++ Seq.fill(8)((1L, "cur"))
+    val out = Experimentation.psi(rows.toDF("bin", "s"), col("bin"),
+      col("s"), "ref", "cur", nBins = 2).orderBy(col("bin")).collect()
+    val t = math.round(0.5 * math.log(3.0) * 1e9)
+    assert(out.map(_.getAs[Long]("term_nano")).toSeq == Seq(t, t))
+    assert(out.head.getAs[Double]("psi") == 1.098612)
+  }
 }

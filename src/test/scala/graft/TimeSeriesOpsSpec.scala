@@ -238,4 +238,53 @@ class TimeSeriesOpsSpec extends AnyFunSuite {
     assert(out.getAs[Long]("sae_naive") == 200L) // 100 + 100
     assert(out.getAs[Long]("mase_ppm") == 300000L)
   }
+
+  test("crostonInt: hand recurrence — size and interval smooth " +
+      "independently; zeros drop") {
+    // demand at days 1 (z=10), 3 (z=20), 7 (z=5); α = 1/5, S = 1000:
+    //   i1: zs 10000, qs 1000, f 10000
+    //   i2: g 2 → zs (20000+40000)/5 = 12000, qs (2000+4000)/5 = 1200,
+    //       f 12000000 div 1200 = 10000
+    //   i3: g 4 → zs (5000+48000)/5 = 10600, qs (4000+4800)/5 = 1760,
+    //       f 10600000 div 1760 = 6022
+    val df = Seq(("k", 1L, 10L), ("k", 2L, 0L), ("k", 3L, 20L),
+      ("k", 7L, 5L)).toDF("key", "day", "z")
+    val out = TimeSeriesOps.crostonInt(df, Seq(col("key")), col("day"),
+      col("z"), aNum = 1, aDen = 5, scale = 1000L)
+      .orderBy(col("order")).collect()
+    assert(out.length == 3) // the zero-demand day never enters
+    assert(out.map(_.getAs[Long]("gap")).toSeq == Seq(1L, 2L, 4L))
+    assert(out.map(_.getAs[Long]("z_s")).toSeq == Seq(10000L, 12000L, 10600L))
+    assert(out.map(_.getAs[Long]("q_s")).toSeq == Seq(1000L, 1200L, 1760L))
+    assert(out.map(_.getAs[Long]("forecast_s")).toSeq ==
+      Seq(10000L, 10000L, 6022L))
+  }
+
+  test("pageHinkleyInt: level shift raises the alarm; stationary series " +
+      "does not") {
+    // flat at 10 for 5 points, then a jump to 100: the running mean
+    // lags the jump, the increments go hugely positive, PH crosses λ
+    val flat = (1L to 10L).map(i => ("k", i, 10L))
+    val shifted = (1L to 5L).map(i => ("k", i, 10L)) ++
+      (6L to 10L).map(i => ("k", i, 100L))
+    def alarms(rows: Seq[(String, Long, Long)]) =
+      TimeSeriesOps.pageHinkleyInt(rows.toDF("k", "t", "v"), Seq(col("k")),
+        col("t"), col("v"), deltaMicro = 100000L, lambdaMicro = 10000000L)
+        .orderBy(col("order")).collect().map(_.getAs[Boolean]("alarm")).toSeq
+    assert(alarms(flat).forall(!_))
+    assert(alarms(shifted).last)
+  }
+
+  test("pageHinkleyInt: hand-traced first steps") {
+    // values 4, 8 with δ = 0: step1 m = 0; step2 running mean = 6,
+    // term = (1e6·(2·8 − 12)) div 2 = 2e6 → m = 2e6, min stays 0
+    val df = Seq(("k", 1L, 4L), ("k", 2L, 8L)).toDF("k", "t", "v")
+    val out = TimeSeriesOps.pageHinkleyInt(df, Seq(col("k")), col("t"),
+      col("v"), deltaMicro = 0L, lambdaMicro = 1000000L)
+      .orderBy(col("order")).collect()
+    assert(out.map(_.getAs[Long]("m_u")).toSeq == Seq(0L, 2000000L))
+    assert(out.map(_.getAs[Long]("min_m_u")).toSeq == Seq(0L, 0L))
+    assert(out.map(_.getAs[Long]("ph_u")).toSeq == Seq(0L, 2000000L))
+    assert(out.map(_.getAs[Boolean]("alarm")).toSeq == Seq(false, true))
+  }
 }
