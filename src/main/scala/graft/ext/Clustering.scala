@@ -221,4 +221,60 @@ object Clustering {
           (sqrt(col("__na2").cast("double")) *
             sqrt(col("__nb2").cast("double"))), 6).as("cosine"))
   }
+
+  /** E3/ML — simplified silhouette of the LABEL partition
+    * (Rousseeuw 1987 for the silhouette; the centroid-based
+    * "simplified" form is the standard linear-cost variant — public
+    * literature): per vector, a = distance to its own label centroid,
+    * b = distance to the nearest OTHER label centroid,
+    * s = (b − a)/max(a, b); averaged per label. The per-label
+    * cohesion verdict that tells you WHICH labels in q284's cosine
+    * audit are actually mixed (silhouette near 0 or negative) rather
+    * than merely close.
+    *
+    * Determinism contract: components micro-quantized at the scan;
+    * centroids are per-dim truncating integer means of the quantized
+    * components; squared distances are exact DECIMAL(38,0); a and b
+    * are single sqrts; b's argmin is an exact integer min over d²;
+    * each vector's s is micro-quantized before the per-label integer
+    * mean (integral div). Returns per label:
+    * (label, n, mean_sil_micro).
+    *
+    * Scale: one posexplode + (label, dim) agg builds |labels|·dims
+    * centroid cells (broadcast); per-vector distances to ALL k
+    * centroids are a broadcast join + dim-grain agg — linear in
+    * vectors·dims·k, never quadratic in vectors (the full silhouette's
+    * fatal cost). */
+  def labelSilhouette(df: DataFrame, idCol: Column, vecCol: Column,
+      labelCol: Column): DataFrame = {
+    val d38 = "decimal(38,0)"
+    val comps = df.select(idCol.as("__id"), labelCol.as("__l"),
+        posexplode(vecCol).as(Seq("__d", "__x")))
+      .select(col("__id"), col("__l"), col("__d"),
+        round(col("__x").cast("double") * 1e6, 0).cast("long").as("__q"))
+    val cent = comps.groupBy(col("__l"), col("__d"))
+      .agg(sum(col("__q")).as("__s"), count(lit(1)).as("__n"))
+      .withColumn("__c", expr("__s div __n"))
+      .select(col("__l").as("__cl"), col("__d"), col("__c"))
+      .localCheckpoint() // |labels|·dims rows
+    // every vector against every centroid: broadcast the centroid
+    // frame, one (id, centroid-label) d² agg
+    val d2 = comps.join(broadcast(cent), Seq("__d"))
+      .groupBy(col("__id"), col("__l"), col("__cl"))
+      .agg(sum((col("__q") - col("__c")).cast(d38) *
+        (col("__q") - col("__c")).cast(d38)).cast(d38).as("__d2"))
+    val own = d2.filter(col("__l") === col("__cl"))
+      .select(col("__id"), col("__l"), col("__d2").as("__a2"))
+    val other = d2.filter(col("__l") =!= col("__cl"))
+      .groupBy(col("__id")).agg(min(col("__d2")).as("__b2"))
+    own.join(other, Seq("__id"))
+      .withColumn("__a", sqrt(col("__a2").cast("double")))
+      .withColumn("__b", sqrt(col("__b2").cast("double")))
+      .withColumn("__s_micro", when(greatest(col("__a"), col("__b")) > 0,
+        round((col("__b") - col("__a")) / greatest(col("__a"), col("__b")) *
+          1e6, 0).cast("long")).otherwise(0L))
+      .groupBy(col("__l").as("label"))
+      .agg(count(lit(1)).as("n"),
+        expr("sum(__s_micro) div count(1)").as("mean_sil_micro"))
+  }
 }

@@ -409,4 +409,176 @@ object Curation {
       .select(col("source"), col("tokens"), col("quality_u"),
         col("alloc_tokens"), col("alloc_ppm"))
   }
+
+  /** E7/E6 — context-window PACKING AUDIT: lay the corpus out in a
+    * deterministic total order, cut it into contiguous windows of
+    * `capacity` tokens (documents MAY straddle a cut — the standard
+    * "packed sequences" training layout), and report per window: how
+    * many documents it touches, how many are SPLIT across its
+    * boundary, and fill. High split counts mean cross-document
+    * attention contamination unless the trainer masks boundaries —
+    * the audit run before choosing capacity.
+    *
+    * Exactness: window ids are integer arithmetic on the exact token
+    * prefix sums ((cum − size) div C for the start, (cum − 1) div C
+    * for the end); a document touches windows start..end and is
+    * "split" when end > start. Fan-out is end−start+1 ≤ ⌈size/C⌉+1
+    * rows per doc via sequence() — bounded by the layout itself.
+    * Returns per window: (window_id, n_docs, n_split, tokens_in).
+    *
+    * Scale: the prefix sum runs over the doc-grain rollup via ONE
+    * ordered window ([[graft.ops.Ranking.globalRowNumber]]'s regime
+    * applies for true fact scale — quantize or shard first); the
+    * explode is layout-bounded. */
+  def contextPackingAudit(docs: DataFrame, idCol: Column, sizeCol: Column,
+      capacity: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(capacity >= 1, "capacity >= 1")
+    val w = Window.orderBy(col("__id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val laid = docs.select(idCol.as("__id"), sizeCol.cast("long").as("__sz"))
+      .filter(col("__sz") > 0)
+      .withColumn("__cum", sum(col("__sz")).over(w))
+      .withColumn("__w0", expr(s"(__cum - __sz) div ${capacity}L"))
+      .withColumn("__w1", expr(s"(__cum - 1L) div ${capacity}L"))
+    laid
+      .withColumn("window_id",
+        explode(sequence(col("__w0"), col("__w1"))))
+      .withColumn("__in", least(col("__cum"),
+        (col("window_id") + 1) * capacity) -
+        greatest(col("__cum") - col("__sz"), col("window_id") * capacity))
+      .groupBy(col("window_id"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum((col("__w1") > col("__w0")).cast("long")).as("n_split"),
+        sum(col("__in")).as("tokens_in"))
+  }
+
+  /** E2+/E7 — near-dup CLUSTER PURITY against a label (language,
+    * source, license): per cluster, the modal label's share and the
+    * label entropy. A low-purity cluster means the dedup graph fused
+    * documents that differ where it matters (translations, forks,
+    * licensed/unlicensed twins) — the audit between q70's components
+    * and the q193 canonical keep.
+    *
+    * Exactness: shares are ppm integral quotients; entropy terms are
+    * nano-nat quantized per (cluster, label) cell before the integer
+    * sum (the q141 discipline). Modal label ties break to the
+    * smallest label. Returns per cluster:
+    * (cluster_id, n_docs, n_labels, modal_label, purity_ppm,
+    * entropy_nano).
+    *
+    * Scale: one (cluster, label) agg with map-side combine + one
+    * cluster-grain rollup of it. */
+  def clusterPurity(assignments: DataFrame, clusterCol: Column,
+      labelCol: Column): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cells = assignments.groupBy(clusterCol.as("__cl"),
+        labelCol.as("__lab"))
+      .agg(count(lit(1)).as("__c"))
+      .localCheckpoint() // cluster×label grain; rollup + modal read it
+    val tot = Window.partitionBy(col("__cl"))
+    val ranked = cells
+      .withColumn("__n", sum(col("__c")).over(tot))
+      .withColumn("__rk", row_number().over(
+        Window.partitionBy(col("__cl"))
+          .orderBy(col("__c").desc, col("__lab"))))
+      .withColumn("__p",
+        col("__c").cast("double") / col("__n").cast("double"))
+      .withColumn("__e_nano",
+        round(-(col("__p") * log(col("__p"))) * 1e9, 0).cast("long"))
+    ranked.groupBy(col("__cl").as("cluster_id"))
+      .agg(max(col("__n")).as("n_docs"),
+        count(lit(1)).as("n_labels"),
+        max(when(col("__rk") === 1, col("__lab"))).as("modal_label"),
+        max(when(col("__rk") === 1,
+          expr("(__c * 1000000L) div __n"))).as("purity_ppm"),
+        sum(col("__e_nano")).as("entropy_nano"))
+  }
+
+  /** E2+/E7 — SOURCE overlap matrix: exact shingle-set Jaccard between
+    * every pair of sources — which crawls/feeds are substantially the
+    * same corpus wearing two names. Doc-level dedup (q40-q46) finds
+    * twin documents; this finds twin SOURCES, the licensing/mixture
+    * question. Returns per pair (a < b):
+    * (source_a, source_b, n_a, n_b, inter, jaccard).
+    *
+    * Exactness: set sizes and intersections are exact distinct
+    * counts; jaccard is one pinned division, with the integer triple
+    * kept so callers can threshold exactly (the q43 convention).
+    *
+    * Scale: one (source, shingle) distinct agg, a shingle-keyed
+    * self-join for intersections (rare-shingle skew only — the q104
+    * anti-skew argument), and a |sources|²-row finish. */
+  def sourceOverlapMatrix(docs: DataFrame, textCol: Column,
+      sourceCol: Column, shingleSize: Int): DataFrame = {
+    val sh = docs.select(sourceCol.as("__src"),
+        explode(Dedup.wordShingles(textCol, shingleSize)).as("__g"))
+      .filter(col("__g") =!= "").distinct()
+      .localCheckpoint() // (source, shingle) grain; sizes + join read it
+    val sizes = sh.groupBy(col("__src")).agg(count(lit(1)).as("__n"))
+    val inter = sh.select(col("__src").as("__sa"), col("__g"))
+      .join(sh.select(col("__src").as("__sb"), col("__g")), Seq("__g"))
+      .filter(col("__sa") < col("__sb"))
+      .groupBy(col("__sa"), col("__sb"))
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(broadcast(sizes.select(col("__src").as("__sa"),
+        col("__n").as("n_a"))), Seq("__sa"))
+      .join(broadcast(sizes.select(col("__src").as("__sb"),
+        col("__n").as("n_b"))), Seq("__sb"))
+      .select(col("__sa").as("source_a"), col("__sb").as("source_b"),
+        col("n_a"), col("n_b"), col("inter"),
+        round(col("inter").cast("double") /
+          (col("n_a") + col("n_b") - col("inter")).cast("double"), 6)
+          .as("jaccard"))
+  }
+
+  /** E4/E7 — per-source HEALTH PROFILE: the one-row-per-source corpus
+    * card — doc count, exact-duplicate ratio (content-hash), mean
+    * length (integral), language entropy (nano-nats) and modal
+    * language share. The triage view that decides which source gets
+    * per-source curation effort (q286's ABC cut reads value; this
+    * reads QUALITY).
+    *
+    * Exactness: dup ratio = (n − distinct hashes)·1e6 div n; entropy
+    * cells are nano-quantized before the integer sum; modal ties
+    * break to the smallest language code. Returns per source:
+    * (source, n_docs, dup_ppm, mean_chars, modal_lang,
+    * modal_share_ppm, lang_entropy_nano).
+    *
+    * Scale: one source-grain agg (distinct-hash via approx-free exact
+    * count_distinct — a second hash-keyed pass) + one (source, lang)
+    * rollup; all map-side combinable. */
+  def sourceHealthProfile(docs: DataFrame, sourceCol: Column,
+      textCol: Column, langCol: Column, charsCol: Column): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = docs.select(sourceCol.as("__src"), langCol.as("__lang"),
+      charsCol.cast("long").as("__chars"), sha2(textCol, 256).as("__h"))
+    val perSrc = base.groupBy(col("__src"))
+      .agg(count(lit(1)).as("n_docs"),
+        count_distinct(col("__h")).as("__dh"),
+        sum(col("__chars")).as("__sc"))
+      .withColumn("dup_ppm", expr("((n_docs - __dh) * 1000000L) div n_docs"))
+      .withColumn("mean_chars", expr("__sc div n_docs"))
+    val langCells = base.groupBy(col("__src"), col("__lang"))
+      .agg(count(lit(1)).as("__c"))
+      .withColumn("__n", sum(col("__c")).over(
+        Window.partitionBy(col("__src"))))
+      .withColumn("__rk", row_number().over(
+        Window.partitionBy(col("__src"))
+          .orderBy(col("__c").desc, col("__lang"))))
+      .withColumn("__p",
+        col("__c").cast("double") / col("__n").cast("double"))
+      .withColumn("__e_nano",
+        round(-(col("__p") * log(col("__p"))) * 1e9, 0).cast("long"))
+    val langAgg = langCells.groupBy(col("__src"))
+      .agg(max(when(col("__rk") === 1, col("__lang"))).as("modal_lang"),
+        max(when(col("__rk") === 1,
+          expr("(__c * 1000000L) div __n"))).as("modal_share_ppm"),
+        sum(col("__e_nano")).as("lang_entropy_nano"))
+    perSrc.join(langAgg, Seq("__src"))
+      .select(col("__src").as("source"), col("n_docs"), col("dup_ppm"),
+        col("mean_chars"), col("modal_lang"), col("modal_share_ppm"),
+        col("lang_entropy_nano"))
+  }
 }

@@ -851,6 +851,134 @@ object TextAnalysis {
     *
     * Scale: the fit runs over the checkpoint rollup (corpus/every
     * rows) — [[vocabGrowth]]'s cost envelope, nothing more. */
+  /** E4 — χ²-ranked keyword extraction per slice: for every (slice,
+    * token), the chi-square of the 2×2 occurrence table (token in
+    * slice / token elsewhere / other tokens in slice / elsewhere),
+    * top-K per slice — the "what characterizes this source/language"
+    * readout behind corpus cards and slice debugging (public
+    * standard practice; e.g. Manning & Schütze ch. 5).
+    *
+    * Determinism contract: all four cells and the χ² numerator
+    * N·(ad−bc)² are exact DECIMAL(38,0); ranking runs on the
+    * NANO-QUANTIZED χ² long (one pinned division, round, cast) with
+    * token as tie-break, so the top-K cut is identical on any engine.
+    * Returns (slice, token, n_in_slice, chi2) × topK per slice.
+    *
+    * Scale: one (slice, token) agg with map-side combine → a
+    * vocabulary-sized frame; the rank window partitions by slice.
+    * χ² ranking needs no smoothing — zero cells score zero. */
+  def keywordsByChi2(docs: DataFrame, textCol: Column, sliceCol: Column,
+      topK: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(topK >= 1, "topK >= 1")
+    val d38 = "decimal(38,0)"
+    val tk = docs.select(sliceCol.as("__s"), explode(tokens(textCol)).as("__w"))
+      .filter(col("__w") =!= "")
+    val cells = tk.groupBy(col("__s"), col("__w"))
+      .agg(count(lit(1)).as("__a"))
+      .localCheckpoint() // vocabulary grain; three rollups read it
+    val perW = cells.groupBy(col("__w")).agg(sum(col("__a")).as("__wtot"))
+    val perS = cells.groupBy(col("__s")).agg(sum(col("__a")).as("__stot"))
+    val tot = cells.agg(sum(col("__a")).as("__N"))
+    val scored = cells
+      .join(broadcast(perW), "__w").join(broadcast(perS), "__s")
+      .crossJoin(broadcast(tot))
+      .withColumn("__b", col("__wtot") - col("__a"))
+      .withColumn("__c", col("__stot") - col("__a"))
+      .withColumn("__d",
+        col("__N") - col("__a") - col("__b") - col("__c"))
+      .withColumn("__num", col("__N").cast(d38) *
+        ((col("__a").cast(d38) * col("__d") - col("__b").cast(d38) * col("__c")) *
+         (col("__a").cast(d38) * col("__d") - col("__b").cast(d38) * col("__c")))
+          .cast(d38))
+      .withColumn("__den",
+        ((col("__a") + col("__b")).cast(d38) * (col("__c") + col("__d")).cast(d38) *
+         (col("__a") + col("__c")).cast(d38) * (col("__b") + col("__d")).cast(d38))
+          .cast(d38))
+      .withColumn("__chi2_nano", when(col("__den") =!= lit(0).cast(d38),
+        round(col("__num").cast("double") / col("__den").cast("double") * 1e9,
+          0).cast("long")).otherwise(0L))
+    val w = Window.partitionBy(col("__s"))
+      .orderBy(col("__chi2_nano").desc, col("__w"))
+    scored.withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") <= topK)
+      .select(col("__s").as("slice"), col("__w").as("token"),
+        col("__a").as("n_in_slice"),
+        round(col("__chi2_nano").cast("double") / 1e9, 6).as("chi2"))
+  }
+
+  /** E4/E7 — vocabulary COVERAGE curve: for each target coverage
+    * (ppm of token occurrences), the smallest frequency-ranked
+    * vocabulary that reaches it — "how big must the tokenizer's word
+    * list be to cover 99% of the corpus". The direct sizing readout
+    * next to q250's Zipf slope and q275's Heaps exponent.
+    *
+    * Exactness: the crossing cum·1e6 ≥ N·threshold is all-integer
+    * under the total (count desc, token asc) rank order; ties
+    * therefore cut identically on any engine. Returns one row per
+    * threshold: (coverage_ppm, vocab_size, n_types, n_tokens).
+    *
+    * Scale: one token agg with map-side combine, then
+    * vocabulary-rollup windows (the [[graft.ops.Aggregates.skewAudit]]
+    * altitude) and a |thresholds|-row broadcast crossing join. */
+  def vocabCoverage(docs: DataFrame, textCol: Column,
+      thresholdsPpm: Seq[Long]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(thresholdsPpm.nonEmpty, "need >= 1 coverage threshold")
+    require(thresholdsPpm.forall(t => t > 0 && t <= 1000000L),
+      "thresholds are ppm in (0, 1e6]")
+    val freq = docs.select(explode(tokens(textCol)).as("__w"))
+      .filter(col("__w") =!= "")
+      .groupBy(col("__w")).agg(count(lit(1)).as("__c"))
+    val w = Window.orderBy(col("__c").desc, col("__w"))
+    val all = Window.rowsBetween(Window.unboundedPreceding,
+      Window.unboundedFollowing)
+    val ranked = freq
+      .withColumn("__rk", row_number().over(w).cast("long"))
+      .withColumn("__cum", sum(col("__c")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("__nt", sum(col("__c")).over(all))
+      .withColumn("__ty", count(lit(1)).over(all))
+    val th = docs.sparkSession.range(1)
+      .select(explode(array(thresholdsPpm.map(lit): _*)).as("coverage_ppm"))
+    ranked.join(broadcast(th),
+        col("__cum") * 1000000L >= col("__nt") * col("coverage_ppm"))
+      .groupBy(col("coverage_ppm"))
+      .agg(min(col("__rk")).as("vocab_size"), max(col("__ty")).as("n_types"),
+        max(col("__nt")).as("n_tokens"))
+  }
+
+  /** E4/E7 — crawler-TEMPLATE prefix profile: per source, how many
+    * documents open with the source's most common k-token prefix — a
+    * high modal share is the signature of boilerplate headers/spun
+    * templates that per-document dedup misses (each body differs; the
+    * opening doesn't). Returns per source:
+    * (source, n_docs, n_prefixes, modal_prefix, modal_ppm).
+    *
+    * Exactness: modal ties break to the smallest prefix string;
+    * share is a ppm integral quotient. Scale: one (source, prefix)
+    * agg with map-side combine + a source-partitioned rank window
+    * over it. */
+  def templatePrefixProfile(docs: DataFrame, textCol: Column,
+      sourceCol: Column, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(k >= 1, "prefix length k >= 1")
+    val pre = docs.select(sourceCol.as("__src"),
+      array_join(slice(tokens(textCol), 1, k), " ").as("__pre"))
+    val cells = pre.groupBy(col("__src"), col("__pre"))
+      .agg(count(lit(1)).as("__c"))
+      .withColumn("__n", sum(col("__c")).over(
+        Window.partitionBy(col("__src"))))
+      .withColumn("__rk", row_number().over(
+        Window.partitionBy(col("__src"))
+          .orderBy(col("__c").desc, col("__pre"))))
+    cells.groupBy(col("__src").as("source"))
+      .agg(max(col("__n")).as("n_docs"), count(lit(1)).as("n_prefixes"),
+        max(when(col("__rk") === 1, col("__pre"))).as("modal_prefix"),
+        max(when(col("__rk") === 1,
+          expr("(__c * 1000000L) div __n"))).as("modal_ppm"))
+  }
+
   def heapsFit(df: DataFrame, tokensCol: Column, idCol: Column,
       every: Long): DataFrame = {
     val d38 = "decimal(38,0)"

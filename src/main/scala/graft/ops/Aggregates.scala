@@ -1665,4 +1665,284 @@ object Aggregates {
       round(lit(1.0) - exp(-exp((mu - threshold) / beta)), 6)
         .as("p_exceed"))
   }
+
+  /** A-stat — 1-Wasserstein (earth-mover) distance between the
+    * empirical distributions of two slices of an integer metric
+    * (Vaserstein 1969; the Kantorovich–Rubinstein dual on ℝ — public
+    * literature):
+    *   W₁ = ∫ |F_A(x) − F_B(x)| dx = Σ_i |F_A(v_i) − F_B(v_i)|·(v_{i+1} − v_i)
+    * over the sorted distinct values — drift measured IN THE METRIC'S
+    * OWN UNITS ("order value shifted $230 of mass"), where KS (q154)
+    * reports only the worst vertical gap, and PSI/JSD (q267/q218)
+    * report unitless nats. The most decision-legible of the drift
+    * family.
+    *
+    * Exactness: EVERYTHING is integer — the CDF gap is fraction-
+    * cleared to |cumA·nB − cumB·nA| and weighted by the exact value
+    * gap; one final double division by nA·nB, mirrored in the oracle.
+    * Returns one row: (n_a, n_b, n_values, w1).
+    *
+    * Scale: one distinct-value rollup agg with map-side combine +
+    * rollup-sized prefix/lead windows (the [[ksTest]] envelope).
+    * Quantize wide domains first (the rank-op house rule). */
+  def wasserstein1(df: org.apache.spark.sql.DataFrame, valueCol: Column,
+      sliceCol: Column, sliceA: String,
+      sliceB: String): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val d38 = "decimal(38,0)"
+    val rollup = df.filter(sliceCol.isin(sliceA, sliceB))
+      .groupBy(valueCol.cast("long").as("__v"))
+      .agg(sum(when(sliceCol === sliceA, 1L).otherwise(0L)).as("__ca"),
+        sum(when(sliceCol === sliceB, 1L).otherwise(0L)).as("__cb"))
+    val w = Window.orderBy(col("__v"))
+    val all = Window.rowsBetween(Window.unboundedPreceding,
+      Window.unboundedFollowing)
+    rollup
+      .withColumn("__cuma", sum(col("__ca")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("__cumb", sum(col("__cb")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("__gap", lead(col("__v"), 1).over(w) - col("__v"))
+      .withColumn("__na", sum(col("__ca")).over(all))
+      .withColumn("__nb", sum(col("__cb")).over(all))
+      .withColumn("__t", when(col("__gap").isNotNull,
+        abs(col("__cuma").cast(d38) * col("__nb") -
+          col("__cumb").cast(d38) * col("__na")) * col("__gap"))
+        .otherwise(lit(0).cast(d38)))
+      .agg(max(col("__na")).as("__na2"), max(col("__nb")).as("__nb2"),
+        count(lit(1)).as("n_values"), sum(col("__t")).cast(d38).as("__num"))
+      .select(col("__na2").as("n_a"), col("__nb2").as("n_b"),
+        col("n_values"),
+        round(col("__num").cast("double") /
+          (col("__na2").cast(d38) * col("__nb2").cast(d38)).cast("double"), 6)
+          .as("w1"))
+  }
+
+  /** A-stat — Anderson–Darling normality test (Anderson & Darling
+    * 1952; Stephens 1974 for the small-sample correction and the 5%
+    * critical value 0.752 — public literature) over a BOUNDED sample
+    * (a rollup series — monthly counts, per-group stats; never the
+    * raw fact table):
+    *   A² = −n − (1/n)·Σ_i (2i−1)[ln Φ(z_(i)) + ln(1 − Φ(z_(n+1−i)))]
+    * rewritten index-free as Σ_i [(2i−1)·ln Φ(z_i) +
+    * (2(n−i)+1)·ln(1−Φ(z_i))] so one ranked pass suffices. The
+    * tail-weighted goodness-of-fit gate run before trusting any
+    * ±kσ rule (q115's outlier flags, q263's control limits) — AD
+    * catches the heavy tails a KS test waves through.
+    *
+    * Determinism contract: moments are exact sums; Φ is the
+    * Abramowitz–Stegun 7.1.26 erfc polynomial (the q220 device),
+    * evaluated token-for-token identically in the oracle; ranks come
+    * from [[Ranking.globalRowNumber]] (no single-partition window);
+    * each row's term is nano-quantized before the integer sum.
+    * Returns one row: (n, mean, sd, a2, a2_star, non_normal) with
+    * A*² = A²(1 + 0.75/n + 2.25/n²) vs the 0.752 literal. */
+  def andersonDarling(df: org.apache.spark.sql.DataFrame,
+      valueCol: Column): org.apache.spark.sql.DataFrame = {
+    val d38 = "decimal(38,0)"
+    val vals = df.select(valueCol.cast("long").as("__v"))
+    val mom = vals.agg(count(lit(1)).cast(d38).as("__n"),
+      sum(col("__v")).cast(d38).as("__s"),
+      sum(col("__v").cast(d38) * col("__v").cast(d38)).cast(d38).as("__q"))
+    val mean = col("__s").cast("double") / col("__n").cast("double")
+    val sd = sqrt((col("__n") * col("__q") - col("__s") * col("__s"))
+      .cast("double") / (col("__n") * (col("__n") - 1)).cast("double"))
+    val ranked = Ranking.globalRowNumber(
+      vals.crossJoin(broadcast(mom.select(col("__n"),
+        round(mean, 12).as("__mean"), round(sd, 12).as("__sd")))),
+      Seq(col("__v")))
+    val terms = ranked
+      .withColumn("__z", (col("__v").cast("double") - col("__mean")) / col("__sd"))
+      // A&S 7.1.26 in Horner form — mirrored verbatim in the oracle
+      .withColumn("__xa", abs(col("__z")) / sqrt(lit(2.0)))
+      .withColumn("__t", lit(1.0) / (lit(1.0) + lit(0.3275911) * col("__xa")))
+      .withColumn("__pc",
+        (((((lit(1.061405429) * col("__t") - lit(1.453152027)) * col("__t") +
+          lit(1.421413741)) * col("__t") - lit(0.284496736)) * col("__t") +
+          lit(0.254829592)) * col("__t")) * exp(-(col("__xa") * col("__xa"))))
+      .withColumn("__phi", when(col("__z") >= 0,
+        lit(1.0) - col("__pc") / 2).otherwise(col("__pc") / 2))
+      .withColumn("__term_nano", round(
+        ((col("row_num") * 2 - 1).cast("double") * log(col("__phi")) +
+         ((col("__n").cast("long") - col("row_num")) * 2 + 1).cast("double") *
+           log(lit(1.0) - col("__phi"))) * 1e9, 0).cast("long"))
+    terms.agg(max(col("__n")).as("__n2"), max(col("__mean")).as("__m2"),
+        max(col("__sd")).as("__sd2"), sum(col("__term_nano")).as("__sn"))
+      .withColumn("__a2", -col("__n2").cast("double") -
+        (col("__sn").cast("double") / 1e9) / col("__n2").cast("double"))
+      .withColumn("__a2s", col("__a2") *
+        (lit(1.0) + lit(0.75) / col("__n2").cast("double") +
+          lit(2.25) / (col("__n2").cast("double") * col("__n2").cast("double"))))
+      .select(col("__n2").cast("long").as("n"), round(col("__m2"), 6).as("mean"),
+        round(col("__sd2"), 6).as("sd"), round(col("__a2"), 6).as("a2"),
+        round(col("__a2s"), 6).as("a2_star"),
+        (round(col("__a2s"), 6) > 0.752).as("non_normal"))
+  }
+
+  /** A-stat — Poisson overdispersion audit per key (the dispersion
+    * index / index-of-dispersion test; Fisher 1950 — public
+    * literature): for each key's count sample, D = s²/x̄ — Poisson
+    * data has D ≈ 1; D ≫ 1 (overdispersion: bursts, contagion,
+    * heterogeneity) means Poisson-based alerting thresholds and
+    * confidence intervals are WRONG for this key and a negative-
+    * binomial model is needed. The pre-flight check before any
+    * count-based anomaly rule ships.
+    *
+    * Exactness: per-key moments are exact sums; D, the chi-square
+    * form (n−1)·D and its normal approximation
+    * z = √(2·χ²) − √(2(n−1) − 1) (Wilson–Hilferty-style, literal
+    * constants only) are a bounded finish. Returns per key:
+    * (keys…, n, mean, dispersion, chi2, z, overdispersed) with the
+    * 1.644854 one-sided 5% gate. */
+  def overdispersionAudit(df: org.apache.spark.sql.DataFrame,
+      keys: Seq[Column], countCol: Column): org.apache.spark.sql.DataFrame = {
+    require(keys.nonEmpty, "overdispersionAudit requires key column(s) " +
+      "(use a constant literal key for one global audit)")
+    val d38 = "decimal(38,0)"
+    val v = countCol.cast("long")
+    val g = df.groupBy(keys: _*).agg(count(lit(1)).cast(d38).as("__n"),
+      sum(v).cast(d38).as("__s"),
+      sum(v.cast(d38) * v.cast(d38)).cast(d38).as("__q"))
+    val keyNames = g.columns.dropRight(3).toSeq
+    val mean = col("__s").cast("double") / col("__n").cast("double")
+    val variance = (col("__n") * col("__q") - col("__s") * col("__s"))
+      .cast("double") / (col("__n") * (col("__n") - 1)).cast("double")
+    val disp = variance / mean
+    val chi2 = (col("__n").cast("double") - 1.0) * disp
+    val z = sqrt(lit(2.0) * chi2) -
+      sqrt(lit(2.0) * (col("__n").cast("double") - 1.0) - 1.0)
+    g.filter(col("__n") > 1 && col("__s") > 0)
+      .select(keyNames.map(col) :+ col("__n").cast("long").as("n") :+
+        round(mean, 6).as("mean") :+ round(disp, 6).as("dispersion") :+
+        round(chi2, 6).as("chi2") :+ round(z, 6).as("z") :+
+        (round(z, 6) > 1.644854).as("overdispersed"): _*)
+  }
+
+  /** A1/E6 — ABC (Pareto) classification of items by value
+    * concentration: rank items by value descending, class A while the
+    * PRECEDING cumulative share is under 80%, B under 95%, C beyond —
+    * the inventory-policy readout (tight control for A, periodic for
+    * B, bulk rules for C) and, for a corpus, the "which sources are
+    * worth per-source curation effort" cut. The classifier view of
+    * [[lorenzCurve]]'s curve.
+    *
+    * Exactness: the class decision is the all-integer crossing
+    * cum_before·k < total·(k·threshold) — cum_before·5 < total·4 for
+    * A, cum_before·20 < total·19 for B — under the total (value desc,
+    * key asc) order, so ties classify deterministically. Returns one
+    * row per class: (abc_class, n_items, class_value, share_ppm).
+    *
+    * Scale: one item-grain agg with map-side combine, then an
+    * |items|-row ranked prefix window (the [[skewAudit]] altitude —
+    * pre-aggregate unbounded item domains first). */
+  def abcClassification(df: org.apache.spark.sql.DataFrame, keyCol: Column,
+      valueCol: Column): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val d38 = "decimal(38,0)"
+    val items = df.groupBy(keyCol.as("__k"))
+      .agg(sum(valueCol.cast("long")).as("__val"))
+    val w = Window.orderBy(col("__val").desc, col("__k"))
+    val all = Window.rowsBetween(Window.unboundedPreceding,
+      Window.unboundedFollowing)
+    items
+      .withColumn("__cb", coalesce(sum(col("__val")).over(
+        w.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)).cast(d38))
+      .withColumn("__tot", sum(col("__val")).over(all).cast(d38))
+      .withColumn("abc_class",
+        when(col("__cb") * 5 < col("__tot") * 4, "A")
+          .when(col("__cb") * 20 < col("__tot") * 19, "B")
+          .otherwise("C"))
+      .groupBy(col("abc_class"))
+      .agg(count(lit(1)).as("n_items"),
+        sum(col("__val")).as("class_value"))
+      // d38 before the ×1e6 — a cent-grain class total × 1e6 overflows
+      // a long at fact scale
+      .withColumn("share_ppm", expr(
+        "(cast(class_value as decimal(38,0)) * 1000000) div " +
+          "(sum(class_value) over ())").cast("long"))
+  }
+
+  /** ML/A-quantile — quantile normalization: map every TARGET-slice
+    * value onto the REFERENCE slice's distribution by rank fraction
+    * (the microarray-era standard, Bolstad et al. 2003 — public
+    * literature; the domain-adaptation transform that makes "week A
+    * scores" comparable to "week B scores" after an upstream change).
+    * Each target value maps to the smallest reference value whose CDF
+    * reaches the target value's CDF — the all-integer crossing
+    * cumR·nT ≥ cumT·nR, so no float quantile is ever computed.
+    * Returns one row per distinct target value:
+    * (value, n, cum_frac_ppm, mapped).
+    *
+    * Scale: two distinct-value rollups with prefix windows + one
+    * rollup×rollup crossing join (min-aggregated) — the
+    * [[wasserstein1]] envelope squared only at ROLLUP grain; quantize
+    * wide domains first (the rank-op house rule). */
+  def quantileNormalize(df: org.apache.spark.sql.DataFrame, valueCol: Column,
+      sliceCol: Column, refSlice: String,
+      targetSlice: String): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.orderBy(col("__v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val all = Window.rowsBetween(Window.unboundedPreceding,
+      Window.unboundedFollowing)
+    def rollup(slice: String) =
+      df.filter(sliceCol === slice)
+        .groupBy(valueCol.cast("long").as("__v"))
+        .agg(count(lit(1)).as("__c"))
+        .withColumn("__cum", sum(col("__c")).over(w))
+        .withColumn("__n", sum(col("__c")).over(all))
+    val t = rollup(targetSlice).select(col("__v").as("value"),
+      col("__c").as("n"), col("__cum").as("__cumt"), col("__n").as("__nt"))
+    val r = rollup(refSlice).select(col("__v").as("__rv"),
+      col("__cum").as("__cumr"), col("__n").as("__nr"))
+    t.join(r, col("__cumr") * col("__nt") >= col("__cumt") * col("__nr"))
+      .groupBy(col("value"), col("n"), col("__cumt"), col("__nt"))
+      .agg(min(col("__rv")).as("mapped"))
+      .select(col("value"), col("n"),
+        expr("(__cumt * 1000000L) div __nt").as("cum_frac_ppm"),
+        col("mapped"))
+  }
+
+  /** A-stat — Hellinger / Bhattacharyya distance between two binned
+    * distributions (Hellinger 1909, Bhattacharyya 1943 — public
+    * literature): BC = Σ √(p_i·q_i), H = √(1 − BC), d_B = −ln BC.
+    * The bounded-[0,1] member of the drift family — H is a true
+    * metric (PSI isn't) and needs no smoothing (empty bins contribute
+    * 0), so it's the safest "how far apart" number to alarm on.
+    *
+    * Exactness: counts are exact; each bin's √(p·q) is ONE pinned
+    * expression nano-quantized before the integer sum (the q218
+    * discipline); the two readouts are single-ops on that sum.
+    * Returns one row: (n_a, n_b, n_bins, bc, hellinger, bhattacharyya).
+    *
+    * Scale: one conditional-count agg with map-side combine; the term
+    * pass runs over the bin rollup. */
+  def hellingerBinned(df: org.apache.spark.sql.DataFrame, binCol: Column,
+      sliceCol: Column, sliceA: String,
+      sliceB: String): org.apache.spark.sql.DataFrame = {
+    val obs = df.filter(sliceCol.isin(sliceA, sliceB))
+      .select(binCol.cast("long").as("__bin"), sliceCol.as("__s"))
+      .groupBy(col("__bin")).agg(
+        sum(when(col("__s") === sliceA, 1L).otherwise(0L)).as("__ca"),
+        sum(when(col("__s") === sliceB, 1L).otherwise(0L)).as("__cb"))
+      .localCheckpoint() // bin rollup; totals + term pass read it
+    val tot = obs.agg(sum(col("__ca")).as("__na"), sum(col("__cb")).as("__nb"))
+    obs.crossJoin(broadcast(tot))
+      .withColumn("__term_nano", round(sqrt(
+        (col("__ca").cast("double") / col("__na").cast("double")) *
+          (col("__cb").cast("double") / col("__nb").cast("double"))) * 1e9,
+        0).cast("long"))
+      .agg(max(col("__na")).as("n_a"), max(col("__nb")).as("n_b"),
+        count(lit(1)).as("n_bins"), sum(col("__term_nano")).as("__bc_nano"))
+      .select(col("n_a"), col("n_b"), col("n_bins"),
+        round(col("__bc_nano").cast("double") / 1e9, 6).as("bc"),
+        round(sqrt(greatest(lit(0.0),
+          lit(1.0) - col("__bc_nano").cast("double") / 1e9)), 6)
+          .as("hellinger"),
+        // Spark log(<=0) is null (not -Inf): zero overlap -> null
+        // distance, declared explicitly in the oracle too
+        when(col("__bc_nano") > 0,
+          round(-log(col("__bc_nano").cast("double") / 1e9), 6))
+          .as("bhattacharyya"))
+  }
 }

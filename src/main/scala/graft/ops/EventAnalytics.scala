@@ -805,4 +805,55 @@ object EventAnalytics {
       .select(col("period"), col("prev_period"), col("n_cur"), col("n_prev"),
         round(col("__s_nano").cast("double") / 2 / 1e9, 6).as("jsd"))
   }
+
+  /** A1/A-stat — funnel transition table WITH leak significance: for
+    * each consecutive stage pair, the conversion rate plus a pooled
+    * two-proportion z comparing this transition's rate against the
+    * PREVIOUS transition's — "step 3 leaks worse than the funnel's own
+    * baseline" is an actionable readout; raw drop-off counts are not
+    * (later stages always have fewer users). Built on the
+    * [[funnelReachTimes]] conditional-min kernel.
+    *
+    * Exactness: stage reach counts are exact; rates are ppm integral
+    * quotients; z is the pooled-proportion finish of
+    * [[graft.ops.Experimentation.sequentialBoundary]] written
+    * token-for-token in the oracle (null for the first transition and
+    * whenever a denominator vanishes). Returns one row per transition:
+    * (stage_from, stage_to, entered, converted, rate_ppm, z_vs_prev).
+    *
+    * Scale: the funnel kernel's actor-keyed aggs (one per stage), then
+    * a |stages|-row finish. */
+  def funnelWithSignificance(df: DataFrame, actorCol: String, tsCol: String,
+      typeCol: String, stages: Seq[String]): DataFrame = {
+    require(stages.size >= 2, "need >= 2 stages")
+    val reach = funnelReachTimes(df, actorCol, tsCol, typeCol, stages)
+    val stageCounts =
+      stages.map(st => sum(col(s"t_$st").isNotNull.cast("long")).as(s"c_$st"))
+    val counts = reach.agg(stageCounts.head, stageCounts.tail: _*)
+    // |stages|−1 transition rows from the 1-row counts frame
+    val rows = stages.sliding(2).zipWithIndex.map { case (pair, i) =>
+      val (a, b) = (pair.head, pair(1))
+      struct(lit(i).as("i"), lit(a).as("stage_from"), lit(b).as("stage_to"),
+        col(s"c_$a").as("entered"), col(s"c_$b").as("converted"))
+    }.toSeq
+    val t = counts.select(explode(array(rows: _*)).as("t")).select(col("t.*"))
+      .withColumn("rate_ppm", when(col("entered") > 0,
+        expr("(converted * 1000000L) div entered")))
+    val w = Window.orderBy(col("i"))
+    val prev = t
+      .withColumn("__pe", lag(col("entered"), 1).over(w))
+      .withColumn("__pc", lag(col("converted"), 1).over(w))
+    val pa = col("entered").cast("double")
+    val pb = col("__pe").cast("double")
+    val pooled = (col("converted") + col("__pc")).cast("double") / (pa + pb)
+    prev.select(col("stage_from"), col("stage_to"), col("entered"),
+      col("converted"), col("rate_ppm"),
+      when(col("__pe").isNotNull && col("entered") > 0 && col("__pe") > 0 &&
+        (col("converted") + col("__pc")) > 0 &&
+        (col("converted") + col("__pc")) < (col("entered") + col("__pe")),
+        round((col("converted").cast("double") / pa -
+          col("__pc").cast("double") / pb) /
+          sqrt(pooled * (lit(1.0) - pooled) *
+            (lit(1.0) / pa + lit(1.0) / pb)), 6)).as("z_vs_prev"))
+  }
 }

@@ -235,4 +235,62 @@ object Features {
         col("levels_x"), col("levels_y"), col("mi_nano"),
         round(col("mi_nano").cast("double") / 1e9, 6).as("mi"))
   }
+
+  /** ML/A-stat — empirical-Bayes rate shrinkage via a moment-matched
+    * Beta prior (Robbins 1956; the beta-binomial moment estimator is
+    * standard public literature): per-key success rates x/n are
+    * noisy exactly where n is small — the 1-of-2 supplier "50% defect
+    * rate" problem. Fit Beta(α, β) to the observed rate distribution
+    * by moments over the keys with n ≥ minN, then report each key's
+    * posterior mean (x + α)/(n + α + β): small-n keys shrink hard
+    * toward the prior, big-n keys barely move. The ranking-by-rate
+    * fix every marketplace/QA dashboard needs.
+    *
+    * Determinism contract: per-key raw rates are ppm integers
+    * (integral div); the moment fit runs over exact integer sums of
+    * those ppm rates; α, β and each key's shrunk rate are pinned
+    * double finishes mirrored token-for-token in the oracle. A
+    * degenerate rate distribution (variance 0 or method-of-moments
+    * mass outside (0,1)) → null α/β and shrunk = raw, flagged.
+    * Returns per key: (keys…, n, successes, raw_ppm, shrunk_ppm,
+    * alpha, beta).
+    *
+    * Scale: one key-grain agg with map-side combine; the prior fit is
+    * a second agg over the key rollup; scoring is a broadcast-back.
+    * Everything after the fact scan is key-grain. */
+  def ebShrinkage(df: DataFrame, keys: Seq[org.apache.spark.sql.Column],
+      successCond: org.apache.spark.sql.Column, minN: Long): DataFrame = {
+    require(keys.nonEmpty, "ebShrinkage requires key column(s)")
+    require(minN >= 1, "minN must be >= 1")
+    val d38 = "decimal(38,0)"
+    val g = df.groupBy(keys: _*).agg(count(lit(1)).as("n"),
+      sum(successCond.cast("long")).as("successes"))
+      .withColumn("raw_ppm", expr("(successes * 1000000L) div n"))
+      .localCheckpoint() // key rollup; prior fit + scoring read it
+    val fit = g.filter(col("n") >= minN).agg(
+        count(lit(1)).cast(d38).as("__k"),
+        sum(col("raw_ppm")).cast(d38).as("__sr"),
+        sum(col("raw_ppm").cast(d38) * col("raw_ppm").cast(d38)).cast(d38)
+          .as("__qr"))
+      .withColumn("__m", col("__sr").cast("double") /
+        col("__k").cast("double") / 1e6)
+      .withColumn("__var", (col("__k") * col("__qr") - col("__sr") * col("__sr"))
+        .cast("double") / (col("__k") * (col("__k") - 1)).cast("double") / 1e12)
+      .withColumn("__c", when(col("__var") > 0,
+        col("__m") * (lit(1.0) - col("__m")) / col("__var") - 1.0))
+      .withColumn("alpha", when(col("__c") > 0, col("__m") * col("__c")))
+      .withColumn("beta",
+        when(col("__c") > 0, (lit(1.0) - col("__m")) * col("__c")))
+      .select(col("alpha"), col("beta"))
+    val keyNames = g.columns.dropRight(3).toSeq
+    g.crossJoin(broadcast(fit))
+      .select(keyNames.map(col) :+ col("n") :+ col("successes") :+
+        col("raw_ppm") :+
+        when(col("alpha").isNotNull, round(
+          (col("successes").cast("double") + col("alpha")) /
+            (col("n").cast("double") + col("alpha") + col("beta")) * 1e6, 0)
+          .cast("long")).otherwise(col("raw_ppm")).as("shrunk_ppm") :+
+        round(col("alpha"), 6).as("alpha") :+
+        round(col("beta"), 6).as("beta"): _*)
+  }
 }

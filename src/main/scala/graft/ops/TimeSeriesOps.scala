@@ -725,4 +725,111 @@ object TimeSeriesOps {
         ((col("__z.__st.m") - col("__z.__st.mn")) >= lambdaMicro)
           .as("alarm"): _*)
   }
+
+  /** A-stat/A8 — ACF profile: the first K autocorrelations of an
+    * ordered series as a TABLE (Box & Jenkins — public literature),
+    * plus the first two partial autocorrelations in closed form
+    * (φ₁₁ = ρ₁, φ₂₂ = (ρ₂ − ρ₁²)/(1 − ρ₁²), the Durbin–Levinson
+    * seeds). [[graft.ops.Aggregates.ljungBox]] answers "is ANY lag
+    * nonzero"; this profile answers WHICH — the AR/MA order-picking
+    * view a forecaster reads before choosing q173's Holt or an AR
+    * model.
+    *
+    * Exactness: the [[graft.ops.Aggregates.ljungBox]] device — values
+    * cleared of the mean fraction as c_i = n·x_i − S (exact decimals),
+    * every ρ_k a ratio of exact decimal sums with ONE double division,
+    * rounded at 6. Returns one row per lag: (lag, n_pairs, acf, pacf)
+    * with pacf null beyond lag 2.
+    *
+    * Scale: series-grain — the K lag joins offset a dense row_number
+    * over the rollup, never the fact table. */
+  def acfProfile(series: DataFrame, orderCol: Column, valueCol: Column,
+      kLags: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(kLags >= 2, "kLags >= 2 (pacf needs two lags)")
+    val d38 = "decimal(38,0)"
+    val s = series.select(orderCol.as("__t"), valueCol.cast("long").as("__v"))
+      .withColumn("__i",
+        row_number().over(Window.orderBy(col("__t"))).cast("long"))
+    val tot = s.agg(count(lit(1)).as("__n"), sum(col("__v")).as("__s"))
+    val c = s.crossJoin(broadcast(tot))
+      .select(col("__i"),
+        (col("__n").cast(d38) * col("__v").cast(d38) -
+          col("__s").cast(d38)).cast(d38).as("__c"))
+      .localCheckpoint() // rollup-sized; base + K lag joins read it
+    val den = c.agg(sum(col("__c") * col("__c")).cast(d38).as("__d"))
+    val lagged = c.select(col("__i").as("__i2"), col("__c").as("__c2"))
+    val nums = (1 to kLags).map { lag =>
+      c.join(lagged, col("__i2") === col("__i") + lag)
+        .agg(coalesce(sum(col("__c") * col("__c2")),
+          lit(0).cast(d38)).cast(d38).as("__num"),
+          count(lit(1)).as("n_pairs"))
+        .select(lit(lag.toLong).as("lag"), col("n_pairs"), col("__num"))
+    }.reduce(_ unionAll _)
+    val rho = nums.crossJoin(broadcast(den))
+      .withColumn("__rho",
+        col("__num").cast("double") / col("__d").cast("double"))
+      .localCheckpoint() // K rows; output + the two pacf reads
+    val r1 = rho.filter(col("lag") === 1)
+      .select(col("__rho").as("__r1"))
+    val r2 = rho.filter(col("lag") === 2)
+      .select(col("__rho").as("__r2"))
+    rho.crossJoin(broadcast(r1)).crossJoin(broadcast(r2))
+      .select(col("lag"), col("n_pairs"), round(col("__rho"), 6).as("acf"),
+        when(col("lag") === 1, round(col("__r1"), 6))
+          .when(col("lag") === 2, round(
+            (col("__r2") - col("__r1") * col("__r1")) /
+              (lit(1.0) - col("__r1") * col("__r1")), 6))
+          .as("pacf"))
+  }
+
+  /** A5/A8 — seasonality STRENGTH per key (the STL-style readout,
+    * Cleveland et al. 1990; Wang, Smith & Hyndman 2006 for the
+    * strength form — public literature):
+    *   strength = max(0, 1 − Var(residual) / Var(value))
+    * with the seasonal component the per-(key, season) truncating
+    * integer mean ([[seasonalDecompose]]'s convention). ≈0 means the
+    * weekday/hour cycle explains nothing (don't deseasonalize); →1
+    * means the cycle dominates (alert thresholds MUST be
+    * season-adjusted or q115/q126 fire every Monday).
+    *
+    * Exactness: seasonal means are integral divs; residuals are exact
+    * longs; both variances come from exact decimal moment sums with
+    * pinned double finishes. Returns per key:
+    * (keys…, n, n_seasons, var_total, var_resid, strength).
+    *
+    * Scale: one (key, season) mean agg (map-side combine), a
+    * broadcast-back, then one key-grain moment agg. */
+  def seasonalityStrength(df: DataFrame, keys: Seq[Column],
+      seasonCol: Column, valueCol: Column): DataFrame = {
+    require(keys.nonEmpty, "seasonalityStrength requires key column(s)")
+    val d38 = "decimal(38,0)"
+    val v = valueCol.cast("long")
+    val base = df.select((keys :+ seasonCol.as("__season") :+ v.as("__v")): _*)
+    val keyNames = base.columns.dropRight(2).toSeq
+    val sm = base.groupBy((keyNames.map(col) :+ col("__season")): _*)
+      .agg(sum(col("__v")).as("__ss"), count(lit(1)).as("__sc"))
+      .withColumn("__smean", expr("__ss div __sc"))
+      .select((keyNames.map(col) :+ col("__season") :+ col("__smean")): _*)
+    val joined = base.join(sm, keyNames :+ "__season")
+      .withColumn("__r", col("__v") - col("__smean"))
+    val g = joined.groupBy(keyNames.map(col): _*)
+      .agg(count(lit(1)).cast(d38).as("__n"),
+        count_distinct(col("__season")).as("n_seasons"),
+        sum(col("__v")).cast(d38).as("__sv"),
+        sum(col("__v").cast(d38) * col("__v").cast(d38)).cast(d38).as("__qv"),
+        sum(col("__r")).cast(d38).as("__sr"),
+        sum(col("__r").cast(d38) * col("__r").cast(d38)).cast(d38).as("__qr"))
+    def variance(sc: Column, qc: Column) =
+      (col("__n") * qc - sc * sc).cast("double") /
+        (col("__n") * (col("__n") - 1)).cast("double")
+    val vt = variance(col("__sv"), col("__qv"))
+    val vr = variance(col("__sr"), col("__qr"))
+    g.filter(col("__n") > 1)
+      .select(keyNames.map(col) :+ col("__n").cast("long").as("n") :+
+        col("n_seasons") :+ round(vt, 6).as("var_total") :+
+        round(vr, 6).as("var_resid") :+
+        when(vt > 0, greatest(lit(0.0), round(lit(1.0) - vr / vt, 6)))
+          .as("strength"): _*)
+  }
 }

@@ -769,6 +769,68 @@ object OpRegistry {
         df, col(str(p, "period_col")), col(str(p, "category_col")))),
     "label_centroid_cosines" -> (p => df =>
       graft.ext.Clustering.labelCentroidCosines(
-        df, col(str(p, "vec_col")), col(str(p, "label_col"))))
+        df, col(str(p, "vec_col")), col(str(p, "label_col")))),
+    // batch 34 (q285-q290)
+    "wasserstein1" -> (p => df => graft.ops.Aggregates.wasserstein1(
+      df, col(str(p, "value_col")), col(str(p, "slice_col")),
+      str(p, "slice_a"), str(p, "slice_b"))),
+    "abc_classification" -> (p => df =>
+      graft.ops.Aggregates.abcClassification(
+        df, col(str(p, "key_col")), col(str(p, "value_col")))),
+    "anderson_darling" -> (p => df => graft.ops.Aggregates.andersonDarling(
+      df, col(str(p, "value_col")))),
+    "overdispersion_audit" -> (p => df =>
+      graft.ops.Aggregates.overdispersionAudit(
+        df, strs(p, "keys").map(col), col(str(p, "count_col")))),
+    "eb_shrinkage" -> (p => df => graft.ops.Features.ebShrinkage(
+      df, strs(p, "keys").map(col), expr(str(p, "success_cond")),
+      numOpt(p, "min_n").map(_.toLong).getOrElse(20L))),
+    "funnel_significance" -> (p => df =>
+      graft.ops.EventAnalytics.funnelWithSignificance(
+        df, str(p, "actor_col"), str(p, "ts_col"), str(p, "type_col"),
+        strs(p, "stages"))),
+    // batch 35 (q291-q296)
+    "acf_profile" -> (p => df => graft.ops.TimeSeriesOps.acfProfile(
+      df, col(str(p, "order_col")), col(str(p, "value_col")),
+      numOpt(p, "k_lags").map(_.toInt).getOrElse(6))),
+    "keywords_chi2" -> (p => df => graft.ext.TextAnalysis.keywordsByChi2(
+      df, col(str(p, "text_col")), col(str(p, "slice_col")),
+      numOpt(p, "top_k").map(_.toInt).getOrElse(10))),
+    "quantile_normalize" -> (p => df =>
+      graft.ops.Aggregates.quantileNormalize(
+        df, col(str(p, "value_col")), col(str(p, "slice_col")),
+        str(p, "ref_slice"), str(p, "target_slice"))),
+    "seasonality_strength" -> (p => df =>
+      graft.ops.TimeSeriesOps.seasonalityStrength(
+        df, strs(p, "keys").map(col), col(str(p, "season_col")),
+        col(str(p, "value_col")))),
+    "label_silhouette" -> (p => df => graft.ext.Clustering.labelSilhouette(
+      df, col(str(p, "id_col")), col(str(p, "vec_col")),
+      col(str(p, "label_col")))),
+    "hellinger_binned" -> (p => df => graft.ops.Aggregates.hellingerBinned(
+      df, col(str(p, "bin_col")), col(str(p, "slice_col")),
+      str(p, "slice_a"), str(p, "slice_b"))),
+    // batch 36 (q297-q302)
+    "context_packing_audit" -> (p => df =>
+      graft.ext.Curation.contextPackingAudit(
+        df, col(str(p, "id_col")), col(str(p, "size_col")),
+        num(p, "capacity").toLong)),
+    "cluster_purity" -> (p => df => graft.ext.Curation.clusterPurity(
+      df, col(str(p, "cluster_col")), col(str(p, "label_col")))),
+    "source_overlap_matrix" -> (p => df =>
+      graft.ext.Curation.sourceOverlapMatrix(
+        df, col(str(p, "text_col")), col(str(p, "source_col")),
+        numOpt(p, "shingle_size").map(_.toInt).getOrElse(3))),
+    "source_health_profile" -> (p => df =>
+      graft.ext.Curation.sourceHealthProfile(
+        df, col(str(p, "source_col")), col(str(p, "text_col")),
+        col(str(p, "lang_col")), col(str(p, "chars_col")))),
+    "vocab_coverage" -> (p => df => graft.ext.TextAnalysis.vocabCoverage(
+      df, col(str(p, "text_col")),
+      strs(p, "thresholds_ppm").map(_.toLong))),
+    "template_prefix_profile" -> (p => df =>
+      graft.ext.TextAnalysis.templatePrefixProfile(
+        df, col(str(p, "text_col")), col(str(p, "source_col")),
+        numOpt(p, "k").map(_.toInt).getOrElse(3)))
   ))
 }

@@ -14,7 +14,7 @@ import graft.ops.{Aggregates, EventAnalytics, Evaluation, Experimentation}
 object Analytics13 {
 
   /** q267 — A-stat/E6: PSI drift audit of the order-value distribution,
-    * pre-1995 cohort vs 1995+ — the "did the input mix move" alarm a
+    * pre-1998 cohort vs 1998+ — the "did the input mix move" alarm a
     * model-serving pipeline runs before every retrain. Laplace-smoothed
     * densified bins; per-bin nano-nat terms (the q218 discipline). */
   val q267 = Declared(
@@ -25,13 +25,13 @@ object Analytics13 {
           (col("o_totalprice").cast("decimal(18,2)") * 100).cast("long"))
         .withColumn("__bin", expr("least(9L, __cents div 6000000L)"))
         .withColumn("__slice",
-          when(year(col("o_orderdate")) < 1995, "ref").otherwise("cur")),
+          when(year(col("o_orderdate")) < 1998, "ref").otherwise("cur")),
       col("__bin"), col("__slice"), "ref", "cur", nBins = 10)
       .orderBy(col("bin")),
     Some("""WITH o AS (
            |  SELECT least(9, CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
            |      AS BIGINT) // 6000000) AS bin,
-           |    CASE WHEN year(o_orderdate) < 1995 THEN 'ref' ELSE 'cur' END
+           |    CASE WHEN year(o_orderdate) < 1998 THEN 'ref' ELSE 'cur' END
            |      AS s
            |  FROM orders),
            |obs AS (

@@ -69,23 +69,23 @@ object Analytics15 {
       "running-mean terms replay exactly.")
 
   /** q280 — A-stat/ML: binary diagnostics of the 'shipped before
-    * 1995-06-17 ⇒ returned' rule — confusion cells, sensitivity/
+    * 1998-05-24 ⇒ returned' rule — confusion cells, sensitivity/
     * specificity, Youden's J, balanced accuracy and MCC, the
     * imbalance-proof readout set. */
   val q280 = Declared(
     "q280_binary_diagnostics", "A-stat,ML",
     (s, dir) => Evaluation.binaryDiagnostics(Tables.lineitem(s, dir),
-      col("l_shipdate") < lit("1995-06-17").cast("date"),
+      col("l_shipdate") < lit("1998-05-24").cast("date"),
       col("l_returnflag") === "R"),
     Some("""WITH c AS (
            |  SELECT
-           |    CAST(sum(CASE WHEN l_shipdate < DATE '1995-06-17'
+           |    CAST(sum(CASE WHEN l_shipdate < DATE '1998-05-24'
            |      AND l_returnflag = 'R' THEN 1 ELSE 0 END) AS BIGINT) AS tp,
-           |    CAST(sum(CASE WHEN l_shipdate < DATE '1995-06-17'
+           |    CAST(sum(CASE WHEN l_shipdate < DATE '1998-05-24'
            |      AND l_returnflag <> 'R' THEN 1 ELSE 0 END) AS BIGINT) AS fp,
-           |    CAST(sum(CASE WHEN l_shipdate >= DATE '1995-06-17'
+           |    CAST(sum(CASE WHEN l_shipdate >= DATE '1998-05-24'
            |      AND l_returnflag = 'R' THEN 1 ELSE 0 END) AS BIGINT) AS fn,
-           |    CAST(sum(CASE WHEN l_shipdate >= DATE '1995-06-17'
+           |    CAST(sum(CASE WHEN l_shipdate >= DATE '1998-05-24'
            |      AND l_returnflag <> 'R' THEN 1 ELSE 0 END) AS BIGINT) AS tn
            |  FROM lineitem),
            |r AS (SELECT tp, fp, fn, tn,

@@ -1391,6 +1391,64 @@ class AnalyticsOpsSpec extends AnyFunSuite {
       ("A261", "Ashcraft", "Ashcroft")))
   }
 
+  test("quantileNormalize: rank-preserving map onto the reference scale") {
+    val rows = Seq(10L, 20L, 30L, 40L).map(("ref", _)) ++
+      Seq(1L, 2L, 3L, 4L).map(("cur", _))
+    val out = Aggregates.quantileNormalize(rows.toDF("s", "v"), col("v"),
+      col("s"), "ref", "cur")
+      .collect().map(r => r.getAs[Long]("value") -> r.getAs[Long]("mapped"))
+      .toMap
+    assert(out == Map(1L -> 10L, 2L -> 20L, 3L -> 30L, 4L -> 40L))
+  }
+
+  test("quantileNormalize: duplicate-heavy target splits by CDF crossing") {
+    // target {1,1,1,3}: value 1 has cum 3/4 → maps to ref's 75th
+    val rows = Seq(10L, 20L, 30L, 40L).map(("ref", _)) ++
+      Seq(1L, 1L, 1L, 3L).map(("cur", _))
+    val out = Aggregates.quantileNormalize(rows.toDF("s", "v"), col("v"),
+      col("s"), "ref", "cur")
+      .collect().map(r => r.getAs[Long]("value") ->
+        (r.getAs[Long]("n"), r.getAs[Long]("cum_frac_ppm"),
+          r.getAs[Long]("mapped"))).toMap
+    assert(out(1L) == ((3L, 750000L, 30L)))
+    assert(out(3L) == ((1L, 1000000L, 40L)))
+  }
+
+  test("hellingerBinned: identical mixes 0, disjoint mixes 1") {
+    val same = Seq((0L, "a"), (1L, "a"), (0L, "b"), (1L, "b"))
+    val r1 = Aggregates.hellingerBinned(same.toDF("bin", "s"), col("bin"),
+      col("s"), "a", "b").head()
+    assert(r1.getAs[Double]("bc") == 1.0)
+    assert(r1.getAs[Double]("hellinger") == 0.0)
+    assert(r1.getAs[Double]("bhattacharyya") == 0.0)
+    val disjoint = Seq((0L, "a"), (0L, "a"), (1L, "b"), (1L, "b"))
+    val r2 = Aggregates.hellingerBinned(disjoint.toDF("bin", "s"), col("bin"),
+      col("s"), "a", "b").head()
+    assert(r2.getAs[Double]("bc") == 0.0)
+    assert(r2.getAs[Double]("hellinger") == 1.0)
+    assert(r2.isNullAt(r2.fieldIndex("bhattacharyya"))) // ln(0) -> declared null
+  }
+
+  test("ebShrinkage: small-n keys shrink to the prior, big-n keys hold") {
+    import graft.ops.Features
+    // four 10-trial keys at rates .2/.4/.6/.8 fit Beta(1.375, 1.375);
+    // the 1-of-1 key shrinks to .633, the 2-of-10 key barely moves
+    val rows =
+      (1 to 10).map(i => ("k20", i <= 2)) ++
+      (1 to 10).map(i => ("k40", i <= 4)) ++
+      (1 to 10).map(i => ("k60", i <= 6)) ++
+      (1 to 10).map(i => ("k80", i <= 8)) ++
+      Seq(("tiny", true))
+    val out = Features.ebShrinkage(rows.toDF("k", "s"), Seq(col("k")),
+      col("s"), minN = 10L)
+      .collect().map(r => r.getAs[String]("k") -> r).toMap
+    assert(out("k20").getAs[Double]("alpha") == 1.375)
+    assert(out("k20").getAs[Double]("beta") == 1.375)
+    assert(out("tiny").getAs[Long]("raw_ppm") == 1000000L)
+    assert(out("tiny").getAs[Long]("shrunk_ppm") == 633333L)
+    assert(out("k20").getAs[Long]("shrunk_ppm") == 264706L)
+  }
+
   test("lorenzCurve: tie-splitting decile walk on {1,1,1,1,6}") {
     val df = Seq(1L, 1L, 1L, 1L, 6L).toDF("v")
     val out = Aggregates.lorenzCurve(df, col("v"), nBins = 10)
@@ -1416,6 +1474,61 @@ class AnalyticsOpsSpec extends AnyFunSuite {
       margin = 1L).head()
     assert(tight.getAs[Double]("t_lower") == 1.414214)
     assert(!tight.getAs[Boolean]("equivalent"))
+  }
+
+  test("wasserstein1: all mass moving distance d scores exactly d") {
+    val df = (Seq(0L, 0L).map(("a", _)) ++ Seq(10L, 10L).map(("b", _)))
+      .toDF("s", "v")
+    val r = Aggregates.wasserstein1(df, col("v"), col("s"), "a", "b").head()
+    assert(r.getAs[Long]("n_a") == 2L && r.getAs[Long]("n_b") == 2L)
+    assert(r.getAs[Double]("w1") == 10.0)
+    val same = (Seq(1L, 5L).map(("a", _)) ++ Seq(1L, 5L).map(("b", _)))
+      .toDF("s", "v")
+    assert(Aggregates.wasserstein1(same, col("v"), col("s"), "a", "b")
+      .head().getAs[Double]("w1") == 0.0)
+  }
+
+  test("wasserstein1: partial overlap — hand CDF integral") {
+    // A = {0, 1}, B = {1, 2}: |F_A − F_B| is 1/2 on [0,1) and [1,2) → 1
+    val df = (Seq(0L, 1L).map(("a", _)) ++ Seq(1L, 2L).map(("b", _)))
+      .toDF("s", "v")
+    val r = Aggregates.wasserstein1(df, col("v"), col("s"), "a", "b").head()
+    assert(r.getAs[Long]("n_values") == 3L)
+    assert(r.getAs[Double]("w1") == 1.0)
+  }
+
+  test("abcClassification: 80/15/5 split lands one item per class") {
+    val df = Seq((1L, 80L), (2L, 15L), (3L, 5L)).toDF("k", "v")
+    val out = Aggregates.abcClassification(df, col("k"), col("v"))
+      .collect().map(r => r.getAs[String]("abc_class") ->
+        (r.getAs[Long]("n_items"), r.getAs[Long]("class_value"),
+          r.getAs[Long]("share_ppm"))).toMap
+    assert(out("A") == ((1L, 80L, 800000L)))
+    assert(out("B") == ((1L, 15L, 150000L)))
+    assert(out("C") == ((1L, 5L, 50000L)))
+  }
+
+  test("andersonDarling: an extreme outlier flags non-normal; " +
+      "near-uniform mid-sample does not") {
+    val outlier = ((1L to 19L) :+ 1000L).toDF("v")
+    val r1 = Aggregates.andersonDarling(outlier, col("v")).head()
+    assert(r1.getAs[Boolean]("non_normal"))
+    val mild = (1L to 20L).toDF("v")
+    val r2 = Aggregates.andersonDarling(mild, col("v")).head()
+    assert(!r2.getAs[Boolean]("non_normal"))
+    assert(r2.getAs[Long]("n") == 20L)
+  }
+
+  test("overdispersionAudit: burst key flags, constant key cannot") {
+    val df = (Seq(2L, 2L, 2L, 2L).map(("flat", _)) ++
+      Seq(0L, 0L, 0L, 12L).map(("burst", _))).toDF("k", "c")
+    val out = Aggregates.overdispersionAudit(df, Seq(col("k")), col("c"))
+      .collect().map(r => r.getAs[String]("k") -> r).toMap
+    assert(out("flat").getAs[Double]("dispersion") == 0.0)
+    assert(!out("flat").getAs[Boolean]("overdispersed"))
+    assert(out("burst").getAs[Double]("dispersion") == 12.0)
+    assert(out("burst").getAs[Double]("chi2") == 36.0)
+    assert(out("burst").getAs[Boolean]("overdispersed"))
   }
 
   test("hodgesLehmann: textbook {1,2,6} — lower median of Walsh averages") {

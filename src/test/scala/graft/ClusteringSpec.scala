@@ -83,4 +83,26 @@ class ClusteringSpec extends AnyFunSuite {
     assert(out((2, 3)) == ((1L, 1L, 0.0)))
     assert(out((1, 3)) == ((2L, 1L, 1.0)))
   }
+
+  test("labelSilhouette: tight separated labels score 1e6; a straddler " +
+      "drags its label down") {
+    val tight = Seq(
+      (1L, 1, Seq(0.0f, 0.0f)), (2L, 1, Seq(0.0f, 0.0f)),
+      (3L, 2, Seq(10.0f, 10.0f)), (4L, 2, Seq(10.0f, 10.0f)))
+    val out1 = Clustering.labelSilhouette(tight.toDF("id", "label", "embedding"),
+      col("id"), col("embedding"), col("label"))
+      .collect().map(r => r.getInt(0) -> r.getAs[Long]("mean_sil_micro")).toMap
+    assert(out1 == Map(1 -> 1000000L, 2 -> 1000000L))
+    // move one label-1 member onto label 2's centroid: its s < 0
+    val straddle = tight.updated(1, (2L, 1, Seq(10.0f, 10.0f)))
+    val out2 = Clustering.labelSilhouette(
+      straddle.toDF("id", "label", "embedding"),
+      col("id"), col("embedding"), col("label"))
+      .collect().map(r => r.getInt(0) -> r.getAs[Long]("mean_sil_micro")).toMap
+    // label 1 = {(0,0), (10,10)}: the straddler sits ON label 2's
+    // centroid (s = −1) and the stay-behind is pulled to s = 0.5 →
+    // mean −250000; label 2's own members are untouched
+    assert(out2(1) == -250000L)
+    assert(out2(2) == 1000000L)
+  }
 }

@@ -442,6 +442,19 @@ class TextSignalsSpec extends AnyFunSuite {
     assert(out.toSeq == Seq((5L, 3L, 3L), (5L, 1L, 4L), (5L, 2L, 6L)))
   }
 
+  test("E4: keywordsByChi2 — exclusive tokens top their slice, shared " +
+      "tokens score zero") {
+    val docs = Seq((1L, "apple common", "en"), (2L, "banane common", "de"))
+      .toDF("doc_id", "text", "lang")
+    val out = TextAnalysis.keywordsByChi2(docs, col("text"), col("lang"),
+      topK = 1)
+      .collect().map(r => r.getAs[String]("slice") ->
+        (r.getAs[String]("token"), r.getAs[Double]("chi2"))).toMap
+    // 2×2 cells (1,0,1,2): χ² = 4·(2−0)²/(1·3·2·2) = 4/3
+    assert(out("en") == (("apple", 1.333333)))
+    assert(out("de") == (("banane", 1.333333)))
+  }
+
   test("E4: heapsFit — a linear vocabulary curve fits beta 1, K 1 exactly") {
     // 50 docs, each contributing exactly one NEW token → V(n) = n at
     // every checkpoint → ln-ln OLS gives slope 1, intercept 0

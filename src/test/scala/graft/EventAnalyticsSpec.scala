@@ -236,6 +236,30 @@ class EventAnalyticsSpec extends AnyFunSuite {
     assert(out.values.sum == 20000L) // 10000 per conversion, exactly
   }
 
+  test("funnelWithSignificance: hand pooled-z against the previous " +
+      "transition") {
+    // 10 view → 5 click → 1 purchase: second transition z =
+    // (.2 − .5)/√(.4·.6·(1/5 + 1/10)) = −1.118034
+    val rows =
+      (1L to 10L).map(u => (u, ts("2024-01-01 10:00:00"), "view")) ++
+      (1L to 5L).map(u => (u, ts("2024-01-01 11:00:00"), "click")) ++
+      Seq((1L, ts("2024-01-01 12:00:00"), "purchase"))
+    val out = EventAnalytics.funnelWithSignificance(
+      rows.toDF("u", "t", "k"), "u", "t", "k",
+      Seq("view", "click", "purchase"))
+      .orderBy(col("stage_from")).collect()
+      .map(r => r.getAs[String]("stage_from") -> r).toMap
+    val first = out("view")
+    assert(first.getAs[Long]("entered") == 10L &&
+      first.getAs[Long]("converted") == 5L)
+    assert(first.getAs[Long]("rate_ppm") == 500000L)
+    assert(first.isNullAt(first.fieldIndex("z_vs_prev")))
+    val second = out("click")
+    assert(second.getAs[Long]("entered") == 5L &&
+      second.getAs[Long]("converted") == 1L)
+    assert(second.getAs[Double]("z_vs_prev") == -1.118034)
+  }
+
   test("categoryMixDrift: identical mixes score 0, disjoint mixes ln 2") {
     // day1 {a}, day2 {b} (disjoint → ln 2), day3 {b} (same → 0)
     val df = Seq(("d1", "a"), ("d2", "b"), ("d3", "b")).toDF("p", "c")

@@ -583,4 +583,97 @@ class CurationSpec extends AnyFunSuite {
     // tf doubles the score: unique2 (tf=2) = 2 * ln(3)
     assert(math.abs(out((2L, 1))._2 - math.rint(2 * math.log(3.0) * 1e6) / 1e6) < 1e-9)
   }
+
+  test("E7: contextPackingAudit — hand-traced windows, splits and fill") {
+    import graft.ext.Curation
+    // sizes 3, 2, 4 at capacity 4: cums 3, 5, 9 → doc2 spans w0/w1,
+    // doc3 spans w1/w2
+    val docs = Seq((1L, 3L), (2L, 2L), (3L, 4L)).toDF("id", "sz")
+    val out = Curation.contextPackingAudit(docs, col("id"), col("sz"), 4L)
+      .orderBy(col("window_id")).collect()
+      .map(r => (r.getAs[Long]("window_id"),
+        r.getAs[Long]("n_docs"), r.getAs[Long]("n_split"),
+        r.getAs[Long]("tokens_in")))
+    assert(out.toSeq == Seq((0L, 2L, 1L, 4L), (1L, 2L, 2L, 4L),
+      (2L, 1L, 1L, 1L)))
+    // conservation: window fills sum to the corpus token total
+    assert(out.map(_._4).sum == 9L)
+  }
+
+  test("E2+: clusterPurity — modal share, tie-break and zero entropy " +
+      "for pure clusters") {
+    import graft.ext.Curation
+    val asg = Seq((10L, "x"), (10L, "x"), (10L, "y"), (20L, "z"))
+      .toDF("cl", "lab")
+    val out = Curation.clusterPurity(asg, col("cl"), col("lab"))
+      .collect().map(r => r.getAs[Long]("cluster_id") -> r).toMap
+    val a = out(10L)
+    assert(a.getAs[Long]("n_docs") == 3L && a.getAs[Long]("n_labels") == 2L)
+    assert(a.getAs[String]("modal_label") == "x")
+    assert(a.getAs[Long]("purity_ppm") == 666666L)
+    val wantE = math.round(-(2.0 / 3 * math.log(2.0 / 3)) * 1e9) +
+      math.round(-(1.0 / 3 * math.log(1.0 / 3)) * 1e9)
+    assert(a.getAs[Long]("entropy_nano") == wantE)
+    val b = out(20L)
+    assert(b.getAs[Long]("purity_ppm") == 1000000L)
+    assert(b.getAs[Long]("entropy_nano") == 0L)
+  }
+
+  test("E2+: sourceOverlapMatrix — shared shingle scores 1/3, disjoint " +
+      "pairs are absent") {
+    import graft.ext.Curation
+    val docs = Seq(("p", "a b c d"), ("q", "a b c x"), ("r", "z y w v"))
+      .toDF("source", "text")
+    val out = Curation.sourceOverlapMatrix(docs, col("text"), col("source"),
+      shingleSize = 3)
+      .collect().map(r => (r.getAs[String]("source_a"),
+        r.getAs[String]("source_b")) ->
+        (r.getAs[Long]("inter"), r.getAs[Double]("jaccard"))).toMap
+    assert(out.keySet == Set(("p", "q")))
+    assert(out(("p", "q")) == ((1L, 0.333333)))
+  }
+
+  test("E4: sourceHealthProfile — dup ratio, modal language, entropy") {
+    import graft.ext.Curation
+    val docs = Seq(
+      ("s1", "hello", "en", 5L), ("s1", "hello", "en", 5L),
+      ("s2", "aa", "en", 2L), ("s2", "bb", "de", 2L))
+      .toDF("source", "text", "lang", "n_chars")
+    val out = Curation.sourceHealthProfile(docs, col("source"), col("text"),
+      col("lang"), col("n_chars"))
+      .collect().map(r => r.getAs[String]("source") -> r).toMap
+    val s1 = out("s1")
+    assert(s1.getAs[Long]("dup_ppm") == 500000L)
+    assert(s1.getAs[Long]("mean_chars") == 5L)
+    assert(s1.getAs[String]("modal_lang") == "en")
+    assert(s1.getAs[Long]("lang_entropy_nano") == 0L)
+    val s2 = out("s2")
+    assert(s2.getAs[Long]("dup_ppm") == 0L)
+    assert(s2.getAs[Long]("modal_share_ppm") == 500000L)
+    assert(s2.getAs[String]("modal_lang") == "de") // tie → smallest code
+  }
+
+  test("E4: vocabCoverage — crossing vocab sizes on a 9/1 skew") {
+    val docs = Seq((1L, ("a " * 9).trim + " b")).toDF("doc_id", "text")
+    val out = TextAnalysis.vocabCoverage(docs, col("text"),
+      Seq(500000L, 900000L, 1000000L))
+      .orderBy(col("coverage_ppm")).collect()
+      .map(r => r.getAs[Long]("coverage_ppm") ->
+        r.getAs[Long]("vocab_size")).toMap
+    assert(out == Map(500000L -> 1L, 900000L -> 1L, 1000000L -> 2L))
+  }
+
+  test("E4: templatePrefixProfile — shared openings dominate the modal " +
+      "share") {
+    val docs = Seq(
+      ("s", "breaking news today markets fell"),
+      ("s", "breaking news today rates rose"),
+      ("s", "quiet day in the city"))
+      .toDF("source", "text")
+    val r = TextAnalysis.templatePrefixProfile(docs, col("text"),
+      col("source"), k = 3).head()
+    assert(r.getAs[Long]("n_docs") == 3L && r.getAs[Long]("n_prefixes") == 2L)
+    assert(r.getAs[String]("modal_prefix") == "breaking news today")
+    assert(r.getAs[Long]("modal_ppm") == 666666L)
+  }
 }

@@ -275,6 +275,34 @@ class TimeSeriesOpsSpec extends AnyFunSuite {
     assert(alarms(shifted).last)
   }
 
+  test("acfProfile: perfect alternation — acf(1) = -(n-1)/n, hand pacf(2)") {
+    // 8-point alternating series: ρ1 = −7/8, ρ2 = 6/8
+    val df = (1L to 8L).map(i => (i, if (i % 2 == 0) 0L else 10L))
+      .toDF("t", "v")
+    val out = TimeSeriesOps.acfProfile(df, col("t"), col("v"), kLags = 2)
+      .orderBy(col("lag")).collect()
+    assert(out(0).getAs[Double]("acf") == -0.875)
+    assert(out(1).getAs[Double]("acf") == 0.75)
+    assert(out(0).getAs[Double]("pacf") == -0.875)
+    // φ22 = (ρ2 − ρ1²)/(1 − ρ1²) = (−1/64)/(15/64)
+    assert(out(1).getAs[Double]("pacf") ==
+      BigDecimal((0.75 - 0.765625) / (1.0 - 0.765625))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+  }
+
+  test("seasonalityStrength: perfect cycle scores 1; constant series " +
+      "has no variance to explain") {
+    val cycle = (0L until 8L).map(i => ("p", i % 2, if (i % 2 == 0) 10L else 20L))
+    val flat = (0L until 8L).map(i => ("f", i % 2, 5L))
+    val out = TimeSeriesOps.seasonalityStrength(
+      (cycle ++ flat).toDF("k", "season", "v"), Seq(col("k")),
+      col("season"), col("v"))
+      .collect().map(r => r.getAs[String]("k") -> r).toMap
+    assert(out("p").getAs[Double]("var_resid") == 0.0)
+    assert(out("p").getAs[Double]("strength") == 1.0)
+    assert(out("f").isNullAt(out("f").fieldIndex("strength")))
+  }
+
   test("pageHinkleyInt: hand-traced first steps") {
     // values 4, 8 with δ = 0: step1 m = 0; step2 running mean = 6,
     // term = (1e6·(2·8 − 12)) div 2 = 2e6 → m = 2e6, min stays 0
