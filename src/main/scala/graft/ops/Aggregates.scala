@@ -1945,4 +1945,311 @@ object Aggregates {
           round(-log(col("__bc_nano").cast("double") / 1e9), 6))
           .as("bhattacharyya"))
   }
+
+  /** A-stat — Cronbach's alpha (Cronbach, Psychometrika 1951 — public
+    * literature): internal-consistency reliability of a k-item scale,
+    *   α = k/(k−1) · (1 − Σᵢ var(itemᵢ) / var(total score)),
+    * over subjects with ALL k items (the complete-case convention;
+    * one value per (subject, item) enforced by a deterministic max).
+    * The "do these k signals measure one thing" gate run before
+    * collapsing k quality scores into one composite — low α means the
+    * composite is noise-averaging unrelated measures.
+    *
+    * Exactness: all moments are exact DECIMAL(38,0) sums; each item's
+    * variance is nano-quantized before the k-term integer sum (double
+    * addition order never touches corpus data); the finish is pinned.
+    * Returns one row: (n_subjects, k_items, item_var_sum, total_var,
+    * alpha).
+    *
+    * Scale: a (subject, item) cell agg, a subject-grain size filter
+    * (semi-join), one item-grain and one subject-grain moment agg —
+    * all map-side combinable. */
+  def cronbachAlpha(df: org.apache.spark.sql.DataFrame, subjectCol: Column,
+      itemCol: Column, valueCol: Column,
+      nItems: Int): org.apache.spark.sql.DataFrame = {
+    require(nItems >= 2, "a scale needs >= 2 items")
+    val d38 = "decimal(38,0)"
+    val cell = df.groupBy(subjectCol.as("__s"), itemCol.as("__it"))
+      .agg(max(valueCol.cast("long")).as("__v"))
+    val sized = cell.groupBy(col("__s")).agg(count(lit(1)).as("__k"))
+      .filter(col("__k") === nItems).select(col("__s"))
+    val kept = cell.join(sized, Seq("__s"), "left_semi")
+      .localCheckpoint() // cell grain; item + subject aggs read it
+    def varOf(nc: Column, sc: Column, qc: Column) =
+      (nc * qc - sc * sc).cast("double") / (nc * (nc - 1)).cast("double")
+    val items = kept.groupBy(col("__it"))
+      .agg(count(lit(1)).cast(d38).as("__n"), sum(col("__v")).cast(d38).as("__sv"),
+        sum(col("__v").cast(d38) * col("__v").cast(d38)).cast(d38).as("__qv"))
+      .withColumn("__var_nano",
+        round(varOf(col("__n"), col("__sv"), col("__qv")) * 1e9, 0)
+          .cast("long"))
+      .agg(count(lit(1)).as("__ki"), sum(col("__var_nano")).as("__siv_nano"))
+    val totals = kept.groupBy(col("__s")).agg(sum(col("__v")).as("__t"))
+      .agg(count(lit(1)).cast(d38).as("__ns"), sum(col("__t")).cast(d38).as("__st"),
+        sum(col("__t").cast(d38) * col("__t").cast(d38)).cast(d38).as("__qt"))
+    items.crossJoin(broadcast(totals))
+      .withColumn("__vt", varOf(col("__ns"), col("__st"), col("__qt")))
+      .select(col("__ns").cast("long").as("n_subjects"),
+        col("__ki").as("k_items"),
+        round(col("__siv_nano").cast("double") / 1e9, 6).as("item_var_sum"),
+        round(col("__vt"), 6).as("total_var"),
+        when(col("__vt") > 0, round(
+          lit(nItems.toDouble) / (nItems - 1) *
+            (lit(1.0) - (col("__siv_nano").cast("double") / 1e9) /
+              col("__vt")), 6)).as("alpha"))
+  }
+
+  /** A-stat — first-order partial correlation (standard regression
+    * theory — public literature): the x↔y association with z held
+    * fixed,
+    *   r_xy·z = (r_xy − r_xz·r_yz) / √((1 − r_xz²)(1 − r_yz²)),
+    * the one-line confounder check run before reading q82's raw
+    * correlation causally ("price correlates with returns — or do
+    * both just follow quantity?").
+    *
+    * Exactness: all ten co-moment sums are exact DECIMAL(38,0); each
+    * pairwise r is numerator.double / (√·√) in pinned token order;
+    * the partial is a 1-row finish. Degenerate margins (any zero
+    * variance, or |r| = 1 in a conditioning pair) → null. Returns one
+    * row: (n, r_xy, r_xz, r_yz, r_partial). */
+  def partialCorrelation(df: org.apache.spark.sql.DataFrame, xCol: Column,
+      yCol: Column, zCol: Column): org.apache.spark.sql.DataFrame = {
+    val d38 = "decimal(38,0)"
+    def l(c: Column) = c.cast("long")
+    def s38(c: Column) = sum(c.cast(d38)).cast(d38)
+    val m = df.select(l(xCol).as("__x"), l(yCol).as("__y"), l(zCol).as("__z"))
+      .agg(count(lit(1)).cast(d38).as("__n"),
+        s38(col("__x")).as("__sx"), s38(col("__y")).as("__sy"),
+        s38(col("__z")).as("__sz"),
+        s38(col("__x").cast(d38) * col("__x").cast(d38)).as("__sxx"),
+        s38(col("__y").cast(d38) * col("__y").cast(d38)).as("__syy"),
+        s38(col("__z").cast(d38) * col("__z").cast(d38)).as("__szz"),
+        s38(col("__x").cast(d38) * col("__y").cast(d38)).as("__sxy"),
+        s38(col("__x").cast(d38) * col("__z").cast(d38)).as("__sxz"),
+        s38(col("__y").cast(d38) * col("__z").cast(d38)).as("__syz"))
+    def cNum(sab: Column, sa: Column, sb: Column) =
+      (col("__n") * sab - sa * sb).cast("double")
+    def cDen(saa: Column, sa: Column) =
+      (col("__n") * saa - sa * sa).cast("double")
+    def r(sab: Column, sa: Column, sb: Column, saa: Column, sbb: Column) =
+      cNum(sab, sa, sb) / (sqrt(cDen(saa, sa)) * sqrt(cDen(sbb, sb)))
+    val rxy = r(col("__sxy"), col("__sx"), col("__sy"), col("__sxx"), col("__syy"))
+    val rxz = r(col("__sxz"), col("__sx"), col("__sz"), col("__sxx"), col("__szz"))
+    val ryz = r(col("__syz"), col("__sy"), col("__sz"), col("__syy"), col("__szz"))
+    m.withColumn("__rxy", rxy).withColumn("__rxz", rxz)
+      .withColumn("__ryz", ryz)
+      .select(col("__n").cast("long").as("n"),
+        round(col("__rxy"), 6).as("r_xy"), round(col("__rxz"), 6).as("r_xz"),
+        round(col("__ryz"), 6).as("r_yz"),
+        when((lit(1.0) - col("__rxz") * col("__rxz")) > 0 &&
+          (lit(1.0) - col("__ryz") * col("__ryz")) > 0, round(
+            (col("__rxy") - col("__rxz") * col("__ryz")) /
+              sqrt((lit(1.0) - col("__rxz") * col("__rxz")) *
+                (lit(1.0) - col("__ryz") * col("__ryz"))), 6))
+          .as("r_partial"))
+  }
+
+  /** A-stat/ML — simple-regression INFLUENCE audit (Cook, Technometrics
+    * 1977 — public literature): fit y ~ x by exact-moment OLS, then
+    * per point the residual, leverage h = 1/n + (n·x − Sx)²/(n·Sxx_c)
+    * and Cook's distance D = e²·h / (p·s²·(1−h)²) with p = 2 — the
+    * "which rows move the fitted line" list read before trusting any
+    * trend (one bad ingest row can own the slope). Top-K by the
+    * NANO-QUANTIZED D (ties → smallest id), so the cut is
+    * engine-identical.
+    *
+    * Exactness: slope/intercept/SSE come from exact centered moments
+    * (SSE = (Syy·Sxx − Sxy²)/(n·Sxx) — one division); each row's
+    * e/h/D are pinned doubles of broadcast exact pieces — no
+    * cross-row double accumulation anywhere. Returns top-K rows:
+    * (id…, x, y, residual, leverage, cooks_d). */
+  def regressionInfluence(df: org.apache.spark.sql.DataFrame, idCol: Column,
+      xCol: Column, yCol: Column, topK: Int): org.apache.spark.sql.DataFrame = {
+    require(topK >= 1, "topK >= 1")
+    val d38 = "decimal(38,0)"
+    def s38(c: Column) = sum(c.cast(d38)).cast(d38)
+    val base = df.select(idCol.as("__id"), xCol.cast("long").as("__x"),
+      yCol.cast("long").as("__y"))
+    val m = base.agg(count(lit(1)).cast(d38).as("__n"),
+        s38(col("__x")).as("__sx"), s38(col("__y")).as("__sy"),
+        s38(col("__x").cast(d38) * col("__x").cast(d38)).as("__sxx"),
+        s38(col("__x").cast(d38) * col("__y").cast(d38)).as("__sxy"),
+        s38(col("__y").cast(d38) * col("__y").cast(d38)).as("__syy"))
+      .withColumn("__cxx", (col("__n") * col("__sxx") - col("__sx") * col("__sx")).cast(d38))
+      .withColumn("__cxy", (col("__n") * col("__sxy") - col("__sx") * col("__sy")).cast(d38))
+      .withColumn("__cyy", (col("__n") * col("__syy") - col("__sy") * col("__sy")).cast(d38))
+    val scored = base.crossJoin(broadcast(m))
+      .withColumn("__slope", col("__cxy").cast("double") / col("__cxx").cast("double"))
+      .withColumn("__icept",
+        (col("__sy").cast("double") - col("__slope") * col("__sx").cast("double")) /
+          col("__n").cast("double"))
+      .withColumn("__e", col("__y").cast("double") -
+        (col("__slope") * col("__x").cast("double") + col("__icept")))
+      .withColumn("__h", lit(1.0) / col("__n").cast("double") +
+        ((col("__n") * col("__x") - col("__sx")) *
+         (col("__n") * col("__x") - col("__sx"))).cast("double") /
+          (col("__n") * col("__cxx")).cast("double"))
+      // s² = SSE/(n−2); SSE = (Cyy·Cxx − Cxy²)/(n·Cxx), all exact ints
+      .withColumn("__s2",
+        (col("__cyy") * col("__cxx") - col("__cxy") * col("__cxy")).cast("double") /
+          (col("__n") * col("__cxx")).cast("double") /
+          (col("__n").cast("double") - 2.0))
+      .withColumn("__d", (col("__e") * col("__e")) * col("__h") /
+        (lit(2.0) * col("__s2") * (lit(1.0) - col("__h")) *
+          (lit(1.0) - col("__h"))))
+      .withColumn("__d_nano", round(col("__d") * 1e9, 0).cast("long"))
+    scored.orderBy(col("__d_nano").desc, col("__id"))
+      .limit(topK)
+      .select(col("__id").as("id"), col("__x").as("x"), col("__y").as("y"),
+        round(col("__e"), 6).as("residual"), round(col("__h"), 6).as("leverage"),
+        round(col("__d"), 6).as("cooks_d"))
+  }
+
+  /** A-stat/A-quantile — pairwise-difference robust SCALE per key (the
+    * Qn idea of Rousseeuw & Croux, JASA 1993 — public literature,
+    * realized here as the exact lower quartile of all |xᵢ − xⱼ|,
+    * i < j, with the 2.2219 Gaussian-consistency constant): a 50%-
+    * breakdown spread estimate that needs no location estimate first —
+    * the dispersion twin of [[hodgesLehmann]], from the same
+    * distinct-value-rollup pair multiset and the same all-integer
+    * crossing (cumw·4 ≥ T). Keys with < 2 observations drop. Returns
+    * per key: (keys…, n, n_pairs, q25_absdiff, qn).
+    *
+    * Scale: pair space = |distinct values|² per key — rollup grain,
+    * never the fact table; quantize wide domains first. */
+  def qnScale(df: org.apache.spark.sql.DataFrame, keys: Seq[String],
+      valueCol: Column): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(keys.nonEmpty, "qnScale requires at least one key column")
+    val kc = keys.map(col)
+    val rollup = df.groupBy((kc :+ valueCol.cast("long").as("__v")): _*)
+      .agg(count(lit(1)).as("__c"))
+      .localCheckpoint() // distinct-value grain; both pair sides + n read it
+    val n = rollup.groupBy(kc: _*).agg(sum(col("__c")).as("n"))
+      .filter(col("n") >= 2)
+    val a = rollup.select((kc :+ col("__v").as("__v1") :+
+      col("__c").as("__c1")): _*)
+    val b = rollup.select((kc :+ col("__v").as("__v2") :+
+      col("__c").as("__c2")): _*)
+    val pairs = a.join(b, keys).filter(col("__v1") <= col("__v2"))
+      .withColumn("__d", col("__v2") - col("__v1"))
+      .withColumn("__pw", when(col("__v1") === col("__v2"),
+          expr("(__c1 * (__c1 - 1)) div 2"))
+        .otherwise(col("__c1") * col("__c2")))
+      .filter(col("__pw") > 0)
+      .groupBy((kc :+ col("__d")): _*)
+      .agg(sum(col("__pw")).as("__w"))
+    val wk = Window.partitionBy(kc: _*).orderBy(col("__d"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val tot = Window.partitionBy(kc: _*)
+    pairs
+      .withColumn("__cumw", sum(col("__w")).over(wk))
+      .withColumn("__tw", sum(col("__w")).over(tot))
+      .filter(col("__cumw") * 4 >= col("__tw"))
+      .groupBy(kc: _*)
+      .agg(min(col("__d")).as("q25_absdiff"), min(col("__tw")).as("n_pairs"))
+      .join(n, keys)
+      .select((kc :+ col("n") :+ col("n_pairs") :+ col("q25_absdiff") :+
+        round(col("q25_absdiff").cast("double") * 2.2219, 6).as("qn")): _*)
+  }
+
+  /** A-stat — Bland–Altman agreement analysis (Bland & Altman, Lancet
+    * 1986 — public literature) between two measurements of the same
+    * quantity: mean difference (bias) and the 95% limits of agreement
+    * mean ± 1.96·sd, plus the share of rows OUTSIDE those limits —
+    * the method-comparison readout ("can detector B replace detector
+    * A") that a correlation coefficient notoriously fakes.
+    *
+    * Exactness: differences are exact longs; moments are exact sums;
+    * the outside test compares each integer difference against the
+    * ROUNDED limits (6dp) so both engines gate identically. Returns
+    * one row: (n, bias, sd_diff, loa_low, loa_high, n_outside,
+    * outside_ppm). */
+  def blandAltman(df: org.apache.spark.sql.DataFrame, aCol: Column,
+      bCol: Column): org.apache.spark.sql.DataFrame = {
+    val d38 = "decimal(38,0)"
+    val diffs = df.select((aCol.cast("long") - bCol.cast("long")).as("__d"))
+    val m = diffs.agg(count(lit(1)).cast(d38).as("__n"),
+      sum(col("__d")).cast(d38).as("__s"),
+      sum(col("__d").cast(d38) * col("__d").cast(d38)).cast(d38).as("__q"))
+    val mean = col("__s").cast("double") / col("__n").cast("double")
+    val sd = sqrt((col("__n") * col("__q") - col("__s") * col("__s"))
+      .cast("double") / (col("__n") * (col("__n") - 1)).cast("double"))
+    val lims = m.select(col("__n").cast("long").as("n"),
+        round(mean, 6).as("bias"), round(sd, 6).as("sd_diff"),
+        round(mean - lit(1.96) * sd, 6).as("loa_low"),
+        round(mean + lit(1.96) * sd, 6).as("loa_high"))
+      .localCheckpoint() // 1 row; outside gate + output read it
+    val outside = diffs.crossJoin(broadcast(lims))
+      .agg(sum((col("__d").cast("double") < col("loa_low") ||
+        col("__d").cast("double") > col("loa_high")).cast("long"))
+        .as("n_outside"))
+    lims.crossJoin(broadcast(outside))
+      .select(col("n"), col("bias"), col("sd_diff"), col("loa_low"),
+        col("loa_high"), col("n_outside"),
+        expr("(n_outside * 1000000L) div n").as("outside_ppm"))
+  }
+
+  /** A-stat — McNemar's test (McNemar, Psychometrika 1947 — public
+    * literature) for PAIRED binary classifiers: on the same examples,
+    * is model A right where model B is wrong more often than vice
+    * versa? Only the discordant cells matter:
+    *   χ² = (|b − c| − 1)² / (b + c)   (continuity-corrected)
+    * — the correct A/B readout when both models score the SAME rows
+    * (q186's unpaired test wastes the pairing and loses power).
+    *
+    * Exactness: the four cells are one conditional-sum agg; χ² is a
+    * ratio of exact integers with one final division; b + c = 0 →
+    * null. Returns one row: (n, both_right, only_a, only_b,
+    * both_wrong, chi2, significant) with the 3.841459 χ²₁ 5% literal. */
+  def mcNemar(df: org.apache.spark.sql.DataFrame, predACond: Column,
+      predBCond: Column, labelCond: Column): org.apache.spark.sql.DataFrame = {
+    val aOk = predACond === labelCond
+    val bOk = predBCond === labelCond
+    val d38 = "decimal(38,0)"
+    df.agg(count(lit(1)).as("n"),
+        sum((aOk && bOk).cast("long")).as("both_right"),
+        sum((aOk && !bOk).cast("long")).as("only_a"),
+        sum((!aOk && bOk).cast("long")).as("only_b"),
+        sum((!aOk && !bOk).cast("long")).as("both_wrong"))
+      .withColumn("chi2", when(col("only_a") + col("only_b") > 0, round(
+        ((abs(col("only_a") - col("only_b")) - 1).cast(d38) *
+          (abs(col("only_a") - col("only_b")) - 1).cast(d38)).cast("double") /
+          (col("only_a") + col("only_b")).cast("double"), 6)))
+      .withColumn("significant",
+        coalesce(col("chi2") > 3.841459, lit(false)))
+  }
+
+  /** A-stat — Wald–Wolfowitz runs test (Wald & Wolfowitz, Ann. Math.
+    * Stat. 1940 — public literature) on an ordered binary sequence:
+    * too FEW runs means positive serial dependence (streaks — the
+    * i.i.d. assumption behind every CI on the series is wrong), too
+    * MANY means alternation. R = observed runs,
+    *   μ = 2·n₁·n₀/n + 1,  σ² = (μ−1)(μ−2)/(n−1),  z = (R − μ)/σ.
+    *
+    * Exactness: the run count is an exact lag-comparison sum over one
+    * ordered window; μ and σ are pinned finishes of exact counts.
+    * Returns one row: (n, n_ones, n_runs, z) — z null when either
+    * class is absent.
+    *
+    * Scale: the series is rollup-grain (the [[ljungBox]] altitude);
+    * one ordered window + one 1-row finish. */
+  def runsTest(series: org.apache.spark.sql.DataFrame, orderCol: Column,
+      flagCond: Column): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.orderBy(col("__t"))
+    val s = series.select(orderCol.as("__t"), flagCond.cast("int").as("__f"))
+      .withColumn("__prev", lag(col("__f"), 1).over(w))
+      .agg(count(lit(1)).as("n"), sum(col("__f").cast("long")).as("n_ones"),
+        sum(when(col("__prev").isNull || col("__f") =!= col("__prev"), 1L)
+          .otherwise(0L)).as("n_runs"))
+    val n1 = col("n_ones").cast("double")
+    val n0 = (col("n") - col("n_ones")).cast("double")
+    val nn = col("n").cast("double")
+    val mu = lit(2.0) * n1 * n0 / nn + 1.0
+    val sig = sqrt((mu - 1.0) * (mu - 2.0) / (nn - 1.0))
+    s.select(col("n"), col("n_ones"), col("n_runs"),
+      when(col("n_ones") > 0 && col("n_ones") < col("n"),
+        round((col("n_runs").cast("double") - mu) / sig, 6)).as("z"))
+  }
 }

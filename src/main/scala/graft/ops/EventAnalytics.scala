@@ -856,4 +856,75 @@ object EventAnalytics {
           sqrt(pooled * (lit(1.0) - pooled) *
             (lit(1.0) / pa + lit(1.0) / pb)), 6)).as("z_vs_prev"))
   }
+
+  /** A5/W1 — CAPPED sessionization: a new session starts when the gap
+    * since the previous event exceeds `gapSeconds` OR the session's
+    * total span would exceed `capSeconds` — the second rule is the
+    * genuine Spark gap (`session_window` knows inactivity only; an
+    * always-on bot never rotates sessions without the cap, and
+    * downstream per-session stats silently blow up).
+    *
+    * Determinism contract: the split decision is a per-actor fold
+    * (the [[graft.ops.TimeSeriesOps.ewmaInt]] device) over the
+    * (ts, tie)-sorted event array — state = (session index, session
+    * start) — all integer µs comparisons, so a recursive CTE replays
+    * it exactly. Returns per event:
+    * (actor, ts, tie, session_idx, session_start_us).
+    *
+    * Scale: one actor-keyed agg collects each actor's events (the
+    * q25 envelope); the fold is scan-side. */
+  def cappedSessionize(df: DataFrame, actorCol: String, tsCol: String,
+      tieCol: String, gapSeconds: Long, capSeconds: Long): DataFrame = {
+    require(gapSeconds > 0 && capSeconds > 0, "gap and cap must be positive")
+    val gapUs = gapSeconds * 1000000L
+    val capUs = capSeconds * 1000000L
+    val keyed = df.groupBy(col(actorCol))
+      .agg(array_sort(collect_list(struct(
+        unix_micros(col(tsCol)).as("t"),
+        col(tieCol).cast("long").as("e")))).as("__arr"))
+    val folded = keyed.withColumn("__st", expr(
+      s"""aggregate(__arr,
+         |  cast(array() as array<struct<i: bigint, st: bigint,
+         |                               pt: bigint>>),
+         |  (acc, x) -> array_append(acc,
+         |    CASE WHEN size(acc) = 0
+         |      THEN named_struct('i', 0L, 'st', x.t, 'pt', x.t)
+         |      ELSE CASE WHEN x.t - element_at(acc, -1).pt > ${gapUs}L
+         |                  OR x.t - element_at(acc, -1).st > ${capUs}L
+         |        THEN named_struct('i', element_at(acc, -1).i + 1L,
+         |          'st', x.t, 'pt', x.t)
+         |        ELSE named_struct('i', element_at(acc, -1).i,
+         |          'st', element_at(acc, -1).st, 'pt', x.t) END
+         |      END))""".stripMargin))
+    folded.select(col(actorCol),
+        posexplode(arrays_zip(col("__arr"), col("__st"))).as(Seq("__i", "__z")))
+      .select(col(actorCol), timestamp_micros(col("__z.__arr.t")).as(tsCol),
+        col("__z.__arr.e").as(tieCol),
+        col("__z.__st.i").as("session_idx"),
+        col("__z.__st.st").as("session_start_us"))
+  }
+
+  /** A-stat/W-frame — top-K event-type TRANSITION TRIPLES per corpus:
+    * the (t₁ → t₂ → t₃) trigrams of each actor's ordered stream,
+    * counted and ranked — the sequence view one order deeper than
+    * q102's transition matrix; where bigrams say "click follows view",
+    * trigrams expose the actual loops (view→click→view) worth a
+    * product fix. Ranking on exact counts with the lexicographic
+    * triple as tie-break → engine-identical top-K. Returns
+    * (t1, t2, t3, n) × topK.
+    *
+    * Scale: ONE actor-keyed window sort (the q25/q102 envelope)
+    * yields both leads; the count agg is |types|³-bounded. */
+  def topTransitionTriples(df: DataFrame, actorCol: Column, tsCol: Column,
+      tieCol: Column, typeCol: Column, topK: Int): DataFrame = {
+    require(topK >= 1, "topK >= 1")
+    val w = Window.partitionBy(actorCol).orderBy(tsCol, tieCol)
+    df.select(typeCol.as("t1"), lead(typeCol, 1).over(w).as("t2"),
+        lead(typeCol, 2).over(w).as("t3"))
+      .filter(col("t2").isNotNull && col("t3").isNotNull)
+      .groupBy(col("t1"), col("t2"), col("t3"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("t1"), col("t2"), col("t3"))
+      .limit(topK)
+  }
 }

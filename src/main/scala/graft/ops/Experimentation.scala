@@ -448,4 +448,62 @@ object Experimentation {
       .select(col("bin"), col("ref_n"), col("cur_n"), col("term_nano"),
         round(col("__s_nano").cast("double") / 1e9, 6).as("psi"))
   }
+
+  /** A-stat — raking / iterative proportional fitting (Deming &
+    * Stephan, Ann. Math. Stat. 1940 — public literature): reweight a
+    * CURRENT 2-way contingency table so its weighted marginals match
+    * a REFERENCE slice's marginals — the survey-style
+    * post-stratification fix for "this week's traffic mix is skewed
+    * against baseline" that [[stratifiedAte]]'s single-factor strata
+    * can't express (two factors need IPF).
+    *
+    * Determinism contract: weights live in integer micro-units; each
+    * normalization step is w' = (w·target·1e6) div marginal_sum in
+    * DECIMAL(38,0) — an integral divide, so the whole fixed-`rounds`
+    * trajectory (row step then column step per round, no convergence
+    * test) replays in an unrolled oracle exactly. Cells with no
+    * reference counterpart on a margin get target 0 → weight 0,
+    * declared. Returns per current cell:
+    * (row_key, col_key, n, weight_micro) — weight_micro/1e6 is the
+    * raked expected count.
+    *
+    * Scale: the table is (rows × cols) grain — domain-bounded; each
+    * step is one margin-keyed agg + broadcast-back over that rollup.
+    * The fact table is scanned once per slice. */
+  def rakeToMarginals(df: DataFrame, rowCol: Column, colCol: Column,
+      sliceCol: Column, refSlice: String, curSlice: String,
+      rounds: Int): DataFrame = {
+    require(rounds >= 1, "rounds >= 1")
+    val cur = df.filter(sliceCol === curSlice)
+      .groupBy(rowCol.as("__r"), colCol.as("__c"))
+      .agg(count(lit(1)).as("n"))
+    val ref = df.filter(sliceCol === refSlice)
+    val rowT = ref.groupBy(rowCol.as("__r")).agg(count(lit(1)).as("__rt"))
+    val colT = ref.groupBy(colCol.as("__c")).agg(count(lit(1)).as("__ct"))
+    var w = cur
+      .join(broadcast(rowT), Seq("__r"), "left")
+      .join(broadcast(colT), Seq("__c"), "left")
+      .withColumn("__rt", coalesce(col("__rt"), lit(0L)))
+      .withColumn("__ct", coalesce(col("__ct"), lit(0L)))
+      .withColumn("__w", col("n") * 1000000L)
+      .localCheckpoint() // table grain; each step re-reads it
+    var i = 0
+    while (i < rounds) {
+      val rs = w.groupBy(col("__r")).agg(sum(col("__w")).as("__rs"))
+      w = w.join(broadcast(rs), Seq("__r"))
+        .withColumn("__w", when(col("__rs") > 0, expr(
+          "cast((cast(__w as decimal(38,0)) * __rt * 1000000) div __rs" +
+            " as bigint)")).otherwise(0L))
+        .drop("__rs").localCheckpoint()
+      val cs = w.groupBy(col("__c")).agg(sum(col("__w")).as("__cs"))
+      w = w.join(broadcast(cs), Seq("__c"))
+        .withColumn("__w", when(col("__cs") > 0, expr(
+          "cast((cast(__w as decimal(38,0)) * __ct * 1000000) div __cs" +
+            " as bigint)")).otherwise(0L))
+        .drop("__cs").localCheckpoint()
+      i += 1
+    }
+    w.select(col("__r").as("row_key"), col("__c").as("col_key"), col("n"),
+      col("__w").as("weight_micro"))
+  }
 }

@@ -120,4 +120,68 @@ object Layout {
       .agg(count(lit(1)).as("n_files"), sum(col("__b")).as("bytes"),
         min(col("__fid")).as("file_lo"), max(col("__fid")).as("file_hi"))
   }
+
+  /** E6/F7 — HILBERT curve key (Hilbert 1891; the iterative xy2d form
+    * is standard public knowledge): quantize (x, y) exactly like
+    * [[zorderKey]] and map the cell to its position along the order-
+    * `bits` Hilbert curve. Every unit step along the key moves ONE
+    * cell (verified by the spec's adjacency law) where Morton jumps
+    * across the plane at quadrant seams — measurably better row-group
+    * locality for 2-D range scans at the same cost: the whole fold is
+    * unrolled scan-side integer arithmetic (no UDF, codegen-friendly),
+    * and the oracle replays it level by level.
+    *
+    * Convention pinned here: reflections use the CURRENT level size
+    * (x ← s−1−x), the descending-s loop of the classic snippet. */
+  def hilbertKey(x: Column, y: Column,
+      xmin: Double, xmax: Double, ymin: Double, ymax: Double,
+      bits: Int): Column = {
+    require(bits >= 1 && bits <= 16, "bits must be in [1, 16]")
+    require(xmax > xmin && ymax > ymin, "bounds must be non-degenerate")
+    def q(c: Column, lo: Double, hi: Double): Column =
+      greatest(lit(0L), least(lit((1L << bits) - 1),
+        floor((c - lit(lo)) / lit(hi - lo) * lit((1L << bits).toDouble)).cast("long")))
+    var cx = q(x, xmin, xmax)
+    var cy = q(y, ymin, ymax)
+    var d: Column = lit(0L)
+    var s = 1L << (bits - 1)
+    while (s >= 1) {
+      val rx = when(cx.bitwiseAND(lit(s)) > 0, lit(1L)).otherwise(lit(0L))
+      val ry = when(cy.bitwiseAND(lit(s)) > 0, lit(1L)).otherwise(lit(0L))
+      d = d + lit(s * s) * (lit(3L) * rx).bitwiseXOR(ry)
+      val refl = ry === 0 && rx === 1
+      val nx = when(ry === 0, when(refl, lit(s - 1) - cy).otherwise(cy))
+        .otherwise(cx)
+      val ny = when(ry === 0, when(refl, lit(s - 1) - cx).otherwise(cx))
+        .otherwise(cy)
+      cx = nx
+      cy = ny
+      s >>= 1
+    }
+    d
+  }
+
+  /** The DuckDB transliteration of [[hilbertKey]]'s unrolled fold:
+    * per-level CTEs over columns named (x, y, d), starting from a CTE
+    * `base` exposing quantized qx/qy plus `carry` columns. Used by the
+    * declared query so both engines run the identical level steps. */
+  def hilbertOracleSteps(bits: Int, carryCols: String): String = {
+    val levels = (0 until bits).reverse.map(b => 1L << b)
+    val steps = levels.zipWithIndex.map { case (s, i) =>
+      val in = if (i == 0) "hl0" else s"hl$i"
+      val out = s"hl${i + 1}"
+      s"""$out AS (
+         |  SELECT $carryCols,
+         |    d + $s * $s * xor(3 * (CASE WHEN (x & $s) > 0 THEN 1 ELSE 0 END),
+         |      (CASE WHEN (y & $s) > 0 THEN 1 ELSE 0 END)) AS d,
+         |    CASE WHEN (y & $s) = 0 THEN
+         |      CASE WHEN (x & $s) > 0 THEN $s - 1 - y ELSE y END
+         |    ELSE x END AS x,
+         |    CASE WHEN (y & $s) = 0 THEN
+         |      CASE WHEN (x & $s) > 0 THEN $s - 1 - x ELSE x END
+         |    ELSE y END AS y
+         |  FROM $in)""".stripMargin
+    }
+    steps.mkString(",\n")
+  }
 }

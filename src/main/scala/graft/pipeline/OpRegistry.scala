@@ -831,6 +831,50 @@ object OpRegistry {
     "template_prefix_profile" -> (p => df =>
       graft.ext.TextAnalysis.templatePrefixProfile(
         df, col(str(p, "text_col")), col(str(p, "source_col")),
-        numOpt(p, "k").map(_.toInt).getOrElse(3)))
+        numOpt(p, "k").map(_.toInt).getOrElse(3))),
+    // batch 37 (q303-q308)
+    "cronbach_alpha" -> (p => df => graft.ops.Aggregates.cronbachAlpha(
+      df, col(str(p, "subject_col")), col(str(p, "item_col")),
+      col(str(p, "value_col")), num(p, "n_items").toInt)),
+    "partial_correlation" -> (p => df =>
+      graft.ops.Aggregates.partialCorrelation(
+        df, col(str(p, "x_col")), col(str(p, "y_col")),
+        col(str(p, "z_col")))),
+    "regression_influence" -> (p => df =>
+      graft.ops.Aggregates.regressionInfluence(
+        df, col(str(p, "id_col")), col(str(p, "x_col")),
+        col(str(p, "y_col")),
+        numOpt(p, "top_k").map(_.toInt).getOrElse(10))),
+    "qn_scale" -> (p => df => graft.ops.Aggregates.qnScale(
+      df, strs(p, "keys"), col(str(p, "value_col")))),
+    "bland_altman" -> (p => df => graft.ops.Aggregates.blandAltman(
+      df, col(str(p, "a_col")), col(str(p, "b_col")))),
+    "rake_to_marginals" -> (p => df =>
+      graft.ops.Experimentation.rakeToMarginals(
+        df, col(str(p, "row_col")), col(str(p, "col_col")),
+        col(str(p, "slice_col")), str(p, "ref_slice"), str(p, "cur_slice"),
+        numOpt(p, "rounds").map(_.toInt).getOrElse(2))),
+    // batch 38 (q309-q314)
+    "hilbert_key" -> (p => df => df.withColumn(
+      strOpt(p, "out_col").getOrElse("hkey"),
+      graft.ops.Layout.hilbertKey(col(str(p, "x_col")), col(str(p, "y_col")),
+        num(p, "xmin"), num(p, "xmax"), num(p, "ymin"), num(p, "ymax"),
+        numOpt(p, "bits").map(_.toInt).getOrElse(12)))),
+    "capped_sessionize" -> (p => df =>
+      graft.ops.EventAnalytics.cappedSessionize(
+        df, str(p, "actor_col"), str(p, "ts_col"), str(p, "tie_col"),
+        num(p, "gap_seconds").toLong, num(p, "cap_seconds").toLong)),
+    "transition_triples" -> (p => df =>
+      graft.ops.EventAnalytics.topTransitionTriples(
+        df, col(str(p, "actor_col")), col(str(p, "ts_col")),
+        col(str(p, "tie_col")), col(str(p, "type_col")),
+        numOpt(p, "top_k").map(_.toInt).getOrElse(20))),
+    "mcnemar" -> (p => df => graft.ops.Aggregates.mcNemar(
+      df, expr(str(p, "pred_a_cond")), expr(str(p, "pred_b_cond")),
+      expr(str(p, "label_cond")))),
+    "runs_test" -> (p => df => graft.ops.Aggregates.runsTest(
+      df, col(str(p, "order_col")), expr(str(p, "flag_cond")))),
+    "woe_encoding" -> (p => df => graft.ops.Features.woeEncoding(
+      df, col(str(p, "category_col")), expr(str(p, "event_cond"))))
   ))
 }

@@ -1476,6 +1476,122 @@ class AnalyticsOpsSpec extends AnyFunSuite {
     assert(!tight.getAs[Boolean]("equivalent"))
   }
 
+  test("mcNemar: only the discordant cells decide") {
+    // pred A right on 6 rows B misses; B right on 2 A misses; the
+    // concordant cells are noise: χ² = (|6−2|−1)²/8 = 1.125
+    val rows =
+      Seq.fill(6)((true, false, true)) ++  // A right, B wrong
+      Seq.fill(2)((false, true, true)) ++  // B right, A wrong
+      Seq.fill(5)((true, true, true)) ++   // both right
+      Seq.fill(3)((false, false, true))    // both wrong
+    val r = Aggregates.mcNemar(rows.toDF("pa", "pb", "y"),
+      col("pa"), col("pb"), col("y")).head()
+    assert((r.getAs[Long]("only_a"), r.getAs[Long]("only_b")) == ((6L, 2L)))
+    assert(r.getAs[Double]("chi2") == 1.125)
+    assert(!r.getAs[Boolean]("significant"))
+    val strong = rows ++ Seq.fill(14)((true, false, true)) // only_a = 20
+    val r2 = Aggregates.mcNemar(strong.toDF("pa", "pb", "y"),
+      col("pa"), col("pb"), col("y")).head()
+    assert(r2.getAs[Double]("chi2") ==
+      BigDecimal(17.0 * 17 / 22).setScale(6,
+        BigDecimal.RoundingMode.HALF_UP).toDouble)
+    assert(r2.getAs[Boolean]("significant"))
+  }
+
+  test("runsTest: perfect alternation and a pure streak mirror in z") {
+    val alt = (1L to 10L).map(i => (i, i % 2 == 1))
+    val streak = (1L to 10L).map(i => (i, i > 5))
+    val za = Aggregates.runsTest(alt.toDF("t", "f"), col("t"), col("f"))
+      .head()
+    assert(za.getAs[Long]("n_runs") == 10L)
+    // μ = 6, σ = √(5·4/9): z = 4/σ = 2.683282
+    assert(za.getAs[Double]("z") == 2.683282)
+    val zs = Aggregates.runsTest(streak.toDF("t", "f"), col("t"), col("f"))
+      .head()
+    assert(zs.getAs[Long]("n_runs") == 2L)
+    assert(zs.getAs[Double]("z") == -2.683282)
+  }
+
+  test("woeEncoding: symmetric 3:1 split scores ±ln 2 and hand IV") {
+    import graft.ops.Features
+    val rows = Seq.fill(3)(("a", true)) ++ Seq.fill(1)(("a", false)) ++
+      Seq.fill(1)(("b", true)) ++ Seq.fill(3)(("b", false))
+    val out = Features.woeEncoding(rows.toDF("c", "e"), col("c"), col("e"))
+      .collect().map(r => r.getAs[String]("category") -> r).toMap
+    val ln2nano = math.round(math.log(2.0) * 1e9)
+    assert(out("a").getAs[Long]("woe_nano") == ln2nano)
+    assert(out("b").getAs[Long]("woe_nano") == -ln2nano)
+    val term = math.round((1.0 / 3) * math.log(2.0) * 1e9)
+    val wantIv = BigDecimal((2 * term).toDouble / 1e9)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(out("a").getAs[Double]("iv") == wantIv)
+  }
+
+  test("cronbachAlpha: duplicated item scores alpha 1; constant totals " +
+      "have no scale variance") {
+    // item 2 == item 1 for every subject → perfectly consistent scale
+    val dup = (1L to 4L).flatMap(s => Seq((s, 1, s), (s, 2, s)))
+    val r1 = Aggregates.cronbachAlpha(dup.toDF("s", "it", "v"),
+      col("s"), col("it"), col("v"), nItems = 2).head()
+    assert(r1.getAs[Long]("n_subjects") == 4L)
+    assert(r1.getAs[Double]("alpha") == 1.0)
+    // item 2 == 5 − item 1 → every total is 5 → zero total variance
+    val anti = (1L to 4L).flatMap(s => Seq((s, 1, s), (s, 2, 5 - s)))
+    val r2 = Aggregates.cronbachAlpha(anti.toDF("s", "it", "v"),
+      col("s"), col("it"), col("v"), nItems = 2).head()
+    assert(r2.isNullAt(r2.fieldIndex("alpha")))
+    // an incomplete subject drops
+    val withPartial = dup :+ ((9L, 1, 9L))
+    assert(Aggregates.cronbachAlpha(withPartial.toDF("s", "it", "v"),
+      col("s"), col("it"), col("v"), nItems = 2)
+      .head().getAs[Long]("n_subjects") == 4L)
+  }
+
+  test("partialCorrelation: controlling the dominant confounder reveals " +
+      "the exact relation") {
+    // y = x + z with x ⊥ z: raw r_xy ≈ 0.1, partial r_xy·z = 1
+    val rows = Seq((0L, 0L), (0L, 10L), (1L, 0L), (1L, 10L))
+      .map { case (x, z) => (x, x + z, z) }
+    val r = Aggregates.partialCorrelation(rows.toDF("x", "y", "z"),
+      col("x"), col("y"), col("z")).head()
+    assert(r.getAs[Double]("r_xz") == 0.0)
+    assert(r.getAs[Double]("r_xy") < 0.11)
+    assert(r.getAs[Double]("r_partial") == 1.0)
+  }
+
+  test("regressionInfluence: the off-line point tops Cook's ranking") {
+    val pts = Seq((1L, 1L, 1L), (2L, 2L, 2L), (3L, 3L, 3L), (4L, 4L, 10L))
+    val out = Aggregates.regressionInfluence(pts.toDF("id", "x", "y"),
+      col("id"), col("x"), col("y"), topK = 4).collect()
+    assert(out.head.getAs[Long]("id") == 4L)
+    val ds = out.map(_.getAs[Double]("cooks_d"))
+    assert(ds.zip(ds.tail).forall { case (a, b) => a >= b })
+  }
+
+  test("qnScale: pairwise-difference quartile on {1,2,3,4}; all-equal " +
+      "keys score 0") {
+    val df = (Seq(1L, 2L, 3L, 4L).map(("k", _)) ++
+      Seq(5L, 5L, 5L).map(("z", _))).toDF("g", "v")
+    val out = Aggregates.qnScale(df, Seq("g"), col("v"))
+      .collect().map(r => r.getAs[String]("g") -> r).toMap
+    assert(out("k").getAs[Long]("n_pairs") == 6L)
+    assert(out("k").getAs[Long]("q25_absdiff") == 1L)
+    assert(out("k").getAs[Double]("qn") == 2.2219)
+    assert(out("z").getAs[Long]("q25_absdiff") == 0L)
+  }
+
+  test("blandAltman: tight cluster plus one escapee — limits and the " +
+      "outside count") {
+    // 20 zero differences + one of 10: sd ≈ 2.18, loa_high ≈ 4.75
+    val rows = Seq.fill(20)((5L, 5L)) :+ ((15L, 5L))
+    val r = Aggregates.blandAltman(rows.toDF("a", "b"), col("a"), col("b"))
+      .head()
+    assert(r.getAs[Long]("n") == 21L)
+    assert(r.getAs[Long]("n_outside") == 1L)
+    assert(r.getAs[Long]("outside_ppm") == 47619L)
+    assert(r.getAs[Double]("loa_high") < 10.0)
+  }
+
   test("wasserstein1: all mass moving distance d scores exactly d") {
     val df = (Seq(0L, 0L).map(("a", _)) ++ Seq(10L, 10L).map(("b", _)))
       .toDF("s", "v")

@@ -236,6 +236,39 @@ class EventAnalyticsSpec extends AnyFunSuite {
     assert(out.values.sum == 20000L) // 10000 per conversion, exactly
   }
 
+  test("cappedSessionize: gap splits AND span-cap splits, hand-traced") {
+    // gap 30 min, cap 2 h. 20-min steps never trip the gap; the event
+    // at minute 140 trips the SPAN cap (140 > 120 from the session
+    // start); the final event trips the gap.
+    val minutes = Seq(0, 20, 40, 60, 80, 100, 120, 140, 540)
+    val df = minutes.zipWithIndex.map { case (m, i) =>
+      (1L, new java.sql.Timestamp(
+        ts("2024-01-01 00:00:00").getTime + m * 60000L), i.toLong)
+    }.toDF("u", "ts", "eid")
+    val out = EventAnalytics.cappedSessionize(df, "u", "ts", "eid",
+        gapSeconds = 1800L, capSeconds = 7200L)
+      .orderBy(col("ts")).collect()
+    assert(out.map(_.getAs[Long]("session_idx")).toSeq ==
+      Seq(0L, 0L, 0L, 0L, 0L, 0L, 0L, 1L, 2L))
+    // the cap-split session restarts its span clock at minute 140
+    assert(out(7).getAs[Long]("session_start_us") ==
+      out(7).getAs[java.sql.Timestamp]("ts").getTime * 1000L)
+  }
+
+  test("topTransitionTriples: hand journeys rank the repeated loop first") {
+    val df = Seq(
+      (1L, 1L, "a"), (1L, 2L, "b"), (1L, 3L, "a"), (1L, 4L, "b"),
+      (2L, 1L, "a"), (2L, 2L, "b"), (2L, 3L, "a"),
+      (3L, 1L, "x"), (3L, 2L, "y"), (3L, 3L, "z"))
+      .toDF("u", "t", "k")
+    val out = EventAnalytics.topTransitionTriples(df.withColumn("eid",
+        col("t")), col("u"), col("t"), col("eid"), col("k"), topK = 3)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2),
+        r.getAs[Long]("n")))
+    assert(out.head == (("a", "b", "a", 2L)))
+    assert(out.toSet.contains(("x", "y", "z", 1L)))
+  }
+
   test("funnelWithSignificance: hand pooled-z against the previous " +
       "transition") {
     // 10 view → 5 click → 1 purchase: second transition z =

@@ -446,6 +446,25 @@ class ExperimentationSpec extends AnyFunSuite {
       out(2).getAs[Long]("cur_n") == 0L)
   }
 
+  test("rakeToMarginals: weighted marginals hit the reference targets " +
+      "and converge in one round here") {
+    // cur table uniform 1 per cell; ref marginals rows (a:2, b:2),
+    // cols (x:3, y:1) → raked weights 1.5e6 for x cells, 0.5e6 for y
+    val rows = Seq(("a", "x", "cur"), ("a", "y", "cur"),
+      ("b", "x", "cur"), ("b", "y", "cur"),
+      ("a", "x", "ref"), ("a", "x", "ref"),
+      ("b", "x", "ref"), ("b", "y", "ref"))
+    val out = Experimentation.rakeToMarginals(rows.toDF("r", "c", "s"),
+      col("r"), col("c"), col("s"), "ref", "cur", rounds = 2)
+      .collect().map(x => (x.getAs[String]("row_key"),
+        x.getAs[String]("col_key")) -> x.getAs[Long]("weight_micro")).toMap
+    assert(out == Map(("a", "x") -> 1500000L, ("a", "y") -> 500000L,
+      ("b", "x") -> 1500000L, ("b", "y") -> 500000L))
+    // column sums now match ref col marginals ×1e6 exactly
+    assert(out(("a", "x")) + out(("b", "x")) == 3000000L)
+    assert(out(("a", "y")) + out(("b", "y")) == 1000000L)
+  }
+
   test("psi: a mirrored 8/2 → 2/8 shift scores 2·(0.5·ln 3) = ln 3") {
     // smoothed p = (8+1)/(10+2) = .75 vs q = .25 in bin 0, mirrored in
     // bin 1 → each term .5·ln3, psi = ln 3 = 1.098612

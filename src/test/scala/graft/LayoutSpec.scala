@@ -78,4 +78,44 @@ class LayoutSpec extends AnyFunSuite {
     assert(out(0).getAs[Long]("n_files") == 2L &&
       out(0).getAs[Long]("file_lo") == 1L && out(0).getAs[Long]("file_hi") == 2L)
   }
+
+  test("hilbertKey: the order-3 curve is bijective and every key step " +
+      "moves exactly one cell") {
+    // feed the raw 8×8 integer lattice through identity bounds
+    val cells = for { x <- 0 until 8; y <- 0 until 8 }
+      yield (x.toLong, x.toDouble, y.toDouble)
+    val out = cells.toDF("id", "x", "y")
+      .select(col("x"), col("y"),
+        Layout.hilbertKey(col("x"), col("y"), 0.0, 8.0, 0.0, 8.0,
+          bits = 3).as("d"))
+      .collect().map(r => r.getAs[Long]("d") ->
+        (r.getAs[Double]("x").toInt, r.getAs[Double]("y").toInt))
+      .sortBy(_._1)
+    assert(out.map(_._1).toSeq == (0L until 64L)) // bijective onto 0..63
+    val walk = out.map(_._2)
+    assert(walk.zip(walk.tail).forall { case ((ax, ay), (bx, by)) =>
+      math.abs(ax - bx) + math.abs(ay - by) == 1 }) // unit-step adjacency
+  }
+
+  test("hilbertKey: walk locality strictly beats the Morton key") {
+    // Manhattan distance between the cells of CONSECUTIVE keys:
+    // Hilbert is 1 everywhere; Morton jumps across quadrant seams
+    val cells = for { x <- 0 until 8; y <- 0 until 8 }
+      yield (x.toDouble, y.toDouble)
+    val rows = cells.toDF("x", "y")
+      .select(col("x"), col("y"),
+        Layout.hilbertKey(col("x"), col("y"), 0.0, 8.0, 0.0, 8.0, 3)
+          .as("h"),
+        Layout.zorderKey(col("x"), col("y"), 0.0, 8.0, 0.0, 8.0, 3).as("z"))
+      .collect()
+    def walkCost(key: String): Int = {
+      val walk = rows.sortBy(_.getAs[Long](key))
+        .map(r => (r.getAs[Double]("x").toInt, r.getAs[Double]("y").toInt))
+      walk.zip(walk.tail)
+        .map { case ((ax, ay), (bx, by)) =>
+          math.abs(ax - bx) + math.abs(ay - by) }.sum
+    }
+    assert(walkCost("h") == 63)       // 63 unit steps, the optimum
+    assert(walkCost("z") > walkCost("h")) // Morton pays seam jumps
+  }
 }
