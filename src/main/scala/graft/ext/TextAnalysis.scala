@@ -839,18 +839,6 @@ object TextAnalysis {
       .withColumn("novelty_ppm", expr("1000000 * n_unseen div n_grams"))
   }
 
-  /** E4 — Heaps' law fit (Heaps 1978 — public literature): V ≈ K·nᵝ
-    * over the [[vocabGrowth]] checkpoints (n = documents seen, V =
-    * vocabulary size), fit as ln V ~ ln K + β·ln n by exact-moment OLS
-    * over micro-quantized logs (the q250/q266 device). β near 1 means
-    * vocabulary still grows linearly — more data keeps buying new
-    * types; β well below 1 quantifies the flattening q205 only shows
-    * visually, and K·Nᵝ extrapolates tokenizer vocabulary pressure to
-    * the 100 TB corpus before it is crawled. Returns one row:
-    * (n_points, beta, ln_k, k).
-    *
-    * Scale: the fit runs over the checkpoint rollup (corpus/every
-    * rows) — [[vocabGrowth]]'s cost envelope, nothing more. */
   /** E4 — χ²-ranked keyword extraction per slice: for every (slice,
     * token), the chi-square of the 2×2 occurrence table (token in
     * slice / token elsewhere / other tokens in slice / elsewhere),
@@ -979,6 +967,18 @@ object TextAnalysis {
           expr("(__c * 1000000L) div __n"))).as("modal_ppm"))
   }
 
+  /** E4 — Heaps' law fit (Heaps 1978 — public literature): V ≈ K·nᵝ
+    * over the [[vocabGrowth]] checkpoints (n = documents seen, V =
+    * vocabulary size), fit as ln V ~ ln K + β·ln n by exact-moment OLS
+    * over micro-quantized logs (the q250/q266 device). β near 1 means
+    * vocabulary still grows linearly — more data keeps buying new
+    * types; β well below 1 quantifies the flattening q205 only shows
+    * visually, and K·Nᵝ extrapolates tokenizer vocabulary pressure to
+    * the 100 TB corpus before it is crawled. Returns one row:
+    * (n_points, beta, ln_k, k).
+    *
+    * Scale: the fit runs over the checkpoint rollup (corpus/every
+    * rows) — [[vocabGrowth]]'s cost envelope, nothing more. */
   def heapsFit(df: DataFrame, tokensCol: Column, idCol: Column,
       every: Long): DataFrame = {
     val d38 = "decimal(38,0)"

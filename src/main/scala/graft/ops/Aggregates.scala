@@ -1762,10 +1762,18 @@ object Aggregates {
           lit(0.254829592)) * col("__t")) * exp(-(col("__xa") * col("__xa"))))
       .withColumn("__phi", when(col("__z") >= 0,
         lit(1.0) - col("__pc") / 2).otherwise(col("__pc") / 2))
+      // extreme |z| underflows the A&S polynomial: __pc → 0, so __phi
+      // hits exactly 0 or 1 and a bare log() would go null and DROP the
+      // row's term from the sum (understating A²). Clamp each log
+      // ARGUMENT at 1e-300 — clamping __phi at 1−ε is an IEEE no-op
+      // (1−1e-300 == 1.0) — so outlier terms saturate at ln(1e-300)
+      // instead of vanishing; mirrored verbatim in the oracle.
       .withColumn("__term_nano", round(
-        ((col("row_num") * 2 - 1).cast("double") * log(col("__phi")) +
+        ((col("row_num") * 2 - 1).cast("double") *
+           log(greatest(col("__phi"), lit(1e-300))) +
          ((col("__n").cast("long") - col("row_num")) * 2 + 1).cast("double") *
-           log(lit(1.0) - col("__phi"))) * 1e9, 0).cast("long"))
+           log(greatest(lit(1.0) - col("__phi"), lit(1e-300)))) * 1e9, 0)
+        .cast("long"))
     terms.agg(max(col("__n")).as("__n2"), max(col("__mean")).as("__m2"),
         max(col("__sd")).as("__sd2"), sum(col("__term_nano")).as("__sn"))
       .withColumn("__a2", -col("__n2").cast("double") -

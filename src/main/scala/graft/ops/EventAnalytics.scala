@@ -661,6 +661,11 @@ object EventAnalytics {
     * touches — so Σ credit ≡ 10000 per conversion, exactly.
     * Conversions with no preceding touch credit '(none)' in full.
     * Returns per touch type: (attributed_type, touches, credit_bps).
+    * NOTE on the '(none)' row: its `touches` column counts ORPHAN
+    * CONVERSIONS (conversions with no touch in their segment), not
+    * touch events — every other row's `touches` counts credited touch
+    * events. Callers aggregating `touches` over attributed_type should
+    * exclude '(none)' (or read it as an untouched-conversion count).
     *
     * Scale: segment ids, conversion stamps and recency ranks are
     * functions over ONE actor-keyed window sort (the q161 envelope);

@@ -356,7 +356,10 @@ object Experimentation {
     * success condition and an integer look index; counts cumulate over
     * a |looks|-sized rollup window, z is the pooled two-proportion
     * statistic — one pinned IEEE finish per look over exact cumulative
-    * counts. Returns per look:
+    * counts, emitted UNROUNDED (the q186 discipline: divide, multiply
+    * and sqrt are exactly specified by IEEE-754, so a pinned op order
+    * hash-matches across engines; round-to-decimals is the one
+    * non-portable finish and is banned here). Returns per look:
     * (look, n_a, n_b, conv_a, conv_b, z, boundary, crossed).
     *
     * Scale: one (look, arm) agg with map-side combine; the cumulative
@@ -383,12 +386,11 @@ object Experimentation {
       .withColumn("conv_b", sum(col("__cb")).over(cum))
       .withColumn("__k", row_number().over(Window.orderBy(col("look"))))
       .withColumn("__kmax", count(lit(1)).over(all))
-      .withColumn("z", round(
+      .withColumn("z",
         (col("conv_a").cast("double") / pa - col("conv_b").cast("double") / pb) /
-          sqrt(pooled * (lit(1.0) - pooled) * (lit(1.0) / pa + lit(1.0) / pb)),
-        6))
-      .withColumn("boundary", round(lit(zFinal) *
-        sqrt(col("__kmax").cast("double") / col("__k").cast("double")), 6))
+          sqrt(pooled * (lit(1.0) - pooled) * (lit(1.0) / pa + lit(1.0) / pb)))
+      .withColumn("boundary", lit(zFinal) *
+        sqrt(col("__kmax").cast("double") / col("__k").cast("double")))
       .withColumn("crossed", abs(col("z")) >= col("boundary"))
       .select(col("look"), col("n_a"), col("n_b"), col("conv_a"),
         col("conv_b"), col("z"), col("boundary"), col("crossed"))

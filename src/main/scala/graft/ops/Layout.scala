@@ -132,7 +132,15 @@ object Layout {
     * and the oracle replays it level by level.
     *
     * Convention pinned here: reflections use the CURRENT level size
-    * (x ← s−1−x), the descending-s loop of the classic snippet. */
+    * (x ← s−1−x), the descending-s loop of the classic snippet.
+    *
+    * The fold itself is a codegen Catalyst Expression
+    * ([[graft.ext.HilbertIndex]]): inlined as Column arithmetic each
+    * level re-embeds the previous level's (cx, cy) subtrees, growing
+    * the tree ~5× per level — a Catalyst analysis/codegen blowup
+    * (468 s at bits=7 in the round-4 bench), while the Expression's
+    * static kernel plans in constant time and runs inside the
+    * enclosing WholeStageCodegen span. */
   def hilbertKey(x: Column, y: Column,
       xmin: Double, xmax: Double, ymin: Double, ymax: Double,
       bits: Int): Column = {
@@ -141,24 +149,7 @@ object Layout {
     def q(c: Column, lo: Double, hi: Double): Column =
       greatest(lit(0L), least(lit((1L << bits) - 1),
         floor((c - lit(lo)) / lit(hi - lo) * lit((1L << bits).toDouble)).cast("long")))
-    var cx = q(x, xmin, xmax)
-    var cy = q(y, ymin, ymax)
-    var d: Column = lit(0L)
-    var s = 1L << (bits - 1)
-    while (s >= 1) {
-      val rx = when(cx.bitwiseAND(lit(s)) > 0, lit(1L)).otherwise(lit(0L))
-      val ry = when(cy.bitwiseAND(lit(s)) > 0, lit(1L)).otherwise(lit(0L))
-      d = d + lit(s * s) * (lit(3L) * rx).bitwiseXOR(ry)
-      val refl = ry === 0 && rx === 1
-      val nx = when(ry === 0, when(refl, lit(s - 1) - cy).otherwise(cy))
-        .otherwise(cx)
-      val ny = when(ry === 0, when(refl, lit(s - 1) - cx).otherwise(cx))
-        .otherwise(cy)
-      cx = nx
-      cy = ny
-      s >>= 1
-    }
-    d
+    graft.ext.HilbertIndex.hilbertIndex(q(x, xmin, xmax), q(y, ymin, ymax), bits)
   }
 
   /** The DuckDB transliteration of [[hilbertKey]]'s unrolled fold:

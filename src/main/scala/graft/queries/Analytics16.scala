@@ -137,8 +137,10 @@ object Analytics16 {
            |    CASE WHEN z >= 0 THEN 1.0 - pc / 2 ELSE pc / 2 END AS phi
            |  FROM p3),
            |tn AS (SELECT n, mean, sd,
-           |    CAST(round((CAST(i * 2 - 1 AS DOUBLE) * ln(phi) +
-           |      CAST((n - i) * 2 + 1 AS DOUBLE) * ln(1.0 - phi)) * 1e9, 0)
+           |    CAST(round((CAST(i * 2 - 1 AS DOUBLE) *
+           |        ln(greatest(phi, 1e-300)) +
+           |      CAST((n - i) * 2 + 1 AS DOUBLE) *
+           |        ln(greatest(1.0 - phi, 1e-300))) * 1e9, 0)
            |      AS BIGINT) AS term
            |  FROM ph),
            |g AS (SELECT max(n) AS n2, max(mean) AS m2, max(sd) AS sd2,

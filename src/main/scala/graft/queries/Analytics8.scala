@@ -236,25 +236,23 @@ object Analytics8 {
            |  WINDOW w AS (ORDER BY look
            |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
            |SELECT look, n_a, n_b, conv_a, conv_b,
-           |  round((CAST(conv_a AS DOUBLE) / CAST(n_a AS DOUBLE) -
+           |  (CAST(conv_a AS DOUBLE) / CAST(n_a AS DOUBLE) -
            |         CAST(conv_b AS DOUBLE) / CAST(n_b AS DOUBLE)) /
            |    sqrt(CAST(conv_a + conv_b AS DOUBLE) /
            |           (CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE)) *
            |         (1.0 - CAST(conv_a + conv_b AS DOUBLE) /
            |           (CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE))) *
-           |         (1.0 / CAST(n_a AS DOUBLE) + 1.0 / CAST(n_b AS DOUBLE))),
-           |    6) AS z,
-           |  round(1.96 * sqrt(CAST(kmax AS DOUBLE) / CAST(k AS DOUBLE)), 6)
-           |    AS boundary,
-           |  abs(round((CAST(conv_a AS DOUBLE) / CAST(n_a AS DOUBLE) -
+           |         (1.0 / CAST(n_a AS DOUBLE) + 1.0 / CAST(n_b AS DOUBLE)))
+           |    AS z,
+           |  1.96 * sqrt(CAST(kmax AS DOUBLE) / CAST(k AS DOUBLE)) AS boundary,
+           |  abs((CAST(conv_a AS DOUBLE) / CAST(n_a AS DOUBLE) -
            |         CAST(conv_b AS DOUBLE) / CAST(n_b AS DOUBLE)) /
            |    sqrt(CAST(conv_a + conv_b AS DOUBLE) /
            |           (CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE)) *
            |         (1.0 - CAST(conv_a + conv_b AS DOUBLE) /
            |           (CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE))) *
-           |         (1.0 / CAST(n_a AS DOUBLE) + 1.0 / CAST(n_b AS DOUBLE))),
-           |    6)) >=
-           |  round(1.96 * sqrt(CAST(kmax AS DOUBLE) / CAST(k AS DOUBLE)), 6)
+           |         (1.0 / CAST(n_a AS DOUBLE) + 1.0 / CAST(n_b AS DOUBLE)))) >=
+           |  1.96 * sqrt(CAST(kmax AS DOUBLE) / CAST(k AS DOUBLE))
            |    AS crossed
            |FROM c ORDER BY look""".stripMargin),
     "One (look, arm) agg over the exposures; the cumulative window runs over " +

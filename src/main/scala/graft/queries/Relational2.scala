@@ -434,7 +434,10 @@ object Relational2 {
     * customer's 3 largest order totals as an ORDERED array. collect_list
     * has no order guarantee, so elements are collected as (rank, value)
     * structs and array_sort'ed on the rank — deterministic under any
-    * partitioning; ties in price break on o_orderkey in both engines. */
+    * partitioning; ties in price break on o_orderkey in both engines.
+    * The COMPARED projection renders the array as a cent-exact CSV
+    * string (array elements are not hashable in the oracle harness's
+    * canonicalizer); the array itself is built and sized upstream. */
   val q110 = Declared(
     "q110_array_agg_topk", "A-array,W2,X4",
     (s, dir) => {
@@ -446,13 +449,20 @@ object Relational2 {
         .agg(array_sort(collect_list(struct(col("rn"), col("o_totalprice"))))
           .as("top"))
         .select(col("o_custkey"),
-          expr("transform(top, t -> t.o_totalprice)").as("top_prices"),
+          array_join(
+            // totalprice is a DOUBLE holding cent-exact values: floor(x·100
+            // + 0.5) is the portable cent quantizer (identical IEEE ops both
+            // engines; double→long CAST truncation/rounding differs)
+            expr("transform(top, t -> CAST(floor(t.o_totalprice * 100 + 0.5) AS BIGINT))"),
+            ",").as("top_prices_csv"),
           size(col("top")).as("n_top"))
         .orderBy(col("o_custkey"))
     },
     Some("""SELECT o_custkey,
-           |  list_slice(list(o_totalprice ORDER BY o_totalprice DESC, o_orderkey),
-           |             1, 3) AS top_prices,
+           |  array_to_string(list_transform(
+           |    list_slice(list(o_totalprice ORDER BY o_totalprice DESC, o_orderkey),
+           |               1, 3),
+           |    x -> CAST(floor(x * 100 + 0.5) AS BIGINT)), ',') AS top_prices_csv,
            |  CAST(least(count(*), 3) AS INT) AS n_top
            |FROM orders
            |GROUP BY o_custkey

@@ -408,10 +408,12 @@ class ExperimentationSpec extends AnyFunSuite {
   }
 
   test("sequentialBoundary: OBF shape — conservative early, nominal late") {
-    // look 1: A 1/2 vs B 0/2 → z = 0.5/√(0.25·0.75·1) = 1.154701,
-    //   boundary = 1.96·√2 = 2.771859 — NOT crossed;
-    // look 2 cumulative: A 3/4 vs B 1/4 → z = 0.5/√0.125 = 1.414214,
-    //   boundary = 1.96 — still not crossed (the A/A-ish outcome)
+    // look 1: A 1/2 vs B 0/2 → z = 0.5/√(0.25·0.75·1) ≈ 1.1547005,
+    //   boundary = 1.96·√2 ≈ 2.7718586 — NOT crossed;
+    // look 2 cumulative: A 3/4 vs B 1/4 → z = 0.5/√0.125 = √2,
+    //   boundary = 1.96 — still not crossed (the A/A-ish outcome).
+    // Values are UNROUNDED doubles from a pinned op order (the q186
+    // discipline), asserted bit-exact against the same IEEE chain.
     val rows = Seq((1, "A", 1), (1, "A", 0), (1, "B", 0), (1, "B", 0),
       (2, "A", 1), (2, "A", 1), (2, "B", 1), (2, "B", 0))
     val out = Experimentation.sequentialBoundary(rows.toDF("look", "arm", "s"),
@@ -420,12 +422,11 @@ class ExperimentationSpec extends AnyFunSuite {
     assert(out.length == 2)
     val l1 = out(0); val l2 = out(1)
     assert(l1.getAs[Long]("n_a") == 2L && l1.getAs[Long]("conv_a") == 1L)
-    assert(l1.getAs[Double]("z") == 1.154701)
-    assert(l1.getAs[Double]("boundary") ==
-      math.rint(1.96 * math.sqrt(2.0) * 1e6) / 1e6)
+    assert(l1.getAs[Double]("z") == 0.5 / math.sqrt(0.25 * 0.75 * 1.0))
+    assert(l1.getAs[Double]("boundary") == 1.96 * math.sqrt(2.0))
     assert(!l1.getAs[Boolean]("crossed"))
     assert(l2.getAs[Long]("n_a") == 4L && l2.getAs[Long]("conv_a") == 3L)
-    assert(l2.getAs[Double]("z") == 1.414214)
+    assert(l2.getAs[Double]("z") == 0.5 / math.sqrt(0.5 * 0.5 * 0.5))
     assert(l2.getAs[Double]("boundary") == 1.96)
     assert(!l2.getAs[Boolean]("crossed"))
   }
