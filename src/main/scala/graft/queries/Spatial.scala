@@ -213,10 +213,21 @@ object Spatial {
     "Bbox bounds come from a 1-row broadcast agg; the between predicates are plain Catalyst " +
       "filters → Parquet min/max row-group skipping applies at scale.")
 
-  /** q36 — A7: ordinary kriging (linear variogram) onto a lattice.
-    * Not DuckDB-expressible (LU solve) → rows-only check; numeric
-    * semantics are pinned by KrigingSpec (exactness, unbiasedness,
-    * constant-field properties). */
+  /** q36 — A7: ordinary kriging (linear variogram) onto a lattice,
+    * DATA-DRIVEN (the full 100-sensor fleet) and now under the oracle
+    * gate: the DuckDB side replays the ENTIRE solve — empirical
+    * variogram (pair gammas left-folded in (i,j) order via
+    * list_reduce), least-squares fit with its clamp semantics, K
+    * assembly, 101×101 LU with DATA-DEPENDENT partial pivoting as a
+    * recursive CTE (pivot = min index among the |column| maxima, row
+    * swap by index relabel, one elimination rank-1 update per step),
+    * then permuted forward/back substitution per lattice point (the
+    * sequential j-folds as ordered-list reductions) and the Σλv /
+    * Σλr+μ finishes. Every step is +,−,×,÷,√ in the op's pinned order
+    * — correctly-rounded IEEE — so the doubles compare UNROUNDED,
+    * extending q77's fixture proof to arbitrary data. The
+    * MATERIALIZED hints matter: DuckDB inlines CTEs, and without them
+    * the LU recursion would re-run inside every substitution step. */
   val q36 = Declared(
     "q36_kriging", "A7",
     (s, dir) => {
@@ -224,9 +235,153 @@ object Spatial {
         x0 = 5.0, y0 = 5.0, nx = 10, ny = 10, stepX = 10.0, stepY = 10.0)
         .orderBy(col("gx"), col("gy"))
     },
-    None,
+    Some(s"""WITH RECURSIVE
+            |$sensorsSql,
+            |pts AS MATERIALIZED (
+            |  SELECT x, y, v, CAST(row_number() OVER (ORDER BY x, y) - 1 AS INT) AS i
+            |  FROM (SELECT x, y, avg(coalesce(v, 0.0)) AS v FROM sensors GROUP BY x, y)),
+            |prs AS (
+            |  SELECT a.i AS i, b.i AS j,
+            |    sqrt((a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y)) AS d,
+            |    0.5 * ((a.v - b.v) * (a.v - b.v)) AS g
+            |  FROM pts a JOIN pts b ON b.i > a.i),
+            |dmx AS (SELECT max(d) AS dmax FROM prs),
+            |bins AS (
+            |  SELECT b, (CAST(b AS DOUBLE) + 0.5) * w AS h,
+            |    list_reduce(gl, (a, x) -> a + x) / CAST(cnt AS DOUBLE) AS g
+            |  FROM (
+            |    SELECT least(CAST(floor(d / (dmax / 6)) AS INT), 5) AS b,
+            |      dmax / 6 AS w,
+            |      list(g ORDER BY i, j) AS gl,
+            |      count(*) AS cnt
+            |    FROM prs CROSS JOIN dmx
+            |    GROUP BY 1, 2)),
+            |fitsums AS (
+            |  SELECT CAST(count(*) AS DOUBLE) AS n,
+            |    list_reduce(list(h ORDER BY b), (a, x) -> a + x) AS sh,
+            |    list_reduce(list(g ORDER BY b), (a, x) -> a + x) AS sg,
+            |    list_reduce(list(h * h ORDER BY b), (a, x) -> a + x) AS shh,
+            |    list_reduce(list(h * g ORDER BY b), (a, x) -> a + x) AS shg
+            |  FROM bins),
+            |fit AS (
+            |  SELECT n, sh, sg,
+            |    CASE WHEN n * shh - sh * sh = 0 THEN 0.0
+            |         ELSE (n * shg - sh * sg) / (n * shh - sh * sh) END AS araw
+            |  FROM fitsums),
+            |vp AS (
+            |  SELECT greatest(araw, 0.0) AS va,
+            |    greatest(0.0, (sg - araw * sh) / n) AS vb
+            |  FROM fit),
+            |km AS (
+            |  SELECT i, j, 1e-10 * dd + (va * dd + vb) AS v
+            |  FROM (SELECT a.i AS i, b.i AS j,
+            |          sqrt((a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y)) AS dd
+            |        FROM pts a CROSS JOIN pts b) CROSS JOIN vp
+            |  UNION ALL SELECT i, 100, 1.0 FROM pts
+            |  UNION ALL SELECT 100, i, 1.0 FROM pts
+            |  UNION ALL SELECT 100, 100, 0.0),
+            |lurec(step, kind, i, j, v) AS (
+            |  SELECT 0, 0, i, j, v FROM km
+            |  UNION ALL
+            |  SELECT 0, 1, CAST(k AS INT), CAST(k AS INT), CAST(NULL AS DOUBLE)
+            |  FROM range(101) r(k)
+            |  UNION ALL
+            |  SELECT step + 1, kind, i2, j,
+            |    CASE WHEN kind = 1 THEN v
+            |         WHEN i2 <= step THEN v
+            |         WHEN j = step THEN v / dpv
+            |         WHEN j > step THEN v - (aik / dpv) * akj
+            |         ELSE v END
+            |  FROM (
+            |    SELECT step, kind, i2, j, v,
+            |      max(CASE WHEN kind = 0 AND i2 = step AND j = step THEN v END)
+            |        OVER () AS dpv,
+            |      max(CASE WHEN kind = 0 AND i2 = step THEN v END)
+            |        OVER (PARTITION BY kind, j) AS akj,
+            |      max(CASE WHEN kind = 0 AND j = step THEN v END)
+            |        OVER (PARTITION BY kind, i2) AS aik
+            |    FROM (
+            |      SELECT step, kind,
+            |        CASE WHEN i = step THEN pv WHEN i = pv THEN step ELSE i END AS i2,
+            |        j, v
+            |      FROM (
+            |        SELECT step, kind, i, j, v,
+            |          min(CASE WHEN kind = 0 AND j = step AND i >= step
+            |                AND abs(v) = mxv THEN i END) OVER () AS pv
+            |        FROM (
+            |          SELECT *,
+            |            max(CASE WHEN kind = 0 AND j = step AND i >= step
+            |                  THEN abs(v) END) OVER () AS mxv
+            |          FROM lurec WHERE step < 101))))),
+            |luf AS MATERIALIZED (SELECT i, j, v FROM lurec WHERE step = 101 AND kind = 0),
+            |pivf AS MATERIALIZED (SELECT i AS pos, j AS orig FROM lurec WHERE step = 101 AND kind = 1),
+            |grid AS MATERIALIZED (
+            |  SELECT CAST(k AS BIGINT) AS pt,
+            |    5.0 + CAST(k % 10 AS DOUBLE) * 10.0 AS gx,
+            |    5.0 + CAST(k // 10 AS DOUBLE) * 10.0 AS gy
+            |  FROM range(100) r(k)),
+            |rhs AS MATERIALIZED (
+            |  SELECT pt, i, 1e-10 * dd + (va * dd + vb) AS r
+            |  FROM (SELECT g.pt, p.i,
+            |          sqrt((g.gx - p.x) * (g.gx - p.x) + (g.gy - p.y) * (g.gy - p.y)) AS dd
+            |        FROM grid g CROSS JOIN pts p) CROSS JOIN vp
+            |  UNION ALL SELECT pt, 100, 1.0 FROM grid),
+            |fwd(step, pt, idx, xv) AS (
+            |  SELECT 0, r.pt, pf.pos, r.r
+            |  FROM pivf pf JOIN rhs r ON r.i = pf.orig
+            |  UNION ALL
+            |  SELECT step + 1, pt, idx,
+            |    CASE WHEN idx = step + 1
+            |      THEN list_reduce(list_prepend(xv, tl), (a, x) -> a - coalesce(x, 0.0))
+            |      ELSE xv END
+            |  FROM (
+            |    SELECT f.step, f.pt, f.idx, f.xv,
+            |      list(CASE WHEN f.idx <= f.step THEN l.v * f.xv END)
+            |        OVER (PARTITION BY f.pt ORDER BY f.idx
+            |              ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS tl
+            |    FROM fwd f LEFT JOIN luf l ON l.i = f.step + 1 AND l.j = f.idx
+            |    WHERE f.step < 100)),
+            |fwdf AS MATERIALIZED (SELECT pt, idx, xv FROM fwd WHERE step = 100),
+            |bck(step, pt, idx, xv) AS (
+            |  SELECT 0, pt, idx, xv FROM fwdf
+            |  UNION ALL
+            |  SELECT step + 1, pt, idx,
+            |    CASE WHEN idx = 100 - step
+            |      THEN list_reduce(list_prepend(xv, tl), (a, x) -> a - coalesce(x, 0.0))
+            |           / dii
+            |      ELSE xv END
+            |  FROM (
+            |    SELECT b.step, b.pt, b.idx, b.xv,
+            |      max(CASE WHEN b.idx = 100 - b.step THEN l.v END)
+            |        OVER (PARTITION BY b.pt) AS dii,
+            |      list(CASE WHEN b.idx > 100 - b.step THEN l.v * b.xv END)
+            |        OVER (PARTITION BY b.pt ORDER BY b.idx
+            |              ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS tl
+            |    FROM bck b LEFT JOIN luf l ON l.i = 100 - b.step AND l.j = b.idx
+            |    WHERE b.step <= 100)),
+            |lam AS MATERIALIZED (SELECT pt, idx, xv FROM bck WHERE step = 101),
+            |estl AS (
+            |  SELECT l.pt,
+            |    list_reduce(list(l.xv * p.v ORDER BY l.idx), (a, x) -> a + x) AS est
+            |  FROM lam l JOIN pts p ON p.i = l.idx
+            |  GROUP BY l.pt),
+            |esvl AS (
+            |  SELECT l.pt,
+            |    list_reduce(list(l.xv * r.r ORDER BY l.idx), (a, x) -> a + x) AS s
+            |  FROM lam l JOIN rhs r ON r.pt = l.pt AND r.i = l.idx
+            |  WHERE l.idx < 100
+            |  GROUP BY l.pt),
+            |lam100 AS (SELECT pt, xv FROM lam WHERE idx = 100)
+            |SELECT g.gx, g.gy, e.est AS v_krig, sv.s + lm.xv AS v_krig_var
+            |FROM grid g
+            |JOIN estl e ON e.pt = g.pt
+            |JOIN esvl sv ON sv.pt = g.pt
+            |JOIN lam100 lm ON lm.pt = g.pt
+            |ORDER BY gx, gy""".stripMargin),
     "Driver solves the (n+1)² system once (n = bounded sensor fleet); lattice evaluation " +
-      "distributes with broadcast LU factors — no shuffle, scales linearly in grid size.")
+      "distributes with broadcast LU factors — no shuffle, scales linearly in grid size. " +
+      "The oracle fixes n=100 (the fleet is position-saturated: suppkey mod 100) and " +
+      "replays the identical IEEE op sequence, LU pivots included.")
 
   /** q37 — A2 through the GEOMETRY layer (VectorOps flagship): same
     * oracle as q31's relational reduction, but the Spark side goes
