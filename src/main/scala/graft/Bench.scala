@@ -4,7 +4,23 @@ import org.apache.spark.sql.SparkSession
 import graft.core.GraftSession
 
 /** Benchmark main (driver contract): runs every declared query on
-  * SPARK_GRAFT_SF_DIR and prints ONE JSON line with per-query seconds.
+  * SPARK_GRAFT_SF_DIR and prints ONE JSON line.
+  *
+  * The driver's capture keeps only the LAST 2000 characters of stdout
+  * (all four recorded rounds show `tail_len=2000, parsed=null`), so a
+  * single line carrying all ~313 per-query times (~9 KB) can never
+  * survive parsing. The emitted line is therefore COMPACT (< 2000
+  * chars): total, query count, failures, the top-20 slowest queries,
+  * and any regressions vs the committed per-query baseline. The FULL
+  * per-query map is written to BENCH_FULL.json in the working
+  * directory (committed per round for history).
+  *
+  * Regression gate: dev/bench_baseline.json holds per-query reference
+  * seconds (min over recorded runs; refresh with
+  * `dev/run_class.sh graft.Bench` + `dev/record_baseline.py`). A query
+  * is flagged when it exceeds max(3x baseline, baseline + 0.5 s) — the
+  * harness-level alarm that would have caught round 4's 468 s
+  * hilbert-key outlier without waiting for the judge.
   *
   * Each query is forced through the `noop` sink — a plain count() would
   * let Catalyst prune away most of the computed columns and understate
@@ -57,10 +73,38 @@ object Bench {
     exec(names.head) // session-level first-job costs land here
 
     val results = names.map { n => exec(n); n -> math.min(exec(n), exec(n)) }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
+    def fmt(v: Double): String = f"$v%.3f"
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val failed = results.filter(_._2 < 0).map(_._1)
+
+    // full per-query map → file (the stdout tail can't carry it)
+    val full = results.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
+      .mkString("{", ",", "}")
+    java.nio.file.Files.writeString(java.nio.file.Paths.get("BENCH_FULL.json"),
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$full,"sf":"$sfDir"}""")
+
+    // regression check vs the committed per-query baseline (if present)
+    val baselinePath = java.nio.file.Paths.get("dev/bench_baseline.json")
+    val baseline: Map[String, Double] =
+      if (java.nio.file.Files.exists(baselinePath)) {
+        val txt = java.nio.file.Files.readString(baselinePath)
+        "\"(q[^\"]+)\"\\s*:\\s*([0-9.]+)".r.findAllMatchIn(txt)
+          .map(m => m.group(1) -> m.group(2).toDouble).toMap
+      } else Map.empty
+    val regressions = results.collect {
+      case (n, v) if v >= 0 && baseline.get(n).exists(b =>
+        v > math.max(3 * b, b + 0.5)) => n -> v
+    }
+
+    // "queries" keeps the driver-contract key but carries only the 20
+    // slowest (the full map is in BENCH_FULL.json) so the whole line
+    // fits the driver's 2000-char stdout tail and parses
+    val slowest = results.filter(_._2 >= 0).sortBy(-_._2).take(20)
+      .map { case (k, v) => "\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")
+    val regs = regressions.sortBy(-_._2).take(10)
+      .map { case (k, v) => "\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")
+    val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${names.size},"failed":$failedJson,"queries":$slowest,"regressions":$regs,"queries_file":"BENCH_FULL.json","sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -18,6 +18,17 @@ import org.apache.spark.sql.functions._
   */
 object Clustering {
 
+  // ---- by-design plan-hazard documentation (Guardrails.expect) ------
+  // Each entry registers a deliberately-BOUNDED single-partition window
+  // or unconditioned join this object builds, with its boundedness
+  // argument, so the optimizer audit (PlanAudit / the Guardrails rule)
+  // flags only NEW hazards instead of letting them hide among known
+  // ones. Markers are operator-owned columns of the hazard plan node.
+  graft.plans.Guardrails.expect("single_partition_window",
+    "_we0, id", "kMeansInt: nC-row centroid seeding (bounded by k)")
+
+
+
   /** Quantize a float-array column to micro-unit longs (×10⁶,
     * half-away-from-zero — Spark round and DuckDB round agree). */
   def microQuantize(vec: Column): Column =

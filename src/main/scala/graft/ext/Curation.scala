@@ -14,6 +14,19 @@ import org.apache.spark.sql.expressions.Window
   */
 object Curation {
 
+  // ---- by-design plan-hazard documentation (Guardrails.expect) ------
+  // Each entry registers a deliberately-BOUNDED single-partition window
+  // or unconditioned join this object builds, with its boundedness
+  // argument, so the optimizer audit (PlanAudit / the Guardrails rule)
+  // flags only NEW hazards instead of letting them hide among known
+  // ones. Markers are operator-owned columns of the hazard plan node.
+  graft.plans.Guardrails.expect("single_partition_window",
+    "source, tokens, quality_u", "greedyMixture: |sources|-row allocation")
+  graft.plans.Guardrails.expect("single_partition_window",
+    "__id, __sz", "contextPackingAudit: doc-rollup prefix sum (document-level exception, SCALING.md)")
+
+
+
   /** Deterministic split bucket in [0, 100): a content-derived hash of
     * `content` mod 100. Content-addressed by design — a document keeps
     * its split across re-shards, re-ingests and dedup reorderings, and

@@ -25,6 +25,21 @@ import org.apache.spark.sql.functions._
   * input size. The sketch itself (≤ d·w rows) broadcasts to probes. */
 object Sketches {
 
+  // ---- by-design plan-hazard documentation (Guardrails.expect) ------
+  // Each entry registers a deliberately-BOUNDED single-partition window
+  // or unconditioned join this object builds, with its boundedness
+  // argument, so the optimizer audit (PlanAudit / the Guardrails rule)
+  // flags only NEW hazards instead of letting them hide among known
+  // ones. Markers are operator-owned columns of the hazard plan node.
+  graft.plans.Guardrails.expect("single_partition_window",
+    "__rn, h", "kmvSketch: k-row sketch rank (k<=1024)")
+  graft.plans.Guardrails.expect("single_partition_window",
+    "__cum, __bin", "binnedQuantileAudit: |bins|-row CDF")
+  graft.plans.Guardrails.expect("single_partition_window",
+    "__cum, __x", "binnedQuantileAudit: exact-quantile CDF over the bounded probe")
+
+
+
   /** All `depth` (row_j, bucket) pairs of `key` from ONE md5 call:
     * row j's bucket is hex chars [8j+1 .. 8j+8] of md5(key) — a 32-bit
     * integer — mod width. One hash per input row instead of d (md5

@@ -10,6 +10,23 @@ import org.apache.spark.sql.functions._
   */
 object TextAnalysis {
 
+  // ---- by-design plan-hazard documentation (Guardrails.expect) ------
+  // Each entry registers a deliberately-BOUNDED single-partition window
+  // or unconditioned join this object builds, with its boundedness
+  // argument, so the optimizer audit (PlanAudit / the Guardrails rule)
+  // flags only NEW hazards instead of letting them hide among known
+  // ones. Markers are operator-owned columns of the hazard plan node.
+  graft.plans.Guardrails.expect("single_partition_window",
+    "vocab, __cp", "vocabGrowth/heapsFit: checkpoint rollup (corpus/every rows)")
+  graft.plans.Guardrails.expect("single_partition_window",
+    "__w, __f", "zipfSlope: top-k frequency ranks")
+  graft.plans.Guardrails.expect("single_partition_window",
+    "__cum, __w, __c", "vocabCoverage: vocabulary-rollup cumulative mass")
+  graft.plans.Guardrails.expect("single_partition_window",
+    "__nt, __ty", "vocabCoverage: 1-row totals over the vocabulary rollup")
+
+
+
   /** Tiny built-in stopword profiles for the n-gram/stopword language
     * heuristic. Deliberately small — the contract is "cheap scan-side
     * lang-id", not a full classifier. */

@@ -36,6 +36,61 @@ object GeoMeanAggregator extends Aggregator[Double, (Double, Long), Double] {
   */
 object Aggregates {
 
+  // ---- by-design plan-hazard documentation (Guardrails.expect) ------
+  // Each entry registers a deliberately-BOUNDED single-partition window
+  // or unconditioned join this object builds, with its boundedness
+  // argument, so the optimizer audit (PlanAudit / the Guardrails rule)
+  // flags only NEW hazards instead of letting them hide among known
+  // ones. Markers are operator-owned columns of the hazard plan node.
+  graft.plans.Guardrails.expect("single_partition_window",
+    "__v, __cnt, __ca", "mannWhitneyU: distinct-value rank rollup")
+  graft.plans.Guardrails.expect("cartesian_join",
+    "__r, __c", "chiSquare/cramersV: r x c contingency-cell frame, k-row broadcast")
+  graft.plans.Guardrails.expect("single_partition_window",
+    "__cuma, __cumb", "ksTest/wasserstein1: distinct-value CDF rollup")
+  graft.plans.Guardrails.expect("single_partition_window",
+    "__na, __nb", "ksTest/wasserstein1: 1-row totals over the value rollup")
+  graft.plans.Guardrails.expect("single_partition_window",
+    "__v, __ca, __cb", "wasserstein1: distinct-value gap rollup")
+  graft.plans.Guardrails.expect("single_partition_window",
+    "__W, ", "largestRemainder: |keys|-row seat table")
+  graft.plans.Guardrails.expect("single_partition_window",
+    "__floor, __rem", "largestRemainder: |keys|-row remainder rank")
+  graft.plans.Guardrails.expect("single_partition_window",
+    "__left", "largestRemainder: |keys|-row shortfall assignment")
+  graft.plans.Guardrails.expect("single_partition_window",
+    "digit, exp_ppm", "benfordProfile: 9-row digit frame")
+  graft.plans.Guardrails.expect("single_partition_window",
+    "__K, __N", "skewAudit: top-k key rollup")
+  graft.plans.Guardrails.expect("single_partition_window",
+    "__rn, __k, __cnt", "skewAudit: top-k key rank")
+  graft.plans.Guardrails.expect("single_partition_window",
+    "__v, __cv", "kruskalWallis: distinct-value tie rollup")
+  graft.plans.Guardrails.expect("single_partition_window",
+    "__ad, __c", "wilcoxonSignedRank: distinct-|diff| rank rollup")
+  graft.plans.Guardrails.expect("single_partition_window",
+    "__t, __v", "ljungBox/xmr/acf: calendar-bounded series rollup")
+  graft.plans.Guardrails.expect("single_partition_window",
+    "__rn, __x", "hillTailIndex: top-k order-statistic frame")
+  graft.plans.Guardrails.expect("single_partition_window",
+    "__v, __c, __s", "lorenzCurve: distinct-value cumulative rollup")
+  graft.plans.Guardrails.expect("single_partition_window",
+    "__val, __cb", "abcClassification: |items|-row value rollup")
+  graft.plans.Guardrails.expect("single_partition_window",
+    "__k, __val", "abcClassification: |items|-row rank")
+  graft.plans.Guardrails.expect("single_partition_window",
+    "abc_class", "abcClassification: 3-row class finish")
+  graft.plans.Guardrails.expect("single_partition_window",
+    "__v, __c", "quantileNormalize/binned: distinct-value CDF rollup")
+  graft.plans.Guardrails.expect("single_partition_window",
+    "__pv, d, v", "runsTest: day-rollup lag")
+  graft.plans.Guardrails.expect("single_partition_window",
+    "__prev, __t, __f", "runsTest: day-rollup run flags")
+  graft.plans.Guardrails.expect("cartesian_join",
+    "loa_low, loa_high", "blandAltman: 1-row limits broadcast")
+
+
+
   /** name -> column aggregator (@volatile: registered on one thread,
     * read from any plan-building thread) */
   @volatile private var registry: Map[String, Column => Column] = Map(

@@ -12,6 +12,17 @@ import org.apache.spark.sql.functions._
   */
 object Dominance {
 
+  // ---- by-design plan-hazard documentation (Guardrails.expect) ------
+  // Each entry registers a deliberately-BOUNDED single-partition window
+  // or unconditioned join this object builds, with its boundedness
+  // argument, so the optimizer audit (PlanAudit / the Guardrails rule)
+  // flags only NEW hazards instead of letting them hide among known
+  // ones. Markers are operator-owned columns of the hazard plan node.
+  graft.plans.Guardrails.expect("single_partition_window",
+    "__ymax", "skyline2D: running-max over the sorted candidate rollup")
+
+
+
   /** Skyline of `df` minimizing `xCol` and maximizing `yCol`.
     *
     * A row survives iff

@@ -20,6 +20,17 @@ import org.apache.spark.sql.functions._
   * engine reproduces each metric bit-for-bit, not approximately. */
 object Evaluation {
 
+  // by-design plan-hazard documentation (Guardrails.expect): the lift
+  // windows run over the |bins|-row decile rollup (globalRowNumber does
+  // the fact-scale ranking) — bounded by the bin count.
+  graft.plans.Guardrails.expect("single_partition_window",
+    "cum_n, cum_pos", "decileLift: |bins|-row cumulative rollup")
+  graft.plans.Guardrails.expect("single_partition_window",
+    "__tn, __tp", "decileLift: 1-row totals over the bin rollup")
+  graft.plans.Guardrails.expect("single_partition_window",
+    "__total, __y, row_num", "decileLift: |bins|-row gains finish")
+
+
   private val d38 = "decimal(38,0)"
 
   /** A-stat — exact ROC AUC of a score against a binary label, per

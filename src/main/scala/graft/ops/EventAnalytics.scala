@@ -11,6 +11,33 @@ import org.apache.spark.sql.functions._
   */
 object EventAnalytics {
 
+  // ---- by-design plan-hazard documentation (Guardrails.expect) ------
+  // Each entry registers a deliberately-BOUNDED single-partition window
+  // or unconditioned join this object builds, with its boundedness
+  // argument, so the optimizer audit (PlanAudit / the Guardrails rule)
+  // flags only NEW hazards instead of letting them hide among known
+  // ones. Markers are operator-owned columns of the hazard plan node.
+  graft.plans.Guardrails.expect("single_partition_window",
+    "n_risk, t, d", "kaplanMeier/nelsonAalen: distinct-event-time risk table")
+  graft.plans.Guardrails.expect("single_partition_window",
+    "cumhaz_ppm", "nelsonAalen: distinct-event-time hazard rollup")
+  graft.plans.Guardrails.expect("single_partition_window",
+    "__n, __n1, __t", "logRank: distinct-event-time two-group table")
+  graft.plans.Guardrails.expect("single_partition_window",
+    "__a, __f", "rfmSegments: |actors|-row quantile ranks (actor rollup)")
+  graft.plans.Guardrails.expect("single_partition_window",
+    "__a, __m", "rfmSegments: |actors|-row quantile ranks (actor rollup)")
+  graft.plans.Guardrails.expect("cartesian_join",
+    "__u, __n0", "retentionDecayFit: 1-row cohort-size broadcast")
+  graft.plans.Guardrails.expect("single_partition_window",
+    "__prev, __ptot", "categoryMixDrift: period-rollup lag")
+  graft.plans.Guardrails.expect("single_partition_window",
+    "__pe, __pc", "funnelWithSignificance: |stages|-row funnel lag")
+  graft.plans.Guardrails.expect("single_partition_window",
+    "day, net", "concurrencyProfile: |days|-row carry rollup")
+
+
+
   /** Concurrency profile of half-open intervals `[start, end)`: for
     * every boundary instant, how many intervals are active. The
     * classic sweep line — +1 at each start, −1 at each end, cumulative

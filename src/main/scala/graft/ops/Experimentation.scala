@@ -18,6 +18,19 @@ import org.apache.spark.sql.functions._
   */
 object Experimentation {
 
+  // ---- by-design plan-hazard documentation (Guardrails.expect) ------
+  // Each entry registers a deliberately-BOUNDED single-partition window
+  // or unconditioned join this object builds, with its boundedness
+  // argument, so the optimizer audit (PlanAudit / the Guardrails rule)
+  // flags only NEW hazards instead of letting them hide among known
+  // ones. Markers are operator-owned columns of the hazard plan node.
+  graft.plans.Guardrails.expect("single_partition_window",
+    "arm, pulls, wins", "ucb1: |arms|-row ranking")
+  graft.plans.Guardrails.expect("single_partition_window",
+    "look", "sequentialBoundary: K-row look rollup (calendar-bounded)")
+
+
+
   /** CUPED (Controlled-experiment Using Pre-Experiment Data; Deng,
     * Xu, Kohavi & Walker, WSDM'13 — public literature): adjust the
     * experiment metric by its pre-period covariate,

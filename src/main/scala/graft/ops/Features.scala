@@ -12,6 +12,21 @@ import org.apache.spark.sql.functions._
   * engine keeps. */
 object Features {
 
+  // ---- by-design plan-hazard documentation (Guardrails.expect) ------
+  // Each entry registers a deliberately-BOUNDED single-partition window
+  // or unconditioned join this object builds, with its boundedness
+  // argument, so the optimizer audit (PlanAudit / the Guardrails rule)
+  // flags only NEW hazards instead of letting them hide among known
+  // ones. Markers are operator-owned columns of the hazard plan node.
+  graft.plans.Guardrails.expect("single_partition_window",
+    "wg_u, baseline_u", "giniSplit: distinct-threshold rank")
+  graft.plans.Guardrails.expect("single_partition_window",
+    "__nl, __pl", "giniSplit: distinct-threshold prefix counts")
+  graft.plans.Guardrails.expect("single_partition_window",
+    "__ptot", "giniSplit: 1-row totals over the threshold rollup")
+
+
+
   /** A1/ML — leave-one-out target encoding of a categorical column:
     * each row's feature is the mean target of ITS OWN category
     * computed WITHOUT the row —

@@ -21,6 +21,17 @@ import graft.core.OperatorCaches
   */
 object SpatialOps {
 
+  // ---- by-design plan-hazard documentation (Guardrails.expect) ------
+  // Each entry registers a deliberately-BOUNDED single-partition window
+  // or unconditioned join this object builds, with its boundedness
+  // argument, so the optimizer audit (PlanAudit / the Guardrails rule)
+  // flags only NEW hazards instead of letting them hide among known
+  // ones. Markers are operator-owned columns of the hazard plan node.
+  graft.plans.Guardrails.expect("cartesian_join",
+    "sx, sy", "knnAggregate: 1-row global-bounds broadcast for the pruning radius")
+
+
+
   /** Squared Euclidean distance — exact on integer-valued doubles,
     * avoids the sqrt until a real distance is needed. */
   def dist2(x1: Column, y1: Column, x2: Column, y2: Column): Column =

@@ -22,6 +22,21 @@ import graft.core.ColumnException
   */
 object TimeSeriesOps {
 
+  // ---- by-design plan-hazard documentation (Guardrails.expect) ------
+  // Each entry registers a deliberately-BOUNDED single-partition window
+  // or unconditioned join this object builds, with its boundedness
+  // argument, so the optimizer audit (PlanAudit / the Guardrails rule)
+  // flags only NEW hazards instead of letting them hide among known
+  // ones. Markers are operator-owned columns of the hazard plan node.
+  graft.plans.Guardrails.expect("single_partition_window",
+    "__t, __v", "acfProfile: calendar-bounded series rollup")
+  graft.plans.Guardrails.expect("single_partition_window",
+    "_we0, t, v", "xmrChart: calendar-bounded series lag")
+  graft.plans.Guardrails.expect("cartesian_join",
+    "lag, n_pairs", "acfProfile: k-row lag frame x 1-row moments broadcast")
+
+
+
   /** Seconds-of-day of a timestamp column (wrap-aware interval basis). */
   def secondsOfDay(ts: Column): Column =
     hour(ts) * 3600 + minute(ts) * 60 + second(ts)

@@ -30,29 +30,71 @@ object Guardrails {
 
   final case class Hazard(kind: String, detail: String)
 
+  /** A documented, by-design hazard: `kind` + a column-name marker the
+    * hazard site's describe line must contain, + the reason it is safe
+    * (always a boundedness argument — "rollup-sized", "k-row
+    * broadcast"). Registered by the OPERATOR at the call site that
+    * builds the deliberately-small frame, so the audit distinguishes
+    * the documented exceptions from new hazards instead of letting the
+    * latter hide among 48 known flags. */
+  final case class Expectation(kind: String, colMarker: String, reason: String)
+
   // keyed set: the optimizer may re-run a rule batch to fixpoint, and
   // one query plans several times (analysis, AQE re-optimize) — the
   // audit reports each distinct hazard site once
   private val found = ConcurrentHashMap.newKeySet[Hazard]()
+  private val foundExpected = ConcurrentHashMap.newKeySet[Hazard]()
+  private val expectations = ConcurrentHashMap.newKeySet[Expectation]()
 
-  private[plans] def record(kind: String, detail: String): Unit = {
-    found.add(Hazard(kind, detail))
+  /** Declare a by-design hazard at its call site. Idempotent;
+    * process-wide (the optimizer audits plans long after the operator
+    * function returned, so expectations cannot be scoped tighter than
+    * the process). The marker should be an operator-owned column name
+    * appearing in the hazard node's output — specific enough that an
+    * UNRELATED new hazard of the same kind still trips the audit. */
+  def expect(kind: String, colMarker: String, reason: String): Unit = {
+    expectations.add(Expectation(kind, colMarker, reason))
     ()
   }
 
-  /** Return and clear the audit. */
-  def drain(): Set[Hazard] = {
+  private[plans] def record(kind: String, detail: String): Unit = {
+    val it = expectations.iterator()
+    var expected = false
+    while (it.hasNext && !expected) {
+      val e = it.next()
+      if (e.kind == kind && detail.contains(e.colMarker)) expected = true
+    }
+    (if (expected) foundExpected else found).add(Hazard(kind, detail))
+    ()
+  }
+
+  private def drainSet(s: java.util.Set[Hazard]): Set[Hazard] = {
     val snapshot = Set.newBuilder[Hazard]
-    val it = found.iterator()
+    val it = s.iterator()
     while (it.hasNext) { snapshot += it.next(); it.remove() }
     snapshot.result()
   }
 
+  /** Return and clear the UNEXPECTED hazards — the audit's alarm. */
+  def drain(): Set[Hazard] = drainSet(found)
+
+  /** Return and clear the expected (call-site-documented) hazards. */
+  def drainExpected(): Set[Hazard] = drainSet(foundExpected)
+
   /** One-line summary of a plan node for the audit detail — class name
     * plus output columns, NOT the full tree (plans at 100 TB are
-    * thousands of lines; the audit must stay cheap to keep). */
-  private[plans] def describe(p: LogicalPlan): String =
-    s"${p.nodeName}(${p.output.map(_.name).take(8).mkString(", ")})"
+    * thousands of lines; the audit must stay cheap to keep). Window
+    * nodes lead with their window-expression names: those are the
+    * operator-owned markers expectations match on (the child columns a
+    * window inherits say nothing about WHICH window this is). */
+  private[plans] def describe(p: LogicalPlan): String = p match {
+    case w: Window =>
+      val win = w.windowExpressions.map(_.name)
+      val rest = w.child.output.map(_.name).take(math.max(0, 8 - win.size))
+      s"Window(${(win ++ rest).take(8).mkString(", ")})"
+    case _ =>
+      s"${p.nodeName}(${p.output.map(_.name).take(8).mkString(", ")})"
+  }
 }
 
 /** The audit rule proper. Non-mutating; O(plan size) per invocation. */

@@ -669,6 +669,12 @@ object Analytics2 {
     (s, dir) => {
       import graft.ext.{Curation, Similarity}
       import org.apache.spark.sql.expressions.Window
+      // by-design: both rank windows run over term-filtered / top-k
+      // score lists (<= corpus-vocab rows, cut to 50) — never the corpus
+      graft.plans.Guardrails.expect("single_partition_window",
+        "rank, vec_id, cosine", "q168: top-k cosine list rank (k=50)")
+      graft.plans.Guardrails.expect("single_partition_window",
+        "rank, doc_id, score", "q168: term-filtered BM25 list rank")
       val docs = Tables.documents(s, dir).filter(col("doc_id") < 300)
       val bm = Curation.bm25Scores(docs, "text", "doc_id",
           Seq("table", "fast", "join"))

@@ -20,25 +20,30 @@ object PlanAudit {
     val filter = args.drop(1).headOption.getOrElse("")
     val spark = GraftSession.local(appName = "graft-plan-audit")
     var clean = 0
+    var expectedTotal = 0
     val entries = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter(_._1.contains(filter))
     entries.foreach { case (name, build) =>
-      Guardrails.drain()
+      Guardrails.drain(); Guardrails.drainExpected()
       val verdict =
         try {
           val df = build(spark, dir)
           df.queryExecution.optimizedPlan // force optimizer (and the rule)
           val hz = Guardrails.drain()
+          expectedTotal += Guardrails.drainExpected().size
           if (hz.isEmpty) { clean += 1; "" }
           else hz.groupBy(_.kind).toSeq.sortBy(_._1)
-            .map { case (k, v) => s"$k x${v.size}" }.mkString(", ")
+            .map { case (k, v) =>
+              s"$k x${v.size} [${v.map(_.detail).mkString("; ")}]" }
+            .mkString(", ")
         } catch {
           case e: Throwable =>
             s"ERROR ${Option(e.getMessage).getOrElse(e.toString).linesIterator.next().take(100)}"
         }
       if (verdict.nonEmpty) println(f"$name%-28s $verdict")
     }
-    println(s"== ${entries.size} queries audited, $clean hazard-free ==")
+    println(s"== ${entries.size} queries audited, $clean flag-free, " +
+      s"$expectedTotal call-site-documented hazards suppressed ==")
     spark.stop()
   }
 }
