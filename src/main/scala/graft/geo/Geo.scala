@@ -480,6 +480,226 @@ object Geo {
     degrees(p.getField("x") / R).as("x"),
     degrees(atan((exp(p.getField("y") / R) - exp(-(p.getField("y") / R))) / 2)).as("y"))
 
+  // ---- F10 broadening: PARAMETERIZED conic / cylindrical projections
+  // (Snyder ch. 14/15/8 general forms) + a registration hook, so ANY
+  // Lambert-conformal / Albers / transverse-Mercator national grid is
+  // one parameter set away instead of a missing feature. Built-in
+  // codes below cover the common continental grids; `registerLcc2sp` /
+  // `registerAlbers` / `registerTm` accept arbitrary published EPSG
+  // parameters (all public data). Datum is taken as the WGS84/GRS80
+  // family (their flattenings differ in the 9th decimal — sub-mm);
+  // grids on legacy datums (OSGB36, ED50) reproject geometrically but
+  // carry their datum offset, documented in GeoSpec.
+
+  /** Ellipsoid by semi-major axis and inverse flattening. */
+  final case class Ellipsoid(a: Double, invF: Double) {
+    val f: Double = 1.0 / invF
+    val e2: Double = f * (2 - f)
+    val e: Double = math.sqrt(e2)
+  }
+  val Grs80: Ellipsoid = Ellipsoid(6378137.0, 298.257222101)
+  val Wgs84: Ellipsoid = Ellipsoid(6378137.0, 298.257223563)
+  val Airy1830: Ellipsoid = Ellipsoid(6377563.396, 299.3249646)
+
+  // generalized scalar Snyder helpers (the Grs-pinned sM/sT/sQ above
+  // stay for the legacy 2154/3035 constants)
+  private def gM(el: Ellipsoid, phi: Double) =
+    math.cos(phi) / math.sqrt(1 - el.e2 * math.sin(phi) * math.sin(phi))
+  private def gT(el: Ellipsoid, phi: Double) =
+    math.tan(math.Pi / 4 - phi / 2) /
+      math.pow((1 - el.e * math.sin(phi)) / (1 + el.e * math.sin(phi)), el.e / 2)
+  private def gQ(el: Ellipsoid, phi: Double) = (1 - el.e2) * (
+    math.sin(phi) / (1 - el.e2 * math.sin(phi) * math.sin(phi)) -
+      (1 / (2 * el.e)) *
+        math.log((1 - el.e * math.sin(phi)) / (1 + el.e * math.sin(phi))))
+  private def gCT(el: Ellipsoid, phi: Column): Column =
+    tan(lit(math.Pi / 4) - phi / 2) /
+      pow((lit(1.0) - lit(el.e) * sin(phi)) / (lit(1.0) + lit(el.e) * sin(phi)),
+        el.e / 2)
+  private def gCQ(el: Ellipsoid, phi: Column): Column = lit(1 - el.e2) * (
+    sin(phi) / (lit(1.0) - lit(el.e2) * sin(phi) * sin(phi)) -
+      lit(1 / (2 * el.e)) *
+        log((lit(1.0) - lit(el.e) * sin(phi)) / (lit(1.0) + lit(el.e) * sin(phi))))
+
+  private def gConformalToGeodetic(el: Ellipsoid, chi: Column): Column = {
+    val e2 = el.e2; val e4 = e2 * e2; val e6 = e4 * e2; val e8 = e4 * e4
+    chi +
+      lit(e2 / 2 + 5 * e4 / 24 + e6 / 12 + 13 * e8 / 360) * sin(chi * 2) +
+      lit(7 * e4 / 48 + 29 * e6 / 240 + 811 * e8 / 11520) * sin(chi * 4) +
+      lit(7 * e6 / 120 + 81 * e8 / 1120) * sin(chi * 6) +
+      lit(4279 * e8 / 161280) * sin(chi * 8)
+  }
+  private def gAuthalicToGeodetic(el: Ellipsoid, beta: Column): Column = {
+    val e2 = el.e2; val e4 = e2 * e2; val e6 = e4 * e2
+    beta +
+      lit(e2 / 3 + 31 * e4 / 180 + 517 * e6 / 5040) * sin(beta * 2) +
+      lit(23 * e4 / 360 + 251 * e6 / 3780) * sin(beta * 4) +
+      lit(761 * e6 / 45360) * sin(beta * 6)
+  }
+
+  /** Lambert conformal conic, 2 standard parallels (Snyder 15-1..15-11;
+    * EPSG method 9802). Angles in degrees, false origin in meters. */
+  final case class Lcc2sp(el: Ellipsoid, lat1Deg: Double, lat2Deg: Double,
+      lat0Deg: Double, lon0Deg: Double, falseE: Double, falseN: Double) {
+    private val phi1 = math.toRadians(lat1Deg)
+    private val phi2 = math.toRadians(lat2Deg)
+    private val phi0 = math.toRadians(lat0Deg)
+    private val lam0 = math.toRadians(lon0Deg)
+    val n: Double = (math.log(gM(el, phi1)) - math.log(gM(el, phi2))) /
+      (math.log(gT(el, phi1)) - math.log(gT(el, phi2)))
+    val fBig: Double = gM(el, phi1) / (n * math.pow(gT(el, phi1), n))
+    val rho0: Double = el.a * fBig * math.pow(gT(el, phi0), n)
+    def fwd: Column => Column = p => {
+      val phi = radians(p.getField("y"))
+      val rho = lit(el.a * fBig) * pow(gCT(el, phi), n)
+      val theta = (radians(p.getField("x")) - lit(lam0)) * n
+      struct((lit(falseE) + rho * sin(theta)).as("x"),
+        (lit(falseN) + lit(rho0) - rho * cos(theta)).as("y"))
+    }
+    def inv: Column => Column = p => {
+      val dx = p.getField("x") - lit(falseE)
+      val dy = lit(rho0) - (p.getField("y") - lit(falseN))
+      val rho = sqrt(dx * dx + dy * dy) * lit(math.signum(n))
+      val t = pow(rho / lit(el.a * fBig), 1.0 / n)
+      val theta = atan2(dx, dy)
+      val lam = lit(lam0) + theta / n
+      val chi = lit(math.Pi / 2) - atan(t) * 2
+      struct(degrees(lam).as("x"),
+        degrees(gConformalToGeodetic(el, chi)).as("y"))
+    }
+  }
+
+  /** Albers equal-area conic, 2 standard parallels (Snyder 14-1..14-21;
+    * EPSG method 9822) — the equal-area complement of LCC, used for the
+    * US CONUS grid (EPSG 5070) and statistics grids generally. */
+  final case class Albers2sp(el: Ellipsoid, lat1Deg: Double, lat2Deg: Double,
+      lat0Deg: Double, lon0Deg: Double, falseE: Double, falseN: Double) {
+    private val phi1 = math.toRadians(lat1Deg)
+    private val phi2 = math.toRadians(lat2Deg)
+    private val phi0 = math.toRadians(lat0Deg)
+    private val lam0 = math.toRadians(lon0Deg)
+    private val m1 = gM(el, phi1); private val m2 = gM(el, phi2)
+    private val q1 = gQ(el, phi1); private val q2 = gQ(el, phi2)
+    private val q0 = gQ(el, phi0)
+    val n: Double = (m1 * m1 - m2 * m2) / (q2 - q1)
+    val cBig: Double = m1 * m1 + n * q1
+    val rho0: Double = el.a * math.sqrt(cBig - n * q0) / n
+    private val qp = gQ(el, math.Pi / 2)
+    def fwd: Column => Column = p => {
+      val phi = radians(p.getField("y"))
+      val rho = lit(el.a) * sqrt(lit(cBig) - lit(n) * gCQ(el, phi)) / n
+      val theta = (radians(p.getField("x")) - lit(lam0)) * n
+      struct((lit(falseE) + rho * sin(theta)).as("x"),
+        (lit(falseN) + lit(rho0) - rho * cos(theta)).as("y"))
+    }
+    def inv: Column => Column = p => {
+      val dx = p.getField("x") - lit(falseE)
+      val dy = lit(rho0) - (p.getField("y") - lit(falseN))
+      val rho = sqrt(dx * dx + dy * dy)
+      val q = (lit(cBig) - rho * rho * lit(n * n / (el.a * el.a))) / n
+      val theta = atan2(dx, dy)
+      val beta = asin(q / qp)
+      struct(degrees(lit(lam0) + theta / n).as("x"),
+        degrees(gAuthalicToGeodetic(el, beta)).as("y"))
+    }
+  }
+
+  /** Transverse Mercator with explicit parameters (Snyder 8-9..8-25;
+    * EPSG method 9807) — the UTM series generalized to arbitrary
+    * origin/scale/false origin, covering grids like OSGB (27700,
+    * geometric part) and national TM zones. */
+  final case class TmParams(el: Ellipsoid, lat0Deg: Double, lon0Deg: Double,
+      k0: Double, falseE: Double, falseN: Double) {
+    private val e2 = el.e2
+    private val ep2 = e2 / (1 - e2)
+    private val m0c = 1 - e2 / 4 - 3 * e2 * e2 / 64 - 5 * math.pow(e2, 3) / 256
+    private val m2c = 3 * e2 / 8 + 3 * e2 * e2 / 32 + 45 * math.pow(e2, 3) / 1024
+    private val m4c = 15 * e2 * e2 / 256 + 45 * math.pow(e2, 3) / 1024
+    private val m6c = 35 * math.pow(e2, 3) / 3072
+    private val e1c = (1 - math.sqrt(1 - e2)) / (1 + math.sqrt(1 - e2))
+    private val lam0 = math.toRadians(lon0Deg)
+    private def arc(phi: Double): Double = el.a * (m0c * phi -
+      m2c * math.sin(2 * phi) + m4c * math.sin(4 * phi) - m6c * math.sin(6 * phi))
+    private val mOrigin = arc(math.toRadians(lat0Deg))
+    def fwd: Column => Column = p => {
+      val phi = radians(p.getField("y"))
+      val sinP = sin(phi); val cosP = cos(phi); val tanP = tan(phi)
+      val nR = lit(el.a) / sqrt(lit(1.0) - lit(e2) * sinP * sinP)
+      val t = tanP * tanP
+      val c = lit(ep2) * cosP * cosP
+      val a = (radians(p.getField("x")) - lit(lam0)) * cosP
+      val m = lit(el.a) * (lit(m0c) * phi - lit(m2c) * sin(phi * 2) +
+        lit(m4c) * sin(phi * 4) - lit(m6c) * sin(phi * 6))
+      val e = lit(falseE) + lit(k0) * nR * (a +
+        (lit(1.0) - t + c) * pow(a, 3) / 6 +
+        (lit(5.0) - t * 18 + t * t + c * 72 - lit(58 * ep2)) * pow(a, 5) / 120)
+      val nn = lit(falseN) + lit(k0) * (m - lit(mOrigin) + nR * tanP * (
+        a * a / 2 +
+        (lit(5.0) - t + c * 9 + c * c * 4) * pow(a, 4) / 24 +
+        (lit(61.0) - t * 58 + t * t + c * 600 - lit(330 * ep2)) * pow(a, 6) / 720))
+      struct(e.as("x"), nn.as("y"))
+    }
+    def inv: Column => Column = p => {
+      val m = lit(mOrigin) + (p.getField("y") - lit(falseN)) / k0
+      val mu = m / (el.a * m0c)
+      val phi1 = mu +
+        lit(3 * e1c / 2 - 27 * math.pow(e1c, 3) / 32) * sin(mu * 2) +
+        lit(21 * e1c * e1c / 16 - 55 * math.pow(e1c, 4) / 32) * sin(mu * 4) +
+        lit(151 * math.pow(e1c, 3) / 96) * sin(mu * 6) +
+        lit(1097 * math.pow(e1c, 4) / 512) * sin(mu * 8)
+      val sin1 = sin(phi1); val cos1 = cos(phi1); val tan1 = tan(phi1)
+      val c1 = lit(ep2) * cos1 * cos1
+      val t1 = tan1 * tan1
+      val oneMinus = lit(1.0) - lit(e2) * sin1 * sin1
+      val n1 = lit(el.a) / sqrt(oneMinus)
+      val r1 = lit(el.a * (1 - e2)) / pow(oneMinus, 1.5)
+      val d = (p.getField("x") - lit(falseE)) / (n1 * lit(k0))
+      val phi = phi1 - (n1 * tan1 / r1) * (
+        d * d / 2 -
+        (lit(5.0) + t1 * 3 + c1 * 10 - c1 * c1 * 4 - lit(9 * ep2)) * pow(d, 4) / 24 +
+        (lit(61.0) + t1 * 90 + c1 * 298 + t1 * t1 * 45 - lit(252 * ep2) - c1 * c1 * 3) *
+          pow(d, 6) / 720)
+      val lam = lit(lam0) + (d -
+        (lit(1.0) + t1 * 2 + c1) * pow(d, 3) / 6 +
+        (lit(5.0) - c1 * 2 + t1 * 28 - c1 * c1 * 3 + lit(8 * ep2) + t1 * t1 * 24) *
+          pow(d, 5) / 120) / cos1
+      struct(degrees(lam).as("x"), degrees(phi).as("y"))
+    }
+  }
+
+  // user-extensible CRS registry: any grid with published parameters
+  // registers once per process and composes with every built-in
+  private val crsRegistry =
+    new java.util.concurrent.ConcurrentHashMap[Int, (Column => Column, Column => Column)]()
+
+  /** Register an arbitrary LCC-2SP grid (EPSG parameters are public
+    * data; e.g. most national/state conformal grids). */
+  def registerLcc2sp(epsg: Int, el: Ellipsoid, lat1Deg: Double, lat2Deg: Double,
+      lat0Deg: Double, lon0Deg: Double, falseE: Double, falseN: Double): Unit = {
+    val pr = Lcc2sp(el, lat1Deg, lat2Deg, lat0Deg, lon0Deg, falseE, falseN)
+    crsRegistry.put(epsg, (pr.fwd, pr.inv)); ()
+  }
+  /** Register an arbitrary Albers-2SP grid. */
+  def registerAlbers(epsg: Int, el: Ellipsoid, lat1Deg: Double, lat2Deg: Double,
+      lat0Deg: Double, lon0Deg: Double, falseE: Double, falseN: Double): Unit = {
+    val pr = Albers2sp(el, lat1Deg, lat2Deg, lat0Deg, lon0Deg, falseE, falseN)
+    crsRegistry.put(epsg, (pr.fwd, pr.inv)); ()
+  }
+  /** Register an arbitrary transverse-Mercator grid. */
+  def registerTm(epsg: Int, el: Ellipsoid, lat0Deg: Double, lon0Deg: Double,
+      k0: Double, falseE: Double, falseN: Double): Unit = {
+    val pr = TmParams(el, lat0Deg, lon0Deg, k0, falseE, falseN)
+    crsRegistry.put(epsg, (pr.fwd, pr.inv)); ()
+  }
+
+  // built-in continental grids beyond the legacy 2154/3035 pair
+  // (parameters: EPSG registry, public). 27700 is the GEOMETRIC OSGB
+  // projection on Airy 1830 — the ~100 m OSGB36↔WGS84 datum offset is
+  // NOT applied (documented limit; GeoSpec pins the behavior).
+  registerLcc2sp(3034, Grs80, 35.0, 65.0, 52.0, 10.0, 4000000.0, 2800000.0)
+  registerAlbers(5070, Grs80, 29.5, 45.5, 23.0, -96.0, 0.0, 0.0)
+  registerTm(27700, Airy1830, 49.0, -2.0, 0.9996012717, 400000.0, -100000.0)
+
   /** Per-EPSG projection pair (forward from 4326, inverse to 4326);
     * None for unsupported codes. 4326 itself is the identity hub. */
   private def projection(epsg: Int): Option[(Column => Column, Column => Column)] =
@@ -489,18 +709,22 @@ object Geo {
       case 2154 => Some((lccFwd, lccInv))
       case 3035 => Some((laeaFwd, laeaInv))
       case e => utmZone(e).map { case (z, n) => (llToUtm(z, n), utmToLl(z, n)) }
+        .orElse(Option(crsRegistry.get(epsg)))
     }
 
   /** st_transform; identity when from==to. Any supported pair composes
     * through 4326: spherical Mercator 3857, UTM 326xx/327xx,
-    * Lambert-93 2154 (LCC), LAEA Europe 3035. Returns a transformed
-    * geometry struct. (Reference `to_crs`,
+    * Lambert-93 2154 (LCC), LAEA Europe 3035, LCC Europe 3034, CONUS
+    * Albers 5070, OSGB 27700 (geometric), plus any grid added via
+    * `registerLcc2sp`/`registerAlbers`/`registerTm`. Returns a
+    * transformed geometry struct. (Reference `to_crs`,
     * src/data_preprocessing.py:192-193, :218-220, :257-259.) */
   def stTransform(g: Column, fromEpsg: Int, toEpsg: Int): Column = {
     def proj(e: Int) = projection(e).getOrElse(
       throw graft.core.MissingCRS(
         s"transform $fromEpsg -> $toEpsg unsupported (4326, 3857, 2154, " +
-          "3035, UTM 326xx/327xx and compositions among them only)"))
+          "3035, 3034, 5070, 27700, UTM 326xx/327xx, registered grids " +
+          "and compositions among them only)"))
     val tx: Column => Column =
       if (fromEpsg == toEpsg) identity
       else {

@@ -210,6 +210,147 @@ class GeoSpec extends AnyFunSuite {
     assert(math.abs(a1 - a2) / a1 < 1e-6, s"$a1 vs $a2")
   }
 
+  test("F10: LCC Europe (3034) — exact false origin, round-trip, conformal distance") {
+    val origin = geomDf(point(10.0, 52.0))
+      .select(Geo.stTransform(col("geometry"), 4326, 3034).as("g"))
+      .select(Geo.stX(col("g")), Geo.stY(col("g"))).head
+    assert(math.abs(origin.getDouble(0) - 4000000.0) < 1e-4)
+    assert(math.abs(origin.getDouble(1) - 2800000.0) < 1e-4)
+    Seq((-9.14, 38.72), (24.94, 60.17), (2.3522, 48.8566), (18.07, 59.33))
+      .foreach { case (lon, lat) =>
+        val back = geomDf(point(lon, lat))
+          .select(Geo.stTransform(
+            Geo.stTransform(col("geometry"), 4326, 3034), 3034, 4326).as("g"))
+          .select(Geo.stX(col("g")), Geo.stY(col("g"))).head
+        assert(math.abs(back.getDouble(0) - lon) < 1e-8, s"lon $lon")
+        assert(math.abs(back.getDouble(1) - lat) < 1e-8, s"lat $lat")
+      }
+    // conic scale law: EXACTLY 1 on a standard parallel, < 1 between
+    // them (parallels 35/65 are 30 deg apart, so the mid-grid dip is a
+    // few percent — that is the projection, not an error). A 0.1 deg
+    // east-west step at lat 65 must match the ellipsoidal parallel arc
+    // a*cos(phi)/sqrt(1-e2 sin^2 phi)*dLam to ~1e-6 relative.
+    def ewPlanar(lat: Double): Double = {
+      val two = geomDf(point(10.0, lat), point(10.1, lat))
+        .select(Geo.stTransform(col("geometry"), 4326, 3034).as("g"))
+        .select(Geo.stX(col("g")).as("x"), Geo.stY(col("g")).as("y")).collect()
+      val dx = two(0).getDouble(0) - two(1).getDouble(0)
+      val dy = two(0).getDouble(1) - two(1).getDouble(1)
+      math.sqrt(dx * dx + dy * dy)
+    }
+    def parallelArc(lat: Double): Double = {
+      val el = Geo.Grs80; val phi = math.toRadians(lat)
+      el.a * math.cos(phi) / math.sqrt(1 - el.e2 * math.sin(phi) * math.sin(phi)) *
+        math.toRadians(0.1)
+    }
+    assert(math.abs(ewPlanar(65.0) - parallelArc(65.0)) / parallelArc(65.0) < 1e-6)
+    assert(math.abs(ewPlanar(35.0) - parallelArc(35.0)) / parallelArc(35.0) < 1e-6)
+    assert(ewPlanar(50.0) < parallelArc(50.0)) // k < 1 between parallels
+  }
+
+  test("F10: CONUS Albers (5070) — exact origin, round-trip, equal-area") {
+    val origin = geomDf(point(-96.0, 23.0))
+      .select(Geo.stTransform(col("geometry"), 4326, 5070).as("g"))
+      .select(Geo.stX(col("g")), Geo.stY(col("g"))).head
+    assert(math.abs(origin.getDouble(0)) < 1e-4)
+    assert(math.abs(origin.getDouble(1)) < 1e-4)
+    // round-trip across CONUS (Seattle, Miami, Boston, San Diego)
+    Seq((-122.33, 47.61), (-80.19, 25.76), (-71.06, 42.36), (-117.16, 32.72))
+      .foreach { case (lon, lat) =>
+        val back = geomDf(point(lon, lat))
+          .select(Geo.stTransform(
+            Geo.stTransform(col("geometry"), 4326, 5070), 5070, 4326).as("g"))
+          .select(Geo.stX(col("g")), Geo.stY(col("g"))).head
+        assert(math.abs(back.getDouble(0) - lon) < 1e-7, s"lon $lon")
+        assert(math.abs(back.getDouble(1) - lat) < 1e-7, s"lat $lat")
+      }
+    // equal-area: same-latitude 1°x1° quads at different longitudes
+    // project to equal areas (authalic property)
+    def quadArea(lon: Double, lat: Double): Double = {
+      val corners = geomDf(point(lon, lat), point(lon + 1, lat),
+        point(lon + 1, lat + 1), point(lon, lat + 1))
+        .select(Geo.stTransform(col("geometry"), 4326, 5070).as("g"))
+        .select(Geo.stX(col("g")).as("x"), Geo.stY(col("g")).as("y")).collect()
+        .map(r => (r.getDouble(0), r.getDouble(1)))
+      math.abs((0 until 4).map { i =>
+        val (x1, y1) = corners(i); val (x2, y2) = corners((i + 1) % 4)
+        x1 * y2 - x2 * y1
+      }.sum / 2)
+    }
+    val a1 = quadArea(-100.0, 40.0); val a2 = quadArea(-80.0, 40.0)
+    assert(math.abs(a1 - a2) / a1 < 1e-6, s"$a1 vs $a2")
+  }
+
+  test("F10: OSGB (27700, geometric) — false origin, round-trip, k0 scale") {
+    // true origin (2°W, 49°N) maps to the false origin (400000, -100000)
+    val origin = geomDf(point(-2.0, 49.0))
+      .select(Geo.stTransform(col("geometry"), 4326, 27700).as("g"))
+      .select(Geo.stX(col("g")), Geo.stY(col("g"))).head
+    assert(math.abs(origin.getDouble(0) - 400000.0) < 1e-4)
+    assert(math.abs(origin.getDouble(1) - (-100000.0)) < 1e-4)
+    // round-trip across Britain (the GEOMETRIC projection on Airy 1830;
+    // the OSGB36<->WGS84 datum shift is a documented non-goal, so these
+    // are self-consistent Airy coordinates, not surveyed OS grid refs)
+    Seq((-0.1276, 51.5072), (-3.1883, 55.9533), (-4.2518, 55.8642))
+      .foreach { case (lon, lat) =>
+        val back = geomDf(point(lon, lat))
+          .select(Geo.stTransform(
+            Geo.stTransform(col("geometry"), 4326, 27700), 27700, 4326).as("g"))
+          .select(Geo.stX(col("g")), Geo.stY(col("g"))).head
+        assert(math.abs(back.getDouble(0) - lon) < 1e-8, s"lon $lon")
+        assert(math.abs(back.getDouble(1) - lat) < 1e-8, s"lat $lat")
+      }
+    // central-meridian scale: northing difference over 1° of latitude at
+    // lon 2°W equals k0 x the meridian arc (±0.01%)
+    val pts = geomDf(point(-2.0, 52.0), point(-2.0, 53.0))
+      .select(Geo.stTransform(col("geometry"), 4326, 27700).as("g"))
+      .select(Geo.stY(col("g")).as("n")).collect().map(_.getDouble(0))
+    val dN = math.abs(pts(1) - pts(0))
+    // meridian arc on Airy 1830 between 52 and 53 deg, same series
+    val el = Geo.Airy1830
+    def arc(phiDeg: Double): Double = {
+      val e2 = el.e2; val phi = math.toRadians(phiDeg)
+      val c0 = 1 - e2 / 4 - 3 * e2 * e2 / 64 - 5 * math.pow(e2, 3) / 256
+      val c2 = 3 * e2 / 8 + 3 * e2 * e2 / 32 + 45 * math.pow(e2, 3) / 1024
+      val c4 = 15 * e2 * e2 / 256 + 45 * math.pow(e2, 3) / 1024
+      val c6 = 35 * math.pow(e2, 3) / 3072
+      el.a * (c0 * phi - c2 * math.sin(2 * phi) + c4 * math.sin(4 * phi) -
+        c6 * math.sin(6 * phi))
+    }
+    val expected = 0.9996012717 * (arc(53.0) - arc(52.0))
+    assert(math.abs(dN - expected) / expected < 1e-4, s"$dN vs $expected")
+  }
+
+  test("F10: user-registered LCC grid (Belgian Lambert 2008) round-trips") {
+    // EPSG 3812 parameters (public registry data): any national
+    // conformal grid is one registration away — the F10 scope answer
+    Geo.registerLcc2sp(3812, Geo.Grs80, 49.833333333333336, 51.166666666666664,
+      50.797815, 4.359215833333333, 649328.0, 665262.0)
+    val origin = geomDf(point(4.359215833333333, 50.797815))
+      .select(Geo.stTransform(col("geometry"), 4326, 3812).as("g"))
+      .select(Geo.stX(col("g")), Geo.stY(col("g"))).head
+    assert(math.abs(origin.getDouble(0) - 649328.0) < 1e-4)
+    assert(math.abs(origin.getDouble(1) - 665262.0) < 1e-4)
+    Seq((4.3517, 50.8466), (3.7174, 51.0543), (5.5797, 50.6326))
+      .foreach { case (lon, lat) =>
+        val back = geomDf(point(lon, lat))
+          .select(Geo.stTransform(
+            Geo.stTransform(col("geometry"), 4326, 3812), 3812, 4326).as("g"))
+          .select(Geo.stX(col("g")), Geo.stY(col("g"))).head
+        assert(math.abs(back.getDouble(0) - lon) < 1e-8, s"lon $lon")
+        assert(math.abs(back.getDouble(1) - lat) < 1e-8, s"lat $lat")
+      }
+    // composes with every other CRS through the 4326 hub
+    val viaUtm = geomDf(point(4.3517, 50.8466))
+      .select(Geo.stTransform(
+        Geo.stTransform(col("geometry"), 4326, 3812), 3812, 32631).as("g"))
+      .select(Geo.stX(col("g"))).head.getDouble(0)
+    val direct = geomDf(point(4.3517, 50.8466))
+      .select(Geo.stTransform(col("geometry"), 4326, 32631).as("g"))
+      .select(Geo.stX(col("g"))).head.getDouble(0)
+    assert(math.abs(viaUtm - direct) < 1e-4)
+  }
+
   test("F10: UTM invariants — central meridian at 500km false easting, equator at N=0") {
     val df = geomDf(point(-81.0, 43.0), point(-81.0, 0.0)) // zone 17 central meridian
     val out = df.select(Geo.stTransform(col("geometry"), 4326, 32617).as("g"))

@@ -1001,7 +1001,8 @@ class SourcesSinksSpec extends AnyFunSuite {
       "arm_a_expr":"arm = 'A'","success_expr":"y = 1"}}]}""",
       Seq((1, "A", 1), (1, "A", 0), (1, "B", 0), (1, "B", 0))
         .toDF("lk", "arm", "y")).head()
-    assert(sb.getAs[Double]("z") == 1.154701)
+    // unrounded pinned IEEE z (the q186 discipline)
+    assert(sb.getAs[Double]("z") == 0.5 / math.sqrt(0.25 * 0.75 * 1.0))
 
     val aa = run("""{"pipe":"p","operations":[{"name":"a","function":
       "adamic_adar","kwargs":{"basket_col":"b","item_col":"i",
