@@ -29,12 +29,72 @@ object Sinks {
     }
   }
 
+  /** geometry-struct columns rendered as WKT before tabular text sinks
+    * (the OGR "CSV with GEOMETRY=AS_WKT" analog) — fully distributed,
+    * geometry becomes one more string column. */
+  private def renderWkt(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    df.schema.fields.foldLeft(df) { (d, f) =>
+      if (f.dataType.catalogString == graft.geo.Geo.geometryType.catalogString)
+        d.withColumn(f.name, graft.geo.Geo.stAsText(col(f.name)))
+      else d
+    }
+  }
+
+  /** KML document sink (OGC KML 2.2, public spec): one Placemark per
+    * row — Point or Polygon from the geometry struct, every other
+    * column as ExtendedData/SimpleData. Like the shapefile sink this
+    * is a SINGLE-document format, so rows are collected on the driver
+    * — the bounded-result regime (maps, selections), never a fact
+    * table. */
+  private def writeKml(df: DataFrame, path: String): Unit = {
+    val geomIdx = df.schema.fields.indexWhere(
+      _.dataType.catalogString == graft.geo.Geo.geometryType.catalogString)
+    require(geomIdx >= 0, "kml sink needs a geometry column")
+    val attrs = df.schema.fields.zipWithIndex.filter(_._2 != geomIdx)
+    def esc(s: String): String = s.replace("&", "&amp;").replace("<", "&lt;")
+      .replace(">", "&gt;")
+    val sb = new StringBuilder
+    sb ++= "<?xml version=\"1.0\" encoding=\"UTF-8\"?>\n"
+    sb ++= "<kml xmlns=\"http://www.opengis.net/kml/2.2\"><Document>\n"
+    df.collect().foreach { row =>
+      val g = row.getStruct(geomIdx)
+      val kind = g.getString(0)
+      val pts = g.getSeq[org.apache.spark.sql.Row](1)
+      def coord(p: org.apache.spark.sql.Row) = s"${p.getDouble(0)},${p.getDouble(1)}"
+      sb ++= "<Placemark><ExtendedData>"
+      attrs.foreach { case (f, i) =>
+        sb ++= s"""<Data name="${esc(f.name)}"><value>${
+          esc(Option(row.get(i)).map(_.toString).getOrElse(""))}</value></Data>"""
+      }
+      sb ++= "</ExtendedData>"
+      if (kind == "point")
+        sb ++= s"<Point><coordinates>${coord(pts.head)}</coordinates></Point>"
+      else {
+        // KML rings are explicitly closed: repeat the first vertex
+        val ring = (pts :+ pts.head).map(coord).mkString(" ")
+        sb ++= "<Polygon><outerBoundaryIs><LinearRing><coordinates>" +
+          ring + "</coordinates></LinearRing></outerBoundaryIs></Polygon>"
+      }
+      sb ++= "</Placemark>\n"
+    }
+    sb ++= "</Document></kml>\n"
+    val p = java.nio.file.Paths.get(path)
+    if (p.getParent != null) java.nio.file.Files.createDirectories(p.getParent)
+    java.nio.file.Files.writeString(p, sb.toString)
+  }
+
   private val formats: Map[String, (DataFrame, String) => Unit] = Map(
     "parquet" -> ((df, path) => df.write.mode("overwrite").parquet(path)),
     "json" -> ((df, path) => df.write.mode("overwrite").json(path)),
     "geojson" -> ((df, path) => renderGeometry(df).write.mode("overwrite").json(path)),
-    "csv" -> ((df, path) => df.write.mode("overwrite").option("header", "true").csv(path)),
+    "geojsonseq" -> ((df, path) => renderGeometry(df).write.mode("overwrite").json(path)),
+    "csv" -> ((df, path) => renderWkt(df).write.mode("overwrite")
+      .option("header", "true").csv(path)),
+    "wkt" -> ((df, path) => renderWkt(df).write.mode("overwrite")
+      .option("header", "true").csv(path)),
     "orc" -> ((df, path) => df.write.mode("overwrite").orc(path)),
+    "kml" -> writeKml,
     "shapefile" -> ((df, path) => Shapefile.write(df, path)),
     "esri shapefile" -> ((df, path) => Shapefile.write(df, path)))
 

@@ -572,6 +572,40 @@ class SourcesSinksSpec extends AnyFunSuite {
     assert(graft.io.Sinks.writeSafe(df, s"$dir/x", "shapefile").get.contains("geometry"))
   }
 
+  test("S6: KML sink writes a parseable document; WKT csv renders geometry") {
+    import graft.geo.Geo
+    val dir = tmpDir()
+    val df = Seq((1L, 1.5, 2.5, "alpha & beta"), (2L, -3.0, 4.0, "<tag>"))
+      .toDF("id", "x", "y", "label")
+      .select(col("id"), Geo.stPoint(col("x"), col("y")).as("geometry"),
+        col("label"))
+    graft.io.Sinks.write(df, s"$dir/out.kml", "kml")
+    val xml = java.nio.file.Files.readString(
+      java.nio.file.Paths.get(s"$dir/out.kml"))
+    // well-formed per the JDK parser, 2 placemarks, escaped attributes
+    val doc = javax.xml.parsers.DocumentBuilderFactory.newInstance()
+      .newDocumentBuilder()
+      .parse(new java.io.ByteArrayInputStream(xml.getBytes("UTF-8")))
+    assert(doc.getElementsByTagName("Placemark").getLength == 2)
+    assert(doc.getElementsByTagName("Point").getLength == 2)
+    assert(xml.contains("1.5,2.5") && xml.contains("alpha &amp; beta"))
+    // polygon rows close the ring explicitly (first vertex repeated)
+    val poly = Seq(Tuple1(1L)).toDF("id").select(col("id"),
+      Geo.stPolygon(array(
+        struct(lit(0.0).as("x"), lit(0.0).as("y")),
+        struct(lit(4.0).as("x"), lit(0.0).as("y")),
+        struct(lit(4.0).as("x"), lit(3.0).as("y")))).as("geometry"))
+    graft.io.Sinks.write(poly, s"$dir/poly.kml", "kml")
+    val pxml = java.nio.file.Files.readString(
+      java.nio.file.Paths.get(s"$dir/poly.kml"))
+    assert(pxml.contains("0.0,0.0 4.0,0.0 4.0,3.0 0.0,0.0"))
+    // wkt sink: geometry renders as a WKT string column in plain csv
+    graft.io.Sinks.write(df, s"$dir/wkt", "wkt", singleFile = true)
+    val back = spark.read.option("header", "true").csv(s"$dir/wkt")
+      .orderBy("id").collect()
+    assert(back(0).getAs[String]("geometry") == "POINT (1.5 2.5)")
+  }
+
   test("S2/S6: ORC and parquet round-trip through sink + reader cascade") {
     val dir = tmpDir()
     val df = Seq((1L, "a", 1.5), (2L, "b", -2.0)).toDF("id", "s", "v")
