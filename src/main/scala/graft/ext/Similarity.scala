@@ -304,4 +304,107 @@ object Similarity {
   def jlProject(vec: Column, signs: Array[Array[Double]]): Column =
     array(signs.toIndexedSeq.map(row =>
       dot(vec, array(row.toIndexedSeq.map(lit(_)): _*))): _*)
+
+  /** E3 — HARD-NEGATIVE mining for contrastive training (standard
+    * practice in embedding-model training; e.g. dense-retrieval
+    * literature, Karpukhin et al. 2020 — public): for every anchor,
+    * the k most-similar items with a DIFFERENT label — the negatives
+    * that actually teach the model, where random negatives are
+    * trivially separable. Returns (anchor_id, neg_id, rank, cosine).
+    *
+    * Scale: this is the exact form (all label-mismatched pairs,
+    * per-anchor rank window — anchor-keyed, skew-free). At corpus
+    * scale, pre-bucket both sides with [[lshBucket]] and join on the
+    * bucket id first: same output contract on the candidate set,
+    * 2^bits fewer pairs. */
+  def hardNegatives(df: DataFrame, idCol: String, labelCol: String,
+      vecCol: String, k: Int): DataFrame = {
+    require(k >= 1, "k >= 1")
+    val a = df.select(col(idCol).as("anchor_id"), col(labelCol).as("__la"),
+      col(vecCol).as("__va"))
+    val b = df.select(col(idCol).as("neg_id"), col(labelCol).as("__lb"),
+      col(vecCol).as("__vb"))
+    val w = Window.partitionBy(col("anchor_id"))
+      .orderBy(col("cosine").desc, col("neg_id").asc)
+    a.join(b, col("anchor_id") =!= col("neg_id") && col("__la") =!= col("__lb"))
+      .withColumn("cosine", cosine(col("__va"), col("__vb")))
+      .withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+      .select(col("anchor_id"), col("neg_id"), col("rank"), col("cosine"))
+  }
+
+  /** E3/E7 — MAXIMAL MARGINAL RELEVANCE re-ranking (Carbonell &
+    * Goldstein, SIGIR'98 — public literature): greedily pick k results
+    * maximizing λ·relevance − (1−λ)·max-similarity-to-already-picked —
+    * THE standard diversity pass between a similarity search and a RAG
+    * context window (top-k cosine alone returns k near-copies of the
+    * best hit; MMR trades raw relevance for coverage).
+    *
+    * Determinism contract: relevance and pairwise cosines quantize to
+    * micro-units by floor(c·10⁶) (floor is IEEE-portable; the doubles
+    * fold index-order like q44), and the greedy score is the exact
+    * integer lamNum·rel_u − (lamDen−lamNum)·maxsim_u (λ scaled away —
+    * argmax-invariant), ties broken on ascending id. A recursive-CTE
+    * oracle replays every round bit-for-bit.
+    *
+    * Scale: the INPUT is an upstream top-N candidate list (N ~ 100s —
+    * the [[topKCosine]] output), never the corpus; the k greedy rounds
+    * run k bounded passes with a 1-row driver collect each (the
+    * ucb/kriging bounded-driver regime). The pairwise sim matrix is
+    * N² ≤ 10⁴ integers. Returns the picked rows:
+    * (pick_order, id, rel_u, maxsim_u, mmr_score). */
+  def mmrRerank(candidates: DataFrame, idCol: String, relCol: String,
+      vecCol: String, k: Int, lamNum: Long, lamDen: Long): DataFrame = {
+    require(k >= 1, "k >= 1")
+    require(lamNum >= 0 && lamDen > 0 && lamNum <= lamDen,
+      "lambda num/den must satisfy 0 <= num <= den")
+    graft.plans.Guardrails.expect("single_partition_window", "__ord",
+      "mmrRerank: top-N candidate-list ordinal (bounded by upstream k)")
+    graft.plans.Guardrails.expect("cartesian_join", "__v, __ord",
+      "mmrRerank: N x N sim matrix over the bounded candidate list")
+    // ordinal over the BOUNDED candidate list; sims indexed by ordinal
+    val base = candidates.select(col(idCol).cast("long").as("__id"),
+        floor(col(relCol) * 1e6).cast("long").as("rel_u"),
+        col(vecCol).as("__v"))
+      .withColumn("__ord", row_number().over(Window.orderBy(col("__id"))))
+      .localCheckpoint()
+    val pairs = base.alias("a").join(base.alias("b"), lit(true))
+      .select(col("a.__ord").as("__oa"), col("b.__ord").as("__ob"),
+        floor(cosine(col("a.__v"), col("b.__v")) * 1e6).cast("long").as("__s"))
+    val withSims = base.join(
+        pairs.groupBy(col("__oa"))
+          .agg(transform(array_sort(collect_list(struct(col("__ob"), col("__s")))),
+            x => x.getField("__s")).as("__sims")),
+        col("__ord") === col("__oa"))
+      .select(col("__id"), col("rel_u"), col("__ord"), col("__sims"))
+      .localCheckpoint()
+    var selected = List.empty[(Int, Long, Long, Long, Long)] // ord,id,rel,maxsim,score
+    val n = withSims.count().toInt
+    var i = 0
+    while (i < math.min(k, n)) {
+      val selOrds = selected.map(_._1)
+      // max over SELECTED only (no 0 floor: all-negative sims keep
+      // their true max, the textbook formula)
+      val maxSim = selOrds.map(o => element_at(col("__sims"), o)) match {
+        case Nil => lit(0L) // first pick: no diversity term at all
+        case one :: Nil => one
+        case many => greatest(many: _*)
+      }
+      val pick = withSims
+        .filter(!col("__ord").isin(selOrds: _*))
+        .withColumn("__ms", maxSim)
+        .withColumn("__score",
+          lit(lamNum) * col("rel_u") - lit(lamDen - lamNum) * col("__ms"))
+        .orderBy(col("__score").desc, col("__id").asc)
+        .limit(1).collect()(0)
+      selected ::= ((pick.getAs[Int]("__ord"), pick.getAs[Long]("__id"),
+        pick.getAs[Long]("rel_u"), pick.getAs[Long]("__ms"),
+        pick.getAs[Long]("__score")))
+      i += 1
+    }
+    val spark = candidates.sparkSession
+    import spark.implicits._
+    selected.reverse.zipWithIndex
+      .map { case ((_, id, rel, ms, sc), ord) => (ord + 1L, id, rel, ms, sc) }
+      .toDF("pick_order", "id", "rel_u", "maxsim_u", "mmr_score")
+  }
 }

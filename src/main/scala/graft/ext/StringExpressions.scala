@@ -203,3 +203,142 @@ object WordShingles {
   def wordShingles(text: Column, n: Int): Column =
     GraftSqlBridge.column(WordShingles(GraftSqlBridge.expression(text), n))
 }
+
+/** Native multi-pattern substring matcher — ONE Aho–Corasick automaton
+  * pass per row over up to 63 literal patterns, returning the BITMASK
+  * of patterns present (bit i set ⇔ patterns(i) occurs). The scan-side
+  * kernel of keyword gating, PII phrase screens and policy filters:
+  * the naive form is k `contains()` calls = k full scans of every
+  * document; this visits each input byte ONCE regardless of k
+  * (Aho & Corasick, CACM 1975 — public literature).
+  *
+  * Semantics: plain case-sensitive substring match over the string's
+  * UTF-16 code units (identical to `contains`); overlapping and nested
+  * matches all report. The automaton (goto/fail/output tables over the
+  * patterns' alphabet) is built ONCE per expression instance on the
+  * driver, ships with the serialized plan, and the generated code
+  * makes one static-shaped instance call per row. Null → null.
+  *
+  * Bitmask readouts compose downstream as integer ops: `bit_count()`
+  * for how many patterns hit, `& (1 << i)` for one pattern, group-bys
+  * on the mask for co-occurrence profiles — no per-pattern columns.
+  */
+case class MultiContains(child: Expression, patterns: Seq[String])
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  import org.apache.spark.sql.types.LongType
+
+  require(patterns.nonEmpty && patterns.length <= 63,
+    "multi_contains takes 1..63 patterns")
+  require(patterns.forall(_.nonEmpty), "patterns must be non-empty")
+
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "multi_contains"
+
+  // built once per expression instance; transient so the plan
+  // serializes the pattern list, not the tables — executors rebuild
+  // lazily on first row
+  @transient private lazy val ac = new AhoCorasick(patterns.toArray)
+
+  override def nullSafeEval(t: Any): Any =
+    ac.matchMask(t.asInstanceOf[UTF8String].toString)
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    // the automaton is referenced from generated code through a
+    // plan-object field (same device Spark uses for compiled regexes)
+    val acRef = ctx.addReferenceObj("ac", ac, classOf[AhoCorasick].getName)
+    defineCodeGen(ctx, ev, x => s"$acRef.matchMask($x.toString())")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** The automaton: dense goto rows over a compact alphabet of the
+  * characters that actually appear in the patterns (everything else is
+  * one "other" class that always routes through root), classic
+  * BFS-built failure links, and output masks OR-accumulated through
+  * the fail chain at build time so matching never walks it. */
+final class AhoCorasick(patterns: Array[String]) extends Serializable {
+  // compact alphabet
+  private val alpha: java.util.HashMap[Character, Integer] = {
+    val m = new java.util.HashMap[Character, Integer]()
+    patterns.foreach(_.foreach { ch =>
+      if (!m.containsKey(ch)) m.put(ch, m.size)
+    })
+    m
+  }
+  private val sigma = alpha.size
+  // trie build
+  private val (goto_, outMask: Array[Long]) = {
+    var cap = 16
+    var next = Array.fill(cap * sigma)(-1)
+    var out = new Array[Long](cap)
+    var nStates = 1
+    def ensure(n: Int): Unit = if (n > cap) {
+      val nc = math.max(cap * 2, n)
+      val nn = Array.fill(nc * sigma)(-1)
+      System.arraycopy(next, 0, nn, 0, cap * sigma)
+      val no = new Array[Long](nc)
+      System.arraycopy(out, 0, no, 0, cap)
+      next = nn; out = no; cap = nc
+    }
+    patterns.zipWithIndex.foreach { case (p, pi) =>
+      var s = 0
+      p.foreach { ch =>
+        val c = alpha.get(ch)
+        if (next(s * sigma + c) == -1) {
+          ensure(nStates + 1)
+          next(s * sigma + c) = nStates
+          nStates += 1
+        }
+        s = next(s * sigma + c)
+      }
+      out(s) |= 1L << pi
+    }
+    // BFS failure links; convert goto misses into direct transitions
+    val fail = new Array[Int](nStates)
+    val q = new java.util.ArrayDeque[Integer]()
+    var c = 0
+    while (c < sigma) {
+      val s = next(c)
+      if (s == -1) next(c) = 0
+      else { fail(s) = 0; q.add(s) }
+      c += 1
+    }
+    while (!q.isEmpty) {
+      val s = q.poll()
+      out(s) |= out(fail(s))
+      var c2 = 0
+      while (c2 < sigma) {
+        val t = next(s * sigma + c2)
+        if (t == -1) next(s * sigma + c2) = next(fail(s) * sigma + c2)
+        else { fail(t) = next(fail(s) * sigma + c2); q.add(t) }
+        c2 += 1
+      }
+    }
+    (next, out)
+  }
+
+  /** One pass; returns the OR of all matched patterns' bits. */
+  def matchMask(text: String): Long = {
+    var s = 0
+    var mask = 0L
+    var i = 0
+    val n = text.length
+    while (i < n) {
+      val cls = alpha.get(text.charAt(i))
+      s = if (cls == null) 0 else goto_(s * sigma + cls)
+      mask |= outMask(s)
+      i += 1
+    }
+    mask
+  }
+}
+
+object MultiContains {
+  /** Column-API entry point. */
+  def multiContains(text: Column, patterns: Seq[String]): Column =
+    GraftSqlBridge.column(
+      MultiContains(GraftSqlBridge.expression(text), patterns))
+}

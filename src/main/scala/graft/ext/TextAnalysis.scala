@@ -1023,4 +1023,198 @@ object TextAnalysis {
         round(col("__lnk"), 6).as("ln_k"),
         round(exp(col("__lnk")), 6).as("k"))
   }
+
+  /** E4 — BPE merge-table TRAINING (byte-pair encoding; Sennrich,
+    * Haddow & Birch, ACL'16 — public literature): learn the first
+    * `merges` subword merges from the corpus — the core of every
+    * modern tokenizer's vocabulary build, run where it belongs: on the
+    * cluster, over the full corpus, instead of a single-machine
+    * sample.
+    *
+    * Classic word-level formulation: the corpus reduces ONCE to the
+    * word-frequency vocabulary; each word is a symbol sequence
+    * (characters + a terminal `</w>` marker). Per round: count
+    * adjacent symbol pairs weighted by word frequency, take the most
+    * frequent pair (ties broken lexicographically on (left, right) —
+    * pinned), and merge it left-to-right non-overlapping in every
+    * word. Returns the merge table: (round, lhs, rhs, merged,
+    * pair_count) — all integers and strings, so the oracle needs only
+    * semantic (not IEEE) parity.
+    *
+    * Scale: the fact pass is one word-count agg (map-side combined);
+    * every round then runs on the VOCABULARY frame (|vocab| ≪ corpus;
+    * Heaps' law bounds it) — a pair explode ~|vocab|·word-len rows, a
+    * 1-row argmax collect (bounded-driver regime), and an array fold
+    * per word. 100 TB of text trains from the same vocab rollup as
+    * 100 GB. */
+  def bpeTrain(docs: DataFrame, textCol: Column, merges: Int): DataFrame = {
+    require(merges >= 1 && merges <= 50, "merges in [1, 50]")
+    val spark = docs.sparkSession
+    val words = docs.select(explode(tokens(textCol)).as("__w"))
+      .filter(col("__w") =!= "")
+      .groupBy(col("__w")).agg(count(lit(1)).as("__f"))
+    var vocab = words.withColumn("__syms",
+      concat(expr("transform(sequence(1, length(__w)), i -> substring(__w, i, 1))"),
+        array(lit("</w>"))))
+      .localCheckpoint()
+    val out = scala.collection.mutable.ArrayBuffer
+      .empty[(Int, String, String, String, Long)]
+    var r = 1
+    var exhausted = false
+    while (r <= merges && !exhausted) {
+      val best = vocab
+        .select(col("__f"), explode(expr(
+          "transform(sequence(1, size(__syms) - 1), " +
+            "i -> struct(element_at(__syms, i) as l, " +
+            "element_at(__syms, i + 1) as r))")).as("__p"))
+        .groupBy(col("__p.l").as("l"), col("__p.r").as("r"))
+        .agg(sum(col("__f")).as("cnt"))
+        .orderBy(col("cnt").desc, col("l").asc, col("r").asc)
+        .limit(1).collect()
+      if (best.isEmpty) exhausted = true
+      else {
+        val b = best(0)
+        val (bl, br) = (b.getAs[String]("l"), b.getAs[String]("r"))
+        out += ((r, bl, br, bl + br, b.getAs[Long]("cnt")))
+        // left-to-right non-overlapping merge as an ordered fold:
+        // "aaa" + (a,a) -> (aa, a), because a just-merged symbol never
+        // re-merges with the next (its label is the merged string)
+        vocab = vocab.withColumn("__syms",
+          aggregate(col("__syms"), array().cast("array<string>"),
+            (acc, x) => when(size(acc) > 0 &&
+                element_at(acc, -1) === lit(bl) && x === lit(br),
+              concat(slice(acc, lit(1), size(acc) - 1), array(lit(bl + br))))
+              .otherwise(concat(acc, array(x)))))
+          .localCheckpoint()
+        r += 1
+      }
+    }
+    import spark.implicits._
+    out.toSeq.toDF("round", "lhs", "rhs", "merged", "pair_count")
+  }
+
+  /** E4 — RAKE keyphrase extraction (Rapid Automatic Keyword
+    * Extraction; Rose, Engel, Cramer & Cowley 2010 — public
+    * literature): candidate phrases are maximal runs of non-stopword
+    * tokens; each word scores deg(w)/freq(w) (deg = Σ lengths of
+    * phrases containing it, freq = occurrence count) and a phrase
+    * scores the sum of its words' scores — long phrases of
+    * co-occurring content words win. The unsupervised per-corpus
+    * keyphrase readout (χ²-keywords q292 needs a contrast slice; RAKE
+    * needs nothing).
+    *
+    * Determinism contract: integer throughout — word score in ppm by
+    * one floor division, phrase score an integer ppm sum
+    * (order-independent); ties break on the phrase string. Tokens are
+    * the standard whitespace-split lowercase stream (punctuation-glued
+    * words keep their punctuation — documented difference from
+    * classic RAKE's punctuation delimiters, shared by the oracle).
+    * Returns top-K: (phrase, n_words, n_occurs, score_ppm).
+    *
+    * Scale: phrase islands come from ONE doc-partitioned window over
+    * the token stream; word stats and phrase stats are two
+    * vocabulary-grain aggs with map-side combine; only the top-K rank
+    * is global ([[Ranking.globalRowNumber]]-free: TakeOrdered via
+    * orderBy+limit). */
+  def keyphrasesRake(docs: DataFrame, idCol: Column, textCol: Column,
+      stopwords: Seq[String], topK: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(topK >= 1, "topK >= 1")
+    require(stopwords.nonEmpty, "need a stopword list")
+    val toks = docs.select(idCol.as("__d"), posexplode(tokens(textCol)))
+      .select(col("__d"), col("pos").as("__p"), col("col").as("__w"))
+      .filter(col("__w") =!= "")
+      .filter(!col("__w").isin(stopwords: _*))
+    val wDoc = Window.partitionBy(col("__d")).orderBy(col("__p"))
+    val phrases = toks
+      .withColumn("__grp", col("__p") - row_number().over(wDoc))
+      .groupBy(col("__d"), col("__grp"))
+      .agg(array_join(transform(
+          array_sort(collect_list(struct(col("__p"), col("__w")))),
+          x => x.getField("__w")), " ").as("phrase"),
+        count(lit(1)).as("n_words"),
+        collect_list(col("__w")).as("__ws"))
+      .localCheckpoint() // phrase-grain; word stats + scoring read it
+    val wordStats = phrases
+      .select(col("n_words"), explode(col("__ws")).as("__w"))
+      .groupBy(col("__w"))
+      .agg(count(lit(1)).as("__freq"), sum(col("n_words")).as("__deg"))
+      .withColumn("__score_ppm", expr("(1000000L * __deg) div __freq"))
+    phrases.select(col("phrase"), col("n_words"), explode(col("__ws")).as("__w"))
+      .join(broadcast(wordStats.select(col("__w"), col("__score_ppm"))), "__w")
+      .groupBy(col("phrase"), col("n_words"))
+      // every occurrence contributes the identical per-word scores, so
+      // sum = n_occurs·phrase_score and count = n_occurs·n_words —
+      // both divisions below are EXACT integer ratios
+      .agg(sum(col("__score_ppm")).as("__sum"), count(lit(1)).as("__cnt"))
+      .withColumn("n_occurs", expr("__cnt div n_words"))
+      .withColumn("score_ppm", expr("__sum div n_occurs"))
+      .select(col("phrase"), col("n_words"), col("n_occurs"), col("score_ppm"))
+      .orderBy(col("score_ppm").desc, col("phrase").asc)
+      .limit(topK)
+  }
+
+  /** E4 — BPE ENCODING with a learned merge list (the apply side of
+    * [[bpeTrain]]): tokenize the corpus with the first k merges and
+    * report the compression the subword vocabulary buys —
+    * (n_docs, n_words, n_char_tokens, n_bpe_tokens, saved_ppm). The
+    * readout that says whether the next 10k merges are worth training.
+    *
+    * Scale: the merge folds run ONCE over the distinct-word
+    * vocabulary (Heaps-bounded), as k chained projections — no driver
+    * rounds; the corpus pass is one word explode + a vocabulary join
+    * + one agg. */
+  def bpeEncode(docs: DataFrame, idCol: Column, textCol: Column,
+      merges: Seq[(String, String)]): DataFrame = {
+    require(merges.nonEmpty, "need at least one merge")
+    val words = docs.select(idCol.as("__d"), explode(tokens(textCol)).as("__w"))
+      .filter(col("__w") =!= "")
+    val vocab0 = words.select(col("__w")).distinct()
+      .withColumn("__syms", concat(
+        expr("transform(sequence(1, length(__w)), i -> substring(__w, i, 1))"),
+        array(lit("</w>"))))
+    val encoded = merges.foldLeft(vocab0) { case (v, (bl, br)) =>
+      v.withColumn("__syms",
+        aggregate(col("__syms"), array().cast("array<string>"),
+          (acc, x) => when(size(acc) > 0 &&
+              element_at(acc, -1) === lit(bl) && x === lit(br),
+            concat(slice(acc, lit(1), size(acc) - 1), array(lit(bl + br))))
+            .otherwise(concat(acc, array(x)))))
+    }
+    words.join(encoded.select(col("__w"), size(col("__syms")).as("__nt")), "__w")
+      .agg(countDistinct(col("__d")).as("n_docs"),
+        count(lit(1)).as("n_words"),
+        sum(length(col("__w")) + 1).as("n_char_tokens"),
+        sum(col("__nt")).as("n_bpe_tokens"))
+      .withColumn("saved_ppm",
+        expr("(1000000L * (n_char_tokens - n_bpe_tokens)) div n_char_tokens"))
+  }
+
+  /** The DuckDB transliteration of [[bpeTrain]]'s round loop: per
+    * round a pair-count CTE, a 1-row argmax CTE, and a list-fold merge
+    * CTE (list-of-lists trick: list_reduce's accumulator must share
+    * the element type, so symbols fold as single-element lists).
+    * `v0` must expose (w, f, syms). */
+  def bpeOracleSteps(merges: Int): String = {
+    val steps = (1 to merges).map { r =>
+      val in = s"v${r - 1}"
+      s"""p$r AS (
+         |  SELECT syms[i] AS l, syms[i + 1] AS rr, sum(f) AS cnt
+         |  FROM (SELECT f, syms, unnest(range(1, len(syms))) AS i FROM $in)
+         |  GROUP BY 1, 2),
+         |b$r AS (SELECT l, rr, cnt FROM p$r
+         |        ORDER BY cnt DESC, l ASC, rr ASC LIMIT 1),
+         |v$r AS (
+         |  SELECT w, f,
+         |    list_reduce(
+         |      list_prepend(CAST([] AS VARCHAR[]),
+         |        list_transform(syms, s -> [s])),
+         |      (acc, x) -> CASE
+         |        WHEN len(acc) > 0 AND acc[-1] = b.l AND x[1] = b.rr
+         |        THEN list_append(acc[:len(acc) - 1], b.l || b.rr)
+         |        ELSE list_append(acc, x[1]) END) AS syms
+         |  FROM $in CROSS JOIN b$r b)""".stripMargin
+    }
+    steps.mkString(",\n")
+  }
 }

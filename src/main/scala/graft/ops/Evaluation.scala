@@ -566,4 +566,61 @@ object Evaluation {
             col("fp").cast(d38) * col("fn").cast(d38)).cast("double") /
             sqrt(den.cast("double")), 6)).as("mcc"))
   }
+
+  /** ISOTONIC calibration via pool-adjacent-violators (Ayer et al.
+    * 1955; Barlow et al. 1972 — public literature): fit the best
+    * NON-DECREASING success-rate curve over ordered score bins — the
+    * non-parametric calibration map (Zadrozny & Elkan, KDD'02) that
+    * [[calibrationBins]] measures the need for. Where Platt scaling
+    * assumes a sigmoid, PAV assumes only monotonicity.
+    *
+    * Determinism contract: the fact table rolls up ONCE to per-bin
+    * (n, pos) integers; PAV runs on that rollup with pool-rate
+    * comparisons as EXACT cross-multiplications (pos_a·n_b vs
+    * pos_b·n_a — no division until the readout), so the unique
+    * isotonic solution is bit-independent of merge order; the oracle
+    * reaches the same pools by repeatedly merging the first adjacent
+    * violator (the PAV solution is unique, so any merge order
+    * converges to it). The readout divides once:
+    * fit_ppm = (10⁶·pool_pos) div pool_n.
+    * Returns per input bin: (bin, n, pos, pool_lo, pool_hi, fit_ppm).
+    *
+    * Scale: the fact pass is one bin-keyed agg with map-side combine;
+    * PAV itself runs on the ≤|bins| rollup COLLECTED to the driver
+    * (the kriging/ucb bounded regime — bins is a parameter, not data
+    * volume). */
+  def isotonicCalibration(df: DataFrame, binCol: Column,
+      labelCond: Column): DataFrame = {
+    val rolled = df.groupBy(binCol.cast("long").as("bin")).agg(
+      count(lit(1)).as("n"),
+      sum(when(labelCond, 1L).otherwise(0L)).as("pos"))
+      .orderBy(col("bin"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    require(rolled.nonEmpty, "isotonicCalibration: empty input")
+    // classic stack PAV, exact integer rate comparisons
+    final case class Pool(lo: Long, hi: Long, n: Long, pos: Long)
+    val stack = scala.collection.mutable.ArrayBuffer.empty[Pool]
+    rolled.foreach { case (b, n, pos) =>
+      stack += Pool(b, b, n, pos)
+      // merge while the previous pool's rate EXCEEDS the new one's
+      // (violates non-decreasing): pos_prev·n_new > pos_new·n_prev
+      var merging = true
+      while (merging && stack.length >= 2) {
+        val top = stack(stack.length - 1)
+        val prev = stack(stack.length - 2)
+        if (prev.pos * top.n > top.pos * prev.n) {
+          stack.remove(stack.length - 1)
+          stack(stack.length - 1) =
+            Pool(prev.lo, top.hi, prev.n + top.n, prev.pos + top.pos)
+        } else merging = false
+      }
+    }
+    val spark = df.sparkSession
+    import spark.implicits._
+    stack.toSeq.flatMap { p =>
+      rolled.filter(r => r._1 >= p.lo && r._1 <= p.hi).map { case (b, n, pos) =>
+        (b, n, pos, p.lo, p.hi, 1000000L * p.pos / p.n)
+      }
+    }.toDF("bin", "n", "pos", "pool_lo", "pool_hi", "fit_ppm")
+  }
 }

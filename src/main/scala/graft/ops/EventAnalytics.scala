@@ -959,4 +959,103 @@ object EventAnalytics {
       .orderBy(col("n").desc, col("t1"), col("t2"), col("t3"))
       .limit(topK)
   }
+
+  /** W-frame/A1 — EXACT SHAPLEY-VALUE attribution (Shapley 1953;
+    * the coalition-reach game standard in marketing attribution, e.g.
+    * Zhao, Mahboobi & Bagheri 2018 — public literature): how much
+    * conversion credit does each touch TYPE deserve, counting every
+    * ordering of channels fairly — the principled answer where
+    * first/last/time-decay heuristics disagree.
+    *
+    *   - A JOURNEY is a conversion segment ([[timeDecayAttribution]]'s
+    *     __seg machinery); its COALITION is the set of distinct touch
+    *     types present, as a bitmask over the k global types (sorted,
+    *     bit i = i-th type; k ≤ 20 enforced).
+    *   - The characteristic function is the monotone REACH game:
+    *     v(S) = number of CONVERTING journeys whose coalition ⊆ S.
+    *   - φ_i · k! = Σ_{S ∌ i} |S|!·(k−|S|−1)!·(v(S∪{i}) − v(S)) —
+    *     kept as the EXACT integer permutation count (20! < 2⁶³), so
+    *     the efficiency law Σφ_i·k! = v(full)·k! holds exactly and the
+    *     whole op is reduce-order-independent.
+    *
+    * Returns per type: (touch_type, phi_perm, phi_micro, v_solo,
+    * v_full) with phi_micro = (10⁶·phi_perm) div k!.
+    *
+    * Scale: the fact pass is ONE (actor, seg) window + rollup to ≤ 2^k
+    * distinct coalition masks; the 2^k × masks subset-sum join and the
+    * k·2^k Shapley sum run on k-bounded frames (k = channel count —
+    * single digits in practice), never the fact table. */
+  def shapleyAttribution(df: DataFrame, actorCol: String, tsCol: String,
+      tieCol: String, typeCol: String, convType: String): DataFrame = {
+    graft.plans.Guardrails.expect("cartesian_join", "__mask, __nconv",
+      "shapleyAttribution: 2^k-row subset lattice x coalition rollup " +
+        "(k = touch-type count, <= 20)")
+    val order = Seq(col(tsCol), col(tieCol))
+    val wAll = Window.partitionBy(col(actorCol)).orderBy(order: _*)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val seg = df.withColumn("__seg",
+      coalesce(sum(when(col(typeCol) === convType, 1L).otherwise(0L))
+        .over(wAll), lit(0L)))
+    // the k global touch types, sorted — bit index assignment
+    val types = seg.filter(col(typeCol) =!= convType)
+      .select(col(typeCol).cast("string")).distinct()
+      .collect().map(_.getString(0)).sorted
+    val k = types.length
+    require(k >= 1 && k <= 20, s"shapley needs 1..20 touch types, got $k")
+    val bitOf = types.zipWithIndex.toMap
+    // converting journeys -> coalition mask rollup (<= 2^k rows)
+    val touches = seg.filter(col(typeCol) =!= convType)
+      .select(col(actorCol).as("__a"), col("__seg"),
+        col(typeCol).cast("string").as("__t"))
+    val convs = seg.filter(col(typeCol) === convType)
+      .select(col(actorCol).as("__a"), col("__seg")).distinct()
+    val bitExpr = types.foldLeft(lit(0L)) { (acc, t) =>
+      acc.bitwiseOR(when(col("__t") === t, lit(1L << bitOf(t))).otherwise(lit(0L)))
+    }
+    val maskCounts = touches.join(convs, Seq("__a", "__seg")) // converting only
+      .select(col("__a"), col("__seg"), bitExpr.as("__b"))
+      .groupBy(col("__a"), col("__seg"))
+      .agg(expr("bit_or(__b)").as("__jm"))
+      .groupBy(col("__jm")).agg(count(lit(1)).as("__nconv"))
+      .localCheckpoint()
+    // v(S) over the full lattice: subset-sum join (mask subset of S)
+    val spark = df.sparkSession
+    val lattice = spark.range(1L << k).select(col("id").as("__mask"))
+    val v = lattice.join(broadcast(maskCounts),
+        col("__jm").bitwiseAND(bitwise_not(col("__mask"))) === 0, "left")
+      .groupBy(col("__mask"))
+      .agg(coalesce(sum(col("__nconv")), lit(0L)).as("__v"))
+      .localCheckpoint()
+    def factorial(n: Int): Long = (1 to n).foldLeft(1L)(_ * _)
+    val factArr = array((0 to k).map(i => lit(factorial(i))): _*)
+    def popcnt(c: Column): Column = expr(s"bit_count(${c.toString})")
+    // Shapley sum: for each type bit i, over subsets S without i
+    val phis = (0 until k).map { i =>
+      val bit = 1L << i
+      val sNoI = v.filter(col("__mask").bitwiseAND(lit(bit)) === 0)
+        .select(col("__mask"), col("__v").as("__vs"))
+      val sWithI = v.filter(col("__mask").bitwiseAND(lit(bit)) =!= 0)
+        .select(col("__mask").bitwiseAND(lit(~bit)).as("__m2"),
+          col("__v").as("__vsi"))
+      sNoI.join(sWithI, col("__mask") === col("__m2"))
+        .select((element_at(factArr, popcnt(col("__mask")).cast("int") + 1) *
+          element_at(factArr, lit(k) - popcnt(col("__mask")).cast("int")) *
+          (col("__vsi") - col("__vs"))).as("__term"))
+        .agg(coalesce(sum(col("__term")), lit(0L)).as("phi_perm"))
+        .select(lit(types(i)).as("touch_type"), col("phi_perm"))
+    }
+    val vSolo = v.filter(popcnt(col("__mask")) === 1)
+      .select(col("__mask"), col("__v").as("v_solo"))
+    val vFull = v.orderBy(col("__mask").desc).limit(1)
+      .select(col("__v").as("v_full"))
+    val phiAll = phis.reduce(_ unionByName _)
+    val withBits = phiAll.withColumn("__bit",
+      types.zipWithIndex.foldLeft(lit(0L)) { case (acc, (t, i)) =>
+        when(col("touch_type") === t, lit(1L << i)).otherwise(acc) })
+    withBits.join(broadcast(vSolo), col("__bit") === col("__mask"), "left")
+      .crossJoin(broadcast(vFull))
+      .select(col("touch_type"), col("phi_perm"),
+        expr(s"(1000000L * phi_perm) div ${factorial(k)}L").as("phi_micro"),
+        coalesce(col("v_solo"), lit(0L)).as("v_solo"), col("v_full"))
+  }
 }

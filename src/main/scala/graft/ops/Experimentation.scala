@@ -521,4 +521,54 @@ object Experimentation {
     w.select(col("__r").as("row_key"), col("__c").as("col_key"), col("n"),
       col("__w").as("weight_micro"))
   }
+
+  /** A-stat — delta-method variance for RATIO METRICS (standard
+    * large-sample result; e.g. Deng, Knoblich & Lu, KDD'18 on ratio
+    * metrics in A/B systems — public literature): most product metrics
+    * are ratios of two unit-level sums (revenue per session, CTR =
+    * clicks/views), and treating the ratio as a mean-of-ratios or
+    * ignoring the numerator/denominator covariance UNDERSTATES its
+    * variance. For each arm, with unit-grain (x, y):
+    *   R = ΣY / ΣX,
+    *   Var(R) ≈ (s²_y − 2R·s_xy + R²·s²_x) / (n·x̄²),
+    * the first-order Taylor (delta-method) expansion. Returns per arm:
+    * (arm, n, ratio, se, ci_lo, ci_hi) — UNROUNDED doubles from a
+    * pinned op order over exact integer sums (the q186 discipline).
+    *
+    * Scale: one unit-grain agg with map-side combine per arm — six
+    * exact sums; the finish is |arms|-row arithmetic. 100 TB of
+    * sessions reduce to one pass. */
+  def ratioMetricDelta(units: DataFrame, xCol: Column, yCol: Column,
+      armCol: Column, zCrit: Double = 1.96): DataFrame = {
+    val d38 = "decimal(38,0)"
+    val x = xCol.cast("long")
+    val y = yCol.cast("long")
+    val g = units.groupBy(armCol.as("arm")).agg(
+      count(lit(1)).as("n"),
+      sum(x.cast(d38)).as("__sx"),
+      sum(y.cast(d38)).as("__sy"),
+      sum((x * x).cast(d38)).as("__sxx"),
+      sum((x * y).cast(d38)).as("__sxy"),
+      sum((y * y).cast(d38)).as("__syy"))
+    val nD = col("n").cast("double")
+    val nd38 = col("n").cast(d38)
+    // exact decimal co-moment numerators; ONE double division each —
+    // the oracle evaluates the identical token sequence
+    val r = col("__sy").cast("double") / col("__sx").cast("double")
+    val varx = (nd38 * col("__sxx") - col("__sx") * col("__sx")).cast("double") /
+      (nd38 * (nd38 - 1)).cast("double")
+    val vary = (nd38 * col("__syy") - col("__sy") * col("__sy")).cast("double") /
+      (nd38 * (nd38 - 1)).cast("double")
+    val covxy = (nd38 * col("__sxy") - col("__sx") * col("__sy")).cast("double") /
+      (nd38 * (nd38 - 1)).cast("double")
+    val mx = col("__sx").cast("double") / nD
+    g.withColumn("ratio", r)
+      .withColumn("se", sqrt(
+        (col("ratio") * col("ratio") * varx - col("ratio") * covxy * 2 + vary) /
+          (nD * (mx * mx))))
+      .withColumn("ci_lo", col("ratio") - lit(zCrit) * col("se"))
+      .withColumn("ci_hi", col("ratio") + lit(zCrit) * col("se"))
+      .select(col("arm"), col("n"), col("ratio"), col("se"),
+        col("ci_lo"), col("ci_hi"))
+  }
 }

@@ -36,5 +36,6 @@ object Declared {
       Analytics8.all ++ Analytics9.all ++ Analytics10.all ++ Analytics11.all ++
       Analytics12.all ++ Analytics13.all ++ Analytics14.all ++
       Analytics15.all ++ Analytics16.all ++ Analytics17.all ++
-      Analytics18.all ++ Analytics19.all
+      Analytics18.all ++ Analytics19.all ++ Analytics20.all ++
+      Analytics21.all
 }

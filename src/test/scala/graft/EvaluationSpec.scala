@@ -288,4 +288,35 @@ class EvaluationSpec extends AnyFunSuite {
     assert(r.getAs[Long]("resolution_ppm2") == 0L)
     assert(r.getAs[Long]("reliability_ppm2") == 90000000000L)
   }
+
+  test("A-eval: isotonicCalibration — PAV pools violators, keeps monotone input") {
+    import graft.ops.Evaluation
+    // bins: rates 1/4, 3/4, 1/4 -> bins 1,2 violate (3/4 > 1/4): pool to
+    // (4/8 = 1/2); bin 0 (1/4) <= 1/2 stays alone
+    val rows = Seq.tabulate(4)(i => (0L, i < 1)) ++
+      Seq.tabulate(4)(i => (1L, i < 3)) ++
+      Seq.tabulate(4)(i => (2L, i < 1))
+    val out = Evaluation.isotonicCalibration(rows.toDF("bin", "y"),
+      col("bin"), col("y")).orderBy("bin").collect()
+    assert(out.map(_.getAs[Long]("fit_ppm")).toSeq ==
+      Seq(250000L, 500000L, 500000L))
+    assert(out.map(r => (r.getAs[Long]("pool_lo"), r.getAs[Long]("pool_hi")))
+      .toSeq == Seq((0L, 0L), (1L, 2L), (1L, 2L)))
+    // already-monotone input is untouched, and output is non-decreasing
+    val mono = Seq.tabulate(4)(i => (0L, i < 1)) ++
+      Seq.tabulate(4)(i => (1L, i < 2)) ++
+      Seq.tabulate(4)(i => (2L, i < 3))
+    val mo = Evaluation.isotonicCalibration(mono.toDF("bin", "y"),
+      col("bin"), col("y")).orderBy("bin").collect()
+      .map(_.getAs[Long]("fit_ppm"))
+    assert(mo.toSeq == Seq(250000L, 500000L, 750000L))
+    assert(mo.sliding(2).forall(s => s(0) <= s(1)))
+    // cascade: rates 3/4, 2/4, 1/4 all pool into one (6/12 = 1/2)
+    val casc = Seq.tabulate(4)(i => (0L, i < 3)) ++
+      Seq.tabulate(4)(i => (1L, i < 2)) ++
+      Seq.tabulate(4)(i => (2L, i < 1))
+    val co = Evaluation.isotonicCalibration(casc.toDF("bin", "y"),
+      col("bin"), col("y")).collect().map(_.getAs[Long]("fit_ppm"))
+    assert(co.toSeq == Seq(500000L, 500000L, 500000L))
+  }
 }

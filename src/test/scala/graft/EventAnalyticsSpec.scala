@@ -328,4 +328,37 @@ class EventAnalyticsSpec extends AnyFunSuite {
     assert(out.map(_.getAs[Long]("cumhaz_ppm")).toSeq ==
       Seq(250000L, 750000L, 750000L))
   }
+
+  test("A1: shapleyAttribution — efficiency, symmetry and a hand case") {
+    // journeys (conversion segments): {A} converts, {A,B} converts,
+    // {B} converts twice -> reach game over k=2:
+    // v({}) = 0, v({A}) = 1, v({B}) = 2, v({A,B}) = 4
+    // phi_A*2! = 0!1!(v(A)-v({})) + 1!0!(v(AB)-v(B)) = 1 + 2 = 3
+    // phi_B*2! = (v(B)-v({})) + (v(AB)-v(A)) = 2 + 3 = 5; sum = 8 = v_full*2!
+    def journey(u: Long, evs: (String, Int)*): Seq[(Long, java.sql.Timestamp, Long, String)] =
+      evs.zipWithIndex.map { case ((t, sec), i) =>
+        (u, java.sql.Timestamp.valueOf(f"2024-01-01 00:00:$sec%02d"), i.toLong, t) }
+    val rows =
+      journey(1, ("A", 1), ("conv", 2)) ++
+      journey(2, ("A", 1), ("B", 2), ("conv", 3)) ++
+      journey(3, ("B", 1), ("conv", 2)) ++
+      journey(4, ("B", 1), ("conv", 2)) ++
+      journey(5, ("A", 1)) // no conversion: contributes nothing
+    val df = rows.toDF("u", "ts", "eid", "et")
+    val out = EventAnalytics.shapleyAttribution(df, "u", "ts", "eid", "et", "conv")
+      .orderBy("touch_type").collect()
+    assert(out.map(r => (r.getAs[String]("touch_type"),
+      r.getAs[Long]("phi_perm"), r.getAs[Long]("v_solo"),
+      r.getAs[Long]("v_full"))).toSeq ==
+      Seq(("A", 3L, 1L, 4L), ("B", 5L, 2L, 4L)))
+    // efficiency: sum(phi_perm) == v_full * k!
+    assert(out.map(_.getAs[Long]("phi_perm")).sum == 4L * 2L)
+    // symmetry: two interchangeable channels split credit equally
+    val sym = (journey(1, ("A", 1), ("conv", 2)) ++
+      journey(2, ("B", 1), ("conv", 2)) ++
+      journey(3, ("A", 1), ("B", 2), ("conv", 3))).toDF("u", "ts", "eid", "et")
+    val so = EventAnalytics.shapleyAttribution(sym, "u", "ts", "eid", "et", "conv")
+      .collect()
+    assert(so.map(_.getAs[Long]("phi_perm")).distinct.length == 1)
+  }
 }

@@ -477,4 +477,25 @@ class ExperimentationSpec extends AnyFunSuite {
     assert(out.map(_.getAs[Long]("term_nano")).toSeq == Seq(t, t))
     assert(out.head.getAs[Double]("psi") == 1.098612)
   }
+
+  test("ratioMetricDelta: hand case — ratio, covariance-aware variance") {
+    // one arm, units (x, y): (1, 2), (2, 2), (1, 4)
+    // n=3, Sx=4, Sy=8, Sxx=6, Sxy=10, Syy=24
+    // R = 2, varx = (18-16)/6 = 1/3, vary = (72-64)/6 = 4/3,
+    // cov = (30-32)/6 = -1/3, mx = 4/3
+    // Var(R) = (4/3 + 4/3 + 4/3) / (3 * 16/9) = 0.75 -> se = sqrt(0.75)
+    val df = Seq((1L, 2L, "a"), (2L, 2L, "a"), (1L, 4L, "a"))
+      .toDF("x", "y", "arm")
+    val out = Experimentation.ratioMetricDelta(df, col("x"), col("y"),
+      col("arm")).collect()(0)
+    assert(out.getAs[Long]("n") == 3L)
+    assert(out.getAs[Double]("ratio") == 2.0)
+    val varx = 2.0 / 6.0; val vary = 8.0 / 6.0; val cov = -2.0 / 6.0
+    val mx = 4.0 / 3.0
+    val se = math.sqrt((2.0 * 2.0 * varx - 2.0 * cov * 2 + vary) /
+      (3.0 * (mx * mx)))
+    assert(out.getAs[Double]("se") == se)
+    assert(out.getAs[Double]("ci_lo") == 2.0 - 1.96 * se)
+    assert(out.getAs[Double]("ci_hi") == 2.0 + 1.96 * se)
+  }
 }

@@ -676,4 +676,133 @@ class CurationSpec extends AnyFunSuite {
     assert(r.getAs[String]("modal_prefix") == "breaking news today")
     assert(r.getAs[Long]("modal_ppm") == 666666L)
   }
+
+  test("X3: MultiContains — one-pass Aho-Corasick mask matches contains()") {
+    import graft.ext.MultiContains.multiContains
+    val pats = Seq("he", "she", "his", "hers", "xyz")
+    val rows = Seq("ushers", "his house", "nothing here", "shehe", "")
+      .toDF("t")
+    val got = rows.select(multiContains(col("t"), pats).as("m"))
+      .collect().map(_.getLong(0))
+    val want = rows.collect().map(_.getString(0)).map { s =>
+      pats.zipWithIndex.foldLeft(0L) { case (m, (p, i)) =>
+        if (s.contains(p)) m | (1L << i) else m }
+    }
+    assert(got.toSeq == want.toSeq) // incl. overlapping matches in "ushers"
+    // null in -> null out
+    assert(Seq[Option[String]](None).toDF("t")
+      .select(multiContains(col("t"), pats)).collect()(0).isNullAt(0))
+    // codegen and interpreted agree
+    val big = (0 until 64).map(i => s"word$i text he xyz").toDF("t")
+    val cnt = big.select(multiContains(col("t"), pats).as("m"))
+      .filter(col("m") === ((1L << 0) | (1L << 4))).count()
+    assert(cnt == 64)
+  }
+
+  test("E3: mmrRerank — relevance-first at lambda=1, diversity kicks in below") {
+    import graft.ext.Similarity
+    // three near-identical vectors with top relevance + one orthogonal
+    val rows = Seq(
+      (1L, 0.99, Array(1.0f, 0.0f)),
+      (2L, 0.98, Array(1.0f, 0.01f)),
+      (3L, 0.97, Array(1.0f, 0.02f)),
+      (4L, 0.50, Array(0.0f, 1.0f)))
+      .toDF("id", "rel", "vec")
+    // lambda = 1: pure relevance order
+    val pure = Similarity.mmrRerank(rows, "id", "rel", "vec", 3, 1, 1)
+      .orderBy("pick_order").collect().map(_.getAs[Long]("id"))
+    assert(pure.toSeq == Seq(1L, 2L, 3L))
+    // lambda = 0.5: after the best pick, the orthogonal vector beats
+    // the near-duplicates despite lower relevance
+    val div = Similarity.mmrRerank(rows, "id", "rel", "vec", 2, 1, 2)
+      .orderBy("pick_order").collect().map(_.getAs[Long]("id"))
+    assert(div.toSeq == Seq(1L, 4L))
+    // k > N returns all N, each picked exactly once
+    val all4 = Similarity.mmrRerank(rows, "id", "rel", "vec", 9, 7, 10)
+      .collect()
+    assert(all4.map(_.getAs[Long]("id")).sorted.toSeq == Seq(1L, 2L, 3L, 4L))
+    assert(all4.map(_.getAs[Long]("pick_order")).sorted.toSeq ==
+      Seq(1L, 2L, 3L, 4L))
+  }
+
+  test("E4: bpeTrain — hand-checked merges on a tiny corpus") {
+    import graft.ext.TextAnalysis
+    // corpus: "low low low lower" -> vocab low:3, lower:1
+    // symbols: l o w </w> (x3), l o w e r </w> (x1)
+    // round 1 pairs: (l,o):4 (o,w):4 (w,</w>):3 (w,e):1 (e,r):1 (r,</w>):1
+    //   tie (l,o) vs (o,w) -> lexicographic: (l,o); merged "lo"
+    // round 2: (lo,w):4 wins; round 3: (low,</w>):3 wins
+    val docs = Seq("low low low lower").toDF("text")
+    val out = TextAnalysis.bpeTrain(docs, col("text"), merges = 3)
+      .orderBy("round").collect()
+      .map(r => (r.getAs[Int]("round"), r.getAs[String]("lhs"),
+        r.getAs[String]("rhs"), r.getAs[String]("merged"),
+        r.getAs[Long]("pair_count")))
+    assert(out.toSeq == Seq(
+      (1, "l", "o", "lo", 4L),
+      (2, "lo", "w", "low", 4L),
+      (3, "low", "</w>", "low</w>", 3L)))
+    // greedy left-to-right non-overlap: "aaa" + (a,a) -> [aa, a]
+    val aaa = Seq("aaa").toDF("text")
+    val m1 = TextAnalysis.bpeTrain(aaa, col("text"), merges = 1).collect()(0)
+    assert(m1.getAs[String]("merged") == "aa" &&
+      m1.getAs[Long]("pair_count") == 2L)
+  }
+
+  test("E4: keyphrasesRake — deg/freq scoring on a hand corpus") {
+    import graft.ext.TextAnalysis
+    // doc: "deep learning of deep networks" stopword 'of' splits runs:
+    // phrases: "deep learning" (len 2), "deep networks" (len 2)
+    // deg(deep) = 4, freq = 2 -> 2e6; learning 2/1 -> 2e6; networks 2e6
+    // both phrases score 4e6
+    val docs = Seq((1L, "deep learning of deep networks")).toDF("id", "text")
+    val out = TextAnalysis.keyphrasesRake(docs, col("id"), col("text"),
+      Seq("of", "the"), topK = 5).orderBy("phrase").collect()
+    assert(out.map(r => (r.getAs[String]("phrase"), r.getAs[Long]("n_words"),
+      r.getAs[Long]("n_occurs"), r.getAs[Long]("score_ppm"))).toSeq ==
+      Seq(("deep learning", 2L, 1L, 4000000L),
+        ("deep networks", 2L, 1L, 4000000L)))
+    // repeated phrase counts occurrences once per appearance
+    val rep = Seq((1L, "big data and big data")).toDF("id", "text")
+    val ro = TextAnalysis.keyphrasesRake(rep, col("id"), col("text"),
+      Seq("and"), topK = 5).collect()(0)
+    assert(ro.getAs[String]("phrase") == "big data" &&
+      ro.getAs[Long]("n_occurs") == 2L)
+  }
+
+  test("E4: bpeEncode — compression accounting on a hand corpus") {
+    import graft.ext.TextAnalysis
+    // "low low" with merges (l,o), (lo,w), (low,</w>): each 'low'
+    // encodes to ONE token; char-level is 4 tokens per word (l o w </w>)
+    val docs = Seq((1L, "low low")).toDF("id", "text")
+    val merges = Seq(("l", "o"), ("lo", "w"), ("low", "</w>"))
+    val out = TextAnalysis.bpeEncode(docs, col("id"), col("text"), merges)
+      .collect()(0)
+    assert(out.getAs[Long]("n_docs") == 1L)
+    assert(out.getAs[Long]("n_words") == 2L)
+    assert(out.getAs[Long]("n_char_tokens") == 8L) // (3 chars + </w>) x 2
+    assert(out.getAs[Long]("n_bpe_tokens") == 2L)
+    assert(out.getAs[Long]("saved_ppm") == 750000L)
+  }
+
+  test("E3: hardNegatives — same-label and self pairs excluded, top-k ranked") {
+    import graft.ext.Similarity
+    val rows = Seq(
+      (1L, 0L, Array(1.0f, 0.0f)),
+      (2L, 0L, Array(1.0f, 0.1f)),   // same label as 1: never its negative
+      (3L, 1L, Array(0.9f, 0.1f)),   // closest cross-label to 1
+      (4L, 1L, Array(0.0f, 1.0f)))   // far cross-label
+      .toDF("id", "label", "vec")
+    val out = Similarity.hardNegatives(rows, "id", "label", "vec", k = 2)
+      .filter(col("anchor_id") === 1L).orderBy("rank").collect()
+    assert(out.map(_.getAs[Long]("neg_id")).toSeq == Seq(3L, 4L))
+    // no anchor ever lists itself or a same-label item
+    val all = Similarity.hardNegatives(rows, "id", "label", "vec", k = 3)
+      .collect()
+    assert(all.forall(r =>
+      r.getAs[Long]("anchor_id") != r.getAs[Long]("neg_id")))
+    val lbl = rows.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(all.forall(r =>
+      lbl(r.getAs[Long]("anchor_id")) != lbl(r.getAs[Long]("neg_id"))))
+  }
 }
