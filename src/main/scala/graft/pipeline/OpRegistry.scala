@@ -875,6 +875,38 @@ object OpRegistry {
     "runs_test" -> (p => df => graft.ops.Aggregates.runsTest(
       df, col(str(p, "order_col")), expr(str(p, "flag_cond")))),
     "woe_encoding" -> (p => df => graft.ops.Features.woeEncoding(
-      df, col(str(p, "category_col")), expr(str(p, "event_cond"))))
+      df, col(str(p, "category_col")), expr(str(p, "event_cond")))),
+    // batch 39 (q314-q318)
+    "ratio_metric_delta" -> (p => df =>
+      graft.ops.Experimentation.ratioMetricDelta(
+        df, col(str(p, "x_col")), col(str(p, "y_col")),
+        col(str(p, "arm_col")))),
+    "multi_contains" -> (p => df => df.withColumn(
+      strOpt(p, "out_col").getOrElse("pattern_mask"),
+      graft.ext.MultiContains.multiContains(
+        col(str(p, "text_col")), strs(p, "patterns")))),
+    "mmr_rerank" -> (p => df => graft.ext.Similarity.mmrRerank(
+      df, str(p, "id_col"), str(p, "rel_col"), str(p, "vec_col"),
+      num(p, "k").toInt,
+      numOpt(p, "lam_num").map(_.toLong).getOrElse(7L),
+      numOpt(p, "lam_den").map(_.toLong).getOrElse(10L))),
+    "shapley_attribution" -> (p => df =>
+      graft.ops.EventAnalytics.shapleyAttribution(
+        df, str(p, "actor_col"), str(p, "ts_col"), str(p, "tie_col"),
+        str(p, "type_col"), str(p, "conv_type"))),
+    "bpe_train" -> (p => df => graft.ext.TextAnalysis.bpeTrain(
+      df, col(str(p, "text_col")),
+      numOpt(p, "merges").map(_.toInt).getOrElse(10))),
+    // batch 40 (q319-q322)
+    "isotonic_calibration" -> (p => df =>
+      graft.ops.Evaluation.isotonicCalibration(
+        df, expr(str(p, "bin_expr")), expr(str(p, "label_expr")))),
+    "rake_keyphrases" -> (p => df => graft.ext.TextAnalysis.keyphrasesRake(
+      df, col(str(p, "id_col")), col(str(p, "text_col")),
+      strs(p, "stopwords"),
+      numOpt(p, "top_k").map(_.toInt).getOrElse(20))),
+    "hard_negatives" -> (p => df => graft.ext.Similarity.hardNegatives(
+      df, str(p, "id_col"), str(p, "label_col"), str(p, "vec_col"),
+      numOpt(p, "k").map(_.toInt).getOrElse(5)))
   ))
 }

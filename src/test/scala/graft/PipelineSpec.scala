@@ -980,6 +980,52 @@ class SourcesSinksSpec extends AnyFunSuite {
     assert(bh.count() == 2)
   }
 
+  test("X1: batch-39-40 registry ops run from JSON") {
+    def run(json: String, df: org.apache.spark.sql.DataFrame) =
+      Pipeline.fromJson(json).run(df)._1
+
+    val rd = run("""{"pipe":"p","operations":[{"name":"r","function":
+      "ratio_metric_delta","kwargs":{"x_col":"x","y_col":"y",
+      "arm_col":"arm"}}]}""",
+      Seq((1L, 2L, "a"), (2L, 2L, "a"), (1L, 4L, "a")).toDF("x", "y", "arm"))
+      .head()
+    assert(rd.getAs[Double]("ratio") == 2.0)
+
+    val mc = run("""{"pipe":"p","operations":[{"name":"m","function":
+      "multi_contains","kwargs":{"text_col":"t",
+      "patterns":["he","she"]}}]}""",
+      Seq("ushers").toDF("t")).head()
+    assert(mc.getAs[Long]("pattern_mask") == 3L)
+
+    val iso = run("""{"pipe":"p","operations":[{"name":"i","function":
+      "isotonic_calibration","kwargs":{"bin_expr":"b",
+      "label_expr":"y = 1"}}]}""",
+      (Seq.tabulate(4)(i => (0L, if (i < 3) 1 else 0)) ++
+        Seq.tabulate(4)(i => (1L, if (i < 1) 1 else 0))).toDF("b", "y"))
+      .orderBy("bin").collect()
+    assert(iso.map(_.getAs[Long]("fit_ppm")).toSeq ==
+      Seq(500000L, 500000L))
+
+    val rk = run("""{"pipe":"p","operations":[{"name":"r","function":
+      "rake_keyphrases","kwargs":{"id_col":"id","text_col":"t",
+      "stopwords":["of"],"top_k":3}}]}""",
+      Seq((1L, "deep learning of deep networks")).toDF("id", "t"))
+      .collect()
+    assert(rk.length == 2)
+
+    val bp = run("""{"pipe":"p","operations":[{"name":"b","function":
+      "bpe_train","kwargs":{"text_col":"t","merges":1}}]}""",
+      Seq("low low").toDF("t")).head()
+    assert(bp.getAs[String]("lhs") == "l" && bp.getAs[String]("rhs") == "o")
+
+    val hn = run("""{"pipe":"p","operations":[{"name":"h","function":
+      "hard_negatives","kwargs":{"id_col":"id","label_col":"l",
+      "vec_col":"v","k":1}}]}""",
+      Seq((1L, 0L, Array(1.0f, 0.0f)), (2L, 1L, Array(0.9f, 0.1f)))
+        .toDF("id", "l", "v")).collect()
+    assert(hn.length == 2) // each anchor gets its one cross-label negative
+  }
+
   test("X1: batch-25-27 registry ops run from JSON") {
     def run(json: String, df: org.apache.spark.sql.DataFrame) =
       Pipeline.fromJson(json).run(df)._1
