@@ -44,6 +44,10 @@ object Aggregates {
   // ones. Markers are operator-owned columns of the hazard plan node.
   graft.plans.Guardrails.expect("single_partition_window",
     "__v, __cnt, __ca", "mannWhitneyU: distinct-value rank rollup")
+  graft.plans.Guardrails.expect("single_partition_window",
+    "__v, __ca, __cb", "cliffsDelta: distinct-value cumulative rollup")
+  graft.plans.Guardrails.expect("cartesian_join",
+    "__tsa, __wsa", "yuenTrimmedT: 1-row-per-group finish broadcast")
   graft.plans.Guardrails.expect("cartesian_join",
     "__r, __c", "chiSquare/cramersV: r x c contingency-cell frame, k-row broadcast")
   graft.plans.Guardrails.expect("single_partition_window",
@@ -2314,5 +2318,169 @@ object Aggregates {
     s.select(col("n"), col("n_ones"), col("n_runs"),
       when(col("n_ones") > 0 && col("n_ones") < col("n"),
         round((col("n_runs").cast("double") - mu) / sig, 6)).as("z"))
+  }
+
+  /** A-stat — CLIFF'S DELTA ordinal effect size (Cliff 1993; Romano
+    * et al. 2006 thresholds — public literature) between two groups:
+    *   δ = (#{a > b} − #{a < b}) / (n_a·n_b)
+    * — the EFFECT-SIZE companion to [[mannWhitneyU]]'s significance:
+    * at 100 TB everything is "significant"; δ says whether the shift
+    * matters. Pair counts come from the distinct-value rollup and the
+    * cumulative-count identity (#{a > b} = Σ_v ca(v)·cumB_before(v)),
+    * never an n_a×n_b pair join. Exact integers; the single division
+    * is the readout. Returns one row:
+    * (n_a, n_b, gt_pairs, lt_pairs, tie_pairs, delta, magnitude) with
+    * the standard |δ| bands (negligible < .147 < small < .33 < medium
+    * < .474 < large).
+    *
+    * Scale: one value-grain agg with map-side combine + a
+    * distinct-value cumulative window (the q152 envelope). */
+  def cliffsDelta(df: org.apache.spark.sql.DataFrame, valueCol: Column,
+      groupCol: Column, groupA: String,
+      groupB: String): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val d38 = "decimal(38,0)"
+    val perV = df.filter(groupCol.isin(groupA, groupB))
+      .select(groupCol.as("__g"), valueCol.cast("long").as("__v"))
+      .groupBy(col("__v")).agg(
+        sum(when(col("__g") === groupA, 1L).otherwise(0L)).as("__ca"),
+        sum(when(col("__g") === groupB, 1L).otherwise(0L)).as("__cb"))
+    val wv = Window.orderBy(col("__v"))
+    // lt derives from the identity gt + lt + ties = n_a·n_b — no second
+    // cumulative needed
+    val agg = perV
+      .withColumn("__cbBefore", coalesce(sum(col("__cb")).over(
+        wv.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .agg(sum(col("__ca")).as("n_a"), sum(col("__cb")).as("n_b"),
+        sum(col("__ca").cast(d38) * col("__cbBefore").cast(d38)).as("__gt"),
+        sum(col("__ca").cast(d38) * col("__cb").cast(d38)).as("__tie"))
+    agg
+      .withColumn("gt_pairs", col("__gt").cast("long"))
+      .withColumn("tie_pairs", col("__tie").cast("long"))
+      .withColumn("lt_pairs",
+        (col("n_a").cast(d38) * col("n_b").cast(d38) - col("__gt") -
+          col("__tie")).cast("long"))
+      .withColumn("delta",
+        (col("gt_pairs") - col("lt_pairs")).cast("double") /
+          (col("n_a").cast(d38) * col("n_b").cast(d38)).cast("double"))
+      .withColumn("magnitude",
+        when(abs(col("delta")) < 0.147, "negligible")
+          .when(abs(col("delta")) < 0.33, "small")
+          .when(abs(col("delta")) < 0.474, "medium")
+          .otherwise("large"))
+      .select(col("n_a"), col("n_b"), col("gt_pairs"), col("lt_pairs"),
+        col("tie_pairs"), col("delta"), col("magnitude"))
+  }
+
+  /** A-stat — YUEN'S TRIMMED-MEANS t-test (Yuen, Biometrika 1974 —
+    * public literature): compare 20%-style TRIMMED means with the
+    * winsorized variance — the robust two-sample test that keeps its
+    * nominal level under the heavy tails that wreck Student/Welch t
+    * (q186's test chases outliers; this one ignores them by design).
+    * Trim fraction is the exact rational gNum/gDen (g = ⌊γ·n⌋ per
+    * group).
+    *
+    * Determinism contract: everything up to the final statistic is
+    * exact integers from the distinct-value rollup — boundary order
+    * statistics via cumulative counts, trimmed sums via per-value
+    * range-overlap counts (duplicates at the boundary partially
+    * included, the order-statistics definition), winsorized sums via
+    * clamped values. The t finish is one pinned IEEE chain. Returns
+    * one row: (n_a, n_b, h_a, h_b, mean_trim_a, mean_trim_b, t_stat).
+    *
+    * Scale: one value×group rollup + a distinct-value cumulative
+    * window per group — the q152/q154 envelope; no per-row sort. */
+  def yuenTrimmedT(df: org.apache.spark.sql.DataFrame, valueCol: Column,
+      groupCol: Column, groupA: String, groupB: String,
+      gNum: Long = 1, gDen: Long = 5): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(gNum >= 0 && gDen > 0 && 2 * gNum < gDen,
+      "trim fraction must satisfy 0 <= gNum/gDen < 1/2")
+    val d38 = "decimal(38,0)"
+    val perV = df.filter(groupCol.isin(groupA, groupB))
+      .select(groupCol.as("__g"), valueCol.cast("long").as("__v"))
+      .groupBy(col("__g"), col("__v")).agg(count(lit(1)).as("__c"))
+    val wg = Window.partitionBy(col("__g")).orderBy(col("__v"))
+    val wAll = Window.partitionBy(col("__g"))
+    val cum = perV
+      .withColumn("__cb", coalesce(sum(col("__c")).over(
+        wg.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("__ct", col("__cb") + col("__c"))
+      .withColumn("__n", sum(col("__c")).over(wAll))
+      .withColumn("__trim", expr(s"(__n * $gNum) div $gDen"))
+      // order-statistic boundaries: lo = value at rank g+1, hi = value
+      // at rank n-g (1-based)
+      .withColumn("__lo", min(when(col("__ct") >= col("__trim") + 1,
+        col("__v"))).over(wAll))
+      .withColumn("__hi", min(when(col("__ct") >= col("__n") - col("__trim"),
+        col("__v"))).over(wAll))
+      // trimmed-range inclusion count for this value's duplicates
+      .withColumn("__inc", greatest(lit(0L),
+        least(col("__ct"), col("__n") - col("__trim")) -
+          greatest(col("__cb"), col("__trim"))))
+      .withColumn("__w", greatest(col("__lo"), least(col("__hi"), col("__v"))))
+    val g = cum.groupBy(col("__g")).agg(
+      max(col("__n")).as("n"),
+      max(col("__trim")).as("g"),
+      sum(col("__inc").cast(d38) * col("__v").cast(d38)).as("__ts"),
+      sum(col("__c").cast(d38) * col("__w").cast(d38)).as("__ws"),
+      sum(col("__c").cast(d38) * (col("__w") * col("__w")).cast(d38))
+        .as("__wq"))
+    val a = g.filter(col("__g") === groupA)
+    val b = g.filter(col("__g") === groupB)
+    val joined = a.select(col("n").as("n_a"), col("g").as("__ga"),
+        col("__ts").as("__tsa"), col("__ws").as("__wsa"),
+        col("__wq").as("__wqa"))
+      .crossJoin(broadcast(b.select(col("n").as("n_b"), col("g").as("__gb"),
+        col("__ts").as("__tsb"), col("__ws").as("__wsb"),
+        col("__wq").as("__wqb"))))
+    def hCol(n: Column, gc: Column) = n - gc * 2
+    val ha = hCol(col("n_a"), col("__ga"))
+    val hb = hCol(col("n_b"), col("__gb"))
+    // winsorized sample variance s² = (n·Σw² − (Σw)²)/(n·(n−1));
+    // d = (n−1)·s² / (h·(h−1)) (Yuen); both as one pinned chain
+    def dTerm(n: Column, h: Column, ws: Column, wq: Column) =
+      ((n.cast(d38) * wq - ws * ws).cast("double") /
+        (n.cast(d38) * (n.cast(d38) - 1)).cast("double")) *
+        (n - 1).cast("double") / (h.cast(d38) * (h.cast(d38) - 1)).cast("double")
+    joined
+      .withColumn("h_a", ha).withColumn("h_b", hb)
+      .withColumn("mean_trim_a",
+        col("__tsa").cast("double") / ha.cast("double"))
+      .withColumn("mean_trim_b",
+        col("__tsb").cast("double") / hb.cast("double"))
+      .withColumn("t_stat",
+        (col("mean_trim_a") - col("mean_trim_b")) /
+          sqrt(dTerm(col("n_a"), ha, col("__wsa"), col("__wqa")) +
+            dTerm(col("n_b"), hb, col("__wsb"), col("__wqb"))))
+      .select(col("n_a"), col("n_b"), col("h_a"), col("h_b"),
+        col("mean_trim_a"), col("mean_trim_b"), col("t_stat"))
+  }
+
+  /** A-stat — KISH EFFECTIVE SAMPLE SIZE and design effect (Kish 1965
+    * — public literature) per slice of a WEIGHTED dataset:
+    *   n_eff = (Σw)²/Σw²,  deff = n·Σw²/(Σw)²
+    * — the honest sample size behind every weighted estimate (raking
+    * q308's output weights, mixture weights q260, importance weights
+    * q234): variance scales as 1/n_eff, not 1/n. Integer micro-unit
+    * weights in, exact decimal sums, one pinned double finish per
+    * slice. Returns per slice: (slice, n, w_sum, n_eff, deff).
+    *
+    * Scale: one slice-keyed agg with map-side combine — nothing else. */
+  def kishNeff(df: org.apache.spark.sql.DataFrame, sliceCol: Column,
+      weightMicroCol: Column): org.apache.spark.sql.DataFrame = {
+    val d38 = "decimal(38,0)"
+    val w = weightMicroCol.cast("long")
+    df.groupBy(sliceCol.as("slice")).agg(
+        count(lit(1)).as("n"),
+        sum(w.cast(d38)).as("__sw"),
+        sum((w * w).cast(d38)).as("__swq"))
+      .withColumn("w_sum", col("__sw").cast("long"))
+      .withColumn("n_eff", (col("__sw") * col("__sw")).cast("double") /
+        col("__swq").cast("double"))
+      .withColumn("deff", col("n").cast(d38).cast("double") *
+        col("__swq").cast("double") /
+        (col("__sw") * col("__sw")).cast("double"))
+      .select(col("slice"), col("n"), col("w_sum"), col("n_eff"), col("deff"))
   }
 }

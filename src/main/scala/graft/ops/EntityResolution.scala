@@ -92,4 +92,50 @@ object EntityResolution {
       .join(dict.select(col("code"), col("__name").as("name_b")), Seq("code"))
       .filter(col("name_a") < col("name_b"))
   }
+
+  /** FELLEGI–SUNTER record-linkage weights (Fellegi & Sunter, JASA
+    * 1969 — the probabilistic-linkage standard): from LABELED candidate
+    * pairs, estimate per comparison field
+    *   m = P(agree | match),  u = P(agree | non-match)
+    * and the log-odds match weights
+    *   w_agree = ln(m/u),  w_disagree = ln((1−m)/(1−u))
+    * — the scoring table that turns field agreements into a principled
+    * match score (sum the weights, threshold), replacing ad-hoc
+    * "2 of 3 fields agree" rules in the q108/q135 ER pipelines.
+    *
+    * Determinism contract: counts are exact (add-one smoothing keeps
+    * every probability in (0,1) with NO epsilon); m/u land as exact
+    * ppm integers; each log runs on the two pinned ppm ratios and
+    * nano-quantizes (the q308/psi device), so weights hash-match.
+    * Returns per field: (field, n_match, n_unmatch, agree_m, agree_u,
+    * m_ppm, u_ppm, w_agree_nano, w_disagree_nano).
+    *
+    * Scale: one pass over the labeled pair set per field list — a
+    * single agg with map-side combine; fields are literal columns. */
+  def fellegiSunter(pairs: DataFrame, matchCond: org.apache.spark.sql.Column,
+      fields: Seq[(String, org.apache.spark.sql.Column)]): DataFrame = {
+    require(fields.nonEmpty, "need at least one comparison field")
+    val aggs = fields.flatMap { case (name, cond) => Seq(
+      sum(when(matchCond && cond, 1L).otherwise(0L)).as(s"__am_$name"),
+      sum(when(!matchCond && cond, 1L).otherwise(0L)).as(s"__au_$name"))
+    } ++ Seq(
+      sum(when(matchCond, 1L).otherwise(0L)).as("__nm"),
+      sum(when(!matchCond, 1L).otherwise(0L)).as("__nu"))
+    val g = pairs.agg(aggs.head, aggs.tail: _*).localCheckpoint()
+    fields.map { case (name, _) =>
+      g.select(
+        lit(name).as("field"),
+        col("__nm").as("n_match"), col("__nu").as("n_unmatch"),
+        col(s"__am_$name").as("agree_m"), col(s"__au_$name").as("agree_u"),
+        expr(s"(1000000L * (__am_$name + 1)) div (__nm + 2)").as("m_ppm"),
+        expr(s"(1000000L * (__au_$name + 1)) div (__nu + 2)").as("u_ppm"))
+    }.reduce(_ unionByName _)
+      .withColumn("w_agree_nano", round(
+        (log(col("m_ppm").cast("double")) - log(col("u_ppm").cast("double")))
+          * 1e9, 0).cast("long"))
+      .withColumn("w_disagree_nano", round(
+        (log(lit(1000000.0) - col("m_ppm").cast("double")) -
+          log(lit(1000000.0) - col("u_ppm").cast("double"))) * 1e9, 0)
+        .cast("long"))
+  }
 }

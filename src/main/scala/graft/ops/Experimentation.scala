@@ -27,7 +27,7 @@ object Experimentation {
   graft.plans.Guardrails.expect("single_partition_window",
     "arm, pulls, wins", "ucb1: |arms|-row ranking")
   graft.plans.Guardrails.expect("single_partition_window",
-    "look", "sequentialBoundary: K-row look rollup (calendar-bounded)")
+    "look", "sequentialBoundary/sprt: K-row look rollup (calendar-bounded)")
 
 
 
@@ -520,6 +520,54 @@ object Experimentation {
     }
     w.select(col("__r").as("row_key"), col("__c").as("col_key"), col("n"),
       col("__w").as("weight_micro"))
+  }
+
+  /** A-stat — Wald's SEQUENTIAL PROBABILITY RATIO TEST (Wald 1945 —
+    * public literature) for a Bernoulli rate, H0: p = p0 vs
+    * H1: p = p1: after every look the cumulative log-likelihood ratio
+    *   LLR = s·ln(p1/p0) + f·ln((1−p1)/(1−p0))
+    * is compared against ln((1−β)/α) (reject H0) and ln(β/(1−α))
+    * (accept H0) — the FULLY sequential design (decision after every
+    * look) where [[sequentialBoundary]]'s group-sequential plan fixes
+    * K looks in advance. Wald's classic result: expected sample size
+    * beats any fixed-n test with the same α/β.
+    *
+    * Determinism contract: the two LLR increments and both thresholds
+    * arrive as CALLER-SUPPLIED integer micro-nats (precomputed from
+    * α, β, p0, p1 — ln is libm, so baking it into literals keeps the
+    * op engine-portable); cumulative LLR is then an exact integer.
+    * `decision` reports the CURRENT state per look; `decided_at` the
+    * first crossing (sticky, via a running extremum). Returns per
+    * look: (look, n, s, llr_micro, decision, decided).
+    *
+    * Scale: one (look)-keyed agg; cumulation over the |looks| rollup
+    * window (calendar-bounded — the q236 envelope). */
+  def sprt(df: DataFrame, lookCol: Column, successCond: Column,
+      llrSuccessMicro: Long, llrFailureMicro: Long,
+      upperMicro: Long, lowerMicro: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(upperMicro > 0 && lowerMicro < 0,
+      "thresholds: upper > 0 > lower (micro-nats)")
+    val looks = df.groupBy(lookCol.cast("long").as("look")).agg(
+      count(lit(1)).as("__n"),
+      sum(when(successCond, 1L).otherwise(0L)).as("__s"))
+    val cum = Window.orderBy(col("look"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    looks
+      .withColumn("n", sum(col("__n")).over(cum))
+      .withColumn("s", sum(col("__s")).over(cum))
+      .withColumn("llr_micro",
+        col("s") * llrSuccessMicro + (col("n") - col("s")) * llrFailureMicro)
+      .withColumn("decision",
+        when(col("llr_micro") >= upperMicro, "reject_h0")
+          .when(col("llr_micro") <= lowerMicro, "accept_h0")
+          .otherwise("continue"))
+      // sticky: decided once ANY previous look crossed either bound
+      .withColumn("decided",
+        max(when(col("decision") =!= "continue", 1L).otherwise(0L))
+          .over(cum) === 1L)
+      .select(col("look"), col("n"), col("s"), col("llr_micro"),
+        col("decision"), col("decided"))
   }
 
   /** A-stat — delta-method variance for RATIO METRICS (standard

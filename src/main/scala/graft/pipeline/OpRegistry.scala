@@ -907,6 +907,21 @@ object OpRegistry {
       numOpt(p, "top_k").map(_.toInt).getOrElse(20))),
     "hard_negatives" -> (p => df => graft.ext.Similarity.hardNegatives(
       df, str(p, "id_col"), str(p, "label_col"), str(p, "vec_col"),
-      numOpt(p, "k").map(_.toInt).getOrElse(5)))
+      numOpt(p, "k").map(_.toInt).getOrElse(5))),
+    // batch 41 (q323-q327)
+    "cliffs_delta" -> (p => df => graft.ops.Aggregates.cliffsDelta(
+      df, col(str(p, "value_col")), col(str(p, "group_col")),
+      str(p, "group_a"), str(p, "group_b"))),
+    "yuen_trimmed_t" -> (p => df => graft.ops.Aggregates.yuenTrimmedT(
+      df, col(str(p, "value_col")), col(str(p, "group_col")),
+      str(p, "group_a"), str(p, "group_b"),
+      numOpt(p, "g_num").map(_.toLong).getOrElse(1L),
+      numOpt(p, "g_den").map(_.toLong).getOrElse(5L))),
+    "sprt" -> (p => df => graft.ops.Experimentation.sprt(
+      df, expr(str(p, "look_expr")), expr(str(p, "success_expr")),
+      num(p, "llr_success_micro").toLong, num(p, "llr_failure_micro").toLong,
+      num(p, "upper_micro").toLong, num(p, "lower_micro").toLong)),
+    "kish_neff" -> (p => df => graft.ops.Aggregates.kishNeff(
+      df, col(str(p, "slice_col")), expr(str(p, "weight_expr"))))
   ))
 }

@@ -1674,4 +1674,101 @@ class AnalyticsOpsSpec extends AnyFunSuite {
     assert(out(0).getAs[Double]("hl") == 11.0)
     assert(out(1).getAs[Double]("hl") == 11.5)
   }
+
+  test("A-stat: cliffsDelta — hand pair counts, identity and magnitude bands") {
+    import graft.ops.Aggregates
+    // A = {1, 2, 2}, B = {2, 3}: gt = #{a>b} = 0, ties = 2 (a=2 vs b=2
+    // twice), lt = 6 - 0 - 2 = 4; delta = (0-4)/6
+    val df = (Seq(1L, 2L, 2L).map(("A", _)) ++ Seq(2L, 3L).map(("B", _)))
+      .toDF("g", "v")
+    val r = Aggregates.cliffsDelta(df, col("v"), col("g"), "A", "B").head()
+    assert(r.getAs[Long]("gt_pairs") == 0L)
+    assert(r.getAs[Long]("tie_pairs") == 2L)
+    assert(r.getAs[Long]("lt_pairs") == 4L)
+    assert(r.getAs[Double]("delta") == -4.0 / 6.0)
+    assert(r.getAs[String]("magnitude") == "large")
+    // identical samples: delta exactly 0, everything ties or balances
+    val same = (Seq(1L, 2L).map(("A", _)) ++ Seq(1L, 2L).map(("B", _)))
+      .toDF("g", "v")
+    val s = Aggregates.cliffsDelta(same, col("v"), col("g"), "A", "B").head()
+    assert(s.getAs[Double]("delta") == 0.0)
+    assert(s.getAs[String]("magnitude") == "negligible")
+  }
+
+  test("A-stat: yuenTrimmedT — trim boundaries, winsorized sums, hand t") {
+    import graft.ops.Aggregates
+    // A = {0, 10, 11, 12, 100} with 20% trim: g = 1, keep ranks 2..4 =
+    // {10, 11, 12} (mean 11); winsorize to [10, 12]: {10,10,11,12,12}
+    // B = {0, 20, 21, 22, 100}: trimmed {20,21,22} (mean 21)
+    val df = (Seq(0L, 10L, 11L, 12L, 100L).map(("A", _)) ++
+      Seq(0L, 20L, 21L, 22L, 100L).map(("B", _))).toDF("g", "v")
+    val r = Aggregates.yuenTrimmedT(df, col("v"), col("g"), "A", "B",
+      gNum = 1, gDen = 5).head()
+    assert(r.getAs[Long]("n_a") == 5L && r.getAs[Long]("h_a") == 3L)
+    assert(r.getAs[Double]("mean_trim_a") == 11.0)
+    assert(r.getAs[Double]("mean_trim_b") == 21.0)
+    // winsorized var identical for both groups (same shape): t from the
+    // pinned chain; just assert direction and symmetry
+    assert(r.getAs[Double]("t_stat") < 0)
+    val rev = Aggregates.yuenTrimmedT(df, col("v"), col("g"), "B", "A",
+      gNum = 1, gDen = 5).head()
+    assert(rev.getAs[Double]("t_stat") == -r.getAs[Double]("t_stat"))
+    // duplicates straddling the trim boundary: partial inclusion
+    // A = {5, 5, 5, 5, 9}: g = 1 -> keep ranks 2..4 = {5, 5, 5}
+    val dup = (Seq(5L, 5L, 5L, 5L, 9L).map(("A", _)) ++
+      Seq(1L, 2L, 3L, 4L, 5L).map(("B", _))).toDF("g", "v")
+    val d = Aggregates.yuenTrimmedT(dup, col("v"), col("g"), "A", "B",
+      gNum = 1, gDen = 5).head()
+    assert(d.getAs[Double]("mean_trim_a") == 5.0)
+  }
+
+  test("A-stat: sprt — crossing, sticky decision, exact integer LLR") {
+    import graft.ops.Experimentation
+    // toy: llr success +3, failure -1, bounds +5 / -5
+    // look 1: 2 successes, 0 failures -> LLR 6 >= 5: reject_h0
+    // look 2 adds 2 failures: LLR 4 -> 'continue' but decided stays true
+    val df = Seq((1L, 1), (1L, 1), (2L, 0), (2L, 0)).toDF("lk", "s")
+    val out = Experimentation.sprt(df, col("lk"), col("s") === 1,
+      llrSuccessMicro = 3L, llrFailureMicro = -1L,
+      upperMicro = 5L, lowerMicro = -5L).orderBy("look").collect()
+    assert(out(0).getAs[Long]("llr_micro") == 6L)
+    assert(out(0).getAs[String]("decision") == "reject_h0")
+    assert(out(0).getAs[Boolean]("decided"))
+    assert(out(1).getAs[Long]("llr_micro") == 4L)
+    assert(out(1).getAs[String]("decision") == "continue")
+    assert(out(1).getAs[Boolean]("decided")) // sticky: crossed at look 1
+  }
+
+  test("J-ER: fellegiSunter — hand m/u, smoothing, weight signs") {
+    import graft.ops.EntityResolution
+    // 2 matches (field agrees on both), 2 non-matches (agrees on one)
+    val pairs = Seq(
+      (true, true), (true, true), (false, true), (false, false))
+      .toDF("is_match", "f")
+    val r = EntityResolution.fellegiSunter(pairs, col("is_match"),
+      Seq("f" -> col("f"))).head()
+    assert(r.getAs[Long]("n_match") == 2L && r.getAs[Long]("n_unmatch") == 2L)
+    // m = (2+1)/(2+2) = 750000 ppm, u = (1+1)/(2+2) = 500000 ppm
+    assert(r.getAs[Long]("m_ppm") == 750000L)
+    assert(r.getAs[Long]("u_ppm") == 500000L)
+    // agreement on a discriminative field carries positive weight,
+    // disagreement negative
+    assert(r.getAs[Long]("w_agree_nano") > 0)
+    assert(r.getAs[Long]("w_disagree_nano") < 0)
+    assert(r.getAs[Long]("w_agree_nano") ==
+      math.round((math.log(750000.0) - math.log(500000.0)) * 1e9))
+  }
+
+  test("A-stat: kishNeff — equal weights keep n, concentration shrinks it") {
+    import graft.ops.Aggregates
+    val eq = Seq(("s", 10L), ("s", 10L), ("s", 10L), ("s", 10L))
+      .toDF("sl", "w")
+    val r = Aggregates.kishNeff(eq, col("sl"), col("w")).head()
+    assert(r.getAs[Double]("n_eff") == 4.0 && r.getAs[Double]("deff") == 1.0)
+    // one dominant weight: n_eff -> ~1
+    val sk = Seq(("s", 1000L), ("s", 1L), ("s", 1L), ("s", 1L))
+      .toDF("sl", "w")
+    val k = Aggregates.kishNeff(sk, col("sl"), col("w")).head()
+    assert(k.getAs[Double]("n_eff") < 1.01 && k.getAs[Double]("deff") > 3.9)
+  }
 }
