@@ -342,3 +342,81 @@ object MultiContains {
     GraftSqlBridge.column(
       MultiContains(GraftSqlBridge.expression(text), patterns))
 }
+
+/** Native token-level LONGEST COMMON SUBSEQUENCE length — the kernel
+  * of ROUGE-L (Lin, ACL'04): order-preserving (non-contiguous) token
+  * overlap between a candidate and a reference, where ROUGE-2's
+  * bigram multiset misses reorder-tolerant agreement. Classic
+  * two-row DP (O(m·n) time, O(min) space), one static call per pair
+  * inside the enclosing WholeStageCodegen span — the JaroWinkler
+  * device, at the hottest position a pairwise eval scan has.
+  * Null in → null out; empty side → 0.
+  */
+case class TokenLcs(left: Expression, right: Expression)
+    extends BinaryExpression {
+  import org.apache.spark.sql.types.{ArrayType, IntegerType, StringType}
+  import org.apache.spark.sql.catalyst.util.ArrayData
+
+  override def dataType: DataType = IntegerType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "token_lcs"
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    val ok = Seq(left, right).forall(_.dataType match {
+      case ArrayType(StringType, _) => true
+      case _ => false
+    })
+    if (ok) org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+      .TypeCheckFailure("token_lcs takes two array<string> arguments")
+  }
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    TokenLcs.compute(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (x, y) => s"graft.ext.TokenLcs.compute($x, $y)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+object TokenLcs {
+  import org.apache.spark.sql.catalyst.util.ArrayData
+
+  /** Static DP kernel — two rolling rows over the shorter side. Null
+    * array ELEMENTS never match anything (ROUGE tokens are non-null;
+    * defensive). */
+  def compute(a: ArrayData, b: ArrayData): Int = {
+    val m = a.numElements()
+    val n = b.numElements()
+    if (m == 0 || n == 0) return 0
+    val bs = new Array[UTF8String](n)
+    var j = 0
+    while (j < n) { bs(j) = if (b.isNullAt(j)) null else b.getUTF8String(j); j += 1 }
+    var prev = new Array[Int](n + 1)
+    var cur = new Array[Int](n + 1)
+    var i = 0
+    while (i < m) {
+      val ai = if (a.isNullAt(i)) null else a.getUTF8String(i)
+      j = 0
+      while (j < n) {
+        cur(j + 1) =
+          if (ai != null && bs(j) != null && ai.equals(bs(j))) prev(j) + 1
+          else math.max(prev(j + 1), cur(j))
+        j += 1
+      }
+      val t = prev; prev = cur; cur = t
+      java.util.Arrays.fill(cur, 0)
+      i += 1
+    }
+    prev(n)
+  }
+
+  /** Column-API entry point. */
+  def tokenLcs(a: Column, b: Column): Column =
+    GraftSqlBridge.column(TokenLcs(
+      GraftSqlBridge.expression(a), GraftSqlBridge.expression(b)))
+}

@@ -827,6 +827,36 @@ object TextAnalysis {
         col("overlap"), col("p_ppm"), col("r_ppm"), col("f1_ppm"))
   }
 
+  /** E4/eval — ROUGE-L between paired texts (Lin, ACL'04 — public
+    * literature): token-level LONGEST COMMON SUBSEQUENCE, the
+    * reorder-tolerant companion to [[rouge2]]'s clipped bigrams —
+    * "same content, different phrasing" scores here where bigrams
+    * collapse. LCS runs as the native [[TokenLcs]] codegen expression
+    * (one static DP call per pair, inside whole-stage codegen).
+    * Precision/recall/F over token counts as exact-ppm integer
+    * quotients (F cleared of fractions like rouge2's). Returns per
+    * pair: (pair…, n_tok_cand, n_tok_ref, lcs, p_ppm, r_ppm, f_ppm).
+    *
+    * Scale: pure scan-side — no explode, no join; cost is the DP
+    * (len_c·len_r per pair), which is the algorithm, not the plan. */
+  def rougeL(pairs: DataFrame, pairIdCol: String, candCol: String,
+      refCol: String): DataFrame = {
+    val ct = tokens(col(candCol))
+    val rt = tokens(col(refCol))
+    pairs.select(col(pairIdCol),
+        filter(ct, _ =!= "").as("__ct"),
+        filter(rt, _ =!= "").as("__rt"))
+      .withColumn("n_tok_cand", size(col("__ct")).cast("long"))
+      .withColumn("n_tok_ref", size(col("__rt")).cast("long"))
+      .withColumn("lcs",
+        TokenLcs.tokenLcs(col("__ct"), col("__rt")).cast("long"))
+      .withColumn("p_ppm", expr("1000000 * lcs div n_tok_cand"))
+      .withColumn("r_ppm", expr("1000000 * lcs div n_tok_ref"))
+      .withColumn("f_ppm", expr("2000000 * lcs div (n_tok_cand + n_tok_ref)"))
+      .select(col(pairIdCol), col("n_tok_cand"), col("n_tok_ref"),
+        col("lcs"), col("p_ppm"), col("r_ppm"), col("f_ppm"))
+  }
+
   /** E4/E7 — n-gram novelty of a probe corpus against a model corpus:
     * the fraction of each probe doc's token n-gram OCCURRENCES whose
     * TYPE never appears in the model — the cheap memorization /

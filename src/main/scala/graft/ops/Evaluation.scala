@@ -567,6 +567,51 @@ object Evaluation {
             sqrt(den.cast("double")), 6)).as("mcc"))
   }
 
+  /** pass@k — the unbiased estimator from the code-generation
+    * evaluation literature (Chen et al., "Evaluating Large Language
+    * Models Trained on Code", 2021 — public):
+    *   pass@k = 1 − C(n−c, k)/C(n, k)
+    * per task with n samples and c correct, estimated WITHOUT the
+    * biased "any of first k" shortcut. The binomial ratio evaluates
+    * as the ordered product Π_{i=0..k−1} (n−c−i)/(n−i) — an
+    * index-order IEEE fold both engines replay identically (the q44
+    * fold discipline); a task with n−c < k has some factor ≤ 0,
+    * clamped to product 0 → pass@k = 1 exactly.
+    *
+    * Per task: (task, n, c, pass_nano). The corpus mean is the
+    * integer average of the nano-quantized per-task values —
+    * reduce-order-independent. Tasks with n < k are EXCLUDED (the
+    * estimator is undefined); the summary counts them.
+    * Returns per task plus one '(all)' summary row (task = null):
+    * (task, n, c, pass_nano).
+    *
+    * Scale: one task-grain agg with map-side combine; the fold is k
+    * scalar steps per TASK row, not per sample. */
+  def passAtK(df: DataFrame, taskCol: Column, correctCond: Column,
+      k: Int): DataFrame = {
+    require(k >= 1, "k >= 1")
+    val perTask = df.groupBy(taskCol.cast("long").as("task")).agg(
+      count(lit(1)).as("n"),
+      sum(when(correctCond, 1L).otherwise(0L)).as("c"))
+      .filter(col("n") >= k)
+      .withColumn("__prod", expr(
+        s"""aggregate(sequence(0, ${k - 1}),
+           |  CAST(1.0 AS DOUBLE),
+           |  (acc, i) -> CASE WHEN n - c - i <= 0 THEN CAST(0.0 AS DOUBLE)
+           |    ELSE acc * (CAST(n - c - i AS DOUBLE) / CAST(n - i AS DOUBLE))
+           |    END)""".stripMargin))
+      .withColumn("pass_nano",
+        round((lit(1.0) - col("__prod")) * 1e9, 0).cast("long"))
+      .select(col("task"), col("n"), col("c"), col("pass_nano"))
+      .localCheckpoint() // task grain; summary + output read it
+    val summary = perTask.agg(
+      lit(null).cast("long").as("task"),
+      count(lit(1)).as("n"), // n = number of SCORED tasks in the summary
+      sum(col("c")).as("c"),
+      expr("sum(pass_nano) div count(1)").as("pass_nano"))
+    perTask.unionByName(summary)
+  }
+
   /** ISOTONIC calibration via pool-adjacent-violators (Ayer et al.
     * 1955; Barlow et al. 1972 — public literature): fit the best
     * NON-DECREASING success-rate curve over ordered score bins — the

@@ -922,6 +922,14 @@ object OpRegistry {
       num(p, "llr_success_micro").toLong, num(p, "llr_failure_micro").toLong,
       num(p, "upper_micro").toLong, num(p, "lower_micro").toLong)),
     "kish_neff" -> (p => df => graft.ops.Aggregates.kishNeff(
-      df, col(str(p, "slice_col")), expr(str(p, "weight_expr"))))
+      df, col(str(p, "slice_col")), expr(str(p, "weight_expr")))),
+    // batch 42 (q328-q330)
+    "t_closeness" -> (p => df => graft.ops.Privacy.tClosenessPerClass(
+      df, strs(p, "quasi_ids").map(col), expr(str(p, "sensitive_expr")))),
+    "pass_at_k" -> (p => df => graft.ops.Evaluation.passAtK(
+      df, expr(str(p, "task_expr")), expr(str(p, "correct_expr")),
+      num(p, "k").toInt)),
+    "rouge_l" -> (p => df => graft.ext.TextAnalysis.rougeL(
+      df, str(p, "pair_id_col"), str(p, "cand_col"), str(p, "ref_col")))
   ))
 }

@@ -1771,4 +1771,27 @@ class AnalyticsOpsSpec extends AnyFunSuite {
     val k = Aggregates.kishNeff(sk, col("sl"), col("w")).head()
     assert(k.getAs[Double]("n_eff") < 1.01 && k.getAs[Double]("deff") > 3.9)
   }
+
+  test("A-privacy: tClosenessPerClass — uniform class scores 0, skewed flags") {
+    import graft.ops.Privacy
+    // both classes mirror the global {0,1} split exactly -> t = 0
+    val mirror = Seq(("A", 0L), ("A", 1L), ("A", 0L), ("A", 1L),
+      ("B", 0L), ("B", 1L))
+    val mo = Privacy.tClosenessPerClass(mirror.toDF("q", "v"),
+      Seq(col("q")), col("v")).orderBy("q").collect()
+    assert(mo.forall(_.getAs[Long]("t_ppm") == 0L))
+    // opposite-tail classes: A = {0,0}, B = {1,1}; global {0:2, 1:2},
+    // N = 4, m = 2. A at v=0: |2*4 - 2*2| = 4; v=1: 0 -> emd 4,
+    // t = 1e6*4/(2*4*1) = 500000 (and B symmetric)
+    val skew = Seq(("A", 0L), ("A", 0L), ("B", 1L), ("B", 1L))
+    val so = Privacy.tClosenessPerClass(skew.toDF("q", "v"),
+      Seq(col("q")), col("v")).orderBy("q").collect()
+    assert(so.map(_.getAs[Long]("emd_num")).toSeq == Seq(4L, 4L))
+    assert(so.map(_.getAs[Long]("t_ppm")).toSeq == Seq(500000L, 500000L))
+    // audit gate counts both violators
+    val gate = Privacy.tClosenessAudit(skew.toDF("q", "v"),
+      Seq(col("q")), col("v"), tPpm = 100000L).head()
+    assert(gate.getAs[Long]("n_classes") == 2L)
+    assert(gate.getAs[Long]("classes_above_t") == 2L)
+  }
 }

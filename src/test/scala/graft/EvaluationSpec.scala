@@ -319,4 +319,28 @@ class EvaluationSpec extends AnyFunSuite {
       col("bin"), col("y")).collect().map(_.getAs[Long]("fit_ppm"))
     assert(co.toSeq == Seq(500000L, 500000L, 500000L))
   }
+
+  test("A-eval: passAtK — closed-form cases and the n-c < k clamp") {
+    import graft.ops.Evaluation
+    // task 0: n=4, c=1, k=2 -> 1 - C(3,2)/C(4,2) = 1 - 3/6 = 0.5
+    // task 1: n=4, c=3, k=2 -> n-c=1 < 2 -> pass = 1 exactly
+    // task 2: n=4, c=0 -> pass = 0
+    val rows = (0 until 4).map(i => (0L, i < 1)) ++
+      (0 until 4).map(i => (1L, i < 3)) ++
+      (0 until 4).map(i => (2L, false))
+    val out = Evaluation.passAtK(rows.toDF("t", "ok"), col("t"),
+      col("ok"), k = 2).collect()
+    val byTask = out.filter(!_.isNullAt(0))
+      .map(r => r.getAs[Long]("task") -> r.getAs[Long]("pass_nano")).toMap
+    assert(byTask(0L) == 500000000L)
+    assert(byTask(1L) == 1000000000L)
+    assert(byTask(2L) == 0L)
+    // summary row: integer mean of the three
+    val s = out.filter(_.isNullAt(0))(0)
+    assert(s.getAs[Long]("pass_nano") == 1500000000L / 3L)
+    // tasks with n < k are excluded
+    val small = Seq((9L, true)).toDF("t", "ok")
+    assert(Evaluation.passAtK(rows.toDF("t", "ok").union(small), col("t"),
+      col("ok"), k = 2).filter(col("task") === 9L).count() == 0)
+  }
 }

@@ -805,4 +805,24 @@ class CurationSpec extends AnyFunSuite {
     assert(all.forall(r =>
       lbl(r.getAs[Long]("anchor_id")) != lbl(r.getAs[Long]("neg_id"))))
   }
+
+  test("A-eval: TokenLcs/rougeL — hand LCS, reorder tolerance, empties") {
+    import graft.ext.{TextAnalysis, TokenLcs}
+    import org.apache.spark.sql.catalyst.util.ArrayData
+    import org.apache.spark.unsafe.types.UTF8String
+    def arr(ws: String*): ArrayData = ArrayData.toArrayData(
+      ws.map(UTF8String.fromString).toArray)
+    assert(TokenLcs.compute(arr("a", "b", "c", "d"), arr("b", "d")) == 2)
+    assert(TokenLcs.compute(arr("x"), arr("y")) == 0)
+    assert(TokenLcs.compute(arr(), arr("a")) == 0)
+    assert(TokenLcs.compute(arr("a", "b"), arr("a", "b")) == 2)
+    // rougeL end to end: "the cat sat" vs "the sat cat" -> LCS 2
+    val pairs = Seq((1L, "the cat sat", "the sat cat")).toDF("id", "c", "r")
+    val out = TextAnalysis.rougeL(pairs, "id", "c", "r").head()
+    assert(out.getAs[Long]("lcs") == 2L)
+    assert(out.getAs[Long]("p_ppm") == 666666L)
+    assert(out.getAs[Long]("f_ppm") == 666666L)
+    // ROUGE-2 would score this pair's bigram overlap at 0 — LCS is the
+    // reorder-tolerant signal
+  }
 }
