@@ -594,4 +594,112 @@ object Curation {
         col("mean_chars"), col("modal_lang"), col("modal_share_ppm"),
         col("lang_entropy_nano"))
   }
+
+  /** E7 — PADDING-WASTE audit for length-bucketed training batches
+    * (standard practice in sequence-model training — bucketing by
+    * length to cut padding; public knowledge): given per-sequence
+    * token lengths and a bucket width, every sequence in a bucket
+    * pads to the bucket's MAX length. Reports, per bucket:
+    * (bucket, n_seqs, max_len, token_sum, padded_sum, waste_ppm)
+    * plus one '(all)' row (bucket = null) with corpus totals and the
+    * NO-BUCKETING baseline waste (everything pads to the global max)
+    * in baseline_waste_ppm — the number that justifies the bucketing.
+    *
+    * All integers; waste_ppm = 10⁶·(padded − tokens) div padded.
+    *
+    * Scale: one bucket-keyed agg with map-side combine + a
+    * buckets-sized rollup. */
+  def paddingWasteAudit(seqs: DataFrame, lenCol: Column,
+      bucketWidth: Long): DataFrame = {
+    require(bucketWidth >= 1, "bucketWidth >= 1")
+    val b = seqs.select(lenCol.cast("long").as("__len"))
+      .withColumn("bucket", expr(s"__len div ${bucketWidth}L"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_seqs"), max(col("__len")).as("max_len"),
+        sum(col("__len")).as("token_sum"))
+      .withColumn("padded_sum", col("n_seqs") * col("max_len"))
+      .withColumn("waste_ppm", expr(
+        "CASE WHEN padded_sum > 0 THEN " +
+          "(1000000 * (padded_sum - token_sum)) div padded_sum ELSE 0 END"))
+      .localCheckpoint() // buckets-sized; summary + output read it
+    val total = b.agg(
+      lit(null).cast("long").as("bucket"),
+      sum(col("n_seqs")).as("n_seqs"),
+      max(col("max_len")).as("max_len"),
+      sum(col("token_sum")).as("token_sum"),
+      sum(col("padded_sum")).as("padded_sum"))
+      .withColumn("waste_ppm", expr(
+        "(1000000 * (padded_sum - token_sum)) div padded_sum"))
+      // the no-bucketing baseline: everything pads to the global max
+      .withColumn("baseline_waste_ppm", expr(
+        "(1000000 * (n_seqs * max_len - token_sum)) div (n_seqs * max_len)"))
+    b.withColumn("baseline_waste_ppm", lit(null).cast("long"))
+      .unionByName(total)
+  }
+
+  /** BLEU between paired texts (Papineni et al., ACL'02 — public
+    * literature), smoothed, orders 1..`maxN`: clipped n-gram
+    * precisions p_n combined as exp(Σ ln p_n / N) with the brevity
+    * penalty exp(1 − r/c) for c < r — the generation-fidelity
+    * companion to [[graft.ext.TextAnalysis.rouge2]]'s recall view.
+    *
+    * Determinism contract: n-gram counts and clipped overlaps are
+    * exact integers ((cand, gram) min-joins, the rouge2 machinery);
+    * add-one smoothing keeps every precision in (0,1]; the geometric
+    * mean and brevity penalty are ONE pinned IEEE chain per pair,
+    * nano-quantized (the psi device) as bleu_nano. Returns per pair:
+    * (pair…, c_len, r_len, overlap_1..maxN, bleu_nano).
+    *
+    * Scale: explode to (pair, gram) rollups per order — content-keyed,
+    * map-side combinable; everything joins on (pair, gram). */
+  def bleu(pairs: DataFrame, pairIdCol: String, candCol: String,
+      refCol: String, maxN: Int = 2): DataFrame = {
+    require(maxN >= 1 && maxN <= 4, "maxN in [1, 4]")
+    def toks(c: String) =
+      expr(s"filter(split(lower($c), '\\\\s+'), x -> x <> '')")
+    val base = pairs.select(col(pairIdCol).as("__pid"),
+      toks(candCol).as("__ct"), toks(refCol).as("__rt"))
+      .localCheckpoint() // pair grain; every order's explode reads it
+    def gramCounts(src: Column, n: Int, tag: String) = {
+      // guard: sequence(1, 0) would DESCEND in Spark — short inputs
+      // must yield no grams, not a reversed index walk
+      val grams = expr(
+        s"""CASE WHEN size(${src.toString}) < $n
+           |  THEN CAST(array() AS array<string>)
+           |  ELSE transform(sequence(1, size(${src.toString}) - ${n - 1}),
+           |    i -> concat_ws(' ', slice(${src.toString}, i, $n))) END""".stripMargin)
+      base.select(col("__pid"), explode(grams).as("__g"))
+        .groupBy(col("__pid"), col("__g"))
+        .agg(count(lit(1)).as(s"__c$tag"))
+    }
+    val perOrder = (1 to maxN).map { n =>
+      val c = gramCounts(col("__ct"), n, "c")
+      val r = gramCounts(col("__rt"), n, "r")
+      val ov = c.join(r, Seq("__pid", "__g"))
+        .groupBy(col("__pid"))
+        .agg(sum(least(col("__cc"), col("__cr"))).as(s"overlap_$n"))
+      val tot = c.groupBy(col("__pid")).agg(sum(col("__cc")).as(s"__tot_$n"))
+      tot.join(ov, Seq("__pid"), "left")
+        .withColumn(s"overlap_$n", coalesce(col(s"overlap_$n"), lit(0L)))
+    }
+    val lens = base.select(col("__pid"),
+      size(col("__ct")).cast("long").as("c_len"),
+      size(col("__rt")).cast("long").as("r_len"))
+    val joined = perOrder.foldLeft(lens)((acc, o) =>
+      acc.join(o, Seq("__pid"), "left"))
+    // smoothed precision ln((ov+1)/(tot+1)) per order; pinned chain
+    val lnSum = (1 to maxN).map { n =>
+      log((coalesce(col(s"overlap_$n"), lit(0L)) + 1).cast("double") /
+        (coalesce(col(s"__tot_$n"), lit(0L)) + 1).cast("double"))
+    }.reduce(_ + _)
+    val bp = when(col("c_len") >= col("r_len"), lit(1.0))
+      .otherwise(exp(lit(1.0) -
+        col("r_len").cast("double") / col("c_len").cast("double")))
+    joined
+      .withColumn("bleu_nano", round(
+        bp * exp(lnSum / maxN) * 1e9, 0).cast("long"))
+      .select(Seq(col("__pid").as(pairIdCol), col("c_len"), col("r_len")) ++
+        (1 to maxN).map(n => coalesce(col(s"overlap_$n"), lit(0L))
+          .as(s"overlap_$n")) :+ col("bleu_nano"): _*)
+  }
 }

@@ -930,6 +930,12 @@ object OpRegistry {
       df, expr(str(p, "task_expr")), expr(str(p, "correct_expr")),
       num(p, "k").toInt)),
     "rouge_l" -> (p => df => graft.ext.TextAnalysis.rougeL(
-      df, str(p, "pair_id_col"), str(p, "cand_col"), str(p, "ref_col")))
+      df, str(p, "pair_id_col"), str(p, "cand_col"), str(p, "ref_col"))),
+    // batch 43 (q331-q332)
+    "padding_waste" -> (p => df => graft.ext.Curation.paddingWasteAudit(
+      df, expr(str(p, "len_expr")), num(p, "bucket_width").toLong)),
+    "bleu" -> (p => df => graft.ext.Curation.bleu(
+      df, str(p, "pair_id_col"), str(p, "cand_col"), str(p, "ref_col"),
+      numOpt(p, "max_n").map(_.toInt).getOrElse(2)))
   ))
 }

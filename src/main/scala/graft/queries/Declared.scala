@@ -37,5 +37,6 @@ object Declared {
       Analytics12.all ++ Analytics13.all ++ Analytics14.all ++
       Analytics15.all ++ Analytics16.all ++ Analytics17.all ++
       Analytics18.all ++ Analytics19.all ++ Analytics20.all ++
-      Analytics21.all ++ Analytics22.all ++ Analytics23.all
+      Analytics21.all ++ Analytics22.all ++ Analytics23.all ++
+      Analytics24.all
 }

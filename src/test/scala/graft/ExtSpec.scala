@@ -825,4 +825,39 @@ class CurationSpec extends AnyFunSuite {
     // ROUGE-2 would score this pair's bigram overlap at 0 — LCS is the
     // reorder-tolerant signal
   }
+
+  test("E7: paddingWasteAudit — hand buckets and the no-bucket baseline") {
+    import graft.ext.Curation
+    // lens 10, 30 (bucket 0, max 30) and 40 (bucket 1, max 40), width 32
+    val out = Curation.paddingWasteAudit(
+      Seq(10L, 30L, 40L).toDF("len"), col("len"), bucketWidth = 32)
+      .orderBy(col("bucket")).collect()
+    val b0 = out.find(r => !r.isNullAt(0) && r.getLong(0) == 0L).get
+    assert(b0.getAs[Long]("padded_sum") == 60L)
+    assert(b0.getAs[Long]("waste_ppm") == 1000000L * 20 / 60)
+    val tot = out.find(_.isNullAt(0)).get
+    assert(tot.getAs[Long]("padded_sum") == 100L)
+    // baseline: 3 x 40 = 120 padded for 80 tokens
+    assert(tot.getAs[Long]("baseline_waste_ppm") == 1000000L * 40 / 120)
+  }
+
+  test("A-eval: bleu — identity scores ~1, brevity penalty bites, clipping") {
+    import graft.ext.Curation
+    val pairs = Seq(
+      (1L, "the cat sat on the mat", "the cat sat on the mat"), // identical
+      (2L, "the cat", "the cat sat on the mat"),                // short cand
+      (3L, "the the the the", "the cat"))                       // clipped
+      .toDF("id", "c", "r")
+    val out = Curation.bleu(pairs, "id", "c", "r", maxN = 2)
+      .orderBy("id").collect()
+    // identical: smoothed precisions (6+1)/(6+1) = 1 and (5+1)/(5+1) = 1,
+    // bp = 1 -> bleu exactly 1e9
+    assert(out(0).getAs[Long]("bleu_nano") == 1000000000L)
+    // short candidate: bp = exp(1 - 6/2) < 1 pulls the score down
+    assert(out(1).getAs[Long]("bleu_nano") <
+      out(0).getAs[Long]("bleu_nano") / 2)
+    // clipping: 'the' counts at most ref's occurrences (1)
+    assert(out(2).getAs[Long]("overlap_1") == 1L)
+    assert(out(2).getAs[Long]("overlap_2") == 0L)
+  }
 }
