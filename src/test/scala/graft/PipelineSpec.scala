@@ -980,7 +980,7 @@ class SourcesSinksSpec extends AnyFunSuite {
     assert(bh.count() == 2)
   }
 
-  test("X1: batch-39-40 registry ops run from JSON") {
+  test("X1: batch-39-43 registry ops run from JSON") {
     def run(json: String, df: org.apache.spark.sql.DataFrame) =
       Pipeline.fromJson(json).run(df)._1
 
@@ -1024,6 +1024,55 @@ class SourcesSinksSpec extends AnyFunSuite {
       Seq((1L, 0L, Array(1.0f, 0.0f)), (2L, 1L, Array(0.9f, 0.1f)))
         .toDF("id", "l", "v")).collect()
     assert(hn.length == 2) // each anchor gets its one cross-label negative
+
+    val cd = run("""{"pipe":"p","operations":[{"name":"c","function":
+      "cliffs_delta","kwargs":{"value_col":"v","group_col":"g",
+      "group_a":"A","group_b":"B"}}]}""",
+      Seq(("A", 1L), ("B", 2L)).toDF("g", "v")).head()
+    assert(cd.getAs[Double]("delta") == -1.0)
+
+    val sp = run("""{"pipe":"p","operations":[{"name":"s","function":
+      "sprt","kwargs":{"look_expr":"lk","success_expr":"y = 1",
+      "llr_success_micro":3,"llr_failure_micro":-1,
+      "upper_micro":5,"lower_micro":-5}}]}""",
+      Seq((1L, 1), (1L, 1)).toDF("lk", "y")).head()
+    assert(sp.getAs[String]("decision") == "reject_h0")
+
+    val kn = run("""{"pipe":"p","operations":[{"name":"k","function":
+      "kish_neff","kwargs":{"slice_col":"s","weight_expr":"w"}}]}""",
+      Seq(("x", 5L), ("x", 5L)).toDF("s", "w")).head()
+    assert(kn.getAs[Double]("n_eff") == 2.0)
+
+    val tc = run("""{"pipe":"p","operations":[{"name":"t","function":
+      "t_closeness","kwargs":{"quasi_ids":["q"],
+      "sensitive_expr":"v"}}]}""",
+      Seq(("A", 0L), ("A", 1L), ("B", 0L), ("B", 1L)).toDF("q", "v"))
+      .collect()
+    assert(tc.forall(_.getAs[Long]("t_ppm") == 0L))
+
+    val pk = run("""{"pipe":"p","operations":[{"name":"p","function":
+      "pass_at_k","kwargs":{"task_expr":"t","correct_expr":"ok",
+      "k":1}}]}""",
+      Seq((1L, true), (1L, false)).toDF("t", "ok"))
+      .filter(col("task").isNotNull).head()
+    assert(pk.getAs[Long]("pass_nano") == 500000000L)
+
+    val rl = run("""{"pipe":"p","operations":[{"name":"r","function":
+      "rouge_l","kwargs":{"pair_id_col":"id","cand_col":"c",
+      "ref_col":"r"}}]}""",
+      Seq((1L, "a b", "a b")).toDF("id", "c", "r")).head()
+    assert(rl.getAs[Long]("lcs") == 2L)
+
+    val pw = run("""{"pipe":"p","operations":[{"name":"w","function":
+      "padding_waste","kwargs":{"len_expr":"l","bucket_width":32}}]}""",
+      Seq(10L, 20L).toDF("l")).filter(col("bucket").isNotNull).head()
+    assert(pw.getAs[Long]("padded_sum") == 40L)
+
+    val bl = run("""{"pipe":"p","operations":[{"name":"b","function":
+      "bleu","kwargs":{"pair_id_col":"id","cand_col":"c",
+      "ref_col":"r"}}]}""",
+      Seq((1L, "a b", "a b")).toDF("id", "c", "r")).head()
+    assert(bl.getAs[Long]("bleu_nano") == 1000000000L)
   }
 
   test("X1: batch-25-27 registry ops run from JSON") {
