@@ -827,6 +827,51 @@ object TextAnalysis {
         col("overlap"), col("p_ppm"), col("r_ppm"), col("f1_ppm"))
   }
 
+  /** E1 — CODE-QUALITY signals per document: the scan-side structural
+    * features a code-corpus curation gate filters on (standard
+    * practice in code-LLM data pipelines — e.g. alpha ratio, line
+    * length and comment-density screens; public knowledge). Per doc:
+    * (id, n_lines, max_line_len, comment_lines, comment_ppm,
+    * brace_delta, alpha_ppm) — comment lines are those whose first
+    * non-space characters are `//`, `#` or `--`; brace_delta is
+    * #'{' − #'}' (non-zero means truncated or mangled code); alpha
+    * ratio is letters over non-whitespace chars.
+    *
+    * All integer counts from length/replace arithmetic — no regex
+    * backtracking, no UDF; every count is a portable string-op chain
+    * the oracle replays. NULL text → null row values.
+    *
+    * Scale: pure scan-side column arithmetic; the gate composes with
+    * qualityFeatures/repetition like any other per-doc signal. */
+  def codeQualitySignals(docs: DataFrame, idCol: Column,
+      textCol: Column): DataFrame = {
+    val lines = split(textCol, "\n")
+    val nonWs = length(regexp_replace(textCol, "\\s", ""))
+    val letters = length(regexp_replace(textCol, "[^A-Za-z]", ""))
+    docs.select(idCol.as("id"),
+        size(lines).cast("long").as("n_lines"),
+        aggregate(transform(lines, l => length(l)), lit(0),
+          (a, x) => greatest(a, x)).cast("long").as("max_line_len"),
+        aggregate(transform(lines, l =>
+          when(regexp_replace(l, "^\\s+", "").startsWith("//") ||
+            regexp_replace(l, "^\\s+", "").startsWith("#") ||
+            regexp_replace(l, "^\\s+", "").startsWith("--"), 1)
+            .otherwise(0)), lit(0), (a, x) => a + x).cast("long")
+          .as("comment_lines"),
+        (length(textCol) - length(regexp_replace(textCol, "\\{", "")) -
+          (length(textCol) - length(regexp_replace(textCol, "\\}", ""))))
+          .cast("long").as("brace_delta"),
+        nonWs.cast("long").as("__nws"),
+        letters.cast("long").as("__let"))
+      .withColumn("comment_ppm",
+        expr("CASE WHEN n_lines > 0 THEN (1000000L * comment_lines) div n_lines ELSE 0L END"))
+      .withColumn("alpha_ppm",
+        expr("CASE WHEN __nws > 0 THEN (1000000L * __let) div __nws ELSE 0L END"))
+      .select(col("id"), col("n_lines"), col("max_line_len"),
+        col("comment_lines"), col("comment_ppm"), col("brace_delta"),
+        col("alpha_ppm"))
+  }
+
   /** E4/eval — ROUGE-L between paired texts (Lin, ACL'04 — public
     * literature): token-level LONGEST COMMON SUBSEQUENCE, the
     * reorder-tolerant companion to [[rouge2]]'s clipped bigrams —

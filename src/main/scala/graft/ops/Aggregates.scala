@@ -2457,6 +2457,39 @@ object Aggregates {
         col("mean_trim_a"), col("mean_trim_b"), col("t_stat"))
   }
 
+  /** A-stat — HORVITZ–THOMPSON estimator (Horvitz & Thompson, JASA
+    * 1952 — public literature) per slice: the unbiased population
+    * total from an UNEQUAL-PROBABILITY sample,
+    *   T̂ = Σ y_i/π_i,   V̂ = Σ (1−π_i)·(y_i/π_i)²  (Poisson sampling)
+    * — the estimator behind every "we sampled 1% of big customers,
+    * 0.01% of small ones" pipeline readout; the unweighted sum is
+    * simply wrong there.
+    *
+    * Determinism contract: inclusion probabilities arrive as integer
+    * ppm; each unit's expansion y_i/π_i floors ONCE to integer
+    * natural units (q = (y·10⁶) div π_ppm), totals and the cleared
+    * variance numerator Σ (10⁶−π)·q² are exact integer/decimal sums;
+    * the variance divides by 10⁶ once at the end. Returns per slice:
+    * (slice, n_sampled, ht_total, var_hat).
+    *
+    * Scale: one slice-keyed agg with map-side combine. */
+  def horvitzThompson(df: org.apache.spark.sql.DataFrame, sliceCol: Column,
+      valueCol: Column, probPpmCol: Column): org.apache.spark.sql.DataFrame = {
+    val d38 = "decimal(38,0)"
+    val q = expr(s"(CAST(${valueCol.toString} AS BIGINT) * 1000000L) div " +
+      s"CAST(${probPpmCol.toString} AS BIGINT)")
+    val p = probPpmCol.cast("long")
+    df.select(sliceCol.as("slice"), q.as("__q"), p.as("__p"))
+      .groupBy(col("slice")).agg(
+        count(lit(1)).as("n_sampled"),
+        sum(col("__q")).as("ht_total"),
+        sum(((lit(1000000L) - col("__p")) .cast(d38) *
+          (col("__q").cast(d38) * col("__q").cast(d38))).cast(d38))
+          .as("__vnum"))
+      .withColumn("var_hat", col("__vnum").cast("double") / 1e6)
+      .select(col("slice"), col("n_sampled"), col("ht_total"), col("var_hat"))
+  }
+
   /** A-stat — KISH EFFECTIVE SAMPLE SIZE and design effect (Kish 1965
     * — public literature) per slice of a WEIGHTED dataset:
     *   n_eff = (Σw)²/Σw²,  deff = n·Σw²/(Σw)²

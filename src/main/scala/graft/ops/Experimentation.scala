@@ -522,6 +522,61 @@ object Experimentation {
       col("__w").as("weight_micro"))
   }
 
+  /** A-causal — sharp REGRESSION DISCONTINUITY (Thistlethwaite &
+    * Campbell 1960; the local-linear form of Imbens & Lemieux 2008 —
+    * public literature): units just below vs just above a cutoff of a
+    * running variable identify a treatment effect no A/B test could
+    * randomize (eligibility thresholds, score cutoffs, rate limits).
+    * Separate OLS of y on (x − cutoff) fit on each side within the
+    * bandwidth; the effect is the difference of the two fits AT the
+    * cutoff (the intercepts).
+    *
+    * Determinism contract: per-side moments are exact decimal sums of
+    * integer (x − cutoff, y); slopes/intercepts/effect are one pinned
+    * IEEE finish (the q188/q305 exact-moment device), emitted
+    * UNROUNDED. Returns one row: (n_left, n_right, slope_left,
+    * slope_right, y_at_cut_left, y_at_cut_right, effect).
+    *
+    * Scale: one filtered scan → two 6-sum aggregates with map-side
+    * combine; the finish is 1-row arithmetic. */
+  def regressionDiscontinuity(df: DataFrame, runningCol: Column,
+      outcomeCol: Column, cutoff: Long, bandwidth: Long): DataFrame = {
+    require(bandwidth > 0, "bandwidth > 0")
+    val d38 = "decimal(38,0)"
+    val x = runningCol.cast("long") - cutoff
+    val y = outcomeCol.cast("long")
+    def s38(c: Column) = sum(c.cast(d38)).cast(d38)
+    val sided = df
+      .select(x.as("__x"), y.as("__y"))
+      .filter(col("__x") >= -bandwidth && col("__x") <= bandwidth)
+      .withColumn("__side", when(col("__x") < 0, "l").otherwise("r"))
+      .groupBy(col("__side")).agg(
+        count(lit(1)).cast(d38).as("__n"),
+        s38(col("__x")).as("__sx"), s38(col("__y")).as("__sy"),
+        s38(col("__x").cast(d38) * col("__x").cast(d38)).as("__sxx"),
+        s38(col("__x").cast(d38) * col("__y").cast(d38)).as("__sxy"))
+      .withColumn("__cxx",
+        (col("__n") * col("__sxx") - col("__sx") * col("__sx")).cast(d38))
+      .withColumn("__cxy",
+        (col("__n") * col("__sxy") - col("__sx") * col("__sy")).cast(d38))
+      .withColumn("__slope",
+        col("__cxy").cast("double") / col("__cxx").cast("double"))
+      .withColumn("__icept",
+        (col("__sy").cast("double") - col("__slope") * col("__sx").cast("double")) /
+          col("__n").cast("double"))
+    val l = sided.filter(col("__side") === "l")
+      .select(col("__n").cast("long").as("n_left"),
+        col("__slope").as("slope_left"), col("__icept").as("y_at_cut_left"))
+    val r = sided.filter(col("__side") === "r")
+      .select(col("__n").cast("long").as("n_right"),
+        col("__slope").as("slope_right"), col("__icept").as("y_at_cut_right"))
+    l.crossJoin(broadcast(r))
+      .withColumn("effect", col("y_at_cut_right") - col("y_at_cut_left"))
+      .select(col("n_left"), col("n_right"), col("slope_left"),
+        col("slope_right"), col("y_at_cut_left"), col("y_at_cut_right"),
+        col("effect"))
+  }
+
   /** A-stat — Wald's SEQUENTIAL PROBABILITY RATIO TEST (Wald 1945 —
     * public literature) for a Bernoulli rate, H0: p = p0 vs
     * H1: p = p1: after every look the cumulative log-likelihood ratio

@@ -936,6 +936,16 @@ object OpRegistry {
       df, expr(str(p, "len_expr")), num(p, "bucket_width").toLong)),
     "bleu" -> (p => df => graft.ext.Curation.bleu(
       df, str(p, "pair_id_col"), str(p, "cand_col"), str(p, "ref_col"),
-      numOpt(p, "max_n").map(_.toInt).getOrElse(2)))
+      numOpt(p, "max_n").map(_.toInt).getOrElse(2))),
+    // batch 44 (q333-q335)
+    "regression_discontinuity" -> (p => df =>
+      graft.ops.Experimentation.regressionDiscontinuity(
+        df, col(str(p, "running_col")), expr(str(p, "outcome_expr")),
+        num(p, "cutoff").toLong, num(p, "bandwidth").toLong)),
+    "horvitz_thompson" -> (p => df => graft.ops.Aggregates.horvitzThompson(
+      df, col(str(p, "slice_col")), col(str(p, "value_col")),
+      col(str(p, "prob_ppm_col")))),
+    "code_quality" -> (p => df => graft.ext.TextAnalysis.codeQualitySignals(
+      df, col(str(p, "id_col")), col(str(p, "text_col"))))
   ))
 }

@@ -1794,4 +1794,18 @@ class AnalyticsOpsSpec extends AnyFunSuite {
     assert(gate.getAs[Long]("n_classes") == 2L)
     assert(gate.getAs[Long]("classes_above_t") == 2L)
   }
+
+  test("A-stat: horvitzThompson — certainty units exact, expansion unbiased form") {
+    import graft.ops.Aggregates
+    // two certainty units (pi = 1) and one 50% unit: q = y/pi
+    val df = Seq(("s", 10L, 1000000L), ("s", 20L, 1000000L),
+      ("s", 7L, 500000L)).toDF("sl", "y", "p")
+    val r = Aggregates.horvitzThompson(df, col("sl"), col("y"), col("p"))
+      .head()
+    assert(r.getAs[Long]("n_sampled") == 3L)
+    assert(r.getAs[Long]("ht_total") == 10L + 20L + 14L)
+    // variance: certainty units contribute 0; the 50% unit
+    // (1e6-5e5) * 14^2 / 1e6 = 98
+    assert(r.getAs[Double]("var_hat") == 98.0)
+  }
 }

@@ -498,4 +498,25 @@ class ExperimentationSpec extends AnyFunSuite {
     assert(out.getAs[Double]("ci_lo") == 2.0 - 1.96 * se)
     assert(out.getAs[Double]("ci_hi") == 2.0 + 1.96 * se)
   }
+
+  test("A-causal: regressionDiscontinuity — planted jump recovered exactly") {
+    // y = 10 + x below cutoff 0; y = 50 + x at/above: effect = 40,
+    // slopes 1 on both sides
+    val rows = (-5 to -1).map(x => (x.toLong, 10L + x)) ++
+      (0 to 4).map(x => (x.toLong, 50L + x))
+    val r = Experimentation.regressionDiscontinuity(
+      rows.toDF("x", "y"), col("x"), col("y"),
+      cutoff = 0L, bandwidth = 10L).head()
+    assert(r.getAs[Long]("n_left") == 5L && r.getAs[Long]("n_right") == 5L)
+    assert(r.getAs[Double]("slope_left") == 1.0)
+    assert(r.getAs[Double]("slope_right") == 1.0)
+    assert(r.getAs[Double]("y_at_cut_left") == 10.0)
+    assert(r.getAs[Double]("y_at_cut_right") == 50.0)
+    assert(r.getAs[Double]("effect") == 40.0)
+    // bandwidth excludes far points
+    val wide = rows ++ Seq((100L, 0L))
+    val r2 = Experimentation.regressionDiscontinuity(
+      wide.toDF("x", "y"), col("x"), col("y"), 0L, 10L).head()
+    assert(r2.getAs[Long]("n_right") == 5L)
+  }
 }

@@ -860,4 +860,25 @@ class CurationSpec extends AnyFunSuite {
     assert(out(2).getAs[Long]("overlap_1") == 1L)
     assert(out(2).getAs[Long]("overlap_2") == 0L)
   }
+
+  test("E1: codeQualitySignals — comments, braces, alpha on a hand snippet") {
+    import graft.ext.TextAnalysis
+    val code = "def f(x) {\n  // doubles x\n  return 2*x\n}"
+    val prose = "just some words here"
+    val df = Seq((1L, code), (2L, prose)).toDF("id", "t")
+    val out = TextAnalysis.codeQualitySignals(df, col("id"), col("t"))
+      .orderBy("id").collect()
+    val c = out(0)
+    assert(c.getAs[Long]("n_lines") == 4L)
+    assert(c.getAs[Long]("comment_lines") == 1L)
+    assert(c.getAs[Long]("comment_ppm") == 250000L)
+    assert(c.getAs[Long]("brace_delta") == 0L)
+    val p = out(1)
+    assert(p.getAs[Long]("n_lines") == 1L && p.getAs[Long]("brace_delta") == 0L)
+    assert(p.getAs[Long]("alpha_ppm") == 1000000L) // letters only
+    // unbalanced brace flags truncation
+    val trunc = Seq((3L, "f() {\n  g();")).toDF("id", "t")
+    assert(TextAnalysis.codeQualitySignals(trunc, col("id"), col("t"))
+      .head().getAs[Long]("brace_delta") == 1L)
+  }
 }
