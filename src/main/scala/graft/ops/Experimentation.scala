@@ -28,6 +28,9 @@ object Experimentation {
     "arm, pulls, wins", "ucb1: |arms|-row ranking")
   graft.plans.Guardrails.expect("single_partition_window",
     "look", "sequentialBoundary/sprt: K-row look rollup (calendar-bounded)")
+  graft.plans.Guardrails.expect("cartesian_join",
+    "slope_left, y_at_cut_left",
+    "regressionDiscontinuity: two 1-row side fits joined for the finish")
 
 
 
