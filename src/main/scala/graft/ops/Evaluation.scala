@@ -612,6 +612,105 @@ object Evaluation {
     perTask.unionByName(summary)
   }
 
+  /** DAWID–SKENE annotator-truth inference (Dawid & Skene, JRSS-C
+    * 1979 — public literature), binary-label form with a FIXED number
+    * of EM rounds: from (item, rater, label) annotations, jointly
+    * estimate each rater's error rates and each item's posterior true
+    * label — the principled replacement for majority vote when raters
+    * (human or LLM judges) differ in reliability; a consistent judge
+    * outvotes three noisy ones.
+    *
+    * Determinism contract: ENTIRELY exact integers. Posteriors live
+    * in ppm; per-rater rates α = P(say 1 | true 1), β = P(say 1 |
+    * true 0) are single floor divisions of exact ppm-weighted sums
+    * (add-one-ppm smoothing keeps every rate in (0, 10⁶)); the E-step
+    * likelihood products are exact DECIMAL(38,0) folds over each
+    * item's ≤ 4 annotations (the posterior division multiplies the
+    * product by another 10⁶, so 10⁶^(k+2) must fit 10³⁸ → k ≤ 4 —
+    * enforced), folded in (rater, label) sort order. Two rounds of
+    * the same integer pipeline → bit-identical on any engine or
+    * partitioning. Returns per rater:
+    * (rater, n_annotations, alpha_ppm, beta_ppm) — the item
+    * posteriors drive the estimates internally.
+    *
+    * Scale: each round is one item-keyed join + two rater-keyed aggs
+    * with map-side combine; `rounds` is a constant. The annotation
+    * table is the fact table; everything else is rater/item grain. */
+  def dawidSkene(annotations: DataFrame, itemCol: Column, raterCol: Column,
+      labelCond: Column, rounds: Int = 2): DataFrame = {
+    require(rounds >= 1 && rounds <= 4, "rounds in [1, 4]")
+    val ann = annotations.select(itemCol.as("__i"), raterCol.as("__r"),
+      when(labelCond, 1L).otherwise(0L).as("__l"))
+      .localCheckpoint() // fact grain; every round reads it
+    val nRatersMax = ann.groupBy(col("__i")).agg(count(lit(1)).as("__k"))
+      .agg(max(col("__k"))).head().getLong(0)
+    require(nRatersMax <= 4,
+      s"dawidSkene exact-integer form supports <= 4 raters per item " +
+        s"(got $nRatersMax): 10^6^(k+2) must fit DECIMAL(38,0)")
+    // majority-vote soft init: posterior ppm = share of 1-labels
+    var post = ann.groupBy(col("__i"))
+      .agg(expr("(1000000L * sum(__l)) div count(1)").as("__p"))
+      .localCheckpoint()
+    var rates: DataFrame = null
+    var round = 0
+    while (round < rounds) {
+      // M-step: rater rates from current posteriors (ppm-weighted,
+      // add-one-ppm smoothed)
+      rates = ann.join(post, "__i")
+        .groupBy(col("__r"))
+        .agg(count(lit(1)).as("n_annotations"),
+          sum(when(col("__l") === 1, col("__p")).otherwise(0L)).as("__a_num"),
+          sum(col("__p")).as("__a_den"),
+          sum(when(col("__l") === 1, lit(1000000L) - col("__p"))
+            .otherwise(0L)).as("__b_num"),
+          sum(lit(1000000L) - col("__p")).as("__b_den"))
+        .withColumn("alpha_ppm",
+          expr("(1000000L * (__a_num + 1)) div (__a_den + 2)"))
+        .withColumn("beta_ppm",
+          expr("(1000000L * (__b_num + 1)) div (__b_den + 2)"))
+        .localCheckpoint()
+      // class prior from posteriors
+      val prior = post.agg(
+        expr("sum(__p) div count(1)").as("__pi")).head().getLong(0)
+      // E-step: per item, exact decimal likelihood fold in
+      // (rater, label) order
+      val d38 = "decimal(38,0)"
+      post = ann.join(broadcast(rates.select(col("__r"),
+          col("alpha_ppm").as("__al"), col("beta_ppm").as("__be"))), "__r")
+        .groupBy(col("__i"))
+        .agg(sort_array(collect_list(struct(col("__r"), col("__l"),
+          col("__al"), col("__be")))).as("__obs"))
+        .withColumn("__n1", expr(
+          s"""aggregate(__obs, CAST($prior AS $d38),
+             |  (acc, x) -> acc * CAST(CASE WHEN x.__l = 1 THEN x.__al
+             |    ELSE 1000000 - x.__al END AS $d38))""".stripMargin))
+        .withColumn("__n0", expr(
+          s"""aggregate(__obs, CAST(${1000000L - prior} AS $d38),
+             |  (acc, x) -> acc * CAST(CASE WHEN x.__l = 1 THEN x.__be
+             |    ELSE 1000000 - x.__be END AS $d38))""".stripMargin))
+        .withColumn("__p", expr(
+          "CAST((1000000 * __n1) div (__n1 + __n0) AS BIGINT)"))
+        .select(col("__i"), col("__p"))
+        .localCheckpoint()
+      round += 1
+    }
+    // final M-step readout from the last posteriors
+    ann.join(post, "__i")
+      .groupBy(col("__r").as("rater"))
+      .agg(count(lit(1)).as("n_annotations"),
+        sum(when(col("__l") === 1, col("__p")).otherwise(0L)).as("__a_num"),
+        sum(col("__p")).as("__a_den"),
+        sum(when(col("__l") === 1, lit(1000000L) - col("__p"))
+          .otherwise(0L)).as("__b_num"),
+        sum(lit(1000000L) - col("__p")).as("__b_den"))
+      .withColumn("alpha_ppm",
+        expr("(1000000L * (__a_num + 1)) div (__a_den + 2)"))
+      .withColumn("beta_ppm",
+        expr("(1000000L * (__b_num + 1)) div (__b_den + 2)"))
+      .select(col("rater"), col("n_annotations"), col("alpha_ppm"),
+        col("beta_ppm"))
+  }
+
   /** ISOTONIC calibration via pool-adjacent-violators (Ayer et al.
     * 1955; Barlow et al. 1972 — public literature): fit the best
     * NON-DECREASING success-rate curve over ordered score bins — the

@@ -946,6 +946,10 @@ object OpRegistry {
       df, col(str(p, "slice_col")), col(str(p, "value_col")),
       col(str(p, "prob_ppm_col")))),
     "code_quality" -> (p => df => graft.ext.TextAnalysis.codeQualitySignals(
-      df, col(str(p, "id_col")), col(str(p, "text_col"))))
+      df, col(str(p, "id_col")), col(str(p, "text_col")))),
+    "dawid_skene" -> (p => df => graft.ops.Evaluation.dawidSkene(
+      df, col(str(p, "item_col")), col(str(p, "rater_col")),
+      expr(str(p, "label_expr")),
+      numOpt(p, "rounds").map(_.toInt).getOrElse(2)))
   ))
 }

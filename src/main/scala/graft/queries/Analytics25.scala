@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 import graft.core.Tables
-import graft.ops.{Aggregates, Experimentation}
+import graft.ops.{Aggregates, Evaluation, Experimentation}
 import graft.ext.TextAnalysis
 
 /** Round-5 batch 44: regression discontinuity, Horvitz–Thompson
@@ -131,5 +131,89 @@ object Analytics25 {
       "mixed code/text corpora; brace_delta flags truncated files before " +
       "they poison fill-in-the-middle training.")
 
-  val all: Seq[Declared] = Seq(q333, q334, q335)
+  /** q336 — A-eval: Dawid–Skene annotator reliability over synthetic
+    * judge panels (4 event-type "raters" label 200 user-bucket
+    * "items"; label = odd event count). Two exact-integer EM rounds;
+    * the oracle replays init → M → E → M → E → final M with HUGEINT
+    * likelihood folds. */
+  val q336 = Declared(
+    "q336_dawid_skene", "A-eval",
+    (s, dir) => Evaluation.dawidSkene(
+        Tables.events(s, dir).filter(col("event_type") =!= "error")
+          .groupBy((col("user_id") % 200).as("item"),
+            col("event_type").as("rater"))
+          .agg((count(lit(1)) % 2).as("lab")),
+        col("item"), col("rater"), col("lab") === 1, rounds = 2)
+      .orderBy(col("rater")),
+    Some("""WITH ann AS (
+           |  SELECT user_id % 200 AS i, event_type AS r,
+           |    CAST(count(*) % 2 AS BIGINT) AS l
+           |  FROM events WHERE event_type <> 'error'
+           |  GROUP BY 1, 2),
+           |p0 AS (
+           |  SELECT i, (1000000 * sum(l)) // count(*) AS p
+           |  FROM ann GROUP BY i),
+           |r1 AS (
+           |  SELECT r,
+           |    (1000000 * (sum(CASE WHEN l = 1 THEN p ELSE 0 END) + 1)) //
+           |      (sum(p) + 2) AS al,
+           |    (1000000 * (sum(CASE WHEN l = 1 THEN 1000000 - p ELSE 0 END)
+           |      + 1)) // (sum(1000000 - p) + 2) AS be
+           |  FROM ann JOIN p0 USING (i) GROUP BY r),
+           |pi0 AS (SELECT sum(p) // count(*) AS pi FROM p0),
+           |e1 AS (
+           |  SELECT i,
+           |    list(CAST(CASE WHEN l = 1 THEN al ELSE 1000000 - al END
+           |      AS HUGEINT) ORDER BY r) AS f1,
+           |    list(CAST(CASE WHEN l = 1 THEN be ELSE 1000000 - be END
+           |      AS HUGEINT) ORDER BY r) AS f0
+           |  FROM ann JOIN r1 USING (r) GROUP BY i),
+           |p1 AS (
+           |  SELECT i,
+           |    CAST((1000000 * n1) // (n1 + n0) AS BIGINT) AS p
+           |  FROM (
+           |    SELECT i,
+           |      list_reduce(list_prepend(CAST(pi AS HUGEINT), f1),
+           |        (a, b) -> a * b) AS n1,
+           |      list_reduce(list_prepend(CAST(1000000 - pi AS HUGEINT), f0),
+           |        (a, b) -> a * b) AS n0
+           |    FROM e1 CROSS JOIN pi0)),
+           |r2 AS (
+           |  SELECT r,
+           |    (1000000 * (sum(CASE WHEN l = 1 THEN p ELSE 0 END) + 1)) //
+           |      (sum(p) + 2) AS al,
+           |    (1000000 * (sum(CASE WHEN l = 1 THEN 1000000 - p ELSE 0 END)
+           |      + 1)) // (sum(1000000 - p) + 2) AS be
+           |  FROM ann JOIN p1 USING (i) GROUP BY r),
+           |pi1 AS (SELECT sum(p) // count(*) AS pi FROM p1),
+           |e2 AS (
+           |  SELECT i,
+           |    list(CAST(CASE WHEN l = 1 THEN al ELSE 1000000 - al END
+           |      AS HUGEINT) ORDER BY r) AS f1,
+           |    list(CAST(CASE WHEN l = 1 THEN be ELSE 1000000 - be END
+           |      AS HUGEINT) ORDER BY r) AS f0
+           |  FROM ann JOIN r2 USING (r) GROUP BY i),
+           |p2 AS (
+           |  SELECT i,
+           |    CAST((1000000 * n1) // (n1 + n0) AS BIGINT) AS p
+           |  FROM (
+           |    SELECT i,
+           |      list_reduce(list_prepend(CAST(pi AS HUGEINT), f1),
+           |        (a, b) -> a * b) AS n1,
+           |      list_reduce(list_prepend(CAST(1000000 - pi AS HUGEINT), f0),
+           |        (a, b) -> a * b) AS n0
+           |    FROM e2 CROSS JOIN pi1))
+           |SELECT r AS rater, CAST(count(*) AS BIGINT) AS n_annotations,
+           |  CAST((1000000 * (sum(CASE WHEN l = 1 THEN p ELSE 0 END) + 1)) //
+           |    (sum(p) + 2) AS BIGINT) AS alpha_ppm,
+           |  CAST((1000000 * (sum(CASE WHEN l = 1 THEN 1000000 - p ELSE 0 END)
+           |    + 1)) // (sum(1000000 - p) + 2) AS BIGINT) AS beta_ppm
+           |FROM ann JOIN p2 USING (i)
+           |GROUP BY r ORDER BY rater""".stripMargin),
+    "Each EM round is one item-keyed join + two rater-keyed aggs with " +
+      "map-side combine; likelihood products fold exact DECIMAL(38,0) over " +
+      "<= 4 annotations per item. The judge-reliability layer every " +
+      "LLM-as-judge eval panel needs before trusting majority vote.")
+
+  val all: Seq[Declared] = Seq(q333, q334, q335, q336)
 }

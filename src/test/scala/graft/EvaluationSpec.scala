@@ -343,4 +343,33 @@ class EvaluationSpec extends AnyFunSuite {
     assert(Evaluation.passAtK(rows.toDF("t", "ok").union(small), col("t"),
       col("ok"), k = 2).filter(col("task") === 9L).count() == 0)
   }
+
+  test("A-eval: dawidSkene — a consistent rater beats noisy ones; caps at 4") {
+    import graft.ops.Evaluation
+    // 12 items, true label = item % 2. Rater "good" always truthful;
+    // raters n1, n2 flip a third of their labels.
+    val rows = (0 until 12).flatMap { i =>
+      val truth = i % 2
+      Seq((i.toLong, "good", truth),
+        (i.toLong, "n1", if (i % 3 == 0) 1 - truth else truth),
+        (i.toLong, "n2", if (i % 4 == 0) 1 - truth else truth))
+    }
+    val out = Evaluation.dawidSkene(rows.toDF("i", "r", "l"),
+      col("i"), col("r"), col("l") === 1, rounds = 2)
+      .collect().map(r => r.getAs[String]("rater") ->
+        (r.getAs[Long]("alpha_ppm"), r.getAs[Long]("beta_ppm"))).toMap
+    // the truthful rater separates the classes best: its false-positive
+    // rate is the lowest and its Youden-style gap (alpha - beta)
+    // dominates both noisy raters (raw alpha alone can tie when a noisy
+    // rater's flips all land on one class)
+    assert(out("good")._2 < out("n1")._2 && out("good")._2 < out("n2")._2)
+    def gap(k: String) = out(k)._1 - out(k)._2
+    assert(gap("good") > gap("n1") && gap("good") > gap("n2"))
+    // > 4 raters per item rejected (exact-integer overflow guard)
+    val five = (0 until 5).map(r => (1L, s"r$r", 1))
+    assertThrows[IllegalArgumentException] {
+      Evaluation.dawidSkene(five.toDF("i", "r", "l"),
+        col("i"), col("r"), col("l") === 1)
+    }
+  }
 }
