@@ -215,5 +215,40 @@ object Analytics25 {
       "<= 4 annotations per item. The judge-reliability layer every " +
       "LLM-as-judge eval panel needs before trusting majority vote.")
 
-  val all: Seq[Declared] = Seq(q333, q334, q335, q336)
+  /** q337 — T-state/A5: STREAMING stateful daily EWMA per event type
+    * (flatMapGroupsWithState custom state) — the live twin of q156's
+    * batch smoother, verified against the identical recursive batch
+    * oracle: the stream and the warehouse agree bit for bit. */
+  val q337 = Declared(
+    "q337_stream_ewma", "T-state,A5",
+    (s, dir) => {
+      import s.implicits._
+      TimeSeries.streamEventsToTable(s, dir, "q337", mode = "append")(ev =>
+        graft.streaming.StreamOps.statefulDailyEwma(
+          ev.select(col("event_type").as("key"), col("ts"))
+            .as[graft.streaming.StreamOps.KeyedStamp],
+          aNum = 1, aDen = 4).toDF())
+        .orderBy(col("event_type"), col("day"))
+    },
+    Some("""WITH RECURSIVE d AS (
+           |  SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS n
+           |  FROM events GROUP BY 1, 2),
+           |r AS (
+           |  SELECT event_type, day, CAST(n AS BIGINT) AS n,
+           |    row_number() OVER (PARTITION BY event_type ORDER BY day) AS rn
+           |  FROM d),
+           |s AS (
+           |  SELECT event_type, rn, day, n, n AS ewma FROM r WHERE rn = 1
+           |  UNION ALL
+           |  SELECT r.event_type, r.rn, r.day, r.n,
+           |    (1 * r.n + 3 * s.ewma) // 4
+           |  FROM r JOIN s ON r.event_type = s.event_type AND r.rn = s.rn + 1)
+           |SELECT event_type, day, n, ewma FROM s
+           |ORDER BY event_type, day""".stripMargin),
+    "State is 12 bytes per key, shuffle keyed on the type; the fold runs " +
+      "over each batch's day rollup, never raw events. The monitoring loop " +
+      "and the warehouse compute the SAME baseline — no 'stream said X, " +
+      "batch said Y' drift, which is the entire point of the oracle gate.")
+
+  val all: Seq[Declared] = Seq(q333, q334, q335, q336, q337)
 }

@@ -166,6 +166,60 @@ object StreamOps {
       .flatMapGroupsWithState(OutputMode.Append, timeout)(handle)
   }
 
+  /** Input/output records for the stateful streaming EWMA. */
+  final case class KeyedStamp(key: String, ts: java.sql.Timestamp)
+  final case class EwmaDayState(lastDay: Int, sm: Long)
+  final case class EwmaDayOut(event_type: String, day: java.time.LocalDate,
+    n: Long, ewma: Long)
+
+  /** T-state — STREAMING twin of [[graft.ops.TimeSeriesOps.ewmaInt]]:
+    * per-key daily event counts smoothed by the same truncating
+    * integer recursion s ← (num·n + (den−num)·s) div den, carried as
+    * `flatMapGroupsWithState` custom state across micro-batches — the
+    * live anomaly-baseline smoother whose batch twin (q156) is the
+    * oracle.
+    *
+    * Ordering contract: within a batch, days fold in ascending order
+    * (the handler rolls the batch up and sorts — bounded by the
+    * calendar, like the batch op); ACROSS batches a day at or before
+    * the state's last folded day is DROPPED rather than folded out of
+    * order (file-replay sources under availableNow deliver in-order;
+    * the guard makes out-of-order replays visible as missing rows
+    * instead of silently wrong smoothing). State = 12 bytes per key.
+    */
+  def statefulDailyEwma(events: org.apache.spark.sql.Dataset[KeyedStamp],
+      aNum: Long, aDen: Long)
+      : org.apache.spark.sql.Dataset[EwmaDayOut] = {
+    require(aNum > 0 && aDen > 0 && aNum <= aDen, "alpha num/den in (0, 1]")
+    import events.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+    def handle(key: String, batch: Iterator[KeyedStamp],
+        state: GroupState[EwmaDayState]): Iterator[EwmaDayOut] = {
+      val byDay = batch.toSeq
+        .groupBy(e => math.floorDiv(e.ts.getTime, 86400000L).toInt)
+        .map { case (d, es) => (d, es.size.toLong) }
+        .toSeq.sortBy(_._1)
+      var cur = state.getOption
+      val out = byDay.flatMap { case (d, n) =>
+        if (cur.exists(_.lastDay >= d)) None // out-of-order replay guard
+        else {
+          val sm = cur match {
+            case None => n
+            case Some(s) => (aNum * n + (aDen - aNum) * s.sm) / aDen
+          }
+          cur = Some(EwmaDayState(d, sm))
+          Some(EwmaDayOut(key, java.time.LocalDate.ofEpochDay(d.toLong), n, sm))
+        }
+      }
+      cur.foreach(state.update)
+      out.iterator
+    }
+
+    events.groupByKey(_.key)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(handle)
+  }
+
   /** T6 — parquet sink with checkpoint (exactly-once file sink). */
   def parquetSink(df: DataFrame, path: String, checkpoint: String): DataStreamWriter[Row] =
     df.writeStream.format("parquet")

@@ -154,6 +154,35 @@ class StreamingSpec extends AnyFunSuite {
     assert(closed.head.session_end == ts("2024-01-01 10:10:00"))
   }
 
+  test("T-state: statefulDailyEwma folds across batches, drops replays") {
+    import graft.streaming.StreamOps.{KeyedStamp, EwmaDayOut}
+    val dir = tmp()
+    // batch 1: day 1 has 4 events, day 2 has 8 -> ewma 4 then
+    // (1*8 + 3*4)/4 = 5
+    writeBatch(dir, "b1",
+      (1 to 4).map(i => (i.toLong, "2024-01-01 10:00:00", 1L, 1.0)) ++
+      (5 to 12).map(i => (i.toLong, "2024-01-02 10:00:00", 1L, 1.0)))
+    val stream = StreamOps.fileStream(spark, dir, schema)
+      .select(lit("k").as("key"), col("ts")).as[KeyedStamp]
+    val out = StreamOps.statefulDailyEwma(stream, aNum = 1, aDen = 4)
+    val q = out.writeStream.outputMode("append").format("memory")
+      .queryName("tewma").start()
+    q.processAllAvailable()
+    val r1 = spark.table("tewma").as[EwmaDayOut].collect().sortBy(_.day)
+    assert(r1.map(_.n).toSeq == Seq(4L, 8L))
+    assert(r1.map(_.ewma).toSeq == Seq(4L, 5L))
+    // batch 2: day 3 (4 events) folds against carried state -> 
+    // (1*4 + 3*5)/4 = 4; a replayed day-1 event is DROPPED
+    writeBatch(dir, "b2",
+      (13 to 16).map(i => (i.toLong, "2024-01-03 10:00:00", 1L, 1.0)) ++
+      Seq((99L, "2024-01-01 23:00:00", 1L, 1.0)))
+    q.processAllAvailable()
+    val r2 = spark.table("tewma").as[EwmaDayOut].collect().sortBy(_.day)
+    q.stop()
+    assert(r2.length == 3) // the replayed day emitted nothing
+    assert(r2.last.n == 4L && r2.last.ewma == 4L)
+  }
+
   private def ts(s: String) = java.sql.Timestamp.valueOf(s)
 
   test("T7: stream-stream join matches right rows within the event-time bound") {
