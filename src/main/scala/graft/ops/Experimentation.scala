@@ -31,6 +31,8 @@ object Experimentation {
   graft.plans.Guardrails.expect("cartesian_join",
     "slope_left, y_at_cut_left",
     "regressionDiscontinuity: two 1-row side fits joined for the finish")
+  graft.plans.Guardrails.expect("cartesian_join", "__qa",
+    "quantileTreatmentEffects: two 1-row per-arm quantile frames joined")
 
 
 
@@ -523,6 +525,56 @@ object Experimentation {
     }
     w.select(col("__r").as("row_key"), col("__c").as("col_key"), col("n"),
       col("__w").as("weight_micro"))
+  }
+
+  /** A-causal — QUANTILE TREATMENT EFFECTS (Lehmann/Doksum quantile
+    * shift; standard large-sample practice — public literature): the
+    * per-quantile difference between two arms' outcome distributions.
+    * A mean difference (q186) can hide a policy that helps the median
+    * user and hurts the tail; QTE reads the shift where it happens.
+    *
+    * Determinism contract: quantiles are exact LOWER order statistics
+    * from per-arm distinct-value cumulative counts — rank =
+    * ⌈n·q⌉ = (n·q_ppm + 999999) div 10⁶, value = min v with
+    * cum ≥ rank; the effect is an integer difference. Returns per
+    * requested quantile: (q_ppm, n_a, n_b, v_a, v_b, qte).
+    *
+    * Scale: one (arm, value) agg with map-side combine + arm-
+    * partitioned cumulative windows (the q152 envelope). */
+  def quantileTreatmentEffects(df: DataFrame, valueCol: Column,
+      armCol: Column, armA: String, armB: String,
+      qPpms: Seq[Long]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(qPpms.nonEmpty && qPpms.forall(q => q > 0 && q < 1000000),
+      "quantiles must be ppm in (0, 1e6)")
+    val perV = df.filter(armCol.isin(armA, armB))
+      .select(armCol.as("__g"), valueCol.cast("long").as("__v"))
+      .groupBy(col("__g"), col("__v")).agg(count(lit(1)).as("__c"))
+    val wg = Window.partitionBy(col("__g")).orderBy(col("__v"))
+    val wAll = Window.partitionBy(col("__g"))
+    val cum = perV
+      .withColumn("__ct", sum(col("__c")).over(
+        wg.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("__n", sum(col("__c")).over(wAll))
+    val qCols = qPpms.map { q =>
+      min(when(col("__ct") >=
+        expr(s"(__n * ${q}L + 999999L) div 1000000L"), col("__v")))
+        .as(s"__q$q")
+    }
+    val aggCols = max(col("__n")).as("__nn") +: qCols
+    val perArm = cum.groupBy(col("__g"))
+      .agg(aggCols.head, aggCols.tail: _*)
+    val a = perArm.filter(col("__g") === armA)
+    val b = perArm.filter(col("__g") === armB)
+    val joined = a.select(col("__nn").as("n_a") +:
+        qPpms.map(q => col(s"__q$q").as(s"__qa$q")): _*)
+      .crossJoin(broadcast(b.select(col("__nn").as("n_b") +:
+        qPpms.map(q => col(s"__q$q").as(s"__qb$q")): _*)))
+    qPpms.map { q =>
+      joined.select(lit(q).as("q_ppm"), col("n_a"), col("n_b"),
+        col(s"__qa$q").as("v_a"), col(s"__qb$q").as("v_b"),
+        (col(s"__qa$q") - col(s"__qb$q")).as("qte"))
+    }.reduce(_ unionByName _)
   }
 
   /** A-causal — sharp REGRESSION DISCONTINUITY (Thistlethwaite &

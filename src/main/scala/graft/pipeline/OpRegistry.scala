@@ -950,6 +950,15 @@ object OpRegistry {
     "dawid_skene" -> (p => df => graft.ops.Evaluation.dawidSkene(
       df, col(str(p, "item_col")), col(str(p, "rater_col")),
       expr(str(p, "label_expr")),
-      numOpt(p, "rounds").map(_.toInt).getOrElse(2)))
+      numOpt(p, "rounds").map(_.toInt).getOrElse(2))),
+    // batch 46 (q338-q339)
+    "qte" -> (p => df => graft.ops.Experimentation.quantileTreatmentEffects(
+      df, col(str(p, "value_col")), col(str(p, "arm_col")),
+      str(p, "arm_a"), str(p, "arm_b"),
+      strs(p, "q_ppms").map(_.toLong))),
+    "poisson_bootstrap_se" -> (p => df =>
+      graft.ops.Aggregates.poissonBootstrapSE(
+        df, col(str(p, "id_col")), expr(str(p, "value_expr")),
+        numOpt(p, "n_reps").map(_.toInt).getOrElse(50)))
   ))
 }

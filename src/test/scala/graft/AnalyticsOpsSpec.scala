@@ -1808,4 +1808,41 @@ class AnalyticsOpsSpec extends AnyFunSuite {
     // (1e6-5e5) * 14^2 / 1e6 = 98
     assert(r.getAs[Double]("var_hat") == 98.0)
   }
+
+  test("A-stat: poissonBootstrapSE — deterministic, sane SE on a constant") {
+    import graft.ops.Aggregates
+    // constant metric: every resample mean equals it -> SE exactly 0
+    val const = (1 to 40).map(i => (i.toLong, 7L)).toDF("id", "y")
+    val c = Aggregates.poissonBootstrapSE(const, col("id"), col("y"), 20)
+      .head()
+    assert(c.getAs[Long]("mean_micro") == 7000000L)
+    assert(c.getAs[Double]("se") == 0.0)
+    // determinism: identical inputs give identical SE across runs
+    val varied = (1 to 40).map(i => (i.toLong, (i % 7).toLong)).toDF("id", "y")
+    val s1 = Aggregates.poissonBootstrapSE(varied, col("id"), col("y"), 30)
+      .head().getAs[Double]("se")
+    val s2 = Aggregates.poissonBootstrapSE(varied, col("id"), col("y"), 30)
+      .head().getAs[Double]("se")
+    assert(s1 == s2 && s1 > 0.0)
+    // ballpark: SE of the mean of 40 iid values ~ sd/sqrt(40)
+    val sd = {
+      val ys = (1 to 40).map(i => (i % 7).toDouble)
+      val m = ys.sum / 40
+      math.sqrt(ys.map(v => (v - m) * (v - m)).sum / 39)
+    }
+    assert(s1 > sd / math.sqrt(40) / 3 && s1 < sd / math.sqrt(40) * 3)
+  }
+
+  test("A-causal: quantileTreatmentEffects — exact order stats per arm") {
+    import graft.ops.Experimentation
+    // A = 1..8 (q25 = 2, q50 = 4, q75 = 6), B = 11..18 shifted by 10
+    val rows = (1 to 8).map(v => ("A", v.toLong)) ++
+      (11 to 18).map(v => ("B", v.toLong))
+    val out = Experimentation.quantileTreatmentEffects(rows.toDF("g", "v"),
+      col("v"), col("g"), "A", "B", Seq(250000L, 500000L, 750000L))
+      .orderBy("q_ppm").collect()
+    assert(out.map(_.getAs[Long]("v_a")).toSeq == Seq(2L, 4L, 6L))
+    assert(out.map(_.getAs[Long]("v_b")).toSeq == Seq(12L, 14L, 16L))
+    assert(out.forall(_.getAs[Long]("qte") == -10L))
+  }
 }
