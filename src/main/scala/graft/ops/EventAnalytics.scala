@@ -20,6 +20,8 @@ object EventAnalytics {
   graft.plans.Guardrails.expect("single_partition_window",
     "n_risk, t, d", "kaplanMeier/nelsonAalen: distinct-event-time risk table")
   graft.plans.Guardrails.expect("single_partition_window",
+    "_we0, t, surv_ppm", "rmst: lead over the KM rollup (calendar-bounded)")
+  graft.plans.Guardrails.expect("single_partition_window",
     "cumhaz_ppm", "nelsonAalen: distinct-event-time hazard rollup")
   graft.plans.Guardrails.expect("single_partition_window",
     "__n, __n1, __t", "logRank: distinct-event-time two-group table")
@@ -475,6 +477,41 @@ object EventAnalytics {
         .as(Seq("__i", "__z")))
       .select(col("__z.__a.t").as("t"), col("__z.__a.n_risk").as("n_risk"),
         col("__z.__a.d").as("d_events"), col("__z.__s").as("surv_ppm"))
+  }
+
+  /** A-stat/A8 — RESTRICTED MEAN SURVIVAL TIME (Royston & Parmar 2013
+    * popularized the readout; the step-integral of the Kaplan–Meier
+    * curve to a horizon τ — public literature): "expected time alive
+    * within the next τ units" — the one-number summary of
+    * [[kaplanMeier]]'s whole curve, and the survival-based LTV
+    * horizon every retention team actually budgets with.
+    *
+    * Determinism contract: the KM curve's surv_ppm values are already
+    * exact integers; RMST is the exact step integral
+    *   τ₁·10⁶ + Σ surv_ppm(tᵢ)·(min(tᵢ₊₁, τ) − tᵢ)
+    * over the duration rollup (first step S=1 before the first event
+    * time, clamped at τ) — an integer in ppm·time units, divided once
+    * for the readout. Returns one row:
+    * (tau, rmst_micro, rmst) with rmst = rmst_micro/10⁶ (one IEEE
+    * division).
+    *
+    * Scale: the lead/sum run over the KM rollup (calendar-bounded). */
+  def rmst(subjects: DataFrame, durationCol: Column, eventCol: Column,
+      tau: Long): DataFrame = {
+    require(tau > 0, "tau > 0")
+    val km = kaplanMeier(subjects, durationCol, eventCol)
+    val w = Window.orderBy(col("t"))
+    val steps = km
+      .withColumn("__next",
+        least(coalesce(lead(col("t"), 1).over(w), lit(tau)), lit(tau)))
+      .filter(col("t") < tau)
+    steps.agg(
+        least(coalesce(min(col("t")), lit(tau)), lit(tau)).as("__first"),
+        coalesce(sum(col("surv_ppm") *
+          greatest(col("__next") - col("t"), lit(0L))), lit(0L)).as("__tail"))
+      .withColumn("rmst_micro", col("__first") * 1000000L + col("__tail"))
+      .select(lit(tau).as("tau"), col("rmst_micro"),
+        (col("rmst_micro").cast("double") / 1e6).as("rmst"))
   }
 
   /** A-stat — next-event prediction accuracy of the first-order Markov

@@ -527,6 +527,58 @@ object Experimentation {
       col("__w").as("weight_micro"))
   }
 
+  /** A-causal — COVARIATE BALANCE diagnostics (standardized mean
+    * differences; Rosenbaum & Rubin 1985, Austin 2009 — public
+    * literature): per covariate,
+    *   SMD = (x̄_A − x̄_B) / √((s²_A + s²_B)/2)
+    * — the pre-experiment (or post-matching) health check that says
+    * whether two arms are comparable BEFORE anyone reads the metric;
+    * |SMD| > 0.1 is the conventional imbalance flag.
+    *
+    * Determinism contract: per-arm moments are exact decimal sums of
+    * integer covariates; each SMD is one pinned IEEE chain, emitted
+    * UNROUNDED; the flag compares against the 0.1 literal. Returns
+    * per covariate: (covariate, n_a, n_b, mean_a, mean_b, smd,
+    * imbalanced).
+    *
+    * Scale: ONE unit-grain agg computes every covariate's six sums
+    * (map-side combine); the finish is |covariates|-row arithmetic. */
+  def covariateBalance(df: DataFrame, armCol: Column, armA: String,
+      armB: String, covariates: Seq[(String, Column)]): DataFrame = {
+    require(covariates.nonEmpty, "need at least one covariate")
+    val d38 = "decimal(38,0)"
+    val base = df.filter(armCol.isin(armA, armB))
+      .select(armCol.as("__g") +:
+        covariates.map { case (n, c) => c.cast("long").as(s"__x_$n") }: _*)
+    val aggs = count(lit(1)).as("__n") +: covariates.flatMap { case (n, _) =>
+      Seq(sum(col(s"__x_$n").cast(d38)).as(s"__s_$n"),
+        sum((col(s"__x_$n") * col(s"__x_$n")).cast(d38)).as(s"__q_$n"))
+    }
+    val g = base.groupBy(col("__g")).agg(aggs.head, aggs.tail: _*)
+      .localCheckpoint()
+    val a = g.filter(col("__g") === armA)
+    val b = g.filter(col("__g") === armB)
+    val j = a.select(col("__n").as("__na") +: covariates.flatMap { case (n, _) =>
+        Seq(col(s"__s_$n").as(s"__sa_$n"), col(s"__q_$n").as(s"__qa_$n")) }: _*)
+      .crossJoin(broadcast(b.select(col("__n").as("__nb") +:
+        covariates.flatMap { case (n, _) =>
+          Seq(col(s"__s_$n").as(s"__sb_$n"), col(s"__q_$n").as(s"__qb_$n")) }: _*)))
+    covariates.map { case (n, _) =>
+      val na = col("__na").cast(d38); val nb = col("__nb").cast(d38)
+      val ma = col(s"__sa_$n").cast("double") / col("__na").cast("double")
+      val mb = col(s"__sb_$n").cast("double") / col("__nb").cast("double")
+      val va = (na * col(s"__qa_$n") - col(s"__sa_$n") * col(s"__sa_$n"))
+        .cast("double") / (na * (na - 1)).cast("double")
+      val vb = (nb * col(s"__qb_$n") - col(s"__sb_$n") * col(s"__sb_$n"))
+        .cast("double") / (nb * (nb - 1)).cast("double")
+      j.select(lit(n).as("covariate"),
+        col("__na").as("n_a"), col("__nb").as("n_b"),
+        ma.as("mean_a"), mb.as("mean_b"),
+        ((ma - mb) / sqrt((va + vb) / 2)).as("smd"))
+        .withColumn("imbalanced", abs(col("smd")) > 0.1)
+    }.reduce(_ unionByName _)
+  }
+
   /** A-causal — QUANTILE TREATMENT EFFECTS (Lehmann/Doksum quantile
     * shift; standard large-sample practice — public literature): the
     * per-quantile difference between two arms' outcome distributions.

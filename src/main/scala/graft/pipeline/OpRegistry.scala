@@ -959,6 +959,14 @@ object OpRegistry {
     "poisson_bootstrap_se" -> (p => df =>
       graft.ops.Aggregates.poissonBootstrapSE(
         df, col(str(p, "id_col")), expr(str(p, "value_expr")),
-        numOpt(p, "n_reps").map(_.toInt).getOrElse(50)))
+        numOpt(p, "n_reps").map(_.toInt).getOrElse(50))),
+    // batch 47 (q340-q341)
+    "covariate_balance" -> (p => df =>
+      graft.ops.Experimentation.covariateBalance(
+        df, col(str(p, "arm_col")), str(p, "arm_a"), str(p, "arm_b"),
+        strs(p, "covariates").map(c => c -> col(c)))),
+    "rmst" -> (p => df => graft.ops.EventAnalytics.rmst(
+      df, col(str(p, "duration_col")), expr(str(p, "event_expr")),
+      num(p, "tau").toLong))
   ))
 }

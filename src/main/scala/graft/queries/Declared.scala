@@ -38,5 +38,6 @@ object Declared {
       Analytics15.all ++ Analytics16.all ++ Analytics17.all ++
       Analytics18.all ++ Analytics19.all ++ Analytics20.all ++
       Analytics21.all ++ Analytics22.all ++ Analytics23.all ++
-      Analytics24.all ++ Analytics25.all ++ Analytics26.all
+      Analytics24.all ++ Analytics25.all ++ Analytics26.all ++
+      Analytics27.all
 }

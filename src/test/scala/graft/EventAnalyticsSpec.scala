@@ -361,4 +361,20 @@ class EventAnalyticsSpec extends AnyFunSuite {
       .collect()
     assert(so.map(_.getAs[Long]("phi_perm")).distinct.length == 1)
   }
+
+  test("A8: rmst — hand step integral, tau clamp, no-events-before-tau") {
+    // subjects: durations 1 (event), 3 (censored): KM: S(1) = 1/2
+    // (n_risk 2, d 1); S(3) = 1/2 (censored, d 0).
+    // RMST(5) = 1*1e6 (before first event) + S(1)*(3-1) + S(3)*(5-3)
+    //         = 1e6 + 500000*2 + 500000*2 = 3e6 -> 3.0
+    val df = Seq((1L, 1), (3L, 0)).toDF("dur", "ev")
+    val r = graft.ops.EventAnalytics.rmst(df, col("dur"), col("ev"), 5L)
+      .head()
+    assert(r.getAs[Long]("rmst_micro") == 3000000L)
+    assert(r.getAs[Double]("rmst") == 3.0)
+    // tau inside the first step: RMST(1) = full survival to tau
+    val r1 = graft.ops.EventAnalytics.rmst(df, col("dur"), col("ev"), 1L)
+      .head()
+    assert(r1.getAs[Long]("rmst_micro") == 1000000L)
+  }
 }

@@ -519,4 +519,25 @@ class ExperimentationSpec extends AnyFunSuite {
       wide.toDF("x", "y"), col("x"), col("y"), 0L, 10L).head()
     assert(r2.getAs[Long]("n_right") == 5L)
   }
+
+  test("A-causal: covariateBalance — balanced arms flag nothing, shifted flags") {
+    // covariate x identical across arms -> SMD 0; covariate y shifted
+    val rows = Seq(("A", 1L, 10L), ("A", 2L, 11L), ("A", 3L, 12L),
+      ("B", 1L, 20L), ("B", 2L, 21L), ("B", 3L, 22L))
+      .toDF("g", "x", "y")
+    val out = Experimentation.covariateBalance(rows, col("g"), "A", "B",
+      Seq("x" -> col("x"), "y" -> col("y"))).orderBy("covariate").collect()
+    val x = out(0); val y = out(1)
+    assert(x.getAs[String]("covariate") == "x")
+    assert(x.getAs[Double]("smd") == 0.0 && !x.getAs[Boolean]("imbalanced"))
+    // y: means 11 vs 21, pooled sd 1 -> SMD = -10
+    assert(y.getAs[Double]("smd") == -10.0 && y.getAs[Boolean]("imbalanced"))
+  }
+
+  test("A-causal: quantileTreatmentEffects edge — tied arms give zero QTE") {
+    val rows = (1 to 6).flatMap(v => Seq(("A", v.toLong), ("B", v.toLong)))
+    val out = Experimentation.quantileTreatmentEffects(rows.toDF("g", "v"),
+      col("v"), col("g"), "A", "B", Seq(500000L)).head()
+    assert(out.getAs[Long]("qte") == 0L)
+  }
 }
