@@ -527,6 +527,92 @@ object Experimentation {
       col("__w").as("weight_micro"))
   }
 
+  /** A-causal — DOUBLY-ROBUST off-policy value (Robins, Rotnitzky &
+    * Zhao 1994; Dudík, Langford & Li, ICML'11 for the bandit form —
+    * public literature): estimate what a TARGET policy would earn from
+    * LOGGED data, combining the direct model (q̂) with an inverse-
+    * propensity correction on matching actions:
+    *   V̂_DR = mean[ q̂(x, π(x)) + 1{a = π(x)}/p(a|x) · (r − q̂(x, a)) ]
+    * — unbiased if EITHER the model or the propensities are right,
+    * where [[ipsPolicyValue]] needs the propensities alone.
+    *
+    * Determinism contract: rewards and model scores arrive in integer
+    * micro-units, propensities in ppm; each unit's correction floors
+    * ONCE ((r − q̂_logged)·10⁶ div p_ppm), sums are exact, the three
+    * means divide once each. Returns one row:
+    * (n, dm_micro, ips_micro, dr_micro) — direct-method, IPS and DR
+    * estimates side by side (they should bracket; wild disagreement
+    * means both inputs are suspect).
+    *
+    * Scale: one unit-grain agg with map-side combine. */
+  def doublyRobustValue(df: DataFrame, matchCond: Column,
+      propPpmCol: Column, rewardMicroCol: Column,
+      qhatTargetMicroCol: Column, qhatLoggedMicroCol: Column): DataFrame = {
+    val p = propPpmCol.cast("long")
+    val r = rewardMicroCol.cast("long")
+    val qt = qhatTargetMicroCol.cast("long")
+    val ql = qhatLoggedMicroCol.cast("long")
+    df.select(
+        qt.as("__qt"),
+        when(matchCond, expr(s"((${r.toString} - ${ql.toString}) * 1000000L)" +
+          s" div ${p.toString}")).otherwise(0L).as("__corr"),
+        when(matchCond, expr(s"(${r.toString} * 1000000L) div ${p.toString}"))
+          .otherwise(0L).as("__ips"))
+      .agg(count(lit(1)).as("n"),
+        expr("sum(__qt) div count(1)").as("dm_micro"),
+        expr("sum(__ips) div count(1)").as("ips_micro"),
+        expr("(sum(__qt) + sum(__corr)) div count(1)").as("dr_micro"))
+  }
+
+  /** A-stat — ANYTIME-VALID CONFIDENCE SEQUENCE for a running mean
+    * (Robbins 1970 normal-mixture boundary; Howard, Ramdas, McAuliffe
+    * & Sekhon 2021 popularized the practice — public literature): a
+    * CI you may look at after EVERY unit with total error ≤ α — the
+    * continuous-monitoring answer where q236 fixes K looks and q325
+    * fixes two hypotheses. Radius at look n:
+    *   r_n = σ̂ · √( ((n + ρ)/n²) · ln((n + ρ)/(ρ·α²)) )
+    * with ρ a tuning constant (unit default) and σ̂ the RUNNING sample
+    * standard deviation from exact cumulative sums.
+    *
+    * Determinism contract: cumulative counts/sums/squares are exact
+    * integers over the look rollup; each look's mean, σ̂ and radius
+    * are one pinned IEEE chain, UNROUNDED (q186 discipline). Returns
+    * per look: (look, n, mean, radius, ci_lo, ci_hi).
+    *
+    * Scale: one look-keyed agg; cumulation over the |looks| rollup
+    * window (the q236 envelope). */
+  def confidenceSequence(df: DataFrame, lookCol: Column, valueCol: Column,
+      alpha: Double = 0.05, rho: Double = 1.0): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(alpha > 0 && alpha < 1, "alpha in (0,1)")
+    require(rho > 0, "rho > 0")
+    val d38 = "decimal(38,0)"
+    val looks = df.groupBy(lookCol.cast("long").as("look")).agg(
+      count(lit(1)).as("__cn"),
+      sum(valueCol.cast("long").cast(d38)).as("__cs"),
+      sum((valueCol.cast("long") * valueCol.cast("long")).cast(d38))
+        .as("__cq"))
+    val cum = Window.orderBy(col("look"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val n = col("n").cast("double")
+    looks
+      .withColumn("n", sum(col("__cn")).over(cum))
+      .withColumn("__s", sum(col("__cs")).over(cum))
+      .withColumn("__q", sum(col("__cq")).over(cum))
+      .withColumn("mean", col("__s").cast("double") / n)
+      .withColumn("__sd", sqrt(
+        (col("n").cast(d38) * col("__q") - col("__s") * col("__s"))
+          .cast("double") /
+          (col("n").cast(d38) * (col("n").cast(d38) - 1)).cast("double")))
+      .withColumn("radius", col("__sd") * sqrt(
+        ((n + rho) / (n * n)) *
+          log((n + rho) / lit(rho * alpha * alpha))))
+      .withColumn("ci_lo", col("mean") - col("radius"))
+      .withColumn("ci_hi", col("mean") + col("radius"))
+      .select(col("look"), col("n"), col("mean"), col("radius"),
+        col("ci_lo"), col("ci_hi"))
+  }
+
   /** A-causal — COVARIATE BALANCE diagnostics (standardized mean
     * differences; Rosenbaum & Rubin 1985, Austin 2009 — public
     * literature): per covariate,

@@ -967,6 +967,17 @@ object OpRegistry {
         strs(p, "covariates").map(c => c -> col(c)))),
     "rmst" -> (p => df => graft.ops.EventAnalytics.rmst(
       df, col(str(p, "duration_col")), expr(str(p, "event_expr")),
-      num(p, "tau").toLong))
+      num(p, "tau").toLong)),
+    // batch 48 (q342-q343)
+    "doubly_robust_value" -> (p => df =>
+      graft.ops.Experimentation.doublyRobustValue(
+        df, expr(str(p, "match_expr")), col(str(p, "prop_ppm_col")),
+        col(str(p, "reward_micro_col")), col(str(p, "qhat_target_col")),
+        col(str(p, "qhat_logged_col")))),
+    "confidence_sequence" -> (p => df =>
+      graft.ops.Experimentation.confidenceSequence(
+        df, expr(str(p, "look_expr")), expr(str(p, "value_expr")),
+        numOpt(p, "alpha").getOrElse(0.05),
+        numOpt(p, "rho").getOrElse(1.0)))
   ))
 }

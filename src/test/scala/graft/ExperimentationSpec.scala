@@ -540,4 +540,47 @@ class ExperimentationSpec extends AnyFunSuite {
       col("v"), col("g"), "A", "B", Seq(500000L)).head()
     assert(out.getAs[Long]("qte") == 0L)
   }
+
+  test("A-causal: doublyRobustValue — perfect model recovers truth, DM/IPS bracket") {
+    // units: reward known; model exactly right -> DR = DM = truth
+    // regardless of propensities; target matches half the logs
+    val rows = Seq((true, 500000L, 10L, 10L, 10L), (false, 500000L, 20L, 30L, 20L))
+      .toDF("m", "p", "r", "qt", "ql")
+    // qhat_target for unit 2 is 30 (what the TARGET action would earn)
+    val out = Experimentation.doublyRobustValue(rows, col("m"), col("p"),
+      col("r"), col("qt"), col("ql")).head()
+    // dm = (10 + 30)/2 = 20; correction = (10-10)*1e6/5e5 = 0 -> dr = dm
+    assert(out.getAs[Long]("dm_micro") == 20L)
+    assert(out.getAs[Long]("dr_micro") == 20L)
+    // ips only counts the matching unit: (10*1e6/5e5)/2 = 10
+    assert(out.getAs[Long]("ips_micro") == 10L)
+    // wrong model, right propensities: DR corrects toward IPS
+    val bad = Seq((true, 500000L, 10L, 0L, 0L), (false, 500000L, 20L, 0L, 0L))
+      .toDF("m", "p", "r", "qt", "ql")
+    val b = Experimentation.doublyRobustValue(bad, col("m"), col("p"),
+      col("r"), col("qt"), col("ql")).head()
+    assert(b.getAs[Long]("dm_micro") == 0L)
+    assert(b.getAs[Long]("dr_micro") == b.getAs[Long]("ips_micro"))
+  }
+
+  test("A-stat: confidenceSequence — radius shrinks, brackets the mean") {
+    val rows = (1 to 4).flatMap(lk => (1 to 50).map(i =>
+      (lk.toLong, ((i * 7) % 13).toLong)))
+    val out = Experimentation.confidenceSequence(rows.toDF("lk", "v"),
+      col("lk"), col("v")).orderBy("look").collect()
+    assert(out.length == 4)
+    val radii = out.map(_.getAs[Double]("radius"))
+    assert(radii.sliding(2).forall(s => s(1) < s(0))) // time-uniform shrink
+    out.foreach { r =>
+      assert(r.getAs[Double]("ci_lo") < r.getAs[Double]("mean"))
+      assert(r.getAs[Double]("mean") < r.getAs[Double]("ci_hi"))
+    }
+    // anytime-valid radius is wider than the fixed-n z-interval
+    val last = out.last
+    val n = last.getAs[Long]("n").toDouble
+    val vs = rows.map(_._2.toDouble)
+    val m = vs.sum / vs.size
+    val sd = math.sqrt(vs.map(v => (v - m) * (v - m)).sum / (vs.size - 1))
+    assert(last.getAs[Double]("radius") > 1.96 * sd / math.sqrt(n))
+  }
 }
