@@ -29,6 +29,8 @@ object Evaluation {
     "__tn, __tp", "decileLift: 1-row totals over the bin rollup")
   graft.plans.Guardrails.expect("single_partition_window",
     "__total, __y, row_num", "decileLift: |bins|-row gains finish")
+  graft.plans.Guardrails.expect("single_partition_window",
+    "__d, __c", "rankBiasedOverlap: depth-bounded prefix cumsum (D rows)")
 
 
   private val d38 = "decimal(38,0)"
@@ -611,6 +613,65 @@ object Evaluation {
       expr("sum(pass_nano) div count(1)").as("pass_nano"))
     perTask.unionByName(summary)
   }
+
+  /** RANK-BIASED OVERLAP (Webber, Moffat & Zobel, TOIS 2010 — public
+    * literature), truncated at `depth`: similarity of two RANKED lists
+    * with geometric top-weighting,
+    *   RBO@D = (1−p) · Σ_{d=1..D} p^{d−1} · |A_d ∩ B_d| / d
+    * — the ranking-regression readout (did the new retriever/ranker
+    * actually change what users see?) where Kendall/Spearman weight
+    * rank 1 and rank 1000 equally.
+    *
+    * Determinism contract: prefix-intersection sizes x_d come from the
+    * exact identity x_d = #{items in both runs with max(rank_A,
+    * rank_B) ≤ d} (a rollup over m = max rank + a cumulative sum —
+    * never D passes); each depth's weight (1−p)·p^{d−1} is a LITERAL
+    * double baked per depth (the shortest-repr round trip makes the
+    * oracle's literals bit-identical), each term nano-quantizes after
+    * one pinned multiply-divide, and the sum is integer. Returns one
+    * row: (depth, n_common, rbo_nano).
+    *
+    * Scale: one equi-join of the two runs on the item id + a
+    * depth-bounded rollup; D is a constant. */
+  def rankBiasedOverlap(runA: DataFrame, runB: DataFrame, idCol: String,
+      rankCol: String, p: Double, depth: Int): DataFrame = {
+    require(p > 0 && p < 1, "p in (0,1)")
+    require(depth >= 1 && depth <= 100, "depth in [1, 100]")
+    val a = runA.select(col(idCol).as("__id"), col(rankCol).as("__ra"))
+      .filter(col("__ra") <= depth)
+    val b = runB.select(col(idCol).as("__id"), col(rankCol).as("__rb"))
+      .filter(col("__rb") <= depth)
+    val m = a.join(b, "__id")
+      .select(greatest(col("__ra"), col("__rb")).as("__m"))
+      .groupBy(col("__m")).agg(count(lit(1)).as("__c"))
+    // x_d for every d in 1..depth via a densified frame + cumsum
+    val spark = runA.sparkSession
+    val frame = spark.range(1, depth + 1).select(col("id").as("__d"))
+    val xd = frame.join(m, col("__m") === col("__d"), "left")
+      .select(col("__d"), coalesce(col("__c"), lit(0L)).as("__c"))
+      .withColumn("__x", sum(col("__c")).over(
+        Window.orderBy(col("__d"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val weights = (1 to depth)
+      .map(d => d.toLong -> (1 - p) * math.pow(p, d - 1)).toMap
+    val wExpr = weights.foldLeft(lit(0.0)) { case (acc, (d, w)) =>
+      when(col("__d") === d, lit(w)).otherwise(acc)
+    }
+    xd.withColumn("__term_nano", round(
+        wExpr * col("__x").cast("double") / col("__d").cast("double") * 1e9,
+        0).cast("long"))
+      .agg(lit(depth.toLong).as("depth"),
+        max(col("__x")).as("n_common"),
+        sum(col("__term_nano")).as("rbo_nano"))
+  }
+
+  /** Per-depth literal weights of [[rankBiasedOverlap]] rendered for
+    * oracle SQL: `CASE d WHEN 1 THEN <w1> ... END` with shortest-repr
+    * doubles (parse back bit-identical in any engine). */
+  def rboWeightCase(p: Double, depth: Int, dCol: String): String =
+    (1 to depth).map { d =>
+      s"WHEN $d THEN ${(1 - p) * math.pow(p, d - 1)}"
+    }.mkString(s"CASE $dCol ", " ", " END")
 
   /** DAWID–SKENE annotator-truth inference (Dawid & Skene, JRSS-C
     * 1979 — public literature), binary-label form with a FIXED number

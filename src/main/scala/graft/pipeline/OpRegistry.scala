@@ -979,5 +979,7 @@ object OpRegistry {
         df, expr(str(p, "look_expr")), expr(str(p, "value_expr")),
         numOpt(p, "alpha").getOrElse(0.05),
         numOpt(p, "rho").getOrElse(1.0)))
+    // rank_biased_overlap takes TWO frames (run A and run B), which the
+    // single-input pipeline op contract cannot express — query/API only
   ))
 }

@@ -85,5 +85,63 @@ object Analytics28 {
       "dashboard may refresh on every page load with total error still " +
       "bounded — no peeking penalty, no fixed look schedule.")
 
-  val all: Seq[Declared] = Seq(q342, q343)
+  /** q344 — A-eval: rank-biased overlap (p = 0.9, depth 10) between
+    * two document rankings — by character count vs by token count.
+    * Exact prefix intersections via the max-rank rollup; per-depth
+    * literal weights shared bit-for-bit with the oracle. */
+  val q344 = Declared(
+    "q344_rank_biased_overlap", "A-eval",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      graft.plans.Guardrails.expect("single_partition_window",
+        "doc_id, n_chars", "q344: 500-doc corpus ranking (bounded)")
+      graft.plans.Guardrails.expect("single_partition_window",
+        "doc_id, n_toks", "q344: 500-doc corpus ranking (bounded)")
+      val d = Tables.documents(s, dir)
+        .select(col("doc_id"), col("n_chars"),
+          size(expr("filter(split(lower(text), '\\\\s+'), x -> x <> '')"))
+            .cast("long").as("n_toks"))
+      val runA = d.select(col("doc_id"), row_number().over(
+        Window.orderBy(col("n_chars").desc, col("doc_id").asc))
+        .cast("long").as("rank_chars"))
+      val runB = d.select(col("doc_id"), row_number().over(
+        Window.orderBy(col("n_toks").desc, col("doc_id").asc))
+        .cast("long").as("rank_toks"))
+      graft.ops.Evaluation.rankBiasedOverlap(
+        runA.withColumnRenamed("rank_chars", "rank"),
+        runB.withColumnRenamed("rank_toks", "rank"), "doc_id", "rank",
+        0.9, 10)
+    },
+    Some(s"""WITH a AS (
+            |  SELECT doc_id,
+            |    row_number() OVER (ORDER BY n_chars DESC, doc_id ASC) AS ra
+            |  FROM documents),
+            |b AS (
+            |  SELECT doc_id,
+            |    row_number() OVER (ORDER BY len(list_filter(
+            |      regexp_split_to_array(lower(text), '\\s+'), x -> x <> ''))
+            |      DESC, doc_id ASC) AS rb
+            |  FROM documents),
+            |mm AS (
+            |  SELECT greatest(ra, rb) AS m
+            |  FROM a JOIN b USING (doc_id)
+            |  WHERE ra <= 10 AND rb <= 10),
+            |mc AS (SELECT m, CAST(count(*) AS BIGINT) AS c FROM mm GROUP BY m),
+            |xd AS (
+            |  SELECT d, coalesce(c, 0) AS c,
+            |    sum(coalesce(c, 0)) OVER (ORDER BY d
+            |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS x
+            |  FROM (SELECT unnest(range(1, 11)) AS d)
+            |  LEFT JOIN mc ON mc.m = d)
+            |SELECT CAST(10 AS BIGINT) AS depth,
+            |  CAST(max(x) AS BIGINT) AS n_common,
+            |  CAST(sum(CAST(round((${graft.ops.Evaluation.rboWeightCase(0.9, 10, "d")})
+            |    * CAST(x AS DOUBLE) / CAST(d AS DOUBLE) * 1e9, 0) AS BIGINT))
+            |    AS BIGINT) AS rbo_nano
+            |FROM xd""".stripMargin),
+    "One equi-join on the item id + a D-row rollup; D is a constant. The " +
+      "'did the ranker change page one' number — top-weighted where " +
+      "Kendall/Spearman are not, truncated where production lists truncate.")
+
+  val all: Seq[Declared] = Seq(q342, q343, q344)
 }

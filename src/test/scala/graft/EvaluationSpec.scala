@@ -372,4 +372,31 @@ class EvaluationSpec extends AnyFunSuite {
         col("i"), col("r"), col("l") === 1)
     }
   }
+
+  test("A-eval: rankBiasedOverlap — identical lists score ~1, disjoint 0") {
+    import graft.ops.Evaluation
+    val a = (1 to 10).map(i => (i.toLong, i.toLong)).toDF("id", "rank")
+    val same = Evaluation.rankBiasedOverlap(a, a, "id", "rank", 0.9, 10)
+      .head()
+    assert(same.getAs[Long]("n_common") == 10L)
+    // truncated RBO of identical lists = (1-p) sum p^(d-1) * 1 =
+    // 1 - p^10 (geometric) in nano, up to per-term rounding
+    val expect = math.round((1 - math.pow(0.9, 10)) * 1e9)
+    assert(math.abs(same.getAs[Long]("rbo_nano") - expect) <= 10)
+    val b = (1 to 10).map(i => ((i + 100).toLong, i.toLong)).toDF("id", "rank")
+    val disj = Evaluation.rankBiasedOverlap(a, b, "id", "rank", 0.9, 10)
+      .head()
+    assert(disj.getAs[Long]("n_common") == 0L)
+    assert(disj.getAs[Long]("rbo_nano") == 0L)
+    // top-weighting: agreeing on rank 1 beats agreeing on rank 10
+    val top = (Seq((1L, 1L)) ++ (2 to 10).map(i => ((i + 50).toLong, i.toLong)))
+      .toDF("id", "rank")
+    val bot = (Seq((10L, 10L)) ++ (1 to 9).map(i => ((i + 70).toLong, i.toLong)))
+      .toDF("id", "rank")
+    val aTop = Evaluation.rankBiasedOverlap(a, top, "id", "rank", 0.9, 10)
+      .head().getAs[Long]("rbo_nano")
+    val aBot = Evaluation.rankBiasedOverlap(a, bot, "id", "rank", 0.9, 10)
+      .head().getAs[Long]("rbo_nano")
+    assert(aTop > aBot)
+  }
 }
