@@ -227,7 +227,11 @@ object Spatial {
     * — correctly-rounded IEEE — so the doubles compare UNROUNDED,
     * extending q77's fixture proof to arbitrary data. The
     * MATERIALIZED hints matter: DuckDB inlines CTEs, and without them
-    * the LU recursion would re-run inside every substitution step. */
+    * the LU recursion would re-run inside every substitution step.
+    * SCOPE: the oracle pins the fleet size n = 100 (the suppkey-mod-100
+    * position lattice is SATURATED at the sf0.01 correctness gate and
+    * above); at sf0.001 the fleet is 10 sensors and the pinned indices
+    * do not apply — the gate SF is where the compare runs. */
   val q36 = Declared(
     "q36_kriging", "A7",
     (s, dir) => {
