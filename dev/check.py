@@ -6,19 +6,28 @@ runs each oracle SQL in DuckDB over the same sf dir, and compares:
 row count, column names (sorted), and values (columns sorted by name,
 rows compared as sorted tuples of repr'd values).
 
+Faithfulness note: BOTH sides are canonicalized through pandas
+(fetchdf / read_parquet-equivalent), exactly like the driver. This
+matters: DuckDB window/outer sum() over BIGINT yields HUGEINT, which
+pandas renders as float64 ("2975.0") while Spark emits int64 ("2975").
+A fetchall()-based replica hides that class of mismatch (round-5
+lesson: q236/q324/q325/q338 were red on the driver, green locally).
+
 Usage: dev/check.py <sfDir> <verifyOutDir> [query ...]
 """
 import sys, os, json, glob
 import duckdb
 
-def canon(rows, cols):
-    # sort columns by name, then rows by full tuple repr
-    order = sorted(range(len(cols)), key=lambda i: cols[i])
+def canon_df(df):
+    # sort columns by name, then rows by full tuple repr of values —
+    # values rendered exactly as pandas holds them (driver behavior).
+    cols = sorted(df.columns)
+    df = df[cols]
     out = []
-    for r in rows:
-        out.append(tuple(repr(r[i]) for i in order))
+    for r in df.itertuples(index=False, name=None):
+        out.append(tuple(repr(v) for v in r))
     out.sort()
-    return [cols[i] for i in order], out
+    return cols, out
 
 def main():
     sf, out = sys.argv[1], sys.argv[2]
@@ -39,16 +48,12 @@ def main():
         if not files:
             print(f"FAIL {name}: no spark output"); n_fail += 1; continue
         try:
-            got = con.execute(f"SELECT * FROM '{pdir}/*.parquet'")
-            gcols = [d[0] for d in got.description]
-            grows = got.fetchall()
-            exp = con.execute(sql)
-            ecols = [d[0] for d in exp.description]
-            erows = exp.fetchall()
+            gdf = con.execute(f"SELECT * FROM '{pdir}/*.parquet'").fetchdf()
+            edf = con.execute(sql).fetchdf()
         except Exception as e:
             print(f"FAIL {name}: {e}"); n_fail += 1; continue
-        gc, gr = canon(grows, gcols)
-        ec, er = canon(erows, ecols)
+        gc, gr = canon_df(gdf)
+        ec, er = canon_df(edf)
         if gc != ec:
             print(f"FAIL {name}: cols {gc} vs {ec}"); n_fail += 1; continue
         if len(gr) != len(er):

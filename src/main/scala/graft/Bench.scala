@@ -72,8 +72,19 @@ object Bench {
     // its failure signal through the min.
     exec(names.head) // session-level first-job costs land here
 
-    val results = names.map { n => exec(n); n -> math.min(exec(n), exec(n)) }
-    def fmt(v: Double): String = f"$v%.3f"
+    val results = names.map { n =>
+      exec(n)
+      val best2 = math.min(exec(n), exec(n))
+      // multi-second rows get a THIRD timed sample: tenancy spikes on
+      // heavy queries are where the regression list's noise lives, and
+      // one extra sample there costs little relative to the row itself
+      // (a failed run's -1 short-circuits: min stays -1).
+      n -> (if (best2 > 2.0) math.min(best2, exec(n)) else best2)
+    }
+    // Locale.ROOT: the default-locale formatter writes "1,234" under
+    // comma-decimal locales, which breaks the JSON parse downstream.
+    def fmt(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     val total = results.map(_._2).filter(_ >= 0).sum
     val failed = results.filter(_._2 < 0).map(_._1)
 

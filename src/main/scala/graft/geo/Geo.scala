@@ -42,6 +42,10 @@ object Geo {
   def stPolygon(points: Column): Column =
     struct(lit("polygon").as("kind"), points.as("points"))
 
+  /** LineString from an array<struct<x,y>> column (open path). */
+  def stLineString(points: Column): Column =
+    struct(lit("linestring").as("kind"), points.as("points"))
+
   // ---- pure column-expression accessors ----
 
   def stKind(g: Column): Column = g.getField("kind")
@@ -52,14 +56,16 @@ object Geo {
 
   def stIsEmpty(g: Column): Column = g.isNull || size(pts(g)) === 0
 
-  /** Validity: point = exactly 1 finite vertex; polygon = >= 3 vertices,
-    * all finite, nonzero area (degenerate rings are invalid). */
+  /** Validity: point = exactly 1 finite vertex; linestring = >= 2
+    * finite vertices; polygon = >= 3 vertices, all finite, nonzero
+    * area (degenerate rings are invalid). */
   def stIsValid(g: Column): Column = {
     val finite = forall(pts(g), p =>
       !isnan(p.getField("x")) && !isnan(p.getField("y")) &&
         p.getField("x").isNotNull && p.getField("y").isNotNull)
     when(stIsEmpty(g), lit(false))
       .when(stKind(g) === "point", size(pts(g)) === 1 && finite)
+      .when(stKind(g) === "linestring", size(pts(g)) >= 2 && finite)
       .otherwise(size(pts(g)) >= 3 && finite && stArea(g) > 0)
   }
 
@@ -80,9 +86,11 @@ object Geo {
       (e.getField("a").getField("x") * e.getField("b").getField("y") -
        e.getField("b").getField("x") * e.getField("a").getField("y")))
 
-  /** F9 — area: 0 for points, |shoelace|/2 for polygons. */
+  /** F9 — area: 0 for points and linestrings, |shoelace|/2 for
+    * polygons. */
   def stArea(g: Column): Column =
-    when(stKind(g) === "point", lit(0.0)).otherwise(abs(cross2Sum(g)) / 2)
+    when(stKind(g) === "point" || stKind(g) === "linestring", lit(0.0))
+      .otherwise(abs(cross2Sum(g)) / 2)
 
   /** F9 — bounds as struct(xmin, ymin, xmax, ymax). */
   def stBounds(g: Column): Column = {
@@ -108,7 +116,9 @@ object Geo {
         (e.getField("a").getField("x") * e.getField("b").getField("y") -
          e.getField("b").getField("x") * e.getField("a").getField("y"))) / (lit(3.0) * a2)
     when(stKind(g) === "point", g)
-      .when(a2 === 0, stPoint(mx, my))
+      // linestring: vertex mean (documented scope — not the
+      // length-weighted shapely line centroid)
+      .when(stKind(g) === "linestring" || a2 === 0, stPoint(mx, my))
       .otherwise(stPoint(cx, cy))
   }
 
@@ -740,7 +750,8 @@ object Geo {
   private def num(c: Column): Column = c.cast("string")
 
   /** GeoJSON fragment for a geometry struct: Point → coordinates pair,
-    * Polygon → one closed ring (first vertex repeated). */
+    * LineString → open coordinate list, Polygon → one closed ring
+    * (first vertex repeated). */
   def stAsGeoJson(g: Column): Column = {
     val p = pts(g)
     val pair = (q: Column) =>
@@ -749,12 +760,15 @@ object Geo {
     when(stIsEmpty(g), lit(null).cast("string"))
       .when(stKind(g) === "point",
         concat(lit("""{"type":"Point","coordinates":"""), pair(element_at(p, 1)), lit("}")))
+      .when(stKind(g) === "linestring",
+        concat(lit("""{"type":"LineString","coordinates":["""),
+          array_join(transform(p, pair), ","), lit("]}")))
       .otherwise(concat(lit("""{"type":"Polygon","coordinates":[["""),
         array_join(ringPts, ","), lit("]]}")))
   }
 
-  /** WKT rendering: POINT (x y) / POLYGON ((x y, x y, …)) with the ring
-    * closed. */
+  /** WKT rendering: POINT (x y) / LINESTRING (x y, …) /
+    * POLYGON ((x y, x y, …)) with the ring closed. */
   def stAsText(g: Column): Column = {
     val p = pts(g)
     val pair = (q: Column) =>
@@ -763,6 +777,8 @@ object Geo {
     when(stIsEmpty(g), lit(null).cast("string"))
       .when(stKind(g) === "point",
         concat(lit("POINT ("), pair(element_at(p, 1)), lit(")")))
+      .when(stKind(g) === "linestring",
+        concat(lit("LINESTRING ("), array_join(transform(p, pair), ", "), lit(")")))
       .otherwise(concat(lit("POLYGON (("), array_join(ringPts, ", "), lit("))")))
   }
 

@@ -6,16 +6,18 @@ import org.apache.spark.sql.functions.{array, col}
 import org.apache.spark.sql.types._
 import graft.core.DataIOError
 
-/** S6 — minimal ESRI Shapefile sink (Point and Polygon layers):
-  * hand-written .shp/.shx/.dbf triple per the public ESRI whitepaper
-  * format — no GDAL. Closes the reference's default
+/** S6 — minimal ESRI Shapefile sink (Point, PolyLine and Polygon
+  * layers): hand-written .shp/.shx/.dbf triple per the public ESRI
+  * whitepaper format — no GDAL. Closes the reference's default
   * `out_driver='ESRI Shapefile'` contract
   * (src/data_preprocessing.py:156, :201-206).
   *
-  * Scope: Point and single-ring Polygon geometries + scalar attribute
-  * columns (numeric → DBF 'N', boolean → 'L', everything else → 'C'
-  * text). A layer is homogeneous by format definition — [[write]]
-  * dispatches on the (single) geometry kind and rejects mixed frames.
+  * Scope: Point, single-part PolyLine, and Polygon (single outer ring,
+  * optional interior rings via [[writePolygonsWithHoles]]) geometries
+  * + scalar attribute columns (numeric → DBF 'N', boolean → 'L',
+  * everything else → 'C' text). A layer is homogeneous by format
+  * definition — [[write]] dispatches on the (single) geometry kind and
+  * rejects mixed frames.
   * Assembled on the DRIVER by design: a shapefile is a single-file
   * (non-splittable, 2 GB-capped) format, so it is a RESULT-scale sink —
   * the same regime as `Sinks.write(singleFile = true)`; bulk data
@@ -39,6 +41,7 @@ object Shapefile {
     kinds match {
       case Seq("point") => writePoints(df, basePath)
       case Seq("polygon") => writePolygons(df, basePath)
+      case Seq("linestring") => writePolylines(df, basePath)
       case Seq() => writePoints(df, basePath) // empty frame → empty Point layer
       case other => throw DataIOError(basePath,
         s"shapefile layers are single-type; got kinds: ${other.mkString(", ")}")
@@ -184,6 +187,74 @@ object Shapefile {
     java.nio.file.Files.write(java.nio.file.Paths.get(basePath + ".shx"), shx.array())
 
     writeDbf(rows, attrs, attrOffset = 2, basePath)
+    n
+  }
+
+  /** Write a POLYLINE layer (ESRI shape type 3). Each record is one
+    * open path (one part, >= 2 vertices) — no closure or winding rule
+    * applies to polylines; vertex order is preserved verbatim. The
+    * record layout is identical to Polygon (box, numParts, numPoints,
+    * parts, points), only the shape type differs. Returns the row
+    * count. */
+  def writePolylines(df: DataFrame, basePath: String): Int = {
+    val geomField = findGeom(df, basePath)
+    val attrs = df.schema.fields.filter(_.name != geomField.name).toIndexedSeq
+    val rows = df.select(
+      (Seq(col(geomField.name).getField("points").as("__pts")) ++
+        attrs.map(a => col(a.name))): _*).collect()
+    val n = rows.length
+
+    def ptSeq(v: Any): IndexedSeq[(Double, Double)] =
+      v.asInstanceOf[scala.collection.Seq[Row]].toIndexedSeq
+        .map(p => (p.getDouble(0), p.getDouble(1)))
+    val paths: IndexedSeq[IndexedSeq[(Double, Double)]] =
+      rows.toIndexedSeq.map { r =>
+        val p = ptSeq(r.getSeq[Row](0))
+        if (p.length < 2)
+          throw DataIOError(basePath, s"polyline needs >= 2 vertices, got ${p.length}")
+        p
+      }
+    val allPts = paths.flatten
+    val box =
+      if (allPts.isEmpty) (0.0, 0.0, 0.0, 0.0)
+      else (allPts.map(_._1).min, allPts.map(_._2).min,
+        allPts.map(_._1).max, allPts.map(_._2).max)
+
+    // per record: 4 shape type + 32 box + 4 numParts + 4 numPoints +
+    // 4 part offset (always one part) + 16 * numPoints (LE), after the
+    // 8-byte BE record header
+    def recBytes(np: Int): Int = 4 + 32 + 4 + 4 + 4 + 16 * np
+    val shpLen = 100 + paths.map(p => 8 + recBytes(p.length)).sum
+    val shp = ByteBuffer.allocate(shpLen)
+    shp.put(mainHeader(shapeType = 3, fileWords = shpLen / 2, box))
+    val offsets = new Array[Int](n)
+    var off = 100
+    paths.zipWithIndex.foreach { case (pts, i) =>
+      offsets(i) = off
+      shp.order(ByteOrder.BIG_ENDIAN)
+      shp.putInt(i + 1)
+      shp.putInt(recBytes(pts.length) / 2)
+      shp.order(ByteOrder.LITTLE_ENDIAN)
+      shp.putInt(3)                    // PolyLine
+      shp.putDouble(pts.map(_._1).min); shp.putDouble(pts.map(_._2).min)
+      shp.putDouble(pts.map(_._1).max); shp.putDouble(pts.map(_._2).max)
+      shp.putInt(1)                    // numParts
+      shp.putInt(pts.length)           // numPoints
+      shp.putInt(0)                    // part 0 starts at vertex 0
+      pts.foreach { case (x, y) => shp.putDouble(x); shp.putDouble(y) }
+      off += 8 + recBytes(pts.length)
+    }
+    java.nio.file.Files.write(java.nio.file.Paths.get(basePath + ".shp"), shp.array())
+
+    val shx = ByteBuffer.allocate(100 + n * 8)
+    shx.put(mainHeader(shapeType = 3, fileWords = (100 + n * 8) / 2, box))
+    shx.order(ByteOrder.BIG_ENDIAN)
+    (0 until n).foreach { i =>
+      shx.putInt(offsets(i) / 2); shx.putInt(recBytes(paths(i).length) / 2)
+    }
+    java.nio.file.Files.write(java.nio.file.Paths.get(basePath + ".shx"), shx.array())
+
+    writeDbf(rows, attrs, attrOffset = 1, basePath)
     n
   }
 

@@ -52,8 +52,9 @@ object Sinks {
       _.dataType.catalogString == graft.geo.Geo.geometryType.catalogString)
     require(geomIdx >= 0, "kml sink needs a geometry column")
     val attrs = df.schema.fields.zipWithIndex.filter(_._2 != geomIdx)
+    // '"' must be escaped too: f.name lands inside name="..." below.
     def esc(s: String): String = s.replace("&", "&amp;").replace("<", "&lt;")
-      .replace(">", "&gt;")
+      .replace(">", "&gt;").replace("\"", "&quot;")
     val sb = new StringBuilder
     sb ++= "<?xml version=\"1.0\" encoding=\"UTF-8\"?>\n"
     sb ++= "<kml xmlns=\"http://www.opengis.net/kml/2.2\"><Document>\n"

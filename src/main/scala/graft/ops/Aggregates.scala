@@ -2506,41 +2506,42 @@ object Aggregates {
     * the SE over replicates is one pinned IEEE finish. Returns one
     * row: (n_units, n_reps, mean_micro, se).
     *
-    * Scale: the explode is |units|·B rows of scan-side arithmetic —
-    * the textbook scalable-bootstrap cost — collapsing to B rows via
-    * one map-side-combined agg. B is a constant (~50). */
+    * Scale: ONE map-side-combined pass over units — the fused
+    * [[graft.ext.PoissonBootstrapPairs]] aggregate draws all B
+    * weights per unit and accumulates (Σw·y, Σw) per replicate plus
+    * (n, Σy) into a single (2B+2)-long buffer, so the scan is never
+    * amplified B× and no per-draw hex string exists. Everything after
+    * the agg is B rows. B is a constant (~50). */
   def poissonBootstrapSE(df: org.apache.spark.sql.DataFrame, idCol: Column,
       valueCol: Column, nReps: Int): org.apache.spark.sql.DataFrame = {
     require(nReps >= 2 && nReps <= 200, "nReps in [2, 200]")
     val d38 = "decimal(38,0)"
-    val base = df.select(idCol.cast("string").as("__id"),
-      valueCol.cast("long").as("__y"))
-    val pe = base.agg(count(lit(1)).as("n_units"),
-      expr("(1000000L * sum(__y)) div count(1)").as("mean_micro"))
-    val reps = base
-      .withColumn("__b", explode(expr(s"sequence(1, $nReps)")))
-      .withColumn("__u", graft.ext.Dedup.md5Hash60(
-        concat(col("__id"), lit(":"), col("__b").cast("string"))) % 1000000L)
-      // Poisson(1) CDF in ppm: 0.367879, 0.735759, 0.919699, 0.981012,
-      // 0.996340, 0.999406, 0.999917, tail -> 7
-      .withColumn("__w",
-        when(col("__u") < 367879L, 0L).when(col("__u") < 735759L, 1L)
-          .when(col("__u") < 919699L, 2L).when(col("__u") < 981012L, 3L)
-          .when(col("__u") < 996340L, 4L).when(col("__u") < 999406L, 5L)
-          .when(col("__u") < 999917L, 6L).otherwise(7L))
-    val perRep = reps.groupBy(col("__b")).agg(
-        sum(col("__w") * col("__y")).as("__wy"), sum(col("__w")).as("__ws"))
+    val one = df.select(idCol.cast("string").as("__id"),
+        valueCol.cast("long").as("__y"))
+      .agg(graft.ext.BootstrapAgg.poissonBootstrapPairs(
+        col("__id"), col("__y"), nReps).as("__a"))
+    // buffer layout: [n, Σy, wy_1..wy_B, ws_1..ws_B] → B replicate rows
+    val perRep = one.select(
+        element_at(col("__a"), 1).as("n_units"),
+        element_at(col("__a"), 2).as("__sy"),
+        explode(expr(s"""transform(sequence(1, $nReps), b -> struct(
+          element_at(__a, CAST(b + 2 AS INT)) AS __wy,
+          element_at(__a, CAST(b + 2 + $nReps AS INT)) AS __ws))"""))
+          .as("__r"))
+      .select(col("n_units"), col("__sy"),
+        col("__r.__wy").as("__wy"), col("__r.__ws").as("__ws"))
       .withColumn("__m", expr(
         "CASE WHEN __ws > 0 THEN (1000000L * __wy) div __ws ELSE 0L END"))
-    val se = perRep.agg(count(lit(1)).as("n_reps"),
+    perRep.agg(
+        max(col("n_units")).as("n_units"),
+        count(lit(1)).as("n_reps"),
+        expr("(1000000L * max(__sy)) div max(n_units)").as("mean_micro"),
         sum(col("__m").cast(d38)).as("__sm"),
         sum(col("__m").cast(d38) * col("__m").cast(d38)).as("__smm"),
         count(lit(1)).cast(d38).as("__bb"))
       .withColumn("se", sqrt(
         (col("__bb") * col("__smm") - col("__sm") * col("__sm")).cast("double") /
           (col("__bb") * (col("__bb") - 1)).cast("double")) / 1e6)
-      .select(col("n_reps"), col("se"))
-    pe.crossJoin(broadcast(se))
       .select(col("n_units"), col("n_reps"), col("mean_micro"), col("se"))
   }
 

@@ -1055,6 +1055,19 @@ object EventAnalytics {
       .agg(expr("bit_or(__b)").as("__jm"))
       .groupBy(col("__jm")).agg(count(lit(1)).as("__nconv"))
       .localCheckpoint()
+    def factorial(n: Int): Long = (1 to n).foldLeft(1L)(_ * _)
+    // Overflow guard: the reach game is MONOTONE (v(S∪i) ≥ v(S)), so
+    // every |S|!·(k−|S|−1)!·Δv term is ≥ 0 and every partial sum is
+    // bounded by the total Σφ = v_full·k!. Requiring v_full·k! to fit
+    // a Long therefore makes the whole LongType accumulation exact —
+    // without it, k near 20 (20! ≈ 2.4e18) wraps silently at v_full≥4.
+    // (1-row driver aggregate over the ≤2^k-row checkpointed rollup.)
+    val vFullCheck = maskCounts.agg(coalesce(sum(col("__nconv")), lit(0L)))
+      .head().getLong(0)
+    require(vFullCheck <= Long.MaxValue / factorial(k),
+      s"shapleyAttribution: v_full=$vFullCheck with k=$k overflows " +
+        s"Long in phi accumulation (v_full*k! > 2^63); reduce the " +
+        s"touch-type count or pre-aggregate conversions")
     // v(S) over the full lattice: subset-sum join (mask subset of S)
     val spark = df.sparkSession
     val lattice = spark.range(1L << k).select(col("id").as("__mask"))
@@ -1063,7 +1076,6 @@ object EventAnalytics {
       .groupBy(col("__mask"))
       .agg(coalesce(sum(col("__nconv")), lit(0L)).as("__v"))
       .localCheckpoint()
-    def factorial(n: Int): Long = (1 to n).foldLeft(1L)(_ * _)
     val factArr = array((0 to k).map(i => lit(factorial(i))): _*)
     def popcnt(c: Column): Column = expr(s"bit_count(${c.toString})")
     // Shapley sum: for each type bit i, over subsets S without i

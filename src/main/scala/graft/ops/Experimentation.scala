@@ -31,8 +31,10 @@ object Experimentation {
   graft.plans.Guardrails.expect("cartesian_join",
     "slope_left, y_at_cut_left",
     "regressionDiscontinuity: two 1-row side fits joined for the finish")
-  graft.plans.Guardrails.expect("cartesian_join", "__qa",
+  graft.plans.Guardrails.expect("cartesian_join", "n_a, n_b",
     "quantileTreatmentEffects: two 1-row per-arm quantile frames joined")
+  graft.plans.Guardrails.expect("cartesian_join", "__na, __nb",
+    "covariateBalance: two 1-row per-arm moment frames joined")
 
 
 

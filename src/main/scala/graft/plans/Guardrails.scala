@@ -57,12 +57,33 @@ object Guardrails {
     ()
   }
 
+  /** Column tokens of a describe() line: the names inside the parens,
+    * split on commas and trimmed. */
+  private def detailTokens(detail: String): Set[String] = {
+    val open = detail.indexOf('(')
+    val close = detail.lastIndexOf(')')
+    val body =
+      if (open >= 0 && close > open) detail.substring(open + 1, close)
+      else detail
+    body.split(',').iterator.map(_.trim).filter(_.nonEmpty).toSet
+  }
+
   private[plans] def record(kind: String, detail: String): Unit = {
+    // Whole-token matching: an expectation matches only when EVERY
+    // column in its (comma-separated) marker list appears verbatim in
+    // the hazard node's column list. The previous raw-substring scheme
+    // let broad markers ("look", a "__left" prefix) classify genuinely
+    // NEW hazards in unrelated queries as expected, muting the alarm.
+    val cols = detailTokens(detail)
     val it = expectations.iterator()
     var expected = false
     while (it.hasNext && !expected) {
       val e = it.next()
-      if (e.kind == kind && detail.contains(e.colMarker)) expected = true
+      if (e.kind == kind) {
+        val want = e.colMarker.split(',').iterator
+          .map(_.trim).filter(_.nonEmpty).toList
+        if (want.nonEmpty && want.forall(cols.contains)) expected = true
+      }
     }
     (if (expected) foundExpected else found).add(Hazard(kind, detail))
     ()

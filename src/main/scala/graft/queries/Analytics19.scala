@@ -185,12 +185,12 @@ object Analytics19 {
       "altitude); the run count is one lag window + one 1-row finish. The " +
       "i.i.d. sanity check under every daily-series CI in this suite.")
 
-  /** q314 — ML/A-stat: WoE encoding + Information Value of order
+  /** q39 — ML/A-stat: WoE encoding + Information Value of order
     * priority against order fulfillment — the scorecard encoding and
     * the 'is this feature worth keeping' readout. Laplace-smoothed
     * shares, nano-quantized terms. */
-  val q314 = Declared(
-    "q314_woe_iv", "ML,A-stat",
+  val q39 = Declared(
+    "q39_woe_iv", "ML,A-stat",
     (s, dir) => Features.woeEncoding(Tables.orders(s, dir),
         col("o_orderpriority"), col("o_orderstatus") === "F")
       .orderBy(col("category")),
@@ -222,5 +222,5 @@ object Analytics19 {
       "for scorecards plus the IV keep/drop bands — what target encoding " +
       "(q203) can't report.")
 
-  val all: Seq[Declared] = Seq(q309, q310, q311, q312, q313, q314)
+  val all: Seq[Declared] = Seq(q309, q310, q311, q312, q313, q39)
 }

@@ -73,11 +73,13 @@ object Analytics22 {
            |       FROM d GROUP BY g, v),
            |c AS (
            |  SELECT g, v, c,
-           |    coalesce(sum(c) OVER (PARTITION BY g ORDER BY v
-           |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb,
-           |    sum(c) OVER (PARTITION BY g ORDER BY v
-           |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ct,
-           |    sum(c) OVER (PARTITION BY g) AS n
+           |    CAST(coalesce(sum(c) OVER (PARTITION BY g ORDER BY v
+           |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           |      AS BIGINT) AS cb,
+           |    CAST(sum(c) OVER (PARTITION BY g ORDER BY v
+           |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           |      AS BIGINT) AS ct,
+           |    CAST(sum(c) OVER (PARTITION BY g) AS BIGINT) AS n
            |  FROM pv),
            |t AS (
            |  SELECT *, (n * 1) // 5 AS trim,
@@ -143,7 +145,8 @@ object Analytics22 {
            |  FROM orders GROUP BY 1),
            |c AS (
            |  SELECT look,
-           |    sum(cn) OVER w AS n, sum(cs) OVER w AS s
+           |    CAST(sum(cn) OVER w AS BIGINT) AS n,
+           |    CAST(sum(cs) OVER w AS BIGINT) AS s
            |  FROM lk WINDOW w AS (ORDER BY look
            |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
            |d AS (

@@ -228,6 +228,11 @@ object Analytics25 {
           ev.select(col("event_type").as("key"), col("ts"))
             .as[graft.streaming.StreamOps.KeyedStamp],
           aNum = 1, aDen = 4).toDF())
+        // changelog compaction: a day straddling a micro-batch boundary
+        // re-emits with a larger n — keep the final (largest-n) row
+        .groupBy(col("event_type"), col("day"))
+        .agg(max(col("n")).as("n"),
+          expr("max_by(ewma, n)").as("ewma"))
         .orderBy(col("event_type"), col("day"))
     },
     Some("""WITH RECURSIVE d AS (

@@ -26,9 +26,10 @@ object Analytics26 {
            |       FROM d GROUP BY g, v),
            |c AS (
            |  SELECT g, v, c,
-           |    sum(c) OVER (PARTITION BY g ORDER BY v
-           |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ct,
-           |    sum(c) OVER (PARTITION BY g) AS n
+           |    CAST(sum(c) OVER (PARTITION BY g ORDER BY v
+           |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           |      AS BIGINT) AS ct,
+           |    CAST(sum(c) OVER (PARTITION BY g) AS BIGINT) AS n
            |  FROM pv),
            |q AS (
            |  SELECT g, max(n) AS n,

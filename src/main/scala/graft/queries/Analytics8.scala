@@ -228,8 +228,10 @@ object Analytics8 {
            |  FROM orders GROUP BY 1),
            |c AS (
            |  SELECT look,
-           |    sum(na) OVER w AS n_a, sum(nb) OVER w AS n_b,
-           |    sum(ca) OVER w AS conv_a, sum(cb) OVER w AS conv_b,
+           |    CAST(sum(na) OVER w AS BIGINT) AS n_a,
+           |    CAST(sum(nb) OVER w AS BIGINT) AS n_b,
+           |    CAST(sum(ca) OVER w AS BIGINT) AS conv_a,
+           |    CAST(sum(cb) OVER w AS BIGINT) AS conv_b,
            |    row_number() OVER (ORDER BY look) AS k,
            |    count(*) OVER () AS kmax
            |  FROM lk

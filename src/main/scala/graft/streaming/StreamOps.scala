@@ -166,9 +166,14 @@ object StreamOps {
       .flatMapGroupsWithState(OutputMode.Append, timeout)(handle)
   }
 
-  /** Input/output records for the stateful streaming EWMA. */
+  /** Input/output records for the stateful streaming EWMA. State keeps
+    * the OPEN (latest) day separate from the fold: `smPrev` is the
+    * smoothed value after all CLOSED days; `nOpen` the open day's
+    * running count (`first` marks the open day as the series head,
+    * whose EWMA seeds at its own count). */
   final case class KeyedStamp(key: String, ts: java.sql.Timestamp)
-  final case class EwmaDayState(lastDay: Int, sm: Long)
+  final case class EwmaDayState(lastDay: Int, smPrev: Long, nOpen: Long,
+    first: Boolean)
   final case class EwmaDayOut(event_type: String, day: java.time.LocalDate,
     n: Long, ewma: Long)
 
@@ -181,11 +186,17 @@ object StreamOps {
     *
     * Ordering contract: within a batch, days fold in ascending order
     * (the handler rolls the batch up and sorts — bounded by the
-    * calendar, like the batch op); ACROSS batches a day at or before
-    * the state's last folded day is DROPPED rather than folded out of
-    * order (file-replay sources under availableNow deliver in-order;
-    * the guard makes out-of-order replays visible as missing rows
-    * instead of silently wrong smoothing). State = 12 bytes per key.
+    * calendar, like the batch op). ACROSS batches: a day STRICTLY
+    * before the state's open day is DROPPED (a replay — file sources
+    * under availableNow deliver in-order, so the drop makes replays
+    * visible as missing rows instead of silently wrong smoothing);
+    * events for the OPEN day itself — a day straddling two
+    * micro-batch boundaries — are MERGED into its running count and
+    * the day's row is RE-EMITTED with the corrected (n, ewma). Output
+    * is therefore a changelog: consumers take the row with the
+    * largest n per (key, day) (n only grows on merge). When batch
+    * boundaries align with days, exactly one row per day is emitted —
+    * the batch twin bit for bit. State = 24 bytes per key.
     */
   def statefulDailyEwma(events: org.apache.spark.sql.Dataset[KeyedStamp],
       aNum: Long, aDen: Long)
@@ -193,6 +204,11 @@ object StreamOps {
     require(aNum > 0 && aDen > 0 && aNum <= aDen, "alpha num/den in (0, 1]")
     import events.sparkSession.implicits._
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+    // EWMA of the fold INCLUDING the open day
+    def smOf(s: EwmaDayState): Long =
+      if (s.first) s.nOpen
+      else (aNum * s.nOpen + (aDen - aNum) * s.smPrev) / aDen
 
     def handle(key: String, batch: Iterator[KeyedStamp],
         state: GroupState[EwmaDayState]): Iterator[EwmaDayOut] = {
@@ -202,14 +218,24 @@ object StreamOps {
         .toSeq.sortBy(_._1)
       var cur = state.getOption
       val out = byDay.flatMap { case (d, n) =>
-        if (cur.exists(_.lastDay >= d)) None // out-of-order replay guard
-        else {
-          val sm = cur match {
-            case None => n
-            case Some(s) => (aNum * n + (aDen - aNum) * s.sm) / aDen
-          }
-          cur = Some(EwmaDayState(d, sm))
-          Some(EwmaDayOut(key, java.time.LocalDate.ofEpochDay(d.toLong), n, sm))
+        cur match {
+          case Some(s) if d < s.lastDay => None // replay of a closed day
+          case Some(s) if d == s.lastDay =>
+            // open day straddles a batch boundary: merge + re-emit
+            val merged = s.copy(nOpen = s.nOpen + n)
+            cur = Some(merged)
+            Some(EwmaDayOut(key, java.time.LocalDate.ofEpochDay(d.toLong),
+              merged.nOpen, smOf(merged)))
+          case Some(s) => // d > lastDay: close the open day, start d
+            val next = EwmaDayState(d, smOf(s), n, first = false)
+            cur = Some(next)
+            Some(EwmaDayOut(key, java.time.LocalDate.ofEpochDay(d.toLong),
+              n, smOf(next)))
+          case None =>
+            val head = EwmaDayState(d, 0L, n, first = true)
+            cur = Some(head)
+            Some(EwmaDayOut(key, java.time.LocalDate.ofEpochDay(d.toLong),
+              n, smOf(head)))
         }
       }
       cur.foreach(state.update)

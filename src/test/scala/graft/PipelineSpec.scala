@@ -753,6 +753,59 @@ class SourcesSinksSpec extends AnyFunSuite {
     assert(bb.getInt(c2 + 36) == 1 && bb.getInt(c2 + 40) == 4)
   }
 
+  test("S6: shapefile writes a polyline layer — open path, order kept") {
+    import graft.geo.Geo
+    val dir = tmpDir()
+    // two open paths — kind-dispatch must pick PolyLine (type 3), keep
+    // vertex order verbatim, and NOT close or rewind anything
+    val df = Seq(
+      (1L, Seq((0.0, 0.0), (2.0, 1.0), (4.0, 0.0))),
+      (2L, Seq((5.0, 5.0), (6.0, 7.0))))
+      .toDF("id", "path")
+      .select(col("id"), Geo.stLineString(
+        expr("transform(path, p -> struct(p._1 as x, p._2 as y))")).as("geometry"))
+    assert(graft.io.Shapefile.write(df, s"$dir/line") == 2)
+
+    val shp = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(s"$dir/line.shp"))
+    val bb = java.nio.ByteBuffer.wrap(shp)
+    assert(bb.getInt(0) == 9994 && bb.getInt(24) * 2 == shp.length)
+    bb.order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    assert(bb.getInt(32) == 3)                           // PolyLine type
+    assert(bb.getDouble(36) == 0.0 && bb.getDouble(44) == 0.0)
+    assert(bb.getDouble(52) == 6.0 && bb.getDouble(60) == 7.0) // file bbox
+    // record 1: type, box(4), numParts=1, numPoints=3, parts[0]=0
+    val c = 100 + 8
+    assert(bb.getInt(c) == 3)
+    assert(bb.getInt(c + 36) == 1 && bb.getInt(c + 40) == 3 && bb.getInt(c + 44) == 0)
+    val pts = (0 until 3).map(i =>
+      (bb.getDouble(c + 48 + i * 16), bb.getDouble(c + 48 + i * 16 + 8)))
+    assert(pts == Seq((0.0, 0.0), (2.0, 1.0), (4.0, 0.0)),
+      s"vertex order must be preserved and the path left OPEN, got $pts")
+    // record 2 follows: 2-point segment
+    val c2 = c + (4 + 32 + 4 + 4 + 4 + 16 * 3) + 8
+    assert(bb.getInt(c2) == 3)
+    assert(bb.getInt(c2 + 36) == 1 && bb.getInt(c2 + 40) == 2)
+
+    val shx = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(s"$dir/line.shx"))
+    assert((shx.length - 100) / 8 == 2)
+    val sb = java.nio.ByteBuffer.wrap(shx) // BE index records
+    assert(sb.getInt(100) == 50)           // record 1 at byte 100
+    assert(sb.getInt(104) * 2 == 4 + 32 + 4 + 4 + 4 + 16 * 3)
+    // dbf carries the id attribute for both records
+    val dbf = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(s"$dir/line.dbf"))
+    val db = java.nio.ByteBuffer.wrap(dbf).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    assert(db.getInt(4) == 2)
+
+    // a 1-vertex "path" is a typed error, not a corrupt record
+    val bad = Seq((9L, Seq((1.0, 1.0)))).toDF("id", "path")
+      .select(col("id"), Geo.stLineString(
+        expr("transform(path, p -> struct(p._1 as x, p._2 as y))")).as("geometry"))
+    val e = intercept[graft.core.DataIOError] {
+      graft.io.Shapefile.write(bad, s"$dir/badline")
+    }
+    assert(e.getMessage.contains(">= 2"))
+  }
+
   test("S6: shapefile rejects mixed-kind frames with a typed error") {
     import graft.geo.Geo
     import graft.core.DataIOError

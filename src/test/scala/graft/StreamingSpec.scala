@@ -171,16 +171,37 @@ class StreamingSpec extends AnyFunSuite {
     val r1 = spark.table("tewma").as[EwmaDayOut].collect().sortBy(_.day)
     assert(r1.map(_.n).toSeq == Seq(4L, 8L))
     assert(r1.map(_.ewma).toSeq == Seq(4L, 5L))
-    // batch 2: day 3 (4 events) folds against carried state -> 
+    // batch 2: day 3 (4 events) folds against carried state ->
     // (1*4 + 3*5)/4 = 4; a replayed day-1 event is DROPPED
     writeBatch(dir, "b2",
       (13 to 16).map(i => (i.toLong, "2024-01-03 10:00:00", 1L, 1.0)) ++
       Seq((99L, "2024-01-01 23:00:00", 1L, 1.0)))
     q.processAllAvailable()
     val r2 = spark.table("tewma").as[EwmaDayOut].collect().sortBy(_.day)
-    q.stop()
     assert(r2.length == 3) // the replayed day emitted nothing
     assert(r2.last.n == 4L && r2.last.ewma == 4L)
+    // batch 3: the OPEN day 3 straddles the batch boundary — 4 more
+    // events merge into its count and the day RE-EMITS corrected:
+    // n 4->8, ewma recomputed from the pre-day-3 fold (1*8+3*5)/4 = 5
+    writeBatch(dir, "b3",
+      (17 to 20).map(i => (i.toLong, "2024-01-03 14:00:00", 1L, 1.0)))
+    q.processAllAvailable()
+    val r3 = spark.table("tewma").as[EwmaDayOut].collect()
+    assert(r3.length == 4) // 3 days + one correction row
+    // changelog semantics: largest-n row is the day's final value
+    val fin3 = r3.filter(_.day.toString == "2024-01-03").maxBy(_.n)
+    assert(fin3.n == 8L && fin3.ewma == 5L,
+      s"straddled day must merge, got $fin3")
+    // batch 4: day 4 folds against the CORRECTED day-3 value:
+    // (1*4 + 3*5)/4 = 4
+    writeBatch(dir, "b4",
+      (25 to 28).map(i => (i.toLong, "2024-01-04 10:00:00", 1L, 1.0)))
+    q.processAllAvailable()
+    val r4 = spark.table("tewma").as[EwmaDayOut].collect()
+    q.stop()
+    val fin4 = r4.filter(_.day.toString == "2024-01-04").maxBy(_.n)
+    assert(fin4.n == 4L && fin4.ewma == 4L,
+      s"day after a straddle must fold on the corrected state, got $fin4")
   }
 
   private def ts(s: String) = java.sql.Timestamp.valueOf(s)
