@@ -92,6 +92,114 @@ object Clustering {
     assigned(centroids).select(col("id"), col("ck").as("cluster"), col("dist2"))
   }
 
+  /** E3+/E6 — SemDeDup (Abbas et al., "SemDeDup: Data-efficient
+    * learning at web-scale through semantic deduplication", 2023):
+    * semantic near-duplicate removal by CLUSTER-then-PRUNE — k-means
+    * the embeddings ([[kMeansInt]], fixed integer rounds), then
+    * compare pairs only WITHIN a cluster and drop every doc whose
+    * cosine to a LOWER-id cluster-mate reaches τ (keep-first, the U2
+    * discipline; the connected-components variant is Graph.scala's
+    * job). The cosine test stays in exact integer arithmetic: with
+    * micro-quantized vectors, cos(a,b) ≥ τ (τ > 0) ⟺
+    * dot > 0 ∧ dot²·tauDenSq ≥ tauNumSq·‖a‖²·‖b‖² where
+    * τ² = tauNumSq/tauDenSq — DECIMAL(38,0) products, no sqrt, no
+    * float compare (|dot| ≤ 64·10¹⁴ for unit-ish vectors, so dot²
+    * ≤ 4·10³¹ and the ×tauDenSq product stays under 10³⁸ for
+    * tauDenSq ≤ 10⁴).
+    *
+    * Returns one row per REMOVED doc: (id, cluster, kept_by = lowest
+    * near-dup partner id, n_dups = near-dup partners with lower id).
+    *
+    * Scale: the published SemDeDup design — cluster count grows with
+    * the corpus so cluster population is bounded, and the quadratic
+    * pair join runs per cluster key (uniform-ish shuffle; AQE
+    * skew-split on lopsided clusters), never corpus×corpus. The
+    * k-means pass is the [[kMeansInt]] cost; everything after is one
+    * self-join keyed on `cluster` + one (id)-keyed rollup. */
+  def semanticDedup(vectors: DataFrame, idCol: String, vecCol: String,
+      k: Int, iters: Int, tauNumSq: Long, tauDenSq: Long): DataFrame = {
+    require(tauNumSq > 0 && tauDenSq > 0 && tauNumSq <= tauDenSq,
+      "require 0 < tauNumSq <= tauDenSq (tau^2 as a fraction)")
+    require(tauDenSq <= 10000L, "tauDenSq <= 1e4 keeps dot^2*den < 1e38")
+    val d38 = "decimal(38,0)"
+    val q = vectors.select(col(idCol).cast("long").as("id"),
+      microQuantize(col(vecCol)).as("qv"))
+    val clusters = kMeansInt(vectors, idCol, vecCol, k, iters)
+      .select(col("id"), col("cluster"))
+    // cached: one row per doc (id, cluster, qv, ‖qv‖²) — referenced by
+    // both sides of the within-cluster pair join (aliases defeat
+    // exchange reuse), and the k-means DAG above it is multi-round
+    val cd = graft.core.OperatorCaches.cached(
+      q.join(clusters, "id")
+        .withColumn("n2", aggregate(col("qv"),
+          lit(0).cast(d38), (acc, x) => acc + x.cast(d38) * x.cast(d38))))
+    val a = cd.select(col("cluster"), col("id").as("id_a"),
+      col("qv").as("qa"), col("n2").as("n2a"))
+    val b = cd.select(col("cluster"), col("id").as("id_b"),
+      col("qv").as("qb"), col("n2").as("n2b"))
+    val dup = a.join(b, Seq("cluster"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("dot", aggregate(
+        zip_with(col("qa"), col("qb"), (x, y) => x.cast(d38) * y),
+        lit(0).cast(d38), (acc, v) => acc + v))
+      .filter(col("dot") > 0 &&
+        col("dot") * col("dot") * lit(tauDenSq) >=
+          lit(tauNumSq).cast(d38) * col("n2a") * col("n2b"))
+    dup.groupBy(col("cluster"), col("id_b").as("id"))
+      .agg(min(col("id_a")).as("kept_by"), count(lit(1)).as("n_dups"))
+      .select(col("id"), col("cluster"), col("kept_by"), col("n_dups"))
+  }
+
+  /** E3+/E6 — greedy k-center coreset selection (Gonzalez 1985
+    * farthest-point traversal — the diversity-sampling step coreset
+    * and active-learning pipelines run over embeddings): start from
+    * the lowest-id vector, then repeatedly select the point FARTHEST
+    * from the already-selected set (max over points of min squared
+    * distance to any center, ties to the lower id). All-integer over
+    * micro-quantized vectors, fixed k rounds — a pure function of the
+    * input that an engine unrolling the same rounds replays exactly.
+    * Returns (sel_order, id, dist2) — dist2 the point's min squared
+    * distance to the prior selection at pick time (0 for the seed);
+    * the k-th row's dist2 is the corpus covering radius estimate.
+    *
+    * Scale: the running min-distance column makes each round ONE
+    * broadcast-1-row crossJoin + least() update over the points (no
+    * pairwise anything) and one TakeOrdered(1) argmax; k rounds is
+    * the only sequential axis — O(n·k·dim) total work, the
+    * farthest-point lower bound. */
+  def kCenterSelect(vectors: DataFrame, idCol: String, vecCol: String,
+      k: Int): DataFrame = {
+    require(k >= 1, "k >= 1")
+    def d2(a: Column, b: Column): Column = aggregate(
+      zip_with(a, b, (x, y) => (x - y) * (x - y)),
+      lit(0L), (acc, v) => acc + v)
+    var cur = vectors.select(col(idCol).cast("long").as("id"),
+        microQuantize(col(vecCol)).as("qv"))
+      .withColumn("__mind", lit(Long.MaxValue))
+      .localCheckpoint()
+    var center = cur.orderBy(col("id")).limit(1)
+      .select(col("id").as("__cid"), col("qv").as("__cqv"),
+        lit(0L).as("__cd"))
+    val out = scala.collection.mutable.ArrayBuffer(
+      center.select(lit(1L).as("sel_order"), col("__cid").as("id"),
+        col("__cd").as("dist2")))
+    var r = 2
+    while (r <= k) {
+      cur = cur.crossJoin(broadcast(center.select(col("__cid"), col("__cqv"))))
+        .filter(col("id") =!= col("__cid"))
+        .withColumn("__mind", least(col("__mind"), d2(col("qv"), col("__cqv"))))
+        .select(col("id"), col("qv"), col("__mind"))
+        .localCheckpoint() // bounds plan depth across rounds
+      center = cur.orderBy(col("__mind").desc, col("id")).limit(1)
+        .select(col("id").as("__cid"), col("qv").as("__cqv"),
+          col("__mind").as("__cd"))
+      out += center.select(lit(r.toLong).as("sel_order"),
+        col("__cid").as("id"), col("__cd").as("dist2"))
+      r += 1
+    }
+    out.reduce(_ unionByName _)
+  }
+
   /** Exact dimension correlation matrix over the first `dims` vector
     * components (upper triangle i ≤ j): per pair, the scaled
     * co-moment SPP = n·Σxy − Σx·Σy in DECIMAL(38,0), then

@@ -702,4 +702,110 @@ object Curation {
         (1 to maxN).map(n => coalesce(col(s"overlap_$n"), lit(0L))
           .as(s"overlap_$n")) :+ col("bleu_nano"): _*)
   }
+
+  /** E4+/ML — BATCH perceptron training for a corpus quality
+    * classifier (Rosenblatt 1958, batch/"gradient" form): per round,
+    * over the FULL corpus, sum y·x over currently-misclassified
+    * examples (y·(w·x) ≤ 0) and add the sum to the weights — the
+    * order-independent sibling of the classic sequential perceptron
+    * (whose per-example updates depend on scan order and can never
+    * hash-match across partitionings). All-integer features, labels
+    * (±1), and weights: every round is a pure function of the corpus,
+    * so an engine unrolling the same rounds agrees bit-for-bit.
+    *
+    * Returns one row per round: (round, n_err = misclassified count
+    * BEFORE that round's update, w0..w{k-1} = weights AFTER it).
+    *
+    * Scale: one localCheckpointed pass-per-round over the feature
+    * frame with broadcast 1-row weights (powerIterationInt's shape —
+    * no driver loop state beyond the plan); misclassification and the
+    * y·x sums are one map-side-combined agg. The linear-classifier
+    * quality gate (fastText-style) trained inside the engine at any
+    * corpus size; rounds is the only sequential dimension.
+    * Overflow: |w_d| grows ≤ rounds·Σ|x_d|; callers keep
+    * rounds·n·max|x| ≪ 2⁶³ (requireed loosely below). */
+  def batchPerceptron(df: DataFrame, features: Seq[Column],
+      label: Column, rounds: Int): DataFrame = {
+    require(features.nonEmpty && rounds >= 1, "need features and rounds >= 1")
+    val nF = features.size
+    val spark = df.sparkSession
+    val pts = df.select(features.zipWithIndex.map { case (f, i) =>
+        f.cast("long").as(s"__x$i") } :+ label.cast("long").as("__y"): _*)
+      .localCheckpoint() // re-read every round
+    def margin: Column = (0 until nF).map(i =>
+      col(s"__w$i") * col(s"__x$i")).reduce(_ + _)
+    var w: DataFrame = spark.range(1)
+      .select((0 until nF).map(i => lit(0L).as(s"__w$i")): _*)
+    val out = (1 to rounds).map { r =>
+      val mis = pts.crossJoin(broadcast(w))
+        .filter(col("__y") * margin <= 0)
+      val delta = mis.agg(
+        count(lit(1)).as("__nerr"),
+        (0 until nF).map(i =>
+          coalesce(sum(col("__y") * col(s"__x$i")), lit(0L)).as(s"__d$i")): _*)
+      // 1-row × 1-row: weights advance by the misclassified-sum
+      val stepped = w.crossJoin(delta)
+        .select((0 until nF).map(i =>
+          (col(s"__w$i") + col(s"__d$i")).as(s"__w$i")) :+
+          col("__nerr"): _*)
+        .localCheckpoint() // bounds plan depth across rounds
+      // next round carries ONLY the weights (a carried __nerr would
+      // collide with the next delta's on the crossJoin)
+      w = stepped.select((0 until nF).map(i => col(s"__w$i")): _*)
+      stepped.select(Seq(lit(r.toLong).as("round"),
+        col("__nerr").as("n_err")) ++
+        (0 until nF).map(i => col(s"__w$i").as(s"w$i")): _*)
+    }
+    val res = out.reduce(_ unionByName _)
+    res
+  }
+
+  /** E4+/E8 — DSIR importance scores (Xie et al., "Data Selection for
+    * Language Models via Importance Resampling", NeurIPS 2023):
+    * score every RAW-pool document by how target-like its hashed
+    * unigram distribution is. Tokens hash into `buckets` buckets
+    * ([[Dedup.md5Hash60]] — cross-engine-reconstructible); target and
+    * raw bucket counts give Laplace-smoothed models
+    * p(b) = (c_b + 1)/(N + buckets), and a doc's score is
+    * Σ_tokens [ln p_target(b) − ln p_raw(b)]. Per-BUCKET log-ratios
+    * quantize to integer micro-nats once (q69's exactness argument),
+    * so the per-doc sum is exact and order-independent. Returns
+    * (id, n_tokens, score_u) for raw-pool docs; callers resample
+    * top-score_u (or Gumbel-perturbed) as the selection step.
+    *
+    * Scale: two token-scan aggs (bucket-keyed, uniform by hashing) +
+    * a broadcast |buckets|-row model join back onto the token scan —
+    * no shuffle wider than the token explode itself. The
+    * importance-resampling selector over any raw-corpus size; the
+    * model is O(buckets), never O(vocab). */
+  def dsirScores(docs: DataFrame, textCol: String, idCol: String,
+      isTarget: Column, buckets: Int): DataFrame = {
+    require(buckets >= 2, "buckets >= 2")
+    // cached: the bucketed token explode feeds the model agg AND the
+    // raw-doc scoring join
+    val tok = graft.core.OperatorCaches.cached(
+      docs.select(col(idCol).as("__id"), isTarget.as("__t"),
+          explode(TextAnalysis.tokens(col(textCol))).as("__term"))
+        .withColumn("__b", pmod(Dedup.md5Hash60(col("__term")), lit(buckets.toLong))))
+    val counts = tok.groupBy(col("__b")).agg(
+      sum(when(col("__t"), 1L).otherwise(0L)).as("__ct"),
+      sum(when(col("__t"), 0L).otherwise(1L)).as("__cr"))
+    val totals = tok.agg(
+      sum(when(col("__t"), 1L).otherwise(0L)).as("__nt"),
+      sum(when(col("__t"), 0L).otherwise(1L)).as("__nr"))
+    // per-bucket micro-nat log-ratio, quantized ONCE; the doc score is
+    // then an exact integer sum
+    val model = counts.crossJoin(broadcast(totals))
+      .select(col("__b"), round((
+        log((col("__ct") + 1).cast("double")) -
+        log((col("__nt") + buckets).cast("double")) -
+        log((col("__cr") + 1).cast("double")) +
+        log((col("__nr") + buckets).cast("double"))) * 1e6, 0)
+        .cast("long").as("__lr_u"))
+    tok.filter(!col("__t"))
+      .join(broadcast(model), Seq("__b"))
+      .groupBy(col("__id"))
+      .agg(count(lit(1)).as("n_tokens"), sum(col("__lr_u")).as("score_u"))
+      .select(col("__id").as(idCol), col("n_tokens"), col("score_u"))
+  }
 }

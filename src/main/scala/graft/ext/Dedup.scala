@@ -336,4 +336,53 @@ object Dedup {
       .distinct()
       .filter(col("hamming") <= maxDistance)
   }
+
+  /** E1+/E7 — EXACT cross-document substring spans (Lee et al.,
+    * "Deduplicating Training Data Makes Language Models Better", ACL
+    * 2022 — the exact-substring half of that paper, token-windowed
+    * rather than suffix-array): every maximal run of >= `k` shared
+    * consecutive tokens between two documents. k-token grams hash with
+    * the portable [[md5Hash60]]; cross-doc gram matches land on a
+    * DIAGONAL (pos_a − pos_b constant), and consecutive matches on a
+    * diagonal merge into maximal spans with the islands trick
+    * (pos − row_number per diagonal). Returns one row per maximal
+    * span with `len_tokens` >= `minSpanTokens`:
+    * (id_a, id_b, start_a, start_b, len_tokens), 1-based positions,
+    * id_a < id_b.
+    *
+    * Scale: the join is keyed on gram CONTENT hash — uniform except
+    * for boilerplate grams, which are real skew (AQE skew-join
+    * handles moderate cases; for web-scale corpora drop the
+    * top-frequency grams first — they are exactly the boilerplate a
+    * line-dedup pass (q71) removes). The islands window partitions by
+    * (pair, diagonal) — never global. Pair volume is match-bounded,
+    * not |docs|² — only documents actually sharing a gram ever meet. */
+  def substringSpans(docs: DataFrame, textCol: String, idCol: String,
+      k: Int, minSpanTokens: Int): DataFrame = {
+    require(k >= 2 && minSpanTokens >= k, "need k >= 2, minSpanTokens >= k")
+    val grams = docs
+      .select(col(idCol).as("__id"), TextAnalysis.tokens(col(textCol)).as("__t"))
+      // sequence(1, n) DESCENDS for n < 1 — guard short docs to empty
+      .select(col("__id"), explode(expr(
+        s"""CASE WHEN size(__t) >= $k
+           |  THEN transform(sequence(1, size(__t) - $k + 1),
+           |         i -> struct(i AS pos, concat_ws(' ', slice(__t, i, $k)) AS gs))
+           |  ELSE array() END""".stripMargin)).as("__g"))
+      .select(col("__id"), col("__g.pos").as("pos"),
+        md5Hash60(col("__g.gs")).as("g"))
+    val a = grams.select(col("__id").as("id_a"), col("pos").as("pos_a"), col("g"))
+    val b = grams.select(col("__id").as("id_b"), col("pos").as("pos_b"), col("g"))
+    val matches = a.join(b, Seq("g")).filter(col("id_a") < col("id_b"))
+      .withColumn("diag", col("pos_a") - col("pos_b"))
+    val isl = matches.withColumn("__grp", col("pos_a") -
+      row_number().over(Window.partitionBy(col("id_a"), col("id_b"), col("diag"))
+        .orderBy(col("pos_a"))))
+    isl.groupBy(col("id_a"), col("id_b"), col("diag"), col("__grp"))
+      .agg(min(col("pos_a")).as("start_a"), min(col("pos_b")).as("start_b"),
+        (max(col("pos_a")) - min(col("pos_a")) + k).cast("long").as("len_tokens"))
+      .filter(col("len_tokens") >= minSpanTokens)
+      .select(col("id_a"), col("id_b"),
+        col("start_a").cast("long").as("start_a"),
+        col("start_b").cast("long").as("start_b"), col("len_tokens"))
+  }
 }

@@ -1292,4 +1292,38 @@ object TextAnalysis {
     }
     steps.mkString(",\n")
   }
+
+  /** E4+/A-eval — LLM watermark detection (Kirchenbauer et al., "A
+    * Watermark for Large Language Models", ICML 2023, γ = 1/2 soft
+    * scheme): each token position t >= 2 is GREEN iff the hash of its
+    * (previous, current) token pair lands in the green half of the
+    * partition — here the parity of the portable
+    * [[Dedup.md5Hash60]](prev ‖ '|' ‖ cur). Watermarked generations
+    * over-select green tokens; natural text sits at γ. Per doc:
+    * n_scored = positions, n_green, and the one-proportion z-score
+    * z = (2·n_green − n)/√n — both operands exact integers, so ÷ and
+    * √ are correctly-rounded IEEE and the double hash-compares.
+    *
+    * Scale: one token explode with a lag pair per position (scan-side
+    * arithmetic, no join — the pair comes from the SAME doc's array),
+    * then a doc-keyed agg with map-side combine. The provenance
+    * screen over any corpus size. */
+  def watermarkGreenStats(docs: DataFrame, textCol: String,
+      idCol: String): DataFrame = {
+    val pairs = docs
+      .select(col(idCol).as("__id"), tokens(col(textCol)).as("__t"))
+      .select(col("__id"), explode(expr(
+        """CASE WHEN size(__t) >= 2
+          |  THEN transform(sequence(2, size(__t)),
+          |         i -> concat(element_at(__t, i - 1), '|', element_at(__t, i)))
+          |  ELSE array() END""".stripMargin)).as("__pair"))
+      .withColumn("__green",
+        (pmod(Dedup.md5Hash60(col("__pair")), lit(2L)) === 0L).cast("long"))
+    pairs.groupBy(col("__id"))
+      .agg(count(lit(1)).as("n_scored"), sum(col("__green")).as("n_green"))
+      .withColumn("z",
+        (lit(2L) * col("n_green") - col("n_scored")).cast("double") /
+          sqrt(col("n_scored").cast("double")))
+      .select(col("__id").as(idCol), col("n_scored"), col("n_green"), col("z"))
+  }
 }

@@ -105,4 +105,40 @@ class ClusteringSpec extends AnyFunSuite {
     assert(out2(1) == -250000L)
     assert(out2(2) == 1000000L)
   }
+
+  test("semanticDedup: planted within-cluster near-copies removed, keep-first") {
+    // blob A around (1, 0), blob B around (0, 1); ids 0/1 seed one
+    // blob each. 10/11 are near-copies of 0/1 (cos ~ 0.9999); 20 is an
+    // independent A-cluster doc (cos to 0 ~ 0.71, below tau = 0.9)
+    val df = vecs(
+      0L -> Seq(1.0f, 0.0f), 10L -> Seq(1.0f, 0.01f), 20L -> Seq(1.0f, 1.0f),
+      1L -> Seq(0.0f, 1.0f), 11L -> Seq(0.01f, 1.0f))
+    val out = Clustering.semanticDedup(df, "vec_id", "embedding",
+        k = 2, iters = 2, tauNumSq = 81L, tauDenSq = 100L)
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getLong(3)))
+    // exactly the two planted copies are removed, each kept_by its source
+    assert(out.toSet == Set((10L, 0L, 1L), (11L, 1L, 1L)))
+  }
+
+  test("semanticDedup: negative-dot pairs never qualify") {
+    // antipodal unit vectors share a cluster under k = 1 but cos = -1
+    val df = vecs(0L -> Seq(1.0f, 0.0f), 1L -> Seq(-1.0f, 0.0f))
+    val out = Clustering.semanticDedup(df, "vec_id", "embedding",
+      k = 1, iters = 1, tauNumSq = 1L, tauDenSq = 100L)
+    assert(out.count() == 0)
+  }
+
+  test("kCenterSelect: farthest-point order and exact distances, hand case") {
+    // 1-D points at 0, 1, 10, 20 (ids 0..3): seed id 0, then the
+    // farthest (id 3 at 20), then id 2 (10, equidistant-ish), micro^2
+    val df = vecs(0L -> Seq(0.0f), 1L -> Seq(1.0f),
+      2L -> Seq(10.0f), 3L -> Seq(20.0f))
+    val out = Clustering.kCenterSelect(df, "vec_id", "embedding", k = 3)
+      .orderBy(col("sel_order"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(out.toSeq == Seq(
+      (1L, 0L, 0L),
+      (2L, 3L, 400000000000000L),   // (2e7)^2
+      (3L, 2L, 100000000000000L)))  // (1e7)^2
+  }
 }

@@ -881,4 +881,67 @@ class CurationSpec extends AnyFunSuite {
     assert(TextAnalysis.codeQualitySignals(trunc, col("id"), col("t"))
       .head().getAs[Long]("brace_delta") == 1L)
   }
+
+  test("ML: batchPerceptron — hand-checked rounds on a separable set") {
+    import graft.ext.Curation
+    // x = (1, v); y separable by v's sign
+    val df = Seq((2L, 1L), (3L, 1L), (-1L, -1L)).toDF("v", "y")
+    val out = Curation.batchPerceptron(df,
+        features = Seq(lit(1L), col("v")), label = col("y"), rounds = 2)
+      .orderBy(col("round")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // round 1: w = 0 -> every margin 0 -> all 3 misclassified ->
+    // w = (sum y, sum y*v) = (1, 6); round 2: all correct, w frozen
+    assert(out.toSeq == Seq((1L, 3L, 1L, 6L), (2L, 0L, 1L, 6L)))
+  }
+
+  test("E8: dsirScores — target-like raw docs outscore target-unlike ones") {
+    import graft.ext.Curation
+    val docs = Seq(
+      (1L, "alpha alpha alpha alpha", true),   // target model: all alpha
+      (2L, "alpha alpha alpha", true),
+      (10L, "alpha alpha alpha alpha", false), // raw, target-like
+      (11L, "beta beta beta beta", false)      // raw, target-unlike
+    ).toDF("doc_id", "text", "is_t")
+    val out = Curation.dsirScores(docs, "text", "doc_id",
+        isTarget = col("is_t"), buckets = 256)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(out.keySet == Set(10L, 11L))        // raw pool only
+    assert(out(10L)._1 == 4L && out(11L)._1 == 4L)
+    assert(out(10L)._2 > 0L,  "alpha doc must look target-like")
+    assert(out(11L)._2 < 0L,  "beta doc must look raw-like")
+    assert(out(10L)._2 > out(11L)._2)
+  }
+
+  test("E1+: substringSpans — maximal shared runs, short docs silent") {
+    import graft.ext.Dedup
+    val shared = "a b c d e f g h i j k l" // 12 shared tokens
+    val docs = Seq(
+      (1L, s"$shared xx yy"),
+      (2L, s"zz ww $shared qq"),
+      (3L, "totally different words entirely here okay fine then"),
+      (4L, "tiny")
+    ).toDF("doc_id", "text")
+    val out = Dedup.substringSpans(docs, "text", "doc_id",
+        k = 8, minSpanTokens = 12)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    // ONE maximal span: doc1 pos 1..12 == doc2 pos 3..14
+    assert(out.toSeq == Seq((1L, 2L, 1L, 3L, 12L)))
+  }
+
+  test("E4+: watermarkGreenStats — z from exact integers, short docs silent") {
+    import graft.ext.TextAnalysis
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "single")  // < 2 tokens: no scored positions, no row
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.watermarkGreenStats(docs, "text", "doc_id")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(out.keySet == Set(1L))
+    val (n, g, z) = out(1L)
+    assert(n == 5L && g >= 0L && g <= n)
+    assert(z == (2.0 * g - n) / math.sqrt(n.toDouble))
+  }
 }
