@@ -200,6 +200,47 @@ object Clustering {
     out.reduce(_ unionByName _)
   }
 
+  /** E3+/A-eval — MAUVE-lite (the discrete divergence core of
+    * Pillutla et al., "MAUVE: Measuring the Gap Between Neural Text
+    * and Human Text using Divergence Frontiers", NeurIPS 2021):
+    * cluster the POOLED embeddings of two text sets (P = model
+    * generations, Q = human reference) with fixed-round integer
+    * k-means, histogram each set over the shared clusters, and score
+    * the smoothed Jensen-Shannon divergence between the histograms —
+    * the quantized-support proxy MAUVE builds its frontier from.
+    * Returns one row per cluster: (cluster, n_p, n_q, js_u) with
+    * js_u the cluster's micro-nat JS contribution
+    * [p·ln(p/m) + q·ln(q/m)]/2 over Laplace-smoothed shares — every
+    * input to the ln is a ratio of exact integers, so both engines
+    * quantize identically (q69 discipline). Σ js_u ≈ 0 ⟺ the model
+    * text is embedding-indistinguishable from the reference.
+    *
+    * Scale: the k-means pass dominates ([[kMeansInt]]); the histogram
+    * is one (cluster)-keyed agg with map-side combine and the finish
+    * is k rows. The distribution-gap readout for generation QA at any
+    * corpus size. */
+  def mauveLite(vectors: DataFrame, idCol: String, vecCol: String,
+      isP: Column, k: Int, iters: Int): DataFrame = {
+    val flags = vectors.select(col(idCol).cast("long").as("id"),
+      isP.cast("boolean").as("__p"))
+    val hist = kMeansInt(vectors, idCol, vecCol, k, iters)
+      .join(flags, "id")
+      .groupBy(col("cluster"))
+      .agg(sum(when(col("__p"), 1L).otherwise(0L)).as("n_p"),
+        sum(when(col("__p"), 0L).otherwise(1L)).as("n_q"))
+    val totals = hist.agg(sum(col("n_p")).as("__np"), sum(col("n_q")).as("__nq"))
+    hist.crossJoin(broadcast(totals))
+      .withColumn("__pp", (col("n_p") + 1).cast("double") /
+        (col("__np") + k).cast("double"))
+      .withColumn("__qq", (col("n_q") + 1).cast("double") /
+        (col("__nq") + k).cast("double"))
+      .withColumn("__m", (col("__pp") + col("__qq")) / 2)
+      .withColumn("js_u", round((
+        col("__pp") * log(col("__pp") / col("__m")) +
+        col("__qq") * log(col("__qq") / col("__m"))) / 2 * 1e6, 0).cast("long"))
+      .select(col("cluster"), col("n_p"), col("n_q"), col("js_u"))
+  }
+
   /** Exact dimension correlation matrix over the first `dims` vector
     * components (upper triangle i ≤ j): per pair, the scaled
     * co-moment SPP = n·Σxy − Σx·Σy in DECIMAL(38,0), then

@@ -385,4 +385,32 @@ object Dedup {
         col("start_a").cast("long").as("start_a"),
         col("start_b").cast("long").as("start_b"), col("len_tokens"))
   }
+
+  /** E1+/E7 — template-skeleton duplicate families (the CCNet /
+    * RefinedWeb boilerplate device): normalize each document to its
+    * SKELETON — lowercase, every digit run → '0', everything outside
+    * [a-z0 ] dropped, whitespace collapsed — and group by the
+    * skeleton's [[md5Hash60]]. Families with >= 2 docs are template
+    * spam ("Showing 1-10 of 234 results" pages, timestamps, counters)
+    * that exact dedup misses because the raw bytes differ. Returns
+    * (skeleton_hash, n_docs, n_distinct_raw, first_id) per family
+    * with n_docs >= 2; `n_distinct_raw < n_docs` additionally flags
+    * byte-exact members inside the family.
+    *
+    * Scale: pure scan-side normalization (three codegen'd
+    * regexp_replace passes, no UDF) + one content-hash-keyed agg with
+    * map-side combine — exact dedup's cost profile, uniform shuffle
+    * by construction. */
+  def templateSkeletons(docs: DataFrame, textCol: String,
+      idCol: String): DataFrame = {
+    val skel = trim(regexp_replace(regexp_replace(regexp_replace(
+      lower(col(textCol)), "[0-9]+", "0"), "[^a-z0 ]", ""), " +", " "))
+    docs.select(col(idCol).as("__id"), md5Hash60(skel).as("skeleton_hash"),
+        sha2(col(textCol), 256).as("__raw"))
+      .groupBy(col("skeleton_hash"))
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("__raw")).as("n_distinct_raw"),
+        min(col("__id")).as("first_id"))
+      .filter(col("n_docs") >= 2)
+  }
 }

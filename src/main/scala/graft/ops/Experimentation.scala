@@ -869,4 +869,35 @@ object Experimentation {
       .select(col("arm"), col("n"), col("ratio"), col("se"),
         col("ci_lo"), col("ci_hi"))
   }
+
+  /** A-causal — Coarsened Exact Matching (Iacus, King & Porro,
+    * "Causal Inference without Balance Checking: Coarsened Exact
+    * Matching", Political Analysis 2012): coarsen the covariates into
+    * caller-supplied strata, keep only strata containing BOTH a
+    * treated and a control unit, and report each matched stratum's
+    * exact arm sums — the order-independent matching scheme (greedy
+    * 1:1 nearest-neighbor matching depends on scan order and can
+    * never be bit-reproducible on a cluster). Returns one row per
+    * MATCHED stratum: (strata..., n_t, n_c, sum_t_cents,
+    * sum_c_cents); the ATT is Σ_s n_t·(ȳ_t − ȳ_c) weighted over these
+    * rows — left as exact integers so any consumer division happens
+    * once, downstream, on audited operands.
+    *
+    * Scale: one stratum-keyed agg with map-side combine; the
+    * both-arms filter is a HAVING over the same rollup — no join, no
+    * per-unit pairing state. Matching at 100 TB only works coarsened:
+    * the stratum key IS the shuffle key. */
+  def cemMatch(df: DataFrame, treated: Column, outcomeCents: Column,
+      strata: Seq[(String, Column)]): DataFrame = {
+    require(strata.nonEmpty, "need at least one stratum column")
+    val keyed = df.select(strata.map { case (n, c) => c.as(n) } ++
+      Seq(treated.cast("boolean").as("__t"),
+        outcomeCents.cast("long").as("__y")): _*)
+    keyed.groupBy(strata.map { case (n, _) => col(n) }: _*)
+      .agg(sum(when(col("__t"), 1L).otherwise(0L)).as("n_t"),
+        sum(when(col("__t"), 0L).otherwise(1L)).as("n_c"),
+        sum(when(col("__t"), col("__y")).otherwise(0L)).as("sum_t_cents"),
+        sum(when(col("__t"), 0L).otherwise(col("__y"))).as("sum_c_cents"))
+      .filter(col("n_t") >= 1 && col("n_c") >= 1)
+  }
 }

@@ -141,4 +141,22 @@ class ClusteringSpec extends AnyFunSuite {
       (2L, 3L, 400000000000000L),   // (2e7)^2
       (3L, 2L, 100000000000000L)))  // (1e7)^2
   }
+
+  test("mauveLite: identical histograms score 0; disjoint support scores > 0") {
+    // two tight blobs; ids 0/1 seed one each. P and Q each hold one
+    // point per blob -> per-cluster n_p = n_q -> every js_u term is 0
+    val df = Seq(
+      (0L, Seq(0.0f, 0.0f), 1), (1L, Seq(10.0f, 10.0f), 1),
+      (2L, Seq(0.1f, 0.0f), 0), (3L, Seq(10.1f, 10.0f), 0))
+      .toDF("vec_id", "embedding", "label")
+    val even = Clustering.mauveLite(df, "vec_id", "embedding",
+        isP = col("label") === 1, k = 2, iters = 2)
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(even.forall { case (np, nq, js) => np == 1 && nq == 1 && js == 0 })
+    // P entirely in blob A, Q entirely in blob B -> positive divergence
+    val skew = Clustering.mauveLite(df, "vec_id", "embedding",
+        isP = col("vec_id") % 2 === 0, k = 2, iters = 2)
+      .collect().map(_.getLong(3))
+    assert(skew.sum > 0, s"disjoint support must diverge, got ${skew.toSeq}")
+  }
 }

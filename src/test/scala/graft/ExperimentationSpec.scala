@@ -583,4 +583,22 @@ class ExperimentationSpec extends AnyFunSuite {
     val sd = math.sqrt(vs.map(v => (v - m) * (v - m)).sum / (vs.size - 1))
     assert(last.getAs[Double]("radius") > 1.96 * sd / math.sqrt(n))
   }
+
+  test("A-causal: cemMatch — exact arm sums per stratum, unmatched strata drop") {
+    import graft.ops.Experimentation
+    import org.apache.spark.sql.functions._
+    val df = Seq(
+      // stratum 0: 1 treated (y=100), 2 control (y=50, 70) -> matched
+      (0L, true, 100L), (0L, false, 50L), (0L, false, 70L),
+      // stratum 1: treated only -> dropped
+      (1L, true, 999L),
+      // stratum 2: control only -> dropped
+      (2L, false, 111L))
+      .toDF("b", "t", "y")
+    val out = Experimentation.cemMatch(df, col("t"), col("y"),
+        strata = Seq("b" -> col("b")))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    assert(out.toSeq == Seq((0L, 1L, 2L, 100L, 120L)))
+  }
 }

@@ -944,4 +944,18 @@ class CurationSpec extends AnyFunSuite {
     assert(n == 5L && g >= 0L && g <= n)
     assert(z == (2.0 * g - n) / math.sqrt(n.toDouble))
   }
+
+  test("E1+: templateSkeletons — digit variants family up, singletons drop") {
+    import graft.ext.Dedup
+    val docs = Seq(
+      (1L, "Showing 1-10 of 234 results!"),
+      (2L, "Showing 11-20 of 234 results!"),
+      (3L, "Showing 11-20 of 234 results!"),   // byte-exact dup of 2
+      (4L, "a completely different page body")
+    ).toDF("doc_id", "text")
+    val out = Dedup.templateSkeletons(docs, "text", "doc_id")
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(3)))
+    // one family: 3 docs, 2 distinct raw texts, first id 1; doc 4 silent
+    assert(out.toSeq == Seq((3L, 2L, 1L)))
+  }
 }
