@@ -2571,4 +2571,151 @@ object Aggregates {
         (col("__sw") * col("__sw")).cast("double"))
       .select(col("slice"), col("n"), col("w_sum"), col("n_eff"), col("deff"))
   }
+
+  /** A-stat — Brown-Forsythe/Levene variance-homogeneity test: the
+    * pre-check every ANOVA (q187) silently assumes. Robust (median)
+    * form: z_i = |y_i − median(group)|, then the one-way F on z. To
+    * stay integer-exact the deviations are computed in HALF-units —
+    * z2_i = |2·y_i − med2_g| where med2 = lower + upper median (an
+    * integer even when the median itself is x.5) — and the F
+    * statistic is [[anovaF]]'s micro-quantized form on z2. Returns
+    * one row: (k, n, ssb_u, ssw_u, f_stat) over the z2 deviations.
+    *
+    * Scale: one (group, value)-keyed rollup + a group-partitioned
+    * cumulative window over it (rollup-sized, never raw rows), a
+    * broadcast |groups|-row median join back onto the scan, and the
+    * ANOVA agg — two passes over the data total. */
+  def leveneBrownForsythe(df: DataFrame, valueCol: Column,
+      groupCol: Column): DataFrame = {
+    val v = valueCol.cast("long")
+    val pv = df.groupBy(groupCol.as("__g"), v.as("__v"))
+      .agg(count(lit(1)).as("__c"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__g")).orderBy(col("__v"))
+    val cum = pv.withColumn("__ct", sum(col("__c")).over(w))
+      .withColumn("__n", sum(col("__c")).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("__g"))))
+    // med2 = lower + upper median: the smallest v whose cumulative
+    // count reaches ceil(n/2), plus the smallest reaching floor(n/2)+1
+    val med2 = cum.groupBy(col("__g")).agg(
+      (min(when(col("__ct") * 2 >= col("__n") + 1, col("__v"))) +
+        min(when(col("__ct") * 2 >= col("__n") + 2, col("__v")))).as("__med2"))
+    val z2 = df.select(groupCol.as("__g"), v.as("__y"))
+      .join(broadcast(med2), "__g")
+      .select(col("__g"), abs(lit(2) * col("__y") - col("__med2")).as("__z2"))
+    anovaF(z2, col("__z2"), col("__g"))
+  }
+
+  /** A-stat — Chow structural-break test of a simple regression
+    * y ~ x: did the relationship CHANGE across a split (pre/post a
+    * date, a policy, a deploy)? Per-segment and pooled RSS come from
+    * one agg's exact DECIMAL(38,0) moments via
+    * RSS = (Cyy − Cxy²/Cxx)/n (centered, cleared denominators), the F
+    * finish F = ((RSSp − RSS1 − RSS2)/2) / ((RSS1 + RSS2)/(n − 4)) in
+    * doubles over those exact operands — mirrored
+    * operation-for-operation by the oracle. Returns one row:
+    * (n1, n2, rss1, rss2, rss_pooled, f_stat); a degenerate segment
+    * (constant x, n < 3) yields null f_stat rather than garbage.
+    *
+    * Scale: ONE map-side-combined agg with conditional per-segment
+    * sums (the pooled moments are their sums) + a 1-row finish. The
+    * regression-stability check at any scan size. */
+  def chowTest(df: DataFrame, xCol: Column, yCol: Column,
+      inSecond: Column): DataFrame = {
+    val d38 = "decimal(38,0)"
+    def l(c: Column) = c.cast("long").cast(d38)
+    val x = l(xCol); val y = l(yCol)
+    val seg = inSecond.cast("boolean")
+    def half(tag: String, pred: Column) = Seq(
+      sum(when(pred, 1L).otherwise(0L)).cast(d38).as(s"n$tag"),
+      sum(when(pred, x).otherwise(lit(0).cast(d38))).cast(d38).as(s"sx$tag"),
+      sum(when(pred, y).otherwise(lit(0).cast(d38))).cast(d38).as(s"sy$tag"),
+      sum(when(pred, x * x).otherwise(lit(0).cast(d38))).cast(d38).as(s"sxx$tag"),
+      sum(when(pred, x * y).otherwise(lit(0).cast(d38))).cast(d38).as(s"sxy$tag"),
+      sum(when(pred, y * y).otherwise(lit(0).cast(d38))).cast(d38).as(s"syy$tag"))
+    val sums = half("1", !seg) ++ half("2", seg)
+    val aggd = df.agg(sums.head, sums.tail: _*)
+    def rss(n: Column, sx: Column, sy: Column, sxx: Column, sxy: Column,
+        syy: Column): Column = {
+      val cxx = (n * sxx - sx * sx).cast("double")
+      val cxy = (n * sxy - sx * sy).cast("double")
+      val cyy = (n * syy - sy * sy).cast("double")
+      when(n >= 3 && cxx > 0, (cyy - cxy * cxy / cxx) / n.cast("double"))
+    }
+    aggd
+      .withColumn("rss1", rss(col("n1"), col("sx1"), col("sy1"),
+        col("sxx1"), col("sxy1"), col("syy1")))
+      .withColumn("rss2", rss(col("n2"), col("sx2"), col("sy2"),
+        col("sxx2"), col("sxy2"), col("syy2")))
+      .withColumn("rss_pooled", rss(
+        col("n1") + col("n2"), col("sx1") + col("sx2"),
+        col("sy1") + col("sy2"), col("sxx1") + col("sxx2"),
+        col("sxy1") + col("sxy2"), col("syy1") + col("syy2")))
+      .withColumn("f_stat",
+        when(col("rss1").isNotNull && col("rss2").isNotNull &&
+          col("rss1") + col("rss2") > 0,
+          ((col("rss_pooled") - col("rss1") - col("rss2")) / 2) /
+            ((col("rss1") + col("rss2")) /
+              (col("n1") + col("n2") - 4).cast("double"))))
+      .select(col("n1").cast("long").as("n1"), col("n2").cast("long").as("n2"),
+        col("rss1"), col("rss2"), col("rss_pooled"), col("f_stat"))
+  }
+
+  /** A-stat/A8 — Durbin-Watson first-order autocorrelation statistic
+    * of the residuals of y ~ x per key: the 'are my regression errors
+    * independent' check (DW ≈ 2 ⟺ none; → 0 positive; → 4 negative).
+    * Per key the slope/intercept come from exact centered moments;
+    * each residual e = y − a − b·x is an identical double in any
+    * engine (pure function of exact aggregates and the row), and
+    * quantizes to MILLI-units before the lag sums so both Σe² and
+    * Σ(Δe)² are exact integers. Returns per key:
+    * (key, n, num_mu2, den_mu2, dw).
+    *
+    * Scale: one key-rollup agg for the moments, a broadcast join back
+    * onto the series, and a key-partitioned lag window — callers pass
+    * a SERIES frame (already rolled up, e.g. daily totals), so the
+    * window is rollup-sized. */
+  def durbinWatson(df: DataFrame, keyCol: Column, xCol: Column,
+      yCol: Column): DataFrame = {
+    val d38 = "decimal(38,0)"
+    def l(c: Column) = c.cast("long").cast(d38)
+    val base = df.select(keyCol.as("__k"), xCol.cast("long").as("__x"),
+      yCol.cast("long").as("__y"))
+    val mo = base.groupBy(col("__k")).agg(
+      count(lit(1)).cast(d38).as("__n"),
+      sum(l(col("__x"))).cast(d38).as("__sx"),
+      sum(l(col("__y"))).cast(d38).as("__sy"),
+      sum(l(col("__x")) * l(col("__x"))).cast(d38).as("__sxx"),
+      sum(l(col("__x")) * l(col("__y"))).cast(d38).as("__sxy"))
+    val fit = mo.select(col("__k"), col("__n"),
+      ((col("__n") * col("__sxy") - col("__sx") * col("__sy")).cast("double") /
+        (col("__n") * col("__sxx") - col("__sx") * col("__sx")).cast("double"))
+        .as("__b"),
+      col("__sx").cast("double").as("__sxd"),
+      col("__sy").cast("double").as("__syd"))
+      .withColumn("__a", (col("__syd") - col("__b") * col("__sxd")) /
+        col("__n").cast("double"))
+    val res = base.join(broadcast(fit.select(col("__k"), col("__n"),
+        col("__a"), col("__b"))), "__k")
+      .withColumn("__eu", round((col("__y").cast("double") - col("__a") -
+        col("__b") * col("__x").cast("double")) * 1000, 0).cast("long"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__k")).orderBy(col("__x"))
+    res.withColumn("__lag", lag(col("__eu"), 1).over(w))
+      .groupBy(col("__k"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("__lag").isNotNull,
+          (col("__eu") - col("__lag")).cast("decimal(38,0)") *
+            (col("__eu") - col("__lag")).cast("decimal(38,0)"))).as("__num"),
+        sum(col("__eu").cast("decimal(38,0)") *
+          col("__eu").cast("decimal(38,0)")).as("__den"))
+      // num/den are exact DECIMAL(38,0) integers (too wide for BIGINT);
+      // emitted as doubles — decimal→double is one correctly-rounded
+      // conversion of an exact value, identical in any engine
+      .select(col("__k"), col("n"),
+        col("__num").cast("double").as("num_mu2"),
+        col("__den").cast("double").as("den_mu2"),
+        when(col("__den") > 0,
+          col("__num").cast("double") / col("__den").cast("double")).as("dw"))
+  }
 }

@@ -1845,4 +1845,49 @@ class AnalyticsOpsSpec extends AnyFunSuite {
     assert(out.map(_.getAs[Long]("v_b")).toSeq == Seq(12L, 14L, 16L))
     assert(out.forall(_.getAs[Long]("qte") == -10L))
   }
+
+  test("A-stat: leveneBrownForsythe — equal spreads score 0, unequal positive") {
+    // A and B have IDENTICAL |2y - med2| deviation sets -> ssb_u = 0
+    val same = Seq(("A", 1L), ("A", 2L), ("A", 3L),
+      ("B", 11L), ("B", 12L), ("B", 13L)).toDF("g", "y")
+    val r0 = Aggregates.leveneBrownForsythe(same, col("y"), col("g")).head()
+    assert(r0.getAs[Long]("k") == 2L && r0.getAs[Long]("n") == 6L)
+    // ssb is zero up to the micro-unit rounding of the S^2/n terms
+    // (round(1e6*16/3)*2 vs round(1e6*64/6) differ by 1 micro-unit)
+    assert(math.abs(r0.getAs[Long]("ssb_u")) <= 2L)
+    assert(math.abs(r0.getAs[Double]("f_stat")) < 1e-3)
+    // B spread 10x wider -> strictly positive F
+    val wide = Seq(("A", 1L), ("A", 2L), ("A", 3L),
+      ("B", 10L), ("B", 20L), ("B", 30L)).toDF("g", "y")
+    val r1 = Aggregates.leveneBrownForsythe(wide, col("y"), col("g")).head()
+    assert(r1.getAs[Double]("f_stat") > 0.0)
+  }
+
+  test("A-stat: chowTest — a planted slope break dwarfs a stable relation") {
+    // x = 1..20; first half y = 2x +/- 1, second half y = 10x +/- 1
+    def seg(xs: Range, slope: Long) = xs.map(x =>
+      (x.toLong, slope * x + (if (x % 2 == 0) 1L else -1L), x > 10))
+    val break_ = (seg(1 to 10, 2L) ++ seg(11 to 20, 10L)).toDF("x", "y", "s")
+    val rb = Aggregates.chowTest(break_, col("x"), col("y"), col("s")).head()
+    assert(rb.getAs[Long]("n1") == 10L && rb.getAs[Long]("n2") == 10L)
+    val stable = (seg(1 to 10, 2L) ++ seg(11 to 20, 2L)).toDF("x", "y", "s")
+    val rs = Aggregates.chowTest(stable, col("x"), col("y"), col("s")).head()
+    assert(rb.getAs[Double]("f_stat") > 100 * rs.getAs[Double]("f_stat"),
+      s"break F ${rb.getAs[Double]("f_stat")} vs stable ${rs.getAs[Double]("f_stat")}")
+  }
+
+  test("A-stat: durbinWatson — alternating residuals near 4, exact fit null") {
+    // y = 5x + alternating +/-100 over even x-run: residuals alternate
+    // sign, so DW -> 4(n-1)/n (strong negative autocorrelation)
+    val alt = (1 to 20).map(x =>
+      ("k", x.toLong, 5L * x + (if (x % 2 == 0) 100L else -100L)))
+      .toDF("k", "x", "y")
+    val r = Aggregates.durbinWatson(alt, col("k"), col("x"), col("y")).head()
+    assert(r.getAs[Long]("n") == 20L)
+    assert(r.getAs[Double]("dw") > 3.0, s"alternating must push DW toward 4, got $r")
+    // an exact fit has zero residuals -> dw undefined (null), not NaN
+    val exact = (1 to 10).map(x => ("k", x.toLong, 7L * x)).toDF("k", "x", "y")
+    val re = Aggregates.durbinWatson(exact, col("k"), col("x"), col("y")).head()
+    assert(re.isNullAt(re.fieldIndex("dw")))
+  }
 }
