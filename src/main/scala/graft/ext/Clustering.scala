@@ -241,6 +241,40 @@ object Clustering {
       .select(col("cluster"), col("n_p"), col("n_q"), col("js_u"))
   }
 
+  /** E3+/A1 — embedding anisotropy audit (the common-mean-direction
+    * diagnostic of Mu & Viswanath, "All-but-the-Top: Simple and
+    * Effective Postprocessing for Word Representations", ICLR 2018):
+    * per slice, the share of total vector energy captured by the MEAN
+    * direction — aniso_ppm = 10⁶·‖Σx‖² / (n·Σ‖x‖²). Healthy
+    * (centered, isotropic) embedding spaces sit near 0; a large value
+    * means every cosine is inflated by a shared component and
+    * retrieval/dedup thresholds are miscalibrated until the mean is
+    * subtracted. All integer: micro-quantized components, exact
+    * DECIMAL(38,0) sums, one floor division. Returns per slice:
+    * (slice, n, sum_norm2, aniso_ppm).
+    *
+    * Scale: one posexplode + (slice, dim) agg with map-side combine →
+    * a |slices|·dims rollup; the finish is |slices| rows. The
+    * embedding-health gate run before trusting any cosine op. */
+  def embeddingIsotropy(vectors: DataFrame, sliceCol: Column,
+      vecCol: Column): DataFrame = {
+    val d38 = "decimal(38,0)"
+    val comps = vectors.select(sliceCol.as("slice"),
+      posexplode(microQuantize(vecCol)).as(Seq("__d", "__q")))
+    val perDim = comps.groupBy(col("slice"), col("__d")).agg(
+      sum(col("__q")).cast(d38).as("__s"),
+      sum(col("__q").cast(d38) * col("__q").cast(d38)).cast(d38).as("__qq"),
+      count(lit(1)).as("__n"))
+    perDim.groupBy(col("slice")).agg(
+        max(col("__n")).as("n"), // rows per dim == vector count
+        sum(col("__s") * col("__s")).cast(d38).as("__mu2"),
+        sum(col("__qq")).cast(d38).as("__sn2"))
+      .select(col("slice"), col("n"),
+        col("__sn2").cast("long").as("sum_norm2"),
+        expr("CAST((1000000 * __mu2) div (n * __sn2) AS BIGINT)")
+          .as("aniso_ppm"))
+  }
+
   /** Exact dimension correlation matrix over the first `dims` vector
     * components (upper triangle i ≤ j): per pair, the scaled
     * co-moment SPP = n·Σxy − Σx·Σy in DECIMAL(38,0), then

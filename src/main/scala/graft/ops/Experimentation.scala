@@ -35,6 +35,15 @@ object Experimentation {
     "quantileTreatmentEffects: two 1-row per-arm quantile frames joined")
   graft.plans.Guardrails.expect("cartesian_join", "__na, __nb",
     "covariateBalance: two 1-row per-arm moment frames joined")
+  // upliftBands' cumulative walk may optimize into one or two Window
+  // nodes and the audit detail caps at 8 columns — two markers cover
+  // both shapes (each is a subset of the combined node's column list)
+  graft.plans.Guardrails.expect("single_partition_window",
+    "cum_n_t, cum_n_c, band, n_t",
+    "upliftBands: cumulative walk over the <=|bands| rollup (bounded)")
+  graft.plans.Guardrails.expect("single_partition_window",
+    "cum_r_t, band, n_t",
+    "upliftBands: cumulative walk over the <=|bands| rollup (bounded)")
 
 
 
@@ -899,5 +908,50 @@ object Experimentation {
         sum(when(col("__t"), col("__y")).otherwise(0L)).as("sum_t_cents"),
         sum(when(col("__t"), 0L).otherwise(col("__y"))).as("sum_c_cents"))
       .filter(col("n_t") >= 1 && col("n_c") >= 1)
+  }
+
+  /** A-causal — score-band uplift (Qini-style) curve (Radcliffe,
+    * "Using control groups to target on predicted lift", 2007): bucket
+    * units by a targeting score into fixed-width bands, then walk
+    * bands from highest score down accumulating treated/control
+    * responders; each band's cumulative Qini value
+    * q = R_t − R_c·N_t/N_c says how many EXTRA responses targeting
+    * down to that band bought vs the control baseline. Value-width
+    * bands (score div width) keep banding scan-side and deterministic
+    * — rank deciles need a global sort and tie-breaks that cannot be
+    * reproduced engine-to-engine. Exact integer counts; the Qini
+    * value in micro-units via one cleared-denominator floor division.
+    * Returns per band (highest first): (band, n_t, n_c, r_t, r_c,
+    * cum_n_t, cum_n_c, cum_r_t, cum_r_c, qini_micro).
+    *
+    * Scale: one band-keyed agg with map-side combine + a cumulative
+    * window over the ≤|bands| rollup. The targeting-policy readout at
+    * any unit count. */
+  def upliftBands(df: DataFrame, treated: Column, responded: Column,
+      score: Column, bandWidth: Long): DataFrame = {
+    require(bandWidth > 0, "bandWidth > 0")
+    val d38 = "decimal(38,0)"
+    val base = df.select(
+      (score.cast("long") / bandWidth).cast("long").as("band"),
+      treated.cast("boolean").as("__t"),
+      responded.cast("boolean").as("__r"))
+    val bands = base.groupBy(col("band")).agg(
+      sum(when(col("__t"), 1L).otherwise(0L)).as("n_t"),
+      sum(when(!col("__t"), 1L).otherwise(0L)).as("n_c"),
+      sum(when(col("__t") && col("__r"), 1L).otherwise(0L)).as("r_t"),
+      sum(when(!col("__t") && col("__r"), 1L).otherwise(0L)).as("r_c"))
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col("band").desc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    bands
+      .withColumn("cum_n_t", sum(col("n_t")).over(w))
+      .withColumn("cum_n_c", sum(col("n_c")).over(w))
+      .withColumn("cum_r_t", sum(col("r_t")).over(w))
+      .withColumn("cum_r_c", sum(col("r_c")).over(w))
+      .withColumn("qini_micro",
+        when(col("cum_n_c") > 0, expr(
+          s"""CAST((1000000 * (CAST(cum_r_t AS $d38) * cum_n_c -
+             |  CAST(cum_r_c AS $d38) * cum_n_t)) div cum_n_c AS BIGINT)"""
+            .stripMargin)))
+      .orderBy(col("band").desc)
   }
 }

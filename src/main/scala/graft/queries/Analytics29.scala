@@ -214,5 +214,111 @@ object Analytics29 {
       "window. DW ~ 2 means the trend residuals are independent; near 0 the " +
       "series needs differencing before any OLS readout is trusted.")
 
-  val all: Seq[Declared] = Seq(q354, q355, q356)
+  /** q358 — A-causal: score-band uplift (Qini-style) curve — urgent
+    * orders as "treated", order completion as response, total price
+    * as the targeting score in 50k-dollar bands. Exact cumulative
+    * counts walked from the highest band down; the micro-unit Qini
+    * value prices how many extra completions targeting down to each
+    * band buys over the control baseline. */
+  val q358 = Declared(
+    "q358_uplift_bands", "A-causal",
+    (s, dir) => graft.ops.Experimentation.upliftBands(Tables.orders(s, dir),
+      treated = col("o_orderpriority") === "1-URGENT",
+      responded = col("o_orderstatus") === "F",
+      score = (col("o_totalprice").cast("decimal(18,2)") * 100).cast("long"),
+      bandWidth = 5000000L),
+    Some("""WITH b AS (
+           |  SELECT CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+           |      // 5000000 AS band,
+           |    (o_orderpriority = '1-URGENT') AS t,
+           |    (o_orderstatus = 'F') AS r
+           |  FROM orders),
+           |g AS (
+           |  SELECT band,
+           |    CAST(sum(CASE WHEN t THEN 1 ELSE 0 END) AS BIGINT) AS n_t,
+           |    CAST(sum(CASE WHEN NOT t THEN 1 ELSE 0 END) AS BIGINT) AS n_c,
+           |    CAST(sum(CASE WHEN t AND r THEN 1 ELSE 0 END) AS BIGINT) AS r_t,
+           |    CAST(sum(CASE WHEN NOT t AND r THEN 1 ELSE 0 END) AS BIGINT) AS r_c
+           |  FROM b GROUP BY band),
+           |c AS (
+           |  SELECT *,
+           |    CAST(sum(n_t) OVER w AS BIGINT) AS cum_n_t,
+           |    CAST(sum(n_c) OVER w AS BIGINT) AS cum_n_c,
+           |    CAST(sum(r_t) OVER w AS BIGINT) AS cum_r_t,
+           |    CAST(sum(r_c) OVER w AS BIGINT) AS cum_r_c
+           |  FROM g WINDOW w AS (ORDER BY band DESC
+           |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+           |SELECT band, n_t, n_c, r_t, r_c,
+           |  cum_n_t, cum_n_c, cum_r_t, cum_r_c,
+           |  CASE WHEN cum_n_c > 0 THEN
+           |    CAST((1000000 * (CAST(cum_r_t AS HUGEINT) * cum_n_c -
+           |      CAST(cum_r_c AS HUGEINT) * cum_n_t)) // cum_n_c AS BIGINT)
+           |  END AS qini_micro
+           |FROM c ORDER BY band DESC""".stripMargin),
+    "One band-keyed agg with map-side combine + a cumulative window over the " +
+      "<=|bands| rollup (bounded, call-site-documented). Value-width bands " +
+      "keep banding scan-side and engine-deterministic where rank deciles " +
+      "would need a global sort with irreproducible tie-breaks.")
+
+  /** q359 — T-state/A1: the sequential funnel as a STREAMING state
+    * machine — per user, view → click → purchase in event-time order,
+    * each stage strictly after the last and within 7 days of the
+    * first view, emitted as a changelog and compacted by max
+    * furthest. The batch oracle replays the reach times as chained
+    * conditional mins (the first qualifying event in time order IS
+    * the min), so streaming and warehouse agree row for row. */
+  val q359 = Declared(
+    "q359_stream_funnel", "T-state,A1",
+    (s, dir) => {
+      import graft.streaming.StreamOps
+      TimeSeries.streamEventsToTable(s, dir, "q359", mode = "append")(ev => {
+        import ev.sparkSession.implicits._
+        StreamOps.statefulFunnel(
+          ev.select(col("user_id").cast("string").as("key"),
+            unix_micros(col("ts")).as("us"), col("event_type").as("etype"))
+            .as[StreamOps.TypedStamp],
+          Seq("view", "click", "purchase"), horizonUs = 604800000000L).toDF()
+      })
+        .groupBy(col("user_id"))
+        .agg(max(col("furthest")).as("furthest"),
+          expr("max_by(t1_us, furthest)").as("t1_us"),
+          expr("max_by(t2_us, furthest)").as("t2_us"),
+          expr("max_by(t3_us, furthest)").as("t3_us"))
+        .orderBy(col("user_id"))
+    },
+    Some("""WITH t1 AS (
+           |  SELECT user_id, min(epoch_us(ts)) AS t1 FROM events
+           |  WHERE event_type = 'view' GROUP BY 1),
+           |t2 AS (
+           |  SELECT e.user_id, min(epoch_us(e.ts)) AS t2
+           |  FROM events e JOIN t1 ON e.user_id = t1.user_id
+           |  WHERE e.event_type = 'click' AND epoch_us(e.ts) > t1.t1
+           |    AND epoch_us(e.ts) <= t1.t1 + 604800000000
+           |  GROUP BY 1),
+           |t3 AS (
+           |  SELECT e.user_id, min(epoch_us(e.ts)) AS t3
+           |  FROM events e
+           |  JOIN t2 ON e.user_id = t2.user_id
+           |  JOIN t1 ON e.user_id = t1.user_id
+           |  WHERE e.event_type = 'purchase' AND epoch_us(e.ts) > t2.t2
+           |    AND epoch_us(e.ts) <= t1.t1 + 604800000000
+           |  GROUP BY 1)
+           |SELECT CAST(t1.user_id AS VARCHAR) AS user_id,
+           |  CAST(1 + CASE WHEN t2.t2 IS NOT NULL THEN 1 ELSE 0 END +
+           |    CASE WHEN t3.t3 IS NOT NULL THEN 1 ELSE 0 END AS BIGINT)
+           |    AS furthest,
+           |  t1.t1 AS t1_us,
+           |  coalesce(t2.t2, -1) AS t2_us,
+           |  coalesce(t3.t3, -1) AS t3_us
+           |FROM t1
+           |LEFT JOIN t2 ON t1.user_id = t2.user_id
+           |LEFT JOIN t3 ON t1.user_id = t3.user_id
+           |ORDER BY user_id""".stripMargin),
+    "State is <= 3 longs per user keyed on the funnel actor — the natural " +
+      "shuffle key; emission only on stage growth keeps the changelog " +
+      "monotone so compaction is one max_by. The funnel horizon (not a " +
+      "watermark) bounds state lifetime; the monitoring loop and the " +
+      "warehouse compute the SAME funnel, which is the point of the gate.")
+
+  val all: Seq[Declared] = Seq(q354, q355, q356, q358, q359)
 }

@@ -173,5 +173,34 @@ object LlmExt9 {
       "shuffle key. Catches the 'Showing 1-10 of N' template spam that " +
       "byte-exact dedup misses and near-dup sketches waste candidates on.")
 
-  val all: Seq[Declared] = Seq(q351, q352, q353)
+  /** q357 — E3+/A1: embedding anisotropy per label — the share of
+    * vector energy in the mean direction (Mu & Viswanath 2018).
+    * Healthy slices near 0 ppm; a hot slice means cosines there are
+    * inflated by a shared component. All-integer readout. */
+  val q357 = Declared(
+    "q357_embedding_isotropy", "E3+,A1",
+    (s, dir) => Clustering.embeddingIsotropy(Tables.embeddings(s, dir),
+        col("label").cast("long"), col("embedding"))
+      .orderBy(col("slice")),
+    Some("""WITH pts AS (
+           |  SELECT label, i - 1 AS d,
+           |    CAST(round(CAST(embedding[i] AS DOUBLE) * 1000000, 0) AS BIGINT)
+           |      AS q
+           |  FROM embeddings, (SELECT unnest(range(1, 65)) AS i) idx),
+           |pd AS (
+           |  SELECT label, d, CAST(sum(q) AS HUGEINT) AS s,
+           |    CAST(sum(CAST(q AS HUGEINT) * q) AS HUGEINT) AS qq,
+           |    CAST(count(*) AS BIGINT) AS n
+           |  FROM pts GROUP BY 1, 2)
+           |SELECT CAST(label AS BIGINT) AS slice, max(n) AS n,
+           |  CAST(sum(qq) AS BIGINT) AS sum_norm2,
+           |  CAST((1000000 * CAST(sum(s * s) AS HUGEINT)) //
+           |    (max(n) * CAST(sum(qq) AS HUGEINT)) AS BIGINT) AS aniso_ppm
+           |FROM pd GROUP BY label ORDER BY slice""".stripMargin),
+    "One posexplode + (slice, dim) agg with map-side combine -> a " +
+      "|slices|*dims rollup; the finish is |slices| rows. The " +
+      "embedding-health gate before trusting any cosine op: a large " +
+      "aniso_ppm says subtract the mean (all-but-the-top) first.")
+
+  val all: Seq[Declared] = Seq(q351, q352, q353, q357)
 }

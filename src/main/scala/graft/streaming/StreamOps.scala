@@ -271,4 +271,59 @@ object StreamOps {
     q.stop()
     q.awaitTermination(10000)
   }
+
+  /** Input/output records for the stateful streaming funnel. */
+  final case class TypedStamp(key: String, us: Long, etype: String)
+  final case class FunnelState(reach: List[Long])
+  final case class FunnelOut(user_id: String, furthest: Long,
+    t1_us: Long, t2_us: Long, t3_us: Long)
+
+  /** T-state/A1 — sequential funnel as an explicit streaming state
+    * machine (`flatMapGroupsWithState`): per key, advance through
+    * `stages` in EVENT-TIME order — stage i+1 must be strictly after
+    * stage i's reach time and within `horizonUs` of stage 1 — and
+    * emit the key's row whenever its furthest stage GROWS (a
+    * changelog: consumers keep the max-furthest row per key, which is
+    * also the latest). The reach times are exactly the batch
+    * sequential-funnel mins (first qualifying event in time order IS
+    * the min), so the batch oracle replays them with chained
+    * conditional-min aggregations.
+    *
+    * Ordering contract (statefulDailyEwma's): within a batch events
+    * fold in (us, etype) order; ACROSS batches delivery must be
+    * event-time ordered (file-replay sources under availableNow are)
+    * — an out-of-order earlier event cannot retroactively lower an
+    * already-taken reach time and is simply considered late. State =
+    * at most |stages| longs per key, watermark-free by design (the
+    * funnel horizon, not the watermark, bounds its lifetime).
+    * Currently emits the 3-stage shape (t1..t3; absent = -1). */
+  def statefulFunnel(events: org.apache.spark.sql.Dataset[TypedStamp],
+      stages: Seq[String], horizonUs: Long)
+      : org.apache.spark.sql.Dataset[FunnelOut] = {
+    require(stages.size == 3, "statefulFunnel emits the 3-stage shape")
+    require(horizonUs > 0, "horizonUs must be positive")
+    import events.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+    def handle(key: String, batch: Iterator[TypedStamp],
+        state: GroupState[FunnelState]): Iterator[FunnelOut] = {
+      var reach = state.getOption.map(_.reach).getOrElse(Nil)
+      val before = reach.size
+      val sorted = batch.toSeq.sortBy(e => (e.us, e.etype))
+      sorted.foreach { e =>
+        if (reach.size < stages.size && e.etype == stages(reach.size) &&
+          (reach.isEmpty ||
+            (e.us > reach.last && e.us <= reach.head + horizonUs)))
+          reach = reach :+ e.us
+      }
+      if (reach.size > before) {
+        state.update(FunnelState(reach))
+        val t = reach.padTo(3, -1L)
+        Iterator.single(FunnelOut(key, reach.size.toLong, t(0), t(1), t(2)))
+      } else Iterator.empty
+    }
+    events.groupByKey(_.key)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.NoTimeout)(handle)
+  }
 }

@@ -159,4 +159,17 @@ class ClusteringSpec extends AnyFunSuite {
       .collect().map(_.getLong(3))
     assert(skew.sum > 0, s"disjoint support must diverge, got ${skew.toSeq}")
   }
+
+  test("embeddingIsotropy: identical vectors saturate, mirrored pair cancels") {
+    // slice A: all the same vector -> mean direction holds ALL energy
+    // (1e6 ppm); slice B: v and -v -> mean is zero -> 0 ppm
+    val df = Seq(
+      (0L, "A", Seq(3.0f, 4.0f)), (1L, "A", Seq(3.0f, 4.0f)),
+      (2L, "B", Seq(3.0f, 4.0f)), (3L, "B", Seq(-3.0f, -4.0f)))
+      .toDF("vec_id", "slice_in", "embedding")
+    val out = Clustering.embeddingIsotropy(df, col("slice_in"), col("embedding"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(3))).toMap
+    assert(out("A") == (2L, 1000000L))
+    assert(out("B") == (2L, 0L))
+  }
 }

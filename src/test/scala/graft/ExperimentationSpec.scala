@@ -601,4 +601,25 @@ class ExperimentationSpec extends AnyFunSuite {
         r.getLong(3), r.getLong(4)))
     assert(out.toSeq == Seq((0L, 1L, 2L, 100L, 120L)))
   }
+
+  test("A-causal: upliftBands — cumulative walk and exact Qini values") {
+    import graft.ops.Experimentation
+    import org.apache.spark.sql.functions._
+    // band 1 (score 10-19): 2 treated (1 resp), 2 control (0 resp)
+    // band 0 (score 0-9):   1 treated (0 resp), 1 control (1 resp)
+    val df = Seq(
+      (15L, true, true), (16L, true, false), (17L, false, false),
+      (18L, false, false),
+      (5L, true, false), (6L, false, true))
+      .toDF("score", "t", "r")
+    val out = Experimentation.upliftBands(df, col("t"), col("r"),
+        col("score"), bandWidth = 10L)
+      .collect().map(r => (r.getLong(0), r.getLong(5), r.getLong(6),
+        r.getLong(7), r.getLong(8), r.getLong(9)))
+    // top band: cum 2t/2c, 1/0 resp -> qini = 1e6*(1*2 - 0*2)/2 = 1e6
+    // both bands: cum 3t/3c, 1/1 resp -> qini = 1e6*(1*3 - 1*3)/3 = 0
+    assert(out.toSeq == Seq(
+      (1L, 2L, 2L, 1L, 0L, 1000000L),
+      (0L, 3L, 3L, 1L, 1L, 0L)))
+  }
 }

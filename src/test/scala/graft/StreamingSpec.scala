@@ -281,4 +281,57 @@ class StreamingSpec extends AnyFunSuite {
         "stream-built grid must equal the batch-built grid")
     } finally { q.stop() }
   }
+
+  test("T-state: statefulFunnel — ordered stages across batches, horizon gates") {
+    import graft.streaming.StreamOps
+    import graft.streaming.StreamOps.{TypedStamp, FunnelOut}
+    val dir = tmp()
+    // value encodes the stage: 1=view, 2=click, 3=purchase
+    def toTyped(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("user_id").cast("string").as("key"),
+        unix_micros(col("ts")).as("us"),
+        when(col("value") === 1.0, "view").when(col("value") === 2.0, "click")
+          .otherwise("purchase").as("etype")).as[TypedStamp]
+    // batch 1: user 1 clicks BEFORE any view (must not count), then views;
+    // user 2 views (their click comes 10 days later — outside the horizon)
+    writeBatch(dir, "b1", Seq(
+      (1L, "2024-01-01 09:00:00", 1L, 2.0),
+      (2L, "2024-01-01 10:00:00", 1L, 1.0),
+      (3L, "2024-01-01 10:00:00", 2L, 1.0)))
+    val q = StreamOps.statefulFunnel(
+        toTyped(StreamOps.fileStream(spark, dir, schema)),
+        Seq("view", "click", "purchase"), horizonUs = 7L * 86400000000L)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("tfunnel").start()
+    q.processAllAvailable()
+    val r1 = spark.table("tfunnel").as[FunnelOut].collect()
+    assert(r1.map(o => o.user_id -> o.furthest).toSet ==
+      Set("1" -> 1L, "2" -> 1L), s"got ${r1.toSeq}")
+    // batch 2: user 1's purchase at 10:20 precedes the click at 10:30
+    // within the SAME batch — event-time order means it cannot count;
+    // the click advances the funnel to 2. User 2's click is 10 days
+    // out: horizon-gated, no emission.
+    writeBatch(dir, "b2", Seq(
+      (4L, "2024-01-01 10:20:00", 1L, 3.0),
+      (5L, "2024-01-01 10:30:00", 1L, 2.0),
+      (6L, "2024-01-11 10:00:00", 2L, 2.0)))
+    q.processAllAvailable()
+    val r2 = spark.table("tfunnel").as[FunnelOut].collect()
+    assert(r2.count(_.user_id == "1") == 2)
+    assert(r2.filter(_.user_id == "1").map(_.furthest).max == 2L)
+    assert(r2.count(_.user_id == "2") == 1) // nothing new for user 2
+    // batch 3: a purchase after the click completes user 1's funnel
+    writeBatch(dir, "b3", Seq((7L, "2024-01-01 11:00:00", 1L, 3.0)))
+    q.processAllAvailable()
+    val r3 = spark.table("tfunnel").as[FunnelOut].collect()
+    q.stop()
+    val fin = r3.filter(_.user_id == "1").maxBy(_.furthest)
+    assert(fin.furthest == 3L)
+    assert(fin.t1_us == unixMicrosOf("2024-01-01 10:00:00"))
+    assert(fin.t2_us == unixMicrosOf("2024-01-01 10:30:00"))
+    assert(fin.t3_us == unixMicrosOf("2024-01-01 11:00:00"))
+  }
+
+  private def unixMicrosOf(s: String): Long =
+    java.sql.Timestamp.valueOf(s).getTime * 1000L
 }
