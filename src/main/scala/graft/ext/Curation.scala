@@ -808,4 +808,35 @@ object Curation {
       .agg(count(lit(1)).as("n_tokens"), sum(col("__lr_u")).as("score_u"))
       .select(col("__id").as(idCol), col("n_tokens"), col("score_u"))
   }
+
+  /** E6/E8 — weighted sampling WITHOUT replacement via hash keys
+    * (Efraimidis & Spirakis, "Weighted random sampling with a
+    * reservoir", IPL 2006): each unit gets key u^(1/w) for a
+    * content-derived uniform u — the top-k keys ARE a weighted
+    * sample without replacement. Maximizing u^(1/w) is maximizing
+    * ln(u)/w, computed here as one nano-nat integer per unit
+    * (ln over a ratio of exact integers — the q69 discipline), so
+    * selection is a deterministic top-k on (score, id): reproducible
+    * across engines, reruns and reshards, and mergeable (the top-k of
+    * a union is the top-k of per-part top-ks). Returns the k selected
+    * rows: (id, weight, u_ppm, score_nano), best first.
+    *
+    * Scale: scan-side scoring + TakeOrdered(k) — per-partition heaps,
+    * no global sort, no shuffle wider than k rows. The deterministic
+    * weighted corpus subsampler (quality-weighted doc selection) at
+    * any size. */
+  def weightedSample(df: DataFrame, idCol: String, weightCol: Column,
+      k: Int): DataFrame = {
+    require(k >= 1, "k >= 1")
+    val w = weightCol.cast("long")
+    df.select(col(idCol), w.as("weight"))
+      .filter(col("weight") > 0)
+      .withColumn("u_ppm",
+        pmod(Dedup.md5Hash60(col(idCol).cast("string")), lit(1000000L)) + 1)
+      .withColumn("score_nano", round(
+        log(col("u_ppm").cast("double") / 1e6) / col("weight").cast("double")
+          * 1e9, 0).cast("long"))
+      .orderBy(col("score_nano").desc, col(idCol))
+      .limit(k)
+  }
 }

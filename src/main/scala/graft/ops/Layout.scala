@@ -186,4 +186,41 @@ object Layout {
     }
     steps.mkString(",\n")
   }
+
+  /** E6 — rendezvous (highest-random-weight) sharding + resize audit
+    * (Thaler & Ravishankar, "Using name-based mappings to increase hit
+    * rates", ToN 1998 — the consistent-placement scheme behind
+    * cache/shard routing): each key's shard under `n` nodes is
+    * argmax_s hash(key ‖ s), which moves only ~1/(n+1) of keys when a
+    * node is ADDED — vs ~1−1/n for mod-hashing. This op assigns every
+    * key under `nBefore` and `nAfter` nodes (portable
+    * [[graft.ext.Dedup.md5Hash60]], ties broken by the higher slot id)
+    * and reports the per-shard movement audit: (shard, n, n_moved,
+    * moved_ppm), shard = the BEFORE assignment.
+    *
+    * Scale: pure scan-side arithmetic (n hashes per key, n is the
+    * node count) + one shard-keyed agg with map-side combine. The
+    * resize-cost estimate every storage/router migration plan needs
+    * BEFORE executing it. */
+  def rendezvousShards(df: DataFrame, idCol: Column,
+      nBefore: Int, nAfter: Int): DataFrame = {
+    require(nBefore >= 1 && nAfter >= 1, "node counts >= 1")
+    def assign(n: Int): Column = {
+      // array_max over struct(h, s): highest hash wins, higher slot on
+      // a (never-observed) hash tie — a total, engine-mirrorable order
+      val scored = expr(
+        s"""transform(sequence(0, ${n - 1}), s -> struct(
+           |  CAST(conv(substring(md5(concat(__id, '#', CAST(s AS STRING))),
+           |    1, 15), 16, 10) AS BIGINT) AS h, s AS s))""".stripMargin)
+      array_max(scored).getField("s").cast("long")
+    }
+    df.select(idCol.cast("string").as("__id"))
+      .withColumn("shard", assign(nBefore))
+      .withColumn("__after", assign(nAfter))
+      .groupBy(col("shard"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("shard") =!= col("__after"), 1L).otherwise(0L))
+          .as("n_moved"))
+      .withColumn("moved_ppm", expr("(1000000 * n_moved) div n"))
+  }
 }

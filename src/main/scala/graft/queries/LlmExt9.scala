@@ -4,6 +4,7 @@ import org.apache.spark.sql.functions._
 import graft.core.Tables
 import graft.ext.{Clustering, Dedup}
 import graft.ops.Experimentation
+import LlmExt2.duckMd5Hash60
 
 /** Round-6 batch 51: MAUVE-lite embedding-distribution divergence
   * (Pillutla et al. 2021), coarsened exact matching (Iacus/King/Porro
@@ -202,5 +203,163 @@ object LlmExt9 {
       "embedding-health gate before trusting any cosine op: a large " +
       "aniso_ppm says subtract the mean (all-but-the-top) first.")
 
-  val all: Seq[Declared] = Seq(q351, q352, q353, q357)
+  /** q360 — E6: rendezvous-hash sharding + resize audit — assign
+    * every document under 8 and then 9 nodes and measure per-shard
+    * movement. HRW's contract: adding a node moves ~1/(n+1) ≈ 11% of
+    * keys, vs ~89% for mod-hashing; the audit makes the migration
+    * cost a number before the migration. */
+  val q360 = Declared(
+    "q360_rendezvous_shards", "E6",
+    (s, dir) => graft.ops.Layout.rendezvousShards(
+        Tables.documents(s, dir), col("doc_id"), nBefore = 8, nAfter = 9)
+      .orderBy(col("shard")),
+    Some(s"""WITH ds AS (
+           |  SELECT CAST(doc_id AS VARCHAR) AS id FROM documents),
+           |sh AS (
+           |  SELECT id, n, s,
+           |    ${duckMd5Hash60("id || '#' || CAST(s AS VARCHAR)")} AS h
+           |  FROM ds, (SELECT 8 AS n UNION ALL SELECT 9) nn,
+           |    LATERAL (SELECT unnest(range(0, nn.n)) AS s)),
+           |pick AS (
+           |  SELECT id, n, s FROM (
+           |    SELECT id, n, s, row_number() OVER (
+           |      PARTITION BY id, n ORDER BY h DESC, s DESC) AS rn
+           |    FROM sh) WHERE rn = 1),
+           |wide AS (
+           |  SELECT b.id, b.s AS shard, a.s AS after_s
+           |  FROM pick b JOIN pick a ON b.id = a.id AND a.n = 9
+           |  WHERE b.n = 8)
+           |SELECT CAST(shard AS BIGINT) AS shard,
+           |  CAST(count(*) AS BIGINT) AS n,
+           |  CAST(sum(CASE WHEN shard <> after_s THEN 1 ELSE 0 END)
+           |    AS BIGINT) AS n_moved,
+           |  CAST((1000000 * sum(CASE WHEN shard <> after_s THEN 1 ELSE 0 END))
+           |    // count(*) AS BIGINT) AS moved_ppm
+           |FROM wide GROUP BY shard ORDER BY shard""".stripMargin),
+    "Pure scan-side arithmetic (n hashes per key) + one shard-keyed agg with " +
+      "map-side combine. The resize-cost estimate every storage/router " +
+      "migration needs before executing: HRW moves ~1/(n+1) of keys where " +
+      "mod-hashing moves almost all of them.")
+
+  /** q361 — A-eval/E7: self-BLEU corpus diversity (Zhu et al. 2018,
+    * Texygen) — mean pairwise BLEU-2 over a deterministic sample of
+    * within-source pairs. High self-BLEU = mode-collapsed/templated
+    * source; run over generation batches before training on them. */
+  val q361 = Declared(
+    "q361_self_bleu", "A-eval,E7",
+    (s, dir) => {
+      // constant gate (q45 discipline): the pair space is quadratic in
+      // source size — the oracle-scale slice keeps it fixed across SFs
+      val d = Tables.documents(s, dir).filter(col("doc_id") < 500)
+        .select(col("source"), col("doc_id"), col("text"))
+      val a = d.select(col("source"), col("doc_id").as("ida"),
+        col("text").as("cand"))
+      val b = d.select(col("source"), col("doc_id").as("idb"),
+        col("text").as("ref"))
+      val pairs = a.join(b, Seq("source"))
+        .filter(col("ida") < col("idb") &&
+          (col("ida") + col("idb")) % 7 === 0)
+        .select(concat_ws(":", col("source"), col("ida"), col("idb"))
+          .as("pid"), col("cand"), col("ref"))
+      graft.ext.Curation.bleu(pairs, "pid", "cand", "ref", maxN = 2)
+        .withColumn("source", split(col("pid"), ":")(0))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_pairs"),
+          expr("sum(bleu_nano) div count(1)").as("mean_bleu_nano"))
+        .orderBy(col("source"))
+    },
+    Some("""WITH prs AS (
+           |  SELECT a.source,
+           |    list_filter(regexp_split_to_array(lower(a.text), '\s+'),
+           |      x -> x <> '') AS ct,
+           |    list_filter(regexp_split_to_array(lower(b.text), '\s+'),
+           |      x -> x <> '') AS rt,
+           |    a.source || ':' || a.doc_id || ':' || b.doc_id AS pid
+           |  FROM documents a JOIN documents b ON a.source = b.source
+           |  WHERE a.doc_id < 500 AND b.doc_id < 500
+           |    AND a.doc_id < b.doc_id AND (a.doc_id + b.doc_id) % 7 = 0),
+           |c1 AS (
+           |  SELECT pid, g, CAST(count(*) AS BIGINT) AS cc FROM
+           |    (SELECT pid, unnest(ct) AS g FROM prs) GROUP BY 1, 2),
+           |r1 AS (
+           |  SELECT pid, g, CAST(count(*) AS BIGINT) AS cr FROM
+           |    (SELECT pid, unnest(rt) AS g FROM prs) GROUP BY 1, 2),
+           |ov1 AS (
+           |  SELECT pid, CAST(sum(least(cc, cr)) AS BIGINT) AS ov
+           |  FROM c1 JOIN r1 USING (pid, g) GROUP BY pid),
+           |t1 AS (SELECT pid, CAST(sum(cc) AS BIGINT) AS tot
+           |       FROM c1 GROUP BY pid),
+           |c2 AS (
+           |  SELECT pid, g, CAST(count(*) AS BIGINT) AS cc FROM
+           |    (SELECT pid, ct[i] || ' ' || ct[i + 1] AS g
+           |     FROM (SELECT pid, ct, unnest(range(1, len(ct))) AS i FROM prs))
+           |  GROUP BY 1, 2),
+           |r2 AS (
+           |  SELECT pid, g, CAST(count(*) AS BIGINT) AS cr FROM
+           |    (SELECT pid, rt[i] || ' ' || rt[i + 1] AS g
+           |     FROM (SELECT pid, rt, unnest(range(1, len(rt))) AS i FROM prs))
+           |  GROUP BY 1, 2),
+           |ov2 AS (
+           |  SELECT pid, CAST(sum(least(cc, cr)) AS BIGINT) AS ov
+           |  FROM c2 JOIN r2 USING (pid, g) GROUP BY pid),
+           |t2 AS (SELECT pid, CAST(sum(cc) AS BIGINT) AS tot
+           |       FROM c2 GROUP BY pid),
+           |j AS (
+           |  SELECT p.pid, split_part(p.pid, ':', 1) AS source,
+           |    CAST(len(p.ct) AS BIGINT) AS c_len,
+           |    CAST(len(p.rt) AS BIGINT) AS r_len,
+           |    coalesce(ov1.ov, 0) AS overlap_1, coalesce(t1.tot, 0) AS tot1,
+           |    coalesce(ov2.ov, 0) AS overlap_2, coalesce(t2.tot, 0) AS tot2
+           |  FROM prs p
+           |  LEFT JOIN ov1 ON ov1.pid = p.pid
+           |  LEFT JOIN t1 ON t1.pid = p.pid
+           |  LEFT JOIN ov2 ON ov2.pid = p.pid
+           |  LEFT JOIN t2 ON t2.pid = p.pid),
+           |scored AS (
+           |  SELECT source,
+           |    CAST(round(
+           |      (CASE WHEN c_len >= r_len THEN 1.0
+           |        ELSE exp(1.0 - CAST(r_len AS DOUBLE) / CAST(c_len AS DOUBLE))
+           |        END) *
+           |      exp((ln(CAST(overlap_1 + 1 AS DOUBLE) /
+           |             CAST(tot1 + 1 AS DOUBLE)) +
+           |           ln(CAST(overlap_2 + 1 AS DOUBLE) /
+           |             CAST(tot2 + 1 AS DOUBLE))) / 2) * 1e9, 0) AS BIGINT)
+           |      AS bleu_nano
+           |  FROM j)
+           |SELECT source, CAST(count(*) AS BIGINT) AS n_pairs,
+           |  CAST(sum(bleu_nano) // count(*) AS BIGINT) AS mean_bleu_nano
+           |FROM scored GROUP BY source ORDER BY source""".stripMargin),
+    "The pair sample is a deterministic hash-free predicate ((ida+idb) % 7) so " +
+      "pair volume is a fixed fraction of each source's quadratic — bounded " +
+      "per source exactly like SemDeDup's clusters; the BLEU core is q332's " +
+      "content-keyed gram machinery. The mode-collapse screen for synthetic " +
+      "generation batches.")
+
+  /** q362 — E6/E8: deterministic weighted sampling without
+    * replacement (Efraimidis-Spirakis) — 50 documents drawn with
+    * probability proportional to length, selection = top-k of a
+    * content-derived integer key, reproducible anywhere. */
+  val q362 = Declared(
+    "q362_weighted_sample", "E6,E8",
+    (s, dir) => graft.ext.Curation.weightedSample(
+        Tables.documents(s, dir), "doc_id", col("n_chars"), k = 50)
+      .orderBy(col("score_nano").desc, col("doc_id")),
+    Some(s"""WITH u AS (
+           |  SELECT doc_id, CAST(n_chars AS BIGINT) AS weight,
+           |    (${duckMd5Hash60("CAST(doc_id AS VARCHAR)")} % 1000000) + 1
+           |      AS u_ppm
+           |  FROM documents WHERE n_chars > 0)
+           |SELECT doc_id, weight, u_ppm,
+           |  CAST(round(ln(CAST(u_ppm AS DOUBLE) / 1e6) /
+           |    CAST(weight AS DOUBLE) * 1e9, 0) AS BIGINT) AS score_nano
+           |FROM u
+           |ORDER BY score_nano DESC, doc_id
+           |LIMIT 50""".stripMargin),
+    "Scan-side scoring + TakeOrdered(k): per-partition heaps, no global sort, " +
+      "no shuffle wider than k rows, and the top-k of a union is the top-k of " +
+      "per-part top-ks — the mergeable weighted subsampler. What 'sample 1M " +
+      "docs proportional to quality' actually runs at 100 TB.")
+
+  val all: Seq[Declared] = Seq(q351, q352, q353, q357, q360, q361, q362)
 }

@@ -958,4 +958,23 @@ class CurationSpec extends AnyFunSuite {
     // one family: 3 docs, 2 distinct raw texts, first id 1; doc 4 silent
     assert(out.toSeq == Seq((3L, 2L, 1L)))
   }
+
+  test("E6: weightedSample — deterministic, weight-gated, k-bounded") {
+    import graft.ext.Curation
+    val docs = (1L to 200L).map(i => (i, if (i <= 100) 1000L else 10L))
+      .toDF("doc_id", "w")
+    val s1 = Curation.weightedSample(docs, "doc_id", col("w"), k = 20)
+      .collect().map(_.getLong(0)).toSeq
+    val s2 = Curation.weightedSample(docs, "doc_id", col("w"), k = 20)
+      .collect().map(_.getLong(0)).toSeq
+    assert(s1 == s2 && s1.length == 20)          // reproducible, k rows
+    // 100x weight -> heavy ids dominate the sample
+    assert(s1.count(_ <= 100) >= 15, s"heavy ids underrepresented: $s1")
+    // non-positive weights are excluded entirely
+    val withZero = docs.withColumn("w",
+      when(col("doc_id") <= 100, 0L).otherwise(col("w")))
+    val s3 = Curation.weightedSample(withZero, "doc_id", col("w"), k = 20)
+      .collect().map(_.getLong(0))
+    assert(s3.forall(_ > 100))
+  }
 }

@@ -118,4 +118,24 @@ class LayoutSpec extends AnyFunSuite {
     assert(walkCost("h") == 63)       // 63 unit steps, the optimum
     assert(walkCost("z") > walkCost("h")) // Morton pays seam jumps
   }
+
+  test("E6: rendezvousShards — full coverage, single-node identity, bounded movement") {
+    import org.apache.spark.sql.functions._
+    val spark2 = SparkTestSession.spark
+    import spark2.implicits._
+    val ids = (1L to 500L).toDF("id")
+    // n -> n: nothing can move
+    val same = graft.ops.Layout.rendezvousShards(ids, col("id"), 4, 4)
+      .collect()
+    assert(same.map(_.getAs[Long]("n")).sum == 500L)
+    assert(same.forall(_.getAs[Long]("n_moved") == 0L))
+    // 4 -> 5: HRW moves ~1/5 of keys; assert well under a mod-hash reshuffle
+    val grow = graft.ops.Layout.rendezvousShards(ids, col("id"), 4, 5)
+      .collect()
+    val total = grow.map(_.getAs[Long]("n")).sum
+    val moved = grow.map(_.getAs[Long]("n_moved")).sum
+    assert(total == 500L)
+    assert(moved > 0 && moved < 200L, s"moved $moved of $total — HRW should move ~100")
+    assert(grow.map(_.getAs[Long]("shard")).toSet.subsetOf((0L until 4L).toSet))
+  }
 }
