@@ -55,6 +55,12 @@ object Aggregates {
   graft.plans.Guardrails.expect("single_partition_window",
     "__na, __nb", "ksTest/wasserstein1: 1-row totals over the value rollup")
   graft.plans.Guardrails.expect("single_partition_window",
+    "__cn, __cs, __t, __y",
+    "binarySegmentation: prefix walk over the bounded series rollup")
+  graft.plans.Guardrails.expect("cartesian_join",
+    "__rt, __rcn, __rcs",
+    "binarySegmentation: 1-row root-split frame broadcast to the sides")
+  graft.plans.Guardrails.expect("single_partition_window",
     "__v, __ca, __cb", "wasserstein1: distinct-value gap rollup")
   graft.plans.Guardrails.expect("single_partition_window",
     "__W, ", "largestRemainder: |keys|-row seat table")
@@ -2717,5 +2723,71 @@ object Aggregates {
         col("__den").cast("double").as("den_mu2"),
         when(col("__den") > 0,
           col("__num").cast("double") / col("__den").cast("double")).as("dw"))
+  }
+
+  /** A-stat/A8 — binary-segmentation changepoint detection, depth 2
+    * (Scott & Knott 1974 / the standard recursive CUSUM-split scheme):
+    * find the split of a series maximizing the between-segment
+    * variance gain G(t) = (S₁·n₂ − S₂·n₁)² / (n₁·n₂) (the
+    * cleared-denominator form of n₁n₂/n·(ȳ₁−ȳ₂)²), then recurse once
+    * into each side — three candidate changepoints per series. The
+    * gain numerator is an exact DECIMAL(38,0) square; only the final
+    * division is a double over identical operands, and argmax ties
+    * break on the EARLIER position — engine-replayable layer by
+    * layer. Callers pass a SERIES frame (already rolled up). Returns
+    * 3 rows: (level ∈ {1 root, 2 left, 3 right}, seg_start, seg_end,
+    * split_at [last position of the left half], gain).
+    *
+    * Scale: one prefix window over the rollup-sized series (bounded,
+    * documented) + three TakeOrdered(1) argmax passes over it — the
+    * fact-table pass is whatever built the series. */
+  def binarySegmentation(series: DataFrame, orderCol: Column,
+      valueCol: Column): DataFrame = {
+    val d38 = "decimal(38,0)"
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col("__t"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    // prefix frame: bounded series rollup (documented hazard)
+    val pre = series.select(orderCol.as("__t"), valueCol.cast("long").as("__y"))
+      .withColumn("__cn", count(lit(1)).over(w))
+      .withColumn("__cs", sum(col("__y")).over(w))
+      .localCheckpoint() // read by all three argmax passes
+    val bounds = pre.agg(min(col("__t")).as("__lo"), max(col("__t")).as("__hi"),
+      max(col("__cn")).as("__n"), max(col("__cs")).as("__s"))
+    def argmaxSplit(level: Int, segLo: Column, segHi: Column,
+        cnLo: Column, csLo: Column, cnHi: Column, csHi: Column,
+        frame: DataFrame): DataFrame = {
+      frame
+        .filter(col("__t") >= segLo && col("__t") < segHi)
+        .withColumn("__n1", col("__cn") - cnLo)
+        .withColumn("__s1", (col("__cs") - csLo).cast(d38))
+        .withColumn("__n2", cnHi - col("__cn"))
+        .withColumn("__s2", (csHi - col("__cs")).cast(d38))
+        .filter(col("__n1") > 0 && col("__n2") > 0)
+        .withColumn("__num",
+          col("__s1") * col("__n2").cast(d38) - col("__s2") * col("__n1").cast(d38))
+        .withColumn("gain", (col("__num") * col("__num")).cast("double") /
+          (col("__n1") * col("__n2")).cast("double"))
+        .orderBy(col("gain").desc, col("__t"))
+        .limit(1)
+        .select(lit(level.toLong).as("level"), segLo.as("seg_start"),
+          segHi.as("seg_end"), col("__t").as("split_at"), col("gain"),
+          col("__cn").as("__cnSplit"), col("__cs").as("__csSplit"))
+    }
+    val root = argmaxSplit(1, col("__lo"), col("__hi"), lit(0L), lit(0L),
+      col("__n"), col("__s"), pre.crossJoin(broadcast(bounds)))
+      .localCheckpoint()
+    val rootB = broadcast(root.select(col("split_at").as("__rt"),
+      col("__cnSplit").as("__rcn"), col("__csSplit").as("__rcs")))
+    val withRoot = pre.crossJoin(rootB).crossJoin(broadcast(bounds))
+    val left = argmaxSplit(2, col("__lo"), col("__rt"), lit(0L), lit(0L),
+      col("__rcn"), col("__rcs"), withRoot)
+    val right = argmaxSplit(3, expr("__rt + 1"), col("__hi"),
+      col("__rcn"), col("__rcs"), col("__n"), col("__s"), withRoot)
+    root.select(col("level"), col("seg_start"), col("seg_end"),
+        col("split_at"), col("gain"))
+      .unionByName(left.select(col("level"), col("seg_start"), col("seg_end"),
+        col("split_at"), col("gain")))
+      .unionByName(right.select(col("level"), col("seg_start"), col("seg_end"),
+        col("split_at"), col("gain")))
   }
 }

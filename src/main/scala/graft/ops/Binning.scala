@@ -121,4 +121,90 @@ object Binning {
       .map(r => r.getString(1))
     labels.toIndexedSeq.zip(colorMap(labels.length))
   }
+
+  /** A9 — Fisher-Jenks natural breaks (Fisher, "On grouping for
+    * maximum homogeneity", JASA 1958; Jenks' cartographic use): the
+    * OPTIMAL k-class 1-D clustering minimizing within-class sum of
+    * squared deviations, computed by exact dynamic programming over a
+    * PRE-BINNED value rollup — the standard two-level scheme at
+    * scale (the DP is O(bins²·k), so bins is the resolution/cost
+    * knob; the data pass is one agg). Class costs are micro-quantized
+    * from exact integer (n, Σv, Σv²) prefix differences, DP state is
+    * integer sums of those terms, and argmin ties break to the LOWEST
+    * split index — a pure function of the input that an engine
+    * replaying the same DP table agrees with exactly.
+    *
+    * Returns one row per class: (class_id 1..k, bin_lo, bin_hi
+    * [0-based, inclusive], n, cost_u).
+    *
+    * Scale: ONE (bin)-keyed agg with map-side combine over the data;
+    * the ≤`nBins`-row rollup is a bounded driver solve (the kriging /
+    * bin-labels license) and the DP is microseconds. */
+  def jenksBreaks(df: DataFrame, valueCol: Column, nBins: Int,
+      k: Int): DataFrame = {
+    require(nBins >= 2 && k >= 2 && k <= nBins, "need 2 <= k <= nBins")
+    val d38 = "decimal(38,0)"
+    val v = valueCol.cast("long")
+    val mm = df.agg(min(v).as("lo"), max(v).as("hi")).head()
+    val lo = mm.getLong(0); val hi = mm.getLong(1)
+    val width = hi - lo + 1
+    val rolled = df
+      // integer `div` (not `/`): the double quotient's rounding could
+      // flip a floor at a bin boundary; div matches DuckDB's `//`
+      .select(v.as("__v"))
+      .select(expr(s"((__v - $lo) * $nBins) div $width").as("bin"),
+        col("__v"))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("__v").cast(d38)).as("s"),
+        sum((col("__v") * col("__v")).cast(d38)).as("q"))
+      .collect() // <= nBins rows — bounded driver solve by design
+    val N = new Array[BigInt](nBins + 1)
+    val S = new Array[BigInt](nBins + 1)
+    val Q = new Array[BigInt](nBins + 1)
+    N(0) = 0; S(0) = 0; Q(0) = 0
+    val byBin = rolled.map(r => r.getLong(0).toInt ->
+      (BigInt(r.getLong(1)), r.getDecimal(2).toBigInteger: BigInt,
+        r.getDecimal(3).toBigInteger: BigInt)).toMap
+    for (b <- 1 to nBins) {
+      val (n, s, q) = byBin.getOrElse(b - 1, (BigInt(0), BigInt(0), BigInt(0)))
+      N(b) = N(b - 1) + n; S(b) = S(b - 1) + s; Q(b) = Q(b - 1) + q
+    }
+    // class cost over 1-based bins [i, j]: micro-quantized SSE in
+    // 1e6-cents² units — the double chain mirrored by the oracle
+    def cost(i: Int, j: Int): Long = {
+      val n = (N(j) - N(i - 1)).toDouble
+      if (n == 0) 0L
+      else {
+        val s = (S(j) - S(i - 1)).toDouble
+        val q = (Q(j) - Q(i - 1)).toDouble
+        math.round((q - s * s / n) / 1000000.0)
+      }
+    }
+    // DP: d(kk)(j) = best cost of kk classes over bins 1..j; best(kk)(j)
+    // = the LOWEST argmin start of the last class
+    val dp = Array.ofDim[Long](k + 1, nBins + 1)
+    val best = Array.ofDim[Int](k + 1, nBins + 1)
+    for (j <- 1 to nBins) { dp(1)(j) = cost(1, j); best(1)(j) = 1 }
+    for (kk <- 2 to k; j <- kk to nBins) {
+      var bv = Long.MaxValue; var bi = -1
+      for (i <- kk to j) {
+        val c = dp(kk - 1)(i - 1) + cost(i, j)
+        if (c < bv) { bv = c; bi = i }
+      }
+      dp(kk)(j) = bv; best(kk)(j) = bi
+    }
+    // backtrack the k class start bins
+    val starts = new Array[Int](k + 1)
+    var j = nBins
+    for (kk <- k to 1 by -1) { starts(kk) = best(kk)(j); j = starts(kk) - 1 }
+    val spark = df.sparkSession
+    import spark.implicits._
+    (1 to k).map { kk =>
+      val i = starts(kk)
+      val jj = if (kk == k) nBins else starts(kk + 1) - 1
+      (kk.toLong, (i - 1).toLong, (jj - 1).toLong,
+        (N(jj) - N(i - 1)).toLong, cost(i, jj))
+    }.toDF("class_id", "bin_lo", "bin_hi", "n", "cost_u")
+  }
 }

@@ -320,5 +320,162 @@ object Analytics29 {
       "watermark) bounds state lifetime; the monitoring loop and the " +
       "warehouse compute the SAME funnel, which is the point of the gate.")
 
-  val all: Seq[Declared] = Seq(q354, q355, q356, q358, q359)
+  /** q363 — A9: Fisher-Jenks natural breaks of extended price — the
+    * OPTIMAL 4-class 1-D clustering over a 32-bin rollup, exact DP
+    * with micro-quantized class costs and lowest-index tie-breaks.
+    * The oracle rebuilds the full DP table and backtracks the same
+    * splits, so any divergence in any cell trips the hash. */
+  val q363 = Declared(
+    "q363_jenks_breaks", "A9",
+    (s, dir) => graft.ops.Binning.jenksBreaks(Tables.lineitem(s, dir),
+        (col("l_extendedprice").cast("decimal(18,2)") * 100).cast("long"),
+        nBins = 32, k = 4)
+      .orderBy(col("class_id")),
+    Some {
+      def dk(k: Int) =
+        s"""d$k AS (
+           |  SELECT j, val, besti FROM (
+           |    SELECT c.j, d.val + c.c AS val, c.i AS besti,
+           |      row_number() OVER (PARTITION BY c.j
+           |        ORDER BY d.val + c.c, c.i) AS rn
+           |    FROM cost c JOIN d${k - 1} d ON d.j = c.i - 1
+           |    WHERE c.i >= $k) WHERE rn = 1)""".stripMargin
+      s"""WITH vals AS (
+         |  SELECT CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+         |    AS v FROM lineitem),
+         |mm AS (SELECT min(v) AS lo, max(v) AS hi FROM vals),
+         |ro AS (
+         |  SELECT ((v - lo) * 32) // (hi - lo + 1) AS bin,
+         |    CAST(count(*) AS HUGEINT) AS n,
+         |    CAST(sum(v) AS HUGEINT) AS s,
+         |    CAST(sum(CAST(v AS HUGEINT) * v) AS HUGEINT) AS q
+         |  FROM vals, mm GROUP BY 1),
+         |grid AS (
+         |  SELECT gb.b AS bin, coalesce(n, 0) AS n, coalesce(s, 0) AS s,
+         |    coalesce(q, 0) AS q
+         |  FROM (SELECT unnest(range(0, 32)) AS b) gb
+         |  LEFT JOIN ro ON ro.bin = gb.b),
+         |pre AS (
+         |  SELECT bin + 1 AS j,
+         |    CAST(sum(n) OVER w AS HUGEINT) AS cn,
+         |    CAST(sum(s) OVER w AS HUGEINT) AS cs,
+         |    CAST(sum(q) OVER w AS HUGEINT) AS cq
+         |  FROM grid WINDOW w AS (ORDER BY bin
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+         |pre0 AS (
+         |  SELECT CAST(0 AS BIGINT) AS j, CAST(0 AS HUGEINT) AS cn,
+         |    CAST(0 AS HUGEINT) AS cs, CAST(0 AS HUGEINT) AS cq
+         |  UNION ALL SELECT j, cn, cs, cq FROM pre),
+         |cost AS (
+         |  SELECT l.j + 1 AS i, h.j AS j,
+         |    CASE WHEN h.cn - l.cn > 0 THEN
+         |      CAST(round((CAST(h.cq - l.cq AS DOUBLE) -
+         |        CAST(h.cs - l.cs AS DOUBLE) * CAST(h.cs - l.cs AS DOUBLE) /
+         |          CAST(h.cn - l.cn AS DOUBLE)) / 1000000.0, 0) AS BIGINT)
+         |      ELSE CAST(0 AS BIGINT) END AS c
+         |  FROM pre0 l JOIN pre0 h ON h.j >= l.j + 1
+         |  WHERE l.j <= 31),
+         |d1 AS (SELECT j, c AS val, CAST(1 AS BIGINT) AS besti
+         |       FROM cost WHERE i = 1),
+         |${(2 to 4).map(dk).mkString(",\n")},
+         |s4 AS (SELECT besti FROM d4 WHERE j = 32),
+         |s3 AS (SELECT d3.besti FROM d3, s4 WHERE d3.j = s4.besti - 1),
+         |s2 AS (SELECT d2.besti FROM d2, s3 WHERE d2.j = s3.besti - 1),
+         |cls AS (
+         |  SELECT CAST(1 AS BIGINT) AS class_id, CAST(1 AS BIGINT) AS i,
+         |    s2.besti - 1 AS j FROM s2
+         |  UNION ALL SELECT 2, s2.besti, s3.besti - 1 FROM s2, s3
+         |  UNION ALL SELECT 3, s3.besti, s4.besti - 1 FROM s3, s4
+         |  UNION ALL SELECT 4, s4.besti, 32 FROM s4)
+         |SELECT cls.class_id, CAST(cls.i - 1 AS BIGINT) AS bin_lo,
+         |  CAST(cls.j - 1 AS BIGINT) AS bin_hi,
+         |  CAST(h.cn - l.cn AS BIGINT) AS n, cost.c AS cost_u
+         |FROM cls
+         |JOIN pre0 l ON l.j = cls.i - 1
+         |JOIN pre0 h ON h.j = cls.j
+         |JOIN cost ON cost.i = cls.i AND cost.j = cls.j
+         |ORDER BY cls.class_id""".stripMargin
+    },
+    "ONE bin-keyed agg over the data; the <=32-row rollup is a bounded " +
+      "driver solve (the kriging/bin-labels license) and the O(bins^2 k) DP " +
+      "is microseconds. Pre-binning is the standard two-level Jenks at scale " +
+      "— bins set the resolution knob, the data pass stays a single scan. " +
+      "The principled alternative to eyeballed thresholds in q16's styling.")
+
+  /** q364 — A-stat/A8: binary-segmentation changepoints of the daily
+    * order-count series — the root split maximizing between-segment
+    * variance gain, then one recursive split per side. Gains are
+    * exact-integer squares over a double division; argmax ties break
+    * on the earlier day; the oracle replays all three argmax layers. */
+  val q364 = Declared(
+    "q364_binary_segmentation", "A-stat,A8",
+    (s, dir) => {
+      val daily = Tables.orders(s, dir)
+        .groupBy(expr("datediff(o_orderdate, DATE'1970-01-01')").cast("long")
+          .as("day"))
+        .agg(count(lit(1)).as("cnt"))
+      Aggregates.binarySegmentation(daily, col("day"), col("cnt"))
+        .orderBy(col("level"))
+    },
+    Some("""WITH daily AS (
+           |  SELECT CAST(datediff('day', DATE '1970-01-01', o_orderdate)
+           |    AS BIGINT) AS t, CAST(count(*) AS BIGINT) AS y
+           |  FROM orders GROUP BY 1),
+           |pre AS (
+           |  SELECT t,
+           |    CAST(sum(1) OVER w AS BIGINT) AS cn,
+           |    CAST(sum(y) OVER w AS BIGINT) AS cs
+           |  FROM daily WINDOW w AS (ORDER BY t
+           |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+           |b AS (SELECT min(t) AS lo, max(t) AS hi, max(cn) AS n,
+           |      max(cs) AS s FROM pre),
+           |g1 AS (
+           |  SELECT p.t, p.cn, p.cs,
+           |    CAST((CAST(p.cs AS HUGEINT) * (b.n - p.cn) -
+           |      CAST(b.s - p.cs AS HUGEINT) * p.cn) *
+           |      (CAST(p.cs AS HUGEINT) * (b.n - p.cn) -
+           |      CAST(b.s - p.cs AS HUGEINT) * p.cn) AS DOUBLE) /
+           |      CAST(p.cn * (b.n - p.cn) AS DOUBLE) AS gain
+           |  FROM pre p, b
+           |  WHERE p.t < b.hi AND p.cn > 0 AND b.n - p.cn > 0),
+           |r1 AS (SELECT t, cn, cs, gain FROM (
+           |  SELECT *, row_number() OVER (ORDER BY gain DESC, t) AS rn
+           |  FROM g1) WHERE rn = 1),
+           |g2 AS (
+           |  SELECT p.t,
+           |    CAST((CAST(p.cs AS HUGEINT) * (r1.cn - p.cn) -
+           |      CAST(r1.cs - p.cs AS HUGEINT) * p.cn) *
+           |      (CAST(p.cs AS HUGEINT) * (r1.cn - p.cn) -
+           |      CAST(r1.cs - p.cs AS HUGEINT) * p.cn) AS DOUBLE) /
+           |      CAST(p.cn * (r1.cn - p.cn) AS DOUBLE) AS gain
+           |  FROM pre p, r1
+           |  WHERE p.t < r1.t AND p.cn > 0 AND r1.cn - p.cn > 0),
+           |r2 AS (SELECT t, gain FROM (
+           |  SELECT *, row_number() OVER (ORDER BY gain DESC, t) AS rn
+           |  FROM g2) WHERE rn = 1),
+           |g3 AS (
+           |  SELECT p.t,
+           |    CAST((CAST(p.cs - r1.cs AS HUGEINT) * (b.n - p.cn) -
+           |      CAST(b.s - p.cs AS HUGEINT) * (p.cn - r1.cn)) *
+           |      (CAST(p.cs - r1.cs AS HUGEINT) * (b.n - p.cn) -
+           |      CAST(b.s - p.cs AS HUGEINT) * (p.cn - r1.cn)) AS DOUBLE) /
+           |      CAST((p.cn - r1.cn) * (b.n - p.cn) AS DOUBLE) AS gain
+           |  FROM pre p, r1, b
+           |  WHERE p.t > r1.t AND p.t < b.hi
+           |    AND p.cn - r1.cn > 0 AND b.n - p.cn > 0),
+           |r3 AS (SELECT t, gain FROM (
+           |  SELECT *, row_number() OVER (ORDER BY gain DESC, t) AS rn
+           |  FROM g3) WHERE rn = 1)
+           |SELECT CAST(1 AS BIGINT) AS level, b.lo AS seg_start,
+           |  b.hi AS seg_end, r1.t AS split_at, r1.gain FROM b, r1
+           |UNION ALL SELECT 2, b.lo, r1.t, r2.t, r2.gain FROM b, r1, r2
+           |UNION ALL SELECT 3, r1.t + 1, b.hi, r3.t, r3.gain FROM b, r1, r3
+           |ORDER BY level""".stripMargin),
+    "One prefix window over the DAILY rollup (bounded, documented hazard) + " +
+      "three TakeOrdered(1) argmax passes over it; the fact-table cost is the " +
+      "day rollup itself. The multi-changepoint extension of q244's single " +
+      "Pettitt point — run on ingest-volume series to segment regime shifts " +
+      "before fitting anything per-regime.")
+
+  val all: Seq[Declared] = Seq(q354, q355, q356, q358, q359, q363, q364)
 }

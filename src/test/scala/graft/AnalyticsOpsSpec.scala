@@ -1890,4 +1890,19 @@ class AnalyticsOpsSpec extends AnyFunSuite {
     val re = Aggregates.durbinWatson(exact, col("k"), col("x"), col("y")).head()
     assert(re.isNullAt(re.fieldIndex("dw")))
   }
+
+  test("A-stat: binarySegmentation — staircase splits at the jumps, tie to earlier") {
+    // 10,10,... (t 1-10), 50,... (11-20), 90,... (21-30): root gain ties
+    // between t=10 and t=20 -> earlier wins; right segment then splits
+    // at 20; the constant left segment has zero gain
+    val series = (1 to 30).map(t =>
+      (t.toLong, if (t <= 10) 10L else if (t <= 20) 50L else 90L))
+      .toDF("t", "y")
+    val out = Aggregates.binarySegmentation(series, col("t"), col("y"))
+      .orderBy(col("level"))
+      .collect().map(r => (r.getLong(0), r.getLong(3), r.getDouble(4)))
+    assert(out(0)._1 == 1L && out(0)._2 == 10L, s"root: ${out.toSeq}")
+    assert(out(1)._1 == 2L && out(1)._3 == 0.0, s"left: ${out.toSeq}")
+    assert(out(2)._1 == 3L && out(2)._2 == 20L, s"right: ${out.toSeq}")
+  }
 }

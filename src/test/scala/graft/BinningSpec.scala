@@ -44,4 +44,16 @@ class BinningSpec extends AnyFunSuite {
     val st = Binning.styling(Binning.cut(df, "v", 2), "v")
     assert(st.length == 2 && st.forall(_._2.matches("#[0-9a-f]{6}")))
   }
+
+  test("A9: jenksBreaks — well-separated clusters split exactly") {
+    import org.apache.spark.sql.functions._
+    val df = Seq(1L, 2L, 3L, 100L, 101L, 102L).toDF("v")
+    val out = graft.ops.Binning.jenksBreaks(df, col("v"), nBins = 10, k = 2)
+      .orderBy(col("class_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(3), r.getLong(4)))
+    // optimal 2-class split separates the two tight clusters; within-
+    // class SSE is ~2 cents^2 scale -> 0 in micro-units
+    assert(out.map(_._2).toSeq == Seq(3L, 3L), s"got ${out.toSeq}")
+    assert(out.forall(_._3 == 0L))
+  }
 }
