@@ -136,5 +136,126 @@ object LlmExt10 {
       "number that sizes a serving fleet's radix/prefix KV cache and prices " +
       "prompt-template consolidation before deployment.")
 
-  val all: Seq[Declared] = Seq(q365, q366, q367)
+  /** q368 — T5+T2: CHAINED stateful streaming — watermark →
+    * dropDuplicatesWithinWatermark on (user, type, window) → tumbling
+    * 6 h windowed count, append mode (the multiple-stateful-operator
+    * pipeline). Per window the count is the DISTINCT (user, type)
+    * pairs, which the batch oracle computes directly; append emits
+    * only watermark-sealed windows, so both sides filter to windows
+    * safely before the horizon. */
+  val q368 = Declared(
+    "q368_stream_dedup_window", "T5,T2",
+    (s, dir) => {
+      TimeSeries.streamEventsToTable(s, dir, "q368", mode = "append")(ev => {
+        val deduped = ev
+          .withColumn("wstart",
+            window(col("ts"), "6 hours").getField("start"))
+          .withWatermark("ts", "1 hour")
+          .dropDuplicatesWithinWatermark("user_id", "event_type", "wstart")
+        deduped.groupBy(window(col("ts"), "6 hours"))
+          .agg(count(lit(1)).as("n_distinct_pairs"))
+          .select(col("window.start").as("window_start"),
+            col("n_distinct_pairs"))
+      })
+        .filter(col("window_start") <
+          lit("2024-01-29 00:00:00").cast("timestamp"))
+        .orderBy(col("window_start"))
+    },
+    Some("""SELECT make_timestamp(epoch_us(ts) // 21600000000 * 21600000000)
+           |    AS window_start,
+           |  CAST(count(DISTINCT user_id || '|' || event_type) AS BIGINT)
+           |    AS n_distinct_pairs
+           |FROM events
+           |GROUP BY 1
+           |HAVING window_start < TIMESTAMP '2024-01-29 00:00:00'
+           |ORDER BY window_start""".stripMargin),
+    "Two chained state stores, both keyed and watermark-bounded: dedup state " +
+      "= one row per distinct (user, type, window) inside the horizon, agg " +
+      "state = one row per open window. The dedup-then-aggregate shape every " +
+      "exactly-once metrics pipeline needs — without the chain, upstream " +
+      "replays double-count.")
+
+  /** q369 — E3+/E7: cluster-mixing entropy — k-means the embeddings
+    * (q351's k = 8 rounds), then per cluster the source-distribution
+    * entropy in micro-nats. Low-entropy clusters are single-source
+    * islands (a mixing/balance smell); uniform mixing approaches
+    * ln(#sources). Per-term micro-quantization keeps the sum exact. */
+  val q369 = Declared(
+    "q369_cluster_mixing_entropy", "E3+,E7",
+    (s, dir) => {
+      val clusters = graft.ext.Clustering.kMeansInt(
+        Tables.embeddings(s, dir), "vec_id", "embedding", k = 8, iters = 2)
+        .select(col("id"), col("cluster"))
+      val src = Tables.documents(s, dir)
+        .select(col("doc_id").as("id"), col("source"))
+      val counts = clusters.join(src, "id")
+        .groupBy(col("cluster"), col("source"))
+        .agg(count(lit(1)).as("c"))
+      val tot = counts.groupBy(col("cluster"))
+        .agg(sum(col("c")).as("n"), count(lit(1)).as("n_sources"))
+      counts.join(tot, "cluster")
+        .withColumn("__term", round(
+          (col("c").cast("double") / col("n").cast("double")) *
+            log(col("c").cast("double") / col("n").cast("double")) * 1e6, 0)
+          .cast("long"))
+        .groupBy(col("cluster"))
+        .agg(max(col("n")).as("n"), max(col("n_sources")).as("n_sources"),
+          (-sum(col("__term"))).as("entropy_u"))
+        .orderBy(col("cluster"))
+    },
+    Some {
+      def dist(tag: String, cs: String) =
+        s"""d$tag AS (
+           |  SELECT p.id, c.ck, sum((p.q - c.c) * (p.q - c.c)) AS dist2
+           |  FROM pts p JOIN $cs c ON p.d = c.d GROUP BY p.id, c.ck),
+           |a$tag AS (
+           |  SELECT id, ck, dist2 FROM (
+           |    SELECT id, ck, dist2,
+           |      row_number() OVER (PARTITION BY id ORDER BY dist2, ck) AS rn
+           |    FROM d$tag) WHERE rn = 1)""".stripMargin
+      val rounds = (1 to 2).map { i =>
+        s"""${dist(i.toString, s"c${i - 1}")},
+           |u$i AS (
+           |  SELECT a.ck, p.d, CAST(sum(p.q) // count(*) AS BIGINT) AS c
+           |  FROM pts p JOIN a$i a USING (id) GROUP BY a.ck, p.d),
+           |c$i AS (
+           |  SELECT c.ck, c.d, coalesce(u.c, c.c) AS c
+           |  FROM c${i - 1} c LEFT JOIN u$i u ON c.ck = u.ck AND c.d = u.d)"""
+          .stripMargin
+      }.mkString(",\n")
+      s"""WITH pts AS (
+         |  SELECT vec_id AS id, i - 1 AS d,
+         |    CAST(round(CAST(embedding[i] AS DOUBLE) * 1000000, 0) AS BIGINT)
+         |      AS q
+         |  FROM embeddings, (SELECT unnest(range(1, 65)) AS i) idx),
+         |init AS (
+         |  SELECT id, row_number() OVER (ORDER BY id) - 1 AS ck
+         |  FROM (SELECT DISTINCT id FROM pts) ORDER BY id LIMIT 8),
+         |c0 AS (
+         |  SELECT init.ck, pts.d, pts.q AS c FROM pts JOIN init USING (id)),
+         |$rounds,
+         |${dist("f", "c2")},
+         |cnt AS (
+         |  SELECT af.ck AS cluster, d.source, CAST(count(*) AS BIGINT) AS c
+         |  FROM af JOIN documents d ON af.id = d.doc_id
+         |  GROUP BY 1, 2),
+         |tot AS (
+         |  SELECT cluster, CAST(sum(c) AS BIGINT) AS n,
+         |    CAST(count(*) AS BIGINT) AS n_sources
+         |  FROM cnt GROUP BY 1)
+         |SELECT CAST(cnt.cluster AS BIGINT) AS cluster, max(tot.n) AS n,
+         |  max(tot.n_sources) AS n_sources,
+         |  CAST(-sum(CAST(round(
+         |    (CAST(c AS DOUBLE) / tot.n) * ln(CAST(c AS DOUBLE) / tot.n)
+         |      * 1000000, 0) AS BIGINT)) AS BIGINT) AS entropy_u
+         |FROM cnt JOIN tot USING (cluster)
+         |GROUP BY cnt.cluster ORDER BY cluster""".stripMargin
+    },
+    "The k-means pass dominates; the entropy finish is a (cluster, source) " +
+      "rollup + a cluster rollup over it. The mixing-health companion to " +
+      "q351: MAUVE-lite asks 'do two sets overlap?', this asks 'is every " +
+      "semantic region fed by enough sources?' — the balance check before " +
+      "trusting a domain-capped mixture.")
+
+  val all: Seq[Declared] = Seq(q365, q366, q367, q368, q369)
 }
