@@ -782,6 +782,98 @@ object Geo {
       .otherwise(concat(lit("POLYGON (("), array_join(ringPts, ", "), lit("))")))
   }
 
+  // ---- Douglas-Peucker simplification + convex hull kernels ----
+
+  /** Recursive Douglas-Peucker over an OPEN point path: keep the
+    * endpoints; split at the farthest interior vertex while it
+    * exceeds eps. Deterministic: the FIRST farthest vertex wins
+    * (strict >), so equal-distance ties resolve by position. */
+  private def douglasPeucker(pts: IndexedSeq[P], eps: Double): IndexedSeq[P] = {
+    if (pts.length < 3) pts
+    else {
+      val (a, b) = (pts.head, pts.last)
+      var maxD = -1.0; var idx = -1
+      var i = 1
+      while (i < pts.length - 1) {
+        val d = segDist(pts(i), a, b)
+        if (d > maxD) { maxD = d; idx = i }
+        i += 1
+      }
+      if (maxD <= eps) IndexedSeq(a, b)
+      else douglasPeucker(pts.take(idx + 1), eps) ++
+        douglasPeucker(pts.drop(idx), eps).tail
+    }
+  }
+
+  /** F9 — shapely-style `simplify(eps)` (Douglas-Peucker): points are
+    * identity; linestrings simplify the open path (endpoints kept);
+    * polygons simplify the CLOSED ring (anchored at the first vertex)
+    * and fall back to the ORIGINAL ring if fewer than 3 vertices
+    * survive (a degenerate simplification must not produce an invalid
+    * polygon). Null geometry → null. */
+  private[geo] def simplifyRow(g: Row, eps: Double): Row = {
+    val kind = g.getString(0)
+    val ps = rowPts(g)
+    def asRows(q: IndexedSeq[P]) = q.map(p => Row(p.x, p.y))
+    kind match {
+      case "point" => g
+      case "linestring" =>
+        Row("linestring", asRows(douglasPeucker(ps, eps)))
+      case _ =>
+        if (ps.length < 3) g
+        else {
+          val closed = ps :+ ps.head
+          val simp = douglasPeucker(closed, eps).dropRight(1)
+          if (simp.length < 3) g else Row("polygon", asRows(simp))
+        }
+    }
+  }
+
+  val stSimplify: (Column, Column) => Column = {
+    val f = new org.apache.spark.sql.api.java.UDF2[Row, java.lang.Double, Row] {
+      override def call(g: Row, eps: java.lang.Double): Row =
+        if (g == null) null else simplifyRow(g, eps)
+    }
+    (g, eps) => udf(f, geometryType).apply(g, eps)
+  }
+
+  /** F9 — convex hull via Andrew's monotone chain (public algorithm):
+    * hull vertices in counter-clockwise order starting from the
+    * lexicographically smallest point. Degenerate inputs degrade by
+    * kind — 1 distinct point → point, 2 (or collinear) → linestring
+    * of the extreme pair, else polygon. Null geometry → null. */
+  private[geo] def convexHullRow(g: Row): Row = {
+    val ps = rowPts(g).distinct.sortBy(p => (p.x, p.y))
+    def cross(o: P, a: P, b: P): Double =
+      (a.x - o.x) * (b.y - o.y) - (a.y - o.y) * (b.x - o.x)
+    def chain(src: IndexedSeq[P]): IndexedSeq[P] = {
+      val h = scala.collection.mutable.ArrayBuffer.empty[P]
+      src.foreach { p =>
+        while (h.length >= 2 && cross(h(h.length - 2), h.last, p) <= 0)
+          h.remove(h.length - 1)
+        h += p
+      }
+      h.toIndexedSeq
+    }
+    def asRows(q: IndexedSeq[P]) = q.map(p => Row(p.x, p.y))
+    if (ps.isEmpty) Row("polygon", Seq.empty[Row])
+    else if (ps.length == 1) Row("point", asRows(ps))
+    else {
+      val hull = chain(ps).dropRight(1) ++ chain(ps.reverse).dropRight(1)
+      if (hull.length <= 2)
+        Row("linestring", asRows(IndexedSeq(ps.head, ps.last)))
+      else Row("polygon", asRows(hull))
+    }
+  }
+
+  val stConvexHull: Column => Column = {
+    val f = new org.apache.spark.sql.api.java.UDF1[Row, Row] {
+      override def call(g: Row): Row =
+        if (g == null) null else convexHullRow(g)
+    }
+    g => udf(f, geometryType).apply(g)
+  }
+
   /** Register the st_* surface for spark.sql() use: UDF-backed functions
     * through the UDF registry, the native Haversine expression through
     * the function registry (full codegen in SQL too). The
@@ -790,6 +882,17 @@ object Geo {
   def registerSql(spark: org.apache.spark.sql.SparkSession): Unit = {
     spark.udf.register("st_distance", stDistance)
     spark.udf.register("st_intersects", stIntersects)
+    spark.udf.register("st_simplify",
+      new org.apache.spark.sql.api.java.UDF2[Row, java.lang.Double, Row] {
+        override def call(g: Row, eps: java.lang.Double): Row =
+          if (g == null) null
+          else simplifyRow(g, eps)
+      }, geometryType)
+    spark.udf.register("st_convexhull",
+      new org.apache.spark.sql.api.java.UDF1[Row, Row] {
+        override def call(g: Row): Row =
+          if (g == null) null else convexHullRow(g)
+      }, geometryType)
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "st_haversine",
       exprs => Haversine.cast(exprs),

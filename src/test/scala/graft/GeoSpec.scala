@@ -458,4 +458,59 @@ class GeoSpec extends AnyFunSuite {
     val sums = knn.select("sum_f_v").as[Double].collect()
     assert(sums.forall(_ == (1 to 30).map(_.toDouble).sum))
   }
+
+  test("F9: stSimplify — Douglas-Peucker keeps shape, collapses noise") {
+    import graft.geo.Geo
+    // zigzag with one big kink and tiny jitter: small eps keeps the
+    // kink, removes jitter; huge eps collapses to the endpoints
+    val line = Seq(Seq((0.0, 0.0), (1.0, 0.02), (2.0, 0.0), (3.0, 3.0),
+      (4.0, 0.0), (5.0, 0.01), (6.0, 0.0)))
+      .toDF("path")
+      .select(Geo.stLineString(
+        expr("transform(path, p -> struct(p._1 as x, p._2 as y))")).as("g"))
+    def ptsOf(c: org.apache.spark.sql.Column) = line.select(c.as("s"))
+      .selectExpr("transform(s.points, p -> array(p.x, p.y)) AS q", "s.kind AS k")
+      .head()
+    val fine = ptsOf(Geo.stSimplify(col("g"), lit(0.1)))
+    val fineQ = fine.getSeq[scala.collection.Seq[Double]](0)
+    assert(fine.getString(1) == "linestring")
+    assert(fineQ.map(_(0)) == Seq(0.0, 2.0, 3.0, 4.0, 6.0),
+      s"kink kept, jitter dropped: $fineQ")
+    val coarse = ptsOf(Geo.stSimplify(col("g"), lit(10.0)))
+    assert(coarse.getSeq[scala.collection.Seq[Double]](0).map(_(0)) ==
+      Seq(0.0, 6.0))
+    // polygon: a square with a tiny notch vertex loses the notch but
+    // keeps ring validity; a point is identity
+    val poly = Seq(Seq((0.0, 0.0), (2.0, 0.0), (2.0, 2.0), (1.0, 2.01),
+      (0.0, 2.0)))
+      .toDF("ring")
+      .select(Geo.stPolygon(
+        expr("transform(ring, p -> struct(p._1 as x, p._2 as y))")).as("g"))
+    val sp = poly.select(Geo.stSimplify(col("g"), lit(0.1)).as("s"))
+      .selectExpr("size(s.points) AS n", "s.kind AS k").head()
+    assert(sp.getString(1) == "polygon" && sp.getInt(0) == 4, s"notch gone: $sp")
+  }
+
+  test("F9: stConvexHull — monotone chain, degenerate kinds degrade") {
+    import graft.geo.Geo
+    // square corners + interior point -> 4-vertex CCW hull of area 4
+    val df = Seq(Seq((0.0, 0.0), (2.0, 0.0), (1.0, 1.0), (2.0, 2.0), (0.0, 2.0)))
+      .toDF("p")
+      .select(Geo.stPolygon(
+        expr("transform(p, q -> struct(q._1 as x, q._2 as y))")).as("g"))
+    val hull = df.select(Geo.stConvexHull(col("g")).as("h"))
+      .select(col("h.kind"), expr("size(h.points)").as("n"),
+        graft.geo.Geo.stArea(col("h")).as("area")).head()
+    assert(hull.getString(0) == "polygon" && hull.getInt(1) == 4
+      && hull.getDouble(2) == 4.0, s"got $hull")
+    // collinear points -> linestring of the extreme pair
+    val co = Seq(Seq((0.0, 0.0), (1.0, 1.0), (2.0, 2.0))).toDF("p")
+      .select(Geo.stPolygon(
+        expr("transform(p, q -> struct(q._1 as x, q._2 as y))")).as("g"))
+    val ch = co.select(Geo.stConvexHull(col("g")).as("h"))
+      .select(col("h.kind"), expr("transform(h.points, p -> array(p.x, p.y))"))
+      .head()
+    assert(ch.getString(0) == "linestring")
+    assert(ch.getSeq[scala.collection.Seq[Double]](1).map(_(0)) == Seq(0.0, 2.0))
+  }
 }
