@@ -677,6 +677,67 @@ object Geo {
     }
   }
 
+  /** Polar Stereographic variant B (EPSG method 9829; Snyder 21-32..
+    * 21-40) — standard-parallel form used by the polar science grids
+    * (NSIDC Sea Ice 3413 north, Antarctic 3031 south). */
+  final case class PolarStereo(el: Ellipsoid, latTsDeg: Double,
+      lon0Deg: Double, falseE: Double, falseN: Double, north: Boolean) {
+    private val e = math.sqrt(el.e2)
+    private val lam0 = math.toRadians(lon0Deg)
+    private val phiF = math.toRadians(math.abs(latTsDeg))
+    private def tOfD(phi: Double): Double =
+      math.tan(math.Pi / 4 - phi / 2) /
+        math.pow((1 - e * math.sin(phi)) / (1 + e * math.sin(phi)), e / 2)
+    private val tF = tOfD(phiF)
+    private val mF = math.cos(phiF) /
+      math.sqrt(1 - el.e2 * math.sin(phiF) * math.sin(phiF))
+    private val kRho = el.a * mF / tF
+    // chi-to-phi series coefficients (Snyder 3-5)
+    private val c2 = el.e2 / 2 + 5 * el.e2 * el.e2 / 24 +
+      math.pow(el.e2, 3) / 12
+    private val c4 = 7 * el.e2 * el.e2 / 48 + 29 * math.pow(el.e2, 3) / 240
+    private val c6 = 7 * math.pow(el.e2, 3) / 120
+    def fwd: Column => Column = p => {
+      // south pole: work in the mirrored hemisphere
+      val phi = if (north) radians(p.getField("y"))
+        else -radians(p.getField("y"))
+      val lam = if (north) radians(p.getField("x")) - lit(lam0)
+        else -(radians(p.getField("x")) - lit(lam0))
+      val tt = tan(lit(math.Pi / 4) - phi / 2) /
+        pow((lit(1.0) - lit(e) * sin(phi)) / (lit(1.0) + lit(e) * sin(phi)),
+          lit(e / 2))
+      val rho = lit(kRho) * tt
+      val x = rho * sin(lam)
+      val y = -rho * cos(lam)
+      if (north)
+        struct((lit(falseE) + x).as("x"), (lit(falseN) + y).as("y"))
+      else
+        struct((lit(falseE) - x).as("x"), (lit(falseN) - y).as("y"))
+    }
+    def inv: Column => Column = p => {
+      val dx0 = p.getField("x") - lit(falseE)
+      val dy0 = p.getField("y") - lit(falseN)
+      val dx = if (north) dx0 else -dx0
+      val dy = if (north) dy0 else -dy0
+      val rho = sqrt(dx * dx + dy * dy)
+      val tt = rho / lit(kRho)
+      val chi = lit(math.Pi / 2) - atan(tt) * 2
+      val phi = chi + lit(c2) * sin(chi * 2) + lit(c4) * sin(chi * 4) +
+        lit(c6) * sin(chi * 6)
+      val lam = lit(lam0) + (if (north) atan2(dx, -dy) else -atan2(dx, -dy))
+      struct(degrees(lam).as("x"),
+        (if (north) degrees(phi) else -degrees(phi)).as("y"))
+    }
+  }
+
+  /** Register an arbitrary polar-stereographic grid (variant B). */
+  def registerPolarStereo(epsg: Int, el: Ellipsoid, latTsDeg: Double,
+      lon0Deg: Double, falseE: Double, falseN: Double,
+      north: Boolean): Unit = {
+    val pr = PolarStereo(el, latTsDeg, lon0Deg, falseE, falseN, north)
+    crsRegistry.put(epsg, (pr.fwd, pr.inv)); ()
+  }
+
   // user-extensible CRS registry: any grid with published parameters
   // registers once per process and composes with every built-in
   private val crsRegistry =
@@ -709,6 +770,9 @@ object Geo {
   registerLcc2sp(3034, Grs80, 35.0, 65.0, 52.0, 10.0, 4000000.0, 2800000.0)
   registerAlbers(5070, Grs80, 29.5, 45.5, 23.0, -96.0, 0.0, 0.0)
   registerTm(27700, Airy1830, 49.0, -2.0, 0.9996012717, 400000.0, -100000.0)
+  // polar science grids (WGS84): NSIDC Sea Ice north, Antarctic south
+  registerPolarStereo(3413, Wgs84, 70.0, -45.0, 0.0, 0.0, north = true)
+  registerPolarStereo(3031, Wgs84, -71.0, 0.0, 0.0, 0.0, north = false)
 
   /** Per-EPSG projection pair (forward from 4326, inverse to 4326);
     * None for unsupported codes. 4326 itself is the identity hub. */

@@ -257,5 +257,38 @@ object LlmExt10 {
       "semantic region fed by enough sources?' — the balance check before " +
       "trusting a domain-capped mixture.")
 
-  val all: Seq[Declared] = Seq(q365, q366, q367, q368, q369)
+  /** q370 — E4+/E8: negative-sampling distribution table (Mikolov et
+    * al. 2013's unigram^(3/4) smoothing): per token, the smoothed
+    * sampling weight f^(3/4) — computed as the correctly-rounded IEEE
+    * chain sqrt(sqrt(f)·sqrt(f)·sqrt(f)) so both engines produce the
+    * SAME double with no libm pow — quantized to micro-units BEFORE
+    * any summation. Top 100 tokens by (weight, token): the table head
+    * a skip-gram/contrastive trainer samples negatives from. */
+  val q370 = Declared(
+    "q370_negative_sampling_table", "E4+,E8",
+    (s, dir) => Tables.documents(s, dir)
+      .select(explode(graft.ext.TextAnalysis.tokens(col("text"))).as("term"))
+      .groupBy(col("term")).agg(count(lit(1)).as("f"))
+      .withColumn("w_u", round(
+        sqrt(sqrt(col("f").cast("double")) * sqrt(col("f").cast("double")) *
+          sqrt(col("f").cast("double"))) * 1e6, 0).cast("long"))
+      .orderBy(col("w_u").desc, col("term"))
+      .limit(100),
+    Some("""WITH tok AS (
+           |  SELECT unnest(regexp_split_to_array(lower(text), '\s+')) AS term
+           |  FROM documents),
+           |f AS (SELECT term, CAST(count(*) AS BIGINT) AS f
+           |      FROM tok GROUP BY term)
+           |SELECT term, f,
+           |  CAST(round(sqrt(sqrt(CAST(f AS DOUBLE)) * sqrt(CAST(f AS DOUBLE))
+           |    * sqrt(CAST(f AS DOUBLE))) * 1000000, 0) AS BIGINT) AS w_u
+           |FROM f
+           |ORDER BY w_u DESC, term
+           |LIMIT 100""".stripMargin),
+    "One token explode + a content-keyed frequency agg + TakeOrdered(100). " +
+      "The ^(3/4) smoothing runs as sqrt/multiply (correctly-rounded IEEE) " +
+      "instead of libm pow, so the table is bit-identical across engines — " +
+      "which matters because training reproducibility inherits from it.")
+
+  val all: Seq[Declared] = Seq(q365, q366, q367, q368, q369, q370)
 }

@@ -513,4 +513,33 @@ class GeoSpec extends AnyFunSuite {
     assert(ch.getString(0) == "linestring")
     assert(ch.getSeq[scala.collection.Seq[Double]](1).map(_(0)) == Seq(0.0, 2.0))
   }
+
+  test("F10: polar stereographic grids (3413 north / 3031 south) — invariants") {
+    import graft.geo.Geo
+    def tx(lon: Double, lat: Double, from: Int, to: Int): (Double, Double) = {
+      val r = Seq((lon, lat)).toDF("lon", "lat")
+        .select(Geo.stTransform(Geo.stPoint(col("lon"), col("lat")), from, to).as("g"))
+        .select(Geo.stX(col("g")), Geo.stY(col("g"))).head()
+      (r.getDouble(0), r.getDouble(1))
+    }
+    // the pole maps to the false origin
+    val (px, py) = tx(123.0, 90.0, 4326, 3413)
+    assert(math.abs(px) < 1e-6 && math.abs(py) < 1e-6, s"pole -> ($px, $py)")
+    // the center meridian maps onto x = 0 with y < 0 (grid south)
+    val (cx, cy) = tx(-45.0, 70.0, 4326, 3413)
+    assert(math.abs(cx) < 1e-6 && cy < 0, s"center meridian -> ($cx, $cy)")
+    // at the standard parallel the radius is a*m_F (~2187.96 km)
+    assert(cy > -2188500 && cy < -2187500, s"rho at lat_ts: $cy")
+    // round trips (north and south) are identity to ~1e-6 degrees
+    val (fx, fy) = tx(-30.0, 75.0, 4326, 3413)
+    val (bx, by) = tx(fx, fy, 3413, 4326)
+    assert(math.abs(bx - -30.0) < 1e-6 && math.abs(by - 75.0) < 1e-6,
+      s"north round trip: ($bx, $by)")
+    val (sx, sy) = tx(120.0, -75.0, 4326, 3031)
+    val (rx, ry) = tx(sx, sy, 3031, 4326)
+    assert(math.abs(rx - 120.0) < 1e-6 && math.abs(ry - -75.0) < 1e-6,
+      s"south round trip: ($rx, $ry)")
+    val (spx, spy) = tx(7.0, -90.0, 4326, 3031)
+    assert(math.abs(spx) < 1e-6 && math.abs(spy) < 1e-6, s"south pole: ($spx, $spy)")
+  }
 }
