@@ -847,4 +847,76 @@ object TimeSeriesOps {
         when(vt > 0, greatest(lit(0.0), round(lit(1.0) - vr / vt, 6)))
           .as("strength"): _*)
   }
+
+  graft.plans.Guardrails.expect("single_partition_window",
+    "__r, __t, __y",
+    "lttbDownsample: rank walk over the bounded series rollup")
+
+  /** A8/E6 — Largest-Triangle-Three-Buckets downsampling (Steinarsson,
+    * "Downsampling Time Series for Visual Representation", 2013 — the
+    * standard dashboard decimation): keep the first and last points;
+    * split the interior into `nBuckets` rank-even buckets; walking
+    * left to right, keep from each bucket the point forming the
+    * LARGEST triangle with the previously kept point and the NEXT
+    * bucket's average. Areas are one double chain over exact integer
+    * (t, y) and exact next-bucket sums, argmax ties break on the
+    * earlier t — fully engine-replayable bucket by bucket. Callers
+    * pass a SERIES frame (already rolled up). Returns
+    * (sel_order 1..nBuckets+2, t, y).
+    *
+    * Scale: one rank window over the rollup-sized series (bounded,
+    * documented) + a bucket rollup + nBuckets TakeOrdered(1) argmax
+    * passes over the SAME checkpointed frame — the fact-table cost is
+    * whatever built the series; nBuckets is the only sequential axis. */
+  def lttbDownsample(series: DataFrame, orderCol: Column, valueCol: Column,
+      nBuckets: Int): DataFrame = {
+    require(nBuckets >= 1, "nBuckets >= 1")
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col("__t"))
+    val ranked = series
+      .select(orderCol.cast("long").as("__t"), valueCol.cast("long").as("__y"))
+      .withColumn("__r", row_number().over(w))
+      .localCheckpoint()
+    val n = ranked.count()
+    require(n >= nBuckets + 2, s"need >= ${nBuckets + 2} points, got $n")
+    val first = ranked.filter(col("__r") === 1)
+      .select(col("__t"), col("__y")).head()
+    val last = ranked.filter(col("__r") === n)
+      .select(col("__t"), col("__y")).head()
+    // interior ranks 2..n-1 -> bucket 0..nBuckets-1 (rank-even)
+    val interior = ranked.filter(col("__r") > 1 && col("__r") < n)
+      .withColumn("__b", expr(s"((__r - 2) * $nBuckets) div ${n - 2}"))
+      .localCheckpoint()
+    val avgs = interior.groupBy(col("__b"))
+      .agg(count(lit(1)).as("__c"), sum(col("__t")).as("__st"),
+        sum(col("__y")).as("__sy"))
+      .collect().map(r => r.getLong(0).toInt ->
+        (r.getLong(2).toDouble / r.getLong(1),
+          r.getLong(3).toDouble / r.getLong(1))).toMap
+    // fold: prev anchor starts at the FIRST point; each bucket's pick
+    // maximizes the triangle with prev and the next bucket's average
+    // (the last bucket anchors on the LAST point) — bucket count is
+    // bounded so the per-bucket argmax jobs are the whole cost
+    var prev = (first.getLong(0).toDouble, first.getLong(1).toDouble)
+    val picks = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+    for (b <- 0 until nBuckets) {
+      val (ax, ay) =
+        if (b == nBuckets - 1) (last.getLong(0).toDouble, last.getLong(1).toDouble)
+        else avgs(b + 1)
+      val (px, py) = prev
+      val picked = interior.filter(col("__b") === b)
+        .withColumn("__area", abs(
+          (lit(px) - lit(ax)) * (col("__y").cast("double") - lit(py)) -
+            (lit(px) - col("__t").cast("double")) * (lit(ay) - lit(py))))
+        .orderBy(col("__area").desc, col("__t"))
+        .limit(1).select(col("__t"), col("__y")).head()
+      picks += ((picked.getLong(0), picked.getLong(1)))
+      prev = (picked.getLong(0).toDouble, picked.getLong(1).toDouble)
+    }
+    val spark = series.sparkSession
+    import spark.implicits._
+    val rows = ((first.getLong(0), first.getLong(1)) +: picks.toSeq :+
+      (last.getLong(0), last.getLong(1)))
+      .zipWithIndex.map { case ((t, y), ix) => (ix + 1L, t, y) }
+    rows.toDF("sel_order", "t", "y")
+  }
 }

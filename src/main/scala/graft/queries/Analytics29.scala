@@ -477,5 +477,117 @@ object Analytics29 {
       "Pettitt point — run on ingest-volume series to segment regime shifts " +
       "before fitting anything per-regime.")
 
-  val all: Seq[Declared] = Seq(q354, q355, q356, q358, q359, q363, q364)
+  /** q371 — A-stat: mean-excess (mean-residual-life) table — the
+    * peaks-over-threshold diagnostic of extreme-value theory (Davison
+    * & Smith 1990): for a ladder of thresholds u, the mean exceedance
+    * E[X − u | X > u] of order totals. A linearly increasing tail is
+    * the GPD signature that licenses a POT fit; exact integer counts
+    * and cent sums with one double division per threshold row. */
+  val q371 = Declared(
+    "q371_mean_excess", "A-stat",
+    (s, dir) => {
+      val cents = (col("o_totalprice").cast("decimal(18,2)") * 100).cast("long")
+      val base = Tables.orders(s, dir).select(cents.as("__v"))
+      // threshold ladder: 8 fixed quantile-free cents levels (literals
+      // — scan-side predicates, one conditional agg per level, one pass)
+      val levels = Seq(10000000L, 15000000L, 20000000L, 25000000L,
+        30000000L, 35000000L, 40000000L, 45000000L)
+      val aggs = levels.zipWithIndex.flatMap { case (u, ix) =>
+        Seq(sum(when(col("__v") > u, 1L).otherwise(0L)).as(s"__n$ix"),
+          sum(when(col("__v") > u, col("__v") - u).otherwise(0L)).as(s"__e$ix"))
+      }
+      val one = base.agg(aggs.head, aggs.tail: _*)
+      val rows = levels.zipWithIndex.map { case (u, ix) =>
+        one.select(lit(u).as("threshold_cents"),
+          col(s"__n$ix").as("n_exceed"),
+          col(s"__e$ix").as("sum_excess_cents"),
+          when(col(s"__n$ix") > 0,
+            col(s"__e$ix").cast("double") / col(s"__n$ix").cast("double"))
+            .as("mean_excess_cents"))
+      }
+      rows.reduce(_ unionByName _).orderBy(col("threshold_cents"))
+    },
+    Some("""WITH v AS (
+           |  SELECT CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+           |    AS v FROM orders),
+           |u AS (SELECT unnest([10000000, 15000000, 20000000, 25000000,
+           |  30000000, 35000000, 40000000, 45000000]) AS u)
+           |SELECT CAST(u AS BIGINT) AS threshold_cents,
+           |  CAST(sum(CASE WHEN v > u THEN 1 ELSE 0 END) AS BIGINT)
+           |    AS n_exceed,
+           |  CAST(sum(CASE WHEN v > u THEN v - u ELSE 0 END) AS BIGINT)
+           |    AS sum_excess_cents,
+           |  CASE WHEN sum(CASE WHEN v > u THEN 1 ELSE 0 END) > 0 THEN
+           |    CAST(sum(CASE WHEN v > u THEN v - u ELSE 0 END) AS DOUBLE) /
+           |    CAST(sum(CASE WHEN v > u THEN 1 ELSE 0 END) AS DOUBLE)
+           |  END AS mean_excess_cents
+           |FROM v, u GROUP BY u ORDER BY threshold_cents""".stripMargin),
+    "ONE map-side-combined agg computes every threshold's conditional sums " +
+      "in a single scan (levels are literals); the finish is 8 rows. The " +
+      "tail-behavior diagnostic run before any POT/GPD fit — if the mean " +
+      "excess doesn't trend linearly, the extreme-value model is wrong.")
+
+  /** q372 — A8/E6: LTTB downsampling of the daily order-count series
+    * to 12 buckets (+ endpoints) — the dashboard decimation that
+    * keeps visual extremes where averaging flattens them. The oracle
+    * replays the left-to-right greedy walk bucket by bucket, so every
+    * picked point must agree exactly. */
+  val q372 = Declared(
+    "q372_lttb_downsample", "A8,E6",
+    (s, dir) => {
+      val daily = Tables.orders(s, dir)
+        .groupBy(expr("datediff(o_orderdate, DATE'1970-01-01')").cast("long")
+          .as("day"))
+        .agg(count(lit(1)).as("cnt"))
+      graft.ops.TimeSeriesOps.lttbDownsample(daily, col("day"), col("cnt"),
+          nBuckets = 12)
+        .orderBy(col("sel_order"))
+    },
+    Some {
+      def step(b: Int): String = {
+        val anchor =
+          if (b == 11) "SELECT CAST(t AS DOUBLE) AS ax, CAST(y AS DOUBLE) AS ay FROM lst"
+          else s"SELECT ax, ay FROM av WHERE b = ${b + 1}"
+        s"""p${b + 1} AS (
+           |  SELECT t, y FROM (
+           |    SELECT i.t, i.y, row_number() OVER (ORDER BY abs(
+           |      (CAST(p.t AS DOUBLE) - a.ax) *
+           |        (CAST(i.y AS DOUBLE) - CAST(p.y AS DOUBLE)) -
+           |      (CAST(p.t AS DOUBLE) - CAST(i.t AS DOUBLE)) *
+           |        (a.ay - CAST(p.y AS DOUBLE))) DESC, i.t) AS rn
+           |    FROM itr i, p$b p, ($anchor) a
+           |    WHERE i.b = $b) WHERE rn = 1)""".stripMargin
+      }
+      s"""WITH daily AS (
+         |  SELECT CAST(datediff('day', DATE '1970-01-01', o_orderdate)
+         |    AS BIGINT) AS t, CAST(count(*) AS BIGINT) AS y
+         |  FROM orders GROUP BY 1),
+         |rk AS (
+         |  SELECT t, y, row_number() OVER (ORDER BY t) AS r,
+         |    count(*) OVER () AS n
+         |  FROM daily),
+         |fst AS (SELECT t, y FROM rk WHERE r = 1),
+         |lst AS (SELECT t, y FROM rk WHERE r = n),
+         |itr AS (
+         |  SELECT t, y, ((r - 2) * 12) // (n - 2) AS b
+         |  FROM rk WHERE r > 1 AND r < n),
+         |av AS (
+         |  SELECT b, CAST(sum(t) AS DOUBLE) / count(*) AS ax,
+         |    CAST(sum(y) AS DOUBLE) / count(*) AS ay
+         |  FROM itr GROUP BY b),
+         |p0 AS (SELECT t, y FROM fst),
+         |${(0 until 12).map(step).mkString(",\n")}
+         |SELECT CAST(1 AS BIGINT) AS sel_order, t, y FROM fst
+         |${(0 until 12).map(b =>
+        s"UNION ALL SELECT ${b + 2}, t, y FROM p${b + 1}").mkString("\n")}
+         |UNION ALL SELECT 14, t, y FROM lst
+         |ORDER BY sel_order""".stripMargin
+    },
+    "One rank window over the DAILY rollup (bounded, documented) + a bucket " +
+      "rollup + 12 argmax passes over the same checkpointed frame. LTTB is a " +
+      "RESULT-scale presentation op by contract — its input is a series " +
+      "rollup, so the bounded per-bucket picks are the whole cost; the " +
+      "fact-table pass is the day rollup itself.")
+
+  val all: Seq[Declared] = Seq(q354, q355, q356, q358, q359, q363, q364, q371, q372)
 }

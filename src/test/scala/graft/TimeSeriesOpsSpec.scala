@@ -315,4 +315,19 @@ class TimeSeriesOpsSpec extends AnyFunSuite {
     assert(out.map(_.getAs[Long]("ph_u")).toSeq == Seq(0L, 2000000L))
     assert(out.map(_.getAs[Boolean]("alarm")).toSeq == Seq(false, true))
   }
+
+  test("A8: lttbDownsample — endpoints kept, spikes survive decimation") {
+    import org.apache.spark.sql.functions._
+    // flat series with one spike at t=10: any averaging downsampler
+    // flattens it; LTTB must keep it (largest triangle in its bucket)
+    val series = (1L to 20L).map(t => (t, if (t == 10L) 1000L else 0L))
+      .toDF("t", "y")
+    val out = graft.ops.TimeSeriesOps.lttbDownsample(
+        series, col("t"), col("y"), nBuckets = 3)
+      .orderBy(col("sel_order"))
+      .collect().map(r => (r.getLong(1), r.getLong(2)))
+    assert(out.length == 5)
+    assert(out.head == (1L, 0L) && out.last == (20L, 0L))
+    assert(out.contains((10L, 1000L)), s"spike lost: ${out.toSeq}")
+  }
 }
