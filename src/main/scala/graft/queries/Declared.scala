@@ -39,5 +39,6 @@ object Declared {
       Analytics18.all ++ Analytics19.all ++ Analytics20.all ++
       Analytics21.all ++ Analytics22.all ++ Analytics23.all ++
       Analytics24.all ++ Analytics25.all ++ Analytics26.all ++
-      Analytics27.all ++ Analytics28.all ++ Analytics29.all
+      Analytics27.all ++ Analytics28.all ++ Analytics29.all ++
+      Analytics30.all
 }

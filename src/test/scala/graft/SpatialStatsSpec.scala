@@ -1,0 +1,103 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.ops.SpatialStats
+
+/** Specs for q373/q374 — global Moran's I and local Getis-Ord Gi*
+  * on gridded point fields. Hand-checkable lattices small enough to
+  * recompute the statistics on paper.
+  */
+class SpatialStatsSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  /** A 2×2 checkerboard of single-point cells (cellSize 1): values
+    * 10, 0 / 0, 10. Queen contiguity on a 2×2 block makes every cell
+    * adjacent to every other (W = 12 ordered pairs). Deviations are
+    * ±5 (scaled ×4: ±20); Σ_ij w d_i d_j = 4·(2·(+400)·(-400 cross
+    * terms)) — worked out: each cell has 3 neighbors, one equal-value
+    * (d·d = +400·... ) — compute: cells (0,0)=10,(1,0)=0,(0,1)=0,
+    * (1,1)=10, scaled devs d = 4x−20: +20,−20,−20,+20.
+    * Ordered pairs: like-signed diagonal pairs (2 per direction → 4
+    * pairs: (0,0)-(1,1), (1,1)-(0,0), (1,0)-(0,1), (0,1)-(1,0)) give
+    * +400 each; the 8 side-adjacent pairs give −400 each.
+    * Σ = 4·400 − 8·400 = −1600. Σd² = 4·400 = 1600.
+    * I = (N/W)·(−1600/1600) = (4/12)·(−1) = −1/3. */
+  test("moransI: 2x2 checkerboard is negatively autocorrelated, I = -1/3") {
+    val pts = Seq(
+      (0.5, 0.5, 10L), (1.5, 0.5, 0L), (0.5, 1.5, 0L), (1.5, 1.5, 10L))
+      .toDF("x", "y", "v")
+    val r = SpatialStats.moransI(pts, col("x"), col("y"), col("v"), 1.0)
+      .collect()(0)
+    assert(r.getAs[Long]("n_cells") == 4L)
+    assert(r.getAs[Long]("w_pairs") == 12L)
+    assert(math.abs(r.getAs[Double]("morans_i") - (-1.0 / 3.0)) < 1e-8)
+  }
+
+  /** A 1×4 strip all equal values: every deviation is zero → I is
+    * NULL (0/0), which both engines render as null — guard the edge
+    * rather than emitting NaN. */
+  test("moransI: constant field yields null (zero variance)") {
+    val pts = Seq((0.0, 0.0, 5L), (1.0, 0.0, 5L), (2.0, 0.0, 5L))
+      .toDF("x", "y", "v")
+    val r = SpatialStats.moransI(pts, col("x"), col("y"), col("v"), 1.0)
+      .collect()(0)
+    assert(r.isNullAt(r.fieldIndex("morans_i")))
+  }
+
+  /** Multiple points per cell sum before the statistic: two points of
+    * 3 and 7 in one cell behave exactly like a single 10. */
+  test("moransI: cell aggregation sums values first") {
+    val split = Seq(
+      (0.2, 0.5, 3L), (0.7, 0.5, 7L), (1.5, 0.5, 0L),
+      (0.5, 1.5, 0L), (1.5, 1.5, 10L)).toDF("x", "y", "v")
+    val whole = Seq(
+      (0.5, 0.5, 10L), (1.5, 0.5, 0L), (0.5, 1.5, 0L), (1.5, 1.5, 10L))
+      .toDF("x", "y", "v")
+    val a = SpatialStats.moransI(split, col("x"), col("y"), col("v"), 1.0)
+      .collect()(0).getAs[Double]("morans_i")
+    val b = SpatialStats.moransI(whole, col("x"), col("y"), col("v"), 1.0)
+      .collect()(0).getAs[Double]("morans_i")
+    assert(a == b)
+  }
+
+  /** Gi* on a 3-cell strip with a spike in the middle: the middle
+    * cell's neighborhood covers everything (W_i = N), where the Gi*
+    * denominator N·W_i − W_i² vanishes — the statistic is undefined
+    * and must come out NULL (not NaN). The end cells see 2 of 3
+    * cells; both share the spike so both are hot and, by symmetry,
+    * equal. Also checks W_i counts only OCCUPIED neighbors + self. */
+  test("getisOrdGiStar: full-coverage neighborhood z is null; ends symmetric") {
+    val pts = Seq((0.5, 0.5, 1L), (1.5, 0.5, 8L), (2.5, 0.5, 1L))
+      .toDF("x", "y", "v")
+    val out = SpatialStats.getisOrdGiStar(
+      pts, col("x"), col("y"), col("v"), 1.0)
+      .orderBy("cx").collect()
+    assert(out.length == 3)
+    val mid = out(1)
+    assert(mid.getAs[Long]("w_i") == 3L)
+    assert(mid.isNullAt(mid.fieldIndex("gi_z")))
+    // both end cells: W_i = 2, G_i = 9, same z by symmetry
+    assert(out(0).getAs[Long]("w_i") == 2L)
+    assert(out(0).getAs[Double]("gi_z") == out(2).getAs[Double]("gi_z"))
+    // and the shared-with-spike neighborhoods are hot (z > 0)
+    assert(out(0).getAs[Double]("gi_z") > 0.0)
+  }
+
+  /** Isolated cell far from the cluster: W_i = 1 (self only), its
+    * G_i = own value — a low value far away must come out cold
+    * (negative z) while the clustered high cells are hot. */
+  test("getisOrdGiStar: isolated low cell is cold, clustered high cells hot") {
+    val pts = Seq(
+      (0.5, 0.5, 9L), (1.5, 0.5, 9L), (0.5, 1.5, 9L), (1.5, 1.5, 9L),
+      (90.5, 90.5, 1L)).toDF("x", "y", "v")
+    val out = SpatialStats.getisOrdGiStar(
+      pts, col("x"), col("y"), col("v"), 1.0)
+    val far = out.filter(col("cx") === 90).collect()(0)
+    assert(far.getAs[Long]("w_i") == 1L)
+    assert(far.getAs[Double]("gi_z") < 0.0)
+    val near = out.filter(col("cx") === 0 && col("cy") === 0).collect()(0)
+    assert(near.getAs[Double]("gi_z") > 0.0)
+  }
+}
