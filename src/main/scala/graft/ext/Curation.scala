@@ -839,4 +839,67 @@ object Curation {
       .orderBy(col("score_nano").desc, col(idCol))
       .limit(k)
   }
+
+  /** E4+ — one DoReMi domain-reweighting step (Xie et al., "DoReMi:
+    * Optimizing Data Mixtures Speeds Up Language Model Pretraining",
+    * NeurIPS 2023): per training domain, measure excess loss over the
+    * corpus-wide baseline and tilt the token-share mixture
+    * multiplicatively toward high-excess (hard) domains —
+    * w'_d ∝ T_d · exp(η · max(0, L_d − B)), the exponentiated-
+    * gradient update of the paper's minimax objective with the
+    * corpus unigram LM standing in for the proxy/reference pair
+    * (the q69 perplexity-proxy discipline).
+    *
+    * Exactness: per-token log-probs quantize to integer micro-nats;
+    * per-domain mean loss is an integer floor-division of exact sums
+    * (micro-nats), as is the global baseline — so excess is exact
+    * integer on any engine/partitioning. The libm exp tilt quantizes
+    * to an integer micro-factor before the share division; the two
+    * emitted shares are single pinned-order double divisions.
+    *
+    * Returns per domain: (domain, n_tokens, base_share, loss_micro,
+    * excess_micro, new_share), ordered by domain.
+    *
+    * Scale: one token explode feeds a content-keyed frequency agg +
+    * a 1-row broadcast total (the unigramLogProb shape); everything
+    * per-domain is a |domains|-row rollup. The mixture step a 100 TB
+    * pretraining pipeline actually runs between proxy epochs. */
+  def doremiStep(docs: DataFrame, textCol: String, domainCol: String,
+      etaMicro: Long = 1000000L): DataFrame = {
+    require(etaMicro >= 0, "etaMicro >= 0")
+    val d38 = "decimal(38,0)"
+    val tok = graft.core.OperatorCaches.cached(
+      docs.select(col(domainCol).as("domain"),
+        explode(TextAnalysis.tokens(col(textCol))).as("term")))
+    val freq = tok.groupBy(col("term")).agg(count(lit(1)).as("n_t"))
+    val total = tok.agg(count(lit(1)).as("n_total"))
+    val perDom = tok.join(freq, "term").crossJoin(broadcast(total))
+      .withColumn("__nll_u",
+        -round(log(col("n_t").cast("double") / col("n_total")) * 1e6, 0)
+          .cast("long"))
+      .groupBy(col("domain"))
+      .agg(count(lit(1)).as("n_tokens"), sum(col("__nll_u")).as("__nll_sum"))
+      .withColumn("loss_micro", expr("__nll_sum div n_tokens"))
+    val base = perDom.agg(sum(col("n_tokens")).as("__t_tot"),
+      sum(col("__nll_sum")).as("__nll_tot"))
+      .withColumn("__base_micro", expr("__nll_tot div __t_tot"))
+    val tilted = perDom.crossJoin(broadcast(base))
+      .withColumn("excess_micro",
+        greatest(lit(0L), col("loss_micro") - col("__base_micro")))
+      // libm exp differs across engines in the low bits — quantize the
+      // tilt factor to an integer micro-factor before any division
+      .withColumn("__tilt_u",
+        floor(exp(col("excess_micro").cast("double") / 1e6 *
+          (etaMicro.toDouble / 1e6)) * 1e6 + 0.5).cast("long"))
+      .withColumn("__mass", col("n_tokens").cast(d38) * col("__tilt_u"))
+    val z = tilted.agg(sum(col("__mass")).cast(d38).as("__z"))
+    tilted.crossJoin(broadcast(z))
+      .select(col("domain"), col("n_tokens"),
+        (col("n_tokens").cast("double") / col("__t_tot").cast("double"))
+          .as("base_share"),
+        col("loss_micro"), col("excess_micro"),
+        (col("__mass").cast("double") / col("__z").cast("double"))
+          .as("new_share"))
+      .orderBy(col("domain"))
+  }
 }

@@ -919,4 +919,101 @@ object TimeSeriesOps {
       .zipWithIndex.map { case ((t, y), ix) => (ix + 1L, t, y) }
     rows.toDF("sel_order", "t", "y")
   }
+
+  graft.plans.Guardrails.expect("single_partition_window",
+    "__hr, __ht, __hy",
+    "hurstRS: rank walk over the bounded series rollup")
+
+  /** A8/A-stat — Hurst exponent by rescaled-range (R/S) analysis
+    * (Hurst 1951; Mandelbrot & Wallis 1969): for each block size n,
+    * split the rank-ordered series into full blocks of n, compute per
+    * block R/S = range(cumulative deviations) / population std, and
+    * estimate H as the log-log OLS slope of mean R/S against n.
+    * H ≈ 0.5 = memoryless, > 0.5 persistent (long-range dependence),
+    * < 0.5 anti-persistent — the standard long-memory diagnostic run
+    * on traffic/latency/demand series before trusting any i.i.d.
+    * model.
+    *
+    * Exactness: within a block, the scaled cumulative deviation
+    * D_k = n·C_k − k·S₁ is integer (C_k running sum, S₁ block sum),
+    * so R·n = max D − min D exactly, and
+    * R/S = (max D − min D) / sqrt(n·S₂ − S₁²) — one correctly-rounded
+    * sqrt + division per block, micro-quantized (floor(x·1e6 + 0.5))
+    * before the cross-block mean so the per-n aggregation is exact
+    * integer. The final slope runs on micro-quantized logs through
+    * exact decimal moments (the q266 OLS envelope). Zero-variance
+    * blocks are excluded (R/S undefined).
+    *
+    * Returns one row per block size: (n, n_blocks, sum_rs_micro,
+    * avg_rs, hurst) — hurst repeated per row from the shared fit.
+    *
+    * Scale: the input is a SERIES ROLLUP by contract (e.g. daily
+    * counts) — the one global rank window is calendar-bounded
+    * (documented above); block windows are keyed by (n, block), and
+    * the explode multiplies the bounded rollup by |blockSizes|, never
+    * the fact table. */
+  def hurstRS(series: DataFrame, tCol: Column, yCol: Column,
+      blockSizes: Seq[Int]): DataFrame = {
+    require(blockSizes.nonEmpty && blockSizes.forall(_ >= 2),
+      "blockSizes must be >= 2")
+    require(blockSizes.distinct.size == blockSizes.size,
+      "blockSizes must be distinct")
+    val d38 = "decimal(38,0)"
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col("__ht"))
+    val ranked = series
+      .select(tCol.cast("long").as("__ht"), yCol.cast("long").as("__hy"))
+      .withColumn("__hr", row_number().over(w))
+    val ns = array(blockSizes.map(n => lit(n.toLong)): _*)
+    val blocks = ranked
+      .select(col("__hr"), col("__hy"), explode(ns).as("__n"))
+      .withColumn("__b", expr("(CAST(__hr AS BIGINT) - 1) div __n"))
+    val wb = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__n"), col("__b")).orderBy(col("__hr"))
+    val wt = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__n"), col("__b"))
+    val dev = blocks
+      .withColumn("__k", row_number().over(wb).cast("long"))
+      .withColumn("__c", sum(col("__hy")).over(wb))
+      .withColumn("__s1", sum(col("__hy")).over(wt))
+      .withColumn("__d", col("__n") * col("__c") - col("__k") * col("__s1"))
+    val perBlock = dev.groupBy(col("__n"), col("__b"))
+      .agg(count(lit(1)).as("__cnt"), max(col("__s1")).as("__s1"),
+        sum(col("__hy").cast(d38) * col("__hy").cast(d38)).as("__s2"),
+        max(col("__d")).as("__dmax"), min(col("__d")).as("__dmin"))
+      .withColumn("__var",
+        (col("__n").cast(d38) * col("__s2") -
+          col("__s1").cast(d38) * col("__s1").cast(d38)).cast("double"))
+      // full blocks with positive variance only
+      .filter(col("__cnt") === col("__n") && col("__var") > 0.0)
+      .withColumn("__rs_u",
+        floor((col("__dmax") - col("__dmin")).cast("double") /
+          sqrt(col("__var")) * 1e6 + 0.5).cast("long"))
+    val perN = perBlock.groupBy(col("__n"))
+      .agg(count(lit(1)).as("n_blocks"), sum(col("__rs_u")).as("sum_rs_micro"))
+      .withColumn("avg_rs",
+        col("sum_rs_micro").cast("double") / 1e6 / col("n_blocks"))
+    // log-log OLS over the |blockSizes| per-n points, micro-quantized
+    // logs + exact decimal moments (libm ln differs across engines in
+    // the low bits — quantization pins both sides to the same grid)
+    def s38(c: Column) = sum(c.cast(d38)).cast(d38)
+    val pts = perN
+      .withColumn("__x", floor(log(col("__n").cast("double")) * 1e6 + 0.5)
+        .cast("long"))
+      .withColumn("__y", floor(log(col("avg_rs")) * 1e6 + 0.5).cast("long"))
+    val fit = pts.agg(count(lit(1)).cast(d38).as("__np"),
+        s38(col("__x")).as("__sx"), s38(col("__y")).as("__sy"),
+        s38(col("__x").cast(d38) * col("__y").cast(d38)).as("__sxy"),
+        s38(col("__x").cast(d38) * col("__x").cast(d38)).as("__sxx"))
+      .select(
+        when((col("__np") * col("__sxx") - col("__sx") * col("__sx"))
+            .cast("double") =!= 0.0,
+          (col("__np") * col("__sxy") - col("__sx") * col("__sy"))
+            .cast("double") /
+          (col("__np") * col("__sxx") - col("__sx") * col("__sx"))
+            .cast("double")).as("hurst"))
+    perN.crossJoin(broadcast(fit))
+      .select(col("__n").as("n"), col("n_blocks"), col("sum_rs_micro"),
+        col("avg_rs"), col("hurst"))
+      .orderBy(col("n"))
+  }
 }

@@ -114,5 +114,125 @@ object Analytics30 {
       "set; global moments broadcast onto ≤100 rows. The z algebra is " +
       "integer until one sqrt+division per cell.")
 
-  val all: Seq[Declared] = Seq(q373, q374)
+  /** q375 — A8/A-stat: Hurst exponent of the daily order-count series
+    * by rescaled-range analysis (Hurst 1951; Mandelbrot & Wallis
+    * 1969) over block sizes 16/32/64/128 — integer scaled cumulative
+    * deviations, micro-quantized per-block R/S, micro-log OLS
+    * finish. */
+  val q375 = Declared(
+    "q375_hurst_rs", "A8,A-stat",
+    (s, dir) => graft.ops.TimeSeriesOps.hurstRS(
+      Tables.orders(s, dir)
+        .groupBy(expr("datediff(o_orderdate, DATE'1970-01-01')")
+          .cast("long").as("day"))
+        .agg(count(lit(1)).as("cnt")),
+      col("day"), col("cnt"), blockSizes = Seq(16, 32, 64, 128)),
+    Some("""WITH daily AS (
+           |  SELECT CAST(datediff('day', DATE '1970-01-01', o_orderdate)
+           |    AS BIGINT) AS day, CAST(count(*) AS BIGINT) AS y
+           |  FROM orders GROUP BY 1),
+           |rk AS (
+           |  SELECT y, row_number() OVER (ORDER BY day) AS r FROM daily),
+           |bl AS (
+           |  SELECT n, (r - 1) // n AS b, r, y
+           |  FROM rk, (SELECT unnest([16, 32, 64, 128]) AS n) ns),
+           |dv AS (
+           |  SELECT n, b, y,
+           |    row_number() OVER w AS k,
+           |    CAST(sum(y) OVER w AS BIGINT) AS c,
+           |    CAST(sum(y) OVER (PARTITION BY n, b) AS BIGINT) AS s1
+           |  FROM bl
+           |  WINDOW w AS (PARTITION BY n, b ORDER BY r
+           |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+           |pb AS (
+           |  SELECT n, b, count(*) AS cnt, max(s1) AS s1,
+           |    sum(CAST(y AS HUGEINT) * y) AS s2,
+           |    max(n * c - k * s1) AS dmax, min(n * c - k * s1) AS dmin
+           |  FROM dv GROUP BY 1, 2),
+           |rs AS (
+           |  SELECT n, CAST(floor(
+           |      CAST(dmax - dmin AS DOUBLE) /
+           |      sqrt(CAST(CAST(n AS HUGEINT) * s2 -
+           |        CAST(s1 AS HUGEINT) * s1 AS DOUBLE)) * 1e6 + 0.5)
+           |    AS BIGINT) AS rs_u
+           |  FROM pb
+           |  WHERE cnt = n AND
+           |    CAST(n AS HUGEINT) * s2 - CAST(s1 AS HUGEINT) * s1 > 0),
+           |pn AS (
+           |  SELECT CAST(n AS BIGINT) AS n,
+           |    CAST(count(*) AS BIGINT) AS n_blocks,
+           |    CAST(sum(rs_u) AS BIGINT) AS sum_rs_micro
+           |  FROM rs GROUP BY 1),
+           |pts AS (
+           |  SELECT n, n_blocks, sum_rs_micro,
+           |    CAST(sum_rs_micro AS DOUBLE) / 1e6 / n_blocks AS avg_rs,
+           |    CAST(floor(ln(CAST(n AS DOUBLE)) * 1e6 + 0.5) AS BIGINT) AS x,
+           |    CAST(floor(ln(CAST(sum_rs_micro AS DOUBLE) / 1e6 / n_blocks)
+           |      * 1e6 + 0.5) AS BIGINT) AS y
+           |  FROM pn),
+           |fit AS (
+           |  SELECT CAST(count(*) AS HUGEINT) AS np,
+           |    sum(CAST(x AS HUGEINT)) AS sx, sum(CAST(y AS HUGEINT)) AS sy,
+           |    sum(CAST(x AS HUGEINT) * y) AS sxy,
+           |    sum(CAST(x AS HUGEINT) * x) AS sxx
+           |  FROM pts)
+           |SELECT n, n_blocks, sum_rs_micro, avg_rs,
+           |  CASE WHEN CAST(np * sxx - sx * sx AS DOUBLE) <> 0 THEN
+           |    CAST(np * sxy - sx * sy AS DOUBLE) /
+           |    CAST(np * sxx - sx * sx AS DOUBLE)
+           |  END AS hurst
+           |FROM pts, fit ORDER BY n""".stripMargin),
+    "ONE fact pass (the day rollup); the rank walk is over the bounded " +
+      "series rollup (documented expect); block windows are keyed (n, " +
+      "block) and the explode multiplies the ROLLUP by 4, never the fact " +
+      "table. The long-memory diagnostic run before trusting any i.i.d. " +
+      "model of a traffic series.")
+
+  /** q376 — E4+: one DoReMi domain-reweighting step over the document
+    * corpus (Xie et al. NeurIPS 2023) — token-share baseline, corpus-
+    * unigram proxy loss, exponentiated-gradient tilt toward
+    * high-excess domains. η = 1. */
+  val q376 = Declared(
+    "q376_doremi_step", "E4+",
+    (s, dir) => graft.ext.Curation.doremiStep(
+      Tables.documents(s, dir), "text", "source"),
+    Some("""WITH tok AS (
+           |  SELECT source AS domain,
+           |    unnest(regexp_split_to_array(lower(text), '\s+')) AS term
+           |  FROM documents),
+           |freq AS (SELECT term, count(*) AS n_t FROM tok GROUP BY term),
+           |total AS (SELECT count(*) AS n_total FROM tok),
+           |pd AS (
+           |  SELECT domain, CAST(count(*) AS BIGINT) AS n_tokens,
+           |    CAST(sum(-round(ln(CAST(n_t AS DOUBLE) / n_total) * 1e6, 0))
+           |      AS BIGINT) AS nll_sum
+           |  FROM tok JOIN freq USING (term) CROSS JOIN total
+           |  GROUP BY domain),
+           |pd2 AS (SELECT *, nll_sum // n_tokens AS loss_micro FROM pd),
+           |base AS (
+           |  SELECT CAST(sum(n_tokens) AS BIGINT) AS t_tot,
+           |    CAST(sum(nll_sum) AS BIGINT) // CAST(sum(n_tokens) AS BIGINT)
+           |      AS base_micro
+           |  FROM pd2),
+           |tl AS (
+           |  SELECT domain, n_tokens, loss_micro, t_tot,
+           |    greatest(0, loss_micro - base_micro) AS excess_micro,
+           |    CAST(floor(exp(CAST(greatest(0, loss_micro - base_micro)
+           |      AS DOUBLE) / 1e6) * 1e6 + 0.5) AS BIGINT) AS tilt_u
+           |  FROM pd2, base),
+           |tz AS (
+           |  SELECT *, CAST(n_tokens AS HUGEINT) * tilt_u AS mass FROM tl),
+           |z AS (SELECT sum(mass) AS z FROM tz)
+           |SELECT domain, n_tokens,
+           |  CAST(n_tokens AS DOUBLE) / CAST(t_tot AS DOUBLE) AS base_share,
+           |  loss_micro, excess_micro,
+           |  CAST(mass AS DOUBLE) / CAST(z AS DOUBLE) AS new_share
+           |FROM tz, z ORDER BY domain""".stripMargin),
+    "The unigramLogProb shape: one token explode -> content-keyed " +
+      "frequency agg + 1-row broadcast total; every domain quantity is a " +
+      "|domains|-row rollup; the tilt is integer micro-arithmetic. The " +
+      "mixture-update step a pretraining pipeline runs between proxy " +
+      "epochs at 100 TB.")
+
+  val all: Seq[Declared] = Seq(q373, q374, q375, q376)
 }

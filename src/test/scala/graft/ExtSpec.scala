@@ -499,6 +499,39 @@ class CurationSpec extends AnyFunSuite {
     assert(byDoc(5L).size == 1)
   }
 
+  test("E4+: doremiStep — identical domains keep their shares; hard domain tilts up") {
+    import graft.ext.Curation
+    import org.apache.spark.sql.functions._
+    // two domains with the SAME text: zero excess everywhere, so the
+    // tilt factor is exp(0) = 1 and shares equal the token shares
+    val same = Seq(
+      (1L, "a", "the quick brown fox"), (2L, "a", "the quick brown fox"),
+      (3L, "b", "the quick brown fox")).toDF("doc_id", "domain", "text")
+    val eq = Curation.doremiStep(same, "text", "domain").collect()
+    assert(eq.forall(r =>
+      r.getAs[Double]("new_share") == r.getAs[Double]("base_share")))
+    assert(math.abs(eq.map(_.getAs[Double]("new_share")).sum - 1.0) < 1e-12)
+    // one domain of common tokens, one of all-rare tokens: the rare
+    // (high-loss) domain's share must strictly increase
+    val mixed = Seq(
+      (1L, "easy", "common common common common common common"),
+      (2L, "easy", "common common common common common common"),
+      (3L, "hard", "zyx wvu tsr qpo nml kji")).toDF("doc_id", "domain", "text")
+    val out = Curation.doremiStep(mixed, "text", "domain")
+      .collect().map(r => r.getAs[String]("domain") -> r).toMap
+    assert(out("hard").getAs[Long]("excess_micro") > 0L)
+    assert(out("easy").getAs[Long]("excess_micro") == 0L)
+    assert(out("hard").getAs[Double]("new_share") >
+      out("hard").getAs[Double]("base_share"))
+    assert(out("easy").getAs[Double]("new_share") <
+      out("easy").getAs[Double]("base_share"))
+    // eta = 0 switches the update off even when excess is positive
+    val off = Curation.doremiStep(mixed, "text", "domain", etaMicro = 0L)
+      .collect()
+    assert(off.forall(r =>
+      r.getAs[Double]("new_share") == r.getAs[Double]("base_share")))
+  }
+
   test("E4: hash split is deterministic, duplicate-safe, and percentage-shaped") {
     import graft.ext.Curation
     val docs = (0 until 2000).map(i => (i.toLong, s"document number $i with some text"))

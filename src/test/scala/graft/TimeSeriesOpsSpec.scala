@@ -330,4 +330,42 @@ class TimeSeriesOpsSpec extends AnyFunSuite {
     assert(out.head == (1L, 0L) && out.last == (20L, 0L))
     assert(out.contains((10L, 1000L)), s"spike lost: ${out.toSeq}")
   }
+
+  test("A8: hurstRS — linear trend is persistent (H near 1), alternation anti-persistent") {
+    import org.apache.spark.sql.functions._
+    // pure trend: within every block the rescaled range grows ~n,
+    // so the log-log slope approaches 1
+    val trend = (1L to 256L).map(t => (t, 10L * t)).toDF("t", "y")
+    val ht = graft.ops.TimeSeriesOps.hurstRS(
+        trend, col("t"), col("y"), Seq(8, 16, 32, 64))
+      .collect()
+    assert(ht.length == 4)
+    val h = ht.head.getAs[Double]("hurst")
+    assert(ht.forall(_.getAs[Double]("hurst") == h), "hurst repeated per row")
+    assert(h > 0.9, s"trend hurst was $h")
+    // strict alternation: the cumulative deviation is bounded by one
+    // step, so R/S barely grows with n — H near 0
+    val alt = (1L to 256L).map(t => (t, if (t % 2 == 0) 10L else 0L))
+      .toDF("t", "y")
+    val ha = graft.ops.TimeSeriesOps.hurstRS(
+        alt, col("t"), col("y"), Seq(8, 16, 32, 64))
+      .collect().head.getAs[Double]("hurst")
+    assert(ha < 0.2, s"alternation hurst was $ha")
+  }
+
+  test("A8: hurstRS — partial blocks dropped, single-n fit is null, constant series empty") {
+    import org.apache.spark.sql.functions._
+    // 20 points, blocks of 8: ranks 1..16 form 2 full blocks, the
+    // 4-point tail is dropped; a single block size cannot be fit
+    val s20 = (1L to 20L).map(t => (t, t % 5)).toDF("t", "y")
+    val out = graft.ops.TimeSeriesOps.hurstRS(
+      s20, col("t"), col("y"), Seq(8)).collect()
+    assert(out.length == 1)
+    assert(out.head.getAs[Long]("n_blocks") == 2L)
+    assert(out.head.isNullAt(out.head.fieldIndex("hurst")))
+    // constant series: every block has zero variance -> nothing to fit
+    val const = (1L to 64L).map(t => (t, 7L)).toDF("t", "y")
+    assert(graft.ops.TimeSeriesOps.hurstRS(
+      const, col("t"), col("y"), Seq(8, 16)).count() == 0L)
+  }
 }
