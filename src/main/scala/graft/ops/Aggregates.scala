@@ -2790,4 +2790,61 @@ object Aggregates {
       .unionByName(right.select(col("level"), col("seg_start"), col("seg_end"),
         col("split_at"), col("gain")))
   }
+
+  /** A-stat — Huber M-estimator of location per group (Huber 1964),
+    * by IRLS with a FIXED iteration count: start at the group mean,
+    * then repeat mu ← Σ w·x / Σ w with the Huber weight
+    * w = min(1, c / |x − mu|) — downweighting points past c the way
+    * the trimmed mean (q324) hard-drops them, but smoothly.
+    *
+    * Determinism contract: values are integers, mu lives on the
+    * integer MICRO grid, so |x − mu| is an exact integer micro-
+    * distance; the weight is the exact integer ppm
+    * min(1e6, (c_micro·1e6) div dist_micro), and each mu update is
+    * one decimal(38,0) floor division — every iterate is bit-portable
+    * across engines and partitionings, no float accumulates.
+    *
+    * Returns per group: (group, n, mean_micro, huber_mu_micro,
+    * huber_mu), huber_mu = final iterate as a double (÷1e6, exact).
+    *
+    * Scale: ONE fact pass builds the (group, value, count) rollup
+    * (map-side combine); all `iterations` updates run on that rollup
+    * — for discrete-valued measures the rollup is |group|×|values|,
+    * thousands of rows at any corpus size. */
+  def huberLocation(df: org.apache.spark.sql.DataFrame, valueCol: Column,
+      groupCol: Column, cMicro: Long, iterations: Int = 3)
+      : org.apache.spark.sql.DataFrame = {
+    require(cMicro > 0, "cMicro > 0")
+    require(iterations >= 1 && iterations <= 8, "1 <= iterations <= 8")
+    val d38 = "decimal(38,0)"
+    val pv = df.select(groupCol.as("g"), valueCol.cast("long").as("v"))
+      .groupBy(col("g"), col("v")).agg(count(lit(1)).as("c"))
+    val mean = pv.groupBy(col("g"))
+      .agg(sum(col("c")).as("n"),
+        sum(col("c").cast(d38) * col("v").cast(d38)).as("__sv"))
+      .withColumn("mean_micro",
+        expr(s"CAST((__sv * 1000000) div n AS BIGINT)"))
+      .select(col("g"), col("n"), col("mean_micro"))
+    val withMu0 = pv.join(mean, "g").withColumn("__mu", col("mean_micro"))
+    val iterated = (1 to iterations).foldLeft(withMu0) { (acc, _) =>
+      val step = acc
+        .withColumn("__dist",
+          abs(col("v") * lit(1000000L) - col("__mu")))
+        // exact integer ppm weight; dist 0 -> full weight
+        .withColumn("__w", when(col("__dist") === 0, lit(1000000L))
+          .otherwise(least(lit(1000000L),
+            expr(s"${cMicro}L * 1000000L div __dist"))))
+      val mu = step.groupBy(col("g"))
+        .agg(((sum(col("c").cast(d38) * col("__w").cast(d38) *
+            col("v").cast(d38)) * lit(1000000L)) cast d38).as("__num"),
+          sum(col("c").cast(d38) * col("__w").cast(d38)).cast(d38).as("__den"))
+        .select(col("g"), expr("CAST(__num div __den AS BIGINT)").as("__mu2"))
+      acc.join(mu, "g").withColumn("__mu", col("__mu2")).drop("__mu2")
+    }
+    iterated.groupBy(col("g"))
+      .agg(max(col("n")).as("n"), max(col("mean_micro")).as("mean_micro"),
+        max(col("__mu")).as("huber_mu_micro"))
+      .withColumn("huber_mu", col("huber_mu_micro").cast("double") / 1e6)
+      .orderBy(col("g"))
+  }
 }

@@ -38,4 +38,46 @@ object Expectations {
     }
     one.select(explode(array(rows: _*)).as("r")).select("r.*")
   }
+
+  /** C11+/E6 — functional-dependency audit (the profiling half of FD
+    * discovery à la TANE/HyFD, restricted to DECLARED candidates —
+    * discovery over all column pairs is a schema-sized loop the
+    * caller writes, not a data-sized one): for each candidate
+    * lhs → rhs, report how close the data comes to satisfying it.
+    * A group (= one lhs value combination) violates when it maps to
+    * more than one distinct rhs value. `violation_rows` counts the
+    * minimum row repairs (Σ over violating groups of group_size −
+    * largest-rhs-block — the standard g3 error numerator, Kivinen &
+    * Mannila 1995).
+    *
+    * Returns one row per candidate: (fd, n_groups, n_violating,
+    * violation_rows, holds).
+    *
+    * Scale: each candidate costs ONE lhs-keyed partial agg over a
+    * (lhs, rhs)-rollup — map-side combined, no distinct-expansion;
+    * candidates are audited independently (a union of narrow aggs),
+    * so adding one adds one rollup, never a fact-table rescan of the
+    * others' width. */
+  def fdAudit(df: DataFrame,
+      candidates: Seq[(Seq[String], String)]): DataFrame = {
+    require(candidates.nonEmpty, "at least one FD candidate")
+    val reports = candidates.map { case (lhs, rhs) =>
+      require(lhs.nonEmpty, "lhs must be non-empty")
+      val fdName = s"${lhs.mkString(",")} -> $rhs"
+      val pairs = df.groupBy((lhs :+ rhs).map(col): _*)
+        .agg(count(lit(1)).as("__c"))
+      val groups = pairs.groupBy(lhs.map(col): _*)
+        .agg(count(lit(1)).as("__nd"), sum(col("__c")).as("__sz"),
+          max(col("__c")).as("__mx"))
+      groups.agg(
+        count(lit(1)).as("n_groups"),
+        sum(when(col("__nd") > 1, 1L).otherwise(0L)).as("n_violating"),
+        sum(when(col("__nd") > 1, col("__sz") - col("__mx"))
+          .otherwise(0L)).as("violation_rows"))
+        .select(lit(fdName).as("fd"), col("n_groups"), col("n_violating"),
+          col("violation_rows"),
+          (col("n_violating") === 0L).cast("int").as("holds"))
+    }
+    reports.reduce(_ unionByName _)
+  }
 }

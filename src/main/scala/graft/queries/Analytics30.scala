@@ -234,5 +234,94 @@ object Analytics30 {
       "mixture-update step a pretraining pipeline runs between proxy " +
       "epochs at 100 TB.")
 
-  val all: Seq[Declared] = Seq(q373, q374, q375, q376)
+  /** q377 — A-stat: Huber M-estimator of quantity per return flag
+    * (Huber 1964), 3 IRLS iterations at c = 5 units — the smooth
+    * robust-location counterpart to q324's trimmed mean, replayed
+    * iteration by iteration in the oracle on the same integer micro
+    * grid. */
+  val q377 = Declared(
+    "q377_huber_location", "A-stat",
+    (s, dir) => graft.ops.Aggregates.huberLocation(
+      Tables.lineitem(s, dir), col("l_quantity"), col("l_returnflag"),
+      cMicro = 5000000L, iterations = 3),
+    Some {
+      // one IRLS iteration as SQL: mu table m(g, mu) -> next mu table
+      def it(prev: String, next: String): String =
+        s"""$next AS (
+           |  SELECT pv.g,
+           |    CAST(sum(CAST(pv.c AS HUGEINT) * w.w * pv.v) * 1000000 //
+           |      sum(CAST(pv.c AS HUGEINT) * w.w) AS BIGINT) AS mu
+           |  FROM pv JOIN (
+           |    SELECT pv.g, pv.v,
+           |      CASE WHEN abs(pv.v * 1000000 - $prev.mu) = 0
+           |        THEN 1000000
+           |        ELSE least(1000000, 5000000000000 //
+           |          abs(pv.v * 1000000 - $prev.mu)) END AS w
+           |    FROM pv JOIN $prev ON $prev.g = pv.g) w
+           |    ON w.g = pv.g AND w.v = pv.v
+           |  GROUP BY pv.g)""".stripMargin
+      s"""WITH pv AS MATERIALIZED (
+         |  SELECT l_returnflag AS g, CAST(l_quantity AS BIGINT) AS v,
+         |    CAST(count(*) AS BIGINT) AS c
+         |  FROM lineitem GROUP BY 1, 2),
+         |m0 AS (
+         |  SELECT g, CAST(sum(CAST(c AS HUGEINT) * v) * 1000000 //
+         |    sum(CAST(c AS HUGEINT)) AS BIGINT) AS mu
+         |  FROM pv GROUP BY g),
+         |${it("m0", "m1")},
+         |${it("m1", "m2")},
+         |${it("m2", "m3")},
+         |nn AS (SELECT g, CAST(sum(c) AS BIGINT) AS n FROM pv GROUP BY g)
+         |SELECT nn.g, nn.n, m0.mu AS mean_micro, m3.mu AS huber_mu_micro,
+         |  CAST(m3.mu AS DOUBLE) / 1e6 AS huber_mu
+         |FROM nn JOIN m0 ON m0.g = nn.g JOIN m3 ON m3.g = nn.g
+         |ORDER BY nn.g""".stripMargin
+    },
+    "ONE fact pass (the group x value rollup, map-side combine); the 3 " +
+      "IRLS updates run on that |g|x50 rollup with exact integer-micro " +
+      "weights and decimal floor divisions — bit-portable across engines " +
+      "and partitionings, robust to the heavy tail q324 trims.")
+
+  /** q378 — C11+/E6: functional-dependency audit over declared
+    * candidates on orders — key FDs hold, attribute FDs fail with the
+    * g3 repair count (Kivinen & Mannila 1995). */
+  val q378 = Declared(
+    "q378_fd_audit", "C11+,E6",
+    (s, dir) => graft.ops.Expectations.fdAudit(
+      Tables.orders(s, dir), Seq(
+        (Seq("o_orderkey"), "o_custkey"),
+        (Seq("o_custkey"), "o_orderpriority"),
+        (Seq("o_orderdate", "o_custkey"), "o_orderkey"),
+        (Seq("o_orderstatus"), "o_orderpriority")))
+      .orderBy(col("fd")),
+    Some {
+      def cand(lhs: Seq[String], rhs: String): String = {
+        val l = lhs.mkString(", ")
+        s"""SELECT '${lhs.mkString(",")} -> $rhs' AS fd,
+           |  CAST(count(*) AS BIGINT) AS n_groups,
+           |  CAST(sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS BIGINT)
+           |    AS n_violating,
+           |  CAST(sum(CASE WHEN nd > 1 THEN sz - mx ELSE 0 END) AS BIGINT)
+           |    AS violation_rows,
+           |  CAST(CASE WHEN sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END) = 0
+           |    THEN 1 ELSE 0 END AS INTEGER) AS holds
+           |FROM (
+           |  SELECT $l, count(*) AS nd, CAST(sum(c) AS BIGINT) AS sz,
+           |    CAST(max(c) AS BIGINT) AS mx
+           |  FROM (SELECT $l, $rhs, CAST(count(*) AS BIGINT) AS c
+           |        FROM orders GROUP BY ALL) p
+           |  GROUP BY ALL) gg""".stripMargin
+      }
+      Seq(cand(Seq("o_orderkey"), "o_custkey"),
+        cand(Seq("o_custkey"), "o_orderpriority"),
+        cand(Seq("o_orderdate", "o_custkey"), "o_orderkey"),
+        cand(Seq("o_orderstatus"), "o_orderpriority"))
+        .mkString("", "\nUNION ALL\n", "\nORDER BY fd")
+    },
+    "Each candidate is one lhs-keyed partial agg over a (lhs, rhs) rollup " +
+      "— no countDistinct expansion, map-side combined, candidates " +
+      "independent. The schema-contract profiler run before trusting any " +
+      "join key at 100 TB.")
+
+  val all: Seq[Declared] = Seq(q373, q374, q375, q376, q377, q378)
 }

@@ -947,6 +947,43 @@ class AnalyticsOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("C11+: fdAudit — holding and violated FDs, g3 repair count, composite lhs") {
+    import graft.ops.Expectations
+    val df = Seq(
+      // dept -> site: "a" maps to x,x,y (violating, repair = 1),
+      //               "b" maps to z   (clean)
+      ("a", "x", 1), ("a", "x", 1), ("a", "y", 2), ("b", "z", 3))
+      .toDF("dept", "site", "grp")
+    val out = Expectations.fdAudit(df, Seq(
+      (Seq("dept"), "site"),
+      (Seq("dept", "site"), "grp"),   // holds: (a,x)->1, (a,y)->2, (b,z)->3
+      (Seq("grp"), "dept")))          // holds: 1->a, 2->a, 3->b
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getInt(4))).toMap
+    assert(out("dept -> site") == (2L, 1L, 1L, 0))
+    assert(out("dept,site -> grp") == (3L, 0L, 0L, 1))
+    assert(out("grp -> dept") == (3L, 0L, 0L, 1))
+  }
+
+  test("A-stat: huberLocation — clean data keeps the mean; outliers are resisted") {
+    import graft.ops.Aggregates
+    // symmetric clean group: mean = huber mu = 10
+    // contaminated group: nine 10s and one 1000 — the mean is dragged
+    // to 109, the huber estimate must stay near 10
+    val df = (Seq.fill(5)(("clean", 8L)) ++ Seq.fill(5)(("clean", 12L)) ++
+      Seq.fill(9)(("dirty", 10L)) :+ (("dirty", 1000L)))
+      .toDF("g", "v")
+    val out = Aggregates.huberLocation(df, col("v"), col("g"),
+        cMicro = 5000000L, iterations = 3)
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(out("clean").getAs[Long]("huber_mu_micro") == 10000000L)
+    assert(out("clean").getAs[Long]("mean_micro") == 10000000L)
+    assert(out("dirty").getAs[Long]("mean_micro") == 109000000L)
+    val dirtyMu = out("dirty").getAs[Double]("huber_mu")
+    assert(dirtyMu < 20.0, s"huber mu dragged to $dirtyMu")
+    assert(dirtyMu >= 10.0)
+  }
+
   test("E3+: powerIterationInt — symmetric fixed point and exact decay") {
     import graft.ext.Clustering
     val sym = Seq((0, 0, 1.0), (0, 1, 0.8), (1, 1, 1.0)).toDF("i", "j", "corr")
