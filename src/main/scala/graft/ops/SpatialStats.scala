@@ -121,4 +121,163 @@ object SpatialStats {
           sqrt(varTerm * (wTerm / (col("n_cells") - 1).cast("double"))))
           .as("gi_z"))
   }
+
+  /** J3+ — mutual (reciprocal) nearest-neighbor pairs: the record-
+    * linkage / panel-matching primitive — a pair (a, b) matches when
+    * each is the other's single nearest neighbor (ties broken by
+    * (d², id), so the relation is a deterministic function). Output
+    * one row per mutual pair: (id_a, id_b, d2) with id_a < id_b.
+    *
+    * Coordinates are integer-valued by contract (exact d²).
+    *
+    * Scale: candidate pairs come from a 3×3 grid-bucket EQUI-join at
+    * `pruneRadius` (any true neighbor within the radius is in some
+    * adjacent cell); points whose nearest candidate is farther than
+    * the radius fall back to a brute pass — bounded by the unsolved
+    * count, which a well-chosen radius keeps near zero. Never an
+    * all-pairs join on the solved path. */
+  def mutualNearestNeighbors(points: DataFrame, idCol: Column,
+      xCol: Column, yCol: Column, pruneRadius: Double): DataFrame = {
+    require(pruneRadius > 0, "pruneRadius > 0")
+    val r2 = { val r = math.round(pruneRadius); lit(r * r) }
+    val pts = points.select(idCol.cast("long").as("id"),
+      xCol.cast("long").as("px"), yCol.cast("long").as("py"))
+    // SITE rollup first: coincident points collapse to one row with
+    // their two smallest ids — at high multiplicity (the integer-
+    // lattice regime) every later stage is bounded by the SITE count,
+    // not the row count. Keyed window (site), never global.
+    val ws = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("px"), col("py")).orderBy(col("id"))
+    val wsAll = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("px"), col("py"))
+    val sites = graft.core.OperatorCaches.cached(
+      pts.withColumn("__rn", row_number().over(ws))
+        .withColumn("__m", count(lit(1)).over(wsAll))
+        .filter(col("__rn") <= 2)
+        .groupBy(col("px"), col("py"))
+        .agg(min(col("id")).as("m1"), max(col("id")).as("m2"),
+          max(col("__m")).as("m")))
+    // a multi-site's two smallest ids are mutual at distance 0 (every
+    // farther point loses to the coincident partner)
+    val multiPairs = sites.filter(col("m") >= 2)
+      .select(col("m1").as("id_a"), col("m2").as("id_b"),
+        lit(0L).as("d2"))
+    // singleton sites resolve their nearest neighbor across SITES; the
+    // reciprocal can only be another singleton (multi-site points pair
+    // internally), so the mutual join runs on singles only
+    val singles = sites.filter(col("m") === 1)
+      .select(col("m1").as("id"), col("px"), col("py"))
+    val cell = math.max(1L, math.round(pruneRadius))
+    val offsets = for { dx <- -1 to 1; dy <- -1 to 1 }
+      yield struct(lit(dx).as("dx"), lit(dy).as("dy"))
+    val probes = singles
+      .withColumn("o", explode(array(offsets: _*)))
+      .select(col("id"), col("px"), col("py"),
+        expr(s"(px div ${cell}L) + o.dx").as("cx"),
+        expr(s"(py div ${cell}L) + o.dy").as("cy"))
+    // NN targets are sites; the site's smallest id is the point-level
+    // argmin (coincident points tie on d², smallest id wins)
+    val homes = sites.select(col("m1").as("nid"), col("px").as("nx"),
+      col("py").as("ny"), expr(s"px div ${cell}L").as("cx"),
+      expr(s"py div ${cell}L").as("cy"))
+    val d2c = (col("px") - col("nx")) * (col("px") - col("nx")) +
+      (col("py") - col("ny")) * (col("py") - col("ny"))
+    // argmin as a partial-aggregable min over (d², nid) structs — a
+    // map-side-combined agg, not a rank window over the pair set
+    def argmin(cand: DataFrame): DataFrame = cand
+      .groupBy(col("id"))
+      .agg(min(struct(col("d2"), col("nid"))).as("__m"))
+      .select(col("id"), col("__m.nid").as("nid"), col("__m.d2").as("d2"))
+    val solved = argmin(probes.join(homes, Seq("cx", "cy"))
+      .filter(col("nid") =!= col("id"))
+      .withColumn("d2", d2c)
+      .filter(col("d2") <= r2))
+    // brute fallback for singletons with no candidate within the
+    // radius — bounded by the unsolved count (near zero at a sane
+    // radius), and still site-count-bounded on the right side
+    val unsolved = singles.join(solved.select(col("id")),
+      Seq("id"), "left_anti")
+    val bruteNn = argmin(unsolved
+      .crossJoin(sites.select(col("m1").as("nid"), col("px").as("nx"),
+        col("py").as("ny")))
+      .filter(col("nid") =!= col("id"))
+      .withColumn("d2", d2c))
+    val nn = solved.unionByName(bruteNn)
+    val rev = nn.select(col("id").as("nid"), col("nid").as("id"))
+    val singlePairs = nn.join(rev, Seq("id", "nid"))
+      .filter(col("id") < col("nid"))
+      .select(col("id").as("id_a"), col("nid").as("id_b"), col("d2"))
+    multiPairs.unionByName(singlePairs)
+  }
+
+  /** A3+ — Ripley's K / L function over an integer point field
+    * (Ripley 1977; no edge correction — stated scope): for each
+    * radius r, K̂(r) = A · #{ordered pairs with d ≤ r} / (n(n−1)) and
+    * L̂(r) = sqrt(K̂/π); L̂ − r > 0 signals clustering at that scale,
+    * < 0 dispersion. Pair counts are exact integers from ONE 3×3
+    * grid-bucket candidate join at the LARGEST radius; each smaller
+    * radius is a conditional sum over the same candidates.
+    *
+    * Returns one row per radius: (r, n_points, n_pairs, k_hat, l_hat,
+    * l_minus_r).
+    *
+    * Scale: the candidate join is an equi-join on cell keys sized by
+    * max(radii) — pair volume is the true local-density pair count,
+    * never n²; the per-radius finish is conditional aggregation over
+    * one pass of those pairs. */
+  def ripleysK(points: DataFrame, xCol: Column, yCol: Column,
+      radii: Seq[Int], area: Double): DataFrame = {
+    require(radii.nonEmpty && radii.forall(_ > 0), "radii > 0")
+    require(area > 0, "area > 0")
+    val rmax = radii.max.toLong
+    // SITE rollup first: coincident points collapse to (site,
+    // multiplicity); a cross-site pair then counts m_a·m_b ordered
+    // point pairs and a site with m ≥ 2 contributes m(m−1) zero-
+    // distance pairs — so every stage after the rollup is bounded by
+    // the SITE count (the lattice), not the point count.
+    val sites = graft.core.OperatorCaches.cached(
+      points.select(xCol.cast("long").as("px"), yCol.cast("long").as("py"))
+        .groupBy(col("px"), col("py")).agg(count(lit(1)).as("m")))
+    // cell = rmax/2 with a ±2 probe window: |Δx| ≤ rmax still lands in
+    // the window, and the finer cells cut candidate volume ~30% vs the
+    // classic 3×3-at-rmax scheme when rmax is large against the field
+    val cell = math.max(1L, (rmax + 1) / 2)
+    val reach = ((rmax + cell - 1) / cell).toInt
+    val offsets = for { dx <- -reach to reach; dy <- -reach to reach }
+      yield struct(lit(dx).as("dx"), lit(dy).as("dy"))
+    val probes = sites
+      .withColumn("o", explode(array(offsets: _*)))
+      .select(col("px"), col("py"), col("m"),
+        expr(s"(px div ${cell}L) + o.dx").as("cx"),
+        expr(s"(py div ${cell}L) + o.dy").as("cy"))
+    val homes = sites.select(col("px").as("nx"), col("py").as("ny"),
+      col("m").as("nm"), expr(s"px div ${cell}L").as("cx"),
+      expr(s"py div ${cell}L").as("cy"))
+    val pairs = probes.join(homes, Seq("cx", "cy"))
+      .filter(col("nx") =!= col("px") || col("ny") =!= col("py"))
+      .withColumn("d2",
+        (col("px") - col("nx")) * (col("px") - col("nx")) +
+          (col("py") - col("ny")) * (col("py") - col("ny")))
+      .withColumn("__w", col("m") * col("nm"))
+    val aggs = radii.zipWithIndex.map { case (r, ix) =>
+      sum(when(col("d2") <= r.toLong * r, col("__w")).otherwise(0L))
+        .as(s"__p$ix")
+    }
+    val counts = pairs.agg(aggs.head, aggs.tail: _*)
+    // zero-distance pairs inside multi-sites + the point total
+    val n = sites.agg(sum(col("m")).as("n_points"),
+      sum(col("m") * (col("m") - 1)).as("__self"))
+    val one = counts.crossJoin(broadcast(n))
+    val rows = radii.zipWithIndex.map { case (r, ix) =>
+      val np = coalesce(col(s"__p$ix"), lit(0L)) + col("__self")
+      val kHat = lit(area) * np.cast("double") /
+        (col("n_points").cast("double") *
+          (col("n_points") - 1).cast("double"))
+      one.select(lit(r.toLong).as("r"), col("n_points"),
+        np.as("n_pairs"), kHat.as("k_hat"),
+        sqrt(kHat / math.Pi).as("l_hat"),
+        (sqrt(kHat / math.Pi) - r).as("l_minus_r"))
+    }
+    rows.reduce(_ unionByName _).orderBy(col("r"))
+  }
 }

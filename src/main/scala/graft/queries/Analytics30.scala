@@ -323,5 +323,80 @@ object Analytics30 {
       "independent. The schema-contract profiler run before trusting any " +
       "join key at 100 TB.")
 
-  val all: Seq[Declared] = Seq(q373, q374, q375, q376, q377, q378)
+  /** q379 — J3+: mutual nearest-neighbor pairs on the synthetic
+    * feature lattice — the record-linkage matching primitive; the
+    * oracle brute-forces all pairs at the gate SF, proving the
+    * grid-pruned form lossless. */
+  val q379 = Declared(
+    "q379_mutual_nn", "J3+",
+    (s, dir) => SpatialStats.mutualNearestNeighbors(
+      Tables.part(s, dir).select(col("p_partkey").as("fid"),
+        expr("CAST((p_partkey * 29) % 100 AS BIGINT)").as("x"),
+        expr("CAST((p_partkey * 53) % 100 AS BIGINT)").as("y")),
+      col("fid"), col("x"), col("y"), pruneRadius = 10.0)
+      .orderBy(col("id_a")),
+    Some("""WITH f AS (
+           |  SELECT p_partkey AS id, (p_partkey * 29) % 100 AS px,
+           |    (p_partkey * 53) % 100 AS py
+           |  FROM part),
+           |nn AS (
+           |  SELECT id, nid, d2 FROM (
+           |    SELECT a.id, b.id AS nid,
+           |      (a.px - b.px) * (a.px - b.px) +
+           |      (a.py - b.py) * (a.py - b.py) AS d2,
+           |      row_number() OVER (PARTITION BY a.id ORDER BY
+           |        (a.px - b.px) * (a.px - b.px) +
+           |        (a.py - b.py) * (a.py - b.py), b.id) AS rn
+           |    FROM f a JOIN f b ON b.id <> a.id) WHERE rn = 1)
+           |SELECT CAST(x.id AS BIGINT) AS id_a,
+           |  CAST(x.nid AS BIGINT) AS id_b, CAST(x.d2 AS BIGINT) AS d2
+           |FROM nn x JOIN nn y ON y.id = x.nid AND y.nid = x.id
+           |WHERE x.id < x.nid
+           |ORDER BY id_a""".stripMargin),
+    "Candidates from a 3x3 grid-bucket EQUI-join at the prune radius; the " +
+      "brute fallback only sees points whose nearest candidate is farther — " +
+      "near zero at a sane radius. The oracle's all-pairs form exists only " +
+      "at the gate SF to prove the pruned form finds every mutual pair.")
+
+  /** q380 — A3+: Ripley's K/L point-pattern profile of the feature
+    * lattice at radii 5/10/15/20 (no edge correction, stated) —
+    * exact integer pair counts from one grid-bucket join at r_max. */
+  val q380 = Declared(
+    "q380_ripleys_k", "A3+",
+    (s, dir) => SpatialStats.ripleysK(
+      Tables.part(s, dir).select(
+        expr("CAST((p_partkey * 29) % 100 AS BIGINT)").as("x"),
+        expr("CAST((p_partkey * 53) % 100 AS BIGINT)").as("y")),
+      col("x"), col("y"), radii = Seq(5, 10, 15, 20), area = 10000.0),
+    Some("""WITH f AS (
+           |  SELECT p_partkey AS id, (p_partkey * 29) % 100 AS px,
+           |    (p_partkey * 53) % 100 AS py
+           |  FROM part),
+           |pr AS (
+           |  SELECT (a.px - b.px) * (a.px - b.px) +
+           |    (a.py - b.py) * (a.py - b.py) AS d2
+           |  FROM f a JOIN f b ON b.id <> a.id),
+           |n AS (SELECT CAST(count(*) AS BIGINT) AS n_points FROM f),
+           |c AS (
+           |  SELECT r, CAST((SELECT sum(CASE WHEN d2 <= r * r THEN 1
+           |      ELSE 0 END) FROM pr) AS BIGINT) AS n_pairs
+           |  FROM (SELECT unnest([5, 10, 15, 20]) AS r))
+           |SELECT CAST(r AS BIGINT) AS r, n_points, n_pairs,
+           |  10000.0 * CAST(n_pairs AS DOUBLE) /
+           |    (CAST(n_points AS DOUBLE) * CAST(n_points - 1 AS DOUBLE))
+           |    AS k_hat,
+           |  sqrt(10000.0 * CAST(n_pairs AS DOUBLE) /
+           |    (CAST(n_points AS DOUBLE) * CAST(n_points - 1 AS DOUBLE)) /
+           |    pi()) AS l_hat,
+           |  sqrt(10000.0 * CAST(n_pairs AS DOUBLE) /
+           |    (CAST(n_points AS DOUBLE) * CAST(n_points - 1 AS DOUBLE)) /
+           |    pi()) - r AS l_minus_r
+           |FROM c, n ORDER BY r""".stripMargin),
+    "ONE grid-bucket candidate join at r_max = 20 (cell equi-join, pair " +
+      "volume = true local-density count, never n^2); all four radii are " +
+      "conditional sums over that single pass. The clustered-vs-dispersed " +
+      "diagnostic run alongside q373's Moran I.")
+
+  val all: Seq[Declared] =
+    Seq(q373, q374, q375, q376, q377, q378, q379, q380)
 }

@@ -100,4 +100,46 @@ class SpatialStatsSpec extends AnyFunSuite {
     val near = out.filter(col("cx") === 0 && col("cy") === 0).collect()(0)
     assert(near.getAs[Double]("gi_z") > 0.0)
   }
+
+  /** Two tight couples and one isolated point: the couples are mutual
+    * (distance 1 each way), the isolated point's nearest neighbor is
+    * not reciprocated — no pair. A radius too small for the isolated
+    * point exercises the brute fallback and must not change the
+    * result. */
+  test("mutualNearestNeighbors: couples match, loner does not; fallback path equal") {
+    val pts = Seq((1L, 0L, 0L), (2L, 1L, 0L), (3L, 10L, 10L),
+      (4L, 11L, 10L), (5L, 50L, 50L)).toDF("id", "x", "y")
+    def run(r: Double) = SpatialStats.mutualNearestNeighbors(
+        pts, col("id"), col("x"), col("y"), r)
+      .orderBy("id_a").collect()
+      .map(row => (row.getLong(0), row.getLong(1), row.getLong(2))).toSeq
+    val wide = run(20.0)  // everything solved in the grid pass
+    assert(wide == Seq((1L, 2L, 1L), (3L, 4L, 1L)))
+    assert(run(3.0) == wide)  // loner (and nothing else) goes brute
+  }
+
+  /** Three coincident points: zero-distance ties break by id, so the
+    * two smallest ids pair and the third is left unreciprocated. */
+  test("mutualNearestNeighbors: coincident cluster pairs the two smallest ids") {
+    val pts = Seq((1L, 5L, 5L), (7L, 5L, 5L), (9L, 5L, 5L))
+      .toDF("id", "x", "y")
+    val out = SpatialStats.mutualNearestNeighbors(
+        pts, col("id"), col("x"), col("y"), 4.0)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(out == Seq((1L, 7L, 0L)))
+  }
+
+  /** 3-4-5 triangle: exact ordered pair counts at each radius, and a
+    * far-away fourth point that only moves the denominators. */
+  test("ripleysK: exact pair counts and monotone L on a 3-4-5 triangle") {
+    val pts = Seq((0L, 0L), (3L, 0L), (0L, 4L), (80L, 80L)).toDF("x", "y")
+    val out = SpatialStats.ripleysK(pts, col("x"), col("y"),
+      radii = Seq(3, 4, 5), area = 10000.0).orderBy("r").collect()
+    assert(out.map(_.getAs[Long]("n_pairs")).toSeq == Seq(2L, 4L, 6L))
+    assert(out.forall(_.getAs[Long]("n_points") == 4L))
+    // K̂ = A·pairs/(n(n−1)): 10000·2/12 etc.
+    assert(math.abs(out(0).getAs[Double]("k_hat") - 10000.0 * 2 / 12) < 1e-9)
+    // tight cluster relative to the area: L̂ − r strongly positive
+    assert(out.forall(_.getAs[Double]("l_minus_r") > 0.0))
+  }
 }
