@@ -954,4 +954,88 @@ object Experimentation {
             .stripMargin)))
       .orderBy(col("band").desc)
   }
+
+  /** A-stat — Mantel-Haenszel pooled odds ratio across strata (Mantel
+    * & Haenszel 1959): the common-odds-ratio estimate that weights
+    * each stratum's 2×2 table by its size —
+    * OR_MH = Σ_k a_k·d_k/n_k  /  Σ_k b_k·c_k/n_k — robust to
+    * confounding by the stratification variable where the crude
+    * (pooled-table) OR is not (Simpson's reversal).
+    *
+    * Exactness: each stratum term quantizes by integer floor division
+    * (a·d·1e6 div n, in decimal(38,0)) so the cross-stratum sums are
+    * exact on any engine/partitioning; the single OR division is
+    * last. Returns ONE row: (n_strata, sum_ad_micro, sum_bc_micro,
+    * or_mh, crude_or) — crude_or from the collapsed table for the
+    * Simpson's-reversal comparison.
+    *
+    * Scale: one conditional-sum agg per stratum key (map-side
+    * combine) + a strata-count-sized rollup. */
+  def mantelHaenszelOr(df: DataFrame, stratumCol: Column,
+      exposedCol: Column, outcomeCol: Column): DataFrame = {
+    val d38 = "decimal(38,0)"
+    val cells = df.select(stratumCol.as("__s"),
+        exposedCol.cast("boolean").as("__e"),
+        outcomeCol.cast("boolean").as("__o"))
+      .groupBy(col("__s"))
+      .agg(sum(when(col("__e") && col("__o"), 1L).otherwise(0L)).as("a"),
+        sum(when(col("__e") && !col("__o"), 1L).otherwise(0L)).as("b"),
+        sum(when(!col("__e") && col("__o"), 1L).otherwise(0L)).as("c"),
+        sum(when(!col("__e") && !col("__o"), 1L).otherwise(0L)).as("d"))
+      .withColumn("n", col("a") + col("b") + col("c") + col("d"))
+    cells.agg(count(lit(1)).as("n_strata"),
+        sum(expr(s"CAST(CAST(a AS $d38) * d * 1000000 div n AS BIGINT)"))
+          .as("sum_ad_micro"),
+        sum(expr(s"CAST(CAST(b AS $d38) * c * 1000000 div n AS BIGINT)"))
+          .as("sum_bc_micro"),
+        sum(col("a")).as("__ta"), sum(col("b")).as("__tb"),
+        sum(col("c")).as("__tc"), sum(col("d")).as("__td"))
+      .select(col("n_strata"), col("sum_ad_micro"), col("sum_bc_micro"),
+        when(col("sum_bc_micro") =!= 0,
+          col("sum_ad_micro").cast("double") /
+            col("sum_bc_micro").cast("double")).as("or_mh"),
+        when((col("__tb").cast(d38) * col("__tc")).cast("double") =!= 0.0,
+          (col("__ta").cast(d38) * col("__td")).cast("double") /
+            (col("__tb").cast(d38) * col("__tc")).cast("double"))
+          .as("crude_or"))
+  }
+
+  /** A-stat — the Wald instrumental-variable estimator (Wald 1940;
+    * the binary-instrument case of 2SLS, Angrist-Imbens-Rubin 1996):
+    * β_IV = (ȳ₁ − ȳ₀) / (x̄₁ − x̄₀) over instrument arms z ∈ {0, 1} —
+    * the causal slope of y on x when z moves x but touches y only
+    * through x. Integer-valued x and y by contract, so the clearing
+    * (Sy₁n₀ − Sy₀n₁)/(Sx₁n₀ − Sx₀n₁) is exact until ONE double
+    * division; the first-stage and ITT differences divide by n₁n₀ the
+    * same way. Returns ONE row: (n1, n0, beta_iv, first_stage,
+    * itt).
+    *
+    * Scale: a single conditional-sum agg over the joined frame —
+    * map-side combined, no per-stratum state. */
+  def waldIv(df: DataFrame, instrumentCol: Column, xCol: Column,
+      yCol: Column): DataFrame = {
+    val d38 = "decimal(38,0)"
+    df.select(instrumentCol.cast("boolean").as("__z"),
+        xCol.cast("long").as("__x"), yCol.cast("long").as("__y"))
+      .agg(sum(when(col("__z"), 1L).otherwise(0L)).as("n1"),
+        sum(when(!col("__z"), 1L).otherwise(0L)).as("n0"),
+        sum(when(col("__z"), col("__x")).otherwise(0L)).cast(d38).as("__sx1"),
+        sum(when(!col("__z"), col("__x")).otherwise(0L)).cast(d38).as("__sx0"),
+        sum(when(col("__z"), col("__y")).otherwise(0L)).cast(d38).as("__sy1"),
+        sum(when(!col("__z"), col("__y")).otherwise(0L)).cast(d38).as("__sy0"))
+      .select(col("n1"), col("n0"),
+        when((col("__sx1") * col("n0") - col("__sx0") * col("n1"))
+            .cast("double") =!= 0.0,
+          (col("__sy1") * col("n0") - col("__sy0") * col("n1"))
+            .cast("double") /
+          (col("__sx1") * col("n0") - col("__sx0") * col("n1"))
+            .cast("double")).as("beta_iv"),
+        ((col("__sx1") * col("n0") - col("__sx0") * col("n1"))
+          .cast("double") /
+          (col("n1").cast(d38) * col("n0")).cast("double"))
+          .as("first_stage"),
+        ((col("__sy1") * col("n0") - col("__sy0") * col("n1"))
+          .cast("double") /
+          (col("n1").cast(d38) * col("n0")).cast("double")).as("itt"))
+  }
 }

@@ -397,6 +397,93 @@ object Analytics30 {
       "conditional sums over that single pass. The clustered-vs-dispersed " +
       "diagnostic run alongside q373's Moran I.")
 
+  /** q381 — A-stat: Mantel-Haenszel pooled odds ratio of high
+    * priority vs even custkey, stratified by order year (Mantel &
+    * Haenszel 1959) — per-stratum terms floor-div-quantized to
+    * micro so the pooled sums are exact; crude OR alongside for the
+    * Simpson comparison. */
+  val q381 = Declared(
+    "q381_mantel_haenszel", "A-stat",
+    (s, dir) => graft.ops.Experimentation.mantelHaenszelOr(
+      Tables.orders(s, dir), year(col("o_orderdate")),
+      col("o_custkey") % 2 === 0,
+      col("o_orderpriority").isin("1-URGENT", "2-HIGH")),
+    Some("""WITH cells AS (
+           |  SELECT year(o_orderdate) AS s,
+           |    CAST(sum(CASE WHEN o_custkey % 2 = 0 AND o_orderpriority IN
+           |      ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS a,
+           |    CAST(sum(CASE WHEN o_custkey % 2 = 0 AND o_orderpriority NOT
+           |      IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS b,
+           |    CAST(sum(CASE WHEN o_custkey % 2 <> 0 AND o_orderpriority IN
+           |      ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS c,
+           |    CAST(sum(CASE WHEN o_custkey % 2 <> 0 AND o_orderpriority NOT
+           |      IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS d
+           |  FROM orders GROUP BY 1),
+           |n AS (SELECT *, a + b + c + d AS n FROM cells)
+           |SELECT CAST(count(*) AS BIGINT) AS n_strata,
+           |  CAST(sum(CAST(a AS HUGEINT) * d * 1000000 // n) AS BIGINT)
+           |    AS sum_ad_micro,
+           |  CAST(sum(CAST(b AS HUGEINT) * c * 1000000 // n) AS BIGINT)
+           |    AS sum_bc_micro,
+           |  CASE WHEN sum(CAST(b AS HUGEINT) * c * 1000000 // n) <> 0 THEN
+           |    CAST(sum(CAST(a AS HUGEINT) * d * 1000000 // n) AS DOUBLE) /
+           |    CAST(sum(CAST(b AS HUGEINT) * c * 1000000 // n) AS DOUBLE)
+           |  END AS or_mh,
+           |  CASE WHEN CAST(CAST(sum(b) AS HUGEINT) * sum(c) AS DOUBLE)
+           |      <> 0 THEN
+           |    CAST(CAST(sum(a) AS HUGEINT) * sum(d) AS DOUBLE) /
+           |    CAST(CAST(sum(b) AS HUGEINT) * sum(c) AS DOUBLE)
+           |  END AS crude_or
+           |FROM n""".stripMargin),
+    "One conditional-sum agg keyed by stratum (map-side combine), then a " +
+      "|strata|-row rollup — per-stratum terms are integer floor-division " +
+      "quantized so the pooled sums commute exactly. The confounding-robust " +
+      "pooled OR run wherever q209's single-table OR would Simpson-flip.")
+
+  /** q382 — A-stat: Wald IV estimate of cents-per-lineitem with the
+    * custkey-parity instrument (Wald 1940; Angrist-Imbens-Rubin 1996)
+    * — exact integer clearing, one double division per output. */
+  val q382 = Declared(
+    "q382_wald_iv", "A-stat",
+    (s, dir) => {
+      val items = Tables.lineitem(s, dir)
+        .groupBy(col("l_orderkey")).agg(count(lit(1)).as("n_items"))
+      val joined = Tables.orders(s, dir)
+        .join(items, col("o_orderkey") === col("l_orderkey"))
+      graft.ops.Experimentation.waldIv(joined,
+        col("o_custkey") % 2 === 0, col("n_items"),
+        expr("CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)"))
+    },
+    Some("""WITH items AS (
+           |  SELECT l_orderkey, CAST(count(*) AS BIGINT) AS x
+           |  FROM lineitem GROUP BY 1),
+           |j AS (
+           |  SELECT o_custkey % 2 = 0 AS z, x,
+           |    CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS y
+           |  FROM orders JOIN items ON l_orderkey = o_orderkey),
+           |m AS (
+           |  SELECT CAST(sum(CASE WHEN z THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+           |    CAST(sum(CASE WHEN NOT z THEN 1 ELSE 0 END) AS BIGINT) AS n0,
+           |    sum(CASE WHEN z THEN CAST(x AS HUGEINT) ELSE 0 END) AS sx1,
+           |    sum(CASE WHEN NOT z THEN CAST(x AS HUGEINT) ELSE 0 END) AS sx0,
+           |    sum(CASE WHEN z THEN CAST(y AS HUGEINT) ELSE 0 END) AS sy1,
+           |    sum(CASE WHEN NOT z THEN CAST(y AS HUGEINT) ELSE 0 END) AS sy0
+           |  FROM j)
+           |SELECT n1, n0,
+           |  CASE WHEN CAST(sx1 * n0 - sx0 * n1 AS DOUBLE) <> 0 THEN
+           |    CAST(sy1 * n0 - sy0 * n1 AS DOUBLE) /
+           |    CAST(sx1 * n0 - sx0 * n1 AS DOUBLE)
+           |  END AS beta_iv,
+           |  CAST(sx1 * n0 - sx0 * n1 AS DOUBLE) /
+           |    CAST(CAST(n1 AS HUGEINT) * n0 AS DOUBLE) AS first_stage,
+           |  CAST(sy1 * n0 - sy0 * n1 AS DOUBLE) /
+           |    CAST(CAST(n1 AS HUGEINT) * n0 AS DOUBLE) AS itt
+           |FROM m""".stripMargin),
+    "One lineitem rollup (map-side combine) -> one orderkey equi-join -> " +
+      "ONE conditional-sum agg; the clearing keeps everything integer " +
+      "until three final divisions. The 2SLS-at-scale primitive for " +
+      "binary instruments — encouragement designs, randomized rollouts.")
+
   val all: Seq[Declared] =
-    Seq(q373, q374, q375, q376, q377, q378, q379, q380)
+    Seq(q373, q374, q375, q376, q377, q378, q379, q380, q381, q382)
 }

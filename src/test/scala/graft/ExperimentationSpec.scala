@@ -622,4 +622,42 @@ class ExperimentationSpec extends AnyFunSuite {
       (1L, 2L, 2L, 1L, 0L, 1000000L),
       (0L, 3L, 3L, 1L, 1L, 0L)))
   }
+
+  test("A-stat: mantelHaenszelOr — Simpson's reversal: stratified OR 1, crude OR > 5") {
+    import org.apache.spark.sql.functions._
+    // two strata, OR = 1 WITHIN each (45·5/45·5 and 1·81/9·9), but
+    // exposure and outcome both concentrate in stratum 1 — the crude
+    // collapsed table shows a spurious OR of 46·86/(54·14) ≈ 5.23
+    def rows(s: Int, e: Boolean, o: Boolean, k: Int) =
+      Seq.fill(k)((s, e, o))
+    val df = (rows(1, true, true, 45) ++ rows(1, true, false, 45) ++
+      rows(1, false, true, 5) ++ rows(1, false, false, 5) ++
+      rows(2, true, true, 1) ++ rows(2, true, false, 9) ++
+      rows(2, false, true, 9) ++ rows(2, false, false, 81))
+      .toDF("s", "e", "o")
+    val r = Experimentation.mantelHaenszelOr(df, col("s"), col("e"), col("o"))
+      .collect()(0)
+    assert(r.getAs[Long]("n_strata") == 2L)
+    assert(r.getAs[Double]("or_mh") == 1.0) // 2.25+0.81 over 2.25+0.81, exact
+    assert(r.getAs[Double]("crude_or") > 5.0)
+  }
+
+  test("A-stat: waldIv — exact slope under perfect compliance; null on no first stage") {
+    import org.apache.spark.sql.functions._
+    // z=1 -> x=2, z=0 -> x=1, y = 10x: beta = (20-10)/(2-1) = 10
+    val df = (Seq.fill(4)((true, 2L, 20L)) ++ Seq.fill(6)((false, 1L, 10L)))
+      .toDF("z", "x", "y")
+    val r = Experimentation.waldIv(df, col("z"), col("x"), col("y"))
+      .collect()(0)
+    assert((r.getAs[Long]("n1"), r.getAs[Long]("n0")) == (4L, 6L))
+    assert(r.getAs[Double]("beta_iv") == 10.0)
+    assert(r.getAs[Double]("first_stage") == 1.0)
+    assert(r.getAs[Double]("itt") == 10.0)
+    // instrument that never moves x: beta undefined -> null, not NaN
+    val flat = Seq((true, 1L, 5L), (false, 1L, 7L)).toDF("z", "x", "y")
+    val rf = Experimentation.waldIv(flat, col("z"), col("x"), col("y"))
+      .collect()(0)
+    assert(rf.isNullAt(rf.fieldIndex("beta_iv")))
+    assert(rf.getAs[Double]("first_stage") == 0.0)
+  }
 }
