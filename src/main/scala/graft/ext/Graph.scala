@@ -291,15 +291,24 @@ object Graph {
     * checkpoints bounding depth. Returns (node, dist) for reached
     * nodes only. */
   def bfsHops(edges: DataFrame, srcCol: String, dstCol: String,
-      seeds: DataFrame, seedCol: String, rounds: Int): DataFrame = {
-    require(rounds >= 1, "rounds must be >= 1")
-    val sym = edges.select(explode(array(
+      seeds: DataFrame, seedCol: String, rounds: Int): DataFrame =
+    bfsFromSym(symClosed(edges, srcCol, dstCol), seeds, seedCol, rounds)
+
+  /** Symmetrized, deduped, checkpointed edge list — built ONCE and
+    * shared when several BFS sweeps run over the same graph. */
+  private def symClosed(edges: DataFrame, srcCol: String,
+      dstCol: String): DataFrame =
+    edges.select(explode(array(
         struct(checkedLong(col(srcCol)).as("src"), checkedLong(col(dstCol)).as("dst")),
         struct(checkedLong(col(dstCol)).as("src"), checkedLong(col(srcCol)).as("dst"))))
         .as("e"))
       .select(col("e.src").as("src"), col("e.dst").as("dst"))
       .distinct()
       .localCheckpoint() // re-read every round
+
+  private def bfsFromSym(sym: DataFrame, seeds: DataFrame,
+      seedCol: String, rounds: Int): DataFrame = {
+    require(rounds >= 1, "rounds must be >= 1")
     var labels = seeds.select(checkedLong(col(seedCol)).as("node")).distinct()
       .withColumn("dist", lit(0L))
     var i = 0
@@ -315,6 +324,40 @@ object Graph {
       i += 1
     }
     labels
+  }
+
+  /** E2+ — double-sweep diameter lower bound (the standard 2-BFS
+    * heuristic, Magnien-Latapy-Habib 2009): BFS from a deterministic
+    * seed (the smallest node id), hop to the farthest node reached,
+    * BFS again — the second eccentricity is a lower bound on the
+    * graph diameter that is exact on trees and empirically tight on
+    * real graphs. Both sweeps run `rounds` fixed min-plus iterations
+    * ([[bfsHops]]), so the bound is "within the horizon": rounds must
+    * be ≥ the true diameter for an unclipped answer (fixed rounds
+    * keep the operator a pure function of the input — the q155
+    * determinism contract).
+    *
+    * Returns ONE row: (seed_node, far_node_1, ecc_1, far_node_2,
+    * diameter_lb).
+    *
+    * Scale: two q155-shaped BFS pipelines; the argmax between them is
+    * a TakeOrdered(1), never a global sort materialization. */
+  def diameterTwoSweep(edges: DataFrame, srcCol: String, dstCol: String,
+      rounds: Int): DataFrame = {
+    // ONE symmetrize+checkpoint feeds both sweeps — the second sweep's
+    // rounds re-read the same materialized edge blocks
+    val sym = symClosed(edges, srcCol, dstCol)
+    val seed = sym.agg(min(col("src")).as("node"))
+    val b1 = bfsFromSym(sym, seed, "node", rounds)
+    val far1 = b1.orderBy(col("dist").desc, col("node")).limit(1)
+      .select(col("node").as("far_node_1"), col("dist").as("ecc_1"))
+      .localCheckpoint() // 1 row; sweep 2's every round reads it
+    val b2 = bfsFromSym(sym,
+      far1.select(col("far_node_1").as("node")), "node", rounds)
+    val far2 = b2.orderBy(col("dist").desc, col("node")).limit(1)
+      .select(col("node").as("far_node_2"), col("dist").as("diameter_lb"))
+    seed.select(col("node").as("seed_node"))
+      .crossJoin(broadcast(far1)).crossJoin(broadcast(far2))
   }
 
   /** k-core peeling, `rounds` FIXED iterations: each round drops every

@@ -175,6 +175,59 @@ object Experimentation {
       .orderBy(col("p_rank"))
   }
 
+  /** A-stat — Holm step-down multiple-testing control (Holm 1979):
+    * the FWER companion to [[bhDiscoveries]]'s FDR step-up, sharing
+    * its per-group z/p machinery (same A&S 7.1.26 erfc polynomial,
+    * mirrored in the oracle). Sort p ascending; reject hypothesis at
+    * rank i only while p_(j) ≤ α/(m−j+1) for EVERY j ≤ i — the first
+    * failure stops everything after it (step-DOWN), which is what
+    * makes Holm valid with no independence assumption at all.
+    *
+    * Returns the q220 row shape with `discovery` under Holm.
+    *
+    * Scale: identical to BH — one group-keyed agg, |groups|-row
+    * scoring, the range-shuffle global rank, and the first-failure
+    * rank broadcast back as one scalar. */
+  def holmDiscoveries(df: DataFrame, groupName: String,
+      successCond: org.apache.spark.sql.Column,
+      aNum: Int = 5, aDen: Int = 100): DataFrame = {
+    require(aNum > 0 && aDen > 0 && aNum < aDen, "need 0 < alpha < 1")
+    val g = df.groupBy(col(groupName).as("grp")).agg(
+      count(lit(1)).as("n"),
+      sum(successCond.cast("long")).as("successes"))
+      .localCheckpoint()
+    val glob = g.agg(sum(col("n")).as("__tn"), sum(col("successes")).as("__ts"),
+      count(lit(1)).as("m"))
+    val scored = g.crossJoin(broadcast(glob))
+      .withColumn("__p0", col("__ts").cast("double") / col("__tn").cast("double"))
+      .withColumn("__z",
+        (col("successes").cast("double") / col("n").cast("double") - col("__p0")) /
+          sqrt(col("__p0") * (lit(1.0) - col("__p0")) / col("n").cast("double")))
+      .withColumn("__xa", abs(col("__z")) / sqrt(lit(2.0)))
+      .withColumn("__t", lit(1.0) / (lit(1.0) + lit(0.3275911) * col("__xa")))
+      .withColumn("__p",
+        (((((lit(1.061405429) * col("__t") - lit(1.453152027)) * col("__t") +
+          lit(1.421413741)) * col("__t") - lit(0.284496736)) * col("__t") +
+          lit(0.254829592)) * col("__t")) * exp(-(col("__xa") * col("__xa"))))
+    val ranked = Ranking.globalRowNumber(scored, Seq(col("__p"), col("grp")))
+      .withColumnRenamed("row_num", "p_rank")
+      // step-down: the cutoff is the FIRST rank whose p exceeds its
+      // own threshold α/(m − rank + 1); everything at or after fails
+      .withColumn("__fail",
+        when(col("__p") > lit(aNum.toDouble) / aDen /
+          (col("m") - col("p_rank") + 1).cast("double"), col("p_rank")))
+    val firstFail = ranked.agg(
+      coalesce(min(col("__fail")), lit(Long.MaxValue)).as("__f"))
+    ranked.crossJoin(broadcast(firstFail))
+      .select(col("grp").as(groupName), col("n"), col("successes"),
+        expr("(successes * 1000000L) div n").as("rate_ppm"),
+        round(col("__z") * 1000, 0).cast("long").as("z_milli"),
+        round(col("__p") * 1e9, 0).cast("long").as("p_nano"),
+        col("p_rank"),
+        (col("p_rank") < col("__f")).as("discovery"))
+      .orderBy(col("p_rank"))
+  }
+
   /** Difference-in-differences (Card & Krueger 1994 canonical form —
     * public literature): the causal workhorse when treatment was NOT
     * randomized — compare the treated group's pre→post change against

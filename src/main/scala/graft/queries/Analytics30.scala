@@ -484,6 +484,108 @@ object Analytics30 {
       "until three final divisions. The 2SLS-at-scale primitive for " +
       "binary instruments — encouragement designs, randomized rollouts.")
 
+  /** q383 — A-stat: Holm step-down FWER control over the q220
+    * supplier return-rate hypotheses (Holm 1979) — same z/p
+    * machinery, step-DOWN cutoff; run beside q220 the discovery sets
+    * show exactly what FWER control costs vs FDR. */
+  val q383 = Declared(
+    "q383_holm_stepdown", "A-stat,W2",
+    (s, dir) => graft.ops.Experimentation.holmDiscoveries(
+      Tables.lineitem(s, dir).select(col("l_suppkey").as("supplier"),
+        col("l_returnflag")),
+      "supplier", col("l_returnflag") === "R"),
+    Some("""WITH g AS (
+           |  SELECT supplier, CAST(count(*) AS BIGINT) AS n,
+           |    CAST(sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)
+           |      AS BIGINT) AS successes
+           |  FROM (SELECT l_suppkey AS supplier, l_returnflag FROM lineitem)
+           |  GROUP BY supplier),
+           |gl AS (SELECT CAST(sum(n) AS BIGINT) AS tn,
+           |              CAST(sum(successes) AS BIGINT) AS ts,
+           |              CAST(count(*) AS BIGINT) AS m FROM g),
+           |z AS (
+           |  SELECT supplier, n, successes, m,
+           |    (CAST(successes AS DOUBLE) / CAST(n AS DOUBLE) -
+           |       CAST(ts AS DOUBLE) / CAST(tn AS DOUBLE)) /
+           |    sqrt(CAST(ts AS DOUBLE) / CAST(tn AS DOUBLE) *
+           |         (1.0 - CAST(ts AS DOUBLE) / CAST(tn AS DOUBLE)) /
+           |         CAST(n AS DOUBLE)) AS zv
+           |  FROM g CROSS JOIN gl),
+           |e AS (SELECT *, 1.0 / (1.0 + 0.3275911 * (abs(zv) / sqrt(2.0))) AS t,
+           |             abs(zv) / sqrt(2.0) AS xa FROM z),
+           |p AS (SELECT *,
+           |    (((((1.061405429 * t - 1.453152027) * t + 1.421413741) * t
+           |       - 0.284496736) * t + 0.254829592) * t) * exp(-(xa * xa)) AS pv
+           |  FROM e),
+           |r AS (SELECT *, CAST(row_number() OVER (ORDER BY pv, supplier)
+           |                     AS BIGINT) AS p_rank FROM p),
+           |k AS (SELECT coalesce(min(CASE WHEN pv > 5.0 / 100 /
+           |        CAST(m - p_rank + 1 AS DOUBLE) THEN p_rank END),
+           |        9223372036854775807) AS f FROM r)
+           |SELECT supplier, n, successes,
+           |  successes * 1000000 // n AS rate_ppm,
+           |  CAST(round(zv * 1000, 0) AS BIGINT) AS z_milli,
+           |  CAST(round(pv * 1e9, 0) AS BIGINT) AS p_nano,
+           |  p_rank, p_rank < f AS discovery
+           |FROM r CROSS JOIN k
+           |ORDER BY p_rank""".stripMargin),
+    "Identical scale shape to q220 (one keyed agg, |groups|-row scoring, " +
+      "range-shuffle rank, one broadcast scalar) — the cutoff is the FIRST " +
+      "failing rank instead of the last passing one. FWER when a false " +
+      "positive is expensive; FDR when discovery volume matters.")
+
+  /** q384 — E2+: double-sweep diameter lower bound of the
+    * supplier-part co-purchase graph (Magnien-Latapy-Habib 2009),
+    * 4 min-plus rounds per sweep — the oracle unrolls BOTH sweeps
+    * with the argmax hop in between. */
+  val q384 = Declared(
+    "q384_diameter_sweep", "E2+,E6",
+    (s, dir) => graft.ext.Graph.diameterTwoSweep(
+      Tables.lineitem(s, dir)
+        .select(col("l_suppkey").as("src"),
+          (col("l_partkey") + lit(1099511627776L)).as("dst")),
+      "src", "dst", rounds = 4),
+    Some {
+      def sweep(pfx: String, seedSql: String) = {
+        val rounds = (1 to 4).map { k =>
+          s"""${pfx}i$k AS (
+             |  SELECT s.dst AS node, min(d.dist) + 1 AS dist
+             |  FROM sym s JOIN ${pfx}d${k - 1} d ON s.src = d.node
+             |  GROUP BY s.dst),
+             |${pfx}d$k AS (
+             |  SELECT node, CAST(min(dist) AS BIGINT) AS dist
+             |  FROM (SELECT * FROM ${pfx}d${k - 1}
+             |        UNION ALL SELECT * FROM ${pfx}i$k)
+             |  GROUP BY node)""".stripMargin
+        }.mkString(",\n")
+        s"""${pfx}d0 AS ($seedSql),
+           |$rounds""".stripMargin
+      }
+      s"""WITH e0 AS (
+         |  SELECT DISTINCT l_suppkey AS src, l_partkey + 1099511627776 AS dst
+         |  FROM lineitem),
+         |sym AS MATERIALIZED (
+         |  SELECT src, dst FROM e0
+         |  UNION
+         |  SELECT dst AS src, src AS dst FROM e0),
+         |${sweep("a",
+          "SELECT min(l_suppkey) AS node, CAST(0 AS BIGINT) AS dist FROM lineitem")},
+         |f1 AS (SELECT node AS far_node_1, dist AS ecc_1 FROM ad4
+         |       ORDER BY dist DESC, node LIMIT 1),
+         |${sweep("b",
+          "SELECT far_node_1 AS node, CAST(0 AS BIGINT) AS dist FROM f1")},
+         |f2 AS (SELECT node AS far_node_2, dist AS diameter_lb FROM bd4
+         |       ORDER BY dist DESC, node LIMIT 1)
+         |SELECT (SELECT min(l_suppkey) FROM lineitem) AS seed_node,
+         |  far_node_1, ecc_1, far_node_2, diameter_lb
+         |FROM f1, f2""".stripMargin
+    },
+    "Two q155-shaped BFS pipelines (frontier-keyed equi-joins, min agg, " +
+      "label merge; plan depth bounded by checkpoints) with a TakeOrdered(1) " +
+      "argmax between them — the graph-width diagnostic before choosing " +
+      "iteration counts for any propagation op at 100 TB.")
+
   val all: Seq[Declared] =
-    Seq(q373, q374, q375, q376, q377, q378, q379, q380, q381, q382)
+    Seq(q373, q374, q375, q376, q377, q378, q379, q380, q381, q382,
+      q383, q384)
 }

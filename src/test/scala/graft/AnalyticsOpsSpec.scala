@@ -461,6 +461,21 @@ class AnalyticsOpsSpec extends AnyFunSuite {
     assert(out == Map(1L -> 0L, 2L -> 1L, 3L -> 1L, 4L -> 0L))
   }
 
+  test("diameterTwoSweep: exact on a path (seed mid-path still finds the true ends)") {
+    // path 3-1-2-4-5 relabeled so the min-id seed (1) sits mid-path:
+    // ecc(1) = 3 (to 5); far1 = 5; ecc(5) = 4 = the true diameter
+    val edges = Seq((3L, 1L), (1L, 2L), (2L, 4L), (4L, 5L)).toDF("a", "b")
+    val r = Graph.diameterTwoSweep(edges, "a", "b", rounds = 6)
+      .collect()(0)
+    assert(r.getAs[Long]("seed_node") == 1L)
+    assert(r.getAs[Long]("far_node_1") == 5L)
+    assert(r.getAs[Long]("ecc_1") == 3L)
+    assert(r.getAs[Long]("far_node_2") == 3L)
+    assert(r.getAs[Long]("diameter_lb") == 4L)
+    // the law the heuristic rests on: sweep 2 never shrinks the bound
+    assert(r.getAs[Long]("diameter_lb") >= r.getAs[Long]("ecc_1"))
+  }
+
   test("ewmaInt: hand recurrence with floor division; negatives raise") {
     val df = Seq(("k", 1L, 4L), ("k", 2L, 8L), ("k", 3L, 4L))
       .toDF("g", "t", "v")

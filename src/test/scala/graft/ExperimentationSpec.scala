@@ -660,4 +660,28 @@ class ExperimentationSpec extends AnyFunSuite {
     assert(rf.isNullAt(rf.fieldIndex("beta_iv")))
     assert(rf.getAs[Double]("first_stage") == 0.0)
   }
+
+  test("A-stat: holmDiscoveries — subset of BH, and rejections form a prefix of the p-order") {
+    import org.apache.spark.sql.functions._
+    // one wildly deviant group, several mild ones, many on-rate groups
+    val rows = (1 to 20).flatMap { g =>
+      val succ = if (g == 1) 90 else if (g <= 4) 60 else 50
+      Seq.fill(succ)((g, true)) ++ Seq.fill(100 - succ)((g, false))
+    }
+    val df = rows.toDF("g", "s")
+    val holm = Experimentation.holmDiscoveries(df, "g", col("s"))
+      .select("g", "p_rank", "discovery").collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getBoolean(2)))
+    val bh = Experimentation.bhDiscoveries(df, "g", col("s"))
+      .select("g", "discovery").collect()
+      .map(r => r.getInt(0) -> r.getBoolean(1)).toMap
+    // FWER is never more permissive than FDR on the same p-values
+    assert(holm.forall { case (g, _, d) => !d || bh(g) })
+    // step-down: the discovery set is a PREFIX of the p-ranking
+    val ranks = holm.filter(_._3).map(_._2)
+    assert(ranks.sorted.sameElements(1L to ranks.length))
+    // the extreme group is found, an on-rate group is not
+    assert(holm.find(_._1 == 1).exists(_._3))
+    assert(!holm.find(_._1 == 20).exists(_._3))
+  }
 }
