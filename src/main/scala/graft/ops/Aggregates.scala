@@ -2791,6 +2791,98 @@ object Aggregates {
         col("split_at"), col("gain")))
   }
 
+  graft.plans.Guardrails.expect("single_partition_window",
+    "__cv, __v",
+    "brunnerMunzel: cumulative over the bounded distinct-value rollup")
+  graft.plans.Guardrails.expect("cartesian_join",
+    "__sra, __sda",
+    "brunnerMunzel: 1-row-per-group finish broadcast")
+
+  /** A-stat — Brunner-Munzel generalized Wilcoxon test (Brunner &
+    * Munzel, Biometrical J. 2000): tests P(X < Y) + ½P(X = Y) = ½
+    * WITHOUT the equal-variance/shift assumption Mann-Whitney (q152)
+    * needs — the nonparametric Behrens-Fisher solution, with midrank
+    * ties handled exactly. Returns ONE row:
+    * (n_a, n_b, p_hat, bm_stat, df) — p̂ the stochastic-superiority
+    * estimate, W the studentized statistic, df its Satterthwaite
+    * degrees of freedom (the lawstat parameterization).
+    *
+    * Exactness: midranks live on the half-integer grid, so DOUBLED
+    * ranks are integers computed from cumulative counts over the
+    * (group × value) rollup — no per-row sort. The placement
+    * deviations are n_g-cleared integers in decimal(38,0)
+    * (exact while n_g·N < ~1e19, far past any real cohort), and every
+    * float op is a pinned-order ÷/sqrt chain at the very end.
+    *
+    * Scale: the q152/q324 envelope — one fact pass to the value
+    * rollup (map-side combine); the combined-rank cumulative runs on
+    * the bounded DISTINCT-VALUE frame (documented single-partition
+    * window); per-group cumulatives are group-keyed. */
+  def brunnerMunzel(df: org.apache.spark.sql.DataFrame, valueCol: Column,
+      groupCol: Column, groupA: String, groupB: String)
+      : org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val d38 = "decimal(38,0)"
+    val perV = df.filter(groupCol.isin(groupA, groupB))
+      .select(groupCol.as("__g"), valueCol.cast("long").as("__v"))
+      .groupBy(col("__g"), col("__v")).agg(count(lit(1)).as("__c"))
+    val wv = Window.orderBy(col("__v"))
+    val tot = perV.groupBy(col("__v")).agg(sum(col("__c")).as("__cv"))
+      .withColumn("__cb", coalesce(sum(col("__cv")).over(
+        wv.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      // doubled combined midrank shared by every copy of this value
+      .withColumn("__rho", lit(2L) * col("__cb") + col("__cv") + 1)
+      .select(col("__v"), col("__rho"))
+    val wg = Window.partitionBy(col("__g")).orderBy(col("__v"))
+    val wAll = Window.partitionBy(col("__g"))
+    val cum = perV.join(tot, "__v")
+      .withColumn("__cbg", coalesce(sum(col("__c")).over(
+        wg.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      // doubled WITHIN-group midrank of the same copies
+      .withColumn("__rhos", lit(2L) * col("__cbg") + col("__c") + 1)
+      .withColumn("__n", sum(col("__c")).over(wAll))
+      .withColumn("__srho",
+        sum((col("__c") * col("__rho")).cast(d38)).over(wAll).cast(d38))
+      // n_g-cleared placement deviation (integer, decimal-safe):
+      // D = n_g·(ρ − ρ* + (n_g+1)) − Σρ_g
+      .withColumn("__d",
+        (col("__n").cast(d38) *
+          (col("__rho") - col("__rhos") + col("__n") + 1) -
+          col("__srho")).cast(d38))
+    val g = cum.groupBy(col("__g")).agg(
+      max(col("__n")).as("n"), max(col("__srho")).as("srho"),
+      sum(col("__c").cast(d38) * col("__d") * col("__d")).as("sd2"))
+    val a = g.filter(col("__g") === groupA)
+      .select(col("n").as("n_a"), col("srho").as("__sra"),
+        col("sd2").as("__sda"))
+    val b = g.filter(col("__g") === groupB)
+      .select(col("n").as("n_b"), col("srho").as("__srb"),
+        col("sd2").as("__sdb"))
+    // n_g·v_g = ΣD²/(4·n_g·(n_g−1)) — each term one pinned division
+    def nv(sd2: Column, n: Column) = sd2.cast("double") /
+      (lit(4L).cast(d38) * n * (n.cast(d38) - 1)).cast("double")
+    a.crossJoin(broadcast(b))
+      .withColumn("__t1", nv(col("__sda"), col("n_a")))
+      .withColumn("__t2", nv(col("__sdb"), col("n_b")))
+      .withColumn("__num",
+        (col("n_a").cast(d38) * col("__srb") -
+          col("n_b").cast(d38) * col("__sra")).cast("double"))
+      .select(col("n_a"), col("n_b"),
+        // p̂ = (Σρ_b − n_b(n_b+1)) / (2·n_a·n_b)
+        ((col("__srb") - col("n_b").cast(d38) * (col("n_b") + 1))
+          .cast("double") /
+          (lit(2L).cast(d38) * col("n_a") * col("n_b")).cast("double"))
+          .as("p_hat"),
+        when(col("__t1") + col("__t2") =!= 0.0,
+          col("__num") / 2.0 / (col("n_a") + col("n_b")).cast("double") /
+            sqrt(col("__t1") + col("__t2"))).as("bm_stat"),
+        when(col("__t1") =!= 0.0 || col("__t2") =!= 0.0,
+          (col("__t1") + col("__t2")) * (col("__t1") + col("__t2")) /
+            (col("__t1") * col("__t1") / (col("n_a") - 1).cast("double") +
+             col("__t2") * col("__t2") / (col("n_b") - 1).cast("double")))
+          .as("df"))
+  }
+
   /** A-stat — Huber M-estimator of location per group (Huber 1964),
     * by IRLS with a FIXED iteration count: start at the group mean,
     * then repeat mu ← Σ w·x / Σ w with the Huber weight

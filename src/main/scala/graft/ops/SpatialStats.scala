@@ -122,6 +122,68 @@ object SpatialStats {
           .as("gi_z"))
   }
 
+  /** A zone for [[arealInterpolate]]: a named axis-aligned rectangle
+    * [x0, x1) × [y0, y1) in the same integer units as the grid. */
+  final case class Zone(name: String, x0: Long, y0: Long, x1: Long, y1: Long)
+
+  /** A3+/J2 — areal interpolation (Goodchild & Lam 1980): re-aggregate
+    * a gridded value field onto an INCOMPATIBLE zonal system by
+    * area-weighting each cell's contribution with its exact rectangle-
+    * intersection overlap — the zonal-transfer op behind every
+    * census-tract ↔ catchment ↔ pixel-grid reconciliation. Cells are
+    * axis-aligned `cellSize` squares, zones axis-aligned rectangles,
+    * so every overlap area is an EXACT integer and both the extensive
+    * (mass-preserving: Σ v·overlap/cellArea) and intensive
+    * (area-weighted mean: Σ v·overlap / Σ overlap) readouts divide
+    * exactly once per zone.
+    *
+    * Returns one row per zone: (zone, covered_area, mass, mean_value)
+    * — covered_area = Σ overlap (0 ⇒ null readouts).
+    *
+    * Scale: ONE fact pass to the cell rollup; zones are a literal
+    * broadcast list, so the overlap join is cells × |zones| with the
+    * zone predicate pushed into the join — no shuffle keyed wider
+    * than the cell grid. */
+  def arealInterpolate(points: DataFrame, xCol: Column, yCol: Column,
+      vCol: Column, cellSize: Long, zones: Seq[Zone]): DataFrame = {
+    require(cellSize > 0, "cellSize > 0")
+    require(zones.nonEmpty, "at least one zone")
+    require(zones.map(_.name).distinct.size == zones.size,
+      "zone names must be unique")
+    require(zones.forall(z => z.x1 > z.x0 && z.y1 > z.y0),
+      "zones must be non-degenerate rectangles")
+    val c = cells(points, xCol, yCol, vCol, cellSize.toDouble)
+    val zdf = zones.map(z => struct(lit(z.name).as("zone"),
+      lit(z.x0).as("zx0"), lit(z.y0).as("zy0"),
+      lit(z.x1).as("zx1"), lit(z.y1).as("zy1")))
+    val joined = c.select(col("cx"), col("cy"), col("xsum"),
+        explode(array(zdf: _*)).as("z"))
+      .select(col("cx"), col("cy"), col("xsum"), col("z.*"))
+      .withColumn("__ox",
+        greatest(lit(0L), least(col("zx1"), (col("cx") + 1) * cellSize) -
+          greatest(col("zx0"), col("cx") * cellSize)))
+      .withColumn("__oy",
+        greatest(lit(0L), least(col("zy1"), (col("cy") + 1) * cellSize) -
+          greatest(col("zy0"), col("cy") * cellSize)))
+      .withColumn("__ov", col("__ox") * col("__oy"))
+      .filter(col("__ov") > 0)
+    val agged = joined.groupBy(col("zone"))
+      .agg(sum(col("__ov")).as("__ca"),
+        sum(col("xsum").cast(d38) * col("__ov")).as("__wsum"))
+    // every declared zone emits a row — zones covering no occupied
+    // cell report zero area and null readouts, not silence
+    val zoneNames = points.sparkSession.range(1)
+      .select(explode(array(zones.map(z => lit(z.name)): _*)).as("zone"))
+    zoneNames.join(agged, Seq("zone"), "left")
+      .select(col("zone"), coalesce(col("__ca"), lit(0L)).as("covered_area"),
+        when(col("__ca").isNotNull, col("__wsum").cast("double") /
+          lit(cellSize.toDouble * cellSize)).as("mass"),
+        when(col("__ca").isNotNull,
+          col("__wsum").cast("double") / col("__ca").cast("double"))
+          .as("mean_value"))
+      .orderBy(col("zone"))
+  }
+
   /** J3+ — mutual (reciprocal) nearest-neighbor pairs: the record-
     * linkage / panel-matching primitive — a pair (a, b) matches when
     * each is the other's single nearest neighbor (ties broken by

@@ -585,7 +585,118 @@ object Analytics30 {
       "argmax between them — the graph-width diagnostic before choosing " +
       "iteration counts for any propagation op at 100 TB.")
 
+  /** q385 — A-stat: Brunner-Munzel generalized Wilcoxon (Brunner &
+    * Munzel 2000) of quantity, A vs R — the nonparametric
+    * Behrens-Fisher test beside q152's Mann-Whitney and q324's Yuen
+    * t on the same data; doubled midranks from cumulative counts,
+    * n-cleared integer placements, pinned double finish. */
+  val q385 = Declared(
+    "q385_brunner_munzel", "A-stat",
+    (s, dir) => graft.ops.Aggregates.brunnerMunzel(
+      Tables.lineitem(s, dir), col("l_quantity"), col("l_returnflag"),
+      "A", "R"),
+    Some("""WITH d AS (
+           |  SELECT l_returnflag AS g, CAST(l_quantity AS BIGINT) AS v
+           |  FROM lineitem WHERE l_returnflag IN ('A', 'R')),
+           |pv AS (SELECT g, v, CAST(count(*) AS BIGINT) AS c
+           |       FROM d GROUP BY g, v),
+           |tot AS (
+           |  SELECT v,
+           |    2 * coalesce(sum(cv) OVER (ORDER BY v
+           |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           |      + cv + 1 AS rho
+           |  FROM (SELECT v, CAST(sum(c) AS BIGINT) AS cv
+           |        FROM pv GROUP BY v)),
+           |cum AS (
+           |  SELECT pv.g, pv.v, pv.c, tot.rho,
+           |    2 * coalesce(sum(pv.c) OVER (PARTITION BY pv.g ORDER BY pv.v
+           |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           |      + pv.c + 1 AS rhos,
+           |    CAST(sum(pv.c) OVER (PARTITION BY pv.g) AS BIGINT) AS n,
+           |    CAST(sum(pv.c * tot.rho) OVER (PARTITION BY pv.g) AS HUGEINT)
+           |      AS srho
+           |  FROM pv JOIN tot USING (v)),
+           |dd AS (
+           |  SELECT g, c, n, srho,
+           |    CAST(n AS HUGEINT) * (rho - rhos + n + 1) - srho AS dv
+           |  FROM cum),
+           |gg AS (
+           |  SELECT g, max(n) AS n, max(srho) AS srho,
+           |    sum(CAST(c AS HUGEINT) * dv * dv) AS sd2
+           |  FROM dd GROUP BY g),
+           |j AS (
+           |  SELECT a.n AS n_a, b.n AS n_b,
+           |    CAST(a.sd2 AS DOUBLE) /
+           |      CAST(CAST(4 AS HUGEINT) * a.n * (CAST(a.n AS HUGEINT) - 1)
+           |        AS DOUBLE) AS t1,
+           |    CAST(b.sd2 AS DOUBLE) /
+           |      CAST(CAST(4 AS HUGEINT) * b.n * (CAST(b.n AS HUGEINT) - 1)
+           |        AS DOUBLE) AS t2,
+           |    CAST(CAST(a.n AS HUGEINT) * b.srho -
+           |         CAST(b.n AS HUGEINT) * a.srho AS DOUBLE) AS num,
+           |    CAST(b.srho - CAST(b.n AS HUGEINT) * (b.n + 1) AS DOUBLE) /
+           |      CAST(CAST(2 AS HUGEINT) * a.n * b.n AS DOUBLE) AS p_hat
+           |  FROM (SELECT * FROM gg WHERE g = 'A') a,
+           |       (SELECT * FROM gg WHERE g = 'R') b)
+           |SELECT n_a, n_b, p_hat,
+           |  CASE WHEN t1 + t2 <> 0 THEN
+           |    num / 2.0 / CAST(n_a + n_b AS DOUBLE) / sqrt(t1 + t2)
+           |  END AS bm_stat,
+           |  CASE WHEN t1 <> 0 OR t2 <> 0 THEN
+           |    (t1 + t2) * (t1 + t2) /
+           |    (t1 * t1 / CAST(n_a - 1 AS DOUBLE) +
+           |     t2 * t2 / CAST(n_b - 1 AS DOUBLE))
+           |  END AS df
+           |FROM j""".stripMargin),
+    "The q152/q324 rollup envelope: ONE fact pass to the (group x value) " +
+      "rollup; the combined-rank cumulative runs on the bounded distinct-" +
+      "value frame (documented window); placements are n-cleared integers. " +
+      "The rank test that keeps its level when the two arms have different " +
+      "spreads — where Mann-Whitney's null is subtly wrong.")
+
+  /** q386 — A3+/J2: areal interpolation of the sensor-cents field
+    * onto three overlapping report zones (Goodchild & Lam 1980) —
+    * exact integer rectangle-overlap weights on the 10-unit cell
+    * grid, mass + area-weighted-mean readouts. */
+  val q386 = Declared(
+    "q386_areal_interp", "A3+,J2",
+    (s, dir) => SpatialStats.arealInterpolate(
+      sensorCents(s, dir), col("x"), col("y"), col("v"), cellSize = 10L,
+      zones = Seq(
+        SpatialStats.Zone("west", 0L, 0L, 45L, 100L),
+        SpatialStats.Zone("east", 45L, 0L, 100L, 100L),
+        SpatialStats.Zone("core", 25L, 25L, 75L, 75L))),
+    Some(s"""WITH $sensorsCentsSql,
+           |$cellsSql,
+           |z AS (SELECT * FROM (VALUES
+           |  ('west', 0, 0, 45, 100), ('east', 45, 0, 100, 100),
+           |  ('core', 25, 25, 75, 75)) AS t(zone, zx0, zy0, zx1, zy1)),
+           |ov AS (
+           |  SELECT z.zone, c.xsum,
+           |    greatest(0, least(zx1, (cx + 1) * 10) -
+           |      greatest(zx0, cx * 10)) *
+           |    greatest(0, least(zy1, (cy + 1) * 10) -
+           |      greatest(zy0, cy * 10)) AS ovl
+           |  FROM cells c, z),
+           |ag AS (
+           |  SELECT zone, CAST(sum(ovl) AS BIGINT) AS ca,
+           |    CAST(sum(CAST(xsum AS HUGEINT) * ovl) AS HUGEINT) AS wsum
+           |  FROM ov WHERE ovl > 0 GROUP BY zone)
+           |SELECT z.zone AS zone,
+           |  coalesce(ag.ca, 0) AS covered_area,
+           |  CASE WHEN ag.ca IS NOT NULL THEN
+           |    CAST(ag.wsum AS DOUBLE) / 100.0 END AS mass,
+           |  CASE WHEN ag.ca IS NOT NULL THEN
+           |    CAST(ag.wsum AS DOUBLE) / CAST(ag.ca AS DOUBLE)
+           |  END AS mean_value
+           |FROM (SELECT DISTINCT zone FROM z) z LEFT JOIN ag USING (zone)
+           |ORDER BY zone""".stripMargin),
+    "ONE fact pass (the cell rollup); zones are a literal broadcast " +
+      "explode, overlap areas exact integers, one division per zone per " +
+      "readout. The zonal-system reconciliation (census tract <-> grid <-> " +
+      "catchment) every geo reporting pipeline needs.")
+
   val all: Seq[Declared] =
     Seq(q373, q374, q375, q376, q377, q378, q379, q380, q381, q382,
-      q383, q384)
+      q383, q384, q385, q386)
 }

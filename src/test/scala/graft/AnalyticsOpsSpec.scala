@@ -980,6 +980,29 @@ class AnalyticsOpsSpec extends AnyFunSuite {
     assert(out("grp -> dept") == (3L, 0L, 0L, 1))
   }
 
+  test("A-stat: brunnerMunzel — published example reproduced; identical groups null out") {
+    import graft.ops.Aggregates
+    // the Brunner-Munzel running example (Neubert & Brunner 2007;
+    // lawstat::brunner.munzel.test docs): W = 3.1375, df = 17.683,
+    // p̂ = 0.788961
+    val g1 = Seq(1, 2, 1, 1, 1, 1, 1, 1, 1, 1, 2, 4, 1, 1).map(("x", _))
+    val g2 = Seq(3, 3, 4, 3, 1, 2, 3, 1, 1, 5, 4).map(("y", _))
+    val df = (g1 ++ g2).toDF("g", "v")
+    val r = Aggregates.brunnerMunzel(df, col("v"), col("g"), "x", "y")
+      .collect()(0)
+    assert((r.getAs[Long]("n_a"), r.getAs[Long]("n_b")) == (14L, 11L))
+    assert(math.abs(r.getAs[Double]("p_hat") - 0.788961) < 1e-6)
+    assert(math.abs(r.getAs[Double]("bm_stat") - 3.1375) < 1e-4)
+    assert(math.abs(r.getAs[Double]("df") - 17.683) < 1e-3)
+    // two identical constant groups: p̂ = 1/2 exactly, stat undefined
+    val const = (Seq.fill(5)(("x", 7)) ++ Seq.fill(3)(("y", 7)))
+      .toDF("g", "v")
+    val rc = Aggregates.brunnerMunzel(const, col("v"), col("g"), "x", "y")
+      .collect()(0)
+    assert(rc.getAs[Double]("p_hat") == 0.5)
+    assert(rc.isNullAt(rc.fieldIndex("bm_stat")))
+  }
+
   test("A-stat: huberLocation — clean data keeps the mean; outliers are resisted") {
     import graft.ops.Aggregates
     // symmetric clean group: mean = huber mu = 10

@@ -142,4 +142,29 @@ class SpatialStatsSpec extends AnyFunSuite {
     // tight cluster relative to the area: L̂ − r strongly positive
     assert(out.forall(_.getAs[Double]("l_minus_r") > 0.0))
   }
+
+  /** One cell of mass 100 on [0,10)². A zone covering its left half
+    * gets half the mass; a zone covering everything gets it all; a
+    * far-away zone reports zero area and null readouts. Mass is
+    * conserved across a partition of the plane. */
+  test("arealInterpolate: exact half-cell split, full recovery, empty zone row") {
+    import graft.ops.SpatialStats.Zone
+    val pts = Seq((2L, 3L, 60L), (7L, 8L, 40L)).toDF("x", "y", "v")
+    val out = SpatialStats.arealInterpolate(pts, col("x"), col("y"),
+        col("v"), cellSize = 10L,
+        zones = Seq(Zone("left", 0, 0, 5, 10), Zone("right", 5, 0, 10, 10),
+          Zone("all", 0, 0, 10, 10), Zone("far", 900, 900, 910, 910)))
+      .collect().map(r => r.getString(0) -> r).toMap
+    // both points share the single cell [0,10)²: xsum = 100
+    assert(out("all").getAs[Long]("covered_area") == 100L)
+    assert(out("all").getAs[Double]("mass") == 100.0)
+    assert(out("all").getAs[Double]("mean_value") == 100.0)
+    assert(out("left").getAs[Double]("mass") == 50.0)
+    assert(out("right").getAs[Double]("mass") == 50.0)
+    // mean is intensive: the half-zones report the same density
+    assert(out("left").getAs[Double]("mean_value") == 100.0)
+    val far = out("far")
+    assert(far.getAs[Long]("covered_area") == 0L)
+    assert(far.isNullAt(far.fieldIndex("mass")))
+  }
 }
