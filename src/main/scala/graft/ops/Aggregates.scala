@@ -2883,6 +2883,46 @@ object Aggregates {
           .as("df"))
   }
 
+  /** A-stat — negative-binomial method-of-moments fit per group
+    * (the standard overdispersed-count model, Anscombe 1950 MoM
+    * form): from exact integer moments, mean m = S₁/n, sample
+    * variance v = (n·S₂ − S₁²)/(n(n−1)), then
+    * r = m²/(v − m), p = m/v — defined only when v > m
+    * (overdispersed; otherwise r/p are null and the Poisson already
+    * fits). The companion readout to q288's dispersion TEST: q288
+    * says "Poisson is wrong", this says what to use instead.
+    *
+    * Returns per group: (group, n, mean, variance, dispersion, r, p).
+    *
+    * Scale: ONE conditional-moment agg per group key (map-side
+    * combine, decimal-exact sums); everything after is a
+    * |groups|-row pinned double finish. */
+  def negBinomialMom(df: org.apache.spark.sql.DataFrame, valueCol: Column,
+      groupCol: Column): org.apache.spark.sql.DataFrame = {
+    val d38 = "decimal(38,0)"
+    val g = df.select(groupCol.as("g"), valueCol.cast("long").as("__v"))
+      .groupBy(col("g"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("__v")).cast(d38).as("__s1"),
+        sum(col("__v").cast(d38) * col("__v").cast(d38)).as("__s2"))
+      .filter(col("n") >= 2)
+    val mean = col("__s1").cast("double") / col("n").cast("double")
+    val varS = (col("n").cast(d38) * col("__s2") -
+      col("__s1") * col("__s1")).cast("double") /
+      (col("n").cast(d38) * (col("n").cast(d38) - 1)).cast("double")
+    g.withColumn("mean", mean)
+      .withColumn("variance", varS)
+      .withColumn("dispersion",
+        when(col("mean") =!= 0.0, col("variance") / col("mean")))
+      .withColumn("r", when(col("variance") > col("mean"),
+        col("mean") * col("mean") / (col("variance") - col("mean"))))
+      .withColumn("p", when(col("variance") > col("mean"),
+        col("mean") / col("variance")))
+      .select(col("g"), col("n"), col("mean"), col("variance"),
+        col("dispersion"), col("r"), col("p"))
+      .orderBy(col("g"))
+  }
+
   /** A-stat — Huber M-estimator of location per group (Huber 1964),
     * by IRLS with a FIXED iteration count: start at the group mean,
     * then repeat mu ← Σ w·x / Σ w with the Huber weight

@@ -228,6 +228,107 @@ object Experimentation {
       .orderBy(col("p_rank"))
   }
 
+  graft.plans.Guardrails.expect("cartesian_join",
+    "__lnS, __lnP",
+    "sbgFit: (K+1)-row count rollup x literal (a,b) lattice")
+
+  /** A-stat/E7 — shifted-beta-geometric (sBG) churn model fit by
+    * grid-search MLE (Fader & Hardie, "How to Project Customer
+    * Retention", J. Interactive Marketing 2007): each customer churns
+    * with an individual probability θ ~ Beta(a, b); the death-time
+    * pmf follows the closed recursion P(T=1) = a/(a+b),
+    * P(T=t) = P(T=1−1)·(b+t−2)/(a+b+t−1), survivors past the horizon
+    * contribute S(K) = 1 − ΣP. The fit maximizes the log-likelihood
+    * over an (a, b) lattice (gridMax² points at 1/gridDen spacing) —
+    * deterministic, no optimizer state, and every engine lands on the
+    * SAME lattice point because per-term log-likelihoods quantize to
+    * integer micro-nats before the argmax.
+    *
+    * Input: one row per customer with the death period t ∈ [1, K]
+    * (first period NOT renewed) or censored=true for survivors past
+    * K. Returns ONE row: (a, b, ll_micro, p1, s_horizon).
+    *
+    * Scale: the fact pass is ONE rollup to ≤ K+1 (t, censored)
+    * counts; the lattice cross join is (K+1)·gridMax² literal-sized
+    * rows. The projection model behind every contractual-retention
+    * forecast — fit it per segment and the lattice is still tiny. */
+  def sbgFit(df: DataFrame, tCol: Column, censoredCol: Column,
+      horizon: Int, gridDen: Int = 20, gridMax: Int = 60): DataFrame = {
+    require(horizon >= 1 && horizon <= 8, "1 <= horizon <= 8")
+    require(gridDen >= 1 && gridMax >= 2, "grid must be non-trivial")
+    val counts = df.select(tCol.cast("long").as("__t"),
+        censoredCol.cast("boolean").as("__c"))
+      .groupBy(col("__t"), col("__c")).agg(count(lit(1)).as("__n"))
+    val spark = df.sparkSession
+    val grid = spark.range(1, gridMax + 1L).select(col("id").as("__ia"))
+      .crossJoin(spark.range(1, gridMax + 1L).select(col("id").as("__ib")))
+      .withColumn("__a", col("__ia").cast("double") / gridDen)
+      .withColumn("__b", col("__ib").cast("double") / gridDen)
+    // unroll the pmf recursion: p1..pK and the survivor mass
+    val a = col("__a"); val b = col("__b")
+    val ps = (1 to horizon).scanLeft(a / (a + b)) { (prev, t) =>
+      // entering step t+1: P(t+1) = P(t)·(b+t−1)/(a+b+t)
+      prev * (b + lit(t - 1.0)) / (a + b + lit(t.toDouble))
+    }.take(horizon)
+    val sK = ps.foldLeft(lit(1.0))((acc, p) => acc - p)
+    val withP = grid
+      .withColumn("__lnS", log(sK))
+      .withColumn("__lnP", array(ps.map(log): _*))
+    val scored = counts.crossJoin(withP)
+      .withColumn("__ln",
+        when(col("__c"), col("__lnS"))
+          .otherwise(element_at(col("__lnP"), col("__t").cast("int"))))
+      // micro-nat quantized per-term LL: exact integer sums, argmax
+      // agrees across engines and partitionings
+      .withColumn("__ll_u",
+        col("__n") * floor(col("__ln") * 1e6 + 0.5).cast("long"))
+    scored.groupBy(col("__ia"), col("__ib"), col("__a"), col("__b"))
+      .agg(sum(col("__ll_u")).as("ll_micro"))
+      .orderBy(col("ll_micro").desc, col("__ia"), col("__ib"))
+      .limit(1)
+      .select(col("__a").as("a"), col("__b").as("b"), col("ll_micro"),
+        (col("__a") / (col("__a") + col("__b"))).as("p1"))
+  }
+
+  /** A-stat — Cochran-Mantel-Haenszel chi-square (continuity-
+    * corrected) across 2×2 strata — the TEST companion to
+    * [[mantelHaenszelOr]]'s estimate (Mantel & Haenszel 1959):
+    * χ²_CMH = (|Σ(a_k − E_k)| − ½)² / Σ V_k with E = r1·c1/n and
+    * V = r1·r0·c1·c0 / (n²(n−1)). Per-stratum E and V quantize by
+    * integer floor division at micro precision, so both sums are
+    * exact; the statistic is one pinned double chain. Returns ONE
+    * row: (n_strata, sum_a, sum_e_micro, sum_v_micro, cmh_chi2). */
+  def cmhChiSquare(df: DataFrame, stratumCol: Column,
+      exposedCol: Column, outcomeCol: Column): DataFrame = {
+    val d38 = "decimal(38,0)"
+    val cells = df.select(stratumCol.as("__s"),
+        exposedCol.cast("boolean").as("__e"),
+        outcomeCol.cast("boolean").as("__o"))
+      .groupBy(col("__s"))
+      .agg(sum(when(col("__e") && col("__o"), 1L).otherwise(0L)).as("a"),
+        sum(when(col("__e") && !col("__o"), 1L).otherwise(0L)).as("b"),
+        sum(when(!col("__e") && col("__o"), 1L).otherwise(0L)).as("c"),
+        sum(when(!col("__e") && !col("__o"), 1L).otherwise(0L)).as("d"))
+      .withColumn("n", col("a") + col("b") + col("c") + col("d"))
+      // margins: r1 = a+b (exposed), c1 = a+c (outcome)
+      .withColumn("__e_u", expr(s"CAST(CAST(a + b AS $d38) * (a + c) " +
+        "* 1000000 div n AS BIGINT)"))
+      .withColumn("__v_u", expr(
+        s"""CAST(CAST(a + b AS $d38) * (c + d) * (a + c) * (b + d)
+           | * 1000000 div (CAST(n AS $d38) * n * (n - 1)) AS BIGINT)"""
+          .stripMargin))
+    cells.agg(count(lit(1)).as("n_strata"), sum(col("a")).as("sum_a"),
+        sum(col("__e_u")).as("sum_e_micro"), sum(col("__v_u")).as("sum_v_micro"))
+      .withColumn("__dev", greatest(lit(0.0),
+        abs(col("sum_a").cast("double") -
+          col("sum_e_micro").cast("double") / 1e6) - 0.5))
+      .select(col("n_strata"), col("sum_a"), col("sum_e_micro"),
+        col("sum_v_micro"),
+        when(col("sum_v_micro") > 0,
+          col("__dev") * col("__dev") /
+            (col("sum_v_micro").cast("double") / 1e6)).as("cmh_chi2"))
+  }
+
   /** Difference-in-differences (Card & Krueger 1994 canonical form —
     * public literature): the causal workhorse when treatment was NOT
     * randomized — compare the treated group's pre→post change against

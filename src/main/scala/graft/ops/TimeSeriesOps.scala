@@ -924,6 +924,53 @@ object TimeSeriesOps {
     "__hr, __ht, __hy",
     "hurstRS: rank walk over the bounded series rollup")
 
+  /** A8 — simple-exponential-smoothing smoothing-constant fit by
+    * one-step-ahead SSE over an alpha lattice (the Hyndman &
+    * Athanasopoulos FPP procedure, lattice form): for every
+    * α = num/den (num = 1..den−1) run the [[ewmaInt]] integer
+    * recursion s_t = (num·x_t + (den−num)·s_{t−1}) div den and score
+    * Σ_{t≥2} (x_t − s_{t−1})² — the forecast error of "predict the
+    * previous smooth". All state is exact integer, so each α's SSE is
+    * bit-identical on any engine/partitioning and the argmin never
+    * flips. Returns one row per α: (num, den, alpha, n_scored, sse,
+    * best).
+    *
+    * Scale: input is a SERIES ROLLUP by contract (the q156/q372
+    * envelope); the rollup is collected into ONE per-α array fold —
+    * |den−1| × |series| work, still rollup-sized. Values must be
+    * non-negative (floor vs truncation, as [[ewmaInt]]). */
+  def sesGridFit(series: DataFrame, tCol: Column, vCol: Column,
+      den: Long = 20L): DataFrame = {
+    require(den >= 2 && den <= 1000, "2 <= den <= 1000")
+    val guarded = when(vCol.cast("long") < 0,
+      raise_error(lit("sesGridFit requires non-negative values")))
+      .otherwise(vCol.cast("long"))
+    val arr = series
+      .agg(array_sort(collect_list(struct(tCol.cast("long").as("o"),
+        guarded.as("v")))).as("__arr"))
+    val alphas = explode(array((1L until den).map(lit): _*)).as("__num")
+    val perAlpha = arr.select(col("__arr"), alphas)
+      // fold carries (prev_smooth, sse, n): integer triple
+      .withColumn("__fit", expr(
+        s"""aggregate(__arr,
+           |  named_struct('s', CAST(-1 AS BIGINT), 'sse', 0L, 'n', 0L),
+           |  (acc, x) -> CASE WHEN acc.s < 0
+           |    THEN named_struct('s', x.v, 'sse', 0L, 'n', 0L)
+           |    ELSE named_struct(
+           |      's', (__num * x.v + ($den - __num) * acc.s) div ${den}L,
+           |      'sse', acc.sse + (x.v - acc.s) * (x.v - acc.s),
+           |      'n', acc.n + 1L) END)""".stripMargin))
+    val scored = perAlpha.select(col("__num").as("num"),
+      lit(den).as("den"),
+      (col("__num").cast("double") / den).as("alpha"),
+      col("__fit.n").as("n_scored"), col("__fit.sse").as("sse"))
+    val bestRow = scored.agg(min(struct(col("sse"), col("num"))).as("__b"))
+    scored.crossJoin(broadcast(bestRow))
+      .withColumn("best", col("num") === col("__b.num"))
+      .drop("__b")
+      .orderBy(col("num"))
+  }
+
   /** A8/A-stat — Hurst exponent by rescaled-range (R/S) analysis
     * (Hurst 1951; Mandelbrot & Wallis 1969): for each block size n,
     * split the rank-ordered series into full blocks of n, compute per

@@ -696,7 +696,210 @@ object Analytics30 {
       "readout. The zonal-system reconciliation (census tract <-> grid <-> " +
       "catchment) every geo reporting pipeline needs.")
 
+  /** q387 — A-stat/E7: shifted-beta-geometric churn fit of the 1995
+    * first-order cohort's year-over-year renewal (Fader & Hardie
+    * 2007) — deaths = first missed year 1996-1999, survivors
+    * censored; 100×100 (a,b) lattice MLE with micro-nat quantized
+    * terms. */
+  val q387 = Declared(
+    "q387_sbg_churn_fit", "A-stat,E7",
+    (s, dir) => {
+      val acts = Tables.orders(s, dir)
+        .select(col("o_custkey"), year(col("o_orderdate")).as("y"))
+        .distinct()
+      val per = acts.groupBy(col("o_custkey")).agg(
+        min(col("y")).as("fy"),
+        max(when(col("y") === 1996, 1L).otherwise(0L)).as("a1"),
+        max(when(col("y") === 1997, 1L).otherwise(0L)).as("a2"),
+        max(when(col("y") === 1998, 1L).otherwise(0L)).as("a3"),
+        max(when(col("y") === 1999, 1L).otherwise(0L)).as("a4"))
+      val cohort = per.filter(col("fy") === 1995)
+        .withColumn("t",
+          when(col("a1") === 0, 1L).when(col("a2") === 0, 2L)
+            .when(col("a3") === 0, 3L).when(col("a4") === 0, 4L)
+            .otherwise(0L))
+        .withColumn("censored", col("t") === 0L)
+      graft.ops.Experimentation.sbgFit(cohort, col("t"), col("censored"),
+        horizon = 4, gridDen = 20, gridMax = 100)
+    },
+    Some("""WITH acts AS (
+           |  SELECT DISTINCT o_custkey, year(o_orderdate) AS y FROM orders),
+           |per AS (
+           |  SELECT o_custkey, min(y) AS fy,
+           |    max(CASE WHEN y = 1996 THEN 1 ELSE 0 END) AS a1,
+           |    max(CASE WHEN y = 1997 THEN 1 ELSE 0 END) AS a2,
+           |    max(CASE WHEN y = 1998 THEN 1 ELSE 0 END) AS a3,
+           |    max(CASE WHEN y = 1999 THEN 1 ELSE 0 END) AS a4
+           |  FROM acts GROUP BY 1),
+           |coh AS (
+           |  SELECT CASE WHEN a1 = 0 THEN 1 WHEN a2 = 0 THEN 2
+           |    WHEN a3 = 0 THEN 3 WHEN a4 = 0 THEN 4 ELSE 0 END AS t
+           |  FROM per WHERE fy = 1995),
+           |cnt AS (
+           |  SELECT t, t = 0 AS c, CAST(count(*) AS BIGINT) AS n
+           |  FROM coh GROUP BY 1, 2),
+           |grid AS (
+           |  SELECT ia.range AS ia, ib.range AS ib,
+           |    ia.range / 20.0 AS a, ib.range / 20.0 AS b
+           |  FROM range(1, 101) ia, range(1, 101) ib),
+           |pr AS (
+           |  SELECT *, a / (a + b) AS p1,
+           |    a / (a + b) * b / (a + b + 1) AS p2,
+           |    a / (a + b) * b / (a + b + 1) * (b + 1) / (a + b + 2) AS p3,
+           |    a / (a + b) * b / (a + b + 1) * (b + 1) / (a + b + 2)
+           |      * (b + 2) / (a + b + 3) AS p4
+           |  FROM grid),
+           |pr2 AS (SELECT *, 1.0 - p1 - p2 - p3 - p4 AS s4 FROM pr),
+           |sc AS (
+           |  SELECT ia, ib, a, b, p1,
+           |    sum(n * CAST(floor((CASE WHEN c THEN ln(s4)
+           |      WHEN t = 1 THEN ln(p1) WHEN t = 2 THEN ln(p2)
+           |      WHEN t = 3 THEN ln(p3) ELSE ln(p4) END) * 1e6 + 0.5)
+           |      AS BIGINT)) AS ll_micro
+           |  FROM cnt, pr2 GROUP BY 1, 2, 3, 4, 5)
+           |SELECT a, b, CAST(ll_micro AS BIGINT) AS ll_micro, p1
+           |FROM sc ORDER BY ll_micro DESC, ia, ib LIMIT 1""".stripMargin),
+    "The fact pass is ONE distinct + ONE customer rollup; the MLE runs on " +
+      "a (K+1) x 10000 literal lattice with integer micro-nat terms, so the " +
+      "argmax is exact and engine-independent. A boundary fit (b at the " +
+      "lattice edge, as this synthetic cohort produces) is itself the " +
+      "diagnostic: heterogeneity ~ 0, plain geometric churn suffices.")
+
+  /** q388 — A-stat: Cochran-Mantel-Haenszel chi-square on the q381
+    * strata — the pooled TEST beside the pooled estimate; continuity-
+    * corrected, micro-quantized E and V sums. */
+  val q388 = Declared(
+    "q388_cmh_chi2", "A-stat",
+    (s, dir) => graft.ops.Experimentation.cmhChiSquare(
+      Tables.orders(s, dir), year(col("o_orderdate")),
+      col("o_custkey") % 2 === 0,
+      col("o_orderpriority").isin("1-URGENT", "2-HIGH")),
+    Some("""WITH cells AS (
+           |  SELECT year(o_orderdate) AS s,
+           |    CAST(sum(CASE WHEN o_custkey % 2 = 0 AND o_orderpriority IN
+           |      ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS a,
+           |    CAST(sum(CASE WHEN o_custkey % 2 = 0 AND o_orderpriority NOT
+           |      IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS b,
+           |    CAST(sum(CASE WHEN o_custkey % 2 <> 0 AND o_orderpriority IN
+           |      ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS c,
+           |    CAST(sum(CASE WHEN o_custkey % 2 <> 0 AND o_orderpriority NOT
+           |      IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS d
+           |  FROM orders GROUP BY 1),
+           |m AS (
+           |  SELECT *, a + b + c + d AS n FROM cells),
+           |q AS (
+           |  SELECT
+           |    CAST(CAST(a + b AS HUGEINT) * (a + c) * 1000000 // n
+           |      AS BIGINT) AS e_u,
+           |    CAST(CAST(a + b AS HUGEINT) * (c + d) * (a + c) * (b + d)
+           |      * 1000000 // (CAST(n AS HUGEINT) * n * (n - 1))
+           |      AS BIGINT) AS v_u,
+           |    a
+           |  FROM m)
+           |SELECT CAST(count(*) AS BIGINT) AS n_strata,
+           |  CAST(sum(a) AS BIGINT) AS sum_a,
+           |  CAST(sum(e_u) AS BIGINT) AS sum_e_micro,
+           |  CAST(sum(v_u) AS BIGINT) AS sum_v_micro,
+           |  CASE WHEN sum(v_u) > 0 THEN
+           |    greatest(0.0, abs(CAST(sum(a) AS DOUBLE) -
+           |      CAST(sum(e_u) AS DOUBLE) / 1e6) - 0.5) *
+           |    greatest(0.0, abs(CAST(sum(a) AS DOUBLE) -
+           |      CAST(sum(e_u) AS DOUBLE) / 1e6) - 0.5) /
+           |    (CAST(sum(v_u) AS DOUBLE) / 1e6)
+           |  END AS cmh_chi2
+           |FROM q""".stripMargin),
+    "Same scale shape as q381 (one stratum-keyed conditional agg + a " +
+      "|strata|-row finish); E and V quantize by integer floor division so " +
+      "the pooled sums commute exactly. Estimate (q381) and test (q388) " +
+      "together are the full stratified-2x2 toolkit.")
+
+  /** q389 — A8: SES smoothing-constant fit over the daily order-count
+    * series — one-step-ahead integer SSE on the α = k/20 lattice
+    * (Hyndman-Athanasopoulos FPP procedure), the exact-integer q156
+    * recursion replayed per α by a recursive-CTE oracle. */
+  val q389 = Declared(
+    "q389_ses_grid_fit", "A8",
+    (s, dir) => graft.ops.TimeSeriesOps.sesGridFit(
+      Tables.orders(s, dir)
+        .groupBy(expr("datediff(o_orderdate, DATE'1970-01-01')")
+          .cast("long").as("day"))
+        .agg(count(lit(1)).as("cnt")),
+      col("day"), col("cnt"), den = 20L),
+    Some("""WITH RECURSIVE daily AS (
+           |  SELECT CAST(datediff('day', DATE '1970-01-01', o_orderdate)
+           |    AS BIGINT) AS t, CAST(count(*) AS BIGINT) AS v
+           |  FROM orders GROUP BY 1),
+           |rk AS MATERIALIZED (
+           |  SELECT t, v, row_number() OVER (ORDER BY t) AS r
+           |  FROM daily),
+           |al AS (SELECT range AS num FROM range(1, 20)),
+           |fit(num, r, s, sse, n) AS (
+           |  SELECT al.num, 1, rk.v, CAST(0 AS BIGINT), CAST(0 AS BIGINT)
+           |  FROM al, rk WHERE rk.r = 1
+           |  UNION ALL
+           |  SELECT f.num, f.r + 1,
+           |    (f.num * rk.v + (20 - f.num) * f.s) // 20,
+           |    f.sse + (rk.v - f.s) * (rk.v - f.s),
+           |    f.n + 1
+           |  FROM fit f JOIN rk ON rk.r = f.r + 1),
+           |fin AS (
+           |  SELECT num, max_by(sse, r) AS sse, max_by(n, r) AS n
+           |  FROM fit GROUP BY num),
+           |best AS (SELECT min(sse) AS bsse FROM fin),
+           |bnum AS (SELECT min(num) AS bn FROM fin, best WHERE sse = bsse)
+           |SELECT CAST(num AS BIGINT) AS num, CAST(20 AS BIGINT) AS den,
+           |  num / 20.0 AS alpha, n AS n_scored, sse,
+           |  num = bn AS best
+           |FROM fin, bnum ORDER BY num""".stripMargin),
+    "The q156 envelope: the fact pass is the day rollup; all 19 alpha " +
+      "recursions fold over ONE collected rollup array (exact integer " +
+      "state, argmin can never flip). The smoothing-constant selection " +
+      "every operational forecast needs before q156/q173 run for real.")
+
+  /** q390 — A-stat: negative-binomial method-of-moments fit of
+    * per-customer yearly order counts by nation — the overdispersed-
+    * count model readout beside q288's dispersion test. */
+  val q390 = Declared(
+    "q390_negbin_mom", "A-stat",
+    (s, dir) => {
+      val perCust = Tables.orders(s, dir)
+        .filter(year(col("o_orderdate")) === 1995)
+        .groupBy(col("o_custkey")).agg(count(lit(1)).as("k"))
+      val joined = Tables.customer(s, dir)
+        .join(perCust, col("c_custkey") === col("o_custkey"), "left")
+        .select(col("c_nationkey").as("nation"),
+          coalesce(col("k"), lit(0L)).as("k"))
+      graft.ops.Aggregates.negBinomialMom(joined, col("k"), col("nation"))
+    },
+    Some("""WITH pc AS (
+           |  SELECT o_custkey, CAST(count(*) AS BIGINT) AS k
+           |  FROM orders WHERE year(o_orderdate) = 1995 GROUP BY 1),
+           |j AS (
+           |  SELECT c_nationkey AS g, coalesce(pc.k, 0) AS v
+           |  FROM customer LEFT JOIN pc ON o_custkey = c_custkey),
+           |m AS (
+           |  SELECT g, CAST(count(*) AS BIGINT) AS n,
+           |    CAST(sum(v) AS HUGEINT) AS s1,
+           |    sum(CAST(v AS HUGEINT) * v) AS s2
+           |  FROM j GROUP BY g HAVING count(*) >= 2),
+           |f AS (
+           |  SELECT g, n,
+           |    CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE) AS mean,
+           |    CAST(CAST(n AS HUGEINT) * s2 - s1 * s1 AS DOUBLE) /
+           |    CAST(CAST(n AS HUGEINT) * (CAST(n AS HUGEINT) - 1)
+           |      AS DOUBLE) AS variance
+           |  FROM m)
+           |SELECT g, n, mean, variance,
+           |  CASE WHEN mean <> 0 THEN variance / mean END AS dispersion,
+           |  CASE WHEN variance > mean THEN
+           |    mean * mean / (variance - mean) END AS r,
+           |  CASE WHEN variance > mean THEN mean / variance END AS p
+           |FROM f ORDER BY g""".stripMargin),
+    "ONE moment agg keyed by group (map-side combine, decimal-exact), a " +
+      "|groups|-row pinned double finish. q288 rejects Poisson; this hands " +
+      "the pipeline the (r, p) it should model demand with instead.")
+
   val all: Seq[Declared] =
     Seq(q373, q374, q375, q376, q377, q378, q379, q380, q381, q382,
-      q383, q384, q385, q386)
+      q383, q384, q385, q386, q387, q388, q389, q390)
 }

@@ -980,6 +980,26 @@ class AnalyticsOpsSpec extends AnyFunSuite {
     assert(out("grp -> dept") == (3L, 0L, 0L, 1))
   }
 
+  test("A-stat: negBinomialMom — hand moments; underdispersed group nulls r/p") {
+    import graft.ops.Aggregates
+    // (0,1,2,3,10): mean 3.2, var 15.7, r = 10.24/12.5, p = 3.2/15.7
+    val over = Seq(0L, 1L, 2L, 3L, 10L).map(("a", _))
+    // (3,3,3,4): var 0.25 < mean 3.25 — NB undefined, Poisson fine
+    val under = Seq(3L, 3L, 3L, 4L).map(("b", _))
+    val out = Aggregates.negBinomialMom(
+        (over ++ under).toDF("g", "v"), col("v"), col("g"))
+      .collect().map(r => r.getString(0) -> r).toMap
+    val a = out("a")
+    assert(a.getAs[Long]("n") == 5L)
+    assert(math.abs(a.getAs[Double]("mean") - 3.2) < 1e-12)
+    assert(math.abs(a.getAs[Double]("variance") - 15.7) < 1e-12)
+    assert(math.abs(a.getAs[Double]("r") - 10.24 / 12.5) < 1e-12)
+    assert(math.abs(a.getAs[Double]("p") - 3.2 / 15.7) < 1e-12)
+    val b = out("b")
+    assert(b.getAs[Double]("variance") < b.getAs[Double]("mean"))
+    assert(b.isNullAt(b.fieldIndex("r")) && b.isNullAt(b.fieldIndex("p")))
+  }
+
   test("A-stat: brunnerMunzel — published example reproduced; identical groups null out") {
     import graft.ops.Aggregates
     // the Brunner-Munzel running example (Neubert & Brunner 2007;

@@ -661,6 +661,52 @@ class ExperimentationSpec extends AnyFunSuite {
     assert(rf.getAs[Double]("first_stage") == 0.0)
   }
 
+  test("A-stat/E7: sbgFit — exact-model cohort recovers (a,b); all-survivor boundary") {
+    import org.apache.spark.sql.functions._
+    // a cohort whose death counts EXACTLY match sBG(a=1, b=1) over 4
+    // periods: P = 1/2, 1/6, 1/12, 1/20, S4 = 1/5. n = 60 →
+    // deaths (30, 10, 5, 3), survivors 12. The lattice MLE must land
+    // exactly on (1.0, 1.0) — the model that reproduces the data.
+    val rows = Seq.fill(30)((1L, false)) ++ Seq.fill(10)((2L, false)) ++
+      Seq.fill(5)((3L, false)) ++ Seq.fill(3)((4L, false)) ++
+      Seq.fill(12)((0L, true))
+    val df = rows.toDF("t", "c")
+    val r = Experimentation.sbgFit(df, col("t"), col("c"), horizon = 4)
+      .collect()(0)
+    assert(r.getAs[Double]("a") == 1.0, s"a = ${r.getAs[Double]("a")}")
+    assert(r.getAs[Double]("b") == 1.0, s"b = ${r.getAs[Double]("b")}")
+    assert(r.getAs[Double]("p1") == 0.5)
+    // everyone survives: likelihood pushes churn to the lattice edge —
+    // smallest a, largest b
+    val surv = Seq.fill(20)((0L, true)).toDF("t", "c")
+    val rs = Experimentation.sbgFit(surv, col("t"), col("c"), horizon = 4)
+      .collect()(0)
+    assert(rs.getAs[Double]("a") == 0.05)
+    assert(rs.getAs[Double]("b") == 3.0)
+  }
+
+  test("A-stat: cmhChiSquare — zero on the stratified null, hand value on perfect association") {
+    import org.apache.spark.sql.functions._
+    def rows(s: Int, e: Boolean, o: Boolean, k: Int) =
+      Seq.fill(k)((s, e, o))
+    // the q381 Simpson data: within each stratum a = E exactly
+    val nullDf = (rows(1, true, true, 45) ++ rows(1, true, false, 45) ++
+      rows(1, false, true, 5) ++ rows(1, false, false, 5) ++
+      rows(2, true, true, 1) ++ rows(2, true, false, 9) ++
+      rows(2, false, true, 9) ++ rows(2, false, false, 81))
+      .toDF("s", "e", "o")
+    val r0 = Experimentation.cmhChiSquare(nullDf, col("s"), col("e"), col("o"))
+      .collect()(0)
+    assert(r0.getAs[Double]("cmh_chi2") == 0.0)
+    // one stratum, perfect association: a=d=5, b=c=0 →
+    // E = 2.5, V = 625/900, χ² = (2.5 − 0.5)² / V ≈ 5.76
+    val perf = (rows(1, true, true, 5) ++ rows(1, false, false, 5))
+      .toDF("s", "e", "o")
+    val r1 = Experimentation.cmhChiSquare(perf, col("s"), col("e"), col("o"))
+      .collect()(0)
+    assert(math.abs(r1.getAs[Double]("cmh_chi2") - 5.76) < 1e-2)
+  }
+
   test("A-stat: holmDiscoveries — subset of BH, and rejections form a prefix of the p-order") {
     import org.apache.spark.sql.functions._
     // one wildly deviant group, several mild ones, many on-rate groups

@@ -368,4 +368,29 @@ class TimeSeriesOpsSpec extends AnyFunSuite {
     assert(graft.ops.TimeSeriesOps.hurstRS(
       const, col("t"), col("y"), Seq(8, 16)).count() == 0L)
   }
+
+  test("A8: sesGridFit — hand SSE per alpha, tie-min best, constant series all-zero") {
+    import org.apache.spark.sql.functions._
+    // series 4, 8, 4 at den=4: one-step errors from the q156 integer
+    // recursion — num=1: s=(4,5) → sse 16+1; num=2: s=(4,6) → 16+4;
+    // num=3: s=(4,7) → 16+9
+    val s3 = Seq((1L, 4L), (2L, 8L), (3L, 4L)).toDF("t", "v")
+    val out = graft.ops.TimeSeriesOps.sesGridFit(
+        s3, col("t"), col("v"), den = 4L)
+      .orderBy("num").collect()
+    assert(out.map(_.getAs[Long]("sse")).toSeq == Seq(17L, 20L, 25L))
+    assert(out.map(_.getAs[Long]("n_scored")).toSeq == Seq(2L, 2L, 2L))
+    assert(out.map(_.getAs[Boolean]("best")).toSeq ==
+      Seq(true, false, false))
+    // constant series: zero error everywhere; the tie breaks to the
+    // smallest alpha
+    val const = (1L to 10L).map(t => (t, 5L)).toDF("t", "v")
+    val oc = graft.ops.TimeSeriesOps.sesGridFit(
+        const, col("t"), col("v"), den = 20L)
+      .collect()
+    assert(oc.length == 19)
+    assert(oc.forall(_.getAs[Long]("sse") == 0L))
+    assert(oc.filter(_.getAs[Boolean]("best"))
+      .map(_.getAs[Long]("num")).toSeq == Seq(1L))
+  }
 }
