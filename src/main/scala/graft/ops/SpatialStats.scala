@@ -287,6 +287,41 @@ object SpatialStats {
     * max(radii) — pair volume is the true local-density pair count,
     * never n²; the per-radius finish is conditional aggregation over
     * one pass of those pairs. */
+  /** A3+/F9 — gridded kernel-density hotspot surface with a discrete
+    * Epanechnikov kernel (Silverman 1986 §2.4, lattice form): points
+    * collapse to grid cells, then every occupied cell SCATTERS its
+    * mass to all cells within `radius` cells with the integer weight
+    * w(d²) = radius² − d² (the Epanechnikov profile 1 − (d/h)² cleared
+    * of its h² denominator — support d² < radius², so the weight is a
+    * positive integer and every density value is an EXACT integer).
+    * Output one row per cell that receives any mass — including empty
+    * cells near occupied ones, the point of a density surface:
+    * (cx, cy, kde_mass, n_src) with kde_mass = Σ_src v_src·w and
+    * n_src the count of contributing occupied cells.
+    *
+    * Scale: ONE fact pass to the cell rollup; the scatter is a
+    * generated-key explode of the ROLLUP by the ≤ π·radius² in-disc
+    * offsets followed by a map-side-combinable groupBy on target cell
+    * keys — never a distance join against the fact table, no
+    * inequality predicates anywhere. */
+  def kdeGrid(points: DataFrame, xCol: Column, yCol: Column, vCol: Column,
+      cellSize: Double, radius: Int): DataFrame = {
+    require(cellSize > 0, "cellSize > 0")
+    require(radius >= 1 && radius <= 16, "1 <= radius <= 16")
+    val r2 = radius.toLong * radius
+    val c = cells(points, xCol, yCol, vCol, cellSize)
+    val offs = for { dx <- -radius to radius; dy <- -radius to radius
+      if dx.toLong * dx + dy.toLong * dy < r2 }
+      yield struct(lit(dx).as("dx"), lit(dy).as("dy"),
+        lit(r2 - dx.toLong * dx - dy.toLong * dy).as("w"))
+    c.select(col("cx"), col("cy"), col("xsum"),
+        explode(array(offs: _*)).as("o"))
+      .groupBy((col("cx") + col("o.dx")).as("cx"),
+        (col("cy") + col("o.dy")).as("cy"))
+      .agg(sum(col("xsum") * col("o.w")).as("kde_mass"),
+        count(lit(1)).as("n_src"))
+  }
+
   def ripleysK(points: DataFrame, xCol: Column, yCol: Column,
       radii: Seq[Int], area: Double): DataFrame = {
     require(radii.nonEmpty && radii.forall(_ > 0), "radii > 0")

@@ -924,6 +924,66 @@ object TimeSeriesOps {
     "__hr, __ht, __hy",
     "hurstRS: rank walk over the bounded series rollup")
 
+  graft.plans.Guardrails.expect("single_partition_window",
+    "__s, __k, __seg",
+    "saxSymbolize: breakpoint rank selection over the segment rollup")
+
+  /** A8/F1 — SAX symbolization (Lin, Keogh, Lonardi & Chiu 2003,
+    * quartile-breakpoint variant): each series is PAA-compressed into
+    * fixed-length segments (segment value = Σ v over `segLen`
+    * consecutive points — an exact integer; a trailing partial segment
+    * is dropped), then every segment is mapped to one of four symbols
+    * a..d by comparing its integer sum to the EXACT empirical
+    * quartiles of all segment sums (value at rank ⌈k·n/4⌉ — selected
+    * by rank, so the breakpoint VALUE is deterministic under ties, and
+    * the symbol assignment is a pure integer comparison: no
+    * normalization doubles, no Gaussian table, engine-portable).
+    * Classic SAX normalizes to N(0,1) breakpoints; the quartile form
+    * is the distribution-free variant that keeps every decision in
+    * exact arithmetic. Returns one row per series key:
+    * (key, sax_word, n_segments).
+    *
+    * Scale: the per-key rank window is key-partitioned; the ONLY
+    * global step is breakpoint rank selection over the SEGMENT rollup
+    * (|series|·|points|/segLen rows — rollup-sized, documented above);
+    * words build via collect_list of (seg, symbol) structs + sort, so
+    * word assembly is one map-side-combinable agg per key. */
+  def saxSymbolize(series: DataFrame, keyCol: Column, tCol: Column,
+      vCol: Column, segLen: Int): DataFrame = {
+    require(segLen >= 1 && segLen <= 100000, "1 <= segLen <= 1e5")
+    import org.apache.spark.sql.expressions.Window
+    val seg = series
+      .select(keyCol.cast("string").as("__k"), tCol.as("__t"),
+        vCol.cast("long").as("__v"))
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy(col("__k")).orderBy(col("__t"))))
+      .withColumn("__seg", expr(s"(__rn - 1) div $segLen"))
+      .groupBy(col("__k"), col("__seg"))
+      .agg(sum(col("__v")).as("__s"), count(lit(1)).as("__n"))
+      .filter(col("__n") === segLen.toLong)
+    // exact quartile breakpoints by rank selection on the rollup:
+    // value at rank ⌈k·n/4⌉ in (__s, __k, __seg) total order
+    val ranked = seg.withColumn("__r", row_number().over(
+      Window.orderBy(col("__s"), col("__k"), col("__seg"))))
+    val tot = ranked.agg(count(lit(1)).as("__nn"))
+    val bks = ranked.crossJoin(broadcast(tot)).agg(
+      max(when(col("__r") === expr("(__nn + 3) div 4"), col("__s"))).as("__b1"),
+      max(when(col("__r") === expr("(__nn * 2 + 3) div 4"), col("__s"))).as("__b2"),
+      max(when(col("__r") === expr("(__nn * 3 + 3) div 4"), col("__s"))).as("__b3"))
+    seg.crossJoin(broadcast(bks))
+      .withColumn("__c",
+        when(col("__s") <= col("__b1"), lit("a"))
+          .when(col("__s") <= col("__b2"), lit("b"))
+          .when(col("__s") <= col("__b3"), lit("c"))
+          .otherwise(lit("d")))
+      .groupBy(col("__k").as("key"))
+      .agg(array_join(expr(
+        "transform(array_sort(collect_list(struct(__seg, __c))), t -> t.__c)"),
+        "").as("sax_word"),
+        count(lit(1)).as("n_segments"))
+      .orderBy(col("key"))
+  }
+
   /** A8 — simple-exponential-smoothing smoothing-constant fit by
     * one-step-ahead SSE over an alpha lattice (the Hyndman &
     * Athanasopoulos FPP procedure, lattice form): for every

@@ -167,4 +167,31 @@ class SpatialStatsSpec extends AnyFunSuite {
     assert(far.getAs[Long]("covered_area") == 0L)
     assert(far.isNullAt(far.fieldIndex("mass")))
   }
+
+  /** One unit point at the origin, radius 2 (support d² < 4): the
+    * discrete Epanechnikov disc is exactly 9 cells — self w=4, the 4
+    * sides w=3, the 4 diagonals w=2 (Σw = 24). A second point in an
+    * adjacent cell superposes: its side weight lands on the origin. */
+  test("kdeGrid: single-point kernel footprint and two-cell superposition") {
+    val one = Seq((0.5, 0.5, 1L)).toDF("x", "y", "v")
+    val k1 = SpatialStats.kdeGrid(one, col("x"), col("y"), col("v"),
+      cellSize = 1.0, radius = 2).collect()
+      .map(r => (r.getAs[Long]("cx"), r.getAs[Long]("cy")) ->
+        r.getAs[Long]("kde_mass")).toMap
+    assert(k1.size == 9) // in-disc offsets only: corners d²=4 excluded
+    assert(k1((0L, 0L)) == 4L)
+    assert(k1((1L, 0L)) == 3L && k1((-1L, 0L)) == 3L &&
+      k1((0L, 1L)) == 3L && k1((0L, -1L)) == 3L)
+    assert(k1((1L, 1L)) == 2L && k1((-1L, -1L)) == 2L)
+    assert(k1.values.sum == 24L)
+    val two = Seq((0.5, 0.5, 1L), (1.5, 0.5, 1L)).toDF("x", "y", "v")
+    val k2 = SpatialStats.kdeGrid(two, col("x"), col("y"), col("v"),
+      cellSize = 1.0, radius = 2).collect()
+      .map(r => (r.getAs[Long]("cx"), r.getAs[Long]("cy")) ->
+        (r.getAs[Long]("kde_mass"), r.getAs[Long]("n_src"))).toMap
+    assert(k2((0L, 0L)) == (7L, 2L)) // 4 self + 3 from the neighbor
+    assert(k2((1L, 0L)) == (7L, 2L))
+    // mass is conserved: total = Σv · Σw = 2 · 24
+    assert(k2.values.map(_._1).sum == 48L)
+  }
 }

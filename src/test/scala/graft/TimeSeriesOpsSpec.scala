@@ -393,4 +393,23 @@ class TimeSeriesOpsSpec extends AnyFunSuite {
     assert(oc.filter(_.getAs[Boolean]("best"))
       .map(_.getAs[Long]("num")).toSeq == Seq(1L))
   }
+
+  test("A8: saxSymbolize — hand quartile word, partial-segment drop, tie degeneracy") {
+    import org.apache.spark.sql.functions._
+    // one series, segLen 2: values 1,1,2,2,3,3,4,4 → segment sums
+    // 2,4,6,8; quartile breakpoints at ranks 1,2,3 → 2,4,6 → "abcd".
+    // A 9th point leaves a partial segment that must be dropped.
+    val s = ((1L to 8L).zip(Seq(1L, 1L, 2L, 2L, 3L, 3L, 4L, 4L)) :+
+      ((9L, 99L))).map { case (t, v) => ("s", t, v) }.toDF("k", "t", "v")
+    val out = graft.ops.TimeSeriesOps.saxSymbolize(
+      s, col("k"), col("t"), col("v"), segLen = 2).collect()
+    assert(out.length == 1)
+    assert(out(0).getAs[String]("sax_word") == "abcd")
+    assert(out(0).getAs[Long]("n_segments") == 4L)
+    // all-equal series: every sum equals every breakpoint → all 'a'
+    val const = (1L to 8L).map(t => ("c", t, 5L)).toDF("k", "t", "v")
+    val oc = graft.ops.TimeSeriesOps.saxSymbolize(
+      const, col("k"), col("t"), col("v"), segLen = 2).collect()
+    assert(oc(0).getAs[String]("sax_word") == "aaaa")
+  }
 }
