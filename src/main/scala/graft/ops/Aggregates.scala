@@ -2923,6 +2923,44 @@ object Aggregates {
       .orderBy(col("g"))
   }
 
+  /** A-stat — Chao1 species-richness estimator per group (Chao 1984;
+    * bias-corrected form of Colwell & Coddington 1994): from the
+    * abundance spectrum of observed species, estimate how many
+    * species the group REALLY has, unseen ones included —
+    *   Ŝ = S_obs + f₁(f₁−1) / (2(f₂+1))
+    * with f₁/f₂ the singleton/doubleton counts (bias-corrected form:
+    * always defined, even with no doubletons). Beside it, Good's
+    * sample coverage Ĉ = 1 − f₁/n — "what fraction of the next draw
+    * is an already-seen species". The unseen-vocabulary / unseen-URL
+    * estimator every corpus-growth decision needs (complements q192
+    * capture-recapture and q258 Good-Turing).
+    *
+    * Returns per group: (g, n_obs, s_obs, f1, f2, chao1, coverage) —
+    * integer spectrum counts, each double computed once in pinned
+    * order from exact integers.
+    *
+    * Scale: ONE (group, species) rollup off the fact table (map-side
+    * combine) then a |groups×species|→|groups| conditional agg —
+    * never a distinct-count sketch compromise, and nothing wider than
+    * the rollup shuffles. */
+  def chao1Richness(df: org.apache.spark.sql.DataFrame, speciesCol: Column,
+      groupCol: Column): org.apache.spark.sql.DataFrame = {
+    val ab = df.select(groupCol.as("g"), speciesCol.as("__sp"))
+      .groupBy(col("g"), col("__sp")).agg(count(lit(1)).as("__c"))
+    ab.groupBy(col("g"))
+      .agg(sum(col("__c")).as("n_obs"),
+        count(lit(1)).as("s_obs"),
+        sum(when(col("__c") === 1L, 1L).otherwise(0L)).as("f1"),
+        sum(when(col("__c") === 2L, 1L).otherwise(0L)).as("f2"))
+      .select(col("g"), col("n_obs"), col("s_obs"), col("f1"), col("f2"),
+        (col("s_obs").cast("double") +
+          (col("f1") * (col("f1") - 1)).cast("double") /
+            ((col("f2") + 1) * 2L).cast("double")).as("chao1"),
+        (lit(1.0) - col("f1").cast("double") / col("n_obs").cast("double"))
+          .as("coverage"))
+      .orderBy(col("g"))
+  }
+
   /** A-stat — Huber M-estimator of location per group (Huber 1964),
     * by IRLS with a FIXED iteration count: start at the group mean,
     * then repeat mu ← Σ w·x / Σ w with the Huber weight

@@ -446,6 +446,55 @@ object Experimentation {
         expr("cast((__sr * 1000000) div n as bigint)").as("naive_value_ppm"))
   }
 
+  /** Self-normalized IPS off-policy value (SNIPS — Swaminathan &
+    * Joachims NIPS'15, the weighted-importance-sampling estimator of
+    * Precup et al. 2000): divide the importance-weighted reward by
+    * the importance-weight SUM instead of N —
+    *   V̂_SNIPS = Σ w·r·1[match] / Σ w·1[match],  w = 1/p_log
+    * — biased but vastly lower-variance than plain IPS when matches
+    * are rare, and invariant to reward shifts. Runs beside [[
+    * ipsPolicyValue]] on identical inputs so the IPS/SNIPS gap itself
+    * is the variance diagnostic.
+    *
+    * Determinism: weights are the exact integers 10⁶·10⁶ div p_ppm;
+    * both sums accumulate in decimal(38,0); the SNIPS point estimate
+    * is one exact integral floor-divide to ppm; Kish's effective
+    * sample size of the matched weights, ESS = (Σw)²/Σw², is a
+    * pinned-order double over exact integers.
+    *
+    * Returns ONE row: (n, matches, value_snips_ppm, value_ips_ppm,
+    * ess_w) — ess_w ≪ matches means a few huge weights own the
+    * estimate and neither number should be trusted.
+    *
+    * Scale: a single map-side-combinable global agg, one output row —
+    * the same shuffle-free shape as IPS. */
+  def snipsPolicyValue(df: DataFrame, loggedArm: Column, targetArm: Column,
+      reward: Column, propensityPpm: Column): DataFrame = {
+    val d38 = "decimal(38,0)"
+    df.select(loggedArm.cast("long").as("__a"),
+        targetArm.cast("long").as("__pi"),
+        reward.cast("long").as("__r"),
+        propensityPpm.cast("long").as("__p"))
+      .withColumn("__w", when(col("__a") === col("__pi"),
+        expr("(cast(1000000 as decimal(38,0)) * 1000000) div __p").cast(d38))
+        .otherwise(lit(0L).cast(d38)))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("__a") === col("__pi"), 1L).otherwise(0L)).as("matches"),
+        sum((col("__w") * col("__r").cast(d38)).cast(d38)).as("__wr"),
+        sum(col("__w")).as("__sw"),
+        sum((col("__w") * col("__w")).cast(d38)).as("__sw2"))
+      .select(col("n"), col("matches"),
+        when(col("__sw") =!= 0,
+          expr("cast((__wr * 1000000) div __sw as bigint)"))
+          .as("value_snips_ppm"),
+        expr("cast(__wr div n as bigint)").as("value_ips_ppm"),
+        // square in DOUBLE (not decimal): (Σw)² can exceed 38 digits
+        // at extreme N, and ESS is a diagnostic, not a hash target
+        when(col("__sw2") =!= 0,
+          col("__sw").cast("double") * col("__sw").cast("double") /
+            col("__sw2").cast("double")).as("ess_w"))
+  }
+
   /** Post-stratification / direct standardization (classic survey +
     * causal adjustment — Cochran 1977, public literature): the
     * stratum-weighted treatment effect when assignment is only

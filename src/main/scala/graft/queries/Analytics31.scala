@@ -103,5 +103,83 @@ object Analytics31 {
       "words assemble in one collect_list+sort agg per key — the 100 TB " +
       "cost is the day rollup, everything after is rollup-sized.")
 
-  val all: Seq[Declared] = Seq(q391, q392)
+  /** q393 — A-stat: Chao1 unseen-species richness of the yearly part
+    * catalog actually shipped — "how many parts does this year's
+    * demand REALLY touch, unseen ones included" — plus Good's sample
+    * coverage. The corpus question (unseen vocabulary / URLs) in its
+    * original ecological form. */
+  val q393 = Declared(
+    "q393_chao1_richness", "A-stat",
+    (s, dir) => graft.ops.Aggregates.chao1Richness(
+      Tables.lineitem(s, dir), col("l_partkey"),
+      year(col("l_shipdate")).cast("int")),
+    Some("""WITH ab AS (
+           |  SELECT CAST(year(l_shipdate) AS INT) AS g, l_partkey,
+           |    count(*) AS c
+           |  FROM lineitem GROUP BY 1, 2),
+           |sp AS (
+           |  SELECT g, CAST(sum(c) AS BIGINT) AS n_obs,
+           |    CAST(count(*) AS BIGINT) AS s_obs,
+           |    CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS f1,
+           |    CAST(sum(CASE WHEN c = 2 THEN 1 ELSE 0 END) AS BIGINT) AS f2
+           |  FROM ab GROUP BY g)
+           |SELECT g, n_obs, s_obs, f1, f2,
+           |  CAST(s_obs AS DOUBLE) +
+           |    CAST(f1 * (f1 - 1) AS DOUBLE) / CAST(2 * (f2 + 1) AS DOUBLE)
+           |    AS chao1,
+           |  1.0 - CAST(f1 AS DOUBLE) / CAST(n_obs AS DOUBLE) AS coverage
+           |FROM sp ORDER BY g""".stripMargin),
+    "ONE (year, part) rollup with map-side combine, then a conditional agg " +
+      "to |years| rows — the exact abundance spectrum, no distinct-count " +
+      "sketch. The unseen-mass estimate that decides whether another crawl " +
+      "of the same source can still add vocabulary.")
+
+  /** q394 — A-stat/eval: SNIPS self-normalized off-policy value on
+    * the exact q229 replay logs — the lower-variance estimator beside
+    * the unbiased one, with Kish ESS as the trust diagnostic. */
+  val q394 = Declared(
+    "q394_snips_policy_value", "A-stat",
+    (s, dir) => {
+      val per = Tables.lineitem(s, dir).groupBy(col("l_orderkey")).agg(
+        countDistinct(col("l_suppkey")).as("k"),
+        min(col("l_suppkey")).as("target"),
+        max(when(col("l_linenumber") === 1, col("l_suppkey"))).as("logged"),
+        max(when(col("l_linenumber") === 1,
+          when(col("l_returnflag") =!= "R", 1L).otherwise(0L))).as("reward"))
+      graft.ops.Experimentation.snipsPolicyValue(per, col("logged"),
+        col("target"), col("reward"), expr("1000000L div k"))
+    },
+    Some("""WITH per AS (
+           |  SELECT l_orderkey,
+           |    CAST(count(DISTINCT l_suppkey) AS BIGINT) AS k,
+           |    min(l_suppkey) AS target,
+           |    max(CASE WHEN l_linenumber = 1 THEN l_suppkey END) AS logged,
+           |    max(CASE WHEN l_linenumber = 1 THEN
+           |      CASE WHEN l_returnflag <> 'R' THEN 1 ELSE 0 END END)
+           |      AS reward
+           |  FROM lineitem GROUP BY l_orderkey),
+           |w AS (
+           |  SELECT *, CASE WHEN logged = target THEN
+           |      (CAST(1000000 AS HUGEINT) * 1000000) // (1000000 // k)
+           |    ELSE CAST(0 AS HUGEINT) END AS w
+           |  FROM per),
+           |a AS (
+           |  SELECT CAST(count(*) AS BIGINT) AS n,
+           |    CAST(sum(CASE WHEN logged = target THEN 1 ELSE 0 END)
+           |      AS BIGINT) AS matches,
+           |    sum(w * reward) AS wr, sum(w) AS sw, sum(w * w) AS sw2
+           |  FROM w)
+           |SELECT n, matches,
+           |  CASE WHEN sw <> 0 THEN CAST((wr * 1000000) // sw AS BIGINT)
+           |    END AS value_snips_ppm,
+           |  CAST(wr // n AS BIGINT) AS value_ips_ppm,
+           |  CASE WHEN sw2 <> 0 THEN CAST(sw AS DOUBLE) * CAST(sw AS DOUBLE)
+           |    / CAST(sw2 AS DOUBLE) END AS ess_w
+           |FROM a""".stripMargin),
+    "Identical shuffle shape to q229 (one order-grain agg, one scalar " +
+      "agg); the SNIPS/IPS gap and the Kish ESS of the matched weights " +
+      "are the variance instrumentation production OPE reads before " +
+      "trusting either point estimate.")
+
+  val all: Seq[Declared] = Seq(q391, q392, q393, q394)
 }

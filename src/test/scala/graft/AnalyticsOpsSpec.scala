@@ -2000,4 +2000,22 @@ class AnalyticsOpsSpec extends AnyFunSuite {
     assert(out(1)._1 == 2L && out(1)._3 == 0.0, s"left: ${out.toSeq}")
     assert(out(2)._1 == 3L && out(2)._2 == 20L, s"right: ${out.toSeq}")
   }
+  test("A-stat: chao1Richness — hand abundance spectrum, saturated group") {
+    // group 1: A,B singletons, C doubleton, D tripleton:
+    // n=7, s=4, f1=2, f2=1, chao1 = 4 + 2*1/(2*2) = 4.5, cov = 5/7
+    val df = (Seq("A", "B", "C", "C", "D", "D", "D").map((1, _)) ++
+      Seq("X", "X", "X", "Y", "Y").map((2, _))).toDF("g", "sp")
+    val out = graft.ops.Aggregates.chao1Richness(df, col("sp"), col("g"))
+      .collect().map(r => r.getInt(0) -> r).toMap
+    val g1 = out(1)
+    assert(g1.getAs[Long]("n_obs") == 7L && g1.getAs[Long]("s_obs") == 4L)
+    assert(g1.getAs[Long]("f1") == 2L && g1.getAs[Long]("f2") == 1L)
+    assert(math.abs(g1.getAs[Double]("chao1") - 4.5) < 1e-12)
+    assert(math.abs(g1.getAs[Double]("coverage") - 5.0 / 7.0) < 1e-12)
+    // group 2: no singletons -> chao1 = s_obs, full coverage
+    val g2 = out(2)
+    assert(g2.getAs[Long]("f1") == 0L)
+    assert(math.abs(g2.getAs[Double]("chao1") - 2.0) < 1e-12)
+    assert(g2.getAs[Double]("coverage") == 1.0)
+  }
 }

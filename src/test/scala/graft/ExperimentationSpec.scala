@@ -730,4 +730,24 @@ class ExperimentationSpec extends AnyFunSuite {
     assert(holm.find(_._1 == 1).exists(_._3))
     assert(!holm.find(_._1 == 20).exists(_._3))
   }
+  test("A-stat: snipsPolicyValue — hand weights, SNIPS vs IPS, Kish ESS, no-match nulls") {
+    // (logged, target, reward, p_ppm): two matches with w = 2e6, 4e6
+    val df = Seq(
+      (1L, 1L, 2L, 500000L), (2L, 2L, 0L, 250000L), (3L, 4L, 5L, 1000000L))
+      .toDF("logged", "target", "reward", "p")
+    val r = Experimentation.snipsPolicyValue(df, col("logged"),
+      col("target"), col("reward"), col("p")).collect()(0)
+    assert(r.getAs[Long]("n") == 3L && r.getAs[Long]("matches") == 2L)
+    // wr = 2e6*2, sw = 6e6: SNIPS = 4e12 // 6e6 = 666666; IPS = 4e6 // 3
+    assert(r.getAs[Long]("value_snips_ppm") == 666666L)
+    assert(r.getAs[Long]("value_ips_ppm") == 1333333L)
+    // ESS = (6e6)^2 / (4e12 + 16e12) = 1.8
+    assert(math.abs(r.getAs[Double]("ess_w") - 1.8) < 1e-12)
+    val none = Seq((1L, 2L, 3L, 500000L)).toDF("logged", "target", "reward", "p")
+    val r0 = Experimentation.snipsPolicyValue(none, col("logged"),
+      col("target"), col("reward"), col("p")).collect()(0)
+    assert(r0.isNullAt(r0.fieldIndex("value_snips_ppm")))
+    assert(r0.getAs[Long]("value_ips_ppm") == 0L)
+    assert(r0.isNullAt(r0.fieldIndex("ess_w")))
+  }
 }
