@@ -1313,6 +1313,85 @@ object Aggregates {
           .as("theil"))
   }
 
+  /** A-stat — market-concentration audit per market (Herfindahl 1950 /
+    * Hirschman 1945; the HHI + CRₖ pair antitrust and sourcing-risk
+    * reviews read): per market, the Herfindahl–Hirschman index on the
+    * 0–10000 points scale, HHI = 10⁴·Σᵢ sᵢ²/T², and the top-k
+    * concentration ratios CRₖ = (Σ top-k firm values)/T. Firm ranks
+    * break ties on the firm key, so CRₖ is deterministic under equal
+    * shares. Every numerator/denominator is an exact integer
+    * (decimal(38,0) squares); each readout is one pinned-order IEEE
+    * chain — bit-identical across engines.
+    *
+    * Returns per market: (market, n_firms, total, hhi, cr1, cr4, cr8).
+    *
+    * Scale: ONE (market, firm) rollup off the fact table (map-side
+    * combine); the rank window is market-partitioned; the finish is a
+    * |markets|-row agg. Nothing global. */
+  def marketConcentration(df: DataFrame, marketCol: Column, firmCol: Column,
+      valueCol: Column): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val d38 = "decimal(38,0)"
+    val cells = df.select(marketCol.as("market"), firmCol.as("__f"),
+        valueCol.cast("long").as("__v"))
+      .groupBy(col("market"), col("__f")).agg(sum(col("__v")).as("__s"))
+    val ranked = cells.withColumn("__r", row_number().over(
+      Window.partitionBy(col("market"))
+        .orderBy(col("__s").desc, col("__f"))))
+    val aggs = Seq(
+      count(lit(1)).as("n_firms"),
+      sum(col("__s")).cast(d38).as("__t"),
+      sum(col("__s").cast(d38) * col("__s").cast(d38)).cast(d38).as("__sq")) ++
+      Seq(1, 4, 8).map(k =>
+        sum(when(col("__r") <= k, col("__s")).otherwise(0L)).as(s"__top$k"))
+    def cr(k: Int) = when(col("__t") =!= 0,
+      col(s"__top$k").cast("double") / col("__t").cast("double"))
+    ranked.groupBy(col("market")).agg(aggs.head, aggs.tail: _*)
+      .select(col("market"), col("n_firms"),
+        col("__t").cast("long").as("total"),
+        when(col("__t") =!= 0,
+          col("__sq").cast("double") * 10000.0 /
+            col("__t").cast("double") / col("__t").cast("double")).as("hhi"),
+        cr(1).as("cr1"), cr(4).as("cr4"), cr(8).as("cr8"))
+      .orderBy(col("market"))
+  }
+
+  /** A-stat — Atkinson inequality index, ε = 1 (Atkinson 1970):
+    * A₁ = 1 − geomean(x)/mean(x) over positive values, per group —
+    * the welfare-weighted companion to Gini (q142) and Theil (q253):
+    * A₁ is the fraction of total value society could discard and be
+    * exactly as well off under equality. The q253 determinism
+    * discipline: ln runs once per DISTINCT value and is micro-nat
+    * quantized to a long; sums are exact; the geometric mean's exp
+    * takes a bit-identical rational argument, so both engines feed
+    * libm the same double and the round-6 readout is stable.
+    *
+    * Returns per group: (g, n, sum_x, mean_ln_micro, atkinson).
+    *
+    * Scale: one (group, distinct-value) rollup with map-side combine;
+    * libm work is |distinct values|, never |rows|. */
+  def atkinsonIndex(df: DataFrame, valueCol: Column,
+      groupCol: Column): DataFrame = {
+    val d38 = "decimal(38,0)"
+    val perV = df.select(groupCol.as("g"), valueCol.cast("long").as("__x"))
+      .filter(col("__x") > 0)
+      .groupBy(col("g"), col("__x")).agg(count(lit(1)).as("__c"))
+      .withColumn("__lnu", round(log(col("__x")) * 1e6, 0).cast("long"))
+    perV.groupBy(col("g"))
+      .agg(sum(col("__c")).as("n"),
+        sum(col("__x").cast(d38) * col("__c").cast(d38)).cast(d38).as("__s"),
+        sum(col("__lnu").cast(d38) * col("__c").cast(d38)).cast(d38)
+          .as("__lns"))
+      .select(col("g"), col("n").cast("long").as("n"),
+        col("__s").cast("long").as("sum_x"),
+        expr("cast(__lns div n as long)").as("mean_ln_micro"),
+        round(lit(1.0) -
+          exp(expr("cast(__lns div n as long)").cast("double") / 1e6) /
+            (col("__s").cast("double") / col("n").cast("double")), 6)
+          .as("atkinson"))
+      .orderBy(col("g"))
+  }
+
   /** A-stat — Cochran–Armitage trend test: is a binary outcome's rate
     * MONOTONE across k ordered exposure groups (dose, decile, version)
     * — strictly more powerful than the omnibus χ² when the alternative

@@ -181,5 +181,89 @@ object Analytics31 {
       "are the variance instrumentation production OPE reads before " +
       "trusting either point estimate.")
 
-  val all: Seq[Declared] = Seq(q391, q392, q393, q394)
+  /** q395 — A-stat: supplier-market concentration per nation — HHI
+    * points + CR1/CR4/CR8 of revenue share — the sourcing-risk audit
+    * ("is this market one supplier failing away from a stockout"). */
+  val q395 = Declared(
+    "q395_market_concentration", "A-stat",
+    (s, dir) => {
+      val rev = Tables.lineitem(s, dir)
+        .join(Tables.supplier(s, dir),
+          col("l_suppkey") === col("s_suppkey"))
+        .select(col("s_nationkey"), col("l_suppkey"),
+          expr("CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)")
+            .as("cents"))
+      graft.ops.Aggregates.marketConcentration(rev, col("s_nationkey"),
+        col("l_suppkey"), col("cents"))
+    },
+    Some("""WITH cells AS (
+           |  SELECT s_nationkey AS market, l_suppkey AS f,
+           |    CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100
+           |      AS BIGINT)) AS BIGINT) AS s
+           |  FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+           |  GROUP BY 1, 2),
+           |rk AS (
+           |  SELECT *, row_number() OVER (PARTITION BY market
+           |    ORDER BY s DESC, f) AS r
+           |  FROM cells),
+           |a AS (
+           |  SELECT market, CAST(count(*) AS BIGINT) AS n_firms,
+           |    CAST(sum(s) AS HUGEINT) AS t,
+           |    sum(CAST(s AS HUGEINT) * s) AS sq,
+           |    CAST(sum(CASE WHEN r <= 1 THEN s ELSE 0 END) AS HUGEINT)
+           |      AS top1,
+           |    CAST(sum(CASE WHEN r <= 4 THEN s ELSE 0 END) AS HUGEINT)
+           |      AS top4,
+           |    CAST(sum(CASE WHEN r <= 8 THEN s ELSE 0 END) AS HUGEINT)
+           |      AS top8
+           |  FROM rk GROUP BY market)
+           |SELECT market, n_firms, CAST(t AS BIGINT) AS total,
+           |  CASE WHEN t <> 0 THEN CAST(sq AS DOUBLE) * 10000.0
+           |    / CAST(t AS DOUBLE) / CAST(t AS DOUBLE) END AS hhi,
+           |  CASE WHEN t <> 0 THEN CAST(top1 AS DOUBLE) / CAST(t AS DOUBLE)
+           |    END AS cr1,
+           |  CASE WHEN t <> 0 THEN CAST(top4 AS DOUBLE) / CAST(t AS DOUBLE)
+           |    END AS cr4,
+           |  CASE WHEN t <> 0 THEN CAST(top8 AS DOUBLE) / CAST(t AS DOUBLE)
+           |    END AS cr8
+           |FROM a ORDER BY market""".stripMargin),
+    "The supplier dim broadcasts into the fact scan; ONE (market, firm) " +
+      "rollup with map-side combine; the rank window is market-partitioned " +
+      "and the finish is |markets| rows. Exact integer squares — the " +
+      "concentration ranking cannot flip across engines.")
+
+  /** q396 — A-stat: Atkinson(ε=1) inequality of order values per
+    * priority class — the welfare-form readout beside Gini (q142) and
+    * Theil (q253), micro-nat-quantized per distinct value. */
+  val q396 = Declared(
+    "q396_atkinson_index", "A-stat",
+    (s, dir) => graft.ops.Aggregates.atkinsonIndex(
+      Tables.orders(s, dir),
+      expr("CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)"),
+      col("o_orderpriority")),
+    Some("""WITH v AS (
+           |  SELECT o_orderpriority AS g,
+           |    CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+           |      AS x
+           |  FROM orders),
+           |pv AS (
+           |  SELECT g, x, count(*) AS c,
+           |    CAST(round(ln(x) * 1e6, 0) AS BIGINT) AS lnu
+           |  FROM v WHERE x > 0 GROUP BY g, x),
+           |a AS (
+           |  SELECT g, CAST(sum(c) AS BIGINT) AS n,
+           |    sum(CAST(x AS HUGEINT) * c) AS s,
+           |    sum(CAST(lnu AS HUGEINT) * c) AS lns
+           |  FROM pv GROUP BY g)
+           |SELECT g, n, CAST(s AS BIGINT) AS sum_x,
+           |  CAST(lns // n AS BIGINT) AS mean_ln_micro,
+           |  round(1.0 - exp(CAST(CAST(lns // n AS BIGINT) AS DOUBLE) / 1e6)
+           |    / (CAST(s AS DOUBLE) / CAST(n AS DOUBLE)), 6) AS atkinson
+           |FROM a ORDER BY g""".stripMargin),
+    "libm ln runs once per DISTINCT cent value (rollup-sized), quantized " +
+      "to micro-nats and summed exactly; exp takes a bit-identical rational " +
+      "argument. One (group, value) rollup with map-side combine — the " +
+      "inequality panel (Gini/Theil/Atkinson) shares one scan shape.")
+
+  val all: Seq[Declared] = Seq(q391, q392, q393, q394, q395, q396)
 }

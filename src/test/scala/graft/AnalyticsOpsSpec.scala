@@ -2018,4 +2018,40 @@ class AnalyticsOpsSpec extends AnyFunSuite {
     assert(math.abs(g2.getAs[Double]("chao1") - 2.0) < 1e-12)
     assert(g2.getAs[Double]("coverage") == 1.0)
   }
+  test("A-stat: marketConcentration — hand HHI/CRk, equal-share tie determinism") {
+    // market m: shares 50/30/20 -> HHI 2500+900+400 = 3800 points
+    val df = Seq(("m", "a", 50L), ("m", "b", 30L), ("m", "c", 20L),
+      ("t", "p", 10L), ("t", "q", 10L)).toDF("mk", "f", "v")
+    val out = graft.ops.Aggregates.marketConcentration(
+      df, col("mk"), col("f"), col("v")).collect()
+      .map(r => r.getString(0) -> r).toMap
+    val m = out("m")
+    assert(m.getAs[Long]("n_firms") == 3L && m.getAs[Long]("total") == 100L)
+    assert(math.abs(m.getAs[Double]("hhi") - 3800.0) < 1e-9)
+    assert(math.abs(m.getAs[Double]("cr1") - 0.5) < 1e-12)
+    assert(m.getAs[Double]("cr4") == 1.0 && m.getAs[Double]("cr8") == 1.0)
+    // duopoly with equal shares: HHI 5000, CR1 deterministic at 0.5
+    val t = out("t")
+    assert(math.abs(t.getAs[Double]("hhi") - 5000.0) < 1e-9)
+    assert(math.abs(t.getAs[Double]("cr1") - 0.5) < 1e-12)
+  }
+
+  test("A-stat: atkinsonIndex — equality is zero, hand micro-nat case, nonpositive drop") {
+    val eq = Seq(("e", 5L), ("e", 5L), ("e", 5L)).toDF("g", "x")
+    val r0 = graft.ops.Aggregates.atkinsonIndex(eq, col("x"), col("g"))
+      .collect()(0)
+    assert(r0.getAs[Double]("atkinson") == 0.0)
+    // values 1 and 7 (plus a dropped 0): replay the integer pipeline
+    val df = Seq(("g", 1L), ("g", 7L), ("g", 0L)).toDF("g", "x")
+    val r = graft.ops.Aggregates.atkinsonIndex(df, col("x"), col("g"))
+      .collect()(0)
+    assert(r.getAs[Long]("n") == 2L && r.getAs[Long]("sum_x") == 8L)
+    val lnu7 = math.round(math.log(7.0) * 1e6)
+    val meanLn = lnu7 / 2 // ln(1) term is 0
+    assert(r.getAs[Long]("mean_ln_micro") == meanLn)
+    val expect = BigDecimal(
+      1.0 - math.exp(meanLn.toDouble / 1e6) / (8.0 / 2.0))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(r.getAs[Double]("atkinson") == expect)
+  }
 }
