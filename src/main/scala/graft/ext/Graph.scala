@@ -173,6 +173,52 @@ object Graph {
     ranks.select(col("node"), col("rank_ppm"))
   }
 
+  /** Katz centrality (Katz 1953) over the DIRECTED edge list, by the
+    * fixed-round integer recursion
+    *   k_0(v)     = unit
+    *   k_{t+1}(v) = unit + (num · Σ_{u→v} k_t(u)) div den
+    * — the attenuation-weighted path count Σ_p α^|p| with α = num/den
+    * truncated at `iters` hops, β = unit. Unlike PageRank there is NO
+    * degree normalization: a node is central when many central nodes
+    * POINT AT it, whatever their out-degree — the "influence" reading
+    * (who endorses you) vs PageRank's "random surfer" reading. All
+    * arithmetic is truncating 64-bit integer, so results are
+    * bit-identical across partitionings and engines. num/den must
+    * keep α below the reciprocal spectral radius for the infinite sum
+    * to mean anything; at fixed small `iters` any α < 1 is safe.
+    *
+    * Returns one row per node: (node, katz_ppm).
+    *
+    * Scale: same contract as [[pageRank]] — per round ONE dst-keyed
+    * aggregation and ONE node-keyed left join against the
+    * checkpointed edge list; fixed rounds, no driver traffic. */
+  def katzCentrality(edges: DataFrame, srcCol: String, dstCol: String,
+      iters: Int = 3, alphaNum: Int = 20, alphaDen: Int = 100,
+      unit: Long = 1000000L): DataFrame = {
+    require(iters >= 1, "iters must be >= 1")
+    require(alphaDen > 0 && alphaNum >= 0 && alphaNum < alphaDen,
+      "attenuation must satisfy 0 <= num < den")
+    val e = edges.select(col(srcCol).cast("long").as("src"),
+        col(dstCol).cast("long").as("dst"))
+      .distinct().localCheckpoint()
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node"))).distinct().localCheckpoint()
+    var ranks = nodes.withColumn("katz_ppm", lit(unit))
+    var i = 0
+    while (i < iters) {
+      val inflow = e.join(
+          ranks.select(col("node").as("src"), col("katz_ppm").as("k")), "src")
+        .groupBy(col("dst").as("node")).agg(sum(col("k")).as("inflow"))
+      ranks = nodes.join(inflow, Seq("node"), "left")
+        .select(col("node"),
+          expr(s"${unit}L + (${alphaNum}L * coalesce(inflow, 0L)) " +
+            s"div ${alphaDen}L").as("katz_ppm"))
+      if ((i + 1) % 8 == 0 && i < iters - 1) ranks = ranks.localCheckpoint()
+      i += 1
+    }
+    ranks.select(col("node"), col("katz_ppm"))
+  }
+
   /** Personalized PageRank: identical fixed-round integer recursion to
     * [[pageRank]], but the teleport mass returns ONLY to the `sources`
     * node set — rank becomes proximity-to-S instead of global

@@ -1326,4 +1326,51 @@ object TextAnalysis {
           sqrt(col("n_scored").cast("double")))
       .select(col("__id").as(idCol), col("n_scored"), col("n_green"), col("z"))
   }
+  graft.plans.Guardrails.expect("single_partition_window",
+    "__trw", "textRankKeywords: vocab-rollup id assignment")
+
+  /** E4/E2+ — TextRank keyword extraction (Mihalcea & Tarau, EMNLP
+    * 2004): build the word co-occurrence graph of candidate tokens
+    * (adjacent after filtering, the paper's window-2 form), run the
+    * fixed-round integer [[graft.ext.Graph.pageRank]] over it, and
+    * return every candidate word with its rank mass — callers take
+    * the top k. Candidates are lowercase whitespace tokens of length
+    * >= `minLen` (the cheap stopword proxy; short function words
+    * drop). Ranks are bit-portable micro-unit integers, so the top-k
+    * cut can never flip across engines or partitionings.
+    *
+    * Returns one row per candidate word: (word, rank_ppm).
+    *
+    * Scale: tokenization is scan-side; the co-occurrence edge list
+    * dedups on (wa, wb) with map-side combine; vocabulary ids assign
+    * via ONE rank window over the |vocab| rollup (bounded, documented
+    * above); then 3 PageRank rounds of node-keyed joins. Nothing
+    * fact-sized shuffles twice. */
+  def textRankKeywords(docs: DataFrame, idCol: Column, textCol: Column,
+      minLen: Int = 4, iters: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = docs
+      .select(idCol.as("__d"),
+        posexplode(split(lower(textCol), "\\s+")).as(Seq("__p", "__w")))
+      .filter(length(col("__w")) >= minLen)
+    val nxt = toks.withColumn("__nw",
+      lead(col("__w"), 1).over(
+        Window.partitionBy(col("__d")).orderBy(col("__p"))))
+    val edges = nxt
+      .filter(col("__nw").isNotNull && col("__nw") =!= col("__w"))
+      .select(col("__w").as("wa"), col("__nw").as("wb")).distinct()
+    val vocab = edges
+      .select(explode(array(col("wa"), col("wb"))).as("__trw")).distinct()
+      .withColumn("__vid",
+        row_number().over(Window.orderBy(col("__trw"))).cast("long"))
+      .localCheckpoint() // ids must be stable across the two edge joins
+    val eid = edges
+      .join(vocab.select(col("__trw").as("wa"), col("__vid").as("src")), "wa")
+      .join(vocab.select(col("__trw").as("wb"), col("__vid").as("dst")), "wb")
+      .select(col("src"), col("dst"))
+    Graph.pageRank(eid, "src", "dst", iters = iters)
+      .join(vocab.select(col("__vid").as("node"), col("__trw").as("word")),
+        "node")
+      .select(col("word"), col("rank_ppm"))
+  }
 }

@@ -265,5 +265,129 @@ object Analytics31 {
       "argument. One (group, value) rollup with map-side combine — the " +
       "inequality panel (Gini/Theil/Atkinson) shares one scan shape.")
 
-  val all: Seq[Declared] = Seq(q391, q392, q393, q394, q395, q396)
+  /** q397 — E4/E2+: TextRank keyword extraction over the documents
+    * corpus (Mihalcea & Tarau 2004) — co-occurrence graph of length-≥4
+    * tokens, 3 integer PageRank rounds, top-20 keywords. The oracle
+    * replays tokenization, vocabulary id assignment AND all three
+    * rank rounds as unrolled CTEs — bit-for-bit. */
+  val q397 = Declared(
+    "q397_textrank_keywords", "E4,E2+",
+    (s, dir) => graft.ext.TextAnalysis.textRankKeywords(
+      Tables.documents(s, dir), col("doc_id"), col("text"), minLen = 4)
+      .orderBy(col("rank_ppm").desc, col("word")).limit(20),
+    Some("""WITH t AS (
+           |  SELECT doc_id, regexp_split_to_array(lower(text), '\s+')
+           |    AS toks
+           |  FROM documents),
+           |p AS (
+           |  SELECT doc_id, unnest(range(1, len(toks) + 1)) AS i, toks
+           |  FROM t),
+           |w AS (
+           |  SELECT doc_id, i, toks[i] AS w FROM p
+           |  WHERE length(toks[i]) >= 4),
+           |nx AS (
+           |  SELECT doc_id, w,
+           |    lead(w) OVER (PARTITION BY doc_id ORDER BY i) AS nw
+           |  FROM w),
+           |e0 AS (
+           |  SELECT DISTINCT w AS wa, nw AS wb FROM nx
+           |  WHERE nw IS NOT NULL AND nw <> w),
+           |vw AS (SELECT wa AS word FROM e0 UNION SELECT wb FROM e0),
+           |vocab AS (
+           |  SELECT word, CAST(row_number() OVER (ORDER BY word) AS BIGINT)
+           |    AS id
+           |  FROM vw),
+           |ed AS (
+           |  SELECT va.id AS src, vb.id AS dst
+           |  FROM e0 JOIN vocab va ON e0.wa = va.word
+           |          JOIN vocab vb ON e0.wb = vb.word),
+           |sym AS (SELECT src, dst FROM ed UNION
+           |        SELECT dst AS src, src AS dst FROM ed),
+           |deg AS (SELECT src AS node, count(*) AS deg FROM sym GROUP BY src),
+           |r0 AS (SELECT node, deg, CAST(1000000 AS BIGINT) AS r FROM deg),
+           |i1 AS (SELECT s.dst AS node, sum(r.r // r.deg) AS inflow
+           |       FROM sym s JOIN r0 r ON s.src = r.node GROUP BY s.dst),
+           |r1 AS (SELECT d.node, d.deg,
+           |         CAST(150000 + (85 * coalesce(i.inflow, 0)) // 100
+           |           AS BIGINT) AS r
+           |       FROM deg d LEFT JOIN i1 i ON d.node = i.node),
+           |i2 AS (SELECT s.dst AS node, sum(r.r // r.deg) AS inflow
+           |       FROM sym s JOIN r1 r ON s.src = r.node GROUP BY s.dst),
+           |r2 AS (SELECT d.node, d.deg,
+           |         CAST(150000 + (85 * coalesce(i.inflow, 0)) // 100
+           |           AS BIGINT) AS r
+           |       FROM deg d LEFT JOIN i2 i ON d.node = i.node),
+           |i3 AS (SELECT s.dst AS node, sum(r.r // r.deg) AS inflow
+           |       FROM sym s JOIN r2 r ON s.src = r.node GROUP BY s.dst),
+           |r3 AS (SELECT d.node, d.deg,
+           |         CAST(150000 + (85 * coalesce(i.inflow, 0)) // 100
+           |           AS BIGINT) AS r
+           |       FROM deg d LEFT JOIN i3 i ON d.node = i.node)
+           |SELECT v.word, r3.r AS rank_ppm
+           |FROM r3 JOIN vocab v ON r3.node = v.id
+           |ORDER BY rank_ppm DESC, word LIMIT 20""".stripMargin),
+    "Tokenization is scan-side; edges dedup map-side; vocabulary ids come " +
+      "from ONE bounded rank window over the |vocab| rollup; the 3 rank " +
+      "rounds are node-keyed equi-joins + dst-keyed aggs. Integer ranks: " +
+      "the top-20 cut is bit-stable at any partitioning — the keyword " +
+      "extractor a labeling pipeline runs across millions of docs.")
+
+  /** q398 — E2+: Katz centrality of the part-succession graph (what
+    * part tends to FOLLOW what in an order) — influence by endorsement
+    * without PageRank's out-degree discount; 3 integer rounds, top 25
+    * parts. */
+  val q398 = Declared(
+    "q398_katz_centrality", "E2+",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      // (orderkey, linenumber) is NOT unique in this synthetic table;
+      // adding l_partkey makes the PARTKEY SEQUENCE total (rows tied on
+      // both carry equal partkeys, so any tie order yields the same
+      // succession pairs)
+      val w = Window.partitionBy(col("l_orderkey"))
+        .orderBy(col("l_linenumber"), col("l_partkey"))
+      val edges = Tables.lineitem(s, dir)
+        .select(col("l_orderkey"), col("l_partkey").as("src"),
+          lead(col("l_partkey"), 1).over(w).as("dst"))
+        .filter(col("dst").isNotNull && col("dst") =!= col("src"))
+      graft.ext.Graph.katzCentrality(edges, "src", "dst", iters = 3)
+        .orderBy(col("katz_ppm").desc, col("node")).limit(25)
+    },
+    Some("""WITH nx AS (
+           |  SELECT l_partkey AS src,
+           |    lead(l_partkey) OVER (PARTITION BY l_orderkey
+           |      ORDER BY l_linenumber, l_partkey) AS dst
+           |  FROM lineitem),
+           |e AS (SELECT DISTINCT src, dst FROM nx
+           |      WHERE dst IS NOT NULL AND dst <> src),
+           |nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+           |r0 AS (SELECT node, CAST(1000000 AS BIGINT) AS k FROM nodes),
+           |i1 AS (SELECT e.dst AS node, sum(r.k) AS inflow
+           |       FROM e JOIN r0 r ON e.src = r.node GROUP BY e.dst),
+           |r1 AS (SELECT n.node,
+           |         CAST(1000000 + (20 * coalesce(i.inflow, 0)) // 100
+           |           AS BIGINT) AS k
+           |       FROM nodes n LEFT JOIN i1 i ON n.node = i.node),
+           |i2 AS (SELECT e.dst AS node, sum(r.k) AS inflow
+           |       FROM e JOIN r1 r ON e.src = r.node GROUP BY e.dst),
+           |r2 AS (SELECT n.node,
+           |         CAST(1000000 + (20 * coalesce(i.inflow, 0)) // 100
+           |           AS BIGINT) AS k
+           |       FROM nodes n LEFT JOIN i2 i ON n.node = i.node),
+           |i3 AS (SELECT e.dst AS node, sum(r.k) AS inflow
+           |       FROM e JOIN r2 r ON e.src = r.node GROUP BY e.dst),
+           |r3 AS (SELECT n.node,
+           |         CAST(1000000 + (20 * coalesce(i.inflow, 0)) // 100
+           |           AS BIGINT) AS k
+           |       FROM nodes n LEFT JOIN i3 i ON n.node = i.node)
+           |SELECT node, k AS katz_ppm FROM r3
+           |ORDER BY katz_ppm DESC, node LIMIT 25""".stripMargin),
+    "One order-keyed window builds the succession edges (the q102 sort " +
+      "shape on partkeys); each Katz round is one dst-keyed agg + one " +
+      "node-keyed left join on the checkpointed edge list — no degree " +
+      "join at all, cheaper per round than PageRank. Truncating integer " +
+      "arithmetic keeps the top-25 bit-stable cluster-wide.")
+
+  val all: Seq[Declared] =
+    Seq(q391, q392, q393, q394, q395, q396, q397, q398)
 }

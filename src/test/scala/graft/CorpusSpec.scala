@@ -69,6 +69,22 @@ class GraphSpec extends AnyFunSuite {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(run(1) == run(13))
   }
+
+  test("E2+: katzCentrality — hand chain and 2-cycle recursions, no degree discount") {
+    // chain 1→2→3 at α = 1/2: k(1) stays 1e6; k(2) fixes at 1.5e6;
+    // k(3) climbs 1.5e6 → 1.75e6 and holds (3-hop truncation)
+    val chain = Seq((1L, 2L), (2L, 3L)).toDF("s", "d")
+    val k = Graph.katzCentrality(chain, "s", "d", iters = 3,
+        alphaNum = 50, alphaDen = 100)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(k(1L) == 1000000L && k(2L) == 1500000L && k(3L) == 1750000L)
+    // 2-cycle: both nodes climb 1.5e6 → 1.75e6 → 1.875e6
+    val cyc = Seq((1L, 2L), (2L, 1L)).toDF("s", "d")
+    val kc = Graph.katzCentrality(cyc, "s", "d", iters = 3,
+        alphaNum = 50, alphaDen = 100)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(kc(1L) == 1875000L && kc(2L) == 1875000L)
+  }
 }
 
 class CorpusCurationSpec extends AnyFunSuite {

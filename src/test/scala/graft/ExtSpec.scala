@@ -304,6 +304,22 @@ class TextAnalysisSpec extends AnyFunSuite {
     val n = df.select(size(TextAnalysis.chunkFingerprints(col("text"), 4, 2))).head.getInt(0)
     assert(n == 3) // starts at 0,2,4
   }
+
+  test("E4: textRankKeywords — short tokens drop, symmetric pair ties, hub outranks") {
+    // doc 1: hub word "alpha" co-occurs with three spokes; doc 2 is a
+    // lone pair; "of"/"to" fall to the length gate
+    val docs = Seq(
+      (1L, "alpha beta of alpha gamma to alpha delta"),
+      (2L, "epsilon zeta")).toDF("doc_id", "text")
+    val out = TextAnalysis.textRankKeywords(docs, col("doc_id"),
+      col("text"), minLen = 4).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(!out.contains("of") && !out.contains("to"))
+    // the hub accumulates more rank than any spoke
+    assert(out("alpha") > out("beta") && out("alpha") > out("gamma"))
+    // the isolated symmetric pair ties exactly (integer arithmetic)
+    assert(out("epsilon") == out("zeta"))
+  }
 }
 
 class MultimodalSpec extends AnyFunSuite {
