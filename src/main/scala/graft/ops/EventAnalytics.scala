@@ -797,6 +797,77 @@ object EventAnalytics {
     * Scale: the [[kaplanMeier]] envelope exactly — a duration-keyed agg
     * with map-side combine, then suffix/prefix windows over the
     * calendar-bounded rollup, never the subject table. */
+  /** A-stat/A8 — Weibull probability-plot fit per group (the
+    * engineering-standard "Weibull plot" — Abernethy, The New Weibull
+    * Handbook; median ranks per Benard 1953): for positive integer
+    * durations, regress
+    *   y = ln(−ln(1 − F̂(t)))  on  x = ln t
+    * where F̂ uses Benard's median-rank approximation on the grouped
+    * (distinct-duration) rollup, F̂(t) = (cum(t) − 0.3)/(n + 0.4). On
+    * Weibull data the plot is a line with slope = shape k and
+    * intercept −k·ln λ, so
+    *   k̂ = S_xy/S_xx,   λ̂ = exp(x̄ − ȳ/k̂).
+    * Determinism: x/y are micro-nat-quantized longs computed from
+    * bit-identical rational inputs (libm once per DISTINCT duration);
+    * all regression moments are exact decimal(38,0); the readouts are
+    * one pinned IEEE chain each, rounded to 6 (the q253 discipline).
+    *
+    * Returns per group: (g, n, m_points, shape, scale, r2) — null
+    * fit when fewer than 2 distinct durations.
+    *
+    * Scale: ONE (group, duration) rollup with map-side combine; the
+    * cumulative window is group-partitioned and rollup-sized; the
+    * regression is a |groups|-row finish. The lifetime/transit-time
+    * model behind every reliability and SLA question. */
+  def weibullPlotFit(subjects: DataFrame, durationCol: Column,
+      groupCol: Column): DataFrame = {
+    val d38 = "decimal(38,0)"
+    val rollup = subjects
+      .select(groupCol.as("g"), durationCol.cast("long").as("__t"))
+      .filter(col("__t") > 0)
+      .groupBy(col("g"), col("__t")).agg(count(lit(1)).as("__c"))
+    val cumW = Window.partitionBy(col("g")).orderBy(col("__t"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val nW = Window.partitionBy(col("g"))
+    val pts = rollup
+      .withColumn("__cum", sum(col("__c")).over(cumW))
+      .withColumn("__n", sum(col("__c")).over(nW))
+      // Benard median rank from exact integers: both engines divide
+      // the same two doubles
+      .withColumn("__f",
+        (col("__cum").cast("double") * 10.0 - 3.0) /
+          (col("__n").cast("double") * 10.0 + 4.0))
+      .withColumn("__x", round(log(col("__t")) * 1e6, 0).cast("long"))
+      .withColumn("__y",
+        round(log(-log(lit(1.0) - col("__f"))) * 1e6, 0).cast("long"))
+    def s(c: Column) = sum(c.cast(d38)).cast(d38)
+    val m = pts.groupBy(col("g")).agg(
+      max(col("__n")).as("n"), count(lit(1)).as("m_points"),
+      s(col("__x")).as("__sx"), s(col("__y")).as("__sy"),
+      s(col("__x").cast(d38) * col("__x").cast(d38)).as("__sxx"),
+      s(col("__x").cast(d38) * col("__y").cast(d38)).as("__sxy"),
+      s(col("__y").cast(d38) * col("__y").cast(d38)).as("__syy"))
+    val sxxN = (col("m_points").cast(d38) * col("__sxx") -
+      col("__sx") * col("__sx")).cast("double")
+    val sxyN = (col("m_points").cast(d38) * col("__sxy") -
+      col("__sx") * col("__sy")).cast("double")
+    val syyN = (col("m_points").cast(d38) * col("__syy") -
+      col("__sy") * col("__sy")).cast("double")
+    val shape = sxyN / sxxN
+    val lnLam = (col("__sx").cast("double") /
+      col("m_points").cast("double") -
+      col("__sy").cast("double") / col("m_points").cast("double") /
+        shape) / 1e6
+    m.select(col("g"), col("n"), col("m_points"),
+        when(col("m_points") >= 2 && sxxN =!= 0.0, round(shape, 6))
+          .as("shape"),
+        when(col("m_points") >= 2 && sxxN =!= 0.0 && sxyN =!= 0.0,
+          round(exp(lnLam), 6)).as("scale"),
+        when(col("m_points") >= 2 && sxxN =!= 0.0 && syyN =!= 0.0,
+          round(sxyN * sxyN / (sxxN * syyN), 6)).as("r2"))
+      .orderBy(col("g"))
+  }
+
   def nelsonAalen(subjects: DataFrame, durationCol: Column,
       eventCol: Column): DataFrame = {
     val rollup = subjects.groupBy(durationCol.as("t"))

@@ -928,6 +928,72 @@ object TimeSeriesOps {
     "__s, __k, __seg",
     "saxSymbolize: breakpoint rank selection over the segment rollup")
 
+  /** A8 — Theta-method forecast (Assimakopoulos & Nikolopoulos 2000,
+    * the M3-winning decomposition; fixed-α variant): split the series
+    * into the θ=0 line (the OLS linear trend) and the θ=2 line
+    * (2·y − trend, double the curvature), extrapolate the trend
+    * exactly and the θ=2 line by SES (α = 1/2, the q156 integer
+    * recursion), and forecast their average.
+    *
+    * Determinism contract: the trend is quantized to the integer
+    * MICRO grid with the engine-agreed truncating division (Spark
+    * `div` ≡ DuckDB `//` on negatives too — both truncate toward
+    * zero), the θ=2 residuals are exact micro longs, the SES fold is
+    * integer state, and each horizon forecast is one integer
+    * average — bit-identical at any partitioning and against a
+    * recursive-CTE replay.
+    *
+    * Returns one row per horizon step h = 1..horizon:
+    * (h, trend_micro, ses_level_micro, forecast_micro, forecast).
+    *
+    * Scale: callers pass a SERIES ROLLUP (the q156/q389 envelope);
+    * everything here folds over ONE collected rollup array — the
+    * 100 TB cost is whatever built the rollup. */
+  def thetaForecast(series: DataFrame, tCol: Column, vCol: Column,
+      horizon: Int): DataFrame = {
+    require(horizon >= 1 && horizon <= 10000, "1 <= horizon <= 1e4")
+    val d38 = "decimal(38,0)"
+    val arr = series
+      .agg(array_sort(collect_list(struct(tCol.cast("long").as("o"),
+        vCol.cast("long").as("v")))).as("__a"))
+      .withColumn("__n", size(col("__a")).cast("long"))
+    val sums = arr
+      .withColumn("__sy", expr("aggregate(__a, 0L, (acc, x) -> acc + x.v)"))
+      .withColumn("__siy", expr(
+        """aggregate(__a, named_struct('i', 0L, 's', 0L),
+          |  (acc, x) -> named_struct('i', acc.i + 1L,
+          |    's', acc.s + (acc.i + 1L) * x.v)).s""".stripMargin))
+      .withColumn("__si", expr("__n * (__n + 1L) div 2"))
+      .withColumn("__si2", expr("__n * (__n + 1L) * (2L * __n + 1L) div 6"))
+      // OLS slope/intercept on the integer micro grid: d38 clears any
+      // overflow risk, div truncation matches the oracle exactly
+      .withColumn("__bm", expr(
+        s"""cast((cast(__n as $d38) * __siy - cast(__si as $d38) * __sy)
+           | * 1000000 div
+           | (cast(__n as $d38) * __si2 - cast(__si as $d38) * __si)
+           | as long)""".stripMargin))
+      .withColumn("__am", expr(
+        s"""cast((cast(__sy as $d38) * 1000000
+           | - cast(__bm as $d38) * __si) div __n as long)""".stripMargin))
+      .withColumn("__lvl", expr(
+        """aggregate(__a, named_struct('i', 0L, 's', 0L),
+          |  (acc, x) -> named_struct('i', acc.i + 1L,
+          |    's', CASE WHEN acc.i = 0L
+          |      THEN 2000000L * x.v - (__am + __bm)
+          |      ELSE ((2000000L * x.v - (__am + __bm * (acc.i + 1L)))
+          |        + acc.s) div 2 END)).s""".stripMargin))
+    sums.filter(col("__n") >= 2)
+      .select(col("__n"), col("__am"), col("__bm"), col("__lvl"),
+        explode(expr(s"sequence(1L, ${horizon}L)")).as("h"))
+      .withColumn("trend_micro", expr("__am + __bm * (__n + h)"))
+      .withColumn("ses_level_micro", col("__lvl"))
+      .withColumn("forecast_micro", expr("(trend_micro + __lvl) div 2"))
+      .withColumn("forecast", col("forecast_micro").cast("double") / 1e6)
+      .select(col("h"), col("trend_micro"), col("ses_level_micro"),
+        col("forecast_micro"), col("forecast"))
+      .orderBy(col("h"))
+  }
+
   /** A8/F1 — SAX symbolization (Lin, Keogh, Lonardi & Chiu 2003,
     * quartile-breakpoint variant): each series is PAA-compressed into
     * fixed-length segments (segment value = Σ v over `segLen`

@@ -388,6 +388,130 @@ object Analytics31 {
       "join at all, cheaper per round than PageRank. Truncating integer " +
       "arithmetic keeps the top-25 bit-stable cluster-wide.")
 
+  /** q399 — A-stat/A8: Weibull probability-plot fit of order-to-ship
+    * fulfillment delay per order priority — the reliability-engineering
+    * lifetime model (shape k < 1 infant-mortality, k ≈ 1 memoryless,
+    * k > 1 wear-out) applied to operational latency. */
+  val q399 = Declared(
+    "q399_weibull_fit", "A-stat,A8",
+    (s, dir) => {
+      val dur = Tables.lineitem(s, dir)
+        .join(Tables.orders(s, dir),
+          col("l_orderkey") === col("o_orderkey"))
+        .select(col("o_orderpriority").as("pri"),
+          datediff(to_date(col("l_shipdate")), to_date(col("o_orderdate")))
+            .as("delay"))
+      graft.ops.EventAnalytics.weibullPlotFit(dur, col("delay"), col("pri"))
+    },
+    Some("""WITH r AS (
+           |  SELECT o_orderpriority AS g,
+           |    CAST(date_diff('day', CAST(o_orderdate AS DATE),
+           |      CAST(l_shipdate AS DATE)) AS BIGINT) AS t
+           |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+           |ru AS (SELECT g, t, count(*) AS c FROM r WHERE t > 0
+           |       GROUP BY 1, 2),
+           |p AS (
+           |  SELECT g, t, c,
+           |    CAST(sum(c) OVER (PARTITION BY g ORDER BY t) AS BIGINT)
+           |      AS cum,
+           |    CAST(sum(c) OVER (PARTITION BY g) AS BIGINT) AS n
+           |  FROM ru),
+           |q AS (
+           |  SELECT g, n,
+           |    CAST(round(ln(t) * 1e6, 0) AS BIGINT) AS x,
+           |    CAST(round(ln(-ln(1.0 - (CAST(cum AS DOUBLE) * 10.0 - 3.0)
+           |      / (CAST(n AS DOUBLE) * 10.0 + 4.0))) * 1e6, 0) AS BIGINT)
+           |      AS y
+           |  FROM p),
+           |m AS (
+           |  SELECT g, CAST(max(n) AS BIGINT) AS n,
+           |    CAST(count(*) AS BIGINT) AS m_points,
+           |    CAST(sum(x) AS HUGEINT) AS sx, CAST(sum(y) AS HUGEINT) AS sy,
+           |    sum(CAST(x AS HUGEINT) * x) AS sxx,
+           |    sum(CAST(x AS HUGEINT) * y) AS sxy,
+           |    sum(CAST(y AS HUGEINT) * y) AS syy
+           |  FROM q GROUP BY g),
+           |f AS (
+           |  SELECT g, n, m_points,
+           |    CAST(m_points * sxx - sx * sx AS DOUBLE) AS sxxn,
+           |    CAST(m_points * sxy - sx * sy AS DOUBLE) AS sxyn,
+           |    CAST(m_points * syy - sy * sy AS DOUBLE) AS syyn,
+           |    CAST(sx AS DOUBLE) AS sxd, CAST(sy AS DOUBLE) AS syd
+           |  FROM m)
+           |SELECT g, n, m_points,
+           |  CASE WHEN m_points >= 2 AND sxxn <> 0 THEN
+           |    round(sxyn / sxxn, 6) END AS shape,
+           |  CASE WHEN m_points >= 2 AND sxxn <> 0 AND sxyn <> 0 THEN
+           |    round(exp((sxd / CAST(m_points AS DOUBLE)
+           |      - syd / CAST(m_points AS DOUBLE) / (sxyn / sxxn)) / 1e6), 6)
+           |    END AS scale,
+           |  CASE WHEN m_points >= 2 AND sxxn <> 0 AND syyn <> 0 THEN
+           |    round(sxyn * sxyn / (sxxn * syyn), 6) END AS r2
+           |FROM f ORDER BY g""".stripMargin),
+    "The orders dim joins into the fact scan (broadcast at gate SF; " +
+      "co-partitioned on orderkey at 100 TB); ONE (priority, delay) rollup " +
+      "with map-side combine; libm runs once per distinct delay; the " +
+      "regression is a 5-row finish. The latency-distribution model that " +
+      "turns SLA debates into (shape, scale) numbers.")
+
+  /** q400 — A8: Theta-method 14-day forecast of the daily order-count
+    * series (Assimakopoulos & Nikolopoulos 2000, fixed-α variant) —
+    * micro-integer trend + integer SES of the θ=2 line, averaged; the
+    * oracle replays trend quantization AND the SES fold recursively. */
+  val q400 = Declared(
+    "q400_theta_forecast", "A8",
+    (s, dir) => graft.ops.TimeSeriesOps.thetaForecast(
+      Tables.orders(s, dir)
+        .groupBy(expr("datediff(o_orderdate, DATE'1970-01-01')")
+          .cast("long").as("day"))
+        .agg(count(lit(1)).as("cnt")),
+      col("day"), col("cnt"), horizon = 14),
+    Some("""WITH RECURSIVE daily AS (
+           |  SELECT CAST(datediff('day', DATE '1970-01-01', o_orderdate)
+           |    AS BIGINT) AS t, CAST(count(*) AS BIGINT) AS v
+           |  FROM orders GROUP BY 1),
+           |rk AS MATERIALIZED (
+           |  SELECT t, v, row_number() OVER (ORDER BY t) AS r FROM daily),
+           |s AS (
+           |  SELECT CAST(count(*) AS BIGINT) AS n,
+           |    CAST(sum(v) AS BIGINT) AS sy,
+           |    CAST(sum(r * v) AS BIGINT) AS siy
+           |  FROM rk),
+           |c AS (
+           |  SELECT n, sy, siy, n * (n + 1) // 2 AS si,
+           |    n * (n + 1) * (2 * n + 1) // 6 AS si2
+           |  FROM s),
+           |q AS (
+           |  SELECT *, CAST((CAST(n AS HUGEINT) * siy
+           |      - CAST(si AS HUGEINT) * sy) * 1000000
+           |    // (CAST(n AS HUGEINT) * si2 - CAST(si AS HUGEINT) * si)
+           |    AS BIGINT) AS bm
+           |  FROM c),
+           |q2 AS MATERIALIZED (
+           |  SELECT *, CAST((CAST(sy AS HUGEINT) * 1000000
+           |    - CAST(bm AS HUGEINT) * si) // n AS BIGINT) AS am
+           |  FROM q),
+           |fit(r, s) AS (
+           |  SELECT 1, 2000000 * rk.v - (am + bm) FROM rk, q2
+           |  WHERE rk.r = 1
+           |  UNION ALL
+           |  SELECT f.r + 1,
+           |    ((2000000 * rk.v - (am + bm * (f.r + 1))) + f.s) // 2
+           |  FROM fit f JOIN rk ON rk.r = f.r + 1, q2),
+           |lvl AS (SELECT max_by(s, r) AS l FROM fit),
+           |hh AS (SELECT range AS h FROM range(1, 15))
+           |SELECT h, am + bm * (n + h) AS trend_micro,
+           |  l AS ses_level_micro,
+           |  (am + bm * (n + h) + l) // 2 AS forecast_micro,
+           |  CAST((am + bm * (n + h) + l) // 2 AS DOUBLE) / 1e6
+           |    AS forecast
+           |FROM hh, q2, lvl ORDER BY h""".stripMargin),
+    "The fact pass is the day rollup; OLS moments, trend quantization and " +
+      "the SES fold all run over ONE collected rollup array in exact " +
+      "integer state (Spark div ≡ DuckDB // even on negatives — verified), " +
+      "so every horizon value is bit-portable. The M3-competition baseline " +
+      "every demand forecast should have to beat.")
+
   val all: Seq[Declared] =
-    Seq(q391, q392, q393, q394, q395, q396, q397, q398)
+    Seq(q391, q392, q393, q394, q395, q396, q397, q398, q399, q400)
 }

@@ -2054,4 +2054,36 @@ class AnalyticsOpsSpec extends AnyFunSuite {
       .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
     assert(r.getAs[Double]("atkinson") == expect)
   }
+  test("A-stat: weibullPlotFit — pipeline replay on hand points, degenerate group null") {
+    // group g: durations 1, 2, 2, 4 -> distinct points (1,1) (2,3) (4,4)
+    val df = Seq(("g", 1L), ("g", 2L), ("g", 2L), ("g", 4L),
+      ("d", 3L), ("d", 3L)).toDF("g", "t")
+    val out = graft.ops.EventAnalytics.weibullPlotFit(df, col("t"), col("g"))
+      .collect().map(r => r.getString(0) -> r).toMap
+    // replay the op's exact integer pipeline in scala
+    val pts = Seq((1L, 1L), (2L, 3L), (4L, 4L)).map { case (t, cum) =>
+      val f = (cum.toDouble * 10.0 - 3.0) / (4.0 * 10.0 + 4.0)
+      (math.round(math.log(t.toDouble) * 1e6),
+        math.round(math.log(-math.log(1.0 - f)) * 1e6))
+    }
+    val m = pts.length.toLong
+    val (sx, sy) = (pts.map(_._1).sum, pts.map(_._2).sum)
+    val sxx = pts.map(p => p._1 * p._1).sum
+    val sxy = pts.map(p => p._1 * p._2).sum
+    val syy = pts.map(p => p._2 * p._2).sum
+    val sxxN = (m * sxx - sx * sx).toDouble
+    val sxyN = (m * sxy - sx * sy).toDouble
+    val syyN = (m * syy - sy * sy).toDouble
+    def r6(v: Double) = BigDecimal(v)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val g = out("g")
+    assert(g.getAs[Long]("n") == 4L && g.getAs[Long]("m_points") == 3L)
+    assert(g.getAs[Double]("shape") == r6(sxyN / sxxN))
+    assert(g.getAs[Double]("scale") == r6(math.exp(
+      (sx.toDouble / 3.0 - sy.toDouble / 3.0 / (sxyN / sxxN)) / 1e6)))
+    assert(g.getAs[Double]("r2") == r6(sxyN * sxyN / (sxxN * syyN)))
+    // single distinct duration: no line to fit
+    val d = out("d")
+    assert(d.isNullAt(d.fieldIndex("shape")))
+  }
 }

@@ -412,4 +412,23 @@ class TimeSeriesOpsSpec extends AnyFunSuite {
       const, col("k"), col("t"), col("v"), segLen = 2).collect()
     assert(oc(0).getAs[String]("sax_word") == "aaaa")
   }
+  test("A8: thetaForecast — exact-linear series, constant series fixed point") {
+    import org.apache.spark.sql.functions._
+    // y = 2i: bm = 2e6, am = 0; SES of theta2 walks 2e6 -> 8.125e6;
+    // h=1 forecast = (12e6 + 8125000) div 2 = 10062500
+    val lin = (1L to 5L).map(i => (i, 2L * i)).toDF("t", "v")
+    val out = graft.ops.TimeSeriesOps.thetaForecast(
+      lin, col("t"), col("v"), horizon = 2).collect()
+    assert(out(0).getAs[Long]("trend_micro") == 12000000L)
+    assert(out(0).getAs[Long]("ses_level_micro") == 8125000L)
+    assert(out(0).getAs[Long]("forecast_micro") == 10062500L)
+    assert(out(0).getAs[Double]("forecast") == 10.0625)
+    assert(out(1).getAs[Long]("trend_micro") == 14000000L)
+    // constant series: trend flat at c, theta2 level c -> forecast c
+    val const = (1L to 6L).map(i => (i, 7L)).toDF("t", "v")
+    val oc = graft.ops.TimeSeriesOps.thetaForecast(
+      const, col("t"), col("v"), horizon = 3).collect()
+    assert(oc.forall(_.getAs[Long]("forecast_micro") == 7000000L))
+    assert(oc.forall(_.getAs[Double]("forecast") == 7.0))
+  }
 }
