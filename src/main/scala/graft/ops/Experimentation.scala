@@ -1241,4 +1241,129 @@ object Experimentation {
           .cast("double") /
           (col("n1").cast(d38) * col("n0")).cast("double")).as("itt"))
   }
+  /** ML/A-stat — two-component 1-D Gaussian mixture fit by EM
+    * (Dempster, Laird & Rubin 1977), fixed iteration count, integer-
+    * quantized state — the soft-clustering companion to hard k-means
+    * (q166): "this latency/spend column is secretly TWO populations;
+    * find their weights, means and variances".
+    *
+    * Determinism contract (the suite's lattice/recursion discipline):
+    * the fit runs on the DISTINCT-VALUE rollup (x integer, count c).
+    * State is 5 integers: (w1_ppm, mu1, var1, mu2, var2) — means in
+    * input units, variances in units², weights in ppm. Per iteration,
+    * per distinct value, the log-likelihood gap is assembled from
+    * integer terms (quadratic term by exact decimal floor-division;
+    * ln terms micro-nat-rounded once per state constant), the
+    * responsibility is ONE ppm-rounded logistic of an exact rational,
+    * and the M-step is exact decimal sums with truncating division —
+    * so every iterate is engine-replayable (a DuckDB recursive CTE
+    * reproduces the whole trajectory bit-for-bit, modulo the shared
+    * sub-ulp libm risk every micro-nat op in the suite accepts).
+    * Init: means at the exact 25th/75th percentile values, both
+    * variances at the population variance, weights 1/2 — fully
+    * deterministic, no RNG.
+    *
+    * Degenerate guards, applied identically on both engines: a
+    * component whose responsibility mass hits zero keeps its previous
+    * (mu, var); variances clamp at >= 1 unit².
+    *
+    * Returns ONE row: (n, n_distinct, iters, w1_ppm, mu1, var1,
+    * w2_ppm, mu2, var2).
+    *
+    * Scale: ONE fact pass builds the rollup (map-side combine); each
+    * EM round is one broadcast-state scan + agg of the rollup; the
+    * driver holds a single 5-integer state row per round (the
+    * k-means-centroid license). Percentile init is one bounded
+    * rollup-sized cumulative window. */
+  def gmm2Em(df: DataFrame, valueCol: Column, iters: Int = 4): DataFrame = {
+    require(iters >= 1 && iters <= 64, "1 <= iters <= 64")
+    val d38 = "decimal(38,0)"
+    val spark = df.sparkSession
+    import org.apache.spark.sql.expressions.Window
+    val rk = df.select(valueCol.cast("long").as("__x"))
+      .groupBy(col("__x")).agg(count(lit(1)).as("__c"))
+      .localCheckpoint() // read iters+2 times
+    // global moments + exact quartile values off the rollup
+    val mom = rk.agg(sum(col("__c")).as("n"),
+      sum(col("__x").cast(d38) * col("__c").cast(d38)).cast(d38).as("__sx"),
+      sum(col("__x").cast(d38) * col("__x").cast(d38) * col("__c").cast(d38))
+        .cast(d38).as("__sxx")).collect()(0)
+    val n = mom.getAs[Long]("n")
+    require(n >= 2, "gmm2Em needs at least 2 rows")
+    val sx = BigInt(mom.getAs[java.math.BigDecimal]("__sx").toBigInteger)
+    val sxx = BigInt(mom.getAs[java.math.BigDecimal]("__sxx").toBigInteger)
+    val var0 = ((BigInt(n) * sxx - sx * sx) / (BigInt(n) * BigInt(n)))
+      .max(BigInt(1)).toLong
+    val cumW = Window.orderBy(col("__x"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val quart = rk.withColumn("__cum", sum(col("__c")).over(cumW))
+      .filter(col("__cum") >= (n + 3) / 4)
+      .agg(min(col("__x")).as("q1"),
+        min(when(col("__cum") >= (3 * n + 3) / 4, col("__x"))).as("q3"))
+      .collect()(0)
+    var w1 = 500000L
+    var mu1 = quart.getAs[Long]("q1"); var v1 = var0
+    var mu2 = quart.getAs[Long]("q3"); var v2 = var0
+    var it = 0
+    while (it < iters) {
+      // integer log-lik pieces: constants once per state, quadratic
+      // per distinct value by exact decimal floor division
+      def lnw(w: Long) = math.round(math.log(w.toDouble) * 1e6)
+      def logv(v: Long) = math.round(math.log(v.toDouble) * 1e6) / 2
+      val c1 = lnw(w1) - logv(v1)
+      val c2 = lnw(1000000L - w1) - logv(v2)
+      val scored = rk
+        .withColumn("__q1", expr(
+          s"cast((cast(__x - ${mu1}L as $d38) * (__x - ${mu1}L) * 1000000)" +
+            s" div ${2 * v1}L as long)"))
+        .withColumn("__q2", expr(
+          s"cast((cast(__x - ${mu2}L as $d38) * (__x - ${mu2}L) * 1000000)" +
+            s" div ${2 * v2}L as long)"))
+        .withColumn("__d", (lit(c1) - col("__q1")) - (lit(c2) - col("__q2")))
+        // floor(x + 0.5), not round(): identical tie semantics on both
+        // engines (math.round ≡ floor(x+0.5) for positive arguments)
+        .withColumn("__r1", floor(lit(1e6) /
+          (lit(1.0) + exp(-col("__d").cast("double") / 1e6)) + 0.5)
+          .cast("long"))
+      val s = scored.agg(
+        sum(col("__c").cast(d38) * col("__r1").cast(d38)).cast(d38).as("r1"),
+        sum(col("__c").cast(d38) * col("__r1").cast(d38) *
+          col("__x").cast(d38)).cast(d38).as("sx1"),
+        sum(col("__c").cast(d38) * col("__r1").cast(d38) *
+          col("__x").cast(d38) * col("__x").cast(d38)).cast(d38).as("sxx1"),
+        sum(col("__c").cast(d38) * (lit(1000000L) - col("__r1")).cast(d38))
+          .cast(d38).as("r2"),
+        sum(col("__c").cast(d38) * (lit(1000000L) - col("__r1")).cast(d38) *
+          col("__x").cast(d38)).cast(d38).as("sx2"),
+        sum(col("__c").cast(d38) * (lit(1000000L) - col("__r1")).cast(d38) *
+          col("__x").cast(d38) * col("__x").cast(d38)).cast(d38).as("sxx2"))
+        .collect()(0)
+      def big(i: Int) = BigInt(s.getAs[java.math.BigDecimal](i).toBigInteger)
+      val (r1m, sx1, sxx1, r2m, sx2, sxx2) =
+        (big(0), big(1), big(2), big(3), big(4), big(5))
+      // variance around the TRUNCATED mean, exactly:
+      // Σ r·c·(x−mu')² = sxx − 2·mu'·sx + mu'²·R — avoids the
+      // m2 − mu'² bias (≈ 2·mu·frac) the coarse mu grid would inject
+      if (r1m > 0) {
+        val m = sx1 / r1m
+        mu1 = m.toLong
+        v1 = math.max(1L,
+          ((sxx1 - m * sx1 * 2 + m * m * r1m) / r1m).toLong)
+      }
+      if (r2m > 0) {
+        val m = sx2 / r2m
+        mu2 = m.toLong
+        v2 = math.max(1L,
+          ((sxx2 - m * sx2 * 2 + m * m * r2m) / r2m).toLong)
+      }
+      w1 = math.min(999999L, math.max(1L, (r1m / BigInt(n)).toLong))
+      it += 1
+    }
+    val nd = rk.count()
+    spark.range(1).select(lit(n).as("n"), lit(nd).as("n_distinct"),
+      lit(iters.toLong).as("iters"), lit(w1).as("w1_ppm"),
+      lit(mu1).as("mu1"), lit(v1).as("var1"),
+      lit(1000000L - w1).as("w2_ppm"), lit(mu2).as("mu2"),
+      lit(v2).as("var2"))
+  }
 }

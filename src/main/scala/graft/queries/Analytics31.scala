@@ -512,6 +512,98 @@ object Analytics31 {
       "so every horizon value is bit-portable. The M3-competition baseline " +
       "every demand forecast should have to beat.")
 
+  /** q401 — ML/A-stat: 2-component Gaussian-mixture EM fit (Dempster-
+    * Laird-Rubin 1977) of a PLANTED bimodal spend field (odd custkeys
+    * shifted +$500k) — 4 integer-quantized EM rounds whose entire
+    * trajectory the oracle replays as a recursive CTE. The soft twin
+    * of q166's k-means. */
+  val q401 = Declared(
+    "q401_gmm2_em", "ML,A-stat",
+    (s, dir) => graft.ops.Experimentation.gmm2Em(
+      Tables.orders(s, dir),
+      expr("CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)" +
+        " + CASE WHEN o_custkey % 2 = 1 THEN 50000000L ELSE 0L END"),
+      iters = 4),
+    Some("""WITH RECURSIVE v AS (
+           |  SELECT CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+           |      AS BIGINT)
+           |    + CASE WHEN o_custkey % 2 = 1 THEN 50000000 ELSE 0 END AS x
+           |  FROM orders),
+           |rk AS MATERIALIZED (
+           |  SELECT x, CAST(count(*) AS BIGINT) AS c FROM v GROUP BY x),
+           |mom AS (
+           |  SELECT CAST(sum(c) AS BIGINT) AS n,
+           |    CAST(sum(CAST(x AS HUGEINT) * c) AS HUGEINT) AS sx,
+           |    sum(CAST(x AS HUGEINT) * x * c) AS sxx
+           |  FROM rk),
+           |ini AS MATERIALIZED (
+           |  SELECT n, greatest(CAST((CAST(n AS HUGEINT) * sxx - sx * sx)
+           |    // (CAST(n AS HUGEINT) * n) AS BIGINT), 1) AS v0
+           |  FROM mom),
+           |cum AS (SELECT x, sum(c) OVER (ORDER BY x) AS cum FROM rk),
+           |qs AS MATERIALIZED (
+           |  SELECT min(CASE WHEN cum >= (n + 3) // 4 THEN x END) AS q1,
+           |    min(CASE WHEN cum >= (3 * n + 3) // 4 THEN x END) AS q3
+           |  FROM cum, ini),
+           |st(it, w1, mu1, v1, mu2, v2) AS (
+           |  SELECT 0, CAST(500000 AS BIGINT), q1, v0, q3, v0
+           |  FROM qs, ini
+           |  UNION ALL
+           |  SELECT it + 1,
+           |    least(999999, greatest(1, CAST(r1m // nn AS BIGINT))),
+           |    CASE WHEN r1m > 0 THEN CAST(nm1 AS BIGINT) ELSE mu1 END,
+           |    CASE WHEN r1m > 0 THEN greatest(1, CAST(
+           |      (sxx1 - nm1 * sx1 * 2 + nm1 * nm1 * r1m) // r1m
+           |      AS BIGINT)) ELSE v1 END,
+           |    CASE WHEN r2m > 0 THEN CAST(nm2 AS BIGINT) ELSE mu2 END,
+           |    CASE WHEN r2m > 0 THEN greatest(1, CAST(
+           |      (sxx2 - nm2 * sx2 * 2 + nm2 * nm2 * r2m) // r2m
+           |      AS BIGINT)) ELSE v2 END
+           |  FROM (
+           |    SELECT y.*,
+           |      CASE WHEN r1m > 0 THEN sx1 // r1m ELSE CAST(0 AS HUGEINT)
+           |        END AS nm1,
+           |      CASE WHEN r2m > 0 THEN sx2 // r2m ELSE CAST(0 AS HUGEINT)
+           |        END AS nm2
+           |    FROM (
+           |    SELECT t.*,
+           |      sum(CAST(c AS HUGEINT) * r1) OVER () AS r1m,
+           |      sum(CAST(c AS HUGEINT) * r1 * x) OVER () AS sx1,
+           |      sum(CAST(c AS HUGEINT) * r1 * x * x) OVER () AS sxx1,
+           |      sum(CAST(c AS HUGEINT) * (1000000 - r1)) OVER () AS r2m,
+           |      sum(CAST(c AS HUGEINT) * (1000000 - r1) * x) OVER ()
+           |        AS sx2,
+           |      sum(CAST(c AS HUGEINT) * (1000000 - r1) * x * x) OVER ()
+           |        AS sxx2,
+           |      row_number() OVER (ORDER BY x) AS rn
+           |    FROM (
+           |      SELECT st.it, st.w1, st.mu1, st.v1, st.mu2, st.v2,
+           |        rk.x, rk.c, ini.n AS nn,
+           |        CAST(floor(1e6 / (1.0 + exp(-(CAST(
+           |          (CAST(floor(ln(w1) * 1e6 + 0.5) AS BIGINT)
+           |            - CAST(floor(ln(v1) * 1e6 + 0.5) AS BIGINT) // 2
+           |            - CAST((CAST(x - mu1 AS HUGEINT) * (x - mu1)
+           |              * 1000000) // (2 * CAST(v1 AS HUGEINT))
+           |              AS BIGINT))
+           |          - (CAST(floor(ln(1000000 - w1) * 1e6 + 0.5) AS BIGINT)
+           |            - CAST(floor(ln(v2) * 1e6 + 0.5) AS BIGINT) // 2
+           |            - CAST((CAST(x - mu2 AS HUGEINT) * (x - mu2)
+           |              * 1000000) // (2 * CAST(v2 AS HUGEINT))
+           |              AS BIGINT))
+           |          AS DOUBLE)) / 1e6)) + 0.5) AS BIGINT) AS r1
+           |      FROM st, rk, ini WHERE st.it < 4) t) y
+           |    WHERE rn = 1) z)
+           |SELECT ini.n AS n,
+           |  (SELECT CAST(count(*) AS BIGINT) FROM rk) AS n_distinct,
+           |  CAST(4 AS BIGINT) AS iters, w1 AS w1_ppm, mu1, v1 AS var1,
+           |  1000000 - w1 AS w2_ppm, mu2, v2 AS var2
+           |FROM st, ini WHERE it = 4""".stripMargin),
+    "ONE fact pass builds the distinct-value rollup; each EM round is a " +
+      "broadcast-state scan + agg of that rollup with a 5-integer driver " +
+      "state (the k-means license). Quantized responsibilities make the " +
+      "trajectory engine-replayable — the oracle recursion IS the fit. " +
+      "The planted +$500k mode is recovered: w ≈ 1/2, means a mode apart.")
+
   val all: Seq[Declared] =
-    Seq(q391, q392, q393, q394, q395, q396, q397, q398, q399, q400)
+    Seq(q391, q392, q393, q394, q395, q396, q397, q398, q399, q400, q401)
 }

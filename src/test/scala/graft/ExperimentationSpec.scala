@@ -750,4 +750,20 @@ class ExperimentationSpec extends AnyFunSuite {
     assert(r0.getAs[Long]("value_ips_ppm") == 0L)
     assert(r0.isNullAt(r0.fieldIndex("ess_w")))
   }
+  test("ML: gmm2Em — recovers a planted two-mode mixture, partition-invariant") {
+    // two tight modes at ~10 and ~100, equal mass
+    val xs = Seq(10L, 10L, 10L, 11L, 100L, 100L, 101L, 101L)
+    val df = xs.toDF("x")
+    val r = Experimentation.gmm2Em(df, col("x"), iters = 6).collect()(0)
+    assert(r.getAs[Long]("n") == 8L && r.getAs[Long]("n_distinct") == 4L)
+    // weights near 1/2, means at the modes, variances tiny vs the gap
+    assert(math.abs(r.getAs[Long]("w1_ppm") - 500000L) < 50000L)
+    assert(math.abs(r.getAs[Long]("mu1") - 10L) <= 1L)
+    assert(math.abs(r.getAs[Long]("mu2") - 100L) <= 1L)
+    assert(r.getAs[Long]("var1") <= 2L && r.getAs[Long]("var2") <= 2L)
+    // bit-identical under repartitioning (integer-quantized trajectory)
+    val r13 = Experimentation.gmm2Em(df.repartition(13), col("x"), iters = 6)
+      .collect()(0)
+    assert(r.toSeq == r13.toSeq)
+  }
 }
