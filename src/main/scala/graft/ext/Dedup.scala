@@ -413,4 +413,50 @@ object Dedup {
         min(col("__id")).as("first_id"))
       .filter(col("n_docs") >= 2)
   }
+  /** E2 — blocking-quality audit (Christen, Data Matching 2012 §7.4:
+    * reduction ratio + pairs completeness): given a blocking
+    * assignment (id → block key, one or many per id) and a GROUND-
+    * TRUTH match-pair set, measure the two numbers every record-
+    * linkage / dedup blocking scheme is judged by —
+    *   RR = 1 − |candidate pairs| / C(n,2)   (work saved)
+    *   PC = |truth ∩ candidates| / |truth|   (recall preserved)
+    * Returns ONE row: (n_ids, n_blocks, total_pairs, candidate_pairs,
+    * true_pairs, covered_pairs, reduction_ratio, pairs_completeness).
+    * All counts exact integers; the two ratios are one pinned IEEE
+    * division each.
+    *
+    * Scale: the candidate join is the block equi-join itself (what the
+    * blocking scheme pays in production); truth is audit-scale input
+    * by contract (ground truth only exists where someone labeled or
+    * exhaustively verified — run the audit on that sample). */
+  def blockingAudit(assign: DataFrame, idCol: String, blockCol: String,
+      truth: DataFrame, idA: String, idB: String): DataFrame = {
+    val a = assign.select(col(idCol).cast("long").as("__ia"),
+      col(blockCol).as("__b")).distinct().localCheckpoint()
+    val cand = a.join(
+        a.select(col("__ia").as("__ib"), col("__b")), Seq("__b"))
+      .filter(col("__ia") < col("__ib"))
+      .select(col("__ia"), col("__ib")).distinct().localCheckpoint()
+    val tp = truth.select(
+        least(col(idA), col(idB)).cast("long").as("__ia"),
+        greatest(col(idA), col(idB)).cast("long").as("__ib"))
+      .filter(col("__ia") < col("__ib")).distinct().localCheckpoint()
+    val covered = tp.join(cand, Seq("__ia", "__ib"), "left_semi")
+    val nIds = a.select(col("__ia")).distinct().count()
+    val nBlocks = a.select(col("__b")).distinct().count()
+    val sp = assign.sparkSession
+    sp.range(1).select(
+        lit(nIds).as("n_ids"), lit(nBlocks).as("n_blocks"),
+        lit(nIds * (nIds - 1) / 2).as("total_pairs"),
+        lit(cand.count()).as("candidate_pairs"),
+        lit(tp.count()).as("true_pairs"),
+        lit(covered.count()).as("covered_pairs"))
+      .withColumn("reduction_ratio",
+        lit(1.0) - col("candidate_pairs").cast("double") /
+          col("total_pairs").cast("double"))
+      .withColumn("pairs_completeness",
+        when(col("true_pairs") > 0,
+          col("covered_pairs").cast("double") /
+            col("true_pairs").cast("double")))
+  }
 }

@@ -1366,4 +1366,84 @@ object Experimentation {
       lit(1000000L - w1).as("w2_ppm"), lit(mu2).as("mu2"),
       lit(v2).as("var2"))
   }
+  /** A-stat/causal — synthetic-control gap readout (Abadie, Diamond &
+    * Hainmueller 2010, JASA; simplex-lattice weight fit): build the
+    * counterfactual for ONE treated unit as the convex combination of
+    * donor units that best tracks it BEFORE the intervention, then
+    * read the post-period actual-minus-synthetic gap as the effect.
+    * Weights live on the exact simplex lattice {w ∈ ℕᵏ : Σw = den},
+    * so the pre-period SSE of every candidate is an exact integer
+    *   SSE(w) = Σ_{t ≤ preEnd} (den·y₀(t) − Σ_d w_d·y_d(t))²
+    * and the argmin (ties → lexicographically smallest weight vector)
+    * can never flip across engines or partitionings.
+    *
+    * Returns one row per period: (t, phase 'pre'|'post', actual,
+    * synth_scaled, den, gap, w1..wk) — synth = synth_scaled/den,
+    * gap = actual − synth as a double from exact integers.
+    *
+    * Scale: ONE (unit, t) rollup off the fact table (map-side
+    * combine); the pivot keys on t alone; the lattice is
+    * C(den+k−1, k−1) literal rows (286 at k=4, den=10) cross-joined
+    * against the CALENDAR-sized pre frame; everything after is
+    * lattice-sized. Donor count is the only combinatorial axis —
+    * exactly as in the published method, where donors are hand-picked
+    * few. */
+  def syntheticControl(df: DataFrame, unitCol: Column, timeCol: Column,
+      valueCol: Column, treatedUnit: Long, donorUnits: Seq[Long],
+      preEnd: Long, den: Int = 10): DataFrame = {
+    require(donorUnits.nonEmpty && donorUnits.size <= 6,
+      "1..6 donor units (lattice is C(den+k-1, k-1))")
+    require(den >= 2 && den <= 50, "2 <= den <= 50")
+    require(!donorUnits.contains(treatedUnit), "treated unit not a donor")
+    val d38 = "decimal(38,0)"
+    val k = donorUnits.size
+    val cells = df.select(unitCol.cast("long").as("__u"),
+        timeCol.cast("long").as("__t"), valueCol.cast("long").as("__y"))
+      .filter(col("__u") === treatedUnit ||
+        col("__u").isin(donorUnits.map(java.lang.Long.valueOf): _*))
+      .groupBy(col("__u"), col("__t")).agg(sum(col("__y")).as("__y"))
+    val pivotAggs = (sum(when(col("__u") === treatedUnit, col("__y"))
+      .otherwise(0L)).as("__y0")) +:
+      donorUnits.zipWithIndex.map { case (u, i) =>
+        sum(when(col("__u") === u, col("__y")).otherwise(0L)).as(s"__d$i") }
+    val byT = cells.groupBy(col("__t"))
+      .agg(pivotAggs.head, pivotAggs.tail: _*).localCheckpoint()
+    // the exact simplex lattice, lexicographically enumerated
+    def combos(rem: Int, slots: Int): Seq[Seq[Int]] =
+      if (slots == 1) Seq(Seq(rem))
+      else (0 to rem).flatMap(w => combos(rem - w, slots - 1).map(w +: _))
+    val lattice = combos(den, k).zipWithIndex.map { case (ws, id) =>
+      (id.toLong, ws.map(_.toLong)) }
+    val spark = df.sparkSession
+    import spark.implicits._
+    val latDf = lattice.map { case (id, ws) =>
+      (id, ws.head, ws.lift(1).getOrElse(0L), ws.lift(2).getOrElse(0L),
+        ws.lift(3).getOrElse(0L), ws.lift(4).getOrElse(0L),
+        ws.lift(5).getOrElse(0L))
+    }.toDF("__cid", "__w0", "__w1", "__w2", "__w3", "__w4", "__w5")
+      .select(col("__cid") +: (0 until k).map(i => col(s"__w$i")): _*)
+    val synth = (0 until k).map(i =>
+      col(s"__w$i").cast(d38) * col(s"__d$i").cast(d38))
+      .reduce(_ + _)
+    val err = (col("__y0").cast(d38) * den) - synth
+    val best = byT.filter(col("__t") <= preEnd)
+      .crossJoin(broadcast(latDf))
+      .groupBy(col("__cid"))
+      .agg(sum((err * err).cast(d38)).cast(d38).as("__sse"),
+        (0 until k).map(i => max(col(s"__w$i")).as(s"__w$i")): _*)
+      .agg(min(struct(col("__sse") +: col("__cid") +:
+        (0 until k).map(i => col(s"__w$i")): _*)).as("__b"))
+      .select((0 until k).map(i => col(s"__b.__w$i").as(s"__w$i")): _*)
+      .localCheckpoint()
+    byT.crossJoin(broadcast(best))
+      .select(Seq(col("__t").as("t"),
+        when(col("__t") <= preEnd, "pre").otherwise("post").as("phase"),
+        col("__y0").as("actual"),
+        synth.cast("long").as("synth_scaled"),
+        lit(den.toLong).as("den"),
+        (col("__y0").cast("double") -
+          synth.cast("long").cast("double") / den).as("gap")) ++
+        (0 until k).map(i => col(s"__w$i").as(s"w${i + 1}")): _*)
+      .orderBy(col("t"))
+  }
 }

@@ -766,4 +766,24 @@ class ExperimentationSpec extends AnyFunSuite {
       .collect()(0)
     assert(r.toSeq == r13.toSeq)
   }
+  test("A-stat: syntheticControl — perfect donor gets all weight, post gap read out") {
+    // treated 0 tracks donor 1 exactly pre-period; donor 2 is noise
+    val panel = Seq(
+      (0L, 1L, 10L), (0L, 2L, 20L), (0L, 3L, 30L), (0L, 4L, 99L),
+      (1L, 1L, 10L), (1L, 2L, 20L), (1L, 3L, 30L), (1L, 4L, 40L),
+      (2L, 1L, 5L), (2L, 2L, 5L), (2L, 3L, 5L), (2L, 4L, 5L))
+      .toDF("u", "t", "y")
+    val out = Experimentation.syntheticControl(panel, col("u"), col("t"),
+      col("y"), treatedUnit = 0L, donorUnits = Seq(1L, 2L),
+      preEnd = 3L, den = 10).collect()
+    assert(out.forall(_.getAs[Long]("w1") == 10L))
+    assert(out.forall(_.getAs[Long]("w2") == 0L))
+    val pre = out.filter(_.getAs[String]("phase") == "pre")
+    assert(pre.forall(_.getAs[Double]("gap") == 0.0))
+    val post = out.filter(_.getAs[String]("phase") == "post")
+    assert(post.length == 1)
+    assert(post(0).getAs[Long]("actual") == 99L)
+    assert(post(0).getAs[Long]("synth_scaled") == 400L)
+    assert(post(0).getAs[Double]("gap") == 59.0)
+  }
 }

@@ -305,6 +305,22 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(n == 3) // starts at 0,2,4
   }
 
+  test("E2: blockingAudit — hand RR and PC") {
+    // blocks: {1,2} | {3,4}; truth: (1,2) covered, (1,3) split
+    val assign = Seq((1L, "A"), (2L, "A"), (3L, "B"), (4L, "B"))
+      .toDF("id", "block")
+    val truth = Seq((2L, 1L), (1L, 3L)).toDF("x", "y")
+    val r = Dedup.blockingAudit(assign, "id", "block", truth, "x", "y")
+      .collect()(0)
+    assert(r.getAs[Long]("n_ids") == 4L && r.getAs[Long]("n_blocks") == 2L)
+    assert(r.getAs[Long]("total_pairs") == 6L)
+    assert(r.getAs[Long]("candidate_pairs") == 2L)
+    assert(r.getAs[Long]("true_pairs") == 2L)
+    assert(r.getAs[Long]("covered_pairs") == 1L)
+    assert(math.abs(r.getAs[Double]("reduction_ratio") - 2.0 / 3.0) < 1e-12)
+    assert(r.getAs[Double]("pairs_completeness") == 0.5)
+  }
+
   test("E4: textRankKeywords — short tokens drop, symmetric pair ties, hub outranks") {
     // doc 1: hub word "alpha" co-occurs with three spokes; doc 2 is a
     // lone pair; "of"/"to" fall to the length gate
