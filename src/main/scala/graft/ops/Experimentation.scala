@@ -175,6 +175,62 @@ object Experimentation {
       .orderBy(col("p_rank"))
   }
 
+  /** A-stat — Benjamini–Yekutieli FDR control (Benjamini & Yekutieli
+    * 2001): the step-up of [[bhDiscoveries]] made valid under
+    * ARBITRARY dependence between the tests by deflating every
+    * threshold by the harmonic factor c(m) = Σ_{i≤m} 1/i ≈ ln m —
+    * the conservative fallback when supplier/segment tests share
+    * structure (common customers, seasonal co-movement) and BH's
+    * independence-ish assumption is indefensible.
+    *
+    * Determinism: c(m) is the ORDER-FREE integer nano-sum
+    * Σ (10⁹ div i), so the cutoff comparison is one pinned IEEE chain
+    * on both engines; the z/p machinery is q220's verbatim.
+    *
+    * Returns the q220 row shape with `discovery` under BY.
+    *
+    * Scale: identical to BH — one group-keyed agg, |groups|-row
+    * scoring, the range-shuffle global rank, two broadcast scalars. */
+  def byDiscoveries(df: DataFrame, groupName: String,
+      successCond: org.apache.spark.sql.Column,
+      qNum: Int = 5, qDen: Int = 100): DataFrame = {
+    require(qNum > 0 && qDen > 0 && qNum < qDen, "need 0 < q < 1")
+    val g = df.groupBy(col(groupName).as("grp")).agg(
+      count(lit(1)).as("n"),
+      sum(successCond.cast("long")).as("successes"))
+      .localCheckpoint()
+    val glob = g.agg(sum(col("n")).as("__tn"),
+        sum(col("successes")).as("__ts"), count(lit(1)).as("m"))
+      .withColumn("__cn", expr(
+        "aggregate(sequence(1L, m), 0L, (acc, i) -> acc + 1000000000L div i)"))
+    val scored = g.crossJoin(broadcast(glob))
+      .withColumn("__p0", col("__ts").cast("double") / col("__tn").cast("double"))
+      .withColumn("__z",
+        (col("successes").cast("double") / col("n").cast("double") - col("__p0")) /
+          sqrt(col("__p0") * (lit(1.0) - col("__p0")) / col("n").cast("double")))
+      .withColumn("__xa", abs(col("__z")) / sqrt(lit(2.0)))
+      .withColumn("__t", lit(1.0) / (lit(1.0) + lit(0.3275911) * col("__xa")))
+      .withColumn("__p",
+        (((((lit(1.061405429) * col("__t") - lit(1.453152027)) * col("__t") +
+          lit(1.421413741)) * col("__t") - lit(0.284496736)) * col("__t") +
+          lit(0.254829592)) * col("__t")) * exp(-(col("__xa") * col("__xa"))))
+    val ranked = Ranking.globalRowNumber(scored, Seq(col("__p"), col("grp")))
+      .withColumnRenamed("row_num", "p_rank")
+      .withColumn("__pass",
+        when(col("__p") <= col("p_rank").cast("double") * qNum * 1e9 /
+          qDen / col("m").cast("double") / col("__cn").cast("double"),
+          col("p_rank")).otherwise(lit(0L)))
+    val cutoff = ranked.agg(max(col("__pass")).as("__k"))
+    ranked.crossJoin(broadcast(cutoff))
+      .select(col("grp").as(groupName), col("n"), col("successes"),
+        expr("(successes * 1000000L) div n").as("rate_ppm"),
+        round(col("__z") * 1000, 0).cast("long").as("z_milli"),
+        round(col("__p") * 1e9, 0).cast("long").as("p_nano"),
+        col("p_rank"),
+        (col("p_rank") <= col("__k")).as("discovery"))
+      .orderBy(col("p_rank"))
+  }
+
   /** A-stat — Holm step-down multiple-testing control (Holm 1979):
     * the FWER companion to [[bhDiscoveries]]'s FDR step-up, sharing
     * its per-group z/p machinery (same A&S 7.1.26 erfc polynomial,

@@ -541,6 +541,56 @@ object TimeSeriesOps {
       .drop("__season", "__v")
   }
 
+  /** A5/A8 — Holt–Winters-style seasonal forecast by classical
+    * decomposition (Hyndman & Athanasopoulos FPP §3.6 / Persons 1919
+    * seasonal means; the additive "decomposition forecast"): the
+    * seasonal component is the per-season truncating integer mean
+    * ([[seasonalDecompose]]), the deseasonalized residual runs through
+    * the integer Holt recursion ([[holtInt]]), and each horizon step
+    * re-adds the target step's seasonal mean:
+    *   ŷ(n+h) = l_n + h·b_n + scale·s((t_n+h) mod m).
+    * All state is exact integer (negative residuals included — both
+    * engines truncate division identically), so every forecast is
+    * bit-portable.
+    *
+    * Input contract: `tCol` is an integer TIME INDEX (e.g. epoch day)
+    * on a REGULAR grid — season = t mod m; the series is a rollup.
+    * Returns one row per h = 1..horizon:
+    * (h, t, season, seasonal_c, level_s, trend_s, forecast_s,
+    * forecast).
+    *
+    * Scale: a season-keyed agg (map-side combine) + the rollup-array
+    * Holt fold + an horizon-sized finish — fact cost is the rollup. */
+  def holtWintersForecast(series: DataFrame, tCol: Column, vCol: Column,
+      m: Int, aNum: Long, aDen: Long, bNum: Long, bDen: Long,
+      scale: Long, horizon: Int): DataFrame = {
+    require(m >= 2 && m <= 1000, "2 <= m <= 1000")
+    require(horizon >= 1 && horizon <= 100000, "1 <= horizon <= 1e5")
+    val base = series.select(tCol.cast("long").as("__t"),
+      vCol.cast("long").as("__v"), lit(1L).as("__k"))
+    val dec = seasonalDecompose(base, Seq(col("__k")),
+      col("__t") % m, col("__v"))
+    val holt = holtInt(dec, Seq(col("__k")), col("__t"), col("resid_c"),
+      aNum, aDen, bNum, bDen, scale)
+    val last = holt.agg(
+      max(struct(col("order"), col("level_s"), col("trend_s"))).as("__f"))
+      .select(col("__f.order").as("__tn"), col("__f.level_s").as("__l"),
+        col("__f.trend_s").as("__b"))
+    val profile = dec.groupBy((col("__t") % m).as("season"))
+      .agg(max(col("seasonal_c")).as("seasonal_c"))
+    last.select(col("__tn"), col("__l"), col("__b"),
+        explode(expr(s"sequence(1L, ${horizon}L)")).as("h"))
+      .withColumn("t", col("__tn") + col("h"))
+      .withColumn("season", col("t") % m)
+      .join(broadcast(profile), Seq("season"))
+      .select(col("h"), col("t"), col("season"), col("seasonal_c"),
+        col("__l").as("level_s"), col("__b").as("trend_s"),
+        (col("__l") + col("h") * col("__b") +
+          col("seasonal_c") * scale).as("forecast_s"))
+      .withColumn("forecast", col("forecast_s").cast("double") / scale)
+      .orderBy(col("h"))
+  }
+
   /** A5/A8 — one-step-ahead forecast evaluation: Holt ([[holtInt]])
     * against the naive last-value forecast, per key. For every row
     * after a key's first, the Holt error is

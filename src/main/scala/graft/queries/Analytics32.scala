@@ -158,5 +158,111 @@ object Analytics32 {
       "100 TB dedup blocking scheme is tuned by: this query prices a " +
       "length-band blocker before anyone trusts it.")
 
-  val all: Seq[Declared] = Seq(q402, q403)
+  /** q404 — A5/A8: Holt–Winters-style seasonal forecast of daily
+    * order counts (weekly season, classical decomposition + integer
+    * Holt) — 14 days ahead with the weekday cycle re-applied; the
+    * oracle replays profile, residual recursion and horizon. */
+  val q404 = Declared(
+    "q404_holt_winters", "A5,A8",
+    (s, dir) => graft.ops.TimeSeriesOps.holtWintersForecast(
+      Tables.orders(s, dir)
+        .groupBy(expr("datediff(o_orderdate, DATE'1970-01-01')")
+          .cast("long").as("day"))
+        .agg(count(lit(1)).as("cnt")),
+      col("day"), col("cnt"), m = 7, aNum = 1, aDen = 5,
+      bNum = 1, bDen = 10, scale = 1000, horizon = 14),
+    Some("""WITH RECURSIVE daily AS (
+           |  SELECT CAST(datediff('day', DATE '1970-01-01', o_orderdate)
+           |    AS BIGINT) AS t, CAST(count(*) AS BIGINT) AS v
+           |  FROM orders GROUP BY 1),
+           |prof AS MATERIALIZED (
+           |  SELECT t % 7 AS season,
+           |    CAST(sum(v) // count(*) AS BIGINT) AS s_c
+           |  FROM daily GROUP BY 1),
+           |res AS MATERIALIZED (
+           |  SELECT t, v - s_c AS rv,
+           |    row_number() OVER (ORDER BY t) AS rn
+           |  FROM daily JOIN prof ON daily.t % 7 = prof.season),
+           |hw(rn, t, l, b) AS (
+           |  SELECT rn, t, rv * 1000, CAST(0 AS BIGINT) FROM res
+           |  WHERE rn = 1
+           |  UNION ALL
+           |  SELECT r.rn, r.t,
+           |    (1 * r.rv * 1000 + 4 * (hw.l + hw.b)) // 5,
+           |    (1 * ((1 * r.rv * 1000 + 4 * (hw.l + hw.b)) // 5 - hw.l)
+           |      + 9 * hw.b) // 10
+           |  FROM res r JOIN hw ON r.rn = hw.rn + 1),
+           |fin AS (SELECT max_by(t, rn) AS tn, max_by(l, rn) AS l,
+           |          max_by(b, rn) AS b FROM hw),
+           |hh AS (SELECT range AS h FROM range(1, 15))
+           |SELECT h, tn + h AS t, (tn + h) % 7 AS season, s_c AS seasonal_c,
+           |  l AS level_s, b AS trend_s,
+           |  l + h * b + s_c * 1000 AS forecast_s,
+           |  CAST(l + h * b + s_c * 1000 AS DOUBLE) / 1000 AS forecast
+           |FROM hh, fin JOIN prof ON (tn + h) % 7 = prof.season
+           |ORDER BY h""".stripMargin),
+    "A season-keyed agg (map-side combine) + the rollup-array Holt fold + " +
+      "a 14-row finish — fact cost is the day rollup. The " +
+      "seasonality-aware capacity forecast q173 alone can't produce: the " +
+      "weekday cycle would otherwise swallow the trend signal.")
+
+  /** q405 — A-stat: Benjamini–Yekutieli FDR over the q220 supplier
+    * return-rate tests — the arbitrary-dependence-safe step-up next
+    * to BH (q220) and Holm (q383): same p machinery, harmonically
+    * deflated thresholds. */
+  val q405 = Declared(
+    "q405_by_fdr", "A-stat,W2",
+    (s, dir) => graft.ops.Experimentation.byDiscoveries(
+      Tables.lineitem(s, dir).select(col("l_suppkey").as("supplier"),
+        col("l_returnflag")),
+      "supplier", col("l_returnflag") === "R"),
+    Some("""WITH g AS (
+           |  SELECT supplier, CAST(count(*) AS BIGINT) AS n,
+           |    CAST(sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)
+           |      AS BIGINT) AS successes
+           |  FROM (SELECT l_suppkey AS supplier, l_returnflag FROM lineitem)
+           |  GROUP BY supplier),
+           |gl AS (SELECT CAST(sum(n) AS BIGINT) AS tn,
+           |              CAST(sum(successes) AS BIGINT) AS ts,
+           |              CAST(count(*) AS BIGINT) AS m FROM g),
+           |cn AS (
+           |  SELECT CAST(sum(CASE WHEN r1.range <= m
+           |    THEN 1000000000 // r1.range ELSE 0 END) AS BIGINT) AS cn
+           |  FROM range(1, 1000001) r1, gl),
+           |z AS (
+           |  SELECT supplier, n, successes, m,
+           |    (CAST(successes AS DOUBLE) / CAST(n AS DOUBLE) -
+           |       CAST(ts AS DOUBLE) / CAST(tn AS DOUBLE)) /
+           |    sqrt(CAST(ts AS DOUBLE) / CAST(tn AS DOUBLE) *
+           |         (1.0 - CAST(ts AS DOUBLE) / CAST(tn AS DOUBLE)) /
+           |         CAST(n AS DOUBLE)) AS zv
+           |  FROM g CROSS JOIN gl),
+           |e AS (SELECT *, 1.0 / (1.0 + 0.3275911 * (abs(zv) / sqrt(2.0)))
+           |        AS t, abs(zv) / sqrt(2.0) AS xa FROM z),
+           |p AS (SELECT *,
+           |    (((((1.061405429 * t - 1.453152027) * t + 1.421413741) * t
+           |       - 0.284496736) * t + 0.254829592) * t) * exp(-(xa * xa))
+           |      AS pv
+           |  FROM e),
+           |r AS (SELECT *, CAST(row_number() OVER (ORDER BY pv, supplier)
+           |                     AS BIGINT) AS p_rank FROM p),
+           |k AS (SELECT max(CASE WHEN pv <= CAST(p_rank AS DOUBLE) * 5 * 1e9
+           |                      / 100 / CAST(m AS DOUBLE)
+           |                      / CAST(cn AS DOUBLE)
+           |                      THEN p_rank ELSE 0 END) AS kk
+           |      FROM r, cn)
+           |SELECT supplier, n, successes,
+           |  successes * 1000000 // n AS rate_ppm,
+           |  CAST(round(zv * 1000, 0) AS BIGINT) AS z_milli,
+           |  CAST(round(pv * 1e9, 0) AS BIGINT) AS p_nano,
+           |  p_rank, p_rank <= kk AS discovery
+           |FROM r CROSS JOIN k
+           |ORDER BY p_rank""".stripMargin),
+    "Identical shuffle shape to q220 (one supplier agg, range-shuffle " +
+      "p-rank, two broadcast scalars); c(m) is an order-free integer " +
+      "nano-sum, so the deflated cutoffs are engine-stable. The safe " +
+      "default when the hypotheses share structure — fewer discoveries, " +
+      "honest FDR.")
+
+  val all: Seq[Declared] = Seq(q402, q403, q404, q405)
 }

@@ -786,4 +786,21 @@ class ExperimentationSpec extends AnyFunSuite {
     assert(post(0).getAs[Long]("synth_scaled") == 400L)
     assert(post(0).getAs[Double]("gap") == 59.0)
   }
+  test("A-stat: byDiscoveries — extreme group found, never more discoveries than BH") {
+    // 20 groups at the base rate, one with an extreme rate
+    val rows = (1 to 20).flatMap { g =>
+      val hits = if (g == 1) 90 else 30
+      (1 to 100).map(i => (g.toLong, i <= hits))
+    }
+    val df = rows.toDF("grp", "hit")
+    val by = Experimentation.byDiscoveries(df, "grp", col("hit"))
+      .collect().map(r => r.getLong(0) -> r.getAs[Boolean]("discovery"))
+    val bh = Experimentation.bhDiscoveries(df, "grp", col("hit"))
+      .collect().map(r => r.getLong(0) -> r.getAs[Boolean]("discovery"))
+    assert(by.find(_._1 == 1L).exists(_._2), "extreme group must survive BY")
+    assert(by.count(_._2) <= bh.count(_._2),
+      "BY is strictly more conservative than BH")
+    // a plain base-rate group is not discovered
+    assert(!by.find(_._1 == 20L).exists(_._2))
+  }
 }

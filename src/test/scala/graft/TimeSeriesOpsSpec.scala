@@ -431,4 +431,23 @@ class TimeSeriesOpsSpec extends AnyFunSuite {
     assert(oc.forall(_.getAs[Long]("forecast_micro") == 7000000L))
     assert(oc.forall(_.getAs[Double]("forecast") == 7.0))
   }
+  test("A5/A8: holtWintersForecast — pure season reproduced exactly, constant fixed point") {
+    import org.apache.spark.sql.functions._
+    // alternating 10/20 with m=2: residuals are identically zero, so
+    // the forecast IS the seasonal profile
+    val seas = (0L to 13L).map(t => (t, 10L + (t % 2) * 10L)).toDF("t", "v")
+    val out = graft.ops.TimeSeriesOps.holtWintersForecast(
+      seas, col("t"), col("v"), m = 2, aNum = 1, aDen = 5,
+      bNum = 1, bDen = 10, scale = 1000, horizon = 4).collect()
+    assert(out.forall(_.getAs[Long]("level_s") == 0L))
+    assert(out.forall(_.getAs[Long]("trend_s") == 0L))
+    // tn = 13: h=1 -> t=14 (even -> 10), h=2 -> t=15 (odd -> 20)
+    assert(out.map(_.getAs[Double]("forecast")).toSeq ==
+      Seq(10.0, 20.0, 10.0, 20.0))
+    val const = (0L to 9L).map(t => (t, 5L)).toDF("t", "v")
+    val oc = graft.ops.TimeSeriesOps.holtWintersForecast(
+      const, col("t"), col("v"), m = 2, aNum = 1, aDen = 5,
+      bNum = 1, bDen = 10, scale = 1000, horizon = 3).collect()
+    assert(oc.forall(_.getAs[Double]("forecast") == 5.0))
+  }
 }
