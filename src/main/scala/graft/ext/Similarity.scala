@@ -407,4 +407,65 @@ object Similarity {
       .map { case ((_, id, rel, ms, sc), ord) => (ord + 1L, id, rel, ms, sc) }
       .toDF("pick_order", "id", "rel_u", "maxsim_u", "mmr_score")
   }
+  /** ML/E3 — rank-1 alternating-least-squares matrix factorization
+    * (Koren, Bell & Volinsky 2009, the ALS family at its smallest
+    * useful rank): factor the (user, item, rating) matrix as
+    * r̂_ui ≈ u_i·v_j by alternating the exact least-squares scalar
+    * updates
+    *   u_i = Σ_j r_ij·v_j / Σ_j v_j²,   v_j = Σ_i r_ij·u_i / Σ_i u_i²
+    * from a uniform item start. The rank-1 factor is the "market
+    * size" axis every recommender baseline needs (and the building
+    * block of deflation-based higher ranks).
+    *
+    * Determinism contract: factors live on the integer MICRO grid —
+    * each update is one decimal(38,0) truncating division of exact
+    * integer sums (ratings positive ⇒ factors stay positive ⇒
+    * truncation matches the oracle's `//`), so the whole trajectory
+    * is bit-portable and a recursive CTE replays it.
+    *
+    * Returns one row per item: (item, factor_micro, n_users) — the
+    * final item-side factor and its rating count.
+    *
+    * Scale: the edge rollup is ONE fact pass (map-side combine); each
+    * half-step is ONE node-keyed equi-join + ONE node-keyed agg on
+    * the edge list — uniform hash keys, fixed rounds, no driver
+    * traffic. The exact shuffle shape of [[graft.ext.Graph.pageRank]]
+    * with a different numerator. */
+  def als1Factor(ratings: DataFrame, userCol: Column, itemCol: Column,
+      valueCol: Column, iters: Int = 3): DataFrame = {
+    require(iters >= 1 && iters <= 32, "1 <= iters <= 32")
+    val d38 = "decimal(38,0)"
+    val e = ratings.select(userCol.cast("long").as("__u"),
+        itemCol.cast("long").as("__i"), valueCol.cast("long").as("__r"))
+      .filter(col("__r") > 0)
+      .groupBy(col("__u"), col("__i")).agg(sum(col("__r")).as("__r"))
+      .localCheckpoint()
+    var v = e.select(col("__i")).distinct()
+      .withColumn("__f", lit(1000000L))
+    var it = 0
+    while (it < iters) {
+      val u = e.join(v, "__i")
+        .groupBy(col("__u"))
+        .agg(sum(col("__r").cast(d38) * col("__f").cast(d38)).cast(d38)
+          .as("__num"),
+          sum(col("__f").cast(d38) * col("__f").cast(d38)).cast(d38)
+            .as("__den"))
+        .select(col("__u"),
+          expr("cast((__num * 1000000000000) div __den as long)").as("__f"))
+      v = e.join(u, "__u")
+        .groupBy(col("__i"))
+        .agg(sum(col("__r").cast(d38) * col("__f").cast(d38)).cast(d38)
+          .as("__num"),
+          sum(col("__f").cast(d38) * col("__f").cast(d38)).cast(d38)
+            .as("__den"))
+        .select(col("__i"),
+          expr("cast((__num * 1000000000000) div __den as long)").as("__f"))
+      if ((it + 1) % 4 == 0 && it < iters - 1) v = v.localCheckpoint()
+      it += 1
+    }
+    val counts = e.groupBy(col("__i")).agg(count(lit(1)).as("n_users"))
+    v.join(counts, "__i")
+      .select(col("__i").as("item"), col("__f").as("factor_micro"),
+        col("n_users"))
+  }
 }

@@ -264,5 +264,60 @@ object Analytics32 {
       "default when the hypotheses share structure — fewer discoveries, " +
       "honest FDR.")
 
-  val all: Seq[Declared] = Seq(q402, q403, q404, q405)
+  /** q406 — ML/E3: rank-1 ALS factorization of the customer×part
+    * quantity matrix (Koren-Bell-Volinsky 2009) — 3 alternations on
+    * the integer micro grid, top-20 items by final factor; the oracle
+    * replays the whole alternating trajectory as one recursive CTE. */
+  val q406 = Declared(
+    "q406_als_rank1", "ML,E3",
+    (s, dir) => {
+      val ratings = Tables.lineitem(s, dir)
+        .join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
+        .select(col("o_custkey").as("u"), col("l_partkey").as("i"),
+          col("l_quantity").cast("long").as("r"))
+      graft.ext.Similarity.als1Factor(ratings, col("u"), col("i"),
+        col("r"), iters = 3)
+        .orderBy(col("factor_micro").desc, col("item")).limit(20)
+    },
+    Some("""WITH RECURSIVE e AS MATERIALIZED (
+           |  SELECT o_custkey AS u, l_partkey AS i,
+           |    CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS r
+           |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+           |  WHERE CAST(l_quantity AS BIGINT) > 0
+           |  GROUP BY 1, 2),
+           |st(it, side, id, f) AS (
+           |  SELECT 0, 'v', i, CAST(1000000 AS BIGINT)
+           |  FROM (SELECT DISTINCT i FROM e)
+           |  UNION ALL
+           |  SELECT it + 1, CASE WHEN side = 'v' THEN 'u' ELSE 'v' END,
+           |    nid, CAST((num * 1000000000000) // den AS BIGINT)
+           |  FROM (
+           |    SELECT st.it, st.side,
+           |      CASE WHEN st.side = 'v' THEN e.u ELSE e.i END AS nid,
+           |      sum(CAST(e.r AS HUGEINT) * st.f) OVER (PARTITION BY
+           |        CASE WHEN st.side = 'v' THEN e.u ELSE e.i END) AS num,
+           |      sum(CAST(st.f AS HUGEINT) * st.f) OVER (PARTITION BY
+           |        CASE WHEN st.side = 'v' THEN e.u ELSE e.i END) AS den,
+           |      row_number() OVER (PARTITION BY
+           |        CASE WHEN st.side = 'v' THEN e.u ELSE e.i END
+           |        ORDER BY CASE WHEN st.side = 'v' THEN e.i ELSE e.u END)
+           |        AS rn
+           |    FROM st JOIN e ON (st.side = 'v' AND e.i = st.id)
+           |                   OR (st.side = 'u' AND e.u = st.id)
+           |    WHERE st.it < 6) t
+           |  WHERE rn = 1),
+           |cnt AS (SELECT i, CAST(count(*) AS BIGINT) AS n_users
+           |        FROM e GROUP BY i)
+           |SELECT id AS item, f AS factor_micro, n_users
+           |FROM st JOIN cnt ON st.id = cnt.i
+           |WHERE it = 6
+           |ORDER BY factor_micro DESC, item LIMIT 20""".stripMargin),
+    "Each half-step is ONE node-keyed equi-join + ONE node-keyed agg on " +
+      "the checkpointed edge rollup — pageRank's shuffle shape with a " +
+      "least-squares numerator; fixed rounds, no driver traffic. Positive " +
+      "ratings keep factors positive, so truncating division is " +
+      "engine-identical and the top-20 can never flip. Deflate and repeat " +
+      "for higher ranks.")
+
+  val all: Seq[Declared] = Seq(q402, q403, q404, q405, q406)
 }

@@ -258,6 +258,26 @@ class SimilaritySpec extends AnyFunSuite {
     assert(lsh.nonEmpty) // vec 1 at least lands in the query's bucket
     assert(lsh.contains(1L))
   }
+
+  test("ML: als1Factor — hand one-step algebra, popular item dominates, partition-invariant") {
+    // 2 users x 2 items; item 20 carries double the rating mass
+    val r = Seq((1L, 10L, 2L), (1L, 20L, 4L), (2L, 10L, 2L), (2L, 20L, 4L))
+      .toDF("u", "i", "v")
+    // iter 1 by hand: v0 = 1e6; u = 1e12*(6e6)//(2e12) = 3e6 (both users)
+    // vA: num = 2*(2*3e6) = 12e6, den = 2*(3e6)^2 = 18e12
+    //   -> 1e12*12e6 // 18e12 = 666666;  vB: 24e6 -> 1333333
+    val out = graft.ext.Similarity.als1Factor(r, col("u"), col("i"),
+      col("v"), iters = 1).collect()
+      .map(x => x.getAs[Long]("item") -> x.getAs[Long]("factor_micro")).toMap
+    assert(out(10L) == 666666L)
+    assert(out(20L) == 1333333L)
+    def run(parts: Int) = graft.ext.Similarity.als1Factor(
+      r.repartition(parts), col("u"), col("i"), col("v"), iters = 3)
+      .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    val a = run(1); val b = run(7)
+    assert(a == b)
+    assert(a(20L) > a(10L))
+  }
 }
 
 class TextAnalysisSpec extends AnyFunSuite {
