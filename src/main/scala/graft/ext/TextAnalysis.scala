@@ -1373,4 +1373,33 @@ object TextAnalysis {
         "node")
       .select(col("word"), col("rank_ppm"))
   }
+  /** E4 — Yule's characteristic K per group (Yule 1944, "The
+    * Statistical Study of Literary Vocabulary"): the classic
+    * repeat-rate measure of lexical richness,
+    *   K = 10⁴ · (Σ_m m²·V_m − N) / N²  =  10⁴ · (Σ_types c² − N) / N²
+    * — size-invariant (unlike type-token ratio), higher = more
+    * repetitive vocabulary. The corpus-quality axis that separates
+    * template spam (huge K) from natural prose (K ≈ 100-200) even
+    * when lengths match. Exact integer spectrum sums; one pinned IEEE
+    * finish. Returns per group: (g, n_tokens, n_types, yule_k).
+    *
+    * Scale: ONE (group, token) rollup with map-side combine, then a
+    * |groups|-row conditional agg — the q253/q396 scan shape. */
+  def yuleK(docs: DataFrame, textCol: Column, groupCol: Column): DataFrame = {
+    val d38 = "decimal(38,0)"
+    val toks = docs.select(groupCol.as("g"),
+        explode(split(lower(textCol), "\\s+")).as("__w"))
+      .filter(length(col("__w")) > 0)
+      .groupBy(col("g"), col("__w")).agg(count(lit(1)).as("__c"))
+    toks.groupBy(col("g"))
+      .agg(sum(col("__c")).as("n_tokens"), count(lit(1)).as("n_types"),
+        sum(col("__c").cast(d38) * col("__c").cast(d38)).cast(d38)
+          .as("__s2"))
+      .select(col("g"), col("n_tokens"), col("n_types"),
+        (lit(1e4) * (col("__s2").cast("double") -
+          col("n_tokens").cast("double")) /
+          (col("n_tokens").cast("double") * col("n_tokens").cast("double")))
+          .as("yule_k"))
+      .orderBy(col("g"))
+  }
 }

@@ -479,6 +479,68 @@ object EventAnalytics {
         col("__z.__a.d").as("d_events"), col("__z.__s").as("surv_ppm"))
   }
 
+  /** A-stat/A8 — Aalen–Johansen cumulative incidence under COMPETING
+    * RISKS (Aalen & Johansen 1978; the estimator Kaplan–Meier gets
+    * WRONG when a subject can exit for more than one reason — 1−KM
+    * per cause overstates every cause's incidence): with two causes
+    * and right-censoring,
+    *   CIF_k(t) = Σ_{t'≤t} S(t'⁻)·d_k(t')/n(t'),
+    *   S(t) = Π_{t'≤t} (n − d₁ − d₂)/n
+    * — censored subjects leave the risk set without hazard. The churn
+    * attribution question ("did we lose them to cancellation or to
+    * completion?") in its correct form.
+    *
+    * Integer ppm state exactly as [[kaplanMeier]]: per rollup step,
+    *   cif_k += (S_prev·d_k) div n,   S = (S_prev·(n−d₁−d₂)) div n
+    * — bit-portable, recursion-replayable. Returns one row per
+    * distinct duration: (t, n_risk, d1, d2, censored, surv_ppm,
+    * cif1_ppm, cif2_ppm).
+    *
+    * Scale: the [[kaplanMeier]] envelope — duration-keyed agg with
+    * map-side combine, suffix window + fold over the calendar-bounded
+    * rollup, never the subject table. `cause1Cond`/`cause2Cond` must
+    * be disjoint; rows matching neither are censored. */
+  def aalenJohansen(subjects: DataFrame, durationCol: Column,
+      cause1Cond: Column, cause2Cond: Column): DataFrame = {
+    val rollup = subjects.groupBy(durationCol.as("t"))
+      .agg(sum(cause1Cond.cast("long")).as("d1"),
+        sum(cause2Cond.cast("long")).as("d2"),
+        count(lit(1)).as("__all"))
+    val suffix = Window.orderBy(col("t"))
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val withN = rollup.withColumn("n_risk", sum(col("__all")).over(suffix))
+    val folded = withN
+      .agg(array_sort(collect_list(struct(col("t"), col("n_risk"),
+        col("d1"), col("d2"), col("__all")))).as("__a"))
+      // state per step: (s, c1, c2) in ppm
+      .withColumn("__s", expr(
+        """aggregate(__a,
+          |  cast(array() as array<struct<s: bigint, c1: bigint, c2: bigint>>),
+          |  (acc, x) -> array_append(acc, named_struct(
+          |    's', ((CASE WHEN size(acc) = 0 THEN 1000000L
+          |            ELSE element_at(acc, -1).s END)
+          |          * (x.n_risk - x.d1 - x.d2)) div x.n_risk,
+          |    'c1', (CASE WHEN size(acc) = 0 THEN 0L
+          |            ELSE element_at(acc, -1).c1 END)
+          |          + ((CASE WHEN size(acc) = 0 THEN 1000000L
+          |              ELSE element_at(acc, -1).s END) * x.d1)
+          |            div x.n_risk,
+          |    'c2', (CASE WHEN size(acc) = 0 THEN 0L
+          |            ELSE element_at(acc, -1).c2 END)
+          |          + ((CASE WHEN size(acc) = 0 THEN 1000000L
+          |              ELSE element_at(acc, -1).s END) * x.d2)
+          |            div x.n_risk)))""".stripMargin))
+    folded
+      .select(posexplode(arrays_zip(col("__a"), col("__s")))
+        .as(Seq("__i", "__z")))
+      .select(col("__z.__a.t").as("t"), col("__z.__a.n_risk").as("n_risk"),
+        col("__z.__a.d1").as("d1"), col("__z.__a.d2").as("d2"),
+        (col("__z.__a.__all") - col("__z.__a.d1") - col("__z.__a.d2"))
+          .as("censored"),
+        col("__z.__s.s").as("surv_ppm"),
+        col("__z.__s.c1").as("cif1_ppm"), col("__z.__s.c2").as("cif2_ppm"))
+  }
+
   /** A-stat/A8 — RESTRICTED MEAN SURVIVAL TIME (Royston & Parmar 2013
     * popularized the readout; the step-integral of the Kaplan–Meier
     * curve to a horizon τ — public literature): "expected time alive

@@ -319,5 +319,93 @@ object Analytics32 {
       "engine-identical and the top-20 can never flip. Deflate and repeat " +
       "for higher ranks.")
 
-  val all: Seq[Declared] = Seq(q402, q403, q404, q405, q406)
+  /** q407 — A-stat/A8: Aalen–Johansen cumulative incidence of order
+    * resolution under competing risks — fulfilled ('F') vs partial
+    * ('P'), open orders censored; duration = order date → last
+    * shipment. The estimator 1−KM-per-cause gets wrong. */
+  val q407 = Declared(
+    "q407_aalen_johansen", "A-stat,A8",
+    (s, dir) => {
+      val subj = Tables.orders(s, dir)
+        .join(Tables.lineitem(s, dir),
+          col("o_orderkey") === col("l_orderkey"))
+        .groupBy(col("o_orderkey"))
+        .agg(min(col("o_orderstatus")).as("st"),
+          min(to_date(col("o_orderdate"))).as("fd"),
+          max(to_date(col("l_shipdate"))).as("ld"))
+        .select(col("st"), datediff(col("ld"), col("fd")).cast("long")
+          .as("dur"))
+      graft.ops.EventAnalytics.aalenJohansen(subj, col("dur"),
+        col("st") === "F", col("st") === "P").orderBy(col("t"))
+    },
+    Some("""WITH RECURSIVE subj AS (
+           |  SELECT o_orderkey, min(o_orderstatus) AS st,
+           |    CAST(date_diff('day', CAST(min(o_orderdate) AS DATE),
+           |      CAST(max(l_shipdate) AS DATE)) AS BIGINT) AS dur
+           |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+           |  GROUP BY 1),
+           |r0 AS (
+           |  SELECT dur AS t,
+           |    CAST(sum(CASE WHEN st = 'F' THEN 1 ELSE 0 END) AS BIGINT)
+           |      AS d1,
+           |    CAST(sum(CASE WHEN st = 'P' THEN 1 ELSE 0 END) AS BIGINT)
+           |      AS d2,
+           |    CAST(count(*) AS BIGINT) AS alln
+           |  FROM subj GROUP BY 1),
+           |w AS MATERIALIZED (
+           |  SELECT t, d1, d2, alln,
+           |    CAST(sum(alln) OVER (ORDER BY t DESC) AS BIGINT) AS n_risk,
+           |    row_number() OVER (ORDER BY t) AS rn
+           |  FROM r0),
+           |aj(rn, t, n_risk, d1, d2, cens, s, c1, c2) AS (
+           |  SELECT rn, t, n_risk, d1, d2, alln - d1 - d2,
+           |    (1000000 * (n_risk - d1 - d2)) // n_risk,
+           |    (1000000 * d1) // n_risk, (1000000 * d2) // n_risk
+           |  FROM w WHERE rn = 1
+           |  UNION ALL
+           |  SELECT w.rn, w.t, w.n_risk, w.d1, w.d2,
+           |    w.alln - w.d1 - w.d2,
+           |    (aj.s * (w.n_risk - w.d1 - w.d2)) // w.n_risk,
+           |    aj.c1 + (aj.s * w.d1) // w.n_risk,
+           |    aj.c2 + (aj.s * w.d2) // w.n_risk
+           |  FROM w JOIN aj ON w.rn = aj.rn + 1)
+           |SELECT t, n_risk, d1, d2, cens AS censored, s AS surv_ppm,
+           |  c1 AS cif1_ppm, c2 AS cif2_ppm
+           |FROM aj ORDER BY t""".stripMargin),
+    "The kaplanMeier envelope exactly: one duration-keyed agg with " +
+      "map-side combine + suffix window + fold over the calendar-bounded " +
+      "rollup — subject volume never shuffles twice. Integer ppm state: " +
+      "the oracle recursion replays the estimator bit-for-bit. CIF₁+CIF₂+S " +
+      "= 1 up to floor dust — the sanity identity 1−KM violates.")
+
+  /** q408 — E4: Yule's characteristic K per language — the
+    * size-invariant lexical-richness axis of the corpus quality
+    * panel (template spam scores huge K at any document length). */
+  val q408 = Declared(
+    "q408_yule_k", "E4",
+    (s, dir) => graft.ext.TextAnalysis.yuleK(
+      Tables.documents(s, dir), col("text"), col("lang")),
+    Some("""WITH t AS (
+           |  SELECT lang AS g,
+           |    unnest(regexp_split_to_array(lower(text), '\s+')) AS w
+           |  FROM documents),
+           |pt AS (
+           |  SELECT g, w, count(*) AS c FROM t WHERE length(w) > 0
+           |  GROUP BY 1, 2),
+           |a AS (
+           |  SELECT g, CAST(sum(c) AS BIGINT) AS n_tokens,
+           |    CAST(count(*) AS BIGINT) AS n_types,
+           |    sum(CAST(c AS HUGEINT) * c) AS s2
+           |  FROM pt GROUP BY g)
+           |SELECT g, n_tokens, n_types,
+           |  1e4 * (CAST(s2 AS DOUBLE) - CAST(n_tokens AS DOUBLE))
+           |    / (CAST(n_tokens AS DOUBLE) * CAST(n_tokens AS DOUBLE))
+           |    AS yule_k
+           |FROM a ORDER BY g""".stripMargin),
+    "ONE (lang, token) rollup with map-side combine then a |langs|-row " +
+      "finish — the exact frequency-spectrum moment, no sampling. Pairs " +
+      "with q87's gates and q250's Zipf slope as the repetitiveness axis " +
+      "of corpus quality.")
+
+  val all: Seq[Declared] = Seq(q402, q403, q404, q405, q406, q407, q408)
 }

@@ -2086,4 +2086,26 @@ class AnalyticsOpsSpec extends AnyFunSuite {
     val d = out("d")
     assert(d.isNullAt(d.fieldIndex("shape")))
   }
+  test("A-stat: aalenJohansen — hand 3-subject fold, CIF identity up to floor dust") {
+    // t=1 cause1, t=2 cause2, t=3 censored
+    val df = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("dur", "ev")
+    val out = graft.ops.EventAnalytics.aalenJohansen(df, col("dur"),
+      col("ev") === "a", col("ev") === "b")
+      .orderBy("t").collect()
+    assert(out.map(_.getAs[Long]("n_risk")).toSeq == Seq(3L, 2L, 1L))
+    assert(out(0).getAs[Long]("surv_ppm") == 666666L)
+    assert(out(0).getAs[Long]("cif1_ppm") == 333333L)
+    assert(out(0).getAs[Long]("cif2_ppm") == 0L)
+    assert(out(1).getAs[Long]("surv_ppm") == 333333L)
+    assert(out(1).getAs[Long]("cif2_ppm") == 333333L)
+    // censoring leaves the risk set without hazard
+    assert(out(2).getAs[Long]("censored") == 1L)
+    assert(out(2).getAs[Long]("surv_ppm") == 333333L)
+    // S + CIF1 + CIF2 = 1 up to floor dust at every step
+    out.foreach { r =>
+      val tot = r.getAs[Long]("surv_ppm") + r.getAs[Long]("cif1_ppm") +
+        r.getAs[Long]("cif2_ppm")
+      assert(tot <= 1000000L && tot >= 999997L, s"identity: $tot")
+    }
+  }
 }

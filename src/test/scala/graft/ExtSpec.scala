@@ -356,6 +356,18 @@ class TextAnalysisSpec extends AnyFunSuite {
     // the isolated symmetric pair ties exactly (integer arithmetic)
     assert(out("epsilon") == out("zeta"))
   }
+
+  test("E4: yuleK — hand spectrum, repetitive text scores higher") {
+    val docs = Seq(("x", "a a a b"), ("y", "a a a a")).toDF("g", "text")
+    val out = TextAnalysis.yuleK(docs, col("text"), col("g")).collect()
+      .map(r => r.getString(0) -> r).toMap
+    // x: N=4, types=2, S2=10 -> K = 1e4*6/16 = 3750
+    assert(out("x").getAs[Long]("n_tokens") == 4L)
+    assert(out("x").getAs[Long]("n_types") == 2L)
+    assert(out("x").getAs[Double]("yule_k") == 3750.0)
+    // y: all repeats -> K = 1e4*12/16 = 7500 > x
+    assert(out("y").getAs[Double]("yule_k") == 7500.0)
+  }
 }
 
 class MultimodalSpec extends AnyFunSuite {
