@@ -148,4 +148,73 @@ object Privacy {
       sum(when(col("t_ppm") > tPpm, 1L).otherwise(0L))
         .as("classes_above_t"))
   }
+  /** Mondrian multidimensional k-anonymization (LeFevre, DeWitt &
+    * Ramakrishnan, ICDE 2006) over two numeric quasi-identifiers —
+    * not just the AUDIT ([[kAnonymityAudit]]) but the GENERALIZER:
+    * recursively split the record set at the median of the widest
+    * (globally-normalized) QI dimension while both halves keep ≥ k
+    * records; the final partitions' [min, max] ranges are the
+    * generalized values a k-anonymous release publishes.
+    *
+    * Determinism contract: the width comparison is the exact integer
+    * cross-product r₁·G₂ ≥ r₂·G₁ (ties → dim 1); the median is the
+    * value at rank ⌈c/2⌉ of the (value, id) total order; partition
+    * ids are path-encoded (pid·2+1 / pid·2+2), so after any fixed
+    * round count the partition assignment is bit-identical across
+    * engines and partitionings — a recursive CTE replays the whole
+    * tree. Rounds are FIXED (not convergence-tested): a partition
+    * that cannot split keeps its pid and re-declines every round.
+    *
+    * Returns one row per final partition:
+    * (pid, n, qi1_min, qi1_max, qi2_min, qi2_max) — every n ≥ k by
+    * construction (n ≥ 2k−1 partitions only stop when unsplittable).
+    *
+    * Scale: each round is pid-partitioned windows over the record
+    * set — `rounds` passes, uniform keys (pids split geometrically,
+    * so skew DECREASES each round); no driver traffic beyond the two
+    * global range scalars. */
+  def mondrianKAnonymity(df: DataFrame, idCol: Column, qi1: Column,
+      qi2: Column, k: Int, rounds: Int = 8): DataFrame = {
+    require(k >= 2, "k >= 2")
+    require(rounds >= 1 && rounds <= 16, "1 <= rounds <= 16")
+    import org.apache.spark.sql.expressions.Window
+    val d38 = "decimal(38,0)"
+    var recs = df.select(idCol.cast("long").as("__id"),
+        qi1.cast("long").as("__v1"), qi2.cast("long").as("__v2"))
+      .withColumn("__pid", lit(0L)).localCheckpoint()
+    val g = recs.agg((max(col("__v1")) - min(col("__v1"))).as("g1"),
+      (max(col("__v2")) - min(col("__v2"))).as("g2")).collect()(0)
+    val g1 = math.max(1L, g.getLong(0)); val g2 = math.max(1L, g.getLong(1))
+    var it = 0
+    while (it < rounds) {
+      val wp = Window.partitionBy(col("__pid"))
+      val staged = recs
+        .withColumn("__c", count(lit(1)).over(wp))
+        .withColumn("__r1",
+          max(col("__v1")).over(wp) - min(col("__v1")).over(wp))
+        .withColumn("__r2",
+          max(col("__v2")).over(wp) - min(col("__v2")).over(wp))
+        .withColumn("__sv", when(
+          expr(s"cast(__r1 as $d38) * ${g2}L >= cast(__r2 as $d38) * ${g1}L"),
+          col("__v1")).otherwise(col("__v2")))
+        .withColumn("__rn", row_number().over(
+          Window.partitionBy(col("__pid")).orderBy(col("__sv"), col("__id"))))
+        .withColumn("__med", max(when(col("__rn") === expr("(__c + 1) div 2"),
+          col("__sv"))).over(wp))
+        .withColumn("__nl", sum(when(col("__sv") <= col("__med"), 1L)
+          .otherwise(0L)).over(wp))
+        .withColumn("__npid",
+          when(col("__nl") < k || col("__c") - col("__nl") < k, col("__pid"))
+            .when(col("__sv") <= col("__med"), col("__pid") * 2 + 1)
+            .otherwise(col("__pid") * 2 + 2))
+      recs = staged.select(col("__id"), col("__v1"), col("__v2"),
+        col("__npid").as("__pid")).localCheckpoint()
+      it += 1
+    }
+    recs.groupBy(col("__pid").as("pid"))
+      .agg(count(lit(1)).as("n"),
+        min(col("__v1")).as("qi1_min"), max(col("__v1")).as("qi1_max"),
+        min(col("__v2")).as("qi2_min"), max(col("__v2")).as("qi2_max"))
+      .orderBy(col("pid"))
+  }
 }

@@ -407,5 +407,71 @@ object Analytics32 {
       "with q87's gates and q250's Zipf slope as the repetitiveness axis " +
       "of corpus quality.")
 
-  val all: Seq[Declared] = Seq(q402, q403, q404, q405, q406, q407, q408)
+  /** q409 — privacy: Mondrian k-anonymization of customers over the
+    * (acctbal, nation) quasi-identifier pair, k=25 — the generalizer
+    * whose output ranges a release publishes; the oracle replays the
+    * full 8-round median-split tree recursively. */
+  val q409 = Declared(
+    "q409_mondrian_kanon", "privacy",
+    (s, dir) => graft.ops.Privacy.mondrianKAnonymity(
+      Tables.customer(s, dir), col("c_custkey"),
+      expr("CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT)"),
+      col("c_nationkey"), k = 25, rounds = 8),
+    Some("""WITH RECURSIVE base AS MATERIALIZED (
+           |  SELECT c_custkey AS id,
+           |    CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT) AS v1,
+           |    CAST(c_nationkey AS BIGINT) AS v2
+           |  FROM customer),
+           |g AS MATERIALIZED (
+           |  SELECT greatest(max(v1) - min(v1), 1) AS g1,
+           |         greatest(max(v2) - min(v2), 1) AS g2
+           |  FROM base),
+           |st(it, pid, id, v1, v2) AS (
+           |  SELECT 0, CAST(0 AS BIGINT), id, v1, v2 FROM base
+           |  UNION ALL
+           |  SELECT it + 1,
+           |    CASE WHEN nl < 25 OR c - nl < 25 THEN pid
+           |         WHEN sv <= med THEN pid * 2 + 1
+           |         ELSE pid * 2 + 2 END,
+           |    id, v1, v2
+           |  FROM (
+           |    SELECT q4.*,
+           |      sum(CASE WHEN sv <= med THEN 1 ELSE 0 END)
+           |        OVER (PARTITION BY pid) AS nl
+           |    FROM (
+           |      SELECT q3.*,
+           |        max(CASE WHEN rn = (c + 1) // 2 THEN sv END)
+           |          OVER (PARTITION BY pid) AS med
+           |      FROM (
+           |        SELECT q2.*,
+           |          row_number() OVER (PARTITION BY pid ORDER BY sv, id)
+           |            AS rn
+           |        FROM (
+           |          SELECT q1.*,
+           |            CASE WHEN CAST(r1 AS HUGEINT) * g2
+           |                   >= CAST(r2 AS HUGEINT) * g1
+           |              THEN v1 ELSE v2 END AS sv
+           |          FROM (
+           |            SELECT st.it, st.pid, st.id, st.v1, st.v2, g1, g2,
+           |              count(*) OVER (PARTITION BY pid) AS c,
+           |              max(v1) OVER (PARTITION BY pid)
+           |                - min(v1) OVER (PARTITION BY pid) AS r1,
+           |              max(v2) OVER (PARTITION BY pid)
+           |                - min(v2) OVER (PARTITION BY pid) AS r2
+           |            FROM st, g WHERE st.it < 8) q1) q2) q3) q4) q5)
+           |SELECT pid, CAST(count(*) AS BIGINT) AS n,
+           |  min(v1) AS qi1_min, max(v1) AS qi1_max,
+           |  min(v2) AS qi2_min, max(v2) AS qi2_max
+           |FROM st WHERE it = 8
+           |GROUP BY pid ORDER BY pid""".stripMargin),
+    "Each round is pid-partitioned windows over the release table — " +
+      "`rounds` passes whose key count doubles as the tree descends (the " +
+      "top of the tree is inherently few-partition: anonymize per stratum " +
+      "or on the release sample at 100 TB). Exact integer medians and " +
+      "cross-multiplied width compares: the partition tree — and thus the " +
+      "published ranges — can never differ between engines. Every class " +
+      "carries n >= k by construction.")
+
+  val all: Seq[Declared] =
+    Seq(q402, q403, q404, q405, q406, q407, q408, q409)
 }

@@ -2108,4 +2108,22 @@ class AnalyticsOpsSpec extends AnyFunSuite {
       assert(tot <= 1000000L && tot >= 999997L, s"identity: $tot")
     }
   }
+  test("privacy: mondrianKAnonymity — hand split tree, k floor holds") {
+    // 8 points on a line, k=2: median splits give 4 partitions of 2
+    val df = (1L to 8L).map(i => (i, i, 0L)).toDF("id", "v1", "v2")
+    val out = graft.ops.Privacy.mondrianKAnonymity(
+      df, col("id"), col("v1"), col("v2"), k = 2, rounds = 3)
+      .orderBy("qi1_min").collect()
+    assert(out.length == 4)
+    assert(out.map(r => (r.getAs[Long]("qi1_min"), r.getAs[Long]("qi1_max")))
+      .toSeq == Seq((1L, 2L), (3L, 4L), (5L, 6L), (7L, 8L)))
+    assert(out.forall(_.getAs[Long]("n") == 2L))
+    // a skewed 2-D set: every final class still carries n >= k
+    val sk = (1L to 100L).map(i => (i, (i * i) % 97, i % 5)).toDF("id", "v1", "v2")
+    val o2 = graft.ops.Privacy.mondrianKAnonymity(
+      sk, col("id"), col("v1"), col("v2"), k = 10, rounds = 6).collect()
+    assert(o2.map(_.getAs[Long]("n")).sum == 100L)
+    assert(o2.forall(_.getAs[Long]("n") >= 10L))
+    assert(o2.length >= 2, "at least one split must have happened")
+  }
 }
