@@ -266,6 +266,95 @@ object Aggregates {
           .as("rank_biserial"))
   }
 
+  /** A-stat — two-sample Cramér–von Mises test statistic (Anderson
+    * 1962, "On the distribution of the two-sample Cramér–von Mises
+    * criterion"): the WHOLE-distribution distance between two
+    * samples,
+    *   T = U/(nm·N) − (4nm−1)/(6N),  N = n+m,
+    *   U = n·Σᵢ(rᵢ−i)² + m·Σⱼ(sⱼ−j)²
+    * (r/s = combined-sample ranks of each sample's ordered values) —
+    * more sensitive than Kolmogorov–Smirnov to differences spread
+    * across the distribution rather than concentrated at one point.
+    * Tie handling: doubled midranks (the q152 device) and doubled
+    * within-sample indices, so U₄ = 4U stays an exact integer; each
+    * distinct value contributes a CLOSED-FORM range sum
+    *   Σ_{i=p+1}^{p+c} (r₂ − 2i)² = c·r₂² − 4r₂·ΣI + 4·ΣI²
+    * — never a per-row walk. Returns one row:
+    * (n_a, n_b, u4, t_cvm).
+    *
+    * Scale: one distinct-value rollup with map-side combine; the
+    * cumulative window is rollup-sized; the finish is one row. */
+  def cramerVonMises2(df: org.apache.spark.sql.DataFrame, valueCol: Column,
+      groupCol: Column, groupA: String,
+      groupB: String): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val d38 = "decimal(38,0)"
+    val d = df.filter(groupCol.isin(groupA, groupB))
+      .select(groupCol.as("__g"), valueCol.cast("long").as("__v"))
+    val perV = d.groupBy(col("__v")).agg(count(lit(1)).as("__cnt"),
+      sum(when(col("__g") === groupA, 1L).otherwise(0L)).as("__ca"))
+    val pre = Window.orderBy(col("__v"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    // Σ_{i=p+1..p+c} (r2 − 2i)² = c·r2² − 4·r2·(c·p + T) +
+    //   4·(c·p² + 2p·T + F6), T = c(c+1)/2, F6 = c(c+1)(2c+1)/6.
+    // Spark's decimal `div` silently wraps past 2^63, so T and F6
+    // divide the SMALL factors first (one of {c, c+1} is even; one of
+    // {c, c+1, 2c+1} is divisible by 3 — and a factor already halved
+    // keeps its divisibility by 3 because 6 | the original) and only
+    // then multiply in decimal(38,0) — exact at any N.
+    def tHalf(cn: String): Column = expr(
+      s"""CASE WHEN $cn % 2 = 0
+         |  THEN cast($cn div 2 as decimal(38,0)) * ($cn + 1)
+         |  ELSE cast($cn as decimal(38,0)) * (($cn + 1) div 2) END"""
+        .stripMargin).cast(d38)
+    def f6(cn: String): Column = expr(
+      s"""cast(CASE WHEN $cn % 3 = 0 THEN
+         |    CASE WHEN $cn % 2 = 0 THEN ($cn div 2) div 3
+         |         ELSE $cn div 3 END
+         |  ELSE CASE WHEN $cn % 2 = 0 THEN $cn div 2 ELSE $cn END END
+         |  as decimal(38,0))
+         |* (CASE WHEN ($cn + 1) % 3 = 0 AND $cn % 3 <> 0 THEN
+         |     CASE WHEN $cn % 2 = 0 THEN ($cn + 1) div 3
+         |          ELSE (($cn + 1) div 2) div 3 END
+         |   ELSE CASE WHEN $cn % 2 = 0 THEN $cn + 1
+         |        ELSE ($cn + 1) div 2 END END)
+         |* (CASE WHEN $cn % 3 <> 0 AND ($cn + 1) % 3 <> 0
+         |   THEN (2 * $cn + 1) div 3 ELSE 2 * $cn + 1 END)"""
+        .stripMargin).cast(d38)
+    def rangeSum(r2: Column, p: Column, c: Column, cn: String): Column = {
+      def dd(x: Column) = x.cast(d38)
+      val t = tHalf(cn)
+      (dd(c) * dd(r2) * dd(r2) -
+        dd(r2) * (dd(c) * dd(p) + t) * 4 +
+        (dd(c) * dd(p) * dd(p) + dd(p) * t * 2 + f6(cn)) * 4).cast(d38)
+    }
+    val staged = perV
+      .withColumn("__cb", col("__cnt") - col("__ca"))
+      .withColumn("__pa", coalesce(sum(col("__ca")).over(pre), lit(0L)))
+      .withColumn("__pb", coalesce(sum(col("__cb")).over(pre), lit(0L)))
+      .withColumn("__r2",
+        (col("__pa") + col("__pb")) * 2 + col("__cnt") + 1)
+      .withColumn("__sa4",
+        rangeSum(col("__r2"), col("__pa"), col("__ca"), "__ca"))
+      .withColumn("__sb4",
+        rangeSum(col("__r2"), col("__pb"), col("__cb"), "__cb"))
+    staged.agg(sum(col("__ca")).as("n_a"), sum(col("__cb")).as("n_b"),
+        sum(col("__sa4")).cast(d38).as("__ta"),
+        sum(col("__sb4")).cast(d38).as("__tb"))
+      .withColumn("__u4",
+        (col("n_a").cast(d38) * col("__ta") +
+          col("n_b").cast(d38) * col("__tb")).cast(d38))
+      .select(col("n_a"), col("n_b"),
+        col("__u4").cast("long").as("u4"),
+        (col("__u4").cast("double") /
+          (col("n_a").cast(d38) * col("n_b").cast(d38) *
+            (col("n_a") + col("n_b")).cast(d38) * 4).cast("double") -
+          (col("n_a").cast(d38) * col("n_b").cast(d38) * 4 - 1)
+            .cast("double") /
+            ((col("n_a") + col("n_b")).cast(d38) * 6).cast("double"))
+          .as("t_cvm"))
+  }
+
   /** A-stat — chi-square independence statistic over an R×C
     * contingency of two categorical columns:
     *   χ² = Σ_cells (o·N − r·c)² / (N·r·c)

@@ -1240,4 +1240,67 @@ object EventAnalytics {
         expr(s"(1000000L * phi_perm) div ${factorial(k)}L").as("phi_micro"),
         coalesce(col("v_solo"), lit(0L)).as("v_solo"), col("v_full"))
   }
+  /** A-stat/E2+ — entropy rate of the first-order event-type Markov
+    * chain (Shannon 1948 §2; Cover & Thomas ch. 4): how many nats of
+    * genuine novelty each successive user action carries,
+    *   H = −Σ_i π_i Σ_j p_ij ln p_ij
+    * with π the stationary distribution — the journey-predictability
+    * number behind "are sessions becoming more templated?". π comes
+    * from `iters` fixed integer ppm power-iteration rounds of
+    * π' = πP from uniform (per-edge contribution (π_i·c_ij) div r_i —
+    * truncation dust documented, sub-ppm per round); each conditional
+    * entropy is micro-nat quantized once per transition CELL
+    * (floor(ln(r_i/c_ij)·10⁶ + 0.5), the suite's libm discipline).
+    *
+    * Returns one row per state: (state, pi_ppm, h_state_micro,
+    * h_rate_micro) — h_rate_micro = Σ (π_i·H_i) div 10⁶ constant on
+    * every row.
+    *
+    * Scale: the fact pass is q102's user-keyed lead window + (src,
+    * dst) agg; everything after runs on the |types|² transition cell
+    * frame. */
+  def markovEntropyRate(events: DataFrame, actorCol: Column, tsCol: Column,
+      tieCol: Column, typeCol: Column, iters: Int = 6): DataFrame = {
+    require(iters >= 1 && iters <= 32, "1 <= iters <= 32")
+    val w = Window.partitionBy(actorCol).orderBy(tsCol, tieCol)
+    val pairs = events
+      .select(typeCol.cast("string").as("__s"),
+        lead(typeCol.cast("string"), 1).over(w).as("__d"))
+      .filter(col("__d").isNotNull)
+    val c = pairs.groupBy(col("__s"), col("__d")).agg(count(lit(1)).as("__c"))
+      .localCheckpoint()
+    val r = c.groupBy(col("__s")).agg(sum(col("__c")).as("__r"))
+      .localCheckpoint()
+    val m = r.count()
+    var pi = r.select(col("__s").as("state"))
+      .withColumn("pi_ppm", lit(1000000L / math.max(1L, m)))
+    var it = 0
+    while (it < iters) {
+      pi = c.join(r, "__s")
+        .join(pi.select(col("state").as("__s"), col("pi_ppm")), "__s")
+        .select(col("__d").as("state"),
+          expr("(pi_ppm * __c) div __r").as("__contrib"))
+        // mass landing on a dst that never occurs as src leaves the
+        // chain (absorbing tail) — inner-join back to the src states
+        .join(r.select(col("__s").as("state")), "state")
+        .groupBy(col("state")).agg(sum(col("__contrib")).as("pi_ppm"))
+      it += 1
+    }
+    val h = c.join(r, "__s")
+      .withColumn("__mnat", floor(
+        log(col("__r").cast("double") / col("__c").cast("double")) * 1e6
+          + 0.5).cast("long"))
+      .withColumn("__inner", expr("(__c * __mnat) div __r"))
+      .groupBy(col("__s").as("state"))
+      .agg(sum(col("__inner")).as("h_state_micro"))
+    val joined = h.join(pi, Seq("state"), "left")
+      .withColumn("pi_ppm", coalesce(col("pi_ppm"), lit(0L)))
+      .localCheckpoint()
+    val rate = joined.agg(
+      sum(expr("(pi_ppm * h_state_micro) div 1000000")).as("h_rate_micro"))
+    joined.crossJoin(broadcast(rate))
+      .select(col("state"), col("pi_ppm"), col("h_state_micro"),
+        col("h_rate_micro"))
+      .orderBy(col("state"))
+  }
 }

@@ -472,6 +472,136 @@ object Analytics32 {
       "published ranges — can never differ between engines. Every class " +
       "carries n >= k by construction.")
 
+  /** q410 — A-stat: two-sample Cramér–von Mises criterion on
+    * quantities of returned ('R') vs audited ('A') line items — the
+    * whole-distribution companion to KS (q154) and Mann-Whitney
+    * (q152), tie-exact via doubled midranks and closed-form range
+    * sums. */
+  val q410 = Declared(
+    "q410_cramer_von_mises", "A-stat",
+    (s, dir) => graft.ops.Aggregates.cramerVonMises2(
+      Tables.lineitem(s, dir), col("l_quantity"), col("l_returnflag"),
+      "R", "A"),
+    Some("""WITH d AS (
+           |  SELECT l_returnflag AS g, CAST(l_quantity AS BIGINT) AS v
+           |  FROM lineitem WHERE l_returnflag IN ('R', 'A')),
+           |pv AS (
+           |  SELECT v, CAST(count(*) AS BIGINT) AS cnt,
+           |    CAST(sum(CASE WHEN g = 'R' THEN 1 ELSE 0 END) AS BIGINT)
+           |      AS ca
+           |  FROM d GROUP BY v),
+           |st AS (
+           |  SELECT *, cnt - ca AS cb,
+           |    coalesce(CAST(sum(ca) OVER (ORDER BY v ROWS BETWEEN
+           |      UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0) AS pa,
+           |    coalesce(CAST(sum(cnt - ca) OVER (ORDER BY v ROWS BETWEEN
+           |      UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0) AS pb
+           |  FROM pv),
+           |s2 AS (SELECT *, (pa + pb) * 2 + cnt + 1 AS r2 FROM st),
+           |rs AS (
+           |  SELECT *,
+           |    CAST(ca AS HUGEINT) * r2 * r2
+           |      - CAST(r2 AS HUGEINT) * (CAST(ca AS HUGEINT) * pa
+           |        + CAST(ca AS HUGEINT) * (ca + 1) // 2) * 4
+           |      + (CAST(ca AS HUGEINT) * pa * pa
+           |        + CAST(pa AS HUGEINT) * (CAST(ca AS HUGEINT)
+           |          * (ca + 1) // 2) * 2
+           |        + CAST(ca AS HUGEINT) * (ca + 1) * (2 * ca + 1) // 6)
+           |        * 4 AS sa4,
+           |    CAST(cb AS HUGEINT) * r2 * r2
+           |      - CAST(r2 AS HUGEINT) * (CAST(cb AS HUGEINT) * pb
+           |        + CAST(cb AS HUGEINT) * (cb + 1) // 2) * 4
+           |      + (CAST(cb AS HUGEINT) * pb * pb
+           |        + CAST(pb AS HUGEINT) * (CAST(cb AS HUGEINT)
+           |          * (cb + 1) // 2) * 2
+           |        + CAST(cb AS HUGEINT) * (cb + 1) * (2 * cb + 1) // 6)
+           |        * 4 AS sb4
+           |  FROM s2),
+           |a AS (
+           |  SELECT CAST(sum(ca) AS BIGINT) AS n_a,
+           |    CAST(sum(cb) AS BIGINT) AS n_b,
+           |    sum(sa4) AS ta, sum(sb4) AS tb
+           |  FROM rs)
+           |SELECT n_a, n_b,
+           |  CAST(n_a * ta + n_b * tb AS BIGINT) AS u4,
+           |  CAST(n_a * ta + n_b * tb AS DOUBLE) /
+           |    CAST(CAST(n_a AS HUGEINT) * n_b * (n_a + n_b) * 4
+           |      AS DOUBLE)
+           |  - CAST(CAST(n_a AS HUGEINT) * n_b * 4 - 1 AS DOUBLE) /
+           |    CAST((CAST(n_a AS HUGEINT) + n_b) * 6 AS DOUBLE) AS t_cvm
+           |FROM a""".stripMargin),
+    "One distinct-value rollup with map-side combine; the cumulative " +
+      "window is rollup-sized; every tie group contributes a CLOSED-FORM " +
+      "integer range sum, so heavy ties (discrete quantities) cost one row " +
+      "each, never a per-row walk. The spread-sensitive distribution test " +
+      "KS misses mid-shape drift on.")
+
+  /** q411 — A-stat/E2+: entropy rate of the user-journey event-type
+    * Markov chain — stationary distribution by 6 integer ppm power
+    * rounds, micro-nat cell entropies; the session-predictability
+    * number ("are journeys becoming templated?"). */
+  val q411 = Declared(
+    "q411_markov_entropy_rate", "A-stat,E2+",
+    (s, dir) => graft.ops.EventAnalytics.markovEntropyRate(
+      Tables.events(s, dir), col("user_id"), col("ts"), col("event_id"),
+      col("event_type")),
+    Some("""WITH t AS (
+           |  SELECT event_type AS s, lead(event_type) OVER (
+           |    PARTITION BY user_id ORDER BY ts, event_id) AS d
+           |  FROM events),
+           |c AS MATERIALIZED (
+           |  SELECT s, d, CAST(count(*) AS BIGINT) AS c FROM t
+           |  WHERE d IS NOT NULL GROUP BY 1, 2),
+           |r AS MATERIALIZED (
+           |  SELECT s, CAST(sum(c) AS BIGINT) AS r FROM c GROUP BY 1),
+           |m AS (SELECT CAST(count(*) AS BIGINT) AS m FROM r),
+           |p0 AS (SELECT s AS state, CAST(1000000 // m AS BIGINT) AS pi
+           |       FROM r, m),
+           |p1 AS (SELECT c.d AS state,
+           |         CAST(sum((p.pi * c.c) // r.r) AS BIGINT) AS pi
+           |       FROM c JOIN r ON c.s = r.s JOIN p0 p ON p.state = c.s
+           |       WHERE c.d IN (SELECT s FROM r) GROUP BY 1),
+           |p2 AS (SELECT c.d AS state,
+           |         CAST(sum((p.pi * c.c) // r.r) AS BIGINT) AS pi
+           |       FROM c JOIN r ON c.s = r.s JOIN p1 p ON p.state = c.s
+           |       WHERE c.d IN (SELECT s FROM r) GROUP BY 1),
+           |p3 AS (SELECT c.d AS state,
+           |         CAST(sum((p.pi * c.c) // r.r) AS BIGINT) AS pi
+           |       FROM c JOIN r ON c.s = r.s JOIN p2 p ON p.state = c.s
+           |       WHERE c.d IN (SELECT s FROM r) GROUP BY 1),
+           |p4 AS (SELECT c.d AS state,
+           |         CAST(sum((p.pi * c.c) // r.r) AS BIGINT) AS pi
+           |       FROM c JOIN r ON c.s = r.s JOIN p3 p ON p.state = c.s
+           |       WHERE c.d IN (SELECT s FROM r) GROUP BY 1),
+           |p5 AS (SELECT c.d AS state,
+           |         CAST(sum((p.pi * c.c) // r.r) AS BIGINT) AS pi
+           |       FROM c JOIN r ON c.s = r.s JOIN p4 p ON p.state = c.s
+           |       WHERE c.d IN (SELECT s FROM r) GROUP BY 1),
+           |p6 AS (SELECT c.d AS state,
+           |         CAST(sum((p.pi * c.c) // r.r) AS BIGINT) AS pi
+           |       FROM c JOIN r ON c.s = r.s JOIN p5 p ON p.state = c.s
+           |       WHERE c.d IN (SELECT s FROM r) GROUP BY 1),
+           |h AS (
+           |  SELECT c.s AS state,
+           |    CAST(sum((c.c * CAST(floor(ln(CAST(r.r AS DOUBLE) /
+           |      CAST(c.c AS DOUBLE)) * 1e6 + 0.5) AS BIGINT)) // r.r)
+           |      AS BIGINT) AS h_state_micro
+           |  FROM c JOIN r ON c.s = r.s GROUP BY 1),
+           |j AS (
+           |  SELECT h.state, coalesce(p6.pi, 0) AS pi_ppm, h.h_state_micro
+           |  FROM h LEFT JOIN p6 ON h.state = p6.state),
+           |rate AS (
+           |  SELECT CAST(sum((pi_ppm * h_state_micro) // 1000000)
+           |    AS BIGINT) AS h_rate_micro
+           |  FROM j)
+           |SELECT state, CAST(pi_ppm AS BIGINT) AS pi_ppm, h_state_micro,
+           |  h_rate_micro
+           |FROM j, rate ORDER BY state""".stripMargin),
+    "The fact pass is q102's user-keyed lead window + (src, dst) agg; the " +
+      "power rounds and entropies run on the |types|² cell frame — " +
+      "broadcast-sized at any event volume. Integer ppm π and micro-nat " +
+      "cells: the predictability readout is bit-stable cluster-wide.")
+
   val all: Seq[Declared] =
-    Seq(q402, q403, q404, q405, q406, q407, q408, q409)
+    Seq(q402, q403, q404, q405, q406, q407, q408, q409, q410, q411)
 }

@@ -2126,4 +2126,42 @@ class AnalyticsOpsSpec extends AnyFunSuite {
     assert(o2.forall(_.getAs[Long]("n") >= 10L))
     assert(o2.length >= 2, "at least one split must have happened")
   }
+  test("A-stat: cramerVonMises2 — hand no-tie case, identical samples score zero") {
+    val df = Seq(("A", 1L), ("A", 3L), ("B", 2L), ("B", 4L))
+      .toDF("g", "v")
+    val r = graft.ops.Aggregates.cramerVonMises2(df, col("v"), col("g"),
+      "A", "B").collect()(0)
+    // SA = 0+1, SB = 1+4 -> U = 12, U4 = 48; T = 12/16 - 15/24 = 0.125
+    assert(r.getAs[Long]("n_a") == 2L && r.getAs[Long]("n_b") == 2L)
+    assert(r.getAs[Long]("u4") == 48L)
+    assert(math.abs(r.getAs[Double]("t_cvm") - 0.125) < 1e-12)
+    // identical samples (all ties): T = 0 exactly
+    val eq = Seq(("A", 1L), ("A", 2L), ("B", 1L), ("B", 2L)).toDF("g", "v")
+    val r0 = graft.ops.Aggregates.cramerVonMises2(eq, col("v"), col("g"),
+      "A", "B").collect()(0)
+    assert(r0.getAs[Long]("u4") == 40L)
+    assert(r0.getAs[Double]("t_cvm") == 0.0)
+  }
+
+  test("A-stat: markovEntropyRate — deterministic cycle is zero, hand fair coin state") {
+    def ts(x: Long) = new java.sql.Timestamp(x * 1000L)
+    // user 1: a a b a a b -> c(a,a)=2, c(a,b)=2, c(b,a)=1
+    val ev = Seq("a", "a", "b", "a", "a", "b").zipWithIndex.map {
+      case (t, i) => (1L, ts(i.toLong), i.toLong, t) }
+      .toDF("user_id", "t", "eid", "etype")
+    val out = graft.ops.EventAnalytics.markovEntropyRate(
+      ev, col("user_id"), col("t"), col("eid"), col("etype"))
+      .collect().map(r => r.getString(0) -> r).toMap
+    // state a: two equiprobable cells -> H = ln 2 in micro-nats (dust -1)
+    assert(out("a").getAs[Long]("h_state_micro") == 693146L)
+    assert(out("b").getAs[Long]("h_state_micro") == 0L)
+    // a deterministic cycle carries zero entropy rate
+    val cyc = Seq("a", "b", "a", "b", "a").zipWithIndex.map {
+      case (t, i) => (1L, ts(i.toLong), i.toLong, t) }
+      .toDF("user_id", "t", "eid", "etype")
+    val oc = graft.ops.EventAnalytics.markovEntropyRate(
+      cyc, col("user_id"), col("t"), col("eid"), col("etype")).collect()
+    assert(oc.forall(_.getAs[Long]("h_rate_micro") == 0L))
+    assert(oc.forall(_.getAs[Long]("h_state_micro") == 0L))
+  }
 }
