@@ -3091,6 +3091,88 @@ object Aggregates {
       .orderBy(col("g"))
   }
 
+  /** A-stat — Lin's concordance correlation coefficient per group
+    * (Lin 1989, Biometrics): agreement between two PAIRED continuous
+    * measurements — penalizes both scatter AND systematic bias,
+    * unlike Pearson (two methods can correlate at 1.0 while one reads
+    * 2× high; CCC catches it):
+    *   CCC = 2·s_xy / (s_x² + s_y² + (x̄ − ȳ)²)
+    * in the n²-cleared exact-integer form
+    *   2(n·Σxy − ΣxΣy) / ((n·Σx² − (Σx)²) + (n·Σy² − (Σy)²) +
+    *                      (Σx − Σy)²).
+    * The continuous-agreement row beside Cohen's κ (categorical,
+    * q233) and Bland–Altman (q307). Returns per group:
+    * (g, n, mean_x, mean_y, pearson_r, ccc).
+    *
+    * Scale: one group-keyed moment agg with map-side combine; the
+    * finish is |groups| rows of pinned IEEE chains over exact
+    * decimals. */
+  def linConcordance(df: org.apache.spark.sql.DataFrame, xCol: Column,
+      yCol: Column, groupCol: Column): org.apache.spark.sql.DataFrame = {
+    val d38 = "decimal(38,0)"
+    def dd(c: Column) = c.cast(d38)
+    val m = df.select(groupCol.as("g"), xCol.cast("long").as("__x"),
+        yCol.cast("long").as("__y"))
+      .groupBy(col("g"))
+      .agg(count(lit(1)).as("n"),
+        sum(dd(col("__x"))).cast(d38).as("__sx"),
+        sum(dd(col("__y"))).cast(d38).as("__sy"),
+        sum(dd(col("__x")) * dd(col("__x"))).cast(d38).as("__sxx"),
+        sum(dd(col("__y")) * dd(col("__y"))).cast(d38).as("__syy"),
+        sum(dd(col("__x")) * dd(col("__y"))).cast(d38).as("__sxy"))
+      .filter(col("n") >= 2)
+    val vx = dd(col("n")) * col("__sxx") - col("__sx") * col("__sx")
+    val vy = dd(col("n")) * col("__syy") - col("__sy") * col("__sy")
+    val cxy = dd(col("n")) * col("__sxy") - col("__sx") * col("__sy")
+    val bias = (col("__sx") - col("__sy")) * (col("__sx") - col("__sy"))
+    m.select(col("g"), col("n"),
+        (col("__sx").cast("double") / col("n").cast("double")).as("mean_x"),
+        (col("__sy").cast("double") / col("n").cast("double")).as("mean_y"),
+        // rounded to 6: the 38-digit cross-moments exceed 2^53, and
+        // decimal->double vs HUGEINT->double conversion can differ in
+        // the last ulp across engines
+        when(vx =!= 0 && vy =!= 0, round(cxy.cast("double") /
+          sqrt(vx.cast("double") * vy.cast("double")), 6)).as("pearson_r"),
+        when((vx + vy + bias) =!= 0,
+          round(cxy.cast("double") * 2.0 / (vx + vy + bias).cast("double"),
+            6)).as("ccc"))
+      .orderBy(col("g"))
+  }
+
+  /** A-stat — process-capability indices per group (the SPC release
+    * gate — Montgomery, Statistical Quality Control ch. 8; joins the
+    * XmR chart q263 as the capability half of control charting):
+    *   Cp  = (USL − LSL) / 6σ        (potential: spread only)
+    *   Cpk = min(USL − μ, μ − LSL) / 3σ  (realized: centering counts)
+    * with μ, σ the population moments of an integer measure.
+    * Cpk < 1 ⇒ the process ships out-of-spec units even when stable.
+    * Every readout is a pinned IEEE chain over exact integer moments.
+    * Returns per group: (g, n, mean, std, cp, cpk).
+    *
+    * Scale: one group-keyed moment agg with map-side combine. */
+  def processCapability(df: org.apache.spark.sql.DataFrame,
+      valueCol: Column, groupCol: Column, lsl: Long,
+      usl: Long): org.apache.spark.sql.DataFrame = {
+    require(usl > lsl, "USL > LSL")
+    val d38 = "decimal(38,0)"
+    def dd(c: Column) = c.cast(d38)
+    val m = df.select(groupCol.as("g"), valueCol.cast("long").as("__v"))
+      .groupBy(col("g"))
+      .agg(count(lit(1)).as("n"), sum(dd(col("__v"))).cast(d38).as("__s"),
+        sum(dd(col("__v")) * dd(col("__v"))).cast(d38).as("__ss"))
+      .filter(col("n") >= 2)
+    val mean = col("__s").cast("double") / col("n").cast("double")
+    // population σ = sqrt(n·Σv² − (Σv)²) / n — exact integer radicand
+    val std = sqrt((dd(col("n")) * col("__ss") - col("__s") * col("__s"))
+      .cast("double")) / col("n").cast("double")
+    m.select(col("g"), col("n"), mean.as("mean"), std.as("std"),
+        when(std =!= 0.0, lit((usl - lsl).toDouble) / (std * 6.0)).as("cp"),
+        when(std =!= 0.0,
+          least(lit(usl.toDouble) - mean, mean - lit(lsl.toDouble)) /
+            (std * 3.0)).as("cpk"))
+      .orderBy(col("g"))
+  }
+
   /** A-stat — Chao1 species-richness estimator per group (Chao 1984;
     * bias-corrected form of Colwell & Coddington 1994): from the
     * abundance spectrum of observed species, estimate how many

@@ -602,6 +602,104 @@ object Analytics32 {
       "broadcast-sized at any event volume. Integer ppm π and micro-nat " +
       "cells: the predictability readout is bit-stable cluster-wide.")
 
+  /** q412 — A-stat: Lin's concordance correlation between the order
+    * header total and the line-item price sum per priority — the
+    * continuous-agreement audit (bias counts, unlike Pearson) for the
+    * classic "header vs detail" reconciliation. */
+  val q412 = Declared(
+    "q412_lin_concordance", "A-stat",
+    (s, dir) => {
+      val lineSum = Tables.lineitem(s, dir)
+        .groupBy(col("l_orderkey"))
+        .agg(sum(expr(
+          "CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)"))
+          .as("line_cents"))
+      val paired = Tables.orders(s, dir)
+        .join(lineSum, col("o_orderkey") === col("l_orderkey"))
+        .select(col("o_orderpriority").as("pri"),
+          expr("CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)")
+            .as("hdr_cents"), col("line_cents"))
+      graft.ops.Aggregates.linConcordance(paired, col("hdr_cents"),
+        col("line_cents"), col("pri"))
+    },
+    Some("""WITH ls AS (
+           |  SELECT l_orderkey,
+           |    CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100
+           |      AS BIGINT)) AS BIGINT) AS y
+           |  FROM lineitem GROUP BY 1),
+           |p AS (
+           |  SELECT o_orderpriority AS g,
+           |    CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+           |      AS x, y
+           |  FROM orders JOIN ls ON o_orderkey = l_orderkey),
+           |m AS (
+           |  SELECT g, CAST(count(*) AS BIGINT) AS n,
+           |    CAST(sum(x) AS HUGEINT) AS sx, CAST(sum(y) AS HUGEINT) AS sy,
+           |    sum(CAST(x AS HUGEINT) * x) AS sxx,
+           |    sum(CAST(y AS HUGEINT) * y) AS syy,
+           |    sum(CAST(x AS HUGEINT) * y) AS sxy
+           |  FROM p GROUP BY g HAVING count(*) >= 2),
+           |f AS (
+           |  SELECT g, n, sx, sy,
+           |    n * sxx - sx * sx AS vx, n * syy - sy * sy AS vy,
+           |    n * sxy - sx * sy AS cxy,
+           |    (sx - sy) * (sx - sy) AS bias
+           |  FROM m)
+           |SELECT g, n,
+           |  CAST(sx AS DOUBLE) / CAST(n AS DOUBLE) AS mean_x,
+           |  CAST(sy AS DOUBLE) / CAST(n AS DOUBLE) AS mean_y,
+           |  CASE WHEN vx <> 0 AND vy <> 0 THEN round(CAST(cxy AS DOUBLE)
+           |    / sqrt(CAST(vx AS DOUBLE) * CAST(vy AS DOUBLE)), 6) END
+           |    AS pearson_r,
+           |  CASE WHEN vx + vy + bias <> 0 THEN
+           |    round(CAST(cxy AS DOUBLE) * 2.0
+           |      / CAST(vx + vy + bias AS DOUBLE), 6) END AS ccc
+           |FROM f ORDER BY g""".stripMargin),
+    "One order-grain rollup + one priority-keyed moment agg, both " +
+      "map-side combinable; the finish is 5 pinned IEEE chains. CCC < r " +
+      "exposes systematic header/detail bias that correlation alone would " +
+      "bless — the reconciliation gate in one number.")
+
+  /** q413 — A-stat: process capability (Cp/Cpk) of order-to-ship
+    * latency per priority against a [0, 90]-day spec window — the SPC
+    * capability readout beside the XmR chart (q263). */
+  val q413 = Declared(
+    "q413_process_capability", "A-stat",
+    (s, dir) => {
+      val lat = Tables.lineitem(s, dir)
+        .join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
+        .select(col("o_orderpriority").as("pri"),
+          datediff(to_date(col("l_shipdate")), to_date(col("o_orderdate")))
+            .cast("long").as("delay"))
+      graft.ops.Aggregates.processCapability(lat, col("delay"),
+        col("pri"), lsl = 0L, usl = 90L)
+    },
+    Some("""WITH d AS (
+           |  SELECT o_orderpriority AS g,
+           |    CAST(date_diff('day', CAST(o_orderdate AS DATE),
+           |      CAST(l_shipdate AS DATE)) AS BIGINT) AS v
+           |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+           |m AS (
+           |  SELECT g, CAST(count(*) AS BIGINT) AS n,
+           |    CAST(sum(v) AS HUGEINT) AS s,
+           |    sum(CAST(v AS HUGEINT) * v) AS ss
+           |  FROM d GROUP BY g HAVING count(*) >= 2),
+           |f AS (
+           |  SELECT g, n, CAST(s AS DOUBLE) / CAST(n AS DOUBLE) AS mean,
+           |    sqrt(CAST(n * ss - s * s AS DOUBLE)) / CAST(n AS DOUBLE)
+           |      AS std
+           |  FROM m)
+           |SELECT g, n, mean, std,
+           |  CASE WHEN std <> 0 THEN 90.0 / (std * 6.0) END AS cp,
+           |  CASE WHEN std <> 0 THEN
+           |    least(90.0 - mean, mean - 0.0) / (std * 3.0) END AS cpk
+           |FROM f ORDER BY g""".stripMargin),
+    "One moment agg keyed by group (map-side combine); the capability " +
+      "indices are pinned chains over exact integer moments. Cpk < 1 says " +
+      "the fulfillment process ships out-of-SLA even when stable — the " +
+      "spec-window verdict a latency dashboard should lead with.")
+
   val all: Seq[Declared] =
-    Seq(q402, q403, q404, q405, q406, q407, q408, q409, q410, q411)
+    Seq(q402, q403, q404, q405, q406, q407, q408, q409, q410, q411,
+      q412, q413)
 }

@@ -2164,4 +2164,32 @@ class AnalyticsOpsSpec extends AnyFunSuite {
     assert(oc.forall(_.getAs[Long]("h_rate_micro") == 0L))
     assert(oc.forall(_.getAs[Long]("h_state_micro") == 0L))
   }
+  test("A-stat: linConcordance — identity is 1, pure shift keeps r=1 but drops CCC") {
+    val ident = Seq(("g", 5L, 5L), ("g", 7L, 7L), ("g", 9L, 9L))
+      .toDF("g", "x", "y")
+    val r1 = graft.ops.Aggregates.linConcordance(ident, col("x"), col("y"),
+      col("g")).collect()(0)
+    assert(r1.getAs[Double]("pearson_r") == 1.0)
+    assert(r1.getAs[Double]("ccc") == 1.0)
+    // y = x + 1: vx = vy = 6, cxy = 6, bias = 9 -> ccc = 12/21
+    val shift = Seq(("g", 1L, 2L), ("g", 2L, 3L), ("g", 3L, 4L))
+      .toDF("g", "x", "y")
+    val r2 = graft.ops.Aggregates.linConcordance(shift, col("x"), col("y"),
+      col("g")).collect()(0)
+    assert(r2.getAs[Double]("pearson_r") == 1.0)
+    assert(r2.getAs[Double]("ccc") == 0.571429)
+  }
+
+  test("A-stat: processCapability — centered vs off-center hand values") {
+    val df = Seq(("c", 8L), ("c", 12L), ("o", 2L), ("o", 4L)).toDF("g", "v")
+    val out = graft.ops.Aggregates.processCapability(df, col("v"), col("g"),
+      lsl = 0L, usl = 20L).collect().map(r => r.getString(0) -> r).toMap
+    val c = out("c") // mean 10, pop std 2: centered -> cp = cpk = 20/12
+    assert(c.getAs[Double]("mean") == 10.0 && c.getAs[Double]("std") == 2.0)
+    assert(c.getAs[Double]("cp") == 20.0 / 12.0)
+    assert(c.getAs[Double]("cpk") == c.getAs[Double]("cp"))
+    val o = out("o") // mean 3, std 1: cpk = min(17, 3)/3 = 1 < cp
+    assert(o.getAs[Double]("cpk") == 1.0)
+    assert(o.getAs[Double]("cp") == 20.0 / 6.0)
+  }
 }
