@@ -1402,4 +1402,68 @@ object TextAnalysis {
           .as("yule_k"))
       .orderBy(col("g"))
   }
+  graft.plans.Guardrails.expect("single_partition_window",
+    "__bw, __bc", "burrowsDelta: top-k word rank over the word rollup")
+
+  /** E4 — Burrows' Delta authorship/stylometry distance (Burrows
+    * 2002, "Delta: a measure of stylistic difference"; Argamon 2008
+    * for the analysis): over the K most frequent words of the whole
+    * corpus, z-score each author's relative word frequency against
+    * the across-author distribution, then
+    *   Δ(a, b) = (1/K) Σ_w |z_a(w) − z_b(w)|
+    * — the standard attribution distance (function words carry style;
+    * z-scoring stops "the" from drowning "whilst"). Frequencies are
+    * exact ppm integers; z is micro-quantized once per (author, word)
+    * cell; Δ sums exactly. Returns one row per unordered author pair:
+    * (author_a, author_b, k_words, delta_micro, delta).
+    *
+    * Scale: ONE (author, word) rollup with map-side combine; the
+    * top-K rank runs on the WORD rollup (bounded window, documented);
+    * the z frame is |authors|·K cells and the pair join
+    * |authors|²-bounded — broadcast-sized for any real author set. */
+  def burrowsDelta(docs: DataFrame, textCol: Column, authorCol: Column,
+      topK: Int = 30): DataFrame = {
+    require(topK >= 1 && topK <= 10000, "1 <= topK <= 1e4")
+    import org.apache.spark.sql.expressions.Window
+    val d38 = "decimal(38,0)"
+    val aw = docs.select(authorCol.cast("string").as("__au"),
+        explode(split(lower(textCol), "\\s+")).as("__bw"))
+      .filter(length(col("__bw")) > 0)
+      .groupBy(col("__au"), col("__bw")).agg(count(lit(1)).as("__bc"))
+      .localCheckpoint()
+    val words = aw.groupBy(col("__bw")).agg(sum(col("__bc")).as("__wc"))
+      .withColumn("__r", row_number().over(
+        Window.orderBy(col("__wc").desc, col("__bw"))))
+      .filter(col("__r") <= topK).select(col("__bw"))
+    val totals = aw.groupBy(col("__au")).agg(sum(col("__bc")).as("__tot"))
+    // densify: every (author, top word) cell, zero counts included
+    val cells = totals.crossJoin(broadcast(words))
+      .join(aw, Seq("__au", "__bw"), "left")
+      .withColumn("__f", expr("(coalesce(__bc, 0L) * 1000000L) div __tot"))
+    val stats = cells.groupBy(col("__bw"))
+      .agg(count(lit(1)).as("__na"),
+        sum(col("__f")).cast(d38).as("__sf"),
+        sum(col("__f").cast(d38) * col("__f").cast(d38)).cast(d38)
+          .as("__sff"))
+    val z = cells.join(broadcast(stats), "__bw")
+      .withColumn("__mu",
+        col("__sf").cast("double") / col("__na").cast("double"))
+      .withColumn("__sd", sqrt(
+        (col("__na").cast(d38) * col("__sff") - col("__sf") * col("__sf"))
+          .cast("double")) / col("__na").cast("double"))
+      .withColumn("__z", floor(when(col("__sd") =!= 0.0,
+        (col("__f").cast("double") - col("__mu")) / col("__sd"))
+        .otherwise(lit(0.0)) * 1e6 + 0.5).cast("long"))
+      .select(col("__au"), col("__bw"), col("__z")).localCheckpoint()
+    val pairs = z.toDF("__a1", "__w1", "__z1")
+      .join(z.toDF("__a2", "__w2", "__z2"),
+        col("__w1") === col("__w2") && col("__a1") < col("__a2"))
+      .groupBy(col("__a1").as("author_a"), col("__a2").as("author_b"))
+      .agg(count(lit(1)).as("k_words"),
+        sum(abs(col("__z1") - col("__z2"))).as("__sum"))
+    pairs.select(col("author_a"), col("author_b"), col("k_words"),
+        expr("__sum div k_words").as("delta_micro"))
+      .withColumn("delta", col("delta_micro").cast("double") / 1e6)
+      .orderBy(col("author_a"), col("author_b"))
+  }
 }

@@ -1557,6 +1557,58 @@ object Aggregates {
             .otherwise(lit(0.0))).otherwise(lit(0.0)), 6).as("z"))
   }
 
+  /** A-stat — SEASONAL Mann–Kendall trend test (Hirsch & Slack 1984,
+    * Water Resources Research): [[mannKendall]] computed WITHIN each
+    * season (month, weekday …) and summed — the trend readout that
+    * doesn't confuse seasonality with drift (a pure annual cycle
+    * scores S = 0 here but can score huge on plain MK):
+    *   S = Σ_s S_s,  18·Var = Σ_s [n_s(n_s−1)(2n_s+5) − Σ_t t(t−1)(2t+5)]
+    * with the continuity-corrected z as one pinned finish. Returns
+    * one row per season (season, n, s, var18) each carrying the
+    * dataset totals (s_total, var18_total, z) — the per-season S
+    * column shows WHICH seasons drive the trend.
+    *
+    * Scale: pair spaces are per-season series² (rollup-grain); the
+    * season equi-join key keeps the join uniform. Input is a SERIES
+    * rollup by contract. */
+  def seasonalMannKendall(series: DataFrame, seasonCol: Column,
+      orderCol: Column, valueCol: Column): DataFrame = {
+    val d38 = "decimal(38,0)"
+    val s = series.select(seasonCol.as("__sea"), orderCol.as("__t"),
+      valueCol.cast("long").as("__v"))
+    val a = s.toDF("__sea", "__t1", "__v1")
+    val b = s.toDF("__sea", "__t2", "__v2")
+    val perSeason = a.join(b, Seq("__sea"))
+      .filter(col("__t1") < col("__t2"))
+      .groupBy(col("__sea"))
+      .agg(sum(signum(col("__v2") - col("__v1")).cast("long")).as("__s"))
+    val ties = s.groupBy(col("__sea"), col("__v"))
+      .agg(count(lit(1)).as("__c"))
+      .groupBy(col("__sea"))
+      .agg(sum(col("__c")).as("__n"),
+        (sum(col("__c").cast(d38) * (col("__c") - 1).cast(d38) *
+          (col("__c") * 2 + 5).cast(d38))).cast(d38).as("__tsum"))
+    val rows = ties.join(perSeason, Seq("__sea"), "left")
+      .withColumn("__s", coalesce(col("__s"), lit(0L)))
+      .withColumn("__var18",
+        (col("__n").cast(d38) * (col("__n") - 1).cast(d38) *
+          (col("__n") * 2 + 5).cast(d38) - col("__tsum")).cast(d38))
+      .localCheckpoint()
+    val tot = rows.agg(sum(col("__s")).as("__st"),
+      sum(col("__var18")).cast(d38).as("__vt"))
+    rows.crossJoin(broadcast(tot))
+      .select(col("__sea").as("season"), col("__n").cast("long").as("n"),
+        col("__s").as("s"), col("__var18").cast("long").as("var18"),
+        col("__st").as("s_total"), col("__vt").cast("long").as("var18_total"),
+        round(when(col("__vt") > 0,
+          when(col("__st") > 0, (col("__st") - 1).cast("double") /
+            sqrt(col("__vt").cast("double") / 18.0))
+            .when(col("__st") < 0, (col("__st") + 1).cast("double") /
+              sqrt(col("__vt").cast("double") / 18.0))
+            .otherwise(lit(0.0))).otherwise(lit(0.0)), 6).as("z"))
+      .orderBy(col("season"))
+  }
+
   /** A-stat — Pettitt changepoint test over an ordered series
     * (Pettitt, JRSS-C 1979 — public literature): locates the single
     * most likely level-shift point without assuming a distribution.

@@ -699,7 +699,113 @@ object Analytics32 {
       "the fulfillment process ships out-of-SLA even when stable — the " +
       "spec-window verdict a latency dashboard should lead with.")
 
+  /** q414 — A-stat/A8: seasonal Mann–Kendall trend of monthly order
+    * counts (Hirsch-Slack 1984) — within-month year-over-year trend,
+    * immune to the annual cycle that would pollute plain MK (q243). */
+  val q414 = Declared(
+    "q414_seasonal_mann_kendall", "A-stat,A8",
+    (s, dir) => graft.ops.Aggregates.seasonalMannKendall(
+      Tables.orders(s, dir)
+        .groupBy(month(col("o_orderdate")).cast("long").as("sea"),
+          year(col("o_orderdate")).cast("long").as("yr"))
+        .agg(count(lit(1)).as("cnt")),
+      col("sea"), col("yr"), col("cnt")),
+    Some("""WITH ser AS (
+           |  SELECT CAST(month(o_orderdate) AS BIGINT) AS sea,
+           |    CAST(year(o_orderdate) AS BIGINT) AS t,
+           |    CAST(count(*) AS BIGINT) AS v
+           |  FROM orders GROUP BY 1, 2),
+           |ps AS (
+           |  SELECT a.sea, CAST(sum(CASE WHEN b.v > a.v THEN 1
+           |    WHEN b.v < a.v THEN -1 ELSE 0 END) AS BIGINT) AS s
+           |  FROM ser a JOIN ser b ON a.sea = b.sea AND a.t < b.t
+           |  GROUP BY 1),
+           |ties AS (
+           |  SELECT sea, CAST(sum(c) AS BIGINT) AS n,
+           |    CAST(sum(CAST(c AS HUGEINT) * (c - 1) * (2 * c + 5))
+           |      AS HUGEINT) AS tsum
+           |  FROM (SELECT sea, v, count(*) AS c FROM ser GROUP BY 1, 2)
+           |  GROUP BY sea),
+           |rws AS (
+           |  SELECT t.sea, t.n, coalesce(ps.s, 0) AS s,
+           |    CAST(t.n AS HUGEINT) * (t.n - 1) * (2 * t.n + 5) - t.tsum
+           |      AS var18
+           |  FROM ties t LEFT JOIN ps ON t.sea = ps.sea),
+           |tot AS (
+           |  SELECT CAST(sum(s) AS BIGINT) AS st, sum(var18) AS vt
+           |  FROM rws)
+           |SELECT sea AS season, n, s, CAST(var18 AS BIGINT) AS var18,
+           |  st AS s_total, CAST(vt AS BIGINT) AS var18_total,
+           |  round(CASE WHEN vt > 0 THEN
+           |    CASE WHEN st > 0 THEN CAST(st - 1 AS DOUBLE)
+           |        / sqrt(CAST(vt AS DOUBLE) / 18.0)
+           |      WHEN st < 0 THEN CAST(st + 1 AS DOUBLE)
+           |        / sqrt(CAST(vt AS DOUBLE) / 18.0)
+           |      ELSE 0.0 END ELSE 0.0 END, 6) AS z
+           |FROM rws, tot ORDER BY season""".stripMargin),
+    "Pair spaces are per-season series² on the (month, year) rollup — " +
+      "calendar-bounded; the season key keeps the self-join uniform. The " +
+      "per-season S column shows WHICH months drive the drift; the total z " +
+      "is the cycle-proof trend verdict.")
+
+  /** q415 — E4: Burrows' Delta stylistic distance between document
+    * sources over the 30 most frequent corpus words — the attribution
+    * distance (z-scored function-word profiles, exact ppm counts). */
+  val q415 = Declared(
+    "q415_burrows_delta", "E4",
+    (s, dir) => graft.ext.TextAnalysis.burrowsDelta(
+      Tables.documents(s, dir), col("text"), col("source"), topK = 30),
+    Some("""WITH aw AS (
+           |  SELECT au, w, CAST(count(*) AS BIGINT) AS bc
+           |  FROM (SELECT source AS au,
+           |          unnest(regexp_split_to_array(lower(text), '\s+')) AS w
+           |        FROM documents)
+           |  WHERE length(w) > 0 GROUP BY 1, 2),
+           |words AS (
+           |  SELECT w FROM (
+           |    SELECT w, row_number() OVER (ORDER BY sum(bc) DESC, w) AS r
+           |    FROM aw GROUP BY w)
+           |  WHERE r <= 30),
+           |totals AS (SELECT au, CAST(sum(bc) AS BIGINT) AS tot
+           |           FROM aw GROUP BY 1),
+           |cells AS (
+           |  SELECT t.au, wd.w, (coalesce(aw.bc, 0) * 1000000) // t.tot
+           |    AS f
+           |  FROM totals t CROSS JOIN words wd
+           |  LEFT JOIN aw ON aw.au = t.au AND aw.w = wd.w),
+           |stats AS (
+           |  SELECT w, CAST(count(*) AS BIGINT) AS na,
+           |    CAST(sum(f) AS HUGEINT) AS sf,
+           |    sum(CAST(f AS HUGEINT) * f) AS sff
+           |  FROM cells GROUP BY w),
+           |z AS (
+           |  SELECT c.au, c.w,
+           |    CAST(floor(CASE WHEN
+           |        sqrt(CAST(na * sff - sf * sf AS DOUBLE))
+           |          / CAST(na AS DOUBLE) <> 0
+           |      THEN (CAST(f AS DOUBLE)
+           |          - CAST(sf AS DOUBLE) / CAST(na AS DOUBLE))
+           |        / (sqrt(CAST(na * sff - sf * sf AS DOUBLE))
+           |          / CAST(na AS DOUBLE))
+           |      ELSE 0.0 END * 1e6 + 0.5) AS BIGINT) AS zz
+           |  FROM cells c JOIN stats USING (w)),
+           |pairs AS (
+           |  SELECT z1.au AS author_a, z2.au AS author_b,
+           |    CAST(count(*) AS BIGINT) AS k_words,
+           |    CAST(sum(abs(z1.zz - z2.zz)) AS BIGINT) AS s
+           |  FROM z z1 JOIN z z2 ON z1.w = z2.w AND z1.au < z2.au
+           |  GROUP BY 1, 2)
+           |SELECT author_a, author_b, k_words,
+           |  s // k_words AS delta_micro,
+           |  CAST(s // k_words AS DOUBLE) / 1e6 AS delta
+           |FROM pairs ORDER BY author_a, author_b""".stripMargin),
+    "ONE (source, word) rollup with map-side combine; the top-30 rank " +
+      "runs on the word rollup (bounded window); the z frame is " +
+      "|sources|×30 cells and the pair join |sources|² — broadcast-sized " +
+      "forever. The style fingerprint that separates scraped sources " +
+      "wearing the same template.")
+
   val all: Seq[Declared] =
     Seq(q402, q403, q404, q405, q406, q407, q408, q409, q410, q411,
-      q412, q413)
+      q412, q413, q414, q415)
 }

@@ -2192,4 +2192,25 @@ class AnalyticsOpsSpec extends AnyFunSuite {
     assert(o.getAs[Double]("cpk") == 1.0)
     assert(o.getAs[Double]("cp") == 20.0 / 6.0)
   }
+  test("A-stat: seasonalMannKendall — trend season counted, pure cycle scores zero") {
+    // season 1 rises 1,2,3; season 2 constant 5,5,5
+    val ser = Seq((1L, 2020L, 1L), (1L, 2021L, 2L), (1L, 2022L, 3L),
+      (2L, 2020L, 5L), (2L, 2021L, 5L), (2L, 2022L, 5L))
+      .toDF("sea", "yr", "v")
+    val out = graft.ops.Aggregates.seasonalMannKendall(ser, col("sea"),
+      col("yr"), col("v")).collect().map(r => r.getLong(0) -> r).toMap
+    assert(out(1L).getAs[Long]("s") == 3L && out(1L).getAs[Long]("var18") == 66L)
+    assert(out(2L).getAs[Long]("s") == 0L && out(2L).getAs[Long]("var18") == 0L)
+    assert(out(1L).getAs[Long]("s_total") == 3L)
+    val expectZ = BigDecimal(2.0 / math.sqrt(66.0 / 18.0))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(out(1L).getAs[Double]("z") == expectZ)
+    // a pure seasonal cycle (constant within each season) has zero trend
+    val cyc = Seq((1L, 2020L, 9L), (1L, 2021L, 9L),
+      (2L, 2020L, 1L), (2L, 2021L, 1L)).toDF("sea", "yr", "v")
+    val oc = graft.ops.Aggregates.seasonalMannKendall(cyc, col("sea"),
+      col("yr"), col("v")).collect()
+    assert(oc.forall(_.getAs[Long]("s_total") == 0L))
+    assert(oc.forall(_.getAs[Double]("z") == 0.0))
+  }
 }

@@ -368,6 +368,21 @@ class TextAnalysisSpec extends AnyFunSuite {
     // y: all repeats -> K = 1e4*12/16 = 7500 > x
     assert(out("y").getAs[Double]("yule_k") == 7500.0)
   }
+
+  test("E4: burrowsDelta — mirrored profiles score 2.0, identical authors 0") {
+    val docs = Seq((1L, "alpha", "x x y"), (2L, "beta", "x y y"),
+      (3L, "gamma", "x x y")).toDF("doc_id", "src", "text")
+    val out = TextAnalysis.burrowsDelta(docs, col("text"), col("src"),
+      topK = 2).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getAs[Double]("delta"))
+      .toMap
+    // three authors, beta mirrored: z = (+1/sqrt2, -2/sqrt2, +1/sqrt2)
+    // per word -> |z_a - z_b| = 3/sqrt2 on both words
+    assert(math.abs(out(("alpha", "beta")) - 3.0 / math.sqrt(2.0)) < 1e-5)
+    // identical frequency profiles: zero stylistic distance
+    assert(out(("alpha", "gamma")) == 0.0)
+    assert(math.abs(out(("beta", "gamma")) - 3.0 / math.sqrt(2.0)) < 1e-5)
+  }
 }
 
 class MultimodalSpec extends AnyFunSuite {
