@@ -902,4 +902,58 @@ object Curation {
           .as("new_share"))
       .orderBy(col("domain"))
   }
+  /** E4/IR — Dirichlet-smoothed query-likelihood retrieval scoring
+    * (Zhai & Lafferty, SIGIR 2001 — the language-modeling ranker that
+    * beats BM25 on verbose queries):
+    *   score(q, d) = Σ_{w∈q} ln( (tf(w,d) + μ·p(w|C)) / (|d| + μ) )
+    * with p(w|C) = cf(w)/T the corpus unigram model. Cleared of
+    * fractions, each term is ln((tf·T + μ·cf) / (T·(|d| + μ))) — an
+    * exact integer ratio, micro-nat quantized once per (doc, term)
+    * cell (floor(·1e6 + 0.5), the suite's libm discipline), so scores
+    * are integer sums. Query terms absent from the corpus are dropped
+    * (cf = 0 ⇒ ln 0), the standard OOV convention. Returns one row
+    * per document scoring at least one term:
+    * (doc, doc_len, n_terms_hit, score_micro).
+    *
+    * Scale: ONE (doc, term) rollup filtered to the |q| query terms
+    * (scan-side IN filter), doc lengths ride the same pass; corpus
+    * frequencies are a |q|-row broadcast. The scoring shape of
+    * [[bm25Scores]] with the LM numerator. */
+  def dirichletQL(docs: DataFrame, textCol: String, idCol: String,
+      queryTerms: Seq[String], mu: Long = 2000L): DataFrame = {
+    require(queryTerms.nonEmpty, "need at least one query term")
+    require(mu >= 1, "mu >= 1")
+    val d38 = "decimal(38,0)"
+    val toks = docs.select(col(idCol).as("__d"),
+        explode(org.apache.spark.sql.functions.split(
+          lower(col(textCol)), "\\s+")).as("__w"))
+      .filter(length(col("__w")) > 0)
+      .localCheckpoint()
+    val lens = toks.groupBy(col("__d")).agg(count(lit(1)).as("__len"))
+    val tot = toks.agg(count(lit(1)).as("__t"))
+    val qset = queryTerms.map(_.toLowerCase)
+    val cf = toks.filter(col("__w").isin(qset: _*))
+      .groupBy(col("__w")).agg(count(lit(1)).as("__cf"))
+    val tf = toks.filter(col("__w").isin(qset: _*))
+      .groupBy(col("__d"), col("__w")).agg(count(lit(1)).as("__tf"))
+    // densify: every (doc-with-a-hit, query term) cell so zero-tf
+    // terms still contribute their smoothed mass
+    val hitDocs = tf.select(col("__d")).distinct()
+    val cells = hitDocs.crossJoin(broadcast(cf))
+      .join(tf, Seq("__d", "__w"), "left")
+      .withColumn("__tf", coalesce(col("__tf"), lit(0L)))
+      .join(lens, "__d").crossJoin(broadcast(tot))
+    cells
+      .withColumn("__num", expr(
+        s"cast(__tf as $d38) * __t + cast(${mu}L as $d38) * __cf"))
+      .withColumn("__den", expr(
+        s"cast(__t as $d38) * (__len + ${mu}L)"))
+      .withColumn("__mnat", floor(
+        log(col("__num").cast("double") / col("__den").cast("double"))
+          * 1e6 + 0.5).cast("long"))
+      .groupBy(col("__d").as("doc"))
+      .agg(max(col("__len")).as("doc_len"),
+        sum(when(col("__tf") > 0, 1L).otherwise(0L)).as("n_terms_hit"),
+        sum(col("__mnat")).as("score_micro"))
+  }
 }

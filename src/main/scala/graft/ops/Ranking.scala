@@ -112,4 +112,45 @@ object Ranking {
       .withColumn("ndcg", when(col("idcg_u") > 0,
         col("dcg_u").cast("double") / col("idcg_u").cast("double")))
   }
+  /** W2/A-stat — Expected Reciprocal Rank at k (Chapelle, Metlzer,
+    * Zhang & Grinspan, CIKM 2009): the cascade-model ranking metric —
+    * a user scans down the list and stops at the first satisfying
+    * item, so high-up relevant items SHADOW everything below (the
+    * behavior NDCG's additive gains ignore):
+    *   ERR = Σ_r (R_r / r) · Π_{i<r} (1 − R_i),
+    *   R = (2^g − 1) / 2^gmax.
+    * Determinism: R and every partial stop-probability are DYADIC
+    * rationals (≤ gmax fractional bits per step, ≤ k·gmax ≪ 53 bits
+    * at k ≤ 10), so products are EXACT doubles; the per-rank division
+    * by r and the sum run in one ordered fold — the identical
+    * operation sequence on both engines, bit-for-bit. Returns per
+    * key: (key, n_items, err).
+    *
+    * Scale: one key-partitioned rank window + a k-bounded collect per
+    * key — the [[ndcgAtK]] envelope. Grades must lie in 0..gmax. */
+  def errAtK(df: DataFrame, keyCol: Column, orderCols: Seq[Column],
+      gradeCol: Column, k: Int, gmax: Int = 4): DataFrame = {
+    require(k >= 1 && k <= 100, "1 <= k <= 100")
+    require(gmax >= 1 && gmax <= 8, "1 <= gmax <= 8")
+    require(k * gmax <= 500, "k*gmax bounded")
+    val actual = Window.partitionBy(keyCol).orderBy(orderCols.map(_.asc): _*)
+    val denom = (1L << gmax).toDouble
+    df.select(keyCol.as("key"), gradeCol.cast("long").as("__g"),
+        row_number().over(actual).as("__p"))
+      .filter(col("__p") <= k)
+      .groupBy(col("key"))
+      .agg(count(lit(1)).as("n_items"),
+        array_sort(collect_list(struct(col("__p"), col("__g"))))
+          .as("__a"))
+      .withColumn("err", expr(
+        s"""aggregate(__a,
+           |  named_struct('p', cast(1.0 as double), 'e', cast(0.0 as double)),
+           |  (acc, x) -> named_struct(
+           |    'p', acc.p * (1.0 - cast(shiftleft(1L, cast(x.__g as int)) - 1
+           |           as double) / $denom),
+           |    'e', acc.e + acc.p * (cast(shiftleft(1L, cast(x.__g as int)) - 1
+           |           as double) / $denom) / cast(x.__p as double))).e"""
+          .stripMargin))
+      .select(col("key"), col("n_items"), col("err"))
+  }
 }

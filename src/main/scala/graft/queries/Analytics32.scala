@@ -805,7 +805,93 @@ object Analytics32 {
       "forever. The style fingerprint that separates scraped sources " +
       "wearing the same template.")
 
+  /** q416 — E4/IR: Dirichlet-smoothed query-likelihood retrieval over
+    * the documents corpus for the query {hash, join, vector} — the
+    * language-modeling ranker beside BM25 (q74/q79), micro-nat exact,
+    * top-25 docs. */
+  val q416 = Declared(
+    "q416_dirichlet_ql", "E4",
+    (s, dir) => graft.ext.Curation.dirichletQL(
+      Tables.documents(s, dir), "text", "doc_id",
+      Seq("hash", "join", "vector"), mu = 2000L)
+      .orderBy(col("score_micro").desc, col("doc")).limit(25),
+    Some("""WITH toks AS (
+           |  SELECT d, w FROM (
+           |    SELECT doc_id AS d,
+           |      unnest(regexp_split_to_array(lower(text), '\s+')) AS w
+           |    FROM documents)
+           |  WHERE length(w) > 0),
+           |lens AS (SELECT d, CAST(count(*) AS BIGINT) AS len
+           |         FROM toks GROUP BY 1),
+           |tot AS (SELECT CAST(count(*) AS BIGINT) AS t FROM toks),
+           |cf AS (SELECT w, CAST(count(*) AS BIGINT) AS cf FROM toks
+           |       WHERE w IN ('hash', 'join', 'vector') GROUP BY 1),
+           |tf AS (SELECT d, w, CAST(count(*) AS BIGINT) AS tf FROM toks
+           |       WHERE w IN ('hash', 'join', 'vector') GROUP BY 1, 2),
+           |hd AS (SELECT DISTINCT d FROM tf),
+           |cells AS (
+           |  SELECT hd.d, cf.w, cf.cf, coalesce(tf.tf, 0) AS tf
+           |  FROM hd CROSS JOIN cf
+           |  LEFT JOIN tf ON tf.d = hd.d AND tf.w = cf.w),
+           |sc AS (
+           |  SELECT c.d, c.tf, lens.len,
+           |    CAST(floor(ln(
+           |      CAST(CAST(c.tf AS HUGEINT) * t + 2000 * c.cf AS DOUBLE) /
+           |      CAST(CAST(t AS HUGEINT) * (lens.len + 2000) AS DOUBLE))
+           |      * 1e6 + 0.5) AS BIGINT) AS mnat
+           |  FROM cells c JOIN lens ON lens.d = c.d, tot)
+           |SELECT d AS doc, CAST(max(len) AS BIGINT) AS doc_len,
+           |  CAST(sum(CASE WHEN tf > 0 THEN 1 ELSE 0 END) AS BIGINT)
+           |    AS n_terms_hit,
+           |  CAST(sum(mnat) AS BIGINT) AS score_micro
+           |FROM sc GROUP BY d
+           |ORDER BY score_micro DESC, doc LIMIT 25""".stripMargin),
+    "ONE (doc, term) rollup with the |q|-term IN filter pushed to the " +
+      "scan; corpus frequencies are a 3-row broadcast; libm runs once per " +
+      "(hit-doc, term) cell, micro-nat quantized — integer scores, " +
+      "bit-stable top-k. The verbose-query ranker the retrieval family " +
+      "was missing next to BM25.")
+
+  /** q417 — W2/A-stat: Expected Reciprocal Rank @10 per user on the
+    * event stream (cascade click model) — the shadowing-aware ranking
+    * metric beside NDCG (q164); dyadic-exact fold. */
+  val q417 = Declared(
+    "q417_err_at_k", "W2,A-stat",
+    (s, dir) => {
+      val cents = coalesce(
+        (col("value").cast("decimal(18,2)") * 100).cast("long"), lit(0L))
+      graft.ops.Ranking.errAtK(
+          Tables.events(s, dir).withColumn("__g", pmod(cents, lit(5L))),
+          col("user_id"), Seq(col("ts"), col("event_id")), col("__g"),
+          k = 10, gmax = 4)
+        .select(col("key").as("user_id"), col("n_items"), col("err"))
+        .orderBy(col("user_id"))
+    },
+    Some("""WITH d AS (
+           |  SELECT user_id,
+           |    ((coalesce(CAST(CAST(value AS DECIMAL(18,2)) * 100
+           |      AS BIGINT), 0) % 5) + 5) % 5 AS g,
+           |    row_number() OVER (PARTITION BY user_id
+           |      ORDER BY ts, event_id) AS p
+           |  FROM events),
+           |l AS (
+           |  SELECT user_id, CAST(count(*) AS BIGINT) AS n_items,
+           |    list([CAST(p AS DOUBLE), CAST(g AS DOUBLE)] ORDER BY p)
+           |      AS xs
+           |  FROM d WHERE p <= 10 GROUP BY user_id)
+           |SELECT user_id, n_items,
+           |  list_reduce(list_prepend([1.0, 0.0], xs),
+           |    (a, x) -> [a[1] * (1.0 - (power(2.0, x[2]) - 1.0) / 16.0),
+           |               a[2] + a[1] * ((power(2.0, x[2]) - 1.0) / 16.0)
+           |                 / x[1]])[2] AS err
+           |FROM l ORDER BY user_id""".stripMargin),
+    "One user-keyed rank window + a 10-bounded collect per user — the " +
+      "q164 envelope. Stop probabilities are dyadic rationals (≤ 40 " +
+      "fractional bits at k=10), so the fold is EXACT double arithmetic " +
+      "and both engines replay the identical operation sequence — no " +
+      "quantization needed at all.")
+
   val all: Seq[Declared] =
     Seq(q402, q403, q404, q405, q406, q407, q408, q409, q410, q411,
-      q412, q413, q414, q415)
+      q412, q413, q414, q415, q416, q417)
 }

@@ -2213,4 +2213,16 @@ class AnalyticsOpsSpec extends AnyFunSuite {
     assert(oc.forall(_.getAs[Long]("s_total") == 0L))
     assert(oc.forall(_.getAs[Double]("z") == 0.0))
   }
+  test("W2: errAtK — exact cascade fold, perfect item shadows the tail") {
+    val df = Seq((1L, 1L, 4L), (1L, 2L, 0L), (1L, 3L, 4L), (2L, 1L, 4L))
+      .toDF("u", "pos", "g")
+    val out = graft.ops.Ranking.errAtK(df, col("u"), Seq(col("pos")),
+      col("g"), k = 10, gmax = 4).collect()
+      .map(r => r.getAs[Long]("key") -> r).toMap
+    // u1: 15/16 + 0 + (1/16)(15/16)/3 = 0.9375 + 5/256 exactly
+    assert(out(1L).getAs[Double]("err") == 0.95703125)
+    assert(out(1L).getAs[Long]("n_items") == 3L)
+    // a single perfect item: ERR = 15/16
+    assert(out(2L).getAs[Double]("err") == 0.9375)
+  }
 }

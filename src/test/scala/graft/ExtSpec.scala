@@ -383,6 +383,25 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(out(("alpha", "gamma")) == 0.0)
     assert(math.abs(out(("beta", "gamma")) - 3.0 / math.sqrt(2.0)) < 1e-5)
   }
+
+  test("E4: dirichletQL — hand micro-nat scores, zero-tf smoothing, OOV drop") {
+    val docs = Seq((1L, "a a b"), (2L, "b c")).toDF("doc_id", "text")
+    val out = graft.ext.Curation.dirichletQL(docs, "text", "doc_id",
+      Seq("a", "b", "zzz"), mu = 10L).collect()
+      .map(r => r.getAs[Long]("doc") -> r).toMap
+    def mnat(num: Long, den: Long) =
+      math.floor(math.log(num.toDouble / den.toDouble) * 1e6 + 0.5).toLong
+    // T = 5, cf(a) = 2, cf(b) = 2, zzz absent (dropped)
+    val d1 = out(1L) // len 3: tf(a)=2, tf(b)=1
+    assert(d1.getAs[Long]("doc_len") == 3L)
+    assert(d1.getAs[Long]("n_terms_hit") == 2L)
+    assert(d1.getAs[Long]("score_micro") ==
+      mnat(2 * 5 + 10 * 2, 5 * 13) + mnat(1 * 5 + 10 * 2, 5 * 13))
+    val d2 = out(2L) // len 2: tf(a)=0 (smoothed), tf(b)=1
+    assert(d2.getAs[Long]("n_terms_hit") == 1L)
+    assert(d2.getAs[Long]("score_micro") ==
+      mnat(10 * 2, 5 * 12) + mnat(1 * 5 + 10 * 2, 5 * 12))
+  }
 }
 
 class MultimodalSpec extends AnyFunSuite {
