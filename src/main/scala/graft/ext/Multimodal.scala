@@ -445,6 +445,59 @@ object Multimodal {
       }
     } catch { case _: Exception => None }
 
+  /** E5+E2 — difference-hash (dHash) perceptual image fingerprint
+    * (Krawetz 2013, "Kind of Like That" — the gradient companion to
+    * aHash): 9×8 box-averaged luminance grid, bit = 1 where each cell
+    * is brighter than its RIGHT neighbor (bit index = row*8 + col).
+    * Gradients survive global brightness/contrast shifts that move
+    * aHash's global mean — an edit aHash reads as a wholesale flip
+    * lands within a few dHash bits. Same 64-bit shape, feeds the same
+    * pigeonhole blocking. None for undecodable or sub-grid images. */
+  private[graft] def differenceHash(payload: Array[Byte]): Option[Long] =
+    try {
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+      if (img == null || img.getWidth < 9 || img.getHeight < 8) None
+      else {
+        val w = img.getWidth; val h = img.getHeight
+        val sums = new Array[Double](72)
+        val counts = new Array[Long](72)
+        val px = img.getRGB(0, 0, w, h, null, 0, w)
+        var y = 0
+        while (y < h) {
+          val by = y * 8 / h
+          var x = 0
+          while (x < w) {
+            val rgb = px(y * w + x)
+            val lum = (((rgb >> 16) & 0xFF) + ((rgb >> 8) & 0xFF) + (rgb & 0xFF)) / 3.0
+            val cell = by * 9 + x * 9 / w
+            sums(cell) += lum; counts(cell) += 1
+            x += 1
+          }
+          y += 1
+        }
+        val means = Array.tabulate(72)(i => if (counts(i) == 0) 0.0 else sums(i) / counts(i))
+        var fp = 0L
+        var row = 0
+        while (row < 8) {
+          var colI = 0
+          while (colI < 8) {
+            if (means(row * 9 + colI) > means(row * 9 + colI + 1))
+              fp |= (1L << (row * 8 + colI))
+            colI += 1
+          }
+          row += 1
+        }
+        Some(fp)
+      }
+    } catch { case _: Exception => None }
+
+  private val dHashUdf =
+    org.apache.spark.sql.functions.udf((p: Array[Byte]) => differenceHash(p))
+
+  /** Per-row dHash column (null where the payload isn't an image). */
+  def imageDHash(payload: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    dHashUdf(payload)
+
   private val aHashUdf =
     org.apache.spark.sql.functions.udf((p: Array[Byte]) => averageHash(p))
 
@@ -463,6 +516,18 @@ object Multimodal {
     val fps = media.select(col(idCol), imageAHash(col(payloadCol)).as("ahash"))
       .filter(col("ahash").isNotNull)
     Dedup.fingerprintNearDuplicates(fps, idCol, "ahash", maxDistance,
+      nBits = 64, cache = cache)
+  }
+
+  /** E5+E2 — near-duplicate IMAGE pairs under the dHash gradient
+    * fingerprint — same pigeonhole blocking as [[imageNearDuplicates]],
+    * robust to global brightness/contrast edits aHash is not. */
+  def imageNearDuplicatesDHash(media: DataFrame, idCol: String,
+      payloadCol: String, maxDistance: Int = 5,
+      cache: Boolean = true): DataFrame = {
+    val fps = media.select(col(idCol), imageDHash(col(payloadCol)).as("dhash"))
+      .filter(col("dhash").isNotNull)
+    Dedup.fingerprintNearDuplicates(fps, idCol, "dhash", maxDistance,
       nBits = 64, cache = cache)
   }
 

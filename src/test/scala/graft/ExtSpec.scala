@@ -566,6 +566,38 @@ class MultimodalSpec extends AnyFunSuite {
     assert(pairs.toSeq == Seq((1L, 2L, 2L)),
       s"expected exactly the planted twin pair at hamming 2, got ${pairs.toSeq}")
   }
+
+  test("E5: imageDHash — exact gradient bits, brightness-shift invariance, near-dup pairing") {
+    import spark.implicits._
+    import javax.imageio.ImageIO
+    import java.awt.image.BufferedImage
+    def png(shift: Int): Array[Byte] = {
+      // 18x8 left-to-right luminance ramp: every cell brighter than its
+      // right neighbor is FALSE (ramp rises) -> dHash = 0
+      val img = new BufferedImage(18, 8, BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until 8; x <- 0 until 18) {
+        val v = math.min(255, 40 + x * 10 + shift)
+        img.setRGB(x, y, (v << 16) | (v << 8) | v)
+      }
+      val bos = new java.io.ByteArrayOutputStream()
+      ImageIO.write(img, "png", bos); bos.toByteArray
+    }
+    val df = Seq((1L, png(0)), (2L, png(30)), (3L, "notanimage".getBytes))
+      .toDF("id", "payload")
+    val fps = df.select(col("id"), Multimodal.imageDHash(col("payload")).as("fp"))
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
+    // rising ramp: no cell brighter than its right neighbor
+    assert(fps(1L).contains(0L))
+    // +30 brightness (no clipping at these values): gradients unchanged
+    assert(fps(2L) == fps(1L))
+    assert(fps(3L).isEmpty)
+    // near-dup pairing finds the brightness-shifted twin at distance 0
+    val pairs = Multimodal.imageNearDuplicatesDHash(df, "id", "payload",
+      maxDistance = 2, cache = false)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.toSet == Set((1L, 2L)))
+  }
 }
 
 class CurationSpec extends AnyFunSuite {
