@@ -891,7 +891,57 @@ object Analytics32 {
       "and both engines replay the identical operation sequence — no " +
       "quantization needed at all.")
 
+  /** q418 — T-state/A8: STREAMING tabular CUSUM drift alarm per event
+    * type (Page 1954) — the live volume-drift monitor carried as
+    * flatMapGroupsWithState custom state, verified bit-for-bit
+    * against the batch CUSUM recursion (the q126/q337 contract: the
+    * monitoring loop and the warehouse agree exactly). */
+  val q418 = Declared(
+    "q418_stream_cusum", "T-state,A8",
+    (s, dir) => {
+      import s.implicits._
+      TimeSeries.streamEventsToTable(s, dir, "q418", mode = "append")(ev =>
+        graft.streaming.StreamOps.statefulDailyCusum(
+          ev.select(col("event_type").as("key"), col("ts"))
+            .as[graft.streaming.StreamOps.KeyedStamp],
+          mu0 = 66L, slack = 3L, h = 40L).toDF())
+        // changelog compaction: keep the final (largest-n) row per day
+        .groupBy(col("event_type"), col("day"))
+        .agg(max(col("n")).as("n"),
+          expr("max_by(s_pos, n)").as("s_pos"),
+          expr("max_by(s_neg, n)").as("s_neg"),
+          expr("max_by(alarm, n)").as("alarm"))
+        .orderBy(col("event_type"), col("day"))
+    },
+    Some("""WITH RECURSIVE d AS (
+           |  SELECT event_type, CAST(ts AS DATE) AS day,
+           |    CAST(count(*) AS BIGINT) AS n
+           |  FROM events GROUP BY 1, 2),
+           |r AS (
+           |  SELECT *, row_number() OVER (PARTITION BY event_type
+           |    ORDER BY day) AS rn
+           |  FROM d),
+           |s AS (
+           |  SELECT event_type, rn, day, n,
+           |    greatest(0, n - 66 - 3) AS sp,
+           |    greatest(0, 66 - n - 3) AS sn
+           |  FROM r WHERE rn = 1
+           |  UNION ALL
+           |  SELECT r.event_type, r.rn, r.day, r.n,
+           |    greatest(0, s.sp + (r.n - 66 - 3)),
+           |    greatest(0, s.sn + (66 - r.n - 3))
+           |  FROM r JOIN s ON r.event_type = s.event_type
+           |    AND r.rn = s.rn + 1)
+           |SELECT event_type, day, n, sp AS s_pos, sn AS s_neg,
+           |  (sp >= 40 OR sn >= 40) AS alarm
+           |FROM s ORDER BY event_type, day""".stripMargin),
+    "State is 28 bytes per key, shuffle keyed on the type; each batch " +
+      "folds its own (key, day) rollup. The drift detector pages BEFORE " +
+      "the nightly batch job would notice, and the oracle proves the " +
+      "stream and the warehouse compute the same alarm stream — no " +
+      "monitoring/reporting split-brain.")
+
   val all: Seq[Declared] =
     Seq(q402, q403, q404, q405, q406, q407, q408, q409, q410, q411,
-      q412, q413, q414, q415, q416, q417)
+      q412, q413, q414, q415, q416, q417, q418)
 }

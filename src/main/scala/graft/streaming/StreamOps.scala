@@ -246,6 +246,82 @@ object StreamOps {
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(handle)
   }
 
+  final case class CusumDayState(lastDay: Int, sPosPrev: Long,
+    sNegPrev: Long, nOpen: Long, first: Boolean)
+  final case class CusumDayOut(event_type: String, day: java.time.LocalDate,
+    n: Long, s_pos: Long, s_neg: Long, alarm: Boolean)
+
+  /** T-state — STREAMING tabular CUSUM drift alarm (Page 1954; the
+    * live twin of q126's batch CUSUM): per-key DAILY event counts run
+    * the two one-sided cumulative sums
+    *   S⁺ ← max(0, S⁺ + (n − μ₀ − k)),  S⁻ ← max(0, S⁻ + (μ₀ − n − k))
+    * as `flatMapGroupsWithState` custom state — the volume-drift
+    * monitor that fires while the day is still open. All integer; the
+    * alarm is S⁺ ≥ h or S⁻ ≥ h.
+    *
+    * Changelog semantics exactly as [[statefulDailyEwma]]: replays of
+    * CLOSED days drop; an OPEN day straddling a micro-batch boundary
+    * merges its counts and RE-EMITS with the corrected row (n only
+    * grows — consumers keep the max-n row per (key, day)), so
+    * micro-batch alignment can never change the final table. State =
+    * 28 bytes per key.
+    *
+    * Scale: shuffle keyed on the event key; each batch folds its own
+    * (key, day) rollup, never raw rows. */
+  def statefulDailyCusum(events: org.apache.spark.sql.Dataset[KeyedStamp],
+      mu0: Long, slack: Long, h: Long)
+      : org.apache.spark.sql.Dataset[CusumDayOut] = {
+    require(slack >= 0 && h > 0, "slack >= 0, h > 0")
+    import events.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+    // CUSUM pair including the OPEN day's current count
+    def sOf(s: CusumDayState): (Long, Long) = {
+      val pPrev = if (s.first) 0L else s.sPosPrev
+      val nPrev = if (s.first) 0L else s.sNegPrev
+      (math.max(0L, pPrev + (s.nOpen - mu0 - slack)),
+        math.max(0L, nPrev + (mu0 - s.nOpen - slack)))
+    }
+
+    def emit(key: String, d: Int, s: CusumDayState): CusumDayOut = {
+      val (sp, sn) = sOf(s)
+      CusumDayOut(key, java.time.LocalDate.ofEpochDay(d.toLong),
+        s.nOpen, sp, sn, sp >= h || sn >= h)
+    }
+
+    def handle(key: String, batch: Iterator[KeyedStamp],
+        state: GroupState[CusumDayState]): Iterator[CusumDayOut] = {
+      val byDay = batch.toSeq
+        .groupBy(e => math.floorDiv(e.ts.getTime, 86400000L).toInt)
+        .map { case (d, es) => (d, es.size.toLong) }
+        .toSeq.sortBy(_._1)
+      var cur = state.getOption
+      val out = byDay.flatMap { case (d, n) =>
+        cur match {
+          case Some(s) if d < s.lastDay => None // replay of a closed day
+          case Some(s) if d == s.lastDay =>
+            val merged = s.copy(nOpen = s.nOpen + n)
+            cur = Some(merged)
+            Some(emit(key, d, merged))
+          case Some(s) => // close the open day into the prefix sums
+            val (sp, sn) = sOf(s)
+            val next = CusumDayState(d, sp, sn, n, first = false)
+            cur = Some(next)
+            Some(emit(key, d, next))
+          case None =>
+            val head = CusumDayState(d, 0L, 0L, n, first = true)
+            cur = Some(head)
+            Some(emit(key, d, head))
+        }
+      }
+      cur.foreach(state.update)
+      out.iterator
+    }
+
+    events.groupByKey(_.key)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(handle)
+  }
+
   /** T6 — parquet sink with checkpoint (exactly-once file sink). */
   def parquetSink(df: DataFrame, path: String, checkpoint: String): DataStreamWriter[Row] =
     df.writeStream.format("parquet")

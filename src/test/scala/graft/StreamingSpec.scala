@@ -154,6 +154,39 @@ class StreamingSpec extends AnyFunSuite {
     assert(closed.head.session_end == ts("2024-01-01 10:10:00"))
   }
 
+  test("T-state: statefulDailyCusum accumulates drift, merges straddled days") {
+    import graft.streaming.StreamOps.{KeyedStamp, CusumDayOut}
+    val dir = tmp()
+    // mu0=3, slack=0, h=4: day1 n=5 -> S+=2; day2 n=6 -> S+=5 ALARM
+    writeBatch(dir, "b1",
+      (1 to 5).map(i => (i.toLong, "2024-01-01 10:00:00", 1L, 1.0)) ++
+      (6 to 11).map(i => (i.toLong, "2024-01-02 10:00:00", 1L, 1.0)))
+    val stream = StreamOps.fileStream(spark, dir, schema)
+      .select(lit("k").as("key"), col("ts")).as[KeyedStamp]
+    val out = StreamOps.statefulDailyCusum(stream, mu0 = 3L, slack = 0L,
+      h = 4L)
+    val q = out.writeStream.outputMode("append").format("memory")
+      .queryName("tcusum").start()
+    q.processAllAvailable()
+    val r1 = spark.table("tcusum").as[CusumDayOut].collect().sortBy(_.day)
+    assert(r1.map(_.s_pos).toSeq == Seq(2L, 5L))
+    assert(r1.map(_.alarm).toSeq == Seq(false, true))
+    // straddle: 2 more day-2 events -> n 6->8, S+ recomputed 2+(8-3)=7
+    writeBatch(dir, "b2",
+      (12 to 13).map(i => (i.toLong, "2024-01-02 14:00:00", 1L, 1.0)))
+    q.processAllAvailable()
+    val r2 = spark.table("tcusum").as[CusumDayOut].collect()
+    val fin = r2.filter(_.day.toString == "2024-01-02").maxBy(_.n)
+    assert(fin.n == 8L && fin.s_pos == 7L && fin.alarm)
+    // a quiet day drains the positive sum: n=1 -> max(0, 7 + (1-3)) = 5
+    writeBatch(dir, "b3", Seq((20L, "2024-01-03 10:00:00", 1L, 1.0)))
+    q.processAllAvailable()
+    val r3 = spark.table("tcusum").as[CusumDayOut].collect()
+    q.stop()
+    val d3 = r3.filter(_.day.toString == "2024-01-03").maxBy(_.n)
+    assert(d3.s_pos == 5L && d3.s_neg == 2L, s"drain: $d3")
+  }
+
   test("T-state: statefulDailyEwma folds across batches, drops replays") {
     import graft.streaming.StreamOps.{KeyedStamp, EwmaDayOut}
     val dir = tmp()
