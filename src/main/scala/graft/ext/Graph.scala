@@ -801,4 +801,46 @@ object Graph {
       .select(col("u"), col("v"),
         coalesce(col("support"), lit(0L)).as("support"))
   }
+  /** E2+ — rich-club coefficient profile (Colizza, Flammini, Serrano
+    * & Vespignani, Nature Physics 2006): for each degree threshold k,
+    *   φ(k) = 2·E_{>k} / (N_{>k}·(N_{>k}−1))
+    * — the edge density among the hubs alone. A rising φ(k) says the
+    * high-degree nodes form a club (supply-chain concentration, crawl
+    * hub interlinking); the robustness question behind "what happens
+    * if the top nodes fail together". Exact integer counts, one
+    * pinned division per threshold. Returns one row per k:
+    * (k, n_rich, e_rich, phi).
+    *
+    * Scale: degrees are ONE dst/src-keyed agg of the symmetrized edge
+    * list; each threshold's edge count is a conditional agg over the
+    * degree-joined edges — |ks| passes over one broadcast-degree
+    * frame, never a pair blowup. */
+  def richClub(edges: DataFrame, srcCol: String, dstCol: String,
+      ks: Seq[Int]): DataFrame = {
+    require(ks.nonEmpty && ks.forall(_ >= 0), "ks non-empty, >= 0")
+    val e0 = edges.select(col(srcCol).cast("long").as("a"),
+        col(dstCol).cast("long").as("b"))
+      .filter(col("a") =!= col("b"))
+      .select(least(col("a"), col("b")).as("a"),
+        greatest(col("a"), col("b")).as("b"))
+      .distinct().localCheckpoint()
+    val deg = e0.select(explode(array(col("a"), col("b"))).as("node"))
+      .groupBy(col("node")).agg(count(lit(1)).as("deg"))
+      .localCheckpoint()
+    val joined = e0
+      .join(deg.select(col("node").as("a"), col("deg").as("__da")), "a")
+      .join(deg.select(col("node").as("b"), col("deg").as("__db")), "b")
+    val rows = ks.map { k =>
+      val er = joined.filter(col("__da") > k && col("__db") > k)
+        .agg(count(lit(1)).as("e_rich"))
+      val nr = deg.filter(col("deg") > k).agg(count(lit(1)).as("n_rich"))
+      er.crossJoin(broadcast(nr))
+        .select(lit(k.toLong).as("k"), col("n_rich"), col("e_rich"),
+          when(col("n_rich") >= 2,
+            col("e_rich").cast("double") * 2.0 /
+              (col("n_rich").cast("double") *
+                (col("n_rich") - 1).cast("double"))).as("phi"))
+    }
+    rows.reduce(_ unionByName _).orderBy(col("k"))
+  }
 }

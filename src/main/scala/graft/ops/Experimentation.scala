@@ -25,6 +25,8 @@ object Experimentation {
   // flags only NEW hazards instead of letting them hide among known
   // ones. Markers are operator-owned columns of the hazard plan node.
   graft.plans.Guardrails.expect("single_partition_window",
+    "decile, n_t", "qiniCurve: 10-row decile rollup cumulative/lag")
+  graft.plans.Guardrails.expect("single_partition_window",
     "arm, pulls, wins", "ucb1: |arms|-row ranking")
   graft.plans.Guardrails.expect("single_partition_window",
     "look", "sequentialBoundary/sprt: K-row look rollup (calendar-bounded)")
@@ -1501,5 +1503,72 @@ object Experimentation {
           synth.cast("long").cast("double") / den).as("gap")) ++
         (0 until k).map(i => col(s"__w$i").as(s"w${i + 1}")): _*)
       .orderBy(col("t"))
+  }
+  /** A-stat/uplift — Qini curve + coefficient (Radcliffe 2007, "Using
+    * control groups to target on predicted lift"): rank units by a
+    * targeting score, and at each decile read the INCREMENTAL
+    * conversions the model's targeting has earned over the control
+    * baseline,
+    *   g(t) = Y_T(t) − Y_C(t)·N_T(t)/N_C(t),
+    * then the Qini coefficient = area between the curve and the
+    * random-targeting diagonal. The uplift-model acceptance metric
+    * (complements q358's uplift bands with the single ranking-quality
+    * number).
+    *
+    * Determinism: ranks come from the range-shuffle global row number
+    * over a TOTAL order (score, id); deciles are exact integer
+    * buckets (rank−1)·10 div N; g is micro-quantized with one
+    * truncating division per decile; the trapezoid area and diagonal
+    * subtraction are exact integer algebra on those 10 values.
+    *
+    * Returns one row per decile d = 1..10: (decile, n_t, n_c, y_t,
+    * y_c, qini_micro) plus the constant (auq_micro, qini_coef_micro).
+    *
+    * Scale: one global range-shuffle rank over UNITS (not facts), a
+    * 10-row rollup, then driver-free integer finishes. */
+  def qiniCurve(df: DataFrame, scoreCol: Column, idCol: Column,
+      treatedCond: Column, outcomeCond: Column): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val d38 = "decimal(38,0)"
+    val units = df.select(scoreCol.cast("long").as("__sc"),
+      idCol.cast("long").as("__id"),
+      treatedCond.cast("long").as("__tr"),
+      outcomeCond.cast("long").as("__y"))
+    val ranked = Ranking.globalRowNumber(units,
+      Seq(col("__sc").desc, col("__id")))
+      .withColumnRenamed("row_num", "__rn")
+    val n = ranked.agg(count(lit(1)).as("__n"))
+    val dec = ranked.crossJoin(broadcast(n))
+      .withColumn("__d", expr("((__rn - 1) * 10) div __n + 1"))
+      .groupBy(col("__d").as("decile"))
+      .agg(sum(col("__tr")).as("n_t"),
+        sum(lit(1L) - col("__tr")).as("n_c"),
+        sum(col("__tr") * col("__y")).as("y_t"),
+        sum((lit(1L) - col("__tr")) * col("__y")).as("y_c"))
+    val cum = Window.orderBy(col("decile"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val g = dec
+      .withColumn("__cnt", sum(col("n_t")).over(cum))
+      .withColumn("__cnc", sum(col("n_c")).over(cum))
+      .withColumn("__cyt", sum(col("y_t")).over(cum))
+      .withColumn("__cyc", sum(col("y_c")).over(cum))
+      .withColumn("qini_micro", expr(
+        s"""1000000L * __cyt - cast(cast(1000000 as $d38) * __cyc * __cnt
+           | div greatest(__cnc, 1L) as long)""".stripMargin))
+      .localCheckpoint()
+    // trapezoid area over the 10 deciles (Δt = 1/10, g(0) = 0) minus
+    // the random diagonal's triangle (g(1)/2): exact integer algebra
+    val area = g
+      .withColumn("__gprev", coalesce(lag(col("qini_micro"), 1).over(
+        Window.orderBy(col("decile"))), lit(0L)))
+      .agg(sum(expr("(__gprev + qini_micro)")).as("__trap2"),
+        max(when(col("decile") === 10, col("qini_micro"))).as("__g10"))
+      .select(expr("__trap2 div 20").as("auq_micro"),
+        expr("__trap2 div 20 - __g10 div 2").as("qini_coef_micro"))
+    g.crossJoin(broadcast(area))
+      .select(col("decile"), col("n_t"), col("n_c"), col("y_t"),
+        col("y_c"), col("qini_micro"), col("auq_micro"),
+        col("qini_coef_micro"))
+      .orderBy(col("decile"))
   }
 }

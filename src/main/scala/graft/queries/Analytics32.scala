@@ -941,7 +941,126 @@ object Analytics32 {
       "stream and the warehouse compute the same alarm stream — no " +
       "monitoring/reporting split-brain.")
 
+  /** q419 — E2+: rich-club coefficient profile of the part-succession
+    * graph — do the hub parts interlink into a club? (Colizza et al.
+    * 2006). Exact integer counts per degree threshold. */
+  val q419 = Declared(
+    "q419_rich_club", "E2+",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("l_orderkey"))
+        .orderBy(col("l_linenumber"), col("l_partkey"))
+      val edges = Tables.lineitem(s, dir)
+        .select(col("l_orderkey"), col("l_partkey").as("src"),
+          lead(col("l_partkey"), 1).over(w).as("dst"))
+        .filter(col("dst").isNotNull && col("dst") =!= col("src"))
+      graft.ext.Graph.richClub(edges, "src", "dst", Seq(5, 10, 20, 40))
+    },
+    Some("""WITH nx AS (
+           |  SELECT l_partkey AS src,
+           |    lead(l_partkey) OVER (PARTITION BY l_orderkey
+           |      ORDER BY l_linenumber, l_partkey) AS dst
+           |  FROM lineitem),
+           |e0 AS (
+           |  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+           |  FROM nx WHERE dst IS NOT NULL AND dst <> src),
+           |deg AS (
+           |  SELECT node, CAST(count(*) AS BIGINT) AS deg
+           |  FROM (SELECT a AS node FROM e0 UNION ALL SELECT b FROM e0)
+           |  GROUP BY 1),
+           |ks(k) AS (VALUES (5), (10), (20), (40)),
+           |er AS (
+           |  SELECT k, CAST(count(CASE WHEN da.deg > k AND db.deg > k
+           |    THEN 1 END) AS BIGINT) AS e_rich
+           |  FROM ks CROSS JOIN e0
+           |  JOIN deg da ON e0.a = da.node JOIN deg db ON e0.b = db.node
+           |  GROUP BY k),
+           |nr AS (
+           |  SELECT k, CAST(count(CASE WHEN deg > k THEN 1 END) AS BIGINT)
+           |    AS n_rich
+           |  FROM ks CROSS JOIN deg GROUP BY k)
+           |SELECT CAST(k AS BIGINT) AS k, n_rich, e_rich,
+           |  CASE WHEN n_rich >= 2 THEN CAST(e_rich AS DOUBLE) * 2.0
+           |    / (CAST(n_rich AS DOUBLE) * CAST(n_rich - 1 AS DOUBLE)) END
+           |    AS phi
+           |FROM er JOIN nr USING (k) ORDER BY k""".stripMargin),
+    "Degrees are one agg of the canonical edge list; each threshold is a " +
+      "conditional agg over degree-joined edges — |ks| scans of one " +
+      "broadcast-degree frame, never a pair blowup. Rising φ(k) = the " +
+      "hubs fail together; the supply-chain concentration readout beside " +
+      "q395's HHI.")
+
+  /** q420 — A-stat/uplift: Qini curve and coefficient of account-
+    * balance-ranked targeting for urgent-order conversion under the
+    * custkey-parity pseudo-experiment — the uplift-model acceptance
+    * number beside q358's bands. */
+  val q420 = Declared(
+    "q420_qini", "A-stat",
+    (s, dir) => {
+      val oy = Tables.orders(s, dir)
+        .filter(year(col("o_orderdate")) === 1995 &&
+          col("o_orderpriority").isin("1-URGENT", "2-HIGH"))
+        .groupBy(col("o_custkey")).agg(lit(1L).as("y"))
+      val units = Tables.customer(s, dir)
+        .join(oy, col("c_custkey") === col("o_custkey"), "left")
+        .select(
+          expr("CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT)")
+            .as("sc"),
+          col("c_custkey").as("id"),
+          (col("c_custkey") % 2 === 1).as("tr"),
+          (coalesce(col("y"), lit(0L)) === 1L).as("yy"))
+      graft.ops.Experimentation.qiniCurve(units, col("sc"), col("id"),
+        col("tr"), col("yy"))
+    },
+    Some("""WITH oy AS (
+           |  SELECT o_custkey, CAST(1 AS BIGINT) AS y FROM orders
+           |  WHERE year(o_orderdate) = 1995
+           |    AND o_orderpriority IN ('1-URGENT', '2-HIGH')
+           |  GROUP BY 1),
+           |u AS (
+           |  SELECT c_custkey AS id,
+           |    CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT)
+           |      AS sc,
+           |    c_custkey % 2 AS tr, coalesce(oy.y, 0) AS y
+           |  FROM customer LEFT JOIN oy ON o_custkey = c_custkey),
+           |r AS (
+           |  SELECT *, row_number() OVER (ORDER BY sc DESC, id) AS rn,
+           |    count(*) OVER () AS n
+           |  FROM u),
+           |dec AS (
+           |  SELECT ((rn - 1) * 10) // n + 1 AS decile,
+           |    CAST(sum(tr) AS BIGINT) AS n_t,
+           |    CAST(sum(1 - tr) AS BIGINT) AS n_c,
+           |    CAST(sum(tr * y) AS BIGINT) AS y_t,
+           |    CAST(sum((1 - tr) * y) AS BIGINT) AS y_c
+           |  FROM r GROUP BY 1),
+           |g AS (
+           |  SELECT *,
+           |    1000000 * cyt - CAST(CAST(1000000 AS HUGEINT) * cyc * cnt
+           |      // greatest(cnc, 1) AS BIGINT) AS qini_micro
+           |  FROM (
+           |    SELECT *,
+           |      CAST(sum(n_t) OVER w AS BIGINT) AS cnt,
+           |      CAST(sum(n_c) OVER w AS BIGINT) AS cnc,
+           |      CAST(sum(y_t) OVER w AS BIGINT) AS cyt,
+           |      CAST(sum(y_c) OVER w AS BIGINT) AS cyc
+           |    FROM dec WINDOW w AS (ORDER BY decile))),
+           |a AS (
+           |  SELECT CAST(sum(gprev + qini_micro) AS BIGINT) AS trap2,
+           |    max(CASE WHEN decile = 10 THEN qini_micro END) AS g10
+           |  FROM (SELECT *, coalesce(lag(qini_micro)
+           |          OVER (ORDER BY decile), 0) AS gprev
+           |        FROM g))
+           |SELECT decile, n_t, n_c, y_t, y_c, qini_micro,
+           |  trap2 // 20 AS auq_micro,
+           |  trap2 // 20 - g10 // 2 AS qini_coef_micro
+           |FROM g, a ORDER BY decile""".stripMargin),
+    "One range-shuffle rank over UNITS (customers, not orders), a 10-row " +
+      "decile rollup, integer trapezoid algebra — the uplift acceptance " +
+      "number at dimension-table cost. Parity assignment means true " +
+      "uplift ≈ 0: the near-zero coefficient IS the calibration check.")
+
   val all: Seq[Declared] =
     Seq(q402, q403, q404, q405, q406, q407, q408, q409, q410, q411,
-      q412, q413, q414, q415, q416, q417, q418)
+      q412, q413, q414, q415, q416, q417, q418, q419, q420)
 }

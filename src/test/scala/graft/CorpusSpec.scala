@@ -85,6 +85,25 @@ class GraphSpec extends AnyFunSuite {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(kc(1L) == 1875000L && kc(2L) == 1875000L)
   }
+  test("E2+: richClub — hub clique vs periphery hand counts") {
+    // K4 clique on {1,2,3,4} (deg 3+1=4 for node 1... plus spokes):
+    // spokes 5,6 hang off nodes 1,2 -> deg(1)=deg(2)=4, deg(3)=deg(4)=3
+    val edges = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L),
+      (3L, 4L), (1L, 5L), (2L, 6L)).toDF("s", "d")
+    val out = Graph.richClub(edges, "s", "d", Seq(0, 2, 3))
+      .collect().map(r => r.getLong(0) -> r).toMap
+    // k=0: all 6 nodes, 8 edges: phi = 16/30
+    assert(out(0L).getAs[Long]("n_rich") == 6L)
+    assert(out(0L).getAs[Long]("e_rich") == 8L)
+    assert(math.abs(out(0L).getAs[Double]("phi") - 16.0 / 30.0) < 1e-12)
+    // k=2: the K4 nodes (deg >= 3): 6 internal edges -> phi = 1.0
+    assert(out(2L).getAs[Long]("n_rich") == 4L)
+    assert(out(2L).getAs[Long]("e_rich") == 6L)
+    assert(out(2L).getAs[Double]("phi") == 1.0)
+    // k=3: only nodes 1,2 (deg 4): the 1-2 edge -> phi = 1.0
+    assert(out(3L).getAs[Long]("n_rich") == 2L)
+    assert(out(3L).getAs[Long]("e_rich") == 1L)
+  }
 }
 
 class CorpusCurationSpec extends AnyFunSuite {

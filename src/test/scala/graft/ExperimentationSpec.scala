@@ -803,4 +803,24 @@ class ExperimentationSpec extends AnyFunSuite {
     // a plain base-rate group is not discovered
     assert(!by.find(_._1 == 20L).exists(_._2))
   }
+  test("A-stat: qiniCurve — perfect-targeting hand trapezoid, null outcome zero") {
+    // 10 units, one per decile (score = -id): treated = odd ids,
+    // outcome = treated only, control never converts -> g = 1e6 * cyt
+    val df = (1L to 10L).map(i => (100L - i, i, i % 2 == 1L, i % 2 == 1L))
+      .toDF("sc", "id", "tr", "yy")
+    val out = Experimentation.qiniCurve(df, col("sc"), col("id"),
+      col("tr"), col("yy")).collect()
+    assert(out.length == 10)
+    assert(out.map(_.getAs[Long]("qini_micro")).toSeq ==
+      Seq(1L, 1L, 2L, 2L, 3L, 3L, 4L, 4L, 5L, 5L).map(_ * 1000000L))
+    assert(out(0).getAs[Long]("auq_micro") == 2750000L)
+    assert(out(0).getAs[Long]("qini_coef_micro") == 250000L)
+    // no outcomes anywhere: flat zero curve and coefficient
+    val z = (1L to 10L).map(i => (100L - i, i, i % 2 == 1L, false))
+      .toDF("sc", "id", "tr", "yy")
+    val oz = Experimentation.qiniCurve(z, col("sc"), col("id"),
+      col("tr"), col("yy")).collect()
+    assert(oz.forall(_.getAs[Long]("qini_micro") == 0L))
+    assert(oz.forall(_.getAs[Long]("qini_coef_micro") == 0L))
+  }
 }
