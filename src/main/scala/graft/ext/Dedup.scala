@@ -459,4 +459,41 @@ object Dedup {
           col("covered_pairs").cast("double") /
             col("true_pairs").cast("double")))
   }
+  /** E2/J-fuzzy — exact edit-distance-1 self-join by DELETION
+    * NEIGHBORHOODS (FastSS — Bocek, Hunt & Stiller 2007): every
+    * string generates itself plus its |s| one-character-deletion
+    * variants; two strings with Levenshtein distance ≤ 1 ALWAYS share
+    * a variant (a substitution shares the deletion at the edited
+    * position; an insertion's deletion IS the other string) — so the
+    * variant equi-join is recall-COMPLETE, unlike prefix blocking
+    * (q108), which is blind to first-character edits. Candidates
+    * verify with exact Levenshtein. Returns (id_a, id_b, s_a, s_b,
+    * dist ≤ 1).
+    *
+    * Scale: the explode is |s|+1 variants per DISTINCT string; the
+    * join keys on variant content (uniform hash); the pair space is
+    * true-neighborhood-sized, never n². */
+  def editDistance1Join(df: DataFrame, idCol: String,
+      strCol: String): DataFrame = {
+    val base = df.select(col(idCol).cast("long").as("__id"),
+        col(strCol).as("__s"))
+      .filter(col("__s").isNotNull).distinct().localCheckpoint()
+    val variants = base.select(col("__id"), col("__s"),
+        explode(expr(
+          """transform(sequence(0, length(__s)),
+            |  i -> CASE WHEN i = 0 THEN __s
+            |       ELSE concat(substring(__s, 1, i - 1),
+            |                   substring(__s, i + 1)) END)"""
+            .stripMargin)).as("__v"))
+      .select(col("__id"), col("__s"), col("__v")).distinct()
+    val cand = variants.select(col("__id").as("id_a"), col("__s").as("s_a"),
+        col("__v"))
+      .join(variants.select(col("__id").as("id_b"), col("__s").as("s_b"),
+        col("__v")), Seq("__v"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), col("s_a"), col("s_b")).distinct()
+    cand.withColumn("dist",
+        levenshtein(col("s_a"), col("s_b")).cast("long"))
+      .filter(col("dist") <= 1)
+  }
 }

@@ -1466,4 +1466,62 @@ object TextAnalysis {
       .withColumn("delta", col("delta_micro").cast("double") / 1e6)
       .orderBy(col("author_a"), col("author_b"))
   }
+  /** E4 — "Fightin' Words" contrastive keywords: log-odds ratio with
+    * an informative Dirichlet prior (Monroe, Colaresi & Quinn 2008,
+    * Political Analysis — THE principled corpus-comparison statistic;
+    * raw log-odds explodes on rare words, PMI on frequent ones; the
+    * corpus-rate prior fixes both):
+    *   δ_w = ln[(y_w^A + α_w)/(n_A + α₀ − y_w^A − α_w)]
+    *       − ln[(y_w^B + α_w)/(n_B + α₀ − y_w^B − α_w)],
+    *   α_w = α₀·c_w/N,   z_w = δ_w / √(1/(y_w^A+α_w) + 1/(y_w^B+α_w)).
+    * Fraction-cleared: every log argument is a ratio of exact integers
+    * (scaled by N), micro-nat quantized; the variance chain is pinned
+    * IEEE over the same integers; z rounds to 6. Returns per word:
+    * (word, y_a, y_b, delta_micro, z).
+    *
+    * Scale: ONE (word, side) rollup with map-side combine; scoring is
+    * per-word scan-side arithmetic — |vocab|-sized, never doc-sized. */
+  def logOddsFightinWords(docs: DataFrame, textCol: Column,
+      sideACond: Column, alpha0: Long = 500L): DataFrame = {
+    require(alpha0 >= 1, "alpha0 >= 1")
+    val d38 = "decimal(38,0)"
+    val counts = docs.select(sideACond.cast("long").as("__a"),
+        explode(split(lower(textCol), "\\s+")).as("__w"))
+      .filter(length(col("__w")) > 0)
+      .groupBy(col("__w"))
+      .agg(sum(col("__a")).as("__ya"),
+        sum(lit(1L) - col("__a")).as("__yb"))
+      .localCheckpoint()
+    val tot = counts.agg(sum(col("__ya")).as("__na"),
+      sum(col("__yb")).as("__nb"))
+    def dd(c: Column) = c.cast(d38)
+    val scored = counts.crossJoin(broadcast(tot))
+      .withColumn("__nn", col("__na") + col("__nb"))
+      .withColumn("__cw", col("__ya") + col("__yb"))
+      // scaled by N: y + α₀·c/N → y·N + α₀·c (exact)
+      .withColumn("__pa", dd(col("__ya")) * col("__nn") +
+        dd(col("__cw")) * alpha0)
+      .withColumn("__qa", dd(col("__na")) * col("__nn") +
+        dd(lit(alpha0)) * col("__nn") - dd(col("__ya")) * col("__nn") -
+        dd(col("__cw")) * alpha0)
+      .withColumn("__pb", dd(col("__yb")) * col("__nn") +
+        dd(col("__cw")) * alpha0)
+      .withColumn("__qb", dd(col("__nb")) * col("__nn") +
+        dd(lit(alpha0)) * col("__nn") - dd(col("__yb")) * col("__nn") -
+        dd(col("__cw")) * alpha0)
+      .withColumn("delta_micro",
+        floor(log(col("__pa").cast("double") / col("__qa").cast("double"))
+          * 1e6 + 0.5).cast("long") -
+        floor(log(col("__pb").cast("double") / col("__qb").cast("double"))
+          * 1e6 + 0.5).cast("long"))
+      // var = 1/(y_a + α_w) + 1/(y_b + α_w) = N/pa' + N/pb' with
+      // pa' = y·N + α₀·c — the same exact integers as the log terms
+      .withColumn("__var",
+        col("__nn").cast("double") / col("__pa").cast("double") +
+        col("__nn").cast("double") / col("__pb").cast("double"))
+      .withColumn("z", round(col("delta_micro").cast("double") / 1e6 /
+        sqrt(col("__var")), 6))
+    scored.select(col("__w").as("word"), col("__ya").as("y_a"),
+      col("__yb").as("y_b"), col("delta_micro"), col("z"))
+  }
 }

@@ -1060,7 +1060,116 @@ object Analytics32 {
       "number at dimension-table cost. Parity assignment means true " +
       "uplift ≈ 0: the near-zero coefficient IS the calibration check.")
 
+  /** q421 — E4: "Fightin' Words" contrastive keywords — which words
+    * distinguish English docs from the rest, under the informative
+    * Dirichlet prior that tames both rare and frequent words (Monroe
+    * et al. 2008). Top 20 by z. */
+  val q421 = Declared(
+    "q421_fightin_words", "E4",
+    (s, dir) => graft.ext.TextAnalysis.logOddsFightinWords(
+      Tables.documents(s, dir), col("text"), col("lang") === "en",
+      alpha0 = 500L)
+      .orderBy(col("z").desc, col("word")).limit(20),
+    Some("""WITH c AS (
+           |  SELECT w,
+           |    CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END)
+           |      AS BIGINT) AS ya,
+           |    CAST(sum(CASE WHEN lang = 'en' THEN 0 ELSE 1 END)
+           |      AS BIGINT) AS yb
+           |  FROM (SELECT lang,
+           |          unnest(regexp_split_to_array(lower(text), '\s+')) AS w
+           |        FROM documents)
+           |  WHERE length(w) > 0 GROUP BY w),
+           |t AS (SELECT CAST(sum(ya) AS BIGINT) AS na,
+           |             CAST(sum(yb) AS BIGINT) AS nb FROM c),
+           |s AS (
+           |  SELECT w, ya, yb, na + nb AS nn, ya + yb AS cw FROM c, t),
+           |s2 AS (
+           |  SELECT w, ya, yb,
+           |    CAST(ya AS HUGEINT) * nn + CAST(cw AS HUGEINT) * 500 AS pa,
+           |    CAST(na AS HUGEINT) * nn + CAST(500 AS HUGEINT) * nn
+           |      - CAST(ya AS HUGEINT) * nn - CAST(cw AS HUGEINT) * 500
+           |      AS qa,
+           |    CAST(yb AS HUGEINT) * nn + CAST(cw AS HUGEINT) * 500 AS pb,
+           |    CAST(nb AS HUGEINT) * nn + CAST(500 AS HUGEINT) * nn
+           |      - CAST(yb AS HUGEINT) * nn - CAST(cw AS HUGEINT) * 500
+           |      AS qb,
+           |    nn
+           |  FROM s, t),
+           |s3 AS (
+           |  SELECT w, ya AS y_a, yb AS y_b,
+           |    CAST(floor(ln(CAST(pa AS DOUBLE) / CAST(qa AS DOUBLE))
+           |      * 1e6 + 0.5) AS BIGINT)
+           |    - CAST(floor(ln(CAST(pb AS DOUBLE) / CAST(qb AS DOUBLE))
+           |      * 1e6 + 0.5) AS BIGINT) AS delta_micro,
+           |    CAST(nn AS DOUBLE) / CAST(pa AS DOUBLE)
+           |      + CAST(nn AS DOUBLE) / CAST(pb AS DOUBLE) AS v
+           |  FROM s2)
+           |SELECT w AS word, y_a, y_b, delta_micro,
+           |  round(CAST(delta_micro AS DOUBLE) / 1e6 / sqrt(v), 6) AS z
+           |FROM s3 ORDER BY z DESC, word LIMIT 20""".stripMargin),
+    "ONE (word, side) rollup with map-side combine; scoring is per-word " +
+      "scan arithmetic on the vocab rollup. The corpus-comparison " +
+      "statistic that replaces both raw log-odds (rare-word blowups) and " +
+      "chi2 keywords (q292's frequent-word bias) for 'what makes slice A " +
+      "different'.")
+
+  /** q422 — E2/J-fuzzy: exact edit-distance-1 join by FastSS deletion
+    * neighborhoods over part names with planted last-char AND
+    * first-char corruptions — recall-complete where q108's prefix
+    * blocking is structurally blind (first-character edits). */
+  val q422 = Declared(
+    "q422_edit_distance_join", "E2,J-fuzzy",
+    (s, dir) => {
+      // fixed-size audit corpus: ed<=1 pair density in these synthetic
+      // names grows ~quadratically with the dictionary, so the query
+      // pins its input size rather than scaling with SF
+      val parts = Tables.part(s, dir).filter(col("p_partkey") <= 2500)
+      val clean = parts.select(col("p_partkey").as("id"),
+        col("p_name").as("name"))
+      val dirtyTail = parts.filter(col("p_partkey") % 7 === 0)
+        .select((col("p_partkey") + 10000000L).as("id"),
+          expr("substring(p_name, 1, length(p_name) - 1)").as("name"))
+      val dirtyHead = parts.filter(col("p_partkey") % 11 === 0)
+        .select((col("p_partkey") + 20000000L).as("id"),
+          expr("substring(p_name, 2)").as("name"))
+      graft.ext.Dedup.editDistance1Join(
+        clean.unionByName(dirtyTail).unionByName(dirtyHead), "id", "name")
+        .orderBy(col("id_a"), col("id_b"))
+    },
+    Some("""WITH pt AS (SELECT * FROM part WHERE p_partkey <= 2500),
+           |corpus AS (
+           |  SELECT p_partkey AS id, p_name AS name FROM pt
+           |  UNION ALL
+           |  SELECT p_partkey + 10000000,
+           |    substring(p_name, 1, length(p_name) - 1)
+           |  FROM pt WHERE p_partkey % 7 = 0
+           |  UNION ALL
+           |  SELECT p_partkey + 20000000, substring(p_name, 2)
+           |  FROM pt WHERE p_partkey % 11 = 0),
+           |base AS (SELECT DISTINCT id, name FROM corpus
+           |         WHERE name IS NOT NULL),
+           |v AS (
+           |  SELECT DISTINCT id, name,
+           |    CASE WHEN i = 0 THEN name
+           |      ELSE substring(name, 1, i - 1) || substring(name, i + 1)
+           |      END AS var
+           |  FROM base, unnest(range(0, length(name) + 1)) AS t(i)),
+           |cand AS (
+           |  SELECT DISTINCT a.id AS id_a, b.id AS id_b,
+           |    a.name AS s_a, b.name AS s_b
+           |  FROM v a JOIN v b ON a.var = b.var AND a.id < b.id)
+           |SELECT id_a, id_b, s_a, s_b,
+           |  CAST(levenshtein(s_a, s_b) AS BIGINT) AS dist
+           |FROM cand WHERE levenshtein(s_a, s_b) <= 1
+           |ORDER BY id_a, id_b""".stripMargin),
+    "The explode is |s|+1 variants per DISTINCT name; the join keys on " +
+      "variant content (uniform hash); candidates are " +
+      "true-neighborhood-sized, never n². Deletion neighborhoods are " +
+      "recall-COMPLETE at distance 1 — the first-char corruptions planted " +
+      "here are exactly what prefix blocking silently loses.")
+
   val all: Seq[Declared] =
     Seq(q402, q403, q404, q405, q406, q407, q408, q409, q410, q411,
-      q412, q413, q414, q415, q416, q417, q418, q419, q420)
+      q412, q413, q414, q415, q416, q417, q418, q419, q420, q421, q422)
 }

@@ -84,6 +84,33 @@ class DedupSpec extends AnyFunSuite {
       .select(Dedup.md5Hash60(col("s"))).as[Long].collect().toSeq
     assert(out == Seq(57446577476672362L, 790351668529426805L))
   }
+
+  test("E2: editDistance1Join — complete at distance 1 incl. first-char edits") {
+    val df = Seq((1L, "spark"), (2L, "spark"), (3L, "spork"), (4L, "park"),
+      (5L, "sparks"), (6L, "totally")).toDF("id", "s")
+    val out = Dedup.editDistance1Join(df, "id", "s")
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1)))
+      .toSet
+    // brute-force truth: every pair with levenshtein <= 1
+    val strs = Map(1L -> "spark", 2L -> "spark", 3L -> "spork",
+      4L -> "park", 5L -> "sparks", 6L -> "totally")
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>
+        if (i == 0) j else if (j == 0) i else 0 }
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    val truth = (for {
+      a <- strs.keys; b <- strs.keys if a < b
+      if lev(strs(a), strs(b)) <= 1
+    } yield (a, b)).toSet
+    assert(out == truth, s"missing ${truth -- out}, extra ${out -- truth}")
+    // the first-char edit (park ~ spark) MUST be present — the case
+    // prefix blocking is blind to
+    assert(out.contains((1L, 4L)))
+  }
 }
 
 class SimilaritySpec extends AnyFunSuite {
@@ -401,6 +428,20 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(d2.getAs[Long]("n_terms_hit") == 1L)
     assert(d2.getAs[Long]("score_micro") ==
       mnat(10 * 2, 5 * 12) + mnat(1 * 5 + 10 * 2, 5 * 12))
+  }
+
+  test("E4: logOddsFightinWords — side-marker words score opposite extremes") {
+    val docs = Seq((true, "apple apple common common"),
+      (true, "apple common"), (false, "banana banana common common"),
+      (false, "banana common")).toDF("a", "text")
+    val out = TextAnalysis.logOddsFightinWords(docs, col("text"),
+      col("a"), alpha0 = 10L).collect()
+      .map(r => r.getString(0) -> r.getAs[Double]("z")).toMap
+    assert(out("apple") > 0 && out("banana") < 0)
+    // symmetric construction: the two markers score symmetric z
+    assert(math.abs(out("apple") + out("banana")) < 1e-9)
+    // the shared word sits near zero, strictly between the markers
+    assert(math.abs(out("common")) < out("apple"))
   }
 }
 
