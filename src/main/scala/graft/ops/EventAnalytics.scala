@@ -1303,4 +1303,99 @@ object EventAnalytics {
         col("h_rate_micro"))
       .orderBy(col("state"))
   }
+  /** A-stat/attribution — Markov-chain removal-effect attribution
+    * (Anderl, Becker, von Wangenheim & Schumann 2016, the standard
+    * "Markov attribution" of marketing science): model journeys as a
+    * first-order chain over touch types with START/CONV/NULL states;
+    * each channel's credit is its REMOVAL EFFECT — how much the
+    * START→CONV absorption probability drops when the channel is
+    * deleted (redirected to NULL) — normalized to shares. Unlike
+    * last-touch/position rules this prices a channel by what the
+    * journey GRAPH loses without it.
+    *
+    * Determinism: the transition matrix is a bounded |types|² rollup
+    * (collected — the kriging/k-means driver license); absorption
+    * probabilities come from `iters` FIXED rounds of integer ppm
+    * value iteration p ← (c_CONV·10⁶ + Σ_d c_d·p_d) div r — no linear
+    * solve, engine-replayable, converging geometrically (spectral
+    * radius < 1 for any chain with reachable absorption).
+    *
+    * Returns one row per channel: (channel, base_conv_ppm,
+    * removed_conv_ppm, removal_effect_ppm, share_ppm).
+    *
+    * Scale: ONE actor-keyed window pass builds transitions (the q102
+    * shape); everything after runs on the ≤ (|types|+3)² matrix. */
+  def markovRemovalAttribution(events: DataFrame, actorCol: Column,
+      tsCol: Column, tieCol: Column, typeCol: Column, convType: String,
+      iters: Int = 40): DataFrame = {
+    require(iters >= 1 && iters <= 1000, "1 <= iters <= 1000")
+    val w = Window.partitionBy(col("__actor")).orderBy(col("__ts"), col("__tie"))
+    // touches strictly BEFORE the actor's first conversion; journeys
+    // with no conversion end in NULL
+    val base = events.select(actorCol.as("__actor"), tsCol.as("__ts"),
+      tieCol.as("__tie"), typeCol.cast("string").as("__t"))
+    val firstConv = base.filter(col("__t") === convType)
+      .groupBy(col("__actor"))
+      .agg(min(struct(col("__ts"), col("__tie"))).as("__fc"))
+    val touches = base.filter(col("__t") =!= convType)
+      .join(firstConv, Seq("__actor"), "left")
+      .filter(col("__fc").isNull ||
+        struct(col("__ts"), col("__tie")) < col("__fc"))
+      .withColumn("__next", lead(col("__t"), 1).over(w))
+      .withColumn("__rn", row_number().over(w))
+      .withColumn("__converted", col("__fc").isNotNull)
+    // edges: START→first, t→next, last→CONV/NULL — built in one pass
+    val edges = touches.select(col("__t").as("__src"),
+        coalesce(col("__next"),
+          when(col("__converted"), lit("CONV")).otherwise(lit("NULL")))
+          .as("__dst"))
+      .unionByName(touches.filter(col("__rn") === 1)
+        .select(lit("START").as("__src"), col("__t").as("__dst")))
+    val mat = edges.groupBy(col("__src"), col("__dst"))
+      .agg(count(lit(1)).as("__c")).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    require(mat.nonEmpty, "no journeys")
+    val rowSum = mat.groupBy(_._1).view.mapValues(_.map(_._3).sum).toMap
+    val channels = mat.iterator.flatMap(e => Seq(e._1, e._2))
+      .filter(s => s != "START" && s != "CONV" && s != "NULL")
+      .toSeq.distinct.sorted
+    // integer ppm value iteration; `removed` forces a channel to 0
+    def absorb(removed: Option[String]): Map[String, Long] = {
+      val states = "START" +: channels
+      var p = states.map(_ -> 0L).toMap
+      var i = 0
+      while (i < iters) {
+        p = states.map { s =>
+          if (removed.contains(s)) s -> 0L
+          else {
+            val r = rowSum.getOrElse(s, 0L)
+            if (r == 0) s -> 0L
+            else {
+              val inflow = mat.iterator.filter(_._1 == s).map { case (_, d, c) =>
+                if (d == "CONV") c * 1000000L
+                else if (removed.contains(d)) 0L
+                else c * p.getOrElse(d, 0L)
+              }.sum
+              s -> inflow / r
+            }
+          }
+        }.toMap
+        i += 1
+      }
+      p
+    }
+    val baseP = absorb(None)("START")
+    val rows = channels.map { ch =>
+      val removedP = absorb(Some(ch))("START")
+      (ch, baseP, removedP, baseP - removedP)
+    }
+    val totalRe = math.max(1L, rows.map(_._4).sum)
+    val spark = events.sparkSession
+    import spark.implicits._
+    rows.map { case (ch, b, rp, re) =>
+      (ch, b, rp, re, re * 1000000L / totalRe)
+    }.toDF("channel", "base_conv_ppm", "removed_conv_ppm",
+      "removal_effect_ppm", "share_ppm")
+      .orderBy(col("channel"))
+  }
 }

@@ -1169,7 +1169,95 @@ object Analytics32 {
       "recall-COMPLETE at distance 1 — the first-char corruptions planted " +
       "here are exactly what prefix blocking silently loses.")
 
+  /** q423 — A-stat/attribution: Markov-chain removal-effect channel
+    * attribution for purchase journeys (Anderl et al. 2016) — credit
+    * = how much START→CONV absorption drops when the channel is
+    * deleted; integer ppm value iteration (40 rounds), fully replayed
+    * by the oracle's recursive CTE over the padded transition
+    * matrix. */
+  val q423 = Declared(
+    "q423_markov_attribution", "A-stat",
+    (s, dir) => graft.ops.EventAnalytics.markovRemovalAttribution(
+      Tables.events(s, dir), col("user_id"), col("ts"), col("event_id"),
+      col("event_type"), convType = "purchase", iters = 40),
+    Some("""WITH RECURSIVE fc AS (
+           |  SELECT user_id, min(ROW(ts, event_id)) AS fc
+           |  FROM events WHERE event_type = 'purchase' GROUP BY 1),
+           |tch AS (
+           |  SELECT e.user_id, e.event_type AS t,
+           |    lead(e.event_type) OVER w AS nxt,
+           |    row_number() OVER w AS rn,
+           |    fc.fc IS NOT NULL AS conv
+           |  FROM events e LEFT JOIN fc ON e.user_id = fc.user_id
+           |  WHERE e.event_type <> 'purchase'
+           |    AND (fc.fc IS NULL OR ROW(e.ts, e.event_id) < fc.fc)
+           |  WINDOW w AS (PARTITION BY e.user_id ORDER BY e.ts, e.event_id)),
+           |edges AS (
+           |  SELECT t AS src, coalesce(nxt,
+           |      CASE WHEN conv THEN 'CONV' ELSE 'NULL' END) AS dst
+           |  FROM tch
+           |  UNION ALL
+           |  SELECT 'START', t FROM tch WHERE rn = 1),
+           |cnt AS MATERIALIZED (
+           |  SELECT src, dst, CAST(count(*) AS BIGINT) AS c
+           |  FROM edges GROUP BY 1, 2),
+           |chans AS MATERIALIZED (
+           |  SELECT DISTINCT s AS ch FROM (
+           |    SELECT src AS s FROM cnt UNION SELECT dst FROM cnt)
+           |  WHERE s NOT IN ('START', 'CONV', 'NULL')),
+           |states AS MATERIALIZED (
+           |  SELECT 'START' AS s UNION ALL SELECT 'CONV'
+           |  UNION ALL SELECT 'NULL' UNION ALL SELECT ch FROM chans),
+           |stm AS MATERIALIZED (
+           |  SELECT src, dst, c FROM cnt
+           |  UNION ALL SELECT s, 'NULL', 0 FROM states),
+           |rsum AS MATERIALIZED (
+           |  SELECT src, CAST(sum(c) AS BIGINT) AS r FROM stm GROUP BY 1),
+           |rms AS MATERIALIZED (
+           |  SELECT 'NONE' AS rm UNION ALL SELECT ch FROM chans),
+           |st(rm, it, s, p) AS (
+           |  SELECT rm, 0, s,
+           |    CASE WHEN s = 'CONV' THEN CAST(1000000 AS BIGINT)
+           |      ELSE CAST(0 AS BIGINT) END
+           |  FROM rms, states
+           |  UNION ALL
+           |  SELECT rm, it + 1, src,
+           |    CASE WHEN src = rm THEN 0
+           |      WHEN r = 0 THEN
+           |        CASE WHEN src = 'CONV' THEN 1000000 ELSE 0 END
+           |      ELSE inflow // r END
+           |  FROM (
+           |    SELECT x.rm, x.it, m.src, rs.r,
+           |      sum(m.c * (CASE WHEN x.s = x.rm THEN 0 ELSE x.p END))
+           |        OVER (PARTITION BY x.rm, m.src) AS inflow,
+           |      row_number() OVER (PARTITION BY x.rm, m.src
+           |        ORDER BY x.s) AS rn
+           |    FROM st x JOIN stm m ON m.dst = x.s
+           |    JOIN rsum rs ON rs.src = m.src
+           |    WHERE x.it < 40) z
+           |  WHERE rn = 1),
+           |fin AS (SELECT rm, p FROM st WHERE it = 40 AND s = 'START'),
+           |re AS (
+           |  SELECT ch AS channel,
+           |    (SELECT p FROM fin WHERE rm = 'NONE') AS base_conv_ppm,
+           |    fin.p AS removed_conv_ppm,
+           |    (SELECT p FROM fin WHERE rm = 'NONE') - fin.p
+           |      AS removal_effect_ppm
+           |  FROM chans JOIN fin ON fin.rm = chans.ch),
+           |tot AS (SELECT greatest(CAST(sum(removal_effect_ppm) AS BIGINT),
+           |          1) AS t FROM re)
+           |SELECT channel, base_conv_ppm, removed_conv_ppm,
+           |  removal_effect_ppm,
+           |  (removal_effect_ppm * 1000000) // t AS share_ppm
+           |FROM re, tot ORDER BY channel""".stripMargin),
+    "ONE actor-keyed window pass builds transitions (the q102 sort " +
+      "shape); the matrix collapses to a ≤(|types|+3)² rollup and the " +
+      "value iteration replaces the matrix inverse with 40 integer ppm " +
+      "rounds — no solve, engine-replayable. The attribution model that " +
+      "prices channels by graph damage, not position heuristics.")
+
   val all: Seq[Declared] =
     Seq(q402, q403, q404, q405, q406, q407, q408, q409, q410, q411,
-      q412, q413, q414, q415, q416, q417, q418, q419, q420, q421, q422)
+      q412, q413, q414, q415, q416, q417, q418, q419, q420, q421, q422,
+      q423)
 }

@@ -2225,4 +2225,27 @@ class AnalyticsOpsSpec extends AnyFunSuite {
     // a single perfect item: ERR = 15/16
     assert(out(2L).getAs[Double]("err") == 0.9375)
   }
+  test("A-stat: markovRemovalAttribution — hand 3-journey chain, exact removal effects") {
+    def ts(x: Long) = new java.sql.Timestamp(x * 1000L)
+    // u1: a -> purchase; u2: b (no conv); u3: a -> b -> purchase
+    val ev = Seq(
+      (1L, 1L, "a"), (1L, 2L, "purchase"),
+      (2L, 1L, "b"),
+      (3L, 1L, "a"), (3L, 2L, "b"), (3L, 3L, "purchase"))
+      .map { case (u, i, t) => (u, ts(u * 100 + i), i, t) }
+      .toDF("user_id", "t", "eid", "etype")
+    val out = graft.ops.EventAnalytics.markovRemovalAttribution(
+      ev, col("user_id"), col("t"), col("eid"), col("etype"), "purchase")
+      .collect().map(r => r.getString(0) -> r).toMap
+    // exact absorption: p(b)=.5, p(a)=.75, p(START)=666666 ppm
+    assert(out("a").getAs[Long]("base_conv_ppm") == 666666L)
+    // remove a: START -> (2*0 + 500000)/3 = 166666; RE = 500000
+    assert(out("a").getAs[Long]("removed_conv_ppm") == 166666L)
+    assert(out("a").getAs[Long]("removal_effect_ppm") == 500000L)
+    // remove b: a = 500000, START = 333333; RE = 333333
+    assert(out("b").getAs[Long]("removal_effect_ppm") == 333333L)
+    // shares normalize over 833333
+    assert(out("a").getAs[Long]("share_ppm") == 600000L)
+    assert(out("b").getAs[Long]("share_ppm") == 399999L)
+  }
 }
