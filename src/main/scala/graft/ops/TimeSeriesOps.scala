@@ -591,6 +591,52 @@ object TimeSeriesOps {
       .orderBy(col("h"))
   }
 
+  /** A5/A8 — OUT-OF-SAMPLE forecast backtest (the Tashman 2000
+    * fixed-origin holdout): fit [[thetaForecast]] on the series up to
+    * `splitT` only, forecast the holdout horizon, and score against
+    * the ACTUALS the model never saw — per step the absolute error,
+    * the naive (last-train-value) error, and the summary
+    *   wape_ppm  = 10⁶·Σ|e| div Σ|actual|        (scale-free)
+    *   mase_ppm  = 10⁶·Σ|e| div Σ|e_naive|       (< 10⁶ ⇔ beats naive)
+    * — all exact integers on the micro grid. The honest-evaluation
+    * loop every forecast family needs before anyone trusts q400/q404:
+    * in-sample fit quality is not evidence.
+    *
+    * Returns one row per holdout step with an actual:
+    * (h, t, actual, forecast_micro, ae_micro, naive_ae_micro,
+    * wape_ppm, mase_ppm) — the two summaries constant per row.
+    *
+    * Scale: the rollup-array theta fit + an h-row join against the
+    * holdout slice of the same rollup. */
+  def forecastBacktest(series: DataFrame, tCol: Column, vCol: Column,
+      splitT: Long, horizon: Int): DataFrame = {
+    val base = series.select(tCol.cast("long").as("__t"),
+      vCol.cast("long").as("__v")).localCheckpoint()
+    val train = base.filter(col("__t") <= splitT)
+    val lastTrain = train.orderBy(col("__t").desc).limit(1)
+      .select(col("__v").as("__last"), col("__t").as("__tmax"))
+    val fc = thetaForecast(train, col("__t"), col("__v"), horizon)
+      .crossJoin(broadcast(lastTrain))
+      .withColumn("t", col("__tmax") + col("h"))
+    val scored = fc.join(base.select(col("__t").as("t"),
+        col("__v").as("actual")), Seq("t"))
+      .withColumn("ae_micro",
+        abs(col("actual") * 1000000L - col("forecast_micro")))
+      .withColumn("naive_ae_micro",
+        abs(col("actual") - col("__last")) * 1000000L)
+      .localCheckpoint()
+    val tot = scored.agg(sum(col("ae_micro")).as("__sae"),
+      sum(col("naive_ae_micro")).as("__snae"),
+      sum(abs(col("actual"))).as("__sa"))
+    scored.crossJoin(broadcast(tot))
+      .select(col("h"), col("t"), col("actual"), col("forecast_micro"),
+        col("ae_micro"), col("naive_ae_micro"),
+        // err and actual share the micro grid: WAPE_ppm = Σae_micro/Σ|a|
+        expr("__sae div greatest(__sa, 1L)").as("wape_ppm"),
+        expr("(__sae * 1000000L) div greatest(__snae, 1L)").as("mase_ppm"))
+      .orderBy(col("h"))
+  }
+
   /** A5/A8 — one-step-ahead forecast evaluation: Holt ([[holtInt]])
     * against the naive last-value forecast, per key. For every row
     * after a key's first, the Holt error is

@@ -1256,8 +1256,81 @@ object Analytics32 {
       "rounds — no solve, engine-replayable. The attribution model that " +
       "prices channels by graph damage, not position heuristics.")
 
+  /** q424 — A5/A8: fixed-origin forecast backtest — theta fit on the
+    * daily order counts up to 1998-06-30 only, scored on the 14
+    * UNSEEN days after (WAPE + MASE vs naive). The honest-evaluation
+    * loop that keeps q400/q404 from grading their own homework. */
+  val q424 = Declared(
+    "q424_forecast_backtest", "A5,A8",
+    (s, dir) => graft.ops.TimeSeriesOps.forecastBacktest(
+      Tables.orders(s, dir)
+        .groupBy(expr("datediff(o_orderdate, DATE'1970-01-01')")
+          .cast("long").as("day"))
+        .agg(count(lit(1)).as("cnt")),
+      col("day"), col("cnt"), splitT = 10407L, horizon = 14),
+    Some("""WITH RECURSIVE daily AS (
+           |  SELECT CAST(datediff('day', DATE '1970-01-01', o_orderdate)
+           |    AS BIGINT) AS t, CAST(count(*) AS BIGINT) AS v
+           |  FROM orders GROUP BY 1),
+           |rk AS MATERIALIZED (
+           |  SELECT t, v, row_number() OVER (ORDER BY t) AS r
+           |  FROM daily WHERE t <= 10407),
+           |s AS (
+           |  SELECT CAST(count(*) AS BIGINT) AS n,
+           |    CAST(sum(v) AS BIGINT) AS sy,
+           |    CAST(sum(r * v) AS BIGINT) AS siy
+           |  FROM rk),
+           |c AS (
+           |  SELECT n, sy, siy, n * (n + 1) // 2 AS si,
+           |    n * (n + 1) * (2 * n + 1) // 6 AS si2
+           |  FROM s),
+           |q AS (
+           |  SELECT *, CAST((CAST(n AS HUGEINT) * siy
+           |      - CAST(si AS HUGEINT) * sy) * 1000000
+           |    // (CAST(n AS HUGEINT) * si2 - CAST(si AS HUGEINT) * si)
+           |    AS BIGINT) AS bm
+           |  FROM c),
+           |q2 AS MATERIALIZED (
+           |  SELECT *, CAST((CAST(sy AS HUGEINT) * 1000000
+           |    - CAST(bm AS HUGEINT) * si) // n AS BIGINT) AS am
+           |  FROM q),
+           |fit(r, st) AS (
+           |  SELECT 1, 2000000 * rk.v - (am + bm) FROM rk, q2
+           |  WHERE rk.r = 1
+           |  UNION ALL
+           |  SELECT f.r + 1,
+           |    ((2000000 * rk.v - (am + bm * (f.r + 1))) + f.st) // 2
+           |  FROM fit f JOIN rk ON rk.r = f.r + 1, q2),
+           |lvl AS (SELECT max_by(st, r) AS l FROM fit),
+           |tn AS (SELECT max(t) AS tmax FROM rk),
+           |hh AS (SELECT range AS h FROM range(1, 15)),
+           |fc AS (
+           |  SELECT h, tmax + h AS t,
+           |    (am + bm * (n + h) + l) // 2 AS forecast_micro
+           |  FROM hh, q2, lvl, tn),
+           |lastv AS (SELECT max_by(v, t) AS lastv FROM daily
+           |          WHERE t <= 10407),
+           |sc AS MATERIALIZED (
+           |  SELECT fc.h, fc.t, d.v AS actual, fc.forecast_micro,
+           |    abs(d.v * 1000000 - fc.forecast_micro) AS ae_micro,
+           |    abs(d.v - lastv) * 1000000 AS naive_ae_micro
+           |  FROM fc JOIN daily d ON d.t = fc.t, lastv),
+           |tot AS (
+           |  SELECT CAST(sum(ae_micro) AS BIGINT) AS sae,
+           |    CAST(sum(naive_ae_micro) AS BIGINT) AS snae,
+           |    CAST(sum(abs(actual)) AS BIGINT) AS sa
+           |  FROM sc)
+           |SELECT h, t, actual, forecast_micro, ae_micro, naive_ae_micro,
+           |  sae // greatest(sa, 1) AS wape_ppm,
+           |  (sae * 1000000) // greatest(snae, 1) AS mase_ppm
+           |FROM sc, tot ORDER BY h""".stripMargin),
+    "The theta fit folds over the TRAIN slice of the day rollup; the " +
+      "holdout join touches 14 rows. WAPE/MASE are exact integer ratios — " +
+      "the backtest verdict is bit-portable, and the fixed-origin split " +
+      "means the model is never graded on days it saw.")
+
   val all: Seq[Declared] =
     Seq(q402, q403, q404, q405, q406, q407, q408, q409, q410, q411,
       q412, q413, q414, q415, q416, q417, q418, q419, q420, q421, q422,
-      q423)
+      q423, q424)
 }

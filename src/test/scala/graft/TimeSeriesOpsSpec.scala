@@ -450,4 +450,22 @@ class TimeSeriesOpsSpec extends AnyFunSuite {
       bNum = 1, bDen = 10, scale = 1000, horizon = 3).collect()
     assert(oc.forall(_.getAs[Double]("forecast") == 5.0))
   }
+  test("A5/A8: forecastBacktest — constant series scores zero, naive ratio sane") {
+    import org.apache.spark.sql.functions._
+    // constant series: theta forecasts exactly 7 -> zero errors
+    val const = (1L to 20L).map(t => (t, 7L)).toDF("t", "v")
+    val out = graft.ops.TimeSeriesOps.forecastBacktest(
+      const, col("t"), col("v"), splitT = 15L, horizon = 5).collect()
+    assert(out.length == 5)
+    assert(out.forall(_.getAs[Long]("ae_micro") == 0L))
+    assert(out.forall(_.getAs[Long]("wape_ppm") == 0L))
+    assert(out.forall(_.getAs[Long]("mase_ppm") == 0L))
+    // a linear series: theta extrapolates the trend, naive stays at the
+    // last train value -> theta must beat naive (mase < 1e6)
+    val lin = (1L to 20L).map(t => (t, 10L * t)).toDF("t", "v")
+    val o2 = graft.ops.TimeSeriesOps.forecastBacktest(
+      lin, col("t"), col("v"), splitT = 15L, horizon = 5).collect()
+    assert(o2.forall(_.getAs[Long]("mase_ppm") < 1000000L))
+    assert(o2.map(_.getAs[Long]("t")).toSeq == (16L to 20L))
+  }
 }
