@@ -956,4 +956,63 @@ object Curation {
         sum(when(col("__tf") > 0, 1L).otherwise(0L)).as("n_terms_hit"),
         sum(col("__mnat")).as("score_micro"))
   }
+  /** E7 — greedy maximum-coverage source selection (Nemhauser,
+    * Wolsey & Fisher 1978 — the (1−1/e) greedy for submodular
+    * coverage): pick k sources so their union covers the most
+    * distinct vocabulary — the "which feeds are worth licensing /
+    * crawling" budget decision. Each round takes the source with the
+    * largest NEW-word gain (ties → source asc), deterministic and
+    * replayable round by round.
+    *
+    * Returns one row per pick: (pick_order, source, gain,
+    * cumulative_coverage).
+    *
+    * Scale: the (source, word) rollup is one fact pass; each round is
+    * one anti-join against the covered-word set + a source-keyed agg
+    * + a TakeOrdered(1) argmax — k rounds, one 2-field row to the
+    * driver per round (the k-center/MMR license). */
+  def maxCoverageSources(docs: DataFrame, textCol: String,
+      sourceCol: String, k: Int, shingleSize: Int = 1): DataFrame = {
+    require(k >= 1 && k <= 100, "1 <= k <= 100")
+    require(shingleSize >= 1 && shingleSize <= 8, "1 <= shingleSize <= 8")
+    val tok =
+      if (shingleSize == 1) org.apache.spark.sql.functions.split(
+        lower(col(textCol)), "\\s+")
+      else graft.ext.Dedup.wordShingles(col(textCol), shingleSize)
+    val aw = docs.select(col(sourceCol).cast("string").as("__src"),
+        explode(tok).as("__w"))
+      .filter(length(col("__w")) > 0)
+      .select(col("__src"), col("__w")).distinct().localCheckpoint()
+    var covered = aw.sparkSession.emptyDataFrame
+      .sparkSession.createDataFrame(
+        aw.sparkSession.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("__w",
+            org.apache.spark.sql.types.StringType))))
+    var chosen = Vector.empty[(String, Long, Long)] // (src, gain, cum)
+    var cum = 0L
+    var i = 0
+    while (i < k) {
+      val gains = aw
+        .filter(!col("__src").isin(chosen.map(_._1): _*))
+        .join(covered, Seq("__w"), "left_anti")
+        .groupBy(col("__src")).agg(count(lit(1)).as("__g"))
+        .orderBy(col("__g").desc, col("__src")).limit(1).collect()
+      if (gains.nonEmpty) {
+        val pick = gains(0).getString(0); val g = gains(0).getLong(1)
+        cum += g
+        chosen :+= ((pick, g, cum))
+        covered = covered.unionByName(
+          aw.filter(col("__src") === pick).select(col("__w")))
+          .distinct().localCheckpoint()
+      }
+      i += 1
+    }
+    val spark = docs.sparkSession
+    import spark.implicits._
+    chosen.zipWithIndex.map { case ((s, g, c), ix) =>
+      (ix.toLong + 1, s, g, c)
+    }.toDF("pick_order", "source", "gain", "cumulative_coverage")
+      .orderBy(col("pick_order"))
+  }
 }

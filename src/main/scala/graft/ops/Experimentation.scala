@@ -27,6 +27,8 @@ object Experimentation {
   graft.plans.Guardrails.expect("single_partition_window",
     "decile, n_t", "qiniCurve: 10-row decile rollup cumulative/lag")
   graft.plans.Guardrails.expect("single_partition_window",
+    "__rem, stratum", "neymanAllocation: largest-remainder rank over strata")
+  graft.plans.Guardrails.expect("single_partition_window",
     "arm, pulls, wins", "ucb1: |arms|-row ranking")
   graft.plans.Guardrails.expect("single_partition_window",
     "look", "sequentialBoundary/sprt: K-row look rollup (calendar-bounded)")
@@ -1504,6 +1506,57 @@ object Experimentation {
         (0 until k).map(i => col(s"__w$i").as(s"w${i + 1}")): _*)
       .orderBy(col("t"))
   }
+  /** A-stat/survey — Neyman optimal allocation for stratified
+    * sampling (Neyman 1934): given a total sample budget n, allocate
+    *   n_h ∝ N_h·S_h
+    * — more samples to big AND volatile strata; the design that
+    * minimizes the stratified-mean variance. The sampling plan behind
+    * any "eval 100 TB on a 100k-row budget" decision.
+    *
+    * Determinism: N_h·S_h = √(N_h·Σx² − (Σx)²) EXACTLY (the N_h
+    * denominators cancel), so each weight is ONE correctly-rounded
+    * sqrt of an exact integer, rounded to an integer unit; the
+    * allocation itself is largest-remainder apportionment (the q157
+    * device) on exact integer products — sums to n by construction,
+    * ties break on stratum order. Returns per stratum:
+    * (stratum, n_pop, weight, share_ppm, alloc_n).
+    *
+    * Scale: one stratum-keyed moment agg with map-side combine; the
+    * apportionment runs on the |strata|-row rollup. */
+  def neymanAllocation(df: DataFrame, stratumCol: Column, valueCol: Column,
+      sampleN: Long): DataFrame = {
+    require(sampleN >= 1, "sampleN >= 1")
+    import org.apache.spark.sql.expressions.Window
+    val d38 = "decimal(38,0)"
+    val m = df.select(stratumCol.as("stratum"),
+        valueCol.cast("long").as("__v"))
+      .groupBy(col("stratum"))
+      .agg(count(lit(1)).as("n_pop"),
+        sum(col("__v").cast(d38)).cast(d38).as("__s"),
+        sum(col("__v").cast(d38) * col("__v").cast(d38)).cast(d38)
+          .as("__ss"))
+      // weight = floor(sqrt(N·Σx² − (Σx)²) + 0.5): one sqrt of an
+      // exact integer — bit-identical across engines
+      .withColumn("weight", floor(sqrt(
+        (col("n_pop").cast(d38) * col("__ss") - col("__s") * col("__s"))
+          .cast("double")) + 0.5).cast("long"))
+      .localCheckpoint()
+    val tot = m.agg(sum(col("weight")).as("__w"))
+    val based = m.crossJoin(broadcast(tot))
+      .withColumn("share_ppm", expr("(weight * 1000000L) div greatest(__w, 1L)"))
+      .withColumn("__base", expr(s"(${sampleN}L * weight) div greatest(__w, 1L)"))
+      .withColumn("__rem", expr(s"(${sampleN}L * weight) % greatest(__w, 1L)"))
+    val short = based.agg((lit(sampleN) - sum(col("__base"))).as("__short"))
+    based.crossJoin(broadcast(short))
+      .withColumn("__rk", row_number().over(
+        Window.orderBy(col("__rem").desc, col("stratum"))))
+      .withColumn("alloc_n",
+        col("__base") + when(col("__rk") <= col("__short"), 1L).otherwise(0L))
+      .select(col("stratum"), col("n_pop"), col("weight"),
+        col("share_ppm"), col("alloc_n"))
+      .orderBy(col("stratum"))
+  }
+
   /** A-stat/uplift — Qini curve + coefficient (Radcliffe 2007, "Using
     * control groups to target on predicted lift"): rank units by a
     * targeting score, and at each decile read the INCREMENTAL

@@ -1329,8 +1329,105 @@ object Analytics32 {
       "the backtest verdict is bit-portable, and the fixed-origin split " +
       "means the model is never graded on days it saw.")
 
+  /** q425 — A-stat/survey: Neyman optimal allocation of a 1000-row
+    * sample across market segments by account-balance volatility —
+    * big AND volatile strata get the samples; largest-remainder
+    * apportionment sums exactly to budget. */
+  val q425 = Declared(
+    "q425_neyman_allocation", "A-stat",
+    (s, dir) => graft.ops.Experimentation.neymanAllocation(
+      Tables.customer(s, dir), col("c_mktsegment"),
+      expr("CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT)"),
+      sampleN = 1000L),
+    Some("""WITH m AS (
+           |  SELECT c_mktsegment AS stratum, CAST(count(*) AS BIGINT)
+           |      AS n_pop,
+           |    CAST(sum(v) AS HUGEINT) AS s,
+           |    sum(CAST(v AS HUGEINT) * v) AS ss
+           |  FROM (SELECT c_mktsegment,
+           |          CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100
+           |            AS BIGINT) AS v
+           |        FROM customer)
+           |  GROUP BY 1),
+           |w AS (
+           |  SELECT stratum, n_pop,
+           |    CAST(floor(sqrt(CAST(n_pop * ss - s * s AS DOUBLE)) + 0.5)
+           |      AS BIGINT) AS weight
+           |  FROM m),
+           |t AS (SELECT CAST(sum(weight) AS BIGINT) AS tw FROM w),
+           |b AS (
+           |  SELECT *, (weight * 1000000) // greatest(tw, 1) AS share_ppm,
+           |    (1000 * weight) // greatest(tw, 1) AS base,
+           |    (1000 * weight) % greatest(tw, 1) AS rem
+           |  FROM w, t),
+           |sh AS (SELECT CAST(1000 - sum(base) AS BIGINT) AS short FROM b),
+           |r AS (SELECT *, row_number() OVER (ORDER BY rem DESC, stratum)
+           |        AS rk FROM b)
+           |SELECT stratum, n_pop, weight, share_ppm,
+           |  base + CASE WHEN rk <= short THEN 1 ELSE 0 END AS alloc_n
+           |FROM r, sh ORDER BY stratum""".stripMargin),
+    "One stratum-keyed moment agg; N·S = sqrt(N·Σx² − (Σx)²) needs no " +
+      "division, so each weight is one correctly-rounded sqrt of an exact " +
+      "integer. Largest-remainder apportionment makes Σn_h = n a theorem, " +
+      "not a hope — the sampling plan for any bounded-budget eval of an " +
+      "unbounded corpus.")
+
+  /** q426 — E7: greedy maximum-coverage source selection — which 5
+    * document sources jointly cover the most distinct vocabulary
+    * (the (1−1/e) submodular greedy); the oracle replays every greedy
+    * round recursively. */
+  val q426 = Declared(
+    "q426_max_coverage", "E7",
+    (s, dir) => graft.ext.Curation.maxCoverageSources(
+      Tables.documents(s, dir), "text", "source", k = 5, shingleSize = 3),
+    Some("""WITH RECURSIVE tk AS (
+           |  SELECT source AS src,
+           |    regexp_split_to_array(lower(text), '\s+') AS toks
+           |  FROM documents),
+           |sg AS (
+           |  SELECT src, toks, unnest(range(1, len(toks) - 2 + 1)) AS i
+           |  FROM tk WHERE len(toks) >= 3),
+           |aw AS MATERIALIZED (
+           |  SELECT DISTINCT src,
+           |    array_to_string(list_slice(toks, i, i + 2), ' ') AS w
+           |  FROM sg WHERE length(array_to_string(
+           |    list_slice(toks, i, i + 2), ' ')) > 0),
+           |st(it, chosen, gains, cums) AS (
+           |  SELECT 0, CAST([] AS VARCHAR[]), CAST([] AS BIGINT[]),
+           |    CAST([] AS BIGINT[])
+           |  UNION ALL
+           |  SELECT it + 1, list_append(chosen, src),
+           |    list_append(gains, gain),
+           |    list_append(cums, coalesce(cums[len(cums)], 0) + gain)
+           |  FROM (
+           |    SELECT y.*, row_number() OVER (ORDER BY gain DESC, src)
+           |      AS rn
+           |    FROM (
+           |      SELECT z.*
+           |      FROM (
+           |        SELECT st.it, st.chosen, st.gains, st.cums, a.src,
+           |          count(*) OVER (PARTITION BY a.src) AS gain,
+           |          row_number() OVER (PARTITION BY a.src ORDER BY a.w)
+           |            AS rs
+           |        FROM st, aw a
+           |        WHERE st.it < 5 AND NOT list_contains(st.chosen, a.src)
+           |          AND NOT EXISTS (SELECT 1 FROM aw b WHERE b.w = a.w
+           |            AND list_contains(st.chosen, b.src))) z
+           |      WHERE rs = 1) y) x
+           |  WHERE rn = 1),
+           |fin AS (SELECT * FROM st ORDER BY it DESC LIMIT 1)
+           |SELECT CAST(i AS BIGINT) AS pick_order, chosen[i] AS source,
+           |  gains[i] AS gain, cums[i] AS cumulative_coverage
+           |FROM fin, unnest(range(1, len(chosen) + 1)) AS t(i)
+           |ORDER BY pick_order""".stripMargin),
+    "The (source, word) rollup is one fact pass; each greedy round is an " +
+      "anti-join against covered words + a source-keyed agg + " +
+      "TakeOrdered(1) — k rounds, one 2-field row to the driver each (the " +
+      "k-center license). The licensing/crawl budget answer with the " +
+      "classic (1−1/e) guarantee.")
+
   val all: Seq[Declared] =
     Seq(q402, q403, q404, q405, q406, q407, q408, q409, q410, q411,
       q412, q413, q414, q415, q416, q417, q418, q419, q420, q421, q422,
-      q423, q424)
+      q423, q424, q425, q426)
 }

@@ -257,6 +257,20 @@ class CorpusCurationSpec extends AnyFunSuite {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(noisy == out)
   }
+
+  test("E7: maxCoverageSources — greedy picks by marginal gain, stops when dry") {
+    val docs = Seq((1L, "s1", "a b c"), (2L, "s2", "c d"), (3L, "s3", "a b"))
+      .toDF("doc_id", "source", "text")
+    val out = Curation.maxCoverageSources(docs, "text", "source", k = 3)
+      .collect()
+    // s1 covers {a,b,c}; s2 adds {d}; s3 adds nothing -> greedy stops
+    assert(out.length == 2)
+    assert(out(0).getAs[String]("source") == "s1")
+    assert(out(0).getAs[Long]("gain") == 3L)
+    assert(out(1).getAs[String]("source") == "s2")
+    assert(out(1).getAs[Long]("gain") == 1L)
+    assert(out(1).getAs[Long]("cumulative_coverage") == 4L)
+  }
 }
 
 class IngestionSpec extends AnyFunSuite {

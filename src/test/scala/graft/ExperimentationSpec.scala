@@ -823,4 +823,19 @@ class ExperimentationSpec extends AnyFunSuite {
     assert(oz.forall(_.getAs[Long]("qini_micro") == 0L))
     assert(oz.forall(_.getAs[Long]("qini_coef_micro") == 0L))
   }
+  test("A-stat: neymanAllocation — volatility earns samples, sums exactly to budget") {
+    val df = Seq(("A", 0L), ("A", 10L), ("B", 5L), ("B", 5L),
+      ("C", 0L), ("C", 20L)).toDF("st", "v")
+    val out = Experimentation.neymanAllocation(df, col("st"), col("v"),
+      sampleN = 10L).collect().map(r => r.getString(0) -> r).toMap
+    // weights = sqrt(N·Σv² − (Σv)²): A=10, B=0 (zero variance), C=20
+    assert(out("A").getAs[Long]("weight") == 10L)
+    assert(out("B").getAs[Long]("weight") == 0L)
+    assert(out("C").getAs[Long]("weight") == 20L)
+    // bases 3/0/6, short 1 -> largest remainder (C) gets it
+    assert(out("A").getAs[Long]("alloc_n") == 3L)
+    assert(out("B").getAs[Long]("alloc_n") == 0L)
+    assert(out("C").getAs[Long]("alloc_n") == 7L)
+    assert(out.values.map(_.getAs[Long]("alloc_n")).sum == 10L)
+  }
 }
