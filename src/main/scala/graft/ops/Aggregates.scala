@@ -3319,4 +3319,100 @@ object Aggregates {
       .withColumn("huber_mu", col("huber_mu_micro").cast("double") / 1e6)
       .orderBy(col("g"))
   }
+  /** A-stat/anomaly — HBOS: Histogram-Based Outlier Score (Goldstein
+    * & Dengel, KI 2012 — the deterministic density-based outlier
+    * detector that needs no distance joins and no RNG, linear where
+    * LOF/iForest are not): per feature, equal-width histogram
+    * densities; a row's score sums, over features, the log of how far
+    * its bin falls below the modal bin:
+    *   score = Σ_f ln(maxcount_f / count_f(bin_f(x))).
+    * Bin edges are exact integer arithmetic ((v−min)·B div (range+1));
+    * each log is micro-nat quantized once per (feature, bin) — scores
+    * are integer sums, rankings bit-stable. Returns the top `k` rows:
+    * (id, score_micro) descending (ties → id).
+    *
+    * Scale: per feature ONE histogram agg (map-side combine, B bins)
+    * broadcast back onto the scan — no shuffle wider than the fact
+    * table's feature projection, no pairwise anything. */
+  def hbosOutliers(df: org.apache.spark.sql.DataFrame, idCol: Column,
+      features: Seq[Column], bins: Int, k: Int): org.apache.spark.sql.DataFrame = {
+    require(features.nonEmpty, "at least one feature")
+    require(bins >= 2 && bins <= 10000, "2 <= bins <= 1e4")
+    require(k >= 1, "k >= 1")
+    val base = df.select(idCol.cast("long").as("__id") +:
+      features.zipWithIndex.map { case (f, i) =>
+        f.cast("long").as(s"__f$i") }: _*).localCheckpoint()
+    val scored = features.indices.map { i =>
+      val fc = col(s"__f$i")
+      val mm = base.agg(min(fc).as("__mn"), max(fc).as("__mx"))
+      val binned = base.crossJoin(broadcast(mm))
+        .withColumn("__bin", expr(
+          s"((__f$i - __mn) * ${bins}L) div (__mx - __mn + 1L)"))
+        .select(col("__id"), col("__bin"))
+      val hist = binned.groupBy(col("__bin")).agg(count(lit(1)).as("__c"))
+        .localCheckpoint()
+      val mx = hist.agg(max(col("__c")).as("__maxc"))
+      val withScore = hist.crossJoin(broadcast(mx))
+        .withColumn("__mnat", floor(
+          log(col("__maxc").cast("double") / col("__c").cast("double"))
+            * 1e6 + 0.5).cast("long"))
+      binned.join(broadcast(withScore.select(col("__bin"), col("__mnat"))),
+        "__bin")
+        .select(col("__id"), col("__mnat"))
+    }
+    scored.reduce(_ unionByName _)
+      .groupBy(col("__id").as("id"))
+      .agg(sum(col("__mnat")).as("score_micro"))
+      .orderBy(col("score_micro").desc, col("id"))
+      .limit(k)
+  }
+
+  /** A-stat — Theil's uncertainty coefficient U (Theil 1970; the
+    * asymmetric, entropy-based categorical association — unlike
+    * Cramér's V (q208) it answers the DIRECTIONAL question "how much
+    * of X do I know once I know Y"):
+    *   U(X|Y) = (H(X) − H(X|Y)) / H(X)
+    * with every entropy a micro-nat integer sum over exact counts
+    * (one libm log per margin/cell). Returns ONE row:
+    * (n, h_x_micro, h_x_given_y_micro, u_x_given_y_ppm,
+    * h_y_micro, h_y_given_x_micro, u_y_given_x_ppm).
+    *
+    * Scale: one (x, y) contingency agg with map-side combine; margins
+    * and entropies run on the cell frame. */
+  def uncertaintyCoefficient(df: org.apache.spark.sql.DataFrame,
+      xCol: Column, yCol: Column): org.apache.spark.sql.DataFrame = {
+    val d38 = "decimal(38,0)"
+    val cells = df.groupBy(xCol.cast("string").as("__x"),
+        yCol.cast("string").as("__y"))
+      .agg(count(lit(1)).as("__c")).localCheckpoint()
+    val xm = cells.groupBy(col("__x")).agg(sum(col("__c")).as("__nx"))
+    val ym = cells.groupBy(col("__y")).agg(sum(col("__c")).as("__ny"))
+    val n = cells.agg(sum(col("__c")).as("__n"))
+    def mnat(num: Column, den: Column) = floor(
+      log(num.cast("double") / den.cast("double")) * 1e6 + 0.5).cast("long")
+    val hx = xm.crossJoin(broadcast(n))
+      .agg((sum(col("__nx").cast(d38) * mnat(col("__n"), col("__nx"))
+        .cast(d38)).cast(d38)).as("__s"), max(col("__n")).as("__n"))
+      .select(expr("cast(__s div __n as long)").as("h_x_micro"))
+    val hy = ym.crossJoin(broadcast(n))
+      .agg((sum(col("__ny").cast(d38) * mnat(col("__n"), col("__ny"))
+        .cast(d38)).cast(d38)).as("__s"), max(col("__n")).as("__n"))
+      .select(expr("cast(__s div __n as long)").as("h_y_micro"))
+    val hxy = cells.join(broadcast(ym), "__y").crossJoin(broadcast(n))
+      .agg((sum(col("__c").cast(d38) * mnat(col("__ny"), col("__c"))
+        .cast(d38)).cast(d38)).as("__s"), max(col("__n")).as("__n"))
+      .select(expr("cast(__s div __n as long)").as("h_x_given_y_micro"))
+    val hyx = cells.join(broadcast(xm), "__x").crossJoin(broadcast(n))
+      .agg((sum(col("__c").cast(d38) * mnat(col("__nx"), col("__c"))
+        .cast(d38)).cast(d38)).as("__s"), max(col("__n")).as("__n"))
+      .select(expr("cast(__s div __n as long)").as("h_y_given_x_micro"))
+    n.select(col("__n").cast("long").as("n"))
+      .crossJoin(hx).crossJoin(hxy).crossJoin(hy).crossJoin(hyx)
+      .select(col("n"), col("h_x_micro"), col("h_x_given_y_micro"),
+        expr("((h_x_micro - h_x_given_y_micro) * 1000000L) div " +
+          "greatest(h_x_micro, 1L)").as("u_x_given_y_ppm"),
+        col("h_y_micro"), col("h_y_given_x_micro"),
+        expr("((h_y_micro - h_y_given_x_micro) * 1000000L) div " +
+          "greatest(h_y_micro, 1L)").as("u_y_given_x_ppm"))
+  }
 }

@@ -1426,8 +1426,106 @@ object Analytics32 {
       "k-center license). The licensing/crawl budget answer with the " +
       "classic (1−1/e) guarantee.")
 
+  /** q427 — A-stat/anomaly: HBOS outlier scores over three order
+    * features (spend, order day, customer bucket) — the linear,
+    * deterministic density outlier detector; top 25. */
+  val q427 = Declared(
+    "q427_hbos_outliers", "A-stat",
+    (s, dir) => graft.ops.Aggregates.hbosOutliers(
+      Tables.orders(s, dir), col("o_orderkey"),
+      Seq(expr("CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)"),
+        expr("datediff(o_orderdate, DATE'1970-01-01')"),
+        col("o_custkey") % 97),
+      bins = 10, k = 25),
+    Some("""WITH base AS (
+           |  SELECT o_orderkey AS id,
+           |    CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+           |      AS f0,
+           |    CAST(datediff('day', DATE '1970-01-01', o_orderdate)
+           |      AS BIGINT) AS f1,
+           |    o_custkey % 97 AS f2
+           |  FROM orders),
+           |u AS (
+           |  SELECT id, f, v FROM (
+           |    SELECT id, 0 AS f, f0 AS v FROM base
+           |    UNION ALL SELECT id, 1, f1 FROM base
+           |    UNION ALL SELECT id, 2, f2 FROM base)),
+           |mm AS (SELECT f, min(v) AS mn, max(v) AS mx FROM u GROUP BY f),
+           |b AS (
+           |  SELECT id, u.f, ((v - mn) * 10) // (mx - mn + 1) AS bin
+           |  FROM u JOIN mm ON u.f = mm.f),
+           |hist AS (SELECT f, bin, CAST(count(*) AS BIGINT) AS c
+           |         FROM b GROUP BY 1, 2),
+           |mxc AS (SELECT f, max(c) AS maxc FROM hist GROUP BY f),
+           |sc AS (
+           |  SELECT hist.f, bin,
+           |    CAST(floor(ln(CAST(maxc AS DOUBLE) / CAST(c AS DOUBLE))
+           |      * 1e6 + 0.5) AS BIGINT) AS mnat
+           |  FROM hist JOIN mxc ON hist.f = mxc.f)
+           |SELECT id, CAST(sum(mnat) AS BIGINT) AS score_micro
+           |FROM b JOIN sc ON b.f = sc.f AND b.bin = sc.bin
+           |GROUP BY id ORDER BY score_micro DESC, id LIMIT 25""".stripMargin),
+    "Per feature: ONE 10-bin histogram agg broadcast back onto the scan — " +
+      "no distance joins, no RNG, O(rows·features). The anomaly " +
+      "triage that runs BEFORE anyone pays for pairwise methods; " +
+      "micro-nat scores keep the top-k bit-stable.")
+
+  /** q428 — A-stat: Theil's uncertainty coefficient between order
+    * priority and order status — the DIRECTIONAL categorical
+    * association beside Cramér's V (q208): how much of one column do
+    * you know once you know the other. */
+  val q428 = Declared(
+    "q428_uncertainty_coefficient", "A-stat",
+    (s, dir) => graft.ops.Aggregates.uncertaintyCoefficient(
+      Tables.orders(s, dir), col("o_orderpriority"), col("o_orderstatus")),
+    Some("""WITH cells AS (
+           |  SELECT o_orderpriority AS x, o_orderstatus AS y,
+           |    CAST(count(*) AS BIGINT) AS c
+           |  FROM orders GROUP BY 1, 2),
+           |xm AS (SELECT x, CAST(sum(c) AS BIGINT) AS nx
+           |       FROM cells GROUP BY 1),
+           |ym AS (SELECT y, CAST(sum(c) AS BIGINT) AS ny
+           |       FROM cells GROUP BY 1),
+           |n AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM cells),
+           |hx AS (
+           |  SELECT CAST(sum(CAST(nx AS HUGEINT)
+           |    * CAST(floor(ln(CAST(n AS DOUBLE) / CAST(nx AS DOUBLE))
+           |      * 1e6 + 0.5) AS BIGINT)) // max(n) AS BIGINT)
+           |    AS h_x_micro
+           |  FROM xm, n),
+           |hy AS (
+           |  SELECT CAST(sum(CAST(ny AS HUGEINT)
+           |    * CAST(floor(ln(CAST(n AS DOUBLE) / CAST(ny AS DOUBLE))
+           |      * 1e6 + 0.5) AS BIGINT)) // max(n) AS BIGINT)
+           |    AS h_y_micro
+           |  FROM ym, n),
+           |hxy AS (
+           |  SELECT CAST(sum(CAST(c AS HUGEINT)
+           |    * CAST(floor(ln(CAST(ny AS DOUBLE) / CAST(c AS DOUBLE))
+           |      * 1e6 + 0.5) AS BIGINT)) // max(n) AS BIGINT)
+           |    AS h_x_given_y_micro
+           |  FROM cells JOIN ym USING (y), n),
+           |hyx AS (
+           |  SELECT CAST(sum(CAST(c AS HUGEINT)
+           |    * CAST(floor(ln(CAST(nx AS DOUBLE) / CAST(c AS DOUBLE))
+           |      * 1e6 + 0.5) AS BIGINT)) // max(n) AS BIGINT)
+           |    AS h_y_given_x_micro
+           |  FROM cells JOIN xm USING (x), n)
+           |SELECT n, h_x_micro, h_x_given_y_micro,
+           |  ((h_x_micro - h_x_given_y_micro) * 1000000)
+           |    // greatest(h_x_micro, 1) AS u_x_given_y_ppm,
+           |  h_y_micro, h_y_given_x_micro,
+           |  ((h_y_micro - h_y_given_x_micro) * 1000000)
+           |    // greatest(h_y_micro, 1) AS u_y_given_x_ppm
+           |FROM n, hx, hxy, hy, hyx""".stripMargin),
+    "One contingency agg with map-side combine; margins and entropies " +
+      "run on the cell frame — libm once per cell/margin, micro-nat " +
+      "quantized. The asymmetric feature-selection readout Cramér's V " +
+      "can't give: near-zero both ways here means priority and status " +
+      "carry independent information.")
+
   val all: Seq[Declared] =
     Seq(q402, q403, q404, q405, q406, q407, q408, q409, q410, q411,
       q412, q413, q414, q415, q416, q417, q418, q419, q420, q421, q422,
-      q423, q424, q425, q426)
+      q423, q424, q425, q426, q427, q428)
 }

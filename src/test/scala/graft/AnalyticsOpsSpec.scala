@@ -2248,4 +2248,31 @@ class AnalyticsOpsSpec extends AnyFunSuite {
     assert(out("a").getAs[Long]("share_ppm") == 600000L)
     assert(out("b").getAs[Long]("share_ppm") == 399999L)
   }
+  test("A-stat: hbosOutliers — the lone far bin scores highest, common rows lowest") {
+    // feature: 19 values at 0..9 (two per bin of width 1) and ONE at 99
+    val df = ((1L to 19L).map(i => (i, (i % 10))) :+ ((20L, 99L)))
+      .toDF("id", "v")
+    val out = graft.ops.Aggregates.hbosOutliers(df, col("id"),
+      Seq(col("v")), bins = 10, k = 3).collect()
+    // id 20 sits alone in the top bin: maxc/1 is the largest ratio
+    assert(out(0).getAs[Long]("id") == 20L)
+    assert(out(0).getAs[Long]("score_micro") > out(1).getAs[Long]("score_micro"))
+  }
+
+  test("A-stat: uncertaintyCoefficient — determinism is 1e6 ppm, independence ~0") {
+    // y fully determines x
+    val det = Seq(("a", "p"), ("a", "p"), ("b", "q"), ("b", "q"))
+      .toDF("x", "y")
+    val r1 = graft.ops.Aggregates.uncertaintyCoefficient(det, col("x"),
+      col("y")).collect()(0)
+    assert(r1.getAs[Long]("u_x_given_y_ppm") == 1000000L)
+    assert(r1.getAs[Long]("u_y_given_x_ppm") == 1000000L)
+    // independent 2x2 with equal mass: U ~ 0 (micro-nat dust only)
+    val ind = Seq(("a", "p"), ("a", "q"), ("b", "p"), ("b", "q"))
+      .toDF("x", "y")
+    val r2 = graft.ops.Aggregates.uncertaintyCoefficient(ind, col("x"),
+      col("y")).collect()(0)
+    assert(math.abs(r2.getAs[Long]("u_x_given_y_ppm")) < 10L)
+    assert(math.abs(r2.getAs[Long]("u_y_given_x_ppm")) < 10L)
+  }
 }
