@@ -14,6 +14,9 @@ import org.apache.spark.sql.expressions.Window
   */
 object Curation {
 
+  graft.plans.Guardrails.expect("cartesian_join",
+    "__d, __cf", "dirichletQL: hit-doc frame x |q|-term corpus-frequency broadcast")
+
   // ---- by-design plan-hazard documentation (Guardrails.expect) ------
   // Each entry registers a deliberately-BOUNDED single-partition window
   // or unconditioned join this object builds, with its boundedness

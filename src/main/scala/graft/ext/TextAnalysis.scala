@@ -1403,7 +1403,9 @@ object TextAnalysis {
       .orderBy(col("g"))
   }
   graft.plans.Guardrails.expect("single_partition_window",
-    "__bw, __bc", "burrowsDelta: top-k word rank over the word rollup")
+    "__bw, __wc", "burrowsDelta: top-k word rank over the word rollup")
+  graft.plans.Guardrails.expect("cartesian_join",
+    "__au, __tot", "burrowsDelta: author totals x top-k word broadcast")
 
   /** E4 — Burrows' Delta authorship/stylometry distance (Burrows
     * 2002, "Delta: a measure of stylistic difference"; Argamon 2008

@@ -18,6 +18,8 @@ object EventAnalytics {
   // flags only NEW hazards instead of letting them hide among known
   // ones. Markers are operator-owned columns of the hazard plan node.
   graft.plans.Guardrails.expect("single_partition_window",
+    "n_risk, d1", "aalenJohansen: suffix risk-set window over the duration rollup")
+  graft.plans.Guardrails.expect("single_partition_window",
     "n_risk, t, d", "kaplanMeier/nelsonAalen: distinct-event-time risk table")
   graft.plans.Guardrails.expect("single_partition_window",
     "_we0, t, surv_ppm", "rmst: lead over the KM rollup (calendar-bounded)")

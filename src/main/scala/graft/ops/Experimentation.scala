@@ -27,6 +27,12 @@ object Experimentation {
   graft.plans.Guardrails.expect("single_partition_window",
     "decile, n_t", "qiniCurve: 10-row decile rollup cumulative/lag")
   graft.plans.Guardrails.expect("single_partition_window",
+    "decile, qini_micro", "qiniCurve: 10-row lag for the trapezoid")
+  graft.plans.Guardrails.expect("cartesian_join",
+    "__ia, __lnS", "sbgFit: (t, censored) rollup x (a, b) literal lattice")
+  graft.plans.Guardrails.expect("cartesian_join",
+    "__y0, __w0", "syntheticControl: calendar frame x simplex-lattice broadcast")
+  graft.plans.Guardrails.expect("single_partition_window",
     "__rem, stratum", "neymanAllocation: largest-remainder rank over strata")
   graft.plans.Guardrails.expect("single_partition_window",
     "arm, pulls, wins", "ucb1: |arms|-row ranking")

@@ -1087,7 +1087,9 @@ object TimeSeriesOps {
       .withColumn("forecast", col("forecast_micro").cast("double") / 1e6)
       .select(col("h"), col("trend_micro"), col("ses_level_micro"),
         col("forecast_micro"), col("forecast"))
-      .orderBy(col("h"))
+    // no terminal sort here: callers joining the forecast (the q424
+    // backtest) must not inherit a mid-plan global sort — terminal
+    // consumers order by h themselves
   }
 
   /** A8/F1 — SAX symbolization (Lin, Keogh, Lonardi & Chiu 2003,

@@ -465,7 +465,7 @@ object Analytics31 {
         .groupBy(expr("datediff(o_orderdate, DATE'1970-01-01')")
           .cast("long").as("day"))
         .agg(count(lit(1)).as("cnt")),
-      col("day"), col("cnt"), horizon = 14),
+      col("day"), col("cnt"), horizon = 14).orderBy(col("h")),
     Some("""WITH RECURSIVE daily AS (
            |  SELECT CAST(datediff('day', DATE '1970-01-01', o_orderdate)
            |    AS BIGINT) AS t, CAST(count(*) AS BIGINT) AS v
