@@ -122,6 +122,87 @@ object SpatialStats {
           .as("gi_z"))
   }
 
+  /** A3+ — LISA: local Moran's I per occupied cell (Anselin 1995,
+    * "Local Indicators of Spatial Association") — WHERE is the field
+    * clustered, and in which quadrant:
+    *   I_i = (N·d_i·Σ_{j∈nbrs} d_j) / Σ_k d_k²
+    * (binary queen weights, N-scaled deviations so everything before
+    * the final division is an exact integer). The quadrant label
+    * (HH/LL high-high/low-low cluster, HL/LH outlier) is the map a
+    * [[getisOrdGiStar]] hotspot analysis is read against. Returns per
+    * occupied cell with ≥1 neighbor: (cx, cy, d_scaled, lag_scaled,
+    * local_i, quadrant).
+    *
+    * Scale: the [[moransI]] envelope — one cell rollup, one queen
+    * equi-join, broadcast moments; per-cell output instead of the
+    * global sum. */
+  def localMoran(points: DataFrame, xCol: Column, yCol: Column,
+      vCol: Column, cellSize: Double): DataFrame = {
+    val c = cells(points, xCol, yCol, vCol, cellSize)
+    val tot = c.agg(count(lit(1)).as("n_cells"), sum("xsum").as("s_tot"))
+    val dev = c.crossJoin(broadcast(tot))
+      .select(col("cx"), col("cy"), col("n_cells"),
+        (col("n_cells") * col("xsum") - col("s_tot")).as("d"))
+      .localCheckpoint()
+    val den = dev.agg(sum(col("d").cast(d38) * col("d").cast(d38))
+      .cast(d38).as("__den"))
+    val lag = queenPairs(dev.select(col("cx"), col("cy"),
+        col("d").as("xsum")))
+      .groupBy(col("cx"), col("cy"))
+      .agg(sum(col("nxsum")).as("lag_scaled"), count(lit(1)).as("__nn"))
+    dev.join(lag, Seq("cx", "cy"))
+      .crossJoin(broadcast(den))
+      .select(col("cx"), col("cy"), col("d").as("d_scaled"),
+        col("lag_scaled"),
+        when(col("__den") =!= 0,
+          (col("n_cells").cast(d38) * col("d").cast(d38) *
+            col("lag_scaled").cast(d38)).cast("double") /
+            col("__den").cast("double")).as("local_i"),
+        when(col("d") >= 0 && col("lag_scaled") >= 0, "HH")
+          .when(col("d") < 0 && col("lag_scaled") < 0, "LL")
+          .when(col("d") >= 0, "HL").otherwise("LH").as("quadrant"))
+      .orderBy(col("cx"), col("cy"))
+  }
+
+  /** A3+ — join-count statistics for a BINARY field under queen
+    * contiguity (Cliff & Ord 1981 ch. 1; the autocorrelation test for
+    * presence/absence maps): count BB, WW and BW adjacent ordered
+    * pairs and compare BB to its free-sampling expectation
+    *   E[BB] = W·n_B(n_B−1) / (N(N−1)),  (ordered pairs, W = Σw)
+    * with the exact-integer z-numerator N(N−1)·BB − W·n_B(n_B−1)
+    * reported alongside (positive ⇒ black cells clump). Returns ONE
+    * row: (n_cells, n_black, w_pairs, bb, ww, bw, bb_expected_num,
+    * bb_excess_num) — both _num values share the N(N−1) denominator.
+    *
+    * Scale: the [[moransI]] envelope on a 0/1 field — one rollup, one
+    * queen equi-join, one global agg. */
+  def joinCounts(points: DataFrame, xCol: Column, yCol: Column,
+      blackCond: Column, cellSize: Double): DataFrame = {
+    val c = cells(points, xCol, yCol,
+      when(blackCond, 1L).otherwise(0L), cellSize)
+      .select(col("cx"), col("cy"),
+        when(col("xsum") > 0, 1L).otherwise(0L).as("xsum"))
+      .localCheckpoint()
+    val tot = c.agg(count(lit(1)).as("n_cells"),
+      sum(col("xsum")).as("n_black"))
+    val pairs = queenPairs(c)
+      .agg(count(lit(1)).as("w_pairs"),
+        sum(col("xsum") * col("nxsum")).as("bb"),
+        sum((lit(1L) - col("xsum")) * (lit(1L) - col("nxsum"))).as("ww"))
+    pairs.crossJoin(broadcast(tot))
+      .select(col("n_cells"), col("n_black"), col("w_pairs"),
+        col("bb"), col("ww"),
+        (col("w_pairs") - col("bb") - col("ww")).as("bw"),
+        (col("w_pairs").cast(d38) * col("n_black").cast(d38) *
+          (col("n_black") - 1).cast(d38)).cast(d38).cast("long")
+          .as("bb_expected_num"),
+        ((col("n_cells").cast(d38) * (col("n_cells") - 1).cast(d38) *
+          col("bb").cast(d38)) -
+          (col("w_pairs").cast(d38) * col("n_black").cast(d38) *
+            (col("n_black") - 1).cast(d38))).cast(d38).cast("long")
+          .as("bb_excess_num"))
+  }
+
   /** A zone for [[arealInterpolate]]: a named axis-aligned rectangle
     * [x0, x1) × [y0, y1) in the same integer units as the grid. */
   final case class Zone(name: String, x0: Long, y0: Long, x1: Long, y1: Long)

@@ -1,0 +1,113 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.core.Tables
+
+/** Batch 93 — local spatial association: LISA (local Moran) and
+  * join-count statistics — the WHERE/which-quadrant and the
+  * binary-map autocorrelation companions to q373/q374.
+  */
+object Analytics33 {
+
+  private def sensorCents(s: org.apache.spark.sql.SparkSession, dir: String) =
+    Tables.supplier(s, dir).select(
+      expr("CAST((s_suppkey * 37) % 100 AS DOUBLE)").as("x"),
+      expr("CAST((s_suppkey * 73) % 100 AS DOUBLE)").as("y"),
+      expr("CAST(CAST(s_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT)").as("v"),
+      col("s_acctbal"))
+
+  private val sensorsCentsSql =
+    """sens AS (
+      |  SELECT CAST((s_suppkey * 37) % 100 AS DOUBLE) AS x,
+      |    CAST((s_suppkey * 73) % 100 AS DOUBLE) AS y,
+      |    CAST(CAST(s_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT) AS v,
+      |    s_acctbal
+      |  FROM supplier)""".stripMargin
+
+  private val offsSql =
+    """offs AS (
+      |  SELECT dx.range AS dx, dy.range AS dy
+      |  FROM range(-1, 2) dx, range(-1, 2) dy
+      |  WHERE dx.range <> 0 OR dy.range <> 0)""".stripMargin
+
+  /** q429 — A3+: LISA local Moran's I with cluster-quadrant labels on
+    * the sensor-cents lattice — WHERE the field clusters (HH/LL) and
+    * where it breaks (HL/LH); exact N-scaled integer deviations. */
+  val q429 = Declared(
+    "q429_local_moran", "A3,A-stat",
+    (s, dir) => graft.ops.SpatialStats.localMoran(
+      sensorCents(s, dir), col("x"), col("y"), col("v"), cellSize = 4.0),
+    Some(s"""WITH $sensorsCentsSql,
+           |cells AS (
+           |  SELECT CAST(floor(x / 4.0) AS BIGINT) AS cx,
+           |    CAST(floor(y / 4.0) AS BIGINT) AS cy,
+           |    CAST(sum(v) AS BIGINT) AS xsum
+           |  FROM sens GROUP BY 1, 2),
+           |tot AS (SELECT CAST(count(*) AS BIGINT) AS n_cells,
+           |               CAST(sum(xsum) AS BIGINT) AS s_tot FROM cells),
+           |dev AS (
+           |  SELECT cx, cy, n_cells,
+           |    n_cells * xsum - s_tot AS d
+           |  FROM cells, tot),
+           |den AS (SELECT sum(CAST(d AS HUGEINT) * d) AS den FROM dev),
+           |$offsSql,
+           |lag AS (
+           |  SELECT a.cx, a.cy,
+           |    CAST(sum(b.d) AS BIGINT) AS lag_scaled
+           |  FROM dev a JOIN offs o ON true
+           |  JOIN dev b ON b.cx = a.cx + o.dx AND b.cy = a.cy + o.dy
+           |  GROUP BY 1, 2)
+           |SELECT dev.cx, dev.cy, d AS d_scaled, lag_scaled,
+           |  CASE WHEN den <> 0 THEN
+           |    CAST(CAST(n_cells AS HUGEINT) * d * lag_scaled AS DOUBLE)
+           |      / CAST(den AS DOUBLE) END AS local_i,
+           |  CASE WHEN d >= 0 AND lag_scaled >= 0 THEN 'HH'
+           |    WHEN d < 0 AND lag_scaled < 0 THEN 'LL'
+           |    WHEN d >= 0 THEN 'HL' ELSE 'LH' END AS quadrant
+           |FROM dev JOIN lag ON dev.cx = lag.cx AND dev.cy = lag.cy,
+           |  den
+           |ORDER BY dev.cx, dev.cy""".stripMargin),
+    "The q373 envelope per cell: one rollup, one queen equi-join on " +
+      "generated neighbor keys, broadcast moments — the cluster MAP " +
+      "(which cells, which quadrant) that the global I only summarizes. " +
+      "Integer numerators: quadrant labels can never flip.")
+
+  /** q430 — A3+: join-count statistics of the positive-balance
+    * presence map — do black (positive) cells clump beyond the
+    * free-sampling expectation? Exact integer BB/WW/BW counts. */
+  val q430 = Declared(
+    "q430_join_counts", "A3,A-stat",
+    (s, dir) => graft.ops.SpatialStats.joinCounts(
+      sensorCents(s, dir), col("x"), col("y"),
+      col("s_acctbal") > 0, cellSize = 4.0),
+    Some(s"""WITH $sensorsCentsSql,
+           |cells AS (
+           |  SELECT CAST(floor(x / 4.0) AS BIGINT) AS cx,
+           |    CAST(floor(y / 4.0) AS BIGINT) AS cy,
+           |    CASE WHEN sum(CASE WHEN s_acctbal > 0 THEN 1 ELSE 0 END) > 0
+           |      THEN 1 ELSE 0 END AS b
+           |  FROM sens GROUP BY 1, 2),
+           |tot AS (SELECT CAST(count(*) AS BIGINT) AS n_cells,
+           |               CAST(sum(b) AS BIGINT) AS n_black FROM cells),
+           |$offsSql,
+           |pr AS (
+           |  SELECT CAST(count(*) AS BIGINT) AS w_pairs,
+           |    CAST(sum(a.b * c.b) AS BIGINT) AS bb,
+           |    CAST(sum((1 - a.b) * (1 - c.b)) AS BIGINT) AS ww
+           |  FROM cells a JOIN offs o ON true
+           |  JOIN cells c ON c.cx = a.cx + o.dx AND c.cy = a.cy + o.dy)
+           |SELECT n_cells, n_black, w_pairs, bb, ww,
+           |  w_pairs - bb - ww AS bw,
+           |  CAST(CAST(w_pairs AS HUGEINT) * n_black * (n_black - 1)
+           |    AS BIGINT) AS bb_expected_num,
+           |  CAST(CAST(n_cells AS HUGEINT) * (n_cells - 1) * bb
+           |    - CAST(w_pairs AS HUGEINT) * n_black * (n_black - 1)
+           |    AS BIGINT) AS bb_excess_num
+           |FROM pr, tot""".stripMargin),
+    "Binary field, same shuffle shape as Moran: rollup + queen equi-join " +
+      "+ one global agg. The presence/absence autocorrelation test " +
+      "(outage maps, coverage holes) with an exact integer excess — no " +
+      "permutation machinery needed to see the sign.")
+
+  val all: Seq[Declared] = Seq(q429, q430)
+}

@@ -194,4 +194,39 @@ class SpatialStatsSpec extends AnyFunSuite {
     // mass is conserved: total = Σv · Σw = 2 · 24
     assert(k2.values.map(_._1).sum == 48L)
   }
+  /** The moransI 2x2 checkerboard, localized: every cell's lag is the
+    * sum of its 3 neighbors' deviations = opposite-sign pairs minus
+    * one like pair -> lag = -d for each cell; local I = N·d·(-d)/Σd²
+    * = 4·(-400)/1600 = -1 per cell, quadrant HL/LH. */
+  test("localMoran: checkerboard cells are all outliers with I = -1") {
+    val pts = Seq(
+      (0.5, 0.5, 10L), (1.5, 0.5, 0L), (0.5, 1.5, 0L), (1.5, 1.5, 10L))
+      .toDF("x", "y", "v")
+    val out = SpatialStats.localMoran(pts, col("x"), col("y"), col("v"), 1.0)
+      .collect()
+    assert(out.length == 4)
+    assert(out.forall(r => math.abs(r.getAs[Double]("local_i") - (-1.0)) < 1e-9))
+    assert(out.map(_.getAs[String]("quadrant")).toSet == Set("HL", "LH"))
+  }
+
+  test("joinCounts: segregated strip vs checkerboard BB counts") {
+    // 1x4 strip BB|WW: blacks adjacent once (2 ordered pairs)
+    val strip = Seq((0.5, 0.5, 1L), (1.5, 0.5, 1L), (2.5, 0.5, 0L),
+      (3.5, 0.5, 0L)).toDF("x", "y", "v")
+    val r = SpatialStats.joinCounts(strip, col("x"), col("y"),
+      col("v") > 0, 1.0).collect()(0)
+    assert(r.getAs[Long]("n_black") == 2L)
+    assert(r.getAs[Long]("w_pairs") == 6L) // 3 adjacencies, ordered
+    assert(r.getAs[Long]("bb") == 2L && r.getAs[Long]("ww") == 2L)
+    assert(r.getAs[Long]("bw") == 2L)
+    // excess = N(N-1)·BB − W·nB(nB−1) = 12·2 − 6·2 = 12 > 0 (clumped)
+    assert(r.getAs[Long]("bb_excess_num") == 12L)
+    // checkerboard B W B W: blacks never adjacent -> BB = 0, excess < 0
+    val alt = Seq((0.5, 0.5, 1L), (1.5, 0.5, 0L), (2.5, 0.5, 1L),
+      (3.5, 0.5, 0L)).toDF("x", "y", "v")
+    val r2 = SpatialStats.joinCounts(alt, col("x"), col("y"),
+      col("v") > 0, 1.0).collect()(0)
+    assert(r2.getAs[Long]("bb") == 0L)
+    assert(r2.getAs[Long]("bb_excess_num") < 0L)
+  }
 }
