@@ -481,6 +481,43 @@ object EventAnalytics {
         col("__z.__a.d").as("d_events"), col("__z.__s").as("surv_ppm"))
   }
 
+  /** A-stat/A8 — Kaplan–Meier with GREENWOOD confidence bands
+    * (Greenwood 1926; the standard error every published survival
+    * curve is drawn with):
+    *   Var(S(t)) = S(t)² · Σ_{t'≤t} d/(n(n−d)),
+    * se in ppm, plain ±1.96·se bands clamped to [0, 10⁶]. The
+    * Greenwood sum accumulates in exact pico units
+    * (term = d·10¹² div (n·(n−d))); the lone sqrt is one
+    * correctly-rounded op per step. Returns per distinct duration:
+    * (t, n_risk, d_events, surv_ppm, greenwood_pico, se_ppm, lo_ppm,
+    * hi_ppm).
+    *
+    * Scale: the [[kaplanMeier]] envelope — duration rollup + one more
+    * rollup-sized prefix sum. */
+  def kaplanMeierGreenwood(subjects: DataFrame, durationCol: Column,
+      eventCol: Column): DataFrame = {
+    val km = kaplanMeier(subjects, durationCol, eventCol)
+      .withColumn("__term", expr(
+        """CASE WHEN n_risk - d_events > 0
+          |  THEN cast((cast(d_events as decimal(38,0)) * 1000000000000)
+          |       div (cast(n_risk as decimal(38,0))
+          |            * (n_risk - d_events)) as long)
+          |  ELSE 0L END""".stripMargin))
+    val prefix = Window.orderBy(col("t"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    km.withColumn("greenwood_pico", sum(col("__term")).over(prefix))
+      .withColumn("se_ppm", floor(
+        col("surv_ppm").cast("double") *
+          sqrt(col("greenwood_pico").cast("double") / 1e12) + 0.5)
+        .cast("long"))
+      .select(col("t"), col("n_risk"), col("d_events"), col("surv_ppm"),
+        col("greenwood_pico"), col("se_ppm"),
+        greatest(lit(0L),
+          col("surv_ppm") - expr("(196 * se_ppm) div 100")).as("lo_ppm"),
+        least(lit(1000000L),
+          col("surv_ppm") + expr("(196 * se_ppm) div 100")).as("hi_ppm"))
+  }
+
   /** A-stat/A8 — Aalen–Johansen cumulative incidence under COMPETING
     * RISKS (Aalen & Johansen 1978; the estimator Kaplan–Meier gets
     * WRONG when a subject can exit for more than one reason — 1−KM

@@ -109,5 +109,67 @@ object Analytics33 {
       "(outage maps, coverage holes) with an exact integer excess — no " +
       "permutation machinery needed to see the sign.")
 
-  val all: Seq[Declared] = Seq(q429, q430)
+  /** q431 — A-stat/A8: Kaplan–Meier retention curve with Greenwood
+    * 95% bands on the q272 churn cohort — the error bars every
+    * published survival curve carries; exact pico-unit Greenwood
+    * accumulation. */
+  val q431 = Declared(
+    "q431_km_greenwood", "A-stat,A8",
+    (s, dir) => {
+      val per = Tables.events(s, dir).groupBy(col("user_id"))
+        .agg(min(to_date(col("ts"))).as("fd"), max(to_date(col("ts"))).as("ld"))
+      val subj = per
+        .crossJoin(broadcast(per.agg(max(col("ld")).as("obs_end"))))
+        .select(datediff(col("ld"), col("fd")).as("dur"),
+          (col("ld") < date_sub(col("obs_end"), 5)).cast("int").as("churned"))
+      graft.ops.EventAnalytics.kaplanMeierGreenwood(subj, col("dur"),
+        col("churned")).orderBy(col("t"))
+    },
+    Some("""WITH RECURSIVE per AS (
+           |  SELECT user_id, min(CAST(ts AS DATE)) AS fd,
+           |    max(CAST(ts AS DATE)) AS ld
+           |  FROM events GROUP BY 1),
+           |oe AS (SELECT max(ld) AS obs_end FROM per),
+           |subj AS (
+           |  SELECT ld - fd AS dur,
+           |    CASE WHEN ld < obs_end - 5 THEN 1 ELSE 0 END AS ev
+           |  FROM per CROSS JOIN oe),
+           |r0 AS (SELECT dur AS t, CAST(sum(ev) AS BIGINT) AS d,
+           |         count(*) AS alln
+           |       FROM subj GROUP BY 1),
+           |w AS MATERIALIZED (
+           |  SELECT t, d,
+           |    CAST(sum(alln) OVER (ORDER BY t DESC) AS BIGINT) AS n_risk,
+           |    row_number() OVER (ORDER BY t) AS rn
+           |  FROM r0),
+           |km(rn, t, n_risk, d, s) AS (
+           |  SELECT rn, t, n_risk, d,
+           |    (1000000 * (n_risk - d)) // n_risk
+           |  FROM w WHERE rn = 1
+           |  UNION ALL
+           |  SELECT w.rn, w.t, w.n_risk, w.d,
+           |    (km.s * (w.n_risk - w.d)) // w.n_risk
+           |  FROM w JOIN km ON w.rn = km.rn + 1),
+           |g AS (
+           |  SELECT *, CASE WHEN n_risk - d > 0 THEN
+           |      CAST((CAST(d AS HUGEINT) * 1000000000000)
+           |        // (CAST(n_risk AS HUGEINT) * (n_risk - d)) AS BIGINT)
+           |    ELSE 0 END AS term
+           |  FROM km),
+           |g2 AS (SELECT *, CAST(sum(term) OVER (ORDER BY t) AS BIGINT)
+           |         AS greenwood_pico FROM g),
+           |g3 AS (SELECT *, CAST(floor(CAST(s AS DOUBLE)
+           |    * sqrt(CAST(greenwood_pico AS DOUBLE) / 1e12) + 0.5)
+           |    AS BIGINT) AS se FROM g2)
+           |SELECT t, n_risk, d AS d_events, s AS surv_ppm,
+           |  greenwood_pico, se AS se_ppm,
+           |  greatest(0, s - (196 * se) // 100) AS lo_ppm,
+           |  least(1000000, s + (196 * se) // 100) AS hi_ppm
+           |FROM g3 ORDER BY t""".stripMargin),
+    "The q163 envelope plus one rollup-sized prefix sum — error bars at " +
+      "zero extra fact-table cost. Exact pico accumulation and a single " +
+      "correctly-rounded sqrt per step keep the bands bit-portable; the " +
+      "curve without them invites overreading every wiggle.")
+
+  val all: Seq[Declared] = Seq(q429, q430, q431)
 }

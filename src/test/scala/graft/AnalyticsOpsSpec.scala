@@ -2275,4 +2275,24 @@ class AnalyticsOpsSpec extends AnyFunSuite {
     assert(math.abs(r2.getAs[Long]("u_x_given_y_ppm")) < 10L)
     assert(math.abs(r2.getAs[Long]("u_y_given_x_ppm")) < 10L)
   }
+  test("A-stat: kaplanMeierGreenwood — hand bands, zero-width at no-event steps") {
+    // 4 subjects: events at t=1 (1) and t=2 (1); censored at 2 and 3
+    val df = Seq((1L, 1), (2L, 1), (2L, 0), (3L, 0)).toDF("dur", "ev")
+    val out = graft.ops.EventAnalytics.kaplanMeierGreenwood(df, col("dur"),
+      col("ev")).orderBy("t").collect()
+    // t=1: n=4, d=1 -> S = 750000, G = 1e12/(4*3)
+    val g1 = 1000000000000L / 12L
+    assert(out(0).getAs[Long]("surv_ppm") == 750000L)
+    assert(out(0).getAs[Long]("greenwood_pico") == g1)
+    val se1 = math.floor(750000.0 * math.sqrt(g1.toDouble / 1e12) + 0.5).toLong
+    assert(out(0).getAs[Long]("se_ppm") == se1)
+    assert(out(0).getAs[Long]("lo_ppm") == 750000L - 196L * se1 / 100L)
+    // t=2: n=3, d=1 -> S = 500000, G += 1e12/(3*2)
+    assert(out(1).getAs[Long]("surv_ppm") == 500000L)
+    assert(out(1).getAs[Long]("greenwood_pico") == g1 + 1000000000000L / 6L)
+    // t=3: censoring only -> survival and Greenwood sum unchanged
+    assert(out(2).getAs[Long]("surv_ppm") == 500000L)
+    assert(out(2).getAs[Long]("greenwood_pico") ==
+      out(1).getAs[Long]("greenwood_pico"))
+  }
 }
