@@ -344,14 +344,15 @@ object Aggregates {
       .withColumn("__u4",
         (col("n_a").cast(d38) * col("__ta") +
           col("n_b").cast(d38) * col("__tb")).cast(d38))
+      // u4 itself exceeds BIGINT at scale (O(n·N³)); only the
+      // normalized statistic leaves the operator
       .select(col("n_a"), col("n_b"),
-        col("__u4").cast("long").as("u4"),
-        (col("__u4").cast("double") /
+        round(col("__u4").cast("double") /
           (col("n_a").cast(d38) * col("n_b").cast(d38) *
             (col("n_a") + col("n_b")).cast(d38) * 4).cast("double") -
           (col("n_a").cast(d38) * col("n_b").cast(d38) * 4 - 1)
             .cast("double") /
-            ((col("n_a") + col("n_b")).cast(d38) * 6).cast("double"))
+            ((col("n_a") + col("n_b")).cast(d38) * 6).cast("double"), 6)
           .as("t_cvm"))
   }
 

@@ -523,12 +523,12 @@ object Analytics32 {
            |    sum(sa4) AS ta, sum(sb4) AS tb
            |  FROM rs)
            |SELECT n_a, n_b,
-           |  CAST(n_a * ta + n_b * tb AS BIGINT) AS u4,
-           |  CAST(n_a * ta + n_b * tb AS DOUBLE) /
+           |  round(CAST(n_a * ta + n_b * tb AS DOUBLE) /
            |    CAST(CAST(n_a AS HUGEINT) * n_b * (n_a + n_b) * 4
            |      AS DOUBLE)
            |  - CAST(CAST(n_a AS HUGEINT) * n_b * 4 - 1 AS DOUBLE) /
-           |    CAST((CAST(n_a AS HUGEINT) + n_b) * 6 AS DOUBLE) AS t_cvm
+           |    CAST((CAST(n_a AS HUGEINT) + n_b) * 6 AS DOUBLE), 6)
+           |    AS t_cvm
            |FROM a""".stripMargin),
     "One distinct-value rollup with map-side combine; the cumulative " +
       "window is rollup-sized; every tie group contributes a CLOSED-FORM " +
