@@ -843,4 +843,59 @@ object Graph {
     }
     rows.reduce(_ unionByName _).orderBy(col("k"))
   }
+  graft.plans.Guardrails.expect("single_partition_window",
+    "node, deg", "attackTolerance: hub rank over the degree rollup")
+
+  /** E2+ — targeted-attack tolerance audit (Albert, Jeong & Barabási,
+    * Nature 2000, "Error and attack tolerance of complex networks"):
+    * remove the top-k highest-degree hubs and measure what fraction
+    * of the (edge-connected) graph the largest surviving component
+    * still holds — scale-free graphs shatter under targeted removal
+    * while staying robust to random failure; this is the
+    * supply-chain / crawl-infrastructure fragility readout. Hub rank
+    * ties break on node id; components come from the deterministic
+    * min-label [[connectedComponents]]. Returns one row per k:
+    * (k_removed, n_nodes_left, n_edges_left, largest_cc, share_ppm).
+    *
+    * Scale: degrees are one agg; each scenario is a filtered CC run
+    * (O(log diameter) node-keyed rounds). |ks| scenarios run
+    * sequentially — audits run on the (bounded) graph slice under
+    * study, not on raw fact volume. */
+  def attackTolerance(edges: DataFrame, srcCol: String, dstCol: String,
+      ks: Seq[Int]): DataFrame = {
+    require(ks.nonEmpty && ks.forall(_ >= 0), "ks non-empty, >= 0")
+    import org.apache.spark.sql.expressions.Window
+    val e0 = edges.select(col(srcCol).cast("long").as("a"),
+        col(dstCol).cast("long").as("b"))
+      .filter(col("a") =!= col("b"))
+      .select(least(col("a"), col("b")).as("a"),
+        greatest(col("a"), col("b")).as("b"))
+      .distinct().localCheckpoint()
+    val deg = e0.select(explode(array(col("a"), col("b"))).as("node"))
+      .groupBy(col("node")).agg(count(lit(1)).as("deg"))
+    val hubs = deg.withColumn("__hr", row_number().over(
+      Window.orderBy(col("deg").desc, col("node")))).localCheckpoint()
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val rows = ks.map { k =>
+      val removed = hubs.filter(col("__hr") <= k).select(col("node"))
+      val surv = e0
+        .join(removed.withColumnRenamed("node", "a"), Seq("a"), "left_anti")
+        .join(removed.withColumnRenamed("node", "b"), Seq("b"), "left_anti")
+        .localCheckpoint()
+      val nEdges = surv.count()
+      if (nEdges == 0) (k.toLong, 0L, 0L, 0L, 0L)
+      else {
+        val comp = connectedComponents(surv, "a", "b", cache = false)
+        val sizes = comp.groupBy(col("component"))
+          .agg(count(lit(1)).as("sz"))
+          .agg(sum(col("sz")).as("nn"), max(col("sz")).as("mx"))
+          .collect()(0)
+        val nn = sizes.getLong(0); val mx = sizes.getLong(1)
+        (k.toLong, nn, nEdges, mx, mx * 1000000L / math.max(nn, 1L))
+      }
+    }
+    rows.toDF("k_removed", "n_nodes_left", "n_edges_left", "largest_cc",
+      "share_ppm").orderBy(col("k_removed"))
+  }
 }

@@ -171,5 +171,77 @@ object Analytics33 {
       "correctly-rounded sqrt per step keep the bands bit-portable; the " +
       "curve without them invites overreading every wiggle.")
 
-  val all: Seq[Declared] = Seq(q429, q430, q431)
+  /** q432 — E2+: targeted-attack tolerance of the part-succession
+    * graph (partkeys ≤ 400 — the audit slice): largest-component
+    * share after removing the top 0/5/20 hubs; the oracle replays
+    * hub ranking AND all three transitive closures recursively. */
+  val q432 = Declared(
+    "q432_attack_tolerance", "E2+",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("l_orderkey"))
+        .orderBy(col("l_linenumber"), col("l_partkey"))
+      val edges = Tables.lineitem(s, dir)
+        .select(col("l_orderkey"), col("l_partkey").as("src"),
+          lead(col("l_partkey"), 1).over(w).as("dst"))
+        .filter(col("dst").isNotNull && col("dst") =!= col("src") &&
+          col("src") <= 400 && col("dst") <= 400)
+      graft.ext.Graph.attackTolerance(edges, "src", "dst", Seq(0, 5, 20))
+    },
+    Some("""WITH RECURSIVE nx AS (
+           |  SELECT l_partkey AS src,
+           |    lead(l_partkey) OVER (PARTITION BY l_orderkey
+           |      ORDER BY l_linenumber, l_partkey) AS dst
+           |  FROM lineitem),
+           |e0 AS (
+           |  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+           |  FROM nx WHERE dst IS NOT NULL AND dst <> src
+           |    AND src <= 400 AND dst <= 400),
+           |deg AS (
+           |  SELECT node, count(*) AS deg
+           |  FROM (SELECT a AS node FROM e0 UNION ALL SELECT b FROM e0)
+           |  GROUP BY 1),
+           |hubs AS (
+           |  SELECT node, row_number() OVER (ORDER BY deg DESC, node)
+           |    AS hr
+           |  FROM deg),
+           |ks(k) AS (VALUES (0), (5), (20)),
+           |surv AS MATERIALIZED (
+           |  SELECT k, a, b FROM ks, e0
+           |  WHERE a NOT IN (SELECT node FROM hubs WHERE hr <= k)
+           |    AND b NOT IN (SELECT node FROM hubs WHERE hr <= k)),
+           |eb AS MATERIALIZED (
+           |  SELECT k, a, b FROM surv
+           |  UNION ALL SELECT k, b, a FROM surv),
+           |reach AS (
+           |  SELECT k, a AS node, a AS comp FROM eb
+           |  UNION
+           |  SELECT eb.k, eb.a, reach.comp
+           |  FROM eb JOIN reach ON reach.node = eb.b AND reach.k = eb.k),
+           |comp AS (SELECT k, node, min(comp) AS c FROM reach
+           |         GROUP BY 1, 2),
+           |sizes AS (SELECT k, c, CAST(count(*) AS BIGINT) AS sz
+           |          FROM comp GROUP BY 1, 2),
+           |agg AS (
+           |  SELECT k, CAST(sum(sz) AS BIGINT) AS n_nodes,
+           |    CAST(max(sz) AS BIGINT) AS largest
+           |  FROM sizes GROUP BY k),
+           |ec AS (SELECT k, CAST(count(*) AS BIGINT) AS n_edges
+           |       FROM surv GROUP BY k)
+           |SELECT CAST(ks.k AS BIGINT) AS k_removed,
+           |  coalesce(n_nodes, 0) AS n_nodes_left,
+           |  coalesce(n_edges, 0) AS n_edges_left,
+           |  coalesce(largest, 0) AS largest_cc,
+           |  CASE WHEN coalesce(n_nodes, 0) > 0
+           |    THEN (largest * 1000000) // n_nodes ELSE 0 END AS share_ppm
+           |FROM ks LEFT JOIN agg ON agg.k = ks.k
+           |LEFT JOIN ec ON ec.k = ks.k
+           |ORDER BY k_removed""".stripMargin),
+    "Each scenario is a filtered min-label CC run — O(log diameter) " +
+      "node-keyed rounds, one change-count scalar per round. The " +
+      "fragility readout that tells a sourcing/crawl planner whether the " +
+      "network survives its hubs failing TOGETHER — the question q419's " +
+      "rich-club coefficient raises and this answers.")
+
+  val all: Seq[Declared] = Seq(q429, q430, q431, q432)
 }

@@ -104,6 +104,24 @@ class GraphSpec extends AnyFunSuite {
     assert(out(3L).getAs[Long]("n_rich") == 2L)
     assert(out(3L).getAs[Long]("e_rich") == 1L)
   }
+
+  test("E2+: attackTolerance — removing the star hub shatters the graph") {
+    // star: hub 0 with 6 spokes, plus a 2-path appendix 7-8
+    val edges = ((1L to 6L).map(i => (0L, i)) :+ ((7L, 8L))).toDF("s", "d")
+    val out = Graph.attackTolerance(edges, "s", "d", Seq(0, 1))
+      .collect().map(r => r.getLong(0) -> r).toMap
+    // intact: 9 nodes, largest component 7 (hub+spokes)
+    assert(out(0L).getAs[Long]("n_nodes_left") == 9L)
+    assert(out(0L).getAs[Long]("largest_cc") == 7L)
+    assert(out(0L).getAs[Long]("share_ppm") == 7000000L / 9L)
+    // remove the single highest-degree node (the hub): spokes
+    // disconnect entirely (no surviving edges touch them) — only the
+    // 7-8 pair remains edge-connected
+    assert(out(1L).getAs[Long]("n_nodes_left") == 2L)
+    assert(out(1L).getAs[Long]("n_edges_left") == 1L)
+    assert(out(1L).getAs[Long]("largest_cc") == 2L)
+    assert(out(1L).getAs[Long]("share_ppm") == 1000000L)
+  }
 }
 
 class CorpusCurationSpec extends AnyFunSuite {
