@@ -3416,4 +3416,47 @@ object Aggregates {
         expr("((h_y_micro - h_y_given_x_micro) * 1000000L) div " +
           "greatest(h_y_micro, 1L)").as("u_y_given_x_ppm"))
   }
+  /** A-stat — Deming regression per group (Deming 1943; errors in
+    * BOTH variables, λ = 1): the method-comparison LINE to go with
+    * Lin's CCC (q412) and Bland–Altman (q307) — OLS is biased toward
+    * zero slope when x carries noise too; Deming's closed form
+    *   β = (S_yy − S_xx + √((S_yy − S_xx)² + 4·S_xy²)) / (2·S_xy)
+    * treats both axes symmetrically. Moments are exact decimal; the
+    * finish is one pinned IEEE chain rounded to 6 (the n-cleared
+    * S-terms convert once to double; conversion parity is the q412
+    * lesson, hence the rounding). Returns per group:
+    * (g, n, slope, intercept).
+    *
+    * Scale: one group-keyed moment agg with map-side combine. */
+  def demingRegression(df: org.apache.spark.sql.DataFrame, xCol: Column,
+      yCol: Column, groupCol: Column): org.apache.spark.sql.DataFrame = {
+    val d38 = "decimal(38,0)"
+    def dd(c: Column) = c.cast(d38)
+    val m = df.select(groupCol.as("g"), xCol.cast("long").as("__x"),
+        yCol.cast("long").as("__y"))
+      .groupBy(col("g"))
+      .agg(count(lit(1)).as("n"),
+        sum(dd(col("__x"))).cast(d38).as("__sx"),
+        sum(dd(col("__y"))).cast(d38).as("__sy"),
+        sum(dd(col("__x")) * dd(col("__x"))).cast(d38).as("__sxx"),
+        sum(dd(col("__y")) * dd(col("__y"))).cast(d38).as("__syy"),
+        sum(dd(col("__x")) * dd(col("__y"))).cast(d38).as("__sxy"))
+      .filter(col("n") >= 2)
+    val sxxN = (dd(col("n")) * col("__sxx") - col("__sx") * col("__sx"))
+      .cast("double")
+    val syyN = (dd(col("n")) * col("__syy") - col("__sy") * col("__sy"))
+      .cast("double")
+    val sxyN = (dd(col("n")) * col("__sxy") - col("__sx") * col("__sy"))
+      .cast("double")
+    val slope = (syyN - sxxN +
+      sqrt((syyN - sxxN) * (syyN - sxxN) + sxyN * sxyN * 4.0)) /
+      (sxyN * 2.0)
+    m.select(col("g"), col("n"),
+        when(sxyN =!= 0.0, round(slope, 6)).as("slope"),
+        when(sxyN =!= 0.0, round(
+          col("__sy").cast("double") / col("n").cast("double") -
+            slope * (col("__sx").cast("double") / col("n").cast("double")),
+          6)).as("intercept"))
+      .orderBy(col("g"))
+  }
 }

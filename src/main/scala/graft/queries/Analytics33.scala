@@ -243,5 +243,111 @@ object Analytics33 {
       "network survives its hubs failing TOGETHER — the question q419's " +
       "rich-club coefficient raises and this answers.")
 
-  val all: Seq[Declared] = Seq(q429, q430, q431, q432)
+  /** q433 — A-stat: Deming regression of header total on line-item
+    * sum per priority — the errors-in-both-variables line that
+    * completes the method-comparison panel (CCC q412, Bland–Altman
+    * q307): OLS would bias the slope toward zero here. */
+  val q433 = Declared(
+    "q433_deming_regression", "A-stat",
+    (s, dir) => {
+      val lineSum = Tables.lineitem(s, dir)
+        .groupBy(col("l_orderkey"))
+        .agg(sum(expr(
+          "CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)"))
+          .as("line_cents"))
+      val paired = Tables.orders(s, dir)
+        .join(lineSum, col("o_orderkey") === col("l_orderkey"))
+        .select(col("o_orderpriority").as("pri"), col("line_cents"),
+          expr("CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)")
+            .as("hdr_cents"))
+      graft.ops.Aggregates.demingRegression(paired, col("line_cents"),
+        col("hdr_cents"), col("pri"))
+    },
+    Some("""WITH ls AS (
+           |  SELECT l_orderkey,
+           |    CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100
+           |      AS BIGINT)) AS BIGINT) AS x
+           |  FROM lineitem GROUP BY 1),
+           |p AS (
+           |  SELECT o_orderpriority AS g, x,
+           |    CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+           |      AS y
+           |  FROM orders JOIN ls ON o_orderkey = l_orderkey),
+           |m AS (
+           |  SELECT g, CAST(count(*) AS BIGINT) AS n,
+           |    CAST(sum(x) AS HUGEINT) AS sx, CAST(sum(y) AS HUGEINT) AS sy,
+           |    sum(CAST(x AS HUGEINT) * x) AS sxx,
+           |    sum(CAST(y AS HUGEINT) * y) AS syy,
+           |    sum(CAST(x AS HUGEINT) * y) AS sxy
+           |  FROM p GROUP BY g HAVING count(*) >= 2),
+           |f AS (
+           |  SELECT g, n, sx, sy,
+           |    CAST(n * sxx - sx * sx AS DOUBLE) AS vx,
+           |    CAST(n * syy - sy * sy AS DOUBLE) AS vy,
+           |    CAST(n * sxy - sx * sy AS DOUBLE) AS cxy
+           |  FROM m)
+           |SELECT g, n,
+           |  CASE WHEN cxy <> 0 THEN round(
+           |    (vy - vx + sqrt((vy - vx) * (vy - vx) + cxy * cxy * 4.0))
+           |      / (cxy * 2.0), 6) END AS slope,
+           |  CASE WHEN cxy <> 0 THEN round(
+           |    CAST(sy AS DOUBLE) / CAST(n AS DOUBLE) -
+           |    ((vy - vx + sqrt((vy - vx) * (vy - vx) + cxy * cxy * 4.0))
+           |      / (cxy * 2.0))
+           |      * (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)), 6) END
+           |    AS intercept
+           |FROM f ORDER BY g""".stripMargin),
+    "One order-grain rollup + one priority-keyed moment agg; the closed " +
+      "form needs no iteration at all. Slope ≈ 1, intercept ≈ 0 is the " +
+      "reconciliation PASS; OLS on the same pairs would report a " +
+      "noise-attenuated slope and start a false alarm.")
+
+  /** q434 — A3+: Clark–Evans nearest-neighbor index of the supplier
+    * sensor lattice — clustered (R<1), random (≈1) or dispersed
+    * (→2.15)? Grid-probe NN with exact micro distances. */
+  val q434 = Declared(
+    "q434_clark_evans", "A3,A-stat",
+    (s, dir) => graft.ops.SpatialStats.clarkEvans(
+      Tables.supplier(s, dir).select(
+        expr("CAST((s_suppkey * 37) % 100 AS BIGINT)").as("x"),
+        expr("CAST((s_suppkey * 73) % 100 AS BIGINT)").as("y")),
+      col("x"), col("y"), pruneRadius = 10.0, area = 10000.0),
+    Some("""WITH sites AS (
+           |  SELECT px, py, CAST(count(*) AS BIGINT) AS m
+           |  FROM (SELECT CAST((s_suppkey * 37) % 100 AS BIGINT) AS px,
+           |          CAST((s_suppkey * 73) % 100 AS BIGINT) AS py
+           |        FROM supplier)
+           |  GROUP BY 1, 2),
+           |singles AS (SELECT px, py FROM sites WHERE m = 1),
+           |nn AS (
+           |  SELECT s.px, s.py,
+           |    min((s.px - t.px) * (s.px - t.px)
+           |      + (s.py - t.py) * (s.py - t.py)) AS d2
+           |  FROM singles s JOIN sites t
+           |    ON NOT (s.px = t.px AND s.py = t.py)
+           |  GROUP BY 1, 2),
+           |sm AS (
+           |  SELECT CAST(sum(CAST(floor(sqrt(CAST(d2 AS DOUBLE)) * 1e6
+           |    + 0.5) AS BIGINT)) AS BIGINT) AS smic
+           |  FROM nn),
+           |tot AS (SELECT CAST(sum(m) AS BIGINT) AS n_points FROM sites)
+           |SELECT n_points, coalesce(smic, 0) AS sum_nn_micro,
+           |  round(CAST(coalesce(smic, 0) AS DOUBLE) / 1e6
+           |    / CAST(n_points AS DOUBLE), 6) AS mean_nn,
+           |  round((CAST(coalesce(smic, 0) AS DOUBLE) / 1e6
+           |      / CAST(n_points AS DOUBLE))
+           |    / (0.5 * sqrt(10000.0 / CAST(n_points AS DOUBLE))), 6)
+           |    AS r_ce,
+           |  round(((CAST(coalesce(smic, 0) AS DOUBLE) / 1e6
+           |      / CAST(n_points AS DOUBLE))
+           |    - 0.5 * sqrt(10000.0 / CAST(n_points AS DOUBLE)))
+           |    / (0.26136 * sqrt(10000.0)
+           |      / CAST(n_points AS DOUBLE)), 6) AS z_ce
+           |FROM sm, tot""".stripMargin),
+    "Site rollup + 3×3 grid-cell candidate equi-join; only radius misses " +
+      "hit the site-bounded brute fallback. The one-number dispersion " +
+      "verdict (with its CSR z) that decides whether q380's Ripley " +
+      "machinery is even needed.")
+
+  val all: Seq[Declared] = Seq(q429, q430, q431, q432, q433, q434)
 }

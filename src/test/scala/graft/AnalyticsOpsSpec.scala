@@ -2293,4 +2293,21 @@ class AnalyticsOpsSpec extends AnyFunSuite {
     assert(out(2).getAs[Long]("greenwood_pico") ==
       out(1).getAs[Long]("greenwood_pico"))
   }
+  test("A-stat: demingRegression — symmetric noise recovers slope 1, OLS-attenuating case") {
+    // y = x exactly: slope 1, intercept 0
+    val exact = Seq(("g", 1L, 1L), ("g", 2L, 2L), ("g", 3L, 3L))
+      .toDF("g", "x", "y")
+    val r1 = graft.ops.Aggregates.demingRegression(exact, col("x"),
+      col("y"), col("g")).collect()(0)
+    assert(r1.getAs[Double]("slope") == 1.0)
+    assert(r1.getAs[Double]("intercept") == 0.0)
+    // symmetric cross-noise around y = x: (0,1),(1,0),(3,4),(4,3) —
+    // Deming keeps slope 1 where OLS would report 7/10
+    val sym = Seq(("g", 0L, 1L), ("g", 1L, 0L), ("g", 3L, 4L),
+      ("g", 4L, 3L)).toDF("g", "x", "y")
+    val r2 = graft.ops.Aggregates.demingRegression(sym, col("x"),
+      col("y"), col("g")).collect()(0)
+    assert(r2.getAs[Double]("slope") == 1.0)
+    assert(r2.getAs[Double]("intercept") == 0.0)
+  }
 }

@@ -229,4 +229,24 @@ class SpatialStatsSpec extends AnyFunSuite {
     assert(r2.getAs[Long]("bb") == 0L)
     assert(r2.getAs[Long]("bb_excess_num") < 0L)
   }
+  test("clarkEvans — regular grid is dispersed, tight cluster is clustered") {
+    // 4 points on a perfect 10-spaced grid in a 20x20 area: NN = 10,
+    // expected CSR = 0.5*sqrt(400/4) = 5 -> R = 2
+    val grid = Seq((0L, 0L), (10L, 0L), (0L, 10L), (10L, 10L))
+      .toDF("x", "y")
+    val r = SpatialStats.clarkEvans(grid, col("x"), col("y"),
+      pruneRadius = 12.0, area = 400.0).collect()(0)
+    assert(r.getAs[Long]("n_points") == 4L)
+    assert(r.getAs[Double]("mean_nn") == 10.0)
+    assert(r.getAs[Double]("r_ce") == 2.0)
+    assert(r.getAs[Double]("z_ce") > 0.0)
+    // coincident pairs: NN distance 0 for all points -> R = 0
+    val clus = Seq((5L, 5L), (5L, 5L), (50L, 50L), (50L, 50L))
+      .toDF("x", "y")
+    val r2 = SpatialStats.clarkEvans(clus, col("x"), col("y"),
+      pruneRadius = 10.0, area = 400.0).collect()(0)
+    assert(r2.getAs[Long]("sum_nn_micro") == 0L)
+    assert(r2.getAs[Double]("r_ce") == 0.0)
+    assert(r2.getAs[Double]("z_ce") < 0.0)
+  }
 }
