@@ -1024,6 +1024,61 @@ object TimeSeriesOps {
     "__s, __k, __seg",
     "saxSymbolize: breakpoint rank selection over the segment rollup")
 
+  graft.plans.Guardrails.expect("single_partition_window",
+    "__o, __h, __lo", "volatilityMetrics: close-to-close lag over the bar rollup")
+
+  /** A5/A8 — range-based realized-volatility panel over OHLC bars
+    * (Parkinson 1980; Garman & Klass 1980) plus the Amihud (2002)
+    * illiquidity ratio — the risk/liquidity readout a price/metric
+    * stream owes its dashboard:
+    *   σ²_P  = Σ ln²(H/L) / (4·ln2·n)
+    *   σ²_GK = Σ [½·ln²(H/L) − (2ln2−1)·ln²(C/O)] / n
+    *   ILLIQ = avg( |ln(C_t/C_{t−1})| / volume_t )
+    * Range estimators use intra-bar extremes, so they are ~5-7× more
+    * efficient than close-to-close variance at the same bar count.
+    * Each log is micro-quantized once per bar; squares and the GK
+    * combination are exact integers (constants 500000 and 386294 =
+    * ⌊(2ln2−1)·10⁶⌉ on both engines); ILLIQ is an exact integer
+    * nano-per-cent average. Returns ONE row: (n_bars, parkinson_vol,
+    * gk_vol, amihud_npc).
+    *
+    * Scale: input is the BAR rollup (calendar-bounded); one lag
+    * window over it + one global agg. */
+  def volatilityMetrics(bars: DataFrame, binCol: Column, oCol: Column,
+      hCol: Column, lCol: Column, cCol: Column,
+      volCol: Column): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val d38 = "decimal(38,0)"
+    def mnat(num: Column, den: Column) = floor(
+      log(num.cast("double") / den.cast("double")) * 1e6 + 0.5).cast("long")
+    val staged = bars.select(binCol.as("__b"), oCol.cast("long").as("__o"),
+        hCol.cast("long").as("__h"), lCol.cast("long").as("__lo"),
+        cCol.cast("long").as("__c"), volCol.cast("long").as("__v"))
+      .filter(col("__o") > 0 && col("__h") > 0 && col("__lo") > 0 &&
+        col("__c") > 0 && col("__v") > 0)
+      .withColumn("__lhl", mnat(col("__h"), col("__lo")))
+      .withColumn("__lco", mnat(col("__c"), col("__o")))
+      .withColumn("__pc", lag(col("__c"), 1).over(
+        Window.orderBy(col("__b"))))
+      .withColumn("__lret", when(col("__pc").isNotNull,
+        abs(mnat(col("__c"), col("__pc")))))
+    staged.agg(count(lit(1)).as("n_bars"),
+        sum(col("__lhl").cast(d38) * col("__lhl").cast(d38)).cast(d38)
+          .as("__sp"),
+        sum(col("__lhl").cast(d38) * col("__lhl").cast(d38) * 500000 -
+          col("__lco").cast(d38) * col("__lco").cast(d38) * 386294)
+          .cast(d38).as("__sgk"),
+        sum(expr("(__lret * 1000L) div __v")).as("__sa"),
+        sum(when(col("__lret").isNotNull, 1L).otherwise(0L)).as("__na"))
+      .select(col("n_bars"),
+        round(sqrt(col("__sp").cast("double") / 1e12 /
+          (lit(2.772588722239781) * col("n_bars").cast("double"))), 6)
+          .as("parkinson_vol"),
+        round(sqrt(greatest(col("__sgk"), lit(0).cast(d38)).cast("double")
+          / 1e18 / col("n_bars").cast("double")), 6).as("gk_vol"),
+        expr("CASE WHEN __na > 0 THEN __sa div __na END").as("amihud_npc"))
+  }
+
   /** A8 — Theta-method forecast (Assimakopoulos & Nikolopoulos 2000,
     * the M3-winning decomposition; fixed-α variant): split the series
     * into the θ=0 line (the OLS linear trend) and the θ=2 line

@@ -349,5 +349,81 @@ object Analytics33 {
       "verdict (with its CSR z) that decides whether q380's Ripley " +
       "machinery is even needed.")
 
-  val all: Seq[Declared] = Seq(q429, q430, q431, q432, q433, q434)
+  /** q435 — A5/A8: realized-volatility panel (Parkinson + Garman-
+    * Klass range estimators) and Amihud illiquidity over daily OHLC
+    * bars of purchase values — the risk/liquidity readout for any
+    * metric stream, micro-nat exact. */
+  val q435 = Declared(
+    "q435_volatility_panel", "A5,A8",
+    (s, dir) => {
+      val ev = Tables.events(s, dir)
+        .filter(col("event_type") === "purchase")
+        .select(col("ts"), col("event_id"),
+          (col("value").cast("decimal(18,2)") * 100).cast("long")
+            .as("value"))
+      val bars = graft.ops.TimeSeriesOps.ohlcBars(ev, "ts", "event_id",
+        "value", 86400000000L)
+      val vol = ev.groupBy(expr("unix_micros(ts) div 86400000000L")
+          .as("bin"))
+        .agg(sum(col("value")).as("vol_cents"))
+      graft.ops.TimeSeriesOps.volatilityMetrics(
+        bars.join(vol, "bin"), col("bin"), col("open"), col("high"),
+        col("low"), col("close"), col("vol_cents"))
+    },
+    Some("""WITH ev AS (
+           |  SELECT ts, event_id,
+           |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS v
+           |  FROM events WHERE event_type = 'purchase'),
+           |b AS (
+           |  SELECT epoch_us(ts) // 86400000000 AS bin, v,
+           |    row_number() OVER (PARTITION BY epoch_us(ts) // 86400000000
+           |      ORDER BY ts, event_id) AS ra,
+           |    row_number() OVER (PARTITION BY epoch_us(ts) // 86400000000
+           |      ORDER BY ts DESC, event_id DESC) AS rd
+           |  FROM ev),
+           |bars AS (
+           |  SELECT bin, max(CASE WHEN ra = 1 THEN v END) AS o,
+           |    max(v) AS h, min(v) AS lo,
+           |    max(CASE WHEN rd = 1 THEN v END) AS c,
+           |    CAST(sum(v) AS BIGINT) AS vol
+           |  FROM b GROUP BY bin),
+           |st AS (
+           |  SELECT *,
+           |    CAST(floor(ln(CAST(h AS DOUBLE) / CAST(lo AS DOUBLE))
+           |      * 1e6 + 0.5) AS BIGINT) AS lhl,
+           |    CAST(floor(ln(CAST(c AS DOUBLE) / CAST(o AS DOUBLE))
+           |      * 1e6 + 0.5) AS BIGINT) AS lco,
+           |    lag(c) OVER (ORDER BY bin) AS pc
+           |  FROM bars
+           |  WHERE o > 0 AND h > 0 AND lo > 0 AND c > 0 AND vol > 0),
+           |s2 AS (
+           |  SELECT *, CASE WHEN pc IS NOT NULL THEN
+           |      abs(CAST(floor(ln(CAST(c AS DOUBLE) / CAST(pc AS DOUBLE))
+           |        * 1e6 + 0.5) AS BIGINT)) END AS lret
+           |  FROM st),
+           |a AS (
+           |  SELECT CAST(count(*) AS BIGINT) AS n_bars,
+           |    sum(CAST(lhl AS HUGEINT) * lhl) AS sp,
+           |    sum(CAST(lhl AS HUGEINT) * lhl * 500000
+           |      - CAST(lco AS HUGEINT) * lco * 386294) AS sgk,
+           |    CAST(sum((lret * 1000) // vol) AS BIGINT) AS sa,
+           |    CAST(sum(CASE WHEN lret IS NOT NULL THEN 1 ELSE 0 END)
+           |      AS BIGINT) AS na
+           |  FROM s2)
+           |SELECT n_bars,
+           |  round(sqrt(CAST(sp AS DOUBLE) / 1e12
+           |    / (2.772588722239781 * CAST(n_bars AS DOUBLE))), 6)
+           |    AS parkinson_vol,
+           |  round(sqrt(CAST(greatest(sgk, 0) AS DOUBLE) / 1e18
+           |    / CAST(n_bars AS DOUBLE)), 6) AS gk_vol,
+           |  CASE WHEN na > 0 THEN sa // na END AS amihud_npc
+           |FROM a""".stripMargin),
+    "One shuffle keyed on the day bin builds the bars; the estimator " +
+      "panel is a lag window + one agg over the CALENDAR-sized bar " +
+      "rollup. Range estimators wring ~5-7x more efficiency from the " +
+      "same bars than close-to-close variance — the monitoring readout " +
+      "that notices a metric getting wilder before the mean moves.")
+
+  val all: Seq[Declared] =
+    Seq(q429, q430, q431, q432, q433, q434, q435)
 }

@@ -468,4 +468,29 @@ class TimeSeriesOpsSpec extends AnyFunSuite {
     assert(o2.forall(_.getAs[Long]("mase_ppm") < 1000000L))
     assert(o2.map(_.getAs[Long]("t")).toSeq == (16L to 20L))
   }
+  test("A5/A8: volatilityMetrics — flat bars are zero, hand single-bar Parkinson") {
+    import org.apache.spark.sql.functions._
+    // constant price: H=L, C=O -> both vols 0; returns 0 -> amihud 0
+    val flat = (1L to 5L).map(b => (b, 100L, 100L, 100L, 100L, 1000L))
+      .toDF("bin", "o", "h", "l", "c", "v")
+    val r0 = graft.ops.TimeSeriesOps.volatilityMetrics(flat, col("bin"),
+      col("o"), col("h"), col("l"), col("c"), col("v")).collect()(0)
+    assert(r0.getAs[Double]("parkinson_vol") == 0.0)
+    assert(r0.getAs[Double]("gk_vol") == 0.0)
+    assert(r0.getAs[Long]("amihud_npc") == 0L)
+    // one bar, H/L = e (lhl = 1e6), C = O: parkinson = sqrt(1/(4ln2)),
+    // gk = sqrt(0.5)
+    val e6 = math.round(math.E * 1e6)
+    val one = Seq((1L, 1000000L, e6, 1000000L, 1000000L, 500L))
+      .toDF("bin", "o", "h", "l", "c", "v")
+    val r1 = graft.ops.TimeSeriesOps.volatilityMetrics(one, col("bin"),
+      col("o"), col("h"), col("l"), col("c"), col("v")).collect()(0)
+    val lhl = math.floor(math.log(e6.toDouble / 1e6) * 1e6 + 0.5)
+    def r6(v: Double) = BigDecimal(v)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(r1.getAs[Double]("parkinson_vol") ==
+      r6(math.sqrt(lhl * lhl / 1e12 / 2.772588722239781)))
+    assert(r1.getAs[Double]("gk_vol") ==
+      r6(math.sqrt(lhl * lhl * 500000 / 1e18)))
+  }
 }
