@@ -828,4 +828,65 @@ object Evaluation {
       }
     }.toDF("bin", "n", "pos", "pool_lo", "pool_hi", "fit_ppm")
   }
+  graft.plans.Guardrails.expect("single_partition_window",
+    "__rc, item", "recListMetrics: exposure rank over the item rollup")
+
+  /** eval/recsys — recommendation-LIST health metrics (Castells,
+    * Hurley & Vargas, RecSys Handbook ch. 26 "Novelty and Diversity"):
+    * accuracy metrics (MAP q248, NDCG q164, ERR q417) say nothing
+    * about what the list does to the CATALOG —
+    *   coverage  = distinct recommended items / catalog size
+    *   novelty   = mean self-information −ln(pop_i/Σpop) of recs
+    *   exposure Gini = concentration of recommendation slots over
+    *                   items (1 → the list always shows the same few)
+    * — the popularity-bias dashboard. Novelty is micro-nat quantized
+    * per ITEM; the Gini uses the exact sorted-rank identity
+    * Σ(2i−n−1)·c_(i) / (n·Σc) over the item-exposure rollup. Returns
+    * ONE row: (n_users, n_recs, distinct_items, coverage_ppm,
+    * avg_novelty_micro, exposure_gini).
+    *
+    * Scale: rec lists are user-bounded (k per user); all three
+    * metrics run on the ITEM rollup of the rec table — one agg + one
+    * bounded rank window. Popularity joins in broadcast-sized. */
+  def recListMetrics(recs: DataFrame, userCol: Column, itemCol: Column,
+      interactions: DataFrame, popItemCol: Column,
+      catalogSize: Long): DataFrame = {
+    require(catalogSize >= 1, "catalogSize >= 1")
+    import org.apache.spark.sql.expressions.Window
+    val d38 = "decimal(38,0)"
+    val r = recs.select(userCol.as("__u"), itemCol.cast("long").as("item"))
+      .localCheckpoint()
+    val pop = interactions.select(popItemCol.cast("long").as("item"))
+      .groupBy(col("item")).agg(count(lit(1)).as("__pop"))
+    val popTot = pop.agg(sum(col("__pop")).as("__pt"))
+    val exposure = r.groupBy(col("item")).agg(count(lit(1)).as("__rc"))
+      .localCheckpoint()
+    val novelty = exposure.join(pop, Seq("item"), "left")
+      .crossJoin(broadcast(popTot))
+      .withColumn("__mnat", when(col("__pop").isNotNull, floor(
+        log(col("__pt").cast("double") / col("__pop").cast("double"))
+          * 1e6 + 0.5).cast("long")).otherwise(lit(0L)))
+      .agg(sum(col("__rc").cast(d38) * col("__mnat").cast(d38)).cast(d38)
+        .as("__nsum"), sum(col("__rc")).as("__nr"))
+    val ranked = exposure.withColumn("__i", row_number().over(
+      Window.orderBy(col("__rc"), col("item"))))
+    val gini = ranked.agg(count(lit(1)).as("__ni"),
+        sum(col("__rc")).as("__sc"),
+        sum((col("__i").cast(d38) * 2 - 1) * col("__rc").cast(d38))
+          .cast(d38).as("__gnum"))
+      .select(col("__ni"), col("__sc"),
+        // Σ(2i−1)c = 2Σic − Σc  ⇒  G = (Σ(2i−1)c − n·Σc)/(n·Σc)
+        ((col("__gnum") - col("__ni").cast(d38) * col("__sc"))
+          .cast("double") /
+          (col("__ni").cast(d38) * col("__sc")).cast("double"))
+          .as("__g"))
+    val users = r.agg(countDistinct(col("__u")).as("n_users"),
+      count(lit(1)).as("n_recs"))
+    users.crossJoin(broadcast(novelty)).crossJoin(broadcast(gini))
+      .select(col("n_users"), col("n_recs"),
+        col("__ni").as("distinct_items"),
+        expr(s"(__ni * 1000000L) div ${catalogSize}L").as("coverage_ppm"),
+        expr("cast(__nsum div __nr as long)").as("avg_novelty_micro"),
+        round(col("__g"), 6).as("exposure_gini"))
+  }
 }

@@ -424,6 +424,74 @@ object Analytics33 {
       "same bars than close-to-close variance — the monitoring readout " +
       "that notices a metric getting wilder before the mean moves.")
 
+  /** q436 — eval/recsys: list-health metrics of a top-3 repurchase
+    * list per customer — catalog coverage, novelty and exposure Gini,
+    * the popularity-bias dashboard beside MAP/NDCG/ERR accuracy. */
+  val q436 = Declared(
+    "q436_rec_list_metrics", "eval",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val hist = Tables.lineitem(s, dir)
+        .join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_custkey").as("u"), col("l_partkey").as("item"))
+        .agg(sum(col("l_quantity").cast("long")).as("q"))
+      val recs = hist.withColumn("__r", row_number().over(
+          Window.partitionBy(col("u"))
+            .orderBy(col("q").desc, col("item"))))
+        .filter(col("__r") <= 3).select(col("u"), col("item"))
+      val catalog = Tables.part(s, dir).count()
+      graft.ops.Evaluation.recListMetrics(recs, col("u"), col("item"),
+        Tables.lineitem(s, dir), col("l_partkey"), catalog)
+    },
+    Some("""WITH hist AS (
+           |  SELECT o_custkey AS u, l_partkey AS item,
+           |    CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS q
+           |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+           |  GROUP BY 1, 2),
+           |recs AS (
+           |  SELECT u, item FROM (
+           |    SELECT *, row_number() OVER (PARTITION BY u
+           |      ORDER BY q DESC, item) AS r
+           |    FROM hist)
+           |  WHERE r <= 3),
+           |pop AS (SELECT l_partkey AS item, CAST(count(*) AS BIGINT)
+           |          AS pop
+           |        FROM lineitem GROUP BY 1),
+           |pt AS (SELECT CAST(sum(pop) AS BIGINT) AS pt FROM pop),
+           |expo AS (SELECT item, CAST(count(*) AS BIGINT) AS rc
+           |         FROM recs GROUP BY 1),
+           |nov AS (
+           |  SELECT CAST(sum(CAST(rc AS HUGEINT)
+           |      * CAST(floor(ln(CAST(pt AS DOUBLE) / CAST(pop AS DOUBLE))
+           |        * 1e6 + 0.5) AS BIGINT)) AS HUGEINT) AS nsum,
+           |    CAST(sum(rc) AS BIGINT) AS nr
+           |  FROM expo JOIN pop USING (item), pt),
+           |rk AS (
+           |  SELECT *, row_number() OVER (ORDER BY rc, item) AS i
+           |  FROM expo),
+           |gini AS (
+           |  SELECT CAST(count(*) AS BIGINT) AS ni,
+           |    CAST(sum(rc) AS BIGINT) AS sc,
+           |    CAST(sum((CAST(i AS HUGEINT) * 2 - 1) * rc) AS HUGEINT)
+           |      AS gnum
+           |  FROM rk),
+           |cat AS (SELECT CAST(count(*) AS BIGINT) AS cn FROM part),
+           |us AS (SELECT CAST(count(DISTINCT u) AS BIGINT) AS n_users,
+           |         CAST(count(*) AS BIGINT) AS n_recs
+           |       FROM recs)
+           |SELECT n_users, n_recs, ni AS distinct_items,
+           |  (ni * 1000000) // cn AS coverage_ppm,
+           |  CAST(nsum // nr AS BIGINT) AS avg_novelty_micro,
+           |  round(CAST(gnum - CAST(ni AS HUGEINT) * sc AS DOUBLE)
+           |    / CAST(CAST(ni AS HUGEINT) * sc AS DOUBLE), 6)
+           |    AS exposure_gini
+           |FROM us, nov, gini, cat""".stripMargin),
+    "Rec lists are k-per-user; all three metrics run on the ITEM rollup " +
+      "of the list — one agg + one bounded rank window, popularity " +
+      "broadcast. High exposure Gini means the list engine always shows " +
+      "the same few items — the feedback-loop failure accuracy metrics " +
+      "are blind to.")
+
   val all: Seq[Declared] =
-    Seq(q429, q430, q431, q432, q433, q434, q435)
+    Seq(q429, q430, q431, q432, q433, q434, q435, q436)
 }

@@ -2310,4 +2310,26 @@ class AnalyticsOpsSpec extends AnyFunSuite {
     assert(r2.getAs[Double]("slope") == 1.0)
     assert(r2.getAs[Double]("intercept") == 0.0)
   }
+  test("eval: recListMetrics — hand coverage/novelty/Gini on a biased list") {
+    import spark.implicits._
+    // 3 users, everyone recommended item 1; one rec each of 2 and 3
+    val recs = Seq((1L, 1L), (2L, 1L), (3L, 1L), (1L, 2L), (2L, 3L))
+      .toDF("u", "item")
+    // popularity: item1 8 of 10 interactions, items 2,3 one each
+    val inter = (Seq.fill(8)(1L) ++ Seq(2L, 3L)).toDF("pitem")
+    val r = graft.ops.Evaluation.recListMetrics(recs, col("u"),
+      col("item"), inter, col("pitem"), catalogSize = 10L).collect()(0)
+    assert(r.getAs[Long]("n_users") == 3L && r.getAs[Long]("n_recs") == 5L)
+    assert(r.getAs[Long]("distinct_items") == 3L)
+    assert(r.getAs[Long]("coverage_ppm") == 300000L)
+    // novelty = (3*ln(10/8) + ln(10) + ln(10)) micro / 5 recs
+    def mn(x: Double) = math.floor(math.log(x) * 1e6 + 0.5).toLong
+    assert(r.getAs[Long]("avg_novelty_micro") ==
+      (3 * mn(10.0 / 8) + 2 * mn(10.0)) / 5)
+    // exposure counts sorted asc: (1,1,3): G = (Σ(2i-1)c − 3·5)/(3·5)
+    // = (1 + 3 + 15 − 15)/15 = 4/15
+    assert(r.getAs[Double]("exposure_gini") ==
+      BigDecimal(4.0 / 15).setScale(6,
+        BigDecimal.RoundingMode.HALF_UP).toDouble)
+  }
 }
