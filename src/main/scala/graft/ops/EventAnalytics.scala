@@ -481,6 +481,53 @@ object EventAnalytics {
         col("__z.__a.d").as("d_events"), col("__z.__s").as("surv_ppm"))
   }
 
+  graft.plans.Guardrails.expect("single_partition_window",
+    "hour, n, errors", "burnRateAlerts: trailing-window sum over the hour rollup")
+
+  /** ops/SRE — multi-window, multi-burn-rate SLO alerting (the Google
+    * SRE Workbook ch. 5 policy): an alert fires only when BOTH a fast
+    * window (catches sudden breakage) and a slow window (proves it is
+    * sustained) burn error budget faster than their thresholds —
+    *   burn(w) = error_rate(w) / slo_budget
+    * — the page-worthiness calculation behind every mature SLO
+    * rollout; single-window alerting either pages on blips or sleeps
+    * through slow burns. All integer ppm arithmetic. Returns one row
+    * per fast-window period: (hour, n, errors, rate_ppm, burn_fast_ppm,
+    * rate_slow_ppm, burn_slow_ppm, alert).
+    *
+    * Scale: ONE hour-grain rollup off the event stream (map-side
+    * combine); the trailing slow window is a range frame over that
+    * calendar-bounded rollup. */
+  def burnRateAlerts(events: DataFrame, tsCol: Column, errCond: Column,
+      slowHours: Int, sloBudgetPpm: Long, fastFactorPpm: Long,
+      slowFactorPpm: Long): DataFrame = {
+    require(slowHours >= 2 && slowHours <= 168, "2 <= slowHours <= 168")
+    require(sloBudgetPpm >= 1 && sloBudgetPpm < 1000000, "budget in (0,1)")
+    val hourly = events.select(
+        expr(s"unix_micros(${tsCol.toString}) div 3600000000").as("hour"),
+        errCond.cast("long").as("__e"))
+      .groupBy(col("hour"))
+      .agg(count(lit(1)).as("n"), sum(col("__e")).as("errors"))
+    val slow = Window.orderBy(col("hour"))
+      .rangeBetween(-(slowHours - 1).toLong, 0L)
+    hourly
+      .withColumn("__ns", sum(col("n")).over(slow))
+      .withColumn("__es", sum(col("errors")).over(slow))
+      .withColumn("rate_ppm", expr("(errors * 1000000L) div n"))
+      .withColumn("rate_slow_ppm", expr("(__es * 1000000L) div __ns"))
+      .withColumn("burn_fast_ppm",
+        expr(s"(rate_ppm * 1000000L) div ${sloBudgetPpm}L"))
+      .withColumn("burn_slow_ppm",
+        expr(s"(rate_slow_ppm * 1000000L) div ${sloBudgetPpm}L"))
+      .withColumn("alert",
+        col("burn_fast_ppm") >= fastFactorPpm &&
+          col("burn_slow_ppm") >= slowFactorPpm)
+      .select(col("hour"), col("n"), col("errors"), col("rate_ppm"),
+        col("burn_fast_ppm"), col("rate_slow_ppm"), col("burn_slow_ppm"),
+        col("alert"))
+      .orderBy(col("hour"))
+  }
+
   /** A-stat/A8 — Kaplan–Meier with GREENWOOD confidence bands
     * (Greenwood 1926; the standard error every published survival
     * curve is drawn with):

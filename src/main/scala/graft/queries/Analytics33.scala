@@ -492,6 +492,45 @@ object Analytics33 {
       "the same few items — the feedback-loop failure accuracy metrics " +
       "are blind to.")
 
+  /** q437 — ops/SRE: multi-window multi-burn-rate SLO alerting
+    * (Google SRE Workbook ch. 5) — page only when the 1-hour AND the
+    * trailing-6-hour error-budget burn both exceed 1× on a 21% error
+    * budget; single-window alerting either pages on blips or sleeps
+    * through slow burns. */
+  val q437 = Declared(
+    "q437_burn_rate_alerts", "A5,ops",
+    (s, dir) => graft.ops.EventAnalytics.burnRateAlerts(
+      Tables.events(s, dir), col("ts"), col("event_type") === "error",
+      slowHours = 6, sloBudgetPpm = 210000L,
+      fastFactorPpm = 1000000L, slowFactorPpm = 1000000L),
+    Some("""WITH h AS (
+           |  SELECT epoch_us(ts) // 3600000000 AS hour,
+           |    CAST(count(*) AS BIGINT) AS n,
+           |    CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+           |      AS BIGINT) AS errors
+           |  FROM events GROUP BY 1),
+           |w AS (
+           |  SELECT *, CAST(sum(n) OVER (ORDER BY hour RANGE BETWEEN 5
+           |      PRECEDING AND CURRENT ROW) AS BIGINT) AS ns,
+           |    CAST(sum(errors) OVER (ORDER BY hour RANGE BETWEEN 5
+           |      PRECEDING AND CURRENT ROW) AS BIGINT) AS es
+           |  FROM h)
+           |SELECT hour, n, errors,
+           |  (errors * 1000000) // n AS rate_ppm,
+           |  (((errors * 1000000) // n) * 1000000) // 210000
+           |    AS burn_fast_ppm,
+           |  (es * 1000000) // ns AS rate_slow_ppm,
+           |  (((es * 1000000) // ns) * 1000000) // 210000
+           |    AS burn_slow_ppm,
+           |  ((((errors * 1000000) // n) * 1000000) // 210000 >= 1000000
+           |   AND (((es * 1000000) // ns) * 1000000) // 210000 >= 1000000)
+           |    AS alert
+           |FROM w ORDER BY hour""".stripMargin),
+    "ONE hour-grain rollup with map-side combine; the slow window is a " +
+      "range frame over the calendar-bounded rollup. The two-window AND " +
+      "is what makes the page precise AND fast — the alerting-policy " +
+      "arithmetic, bit-exact, straight off the event stream.")
+
   val all: Seq[Declared] =
-    Seq(q429, q430, q431, q432, q433, q434, q435, q436)
+    Seq(q429, q430, q431, q432, q433, q434, q435, q436, q437)
 }

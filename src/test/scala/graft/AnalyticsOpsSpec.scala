@@ -2332,4 +2332,26 @@ class AnalyticsOpsSpec extends AnyFunSuite {
       BigDecimal(4.0 / 15).setScale(6,
         BigDecimal.RoundingMode.HALF_UP).toDouble)
   }
+  test("ops: burnRateAlerts — fires only when BOTH windows burn") {
+    def ts(h: Long, i: Long) = new java.sql.Timestamp(h * 3600000L + i)
+    // hours 0-5 healthy (1 error of 10); hour 6 a blip (5/10) with a
+    // healthy trailing window; hours 7-9 sustained (5/10 each)
+    val rows = (0L to 9L).flatMap { h =>
+      val errs = if (h >= 6) 5 else 1
+      (1L to 10L).map(i => (ts(h, i), i <= errs))
+    }
+    val df = rows.toDF("t", "isErr")
+    val out = graft.ops.EventAnalytics.burnRateAlerts(df, col("t"),
+      col("isErr"), slowHours = 6, sloBudgetPpm = 300000L,
+      fastFactorPpm = 1000000L, slowFactorPpm = 1000000L)
+      .collect().map(r => r.getAs[Long]("hour") -> r).toMap
+    // hour 6: fast burns (50% > 30%) but the 6h window is still
+    // diluted (1+1+1+1+1+5)/60 = 16.7% -> NO alert
+    assert(out(6L).getAs[Long]("burn_fast_ppm") >= 1000000L)
+    assert(!out(6L).getAs[Boolean]("alert"))
+    // hour 9: trailing 6h = (1+1+5+5+5+5)/60 = 36.7% > 30% -> alert
+    assert(out(9L).getAs[Boolean]("alert"))
+    // healthy hours never alert
+    assert(!out(3L).getAs[Boolean]("alert"))
+  }
 }
