@@ -20,6 +20,9 @@ object EventAnalytics {
   graft.plans.Guardrails.expect("single_partition_window",
     "n_risk, d1", "aalenJohansen: suffix risk-set window over the duration rollup")
   graft.plans.Guardrails.expect("single_partition_window",
+    "greenwood_pico, surv_ppm",
+    "kaplanMeierGreenwood: prefix Greenwood sum over the duration rollup")
+  graft.plans.Guardrails.expect("single_partition_window",
     "n_risk, t, d", "kaplanMeier/nelsonAalen: distinct-event-time risk table")
   graft.plans.Guardrails.expect("single_partition_window",
     "_we0, t, surv_ppm", "rmst: lead over the KM rollup (calendar-bounded)")
