@@ -487,6 +487,71 @@ object EventAnalytics {
   graft.plans.Guardrails.expect("single_partition_window",
     "hour, n, errors", "burnRateAlerts: trailing-window sum over the hour rollup")
 
+  /** ops/queueing — Erlang-C staffing table per hour-of-day (Erlang
+    * 1917; the M/M/c wait-probability formula every call-center /
+    * ticket-queue / inference-fleet sizing exercise runs): for each
+    * hour slot, traffic intensity a = arrivals/(μ·days), and the
+    * minimum agent count c > a whose delay probability
+    *   E_C(c, a) = (a^c/c!) / (a^c/c! + (1 − a/c)·Σ_{k<c} a^k/k!)
+    * falls below `targetWaitPpm`. The Erlang terms are evaluated by
+    * ONE sequential fold (term ← term·a/k) — the identical
+    * floating-point operation sequence on both engines, so the chosen
+    * c can never differ. Returns one row per slot:
+    * (hour_of_day, arrivals, n_days, intensity, agents, wait_prob)
+    * — agents = 0 when no c ≤ maxAgents suffices.
+    *
+    * Scale: ONE hour-of-day rollup off the event stream; the fold
+    * runs over a ≤maxAgents literal lattice per slot — 24 rows of
+    * work regardless of event volume. */
+  def erlangStaffing(events: DataFrame, tsCol: Column, jobsPerAgentHour: Long,
+      maxAgents: Int, targetWaitPpm: Long): DataFrame = {
+    require(jobsPerAgentHour >= 1, "jobsPerAgentHour >= 1")
+    require(maxAgents >= 1 && maxAgents <= 200, "1 <= maxAgents <= 200")
+    require(targetWaitPpm >= 1 && targetWaitPpm < 1000000, "target in (0,1)")
+    val target = targetWaitPpm.toDouble / 1e6
+    val slot = events.select(
+        expr(s"(unix_micros(${tsCol.toString}) div 3600000000) % 24")
+          .as("hour_of_day"),
+        expr(s"unix_micros(${tsCol.toString}) div 86400000000").as("__d"))
+    val days = slot.agg(countDistinct(col("__d")).as("n_days"))
+    val agg = slot.groupBy(col("hour_of_day"))
+      .agg(count(lit(1)).as("arrivals"))
+      .crossJoin(broadcast(days))
+      .withColumn("__a",
+        col("arrivals").cast("double") /
+          (lit(jobsPerAgentHour.toDouble) * col("n_days").cast("double")))
+    agg.withColumn("__fit", expr(
+        s"""aggregate(sequence(1, $maxAgents),
+           |  named_struct('term', cast(1.0 as double),
+           |    'cum', cast(0.0 as double), 'bc', 0L,
+           |    'bp', cast(-1.0 as double)),
+           |  (acc, k) -> named_struct(
+           |    'term', acc.term * __a / cast(k as double),
+           |    'cum', acc.cum + acc.term,
+           |    'bc', CASE WHEN acc.bc = 0L AND cast(k as double) > __a
+           |        AND (acc.term * __a / cast(k as double)) /
+           |            ((acc.term * __a / cast(k as double)) +
+           |             (1.0 - __a / cast(k as double)) *
+           |             (acc.cum + acc.term)) <= $target
+           |      THEN cast(k as bigint) ELSE acc.bc END,
+           |    'bp', CASE WHEN acc.bc = 0L AND cast(k as double) > __a
+           |        AND (acc.term * __a / cast(k as double)) /
+           |            ((acc.term * __a / cast(k as double)) +
+           |             (1.0 - __a / cast(k as double)) *
+           |             (acc.cum + acc.term)) <= $target
+           |      THEN (acc.term * __a / cast(k as double)) /
+           |           ((acc.term * __a / cast(k as double)) +
+           |            (1.0 - __a / cast(k as double)) *
+           |            (acc.cum + acc.term))
+           |      ELSE acc.bp END))""".stripMargin))
+      .select(col("hour_of_day"), col("arrivals"), col("n_days"),
+        round(col("__a"), 6).as("intensity"),
+        col("__fit.bc").as("agents"),
+        when(col("__fit.bc") > 0, round(col("__fit.bp"), 6))
+          .as("wait_prob"))
+      .orderBy(col("hour_of_day"))
+  }
+
   /** ops/SRE — multi-window, multi-burn-rate SLO alerting (the Google
     * SRE Workbook ch. 5 policy): an alert fires only when BOTH a fast
     * window (catches sudden breakage) and a slow window (proves it is

@@ -531,6 +531,55 @@ object Analytics33 {
       "is what makes the page precise AND fast — the alerting-policy " +
       "arithmetic, bit-exact, straight off the event stream.")
 
+  /** q438 — ops/queueing: Erlang-C staffing table per hour-of-day —
+    * the minimum agents keeping the M/M/c delay probability under 20%
+    * at 20 jobs/agent/hour; both engines walk the identical Erlang
+    * term fold, so the staffing numbers are bit-stable. */
+  val q438 = Declared(
+    "q438_erlang_staffing", "A5,ops",
+    (s, dir) => graft.ops.EventAnalytics.erlangStaffing(
+      Tables.events(s, dir), col("ts"), jobsPerAgentHour = 20L,
+      maxAgents = 40, targetWaitPpm = 200000L),
+    Some("""WITH slot AS (
+           |  SELECT (epoch_us(ts) // 3600000000) % 24 AS hod,
+           |    epoch_us(ts) // 86400000000 AS d
+           |  FROM events),
+           |days AS (SELECT CAST(count(DISTINCT d) AS BIGINT) AS n_days
+           |         FROM slot),
+           |agg AS (
+           |  SELECT hod AS hour_of_day,
+           |    CAST(count(*) AS BIGINT) AS arrivals, n_days,
+           |    CAST(count(*) AS DOUBLE) / (20.0 * CAST(n_days AS DOUBLE))
+           |      AS a
+           |  FROM slot, days GROUP BY 1, 3),
+           |f AS (
+           |  SELECT *, list_reduce(
+           |    list_prepend([1.0, 0.0, 0.0, -1.0],
+           |      list_transform(range(1, 41),
+           |        k -> [CAST(k AS DOUBLE), 0.0, 0.0, 0.0])),
+           |    (acc, x) -> [
+           |      acc[1] * a / x[1],
+           |      acc[2] + acc[1],
+           |      CASE WHEN acc[3] = 0.0 AND x[1] > a
+           |        AND (acc[1] * a / x[1]) / ((acc[1] * a / x[1])
+           |          + (1.0 - a / x[1]) * (acc[2] + acc[1])) <= 0.2
+           |        THEN x[1] ELSE acc[3] END,
+           |      CASE WHEN acc[3] = 0.0 AND x[1] > a
+           |        AND (acc[1] * a / x[1]) / ((acc[1] * a / x[1])
+           |          + (1.0 - a / x[1]) * (acc[2] + acc[1])) <= 0.2
+           |        THEN (acc[1] * a / x[1]) / ((acc[1] * a / x[1])
+           |          + (1.0 - a / x[1]) * (acc[2] + acc[1]))
+           |        ELSE acc[4] END]) AS st
+           |  FROM agg)
+           |SELECT hour_of_day, arrivals, n_days, round(a, 6) AS intensity,
+           |  CAST(st[3] AS BIGINT) AS agents,
+           |  CASE WHEN st[3] > 0 THEN round(st[4], 6) END AS wait_prob
+           |FROM f ORDER BY hour_of_day""".stripMargin),
+    "ONE hour-of-day rollup off the stream; the Erlang fold walks a " +
+      "40-step literal lattice per slot — 24 rows of work at any event " +
+      "volume. The capacity-planning arithmetic (how many agents/replicas " +
+      "per hour) computed where the arrival data lives.")
+
   val all: Seq[Declared] =
-    Seq(q429, q430, q431, q432, q433, q434, q435, q436, q437)
+    Seq(q429, q430, q431, q432, q433, q434, q435, q436, q437, q438)
 }

@@ -2354,4 +2354,25 @@ class AnalyticsOpsSpec extends AnyFunSuite {
     // healthy hours never alert
     assert(!out(3L).getAs[Boolean]("alert"))
   }
+  test("ops: erlangStaffing — hand M/M/c checks at a=1 and tiny load") {
+    def ts(h: Long, i: Long) = new java.sql.Timestamp(h * 3600000L + i)
+    // hour 0: 20 arrivals in 1 day at 20 jobs/agent/hour -> a = 1.0:
+    //   c=2: EC = (1/2)/((1/2) + (1/2)(1+1)) = 1/3 > 0.2
+    //   c=3: term3=1/6, cum=1+1+1/2: EC = (1/6)/(1/6 + (2/3)(5/2)) = 1/11
+    // hour 1: 1 arrival -> a = 0.05: c=1 suffices (EC = a = 0.05)
+    val rows = (1L to 20L).map(i => ts(0L, i)) :+ ts(1L, 1L)
+    val df = rows.map(Tuple1(_)).toDF("t")
+    val out = graft.ops.EventAnalytics.erlangStaffing(df, col("t"),
+      jobsPerAgentHour = 20L, maxAgents = 40, targetWaitPpm = 200000L)
+      .collect().map(r => r.getAs[Long]("hour_of_day") -> r).toMap
+    val h0 = out(0L)
+    assert(h0.getAs[Double]("intensity") == 1.0)
+    assert(h0.getAs[Long]("agents") == 3L)
+    assert(h0.getAs[Double]("wait_prob") ==
+      BigDecimal(1.0 / 11).setScale(6,
+        BigDecimal.RoundingMode.HALF_UP).toDouble)
+    val h1 = out(1L)
+    assert(h1.getAs[Long]("agents") == 1L)
+    assert(h1.getAs[Double]("wait_prob") == 0.05)
+  }
 }
