@@ -511,6 +511,29 @@ object Aggregates {
       .orderBy(col("digit"))
   }
 
+  /** A1/E4 — Benford MAD conformity verdict (Nigrini 2012, "Benford's
+    * Law" ch. 7 — the acceptance bands auditors actually use; the χ²
+    * on q158's profile over-rejects at scale because power grows with
+    * n while real data never fits perfectly):
+    *   MAD = (1/9)·Σ_digits |observed − expected|
+    * with Nigrini's first-digit bands: < 0.006 close conformity,
+    * < 0.012 acceptable, < 0.015 marginal, else nonconformity. MAD is
+    * an exact integer ppm average over [[benfordProfile]]'s exact
+    * deviations; the verdict is an integer threshold compare. Returns
+    * ONE row: (n, mad_ppm, verdict).
+    *
+    * Scale: the q158 digit rollup (one scan, 9 rows) + a 9-row agg. */
+  def benfordConformity(df: DataFrame, valueCol: Column): DataFrame = {
+    benfordProfile(df, valueCol)
+      .agg(sum(col("n")).as("n"),
+        expr("sum(dev_ppm) div 9").as("mad_ppm"))
+      .withColumn("verdict",
+        when(col("mad_ppm") < 6000, "close")
+          .when(col("mad_ppm") < 12000, "acceptable")
+          .when(col("mad_ppm") < 15000, "marginal")
+          .otherwise("nonconforming"))
+  }
+
   /** E6/A1 — join-key SKEW AUDIT: the distribution profile of a key
     * column that decides whether a join/agg on it needs salting, AQE
     * skew handling, or nothing — run BEFORE the 100 TB job, not after

@@ -580,6 +580,48 @@ object Analytics33 {
       "volume. The capacity-planning arithmetic (how many agents/replicas " +
       "per hour) computed where the arrival data lives.")
 
+  /** q439 — A1/E4: Benford MAD conformity verdict over extended
+    * prices (Nigrini 2012 bands) — the audit ACCEPTANCE readout q158's
+    * raw profile needs; χ² over-rejects at scale, MAD does not. */
+  val q439 = Declared(
+    "q439_benford_conformity", "A1,E4",
+    (s, dir) => graft.ops.Aggregates.benfordConformity(
+      Tables.lineitem(s, dir),
+      (col("l_extendedprice").cast("decimal(18,2)") * 100).cast("long")),
+    Some {
+      val values = graft.ops.Aggregates.BenfordPpm
+        .map { case (d, p) => s"($d, $p)" }.mkString(", ")
+      s"""WITH v AS (
+         |  SELECT CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100
+         |    AS BIGINT) AS v
+         |  FROM lineitem
+         |  WHERE CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100
+         |    AS BIGINT) > 0),
+         |o AS (
+         |  SELECT CAST(substr(CAST(v AS VARCHAR), 1, 1) AS INT) AS digit,
+         |    CAST(count(*) AS BIGINT) AS n
+         |  FROM v GROUP BY 1),
+         |e(digit, exp_ppm) AS (VALUES $values),
+         |j AS (
+         |  SELECT e.digit, coalesce(o.n, 0) AS n, e.exp_ppm
+         |  FROM e LEFT JOIN o ON e.digit = o.digit),
+         |t AS (SELECT CAST(sum(n) AS BIGINT) AS tot FROM j),
+         |d AS (
+         |  SELECT n, abs((n * 1000000) // tot - exp_ppm) AS dev
+         |  FROM j, t)
+         |SELECT CAST(sum(n) AS BIGINT) AS n,
+         |  CAST(sum(dev) // 9 AS BIGINT) AS mad_ppm,
+         |  CASE WHEN sum(dev) // 9 < 6000 THEN 'close'
+         |    WHEN sum(dev) // 9 < 12000 THEN 'acceptable'
+         |    WHEN sum(dev) // 9 < 15000 THEN 'marginal'
+         |    ELSE 'nonconforming' END AS verdict
+         |FROM d""".stripMargin
+    },
+    "The q158 digit rollup (one scan to 9 rows) plus a 9-row agg — the " +
+      "verdict auditors act on, with thresholds that do not sharpen as n " +
+      "grows. Exact integer ppm: the same ledger gets the same verdict on " +
+      "any engine, any partitioning, any day.")
+
   val all: Seq[Declared] =
-    Seq(q429, q430, q431, q432, q433, q434, q435, q436, q437, q438)
+    Seq(q429, q430, q431, q432, q433, q434, q435, q436, q437, q438, q439)
 }

@@ -2375,4 +2375,20 @@ class AnalyticsOpsSpec extends AnyFunSuite {
     assert(h1.getAs[Long]("agents") == 1L)
     assert(h1.getAs[Double]("wait_prob") == 0.05)
   }
+  test("A1: benfordConformity — Benford-exact sample is close, uniform digits nonconforming") {
+    import spark.implicits._
+    // frequencies proportional to the Benford ppm table itself
+    val benford = graft.ops.Aggregates.BenfordPpm.flatMap { case (d, p) =>
+      Seq.fill((p / 1000).toInt)(d.toLong * 100) }
+    val r1 = graft.ops.Aggregates.benfordConformity(
+      benford.toDF("v"), col("v")).collect()(0)
+    assert(r1.getAs[String]("verdict") == "close")
+    assert(r1.getAs[Long]("mad_ppm") < 6000L)
+    // uniform first digits: each 11.1% vs Benford -> way off
+    val uniform = (1 to 9).flatMap(d => Seq.fill(100)(d.toLong * 10))
+    val r2 = graft.ops.Aggregates.benfordConformity(
+      uniform.toDF("v"), col("v")).collect()(0)
+    assert(r2.getAs[String]("verdict") == "nonconforming")
+    assert(r2.getAs[Long]("mad_ppm") > 15000L)
+  }
 }
