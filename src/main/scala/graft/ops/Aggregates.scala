@@ -524,6 +524,8 @@ object Aggregates {
     *
     * Scale: the q158 digit rollup (one scan, 9 rows) + a 9-row agg. */
   def benfordConformity(df: DataFrame, valueCol: Column): DataFrame = {
+    graft.plans.Guardrails.expect("global_sort", "digit, dev_ppm",
+      "benfordConformity: 9-row digit profile sort feeding the MAD agg")
     benfordProfile(df, valueCol)
       .agg(sum(col("n")).as("n"),
         expr("sum(dev_ppm) div 9").as("mad_ppm"))
