@@ -843,8 +843,6 @@ object Graph {
     }
     rows.reduce(_ unionByName _).orderBy(col("k"))
   }
-  graft.plans.Guardrails.expect("single_partition_window",
-    "node, deg", "attackTolerance: hub rank over the degree rollup")
 
   /** E2+ — targeted-attack tolerance audit (Albert, Jeong & Barabási,
     * Nature 2000, "Error and attack tolerance of complex networks"):
@@ -864,7 +862,6 @@ object Graph {
   def attackTolerance(edges: DataFrame, srcCol: String, dstCol: String,
       ks: Seq[Int]): DataFrame = {
     require(ks.nonEmpty && ks.forall(_ >= 0), "ks non-empty, >= 0")
-    import org.apache.spark.sql.expressions.Window
     val e0 = edges.select(col(srcCol).cast("long").as("a"),
         col(dstCol).cast("long").as("b"))
       .filter(col("a") =!= col("b"))
@@ -873,15 +870,22 @@ object Graph {
       .distinct().localCheckpoint()
     val deg = e0.select(explode(array(col("a"), col("b"))).as("node"))
       .groupBy(col("node")).agg(count(lit(1)).as("deg"))
-    val hubs = deg.withColumn("__hr", row_number().over(
-      Window.orderBy(col("deg").desc, col("node")))).localCheckpoint()
+    // only the top max(ks) hubs are ever removed — orderBy.limit is a
+    // TakeOrderedAndProject (per-partition top-k, no global sort, no
+    // single-partition window over the unbounded node rollup); the
+    // collected list is exactly max(ks) rows, bounded by the k literal
     val spark = edges.sparkSession
     import spark.implicits._
+    val hubsTop: Array[Long] = deg
+      .orderBy(col("deg").desc, col("node")).limit(ks.max)
+      .select(col("node")).as[Long].collect()
     val rows = ks.map { k =>
-      val removed = hubs.filter(col("__hr") <= k).select(col("node"))
+      val removed = hubsTop.take(k).toSeq.toDF("node")
       val surv = e0
-        .join(removed.withColumnRenamed("node", "a"), Seq("a"), "left_anti")
-        .join(removed.withColumnRenamed("node", "b"), Seq("b"), "left_anti")
+        .join(broadcast(removed.withColumnRenamed("node", "a")),
+          Seq("a"), "left_anti")
+        .join(broadcast(removed.withColumnRenamed("node", "b")),
+          Seq("b"), "left_anti")
         .localCheckpoint()
       val nEdges = surv.count()
       if (nEdges == 0) (k.toLong, 0L, 0L, 0L, 0L)

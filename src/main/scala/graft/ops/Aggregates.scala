@@ -2848,10 +2848,13 @@ object Aggregates {
       .withColumn("__n", sum(col("__c")).over(
         org.apache.spark.sql.expressions.Window.partitionBy(col("__g"))))
     // med2 = lower + upper median: the smallest v whose cumulative
-    // count reaches ceil(n/2), plus the smallest reaching floor(n/2)+1
+    // count reaches ceil(n/2) (2·ct ≥ n), plus the smallest reaching
+    // ceil((n+1)/2) = floor(n/2)+1 (2·ct ≥ n+1). For odd n both picks
+    // coincide at the median; for even n they bracket it, so med2 is
+    // an exact integer even when the median itself is x.5.
     val med2 = cum.groupBy(col("__g")).agg(
-      (min(when(col("__ct") * 2 >= col("__n") + 1, col("__v"))) +
-        min(when(col("__ct") * 2 >= col("__n") + 2, col("__v")))).as("__med2"))
+      (min(when(col("__ct") * 2 >= col("__n"), col("__v"))) +
+        min(when(col("__ct") * 2 >= col("__n") + 1, col("__v")))).as("__med2"))
     val z2 = df.select(groupCol.as("__g"), v.as("__y"))
       .join(broadcast(med2), "__g")
       .select(col("__g"), abs(lit(2) * col("__y") - col("__med2")).as("__z2"))

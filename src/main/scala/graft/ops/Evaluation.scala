@@ -840,7 +840,13 @@ object Evaluation {
     *   exposure Gini = concentration of recommendation slots over
     *                   items (1 → the list always shows the same few)
     * — the popularity-bias dashboard. Novelty is micro-nat quantized
-    * per ITEM; the Gini uses the exact sorted-rank identity
+    * per ITEM over LAPLACE-SMOOTHED popularity (+1 pseudo-interaction
+    * per catalog item: pop' = pop+1, total' = Σpop + |catalog|), so a
+    * never-interacted item carries FINITE MAXIMAL self-information
+    * ln(total'/1) rather than 0 — cold items are the most novel, and
+    * an unsmoothed convention would bias novelty DOWN exactly when
+    * the list surfaces fresh catalog; the Gini uses the exact
+    * sorted-rank identity
     * Σ(2i−n−1)·c_(i) / (n·Σc) over the item-exposure rollup. Returns
     * ONE row: (n_users, n_recs, distinct_items, coverage_ppm,
     * avg_novelty_micro, exposure_gini).
@@ -863,9 +869,10 @@ object Evaluation {
       .localCheckpoint()
     val novelty = exposure.join(pop, Seq("item"), "left")
       .crossJoin(broadcast(popTot))
-      .withColumn("__mnat", when(col("__pop").isNotNull, floor(
-        log(col("__pt").cast("double") / col("__pop").cast("double"))
-          * 1e6 + 0.5).cast("long")).otherwise(lit(0L)))
+      .withColumn("__mnat", floor(
+        log((coalesce(col("__pt"), lit(0L)).cast("double") + catalogSize.toDouble) /
+          (coalesce(col("__pop"), lit(0L)).cast("double") + 1.0))
+          * 1e6 + 0.5).cast("long"))
       .agg(sum(col("__rc").cast(d38) * col("__mnat").cast(d38)).cast(d38)
         .as("__nsum"), sum(col("__rc")).as("__nr"))
     val ranked = exposure.withColumn("__i", row_number().over(

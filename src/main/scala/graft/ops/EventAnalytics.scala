@@ -30,10 +30,6 @@ object EventAnalytics {
     "cumhaz_ppm", "nelsonAalen: distinct-event-time hazard rollup")
   graft.plans.Guardrails.expect("single_partition_window",
     "__n, __n1, __t", "logRank: distinct-event-time two-group table")
-  graft.plans.Guardrails.expect("single_partition_window",
-    "__a, __f", "rfmSegments: |actors|-row quantile ranks (actor rollup)")
-  graft.plans.Guardrails.expect("single_partition_window",
-    "__a, __m", "rfmSegments: |actors|-row quantile ranks (actor rollup)")
   graft.plans.Guardrails.expect("cartesian_join",
     "__u, __n0", "retentionDecayFit: 1-row cohort-size broadcast")
   graft.plans.Guardrails.expect("single_partition_window",
@@ -828,23 +824,38 @@ object EventAnalytics {
     * raw convention stated, not inverted). Returns the segment-grain
     * rollup: (rfm_code, n_actors) — 125 rows max.
     *
-    * Scale: one actor-grain agg; the three ntile windows run over the
-    * ACTOR rollup (one row per actor), a single-digit fraction of
-    * fact volume; the final rollup is segment-sized. */
+    * Scale: one actor-grain agg; each quintile score is an exact
+    * distributed rank ([[Ranking.globalRowNumber]]: range repartition
+    * + per-partition windows + a |partitions|-row offset rollup —
+    * NEVER a single-partition window over the unbounded actor rollup)
+    * finished by the standard ntile identity — with n rows and rem =
+    * n mod 5, the first rem buckets hold ⌈n/5⌉ rows — in pure integer
+    * arithmetic, bit-identical to NTILE(5) on any engine; the final
+    * rollup is segment-sized. */
   def rfmSegments(df: DataFrame, actorCol: Column, tsCol: Column,
       amountCents: Column): DataFrame = {
     val actors = df.groupBy(actorCol.as("__a")).agg(
       max(to_date(tsCol)).as("__last"),
       count(lit(1)).as("__f"),
       sum(amountCents.cast("long")).as("__m"))
-    val maxD = actors.agg(max(col("__last")).as("__maxd"))
-    def score(c: Column, tie: Column) =
-      ntile(5).over(Window.orderBy(c, tie)).cast("long")
-    actors.crossJoin(broadcast(maxD))
-      .withColumn("__rdays", datediff(col("__maxd"), col("__last")).cast("long"))
-      .withColumn("__rs", score(col("__rdays"), col("__a")))
-      .withColumn("__fs", score(col("__f"), col("__a")))
-      .withColumn("__ms", score(col("__m"), col("__a")))
+    val maxD = actors.agg(max(col("__last")).as("__maxd"),
+      count(lit(1)).as("__n"))
+    val base = actors.crossJoin(broadcast(maxD))
+      .withColumn("__rdays",
+        datediff(col("__maxd"), col("__last")).cast("long"))
+    def score(d: DataFrame, c: Column, out: String): DataFrame =
+      graft.ops.Ranking.globalRowNumber(d, Seq(c, col("__a")))
+        .withColumn(out, expr(
+          """CASE WHEN row_num <= (__n div 5 + 1) * (__n % 5)
+            | THEN (row_num - 1) div (__n div 5 + 1) + 1
+            | ELSE __n % 5 +
+            |   (row_num - (__n div 5 + 1) * (__n % 5) - 1)
+            |     div greatest(__n div 5, 1) + 1
+            |END""".stripMargin).cast("long"))
+        .drop("row_num")
+    val scored = score(score(score(base,
+      col("__rdays"), "__rs"), col("__f"), "__fs"), col("__m"), "__ms")
+    scored
       .withColumn("rfm_code",
         col("__rs") * 100 + col("__fs") * 10 + col("__ms"))
       .groupBy(col("rfm_code")).agg(count(lit(1)).as("n_actors"))

@@ -1201,9 +1201,13 @@ object Experimentation {
     require(bandWidth > 0, "bandWidth > 0")
     val d38 = "decimal(38,0)"
     val base = df.select(
-      (score.cast("long") / bandWidth).cast("long").as("band"),
-      treated.cast("boolean").as("__t"),
-      responded.cast("boolean").as("__r"))
+        score.cast("long").as("__s"),
+        treated.cast("boolean").as("__t"),
+        responded.cast("boolean").as("__r"))
+      // integer division — a double quotient can flip a band at a
+      // boundary for |score| beyond 2^53 (see Binning.jenksBreaks)
+      .select(expr(s"__s div $bandWidth").cast("long").as("band"),
+        col("__t"), col("__r"))
     val bands = base.groupBy(col("band")).agg(
       sum(when(col("__t"), 1L).otherwise(0L)).as("n_t"),
       sum(when(!col("__t"), 1L).otherwise(0L)).as("n_c"),

@@ -33,8 +33,8 @@ object Analytics29 {
            |  FROM pv),
            |md AS (
            |  SELECT g,
-           |    min(CASE WHEN ct * 2 >= n + 1 THEN v END) +
-           |    min(CASE WHEN ct * 2 >= n + 2 THEN v END) AS med2
+           |    min(CASE WHEN ct * 2 >= n THEN v END) +
+           |    min(CASE WHEN ct * 2 >= n + 1 THEN v END) AS med2
            |  FROM cu GROUP BY g),
            |z AS (
            |  SELECT li.l_returnflag AS g,

@@ -460,12 +460,14 @@ object Analytics33 {
            |pt AS (SELECT CAST(sum(pop) AS BIGINT) AS pt FROM pop),
            |expo AS (SELECT item, CAST(count(*) AS BIGINT) AS rc
            |         FROM recs GROUP BY 1),
+           |cat0 AS (SELECT CAST(count(*) AS BIGINT) AS cn FROM part),
            |nov AS (
            |  SELECT CAST(sum(CAST(rc AS HUGEINT)
-           |      * CAST(floor(ln(CAST(pt AS DOUBLE) / CAST(pop AS DOUBLE))
+           |      * CAST(floor(ln((CAST(pt AS DOUBLE) + cn)
+           |        / (CAST(coalesce(pop, 0) AS DOUBLE) + 1))
            |        * 1e6 + 0.5) AS BIGINT)) AS HUGEINT) AS nsum,
            |    CAST(sum(rc) AS BIGINT) AS nr
-           |  FROM expo JOIN pop USING (item), pt),
+           |  FROM expo LEFT JOIN pop USING (item), pt, cat0),
            |rk AS (
            |  SELECT *, row_number() OVER (ORDER BY rc, item) AS i
            |  FROM expo),

@@ -1958,6 +1958,24 @@ class AnalyticsOpsSpec extends AnyFunSuite {
     assert(r1.getAs[Double]("f_stat") > 0.0)
   }
 
+  test("A-stat: leveneBrownForsythe — med2 is the true lower+upper median") {
+    // odd n, skewed {0,1,10}: median 1 -> med2 = 2 -> z2 = {2,0,18}
+    // (an off-by-one med2 of 11 would give z2 = {11,9,9})
+    // ssw_u = 1e6*Σz2² − round(1e6*(Σz2)²/n) = 328e6 − 133333333
+    val odd = Seq(("A", 0L), ("A", 1L), ("A", 10L)).toDF("g", "y")
+    val ro = Aggregates.leveneBrownForsythe(odd, col("y"), col("g")).head()
+    assert(ro.getAs[Long]("n") == 3L)
+    assert(ro.getAs[Long]("ssw_u") == 328000000L - 133333333L)
+    // even n {1,2,3,10}: lower median 2, upper 3 -> med2 = 5 ->
+    // z2 = {3,1,1,15} (doubling the upper median, med2 = 6, would
+    // give {4,2,0,14}); ssw_u = 236e6 − 100000000
+    val even = Seq(("A", 1L), ("A", 2L), ("A", 3L), ("A", 10L))
+      .toDF("g", "y")
+    val re = Aggregates.leveneBrownForsythe(even, col("y"), col("g")).head()
+    assert(re.getAs[Long]("n") == 4L)
+    assert(re.getAs[Long]("ssw_u") == 236000000L - 100000000L)
+  }
+
   test("A-stat: chowTest — a planted slope break dwarfs a stable relation") {
     // x = 1..20; first half y = 2x +/- 1, second half y = 10x +/- 1
     def seg(xs: Range, slope: Long) = xs.map(x =>
@@ -2322,15 +2340,23 @@ class AnalyticsOpsSpec extends AnyFunSuite {
     assert(r.getAs[Long]("n_users") == 3L && r.getAs[Long]("n_recs") == 5L)
     assert(r.getAs[Long]("distinct_items") == 3L)
     assert(r.getAs[Long]("coverage_ppm") == 300000L)
-    // novelty = (3*ln(10/8) + ln(10) + ln(10)) micro / 5 recs
+    // Laplace-smoothed novelty: total' = 10 + catalog(10) = 20,
+    // pop' = pop + 1 → (3*ln(20/9) + 2*ln(20/2)) micro / 5 recs
     def mn(x: Double) = math.floor(math.log(x) * 1e6 + 0.5).toLong
     assert(r.getAs[Long]("avg_novelty_micro") ==
-      (3 * mn(10.0 / 8) + 2 * mn(10.0)) / 5)
+      (3 * mn(20.0 / 9) + 2 * mn(20.0 / 2)) / 5)
     // exposure counts sorted asc: (1,1,3): G = (Σ(2i-1)c − 3·5)/(3·5)
     // = (1 + 3 + 15 − 15)/15 = 4/15
     assert(r.getAs[Double]("exposure_gini") ==
       BigDecimal(4.0 / 15).setScale(6,
         BigDecimal.RoundingMode.HALF_UP).toDouble)
+    // a NEVER-interacted item gets finite MAXIMAL self-information
+    // ln(total'/1), not 0 — one rec of cold item 7 vs one of hot 1
+    val cold = Seq((1L, 7L), (2L, 1L)).toDF("u", "item")
+    val rc = graft.ops.Evaluation.recListMetrics(cold, col("u"),
+      col("item"), inter, col("pitem"), catalogSize = 10L).collect()(0)
+    assert(rc.getAs[Long]("avg_novelty_micro") ==
+      (mn(20.0 / 1) + mn(20.0 / 9)) / 2)
   }
   test("ops: burnRateAlerts — fires only when BOTH windows burn") {
     def ts(h: Long, i: Long) = new java.sql.Timestamp(h * 3600000L + i)
