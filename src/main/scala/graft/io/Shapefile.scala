@@ -6,11 +6,12 @@ import org.apache.spark.sql.functions.{array, col}
 import org.apache.spark.sql.types._
 import graft.core.DataIOError
 
-/** S6 — minimal ESRI Shapefile sink (Point, PolyLine and Polygon
-  * layers): hand-written .shp/.shx/.dbf triple per the public ESRI
-  * whitepaper format — no GDAL. Closes the reference's default
-  * `out_driver='ESRI Shapefile'` contract
-  * (src/data_preprocessing.py:156, :201-206).
+/** S6/S1 — minimal ESRI Shapefile sink AND source (Point, PolyLine
+  * and Polygon layers): hand-written .shp/.shx/.dbf triple per the
+  * public ESRI whitepaper format — no GDAL. Closes the reference's
+  * default `out_driver='ESRI Shapefile'` sink contract
+  * (src/data_preprocessing.py:156, :201-206) and, via [[read]], the
+  * `open_spatial_data` vector-input leg (:462-492, fiona at :475).
   *
   * Scope: Point, single-part PolyLine, and Polygon (single outer ring,
   * optional interior rings via [[writePolygonsWithHoles]]) geometries
@@ -256,6 +257,156 @@ object Shapefile {
 
     writeDbf(rows, attrs, attrOffset = 1, basePath)
     n
+  }
+
+  // ------------------------------------------------------------------
+  // S1 — reader (mirror of the writer above): closes the reference's
+  // `open_spatial_data` contract for actual .shp INPUT files
+  // (src/data_preprocessing.py:462-492, geopandas/fiona at :475) — no
+  // GDAL. Point (1), PolyLine (3) and Polygon (5) records; NULL shapes
+  // (0) become null geometry rows; attributes come from the .dbf.
+  // Parsed on the DRIVER by the same argument as the writer: a
+  // shapefile is a single-file, 2 GB-capped, RESULT-scale format —
+  // bulk data arrives as parquet. At 100 TB the cluster reads many
+  // shapefiles via openDirOfData-style unions, never one big one.
+  // ------------------------------------------------------------------
+
+  /** Read `basePath.shp` (+ `.dbf` if present) into a DataFrame with a
+    * `geometry` struct column followed by the DBF attribute columns.
+    * Polygon records keep the OUTER ring only (part 0, the explicit
+    * closing vertex stripped) — holes are a format-level concept the
+    * engine's single-ring geometry struct deliberately does not carry
+    * (the writer symmetrically assembles them only at the sink).
+    * DBF types map N(dec=0)→long, N(dec>0)/F→double, L→boolean,
+    * D→date, else→string; blank numerics are null. */
+  def read(spark: org.apache.spark.sql.SparkSession, basePath: String): DataFrame = {
+    val shpPath = java.nio.file.Paths.get(basePath + ".shp")
+    if (!java.nio.file.Files.exists(shpPath))
+      throw DataIOError(basePath, s"no such file: $basePath.shp")
+    val bytes = java.nio.file.Files.readAllBytes(shpPath)
+    if (bytes.length < 100)
+      throw DataIOError(basePath, "truncated .shp: shorter than the 100-byte header")
+    val bb = ByteBuffer.wrap(bytes)
+    bb.order(ByteOrder.BIG_ENDIAN)
+    if (bb.getInt(0) != 9994)
+      throw DataIOError(basePath, s"not a shapefile (file code ${bb.getInt(0)} != 9994)")
+    val fileBytes = math.min(bb.getInt(24).toLong * 2, bytes.length.toLong)
+    bb.order(ByteOrder.LITTLE_ENDIAN)
+
+    // geometry per record: Some((kind, vertices)) or None (null shape)
+    val geoms = scala.collection.mutable.ArrayBuffer
+      .empty[Option[(String, IndexedSeq[(Double, Double)])]]
+    var pos = 100L
+    while (pos + 12 <= fileBytes) {
+      val p = pos.toInt
+      bb.order(ByteOrder.BIG_ENDIAN)
+      val contentWords = bb.getInt(p + 4)
+      bb.order(ByteOrder.LITTLE_ENDIAN)
+      bb.getInt(p + 8) match {
+        case 0 => geoms += None
+        case 1 =>
+          geoms += Some(("point",
+            IndexedSeq((bb.getDouble(p + 12), bb.getDouble(p + 20)))))
+        case t @ (3 | 5) =>
+          // content: type(4) at p+8, box(32) at p+12, numParts at p+44
+          val numParts = bb.getInt(p + 44)
+          val numPoints = bb.getInt(p + 48)
+          if (numParts < 1 || numPoints < 1)
+            throw DataIOError(basePath, s"record at byte $p: empty multi-part shape")
+          val partsOff = p + 52
+          val part0End =
+            if (numParts > 1) bb.getInt(partsOff + 4) else numPoints
+          val ptsOff = partsOff + 4 * numParts
+          val raw = (bb.getInt(partsOff) until part0End).map(i =>
+            (bb.getDouble(ptsOff + 16 * i), bb.getDouble(ptsOff + 16 * i + 8)))
+          val verts =
+            if (t == 5 && raw.length >= 2 && raw.head == raw.last) raw.init
+            else raw
+          geoms += Some(((if (t == 5) "polygon" else "linestring"), verts))
+        case other => throw DataIOError(basePath,
+          s"unsupported shape type $other (Point=1, PolyLine=3, Polygon=5; " +
+            "Z/M variants need a fuller reader)")
+      }
+      pos += 8 + contentWords.toLong * 2
+    }
+
+    val (attrFields, attrRows) = readDbf(basePath, geoms.length)
+    val schema = StructType(
+      StructField("geometry", graft.geo.Geo.geometryType) +: attrFields)
+    val rows: Seq[Row] = geoms.toSeq.zip(attrRows).map { case (g, attrs) =>
+      val geomRow = g.map { case (kind, pts) =>
+        Row(kind, pts.map { case (x, y) => Row(x, y) })
+      }.orNull
+      Row.fromSeq(geomRow +: attrs)
+    }
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows,
+        math.max(1, math.min(rows.length, 4))), schema)
+  }
+
+  /** Parse `basePath.dbf` into attribute fields + one value-seq per
+    * record. A missing .dbf yields zero attributes (n empty rows);
+    * a record-count mismatch with the .shp is a loud error. */
+  private def readDbf(basePath: String,
+      nShp: Int): (IndexedSeq[StructField], IndexedSeq[IndexedSeq[Any]]) = {
+    val dbfPath = java.nio.file.Paths.get(basePath + ".dbf")
+    if (!java.nio.file.Files.exists(dbfPath))
+      return (IndexedSeq.empty, IndexedSeq.fill(nShp)(IndexedSeq.empty))
+    val b = java.nio.file.Files.readAllBytes(dbfPath)
+    val bb = ByteBuffer.wrap(b).order(ByteOrder.LITTLE_ENDIAN)
+    val n = bb.getInt(4)
+    val headLen = bb.getShort(8) & 0xFFFF
+    val recLen = bb.getShort(10) & 0xFFFF
+    if (n != nShp)
+      throw DataIOError(basePath,
+        s".dbf has $n records but .shp has $nShp — mismatched sidecar")
+    final case class F(name: String, kind: Char, len: Int, dec: Int)
+    val fields = scala.collection.mutable.ArrayBuffer.empty[F]
+    var off = 32
+    while (off + 32 <= headLen && b(off) != 0x0D) {
+      val nameBytes = b.slice(off, off + 11).takeWhile(_ != 0)
+      fields += F(new String(nameBytes, "US-ASCII"), b(off + 11).toChar,
+        b(off + 16) & 0xFF, b(off + 17) & 0xFF)
+      off += 32
+    }
+    // N(dec=0) → long whatever the width: the sibling writer emits
+    // longs as N(19,0) and blanks anything not representable in 19
+    // chars, so every non-blank value fits a long; a foreign file
+    // with a genuinely over-long integer fails loudly in Long.valueOf
+    def sparkType(f: F): DataType = f.kind match {
+      case 'N' if f.dec == 0 => LongType
+      case 'N' | 'F' => DoubleType
+      case 'L' => BooleanType
+      case 'D' => DateType
+      case _ => StringType
+    }
+    val attrFields = fields.toIndexedSeq.map(f =>
+      StructField(f.name, sparkType(f), nullable = true))
+    val rows = (0 until n).map { r =>
+      var p = headLen + r * recLen + 1 // +1 skips the deleted flag
+      fields.toIndexedSeq.map { f =>
+        val s = new String(b, p, f.len, "US-ASCII").trim
+        p += f.len
+        val v: Any = f.kind match {
+          case 'N' if f.dec == 0 =>
+            if (s.isEmpty) null else java.lang.Long.valueOf(s)
+          case 'N' | 'F' =>
+            if (s.isEmpty) null else java.lang.Double.valueOf(s)
+          case 'L' => s.headOption match {
+            case Some(c) if "TtYy".contains(c) => java.lang.Boolean.TRUE
+            case Some(c) if "FfNn".contains(c) => java.lang.Boolean.FALSE
+            case _ => null
+          }
+          case 'D' =>
+            if (s.length != 8) null
+            else java.sql.Date.valueOf(
+              s"${s.substring(0, 4)}-${s.substring(4, 6)}-${s.substring(6, 8)}")
+          case _ => if (s.isEmpty) null else s
+        }
+        v
+      }
+    }
+    (attrFields, rows)
   }
 
   private def findGeom(df: DataFrame, basePath: String): StructField = {

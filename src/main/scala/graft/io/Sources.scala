@@ -44,12 +44,19 @@ object Sources {
     // but an explicit extension routes straight to the native reader
     val parquetAttempt = "parquet" -> (() => spark.read.parquet(path))
     val orcAttempt = "orc" -> (() => spark.read.orc(path))
+    // binary geo formats (S1): extension-routed, never cascaded into —
+    // the csv leg would comma-split their binary framing
+    val shpAttempt = "shp" -> (() =>
+      Shapefile.read(spark, path.stripSuffix(".shp").stripSuffix(".SHP")))
+    val tiffAttempt = "geotiff" -> (() => GeoTiff.readCells(spark, path))
     val lower = path.toLowerCase
     val attempts =
       if (lower.endsWith(".json")) Seq(jsonAttempt, csvAttempt, xlsxAttempt)
       else if (lower.endsWith(".xlsx")) Seq(xlsxAttempt, csvAttempt, jsonAttempt)
       else if (lower.endsWith(".parquet")) Seq(parquetAttempt)
       else if (lower.endsWith(".orc")) Seq(orcAttempt)
+      else if (lower.endsWith(".shp")) Seq(shpAttempt)
+      else if (lower.endsWith(".tif") || lower.endsWith(".tiff")) Seq(tiffAttempt)
       else Seq(csvAttempt, jsonAttempt, xlsxAttempt)
     val errors = Seq.newBuilder[String]
     attempts.foreach { case (fmt, read) =>
@@ -86,6 +93,13 @@ object Sources {
           val nodes = d.getElementsByTagName("si")
           (0 until nodes.getLength).map(i => nodes.item(i).getTextContent)
         }.getOrElse(IndexedSeq.empty)
+        // SHEET-1-ONLY by design (the reference's pandas.read_excel
+        // default, :453-456). A multi-sheet workbook is ambiguous —
+        // silently reading sheet 1 would drop data, so refuse loudly.
+        if (zf.getEntry("xl/worksheets/sheet2.xml") != null)
+          throw DataIOError(path, "multi-sheet workbook: this reader " +
+            "handles sheet 1 only — split the workbook or export the " +
+            "target sheet as its own file")
         val sheet = parse("xl/worksheets/sheet1.xml")
           .getOrElse(sys.error("no xl/worksheets/sheet1.xml entry (not an xlsx?)"))
         def colIdx(ref: String): Int =

@@ -40,5 +40,6 @@ object Declared {
       Analytics21.all ++ Analytics22.all ++ Analytics23.all ++
       Analytics24.all ++ Analytics25.all ++ Analytics26.all ++
       Analytics27.all ++ Analytics28.all ++ Analytics29.all ++
-      Analytics30.all ++ Analytics31.all ++ Analytics32.all ++ Analytics33.all
+      Analytics30.all ++ Analytics31.all ++ Analytics32.all ++
+      Analytics33.all ++ GeoIngest.all
 }

@@ -1,0 +1,91 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.core.Tables
+import graft.pipeline.{JStr, Operation, Pipeline}
+
+/** Round-7 batch: binary geo-format INGEST (S1) — the reference opens
+  * any GDAL raster/vector file (src/data_preprocessing.py:462-492);
+  * these queries exercise the engine's no-GDAL readers end to end:
+  * a .shp/.dbf fixture written by the engine's own sink flows back
+  * through the reader cascade and the pipeline registry; an
+  * uncompressed GeoTIFF decodes (distributed, strip-parallel) into
+  * the cell-table model the A3 raster ops consume. Fixtures are
+  * deterministic functions of the parquet tables / index formulas, so
+  * the DuckDB oracle reproduces them from the tables alone. */
+object GeoIngest {
+
+  /** q440 — S1/C8: nation points → shapefile sink → reader cascade →
+    * pipeline registry (clean_geometries + filter) → coordinates.
+    * Coordinates are exact dyadic/small-decimal doubles (k·2.5, k·3.0)
+    * so the .shp IEEE doubles and the DBF long/string attributes
+    * round-trip bit-exactly into the oracle's arithmetic. */
+  val q440 = Declared(
+    "q440_shp_pipeline", "S1,C8",
+    (s, dir) => {
+      import graft.geo.Geo
+      val tmp = java.nio.file.Files.createTempDirectory("graft_q440").toString
+      val pts = Tables.nation(s, dir).select(
+        col("n_nationkey").cast("long").as("id"),
+        col("n_name").as("name"),
+        (col("n_nationkey").cast("double") * 2.5).as("px"),
+        ((col("n_nationkey") % 7).cast("double") * 3.0).as("py"))
+        .select(col("id"), col("name"),
+          Geo.stPoint(col("px"), col("py")).as("geometry"))
+      graft.io.Shapefile.writePoints(pts, s"$tmp/nations")
+      val back = graft.io.Sources.openData(s, s"$tmp/nations.shp")
+      val (out, _) = Pipeline("shp_ingest")
+        .addOperation(Operation("clean", "clean_geometries"))
+        .addOperation(Operation("evens", "filter",
+          "condition" -> JStr("id % 2 = 0")))
+        .run(back)
+      out.select(col("id"), col("name"),
+        Geo.stX(col("geometry")).as("x"), Geo.stY(col("geometry")).as("y"))
+        .orderBy(col("id"))
+    },
+    Some("""SELECT CAST(n_nationkey AS BIGINT) AS id, n_name AS name,
+           |  CAST(n_nationkey AS DOUBLE) * 2.5 AS x,
+           |  CAST(n_nationkey % 7 AS DOUBLE) * 3.0 AS y
+           |FROM nation
+           |WHERE n_nationkey % 2 = 0
+           |ORDER BY id""".stripMargin),
+    "The shapefile legs are RESULT-scale by format (single file, 2 GB " +
+      "cap): write and parse on the driver, everything after the read " +
+      "is a distributed frame. At 100 TB vector data arrives as parquet; " +
+      ".shp is the interchange edge — many small files union via " +
+      "openDirOfData, never one big one.")
+
+  /** q441 — S1/A3: uncompressed float32 GeoTIFF → distributed strip
+    * decode → cell table → per-scanline stats. Values are k/8 dyadic
+    * rationals (exact in float32, double, and any sum order); pixel
+    * centers come from the ModelTiepoint/PixelScale geotransform. */
+  val q441 = Declared(
+    "q441_geotiff_ingest", "S1,A3",
+    (s, dir) => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_q441").toString
+      val w = 16; val h = 12
+      val vals = Array.tabulate(w * h)(i => ((i * 13) % 97).toFloat / 8f)
+      graft.io.GeoTiff.writeFloat(s"$tmp/r.tif", w, h, vals,
+        origin = (0.0, 12.0), scale = (1.0, 1.0))
+      graft.io.Sources.openData(s, s"$tmp/r.tif")
+        .groupBy(floor(col("y")).cast("long").as("row_band"))
+        .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_v"),
+          max(col("value")).as("max_v"))
+        .orderBy(col("row_band"))
+    },
+    Some("""WITH c AS (
+           |  SELECT CAST((i * 13) % 97 AS DOUBLE) / 8 AS v,
+           |    12.0 - CAST(i // 16 AS DOUBLE) - 0.5 AS y
+           |  FROM generate_series(0, 191) t(i))
+           |SELECT CAST(floor(y) AS BIGINT) AS row_band,
+           |  CAST(count(*) AS BIGINT) AS n,
+           |  sum(v) AS sum_v, max(v) AS max_v
+           |FROM c GROUP BY 1 ORDER BY 1""".stripMargin),
+    "The driver parses only the KB-sized IFD; pixel decode is " +
+      "parallelized across strips (each task seeks its own byte range) " +
+      "and across files for a raster catalog. Cells enter the same " +
+      "band/x/y/value model as q33's raster buffer stats, so nodata " +
+      "masking and A3 aggregation compose downstream unchanged.")
+
+  val all: Seq[Declared] = Seq(q440, q441)
+}

@@ -824,6 +824,137 @@ class SourcesSinksSpec extends AnyFunSuite {
     assert(e2.getMessage.contains("NULL"))
   }
 
+  test("S1: shapefile read — write→read round-trips points, lines, polygons") {
+    import graft.geo.Geo
+    val dir = tmpDir()
+    // points + mixed attribute types (long / double / string / boolean)
+    val pts = Seq((1L, "alpha", 1.5, true, 3.0, 4.0),
+      (2L, "bravo", -2.25, false, -7.5, 0.125))
+      .toDF("id", "name", "v", "flag", "x", "y")
+      .select(col("id"), col("name"), col("v"), col("flag"),
+        Geo.stPoint(col("x"), col("y")).as("geometry"))
+    graft.io.Shapefile.writePoints(pts, s"$dir/rt_pts")
+    val backP = graft.io.Shapefile.read(spark, s"$dir/rt_pts")
+      .orderBy("id").collect()
+    assert(backP.length == 2)
+    val g0 = backP(0).getStruct(0)
+    assert(g0.getString(0) == "point")
+    assert(g0.getSeq[org.apache.spark.sql.Row](1).head == org.apache.spark.sql.Row(3.0, 4.0))
+    assert(backP(0).getAs[Long]("id") == 1L &&
+      backP(0).getAs[String]("name") == "alpha" &&
+      backP(0).getAs[Double]("v") == 1.5 &&
+      backP(0).getAs[Boolean]("flag"))
+    assert(backP(1).getStruct(0).getSeq[org.apache.spark.sql.Row](1).head ==
+      org.apache.spark.sql.Row(-7.5, 0.125))
+
+    // polylines: vertex order verbatim
+    val line = Seq((1L, Seq((0.0, 0.0), (2.0, 1.0), (4.0, 0.0))))
+      .toDF("id", "path")
+      .select(col("id"), Geo.stLineString(
+        expr("transform(path, p -> struct(p._1 as x, p._2 as y))")).as("geometry"))
+    graft.io.Shapefile.write(line, s"$dir/rt_line")
+    val backL = graft.io.Shapefile.read(spark, s"$dir/rt_line").collect()(0)
+    assert(backL.getStruct(0).getString(0) == "linestring")
+    assert(backL.getStruct(0).getSeq[org.apache.spark.sql.Row](1).map(r =>
+      (r.getDouble(0), r.getDouble(1))) == Seq((0.0, 0.0), (2.0, 1.0), (4.0, 0.0)))
+
+    // polygons: a CW input ring round-trips verbatim (writer keeps CW,
+    // reader strips the explicit closure)
+    val poly = Seq((1L, Seq((0.0, 0.0), (0.0, 3.0), (4.0, 3.0), (4.0, 0.0))))
+      .toDF("id", "ring")
+      .select(col("id"), Geo.stPolygon(
+        expr("transform(ring, p -> struct(p._1 as x, p._2 as y))")).as("geometry"))
+    graft.io.Shapefile.write(poly, s"$dir/rt_poly")
+    val backG = graft.io.Shapefile.read(spark, s"$dir/rt_poly").collect()(0)
+    assert(backG.getStruct(0).getString(0) == "polygon")
+    assert(backG.getStruct(0).getSeq[org.apache.spark.sql.Row](1).map(r =>
+      (r.getDouble(0), r.getDouble(1))) ==
+      Seq((0.0, 0.0), (0.0, 3.0), (4.0, 3.0), (4.0, 0.0)))
+    // a multi-part (holed) polygon reads back its OUTER ring only
+    val holed = Seq((1L,
+      Seq((0.0, 0.0), (0.0, 10.0), (10.0, 10.0), (10.0, 0.0)),
+      Seq(Seq((2.0, 2.0), (4.0, 2.0), (4.0, 4.0), (2.0, 4.0)))))
+      .toDF("id", "ring", "holes")
+      .select(col("id"), Geo.stPolygon(
+        expr("transform(ring, p -> struct(p._1 as x, p._2 as y))")).as("geometry"),
+        expr("transform(holes, h -> transform(h, p -> struct(p._1 as x, p._2 as y)))")
+          .as("holes"))
+    graft.io.Shapefile.writePolygonsWithHoles(holed, s"$dir/rt_holed", Some("holes"))
+    val backH = graft.io.Shapefile.read(spark, s"$dir/rt_holed").collect()(0)
+    assert(backH.getStruct(0).getSeq[org.apache.spark.sql.Row](1).length == 4)
+
+    // missing file and non-shapefile bytes are typed errors
+    val e1 = intercept[graft.core.DataIOError] {
+      graft.io.Shapefile.read(spark, s"$dir/nope") }
+    assert(e1.getMessage.contains("no such file"))
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$dir/junk.shp"),
+      Array.fill[Byte](200)(7))
+    val e2 = intercept[graft.core.DataIOError] {
+      graft.io.Shapefile.read(spark, s"$dir/junk") }
+    assert(e2.getMessage.contains("9994"))
+  }
+
+  test("S1: openData routes .shp through the shapefile reader") {
+    import graft.geo.Geo
+    val dir = tmpDir()
+    val pts = Seq((1L, 3.0, 4.0)).toDF("id", "x", "y")
+      .select(col("id"), Geo.stPoint(col("x"), col("y")).as("geometry"))
+    graft.io.Shapefile.writePoints(pts, s"$dir/route")
+    val back = graft.io.Sources.openData(spark, s"$dir/route.shp")
+    assert(back.columns.toSeq == Seq("geometry", "id"))
+    assert(back.count() == 1)
+  }
+
+  test("S1: GeoTIFF write→read round-trips the cell table exactly") {
+    val dir = tmpDir()
+    // 4x3 float raster, origin (100, 50) top-left corner, 2x2 pixels
+    val vals = Array.tabulate(12)(i => (i * 3 + 1).toFloat / 4f)
+    graft.io.GeoTiff.writeFloat(s"$dir/r.tif", 4, 3, vals,
+      origin = (100.0, 50.0), scale = (2.0, 2.0))
+    val cells = graft.io.GeoTiff.readCells(spark, s"$dir/r.tif")
+      .orderBy("y", "x").collect()
+    assert(cells.length == 12)
+    assert(cells.forall(_.getInt(0) == 1))
+    // first cell: center of pixel (0,0) = (101, 49), value 0.25
+    val byXY = cells.map(r => ((r.getDouble(1), r.getDouble(2)), r.getDouble(3))).toMap
+    assert(byXY((101.0, 49.0)) == 0.25)
+    assert(byXY((103.0, 49.0)) == 1.0)       // pixel (1,0): (1*3+1)/4
+    assert(byXY((101.0, 47.0)) == 3.25)      // pixel (0,1): (4*3+1)/4
+    assert(byXY((107.0, 45.0)) == 8.5)       // pixel (3,2): (11*3+1)/4
+    // extension routing through the cascade
+    val routed = graft.io.Sources.openData(spark, s"$dir/r.tif")
+    assert(routed.columns.toSeq == Seq("band", "x", "y", "value"))
+    assert(routed.count() == 12)
+    // compressed/tiled/BigTIFF guards fail loudly
+    val junk = java.nio.ByteBuffer.allocate(16)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    junk.put('I'.toByte).put('I'.toByte).putShort(43.toShort).putInt(8)
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$dir/big.tif"), junk.array())
+    val e = intercept[graft.core.DataIOError] {
+      graft.io.GeoTiff.readCells(spark, s"$dir/big.tif") }
+    assert(e.getMessage.contains("BigTIFF"))
+  }
+
+  test("S2: multi-sheet xlsx workbooks are refused with a clear error") {
+    val dir = tmpDir()
+    // hand-build a zip with two worksheet entries
+    val out = new java.util.zip.ZipOutputStream(
+      new java.io.FileOutputStream(s"$dir/two.xlsx"))
+    def add(name: String, body: String): Unit = {
+      out.putNextEntry(new java.util.zip.ZipEntry(name))
+      out.write(body.getBytes("UTF-8")); out.closeEntry()
+    }
+    val sheetXml = """<?xml version="1.0"?><worksheet><sheetData>
+      |<row r="1"><c r="A1" t="inlineStr"><is><t>h</t></is></c></row>
+      |</sheetData></worksheet>""".stripMargin
+    add("xl/worksheets/sheet1.xml", sheetXml)
+    add("xl/worksheets/sheet2.xml", sheetXml)
+    out.close()
+    val e = intercept[graft.core.DataIOError] {
+      graft.io.Sources.openXlsx(spark, s"$dir/two.xlsx") }
+    assert(e.getMessage.contains("sheet 1 only"))
+  }
+
   test("X1: jackknife registry op runs from JSON") {
     def run(json: String, df: org.apache.spark.sql.DataFrame) =
       Pipeline.fromJson(json).run(df)._1
