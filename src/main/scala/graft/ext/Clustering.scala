@@ -25,7 +25,8 @@ object Clustering {
   // flags only NEW hazards instead of letting them hide among known
   // ones. Markers are operator-owned columns of the hazard plan node.
   graft.plans.Guardrails.expect("single_partition_window",
-    "_we0, id", "kMeansInt: nC-row centroid seeding (bounded by k)")
+    "_we0, id", "kMeansInt: nC-row centroid seeding (bounded by k)",
+    "k-literal")
 
 
 

@@ -15,7 +15,8 @@ import org.apache.spark.sql.expressions.Window
 object Curation {
 
   graft.plans.Guardrails.expect("cartesian_join",
-    "__d, __cf", "dirichletQL: hit-doc frame x |q|-term corpus-frequency broadcast")
+    "__d, __cf", "dirichletQL: hit-doc frame x |q|-term corpus-frequency broadcast",
+    "k-literal")
 
   // ---- by-design plan-hazard documentation (Guardrails.expect) ------
   // Each entry registers a deliberately-BOUNDED single-partition window
@@ -24,9 +25,8 @@ object Curation {
   // flags only NEW hazards instead of letting them hide among known
   // ones. Markers are operator-owned columns of the hazard plan node.
   graft.plans.Guardrails.expect("single_partition_window",
-    "source, tokens, quality_u", "greedyMixture: |sources|-row allocation")
-  graft.plans.Guardrails.expect("single_partition_window",
-    "__id, __sz", "contextPackingAudit: doc-rollup prefix sum (document-level exception, SCALING.md)")
+    "source, tokens, quality_u", "greedyMixture: |sources|-row allocation",
+    "vocabulary")
 
 
 
@@ -442,19 +442,18 @@ object Curation {
     * rows per doc via sequence() — bounded by the layout itself.
     * Returns per window: (window_id, n_docs, n_split, tokens_in).
     *
-    * Scale: the prefix sum runs over the doc-grain rollup via ONE
-    * ordered window ([[graft.ops.Ranking.globalRowNumber]]'s regime
-    * applies for true fact scale — quantize or shard first); the
+    * Scale: the prefix sum is [[graft.ops.Ranking.globalRunningSum]]
+    * — range repartition + per-partition cumsums + a
+    * |partitions|-row offset rollup, NEVER a single-partition window
+    * over the doc table — so the audit runs at full corpus scale; the
     * explode is layout-bounded. */
   def contextPackingAudit(docs: DataFrame, idCol: Column, sizeCol: Column,
       capacity: Long): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     require(capacity >= 1, "capacity >= 1")
-    val w = Window.orderBy(col("__id"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val laid = docs.select(idCol.as("__id"), sizeCol.cast("long").as("__sz"))
-      .filter(col("__sz") > 0)
-      .withColumn("__cum", sum(col("__sz")).over(w))
+    val laid = graft.ops.Ranking.globalRunningSum(
+      docs.select(idCol.as("__id"), sizeCol.cast("long").as("__sz"))
+        .filter(col("__sz") > 0),
+      Seq(col("__id")), col("__sz"), "__cum")
       .withColumn("__w0", expr(s"(__cum - __sz) div ${capacity}L"))
       .withColumn("__w1", expr(s"(__cum - 1L) div ${capacity}L"))
     laid

@@ -358,9 +358,11 @@ object Similarity {
     require(lamNum >= 0 && lamDen > 0 && lamNum <= lamDen,
       "lambda num/den must satisfy 0 <= num <= den")
     graft.plans.Guardrails.expect("single_partition_window", "__ord",
-      "mmrRerank: top-N candidate-list ordinal (bounded by upstream k)")
+      "mmrRerank: top-N candidate-list ordinal (bounded by upstream k)",
+    "k-literal")
     graft.plans.Guardrails.expect("cartesian_join", "__v, __ord",
-      "mmrRerank: N x N sim matrix over the bounded candidate list")
+      "mmrRerank: N x N sim matrix over the bounded candidate list",
+    "k-literal")
     // ordinal over the BOUNDED candidate list; sims indexed by ordinal
     val base = candidates.select(col(idCol).cast("long").as("__id"),
         floor(col(relCol) * 1e6).cast("long").as("rel_u"),

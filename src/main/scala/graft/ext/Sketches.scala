@@ -32,11 +32,14 @@ object Sketches {
   // flags only NEW hazards instead of letting them hide among known
   // ones. Markers are operator-owned columns of the hazard plan node.
   graft.plans.Guardrails.expect("single_partition_window",
-    "__rn, h", "kmvSketch: k-row sketch rank (k<=1024)")
+    "__rn, h", "kmvSketch: k-row sketch rank (k<=1024)",
+    "k-literal")
   graft.plans.Guardrails.expect("single_partition_window",
-    "__cum, __bin", "binnedQuantileAudit: |bins|-row CDF")
+    "__cum, __bin", "binnedQuantileAudit: |bins|-row CDF",
+    "k-literal")
   graft.plans.Guardrails.expect("single_partition_window",
-    "__cum, __x", "binnedQuantileAudit: exact-quantile CDF over the bounded probe")
+    "__cum, __x", "binnedQuantileAudit: exact-quantile CDF over the bounded probe",
+    "k-literal")
 
 
 

@@ -17,13 +17,17 @@ object TextAnalysis {
   // flags only NEW hazards instead of letting them hide among known
   // ones. Markers are operator-owned columns of the hazard plan node.
   graft.plans.Guardrails.expect("single_partition_window",
-    "vocab, __cp", "vocabGrowth/heapsFit: checkpoint rollup (corpus/every rows)")
+    "vocab, __cp", "vocabGrowth/heapsFit: checkpoint rollup (corpus/every rows)",
+    "rollup")
   graft.plans.Guardrails.expect("single_partition_window",
-    "__w, __f", "zipfSlope: top-k frequency ranks")
+    "__w, __f", "zipfSlope: top-k frequency ranks",
+    "k-literal")
   graft.plans.Guardrails.expect("single_partition_window",
-    "__cum, __w, __c", "vocabCoverage: vocabulary-rollup cumulative mass")
+    "__cum, __w, __c", "vocabCoverage: vocabulary-rollup cumulative mass",
+    "vocabulary")
   graft.plans.Guardrails.expect("single_partition_window",
-    "__nt, __ty", "vocabCoverage: 1-row totals over the vocabulary rollup")
+    "__nt, __ty", "vocabCoverage: 1-row totals over the vocabulary rollup",
+    "k-literal")
 
 
 
@@ -1327,7 +1331,8 @@ object TextAnalysis {
       .select(col("__id").as(idCol), col("n_scored"), col("n_green"), col("z"))
   }
   graft.plans.Guardrails.expect("single_partition_window",
-    "__trw", "textRankKeywords: vocab-rollup id assignment")
+    "__trw", "textRankKeywords: vocab-rollup id assignment",
+    "vocabulary")
 
   /** E4/E2+ — TextRank keyword extraction (Mihalcea & Tarau, EMNLP
     * 2004): build the word co-occurrence graph of candidate tokens
@@ -1403,9 +1408,11 @@ object TextAnalysis {
       .orderBy(col("g"))
   }
   graft.plans.Guardrails.expect("single_partition_window",
-    "__bw, __wc", "burrowsDelta: top-k word rank over the word rollup")
+    "__bw, __wc", "burrowsDelta: top-k word rank over the word rollup",
+    "k-literal")
   graft.plans.Guardrails.expect("cartesian_join",
-    "__au, __tot", "burrowsDelta: author totals x top-k word broadcast")
+    "__au, __tot", "burrowsDelta: author totals x top-k word broadcast",
+    "k-literal")
 
   /** E4 — Burrows' Delta authorship/stylometry distance (Burrows
     * 2002, "Delta: a measure of stylistic difference"; Argamon 2008

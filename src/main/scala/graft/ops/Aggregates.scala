@@ -43,61 +43,88 @@ object Aggregates {
   // flags only NEW hazards instead of letting them hide among known
   // ones. Markers are operator-owned columns of the hazard plan node.
   graft.plans.Guardrails.expect("single_partition_window",
-    "__v, __cnt, __ca", "mannWhitneyU: distinct-value rank rollup")
+    "__v, __cnt, __ca", "mannWhitneyU: distinct-value rank rollup",
+    "rollup")
   graft.plans.Guardrails.expect("single_partition_window",
-    "__v, __ca, __cb", "cliffsDelta: distinct-value cumulative rollup")
+    "__v, __ca, __cb", "cliffsDelta: distinct-value cumulative rollup",
+    "rollup")
   graft.plans.Guardrails.expect("cartesian_join",
-    "__tsa, __wsa", "yuenTrimmedT: 1-row-per-group finish broadcast")
+    "__tsa, __wsa", "yuenTrimmedT: 1-row-per-group finish broadcast",
+    "k-literal")
   graft.plans.Guardrails.expect("cartesian_join",
-    "__r, __c", "chiSquare/cramersV: r x c contingency-cell frame, k-row broadcast")
+    "__r, __c", "chiSquare/cramersV: r x c contingency-cell frame, k-row broadcast",
+    "rollup")
   graft.plans.Guardrails.expect("single_partition_window",
-    "__cuma, __cumb", "ksTest/wasserstein1: distinct-value CDF rollup")
+    "__cuma, __cumb", "ksTest/wasserstein1: distinct-value CDF rollup",
+    "rollup")
   graft.plans.Guardrails.expect("single_partition_window",
-    "__na, __nb", "ksTest/wasserstein1: 1-row totals over the value rollup")
+    "__na, __nb", "ksTest/wasserstein1: 1-row totals over the value rollup",
+    "k-literal")
   graft.plans.Guardrails.expect("single_partition_window",
     "__cn, __cs, __t, __y",
-    "binarySegmentation: prefix walk over the bounded series rollup")
+    "binarySegmentation: prefix walk over the bounded series rollup",
+    "calendar")
   graft.plans.Guardrails.expect("cartesian_join",
     "__rt, __rcn, __rcs",
-    "binarySegmentation: 1-row root-split frame broadcast to the sides")
+    "binarySegmentation: 1-row root-split frame broadcast to the sides",
+    "k-literal")
   graft.plans.Guardrails.expect("single_partition_window",
-    "__v, __ca, __cb", "wasserstein1: distinct-value gap rollup")
+    "__v, __ca, __cb", "wasserstein1: distinct-value gap rollup",
+    "rollup")
   graft.plans.Guardrails.expect("single_partition_window",
-    "__W, ", "largestRemainder: |keys|-row seat table")
+    "__W, ", "largestRemainder: |keys|-row seat table",
+    "rollup")
   graft.plans.Guardrails.expect("single_partition_window",
-    "__floor, __rem", "largestRemainder: |keys|-row remainder rank")
+    "__floor, __rem", "largestRemainder: |keys|-row remainder rank",
+    "rollup")
   graft.plans.Guardrails.expect("single_partition_window",
-    "__left", "largestRemainder: |keys|-row shortfall assignment")
+    "__left", "largestRemainder: |keys|-row shortfall assignment",
+    "rollup")
   graft.plans.Guardrails.expect("single_partition_window",
-    "digit, exp_ppm", "benfordProfile: 9-row digit frame")
+    "digit, exp_ppm", "benfordProfile: 9-row digit frame",
+    "k-literal")
   graft.plans.Guardrails.expect("single_partition_window",
-    "__K, __N", "skewAudit: top-k key rollup")
+    "__K, __N", "skewAudit: top-k key rollup",
+    "k-literal")
   graft.plans.Guardrails.expect("single_partition_window",
-    "__rn, __k, __cnt", "skewAudit: top-k key rank")
+    "__rn, __k, __cnt", "skewAudit: top-k key rank",
+    "k-literal")
   graft.plans.Guardrails.expect("single_partition_window",
-    "__v, __cv", "kruskalWallis: distinct-value tie rollup")
+    "__v, __cv", "kruskalWallis: distinct-value tie rollup",
+    "rollup")
   graft.plans.Guardrails.expect("single_partition_window",
-    "__ad, __c", "wilcoxonSignedRank: distinct-|diff| rank rollup")
+    "__ad, __c", "wilcoxonSignedRank: distinct-|diff| rank rollup",
+    "rollup")
   graft.plans.Guardrails.expect("single_partition_window",
-    "__t, __v", "ljungBox/xmr/acf: calendar-bounded series rollup")
+    "__t, __v", "ljungBox/xmr/acf: calendar-bounded series rollup",
+    "calendar")
   graft.plans.Guardrails.expect("single_partition_window",
-    "__rn, __x", "hillTailIndex: top-k order-statistic frame")
+    "__rn, __x", "hillTailIndex: top-k order-statistic frame",
+    "k-literal")
   graft.plans.Guardrails.expect("single_partition_window",
-    "__v, __c, __s", "lorenzCurve: distinct-value cumulative rollup")
+    "__v, __c, __s", "lorenzCurve: distinct-value cumulative rollup",
+    "rollup")
   graft.plans.Guardrails.expect("single_partition_window",
-    "__val, __cb", "abcClassification: |items|-row value rollup")
+    "__val, __cb", "abcClassification: |items|-row value rollup",
+    "vocabulary")
   graft.plans.Guardrails.expect("single_partition_window",
-    "__k, __val", "abcClassification: |items|-row rank")
+    "__k, __val", "abcClassification: |items|-row rank",
+    "vocabulary")
   graft.plans.Guardrails.expect("single_partition_window",
-    "abc_class", "abcClassification: 3-row class finish")
+    "abc_class", "abcClassification: 3-row class finish",
+    "k-literal")
   graft.plans.Guardrails.expect("single_partition_window",
-    "__v, __c", "quantileNormalize/binned: distinct-value CDF rollup")
+    "__v, __c", "quantileNormalize/binned: distinct-value CDF rollup",
+    "rollup")
   graft.plans.Guardrails.expect("single_partition_window",
-    "__pv, d, v", "runsTest: day-rollup lag")
+    "__pv, d, v", "runsTest: day-rollup lag",
+    "calendar")
   graft.plans.Guardrails.expect("single_partition_window",
-    "__prev, __t, __f", "runsTest: day-rollup run flags")
+    "__prev, __t, __f", "runsTest: day-rollup run flags",
+    "calendar")
   graft.plans.Guardrails.expect("cartesian_join",
-    "loa_low, loa_high", "blandAltman: 1-row limits broadcast")
+    "loa_low, loa_high", "blandAltman: 1-row limits broadcast",
+    "k-literal")
 
 
 
@@ -525,7 +552,8 @@ object Aggregates {
     * Scale: the q158 digit rollup (one scan, 9 rows) + a 9-row agg. */
   def benfordConformity(df: DataFrame, valueCol: Column): DataFrame = {
     graft.plans.Guardrails.expect("global_sort", "digit, dev_ppm",
-      "benfordConformity: 9-row digit profile sort feeding the MAD agg")
+      "benfordConformity: 9-row digit profile sort feeding the MAD agg",
+    "k-literal")
     benfordProfile(df, valueCol)
       .agg(sum(col("n")).as("n"),
         expr("sum(dev_ppm) div 9").as("mad_ppm"))
@@ -3042,10 +3070,12 @@ object Aggregates {
 
   graft.plans.Guardrails.expect("single_partition_window",
     "__cv, __v",
-    "brunnerMunzel: cumulative over the bounded distinct-value rollup")
+    "brunnerMunzel: cumulative over the bounded distinct-value rollup",
+    "rollup")
   graft.plans.Guardrails.expect("cartesian_join",
     "__sra, __sda",
-    "brunnerMunzel: 1-row-per-group finish broadcast")
+    "brunnerMunzel: 1-row-per-group finish broadcast",
+    "k-literal")
 
   /** A-stat — Brunner-Munzel generalized Wilcoxon test (Brunner &
     * Munzel, Biometrical J. 2000): tests P(X < Y) + ½P(X = Y) = ½

@@ -19,7 +19,8 @@ object Dominance {
   // flags only NEW hazards instead of letting them hide among known
   // ones. Markers are operator-owned columns of the hazard plan node.
   graft.plans.Guardrails.expect("single_partition_window",
-    "__ymax", "skyline2D: running-max over the sorted candidate rollup")
+    "__ymax", "skyline2D: running-max over the sorted candidate rollup",
+    "rollup")
 
 
 

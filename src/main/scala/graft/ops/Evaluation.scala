@@ -24,13 +24,17 @@ object Evaluation {
   // windows run over the |bins|-row decile rollup (globalRowNumber does
   // the fact-scale ranking) — bounded by the bin count.
   graft.plans.Guardrails.expect("single_partition_window",
-    "cum_n, cum_pos", "decileLift: |bins|-row cumulative rollup")
+    "cum_n, cum_pos", "decileLift: |bins|-row cumulative rollup",
+    "k-literal")
   graft.plans.Guardrails.expect("single_partition_window",
-    "__tn, __tp", "decileLift: 1-row totals over the bin rollup")
+    "__tn, __tp", "decileLift: 1-row totals over the bin rollup",
+    "k-literal")
   graft.plans.Guardrails.expect("single_partition_window",
-    "__total, __y, row_num", "decileLift: |bins|-row gains finish")
+    "__total, __y, row_num", "decileLift: |bins|-row gains finish",
+    "k-literal")
   graft.plans.Guardrails.expect("single_partition_window",
-    "__d, __c", "rankBiasedOverlap: depth-bounded prefix cumsum (D rows)")
+    "__d, __c", "rankBiasedOverlap: depth-bounded prefix cumsum (D rows)",
+    "k-literal")
 
 
   private val d38 = "decimal(38,0)"
@@ -829,7 +833,8 @@ object Evaluation {
     }.toDF("bin", "n", "pos", "pool_lo", "pool_hi", "fit_ppm")
   }
   graft.plans.Guardrails.expect("single_partition_window",
-    "__rc, item", "recListMetrics: exposure rank over the item rollup")
+    "__rc, item", "recListMetrics: exposure rank over the item rollup",
+    "vocabulary")
 
   /** eval/recsys — recommendation-LIST health metrics (Castells,
     * Hurley & Vargas, RecSys Handbook ch. 26 "Novelty and Diversity"):

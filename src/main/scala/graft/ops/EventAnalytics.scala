@@ -18,26 +18,36 @@ object EventAnalytics {
   // flags only NEW hazards instead of letting them hide among known
   // ones. Markers are operator-owned columns of the hazard plan node.
   graft.plans.Guardrails.expect("single_partition_window",
-    "n_risk, d1", "aalenJohansen: suffix risk-set window over the duration rollup")
+    "n_risk, d1", "aalenJohansen: suffix risk-set window over the duration rollup",
+    "rollup")
   graft.plans.Guardrails.expect("single_partition_window",
     "greenwood_pico, surv_ppm",
-    "kaplanMeierGreenwood: prefix Greenwood sum over the duration rollup")
+    "kaplanMeierGreenwood: prefix Greenwood sum over the duration rollup",
+    "rollup")
   graft.plans.Guardrails.expect("single_partition_window",
-    "n_risk, t, d", "kaplanMeier/nelsonAalen: distinct-event-time risk table")
+    "n_risk, t, d", "kaplanMeier/nelsonAalen: distinct-event-time risk table",
+    "rollup")
   graft.plans.Guardrails.expect("single_partition_window",
-    "_we0, t, surv_ppm", "rmst: lead over the KM rollup (calendar-bounded)")
+    "_we0, t, surv_ppm", "rmst: lead over the KM rollup (calendar-bounded)",
+    "calendar")
   graft.plans.Guardrails.expect("single_partition_window",
-    "cumhaz_ppm", "nelsonAalen: distinct-event-time hazard rollup")
+    "cumhaz_ppm", "nelsonAalen: distinct-event-time hazard rollup",
+    "rollup")
   graft.plans.Guardrails.expect("single_partition_window",
-    "__n, __n1, __t", "logRank: distinct-event-time two-group table")
+    "__n, __n1, __t", "logRank: distinct-event-time two-group table",
+    "rollup")
   graft.plans.Guardrails.expect("cartesian_join",
-    "__u, __n0", "retentionDecayFit: 1-row cohort-size broadcast")
+    "__u, __n0", "retentionDecayFit: 1-row cohort-size broadcast",
+    "k-literal")
   graft.plans.Guardrails.expect("single_partition_window",
-    "__prev, __ptot", "categoryMixDrift: period-rollup lag")
+    "__prev, __ptot", "categoryMixDrift: period-rollup lag",
+    "calendar")
   graft.plans.Guardrails.expect("single_partition_window",
-    "__pe, __pc", "funnelWithSignificance: |stages|-row funnel lag")
+    "__pe, __pc", "funnelWithSignificance: |stages|-row funnel lag",
+    "k-literal")
   graft.plans.Guardrails.expect("single_partition_window",
-    "day, net", "concurrencyProfile: |days|-row carry rollup")
+    "day, net", "concurrencyProfile: |days|-row carry rollup",
+    "calendar")
 
 
 
@@ -481,7 +491,8 @@ object EventAnalytics {
   }
 
   graft.plans.Guardrails.expect("single_partition_window",
-    "hour, n, errors", "burnRateAlerts: trailing-window sum over the hour rollup")
+    "hour, n, errors", "burnRateAlerts: trailing-window sum over the hour rollup",
+    "calendar")
 
   /** ops/queueing — Erlang-C staffing table per hour-of-day (Erlang
     * 1917; the M/M/c wait-probability formula every call-center /
@@ -1324,7 +1335,8 @@ object EventAnalytics {
       tieCol: String, typeCol: String, convType: String): DataFrame = {
     graft.plans.Guardrails.expect("cartesian_join", "__mask, __nconv",
       "shapleyAttribution: 2^k-row subset lattice x coalition rollup " +
-        "(k = touch-type count, <= 20)")
+        "(k = touch-type count, <= 20)",
+    "k-literal")
     val order = Seq(col(tsCol), col(tieCol))
     val wAll = Window.partitionBy(col(actorCol)).orderBy(order: _*)
       .rowsBetween(Window.unboundedPreceding, -1)

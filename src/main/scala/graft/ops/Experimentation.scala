@@ -25,35 +25,47 @@ object Experimentation {
   // flags only NEW hazards instead of letting them hide among known
   // ones. Markers are operator-owned columns of the hazard plan node.
   graft.plans.Guardrails.expect("single_partition_window",
-    "decile, n_t", "qiniCurve: 10-row decile rollup cumulative/lag")
+    "decile, n_t", "qiniCurve: 10-row decile rollup cumulative/lag",
+    "k-literal")
   graft.plans.Guardrails.expect("single_partition_window",
-    "decile, qini_micro", "qiniCurve: 10-row lag for the trapezoid")
+    "decile, qini_micro", "qiniCurve: 10-row lag for the trapezoid",
+    "k-literal")
   graft.plans.Guardrails.expect("cartesian_join",
-    "__ia, __lnS", "sbgFit: (t, censored) rollup x (a, b) literal lattice")
+    "__ia, __lnS", "sbgFit: (t, censored) rollup x (a, b) literal lattice",
+    "k-literal")
   graft.plans.Guardrails.expect("cartesian_join",
-    "__y0, __w0", "syntheticControl: calendar frame x simplex-lattice broadcast")
+    "__y0, __w0", "syntheticControl: calendar frame x simplex-lattice broadcast",
+    "k-literal")
   graft.plans.Guardrails.expect("single_partition_window",
-    "__rem, stratum", "neymanAllocation: largest-remainder rank over strata")
+    "__rem, stratum", "neymanAllocation: largest-remainder rank over strata",
+    "rollup")
   graft.plans.Guardrails.expect("single_partition_window",
-    "arm, pulls, wins", "ucb1: |arms|-row ranking")
+    "arm, pulls, wins", "ucb1: |arms|-row ranking",
+    "vocabulary")
   graft.plans.Guardrails.expect("single_partition_window",
-    "look", "sequentialBoundary/sprt: K-row look rollup (calendar-bounded)")
+    "look", "sequentialBoundary/sprt: K-row look rollup (calendar-bounded)",
+    "calendar")
   graft.plans.Guardrails.expect("cartesian_join",
     "slope_left, y_at_cut_left",
-    "regressionDiscontinuity: two 1-row side fits joined for the finish")
+    "regressionDiscontinuity: two 1-row side fits joined for the finish",
+    "k-literal")
   graft.plans.Guardrails.expect("cartesian_join", "n_a, n_b",
-    "quantileTreatmentEffects: two 1-row per-arm quantile frames joined")
+    "quantileTreatmentEffects: two 1-row per-arm quantile frames joined",
+    "k-literal")
   graft.plans.Guardrails.expect("cartesian_join", "__na, __nb",
-    "covariateBalance: two 1-row per-arm moment frames joined")
+    "covariateBalance: two 1-row per-arm moment frames joined",
+    "k-literal")
   // upliftBands' cumulative walk may optimize into one or two Window
   // nodes and the audit detail caps at 8 columns — two markers cover
   // both shapes (each is a subset of the combined node's column list)
   graft.plans.Guardrails.expect("single_partition_window",
     "cum_n_t, cum_n_c, band, n_t",
-    "upliftBands: cumulative walk over the <=|bands| rollup (bounded)")
+    "upliftBands: cumulative walk over the <=|bands| rollup (bounded)",
+    "rollup")
   graft.plans.Guardrails.expect("single_partition_window",
     "cum_r_t, band, n_t",
-    "upliftBands: cumulative walk over the <=|bands| rollup (bounded)")
+    "upliftBands: cumulative walk over the <=|bands| rollup (bounded)",
+    "rollup")
 
 
 
@@ -296,7 +308,8 @@ object Experimentation {
 
   graft.plans.Guardrails.expect("cartesian_join",
     "__lnS, __lnP",
-    "sbgFit: (K+1)-row count rollup x literal (a,b) lattice")
+    "sbgFit: (K+1)-row count rollup x literal (a,b) lattice",
+    "k-literal")
 
   /** A-stat/E7 — shifted-beta-geometric (sBG) churn model fit by
     * grid-search MLE (Fader & Hardie, "How to Project Customer

@@ -19,11 +19,14 @@ object Features {
   // flags only NEW hazards instead of letting them hide among known
   // ones. Markers are operator-owned columns of the hazard plan node.
   graft.plans.Guardrails.expect("single_partition_window",
-    "wg_u, baseline_u", "giniSplit: distinct-threshold rank")
+    "wg_u, baseline_u", "giniSplit: distinct-threshold rank",
+    "rollup")
   graft.plans.Guardrails.expect("single_partition_window",
-    "__nl, __pl", "giniSplit: distinct-threshold prefix counts")
+    "__nl, __pl", "giniSplit: distinct-threshold prefix counts",
+    "rollup")
   graft.plans.Guardrails.expect("single_partition_window",
-    "__ptot", "giniSplit: 1-row totals over the threshold rollup")
+    "__ptot", "giniSplit: 1-row totals over the threshold rollup",
+    "k-literal")
 
 
 

@@ -24,7 +24,8 @@ object Layout {
   // flags only NEW hazards instead of letting them hide among known
   // ones. Markers are operator-owned columns of the hazard plan node.
   graft.plans.Guardrails.expect("single_partition_window",
-    "__fid, __b", "compactionPlan: file-LISTING prefix sum (metadata-sized; documented exception)")
+    "__fid, __b", "compactionPlan: file-LISTING prefix sum (metadata-sized; documented exception)",
+    "rollup")
 
 
 

@@ -22,10 +22,12 @@ object Privacy {
   // t-closeness lattice crosses the QI-class dictionary with the
   // distinct-value list — contingency-sized, never the fact table
   graft.plans.Guardrails.expect("cartesian_join", "__cumg",
-    "tClosenessPerClass: QI-class x distinct-value densify lattice")
+    "tClosenessPerClass: QI-class x distinct-value densify lattice",
+    "rollup")
   graft.plans.Guardrails.expect("single_partition_window", "__cumg, __v, __g",
     "tClosenessPerClass: global-distribution cumulative over the " +
-      "distinct-value rollup")
+      "distinct-value rollup",
+    "rollup")
 
   /** k-anonymity audit: group by the quasi-identifier columns and
     * report the smallest equivalence class, how many classes fall

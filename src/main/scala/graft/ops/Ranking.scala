@@ -20,7 +20,8 @@ object Ranking {
   // flags only NEW hazards instead of letting them hide among known
   // ones. Markers are operator-owned columns of the hazard plan node.
   graft.plans.Guardrails.expect("single_partition_window",
-    "__pid, __cnt", "globalRowNumber: numPartitions-row offset rollup (never the fact table)")
+    "__pid, __cnt", "globalRowNumber: numPartitions-row offset rollup (never the fact table)",
+    "k-literal")
 
 
 
@@ -66,6 +67,43 @@ object Ranking {
     withRn.join(broadcast(offsets), Seq("__pid"))
       .withColumn("row_num", col("__off") + col("__rn"))
       .drop("__pid", "__rn", "__off")
+  }
+
+  graft.plans.Guardrails.expect("single_partition_window",
+    "__pid, __psum", "globalRunningSum: numPartitions-row offset rollup " +
+      "(never the fact table)", "k-literal")
+
+  /** Appends `outCol` = the inclusive GLOBAL prefix sum of `valueCol`
+    * (cast long) in the total order `orderCols` — the running-sum twin
+    * of [[globalRowNumber]], and the scale-safe replacement for
+    * `sum().over(Window.orderBy(...))` with no partition spec.
+    *
+    * Plan: range-repartition on the order, per-partition cumulative
+    * sums (partitioned window), per-partition TOTALS — a
+    * |partitions|-row rollup — prefix-summed into offsets broadcast
+    * back. Same determinism argument as globalRowNumber: with a total
+    * order the prefix sum is boundary-independent. The checkpoint pins
+    * one boundary draw for both consumers (see globalRowNumber). */
+  def globalRunningSum(df: DataFrame, orderCols: Seq[Column],
+      valueCol: Column, outCol: String): DataFrame = {
+    val parts = math.max(df.sparkSession.sparkContext.defaultParallelism, 2)
+    val ranged = df.withColumn("__v", valueCol.cast("long"))
+      .repartitionByRange(parts, orderCols: _*)
+      .withColumn("__pid", spark_partition_id())
+    val inPart = Window.partitionBy(col("__pid")).orderBy(orderCols: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val withCum = ranged.withColumn("__cumv", sum(col("__v")).over(inPart))
+      .localCheckpoint()
+    val offsets = withCum.groupBy(col("__pid"))
+      .agg(sum(col("__v")).as("__psum"))
+      .withColumn("__off",
+        coalesce(sum(col("__psum")).over(
+          Window.orderBy(col("__pid"))
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("__pid"), col("__off"))
+    withCum.join(broadcast(offsets), Seq("__pid"))
+      .withColumn(outCol, col("__off") + col("__cumv"))
+      .drop("__pid", "__cumv", "__off", "__v")
   }
 
   /** NDCG@k position-discount table in ppm: round(10⁶ / log2(pos+1))

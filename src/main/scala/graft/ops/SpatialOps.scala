@@ -28,7 +28,8 @@ object SpatialOps {
   // flags only NEW hazards instead of letting them hide among known
   // ones. Markers are operator-owned columns of the hazard plan node.
   graft.plans.Guardrails.expect("cartesian_join",
-    "sx, sy", "knnAggregate: 1-row global-bounds broadcast for the pruning radius")
+    "sx, sy", "knnAggregate: 1-row global-bounds broadcast for the pruning radius",
+    "k-literal")
 
 
 

@@ -29,11 +29,14 @@ object TimeSeriesOps {
   // flags only NEW hazards instead of letting them hide among known
   // ones. Markers are operator-owned columns of the hazard plan node.
   graft.plans.Guardrails.expect("single_partition_window",
-    "__t, __v", "acfProfile: calendar-bounded series rollup")
+    "__t, __v", "acfProfile: calendar-bounded series rollup",
+    "calendar")
   graft.plans.Guardrails.expect("single_partition_window",
-    "_we0, t, v", "xmrChart: calendar-bounded series lag")
+    "_we0, t, v", "xmrChart: calendar-bounded series lag",
+    "calendar")
   graft.plans.Guardrails.expect("cartesian_join",
-    "lag, n_pairs", "acfProfile: k-row lag frame x 1-row moments broadcast")
+    "lag, n_pairs", "acfProfile: k-row lag frame x 1-row moments broadcast",
+    "k-literal")
 
 
 
@@ -946,7 +949,8 @@ object TimeSeriesOps {
 
   graft.plans.Guardrails.expect("single_partition_window",
     "__r, __t, __y",
-    "lttbDownsample: rank walk over the bounded series rollup")
+    "lttbDownsample: rank walk over the bounded series rollup",
+    "calendar")
 
   /** A8/E6 — Largest-Triangle-Three-Buckets downsampling (Steinarsson,
     * "Downsampling Time Series for Visual Representation", 2013 — the
@@ -1018,14 +1022,17 @@ object TimeSeriesOps {
 
   graft.plans.Guardrails.expect("single_partition_window",
     "__hr, __ht, __hy",
-    "hurstRS: rank walk over the bounded series rollup")
+    "hurstRS: rank walk over the bounded series rollup",
+    "calendar")
 
   graft.plans.Guardrails.expect("single_partition_window",
     "__s, __k, __seg",
-    "saxSymbolize: breakpoint rank selection over the segment rollup")
+    "saxSymbolize: breakpoint rank selection over the segment rollup",
+    "k-literal")
 
   graft.plans.Guardrails.expect("single_partition_window",
-    "__o, __h, __lo", "volatilityMetrics: close-to-close lag over the bar rollup")
+    "__o, __h, __lo", "volatilityMetrics: close-to-close lag over the bar rollup",
+    "calendar")
 
   /** A5/A8 — range-based realized-volatility panel over OHLC bars
     * (Parkinson 1980; Garman & Klass 1980) plus the Amihud (2002)

@@ -30,20 +30,50 @@ object Guardrails {
 
   final case class Hazard(kind: String, detail: String)
 
+  /** The boundedness TAXONOMY: every documented exception must say
+    * WHAT bounds the hazard frame, in one of five auditable classes —
+    * so a reviewer sees at a glance when a new "documented" hazard is
+    * actually unbounded. Census printed by `tools.PlanAudit`.
+    *
+    *  - `k-literal`  — bounded by a literal/parameter (top-k, nBins,
+    *    1-row stat frames, 2^k lattices with k capped, numPartitions).
+    *  - `rollup`     — bounded by the distinct values of a column the
+    *    operator itself rolls up first (distinct-value CDFs, survival
+    *    risk tables, grouping keys); cardinality is data-dependent but
+    *    a vanishing fraction of fact volume by construction.
+    *  - `calendar`   — bounded by a time grain (days, hours, bars,
+    *    series checkpoints): grows with elapsed time, not data volume.
+    *  - `vocabulary` — bounded by a real-world vocabulary (catalog
+    *    items, sources, languages, experiment arms).
+    *  - `unbounded`  — by-convention only (the caller promises a
+    *    bounded slice). ZERO entries should carry this class: it
+    *    exists so an honest hazard is visible, not hidden. */
+  object BoundClass {
+    val KLiteral = "k-literal"
+    val Rollup = "rollup"
+    val Calendar = "calendar"
+    val Vocabulary = "vocabulary"
+    val Unbounded = "unbounded"
+    val all: Set[String] =
+      Set(KLiteral, Rollup, Calendar, Vocabulary, Unbounded)
+  }
+
   /** A documented, by-design hazard: `kind` + a column-name marker the
     * hazard site's describe line must contain, + the reason it is safe
     * (always a boundedness argument — "rollup-sized", "k-row
-    * broadcast"). Registered by the OPERATOR at the call site that
-    * builds the deliberately-small frame, so the audit distinguishes
-    * the documented exceptions from new hazards instead of letting the
-    * latter hide among 48 known flags. */
-  final case class Expectation(kind: String, colMarker: String, reason: String)
+    * broadcast") + the [[BoundClass]] that argument falls in.
+    * Registered by the OPERATOR at the call site that builds the
+    * deliberately-small frame, so the audit distinguishes the
+    * documented exceptions from new hazards instead of letting the
+    * latter hide among dozens of known flags. */
+  final case class Expectation(kind: String, colMarker: String,
+      reason: String, bound: String)
 
   // keyed set: the optimizer may re-run a rule batch to fixpoint, and
   // one query plans several times (analysis, AQE re-optimize) — the
   // audit reports each distinct hazard site once
   private val found = ConcurrentHashMap.newKeySet[Hazard]()
-  private val foundExpected = ConcurrentHashMap.newKeySet[Hazard]()
+  private val foundExpected = ConcurrentHashMap.newKeySet[(Hazard, String)]()
   private val expectations = ConcurrentHashMap.newKeySet[Expectation]()
 
   /** Declare a by-design hazard at its call site. Idempotent;
@@ -51,10 +81,23 @@ object Guardrails {
     * function returned, so expectations cannot be scoped tighter than
     * the process). The marker should be an operator-owned column name
     * appearing in the hazard node's output — specific enough that an
-    * UNRELATED new hazard of the same kind still trips the audit. */
-  def expect(kind: String, colMarker: String, reason: String): Unit = {
-    expectations.add(Expectation(kind, colMarker, reason))
+    * UNRELATED new hazard of the same kind still trips the audit.
+    * `bound` names the boundedness class ([[BoundClass]]) the reason
+    * argues. */
+  def expect(kind: String, colMarker: String, reason: String,
+      bound: String): Unit = {
+    require(BoundClass.all(bound),
+      s"unknown bound class '$bound' — one of ${BoundClass.all.toSeq.sorted.mkString(", ")}")
+    expectations.add(Expectation(kind, colMarker, reason, bound))
     ()
+  }
+
+  /** Snapshot of every registered expectation (census input). */
+  def registered: Set[Expectation] = {
+    val b = Set.newBuilder[Expectation]
+    val it = expectations.iterator()
+    while (it.hasNext) b += it.next()
+    b.result()
   }
 
   /** Column tokens of a describe() line: the names inside the parens,
@@ -76,21 +119,22 @@ object Guardrails {
     // NEW hazards in unrelated queries as expected, muting the alarm.
     val cols = detailTokens(detail)
     val it = expectations.iterator()
-    var expected = false
-    while (it.hasNext && !expected) {
+    var matched: Expectation = null
+    while (it.hasNext && matched == null) {
       val e = it.next()
       if (e.kind == kind) {
         val want = e.colMarker.split(',').iterator
           .map(_.trim).filter(_.nonEmpty).toList
-        if (want.nonEmpty && want.forall(cols.contains)) expected = true
+        if (want.nonEmpty && want.forall(cols.contains)) matched = e
       }
     }
-    (if (expected) foundExpected else found).add(Hazard(kind, detail))
+    if (matched == null) found.add(Hazard(kind, detail))
+    else foundExpected.add((Hazard(kind, detail), matched.bound))
     ()
   }
 
-  private def drainSet(s: java.util.Set[Hazard]): Set[Hazard] = {
-    val snapshot = Set.newBuilder[Hazard]
+  private def drainSet[A](s: java.util.Set[A]): Set[A] = {
+    val snapshot = Set.newBuilder[A]
     val it = s.iterator()
     while (it.hasNext) { snapshot += it.next(); it.remove() }
     snapshot.result()
@@ -99,8 +143,9 @@ object Guardrails {
   /** Return and clear the UNEXPECTED hazards — the audit's alarm. */
   def drain(): Set[Hazard] = drainSet(found)
 
-  /** Return and clear the expected (call-site-documented) hazards. */
-  def drainExpected(): Set[Hazard] = drainSet(foundExpected)
+  /** Return and clear the expected (call-site-documented) hazards,
+    * each tagged with its expectation's [[BoundClass]]. */
+  def drainExpected(): Set[(Hazard, String)] = drainSet(foundExpected)
 
   /** One-line summary of a plan node for the audit detail — class name
     * plus output columns, NOT the full tree (plans at 100 TB are

@@ -672,9 +672,11 @@ object Analytics2 {
       // by-design: both rank windows run over term-filtered / top-k
       // score lists (<= corpus-vocab rows, cut to 50) — never the corpus
       graft.plans.Guardrails.expect("single_partition_window",
-        "rank, vec_id, cosine", "q168: top-k cosine list rank (k=50)")
+        "rank, vec_id, cosine", "q168: top-k cosine list rank (k=50)",
+    "k-literal")
       graft.plans.Guardrails.expect("single_partition_window",
-        "rank, doc_id, score", "q168: term-filtered BM25 list rank")
+        "rank, doc_id, score", "q168: term-filtered BM25 list rank",
+    "rollup")
       val docs = Tables.documents(s, dir).filter(col("doc_id") < 300)
       val bm = Curation.bm25Scores(docs, "text", "doc_id",
           Seq("table", "fast", "join"))

@@ -94,9 +94,11 @@ object Analytics28 {
     (s, dir) => {
       import org.apache.spark.sql.expressions.Window
       graft.plans.Guardrails.expect("single_partition_window",
-        "doc_id, n_chars", "q344: 500-doc corpus ranking (bounded)")
+        "doc_id, n_chars", "q344: 500-doc corpus ranking (bounded)",
+    "k-literal")
       graft.plans.Guardrails.expect("single_partition_window",
-        "doc_id, n_toks", "q344: 500-doc corpus ranking (bounded)")
+        "doc_id, n_toks", "q344: 500-doc corpus ranking (bounded)",
+    "k-literal")
       val d = Tables.documents(s, dir)
         .select(col("doc_id"), col("n_chars"),
           size(expr("filter(split(lower(text), '\\\\s+'), x -> x <> '')"))

@@ -21,6 +21,8 @@ object PlanAudit {
     val spark = GraftSession.local(appName = "graft-plan-audit")
     var clean = 0
     var expectedTotal = 0
+    val suppressedByClass = scala.collection.mutable.Map.empty[String, Int]
+      .withDefaultValue(0)
     val entries = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter(_._1.contains(filter))
     entries.foreach { case (name, build) =>
@@ -30,7 +32,9 @@ object PlanAudit {
           val df = build(spark, dir)
           df.queryExecution.optimizedPlan // force optimizer (and the rule)
           val hz = Guardrails.drain()
-          expectedTotal += Guardrails.drainExpected().size
+          val exp = Guardrails.drainExpected()
+          expectedTotal += exp.size
+          exp.foreach { case (_, bound) => suppressedByClass(bound) += 1 }
           if (hz.isEmpty) { clean += 1; "" }
           else hz.groupBy(_.kind).toSeq.sortBy(_._1)
             .map { case (k, v) =>
@@ -44,6 +48,20 @@ object PlanAudit {
     }
     println(s"== ${entries.size} queries audited, $clean flag-free, " +
       s"$expectedTotal call-site-documented hazards suppressed ==")
+    // boundedness census: every registered expectation by class, so a
+    // reviewer sees at a glance when a "documented" hazard is really
+    // class-5; `unbounded` entries are listed in full and should be ZERO
+    val reg = Guardrails.registered.toSeq
+    val byClass = reg.groupBy(_.bound)
+    println("== expectation census (registered): " +
+      Guardrails.BoundClass.all.toSeq.sorted.map(c =>
+        s"$c=${byClass.getOrElse(c, Nil).size}").mkString(", ") + " ==")
+    println("== suppressed hazards by class: " +
+      suppressedByClass.toSeq.sortBy(_._1).map { case (c, n) => s"$c=$n" }
+        .mkString(", ") + " ==")
+    byClass.getOrElse(Guardrails.BoundClass.Unbounded, Nil).foreach { e =>
+      println(s"!! UNBOUNDED-by-convention expectation: ${e.reason}")
+    }
     spark.stop()
   }
 }
