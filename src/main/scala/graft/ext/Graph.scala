@@ -879,7 +879,15 @@ object Graph {
     val hubsTop: Array[Long] = deg
       .orderBy(col("deg").desc, col("node")).limit(ks.max)
       .select(col("node")).as[Long].collect()
-    val rows = ks.map { k =>
+    // the |ks| scenarios are INDEPENDENT (each its own filtered CC run
+    // over the shared checkpointed edge list), and each is dominated by
+    // per-round job latency on a frontier-sized frame — run them
+    // CONCURRENTLY and let the scheduler interleave the small jobs;
+    // results are assembled per k, so determinism is untouched
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val rows = Await.result(Future.sequence(ks.map { k => Future {
       val removed = hubsTop.take(k).toSeq.toDF("node")
       val surv = e0
         .join(broadcast(removed.withColumnRenamed("node", "a")),
@@ -898,7 +906,7 @@ object Graph {
         val nn = sizes.getLong(0); val mx = sizes.getLong(1)
         (k.toLong, nn, nEdges, mx, mx * 1000000L / math.max(nn, 1L))
       }
-    }
+    }}), Duration.Inf)
     rows.toDF("k_removed", "n_nodes_left", "n_edges_left", "largest_cc",
       "share_ppm").orderBy(col("k_removed"))
   }

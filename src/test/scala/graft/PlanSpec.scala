@@ -261,4 +261,36 @@ class PlanSpec extends AnyFunSuite {
     big.groupBy(col("id") % 7).count().orderBy(col("count")).collect()
     assert(!Guardrails.drain().exists(_.kind == "global_sort"))
   }
+
+  test("E6: repartition-before-materialize does NOT survive into later " +
+      "joins (Spark 4.1) — pins why the graph loops skip it") {
+    // Measured fact the iterative graph ops' materialization choice
+    // rests on: under AQE, neither localCheckpoint (LogicalRDD reports
+    // UnknownPartitioning) nor a cached repartition reliably carries
+    // its hash layout into a later equi-join — the join re-shuffles
+    // BOTH sides. So pre-partitioning the per-round edge list buys
+    // nothing here; the loops keep plain localCheckpoint (eager,
+    // lineage-truncating, GC-scoped). If Spark ever starts preserving
+    // the layout, this test fails and the loops should revisit
+    // repartition-before-materialize for the per-round join savings.
+    val n = spark.sessionState.conf.numShufflePartitions
+    val base = spark.range(10000)
+      .select((col("id") % 100).as("src"), (col("id") % 37).as("dst"))
+    val frontier = spark.range(50)
+      .select(col("id").as("src"), lit(1L).as("v"))
+    // force the shuffle-join shape (a tiny frontier would broadcast and
+    // prove nothing about the big side's layout)
+    val ckpt = base.repartition(n, col("src")).localCheckpoint()
+    val j = ckpt.join(frontier.hint("shuffle_hash"), "src")
+    j.collect()
+    // an executed adaptive plan prints "current" AND "initial" sections
+    // — count the final (first) section only
+    val finalSection = j.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    val exchanges = finalSection.linesIterator
+      .count(l => l.contains("Exchange hashpartitioning(src") &&
+        l.contains("ENSURE_REQUIREMENTS"))
+    assert(exchanges == 2, "localCheckpoint now preserves partitioning? " +
+      "revisit repartition-before-checkpoint in graft.ext.Graph loops")
+  }
 }
