@@ -236,6 +236,16 @@ object TimeSeries {
       mode: String = "complete")(
       transform: DataFrame => DataFrame): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // REPLAY-HARNESS state sizing: a stateful stream instantiates one
+    // state store per shuffle partition PER MICRO-BATCH — at the
+    // default 32 that is pure fixed cost for a one-file replay whose
+    // state fits one task. 8 partitions keep the replay parallel
+    // enough while cutting store init/commit 4x. Production streams
+    // call StreamOps directly and size state partitions to key
+    // cardinality; this knob scopes ONLY the driver-contract replay.
+    // The conf is stream-plan-scoped: restored right after start() so
+    // concurrent batch work in the same session is untouched.
+    val prevParts = s.conf.get("spark.sql.shuffle.partitions")
     val path = s"$dir/events.parquet"
     val rawSchema = s.read.parquet(path).schema
     val stage = java.nio.file.Files.createTempDirectory(s"graft_${tag}_stream")
@@ -254,8 +264,11 @@ object TimeSeries {
           raw.withColumn("ts", col("ts").cast(org.apache.spark.sql.types.TimestampType))
         else raw
       val qname = s"${tag}_mem_" + java.util.UUID.randomUUID().toString.replace("-", "")
-      val q = transform(ev).writeStream.format("memory").queryName(qname)
-        .outputMode(mode).start()
+      s.conf.set("spark.sql.shuffle.partitions", "8")
+      val q =
+        try transform(ev).writeStream.format("memory").queryName(qname)
+          .outputMode(mode).start()
+        finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
       try graft.streaming.StreamOps.runOnce(q)
       catch { case e: Throwable =>
         // a failed drain must not leave an active stream polling a
