@@ -294,6 +294,86 @@ object SpatialOps {
         Aggregates.block(funcs, "", Seq("value")).tail: _*)
   }
 
+  /** A3+ — ZONAL STATISTICS over the raster cell-table model: per
+    * (zone, band), stats of the non-nodata cells whose CENTER falls
+    * inside the zone polygon — the GDAL-era `zonal_stats` workload the
+    * reference's buffer stats (:189-206) approximate with discs, here
+    * with true polygon zones. Composes directly with
+    * [[graft.io.GeoTiff.readCells]] (S1 raster ingest).
+    *
+    * Plan: each zone's bbox explodes to the grid cells (size `cell`)
+    * it covers; cell-table rows map to their containing grid cell; the
+    * equi-join on (gx, gy) turns the point-in-polygon cartesian into a
+    * shuffle-keyed join (the gridBucketJoin discipline), refined by the
+    * exact `st_intersects` predicate. Output long format:
+    * (zoneId, band, stats...).
+    *
+    * Scale: shuffle keys are space-uniform grid cells; zone fan-out is
+    * bbox-area/cell² rows per zone (caller sizes `cell` to the typical
+    * zone extent — same contract as gridBucketJoin's `cell >= radius`).
+    * Raster volume dominates and is scanned once, filtered scan-side on
+    * nodata. Skewed mega-zones split across their many covering cells
+    * rather than landing on one task. */
+  def zonalStats(cells: DataFrame, zones: DataFrame, zoneIdCol: String,
+      geomCol: String, funcs: Seq[String], cell: Double,
+      nodata: Double = 0.0): DataFrame = {
+    require(cell > 0, "cell must be positive")
+    import graft.geo.Geo
+    val z = zones.select(col(zoneIdCol).as("__zid"), col(geomCol).as("__zg"))
+      .withColumn("__b", Geo.stBounds(col("__zg")))
+      .withColumn("gx", explode(sequence(
+        floor(col("__b").getField("xmin") / cell).cast("long"),
+        floor(col("__b").getField("xmax") / cell).cast("long"))))
+      .withColumn("gy", explode(sequence(
+        floor(col("__b").getField("ymin") / cell).cast("long"),
+        floor(col("__b").getField("ymax") / cell).cast("long"))))
+      .drop("__b")
+    val c = ensureParallelism(cells.filter(col("value") =!= nodata))
+      .withColumn("gx", floor(col("x") / cell).cast("long"))
+      .withColumn("gy", floor(col("y") / cell).cast("long"))
+    c.join(z, Seq("gx", "gy"))
+      .filter(Geo.stIntersects(Geo.stPoint(col("x"), col("y")), col("__zg")))
+      .groupBy(col("__zid").as(zoneIdCol), col("band"))
+      .agg(Aggregates.block(funcs, "", Seq("value")).head,
+        Aggregates.block(funcs, "", Seq("value")).tail: _*)
+  }
+
+  /** A3+ — raster RESAMPLE/aggregate on the cell-table model: coarsen
+    * by an integer `factor`, each output cell aggregating the factor²
+    * input cells it covers (`agg` ∈ mean/min/max/sum/count — the
+    * GDAL `gdalwarp -r average`-class downsample, overview building).
+    * Output cell centers are the exact centroids of the covered input
+    * centers (mean of x, mean of y), so chained resamples stay exact.
+    *
+    * Scale: ONE groupBy keyed on (band, output cell) — space-uniform,
+    * map-side combined; no joins, no skew. */
+  def rasterResample(cells: DataFrame, originX: Double, originY: Double,
+      scaleX: Double, scaleY: Double, factor: Int,
+      agg: String = "mean"): DataFrame = {
+    require(factor >= 1, "factor >= 1")
+    require(scaleX > 0 && scaleY > 0, "pixel scale must be positive")
+    // input col/row from the geotransform (x = ox + (c+0.5)·sx inverts
+    // exactly for cell centers); integer div buckets factor² pixels
+    val c0 = cells
+      .withColumn("__c", floor((col("x") - lit(originX)) / scaleX).cast("long"))
+      .withColumn("__r", floor((lit(originY) - col("y")) / scaleY).cast("long"))
+      .withColumn("__oc", expr(s"__c div $factor"))
+      .withColumn("__or", expr(s"__r div $factor"))
+    val v: Column = agg match {
+      case "mean" => avg(col("value"))
+      case "min" => min(col("value"))
+      case "max" => max(col("value"))
+      case "sum" => sum(col("value"))
+      case "count" => count(col("value")).cast("double")
+      case other => throw new IllegalArgumentException(
+        s"unknown resample agg '$other' (mean/min/max/sum/count)")
+    }
+    c0.groupBy(col("band"), col("__oc"), col("__or"))
+      .agg(avg(col("x")).as("x"), avg(col("y")).as("y"), v.as("value"),
+        count(lit(1)).as("n_cells"))
+      .select(col("band"), col("x"), col("y"), col("value"), col("n_cells"))
+  }
+
   /** Pivot the long band stats into the reference's
     * `func_<raster>_band<b>` wide naming (:195-197). */
   def pivotBands(longStats: DataFrame, rasterName: String, funcs: Seq[String],

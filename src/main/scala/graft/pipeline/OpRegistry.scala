@@ -140,6 +140,17 @@ object OpRegistry {
       df, df.sparkSession.read.parquet(str(p, "file")),
       strOpt(p, "raster_name").getOrElse("raster"), num(p, "radius"), strs(p, "funcs"),
       Some(strs(p, "bands").map(_.toInt)).filter(_.nonEmpty))),
+    // df = the raster CELL TABLE (e.g. GeoTiff.readCells output);
+    // zones arrive from a parquet file of (id, geometry) rows
+    "zonal_stats" -> (p => df => graft.ops.SpatialOps.zonalStats(
+      df, df.sparkSession.read.parquet(str(p, "zones_file")),
+      str(p, "zone_id_col"), strOpt(p, "geometry_col").getOrElse("geometry"),
+      strs(p, "funcs"), num(p, "cell"),
+      numOpt(p, "nodata").getOrElse(0.0))),
+    "raster_resample" -> (p => df => graft.ops.SpatialOps.rasterResample(
+      df, num(p, "origin_x"), num(p, "origin_y"),
+      num(p, "scale_x"), num(p, "scale_y"), num(p, "factor").toInt,
+      strOpt(p, "agg").getOrElse("mean"))),
     "inverse_distance_weighting" -> (p => df => graft.ops.SpatialOps.idw(
       df, str(p, "value_col"), num(p, "power").toInt,
       num(p, "x0"), num(p, "y0"), num(p, "nx").toInt, num(p, "ny").toInt,

@@ -87,5 +87,87 @@ object GeoIngest {
       "band/x/y/value model as q33's raster buffer stats, so nodata " +
       "masking and A3 aggregation compose downstream unchanged.")
 
-  val all: Seq[Declared] = Seq(q440, q441)
+  /** q442 — A3+/P6: zonal statistics — per (zone polygon, band) stats
+    * of the q33 synthetic raster, zones a rectangle and a triangle
+    * whose edges avoid every cell center (so boundary conventions
+    * cannot differ between engines); the oracle states each zone as
+    * explicit half-plane predicates. */
+  val q442 = Declared(
+    "q442_zonal_stats", "A3,P6",
+    (s, dir) => {
+      import graft.geo.Geo
+      val cells = s.range(4800).select(
+        (col("id") % 3 + 1).cast("int").as("band"),
+        expr("CAST((id div 3) % 40 AS DOUBLE) * 2.5").as("x"),
+        expr("CAST((id div 3) div 40 AS DOUBLE) * 2.5").as("y"),
+        expr("CASE WHEN (id * 7) % 11 = 0 THEN 0.0 " +
+          "ELSE CAST((id * 13) % 97 AS DOUBLE) / 8 END").as("value"))
+      def ring(pts: (Double, Double)*) = Geo.stPolygon(expr(
+        pts.map { case (x, y) => s"struct(${x}d as x, ${y}d as y)" }
+          .mkString("array(", ", ", ")")))
+      val zones = s.range(1).select(lit(1L).as("zone_id"),
+          ring((11.0, 11.0), (11.0, 41.0), (49.0, 41.0), (49.0, 11.0)).as("zone"))
+        .unionByName(s.range(1).select(lit(2L).as("zone_id"),
+          ring((61.0, 6.0), (96.0, 6.0), (61.0, 36.0)).as("zone")))
+      graft.ops.SpatialOps.zonalStats(cells, zones, "zone_id", "zone",
+          funcs = Seq("mean", "max", "count"), cell = 40.0)
+        .orderBy(col("zone_id"), col("band"))
+    },
+    Some("""WITH cells AS (
+           |  SELECT CAST(i % 3 + 1 AS INT) AS band,
+           |    CAST((i // 3) % 40 AS DOUBLE) * 2.5 AS x,
+           |    CAST((i // 3) // 40 AS DOUBLE) * 2.5 AS y,
+           |    CASE WHEN (i * 7) % 11 = 0 THEN 0.0
+           |         ELSE CAST((i * 13) % 97 AS DOUBLE) / 8 END AS value
+           |  FROM generate_series(0, 4799) t(i)),
+           |zf AS (SELECT * FROM cells WHERE value <> 0),
+           |u AS (
+           |  SELECT CAST(1 AS BIGINT) AS zone_id, band, value FROM zf
+           |  WHERE x > 11 AND x < 49 AND y > 11 AND y < 41
+           |  UNION ALL
+           |  SELECT CAST(2 AS BIGINT), band, value FROM zf
+           |  WHERE x > 61 AND y > 6 AND 30*(x-61) + 35*(y-6) < 1050)
+           |SELECT zone_id, band, avg(value) AS mean_value,
+           |  max(value) AS max_value, count(value) AS count_value
+           |FROM u GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin),
+    "Zone bboxes explode to covering grid cells; the (gx, gy) equi-join " +
+      "turns point-in-polygon into a space-uniform shuffle key with the " +
+      "exact st_intersects refinement after — the gridBucketJoin " +
+      "discipline. Raster volume scans once; mega-zones split across " +
+      "their covering cells instead of one task. Dyadic k/8 values keep " +
+      "every stat exact on both engines.")
+
+  /** q443 — A3+/S1: raster resample — GeoTIFF ingest coarsened 4x by
+    * mean, the overview-building downsample. Output centers are exact
+    * centroids of covered input centers; 16 dyadic values per output
+    * cell keep the mean exact. */
+  val q443 = Declared(
+    "q443_raster_resample", "A3,S1",
+    (s, dir) => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_q443").toString
+      val w = 16; val h = 12
+      val vals = Array.tabulate(w * h)(i => ((i * 13) % 97).toFloat / 8f)
+      graft.io.GeoTiff.writeFloat(s"$tmp/r.tif", w, h, vals,
+        origin = (0.0, 12.0), scale = (1.0, 1.0))
+      graft.ops.SpatialOps.rasterResample(
+          graft.io.GeoTiff.readCells(s, s"$tmp/r.tif"),
+          originX = 0.0, originY = 12.0, scaleX = 1.0, scaleY = 1.0,
+          factor = 4, agg = "mean")
+        .orderBy(col("band"), col("x"), col("y"))
+    },
+    Some("""WITH c AS (
+           |  SELECT 1 AS band, i % 16 AS cc, i // 16 AS rr,
+           |    CAST(i % 16 AS DOUBLE) + 0.5 AS x,
+           |    12.0 - CAST(i // 16 AS DOUBLE) - 0.5 AS y,
+           |    CAST((i * 13) % 97 AS DOUBLE) / 8 AS v
+           |  FROM generate_series(0, 191) t(i))
+           |SELECT CAST(band AS INT) AS band, avg(x) AS x, avg(y) AS y,
+           |  avg(v) AS value, CAST(count(*) AS BIGINT) AS n_cells
+           |FROM c GROUP BY band, cc // 4, rr // 4
+           |ORDER BY band, x, y""".stripMargin),
+    "One groupBy keyed on (band, output cell) with map-side combine — " +
+      "no join, no skew, scales as a pure scan+agg; chained resamples " +
+      "stay exact because output centers are centroids of input centers.")
+
+  val all: Seq[Declared] = Seq(q440, q441, q442, q443)
 }

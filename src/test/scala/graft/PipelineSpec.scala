@@ -451,6 +451,36 @@ class PipelineSpec extends AnyFunSuite {
     assert(out.head.getAs[Double]("mean_v_090000_170000") == 5.0)
   }
 
+  test("ops: zonal_stats + raster_resample work from specs") {
+    import graft.geo.Geo
+    val dir = java.nio.file.Files.createTempDirectory("graft_zonal").toString
+    // zones file: one rectangle (0.5,0.5)-(2.5,2.5)
+    spark.range(1).select(lit(7L).as("zid"),
+        Geo.stPolygon(expr("array(struct(0.5d as x, 0.5d as y), " +
+          "struct(0.5d as x, 2.5d as y), struct(2.5d as x, 2.5d as y), " +
+          "struct(2.5d as x, 0.5d as y))")).as("geometry"))
+      .write.parquet(s"$dir/zones")
+    val cells = spark.range(25).select(lit(1).cast("int").as("band"),
+      (col("id") % 5).cast("double").as("x"),
+      expr("CAST(id div 5 AS DOUBLE)").as("y"),
+      ((col("id") % 5) + expr("id div 5") * 10 + 1).cast("double").as("value"))
+    val pz = Pipeline("z").addOperation(Operation("zs", "zonal_stats",
+      "zones_file" -> JStr(s"$dir/zones"), "zone_id_col" -> JStr("zid"),
+      "funcs" -> JArr(Vector(JStr("count"))), "cell" -> JNum(4.0)))
+    val (oz, _) = pz.run(cells)
+    assert(oz.head.getAs[Long]("count_value") == 4L)
+    val pr = Pipeline("r").addOperation(Operation("rs", "raster_resample",
+      "origin_x" -> JNum(0.0), "origin_y" -> JNum(5.0),
+      "scale_x" -> JNum(1.0), "scale_y" -> JNum(1.0), "factor" -> JNum(5.0)))
+    val cells2 = spark.range(25).select(lit(1).cast("int").as("band"),
+      ((col("id") % 5).cast("double") + 0.5).as("x"),
+      (lit(5.0) - expr("CAST(id div 5 AS DOUBLE)") - 0.5).as("y"),
+      col("id").cast("double").as("value"))
+    val (or_, _) = pr.run(cells2)
+    assert(or_.count() == 1 && or_.head.getAs[Long]("n_cells") == 25L)
+    assert(or_.head.getAs[Double]("value") == 12.0) // mean of 0..24
+  }
+
   test("ops: corpus-curation ops compose from a JSON round-tripped spec") {
     val docs = Seq(
       (1L, "the cat sat on the mat", "a"),

@@ -249,4 +249,58 @@ class SpatialStatsSpec extends AnyFunSuite {
     assert(r2.getAs[Double]("r_ce") == 0.0)
     assert(r2.getAs[Double]("z_ce") < 0.0)
   }
+
+  test("A3+: zonalStats — rectangle zone collects exactly its interior cells") {
+    import graft.geo.Geo
+    import graft.ops.SpatialOps
+    // 5x5 single-band grid at integer coords, value = x + 10*y + 1
+    val cells = spark.range(25).select(lit(1).cast("int").as("band"),
+      (col("id") % 5).cast("double").as("x"),
+      expr("CAST(id div 5 AS DOUBLE)").as("y"),
+      ((col("id") % 5) + expr("id div 5") * 10 + 1).cast("double").as("value"))
+    // zone = open rectangle (0.5,0.5)-(2.5,2.5): interior centers are
+    // (1,1),(2,1),(1,2),(2,2) -> values 12,13,22,23
+    val zone = spark.range(1).select(lit(7L).as("zid"),
+      Geo.stPolygon(expr("array(struct(0.5d as x, 0.5d as y), " +
+        "struct(0.5d as x, 2.5d as y), struct(2.5d as x, 2.5d as y), " +
+        "struct(2.5d as x, 0.5d as y))")).as("g"))
+    val r = SpatialOps.zonalStats(cells, zone, "zid", "g",
+      funcs = Seq("mean", "max", "count"), cell = 4.0).collect()(0)
+    assert(r.getAs[Long]("zid") == 7L && r.getAs[Int]("band") == 1)
+    assert(r.getAs[Long]("count_value") == 4L)
+    assert(r.getAs[Double]("max_value") == 23.0)
+    assert(r.getAs[Double]("mean_value") == (12.0 + 13 + 22 + 23) / 4)
+    // nodata cells are excluded scan-side
+    val r2 = SpatialOps.zonalStats(cells, zone, "zid", "g",
+      funcs = Seq("count"), cell = 4.0, nodata = 12.0).collect()(0)
+    assert(r2.getAs[Long]("count_value") == 3L)
+  }
+
+  test("A3+: rasterResample — 4x4 -> 2x2 mean with exact centroid centers") {
+    import graft.ops.SpatialOps
+    // 4x4 raster, origin (0,4), scale 1: centers x=c+0.5, y=4-r-0.5,
+    // value = r*4 + c (row-major)
+    val cells = spark.range(16).select(lit(1).cast("int").as("band"),
+      ((col("id") % 4).cast("double") + 0.5).as("x"),
+      (lit(4.0) - expr("CAST(id div 4 AS DOUBLE)") - 0.5).as("y"),
+      col("id").cast("double").as("value"))
+    val out = SpatialOps.rasterResample(cells, 0.0, 4.0, 1.0, 1.0,
+      factor = 2, agg = "mean").orderBy(col("x"), col("y")).collect()
+    assert(out.length == 4)
+    assert(out.forall(_.getAs[Long]("n_cells") == 4L))
+    val byXY = out.map(r => ((r.getAs[Double]("x"), r.getAs[Double]("y")),
+      r.getAs[Double]("value"))).toMap
+    // top-left block rows 0-1, cols 0-1: values {0,1,4,5} mean 2.5,
+    // center = (mean(0.5,1.5), mean(3.5,2.5)) = (1.0, 3.0)
+    assert(byXY((1.0, 3.0)) == 2.5)
+    // bottom-right block rows 2-3, cols 2-3: {10,11,14,15} mean 12.5
+    assert(byXY((3.0, 1.0)) == 12.5)
+    // sum / min / max / count variants
+    val s = SpatialOps.rasterResample(cells, 0.0, 4.0, 1.0, 1.0, 2, "sum")
+      .orderBy(col("x"), col("y")).collect()
+    assert(s.map(_.getAs[Double]("value")).sum == (0 until 16).sum.toDouble)
+    intercept[IllegalArgumentException] {
+      SpatialOps.rasterResample(cells, 0.0, 4.0, 1.0, 1.0, 2, "median")
+    }
+  }
 }
