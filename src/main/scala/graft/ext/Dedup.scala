@@ -496,4 +496,95 @@ object Dedup {
         levenshtein(col("s_a"), col("s_b")).cast("long"))
       .filter(col("dist") <= 1)
   }
+
+  /** E2 — the shared k-token-gram table behind [[substringDupPairs]] /
+    * [[substringDupMass]]: one row per (doc, DISTINCT k-gram), with
+    * each gram's document frequency. Grams seen in more than
+    * `maxDocFreq` docs are DROPPED — boilerplate n-grams (headers,
+    * license blocks) would otherwise quadratically dominate the pair
+    * join, and Lee et al. treat them as non-signal for the same
+    * reason. Grams are kept as STRINGS (exact, oracle-comparable);
+    * at 100 TB swap the groupBy key for xxhash64(gram) — the plan
+    * shape is unchanged and a 64-bit collision is ~(grams²/2⁶⁵).
+    *
+    * Scale: token explode is linear in corpus tokens; the gram rollup
+    * keys on content-uniform gram text; the doc-freq cap bounds every
+    * downstream fan-out at maxDocFreq per gram. */
+  private def kgramTable(docs: DataFrame, textCol: String, idCol: String,
+      k: Int, maxDocFreq: Int, cache: Boolean): DataFrame = {
+    require(k >= 2, "k >= 2")
+    require(maxDocFreq >= 2, "maxDocFreq >= 2 (1 would drop every shared gram)")
+    val toks = docs.select(col(idCol).as("__id"),
+      expr(s"filter(split(lower($textCol), '\\\\s+'), t -> t != '')").as("__t"))
+    val grams = toks
+      .filter(size(col("__t")) >= k)
+      .select(col("__id"), explode(expr(
+        s"""array_distinct(transform(sequence(1, size(__t) - ${k - 1}),
+           |  i -> concat_ws(' ', slice(__t, i, $k))))""".stripMargin))
+        .as("__g"))
+    val tbl = graft.core.OperatorCaches.cachedIf(cache, grams)
+    val dfreq = tbl.groupBy(col("__g"))
+      .agg(countDistinct(col("__id")).as("__df"))
+      .filter(col("__df") <= maxDocFreq)
+    tbl.join(dfreq, "__g")
+  }
+
+  /** E2 — EXHAUSTIVE k-token-gram substring duplicate pairs (Lee et
+    * al. 2022, "Deduplicating Training Data Makes Language Models
+    * Better" — public literature): every doc pair sharing at least
+    * `minShared` distinct k-grams, with the shared count. Winnowing
+    * ([[TextAnalysis.winnowingFingerprints]]) SAMPLES fingerprints and
+    * only guarantees matches longer than its window; this is the
+    * exhaustive variant — the forensic pass run when a winnowing hit
+    * needs exact shared-substring evidence, or on an eval set where
+    * recall must be 1. Returns (id_a, id_b, shared_grams), id_a < id_b.
+    *
+    * Scale: the gram self-join fans out at most maxDocFreq² rows per
+    * gram (boilerplate grams are dropped — see [[kgramTable]]); pair
+    * aggregation keys on the (id_a, id_b) pair. Exhaustive beats
+    * sampled only when evidence matters; at raw 100 TB run winnowing
+    * first and this on the candidate closure. */
+  def substringDupPairs(docs: DataFrame, textCol: String, idCol: String,
+      k: Int, minShared: Int, maxDocFreq: Int,
+      cache: Boolean = true): DataFrame = {
+    require(minShared >= 1, "minShared >= 1")
+    val tbl = kgramTable(docs, textCol, idCol, k, maxDocFreq, cache)
+      .select(col("__g"), col("__id"))
+    tbl.select(col("__g"), col("__id").as("id_a"))
+      .join(tbl.select(col("__g"), col("__id").as("id_b")), Seq("__g"))
+      .filter(col("id_a") < col("id_b"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(countDistinct(col("__g")).as("shared_grams"))
+      .filter(col("shared_grams") >= minShared)
+  }
+
+  /** E2 — per-document DUPLICATION MASS: the share of a doc's distinct
+    * k-grams that appear in at least one OTHER doc — Lee et al.'s
+    * memorization-risk readout, per doc in ppm. Boilerplate grams past
+    * maxDocFreq count as duplicated (they are, maximally) without
+    * paying their join fan-out. Returns
+    * (id, n_grams, dup_grams, dup_ppm).
+    *
+    * Scale: one gram rollup + one doc-keyed agg — no pair join at all,
+    * so this one DOES run at raw corpus scale. */
+  def substringDupMass(docs: DataFrame, textCol: String, idCol: String,
+      k: Int, cache: Boolean = true): DataFrame = {
+    require(k >= 2, "k >= 2")
+    val toks = docs.select(col(idCol).as("__id"),
+      expr(s"filter(split(lower($textCol), '\\\\s+'), t -> t != '')").as("__t"))
+    val grams = toks
+      .filter(size(col("__t")) >= k)
+      .select(col("__id"), explode(expr(
+        s"""array_distinct(transform(sequence(1, size(__t) - ${k - 1}),
+           |  i -> concat_ws(' ', slice(__t, i, $k))))""".stripMargin))
+        .as("__g"))
+    val tbl = graft.core.OperatorCaches.cachedIf(cache, grams)
+    val dfreq = tbl.groupBy(col("__g"))
+      .agg(countDistinct(col("__id")).as("__df"))
+    tbl.join(dfreq, "__g")
+      .groupBy(col("__id").as("id"))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("__df") >= 2, 1L).otherwise(0L)).as("dup_grams"))
+      .withColumn("dup_ppm", expr("(dup_grams * 1000000L) div n_grams"))
+  }
 }

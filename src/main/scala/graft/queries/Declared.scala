@@ -30,7 +30,8 @@ object Declared {
   lazy val all: Seq[Declared] =
     Relational.all ++ Relational2.all ++ TimeSeries.all ++ Spatial.all ++
       LlmExt.all ++ LlmExt2.all ++ LlmExt3.all ++ LlmExt4.all ++ LlmExt5.all ++
-      LlmExt6.all ++ LlmExt7.all ++ LlmExt8.all ++ LlmExt9.all ++ LlmExt10.all ++
+      LlmExt6.all ++ LlmExt7.all ++ LlmExt8.all ++ LlmExt9.all ++
+      LlmExt10.all ++ LlmExt11.all ++
       Events.all ++ Analytics.all ++ Analytics2.all ++ Analytics3.all ++
       Analytics4.all ++ Analytics5.all ++ Analytics6.all ++ Analytics7.all ++
       Analytics8.all ++ Analytics9.all ++ Analytics10.all ++ Analytics11.all ++

@@ -111,6 +111,47 @@ class DedupSpec extends AnyFunSuite {
     // prefix blocking is blind to
     assert(out.contains((1L, 4L)))
   }
+
+  test("E2: substringDupPairs — planted shared k-grams found, boilerplate capped") {
+    import spark.implicits._
+    // docs 1 and 2 share a 6-token run -> 3 distinct 4-grams; doc 3 is
+    // unrelated; docs 4..8 all carry the same boilerplate sentence
+    val shared = "alpha beta gamma delta epsilon zeta"
+    val boiler = "this footer appears on every single page"
+    val docs = Seq(
+      (1L, s"one two $shared done"),
+      (2L, s"$shared other tail words here"),
+      (3L, "completely different content with no overlap at all okay"),
+      (4L, s"$boiler aaa bbb"), (5L, s"$boiler ccc ddd"),
+      (6L, s"$boiler eee fff"), (7L, s"$boiler ggg hhh"),
+      (8L, s"$boiler iii jjj")).toDF("id", "text")
+    val pairs = graft.ext.Dedup.substringDupPairs(docs, "text", "id",
+        k = 4, minShared = 3, maxDocFreq = 4, cache = false)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // 6 shared tokens -> 3 distinct 4-grams for (1,2)
+    assert(pairs.toSeq == Seq((1L, 2L, 3L)),
+      s"expected only (1,2,3), got ${pairs.toSeq}")
+    // with the cap raised, the 5-doc boilerplate family appears too
+    val loose = graft.ext.Dedup.substringDupPairs(docs, "text", "id",
+        k = 4, minShared = 3, maxDocFreq = 10, cache = false)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(loose.length == 1 + 10) // (1,2) + C(5,2) boilerplate pairs
+  }
+
+  test("E2: substringDupMass — dup share is exact per doc") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a b c d e f"),      // grams(k=4): abcd bcde cdef
+      (2L, "a b c d x y"),      // grams: abcd bcdx cdxy — shares abcd
+      (3L, "p q r s t")).toDF("id", "text")
+    val m = graft.ext.Dedup.substringDupMass(docs, "text", "id", k = 4,
+        cache = false)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(m(1L) == ((3L, 1L, 333333L)))
+    assert(m(2L) == ((3L, 1L, 333333L)))
+    assert(m(3L) == ((2L, 0L, 0L)))
+  }
 }
 
 class SimilaritySpec extends AnyFunSuite {
