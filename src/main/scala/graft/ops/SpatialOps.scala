@@ -374,6 +374,62 @@ object SpatialOps {
       .select(col("band"), col("x"), col("y"), col("value"), col("n_cells"))
   }
 
+  /** A3+ — terrain GRADIENTS on the cell-table model (Horn 1981, the
+    * 3×3 weighted-difference kernel every GIS slope tool uses): per
+    * interior cell (all 8 neighbors present),
+    *   dzdx = ((z₊₋+2z₊₀+z₊₊) − (z₋₋+2z₋₀+z₋₊)) / (8·sx)
+    *   dzdy = ((z₋₋+2z₀₋+z₊₋) − (z₋₊+2z₀₊+z₊₊)) / (8·sy)  (world-y up)
+    * and slope_tan2 = dzdx² + dzdy² — tan² of the slope angle. The
+    * OUTPUT stays inside the correctly-rounded IEEE set (sums of
+    * dyadic-rational values, two exact divisions, squares): no atan/
+    * sqrt/cos, so results are bit-identical on any engine — callers
+    * wanting degrees apply atan(√·) presentation-side.
+    *
+    * Plan: each cell EXPLODES its 8 (weight-tagged) contributions to
+    * the neighbors' gradient sums; ONE groupBy on (band, target cell)
+    * assembles them; interior cells are exactly those with 8
+    * contributors. No self-joins, one shuffle, space-uniform keys.
+    *
+    * Scale: linear in cells with map-side combine; an N× raster is N×
+    * of the same shuffle. Matches the strip-parallel GeoTIFF ingest —
+    * gradients of a 100 TB raster catalog are a scan + one shuffle. */
+  def terrainGradients(cells: DataFrame, originX: Double, originY: Double,
+      scaleX: Double, scaleY: Double): DataFrame = {
+    require(scaleX > 0 && scaleY > 0, "pixel scale must be positive")
+    // neighbor offset table: contribution of the cell at (c, r) to the
+    // target at (c-dc, r-dr), with Horn weights; dr is RASTER row
+    // (down), so world dzdy negates the row-difference sum
+    val offs = for {
+      dc <- Seq(-1, 0, 1); dr <- Seq(-1, 0, 1) if dc != 0 || dr != 0
+    } yield (dc, dr,
+      dc * (if (dr == 0) 2 else 1),   // weight in the column gradient
+      dr * (if (dc == 0) 2 else 1))   // weight in the row gradient
+    val offArr = offs.map { case (dc, dr, wx, wy) =>
+      s"struct(${dc}L as dc, ${dr}L as dr, ${wx}L as wx, ${wy}L as wy)"
+    }.mkString("array(", ", ", ")")
+    val c0 = cells
+      .withColumn("__c", floor((col("x") - lit(originX)) / scaleX).cast("long"))
+      .withColumn("__r", floor((lit(originY) - col("y")) / scaleY).cast("long"))
+      .withColumn("__o", explode(expr(offArr)))
+      .select(col("band"),
+        (col("__c") - col("__o.dc")).as("__tc"),
+        (col("__r") - col("__o.dr")).as("__tr"),
+        (col("value") * col("__o.wx")).as("__cx"),
+        (col("value") * col("__o.wy")).as("__cy"))
+    c0.groupBy(col("band"), col("__tc"), col("__tr"))
+      .agg(count(lit(1)).as("__n"),
+        sum(col("__cx")).as("__sx"), sum(col("__cy")).as("__sy"))
+      .filter(col("__n") === 8)
+      .select(col("band"),
+        (lit(originX) + (col("__tc") + 0.5) * scaleX).as("x"),
+        (lit(originY) - (col("__tr") + 0.5) * scaleY).as("y"),
+        (col("__sx") / (8 * scaleX)).as("dzdx"),
+        (col("__sy") / lit(-8 * scaleY)).as("dzdy"),
+        ((col("__sx") / (8 * scaleX)) * (col("__sx") / (8 * scaleX)) +
+          (col("__sy") / lit(-8 * scaleY)) * (col("__sy") / lit(-8 * scaleY)))
+          .as("slope_tan2"))
+  }
+
   /** Pivot the long band stats into the reference's
     * `func_<raster>_band<b>` wide naming (:195-197). */
   def pivotBands(longStats: DataFrame, rasterName: String, funcs: Seq[String],

@@ -151,6 +151,9 @@ object OpRegistry {
       df, num(p, "origin_x"), num(p, "origin_y"),
       num(p, "scale_x"), num(p, "scale_y"), num(p, "factor").toInt,
       strOpt(p, "agg").getOrElse("mean"))),
+    "terrain_gradients" -> (p => df => graft.ops.SpatialOps.terrainGradients(
+      df, num(p, "origin_x"), num(p, "origin_y"),
+      num(p, "scale_x"), num(p, "scale_y"))),
     "inverse_distance_weighting" -> (p => df => graft.ops.SpatialOps.idw(
       df, str(p, "value_col"), num(p, "power").toInt,
       num(p, "x0"), num(p, "y0"), num(p, "nx").toInt, num(p, "ny").toInt,

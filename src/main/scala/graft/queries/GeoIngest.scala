@@ -169,5 +169,49 @@ object GeoIngest {
       "no join, no skew, scales as a pure scan+agg; chained resamples " +
       "stay exact because output centers are centroids of input centers.")
 
-  val all: Seq[Declared] = Seq(q440, q441, q442, q443)
+  /** q446 — A3+/S1: Horn terrain gradients of the GeoTIFF fixture —
+    * dzdx/dzdy and tan²(slope) per interior cell, all inside the
+    * correctly-rounded IEEE set (dyadic values, exact sums, two exact
+    * divisions, squares) so both engines agree bit-for-bit with no
+    * atan/sqrt anywhere. */
+  val q446 = Declared(
+    "q446_terrain_gradients", "A3,S1",
+    (s, dir) => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_q446").toString
+      val w = 16; val h = 12
+      val vals = Array.tabulate(w * h)(i => ((i * 13) % 97).toFloat / 8f)
+      graft.io.GeoTiff.writeFloat(s"$tmp/r.tif", w, h, vals,
+        origin = (0.0, 12.0), scale = (1.0, 1.0))
+      graft.ops.SpatialOps.terrainGradients(
+          graft.io.GeoTiff.readCells(s, s"$tmp/r.tif"),
+          originX = 0.0, originY = 12.0, scaleX = 1.0, scaleY = 1.0)
+        .orderBy(col("x"), col("y"))
+    },
+    Some("""WITH c AS (
+           |  SELECT i % 16 AS cc, i // 16 AS rr,
+           |    CAST((i * 13) % 97 AS DOUBLE) / 8 AS v
+           |  FROM generate_series(0, 191) t(i)),
+           |n AS (
+           |  SELECT t.cc AS tc, t.rr AS tr,
+           |    CAST(count(*) AS BIGINT) AS n,
+           |    sum(s.v * (s.cc - t.cc)
+           |      * (CASE WHEN s.rr = t.rr THEN 2 ELSE 1 END)) AS gx,
+           |    sum(s.v * (s.rr - t.rr)
+           |      * (CASE WHEN s.cc = t.cc THEN 2 ELSE 1 END)) AS gr
+           |  FROM c t JOIN c s
+           |    ON abs(s.cc - t.cc) <= 1 AND abs(s.rr - t.rr) <= 1
+           |    AND NOT (s.cc = t.cc AND s.rr = t.rr)
+           |  GROUP BY 1, 2)
+           |SELECT CAST(1 AS INT) AS band,
+           |  CAST(tc AS DOUBLE) + 0.5 AS x,
+           |  12.0 - CAST(tr AS DOUBLE) - 0.5 AS y,
+           |  gx / 8 AS dzdx, gr / -8 AS dzdy,
+           |  (gx / 8) * (gx / 8) + (gr / -8) * (gr / -8) AS slope_tan2
+           |FROM n WHERE n = 8 ORDER BY x, y""".stripMargin),
+    "Each cell explodes its 8 weight-tagged neighbor contributions; ONE " +
+      "space-uniform groupBy assembles every gradient — no self-joins, " +
+      "map-side combine, linear in cells. Interior detection is the " +
+      "contributor count, so ragged raster edges need no special casing.")
+
+  val all: Seq[Declared] = Seq(q440, q441, q442, q443, q446)
 }

@@ -303,4 +303,25 @@ class SpatialStatsSpec extends AnyFunSuite {
       SpatialOps.rasterResample(cells, 0.0, 4.0, 1.0, 1.0, 2, "median")
     }
   }
+
+  test("A3+: terrainGradients — Horn kernel is exact on a tilted plane") {
+    import graft.ops.SpatialOps
+    // 5x4 raster, origin (0,4), scale 1: centers x=c+0.5, y=4-r-0.5;
+    // plane z = 2x + 3y -> dzdx = 2, dzdy = 3, tan2 = 13 everywhere
+    val cells = spark.range(20).select(lit(1).cast("int").as("band"),
+      ((col("id") % 5).cast("double") + 0.5).as("x"),
+      (lit(4.0) - expr("CAST(id div 5 AS DOUBLE)") - 0.5).as("y"),
+      (((col("id") % 5).cast("double") + 0.5) * 2 +
+        (lit(4.0) - expr("CAST(id div 5 AS DOUBLE)") - 0.5) * 3).as("value"))
+    val g = SpatialOps.terrainGradients(cells, 0.0, 4.0, 1.0, 1.0).collect()
+    // interior = 3x2 cells
+    assert(g.length == 6)
+    assert(g.forall(_.getAs[Double]("dzdx") == 2.0))
+    assert(g.forall(_.getAs[Double]("dzdy") == 3.0))
+    assert(g.forall(_.getAs[Double]("slope_tan2") == 13.0))
+    // a flat raster has zero gradient
+    val flat = cells.withColumn("value", lit(5.0))
+    val gf = SpatialOps.terrainGradients(flat, 0.0, 4.0, 1.0, 1.0).collect()
+    assert(gf.forall(_.getAs[Double]("slope_tan2") == 0.0))
+  }
 }
