@@ -472,4 +472,65 @@ object Clustering {
       .agg(count(lit(1)).as("n"),
         expr("sum(__s_micro) div count(1)").as("mean_sil_micro"))
   }
+
+  /** ML — DBSCAN over 2-D points (Ester, Kriegel, Sander & Xu, KDD'96
+    * — public literature), fully deterministic: density clustering
+    * with no k, the standard tool for spatial hotspots / sensor-fault
+    * pockets / GPS stop detection. Semantics are the textbook ones:
+    *   - a point is CORE when ≥ minPts points (itself included) lie
+    *     within eps;
+    *   - clusters are the connected components of the core↔core
+    *     eps-graph (labelled by MIN core id — partitioning-free);
+    *   - a non-core point within eps of ≥ 1 core is a BORDER point,
+    *     assigned the MIN cluster label among its core neighbors (the
+    *     textbook leaves border ties arbitrary; min makes the result
+    *     a pure function of the input);
+    *   - everything else is NOISE (cluster null).
+    * Returns (id, role ∈ core|border|noise, cluster).
+    *
+    * Scale: the eps-neighborhood is [[graft.ops.SpatialOps.gridBucketJoin]]
+    * (cell = eps, 3×3 bucket equi-join + exact distance filter) — never
+    * a point×point cartesian; clusters come from the O(log diameter)
+    * [[Graph.connectedComponents]] rounds; every other step is a
+    * node-keyed agg/join. Density skew lands on space-uniform cell
+    * keys, and AQE's skew-join split covers a mega-cell. */
+  def dbscan(points: DataFrame, idCol: String, xCol: String, yCol: String,
+      eps: Double, minPts: Int): DataFrame = {
+    require(eps > 0, "eps > 0")
+    require(minPts >= 1, "minPts >= 1")
+    val pts = points.select(col(idCol).cast("long").as("id"),
+        col(xCol).cast("double").as("x"), col(yCol).cast("double").as("y"))
+      .localCheckpoint() // probe side + feature side + final rejoin
+    // eps-pairs, SELF-PAIRS INCLUDED (minPts counts the point itself)
+    val pairs = graft.ops.SpatialOps.gridBucketJoin(
+        pts.select(col("id").as("id_sensor"), col("x"), col("y")),
+        pts.select(col("id").as("nbr_id"), col("x"), col("y")),
+        radius = eps, cell = eps)
+      .select(col("id_sensor").as("id"), col("nbr_id"))
+      .localCheckpoint() // read by the count, the core graph, the border join
+    val coreIds = pairs.groupBy(col("id"))
+      .agg(count(lit(1)).as("__n"))
+      .filter(col("__n") >= minPts)
+      .select(col("id"))
+      .localCheckpoint()
+    val coreEdges = pairs
+      .join(coreIds, Seq("id"), "left_semi")
+      .join(coreIds.withColumnRenamed("id", "nbr_id"), Seq("nbr_id"), "left_semi")
+    val comp = Graph.connectedComponents(coreEdges, "id", "nbr_id",
+      cache = false) // (node, component) over core points
+    val borders = pairs
+      .join(coreIds.withColumnRenamed("id", "nbr_id"), Seq("nbr_id"), "left_semi")
+      .join(coreIds, Seq("id"), "left_anti") // non-core with a core neighbor
+      .join(comp.withColumnRenamed("node", "nbr_id"), Seq("nbr_id"))
+      .groupBy(col("id")).agg(min(col("component")).as("cluster"))
+    pts.select(col("id"))
+      .join(comp.withColumnRenamed("node", "id")
+        .withColumnRenamed("component", "__core_cl"), Seq("id"), "left")
+      .join(borders.withColumnRenamed("cluster", "__border_cl"), Seq("id"), "left")
+      .select(col("id"),
+        when(col("__core_cl").isNotNull, lit("core"))
+          .when(col("__border_cl").isNotNull, lit("border"))
+          .otherwise(lit("noise")).as("role"),
+        coalesce(col("__core_cl"), col("__border_cl")).as("cluster"))
+  }
 }

@@ -77,5 +77,56 @@ object LlmExt11 {
       "risk readout runs at raw corpus scale with content-uniform shuffle " +
       "keys and map-side combine.")
 
-  val all: Seq[Declared] = Seq(q444, q445)
+  /** q447 — ML/J2: deterministic DBSCAN over the supplier-derived
+    * sensor lattice — density clusters with no k, core/border/noise
+    * roles, clusters labelled by min core id. Integer coordinates keep
+    * the eps² boundary test exact on both engines; the oracle replays
+    * the core graph's transitive closure recursively. */
+  val q447 = Declared(
+    "q447_dbscan", "ML,J2",
+    (s, dir) => graft.ext.Clustering.dbscan(
+        Tables.supplier(s, dir).select(
+          col("s_suppkey").as("id"),
+          expr("CAST((s_suppkey * 37) % 100 AS DOUBLE)").as("x"),
+          expr("CAST((s_suppkey * 73) % 100 AS DOUBLE)").as("y")),
+        "id", "x", "y", eps = 8.0, minPts = 4)
+      .orderBy(col("id")),
+    Some("""WITH RECURSIVE s AS (
+           |  SELECT s_suppkey AS id,
+           |    CAST((s_suppkey * 37) % 100 AS DOUBLE) AS x,
+           |    CAST((s_suppkey * 73) % 100 AS DOUBLE) AS y
+           |  FROM supplier),
+           |p AS (
+           |  SELECT a.id AS id, b.id AS nbr FROM s a JOIN s b
+           |  ON (a.x-b.x)*(a.x-b.x) + (a.y-b.y)*(a.y-b.y) <= 64),
+           |core AS (SELECT id FROM p GROUP BY id HAVING count(*) >= 4),
+           |e AS (
+           |  SELECT p.id AS a, p.nbr AS b FROM p
+           |  JOIN core c1 ON p.id = c1.id JOIN core c2 ON p.nbr = c2.id),
+           |reach AS (
+           |  SELECT a AS node, a AS comp FROM e
+           |  UNION
+           |  SELECT e.a, reach.comp FROM e JOIN reach ON reach.node = e.b),
+           |comp AS (SELECT node, min(comp) AS component FROM reach GROUP BY node),
+           |border AS (
+           |  SELECT p.id, min(comp.component) AS cluster
+           |  FROM p JOIN core cn ON p.nbr = cn.id
+           |  JOIN comp ON comp.node = p.nbr
+           |  WHERE p.id NOT IN (SELECT id FROM core)
+           |  GROUP BY p.id)
+           |SELECT s.id,
+           |  CASE WHEN comp.component IS NOT NULL THEN 'core'
+           |       WHEN border.cluster IS NOT NULL THEN 'border'
+           |       ELSE 'noise' END AS role,
+           |  coalesce(comp.component, border.cluster) AS cluster
+           |FROM s LEFT JOIN comp ON comp.node = s.id
+           |  LEFT JOIN border ON border.id = s.id
+           |ORDER BY s.id""".stripMargin),
+    "The eps-neighborhood is the grid-bucket equi-join (cell = eps, 3x3 " +
+      "buckets, exact distance refinement) — never a point-cross-point " +
+      "cartesian; clusters are O(log diameter) CC rounds over the core " +
+      "graph; border/noise roles are node-keyed joins. Density skew " +
+      "lands on space-uniform cell keys with AQE skew-split behind it.")
+
+  val all: Seq[Declared] = Seq(q444, q445, q447)
 }

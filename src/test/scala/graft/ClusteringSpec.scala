@@ -172,4 +172,34 @@ class ClusteringSpec extends AnyFunSuite {
     assert(out("A") == (2L, 1000000L))
     assert(out("B") == (2L, 0L))
   }
+
+  test("dbscan: core/border/noise roles and min-id cluster labels") {
+    import spark.implicits._
+    // blob A (ids 1-4): unit square, every point within eps=1.5 of all
+    // others -> 4 neighbors each (incl. self) = core, cluster 1.
+    // id 9 at (2,1): 3 eps-neighbors (self, (1,1), (1,0)) -> border.
+    // blob B (ids 5-7): only 3 mutual neighbors -> no core -> noise.
+    // id 8 isolated -> noise.
+    val pts = Seq(
+      (1L, 0.0, 0.0), (2L, 1.0, 0.0), (3L, 0.0, 1.0), (4L, 1.0, 1.0),
+      (5L, 10.0, 10.0), (6L, 11.0, 10.0), (7L, 10.0, 11.0),
+      (8L, 5.0, 5.0), (9L, 2.0, 1.0)).toDF("id", "x", "y")
+    val out = graft.ext.Clustering.dbscan(pts, "id", "x", "y",
+        eps = 1.5, minPts = 4)
+      .collect().map(r => r.getLong(0) ->
+        (r.getString(1), if (r.isNullAt(2)) -1L else r.getLong(2))).toMap
+    (1L to 4L).foreach(i => assert(out(i) == (("core", 1L)), s"id $i: ${out(i)}"))
+    assert(out(9L) == (("border", 1L)))
+    Seq(5L, 6L, 7L, 8L).foreach(i =>
+      assert(out(i) == (("noise", -1L)), s"id $i: ${out(i)}"))
+    // a singleton dense knot: 4 coincident points are core of their own
+    // cluster even with no other core component nearby
+    val knot = (Seq.tabulate(4)(i => (20L + i, 50.0, 50.0)) ++
+      Seq((30L, 0.0, 0.0))).toDF("id", "x", "y")
+    val k = graft.ext.Clustering.dbscan(knot, "id", "x", "y", 1.0, 4)
+      .collect().map(r => r.getLong(0) ->
+        (r.getString(1), if (r.isNullAt(2)) -1L else r.getLong(2))).toMap
+    (20L to 23L).foreach(i => assert(k(i) == (("core", 20L))))
+    assert(k(30L)._1 == "noise")
+  }
 }
