@@ -901,4 +901,69 @@ object Evaluation {
         expr("cast(__nsum div __nr as long)").as("avg_novelty_micro"),
         round(col("__g"), 6).as("exposure_gini"))
   }
+
+  /** eval — RELIABILITY DIAGRAM of a ppm-scaled score against a binary
+    * label (the calibration readout behind ECE — Guo et al., ICML'17
+    * "On Calibration of Modern Neural Networks", public literature):
+    * equal-width score bins; per bin the count, positives, mean score
+    * (confidence) and positive rate (accuracy), plus the bin's
+    * N-weighted |accuracy − confidence| mass in ppm·N units so
+    * ECE_ppm = (Σ gap_mass) div N is one exact integer division for
+    * the caller. Scores land in bin min(score·nBins div 10⁶, nBins−1)
+    * — pure integer arithmetic, no float boundary anywhere. Returns
+    * per occupied bin: (bin, n, pos, conf_ppm, acc_ppm, gap_mass).
+    *
+    * Scale: ONE bin-keyed agg with map-side combine; the result is
+    * ≤ nBins rows. */
+  def reliabilityDiagram(df: DataFrame, scorePpmCol: Column,
+      labelCond: Column, nBins: Int): DataFrame = {
+    require(nBins >= 1, "nBins >= 1")
+    df.select(scorePpmCol.cast("long").as("__s"),
+        when(labelCond, 1L).otherwise(0L).as("__y"))
+      .select(least(expr(s"(__s * ${nBins}L) div 1000000L"),
+        lit(nBins - 1).cast("long")).as("bin"), col("__s"), col("__y"))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n"), sum(col("__y")).as("pos"),
+        sum(col("__s")).as("__ssum"))
+      .select(col("bin"), col("n"), col("pos"),
+        expr("__ssum div n").as("conf_ppm"),
+        expr("(pos * 1000000L) div n").as("acc_ppm"),
+        abs(col("pos") * lit(1000000L) - col("__ssum")).as("gap_mass"))
+  }
+
+  /** eval/fairness — group FAIRNESS AUDIT of a binary classifier
+    * (Hardt, Price & Srebro, NeurIPS'16 "Equality of Opportunity" —
+    * public literature): per group, the selection rate (demographic
+    * parity), TPR (equal opportunity) and FPR (equalized odds), each
+    * as one exact ppm integer, plus the group's gap to the OVERALL
+    * rate — reference-free, so adding a group never changes another
+    * group's row. Degenerate groups (no positives / no negatives)
+    * yield null TPR/FPR rather than garbage. Returns per group:
+    * (group, n, sel_ppm, tpr_ppm, fpr_ppm, sel_gap_ppm).
+    *
+    * Scale: one group-keyed agg + a 1-row overall broadcast. The
+    * pre-training-data equity readout run on every curated slice. */
+  def fairnessAudit(df: DataFrame, groupCol: Column, labelCond: Column,
+      predCond: Column): DataFrame = {
+    val base = df.select(groupCol.as("group"),
+      when(labelCond, 1L).otherwise(0L).as("__y"),
+      when(predCond, 1L).otherwise(0L).as("__p"))
+    val per = base.groupBy(col("group")).agg(
+      count(lit(1)).as("n"),
+      sum(col("__p")).as("__sel"),
+      sum(col("__y")).as("__pos"),
+      sum(col("__y") * col("__p")).as("__tp"),
+      sum((lit(1L) - col("__y")) * col("__p")).as("__fp"))
+    val overall = base.agg(
+      (sum(col("__p")) * 1000000L).as("__allsel"), count(lit(1)).as("__alln"))
+    per.crossJoin(broadcast(overall))
+      .select(col("group"), col("n"),
+        expr("(__sel * 1000000L) div n").as("sel_ppm"),
+        when(col("__pos") > 0,
+          expr("(__tp * 1000000L) div __pos")).as("tpr_ppm"),
+        when(col("n") - col("__pos") > 0,
+          expr("(__fp * 1000000L) div (n - __pos)")).as("fpr_ppm"),
+        (expr("(__sel * 1000000L) div n") -
+          expr("__allsel div __alln")).as("sel_gap_ppm"))
+  }
 }

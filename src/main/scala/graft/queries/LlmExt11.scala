@@ -128,5 +128,98 @@ object LlmExt11 {
       "graph; border/noise roles are node-keyed joins. Density skew " +
       "lands on space-uniform cell keys with AQE skew-split behind it.")
 
-  val all: Seq[Declared] = Seq(q444, q445, q447)
+  private val scoreSql =
+    "((l_orderkey * 7919 + l_linenumber) % 1000001)"
+  private val labelSql =
+    s"((l_orderkey * 13 + l_partkey) % 100) * 10000 < $scoreSql"
+
+  /** q448 — eval: reliability diagram (10 equal-width bins) of a
+    * deterministic ppm score whose label probability tracks the score
+    * — per-bin confidence vs accuracy, all integer. */
+  val q448 = Declared(
+    "q448_reliability_diagram", "eval",
+    (s, dir) => graft.ops.Evaluation.reliabilityDiagram(
+        Tables.lineitem(s, dir),
+        expr(scoreSql), expr(labelSql), nBins = 10)
+      .orderBy(col("bin")),
+    Some(s"""WITH b0 AS (
+           |  SELECT $scoreSql AS s,
+           |    CASE WHEN $labelSql THEN 1 ELSE 0 END AS y
+           |  FROM lineitem),
+           |g AS (
+           |  SELECT least((s * 10) // 1000000, 9) AS bin,
+           |    CAST(count(*) AS BIGINT) AS n, CAST(sum(y) AS BIGINT) AS pos,
+           |    CAST(sum(s) AS HUGEINT) AS ssum
+           |  FROM b0 GROUP BY 1)
+           |SELECT bin, n, pos, CAST(ssum // n AS BIGINT) AS conf_ppm,
+           |  (pos * 1000000) // n AS acc_ppm,
+           |  CAST(abs(pos * 1000000 - ssum) AS BIGINT) AS gap_mass
+           |FROM g ORDER BY bin""".stripMargin),
+    "One bin-keyed agg with map-side combine; nBins rows out. Binning is " +
+      "pure integer arithmetic (score·nBins div 1e6) — no float boundary " +
+      "can disagree between engines.")
+
+  /** q449 — eval: expected calibration error in ppm — one exact
+    * integer division over the q448 bins' gap mass. */
+  val q449 = Declared(
+    "q449_ece", "eval",
+    (s, dir) => graft.ops.Evaluation.reliabilityDiagram(
+        Tables.lineitem(s, dir),
+        expr(scoreSql), expr(labelSql), nBins = 10)
+      .agg(sum(col("n")).as("n"),
+        expr("sum(gap_mass) div sum(n)").as("ece_ppm")),
+    Some(s"""WITH b0 AS (
+           |  SELECT $scoreSql AS s,
+           |    CASE WHEN $labelSql THEN 1 ELSE 0 END AS y
+           |  FROM lineitem),
+           |g AS (
+           |  SELECT least((s * 10) // 1000000, 9) AS bin,
+           |    CAST(count(*) AS BIGINT) AS n, CAST(sum(y) AS BIGINT) AS pos,
+           |    CAST(sum(s) AS HUGEINT) AS ssum
+           |  FROM b0 GROUP BY 1)
+           |SELECT CAST(sum(n) AS BIGINT) AS n,
+           |  CAST(sum(abs(pos * 1000000 - ssum)) // sum(n) AS BIGINT)
+           |    AS ece_ppm
+           |FROM g""".stripMargin),
+    "ECE = sum of per-bin |accuracy - confidence| mass over N, computed " +
+      "as ONE integer division over exact integer bin masses — the " +
+      "calibration number that decides whether a quality scorer's " +
+      "probabilities can gate data at face value.")
+
+  /** q450 — eval/fairness: group fairness audit of a price-threshold
+    * classifier against order status, grouped by priority — selection
+    * rate, TPR, FPR and the demographic-parity gap per group, each an
+    * exact ppm integer. */
+  val q450 = Declared(
+    "q450_fairness_audit", "eval",
+    (s, dir) => graft.ops.Evaluation.fairnessAudit(
+        Tables.orders(s, dir), col("o_orderpriority"),
+        col("o_orderstatus") === "F",
+        expr("CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) > 15000000"))
+      .orderBy(col("group")),
+    Some("""WITH b AS (
+           |  SELECT o_orderpriority AS grp,
+           |    CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS y,
+           |    CASE WHEN CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+           |      AS BIGINT) > 15000000 THEN 1 ELSE 0 END AS p
+           |  FROM orders),
+           |o AS (SELECT CAST(sum(p) AS BIGINT) * 1000000 AS allsel,
+           |        CAST(count(*) AS BIGINT) AS alln FROM b),
+           |g AS (
+           |  SELECT grp, CAST(count(*) AS BIGINT) AS n,
+           |    CAST(sum(p) AS BIGINT) AS sel, CAST(sum(y) AS BIGINT) AS pos,
+           |    CAST(sum(y * p) AS BIGINT) AS tp,
+           |    CAST(sum((1 - y) * p) AS BIGINT) AS fp
+           |  FROM b GROUP BY 1)
+           |SELECT grp AS "group", n, (sel * 1000000) // n AS sel_ppm,
+           |  CASE WHEN pos > 0 THEN (tp * 1000000) // pos END AS tpr_ppm,
+           |  CASE WHEN n - pos > 0 THEN (fp * 1000000) // (n - pos) END
+           |    AS fpr_ppm,
+           |  (sel * 1000000) // n - allsel // alln AS sel_gap_ppm
+           |FROM g, o ORDER BY 1""".stripMargin),
+    "One group-keyed agg + a 1-row overall broadcast; reference-free " +
+      "gaps mean adding a group never changes another group's row. The " +
+      "equity readout run on every curated training slice.")
+
+  val all: Seq[Declared] = Seq(q444, q445, q447, q448, q449, q450)
 }

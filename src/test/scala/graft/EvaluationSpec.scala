@@ -399,4 +399,50 @@ class EvaluationSpec extends AnyFunSuite {
       .head().getAs[Long]("rbo_nano")
     assert(aTop > aBot)
   }
+
+  test("eval: reliabilityDiagram — hand bins, exact gap mass, top-edge bin") {
+    import spark.implicits._
+    // 2 bins: scores 200k/300k (bin 0), 800k + the exact top edge
+    // 1000000 (both bin 1 — the least() clamp)
+    val df = Seq((200000L, false), (300000L, true),
+      (800000L, true), (1000000L, true)).toDF("s", "y")
+    val out = Evaluation.reliabilityDiagram(df, col("s"), col("y"), 2)
+      .orderBy("bin").collect()
+    assert(out.length == 2)
+    val b0 = out(0); val b1 = out(1)
+    assert(b0.getAs[Long]("n") == 2 && b0.getAs[Long]("pos") == 1)
+    assert(b0.getAs[Long]("conf_ppm") == 250000L)
+    assert(b0.getAs[Long]("acc_ppm") == 500000L)
+    assert(b0.getAs[Long]("gap_mass") == math.abs(1000000L - 500000L))
+    assert(b1.getAs[Long]("n") == 2 && b1.getAs[Long]("pos") == 2)
+    assert(b1.getAs[Long]("conf_ppm") == 900000L)
+    assert(b1.getAs[Long]("gap_mass") == math.abs(2000000L - 1800000L))
+    // ECE = (500000 + 200000) div 4 = 175000 ppm
+    val ece = Evaluation.reliabilityDiagram(df, col("s"), col("y"), 2)
+      .agg(org.apache.spark.sql.functions.expr("sum(gap_mass) div sum(n)"))
+      .head().getLong(0)
+    assert(ece == 175000L)
+  }
+
+  test("eval: fairnessAudit — per-group rates and parity gap, null-safe") {
+    import spark.implicits._
+    // group A: 4 rows, sel 2, pos 2 (tp 2, fp 0); group B: 2 rows,
+    // sel 1, pos 0 (tpr null), fp 1
+    val df = Seq(
+      ("A", true, true), ("A", true, true), ("A", false, false),
+      ("A", false, false), ("B", false, true), ("B", false, false))
+      .toDF("g", "y", "p")
+    val out = Evaluation.fairnessAudit(df, col("g"), col("y"), col("p"))
+      .collect().map(r => r.getString(0) -> r).toMap
+    val a = out("A"); val b = out("B")
+    assert(a.getAs[Long]("sel_ppm") == 500000L)
+    assert(a.getAs[Long]("tpr_ppm") == 1000000L)
+    assert(a.getAs[Long]("fpr_ppm") == 0L)
+    assert(b.getAs[Long]("sel_ppm") == 500000L)
+    assert(b.isNullAt(b.fieldIndex("tpr_ppm"))) // no positives in B
+    assert(b.getAs[Long]("fpr_ppm") == 500000L)
+    // overall sel = 3/6 -> both groups' parity gap is 0
+    assert(a.getAs[Long]("sel_gap_ppm") == 0L)
+    assert(b.getAs[Long]("sel_gap_ppm") == 0L)
+  }
 }
