@@ -931,6 +931,48 @@ object Evaluation {
         abs(col("pos") * lit(1000000L) - col("__ssum")).as("gap_mass"))
   }
 
+  /** eval — SPLIT-CONFORMAL interval calibration (Vovk et al.;
+    * Angelopoulos & Bates 2021 tutorial — public literature): from a
+    * CALIBRATION slice's absolute residuals, the conformal quantile
+    *   q̂ = the k-th smallest residual, k = ⌈(n_c+1)·(1−α)⌉
+    * guarantees ≥ 1−α coverage of |y−ŷ| ≤ q̂ on exchangeable data; the
+    * EVAL slice's observed coverage then audits the guarantee.
+    * α = alphaNum/alphaDen; residuals are integers (cents/micro), so
+    * the order statistic and both counts are exact. When n_c is too
+    * small for the guarantee (k > n_c), q̂ and coverage are null.
+    * Returns ONE row: (n_calib, n_eval, qhat, coverage_ppm).
+    *
+    * Scale: the order statistic is [[Ranking.globalRowNumber]] (range
+    * repartition + offset rollup — never a single-partition window
+    * over the calibration slice); everything else is two aggs and a
+    * 1-row broadcast. */
+  def splitConformal(df: DataFrame, residualCol: Column, tieCol: Column,
+      isCalib: Column, alphaNum: Int, alphaDen: Int): DataFrame = {
+    require(alphaDen > 0 && alphaNum > 0 && alphaNum < alphaDen,
+      "alpha in (0,1)")
+    val base = df.select(residualCol.cast("long").as("__r"),
+      tieCol.as("__tie"), isCalib.cast("boolean").as("__c"))
+    val calib = base.filter(col("__c"))
+    val nC = calib.agg(count(lit(1)).as("__nc"))
+    val ranked = graft.ops.Ranking
+      .globalRowNumber(calib, Seq(col("__r"), col("__tie")))
+    // k-th smallest via the integer crossing test:
+    //   row_num ≥ ⌈(nc+1)(den−num)/den⌉ ⟺ row_num·den ≥ (nc+1)(den−num)
+    val qhat = ranked.crossJoin(broadcast(nC))
+      .filter(col("row_num") * alphaDen >=
+        (col("__nc") + 1) * (alphaDen - alphaNum))
+      .agg(min(col("__r")).as("qhat"))
+    base.filter(!col("__c"))
+      .crossJoin(broadcast(qhat))
+      .agg(count(lit(1)).as("n_eval"),
+        sum(when(col("__r") <= col("qhat"), 1L).otherwise(0L)).as("__cov"),
+        first(col("qhat")).as("qhat"))
+      .crossJoin(broadcast(nC))
+      .select(col("__nc").as("n_calib"), col("n_eval"), col("qhat"),
+        when(col("qhat").isNotNull && col("n_eval") > 0,
+          expr("(__cov * 1000000L) div n_eval")).as("coverage_ppm"))
+  }
+
   /** eval/fairness — group FAIRNESS AUDIT of a binary classifier
     * (Hardt, Price & Srebro, NeurIPS'16 "Equality of Opportunity" —
     * public literature): per group, the selection rate (demographic

@@ -221,5 +221,41 @@ object LlmExt11 {
       "gaps mean adding a group never changes another group's row. The " +
       "equity readout run on every curated training slice.")
 
-  val all: Seq[Declared] = Seq(q444, q445, q447, q448, q449, q450)
+  /** q451 — eval: split-conformal calibration of a naive unit-price
+    * model — the ⌈(n+1)(1−α)⌉-th calibration residual (α = 0.1) and
+    * the eval slice's observed coverage of |y−ŷ| ≤ q̂, exact integers
+    * end to end with the order statistic ranked distributed. */
+  val q451 = Declared(
+    "q451_split_conformal", "eval,W2",
+    (s, dir) => graft.ops.Evaluation.splitConformal(
+        Tables.lineitem(s, dir),
+        residualCol = expr("abs(CAST(CAST(l_extendedprice AS DECIMAL(18,2))" +
+          " * 100 AS BIGINT) - CAST(l_quantity AS BIGINT) * 100000)"),
+        tieCol = expr("l_orderkey * 10 + l_linenumber"),
+        isCalib = expr("(l_orderkey * 31 + l_linenumber) % 2 = 0"),
+        alphaNum = 10, alphaDen = 100),
+    Some("""WITH b AS (
+           |  SELECT abs(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100
+           |      AS BIGINT) - CAST(l_quantity AS BIGINT) * 100000) AS r,
+           |    l_orderkey * 10 + l_linenumber AS tie,
+           |    ((l_orderkey * 31 + l_linenumber) % 2 = 0) AS c
+           |  FROM lineitem),
+           |nc AS (SELECT CAST(count(*) AS BIGINT) AS nc FROM b WHERE c),
+           |rk AS (SELECT r, row_number() OVER (ORDER BY r, tie) AS rn
+           |       FROM b WHERE c),
+           |q AS (SELECT CAST(min(r) AS BIGINT) AS qhat FROM rk, nc
+           |      WHERE rn * 100 >= (nc + 1) * 90)
+           |SELECT nc AS n_calib, CAST(count(*) AS BIGINT) AS n_eval, qhat,
+           |  CASE WHEN qhat IS NOT NULL AND count(*) > 0 THEN
+           |    (CAST(sum(CASE WHEN r <= qhat THEN 1 ELSE 0 END) AS BIGINT)
+           |      * 1000000) // count(*) END AS coverage_ppm
+           |FROM b, q, nc WHERE NOT c GROUP BY nc, qhat""".stripMargin),
+    "The conformal order statistic runs through globalRowNumber (range " +
+      "repartition + |partitions|-row offset rollup — never a " +
+      "single-partition window over the calibration slice); the crossing " +
+      "test is pure integer arithmetic, and coverage is one more " +
+      "map-side-combined agg. Distribution-free interval calibration for " +
+      "any quality/score model gating data.")
+
+  val all: Seq[Declared] = Seq(q444, q445, q447, q448, q449, q450, q451)
 }

@@ -445,4 +445,28 @@ class EvaluationSpec extends AnyFunSuite {
     assert(a.getAs[Long]("sel_gap_ppm") == 0L)
     assert(b.getAs[Long]("sel_gap_ppm") == 0L)
   }
+
+  test("eval: splitConformal — hand order statistic and coverage") {
+    import spark.implicits._
+    // calib residuals 10,20,30,40,50,60,70,80,90 (n=9); alpha=0.2 ->
+    // k = ceil(10*0.8) = 8 -> qhat = 80; eval residuals 5,75,85,95
+    // -> coverage 2/4? no: 5<=80, 75<=80, 85>80, 95>80 -> 500000 ppm
+    val rows = (1 to 9).map(i => (i * 10L, i.toLong, true)) ++
+      Seq((5L, 101L, false), (75L, 102L, false),
+        (85L, 103L, false), (95L, 104L, false))
+    val df = rows.toDF("r", "tie", "c")
+    val out = Evaluation.splitConformal(df, col("r"), col("tie"),
+      col("c"), alphaNum = 20, alphaDen = 100).head()
+    assert(out.getAs[Long]("n_calib") == 9L)
+    assert(out.getAs[Long]("n_eval") == 4L)
+    assert(out.getAs[Long]("qhat") == 80L)
+    assert(out.getAs[Long]("coverage_ppm") == 500000L)
+    // too-small calibration slice (k > n) -> null qhat and coverage
+    val tiny = Seq((10L, 1L, true), (20L, 2L, true), (5L, 3L, false))
+      .toDF("r", "tie", "c")
+    val t = Evaluation.splitConformal(tiny, col("r"), col("tie"),
+      col("c"), alphaNum = 10, alphaDen = 100).head()
+    assert(t.isNullAt(t.fieldIndex("qhat")))
+    assert(t.isNullAt(t.fieldIndex("coverage_ppm")))
+  }
 }
