@@ -257,5 +257,51 @@ object LlmExt11 {
       "map-side-combined agg. Distribution-free interval calibration for " +
       "any quality/score model gating data.")
 
-  val all: Seq[Declared] = Seq(q444, q445, q447, q448, q449, q450, q451)
+  /** q452 — T-state: per-user running maximum drawdown through the
+    * Spark 4 `transformWithState` StatefulProcessor (ValueState +
+    * RocksDB store — the arbitrary-state API that supersedes
+    * flatMapGroupsWithState), replayed over the events fixture and
+    * checked against a batch cumulative-max oracle. */
+  val q452 = Declared(
+    "q452_stream_drawdown_tws", "T-state",
+    (s, dir) => {
+      val key = "spark.sql.streaming.stateStore.providerClass"
+      val prev = s.conf.getOption(key)
+      s.conf.set(key, "org.apache.spark.sql.execution.streaming.state." +
+        "RocksDBStateStoreProvider")
+      try TimeSeries.streamEventsToTable(s, dir, "q452", mode = "update")(ev => {
+        import s.implicits._
+        graft.streaming.StreamOps.statefulDrawdown(
+          ev.select(col("user_id").cast("long").as("key"),
+              unix_micros(col("ts")).as("us"),
+              col("event_id").cast("long").as("tie"),
+              floor(col("value") * 1e6 + 0.5).cast("long").as("vMicro"))
+            .as[graft.streaming.StreamOps.DrawdownIn]).toDF()
+      }).orderBy(col("user_id"))
+      finally prev match {
+        case Some(p) => s.conf.set(key, p)
+        case None => s.conf.unset(key)
+      }
+    },
+    Some("""WITH e AS (
+           |  SELECT user_id, epoch_us(ts) AS us, event_id,
+           |    CAST(floor(value * 1000000 + 0.5) AS BIGINT) AS v
+           |  FROM events),
+           |w AS (
+           |  SELECT user_id, v,
+           |    max(v) OVER (PARTITION BY user_id ORDER BY us, event_id
+           |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS peak
+           |  FROM e)
+           |SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+           |  CAST(max(peak) AS BIGINT) AS peak_micro,
+           |  CAST(max(peak - v) AS BIGINT) AS max_drawdown_micro
+           |FROM w GROUP BY user_id ORDER BY user_id""".stripMargin),
+    "State is 3 longs per key in RocksDB; each micro-batch shuffles only " +
+      "its own rows keyed by user, and the in-batch event-time sort makes " +
+      "the single-batch replay bit-deterministic against the batch " +
+      "cumulative-max window. The modern stateful API exercised under " +
+      "the same oracle gate as everything else.")
+
+  val all: Seq[Declared] =
+    Seq(q444, q445, q447, q448, q449, q450, q451, q452)
 }

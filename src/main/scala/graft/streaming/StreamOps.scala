@@ -322,6 +322,57 @@ object StreamOps {
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(handle)
   }
 
+  /** Input/output records for [[statefulDrawdown]]. */
+  final case class DrawdownIn(key: Long, us: Long, tie: Long, vMicro: Long)
+  final case class DrawdownOut(user_id: Long, n_events: Long,
+    peak_micro: Long, max_drawdown_micro: Long)
+
+  /** T-state — per-key RUNNING MAXIMUM DRAWDOWN as a Spark 4
+    * `transformWithState` StatefulProcessor (the arbitrary-state API
+    * that supersedes flatMapGroupsWithState): per key, walk events in
+    * EVENT-TIME order (ties on `tie`) maintaining the running peak and
+    * the largest peak-to-trough drop seen — the risk/monitoring
+    * readout ("how far below its best has this metric fallen").
+    * State = (n, peak, maxDD) in a ValueState; each batch emits the
+    * key's updated row (Update mode changelog — consumers keep the
+    * last row per key). Event-time order inside a batch comes from an
+    * explicit sort of the buffered group, so a single-batch replay is
+    * bit-deterministic and a batch oracle replays it with one
+    * cumulative-max window.
+    *
+    * Scale: state is 3 longs per key in the RocksDB store; each
+    * micro-batch shuffles only that batch keyed by user. */
+  def statefulDrawdown(events: org.apache.spark.sql.Dataset[DrawdownIn])
+      : org.apache.spark.sql.Dataset[DrawdownOut] = {
+    import org.apache.spark.sql.streaming.{OutputMode, StatefulProcessor,
+      TimeMode, TimerValues, TTLConfig}
+    import org.apache.spark.sql.{Encoder, Encoders}
+    val proc = new StatefulProcessor[Long, DrawdownIn, DrawdownOut] {
+      @transient private var st:
+        org.apache.spark.sql.streaming.ValueState[(Long, Long, Long)] = _
+      override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+        st = getHandle.getValueState[(Long, Long, Long)]("dd",
+          Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong,
+            Encoders.scalaLong), TTLConfig.NONE)
+      override def handleInputRows(key: Long, rows: Iterator[DrawdownIn],
+          timers: TimerValues): Iterator[DrawdownOut] = {
+        val sorted = rows.toSeq.sortBy(r => (r.us, r.tie))
+        var (n, peak, dd) =
+          if (st.exists()) st.get() else (0L, Long.MinValue, 0L)
+        sorted.foreach { r =>
+          n += 1
+          if (r.vMicro > peak) peak = r.vMicro
+          if (peak - r.vMicro > dd) dd = peak - r.vMicro
+        }
+        st.update((n, peak, dd))
+        Iterator.single(DrawdownOut(key, n, peak, dd))
+      }
+    }
+    implicit val outEnc: Encoder[DrawdownOut] = Encoders.product[DrawdownOut]
+    events.groupByKey(_.key)(Encoders.scalaLong)
+      .transformWithState(proc, TimeMode.None(), OutputMode.Update())
+  }
+
   /** T6 — parquet sink with checkpoint (exactly-once file sink). */
   def parquetSink(df: DataFrame, path: String, checkpoint: String): DataStreamWriter[Row] =
     df.writeStream.format("parquet")

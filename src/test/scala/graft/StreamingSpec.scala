@@ -367,4 +367,43 @@ class StreamingSpec extends AnyFunSuite {
 
   private def unixMicrosOf(s: String): Long =
     java.sql.Timestamp.valueOf(s).getTime * 1000L
+
+  test("T-state: transformWithState drawdown carries peak across batches") {
+    import graft.streaming.StreamOps.{DrawdownIn, DrawdownOut}
+    val dir = tmp()
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, "org.apache.spark.sql.execution.streaming.state." +
+      "RocksDBStateStoreProvider")
+    try {
+      // batch 1: user 1 climbs to 10 then dips to 7 -> dd = 3e6
+      writeBatch(dir, "b1", Seq(
+        (1L, "2024-01-01 10:00:00", 1L, 4.0),
+        (2L, "2024-01-01 10:01:00", 1L, 10.0),
+        (3L, "2024-01-01 10:02:00", 1L, 7.0)))
+      val stream = StreamOps.fileStream(spark, dir, schema)
+        .select(col("user_id").as("key"), unix_micros(col("ts")).as("us"),
+          col("event_id").as("tie"),
+          floor(col("value") * 1e6 + 0.5).cast("long").as("vMicro"))
+        .as[DrawdownIn]
+      val q = StreamOps.statefulDrawdown(stream).writeStream
+        .outputMode("update").format("memory").queryName("twsdd").start()
+      q.processAllAvailable()
+      val r1 = spark.table("twsdd").as[DrawdownOut].collect().last
+      assert(r1.n_events == 3 && r1.peak_micro == 10000000L &&
+        r1.max_drawdown_micro == 3000000L)
+      // batch 2: dip to 2 -> dd vs the REMEMBERED peak 10 = 8e6
+      writeBatch(dir, "b2", Seq((4L, "2024-01-01 11:00:00", 1L, 2.0)))
+      q.processAllAvailable()
+      val rows = spark.table("twsdd").as[DrawdownOut].collect()
+      q.stop()
+      val r2 = rows.maxBy(_.n_events)
+      assert(r2.n_events == 4 && r2.peak_micro == 10000000L &&
+        r2.max_drawdown_micro == 8000000L,
+        s"state must cross batches, got $r2")
+    } finally prev match {
+      case Some(p) => spark.conf.set(key, p)
+      case None => spark.conf.unset(key)
+    }
+  }
 }
