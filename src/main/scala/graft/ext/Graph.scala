@@ -99,6 +99,107 @@ object Graph {
     labels.select(col("node"), col("comp").as("component"))
   }
 
+  /** E2+/ML — BORŮVKA minimum spanning forest (Borůvka 1926; the
+    * parallel MST algorithm of choice — each round every component
+    * grabs its lightest outgoing edge, components at least halve, so
+    * O(log |V|) rounds): THE missing Spark primitive behind
+    * single-linkage clustering (cut the forest at a distance
+    * threshold — or drop the k−1 heaviest edges for k clusters),
+    * network-design cost floors, and bottleneck ("minimax") paths.
+    * Ties are broken by the TOTAL order (w, a, b), which is
+    * equivalent to distinct weights, so the forest is unique and a
+    * replay on any engine must produce the identical edge set.
+    * Returns the forest edges: (a, b, w) with a < b.
+    *
+    * Scale: each round is two node-keyed label joins + one
+    * min-struct agg per component + a COMPONENT-level contraction
+    * (frames shrink at least geometrically); the edge list is
+    * checkpointed once. No cartesian, no global sort; ONE scalar
+    * (remaining cross-edge count) reaches the driver per round. */
+  def boruvkaMst(edges: DataFrame, srcCol: String, dstCol: String,
+      weightCol: String, maxRounds: Int = 30): DataFrame = {
+    val spark = edges.sparkSession
+    val e0 = edges.select(
+        least(checkedLong(col(srcCol)), checkedLong(col(dstCol))).as("a"),
+        greatest(checkedLong(col(srcCol)), checkedLong(col(dstCol))).as("b"),
+        col(weightCol).cast("long").as("w"))
+      .filter(col("a") =!= col("b"))
+      // the (w, a, b) total order needs ONE row per undirected edge:
+      // keep the lightest parallel edge
+      .groupBy(col("a"), col("b")).agg(min(col("w")).as("w"))
+      .localCheckpoint()
+    var comp = e0.select(explode(array(col("a"), col("b"))).as("node"))
+      .distinct().withColumn("comp", col("node"))
+      .localCheckpoint()
+    var mst = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("a",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("b",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("w",
+          org.apache.spark.sql.types.LongType))))
+    var round = 0
+    var done = false
+    while (!done && round < maxRounds) {
+      val lab = e0
+        .join(comp.select(col("node").as("a"), col("comp").as("__ca")), "a")
+        .join(comp.select(col("node").as("b"), col("comp").as("__cb")), "b")
+        .filter(col("__ca") =!= col("__cb"))
+        .localCheckpoint() // read by the count + both pick sides
+      if (lab.isEmpty) done = true
+      else {
+        // every component picks its lexicographically-least (w, a, b)
+        // outgoing edge; an edge picked from either side joins the forest
+        val pick = lab.select(col("__ca").as("__c"),
+            struct(col("w"), col("a"), col("b"),
+              col("__ca"), col("__cb")).as("__e"))
+          .unionByName(lab.select(col("__cb").as("__c"),
+            struct(col("w"), col("a"), col("b"),
+              col("__ca"), col("__cb")).as("__e")))
+          .groupBy(col("__c")).agg(min(col("__e")).as("__e"))
+        val chosen = pick
+          .select(col("__e.a").as("a"), col("__e.b").as("b"),
+            col("__e.w").as("w"), col("__e.__ca").as("__ca"),
+            col("__e.__cb").as("__cb"))
+          .dropDuplicates("a", "b")
+          .localCheckpoint()
+        mst = mst.unionByName(chosen.select(col("a"), col("b"), col("w")))
+          .localCheckpoint()
+        // contract: merge the chosen component pairs (component-level
+        // graph — at most one edge per component, shrinks geometrically)
+        val mapping = connectedComponents(
+          chosen.select(col("__ca"), col("__cb")), "__ca", "__cb",
+          cache = false)
+        comp = comp
+          .join(mapping.withColumnRenamed("node", "comp")
+            .withColumnRenamed("component", "__new"), Seq("comp"), "left")
+          .select(col("node"), coalesce(col("__new"), col("comp")).as("comp"))
+          .localCheckpoint()
+      }
+      round += 1
+    }
+    mst
+  }
+
+  /** ML — SINGLE-LINKAGE clusters from the Borůvka forest: cut every
+    * forest edge heavier than `threshold` and return the resulting
+    * components over all nodes of `edges` (singletons keep their own
+    * id) — dendrogram-free single linkage at one exact threshold.
+    * Returns (node, cluster). */
+  def singleLinkage(edges: DataFrame, srcCol: String, dstCol: String,
+      weightCol: String, threshold: Long): DataFrame = {
+    val mst = boruvkaMst(edges, srcCol, dstCol, weightCol)
+      .filter(col("w") <= threshold)
+    val nodes = edges.select(explode(array(
+        checkedLong(col(srcCol)), checkedLong(col(dstCol)))).as("node"))
+      .distinct()
+    val comp = connectedComponents(mst, "a", "b", cache = false)
+    nodes.join(comp, Seq("node"), "left")
+      .select(col("node"), coalesce(col("component"), col("node")).as("cluster"))
+  }
+
   /** Dedup clustering in one call: near-dup pairs (any generator) →
     * components → per-node canonical flag (`node == component`, i.e.
     * the minimum doc id of its duplicate cluster is kept). */

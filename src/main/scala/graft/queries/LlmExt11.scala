@@ -302,6 +302,67 @@ object LlmExt11 {
       "cumulative-max window. The modern stateful API exercised under " +
       "the same oracle gate as everything else.")
 
+  /** q453 — E2+/ML: Borůvka minimum spanning forest of the supplier
+    * proximity graph (grid-bucketed eps-pairs, unique integer weights
+    * d²·10⁵ + a·101 + b) — the single-linkage backbone. The oracle
+    * replays Kruskal's cut property: an edge is in the MST iff its
+    * endpoints are disconnected using only strictly lighter edges,
+    * checked for EVERY edge at once via a threshold-keyed recursive
+    * closure. */
+  val q453 = Declared(
+    "q453_boruvka_mst", "E2+,ML",
+    (s, dir) => {
+      val pts = Tables.supplier(s, dir)
+        .filter(col("s_suppkey") <= 60)
+        .select(col("s_suppkey").as("id"),
+          expr("CAST((s_suppkey * 37) % 100 AS DOUBLE)").as("x"),
+          expr("CAST((s_suppkey * 73) % 100 AS DOUBLE)").as("y"))
+      val pairs = graft.ops.SpatialOps.gridBucketJoin(
+          pts.select(col("id").as("id_sensor"), col("x"), col("y")),
+          pts.select(col("id").as("nbr"), col("x"), col("y")),
+          radius = 15.0, cell = 15.0)
+        .filter(col("id_sensor") < col("nbr"))
+        .select(col("id_sensor").as("u"), col("nbr").as("v"),
+          (((col("sx") - col("x")) * (col("sx") - col("x")) +
+            (col("sy") - col("y")) * (col("sy") - col("y"))).cast("long")
+            * 100000L + col("id_sensor") * 101L + col("nbr")).as("w"))
+      graft.ext.Graph.boruvkaMst(pairs, "u", "v", "w")
+        .orderBy(col("w"))
+    },
+    Some("""WITH RECURSIVE s AS (
+           |  SELECT s_suppkey AS id,
+           |    CAST((s_suppkey * 37) % 100 AS DOUBLE) AS x,
+           |    CAST((s_suppkey * 73) % 100 AS DOUBLE) AS y
+           |  FROM supplier WHERE s_suppkey <= 60),
+           |ed AS (
+           |  SELECT a.id AS a, b.id AS b,
+           |    CAST((a.x-b.x)*(a.x-b.x) + (a.y-b.y)*(a.y-b.y) AS BIGINT)
+           |      * 100000 + a.id * 101 + b.id AS w
+           |  FROM s a JOIN s b ON a.id < b.id
+           |  WHERE (a.x-b.x)*(a.x-b.x) + (a.y-b.y)*(a.y-b.y) <= 225),
+           |sub AS (
+           |  SELECT e1.w AS t, e2.a, e2.b FROM ed e1
+           |  JOIN ed e2 ON e2.w < e1.w),
+           |sym AS (SELECT t, a, b FROM sub
+           |        UNION ALL SELECT t, b, a FROM sub),
+           |reach AS (
+           |  SELECT t, a AS node, a AS comp FROM sym
+           |  UNION
+           |  SELECT sym.t, sym.a, reach.comp FROM sym
+           |  JOIN reach ON reach.t = sym.t AND reach.node = sym.b),
+           |cmp AS (SELECT t, node, min(comp) AS comp FROM reach GROUP BY 1, 2)
+           |SELECT e.a, e.b, e.w FROM ed e
+           |LEFT JOIN cmp ca ON ca.t = e.w AND ca.node = e.a
+           |LEFT JOIN cmp cb ON cb.t = e.w AND cb.node = e.b
+           |WHERE ca.comp IS NULL OR cb.comp IS NULL OR ca.comp <> cb.comp
+           |ORDER BY e.w""".stripMargin),
+    "Each Borůvka round: two node-keyed label joins, one min-struct agg " +
+      "per component, and a COMPONENT-level contraction — frames shrink " +
+      "at least geometrically, O(log V) rounds, one scalar to the driver " +
+      "per round. The forest feeds single-linkage clustering (cut at a " +
+      "threshold) and bottleneck-path queries; the eps-graph build is the " +
+      "same grid-bucket join as DBSCAN's, never a cartesian.")
+
   val all: Seq[Declared] =
-    Seq(q444, q445, q447, q448, q449, q450, q451, q452)
+    Seq(q444, q445, q447, q448, q449, q450, q451, q452, q453)
 }

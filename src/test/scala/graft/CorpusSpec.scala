@@ -122,6 +122,43 @@ class GraphSpec extends AnyFunSuite {
     assert(out(1L).getAs[Long]("largest_cc") == 2L)
     assert(out(1L).getAs[Long]("share_ppm") == 1000000L)
   }
+
+  test("E2+: boruvkaMst — hand MST on a weighted house graph") {
+    // nodes 1-5; the unique MST is {1-2:1, 2-3:2, 3-4:3, 4-5:4}
+    // (5-1:10 and 2-4:9 are cycle-heavy; parallel 1-2:7 loses to 1)
+    val edges = Seq(
+      (1L, 2L, 1L), (2L, 1L, 7L), (2L, 3L, 2L), (3L, 4L, 3L),
+      (4L, 5L, 4L), (5L, 1L, 10L), (2L, 4L, 9L)).toDF("u", "v", "w")
+    val mst = Graph.boruvkaMst(edges, "u", "v", "w")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(mst == Set((1L, 2L, 1L), (2L, 3L, 2L), (3L, 4L, 3L), (4L, 5L, 4L)),
+      s"got $mst")
+    // a disconnected graph yields a spanning FOREST (one tree per part)
+    val forest = Graph.boruvkaMst(
+      (Seq((1L, 2L, 5L), (10L, 11L, 6L), (11L, 12L, 7L), (10L, 12L, 8L)))
+        .toDF("u", "v", "w"), "u", "v", "w")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(forest == Set((1L, 2L), (10L, 11L), (11L, 12L)))
+  }
+
+  test("ML: singleLinkage — threshold cut yields the dendrogram's clusters") {
+    // chain 1-2-3 with weights 1,2; far pair 8-9 weight 1; bridge 3-8
+    // weight 50: at threshold 10 -> clusters {1,2,3}, {8,9}
+    val edges = Seq((1L, 2L, 1L), (2L, 3L, 2L), (8L, 9L, 1L),
+      (3L, 8L, 50L)).toDF("u", "v", "w")
+    val out = Graph.singleLinkage(edges, "u", "v", "w", threshold = 10L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out(1L) == 1L && out(2L) == 1L && out(3L) == 1L)
+    assert(out(8L) == 8L && out(9L) == 8L)
+    // at threshold 50 everything merges
+    val all = Graph.singleLinkage(edges, "u", "v", "w", 50L)
+      .collect().map(_.getLong(1)).toSet
+    assert(all == Set(1L))
+    // at threshold 0 every node is a singleton cluster of itself
+    val none = Graph.singleLinkage(edges, "u", "v", "w", 0L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(none.forall { case (n, c) => n == c })
+  }
 }
 
 class CorpusCurationSpec extends AnyFunSuite {
