@@ -3517,4 +3517,73 @@ object Aggregates {
           6)).as("intercept"))
       .orderBy(col("g"))
   }
+
+  /** A-stat — HODGES-LEHMANN location estimator per group (Hodges &
+    * Lehmann 1963 — public literature): the median of all Walsh
+    * averages (vᵢ+vⱼ)/2 over i ≤ j — the robust "center" whose
+    * breakdown beats the mean and whose efficiency beats the median;
+    * the location half of the Wilcoxon machinery. Kept EXACT by
+    * selecting the median of the integer SUMS vᵢ+vⱼ (lower-median
+    * convention of [[weightedMedian]]) and reporting it as
+    * hl2 = 2·HL — callers halve for presentation; the selection is
+    * integer end to end. Returns per group: (…keys, n, n_pairs, hl2).
+    *
+    * Scale: the Walsh self-join is |group|² pairs — run it on a
+    * BOUNDED rollup (calendar-grain series, audit slices), never raw
+    * facts; the doc says so and the query layer does so. The median
+    * selection reuses weightedQuantile's key-partitioned envelope. */
+  def hodgesLehmann(df: org.apache.spark.sql.DataFrame, keys: Seq[Column],
+      valueCol: Column, tieCol: Column): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    val base = df.select(keys :+ valueCol.cast("long").as("__v") :+
+      tieCol.cast("long").as("__t"): _*)
+    val kNames = base.columns.dropRight(2).toSeq
+    val left = base.toDF(kNames.map(k => s"$k") :+ "__v1" :+ "__t1": _*)
+    val right = base.toDF(kNames.map(k => s"$k") :+ "__v2" :+ "__t2": _*)
+    val pairs = left.join(right, kNames)
+      .filter(col("__t1") <= col("__t2"))
+      .select((kNames.map(col) :+ (col("__v1") + col("__v2")).as("__w2") :+
+        col("__t1") :+ col("__t2")): _*)
+    val med = weightedQuantile(pairs, kNames.map(col), col("__w2"),
+      lit(1L), Seq(col("__t1"), col("__t2")), 1, 2)
+    val counts = base.groupBy(kNames.map(col): _*)
+      .agg(count(lit(1)).as("n"))
+    counts.join(med, kNames)
+      .select((kNames.map(col) :+ col("n") :+
+        (col("total_weight")).as("n_pairs") :+
+        col("weighted_quantile").as("hl2")): _*)
+  }
+
+  /** A-stat — MEDIAN OF MEANS robust mean (the standard
+    * heavy-tail-safe mean estimator; Nemirovsky-Yudin / Jerrum-
+    * Valiant-Vazirani lineage — public literature): hash rows into
+    * `k` deterministic buckets, take each bucket's exact micro-mean
+    * (integer div), report the LOWER median of the k bucket means —
+    * one outlier can poison at most one bucket. k odd recommended.
+    * `bucketKeyCol` must be well-mixed (pass an id through xxhash64
+    * upstream when ids are clustered; kept un-hashed HERE so a second
+    * engine can replay the exact bucketing). Returns ONE row:
+    * (n, k_buckets, mom_micro).
+    *
+    * Scale: one bucket-keyed agg with map-side combine + a k-row
+    * TakeOrdered finish — the robust mean at any scan size, no
+    * windows anywhere. */
+  def medianOfMeans(df: org.apache.spark.sql.DataFrame, valueCol: Column,
+      bucketKeyCol: Column, k: Int): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    require(k >= 1, "k >= 1")
+    val buckets = df.select(valueCol.cast("long").as("__v"),
+        pmod(bucketKeyCol.cast("long"), lit(k.toLong)).as("__b"))
+      .groupBy(col("__b"))
+      .agg(count(lit(1)).as("__n"), sum(col("__v")).as("__s"))
+      .withColumn("__mean_u", expr("(__s * 1000000L) div __n"))
+    // lower median of k means: the ceil(k/2)-smallest — TakeOrdered
+    // (orderBy.limit), never a global sort materialization
+    val kHalf = (k + 1) / 2
+    val med = buckets.orderBy(col("__mean_u"), col("__b")).limit(kHalf)
+      .agg(max(col("__mean_u")).as("mom_micro"))
+    buckets.agg(sum(col("__n")).as("n"),
+        count(lit(1)).as("k_buckets"))
+      .crossJoin(broadcast(med))
+  }
 }

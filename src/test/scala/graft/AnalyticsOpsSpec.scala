@@ -1976,6 +1976,37 @@ class AnalyticsOpsSpec extends AnyFunSuite {
     assert(re.getAs[Long]("ssw_u") == 236000000L - 100000000L)
   }
 
+  test("A-stat: hodgesLehmann — hand Walsh medians, robust to one outlier") {
+    // values 1,2,3 (ties 1,2,3): Walsh sums (i<=j): 2,3,4,4,5,6 ->
+    // lower median = 4 -> HL = 2 (= the median here)
+    val df = Seq(("g", 1L, 1L), ("g", 2L, 2L), ("g", 3L, 3L))
+      .toDF("g", "v", "t")
+    val r = Aggregates.hodgesLehmann(df, Seq(col("g")), col("v"), col("t"))
+      .head()
+    assert(r.getAs[Long]("n") == 3L && r.getAs[Long]("n_pairs") == 6L)
+    assert(r.getAs[Long]("hl2") == 4L)
+    // one wild outlier moves the mean to 251.5 but HL only to 3
+    //   values 1,2,3,1000: walsh sums sorted:
+    //   2,3,4,4,5,6,1001,1002,1003,2000 -> lower median = 5 -> HL 2.5
+    val out = Seq(("g", 1L, 1L), ("g", 2L, 2L), ("g", 3L, 3L),
+      ("g", 1000L, 4L)).toDF("g", "v", "t")
+    val r2 = Aggregates.hodgesLehmann(out, Seq(col("g")), col("v"), col("t"))
+      .head()
+    assert(r2.getAs[Long]("n_pairs") == 10L)
+    assert(r2.getAs[Long]("hl2") == 5L)
+  }
+
+  test("A-stat: medianOfMeans — one poisoned bucket cannot move the estimate") {
+    // 9 buckets keyed by id%9; clean values all 100 -> every bucket
+    // mean 100e6 except bucket 0, poisoned with 1e9
+    val rows = (0L until 90L).map(i => (i, if (i % 9 == 0) 1000000000L else 100L))
+    val df = rows.toDF("id", "v")
+    val r = Aggregates.medianOfMeans(df, col("v"), col("id"), 9).head()
+    assert(r.getAs[Long]("n") == 90L && r.getAs[Long]("k_buckets") == 9L)
+    assert(r.getAs[Long]("mom_micro") == 100L * 1000000L)
+    // the plain mean would be poisoned: (80*100 + 10*1e9)/90 >> 100
+  }
+
   test("A-stat: chowTest — a planted slope break dwarfs a stable relation") {
     // x = 1..20; first half y = 2x +/- 1, second half y = 10x +/- 1
     def seg(xs: Range, slope: Long) = xs.map(x =>
