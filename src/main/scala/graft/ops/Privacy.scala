@@ -219,4 +219,47 @@ object Privacy {
         min(col("__v2")).as("qi2_min"), max(col("__v2")).as("qi2_max"))
       .orderBy(col("pid"))
   }
+
+  /** privacy — DISCRETE-LAPLACE noisy counts via the two-sided
+    * geometric mechanism (Ghosh, Roughgarden & Sundararajan, STOC'09
+    * "Universally utility-maximizing privacy mechanisms" — public
+    * literature), made ENGINE-REPLAYABLE: noise = G₁ − G₂ with
+    * Gᵢ ~ Geometric(1 − 2^−k), giving the discrete Laplace with
+    * α = 2^−k, i.e. ε = k·ln 2 per unit sensitivity — ε is a LATTICE
+    * of multiples of ln 2, the price of staying inside exact integer
+    * arithmetic (no libm anywhere). Each geometric is
+    * trailing-zero-count(u) div k over a 64-bit LCG draw seeded by
+    * (key, salt): ctz via the branch-free identity
+    * least(bit_count((u & −u) − 1), 64) — lowest-set-bit isolation
+    * works on any two's-complement width (the least() pins the u = 0
+    * corner where a 128-bit engine would count 128), so a replay
+    * agrees BIT-FOR-BIT.
+    *
+    * Determinism is the point for reproducible-pipeline audits and
+    * cross-engine testing; for a real privacy release swap the salts
+    * for secret entropy — the mechanism and its ε analysis are
+    * unchanged. Returns per key: (key, n, noise, noisy_n).
+    *
+    * Scale: one key-grain agg + scan-side bit arithmetic. */
+  def dpCounts(df: DataFrame, keyCol: Column, k: Int,
+      saltA: Long = 0x9E3779B97F4A7C15L,
+      saltB: Long = 0x6A09E667F3BCC909L): DataFrame = {
+    require(k >= 1 && k <= 64, "k in [1, 64] (epsilon = k*ln2)")
+    // 64-bit LCG (Knuth MMIX constants) as a native wrapping-multiply
+    // expression — ANSI mode rejects the wrap at the SQL layer, Java
+    // long arithmetic IS mod-2^64 (see ext.Lcg64)
+    def lcg(seed: Column): Column = graft.ext.Lcg64(seed)
+    val counts = df.groupBy(keyCol.cast("long").as("key"))
+      .agg(count(lit(1)).as("n"))
+    counts
+      .withColumn("__u1", lcg(col("key") + lit(saltA)))
+      .withColumn("__u2", lcg(col("key") + lit(saltB)))
+      .withColumn("__g1",
+        expr(s"CAST(least(bit_count((__u1 & -__u1) - 1L), 64) AS BIGINT) div $k"))
+      .withColumn("__g2",
+        expr(s"CAST(least(bit_count((__u2 & -__u2) - 1L), 64) AS BIGINT) div $k"))
+      .select(col("key"), col("n"),
+        (col("__g1") - col("__g2")).cast("long").as("noise"),
+        (col("n") + col("__g1") - col("__g2")).cast("long").as("noisy_n"))
+  }
 }

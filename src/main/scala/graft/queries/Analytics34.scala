@@ -84,5 +84,47 @@ object Analytics34 {
       "Bucket key is replayable modular arithmetic so a second engine " +
       "agrees exactly (pre-hash clustered ids upstream at scale).")
 
-  val all: Seq[Declared] = Seq(q454, q455)
+  /** q456 — privacy: discrete-Laplace noisy DAILY order counts
+    * (two-sided geometric mechanism, ε = 2·ln 2) — deterministic
+    * LCG-seeded noise in pure 64-bit integer arithmetic, so the
+    * DuckDB replay (mod-2⁶⁴ HUGEINT arithmetic + the lowest-set-bit
+    * ctz identity) agrees bit-for-bit with Spark's wrapping longs. */
+  val q456 = Declared(
+    "q456_dp_counts", "privacy",
+    (s, dir) => graft.ops.Privacy.dpCounts(
+        Tables.orders(s, dir),
+        datediff(to_date(col("o_orderdate")), lit("1990-01-01")),
+        k = 2)
+      .orderBy(col("key")),
+    Some("""WITH c AS (
+           |  SELECT date_diff('day', DATE '1990-01-01',
+           |      CAST(o_orderdate AS DATE)) AS key,
+           |    CAST(count(*) AS BIGINT) AS n
+           |  FROM orders GROUP BY 1),
+           |u AS (
+           |  SELECT key, n,
+           |    (((CAST(key AS HUGEINT) - 7046029254386353131)
+           |       * 6364136223846793005 + 1442695040888963407)
+           |      % 18446744073709551616 + 18446744073709551616)
+           |      % 18446744073709551616 AS u1,
+           |    (((CAST(key AS HUGEINT) + 7640891576956012809)
+           |       * 6364136223846793005 + 1442695040888963407)
+           |      % 18446744073709551616 + 18446744073709551616)
+           |      % 18446744073709551616 AS u2
+           |  FROM c),
+           |g AS (
+           |  SELECT key, n,
+           |    least(bit_count(CAST((u1 & -u1) - 1 AS BIGINT)), 64) // 2 AS g1,
+           |    least(bit_count(CAST((u2 & -u2) - 1 AS BIGINT)), 64) // 2 AS g2
+           |  FROM u)
+           |SELECT key, n, CAST(g1 - g2 AS BIGINT) AS noise,
+           |  CAST(n + g1 - g2 AS BIGINT) AS noisy_n
+           |FROM g ORDER BY key""".stripMargin),
+    "One key-grain agg + scan-side bit arithmetic — no libm, no RNG " +
+      "state, no shuffle beyond the count. Deterministic noise makes " +
+      "the release replayable for pipeline audits; swap the salts for " +
+      "secret entropy in a real privacy release (the mechanism and its " +
+      "epsilon analysis are unchanged).")
+
+  val all: Seq[Declared] = Seq(q454, q455, q456)
 }

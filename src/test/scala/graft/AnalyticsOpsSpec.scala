@@ -1976,6 +1976,29 @@ class AnalyticsOpsSpec extends AnyFunSuite {
     assert(re.getAs[Long]("ssw_u") == 236000000L - 100000000L)
   }
 
+  test("privacy: dpCounts — noise replays the LCG/ctz arithmetic exactly") {
+    // hand-replicate the mechanism for keys 0..9 (the JVM is the
+    // reference implementation: wrapping long = mod 2^64)
+    def lcg(s: Long) = s * 6364136223846793005L + 1442695040888963407L
+    def ctz(u: Long) =
+      math.min(java.lang.Long.bitCount((u & -u) - 1L), 64)
+    def expected(key: Long, k: Int): Long =
+      ctz(lcg(key + 0x9E3779B97F4A7C15L)) / k -
+        ctz(lcg(key + 0x6A09E667F3BCC909L)) / k
+    val df = (0L until 10L).flatMap(k => Seq.fill(3)(k)).toDF("key")
+    val out = graft.ops.Privacy.dpCounts(df, col("key"), k = 2)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    (0L until 10L).foreach { key =>
+      assert(out(key)._1 == 3L)
+      assert(out(key)._2 == expected(key, 2), s"key $key")
+    }
+    // the Lcg64 expression agrees between codegen and a literal fold
+    val n64 = (0 until 80).map(_.toLong).toDF("s")
+      .select(graft.ext.Lcg64(col("s")).as("u")).collect()
+      .map(_.getLong(0))
+    assert(n64.zipWithIndex.forall { case (u, i) => u == lcg(i.toLong) })
+  }
+
   test("A-stat: hodgesLehmann — hand Walsh medians, robust to one outlier") {
     // values 1,2,3 (ties 1,2,3): Walsh sums (i<=j): 2,3,4,4,5,6 ->
     // lower median = 4 -> HL = 2 (= the median here)
