@@ -170,6 +170,40 @@ object OpRegistry {
     // LLM-corpus extensions (E1/E2/E4/E7) as pipeline citizens: the
     // same operators the declared queries exercise, addressable from a
     // serialized pipeline spec
+    // round-7 surface as pipeline citizens
+    "substring_dup_pairs" -> (p => df => graft.ext.Dedup.substringDupPairs(
+      df, str(p, "text_col"), str(p, "id_col"), num(p, "k").toInt,
+      num(p, "min_shared").toInt, num(p, "max_doc_freq").toInt,
+      cache = false)),
+    "substring_dup_mass" -> (p => df => graft.ext.Dedup.substringDupMass(
+      df, str(p, "text_col"), str(p, "id_col"), num(p, "k").toInt,
+      cache = false)),
+    "dbscan" -> (p => df => graft.ext.Clustering.dbscan(
+      df, str(p, "id_col"), str(p, "x_col"), str(p, "y_col"),
+      num(p, "eps"), num(p, "min_pts").toInt)),
+    "boruvka_mst" -> (p => df => graft.ext.Graph.boruvkaMst(
+      df, str(p, "src_col"), str(p, "dst_col"), str(p, "weight_col"))),
+    "single_linkage" -> (p => df => graft.ext.Graph.singleLinkage(
+      df, str(p, "src_col"), str(p, "dst_col"), str(p, "weight_col"),
+      num(p, "threshold").toLong)),
+    "reliability_diagram" -> (p => df => graft.ops.Evaluation
+      .reliabilityDiagram(df, col(str(p, "score_ppm_col")),
+        expr(str(p, "label_cond")), num(p, "n_bins").toInt)),
+    "fairness_audit" -> (p => df => graft.ops.Evaluation.fairnessAudit(
+      df, col(str(p, "group_col")), expr(str(p, "label_cond")),
+      expr(str(p, "pred_cond")))),
+    "split_conformal" -> (p => df => graft.ops.Evaluation.splitConformal(
+      df, expr(str(p, "residual_expr")), col(str(p, "tie_col")),
+      expr(str(p, "calib_cond")), num(p, "alpha_num").toInt,
+      num(p, "alpha_den").toInt)),
+    "dp_counts" -> (p => df => graft.ops.Privacy.dpCounts(
+      df, col(str(p, "key_col")), num(p, "k").toInt)),
+    "hodges_lehmann" -> (p => df => graft.ops.Aggregates.hodgesLehmann(
+      df, strs(p, "keys").map(col), col(str(p, "value_col")),
+      col(str(p, "tie_col")))),
+    "median_of_means" -> (p => df => graft.ops.Aggregates.medianOfMeans(
+      df, col(str(p, "value_col")), col(str(p, "bucket_key_col")),
+      num(p, "k").toInt)),
     "exact_dedup" -> (p => df => graft.ext.Dedup.exact(
       df, str(p, "text_col"), str(p, "id_col"))),
     // cache = false: a pipeline result's lifetime is unmanaged, so

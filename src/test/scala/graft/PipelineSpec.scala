@@ -481,6 +481,23 @@ class PipelineSpec extends AnyFunSuite {
     assert(or_.head.getAs[Double]("value") == 12.0) // mean of 0..24
   }
 
+  test("ops: round-7 registry ops (dbscan, median_of_means, dp_counts) run from specs") {
+    val pts = Seq((1L, 0.0, 0.0), (2L, 1.0, 0.0), (3L, 0.0, 1.0),
+      (4L, 1.0, 1.0), (8L, 9.0, 9.0)).toDF("id", "x", "y")
+    val (db, _) = Pipeline("d").addOperation(Operation("c", "dbscan",
+      "id_col" -> JStr("id"), "x_col" -> JStr("x"), "y_col" -> JStr("y"),
+      "eps" -> JNum(1.5), "min_pts" -> JNum(4.0))).run(pts)
+    assert(db.filter(col("role") === "core").count() == 4)
+    val vals = (0L until 9L).map(i => (i, 10L)).toDF("id", "v")
+    val (mm, _) = Pipeline("m").addOperation(Operation("m", "median_of_means",
+      "value_col" -> JStr("v"), "bucket_key_col" -> JStr("id"),
+      "k" -> JNum(3.0))).run(vals)
+    assert(mm.head.getAs[Long]("mom_micro") == 10000000L)
+    val (dp, _) = Pipeline("p").addOperation(Operation("p", "dp_counts",
+      "key_col" -> JStr("id"), "k" -> JNum(2.0))).run(vals)
+    assert(dp.count() == 9 && dp.columns.contains("noisy_n"))
+  }
+
   test("ops: corpus-curation ops compose from a JSON round-tripped spec") {
     val docs = Seq(
       (1L, "the cat sat on the mat", "a"),
