@@ -9,26 +9,28 @@ import graft.ops.Aggregates
   * both exact integers end to end. */
 object Analytics34 {
 
-  /** q454 — A-stat: Hodges-Lehmann location of DAILY shipped quantity
+  /** q454 — A-stat: Hodges-Lehmann location of WEEKLY shipped quantity
     * per return flag — median of Walsh averages over the calendar-grain
-    * rollup (the |days|² pair join runs on the rollup, never raw
-    * facts), reported as 2·HL so the selection stays integer. */
+    * rollup (the |weeks|² pair join runs on the rollup, never raw
+    * facts; the week grain keeps the Walsh frame ≤ ~10⁵ pairs per
+    * flag at any sf), reported as 2·HL so the selection stays
+    * integer. */
   val q454 = Declared(
     "q454_hodges_lehmann", "A-stat",
     (s, dir) => {
-      val daily = Tables.lineitem(s, dir)
+      val weekly = Tables.lineitem(s, dir)
         .groupBy(col("l_returnflag").as("flag"),
-          to_date(col("l_shipdate")).as("__d"))
+          expr("CAST(datediff(to_date(l_shipdate), DATE '1990-01-01') AS LONG)" +
+            " div 7L").as("__day"))
         .agg(sum(col("l_quantity").cast("long")).as("__q"))
-        .withColumn("__day", datediff(col("__d"), lit("1990-01-01")).cast("long"))
-      Aggregates.hodgesLehmann(daily, Seq(col("flag")), col("__q"),
+      Aggregates.hodgesLehmann(weekly, Seq(col("flag")), col("__q"),
           col("__day"))
         .orderBy(col("flag"))
     },
     Some("""WITH daily AS (
            |  SELECT l_returnflag AS flag,
            |    date_diff('day', DATE '1990-01-01', CAST(l_shipdate AS DATE))
-           |      AS d,
+           |      // 7 AS d,
            |    CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS q
            |  FROM lineitem GROUP BY 1, 2),
            |p AS (
