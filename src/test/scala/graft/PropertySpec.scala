@@ -207,4 +207,113 @@ class PropertySpec extends AnyFunSuite {
       assert(whole == parts)
     }
   }
+
+  test("law: shapefile point layers round-trip randomized frames exactly") {
+    import graft.geo.Geo
+    val cases = samples(for {
+      pts <- Gen.listOfN(12, Gen.zip(Gen.chooseNum(-1000, 1000),
+        Gen.chooseNum(-1000, 1000), Gen.chooseNum(-500000L, 500000L)))
+    } yield pts, 3)
+    cases.zipWithIndex.foreach { case (pts, ci) =>
+      val dir = java.nio.file.Files.createTempDirectory("graft_shp_law").toString
+      val df = pts.zipWithIndex
+        .map { case ((x, y, m), i) => (i.toLong, m, x / 8.0, y / 8.0) }
+        .toDF("id", "m", "x", "y")
+        .select(col("id"), col("m"),
+          Geo.stPoint(col("x"), col("y")).as("geometry"))
+      graft.io.Shapefile.writePoints(df, s"$dir/law$ci")
+      val back = graft.io.Shapefile.read(spark, s"$dir/law$ci")
+        .select(col("id"), col("m"),
+          Geo.stX(col("geometry")).as("x"), Geo.stY(col("geometry")).as("y"))
+        .orderBy("id").collect()
+      val want = pts.zipWithIndex.map { case ((x, y, m), i) =>
+        (i.toLong, m, x / 8.0, y / 8.0) }
+      assert(back.length == want.length)
+      back.zip(want).foreach { case (r, (id, m, x, y)) =>
+        assert(r.getLong(0) == id && r.getLong(1) == m &&
+          r.getDouble(2) == x && r.getDouble(3) == y)
+      }
+    }
+  }
+
+  test("law: boruvkaMst weight equals brute-force Prim on random graphs") {
+    def kruskalWeight(edges: Seq[(Long, Long, Long)]): Long = {
+      // reference forest weight via Kruskal + union-find (weights are
+      // unique by construction, so the forest weight is unique too)
+      val parent = scala.collection.mutable.Map.empty[Long, Long]
+      def find(x: Long): Long = {
+        val p = parent.getOrElseUpdate(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      var total = 0L
+      edges.sortBy(_._3).foreach { case (u, v, w) =>
+        val (ru, rv) = (find(u), find(v))
+        if (ru != rv) { parent(ru) = rv; total += w }
+      }
+      total
+    }
+    val cases = samples(for {
+      n <- Gen.chooseNum(6, 14)
+      m <- Gen.chooseNum(n, n * 3)
+      pairs <- Gen.listOfN(m, Gen.zip(Gen.chooseNum(0, 13), Gen.chooseNum(0, 13)))
+    } yield (n, pairs.filter(p => p._1 != p._2)), 4)
+    cases.foreach { case (_, pairs) =>
+      if (pairs.nonEmpty) {
+        // unique weights from the canonical pair id
+        val edges = pairs.map { case (u, v) =>
+          val (a, b) = (math.min(u, v).toLong, math.max(u, v).toLong)
+          (a, b, a * 1009L + b * 31L + 7L)
+        }.distinct
+        val mst = graft.ext.Graph.boruvkaMst(
+          edges.toDF("u", "v", "w"), "u", "v", "w")
+          .collect().map(_.getLong(2))
+        assert(mst.sum == kruskalWeight(edges),
+          s"forest weight mismatch on $edges")
+      }
+    }
+  }
+
+  test("law: dbscan agrees with a naive reference on random point sets") {
+    def naive(pts: Seq[(Long, Double, Double)], eps: Double, minPts: Int)
+        : Map[Long, (String, Option[Long])] = {
+      def d2(a: (Long, Double, Double), b: (Long, Double, Double)) =
+        (a._2 - b._2) * (a._2 - b._2) + (a._3 - b._3) * (a._3 - b._3)
+      val nbrs = pts.map(p =>
+        p._1 -> pts.filter(q => d2(p, q) <= eps * eps).map(_._1)).toMap
+      val core = pts.map(_._1).filter(id => nbrs(id).size >= minPts).toSet
+      // components over core-core eps edges (min-label fixpoint)
+      var lab = core.map(c => c -> c).toMap
+      var changed = true
+      while (changed) {
+        changed = false
+        for (c <- core; n <- nbrs(c) if core(n))
+          if (lab(n) < lab(c)) { lab += c -> lab(n); changed = true }
+      }
+      pts.map { p =>
+        val id = p._1
+        if (core(id)) id -> (("core", Some(lab(id))))
+        else {
+          val coreNbrs = nbrs(id).filter(core)
+          if (coreNbrs.nonEmpty)
+            id -> (("border", Some(coreNbrs.map(lab).min)))
+          else id -> (("noise", None))
+        }
+      }.toMap
+    }
+    val cases = samples(for {
+      pts <- Gen.listOfN(25, Gen.zip(Gen.chooseNum(0, 20), Gen.chooseNum(0, 20)))
+      minPts <- Gen.chooseNum(2, 4)
+    } yield (pts, minPts), 3)
+    cases.foreach { case (raw, minPts) =>
+      val pts = raw.zipWithIndex.map { case ((x, y), i) =>
+        (i.toLong, x.toDouble, y.toDouble) }
+      val eps = 3.0
+      val got = graft.ext.Clustering.dbscan(pts.toDF("id", "x", "y"),
+          "id", "x", "y", eps, minPts)
+        .collect().map(r => r.getLong(0) ->
+          ((r.getString(1), if (r.isNullAt(2)) None else Some(r.getLong(2)))))
+        .toMap
+      assert(got == naive(pts, eps, minPts))
+    }
+  }
 }
