@@ -363,6 +363,66 @@ object LlmExt11 {
       "threshold) and bottleneck-path queries; the eps-graph build is the " +
       "same grid-bucket join as DBSCAN's, never a cartesian.")
 
+  /** q457 — ML: single-linkage clusters of the q453 proximity graph at
+    * an exact threshold. The ENGINE routes through the Borůvka forest
+    * (cut edges heavier than T, then CC); the ORACLE uses the
+    * independent characterization — single linkage at T ≡ connected
+    * components of the T-thresholded graph — so the two sides agreeing
+    * is a real cross-check of the MST path, not a replay. */
+  val q457 = Declared(
+    "q457_single_linkage", "ML,E2+",
+    (s, dir) => {
+      val pts = Tables.supplier(s, dir)
+        .filter(col("s_suppkey") <= 60)
+        .select(col("s_suppkey").as("id"),
+          expr("CAST((s_suppkey * 37) % 100 AS DOUBLE)").as("x"),
+          expr("CAST((s_suppkey * 73) % 100 AS DOUBLE)").as("y"))
+      val pairs = graft.ops.SpatialOps.gridBucketJoin(
+          pts.select(col("id").as("id_sensor"), col("x"), col("y")),
+          pts.select(col("id").as("nbr"), col("x"), col("y")),
+          radius = 15.0, cell = 15.0)
+        .filter(col("id_sensor") < col("nbr"))
+        .select(col("id_sensor").as("u"), col("nbr").as("v"),
+          (((col("sx") - col("x")) * (col("sx") - col("x")) +
+            (col("sy") - col("y")) * (col("sy") - col("y"))).cast("long")
+            * 100000L + col("id_sensor") * 101L + col("nbr")).as("w"))
+      graft.ext.Graph.singleLinkage(pairs, "u", "v", "w",
+          threshold = 10000000L) // d2 <= 100, i.e. distance <= 10
+        .orderBy(col("node"))
+    },
+    Some("""WITH RECURSIVE s AS (
+           |  SELECT s_suppkey AS id,
+           |    CAST((s_suppkey * 37) % 100 AS DOUBLE) AS x,
+           |    CAST((s_suppkey * 73) % 100 AS DOUBLE) AS y
+           |  FROM supplier WHERE s_suppkey <= 60),
+           |ed AS (
+           |  SELECT a.id AS a, b.id AS b,
+           |    CAST((a.x-b.x)*(a.x-b.x) + (a.y-b.y)*(a.y-b.y) AS BIGINT)
+           |      * 100000 + a.id * 101 + b.id AS w
+           |  FROM s a JOIN s b ON a.id < b.id
+           |  WHERE (a.x-b.x)*(a.x-b.x) + (a.y-b.y)*(a.y-b.y) <= 225),
+           |cut AS (SELECT a, b FROM ed WHERE w <= 10000000),
+           |sym AS (SELECT a, b FROM cut UNION ALL SELECT b, a FROM cut),
+           |reach AS (
+           |  SELECT a AS node, a AS comp FROM sym
+           |  UNION
+           |  SELECT sym.a, reach.comp FROM sym
+           |  JOIN reach ON reach.node = sym.b),
+           |cmp AS (SELECT node, min(comp) AS comp FROM reach GROUP BY node),
+           |-- bare UNION inside a WITH RECURSIVE block is parsed as an
+           |-- anchor/step split (no dedup); spell out the DISTINCT
+           |nodes AS (
+           |  SELECT DISTINCT node FROM (
+           |    SELECT a AS node FROM ed UNION ALL SELECT b FROM ed))
+           |SELECT n.node, coalesce(cmp.comp, n.node) AS cluster
+           |FROM nodes n LEFT JOIN cmp ON cmp.node = n.node
+           |ORDER BY n.node""".stripMargin),
+    "Engine path: Borůvka forest (O(log V) rounds) + a cut + CC over the " +
+      "n-1 forest edges; oracle path: direct thresholded closure. Cutting " +
+      "the FOREST instead of re-thresholding the raw graph is the win at " +
+      "scale — the forest is |V|-1 edges however dense the eps-graph was, " +
+      "and one forest answers every threshold.")
+
   val all: Seq[Declared] =
-    Seq(q444, q445, q447, q448, q449, q450, q451, q452, q453)
+    Seq(q444, q445, q447, q448, q449, q450, q451, q452, q453, q457)
 }
