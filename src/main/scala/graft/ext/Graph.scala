@@ -167,14 +167,33 @@ object Graph {
           .localCheckpoint()
         mst = mst.unionByName(chosen.select(col("a"), col("b"), col("w")))
           .localCheckpoint()
-        // contract: merge the chosen component pairs (component-level
-        // graph — at most one edge per component, shrinks geometrically)
-        val mapping = connectedComponents(
-          chosen.select(col("__ca"), col("__cb")), "__ca", "__cb",
-          cache = false)
+        // contract: merge the chosen component pairs. The contraction
+        // graph has ≤ one edge PER COMPONENT — it shrinks at least
+        // geometrically round over round — so it falls under a bounded
+        // driver union-find almost immediately (the knnAggregate
+        // adaptive-regime discipline: same result, none of the nested
+        // CC loop's per-round job latency); genuinely huge first
+        // rounds take the distributed CC path.
+        val compPairs = chosen.select(col("__ca"), col("__cb"))
+        val mapping =
+          if (chosen.count() <= 100000L) {
+            val parent = scala.collection.mutable.Map.empty[Long, Long]
+            def find(x: Long): Long = {
+              val p = parent.getOrElseUpdate(x, x)
+              if (p == x) x else { val r = find(p); parent(x) = r; r }
+            }
+            compPairs.collect().foreach { r =>
+              val (ru, rv) = (find(r.getLong(0)), find(r.getLong(1)))
+              if (ru != rv) parent(math.max(ru, rv)) = math.min(ru, rv)
+            }
+            val rows = parent.keys.toSeq.map(x => (x, find(x)))
+            import spark.implicits._
+            broadcast(rows.toDF("comp", "__new")) // bounded: ≤ 100k rows
+          } else connectedComponents(compPairs, "__ca", "__cb", cache = false)
+            .withColumnRenamed("node", "comp")
+            .withColumnRenamed("component", "__new")
         comp = comp
-          .join(mapping.withColumnRenamed("node", "comp")
-            .withColumnRenamed("component", "__new"), Seq("comp"), "left")
+          .join(mapping, Seq("comp"), "left")
           .select(col("node"), coalesce(col("__new"), col("comp")).as("comp"))
           .localCheckpoint()
       }
