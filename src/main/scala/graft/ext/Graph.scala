@@ -70,6 +70,31 @@ object Graph {
       if (cache) graft.core.OperatorCaches.cached(symPlan)
       else symPlan.localCheckpoint()
 
+    // BOUNDED fast path (the knnAggregate adaptive-regime discipline):
+    // a small edge list pays the iterative loop's per-round job
+    // latency for nothing — a driver union-find produces the IDENTICAL
+    // min-label result in one collect. The threshold is a row count on
+    // the already-materialized frame (one cheap job); duplicate-pair
+    // generators stay distributed. At 100 TB the near-dup pair lists
+    // that reach this operator are usually ≪ fact volume anyway — the
+    // distributed loop below remains the unbounded-scale path.
+    val symCount = sym.count()
+    if (symCount <= 200000L) {
+      val parent = scala.collection.mutable.Map.empty[Long, Long]
+      def find(x: Long): Long = {
+        val p = parent.getOrElseUpdate(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      sym.collect().foreach { r =>
+        val (ru, rv) = (find(r.getLong(0)), find(r.getLong(1)))
+        if (ru != rv) parent(math.max(ru, rv)) = math.min(ru, rv)
+      }
+      val spark = edges.sparkSession
+      import spark.implicits._
+      return parent.keys.toSeq.map(x => (x, find(x)))
+        .toDF("node", "component")
+    }
+
     var labels = sym.select(col("src").as("node")).distinct()
       .withColumn("comp", col("node"))
       .localCheckpoint()
