@@ -42,6 +42,32 @@ object Graph {
       raise_error(lit("graph ops require numeric node ids — hash string " +
         "ids (xxhash64) upstream"))).otherwise(c.cast("long"))
 
+  /** Driver-side union-find with min-label roots, used by the bounded
+    * fast paths below. `find` is ITERATIVE (walk to the root, then a
+    * second pass path-compresses) — union-by-min-label can build an
+    * O(n)-deep parent chain (e.g. a path graph whose edges arrive in
+    * descending-id order), and a recursive find would overflow the
+    * driver stack right at the fast-path threshold. Every node passed
+    * to `find` is registered, so `labels` covers all touched nodes. */
+  private final class MinLabelUnionFind {
+    private val parent = scala.collection.mutable.LongMap.empty[Long]
+    def find(x: Long): Long = {
+      if (!parent.contains(x)) { parent(x) = x; return x }
+      var r = x
+      while (parent(r) != r) r = parent(r)
+      var c = x
+      while (c != r) { val nxt = parent(c); parent(c) = r; c = nxt }
+      r
+    }
+    def union(u: Long, v: Long): Unit = {
+      val (ru, rv) = (find(u), find(v))
+      if (ru != rv) parent(math.max(ru, rv)) = math.min(ru, rv)
+    }
+    /** (node, min-label root) for every node ever passed to find/union. */
+    def labels: Seq[(Long, Long)] =
+      parent.keys.toSeq.map(x => (x, find(x)))
+  }
+
   /** Connected components of the undirected graph given by `edges`
     * (one row per edge; direction ignored; self-loops and duplicate
     * edges are harmless). Returns one row per node that appears in at
@@ -80,19 +106,11 @@ object Graph {
     // distributed loop below remains the unbounded-scale path.
     val symCount = sym.count()
     if (symCount <= 200000L) {
-      val parent = scala.collection.mutable.Map.empty[Long, Long]
-      def find(x: Long): Long = {
-        val p = parent.getOrElseUpdate(x, x)
-        if (p == x) x else { val r = find(p); parent(x) = r; r }
-      }
-      sym.collect().foreach { r =>
-        val (ru, rv) = (find(r.getLong(0)), find(r.getLong(1)))
-        if (ru != rv) parent(math.max(ru, rv)) = math.min(ru, rv)
-      }
+      val uf = new MinLabelUnionFind
+      sym.collect().foreach(r => uf.union(r.getLong(0), r.getLong(1)))
       val spark = edges.sparkSession
       import spark.implicits._
-      return parent.keys.toSeq.map(x => (x, find(x)))
-        .toDF("node", "component")
+      return uf.labels.toDF("node", "component")
     }
 
     var labels = sym.select(col("src").as("node")).distinct()
@@ -144,10 +162,21 @@ object Graph {
   def boruvkaMst(edges: DataFrame, srcCol: String, dstCol: String,
       weightCol: String, maxRounds: Int = 30): DataFrame = {
     val spark = edges.sparkSession
+    // weights get the same loud-cast treatment as node ids: a silent
+    // cast-to-long truncates fractional distances toward zero and
+    // returns a WRONG forest/clustering with no error. Integer
+    // micro-units (scale doubles by 1e6 upstream) are the contract.
+    val wRaw = col(weightCol)
+    val wLong = wRaw.cast("long")
+    val checkedWeight =
+      when(wRaw.isNotNull && (wLong.isNull || wLong.cast("double") =!= wRaw.cast("double")),
+        raise_error(concat(lit("boruvkaMst/singleLinkage weights must be " +
+          "integral (micro-unit contract: scale doubles upstream) — got "),
+          wRaw.cast("string")))).otherwise(wLong)
     val e0 = edges.select(
         least(checkedLong(col(srcCol)), checkedLong(col(dstCol))).as("a"),
         greatest(checkedLong(col(srcCol)), checkedLong(col(dstCol))).as("b"),
-        col(weightCol).cast("long").as("w"))
+        checkedWeight.as("w"))
       .filter(col("a") =!= col("b"))
       // the (w, a, b) total order needs ONE row per undirected edge:
       // keep the lightest parallel edge
@@ -202,18 +231,10 @@ object Graph {
         val compPairs = chosen.select(col("__ca"), col("__cb"))
         val mapping =
           if (chosen.count() <= 100000L) {
-            val parent = scala.collection.mutable.Map.empty[Long, Long]
-            def find(x: Long): Long = {
-              val p = parent.getOrElseUpdate(x, x)
-              if (p == x) x else { val r = find(p); parent(x) = r; r }
-            }
-            compPairs.collect().foreach { r =>
-              val (ru, rv) = (find(r.getLong(0)), find(r.getLong(1)))
-              if (ru != rv) parent(math.max(ru, rv)) = math.min(ru, rv)
-            }
-            val rows = parent.keys.toSeq.map(x => (x, find(x)))
+            val uf = new MinLabelUnionFind
+            compPairs.collect().foreach(r => uf.union(r.getLong(0), r.getLong(1)))
             import spark.implicits._
-            broadcast(rows.toDF("comp", "__new")) // bounded: ≤ 100k rows
+            broadcast(uf.labels.toDF("comp", "__new")) // bounded: ≤ 100k rows
           } else connectedComponents(compPairs, "__ca", "__cb", cache = false)
             .withColumnRenamed("node", "comp")
             .withColumnRenamed("component", "__new")

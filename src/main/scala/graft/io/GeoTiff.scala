@@ -5,35 +5,45 @@ import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.types._
 import graft.core.DataIOError
 
-/** S1 — minimal UNCOMPRESSED GeoTIFF reader → the engine's raster
-  * cell-table model `(band:int, x:double, y:double, value:double)` —
-  * the same model `SpatialOps.rasterBufferStats` (A3) consumes. Closes
-  * the reference's `open_spatial_data` raster-input leg
-  * (src/data_preprocessing.py:462-492, rasterio at :470-472) for the
-  * codecs a pure-JVM reader can honestly support: classic TIFF,
-  * compression=1 (none), strip-organized, chunky planar layout, 8/16/
-  * 32-bit integer or 32/64-bit float samples. Compressed codecs
-  * (LZW/Deflate/JPEG), BigTIFF and tiled layouts raise a typed error
-  * naming the limit — the documented offline boundary (no GDAL in the
-  * image), same class as the video-codec stub.
+/** S1 — pure-JVM GeoTIFF reader → the engine's raster cell-table model
+  * `(band:int, x:double, y:double, value:double)` — the same model
+  * `SpatialOps.rasterBufferStats` (A3) consumes. Closes the
+  * reference's `open_spatial_data` raster-input leg
+  * (src/data_preprocessing.py:462-492, rasterio at :470-472) for
+  * everything a no-GDAL reader can honestly support:
+  *
+  *   - classic TIFF, chunky planar layout, 8/16/32-bit integer or
+  *     32/64-bit float samples;
+  *   - STRIP- and TILE-organized layouts (tiles are padded to full
+  *     tile size in the data — edge tiles decode whole and clip);
+  *   - compression none (1), LZW (5, TIFF variant: MSB-first codes,
+  *     9→12-bit early change), Deflate (8 and legacy 32946, zlib
+  *     streams via java.util.zip.Inflater), PackBits (32773);
+  *   - horizontal-differencing predictor (2) for integer samples.
+  *
+  * Typed errors name the remaining boundaries: JPEG-in-TIFF (6/7 — no
+  * JDK-pure codec for the TIFF flavor), the floating-point predictor
+  * (3), planar (separated) layout, BigTIFF. Same documented-boundary
+  * class as the video-codec stub.
   *
   * Scale: the DRIVER parses only the IFD (KB-sized); pixel decode is
-  * DISTRIBUTED — each task seeks to its own strips and emits cells,
-  * so a raster parallelizes across strips and a raster CATALOG across
-  * files. World coordinates are pixel centers from the
-  * ModelTiepoint/ModelPixelScale geotransform (x = X₀ + (col+½)·sx,
-  * y = Y₀ − (row+½)·sy); a bare TIFF without geo tags falls back to
-  * pixel indices.
+  * DISTRIBUTED — each task seeks to its own strips/tiles, inflates,
+  * un-predicts and emits cells, so a raster parallelizes across chunks
+  * and a raster CATALOG across files. World coordinates are pixel
+  * centers from the ModelTiepoint/ModelPixelScale geotransform
+  * (x = X₀ + (col+½)·sx, y = Y₀ − (row+½)·sy); a bare TIFF without geo
+  * tags falls back to pixel indices.
   */
 object GeoTiff extends Serializable {
 
   /** Parsed IFD essentials; primitives only so the decode closure
-    * ships to executors. */
+    * ships to executors. For strips `chunkW = width`, `across = 1`. */
   private final case class Meta(
       littleEndian: Boolean, width: Int, height: Int,
       bitsPerSample: Int, sampleFormat: Int, samplesPerPixel: Int,
-      rowsPerStrip: Int, stripOffsets: Array[Long],
-      stripByteCounts: Array[Long],
+      compression: Long, predictor: Int,
+      tiled: Boolean, chunkW: Int, chunkH: Int, across: Int,
+      offsets: Array[Long], byteCounts: Array[Long],
       originX: Double, originY: Double, scaleX: Double, scaleY: Double,
       hasGeo: Boolean)
 
@@ -48,36 +58,53 @@ object GeoTiff extends Serializable {
     * param), matching the reference where masking is an explicit op. */
   def readCells(spark: SparkSession, path: String): DataFrame = {
     val m = parseIfd(path)
-    val nStrips = m.stripOffsets.length
-    val strips = (0 until nStrips).map { s =>
-      val rowStart = s * m.rowsPerStrip
-      val nRows = math.min(m.rowsPerStrip, m.height - rowStart)
-      (rowStart, nRows, m.stripOffsets(s), m.stripByteCounts(s))
-    }.filter(_._2 > 0)
-    val parts = math.max(1, math.min(strips.length,
+    // chunk i covers rows [rowStart, rowStart+chunkH) × cols
+    // [colStart, colStart+chunkW); strip data stops at the image edge,
+    // tile data is padded to the full tile and clipped at emit
+    val chunks = m.offsets.indices.map { i =>
+      val colStart = (i % m.across) * m.chunkW
+      val rowStart = (i / m.across) * m.chunkH
+      (colStart, rowStart, m.offsets(i), m.byteCounts(i))
+    }.filter { case (c, r, _, _) => c < m.width && r < m.height }
+    val parts = math.max(1, math.min(chunks.length,
       spark.sparkContext.defaultParallelism))
     val meta = m // stable closure capture
-    val rows = spark.sparkContext.parallelize(strips, parts)
-      .flatMap { case (rowStart, nRows, offset, byteCount) =>
-        decodeStrip(path, meta, rowStart, nRows, offset, byteCount)
+    val rows = spark.sparkContext.parallelize(chunks, parts)
+      .flatMap { case (colStart, rowStart, offset, byteCount) =>
+        decodeChunk(path, meta, colStart, rowStart, offset, byteCount)
       }
     spark.createDataFrame(rows, cellSchema)
   }
 
-  /** Per-task strip decode: seek, read, emit cells. Runs on the
-    * executor — `path` must be visible cluster-wide (the standard
-    * file-source contract). */
-  private def decodeStrip(path: String, m: Meta, rowStart: Int,
-      nRows: Int, offset: Long, byteCount: Long): Iterator[Row] = {
-    val raf = new java.io.RandomAccessFile(path, "r")
-    val buf =
-      try { raf.seek(offset); val a = new Array[Byte](byteCount.toInt)
-        raf.readFully(a); a }
-      finally raf.close()
-    val bb = ByteBuffer.wrap(buf).order(
-      if (m.littleEndian) ByteOrder.LITTLE_ENDIAN else ByteOrder.BIG_ENDIAN)
+  /** Per-task chunk decode: seek, read, decompress, un-predict, emit
+    * cells. Runs on the executor — `path` must be visible cluster-wide
+    * (the standard file-source contract). */
+  private def decodeChunk(path: String, m: Meta, colStart: Int,
+      rowStart: Int, offset: Long, byteCount: Long): Iterator[Row] = {
+    val comp =
+      try {
+        val raf = new java.io.RandomAccessFile(path, "r")
+        try { raf.seek(offset); val a = new Array[Byte](byteCount.toInt)
+          raf.readFully(a); a }
+        finally raf.close()
+      } catch { case e: java.io.IOException =>
+        throw DataIOError(path, s"chunk read at byte $offset: ${e.getMessage}")
+      }
     val bytesPer = m.bitsPerSample / 8
     val spp = m.samplesPerPixel
+    // strip data ends at the image edge; tile data is padded square
+    val dataRows =
+      if (m.tiled) m.chunkH else math.min(m.chunkH, m.height - rowStart)
+    val rawSize = m.chunkW * dataRows * spp * bytesPer
+    val buf = Codecs.decompress(comp, m.compression, rawSize, path)
+    if (buf.length < rawSize)
+      throw DataIOError(path, s"chunk at byte $offset decompressed to " +
+        s"${buf.length} bytes, need $rawSize")
+    if (m.predictor == 2)
+      Codecs.undoHorizontalDiff(buf, m.chunkW, dataRows, spp, bytesPer,
+        m.littleEndian)
+    val bb = ByteBuffer.wrap(buf).order(
+      if (m.littleEndian) ByteOrder.LITTLE_ENDIAN else ByteOrder.BIG_ENDIAN)
     def sample(idx: Int): Double = (m.bitsPerSample, m.sampleFormat) match {
       case (8, 2)  => bb.get(idx * bytesPer).toDouble
       case (8, _)  => (bb.get(idx * bytesPer) & 0xFF).toDouble
@@ -90,18 +117,21 @@ object GeoTiff extends Serializable {
       case (b, f) => throw DataIOError(path,
         s"unsupported sample layout: $b-bit format $f")
     }
+    val emitRows = math.min(dataRows, m.height - rowStart)
+    val emitCols = math.min(m.chunkW, m.width - colStart)
     for {
-      r <- Iterator.range(0, nRows)
-      c <- Iterator.range(0, m.width)
+      r <- Iterator.range(0, emitRows)
+      c <- Iterator.range(0, emitCols)
       b <- Iterator.range(0, spp)
     } yield {
       val row = rowStart + r
-      val v = sample((r * m.width + c) * spp + b)
+      val col = colStart + c
+      val v = sample((r * m.chunkW + c) * spp + b)
       val (x, y) =
         if (m.hasGeo)
-          (m.originX + (c + 0.5) * m.scaleX,
+          (m.originX + (col + 0.5) * m.scaleX,
             m.originY - (row + 0.5) * m.scaleY)
-        else (c.toDouble, row.toDouble)
+        else (col.toDouble, row.toDouble)
       Row(b + 1, x, y, v)
     }
   }
@@ -177,12 +207,17 @@ object GeoTiff extends Serializable {
       def long1(tag: Int, dflt: => Long): Long =
         longs(tag).map(_.head).getOrElse(dflt)
 
-      if (entries.contains(322) || entries.contains(324))
-        throw DataIOError(path, "tiled TIFF unsupported — strip-organized only")
       val compression = long1(259, 1L)
-      if (compression != 1L) throw DataIOError(path,
-        s"compressed TIFF (compression=$compression) unsupported offline — " +
-          "re-export uncompressed or ingest via the cell-table parquet path")
+      compression match {
+        case 1L | 5L | 8L | 32946L | 32773L => // none/LZW/deflate/packbits
+        case 6L | 7L => throw DataIOError(path,
+          "JPEG-in-TIFF unsupported — no JDK-pure codec for the TIFF " +
+            "JPEG flavor; re-export deflate/LZW or ingest via the " +
+            "cell-table parquet path")
+        case other => throw DataIOError(path,
+          s"compression=$other unsupported (none=1, LZW=5, Deflate=8/" +
+            "32946, PackBits=32773)")
+      }
       val planar = long1(284, 1L)
       if (planar != 1L) throw DataIOError(path,
         "planar (separated) sample layout unsupported — chunky only")
@@ -194,13 +229,45 @@ object GeoTiff extends Serializable {
       if (bps.distinct.length != 1) throw DataIOError(path,
         s"heterogeneous BitsPerSample ${bps.mkString(",")} unsupported")
       val sampleFormat = long1(339, 1L).toInt
-      val rps = long1(278, height.toLong).toInt
-      val offs = longs(273).getOrElse(
-        throw DataIOError(path, "missing StripOffsets"))
-      val cnts = longs(279).getOrElse(
-        throw DataIOError(path, "missing StripByteCounts"))
+      val predictor = long1(317, 1L).toInt
+      predictor match {
+        case 1 => // none
+        case 2 =>
+          if (sampleFormat == 3) throw DataIOError(path,
+            "predictor=2 (horizontal differencing) is integer-only but " +
+              "SampleFormat says float — corrupt or unsupported file")
+        case 3 => throw DataIOError(path,
+          "floating-point predictor (3) unsupported — re-export with " +
+            "predictor 1/2")
+        case other => throw DataIOError(path, s"unknown predictor $other")
+      }
+
+      val tiled = entries.contains(322) || entries.contains(324)
+      val (chunkW, chunkH, across, offs, cnts) =
+        if (tiled) {
+          val tw = long1(322, throw DataIOError(path, "missing TileWidth")).toInt
+          val th = long1(323, throw DataIOError(path, "missing TileLength")).toInt
+          if (tw <= 0 || th <= 0 || tw % 16 != 0 || th % 16 != 0)
+            throw DataIOError(path, s"bad tile size ${tw}x$th (spec: positive multiples of 16)")
+          val o = longs(324).getOrElse(
+            throw DataIOError(path, "missing TileOffsets"))
+          val c = longs(325).getOrElse(
+            throw DataIOError(path, "missing TileByteCounts"))
+          val across = (width + tw - 1) / tw
+          val down = (height + th - 1) / th
+          if (o.length != across * down) throw DataIOError(path,
+            s"TileOffsets(${o.length}) != tiles across*down (${across * down})")
+          (tw, th, across, o, c)
+        } else {
+          val rps = long1(278, height.toLong).toInt
+          val o = longs(273).getOrElse(
+            throw DataIOError(path, "missing StripOffsets"))
+          val c = longs(279).getOrElse(
+            throw DataIOError(path, "missing StripByteCounts"))
+          (width, rps, 1, o, c)
+        }
       if (offs.length != cnts.length) throw DataIOError(path,
-        s"StripOffsets(${offs.length}) / StripByteCounts(${cnts.length}) mismatch")
+        s"chunk offsets(${offs.length}) / byte counts(${cnts.length}) mismatch")
 
       val scale = doubles(33550)
       val tie = doubles(33922)
@@ -211,58 +278,451 @@ object GeoTiff extends Serializable {
           (tp(3) - tp(0) * sc(0), tp(4) + tp(1) * sc(1), sc(0), sc(1), true)
         case _ => (0.0, 0.0, 1.0, 1.0, false)
       }
-      Meta(little, width, height, bps.head.toInt, sampleFormat, spp, rps,
+      Meta(little, width, height, bps.head.toInt, sampleFormat, spp,
+        compression, predictor, tiled, chunkW, chunkH, across,
         offs, cnts, ox, oy, sx, sy, hasGeo)
     } finally raf.close()
   }
 
+  // ---- codecs (shared by reader and writer; executor-side) -----------
+
+  private[graft] object Codecs {
+    /** Decompress one chunk's bytes. `rawSize` is the exact decoded
+      * size the layout implies — LZW/PackBits streams carry no length,
+      * so the caller-side expectation IS the output bound. */
+    def decompress(in: Array[Byte], compression: Long, rawSize: Int,
+        path: String): Array[Byte] = compression match {
+      case 1L => in
+      case 5L => lzwDecode(in, rawSize, path)
+      case 8L | 32946L => inflate(in, rawSize, path)
+      case 32773L => packBitsDecode(in, rawSize, path)
+      case other => throw DataIOError(path, s"compression=$other unsupported")
+    }
+
+    def inflate(in: Array[Byte], rawSize: Int, path: String): Array[Byte] = {
+      val inf = new java.util.zip.Inflater()
+      try {
+        inf.setInput(in)
+        val out = new Array[Byte](rawSize)
+        var pos = 0
+        while (pos < rawSize && !inf.finished()) {
+          val n = inf.inflate(out, pos, rawSize - pos)
+          if (n == 0 && inf.needsInput())
+            throw DataIOError(path, "truncated deflate stream")
+          pos += n
+        }
+        if (pos < rawSize)
+          throw DataIOError(path, s"deflate stream ended at $pos of $rawSize bytes")
+        out
+      } catch { case e: java.util.zip.DataFormatException =>
+        throw DataIOError(path, s"corrupt deflate stream: ${e.getMessage}")
+      } finally inf.end()
+    }
+
+    def packBitsDecode(in: Array[Byte], rawSize: Int,
+        path: String): Array[Byte] = {
+      val out = new Array[Byte](rawSize)
+      var ip = 0; var op = 0
+      while (op < rawSize && ip < in.length) {
+        val n = in(ip); ip += 1
+        if (n >= 0) { // copy n+1 literals
+          val cnt = n + 1
+          if (ip + cnt > in.length || op + cnt > rawSize)
+            throw DataIOError(path, "corrupt PackBits stream (literal overrun)")
+          System.arraycopy(in, ip, out, op, cnt); ip += cnt; op += cnt
+        } else if (n != -128) { // repeat next byte 1-n times
+          val cnt = 1 - n
+          if (ip >= in.length || op + cnt > rawSize)
+            throw DataIOError(path, "corrupt PackBits stream (run overrun)")
+          java.util.Arrays.fill(out, op, op + cnt, in(ip)); ip += 1; op += cnt
+        } // -128 = noop
+      }
+      if (op < rawSize)
+        throw DataIOError(path, s"PackBits stream ended at $op of $rawSize bytes")
+      out
+    }
+
+    /** TIFF-variant LZW decode: MSB-first bit packing, ClearCode 256,
+      * EOI 257, code width 9→12 with EARLY CHANGE (the width grows when
+      * the next table slot reaches 2^w − 1, one code earlier than the
+      * GIF rule — TIFF6 §13 / the libtiff convention). */
+    def lzwDecode(in: Array[Byte], rawSize: Int, path: String): Array[Byte] = {
+      val Clear = 256; val Eoi = 257
+      val out = new Array[Byte](rawSize)
+      var op = 0
+      val prefix = new Array[Int](4096)
+      val suffix = new Array[Byte](4096)
+      val stack = new Array[Byte](4096)
+      var nextCode = 258; var codeBits = 9
+      var bitBuf = 0L; var bitCnt = 0; var ip = 0
+      def readCode(): Int = {
+        while (bitCnt < codeBits) {
+          if (ip >= in.length) return Eoi // tolerate missing EOI at end
+          bitBuf = (bitBuf << 8) | (in(ip) & 0xFF); ip += 1; bitCnt += 8
+        }
+        bitCnt -= codeBits
+        ((bitBuf >>> bitCnt) & ((1 << codeBits) - 1)).toInt
+      }
+      /** write the string for `code`; returns its FIRST byte */
+      def emit(code: Int): Byte = {
+        var sp = 0; var c = code
+        while (c >= 258) { stack(sp) = suffix(c); sp += 1; c = prefix(c) }
+        val first = c.toByte
+        if (op >= rawSize) throw DataIOError(path, "LZW output overrun")
+        out(op) = first; op += 1
+        while (sp > 0) {
+          sp -= 1
+          if (op >= rawSize) throw DataIOError(path, "LZW output overrun")
+          out(op) = stack(sp); op += 1
+        }
+        first
+      }
+      var old = -1
+      var done = false
+      while (!done && op < rawSize) {
+        val code = readCode()
+        if (code == Eoi) done = true
+        else if (code == Clear) { nextCode = 258; codeBits = 9; old = -1 }
+        else {
+          if (old < 0) {
+            // first code after (implicit) clear must be a literal
+            if (code > 255) throw DataIOError(path,
+              s"corrupt LZW stream: non-literal first code $code")
+            emit(code)
+          } else {
+            if (code < nextCode) {
+              val first = emit(code)
+              if (nextCode < 4096) {
+                prefix(nextCode) = old; suffix(nextCode) = first; nextCode += 1
+              }
+            } else if (code == nextCode && nextCode < 4096) {
+              // KwKwK case: string(old) + firstChar(old)
+              prefix(nextCode) = old
+              var c = old
+              while (c >= 258) c = prefix(c)
+              suffix(nextCode) = c.toByte
+              nextCode += 1
+              emit(code)
+            } else throw DataIOError(path,
+              s"corrupt LZW stream: code $code beyond table ($nextCode)")
+          }
+          old = code
+          // EARLY CHANGE, decoder side: the encoder's table runs ONE
+          // entry ahead of ours (it adds the entry for a code before
+          // emitting it; we can only build it after reading the NEXT
+          // code), so where the encoder widens at 2^w − 1 we must
+          // widen at 2^w − 2 to read the next code at its width (the
+          // libtiff MAXCODE(n)−1 convention).
+          if (nextCode == (1 << codeBits) - 2 && codeBits < 12) codeBits += 1
+        }
+      }
+      if (op < rawSize)
+        throw DataIOError(path, s"LZW stream ended at $op of $rawSize bytes")
+      out
+    }
+
+    /** TIFF-variant LZW encode (writer/fixture side; symmetric early
+      * change, leading ClearCode, table reset at 4094 per libtiff). */
+    def lzwEncode(in: Array[Byte]): Array[Byte] = {
+      val outBuf = new java.io.ByteArrayOutputStream(in.length / 2 + 16)
+      var bitBuf = 0L; var bitCnt = 0; var codeBits = 9
+      def put(code: Int): Unit = {
+        bitBuf = (bitBuf << codeBits) | code.toLong; bitCnt += codeBits
+        while (bitCnt >= 8) {
+          bitCnt -= 8; outBuf.write(((bitBuf >>> bitCnt) & 0xFF).toInt)
+        }
+      }
+      val table = new java.util.HashMap[Int, Int](8192)
+      var nextCode = 258
+      def reset(): Unit = { table.clear(); nextCode = 258; codeBits = 9 }
+      put(256) // leading Clear
+      var w = -1
+      in.foreach { byte =>
+        val c = byte & 0xFF
+        if (w < 0) w = c
+        else {
+          val key = (w << 8) | c
+          val hit = table.getOrDefault(key, -1)
+          if (hit >= 0) w = hit
+          else {
+            put(w)
+            table.put(key, nextCode); nextCode += 1
+            // EARLY CHANGE: width for the NEXT code grows as soon as
+            // the next free slot reaches 2^w - 1 (mirrors the decoder)
+            if (nextCode == (1 << codeBits) - 1 && codeBits < 12) codeBits += 1
+            if (nextCode == 4094) { put(256); reset() }
+            w = c
+          }
+        }
+      }
+      if (w >= 0) put(w)
+      put(257) // EOI
+      if (bitCnt > 0) outBuf.write(((bitBuf << (8 - bitCnt)) & 0xFF).toInt)
+      outBuf.toByteArray
+    }
+
+    def deflate(in: Array[Byte]): Array[Byte] = {
+      val d = new java.util.zip.Deflater()
+      try {
+        d.setInput(in); d.finish()
+        val buf = new Array[Byte](math.max(64, in.length + 64))
+        val out = new java.io.ByteArrayOutputStream(in.length / 2 + 16)
+        while (!d.finished()) out.write(buf, 0, d.deflate(buf))
+        out.toByteArray
+      } finally d.end()
+    }
+
+    /** PackBits encode, one row at a time per the TIFF6 recommendation
+      * (packets never cross row boundaries). `rowBytes` divides
+      * `in.length`. */
+    def packBitsEncode(in: Array[Byte], rowBytes: Int): Array[Byte] = {
+      val out = new java.io.ByteArrayOutputStream(in.length + in.length / 64 + 16)
+      var rowStart = 0
+      while (rowStart < in.length) {
+        val end = rowStart + rowBytes
+        var i = rowStart
+        while (i < end) {
+          // find run length at i
+          var run = 1
+          while (i + run < end && run < 128 && in(i + run) == in(i)) run += 1
+          if (run >= 3) {
+            out.write(1 - run); out.write(in(i)); i += run
+          } else {
+            // literal stretch: until a >=3 run starts or 128 bytes
+            var j = i
+            var lit = 0
+            var stop = false
+            while (!stop && j < end && lit < 128) {
+              var r = 1
+              while (j + r < end && r < 3 && in(j + r) == in(j)) r += 1
+              if (r >= 3) stop = true
+              else { j += 1; lit += 1 }
+            }
+            out.write(lit - 1)
+            out.write(in, i, lit)
+            i += lit
+          }
+        }
+        rowStart = end
+      }
+      out.toByteArray
+    }
+
+    /** In-place horizontal-differencing UNDO (predictor 2): within each
+      * row, each pixel's sample adds the previous pixel's same-channel
+      * sample, wrapping at the sample width. */
+    def undoHorizontalDiff(buf: Array[Byte], w: Int, h: Int, spp: Int,
+        bytesPer: Int, littleEndian: Boolean): Unit = {
+      val ord = if (littleEndian) ByteOrder.LITTLE_ENDIAN else ByteOrder.BIG_ENDIAN
+      val bb = ByteBuffer.wrap(buf).order(ord)
+      val rowSamples = w * spp
+      var r = 0
+      while (r < h) {
+        val base = r * rowSamples
+        var i = spp
+        while (i < rowSamples) {
+          val at = (base + i) * bytesPer
+          val prev = (base + i - spp) * bytesPer
+          bytesPer match {
+            case 1 => buf(at) = (buf(at) + buf(prev)).toByte
+            case 2 => bb.putShort(at, (bb.getShort(at) + bb.getShort(prev)).toShort)
+            case 4 => bb.putInt(at, bb.getInt(at) + bb.getInt(prev))
+            case _ => throw new IllegalStateException(s"predictor on $bytesPer-byte samples")
+          }
+          i += 1
+        }
+        r += 1
+      }
+    }
+
+    /** In-place horizontal-differencing APPLY (writer side). */
+    def applyHorizontalDiff(buf: Array[Byte], w: Int, h: Int, spp: Int,
+        bytesPer: Int, littleEndian: Boolean): Unit = {
+      val ord = if (littleEndian) ByteOrder.LITTLE_ENDIAN else ByteOrder.BIG_ENDIAN
+      val bb = ByteBuffer.wrap(buf).order(ord)
+      val rowSamples = w * spp
+      var r = 0
+      while (r < h) {
+        val base = r * rowSamples
+        var i = rowSamples - 1
+        while (i >= spp) {
+          val at = (base + i) * bytesPer
+          val prev = (base + i - spp) * bytesPer
+          bytesPer match {
+            case 1 => buf(at) = (buf(at) - buf(prev)).toByte
+            case 2 => bb.putShort(at, (bb.getShort(at) - bb.getShort(prev)).toShort)
+            case 4 => bb.putInt(at, bb.getInt(at) - bb.getInt(prev))
+            case _ => throw new IllegalStateException(s"predictor on $bytesPer-byte samples")
+          }
+          i -= 1
+        }
+        r += 1
+      }
+    }
+  }
+
   // ---- minimal writer (fixtures + raster sink) -----------------------
 
-  /** Write a single-band float32 GeoTIFF (uncompressed, one strip per
-    * row) from a row-major value array — the symmetric fixture/sink
-    * half of [[readCells]]. `origin` is the world coordinate of the
-    * raster's top-left CORNER; `scale` the pixel size (sx, sy). */
+  /** Compression selector for the writers. */
+  val CompNone = 1L; val CompLzw = 5L; val CompDeflate = 8L
+  val CompPackBits = 32773L
+
+  /** Write a single-band float32 GeoTIFF from a row-major value array —
+    * the symmetric fixture/sink half of [[readCells]]. `origin` is the
+    * world coordinate of the raster's top-left CORNER; `scale` the
+    * pixel size (sx, sy). Strip-organized with `rowsPerStrip` (default:
+    * one strip), or TILE-organized when `tile` is given (tile dims must
+    * be multiples of 16; edge tiles are zero-padded per spec).
+    * `compression`: [[CompNone]]/[[CompLzw]]/[[CompDeflate]]/
+    * [[CompPackBits]]. */
   def writeFloat(path: String, width: Int, height: Int,
       values: Array[Float], origin: (Double, Double),
-      scale: (Double, Double)): Unit = {
+      scale: (Double, Double), compression: Long = CompNone,
+      rowsPerStrip: Int = 0, tile: Option[(Int, Int)] = None): Unit = {
     require(values.length == width * height,
       s"values.length ${values.length} != $width*$height")
-    val ord = ByteOrder.LITTLE_ENDIAN
-    val dataBytes = width * height * 4
-    // layout: 8 header | pixel data | geo doubles | IFD
+    val raw = ByteBuffer.allocate(values.length * 4).order(ByteOrder.LITTLE_ENDIAN)
+    values.foreach(raw.putFloat)
+    writeRaster(path, width, height, raw.array(), bytesPer = 4,
+      bitsPerSample = 32, sampleFormat = 3, origin, scale, compression,
+      rowsPerStrip, tile, predictor = 1)
+  }
+
+  /** Write a single-band unsigned-16-bit GeoTIFF; `predictor = 2`
+    * applies horizontal differencing before compression (the common
+    * LZW/Deflate pairing for integer rasters). */
+  def writeGray16(path: String, width: Int, height: Int,
+      values: Array[Int], origin: (Double, Double),
+      scale: (Double, Double), compression: Long = CompNone,
+      rowsPerStrip: Int = 0, tile: Option[(Int, Int)] = None,
+      predictor: Int = 1): Unit = {
+    require(values.length == width * height,
+      s"values.length ${values.length} != $width*$height")
+    require(values.forall(v => v >= 0 && v <= 0xFFFF), "values must fit uint16")
+    val raw = ByteBuffer.allocate(values.length * 2).order(ByteOrder.LITTLE_ENDIAN)
+    values.foreach(v => raw.putShort(v.toShort))
+    writeRaster(path, width, height, raw.array(), bytesPer = 2,
+      bitsPerSample = 16, sampleFormat = 1, origin, scale, compression,
+      rowsPerStrip, tile, predictor)
+  }
+
+  private def writeRaster(path: String, width: Int, height: Int,
+      raw: Array[Byte], bytesPer: Int, bitsPerSample: Int,
+      sampleFormat: Int, origin: (Double, Double), scale: (Double, Double),
+      compression: Long, rowsPerStrip: Int, tile: Option[(Int, Int)],
+      predictor: Int): Unit = {
+    require(predictor == 1 || (predictor == 2 && sampleFormat != 3),
+      "predictor 2 is integer-only")
+    val rowBytes = width * bytesPer
+
+    // chunk the raw image: strips slice rows; tiles copy w×h windows
+    // zero-padded to the full tile
+    final case class Chunk(data: Array[Byte], w: Int, h: Int)
+    val chunks: IndexedSeq[Chunk] = tile match {
+      case Some((tw, th)) =>
+        require(tw > 0 && th > 0 && tw % 16 == 0 && th % 16 == 0,
+          "tile dims must be positive multiples of 16")
+        val across = (width + tw - 1) / tw
+        val down = (height + th - 1) / th
+        for {
+          tr <- 0 until down
+          tc <- 0 until across
+        } yield {
+          val data = new Array[Byte](tw * th * bytesPer)
+          val copyRows = math.min(th, height - tr * th)
+          val copyCols = math.min(tw, width - tc * tw)
+          (0 until copyRows).foreach { r =>
+            System.arraycopy(raw,
+              ((tr * th + r) * width + tc * tw) * bytesPer,
+              data, r * tw * bytesPer, copyCols * bytesPer)
+          }
+          Chunk(data, tw, th)
+        }
+      case None =>
+        val rps = if (rowsPerStrip <= 0) height else rowsPerStrip
+        (0 until height by rps).map { r0 =>
+          val n = math.min(rps, height - r0)
+          Chunk(java.util.Arrays.copyOfRange(raw, r0 * rowBytes,
+            (r0 + n) * rowBytes), width, n)
+        }
+    }
+    val encoded: IndexedSeq[Array[Byte]] = chunks.map { ch =>
+      val d = ch.data.clone()
+      if (predictor == 2)
+        Codecs.applyHorizontalDiff(d, ch.w, ch.h, 1, bytesPer,
+          littleEndian = true)
+      compression match {
+        case 1L => d
+        case 5L => Codecs.lzwEncode(d)
+        case 8L => Codecs.deflate(d)
+        case 32773L => Codecs.packBitsEncode(d, ch.w * bytesPer)
+        case other => throw new IllegalArgumentException(
+          s"writer compression $other unsupported")
+      }
+    }
+
+    // layout: 8 header | chunk data... | offsets arrays | geo doubles | IFD
     val dataOff = 8
-    val scaleOff = dataOff + dataBytes
+    val offs = new Array[Long](encoded.length)
+    var p = dataOff
+    encoded.indices.foreach { i => offs(i) = p.toLong; p += encoded(i).length }
+    val nChunks = encoded.length
+    // >1 chunk: offset/count arrays live out-of-line (4 bytes each entry)
+    val offArrOff = p
+    val cntArrOff = offArrOff + (if (nChunks > 1) 4 * nChunks else 0)
+    val scaleOff = cntArrOff + (if (nChunks > 1) 4 * nChunks else 0)
     val tieOff = scaleOff + 24
     val ifdOff = tieOff + 48
-    val tags = 12 // entry count below
-    val buf = ByteBuffer.allocate(ifdOff + 2 + 12 * tags + 4).order(ord)
-    buf.put('I'.toByte).put('I'.toByte).putShort(42.toShort)
-      .putInt(ifdOff)
-    values.foreach(buf.putFloat)
-    // ModelPixelScale: (sx, sy, 0)
+    val tiled = tile.isDefined
+    // exact tag list: base 9 (width,height,bits,comp,photo,spp,format,
+    // scale,tiepoint) + layout 3 or 4 (strips: offsets,rps,counts;
+    // tiles: tw,th,offsets,counts) + predictor when != 1
+    val nTags = 9 + (if (tiled) 4 else 3) + (if (predictor != 1) 1 else 0)
+    val buf = ByteBuffer.allocate(ifdOff + 2 + 12 * nTags + 4)
+      .order(ByteOrder.LITTLE_ENDIAN)
+    buf.put('I'.toByte).put('I'.toByte).putShort(42.toShort).putInt(ifdOff)
+    encoded.foreach(buf.put)
+    if (nChunks > 1) {
+      offs.foreach(o => buf.putInt(o.toInt))
+      encoded.foreach(e => buf.putInt(e.length))
+    }
     buf.putDouble(scale._1).putDouble(scale._2).putDouble(0.0)
-    // ModelTiepoint: raster (0,0,0) -> world (ox, oy, 0)
     buf.putDouble(0.0).putDouble(0.0).putDouble(0.0)
     buf.putDouble(origin._1).putDouble(origin._2).putDouble(0.0)
-    buf.putShort(tags.toShort)
+    buf.putShort(nTags.toShort)
     def entry(tag: Int, typ: Int, count: Int, value: Long): Unit = {
       buf.putShort(tag.toShort).putShort(typ.toShort).putInt(count)
       if (typ == 3 && count == 1) buf.putShort(value.toShort).putShort(0.toShort)
       else buf.putInt(value.toInt)
     }
-    entry(256, 4, 1, width.toLong)        // ImageWidth
-    entry(257, 4, 1, height.toLong)       // ImageLength
-    entry(258, 3, 1, 32L)                 // BitsPerSample
-    entry(259, 3, 1, 1L)                  // Compression: none
-    entry(262, 3, 1, 1L)                  // Photometric: BlackIsZero
-    entry(273, 4, 1, dataOff.toLong)      // StripOffsets (one strip)
-    entry(277, 3, 1, 1L)                  // SamplesPerPixel
-    entry(278, 4, 1, height.toLong)       // RowsPerStrip = all
-    entry(279, 4, 1, dataBytes.toLong)    // StripByteCounts
-    entry(339, 3, 1, 3L)                  // SampleFormat: IEEE float
-    entry(33550, 12, 3, scaleOff.toLong)  // ModelPixelScale
-    entry(33922, 12, 6, tieOff.toLong)    // ModelTiepoint
-    buf.putInt(0)                          // next IFD: none
+    // IFD entries MUST be ascending by tag per spec
+    entry(256, 4, 1, width.toLong)            // ImageWidth
+    entry(257, 4, 1, height.toLong)           // ImageLength
+    entry(258, 3, 1, bitsPerSample.toLong)    // BitsPerSample
+    entry(259, 3, 1, compression)             // Compression
+    entry(262, 3, 1, 1L)                      // Photometric: BlackIsZero
+    if (!tiled) {
+      entry(273, 4, nChunks,                  // StripOffsets
+        if (nChunks == 1) offs(0) else offArrOff.toLong)
+      entry(277, 3, 1, 1L)                    // SamplesPerPixel
+      entry(278, 4, 1,                        // RowsPerStrip
+        (if (rowsPerStrip <= 0) height else rowsPerStrip).toLong)
+      entry(279, 4, nChunks,                  // StripByteCounts
+        if (nChunks == 1) encoded(0).length.toLong else cntArrOff.toLong)
+    } else entry(277, 3, 1, 1L)               // SamplesPerPixel
+    if (predictor != 1) entry(317, 3, 1, predictor.toLong)
+    if (tiled) {
+      entry(322, 4, 1, tile.get._1.toLong)    // TileWidth
+      entry(323, 4, 1, tile.get._2.toLong)    // TileLength
+      entry(324, 4, nChunks,                  // TileOffsets
+        if (nChunks == 1) offs(0) else offArrOff.toLong)
+      entry(325, 4, nChunks,                  // TileByteCounts
+        if (nChunks == 1) encoded(0).length.toLong else cntArrOff.toLong)
+    }
+    entry(339, 3, 1, sampleFormat.toLong)     // SampleFormat
+    entry(33550, 12, 3, scaleOff.toLong)      // ModelPixelScale
+    entry(33922, 12, 6, tieOff.toLong)        // ModelTiepoint
+    buf.putInt(0)                             // next IFD: none
     java.nio.file.Files.write(java.nio.file.Paths.get(path), buf.array())
   }
 }

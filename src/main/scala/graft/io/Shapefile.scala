@@ -274,15 +274,18 @@ object Shapefile {
   /** Read `basePath.shp` (+ `.dbf` if present) into a DataFrame with a
     * `geometry` struct column followed by the DBF attribute columns.
     * Polygon records keep the OUTER ring only (part 0, the explicit
-    * closing vertex stripped) — holes are a format-level concept the
-    * engine's single-ring geometry struct deliberately does not carry
-    * (the writer symmetrically assembles them only at the sink).
-    * DBF types map N(dec=0)→long, N(dec>0)/F→double, L→boolean,
-    * D→date, else→string; blank numerics are null. */
+    * closing vertex stripped) — holes (counter-clockwise extra parts)
+    * are a format-level concept the engine's single-ring geometry
+    * struct deliberately does not carry (the writer symmetrically
+    * assembles them only at the sink). Anything that WOULD lose data
+    * silently fails loudly instead: multi-part PolyLines, Polygons
+    * with additional clockwise (outer) rings, and DBF records carrying
+    * the soft-delete flag. DBF types map N(dec=0)→long,
+    * N(dec>0)/F→double, L→boolean, D→date, else→string; blank
+    * numerics are null. */
   def read(spark: org.apache.spark.sql.SparkSession, basePath: String): DataFrame = {
-    val shpPath = java.nio.file.Paths.get(basePath + ".shp")
-    if (!java.nio.file.Files.exists(shpPath))
-      throw DataIOError(basePath, s"no such file: $basePath.shp")
+    val shpPath = sidecar(basePath, "shp").getOrElse(
+      throw DataIOError(basePath, s"no such file: $basePath.shp"))
     val bytes = java.nio.file.Files.readAllBytes(shpPath)
     if (bytes.length < 100)
       throw DataIOError(basePath, "truncated .shp: shorter than the 100-byte header")
@@ -314,10 +317,43 @@ object Shapefile {
           if (numParts < 1 || numPoints < 1)
             throw DataIOError(basePath, s"record at byte $p: empty multi-part shape")
           val partsOff = p + 52
-          val part0End =
-            if (numParts > 1) bb.getInt(partsOff + 4) else numPoints
           val ptsOff = partsOff + 4 * numParts
-          val raw = (bb.getInt(partsOff) until part0End).map(i =>
+          def partRange(j: Int): Range = {
+            val s = bb.getInt(partsOff + 4 * j)
+            val e = if (j + 1 < numParts) bb.getInt(partsOff + 4 * (j + 1))
+                    else numPoints
+            s until e
+          }
+          // loud boundary for silent data loss: a multi-part PolyLine,
+          // or a Polygon whose extra parts are additional OUTER rings
+          // (a multipolygon), would drop whole geometries if we kept
+          // part 0 only. Interior rings (holes, counter-clockwise in
+          // the shapefile winding convention) are the documented
+          // single-ring-model drop; everything else fails typed.
+          if (t == 3 && numParts > 1)
+            throw DataIOError(basePath, s"record at byte $p: multi-part " +
+              s"PolyLine ($numParts parts) — the single-ring geometry " +
+              "model would silently drop parts; split the feature upstream")
+          if (t == 5 && numParts > 1) {
+            // shoelace Σ(x₂−x₁)(y₂+y₁) > 0 ⇒ clockwise ⇒ outer ring
+            def clockwise(r: Range): Boolean = {
+              var s = 0.0
+              r.foreach { i =>
+                val i2 = if (i + 1 < r.end) i + 1 else r.start
+                s += (bb.getDouble(ptsOff + 16 * i2) - bb.getDouble(ptsOff + 16 * i)) *
+                  (bb.getDouble(ptsOff + 16 * i2 + 8) + bb.getDouble(ptsOff + 16 * i + 8))
+              }
+              s > 0
+            }
+            val extraOuter = (1 until numParts).count(j => clockwise(partRange(j)))
+            if (extraOuter > 0)
+              throw DataIOError(basePath, s"record at byte $p: Polygon has " +
+                s"$extraOuter additional outer ring(s) (multipolygon) — the " +
+                "single-ring geometry model would silently drop them; split " +
+                "the feature upstream (interior rings/holes are the " +
+                "documented drop)")
+          }
+          val raw = partRange(0).map(i =>
             (bb.getDouble(ptsOff + 16 * i), bb.getDouble(ptsOff + 16 * i + 8)))
           val verts =
             if (t == 5 && raw.length >= 2 && raw.head == raw.last) raw.init
@@ -344,14 +380,36 @@ object Shapefile {
         math.max(1, math.min(rows.length, 4))), schema)
   }
 
+  /** Resolve `basePath.<ext>` CASE-INSENSITIVELY on the extension and
+    * base name: shapefile sidecars from DOS-era tools arrive as .SHP/
+    * .DBF (and dispatchers match extensions case-insensitively), so an
+    * exact-case probe would miss `data.Shp` with a misleading
+    * no-such-file error (advisor r7). Exact match wins; otherwise the
+    * parent directory is scanned once for a case-variant. */
+  private def sidecar(basePath: String,
+      ext: String): Option[java.nio.file.Path] = {
+    val exact = java.nio.file.Paths.get(s"$basePath.$ext")
+    if (java.nio.file.Files.exists(exact)) return Some(exact)
+    val parent = Option(exact.toAbsolutePath.getParent)
+      .filter(java.nio.file.Files.isDirectory(_))
+    val want = exact.getFileName.toString
+    parent.flatMap { dir =>
+      val s = java.nio.file.Files.list(dir)
+      try {
+        import scala.jdk.OptionConverters._
+        s.filter(p => p.getFileName.toString.equalsIgnoreCase(want))
+          .findFirst().toScala
+      } finally s.close()
+    }
+  }
+
   /** Parse `basePath.dbf` into attribute fields + one value-seq per
     * record. A missing .dbf yields zero attributes (n empty rows);
     * a record-count mismatch with the .shp is a loud error. */
   private def readDbf(basePath: String,
       nShp: Int): (IndexedSeq[StructField], IndexedSeq[IndexedSeq[Any]]) = {
-    val dbfPath = java.nio.file.Paths.get(basePath + ".dbf")
-    if (!java.nio.file.Files.exists(dbfPath))
-      return (IndexedSeq.empty, IndexedSeq.fill(nShp)(IndexedSeq.empty))
+    val dbfPath = sidecar(basePath, "dbf").getOrElse(
+      return (IndexedSeq.empty, IndexedSeq.fill(nShp)(IndexedSeq.empty)))
     val b = java.nio.file.Files.readAllBytes(dbfPath)
     val bb = ByteBuffer.wrap(b).order(ByteOrder.LITTLE_ENDIAN)
     val n = bb.getInt(4)
@@ -383,6 +441,14 @@ object Shapefile {
     val attrFields = fields.toIndexedSeq.map(f =>
       StructField(f.name, sparkType(f), nullable = true))
     val rows = (0 until n).map { r =>
+      // soft-deleted DBF records ('*' flag) still have a .shp record,
+      // so skipping would misalign the geometry zip — and including
+      // them resurrects deleted data. Loud boundary instead.
+      if (b(headLen + r * recLen) == 0x2A)
+        throw DataIOError(basePath, s".dbf record $r carries the " +
+          "soft-delete flag '*' — pack the file (drop deleted records) " +
+          "upstream; silently including or skipping it would corrupt " +
+          "the result")
       var p = headLen + r * recLen + 1 // +1 skips the deleted flag
       fields.toIndexedSeq.map { f =>
         val s = new String(b, p, f.len, "US-ASCII").trim

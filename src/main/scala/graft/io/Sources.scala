@@ -46,8 +46,11 @@ object Sources {
     val orcAttempt = "orc" -> (() => spark.read.orc(path))
     // binary geo formats (S1): extension-routed, never cascaded into —
     // the csv leg would comma-split their binary framing
+    // the dispatch below matched case-insensitively, so strip the last
+    // 4 chars rather than exact-case suffixes (a mixed-case "data.Shp"
+    // would otherwise probe "data.Shp.shp" → misleading no-such-file)
     val shpAttempt = "shp" -> (() =>
-      Shapefile.read(spark, path.stripSuffix(".shp").stripSuffix(".SHP")))
+      Shapefile.read(spark, path.substring(0, path.length - 4)))
     val tiffAttempt = "geotiff" -> (() => GeoTiff.readCells(spark, path))
     val lower = path.toLowerCase
     val attempts =

@@ -228,32 +228,44 @@ object Privacy {
     * α = 2^−k, i.e. ε = k·ln 2 per unit sensitivity — ε is a LATTICE
     * of multiples of ln 2, the price of staying inside exact integer
     * arithmetic (no libm anywhere). Each geometric is
-    * trailing-zero-count(u) div k over a 64-bit LCG draw seeded by
-    * (key, salt): ctz via the branch-free identity
-    * least(bit_count((u & −u) − 1), 64) — lowest-set-bit isolation
-    * works on any two's-complement width (the least() pins the u = 0
-    * corner where a 128-bit engine would count 128), so a replay
-    * agrees BIT-FOR-BIT.
+    * trailing-zero-count(u) div k over a 64-bit draw u = splitmix64
+    * finalizer of (key + salt) ([[graft.ext.Mix64]]): ctz via the
+    * branch-free identity least(bit_count((u & −u) − 1), 64) —
+    * lowest-set-bit isolation works on any two's-complement width (the
+    * least() pins the u = 0 corner where a 128-bit engine would count
+    * 128), so a replay agrees BIT-FOR-BIT.
     *
-    * Determinism is the point for reproducible-pipeline audits and
-    * cross-engine testing; for a real privacy release swap the salts
-    * for secret entropy — the mechanism and its ε analysis are
-    * unchanged. Returns per key: (key, n, noise, noisy_n).
+    * The mixer MUST be non-affine: an LCG draw per salt makes
+    * u2 − u1 = a·(saltB − saltA) a key-independent constant, so the
+    * two geometrics are strongly dependent (for k ≥ 3 they can never
+    * both be nonzero) and the noise is NOT discrete Laplace. The
+    * splitmix64 finalizer's xor-shift rounds break affinity; under the
+    * standard PRF heuristic the two draws are independent uniforms.
+    *
+    * CAVEAT — this deterministic-replay variant is NOT itself a DP
+    * release: with fixed public salts anyone can recompute the noise
+    * and subtract it. It is a replayable SIMULATION of the mechanism
+    * for pipeline audits and cross-engine testing. A real release must
+    * draw the two geometrics from secret entropy (e.g. secret
+    * per-release salts under the PRF assumption, or a hardware RNG);
+    * only then does the ε = k·ln 2 analysis confer privacy.
+    * Returns per key: (key, n, noise, noisy_n).
     *
     * Scale: one key-grain agg + scan-side bit arithmetic. */
   def dpCounts(df: DataFrame, keyCol: Column, k: Int,
       saltA: Long = 0x9E3779B97F4A7C15L,
       saltB: Long = 0x6A09E667F3BCC909L): DataFrame = {
     require(k >= 1 && k <= 64, "k in [1, 64] (epsilon = k*ln2)")
-    // 64-bit LCG (Knuth MMIX constants) as a native wrapping-multiply
-    // expression — ANSI mode rejects the wrap at the SQL layer, Java
-    // long arithmetic IS mod-2^64 (see ext.Lcg64)
-    def lcg(seed: Column): Column = graft.ext.Lcg64(seed)
+    // splitmix64 finalizer as a native wrapping expression — ANSI mode
+    // rejects the wrap at the SQL layer, Java long arithmetic IS
+    // mod-2^64 (see ext.Mix64; non-affine, unlike an LCG — see the
+    // dependence caveat in the scaladoc above)
+    def mix(seed: Column): Column = graft.ext.Mix64(seed)
     val counts = df.groupBy(keyCol.cast("long").as("key"))
       .agg(count(lit(1)).as("n"))
     counts
-      .withColumn("__u1", lcg(col("key") + lit(saltA)))
-      .withColumn("__u2", lcg(col("key") + lit(saltB)))
+      .withColumn("__u1", mix(col("key") + lit(saltA)))
+      .withColumn("__u2", mix(col("key") + lit(saltB)))
       .withColumn("__g1",
         expr(s"CAST(least(bit_count((__u1 & -__u1) - 1L), 64) AS BIGINT) div $k"))
       .withColumn("__g2",

@@ -88,9 +88,13 @@ object Analytics34 {
 
   /** q456 — privacy: discrete-Laplace noisy DAILY order counts
     * (two-sided geometric mechanism, ε = 2·ln 2) — deterministic
-    * LCG-seeded noise in pure 64-bit integer arithmetic, so the
-    * DuckDB replay (mod-2⁶⁴ HUGEINT arithmetic + the lowest-set-bit
-    * ctz identity) agrees bit-for-bit with Spark's wrapping longs. */
+    * splitmix64-mixed noise in pure 64-bit integer arithmetic, so the
+    * DuckDB replay (mod-2⁶⁴ HUGEINT arithmetic, split 32×64 wrapping
+    * multiplies, + the lowest-set-bit ctz identity) agrees bit-for-bit
+    * with Spark's wrapping longs. The mixer is NON-AFFINE (two
+    * xor-shift/multiply rounds) — an LCG here would make the two
+    * geometric draws differ by a key-independent constant, destroying
+    * the discrete-Laplace shape (see Privacy.dpCounts scaladoc). */
   val q456 = Declared(
     "q456_dp_counts", "privacy",
     (s, dir) => graft.ops.Privacy.dpCounts(
@@ -103,17 +107,37 @@ object Analytics34 {
            |      CAST(o_orderdate AS DATE)) AS key,
            |    CAST(count(*) AS BIGINT) AS n
            |  FROM orders GROUP BY 1),
-           |u AS (
+           |x1 AS (
            |  SELECT key, n,
-           |    (((CAST(key AS HUGEINT) - 7046029254386353131)
-           |       * 6364136223846793005 + 1442695040888963407)
+           |    ((CAST(key AS HUGEINT) + 11400714819323198485)
            |      % 18446744073709551616 + 18446744073709551616)
-           |      % 18446744073709551616 AS u1,
-           |    (((CAST(key AS HUGEINT) + 7640891576956012809)
-           |       * 6364136223846793005 + 1442695040888963407)
+           |      % 18446744073709551616 AS z1,
+           |    ((CAST(key AS HUGEINT) + 7640891576956012809)
            |      % 18446744073709551616 + 18446744073709551616)
-           |      % 18446744073709551616 AS u2
+           |      % 18446744073709551616 AS z2
            |  FROM c),
+           |x2 AS (SELECT key, n,
+           |    xor(z1, z1 >> 30) AS z1, xor(z2, z2 >> 30) AS z2 FROM x1),
+           |x3 AS (SELECT key, n,
+           |    (((z1 >> 32) * 13787848793156543929 % 4294967296) * 4294967296
+           |      + (z1 % 4294967296) * 13787848793156543929)
+           |      % 18446744073709551616 AS z1,
+           |    (((z2 >> 32) * 13787848793156543929 % 4294967296) * 4294967296
+           |      + (z2 % 4294967296) * 13787848793156543929)
+           |      % 18446744073709551616 AS z2
+           |  FROM x2),
+           |x4 AS (SELECT key, n,
+           |    xor(z1, z1 >> 27) AS z1, xor(z2, z2 >> 27) AS z2 FROM x3),
+           |x5 AS (SELECT key, n,
+           |    (((z1 >> 32) * 10723151780598845931 % 4294967296) * 4294967296
+           |      + (z1 % 4294967296) * 10723151780598845931)
+           |      % 18446744073709551616 AS z1,
+           |    (((z2 >> 32) * 10723151780598845931 % 4294967296) * 4294967296
+           |      + (z2 % 4294967296) * 10723151780598845931)
+           |      % 18446744073709551616 AS z2
+           |  FROM x4),
+           |u AS (SELECT key, n,
+           |    xor(z1, z1 >> 31) AS u1, xor(z2, z2 >> 31) AS u2 FROM x5),
            |g AS (
            |  SELECT key, n,
            |    least(bit_count(CAST((u1 & -u1) - 1 AS BIGINT)), 64) // 2 AS g1,
@@ -124,9 +148,10 @@ object Analytics34 {
            |FROM g ORDER BY key""".stripMargin),
     "One key-grain agg + scan-side bit arithmetic — no libm, no RNG " +
       "state, no shuffle beyond the count. Deterministic noise makes " +
-      "the release replayable for pipeline audits; swap the salts for " +
-      "secret entropy in a real privacy release (the mechanism and its " +
-      "epsilon analysis are unchanged).")
+      "the release replayable for pipeline audits — NOT a DP release " +
+      "as-is (public salts let anyone subtract the noise); a real " +
+      "release draws the geometrics from secret entropy, under which " +
+      "the epsilon = k*ln2 analysis holds.")
 
   val all: Seq[Declared] = Seq(q454, q455, q456)
 }

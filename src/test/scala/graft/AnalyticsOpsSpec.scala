@@ -1976,15 +1976,20 @@ class AnalyticsOpsSpec extends AnyFunSuite {
     assert(re.getAs[Long]("ssw_u") == 236000000L - 100000000L)
   }
 
-  test("privacy: dpCounts — noise replays the LCG/ctz arithmetic exactly") {
+  test("privacy: dpCounts — noise replays the splitmix/ctz arithmetic exactly") {
     // hand-replicate the mechanism for keys 0..9 (the JVM is the
     // reference implementation: wrapping long = mod 2^64)
-    def lcg(s: Long) = s * 6364136223846793005L + 1442695040888963407L
+    def mix(s: Long): Long = {
+      var z = s
+      z ^= (z >>> 30); z *= 0xBF58476D1CE4E5B9L
+      z ^= (z >>> 27); z *= 0x94D049BB133111EBL
+      z ^ (z >>> 31)
+    }
     def ctz(u: Long) =
       math.min(java.lang.Long.bitCount((u & -u) - 1L), 64)
     def expected(key: Long, k: Int): Long =
-      ctz(lcg(key + 0x9E3779B97F4A7C15L)) / k -
-        ctz(lcg(key + 0x6A09E667F3BCC909L)) / k
+      ctz(mix(key + 0x9E3779B97F4A7C15L)) / k -
+        ctz(mix(key + 0x6A09E667F3BCC909L)) / k
     val df = (0L until 10L).flatMap(k => Seq.fill(3)(k)).toDF("key")
     val out = graft.ops.Privacy.dpCounts(df, col("key"), k = 2)
       .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
@@ -1992,11 +1997,42 @@ class AnalyticsOpsSpec extends AnyFunSuite {
       assert(out(key)._1 == 3L)
       assert(out(key)._2 == expected(key, 2), s"key $key")
     }
-    // the Lcg64 expression agrees between codegen and a literal fold
+    // the Mix64 expression agrees between codegen and the hand fold
     val n64 = (0 until 80).map(_.toLong).toDF("s")
-      .select(graft.ext.Lcg64(col("s")).as("u")).collect()
+      .select(graft.ext.Mix64(col("s")).as("u")).collect()
       .map(_.getLong(0))
-    assert(n64.zipWithIndex.forall { case (u, i) => u == lcg(i.toLong) })
+    assert(n64.zipWithIndex.forall { case (u, i) => u == mix(i.toLong) })
+  }
+
+  test("privacy: dpCounts draws are not affinely coupled (advisor r7)") {
+    // the LCG pathology: u2 - u1 was a key-independent constant, so
+    // for k >= 3 the two geometrics could NEVER both be nonzero.
+    // With the splitmix mixer both-nonzero must occur at roughly the
+    // independent rate: P(G1>0, G2>0) = (2^-k)^2 = 1/64 at k = 3 —
+    // over 4096 keys expect ~64 hits; assert a generous > 10.
+    val df = (0L until 4096L).toDF("key")
+    val out = graft.ops.Privacy.dpCounts(df, col("key"), k = 3)
+    def mix(s: Long): Long = {
+      var z = s
+      z ^= (z >>> 30); z *= 0xBF58476D1CE4E5B9L
+      z ^= (z >>> 27); z *= 0x94D049BB133111EBL
+      z ^ (z >>> 31)
+    }
+    def g(u: Long, k: Int) =
+      math.min(java.lang.Long.bitCount((u & -u) - 1L), 64) / k
+    val bothNonzero = (0L until 4096L).count { key =>
+      g(mix(key + 0x9E3779B97F4A7C15L), 3) > 0 &&
+        g(mix(key + 0x6A09E667F3BCC909L), 3) > 0
+    }
+    assert(bothNonzero > 10,
+      s"both-geometrics-nonzero count $bothNonzero — affine coupling?")
+    // and the engine agrees with the replay on the same 4096 keys
+    val noise = out.collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    (0L until 4096L).foreach { key =>
+      val exp = g(mix(key + 0x9E3779B97F4A7C15L), 3) -
+        g(mix(key + 0x6A09E667F3BCC909L), 3)
+      assert(noise(key) == exp, s"key $key")
+    }
   }
 
   test("A-stat: hodgesLehmann — hand Walsh medians, robust to one outlier") {

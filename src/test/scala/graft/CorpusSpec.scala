@@ -23,6 +23,21 @@ class GraphSpec extends AnyFunSuite {
     assert(out.length == n + 1 && out.forall(_.getLong(1) == 0L))
   }
 
+  test("E2: bounded fast path is stack-safe on a worst-case descending chain") {
+    // advisor r7: a path graph collected in DESCENDING-id order builds
+    // an O(n)-deep parent chain under union-by-min-label; a recursive
+    // find() overflowed the driver stack right at the 200k fast-path
+    // threshold. 99,999 edges → 199,998 symmetrized rows, just under
+    // the 200k bound, so this exercises the driver union-find; the
+    // descending sort makes every union hang the new node off the
+    // deep end of the chain.
+    val n = 99999
+    val edges = (n to 1 by -1).map(i => (i.toLong, i - 1L)).toDF("a", "b")
+    val out = Graph.connectedComponents(edges, "a", "b")
+    assert(out.count() == n + 1L)
+    assert(out.filter(col("component") =!= 0L).isEmpty)
+  }
+
   test("E2: self-loops, duplicate and reversed edges are harmless") {
     val edges = Seq((1L, 2L), (2L, 1L), (1L, 1L), (1L, 2L)).toDF("a", "b")
     val out = Graph.connectedComponents(edges, "a", "b").collect()
@@ -139,6 +154,21 @@ class GraphSpec extends AnyFunSuite {
         .toDF("u", "v", "w"), "u", "v", "w")
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(forest == Set((1L, 2L), (10L, 11L), (11L, 12L)))
+  }
+
+  test("E2+: boruvkaMst fails loudly on non-integral weights (advisor r7)") {
+    // a silent cast-to-long would truncate 0.9 -> 0 and return a WRONG
+    // MST for double-valued distances; the micro-unit contract is
+    // enforced with a raise_error, mirroring checkedLong on node ids
+    val edges = Seq((1L, 2L, 0.9), (2L, 3L, 2.0)).toDF("u", "v", "w")
+    val e = intercept[Exception] {
+      Graph.boruvkaMst(edges, "u", "v", "w").collect() }
+    assert(e.getMessage.contains("integral"))
+    // integral-valued doubles pass (cast does not change the value)
+    val ok = Graph.boruvkaMst(
+      Seq((1L, 2L, 3.0), (2L, 3L, 1.0)).toDF("u", "v", "w"), "u", "v", "w")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(ok == Set((1L, 2L, 3L), (2L, 3L, 1L)))
   }
 
   test("ML: singleLinkage — threshold cut yields the dendrogram's clusters") {

@@ -1,0 +1,207 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import java.nio.{ByteBuffer, ByteOrder}
+
+/** S1 — compressed + tiled GeoTIFF ingest (round-8 gap closure; the
+  * reference opens any GDAL raster, src/data_preprocessing.py:470-472).
+  * Two evidence layers:
+  *   1. Scala write→read round-trips per codec (self-consistency);
+  *   2. fixtures under src/test/resources/geotiff written by an
+  *      INDEPENDENT pure-python implementation (dev/make_tiff_fixtures
+  *      .py: stdlib zlib + from-the-spec LZW/PackBits encoders) — the
+  *      reader is checked against a second codebase, so a shared
+  *      encode/decode bug can't self-certify.
+  */
+class GeoTiffCodecSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+
+  private def tmpDir(): String =
+    java.nio.file.Files.createTempDirectory("graft_tiffcodec").toString
+  private def res(name: String): String = {
+    val url = getClass.getResource(s"/geotiff/$name")
+    assert(url != null, s"missing fixture $name")
+    url.getPath
+  }
+  private def cellMap(path: String): Map[(Double, Double), Double] =
+    graft.io.GeoTiff.readCells(spark, path).collect()
+      .map(r => ((r.getDouble(1), r.getDouble(2)), r.getDouble(3))).toMap
+
+  // ---- Scala round-trips, one per codec ------------------------------
+
+  test("S1: float32 round-trips through deflate, LZW and PackBits strips") {
+    val dir = tmpDir()
+    val w = 21; val h = 13
+    val vals = Array.tabulate(w * h)(i => ((i * 13) % 97).toFloat / 8f)
+    for ((comp, tag) <- Seq(
+        graft.io.GeoTiff.CompDeflate -> "defl",
+        graft.io.GeoTiff.CompLzw -> "lzw",
+        graft.io.GeoTiff.CompPackBits -> "pb")) {
+      val p = s"$dir/$tag.tif"
+      graft.io.GeoTiff.writeFloat(p, w, h, vals,
+        origin = (0.0, h.toDouble), scale = (1.0, 1.0),
+        compression = comp, rowsPerStrip = 3)
+      val m = cellMap(p)
+      assert(m.size == w * h, tag)
+      (0 until h).foreach { r =>
+        (0 until w).foreach { c =>
+          assert(m((c + 0.5, h - r - 0.5)) == vals(r * w + c).toDouble,
+            s"$tag ($c,$r)")
+        }
+      }
+    }
+  }
+
+  test("S1: tiled deflate float32 round-trips with edge-tile clipping") {
+    val dir = tmpDir()
+    val w = 37; val h = 19 // NOT multiples of 16: right/bottom tiles pad
+    val vals = Array.tabulate(w * h)(i => ((i * 7) % 89).toFloat / 4f)
+    val p = s"$dir/tiled.tif"
+    graft.io.GeoTiff.writeFloat(p, w, h, vals,
+      origin = (50.0, 100.0), scale = (2.0, 2.0),
+      compression = graft.io.GeoTiff.CompDeflate, tile = Some((16, 16)))
+    val m = cellMap(p)
+    assert(m.size == w * h) // padding never leaks cells
+    (0 until h).foreach { r =>
+      (0 until w).foreach { c =>
+        assert(m((50.0 + (c + 0.5) * 2.0, 100.0 - (r + 0.5) * 2.0))
+          == vals(r * w + c).toDouble, s"($c,$r)")
+      }
+    }
+  }
+
+  test("S1: gray16 + predictor 2 round-trips under deflate and LZW") {
+    val dir = tmpDir()
+    val w = 29; val h = 11
+    val vals = Array.tabulate(w * h)(i => (i * 37) % 65536)
+    for ((comp, tag) <- Seq(graft.io.GeoTiff.CompDeflate -> "defl",
+        graft.io.GeoTiff.CompLzw -> "lzw")) {
+      val p = s"$dir/p2_$tag.tif"
+      graft.io.GeoTiff.writeGray16(p, w, h, vals,
+        origin = (0.0, h.toDouble), scale = (1.0, 1.0),
+        compression = comp, rowsPerStrip = 4, predictor = 2)
+      val m = cellMap(p)
+      assert(m.size == w * h, tag)
+      (0 until h).foreach { r =>
+        (0 until w).foreach { c =>
+          assert(m((c + 0.5, h - r - 0.5)) == vals(r * w + c).toDouble,
+            s"$tag ($c,$r)")
+        }
+      }
+    }
+  }
+
+  test("S1: LZW codec survives a dictionary-stress stream (resets + 12-bit codes)") {
+    // 48k pseudo-random bytes: the dictionary passes 511/1023/2047
+    // (code-width changes) and 4094 (table reset) many times over
+    val n = 48 * 1024
+    var x = 987654321L
+    val data = Array.tabulate(n) { _ =>
+      x = x * 6364136223846793005L + 1442695040888963407L
+      (x >>> 33).toByte
+    }
+    val enc = graft.io.GeoTiff.Codecs.lzwEncode(data)
+    val dec = graft.io.GeoTiff.Codecs.lzwDecode(enc, n, "stress")
+    assert(java.util.Arrays.equals(dec, data))
+  }
+
+  // ---- cross-implementation fixtures (independent python writer) ----
+
+  test("S1: python deflate+predictor2 gray16 fixture decodes exactly") {
+    val m = cellMap(res("py_deflate_pred2_gray16.tif"))
+    val w = 37; val h = 23
+    assert(m.size == w * h)
+    (0 until h).foreach { r =>
+      (0 until w).foreach { c =>
+        val v = ((r * 31 + c * 7) % 1000).toDouble
+        assert(m((10.0 + (c + 0.5) * 0.5, 20.0 - (r + 0.5) * 0.25)) == v,
+          s"($c,$r)")
+      }
+    }
+  }
+
+  test("S1: python LZW gray8 fixture decodes exactly") {
+    val m = cellMap(res("py_lzw_gray8.tif"))
+    val w = 41; val h = 17
+    assert(m.size == w * h)
+    (0 until h).foreach { r =>
+      (0 until w).foreach { c =>
+        val v = ((r * 13 + c * c) % 251).toDouble
+        assert(m((-5.0 + c + 0.5, 5.0 - r - 0.5)) == v, s"($c,$r)")
+      }
+    }
+  }
+
+  test("S1: python PackBits gray8 fixture decodes exactly") {
+    val m = cellMap(res("py_packbits_gray8.tif"))
+    val w = 33; val h = 9
+    assert(m.size == w * h)
+    (0 until h).foreach { r =>
+      (0 until w).foreach { c =>
+        val v = ((c / 9 * 40 + r) % 256).toDouble
+        assert(m((c + 0.5, 9.0 - r - 0.5)) == v, s"($c,$r)")
+      }
+    }
+  }
+
+  test("S1: python tiled deflate float32 fixture decodes exactly") {
+    val m = cellMap(res("py_tiled_deflate_f32.tif"))
+    val w = 40; val h = 24
+    assert(m.size == w * h)
+    (0 until h).foreach { r =>
+      (0 until w).foreach { c =>
+        val v = ((r * w + c) % 97) / 8.0
+        assert(m((100.0 + (c + 0.5) * 2.0, 200.0 - (r + 0.5) * 2.0)) == v,
+          s"($c,$r)")
+      }
+    }
+  }
+
+  test("S1: python big-LZW fixture (width changes + mid-stream resets) decodes") {
+    val df = graft.io.GeoTiff.readCells(spark, res("py_lzw_big.tif"))
+    val agg = df.selectExpr("count(*) AS n", "sum(value) AS s").head()
+    assert(agg.getLong(0) == 256L * 128L)
+    assert(agg.getDouble(1) == 4188307.0) // checksum from the generator
+    val m = cellMap(res("py_lzw_big.tif"))
+    // first five bytes of the generator's LCG stream
+    assert(Seq(220, 4, 101, 170, 31).zipWithIndex.forall { case (v, c) =>
+      m((c + 0.5, 128.0 - 0.5)) == v.toDouble })
+  }
+
+  // ---- typed boundaries ----------------------------------------------
+
+  private def writeIfd(path: String, tags: Seq[(Int, Int, Long)]): Unit = {
+    // minimal classic-TIFF skeleton with inline-value entries only
+    val buf = ByteBuffer.allocate(8 + 2 + 12 * tags.length + 4)
+      .order(ByteOrder.LITTLE_ENDIAN)
+    buf.put('I'.toByte).put('I'.toByte).putShort(42.toShort).putInt(8)
+    buf.putShort(tags.length.toShort)
+    tags.sortBy(_._1).foreach { case (tag, typ, value) =>
+      buf.putShort(tag.toShort).putShort(typ.toShort).putInt(1)
+      if (typ == 3) buf.putShort(value.toShort).putShort(0.toShort)
+      else buf.putInt(value.toInt)
+    }
+    buf.putInt(0)
+    java.nio.file.Files.write(java.nio.file.Paths.get(path), buf.array())
+  }
+
+  test("S1: JPEG-in-TIFF, float predictor and predictor-2-on-float fail typed") {
+    val dir = tmpDir()
+    writeIfd(s"$dir/jpeg.tif", Seq((256, 4, 4L), (257, 4, 4L), (259, 3, 7L)))
+    val e1 = intercept[graft.core.DataIOError] {
+      graft.io.GeoTiff.readCells(spark, s"$dir/jpeg.tif") }
+    assert(e1.getMessage.contains("JPEG"))
+
+    writeIfd(s"$dir/fpred.tif", Seq((256, 4, 4L), (257, 4, 4L),
+      (259, 3, 8L), (317, 3, 3L)))
+    val e2 = intercept[graft.core.DataIOError] {
+      graft.io.GeoTiff.readCells(spark, s"$dir/fpred.tif") }
+    assert(e2.getMessage.contains("floating-point predictor"))
+
+    writeIfd(s"$dir/p2f.tif", Seq((256, 4, 4L), (257, 4, 4L), (258, 3, 32L),
+      (259, 3, 8L), (317, 3, 2L), (339, 3, 3L)))
+    val e3 = intercept[graft.core.DataIOError] {
+      graft.io.GeoTiff.readCells(spark, s"$dir/p2f.tif") }
+    assert(e3.getMessage.contains("integer-only"))
+  }
+}

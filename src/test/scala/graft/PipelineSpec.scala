@@ -952,6 +952,93 @@ class SourcesSinksSpec extends AnyFunSuite {
     assert(back.count() == 1)
   }
 
+  test("S1: silent-data-loss shapes fail loudly (advisor r7)") {
+    import java.nio.{ByteBuffer, ByteOrder}
+    val dir = tmpDir()
+    // hand-build a .shp: 100-byte header + ONE record
+    def shpFile(name: String, shapeType: Int,
+        content: ByteBuffer): String = {
+      val c = content.array()
+      val buf = ByteBuffer.allocate(100 + 8 + c.length)
+      buf.order(ByteOrder.BIG_ENDIAN)
+      buf.putInt(0, 9994)
+      buf.putInt(24, (100 + 8 + c.length) / 2)
+      buf.order(ByteOrder.LITTLE_ENDIAN)
+      buf.putInt(28, 1000).putInt(32, shapeType)
+      buf.position(100)
+      buf.order(ByteOrder.BIG_ENDIAN)
+      buf.putInt(1).putInt(c.length / 2) // record 1 header
+      buf.put(c)
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(s"$dir/$name.shp"), buf.array())
+      s"$dir/$name"
+    }
+    def multiPart(shapeType: Int,
+        parts: Seq[Seq[(Double, Double)]]): ByteBuffer = {
+      val nPts = parts.map(_.length).sum
+      val c = ByteBuffer.allocate(4 + 32 + 8 + 4 * parts.length + 16 * nPts)
+        .order(ByteOrder.LITTLE_ENDIAN)
+      c.putInt(shapeType)
+      c.putDouble(0).putDouble(0).putDouble(99).putDouble(99) // box
+      c.putInt(parts.length).putInt(nPts)
+      parts.scanLeft(0)(_ + _.length).init.foreach(c.putInt)
+      parts.flatten.foreach { case (x, y) => c.putDouble(x).putDouble(y) }
+      c
+    }
+    // multi-part PolyLine: whole parts would vanish — typed error
+    val pl = shpFile("mpl", 3, multiPart(3,
+      Seq(Seq((0.0, 0.0), (1.0, 1.0)), Seq((5.0, 5.0), (6.0, 6.0)))))
+    val e1 = intercept[graft.core.DataIOError] {
+      graft.io.Shapefile.read(spark, pl) }
+    assert(e1.getMessage.contains("multi-part PolyLine"))
+
+    // multipolygon: a SECOND CLOCKWISE (outer) ring — typed error
+    val cw1 = Seq((0.0, 0.0), (0.0, 4.0), (4.0, 4.0), (4.0, 0.0), (0.0, 0.0))
+    val cw2 = cw1.map { case (x, y) => (x + 10, y) }
+    val mp = shpFile("mpoly", 5, multiPart(5, Seq(cw1, cw2)))
+    val e2 = intercept[graft.core.DataIOError] {
+      graft.io.Shapefile.read(spark, mp) }
+    assert(e2.getMessage.contains("outer ring"))
+
+    // outer CW + interior CCW ring (a hole) stays the documented drop
+    val hole = Seq((1.0, 1.0), (2.0, 1.0), (2.0, 2.0), (1.0, 2.0), (1.0, 1.0))
+    val ok = shpFile("holed", 5, multiPart(5, Seq(cw1, hole)))
+    val g = graft.io.Shapefile.read(spark, ok).collect()(0).getStruct(0)
+    assert(g.getString(0) == "polygon")
+    assert(g.getSeq[org.apache.spark.sql.Row](1).length == 4) // outer, unclosed
+
+    // DBF soft-delete flag: patch a written sidecar — typed error
+    import graft.geo.Geo
+    val pts = Seq((1L, 1.0, 1.0), (2L, 2.0, 2.0)).toDF("id", "x", "y")
+      .select(col("id"), Geo.stPoint(col("x"), col("y")).as("geometry"))
+    graft.io.Shapefile.writePoints(pts, s"$dir/del")
+    val dbf = java.nio.file.Paths.get(s"$dir/del.dbf")
+    val b = java.nio.file.Files.readAllBytes(dbf)
+    val bb = ByteBuffer.wrap(b).order(ByteOrder.LITTLE_ENDIAN)
+    val headLen = bb.getShort(8) & 0xFFFF
+    val recLen = bb.getShort(10) & 0xFFFF
+    b(headLen + recLen) = 0x2A // mark record 1 deleted
+    java.nio.file.Files.write(dbf, b)
+    val e3 = intercept[graft.core.DataIOError] {
+      graft.io.Shapefile.read(spark, s"$dir/del") }
+    assert(e3.getMessage.contains("soft-delete"))
+  }
+
+  test("S1: mixed-case .Shp/.DBF sidecars resolve (advisor r7)") {
+    import graft.geo.Geo
+    val dir = tmpDir()
+    val pts = Seq((7L, 3.0, 4.0)).toDF("id", "x", "y")
+      .select(col("id"), Geo.stPoint(col("x"), col("y")).as("geometry"))
+    graft.io.Shapefile.writePoints(pts, s"$dir/mx")
+    def mv(from: String, to: String): Unit =
+      java.nio.file.Files.move(java.nio.file.Paths.get(s"$dir/$from"),
+        java.nio.file.Paths.get(s"$dir/$to"))
+    mv("mx.shp", "mx.Shp"); mv("mx.dbf", "mx.DBF")
+    val back = graft.io.Sources.openData(spark, s"$dir/mx.Shp")
+    assert(back.columns.toSeq == Seq("geometry", "id"))
+    assert(back.select("id").head().getLong(0) == 7L)
+  }
+
   test("S1: GeoTIFF write→read round-trips the cell table exactly") {
     val dir = tmpDir()
     // 4x3 float raster, origin (100, 50) top-left corner, 2x2 pixels
