@@ -510,30 +510,62 @@ object Graph {
     * shared when several BFS sweeps run over the same graph. */
   private def symClosed(edges: DataFrame, srcCol: String,
       dstCol: String): DataFrame =
-    edges.select(explode(array(
-        struct(checkedLong(col(srcCol)).as("src"), checkedLong(col(dstCol)).as("dst")),
-        struct(checkedLong(col(dstCol)).as("src"), checkedLong(col(srcCol)).as("dst"))))
-        .as("e"))
-      .select(col("e.src").as("src"), col("e.dst").as("dst"))
+    // distinct BEFORE the 2x explode: half the shuffle width. An input
+    // carrying both (a,b) and (b,a) leaves a duplicate pair in sym —
+    // harmless to BFS (candidates are deduped per round), not worth a
+    // second full-width shuffle to remove
+    edges.select(checkedLong(col(srcCol)).as("src"),
+        checkedLong(col(dstCol)).as("dst"))
       .distinct()
+      .select(explode(array(
+        struct(col("src"), col("dst")),
+        struct(col("dst").as("src"), col("src").as("dst")))).as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"))
       .localCheckpoint() // re-read every round
 
+  /** LAYERED frontier BFS (round-8 rewrite of the min-plus full-label
+    * relaxation): round k joins the edge list against only the nodes
+    * DISCOVERED at round k−1 (the frontier), not every labeled node —
+    * by the BFS layer property the candidates not yet labeled are
+    * exactly the distance-k layer, so the result is bit-identical to
+    * running all `rounds` min-plus relaxations. Two wins the old shape
+    * could not have: the sym-side join probe shrinks to frontier size
+    * (AQE broadcast-joins the late tiny frontiers at any realistic
+    * layer skew), and an EMPTY layer proves the fixed point — the
+    * remaining rounds are identities, so the loop exits early with the
+    * identical answer (the fixed-rounds purity contract holds: same
+    * input → same output, rounds still caps the horizon). */
   private def bfsFromSym(sym: DataFrame, seeds: DataFrame,
       seedCol: String, rounds: Int): DataFrame = {
     require(rounds >= 1, "rounds must be >= 1")
-    var labels = seeds.select(checkedLong(col(seedCol)).as("node")).distinct()
+    val seed = seeds.select(checkedLong(col(seedCol)).as("node")).distinct()
       .withColumn("dist", lit(0L))
-    var i = 0
-    while (i < rounds) {
-      val nbr = sym.join(labels.withColumnRenamed("node", "src"), "src")
-        .groupBy(col("dst").as("node"))
-        .agg((min(col("dist")) + 1L).as("__nd"))
-      labels = labels.join(nbr, Seq("node"), "full_outer")
-        .select(col("node"),
-          least(coalesce(col("dist"), col("__nd")),
-            coalesce(col("__nd"), col("dist"))).as("dist"))
-      if ((i + 1) % 6 == 0 && i < rounds - 1) labels = labels.localCheckpoint()
-      i += 1
+      .localCheckpoint()
+    var labels = seed
+    var frontier = seed.select(col("node"))
+    var k = 0L
+    var done = false
+    while (k < rounds && !done) {
+      k += 1
+      val next = sym.join(frontier.withColumnRenamed("node", "src"), "src")
+        .select(col("dst").as("node")).distinct()
+        .join(labels, Seq("node"), "left_anti")
+      // rounds chain LAZILY (one job covers several rounds); every
+      // third round — and the last — materializes the frontier, bounds
+      // plan depth, and tests the empty-layer fixed point. Per-round
+      // actions would dominate wall time at local stage latency.
+      if (k == rounds || k % 3 == 0) {
+        val nextCp = next.localCheckpoint()
+        if (nextCp.isEmpty) done = true
+        else {
+          labels = labels.unionByName(nextCp.withColumn("dist", lit(k)))
+            .localCheckpoint()
+          frontier = nextCp
+        }
+      } else {
+        labels = labels.unionByName(next.withColumn("dist", lit(k)))
+        frontier = next
+      }
     }
     labels
   }

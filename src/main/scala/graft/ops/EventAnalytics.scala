@@ -851,11 +851,17 @@ object EventAnalytics {
       sum(amountCents.cast("long")).as("__m"))
     val maxD = actors.agg(max(col("__last")).as("__maxd"),
       count(lit(1)).as("__n"))
+    // ONE materialization feeds all three rank passes (round-8 fusion:
+    // the former sequential form range-shuffled the full frame three
+    // times, each pass re-deriving the actor rollup)
     val base = actors.crossJoin(broadcast(maxD))
       .withColumn("__rdays",
         datediff(col("__maxd"), col("__last")).cast("long"))
-    def score(d: DataFrame, c: Column, out: String): DataFrame =
-      graft.ops.Ranking.globalRowNumber(d, Seq(c, col("__a")))
+      .localCheckpoint()
+    def score(c: Column, out: String): DataFrame =
+      graft.ops.Ranking.globalRowNumber(
+          base.select(col("__a"), col("__n"), c.as("__k")),
+          Seq(col("__k"), col("__a")))
         .withColumn(out, expr(
           """CASE WHEN row_num <= (__n div 5 + 1) * (__n % 5)
             | THEN (row_num - 1) div (__n div 5 + 1) + 1
@@ -863,10 +869,21 @@ object EventAnalytics {
             |   (row_num - (__n div 5 + 1) * (__n % 5) - 1)
             |     div greatest(__n div 5, 1) + 1
             |END""".stripMargin).cast("long"))
-        .drop("row_num")
-    val scored = score(score(score(base,
-      col("__rdays"), "__rs"), col("__f"), "__fs"), col("__m"), "__ms")
-    scored
+        .select(col("__a"), col(out))
+    // the three quintile ranks are INDEPENDENT narrow (actor, key)
+    // frames; globalRowNumber checkpoints internally at construction,
+    // so building them on parallel threads overlaps their range
+    // shuffles (same model as Verify's cross-query concurrency; each
+    // thread only builds + materializes a plan)
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val Seq(rs, fs, ms) = Await.result(
+      Future.sequence(Seq(
+        Future(score(col("__rdays"), "__rs")),
+        Future(score(col("__f"), "__fs")),
+        Future(score(col("__m"), "__ms")))), Duration.Inf)
+    rs.join(fs, "__a").join(ms, "__a")
       .withColumn("rfm_code",
         col("__rs") * 100 + col("__fs") * 10 + col("__ms"))
       .groupBy(col("rfm_code")).agg(count(lit(1)).as("n_actors"))

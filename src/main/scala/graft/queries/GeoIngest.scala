@@ -213,5 +213,76 @@ object GeoIngest {
       "map-side combine, linear in cells. Interior detection is the " +
       "contributor count, so ragged raster edges need no special casing.")
 
-  val all: Seq[Declared] = Seq(q440, q441, q442, q443, q446)
+  /** q458 — S1/A3: DEFLATE-compressed GeoTIFF with horizontal-
+    * differencing predictor (the common integer-raster pairing) →
+    * distributed strip decode (inflate + un-predict per task) → cell
+    * table → per-scanline stats. uint16 values are exact in double;
+    * the oracle rebuilds the raster from its index formula. Closes
+    * VERDICT r7 missing #1 (real-world .tif files are nearly always
+    * compressed; reference: src/data_preprocessing.py:470-472). */
+  val q458 = Declared(
+    "q458_geotiff_deflate", "S1,A3",
+    (s, dir) => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_q458").toString
+      val w = 30; val h = 20
+      val vals = Array.tabulate(w * h)(i => (i * 37) % 997)
+      graft.io.GeoTiff.writeGray16(s"$tmp/rz.tif", w, h, vals,
+        origin = (0.0, 20.0), scale = (1.0, 1.0),
+        compression = graft.io.GeoTiff.CompDeflate, rowsPerStrip = 4,
+        predictor = 2)
+      graft.io.Sources.openData(s, s"$tmp/rz.tif")
+        .groupBy(floor(col("y")).cast("long").as("row_band"))
+        .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_v"),
+          max(col("value")).as("max_v"))
+        .orderBy(col("row_band"))
+    },
+    Some("""WITH c AS (
+           |  SELECT CAST((i * 37) % 997 AS DOUBLE) AS v,
+           |    20.0 - CAST(i // 30 AS DOUBLE) - 0.5 AS y
+           |  FROM generate_series(0, 599) t(i))
+           |SELECT CAST(floor(y) AS BIGINT) AS row_band,
+           |  CAST(count(*) AS BIGINT) AS n,
+           |  sum(v) AS sum_v, max(v) AS max_v
+           |FROM c GROUP BY 1 ORDER BY 1""".stripMargin),
+    "Decompression is per-strip INSIDE the task that owns the strip — " +
+      "inflate and predictor-undo never touch the driver, so a " +
+      "compressed raster parallelizes exactly like an uncompressed one " +
+      "(same chunk-table shape, smaller I/O). Codec work scales with " +
+      "cells per task, not file count.")
+
+  /** q459 — S1/A3: TILED LZW GeoTIFF (16x16 tiles over a 40x28 float32
+    * raster — neither dimension a tile multiple, so right/bottom tiles
+    * are spec-padded and the reader must clip) → distributed per-tile
+    * decode → per-column-stripe stats. k/8 dyadic values are exact in
+    * float32/double. */
+  val q459 = Declared(
+    "q459_geotiff_tiled_lzw", "S1,A3",
+    (s, dir) => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_q459").toString
+      val w = 40; val h = 28
+      val vals = Array.tabulate(w * h)(i => ((i * 11) % 89).toFloat / 8f)
+      graft.io.GeoTiff.writeFloat(s"$tmp/rt.tif", w, h, vals,
+        origin = (0.0, 28.0), scale = (1.0, 1.0),
+        compression = graft.io.GeoTiff.CompLzw, tile = Some((16, 16)))
+      graft.io.Sources.openData(s, s"$tmp/rt.tif")
+        .groupBy(floor(col("x") / 8.0).cast("long").as("col_band"))
+        .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_v"),
+          min(col("value")).as("min_v"))
+        .orderBy(col("col_band"))
+    },
+    Some("""WITH c AS (
+           |  SELECT CAST((i * 11) % 89 AS DOUBLE) / 8 AS v,
+           |    CAST(i % 40 AS DOUBLE) + 0.5 AS x
+           |  FROM generate_series(0, 1119) t(i))
+           |SELECT CAST(floor(x / 8) AS BIGINT) AS col_band,
+           |  CAST(count(*) AS BIGINT) AS n,
+           |  sum(v) AS sum_v, min(v) AS min_v
+           |FROM c GROUP BY 1 ORDER BY 1""".stripMargin),
+    "Tiles are the scan unit: each task LZW-decodes its own tiles and " +
+      "emits clipped cells, so decode parallelism is tiles-across x " +
+      "tiles-down rather than strip count — the layout real rasters " +
+      "use precisely because it distributes. Edge padding dies inside " +
+      "the task; no padded cell ever reaches the plan.")
+
+  val all: Seq[Declared] = Seq(q440, q441, q442, q443, q446, q458, q459)
 }
