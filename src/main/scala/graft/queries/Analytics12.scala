@@ -51,10 +51,14 @@ object Analytics12 {
            |SELECT rs * 100 + fs * 10 + ms AS rfm_code,
            |  CAST(count(*) AS BIGINT) AS n_actors
            |FROM sc GROUP BY 1 ORDER BY 1""".stripMargin),
-    "The three ntile windows run over the ACTOR rollup (one row per " +
-      "customer), never the fact table; the output is segment-sized (≤125 " +
-      "rows). The segmentation every lifecycle-marketing pipeline starts " +
-      "from.")
+    "The three quintile ranks run over the ACTOR rollup (one row per " +
+      "customer), never the fact table — each an exact distributed rank " +
+      "(range repartition + per-partition windows + a partition-count-row " +
+      "offset rollup, no single-partition window); round 8 fuses them: one " +
+      "checkpointed base feeds three narrow independent passes built on " +
+      "parallel threads, joined back on actor. Output is segment-sized " +
+      "(≤125 rows). The segmentation every lifecycle-marketing pipeline " +
+      "starts from.")
 
   /** q262 — A-stat: burstiness B = (σ−μ)/(σ+μ) of inter-event gaps
     * per user — periodic → −1, Poisson → 0, bursty → +1; the

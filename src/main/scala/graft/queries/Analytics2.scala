@@ -93,10 +93,13 @@ object Analytics2 {
          |SELECT node AS supplier, dist FROM d4
          |WHERE node < 1099511627776 ORDER BY supplier""".stripMargin
     },
-    "The frontier side of each round's join carries only FINITE labels (never |V|); a " +
-      "round is one node-keyed equi-join + one dst-keyed min agg + one label merge — " +
-      "uniform keys, zero per-round driver traffic, plan depth bounded by periodic " +
-      "checkpoints. Blast-radius / contamination-trace reachability at 100 TB.")
+    "LAYERED frontier BFS (round 8): each round joins edges against only the " +
+      "newest LAYER, never the full label set — candidates dedupe then " +
+      "anti-join the reached set, so AQE broadcast-joins the late tiny " +
+      "frontiers; an empty layer proves the fixed point and exits early " +
+      "with the identical result. Uniform keys, plan depth bounded by " +
+      "3-round checkpoints. Blast-radius / contamination-trace " +
+      "reachability at 100 TB.")
 
   /** q156 — A5/A8: integer EWMA (α = 1/4) over each event type's daily
     * count series. Recursion — each output depending on ALL priors with

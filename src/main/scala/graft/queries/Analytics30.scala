@@ -580,8 +580,9 @@ object Analytics30 {
          |  far_node_1, ecc_1, far_node_2, diameter_lb
          |FROM f1, f2""".stripMargin
     },
-    "Two q155-shaped BFS pipelines (frontier-keyed equi-joins, min agg, " +
-      "label merge; plan depth bounded by checkpoints) with a TakeOrdered(1) " +
+    "Two q155-shaped LAYERED BFS pipelines (round 8: per-round joins touch " +
+      "only the newest layer; empty-layer early exit; one shared " +
+      "symmetrize+checkpoint feeds both sweeps) with a TakeOrdered(1) " +
       "argmax between them — the graph-width diagnostic before choosing " +
       "iteration counts for any propagation op at 100 TB.")
 

@@ -281,29 +281,35 @@ class GeoSpec extends AnyFunSuite {
     assert(math.abs(a1 - a2) / a1 < 1e-6, s"$a1 vs $a2")
   }
 
-  test("F10: OSGB (27700, geometric) — false origin, round-trip, k0 scale") {
-    // true origin (2°W, 49°N) maps to the false origin (400000, -100000)
+  test("F10: OSGB (27700, datum-shifted) — false origin, round-trip, k0 scale") {
+    // the OSGB36 true origin (2°W, 49°N IN OSGB36 COORDS, i.e. EPSG
+    // 4277) maps to the false origin (400000, -100000): going 4277 →
+    // 4326 → 27700, the Helmert forward and exact inverse cancel and
+    // the pure Airy TM remains
     val origin = geomDf(point(-2.0, 49.0))
-      .select(Geo.stTransform(col("geometry"), 4326, 27700).as("g"))
+      .select(Geo.stTransform(col("geometry"), 4277, 27700).as("g"))
       .select(Geo.stX(col("g")), Geo.stY(col("g"))).head
-    assert(math.abs(origin.getDouble(0) - 400000.0) < 1e-4)
-    assert(math.abs(origin.getDouble(1) - (-100000.0)) < 1e-4)
-    // round-trip across Britain (the GEOMETRIC projection on Airy 1830;
-    // the OSGB36<->WGS84 datum shift is a documented non-goal, so these
-    // are self-consistent Airy coordinates, not surveyed OS grid refs)
+    assert(math.abs(origin.getDouble(0) - 400000.0) < 1e-3)
+    assert(math.abs(origin.getDouble(1) - (-100000.0)) < 1e-3)
+    // WGS84 round-trip across Britain THROUGH the datum shift. The
+    // Helmert inverse is algebraically exact; the residual is the 2D
+    // engine re-flattening h to 0 between the two legs (the shifted
+    // point sits ~50 m off the other ellipsoid, and scale+rotation
+    // couple that height into ~1.5 mm horizontal). 5e-8 deg ≈ 6 mm.
     Seq((-0.1276, 51.5072), (-3.1883, 55.9533), (-4.2518, 55.8642))
       .foreach { case (lon, lat) =>
         val back = geomDf(point(lon, lat))
           .select(Geo.stTransform(
             Geo.stTransform(col("geometry"), 4326, 27700), 27700, 4326).as("g"))
           .select(Geo.stX(col("g")), Geo.stY(col("g"))).head
-        assert(math.abs(back.getDouble(0) - lon) < 1e-8, s"lon $lon")
-        assert(math.abs(back.getDouble(1) - lat) < 1e-8, s"lat $lat")
+        assert(math.abs(back.getDouble(0) - lon) < 5e-8, s"lon $lon")
+        assert(math.abs(back.getDouble(1) - lat) < 5e-8, s"lat $lat")
       }
-    // central-meridian scale: northing difference over 1° of latitude at
-    // lon 2°W equals k0 x the meridian arc (±0.01%)
+    // central-meridian scale: northing difference over 1° of OSGB36
+    // latitude at lon 2°W equals k0 x the meridian arc (±0.01%) —
+    // driven from 4277 so the check stays pure Airy TM
     val pts = geomDf(point(-2.0, 52.0), point(-2.0, 53.0))
-      .select(Geo.stTransform(col("geometry"), 4326, 27700).as("g"))
+      .select(Geo.stTransform(col("geometry"), 4277, 27700).as("g"))
       .select(Geo.stY(col("g")).as("n")).collect().map(_.getDouble(0))
     val dN = math.abs(pts(1) - pts(0))
     // meridian arc on Airy 1830 between 52 and 53 deg, same series
@@ -319,6 +325,48 @@ class GeoSpec extends AnyFunSuite {
     }
     val expected = 0.9996012717 * (arc(53.0) - arc(52.0))
     assert(math.abs(dN - expected) / expected < 1e-4, s"$dN vs $expected")
+  }
+
+  test("F10: OSGB36 datum shift (4277) — direction, magnitude, exact inverse") {
+    // Greenwich: the OSGB36 zero meridian lies ~5.3 arcsec EAST of the
+    // WGS84 zero meridian at the observatory's latitude, so OSGB36
+    // (0°, 51.4773°) must land at WGS84 longitude ≈ −0.0015°
+    // (~102 m west). Loose bounds — the single-set Bursa-Wolf fit is
+    // itself only ~2 m — but direction and magnitude pin the shift.
+    val gw = geomDf(point(0.0, 51.4773))
+      .select(Geo.stTransform(col("geometry"), 4277, 4326).as("g"))
+      .select(Geo.stX(col("g")), Geo.stY(col("g"))).head
+    assert(gw.getDouble(0) > -0.0020 && gw.getDouble(0) < -0.0010,
+      s"lon ${gw.getDouble(0)}")
+    assert(math.abs(gw.getDouble(1) - 51.4773) < 0.002,
+      s"lat ${gw.getDouble(1)}")
+    // total horizontal shift magnitude across Britain: 50–180 m
+    Seq((0.0, 51.4773), (-3.0, 55.9), (-5.0, 50.2)).foreach { case (lon, lat) =>
+      val r = geomDf(point(lon, lat))
+        .select(Geo.stTransform(col("geometry"), 4277, 4326).as("g"))
+        .select(Geo.stX(col("g")), Geo.stY(col("g"))).head
+      val dLonM = (r.getDouble(0) - lon) * 111320.0 * math.cos(math.toRadians(lat))
+      val dLatM = (r.getDouble(1) - lat) * 110574.0
+      val shift = math.hypot(dLonM, dLatM)
+      assert(shift > 50 && shift < 180, s"shift ${shift}m at ($lon,$lat)")
+    }
+    // exact-inverse Helmert: 4326 -> 4277 -> 4326 residual is only the
+    // h=0 re-flattening between legs (~1.5 mm; see the 27700 test)
+    val back = geomDf(point(-1.5, 53.0))
+      .select(Geo.stTransform(
+        Geo.stTransform(col("geometry"), 4326, 4277), 4277, 4326).as("g"))
+      .select(Geo.stX(col("g")), Geo.stY(col("g"))).head
+    assert(math.abs(back.getDouble(0) - (-1.5)) < 5e-8)
+    assert(math.abs(back.getDouble(1) - 53.0) < 5e-8)
+    // zero-parameter Helmert = identity (ellipsoid conversion only):
+    // registering a WGS84-"datum" geographic CRS must be a no-op
+    Geo.registerGeographicDatum(904326, Geo.Wgs84,
+      Geo.Helmert(0, 0, 0, 0, 0, 0, 0))
+    val id = geomDf(point(12.5, 41.9))
+      .select(Geo.stTransform(col("geometry"), 904326, 4326).as("g"))
+      .select(Geo.stX(col("g")), Geo.stY(col("g"))).head
+    assert(math.abs(id.getDouble(0) - 12.5) < 1e-9)
+    assert(math.abs(id.getDouble(1) - 41.9) < 1e-9)
   }
 
   test("F10: user-registered LCC grid (Belgian Lambert 2008) round-trips") {

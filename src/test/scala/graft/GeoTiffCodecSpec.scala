@@ -168,6 +168,25 @@ class GeoTiffCodecSpec extends AnyFunSuite {
       m((c + 0.5, 128.0 - 0.5)) == v.toDouble })
   }
 
+  test("S1: python PLANAR (separated) 2-band deflate fixture decodes exactly") {
+    // band-major chunk order (TIFF6 §14): all band-1 strips, then all
+    // band-2 strips; each chunk carries one band's samples
+    val rows = graft.io.GeoTiff.readCells(spark,
+        res("py_planar2_deflate_gray8.tif")).collect()
+      .map(r => ((r.getInt(0), r.getDouble(1), r.getDouble(2)), r.getDouble(3)))
+      .toMap
+    val w = 21; val h = 13
+    assert(rows.size == 2 * w * h)
+    (0 until h).foreach { r =>
+      (0 until w).foreach { c =>
+        val key1 = (1, c + 0.5, 13.0 - r - 0.5)
+        val key2 = (2, c + 0.5, 13.0 - r - 0.5)
+        assert(rows(key1) == ((r * 7 + c) % 251).toDouble, s"b1 ($c,$r)")
+        assert(rows(key2) == ((r + c * 5) % 251).toDouble, s"b2 ($c,$r)")
+      }
+    }
+  }
+
   // ---- typed boundaries ----------------------------------------------
 
   private def writeIfd(path: String, tags: Seq[(Int, Int, Long)]): Unit = {
