@@ -118,9 +118,11 @@ def hdiff(data: bytearray, w: int, h: int, bytes_per: int) -> bytes:
 
 def write_tiff(path, width, height, raw, bits, sample_format, bytes_per,
                compression, predictor=1, rows_per_strip=None, tile=None,
-               origin=(0.0, 0.0), scale=(1.0, 1.0), planes=None):
+               origin=(0.0, 0.0), scale=(1.0, 1.0), planes=None, big=False):
     """planes: list of per-band raw buffers -> planar (separated) layout
-    (band-major chunk order); raw is ignored then."""
+    (band-major chunk order); raw is ignored then.
+    big: BigTIFF (magic 43, 8-byte offsets, 20-byte entries; strip
+    offset/count arrays written as LONG8 to exercise type 16)."""
     row_bytes = width * bytes_per
     chunks = []  # (data, w, h)
     if planes is not None:
@@ -169,15 +171,17 @@ def write_tiff(path, width, height, raw, bits, sample_format, bytes_per,
         encoded.append(e)
 
     n = len(encoded)
-    data_off = 8
+    data_off = 16 if big else 8
+    arr_entry = 8 if big else 4       # LONG8 vs LONG array elements
+    off_typ = 16 if big else 4
     offs = []
     p = data_off
     for e in encoded:
         offs.append(p)
         p += len(e)
     off_arr = p
-    cnt_arr = off_arr + (4 * n if n > 1 else 0)
-    scale_off = cnt_arr + (4 * n if n > 1 else 0)
+    cnt_arr = off_arr + (arr_entry * n if n > 1 else 0)
+    scale_off = cnt_arr + (arr_entry * n if n > 1 else 0)
     tie_off = scale_off + 24
     ifd_off = tie_off + 48
 
@@ -189,10 +193,11 @@ def write_tiff(path, width, height, raw, bits, sample_format, bytes_per,
     tags.append((262, 3, 1, 1))
     spp = len(planes) if planes is not None else 1
     if not tile:
-        tags.append((273, 4, n, offs[0] if n == 1 else off_arr))
+        tags.append((273, off_typ, n, offs[0] if n == 1 else off_arr))
         tags.append((277, 3, 1, spp))
         tags.append((278, 4, 1, rows_per_strip or height))
-        tags.append((279, 4, n, len(encoded[0]) if n == 1 else cnt_arr))
+        tags.append((279, off_typ, n,
+                     len(encoded[0]) if n == 1 else cnt_arr))
     else:
         tags.append((277, 3, 1, spp))
     if planes is not None:
@@ -202,33 +207,48 @@ def write_tiff(path, width, height, raw, bits, sample_format, bytes_per,
     if tile:
         tags.append((322, 4, 1, tile[0]))
         tags.append((323, 4, 1, tile[1]))
-        tags.append((324, 4, n, offs[0] if n == 1 else off_arr))
-        tags.append((325, 4, n, len(encoded[0]) if n == 1 else cnt_arr))
+        tags.append((324, off_typ, n, offs[0] if n == 1 else off_arr))
+        tags.append((325, off_typ, n,
+                     len(encoded[0]) if n == 1 else cnt_arr))
     tags.append((339, 3, 1, sample_format))
     tags.append((33550, 12, 3, scale_off))
     tags.append((33922, 12, 6, tie_off))
     tags.sort()
 
     buf = bytearray()
-    buf += b"II" + struct.pack("<HI", 42, ifd_off)
+    if big:
+        buf += b"II" + struct.pack("<HHHQ", 43, 8, 0, ifd_off)
+    else:
+        buf += b"II" + struct.pack("<HI", 42, ifd_off)
     for e in encoded:
         buf += e
     if n > 1:
+        fmt = "<Q" if big else "<I"
         for o in offs:
-            buf += struct.pack("<I", o)
+            buf += struct.pack(fmt, o)
         for e in encoded:
-            buf += struct.pack("<I", len(e))
+            buf += struct.pack(fmt, len(e))
     buf += struct.pack("<3d", scale[0], scale[1], 0.0)
     buf += struct.pack("<6d", 0.0, 0.0, 0.0, origin[0], origin[1], 0.0)
     assert len(buf) == ifd_off, (len(buf), ifd_off)
-    buf += struct.pack("<H", len(tags))
-    for tag, typ, count, value in tags:
-        buf += struct.pack("<HHI", tag, typ, count)
-        if typ == 3 and count == 1:
-            buf += struct.pack("<HH", value, 0)
-        else:
-            buf += struct.pack("<I", value)
-    buf += struct.pack("<I", 0)
+    if big:
+        buf += struct.pack("<Q", len(tags))
+        for tag, typ, count, value in tags:
+            buf += struct.pack("<HHQ", tag, typ, count)
+            if typ == 3 and count == 1:
+                buf += struct.pack("<H", value) + b"\x00" * 6
+            else:
+                buf += struct.pack("<Q", value)
+        buf += struct.pack("<Q", 0)
+    else:
+        buf += struct.pack("<H", len(tags))
+        for tag, typ, count, value in tags:
+            buf += struct.pack("<HHI", tag, typ, count)
+            if typ == 3 and count == 1:
+                buf += struct.pack("<HH", value, 0)
+            else:
+                buf += struct.pack("<I", value)
+        buf += struct.pack("<I", 0)
     with open(path, "wb") as f:
         f.write(buf)
 
@@ -293,6 +313,14 @@ def main():
     write_tiff(os.path.join(OUT, "py_planar2_deflate_gray8.tif"), w, h, b"",
                8, 1, 1, compression=8, rows_per_strip=6,
                origin=(0.0, 13.0), scale=(1.0, 1.0), planes=[b1, b2])
+
+    # 7. BigTIFF (magic 43): deflate uint8, strips of 4, LONG8 strip
+    # offset/count arrays (type 16)
+    w, h = 19, 11
+    vals = bytes((r * 17 + c * 3) % 253 for r in range(h) for c in range(w))
+    write_tiff(os.path.join(OUT, "py_bigtiff_deflate_gray8.tif"), w, h, vals,
+               8, 1, 1, compression=8, rows_per_strip=4,
+               origin=(7.0, 11.0), scale=(1.0, 1.0), big=True)
 
     print("fixtures written to", OUT)
 

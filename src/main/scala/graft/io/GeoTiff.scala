@@ -12,9 +12,11 @@ import graft.core.DataIOError
   * (src/data_preprocessing.py:462-492, rasterio at :470-472) for
   * everything a no-GDAL reader can honestly support:
   *
-  *   - classic TIFF, 8/16/32-bit integer or 32/64-bit float samples,
-  *     multi-band in CHUNKY (interleaved) or PLANAR (separated,
-  *     band-major chunk order per TIFF6 §14) configuration;
+  *   - classic TIFF and BigTIFF (magic 43: 8-byte offsets, 20-byte
+  *     IFD entries, LONG8 — the layout any raster past 4 GB ships
+  *     in), 8/16/32-bit integer or 32/64-bit float samples, multi-band
+  *     in CHUNKY (interleaved) or PLANAR (separated, band-major chunk
+  *     order per TIFF6 §14) configuration;
   *   - STRIP- and TILE-organized layouts (tiles are padded to full
   *     tile size in the data — edge tiles decode whole and clip);
   *   - compression none (1), LZW (5, TIFF variant: MSB-first codes,
@@ -23,8 +25,8 @@ import graft.core.DataIOError
   *   - horizontal-differencing predictor (2) for integer samples.
   *
   * Typed errors name the remaining boundaries: JPEG-in-TIFF (6/7 — no
-  * JDK-pure codec for the TIFF flavor), the floating-point predictor
-  * (3), BigTIFF. Same documented-boundary class as the video-codec
+  * JDK-pure codec for the TIFF flavor) and the floating-point
+  * predictor (3). Same documented-boundary class as the video-codec
   * stub.
   *
   * Scale: the DRIVER parses only the IFD (KB-sized); pixel decode is
@@ -158,46 +160,73 @@ object GeoTiff extends Serializable {
       val ord = if (little) ByteOrder.LITTLE_ENDIAN else ByteOrder.BIG_ENDIAN
       val hb = ByteBuffer.wrap(head).order(ord)
       val magic = hb.getShort(2) & 0xFFFF
-      if (magic == 43) throw DataIOError(path,
-        "BigTIFF (magic 43) unsupported — classic TIFF only")
-      if (magic != 42) throw DataIOError(path, s"bad TIFF magic $magic")
-      val ifdOff = hb.getInt(4) & 0xFFFFFFFFL
+      // BigTIFF (magic 43; Adobe BigTIFF spec, public): 8-byte offsets,
+      // 20-byte IFD entries, LONG8 types — the layout any raster past
+      // 4 GB ships in, i.e. the actually-relevant one at 100 TB
+      val bigTiff = magic == 43
+      if (!bigTiff && magic != 42)
+        throw DataIOError(path, s"bad TIFF magic $magic")
+      val ifdOff =
+        if (bigTiff) {
+          val more = new Array[Byte](8); raf.readFully(more)
+          val hb2 = ByteBuffer.wrap(head ++ more).order(ord)
+          val offSize = hb2.getShort(4) & 0xFFFF
+          if (offSize != 8) throw DataIOError(path,
+            s"BigTIFF offset size $offSize unsupported (spec fixes it at 8)")
+          hb2.getLong(8)
+        } else hb.getInt(4) & 0xFFFFFFFFL
 
+      val entrySize = if (bigTiff) 20 else 12
+      val valueSize = if (bigTiff) 8 else 4
       raf.seek(ifdOff)
-      val cntB = new Array[Byte](2); raf.readFully(cntB)
-      val nEntries = ByteBuffer.wrap(cntB).order(ord).getShort(0) & 0xFFFF
-      val entB = new Array[Byte](12 * nEntries); raf.readFully(entB)
+      val nEntries =
+        if (bigTiff) {
+          val c = new Array[Byte](8); raf.readFully(c)
+          val n = ByteBuffer.wrap(c).order(ord).getLong(0)
+          if (n < 0 || n > 65535) throw DataIOError(path,
+            s"implausible BigTIFF IFD entry count $n")
+          n.toInt
+        } else {
+          val c = new Array[Byte](2); raf.readFully(c)
+          ByteBuffer.wrap(c).order(ord).getShort(0) & 0xFFFF
+        }
+      val entB = new Array[Byte](entrySize * nEntries); raf.readFully(entB)
       val eb = ByteBuffer.wrap(entB).order(ord)
 
-      // tag -> (type, count, raw 4 value/offset bytes position)
+      // tag -> (type, count, position of the raw value/offset bytes)
       final case class Entry(typ: Int, count: Long, at: Int)
       val entries: Map[Int, Entry] = (0 until nEntries).map { i =>
-        val off = 12 * i
+        val off = entrySize * i
+        val count =
+          if (bigTiff) eb.getLong(off + 4)
+          else eb.getInt(off + 4) & 0xFFFFFFFFL
         (eb.getShort(off) & 0xFFFF) -> Entry(eb.getShort(off + 2) & 0xFFFF,
-          eb.getInt(off + 4) & 0xFFFFFFFFL, off + 8)
+          count, off + (if (bigTiff) 12 else 8))
       }.toMap
 
       def typeSize(t: Int): Int = t match {
         case 1 | 2 | 6 | 7 => 1; case 3 | 8 => 2; case 4 | 9 | 11 => 4
-        case 5 | 10 | 12 => 8
+        case 5 | 10 | 12 | 16 | 17 | 18 => 8 // 16/17/18 = (S)LONG8/IFD8
         case other => throw DataIOError(path, s"unknown TIFF field type $other")
       }
+      def valueOffset(e: Entry): Long =
+        if (bigTiff) eb.getLong(e.at) else eb.getInt(e.at) & 0xFFFFFFFFL
       // materialize a numeric-array tag value (inline or at offset)
       def longs(tag: Int): Option[Array[Long]] = entries.get(tag).map { e =>
         val total = typeSize(e.typ) * e.count.toInt
         val vb =
-          if (total <= 4) {
-            val a = new Array[Byte](4)
+          if (total <= valueSize) {
+            val a = new Array[Byte](valueSize)
             eb.position(e.at); eb.get(a); eb.rewind(); ByteBuffer.wrap(a).order(ord)
           } else {
-            val off = eb.getInt(e.at) & 0xFFFFFFFFL
-            raf.seek(off); val a = new Array[Byte](total)
+            raf.seek(valueOffset(e)); val a = new Array[Byte](total)
             raf.readFully(a); ByteBuffer.wrap(a).order(ord)
           }
         (0 until e.count.toInt).map { i =>
           e.typ match {
             case 3 => (vb.getShort(i * 2) & 0xFFFF).toLong
             case 4 => vb.getInt(i * 4) & 0xFFFFFFFFL
+            case 16 => vb.getLong(i * 8)
             case 1 => (vb.get(i) & 0xFF).toLong
             case other => throw DataIOError(path,
               s"tag $tag: expected integer type, got TIFF type $other")
@@ -207,10 +236,16 @@ object GeoTiff extends Serializable {
       def doubles(tag: Int): Option[Array[Double]] = entries.get(tag).map { e =>
         if (e.typ != 12) throw DataIOError(path,
           s"tag $tag: expected DOUBLE (12), got type ${e.typ}")
-        val off = eb.getInt(e.at) & 0xFFFFFFFFL
-        raf.seek(off)
-        val a = new Array[Byte](8 * e.count.toInt); raf.readFully(a)
-        val vb = ByteBuffer.wrap(a).order(ord)
+        val total = 8 * e.count.toInt
+        val vb =
+          if (total <= valueSize) { // BigTIFF fits ONE double inline
+            val a = new Array[Byte](valueSize)
+            eb.position(e.at); eb.get(a); eb.rewind(); ByteBuffer.wrap(a).order(ord)
+          } else {
+            raf.seek(valueOffset(e))
+            val a = new Array[Byte](total); raf.readFully(a)
+            ByteBuffer.wrap(a).order(ord)
+          }
         (0 until e.count.toInt).map(i => vb.getDouble(i * 8)).toArray
       }
       def long1(tag: Int, dflt: => Long): Long =

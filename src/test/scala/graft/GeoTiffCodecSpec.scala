@@ -187,6 +187,18 @@ class GeoTiffCodecSpec extends AnyFunSuite {
     }
   }
 
+  test("S1: python BigTIFF fixture (magic 43, LONG8 arrays) decodes exactly") {
+    val m = cellMap(res("py_bigtiff_deflate_gray8.tif"))
+    val w = 19; val h = 11
+    assert(m.size == w * h)
+    (0 until h).foreach { r =>
+      (0 until w).foreach { c =>
+        val v = ((r * 17 + c * 3) % 253).toDouble
+        assert(m((7.0 + c + 0.5, 11.0 - r - 0.5)) == v, s"($c,$r)")
+      }
+    }
+  }
+
   // ---- typed boundaries ----------------------------------------------
 
   private def writeIfd(path: String, tags: Seq[(Int, Int, Long)]): Unit = {

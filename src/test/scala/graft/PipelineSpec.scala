@@ -1059,7 +1059,9 @@ class SourcesSinksSpec extends AnyFunSuite {
     val routed = graft.io.Sources.openData(spark, s"$dir/r.tif")
     assert(routed.columns.toSeq == Seq("band", "x", "y", "value"))
     assert(routed.count() == 12)
-    // compressed/tiled/BigTIFF guards fail loudly
+    // a TRUNCATED BigTIFF header (magic 43, garbage IFD) fails with a
+    // typed error naming the format, not an arbitrary buffer crash
+    // (round 8: well-formed BigTIFF now decodes — GeoTiffCodecSpec)
     val junk = java.nio.ByteBuffer.allocate(16)
       .order(java.nio.ByteOrder.LITTLE_ENDIAN)
     junk.put('I'.toByte).put('I'.toByte).putShort(43.toShort).putInt(8)
