@@ -1449,6 +1449,84 @@ object Experimentation {
       lit(1000000L - w1).as("w2_ppm"), lit(mu2).as("mu2"),
       lit(v2).as("var2"))
   }
+  /** ML — univariate LOGISTIC REGRESSION fit by fixed-round Newton/IRLS
+    * (McCullagh & Nelder, GLMs — public literature): the most-used
+    * tabular classifier, fit on the (x, y) distinct-value rollup with
+    * integer-quantized state — the gmm2Em determinism discipline.
+    *
+    * Contract: x integer-valued (quantize upstream; rollup cardinality
+    * = |x values| × 2), y ∈ {0, 1}. State is 2 integers
+    * (b0_micro, b1_micro) — coefficients in micro-units, start (0, 0).
+    * Per iteration, per rollup row: η_micro = b0 + b1·x; p_ppm = ONE
+    * ppm-rounded logistic (floor(1e6/(1+exp(−η/1e6)) + 0.5) — identical
+    * tie semantics on both engines); weight w_ppm = p(1e6−p) div 1e6.
+    * Gradient/Hessian are exact decimal sums over the rollup; the
+    * Newton step solves the 2×2 system in exact integer arithmetic
+    * (adjugate over determinant, truncating division), so every
+    * iterate is engine-replayable — a DuckDB recursive CTE reproduces
+    * the whole trajectory bit-for-bit, modulo the shared sub-ulp libm
+    * risk every micro-nat op in the suite accepts. Guards, identical
+    * on both engines: no step when det ≤ 0 (all-saturated weights);
+    * coefficients clamp to ±50e6 micro (|β| ≤ 50 — quasi-separation
+    * cannot run the integers away).
+    *
+    * Returns ONE row: (n, n_distinct, iters, b0_micro, b1_micro).
+    *
+    * Scale: ONE fact pass builds the rollup (map-side combine); each
+    * Newton round is one broadcast-state scan + agg of the rollup; the
+    * driver holds a single 2-integer state row per round (the
+    * k-means-centroid license). */
+  def logisticIrls(df: DataFrame, xCol: Column, yCol: Column,
+      iters: Int = 6): DataFrame = {
+    require(iters >= 1 && iters <= 64, "1 <= iters <= 64")
+    val d38 = "decimal(38,0)"
+    val spark = df.sparkSession
+    val rk = df.select(xCol.cast("long").as("__x"),
+        yCol.cast("int").cast("long").as("__y"))
+      .groupBy(col("__x"), col("__y")).agg(count(lit(1)).as("__c"))
+      .localCheckpoint() // read iters+1 times
+    val n = rk.agg(sum(col("__c")).as("n")).collect()(0).getAs[Long]("n")
+    require(n >= 2, "logisticIrls needs at least 2 rows")
+    val clamp = 50000000L
+    var b0 = 0L; var b1 = 0L
+    var it = 0
+    while (it < iters) {
+      val scored = rk
+        .withColumn("__p", floor(lit(1e6) /
+          (lit(1.0) + exp(-(lit(b0) + lit(b1) * col("__x"))
+            .cast("double") / 1e6)) + 0.5).cast("long"))
+        .withColumn("__w", expr("(__p * (1000000L - __p)) div 1000000L"))
+        .withColumn("__r", col("__y") * lit(1000000L) - col("__p"))
+      val s = scored.agg(
+        sum(col("__c").cast(d38) * col("__r").cast(d38)).cast(d38).as("g0"),
+        sum(col("__c").cast(d38) * col("__r").cast(d38) *
+          col("__x").cast(d38)).cast(d38).as("g1"),
+        sum(col("__c").cast(d38) * col("__w").cast(d38)).cast(d38).as("h00"),
+        sum(col("__c").cast(d38) * col("__w").cast(d38) *
+          col("__x").cast(d38)).cast(d38).as("h01"),
+        sum(col("__c").cast(d38) * col("__w").cast(d38) *
+          col("__x").cast(d38) * col("__x").cast(d38)).cast(d38).as("h11"))
+        .collect()(0)
+      def big(i: Int) = BigInt(s.getAs[java.math.BigDecimal](i).toBigInteger)
+      val (g0, g1, h00, h01, h11) = (big(0), big(1), big(2), big(3), big(4))
+      val det = h00 * h11 - h01 * h01
+      if (det > 0) {
+        // δ_micro = 1e6·adj(H)·g / det: H is stored at 1e6× natural
+        // scale (w in ppm) and g at 1e6× (residual in ppm), so the
+        // scales cancel to 1 and the 1e6 factor lands δ in micro-units
+        b0 = math.max(-clamp, math.min(clamp,
+          b0 + ((BigInt(1000000) * (h11 * g0 - h01 * g1)) / det).toLong))
+        b1 = math.max(-clamp, math.min(clamp,
+          b1 + ((BigInt(1000000) * (h00 * g1 - h01 * g0)) / det).toLong))
+      }
+      it += 1
+    }
+    val nd = rk.count()
+    spark.range(1).select(lit(n).as("n"), lit(nd).as("n_distinct"),
+      lit(iters.toLong).as("iters"),
+      lit(b0).as("b0_micro"), lit(b1).as("b1_micro"))
+  }
+
   /** A-stat/causal — synthetic-control gap readout (Abadie, Diamond &
     * Hainmueller 2010, JASA; simplex-lattice weight fit): build the
     * counterfactual for ONE treated unit as the convex combination of

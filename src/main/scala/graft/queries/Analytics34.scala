@@ -153,5 +153,74 @@ object Analytics34 {
       "release draws the geometrics from secret entropy, under which " +
       "the epsilon = k*ln2 analysis holds.")
 
-  val all: Seq[Declared] = Seq(q454, q455, q456)
+  /** q460 — ML: univariate logistic regression by fixed-round
+    * Newton/IRLS — P(extendedprice > 30000 | quantity), a genuinely
+    * sloped relationship (price = qty × unit price). Integer-quantized
+    * state on the (quantity, label) rollup; the oracle replays all 6
+    * Newton rounds as a recursive CTE with window-aggregated
+    * gradient/Hessian sums and the exact 2×2 adjugate solve (the q401
+    * GMM device). */
+  val q460 = Declared(
+    "q460_logreg_irls", "ML",
+    (s, dir) => graft.ops.Experimentation.logisticIrls(
+      Tables.lineitem(s, dir),
+      col("l_quantity"),
+      expr("CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)" +
+        " > 3000000L"),
+      iters = 6),
+    Some("""WITH RECURSIVE rk AS MATERIALIZED (
+           |  SELECT CAST(l_quantity AS BIGINT) AS x,
+           |    CASE WHEN CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100
+           |        AS BIGINT) > 3000000 THEN 1 ELSE 0 END AS y,
+           |    CAST(count(*) AS BIGINT) AS c
+           |  FROM lineitem GROUP BY 1, 2),
+           |nn AS MATERIALIZED (
+           |  SELECT CAST(sum(c) AS BIGINT) AS n,
+           |    CAST(count(*) AS BIGINT) AS nd FROM rk),
+           |st(it, b0, b1) AS (
+           |  SELECT 0, CAST(0 AS BIGINT), CAST(0 AS BIGINT)
+           |  UNION ALL
+           |  SELECT it + 1,
+           |    CASE WHEN det > 0 THEN greatest(-50000000, least(50000000,
+           |        b0 + CAST((1000000 * (h11 * g0 - h01 * g1)) // det
+           |          AS BIGINT)))
+           |      ELSE b0 END,
+           |    CASE WHEN det > 0 THEN greatest(-50000000, least(50000000,
+           |        b1 + CAST((1000000 * (h00 * g1 - h01 * g0)) // det
+           |          AS BIGINT)))
+           |      ELSE b1 END
+           |  FROM (
+           |    SELECT y2.*, h00 * h11 - h01 * h01 AS det
+           |    FROM (
+           |      SELECT t.it, t.b0, t.b1,
+           |        sum(CAST(c AS HUGEINT) * (y * 1000000 - p)) OVER ()
+           |          AS g0,
+           |        sum(CAST(c AS HUGEINT) * (y * 1000000 - p) * x) OVER ()
+           |          AS g1,
+           |        sum(CAST(c AS HUGEINT)
+           |          * ((p * (1000000 - p)) // 1000000)) OVER () AS h00,
+           |        sum(CAST(c AS HUGEINT)
+           |          * ((p * (1000000 - p)) // 1000000) * x) OVER ()
+           |          AS h01,
+           |        sum(CAST(c AS HUGEINT)
+           |          * ((p * (1000000 - p)) // 1000000) * x * x) OVER ()
+           |          AS h11,
+           |        row_number() OVER (ORDER BY x, y) AS rn
+           |      FROM (
+           |        SELECT st.it, st.b0, st.b1, rk.x, rk.y, rk.c,
+           |          CAST(floor(1e6 / (1.0 + exp(
+           |            -CAST(st.b0 + st.b1 * rk.x AS DOUBLE) / 1e6)) + 0.5)
+           |            AS BIGINT) AS p
+           |        FROM st, rk WHERE st.it < 6) t) y2
+           |    WHERE rn = 1) z)
+           |SELECT n, nd AS n_distinct, CAST(6 AS BIGINT) AS iters,
+           |  b0 AS b0_micro, b1 AS b1_micro
+           |FROM st, nn WHERE it = 6""".stripMargin),
+    "ONE fact pass builds the (x, y) rollup with map-side combine; " +
+      "each Newton round is a broadcast-state scan + agg of the rollup " +
+      "and the driver holds a single 2-integer state row (the k-means-" +
+      "centroid license). Quantize continuous features upstream — the " +
+      "rollup IS the contract, exactly like gmm2Em's.")
+
+  val all: Seq[Declared] = Seq(q454, q455, q456, q460)
 }

@@ -766,6 +766,32 @@ class ExperimentationSpec extends AnyFunSuite {
       .collect()(0)
     assert(r.toSeq == r13.toSeq)
   }
+  test("ML: logisticIrls — hits the closed-form two-level MLE, partition-invariant") {
+    // x in {0, 1}: P(y=1|x=0) = 1/4, P(y=1|x=1) = 3/4 — the saturated
+    // MLE is b0 = ln(1/3) = -1.098612, b0+b1 = ln(3), so
+    // b1 = ln(9) = 2.197225 (micro-units, within quantization)
+    val rows = Seq.fill(3)((0L, 0L)) ++ Seq((0L, 1L)) ++
+      Seq((1L, 0L)) ++ Seq.fill(3)((1L, 1L))
+    val df = rows.toDF("x", "y")
+    val r = Experimentation.logisticIrls(df, col("x"), col("y"), iters = 8)
+      .collect()(0)
+    assert(r.getAs[Long]("n") == 8L && r.getAs[Long]("n_distinct") == 4L)
+    assert(math.abs(r.getAs[Long]("b0_micro") - (-1098612L)) <= 3L,
+      s"b0 ${r.getAs[Long]("b0_micro")}")
+    assert(math.abs(r.getAs[Long]("b1_micro") - 2197225L) <= 5L,
+      s"b1 ${r.getAs[Long]("b1_micro")}")
+    // bit-identical under repartitioning (integer-quantized trajectory)
+    val r13 = Experimentation.logisticIrls(
+      df.repartition(13), col("x"), col("y"), iters = 8).collect()(0)
+    assert(r.toSeq == r13.toSeq)
+    // quasi-separated data cannot run the integers away: the clamp holds
+    val sep = Seq((0L, 0L), (0L, 0L), (10L, 1L), (10L, 1L)).toDF("x", "y")
+    val rs = Experimentation.logisticIrls(sep, col("x"), col("y"),
+      iters = 20).collect()(0)
+    assert(math.abs(rs.getAs[Long]("b0_micro")) <= 50000000L)
+    assert(math.abs(rs.getAs[Long]("b1_micro")) <= 50000000L)
+  }
+
   test("A-stat: syntheticControl — perfect donor gets all weight, post gap read out") {
     // treated 0 tracks donor 1 exactly pre-period; donor 2 is noise
     val panel = Seq(
