@@ -316,4 +316,43 @@ class PropertySpec extends AnyFunSuite {
       assert(got == naive(pts, eps, minPts))
     }
   }
+
+  test("law: TIFF codecs round-trip arbitrary byte streams (LZW/PackBits/predictor)") {
+    import graft.io.GeoTiff.Codecs
+    // byte-content generators spanning the codec-relevant regimes:
+    // long runs (PackBits packets, LZW dictionary hits), small
+    // alphabets (deep LZW chains), and full-range noise (incompressible
+    // paths, width changes); sizes straddle row and code boundaries
+    val contentGen = for {
+      size <- Gen.chooseNum(1, 5000)
+      mode <- Gen.chooseNum(0, 2)
+      bytes <- mode match {
+        case 0 => Gen.listOfN(size, Gen.chooseNum(0, 3).map(_.toByte))
+        case 1 => Gen.listOfN(size, Gen.oneOf(Seq(7.toByte, 9.toByte)))
+        case _ => Gen.listOfN(size, Gen.chooseNum(-128, 127).map(_.toByte))
+      }
+    } yield bytes.toArray
+    samples(contentGen, 40).foreach { data =>
+      val lzw = Codecs.lzwDecode(Codecs.lzwEncode(data), data.length, "prop")
+      assert(java.util.Arrays.equals(lzw, data), s"lzw n=${data.length}")
+      val defl = Codecs.inflate(Codecs.deflate(data), data.length, "prop")
+      assert(java.util.Arrays.equals(defl, data), s"deflate n=${data.length}")
+    }
+    // PackBits + predictor operate on (w, h)-shaped buffers
+    val shapedGen = for {
+      w <- Gen.chooseNum(1, 60)
+      h <- Gen.chooseNum(1, 40)
+      bytesPer <- Gen.oneOf(1, 2, 4)
+      bytes <- Gen.listOfN(w * h * bytesPer, Gen.chooseNum(-128, 127).map(_.toByte))
+    } yield (w, h, bytesPer, bytes.toArray)
+    samples(shapedGen, 40).foreach { case (w, h, bytesPer, data) =>
+      val pb = Codecs.packBitsDecode(
+        Codecs.packBitsEncode(data, w * bytesPer), data.length, "prop")
+      assert(java.util.Arrays.equals(pb, data), s"packbits ${w}x$h")
+      val d = data.clone()
+      Codecs.applyHorizontalDiff(d, w, h, 1, bytesPer, littleEndian = true)
+      Codecs.undoHorizontalDiff(d, w, h, 1, bytesPer, littleEndian = true)
+      assert(java.util.Arrays.equals(d, data), s"predictor ${w}x$h b$bytesPer")
+    }
+  }
 }
