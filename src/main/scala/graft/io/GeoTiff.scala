@@ -21,13 +21,16 @@ import graft.core.DataIOError
   *     tile size in the data — edge tiles decode whole and clip);
   *   - compression none (1), LZW (5, TIFF variant: MSB-first codes,
   *     9→12-bit early change), Deflate (8 and legacy 32946, zlib
-  *     streams via java.util.zip.Inflater), PackBits (32773);
+  *     streams via java.util.zip.Inflater), PackBits (32773), and
+  *     new-style JPEG (7, TechNote2) via the JDK's ImageIO codec —
+  *     full-JIF chunks or abbreviated streams sharing a JPEGTables
+  *     (347) segment;
   *   - horizontal-differencing predictor (2) for integer samples.
   *
-  * Typed errors name the remaining boundaries: JPEG-in-TIFF (6/7 — no
-  * JDK-pure codec for the TIFF flavor) and the floating-point
-  * predictor (3). Same documented-boundary class as the video-codec
-  * stub.
+  * Typed errors name the remaining boundaries: old-style JPEG (6 —
+  * the deprecated pre-TechNote2 flavor has no coherent spec) and the
+  * floating-point predictor (3). Same documented-boundary class as
+  * the video-codec stub.
   *
   * Scale: the DRIVER parses only the IFD (KB-sized); pixel decode is
   * DISTRIBUTED — each task seeks to its own strips/tiles, inflates,
@@ -45,6 +48,7 @@ object GeoTiff extends Serializable {
       littleEndian: Boolean, width: Int, height: Int,
       bitsPerSample: Int, sampleFormat: Int, samplesPerPixel: Int,
       compression: Long, predictor: Int, planar: Boolean,
+      jpegTables: Array[Byte],
       tiled: Boolean, chunkW: Int, chunkH: Int, across: Int,
       offsets: Array[Long], byteCounts: Array[Long],
       originX: Double, originY: Double, scaleX: Double, scaleY: Double,
@@ -107,13 +111,19 @@ object GeoTiff extends Serializable {
     val dataRows =
       if (m.tiled) m.chunkH else math.min(m.chunkH, m.height - rowStart)
     val rawSize = m.chunkW * dataRows * spp * bytesPer
-    val buf = Codecs.decompress(comp, m.compression, rawSize, path)
-    if (buf.length < rawSize)
-      throw DataIOError(path, s"chunk at byte $offset decompressed to " +
-        s"${buf.length} bytes, need $rawSize")
-    if (m.predictor == 2)
-      Codecs.undoHorizontalDiff(buf, m.chunkW, dataRows, spp, bytesPer,
-        m.littleEndian)
+    val buf =
+      if (m.compression == 7L)
+        Codecs.jpegDecode(comp, m.jpegTables, m.chunkW, dataRows, spp, path)
+      else {
+        val b = Codecs.decompress(comp, m.compression, rawSize, path)
+        if (b.length < rawSize)
+          throw DataIOError(path, s"chunk at byte $offset decompressed to " +
+            s"${b.length} bytes, need $rawSize")
+        if (m.predictor == 2)
+          Codecs.undoHorizontalDiff(b, m.chunkW, dataRows, spp, bytesPer,
+            m.littleEndian)
+        b
+      }
     val bb = ByteBuffer.wrap(buf).order(
       if (m.littleEndian) ByteOrder.LITTLE_ENDIAN else ByteOrder.BIG_ENDIAN)
     def sample(idx: Int): Double = (m.bitsPerSample, m.sampleFormat) match {
@@ -253,15 +263,24 @@ object GeoTiff extends Serializable {
 
       val compression = long1(259, 1L)
       compression match {
-        case 1L | 5L | 8L | 32946L | 32773L => // none/LZW/deflate/packbits
-        case 6L | 7L => throw DataIOError(path,
-          "JPEG-in-TIFF unsupported — no JDK-pure codec for the TIFF " +
-            "JPEG flavor; re-export deflate/LZW or ingest via the " +
-            "cell-table parquet path")
+        case 1L | 5L | 7L | 8L | 32946L | 32773L => // none/LZW/JPEG/deflate/packbits
+        case 6L => throw DataIOError(path,
+          "old-style JPEG-in-TIFF (compression=6) unsupported — the " +
+            "deprecated pre-TechNote2 flavor has no coherent spec; " +
+            "re-export as compression=7 or deflate")
         case other => throw DataIOError(path,
-          s"compression=$other unsupported (none=1, LZW=5, Deflate=8/" +
-            "32946, PackBits=32773)")
+          s"compression=$other unsupported (none=1, LZW=5, JPEG=7, " +
+            "Deflate=8/32946, PackBits=32773)")
       }
+      // raw byte-array tag value (inline or at offset) — JPEGTables (347)
+      def rawBytes(tag: Int): Array[Byte] = entries.get(tag).map { e =>
+        val total = typeSize(e.typ) * e.count.toInt
+        val a = new Array[Byte](total)
+        if (total <= valueSize) { eb.position(e.at); eb.get(a); eb.rewind() }
+        else { raf.seek(valueOffset(e)); raf.readFully(a) }
+        a
+      }.getOrElse(Array.emptyByteArray)
+      val jpegTables = if (compression == 7L) rawBytes(347) else Array.emptyByteArray
       val planarCfg = long1(284, 1L)
       if (planarCfg != 1L && planarCfg != 2L) throw DataIOError(path,
         s"unknown PlanarConfiguration $planarCfg (chunky=1, separated=2)")
@@ -274,7 +293,11 @@ object GeoTiff extends Serializable {
       if (bps.distinct.length != 1) throw DataIOError(path,
         s"heterogeneous BitsPerSample ${bps.mkString(",")} unsupported")
       val sampleFormat = long1(339, 1L).toInt
+      if (compression == 7L && bps.head != 8L) throw DataIOError(path,
+        s"JPEG-in-TIFF requires 8-bit samples, got ${bps.head}")
       val predictor = long1(317, 1L).toInt
+      if (compression == 7L && predictor != 1) throw DataIOError(path,
+        "predictor with JPEG compression is not meaningful — corrupt file")
       predictor match {
         case 1 => // none
         case 2 =>
@@ -328,7 +351,8 @@ object GeoTiff extends Serializable {
         case _ => (0.0, 0.0, 1.0, 1.0, false)
       }
       Meta(little, width, height, bps.head.toInt, sampleFormat, spp,
-        compression, predictor, planar, tiled, chunkW, chunkH, across,
+        compression, predictor, planar, jpegTables,
+        tiled, chunkW, chunkH, across,
         offs, cnts, ox, oy, sx, sy, hasGeo)
     } finally raf.close()
   }
@@ -557,6 +581,111 @@ object GeoTiff extends Serializable {
       out.toByteArray
     }
 
+    /** Decode one JPEG-compressed chunk (compression 7, TechNote2
+      * "new-style") via the JDK's ImageIO JPEG codec. `tables` is the
+      * JPEGTables tag (347) content — an abbreviated tables-only
+      * stream (SOI, DQT/DHT…, EOI) shared by every chunk; empty when
+      * each chunk carries a complete JIF. Emits chunky 8-bit samples.
+      * JPEG pads to MCU multiples internally, so the decoded image may
+      * exceed the expected dims — extra rows/cols are clipped. */
+    def jpegDecode(chunk: Array[Byte], tables: Array[Byte], w: Int,
+        h: Int, spp: Int, path: String): Array[Byte] = {
+      val stream =
+        if (tables.length >= 4) mergeAbbreviated(tables, chunk) else chunk
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(stream))
+      if (img == null)
+        throw DataIOError(path, "JPEG chunk failed to decode")
+      if (img.getWidth < w || img.getHeight < h)
+        throw DataIOError(path, s"JPEG chunk ${img.getWidth}x" +
+          s"${img.getHeight} smaller than the layout's ${w}x$h")
+      val raster = img.getRaster
+      if (raster.getNumBands != spp)
+        throw DataIOError(path, s"JPEG chunk decodes to " +
+          s"${raster.getNumBands} band(s), SamplesPerPixel says $spp")
+      val out = new Array[Byte](w * h * spp)
+      var i = 0; var r = 0
+      while (r < h) {
+        var c = 0
+        while (c < w) {
+          var b = 0
+          while (b < spp) {
+            out(i) = raster.getSample(c, r, b).toByte; i += 1; b += 1
+          }
+          c += 1
+        }
+        r += 1
+      }
+      out
+    }
+
+    /** Tables-only stream (SOI … EOI) + abbreviated image stream
+      * (SOI …) → one complete JIF: drop the tables' EOI and the
+      * image's SOI, concatenate. */
+    def mergeAbbreviated(tables: Array[Byte],
+        image: Array[Byte]): Array[Byte] = {
+      val t = if (tables.length >= 2 &&
+          (tables(tables.length - 2) & 0xFF) == 0xFF &&
+          (tables(tables.length - 1) & 0xFF) == 0xD9)
+        tables.dropRight(2) else tables
+      val i = if (image.length >= 2 && (image(0) & 0xFF) == 0xFF &&
+          (image(1) & 0xFF) == 0xD8) image.drop(2) else image
+      t ++ i
+    }
+
+    /** Encode one grayscale 8-bit chunk as a complete JIF (writer/
+      * fixture side; quality 0.95 keeps smooth test ramps within ±2). */
+    def jpegEncodeGray(d: Array[Byte], w: Int, h: Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+      val wr = img.getRaster
+      var idx = 0; var r = 0
+      while (r < h) {
+        var c = 0
+        while (c < w) { wr.setSample(c, r, 0, d(idx) & 0xFF); idx += 1; c += 1 }
+        r += 1
+      }
+      val writer = javax.imageio.ImageIO
+        .getImageWritersByFormatName("jpeg").next()
+      val param = writer.getDefaultWriteParam
+      param.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
+      param.setCompressionQuality(0.95f)
+      val bos = new java.io.ByteArrayOutputStream()
+      val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+      try {
+        writer.setOutput(ios)
+        writer.write(null, new javax.imageio.IIOImage(img, null, null), param)
+      } finally { ios.close(); writer.dispose() }
+      bos.toByteArray
+    }
+
+    /** Split a complete JIF into (DQT/DHT table segments, the stream
+      * with those segments removed) — the writer's JPEGTables (347)
+      * surgery. Entropy data from SOS onward passes through verbatim. */
+    def jifStripTables(jif: Array[Byte]): (Array[Byte], Array[Byte]) = {
+      require(jif.length >= 4 && (jif(0) & 0xFF) == 0xFF &&
+        (jif(1) & 0xFF) == 0xD8, "not a JIF stream")
+      val tables = new java.io.ByteArrayOutputStream()
+      val rest = new java.io.ByteArrayOutputStream()
+      rest.write(0xFF); rest.write(0xD8)
+      var p = 2
+      var done = false
+      while (!done && p + 4 <= jif.length) {
+        if ((jif(p) & 0xFF) != 0xFF)
+          throw new IllegalStateException(s"bad JIF marker at $p")
+        val marker = jif(p + 1) & 0xFF
+        if (marker == 0xDA) { // SOS: segment + entropy data to the end
+          rest.write(jif, p, jif.length - p); done = true
+        } else {
+          val len = (((jif(p + 2) & 0xFF) << 8) | (jif(p + 3) & 0xFF)) + 2
+          val dst = if (marker == 0xDB || marker == 0xC4) tables else rest
+          dst.write(jif, p, len)
+          p += len
+        }
+      }
+      (tables.toByteArray, rest.toByteArray)
+    }
+
     /** In-place horizontal-differencing UNDO (predictor 2): within each
       * row, each pixel's sample adds the previous pixel's same-channel
       * sample, wrapping at the sample width. */
@@ -613,8 +742,8 @@ object GeoTiff extends Serializable {
   // ---- minimal writer (fixtures + raster sink) -----------------------
 
   /** Compression selector for the writers. */
-  val CompNone = 1L; val CompLzw = 5L; val CompDeflate = 8L
-  val CompPackBits = 32773L
+  val CompNone = 1L; val CompLzw = 5L; val CompJpeg = 7L
+  val CompDeflate = 8L; val CompPackBits = 32773L
 
   /** Write a single-band float32 GeoTIFF from a row-major value array —
     * the symmetric fixture/sink half of [[readCells]]. `origin` is the
@@ -655,11 +784,31 @@ object GeoTiff extends Serializable {
       rowsPerStrip, tile, predictor)
   }
 
+  /** Write a single-band 8-bit GRAYSCALE JPEG-compressed GeoTIFF
+    * (compression 7) — the fixture/round-trip half of the JPEG decode
+    * path. LOSSY by nature: values survive within codec error (±2 on
+    * smooth content at quality 0.95), unlike every other writer here.
+    * `abbreviatedTables = true` moves the shared DQT/DHT segments into
+    * the JPEGTables tag (347) and strips them from each chunk — the
+    * layout GDAL emits. */
+  def writeGray8Jpeg(path: String, width: Int, height: Int,
+      values: Array[Int], origin: (Double, Double),
+      scale: (Double, Double), rowsPerStrip: Int = 0,
+      abbreviatedTables: Boolean = false): Unit = {
+    require(values.length == width * height,
+      s"values.length ${values.length} != $width*$height")
+    require(values.forall(v => v >= 0 && v <= 0xFF), "values must fit uint8")
+    writeRaster(path, width, height, values.map(_.toByte), bytesPer = 1,
+      bitsPerSample = 8, sampleFormat = 1, origin, scale, CompJpeg,
+      rowsPerStrip, tile = None, predictor = 1,
+      jpegAbbrev = abbreviatedTables)
+  }
+
   private def writeRaster(path: String, width: Int, height: Int,
       raw: Array[Byte], bytesPer: Int, bitsPerSample: Int,
       sampleFormat: Int, origin: (Double, Double), scale: (Double, Double),
       compression: Long, rowsPerStrip: Int, tile: Option[(Int, Int)],
-      predictor: Int): Unit = {
+      predictor: Int, jpegAbbrev: Boolean = false): Unit = {
     require(predictor == 1 || (predictor == 2 && sampleFormat != 3),
       "predictor 2 is integer-only")
     val rowBytes = width * bytesPer
@@ -703,38 +852,54 @@ object GeoTiff extends Serializable {
       compression match {
         case 1L => d
         case 5L => Codecs.lzwEncode(d)
+        case 7L => Codecs.jpegEncodeGray(d, ch.w, ch.h)
         case 8L => Codecs.deflate(d)
         case 32773L => Codecs.packBitsEncode(d, ch.w * bytesPer)
         case other => throw new IllegalArgumentException(
           s"writer compression $other unsupported")
       }
     }
+    // JPEGTables surgery: every chunk shares the writer's DQT/DHT, so
+    // the FIRST chunk's tables serve all; tag 347 = SOI + tables + EOI
+    val (encodedFinal, jpegTables): (IndexedSeq[Array[Byte]], Array[Byte]) =
+      if (compression == 7L && jpegAbbrev) {
+        val split = encoded.map(Codecs.jifStripTables)
+        val tbl = Array(0xFF.toByte, 0xD8.toByte) ++ split.head._1 ++
+          Array(0xFF.toByte, 0xD9.toByte)
+        (split.map(_._2), tbl)
+      } else (encoded, Array.emptyByteArray)
 
-    // layout: 8 header | chunk data... | offsets arrays | geo doubles | IFD
+    // layout: 8 header | chunk data... | offsets arrays | JPEGTables |
+    // geo doubles | IFD
     val dataOff = 8
-    val offs = new Array[Long](encoded.length)
+    val offs = new Array[Long](encodedFinal.length)
     var p = dataOff
-    encoded.indices.foreach { i => offs(i) = p.toLong; p += encoded(i).length }
-    val nChunks = encoded.length
+    encodedFinal.indices.foreach { i =>
+      offs(i) = p.toLong; p += encodedFinal(i).length }
+    val nChunks = encodedFinal.length
     // >1 chunk: offset/count arrays live out-of-line (4 bytes each entry)
     val offArrOff = p
     val cntArrOff = offArrOff + (if (nChunks > 1) 4 * nChunks else 0)
-    val scaleOff = cntArrOff + (if (nChunks > 1) 4 * nChunks else 0)
+    val tablesOff = cntArrOff + (if (nChunks > 1) 4 * nChunks else 0)
+    val scaleOff = tablesOff + jpegTables.length
     val tieOff = scaleOff + 24
     val ifdOff = tieOff + 48
     val tiled = tile.isDefined
     // exact tag list: base 9 (width,height,bits,comp,photo,spp,format,
     // scale,tiepoint) + layout 3 or 4 (strips: offsets,rps,counts;
-    // tiles: tw,th,offsets,counts) + predictor when != 1
-    val nTags = 9 + (if (tiled) 4 else 3) + (if (predictor != 1) 1 else 0)
+    // tiles: tw,th,offsets,counts) + predictor when != 1 + JPEGTables
+    // when abbreviated
+    val nTags = 9 + (if (tiled) 4 else 3) + (if (predictor != 1) 1 else 0) +
+      (if (jpegTables.nonEmpty) 1 else 0)
     val buf = ByteBuffer.allocate(ifdOff + 2 + 12 * nTags + 4)
       .order(ByteOrder.LITTLE_ENDIAN)
     buf.put('I'.toByte).put('I'.toByte).putShort(42.toShort).putInt(ifdOff)
-    encoded.foreach(buf.put)
+    encodedFinal.foreach(buf.put)
     if (nChunks > 1) {
       offs.foreach(o => buf.putInt(o.toInt))
-      encoded.foreach(e => buf.putInt(e.length))
+      encodedFinal.foreach(e => buf.putInt(e.length))
     }
+    buf.put(jpegTables)
     buf.putDouble(scale._1).putDouble(scale._2).putDouble(0.0)
     buf.putDouble(0.0).putDouble(0.0).putDouble(0.0)
     buf.putDouble(origin._1).putDouble(origin._2).putDouble(0.0)
@@ -757,7 +922,7 @@ object GeoTiff extends Serializable {
       entry(278, 4, 1,                        // RowsPerStrip
         (if (rowsPerStrip <= 0) height else rowsPerStrip).toLong)
       entry(279, 4, nChunks,                  // StripByteCounts
-        if (nChunks == 1) encoded(0).length.toLong else cntArrOff.toLong)
+        if (nChunks == 1) encodedFinal(0).length.toLong else cntArrOff.toLong)
     } else entry(277, 3, 1, 1L)               // SamplesPerPixel
     if (predictor != 1) entry(317, 3, 1, predictor.toLong)
     if (tiled) {
@@ -766,9 +931,11 @@ object GeoTiff extends Serializable {
       entry(324, 4, nChunks,                  // TileOffsets
         if (nChunks == 1) offs(0) else offArrOff.toLong)
       entry(325, 4, nChunks,                  // TileByteCounts
-        if (nChunks == 1) encoded(0).length.toLong else cntArrOff.toLong)
+        if (nChunks == 1) encodedFinal(0).length.toLong else cntArrOff.toLong)
     }
     entry(339, 3, 1, sampleFormat.toLong)     // SampleFormat
+    if (jpegTables.nonEmpty)
+      entry(347, 7, jpegTables.length, tablesOff.toLong) // JPEGTables
     entry(33550, 12, 3, scaleOff.toLong)      // ModelPixelScale
     entry(33922, 12, 6, tieOff.toLong)        // ModelTiepoint
     buf.putInt(0)                             // next IFD: none

@@ -199,6 +199,36 @@ class GeoTiffCodecSpec extends AnyFunSuite {
     }
   }
 
+  test("S1: JPEG-in-TIFF round-trips within codec error; tables variant identical") {
+    val dir = tmpDir()
+    val w = 24; val h = 16
+    // smooth ramp: JPEG at quality 0.95 stays within a few counts
+    val vals = Array.tabulate(w * h)(i => (i / w) * 4 + (i % w) * 2)
+    graft.io.GeoTiff.writeGray8Jpeg(s"$dir/full.tif", w, h, vals,
+      origin = (0.0, h.toDouble), scale = (1.0, 1.0), rowsPerStrip = 5)
+    graft.io.GeoTiff.writeGray8Jpeg(s"$dir/abbrev.tif", w, h, vals,
+      origin = (0.0, h.toDouble), scale = (1.0, 1.0), rowsPerStrip = 5,
+      abbreviatedTables = true)
+    // abbreviated file carries the DQT/DHT once, not per strip
+    val szF = java.nio.file.Files.size(java.nio.file.Paths.get(s"$dir/full.tif"))
+    val szA = java.nio.file.Files.size(java.nio.file.Paths.get(s"$dir/abbrev.tif"))
+    assert(szA < szF, s"abbrev $szA !< full $szF")
+    val mF = cellMap(s"$dir/full.tif")
+    assert(mF.size == w * h)
+    (0 until h).foreach { r =>
+      (0 until w).foreach { c =>
+        val got = mF((c + 0.5, h - r - 0.5))
+        assert(math.abs(got - vals(r * w + c)) <= 3.0,
+          s"($c,$r): $got vs ${vals(r * w + c)}")
+      }
+    }
+    // the JPEGTables merge path reconstructs the SAME entropy stream:
+    // decoded pixels must be IDENTICAL, not merely close
+    assert(cellMap(s"$dir/abbrev.tif") == mF)
+    // and decode is deterministic
+    assert(cellMap(s"$dir/full.tif") == mF)
+  }
+
   // ---- typed boundaries ----------------------------------------------
 
   private def writeIfd(path: String, tags: Seq[(Int, Int, Long)]): Unit = {
@@ -216,12 +246,12 @@ class GeoTiffCodecSpec extends AnyFunSuite {
     java.nio.file.Files.write(java.nio.file.Paths.get(path), buf.array())
   }
 
-  test("S1: JPEG-in-TIFF, float predictor and predictor-2-on-float fail typed") {
+  test("S1: old-style JPEG, float predictor and predictor-2-on-float fail typed") {
     val dir = tmpDir()
-    writeIfd(s"$dir/jpeg.tif", Seq((256, 4, 4L), (257, 4, 4L), (259, 3, 7L)))
+    writeIfd(s"$dir/jpeg6.tif", Seq((256, 4, 4L), (257, 4, 4L), (259, 3, 6L)))
     val e1 = intercept[graft.core.DataIOError] {
-      graft.io.GeoTiff.readCells(spark, s"$dir/jpeg.tif") }
-    assert(e1.getMessage.contains("JPEG"))
+      graft.io.GeoTiff.readCells(spark, s"$dir/jpeg6.tif") }
+    assert(e1.getMessage.contains("old-style JPEG"))
 
     writeIfd(s"$dir/fpred.tif", Seq((256, 4, 4L), (257, 4, 4L),
       (259, 3, 8L), (317, 3, 3L)))
