@@ -116,6 +116,23 @@ def hdiff(data: bytearray, w: int, h: int, bytes_per: int) -> bytes:
     return bytes(out)
 
 
+def fpdiff(data: bytearray, w: int, h: int, bytes_per: int) -> bytes:
+    """Apply the TechNote-3 floating-point predictor (3): per row,
+    byte-plane split (MSB plane first, regardless of file byte order —
+    little-endian raw bytes reverse) then byte-wise differencing."""
+    out = bytearray(len(data))
+    row_bytes = w * bytes_per
+    for r in range(h):
+        base = r * row_bytes
+        for s in range(w):
+            for b in range(bytes_per):
+                out[base + b * w + s] = \
+                    data[base + s * bytes_per + (bytes_per - 1 - b)]
+        for i in range(row_bytes - 1, 0, -1):
+            out[base + i] = (out[base + i] - out[base + i - 1]) & 0xFF
+    return bytes(out)
+
+
 def write_tiff(path, width, height, raw, bits, sample_format, bytes_per,
                compression, predictor=1, rows_per_strip=None, tile=None,
                origin=(0.0, 0.0), scale=(1.0, 1.0), planes=None, big=False):
@@ -158,6 +175,8 @@ def write_tiff(path, width, height, raw, bits, sample_format, bytes_per,
     for d, cw, chh in chunks:
         if predictor == 2:
             d = hdiff(bytearray(d), cw, chh, bytes_per)
+        elif predictor == 3:
+            d = fpdiff(bytearray(d), cw, chh, bytes_per)
         if compression == 1:
             e = d
         elif compression == 5:
@@ -321,6 +340,15 @@ def main():
     write_tiff(os.path.join(OUT, "py_bigtiff_deflate_gray8.tif"), w, h, vals,
                8, 1, 1, compression=8, rows_per_strip=4,
                origin=(7.0, 11.0), scale=(1.0, 1.0), big=True)
+
+    # 8. deflate + floating-point predictor 3, float32, strips of 5,
+    # 29x14 — dyadic k/8 values are exact in float32
+    w, h = 29, 14
+    fvals = [((r * w + c) * 11 % 89) / 8.0 for r in range(h) for c in range(w)]
+    raw = b"".join(struct.pack("<f", v) for v in fvals)
+    write_tiff(os.path.join(OUT, "py_deflate_pred3_f32.tif"), w, h, raw,
+               32, 3, 4, compression=8, predictor=3, rows_per_strip=5,
+               origin=(3.0, 14.0), scale=(1.0, 1.0))
 
     print("fixtures written to", OUT)
 

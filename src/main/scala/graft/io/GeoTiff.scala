@@ -25,12 +25,13 @@ import graft.core.DataIOError
   *     new-style JPEG (7, TechNote2) via the JDK's ImageIO codec —
   *     full-JIF chunks or abbreviated streams sharing a JPEGTables
   *     (347) segment;
-  *   - horizontal-differencing predictor (2) for integer samples.
+  *   - horizontal-differencing predictor (2) for integer samples and
+  *     the floating-point predictor (3, TechNote 3: per-row byte-plane
+  *     split + byte differencing) for float samples.
   *
-  * Typed errors name the remaining boundaries: old-style JPEG (6 —
-  * the deprecated pre-TechNote2 flavor has no coherent spec) and the
-  * floating-point predictor (3). Same documented-boundary class as
-  * the video-codec stub.
+  * Typed errors name the one remaining boundary: old-style JPEG (6 —
+  * the deprecated pre-TechNote2 flavor has no coherent spec). Same
+  * documented-boundary class as the video-codec stub.
   *
   * Scale: the DRIVER parses only the IFD (KB-sized); pixel decode is
   * DISTRIBUTED — each task seeks to its own strips/tiles, inflates,
@@ -119,10 +120,16 @@ object GeoTiff extends Serializable {
         if (b.length < rawSize)
           throw DataIOError(path, s"chunk at byte $offset decompressed to " +
             s"${b.length} bytes, need $rawSize")
-        if (m.predictor == 2)
-          Codecs.undoHorizontalDiff(b, m.chunkW, dataRows, spp, bytesPer,
-            m.littleEndian)
-        b
+        m.predictor match {
+          case 2 =>
+            Codecs.undoHorizontalDiff(b, m.chunkW, dataRows, spp, bytesPer,
+              m.littleEndian)
+            b
+          case 3 =>
+            Codecs.undoFloatPredictor(b, m.chunkW, dataRows, spp, bytesPer,
+              m.littleEndian)
+          case _ => b
+        }
       }
     val bb = ByteBuffer.wrap(buf).order(
       if (m.littleEndian) ByteOrder.LITTLE_ENDIAN else ByteOrder.BIG_ENDIAN)
@@ -304,9 +311,13 @@ object GeoTiff extends Serializable {
           if (sampleFormat == 3) throw DataIOError(path,
             "predictor=2 (horizontal differencing) is integer-only but " +
               "SampleFormat says float — corrupt or unsupported file")
-        case 3 => throw DataIOError(path,
-          "floating-point predictor (3) unsupported — re-export with " +
-            "predictor 1/2")
+        case 3 =>
+          if (sampleFormat != 3) throw DataIOError(path,
+            "predictor=3 (floating-point) requires SampleFormat float — " +
+              "corrupt or unsupported file")
+          if (bps.head != 32L && bps.head != 64L) throw DataIOError(path,
+            s"predictor=3 on ${bps.head}-bit samples unsupported " +
+              "(float32/float64 only)")
         case other => throw DataIOError(path, s"unknown predictor $other")
       }
 
@@ -713,6 +724,72 @@ object GeoTiff extends Serializable {
       }
     }
 
+    /** Floating-point predictor (3, TIFF Technical Note 3) UNDO. The
+      * encoded row is (a) byte-plane split — all most-significant bytes
+      * of the row's samples first, then the next plane, LSB plane last
+      * (big-endian plane order regardless of file byte order) — and
+      * (b) byte-wise horizontally differenced with stride = samples
+      * per pixel. Undo accumulates, then re-interleaves planes into
+      * sample order in the FILE's byte order (the order the caller's
+      * ByteBuffer reads). Returns a new array; `buf` is scratched. */
+    def undoFloatPredictor(buf: Array[Byte], w: Int, h: Int, spp: Int,
+        bytesPer: Int, littleEndian: Boolean): Array[Byte] = {
+      val rowBytes = w * spp * bytesPer
+      val wc = w * spp
+      val out = new Array[Byte](buf.length)
+      var r = 0
+      while (r < h) {
+        val base = r * rowBytes
+        var i = spp
+        while (i < rowBytes) {
+          buf(base + i) = (buf(base + i) + buf(base + i - spp)).toByte
+          i += 1
+        }
+        var s = 0
+        while (s < wc) {
+          var b = 0
+          while (b < bytesPer) {
+            val dstByte = if (littleEndian) bytesPer - 1 - b else b
+            out(base + s * bytesPer + dstByte) = buf(base + b * wc + s)
+            b += 1
+          }
+          s += 1
+        }
+        r += 1
+      }
+      out
+    }
+
+    /** Floating-point predictor APPLY (writer side; raw bytes are the
+      * writer's little-endian layout). Returns a new array. */
+    def applyFloatPredictor(raw: Array[Byte], w: Int, h: Int, spp: Int,
+        bytesPer: Int): Array[Byte] = {
+      val rowBytes = w * spp * bytesPer
+      val wc = w * spp
+      val out = new Array[Byte](raw.length)
+      var r = 0
+      while (r < h) {
+        val base = r * rowBytes
+        var s = 0
+        while (s < wc) {
+          var b = 0
+          while (b < bytesPer) {
+            // plane 0 = MSB = little-endian raw byte (bytesPer-1)
+            out(base + b * wc + s) = raw(base + s * bytesPer + (bytesPer - 1 - b))
+            b += 1
+          }
+          s += 1
+        }
+        var i = rowBytes - 1
+        while (i >= spp) {
+          out(base + i) = (out(base + i) - out(base + i - spp)).toByte
+          i -= 1
+        }
+        r += 1
+      }
+      out
+    }
+
     /** In-place horizontal-differencing APPLY (writer side). */
     def applyHorizontalDiff(buf: Array[Byte], w: Int, h: Int, spp: Int,
         bytesPer: Int, littleEndian: Boolean): Unit = {
@@ -752,18 +829,21 @@ object GeoTiff extends Serializable {
     * one strip), or TILE-organized when `tile` is given (tile dims must
     * be multiples of 16; edge tiles are zero-padded per spec).
     * `compression`: [[CompNone]]/[[CompLzw]]/[[CompDeflate]]/
-    * [[CompPackBits]]. */
+    * [[CompPackBits]]. `predictor = 3` applies the TechNote-3
+    * floating-point predictor (byte-plane split + byte differencing)
+    * before compression — the pairing GDAL emits for float rasters. */
   def writeFloat(path: String, width: Int, height: Int,
       values: Array[Float], origin: (Double, Double),
       scale: (Double, Double), compression: Long = CompNone,
-      rowsPerStrip: Int = 0, tile: Option[(Int, Int)] = None): Unit = {
+      rowsPerStrip: Int = 0, tile: Option[(Int, Int)] = None,
+      predictor: Int = 1): Unit = {
     require(values.length == width * height,
       s"values.length ${values.length} != $width*$height")
     val raw = ByteBuffer.allocate(values.length * 4).order(ByteOrder.LITTLE_ENDIAN)
     values.foreach(raw.putFloat)
     writeRaster(path, width, height, raw.array(), bytesPer = 4,
       bitsPerSample = 32, sampleFormat = 3, origin, scale, compression,
-      rowsPerStrip, tile, predictor = 1)
+      rowsPerStrip, tile, predictor)
   }
 
   /** Write a single-band unsigned-16-bit GeoTIFF; `predictor = 2`
@@ -809,8 +889,9 @@ object GeoTiff extends Serializable {
       sampleFormat: Int, origin: (Double, Double), scale: (Double, Double),
       compression: Long, rowsPerStrip: Int, tile: Option[(Int, Int)],
       predictor: Int, jpegAbbrev: Boolean = false): Unit = {
-    require(predictor == 1 || (predictor == 2 && sampleFormat != 3),
-      "predictor 2 is integer-only")
+    require(predictor == 1 || (predictor == 2 && sampleFormat != 3) ||
+      (predictor == 3 && sampleFormat == 3),
+      "predictor 2 is integer-only; predictor 3 is float-only")
     val rowBytes = width * bytesPer
 
     // chunk the raw image: strips slice rows; tiles copy w×h windows
@@ -845,10 +926,12 @@ object GeoTiff extends Serializable {
         }
     }
     val encoded: IndexedSeq[Array[Byte]] = chunks.map { ch =>
-      val d = ch.data.clone()
+      var d = ch.data.clone()
       if (predictor == 2)
         Codecs.applyHorizontalDiff(d, ch.w, ch.h, 1, bytesPer,
           littleEndian = true)
+      else if (predictor == 3)
+        d = Codecs.applyFloatPredictor(d, ch.w, ch.h, 1, bytesPer)
       compression match {
         case 1L => d
         case 5L => Codecs.lzwEncode(d)

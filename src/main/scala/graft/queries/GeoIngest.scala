@@ -284,5 +284,41 @@ object GeoIngest {
       "use precisely because it distributes. Edge padding dies inside " +
       "the task; no padded cell ever reaches the plan.")
 
-  val all: Seq[Declared] = Seq(q440, q441, q442, q443, q446, q458, q459)
+  /** q461 — S1/A3: DEFLATE + FLOATING-POINT-PREDICTOR (3) float32
+    * GeoTIFF — the pairing GDAL emits for float rasters (TechNote 3:
+    * per-row byte-plane split + byte differencing). k/8 dyadic values
+    * are exact in float32/double; the oracle rebuilds the raster from
+    * its index formula. Closes the predictor-3 boundary — old-style
+    * JPEG (6) is now the reader's only typed-error codec. */
+  val q461 = Declared(
+    "q461_geotiff_float_predictor", "S1,A3",
+    (s, dir) => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_q461").toString
+      val w = 34; val h = 22
+      val vals = Array.tabulate(w * h)(i => ((i * 23) % 101).toFloat / 8f)
+      graft.io.GeoTiff.writeFloat(s"$tmp/rf.tif", w, h, vals,
+        origin = (0.0, 22.0), scale = (1.0, 1.0),
+        compression = graft.io.GeoTiff.CompDeflate, rowsPerStrip = 6,
+        predictor = 3)
+      graft.io.Sources.openData(s, s"$tmp/rf.tif")
+        .groupBy(floor(col("y")).cast("long").as("row_band"))
+        .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_v"),
+          max(col("value")).as("max_v"))
+        .orderBy(col("row_band"))
+    },
+    Some("""WITH c AS (
+           |  SELECT CAST((i * 23) % 101 AS DOUBLE) / 8 AS v,
+           |    22.0 - CAST(i // 34 AS DOUBLE) - 0.5 AS y
+           |  FROM generate_series(0, 747) t(i))
+           |SELECT CAST(floor(y) AS BIGINT) AS row_band,
+           |  CAST(count(*) AS BIGINT) AS n,
+           |  sum(v) AS sum_v, max(v) AS max_v
+           |FROM c GROUP BY 1 ORDER BY 1""".stripMargin),
+    "Predictor undo is byte arithmetic INSIDE the task that owns the " +
+      "strip — the plane-split/differencing reverses per chunk with no " +
+      "cross-chunk state, so a float raster with the GDAL-default " +
+      "predictor parallelizes exactly like an unpredicted one.")
+
+  val all: Seq[Declared] =
+    Seq(q440, q441, q442, q443, q446, q458, q459, q461)
 }

@@ -91,6 +91,48 @@ class GeoTiffCodecSpec extends AnyFunSuite {
     }
   }
 
+  test("S1: float32 + predictor 3 round-trips under deflate and LZW strips") {
+    val dir = tmpDir()
+    val w = 27; val h = 12
+    // mixed magnitudes so every byte plane carries real structure
+    val vals = Array.tabulate(w * h)(i =>
+      ((i * 13) % 97).toFloat / 8f * (if (i % 3 == 0) 1000f else 1f))
+    for ((comp, tag) <- Seq(graft.io.GeoTiff.CompDeflate -> "defl",
+        graft.io.GeoTiff.CompLzw -> "lzw")) {
+      val p = s"$dir/p3_$tag.tif"
+      graft.io.GeoTiff.writeFloat(p, w, h, vals,
+        origin = (0.0, h.toDouble), scale = (1.0, 1.0),
+        compression = comp, rowsPerStrip = 5, predictor = 3)
+      val m = cellMap(p)
+      assert(m.size == w * h, tag)
+      (0 until h).foreach { r =>
+        (0 until w).foreach { c =>
+          assert(m((c + 0.5, h - r - 0.5)) == vals(r * w + c).toDouble,
+            s"$tag ($c,$r)")
+        }
+      }
+    }
+  }
+
+  test("S1: tiled deflate float32 + predictor 3 round-trips with edge clipping") {
+    val dir = tmpDir()
+    val w = 35; val h = 18 // NOT tile multiples: padded edge tiles
+    val vals = Array.tabulate(w * h)(i => ((i * 29) % 83).toFloat / 4f)
+    val p = s"$dir/p3_tiled.tif"
+    graft.io.GeoTiff.writeFloat(p, w, h, vals,
+      origin = (10.0, 36.0), scale = (1.0, 2.0),
+      compression = graft.io.GeoTiff.CompDeflate, tile = Some((16, 16)),
+      predictor = 3)
+    val m = cellMap(p)
+    assert(m.size == w * h)
+    (0 until h).foreach { r =>
+      (0 until w).foreach { c =>
+        assert(m((10.0 + c + 0.5, 36.0 - (r + 0.5) * 2.0))
+          == vals(r * w + c).toDouble, s"($c,$r)")
+      }
+    }
+  }
+
   test("S1: LZW codec survives a dictionary-stress stream (resets + 12-bit codes)") {
     // 48k pseudo-random bytes: the dictionary passes 511/1023/2047
     // (code-width changes) and 4094 (table reset) many times over
@@ -187,6 +229,18 @@ class GeoTiffCodecSpec extends AnyFunSuite {
     }
   }
 
+  test("S1: python deflate + float-predictor-3 float32 fixture decodes exactly") {
+    val m = cellMap(res("py_deflate_pred3_f32.tif"))
+    val w = 29; val h = 14
+    assert(m.size == w * h)
+    (0 until h).foreach { r =>
+      (0 until w).foreach { c =>
+        val v = ((r * w + c) * 11 % 89) / 8.0
+        assert(m((3.0 + c + 0.5, 14.0 - r - 0.5)) == v, s"($c,$r)")
+      }
+    }
+  }
+
   test("S1: python BigTIFF fixture (magic 43, LONG8 arrays) decodes exactly") {
     val m = cellMap(res("py_bigtiff_deflate_gray8.tif"))
     val w = 19; val h = 11
@@ -246,18 +300,19 @@ class GeoTiffCodecSpec extends AnyFunSuite {
     java.nio.file.Files.write(java.nio.file.Paths.get(path), buf.array())
   }
 
-  test("S1: old-style JPEG, float predictor and predictor-2-on-float fail typed") {
+  test("S1: old-style JPEG, predictor-3-on-int and predictor-2-on-float fail typed") {
     val dir = tmpDir()
     writeIfd(s"$dir/jpeg6.tif", Seq((256, 4, 4L), (257, 4, 4L), (259, 3, 6L)))
     val e1 = intercept[graft.core.DataIOError] {
       graft.io.GeoTiff.readCells(spark, s"$dir/jpeg6.tif") }
     assert(e1.getMessage.contains("old-style JPEG"))
 
+    // predictor 3 on integer samples (SampleFormat defaults to 1)
     writeIfd(s"$dir/fpred.tif", Seq((256, 4, 4L), (257, 4, 4L),
       (259, 3, 8L), (317, 3, 3L)))
     val e2 = intercept[graft.core.DataIOError] {
       graft.io.GeoTiff.readCells(spark, s"$dir/fpred.tif") }
-    assert(e2.getMessage.contains("floating-point predictor"))
+    assert(e2.getMessage.contains("requires SampleFormat float"))
 
     writeIfd(s"$dir/p2f.tif", Seq((256, 4, 4L), (257, 4, 4L), (258, 3, 32L),
       (259, 3, 8L), (317, 3, 2L), (339, 3, 3L)))

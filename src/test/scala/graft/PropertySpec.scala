@@ -353,6 +353,14 @@ class PropertySpec extends AnyFunSuite {
       Codecs.applyHorizontalDiff(d, w, h, 1, bytesPer, littleEndian = true)
       Codecs.undoHorizontalDiff(d, w, h, 1, bytesPer, littleEndian = true)
       assert(java.util.Arrays.equals(d, data), s"predictor ${w}x$h b$bytesPer")
+      // floating-point predictor (3): apply→undo is identity on the
+      // raw little-endian byte image (4- and 8-byte sample widths)
+      if (bytesPer != 1) {
+        val fp = Codecs.undoFloatPredictor(
+          Codecs.applyFloatPredictor(data, w, h, 1, bytesPer),
+          w, h, 1, bytesPer, littleEndian = true)
+        assert(java.util.Arrays.equals(fp, data), s"fp-pred ${w}x$h b$bytesPer")
+      }
     }
   }
 }
