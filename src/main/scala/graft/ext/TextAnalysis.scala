@@ -28,6 +28,10 @@ object TextAnalysis {
   graft.plans.Guardrails.expect("single_partition_window",
     "__nt, __ty", "vocabCoverage: 1-row totals over the vocabulary rollup",
     "k-literal")
+  graft.plans.Guardrails.expect("cartesian_join",
+    "__cdw, __prior_u", "naiveBayesClassify: doc-token frame × the " +
+      "|labels|-row class-stats broadcast (every doc scores every class)",
+    "vocabulary")
 
 
 
@@ -531,6 +535,75 @@ object TextAnalysis {
         round(-col("__s").cast("double") / col("n_tokens") / 1e6, 6))
       .drop("__s")
       .select(col(keyCol), col("n_tokens"), col("n_vocab"), col("entropy"))
+  }
+
+  /** E4 — MULTINOMIAL NAIVE BAYES text classifier, train + score in
+    * one pass (McCallum & Nigam, AAAI'98 workshop "A comparison of
+    * event models for naive Bayes text classification" — public
+    * literature; the classic quality/language/domain gate of corpus
+    * pipelines). Laplace add-one smoothing:
+    *
+    *   score(d, l) = ln P(l) + Σ_w c_dw · ln((c_lw + 1)/(T_l + |V|))
+    *
+    * with T_l = class token total, |V| = corpus vocabulary. Every
+    * log-prob quantizes to micro-nats (the q141 idiom) so each doc
+    * score is an EXACT long — Σ c·lp commutes under any partitioning,
+    * and argmax with the (score desc, label asc) tie-break is
+    * engine-portable. Unseen (w, l) pairs back off to the smoothed
+    * floor ln(1/(T_l + |V|)). Self-scoring the training frame gives
+    * the resubstitution readout (pair with a q63-style split for
+    * honest eval). Returns per doc:
+    * (doc, label_true, label_pred, score_u).
+    *
+    * Scale: token rollups with map-side combine; the doc-token frame
+    * fans out only |labels|-fold (the label stats broadcast); the
+    * (token, label) smoothed-table join shuffles on the token — the
+    * vocabulary key, not the corpus key. No driver loops, no UDFs. */
+  def naiveBayesClassify(docs: DataFrame, idCol: Column, textCol: Column,
+      labelCol: Column): DataFrame = {
+    val tk = docs.select(idCol.as("__d"), labelCol.as("__l"),
+      explode(tokens(textCol)).as("__w"))
+    // class stats: docs per label (prior), tokens per label
+    val nd = docs.groupBy(labelCol.as("__l")).agg(count(lit(1)).as("__nl"))
+    val nTot = docs.agg(count(lit(1)).as("__nd"))
+    val tl = tk.groupBy(col("__l")).agg(count(lit(1)).as("__tl"))
+    val vocab = tk.agg(countDistinct(col("__w")).as("__v"))
+    val labelStats = nd.join(tl, "__l").crossJoin(broadcast(nTot))
+      .crossJoin(broadcast(vocab))
+      .withColumn("__prior_u",
+        round(log(col("__nl").cast("double") / col("__nd")) * 1e6, 0)
+          .cast("long"))
+      .withColumn("__lp0_u",
+        round(log(lit(1.0) / (col("__tl") + col("__v"))) * 1e6, 0)
+          .cast("long"))
+      .select(col("__l").as("__cl"), col("__tl"), col("__v"),
+        col("__prior_u"), col("__lp0_u"))
+    // smoothed per-(label, token) log-probs
+    val lp = tk.groupBy(col("__l").as("__cl"), col("__w"))
+      .agg(count(lit(1)).as("__c"))
+      .join(labelStats, "__cl")
+      .withColumn("__lp_u",
+        round(log((col("__c") + 1).cast("double") /
+          (col("__tl") + col("__v"))) * 1e6, 0).cast("long"))
+      .select(col("__cl"), col("__w"), col("__lp_u"))
+    // doc-token rollup × candidate labels, backing off to the floor
+    val docTok = tk.groupBy(col("__d"), col("__l").as("__lt"), col("__w"))
+      .agg(count(lit(1)).as("__cdw"))
+    val scored = docTok
+      .join(broadcast(labelStats.select(col("__cl"), col("__prior_u"),
+        col("__lp0_u"))))
+      .join(lp, Seq("__cl", "__w"), "left")
+      .withColumn("__term",
+        col("__cdw") * coalesce(col("__lp_u"), col("__lp0_u")))
+      .groupBy(col("__d"), col("__lt"), col("__cl"), col("__prior_u"))
+      .agg(sum(col("__term")).as("__sum"))
+      .withColumn("__score_u", col("__prior_u") + col("__sum"))
+    scored.groupBy(col("__d").as("doc"), col("__lt").as("label_true"))
+      .agg(min(struct((-col("__score_u")).as("__neg"),
+        col("__cl").as("__lbl"))).as("__best"))
+      .select(col("doc"), col("label_true"),
+        col("__best.__lbl").as("label_pred"),
+        (-col("__best.__neg")).cast("long").as("score_u"))
   }
 
   /** E4 — Flesch reading-ease in exact integer milli-points (Flesch

@@ -1323,6 +1323,114 @@ object EventAnalytics {
       .limit(topK)
   }
 
+  /** W2/E-pattern — FREQUENT SEQUENTIAL PATTERNS up to length 3 by
+    * GSP-style level-wise mining (Agrawal & Srikant, ICDE'95 "Mining
+    * sequential patterns" and the GSP refinement EDBT'96 — public
+    * literature). A pattern ⟨a, b, c⟩ is supported by a sequence when
+    * the types occur in that ORDER, not necessarily adjacently — the
+    * non-contiguous complement of q311's transition triples (lead()
+    * windows see only adjacency) and q139's whole-journey paths.
+    *
+    * Existential subsequence tests reduce to rollup arithmetic:
+    *   ⟨a,b⟩  ⊑ s  ⟺  minpos_s(a) < maxpos_s(b)
+    *   ⟨a,b,c⟩⊑ s  ⟺  minfollow_s(a,b) < maxpos_s(c)
+    * where minfollow(a,b) = the earliest b strictly after the first a.
+    * Each level prunes by the Apriori property (every sub-pattern of a
+    * frequent pattern is frequent) BEFORE any join fans out, so
+    * candidate space never exceeds the frequent-pair closure. Support
+    * is counted once per sequence; the threshold is a ppm fraction of
+    * the sequence count tested as the exact-integer crossing
+    * support·10⁶ ≥ minSupportPpm·n_seq. Repeated types are legal
+    * (⟨a,a⟩ needs two occurrences — min < max handles it). Returns
+    * (len, e1, e2, e3, support, support_ppm) with e2/e3 null below
+    * the pattern length.
+    *
+    * Scale: positions are ONE keyed window; occ is a (sequence ×
+    * alphabet)-bounded rollup; the pair join fans out ≤ |alphabet|²
+    * per sequence and the minfollow join ≤ |frequent pairs| per event
+    * row — alphabet-bounded, never event². All joins hash on the
+    * sequence key; the L1/L2 prune tables broadcast. */
+  def sequentialPatterns(events: DataFrame, seqKeys: Seq[Column],
+      typeCol: Column, orderCols: Seq[Column],
+      minSupportPpm: Long): DataFrame = {
+    require(minSupportPpm >= 1 && minSupportPpm <= 1000000L,
+      "minSupportPpm in [1, 1e6]")
+    val base = events.select(seqKeys ++ Seq(typeCol.as("__e")) ++
+      orderCols.zipWithIndex.map { case (c, i) => c.as(s"__o$i") }: _*)
+    val kNames = base.columns.dropRight(1 + orderCols.length).toSeq
+    val w = Window.partitionBy(kNames.map(col): _*)
+      .orderBy(orderCols.indices.map(i => col(s"__o$i")): _*)
+    val pos = base.withColumn("__p", row_number().over(w).cast("long"))
+      .select(kNames.map(col) ++ Seq(col("__e"), col("__p")): _*)
+      .localCheckpoint() // read by occ, minfollow and all levels
+    val occ = pos.groupBy(kNames.map(col) :+ col("__e"): _*)
+      .agg(min(col("__p")).as("__minp"), max(col("__p")).as("__maxp"))
+      .localCheckpoint()
+    val nSeq = occ.select(kNames.map(col): _*).distinct()
+      .agg(count(lit(1)).as("__nseq"))
+    def frequent(df: DataFrame, grain: Seq[String]): DataFrame =
+      df.groupBy(grain.map(col): _*)
+        .agg(countDistinct(struct(kNames.map(col): _*)).as("support"))
+        .crossJoin(broadcast(nSeq))
+        .filter(col("support") * 1000000L >= lit(minSupportPpm) * col("__nseq"))
+    // L1: frequent single types
+    val l1 = frequent(occ.select(kNames.map(col) :+ col("__e"): _*),
+      Seq("__e")).localCheckpoint()
+    val l1Types = l1.select(col("__e").as("__f1"))
+    // L2: frequent ordered pairs — occ self-join per sequence
+    val occA = occ.toDF(occ.columns.map(c =>
+      if (c.startsWith("__")) c + "a" else c): _*)
+    val occB = occ.toDF(occ.columns.map(c =>
+      if (c.startsWith("__")) c + "b" else c): _*)
+    val pairs = occA
+      .join(broadcast(l1Types), col("__ea") === col("__f1")).drop("__f1")
+      .join(occB.join(broadcast(l1Types), col("__eb") === col("__f1"))
+        .drop("__f1"), kNames)
+      .filter(col("__minpa") < col("__maxpb"))
+    val l2 = frequent(pairs.select(kNames.map(col) ++
+        Seq(col("__ea"), col("__eb")): _*), Seq("__ea", "__eb"))
+      .localCheckpoint()
+    val l2Keys = l2.select(col("__ea").as("__fa"), col("__eb").as("__fb"))
+    // minfollow(a, b): earliest b strictly after the first a, only for
+    // (a, b) already frequent — the Apriori gate before the fan-out
+    val mf = pos.withColumnRenamed("__e", "__eb")
+      .join(occA.select(kNames.map(col) ++
+        Seq(col("__ea"), col("__minpa")): _*), kNames)
+      .join(broadcast(l2Keys),
+        col("__ea") === col("__fa") && col("__eb") === col("__fb"))
+      .filter(col("__p") > col("__minpa"))
+      .groupBy(kNames.map(col) ++ Seq(col("__ea"), col("__eb")): _*)
+      .agg(min(col("__p")).as("__mf"))
+    // L3: triples — minfollow(a,b) before the last c; (b,c) and (a,c)
+    // must both be frequent pairs (full Apriori prune)
+    val l2bc = l2.select(col("__ea").as("__ga"), col("__eb").as("__gb"))
+    val triples = mf
+      .join(occ.toDF(occ.columns.map(c =>
+        if (c.startsWith("__")) c + "c" else c): _*), kNames)
+      .filter(col("__mf") < col("__maxpc"))
+      .join(broadcast(l2bc),
+        col("__eb") === col("__ga") && col("__ec") === col("__gb"))
+      .drop("__ga", "__gb")
+      .join(broadcast(l2bc.toDF("__ha", "__hb")),
+        col("__ea") === col("__ha") && col("__ec") === col("__hb"))
+    val l3 = frequent(triples.select(kNames.map(col) ++
+      Seq(col("__ea"), col("__eb"), col("__ec")): _*),
+      Seq("__ea", "__eb", "__ec"))
+    val nullS = lit(null).cast("string")
+    val out1 = l1.select(lit(1).as("len"), col("__e").as("e1"),
+      nullS.as("e2"), nullS.as("e3"), col("support"), col("__nseq"))
+    val out2 = l2.select(lit(2).as("len"), col("__ea").as("e1"),
+      col("__eb").as("e2"), nullS.as("e3"), col("support"), col("__nseq"))
+    val out3 = l3.select(lit(3).as("len"), col("__ea").as("e1"),
+      col("__eb").as("e2"), col("__ec").as("e3"), col("support"),
+      col("__nseq"))
+    out1.unionAll(out2).unionAll(out3)
+      .withColumn("support_ppm",
+        expr("(support * 1000000L) div __nseq"))
+      .select(col("len"), col("e1"), col("e2"), col("e3"),
+        col("support").cast("long").as("support"), col("support_ppm"))
+  }
+
   /** W-frame/A1 — EXACT SHAPLEY-VALUE attribution (Shapley 1953;
     * the coalition-reach game standard in marketing attribution, e.g.
     * Zhao, Mahboobi & Bagheri 2018 — public literature): how much

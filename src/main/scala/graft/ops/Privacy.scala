@@ -274,4 +274,63 @@ object Privacy {
         (col("__g1") - col("__g2")).cast("long").as("noise"),
         (col("n") + col("__g1") - col("__g2")).cast("long").as("noisy_n"))
   }
+
+  /** privacy — WARNER RANDOMIZED RESPONSE (Warner 1965, JASA "Randomized
+    * response: a survey technique for eliminating evasive answer bias" —
+    * public literature; the local-DP primitive). Each unit reports its
+    * sensitive bit TRUTHFULLY with probability p = 1 − 2^−k and flipped
+    * otherwise; the analyst sees only the reported bits and unbiases:
+    *
+    *   E[λ̂] = pπ + (1−p)(1−π)  ⇒  π̂ = (λ̂ + p − 1) / (2p − 1)
+    *                               = (2^k·yes_rep − n) / ((2^k − 2)·n)
+    *
+    * The dyadic p keeps the whole estimator inside exact integer
+    * arithmetic: the flip decision is "the k low bits of
+    * splitmix64(id + salt) are all zero" ([[graft.ext.Mix64]], the
+    * q456 mixer — non-affine, so flips are key-independent under the
+    * PRF heuristic), and π̂ is one floor division of exact products.
+    * ε_local = ln(p/(1−p)) = ln(2^k − 1).
+    *
+    * Same caveat as [[dpCounts]]: with fixed public salts this is a
+    * replayable SIMULATION of the mechanism (pipeline audits,
+    * cross-engine tests); a real deployment draws the flip bit from
+    * secret per-respondent entropy, and the truth column never leaves
+    * the client at all — `yes_true`/`pi_true_ppm` exist here only
+    * because the simulation holds both sides for calibration.
+    * Returns per key: (…keys, n, yes_true, yes_reported, pi_true_ppm,
+    * pi_hat_ppm).
+    *
+    * Scale: scan-side bit arithmetic + one key-grain agg with map-side
+    * combine — no joins, no windows; the estimator is a rollup read. */
+  def randomizedResponse(df: DataFrame, keys: Seq[Column], idCol: Column,
+      truthCol: Column, k: Int,
+      salt: Long = 0x9E3779B97F4A7C15L): DataFrame = {
+    require(k >= 2 && k <= 62, "k in [2, 62] (p = 1 - 2^-k; k=1 is a coin)")
+    val d38 = "decimal(38,0)"
+    val mask = (1L << k) - 1
+    val twoK = 1L << k
+    val base = df.select(keys ++ Seq(idCol.cast("long").as("__id"),
+      truthCol.cast("boolean").as("__y")): _*)
+    val kNames = base.columns.dropRight(2).toSeq
+    val agg = base
+      .withColumn("__lie",
+        graft.ext.Mix64(col("__id") + lit(salt)).bitwiseAND(lit(mask)) === 0L)
+      .withColumn("__r", col("__y") =!= col("__lie"))
+      .groupBy(kNames.map(col): _*)
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("__y"), 1L).otherwise(0L)).as("yes_true"),
+        sum(when(col("__r"), 1L).otherwise(0L)).as("yes_reported"))
+    // floor division via pmod (divisor > 0) — matches DuckDB's `//`
+    // on possibly-negative numerators
+    def floorDiv(num: Column, den: Column): Column =
+      ((num - pmod(num, den)) / den).cast("long")
+    agg
+      .withColumn("pi_true_ppm", expr("(yes_true * 1000000L) div n"))
+      .withColumn("pi_hat_ppm", floorDiv(
+        (lit(twoK).cast(d38) * col("yes_reported").cast(d38) -
+          col("n").cast(d38)) * lit(1000000L).cast(d38),
+        lit(twoK - 2).cast(d38) * col("n").cast(d38)))
+      .select(kNames.map(col) ++ Seq(col("n"), col("yes_true"),
+        col("yes_reported"), col("pi_true_ppm"), col("pi_hat_ppm")): _*)
+  }
 }

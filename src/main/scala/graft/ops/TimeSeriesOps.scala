@@ -897,6 +897,80 @@ object TimeSeriesOps {
           .as("pacf"))
   }
 
+  /** A5/A8 — AR(2) YULE-WALKER FIT + one-step forecast per key
+    * (Yule 1927 / Walker 1931; Box & Jenkins 1970 ch. 3 — public
+    * literature): solve the order-2 Yule-Walker system from the
+    * lag-1/lag-2 autocorrelations,
+    *   φ₁ = r₁(1−r₂)/(1−r₁²),  φ₂ = (r₂−r₁²)/(1−r₁²),
+    * innovation share = 1 − φ₁r₁ − φ₂r₂, and forecast
+    * x̂_{n+1} = μ + φ₁(x_n−μ) + φ₂(x_{n−1}−μ). Where q291's acfProfile
+    * reads the correlogram, this fits the MODEL — the two-knob
+    * autoregressor behind capacity forecasts and anomaly baselines.
+    *
+    * Exactness: the mean is cleared as c_i = n·x_i − S (exact
+    * DECIMAL(38,0)), so r₁/r₂ are single IEEE divisions of exact
+    * integers and every later op is pinned ×/−/÷ in fixed order —
+    * both engines replay it bit-for-bit (q186 discipline). n < 3 or a
+    * constant series yields nulls, not NaNs. Returns per key:
+    * (keys…, n, r1, r2, phi1, phi2, innov_share, forecast).
+    *
+    * Scale: one key-grain moment agg joined back (both sides hash on
+    * the keys), one keyed window for the two lags — no single-partition
+    * window, no cross join; rollup-sized output. */
+  def ar2YuleWalker(series: DataFrame, keys: Seq[Column], orderCol: Column,
+      valueCol: Column): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val d38 = "decimal(38,0)"
+    val base = series.select(keys ++ Seq(orderCol.as("__t"),
+      valueCol.cast("long").as("__v")): _*)
+    val kNames = base.columns.dropRight(2).toSeq
+    val tot = base.groupBy(kNames.map(col): _*)
+      .agg(count(lit(1)).as("__n"), sum(col("__v")).as("__s"))
+    val w = Window.partitionBy(kNames.map(col): _*).orderBy(col("__t"))
+    val wDesc = Window.partitionBy(kNames.map(col): _*)
+      .orderBy(col("__t").desc)
+    val c = base.join(tot, kNames)
+      .withColumn("__c", (col("__n").cast(d38) * col("__v").cast(d38) -
+        col("__s").cast(d38)).cast(d38))
+      .withColumn("__c1", lag(col("__c"), 1).over(w))
+      .withColumn("__c2", lag(col("__c"), 2).over(w))
+      .withColumn("__rd", row_number().over(wDesc))
+    val m = c.groupBy(kNames.map(col): _*)
+      .agg(max(col("__n")).cast("long").as("n"),
+        max(col("__s")).cast(d38).as("__sum"),
+        sum(col("__c") * col("__c")).cast(d38).as("__den"),
+        coalesce(sum(col("__c") * col("__c1")), lit(0).cast(d38))
+          .cast(d38).as("__num1"),
+        coalesce(sum(col("__c") * col("__c2")), lit(0).cast(d38))
+          .cast(d38).as("__num2"),
+        max(when(col("__rd") === 1, col("__v"))).as("__vn"),
+        max(when(col("__rd") === 2, col("__v"))).as("__vn1"))
+    val r1 = col("__num1").cast("double") / col("__den").cast("double")
+    val r2 = col("__num2").cast("double") / col("__den").cast("double")
+    // |r1| = 1 (perfectly linear/alternating series) degenerates the
+    // YW system; both engines compute the same IEEE r1, so the same gate
+    val ok = col("n") >= 3 && col("__den") =!= lit(0).cast(d38) &&
+      abs(r1) < lit(1.0)
+    m.withColumn("r1", when(ok, r1))
+      .withColumn("r2", when(ok, r2))
+      .withColumn("phi1", when(ok,
+        col("r1") * (lit(1.0) - col("r2")) /
+          (lit(1.0) - col("r1") * col("r1"))))
+      .withColumn("phi2", when(ok,
+        (col("r2") - col("r1") * col("r1")) /
+          (lit(1.0) - col("r1") * col("r1"))))
+      .withColumn("innov_share", when(ok,
+        lit(1.0) - col("phi1") * col("r1") - col("phi2") * col("r2")))
+      .withColumn("__mu",
+        col("__sum").cast("double") / col("n").cast("double"))
+      .withColumn("forecast", when(ok,
+        col("__mu") +
+          col("phi1") * (col("__vn").cast("double") - col("__mu")) +
+          col("phi2") * (col("__vn1").cast("double") - col("__mu"))))
+      .select(kNames.map(col) ++ Seq(col("n"), col("r1"), col("r2"),
+        col("phi1"), col("phi2"), col("innov_share"), col("forecast")): _*)
+  }
+
   /** A5/A8 — seasonality STRENGTH per key (the STL-style readout,
     * Cleveland et al. 1990; Wang, Smith & Hyndman 2006 for the
     * strength form — public literature):

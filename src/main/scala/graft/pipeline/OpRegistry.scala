@@ -204,6 +204,20 @@ object OpRegistry {
     "median_of_means" -> (p => df => graft.ops.Aggregates.medianOfMeans(
       df, col(str(p, "value_col")), col(str(p, "bucket_key_col")),
       num(p, "k").toInt)),
+    "randomized_response" -> (p => df => graft.ops.Privacy
+      .randomizedResponse(df, strs(p, "keys").map(col),
+        col(str(p, "id_col")), expr(str(p, "truth_cond")),
+        num(p, "k").toInt)),
+    "ar2_yule_walker" -> (p => df => graft.ops.TimeSeriesOps.ar2YuleWalker(
+      df, strs(p, "keys").map(col), col(str(p, "order_col")),
+      col(str(p, "value_col")))),
+    "naive_bayes_classify" -> (p => df => graft.ext.TextAnalysis
+      .naiveBayesClassify(df, col(str(p, "id_col")),
+        col(str(p, "text_col")), col(str(p, "label_col")))),
+    "sequential_patterns" -> (p => df => graft.ops.EventAnalytics
+      .sequentialPatterns(df, strs(p, "seq_keys").map(col),
+        col(str(p, "type_col")), strs(p, "order_cols").map(col),
+        num(p, "min_support_ppm").toLong)),
     "exact_dedup" -> (p => df => graft.ext.Dedup.exact(
       df, str(p, "text_col"), str(p, "id_col"))),
     // cache = false: a pipeline result's lifetime is unmanaged, so

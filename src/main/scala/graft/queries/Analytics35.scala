@@ -1,0 +1,260 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.core.Tables
+import graft.ops.{EventAnalytics, Privacy, TimeSeriesOps}
+
+/** Round-8 batch: local-DP randomized response, the AR(2) Yule-Walker
+  * model fit, multinomial naive Bayes classification, and GSP frequent
+  * sequential patterns — all exact-integer or pinned-IEEE end to end. */
+object Analytics35 {
+
+  /** q462 — privacy: WARNER RANDOMIZED RESPONSE prevalence estimate of
+    * "high-value event" (value ≥ 100) per event type, p = 7/8
+    * truthful. The flip bit replays the q456 splitmix64 mixer on
+    * event_id, so the DuckDB oracle reproduces every reported bit and
+    * both the raw and unbiased prevalences bit-for-bit. */
+  val q462 = Declared(
+    "q462_randomized_response", "privacy",
+    (s, dir) => Privacy.randomizedResponse(
+        Tables.events(s, dir), Seq(col("event_type")),
+        col("event_id"), col("value") >= 100.0, k = 3)
+      .orderBy(col("event_type")),
+    Some("""WITH b AS (
+           |  SELECT event_type,
+           |    value >= 100.0 AS y,
+           |    ((CAST(event_id AS HUGEINT) + 11400714819323198485)
+           |      % 18446744073709551616 + 18446744073709551616)
+           |      % 18446744073709551616 AS z
+           |  FROM events),
+           |x2 AS (SELECT event_type, y, xor(z, z >> 30) AS z FROM b),
+           |x3 AS (SELECT event_type, y,
+           |    (((z >> 32) * 13787848793156543929 % 4294967296) * 4294967296
+           |      + (z % 4294967296) * 13787848793156543929)
+           |      % 18446744073709551616 AS z
+           |  FROM x2),
+           |x4 AS (SELECT event_type, y, xor(z, z >> 27) AS z FROM x3),
+           |x5 AS (SELECT event_type, y,
+           |    (((z >> 32) * 10723151780598845931 % 4294967296) * 4294967296
+           |      + (z % 4294967296) * 10723151780598845931)
+           |      % 18446744073709551616 AS z
+           |  FROM x4),
+           |u AS (SELECT event_type, y,
+           |    xor(z, z >> 31) % 8 = 0 AS lie FROM x5),
+           |g AS (
+           |  SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+           |    CAST(sum(CASE WHEN y THEN 1 ELSE 0 END) AS BIGINT)
+           |      AS yes_true,
+           |    CAST(sum(CASE WHEN y != lie THEN 1 ELSE 0 END) AS BIGINT)
+           |      AS yes_reported
+           |  FROM u GROUP BY 1)
+           |SELECT event_type, n, yes_true, yes_reported,
+           |  CAST(yes_true * 1000000 // n AS BIGINT) AS pi_true_ppm,
+           |  CAST((8 * CAST(yes_reported AS HUGEINT) - n) * 1000000
+           |    // (6 * CAST(n AS HUGEINT)) AS BIGINT) AS pi_hat_ppm
+           |FROM g ORDER BY event_type""".stripMargin),
+    "Scan-side bit arithmetic + one key-grain agg with map-side " +
+      "combine — the local-DP estimator is a rollup read; no joins, " +
+      "no windows. Deterministic flips make the simulation replayable " +
+      "for calibration; a real deployment draws them from secret " +
+      "client entropy and the truth column never leaves the client.")
+
+  /** q463 — A5/A8: AR(2) YULE-WALKER fit + one-step forecast of the
+    * daily order-count series per order priority. Mean clearing keeps
+    * r₁/r₂ single divisions of exact integers; every later op is
+    * pinned ×/−/÷ in fixed order, mirrored token-for-token in the
+    * oracle so the doubles hash-match unrounded (q186 discipline). */
+  val q463 = Declared(
+    "q463_ar2_yule_walker", "A5,A8",
+    (s, dir) => TimeSeriesOps.ar2YuleWalker(
+        Tables.orders(s, dir)
+          .groupBy(col("o_orderpriority").as("prio"),
+            datediff(to_date(col("o_orderdate")), lit("1990-01-01"))
+              .cast("long").as("__d"))
+          .agg(count(lit(1)).as("__c")),
+        Seq(col("prio")), col("__d"), col("__c"))
+      .orderBy(col("prio")),
+    Some("""WITH daily AS (
+           |  SELECT o_orderpriority AS prio,
+           |    date_diff('day', DATE '1990-01-01',
+           |      CAST(o_orderdate AS DATE)) AS d,
+           |    CAST(count(*) AS BIGINT) AS v
+           |  FROM orders GROUP BY 1, 2),
+           |tot AS (
+           |  SELECT prio, CAST(count(*) AS BIGINT) AS n,
+           |    CAST(sum(v) AS HUGEINT) AS s
+           |  FROM daily GROUP BY 1),
+           |c AS (
+           |  SELECT daily.prio, n, s, v,
+           |    n * CAST(v AS HUGEINT) - s AS cc,
+           |    lag(n * CAST(v AS HUGEINT) - s, 1)
+           |      OVER (PARTITION BY daily.prio ORDER BY d) AS c1,
+           |    lag(n * CAST(v AS HUGEINT) - s, 2)
+           |      OVER (PARTITION BY daily.prio ORDER BY d) AS c2,
+           |    row_number() OVER (PARTITION BY daily.prio ORDER BY d DESC)
+           |      AS rd
+           |  FROM daily JOIN tot ON daily.prio = tot.prio),
+           |m AS (
+           |  SELECT prio, max(n) AS n, max(s) AS sm,
+           |    sum(cc * cc) AS den,
+           |    coalesce(sum(cc * c1), 0) AS num1,
+           |    coalesce(sum(cc * c2), 0) AS num2,
+           |    max(CASE WHEN rd = 1 THEN v END) AS vn,
+           |    max(CASE WHEN rd = 2 THEN v END) AS vn1
+           |  FROM c GROUP BY prio),
+           |f AS (
+           |  SELECT prio, n, sm, den, vn, vn1,
+           |    CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE) AS r1,
+           |    CAST(num2 AS DOUBLE) / CAST(den AS DOUBLE) AS r2
+           |  FROM m),
+           |g AS (
+           |  SELECT prio, n, sm, vn, vn1, r1, r2,
+           |    n >= 3 AND den != 0 AND abs(r1) < 1.0 AS ok,
+           |    (r1 * (1.0 - r2)) / (1.0 - r1 * r1) AS phi1,
+           |    (r2 - r1 * r1) / (1.0 - r1 * r1) AS phi2,
+           |    CAST(sm AS DOUBLE) / CAST(n AS DOUBLE) AS mu
+           |  FROM f)
+           |SELECT prio, CAST(n AS BIGINT) AS n,
+           |  CASE WHEN ok THEN r1 END AS r1,
+           |  CASE WHEN ok THEN r2 END AS r2,
+           |  CASE WHEN ok THEN phi1 END AS phi1,
+           |  CASE WHEN ok THEN phi2 END AS phi2,
+           |  CASE WHEN ok THEN 1.0 - phi1 * r1 - phi2 * r2 END
+           |    AS innov_share,
+           |  CASE WHEN ok THEN mu + phi1 * (CAST(vn AS DOUBLE) - mu)
+           |    + phi2 * (CAST(vn1 AS DOUBLE) - mu) END AS forecast
+           |FROM g ORDER BY prio""".stripMargin),
+    "One key-grain moment agg joined back (both sides hash on the " +
+      "key), one keyed window for the two lags — no single-partition " +
+      "window; the fit itself is a rollup finish. The two-knob " +
+      "autoregressor behind capacity forecasts and anomaly baselines.")
+
+  /** q464 — E4: MULTINOMIAL NAIVE BAYES language classification of the
+    * documents corpus (train + self-score; the resubstitution
+    * readout). Micro-nat-quantized log-probs make each doc score an
+    * exact long, so the argmax with the (score desc, label asc)
+    * tie-break is engine-portable per-row. */
+  val q464 = Declared(
+    "q464_naive_bayes", "E4",
+    (s, dir) => graft.ext.TextAnalysis.naiveBayesClassify(
+        Tables.documents(s, dir),
+        col("doc_id"), col("text"), col("lang"))
+      .orderBy(col("doc")),
+    Some("""WITH tk AS (
+           |  SELECT doc_id AS d, lang AS l,
+           |    unnest(regexp_split_to_array(lower(text), '\s+')) AS w
+           |  FROM documents),
+           |nd AS (SELECT lang AS l, count(*) AS nl FROM documents
+           |       GROUP BY 1),
+           |ntot AS (SELECT count(*) AS ndoc FROM documents),
+           |tl AS (SELECT l, count(*) AS t FROM tk GROUP BY 1),
+           |vo AS (SELECT count(DISTINCT w) AS v FROM tk),
+           |ls AS (
+           |  SELECT nd.l AS cl, t, v,
+           |    CAST(round(ln(CAST(nl AS DOUBLE) / ndoc) * 1e6, 0)
+           |      AS BIGINT) AS prior_u,
+           |    CAST(round(ln(1.0 / (t + v)) * 1e6, 0) AS BIGINT) AS lp0_u
+           |  FROM nd JOIN tl ON nd.l = tl.l CROSS JOIN ntot CROSS JOIN vo),
+           |cw AS (SELECT l AS cl, w, count(*) AS c FROM tk GROUP BY 1, 2),
+           |lp AS (
+           |  SELECT cw.cl, w,
+           |    CAST(round(ln(CAST(c + 1 AS DOUBLE) / (t + v)) * 1e6, 0)
+           |      AS BIGINT) AS lp_u
+           |  FROM cw JOIN ls ON cw.cl = ls.cl),
+           |dt AS (SELECT d, l AS lt, w, count(*) AS cdw FROM tk
+           |       GROUP BY 1, 2, 3),
+           |sc AS (
+           |  SELECT d, lt, ls.cl,
+           |    prior_u + sum(cdw * coalesce(lp_u, lp0_u)) AS score
+           |  FROM dt CROSS JOIN ls
+           |    LEFT JOIN lp ON lp.cl = ls.cl AND lp.w = dt.w
+           |  GROUP BY d, lt, ls.cl, prior_u),
+           |best AS (
+           |  SELECT d, lt, cl, score,
+           |    row_number() OVER (PARTITION BY d ORDER BY score DESC, cl)
+           |      AS rn
+           |  FROM sc)
+           |SELECT d AS doc, lt AS label_true, cl AS label_pred,
+           |  CAST(score AS BIGINT) AS score_u
+           |FROM best WHERE rn = 1 ORDER BY doc""".stripMargin),
+    "Token rollups with map-side combine; the doc-token frame fans " +
+      "out only |labels|-fold against broadcast class stats, and the " +
+      "smoothed-table join shuffles on the TOKEN key (vocabulary-" +
+      "sized), not the corpus key. The classic quality/language gate " +
+      "of corpus curation, trained and applied without leaving the " +
+      "engine.")
+
+  /** q465 — W2/E-pattern: GSP FREQUENT SEQUENTIAL PATTERNS (length ≤ 3,
+    * support ≥ 1% of sessions) over per-(user, day) event sessions —
+    * the non-contiguous complement of q311's adjacency triples.
+    * Existence tests are rollup arithmetic (minpos/maxpos/minfollow),
+    * each level Apriori-pruned before its join fans out. */
+  val q465 = Declared(
+    "q465_sequential_patterns", "W2",
+    (s, dir) => EventAnalytics.sequentialPatterns(
+        Tables.events(s, dir),
+        Seq(col("user_id"), to_date(col("ts")).as("day")),
+        col("event_type"), Seq(col("ts"), col("event_id")),
+        minSupportPpm = 10000L)
+      .orderBy(col("len"), col("e1"), col("e2"), col("e3")),
+    Some("""WITH pos AS (
+           |  SELECT user_id, CAST(ts AS DATE) AS day, event_type AS e,
+           |    CAST(row_number() OVER (
+           |      PARTITION BY user_id, CAST(ts AS DATE)
+           |      ORDER BY ts, event_id) AS BIGINT) AS p
+           |  FROM events),
+           |occ AS (SELECT user_id, day, e, min(p) AS minp, max(p) AS maxp
+           |        FROM pos GROUP BY 1, 2, 3),
+           |ns AS (SELECT count(*) AS nseq
+           |       FROM (SELECT DISTINCT user_id, day FROM occ)),
+           |l1 AS (
+           |  SELECT e, count(*) AS support FROM occ GROUP BY 1
+           |  HAVING count(*) * 1000000 >= 10000 * (SELECT nseq FROM ns)),
+           |p2 AS (
+           |  SELECT a.user_id, a.day, a.e AS ea, b.e AS eb
+           |  FROM occ a
+           |    JOIN occ b ON a.user_id = b.user_id AND a.day = b.day
+           |      AND a.minp < b.maxp
+           |    JOIN l1 fa ON a.e = fa.e
+           |    JOIN l1 fb ON b.e = fb.e),
+           |l2 AS (
+           |  SELECT ea, eb, count(*) AS support FROM p2 GROUP BY 1, 2
+           |  HAVING count(*) * 1000000 >= 10000 * (SELECT nseq FROM ns)),
+           |mf AS (
+           |  SELECT pos.user_id, pos.day, a.e AS ea, pos.e AS eb,
+           |    min(pos.p) AS mfp
+           |  FROM pos
+           |    JOIN occ a ON pos.user_id = a.user_id AND pos.day = a.day
+           |      AND pos.p > a.minp
+           |    JOIN l2 ON l2.ea = a.e AND l2.eb = pos.e
+           |  GROUP BY 1, 2, 3, 4),
+           |t3 AS (
+           |  SELECT mf.ea, mf.eb, c.e AS ec, count(*) AS support
+           |  FROM mf
+           |    JOIN occ c ON mf.user_id = c.user_id AND mf.day = c.day
+           |      AND mf.mfp < c.maxp
+           |    JOIN l2 g ON g.ea = mf.eb AND g.eb = c.e
+           |    JOIN l2 h ON h.ea = mf.ea AND h.eb = c.e
+           |  GROUP BY 1, 2, 3
+           |  HAVING count(*) * 1000000 >= 10000 * (SELECT nseq FROM ns)),
+           |u AS (
+           |  SELECT CAST(1 AS INT) AS len, e AS e1,
+           |    CAST(NULL AS VARCHAR) AS e2, CAST(NULL AS VARCHAR) AS e3,
+           |    support FROM l1
+           |  UNION ALL
+           |  SELECT CAST(2 AS INT), ea, eb, CAST(NULL AS VARCHAR), support
+           |  FROM l2
+           |  UNION ALL
+           |  SELECT CAST(3 AS INT), ea, eb, ec, support FROM t3)
+           |SELECT len, e1, e2, e3, CAST(support AS BIGINT) AS support,
+           |  CAST(support * 1000000 // (SELECT nseq FROM ns) AS BIGINT)
+           |    AS support_ppm
+           |FROM u ORDER BY len, e1, e2, e3""".stripMargin),
+    "Positions are ONE keyed window; occ is a (session × alphabet) " +
+      "rollup; the pair join fans out ≤ alphabet² per session and the " +
+      "minfollow join ≤ |frequent pairs| per event — alphabet-bounded, " +
+      "never event². Apriori pruning broadcasts k-row level tables; " +
+      "all big joins hash on the session key.")
+
+  val all: Seq[Declared] = Seq(q462, q463, q464, q465)
+}

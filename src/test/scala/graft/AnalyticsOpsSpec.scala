@@ -2507,4 +2507,44 @@ class AnalyticsOpsSpec extends AnyFunSuite {
     assert(r2.getAs[String]("verdict") == "nonconforming")
     assert(r2.getAs[Long]("mad_ppm") > 15000L)
   }
+
+  test("privacy: randomizedResponse — reported bits replay the mixer; estimator unbiases") {
+    def mix(s: Long): Long = {
+      var z = s
+      z ^= (z >>> 30); z *= 0xBF58476D1CE4E5B9L
+      z ^= (z >>> 27); z *= 0x94D049BB133111EBL
+      z ^ (z >>> 31)
+    }
+    val salt = 0x9E3779B97F4A7C15L
+    // 400 units, truth = id % 5 == 0 (pi = 0.2), k = 2 (p = 3/4)
+    val units = (0L until 400L).map(i => (i, i % 5 == 0))
+    val df = units.toDF("id", "y")
+    val out = graft.ops.Privacy.randomizedResponse(df.withColumn("g", lit("a")),
+      Seq(col("g")), col("id"), col("y"), k = 2).head()
+    val expectedRep = units.count { case (i, y) =>
+      y != ((mix(i + salt) & 3L) == 0L) }
+    assert(out.getAs[Long]("n") == 400L)
+    assert(out.getAs[Long]("yes_true") == 80L)
+    assert(out.getAs[Long]("yes_reported") == expectedRep.toLong)
+    assert(out.getAs[Long]("pi_true_ppm") == 200000L)
+    // pi_hat = (4*rep - n) / (2n), floor at ppm — replay exactly
+    val expHat = (BigInt(4) * expectedRep - 400) * 1000000 / (BigInt(2) * 400)
+    assert(out.getAs[Long]("pi_hat_ppm") == expHat.toLong)
+    // and the unbiasing moves the raw reported rate TOWARD the truth:
+    // raw lambda is pulled to 1/2 by the lies, pi_hat corrects it
+    val lambdaPpm = expectedRep.toLong * 1000000L / 400L
+    assert(math.abs(out.getAs[Long]("pi_hat_ppm") - 200000L) <
+      math.abs(lambdaPpm - 200000L))
+  }
+
+  test("privacy: randomizedResponse at k = 62 — flips vanish, estimator is exact") {
+    val df = (0L until 50L).map(i => (i, i < 10)).toDF("id", "y")
+      .withColumn("g", lit(1L))
+    val out = graft.ops.Privacy.randomizedResponse(df, Seq(col("g")),
+      col("id"), col("y"), k = 62).head()
+    assert(out.getAs[Long]("yes_reported") == out.getAs[Long]("yes_true"))
+    // (2^62·y − n)·1e6 // ((2^62−2)·n) = y/n·1e6 within 1 ppm at this k
+    assert(math.abs(out.getAs[Long]("pi_hat_ppm") -
+      out.getAs[Long]("pi_true_ppm")) <= 1L)
+  }
 }

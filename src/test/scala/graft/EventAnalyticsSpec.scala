@@ -377,4 +377,72 @@ class EventAnalyticsSpec extends AnyFunSuite {
       .head()
     assert(r1.getAs[Long]("rmst_micro") == 1000000L)
   }
+
+  private def gspRun(seqs: Seq[(Long, Seq[String])], minPpm: Long) = {
+    val rows = seqs.flatMap { case (sid, es) =>
+      es.zipWithIndex.map { case (e, i) => (sid, e, i.toLong) } }
+    val df = spark.createDataFrame(rows).toDF("sid", "e", "t")
+    graft.ops.EventAnalytics.sequentialPatterns(df, Seq(col("sid")),
+        col("e"), Seq(col("t")), minPpm)
+      .collect()
+      .map(r => (Option(r.getAs[String]("e1")) ++
+        Option(r.getAs[String]("e2")) ++ Option(r.getAs[String]("e3")))
+        .toList -> r.getAs[Long]("support")).toMap
+  }
+
+  test("sequentialPatterns: hand case — order matters, adjacency does not") {
+    val out = gspRun(Seq(
+      1L -> Seq("a", "b", "c"),
+      2L -> Seq("a", "c", "b"),
+      3L -> Seq("b", "a", "c"),
+      4L -> Seq("a", "b", "c")), minPpm = 500000L) // support >= 2 of 4
+    assert(out(List("a")) == 4L)
+    assert(out(List("a", "b")) == 3L) // s3 has b BEFORE a — not supported
+    assert(out(List("a", "c")) == 4L) // non-adjacent in s1/s4 still counts
+    assert(out(List("b", "c")) == 3L)
+    assert(!out.contains(List("b", "a"))) // only s3 — below threshold
+    assert(out(List("a", "b", "c")) == 2L) // s1 and s4 (s2: c before b)
+    assert(!out.contains(List("a", "c", "b"))) // needs (c,b) frequent
+  }
+
+  test("sequentialPatterns: repeated type needs two occurrences") {
+    val out = gspRun(Seq(
+      1L -> Seq("a", "a", "b"),
+      2L -> Seq("a", "b"),
+      3L -> Seq("a", "b", "a")), minPpm = 600000L) // support >= 2 of 3
+    assert(out(List("a", "a")) == 2L) // s1 and s3; s2 has only one a
+    assert(out(List("a", "b")) == 3L)
+  }
+
+  test("sequentialPatterns: agrees with brute-force subsequence counting") {
+    // deterministic pseudo-random sessions over a 3-letter alphabet
+    val alpha = Vector("a", "b", "c")
+    var x = 123456789L
+    def nxt(n: Int): Int = {
+      x = x * 6364136223846793005L + 1442695040888963407L
+      (((x >>> 33) % n) + n).toInt % n
+    }
+    val seqs = (1L to 40L).map { sid =>
+      sid -> Seq.fill(1 + nxt(6))(alpha(nxt(3)))
+    }
+    def supports(p: List[String]): Int = seqs.count { case (_, es) =>
+      // greedy subsequence scan
+      var i = 0
+      es.foreach { e => if (i < p.length && e == p(i)) i += 1 }
+      i == p.length
+    }
+    val minPpm = 150000L // 15% of 40 = 6
+    val out = gspRun(seqs, minPpm)
+    // every pattern over the alphabet, lengths 1-3, repetition allowed
+    val allPats = (for (a <- alpha) yield List(a)) ++
+      (for (a <- alpha; b <- alpha) yield List(a, b)) ++
+      (for (a <- alpha; b <- alpha; c <- alpha) yield List(a, b, c))
+    allPats.foreach { p =>
+      val s = supports(p)
+      val frequent = s.toLong * 1000000L >= minPpm * seqs.length
+      if (frequent)
+        assert(out.get(p).contains(s.toLong), s"pattern $p support $s vs ${out.get(p)}")
+      else assert(!out.contains(p), s"pattern $p should be infrequent")
+    }
+  }
 }

@@ -484,6 +484,39 @@ class TextAnalysisSpec extends AnyFunSuite {
     // the shared word sits near zero, strictly between the markers
     assert(math.abs(out("common")) < out("apple"))
   }
+
+  test("E4: naiveBayesClassify — hand-computed scores, smoothing backoff, tie-break") {
+    val docs = Seq(
+      (1L, "pos", "good good great"),
+      (2L, "pos", "good fine"),
+      (3L, "neg", "bad bad awful"),
+      (4L, "neg", "bad poor")).toDF("doc_id", "text_label", "text")
+      .withColumnRenamed("text_label", "lbl")
+    val out = TextAnalysis.naiveBayesClassify(docs, col("doc_id"),
+        col("text"), col("lbl"))
+      .collect().map(r => r.getAs[Long]("doc") ->
+        (r.getAs[String]("label_pred"), r.getAs[Long]("score_u"))).toMap
+    // separable vocabulary: every doc classifies back to its own class
+    assert(out(1L)._1 == "pos" && out(2L)._1 == "pos")
+    assert(out(3L)._1 == "neg" && out(4L)._1 == "neg")
+    // hand score for doc 1 under "pos": V = 6, T_pos = 5,
+    // prior ln(2/4); good seen 3x, great 1x — micro-nat quantized
+    def u(x: Double): Long = math.round(x * 1e6)
+    val expected1 = u(math.log(2.0 / 4)) +
+      2 * u(math.log(4.0 / 11)) + u(math.log(2.0 / 11))
+    assert(out(1L)._2 == expected1)
+    // and under "neg" every token is UNSEEN — backoff floor ln(1/11);
+    // the pos score must beat it (that's why doc 1 classifies pos)
+    val negScore1 = u(math.log(2.0 / 4)) + 3 * u(math.log(1.0 / 11))
+    assert(expected1 > negScore1)
+    // exact tie between classes → lexicographically smaller label wins
+    val tie = Seq((1L, "a", "x"), (2L, "b", "x")).toDF("doc_id", "lbl", "text")
+    val tout = TextAnalysis.naiveBayesClassify(tie, col("doc_id"),
+        col("text"), col("lbl"))
+      .collect().map(r => r.getAs[Long]("doc") ->
+        r.getAs[String]("label_pred")).toMap
+    assert(tout(1L) == "a" && tout(2L) == "a")
+  }
 }
 
 class MultimodalSpec extends AnyFunSuite {

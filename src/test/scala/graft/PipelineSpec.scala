@@ -498,6 +498,38 @@ class PipelineSpec extends AnyFunSuite {
     assert(dp.count() == 9 && dp.columns.contains("noisy_n"))
   }
 
+  test("ops: round-8 registry ops run from serialized JSON specs") {
+    // randomized_response
+    val units = (0L until 100L).map(i => (i, i % 4 == 0, "g")).toDF("id", "y", "g")
+    val (rr, _) = Pipeline("r").addOperation(Operation("r",
+      "randomized_response", "keys" -> JArr(Vector(JStr("g"))),
+      "id_col" -> JStr("id"), "truth_cond" -> JStr("y"),
+      "k" -> JNum(3.0))).run(units)
+    assert(rr.head.getAs[Long]("pi_true_ppm") == 250000L)
+    // ar2_yule_walker
+    val series = (0 until 12).map(t => ("k", t.toLong, (t % 4 + 1).toLong))
+      .toDF("g", "t", "v")
+    val (ar, _) = Pipeline("a").addOperation(Operation("a",
+      "ar2_yule_walker", "keys" -> JArr(Vector(JStr("g"))),
+      "order_col" -> JStr("t"), "value_col" -> JStr("v"))).run(series)
+    assert(ar.count() == 1 && ar.columns.contains("phi2"))
+    // naive_bayes_classify
+    val docs = Seq((1L, "aa aa", "p"), (2L, "bb bb", "n")).toDF("id", "text", "l")
+    val (nb, _) = Pipeline("n").addOperation(Operation("n",
+      "naive_bayes_classify", "id_col" -> JStr("id"),
+      "text_col" -> JStr("text"), "label_col" -> JStr("l"))).run(docs)
+    assert(nb.collect().forall(r =>
+      r.getAs[String]("label_pred") == r.getAs[String]("label_true")))
+    // sequential_patterns
+    val ev = Seq((1L, 0L, "a"), (1L, 1L, "b"), (2L, 0L, "a"), (2L, 1L, "b"))
+      .toDF("sid", "t", "e")
+    val (sp, _) = Pipeline("s").addOperation(Operation("s",
+      "sequential_patterns", "seq_keys" -> JArr(Vector(JStr("sid"))),
+      "type_col" -> JStr("e"), "order_cols" -> JArr(Vector(JStr("t"))),
+      "min_support_ppm" -> JNum(1000000.0))).run(ev)
+    assert(sp.filter(col("len") === 2).count() == 1) // <a,b> in both
+  }
+
   test("ops: corpus-curation ops compose from a JSON round-tripped spec") {
     val docs = Seq(
       (1L, "the cat sat on the mat", "a"),

@@ -493,4 +493,44 @@ class TimeSeriesOpsSpec extends AnyFunSuite {
     assert(r1.getAs[Double]("gk_vol") ==
       r6(math.sqrt(lhl * lhl * 500000 / 1e18)))
   }
+
+  test("ar2YuleWalker: matches an exact-arithmetic replay; degenerates to null") {
+    // an AR(2)-flavored integer series with a clear lag-1 structure
+    val vals = Seq(10L, 14L, 18L, 15L, 11L, 9L, 12L, 16L, 17L, 13L,
+      10L, 12L, 15L, 18L, 14L)
+    val df = vals.zipWithIndex.map { case (v, t) => ("k", t.toLong, v) }
+      .toDF("g", "t", "v")
+    val out = graft.ops.TimeSeriesOps.ar2YuleWalker(df, Seq(col("g")),
+      col("t"), col("v")).head()
+    // exact replay: c_i = n·v_i − S in BigInt, then the same pinned
+    // IEEE finish (BigInt.toDouble is correctly rounded, like the
+    // engine's DECIMAL(38,0) → DOUBLE cast)
+    val n = vals.length
+    val s = vals.sum
+    val c = vals.map(v => BigInt(n) * v - s)
+    val den = c.map(x => x * x).sum
+    val num1 = c.zip(c.tail).map { case (a, b) => a * b }.sum
+    val num2 = c.zip(c.drop(2)).map { case (a, b) => a * b }.sum
+    val r1 = num1.toDouble / den.toDouble
+    val r2 = num2.toDouble / den.toDouble
+    val phi1 = r1 * (1.0 - r2) / (1.0 - r1 * r1)
+    val phi2 = (r2 - r1 * r1) / (1.0 - r1 * r1)
+    val mu = s.toDouble / n.toDouble
+    assert(out.getAs[Long]("n") == n.toLong)
+    assert(out.getAs[Double]("r1") == r1)
+    assert(out.getAs[Double]("r2") == r2)
+    assert(out.getAs[Double]("phi1") == phi1)
+    assert(out.getAs[Double]("phi2") == phi2)
+    assert(out.getAs[Double]("innov_share") == 1.0 - phi1 * r1 - phi2 * r2)
+    assert(out.getAs[Double]("forecast") ==
+      mu + phi1 * (vals(n - 1) - mu) + phi2 * (vals(n - 2) - mu))
+    // constant series and too-short series yield nulls, never NaNs
+    val const = Seq(("c", 0L, 5L), ("c", 1L, 5L), ("c", 2L, 5L),
+      ("s", 0L, 1L), ("s", 1L, 2L)).toDF("g", "t", "v")
+    graft.ops.TimeSeriesOps.ar2YuleWalker(const, Seq(col("g")),
+      col("t"), col("v")).collect().foreach { r =>
+      assert(r.isNullAt(r.fieldIndex("phi1")), r.getAs[String]("g"))
+      assert(r.isNullAt(r.fieldIndex("forecast")))
+    }
+  }
 }
