@@ -32,6 +32,10 @@ object TextAnalysis {
     "__cdw, __prior_u", "naiveBayesClassify: doc-token frame × the " +
       "|labels|-row class-stats broadcast (every doc scores every class)",
     "vocabulary")
+  graft.plans.Guardrails.expect("cartesian_join",
+    "__sw1, __u1", "plsa2Topics: vocab rollup × the 1-row per-topic " +
+      "M-step totals broadcast",
+    "k-literal")
 
 
 
@@ -535,6 +539,94 @@ object TextAnalysis {
         round(-col("__s").cast("double") / col("n_tokens") / 1e6, 6))
       .drop("__s")
       .select(col(keyCol), col("n_tokens"), col("n_vocab"), col("entropy"))
+  }
+
+  /** E4 — 2-TOPIC pLSA by fixed-round EM (Hofmann, SIGIR'99
+    * "Probabilistic latent semantic indexing" — public literature; the
+    * statistical ancestor of LDA and the classic unsupervised
+    * corpus-structure readout). Over the (doc, word, count) cell table:
+    *
+    *   E: r(d,w) = P(z=1|d,w) = φ₁w·θ_d1 / (φ₁w·θ_d1 + φ₂w·θ_d2)
+    *   M: φ_zw ∝ Σ_d c_dw·r_z,   θ_dz ∝ Σ_w c_dw·r_z
+    *
+    * INTEGER-QUANTIZED trajectory (the q401 GMM device): φ/θ live as
+    * ppm longs, responsibilities floor to ppm (r₂ = 10⁶ − r₁ exactly,
+    * so the θ denominator is n_d·10⁶ and never zero), M-step sums are
+    * exact DECIMAL(38,0), and every division is a floor division of
+    * non-negative integers — the whole R-round trajectory is
+    * bit-identical under any partitioning AND any engine. Symmetry
+    * breaks via the deterministic doc tilt θ_d1⁰ = 200000 + (d mod
+    * 7)·10⁵; φ⁰ is uniform. Output: the top-`topK` tokens per topic by
+    * final φ ppm, tie-broken (φ desc, token asc) —
+    * (topic, token, phi_ppm).
+    *
+    * Scale: cells checkpoint once; each round is two rollup joins
+    * (vocab-keyed φ, doc-keyed θ) + two grouped sums with map-side
+    * combine; the per-topic totals are a 1-row broadcast. Fixed R
+    * rounds → a pure function of the input. The top-k finish is two
+    * TakeOrdered branches, not a global window. */
+  def plsa2Topics(docs: DataFrame, idCol: Column, textCol: Column,
+      rounds: Int, topK: Int): DataFrame = {
+    require(rounds >= 1 && rounds <= 10, "rounds in [1, 10]")
+    require(topK >= 1, "topK >= 1")
+    val d38 = "decimal(38,0)"
+    val cells = docs.select(idCol.cast("long").as("__d"),
+        explode(tokens(textCol)).as("__w"))
+      .groupBy(col("__d"), col("__w")).agg(count(lit(1)).as("__c"))
+      .localCheckpoint() // read every round
+    val v = cells.select(countDistinct(col("__w")).as("v")).head.getLong(0)
+    val phiInit = 1000000L / v
+    // non-negative floor division in d38 via pmod — matches DuckDB //
+    def floorDiv(num: Column, den: Column): Column =
+      ((num - pmod(num, den)) / den).cast("long")
+    var phi = cells.select(col("__w")).distinct()
+      .select(col("__w"), lit(phiInit).as("__p1"), lit(phiInit).as("__p2"))
+      .localCheckpoint()
+    var theta = cells.select(col("__d")).distinct()
+      .select(col("__d"),
+        (lit(200000L) + pmod(col("__d"), lit(7L)) * 100000L).as("__t1"))
+      .withColumn("__t2", lit(1000000L) - col("__t1"))
+      .localCheckpoint()
+    (1 to rounds).foreach { _ =>
+      val e = cells.join(phi, "__w").join(theta, "__d")
+        .withColumn("__n1", col("__p1") * col("__t1"))
+        .withColumn("__n2", col("__p2") * col("__t2"))
+        .withColumn("__r1", when(col("__n1") + col("__n2") === 0L,
+          lit(500000L)).otherwise(
+          expr("(__n1 * 1000000L) div (__n1 + __n2)")))
+        .select(col("__d"), col("__w"),
+          (col("__c") * col("__r1")).as("__s1"),
+          (col("__c") * (lit(1000000L) - col("__r1"))).as("__s2"))
+      val byW = e.groupBy(col("__w"))
+        .agg(sum(col("__s1").cast(d38)).cast(d38).as("__sw1"),
+          sum(col("__s2").cast(d38)).cast(d38).as("__sw2"))
+      val tot = byW.agg(sum(col("__sw1")).cast(d38).as("__u1"),
+        sum(col("__sw2")).cast(d38).as("__u2"))
+      phi = byW.crossJoin(broadcast(tot))
+        .select(col("__w"),
+          when(col("__u1") === lit(0).cast(d38), 0L).otherwise(
+            floorDiv(col("__sw1") * lit(1000000L).cast(d38), col("__u1")))
+            .as("__p1"),
+          when(col("__u2") === lit(0).cast(d38), 0L).otherwise(
+            floorDiv(col("__sw2") * lit(1000000L).cast(d38), col("__u2")))
+            .as("__p2"))
+        .localCheckpoint()
+      theta = e.groupBy(col("__d"))
+        .agg(sum(col("__s1").cast(d38)).cast(d38).as("__sd1"),
+          sum(col("__s2").cast(d38)).cast(d38).as("__sd2"))
+        .select(col("__d"),
+          floorDiv(col("__sd1") * lit(1000000L).cast(d38),
+            col("__sd1") + col("__sd2")).as("__t1"))
+        .withColumn("__t2", lit(1000000L) - col("__t1"))
+        .localCheckpoint()
+    }
+    val top1 = phi.select(lit(1).as("topic"), col("__w").as("token"),
+        col("__p1").as("phi_ppm"))
+      .orderBy(col("phi_ppm").desc, col("token")).limit(topK)
+    val top2 = phi.select(lit(2).as("topic"), col("__w").as("token"),
+        col("__p2").as("phi_ppm"))
+      .orderBy(col("phi_ppm").desc, col("token")).limit(topK)
+    top1.unionAll(top2)
   }
 
   /** E4 — MULTINOMIAL NAIVE BAYES text classifier, train + score in

@@ -214,6 +214,9 @@ object OpRegistry {
     "naive_bayes_classify" -> (p => df => graft.ext.TextAnalysis
       .naiveBayesClassify(df, col(str(p, "id_col")),
         col(str(p, "text_col")), col(str(p, "label_col")))),
+    "plsa_topics" -> (p => df => graft.ext.TextAnalysis.plsa2Topics(
+      df, col(str(p, "id_col")), col(str(p, "text_col")),
+      num(p, "rounds").toInt, num(p, "top_k").toInt)),
     "sequential_patterns" -> (p => df => graft.ops.EventAnalytics
       .sequentialPatterns(df, strs(p, "seq_keys").map(col),
         col(str(p, "type_col")), strs(p, "order_cols").map(col),

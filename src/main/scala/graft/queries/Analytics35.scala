@@ -256,5 +256,81 @@ object Analytics35 {
       "never event². Apriori pruning broadcasts k-row level tables; " +
       "all big joins hash on the session key.")
 
-  val all: Seq[Declared] = Seq(q462, q463, q464, q465)
+  /** q466 — E4: 2-TOPIC pLSA over the documents corpus — 3 EM rounds,
+    * integer-ppm trajectory, top-8 tokens per topic. The oracle
+    * UNROLLS every round (E-step responsibilities, both M-steps) as a
+    * chained-CTE replay in pure integer arithmetic, so the hash match
+    * proves the whole trajectory, not just the end state. */
+  val q466 = {
+    val rounds = 3
+    def eBlock(r: Int) = {
+      val rEx = "CASE WHEN p1*t1 + p2*t2 = 0 THEN 500000 " +
+        "ELSE (p1*t1 * 1000000) // (p1*t1 + p2*t2) END"
+      s"""e$r AS MATERIALIZED (
+         |  SELECT cells.d, cells.w,
+         |    c * ($rEx) AS s1,
+         |    c * (1000000 - ($rEx)) AS s2
+         |  FROM cells JOIN phi${r - 1} USING (w) JOIN th${r - 1} USING (d)),
+         |bw$r AS (SELECT w, sum(s1) AS sw1, sum(s2) AS sw2
+         |         FROM e$r GROUP BY w),
+         |tt$r AS (SELECT sum(sw1) AS u1, sum(sw2) AS u2 FROM bw$r),
+         |phi$r AS (
+         |  SELECT w,
+         |    CAST(CASE WHEN u1 = 0 THEN 0
+         |      ELSE (sw1 * 1000000) // u1 END AS BIGINT) AS p1,
+         |    CAST(CASE WHEN u2 = 0 THEN 0
+         |      ELSE (sw2 * 1000000) // u2 END AS BIGINT) AS p2
+         |  FROM bw$r CROSS JOIN tt$r),
+         |th$r AS (
+         |  SELECT d,
+         |    CAST((sum(s1) * 1000000) // (sum(s1) + sum(s2)) AS BIGINT)
+         |      AS t1,
+         |    CAST(1000000 - (sum(s1) * 1000000) // (sum(s1) + sum(s2))
+         |      AS BIGINT) AS t2
+         |  FROM e$r GROUP BY d)""".stripMargin
+    }
+    val sql =
+      s"""WITH tk AS (
+         |  SELECT doc_id AS d,
+         |    unnest(regexp_split_to_array(lower(text), '\\s+')) AS w
+         |  FROM documents),
+         |cells AS MATERIALIZED (
+         |  SELECT d, w, CAST(count(*) AS BIGINT) AS c
+         |  FROM tk GROUP BY 1, 2),
+         |vo AS (SELECT count(DISTINCT w) AS v FROM cells),
+         |phi0 AS (
+         |  SELECT w, CAST(1000000 // v AS BIGINT) AS p1,
+         |    CAST(1000000 // v AS BIGINT) AS p2
+         |  FROM (SELECT DISTINCT w FROM cells) CROSS JOIN vo),
+         |th0 AS (
+         |  SELECT d, CAST(200000 + (d % 7) * 100000 AS BIGINT) AS t1,
+         |    CAST(800000 - (d % 7) * 100000 AS BIGINT) AS t2
+         |  FROM (SELECT DISTINCT d FROM cells)),
+         |${(1 to rounds).map(eBlock).mkString(",\n")},
+         |top1 AS (
+         |  SELECT CAST(1 AS INT) AS topic, w AS token, p1 AS phi_ppm,
+         |    row_number() OVER (ORDER BY p1 DESC, w) AS rn FROM phi$rounds),
+         |top2 AS (
+         |  SELECT CAST(2 AS INT) AS topic, w AS token, p2 AS phi_ppm,
+         |    row_number() OVER (ORDER BY p2 DESC, w) AS rn FROM phi$rounds)
+         |SELECT topic, token, phi_ppm
+         |FROM (SELECT * FROM top1 WHERE rn <= 8
+         |      UNION ALL SELECT * FROM top2 WHERE rn <= 8)
+         |ORDER BY topic, phi_ppm DESC, token""".stripMargin
+    Declared(
+      "q466_plsa_topics", "E4",
+      (s, dir) => graft.ext.TextAnalysis.plsa2Topics(
+          Tables.documents(s, dir), col("doc_id"), col("text"),
+          rounds = rounds, topK = 8)
+        .orderBy(col("topic"), col("phi_ppm").desc, col("token")),
+      Some(sql),
+      "Cells checkpoint once; each round is a vocab-keyed and a " +
+        "doc-keyed rollup join + two grouped sums with map-side " +
+        "combine; per-topic totals are a 1-row broadcast. Fixed " +
+        "rounds, all-integer floor arithmetic — bit-identical under " +
+        "any partitioning and any engine. The unsupervised " +
+        "corpus-structure readout beside q345's SemDeDup clusters.")
+  }
+
+  val all: Seq[Declared] = Seq(q462, q463, q464, q465, q466)
 }

@@ -485,6 +485,34 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(math.abs(out("common")) < out("apple"))
   }
 
+  test("E4: plsa2Topics — planted two-theme corpus separates; partition-invariant") {
+    // two disjoint vocabularies; doc ids chosen so the (d mod 7) init
+    // tilt CORRELATES with the theme (EM is a local-optimum chaser —
+    // the deterministic init must not start it on the ridge)
+    val fruit = "apple pear plum apple grape pear apple"
+    val motor = "engine piston motor engine valve motor engine"
+    val docs = ((0L until 28L by 7L).map(i => (i, fruit)) ++
+      (6L until 34L by 7L).map(i => (i, motor))).toDF("doc_id", "text")
+    val out = graft.ext.TextAnalysis.plsa2Topics(docs, col("doc_id"),
+      col("text"), rounds = 5, topK = 3).collect()
+    val byTopic = out.groupBy(_.getInt(0)).view
+      .mapValues(_.map(_.getString(1)).toSet).toMap
+    val fruitSet = Set("apple", "pear", "plum", "grape")
+    val motorSet = Set("engine", "piston", "motor", "valve")
+    // each topic's top tokens come from ONE theme, and the two topics
+    // pick different themes
+    val t1Fruit = byTopic(1).subsetOf(fruitSet)
+    val t2Fruit = byTopic(2).subsetOf(fruitSet)
+    assert(t1Fruit || byTopic(1).subsetOf(motorSet), byTopic(1).toString)
+    assert(t2Fruit || byTopic(2).subsetOf(motorSet), byTopic(2).toString)
+    assert(t1Fruit != t2Fruit, s"topics collapsed: $byTopic")
+    // fixed rounds + integer arithmetic: repartitioning changes nothing
+    val out2 = graft.ext.TextAnalysis.plsa2Topics(docs.repartition(7),
+      col("doc_id"), col("text"), rounds = 5, topK = 3).collect()
+    assert(out.map(r => (r.getInt(0), r.getString(1), r.getLong(2))).toSet ==
+      out2.map(r => (r.getInt(0), r.getString(1), r.getLong(2))).toSet)
+  }
+
   test("E4: naiveBayesClassify — hand-computed scores, smoothing backoff, tie-break") {
     val docs = Seq(
       (1L, "pos", "good good great"),
