@@ -570,6 +570,142 @@ object Graph {
     labels
   }
 
+  /** E2+ — k-PIVOT, HOP-BOUNDED BETWEENNESS CENTRALITY (Brandes 2001
+    * "A faster algorithm for betweenness centrality", JMS; pivot
+    * sampling per Brandes & Pich 2007 — public literature): who sits
+    * on the shortest paths — the broker-node signal behind influence
+    * ranking and cut-vertex triage. Exact Brandes from each of the
+    * `numPivots` smallest node ids (deterministic pivot set), paths
+    * truncated at `maxHops` (the q155/q384 horizon contract: fixed
+    * bounds keep the operator a pure function of the input; hops must
+    * cover the diameter for the untruncated answer).
+    *
+    *   forward:  σ_s(v) = Σ_{u ∈ pred_s(v)} σ_s(u)   (layered BFS,
+    *             path counts as exact DECIMAL(38,0) sums)
+    *   backward: δ_s(v) = Σ_{w: v ∈ pred_s(w)}
+    *               ⌊σ_s(v)·(10⁶ + δ_s(w)) / σ_s(w)⌋  (ppm-quantized
+    *             dependency accumulation, level by level descending)
+    *   bc(v)   = Σ_s δ_s(v)  over v ≠ s, in ppm
+    *
+    * The floor-per-contribution quantization makes every δ an exact
+    * integer — the trajectory is bit-identical under any partitioning
+    * and replayable by a second engine (the q100/q401 device); it
+    * under-counts each contribution by < 1 ppm, the price of exact
+    * replay. Self-loops drop; duplicate and reversed input edges
+    * collapse (σ must count paths, not edge multiplicity). Returns
+    * every graph node: (node, bc_ppm) — bc_ppm fits BIGINT for path
+    * counts up to ~10¹² per pivot (document-scale graphs; the σ state
+    * itself is DECIMAL(38,0)).
+    *
+    * Scale: state is (pivots × reached nodes); each forward round is
+    * one frontier-keyed join + grouped σ sum, each backward level one
+    * level-keyed join — all hash on the node key, no windows, no
+    * driver loops over data. Pivot count is the precision/cost dial
+    * (Brandes-Pich: a few hundred pivots suffice at web scale). */
+  def betweennessPivots(edges: DataFrame, srcCol: String, dstCol: String,
+      numPivots: Int, maxHops: Int): DataFrame = {
+    require(numPivots >= 1 && numPivots <= 256, "numPivots in [1, 256]")
+    require(maxHops >= 1 && maxHops <= 8, "maxHops in [1, 8]")
+    val d38 = "decimal(38,0)"
+    def floorDiv(num: Column, den: Column): Column =
+      ((num - pmod(num, den)) / den).cast(d38)
+    // canonical undirected edge set: (a,b)/(b,a) collapse, self-loops
+    // drop — sigma counts PATHS, so edge multiplicity must not inflate it
+    val canon = edges.select(checkedLong(col(srcCol)).as("a"),
+        checkedLong(col(dstCol)).as("b"))
+      .filter(col("a") =!= col("b"))
+      .select(least(col("a"), col("b")).as("a"),
+        greatest(col("a"), col("b")).as("b"))
+      .distinct()
+    val sym = canon.select(explode(array(
+        struct(col("a").as("src"), col("b").as("dst")),
+        struct(col("b").as("src"), col("a").as("dst")))).as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"))
+      .localCheckpoint() // re-read every forward round and backward level
+    val pivots = sym.select(col("src")).distinct()
+      .orderBy(col("src")).limit(numPivots)
+      .select(col("src").as("s"))
+      .localCheckpoint()
+    // ---- forward: layered BFS carrying exact path counts ------------
+    // Only each LAYER checkpoints; the label set is a lazy union of
+    // checkpointed layers (cheap scans), so a round costs one shuffle
+    // stage, not three materializations.
+    val seed = pivots.select(col("s"), col("s").as("node"),
+      lit(0L).as("dist"), lit(1).cast(d38).as("sigma")).localCheckpoint()
+    val layers = scala.collection.mutable.ArrayBuffer(seed)
+    def labels = layers.reduce(_ unionByName _)
+    var frontier = seed
+    var l = 0
+    var done = false
+    while (l < maxHops && !done) {
+      l += 1
+      val next = sym.join(frontier.withColumnRenamed("node", "src"), "src")
+        .groupBy(col("s"), col("dst").as("node"))
+        .agg(sum(col("sigma")).cast(d38).as("sigma"))
+        .join(labels.select(col("s"), col("node")), Seq("s", "node"),
+          "left_anti")
+        .withColumn("dist", lit(l.toLong))
+        .select(col("s"), col("node"), col("dist"), col("sigma"))
+        .localCheckpoint()
+      if (next.isEmpty) done = true // empty layer = fixed point
+      else {
+        layers += next
+        frontier = next
+      }
+    }
+    // ---- backward: ppm dependency accumulation, deepest level first --
+    // Materialize the shortest-path DAG ONCE (label ⋈ edges ⋈ label,
+    // consecutive levels) so each descending level is a cheap filtered
+    // join against the node-sized delta frame — not a fresh pass over
+    // the full edge set per level.
+    val dag = labels
+      .select(col("s"), col("node").as("v"), col("dist").as("dv"),
+        col("sigma").as("sigv"))
+      .join(sym.select(col("src").as("v"), col("dst").as("w")), "v")
+      .join(labels.select(col("s"), col("node").as("w"),
+        col("dist").as("dw2"), col("sigma").as("sigw")), Seq("s", "w"))
+      .filter(col("dw2") === col("dv") + 1L)
+      .select(col("s"), col("v"), col("dv"), col("sigv"),
+        col("w"), col("sigw"))
+      .localCheckpoint() // read once per backward level
+    val deltas = scala.collection.mutable.Map.empty[Int, DataFrame]
+    // level 0 is skipped: its δ lands only on the pivots themselves,
+    // which the v ≠ s exclusion below filters out anyway
+    ((maxHops - 1) to 1 by -1).foreach { lev =>
+      if (lev + 1 < layers.length) {
+        val slice = dag.filter(col("dv") === lev.toLong)
+        val withD = deltas.get(lev + 1) match {
+          case Some(d) => slice.join(d.select(col("s"),
+            col("node").as("w"), col("delta").as("dw")), Seq("s", "w"),
+            "left")
+          case None => slice.withColumn("dw", lit(null).cast(d38))
+        }
+        deltas(lev) = withD
+          .withColumn("__contrib", floorDiv(
+            col("sigv") * (lit(1000000).cast(d38) +
+              coalesce(col("dw"), lit(0).cast(d38))),
+            col("sigw")))
+          .groupBy(col("s"), col("v").as("node"))
+          .agg(sum(col("__contrib")).cast(d38).as("delta"))
+          .localCheckpoint()
+      }
+    }
+    // ---- bc: sum over pivots, sources excluded ----------------------
+    val emptyDelta = seed.limit(0)
+      .select(col("s"), col("node"), lit(0).cast(d38).as("delta"))
+    val delta = deltas.values.foldLeft(emptyDelta)(_ unionByName _)
+    val bc = delta
+      .join(labels.select(col("s"), col("node"), col("dist")),
+        Seq("s", "node"))
+      .filter(col("dist") >= 1L)
+      .groupBy(col("node"))
+      .agg(sum(col("delta")).cast(d38).as("__bc"))
+    sym.select(col("src").as("node")).distinct()
+      .join(bc, Seq("node"), "left")
+      .select(col("node"),
+        coalesce(col("__bc"), lit(0).cast(d38)).cast("long").as("bc_ppm"))
+  }
+
   /** E2+ — double-sweep diameter lower bound (the standard 2-BFS
     * heuristic, Magnien-Latapy-Habib 2009): BFS from a deterministic
     * seed (the smallest node id), hop to the farthest node reached,

@@ -332,5 +332,96 @@ object Analytics35 {
         "corpus-structure readout beside q345's SemDeDup clusters.")
   }
 
-  val all: Seq[Declared] = Seq(q462, q463, q464, q465, q466)
+  private val PartOffset = 1L << 40 // bipartite shift, literal in SQL
+
+  /** q467 — E2+: k-pivot hop-bounded BRANDES BETWEENNESS over the
+    * supplier–part purchase graph (q155's edge set) — 3 smallest-id
+    * pivots, 3-hop horizon, supplier nodes reported. The oracle
+    * unrolls BOTH passes: 3 layered-BFS rounds carrying exact HUGEINT
+    * path counts, then 3 descending dependency levels with the same
+    * ppm floor divisions — the whole trajectory hash-matches. */
+  val q467 = {
+    val hops = 3
+    val fwd = (1 to hops).map { l =>
+      s"""i$l AS (
+         |  SELECT f.s, e.dst AS node, sum(f.sigma) AS sigma
+         |  FROM f${l - 1} f JOIN sym e ON e.src = f.node
+         |  GROUP BY 1, 2),
+         |f$l AS MATERIALIZED (
+         |  SELECT i.s, i.node, CAST($l AS BIGINT) AS dist, i.sigma
+         |  FROM i$l i LEFT JOIN lab${l - 1} x
+         |    ON x.s = i.s AND x.node = i.node
+         |  WHERE x.node IS NULL),
+         |lab$l AS MATERIALIZED (
+         |  SELECT * FROM lab${l - 1} UNION ALL SELECT * FROM f$l)"""
+        .stripMargin
+    }.mkString(",\n")
+    val bwd = ((hops - 1) to 0 by -1).map { lev =>
+      s"""d$lev AS MATERIALIZED (
+         |  SELECT v.s, v.node,
+         |    sum((v.sigma * (1000000 + coalesce(dw.delta,
+         |      CAST(0 AS HUGEINT)))) // w.sigma) AS delta
+         |  FROM lab$hops v
+         |    JOIN sym e ON e.src = v.node
+         |    JOIN lab$hops w ON w.s = v.s AND w.node = e.dst
+         |      AND w.dist = v.dist + 1
+         |    LEFT JOIN dall${lev + 1} dw
+         |      ON dw.s = v.s AND dw.node = w.node
+         |  WHERE v.dist = $lev
+         |  GROUP BY 1, 2),
+         |dall$lev AS (
+         |  SELECT * FROM dall${lev + 1} UNION ALL SELECT * FROM d$lev)"""
+        .stripMargin
+    }.mkString(",\n")
+    val sql =
+      s"""WITH e0 AS (
+         |  SELECT DISTINCT l_suppkey AS a,
+         |    l_partkey + 1099511627776 AS b
+         |  FROM lineitem),
+         |sym AS MATERIALIZED (
+         |  SELECT a AS src, b AS dst FROM e0
+         |  UNION ALL SELECT b AS src, a AS dst FROM e0),
+         |p AS (SELECT src AS s
+         |      FROM (SELECT DISTINCT src FROM sym) ORDER BY src LIMIT 3),
+         |f0 AS (SELECT s, s AS node, CAST(0 AS BIGINT) AS dist,
+         |         CAST(1 AS HUGEINT) AS sigma FROM p),
+         |lab0 AS (SELECT * FROM f0),
+         |$fwd,
+         |dall$hops AS (
+         |  SELECT s, node, CAST(0 AS HUGEINT) AS delta
+         |  FROM lab$hops WHERE false),
+         |$bwd,
+         |bc AS (
+         |  SELECT d.node, sum(d.delta) AS bc
+         |  FROM dall0 d JOIN lab$hops x
+         |    ON x.s = d.s AND x.node = d.node
+         |  WHERE x.dist >= 1 GROUP BY 1),
+         |nodes AS (SELECT DISTINCT src AS node FROM sym)
+         |SELECT nodes.node AS supplier,
+         |  CAST(coalesce(bc, 0) AS BIGINT) AS bc_ppm
+         |FROM nodes LEFT JOIN bc ON bc.node = nodes.node
+         |WHERE nodes.node < 1099511627776
+         |ORDER BY supplier""".stripMargin
+    Declared(
+      "q467_betweenness", "E2+",
+      (s, dir) => {
+        val edges = Tables.lineitem(s, dir)
+          .select(col("l_suppkey").as("src"),
+            (col("l_partkey") + PartOffset).as("dst"))
+        graft.ext.Graph.betweennessPivots(edges, "src", "dst",
+            numPivots = 3, maxHops = hops)
+          .filter(col("node") < PartOffset)
+          .select(col("node").as("supplier"), col("bc_ppm"))
+          .orderBy(col("supplier"))
+      },
+      Some(sql),
+      "State is (pivots × reached nodes); each forward round is one " +
+        "frontier-keyed join + a grouped exact sigma sum, each " +
+        "backward level one level-keyed join — all hash on the node " +
+        "key, no windows. Pivot count is the precision/cost dial " +
+        "(Brandes-Pich); the hop horizon is the q155 purity contract. " +
+        "The broker-node ranking behind influence and cut-vertex triage.")
+  }
+
+  val all: Seq[Declared] = Seq(q462, q463, q464, q465, q466, q467)
 }

@@ -189,6 +189,40 @@ class GraphSpec extends AnyFunSuite {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(none.forall { case (n, c) => n == c })
   }
+
+  test("E2+: betweennessPivots — exact on a path; sigma-split diamond quantizes") {
+    // path 1-2-3-4-5, ALL nodes as pivots, horizon covers the diameter:
+    // classic directed-pair betweenness (each unordered pair twice)
+    val path = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L)).toDF("u", "v")
+    val bc = Graph.betweennessPivots(path, "u", "v",
+        numPivots = 5, maxHops = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(bc(1L) == 0L && bc(5L) == 0L)
+    assert(bc(2L) == 6000000L && bc(4L) == 6000000L) // δ sums = 6
+    assert(bc(3L) == 8000000L)                        // 2·2·2 crossings
+    // diamond 1-2, 1-3, 2-4, 3-4: two shortest 1→4 paths split sigma;
+    // every node brokers exactly half of two paths → bc = 1e6 each
+    val diamond = Seq((1L, 2L), (1L, 3L), (2L, 4L), (3L, 4L)).toDF("u", "v")
+    val dbc = Graph.betweennessPivots(diamond, "u", "v",
+        numPivots = 4, maxHops = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(dbc == Map(1L -> 1000000L, 2L -> 1000000L,
+      3L -> 1000000L, 4L -> 1000000L), dbc.toString)
+    // duplicate + reversed edges collapse: sigma counts paths, not edges
+    val noisy = Seq((1L, 2L), (2L, 1L), (1L, 2L), (2L, 3L), (3L, 4L),
+      (4L, 5L)).toDF("u", "v")
+    val nbc = Graph.betweennessPivots(noisy, "u", "v",
+        numPivots = 5, maxHops = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(nbc(3L) == 8000000L, nbc.toString)
+    // single pivot = source-1 dependencies only: on the path from node
+    // 1, δ(2) = 3, δ(3) = 2, δ(4) = 1, endpoints 0
+    val one = Graph.betweennessPivots(path, "u", "v",
+        numPivots = 1, maxHops = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(one == Map(1L -> 0L, 2L -> 3000000L, 3L -> 2000000L,
+      4L -> 1000000L, 5L -> 0L), one.toString)
+  }
 }
 
 class CorpusCurationSpec extends AnyFunSuite {
