@@ -423,5 +423,62 @@ object Analytics35 {
         "The broker-node ranking behind influence and cut-vertex triage.")
   }
 
-  val all: Seq[Declared] = Seq(q462, q463, q464, q465, q466, q467)
+  /** q468 — T7: stream-STREAM LEFT OUTER join with event-time range
+    * bounds — q78's attribution join with the unmatched clicks KEPT
+    * (the conversion-rate denominator). Outer null rows only emit when
+    * the watermark passes a buffered left row's expiry (l_ts + within),
+    * so the OUTPUT is filtered to a sealed region well behind the final
+    * watermark (the q103 sealing discipline; the seal must not touch
+    * the join INPUT — see the in-code note on watermark dragging) and
+    * the watermark delay is small (1 minute); the no-data final
+    * micro-batch then flushes every survivor. The batch LEFT JOIN over
+    * the same sealed region is the exact oracle. */
+  val q468 = Declared(
+    "q468_stream_left_join", "T7,J4",
+    (s, dir) => {
+      val prev = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "8")
+      try TimeSeries.streamEventsToTable(s, dir, "q468", mode = "append") { ev =>
+        // the seal must filter the join OUTPUT, not the click input:
+        // the left watermark is computed from the filtered stream's
+        // max event time, so an input-side seal drags the watermark
+        // down to the seal itself and the last ~hour of sealed clicks
+        // never expire out of state
+        val clicks = ev.filter(col("event_type") === "click")
+          .select(col("user_id"), col("event_id").as("click_id"),
+            col("ts").as("l_ts"))
+        val purchases = ev.filter(col("event_type") === "purchase")
+          .select(col("user_id"), col("event_id").as("purchase_id"),
+            col("ts").as("r_ts"))
+        graft.streaming.StreamOps.streamStreamJoin(
+            clicks, purchases, "user_id", "l_ts", "r_ts",
+            watermark = "1 minute", within = "30 minutes",
+            joinType = "left_outer")
+          .filter(col("l_ts") < lit("2024-01-30 12:00:00").cast("timestamp"))
+          .select(col("user_id"), col("click_id"), col("purchase_id"))
+      }.orderBy(col("user_id"), col("click_id"), col("purchase_id"))
+      finally s.conf.set("spark.sql.shuffle.partitions", prev)
+    },
+    Some("""WITH c AS (
+           |  SELECT user_id, event_id AS click_id, ts AS l_ts
+           |  FROM events
+           |  WHERE event_type = 'click'
+           |    AND ts < TIMESTAMP '2024-01-30 12:00:00'),
+           |p AS (
+           |  SELECT user_id, event_id AS purchase_id, ts AS r_ts
+           |  FROM events WHERE event_type = 'purchase')
+           |SELECT c.user_id, c.click_id, p.purchase_id
+           |FROM c LEFT JOIN p
+           |  ON c.user_id = p.user_id
+           | AND p.r_ts >= c.l_ts
+           | AND p.r_ts <= c.l_ts + INTERVAL 30 MINUTE
+           |ORDER BY 1, 2, 3 NULLS FIRST""".stripMargin),
+    "Outer join state is bounded by watermark + within on both sides; " +
+      "null emission is watermark-DRIVEN, so the sealing filter is " +
+      "what makes the replay deterministic — production streams read " +
+      "the same rows continuously as the watermark sweeps forward. " +
+      "The unmatched-click denominator is how attribution rates are " +
+      "actually computed.")
+
+  val all: Seq[Declared] = Seq(q462, q463, q464, q465, q466, q467, q468)
 }

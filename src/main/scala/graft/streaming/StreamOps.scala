@@ -86,16 +86,28 @@ object StreamOps {
     * can stop waiting once the right watermark passes t + within.
     * State size ≈ (input rate × (watermark + within)) per side, shuffle
     * keyed on the join key — the only viable shape at unbounded input.
-    * Column names must be disjoint apart from `key`. */
+    * Column names must be disjoint apart from `key`. `joinType` also
+    * supports "left_outer"/"right_outer"/"full_outer": null-padded
+    * rows emit only when the WATERMARK passes a buffered row's match
+    * horizon, so outer consumers must read a watermark-sealed region
+    * (see q468's sealing note — and never seal the join INPUT, which
+    * drags the watermark itself down). */
   def streamStreamJoin(left: DataFrame, right: DataFrame, key: String,
       ltsCol: String, rtsCol: String, watermark: String,
-      within: String): DataFrame = {
+      within: String, joinType: String = "inner"): DataFrame = {
     val l = left.withWatermark(ltsCol, watermark)
+    // both sides often derive from the SAME source plan (self-join on a
+    // stream), where attribute-reference disambiguation can resolve
+    // drop(r(key)) to the LEFT column — on an outer join that nulls the
+    // key of every unmatched row. Renaming the right key mints a fresh
+    // attribute, making the join condition and the drop unambiguous.
     val r = right.withWatermark(rtsCol, watermark)
-    l.join(r, l(key) === r(key) &&
+      .withColumnRenamed(key, "__rkey")
+    l.join(r, l(key) === r("__rkey") &&
         r(rtsCol) >= l(ltsCol) &&
-        r(rtsCol) <= l(ltsCol) + expr(s"INTERVAL $within"))
-      .drop(r(key))
+        r(rtsCol) <= l(ltsCol) + expr(s"INTERVAL $within"),
+      joinType)
+      .drop("__rkey")
   }
 
   /** Input/output records for the custom-state sessionizer. */
