@@ -34,6 +34,10 @@ object EventAnalytics {
     "cumhaz_ppm", "nelsonAalen: distinct-event-time hazard rollup",
     "rollup")
   graft.plans.Guardrails.expect("single_partition_window",
+    "__a0, __a1, __a2", "coxPh: suffix risk-set sums over the " +
+      "distinct-duration rollup (one per Newton round)",
+    "rollup")
+  graft.plans.Guardrails.expect("single_partition_window",
     "__n, __n1, __t", "logRank: distinct-event-time two-group table",
     "rollup")
   graft.plans.Guardrails.expect("cartesian_join",
@@ -1137,6 +1141,92 @@ object EventAnalytics {
       .withColumn("cumhaz_ppm", sum(col("__term")).over(prefix))
       .select(col("t"), col("n_risk"), col("d").as("d_events"),
         col("cumhaz_ppm"))
+  }
+
+  /** A-stat/ML — COX PROPORTIONAL HAZARDS, one covariate, fixed-round
+    * Newton on the Breslow partial likelihood (Cox 1972 JRSS-B;
+    * Breslow 1974 ties — public literature; THE regression of survival
+    * analysis: churn vs plan, failure vs vendor, time-to-convert vs
+    * cohort — with censoring handled where q188's OLS cannot).
+    *
+    *   U(β) = Σ_events [x_i − S₁(t_i)/S₀(t_i)]
+    *   I(β) = Σ_events [S₂/S₀ − (S₁/S₀)²],  S_k(t) = Σ_{t_j ≥ t} x_j^k e^{βx_j}
+    *
+    * INTEGER-QUANTIZED trajectory (the q460 logistic device): weights
+    * e^{βx} floor to ppm from a ±20-clamped exponent, S_k are exact
+    * DECIMAL(38,0) suffix sums over the distinct-duration rollup, the
+    * risk-set ratios are truncating integral divisions, and the Newton
+    * step ⌊10⁶·U/I⌋ is BigInt arithmetic clamped to |β| ≤ 20 — the
+    * whole trajectory replays bit-for-bit in a second engine (the ppm
+    * rounding of exp is the one libm touch, the q141 discipline).
+    * Returns ONE row: (n, n_events, n_times, iters, beta_micro,
+    * hr_micro) — hr = e^β, the hazard ratio per unit of x.
+    *
+    * Scale: ONE (duration, x) cell agg off the fact table (map-side
+    * combine); every Newton round is rollup-sized — a duration-grain
+    * suffix window (documented single-partition rollup hazard) + a
+    * 1-row collect. Covariates should be small integers (quantize
+    * upstream); |x| ≤ ~10³ keeps S₂·10⁶ inside DECIMAL(38,0). */
+  def coxPh(df: DataFrame, durationCol: Column, eventCol: Column,
+      xCol: Column, iters: Int = 5): DataFrame = {
+    require(iters >= 1 && iters <= 64, "1 <= iters <= 64")
+    val d38 = "decimal(38,0)"
+    val spark = df.sparkSession
+    val cells = df.select(durationCol.cast("long").as("__t"),
+        eventCol.cast("int").cast("long").as("__e"),
+        xCol.cast("long").as("__x"))
+      .groupBy(col("__t"), col("__x"))
+      .agg(count(lit(1)).as("__c"), sum(col("__e")).as("__d"))
+      .localCheckpoint() // read every Newton round
+    val tot = cells.agg(sum(col("__c")).as("n"), sum(col("__d")).as("ev"),
+      countDistinct(col("__t")).as("nt")).collect()(0)
+    val (n, nEvents, nTimes) =
+      (tot.getAs[Long]("n"), tot.getAs[Long]("ev"), tot.getAs[Long]("nt"))
+    require(nEvents >= 1, "coxPh needs at least one event")
+    val clamp = 20000000L
+    var b = 0L
+    var it = 0
+    while (it < iters) {
+      val suffix = Window.orderBy(col("__t").desc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val s = cells
+        .withColumn("__w", floor(exp(greatest(lit(-20.0), least(lit(20.0),
+          (lit(b).cast("double") / 1e6) * col("__x")))) * 1e6 + 0.5)
+          .cast("long"))
+        .groupBy(col("__t"))
+        .agg(sum(col("__c").cast(d38) * col("__w").cast(d38)).cast(d38)
+            .as("__a0"),
+          sum(col("__c").cast(d38) * col("__x").cast(d38) *
+            col("__w").cast(d38)).cast(d38).as("__a1"),
+          sum(col("__c").cast(d38) * col("__x").cast(d38) *
+            col("__x").cast(d38) * col("__w").cast(d38)).cast(d38)
+            .as("__a2"),
+          sum(col("__d")).as("__dd"),
+          sum(col("__d") * col("__x")).as("__ex"))
+        .withColumn("__s0", sum(col("__a0")).over(suffix).cast(d38))
+        .withColumn("__s1", sum(col("__a1")).over(suffix).cast(d38))
+        .withColumn("__s2", sum(col("__a2")).over(suffix).cast(d38))
+        .filter(col("__dd") > 0L)
+        .withColumn("__s1u", expr("(__s1 * 1000000) div __s0"))
+        .withColumn("__s2u", expr("(__s2 * 1000000) div __s0"))
+        .withColumn("__uc", expr("CAST(1000000 AS decimal(38,0)) " +
+          "* __ex - CAST(__dd AS decimal(38,0)) * __s1u"))
+        .withColumn("__ic", expr("CAST(__dd AS decimal(38,0)) * " +
+          "(__s2u - (__s1u * __s1u) div 1000000L)"))
+        .agg(sum(col("__uc").cast(d38)).cast(d38).as("__uu"),
+          sum(col("__ic").cast(d38)).cast(d38).as("__ii"))
+        .collect()(0)
+      def big(i: Int) = BigInt(s.getAs[java.math.BigDecimal](i).toBigInteger)
+      val (uu, ii) = (big(0), big(1))
+      if (ii > 0)
+        b = math.max(-clamp, math.min(clamp,
+          b + ((BigInt(1000000) * uu) / ii).toLong))
+      it += 1
+    }
+    val hr = math.floor(math.exp(b.toDouble / 1e6) * 1e6 + 0.5).toLong
+    spark.range(1).select(lit(n).as("n"), lit(nEvents).as("n_events"),
+      lit(nTimes).as("n_times"), lit(iters.toLong).as("iters"),
+      lit(b).as("beta_micro"), lit(hr).as("hr_micro"))
   }
 
   /** A-stat/E6 — period-over-period CATEGORY-MIX drift series: for

@@ -320,16 +320,17 @@ object Privacy {
       .agg(count(lit(1)).as("n"),
         sum(when(col("__y"), 1L).otherwise(0L)).as("yes_true"),
         sum(when(col("__r"), 1L).otherwise(0L)).as("yes_reported"))
-    // floor division via pmod (divisor > 0) — matches DuckDB's `//`
-    // on possibly-negative numerators
-    def floorDiv(num: Column, den: Column): Column =
-      ((num - pmod(num, den)) / den).cast("long")
+    // the estimator numerator can go NEGATIVE (rare attribute, lies
+    // dominating): integral `div` truncates toward zero, exactly like
+    // DuckDB's integer `//` — a pmod-based floor would differ by 1 on
+    // every negative quotient
     agg
       .withColumn("pi_true_ppm", expr("(yes_true * 1000000L) div n"))
-      .withColumn("pi_hat_ppm", floorDiv(
+      .withColumn("__hnum",
         (lit(twoK).cast(d38) * col("yes_reported").cast(d38) -
-          col("n").cast(d38)) * lit(1000000L).cast(d38),
-        lit(twoK - 2).cast(d38) * col("n").cast(d38)))
+          col("n").cast(d38)) * lit(1000000L).cast(d38))
+      .withColumn("__hden", lit(twoK - 2).cast(d38) * col("n").cast(d38))
+      .withColumn("pi_hat_ppm", expr("CAST(__hnum div __hden AS BIGINT)"))
       .select(kNames.map(col) ++ Seq(col("n"), col("yes_true"),
         col("yes_reported"), col("pi_true_ppm"), col("pi_hat_ppm")): _*)
   }

@@ -217,6 +217,12 @@ object OpRegistry {
     "plsa_topics" -> (p => df => graft.ext.TextAnalysis.plsa2Topics(
       df, col(str(p, "id_col")), col(str(p, "text_col")),
       num(p, "rounds").toInt, num(p, "top_k").toInt)),
+    "betweenness_pivots" -> (p => df => graft.ext.Graph.betweennessPivots(
+      df, str(p, "src_col"), str(p, "dst_col"),
+      num(p, "num_pivots").toInt, num(p, "max_hops").toInt)),
+    "cox_ph" -> (p => df => graft.ops.EventAnalytics.coxPh(
+      df, col(str(p, "duration_col")), expr(str(p, "event_cond")),
+      col(str(p, "x_col")), num(p, "iters").toInt)),
     "sequential_patterns" -> (p => df => graft.ops.EventAnalytics
       .sequentialPatterns(df, strs(p, "seq_keys").map(col),
         col(str(p, "type_col")), strs(p, "order_cols").map(col),

@@ -480,5 +480,114 @@ object Analytics35 {
       "The unmatched-click denominator is how attribution rates are " +
       "actually computed.")
 
-  val all: Seq[Declared] = Seq(q462, q463, q464, q465, q466, q467, q468)
+  /** q469 — ML/A-stat: COX PROPORTIONAL HAZARDS on time-to-purchase —
+    * per user, duration = hours from first event to first purchase
+    * (censored at last activity when none), covariate = whether the
+    * journey opened with a view/click. Five Newton rounds on the Breslow
+    * partial likelihood; the oracle replays the WHOLE trajectory as a
+    * recursive CTE (ppm-floored e^{βx} weights, HUGEINT suffix
+    * risk-set sums, the same truncating divisions and the ±20 clamp),
+    * so beta and the hazard ratio hash-match bit-for-bit. */
+  val q469 = {
+    val iters = 5
+    val wExpr = "CAST(floor(exp(greatest(-20.0, least(20.0, " +
+      "(CAST(it.b AS DOUBLE) / 1000000) * cl.x))) * 1000000 + 0.5) " +
+      "AS BIGINT)"
+    val sql =
+      s"""WITH RECURSIVE fe AS (
+         |  SELECT user_id, ts AS ts0, event_type AS ft
+         |  FROM (SELECT user_id, ts, event_id, event_type,
+         |          row_number() OVER (PARTITION BY user_id
+         |            ORDER BY ts, event_id) AS rn
+         |        FROM events) WHERE rn = 1),
+         |agg AS (
+         |  SELECT user_id, max(ts) AS tmax,
+         |    min(CASE WHEN event_type = 'purchase' THEN ts END) AS tp
+         |  FROM events GROUP BY 1),
+         |subj AS (
+         |  SELECT (epoch_us(coalesce(a.tp, a.tmax)) - epoch_us(f.ts0))
+         |      // 3600000000 + 1 AS t,
+         |    CASE WHEN a.tp IS NULL THEN 0 ELSE 1 END AS ev,
+         |    CASE WHEN f.ft IN ('view', 'click') THEN 1 ELSE 0 END AS x
+         |  FROM fe f JOIN agg a ON f.user_id = a.user_id),
+         |cells AS MATERIALIZED (
+         |  SELECT t, x, CAST(count(*) AS BIGINT) AS c,
+         |    CAST(sum(ev) AS BIGINT) AS d
+         |  FROM subj GROUP BY 1, 2),
+         |it AS (
+         |  SELECT 0 AS i, CAST(0 AS BIGINT) AS b
+         |  UNION ALL
+         |  SELECT i + 1,
+         |    CASE WHEN ii > 0 THEN greatest(-20000000, least(20000000,
+         |      b + CAST((1000000 * uu) // ii AS BIGINT))) ELSE b END
+         |  FROM (
+         |    SELECT i, b, sum(uc) AS uu, sum(ic) AS ii FROM (
+         |      SELECT i, b,
+         |        1000000 * CAST(ex AS HUGEINT) -
+         |          CAST(dd AS HUGEINT) * s1u AS uc,
+         |        CAST(dd AS HUGEINT) *
+         |          (s2u - (s1u * s1u) // 1000000) AS ic
+         |      FROM (
+         |        SELECT i, b, t, dd, ex,
+         |          (s1 * 1000000) // s0 AS s1u,
+         |          (s2 * 1000000) // s0 AS s2u
+         |        FROM (
+         |          SELECT i, b, t, dd, ex,
+         |            sum(a0) OVER (ORDER BY t DESC ROWS BETWEEN
+         |              UNBOUNDED PRECEDING AND CURRENT ROW) AS s0,
+         |            sum(a1) OVER (ORDER BY t DESC ROWS BETWEEN
+         |              UNBOUNDED PRECEDING AND CURRENT ROW) AS s1,
+         |            sum(a2) OVER (ORDER BY t DESC ROWS BETWEEN
+         |              UNBOUNDED PRECEDING AND CURRENT ROW) AS s2
+         |          FROM (
+         |            SELECT i, b, t, sum(c * w) AS a0,
+         |              sum(c * x * w) AS a1, sum(c * x * x * w) AS a2,
+         |              sum(d) AS dd, sum(d * x) AS ex
+         |            FROM (
+         |              SELECT it.i, it.b, cl.t, cl.x, cl.c, cl.d,
+         |                $wExpr AS w
+         |              FROM it, cells cl WHERE it.i < $iters)
+         |            GROUP BY i, b, t)
+         |        ) WHERE dd > 0
+         |      )
+         |    ) GROUP BY i, b
+         |  )
+         |)
+         |SELECT CAST((SELECT sum(c) FROM cells) AS BIGINT) AS n,
+         |  CAST((SELECT sum(d) FROM cells) AS BIGINT) AS n_events,
+         |  CAST((SELECT count(DISTINCT t) FROM cells) AS BIGINT)
+         |    AS n_times,
+         |  CAST($iters AS BIGINT) AS iters,
+         |  b AS beta_micro,
+         |  CAST(floor(exp(CAST(b AS DOUBLE) / 1000000) * 1000000 + 0.5)
+         |    AS BIGINT) AS hr_micro
+         |FROM it WHERE i = $iters""".stripMargin
+    Declared(
+      "q469_cox_ph", "ML",
+      (s, dir) => {
+        val subjects = Tables.events(s, dir)
+          .groupBy(col("user_id"))
+          .agg(min(struct(col("ts"), col("event_id"),
+              col("event_type"))).as("__f"),
+            max(col("ts")).as("__tmax"),
+            min(when(col("event_type") === "purchase", col("ts")))
+              .as("__tp"))
+          .select(col("user_id"),
+            (expr("(unix_micros(coalesce(__tp, __tmax)) - " +
+              "unix_micros(__f.ts)) div 3600000000L") + 1L).as("dur"),
+            col("__tp").isNotNull.as("evt"),
+            when(col("__f.event_type").isin("view", "click"), 1L)
+              .otherwise(0L).as("x"))
+        EventAnalytics.coxPh(subjects, col("dur"), col("evt"), col("x"),
+          iters = iters)
+      },
+      Some(sql),
+      "ONE (duration, covariate) cell agg off the fact table; every " +
+        "Newton round is rollup-sized (a duration-grain suffix window " +
+        "+ a 1-row collect) — the regression of survival analysis at " +
+        "raw-corpus scale, censoring handled where plain OLS cannot.")
+  }
+
+  val all: Seq[Declared] =
+    Seq(q462, q463, q464, q465, q466, q467, q468, q469)
 }

@@ -2537,6 +2537,28 @@ class AnalyticsOpsSpec extends AnyFunSuite {
       math.abs(lambdaPpm - 200000L))
   }
 
+  test("privacy: randomizedResponse — negative estimator truncates like the oracle") {
+    def mix(s: Long): Long = {
+      var z = s
+      z ^= (z >>> 30); z *= 0xBF58476D1CE4E5B9L
+      z ^= (z >>> 27); z *= 0x94D049BB133111EBL
+      z ^ (z >>> 31)
+    }
+    val salt = 0x9E3779B97F4A7C15L
+    // all-false truth: every reported yes is a lie, so the numerator
+    // 2^k·rep − n sits near (and typically below) zero — the signed
+    // division path. Engines truncate toward zero; a floor would be
+    // off by one on every negative group.
+    val units = (0L until 300L).map(i => (i, false))
+    val out = graft.ops.Privacy.randomizedResponse(
+      units.toDF("id", "y").withColumn("g", lit("a")),
+      Seq(col("g")), col("id"), col("y"), k = 2).head()
+    val rep = units.count { case (i, _) => (mix(i + salt) & 3L) == 0L }
+    val expHat = (BigInt(4) * rep - 300) * 1000000 / (BigInt(2) * 300)
+    assert(out.getAs[Long]("yes_reported") == rep.toLong)
+    assert(out.getAs[Long]("pi_hat_ppm") == expHat.toLong, s"rep=$rep")
+  }
+
   test("privacy: randomizedResponse at k = 62 — flips vanish, estimator is exact") {
     val df = (0L until 50L).map(i => (i, i < 10)).toDF("id", "y")
       .withColumn("g", lit(1L))

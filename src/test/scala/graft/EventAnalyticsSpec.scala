@@ -378,6 +378,38 @@ class EventAnalyticsSpec extends AnyFunSuite {
     assert(r1.getAs[Long]("rmst_micro") == 1000000L)
   }
 
+  test("coxPh: null effect is exactly zero; hazardous group gets beta > 0") {
+    // perfectly balanced groups failing at the same times: every risk
+    // set has mean covariate exactly 1/2 and events split evenly, so
+    // U(0) = 0 EXACTLY and beta never moves off zero
+    val balanced = (1 to 6).flatMap { t =>
+      Seq((t.toLong, true, 0L), (t.toLong, true, 1L)) }
+      .toDF("dur", "evt", "x")
+    val b0 = graft.ops.EventAnalytics.coxPh(balanced, col("dur"),
+      col("evt"), col("x"), iters = 4).head()
+    assert(b0.getAs[Long]("beta_micro") == 0L)
+    assert(b0.getAs[Long]("hr_micro") == 1000000L)
+    // x = 1 fails early, x = 0 late (plus censoring): positive hazard
+    val risky = (Seq.tabulate(8)(i => ((i % 3 + 1).toLong, true, 1L)) ++
+      Seq.tabulate(8)(i => ((i % 3 + 6).toLong, true, 0L)) ++
+      Seq((9L, false, 0L), (9L, false, 1L))).toDF("dur", "evt", "x")
+    val b1 = graft.ops.EventAnalytics.coxPh(risky, col("dur"),
+      col("evt"), col("x"), iters = 5).head()
+    assert(b1.getAs[Long]("beta_micro") > 500000L, b1.toString) // beta >> 0
+    assert(b1.getAs[Long]("hr_micro") > 1000000L)
+    assert(b1.getAs[Long]("n") == 18L && b1.getAs[Long]("n_events") == 16L)
+    // integer trajectory: repartitioning cannot move a single micro
+    val b2 = graft.ops.EventAnalytics.coxPh(risky.repartition(7),
+      col("dur"), col("evt"), col("x"), iters = 5).head()
+    assert(b2.getAs[Long]("beta_micro") == b1.getAs[Long]("beta_micro"))
+    // no events at all is a loud error, not a silent null fit
+    val cens = Seq((1L, false, 0L)).toDF("dur", "evt", "x")
+    intercept[IllegalArgumentException] {
+      graft.ops.EventAnalytics.coxPh(cens, col("dur"), col("evt"),
+        col("x"), iters = 2).head()
+    }
+  }
+
   private def gspRun(seqs: Seq[(Long, Seq[String])], minPpm: Long) = {
     val rows = seqs.flatMap { case (sid, es) =>
       es.zipWithIndex.map { case (e, i) => (sid, e, i.toLong) } }
