@@ -52,6 +52,7 @@ object Sources {
     val shpAttempt = "shp" -> (() =>
       Shapefile.read(spark, path.substring(0, path.length - 4)))
     val tiffAttempt = "geotiff" -> (() => GeoTiff.readCells(spark, path))
+    val avroAttempt = "avro" -> (() => Avro.read(spark, path))
     val lower = path.toLowerCase
     val attempts =
       if (lower.endsWith(".json")) Seq(jsonAttempt, csvAttempt, xlsxAttempt)
@@ -60,6 +61,7 @@ object Sources {
       else if (lower.endsWith(".orc")) Seq(orcAttempt)
       else if (lower.endsWith(".shp")) Seq(shpAttempt)
       else if (lower.endsWith(".tif") || lower.endsWith(".tiff")) Seq(tiffAttempt)
+      else if (lower.endsWith(".avro")) Seq(avroAttempt)
       else Seq(csvAttempt, jsonAttempt, xlsxAttempt)
     val errors = Seq.newBuilder[String]
     attempts.foreach { case (fmt, read) =>

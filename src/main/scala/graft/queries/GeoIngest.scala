@@ -319,6 +319,60 @@ object GeoIngest {
       "cross-chunk state, so a float raster with the GDAL-default " +
       "predictor parallelizes exactly like an unpredicted one.")
 
+  /** q470 — S2: AVRO container ingest through the open_data cascade —
+    * a 3-codec-block deflate file (nullable union column included)
+    * decoded by the sync-aligned splittable reader, aggregated per
+    * tag. Dyadic v values are exact in double; the oracle rebuilds
+    * every record from its index formula. */
+  val q470 = Declared(
+    "q470_avro_ingest", "S2",
+    (s, dir) => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_q470").toString
+      val schema = new org.apache.avro.Schema.Parser().parse(
+        """{"type":"record","name":"r","fields":[
+          |{"name":"id","type":"long"},
+          |{"name":"v","type":"double"},
+          |{"name":"tag","type":"string"},
+          |{"name":"opt","type":["null","long"]}]}""".stripMargin)
+      val w = new org.apache.avro.file.DataFileWriter(
+        new org.apache.avro.generic.GenericDatumWriter[
+          org.apache.avro.generic.GenericRecord](schema))
+      w.setCodec(org.apache.avro.file.CodecFactory.deflateCodec(6))
+      w.setSyncInterval(1024) // force several blocks = several splits
+      w.create(schema, new java.io.File(s"$tmp/data.avro"))
+      (0 until 200).foreach { i =>
+        val rec = new org.apache.avro.generic.GenericData.Record(schema)
+        rec.put("id", i.toLong)
+        rec.put("v", ((i * 7) % 31) / 4.0)
+        rec.put("tag", "t" + (i % 5))
+        rec.put("opt",
+          if (i % 4 == 0) null else java.lang.Long.valueOf(i * 3L))
+        w.append(rec)
+      }
+      w.close()
+      graft.io.Sources.openData(s, s"$tmp/data.avro")
+        .groupBy(col("tag"))
+        .agg(count(lit(1)).as("n"), sum(col("v")).as("sum_v"),
+          sum(col("opt")).as("sum_opt"),
+          count(col("opt")).as("n_opt"))
+        .orderBy(col("tag"))
+    },
+    Some("""WITH r AS (
+           |  SELECT 't' || CAST(i % 5 AS VARCHAR) AS tag,
+           |    CAST((i * 7) % 31 AS DOUBLE) / 4 AS v,
+           |    CASE WHEN i % 4 = 0 THEN NULL ELSE 3 * i END AS opt
+           |  FROM generate_series(0, 199) t(i))
+           |SELECT tag, CAST(count(*) AS BIGINT) AS n, sum(v) AS sum_v,
+           |  CAST(sum(opt) AS BIGINT) AS sum_opt,
+           |  CAST(count(opt) AS BIGINT) AS n_opt
+           |FROM r GROUP BY 1 ORDER BY 1""".stripMargin),
+    "The driver reads only the container header; each task aligns its " +
+      "byte span to the next sync marker and decodes whole blocks — " +
+      "one big Avro file parallelizes across the cluster exactly like " +
+      "splittable text, and a directory adds file-level parallelism on " +
+      "top. No connector jar, no extra dependency: the Avro core " +
+      "library the classpath already carries.")
+
   val all: Seq[Declared] =
-    Seq(q440, q441, q442, q443, q446, q458, q459, q461)
+    Seq(q440, q441, q442, q443, q446, q458, q459, q461, q470)
 }
