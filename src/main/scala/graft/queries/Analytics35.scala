@@ -588,6 +588,50 @@ object Analytics35 {
         "raw-corpus scale, censoring handled where plain OLS cannot.")
   }
 
+  /** q471 — T-state: per-event-type RUNNING TOP-5 CONTRIBUTORS through
+    * `transformWithState` with MAP state (q452's ValueState sibling —
+    * the per-key COLLECTION shape: leaderboards, heavy hitters). The
+    * replay emits the final leaderboard; the batch oracle is the
+    * groupBy + rank over the same cent totals. */
+  val q471 = Declared(
+    "q471_stream_topk_tws", "T-state",
+    (s, dir) => {
+      val key = "spark.sql.streaming.stateStore.providerClass"
+      val prev = s.conf.getOption(key)
+      s.conf.set(key, "org.apache.spark.sql.execution.streaming.state." +
+        "RocksDBStateStoreProvider")
+      try TimeSeries.streamEventsToTable(s, dir, "q471", mode = "update")(ev => {
+        import s.implicits._
+        graft.streaming.StreamOps.statefulTopContributors(
+          ev.select(col("event_type").as("key"),
+              col("user_id").cast("long").as("user"),
+              floor(col("value") * 100 + 0.5).cast("long").as("cents"))
+            .as[graft.streaming.StreamOps.ContribIn], k = 5).toDF()
+      }).orderBy(col("event_type"), col("rank"))
+      finally prev match {
+        case Some(p) => s.conf.set(key, p)
+        case None => s.conf.unset(key)
+      }
+    },
+    Some("""WITH t AS (
+           |  SELECT event_type, user_id,
+           |    CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT))
+           |      AS BIGINT) AS total_cents
+           |  FROM events GROUP BY 1, 2),
+           |r AS (
+           |  SELECT event_type, user_id, total_cents,
+           |    CAST(row_number() OVER (PARTITION BY event_type
+           |      ORDER BY total_cents DESC, user_id) AS INT) AS rank
+           |  FROM t)
+           |SELECT event_type, rank, user_id, total_cents
+           |FROM r WHERE rank <= 5
+           |ORDER BY event_type, rank""".stripMargin),
+    "State is one RocksDB map entry per (type, contributor) — the same " +
+      "cardinality a batch groupBy shuffles; each micro-batch shuffles " +
+      "only its own rows keyed by type and re-emits a k-row changelog. " +
+      "The heavy-hitters dashboard shape on the modern arbitrary-state " +
+      "API, under the same oracle gate as the batch suite.")
+
   val all: Seq[Declared] =
-    Seq(q462, q463, q464, q465, q466, q467, q468, q469)
+    Seq(q462, q463, q464, q465, q466, q467, q468, q469, q471)
 }

@@ -385,6 +385,58 @@ object StreamOps {
       .transformWithState(proc, TimeMode.None(), OutputMode.Update())
   }
 
+  /** Input/output records for [[statefulTopContributors]]. */
+  final case class ContribIn(key: String, user: Long, cents: Long)
+  final case class TopContribOut(event_type: String, rank: Int,
+    user_id: Long, total_cents: Long)
+
+  /** T-state — per-key RUNNING TOP-K CONTRIBUTORS through a Spark 4
+    * `transformWithState` StatefulProcessor with MAP state: per event
+    * type, a MapState[user → running cent total] accumulates across
+    * micro-batches; each batch that touches the key re-emits the
+    * current top-k leaderboard (Update-mode changelog, ties broken
+    * (total desc, user asc)). ValueState (q452) holds one record per
+    * key — MapState is the API for per-key COLLECTIONS, the leaderboard
+    * /top-talkers/heavy-hitters shape.
+    *
+    * Scale: state is one map entry per (key, contributor) in RocksDB —
+    * the same cardinality a batch groupBy would shuffle; each batch
+    * shuffles only its own rows keyed by event type. The k-row
+    * emission iterates the key's map: bounded by that key's
+    * contributor count (actor-bounded; pair with an upstream cap for
+    * adversarial cardinalities). */
+  def statefulTopContributors(events: org.apache.spark.sql.Dataset[ContribIn],
+      k: Int): org.apache.spark.sql.Dataset[TopContribOut] = {
+    require(k >= 1, "k >= 1")
+    import org.apache.spark.sql.streaming.{OutputMode, StatefulProcessor,
+      TimeMode, TimerValues, TTLConfig}
+    import org.apache.spark.sql.{Encoder, Encoders}
+    val proc = new StatefulProcessor[String, ContribIn, TopContribOut] {
+      @transient private var st:
+        org.apache.spark.sql.streaming.MapState[Long, Long] = _
+      override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+        st = getHandle.getMapState[Long, Long]("totals",
+          Encoders.scalaLong, Encoders.scalaLong, TTLConfig.NONE)
+      override def handleInputRows(key: String, rows: Iterator[ContribIn],
+          timers: TimerValues): Iterator[TopContribOut] = {
+        rows.foreach { r =>
+          val cur = if (st.containsKey(r.user)) st.getValue(r.user) else 0L
+          st.updateValue(r.user, cur + r.cents)
+        }
+        val top = st.iterator().toSeq
+          .sortBy { case (user, total) => (-total, user) }
+          .take(k)
+        top.iterator.zipWithIndex.map { case ((user, total), i) =>
+          TopContribOut(key, i + 1, user, total)
+        }
+      }
+    }
+    implicit val outEnc: Encoder[TopContribOut] =
+      Encoders.product[TopContribOut]
+    events.groupByKey(_.key)(Encoders.STRING)
+      .transformWithState(proc, TimeMode.None(), OutputMode.Update())
+  }
+
   /** T6 — parquet sink with checkpoint (exactly-once file sink). */
   def parquetSink(df: DataFrame, path: String, checkpoint: String): DataStreamWriter[Row] =
     df.writeStream.format("parquet")

@@ -406,4 +406,41 @@ class StreamingSpec extends AnyFunSuite {
       case None => spark.conf.unset(key)
     }
   }
+
+  test("T-state: MapState top-k accumulates totals across batches") {
+    import graft.streaming.StreamOps.{ContribIn, TopContribOut}
+    val dir = tmp()
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, "org.apache.spark.sql.execution.streaming.state." +
+      "RocksDBStateStoreProvider")
+    try {
+      // batch 1: user 1 leads type A with 300, user 2 has 200
+      writeBatch(dir, "b1", Seq(
+        (1L, "2024-01-01 10:00:00", 1L, 3.0),
+        (2L, "2024-01-01 10:01:00", 2L, 2.0)))
+      val stream = StreamOps.fileStream(spark, dir, schema)
+        .select(lit("A").as("key"), col("user_id").cast("long").as("user"),
+          floor(col("value") * 100 + 0.5).cast("long").as("cents"))
+        .as[ContribIn]
+      val q = StreamOps.statefulTopContributors(stream, k = 2).writeStream
+        .outputMode("update").format("memory").queryName("twstopk").start()
+      q.processAllAvailable()
+      val r1 = spark.table("twstopk").as[TopContribOut].collect()
+      assert(r1.filter(_.rank == 1).last.user_id == 1L)
+      // batch 2: user 2 adds 250 -> REMEMBERED 200 + 250 = 450 takes
+      // the lead; a fresh processor would rank user 2 at only 250
+      writeBatch(dir, "b2", Seq((3L, "2024-01-01 11:00:00", 2L, 2.5)))
+      q.processAllAvailable()
+      val rows = spark.table("twstopk").as[TopContribOut].collect()
+      q.stop()
+      val last = rows.takeRight(2).sortBy(_.rank)
+      assert(last(0).user_id == 2L && last(0).total_cents == 450L,
+        s"map state must cross batches, got ${last.toSeq}")
+      assert(last(1).user_id == 1L && last(1).total_cents == 300L)
+    } finally prev match {
+      case Some(p) => spark.conf.set(key, p)
+      case None => spark.conf.unset(key)
+    }
+  }
 }
