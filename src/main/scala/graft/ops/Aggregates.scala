@@ -45,6 +45,19 @@ object Aggregates {
   graft.plans.Guardrails.expect("single_partition_window",
     "__v, __cnt, __ca", "mannWhitneyU: distinct-value rank rollup",
     "rollup")
+  graft.plans.Guardrails.expect("cartesian_join",
+    "__c1, __c2", "ransacLine: rollup-pair candidate lines (x1 < x2)",
+    "rollup")
+  graft.plans.Guardrails.expect("cartesian_join",
+    "__dx, __dy", "ransacLine: candidate x point inlier tests " +
+      "(rollup-cubed altitude, calendar-grain inputs only)",
+    "rollup")
+  graft.plans.Guardrails.expect("cartesian_join",
+    "n_points, __nd", "ransacLine: 1-row totals broadcast",
+    "k-literal")
+  graft.plans.Guardrails.expect("cartesian_join",
+    "n_candidates", "ransacLine: 1-row candidate-count broadcast",
+    "k-literal")
   graft.plans.Guardrails.expect("single_partition_window",
     "__v, __ca, __cb", "cliffsDelta: distinct-value cumulative rollup",
     "rollup")
@@ -1128,6 +1141,67 @@ object Aggregates {
         col("__num").as("slope_num") :+ col("__den").as("slope_den") :+
         (col("__num").cast("double") / col("__den").cast("double"))
           .as("slope"): _*)
+  }
+
+  /** A-stat — deterministic EXHAUSTIVE-CONSENSUS robust line fit: the
+    * RANSAC criterion (Fischler & Bolles 1981, CACM "Random sample
+    * consensus" — public literature) with the sampling removed — EVERY
+    * pair of distinct rollup points proposes the line through them,
+    * and each candidate's consensus is the multiplicity-weighted count
+    * of points within `epsNum/epsDen` VERTICAL distance, tested by the
+    * exact cross-multiplied integer inequality
+    *   |(y − y1)·dx − (x − x1)·dy| · epsDen ≤ epsNum · dx   (dx > 0).
+    * No RNG, no ordering sensitivity: the winner maximizes consensus
+    * with the lexicographic (x1, y1, x2, y2) tie-break, so the fit is
+    * bit-stable under any partitioning and any engine. Where
+    * [[theilSen]] medians all slopes and [[huberLocation]] reweights,
+    * the consensus criterion IGNORES outliers entirely — the right
+    * tool when a minority of points is arbitrarily corrupted.
+    * Vertical candidate lines are excluded (x1 < x2). Returns 1 row:
+    * (n_points, n_candidates, consensus, x1, y1, x2, y2, slope_micro,
+    * intercept_micro) — slope/intercept as truncating micro-units.
+    *
+    * Scale: |rollup|² candidates × |rollup| inlier tests — the CUBED
+    * rollup altitude (q454's Walsh-pair discipline one power up):
+    * feed calendar-grain rollups of at most a few hundred rows. For
+    * larger point sets use theilSen, or pre-sample candidates. */
+  def ransacLine(df: DataFrame, xCol: Column, yCol: Column,
+      epsNum: Long, epsDen: Long): DataFrame = {
+    require(epsNum >= 0 && epsDen > 0, "eps = epsNum/epsDen >= 0")
+    val d38 = "decimal(38,0)"
+    val pts = df.select(xCol.cast("long").as("__x"),
+        yCol.cast("long").as("__y"))
+      .groupBy(col("__x"), col("__y")).agg(count(lit(1)).as("__c"))
+      .localCheckpoint() // read by both candidate sides + the test side
+    val nPts = pts.agg(sum(col("__c")).cast("long").as("n_points"),
+      count(lit(1)).as("__nd"))
+    val a = pts.toDF("__x1", "__y1", "__c1")
+    val b = pts.toDF("__x2", "__y2", "__c2")
+    val cand = a.join(b, col("__x1") < col("__x2"))
+      .select(col("__x1"), col("__y1"), col("__x2"), col("__y2"),
+        (col("__x2") - col("__x1")).as("__dx"),
+        (col("__y2") - col("__y1")).as("__dy"))
+      .localCheckpoint() // rollup²; read by the test join + the count
+    val nCand = cand.agg(count(lit(1)).as("n_candidates"))
+    val best = cand.join(pts,
+        abs((col("__y") - col("__y1")).cast(d38) * col("__dx").cast(d38) -
+          (col("__x") - col("__x1")).cast(d38) * col("__dy").cast(d38)) *
+          lit(epsDen).cast(d38) <=
+          lit(epsNum).cast(d38) * col("__dx").cast(d38))
+      .groupBy(col("__x1"), col("__y1"), col("__x2"), col("__y2"),
+        col("__dx"), col("__dy"))
+      .agg(sum(col("__c")).cast("long").as("consensus"))
+      .orderBy(col("consensus").desc, col("__x1"), col("__y1"),
+        col("__x2"), col("__y2"))
+      .limit(1)
+    best.crossJoin(broadcast(nPts)).crossJoin(broadcast(nCand))
+      .withColumn("slope_micro", expr("(__dy * 1000000L) div __dx"))
+      .withColumn("intercept_micro",
+        expr("__y1 * 1000000L - slope_micro * __x1"))
+      .select(col("n_points"), col("n_candidates"), col("consensus"),
+        col("__x1").as("x1"), col("__y1").as("y1"),
+        col("__x2").as("x2"), col("__y2").as("y2"),
+        col("slope_micro"), col("intercept_micro"))
   }
 
   /** A-stat — sample-ratio mismatch (SRM) check: are k assignment

@@ -34,8 +34,11 @@ object EventAnalytics {
     "cumhaz_ppm", "nelsonAalen: distinct-event-time hazard rollup",
     "rollup")
   graft.plans.Guardrails.expect("single_partition_window",
-    "__a0, __a1, __a2", "coxPh: suffix risk-set sums over the " +
+    "__a2, __dd, __ex", "coxPh: suffix risk-set sums over the " +
       "distinct-duration rollup (one per Newton round)",
+    "rollup")
+  graft.plans.Guardrails.expect("single_partition_window",
+    "__a0, __a1", "coxPh: the same rollup suffix window, split plan node",
     "rollup")
   graft.plans.Guardrails.expect("single_partition_window",
     "__n, __n1, __t", "logRank: distinct-event-time two-group table",

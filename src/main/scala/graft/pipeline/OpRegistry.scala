@@ -223,6 +223,9 @@ object OpRegistry {
     "cox_ph" -> (p => df => graft.ops.EventAnalytics.coxPh(
       df, col(str(p, "duration_col")), expr(str(p, "event_cond")),
       col(str(p, "x_col")), num(p, "iters").toInt)),
+    "ransac_line" -> (p => df => graft.ops.Aggregates.ransacLine(
+      df, col(str(p, "x_col")), col(str(p, "y_col")),
+      num(p, "eps_num").toLong, num(p, "eps_den").toLong)),
     "sequential_patterns" -> (p => df => graft.ops.EventAnalytics
       .sequentialPatterns(df, strs(p, "seq_keys").map(col),
         col(str(p, "type_col")), strs(p, "order_cols").map(col),

@@ -632,6 +632,57 @@ object Analytics35 {
       "The heavy-hitters dashboard shape on the modern arbitrary-state " +
       "API, under the same oracle gate as the batch suite.")
 
+  /** q472 — A-stat: deterministic exhaustive-consensus RANSAC line on
+    * the monthly order-count series — every month-pair proposes a
+    * line, consensus counts months within ±30 orders vertically
+    * (exact cross-multiplied integers), lexicographic tie-break. The
+    * robust trend read beside q183's Theil-Sen median slope. */
+  val q472 = Declared(
+    "q472_ransac_line", "A-stat",
+    (s, dir) => graft.ops.Aggregates.ransacLine(
+      Tables.orders(s, dir)
+        .groupBy((year(to_date(col("o_orderdate"))) * 12 +
+          month(to_date(col("o_orderdate")))).cast("long").as("__mx"))
+        .agg(count(lit(1)).as("__my")),
+      col("__mx"), col("__my"), epsNum = 30L, epsDen = 1L),
+    Some("""WITH m AS (
+           |  SELECT CAST(year(CAST(o_orderdate AS DATE)) * 12 +
+           |      month(CAST(o_orderdate AS DATE)) AS BIGINT) AS x,
+           |    CAST(count(*) AS BIGINT) AS y
+           |  FROM orders GROUP BY 1),
+           |pts AS MATERIALIZED (
+           |  SELECT x, y, CAST(count(*) AS BIGINT) AS c
+           |  FROM m GROUP BY 1, 2),
+           |np AS (SELECT CAST(sum(c) AS BIGINT) AS n_points FROM pts),
+           |cand AS MATERIALIZED (
+           |  SELECT a.x AS x1, a.y AS y1, b.x AS x2, b.y AS y2,
+           |    b.x - a.x AS dx, b.y - a.y AS dy
+           |  FROM pts a JOIN pts b ON a.x < b.x),
+           |nc AS (SELECT CAST(count(*) AS BIGINT) AS n_candidates
+           |       FROM cand),
+           |t AS (
+           |  SELECT x1, y1, x2, y2, dx, dy,
+           |    CAST(sum(c) AS BIGINT) AS consensus
+           |  FROM cand JOIN pts p
+           |    ON abs((p.y - y1) * CAST(dx AS HUGEINT) -
+           |         (p.x - x1) * CAST(dy AS HUGEINT)) * 1 <=
+           |       30 * CAST(dx AS HUGEINT)
+           |  GROUP BY 1, 2, 3, 4, 5, 6),
+           |best AS (SELECT * FROM t
+           |         ORDER BY consensus DESC, x1, y1, x2, y2 LIMIT 1)
+           |SELECT (SELECT n_points FROM np) AS n_points,
+           |  (SELECT n_candidates FROM nc) AS n_candidates,
+           |  consensus, x1, y1, x2, y2,
+           |  CAST((dy * 1000000) // dx AS BIGINT) AS slope_micro,
+           |  CAST(y1 * 1000000 - ((dy * 1000000) // dx) * x1 AS BIGINT)
+           |    AS intercept_micro
+           |FROM best""".stripMargin),
+    "Rollup-cubed altitude by design: candidates are month-pairs of a " +
+      "CALENDAR-grain rollup (the q454 Walsh discipline one power up) " +
+      "— the fact scan collapses at the first agg and everything after " +
+      "is O(months³) distributed arithmetic. The argmax is a " +
+      "TakeOrdered(1), never a global sort.")
+
   val all: Seq[Declared] =
-    Seq(q462, q463, q464, q465, q466, q467, q468, q469, q471)
+    Seq(q462, q463, q464, q465, q466, q467, q468, q469, q471, q472)
 }

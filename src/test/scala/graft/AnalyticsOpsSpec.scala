@@ -2537,6 +2537,31 @@ class AnalyticsOpsSpec extends AnyFunSuite {
       math.abs(lambdaPpm - 200000L))
   }
 
+  test("ransacLine: consensus ignores gross outliers; ties break lexicographically") {
+    // planted y = 3x + 7 on 12 points + 3 far outliers + one duplicate
+    // inlier (multiplicity must count)
+    val pts = (0L until 12L).map(x => (x, 3 * x + 7)) ++
+      Seq((2L, 500L), (5L, -400L), (9L, 900L), (3L, 16L))
+    val out = graft.ops.Aggregates.ransacLine(pts.toDF("x", "y"),
+      col("x"), col("y"), epsNum = 0L, epsDen = 1L).head()
+    assert(out.getAs[Long]("n_points") == 16L)
+    assert(out.getAs[Long]("consensus") == 13L) // 12 line pts + dup (3,16)
+    assert(out.getAs[Long]("slope_micro") == 3000000L)
+    assert(out.getAs[Long]("intercept_micro") == 7000000L)
+    // two parallel full-consensus lines: lexicographically smallest
+    // candidate pair wins deterministically
+    val tie = Seq((0L, 0L), (1L, 0L), (0L, 10L), (1L, 10L)).toDF("x", "y")
+    val t = graft.ops.Aggregates.ransacLine(tie, col("x"), col("y"),
+      epsNum = 0L, epsDen = 1L).head()
+    assert(t.getAs[Long]("consensus") == 2L)
+    assert(t.getAs[Long]("x1") == 0L && t.getAs[Long]("y1") == 0L &&
+      t.getAs[Long]("x2") == 1L && t.getAs[Long]("y2") == 0L)
+    // eps widens consensus: at eps = 10 the two parallel lines see all 4
+    val t2 = graft.ops.Aggregates.ransacLine(tie, col("x"), col("y"),
+      epsNum = 10L, epsDen = 1L).head()
+    assert(t2.getAs[Long]("consensus") == 4L)
+  }
+
   test("privacy: randomizedResponse — negative estimator truncates like the oracle") {
     def mix(s: Long): Long = {
       var z = s
