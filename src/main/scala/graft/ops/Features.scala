@@ -254,6 +254,69 @@ object Features {
         round(col("mi_nano").cast("double") / 1e9, 6).as("mi"))
   }
 
+  /** ML — mRMR FEATURE SELECTION (Peng, Long & Ding 2005, IEEE TPAMI
+    * "Feature selection based on mutual information: criteria of
+    * max-dependency, max-relevance, and min-redundancy" — public
+    * literature; the standard filter-method ranking of tabular ML):
+    * greedily pick the feature maximizing
+    *   relevance − mean redundancy = I(f; y) − (1/|S|)·Σ_{s∈S} I(f; s)
+    * All mutual informations are the nano-nat-quantized exact-count
+    * form of [[mutualInformation]] (q219), so every greedy comparison
+    * is EXACT integer arithmetic — the argmax cross-multiplies
+    * (rel·|S| − Σred) instead of dividing, and only the REPORTED
+    * score takes one truncating division. Ties break on feature name.
+    * Returns `select` rows: (round, feature, relevance_nano,
+    * redundancy_avg_nano, score_nano).
+    *
+    * Scale: one (x, y) cell agg per needed pair — k relevance +
+    * C(k,2) redundancy scans, embarrassingly parallel, each collapsing
+    * at its first map-side combine; the greedy itself runs on the
+    * collected k²-row MI table (k ≤ 8 enforced — a k-literal frame). */
+  def mrmrSelect(df: DataFrame, features: Seq[(String, Column)],
+      targetCol: Column, select: Int): DataFrame = {
+    require(features.size >= 2 && features.size <= 8,
+      "2-8 features (the greedy runs on a k-literal MI table)")
+    require(features.map(_._1).distinct.size == features.size,
+      "feature names must be distinct")
+    require(select >= 1 && select <= features.size,
+      "select in [1, n_features]")
+    val spark = df.sparkSession
+    val rel = features.map { case (n, c) =>
+        mutualInformation(df, n, c, targetCol) }
+      .reduce(_ unionByName _)
+      .select(col("feature"), col("mi_nano")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val byName = features.toMap
+    val redPairs = for {
+      i <- features.indices; j <- features.indices if i < j
+    } yield (features(i)._1, features(j)._1)
+    val red = redPairs.map { case (a, b) =>
+        mutualInformation(df, s"$a|$b", byName(a), byName(b)) }
+      .reduce(_ unionByName _)
+      .select(col("feature"), col("mi_nano")).collect()
+      .flatMap { r =>
+        val Array(a, b) = r.getString(0).split('|')
+        Seq((a, b) -> r.getLong(1), (b, a) -> r.getLong(1))
+      }.toMap
+    var selected = Vector.empty[String]
+    val out = Seq.newBuilder[(Int, String, Long, Long, Long)]
+    (1 to select).foreach { round =>
+      val cands = features.map(_._1).filterNot(selected.contains)
+      val best =
+        if (round == 1) cands.minBy(f => (-rel(f), f))
+        else cands.minBy { f =>
+          (-(rel(f) * selected.size - selected.map(s => red((f, s))).sum), f)
+        }
+      val sumRed = selected.map(s => red((best, s))).sum
+      val avgRed = if (selected.isEmpty) 0L else sumRed / selected.size
+      out += ((round, best, rel(best), avgRed, rel(best) - avgRed))
+      selected :+= best
+    }
+    spark.createDataFrame(out.result())
+      .toDF("round", "feature", "relevance_nano", "redundancy_avg_nano",
+        "score_nano")
+  }
+
   /** ML/A-stat — empirical-Bayes rate shrinkage via a moment-matched
     * Beta prior (Robbins 1956; the beta-binomial moment estimator is
     * standard public literature): per-key success rates x/n are

@@ -226,6 +226,9 @@ object OpRegistry {
     "ransac_line" -> (p => df => graft.ops.Aggregates.ransacLine(
       df, col(str(p, "x_col")), col(str(p, "y_col")),
       num(p, "eps_num").toLong, num(p, "eps_den").toLong)),
+    "mrmr_select" -> (p => df => graft.ops.Features.mrmrSelect(
+      df, strs(p, "features").map(n => n -> col(n)),
+      col(str(p, "target_col")), num(p, "select").toInt)),
     "sequential_patterns" -> (p => df => graft.ops.EventAnalytics
       .sequentialPatterns(df, strs(p, "seq_keys").map(col),
         col(str(p, "type_col")), strs(p, "order_cols").map(col),

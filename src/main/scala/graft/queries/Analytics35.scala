@@ -683,6 +683,103 @@ object Analytics35 {
       "is O(months³) distributed arithmetic. The argmax is a " +
       "TakeOrdered(1), never a global sort.")
 
+  /** q473 — ML: mRMR FEATURE SELECTION — rank 4 lineitem features
+    * against the return flag, greedily maximizing relevance minus mean
+    * redundancy over q219's nano-nat exact mutual informations. The
+    * oracle recomputes every pairwise MI and replays the greedy with
+    * the SAME cross-multiplied integer argmax and name tie-break. */
+  val q473 = {
+    val feats = Seq(
+      "disc" -> "CAST(CAST(l_discount AS DECIMAL(18,2)) * 100 AS BIGINT)",
+      "month" -> "CAST(month(CAST(l_shipdate AS DATE)) AS BIGINT)",
+      "qty" -> "CAST(l_quantity AS BIGINT) // 10",
+      "stat" -> "l_linestatus")
+    def miBlock(label: String, xExpr: String, yExpr: String) =
+      s"""x_$label AS (
+         |  SELECT $xExpr AS x, $yExpr AS y,
+         |    CAST(count(*) AS BIGINT) AS nxy
+         |  FROM lineitem GROUP BY 1, 2),
+         |mx_$label AS (SELECT x, CAST(sum(nxy) AS BIGINT) AS nx
+         |              FROM x_$label GROUP BY x),
+         |my_$label AS (SELECT y, CAST(sum(nxy) AS BIGINT) AS ny
+         |              FROM x_$label GROUP BY y),
+         |n_$label AS (SELECT CAST(sum(nxy) AS BIGINT) AS n FROM x_$label),
+         |r_$label AS (
+         |  SELECT CAST(sum(CAST(round(CAST(c.nxy AS DOUBLE) /
+         |      CAST(n AS DOUBLE) *
+         |      ln(CAST(n AS DOUBLE) * CAST(c.nxy AS DOUBLE) /
+         |         (CAST(nx AS DOUBLE) * CAST(ny AS DOUBLE))) * 1e9, 0)
+         |      AS BIGINT)) AS BIGINT) AS mi
+         |  FROM x_$label c JOIN mx_$label USING (x)
+         |    JOIN my_$label USING (y) CROSS JOIN n_$label)""".stripMargin
+    val relBlocks = feats.map { case (n, e) =>
+      miBlock(s"rel_$n", e, "l_returnflag") }
+    val redPairs = for {
+      i <- feats.indices; j <- feats.indices if i < j
+    } yield (feats(i), feats(j))
+    val redBlocks = redPairs.map { case ((na, ea), (nb, eb)) =>
+      miBlock(s"red_${na}_$nb", ea, eb) }
+    val relsUnion = feats.map { case (n, _) =>
+      s"SELECT '$n' AS feature, mi FROM r_rel_$n" }.mkString("\n  UNION ALL ")
+    val redsUnion = redPairs.map { case ((na, _), (nb, _)) =>
+      s"SELECT '$na' AS fa, '$nb' AS fb, mi FROM r_red_${na}_$nb\n" +
+        s"  UNION ALL SELECT '$nb', '$na', mi FROM r_red_${na}_$nb" }
+      .mkString("\n  UNION ALL ")
+    val sql =
+      s"""WITH ${(relBlocks ++ redBlocks).mkString(",\n")},
+         |rels AS MATERIALIZED ($relsUnion),
+         |reds AS MATERIALIZED ($redsUnion),
+         |s1 AS (SELECT feature, mi AS rel FROM rels
+         |       ORDER BY mi DESC, feature LIMIT 1),
+         |r1 AS (SELECT CAST(1 AS INT) AS round, feature,
+         |         rel AS relevance_nano, CAST(0 AS BIGINT)
+         |         AS redundancy_avg_nano, rel AS score_nano
+         |       FROM s1),
+         |c2 AS (
+         |  SELECT r.feature, r.mi AS rel,
+         |    (SELECT mi FROM reds WHERE fa = r.feature
+         |       AND fb = (SELECT feature FROM s1)) AS sred
+         |  FROM rels r
+         |  WHERE r.feature != (SELECT feature FROM s1)),
+         |s2 AS (SELECT feature, rel, sred FROM c2
+         |       ORDER BY rel - sred DESC, feature LIMIT 1),
+         |r2 AS (SELECT CAST(2 AS INT), feature, rel,
+         |         CAST(sred // 1 AS BIGINT), rel - sred // 1 FROM s2),
+         |c3 AS (
+         |  SELECT r.feature, r.mi AS rel,
+         |    (SELECT CAST(sum(mi) AS BIGINT) FROM reds
+         |     WHERE fa = r.feature AND fb IN (
+         |       SELECT feature FROM s1 UNION ALL SELECT feature FROM s2))
+         |      AS sred
+         |  FROM rels r
+         |  WHERE r.feature NOT IN (
+         |    SELECT feature FROM s1 UNION ALL SELECT feature FROM s2)),
+         |s3 AS (SELECT feature, rel, sred FROM c3
+         |       ORDER BY rel * 2 - sred DESC, feature LIMIT 1),
+         |r3 AS (SELECT CAST(3 AS INT), feature, rel,
+         |         CAST(sred // 2 AS BIGINT), rel - sred // 2 FROM s3)
+         |SELECT * FROM (SELECT * FROM r1 UNION ALL SELECT * FROM r2
+         |               UNION ALL SELECT * FROM r3)
+         |ORDER BY round""".stripMargin
+    Declared(
+      "q473_mrmr_select", "ML",
+      (s, dir) => graft.ops.Features.mrmrSelect(
+        Tables.lineitem(s, dir),
+        Seq(
+          "disc" -> expr("CAST(CAST(l_discount AS DECIMAL(18,2)) * 100" +
+            " AS BIGINT)"),
+          "month" -> month(to_date(col("l_shipdate"))).cast("long"),
+          "qty" -> expr("CAST(l_quantity AS BIGINT) div 10"),
+          "stat" -> col("l_linestatus")),
+        col("l_returnflag"), select = 3).orderBy(col("round")),
+      Some(sql),
+      "k relevance + C(k,2) redundancy scans, each collapsing at its " +
+        "first map-side cell agg and embarrassingly parallel; the " +
+        "greedy runs on the collected k-literal MI table with exact " +
+        "cross-multiplied comparisons. The standard filter-method " +
+        "ranking before any model training touches 100 TB.")
+  }
+
   val all: Seq[Declared] =
-    Seq(q462, q463, q464, q465, q466, q467, q468, q469, q471, q472)
+    Seq(q462, q463, q464, q465, q466, q467, q468, q469, q471, q472, q473)
 }

@@ -2537,6 +2537,34 @@ class AnalyticsOpsSpec extends AnyFunSuite {
       math.abs(lambdaPpm - 200000L))
   }
 
+  test("mrmrSelect: redundant copy of the top feature is demoted below noise") {
+    // y is a function of f1; f2 duplicates f1 (max redundancy); f3 is
+    // a coarse independent column. Pure relevance ranks f2 second —
+    // mRMR must NOT.
+    val rows = (0L until 240L).map { i =>
+      val f1 = i % 4
+      // f3 = (i div 4) % 2 cycles independently of i % 4 over 240 rows
+      (f1, f1, (i / 4) % 2, f1 >= 2)
+    }
+    val df = rows.toDF("f1", "f2", "f3", "y")
+    val out = graft.ops.Features.mrmrSelect(df,
+      Seq("f1" -> col("f1"), "f2" -> col("f2"), "f3" -> col("f3")),
+      col("y"), select = 3).collect()
+    assert(out.map(_.getAs[String]("feature")).toSeq == Seq("f1", "f3", "f2"),
+      out.mkString(";"))
+    // round 1 carries no redundancy; f2's final round shows the full
+    // I(f1; f2) penalty (f2 duplicates f1 exactly: redundancy = ln 4)
+    assert(out(0).getAs[Long]("redundancy_avg_nano") == 0L)
+    assert(out(2).getAs[Long]("score_nano") <
+      out(2).getAs[Long]("relevance_nano"))
+    // tie-break: identical features rank by name
+    val tie = (0L until 60L).map(i => (i % 3, i % 3, i % 2 == 0))
+      .toDF("b", "a", "y")
+    val t = graft.ops.Features.mrmrSelect(tie,
+      Seq("b" -> col("b"), "a" -> col("a")), col("y"), select = 1).head()
+    assert(t.getAs[String]("feature") == "a")
+  }
+
   test("ransacLine: consensus ignores gross outliers; ties break lexicographically") {
     // planted y = 3x + 7 on 12 points + 3 far outliers + one duplicate
     // inlier (multiplicity must count)
