@@ -367,6 +367,84 @@ object Clustering {
       .select(col("j").cast("long").as("j"), col("v_u"), col("lambda_u"))
   }
 
+  /** E3+/ML — TOP-2 PRINCIPAL COMPONENTS by power iteration WITH
+    * DEFLATION (Hotelling 1933 deflation; Golub & Van Loan §8 — public
+    * literature): the first component exactly as [[powerIterationInt]]
+    * (integer micro state, max-normalized rounds), then the rank-one
+    * deflation C₂ = C − λ₁·v₁v₁ᵀ carried out in EXACT integer
+    * arithmetic — c₂(i,j) = c(i,j) − ⌊λ₁ᵤ·v₁ᵤ(i)·v₁ᵤ(j)/10¹²⌋ — and a
+    * second identical power iteration on C₂. One quantized matrix,
+    * two quantized chases: the whole trajectory is bit-identical under
+    * any partitioning and replayable by a second engine. The second
+    * eigenpair answers what PC1 alone cannot: is the embedding space
+    * effectively 1-D (λ₂ ≪ λ₁ — q357's anisotropy read), or is there
+    * real second structure worth a 2-D projection?
+    * Returns (component ∈ {1,2}, j, v_u, lambda_u).
+    *
+    * Scale: the corpus touches only the co-moment scan upstream
+    * ([[correlationMatrix]]); both chases run on the dims² broadcast
+    * frame — 2·rounds joins of a dims²-row table. */
+  def powerIterationTwo(corr: DataFrame, dims: Int, rounds: Int): DataFrame = {
+    require(rounds >= 1, "rounds must be >= 1")
+    val d38 = "decimal(38,0)"
+    val spark = corr.sparkSession
+    val cells = corr
+      .select(col("i").cast("int").as("i"), col("j").cast("int").as("j"),
+        round(col("corr") * 1e6, 0).cast("long").as("c_u"))
+    val full = cells.unionByName(
+        cells.filter(col("i") =!= col("j"))
+          .select(col("j").as("i"), col("i").as("j"), col("c_u")))
+      .localCheckpoint()
+    def chase(mat: DataFrame, init: Column): (DataFrame, DataFrame) = {
+      var v = spark.range(dims)
+        .select(col("id").cast("int").as("j"), init.as("v_u"))
+      var lambdaScale: DataFrame = null
+      var r = 0
+      while (r < rounds) {
+        val w = mat
+          .join(v.select(col("j").as("i"), col("v_u").as("__vi")), "i")
+          .groupBy(col("j"))
+          .agg(sum(col("c_u").cast(d38) * col("__vi")).cast(d38).as("__w"))
+        val mx = w.agg(max(abs(col("__w"))).cast(d38).as("__mx"))
+        // mx = 0 (zero matrix, or an init exactly orthogonal to every
+        // remaining direction): hold a zero vector, not nulls
+        v = w.crossJoin(broadcast(mx))
+          .select(col("j"), expr("CASE WHEN __mx = 0 THEN 0L ELSE " +
+            "(__w * 1000000) div __mx END").as("v_u"))
+          .localCheckpoint()
+        lambdaScale = mx
+        r += 1
+      }
+      (v, lambdaScale)
+    }
+    // chase 1 starts all-ones (the q213 convention); chase 2 starts
+    // with a deterministic index tilt — an untilted start can be
+    // EXACTLY orthogonal to the second eigenvector (symmetric
+    // matrices), freezing the iteration at zero
+    val (v1, mx1) = chase(full, lit(1000000L))
+    val l1 = mx1.select(expr("CAST(__mx div 1000000 AS BIGINT)").as("__l1"))
+    // v₁ is ∞-normalized, NOT unit-2-norm: the rank-one subtraction
+    // must divide by ‖v₁‖² = Σ v_u² (exact micro² integer), or the
+    // deflation overshoots by that factor
+    val n2 = v1.agg(sum(col("v_u").cast(d38) * col("v_u").cast(d38))
+      .cast(d38).as("__n2"))
+    val deflated = full
+      .join(v1.select(col("j").as("i"), col("v_u").as("__v1i")), "i")
+      .join(v1.select(col("j"), col("v_u").as("__v1j")), "j")
+      .crossJoin(broadcast(l1)).crossJoin(broadcast(n2))
+      .select(col("i"), col("j"),
+        (col("c_u") - expr("CAST(CAST(__l1 AS decimal(38,0)) * __v1i " +
+          "* __v1j div __n2 AS BIGINT)")).as("c_u"))
+      .localCheckpoint()
+    val (v2, mx2) = chase(deflated, lit(1000000L) + col("id"))
+    def out(comp: Int, v: DataFrame, mx: DataFrame): DataFrame =
+      v.crossJoin(broadcast(
+          mx.select(expr("__mx div 1000000").as("lambda_u"))))
+        .select(lit(comp).as("component"), col("j").cast("long").as("j"),
+          col("v_u"), col("lambda_u"))
+    out(1, v1, mx1).unionByName(out(2, v2, mx2))
+  }
+
   /** E3/ML — label-centroid cosine audit over an embedding column:
     * for every pair of labels, the cosine between their class
     * centroids — the embedding-space health check run before trusting

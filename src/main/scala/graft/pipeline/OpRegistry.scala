@@ -229,6 +229,8 @@ object OpRegistry {
     "mrmr_select" -> (p => df => graft.ops.Features.mrmrSelect(
       df, strs(p, "features").map(n => n -> col(n)),
       col(str(p, "target_col")), num(p, "select").toInt)),
+    "pca_two" -> (p => df => graft.ext.Clustering.powerIterationTwo(
+      df, num(p, "dims").toInt, num(p, "rounds").toInt)),
     "sequential_patterns" -> (p => df => graft.ops.EventAnalytics
       .sequentialPatterns(df, strs(p, "seq_keys").map(col),
         col(str(p, "type_col")), strs(p, "order_cols").map(col),

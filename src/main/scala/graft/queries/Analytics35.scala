@@ -780,6 +780,96 @@ object Analytics35 {
         "ranking before any model training touches 100 TB.")
   }
 
+  /** q474 — E3+/ML: TOP-2 PCA by power iteration with exact integer
+    * deflation over the 16-dim embedding correlation matrix — q213's
+    * first component plus the rank-one-deflated second. The oracle
+    * replays BOTH 8-round chases and the deflation arithmetic. */
+  val q474 = {
+    val dims = 16; val rounds = 8
+    def chaseRound(pfx: String, mat: String, k: Int) =
+      s"""${pfx}w$k AS (
+         |  SELECT f.j, CAST(sum(CAST(f.c AS HUGEINT) * ${pfx}r${k - 1}.v)
+         |    AS HUGEINT) AS w
+         |  FROM $mat f JOIN ${pfx}r${k - 1} ON f.i = ${pfx}r${k - 1}.j
+         |  GROUP BY f.j),
+         |${pfx}m$k AS (SELECT max(abs(w)) AS mx FROM ${pfx}w$k),
+         |${pfx}r$k AS (
+         |  SELECT j, CAST(CASE WHEN mx = 0 THEN 0
+         |    ELSE (w * 1000000) // mx END AS BIGINT) AS v
+         |  FROM ${pfx}w$k, ${pfx}m$k)""".stripMargin
+    val sql =
+      s"""WITH q AS (
+         |  SELECT list_transform(embedding,
+         |    x -> CAST(round(CAST(x AS DOUBLE) * 1000000, 0) AS BIGINT))
+         |    AS qv
+         |  FROM embeddings),
+         |p AS (
+         |  SELECT ii.i, jj.j, qv[ii.i + 1] AS x, qv[jj.j + 1] AS y
+         |  FROM q,
+         |    (SELECT unnest(range(0, $dims)) AS i) ii,
+         |    (SELECT unnest(range(0, $dims)) AS j) jj
+         |  WHERE jj.j >= ii.i),
+         |s AS (
+         |  SELECT i, j, count(*) AS n,
+         |    CAST(sum(x) AS HUGEINT) AS sx, CAST(sum(y) AS HUGEINT) AS sy,
+         |    CAST(sum(CAST(x AS HUGEINT) * y) AS HUGEINT) AS sxy
+         |  FROM p GROUP BY 1, 2),
+         |m AS (SELECT i, j, CAST(n AS HUGEINT) * sxy - sx * sy AS spp
+         |      FROM s),
+         |vv AS (SELECT i AS k, CAST(spp AS DOUBLE) AS sppk FROM m
+         |       WHERE i = j),
+         |cm AS (
+         |  SELECT m.i, m.j,
+         |    CAST(round(CASE WHEN vi.sppk > 0 AND vj.sppk > 0
+         |      THEN CAST(m.spp AS DOUBLE) / (sqrt(vi.sppk) * sqrt(vj.sppk))
+         |      END * 1000000, 0) AS BIGINT) AS c
+         |  FROM m JOIN vv vi ON m.i = vi.k JOIN vv vj ON m.j = vj.k),
+         |fm AS MATERIALIZED (
+         |  SELECT i, j, c FROM cm
+         |  UNION ALL
+         |  SELECT j AS i, i AS j, c FROM cm WHERE i <> j),
+         |r0 AS (SELECT unnest(range(0, $dims)) AS j,
+         |       CAST(1000000 AS BIGINT) AS v),
+         |${(1 to rounds).map(chaseRound("", "fm", _)).mkString(",\n")},
+         |l1 AS (SELECT CAST(mx // 1000000 AS BIGINT) AS l1
+         |       FROM m$rounds),
+         |n2 AS (SELECT CAST(sum(CAST(v AS HUGEINT) * v) AS HUGEINT)
+         |       AS n2 FROM r$rounds),
+         |fm2 AS MATERIALIZED (
+         |  SELECT f.i, f.j, CAST(CAST(f.c AS HUGEINT) -
+         |    (CAST(l1 AS HUGEINT) * a.v * b.v) // n2
+         |    AS BIGINT) AS c
+         |  FROM fm f JOIN r$rounds a ON a.j = f.i
+         |    JOIN r$rounds b ON b.j = f.j CROSS JOIN l1 CROSS JOIN n2),
+         |br0 AS (SELECT j, CAST(1000000 + j AS BIGINT) AS v
+         |        FROM (SELECT unnest(range(0, $dims)) AS j)),
+         |${(1 to rounds).map(chaseRound("b", "fm2", _)).mkString(",\n")}
+         |SELECT * FROM (
+         |  SELECT CAST(1 AS INT) AS component, CAST(j AS BIGINT) AS j,
+         |    v AS v_u,
+         |    (SELECT CAST(mx // 1000000 AS BIGINT) FROM m$rounds)
+         |      AS lambda_u
+         |  FROM r$rounds
+         |  UNION ALL
+         |  SELECT CAST(2 AS INT), CAST(j AS BIGINT), v,
+         |    (SELECT CAST(mx // 1000000 AS BIGINT) FROM bm$rounds)
+         |  FROM br$rounds)
+         |ORDER BY component, j""".stripMargin
+    Declared(
+      "q474_pca_two", "E3+,ML",
+      (s, dir) => graft.ext.Clustering.powerIterationTwo(
+          graft.ext.Clustering.correlationMatrix(
+            Tables.embeddings(s, dir), "embedding", dims = dims),
+          dims = dims, rounds = rounds)
+        .orderBy(col("component"), col("j")),
+      Some(sql),
+      "The corpus is touched once (the co-moment scan); both chases " +
+        "and the exact rank-one deflation run on the dims² broadcast " +
+        "frame — 2·rounds joins of a 256-row table. lambda2/lambda1 is " +
+        "the is-it-really-1-D readout beside q357's anisotropy share.")
+  }
+
   val all: Seq[Declared] =
-    Seq(q462, q463, q464, q465, q466, q467, q468, q469, q471, q472, q473)
+    Seq(q462, q463, q464, q465, q466, q467, q468, q469, q471, q472,
+      q473, q474)
 }

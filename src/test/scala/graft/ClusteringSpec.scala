@@ -202,4 +202,31 @@ class ClusteringSpec extends AnyFunSuite {
     (20L to 23L).foreach(i => assert(k(i) == (("core", 20L))))
     assert(k(30L)._1 == "noise")
   }
+
+  test("powerIterationTwo: planted 2-spike matrix recovers both eigenpairs") {
+    // C = 2·u1u1' + 1·u2u2' with u1 = (1,1,1,1)/2, u2 = (1,-1,1,-1)/2:
+    // eigenvalues exactly 2 and 1; the all-ones start is EXACTLY
+    // orthogonal to u2, which is why chase 2 needs the tilted init
+    val s = Seq(1L, -1L, 1L, -1L)
+    val cells = for { i <- 0 until 4; j <- i until 4 } yield
+      (i, j, 0.5 + 0.25 * (s(i) * s(j)).toDouble)
+    val corr = cells.toDF("i", "j", "corr")
+    val out = graft.ext.Clustering.powerIterationTwo(corr, dims = 4,
+        rounds = 8).collect()
+      .map(r => (r.getInt(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3))).toMap
+    // component 1: the flat eigenvector, lambda = 2 exactly
+    (0L until 4L).foreach { j =>
+      assert(out((1, j))._1 == 1000000L, s"v1[$j]")
+      assert(out((1, j))._2 == 2000000L, s"lambda1[$j]")
+    }
+    // component 2: the alternating eigenvector (sign-normalized by the
+    // max-abs convention), lambda = 1 within deflation quantization
+    val v2 = (0L until 4L).map(j => out((2, j))._1)
+    assert(v2.map(math.abs).forall(a => math.abs(a - 1000000L) <= 2L),
+      v2.toString)
+    assert(v2(0) == v2(2) && v2(1) == v2(3) && v2(0) == -v2(1),
+      v2.toString)
+    assert(math.abs(out((2, 0L))._2 - 1000000L) <= 2L)
+  }
 }
