@@ -406,6 +406,88 @@ object Curation {
     * Scale: the walk is a window over the SOURCE-grain rollup (tens
     * to thousands of rows), never documents; the emitted alloc_ppm
     * turns into a content-hash keep rule applied scan-side. */
+  /** ML/mixing — ENTROPIC OPTIMAL-TRANSPORT PLAN between two
+    * categorical distributions by fixed-round SINKHORN scaling
+    * (Sinkhorn 1964; Cuturi, NeurIPS'13 "Sinkhorn distances:
+    * lightspeed computation of optimal transport" — public
+    * literature). Where q285's 1-Wasserstein reads the 1-D CDF gap,
+    * the Sinkhorn PLAN says WHICH mass moves WHERE under the ordinal
+    * ground cost |i − j| — the distribution-shift decomposition a
+    * mixing pipeline acts on ("the 1-URGENT overflow became 3-MEDIUM").
+    *
+    * Integer trajectory (the q466 discipline): both marginals
+    * normalize to exact ppm; the Gibbs kernel K = exp(−|i−j|)
+    * quantizes once to ppm (the single libm touch, q141 rounding);
+    * each round is two floor-divided scalings
+    *   u_i = ⌊r_i·10¹² / Σ_j K_ij v_j⌋,  v_j = ⌊c_j·10¹² / Σ_i K_ij u_i⌋
+    * and the read-out plan P_ij = ⌊u_i K_ij v_j / 10¹²⌋ is micro-mass
+    * — bit-identical under any partitioning and replayable by a
+    * second engine. `epsInv` is the integer inverse temperature
+    * (kernel exp(−|i−j|·epsInv)): 1 gives the softest entropic plan,
+    * larger values approach the unregularized OT plan; (k−1)·epsInv
+    * must stay ≤ ~13 or the kernel underflows ppm (typed error). Returns k² rows:
+    * (i, j, cost, k_ppm, plan_micro).
+    *
+    * Scale: two category-grain marginal aggs off the fact table; the
+    * iteration runs on the k² literal-bounded kernel frame —
+    * rounds × two k-row joins. */
+  def sinkhornPlan(df: DataFrame, catCol: Column, isA: Column, k: Int,
+      rounds: Int, epsInv: Int = 1): DataFrame = {
+    require(k >= 2 && k <= 64, "k in [2, 64]")
+    require(rounds >= 1 && rounds <= 64, "rounds in [1, 64]")
+    require(epsInv >= 1 && (k - 1) * epsInv <= 13,
+      s"(k-1)*epsInv <= 13 keeps the kernel within ppm precision " +
+        "(exp(-13) ~ 2 ppm); bucket categories or soften epsilon")
+    val d38 = "decimal(38,0)"
+    val spark = df.sparkSession
+    val base = df.select(catCol.cast("long").as("__cat"),
+      isA.cast("boolean").as("__a"))
+    def marginalPpm(side: Boolean, name: String): DataFrame = {
+      val cnt = base.filter(col("__a") === side)
+        .groupBy(col("__cat")).agg(count(lit(1)).as("__n"))
+      val dense = spark.range(k).select(col("id").as("__cat"))
+        .join(cnt, Seq("__cat"), "left")
+        .withColumn("__n", coalesce(col("__n"), lit(0L)))
+      dense.crossJoin(broadcast(dense.agg(sum(col("__n")).as("__tot"))))
+        .select(col("__cat"),
+          expr("CASE WHEN __tot = 0 THEN 0L ELSE " +
+            "(__n * 1000000L) div __tot END").as(name))
+    }
+    val r = marginalPpm(side = true, "__r").localCheckpoint()
+    val c = marginalPpm(side = false, "__c").localCheckpoint()
+    val kern = spark.range(k).select(col("id").as("i"))
+      .crossJoin(spark.range(k).select(col("id").as("j")))
+      .withColumn("cost", abs(col("i") - col("j")))
+      .withColumn("k_ppm",
+        round(exp(-(col("cost") * epsInv).cast("double")) * 1e6, 0)
+          .cast("long"))
+      .localCheckpoint() // k² rows; read every round
+    var u = spark.range(k).select(col("id").as("i"), lit(1000000L).as("__u"))
+    var v = spark.range(k).select(col("id").as("j"), lit(1000000L).as("__v"))
+    (1 to rounds).foreach { _ =>
+      u = kern.join(v, "j")
+        .groupBy(col("i"))
+        .agg(sum(col("k_ppm").cast(d38) * col("__v")).cast(d38).as("__s"))
+        .join(r.withColumnRenamed("__cat", "i"), "i")
+        .select(col("i"), expr("CASE WHEN __s = 0 THEN 0L ELSE " +
+          "CAST((CAST(__r AS decimal(38,0)) * 1000000000000) div __s " +
+          "AS BIGINT) END").as("__u"))
+        .localCheckpoint()
+      v = kern.join(u, "i")
+        .groupBy(col("j"))
+        .agg(sum(col("k_ppm").cast(d38) * col("__u")).cast(d38).as("__t"))
+        .join(c.withColumnRenamed("__cat", "j"), "j")
+        .select(col("j"), expr("CASE WHEN __t = 0 THEN 0L ELSE " +
+          "CAST((CAST(__c AS decimal(38,0)) * 1000000000000) div __t " +
+          "AS BIGINT) END").as("__v"))
+        .localCheckpoint()
+    }
+    kern.join(u, "i").join(v, "j")
+      .select(col("i"), col("j"), col("cost"), col("k_ppm"),
+        expr("CAST((CAST(__u AS decimal(38,0)) * k_ppm * __v) " +
+          "div 1000000000000 AS BIGINT)").as("plan_micro"))
+  }
+
   def greedyMixture(perSource: DataFrame, sourceCol: Column,
       tokensCol: Column, qualityCol: Column,
       budgetNum: Long, budgetDen: Long): DataFrame = {

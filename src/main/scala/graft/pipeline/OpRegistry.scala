@@ -231,6 +231,10 @@ object OpRegistry {
       col(str(p, "target_col")), num(p, "select").toInt)),
     "pca_two" -> (p => df => graft.ext.Clustering.powerIterationTwo(
       df, num(p, "dims").toInt, num(p, "rounds").toInt)),
+    "sinkhorn_plan" -> (p => df => graft.ext.Curation.sinkhornPlan(
+      df, col(str(p, "cat_col")), expr(str(p, "is_a_cond")),
+      num(p, "k").toInt, num(p, "rounds").toInt,
+      numOpt(p, "eps_inv").map(_.toInt).getOrElse(1))),
     "sequential_patterns" -> (p => df => graft.ops.EventAnalytics
       .sequentialPatterns(df, strs(p, "seq_keys").map(col),
         col(str(p, "type_col")), strs(p, "order_cols").map(col),

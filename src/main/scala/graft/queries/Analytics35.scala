@@ -869,7 +869,96 @@ object Analytics35 {
         "the is-it-really-1-D readout beside q357's anisotropy share.")
   }
 
+  /** q475 — ML/mixing: ENTROPIC OPTIMAL-TRANSPORT PLAN (fixed-round
+    * Sinkhorn) between the 1993 and 1997 order-priority mixes under
+    * the ordinal cost |i−j|. The oracle replays every scaling round in
+    * a recursive CTE: the k² kernel stream carries both windowed
+    * scalings per step (u from the row sums, v from the column sums of
+    * the JUST-updated u), and the diagonal rows read the state out. */
+  val q475 = {
+    val k = 5; val rounds = 6
+    val sql =
+      s"""WITH RECURSIVE b AS (
+         |  SELECT CAST(substr(o_orderpriority, 1, 1) AS BIGINT) - 1
+         |      AS cat,
+         |    year(CAST(o_orderdate AS DATE)) AS yr
+         |  FROM orders
+         |  WHERE year(CAST(o_orderdate AS DATE)) IN (1993, 1997)),
+         |g AS (SELECT unnest(range(0, $k)) AS x),
+         |rr AS MATERIALIZED (
+         |  SELECT g.x AS i, CAST(CASE WHEN
+         |      (SELECT count(*) FROM b WHERE yr = 1993) = 0 THEN 0
+         |    ELSE ((SELECT count(*) FROM b b2
+         |           WHERE b2.yr = 1993 AND b2.cat = g.x) * 1000000)
+         |      // (SELECT count(*) FROM b WHERE yr = 1993) END
+         |    AS HUGEINT) AS rppm FROM g),
+         |cc AS MATERIALIZED (
+         |  SELECT g.x AS j, CAST(CASE WHEN
+         |      (SELECT count(*) FROM b WHERE yr = 1997) = 0 THEN 0
+         |    ELSE ((SELECT count(*) FROM b b2
+         |           WHERE b2.yr = 1997 AND b2.cat = g.x) * 1000000)
+         |      // (SELECT count(*) FROM b WHERE yr = 1997) END
+         |    AS HUGEINT) AS cppm FROM g),
+         |kern AS MATERIALIZED (
+         |  SELECT ii.x AS i, jj.x AS j, abs(ii.x - jj.x) AS cost,
+         |    CAST(round(exp(-CAST(abs(ii.x - jj.x) AS DOUBLE)) * 1e6, 0)
+         |      AS BIGINT) AS k_ppm
+         |  FROM g ii, g jj),
+         |it AS (
+         |  SELECT 0 AS rnd, x, CAST(1000000 AS HUGEINT) AS u,
+         |    CAST(1000000 AS HUGEINT) AS v
+         |  FROM g
+         |  UNION ALL
+         |  SELECT rnd + 1, i AS x, u2 AS u, v2 AS v
+         |  FROM (
+         |    SELECT rnd, i, j, u2,
+         |      CAST(CASE WHEN t2 = 0 THEN 0
+         |        ELSE (cppm * 1000000000000) // t2 END AS HUGEINT) AS v2
+         |    FROM (
+         |      SELECT rnd, i, j, u2, cppm,
+         |        sum(k_ppm * u2) OVER (PARTITION BY rnd, j) AS t2
+         |      FROM (
+         |        SELECT rnd, i, j, k_ppm, cppm,
+         |          CAST(CASE WHEN s = 0 THEN 0
+         |            ELSE (rppm * 1000000000000) // s END AS HUGEINT)
+         |            AS u2
+         |        FROM (
+         |          SELECT it.rnd, k.i, k.j, k.k_ppm, rr.rppm, cc.cppm,
+         |            sum(k.k_ppm * it.v) OVER (PARTITION BY k.i) AS s
+         |          FROM it
+         |            JOIN kern k ON k.j = it.x
+         |            JOIN rr ON rr.i = k.i
+         |            JOIN cc ON cc.j = k.j
+         |          WHERE it.rnd < $rounds)
+         |      )
+         |    )
+         |  ) WHERE i = j)
+         |SELECT k.i, k.j, CAST(k.cost AS BIGINT) AS cost, k.k_ppm,
+         |  CAST((uu.u * k.k_ppm * vv.v) // 1000000000000 AS BIGINT)
+         |    AS plan_micro
+         |FROM kern k
+         |  JOIN (SELECT x, u FROM it WHERE rnd = $rounds) uu ON uu.x = k.i
+         |  JOIN (SELECT x, v FROM it WHERE rnd = $rounds) vv ON vv.x = k.j
+         |ORDER BY k.i, k.j""".stripMargin
+    Declared(
+      "q475_sinkhorn_ot", "ML",
+      (s, dir) => graft.ext.Curation.sinkhornPlan(
+          Tables.orders(s, dir)
+            .filter(year(to_date(col("o_orderdate"))).isin(1993, 1997)),
+          (substring(col("o_orderpriority"), 1, 1).cast("long") - 1)
+            .as("cat"),
+          year(to_date(col("o_orderdate"))) === 1993,
+          k = k, rounds = rounds)
+        .orderBy(col("i"), col("j")),
+      Some(sql),
+      "Two category-grain marginal aggs touch the facts; the " +
+        "iteration runs on the k² literal kernel frame — rounds × two " +
+        "k-row joins, nothing corpus-sized. The plan says WHICH mass " +
+        "moved WHERE — the distribution-shift decomposition a mixing " +
+        "pipeline acts on, beside q285's scalar Wasserstein gap.")
+  }
+
   val all: Seq[Declared] =
     Seq(q462, q463, q464, q465, q466, q467, q468, q469, q471, q472,
-      q473, q474)
+      q473, q474, q475)
 }

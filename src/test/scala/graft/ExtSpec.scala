@@ -747,6 +747,42 @@ class CurationSpec extends AnyFunSuite {
   lazy val spark = SparkTestSession.spark
   import spark.implicits._
 
+  test("E7: sinkhornPlan — identical marginals stay diagonal; a shift moves the mass") {
+    import graft.ext.Curation
+    // side A and side B both uniform over 3 categories: the optimal
+    // plan under |i-j| cost is (near-)diagonal and conserves mass
+    val same = (0L until 300L).map(i => (i % 3, i % 2 == 0))
+      .toDF("cat", "a")
+    // epsInv = 4 sharpens the entropic plan toward the true OT plan
+    val p1 = Curation.sinkhornPlan(same, col("cat"), col("a"),
+        k = 3, rounds = 8, epsInv = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        r.getAs[Long]("plan_micro")).toMap
+    val diag = (0L until 3L).map(i => p1((i, i))).sum
+    val total = p1.values.sum
+    assert(math.abs(total - 1000000L) < 2000L, s"mass $total")
+    assert(diag > 950000L, s"diagonal mass $diag of $total")
+    // and the soft default spreads mass but keeps every row's argmax
+    // on the diagonal (the entropic-regularization signature)
+    val soft = Curation.sinkhornPlan(same, col("cat"), col("a"),
+        k = 3, rounds = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        r.getAs[Long]("plan_micro")).toMap
+    (0L until 3L).foreach { i =>
+      (0L until 3L).filter(_ != i).foreach { j =>
+        assert(soft((i, i)) > soft((i, j)), s"row $i argmax") } }
+    // A all in category 0, B all in category 2: the plan transports
+    // everything along (0, 2)
+    val shift = ((0L until 100L).map(_ => (0L, true)) ++
+      (0L until 100L).map(_ => (2L, false))).toDF("cat", "a")
+    val p2 = Curation.sinkhornPlan(shift, col("cat"), col("a"),
+        k = 3, rounds = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        r.getAs[Long]("plan_micro")).toMap
+    assert(p2((0L, 2L)) > 990000L, p2.toString)
+    assert(p2.filterKeys(_ != ((0L, 2L))).values.forall(_ < 5000L))
+  }
+
   test("E4: winnowing — shared runs of k+w-1 tokens share a fingerprint; short docs behave") {
     import graft.ext.TextAnalysis
     val sharedRun = "alpha beta gamma delta epsilon zeta eta" // 7 tokens = k+w-1 for k=w=4
