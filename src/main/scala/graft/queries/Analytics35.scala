@@ -958,7 +958,51 @@ object Analytics35 {
         "pipeline acts on, beside q285's scalar Wasserstein gap.")
   }
 
+  /** q476 — T-state: cross-batch ADJACENT view→click→purchase pattern
+    * trigger through `transformWithState` with LIST state — the CEP
+    * shape completing the arbitrary-state trio (q452 ValueState, q471
+    * MapState). The batch lag-window triple is the exact oracle. */
+  val q476 = Declared(
+    "q476_stream_pattern_tws", "T-state",
+    (s, dir) => {
+      val key = "spark.sql.streaming.stateStore.providerClass"
+      val prev = s.conf.getOption(key)
+      s.conf.set(key, "org.apache.spark.sql.execution.streaming.state." +
+        "RocksDBStateStoreProvider")
+      try TimeSeries.streamEventsToTable(s, dir, "q476", mode = "append")(ev => {
+        import s.implicits._
+        graft.streaming.StreamOps.statefulPatternMatch(
+          ev.select(col("user_id").cast("long").as("key"),
+              unix_micros(col("ts")).as("us"),
+              col("event_id").cast("long").as("tie"),
+              col("event_type").as("etype"))
+            .as[graft.streaming.StreamOps.PatternIn],
+          Seq("view", "click", "purchase")).toDF()
+      }).orderBy(col("user_id"), col("hit_event"))
+      finally prev match {
+        case Some(p) => s.conf.set(key, p)
+        case None => s.conf.unset(key)
+      }
+    },
+    Some("""WITH w AS (
+           |  SELECT user_id, event_id, event_type,
+           |    lag(event_type, 2) OVER (PARTITION BY user_id
+           |      ORDER BY epoch_us(ts), event_id) AS t2,
+           |    lag(event_type, 1) OVER (PARTITION BY user_id
+           |      ORDER BY epoch_us(ts), event_id) AS t1
+           |  FROM events)
+           |SELECT user_id, event_id AS hit_event
+           |FROM w
+           |WHERE t2 = 'view' AND t1 = 'click'
+           |  AND event_type = 'purchase'
+           |ORDER BY user_id, hit_event""".stripMargin),
+    "State is pattern-length-minus-one strings per key in RocksDB; " +
+      "each micro-batch shuffles only its own rows keyed by user and " +
+      "emits hits in append mode. The funnel-trigger/CEP shape that " +
+      "fires across batch boundaries — no window re-scan, no batch " +
+      "recompute.")
+
   val all: Seq[Declared] =
     Seq(q462, q463, q464, q465, q466, q467, q468, q469, q471, q472,
-      q473, q474, q475)
+      q473, q474, q475, q476)
 }

@@ -437,6 +437,55 @@ object StreamOps {
       .transformWithState(proc, TimeMode.None(), OutputMode.Update())
   }
 
+  /** Input/output records for [[statefulPatternMatch]]. */
+  final case class PatternIn(key: Long, us: Long, tie: Long, etype: String)
+  final case class PatternHit(user_id: Long, hit_event: Long)
+
+  /** T-state — cross-batch ADJACENT-SEQUENCE PATTERN MATCH through a
+    * Spark 4 `transformWithState` StatefulProcessor with LIST state:
+    * per key, a ListState buffer holds the last (pattern.length − 1)
+    * event types; each batch walks its rows in event-time order and
+    * emits a hit whenever the buffer + current event equals the target
+    * pattern — the CEP/funnel-trigger shape ("view then click then
+    * purchase, adjacently"), firing even when the pattern straddles
+    * micro-batches. Completes the arbitrary-state API trio beside
+    * q452's ValueState record and q471's MapState collection.
+    *
+    * State is (pattern.length − 1) strings per key; the in-batch
+    * event-time sort makes a single-batch replay equal the batch
+    * lag-window oracle exactly. */
+  def statefulPatternMatch(events: org.apache.spark.sql.Dataset[PatternIn],
+      pattern: Seq[String]): org.apache.spark.sql.Dataset[PatternHit] = {
+    require(pattern.length >= 2, "pattern of at least 2 types")
+    import org.apache.spark.sql.streaming.{OutputMode, StatefulProcessor,
+      TimeMode, TimerValues, TTLConfig}
+    import org.apache.spark.sql.{Encoder, Encoders}
+    val want = pattern.toList
+    val keep = pattern.length - 1
+    val proc = new StatefulProcessor[Long, PatternIn, PatternHit] {
+      @transient private var st:
+        org.apache.spark.sql.streaming.ListState[String] = _
+      override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+        st = getHandle.getListState[String]("buf", Encoders.STRING,
+          TTLConfig.NONE)
+      override def handleInputRows(key: Long, rows: Iterator[PatternIn],
+          timers: TimerValues): Iterator[PatternHit] = {
+        var buf = st.get().toList
+        val hits = Seq.newBuilder[PatternHit]
+        rows.toSeq.sortBy(r => (r.us, r.tie)).foreach { r =>
+          buf = (buf :+ r.etype).takeRight(keep + 1)
+          if (buf == want) hits += PatternHit(key, r.tie)
+          buf = buf.takeRight(keep)
+        }
+        st.put(buf.toArray)
+        hits.result().iterator
+      }
+    }
+    implicit val outEnc: Encoder[PatternHit] = Encoders.product[PatternHit]
+    events.groupByKey(_.key)(Encoders.scalaLong)
+      .transformWithState(proc, TimeMode.None(), OutputMode.Append())
+  }
+
   /** T6 — parquet sink with checkpoint (exactly-once file sink). */
   def parquetSink(df: DataFrame, path: String, checkpoint: String): DataStreamWriter[Row] =
     df.writeStream.format("parquet")

@@ -443,4 +443,42 @@ class StreamingSpec extends AnyFunSuite {
       case None => spark.conf.unset(key)
     }
   }
+
+  test("T-state: ListState pattern match fires across the batch boundary") {
+    import graft.streaming.StreamOps.{PatternIn, PatternHit}
+    val dir = tmp()
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, "org.apache.spark.sql.execution.streaming.state." +
+      "RocksDBStateStoreProvider")
+    try {
+      // batch 1 ends mid-pattern: view, click (no hit yet)
+      writeBatch(dir, "b1", Seq(
+        (1L, "2024-01-01 10:00:00", 1L, 1.0),
+        (2L, "2024-01-01 10:01:00", 1L, 1.0)))
+      val stream = StreamOps.fileStream(spark, dir, schema)
+        .withColumn("event_type",
+          expr("CASE event_id WHEN 1 THEN 'view' WHEN 2 THEN 'click' " +
+            "WHEN 3 THEN 'purchase' ELSE 'view' END"))
+        .select(col("user_id").cast("long").as("key"),
+          unix_micros(col("ts")).as("us"), col("event_id").as("tie"),
+          col("event_type").as("etype"))
+        .as[PatternIn]
+      val q = StreamOps.statefulPatternMatch(stream,
+          Seq("view", "click", "purchase")).writeStream
+        .outputMode("append").format("memory").queryName("twspat").start()
+      q.processAllAvailable()
+      assert(spark.table("twspat").count() == 0, "no hit mid-pattern")
+      // batch 2 completes the pattern with the purchase
+      writeBatch(dir, "b2", Seq((3L, "2024-01-01 10:02:00", 1L, 1.0)))
+      q.processAllAvailable()
+      val hits = spark.table("twspat").as[PatternHit].collect()
+      q.stop()
+      assert(hits.toSeq == Seq(PatternHit(1L, 3L)),
+        s"buffer must cross batches, got ${hits.toSeq}")
+    } finally prev match {
+      case Some(p) => spark.conf.set(key, p)
+      case None => spark.conf.unset(key)
+    }
+  }
 }
