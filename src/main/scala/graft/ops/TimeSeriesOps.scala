@@ -640,6 +640,48 @@ object TimeSeriesOps {
       .orderBy(col("h"))
   }
 
+  /** A5/A8 — ROLLING-ORIGIN FORECAST CROSS-VALIDATION (Tashman 2000's
+    * multiple-origin extension of [[forecastBacktest]]; Hyndman &
+    * Athanasopoulos FPP "time series cross-validation" — public
+    * literature): refit the theta model at each origin in `splits`,
+    * score each fit on its own unseen horizon, and pool the folds into
+    * one CV verdict — the honest model-selection loop (a single origin
+    * can flatter or damn a model on one lucky window).
+    *
+    * Exactness: each fold is exactly one [[forecastBacktest]] (integer
+    * theta fold, micro-unit errors); the pooled verdict
+    * cv_mase_ppm = 10⁶·Σ_folds ae div Σ_folds naive_ae is one more
+    * integer division. Returns per (fold, h):
+    * (fold, h, t, actual, forecast_micro, ae_micro, naive_ae_micro,
+    * wape_ppm, mase_ppm, cv_mase_ppm) — per-fold WAPE/MASE plus the
+    * pooled column repeated.
+    *
+    * Scale: folds × the backtest cost — each fold's fit folds over its
+    * train slice of the ROLLUP-grain series; holdout joins touch
+    * horizon rows; folds are independent (orchestrate in parallel at
+    * 100 TB). */
+  def forecastCvRolling(series: DataFrame, tCol: Column, vCol: Column,
+      splits: Seq[Long], horizon: Int): DataFrame = {
+    require(splits.nonEmpty && splits.size <= 8, "1-8 origins")
+    require(splits == splits.sorted && splits.distinct.size == splits.size,
+      "splits must be strictly increasing")
+    val d38 = "decimal(38,0)"
+    val perFold = splits.zipWithIndex.map { case (sp, i) =>
+        forecastBacktest(series, tCol, vCol, sp, horizon)
+          .withColumn("fold", lit(i + 1))
+      }.reduce(_ unionByName _)
+      .localCheckpoint() // read by the pooled agg + the output
+    val pooled = perFold.agg(
+      sum(col("ae_micro").cast(d38)).cast(d38).as("__cae"),
+      sum(col("naive_ae_micro").cast(d38)).cast(d38).as("__cnae"))
+    perFold.crossJoin(broadcast(pooled))
+      .withColumn("cv_mase_ppm", expr("CAST((__cae * 1000000) div " +
+        "greatest(__cnae, CAST(1 AS decimal(38,0))) AS BIGINT)"))
+      .select(col("fold"), col("h"), col("t"), col("actual"),
+        col("forecast_micro"), col("ae_micro"), col("naive_ae_micro"),
+        col("wape_ppm"), col("mase_ppm"), col("cv_mase_ppm"))
+  }
+
   /** A5/A8 — one-step-ahead forecast evaluation: Holt ([[holtInt]])
     * against the naive last-value forecast, per key. For every row
     * after a key's first, the Holt error is

@@ -235,6 +235,9 @@ object OpRegistry {
       df, col(str(p, "cat_col")), expr(str(p, "is_a_cond")),
       num(p, "k").toInt, num(p, "rounds").toInt,
       numOpt(p, "eps_inv").map(_.toInt).getOrElse(1))),
+    "forecast_cv_rolling" -> (p => df => graft.ops.TimeSeriesOps
+      .forecastCvRolling(df, col(str(p, "t_col")), col(str(p, "v_col")),
+        strs(p, "splits").map(_.toLong), num(p, "horizon").toInt)),
     "sequential_patterns" -> (p => df => graft.ops.EventAnalytics
       .sequentialPatterns(df, strs(p, "seq_keys").map(col),
         col(str(p, "type_col")), strs(p, "order_cols").map(col),

@@ -1002,7 +1002,107 @@ object Analytics35 {
       "fires across batch boundaries — no window re-scan, no batch " +
       "recompute.")
 
+  /** q477 — A5/A8: ROLLING-ORIGIN forecast cross-validation — the
+    * q424 theta backtest refit at three monthly origins, per-fold
+    * WAPE/MASE plus the pooled CV verdict. The oracle replays all
+    * three integer theta folds (each a recursive-CTE SES recursion)
+    * and the pooled division. */
+  val q477 = {
+    val splits = Seq(10346L, 10377L, 10407L)
+    val horizon = 14
+    def foldSql(split: Long, f: Int) =
+      s"""rk_$f AS MATERIALIZED (
+         |  SELECT t, v, row_number() OVER (ORDER BY t) AS r
+         |  FROM daily WHERE t <= $split),
+         |s_$f AS (
+         |  SELECT CAST(count(*) AS BIGINT) AS n,
+         |    CAST(sum(v) AS BIGINT) AS sy,
+         |    CAST(sum(r * v) AS BIGINT) AS siy
+         |  FROM rk_$f),
+         |c_$f AS (
+         |  SELECT n, sy, siy, n * (n + 1) // 2 AS si,
+         |    n * (n + 1) * (2 * n + 1) // 6 AS si2
+         |  FROM s_$f),
+         |q_$f AS (
+         |  SELECT *, CAST((CAST(n AS HUGEINT) * siy
+         |      - CAST(si AS HUGEINT) * sy) * 1000000
+         |    // (CAST(n AS HUGEINT) * si2 - CAST(si AS HUGEINT) * si)
+         |    AS BIGINT) AS bm
+         |  FROM c_$f),
+         |q2_$f AS MATERIALIZED (
+         |  SELECT *, CAST((CAST(sy AS HUGEINT) * 1000000
+         |    - CAST(bm AS HUGEINT) * si) // n AS BIGINT) AS am
+         |  FROM q_$f),
+         |fit_$f(r, st) AS (
+         |  SELECT 1, 2000000 * rk_$f.v - (am + bm) FROM rk_$f, q2_$f
+         |  WHERE rk_$f.r = 1
+         |  UNION ALL
+         |  SELECT ff.r + 1,
+         |    ((2000000 * rk_$f.v - (am + bm * (ff.r + 1))) + ff.st) // 2
+         |  FROM fit_$f ff JOIN rk_$f ON rk_$f.r = ff.r + 1, q2_$f),
+         |lvl_$f AS (SELECT max_by(st, r) AS l FROM fit_$f),
+         |tn_$f AS (SELECT max(t) AS tmax FROM rk_$f),
+         |fc_$f AS (
+         |  SELECT h, tmax + h AS t,
+         |    (am + bm * (n + h) + l) // 2 AS forecast_micro
+         |  FROM (SELECT range AS h FROM range(1, ${horizon + 1})),
+         |    q2_$f, lvl_$f, tn_$f),
+         |lastv_$f AS (SELECT max_by(v, t) AS lastv FROM daily
+         |             WHERE t <= $split),
+         |sc_$f AS MATERIALIZED (
+         |  SELECT CAST($f AS INT) AS fold, fc.h, fc.t, d.v AS actual,
+         |    fc.forecast_micro,
+         |    abs(d.v * 1000000 - fc.forecast_micro) AS ae_micro,
+         |    abs(d.v - lastv) * 1000000 AS naive_ae_micro
+         |  FROM fc_$f fc JOIN daily d ON d.t = fc.t, lastv_$f),
+         |tot_$f AS (
+         |  SELECT CAST(sum(ae_micro) AS BIGINT) AS sae,
+         |    CAST(sum(naive_ae_micro) AS BIGINT) AS snae,
+         |    CAST(sum(abs(actual)) AS BIGINT) AS sa
+         |  FROM sc_$f),
+         |out_$f AS (
+         |  SELECT fold, h, t, actual, forecast_micro, ae_micro,
+         |    naive_ae_micro,
+         |    CAST(sae // greatest(sa, 1) AS BIGINT) AS wape_ppm,
+         |    CAST((sae * 1000000) // greatest(snae, 1) AS BIGINT)
+         |      AS mase_ppm
+         |  FROM sc_$f, tot_$f)""".stripMargin
+    val folds = splits.zipWithIndex
+      .map { case (sp, i) => foldSql(sp, i + 1) }.mkString(",\n")
+    val unionAll = (1 to splits.size)
+      .map(f => s"SELECT * FROM out_$f").mkString("\n  UNION ALL ")
+    val sql =
+      s"""WITH RECURSIVE daily AS MATERIALIZED (
+         |  SELECT CAST(datediff('day', DATE '1970-01-01', o_orderdate)
+         |    AS BIGINT) AS t, CAST(count(*) AS BIGINT) AS v
+         |  FROM orders GROUP BY 1),
+         |$folds,
+         |uni AS MATERIALIZED ($unionAll),
+         |cv AS (
+         |  SELECT CAST(sum(ae_micro) AS HUGEINT) AS cae,
+         |    CAST(sum(naive_ae_micro) AS HUGEINT) AS cnae
+         |  FROM uni)
+         |SELECT uni.*, CAST((cae * 1000000) // greatest(cnae, 1)
+         |    AS BIGINT) AS cv_mase_ppm
+         |FROM uni, cv ORDER BY fold, h""".stripMargin
+    Declared(
+      "q477_forecast_cv", "A5,A8",
+      (s, dir) => graft.ops.TimeSeriesOps.forecastCvRolling(
+          Tables.orders(s, dir)
+            .groupBy(expr("datediff(o_orderdate, DATE'1970-01-01')")
+              .cast("long").as("day"))
+            .agg(count(lit(1)).as("cnt")),
+          col("day"), col("cnt"), splits, horizon)
+        .orderBy(col("fold"), col("h")),
+      Some(sql),
+      "Each fold folds the integer theta fit over ITS train slice of " +
+        "the day rollup and scores horizon rows; folds share nothing " +
+        "and parallelize. The pooled CV quotient is one more integer " +
+        "division — the model-selection verdict a single lucky origin " +
+        "cannot fake.")
+  }
+
   val all: Seq[Declared] =
     Seq(q462, q463, q464, q465, q466, q467, q468, q469, q471, q472,
-      q473, q474, q475, q476)
+      q473, q474, q475, q476, q477)
 }

@@ -494,6 +494,26 @@ class TimeSeriesOpsSpec extends AnyFunSuite {
       r6(math.sqrt(lhl * lhl * 500000 / 1e18)))
   }
 
+  test("forecastCvRolling: one fold equals the backtest; pooling is exact") {
+    val series = (0L until 40L).map(t => ("s", t, 100L + t * 3 + (t % 5)))
+      .toDF("g", "t", "v").drop("g")
+    val bt = graft.ops.TimeSeriesOps.forecastBacktest(series, col("t"),
+      col("v"), splitT = 30L, horizon = 5).collect()
+    val cv1 = graft.ops.TimeSeriesOps.forecastCvRolling(series, col("t"),
+      col("v"), splits = Seq(30L), horizon = 5).collect()
+    assert(cv1.map(r => (r.getLong(1), r.getLong(4), r.getLong(8))).toSeq ==
+      bt.map(r => (r.getLong(0), r.getLong(3), r.getLong(7))).toSeq)
+    // with one fold the pooled CV MASE is the fold MASE
+    assert(cv1.forall(r => r.getLong(9) == r.getLong(8)))
+    // two folds: pooled MASE = sum(ae) over both // sum(naive) over both
+    val cv2 = graft.ops.TimeSeriesOps.forecastCvRolling(series, col("t"),
+      col("v"), splits = Seq(25L, 30L), horizon = 5).collect()
+    val cae = cv2.map(_.getLong(5)).sum
+    val cnae = cv2.map(_.getLong(6)).sum
+    assert(cv2.forall(_.getLong(9) == cae * 1000000L / math.max(cnae, 1L)))
+    assert(cv2.map(_.getInt(0)).toSet == Set(1, 2))
+  }
+
   test("ar2YuleWalker: matches an exact-arithmetic replay; degenerates to null") {
     // an AR(2)-flavored integer series with a clear lag-1 structure
     val vals = Seq(10L, 14L, 18L, 15L, 11L, 9L, 12L, 16L, 17L, 13L,
