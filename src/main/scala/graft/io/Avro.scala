@@ -56,6 +56,75 @@ object Avro extends Serializable {
     spark.createDataFrame(rows, sparkSchema)
   }
 
+  /** S6 — distributed Avro container SINK, the symmetric write leg:
+    * each partition writes its own `part-NNNNN.avro` into `path`
+    * (deflate codec), so the sink parallelizes exactly like the
+    * built-in file writers and [[read]] reassembles the directory.
+    * Flat primitive schemas only — the same contract as the reader;
+    * nullable Spark fields become [null, T] unions. */
+  def write(df: DataFrame, path: String, deflateLevel: Int = 6): Unit = {
+    val fields = df.schema.fields
+    val avroJson = sparkToAvroJson(df.schema, path)
+    val dir = new java.io.File(path)
+    if (dir.exists()) {
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm)
+        f.delete(); ()
+      }
+      rm(dir)
+    }
+    dir.mkdirs()
+    val names = fields.map(_.name)
+    val binary = fields.map(_.dataType == BinaryType)
+    df.foreachPartition { (it: Iterator[Row]) =>
+      if (it.hasNext) {
+        val pid = org.apache.spark.TaskContext.get().partitionId()
+        val schema = new Schema.Parser().parse(avroJson)
+        val w = new org.apache.avro.file.DataFileWriter(
+          new org.apache.avro.generic.GenericDatumWriter[GenericRecord](
+            schema))
+        w.setCodec(org.apache.avro.file.CodecFactory.deflateCodec(
+          deflateLevel))
+        w.create(schema, new java.io.File(f"$path/part-$pid%05d.avro"))
+        try it.foreach { row =>
+          val rec = new org.apache.avro.generic.GenericData.Record(schema)
+          var i = 0
+          while (i < names.length) {
+            val v = row.get(i)
+            rec.put(names(i),
+              if (v == null) null
+              else if (binary(i))
+                java.nio.ByteBuffer.wrap(v.asInstanceOf[Array[Byte]])
+              else v)
+            i += 1
+          }
+          w.append(rec); ()
+        } finally w.close()
+      }
+    }
+  }
+
+  private def sparkToAvroJson(schema: StructType, path: String): String = {
+    def prim(dt: DataType, name: String): String = dt match {
+      case BooleanType => "\"boolean\""
+      case IntegerType => "\"int\""
+      case LongType => "\"long\""
+      case FloatType => "\"float\""
+      case DoubleType => "\"double\""
+      case StringType => "\"string\""
+      case BinaryType => "\"bytes\""
+      case other => throw DataIOError(path,
+        s"field '$name': Spark type ${other.catalogString} has no flat " +
+          "Avro mapping — cast or flatten before the avro sink")
+    }
+    val fs = schema.fields.map { f =>
+      val t = if (f.nullable) s"""["null", ${prim(f.dataType, f.name)}]"""
+      else prim(f.dataType, f.name)
+      s"""{"name":"${f.name}","type":$t}"""
+    }.mkString(",")
+    s"""{"type":"record","name":"graft","fields":[$fs]}"""
+  }
+
   private def listAvroFiles(path: String): Seq[java.io.File] = {
     val f = new java.io.File(path)
     if (f.isDirectory)

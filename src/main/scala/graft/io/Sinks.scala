@@ -95,6 +95,7 @@ object Sinks {
     "wkt" -> ((df, path) => renderWkt(df).write.mode("overwrite")
       .option("header", "true").csv(path)),
     "orc" -> ((df, path) => df.write.mode("overwrite").orc(path)),
+    "avro" -> ((df, path) => Avro.write(df, path)),
     "kml" -> writeKml,
     "shapefile" -> ((df, path) => Shapefile.write(df, path)),
     "esri shapefile" -> ((df, path) => Shapefile.write(df, path)))

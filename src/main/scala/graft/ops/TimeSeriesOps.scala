@@ -612,6 +612,13 @@ object TimeSeriesOps {
     * Scale: the rollup-array theta fit + an h-row join against the
     * holdout slice of the same rollup. */
   def forecastBacktest(series: DataFrame, tCol: Column, vCol: Column,
+      splitT: Long, horizon: Int): DataFrame =
+    backtestCore(series, tCol, vCol, splitT, horizon).orderBy(col("h"))
+
+  /** [[forecastBacktest]] without the final sort — the fold unit
+    * [[forecastCvRolling]] unions (a per-fold orderBy would sit
+    * mid-plan under the union as a useless global sort). */
+  private def backtestCore(series: DataFrame, tCol: Column, vCol: Column,
       splitT: Long, horizon: Int): DataFrame = {
     val base = series.select(tCol.cast("long").as("__t"),
       vCol.cast("long").as("__v")).localCheckpoint()
@@ -637,7 +644,6 @@ object TimeSeriesOps {
         // err and actual share the micro grid: WAPE_ppm = Σae_micro/Σ|a|
         expr("__sae div greatest(__sa, 1L)").as("wape_ppm"),
         expr("(__sae * 1000000L) div greatest(__snae, 1L)").as("mase_ppm"))
-      .orderBy(col("h"))
   }
 
   /** A5/A8 — ROLLING-ORIGIN FORECAST CROSS-VALIDATION (Tashman 2000's
@@ -667,7 +673,7 @@ object TimeSeriesOps {
       "splits must be strictly increasing")
     val d38 = "decimal(38,0)"
     val perFold = splits.zipWithIndex.map { case (sp, i) =>
-        forecastBacktest(series, tCol, vCol, sp, horizon)
+        backtestCore(series, tCol, vCol, sp, horizon)
           .withColumn("fold", lit(i + 1))
       }.reduce(_ unionByName _)
       .localCheckpoint() // read by the pooled agg + the output

@@ -83,6 +83,28 @@ class AvroSpec extends AnyFunSuite {
     checkRows(graft.io.Avro.read(spark, url.getPath), 120)
   }
 
+  test("S6: avro sink round-trips a mixed frame through the reader") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_avrosink")
+      .toString + "/out"
+    val df = spark.createDataFrame(
+      (0 until 120).map { i =>
+        (i.toLong, ((i * 7) % 31) / 4.0, "t" + (i % 5),
+          if (i % 4 == 0) null else java.lang.Long.valueOf(i * 3L))
+      }).toDF("id", "v", "tag", "opt").repartition(5)
+    graft.io.Sinks.write(df, dir, format = "avro")
+    // several partitions → several part files, reassembled by the reader
+    assert(new java.io.File(dir).listFiles()
+      .count(_.getName.endsWith(".avro")) > 1)
+    checkRows(graft.io.Avro.read(spark, dir)
+      .select(col("id"), col("v"), col("tag"), col("opt")), 120)
+    // unsupported column types fail typed, not silently
+    val bad = Seq((1L, Seq(1, 2))).toDF("id", "arr")
+    val e = intercept[graft.core.DataIOError] {
+      graft.io.Avro.write(bad, dir + "2") }
+    assert(e.getMessage.contains("no flat Avro mapping"))
+  }
+
   test("S2: nested and non-nullable-union schemas fail typed") {
     val dir = java.nio.file.Files.createTempDirectory("graft_avrobad").toString
     val nested = new Schema.Parser().parse(
