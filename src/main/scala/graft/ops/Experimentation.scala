@@ -1527,6 +1527,62 @@ object Experimentation {
       lit(b0).as("b0_micro"), lit(b1).as("b1_micro"))
   }
 
+  /** A-stat/causal — E-VALUE sensitivity analysis (VanderWeele & Ding
+    * 2017, Annals of Internal Medicine "Sensitivity analysis in
+    * observational research: introducing the E-value" — public
+    * literature): the minimum strength of association an UNMEASURED
+    * confounder would need with both exposure and outcome to fully
+    * explain away an observed risk ratio,
+    *   E = RR* + √(RR*·(RR*−1)),  RR* = max(RR, 1/RR).
+    * The standard robustness readout attached to every observational
+    * effect estimate — "how big a lurking confounder kills this".
+    *
+    * The 2×2 cells are exact longs; RR* is ONE pinned IEEE division of
+    * exact integer products (numerator/denominator swapped when
+    * RR < 1, so no reciprocal noise), and the E-value finish is
+    * pinned +/×/√ — both engines replay it bit-for-bit (q186
+    * discipline). Degenerate margins (no exposed, no unexposed, zero
+    * unexposed-outcome risk) yield nulls. Returns one row:
+    * (n_ee, n_en, n_ne, n_nn, rr_ppm, evalue).
+    *
+    * Scale: one conditional-sum agg over the facts; the finish is a
+    * 1-row read. */
+  def eValue(df: DataFrame, exposure: Column, outcome: Column): DataFrame = {
+    val d38 = "decimal(38,0)"
+    df.agg(
+      sum(when(exposure && outcome, 1L).otherwise(0L)).as("n_ee"),
+      sum(when(exposure && !outcome, 1L).otherwise(0L)).as("n_en"),
+      sum(when(!exposure && outcome, 1L).otherwise(0L)).as("n_ne"),
+      sum(when(!exposure && !outcome, 1L).otherwise(0L)).as("n_nn"))
+      .withColumn("rr_ppm",
+        when(col("n_ne") + col("n_nn") > 0 &&
+          col("n_ee") + col("n_en") > 0 && col("n_ne") > 0,
+          // greatest(…, 1): ANSI `div` raises on a zero divisor even
+          // inside the unreached CASE branch (codegen evaluates it);
+          // the when-guard still nulls the result when n_ne = 0
+          expr("(cast(1000000 as decimal(38,0)) * n_ee * (n_ne + n_nn))" +
+            " div greatest(cast(n_ne as decimal(38,0)) * (n_ee + n_en)," +
+            " cast(1 as decimal(38,0)))")))
+      .withColumn("__num",
+        (col("n_ee").cast(d38) * (col("n_ne") + col("n_nn")).cast(d38))
+          .cast(d38))
+      .withColumn("__den",
+        (col("n_ne").cast(d38) * (col("n_ee") + col("n_en")).cast(d38))
+          .cast(d38))
+      .withColumn("__rrs", when(col("__num") > 0 && col("__den") > 0,
+        when(col("__num") >= col("__den"),
+          col("__num").cast("double") / col("__den").cast("double"))
+        .otherwise(
+          col("__den").cast("double") / col("__num").cast("double"))))
+      .withColumn("evalue",
+        when(col("n_ee") > 0 && col("n_ne") > 0 &&
+          col("n_en") + col("n_nn") >= 0 && col("__den") > 0 &&
+          col("__num") > 0,
+          col("__rrs") + sqrt(col("__rrs") * (col("__rrs") - lit(1.0)))))
+      .select(col("n_ee"), col("n_en"), col("n_ne"), col("n_nn"),
+        col("rr_ppm"), col("evalue"))
+  }
+
   /** A-stat/causal — synthetic-control gap readout (Abadie, Diamond &
     * Hainmueller 2010, JASA; simplex-lattice weight fit): build the
     * counterfactual for ONE treated unit as the convex combination of

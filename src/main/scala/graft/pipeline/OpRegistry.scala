@@ -238,6 +238,8 @@ object OpRegistry {
     "forecast_cv_rolling" -> (p => df => graft.ops.TimeSeriesOps
       .forecastCvRolling(df, col(str(p, "t_col")), col(str(p, "v_col")),
         strs(p, "splits").map(_.toLong), num(p, "horizon").toInt)),
+    "evalue" -> (p => df => graft.ops.Experimentation.eValue(
+      df, expr(str(p, "exposure_cond")), expr(str(p, "outcome_cond")))),
     "sequential_patterns" -> (p => df => graft.ops.EventAnalytics
       .sequentialPatterns(df, strs(p, "seq_keys").map(col),
         col(str(p, "type_col")), strs(p, "order_cols").map(col),

@@ -1102,7 +1102,53 @@ object Analytics35 {
         "cannot fake.")
   }
 
+  /** q478 — A-stat/causal: E-VALUE sensitivity of the observed
+    * air-shipment → return-flag risk ratio — how strong an unmeasured
+    * confounder must be to explain the association away. One exact
+    * 2×2 agg; RR* and the E-value are pinned IEEE ops over exact
+    * integer products, hash-matched unrounded. */
+  val q478 = Declared(
+    "q478_evalue", "A-stat",
+    (s, dir) => graft.ops.Experimentation.eValue(
+      Tables.lineitem(s, dir),
+      expr("CAST(l_quantity AS BIGINT) >= 25"),
+      col("l_returnflag") === "R"),
+    Some("""WITH c AS (
+           |  SELECT
+           |    CAST(sum(CASE WHEN q AND o THEN 1 ELSE 0 END) AS BIGINT)
+           |      AS n_ee,
+           |    CAST(sum(CASE WHEN q AND NOT o THEN 1 ELSE 0 END)
+           |      AS BIGINT) AS n_en,
+           |    CAST(sum(CASE WHEN NOT q AND o THEN 1 ELSE 0 END)
+           |      AS BIGINT) AS n_ne,
+           |    CAST(sum(CASE WHEN NOT q AND NOT o THEN 1 ELSE 0 END)
+           |      AS BIGINT) AS n_nn
+           |  FROM (SELECT CAST(l_quantity AS BIGINT) >= 25 AS q,
+           |          l_returnflag = 'R' AS o FROM lineitem)),
+           |f AS (
+           |  SELECT *,
+           |    CASE WHEN n_ne + n_nn > 0 AND n_ee + n_en > 0 AND n_ne > 0
+           |      THEN CAST((CAST(1000000 AS HUGEINT) * n_ee
+           |        * (n_ne + n_nn)) // (CAST(n_ne AS HUGEINT)
+           |        * (n_ee + n_en)) AS BIGINT) END AS rr_ppm,
+           |    CAST(n_ee AS HUGEINT) * (n_ne + n_nn) AS num,
+           |    CAST(n_ne AS HUGEINT) * (n_ee + n_en) AS den
+           |  FROM c),
+           |g AS (
+           |  SELECT *, CASE WHEN num >= den
+           |      THEN CAST(num AS DOUBLE) / CAST(den AS DOUBLE)
+           |      ELSE CAST(den AS DOUBLE) / CAST(num AS DOUBLE) END
+           |    AS rrs
+           |  FROM f)
+           |SELECT n_ee, n_en, n_ne, n_nn, rr_ppm,
+           |  CASE WHEN n_ee > 0 AND n_ne > 0 AND den > 0 AND num > 0
+           |    THEN rrs + sqrt(rrs * (rrs - 1.0)) END AS evalue
+           |FROM g""".stripMargin),
+    "One conditional-sum pass over the facts, a 1-row finish — the " +
+      "sensitivity number every observational effect estimate should " +
+      "carry, computed at any scale for the cost of a count.")
+
   val all: Seq[Declared] =
     Seq(q462, q463, q464, q465, q466, q467, q468, q469, q471, q472,
-      q473, q474, q475, q476, q477)
+      q473, q474, q475, q476, q477, q478)
 }

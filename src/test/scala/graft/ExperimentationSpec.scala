@@ -864,4 +864,23 @@ class ExperimentationSpec extends AnyFunSuite {
     assert(out("C").getAs[Long]("alloc_n") == 7L)
     assert(out.values.map(_.getAs[Long]("alloc_n")).sum == 10L)
   }
+
+  test("eValue: RR = 2 gives E = 2 + sqrt(2); protective effects mirror; degenerate nulls") {
+    import graft.ops.Experimentation
+    // exposed: 2 of 10 events; unexposed: 1 of 10 -> RR exactly 2
+    def mk(ee: Int, en: Int, ne: Int, nn: Int) =
+      (Seq.fill(ee)((true, true)) ++ Seq.fill(en)((true, false)) ++
+        Seq.fill(ne)((false, true)) ++ Seq.fill(nn)((false, false)))
+        .toDF("x", "y")
+    val r = Experimentation.eValue(mk(2, 8, 1, 9), col("x"), col("y")).head()
+    assert(r.getAs[Long]("rr_ppm") == 2000000L)
+    assert(r.getAs[Double]("evalue") == 2.0 + math.sqrt(2.0 * 1.0))
+    // protective RR = 1/2 has the SAME E-value (RR* = max(RR, 1/RR))
+    val p = Experimentation.eValue(mk(1, 9, 2, 8), col("x"), col("y")).head()
+    assert(p.getAs[Double]("evalue") == r.getAs[Double]("evalue"))
+    // no unexposed events -> rr undefined -> nulls, not NaN
+    val d = Experimentation.eValue(mk(3, 7, 0, 10), col("x"), col("y")).head()
+    assert(d.isNullAt(d.fieldIndex("rr_ppm")))
+    assert(d.isNullAt(d.fieldIndex("evalue")))
+  }
 }
