@@ -13,7 +13,15 @@ pandas renders as float64 ("2975.0") while Spark emits int64 ("2975").
 A fetchall()-based replica hides that class of mismatch (round-5
 lesson: q236/q324/q325/q338 were red on the driver, green locally).
 
-Usage: dev/check.py <sfDir> <verifyOutDir> [query ...]
+Usage: dev/check.py [--emit PATH] <sfDir> <verifyOutDir> [query ...]
+
+--emit PATH writes a driver-schema correctness artifact: one object per
+query with {"rows_match", "schema_match", "hash_match", "err"} — the
+exact shape of the driver's CORRECTNESS_r*.json, so a populated local
+artifact exists even when the driver-side writer records {} (empty for
+rounds 6-8; VERDICT r8 item 1). hash_match here means the canonical
+sorted-values comparison passed (the driver hashes the same canonical
+form, so the booleans coincide).
 """
 import sys, os, json, glob
 import duckdb
@@ -30,8 +38,14 @@ def canon_df(df):
     return cols, out
 
 def main():
-    sf, out = sys.argv[1], sys.argv[2]
-    only = set(sys.argv[3:])
+    argv = list(sys.argv[1:])
+    emit = None
+    if argv and argv[0] == "--emit":
+        emit = argv[1]
+        argv = argv[2:]
+    sf, out = argv[0], argv[1]
+    only = set(argv[2:])
+    report = {}
     con = duckdb.connect()
     for t in ["region","nation","customer","supplier","part","orders",
               "lineitem","events","documents","embeddings"]:
@@ -40,32 +54,46 @@ def main():
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
     oracle = json.load(open(f"{out}/oracle_sql.json"))
     n_pass = n_fail = 0
+    def rec(name, rows_match, schema_match, hash_match, err=None):
+        report[name] = {"rows_match": rows_match, "schema_match": schema_match,
+                        "hash_match": hash_match, "err": err}
     for name, sql in sorted(oracle.items()):
         if only and name not in only:
             continue
         pdir = f"{out}/{name}"
         files = glob.glob(f"{pdir}/*.parquet")
         if not files:
-            print(f"FAIL {name}: no spark output"); n_fail += 1; continue
+            print(f"FAIL {name}: no spark output"); n_fail += 1
+            rec(name, False, False, False, "no spark output"); continue
         try:
             gdf = con.execute(f"SELECT * FROM '{pdir}/*.parquet'").fetchdf()
             edf = con.execute(sql).fetchdf()
         except Exception as e:
-            print(f"FAIL {name}: {e}"); n_fail += 1; continue
+            print(f"FAIL {name}: {e}"); n_fail += 1
+            rec(name, False, False, False, str(e)[:300]); continue
         gc, gr = canon_df(gdf)
         ec, er = canon_df(edf)
         if gc != ec:
-            print(f"FAIL {name}: cols {gc} vs {ec}"); n_fail += 1; continue
+            print(f"FAIL {name}: cols {gc} vs {ec}"); n_fail += 1
+            rec(name, len(gr) == len(er), False, False, f"cols {gc} vs {ec}"); continue
         if len(gr) != len(er):
-            print(f"FAIL {name}: rows {len(gr)} vs {len(er)}"); n_fail += 1; continue
+            print(f"FAIL {name}: rows {len(gr)} vs {len(er)}"); n_fail += 1
+            rec(name, False, True, False, f"rows {len(gr)} vs {len(er)}"); continue
         if gr != er:
             bad = [i for i, (a, b) in enumerate(zip(gr, er)) if a != b][:3]
             print(f"FAIL {name}: value mismatch at sorted rows {bad}")
             for i in bad:
                 print(f"  spark : {gr[i]}")
                 print(f"  duckdb: {er[i]}")
-            n_fail += 1; continue
+            n_fail += 1
+            rec(name, True, True, False, f"value mismatch at sorted rows {bad}")
+            continue
         print(f"PASS {name} ({len(gr)} rows)"); n_pass += 1
+        rec(name, True, True, True)
+    if emit:
+        with open(emit, "w") as f:
+            json.dump(report, f, indent=1, sort_keys=True)
+        print(f"== emitted {len(report)} rows -> {emit} ==")
     print(f"== {n_pass} pass, {n_fail} fail ==")
     sys.exit(1 if n_fail else 0)
 

@@ -23,7 +23,12 @@ d = json.load(open(f"{sys.argv[1]}/oracle_sql.json"))
 assert isinstance(d, dict) and len(d) > 400, f"oracle_sql.json suspicious: {len(d)} entries"
 print(f"[round-close] oracle_sql.json OK ({len(d)} entries)")
 EOF
-python3 dev/check.py "$SF" "$OUT"
+# driver-schema local artifact (VERDICT r8 item 1): the driver's own
+# CORRECTNESS_r*.json has been {} for rounds 6-8, so the round's hard
+# correctness signal is bridged by committing this file at close.
+EMIT=""
+if [ -n "$ROUND" ]; then EMIT="--emit CORRECTNESS_LOCAL_r${ROUND}.json"; fi
+python3 dev/check.py $EMIT "$SF" "$OUT"
 if [ -n "$ROUND" ] && [ -f "CORRECTNESS_r${ROUND}.json" ]; then
   python3 - "CORRECTNESS_r${ROUND}.json" <<'EOF'
 import json, sys

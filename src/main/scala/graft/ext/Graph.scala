@@ -617,77 +617,116 @@ object Graph {
       .select(least(col("a"), col("b")).as("a"),
         greatest(col("a"), col("b")).as("b"))
       .distinct()
+    // hash-partition the edge set on src ONCE before checkpointing:
+    // LogicalRDD preserves the checkpointed plan's output partitioning,
+    // so every forward round's frontier join and the DAG build reuse it
+    // and shuffle only the (pivot-bounded) frontier/label side — without
+    // this, each of the ~2·maxHops stages re-shuffles the full edge set
+    // (the dominant term of the local-mode stage floor measured in
+    // SCALE_SPOT.md; on a cluster, the saved exchange is network-bound).
+    // Explicit partition COUNT, not just key: AQE's size-based coalesce
+    // targets ~64 MB/partition, which parks the 1-2M-row iterative
+    // frames on 4-10 partitions — fine for IO, 4-8× under-parallelized
+    // for the decimal-dense σ/δ arithmetic every round re-reads (probe:
+    // dag landed on 4 partitions, each backward level ran on 4 cores).
+    val nPar = edges.sparkSession.sparkContext.defaultParallelism
     val sym = canon.select(explode(array(
         struct(col("a").as("src"), col("b").as("dst")),
         struct(col("b").as("src"), col("a").as("dst")))).as("e"))
       .select(col("e.src").as("src"), col("e.dst").as("dst"))
+      .repartition(nPar, col("src"))
       .localCheckpoint() // re-read every forward round and backward level
     val pivots = sym.select(col("src")).distinct()
       .orderBy(col("src")).limit(numPivots)
-      .select(col("src").as("s"))
-      .localCheckpoint()
+      .select(col("src").as("s")) // numPivots rows riding on checkpointed sym
     // ---- forward: layered BFS carrying exact path counts ------------
     // Only each LAYER checkpoints; the label set is a lazy union of
     // checkpointed layers (cheap scans), so a round costs one shuffle
     // stage, not three materializations.
+    // The frontier and the accumulated label set are BROADCAST into each
+    // round's joins while their checkpoint-known row counts stay small
+    // (maybeBcast below): the src-partitioned edge set is then never
+    // re-shuffled and the anti-join costs no exchange on the grouped
+    // side. Counts come free from the per-layer checkpoints (the same
+    // action that used to be the isEmpty probe).
+    val bcastMaxRows = 4000000L // ~hundreds of MB of (s, node, σ, δ)
+    def maybeBcast(df: DataFrame, rows: Long): DataFrame =
+      if (rows <= bcastMaxRows) broadcast(df) else df
     val seed = pivots.select(col("s"), col("s").as("node"),
       lit(0L).as("dist"), lit(1).cast(d38).as("sigma")).localCheckpoint()
     val layers = scala.collection.mutable.ArrayBuffer(seed)
+    val layerRows = scala.collection.mutable.ArrayBuffer(seed.count())
     def labels = layers.reduce(_ unionByName _)
     var frontier = seed
     var l = 0
     var done = false
     while (l < maxHops && !done) {
       l += 1
-      val next = sym.join(frontier.withColumnRenamed("node", "src"), "src")
+      val next = sym.join(maybeBcast(
+          frontier.withColumnRenamed("node", "src"), layerRows.last), "src")
         .groupBy(col("s"), col("dst").as("node"))
         .agg(sum(col("sigma")).cast(d38).as("sigma"))
-        .join(labels.select(col("s"), col("node")), Seq("s", "node"),
-          "left_anti")
+        .join(maybeBcast(labels.select(col("s"), col("node")),
+          layerRows.sum), Seq("s", "node"), "left_anti")
         .withColumn("dist", lit(l.toLong))
         .select(col("s"), col("node"), col("dist"), col("sigma"))
         .localCheckpoint()
-      if (next.isEmpty) done = true // empty layer = fixed point
+      val n = next.count() // cached read; doubles as the fixed-point probe
+      if (n == 0L) done = true // empty layer = fixed point
       else {
         layers += next
+        layerRows += n
         frontier = next
       }
     }
     // ---- backward: ppm dependency accumulation, deepest level first --
-    // Materialize the shortest-path DAG ONCE (label ⋈ edges ⋈ label,
-    // consecutive levels) so each descending level is a cheap filtered
-    // join against the node-sized delta frame — not a fresh pass over
-    // the full edge set per level.
-    val dag = labels
-      .select(col("s"), col("node").as("v"), col("dist").as("dv"),
-        col("sigma").as("sigv"))
-      .join(sym.select(col("src").as("v"), col("dst").as("w")), "v")
-      .join(labels.select(col("s"), col("node").as("w"),
-        col("dist").as("dw2"), col("sigma").as("sigw")), Seq("s", "w"))
-      .filter(col("dw2") === col("dv") + 1L)
-      .select(col("s"), col("v"), col("dv"), col("sigv"),
-        col("w"), col("sigw"))
-      .localCheckpoint() // read once per backward level
+    // Per-LEVEL pair chains instead of one materialized global DAG: the
+    // parent→child constraint dw = dv + 1 is carried by CONSTRUCTION
+    // (level frames are disjoint), so level lev's pairs are just
+    // layer(lev) ⋈ edges ⋈ layer(lev+1) — nothing is checkpointed
+    // between levels except the (node-sized) δ frames that feed the
+    // next level. The child side (labels ⋈ δ of one level) is
+    // BROADCAST when its checkpoint-known row count is small — the
+    // standard adaptive strategy, decided from exact counts the layer
+    // checkpoints already hold: the per-DAG-edge candidate set then
+    // never shuffles at all (map-side join over the src-partitioned
+    // edge set + map-side partial δ agg). Degrades to plain shuffle
+    // joins past the threshold, so giant-frontier graphs stay safe.
     val deltas = scala.collection.mutable.Map.empty[Int, DataFrame]
     // level 0 is skipped: its δ lands only on the pivots themselves,
     // which the v ≠ s exclusion below filters out anyway
     ((maxHops - 1) to 1 by -1).foreach { lev =>
       if (lev + 1 < layers.length) {
-        val slice = dag.filter(col("dv") === lev.toLong)
-        val withD = deltas.get(lev + 1) match {
-          case Some(d) => slice.join(d.select(col("s"),
+        val parents = layers(lev).select(col("s"),
+          col("node").as("src"), col("sigma").as("sigv"))
+        val childBase = layers(lev + 1).select(col("s"),
+          col("node").as("w"), col("sigma").as("sigw"))
+        val children = (deltas.get(lev + 1) match {
+          case Some(d) => childBase.join(d.select(col("s"),
             col("node").as("w"), col("delta").as("dw")), Seq("s", "w"),
             "left")
-          case None => slice.withColumn("dw", lit(null).cast(d38))
-        }
-        deltas(lev) = withD
-          .withColumn("__contrib", floorDiv(
-            col("sigv") * (lit(1000000).cast(d38) +
-              coalesce(col("dw"), lit(0).cast(d38))),
-            col("sigw")))
-          .groupBy(col("s"), col("v").as("node"))
-          .agg(sum(col("__contrib")).cast(d38).as("delta"))
-          .localCheckpoint()
+          case None => childBase.withColumn("dw", lit(null).cast(d38))
+        }).withColumnRenamed("s", "__cs") // disambiguate vs parents' s
+        // IntegralDivide, not the pmod-floor: both operands are
+        // non-negative (σ ≥ 1, δ ≥ 0) so floor ≡ truncation ≡ the
+        // oracle's `//`, and `div` is ONE decimal op per pair where the
+        // pmod form costs five — this runs once per DAG edge, the
+        // backward pass's hot loop. The long result is safe by the same
+        // contract as the output: bc_ppm itself is delivered as a long
+        // (ANSI raises loudly on genuine overflow rather than wrapping).
+        val delta = sym
+          .join(maybeBcast(parents, layerRows(lev)), "src")
+          .join(maybeBcast(children, layerRows(lev + 1)),
+            col("dst") === col("w") && col("s") === col("__cs"))
+          .withColumn("__num", col("sigv") * (lit(1000000).cast(d38) +
+            coalesce(col("dw"), lit(0).cast(d38))))
+          .withColumn("__contrib", expr("__num div sigw"))
+          .groupBy(col("s"), col("src").as("node"))
+          .agg(sum(col("__contrib").cast(d38)).as("delta"))
+        // the SHALLOWEST level is consumed exactly once (the final
+        // union) — checkpointing it would buy nothing and cost a stage;
+        // deeper levels feed both the next level's join and the union
+        deltas(lev) = if (lev > 1) delta.localCheckpoint() else delta
       }
     }
     // ---- bc: sum over pivots, sources excluded ----------------------

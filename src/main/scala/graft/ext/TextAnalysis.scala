@@ -575,6 +575,8 @@ object TextAnalysis {
       .groupBy(col("__d"), col("__w")).agg(count(lit(1)).as("__c"))
       .localCheckpoint() // read every round
     val v = cells.select(countDistinct(col("__w")).as("v")).head.getLong(0)
+    if (v == 0L) throw graft.core.DataIOError("plsa2Topics",
+      "empty corpus: no tokens after tokenization — nothing to factor")
     val phiInit = 1000000L / v
     // non-negative floor division in d38 via pmod — matches DuckDB //
     def floorDiv(num: Column, den: Column): Column =

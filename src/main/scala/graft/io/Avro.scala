@@ -102,6 +102,18 @@ object Avro extends Serializable {
         } finally w.close()
       }
     }
+    // empty partitions write nothing, so an all-empty DataFrame would
+    // leave a part-less directory that [[read]] rejects — the write→read
+    // round trip would lose the schema. Emit one header-only container
+    // from the driver so the schema survives (zero records, valid file).
+    if (!dir.listFiles().exists(_.getName.endsWith(".avro"))) {
+      val schema = new Schema.Parser().parse(avroJson)
+      val w = new org.apache.avro.file.DataFileWriter(
+        new org.apache.avro.generic.GenericDatumWriter[GenericRecord](schema))
+      w.setCodec(org.apache.avro.file.CodecFactory.deflateCodec(deflateLevel))
+      w.create(schema, new java.io.File(s"$path/part-empty.avro"))
+      w.close()
+    }
   }
 
   private def sparkToAvroJson(schema: StructType, path: String): String = {
@@ -141,16 +153,34 @@ object Avro extends Serializable {
     val reader = new DataFileReader(
       new SeekableFileInput(new java.io.File(file)),
       new GenericDatumReader[GenericRecord](schema))
-    try {
-      reader.sync(start)
-      val out = scala.collection.mutable.ArrayBuffer.empty[Row]
-      while (reader.hasNext && !reader.pastSync(end)) {
+    try reader.sync(start)
+    catch { case e: Throwable => reader.close(); throw e }
+    // LAZY iterator, not a buffered ArrayBuffer: a span is len/parallelism
+    // bytes, so eager decode would hold a whole span of Rows per task —
+    // exactly the memory cliff the splittable contract exists to avoid.
+    // The reader closes on exhaustion AND on task completion (covers
+    // abandoned iterators from limits/early task kill).
+    val tc = org.apache.spark.TaskContext.get()
+    if (tc != null)
+      tc.addTaskCompletionListener[Unit](_ =>
+        try reader.close() catch { case _: Exception => () })
+    new Iterator[Row] {
+      private var closed = false
+      def hasNext: Boolean =
+        !closed && {
+          val more = reader.hasNext && !reader.pastSync(end)
+          if (!more) {
+            closed = true
+            try reader.close() catch { case _: Exception => () }
+          }
+          more
+        }
+      def next(): Row = {
+        if (!hasNext) throw new NoSuchElementException("span exhausted")
         val rec = reader.next()
-        out += Row.fromSeq(fieldNames.toIndexedSeq.map(n =>
-          fromAvro(rec.get(n))))
+        Row.fromSeq(fieldNames.toIndexedSeq.map(n => fromAvro(rec.get(n))))
       }
-      out.iterator
-    } finally reader.close()
+    }
   }
 
   private def fromAvro(v: Any): Any = v match {

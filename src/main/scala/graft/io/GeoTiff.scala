@@ -113,7 +113,19 @@ object GeoTiff extends Serializable {
       if (m.tiled) m.chunkH else math.min(m.chunkH, m.height - rowStart)
     val rawSize = m.chunkW * dataRows * spp * bytesPer
     val buf =
-      if (m.compression == 7L)
+      if (m.compression == 6L &&
+          !(comp.length >= 2 && (comp(0) & 0xFF) == 0xFF &&
+            (comp(1) & 0xFF) == 0xD8))
+        // the FRAGMENTED pre-TechNote2 flavor: strips hold raw entropy
+        // segments needing JPEGQ/DC/ACTables (519/520/521) reassembly —
+        // incoherently specified, typed boundary stands (SURVEY §7.4)
+        throw DataIOError(path,
+          "old-style JPEG-in-TIFF (compression=6): chunk at byte " +
+            s"$offset is not a standalone JIF stream (no SOI marker) " +
+            "and carries no JPEGInterchangeFormat tag — the fragmented " +
+            "pre-TechNote2 flavor is unsupported; re-export as " +
+            "compression=7 or deflate")
+      else if (m.compression == 7L || m.compression == 6L)
         Codecs.jpegDecode(comp, m.jpegTables, m.chunkW, dataRows, spp, path)
       else {
         val b = Codecs.decompress(comp, m.compression, rawSize, path)
@@ -270,14 +282,18 @@ object GeoTiff extends Serializable {
 
       val compression = long1(259, 1L)
       compression match {
-        case 1L | 5L | 7L | 8L | 32946L | 32773L => // none/LZW/JPEG/deflate/packbits
-        case 6L => throw DataIOError(path,
-          "old-style JPEG-in-TIFF (compression=6) unsupported — the " +
-            "deprecated pre-TechNote2 flavor has no coherent spec; " +
-            "re-export as compression=7 or deflate")
+        // none/LZW/old-JPEG/JPEG/deflate/packbits — old-style JPEG (6)
+        // is accepted HERE and resolved below: the common well-formed
+        // flavor (one whole-image JIF stream behind
+        // JPEGInterchangeFormat, or standalone-JIF strips) decodes
+        // through the same ImageIO path as compression 7; the
+        // fragmented pre-TechNote2 flavor (raw entropy segments needing
+        // JPEGQ/DC/ACTables reassembly) stays a typed error raised at
+        // chunk decode (no SOI marker).
+        case 1L | 5L | 6L | 7L | 8L | 32946L | 32773L =>
         case other => throw DataIOError(path,
-          s"compression=$other unsupported (none=1, LZW=5, JPEG=7, " +
-            "Deflate=8/32946, PackBits=32773)")
+          s"compression=$other unsupported (none=1, LZW=5, old JPEG=6, " +
+            "JPEG=7, Deflate=8/32946, PackBits=32773)")
       }
       // raw byte-array tag value (inline or at offset) — JPEGTables (347)
       def rawBytes(tag: Int): Array[Byte] = entries.get(tag).map { e =>
@@ -287,7 +303,9 @@ object GeoTiff extends Serializable {
         else { raf.seek(valueOffset(e)); raf.readFully(a) }
         a
       }.getOrElse(Array.emptyByteArray)
-      val jpegTables = if (compression == 7L) rawBytes(347) else Array.emptyByteArray
+      val jpegTables =
+        if (compression == 7L || compression == 6L) rawBytes(347)
+        else Array.emptyByteArray
       val planarCfg = long1(284, 1L)
       if (planarCfg != 1L && planarCfg != 2L) throw DataIOError(path,
         s"unknown PlanarConfiguration $planarCfg (chunky=1, separated=2)")
@@ -300,11 +318,13 @@ object GeoTiff extends Serializable {
       if (bps.distinct.length != 1) throw DataIOError(path,
         s"heterogeneous BitsPerSample ${bps.mkString(",")} unsupported")
       val sampleFormat = long1(339, 1L).toInt
-      if (compression == 7L && bps.head != 8L) throw DataIOError(path,
-        s"JPEG-in-TIFF requires 8-bit samples, got ${bps.head}")
+      if ((compression == 7L || compression == 6L) && bps.head != 8L)
+        throw DataIOError(path,
+          s"JPEG-in-TIFF requires 8-bit samples, got ${bps.head}")
       val predictor = long1(317, 1L).toInt
-      if (compression == 7L && predictor != 1) throw DataIOError(path,
-        "predictor with JPEG compression is not meaningful — corrupt file")
+      if ((compression == 7L || compression == 6L) && predictor != 1)
+        throw DataIOError(path,
+          "predictor with JPEG compression is not meaningful — corrupt file")
       predictor match {
         case 1 => // none
         case 2 =>
@@ -321,9 +341,26 @@ object GeoTiff extends Serializable {
         case other => throw DataIOError(path, s"unknown predictor $other")
       }
 
-      val tiled = entries.contains(322) || entries.contains(324)
+      // Old-style JPEG's well-formed flavor: ONE complete JIF stream for
+      // the whole image behind JPEGInterchangeFormat (513) / -Length
+      // (514) — exactly what most JPEG-6 files in legacy archives are
+      // (TIFF 6.0 §22 layout; TechNote2 deprecated it in favor of 7).
+      // Model it as a single whole-image chunk; the normal JPEG decode
+      // path then handles it with no tables merge. Length defaults to
+      // file-end when 514 is absent (a common writer omission —
+      // trailing garbage past EOI is ignored by the codec).
+      val oldJpegJif = compression == 6L && entries.contains(513)
+      val tiled =
+        (entries.contains(322) || entries.contains(324)) && !oldJpegJif
       val (chunkW, chunkH, across, offs, cnts) =
-        if (tiled) {
+        if (oldJpegJif) {
+          val off = long1(513, 0L)
+          val len = longs(514).map(_.head)
+            .getOrElse(raf.length() - off)
+          if (off <= 0L || off >= raf.length()) throw DataIOError(path,
+            s"JPEGInterchangeFormat offset $off outside file")
+          (width, height, 1, Array(off), Array(len))
+        } else if (tiled) {
           val tw = long1(322, throw DataIOError(path, "missing TileWidth")).toInt
           val th = long1(323, throw DataIOError(path, "missing TileLength")).toInt
           if (tw <= 0 || th <= 0 || tw % 16 != 0 || th % 16 != 0)
@@ -882,6 +919,54 @@ object GeoTiff extends Serializable {
       bitsPerSample = 8, sampleFormat = 1, origin, scale, CompJpeg,
       rowsPerStrip, tile = None, predictor = 1,
       jpegAbbrev = abbreviatedTables)
+  }
+
+  /** Write a single-band 8-bit grayscale OLD-STYLE JPEG GeoTIFF
+    * (compression 6, TIFF 6.0 §22): ONE complete whole-image JIF
+    * stream behind JPEGInterchangeFormat (513) / -Length (514) — the
+    * well-formed flavor legacy archives actually contain, and the
+    * reader's round-trip fixture for the compression-6 path. Same
+    * codec (and the same lossiness) as [[writeGray8Jpeg]]; the two
+    * files carry byte-identical entropy streams, so their decodes are
+    * bit-equal — the property q479 certifies. */
+  def writeGray8JpegOldStyle(path: String, width: Int, height: Int,
+      values: Array[Int], origin: (Double, Double),
+      scale: (Double, Double)): Unit = {
+    require(values.length == width * height,
+      s"values.length ${values.length} != $width*$height")
+    require(values.forall(v => v >= 0 && v <= 0xFF), "values must fit uint8")
+    val jif = Codecs.jpegEncodeGray(values.map(_.toByte), width, height)
+    val dataOff = 8
+    val scaleOff = dataOff + jif.length
+    val tieOff = scaleOff + 24
+    val ifdOff = tieOff + 48
+    val nTags = 11
+    val buf = ByteBuffer.allocate(ifdOff + 2 + 12 * nTags + 4)
+      .order(ByteOrder.LITTLE_ENDIAN)
+    buf.put('I'.toByte).put('I'.toByte).putShort(42.toShort).putInt(ifdOff)
+    buf.put(jif)
+    buf.putDouble(scale._1).putDouble(scale._2).putDouble(0.0)
+    buf.putDouble(0.0).putDouble(0.0).putDouble(0.0)
+    buf.putDouble(origin._1).putDouble(origin._2).putDouble(0.0)
+    buf.putShort(nTags.toShort)
+    def entry(tag: Int, typ: Int, count: Int, value: Long): Unit = {
+      buf.putShort(tag.toShort).putShort(typ.toShort).putInt(count)
+      if (typ == 3 && count == 1) buf.putShort(value.toShort).putShort(0.toShort)
+      else buf.putInt(value.toInt)
+    }
+    entry(256, 4, 1, width.toLong)            // ImageWidth
+    entry(257, 4, 1, height.toLong)           // ImageLength
+    entry(258, 3, 1, 8L)                      // BitsPerSample
+    entry(259, 3, 1, 6L)                      // Compression: old JPEG
+    entry(262, 3, 1, 1L)                      // Photometric: BlackIsZero
+    entry(277, 3, 1, 1L)                      // SamplesPerPixel
+    entry(339, 3, 1, 1L)                      // SampleFormat
+    entry(513, 4, 1, dataOff.toLong)          // JPEGInterchangeFormat
+    entry(514, 4, 1, jif.length.toLong)       // JPEGInterchangeFormatLength
+    entry(33550, 12, 3, scaleOff.toLong)      // ModelPixelScale
+    entry(33922, 12, 6, tieOff.toLong)        // ModelTiepoint
+    buf.putInt(0)                             // next IFD: none
+    java.nio.file.Files.write(java.nio.file.Paths.get(path), buf.array())
   }
 
   private def writeRaster(path: String, width: Int, height: Int,

@@ -773,11 +773,12 @@ object Analytics35 {
           "stat" -> col("l_linestatus")),
         col("l_returnflag"), select = 3).orderBy(col("round")),
       Some(sql),
-      "k relevance + C(k,2) redundancy scans, each collapsing at its " +
-        "first map-side cell agg and embarrassingly parallel; the " +
-        "greedy runs on the collected k-literal MI table with exact " +
-        "cross-multiplied comparisons. The standard filter-method " +
-        "ranking before any model training touches 100 TB.")
+      "ONE lineitem scan explodes each row into the k + C(k,2) pair " +
+        "cells (map-side combine collapses the fan-out); margins come " +
+        "from the bounded cell frame, and the greedy runs on the " +
+        "collected k-literal MI table with exact cross-multiplied " +
+        "comparisons. The standard filter-method ranking before any " +
+        "model training touches 100 TB.")
   }
 
   /** q474 — E3+/ML: TOP-2 PCA by power iteration with exact integer

@@ -373,6 +373,44 @@ object GeoIngest {
       "top. No connector jar, no extra dependency: the Avro core " +
       "library the classpath already carries.")
 
+  /** q479 — S1: OLD-STYLE JPEG-in-TIFF (compression 6, TIFF 6.0 §22) —
+    * the well-formed whole-image-JIF flavor decoded through the same
+    * ImageIO path as compression 7. The certified property is
+    * engine-internal and exact DESPITE the lossy codec: the 6 and 7
+    * files carry byte-identical entropy streams, so their decoded cell
+    * tables must be bit-equal — per row band, n cells match the layout
+    * and the max |v6 − v7| is exactly 0. Closes the round-8 #1 gap
+    * (reference opens any GDAL raster, data_preprocessing.py:470-472);
+    * only the fragmented pre-TechNote2 flavor remains a typed error. */
+  val q479 = Declared(
+    "q479_geotiff_oldstyle_jpeg", "S1,A3",
+    (s, dir) => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_q479").toString
+      val w = 32; val h = 24
+      val vals = Array.tabulate(w * h)(i => (i / w) * 3 + (i % w) * 2)
+      graft.io.GeoTiff.writeGray8JpegOldStyle(s"$tmp/old6.tif", w, h, vals,
+        origin = (0.0, h.toDouble), scale = (1.0, 1.0))
+      graft.io.GeoTiff.writeGray8Jpeg(s"$tmp/new7.tif", w, h, vals,
+        origin = (0.0, h.toDouble), scale = (1.0, 1.0))
+      val c6 = graft.io.Sources.openData(s, s"$tmp/old6.tif")
+        .select(col("x"), col("y"), col("value").as("v6"))
+      val c7 = graft.io.Sources.openData(s, s"$tmp/new7.tif")
+        .select(col("x"), col("y"), col("value").as("v7"))
+      c6.join(c7, Seq("x", "y"))
+        .groupBy(floor(col("y")).cast("long").as("row_band"))
+        .agg(count(lit(1)).as("n"),
+          max(abs(col("v6") - col("v7"))).cast("long").as("max_diff"))
+        .orderBy(col("row_band"))
+    },
+    Some("""SELECT CAST(i AS BIGINT) AS row_band,
+           |  CAST(32 AS BIGINT) AS n, CAST(0 AS BIGINT) AS max_diff
+           |FROM generate_series(0, 23) t(i) ORDER BY 1""".stripMargin),
+    "The old-style stream is ONE whole-image chunk, so it decodes in a " +
+      "single task — correct for the legacy archives that carry this " +
+      "format (small singletons); bulk rasters arrive as strip/tile " +
+      "compression-7 files that parallelize per chunk. The join proves " +
+      "the 6-path reuses the 7-path codec bit-for-bit.")
+
   val all: Seq[Declared] =
-    Seq(q440, q441, q442, q443, q446, q458, q459, q461, q470)
+    Seq(q440, q441, q442, q443, q446, q458, q459, q461, q470, q479)
 }

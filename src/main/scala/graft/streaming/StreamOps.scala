@@ -103,10 +103,18 @@ object StreamOps {
     // attribute, making the join condition and the drop unambiguous.
     val r = right.withWatermark(rtsCol, watermark)
       .withColumnRenamed(key, "__rkey")
-    l.join(r, l(key) === r("__rkey") &&
+    val joined = l.join(r, l(key) === r("__rkey") &&
         r(rtsCol) >= l(ltsCol) &&
         r(rtsCol) <= l(ltsCol) + expr(s"INTERVAL $within"),
       joinType)
+    // right/full outer emit unmatched RIGHT rows with a null left side —
+    // dropping only __rkey would null the join key of exactly those rows
+    // (silent corruption of the outer tail). Coalesce the two key columns
+    // back into one before dropping the rename. For inner/left_outer this
+    // is an identity projection: a null left key never matches (null ===
+    // null is false under SQL semantics), so coalesce(null, null) = null
+    // reproduces the un-coalesced column.
+    joined.withColumn(key, coalesce(joined(key), joined("__rkey")))
       .drop("__rkey")
   }
 

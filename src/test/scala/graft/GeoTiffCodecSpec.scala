@@ -300,12 +300,49 @@ class GeoTiffCodecSpec extends AnyFunSuite {
     java.nio.file.Files.write(java.nio.file.Paths.get(path), buf.array())
   }
 
-  test("S1: old-style JPEG, predictor-3-on-int and predictor-2-on-float fail typed") {
+  test("S1: old-style JPEG (6) with a whole-image JIF decodes = new-style (7)") {
     val dir = tmpDir()
-    writeIfd(s"$dir/jpeg6.tif", Seq((256, 4, 4L), (257, 4, 4L), (259, 3, 6L)))
-    val e1 = intercept[graft.core.DataIOError] {
-      graft.io.GeoTiff.readCells(spark, s"$dir/jpeg6.tif") }
-    assert(e1.getMessage.contains("old-style JPEG"))
+    val w = 24; val h = 16
+    val vals = Array.tabulate(w * h)(i => (i / w) * 4 + (i % w) * 2)
+    graft.io.GeoTiff.writeGray8JpegOldStyle(s"$dir/old6.tif", w, h, vals,
+      origin = (0.0, h.toDouble), scale = (1.0, 1.0))
+    // same pixels as ONE whole-image chunk under compression 7: the
+    // entropy streams are byte-identical, so decodes must be bit-equal
+    graft.io.GeoTiff.writeGray8Jpeg(s"$dir/new7.tif", w, h, vals,
+      origin = (0.0, h.toDouble), scale = (1.0, 1.0))
+    val m6 = cellMap(s"$dir/old6.tif")
+    assert(m6.size == w * h)
+    (0 until h).foreach { r =>
+      (0 until w).foreach { c =>
+        val got = m6((c + 0.5, h - r - 0.5))
+        assert(math.abs(got - vals(r * w + c)) <= 3.0,
+          s"($c,$r): $got vs ${vals(r * w + c)}")
+      }
+    }
+    assert(cellMap(s"$dir/new7.tif") == m6,
+      "identical JIF streams must decode bit-equal across 6 and 7")
+  }
+
+  test("S1: fragmented old-style JPEG (no JIF, non-JIF strips) fails typed") {
+    val dir = tmpDir()
+    // compression 6 WITHOUT JPEGInterchangeFormat: strips point at bytes
+    // that are not a standalone JIF stream (no SOI) — the incoherent
+    // pre-TechNote2 flavor stays a typed boundary
+    writeIfd(s"$dir/frag6.tif", Seq((256, 4, 4L), (257, 4, 4L),
+      (258, 3, 8L), (259, 3, 6L), (273, 4, 8L), (278, 4, 4L),
+      (279, 4, 16L)))
+    val e = intercept[Exception] {
+      graft.io.GeoTiff.readCells(spark, s"$dir/frag6.tif").collect() }
+    def chain(t: Throwable): Seq[Throwable] =
+      if (t == null) Nil else t +: chain(t.getCause)
+    assert(chain(e).exists(_.getMessage != null) &&
+      chain(e).exists(t => t.getMessage != null &&
+        t.getMessage.contains("not a standalone JIF")),
+      s"expected the fragmented-JPEG typed message, got: $e")
+  }
+
+  test("S1: predictor-3-on-int and predictor-2-on-float fail typed") {
+    val dir = tmpDir()
 
     // predictor 3 on integer samples (SampleFormat defaults to 1)
     writeIfd(s"$dir/fpred.tif", Seq((256, 4, 4L), (257, 4, 4L),

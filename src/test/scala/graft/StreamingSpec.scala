@@ -270,6 +270,51 @@ class StreamingSpec extends AnyFunSuite {
     assert(out == Set((1L, 10L), (2L, 12L)))
   }
 
+  test("T7: right-outer join keeps the join key on unmatched right rows") {
+    val ldir = tmp(); val rdir = tmp()
+    val clickSchema = StructType(Seq(
+      StructField("click_id", LongType), StructField("cts", TimestampType),
+      StructField("user_id", LongType), StructField("amount", DoubleType)))
+    def writeClicks(rows: Seq[(Long, String, Long, Double)]): Unit =
+      rows.map { case (i, t, u, a) => (i, ts(t), u, a) }
+        .toDF("click_id", "cts", "user_id", "amount")
+        .coalesce(1).write.mode("append").json(rdir)
+    // batch 1: one matched pair (user 1) and one unmatched click (user 99)
+    writeBatch(ldir, "b1", Seq((1L, "2024-01-01 10:00:00", 1L, 0.0)))
+    writeClicks(Seq((10L, "2024-01-01 10:20:00", 1L, 1.0),
+      (99L, "2024-01-01 10:00:00", 99L, 9.0)))
+    val li = StreamOps.fileStream(spark, ldir, schema)
+    val ri = StreamOps.fileStream(spark, rdir, clickSchema)
+    val joined = StreamOps.streamStreamJoin(li, ri, "user_id",
+      "ts", "cts", watermark = "1 hour", within = "30 minutes",
+      joinType = "right_outer")
+    val qn = "t7ro_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    val q = joined.writeStream.outputMode("append")
+      .format("memory").queryName(qn).start()
+    try {
+      q.processAllAvailable()
+      // advance both watermarks past click 99's match horizon, then one
+      // more batch so the eviction (computed at batch N's start from
+      // batch N-1's max event time) actually runs
+      writeBatch(ldir, "b2", Seq((2L, "2024-01-01 20:00:00", 2L, 0.0)))
+      writeClicks(Seq((11L, "2024-01-01 20:00:00", 2L, 1.0)))
+      q.processAllAvailable()
+      writeBatch(ldir, "b3", Seq((3L, "2024-01-01 21:00:00", 3L, 0.0)))
+      q.processAllAvailable()
+      val rows = spark.table(qn)
+        .select("click_id", "user_id", "event_id").collect()
+      val unmatched = rows.filter(_.getLong(0) == 99L)
+      assert(unmatched.length == 1, s"click 99 must be emitted, got ${rows.toSeq}")
+      // the regression this pins: before the coalesce fix the key of a
+      // null-padded right row was dropped with the left side → null here
+      assert(!unmatched.head.isNullAt(1) && unmatched.head.getLong(1) == 99L,
+        s"unmatched right row must keep its join key: ${unmatched.head}")
+      assert(unmatched.head.isNullAt(2), "left side must be null-padded")
+      // matched rows keep their key too (identity on the inner path)
+      assert(rows.filter(_.getLong(0) == 10L).forall(_.getLong(1) == 1L))
+    } finally q.stop()
+  }
+
   test("T6: parquet sink + stream-static enrichment via foreachBatch") {
     val dir = tmp(); val out = tmp(); val ckpt = tmp()
     writeBatch(dir, "b1", Seq(
