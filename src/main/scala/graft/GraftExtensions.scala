@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
 import graft.geo.Haversine
-import graft.ext.{ArrayDotProduct, JaroWinkler}
+import graft.ext.{ArrayDotProduct, DtwBanded, JaroWinkler}
 
 /** SparkSessionExtensions entry point: makes graft's native SQL
   * functions available in any session built with
@@ -26,6 +26,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("jaro_winkler"),
       new ExpressionInfo(classOf[JaroWinkler].getName, "jaro_winkler"),
       exprs => JaroWinkler.cast(exprs)))
+    e.injectFunction((
+      FunctionIdentifier("dtw_banded"),
+      new ExpressionInfo(classOf[DtwBanded].getName, "dtw_banded"),
+      exprs => DtwBanded.cast(exprs)))
     // plan audit (E6): non-mutating hazard detector — cartesian joins,
     // single-partition windows, mid-plan global sorts (see
     // graft.plans.Guardrails)

@@ -1700,4 +1700,59 @@ object TextAnalysis {
     scored.select(col("__w").as("word"), col("__ya").as("y_a"),
       col("__yb").as("y_b"), col("delta_micro"), col("z"))
   }
+
+  /** E4 — HUFFMAN CODE LENGTHS over the corpus token distribution
+    * (Huffman 1952, Proc. IRE — public literature): the exact optimal
+    * prefix-code length per token, i.e. the achievable compressed BIT
+    * BUDGET of the corpus under a token-level entropy coder — the
+    * standard "how much is this corpus really worth storing/shipping"
+    * readout next to [[tokenEntropy]]'s lower bound.
+    *
+    * The alphabet is the top (topV−1) tokens by (freq DESC, token ASC)
+    * plus one `__oov__` bucket absorbing the tail mass (dropped when
+    * empty) — the same vocabulary-literal bounding as the BPE/LM ops,
+    * which is what keeps the greedy merge a k-literal driver fold
+    * rather than a data-sized loop. The merge is DETERMINISTIC: each
+    * round joins the two minimal (weight, key) subtrees, the merged
+    * node keeping the smaller key — so an oracle can replay every
+    * round. Exact long weights throughout; ties in weight break on
+    * key. Returns one row per alphabet token:
+    * (token, freq, code_len, bits = freq·code_len).
+    *
+    * Scale: ONE corpus-sized pass (the token rollup with map-side
+    * combine); the top-V cut is TakeOrdered; the merge itself touches
+    * topV rows on the driver — the vocabulary-literal altitude. */
+  def huffmanCodeLengths(docs: DataFrame, textCol: Column,
+      topV: Int): DataFrame = {
+    require(topV >= 2 && topV <= 256,
+      "topV in [2, 256] (vocabulary-literal merge)")
+    val spark = docs.sparkSession
+    val freq = docs
+      .select(explode(filter(tokens(textCol), t => t =!= "")).as("__w"))
+      .groupBy(col("__w")).agg(count(lit(1)).as("__c"))
+      .localCheckpoint() // feeds the top-V cut AND the total
+    val top = freq.orderBy(col("__c").desc, col("__w").asc)
+      .limit(topV - 1).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toSeq
+    require(top.size >= 2, "huffmanCodeLengths needs >= 2 distinct tokens")
+    val total = freq.agg(sum(col("__c"))).head.getLong(0)
+    val oov = total - top.map(_._2).sum
+    val leaves = top ++ (if (oov > 0) Seq("__oov__" -> oov) else Nil)
+    // greedy merge on the k-literal alphabet (deterministic: two
+    // minimal (weight, key) nodes; merged key = smaller key)
+    final case class Node(w: Long, key: String, members: List[String])
+    var nodes = leaves.map { case (t, w) => Node(w, t, List(t)) }.toVector
+    val depth = scala.collection.mutable.Map.empty[String, Int]
+      .withDefaultValue(0)
+    while (nodes.length > 1) {
+      val sorted = nodes.sortBy(n => (n.w, n.key))
+      val a = sorted(0); val b = sorted(1)
+      (a.members ++ b.members).foreach(l => depth(l) += 1)
+      nodes = sorted.drop(2) :+ Node(a.w + b.w,
+        if (a.key < b.key) a.key else b.key, a.members ++ b.members)
+    }
+    spark.createDataFrame(leaves.map { case (t, w) =>
+      (t, w, depth(t).toLong, w * depth(t)) })
+      .toDF("token", "freq", "code_len", "bits")
+  }
 }

@@ -37,6 +37,9 @@ object TimeSeriesOps {
   graft.plans.Guardrails.expect("cartesian_join",
     "lag, n_pairs", "acfProfile: k-row lag frame x 1-row moments broadcast",
     "k-literal")
+  graft.plans.Guardrails.expect("single_partition_window",
+    "__t, __x, __y", "grangerLag1: calendar-bounded series lag",
+    "calendar")
 
 
 
@@ -1470,5 +1473,125 @@ object TimeSeriesOps {
       .select(col("__n").as("n"), col("n_blocks"), col("sum_rs_micro"),
         col("avg_rs"), col("hurst"))
       .orderBy(col("n"))
+  }
+
+  /** A5/A-stat — GRANGER-STYLE LAG-1 PREDICTIVITY test between two
+    * aligned integer series (Granger 1969, Econometrica — public
+    * literature): does x's yesterday improve the AR(1) prediction of
+    * y's today (and vice versa)? Per direction, the restricted model
+    * a_t ~ 1 + a_{t−1} is F-tested against the unrestricted
+    * a_t ~ 1 + a_{t−1} + b_{t−1}:
+    *   F = (RSS_r − RSS_u) · (n − 3) / RSS_u.
+    *
+    * Exactness: all 13 raw moment sums over the t ≥ 2 sample are exact
+    * DECIMAL(38,0); centered moments clear the intercept via the
+    * n·Σab − Σa·Σb form (uniform n-scaling — F is scale-invariant);
+    * the finish is pinned-order IEEE ×/−/÷ emitted UNROUNDED (q186
+    * discipline: both engines replay the identical double trajectory).
+    * Degenerate inputs (constant lag, singular normal matrix, zero
+    * unrestricted residual) yield null F, not NaN. Returns two rows:
+    * (direction, n, rss_r, rss_u, f_stat).
+    *
+    * Scale: ONE moment agg over the aligned series; the lag window is
+    * single-partition by design — the series is a calendar rollup
+    * (days), never the fact table. */
+  def grangerLag1(series: DataFrame, orderCol: Column, xCol: Column,
+      yCol: Column): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val d38 = "decimal(38,0)"
+    val spark = series.sparkSession
+    val w = Window.orderBy(col("__t"))
+    val lagged = series.select(orderCol.as("__t"),
+        xCol.cast("long").as("__x"), yCol.cast("long").as("__y"))
+      .withColumn("__x1", lag(col("__x"), 1).over(w))
+      .withColumn("__y1", lag(col("__y"), 1).over(w))
+      .filter(col("__x1").isNotNull && col("__y1").isNotNull)
+    def s(c: Column) = sum(c.cast(d38)).cast(d38)
+    val m = lagged.agg(
+      count(lit(1)).cast(d38).as("np"),
+      s(col("__x")).as("sx"), s(col("__y")).as("sy"),
+      s(col("__x1")).as("sx1"), s(col("__y1")).as("sy1"),
+      s(col("__x").cast(d38) * col("__x")).as("sxx"),
+      s(col("__y").cast(d38) * col("__y")).as("syy"),
+      s(col("__x1").cast(d38) * col("__x1")).as("sx1x1"),
+      s(col("__y1").cast(d38) * col("__y1")).as("sy1y1"),
+      s(col("__x").cast(d38) * col("__x1")).as("sxx1"),
+      s(col("__x").cast(d38) * col("__y1")).as("sxy1"),
+      s(col("__y").cast(d38) * col("__y1")).as("syy1"),
+      s(col("__y").cast(d38) * col("__x1")).as("syx1"),
+      s(col("__x1").cast(d38) * col("__y1")).as("sx1y1")).head()
+    def v(i: Int): BigDecimal = BigDecimal(m.getDecimal(i))
+    val np = v(0); val sx = v(1); val sy = v(2); val sx1 = v(3)
+    val sy1 = v(4); val sxx = v(5); val syy = v(6); val sx1x1 = v(7)
+    val sy1y1 = v(8); val sxx1 = v(9); val sxy1 = v(10); val syy1 = v(11)
+    val syx1 = v(12); val sx1y1 = v(13)
+    // centered, n-scaled moments: C(a,b) = n·Σab − Σa·Σb (exact)
+    def cen(sab: BigDecimal, sa: BigDecimal, sb: BigDecimal): BigDecimal =
+      np * sab - sa * sb
+    // direction target a, own lag b, OTHER series' lag c
+    def direction(label: String,
+        saa: BigDecimal, sab: BigDecimal, sac: BigDecimal,
+        sbb: BigDecimal, sbc: BigDecimal, scc: BigDecimal)
+        : (String, Long, Option[Double], Option[Double], Option[Double]) = {
+      val n = np.toLong
+      if (n < 4 || sbb == 0) return (label, n, None, None, None)
+      val det = sbb * scc - sbc * sbc
+      if (det == 0) return (label, n, None, None, None)
+      // pinned IEEE finish: every operand below is an exact decimal
+      // cast once to double, then fixed-order × − ÷
+      val dAA = saa.toDouble; val dAB = sab.toDouble; val dAC = sac.toDouble
+      val dBB = sbb.toDouble; val dBC = sbc.toDouble; val dCC = scc.toDouble
+      val dD = det.toDouble
+      val rssR = dAA - dAB * dAB / dBB
+      val b1 = (dAB * dCC - dAC * dBC) / dD
+      val b2 = (dAC * dBB - dAB * dBC) / dD
+      val rssU = dAA - (b1 * dAB + b2 * dAC)
+      if (rssU <= 0.0) return (label, n, Some(rssR), Some(rssU), None)
+      val f = (rssR - rssU) * (n - 3).toDouble / rssU
+      (label, n, Some(rssR), Some(rssU), Some(f))
+    }
+    val rows = Seq(
+      direction("x->y",
+        cen(syy, sy, sy), cen(syy1, sy, sy1), cen(syx1, sy, sx1),
+        cen(sy1y1, sy1, sy1), cen(sx1y1, sx1, sy1), cen(sx1x1, sx1, sx1)),
+      direction("y->x",
+        cen(sxx, sx, sx), cen(sxx1, sx, sx1), cen(sxy1, sx, sy1),
+        cen(sx1x1, sx1, sx1), cen(sx1y1, sx1, sy1), cen(sy1y1, sy1, sy1)))
+    spark.createDataFrame(rows)
+      .toDF("direction", "n", "rss_r", "rss_u", "f_stat")
+  }
+
+  /** A-sim — BANDED-DTW SIMILARITY SELF-JOIN over per-key integer
+    * profiles (Sakoe-Chiba corridor; see [[graft.ext.DtwBanded]] for
+    * the kernel contract): pairs form WITHIN a caller-supplied blocking
+    * key — never all-pairs — each pair's elastic-alignment cost
+    * evaluates as one native codegen call inside the join stage, and
+    * the global top-k lowest-distance pairs return with a full
+    * deterministic tie-break (dist, key_a, key_b).
+    *
+    * Profiles are ARRAY<BIGINT> (quantize upstream — the engine-wide
+    * cent/micro discipline) so every distance is an exact long and the
+    * ranking is total. Pairs whose lengths differ by more than `band`
+    * have no admissible corridor path and drop out (kernel null).
+    *
+    * Scale: the shuffle key is the BLOCK; fan-out is Σ_b |b|² — the
+    * blocking key is the precision/cost dial exactly as in the PPJoin/
+    * LSH dedup family. The finish is TakeOrdered (no global sort). */
+  def dtwSimilarPairs(profiles: DataFrame, keyCol: String,
+      blockCol: String, seqCol: String, band: Int, topK: Int): DataFrame = {
+    require(band >= 0, "band >= 0")
+    require(topK >= 1 && topK <= 10000, "topK in [1, 10000] (k-literal)")
+    val a = profiles.select(col(blockCol).as("__blk"),
+      col(keyCol).as("key_a"), col(seqCol).as("__sa"))
+    val b = profiles.select(col(blockCol).as("__blk"),
+      col(keyCol).as("key_b"), col(seqCol).as("__sb"))
+    a.join(b, Seq("__blk"))
+      .filter(col("key_a") < col("key_b"))
+      .withColumn("dtw",
+        graft.ext.DtwBanded.dtwBanded(col("__sa"), col("__sb"), band))
+      .filter(col("dtw").isNotNull)
+      .select(col("key_a"), col("key_b"), col("dtw"))
+      .orderBy(col("dtw"), col("key_a"), col("key_b"))
+      .limit(topK)
   }
 }

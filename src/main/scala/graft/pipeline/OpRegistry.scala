@@ -244,6 +244,15 @@ object OpRegistry {
       .sequentialPatterns(df, strs(p, "seq_keys").map(col),
         col(str(p, "type_col")), strs(p, "order_cols").map(col),
         num(p, "min_support_ppm").toLong)),
+    "dtw_similar_pairs" -> (p => df => graft.ops.TimeSeriesOps
+      .dtwSimilarPairs(df, str(p, "key_col"), str(p, "block_col"),
+        str(p, "seq_col"), num(p, "band").toInt, num(p, "top_k").toInt)),
+    "huffman_code_lengths" -> (p => df => graft.ext.TextAnalysis
+      .huffmanCodeLengths(df, col(str(p, "text_col")),
+        num(p, "top_v").toInt)),
+    "granger_lag1" -> (p => df => graft.ops.TimeSeriesOps.grangerLag1(
+      df, col(str(p, "order_col")), col(str(p, "x_col")),
+      col(str(p, "y_col")))),
     "exact_dedup" -> (p => df => graft.ext.Dedup.exact(
       df, str(p, "text_col"), str(p, "id_col"))),
     // cache = false: a pipeline result's lifetime is unmanaged, so

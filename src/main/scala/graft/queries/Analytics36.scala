@@ -1,0 +1,304 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.core.Tables
+
+/** Round-9 batch: banded-DTW profile similarity, Huffman corpus bit
+  * budget, Granger-style lagged predictivity — the time-series/
+  * information-theoretic layer over the existing corpus ops. */
+object Analytics36 {
+
+  /** q480 — A-sim/X3: BANDED DTW SIMILARITY JOIN over per-user daily
+    * spend profiles (14-day cent-exact vectors), Sakoe-Chiba band 2,
+    * blocked by user-id range, global top-15 most-similar pairs. The
+    * oracle replays the min-plus DP row by row in a recursive CTE with
+    * an in-row list fold (the q330 LCS device, min-plus instead of
+    * max), INF saturation and band mask included — every distance is
+    * an exact long, so the ranking is bit-stable. */
+  val q480 = {
+    val INF = Long.MaxValue / 4 // 2305843009213693951
+    val sql =
+      s"""WITH RECURSIVE ev AS (
+         |  SELECT user_id, CAST(day(ts) AS INT) AS d,
+         |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+         |  FROM events
+         |  WHERE ts >= TIMESTAMP '2024-01-01'
+         |    AND ts < TIMESTAMP '2024-01-15'),
+         |ds AS (SELECT user_id, d, sum(cents) AS v FROM ev GROUP BY 1, 2),
+         |users AS (SELECT DISTINCT user_id FROM ev),
+         |grid AS (
+         |  SELECT u.user_id, g.d FROM users u CROSS JOIN
+         |    (SELECT CAST(x AS INT) AS d FROM generate_series(1, 14) t(x)) g),
+         |prof AS MATERIALIZED (
+         |  SELECT g.user_id, list(coalesce(ds.v, 0) ORDER BY g.d) AS p
+         |  FROM grid g LEFT JOIN ds ON ds.user_id = g.user_id AND ds.d = g.d
+         |  GROUP BY 1),
+         |pairs AS MATERIALIZED (
+         |  SELECT a.user_id AS ua, b.user_id AS ub, a.p AS pa, b.p AS pb
+         |  FROM prof a JOIN prof b
+         |    ON a.user_id // 50 = b.user_id // 50 AND a.user_id < b.user_id),
+         |dtw(i, ua, ub, row) AS (
+         |  SELECT 0, ua, ub,
+         |    list_prepend(CAST(0 AS BIGINT),
+         |      list_transform(range(1, 15), x -> CAST($INF AS BIGINT)))
+         |  FROM pairs
+         |  UNION ALL
+         |  SELECT d.i + 1, d.ua, d.ub,
+         |    list_reduce(
+         |      list_prepend([CAST($INF AS BIGINT)],
+         |        list_transform(range(1, 15), j -> [CAST(j AS BIGINT)])),
+         |      (acc, x) -> list_append(acc,
+         |        CASE
+         |          WHEN abs(x[1] - (d.i + 1)) > 2 THEN CAST($INF AS BIGINT)
+         |          WHEN least(d.row[x[1] + 1], acc[-1], d.row[x[1]])
+         |            >= CAST($INF AS BIGINT) THEN CAST($INF AS BIGINT)
+         |          ELSE least(d.row[x[1] + 1], acc[-1], d.row[x[1]])
+         |            + abs(p.pa[d.i + 1] - p.pb[x[1]]) END))
+         |  FROM dtw d JOIN pairs p ON p.ua = d.ua AND p.ub = d.ub
+         |  WHERE d.i < 14),
+         |fin AS (SELECT ua, ub, row[15] AS dist FROM dtw WHERE i = 14)
+         |SELECT ua AS user_a, ub AS user_b, dist AS dtw
+         |FROM fin WHERE dist < CAST($INF AS BIGINT)
+         |ORDER BY dtw, user_a, user_b LIMIT 15""".stripMargin
+    Declared(
+      "q480_dtw_profile_pairs", "A-sim,X3",
+      (s, dir) => {
+        val ev = Tables.events(s, dir)
+          .filter(col("ts") >= lit("2024-01-01").cast("timestamp") &&
+            col("ts") < lit("2024-01-15").cast("timestamp"))
+          .select(col("user_id"), dayofmonth(col("ts")).as("d"),
+            expr("CAST(floor(value * 100 + 0.5) AS BIGINT)").as("cents"))
+        val daily = ev.groupBy(col("user_id"), col("d"))
+          .agg(sum(col("cents")).as("v"))
+        val prof = daily.groupBy(col("user_id"))
+          .agg(map_from_entries(collect_list(
+            struct(col("d"), col("v")))).as("m"))
+          .select(col("user_id"),
+            transform(sequence(lit(1), lit(14)),
+              d => coalesce(element_at(col("m"), d), lit(0L))).as("prof"))
+          .withColumn("blk", expr("user_id div 50"))
+        graft.ops.TimeSeriesOps.dtwSimilarPairs(prof, "user_id", "blk",
+            "prof", band = 2, topK = 15)
+          .select(col("key_a").as("user_a"), col("key_b").as("user_b"),
+            col("dtw"))
+      },
+      Some(sql),
+      "Pairs form inside the user-range block (Σ|b|² fan-out — the " +
+        "blocking dial of the PPJoin/LSH family), the DP kernel runs " +
+        "as ONE static codegen call per pair inside the join stage, " +
+        "and the finish is TakeOrdered. The elastic-alignment " +
+        "similarity search behind behavioral cohorting at 100 TB: " +
+        "cost is kernel × blocked fan-out, never all-pairs, never a " +
+        "UDF boundary.")
+  }
+
+  /** q481 — E4: HUFFMAN CORPUS BIT BUDGET — exact optimal prefix-code
+    * lengths over the top-63-token + OOV alphabet of the documents
+    * corpus, with the corpus bit cost per token. The oracle replays
+    * the deterministic greedy merge round by round in a recursive CTE
+    * (per-root weights and the two-minimum pick via layered windows
+    * over the single recursive reference — the q36 LU device). */
+  val q481 = Declared(
+    "q481_huffman_bits", "E4",
+    (s, dir) => graft.ext.TextAnalysis.huffmanCodeLengths(
+        Tables.documents(s, dir), col("text"), topV = 64)
+      .orderBy(col("token")),
+    Some("""WITH RECURSIVE freq AS MATERIALIZED (
+           |  SELECT w AS token, count(*) AS c
+           |  FROM (SELECT unnest(list_filter(
+           |      regexp_split_to_array(lower(text), '\s+'),
+           |      x -> x <> '')) AS w FROM documents)
+           |  GROUP BY 1),
+           |top AS MATERIALIZED (
+           |  SELECT token, c FROM freq ORDER BY c DESC, token LIMIT 63),
+           |tot AS (SELECT sum(c) AS t FROM freq),
+           |leaves AS MATERIALIZED (
+           |  SELECT token, c AS w FROM top
+           |  UNION ALL
+           |  SELECT '__oov__', t.t - (SELECT sum(c) FROM top) FROM tot t
+           |  WHERE t.t - (SELECT sum(c) FROM top) > 0),
+           |nv AS MATERIALIZED (SELECT count(*) AS n FROM leaves),
+           |st(round, token, w, root, len) AS (
+           |  SELECT 0, token, w, token, 0 FROM leaves
+           |  UNION ALL
+           |  SELECT round + 1, token, w,
+           |    CASE WHEN rk <= 2 THEN min2 ELSE root END,
+           |    len + CASE WHEN rk <= 2 THEN 1 ELSE 0 END
+           |  FROM (
+           |    SELECT *, min(CASE WHEN rk <= 2 THEN root END) OVER () AS min2
+           |    FROM (
+           |      SELECT *, dense_rank() OVER (ORDER BY root_w, root) AS rk
+           |      FROM (
+           |        SELECT round, token, w, root, len,
+           |          sum(w) OVER (PARTITION BY root) AS root_w
+           |        FROM st)))
+           |  WHERE round < (SELECT n - 1 FROM nv)),
+           |fin AS (
+           |  SELECT token, w, len FROM st
+           |  WHERE round = (SELECT n - 1 FROM nv))
+           |SELECT token, CAST(w AS BIGINT) AS freq,
+           |  CAST(len AS BIGINT) AS code_len,
+           |  CAST(w * len AS BIGINT) AS bits
+           |FROM fin ORDER BY token""".stripMargin),
+    "ONE corpus pass (token rollup, map-side combine) + a TakeOrdered " +
+      "top-V cut; the greedy merge folds 64 rows on the driver — the " +
+      "vocabulary-literal altitude of the BPE/LM family. The " +
+      "achievable-bit-budget readout that prices corpus storage and " +
+      "dedup payoff before anything is shipped.")
+
+  /** q482 — A5/A-stat: GRANGER LAG-1 PREDICTIVITY between the daily
+    * click and purchase counts (does yesterday's click volume improve
+    * the AR(1) prediction of today's purchases, and vice versa?). All
+    * moments are exact HUGEINT/DECIMAL(38,0) sums; the F finish is the
+    * identical pinned IEEE trajectory on both engines, emitted
+    * UNROUNDED (q186 discipline). */
+  val q482 = Declared(
+    "q482_granger_lag1", "A5,A-stat",
+    (s, dir) => {
+      val ev = Tables.events(s, dir)
+        .filter(col("ts") < lit("2024-02-01").cast("timestamp"))
+      val daily = ev.groupBy(dayofmonth(col("ts")).as("d"))
+        .agg(sum(when(col("event_type") === "click", 1L).otherwise(0L))
+            .as("x"),
+          sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+            .as("y"))
+      val grid = s.range(1, 31).select(col("id").cast("int").as("d"))
+      val ser = grid.join(daily, Seq("d"), "left")
+        .select(col("d"), coalesce(col("x"), lit(0L)).as("x"),
+          coalesce(col("y"), lit(0L)).as("y"))
+      graft.ops.TimeSeriesOps.grangerLag1(ser, col("d"), col("x"), col("y"))
+        .orderBy(col("direction"))
+    },
+    Some("""WITH dd AS (
+           |  SELECT CAST(day(ts) AS INT) AS d,
+           |    sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS x,
+           |    sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS y
+           |  FROM events WHERE ts < TIMESTAMP '2024-02-01' GROUP BY 1),
+           |g AS (SELECT CAST(gs.x AS INT) AS d FROM generate_series(1, 30) gs(x)),
+           |ser AS (
+           |  SELECT g.d, CAST(coalesce(dd.x, 0) AS BIGINT) AS x,
+           |    CAST(coalesce(dd.y, 0) AS BIGINT) AS y
+           |  FROM g LEFT JOIN dd ON dd.d = g.d),
+           |lg AS (
+           |  SELECT x, y, lag(x) OVER (ORDER BY d) AS x1,
+           |    lag(y) OVER (ORDER BY d) AS y1
+           |  FROM ser),
+           |s AS (
+           |  SELECT CAST(count(*) AS HUGEINT) AS np,
+           |    CAST(sum(x) AS HUGEINT) AS sx, CAST(sum(y) AS HUGEINT) AS sy,
+           |    CAST(sum(x1) AS HUGEINT) AS sx1, CAST(sum(y1) AS HUGEINT) AS sy1,
+           |    CAST(sum(CAST(x AS HUGEINT) * x) AS HUGEINT) AS sxx,
+           |    CAST(sum(CAST(y AS HUGEINT) * y) AS HUGEINT) AS syy,
+           |    CAST(sum(CAST(x1 AS HUGEINT) * x1) AS HUGEINT) AS sx1x1,
+           |    CAST(sum(CAST(y1 AS HUGEINT) * y1) AS HUGEINT) AS sy1y1,
+           |    CAST(sum(CAST(x AS HUGEINT) * x1) AS HUGEINT) AS sxx1,
+           |    CAST(sum(CAST(x AS HUGEINT) * y1) AS HUGEINT) AS sxy1,
+           |    CAST(sum(CAST(y AS HUGEINT) * y1) AS HUGEINT) AS syy1,
+           |    CAST(sum(CAST(y AS HUGEINT) * x1) AS HUGEINT) AS syx1,
+           |    CAST(sum(CAST(x1 AS HUGEINT) * y1) AS HUGEINT) AS sx1y1
+           |  FROM lg WHERE x1 IS NOT NULL AND y1 IS NOT NULL),
+           |dirs AS (
+           |  SELECT 'x->y' AS direction,
+           |    np * syy - sy * sy AS caa, np * syy1 - sy * sy1 AS cab,
+           |    np * syx1 - sy * sx1 AS cac, np * sy1y1 - sy1 * sy1 AS cbb,
+           |    np * sx1y1 - sx1 * sy1 AS cbc, np * sx1x1 - sx1 * sx1 AS ccc,
+           |    np FROM s
+           |  UNION ALL
+           |  SELECT 'y->x',
+           |    np * sxx - sx * sx, np * sxx1 - sx * sx1,
+           |    np * sxy1 - sx * sy1, np * sx1x1 - sx1 * sx1,
+           |    np * sx1y1 - sx1 * sy1, np * sy1y1 - sy1 * sy1,
+           |    np FROM s),
+           |fin AS (
+           |  SELECT direction, CAST(np AS BIGINT) AS n,
+           |    CASE WHEN np < 4 OR cbb = 0 OR cbb * ccc - cbc * cbc = 0
+           |      THEN NULL
+           |      ELSE CAST(caa AS DOUBLE)
+           |        - CAST(cab AS DOUBLE) * CAST(cab AS DOUBLE)
+           |          / CAST(cbb AS DOUBLE) END AS rss_r,
+           |    CASE WHEN np < 4 OR cbb = 0 OR cbb * ccc - cbc * cbc = 0
+           |      THEN NULL
+           |      ELSE CAST(caa AS DOUBLE) -
+           |        ((CAST(cab AS DOUBLE) * CAST(ccc AS DOUBLE)
+           |            - CAST(cac AS DOUBLE) * CAST(cbc AS DOUBLE))
+           |          / CAST(cbb * ccc - cbc * cbc AS DOUBLE)
+           |            * CAST(cab AS DOUBLE)
+           |         + (CAST(cac AS DOUBLE) * CAST(cbb AS DOUBLE)
+           |            - CAST(cab AS DOUBLE) * CAST(cbc AS DOUBLE))
+           |          / CAST(cbb * ccc - cbc * cbc AS DOUBLE)
+           |            * CAST(cac AS DOUBLE)) END AS rss_u
+           |  FROM dirs)
+           |SELECT direction, n, rss_r, rss_u,
+           |  CASE WHEN rss_u IS NULL OR rss_u <= 0 THEN NULL
+           |    ELSE (rss_r - rss_u) * (n - 3) / rss_u END AS f_stat
+           |FROM fin ORDER BY direction""".stripMargin),
+    "ONE moment agg over a calendar-rollup series (the fact scan " +
+      "collapses at the daily groupBy); the lag window is " +
+      "single-partition over 30 rows by design. The causality screen " +
+      "run before anyone ships a leading-indicator feature.")
+
+  /** q483 — T-state: EVENT-TIME-TIMER sessionization through
+    * `transformWithState` (ValueState + registered timers, RocksDB
+    * store) — gap-closed sessions emit inline, each user's open tail
+    * flushes when the WATERMARK passes its lastEvent + gap timer. The
+    * batch oracle is the gaps-and-islands window with the STRICT-gap
+    * convention this state machine uses (diff > gap starts a session;
+    * q103's session_window twin uses >=, aligned there — no exact-gap
+    * pair exists in the fixture, but conventions are pinned, not
+    * assumed). Values ride as integer cents in a double (exact in any
+    * sum order), and the output is sealed a full day before max event
+    * time — far from the eviction boundary. */
+  val q483 = Declared(
+    "q483_stream_timer_sessions", "T-state,T3",
+    (s, dir) => {
+      val key = "spark.sql.streaming.stateStore.providerClass"
+      val prev = s.conf.getOption(key)
+      s.conf.set(key, "org.apache.spark.sql.execution.streaming.state." +
+        "RocksDBStateStoreProvider")
+      try TimeSeries.streamEventsToTable(s, dir, "q483", mode = "append")(ev => {
+        import s.implicits._
+        graft.streaming.StreamOps.statefulTimerSessions(
+          ev.select(col("event_id").cast("long").as("event_id"),
+              col("ts"),
+              col("user_id").cast("long").as("user_id"),
+              floor(col("value") * 100 + 0.5).cast("double").as("value"))
+            .as[graft.streaming.StreamOps.SessionEvent],
+          gap = java.time.Duration.ofMinutes(30),
+          watermark = "1 hour").toDF()
+      })
+        .filter(col("session_end") < lit("2024-01-30 00:00:00").cast("timestamp"))
+        .select(col("user_id"), col("session_start"), col("session_end"),
+          col("n_events"), col("sum_value").as("sum_cents"))
+        .orderBy(col("user_id"), col("session_start"))
+    },
+    Some("""WITH marked AS (
+           |  SELECT user_id, event_id, ts,
+           |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents,
+           |    CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+           |           OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
+           |         THEN 1 ELSE 0 END AS new_sess
+           |  FROM events
+           |  WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+           |), numbered AS (
+           |  SELECT user_id, ts, cents,
+           |    CAST(sum(new_sess) OVER (PARTITION BY user_id
+           |      ORDER BY ts ASC, event_id ASC
+           |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           |      AS session_no
+           |  FROM marked)
+           |SELECT user_id, min(ts) AS session_start, max(ts) AS session_end,
+           |  CAST(count(*) AS BIGINT) AS n_events,
+           |  CAST(sum(cents) AS DOUBLE) AS sum_cents
+           |FROM numbered
+           |GROUP BY user_id, session_no
+           |HAVING max(ts) < TIMESTAMP '2024-01-30 00:00:00'
+           |ORDER BY user_id, session_start""".stripMargin),
+    "State = one 4-field record + ONE registered timer per open " +
+      "session; expiry is driven by the store's timer index as the " +
+      "watermark advances — no state scan, no wall-clock flake. The " +
+      "idle-session flush pattern production sessionization needs, " +
+      "completing the transformWithState surface (ValueState q452, " +
+      "MapState q471, ListState q476, timers here).")
+
+  val all: Seq[Declared] = Seq(q480, q481, q482, q483)
+}

@@ -42,5 +42,6 @@ object Declared {
       Analytics24.all ++ Analytics25.all ++ Analytics26.all ++
       Analytics27.all ++ Analytics28.all ++ Analytics29.all ++
       Analytics30.all ++ Analytics31.all ++ Analytics32.all ++
-      Analytics33.all ++ Analytics34.all ++ Analytics35.all ++ GeoIngest.all
+      Analytics33.all ++ Analytics34.all ++ Analytics35.all ++
+      Analytics36.all ++ GeoIngest.all
 }

@@ -186,6 +186,99 @@ object StreamOps {
       .flatMapGroupsWithState(OutputMode.Append, timeout)(handle)
   }
 
+  /** T-state — EVENT-TIME-TIMER sessionization through the Spark 4
+    * `transformWithState` StatefulProcessor: [[statefulSessionize]]'s
+    * state machine (gap-close inside the batch, open tail carried in a
+    * ValueState) but the idle-session FLUSH is a registered EVENT-TIME
+    * timer at lastEvent + gap — the timer fires when the WATERMARK
+    * passes it (deterministic, replayable), not when a wall clock does
+    * (the ProcessingTimeTimeout flake the older API forces). One live
+    * timer per key: each batch deletes the stale horizon and re-arms
+    * at the new tail; [[StatefulProcessor.handleExpiredTimer]] emits
+    * the closed session and clears state. Completes the
+    * transformWithState surface: ValueState (q452), MapState (q471),
+    * ListState (q476), TIMERS (q483).
+    *
+    * Scale: state = one 4-field record + one timer per OPEN session;
+    * expiry work is driven by the timer index, not a state scan. */
+  def statefulTimerSessions(events: org.apache.spark.sql.Dataset[SessionEvent],
+      gap: java.time.Duration, watermark: String)
+      : org.apache.spark.sql.Dataset[ClosedSession] = {
+    import org.apache.spark.sql.streaming.{ExpiredTimerInfo, OutputMode,
+      StatefulProcessor, TimeMode, TimerValues, TTLConfig}
+    import org.apache.spark.sql.{Encoder, Encoders}
+    val gapUs = gap.toNanos / 1000
+    // micros-exact Timestamp (the ms constructor alone truncates the
+    // sub-millisecond digits the event source carries)
+    def usToTs(us: Long): java.sql.Timestamp = {
+      val t = new java.sql.Timestamp(Math.floorDiv(us, 1000000L) * 1000L)
+      t.setNanos((Math.floorMod(us, 1000000L) * 1000L).toInt)
+      t
+    }
+    val proc = new StatefulProcessor[Long, SessionEvent, ClosedSession] {
+      @transient private var st:
+        org.apache.spark.sql.streaming.ValueState[SessionState] = _
+      override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+        st = getHandle.getValueState[SessionState]("sess",
+          Encoders.product[SessionState], TTLConfig.NONE)
+      private def close(uid: Long, s: SessionState) = ClosedSession(uid,
+        usToTs(s.startUs), usToTs(s.lastUs), s.n, s.sum)
+      override def handleInputRows(uid: Long, rows: Iterator[SessionEvent],
+          timers: TimerValues): Iterator[ClosedSession] = {
+        // micros-exact read: getTime alone is ms-truncated; the
+        // sub-millisecond digits live in the nanos field
+        def tsUs(t: java.sql.Timestamp) =
+          Math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000
+        val evs = rows.toSeq.sortBy(e => (tsUs(e.ts), e.event_id))
+        var closed = List.empty[ClosedSession]
+        var cur = if (st.exists()) Some(st.get()) else None
+        evs.foreach { e =>
+          val t = tsUs(e.ts)
+          cur match {
+            case Some(s) if t - s.lastUs <= gapUs =>
+              cur = Some(s.copy(lastUs = math.max(s.lastUs, t),
+                n = s.n + 1, sum = s.sum + e.value))
+            case Some(s) =>
+              closed ::= close(uid, s)
+              cur = Some(SessionState(t, t, 1, e.value))
+            case None =>
+              cur = Some(SessionState(t, t, 1, e.value))
+          }
+        }
+        cur.foreach { s =>
+          st.update(s)
+          // one-live-timer discipline: clear stale horizons, re-arm at
+          // the open tail's idle deadline (event-time ms)
+          val want = s.lastUs / 1000 + gap.toMillis
+          getHandle.listTimers().foreach { t =>
+            val ts = t.asInstanceOf[Long]
+            if (ts != want) getHandle.deleteTimer(ts)
+          }
+          getHandle.registerTimer(want)
+        }
+        closed.reverse.iterator
+      }
+      override def handleExpiredTimer(uid: Long, timerValues: TimerValues,
+          expired: ExpiredTimerInfo): Iterator[ClosedSession] = {
+        // the one-live-timer discipline means a firing timer IS the
+        // open session's deadline; a stale race (state already rolled
+        // forward) is guarded by re-checking the horizon
+        if (st.exists()) {
+          val s = st.get()
+          if (s.lastUs / 1000 + gap.toMillis <= expired.getExpiryTimeInMs) {
+            st.clear()
+            return Iterator.single(close(uid, s))
+          }
+        }
+        Iterator.empty
+      }
+    }
+    implicit val outEnc: Encoder[ClosedSession] = Encoders.product[ClosedSession]
+    events.withWatermark("ts", watermark)
+      .groupByKey(_.user_id)(Encoders.scalaLong)
+      .transformWithState(proc, TimeMode.EventTime(), OutputMode.Append())
+  }
+
   /** Input/output records for the stateful streaming EWMA. State keeps
     * the OPEN (latest) day separate from the fold: `smPrev` is the
     * smoothed value after all CLOSED days; `nOpen` the open day's

@@ -53,12 +53,92 @@ class ExperimentationSpec extends AnyFunSuite {
     assert(n.head.isNullAt(0))
   }
 
+  // ---- banded DTW ----
+
+  /** Unbanded reference DP (full O(n·m) table) for cross-checking the
+    * banded kernel where the band covers the whole table. */
+  private def dtwRef(a: Seq[Long], b: Seq[Long]): Long = {
+    val INF = Long.MaxValue / 4
+    val dp = Array.fill(a.length + 1, b.length + 1)(INF)
+    dp(0)(0) = 0L
+    for (i <- 1 to a.length; j <- 1 to b.length) {
+      val best = Seq(dp(i - 1)(j), dp(i)(j - 1), dp(i - 1)(j - 1)).min
+      if (best < INF) dp(i)(j) = best + math.abs(a(i - 1) - b(j - 1))
+    }
+    dp(a.length)(b.length)
+  }
+
+  test("X3: DtwBanded — hand cases, wide-band == full DP, corridor nulls") {
+    import graft.ext.DtwBanded
+    def k(a: Seq[Long], b: Seq[Long], band: Int): Any = DtwBanded.compute(
+      org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(a.toArray),
+      org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(b.toArray),
+      band)
+    assert(k(Seq(1L, 2L, 3L), Seq(1L, 2L, 3L), 1) == 0L)
+    // classic warp: [1,3,4] vs [1,2,4] — best path |3-2| = 1
+    assert(k(Seq(1L, 3L, 4L), Seq(1L, 2L, 4L), 1) == 1L)
+    // constant offset accumulates per aligned step
+    assert(k(Seq(0L, 0L, 0L), Seq(1L, 1L, 1L), 0) == 3L)
+    // wide band reproduces the full (unbanded) DP on random sequences
+    val r = new scala.util.Random(7)
+    (0 until 50).foreach { _ =>
+      val a = Seq.fill(3 + r.nextInt(8))(r.nextInt(20).toLong)
+      val b = Seq.fill(3 + r.nextInt(8))(r.nextInt(20).toLong)
+      assert(k(a, b, 16) == dtwRef(a, b), s"$a vs $b")
+    }
+    // a TIGHTER band can only raise the cost (fewer admissible paths)
+    (0 until 50).foreach { _ =>
+      val a = Seq.fill(6)(r.nextInt(20).toLong)
+      val b = Seq.fill(6)(r.nextInt(20).toLong)
+      val wide = k(a, b, 16).asInstanceOf[Long]
+      val tight = k(a, b, 1).asInstanceOf[Long]
+      assert(tight >= wide, s"$a vs $b")
+    }
+    // length gap beyond the band: no admissible path
+    assert(k(Seq(1L, 2L, 3L, 4L, 5L), Seq(1L), 2) == null)
+    // empty side
+    assert(k(Seq.empty[Long], Seq(1L), 3) == null)
+  }
+
+  test("X3: DtwBanded codegen path agrees with interpreted compute()") {
+    import graft.ext.DtwBanded
+    val r = new scala.util.Random(11)
+    val rows = (0 until 120).map { _ =>
+      (Seq.fill(2 + r.nextInt(10))(r.nextInt(1000).toLong),
+        Seq.fill(2 + r.nextInt(10))(r.nextInt(1000).toLong))
+    }
+    val got = rows.toDF("a", "b")
+      .select(DtwBanded.dtwBanded(col("a"), col("b"), 3).as("d"))
+      .collect().map(x => if (x.isNullAt(0)) null else x.getLong(0))
+    val want = rows.map { case (a, b) => DtwBanded.compute(
+      org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(a.toArray),
+      org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(b.toArray),
+      3) }
+    assert(got.toSeq == want.map {
+      case null => null
+      case v: java.lang.Long => v.longValue()
+    }.toSeq)
+    // null array poisons; null ELEMENT poisons
+    val n = Seq((Option.empty[Seq[Long]], Option(Seq(1L)))).toDF("a", "b")
+      .select(DtwBanded.dtwBanded(col("a"), col("b"), 3).as("d")).collect()
+    assert(n.head.isNullAt(0))
+    val withNullElem = Seq(1).toDF("x")
+      .select(DtwBanded.dtwBanded(
+        array(lit(1L), lit(null).cast("long")), array(lit(1L), lit(2L)), 3)
+        .as("d")).collect()
+    assert(withNullElem.head.isNullAt(0))
+  }
+
   test("X3: jaro_winkler registered via SparkSessionExtensions") {
     val s2 = SparkSession.builder().master("local[2]")
       .appName("jw-ext-test").config("spark.ui.enabled", "false")
       .withExtensions(new GraftExtensions).getOrCreate()
     val v = s2.sql("SELECT jaro_winkler('martha', 'marhta')").head.getDouble(0)
     assert(v == 0.9611111111111111)
+    val d = s2.sql(
+      "SELECT dtw_banded(array(1L, 3L, 4L), array(1L, 2L, 4L), 1)")
+      .head.getLong(0)
+    assert(d == 1L)
   }
 
   // ---- JS divergence ----

@@ -352,6 +352,30 @@ class TextAnalysisSpec extends AnyFunSuite {
   lazy val spark = SparkTestSession.spark
   import spark.implicits._
 
+  test("E4: huffmanCodeLengths — textbook depths, Kraft equality, OOV pool") {
+    // freqs a:5 b:2 c:1 d:1 → classic tree: a=1, b=2, c=d=3
+    val df = Seq("a a a a a b b c d").toDF("text")
+    val out = TextAnalysis.huffmanCodeLengths(df, col("text"), topV = 8)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(out == Map(
+      "a" -> ((5L, 1L, 5L)), "b" -> ((2L, 2L, 4L)),
+      "c" -> ((1L, 3L, 3L)), "d" -> ((1L, 3L, 3L))))
+    // Kraft equality for a full binary code: Σ 2^-len = 1
+    val kraft = out.values.map { case (_, len, _) =>
+      1.0 / (1L << len) }.sum
+    assert(kraft == 1.0)
+    // OOV pool: topV = 3 keeps a, b; c + d fold into __oov__ (weight 2)
+    val oov = TextAnalysis.huffmanCodeLengths(df, col("text"), topV = 3)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(oov == Map("a" -> 5L, "b" -> 2L, "__oov__" -> 2L))
+    // bits never beat the entropy bound: Σ freq·len ≥ n·H / ln 2
+    val n = 9.0
+    val h = Seq(5.0, 2.0, 1.0, 1.0).map(f => -f / n * math.log(f / n)).sum
+    val bits = out.values.map(_._3).sum.toDouble
+    assert(bits >= n * h / math.log(2.0) - 1e-9)
+  }
+
   test("E4: langId picks the stopword-matching language") {
     val df = Seq(
       "the cat and the dog sat in the house for a while",

@@ -452,6 +452,48 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("T-state: event-time TIMER flushes the idle session, not batch end") {
+    import graft.streaming.StreamOps.{ClosedSession, SessionEvent}
+    val dir = tmp()
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, "org.apache.spark.sql.execution.streaming.state." +
+      "RocksDBStateStoreProvider")
+    try {
+      writeBatch(dir, "b1", Seq(
+        (1L, "2024-01-01 10:00:00", 1L, 4.0),
+        (2L, "2024-01-01 10:05:00", 1L, 6.0)))
+      val stream = StreamOps.fileStream(spark, dir, schema).as[SessionEvent]
+      val qn = "twstimer_" + java.util.UUID.randomUUID().toString.replace("-", "")
+      val q = StreamOps.statefulTimerSessions(stream,
+          gap = java.time.Duration.ofMinutes(30), watermark = "10 minutes")
+        .writeStream.outputMode("append").format("memory").queryName(qn).start()
+      try {
+        q.processAllAvailable()
+        // session open, timer armed at 10:35; watermark ~9:55 — nothing out
+        assert(spark.table(qn).isEmpty,
+          "open session must not emit before its timer fires")
+        // user 2 at 12:00 drags the watermark past 10:35…
+        writeBatch(dir, "b2", Seq((3L, "2024-01-01 12:00:00", 2L, 1.0)))
+        q.processAllAvailable()
+        // …and the NEXT batch's timer sweep flushes user 1's session
+        writeBatch(dir, "b3", Seq((4L, "2024-01-01 12:01:00", 2L, 1.0)))
+        q.processAllAvailable()
+        val out = spark.table(qn).as[ClosedSession].collect()
+        val u1 = out.filter(_.user_id == 1L)
+        assert(u1.length == 1, s"timer must flush user 1 once, got ${out.toSeq}")
+        assert(u1.head.n_events == 2 && u1.head.sum_value == 10.0 &&
+          u1.head.session_start.toString.startsWith("2024-01-01 10:00:00") &&
+          u1.head.session_end.toString.startsWith("2024-01-01 10:05:00"))
+        // user 2's session is still open (watermark hasn't passed 12:31)
+        assert(out.forall(_.user_id == 1L), s"user 2 must stay open: ${out.toSeq}")
+      } finally q.stop()
+    } finally prev match {
+      case Some(p) => spark.conf.set(key, p)
+      case None => spark.conf.unset(key)
+    }
+  }
+
   test("T-state: MapState top-k accumulates totals across batches") {
     import graft.streaming.StreamOps.{ContribIn, TopContribOut}
     val dir = tmp()
