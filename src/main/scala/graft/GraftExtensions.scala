@@ -30,6 +30,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("dtw_banded"),
       new ExpressionInfo(classOf[DtwBanded].getName, "dtw_banded"),
       exprs => DtwBanded.cast(exprs)))
+    e.injectFunction((
+      FunctionIdentifier("deflate_length"),
+      new ExpressionInfo(classOf[graft.ext.DeflateLength].getName,
+        "deflate_length"),
+      exprs => {
+        require(exprs.length == 1,
+          s"deflate_length takes 1 argument, got ${exprs.length}")
+        graft.ext.DeflateLength(exprs.head)
+      }))
     // plan audit (E6): non-mutating hazard detector — cartesian joins,
     // single-partition windows, mid-plan global sorts (see
     // graft.plans.Guardrails)

@@ -1,10 +1,11 @@
 package graft.ext
 
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
 import org.apache.spark.sql.{Column, GraftSqlBridge}
+import org.apache.spark.unsafe.types.UTF8String
 
 /** Native Catalyst expression for BANDED DYNAMIC TIME WARPING distance
   * between two integer sequences (Sakoe & Chiba 1978, IEEE TASSP —
@@ -131,4 +132,181 @@ object DtwBanded {
     }
     DtwBanded(exprs(0), exprs(1), band)
   }
+}
+
+/** Native Catalyst expression: DEFLATE-compressed byte length of a
+  * string's UTF-8 bytes (java.util.zip.Deflater, level 6, raw/nowrap).
+  * The compressibility QUALITY SIGNAL of web-scale corpus curation
+  * (MassiveText/Gopher, Rae et al. 2021 §A1.1 — public literature):
+  * near-duplicate boilerplate compresses far below natural prose,
+  * random/garbled text barely compresses — thresholding the ratio
+  * deflate_len/byte_len screens both tails in ONE scan-side pass.
+  *
+  * Determinism: fixed input → fixed output for a given zlib build (the
+  * JDK bundles its own); the engine treats the LENGTH as a signal, not
+  * a portable constant — the declared query is a rows-only contract
+  * and the spec pins ORDER properties (repetitive < prose < random),
+  * not literal byte counts. Null in → null out; empty string → the
+  * 2-byte empty raw-deflate block.
+  */
+case class DeflateLength(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "deflate_length"
+
+  override def nullSafeEval(input: Any): Any =
+    DeflateLength.compute(input.asInstanceOf[UTF8String])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, x => s"graft.ext.DeflateLength.compute($x)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object DeflateLength {
+
+  /** Static kernel: one Deflater per call (zlib native state is not
+    * thread-shareable; allocation is micro-scale next to the deflate
+    * itself), raw stream (nowrap — no zlib header/checksum noise). */
+  def compute(s: UTF8String): Long = {
+    val in = s.getBytes
+    val d = new java.util.zip.Deflater(6, true)
+    try {
+      d.setInput(in)
+      d.finish()
+      val buf = new Array[Byte](math.max(64, in.length + (in.length >> 1) + 16))
+      var total = 0L
+      while (!d.finished()) total += d.deflate(buf)
+      total
+    } finally d.end()
+  }
+
+  def deflateLength(c: Column): Column =
+    GraftSqlBridge.column(DeflateLength(GraftSqlBridge.expression(c)))
+}
+
+/** Native Catalyst expression: AHO-CORASICK multi-pattern match count
+  * (Aho & Corasick 1975, CACM — public literature): the total number
+  * of (pattern, position) occurrences of a LITERAL dictionary in the
+  * input, overlapping matches included — the one-pass alternative to k
+  * `contains`/regex probes when tagging documents against keyword /
+  * PII / blocklist dictionaries at corpus scale.
+  *
+  * The automaton (goto/fail/output-count per node) is built ONCE per
+  * plan from the dictionary literal and shared by every row the task
+  * scans — the matcher itself is O(|text| + matches) independent of
+  * dictionary size. Matching is on UTF-16 code units of the decoded
+  * string (exact for the BMP dictionaries this targets); patterns are
+  * case-sensitive — fold upstream with lower(). Null in → null out.
+  */
+case class AhoCorasickCount(child: Expression, patterns: Seq[String])
+    extends UnaryExpression {
+  require(patterns.nonEmpty && patterns.forall(_.nonEmpty),
+    "aho_count needs a non-empty dictionary of non-empty patterns")
+
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "aho_count"
+
+  @transient private lazy val automaton = AhoCorasickCount.build(patterns)
+
+  override def nullSafeEval(input: Any): Any =
+    AhoCorasickCount.count(automaton, input.asInstanceOf[UTF8String])
+
+  // the automaton rides the plan as a per-partition lazy singleton: the
+  // generated code calls a static cached builder keyed by the literal
+  // dictionary, then the linear matcher
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val dictRef = ctx.addReferenceObj("ahoDict", patterns,
+      "scala.collection.immutable.Seq")
+    defineCodeGen(ctx, ev, x =>
+      s"graft.ext.AhoCorasickCount.count(" +
+        s"graft.ext.AhoCorasickCount.cached($dictRef), $x)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object AhoCorasickCount {
+
+  /** Flat automaton: goto maps, fail links, per-node terminal count
+    * (number of dictionary words ending at the node, following output
+    * links — pre-summed so matching never walks the fail chain). */
+  final class Automaton(val gotoMaps: Array[java.util.HashMap[Character, Integer]],
+      val fail: Array[Int], val outCount: Array[Long]) extends Serializable
+
+  def build(patterns: Seq[String]): Automaton = {
+    val gotoMaps = scala.collection.mutable.ArrayBuffer(
+      new java.util.HashMap[Character, Integer]())
+    val outRaw = scala.collection.mutable.ArrayBuffer(0L)
+    patterns.foreach { p =>
+      var node = 0
+      p.foreach { ch =>
+        val m = gotoMaps(node)
+        val nxt = m.get(ch)
+        node = if (nxt != null) nxt.intValue()
+        else {
+          gotoMaps += new java.util.HashMap[Character, Integer]()
+          outRaw += 0L
+          m.put(ch, gotoMaps.length - 1)
+          gotoMaps.length - 1
+        }
+      }
+      outRaw(node) += 1L
+    }
+    val n = gotoMaps.length
+    val fail = new Array[Int](n)
+    val outCount = outRaw.toArray
+    val queue = new java.util.ArrayDeque[Integer]()
+    gotoMaps(0).forEach { (_, v) => fail(v) = 0; queue.add(v); () }
+    while (!queue.isEmpty) {
+      val u = queue.poll().intValue()
+      // output counts pre-sum down the fail chain (BFS order makes the
+      // parent's chain already summed)
+      outCount(u) += outCount(fail(u))
+      gotoMaps(u).forEach { (ch, v) =>
+        var f = fail(u)
+        while (f != 0 && !gotoMaps(f).containsKey(ch)) f = fail(f)
+        val t = gotoMaps(f).get(ch)
+        fail(v.intValue()) =
+          if (t != null && t.intValue() != v.intValue()) t.intValue() else 0
+        queue.add(v)
+        ()
+      }
+    }
+    new Automaton(gotoMaps.toArray, fail, outCount)
+  }
+
+  // plan-literal dictionaries are tiny and few: a bounded cache keyed
+  // by the dictionary gives codegen a static lookup with one build
+  private val cache =
+    new java.util.concurrent.ConcurrentHashMap[Seq[String], Automaton]()
+  def cached(patterns: Seq[String]): Automaton = {
+    if (cache.size() > 64) cache.clear() // bounded; rebuild is cheap
+    cache.computeIfAbsent(patterns, p => build(p))
+  }
+
+  def count(a: Automaton, s: UTF8String): Long = {
+    val t = s.toString
+    var node = 0
+    var total = 0L
+    var i = 0
+    while (i < t.length) {
+      val ch = t.charAt(i)
+      var n = node
+      while (n != 0 && !a.gotoMaps(n).containsKey(ch)) n = a.fail(n)
+      val nxt = a.gotoMaps(n).get(ch)
+      node = if (nxt != null) nxt.intValue() else 0
+      total += a.outCount(node)
+      i += 1
+    }
+    total
+  }
+
+  def ahoCount(c: Column, patterns: Seq[String]): Column =
+    GraftSqlBridge.column(AhoCorasickCount(GraftSqlBridge.expression(c),
+      patterns))
 }

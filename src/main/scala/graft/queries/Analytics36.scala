@@ -300,5 +300,72 @@ object Analytics36 {
       "completing the transformWithState surface (ValueState q452, " +
       "MapState q471, ListState q476, timers here).")
 
-  val all: Seq[Declared] = Seq(q480, q481, q482, q483)
+  /** q484 — E4/X3: COMPRESSION-RATIO QUALITY SCREEN (the MassiveText/
+    * Gopher compressibility filter): per-document deflate(text) byte
+    * length over raw UTF-8 length, rolled up per (lang, source) with
+    * low/high-tail flag counts. NO SQL oracle — the deflate length is
+    * a zlib-build-specific signal, not a portable constant (the spec
+    * pins the ORDER properties instead: boilerplate < prose < random);
+    * the driver records the rows-only check. */
+  val q484 = Declared(
+    "q484_compress_quality", "E4,X3",
+    (s, dir) => {
+      val d = Tables.documents(s, dir)
+        .filter(length(col("text")) > 0)
+        .withColumn("__bytes", octet_length(col("text")).cast("long"))
+        .withColumn("__dl",
+          graft.ext.DeflateLength.deflateLength(col("text")))
+        .withColumn("__ratio_ppm", expr("__dl * 1000000L div __bytes"))
+      d.groupBy(col("lang"), col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("__ratio_ppm") < 250000L, 1L).otherwise(0L))
+            .as("n_boilerplate_tail"),
+          sum(when(col("__ratio_ppm") > 650000L, 1L).otherwise(0L))
+            .as("n_random_tail"),
+          min(col("__ratio_ppm")).as("min_ratio_ppm"),
+          max(col("__ratio_ppm")).as("max_ratio_ppm"))
+        .orderBy(col("lang"), col("source"))
+    },
+    None, // zlib-length signal: rows-only driver check + property spec
+    "Scan-side only: one codegen'd static deflate call per document " +
+      "inside the same stage as the rollup — the quality gate that " +
+      "screens both repetitive boilerplate AND garbled noise in one " +
+      "pass, no UDF boundary, no second scan.")
+
+  /** q485 — E4/X3: AHO-CORASICK DICTIONARY TAGGING — total keyword
+    * occurrences per document (overlapping matches included) through
+    * the one-pass multi-pattern automaton, rolled up to a per-(lang,
+    * matches) histogram. The oracle enumerates every (position,
+    * pattern) match by brute substring probing — exact overlapping
+    * semantics, any dictionary. */
+  val q485 = {
+    val dict = Seq("data", "the", "model", "process", "in")
+    val dictSql = dict.map(p => s"'$p'").mkString("[", ", ", "]")
+    Declared(
+      "q485_aho_dictionary_tags", "E4,X3",
+      (s, dir) => Tables.documents(s, dir)
+        .withColumn("matches", graft.ext.AhoCorasickCount.ahoCount(
+          lower(col("text")), dict))
+        .groupBy(col("lang"), col("matches"))
+        .agg(count(lit(1)).as("n_docs"))
+        .orderBy(col("lang"), col("matches")),
+      Some(s"""WITH pats AS (SELECT unnest($dictSql) AS p),
+             |per_doc AS (
+             |  SELECT d.doc_id, d.lang,
+             |    (SELECT coalesce(sum(len(list_filter(
+             |        range(1, len(lower(d.text)) - len(p.p) + 2),
+             |        i -> substr(lower(d.text), CAST(i AS INT),
+             |               len(p.p)) = p.p))), 0)
+             |     FROM pats p) AS matches
+             |  FROM documents d)
+             |SELECT lang, CAST(matches AS BIGINT) AS matches,
+             |  CAST(count(*) AS BIGINT) AS n_docs
+             |FROM per_doc GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin),
+      "The automaton builds ONCE per plan from the literal dictionary " +
+        "and matches in O(|text| + hits) per document regardless of " +
+        "dictionary size — the keyword/PII/blocklist tagger that " +
+        "replaces k regex probes with one scan-side pass at 100 TB.")
+  }
+
+  val all: Seq[Declared] = Seq(q480, q481, q482, q483, q484, q485)
 }

@@ -129,6 +129,83 @@ class ExperimentationSpec extends AnyFunSuite {
     assert(withNullElem.head.isNullAt(0))
   }
 
+  // ---- deflate length ----
+
+  test("X3: DeflateLength — order properties, determinism, null poisoning") {
+    import graft.ext.DeflateLength
+    def dl(s: String): Long = DeflateLength.compute(
+      org.apache.spark.unsafe.types.UTF8String.fromString(s))
+    val rep = "the same line over and over. " * 40
+    val prose = (0 until 40).map(i =>
+      s"sentence $i talks about topic ${i % 7} with detail ${i * 13 % 29}.")
+      .mkString(" ")
+    val rnd = { val r = new scala.util.Random(3)
+      r.alphanumeric.take(rep.length).mkString }
+    // compressibility ordering: boilerplate < prose < random (each
+    // normalized by byte length via same-length inputs where possible)
+    assert(dl(rep).toDouble / rep.length <
+      dl(prose).toDouble / prose.length)
+    assert(dl(prose).toDouble / prose.length <
+      dl(rnd).toDouble / rnd.length)
+    assert(dl(rep) == dl(rep), "deterministic")
+    assert(dl("") == 2L, "empty raw-deflate block is 2 bytes")
+    // codegen path agrees with the kernel
+    val got = Seq(rep, prose, rnd).toDF("t")
+      .select(DeflateLength.deflateLength(col("t"))).as[Long].collect()
+    assert(got.toSeq == Seq(dl(rep), dl(prose), dl(rnd)))
+    val n = Seq(Option.empty[String]).toDF("t")
+      .select(DeflateLength.deflateLength(col("t"))).collect()
+    assert(n.head.isNullAt(0))
+  }
+
+  // ---- Aho-Corasick ----
+
+  private def bruteCount(text: String, pats: Seq[String]): Long =
+    pats.map { p =>
+      (0 to text.length - p.length)
+        .count(i => text.regionMatches(i, p, 0, p.length)).toLong
+    }.sum
+
+  test("X3: AhoCorasickCount — overlaps, fail links, brute-force parity") {
+    import graft.ext.AhoCorasickCount
+    def k(text: String, pats: Seq[String]): Long = AhoCorasickCount.count(
+      AhoCorasickCount.build(pats),
+      org.apache.spark.unsafe.types.UTF8String.fromString(text))
+    assert(k("abc", Seq("ab", "b", "bc")) == 3L)
+    assert(k("aaaa", Seq("aa")) == 3L) // overlapping positions count
+    assert(k("ushers", Seq("he", "she", "his", "hers")) == 3L) // classic
+    assert(k("", Seq("a")) == 0L)
+    assert(k("xyz", Seq("a", "ab")) == 0L)
+    // suffix-of-pattern outputs via fail chain: "abab" twice (overlap
+    // at positions 2 and 4), "ba" twice — both found in one pass
+    assert(k("cababab", Seq("abab", "ba")) == 2L + 2L)
+    assert(k("cababab", Seq("abab", "ba")) ==
+      bruteCount("cababab", Seq("abab", "ba")))
+    val r = new scala.util.Random(13)
+    (0 until 80).foreach { _ =>
+      val text = Seq.fill(40)("abc".charAt(r.nextInt(3))).mkString
+      val pats = (0 until 5).map(_ =>
+        Seq.fill(1 + r.nextInt(3))("abc".charAt(r.nextInt(3))).mkString)
+        .distinct
+      assert(k(text, pats) == bruteCount(text, pats), s"$text vs $pats")
+    }
+  }
+
+  test("X3: AhoCorasickCount codegen path agrees with interpreted count()") {
+    import graft.ext.AhoCorasickCount
+    val pats = Seq("the", "he", "her", "data")
+    val r = new scala.util.Random(5)
+    val rows = (0 until 100).map(_ =>
+      Seq.fill(30)("theakdr ".charAt(r.nextInt(8))).mkString)
+    val got = rows.toDF("t")
+      .select(AhoCorasickCount.ahoCount(col("t"), pats)).as[Long].collect()
+    val want = rows.map(bruteCount(_, pats))
+    assert(got.toSeq == want)
+    val n = Seq(Option.empty[String]).toDF("t")
+      .select(AhoCorasickCount.ahoCount(col("t"), pats)).collect()
+    assert(n.head.isNullAt(0))
+  }
+
   test("X3: jaro_winkler registered via SparkSessionExtensions") {
     val s2 = SparkSession.builder().master("local[2]")
       .appName("jw-ext-test").config("spark.ui.enabled", "false")
