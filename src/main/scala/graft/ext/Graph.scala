@@ -521,6 +521,13 @@ object Graph {
         struct(col("src"), col("dst")),
         struct(col("dst").as("src"), col("src").as("dst")))).as("e"))
       .select(col("e.src").as("src"), col("e.dst").as("dst"))
+      // src-keyed at FULL width before the checkpoint (the q467
+      // lesson): LogicalRDD preserves this partitioning, so every
+      // round's frontier join reuses it — without the explicit count
+      // AQE coalesces the frame to ~4 partitions and the per-round
+      // probe runs 8x under-parallelized
+      .repartition(edges.sparkSession.sparkContext.defaultParallelism,
+        col("src"))
       .localCheckpoint() // re-read every round
 
   /** LAYERED frontier BFS (round-8 rewrite of the min-plus full-label

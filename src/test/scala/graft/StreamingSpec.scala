@@ -452,6 +452,59 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("T-state: state survives a query RESTART from the checkpoint") {
+    import graft.streaming.StreamOps.{DrawdownIn, DrawdownOut}
+    val dir = tmp(); val ckpt = tmp(); val out = tmp()
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, "org.apache.spark.sql.execution.streaming.state." +
+      "RocksDBStateStoreProvider")
+    def start() = {
+      val stream = StreamOps.fileStream(spark, dir, schema)
+        .select(col("user_id").as("key"), unix_micros(col("ts")).as("us"),
+          col("event_id").as("tie"),
+          floor(col("value") * 1e6 + 0.5).cast("long").as("vMicro"))
+        .as[DrawdownIn]
+      StreamOps.statefulDrawdown(stream).writeStream
+        .outputMode("update")
+        .option("checkpointLocation", ckpt)
+        .foreachBatch { (batch: org.apache.spark.sql.Dataset[DrawdownOut],
+            id: Long) =>
+          batch.withColumn("batch_id", lit(id))
+            .write.mode("append").parquet(s"$out/rows")
+          ()
+        }
+        .start()
+    }
+    try {
+      writeBatch(dir, "b1", Seq(
+        (1L, "2024-01-01 10:00:00", 1L, 4.0),
+        (2L, "2024-01-01 10:01:00", 1L, 10.0),
+        (3L, "2024-01-01 10:02:00", 1L, 7.0)))
+      val q1 = start()
+      q1.processAllAvailable(); q1.stop()
+      // a SECOND query instance resumes from the checkpoint: offsets
+      // (b1 must not reprocess) AND RocksDB state (the peak) carry over
+      writeBatch(dir, "b2", Seq((4L, "2024-01-01 11:00:00", 1L, 2.0)))
+      val q2 = start()
+      q2.processAllAvailable(); q2.stop()
+      val rows = spark.read.parquet(s"$out/rows")
+        .orderBy(col("batch_id")).collect()
+      val last = rows.last
+      assert(last.getAs[Long]("n_events") == 4L &&
+        last.getAs[Long]("peak_micro") == 10000000L &&
+        last.getAs[Long]("max_drawdown_micro") == 8000000L,
+        s"restarted query must fold batch 2 onto the checkpointed peak: " +
+          s"${rows.toSeq}")
+      // exactly-once offsets: batch 1's rows appear once, not twice
+      assert(rows.count(_.getAs[Long]("n_events") == 3L) == 1,
+        s"b1 must not reprocess after restart: ${rows.toSeq}")
+    } finally prev match {
+      case Some(p) => spark.conf.set(key, p)
+      case None => spark.conf.unset(key)
+    }
+  }
+
   test("T-state: event-time TIMER flushes the idle session, not batch end") {
     import graft.streaming.StreamOps.{ClosedSession, SessionEvent}
     val dir = tmp()
