@@ -430,6 +430,93 @@ object SpatialOps {
           .as("slope_tan2"))
   }
 
+  /** A3+/E2 — D8 FLOW DIRECTION + FLOW ACCUMULATION over the integer
+    * cell-table DEM (O'Callaghan & Mark 1984, CVGIP — public
+    * literature; the hydrology standard behind drainage networks,
+    * watershed delineation and stream-power indices). Each cell flows
+    * to its steepest-DOWNSLOPE 8-neighbor; accumulation counts every
+    * upstream cell draining through (self included).
+    *
+    * Exact integer semantics: elevations are longs at unit grid
+    * spacing, and the steepest-descent comparison clears the √2
+    * diagonal denominator by cross-multiplication — slope² =
+    * drop²/d² with d² ∈ {1, 2} compares as drop²·(2/d²), an exact
+    * long. Ties break on the LOWEST direction index in the standard
+    * D8 clockwise-from-east order (E, SE, S, SW, W, NW, N, NE) —
+    * deterministic, oracle-replayable. Pits and flats (no strictly
+    * positive drop) emit no flow.
+    *
+    * Accumulation runs `rounds` fixed Jacobi iterations of
+    *   acc(v) ← 1 + Σ_{u: flow(u)=v} acc(u)
+    * which is exact once `rounds` ≥ the longest flow-path depth (the
+    * q155/q384 horizon contract: fixed rounds keep the operator a
+    * pure function of the input). Returns one row per cell:
+    * (x, y, flow_dir — direction index or null for pits, acc).
+    *
+    * Scale: the neighbor probe is one explode(8) + grouped argmax
+    * keyed on the cell (map-side combine); each accumulation round is
+    * one flow-edge join + grouped sum, chained lazily and
+    * checkpointed every third round like the BFS family — state is
+    * the cell table itself, shuffle keys on the flow target. */
+  def d8FlowAccumulation(cells: DataFrame, xCol: Column, yCol: Column,
+      zCol: Column, rounds: Int): DataFrame = {
+    require(rounds >= 1 && rounds <= 64, "rounds in [1, 64]")
+    // D8 direction table, clockwise from east
+    val dirs = Seq((1, 0), (1, 1), (0, 1), (-1, 1), (-1, 0), (-1, -1),
+      (0, -1), (1, -1))
+    val dirArr = dirs.zipWithIndex.map { case ((dx, dy), k) =>
+      s"struct(${k}L as k, ${dx}L as dx, ${dy}L as dy, " +
+        s"${if (dx != 0 && dy != 0) 1L else 2L}L as w)" // w = 2/d²
+    }.mkString("array(", ", ", ")")
+    val base = cells.select(xCol.cast("long").as("__x"),
+      yCol.cast("long").as("__y"), zCol.cast("long").as("__z"))
+      .localCheckpoint() // probe side + elevation lookup + final join
+    val probes = base
+      .withColumn("__d", explode(expr(dirArr)))
+      .select(col("__x"), col("__y"), col("__z"),
+        col("__d.k").as("__k"),
+        (col("__x") + col("__d.dx")).as("__nx"),
+        (col("__y") + col("__d.dy")).as("__ny"),
+        col("__d.w").as("__w"))
+    val nbr = base.select(col("__x").as("__nx"), col("__y").as("__ny"),
+      col("__z").as("__nz"))
+    val flows = probes.join(nbr, Seq("__nx", "__ny"))
+      .filter(col("__z") > col("__nz"))
+      // slope² cleared of the √2: drop²·(2/d²); ties on LOWEST k
+      .withColumn("__s2",
+        (col("__z") - col("__nz")) * (col("__z") - col("__nz")) * col("__w"))
+      .groupBy(col("__x"), col("__y"))
+      .agg(max_by(struct(col("__k"), col("__nx"), col("__ny")),
+        struct(col("__s2"), -col("__k"))).as("__best"))
+      .select(col("__x"), col("__y"), col("__best.__k").as("flow_dir"),
+        col("__best.__nx").as("__tx"), col("__best.__ny").as("__ty"))
+      .localCheckpoint() // re-read every accumulation round
+    var acc = base.select(col("__x"), col("__y"), lit(1L).as("acc"))
+    var r = 0
+    while (r < rounds) {
+      r += 1
+      val inflow = flows
+        .join(acc, Seq("__x", "__y"))
+        .groupBy(col("__tx").as("__x"), col("__ty").as("__y"))
+        .agg(sum(col("acc")).as("__in"))
+      acc = base.select(col("__x"), col("__y"))
+        .join(inflow, Seq("__x", "__y"), "left")
+        .select(col("__x"), col("__y"),
+          (lit(1L) + coalesce(col("__in"), lit(0L))).as("acc"))
+      // lazy chaining bounds per-round actions; every EIGHTH round (and
+      // the last) truncates lineage — the acc frame is cell-sized and
+      // each round adds only a join+agg pair to the plan, so a deeper
+      // chain trades bounded analysis cost for fewer stage-floor hits
+      if (r % 8 == 0 || r == rounds) acc = acc.localCheckpoint()
+    }
+    base.select(col("__x"), col("__y"))
+      .join(flows.select(col("__x"), col("__y"), col("flow_dir")),
+        Seq("__x", "__y"), "left")
+      .join(acc, Seq("__x", "__y"))
+      .select(col("__x").as("x"), col("__y").as("y"), col("flow_dir"),
+        col("acc"))
+  }
+
   /** Pivot the long band stats into the reference's
     * `func_<raster>_band<b>` wide naming (:195-197). */
   def pivotBands(longStats: DataFrame, rasterName: String, funcs: Seq[String],

@@ -367,5 +367,75 @@ object Analytics36 {
         "replaces k regex probes with one scan-side pass at 100 TB.")
   }
 
-  val all: Seq[Declared] = Seq(q480, q481, q482, q483, q484, q485)
+  /** q486 — A3+/E2: D8 FLOW ACCUMULATION over an integer egg-carton
+    * DEM (6×6 basins, pit-centered) built on the part-key lattice —
+    * steepest-descent flow directions with the √2 diagonal cleared by
+    * cross-multiplication, then 8 exact Jacobi accumulation rounds.
+    * The oracle recomputes the argmax directions and replays every
+    * round with the single-reference self+inflow contribution device
+    * (each acc row fans into its own +1 and its target's acc). */
+  val q486 = Declared(
+    "q486_d8_flow_accumulation", "A3+,E2",
+    (s, dir) => {
+      val cells = Tables.part(s, dir).filter(col("p_partkey") <= 1200)
+        .select(((col("p_partkey") - 1) % 40).as("x"),
+          expr("(p_partkey - 1) div 40").as("y"))
+        .withColumn("z",
+          (col("x") % 6 - 3) * (col("x") % 6 - 3) +
+            (col("y") % 6 - 3) * (col("y") % 6 - 3))
+      graft.ops.SpatialOps.d8FlowAccumulation(cells,
+          col("x"), col("y"), col("z"), rounds = 8)
+        .groupBy(col("acc"))
+        .agg(count(lit(1)).as("n_cells"),
+          sum(when(col("flow_dir").isNull, 1L).otherwise(0L)).as("n_pits"))
+        .orderBy(col("acc"))
+    },
+    Some("""WITH RECURSIVE cells AS MATERIALIZED (
+           |  SELECT CAST((p_partkey - 1) % 40 AS BIGINT) AS x,
+           |         CAST((p_partkey - 1) // 40 AS BIGINT) AS y,
+           |         CAST(((p_partkey - 1) % 40 % 6 - 3)
+           |            * ((p_partkey - 1) % 40 % 6 - 3)
+           |            + ((p_partkey - 1) // 40 % 6 - 3)
+           |            * ((p_partkey - 1) // 40 % 6 - 3) AS BIGINT) AS z
+           |  FROM part WHERE p_partkey <= 1200),
+           |dirs AS (SELECT * FROM (VALUES (0,1,0,2),(1,1,1,1),(2,0,1,2),
+           |  (3,-1,1,1),(4,-1,0,2),(5,-1,-1,1),(6,0,-1,2),(7,1,-1,1))
+           |  d(k, dx, dy, w)),
+           |flows AS MATERIALIZED (
+           |  SELECT x, y, k AS flow_dir, tx, ty FROM (
+           |    SELECT c.x, c.y, d.k, c.x + d.dx AS tx, c.y + d.dy AS ty,
+           |      row_number() OVER (PARTITION BY c.x, c.y
+           |        ORDER BY (c.z - n.z) * (c.z - n.z) * d.w DESC, d.k ASC)
+           |        AS rn
+           |    FROM cells c CROSS JOIN dirs d
+           |    JOIN cells n ON n.x = c.x + d.dx AND n.y = c.y + d.dy
+           |    WHERE c.z > n.z)
+           |  WHERE rn = 1),
+           |acc(r, x, y, a) AS (
+           |  SELECT 0, x, y, CAST(1 AS BIGINT) FROM cells
+           |  UNION ALL
+           |  SELECT r + 1, tx, ty, CAST(sum(v) AS BIGINT) FROM (
+           |    SELECT a.r AS r, un.c.tx AS tx, un.c.ty AS ty, un.c.v AS v
+           |    FROM acc a LEFT JOIN flows f ON f.x = a.x AND f.y = a.y,
+           |    UNNEST(CASE WHEN f.tx IS NULL
+           |      THEN [{'tx': a.x, 'ty': a.y, 'v': CAST(1 AS BIGINT)}]
+           |      ELSE [{'tx': a.x, 'ty': a.y, 'v': CAST(1 AS BIGINT)},
+           |            {'tx': f.tx, 'ty': f.ty, 'v': a.a}] END) AS un(c)
+           |    WHERE a.r < 8)
+           |  GROUP BY 1, 2, 3),
+           |fin AS (SELECT x, y, a FROM acc WHERE r = 8)
+           |SELECT f2.a AS acc, CAST(count(*) AS BIGINT) AS n_cells,
+           |  CAST(sum(CASE WHEN fl.x IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+           |    AS n_pits
+           |FROM fin f2 LEFT JOIN flows fl ON fl.x = f2.x AND fl.y = f2.y
+           |GROUP BY 1 ORDER BY 1""".stripMargin),
+    "The neighbor argmax is one explode(8) + grouped max_by keyed on " +
+      "the cell; each accumulation round is one flow-edge join + " +
+      "grouped sum chained lazily (checkpoint every third round — the " +
+      "BFS-family discipline). The hydrology backbone (drainage, " +
+      "watersheds, stream power) expressed on the same cell-table " +
+      "model as zonal stats and Horn gradients — rounds bound the " +
+      "path horizon exactly like q155/q384.")
+
+  val all: Seq[Declared] = Seq(q480, q481, q482, q483, q484, q485, q486)
 }

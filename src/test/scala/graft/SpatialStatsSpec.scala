@@ -250,6 +250,44 @@ class SpatialStatsSpec extends AnyFunSuite {
     assert(r2.getAs[Double]("z_ce") < 0.0)
   }
 
+  test("A3+: d8FlowAccumulation — bowl drains to the pit, chain accumulates") {
+    import graft.ops.SpatialOps
+    // 3x3 bowl: center z=0, edge-adjacent z=2, corners z=3 — every cell
+    // flows (directly or via an edge cell) into the pit
+    val bowl = (for { x <- 0 to 2; y <- 0 to 2 } yield {
+      val z = if (x == 1 && y == 1) 0L
+        else if ((x == 1) || (y == 1)) 2L else 3L
+      (x.toLong, y.toLong, z)
+    }).toDF("x", "y", "z")
+    val r = SpatialOps.d8FlowAccumulation(bowl,
+        col("x"), col("y"), col("z"), rounds = 4)
+      .collect().map(row => (row.getLong(0), row.getLong(1)) ->
+        (if (row.isNullAt(2)) None else Some(row.getLong(2)),
+          row.getLong(3))).toMap
+    // the pit has no downslope neighbor and collects all 9 cells
+    assert(r((1L, 1L)) == ((None, 9L)))
+    // corners: steepest drop is the diagonal to the pit (drop 3, w=1 →
+    // s2=9) vs edge neighbors (drop 1, w=2 → s2=2); all flow diagonal
+    assert(r((0L, 0L))._1 == Some(1L) && r((0L, 0L))._2 == 1L) // SE
+    assert(r((2L, 2L))._1 == Some(5L)) // NW
+    // edge cells flow straight into the pit and carry only themselves
+    assert(r((1L, 0L)) == ((Some(2L), 1L)))
+    assert(r((0L, 1L)) == ((Some(0L), 1L)))
+    // 1-D descending chain: acc = position along the chain
+    val chain = (0 to 5).map(x => (x.toLong, 0L, (10 - x).toLong))
+      .toDF("x", "y", "z")
+    val rc = SpatialOps.d8FlowAccumulation(chain,
+        col("x"), col("y"), col("z"), rounds = 6)
+      .collect().map(row => row.getLong(0) -> row.getLong(3)).toMap
+    assert(rc == Map(0L -> 1L, 1L -> 2L, 2L -> 3L, 3L -> 4L, 4L -> 5L,
+      5L -> 6L))
+    // horizon contract: too few rounds truncates DETERMINISTICALLY
+    val rc2 = SpatialOps.d8FlowAccumulation(chain,
+        col("x"), col("y"), col("z"), rounds = 2)
+      .collect().map(row => row.getLong(0) -> row.getLong(3)).toMap
+    assert(rc2(5L) == 3L, "acc_2 counts upstream cells within 2 hops")
+  }
+
   test("A3+: zonalStats — rectangle zone collects exactly its interior cells") {
     import graft.geo.Geo
     import graft.ops.SpatialOps
