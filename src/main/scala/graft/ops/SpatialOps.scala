@@ -458,9 +458,11 @@ object SpatialOps {
     * one flow-edge join + grouped sum, chained lazily and
     * checkpointed every third round like the BFS family — state is
     * the cell table itself, shuffle keys on the flow target. */
-  def d8FlowAccumulation(cells: DataFrame, xCol: Column, yCol: Column,
-      zCol: Column, rounds: Int): DataFrame = {
-    require(rounds >= 1 && rounds <= 64, "rounds in [1, 64]")
+  /** Shared D8 core: (checkpointed integer cell frame, checkpointed
+    * flow frame (__x, __y, flow_dir, __tx, __ty)). See
+    * [[d8FlowAccumulation]] for the full semantics contract. */
+  private def d8Flows(cells: DataFrame, xCol: Column, yCol: Column,
+      zCol: Column): (DataFrame, DataFrame) = {
     // D8 direction table, clockwise from east
     val dirs = Seq((1, 0), (1, 1), (0, 1), (-1, 1), (-1, 0), (-1, -1),
       (0, -1), (1, -1))
@@ -490,7 +492,14 @@ object SpatialOps {
         struct(col("__s2"), -col("__k"))).as("__best"))
       .select(col("__x"), col("__y"), col("__best.__k").as("flow_dir"),
         col("__best.__nx").as("__tx"), col("__best.__ny").as("__ty"))
-      .localCheckpoint() // re-read every accumulation round
+      .localCheckpoint() // re-read every iterative round
+    (base, flows)
+  }
+
+  def d8FlowAccumulation(cells: DataFrame, xCol: Column, yCol: Column,
+      zCol: Column, rounds: Int): DataFrame = {
+    require(rounds >= 1 && rounds <= 64, "rounds in [1, 64]")
+    val (base, flows) = d8Flows(cells, xCol, yCol, zCol)
     var acc = base.select(col("__x"), col("__y"), lit(1L).as("acc"))
     var r = 0
     while (r < rounds) {
@@ -515,6 +524,47 @@ object SpatialOps {
       .join(acc, Seq("__x", "__y"))
       .select(col("__x").as("x"), col("__y").as("y"), col("flow_dir"),
         col("acc"))
+  }
+
+  /** A3+/E2 — D8 WATERSHED LABELING: assign every cell the PIT its
+    * flow path terminates in (the drainage-basin partition of the DEM;
+    * O'Callaghan-Mark flow model, same direction contract as
+    * [[d8FlowAccumulation]]). Pits label themselves. Resolution is
+    * POINTER DOUBLING on the flow forest — `rounds` halvings reach
+    * roots up to 2^rounds flow-steps away (rounds = 8 covers any path
+    * the accumulation horizon could see), the same device as the
+    * dedup-components driver (`ext/Graph.connectedComponents`).
+    * Returns one row per cell: (x, y, basin_x, basin_y).
+    *
+    * Scale: each doubling round is ONE self-join of the cell-sized
+    * pointer frame keyed on the current parent — log(depth) rounds
+    * total, no per-depth iteration. */
+  def d8Watersheds(cells: DataFrame, xCol: Column, yCol: Column,
+      zCol: Column, rounds: Int): DataFrame = {
+    require(rounds >= 1 && rounds <= 16, "rounds in [1, 16] (2^r depth)")
+    val (base, flows) = d8Flows(cells, xCol, yCol, zCol)
+    // parent = flow target; pits parent themselves (forest roots)
+    var ptr = base.select(col("__x"), col("__y"))
+      .join(flows.select(col("__x"), col("__y"), col("__tx"), col("__ty")),
+        Seq("__x", "__y"), "left")
+      .select(col("__x"), col("__y"),
+        coalesce(col("__tx"), col("__x")).as("__px"),
+        coalesce(col("__ty"), col("__y")).as("__py"))
+      .localCheckpoint()
+    var r = 0
+    while (r < rounds) {
+      r += 1
+      val up = ptr.select(col("__x").as("__px"), col("__y").as("__py"),
+        col("__px").as("__gx"), col("__py").as("__gy"))
+      ptr = ptr.join(up, Seq("__px", "__py"))
+        .select(col("__x"), col("__y"),
+          col("__gx").as("__px"), col("__gy").as("__py"))
+      // doubling squares reach per round; checkpoint every other round
+      // keeps the self-join input materialized without a stage per hop
+      if (r % 2 == 0 || r == rounds) ptr = ptr.localCheckpoint()
+    }
+    ptr.select(col("__x").as("x"), col("__y").as("y"),
+      col("__px").as("basin_x"), col("__py").as("basin_y"))
   }
 
   /** Pivot the long band stats into the reference's

@@ -256,6 +256,9 @@ object OpRegistry {
     "d8_flow_accumulation" -> (p => df => graft.ops.SpatialOps
       .d8FlowAccumulation(df, col(str(p, "x_col")), col(str(p, "y_col")),
         col(str(p, "z_col")), num(p, "rounds").toInt)),
+    "d8_watersheds" -> (p => df => graft.ops.SpatialOps
+      .d8Watersheds(df, col(str(p, "x_col")), col(str(p, "y_col")),
+        col(str(p, "z_col")), num(p, "rounds").toInt)),
     "exact_dedup" -> (p => df => graft.ext.Dedup.exact(
       df, str(p, "text_col"), str(p, "id_col"))),
     // cache = false: a pipeline result's lifetime is unmanaged, so

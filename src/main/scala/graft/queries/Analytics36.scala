@@ -437,5 +437,66 @@ object Analytics36 {
       "model as zonal stats and Horn gradients — rounds bound the " +
       "path horizon exactly like q155/q384.")
 
-  val all: Seq[Declared] = Seq(q480, q481, q482, q483, q484, q485, q486)
+  /** q487 — A3+/E2: D8 WATERSHED LABELING over the same egg-carton DEM
+    * as q486 — every cell labeled with the pit its flow path ends in,
+    * resolved by POINTER DOUBLING (8 halvings cover 2⁸ flow steps),
+    * reported as per-basin cell counts. The oracle walks the flow
+    * forest by single steps to the same fixed point — method differs,
+    * the converged labels cannot. */
+  val q487 = Declared(
+    "q487_d8_watersheds", "A3+,E2",
+    (s, dir) => {
+      val cells = Tables.part(s, dir).filter(col("p_partkey") <= 1200)
+        .select(((col("p_partkey") - 1) % 40).as("x"),
+          expr("(p_partkey - 1) div 40").as("y"))
+        .withColumn("z",
+          (col("x") % 6 - 3) * (col("x") % 6 - 3) +
+            (col("y") % 6 - 3) * (col("y") % 6 - 3))
+      graft.ops.SpatialOps.d8Watersheds(cells,
+          col("x"), col("y"), col("z"), rounds = 8)
+        .groupBy(col("basin_x"), col("basin_y"))
+        .agg(count(lit(1)).as("n_cells"))
+        .orderBy(col("basin_x"), col("basin_y"))
+    },
+    Some("""WITH RECURSIVE cells AS MATERIALIZED (
+           |  SELECT CAST((p_partkey - 1) % 40 AS BIGINT) AS x,
+           |         CAST((p_partkey - 1) // 40 AS BIGINT) AS y,
+           |         CAST(((p_partkey - 1) % 40 % 6 - 3)
+           |            * ((p_partkey - 1) % 40 % 6 - 3)
+           |            + ((p_partkey - 1) // 40 % 6 - 3)
+           |            * ((p_partkey - 1) // 40 % 6 - 3) AS BIGINT) AS z
+           |  FROM part WHERE p_partkey <= 1200),
+           |dirs AS (SELECT * FROM (VALUES (0,1,0,2),(1,1,1,1),(2,0,1,2),
+           |  (3,-1,1,1),(4,-1,0,2),(5,-1,-1,1),(6,0,-1,2),(7,1,-1,1))
+           |  d(k, dx, dy, w)),
+           |flows AS MATERIALIZED (
+           |  SELECT x, y, tx, ty FROM (
+           |    SELECT c.x, c.y, c.x + d.dx AS tx, c.y + d.dy AS ty,
+           |      row_number() OVER (PARTITION BY c.x, c.y
+           |        ORDER BY (c.z - n.z) * (c.z - n.z) * d.w DESC, d.k ASC)
+           |        AS rn
+           |    FROM cells c CROSS JOIN dirs d
+           |    JOIN cells n ON n.x = c.x + d.dx AND n.y = c.y + d.dy
+           |    WHERE c.z > n.z)
+           |  WHERE rn = 1),
+           |ptr(r, x, y, px, py) AS (
+           |  SELECT 0, c.x, c.y, coalesce(f.tx, c.x), coalesce(f.ty, c.y)
+           |  FROM cells c LEFT JOIN flows f ON f.x = c.x AND f.y = c.y
+           |  UNION ALL
+           |  SELECT r + 1, p.x, p.y,
+           |    coalesce(f.tx, p.px), coalesce(f.ty, p.py)
+           |  FROM ptr p LEFT JOIN flows f ON f.x = p.px AND f.y = p.py
+           |  WHERE p.r < 40),
+           |fin AS (SELECT x, y, px, py FROM ptr WHERE r = 40)
+           |SELECT px AS basin_x, py AS basin_y,
+           |  CAST(count(*) AS BIGINT) AS n_cells
+           |FROM fin GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin),
+    "Pointer doubling squares the resolved reach every round — " +
+      "log(depth) self-joins of the cell-sized pointer frame keyed on " +
+      "the current parent, the q70 components device applied to the " +
+      "flow forest. Watershed partitioning is the canonical " +
+      "raster-to-catchment rollup key at continental-DEM scale.")
+
+  val all: Seq[Declared] =
+    Seq(q480, q481, q482, q483, q484, q485, q486, q487)
 }

@@ -286,6 +286,17 @@ class SpatialStatsSpec extends AnyFunSuite {
         col("x"), col("y"), col("z"), rounds = 2)
       .collect().map(row => row.getLong(0) -> row.getLong(3)).toMap
     assert(rc2(5L) == 3L, "acc_2 counts upstream cells within 2 hops")
+    // watersheds: every bowl cell labels to the pit; the chain labels
+    // to its end — doubling with 3 rounds covers the depth-5 chain
+    val wb = SpatialOps.d8Watersheds(bowl,
+        col("x"), col("y"), col("z"), rounds = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3))).toMap
+    assert(wb.values.forall(_ == ((1L, 1L))), s"one basin: $wb")
+    val wc = SpatialOps.d8Watersheds(chain,
+        col("x"), col("y"), col("z"), rounds = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(wc.values.forall(_ == 5L), s"chain drains to x=5: $wc")
   }
 
   test("A3+: zonalStats — rectangle zone collects exactly its interior cells") {
