@@ -458,6 +458,58 @@ object SpatialOps {
     * one flow-edge join + grouped sum, chained lazily and
     * checkpointed every third round like the BFS family — state is
     * the cell table itself, shuffle keys on the flow target. */
+  /** A3+/S5 — POLYGON RASTERIZATION (the gdal_rasterize direction of
+    * the vector↔raster bridge; [[zonalStats]] is the inverse): burn
+    * each polygon's id into the grid cells whose CENTER it contains
+    * (the GDAL default center-sampling rule). Overlaps resolve to the
+    * SMALLEST id — deterministic, oracle-replayable.
+    *
+    * Scale: each polygon explodes to the cell-index window of its own
+    * BBOX (never the whole grid — the same bound-the-fan-out discipline
+    * as the grid-bucket joins), the exact even-odd ray cast runs as a
+    * scan-side predicate on the exploded pairs, and the min-id
+    * tie-break is one grouped agg keyed on the cell. No cartesian, no
+    * broadcast assumption: a continental raster × a big vector layer
+    * shuffles on cell indices only.
+    *
+    * Grid convention matches [[terrainGradients]]: cell (c, r) has
+    * center (originX + (c+0.5)·scaleX, originY − (r+0.5)·scaleY) —
+    * row 0 at the TOP. Returns (x, y, c, r, polygon_id) for covered
+    * cells only. */
+  def rasterizePolygons(polys: DataFrame, idCol: Column, geomCol: Column,
+      originX: Double, originY: Double, scaleX: Double, scaleY: Double,
+      width: Int, height: Int): DataFrame = {
+    require(scaleX > 0 && scaleY > 0, "pixel scale must be positive")
+    require(width >= 1 && height >= 1, "grid dims must be positive")
+    import graft.geo.Geo
+    val p = polys.select(idCol.cast("long").as("__pid"), geomCol.as("__g"))
+      .withColumn("__bb", Geo.stBounds(col("__g")))
+      // covered CENTER index window: x_c = originX + (c+0.5)·scaleX in
+      // [xmin, xmax] → c in [ceil((xmin−ox)/sx − 0.5), floor((xmax−ox)/sx − 0.5)]
+      .withColumn("__c0", greatest(lit(0L),
+        ceil((col("__bb.xmin") - originX) / scaleX - 0.5).cast("long")))
+      .withColumn("__c1", least(lit(width - 1L),
+        floor((col("__bb.xmax") - originX) / scaleX - 0.5).cast("long")))
+      .withColumn("__r0", greatest(lit(0L),
+        ceil((lit(originY) - col("__bb.ymax")) / scaleY - 0.5).cast("long")))
+      .withColumn("__r1", least(lit(height - 1L),
+        floor((lit(originY) - col("__bb.ymin")) / scaleY - 0.5).cast("long")))
+      // sequence() DESCENDS when hi < lo — an off-grid polygon must
+      // contribute zero cells, not a reversed walk
+      .filter(col("__c0") <= col("__c1") && col("__r0") <= col("__r1"))
+    val cells = p
+      .withColumn("__c", explode(sequence(col("__c0"), col("__c1"))))
+      .withColumn("__r", explode(sequence(col("__r0"), col("__r1"))))
+      .withColumn("__x", lit(originX) + (col("__c") + 0.5) * scaleX)
+      .withColumn("__y", lit(originY) - (col("__r") + 0.5) * scaleY)
+      .filter(Geo.stIntersects(Geo.stPoint(col("__x"), col("__y")),
+        col("__g")))
+    cells.groupBy(col("__c").as("c"), col("__r").as("r"))
+      .agg(min(col("__pid")).as("polygon_id"),
+        max(col("__x")).as("x"), max(col("__y")).as("y"))
+      .select(col("x"), col("y"), col("c"), col("r"), col("polygon_id"))
+  }
+
   /** Shared D8 core: (checkpointed integer cell frame, checkpointed
     * flow frame (__x, __y, flow_dir, __tx, __ty)). See
     * [[d8FlowAccumulation]] for the full semantics contract. */

@@ -259,6 +259,11 @@ object OpRegistry {
     "d8_watersheds" -> (p => df => graft.ops.SpatialOps
       .d8Watersheds(df, col(str(p, "x_col")), col(str(p, "y_col")),
         col(str(p, "z_col")), num(p, "rounds").toInt)),
+    "rasterize_polygons" -> (p => df => graft.ops.SpatialOps
+      .rasterizePolygons(df, col(str(p, "id_col")), col(str(p, "geom_col")),
+        num(p, "origin_x"), num(p, "origin_y"),
+        num(p, "scale_x"), num(p, "scale_y"),
+        num(p, "width").toInt, num(p, "height").toInt)),
     "exact_dedup" -> (p => df => graft.ext.Dedup.exact(
       df, str(p, "text_col"), str(p, "id_col"))),
     // cache = false: a pipeline result's lifetime is unmanaged, so

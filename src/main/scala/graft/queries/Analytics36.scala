@@ -497,6 +497,70 @@ object Analytics36 {
       "flow forest. Watershed partitioning is the canonical " +
       "raster-to-catchment rollup key at continental-DEM scale.")
 
+  /** q488 — A3+/S5: POLYGON RASTERIZATION — two overlapping literal
+    * polygons burned into a 60×48 unit grid by the center-sampling
+    * rule, overlaps resolved to the smallest id, reported as
+    * per-polygon coverage (cell count + index checksums). The oracle
+    * replays the even-odd ray cast per (cell, polygon) with the q109
+    * crossing formula and the same min-id tie-break. */
+  val q488 = {
+    val pent = Seq((9.2, 8.3), (48.7, 4.1), (55.3, 33.8), (30.4, 43.9),
+      (5.6, 30.2))
+    val tri = Seq((35.3, 20.2), (58.8, 38.7), (38.1, 39.4))
+    def edgesSql(pid: Int, vs: Seq[(Double, Double)]): String =
+      (vs :+ vs.head).sliding(2).map { case Seq((ax, ay), (bx, by)) =>
+        s"($pid, $ax, $ay, $bx, $by)" }.mkString(",\n|         ")
+    Declared(
+      "q488_rasterize_polygons", "A3+,S5",
+      (s, dir) => {
+        import graft.geo.Geo
+        def mk(id: Long, vs: Seq[(Double, Double)]) =
+          s.range(1).select(lit(id).as("pid"),
+            Geo.stPolygon(array(vs.map { case (vx, vy) =>
+              struct(lit(vx).as("x"), lit(vy).as("y")) }: _*)).as("geom"))
+        val polys = mk(1L, pent).unionByName(mk(2L, tri))
+        graft.ops.SpatialOps.rasterizePolygons(polys,
+            col("pid"), col("geom"),
+            originX = 0.0, originY = 48.0, scaleX = 1.0, scaleY = 1.0,
+            width = 60, height = 48)
+          .groupBy(col("polygon_id"))
+          .agg(count(lit(1)).as("n_cells"),
+            sum(col("c")).as("sum_c"), sum(col("r")).as("sum_r"))
+          .orderBy(col("polygon_id"))
+      },
+      Some(s"""WITH edges(pid, ax, ay, bx, by) AS (
+             |  VALUES ${edgesSql(1, pent)},
+             |         ${edgesSql(2, tri)}),
+             |lattice AS (
+             |  SELECT CAST(c.x AS BIGINT) AS c, CAST(r.x AS BIGINT) AS r,
+             |    CAST(c.x AS DOUBLE) + 0.5 AS px,
+             |    48.0 - (CAST(r.x AS DOUBLE) + 0.5) AS py
+             |  FROM generate_series(0, 59) c(x)
+             |  CROSS JOIN generate_series(0, 47) r(x)),
+             |cr AS (
+             |  SELECT l.c, l.r, e.pid,
+             |    sum(CASE WHEN (e.ay > l.py) <> (e.by > l.py)
+             |          AND l.px < (e.bx - e.ax) * (l.py - e.ay)
+             |                / (e.by - e.ay) + e.ax
+             |        THEN 1 ELSE 0 END) AS k
+             |  FROM lattice l CROSS JOIN edges e
+             |  GROUP BY 1, 2, 3),
+             |hit AS (
+             |  SELECT c, r, min(pid) AS polygon_id
+             |  FROM cr WHERE k % 2 = 1 GROUP BY 1, 2)
+             |SELECT CAST(polygon_id AS BIGINT) AS polygon_id,
+             |  CAST(count(*) AS BIGINT) AS n_cells,
+             |  CAST(sum(c) AS BIGINT) AS sum_c,
+             |  CAST(sum(r) AS BIGINT) AS sum_r
+             |FROM hit GROUP BY 1 ORDER BY 1""".stripMargin),
+      "Each polygon explodes to its OWN bbox's cell window (never the " +
+        "grid), the ray cast is a scan-side predicate on the exploded " +
+        "pairs, and the min-id burn is one cell-keyed agg — a " +
+        "continental raster x a big vector layer shuffles on cell " +
+        "indices only. Completes the vector-to-raster direction of the " +
+        "bridge whose inverse is zonalStats.")
+  }
+
   val all: Seq[Declared] =
-    Seq(q480, q481, q482, q483, q484, q485, q486, q487)
+    Seq(q480, q481, q482, q483, q484, q485, q486, q487, q488)
 }

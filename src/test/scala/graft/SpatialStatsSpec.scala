@@ -250,6 +250,36 @@ class SpatialStatsSpec extends AnyFunSuite {
     assert(r2.getAs[Double]("z_ce") < 0.0)
   }
 
+  test("A3+: rasterizePolygons — center rule, min-id overlap, off-grid empty") {
+    import graft.geo.Geo
+    import graft.ops.SpatialOps
+    def mk(id: Long, vs: Seq[(Double, Double)]) =
+      spark.range(1).select(lit(id).as("pid"),
+        Geo.stPolygon(array(vs.map { case (vx, vy) =>
+          struct(lit(vx).as("x"), lit(vy).as("y")) }: _*)).as("geom"))
+    // axis-aligned square [1.2, 3.8]² covers centers (1.5, 2.5, 3.5)²
+    // on the unit grid (origin (0, 10), row 0 on top)
+    val sq = mk(1L, Seq((1.2, 1.2), (3.8, 1.2), (3.8, 3.8), (1.2, 3.8)))
+    val r1 = SpatialOps.rasterizePolygons(sq, col("pid"), col("geom"),
+        0.0, 10.0, 1.0, 1.0, width = 10, height = 10)
+      .collect().map(r => (r.getLong(2), r.getLong(3))).toSet
+    // y centers 1.5/2.5/3.5 → rows 10 − y − 0.5 = 8.0/7.0/6.0
+    assert(r1 == (for { c <- 1 to 3; r <- 6 to 8 } yield
+      (c.toLong, r.toLong)).toSet, s"got $r1")
+    // overlap: a second square with a LARGER id loses the shared cells
+    val both = sq.unionByName(
+      mk(2L, Seq((2.2, 2.2), (5.8, 2.2), (5.8, 5.8), (2.2, 5.8))))
+    val burned = SpatialOps.rasterizePolygons(both, col("pid"), col("geom"),
+        0.0, 10.0, 1.0, 1.0, width = 10, height = 10)
+      .collect().map(r => (r.getLong(2), r.getLong(3)) -> r.getLong(4)).toMap
+    assert(burned((3L, 6L)) == 1L, "shared cell burns the smaller id")
+    assert(burned((5L, 5L)) == 2L)
+    // off-grid polygon contributes nothing (sequence-descend guard)
+    val off = mk(3L, Seq((-9.0, -9.0), (-5.0, -9.0), (-5.0, -5.0)))
+    assert(SpatialOps.rasterizePolygons(off, col("pid"), col("geom"),
+      0.0, 10.0, 1.0, 1.0, 10, 10).isEmpty)
+  }
+
   test("A3+: d8FlowAccumulation — bowl drains to the pit, chain accumulates") {
     import graft.ops.SpatialOps
     // 3x3 bowl: center z=0, edge-adjacent z=2, corners z=3 — every cell
