@@ -510,6 +510,77 @@ object SpatialOps {
       .select(col("x"), col("y"), col("c"), col("r"), col("polygon_id"))
   }
 
+  /** A3+/E2 — COST-DISTANCE surface over the integer cost raster (the
+    * gdal_proximity / r.cost operation; Douglas 1994 "Least-cost path
+    * in GIS" — public literature): the accumulated least cost from the
+    * nearest SOURCE cell to every cell, moving over the 8-neighborhood.
+    *
+    * EXACT INTEGER METRIC (documented, oracle-replayable): stepping
+    * between adjacent cells a → b costs (cost_a + cost_b)·2 for
+    * cardinal moves and (cost_a + cost_b)·3 for diagonals — the ×2
+    * scaling clears the usual (ca+cb)/2 average and 3/2 is the
+    * integer diagonal factor (the √2 of the continuous metric is
+    * irrational; a DEFINED rational metric keeps every distance an
+    * exact long under any partitioning and any engine).
+    *
+    * Distances run `rounds` min-plus Jacobi relaxations — exact once
+    * `rounds` ≥ the step count of the longest least-cost path (the
+    * fixed-horizon purity contract of the BFS family). The SELF-LOOP
+    * device keeps each round ONE join + one grouped min: a zero-cost
+    * (v → v) edge carries the previous label, so no left join or
+    * second pass is needed. Unreached cells report null.
+    *
+    * Scale: the edge frame (≤ 8 per cell + the self-loop) checkpoints
+    * once keyed on the source cell; each round shuffles only the
+    * label frame (cell-sized) into the grouped min. */
+  def costDistance(cells: DataFrame, xCol: Column, yCol: Column,
+      costCol: Column, sourceCond: Column, rounds: Int): DataFrame = {
+    require(rounds >= 1 && rounds <= 64, "rounds in [1, 64]")
+    val dirs = Seq((1, 0, 2L), (1, 1, 3L), (0, 1, 2L), (-1, 1, 3L),
+      (-1, 0, 2L), (-1, -1, 3L), (0, -1, 2L), (1, -1, 3L))
+    val dirArr = dirs.map { case (dx, dy, m) =>
+      s"struct(${dx}L as dx, ${dy}L as dy, ${m}L as m)"
+    }.mkString("array(", ", ", ")")
+    val base = cells.select(xCol.cast("long").as("__x"),
+        yCol.cast("long").as("__y"), costCol.cast("long").as("__c"),
+        sourceCond.as("__src"))
+      .localCheckpoint()
+    val minCost = base.agg(min(col("__c"))).head.getLong(0)
+    if (minCost < 1L) throw graft.core.DataIOError("costDistance",
+      s"traversal costs must be >= 1, found $minCost — a zero/negative " +
+        "cost makes the least-cost metric degenerate")
+    val INF = Long.MaxValue / 4
+    val nbrEdges = base
+      .withColumn("__d", explode(expr(dirArr)))
+      .select(col("__x"), col("__y"), col("__c"),
+        (col("__x") + col("__d.dx")).as("__tx"),
+        (col("__y") + col("__d.dy")).as("__ty"),
+        col("__d.m").as("__m"))
+      .join(base.select(col("__x").as("__tx"), col("__y").as("__ty"),
+        col("__c").as("__tc")), Seq("__tx", "__ty"))
+      .select(col("__x"), col("__y"), col("__tx"), col("__ty"),
+        ((col("__c") + col("__tc")) * col("__m")).as("__w"))
+    val selfLoop = base.select(col("__x"), col("__y"),
+      col("__x").as("__tx"), col("__y").as("__ty"), lit(0L).as("__w"))
+    val edges = nbrEdges.unionByName(selfLoop)
+      .repartition(cells.sparkSession.sparkContext.defaultParallelism,
+        col("__x"), col("__y"))
+      .localCheckpoint() // re-read every relaxation round
+    var labels = base.select(col("__x"), col("__y"),
+      when(col("__src"), lit(0L)).otherwise(lit(INF)).as("__dist"))
+    var r = 0
+    while (r < rounds) {
+      r += 1
+      labels = edges.join(labels, Seq("__x", "__y"))
+        .groupBy(col("__tx").as("__x"), col("__ty").as("__y"))
+        .agg(min(col("__dist") + col("__w")).as("__dist"))
+      if (r % 4 == 0 || r == rounds) labels = labels.localCheckpoint()
+    }
+    labels.select(col("__x").as("x"), col("__y").as("y"),
+      when(col("__dist") >= INF, lit(null).cast("long"))
+        .otherwise(col("__dist")).as("cost_dist"))
+  }
+
   /** Shared D8 core: (checkpointed integer cell frame, checkpointed
     * flow frame (__x, __y, flow_dir, __tx, __ty)). See
     * [[d8FlowAccumulation]] for the full semantics contract. */

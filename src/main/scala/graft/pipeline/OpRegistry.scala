@@ -259,6 +259,10 @@ object OpRegistry {
     "d8_watersheds" -> (p => df => graft.ops.SpatialOps
       .d8Watersheds(df, col(str(p, "x_col")), col(str(p, "y_col")),
         col(str(p, "z_col")), num(p, "rounds").toInt)),
+    "cost_distance" -> (p => df => graft.ops.SpatialOps
+      .costDistance(df, col(str(p, "x_col")), col(str(p, "y_col")),
+        col(str(p, "cost_col")), expr(str(p, "source_cond")),
+        num(p, "rounds").toInt)),
     "rasterize_polygons" -> (p => df => graft.ops.SpatialOps
       .rasterizePolygons(df, col(str(p, "id_col")), col(str(p, "geom_col")),
         num(p, "origin_x"), num(p, "origin_y"),

@@ -377,9 +377,9 @@ object Analytics36 {
   val q486 = Declared(
     "q486_d8_flow_accumulation", "A3+,E2",
     (s, dir) => {
-      val cells = Tables.part(s, dir).filter(col("p_partkey") <= 1200)
-        .select(((col("p_partkey") - 1) % 40).as("x"),
-          expr("(p_partkey - 1) div 40").as("y"))
+      val cells = Tables.part(s, dir).filter(col("p_partkey") < 1200)
+        .select((col("p_partkey") % 40).as("x"),
+          expr("p_partkey div 40").as("y"))
         .withColumn("z",
           (col("x") % 6 - 3) * (col("x") % 6 - 3) +
             (col("y") % 6 - 3) * (col("y") % 6 - 3))
@@ -391,13 +391,13 @@ object Analytics36 {
         .orderBy(col("acc"))
     },
     Some("""WITH RECURSIVE cells AS MATERIALIZED (
-           |  SELECT CAST((p_partkey - 1) % 40 AS BIGINT) AS x,
-           |         CAST((p_partkey - 1) // 40 AS BIGINT) AS y,
-           |         CAST(((p_partkey - 1) % 40 % 6 - 3)
-           |            * ((p_partkey - 1) % 40 % 6 - 3)
-           |            + ((p_partkey - 1) // 40 % 6 - 3)
-           |            * ((p_partkey - 1) // 40 % 6 - 3) AS BIGINT) AS z
-           |  FROM part WHERE p_partkey <= 1200),
+           |  SELECT CAST(p_partkey % 40 AS BIGINT) AS x,
+           |         CAST(p_partkey // 40 AS BIGINT) AS y,
+           |         CAST((p_partkey % 40 % 6 - 3)
+           |            * (p_partkey % 40 % 6 - 3)
+           |            + (p_partkey // 40 % 6 - 3)
+           |            * (p_partkey // 40 % 6 - 3) AS BIGINT) AS z
+           |  FROM part WHERE p_partkey < 1200),
            |dirs AS (SELECT * FROM (VALUES (0,1,0,2),(1,1,1,1),(2,0,1,2),
            |  (3,-1,1,1),(4,-1,0,2),(5,-1,-1,1),(6,0,-1,2),(7,1,-1,1))
            |  d(k, dx, dy, w)),
@@ -446,9 +446,9 @@ object Analytics36 {
   val q487 = Declared(
     "q487_d8_watersheds", "A3+,E2",
     (s, dir) => {
-      val cells = Tables.part(s, dir).filter(col("p_partkey") <= 1200)
-        .select(((col("p_partkey") - 1) % 40).as("x"),
-          expr("(p_partkey - 1) div 40").as("y"))
+      val cells = Tables.part(s, dir).filter(col("p_partkey") < 1200)
+        .select((col("p_partkey") % 40).as("x"),
+          expr("p_partkey div 40").as("y"))
         .withColumn("z",
           (col("x") % 6 - 3) * (col("x") % 6 - 3) +
             (col("y") % 6 - 3) * (col("y") % 6 - 3))
@@ -459,13 +459,13 @@ object Analytics36 {
         .orderBy(col("basin_x"), col("basin_y"))
     },
     Some("""WITH RECURSIVE cells AS MATERIALIZED (
-           |  SELECT CAST((p_partkey - 1) % 40 AS BIGINT) AS x,
-           |         CAST((p_partkey - 1) // 40 AS BIGINT) AS y,
-           |         CAST(((p_partkey - 1) % 40 % 6 - 3)
-           |            * ((p_partkey - 1) % 40 % 6 - 3)
-           |            + ((p_partkey - 1) // 40 % 6 - 3)
-           |            * ((p_partkey - 1) // 40 % 6 - 3) AS BIGINT) AS z
-           |  FROM part WHERE p_partkey <= 1200),
+           |  SELECT CAST(p_partkey % 40 AS BIGINT) AS x,
+           |         CAST(p_partkey // 40 AS BIGINT) AS y,
+           |         CAST((p_partkey % 40 % 6 - 3)
+           |            * (p_partkey % 40 % 6 - 3)
+           |            + (p_partkey // 40 % 6 - 3)
+           |            * (p_partkey // 40 % 6 - 3) AS BIGINT) AS z
+           |  FROM part WHERE p_partkey < 1200),
            |dirs AS (SELECT * FROM (VALUES (0,1,0,2),(1,1,1,1),(2,0,1,2),
            |  (3,-1,1,1),(4,-1,0,2),(5,-1,-1,1),(6,0,-1,2),(7,1,-1,1))
            |  d(k, dx, dy, w)),
@@ -561,6 +561,71 @@ object Analytics36 {
         "bridge whose inverse is zonalStats.")
   }
 
+  /** q489 — A3+/E2: COST-DISTANCE surface — accumulated least cost
+    * from ~6 scattered source cells over a 1..5 integer cost raster on
+    * the part-key lattice, 24 min-plus relaxation rounds under the
+    * exact ×2/×3 rational metric, reported as distance-band stats.
+    * The oracle replays every round with the same self-loop device
+    * (a zero-cost (v → v) edge carries the previous label through the
+    * single grouped min). */
+  val q489 = Declared(
+    "q489_cost_distance", "A3+,E2",
+    (s, dir) => {
+      val cells = Tables.part(s, dir).filter(col("p_partkey") < 1200)
+        .select((col("p_partkey") % 40).as("x"),
+          expr("p_partkey div 40").as("y"))
+        .withColumn("cost", lit(1L) + (col("x") * 3 + col("y") * 7) % 5)
+        .withColumn("src", (col("x") * 31 + col("y") * 17) % 211 === 0)
+      graft.ops.SpatialOps.costDistance(cells, col("x"), col("y"),
+          col("cost"), col("src"), rounds = 24)
+        .groupBy(expr("cost_dist div 25").as("band"))
+        .agg(count(lit(1)).as("n_cells"),
+          min(col("cost_dist")).as("min_d"),
+          max(col("cost_dist")).as("max_d"),
+          sum(col("cost_dist")).as("sum_d"))
+        .orderBy(col("band"))
+    },
+    Some("""WITH RECURSIVE cells AS MATERIALIZED (
+           |  SELECT CAST(p_partkey % 40 AS BIGINT) AS x,
+           |         CAST(p_partkey // 40 AS BIGINT) AS y,
+           |         CAST(1 + (p_partkey % 40 * 3
+           |            + p_partkey // 40 * 7) % 5 AS BIGINT) AS c,
+           |         (p_partkey % 40 * 31
+           |            + p_partkey // 40 * 17) % 211 = 0 AS src
+           |  FROM part WHERE p_partkey < 1200),
+           |dirs AS (SELECT * FROM (VALUES (1,0,2),(1,1,3),(0,1,2),
+           |  (-1,1,3),(-1,0,2),(-1,-1,3),(0,-1,2),(1,-1,3)) d(dx, dy, m)),
+           |edges AS MATERIALIZED (
+           |  SELECT a.x, a.y, n.x AS tx, n.y AS ty,
+           |    CAST((a.c + n.c) * d.m AS BIGINT) AS w
+           |  FROM cells a CROSS JOIN dirs d
+           |  JOIN cells n ON n.x = a.x + d.dx AND n.y = a.y + d.dy
+           |  UNION ALL
+           |  SELECT x, y, x, y, CAST(0 AS BIGINT) FROM cells),
+           |st(r, x, y, d) AS (
+           |  SELECT 0, x, y,
+           |    CASE WHEN src THEN CAST(0 AS BIGINT)
+           |         ELSE CAST(2305843009213693951 AS BIGINT) END
+           |  FROM cells
+           |  UNION ALL
+           |  SELECT s.r + 1, e.tx, e.ty, CAST(min(s.d + e.w) AS BIGINT)
+           |  FROM st s JOIN edges e ON e.x = s.x AND e.y = s.y
+           |  WHERE s.r < 24
+           |  GROUP BY 1, 2, 3),
+           |fin AS (
+           |  SELECT x, y, CASE WHEN d >= 2305843009213693951 THEN NULL
+           |    ELSE d END AS d
+           |  FROM st WHERE r = 24)
+           |SELECT d // 25 AS band, CAST(count(*) AS BIGINT) AS n_cells,
+           |  min(d) AS min_d, max(d) AS max_d,
+           |  CAST(sum(d) AS BIGINT) AS sum_d
+           |FROM fin GROUP BY 1 ORDER BY 1""".stripMargin),
+    "The edge frame (8 + self-loop per cell) checkpoints once keyed on " +
+      "the source cell; every relaxation round is ONE cell-keyed join " +
+      "+ grouped min chained lazily — the friction/least-cost surface " +
+      "behind siting, routing and proximity analysis, on the same " +
+      "horizon contract as the BFS family.")
+
   val all: Seq[Declared] =
-    Seq(q480, q481, q482, q483, q484, q485, q486, q487, q488)
+    Seq(q480, q481, q482, q483, q484, q485, q486, q487, q488, q489)
 }

@@ -250,6 +250,40 @@ class SpatialStatsSpec extends AnyFunSuite {
     assert(r2.getAs[Double]("z_ce") < 0.0)
   }
 
+  test("A3+: costDistance — chain metric, diagonal factor, unreached null, typed cost") {
+    import graft.ops.SpatialOps
+    // 1-D chain, costs 1,2,3,4; source at x=0. Metric: (ca+cb)·2.
+    // d(1) = (1+2)·2 = 6; d(2) = 6 + (2+3)·2 = 16; d(3) = 16 + (3+4)·2 = 30
+    val chain = Seq((0L, 0L, 1L), (1L, 0L, 2L), (2L, 0L, 3L), (3L, 0L, 4L))
+      .toDF("x", "y", "c")
+    val r = SpatialOps.costDistance(chain, col("x"), col("y"), col("c"),
+        col("x") === 0L, rounds = 4)
+      .collect().map(row => row.getLong(0) -> row.getLong(2)).toMap
+    assert(r == Map(0L -> 0L, 1L -> 6L, 2L -> 16L, 3L -> 30L))
+    // diagonal: 2x2 uniform cost 1 — diagonal step (1+1)·3 = 6 beats
+    // the two-cardinal detour (1+1)·2 + (1+1)·2 = 8
+    val sq = Seq((0L, 0L, 1L), (1L, 0L, 1L), (0L, 1L, 1L), (1L, 1L, 1L))
+      .toDF("x", "y", "c")
+    val rs = SpatialOps.costDistance(sq, col("x"), col("y"), col("c"),
+        col("x") === 0L && col("y") === 0L, rounds = 3)
+      .collect().map(row => (row.getLong(0), row.getLong(1)) ->
+        row.getLong(2)).toMap
+    assert(rs((1L, 1L)) == 6L && rs((1L, 0L)) == 4L)
+    // an unreachable island reports null
+    val island = chain.unionByName(Seq((9L, 9L, 1L)).toDF("x", "y", "c"))
+    val ri = SpatialOps.costDistance(island, col("x"), col("y"), col("c"),
+        col("x") === 0L && col("y") === 0L, rounds = 4)
+      .collect().map(row => (row.getLong(0), row.getLong(1)) ->
+        (if (row.isNullAt(2)) None else Some(row.getLong(2)))).toMap
+    assert(ri((9L, 9L)) == None)
+    // zero cost is a loud typed boundary, not a silent degenerate metric
+    val bad = Seq((0L, 0L, 0L), (1L, 0L, 1L)).toDF("x", "y", "c")
+    val e = intercept[graft.core.DataIOError] {
+      SpatialOps.costDistance(bad, col("x"), col("y"), col("c"),
+        col("x") === 0L, rounds = 2) }
+    assert(e.getMessage.contains("costs must be >= 1"))
+  }
+
   test("A3+: rasterizePolygons — center rule, min-id overlap, off-grid empty") {
     import graft.geo.Geo
     import graft.ops.SpatialOps
