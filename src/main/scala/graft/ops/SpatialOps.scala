@@ -581,6 +581,98 @@ object SpatialOps {
         .otherwise(col("__dist")).as("cost_dist"))
   }
 
+  /** A3+/E2 — VIEWSHED from one observer cell over the integer DEM
+    * (the GRASS r.viewshed / GDAL viewshed operation; R3 sampling per
+    * Franklin & Ray 1994 — public literature): a cell is VISIBLE when
+    * no sampled cell along the sight line subtends a larger vertical
+    * angle than the target does.
+    *
+    * EXACT INTEGER DECISIONS end to end: the line from the observer to
+    * a target at lattice offset (dx, dy) is sampled once per step of
+    * the dominant axis at the NEAREST cell (round-half-up of the exact
+    * rational coordinate — floor((2·num + S) / (2·S)) on integer
+    * numerators, no floating point); the angle comparison
+    * (z_s − z_o)/d_s vs (z_t − z_o)/d_t clears both irrational
+    * denominators by sign analysis + squaring: a/√p ≥ b/√q ⟺
+    * (a≥0 ∧ b<0) ∨ (a≥0 ∧ b≥0 ∧ a²q ≥ b²p) ∨ (a<0 ∧ b<0 ∧ a²q ≤ b²p).
+    * Every quantity is a long, so visibility is bit-identical under
+    * any partitioning and any engine. The observer sights from
+    * z_obs + `height`. Cells beyond `maxDist` lattice units (Chebyshev)
+    * are out of scope; the observer cell itself is visible.
+    *
+    * Scale: targets explode to their ≤ maxDist line samples (the
+    * documented fan-out dial — O(cells·maxDist)), sample elevations
+    * attach by ONE equi-join on the rounded lattice key, and the
+    * verdict is one grouped bool agg per target. No cartesian, no
+    * window, no driver loop. */
+  def viewshed(cells: DataFrame, xCol: Column, yCol: Column, zCol: Column,
+      obsX: Long, obsY: Long, height: Long, maxDist: Int): DataFrame = {
+    require(height >= 0, "observer height >= 0")
+    require(maxDist >= 1 && maxDist <= 4096, "maxDist in [1, 4096]")
+    val base = cells.select(xCol.cast("long").as("__x"),
+        yCol.cast("long").as("__y"), zCol.cast("long").as("__z"))
+      .localCheckpoint() // targets + sample-elevation lookup
+    val zObsRow = base.filter(col("__x") === obsX && col("__y") === obsY)
+      .select(col("__z")).collect()
+    if (zObsRow.isEmpty) throw graft.core.DataIOError("viewshed",
+      s"observer cell ($obsX, $obsY) not present in the DEM")
+    // the exact round-half-up below uses truncating div — valid on
+    // non-negative numerators only, i.e. a non-negative lattice
+    val mins = base.agg(min(col("__x")), min(col("__y"))).head()
+    if (mins.getLong(0) < 0L || mins.getLong(1) < 0L)
+      throw graft.core.DataIOError("viewshed",
+        "lattice coordinates must be non-negative (shift the grid)")
+    val zo = zObsRow.head.getLong(0) + height
+    val targets = base
+      .withColumn("__dx", col("__x") - obsX)
+      .withColumn("__dy", col("__y") - obsY)
+      .filter(greatest(abs(col("__dx")), abs(col("__dy"))) <= maxDist &&
+        (col("__dx") =!= 0L || col("__dy") =!= 0L))
+      // S = dominant-axis step count; target angle numerator/denominator
+      .withColumn("__s", greatest(abs(col("__dx")), abs(col("__dy"))))
+      .withColumn("__a", col("__z") - zo) // target rise
+      .withColumn("__p", col("__dx") * col("__dx") +
+        col("__dy") * col("__dy")) // target dist²
+    // one sample per dominant-axis step strictly between obs and target:
+    // exact rational position (obs·S + t·d)/S, nearest cell by
+    // round-half-up on the integer numerator
+    val samples = targets
+      // sequence(1, 0) DESCENDS (the engine-wide guard): adjacent
+      // targets (__s = 1) have no intervening samples, not a reversed
+      // walk that would sample the target itself
+      .withColumn("__t", explode(when(col("__s") >= 2L,
+        sequence(lit(1L), col("__s") - 1L))
+        .otherwise(array().cast("array<bigint>"))))
+      .withColumn("__sx", expr(
+        s"(2 * ($obsX * __s + __t * __dx) + __s) div (2 * __s)"))
+      .withColumn("__sy", expr(
+        s"(2 * ($obsY * __s + __t * __dy) + __s) div (2 * __s)"))
+      .join(base.select(col("__x").as("__sx"), col("__y").as("__sy"),
+        col("__z").as("__sz")), Seq("__sx", "__sy"))
+      .withColumn("__b", col("__sz") - zo) // sample rise
+      .withColumn("__q", (col("__sx") - obsX) * (col("__sx") - obsX) +
+        (col("__sy") - obsY) * (col("__sy") - obsY)) // sample dist²
+      // sample BLOCKS target ⟺ sample angle ≥ target angle:
+      // b/√q ≥ a/√p with the sign-split squared comparison
+      .withColumn("__blocks",
+        (col("__b") >= 0L && col("__a") < 0L) ||
+        (col("__b") >= 0L && col("__a") >= 0L &&
+          col("__b") * col("__b") * col("__p") >=
+            col("__a") * col("__a") * col("__q")) ||
+        (col("__b") < 0L && col("__a") < 0L &&
+          col("__b") * col("__b") * col("__p") <=
+            col("__a") * col("__a") * col("__q")))
+    val verdicts = samples.groupBy(col("__x"), col("__y"))
+      .agg(max(col("__blocks")).as("__blocked"))
+    targets
+      .join(verdicts, Seq("__x", "__y"), "left") // adjacent cells: no samples
+      .select(col("__x").as("x"), col("__y").as("y"),
+        (!coalesce(col("__blocked"), lit(false))).as("visible"))
+      .unionByName(base.sparkSession.range(1)
+        .select(lit(obsX).as("x"), lit(obsY).as("y"),
+          lit(true).as("visible")))
+  }
+
   /** Shared D8 core: (checkpointed integer cell frame, checkpointed
     * flow frame (__x, __y, flow_dir, __tx, __ty)). See
     * [[d8FlowAccumulation]] for the full semantics contract. */

@@ -263,6 +263,11 @@ object OpRegistry {
       .costDistance(df, col(str(p, "x_col")), col(str(p, "y_col")),
         col(str(p, "cost_col")), expr(str(p, "source_cond")),
         num(p, "rounds").toInt)),
+    "viewshed" -> (p => df => graft.ops.SpatialOps
+      .viewshed(df, col(str(p, "x_col")), col(str(p, "y_col")),
+        col(str(p, "z_col")), num(p, "obs_x").toLong,
+        num(p, "obs_y").toLong, num(p, "height").toLong,
+        num(p, "max_dist").toInt)),
     "rasterize_polygons" -> (p => df => graft.ops.SpatialOps
       .rasterizePolygons(df, col(str(p, "id_col")), col(str(p, "geom_col")),
         num(p, "origin_x"), num(p, "origin_y"),

@@ -626,6 +626,79 @@ object Analytics36 {
       "behind siting, routing and proximity analysis, on the same " +
       "horizon contract as the BFS family.")
 
+  /** q490 — A3+/E2: VIEWSHED from a ridge cell of the egg-carton DEM
+    * (observer at (12, 0) — a ridge cell present at every
+    * scale factor's lattice — z 18 + 2 height, 12-cell horizon) —
+    * visibility counted per Chebyshev ring. Every decision is integer
+    * (nearest-sample round-half-up on rational numerators, sign-split
+    * squared angle comparisons), so the oracle replays the geometry
+    * bit for bit. */
+  val q490 = Declared(
+    "q490_viewshed", "A3+,E2",
+    (s, dir) => {
+      val cells = Tables.part(s, dir).filter(col("p_partkey") < 1200)
+        .select((col("p_partkey") % 40).as("x"),
+          expr("p_partkey div 40").as("y"))
+        .withColumn("z",
+          (col("x") % 6 - 3) * (col("x") % 6 - 3) +
+            (col("y") % 6 - 3) * (col("y") % 6 - 3))
+      graft.ops.SpatialOps.viewshed(cells, col("x"), col("y"), col("z"),
+          obsX = 12L, obsY = 0L, height = 2L, maxDist = 12)
+        .groupBy(greatest(abs(col("x") - 12L), abs(col("y")))
+          .as("ring"))
+        .agg(count(lit(1)).as("n_cells"),
+          sum(when(col("visible"), 1L).otherwise(0L)).as("n_visible"))
+        .orderBy(col("ring"))
+    },
+    Some("""WITH cells AS MATERIALIZED (
+           |  SELECT CAST(p_partkey % 40 AS BIGINT) AS x,
+           |         CAST(p_partkey // 40 AS BIGINT) AS y,
+           |         CAST((p_partkey % 40 % 6 - 3)
+           |            * (p_partkey % 40 % 6 - 3)
+           |            + (p_partkey // 40 % 6 - 3)
+           |            * (p_partkey // 40 % 6 - 3) AS BIGINT) AS z
+           |  FROM part WHERE p_partkey < 1200),
+           |obs AS (SELECT z + 2 AS zo FROM cells WHERE x = 12 AND y = 0),
+           |tgt AS MATERIALIZED (
+           |  SELECT x, y, x - 12 AS dx, y AS dy,
+           |    greatest(abs(x - 12), abs(y)) AS s,
+           |    z - (SELECT zo FROM obs) AS a,
+           |    (x - 12) * (x - 12) + y * y AS p
+           |  FROM cells
+           |  WHERE greatest(abs(x - 12), abs(y)) BETWEEN 1 AND 12),
+           |smp AS (
+           |  SELECT t.x, t.y, t.a, t.p,
+           |    c.z - (SELECT zo FROM obs) AS b,
+           |    (c.x - 12) * (c.x - 12) + c.y * c.y AS q
+           |  FROM tgt t
+           |  CROSS JOIN LATERAL (SELECT unnest(range(1, t.s)) AS tt) g
+           |  JOIN cells c
+           |    ON c.x = (2 * (12 * t.s + g.tt * t.dx) + t.s) // (2 * t.s)
+           |   AND c.y = (2 * (g.tt * t.dy) + t.s) // (2 * t.s)),
+           |ver AS (
+           |  SELECT x, y, bool_or(
+           |      (b >= 0 AND a < 0) OR
+           |      (b >= 0 AND a >= 0 AND b * b * p >= a * a * q) OR
+           |      (b < 0 AND a < 0 AND b * b * p <= a * a * q))
+           |    AS blocked
+           |  FROM smp GROUP BY 1, 2),
+           |vis AS (
+           |  SELECT t.x, t.y, NOT coalesce(v.blocked, false) AS visible
+           |  FROM tgt t LEFT JOIN ver v ON v.x = t.x AND v.y = t.y
+           |  UNION ALL
+           |  SELECT 12, 0, true)
+           |SELECT greatest(abs(x - 12), abs(y)) AS ring,
+           |  CAST(count(*) AS BIGINT) AS n_cells,
+           |  CAST(sum(CASE WHEN visible THEN 1 ELSE 0 END) AS BIGINT)
+           |    AS n_visible
+           |FROM vis GROUP BY 1 ORDER BY 1""".stripMargin),
+    "Targets explode to <= maxDist line samples (the documented " +
+      "O(cells·maxDist) fan-out dial), sample elevations attach by ONE " +
+      "lattice equi-join, and the verdict is a grouped bool agg — the " +
+      "r.viewshed operation with no cartesian, no window, no driver " +
+      "loop. Completes the raster-analytics suite: gradients, zonal, " +
+      "flow, watersheds, rasterize, cost-distance, viewshed.")
+
   val all: Seq[Declared] =
-    Seq(q480, q481, q482, q483, q484, q485, q486, q487, q488, q489)
+    Seq(q480, q481, q482, q483, q484, q485, q486, q487, q488, q489, q490)
 }

@@ -250,6 +250,40 @@ class SpatialStatsSpec extends AnyFunSuite {
     assert(r2.getAs[Double]("z_ce") < 0.0)
   }
 
+  test("A3+: viewshed — wall shadow, tall-peak re-emergence, grazing blocks") {
+    import graft.ops.SpatialOps
+    // flat DEM, observer 1 above: nothing blocks anything
+    val flat = (for { x <- 0L to 4L; y <- 0L to 2L } yield (x, y, 0L))
+      .toDF("x", "y", "z")
+    val rf = SpatialOps.viewshed(flat, col("x"), col("y"), col("z"),
+        obsX = 0L, obsY = 1L, height = 1L, maxDist = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getBoolean(2))
+      .toMap
+    assert(rf.values.forall(identity), s"flat DEM all visible: $rf")
+    assert(rf.size == 15)
+    // a wall at x=2 shadows the cells behind it, but a taller far peak
+    // re-emerges above the wall's angle
+    val wall = Seq((0L, 0L, 0L), (1L, 0L, 0L), (2L, 0L, 5L),
+      (3L, 0L, 0L), (4L, 0L, 0L), (5L, 0L, 20L)).toDF("x", "y", "z")
+    val rw = SpatialOps.viewshed(wall, col("x"), col("y"), col("z"),
+        obsX = 0L, obsY = 0L, height = 0L, maxDist = 8)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+    assert(rw == Map(0L -> true, 1L -> true, 2L -> true,
+      3L -> false, 4L -> false, 5L -> true), s"got $rw")
+    // grazing line of sight (equal angles) BLOCKS — the >= convention
+    val ramp = (0L to 3L).map(x => (x, 0L, x)).toDF("x", "y", "z")
+    val rr = SpatialOps.viewshed(ramp, col("x"), col("y"), col("z"),
+        obsX = 0L, obsY = 0L, height = 0L, maxDist = 8)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+    assert(rr(1L) && !rr(2L) && !rr(3L),
+      s"colinear ramp: only the adjacent cell survives grazing: $rr")
+    // missing observer is a typed boundary
+    val e = intercept[graft.core.DataIOError] {
+      SpatialOps.viewshed(flat, col("x"), col("y"), col("z"),
+        obsX = 99L, obsY = 99L, height = 0L, maxDist = 8) }
+    assert(e.getMessage.contains("observer cell"))
+  }
+
   test("A3+: costDistance — chain metric, diagonal factor, unreached null, typed cost") {
     import graft.ops.SpatialOps
     // 1-D chain, costs 1,2,3,4; source at x=0. Metric: (ca+cb)·2.
