@@ -56,13 +56,17 @@ case class DtwBanded(left: Expression, right: Expression, band: Int)
       b.asInstanceOf[ArrayData], band)
 
   // DP scratch + two loops: one static call from generated code, same
-  // shape as JaroWinkler / Spark's own levenshtein codegen.
+  // shape as JaroWinkler / Spark's own levenshtein codegen. The local
+  // MUST be a fresh name: two dtw_banded calls compiled into one
+  // codegen context would otherwise declare the same Java variable
+  // twice and knock the whole stage back to interpreted mode.
   override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val compute = "graft.ext.DtwBanded.compute"
+    val r = ctx.freshName("dtwRes")
     nullSafeCodeGen(ctx, ev, (x, y) =>
-      s"""Object r = $compute($x, $y, $band);
-         |if (r == null) { ${ev.isNull} = true; }
-         |else { ${ev.value} = ((Long) r).longValue(); }""".stripMargin)
+      s"""Object $r = $compute($x, $y, $band);
+         |if ($r == null) { ${ev.isNull} = true; }
+         |else { ${ev.value} = ((Long) $r).longValue(); }""".stripMargin)
   }
 
   override protected def withNewChildrenInternal(

@@ -545,7 +545,11 @@ object SpatialOps {
         yCol.cast("long").as("__y"), costCol.cast("long").as("__c"),
         sourceCond.as("__src"))
       .localCheckpoint()
-    val minCost = base.agg(min(col("__c"))).head.getLong(0)
+    val minCostRow = base.agg(min(col("__c"))).head
+    if (minCostRow.isNullAt(0)) // empty raster: empty surface, not an NPE
+      return base.select(col("__x").as("x"), col("__y").as("y"),
+        lit(null).cast("long").as("cost_dist"))
+    val minCost = minCostRow.getLong(0)
     if (minCost < 1L) throw graft.core.DataIOError("costDistance",
       s"traversal costs must be >= 1, found $minCost — a zero/negative " +
         "cost makes the least-cost metric degenerate")

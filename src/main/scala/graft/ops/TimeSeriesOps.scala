@@ -1520,6 +1520,16 @@ object TimeSeriesOps {
       s(col("__y").cast(d38) * col("__y1")).as("syy1"),
       s(col("__y").cast(d38) * col("__x1")).as("syx1"),
       s(col("__x1").cast(d38) * col("__y1")).as("sx1y1")).head()
+    // a series shorter than 2 rows has NO lagged sample: the moment
+    // sums come back null — emit the two degenerate-null rows rather
+    // than NPE inside the BigDecimal reads
+    if (m.isNullAt(1))
+      return spark.createDataFrame(Seq(
+          ("x->y", 0L, Option.empty[Double], Option.empty[Double],
+            Option.empty[Double]),
+          ("y->x", 0L, Option.empty[Double], Option.empty[Double],
+            Option.empty[Double])))
+        .toDF("direction", "n", "rss_r", "rss_u", "f_stat")
     def v(i: Int): BigDecimal = BigDecimal(m.getDecimal(i))
     val np = v(0); val sx = v(1); val sy = v(2); val sx1 = v(3)
     val sy1 = v(4); val sxx = v(5); val syy = v(6); val sx1x1 = v(7)

@@ -127,6 +127,23 @@ class ExperimentationSpec extends AnyFunSuite {
         array(lit(1L), lit(null).cast("long")), array(lit(1L), lit(2L)), 3)
         .as("d")).collect()
     assert(withNullElem.head.isNullAt(0))
+    // TWO instances in one projection: the generated locals must not
+    // collide (fresh names), or the whole stage silently degrades to
+    // interpreted mode — both values must still be correct
+    val two = rows.take(20).toDF("a", "b")
+      .select(DtwBanded.dtwBanded(col("a"), col("b"), 3).as("d3"),
+        DtwBanded.dtwBanded(col("a"), col("b"), 1).as("d1"))
+      .collect()
+    rows.take(20).zip(two).foreach { case ((a, b), row) =>
+      def k(band: Int) = DtwBanded.compute(
+        org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(a.toArray),
+        org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(b.toArray),
+        band)
+      assert((if (row.isNullAt(0)) null else row.getLong(0)) ==
+        (k(3) match { case null => null; case v: java.lang.Long => v.longValue() }))
+      assert((if (row.isNullAt(1)) null else row.getLong(1)) ==
+        (k(1) match { case null => null; case v: java.lang.Long => v.longValue() }))
+    }
   }
 
   // ---- deflate length ----
