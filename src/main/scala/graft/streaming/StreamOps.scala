@@ -248,13 +248,17 @@ object StreamOps {
         cur.foreach { s =>
           st.update(s)
           // one-live-timer discipline: clear stale horizons, re-arm at
-          // the open tail's idle deadline (event-time ms)
+          // the open tail's idle deadline (event-time ms). Skip the
+          // re-register when the horizon is unchanged (a batch that
+          // didn't extend the session) — registering an existing
+          // timestamp is a warn-and-ignore in the store, not an error,
+          // but the quiet path is the honest one.
           val want = s.lastUs / 1000 + gap.toMillis
-          getHandle.listTimers().foreach { t =>
-            val ts = t.asInstanceOf[Long]
-            if (ts != want) getHandle.deleteTimer(ts)
-          }
-          getHandle.registerTimer(want)
+          val existing = getHandle.listTimers()
+            .map(_.asInstanceOf[Long]).toSet
+          existing.foreach(ts =>
+            if (ts != want) getHandle.deleteTimer(ts))
+          if (!existing.contains(want)) getHandle.registerTimer(want)
         }
         closed.reverse.iterator
       }
