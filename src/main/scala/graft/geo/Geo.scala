@@ -25,6 +25,13 @@ import org.apache.spark.sql.types._
   * the reference workflows' reprojection pair; a full proj database is
   * documented out of scope.
   */
+/** UDF return shape for grid-shift stages: encodes as the engine's
+  * {x, y} point struct. TOP-LEVEL and public on purpose — a nested
+  * private case class breaks whole-stage codegen's generated accessor
+  * calls (Janino visibility), silently dropping the scan to
+  * interpreter mode. */
+final case class GridPt(x: Double, y: Double)
+
 object Geo {
 
   val pointType: StructType = StructType(Seq(
@@ -227,6 +234,21 @@ object Geo {
   /** F9 — `intersects` predicate; null geometry → null. */
   val stIntersects = udf((g1: Row, g2: Row) =>
     if (g1 == null || g2 == null) None else Some(geomIntersects(g1, g2)))
+
+  /** STRICT even-odd point-in-polygon (ray cast only, NO boundary
+    * disjunct): a point exactly on a polygon edge is NOT contained.
+    * This is the GDAL center-containment burn rule rasterization
+    * needs — [[stIntersects]] is boundary-inclusive and would burn a
+    * cell whose center sits on an edge, disagreeing with an even-odd
+    * oracle. Null geometry → null. */
+  val stContainsPointStrict = udf((poly: Row, pt: Row) =>
+    if (poly == null || pt == null) None
+    else {
+      val ring = rowPts(poly)
+      val p = rowPts(pt)
+      if (ring.isEmpty || p.isEmpty) Some(false)
+      else Some(pointInRing(p.head, ring))
+    })
 
   /** F9 — `buffer(r, resolution)` of a geometry's centroid-as-point:
     * a 4·resolution-gon, default resolution 16 matching shapely
@@ -898,6 +920,51 @@ object Geo {
     crsRegistry.put(epsg,
       withDatum(el, localToWgs84, (identity[Column] _, identity[Column] _)))
     ()
+  }
+
+  // ---- NTv2 grid-file datum shifts (round 10) -------------------------
+  // Centimeter-grade datums publish a SHIFT GRID (NTv2 .gsb) instead of
+  // one Bursa-Wolf set — NAD27→NAD83 and national refinements. The
+  // parsed grid ([[Ntv2.Grid]]) is broadcast-scale (a few MB) and rides
+  // in the UDF closure; the per-point bilinear interpolation + the
+  // fixed-point inverse run scan-side on executors. Points OUTSIDE all
+  // sub-grids map to null coordinates (visible, never silently
+  // unshifted) — PROJ's strict mode errors there; null is this
+  // engine's row-level typed-error convention for geo UDFs.
+
+  /** fwd = 4326 → LOCAL (inverse grid shift), inv = LOCAL → 4326
+    * (forward shift: the grid is published local→target). */
+  private def gridShiftPair(grid: Ntv2.Grid)
+      : (Column => Column, Column => Column) = {
+    val toLocal = udf((x: Double, y: Double) =>
+      grid.inverse(x, y).map { case (lon, lat) => GridPt(lon, lat) })
+    val toWgs = udf((x: Double, y: Double) =>
+      grid.forward(x, y).map { case (lon, lat) => GridPt(lon, lat) })
+    // the UDF's GridPt return IS the {x, y} point struct — no rebind
+    def app(u: org.apache.spark.sql.expressions.UserDefinedFunction)
+        : Column => Column = p => u(p.getField("x"), p.getField("y"))
+    (app(toLocal), app(toWgs))
+  }
+
+  /** Register a GEOGRAPHIC CRS whose datum transformation is an NTv2
+    * shift grid (e.g. EPSG 4267 NAD27 with the published NAD27→NAD83
+    * grid). Grids for unregistered codes stay behind the MissingCRS
+    * fence. */
+  def registerNtv2GeographicDatum(epsg: Int, grid: Ntv2.Grid): Unit = {
+    crsRegistry.put(epsg, gridShiftPair(grid)); ()
+  }
+
+  /** Register a PROJECTED transverse-Mercator CRS on an NTv2-shifted
+    * datum: unproject on the local ellipsoid, then grid-shift to
+    * WGS84 (and the exact reverse going in). */
+  def registerTmOnNtv2Datum(epsg: Int, el: Ellipsoid, lat0Deg: Double,
+      lon0Deg: Double, k0: Double, falseE: Double, falseN: Double,
+      grid: Ntv2.Grid): Unit = {
+    val pr = TmParams(el, lat0Deg, lon0Deg, k0, falseE, falseN)
+    val (toLocal, toWgs) = gridShiftPair(grid)
+    val fwd: Column => Column = p => bindCol(toLocal(p))(pr.fwd)
+    val inv: Column => Column = p => bindCol(pr.inv(p))(toWgs)
+    crsRegistry.put(epsg, (fwd, inv)); ()
   }
 
   // built-in continental grids beyond the legacy 2154/3035 pair

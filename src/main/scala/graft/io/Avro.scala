@@ -161,9 +161,23 @@ object Avro extends Serializable {
     // The reader closes on exhaustion AND on task completion (covers
     // abandoned iterators from limits/early task kill).
     val tc = org.apache.spark.TaskContext.get()
-    if (tc != null)
-      tc.addTaskCompletionListener[Unit](_ =>
-        try reader.close() catch { case _: Exception => () })
+    if (tc == null) {
+      // Driver-side caller (tests, direct reads): there is no task
+      // completion hook to catch an abandoned iterator, so an
+      // un-drained lazy span would leak the file handle. Eager
+      // drain-and-close — driver-side spans are small by construction
+      // (no executor memory cliff to avoid here).
+      val buf = scala.collection.mutable.ArrayBuffer.empty[Row]
+      try {
+        while (reader.hasNext && !reader.pastSync(end)) {
+          val rec = reader.next()
+          buf += Row.fromSeq(fieldNames.toIndexedSeq.map(n => fromAvro(rec.get(n))))
+        }
+      } finally reader.close()
+      return buf.iterator
+    }
+    tc.addTaskCompletionListener[Unit](_ =>
+      try reader.close() catch { case _: Exception => () })
     new Iterator[Row] {
       private var closed = false
       def hasNext: Boolean =

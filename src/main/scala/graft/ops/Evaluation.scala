@@ -30,9 +30,6 @@ object Evaluation {
     "__tn, __tp", "decileLift: 1-row totals over the bin rollup",
     "k-literal")
   graft.plans.Guardrails.expect("single_partition_window",
-    "__total, __y, row_num", "decileLift: |bins|-row gains finish",
-    "k-literal")
-  graft.plans.Guardrails.expect("single_partition_window",
     "__d, __c", "rankBiasedOverlap: depth-bounded prefix cumsum (D rows)",
     "k-literal")
 
@@ -208,14 +205,18 @@ object Evaluation {
       nBins: Int = 10): DataFrame = {
     require(nBins > 0, "nBins must be positive")
     // orderCols may be sort orders (.desc) — rank over the full frame
-    // rather than projecting them (sort expressions don't project)
-    val ranked = Ranking.globalRowNumber(
-      df.withColumn("__y", labelCol.cast("long")), orderCols)
-    val n = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
-    val withN = ranked.withColumn("__total", count(lit(1)).over(n))
+    // rather than projecting them (sort expressions don't project).
+    // __total rides in from the offsets rollup of the ranking itself —
+    // NOT an unbounded window over the fact table (that was a
+    // SinglePartition exchange of every row, the exact hazard this
+    // module documents against).
+    val withN = Ranking.globalRowNumberWithTotal(
+      df.withColumn("__y", labelCol.cast("long")), orderCols,
+      totalCol = Some("__total"))
       .withColumn("bin", expr(s"(row_num - 1) * $nBins div __total"))
     val bins = withN.groupBy(col("bin"))
       .agg(count(lit(1)).as("n"), sum(col("__y")).as("n_pos"))
+    val n = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     val cum = Window.orderBy(col("bin"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     bins
@@ -870,7 +871,14 @@ object Evaluation {
     val pop = interactions.select(popItemCol.cast("long").as("item"))
       .groupBy(col("item")).agg(count(lit(1)).as("__pop"))
     val popTot = pop.agg(sum(col("__pop")).as("__pt"))
+    // the exposure rank rides on the rollup BEFORE the checkpoint so
+    // the single-partition window sits structurally over the Aggregate
+    // (a window over the checkpoint's LogicalRDD loses the provable
+    // rollup bound — Guardrails.verifyWindowClaims); same work, the
+    // checkpoint still collapses the dual consumption below
     val exposure = r.groupBy(col("item")).agg(count(lit(1)).as("__rc"))
+      .withColumn("__i", row_number().over(
+        Window.orderBy(col("__rc"), col("item"))))
       .localCheckpoint()
     val novelty = exposure.join(pop, Seq("item"), "left")
       .crossJoin(broadcast(popTot))
@@ -880,9 +888,7 @@ object Evaluation {
           * 1e6 + 0.5).cast("long"))
       .agg(sum(col("__rc").cast(d38) * col("__mnat").cast(d38)).cast(d38)
         .as("__nsum"), sum(col("__rc")).as("__nr"))
-    val ranked = exposure.withColumn("__i", row_number().over(
-      Window.orderBy(col("__rc"), col("item"))))
-    val gini = ranked.agg(count(lit(1)).as("__ni"),
+    val gini = exposure.agg(count(lit(1)).as("__ni"),
         sum(col("__rc")).as("__sc"),
         sum((col("__i").cast(d38) * 2 - 1) * col("__rc").cast(d38))
           .cast(d38).as("__gnum"))

@@ -1697,7 +1697,7 @@ object Experimentation {
       .withColumn("weight", floor(sqrt(
         (col("n_pop").cast(d38) * col("__ss") - col("__s") * col("__s"))
           .cast("double")) + 0.5).cast("long"))
-      .localCheckpoint()
+      .transform(graft.plans.Guardrails.checkpointPinned)
     val tot = m.agg(sum(col("weight")).as("__w"))
     val based = m.crossJoin(broadcast(tot))
       .withColumn("share_ppm", expr("(weight * 1000000L) div greatest(__w, 1L)"))
@@ -1766,6 +1766,11 @@ object Experimentation {
         s"""1000000L * __cyt - cast(cast(1000000 as $d38) * __cyc * __cnt
            | div greatest(__cnc, 1L) as long)""".stripMargin))
       .localCheckpoint()
+      // deciles live in [1,10] so this is a no-op — it re-attaches the
+      // 10-row maxRows bound the checkpoint's LogicalRDD erased, so
+      // the trapezoid lag window below is STRUCTURALLY provable
+      // rollup-sized (Guardrails.verifyWindowClaims)
+      .limit(10)
     // trapezoid area over the 10 deciles (Δt = 1/10, g(0) = 0) minus
     // the random diagonal's triangle (g(1)/2): exact integer algebra
     val area = g

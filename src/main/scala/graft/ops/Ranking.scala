@@ -49,7 +49,17 @@ object Ranking {
     ranged.withColumn("__rn", row_number().over(inPart).cast("long"))
   }
 
-  def globalRowNumber(df: DataFrame, orderCols: Seq[Column]): DataFrame = {
+  def globalRowNumber(df: DataFrame, orderCols: Seq[Column]): DataFrame =
+    globalRowNumberWithTotal(df, orderCols, totalCol = None)
+
+  /** [[globalRowNumber]] plus, when `totalCol` is set, the EXACT global
+    * row count attached as that column — the total is the sum of the
+    * same numPartitions-row offsets rollup and rides through the same
+    * broadcast join, so callers that need N (decile cuts, percentile
+    * denominators) get it with NO unbounded window over the fact table
+    * and no second scan. */
+  def globalRowNumberWithTotal(df: DataFrame, orderCols: Seq[Column],
+      totalCol: Option[String]): DataFrame = {
     // MUST materialize: the frame feeds two consumers (the ranks and
     // the offset rollup), and RangePartitioner samples its boundaries
     // with an RDD-id-derived seed — if exchange reuse ever fails (it
@@ -58,12 +68,19 @@ object Ranking {
     // longer describe the join side's __pid ranges. The checkpoint
     // pins one boundary draw for both.
     val withRn = rankedWithPid(df, orderCols).localCheckpoint()
-    val offsets = withRn.groupBy(col("__pid")).agg(count(lit(1)).as("__cnt"))
+    val counts = withRn.groupBy(col("__pid")).agg(count(lit(1)).as("__cnt"))
+    val offsets0 = counts
       .withColumn("__off",
         coalesce(sum(col("__cnt")).over(
           Window.orderBy(col("__pid")).rowsBetween(Window.unboundedPreceding, -1)),
           lit(0L)))
-      .select(col("__pid"), col("__off"))
+    val offsets = totalCol match {
+      case Some(t) => offsets0
+        .withColumn(t, sum(col("__cnt")).over(Window.orderBy(col("__pid"))
+          .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+        .select(col("__pid") +: col("__off") +: Seq(col(t)): _*)
+      case None => offsets0.select(col("__pid"), col("__off"))
+    }
     withRn.join(broadcast(offsets), Seq("__pid"))
       .withColumn("row_num", col("__off") + col("__rn"))
       .drop("__pid", "__rn", "__off")

@@ -502,8 +502,12 @@ object SpatialOps {
       .withColumn("__r", explode(sequence(col("__r0"), col("__r1"))))
       .withColumn("__x", lit(originX) + (col("__c") + 0.5) * scaleX)
       .withColumn("__y", lit(originY) - (col("__r") + 0.5) * scaleY)
-      .filter(Geo.stIntersects(Geo.stPoint(col("__x"), col("__y")),
-        col("__g")))
+      // STRICT even-odd containment (no boundary disjunct): the GDAL
+      // center-burn contract — a center exactly on a polygon edge does
+      // NOT burn, matching the even-odd oracle. stIntersects would
+      // include it via its segDist==0 disjunct.
+      .filter(Geo.stContainsPointStrict(col("__g"),
+        Geo.stPoint(col("__x"), col("__y"))))
     cells.groupBy(col("__c").as("c"), col("__r").as("r"))
       .agg(min(col("__pid")).as("polygon_id"),
         max(col("__x")).as("x"), max(col("__y")).as("y"))
@@ -545,14 +549,26 @@ object SpatialOps {
         yCol.cast("long").as("__y"), costCol.cast("long").as("__c"),
         sourceCond.as("__src"))
       .localCheckpoint()
-    val minCostRow = base.agg(min(col("__c"))).head
-    if (minCostRow.isNullAt(0)) // empty raster: empty surface, not an NPE
+    val costRangeRow = base.agg(min(col("__c")), max(col("__c"))).head
+    if (costRangeRow.isNullAt(0)) // empty raster: empty surface, not an NPE
       return base.select(col("__x").as("x"), col("__y").as("y"),
         lit(null).cast("long").as("cost_dist"))
-    val minCost = minCostRow.getLong(0)
+    val minCost = costRangeRow.getLong(0)
     if (minCost < 1L) throw graft.core.DataIOError("costDistance",
       s"traversal costs must be >= 1, found $minCost — a zero/negative " +
         "cost makes the least-cost metric degenerate")
+    // Upper bound too: relaxation adds __dist + __w where unreached
+    // cells carry INF = Long.MaxValue/4 and a finite path accumulates
+    // up to `rounds` step weights of (ca+cb)·3 ≤ 6·maxCost. The bound
+    // keeps INF + w and 64-round path sums inside a long — a larger
+    // cost would overflow, wrap negative, and silently WIN the grouped
+    // min instead of raising.
+    val maxCostBound = Long.MaxValue / 4096 // 64 rounds · 6·cost ≪ INF
+    val maxCost = costRangeRow.getLong(1)
+    if (maxCost > maxCostBound) throw graft.core.DataIOError("costDistance",
+      s"traversal costs must be <= $maxCostBound (Long.MaxValue/4096), " +
+        s"found $maxCost — larger costs overflow the exact long metric " +
+        "during min-plus relaxation")
     val INF = Long.MaxValue / 4
     val nbrEdges = base
       .withColumn("__d", explode(expr(dirArr)))

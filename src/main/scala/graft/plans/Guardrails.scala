@@ -133,11 +133,73 @@ object Guardrails {
     ()
   }
 
+  /** Marker→expectation match (shared by [[record]] and
+    * [[verifyWindowClaims]]). */
+  private def matchExpectation(kind: String, detail: String): Option[Expectation] = {
+    val cols = detailTokens(detail)
+    val it = expectations.iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      if (e.kind == kind) {
+        val want = e.colMarker.split(',').iterator
+          .map(_.trim).filter(_.nonEmpty).toList
+        if (want.nonEmpty && want.forall(cols.contains)) return Some(e)
+      }
+    }
+    None
+  }
+
+  /** STRUCTURAL verification of every single_partition_window claim in
+    * a FINAL optimized plan: a claim is not a proof — the round-9
+    * decileLift regression hid behind a marker that matched BY NAME
+    * while the window actually sat over the fact table. A matched
+    * expectation whose window fails [[GuardrailRule.windowChildBounded]]
+    * is returned as a hazard naming the claim it tried to hide behind.
+    *
+    * This runs on the caller's final `optimizedPlan`, NOT inside the
+    * optimizer rule: injected rules execute inside the operator-
+    * optimization fixpoint and see INTERMEDIATE states (e.g. before
+    * LimitPushDown installs the maxRows-bearing GlobalLimit), which
+    * structural checks would false-alarm on. Unmatched windows are
+    * still alarmed by the rule itself. */
+  def verifyWindowClaims(plan: LogicalPlan): Set[Hazard] = {
+    val out = Set.newBuilder[Hazard]
+    plan.foreachUp {
+      case w: Window if w.partitionSpec.isEmpty =>
+        val detail = describe(w)
+        matchExpectation("single_partition_window", detail).foreach { e =>
+          if (!GuardrailRule.windowChildBounded(w.child))
+            out += Hazard("single_partition_window",
+              s"$detail [claimed '${e.reason}' but structurally " +
+                "unverified: no Aggregate/bounded child under the window]")
+        }
+      case _ =>
+    }
+    out.result()
+  }
+
   private def drainSet[A](s: java.util.Set[A]): Set[A] = {
     val snapshot = Set.newBuilder[A]
     val it = s.iterator()
     while (it.hasNext) { snapshot += it.next(); it.remove() }
     snapshot.result()
+  }
+
+  /** localCheckpoint a ROLLUP-SIZED frame and re-attach the row-count
+    * bound the checkpoint's LogicalRDD erases: the count is nearly free
+    * (the checkpoint just materialized the partitions) and the no-op
+    * limit gives downstream single-partition windows a STRUCTURAL
+    * maxRows proof ([[verifyWindowClaims]]) instead of a name claim.
+    * Do NOT use on fact frames — there the limit would be a lie and
+    * the count a wasted job; this helper is for the
+    * checkpoint-then-window rollup pattern only. */
+  def checkpointPinned(df: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val cp = df.localCheckpoint()
+    val n = cp.count()
+    require(n <= Int.MaxValue,
+      s"checkpointPinned on a non-rollup frame ($n rows)")
+    cp.limit(n.toInt)
   }
 
   /** Return and clear the UNEXPECTED hazards — the audit's alarm. */
@@ -163,7 +225,63 @@ object Guardrails {
   }
 }
 
-/** The audit rule proper. Non-mutating; O(plan size) per invocation. */
+object GuardrailRule {
+  /** STRUCTURAL proof that a single-partition window sits over a
+    * rollup, not the fact table: descend through cardinality-
+    * preserving/reducing unary nodes (Project/Filter/Sort/Window/
+    * repartitions) until an Aggregate — the group-by that MADE the
+    * rollup — or a node with a provable maxRows bound. A call-site
+    * expectation whose window fails this check is treated as a NEW
+    * hazard, not a documented one: names can mislabel (round-9
+    * decileLift did), plan structure cannot. Run against FINAL
+    * optimized plans only (see [[Guardrails.verifyWindowClaims]]). */
+  private[graft] def windowChildBounded(p: LogicalPlan): Boolean = {
+    var cur = p
+    var steps = 0
+    while (steps < 64) {
+      steps += 1
+      if (cur.maxRows.exists(_ <= 100000L)) return true
+      cur match {
+        case _: Aggregate => return true
+        case pr: Project => cur = pr.child
+        case f: Filter => cur = f.child
+        case s: Sort => cur = s.child
+        case w: Window => cur = w.child
+        case r: RepartitionOperation => cur = r.child
+        case l: GlobalLimit => cur = l.child
+        case l: LocalLimit => cur = l.child
+        case _: Deduplicate => return true // distinct of a rollup path
+        case u: Union => return u.children.forall(windowChildBounded)
+        // a join of two bounded frames is bounded (≤ |L|·|R|) — the
+        // densify/attach-scalar pattern (rollup ⋈ literal table,
+        // rollup ⋈ 1-row stat) every finishing stage uses
+        case j: Join =>
+          return windowChildBounded(j.left) && windowChildBounded(j.right)
+        case g: Generate =>
+          // explode of a LITERAL-sized array over a bounded child is
+          // bounded by |child|·|array| (densify-digits/densify-bins);
+          // explode of a DATA-DEPENDENT array is accepted only over a
+          // ≤1000-row child (the collect-then-redistribute pattern:
+          // whatever was collected already passed a 1-row bottleneck,
+          // so the re-explode is the collected rollup's size). A
+          // collect_list re-explode over an unbounded frame is NOT
+          // accepted — that can re-inflate a rollup to fact size.
+          val litSized = g.generator.children.forall {
+            case _: org.apache.spark.sql.catalyst.expressions.CreateArray => true
+            case l: org.apache.spark.sql.catalyst.expressions.Literal =>
+              l.dataType.isInstanceOf[org.apache.spark.sql.types.ArrayType]
+            case _ => false
+          }
+          if (litSized || g.child.maxRows.exists(_ <= 1000L)) cur = g.child
+          else return false
+        case _ => return false
+      }
+    }
+    false
+  }
+}
+
+/** The audit rule body. Non-mutating; O(plan size) per invocation. */
 class GuardrailRule extends Rule[LogicalPlan] {
   import Guardrails._
 

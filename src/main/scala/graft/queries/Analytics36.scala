@@ -255,17 +255,22 @@ object Analytics36 {
       val prev = s.conf.getOption(key)
       s.conf.set(key, "org.apache.spark.sql.execution.streaming.state." +
         "RocksDBStateStoreProvider")
-      try TimeSeries.streamEventsToTable(s, dir, "q483", mode = "append")(ev => {
-        import s.implicits._
-        graft.streaming.StreamOps.statefulTimerSessions(
-          ev.select(col("event_id").cast("long").as("event_id"),
-              col("ts"),
-              col("user_id").cast("long").as("user_id"),
-              floor(col("value") * 100 + 0.5).cast("double").as("value"))
-            .as[graft.streaming.StreamOps.SessionEvent],
-          gap = java.time.Duration.ofMinutes(30),
-          watermark = "1 hour").toDF()
-      })
+      val sealedSessions =
+        try TimeSeries.streamEventsToTable(s, dir, "q483", mode = "append")(ev => {
+          import s.implicits._
+          graft.streaming.StreamOps.statefulTimerSessions(
+            ev.select(col("event_id").cast("long").as("event_id"),
+                col("ts"),
+                col("user_id").cast("long").as("user_id"),
+                floor(col("value") * 100 + 0.5).cast("double").as("value"))
+              .as[graft.streaming.StreamOps.SessionEvent],
+            gap = java.time.Duration.ofMinutes(30),
+            watermark = "1 hour").toDF()
+        }) finally prev match {
+          case Some(v) => s.conf.set(key, v)
+          case None    => s.conf.unset(key)
+        }
+      sealedSessions
         .filter(col("session_end") < lit("2024-01-30 00:00:00").cast("timestamp"))
         .select(col("user_id"), col("session_start"), col("session_end"),
           col("n_events"), col("sum_value").as("sum_cents"))

@@ -30,8 +30,11 @@ object PlanAudit {
       val verdict =
         try {
           val df = build(spark, dir)
-          df.queryExecution.optimizedPlan // force optimizer (and the rule)
-          val hz = Guardrails.drain()
+          val opt = df.queryExecution.optimizedPlan // force optimizer (and the rule)
+          // structural verification of claimed single-partition
+          // windows runs on the FINAL plan (the in-rule view sees
+          // intermediate optimizer states — see verifyWindowClaims)
+          val hz = Guardrails.drain() ++ Guardrails.verifyWindowClaims(opt)
           val exp = Guardrails.drainExpected()
           expectedTotal += exp.size
           exp.foreach { case (_, bound) => suppressedByClass(bound) += 1 }

@@ -262,6 +262,44 @@ class PlanSpec extends AnyFunSuite {
     assert(!Guardrails.drain().exists(_.kind == "global_sort"))
   }
 
+  test("E6: verifyWindowClaims re-flags a name-matched claim whose window " +
+      "actually sits over the fact table (the round-9 decileLift hole)") {
+    import graft.plans.Guardrails
+    // large enough that Range's maxRows exceeds the structural bound
+    val big = spark.range(2000000).toDF("id")
+    val wg = org.apache.spark.sql.expressions.Window.orderBy(col("id"))
+    // a MISLABELED claim: the marker matches the window's columns by
+    // name, but the window runs over the raw fact frame — exactly how
+    // the round-9 decileLift regression hid from the name-only audit
+    Guardrails.expect("single_partition_window", "__bogus_total, id",
+      "test: deliberately mislabeled fact-table window", "k-literal")
+    val df = big.withColumn("__bogus_total", count(lit(1)).over(
+      wg.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.unboundedFollowing)))
+    Guardrails.drain(); Guardrails.drainExpected()
+    val opt = df.queryExecution.optimizedPlan
+    // name-matching alone would suppress it...
+    assert(Guardrails.drainExpected().nonEmpty,
+      "the mislabeled claim should match by name (that is the hole)")
+    // ...but the structural pass on the FINAL plan re-flags it
+    val flagged = Guardrails.verifyWindowClaims(opt)
+    assert(flagged.exists(_.detail.contains("structurally unverified")),
+      s"mislabeled claim not re-flagged: $flagged")
+
+    // and a LEGITIMATE rollup window with a matching claim passes the
+    // structural check (Aggregate under the window)
+    Guardrails.expect("single_partition_window", "__bogus_total, digit",
+      "test: legitimate 9-row digit rollup", "k-literal")
+    val wd = org.apache.spark.sql.expressions.Window.orderBy(col("digit"))
+    val rollup = big.groupBy((col("id") % 9).as("digit"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("__bogus_total", sum(col("n")).over(
+        wd.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+          org.apache.spark.sql.expressions.Window.unboundedFollowing)))
+    assert(Guardrails.verifyWindowClaims(
+      rollup.queryExecution.optimizedPlan).isEmpty)
+  }
+
   test("E6: repartition-before-materialize does NOT survive into later " +
       "joins (Spark 4.1) — pins why the graph loops skip it") {
     // Measured fact the iterative graph ops' materialization choice
