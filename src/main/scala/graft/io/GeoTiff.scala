@@ -45,6 +45,17 @@ object GeoTiff extends Serializable {
 
   /** Parsed IFD essentials; primitives only so the decode closure
     * ships to executors. For strips `chunkW = width`, `across = 1`. */
+  /** Fragmented pre-TechNote2 JPEG-6 table set (TIFF 6.0 §22 tags
+    * JPEGQTables=519 / JPEGDCTables=520 / JPEGACTables=521): strips
+    * hold RAW entropy-coded scan data and the tables live at file
+    * offsets, so the decoder must reassemble a JIF per strip. `quant`
+    * entries are the 64 zigzag quantization values; `dc`/`ac` are the
+    * DHT payloads (16 count bytes + symbol values, WITHOUT the Tc/Th
+    * byte). */
+  private[graft] final case class OldJpeg6Tables(
+      quant: Seq[Array[Byte]], dc: Seq[Array[Byte]], ac: Seq[Array[Byte]],
+      restartInterval: Long)
+
   private final case class Meta(
       littleEndian: Boolean, width: Int, height: Int,
       bitsPerSample: Int, sampleFormat: Int, samplesPerPixel: Int,
@@ -53,7 +64,7 @@ object GeoTiff extends Serializable {
       tiled: Boolean, chunkW: Int, chunkH: Int, across: Int,
       offsets: Array[Long], byteCounts: Array[Long],
       originX: Double, originY: Double, scaleX: Double, scaleY: Double,
-      hasGeo: Boolean)
+      hasGeo: Boolean, oldJpeg6: Option[OldJpeg6Tables] = None)
 
   val cellSchema: StructType = StructType(Seq(
     StructField("band", IntegerType, nullable = false),
@@ -116,15 +127,21 @@ object GeoTiff extends Serializable {
       if (m.compression == 6L &&
           !(comp.length >= 2 && (comp(0) & 0xFF) == 0xFF &&
             (comp(1) & 0xFF) == 0xD8))
-        // the FRAGMENTED pre-TechNote2 flavor: strips hold raw entropy
-        // segments needing JPEGQ/DC/ACTables (519/520/521) reassembly —
-        // incoherently specified, typed boundary stands (SURVEY §7.4)
-        throw DataIOError(path,
-          "old-style JPEG-in-TIFF (compression=6): chunk at byte " +
-            s"$offset is not a standalone JIF stream (no SOI marker) " +
-            "and carries no JPEGInterchangeFormat tag — the fragmented " +
-            "pre-TechNote2 flavor is unsupported; re-export as " +
-            "compression=7 or deflate")
+        m.oldJpeg6 match {
+          // the FRAGMENTED pre-TechNote2 flavor (round 10): raw entropy
+          // strips + JPEGQ/DC/ACTables (519/520/521) — reassemble one
+          // JIF per strip and feed the same ImageIO path as 6/7
+          case Some(t) =>
+            Codecs.jpegDecode(
+              Codecs.assembleOldJpeg6(t, comp, m.chunkW, dataRows),
+              Array.emptyByteArray, m.chunkW, dataRows, spp, path)
+          case None => throw DataIOError(path,
+            "old-style JPEG-in-TIFF (compression=6): chunk at byte " +
+              s"$offset is not a standalone JIF stream (no SOI marker) " +
+              "and carries neither a JPEGInterchangeFormat tag nor " +
+              "JPEGQ/DC/ACTables — corrupt or unsupported; re-export " +
+              "as compression=7 or deflate")
+        }
       else if (m.compression == 7L || m.compression == 6L)
         Codecs.jpegDecode(comp, m.jpegTables, m.chunkW, dataRows, spp, path)
       else {
@@ -398,10 +415,52 @@ object GeoTiff extends Serializable {
           (tp(3) - tp(0) * sc(0), tp(4) + tp(1) * sc(1), sc(0), sc(1), true)
         case _ => (0.0, 0.0, 1.0, 1.0, false)
       }
+      // Fragmented pre-TechNote2 JPEG-6 (round 10 closes the last
+      // JPEG-in-TIFF flavor): no JPEGInterchangeFormat stream, strips
+      // are raw entropy segments, tables at the JPEGQ/DC/ACTables
+      // offsets. Baseline process only (JPEGProc=1); the lossless
+      // pre-TechNote2 process (14) has no JDK codec and stays a typed
+      // error. Color (spp>1) would also need YCbCrSubSampling-driven
+      // SOF reassembly — typed error until a real fixture exists.
+      val oldJpeg6 =
+        if (compression == 6L && !oldJpegJif && entries.contains(519)) {
+          val proc = long1(512, 1L)
+          if (proc != 1L) throw DataIOError(path,
+            s"old-style JPEG-6 JPEGProc=$proc unsupported (baseline=1 " +
+              "only; the lossless pre-TechNote2 process has no JDK codec)")
+          if (spp != 1) throw DataIOError(path,
+            s"fragmented JPEG-6 with SamplesPerPixel=$spp unsupported " +
+              "(grayscale only — color needs YCbCr SOF reassembly)")
+          def tableAt(off: Long, quantTable: Boolean): Array[Byte] = {
+            if (off <= 0 || off >= raf.length()) throw DataIOError(path,
+              s"JPEG-6 table offset $off outside file")
+            raf.seek(off)
+            if (quantTable) {
+              val a = new Array[Byte](64); raf.readFully(a); a
+            } else {
+              val bits = new Array[Byte](16); raf.readFully(bits)
+              val n = bits.map(_ & 0xFF).sum
+              if (n > 256) throw DataIOError(path,
+                s"JPEG-6 Huffman table at $off declares $n symbols (>256)")
+              val vals = new Array[Byte](n); raf.readFully(vals)
+              bits ++ vals
+            }
+          }
+          val qOffs = longs(519).getOrElse(Array.empty[Long])
+          val dcOffs = longs(520).getOrElse(throw DataIOError(path,
+            "fragmented JPEG-6: JPEGQTables present but JPEGDCTables missing"))
+          val acOffs = longs(521).getOrElse(throw DataIOError(path,
+            "fragmented JPEG-6: JPEGQTables present but JPEGACTables missing"))
+          Some(OldJpeg6Tables(
+            qOffs.toSeq.map(tableAt(_, quantTable = true)),
+            dcOffs.toSeq.map(tableAt(_, quantTable = false)),
+            acOffs.toSeq.map(tableAt(_, quantTable = false)),
+            long1(515, 0L)))
+        } else None
       Meta(little, width, height, bps.head.toInt, sampleFormat, spp,
         compression, predictor, planar, jpegTables,
         tiled, chunkW, chunkH, across,
-        offs, cnts, ox, oy, sx, sy, hasGeo)
+        offs, cnts, ox, oy, sx, sy, hasGeo, oldJpeg6)
     } finally raf.close()
   }
 
@@ -667,6 +726,49 @@ object GeoTiff extends Serializable {
       out
     }
 
+    /** Reassemble a complete baseline JIF from a fragmented
+      * pre-TechNote2 JPEG-6 strip (TIFF 6.0 §22): SOI, DQT per quant
+      * table, DHT per DC/AC table, optional DRI, a grayscale SOF0
+      * sized to THIS strip, SOS, the raw entropy bytes, EOI. The
+      * entropy data was produced against these exact tables by the
+      * original writer, so the rebuilt stream decodes bit-identically
+      * to what a §22-aware native reader produces. */
+    def assembleOldJpeg6(t: OldJpeg6Tables, entropy: Array[Byte],
+        w: Int, h: Int): Array[Byte] = {
+      val out = new java.io.ByteArrayOutputStream(entropy.length + 512)
+      def seg(marker: Int, payload: Array[Byte]): Unit = {
+        out.write(0xFF); out.write(marker)
+        val len = payload.length + 2
+        out.write((len >> 8) & 0xFF); out.write(len & 0xFF)
+        out.write(payload, 0, payload.length)
+      }
+      out.write(0xFF); out.write(0xD8) // SOI
+      t.quant.zipWithIndex.foreach { case (q, i) =>
+        seg(0xDB, (i & 0x0F).toByte +: q) // DQT: Pq=0 (8-bit), Tq=i
+      }
+      t.dc.zipWithIndex.foreach { case (d, i) =>
+        seg(0xC4, (i & 0x0F).toByte +: d) // DHT: Tc=0, Th=i
+      }
+      t.ac.zipWithIndex.foreach { case (a, i) =>
+        seg(0xC4, (0x10 | (i & 0x0F)).toByte +: a) // DHT: Tc=1, Th=i
+      }
+      if (t.restartInterval > 0)
+        seg(0xDD, Array((t.restartInterval >> 8).toByte,
+          t.restartInterval.toByte)) // DRI
+      // SOF0: precision 8, strip dims, 1 grayscale component (id 1,
+      // H=V=1, quant table 0)
+      seg(0xC0, Array(8.toByte,
+        ((h >> 8) & 0xFF).toByte, (h & 0xFF).toByte,
+        ((w >> 8) & 0xFF).toByte, (w & 0xFF).toByte,
+        1.toByte, 1.toByte, 0x11.toByte, 0.toByte))
+      // SOS: 1 component (id 1, DC table 0 / AC table 0), spectral 0..63
+      seg(0xDA, Array(1.toByte, 1.toByte, 0x00.toByte,
+        0.toByte, 63.toByte, 0.toByte))
+      out.write(entropy, 0, entropy.length)
+      out.write(0xFF); out.write(0xD9) // EOI
+      out.toByteArray
+    }
+
     /** Tables-only stream (SOI … EOI) + abbreviated image stream
       * (SOI …) → one complete JIF: drop the tables' EOI and the
       * image's SOI, concatenate. */
@@ -705,6 +807,56 @@ object GeoTiff extends Serializable {
         writer.write(null, new javax.imageio.IIOImage(img, null, null), param)
       } finally { ios.close(); writer.dispose() }
       bos.toByteArray
+    }
+
+    /** Disassemble a complete grayscale baseline JIF into the
+      * fragmented-JPEG-6 pieces: (quant tables by Tq, DC Huffman
+      * payloads by Th, AC Huffman payloads by Th, raw entropy bytes) —
+      * the writer-side inverse of [[assembleOldJpeg6]], used to build
+      * §22 fixtures from the JDK encoder's output. */
+    def jifExtractOldJpeg6(jif: Array[Byte])
+        : (Seq[Array[Byte]], Seq[Array[Byte]], Seq[Array[Byte]], Array[Byte]) = {
+      require(jif.length >= 4 && (jif(0) & 0xFF) == 0xFF &&
+        (jif(1) & 0xFF) == 0xD8, "not a JIF stream")
+      val quant = scala.collection.mutable.SortedMap.empty[Int, Array[Byte]]
+      val dc = scala.collection.mutable.SortedMap.empty[Int, Array[Byte]]
+      val ac = scala.collection.mutable.SortedMap.empty[Int, Array[Byte]]
+      var entropy: Array[Byte] = null
+      var p = 2
+      while (entropy == null && p + 4 <= jif.length) {
+        require((jif(p) & 0xFF) == 0xFF, s"bad JIF marker at $p")
+        val marker = jif(p + 1) & 0xFF
+        val len = (((jif(p + 2) & 0xFF) << 8) | (jif(p + 3) & 0xFF)) + 2
+        marker match {
+          case 0xDB => // DQT: repeated [PqTq, 64 (8-bit) values]
+            var q = p + 4
+            while (q < p + len) {
+              val pq = (jif(q) & 0xF0) >> 4; val tq = jif(q) & 0x0F
+              require(pq == 0, s"16-bit quant table at $q unsupported")
+              quant(tq) = jif.slice(q + 1, q + 65)
+              q += 65
+            }
+          case 0xC4 => // DHT: repeated [TcTh, 16 counts, values]
+            var q = p + 4
+            while (q < p + len) {
+              val tc = (jif(q) & 0xF0) >> 4; val th = jif(q) & 0x0F
+              val n = (1 to 16).map(i => jif(q + i) & 0xFF).sum
+              val payload = jif.slice(q + 1, q + 17 + n)
+              if (tc == 0) dc(th) = payload else ac(th) = payload
+              q += 17 + n
+            }
+          case 0xDA => // SOS header, then entropy until the trailing EOI
+            val end =
+              if ((jif(jif.length - 2) & 0xFF) == 0xFF &&
+                (jif(jif.length - 1) & 0xFF) == 0xD9) jif.length - 2
+              else jif.length
+            entropy = jif.slice(p + len, end)
+          case _ => // SOF/APP/COM — not needed for reassembly
+        }
+        if (entropy == null) p += len
+      }
+      require(entropy != null, "no SOS segment in JIF")
+      (quant.values.toSeq, dc.values.toSeq, ac.values.toSeq, entropy)
     }
 
     /** Split a complete JIF into (DQT/DHT table segments, the stream
@@ -966,6 +1118,97 @@ object GeoTiff extends Serializable {
     entry(33550, 12, 3, scaleOff.toLong)      // ModelPixelScale
     entry(33922, 12, 6, tieOff.toLong)        // ModelTiepoint
     buf.putInt(0)                             // next IFD: none
+    java.nio.file.Files.write(java.nio.file.Paths.get(path), buf.array())
+  }
+
+  /** Write a single-band 8-bit grayscale FRAGMENTED pre-TechNote2
+    * JPEG-6 GeoTIFF (TIFF 6.0 §22 deprecated layout): strips carry RAW
+    * entropy-coded data (no JIF markers) and the quantization/Huffman
+    * tables sit behind JPEGQTables (519) / JPEGDCTables (520) /
+    * JPEGACTables (521) file offsets, JPEGProc=1. Each strip encodes
+    * through the SAME JDK codec as [[writeGray8Jpeg]], then the JIF is
+    * disassembled — so a compression-7 file of the same pixels carries
+    * byte-identical entropy streams and the two decodes are bit-equal
+    * (the q492 property). All strips must share one table set (the JDK
+    * encoder emits its fixed tables for a given quality, so they do). */
+  def writeGray8JpegFragmented(path: String, width: Int, height: Int,
+      values: Array[Int], origin: (Double, Double),
+      scale: (Double, Double), rowsPerStrip: Int): Unit = {
+    require(values.length == width * height,
+      s"values.length ${values.length} != $width*$height")
+    require(values.forall(v => v >= 0 && v <= 0xFF), "values must fit uint8")
+    require(rowsPerStrip >= 1, "rowsPerStrip >= 1")
+    val raw = values.map(_.toByte)
+    val strips = (0 until height by rowsPerStrip).map { r0 =>
+      val rows = math.min(rowsPerStrip, height - r0)
+      val jif = Codecs.jpegEncodeGray(
+        java.util.Arrays.copyOfRange(raw, r0 * width, (r0 + rows) * width),
+        width, rows)
+      Codecs.jifExtractOldJpeg6(jif)
+    }
+    val (quant, dc, ac, _) = strips.head
+    require(quant.size == 1 && dc.size == 1 && ac.size == 1,
+      "grayscale JIF must carry exactly one table of each kind")
+    strips.tail.foreach { case (q2, d2, a2, _) =>
+      require(q2.head.sameElements(quant.head) &&
+        d2.head.sameElements(dc.head) && a2.head.sameElements(ac.head),
+        "strips encoded with different tables — cannot share 519/520/521")
+    }
+    val entropies = strips.map(_._4)
+    val n = entropies.size
+
+    val header = 8
+    val stripOffs = entropies.scanLeft(header.toLong)(_ + _.length).init
+    val qOff = stripOffs.last + entropies.last.length
+    val dcOff = qOff + 64
+    val acOff = dcOff + dc.head.length
+    val arrOff = acOff + ac.head.length // strip offset/count arrays (if n>1)
+    val arrBytes = if (n > 1) n * 8 else 0
+    val scaleOff = arrOff + arrBytes
+    val tieOff = scaleOff + 24
+    val ifdOff = tieOff + 48
+    val nTags = 16
+    val buf = java.nio.ByteBuffer
+      .allocate((ifdOff + 2 + 12 * nTags + 4).toInt)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    buf.put('I'.toByte).put('I'.toByte).putShort(42.toShort)
+      .putInt(ifdOff.toInt)
+    entropies.foreach(buf.put)
+    buf.put(quant.head).put(dc.head).put(ac.head)
+    if (n > 1) {
+      stripOffs.foreach(o => buf.putInt(o.toInt))
+      entropies.foreach(e => buf.putInt(e.length))
+    }
+    buf.putDouble(scale._1).putDouble(scale._2).putDouble(0.0)
+    buf.putDouble(0.0).putDouble(0.0).putDouble(0.0)
+    buf.putDouble(origin._1).putDouble(origin._2).putDouble(0.0)
+    buf.putShort(nTags.toShort)
+    def entry(tag: Int, typ: Int, count: Int, value: Long): Unit = {
+      buf.putShort(tag.toShort).putShort(typ.toShort).putInt(count)
+      typ match {
+        case 3 => buf.putShort(value.toShort).putShort(0.toShort)
+        case _ => buf.putInt(value.toInt)
+      }
+    }
+    entry(256, 4, 1, width.toLong)   // ImageWidth
+    entry(257, 4, 1, height.toLong)  // ImageLength
+    entry(258, 3, 1, 8L)             // BitsPerSample
+    entry(259, 3, 1, 6L)             // Compression: old-style JPEG
+    entry(262, 3, 1, 1L)             // Photometric: BlackIsZero
+    if (n == 1) entry(273, 4, 1, stripOffs.head)
+    else entry(273, 4, n, arrOff)    // StripOffsets
+    entry(277, 3, 1, 1L)             // SamplesPerPixel
+    entry(278, 4, 1, rowsPerStrip.toLong) // RowsPerStrip
+    if (n == 1) entry(279, 4, 1, entropies.head.length.toLong)
+    else entry(279, 4, n, arrOff + n * 4L) // StripByteCounts
+    entry(339, 3, 1, 1L)             // SampleFormat
+    entry(512, 3, 1, 1L)             // JPEGProc: baseline
+    entry(519, 4, 1, qOff)           // JPEGQTables
+    entry(520, 4, 1, dcOff)          // JPEGDCTables
+    entry(521, 4, 1, acOff)          // JPEGACTables
+    entry(33550, 12, 3, scaleOff)    // ModelPixelScale
+    entry(33922, 12, 6, tieOff)      // ModelTiepoint
+    buf.putInt(0)
     java.nio.file.Files.write(java.nio.file.Paths.get(path), buf.array())
   }
 

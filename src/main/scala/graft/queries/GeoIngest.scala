@@ -411,6 +411,43 @@ object GeoIngest {
       "compression-7 files that parallelize per chunk. The join proves " +
       "the 6-path reuses the 7-path codec bit-for-bit.")
 
+  /** q492 — S1: FRAGMENTED pre-TechNote2 JPEG-6 TIFF (raw entropy
+    * strips + JPEGQ/DC/ACTables at tags 519/520/521, JPEGProc=1) — the
+    * last JPEG-in-TIFF flavor, closed round 10. Same certification
+    * device as q479: the SAME pixels written as a 3-strip fragmented-6
+    * file and as a 3-strip compression-7 file carry byte-identical
+    * entropy streams per strip, so the reassembled §22 decode must be
+    * bit-equal to the TechNote2 decode — max |diff| is exactly 0 in
+    * every row band, which is the whole oracle. */
+  val q492 = Declared(
+    "q492_geotiff_fragmented_jpeg", "S1,A3",
+    (s, dir) => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_q492").toString
+      val w = 32; val h = 24
+      val vals = Array.tabulate(w * h)(i => (i / w) * 3 + (i % w) * 2)
+      graft.io.GeoTiff.writeGray8JpegFragmented(s"$tmp/frag6.tif", w, h,
+        vals, origin = (0.0, h.toDouble), scale = (1.0, 1.0),
+        rowsPerStrip = 8)
+      graft.io.GeoTiff.writeGray8Jpeg(s"$tmp/new7.tif", w, h, vals,
+        origin = (0.0, h.toDouble), scale = (1.0, 1.0), rowsPerStrip = 8)
+      val c6 = graft.io.Sources.openData(s, s"$tmp/frag6.tif")
+        .select(col("x"), col("y"), col("value").as("v6"))
+      val c7 = graft.io.Sources.openData(s, s"$tmp/new7.tif")
+        .select(col("x"), col("y"), col("value").as("v7"))
+      c6.join(c7, Seq("x", "y"))
+        .groupBy(floor(col("y")).cast("long").as("row_band"))
+        .agg(count(lit(1)).as("n"),
+          max(abs(col("v6") - col("v7"))).cast("long").as("max_diff"))
+        .orderBy(col("row_band"))
+    },
+    Some("""SELECT CAST(i AS BIGINT) AS row_band,
+           |  CAST(32 AS BIGINT) AS n, CAST(0 AS BIGINT) AS max_diff
+           |FROM generate_series(0, 23) t(i) ORDER BY 1""".stripMargin),
+    "Fragmented strips decode independently (each task reassembles its " +
+      "own JIF from the broadcast-scale table set in Meta), so this " +
+      "deprecated flavor parallelizes per strip exactly like " +
+      "compression 7 — unlike q479's whole-image stream.")
+
   val all: Seq[Declared] =
-    Seq(q440, q441, q442, q443, q446, q458, q459, q461, q470, q479)
+    Seq(q440, q441, q442, q443, q446, q458, q459, q461, q470, q479, q492)
 }

@@ -341,6 +341,75 @@ class GeoTiffCodecSpec extends AnyFunSuite {
       s"expected the fragmented-JPEG typed message, got: $e")
   }
 
+  test("S1: FRAGMENTED old-style JPEG (raw entropy strips + 519/520/521 " +
+      "tables) decodes = new-style (7), multi-strip") {
+    val dir = tmpDir()
+    val w = 32; val h = 24
+    val vals = Array.tabulate(w * h)(i => (i % w) * 3 + (i / w) * 5)
+    graft.io.GeoTiff.writeGray8JpegFragmented(s"$dir/frag6.tif", w, h, vals,
+      origin = (0.0, h.toDouble), scale = (1.0, 1.0), rowsPerStrip = 8)
+    graft.io.GeoTiff.writeGray8Jpeg(s"$dir/new7.tif", w, h, vals,
+      origin = (0.0, h.toDouble), scale = (1.0, 1.0), rowsPerStrip = 8)
+    val m6 = cellMap(s"$dir/frag6.tif")
+    assert(m6.size == w * h)
+    // lossy codec, smooth ramp: within ±3 of the source…
+    (0 until h).foreach { r =>
+      (0 until w).foreach { c =>
+        val got = m6((c + 0.5, h - r - 0.5))
+        assert(math.abs(got - vals(r * w + c)) <= 3.0,
+          s"($c,$r): $got vs ${vals(r * w + c)}")
+      }
+    }
+    // …and BIT-equal to the same entropy bytes through the 7-path
+    assert(cellMap(s"$dir/new7.tif") == m6,
+      "identical entropy streams must decode bit-equal across frag-6 and 7")
+  }
+
+  test("S1: fragmented JPEG-6 single-strip and assemble/extract round trip") {
+    val dir = tmpDir()
+    val w = 16; val h = 12
+    val vals = Array.tabulate(w * h)(i => 40 + (i % w) + (i / w))
+    graft.io.GeoTiff.writeGray8JpegFragmented(s"$dir/one.tif", w, h, vals,
+      origin = (0.0, h.toDouble), scale = (1.0, 1.0), rowsPerStrip = h)
+    val m = cellMap(s"$dir/one.tif")
+    assert(m.size == w * h)
+    // extract(assemble(x)) is the identity on tables and entropy
+    val jif = graft.io.GeoTiff.Codecs.jpegEncodeGray(
+      vals.map(_.toByte), w, h)
+    val (q, dc, ac, ent) = graft.io.GeoTiff.Codecs.jifExtractOldJpeg6(jif)
+    val re = graft.io.GeoTiff.Codecs.assembleOldJpeg6(
+      graft.io.GeoTiff.OldJpeg6Tables(q, dc, ac, 0L), ent, w, h)
+    val (q2, dc2, ac2, ent2) = graft.io.GeoTiff.Codecs.jifExtractOldJpeg6(re)
+    assert(q2.head.sameElements(q.head) && dc2.head.sameElements(dc.head) &&
+      ac2.head.sameElements(ac.head) && ent2.sameElements(ent))
+  }
+
+  test("S1: fragmented JPEG-6 typed errors — non-baseline proc, color, " +
+      "missing Huffman tables") {
+    val dir = tmpDir()
+    // JPEGProc=14 (lossless): no JDK codec, typed error before table reads
+    writeIfd(s"$dir/proc14.tif", Seq((256, 4, 4L), (257, 4, 4L),
+      (258, 3, 8L), (259, 3, 6L), (273, 4, 8L), (278, 4, 4L),
+      (279, 4, 16L), (512, 3, 14L), (519, 4, 8L)))
+    val e1 = intercept[graft.core.DataIOError] {
+      graft.io.GeoTiff.readCells(spark, s"$dir/proc14.tif").collect() }
+    assert(e1.getMessage.contains("JPEGProc=14"))
+    // color fragmented: SamplesPerPixel=3 needs YCbCr SOF reassembly
+    writeIfd(s"$dir/color.tif", Seq((256, 4, 4L), (257, 4, 4L),
+      (258, 3, 8L), (259, 3, 6L), (273, 4, 8L), (277, 3, 3L),
+      (278, 4, 4L), (279, 4, 16L), (512, 3, 1L), (519, 4, 8L)))
+    val e2 = intercept[graft.core.DataIOError] {
+      graft.io.GeoTiff.readCells(spark, s"$dir/color.tif").collect() }
+    assert(e2.getMessage.contains("SamplesPerPixel=3"))
+    // 519 present but 520 missing: reassembly impossible, say which tag
+    writeIfd(s"$dir/nodc.tif", Seq((256, 4, 4L), (257, 4, 4L),
+      (258, 3, 8L), (259, 3, 6L), (273, 4, 8L), (278, 4, 4L),
+      (279, 4, 16L), (512, 3, 1L), (519, 4, 8L)))
+    val e3 = intercept[graft.core.DataIOError] {
+      graft.io.GeoTiff.readCells(spark, s"$dir/nodc.tif").collect() }
+    assert(e3.getMessage.contains("JPEGDCTables missing"))
+  }
+
   test("S1: predictor-3-on-int and predictor-2-on-float fail typed") {
     val dir = tmpDir()
 
