@@ -552,6 +552,149 @@ object Multimodal {
     b.array()
   }
 
+  // ---- round-10 exact per-element feature ops ------------------------
+  // The brief's decode / feature-extract / RESIZE / FRAME-SAMPLE set as
+  // first-class EXACT operators: every output is integer arithmetic
+  // over real decoded pixels/samples, so a SQL oracle can replay a
+  // synthetic payload's formula bit-for-bit (lossless codecs only:
+  // PNG/GIF pixels and PCM samples round-trip exactly).
+
+  /** E5 — image BOX-DOWNSAMPLE (integer resize): decode, cut into
+    * `factor`×`factor` blocks, emit per block the pixel count and the
+    * exact channel-sum Σ(r+g+b) — callers derive mean luminance with
+    * one integer `div`. Edge blocks are partial (n_px carries the true
+    * count). Null/undecodable payloads yield no rows. */
+  def imageBlockStats(media: DataFrame, idCol: String, payloadCol: String,
+      factor: Int): DataFrame = {
+    require(factor >= 1, "factor >= 1")
+    val u = udf((payload: Array[Byte]) =>
+      if (payload == null) Seq.empty[ImageBlock]
+      else try {
+        val img = javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(payload))
+        if (img == null) Seq.empty[ImageBlock]
+        else {
+          val w = img.getWidth; val h = img.getHeight
+          val bw = (w + factor - 1) / factor; val bh = (h + factor - 1) / factor
+          val sums = new Array[Long](bw * bh)
+          val counts = new Array[Long](bw * bh)
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              val rgb = img.getRGB(x, y)
+              val i = (y / factor) * bw + (x / factor)
+              sums(i) += ((rgb >> 16) & 0xFF) + ((rgb >> 8) & 0xFF) + (rgb & 0xFF)
+              counts(i) += 1L
+              x += 1
+            }
+            y += 1
+          }
+          (0 until bw * bh).map(i =>
+            ImageBlock(i % bw, i / bw, counts(i), sums(i)))
+        }
+      } catch { case _: Exception => Seq.empty[ImageBlock] })
+    media.select(col(idCol).as("media_id"),
+        explode(u(col(payloadCol))).as("__b"))
+      .select(col("media_id"), col("__b.bx").as("bx"), col("__b.by").as("by"),
+        col("__b.nPx").as("n_px"), col("__b.sumRgb").as("sum_rgb"))
+  }
+
+  /** E5 — audio FRAME FEATURES over raw integer PCM: fixed-length
+    * frames of `frameLen` samples (last frame partial), per frame the
+    * exact energy Σs² (raw int16/int8 values, a long) and the strict
+    * zero-crossing count (s_i·s_{i+1} < 0 within the frame). The
+    * VAD/silence-gate readout of a speech-corpus pipeline with no
+    * float anywhere. Non-PCM payloads yield no rows. */
+  def audioFrameStats(media: DataFrame, idCol: String, payloadCol: String,
+      frameLen: Int): DataFrame = {
+    require(frameLen >= 2, "frameLen >= 2")
+    val u = udf((payload: Array[Byte]) =>
+      if (payload == null) Seq.empty[AudioFrame]
+      else wavPcm(payload) match {
+        case None => Seq.empty[AudioFrame]
+        case Some((_, _, bits, dOff, n)) =>
+          val b = java.nio.ByteBuffer.wrap(payload)
+            .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+          @inline def raw(i: Int): Long =
+            if (bits == 16) b.getShort(dOff + i * 2).toLong
+            else ((payload(dOff + i) & 0xFF) - 128).toLong
+          (0 until n by frameLen).map { f0 =>
+            val len = math.min(frameLen, n - f0)
+            var sumSq = 0L; var zcr = 0L
+            var i = 0
+            while (i < len) {
+              val s = raw(f0 + i)
+              sumSq += s * s
+              if (i > 0 && raw(f0 + i - 1) * s < 0) zcr += 1
+              i += 1
+            }
+            AudioFrame(f0 / frameLen, len.toLong, sumSq, zcr)
+          }
+      })
+    media.select(col(idCol).as("media_id"),
+        explode(u(col(payloadCol))).as("__f"))
+      .select(col("media_id"), col("__f.frame").as("frame"),
+        col("__f.nSamples").as("n_samples"),
+        col("__f.sumSq").as("sum_sq"), col("__f.zcr").as("zero_crossings"))
+  }
+
+  /** E5 — video FRAME-SAMPLE: decode the multi-frame payload (animated
+    * GIF — the JDK-decodable format), take every `stride`-th frame up
+    * to `maxFrames`, emit per sampled frame the frame index, total
+    * frame count, pixel count and exact Σ(r+g+b). The temporal
+    * thumbnail strip every video-corpus pipeline cuts before the
+    * expensive per-frame models. Single-image/undecodable payloads
+    * yield no rows. */
+  def videoFrameSample(media: DataFrame, idCol: String, payloadCol: String,
+      stride: Int, maxFrames: Int): DataFrame = {
+    require(stride >= 1 && maxFrames >= 1, "stride/maxFrames >= 1")
+    val u = udf((payload: Array[Byte]) => {
+      if (payload == null) Seq.empty[VideoFrame]
+      else {
+        var iis: javax.imageio.stream.ImageInputStream = null
+        var reader: javax.imageio.ImageReader = null
+        try {
+          iis = javax.imageio.ImageIO.createImageInputStream(
+            new java.io.ByteArrayInputStream(payload))
+          val readers = javax.imageio.ImageIO.getImageReaders(iis)
+          if (!readers.hasNext) Seq.empty[VideoFrame]
+          else {
+            reader = readers.next()
+            reader.setInput(iis)
+            val n = reader.getNumImages(true)
+            if (n < 2) Seq.empty[VideoFrame]
+            else (0 until n by stride).take(maxFrames).map { f =>
+              val img = reader.read(f)
+              var sum = 0L
+              var y = 0
+              while (y < img.getHeight) {
+                var x = 0
+                while (x < img.getWidth) {
+                  val rgb = img.getRGB(x, y)
+                  sum += ((rgb >> 16) & 0xFF) + ((rgb >> 8) & 0xFF) + (rgb & 0xFF)
+                  x += 1
+                }
+                y += 1
+              }
+              VideoFrame(f.toLong, n.toLong,
+                img.getWidth.toLong * img.getHeight, sum)
+            }
+          }
+        } catch { case _: Exception => Seq.empty[VideoFrame] }
+        finally {
+          if (reader != null) reader.dispose()
+          if (iis != null) try iis.close() catch { case _: Exception => () }
+        }
+      }
+    })
+    media.select(col(idCol).as("media_id"),
+        explode(u(col(payloadCol))).as("__v"))
+      .select(col("media_id"), col("__v.frameIdx").as("frame_idx"),
+        col("__v.nFrames").as("n_frames"), col("__v.nPx").as("n_px"),
+        col("__v.sumRgb").as("sum_rgb"))
+  }
+
   /** Deterministic BLOCK-pattern PNG for perceptual-hash tests: the
     * 8×8 cell grid renders `pattern` bit `by*8+bx` as bright (220) or
     * dark (40) with a small per-pixel jitter (±10) that block averaging
@@ -579,3 +722,10 @@ object Multimodal {
     out.toByteArray
   }
 }
+
+/** UDF return shapes for the round-10 multimodal feature ops —
+  * TOP-LEVEL on purpose (nested private case classes break whole-stage
+  * codegen's generated accessors; the Geo.GridPt lesson). */
+final case class ImageBlock(bx: Long, by: Long, nPx: Long, sumRgb: Long)
+final case class AudioFrame(frame: Long, nSamples: Long, sumSq: Long, zcr: Long)
+final case class VideoFrame(frameIdx: Long, nFrames: Long, nPx: Long, sumRgb: Long)

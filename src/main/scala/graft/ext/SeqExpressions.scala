@@ -314,3 +314,108 @@ object AhoCorasickCount {
     GraftSqlBridge.column(AhoCorasickCount(GraftSqlBridge.expression(c),
       patterns))
 }
+
+/** Native Catalyst expression for EXACT OPTIMAL-PARTITIONING
+  * changepoint detection (the PELT family's exact parent — Killick,
+  * Fearnhead & Eckley 2012, JASA, public literature; Jackson et al.
+  * 2005 gave the O(n²) recursion implemented here) over an integer
+  * series under a per-changepoint penalty.
+  *
+  * EXACT integer metric (oracle-replayable bit-for-bit): segment cost
+  * C(s,t) = Σx² − (Σx)² div (t−s) on long prefix sums — the
+  * within-segment sum of squares with the mean term FLOOR-divided
+  * (both engines truncate non-negative quotients identically), so the
+  * whole DP is long arithmetic. F(0) = −β; F(t) = min over s < t of
+  * F(s) + C(s,t) + β, argmin ties to the SMALLEST s. PELT's pruning is
+  * deliberately omitted: the floor-quantized cost does not satisfy the
+  * pruning inequality's preconditions exactly, and series here are
+  * calendar-bounded per key (≤ a few hundred points), where O(n²) is
+  * already cache-resident — the penalty dial, not the DP, is the
+  * 100 TB knob (one kernel call per key inside codegen).
+  *
+  * Returns ARRAY<BIGINT>: element 0 is the total cost F(n), elements
+  * 1.. are the changepoint boundaries (ascending, exclusive end of
+  * each non-final segment, 1-based). Null for null/empty input, any
+  * null element, or a non-positive penalty. */
+case class ChangepointsExact(child: Expression, penalty: Long)
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "changepoints_exact"
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(LongType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other => org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+        .TypeCheckFailure(
+          s"changepoints_exact needs ARRAY<BIGINT>, got ${other.catalogString}")
+    }
+
+  override def nullSafeEval(a: Any): Any =
+    ChangepointsExact.compute(a.asInstanceOf[ArrayData], penalty)
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val compute = "graft.ext.ChangepointsExact.compute"
+    val r = ctx.freshName("cpRes")
+    nullSafeCodeGen(ctx, ev, x =>
+      s"""Object $r = $compute($x, ${penalty}L);
+         |if ($r == null) { ${ev.isNull} = true; }
+         |else { ${ev.value} = (org.apache.spark.sql.catalyst.util.ArrayData) $r; }""".stripMargin)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object ChangepointsExact {
+
+  /** Static kernel for generated code. Returns ArrayData or null. */
+  def compute(a: ArrayData, penalty: Long): Any = {
+    val n = a.numElements()
+    if (n == 0 || penalty <= 0L) return null
+    var i = 0
+    while (i < n) { if (a.isNullAt(i)) return null; i += 1 }
+    // prefix sums: S(i) = Σ x[0..i), SS(i) = Σ x²
+    val s = new Array[Long](n + 1)
+    val ss = new Array[Long](n + 1)
+    i = 0
+    while (i < n) {
+      val x = a.getLong(i)
+      s(i + 1) = s(i) + x
+      ss(i + 1) = ss(i) + x * x
+      i += 1
+    }
+    val f = new Array[Long](n + 1)
+    val bp = new Array[Int](n + 1)
+    f(0) = -penalty
+    var t = 1
+    while (t <= n) {
+      var best = Long.MaxValue
+      var bestS = 0
+      var seg = 0
+      while (seg < t) {
+        val len = t - seg
+        val sum = s(t) - s(seg)
+        val cost = (ss(t) - ss(seg)) - (sum * sum) / len
+        val cand = f(seg) + cost + penalty
+        if (cand < best) { best = cand; bestS = seg } // ties → smallest s
+        seg += 1
+      }
+      f(t) = best; bp(t) = bestS
+      t += 1
+    }
+    // backtrack boundaries (exclusive segment ends, ascending)
+    var cuts = List.empty[Long]
+    var cur = n
+    while (bp(cur) > 0) { cuts = bp(cur).toLong :: cuts; cur = bp(cur) }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      (f(n) :: cuts).toArray)
+  }
+
+  /** Column builder; `penalty` is a plan-time literal. */
+  def changepointsExact(series: Column, penalty: Long): Column =
+    GraftSqlBridge.column(ChangepointsExact(
+      GraftSqlBridge.expression(series), penalty))
+}

@@ -1755,4 +1755,76 @@ object TextAnalysis {
       (t, w, depth(t).toLong, w * depth(t)) })
       .toDF("token", "freq", "code_len", "bits")
   }
+
+  /** E4 — EXACT VITERBI SEGMENTATION under a substring-frequency
+    * unigram vocabulary (the SentencePiece-unigram shape, Kudo 2018
+    * ACL — public literature — with an EXACT integer objective in
+    * place of float log-probs): the vocabulary is every substring of
+    * length ≤ `maxPieceLen` over the (≤ 30-char) corpus words,
+    * weighted by word frequency and thresholded at `minCount`; each of
+    * the `topWords` most frequent words is then segmented by the DP
+    * maximizing Σ count(piece)·64 − |pieces| (the ·64 − 1 encoding
+    * makes "maximize frequency mass, tie-break fewer pieces" ONE long
+    * comparison — bit-stable on any engine). Unknown single characters
+    * are always admissible at count 0, so every word segments.
+    *
+    * Returns the word-length rollup (word_len, n_words, total_wc,
+    * sum_score) — sum_score pins every per-word DP jointly.
+    *
+    * Scale: vocab is one explode + piece-keyed agg (map-side combine);
+    * candidates are a piece equi-join; each word's DP is one kernel
+    * call over its ≤ len·maxPieceLen candidate list. Nothing touches
+    * pair space. */
+  def unigramSegmentScores(docs: DataFrame, textCol: Column,
+      maxPieceLen: Int, minCount: Long, topWords: Int): DataFrame = {
+    require(maxPieceLen >= 1 && maxPieceLen <= 8, "maxPieceLen in [1, 8]")
+    require(topWords >= 1 && topWords <= 10000, "topWords in [1, 10000]")
+    val words = docs.select(explode(tokens(textCol)).as("__w"))
+      .filter(col("__w") =!= "" && length(col("__w")) <= 30)
+      .groupBy(col("__w")).agg(count(lit(1)).as("__wc"))
+      .localCheckpoint() // feeds the vocabulary AND the analyzed set
+    def subPieces(extra: String) = expr(
+      s"""flatten(transform(sequence(1, length(__w)),
+         |  s -> transform(sequence(s, least(length(__w), s + ${maxPieceLen - 1})),
+         |    e -> struct(s as s, e as e, substring(__w, s, e - s + 1) as p$extra))))"""
+        .stripMargin)
+    val pieces = words
+      .select(col("__wc"), explode(subPieces("")).as("__c"))
+      .groupBy(col("__c.p").as("__p")).agg(sum(col("__wc")).as("__cnt"))
+      .filter(col("__cnt") >= minCount)
+    val top = words.orderBy(col("__wc").desc, col("__w")).limit(topWords)
+    val cand = top
+      .select(col("__w"), col("__wc"), explode(subPieces("")).as("__c"))
+      .select(col("__w"), col("__wc"), col("__c.s").as("__s"),
+        col("__c.e").as("__e"), col("__c.p").as("__p"))
+      .join(pieces, Seq("__p"), "left")
+      // unknown pieces are admissible only as single characters (count 0)
+      .filter(col("__cnt").isNotNull || col("__s") === col("__e"))
+      .withColumn("__contrib", coalesce(col("__cnt"), lit(0L)) * 64 - 1)
+    val dp = udf((len: Int, cands: Seq[org.apache.spark.sql.Row]) => {
+      val NEG = Long.MinValue / 4
+      val f = Array.fill(len + 1)(NEG)
+      f(0) = 0L
+      // group candidates by end; process ends ascending (s <= e always)
+      val byEnd = Array.fill(len + 1)(List.empty[(Int, Long)])
+      cands.foreach { r =>
+        byEnd(r.getInt(1)) ::= (r.getInt(0), r.getLong(2))
+      }
+      var e = 1
+      while (e <= len) {
+        byEnd(e).foreach { case (st, c) =>
+          if (f(st - 1) > NEG && f(st - 1) + c > f(e)) f(e) = f(st - 1) + c
+        }
+        e += 1
+      }
+      f(len)
+    })
+    cand.groupBy(col("__w"), col("__wc"))
+      .agg(collect_list(struct(col("__s"), col("__e"), col("__contrib")))
+        .as("__cl"))
+      .withColumn("__score", dp(length(col("__w")), col("__cl")))
+      .groupBy(length(col("__w")).cast("long").as("word_len"))
+      .agg(count(lit(1)).as("n_words"), sum(col("__wc")).as("total_wc"),
+        sum(col("__score")).as("sum_score"))
+  }
 }

@@ -273,6 +273,24 @@ object OpRegistry {
         num(p, "origin_x"), num(p, "origin_y"),
         num(p, "scale_x"), num(p, "scale_y"),
         num(p, "width").toInt, num(p, "height").toInt)),
+    "image_block_stats" -> (p => df => graft.ext.Multimodal
+      .imageBlockStats(df, str(p, "id_col"), str(p, "payload_col"),
+        num(p, "factor").toInt)),
+    "audio_frame_stats" -> (p => df => graft.ext.Multimodal
+      .audioFrameStats(df, str(p, "id_col"), str(p, "payload_col"),
+        num(p, "frame_len").toInt)),
+    "video_frame_sample" -> (p => df => graft.ext.Multimodal
+      .videoFrameSample(df, str(p, "id_col"), str(p, "payload_col"),
+        num(p, "stride").toInt, num(p, "max_frames").toInt)),
+    "changepoints_exact" -> (p => df => df.withColumn(
+      str(p, "out_col"), graft.ext.ChangepointsExact.changepointsExact(
+        col(str(p, "series_col")), num(p, "penalty").toLong))),
+    "scc" -> (p => df => graft.ext.Graph.stronglyConnectedComponents(
+      df, str(p, "src_col"), str(p, "dst_col"))),
+    "unigram_segment_scores" -> (p => df => graft.ext.TextAnalysis
+      .unigramSegmentScores(df, col(str(p, "text_col")),
+        num(p, "max_piece_len").toInt, num(p, "min_count").toLong,
+        num(p, "top_words").toInt)),
     "exact_dedup" -> (p => df => graft.ext.Dedup.exact(
       df, str(p, "text_col"), str(p, "id_col"))),
     // cache = false: a pipeline result's lifetime is unmanaged, so

@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.functions._
+import graft.core.Tables
 
 /** Round-10 batch: NTv2 grid-file datum shifts (the last `to_crs`
   * family gap — reference accepts any EPSG,
@@ -90,5 +91,329 @@ object Analytics37 {
       "fixed-point inverse run scan-side per point, embarrassingly " +
       "parallel. Same story at 100 TB: the shift is a map stage.")
 
-  val all: Seq[Declared] = Seq(q491)
+  /** q493 — E5: image BOX-DOWNSAMPLE (the brief's "resize" op) over
+    * REAL PNG payloads: one 32×32 deterministic-gradient PNG per
+    * nation key (encoded AND decoded through the JDK codec — PNG is
+    * lossless, so pixels round-trip exactly), cut into 8×8 blocks,
+    * mean luminance per block as one integer `div`. The oracle never
+    * sees a PNG: it replays the generator formula
+    * v(x,y) = (x·31 + y·17 + id·7) mod 256 over the pixel lattice —
+    * decode+downsample must agree with pure arithmetic bit-for-bit. */
+  val q493 = Declared(
+    "q493_image_block_stats", "E5",
+    (s, dir) => {
+      val png = udf((id: Long) => graft.ext.Multimodal.syntheticPng(32, 32, id))
+      val media = s.read.parquet(s"$dir/nation.parquet")
+        .select(col("n_nationkey").cast("long").as("id"))
+        .withColumn("payload", png(col("id")))
+      graft.ext.Multimodal.imageBlockStats(media, "id", "payload", factor = 8)
+        .select(col("media_id"), col("bx"), col("by"), col("n_px"),
+          expr("sum_rgb div (3 * n_px)").as("mean_lum"))
+        .orderBy(col("media_id"), col("by"), col("bx"))
+    },
+    Some("""WITH px AS (
+           |  SELECT CAST(n.n_nationkey AS BIGINT) AS media_id,
+           |    x.x AS x, y.y AS y,
+           |    (x.x * 31 + y.y * 17 + CAST(n.n_nationkey AS BIGINT) * 7) % 256 AS v
+           |  FROM nation n
+           |  CROSS JOIN (SELECT unnest(range(0, 32)) AS x) x
+           |  CROSS JOIN (SELECT unnest(range(0, 32)) AS y) y)
+           |SELECT media_id, x // 8 AS bx, y // 8 AS by,
+           |  CAST(count(*) AS BIGINT) AS n_px,
+           |  CAST(sum(3 * v) AS BIGINT) // (3 * CAST(count(*) AS BIGINT))
+           |    AS mean_lum
+           |FROM px GROUP BY 1, 2, 3
+           |ORDER BY media_id, by, bx""".stripMargin),
+    "Decode + block sums run scan-side per payload (one UDF, no " +
+      "shuffle before the per-image explode); blocks shuffle only into " +
+      "the caller's aggregation. At 100 TB of images this is the " +
+      "mapInPandas shape with a JVM codec — embarrassingly parallel, " +
+      "payload-local.")
+
+  /** q494 — E5: audio FRAME FEATURES over REAL WAV/PCM payloads: one
+    * 1000-sample deterministic triangle wave per nation key, 200-sample
+    * frames, exact integer energy Σs² and strict zero-crossing count
+    * per frame. The oracle replays the generator formula
+    * s(i) = ((i·k) mod 2048 − 1024)·16, k = 7 + id mod 5 — the VAD
+    * readout with no float anywhere. */
+  val q494 = Declared(
+    "q494_audio_frame_stats", "E5",
+    (s, dir) => {
+      val wav = udf((id: Long) =>
+        graft.ext.Multimodal.syntheticWav(1000, 8000, id))
+      val media = s.read.parquet(s"$dir/nation.parquet")
+        .select(col("n_nationkey").cast("long").as("id"))
+        .withColumn("payload", wav(col("id")))
+      graft.ext.Multimodal.audioFrameStats(media, "id", "payload",
+          frameLen = 200)
+        .orderBy(col("media_id"), col("frame"))
+    },
+    Some("""WITH smp AS (
+           |  SELECT CAST(n.n_nationkey AS BIGINT) AS media_id, i.i AS i,
+           |    ((i.i * (7 + CAST(n.n_nationkey AS BIGINT) % 5)) % 2048
+           |      - 1024) * 16 AS s
+           |  FROM nation n
+           |  CROSS JOIN (SELECT unnest(range(0, 1000)) AS i) i),
+           |lagged AS (
+           |  SELECT media_id, i // 200 AS frame, s,
+           |    CASE WHEN i % 200 > 0 AND
+           |      lag(s) OVER (PARTITION BY media_id ORDER BY i) * s < 0
+           |      THEN 1 ELSE 0 END AS zc
+           |  FROM smp)
+           |SELECT media_id, frame, CAST(count(*) AS BIGINT) AS n_samples,
+           |  CAST(sum(s * s) AS BIGINT) AS sum_sq,
+           |  CAST(sum(zc) AS BIGINT) AS zero_crossings
+           |FROM lagged GROUP BY 1, 2
+           |ORDER BY media_id, frame""".stripMargin),
+    "RIFF parse + frame sums are one scan-side UDF per payload; " +
+      "frames explode locally. Same payload-local map shape as q493 — " +
+      "the 100 TB audio screen is a pure map stage.")
+
+  /** q495 — E5: video FRAME-SAMPLE over REAL animated GIFs: one
+    * (3 + id mod 3)-frame constant-gray animation per nation key,
+    * every 2nd frame up to 3 sampled, exact per-frame mean luminance
+    * (constant v = 40 + (id·7 mod 100) + f·16 — GIF is palette-exact
+    * for constant frames, so decode ≡ formula). The thumbnail-strip
+    * cut of a video-corpus pipeline. */
+  val q495 = Declared(
+    "q495_video_frame_sample", "E5",
+    (s, dir) => {
+      val gif = udf((id: Long) => graft.ext.Multimodal.syntheticGif(
+        8, 6, frames = 3 + (id % 3).toInt, seed = id))
+      val media = s.read.parquet(s"$dir/nation.parquet")
+        .select(col("n_nationkey").cast("long").as("id"))
+        .withColumn("payload", gif(col("id")))
+      graft.ext.Multimodal.videoFrameSample(media, "id", "payload",
+          stride = 2, maxFrames = 3)
+        .select(col("media_id"), col("frame_idx"), col("n_frames"),
+          col("n_px"), expr("sum_rgb div (3 * n_px)").as("mean_lum"))
+        .orderBy(col("media_id"), col("frame_idx"))
+    },
+    Some("""WITH v AS (
+           |  SELECT CAST(n.n_nationkey AS BIGINT) AS media_id,
+           |    3 + CAST(n.n_nationkey AS BIGINT) % 3 AS n_frames,
+           |    f.f AS frame_idx
+           |  FROM nation n
+           |  CROSS JOIN (SELECT unnest([0, 2, 4]) AS f) f
+           |  WHERE f.f < 3 + CAST(n.n_nationkey AS BIGINT) % 3)
+           |SELECT media_id, frame_idx, n_frames,
+           |  CAST(48 AS BIGINT) AS n_px,
+           |  40 + (media_id * 7) % 100 + frame_idx * 16 AS mean_lum
+           |FROM v ORDER BY media_id, frame_idx""".stripMargin),
+    "Frame decode + sums are payload-local (one UDF per video, sampled " +
+      "frames only — the stride/maxFrames dials bound the fan-out); no " +
+      "shuffle until the caller aggregates. The H.264-class codec swap " +
+      "changes the reader call, not this plan.")
+
+  /** q496 — A-ts/X3: EXACT CHANGEPOINT DETECTION (optimal
+    * partitioning, the PELT family's exact parent) over per-user daily
+    * spend series — 28 January days, cent-exact, segment cost
+    * Σx² − (Σx)² div len on long prefix sums, penalty 2·10⁹ per cut,
+    * argmin ties to the smallest split. One native codegen kernel call
+    * per user ([[graft.ext.ChangepointsExact]]); the oracle replays the
+    * whole DP per user in a recursive CTE carrying the F and cut-count
+    * lists (the q480/q330 list-fold device), so cost AND cut count are
+    * bit-checked. */
+  val q496 = {
+    val PEN = 2000000000L
+    Declared(
+      "q496_changepoints", "A-ts,X3",
+      (s, dir) => {
+        val ev = Tables.events(s, dir)
+          .filter(col("ts") >= lit("2024-01-01").cast("timestamp") &&
+            col("ts") < lit("2024-01-29").cast("timestamp"))
+          .select(col("user_id"), dayofmonth(col("ts")).as("d"),
+            expr("CAST(floor(value * 100 + 0.5) AS BIGINT)").as("cents"))
+        val prof = ev.groupBy(col("user_id"), col("d"))
+          .agg(sum(col("cents")).as("v"))
+          .groupBy(col("user_id"))
+          .agg(map_from_entries(collect_list(
+            struct(col("d"), col("v")))).as("m"))
+          .select(col("user_id"),
+            transform(sequence(lit(1), lit(28)),
+              d => coalesce(element_at(col("m"), d), lit(0L))).as("prof"))
+        prof.select(col("user_id"),
+            graft.ext.ChangepointsExact.changepointsExact(
+              col("prof"), PEN).as("cp"))
+          .select(col("user_id"), lit(28L).as("n_points"),
+            (size(col("cp")) - 1).cast("long").as("n_changepoints"),
+            element_at(col("cp"), 1).as("total_cost"))
+          .orderBy(col("user_id"))
+      },
+      Some(s"""WITH RECURSIVE ev AS (
+          |  SELECT user_id, CAST(day(ts) AS INT) AS d,
+          |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+          |  FROM events
+          |  WHERE ts >= TIMESTAMP '2024-01-01'
+          |    AND ts < TIMESTAMP '2024-01-29'),
+          |ds AS (SELECT user_id, d, sum(cents) AS v FROM ev GROUP BY 1, 2),
+          |users AS (SELECT DISTINCT user_id FROM ev),
+          |grid AS (
+          |  SELECT u.user_id, g.d FROM users u CROSS JOIN
+          |    (SELECT CAST(x AS INT) AS d FROM generate_series(1, 28) t(x)) g),
+          |prof AS MATERIALIZED (
+          |  SELECT g.user_id, list(coalesce(ds.v, 0) ORDER BY g.d) AS p
+          |  FROM grid g LEFT JOIN ds ON ds.user_id = g.user_id AND ds.d = g.d
+          |  GROUP BY 1),
+          |pre AS MATERIALIZED (
+          |  SELECT user_id,
+          |    list_transform(range(0, 29), i ->
+          |      CAST(coalesce(list_sum(p[1:i]), 0) AS BIGINT)) AS s,
+          |    list_transform(range(0, 29), i ->
+          |      CAST(coalesce(list_sum(list_transform(p[1:i], x -> x * x)), 0)
+          |        AS BIGINT)) AS ss
+          |  FROM prof),
+          |dp(t, user_id, f, cnt) AS (
+          |  SELECT 0, user_id, [CAST(-$PEN AS BIGINT)], [CAST(0 AS BIGINT)]
+          |  FROM pre
+          |  UNION ALL
+          |  SELECT q.t + 1, q.user_id,
+          |    list_append(q.f, list_min(q.vals)),
+          |    list_append(q.cnt,
+          |      q.cnt[list_position(q.vals, list_min(q.vals))] +
+          |      CASE WHEN list_position(q.vals, list_min(q.vals)) > 1
+          |        THEN 1 ELSE 0 END)
+          |  FROM (
+          |    SELECT d.t, d.user_id, d.f, d.cnt,
+          |      list_transform(range(0, d.t + 1), sgm ->
+          |        d.f[sgm + 1]
+          |        + ((p.ss[d.t + 2] - p.ss[sgm + 1])
+          |           - ((p.s[d.t + 2] - p.s[sgm + 1])
+          |              * (p.s[d.t + 2] - p.s[sgm + 1])) // (d.t + 1 - sgm))
+          |        + $PEN) AS vals
+          |    FROM dp d JOIN pre p ON p.user_id = d.user_id
+          |    WHERE d.t < 28) q)
+          |SELECT user_id, CAST(28 AS BIGINT) AS n_points,
+          |  CAST(cnt[29] AS BIGINT) AS n_changepoints,
+          |  CAST(f[29] AS BIGINT) AS total_cost
+          |FROM dp WHERE t = 28 ORDER BY user_id""".stripMargin),
+      "The series is calendar-bounded per key (28 points), the DP runs " +
+        "as ONE static codegen call per user inside the agg stage's " +
+        "span, and keys partition freely — the segmentation screen " +
+        "(regime shifts, drift windows) at 100 TB is a map over the " +
+        "user rollup. The O(n²) kernel is cache-resident at calendar " +
+        "lengths; PELT pruning is the documented scale path if series " +
+        "ever outgrow the calendar.")
+  }
+
+  /** q497 — E-graph: STRONGLY CONNECTED COMPONENTS of the directed
+    * prop-k transition graph (per-user consecutive events, k < 60 —
+    * the capped audit-slice contract the operator enforces), labels by
+    * min mutual-reachability partner via pointer-doubled closure. The
+    * oracle computes the same closure with a recursive CTE and the
+    * same mutual grouping. */
+  val q497 = Declared(
+    "q497_scc_transitions", "E-graph,W1",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val ev = Tables.events(s, dir)
+        .select(col("user_id"), col("ts"), col("event_id"),
+          get_json_object(col("props"), "$.k").cast("long").as("k"))
+        .filter(col("k") < 60)
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      val edges = ev.withColumn("nk", lead(col("k"), 1).over(w))
+        .filter(col("nk").isNotNull && col("nk") =!= col("k"))
+        .select(col("k").as("src"), col("nk").as("dst"))
+      graft.ext.Graph.stronglyConnectedComponents(edges, "src", "dst")
+        .orderBy(col("node"))
+    },
+    Some("""WITH RECURSIVE ev AS (
+           |  SELECT user_id, ts, event_id,
+           |    CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+           |  FROM events
+           |  WHERE CAST(json_extract_string(props, '$.k') AS BIGINT) < 60),
+           |tr AS (
+           |  SELECT user_id, k,
+           |    lead(k) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS nk
+           |  FROM ev),
+           |edges AS MATERIALIZED (
+           |  SELECT DISTINCT k AS u, nk AS v FROM tr
+           |  WHERE nk IS NOT NULL AND nk <> k),
+           |nodes AS MATERIALIZED (
+           |  SELECT DISTINCT u AS n
+           |  FROM (SELECT u FROM edges UNION ALL SELECT v FROM edges) t(u)),
+           |reach(u, v) AS (
+           |  SELECT n, n FROM nodes
+           |  UNION
+           |  SELECT r.u, e.v FROM reach r JOIN edges e ON e.u = r.v)
+           |SELECT r1.u AS node, CAST(min(r1.v) AS BIGINT) AS scc_id
+           |FROM reach r1 JOIN reach r2 ON r2.u = r1.v AND r2.v = r1.u
+           |GROUP BY 1 ORDER BY node""".stripMargin),
+    "Each doubling round is ONE mid-keyed equi-join + distinct (path " +
+      "horizon doubles per round — 6 rounds cover diameter 64); the " +
+      "operator REFUSES > 100k nodes because the closure is O(n·reach) " +
+      "pairs by nature — SCC at 100 TB is asked of bounded entity " +
+      "graphs (category maps, service topologies), and the cap makes " +
+      "the quadratic contract explicit instead of a silent cliff.")
+
+  /** q498 — E4: EXACT unigram-vocabulary VITERBI SEGMENTATION (the
+    * SentencePiece-unigram shape with an integer objective): substring
+    * vocabulary (len ≤ 4, weighted count ≥ 5) over the documents
+    * corpus, top-200 words segmented by the Σcnt·64 − |pieces| DP,
+    * word-length rollup of the optimal scores. The oracle rebuilds the
+    * vocabulary and replays every word's DP in a recursive CTE
+    * carrying the F-list (the q496 device), so each optimum is
+    * bit-checked. */
+  val q498 = Declared(
+    "q498_unigram_segmentation", "E4",
+    (s, dir) => graft.ext.TextAnalysis.unigramSegmentScores(
+        Tables.documents(s, dir), col("text"),
+        maxPieceLen = 4, minCount = 5L, topWords = 200)
+      .orderBy(col("word_len")),
+    Some("""WITH RECURSIVE words AS MATERIALIZED (
+           |  SELECT w AS word, count(*) AS wc
+           |  FROM (SELECT unnest(list_filter(
+           |      regexp_split_to_array(lower(text), '\s+'),
+           |      x -> x <> '' AND length(x) <= 30)) AS w FROM documents)
+           |  GROUP BY 1),
+           |grid AS (
+           |  SELECT s.s, e.e
+           |  FROM (SELECT unnest(range(1, 31)) AS s) s
+           |  CROSS JOIN (SELECT unnest(range(1, 31)) AS e) e
+           |  WHERE e.e >= s.s AND e.e <= s.s + 3),
+           |pieces AS MATERIALIZED (
+           |  SELECT p, CAST(sum(wc) AS BIGINT) AS cnt FROM (
+           |    SELECT w.wc, substring(w.word, g.s, g.e - g.s + 1) AS p
+           |    FROM words w JOIN grid g
+           |      ON g.s <= length(w.word) AND g.e <= length(w.word))
+           |  GROUP BY 1 HAVING sum(wc) >= 5),
+           |top AS MATERIALIZED (
+           |  SELECT word, wc FROM words ORDER BY wc DESC, word LIMIT 200),
+           |cand AS MATERIALIZED (
+           |  SELECT c.word, c.s, c.e,
+           |    coalesce(p.cnt, 0) * 64 - 1 AS contrib
+           |  FROM (
+           |    SELECT t.word, g.s, g.e,
+           |      substring(t.word, g.s, g.e - g.s + 1) AS p
+           |    FROM top t JOIN grid g
+           |      ON g.s <= length(t.word) AND g.e <= length(t.word)) c
+           |  LEFT JOIN pieces p ON p.p = c.p
+           |  WHERE p.cnt IS NOT NULL OR c.s = c.e),
+           |cend AS MATERIALIZED (
+           |  SELECT word, e, list({'s': s, 'c': contrib}) AS cl
+           |  FROM cand GROUP BY 1, 2),
+           |dp(pos, word, f) AS (
+           |  SELECT 0, word, [CAST(0 AS BIGINT)] FROM top
+           |  UNION ALL
+           |  SELECT d.pos + 1, d.word,
+           |    list_append(d.f, list_max(list_transform(ce.cl, x ->
+           |      d.f[x.s] + x.c)))
+           |  FROM dp d JOIN cend ce
+           |    ON ce.word = d.word AND ce.e = d.pos + 1
+           |  WHERE d.pos < length(d.word))
+           |SELECT CAST(length(d.word) AS BIGINT) AS word_len,
+           |  CAST(count(*) AS BIGINT) AS n_words,
+           |  CAST(sum(t.wc) AS BIGINT) AS total_wc,
+           |  CAST(sum(d.f[length(d.word) + 1]) AS BIGINT) AS sum_score
+           |FROM dp d JOIN top t ON t.word = d.word
+           |WHERE d.pos = length(d.word)
+           |GROUP BY 1 ORDER BY word_len""".stripMargin),
+    "Vocabulary = one explode + piece-keyed agg with map-side combine; " +
+      "candidates attach by a piece equi-join; each word's DP is one " +
+      "kernel call over its ≤ len·4 candidate list. The tokenizer-" +
+      "vocabulary screen of a 100 TB corpus never touches pair space — " +
+      "cost is corpus-linear plus a topWords-bounded DP stage.")
+
+  val all: Seq[Declared] = Seq(q491, q493, q494, q495, q496, q497, q498)
 }

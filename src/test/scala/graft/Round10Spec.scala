@@ -1,0 +1,204 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.ext.{ChangepointsExact, Graph, Multimodal, TextAnalysis}
+
+/** Round-10 operators: exact changepoints (optimal partitioning),
+  * strongly connected components, unigram Viterbi segmentation, and
+  * the exact multimodal feature trio (image block stats, audio frame
+  * stats, video frame sample). */
+class Round10Spec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  // ---- ChangepointsExact ----------------------------------------------
+
+  test("X3: changepoints — flat series has no cuts, a level shift has one") {
+    val flat = Seq(Seq.fill(10)(100L)).toDF("s")
+      .select(ChangepointsExact.changepointsExact(col("s"), 1000L).as("cp"))
+      .head.getSeq[Long](0)
+    // cost of one segment of constant 100: 10·10⁴ − (10·100)² div 10 = 0
+    assert(flat == Seq(1000L * -1 + 0 + 1000L)) // F(n) = -β + C + β = 0
+    assert(flat == Seq(0L))
+
+    val shift = Seq((Seq.fill(8)(0L) ++ Seq.fill(8)(1000L))).toDF("s")
+      .select(ChangepointsExact.changepointsExact(col("s"), 1000L).as("cp"))
+      .head.getSeq[Long](0)
+    // two flat segments cost 0 each; one cut at index 8; total = β = 1000
+    assert(shift == Seq(1000L, 8L))
+  }
+
+  test("X3: changepoints codegen path agrees with interpreted compute()") {
+    val r = new scala.util.Random(7)
+    val rows = (0 until 80).map { _ =>
+      Seq.fill(3 + r.nextInt(25))(r.nextInt(2000).toLong - 500L)
+    }
+    val got = rows.toDF("s")
+      .select(ChangepointsExact.changepointsExact(col("s"), 50000L).as("cp"))
+      .collect().map(_.getSeq[Long](0))
+    val want = rows.map(s => ChangepointsExact.compute(
+      org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(s.toArray),
+      50000L).asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+      .toLongArray().toSeq)
+    assert(got.toSeq == want)
+    // nulls poison; empty poisons
+    val n = Seq(Option.empty[Seq[Long]]).toDF("s")
+      .select(ChangepointsExact.changepointsExact(col("s"), 10L).as("cp"))
+      .collect()
+    assert(n.head.isNullAt(0))
+    val e = Seq(Seq.empty[Long]).toDF("s")
+      .select(ChangepointsExact.changepointsExact(col("s"), 10L).as("cp"))
+      .collect()
+    assert(e.head.isNullAt(0))
+  }
+
+  test("X3: changepoints match a brute-force optimal partition") {
+    // brute force over all 2^(n-1) cuts for small n
+    def brute(xs: Seq[Long], pen: Long): Long = {
+      val n = xs.length
+      def segCost(a: Int, b: Int): Long = { // [a, b)
+        val s = xs.slice(a, b)
+        val sum = s.sum
+        s.map(x => x * x).sum - (sum * sum) / (b - a)
+      }
+      (0 until (1 << (n - 1))).map { mask =>
+        val cuts = (1 until n).filter(i => ((mask >> (i - 1)) & 1) == 1)
+        val bounds = 0 +: cuts :+ n
+        bounds.sliding(2).map { case Seq(a, b) => segCost(a, b) }.sum +
+          pen * (cuts.length + 1) - pen
+      }.min
+    }
+    val r = new scala.util.Random(13)
+    (0 until 25).foreach { _ =>
+      val xs = Seq.fill(2 + r.nextInt(9))(r.nextInt(200).toLong)
+      val pen = 1L + r.nextInt(5000)
+      val got = Seq(xs).toDF("s")
+        .select(ChangepointsExact.changepointsExact(col("s"), pen).as("cp"))
+        .head.getSeq[Long](0)
+      assert(got.head == brute(xs, pen), s"series $xs pen $pen")
+    }
+  }
+
+  // ---- SCC --------------------------------------------------------------
+
+  test("E-graph: SCC labels a cycle, singletons, and two joined cycles") {
+    // 1→2→3→1 (one SCC), 3→4→5 (two singletons), 6→7→6 (one SCC),
+    // 5→6 links but no back-path
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L), (3L, 4L), (4L, 5L),
+      (5L, 6L), (6L, 7L), (7L, 6L)).toDF("src", "dst")
+    val got = Graph.stronglyConnectedComponents(edges, "src", "dst")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L, 5L -> 5L,
+      6L -> 6L, 7L -> 6L))
+  }
+
+  test("E-graph: SCC empty input and the audit-slice node cap") {
+    val empty = Graph.stronglyConnectedComponents(
+      Seq.empty[(Long, Long)].toDF("src", "dst"), "src", "dst")
+    assert(empty.count() == 0)
+    val big = spark.range(100001)
+      .select(col("id").as("src"), (col("id") + 1).as("dst"))
+    val e = intercept[IllegalArgumentException] {
+      Graph.stronglyConnectedComponents(big, "src", "dst").collect()
+    }
+    assert(e.getMessage.contains("audit-slice"))
+  }
+
+  // ---- unigram segmentation --------------------------------------------
+
+  test("E4: unigram segmentation maximizes Σcnt·64 − |pieces| exactly") {
+    // corpus: "ab" ×3, "b" ×1 → pieces (minCount 1):
+    //   a:3, b:4 (3 from "ab" + 1 from "b"), ab:3
+    // segment "ab": {ab} → 3·64−1 = 191; {a,b} → (3·64−1)+(4·64−1) = 446
+    // → the DP must pick {a,b} (mass-additive objective); score 446.
+    // segment "b": {b} → 255.
+    val docs = Seq((1L, "ab ab"), (2L, "ab b")).toDF("doc_id", "text")
+    val got = TextAnalysis.unigramSegmentScores(docs, col("text"),
+        maxPieceLen = 4, minCount = 1L, topWords = 10)
+      .orderBy(col("word_len"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3)))
+    assert(got.toSeq == Seq((1L, 1L, 1L, 255L), (2L, 1L, 3L, 446L)))
+  }
+
+  test("E4: unknown characters segment at count 0") {
+    // "xq" appears once; with minCount 5 no piece qualifies, so the
+    // word segments as two unknown chars: 2·(0·64 − 1) = −2
+    val docs = Seq((1L, "xq")).toDF("doc_id", "text")
+    val got = TextAnalysis.unigramSegmentScores(docs, col("text"),
+        maxPieceLen = 4, minCount = 5L, topWords = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(3)))
+    assert(got.toSeq == Seq((2L, -2L)))
+  }
+
+  // ---- multimodal exact feature trio -------------------------------------
+
+  test("E5: imageBlockStats recovers the generator formula per block") {
+    val png = udf((id: Long) => Multimodal.syntheticPng(16, 8, id))
+    val media = spark.range(3).select(col("id"))
+      .withColumn("payload", png(col("id")))
+    val got = Multimodal.imageBlockStats(media, "id", "payload", factor = 8)
+      .collect().map(r => ((r.getLong(0), r.getLong(1), r.getLong(2)),
+        (r.getLong(3), r.getLong(4)))).toMap
+    (0L until 3L).foreach { id =>
+      (0 until 2).foreach { bx =>
+        var sum = 0L
+        for (x <- bx * 8 until bx * 8 + 8; y <- 0 until 8)
+          sum += 3 * ((x * 31 + y * 17 + id * 7) % 256)
+        assert(got((id, bx.toLong, 0L)) == ((64L, sum)), s"id $id bx $bx")
+      }
+    }
+  }
+
+  test("E5: imageBlockStats partial edge blocks carry true pixel counts") {
+    val png = udf((id: Long) => Multimodal.syntheticPng(10, 6, id))
+    val media = spark.range(1).select(col("id"))
+      .withColumn("payload", png(col("id")))
+    val counts = Multimodal.imageBlockStats(media, "id", "payload", 8)
+      .collect().map(r => (r.getLong(1), r.getLong(2)) -> r.getLong(3)).toMap
+    assert(counts == Map((0L, 0L) -> 48L, (1L, 0L) -> 12L))
+  }
+
+  test("E5: audioFrameStats — exact energy and zero crossings") {
+    val wav = udf((id: Long) => Multimodal.syntheticWav(500, 8000, id))
+    val media = spark.range(2).select(col("id"))
+      .withColumn("payload", wav(col("id")))
+    val got = Multimodal.audioFrameStats(media, "id", "payload", 200)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)),
+        (r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    (0L until 2L).foreach { id =>
+      val k = (7 + id % 5).toInt
+      val s = (0 until 500).map(i => ((i.toLong * k) % 2048 - 1024) * 16)
+      (0 until 3).foreach { f =>
+        val fr = s.slice(f * 200, math.min((f + 1) * 200, 500))
+        val sumSq = fr.map(x => x * x).sum
+        val zcr = fr.sliding(2).count(p => p.length == 2 && p(0) * p(1) < 0)
+        assert(got((id, f.toLong)) ==
+          ((fr.length.toLong, sumSq, zcr.toLong)), s"id $id frame $f")
+      }
+    }
+  }
+
+  test("E5: videoFrameSample strides the real GIF frames") {
+    val gif = udf((id: Long) =>
+      Multimodal.syntheticGif(8, 4, frames = 5, seed = id))
+    val media = spark.range(2).select(col("id"))
+      .withColumn("payload", gif(col("id")))
+    val got = Multimodal.videoFrameSample(media, "id", "payload",
+        stride = 2, maxFrames = 2)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)),
+        (r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    (0L until 2L).foreach { id =>
+      Seq(0, 2).foreach { f =>
+        val v = 40 + math.floorMod(id * 7, 100).toInt + f * 16
+        assert(got((id, f.toLong)) == ((5L, 32L, 3L * v * 32)),
+          s"id $id frame $f")
+      }
+    }
+    // non-video payloads yield no rows
+    val junk = Seq((9L, Array[Byte](1, 2, 3))).toDF("id", "payload")
+    assert(Multimodal.videoFrameSample(junk, "id", "payload", 2, 2)
+      .count() == 0)
+  }
+}
