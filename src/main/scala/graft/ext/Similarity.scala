@@ -470,4 +470,69 @@ object Similarity {
       .select(col("__i").as("item"), col("__f").as("factor_micro"),
         col("n_users"))
   }
+
+  /** E3+ — LATE-INTERACTION MaxSim reranking (the ColBERT scoring
+    * shape, Khattab & Zaharia SIGIR'20 — public literature — with an
+    * EXACT integer token embedding in place of a learned one): every
+    * token maps to an 8-dim integer vector read off its md5 hex digits
+    * (digit − 8 per dim — deterministic, language-free, and exactly
+    * replayable on any engine), and a candidate document scores
+    *   maxsim(q, d) = Σ_{query tokens} max_{doc tokens} ⟨qv, dv⟩.
+    * Candidates are gated by a shared-token equi-join (swap in an
+    * ANN/BM25 gate upstream at scale — the reranker takes whatever
+    * candidate list arrives); only the first `maxDocTokens` tokens of
+    * each document participate (the ColBERT doc-length dial).
+    *
+    * Returns (query_id, rank, doc_id, maxsim) — topK per query, ties
+    * to the smaller doc id.
+    *
+    * Scale: cost = |candidates| · |q tokens| · maxDocTokens exact-long
+    * dot products inside one codegen span (zip_with + aggregate), then
+    * two keyed aggs and a per-query TakeOrdered. No pair space beyond
+    * the gated candidates. */
+  def maxsimRerank(docs: DataFrame, idCol: Column, textCol: Column,
+      queries: Seq[(String, String)], maxDocTokens: Int,
+      topK: Int): DataFrame = {
+    require(maxDocTokens >= 1 && topK >= 1, "maxDocTokens/topK >= 1")
+    val spark = docs.sparkSession
+    import org.apache.spark.sql.expressions.Window
+    // md5-digit embedding: dim j = hex digit j of md5(token), minus 8
+    def tokVec(tok: Column): Column =
+      transform(sequence(lit(1), lit(8)),
+        j => conv(substring(md5(tok), j, lit(1)), 16, 10)
+          .cast("long") - 8L)
+    val qRows = queries.flatMap { case (qid, qtext) =>
+      qtext.toLowerCase.split("\\s+").filter(_.nonEmpty)
+        .zipWithIndex.map { case (t, i) => (qid, i, t) }
+    }
+    import spark.implicits._
+    val q = qRows.toDF("query_id", "qpos", "qtok")
+      .withColumn("qv", tokVec(col("qtok")))
+      .localCheckpoint() // literal-sized; feeds gate + scoring
+    val dtok = docs
+      .select(idCol.cast("long").as("doc_id"),
+        posexplode(split(lower(textCol), "\\s+")).as(Seq("pos", "tok")))
+      .filter(col("tok") =!= "" && col("pos") < maxDocTokens)
+      .withColumn("dv", tokVec(col("tok")))
+    val cand = dtok.select(col("doc_id"), col("tok"))
+      .join(broadcast(q.select(col("query_id"), col("qtok").as("tok"))
+        .distinct()), Seq("tok"))
+      .select(col("query_id"), col("doc_id")).distinct()
+    val dots = cand
+      .join(dtok, Seq("doc_id"))
+      .join(broadcast(q), Seq("query_id"))
+      .withColumn("dot", aggregate(
+        zip_with(col("qv"), col("dv"), (a, b) => a * b),
+        lit(0L), (acc, x) => acc + x))
+    val best = dots.groupBy(col("query_id"), col("doc_id"), col("qpos"))
+      .agg(max(col("dot")).as("best"))
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(sum(col("best")).as("maxsim"))
+    best.withColumn("rank", row_number().over(
+        Window.partitionBy(col("query_id"))
+          .orderBy(col("maxsim").desc, col("doc_id"))))
+      .filter(col("rank") <= topK)
+      .select(col("query_id"), col("rank").cast("long").as("rank"),
+        col("doc_id"), col("maxsim"))
+  }
 }

@@ -1827,4 +1827,49 @@ object TextAnalysis {
       .agg(count(lit(1)).as("n_words"), sum(col("__wc")).as("total_wc"),
         sum(col("__score")).as("sum_score"))
   }
+
+  /** E7 — SCOPED UNICODE NORMALIZATION (a documented NFKC subset +
+    * corpus cleanup — the pre-tokenization pass every web corpus runs):
+    *  1. zero-width chars (U+200B/200C/200D) and the BOM stripped;
+    *  2. NBSP and ideographic space → ASCII space;
+    *  3. curly quotes → ASCII ' and ";
+    *  4. en/em dash and minus sign → '-';
+    *  5. ellipsis → "...";  6. fi/fl ligatures expanded;
+    *  7. full-width ASCII (U+FF01–FF5E) → ASCII (cp − 0xFEE0).
+    * Pure translate/replace chain — codegen'd, no regex, no UDF, and
+    * byte-for-byte replayable in SQL (the mapping strings are exposed
+    * so oracles interpolate the SAME literals). */
+  val FullWidthSrc: String = (0xFF01 to 0xFF5E).map(_.toChar).mkString
+  val FullWidthDst: String = (0x21 to 0x7E).map(_.toChar).mkString
+  val ZeroWidthChars: String = "\u200B\u200C\u200D\uFEFF"
+  val SpaceLikeChars: String = "\u00A0\u3000"
+  val QuoteDashSrc: String = "\u2018\u2019\u201C\u201D\u2013\u2014\u2212"
+  val QuoteDashDst: String = "''\"\"---"
+
+  def normalizeUnicodeScoped(text: Column): Column = {
+    val t1 = translate(text, ZeroWidthChars, "") // delete (dst shorter)
+    val t2 = translate(t1, SpaceLikeChars, "  ")
+    val t3 = translate(t2, QuoteDashSrc, QuoteDashDst)
+    val t4 = translate(t3, FullWidthSrc, FullWidthDst)
+    // 1:N expansions need replace, not translate
+    val t5 = regexp_replace(t4, "\u2026", "...")
+    val t6 = regexp_replace(t5, "\uFB01", "fi")
+    regexp_replace(t6, "\uFB02", "fl")
+  }
+
+  /** E7 — LINE-WRAP REPAIR (the PDF/OCR-text cleanup pass):
+    *  1. dehyphenate across a line break — letter/digit, '-', newline,
+    *     letter/digit → the two joined;
+    *  2. paragraph breaks (\n\n, matched left-to-right) preserved;
+    *  3. remaining single newlines → space.
+    * The double-newline protection runs on a sentinel (U+0001) replace
+    * chain — replace() is all-occurrences left-to-right in Spark AND
+    * DuckDB, so the chain is engine-exact without lookaround (RE2 has
+    * none). */
+  def repairLineWraps(text: Column): Column = {
+    val d1 = regexp_replace(text, "([\\p{L}0-9])-\\n([\\p{L}0-9])", "$1$2")
+    val d2 = regexp_replace(d1, "\\n\\n", "\u0001")
+    val d3 = regexp_replace(d2, "\\n", " ")
+    regexp_replace(d3, "\u0001", "\n\n")
+  }
 }

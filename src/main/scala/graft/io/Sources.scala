@@ -53,6 +53,7 @@ object Sources {
       Shapefile.read(spark, path.substring(0, path.length - 4)))
     val tiffAttempt = "geotiff" -> (() => GeoTiff.readCells(spark, path))
     val avroAttempt = "avro" -> (() => Avro.read(spark, path))
+    val arrowAttempt = "arrow" -> (() => ArrowIpc.read(spark, path))
     val lower = path.toLowerCase
     val attempts =
       if (lower.endsWith(".json")) Seq(jsonAttempt, csvAttempt, xlsxAttempt)
@@ -62,6 +63,8 @@ object Sources {
       else if (lower.endsWith(".shp")) Seq(shpAttempt)
       else if (lower.endsWith(".tif") || lower.endsWith(".tiff")) Seq(tiffAttempt)
       else if (lower.endsWith(".avro")) Seq(avroAttempt)
+      else if (lower.endsWith(".arrow") || lower.endsWith(".feather"))
+        Seq(arrowAttempt)
       else Seq(csvAttempt, jsonAttempt, xlsxAttempt)
     val errors = Seq.newBuilder[String]
     attempts.foreach { case (fmt, read) =>

@@ -291,6 +291,14 @@ object OpRegistry {
       .unigramSegmentScores(df, col(str(p, "text_col")),
         num(p, "max_piece_len").toInt, num(p, "min_count").toLong,
         num(p, "top_words").toInt)),
+    "normalize_unicode" -> (p => df => df.withColumn(str(p, "out_col"),
+      graft.ext.TextAnalysis.normalizeUnicodeScoped(col(str(p, "text_col"))))),
+    "repair_line_wraps" -> (p => df => df.withColumn(str(p, "out_col"),
+      graft.ext.TextAnalysis.repairLineWraps(col(str(p, "text_col"))))),
+    "maxsim_rerank" -> (p => df => graft.ext.Similarity.maxsimRerank(
+      df, col(str(p, "id_col")), col(str(p, "text_col")),
+      strs(p, "query_ids").zip(strs(p, "query_texts")),
+      num(p, "max_doc_tokens").toInt, num(p, "top_k").toInt)),
     "exact_dedup" -> (p => df => graft.ext.Dedup.exact(
       df, str(p, "text_col"), str(p, "id_col"))),
     // cache = false: a pipeline result's lifetime is unmanaged, so

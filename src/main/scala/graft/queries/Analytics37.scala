@@ -415,5 +415,185 @@ object Analytics37 {
       "vocabulary screen of a 100 TB corpus never touches pair space — " +
       "cost is corpus-linear plus a topWords-bounded DP stage.")
 
-  val all: Seq[Declared] = Seq(q491, q493, q494, q495, q496, q497, q498)
+  /** q500 — E3+: LATE-INTERACTION MaxSim reranking (ColBERT scoring
+    * shape) with the exact md5-digit token embedding: three literal
+    * queries against the documents corpus, shared-token candidate
+    * gate, 16-token doc windows, top-5 per query. The oracle rebuilds
+    * the embedding from md5 hex digits and replays the
+    * Σ max ⟨qv, dv⟩ double aggregation. */
+  val q500 = Declared(
+    "q500_maxsim_rerank", "E3+",
+    (s, dir) => graft.ext.Similarity.maxsimRerank(
+        Tables.documents(s, dir), col("doc_id"), col("text"),
+        queries = Seq(("q1", "fast table scan"),
+          ("q2", "stream join window"), ("q3", "vector hash merge")),
+        maxDocTokens = 16, topK = 5)
+      .orderBy(col("query_id"), col("rank")),
+    Some("""WITH q(query_id, qtext) AS (VALUES
+           |    ('q1', 'fast table scan'), ('q2', 'stream join window'),
+           |    ('q3', 'vector hash merge')),
+           |qt AS MATERIALIZED (
+           |  SELECT query_id, tok FROM (
+           |    SELECT query_id,
+           |      unnest(regexp_split_to_array(lower(qtext), '\s+')) AS tok
+           |    FROM q)
+           |  WHERE tok <> ''),
+           |dt AS MATERIALIZED (
+           |  SELECT doc_id, tok FROM (
+           |    SELECT doc_id,
+           |      unnest(regexp_split_to_array(lower(text), '\s+')) AS tok,
+           |      unnest(range(1, len(regexp_split_to_array(lower(text), '\s+'))
+           |        + 1)) AS pos
+           |    FROM documents)
+           |  WHERE tok <> '' AND pos <= 16),
+           |cand AS MATERIALIZED (
+           |  SELECT DISTINCT qt.query_id, dt.doc_id
+           |  FROM qt JOIN dt ON dt.tok = qt.tok),
+           |pairs AS (
+           |  SELECT c.query_id, c.doc_id, qt.tok AS qtok,
+           |    CAST(list_sum(list_transform(range(1, 9), j ->
+           |      (strpos('0123456789abcdef', substr(md5(qt.tok), CAST(j AS INT), 1)) - 9)
+           |      * (strpos('0123456789abcdef', substr(md5(dt.tok), CAST(j AS INT), 1)) - 9)))
+           |      AS BIGINT) AS dot
+           |  FROM cand c
+           |  JOIN qt ON qt.query_id = c.query_id
+           |  JOIN dt ON dt.doc_id = c.doc_id),
+           |best AS (
+           |  SELECT query_id, doc_id, qtok, max(dot) AS b
+           |  FROM pairs GROUP BY 1, 2, 3),
+           |score AS (
+           |  SELECT query_id, doc_id, CAST(sum(b) AS BIGINT) AS maxsim
+           |  FROM best GROUP BY 1, 2)
+           |SELECT query_id,
+           |  CAST(row_number() OVER (PARTITION BY query_id
+           |    ORDER BY maxsim DESC, doc_id) AS BIGINT) AS rank,
+           |  doc_id, maxsim
+           |FROM score
+           |QUALIFY rank <= 5
+           |ORDER BY query_id, rank""".stripMargin),
+    "The candidate gate is a token equi-join (swap in the q79 BM25 or " +
+      "q58 IVF gate at scale); scoring is |cand|·|q|·16 exact-long " +
+      "dots inside one codegen span, then two keyed aggs and a " +
+      "per-query TakeOrdered. The modern reranker shape with no UDF " +
+      "and no float anywhere.")
+
+  /** q501 — E7: scoped UNICODE NORMALIZATION over the corpus — each
+    * document decorated with a deterministic unicode suffix (full-width
+    * ASCII, curly quotes/dashes/ellipsis, ligatures, zero-width chars,
+    * NBSP — one variant per doc_id mod 5), normalized by the
+    * translate/replace chain, per-language length/change audit. The
+    * oracle interpolates the SAME mapping literals
+    * ([[graft.ext.TextAnalysis.FullWidthSrc]] etc.) so the chains are
+    * byte-identical by construction. */
+  val q501 = {
+    import graft.ext.TextAnalysis._
+    val decos = Seq(
+      "ｆｕｌｌ　ｗｉｄｔｈ！",
+      "“curly” – dash …",
+      "ﬁrst ﬂow",
+      "zero​width nb",
+      "plain ascii")
+    val sqlDecos = decos.map(d => s"'$d'").mkString("[", ", ", "]")
+    // SQL single-quoted literal with quotes doubled (QuoteDashDst
+    // contains ASCII ' and ")
+    def sqlLit(v: String): String = "'" + v.replace("'", "''") + "'"
+    Declared(
+      "q501_unicode_normalize", "E7,F1-F8",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+          .withColumn("__deco", concat(col("text"), lit(" "),
+            element_at(array(decos.map(lit): _*),
+              (col("doc_id") % 5).cast("int") + 1)))
+          .withColumn("__norm", normalizeUnicodeScoped(col("__deco")))
+        docs.groupBy(col("lang"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(length(col("__deco"))).as("len_before"),
+            sum(length(col("__norm"))).as("len_after"),
+            sum(when(col("__norm") =!= col("__deco"), 1L).otherwise(0L))
+              .as("n_changed"))
+          .orderBy(col("lang"))
+      },
+      Some(s"""WITH deco AS (
+           |  SELECT lang,
+           |    text || ' ' || ($sqlDecos)[CAST(doc_id % 5 AS INT) + 1] AS d
+           |  FROM documents),
+           |norm AS (
+           |  SELECT lang, d,
+           |    regexp_replace(regexp_replace(regexp_replace(
+           |      translate(translate(translate(translate(d,
+           |        '$ZeroWidthChars', ''),
+           |        '$SpaceLikeChars', '  '),
+           |        ${sqlLit(QuoteDashSrc)}, ${sqlLit(QuoteDashDst)}),
+           |        ${sqlLit(FullWidthSrc)}, ${sqlLit(FullWidthDst)}),
+           |      '…', '...', 'g'), 'ﬁ', 'fi', 'g'),
+           |      'ﬂ', 'fl', 'g') AS n
+           |  FROM deco)
+           |SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+           |  CAST(sum(length(d)) AS BIGINT) AS len_before,
+           |  CAST(sum(length(n)) AS BIGINT) AS len_after,
+           |  CAST(sum(CASE WHEN n <> d THEN 1 ELSE 0 END) AS BIGINT)
+           |    AS n_changed
+           |FROM norm GROUP BY 1 ORDER BY lang""".stripMargin),
+      "A pure scan-side translate/replace chain — zero exchanges " +
+        "before the language rollup, codegen end to end. The " +
+        "pre-tokenization cleanup of a 100 TB web corpus is a map " +
+        "stage; the mapping tables are plan literals, not data.")
+  }
+
+  /** q502 — E7: LINE-WRAP REPAIR (PDF/OCR text cleanup) — documents
+    * decorated with hyphen-break / single-newline / paragraph-break
+    * suffixes (doc_id mod 4), repaired by the dehyphenate + sentinel
+    * newline chain, per-language audit of lengths and surviving
+    * newlines. */
+  val q502 = Declared(
+    "q502_linewrap_repair", "E7,F1-F8",
+    (s, dir) => {
+      import graft.ext.TextAnalysis._
+      val decos = Seq("exam-\nple text", "para one\n\npara two",
+        "line one\nline two", "tail-\nwind\nrow end")
+      val docs = Tables.documents(s, dir)
+        .withColumn("__deco", concat(col("text"), lit(" "),
+          element_at(array(decos.map(lit): _*),
+            (col("doc_id") % 4).cast("int") + 1)))
+        .withColumn("__fix", repairLineWraps(col("__deco")))
+      docs.groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(length(col("__fix"))).as("len_after"),
+          sum(length(col("__fix")) -
+            length(regexp_replace(col("__fix"), "\n", "")))
+            .as("newlines_left"),
+          sum(when(col("__fix") =!= col("__deco"), 1L).otherwise(0L))
+            .as("n_changed"))
+        .orderBy(col("lang"))
+    },
+    Some("""WITH deco AS (
+           |  SELECT lang, text || ' ' ||
+           |    (['exam-' || chr(10) || 'ple text',
+           |      'para one' || chr(10) || chr(10) || 'para two',
+           |      'line one' || chr(10) || 'line two',
+           |      'tail-' || chr(10) || 'wind' || chr(10) || 'row end'
+           |     ])[CAST(doc_id % 4 AS INT) + 1] AS d
+           |  FROM documents),
+           |fix AS (
+           |  SELECT lang, d,
+           |    regexp_replace(regexp_replace(regexp_replace(regexp_replace(d,
+           |      '([\p{L}0-9])-\n([\p{L}0-9])', '\1\2', 'g'),
+           |      '\n\n', chr(1), 'g'),
+           |      '\n', ' ', 'g'),
+           |      chr(1), chr(10) || chr(10), 'g') AS f
+           |  FROM deco)
+           |SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+           |  CAST(sum(length(f)) AS BIGINT) AS len_after,
+           |  CAST(sum(length(f) - length(replace(f, chr(10), ''))) AS BIGINT)
+           |    AS newlines_left,
+           |  CAST(sum(CASE WHEN f <> d THEN 1 ELSE 0 END) AS BIGINT)
+           |    AS n_changed
+           |FROM fix GROUP BY 1 ORDER BY lang""".stripMargin),
+    "Same shape as q501: scan-side regex/replace chain, one language " +
+      "rollup. The sentinel device (protect \\n\\n, collapse \\n, " +
+      "restore) sidesteps RE2's missing lookaround on BOTH engines " +
+      "with identical left-to-right all-occurrences semantics.")
+
+  val all: Seq[Declared] = Seq(q491, q493, q494, q495, q496, q497, q498,
+    q500, q501, q502)
 }

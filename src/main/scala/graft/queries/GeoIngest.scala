@@ -448,6 +448,59 @@ object GeoIngest {
       "deprecated flavor parallelizes per strip exactly like " +
       "compression 7 — unlike q479's whole-image stream.")
 
+  /** q499 — S2: ARROW IPC (Feather v2) ingest — the columnar
+    * interchange format of the pandas/polars/DuckDB world, read with
+    * the arrow-vector classes Spark already ships. The fixture writes
+    * 240 formula rows across SIX record batches (batchRows = 40), so
+    * the read exercises the footer-indexed batch splits; the oracle
+    * replays the formula. All five supported types (long, int, double,
+    * string, boolean) plus nulls ride through. */
+  val q499 = Declared(
+    "q499_arrow_ingest", "S2",
+    (s, dir) => {
+      import org.apache.spark.sql.types._
+      val tmp = java.nio.file.Files.createTempDirectory("graft_q499").toString
+      val schema = StructType(Seq(
+        StructField("id", LongType, nullable = false),
+        StructField("grp", IntegerType, nullable = false),
+        StructField("v", DoubleType, nullable = false),
+        StructField("tag", StringType, nullable = false),
+        StructField("flag", BooleanType, nullable = false),
+        StructField("opt", LongType, nullable = true)))
+      val rows = (0 until 240).map { i =>
+        org.apache.spark.sql.Row(i.toLong, i % 7, ((i * 11) % 37) / 8.0,
+          "t" + (i % 4), i % 3 == 0,
+          if (i % 5 == 0) null else java.lang.Long.valueOf(i * 2L))
+      }
+      graft.io.ArrowIpc.write(s"$tmp/data.arrow", schema, rows,
+        batchRows = 40)
+      graft.io.Sources.openData(s, s"$tmp/data.arrow")
+        .groupBy(col("tag"))
+        .agg(count(lit(1)).as("n"), sum(col("v")).as("sum_v"),
+          sum(col("grp").cast("long")).as("sum_grp"),
+          sum(when(col("flag"), 1L).otherwise(0L)).as("n_flag"),
+          sum(col("opt")).as("sum_opt"), count(col("opt")).as("n_opt"))
+        .orderBy(col("tag"))
+    },
+    Some("""WITH r AS (
+           |  SELECT 't' || CAST(i % 4 AS VARCHAR) AS tag,
+           |    CAST((i * 11) % 37 AS DOUBLE) / 8 AS v,
+           |    i % 7 AS grp, i % 3 = 0 AS flag,
+           |    CASE WHEN i % 5 = 0 THEN NULL ELSE 2 * i END AS opt
+           |  FROM generate_series(0, 239) t(i))
+           |SELECT tag, CAST(count(*) AS BIGINT) AS n, sum(v) AS sum_v,
+           |  CAST(sum(grp) AS BIGINT) AS sum_grp,
+           |  CAST(sum(CASE WHEN flag THEN 1 ELSE 0 END) AS BIGINT) AS n_flag,
+           |  CAST(sum(opt) AS BIGINT) AS sum_opt,
+           |  CAST(count(opt) AS BIGINT) AS n_opt
+           |FROM r GROUP BY 1 ORDER BY 1""".stripMargin),
+    "The file footer indexes every record batch, so the driver reads " +
+      "schema + block list only and each task seeks straight to its " +
+      "batches — splits come free from the format (no sync-marker " +
+      "scan), and a directory of files adds file-level parallelism. " +
+      "The interchange edge with the pandas/polars world at 100 TB.")
+
   val all: Seq[Declared] =
-    Seq(q440, q441, q442, q443, q446, q458, q459, q461, q470, q479, q492)
+    Seq(q440, q441, q442, q443, q446, q458, q459, q461, q470, q479, q492,
+      q499)
 }

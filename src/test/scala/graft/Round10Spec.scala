@@ -132,6 +132,66 @@ class Round10Spec extends AnyFunSuite {
     assert(got.toSeq == Seq((2L, -2L)))
   }
 
+  // ---- text cleanup + maxsim ---------------------------------------------
+
+  test("E7: normalizeUnicodeScoped applies the documented mapping set") {
+    val in = Seq(
+      "ﬁn ﬂow",                       // ligatures
+      "Ａｂｃ！",                      // full-width ASCII
+      "a​b c　d",       // zero-width + space-likes
+      "‘q’ “w” – — − …",
+      "plain").toDF("t")
+      .select(TextAnalysis.normalizeUnicodeScoped(col("t")).as("n"))
+      .collect().map(_.getString(0))
+    assert(in.toSeq == Seq(
+      "fin flow", "Abc!", "ab c d", "'q' \"w\" - - - ...", "plain"))
+  }
+
+  test("E7: repairLineWraps — dehyphenate, wrap-collapse, paragraphs kept") {
+    val got = Seq(
+      "exam-\nple",
+      "line one\nline two",
+      "para one\n\npara two",
+      "a-\nb c\nd\n\ne",
+      "odd\n\n\ncase" // \n\n protected left-to-right, tail \n -> space
+    ).toDF("t")
+      .select(TextAnalysis.repairLineWraps(col("t")).as("f"))
+      .collect().map(_.getString(0))
+    assert(got.toSeq == Seq(
+      "example", "line one line two", "para one\n\npara two",
+      "ab c d\n\ne", "odd\n\n case"))
+  }
+
+  test("E3+: maxsimRerank matches a Scala replica of the md5 embedding") {
+    def vec(tok: String): Array[Long] = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(tok.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      (0 until 8).map(j =>
+        java.lang.Long.parseLong(hex.substring(j, j + 1), 16) - 8L).toArray
+    }
+    def dot(a: Array[Long], b: Array[Long]): Long =
+      a.zip(b).map { case (x, y) => x * y }.sum
+    val docs = Seq(
+      (1L, "fast scan table fast"),
+      (2L, "slow join window"),
+      (3L, "scan scan scan")).toDF("doc_id", "text")
+    val got = graft.ext.Similarity.maxsimRerank(docs, col("doc_id"),
+        col("text"), Seq(("q1", "fast scan")), maxDocTokens = 16, topK = 3)
+      .orderBy(col("rank"))
+      .collect().map(r => (r.getLong(2), r.getLong(3)))
+    // replica: all three docs share a token? doc2 shares none of
+    // {fast, scan} -> not a candidate
+    def score(dtoks: Seq[String]): Long =
+      Seq("fast", "scan").map(q =>
+        dtoks.map(d => dot(vec(q), vec(d))).max).sum
+    val want = Seq(
+      1L -> score(Seq("fast", "scan", "table", "fast")),
+      3L -> score(Seq("scan", "scan", "scan")))
+      .sortBy { case (id, s) => (-s, id) }
+    assert(got.toSeq == want)
+  }
+
   // ---- multimodal exact feature trio -------------------------------------
 
   test("E5: imageBlockStats recovers the generator formula per block") {
