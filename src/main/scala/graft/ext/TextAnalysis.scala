@@ -1872,4 +1872,20 @@ object TextAnalysis {
     val d3 = regexp_replace(d2, "\\n", " ")
     regexp_replace(d3, "\u0001", "\n\n")
   }
+
+  /** E7 — SENTENCE SPLIT + stats, scan-side: sentences are the
+    * non-empty spans between [.!?]+ runs (trailing whitespace
+    * absorbed) — the rule-based splitter corpus pipelines run before
+    * sentence-level dedup/packing. Returns a struct
+    * (n_sentences, sum_chars, max_chars) of exact integers; pure
+    * split/filter/aggregate column ops, no UDF. */
+  def sentenceStats(text: Column): Column = {
+    val parts = filter(split(text, "[.!?]+\\s*"), x => x =!= "")
+    val lens = transform(parts, x => length(x).cast("long"))
+    struct(
+      size(parts).cast("long").as("n_sentences"),
+      coalesce(aggregate(lens, lit(0L), (a, x) => a + x), lit(0L))
+        .as("sum_chars"),
+      coalesce(array_max(lens), lit(0L)).as("max_chars"))
+  }
 }

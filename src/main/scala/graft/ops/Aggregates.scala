@@ -510,6 +510,48 @@ object Aggregates {
           .otherwise(0L)).as("alloc"): _*)
   }
 
+  /** A1 — PER-GROUP largest-remainder apportionment: within each group,
+    * split that group's integer `totalCol` across its keys
+    * proportionally to `weightCol`, exactly (Σ alloc ≡ total per
+    * group). The hierarchical-reconciliation primitive: a top-level
+    * forecast splits across its children by bottom-level weights with
+    * no drift. Returns (group…, key…, weight, total, alloc).
+    *
+    * Scale: BOTH windows partition on the group keys — unlike the
+    * global [[largestRemainder]] there is no single-partition frame at
+    * any size; groups shard freely across executors. */
+  def largestRemainderByGroup(df: DataFrame, groupKeys: Seq[Column],
+      keys: Seq[Column], weightCol: Column, totalCol: Column): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(groupKeys.nonEmpty && keys.nonEmpty, "need group and key cols")
+    val d38 = "decimal(38,0)"
+    val rollup = df.groupBy((groupKeys ++ keys): _*)
+      .agg(sum(weightCol.cast("long")).as("weight"),
+        // the group total rides on every row of the group (callers
+        // attach it upstream); min = the shared value
+        min(totalCol.cast("long")).as("total"))
+    val gNames = rollup.columns.dropRight(keys.length + 2).toSeq
+    val kNames = rollup.columns.slice(gNames.length,
+      gNames.length + keys.length).toSeq
+    val grp = Window.partitionBy(gNames.map(col): _*)
+    val tot = grp.rowsBetween(Window.unboundedPreceding,
+      Window.unboundedFollowing)
+    val scaled = rollup
+      .withColumn("__W", sum(col("weight")).over(tot))
+      .withColumn("__num", col("total").cast(d38) * col("weight").cast(d38))
+      .withColumn("__floor", expr("__num div greatest(__W, 1L)").cast("long"))
+      .withColumn("__rem", (col("__num") - col("__floor").cast(d38) *
+        col("__W").cast(d38)).cast("long"))
+      .withColumn("__left", (col("total") - sum(col("__floor")).over(tot))
+        .cast("long"))
+    val rn = row_number().over(grp.orderBy(
+      (col("__rem").desc +: kNames.map(col(_).asc)): _*))
+    scaled.withColumn("__rn", rn)
+      .select((gNames ++ kNames).map(col) :+ col("weight") :+ col("total") :+
+        (col("__floor") + when(col("__rn") <= col("__left"), 1L)
+          .otherwise(0L)).as("alloc"): _*)
+  }
+
   /** Benford first-significant-digit PPM table: log10(1 + 1/d) in
     * micro-units, d = 1..9 — literal constants (no libm on either
     * engine), summing to exactly 1 000 000. */

@@ -291,6 +291,12 @@ object OpRegistry {
       .unigramSegmentScores(df, col(str(p, "text_col")),
         num(p, "max_piece_len").toInt, num(p, "min_count").toLong,
         num(p, "top_words").toInt)),
+    "sentence_stats" -> (p => df => df.withColumn(str(p, "out_col"),
+      graft.ext.TextAnalysis.sentenceStats(col(str(p, "text_col"))))),
+    "largest_remainder_by_group" -> (p => df =>
+      graft.ops.Aggregates.largestRemainderByGroup(df,
+        strs(p, "group_cols").map(col), strs(p, "key_cols").map(col),
+        col(str(p, "weight_col")), col(str(p, "total_col")))),
     "normalize_unicode" -> (p => df => df.withColumn(str(p, "out_col"),
       graft.ext.TextAnalysis.normalizeUnicodeScoped(col(str(p, "text_col"))))),
     "repair_line_wraps" -> (p => df => df.withColumn(str(p, "out_col"),

@@ -594,6 +594,161 @@ object Analytics37 {
       "restore) sidesteps RE2's missing lookaround on BOTH engines " +
       "with identical left-to-right all-occurrences semantics.")
 
+  /** q503 — E7: rule-based SENTENCE SPLIT stats — every 'table' token
+    * promoted to a sentence boundary ('table' → 'table.', both
+    * engines), sentences = non-empty spans between [.!?]+ runs,
+    * per-language rollup of counts/lengths. The splitter corpora run
+    * before sentence-level dedup and packing. */
+  val q503 = Declared(
+    "q503_sentence_split", "E7",
+    (s, dir) => {
+      val docs = Tables.documents(s, dir)
+        .withColumn("__d", regexp_replace(col("text"), "table", "table."))
+        .withColumn("__st", graft.ext.TextAnalysis.sentenceStats(col("__d")))
+      docs.groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("__st.n_sentences")).as("n_sentences"),
+          sum(col("__st.sum_chars")).as("sum_chars"),
+          max(col("__st.max_chars")).as("max_sent_chars"))
+        .orderBy(col("lang"))
+    },
+    Some("""WITH st AS (
+           |  SELECT lang,
+           |    list_filter(regexp_split_to_array(
+           |      regexp_replace(text, 'table', 'table.', 'g'),
+           |      '[.!?]+\s*'), x -> x <> '') AS parts
+           |  FROM documents)
+           |SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+           |  CAST(sum(len(parts)) AS BIGINT) AS n_sentences,
+           |  CAST(sum(coalesce(list_sum(
+           |    list_transform(parts, x -> length(x))), 0)) AS BIGINT)
+           |    AS sum_chars,
+           |  CAST(max(coalesce(list_max(
+           |    list_transform(parts, x -> length(x))), 0)) AS BIGINT)
+           |    AS max_sent_chars
+           |FROM st GROUP BY 1 ORDER BY lang""".stripMargin),
+    "Scan-side split/filter/fold column ops (no UDF), one language " +
+      "rollup — the sentence screen is a map stage at any scale.")
+
+  /** q504 — E4/A1: TEMPERATURE-SAMPLED corpus mixing (the mT5 α = 1/2
+    * scheme, Xue et al. 2021 — public literature): per (lang, source)
+    * token counts, weights = ⌊√tokens⌋ (one correctly-rounded sqrt of
+    * an exact integer — bit-identical across engines), and a
+    * 1,000,000-token budget split by largest-remainder apportionment,
+    * so Σ alloc ≡ budget exactly. */
+  val q504 = Declared(
+    "q504_temperature_mixing", "E4,A1",
+    (s, dir) => {
+      val toks = Tables.documents(s, dir)
+        .select(col("lang"), col("source"),
+          size(filter(split(lower(col("text")), "\\s+"), x => x =!= ""))
+            .cast("long").as("__t"))
+        .groupBy(col("lang"), col("source"))
+        .agg(sum(col("__t")).as("tokens"))
+        .withColumn("__w",
+          floor(sqrt(col("tokens").cast("double"))).cast("long"))
+      graft.ops.Aggregates.largestRemainder(toks,
+          Seq(col("lang"), col("source")), col("__w"), total = 1000000L)
+        .orderBy(col("lang"), col("source"))
+    },
+    Some("""WITH toks AS (
+           |  SELECT lang, source,
+           |    CAST(sum(len(list_filter(regexp_split_to_array(lower(text),
+           |      '\s+'), x -> x <> ''))) AS BIGINT) AS tokens
+           |  FROM documents GROUP BY 1, 2),
+           |w AS (
+           |  SELECT lang, source,
+           |    CAST(floor(sqrt(CAST(tokens AS DOUBLE))) AS BIGINT) AS weight
+           |  FROM toks),
+           |sc AS (
+           |  SELECT lang, source, weight,
+           |    CAST(sum(weight) OVER () AS BIGINT) AS W,
+           |    CAST(1000000 * weight AS BIGINT) AS num
+           |  FROM w),
+           |fl AS (
+           |  SELECT lang, source, weight, W, num // W AS fl,
+           |    num - (num // W) * W AS rem
+           |  FROM sc),
+           |lf AS (
+           |  SELECT *, 1000000 - CAST(sum(fl) OVER () AS BIGINT) AS leftn,
+           |    row_number() OVER (ORDER BY rem DESC, lang, source) AS rn
+           |  FROM fl)
+           |SELECT lang, source, weight,
+           |  CAST(fl + CASE WHEN rn <= leftn THEN 1 ELSE 0 END AS BIGINT)
+           |    AS alloc
+           |FROM lf ORDER BY lang, source""".stripMargin),
+    "One corpus scan into a (lang, source) rollup; the apportionment " +
+      "windows run over that rollup only. The sampling-rate table a " +
+      "multilingual 100 TB mix is built from — exact by construction, " +
+      "no drift off the budget.")
+
+  /** q505 — A-ts/A1: HIERARCHICAL FORECAST RECONCILIATION (top-down
+    * proportional, Athanasopoulos et al., the standard hierarchy
+    * method): region-level 1996 order totals split across nations by
+    * 1995 nation weights via PER-GROUP largest remainder — Σ over a
+    * region's nations ≡ the region total, a theorem of the
+    * apportionment. New grouped op: every window partitions on the
+    * region, so there is NO single-partition frame at any scale. */
+  val q505 = Declared(
+    "q505_forecast_reconcile", "A-ts,A1",
+    (s, dir) => {
+      val cust = s.read.parquet(s"$dir/customer.parquet")
+        .select(col("c_custkey"), col("c_nationkey"))
+      val nat = s.read.parquet(s"$dir/nation.parquet")
+        .select(col("n_nationkey"), col("n_regionkey"))
+      val o = s.read.parquet(s"$dir/orders.parquet")
+        .join(cust, col("o_custkey") === col("c_custkey"))
+        .join(nat, col("c_nationkey") === col("n_nationkey"))
+        .select(col("n_regionkey").as("region"),
+          col("n_nationkey").as("nation"), year(col("o_orderdate")).as("y"))
+      val w = o.filter(col("y") === 1995)
+        .groupBy(col("region"), col("nation"))
+        .agg(count(lit(1)).as("__w"))
+      val tot = o.filter(col("y") === 1996)
+        .groupBy(col("region")).agg(count(lit(1)).as("__tot"))
+      graft.ops.Aggregates.largestRemainderByGroup(
+          w.join(tot, Seq("region")),
+          groupKeys = Seq(col("region")), keys = Seq(col("nation")),
+          weightCol = col("__w"), totalCol = col("__tot"))
+        .orderBy(col("region"), col("nation"))
+    },
+    Some("""WITH o AS (
+           |  SELECT n.n_regionkey AS region, n.n_nationkey AS nation,
+           |    year(o.o_orderdate) AS y
+           |  FROM orders o
+           |  JOIN customer c ON o.o_custkey = c.c_custkey
+           |  JOIN nation n ON c.c_nationkey = n.n_nationkey),
+           |w AS (
+           |  SELECT region, nation, CAST(count(*) AS BIGINT) AS weight
+           |  FROM o WHERE y = 1995 GROUP BY 1, 2),
+           |t AS (
+           |  SELECT region, CAST(count(*) AS BIGINT) AS total
+           |  FROM o WHERE y = 1996 GROUP BY 1),
+           |sc AS (
+           |  SELECT w.region, w.nation, w.weight, t.total,
+           |    CAST(sum(w.weight) OVER (PARTITION BY w.region) AS BIGINT) AS W,
+           |    CAST(t.total * w.weight AS BIGINT) AS num
+           |  FROM w JOIN t ON t.region = w.region),
+           |fl AS (
+           |  SELECT *, num // greatest(W, 1) AS fl,
+           |    num - (num // greatest(W, 1)) * W AS rem
+           |  FROM sc),
+           |lf AS (
+           |  SELECT *,
+           |    total - CAST(sum(fl) OVER (PARTITION BY region) AS BIGINT)
+           |      AS leftn,
+           |    row_number() OVER (PARTITION BY region
+           |      ORDER BY rem DESC, nation) AS rn
+           |  FROM fl)
+           |SELECT region, nation, weight, total,
+           |  CAST(fl + CASE WHEN rn <= leftn THEN 1 ELSE 0 END AS BIGINT)
+           |    AS alloc
+           |FROM lf ORDER BY region, nation""".stripMargin),
+    "The fact scan collapses at the (region, nation, year) grain; " +
+      "apportionment windows PARTITION BY region — hierarchies shard " +
+      "freely, no global frame anywhere. The reconciliation step of " +
+      "any hierarchical forecasting pipeline, exact to the unit.")
+
   val all: Seq[Declared] = Seq(q491, q493, q494, q495, q496, q497, q498,
-    q500, q501, q502)
+    q500, q501, q502, q503, q504, q505)
 }

@@ -192,6 +192,43 @@ class Round10Spec extends AnyFunSuite {
     assert(got.toSeq == want)
   }
 
+  test("E7: sentenceStats — splits, empties, punctuation runs") {
+    val got = Seq(
+      "One. Two two! Three?? ",
+      "no punctuation at all",
+      "...",
+      "a.b. c").toDF("t")
+      .select(TextAnalysis.sentenceStats(col("t")).as("s"))
+      .select(col("s.n_sentences"), col("s.sum_chars"), col("s.max_chars"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.toSeq == Seq(
+      (3L, 3L + 7L + 5L, 7L),  // "One", "Two two", "Three"
+      (1L, 21L, 21L),
+      (0L, 0L, 0L),
+      (3L, 1L + 1L + 1L, 1L))) // "a", "b", "c"
+  }
+
+  test("A1: largestRemainderByGroup — per-group totals hold exactly") {
+    val df = Seq(
+      ("r1", "a", 1L, 10L), ("r1", "b", 1L, 10L), ("r1", "c", 1L, 10L),
+      ("r2", "x", 5L, 7L), ("r2", "y", 3L, 7L))
+      .toDF("g", "k", "w", "tot")
+    val got = graft.ops.Aggregates.largestRemainderByGroup(df,
+        Seq(col("g")), Seq(col("k")), col("w"), col("tot"))
+      .orderBy(col("g"), col("k"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(4)))
+    // r1: 10 over equal weights -> floors 3,3,3, leftover 1 to "a"
+    // r2: 7 over 5:3 -> floors 4,2; remainders 3/8, 5/8 -> +1 to y
+    assert(got.toSeq == Seq(("r1", "a", 4L), ("r1", "b", 3L),
+      ("r1", "c", 3L), ("r2", "x", 4L), ("r2", "y", 3L)))
+    // Σ alloc ≡ total per group, always
+    val sums = graft.ops.Aggregates.largestRemainderByGroup(df,
+        Seq(col("g")), Seq(col("k")), col("w"), col("tot"))
+      .groupBy(col("g")).agg(sum(col("alloc")).as("s"), max(col("total")))
+      .collect().map(r => r.getLong(1) -> r.getLong(2))
+    assert(sums.forall { case (s, t) => s == t })
+  }
+
   // ---- multimodal exact feature trio -------------------------------------
 
   test("E5: imageBlockStats recovers the generator formula per block") {
