@@ -129,6 +129,76 @@ object TimeSeriesOps {
     (perId, global)
   }
 
+  /** DIRECTIONAL as-of join with tolerance — the full pandas
+    * merge_asof surface over the same union+window plan as
+    * [[asofJoin]]:
+    *  - `backward`: latest right row with rts <= lts (equal-ts: right
+    *    wins — the [[asofJoin]] semantics);
+    *  - `forward`: earliest right row with rts >= lts;
+    *  - `nearest`: whichever of the two is closer in time; exact ties
+    *    go BACKWARD (the pandas convention).
+    * `toleranceMicros >= 0` voids any match farther than the tolerance
+    * (per direction, before the nearest pick). Output columns carry
+    * `prefix`; unmatched rows carry nulls.
+    *
+    * Scale: ONE shuffle + sort per key timeline (two running windows
+    * over the same sort — Spark collapses them into one exchange);
+    * never a range-condition join. */
+  def asofJoinDirected(left: DataFrame, right: DataFrame, key: String,
+      tsCol: String, rightCols: Seq[String], direction: String,
+      toleranceMicros: Long = -1L, prefix: String = "asof_"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(Seq("backward", "forward", "nearest").contains(direction),
+      s"direction must be backward/forward/nearest, got '$direction'")
+    val lCols = left.columns.toSeq
+    // payload travels with ITS OWN timestamp so tolerance and the
+    // nearest pick see the matched row's time, not just its values
+    val rPayload = struct((col(tsCol).as("__rts") +:
+      rightCols.map(col)): _*)
+    val rPayloadType = right.select(rPayload).schema.head.dataType
+    val tagged = left
+      .withColumn("__side", lit(1))
+      .withColumn("__rpay", lit(null).cast(rPayloadType))
+      .select(lCols.map(col) :+ col("__side") :+ col("__rpay"): _*)
+      .unionByName(
+        right.select(col(key), col(tsCol), lit(0).as("__side"),
+          rPayload.as("__rpay")),
+        allowMissingColumns = true)
+    // backward: right rows sort BEFORE left at equal ts (<=); forward:
+    // right rows sort AFTER left at equal ts, first() looks ahead (>=)
+    val wb = Window.partitionBy(col(key))
+      .orderBy(col(tsCol).asc, col("__side").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wf = Window.partitionBy(col(key))
+      .orderBy(col(tsCol).asc, col("__side").desc)
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    def gate(c: Column): Column =
+      if (toleranceMicros < 0) c
+      else when(c.isNotNull &&
+        abs(unix_micros(col(tsCol)) - unix_micros(c.getField("__rts"))) <=
+          toleranceMicros, c)
+    val withBoth = tagged
+      .withColumn("__b", gate(last(col("__rpay"), ignoreNulls = true).over(wb)))
+      .withColumn("__f", gate(first(col("__rpay"), ignoreNulls = true).over(wf)))
+    val picked = direction match {
+      case "backward" => col("__b")
+      case "forward" => col("__f")
+      case "nearest" =>
+        val db = unix_micros(col(tsCol)) - unix_micros(col("__b").getField("__rts"))
+        val df = unix_micros(col("__f").getField("__rts")) - unix_micros(col(tsCol))
+        when(col("__b").isNull, col("__f"))
+          .when(col("__f").isNull, col("__b"))
+          .when(db <= df, col("__b")) // exact tie -> backward
+          .otherwise(col("__f"))
+    }
+    withBoth
+      .filter(col("__side") === 1)
+      .withColumn("__pick", picked)
+      .select(lCols.map(col) ++
+        (col("__pick").getField("__rts").as(s"${prefix}ts") +:
+          rightCols.map(c => col("__pick").getField(c).as(s"$prefix$c"))): _*)
+  }
+
   /** As-of join — for every left row, attach the latest right row with
     * `rightTs <= leftTs` for the same key (tie at equal ts: the right
     * row wins, i.e. <=-semantics, matching DuckDB/kdb ASOF JOIN).

@@ -229,6 +229,42 @@ class Round10Spec extends AnyFunSuite {
     assert(sums.forall { case (s, t) => s == t })
   }
 
+  test("J-asof: asofJoinDirected — directions, tolerance, nearest ties") {
+    import java.sql.Timestamp
+    def t(sec: Long) = new Timestamp(sec * 1000L)
+    val left = Seq((1L, t(100)), (1L, t(200)), (1L, t(350)))
+      .toDF("k", "ts")
+    val right = Seq((1L, t(90), "a"), (1L, t(150), "b"), (1L, t(300), "c"))
+      .toDF("k", "ts", "v")
+    def run(d: String, tol: Long = -1L) =
+      graft.ops.TimeSeriesOps.asofJoinDirected(left, right, "k", "ts",
+          Seq("v"), direction = d, toleranceMicros = tol)
+        .orderBy(col("ts"))
+        .collect().map(r => Option(r.getString(r.fieldIndex("asof_v"))))
+    // lts 100: backward a(90), forward b(150); lts 200: b(150)/c(300);
+    // lts 350: c(300)/none
+    assert(run("backward").toSeq == Seq(Some("a"), Some("b"), Some("c")))
+    assert(run("forward").toSeq == Seq(Some("b"), Some("c"), None))
+    // nearest: 100 -> a (10 vs 50); 200 -> b (50 vs 100); 350 -> c
+    assert(run("nearest").toSeq == Seq(Some("a"), Some("b"), Some("c")))
+    // tolerance 30 s: backward keeps only gaps <= 30 s
+    assert(run("backward", 30L * 1000000L).toSeq ==
+      Seq(Some("a"), None, None))
+    // exact tie goes backward: left at 225 is 75 from b and 75 from c
+    val tie = Seq((1L, t(225))).toDF("k", "ts")
+    val got = graft.ops.TimeSeriesOps.asofJoinDirected(tie, right, "k",
+        "ts", Seq("v"), "nearest").collect().head
+    assert(got.getString(got.fieldIndex("asof_v")) == "b")
+    // equal timestamps: backward <= includes the equal row, forward >=
+    val eq = Seq((1L, t(150))).toDF("k", "ts")
+    def eqRun(d: String) = {
+      val r = graft.ops.TimeSeriesOps.asofJoinDirected(
+        eq, right, "k", "ts", Seq("v"), d).collect().head
+      r.getString(r.fieldIndex("asof_v"))
+    }
+    assert(eqRun("backward") == "b" && eqRun("forward") == "b")
+  }
+
   // ---- multimodal exact feature trio -------------------------------------
 
   test("E5: imageBlockStats recovers the generator formula per block") {
