@@ -1308,7 +1308,8 @@ object Graph {
     * doubling round is one equi-join + distinct on mid — no cartesian,
     * no driver loop over pairs. */
   def stronglyConnectedComponents(edges: DataFrame, srcCol: String,
-      dstCol: String, maxDoublings: Int = 6): DataFrame = {
+      dstCol: String, maxDoublings: Int = 6,
+      smallGraphFastPath: Boolean = true): DataFrame = {
     require(maxDoublings >= 1 && maxDoublings <= 10,
       "maxDoublings in [1, 10]")
     val e = edges.select(col(srcCol).cast("long").as("u"),
@@ -1333,6 +1334,74 @@ object Graph {
       s"stronglyConnectedComponents is an audit-slice operator " +
         s"(closure is O(n·reach) pairs): $nNodes nodes > 100000 — " +
         "cap the node set upstream")
+    // BOUNDED fast path (the connectedComponents adaptive-regime
+    // discipline): audit-slice graphs this small pay 6 rounds of
+    // doubling-join job latency for nothing — an iterative driver
+    // Tarjan produces the IDENTICAL min-node labels in one collect.
+    val nEdges = e.count()
+    if (smallGraphFastPath && nNodes <= 20000L && nEdges <= 200000L) {
+      val spark = edges.sparkSession
+      import spark.implicits._
+      val adj = scala.collection.mutable.Map
+        .empty[Long, scala.collection.mutable.ArrayBuffer[Long]]
+      val nodeSet = scala.collection.mutable.TreeSet.empty[Long]
+      e.collect().foreach { r =>
+        adj.getOrElseUpdate(r.getLong(0),
+          scala.collection.mutable.ArrayBuffer.empty) += r.getLong(1)
+        nodeSet += r.getLong(0); nodeSet += r.getLong(1)
+      }
+      // iterative Tarjan (explicit stack — no recursion depth limit)
+      val index = scala.collection.mutable.Map.empty[Long, Int]
+      val low = scala.collection.mutable.Map.empty[Long, Int]
+      val onStack = scala.collection.mutable.Set.empty[Long]
+      val stack = scala.collection.mutable.ArrayBuffer.empty[Long]
+      val label = scala.collection.mutable.Map.empty[Long, Long]
+      var counter = 0
+      nodeSet.foreach { root =>
+        if (!index.contains(root)) {
+          // frames: (node, iterator over its successors)
+          val frames = scala.collection.mutable.ArrayBuffer
+            .empty[(Long, Iterator[Long])]
+          index(root) = counter; low(root) = counter; counter += 1
+          stack += root; onStack += root
+          frames += ((root,
+            adj.getOrElse(root, Nil).iterator))
+          while (frames.nonEmpty) {
+            val (v, it) = frames.last
+            var descended = false
+            while (it.hasNext && !descended) {
+              val w = it.next()
+              if (!index.contains(w)) {
+                index(w) = counter; low(w) = counter; counter += 1
+                stack += w; onStack += w
+                frames += ((w, adj.getOrElse(w, Nil).iterator))
+                descended = true
+              } else if (onStack(w) && index(w) < low(v)) low(v) = index(w)
+            }
+            if (!descended) {
+              frames.remove(frames.length - 1)
+              if (frames.nonEmpty) {
+                val p = frames.last._1
+                if (low(v) < low(p)) low(p) = low(v)
+              }
+              if (low(v) == index(v)) { // v roots an SCC: pop it
+                val comp = scala.collection.mutable.ArrayBuffer.empty[Long]
+                var done = false
+                while (!done) {
+                  val w = stack.remove(stack.length - 1)
+                  onStack -= w
+                  comp += w
+                  done = w == v
+                }
+                val id = comp.min
+                comp.foreach(w => label(w) = id)
+              }
+            }
+          }
+        }
+      }
+      return label.toSeq.sortBy(_._1).toDF("node", "scc_id")
+    }
     // reflexive closure seed: (v, v) keeps singleton SCCs labeled
     var reach = e.unionByName(nodes.select(col("n").as("u"), col("n").as("v")))
       .localCheckpoint()

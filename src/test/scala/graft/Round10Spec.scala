@@ -93,6 +93,24 @@ class Round10Spec extends AnyFunSuite {
       6L -> 6L, 7L -> 6L))
   }
 
+  test("E-graph: SCC driver Tarjan ≡ distributed pointer doubling " +
+      "(random digraphs)") {
+    val rnd = new scala.util.Random(31)
+    (0 until 5).foreach { _ =>
+      val n = 8 + rnd.nextInt(10)
+      val edges = Seq.fill(2 * n)(
+        (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+        .filter(p => p._1 != p._2).distinct
+      val df = edges.toDF("src", "dst")
+      val fast = Graph.stronglyConnectedComponents(df, "src", "dst")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val dist = Graph.stronglyConnectedComponents(df, "src", "dst",
+          smallGraphFastPath = false)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(fast == dist, s"edges $edges")
+    }
+  }
+
   test("E-graph: SCC empty input and the audit-slice node cap") {
     val empty = Graph.stronglyConnectedComponents(
       Seq.empty[(Long, Long)].toDF("src", "dst"), "src", "dst")
