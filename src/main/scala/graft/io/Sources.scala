@@ -175,6 +175,36 @@ object Sources {
     df.drop(df.columns.filter(_.toLowerCase.contains("unnamed")).toIndexedSeq: _*)
   }
 
+  /** S2+ — FIXED-WIDTH text reader (the COBOL/mainframe interchange
+    * leg): each line carries columns at fixed 1-based character
+    * offsets; `colSpecs` = (name, startPos, length, type) with type in
+    * long/int/double/string (string is right-trimmed — the padding
+    * convention). Cast failures become nulls (the CSV-leg
+    * permissiveness); lines shorter than a column's span yield null
+    * for that column. Splittable for free: it IS a text file, so HDFS
+    * line splits parallelize it like any log. */
+  def openFixedWidth(spark: SparkSession, path: String,
+      colSpecs: Seq[(String, Int, Int, String)]): DataFrame = {
+    require(colSpecs.nonEmpty, "need at least one column spec")
+    colSpecs.foreach { case (n, s, l, t) =>
+      require(s >= 1 && l >= 1, s"column '$n': 1-based start and length >= 1")
+      require(Seq("long", "int", "double", "string").contains(t),
+        s"column '$n': type '$t' not in long/int/double/string")
+    }
+    val lines = spark.read.text(path)
+    val cols = colSpecs.map { case (name, start, len, typ) =>
+      // try_cast: junk cells are null (CSV-leg permissiveness), not an
+      // ANSI cast error that kills the scan
+      val v = typ match {
+        case "string" => rtrim(substring(col("value"), start, len))
+        case t => expr(s"try_cast(trim(substring(value, $start, $len)) AS $t)")
+      }
+      // a line too short to reach the span yields null, not ""-casts
+      when(length(col("value")) >= start, v).as(name)
+    }
+    lines.select(cols: _*)
+  }
+
   /** S4 — read every `*.json` in a directory, union by name (the
     * reference's `append(sort=True)` aligns columns by name and
     * null-fills, :441 — `unionByName(allowMissingColumns=true)` is the

@@ -833,6 +833,190 @@ object Analytics37 {
       "sensor/trade enrichment join at 100 TB keys on the entity and " +
       "scales with the timeline, not the pair space.")
 
+  /** q507 — A5/W1: ACTIVITY-GAP analysis (the coverage COMPLEMENT of
+    * q98's interval merge): each user's events padded to 5-minute
+    * activity intervals, merged by the running-max-end island device,
+    * then the GAPS between consecutive merged intervals — per user the
+    * gap count, total idle µs and max idle µs. The outage/idle readout
+    * of sensor coverage auditing. */
+  val q507 = Declared(
+    "q507_interval_gaps", "A5,W1",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val pad = 300L * 1000000L // 5 min in µs
+      val iv = Tables.events(s, dir)
+        .select(col("user_id"), unix_micros(col("ts")).as("__b"),
+          (unix_micros(col("ts")) + pad).as("__e"))
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("__b"), col("__e"))
+      val islands = iv
+        .withColumn("__maxe", max(col("__e")).over(
+          w.rowsBetween(Window.unboundedPreceding, -1)))
+        .withColumn("__new",
+          when(col("__maxe").isNull || col("__b") > col("__maxe"), 1L)
+            .otherwise(0L))
+        .withColumn("__isl", sum(col("__new")).over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .groupBy(col("user_id"), col("__isl"))
+        .agg(min(col("__b")).as("beg"), max(col("__e")).as("end"))
+      val wl = Window.partitionBy(col("user_id")).orderBy(col("beg"))
+      islands
+        .withColumn("__nxt", lead(col("beg"), 1).over(wl))
+        .withColumn("__gap", col("__nxt") - col("end"))
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_intervals"),
+          count(col("__gap")).as("n_gaps"),
+          coalesce(sum(col("__gap")), lit(0L)).as("idle_us"),
+          coalesce(max(col("__gap")), lit(0L)).as("max_idle_us"))
+        .orderBy(col("user_id"))
+    },
+    Some("""WITH iv AS (
+           |  SELECT user_id, epoch_us(ts) AS b,
+           |    epoch_us(ts) + 300000000 AS e
+           |  FROM events),
+           |mk AS (
+           |  SELECT user_id, b, e,
+           |    max(e) OVER (PARTITION BY user_id ORDER BY b, e
+           |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS maxe
+           |  FROM iv),
+           |isl AS (
+           |  SELECT user_id, b, e,
+           |    CAST(sum(CASE WHEN maxe IS NULL OR b > maxe THEN 1 ELSE 0 END)
+           |      OVER (PARTITION BY user_id ORDER BY b, e
+           |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           |      AS BIGINT) AS g
+           |  FROM mk),
+           |merged AS (
+           |  SELECT user_id, g, min(b) AS beg, max(e) AS e
+           |  FROM isl GROUP BY 1, 2),
+           |gaps AS (
+           |  SELECT user_id, e,
+           |    lead(beg) OVER (PARTITION BY user_id ORDER BY beg) - e AS gap
+           |  FROM merged)
+           |SELECT user_id, CAST(count(*) AS BIGINT) AS n_intervals,
+           |  CAST(count(gap) AS BIGINT) AS n_gaps,
+           |  CAST(coalesce(sum(gap), 0) AS BIGINT) AS idle_us,
+           |  CAST(coalesce(max(gap), 0) AS BIGINT) AS max_idle_us
+           |FROM gaps GROUP BY 1 ORDER BY user_id""".stripMargin),
+    "All three windows partition on the user — one shuffle, one sort " +
+      "per key timeline, rollup output. The complement read of the " +
+      "q98 merge: outage auditing at 100 TB is the same single " +
+      "exchange as sessionization.")
+
+  /** q508 — S2+: FIXED-WIDTH text ingest (the COBOL/mainframe leg) —
+    * a formula fixture laid out at fixed character offsets (id 6,
+    * name 12 right-padded, qty 8, price 10 with 2dp, flag 1), read by
+    * `openFixedWidth`, including a SHORT line (null tail columns) and
+    * a junk-cast line (null long). The oracle replays the formula
+    * plus the two edge rows. */
+  val q508 = Declared(
+    "q508_fixed_width_ingest", "S2+",
+    (s, dir) => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_q508").toString
+      def pad(v: String, n: Int): String = v.padTo(n, ' ')
+      def lpad6(v: Long): String = {
+        val t = v.toString; " " * (6 - t.length) + t
+      }
+      val lines = (0 until 120).map { i =>
+        val price = String.format(java.util.Locale.ROOT, "%10.2f",
+          Double.box((i * 7 % 90) + 0.25))
+        lpad6(i.toLong) + pad(s"item$i", 12) + pad((i % 13).toString, 8) +
+          price + (if (i % 3 == 0) "Y" else "N")
+      } :+ (lpad6(999L) + "short") :+ // short: columns past 'name' null
+        (lpad6(998L) + pad("badnumber", 12) + pad("notanum", 8) +
+          pad("x.yz", 10) + "Z") // junk casts -> null qty/price
+      java.nio.file.Files.write(java.nio.file.Paths.get(s"$tmp/fw.txt"),
+        lines.mkString("\n").getBytes("UTF-8"))
+      graft.io.Sources.openFixedWidth(s, s"$tmp/fw.txt", Seq(
+          ("id", 1, 6, "long"), ("name", 7, 12, "string"),
+          ("qty", 19, 8, "long"), ("price", 27, 10, "double"),
+          ("flag", 37, 1, "string")))
+        .groupBy(col("flag"))
+        .agg(count(lit(1)).as("n"), sum(col("qty")).as("sum_qty"),
+          sum(col("price")).as("sum_price"),
+          count(col("id")).as("n_id"))
+        .orderBy(col("flag"))
+    },
+    Some("""WITH r AS (
+           |  SELECT i, i % 13 AS qty, (i * 7 % 90) + 0.25 AS price,
+           |    CASE WHEN i % 3 = 0 THEN 'Y' ELSE 'N' END AS flag
+           |  FROM generate_series(0, 119) t(i)),
+           |base AS (
+           |  SELECT flag, CAST(count(*) AS BIGINT) AS n,
+           |    CAST(sum(qty) AS BIGINT) AS sum_qty,
+           |    sum(price) AS sum_price, CAST(count(*) AS BIGINT) AS n_id
+           |  FROM r GROUP BY 1),
+           |edge AS (
+           |  -- short line: flag NULL, id 999, all else null;
+           |  -- junk line: flag 'Z', id 998, qty/price null
+           |  SELECT NULL AS flag, CAST(1 AS BIGINT) AS n,
+           |    CAST(NULL AS BIGINT) AS sum_qty, CAST(NULL AS DOUBLE)
+           |      AS sum_price, CAST(1 AS BIGINT) AS n_id
+           |  UNION ALL
+           |  SELECT 'Z', 1, NULL, NULL, 1)
+           |SELECT * FROM (SELECT * FROM base UNION ALL SELECT * FROM edge)
+           |ORDER BY flag""".stripMargin),
+    "It IS a text file: HDFS line splits parallelize it like any log, " +
+      "and the column carving is a scan-side substring projection — " +
+      "codegen, no UDF. The mainframe-extract edge of a lakehouse " +
+      "migration at any scale.")
+
+  /** q509 — T3+: DYNAMIC-GAP streaming session windows — error events
+    * session under a 30-minute inactivity gap, everything else under
+    * 10 minutes, in ONE `session_window(ts, gapCol)` stateful operator
+    * keyed on (user, class). Batch oracle: per-class gaps-and-islands
+    * with the same >= boundary convention and last-event + gap ends,
+    * sealed a day before max event time. */
+  val q509 = Declared(
+    "q509_stream_dynamic_sessions", "T3+,T4",
+    (s, dir) => {
+      TimeSeries.streamEventsToTable(s, dir, "q509", mode = "append")(ev =>
+        graft.streaming.StreamOps.sessionStatsDynamicGap(
+          ev.withColumn("cls",
+            when(col("event_type") === "error", lit("error"))
+              .otherwise(lit("other"))),
+          "ts", Seq("user_id", "cls"),
+          gapCol = when(col("cls") === "error", lit("30 minutes"))
+            .otherwise(lit("10 minutes")),
+          watermark = "1 hour"))
+        .filter(col("session_end") < lit("2024-01-30 00:00:00").cast("timestamp"))
+        .orderBy(col("user_id"), col("cls"), col("session_start"))
+    },
+    Some("""WITH ev AS (
+           |  SELECT user_id, event_id, ts,
+           |    CASE WHEN event_type = 'error' THEN 'error' ELSE 'other' END
+           |      AS cls,
+           |    CASE WHEN event_type = 'error' THEN 1800000000
+           |         ELSE 600000000 END AS gap
+           |  FROM events),
+           |marked AS (
+           |  SELECT user_id, cls, ts, event_id, gap,
+           |    CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+           |           OR epoch_us(ts) - lag(epoch_us(ts)) OVER w >= gap
+           |         THEN 1 ELSE 0 END AS new_sess
+           |  FROM ev
+           |  WINDOW w AS (PARTITION BY user_id, cls
+           |    ORDER BY ts ASC, event_id ASC)),
+           |numbered AS (
+           |  SELECT user_id, cls, ts, gap,
+           |    CAST(sum(new_sess) OVER (PARTITION BY user_id, cls
+           |      ORDER BY ts ASC, event_id ASC
+           |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           |      AS session_no
+           |  FROM marked)
+           |SELECT min(ts) AS session_start,
+           |  max(ts) + to_microseconds(max(gap)) AS session_end,
+           |  user_id, cls, count(*) AS n_events
+           |FROM numbered
+           |GROUP BY user_id, cls, session_no
+           |HAVING max(ts) + to_microseconds(max(gap))
+           |  < TIMESTAMP '2024-01-30 00:00:00'
+           |ORDER BY user_id, cls, session_start""".stripMargin),
+    "One stateful operator holds BOTH session policies — state keys on " +
+      "(user, class) and the gap column is evaluated per row, so adding " +
+      "a policy is a CASE arm, not a second stream. Same watermark " +
+      "eviction and shuffle shape as q103.")
+
   val all: Seq[Declared] = Seq(q491, q493, q494, q495, q496, q497, q498,
-    q500, q501, q502, q503, q504, q505, q506)
+    q500, q501, q502, q503, q504, q505, q506, q507, q508, q509)
 }

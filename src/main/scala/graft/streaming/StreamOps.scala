@@ -55,6 +55,23 @@ object StreamOps {
       .select(col("w.start").as("session_start"), col("w.end").as("session_end"),
         col(keyCol), col("n_events"))
 
+  /** T3+ — DYNAMIC-GAP session windows: the gap is a per-row COLUMN
+    * (Spark 3.2 session_window overload), so different event classes
+    * session under different inactivity thresholds in ONE stateful
+    * operator. Sessions are keyed on `keyCols` (include the class
+    * column when the gap varies by class — a gap that changes WITHIN a
+    * key makes merge semantics caller-defined, not engine-defined). */
+  def sessionStatsDynamicGap(events: DataFrame, tsCol: String,
+      keyCols: Seq[String], gapCol: org.apache.spark.sql.Column,
+      watermark: String): DataFrame =
+    events.withWatermark(tsCol, watermark)
+      .groupBy((session_window(col(tsCol), gapCol).as("w") +:
+        keyCols.map(col)): _*)
+      .agg(count(lit(1)).as("n_events"))
+      .select((col("w.start").as("session_start") +:
+        col("w.end").as("session_end") +:
+        keyCols.map(col)) :+ col("n_events"): _*)
+
   /** Streaming twin of A5 (batch `TimeSeriesOps.intervalStats`):
     * per-key, per-hour-of-day-interval conditional aggregation. Hour
     * intervals aren't event-time windows — they recur daily — so this

@@ -283,6 +283,34 @@ class Round10Spec extends AnyFunSuite {
     assert(eqRun("backward") == "b" && eqRun("forward") == "b")
   }
 
+  test("S2+: openFixedWidth — carving, trims, short lines, junk casts") {
+    val dir = java.nio.file.Files.createTempDirectory("fw").toString
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$dir/f.txt"),
+      Seq("   42hello   123 4.5",
+        "    7x        -9-0.5",
+        "    1tiny", // short: cols past 'name' null
+        "   bad???    zzz abc" // junk: long/double casts -> null
+      ).mkString("\n").getBytes("UTF-8"))
+    val got = graft.io.Sources.openFixedWidth(spark, s"$dir/f.txt", Seq(
+        ("id", 1, 5, "long"), ("name", 6, 8, "string"),
+        ("n", 14, 3, "long"), ("v", 17, 4, "double")))
+      .collect().map(r => (Option(r.get(0)), r.getString(1),
+        Option(r.get(2)), Option(r.get(3))))
+    assert(got(0) == ((Some(42L), "hello", Some(123L), Some(4.5))))
+    assert(got(1) == ((Some(7L), "x", Some(-9L), Some(-0.5))))
+    assert(got(2) == ((Some(1L), "tiny", None, None)))
+    assert(got(3) == ((None, "d???", None, None)))
+    // bad specs are typed errors
+    intercept[IllegalArgumentException] {
+      graft.io.Sources.openFixedWidth(spark, s"$dir/f.txt",
+        Seq(("a", 0, 3, "long")))
+    }
+    intercept[IllegalArgumentException] {
+      graft.io.Sources.openFixedWidth(spark, s"$dir/f.txt",
+        Seq(("a", 1, 3, "timestamp")))
+    }
+  }
+
   // ---- multimodal exact feature trio -------------------------------------
 
   test("E5: imageBlockStats recovers the generator formula per block") {
