@@ -1888,4 +1888,38 @@ object TextAnalysis {
         .as("sum_chars"),
       coalesce(array_max(lens), lit(0L)).as("max_chars"))
   }
+
+  /** E7 — MULTILINGUAL token stream: whitespace-delimited scripts
+    * tokenize on \\s+; CJK-script languages (no word delimiters)
+    * tokenize as CHARACTER BIGRAMS of each non-space run (the
+    * standard CJK IR fallback — Nie et al., cross-lingual IR
+    * literature) with a lone trailing char kept as a unigram. The
+    * language column picks the rule per row, so one scan tokenizes a
+    * mixed corpus. Pure column ops (split / transform / flatten). */
+  def tokensMultilingual(text: Column, lang: Column): Column = {
+    val cjk = lang.isin("zh", "ja", "ko")
+    val runs = filter(split(lower(text), "\\s+"), x => x =!= "")
+    val bigrams = flatten(transform(runs, r =>
+      when(length(r) === 1, array(r)).otherwise(
+        transform(sequence(lit(1), length(r) - 1),
+          i => substring(r, i, lit(2))))))
+    when(cjk, bigrams).otherwise(runs)
+  }
+
+  /** E7 — LOG TEMPLATE MINING (the Drain-family shape with a
+    * deterministic masking rule instead of a learned parse tree):
+    * variable fields collapse to placeholders —
+    * UUIDs → <UUID>, 8+-char hex runs → <HEX>, IPv4 → <IP>,
+    * digit runs → <N> — applied in that order, so every log line maps
+    * to its TEMPLATE and the groupBy is the miner. Masking is one
+    * scan-side regexp chain (RE2-safe, no lookaround). */
+  def logTemplate(msg: Column): Column = {
+    val t1 = regexp_replace(msg,
+      "[0-9a-fA-F]{8}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-[0-9a-fA-F]{12}",
+      "<UUID>")
+    val t2 = regexp_replace(t1, "\\b[0-9a-fA-F]{8,}\\b", "<HEX>")
+    val t3 = regexp_replace(t2,
+      "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b", "<IP>")
+    regexp_replace(t3, "[0-9]+", "<N>")
+  }
 }

@@ -291,6 +291,11 @@ object OpRegistry {
       .unigramSegmentScores(df, col(str(p, "text_col")),
         num(p, "max_piece_len").toInt, num(p, "min_count").toLong,
         num(p, "top_words").toInt)),
+    "tokens_multilingual" -> (p => df => df.withColumn(str(p, "out_col"),
+      graft.ext.TextAnalysis.tokensMultilingual(col(str(p, "text_col")),
+        col(str(p, "lang_col"))))),
+    "log_template" -> (p => df => df.withColumn(str(p, "out_col"),
+      graft.ext.TextAnalysis.logTemplate(col(str(p, "msg_col"))))),
     "sentence_stats" -> (p => df => df.withColumn(str(p, "out_col"),
       graft.ext.TextAnalysis.sentenceStats(col(str(p, "text_col"))))),
     "largest_remainder_by_group" -> (p => df =>

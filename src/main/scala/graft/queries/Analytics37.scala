@@ -1017,6 +1017,100 @@ object Analytics37 {
       "a policy is a CASE arm, not a second stream. Same watermark " +
       "eviction and shuffle shape as q103.")
 
+  /** q510 — E7: MULTILINGUAL tokenization — zh documents decorated
+    * with a deterministic CJK snippet tokenize as character BIGRAMS of
+    * non-space runs (the delimiter-free-script IR fallback), everything
+    * else on whitespace; per-language token counts and distinct-token
+    * counts. One scan, rule picked per row by the lang column. */
+  val q510 = {
+    val snip = "深度学习 模型训练" // two runs: 4 chars + 4 chars
+    Declared(
+      "q510_multilingual_tokens", "E7",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+          .withColumn("__t",
+            when(col("lang") === "zh", concat(col("text"), lit(" " + snip)))
+              .otherwise(col("text")))
+          .withColumn("__toks", graft.ext.TextAnalysis.tokensMultilingual(
+            col("__t"), col("lang")))
+        docs.select(col("lang"), explode(col("__toks")).as("tok"))
+          .groupBy(col("lang"))
+          .agg(count(lit(1)).as("n_tokens"),
+            countDistinct(col("tok")).as("n_distinct"))
+          .orderBy(col("lang"))
+      },
+      Some(s"""WITH d AS (
+           |  SELECT lang,
+           |    CASE WHEN lang = 'zh' THEN text || ' $snip' ELSE text END AS t
+           |  FROM documents),
+           |runs AS (
+           |  SELECT lang,
+           |    list_filter(regexp_split_to_array(lower(t), '\\s+'),
+           |      x -> x <> '') AS rs
+           |  FROM d),
+           |toks AS (
+           |  SELECT lang, unnest(CASE WHEN lang IN ('zh', 'ja', 'ko')
+           |    THEN flatten(list_transform(rs, r ->
+           |      CASE WHEN length(r) = 1 THEN [r]
+           |        ELSE list_transform(range(1, length(r)),
+           |          i -> substring(r, CAST(i AS INT), 2)) END))
+           |    ELSE rs END) AS tok
+           |  FROM runs)
+           |SELECT lang, CAST(count(*) AS BIGINT) AS n_tokens,
+           |  CAST(count(DISTINCT tok) AS BIGINT) AS n_distinct
+           |FROM toks GROUP BY 1 ORDER BY lang""".stripMargin),
+      "Tokenization stays scan-side (split/transform/flatten column " +
+        "ops); the per-row language dispatch costs one when(). The " +
+        "mixed-script corpus tokenizes in ONE pass at any scale — no " +
+        "per-language job fan-out.")
+  }
+
+  /** q511 — E7/E6: LOG TEMPLATE MINING — event rows rendered as log
+    * lines (type, id, latency, user, a hex token), masked to templates
+    * by the deterministic UUID/HEX/IP/digit-run chain, template
+    * rollup = the miner. The observability reflex of every ops
+    * pipeline, exact and engine-replayable. */
+  val q511 = Declared(
+    "q511_log_templates", "E7,E6",
+    (s, dir) => {
+      val ev = Tables.events(s, dir)
+        .withColumn("__msg", concat(
+          col("event_type"), lit(" id="), col("event_id"),
+          lit(" took "), floor(col("value") * 10).cast("long"), lit("ms"),
+          lit(" user="), col("user_id"),
+          lit(" trace="), md5(col("event_id").cast("string"))))
+        .withColumn("__tpl", graft.ext.TextAnalysis.logTemplate(col("__msg")))
+      ev.groupBy(col("__tpl").as("template"))
+        .agg(count(lit(1)).as("n"),
+          countDistinct(col("user_id")).as("n_users"))
+        .orderBy(col("template"))
+    },
+    Some("""WITH msg AS (
+           |  SELECT user_id,
+           |    event_type || ' id=' || event_id || ' took ' ||
+           |    CAST(CAST(floor(value * 10) AS BIGINT) AS VARCHAR) || 'ms' ||
+           |    ' user=' || user_id || ' trace=' ||
+           |    md5(CAST(event_id AS VARCHAR)) AS m
+           |  FROM events),
+           |tpl AS (
+           |  SELECT user_id,
+           |    regexp_replace(regexp_replace(regexp_replace(regexp_replace(m,
+           |      '[0-9a-fA-F]{8}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-[0-9a-fA-F]{12}',
+           |      '<UUID>', 'g'),
+           |      '\b[0-9a-fA-F]{8,}\b', '<HEX>', 'g'),
+           |      '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b',
+           |      '<IP>', 'g'),
+           |      '[0-9]+', '<N>', 'g') AS template
+           |  FROM msg)
+           |SELECT template, CAST(count(*) AS BIGINT) AS n,
+           |  CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+           |FROM tpl GROUP BY 1 ORDER BY template""".stripMargin),
+    "Masking is one scan-side regexp chain; the miner is a " +
+      "template-keyed agg with map-side combine — vocabulary-bounded " +
+      "output. 100 TB of logs reduce to their templates in one pass, " +
+      "the shape every observability pipeline runs first.")
+
   val all: Seq[Declared] = Seq(q491, q493, q494, q495, q496, q497, q498,
-    q500, q501, q502, q503, q504, q505, q506, q507, q508, q509)
+    q500, q501, q502, q503, q504, q505, q506, q507, q508, q509, q510,
+    q511)
 }

@@ -311,6 +311,31 @@ class Round10Spec extends AnyFunSuite {
     }
   }
 
+  test("E7: tokensMultilingual — CJK bigrams vs whitespace by lang") {
+    val df = Seq(("en", "hello big world"), ("zh", "深度学习 好"),
+      ("ja", "ab"), ("es", "hola"))
+      .toDF("lang", "t")
+      .select(col("lang"),
+        TextAnalysis.tokensMultilingual(col("t"), col("lang")).as("toks"))
+      .collect().map(r => r.getString(0) -> r.getSeq[String](1)).toMap
+    assert(df("en") == Seq("hello", "big", "world"))
+    assert(df("zh") == Seq("深度", "度学", "学习", "好")) // bigrams + lone char
+    assert(df("ja") == Seq("ab")) // 2-char run -> one bigram
+    assert(df("es") == Seq("hola"))
+  }
+
+  test("E7: logTemplate masks UUID, hex, IP and digit runs in order") {
+    val got = Seq(
+      "req 550e8400-e29b-41d4-a716-446655440000 from 10.0.12.9 took 42ms",
+      "cache deadbeefcafe hit id=7",
+      "plain words only").toDF("m")
+      .select(TextAnalysis.logTemplate(col("m")).as("t"))
+      .collect().map(_.getString(0))
+    assert(got(0) == "req <UUID> from <IP> took <N>ms")
+    assert(got(1) == "cache <HEX> hit id=<N>")
+    assert(got(2) == "plain words only")
+  }
+
   // ---- multimodal exact feature trio -------------------------------------
 
   test("E5: imageBlockStats recovers the generator formula per block") {
