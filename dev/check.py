@@ -95,9 +95,20 @@ def main():
     # parquet — record a row so the artifact has exactly
     # |SparkEntry.queries| rows, with hash_match null to mark the
     # weaker check (mirrors the driver's rows-only fallback).
+    # The fallback is RESTRICTED to Verify's own declared-query list
+    # (queries.json) minus the oracle map — a stale parquet dir left by
+    # an earlier run of a renamed/removed query must never inflate the
+    # artifact past |SparkEntry.queries|.
+    qlist_path = f"{out}/queries.json"
+    declared = set(json.load(open(qlist_path))) if os.path.exists(qlist_path) else None
     for pdir in sorted(glob.glob(f"{out}/q*")):
+        if not os.path.isdir(pdir):
+            continue
         name = os.path.basename(pdir)
         if name in oracle or (only and name not in only):
+            continue
+        if declared is None or name not in declared:
+            print(f"SKIP {name}: not in declared query list (stale output dir?)")
             continue
         files = glob.glob(f"{pdir}/*.parquet")
         if not files:

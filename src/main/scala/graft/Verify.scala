@@ -90,6 +90,13 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // the FULL declared-query list: check.py's rows-only fallback is
+    // restricted to names in here minus the oracle map, so a stale
+    // parquet dir from a renamed/removed query can never be silently
+    // folded into the artifact as "rows-only by design"
+    Files.writeString(Paths.get(s"$outDir/queries.json"),
+      SparkEntry.queries.keys.toSeq.sorted
+        .map(q).mkString("[", ",", "]"))
     spark.stop()
   }
 }

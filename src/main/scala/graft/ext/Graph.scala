@@ -1405,8 +1405,10 @@ object Graph {
     // reflexive closure seed: (v, v) keeps singleton SCCs labeled
     var reach = e.unionByName(nodes.select(col("n").as("u"), col("n").as("v")))
       .localCheckpoint()
+    var prevPairs = reach.count()
+    var converged = false
     var r = 0
-    while (r < maxDoublings) {
+    while (r < maxDoublings && !converged) {
       r += 1
       reach = reach.unionByName(
           reach.select(col("u"), col("v").as("__m"))
@@ -1416,6 +1418,30 @@ object Graph {
         .repartition(edges.sparkSession.sparkContext.defaultParallelism,
           col("u"), col("v"))
         .localCheckpoint()
+      // fixpoint check: pointer doubling only ever ADDS pairs, so an
+      // unchanged count IS closure — stop early (free: the checkpoint
+      // materialized the frame anyway). If the count is still growing
+      // after the last round the closure has NOT converged (diameter
+      // > 2^maxDoublings) and min-mutual labels would silently split
+      // SCCs — refuse like the n>100k fence does, never answer wrong.
+      val pairs = reach.count()
+      if (pairs == prevPairs) converged = true
+      prevPairs = pairs
+    }
+    if (!converged) {
+      // one more squaring step proves (or disproves) closure: bounded
+      // by the same O(n·reach) pair frame we already materialized
+      val next = reach.unionByName(
+          reach.select(col("u"), col("v").as("__m"))
+            .join(reach.select(col("u").as("__m"), col("v")), Seq("__m"))
+            .select(col("u"), col("v")))
+        .distinct().count()
+      if (next != prevPairs)
+        throw new IllegalStateException(
+          s"stronglyConnectedComponents: transitive closure not " +
+            s"converged after $maxDoublings doubling rounds " +
+            s"(diameter > ${1L << maxDoublings}; $prevPairs -> $next " +
+            "pairs) — raise maxDoublings or slice the graph")
     }
     // mutual pairs: (u ⇝ v) ∧ (v ⇝ u); min mutual partner labels the SCC
     reach.join(reach.select(col("v").as("u"), col("u").as("v")),

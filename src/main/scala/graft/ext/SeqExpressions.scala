@@ -336,7 +336,11 @@ object AhoCorasickCount {
   * Returns ARRAY<BIGINT>: element 0 is the total cost F(n), elements
   * 1.. are the changepoint boundaries (ascending, exclusive end of
   * each non-final segment, 1-based). Null for null/empty input, any
-  * null element, or a non-positive penalty. */
+  * null element, or a non-positive penalty — or if ANY intermediate
+  * (prefix sum, sum², DP value) overflows a long: every addition and
+  * multiplication is checked (Math.*Exact), so a series whose segment
+  * sums exceed ~3.04e9 returns null instead of a silently wrapped,
+  * corrupted argmin (the costDistance maxCost discipline). */
 case class ChangepointsExact(child: Expression, penalty: Long)
     extends UnaryExpression {
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
@@ -371,8 +375,10 @@ case class ChangepointsExact(child: Expression, penalty: Long)
 
 object ChangepointsExact {
 
-  /** Static kernel for generated code. Returns ArrayData or null. */
-  def compute(a: ArrayData, penalty: Long): Any = {
+  /** Static kernel for generated code. Returns ArrayData or null
+    * (including on any long overflow — checked arithmetic throughout,
+    * so a wrapped negative can never corrupt the argmin). */
+  def compute(a: ArrayData, penalty: Long): Any = try {
     val n = a.numElements()
     if (n == 0 || penalty <= 0L) return null
     var i = 0
@@ -383,8 +389,8 @@ object ChangepointsExact {
     i = 0
     while (i < n) {
       val x = a.getLong(i)
-      s(i + 1) = s(i) + x
-      ss(i + 1) = ss(i) + x * x
+      s(i + 1) = Math.addExact(s(i), x)
+      ss(i + 1) = Math.addExact(ss(i), Math.multiplyExact(x, x))
       i += 1
     }
     val f = new Array[Long](n + 1)
@@ -397,9 +403,10 @@ object ChangepointsExact {
       var seg = 0
       while (seg < t) {
         val len = t - seg
-        val sum = s(t) - s(seg)
-        val cost = (ss(t) - ss(seg)) - (sum * sum) / len
-        val cand = f(seg) + cost + penalty
+        val sum = Math.subtractExact(s(t), s(seg))
+        val cost = Math.subtractExact(ss(t) - ss(seg),
+          Math.multiplyExact(sum, sum) / len)
+        val cand = Math.addExact(Math.addExact(f(seg), cost), penalty)
         if (cand < best) { best = cand; bestS = seg } // ties → smallest s
         seg += 1
       }
@@ -412,7 +419,7 @@ object ChangepointsExact {
     while (bp(cur) > 0) { cuts = bp(cur).toLong :: cuts; cur = bp(cur) }
     new org.apache.spark.sql.catalyst.util.GenericArrayData(
       (f(n) :: cuts).toArray)
-  }
+  } catch { case _: ArithmeticException => null }
 
   /** Column builder; `penalty` is a plan-time literal. */
   def changepointsExact(series: Column, penalty: Long): Column =

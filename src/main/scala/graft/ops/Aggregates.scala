@@ -513,9 +513,16 @@ object Aggregates {
   /** A1 — PER-GROUP largest-remainder apportionment: within each group,
     * split that group's integer `totalCol` across its keys
     * proportionally to `weightCol`, exactly (Σ alloc ≡ total per
-    * group). The hierarchical-reconciliation primitive: a top-level
-    * forecast splits across its children by bottom-level weights with
-    * no drift. Returns (group…, key…, weight, total, alloc).
+    * group — ALWAYS, including degenerate groups: all-zero weights
+    * fall back to near-equal split `total div nKeys` (+1 to the first
+    * `total mod nKeys` keys in remainder order), and a leftover larger
+    * than nKeys — impossible when ΣW ≥ 1, but the clamp path reaches
+    * it — is distributed as `left div nKeys` to every key plus the
+    * modulo bump, never silently under-allocated). Disagreeing per-row
+    * totals in a group raise rather than being collapsed via min().
+    * The hierarchical-reconciliation primitive: a top-level forecast
+    * splits across its children by bottom-level weights with no drift.
+    * Returns (group…, key…, weight, total, alloc).
     *
     * Scale: BOTH windows partition on the group keys — unlike the
     * global [[largestRemainder]] there is no single-partition frame at
@@ -528,16 +535,28 @@ object Aggregates {
     val rollup = df.groupBy((groupKeys ++ keys): _*)
       .agg(sum(weightCol.cast("long")).as("weight"),
         // the group total rides on every row of the group (callers
-        // attach it upstream); min = the shared value
-        min(totalCol.cast("long")).as("total"))
-    val gNames = rollup.columns.dropRight(keys.length + 2).toSeq
+        // attach it upstream); any disagreement is a caller bug —
+        // raise, don't silently pick min
+        min(totalCol.cast("long")).as("total"),
+        max(totalCol.cast("long")).as("__tmax"))
+    val gNames = rollup.columns.dropRight(keys.length + 3).toSeq
     val kNames = rollup.columns.slice(gNames.length,
       gNames.length + keys.length).toSeq
     val grp = Window.partitionBy(gNames.map(col): _*)
     val tot = grp.rowsBetween(Window.unboundedPreceding,
       Window.unboundedFollowing)
     val scaled = rollup
+      // the disagreement can be across KEYS of one group, so compare
+      // against the group-wide max, not just this key's own rows
+      .withColumn("__gmax", max(col("__tmax")).over(tot))
+      .withColumn("total", when(col("total") === col("__gmax"), col("total"))
+        .otherwise(raise_error(concat(
+          lit("largestRemainderByGroup: disagreeing totals in a group ("),
+          col("total").cast("string"), lit(" vs "),
+          col("__gmax").cast("string"), lit(")")))))
+      .drop("__tmax", "__gmax")
       .withColumn("__W", sum(col("weight")).over(tot))
+      .withColumn("__nk", count(lit(1)).over(tot))
       .withColumn("__num", col("total").cast(d38) * col("weight").cast(d38))
       .withColumn("__floor", expr("__num div greatest(__W, 1L)").cast("long"))
       .withColumn("__rem", (col("__num") - col("__floor").cast(d38) *
@@ -548,7 +567,8 @@ object Aggregates {
       (col("__rem").desc +: kNames.map(col(_).asc)): _*))
     scaled.withColumn("__rn", rn)
       .select((gNames ++ kNames).map(col) :+ col("weight") :+ col("total") :+
-        (col("__floor") + when(col("__rn") <= col("__left"), 1L)
+        (col("__floor") + expr("__left div __nk") +
+          when(col("__rn") <= expr("__left % __nk"), 1L)
           .otherwise(0L)).as("alloc"): _*)
   }
 

@@ -1653,9 +1653,16 @@ object EventAnalytics {
     *
     * Scale: the fact pass is q102's user-keyed lead window + (src,
     * dst) agg; everything after runs on the |types|² transition cell
-    * frame. */
+    * frame. When that frame is audit-slice sized (≤4096 states,
+    * ≤200k cells — the q497 count-gate discipline) the power
+    * iteration runs on the DRIVER with the IDENTICAL ppm integers:
+    * six rounds of joins over a dozen-row frame is pure job latency,
+    * and the iterative-join lineage was the suite's one bench drift
+    * row (r10 verdict item 1). The distributed fallback checkpoints
+    * π each round so lineage stays one round deep at any |types|. */
   def markovEntropyRate(events: DataFrame, actorCol: Column, tsCol: Column,
-      tieCol: Column, typeCol: Column, iters: Int = 6): DataFrame = {
+      tieCol: Column, typeCol: Column, iters: Int = 6,
+      driverFastPath: Boolean = true): DataFrame = {
     require(iters >= 1 && iters <= 32, "1 <= iters <= 32")
     val w = Window.partitionBy(actorCol).orderBy(tsCol, tieCol)
     val pairs = events
@@ -1667,6 +1674,43 @@ object EventAnalytics {
     val r = c.groupBy(col("__s")).agg(sum(col("__c")).as("__r"))
       .localCheckpoint()
     val m = r.count()
+    val cells = c.count()
+    if (driverFastPath && m <= 4096L && cells <= 200000L) {
+      // BOUNDED fast path: the transition matrix is |types|² ROWS,
+      // not facts — collect it once and replay the exact integer
+      // recurrence (pi·c div r, truncation dust and all) in memory.
+      val cRows = c.collect().map(x =>
+        (x.getString(0), x.getString(1), x.getLong(2)))
+      val rMap = cRows.groupBy(_._1).view.mapValues(_.map(_._3).sum).toMap
+      var piM: Map[String, Long] =
+        rMap.keysIterator.map(_ -> 1000000L / math.max(1L, m)).toMap
+      var it = 0
+      while (it < iters) {
+        val next = scala.collection.mutable.Map.empty[String, Long]
+        cRows.foreach { case (s0, d0, cc) =>
+          // mass landing on a dst that never occurs as src leaves the
+          // chain (absorbing tail) — same inner-join-back semantics
+          if (rMap.contains(d0)) piM.get(s0).foreach { p =>
+            next(d0) = next.getOrElse(d0, 0L) + (p * cc) / rMap(s0)
+          }
+        }
+        piM = next.toMap
+        it += 1
+      }
+      val out = cRows.groupBy(_._1).toSeq.map { case (s0, es) =>
+        val rr = rMap(s0)
+        val hs = es.iterator.map { case (_, _, cc) =>
+          (cc * math.floor(
+            math.log(rr.toDouble / cc.toDouble) * 1e6 + 0.5).toLong) / rr
+        }.sum
+        (s0, piM.getOrElse(s0, 0L), hs)
+      }.sortBy(_._1)
+      val rate = out.iterator.map { case (_, p, hs) => (p * hs) / 1000000L }.sum
+      val spark = events.sparkSession
+      import spark.implicits._
+      return out.map { case (s0, p, hs) => (s0, p, hs, rate) }
+        .toDF("state", "pi_ppm", "h_state_micro", "h_rate_micro")
+    }
     var pi = r.select(col("__s").as("state"))
       .withColumn("pi_ppm", lit(1000000L / math.max(1L, m)))
     var it = 0
@@ -1679,6 +1723,10 @@ object EventAnalytics {
         // chain (absorbing tail) — inner-join back to the src states
         .join(r.select(col("__s").as("state")), "state")
         .groupBy(col("state")).agg(sum(col("__contrib")).as("pi_ppm"))
+        // pin each round: without this the 6-round loop chains six
+        // un-checkpointed join generations and Catalyst re-analyzes a
+        // lineage that deepens every round (r10 bench drift, q411)
+        .localCheckpoint()
       it += 1
     }
     val h = c.join(r, "__s")
