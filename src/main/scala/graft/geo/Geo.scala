@@ -933,8 +933,9 @@ object Geo {
   // engine's row-level typed-error convention for geo UDFs.
 
   /** fwd = 4326 → LOCAL (inverse grid shift), inv = LOCAL → 4326
-    * (forward shift: the grid is published local→target). */
-  private def gridShiftPair(grid: Ntv2.Grid)
+    * (forward shift: the grid is published local→target). Any
+    * [[ShiftGrid]] format plugs in here — NTv2 .gsb, NADCON .las/.los. */
+  private def gridShiftPair(grid: ShiftGrid)
       : (Column => Column, Column => Column) = {
     val toLocal = udf((x: Double, y: Double) =>
       grid.inverse(x, y).map { case (lon, lat) => GridPt(lon, lat) })
@@ -950,7 +951,14 @@ object Geo {
     * shift grid (e.g. EPSG 4267 NAD27 with the published NAD27→NAD83
     * grid). Grids for unregistered codes stay behind the MissingCRS
     * fence. */
-  def registerNtv2GeographicDatum(epsg: Int, grid: Ntv2.Grid): Unit = {
+  def registerNtv2GeographicDatum(epsg: Int, grid: Ntv2.Grid): Unit =
+    registerGridShiftDatum(epsg, grid)
+
+  /** Register a GEOGRAPHIC CRS whose datum transformation is ANY
+    * shift grid — the format-agnostic entry point ([[Ntv2.Grid]],
+    * [[Nadcon.Grid]]). Grids for unregistered codes stay behind the
+    * MissingCRS fence. */
+  def registerGridShiftDatum(epsg: Int, grid: ShiftGrid): Unit = {
     crsRegistry.put(epsg, gridShiftPair(grid)); ()
   }
 

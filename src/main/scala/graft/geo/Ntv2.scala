@@ -79,7 +79,7 @@ object Ntv2 {
 
   /** A parsed NTv2 file: sub-grids in file order. Serializable (UDF
     * closure / broadcast). */
-  final case class Grid(subGrids: Seq[SubGrid]) extends Serializable {
+  final case class Grid(subGrids: Seq[SubGrid]) extends ShiftGrid {
 
     /** The FINEST sub-grid containing the point (spec rule: a child
       * grid refines its parent wherever both cover), or None outside

@@ -43,5 +43,5 @@ object Declared {
       Analytics27.all ++ Analytics28.all ++ Analytics29.all ++
       Analytics30.all ++ Analytics31.all ++ Analytics32.all ++
       Analytics33.all ++ Analytics34.all ++ Analytics35.all ++
-      Analytics36.all ++ Analytics37.all ++ GeoIngest.all
+      Analytics36.all ++ Analytics37.all ++ Analytics38.all ++ GeoIngest.all
 }
