@@ -535,4 +535,95 @@ object Similarity {
       .select(col("query_id"), col("rank").cast("long").as("rank"),
         col("doc_id"), col("maxsim"))
   }
+
+  /** E3+/E7 — the PRODUCTION retrieval pipeline: sparse BM25 GATE →
+    * late-interaction MaxSim RERANK (the two-stage architecture every
+    * modern retrieval stack runs: a cheap recall stage bounds the
+    * candidate set, the expensive reranker touches only survivors).
+    * The gate scores with [[Curation.bm25FromPostings]]' exact
+    * micro-quantized arithmetic over the DISTINCT terms of each query
+    * and keeps the top `gateK` docs per query (ties to the smaller doc
+    * id); the reranker is [[maxsimRerank]]'s md5-digit MaxSim over
+    * ONLY the gated pairs.
+    *
+    * Returns (query_id, rank, doc_id, maxsim, bm25_u) — topK per
+    * query, rank by (maxsim desc, doc_id); bm25_u is the gate score in
+    * integer micro units.
+    *
+    * Scale: the reranker's cost is gateK · |q tokens| · maxDocTokens
+    * dot products per query — a LITERAL bound independent of corpus
+    * size (the answer to q500's pass-through-gate dial: at 100 TB you
+    * run THIS composed plan). The gate is q79's postings shape:
+    * term-filtered scan, broadcast df/stats, one doc-keyed shuffle. */
+  def gatedMaxsimRerank(docs: DataFrame, idColName: String,
+      textColName: String, queries: Seq[(String, String)], gateK: Int,
+      maxDocTokens: Int, topK: Int, k1: Double = 1.2,
+      b: Double = 0.75): DataFrame = {
+    require(gateK >= 1 && maxDocTokens >= 1 && topK >= 1,
+      "gateK/maxDocTokens/topK >= 1")
+    val spark = docs.sparkSession
+    import org.apache.spark.sql.expressions.Window
+    import spark.implicits._
+    def tokVec(tok: Column): Column =
+      transform(sequence(lit(1), lit(8)),
+        j => conv(substring(md5(tok), j, lit(1)), 16, 10)
+          .cast("long") - 8L)
+    // ---- gate: per-query BM25 over the postings shape ----
+    val qTermRows = queries.flatMap { case (qid, qtext) =>
+      qtext.toLowerCase.split("\\s+").filter(_.nonEmpty).distinct
+        .map(t => (qid, t))
+    }
+    val qTerms = qTermRows.toDF("query_id", "term")
+    val allTerms = qTermRows.map(_._2).distinct
+    val postings = Curation.buildPostings(docs, textColName, idColName)
+      .withColumn("doc_id", col(idColName).cast("long"))
+    val stats = Curation.postingsStats(postings, "doc_id")
+    val tf = postings.filter(col("term").isin(allTerms: _*))
+    val dfreq = tf.groupBy(col("term"))
+      .agg(countDistinct(col("doc_id")).as("df"))
+    val contrib = tf.join(broadcast(qTerms), "term")
+      .join(broadcast(dfreq), "term").crossJoin(broadcast(stats))
+      .withColumn("__idf",
+        log(lit(1.0) + (col("n_docs") - col("df") + 0.5) / (col("df") + 0.5)))
+      .withColumn("__contrib_u",
+        round(col("__idf") * col("tf") * lit(k1 + 1) /
+          (col("tf") + lit(k1) * (lit(1 - b) + lit(b) * col("dl") / col("avgdl"))) * 1e6, 0)
+          .cast("long"))
+    val gate = contrib.groupBy(col("query_id"), col("doc_id"))
+      .agg(sum(col("__contrib_u")).as("bm25_u"))
+      .withColumn("__g", row_number().over(
+        Window.partitionBy(col("query_id"))
+          .orderBy(col("bm25_u").desc, col("doc_id"))))
+      .filter(col("__g") <= gateK)
+      .select(col("query_id"), col("doc_id"), col("bm25_u"))
+    // ---- rerank: MaxSim over the gated pairs only ----
+    val qRows = queries.flatMap { case (qid, qtext) =>
+      qtext.toLowerCase.split("\\s+").filter(_.nonEmpty)
+        .zipWithIndex.map { case (t, i) => (qid, i, t) }
+    }
+    val q = qRows.toDF("query_id", "qpos", "qtok")
+      .withColumn("qv", tokVec(col("qtok")))
+    val dtok = docs
+      .select(col(idColName).cast("long").as("doc_id"),
+        posexplode(TextAnalysis.tokens(col(textColName))).as(Seq("pos", "tok")))
+      .filter(col("tok") =!= "" && col("pos") < maxDocTokens)
+      .withColumn("dv", tokVec(col("tok")))
+    val dots = gate
+      .join(dtok, Seq("doc_id"))
+      .join(broadcast(q), Seq("query_id"))
+      .withColumn("dot", aggregate(
+        zip_with(col("qv"), col("dv"), (a, b) => a * b),
+        lit(0L), (acc, x) => acc + x))
+    val best = dots.groupBy(col("query_id"), col("doc_id"),
+        col("bm25_u"), col("qpos"))
+      .agg(max(col("dot")).as("best"))
+      .groupBy(col("query_id"), col("doc_id"), col("bm25_u"))
+      .agg(sum(col("best")).as("maxsim"))
+    best.withColumn("rank", row_number().over(
+        Window.partitionBy(col("query_id"))
+          .orderBy(col("maxsim").desc, col("doc_id"))))
+      .filter(col("rank") <= topK)
+      .select(col("query_id"), col("rank").cast("long").as("rank"),
+        col("doc_id"), col("maxsim"), col("bm25_u"))
+  }
 }

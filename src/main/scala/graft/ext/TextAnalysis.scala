@@ -1895,7 +1895,13 @@ object TextAnalysis {
     * standard CJK IR fallback — Nie et al., cross-lingual IR
     * literature) with a lone trailing char kept as a unigram. The
     * language column picks the rule per row, so one scan tokenizes a
-    * mixed corpus. Pure column ops (split / transform / flatten). */
+    * mixed corpus. Pure column ops (split / transform / flatten).
+    *
+    * Code-point correctness: Spark's `length`/`substring` run on
+    * UTF8String and count CODE POINTS, not UTF-16 units, so
+    * supplementary-plane ideographs (CJK Ext-B+) bigram cleanly —
+    * no surrogate pair is ever split (pinned by the Ext-B fixture in
+    * Round11Spec). */
   def tokensMultilingual(text: Column, lang: Column): Column = {
     val cjk = lang.isin("zh", "ja", "ko")
     val runs = filter(split(lower(text), "\\s+"), x => x =!= "")

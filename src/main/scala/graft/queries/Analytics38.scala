@@ -89,5 +89,166 @@ object Analytics38 {
       "fixed-point inverse run scan-side per point, embarrassingly " +
       "parallel. Same story at 100 TB: the shift is a map stage.")
 
-  val all: Seq[Declared] = Seq(q512)
+  /** q513 — E3+/E7: the COMPOSED two-stage retrieval pipeline —
+    * BM25 gate (q74/q79's exact micro-quantized scoring, top-20 per
+    * query) feeding the MaxSim reranker (q500's md5-digit late
+    * interaction) over ONLY the gated candidates. This is the
+    * production shape q500's scale note promised: the reranker's cost
+    * is gateK·|q|·16 dot products per query — a literal bound,
+    * independent of corpus size. The oracle replays both stages:
+    * ln-idf contributions rounded to micro units then summed as
+    * integers, the gate's (bm25_u desc, doc_id) row_number ≤ 20, and
+    * the Σ max ⟨qv,dv⟩ rerank. */
+  val q513 = {
+    val (k1, b) = (1.2, 0.75)
+    Declared(
+      "q513_gated_rerank", "E3+,E7",
+      (s, dir) => graft.ext.Similarity.gatedMaxsimRerank(
+          Tables.documents(s, dir), "doc_id", "text",
+          queries = Seq(("q1", "fast table scan"),
+            ("q2", "stream join window"), ("q3", "vector hash merge")),
+          gateK = 20, maxDocTokens = 16, topK = 5, k1 = k1, b = b)
+        .orderBy(col("query_id"), col("rank")),
+      Some(s"""WITH q(query_id, qtext) AS (VALUES
+             |    ('q1', 'fast table scan'), ('q2', 'stream join window'),
+             |    ('q3', 'vector hash merge')),
+             |qt AS MATERIALIZED (
+             |  SELECT DISTINCT query_id, tok FROM (
+             |    SELECT query_id,
+             |      unnest(regexp_split_to_array(lower(qtext), '\\s+')) AS tok
+             |    FROM q)
+             |  WHERE tok <> ''),
+             |tk AS MATERIALIZED (
+             |  SELECT doc_id, regexp_split_to_array(lower(text), '\\s+') AS toks
+             |  FROM documents WHERE text IS NOT NULL),
+             |dl AS MATERIALIZED (SELECT doc_id, len(toks) AS dl FROM tk),
+             |tf AS MATERIALIZED (
+             |  SELECT doc_id, term, count(*) AS tf FROM (
+             |    SELECT doc_id, unnest(toks) AS term FROM tk)
+             |  WHERE term IN (SELECT tok FROM qt) GROUP BY doc_id, term),
+             |dfq AS (SELECT term, count(DISTINCT doc_id) AS df FROM tf GROUP BY term),
+             |stats AS (SELECT count(*) AS n_docs,
+             |    CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM dl),
+             |contrib AS (
+             |  SELECT qt.query_id, tf.doc_id,
+             |    CAST(round(ln(1.0 + (stats.n_docs - dfq.df + 0.5) / (dfq.df + 0.5))
+             |      * tf.tf * ${k1 + 1} / (tf.tf + $k1 * (${1 - b} + $b * dl.dl / stats.avgdl))
+             |      * 1e6, 0) AS BIGINT) AS cu
+             |  FROM tf JOIN qt ON qt.tok = tf.term JOIN dfq USING (term)
+             |  JOIN dl USING (doc_id) CROSS JOIN stats),
+             |gate AS MATERIALIZED (
+             |  SELECT query_id, doc_id, bm25_u FROM (
+             |    SELECT query_id, doc_id, CAST(sum(cu) AS BIGINT) AS bm25_u,
+             |      row_number() OVER (PARTITION BY query_id
+             |        ORDER BY sum(cu) DESC, doc_id) AS g
+             |    FROM contrib GROUP BY query_id, doc_id)
+             |  WHERE g <= 20),
+             |dt AS MATERIALIZED (
+             |  SELECT doc_id, tok FROM (
+             |    SELECT doc_id, unnest(toks) AS tok,
+             |      unnest(range(1, len(toks) + 1)) AS pos
+             |    FROM tk)
+             |  WHERE tok <> '' AND pos <= 16),
+             |pairs AS (
+             |  SELECT g.query_id, g.doc_id, g.bm25_u, qt.tok AS qtok,
+             |    CAST(list_sum(list_transform(range(1, 9), j ->
+             |      (strpos('0123456789abcdef', substr(md5(qt.tok), CAST(j AS INT), 1)) - 9)
+             |      * (strpos('0123456789abcdef', substr(md5(dt.tok), CAST(j AS INT), 1)) - 9)))
+             |      AS BIGINT) AS dot
+             |  FROM gate g
+             |  JOIN qt ON qt.query_id = g.query_id
+             |  JOIN dt ON dt.doc_id = g.doc_id),
+             |best AS (
+             |  SELECT query_id, doc_id, bm25_u, qtok, max(dot) AS bst
+             |  FROM pairs GROUP BY 1, 2, 3, 4),
+             |score AS (
+             |  SELECT query_id, doc_id, bm25_u, CAST(sum(bst) AS BIGINT) AS maxsim
+             |  FROM best GROUP BY 1, 2, 3)
+             |SELECT query_id,
+             |  CAST(row_number() OVER (PARTITION BY query_id
+             |    ORDER BY maxsim DESC, doc_id) AS BIGINT) AS rank,
+             |  doc_id, maxsim, bm25_u
+             |FROM score
+             |QUALIFY rank <= 5
+             |ORDER BY query_id, rank""".stripMargin),
+      "The gate bounds the reranker to gateK docs per query — the " +
+        "x10-candidates axis that made q500's pass-through gate grow " +
+        "5.5x is CAPPED by construction here. Gate = q79's postings " +
+        "plan (term-filtered scan, broadcast df/stats, one doc-keyed " +
+        "shuffle); rerank cost is a literal. At 100 TB the gate reads " +
+        "the bucketed postings table and the whole pipeline never " +
+        "rescans the corpus.")
+  }
+
+  /** q514 — T-state/E2: the STREAMING crawl-vs-corpus near-dup screen —
+    * q84's incremental MinHash dedup as a live operator
+    * ([[graft.streaming.StreamOps.streamingNearDupScreen]]): corpus
+    * band index + shingle sets broadcast, per-document scan-side
+    * signatures, exact per-row Jaccard verify, transformWithState
+    * emit-once. The SAME fixture as q84 (fresh + planted mutations) is
+    * replayed as TWO micro-batches (maxFilesPerTrigger=1) with the
+    * mutated batch RE-DELIVERED in batch 2 — the emit-once state is
+    * what makes the stream's output equal the batch oracle (q84's own
+    * SQL, verbatim) despite the duplicate delivery. */
+  val q514 = Declared(
+    "q514_stream_neardup_screen", "T-state,E2",
+    (s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val corpus = docs.filter(col("doc_id") < 200)
+        .select(col("doc_id"), col("text"))
+      val fresh = docs.filter(col("doc_id") >= 200 && col("doc_id") < 300)
+        .select(col("doc_id"), col("text"))
+      val mutated = docs.filter(col("doc_id") < 50)
+        .select((col("doc_id") + 500000).as("doc_id"),
+          concat(col("text"), lit(" freshcrawltoken")).as("text"))
+      val stage = java.nio.file.Files.createTempDirectory("graft_q514")
+      val streamDir = stage.resolve("crawl").toString
+      // batch 1: the full crawl; batch 2: the mutated docs AGAIN (a
+      // re-crawl) — emit-once must swallow the duplicates
+      fresh.unionByName(mutated).coalesce(1)
+        .write.mode("append").parquet(streamDir)
+      mutated.coalesce(1).write.mode("append").parquet(streamDir)
+      val schema = s.read.parquet(streamDir).schema
+      val key = "spark.sql.streaming.stateStore.providerClass"
+      val prev = s.conf.getOption(key)
+      val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set(key, "org.apache.spark.sql.execution.streaming.state." +
+        "RocksDBStateStoreProvider")
+      try {
+        val crawl = s.readStream.schema(schema)
+          .option("maxFilesPerTrigger", "1").parquet(streamDir)
+        val screened = graft.streaming.StreamOps.streamingNearDupScreen(
+          crawl, corpus, "text", "doc_id",
+          shingleSize = 3, numHashes = 16, bands = 16, threshold = 0.8)
+        val qname = "q514_mem_" +
+          java.util.UUID.randomUUID().toString.replace("-", "")
+        s.conf.set("spark.sql.shuffle.partitions", "8")
+        val q =
+          try screened.toDF().writeStream.format("memory").queryName(qname)
+            .outputMode("append").start()
+          finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+        try graft.streaming.StreamOps.runOnce(q)
+        catch { case e: Throwable =>
+          try q.stop() catch { case _: Exception => () }
+          throw e
+        }
+        s.table(qname)
+          .select(col("id_corpus"), col("id_new"),
+            round(col("jaccard"), 6).as("jaccard"))
+          .orderBy(col("id_corpus"), col("id_new"))
+      } finally {
+        prev match {
+          case Some(v) => s.conf.set(key, v)
+          case None    => s.conf.unset(key)
+        }
+      }
+    },
+    LlmExt4.q84.oracle,
+    "The corpus index is the stored band table q84's note promised — " +
+      "built once, broadcast per batch; per-doc cost is " +
+      "numHashes x |shingles| codegen'd hashes, no shuffle on the fact " +
+      "stream; emit-once state is one boolean per CONFIRMED pair. The " +
+      "dedup family now runs in both modes end to end.")
+
+  val all: Seq[Declared] = Seq(q512, q513, q514)
 }

@@ -300,6 +300,102 @@ object StreamOps {
       .transformWithState(proc, TimeMode.EventTime(), OutputMode.Append())
   }
 
+  /** One confirmed near-duplicate pair from the streaming screen. */
+  final case class NearDupHit(id_corpus: Long, id_new: Long, jaccard: Double)
+
+  /** T-state/E2 — STREAMING crawl-vs-corpus near-dup screen: the q84
+    * incremental MinHash dedup as a LIVE operator. The CORPUS side is
+    * indexed ONCE (band table from [[graft.ext.Dedup.minhashSignature]]
+    * + distinct shingle sets, both pinned by localCheckpoint) and rides
+    * the stream-static joins as BROADCAST sides; each arriving document
+    * computes its signature SCAN-SIDE (array_min over per-shingle
+    * xxhash64 — bit-identical to the batch aggregation's min, no
+    * groupBy, no shuffle), band-joins the corpus index, exact-verifies
+    * candidates per row (array_intersect — the batch verifyJaccard
+    * arithmetic on the same distinct shingle arrays), and a
+    * `transformWithState` ValueState emits each confirmed pair ONCE —
+    * multi-band matches within a batch and re-crawled documents across
+    * batches both dedupe.
+    *
+    * This completes the dedup family in BOTH modes: every batch rung
+    * (exact/MinHash/SimHash/PPJoin) now has an incremental or streaming
+    * twin, and q514 proves this one against the batch q84 oracle.
+    *
+    * Scale: per-document cost = numHashes·|shingles| hash ops inside
+    * one codegen span; the broadcast index is the corpus BAND table
+    * (production refreshes it as the corpus grows — it is the stored
+    * artifact the q84 note promised); emit-once state is one boolean
+    * per CONFIRMED pair, bounded by the true near-dup cardinality,
+    * orders below the candidate or fact space. */
+  def streamingNearDupScreen(newDocs: DataFrame, corpus: DataFrame,
+      textCol: String, idCol: String,
+      shingleSize: Int = 3, numHashes: Int = 16, bands: Int = 16,
+      threshold: Double = 0.8)
+      : org.apache.spark.sql.Dataset[NearDupHit] = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    require(newDocs.isStreaming, "newDocs must be a streaming DataFrame")
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.Column
+    val nRows = numHashes / bands
+    // the EXACT band expression of Dedup.minhashNearDuplicates*: any
+    // drift here silently zeroes recall, so both sides use this one
+    def bandArr(sig: Column): Column =
+      transform(sequence(lit(0), lit(bands - 1)), b =>
+        xxhash64(concat_ws("_", b,
+          concat_ws(",", slice(sig, b * nRows + 1, lit(nRows))))))
+    val corpusBands = graft.ext.Dedup
+      .minhashSignature(corpus, textCol, idCol, shingleSize, numHashes)
+      .select(col(idCol).cast("long").as("id_corpus"),
+        posexplode(bandArr(col("signature"))).as(Seq("band", "band_hash")))
+      .localCheckpoint()
+    val corpusSh = corpus
+      .select(col(idCol).cast("long").as("id_corpus"),
+        graft.ext.Dedup.wordShingles(col(textCol), shingleSize).as("__csh"))
+      .filter(size(col("__csh")) >= 1)
+      .withColumn("__n_c", size(col("__csh")).cast("long"))
+      .localCheckpoint()
+    val streamBands = newDocs
+      .withColumn("id_new", col(idCol).cast("long"))
+      .withColumn("__sh",
+        graft.ext.Dedup.wordShingles(col(textCol), shingleSize))
+      .filter(size(col("__sh")) >= 1)
+      .withColumn("__sig", transform(sequence(lit(0), lit(numHashes - 1)),
+        i => array_min(transform(col("__sh"), sh0 => xxhash64(i, sh0)))))
+      .select(col("id_new"), col("__sh"),
+        posexplode(bandArr(col("__sig"))).as(Seq("band", "band_hash")))
+    val verified = streamBands
+      .join(broadcast(corpusBands), Seq("band", "band_hash"))
+      .join(broadcast(corpusSh), Seq("id_corpus"))
+      .withColumn("__inter",
+        size(array_intersect(col("__sh"), col("__csh"))).cast("long"))
+      .withColumn("__n_new", size(col("__sh")).cast("long"))
+      .withColumn("jaccard",
+        col("__inter") / (col("__n_c") + col("__n_new") - col("__inter")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_corpus"), col("id_new"), col("jaccard"))
+    import org.apache.spark.sql.streaming.{OutputMode, StatefulProcessor,
+      TimeMode, TimerValues, TTLConfig}
+    import org.apache.spark.sql.{Encoder, Encoders}
+    implicit val outEnc: Encoder[NearDupHit] = Encoders.product[NearDupHit]
+    val hits = verified.as[NearDupHit]
+    val proc = new StatefulProcessor[(Long, Long), NearDupHit, NearDupHit] {
+      @transient private var seen:
+        org.apache.spark.sql.streaming.ValueState[Boolean] = _
+      override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+        seen = getHandle.getValueState[Boolean]("seen",
+          Encoders.scalaBoolean, TTLConfig.NONE)
+      override def handleInputRows(key: (Long, Long),
+          rows: Iterator[NearDupHit], timers: TimerValues)
+          : Iterator[NearDupHit] = {
+        if (seen.exists() || !rows.hasNext) Iterator.empty
+        else { val h = rows.next(); seen.update(true); Iterator.single(h) }
+      }
+    }
+    hits.groupByKey(h => (h.id_corpus, h.id_new))
+      .transformWithState(proc, TimeMode.None(), OutputMode.Append())
+  }
+
   /** Input/output records for the stateful streaming EWMA. State keeps
     * the OPEN (latest) day separate from the fold: `smPrev` is the
     * smoothed value after all CLOSED days; `nOpen` the open day's

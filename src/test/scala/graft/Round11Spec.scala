@@ -74,6 +74,83 @@ class Round11Spec extends AnyFunSuite {
     assert(!ok.isNullAt(0))
   }
 
+  // ---- CJK bigrams on supplementary-plane ideographs ---------------------
+
+  test("E7: tokensMultilingual bigrams are codePoint-aware (Ext-B)") {
+    // U+20000..U+20002 live outside the BMP (UTF-16 surrogate pairs);
+    // bigrams must split on CODE POINTS, never through a pair
+    val s = (0x20000 to 0x20002).map(c => new String(Character.toChars(c)))
+      .mkString
+    val out = Seq((s, "zh")).toDF("text", "lang")
+      .select(graft.ext.TextAnalysis.tokensMultilingual(
+        col("text"), col("lang")).as("t"))
+      .head.getSeq[String](0)
+    val want = Seq(
+      new String(Character.toChars(0x20000)) + new String(Character.toChars(0x20001)),
+      new String(Character.toChars(0x20001)) + new String(Character.toChars(0x20002)))
+    assert(out == want)
+    // mixed BMP + Ext-B run stays pairwise-correct too
+    val mixed = "中" + new String(Character.toChars(0x20000)) + "文"
+    val out2 = Seq((mixed, "zh")).toDF("text", "lang")
+      .select(graft.ext.TextAnalysis.tokensMultilingual(
+        col("text"), col("lang")).as("t"))
+      .head.getSeq[String](0)
+    assert(out2 == Seq("中" + new String(Character.toChars(0x20000)),
+      new String(Character.toChars(0x20000)) + "文"))
+  }
+
+  // ---- streaming near-dup screen == batch operator ------------------------
+
+  test("T-state/E2: streamingNearDupScreen == batch minhashNearDuplicatesAgainst") {
+    // bands=4/rows=4 exercises non-trivial banding: equality holds ONLY
+    // if the stream's scan-side signatures and band hashes are
+    // bit-identical to the batch aggregation's
+    def doc(i: Long, words: Seq[String]) = (i, words.mkString(" "))
+    val base = (0 until 12).map(w => s"w$w")
+    val corpus = Seq(
+      doc(1, base), doc(2, base.map(w => w + "x")), doc(3, base.reverse))
+      .toDF("doc_id", "text")
+    val fresh = Seq(
+      doc(101, base :+ "extra"),            // near-dup of 1
+      doc(102, (0 until 12).map(w => s"z$w")), // unrelated
+      doc(103, base.reverse :+ "tail"))     // near-dup of 3
+      .toDF("doc_id", "text")
+    val batch = graft.ext.Dedup.minhashNearDuplicatesAgainst(
+      corpus, fresh, "text", "doc_id",
+      shingleSize = 3, numHashes = 16, bands = 4, threshold = 0.5)
+      .select(col("id_corpus"), col("id_new"), col("jaccard"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .toSet
+    val dir = java.nio.file.Files.createTempDirectory("graft_sndq").toString
+    fresh.coalesce(1).write.mode("append").parquet(dir)
+    fresh.coalesce(1).write.mode("append").parquet(dir) // re-delivery
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, "org.apache.spark.sql.execution.streaming.state." +
+      "RocksDBStateStoreProvider")
+    try {
+      val stream = spark.readStream
+        .schema(spark.read.parquet(dir).schema)
+        .option("maxFilesPerTrigger", "1").parquet(dir)
+      val q = graft.streaming.StreamOps.streamingNearDupScreen(
+          stream, corpus, "text", "doc_id",
+          shingleSize = 3, numHashes = 16, bands = 4, threshold = 0.5)
+        .toDF().writeStream.format("memory").queryName("sndq")
+        .outputMode("append").start()
+      q.processAllAvailable(); q.stop(); q.awaitTermination(10000)
+      val got = spark.table("sndq").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      // emit-once: re-delivered batch adds NO rows (no duplicates)
+      assert(got.length == got.toSet.size)
+      assert(got.toSet == batch)
+      assert(batch.exists(_._2 == 101L) && batch.exists(_._2 == 103L))
+      assert(!batch.exists(_._2 == 102L))
+    } finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None    => spark.conf.unset(key)
+    }
+  }
+
   // ---- largestRemainderByGroup degenerate groups -------------------------
 
   test("A1: largestRemainderByGroup sums to total with all-zero weights") {
