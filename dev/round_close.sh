@@ -29,6 +29,22 @@ EOF
 EMIT=""
 if [ -n "$ROUND" ]; then EMIT="--emit CORRECTNESS_LOCAL_r${ROUND}.json"; fi
 python3 dev/check.py $EMIT "$SF" "$OUT"
+# Row-count invariant (VERDICT r10 item 5): the artifact must carry
+# EXACTLY one row per declared query — |rows| == |SparkEntry.queries|
+# (= |queries.json| from the Verify dump). This plus the generation
+# command is the copy-paste recipe for the driver-side writer:
+#   dev/run_class.sh graft.Verify <sf0.01> <out>
+#   python3 dev/check.py --emit CORRECTNESS_r<N>.json <sf0.01> <out>
+if [ -n "$ROUND" ]; then
+  python3 - "CORRECTNESS_LOCAL_r${ROUND}.json" "$OUT/queries.json" <<'EOF'
+import json, sys
+rows = json.load(open(sys.argv[1]))
+declared = json.load(open(sys.argv[2]))
+assert len(rows) == len(declared), \
+    f"artifact rows {len(rows)} != declared queries {len(declared)}"
+print(f"[round-close] artifact row-count invariant OK ({len(rows)} rows)")
+EOF
+fi
 if [ -n "$ROUND" ] && [ -f "CORRECTNESS_r${ROUND}.json" ]; then
   python3 - "CORRECTNESS_r${ROUND}.json" <<'EOF'
 import json, sys

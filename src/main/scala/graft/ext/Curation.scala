@@ -196,6 +196,95 @@ object Curation {
       .groupBy(col(idCol), col("dl"), col("term"))
       .agg(count(lit(1)).as("tf"))
 
+  /** E7 — POSITIONAL postings: one row per (doc, term) carrying the
+    * SORTED 0-based token position list plus tf and dl — the index
+    * artifact phrase and proximity queries need ([[buildPostings]]
+    * stores only tf; this is its phrase-capable sibling, written
+    * term-bucketed at scale exactly like it). Positions index the raw
+    * whitespace token array, matching [[TextAnalysis.tokens]]. */
+  def buildPositionalPostings(docs: DataFrame, textCol: String,
+      idCol: String): DataFrame =
+    docs.filter(col(textCol).isNotNull)
+      .select(col(idCol), TextAnalysis.tokens(col(textCol)).as("__toks"))
+      .select(col(idCol), size(col("__toks")).as("dl"),
+        posexplode(col("__toks")).as(Seq("pos", "term")))
+      .groupBy(col(idCol), col("dl"), col("term"))
+      .agg(sort_array(collect_list(col("pos"))).as("positions"),
+        count(lit(1)).as("tf"))
+
+  /** E7 — EXACT PHRASE search from positional postings: documents
+    * containing `phrase` as consecutive tokens, with the occurrence
+    * count and first match position. The classic positional-index
+    * plan (Manning/Raghavan/Schütze IR ch. 2): one postings row per
+    * phrase slot joins on the doc id, a match is a start position p
+    * with slot i's list containing p+i — position lists are per-doc
+    * bounded, so the conjunction evaluates scan-side after the |m|-way
+    * doc-keyed join, never touching the pair space.
+    *
+    * Returns (id, n_occurrences, first_pos).
+    *
+    * Scale: the term filter prunes the index to |phrase| terms before
+    * any join (bucketed postings make those lookups shuffle-free);
+    * joins key on the doc id. Rare-term phrases — the realistic kind —
+    * collapse the frame at the first join. */
+  def phraseSearch(docs: DataFrame, textCol: String, idCol: String,
+      phrase: Seq[String]): DataFrame = {
+    require(phrase.size >= 2, "phrase needs >= 2 terms")
+    val posts = graft.core.OperatorCaches.cachedIf(true,
+      buildPositionalPostings(docs, textCol, idCol)
+        .filter(col("term").isin(phrase.distinct: _*)))
+    val sides = phrase.zipWithIndex.map { case (t, i) =>
+      posts.filter(col("term") === t)
+        .select(col(idCol), col("positions").as(s"__p$i"))
+    }
+    val joined = sides.reduce((a: DataFrame, b: DataFrame) =>
+      a.join(b, Seq(idCol)))
+    joined
+      .select((col(idCol) +: (1 until phrase.size).map(i => col(s"__p$i")))
+        :+ explode(col("__p0")).as("__s"): _*)
+      .filter((1 until phrase.size)
+        .map(i => array_contains(col(s"__p$i"), col("__s") + i))
+        .reduce(_ && _))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_occurrences"),
+        min(col("__s")).cast("long").as("first_pos"))
+  }
+
+  /** E7 — RAG PASSAGE CHUNKING: fixed `window`-token chunks every
+    * `stride` tokens (overlap = window − stride), the retrieval-corpus
+    * builder every RAG stack runs before embedding. Chunk k covers
+    * tokens [k·stride, min(k·stride+window, n)); the chunk count is
+    * 1 + ⌈(n−window)/stride⌉ clamped at 1, so every token lands in ≥ 1
+    * chunk, the last chunk may run short, and no chunk starts past the
+    * end. Returns (id…, chunk_idx, tok_start, tok_end, n_chunk_tokens,
+    * chunk_text).
+    *
+    * Scale: pure per-row column ops (sequence/transform/slice +
+    * posexplode) — scan-side, no shuffle; output is fact-linear with
+    * factor window/stride. */
+  def chunkPassages(docs: DataFrame, textCol: String, idCol: String,
+      window: Int, stride: Int): DataFrame = {
+    require(window >= 1 && stride >= 1 && stride <= window,
+      "need 1 <= stride <= window")
+    docs.filter(col(textCol).isNotNull)
+      .select(col(idCol), TextAnalysis.tokens(col(textCol)).as("__toks"))
+      .withColumn("__n", size(col("__toks")))
+      .filter(col("__n") >= 1)
+      .withColumn("__nc", when(col("__n") <= window, lit(1))
+        .otherwise(expr(s"1 + (__n - $window + $stride - 1) div $stride")))
+      .select(col(idCol), col("__n"),
+        posexplode(transform(sequence(lit(0), col("__nc") - 1), k =>
+          struct(
+            (k * stride).cast("long").as("tok_start"),
+            least(k * stride + window, col("__n")).cast("long").as("tok_end"),
+            concat_ws(" ", slice(col("__toks"), k * stride + 1, lit(window)))
+              .as("chunk_text")))).as(Seq("chunk_idx", "__c")))
+      .select(col(idCol), col("chunk_idx").cast("long").as("chunk_idx"),
+        col("__c.tok_start").as("tok_start"), col("__c.tok_end").as("tok_end"),
+        (col("__c.tok_end") - col("__c.tok_start")).as("n_chunk_tokens"),
+        col("__c.chunk_text").as("chunk_text"))
+  }
+
   /** Corpus stats (N, avgdl) from a postings table — one aggregation
     * over the distinct (doc, dl) pairs. Exact-portable: the same
     * integers q74's scan path aggregates, in the same expression. */

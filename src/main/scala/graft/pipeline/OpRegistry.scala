@@ -287,6 +287,13 @@ object OpRegistry {
         col(str(p, "series_col")), num(p, "penalty").toLong))),
     "scc" -> (p => df => graft.ext.Graph.stronglyConnectedComponents(
       df, str(p, "src_col"), str(p, "dst_col"))),
+    // round 11
+    "phrase_search" -> (p => df => graft.ext.Curation.phraseSearch(
+      df, str(p, "text_col"), str(p, "id_col"),
+      str(p, "phrase").split(" ").toSeq)),
+    "chunk_passages" -> (p => df => graft.ext.Curation.chunkPassages(
+      df, str(p, "text_col"), str(p, "id_col"),
+      num(p, "window").toInt, num(p, "stride").toInt)),
     "unigram_segment_scores" -> (p => df => graft.ext.TextAnalysis
       .unigramSegmentScores(df, col(str(p, "text_col")),
         num(p, "max_piece_len").toInt, num(p, "min_count").toLong,

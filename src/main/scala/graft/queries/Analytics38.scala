@@ -250,5 +250,92 @@ object Analytics38 {
       "stream; emit-once state is one boolean per CONFIRMED pair. The " +
       "dedup family now runs in both modes end to end.")
 
-  val all: Seq[Declared] = Seq(q512, q513, q514)
+  /** q515 — E7: EXACT PHRASE SEARCH from positional postings — the
+    * index artifact ([[graft.ext.Curation.buildPositionalPostings]])
+    * plus the classic consecutive-position plan: a 2-term and a 3-term
+    * phrase over the corpus, each doc returning its occurrence count
+    * and first match position. The oracle replays positions from the
+    * same raw token array. */
+  val q515 = Declared(
+    "q515_phrase_search", "E7",
+    (s, dir) => {
+      val d = Tables.documents(s, dir)
+      val p1 = graft.ext.Curation
+        .phraseSearch(d, "text", "doc_id", Seq("fast", "table"))
+        .withColumn("phrase", lit("fast table"))
+      val p2 = graft.ext.Curation
+        .phraseSearch(d, "text", "doc_id", Seq("slow", "fast", "table"))
+        .withColumn("phrase", lit("slow fast table"))
+      p1.unionByName(p2)
+        .select(col("phrase"), col("doc_id"), col("n_occurrences"),
+          col("first_pos"))
+        .orderBy(col("phrase"), col("doc_id"))
+    },
+    Some("""WITH tk AS (
+           |  SELECT doc_id, regexp_split_to_array(lower(text), '\s+') AS toks
+           |  FROM documents WHERE text IS NOT NULL),
+           |pos AS (
+           |  SELECT doc_id, unnest(toks) AS term,
+           |    unnest(range(0, len(toks))) AS p
+           |  FROM tk),
+           |f AS (SELECT doc_id, p FROM pos WHERE term = 'fast'),
+           |t AS (SELECT doc_id, p FROM pos WHERE term = 'table'),
+           |sl AS (SELECT doc_id, p FROM pos WHERE term = 'slow'),
+           |occ1 AS (
+           |  SELECT f.doc_id, f.p FROM f
+           |  JOIN t ON t.doc_id = f.doc_id AND t.p = f.p + 1),
+           |occ2 AS (
+           |  SELECT sl.doc_id, sl.p FROM sl
+           |  JOIN f ON f.doc_id = sl.doc_id AND f.p = sl.p + 1
+           |  JOIN t ON t.doc_id = sl.doc_id AND t.p = sl.p + 2)
+           |SELECT 'fast table' AS phrase, doc_id,
+           |  CAST(count(*) AS BIGINT) AS n_occurrences,
+           |  CAST(min(p) AS BIGINT) AS first_pos
+           |FROM occ1 GROUP BY doc_id
+           |UNION ALL
+           |SELECT 'slow fast table', doc_id,
+           |  CAST(count(*) AS BIGINT), CAST(min(p) AS BIGINT)
+           |FROM occ2 GROUP BY doc_id
+           |ORDER BY phrase, doc_id""".stripMargin),
+    "The term filter prunes the positional index to |phrase| terms " +
+      "before any join (term-bucketed postings make the lookups " +
+      "shuffle-free); joins key on doc id and the position conjunction " +
+      "runs scan-side on per-doc bounded lists. Rare-term phrases " +
+      "collapse the frame at the first join — positional retrieval at " +
+      "100 TB without rescanning text.")
+
+  /** q516 — E7: RAG PASSAGE CHUNKING — 32-token windows every 24
+    * tokens (8-token overlap) over the corpus, each chunk carrying its
+    * token span and text; the retrieval-corpus builder upstream of
+    * every embedding stage. The oracle replays the chunk-count
+    * formula, spans and slices off the same token arrays. */
+  val q516 = Declared(
+    "q516_passage_chunks", "E7",
+    (s, dir) => graft.ext.Curation.chunkPassages(
+        Tables.documents(s, dir), "text", "doc_id",
+        window = 32, stride = 24)
+      .orderBy(col("doc_id"), col("chunk_idx")),
+    Some("""WITH tk AS (
+           |  SELECT doc_id, regexp_split_to_array(lower(text), '\s+') AS toks
+           |  FROM documents WHERE text IS NOT NULL),
+           |n AS (SELECT doc_id, toks, len(toks) AS n FROM tk
+           |      WHERE len(toks) >= 1),
+           |c AS (SELECT doc_id, toks, n,
+           |        CASE WHEN n <= 32 THEN 1
+           |             ELSE 1 + (n - 32 + 24 - 1) // 24 END AS nc
+           |      FROM n),
+           |x AS (SELECT doc_id, toks, n, unnest(range(0, nc)) AS k FROM c)
+           |SELECT doc_id, CAST(k AS BIGINT) AS chunk_idx,
+           |  CAST(k * 24 AS BIGINT) AS tok_start,
+           |  CAST(least(k * 24 + 32, n) AS BIGINT) AS tok_end,
+           |  CAST(least(k * 24 + 32, n) - k * 24 AS BIGINT) AS n_chunk_tokens,
+           |  array_to_string(list_slice(toks, k * 24 + 1,
+           |    least(k * 24 + 32, n)), ' ') AS chunk_text
+           |FROM x ORDER BY doc_id, chunk_idx""".stripMargin),
+    "Pure scan-side column ops (sequence/transform/slice + posexplode) " +
+      "— no shuffle, output fact-linear with factor window/stride. The " +
+      "chunker feeds q516-chunk-grained twins of the BM25/ANN/MaxSim " +
+      "stack unchanged (chunk_id is just a finer doc id).")
+
+  val all: Seq[Declared] = Seq(q512, q513, q514, q515, q516)
 }
