@@ -607,12 +607,15 @@ object Similarity {
       .select(col(idColName).cast("long").as("doc_id"),
         posexplode(TextAnalysis.tokens(col(textColName))).as(Seq("pos", "tok")))
       .filter(col("tok") =!= "" && col("pos") < maxDocTokens)
-      .withColumn("dv", tokVec(col("tok")))
+    // doc-token embeddings are computed AFTER the gate join — md5 work
+    // is gateK-bounded, never corpus-linear (the whole point of the
+    // two-stage plan; computing dv on dtok before the join would md5
+    // every document's tokens)
     val dots = gate
       .join(dtok, Seq("doc_id"))
       .join(broadcast(q), Seq("query_id"))
       .withColumn("dot", aggregate(
-        zip_with(col("qv"), col("dv"), (a, b) => a * b),
+        zip_with(col("qv"), tokVec(col("tok")), (a, b) => a * b),
         lit(0L), (acc, x) => acc + x))
     val best = dots.groupBy(col("query_id"), col("doc_id"),
         col("bm25_u"), col("qpos"))
