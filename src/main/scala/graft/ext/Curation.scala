@@ -250,6 +250,48 @@ object Curation {
         min(col("__s")).cast("long").as("first_pos"))
   }
 
+  /** E7 — PROXIMITY search from positional postings: documents where
+    * ALL `terms` co-occur inside some `window`-token span, scored by
+    * the number of start positions that open such a span (a start is
+    * any occurrence of any term; the span [p, p+window) must contain
+    * every term). The WITHIN-k operator of classic boolean IR —
+    * phrase search's tolerant sibling on the same index artifact.
+    *
+    * Returns (id, n_windows, first_pos) — first_pos the smallest
+    * opening position.
+    *
+    * Scale: same plan as [[phraseSearch]] — |terms| postings rows per
+    * doc meet in a doc-keyed join, the span test is an array_exists
+    * conjunction over per-doc bounded lists, scan-side. */
+  def proximitySearch(docs: DataFrame, textCol: String, idCol: String,
+      terms: Seq[String], window: Int): DataFrame = {
+    require(terms.size >= 2, "proximity needs >= 2 terms")
+    require(window >= terms.size, "window must fit all terms")
+    val posts = graft.core.OperatorCaches.cachedIf(true,
+      buildPositionalPostings(docs, textCol, idCol)
+        .filter(col("term").isin(terms.distinct: _*)))
+    val sides = terms.distinct.zipWithIndex.map { case (t, i) =>
+      posts.filter(col("term") === t)
+        .select(col(idCol), col("positions").as(s"__p$i"))
+    }
+    val joined = sides.reduce((a: DataFrame, b: DataFrame) =>
+      a.join(b, Seq(idCol)))
+    val m = terms.distinct.size
+    // candidate span starts: every occurrence of every term
+    val starts = joined.withColumn("__starts",
+      array_distinct(concat((0 until m).map(i => col(s"__p$i")): _*)))
+    starts
+      .select((col(idCol) +: (0 until m).map(i => col(s"__p$i")))
+        :+ explode(col("__starts")).as("__s"): _*)
+      .filter((0 until m)
+        .map(i => exists(col(s"__p$i"),
+          p => p >= col("__s") && p < col("__s") + window))
+        .reduce(_ && _))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_windows"),
+        min(col("__s")).cast("long").as("first_pos"))
+  }
+
   /** E7 — RAG PASSAGE CHUNKING: fixed `window`-token chunks every
     * `stride` tokens (overlap = window − stride), the retrieval-corpus
     * builder every RAG stack runs before embedding. Chunk k covers

@@ -291,6 +291,9 @@ object OpRegistry {
     "phrase_search" -> (p => df => graft.ext.Curation.phraseSearch(
       df, str(p, "text_col"), str(p, "id_col"),
       str(p, "phrase").split(" ").toSeq)),
+    "proximity_search" -> (p => df => graft.ext.Curation.proximitySearch(
+      df, str(p, "text_col"), str(p, "id_col"),
+      str(p, "terms").split(" ").toSeq, num(p, "window").toInt)),
     "chunk_passages" -> (p => df => graft.ext.Curation.chunkPassages(
       df, str(p, "text_col"), str(p, "id_col"),
       num(p, "window").toInt, num(p, "stride").toInt)),

@@ -337,5 +337,108 @@ object Analytics38 {
       "chunker feeds q516-chunk-grained twins of the BM25/ANN/MaxSim " +
       "stack unchanged (chunk_id is just a finer doc id).")
 
-  val all: Seq[Declared] = Seq(q512, q513, q514, q515, q516)
+  /** q517 — E7: PROXIMITY (within-k) search — documents where 'fast'
+    * and 'scan' co-occur inside a 5-token span, scored by the number
+    * of opening positions; phrase search's tolerant sibling on the
+    * same positional index. Oracle replays the span test with
+    * list_filter over the same position lists. */
+  val q517 = Declared(
+    "q517_proximity_search", "E7",
+    (s, dir) => graft.ext.Curation.proximitySearch(
+        Tables.documents(s, dir), "text", "doc_id",
+        terms = Seq("fast", "scan"), window = 5)
+      .orderBy(col("doc_id")),
+    Some("""WITH tk AS (
+           |  SELECT doc_id, regexp_split_to_array(lower(text), '\s+') AS toks
+           |  FROM documents WHERE text IS NOT NULL),
+           |pos AS (
+           |  SELECT doc_id, unnest(toks) AS term,
+           |    unnest(range(0, len(toks))) AS p
+           |  FROM tk),
+           |pf AS (SELECT doc_id, list(p) AS pf FROM pos
+           |       WHERE term = 'fast' GROUP BY doc_id),
+           |ps AS (SELECT doc_id, list(p) AS ps FROM pos
+           |       WHERE term = 'scan' GROUP BY doc_id),
+           |j AS (SELECT doc_id, pf, ps FROM pf JOIN ps USING (doc_id)),
+           |st AS (SELECT doc_id, pf, ps,
+           |         unnest(list_distinct(list_concat(pf, ps))) AS s
+           |       FROM j),
+           |w AS (SELECT doc_id, s FROM st
+           |      WHERE len(list_filter(pf, p -> p >= s AND p < s + 5)) > 0
+           |        AND len(list_filter(ps, p -> p >= s AND p < s + 5)) > 0)
+           |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_windows,
+           |  CAST(min(s) AS BIGINT) AS first_pos
+           |FROM w GROUP BY doc_id
+           |ORDER BY doc_id""".stripMargin),
+    "Identical plan family to q515: postings pruned to |terms| before " +
+      "the doc-keyed join, span conjunction scan-side on per-doc " +
+      "bounded lists. The WITHIN-k operator of boolean IR at postings " +
+      "cost.")
+
+  /** q518 — E7: CHUNK-GRAINED RETRIEVAL — the full RAG first stage:
+    * q516's passage chunker feeds q74's exact micro-quantized BM25
+    * with chunks as the corpus (chunk stats, chunk dl), and the top-10
+    * passages come back by (score desc, chunk id) — a TakeOrdered, no
+    * global window. The oracle replays chunking AND scoring. */
+  val q518 = {
+    val (k1, b) = (1.2, 0.75)
+    Declared(
+      "q518_chunk_retrieval", "E7",
+      (s, dir) => {
+        val chunks = graft.ext.Curation.chunkPassages(
+            Tables.documents(s, dir), "text", "doc_id",
+            window = 32, stride = 24)
+          .withColumn("chunk_id", col("doc_id") * 100 + col("chunk_idx"))
+        graft.ext.Curation.bm25Scores(chunks, "chunk_text", "chunk_id",
+            queryTerms = Seq("fast", "table", "join"), k1 = k1, b = b)
+          .orderBy(col("score").desc, col("chunk_id")).limit(10)
+          .select(expr("chunk_id div 100").as("doc_id"),
+            (col("chunk_id") % 100).as("chunk_idx"), col("score"))
+          .orderBy(col("score").desc, col("doc_id"), col("chunk_idx"))
+      },
+      Some(s"""WITH tk AS (
+              |  SELECT doc_id, regexp_split_to_array(lower(text), '\\s+') AS toks
+              |  FROM documents WHERE text IS NOT NULL),
+              |nn AS (SELECT doc_id, toks, len(toks) AS n FROM tk
+              |       WHERE len(toks) >= 1),
+              |cc AS (SELECT doc_id, toks, n,
+              |         CASE WHEN n <= 32 THEN 1
+              |              ELSE 1 + (n - 32 + 24 - 1) // 24 END AS nc
+              |       FROM nn),
+              |ch AS (SELECT doc_id * 100 + k AS chunk_id,
+              |         list_slice(toks, k * 24 + 1, least(k * 24 + 32, n)) AS ctoks
+              |       FROM (SELECT doc_id, toks, n, unnest(range(0, nc)) AS k
+              |             FROM cc)),
+              |dl AS (SELECT chunk_id, len(ctoks) AS dl FROM ch),
+              |tf AS (SELECT chunk_id, term, count(*) AS tf FROM (
+              |         SELECT chunk_id, unnest(ctoks) AS term FROM ch)
+              |       WHERE term IN ('fast', 'table', 'join')
+              |       GROUP BY chunk_id, term),
+              |dfq AS (SELECT term, count(DISTINCT chunk_id) AS df
+              |        FROM tf GROUP BY term),
+              |stats AS (SELECT count(*) AS n_docs,
+              |    CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM dl),
+              |contrib AS (
+              |  SELECT tf.chunk_id,
+              |    CAST(round(ln(1.0 + (stats.n_docs - dfq.df + 0.5) / (dfq.df + 0.5))
+              |      * tf.tf * ${k1 + 1} / (tf.tf + $k1 * (${1 - b} + $b * dl.dl / stats.avgdl))
+              |      * 1e6, 0) AS BIGINT) AS cu
+              |  FROM tf JOIN dfq USING (term) JOIN dl USING (chunk_id)
+              |  CROSS JOIN stats),
+              |sc AS (
+              |  SELECT chunk_id, round(CAST(sum(cu) AS DOUBLE) / 1e6, 6) AS score
+              |  FROM contrib GROUP BY chunk_id
+              |  ORDER BY score DESC, chunk_id LIMIT 10)
+              |SELECT chunk_id // 100 AS doc_id, chunk_id % 100 AS chunk_idx,
+              |  score
+              |FROM sc
+              |ORDER BY score DESC, doc_id, chunk_idx""".stripMargin),
+      "Chunker is scan-side; BM25 over chunks is q74's plan at chunk " +
+        "grain (term-filtered explode, broadcast df/stats, chunk-keyed " +
+        "shuffle); the top-10 is a TakeOrdered — no global window " +
+        "anywhere. This IS the RAG first stage at 100 TB: chunk once, " +
+        "index chunks, retrieve passages.")
+  }
+
+  val all: Seq[Declared] = Seq(q512, q513, q514, q515, q516, q517, q518)
 }
