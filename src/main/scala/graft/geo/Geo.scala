@@ -962,12 +962,35 @@ object Geo {
     crsRegistry.put(epsg, gridShiftPair(grid)); ()
   }
 
-  /** Register a PROJECTED transverse-Mercator CRS on an NTv2-shifted
-    * datum: unproject on the local ellipsoid, then grid-shift to
-    * WGS84 (and the exact reverse going in). */
+  // ---- GTX vertical datums (round 11) ---------------------------------
+
+  /** Geoid undulation N (meters) from a GTX grid as a column function:
+    * `geoidUndulation(grid)(lon, lat)` — null outside coverage or when
+    * the blend touches a NODATA node (the engine's visible row-level
+    * policy, like the horizontal shifts). The grid rides in the UDF
+    * closure — broadcast-scale, scan-side. */
+  def geoidUndulation(grid: Gtx.Grid): (Column, Column) => Column = {
+    val u = udf((lon: Double, lat: Double) => grid.undulation(lon, lat))
+    (lon: Column, lat: Column) => u(lon, lat)
+  }
+
+  /** Orthometric → ellipsoidal height: h = H + N (null propagates from
+    * out-of-coverage / NODATA undulations). */
+  def toEllipsoidalHeight(grid: Gtx.Grid)(
+      h: Column, lon: Column, lat: Column): Column =
+    h + geoidUndulation(grid)(lon, lat)
+
+  /** Ellipsoidal → orthometric height: H = h − N. */
+  def toOrthometricHeight(grid: Gtx.Grid)(
+      h: Column, lon: Column, lat: Column): Column =
+    h - geoidUndulation(grid)(lon, lat)
+
+  /** Register a PROJECTED transverse-Mercator CRS on a grid-shifted
+    * datum (NTv2 or NADCON): unproject on the local ellipsoid, then
+    * grid-shift to WGS84 (and the exact reverse going in). */
   def registerTmOnNtv2Datum(epsg: Int, el: Ellipsoid, lat0Deg: Double,
       lon0Deg: Double, k0: Double, falseE: Double, falseN: Double,
-      grid: Ntv2.Grid): Unit = {
+      grid: ShiftGrid): Unit = {
     val pr = TmParams(el, lat0Deg, lon0Deg, k0, falseE, falseN)
     val (toLocal, toWgs) = gridShiftPair(grid)
     val fwd: Column => Column = p => bindCol(toLocal(p))(pr.fwd)

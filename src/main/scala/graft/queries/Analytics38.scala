@@ -440,5 +440,78 @@ object Analytics38 {
         "index chunks, retrieve passages.")
   }
 
-  val all: Seq[Declared] = Seq(q512, q513, q514, q515, q516, q517, q518)
+  /** q519 — F10/S1: GTX VERTICAL datum (geoid) grid — orthometric →
+    * ellipsoidal heights via h = H + N with N the bilinear undulation
+    * from a writer→reader round-tripped .gtx (the q512 closed-loop
+    * device, now for the VERTICAL axis — the grid family is complete:
+    * NTv2/NADCON horizontal, GTX heights). Node 12 is the VDatum
+    * NODATA sentinel, so the four cells touching it yield null rows
+    * (ids 12/13/17/18), and one probe sits outside coverage. All
+    * coordinates and node values dyadic → the oracle replays the
+    * blend bit-for-bit. */
+  val q519 = Declared(
+    "q519_gtx_geoid", "F10,S1",
+    (s, dir) => {
+      import graft.geo.{Geo, Gtx}
+      val tmp = java.nio.file.Files.createTempDirectory("graft_q519").toString
+      val grid = Gtx.Grid(30.0, -80.0, 0.5, 0.5, 5, 5,
+        Array.tabulate(25)(i =>
+          if (i == 12) Gtx.NoData else i * 0.125f + 0.25f))
+      Gtx.write(s"$tmp/synth.gtx", grid)
+      val g = Gtx.read(s"$tmp/synth.gtx")
+      val pts = s.read.parquet(s"$dir/nation.parquet")
+        .select(col("n_nationkey").cast("long").as("id"))
+        .withColumn("lon",
+          lit(-80.0) + (col("id") % 5).cast("double") * 0.375 + 0.0625)
+        .withColumn("lat",
+          lit(30.0) + expr("id div 5").cast("double") * 0.375 + 0.03125)
+        .withColumn("h", col("id").cast("double") * 0.5 + 100.0)
+        .unionByName(s.range(1).select(lit(99L).as("id"),
+          lit(-60.0).as("lon"), lit(31.0).as("lat"), lit(100.0).as("h")))
+      pts.select(col("id"),
+          Geo.geoidUndulation(g)(col("lon"), col("lat")).as("n_geoid"),
+          Geo.toEllipsoidalHeight(g)(col("h"), col("lon"), col("lat"))
+            .as("h_ell"))
+        .orderBy(col("id"))
+    },
+    Some("""WITH p AS (
+           |  SELECT CAST(n_nationkey AS BIGINT) AS id,
+           |    -80.0 + CAST(n_nationkey % 5 AS DOUBLE) * 0.375 + 0.0625 AS lon,
+           |    30.0 + CAST(n_nationkey // 5 AS DOUBLE) * 0.375 + 0.03125 AS lat,
+           |    CAST(n_nationkey AS DOUBLE) * 0.5 + 100.0 AS h
+           |  FROM nation),
+           |f AS (SELECT id, h, (lon + 80.0) / 0.5 AS fx,
+           |        (lat - 30.0) / 0.5 AS fy FROM p),
+           |c AS (SELECT id, h, fx, fy,
+           |        LEAST(CAST(floor(fx) AS BIGINT), 3) AS c0,
+           |        LEAST(CAST(floor(fy) AS BIGINT), 3) AS r0
+           |      FROM f),
+           |b AS (SELECT id, h, c0, r0,
+           |        fx - CAST(c0 AS DOUBLE) AS dx, fy - CAST(r0 AS DOUBLE) AS dy
+           |      FROM c),
+           |v AS (SELECT id, h, dx, dy,
+           |        CASE WHEN r0*5+c0 = 12 THEN NULL
+           |          ELSE CAST(r0*5+c0 AS DOUBLE)*0.125 + 0.25 END AS v00,
+           |        CASE WHEN r0*5+c0+1 = 12 THEN NULL
+           |          ELSE CAST(r0*5+c0+1 AS DOUBLE)*0.125 + 0.25 END AS v10,
+           |        CASE WHEN (r0+1)*5+c0 = 12 THEN NULL
+           |          ELSE CAST((r0+1)*5+c0 AS DOUBLE)*0.125 + 0.25 END AS v01,
+           |        CASE WHEN (r0+1)*5+c0+1 = 12 THEN NULL
+           |          ELSE CAST((r0+1)*5+c0+1 AS DOUBLE)*0.125 + 0.25 END AS v11
+           |      FROM b),
+           |s AS (SELECT id, h,
+           |        v00*(1-dx)*(1-dy) + v10*dx*(1-dy)
+           |          + v01*(1-dx)*dy + v11*dx*dy AS n_geoid
+           |      FROM v)
+           |SELECT id, n_geoid, h + n_geoid AS h_ell FROM s
+           |UNION ALL
+           |SELECT 99, CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE)
+           |ORDER BY id""".stripMargin),
+    "The geoid grid (a few MB) rides in the UDF closure — broadcast-" +
+      "scale; undulation + height conversion are scan-side per point. " +
+      "At 100 TB the vertical shift is a map stage, like every " +
+      "projection stage in this engine.")
+
+  val all: Seq[Declared] = Seq(q512, q513, q514, q515, q516, q517, q518,
+    q519)
 }
