@@ -151,6 +151,54 @@ class Round11Spec extends AnyFunSuite {
     }
   }
 
+  // ---- positional retrieval + chunking edges -----------------------------
+
+  test("E7: phraseSearch handles repeated terms and overlapping matches") {
+    val docs = Seq(
+      (1L, "table table table x"),   // "table table" occurs at 0 and 1
+      (2L, "table x table"),          // never consecutively
+      (3L, "x table table")           // once, at position 1
+    ).toDF("doc_id", "text")
+    val out = graft.ext.Curation.phraseSearch(
+        docs, "text", "doc_id", Seq("table", "table"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .sortBy(_._1).toSeq
+    assert(out == Seq((1L, 2L, 0L), (3L, 1L, 1L)))
+  }
+
+  test("E7: chunkPassages spans — exact window, shorter doc, stride tail") {
+    def chunksOf(text: String) = graft.ext.Curation.chunkPassages(
+        Seq((1L, text)).toDF("doc_id", "text"), "text", "doc_id",
+        window = 4, stride = 3)
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getString(5))).toSeq
+    // n == window: one chunk, full span
+    assert(chunksOf("a b c d") == Seq((0L, 0L, 4L, "a b c d")))
+    // n < window: one short chunk
+    assert(chunksOf("a b") == Seq((0L, 0L, 2L, "a b")))
+    // n = 6, window 4, stride 3: chunks at 0 and 3, second runs short
+    assert(chunksOf("a b c d e f") ==
+      Seq((0L, 0L, 4L, "a b c d"), (1L, 3L, 6L, "d e f")))
+    // n = 7: second chunk exactly fills [3,7)
+    assert(chunksOf("a b c d e f g") ==
+      Seq((0L, 0L, 4L, "a b c d"), (1L, 3L, 7L, "d e f g")))
+    // n = 8: third chunk [6,8) — every token covered, none past end
+    assert(chunksOf("a b c d e f g h") ==
+      Seq((0L, 0L, 4L, "a b c d"), (1L, 3L, 7L, "d e f g"),
+        (2L, 6L, 8L, "g h")))
+  }
+
+  test("E7: proximitySearch window semantics — inside vs just outside") {
+    val docs = Seq(
+      (1L, "fast x x x scan"),  // span [0,5) holds both at window 5
+      (2L, "fast x x x x scan") // distance 5 — outside a 5-token window
+    ).toDF("doc_id", "text")
+    val out = graft.ext.Curation.proximitySearch(
+        docs, "text", "doc_id", Seq("fast", "scan"), window = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(out == Seq((1L, 1L, 0L)))
+  }
+
   // ---- largestRemainderByGroup degenerate groups -------------------------
 
   test("A1: largestRemainderByGroup sums to total with all-zero weights") {
