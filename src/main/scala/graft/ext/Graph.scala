@@ -34,6 +34,97 @@ import org.apache.spark.sql.functions._
   */
 object Graph {
 
+  /** E2+/reliability — CUT VERTICES (articulation points) and BRIDGES
+    * of an undirected graph in one Tarjan low-point pass (Hopcroft &
+    * Tarjan 1973, public literature): the single-points-of-failure
+    * readout for service-dependency / data-lineage graphs. A vertex is
+    * a cut vertex iff removing it splits its component; an edge is a
+    * bridge iff removing it does.
+    *
+    * AUDIT-SLICE CONTRACT (the q497 SCC discipline, stricter): the
+    * low-point DFS has NO bounded-round exact distributed formulation
+    * — published distributed alternatives are label-propagation
+    * approximations with different semantics — so this operator is
+    * driver-side by design and REFUSES above 100k nodes / 500k edges
+    * rather than pretending to shard. Reliability questions are asked
+    * of bounded dependency graphs; cap the node set upstream.
+    *
+    * Parallel edges and self-loops are removed first (simple-graph
+    * semantics: a doubled edge is never a bridge — that is a property
+    * of the MULTIgraph, and this operator documents the simple-graph
+    * view). Returns (cutVertices: (node), bridges: (u, v) with u < v). */
+  def cutVerticesAndBridges(edges: DataFrame, srcCol: String,
+      dstCol: String): (DataFrame, DataFrame) = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val e = edges.select(checkedLong(col(srcCol)).as("a"),
+        checkedLong(col(dstCol)).as("b"))
+      .filter(col("a") =!= col("b"))
+      .select(least(col("a"), col("b")).as("u"),
+        greatest(col("a"), col("b")).as("v"))
+      .distinct()
+    val pairs = e.collect().map(r => (r.getLong(0), r.getLong(1)))
+    val adj = scala.collection.mutable.Map
+      .empty[Long, scala.collection.mutable.ArrayBuffer[Long]]
+    val nodeSet = scala.collection.mutable.TreeSet.empty[Long]
+    pairs.foreach { case (u, v) =>
+      adj.getOrElseUpdate(u, scala.collection.mutable.ArrayBuffer.empty) += v
+      adj.getOrElseUpdate(v, scala.collection.mutable.ArrayBuffer.empty) += u
+      nodeSet += u; nodeSet += v
+    }
+    require(nodeSet.size <= 100000 && pairs.length <= 500000,
+      s"cutVerticesAndBridges is an audit-slice operator (driver " +
+        s"low-point DFS): ${nodeSet.size} nodes / ${pairs.length} " +
+        "edges exceed 100k/500k — cap the graph upstream")
+    val index = scala.collection.mutable.Map.empty[Long, Int]
+    val low = scala.collection.mutable.Map.empty[Long, Int]
+    val parent = scala.collection.mutable.Map.empty[Long, Long]
+    val cuts = scala.collection.mutable.Set.empty[Long]
+    val bridges = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+    var counter = 0
+    nodeSet.foreach { root =>
+      if (!index.contains(root)) {
+        var rootChildren = 0
+        // frames: (node, iterator over neighbors)
+        val frames = scala.collection.mutable.ArrayBuffer
+          .empty[(Long, Iterator[Long])]
+        index(root) = counter; low(root) = counter; counter += 1
+        frames += ((root, adj(root).iterator))
+        while (frames.nonEmpty) {
+          val (x, it) = frames.last
+          var descended = false
+          while (it.hasNext && !descended) {
+            val w = it.next()
+            if (!index.contains(w)) {
+              parent(w) = x
+              if (x == root) rootChildren += 1
+              index(w) = counter; low(w) = counter; counter += 1
+              frames += ((w, adj(w).iterator))
+              descended = true
+            } else if (parent.get(x).contains(w)) {
+              // tree edge back to parent — skipped ONCE; further
+              // sightings would be parallel edges, already dedup'd
+              ()
+            } else if (index(w) < low(x)) low(x) = index(w)
+          }
+          if (!descended) {
+            frames.remove(frames.length - 1)
+            if (frames.nonEmpty) {
+              val p = frames.last._1
+              if (low(x) < low(p)) low(p) = low(x)
+              if (low(x) > index(p))
+                bridges += ((math.min(p, x), math.max(p, x)))
+              if (p != root && low(x) >= index(p)) cuts += p
+            }
+          }
+        }
+        if (rootChildren >= 2) cuts += root
+      }
+    }
+    (cuts.toSeq.sorted.toDF("node"),
+      bridges.toSeq.sorted.toDF("u", "v"))
+  }
+
   /** Node-id cast that FAILS on non-numeric ids instead of silently
     * nulling them away (a string-keyed edge list through the registry
     * surface would otherwise read as "no triangles / empty core"). */

@@ -294,6 +294,10 @@ object OpRegistry {
     "proximity_search" -> (p => df => graft.ext.Curation.proximitySearch(
       df, str(p, "text_col"), str(p, "id_col"),
       str(p, "terms").split(" ").toSeq, num(p, "window").toInt)),
+    "cut_vertices" -> (p => df => graft.ext.Graph.cutVerticesAndBridges(
+      df, str(p, "src_col"), str(p, "dst_col"))._1),
+    "bridges" -> (p => df => graft.ext.Graph.cutVerticesAndBridges(
+      df, str(p, "src_col"), str(p, "dst_col"))._2),
     "chunk_passages" -> (p => df => graft.ext.Curation.chunkPassages(
       df, str(p, "text_col"), str(p, "id_col"),
       num(p, "window").toInt, num(p, "stride").toInt)),

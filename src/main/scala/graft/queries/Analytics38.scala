@@ -512,6 +512,86 @@ object Analytics38 {
       "At 100 TB the vertical shift is a map stage, like every " +
       "projection stage in this engine.")
 
+  private def reliabilityEdges(s: org.apache.spark.sql.SparkSession,
+      dir: String) =
+    Tables.lineitem(s, dir)
+      .filter(col("l_partkey") < 80 && col("l_quantity") < 4)
+      .select(col("l_partkey").cast("long").as("u"),
+        (col("l_suppkey") + 100000).cast("long").as("v"))
+      .distinct()
+
+  private val reliabilityEdgesSql =
+    """e AS MATERIALIZED (
+      |  SELECT DISTINCT CAST(l_partkey AS BIGINT) AS u,
+      |    CAST(l_suppkey + 100000 AS BIGINT) AS v
+      |  FROM lineitem WHERE l_partkey < 80 AND l_quantity < 4),
+      |ud AS MATERIALIZED (
+      |  SELECT u AS s, v AS d FROM e UNION ALL SELECT v, u FROM e),
+      |nodes AS MATERIALIZED (SELECT DISTINCT s AS n FROM ud)""".stripMargin
+
+  /** q520 — E2+: CUT VERTICES (articulation points) of the part—
+    * supplier dependency graph — the single-points-of-failure readout
+    * ([[graft.ext.Graph.cutVerticesAndBridges]], one Tarjan low-point
+    * pass under the audit-slice contract). The oracle is the BRUTE
+    * DEFINITION: for every candidate vertex, a recursive-CTE closure
+    * of the graph without it, counting components — v is a cut vertex
+    * iff the count rises. Smart engine vs definitional replay. */
+  val q520 = Declared(
+    "q520_cut_vertices", "E2+",
+    (s, dir) => graft.ext.Graph
+      .cutVerticesAndBridges(reliabilityEdges(s, dir), "u", "v")
+      ._1.orderBy(col("node")),
+    Some(s"""WITH RECURSIVE $reliabilityEdgesSql,
+            |rem AS MATERIALIZED (
+            |  SELECT n AS r FROM nodes UNION ALL SELECT -1),
+            |seed AS MATERIALIZED (
+            |  SELECT rem.r, nodes.n FROM rem, nodes WHERE nodes.n <> rem.r),
+            |reach(r, a, b) AS (
+            |  SELECT r, n, n FROM seed
+            |  UNION
+            |  SELECT reach.r, reach.a, ud.d
+            |  FROM reach JOIN ud ON ud.s = reach.b
+            |  WHERE ud.d <> reach.r),
+            |lab AS (SELECT r, b, min(a) AS lbl FROM reach GROUP BY r, b),
+            |cnt AS (SELECT r, count(DISTINCT lbl) AS nc FROM lab GROUP BY r),
+            |base AS (SELECT nc AS nc0 FROM cnt WHERE r = -1)
+            |SELECT r AS node FROM cnt, base
+            |WHERE r <> -1 AND nc >= nc0 + 1
+            |ORDER BY node""".stripMargin),
+    "The operator is driver-side BY CONTRACT (low-point DFS has no " +
+      "bounded-round exact distributed form; published alternatives " +
+      "approximate) with a typed 100k/500k refusal — reliability " +
+      "questions are asked of bounded dependency graphs, and the edge " +
+      "dedup that feeds it is the only fact-scale stage.")
+
+  /** q521 — E2+: BRIDGES of the same graph — edges whose loss
+    * disconnects their endpoints. Oracle: per candidate edge, a
+    * closure WITHOUT that edge; it is a bridge iff u no longer
+    * reaches v. */
+  val q521 = Declared(
+    "q521_bridges", "E2+",
+    (s, dir) => graft.ext.Graph
+      .cutVerticesAndBridges(reliabilityEdges(s, dir), "u", "v")
+      ._2.orderBy(col("u"), col("v")),
+    Some(s"""WITH RECURSIVE $reliabilityEdgesSql,
+            |cand AS MATERIALIZED (SELECT u, v FROM e),
+            |seedb AS MATERIALIZED (SELECT u AS cu, v AS cv, u AS b FROM cand),
+            |reach2(cu, cv, b) AS (
+            |  SELECT cu, cv, b FROM seedb
+            |  UNION
+            |  SELECT reach2.cu, reach2.cv, ud.d
+            |  FROM reach2 JOIN ud ON ud.s = reach2.b
+            |  WHERE NOT ((ud.s = reach2.cu AND ud.d = reach2.cv)
+            |          OR (ud.s = reach2.cv AND ud.d = reach2.cu)))
+            |SELECT u, v FROM cand
+            |WHERE NOT EXISTS (SELECT 1 FROM reach2
+            |  WHERE reach2.cu = cand.u AND reach2.cv = cand.v
+            |    AND reach2.b = cand.v)
+            |ORDER BY u, v""".stripMargin),
+    "Same pass, same contract as q520 — cut vertices and bridges fall " +
+      "out of ONE low-point DFS; the per-edge brute closure exists " +
+      "only on the oracle side.")
+
   val all: Seq[Declared] = Seq(q512, q513, q514, q515, q516, q517, q518,
-    q519)
+    q519, q520, q521)
 }

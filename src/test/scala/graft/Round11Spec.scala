@@ -199,6 +199,25 @@ class Round11Spec extends AnyFunSuite {
     assert(out == Seq((1L, 1L, 0L)))
   }
 
+  // ---- cut vertices / bridges ---------------------------------------------
+
+  test("graph: cutVerticesAndBridges — barbell, pendant, cycle") {
+    // two triangles {1,2,3} and {4,5,6} joined by bridge 3—4, plus a
+    // pendant 7 hanging off 6
+    val e = Seq((1L, 2L), (2L, 3L), (3L, 1L), (4L, 5L), (5L, 6L),
+      (6L, 4L), (3L, 4L), (6L, 7L)).toDF("a", "b")
+    val (cuts, bridges) = graft.ext.Graph.cutVerticesAndBridges(e, "a", "b")
+    assert(cuts.collect().map(_.getLong(0)).sorted.toSeq == Seq(3L, 4L, 6L))
+    assert(bridges.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq ==
+      Seq((3L, 4L), (6L, 7L)))
+    // a pure cycle has neither; parallel edges and self-loops are
+    // dropped (simple-graph semantics)
+    val cyc = Seq((1L, 2L), (2L, 3L), (3L, 1L), (1L, 2L), (2L, 2L))
+      .toDF("a", "b")
+    val (c2, b2) = graft.ext.Graph.cutVerticesAndBridges(cyc, "a", "b")
+    assert(c2.count() == 0 && b2.count() == 0)
+  }
+
   // ---- largestRemainderByGroup degenerate groups -------------------------
 
   test("A1: largestRemainderByGroup sums to total with all-zero weights") {
