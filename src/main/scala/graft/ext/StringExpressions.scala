@@ -420,3 +420,103 @@ object TokenLcs {
     GraftSqlBridge.column(TokenLcs(
       GraftSqlBridge.expression(a), GraftSqlBridge.expression(b)))
 }
+
+/** Native token-level SMITH-WATERMAN local alignment score (Smith &
+  * Waterman 1981, public literature): the best-scoring LOCAL
+  * alignment between two token sequences under integer
+  * (match, mismatch, gap) scores —
+  *   H(i,j) = max(0, H(i−1,j−1) + s(aᵢ,bⱼ), H(i−1,j) + gap,
+  *                H(i,j−1) + gap),  answer = max H.
+  * Where [[TokenLcs]] rewards scattered global agreement, SW finds
+  * the strongest CONTIGUOUS-modulo-gaps shared region — the kernel
+  * behind log-trace alignment, plagiarized-passage forensics and
+  * sequence-motif matching. All-long DP, two rolling rows, one static
+  * call per pair inside the enclosing WholeStageCodegen span (the
+  * TokenLcs device). Null in → null out; empty side → 0. `mismatch`
+  * and `gap` are conventionally negative — enforced by the builder,
+  * not the kernel (the DP itself is total for any integers). */
+case class TokenSmithWaterman(left: Expression, right: Expression,
+    matchScore: Int, mismatch: Int, gap: Int)
+    extends BinaryExpression {
+  import org.apache.spark.sql.types.{ArrayType, LongType, StringType}
+  import org.apache.spark.sql.catalyst.util.ArrayData
+
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "token_smith_waterman"
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    val ok = Seq(left, right).forall(_.dataType match {
+      case ArrayType(StringType, _) => true
+      case _ => false
+    })
+    if (ok) org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+      .TypeCheckFailure("token_smith_waterman takes two array<string> arguments")
+  }
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    TokenSmithWaterman.compute(a.asInstanceOf[ArrayData],
+      b.asInstanceOf[ArrayData], matchScore, mismatch, gap)
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (x, y) =>
+      s"graft.ext.TokenSmithWaterman.compute($x, $y, $matchScore, $mismatch, $gap)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+object TokenSmithWaterman {
+  import org.apache.spark.sql.catalyst.util.ArrayData
+
+  /** Static DP kernel — two rolling long rows, running max. Null
+    * array ELEMENTS never match anything (defensive, like TokenLcs). */
+  def compute(a: ArrayData, b: ArrayData, ms: Int, mm: Int,
+      gp: Int): Long = {
+    val m = a.numElements()
+    val n = b.numElements()
+    if (m == 0 || n == 0) return 0L
+    val bs = new Array[UTF8String](n)
+    var j = 0
+    while (j < n) { bs(j) = if (b.isNullAt(j)) null else b.getUTF8String(j); j += 1 }
+    var prev = new Array[Long](n + 1)
+    var cur = new Array[Long](n + 1)
+    var best = 0L
+    var i = 0
+    while (i < m) {
+      val ai = if (a.isNullAt(i)) null else a.getUTF8String(i)
+      j = 0
+      while (j < n) {
+        val diag = prev(j) +
+          (if (ai != null && bs(j) != null && ai.equals(bs(j))) ms else mm)
+        val up = prev(j + 1) + gp
+        val lft = cur(j) + gp
+        var h = if (diag > 0L) diag else 0L
+        if (up > h) h = up
+        if (lft > h) h = lft
+        cur(j + 1) = h
+        if (h > best) best = h
+        j += 1
+      }
+      val t = prev; prev = cur; cur = t
+      java.util.Arrays.fill(cur, 0L)
+      i += 1
+    }
+    best
+  }
+
+  /** Column-API entry point; `mismatch`/`gap` must be non-positive
+    * and `matchScore` positive (the SW local-alignment regime — a
+    * positive gap would reward padding). */
+  def tokenSmithWaterman(a: Column, b: Column, matchScore: Int = 2,
+      mismatch: Int = -1, gap: Int = -1): Column = {
+    require(matchScore > 0 && mismatch <= 0 && gap <= 0,
+      "need matchScore > 0, mismatch <= 0, gap <= 0")
+    GraftSqlBridge.column(TokenSmithWaterman(
+      GraftSqlBridge.expression(a), GraftSqlBridge.expression(b),
+      matchScore, mismatch, gap))
+  }
+}

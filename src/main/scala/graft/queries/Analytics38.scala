@@ -592,6 +592,68 @@ object Analytics38 {
       "out of ONE low-point DFS; the per-edge brute closure exists " +
       "only on the oracle side.")
 
+  /** q522 — X3/A-eval: SMITH-WATERMAN local alignment scores between
+    * paired documents (doc i vs doc i+250, first 40 tokens each,
+    * match +2 / mismatch −1 / gap −1) through the native
+    * [[graft.ext.TokenSmithWaterman]] codegen expression — LCS's
+    * (q330) local sibling: the strongest shared REGION, not scattered
+    * global agreement. The oracle replays the DP row by row in a
+    * recursive CTE with an in-row list fold (the q330 device, plus
+    * the max-H tracking SW needs). */
+  val q522 = Declared(
+    "q522_smith_waterman", "X3,A-eval",
+    (s, dir) => {
+      val d = Tables.documents(s, dir)
+      def cut(c: org.apache.spark.sql.Column) =
+        slice(filter(split(lower(c), "\\s+"), x => x =!= ""), 1, 40)
+      val cand = d.filter(col("doc_id") < 40)
+        .select(col("doc_id").as("pair_id"), cut(col("text")).as("ct"))
+      val ref = d.filter(col("doc_id") >= 250 && col("doc_id") < 290)
+        .select((col("doc_id") - 250).as("pair_id"), cut(col("text")).as("rt"))
+      cand.join(ref, "pair_id")
+        .select(col("pair_id"),
+          graft.ext.TokenSmithWaterman.tokenSmithWaterman(
+            col("ct"), col("rt"), matchScore = 2, mismatch = -1, gap = -1)
+            .as("sw"))
+        .orderBy(col("pair_id"))
+    },
+    Some("""WITH RECURSIVE prs AS (
+           |  SELECT a.doc_id AS pair_id,
+           |    list_filter(regexp_split_to_array(lower(a.text), '\s+'),
+           |      x -> x <> '')[1:40] AS ct,
+           |    list_filter(regexp_split_to_array(lower(b.text), '\s+'),
+           |      x -> x <> '')[1:40] AS rt
+           |  FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 250
+           |  WHERE a.doc_id < 40),
+           |mx AS (SELECT max(len(ct)) AS mm FROM prs),
+           |swr(step, pair_id, dp) AS (
+           |  SELECT 0, pair_id,
+           |    list_transform(range(0, len(rt) + 1), x -> CAST(0 AS BIGINT))
+           |  FROM prs
+           |  UNION ALL
+           |  SELECT step + 1, s.pair_id,
+           |    CASE WHEN step < len(p.ct) THEN
+           |      list_reduce(
+           |        list_prepend([CAST(0 AS BIGINT)],
+           |          list_transform(range(1, len(p.rt) + 1),
+           |            j -> [CAST(j AS BIGINT)])),
+           |        (acc, x) -> list_append(acc,
+           |          greatest(CAST(0 AS BIGINT),
+           |            s.dp[CAST(x[1] AS INT)] +
+           |              CASE WHEN p.ct[s.step + 1] = p.rt[CAST(x[1] AS INT)]
+           |                THEN 2 ELSE -1 END,
+           |            s.dp[CAST(x[1] AS INT) + 1] - 1,
+           |            acc[-1] - 1)))
+           |    ELSE s.dp END
+           |  FROM swr s JOIN prs p USING (pair_id) CROSS JOIN mx
+           |  WHERE s.step < mx.mm)
+           |SELECT pair_id, CAST(max(list_max(dp)) AS BIGINT) AS sw
+           |FROM swr GROUP BY pair_id
+           |ORDER BY pair_id""".stripMargin),
+    "Pure scan-side: one static codegen call per pair, no explode, no " +
+      "join beyond the pairing itself. Completes the alignment kernel " +
+      "family (banded Levenshtein, DTW, LCS — now local alignment).")
+
   val all: Seq[Declared] = Seq(q512, q513, q514, q515, q516, q517, q518,
-    q519, q520, q521)
+    q519, q520, q521, q522)
 }

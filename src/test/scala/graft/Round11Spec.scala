@@ -218,6 +218,39 @@ class Round11Spec extends AnyFunSuite {
     assert(c2.count() == 0 && b2.count() == 0)
   }
 
+  // ---- Smith-Waterman local alignment -------------------------------------
+
+  test("X3: tokenSmithWaterman anchors + codegen agrees with compute()") {
+    import graft.ext.TokenSmithWaterman.tokenSmithWaterman
+    def sw(a: Seq[String], b: Seq[String]): Long =
+      Seq((a, b)).toDF("a", "b")
+        .select(tokenSmithWaterman(col("a"), col("b")).as("s"))
+        .head.getLong(0)
+    assert(sw(Seq("a", "b", "c"), Seq("a", "b", "c")) == 6L) // 3 matches
+    assert(sw(Seq("a", "b"), Seq("x", "y")) == 0L)           // disjoint
+    // local region beats global: flanks never drag the score below 0
+    assert(sw(Seq("x", "a", "b", "c", "y"), Seq("z", "a", "b", "c", "w")) == 6L)
+    // one gap: a _ c aligned to a c -> 2 - 1 + 2 = 3
+    assert(sw(Seq("a", "b", "c"), Seq("a", "c")) == 3L)
+    // codegen path == interpreted kernel on random fixtures
+    val r = new scala.util.Random(11)
+    val vocab = Seq("p", "q", "r", "s")
+    val rows = (0 until 60).map { _ =>
+      (Seq.fill(1 + r.nextInt(20))(vocab(r.nextInt(4))),
+        Seq.fill(1 + r.nextInt(20))(vocab(r.nextInt(4))))
+    }
+    val got = rows.toDF("a", "b")
+      .select(tokenSmithWaterman(col("a"), col("b"), 3, -2, -1).as("s"))
+      .collect().map(_.getLong(0)).toSeq
+    val want = rows.map { case (a, b) =>
+      def ad(x: Seq[String]) =
+        new org.apache.spark.sql.catalyst.util.GenericArrayData(
+          x.map(org.apache.spark.unsafe.types.UTF8String.fromString).toArray)
+      graft.ext.TokenSmithWaterman.compute(ad(a), ad(b), 3, -2, -1)
+    }
+    assert(got == want)
+  }
+
   // ---- largestRemainderByGroup degenerate groups -------------------------
 
   test("A1: largestRemainderByGroup sums to total with all-zero weights") {
