@@ -12,6 +12,16 @@ class Round11Spec extends AnyFunSuite {
   lazy val spark = SparkTestSession.spark
   import spark.implicits._
 
+  // ---- driver contract smoke ------------------------------------------
+
+  test("contract: entry() returns rows; maps cover every declared query") {
+    assert(graft.SparkEntry.queries.size == graft.queries.Declared.all.size)
+    assert(graft.SparkEntry.oracleSql.size ==
+      graft.queries.Declared.all.count(_.oracle.isDefined))
+    if (new java.io.File("/root/testdata/sf0.001").isDirectory)
+      assert(graft.SparkEntry.entry(spark).count() > 0)
+  }
+
   // ---- markovEntropyRate fast path ------------------------------------
 
   test("A-stat: markovEntropyRate driver fast path == distributed plan") {
