@@ -100,14 +100,22 @@ def main():
     # an earlier run of a renamed/removed query must never inflate the
     # artifact past |SparkEntry.queries|.
     qlist_path = f"{out}/queries.json"
-    declared = set(json.load(open(qlist_path))) if os.path.exists(qlist_path) else None
+    if not os.path.exists(qlist_path):
+        # Verify has written this manifest since round 11; a dump
+        # without one is a stale binary — fail LOUDLY rather than
+        # silently skipping the rows-only queries (which would shrink
+        # the artifact below |SparkEntry.queries| with exit code 0)
+        print(f"FAIL: {qlist_path} missing - re-run graft.Verify "
+              "(the rows-only fallback needs the declared-query manifest)")
+        sys.exit(1)
+    declared = set(json.load(open(qlist_path)))
     for pdir in sorted(glob.glob(f"{out}/q*")):
         if not os.path.isdir(pdir):
             continue
         name = os.path.basename(pdir)
         if name in oracle or (only and name not in only):
             continue
-        if declared is None or name not in declared:
+        if name not in declared:
             print(f"SKIP {name}: not in declared query list (stale output dir?)")
             continue
         files = glob.glob(f"{pdir}/*.parquet")

@@ -230,10 +230,13 @@ object Curation {
   def phraseSearch(docs: DataFrame, textCol: String, idCol: String,
       phrase: Seq[String]): DataFrame = {
     require(phrase.size >= 2, "phrase needs >= 2 terms")
+    // the index is built over lowercased tokens — normalize the query
+    // the same way, or an uppercase term silently matches nothing
+    val ph = phrase.map(_.toLowerCase)
     val posts = graft.core.OperatorCaches.cachedIf(true,
       buildPositionalPostings(docs, textCol, idCol)
-        .filter(col("term").isin(phrase.distinct: _*)))
-    val sides = phrase.zipWithIndex.map { case (t, i) =>
+        .filter(col("term").isin(ph.distinct: _*)))
+    val sides = ph.zipWithIndex.map { case (t, i) =>
       posts.filter(col("term") === t)
         .select(col(idCol), col("positions").as(s"__p$i"))
     }
@@ -267,16 +270,18 @@ object Curation {
       terms: Seq[String], window: Int): DataFrame = {
     require(terms.size >= 2, "proximity needs >= 2 terms")
     require(window >= terms.size, "window must fit all terms")
+    // lowercase like the index (the phraseSearch normalization)
+    val tms = terms.map(_.toLowerCase).distinct
     val posts = graft.core.OperatorCaches.cachedIf(true,
       buildPositionalPostings(docs, textCol, idCol)
-        .filter(col("term").isin(terms.distinct: _*)))
-    val sides = terms.distinct.zipWithIndex.map { case (t, i) =>
+        .filter(col("term").isin(tms: _*)))
+    val sides = tms.zipWithIndex.map { case (t, i) =>
       posts.filter(col("term") === t)
         .select(col(idCol), col("positions").as(s"__p$i"))
     }
     val joined = sides.reduce((a: DataFrame, b: DataFrame) =>
       a.join(b, Seq(idCol)))
-    val m = terms.distinct.size
+    val m = tms.size
     // candidate span starts: every occurrence of every term
     val starts = joined.withColumn("__starts",
       array_distinct(concat((0 until m).map(i => col(s"__p$i")): _*)))
@@ -341,6 +346,19 @@ object Curation {
     * q74's own oracle). `stats` defaults to [[postingsStats]] of the
     * postings themselves; pass the corpus-wide stats when the postings
     * were pre-filtered to the query terms. */
+  /** The EXACT micro-quantized BM25 per-term contribution — one
+    * definition shared by [[bm25FromPostings]] and
+    * [[graft.ext.Similarity.gatedMaxsimRerank]], so the bit-exactness
+    * the oracles rely on can never drift between the scan, index and
+    * gated-rerank plans. Expects columns (n_docs, df, tf, dl, avgdl)
+    * in scope. */
+  def bm25ContribU(k1: Double, b: Double): Column =
+    round(
+      log(lit(1.0) + (col("n_docs") - col("df") + 0.5) / (col("df") + 0.5))
+        * col("tf") * lit(k1 + 1) /
+        (col("tf") + lit(k1) * (lit(1 - b) + lit(b) * col("dl") / col("avgdl"))) * 1e6, 0)
+      .cast("long")
+
   def bm25FromPostings(postings: DataFrame, idCol: String,
       queryTerms: Seq[String], k1: Double = 1.2, b: Double = 0.75,
       stats: DataFrame = null): DataFrame = {
@@ -349,12 +367,7 @@ object Curation {
     val st = Option(stats).getOrElse(postingsStats(postings, idCol))
     val dfreq = tf.groupBy(col("term")).agg(countDistinct(col(idCol)).as("df"))
     val contrib = tf.join(broadcast(dfreq), "term").crossJoin(broadcast(st))
-      .withColumn("__idf",
-        log(lit(1.0) + (col("n_docs") - col("df") + 0.5) / (col("df") + 0.5)))
-      .withColumn("__contrib_u",
-        round(col("__idf") * col("tf") * lit(k1 + 1) /
-          (col("tf") + lit(k1) * (lit(1 - b) + lit(b) * col("dl") / col("avgdl"))) * 1e6, 0)
-          .cast("long"))
+      .withColumn("__contrib_u", bm25ContribU(k1, b))
     contrib.groupBy(col(idCol))
       .agg(round(sum(col("__contrib_u")).cast("double") / 1e6, 6).as("score"))
   }

@@ -63,6 +63,21 @@ object Graph {
       .select(least(col("a"), col("b")).as("u"),
         greatest(col("a"), col("b")).as("v"))
       .distinct()
+      .localCheckpoint()
+    // the fence runs DISTRIBUTED, before any collect (the SCC
+    // discipline) — a fact-scale edge frame must refuse, not OOM the
+    // driver on the way to the refusal
+    val nEdges = e.count()
+    require(nEdges <= 500000,
+      s"cutVerticesAndBridges is an audit-slice operator (driver " +
+        s"low-point DFS): $nEdges edges exceed 500000 — cap the graph " +
+        "upstream")
+    val nNodes = e.select(col("u").as("n"))
+      .unionByName(e.select(col("v").as("n"))).distinct().count()
+    require(nNodes <= 100000,
+      s"cutVerticesAndBridges is an audit-slice operator (driver " +
+        s"low-point DFS): $nNodes nodes exceed 100000 — cap the graph " +
+        "upstream")
     val pairs = e.collect().map(r => (r.getLong(0), r.getLong(1)))
     val adj = scala.collection.mutable.Map
       .empty[Long, scala.collection.mutable.ArrayBuffer[Long]]
@@ -72,10 +87,6 @@ object Graph {
       adj.getOrElseUpdate(v, scala.collection.mutable.ArrayBuffer.empty) += u
       nodeSet += u; nodeSet += v
     }
-    require(nodeSet.size <= 100000 && pairs.length <= 500000,
-      s"cutVerticesAndBridges is an audit-slice operator (driver " +
-        s"low-point DFS): ${nodeSet.size} nodes / ${pairs.length} " +
-        "edges exceed 100k/500k — cap the graph upstream")
     val index = scala.collection.mutable.Map.empty[Long, Int]
     val low = scala.collection.mutable.Map.empty[Long, Int]
     val parent = scala.collection.mutable.Map.empty[Long, Long]

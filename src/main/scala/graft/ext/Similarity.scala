@@ -471,13 +471,24 @@ object Similarity {
         col("n_users"))
   }
 
+  /** md5-digit token embedding shared by the MaxSim rerankers: dim j
+    * = hex digit j of md5(token), minus 8 — ONE definition, so the
+    * gated and pass-through plans can never drift apart. */
+  private def tokVec(tok: Column): Column =
+    transform(sequence(lit(1), lit(8)),
+      j => conv(substring(md5(tok), j, lit(1)), 16, 10)
+        .cast("long") - 8L)
+
   /** E3+ — LATE-INTERACTION MaxSim reranking (the ColBERT scoring
     * shape, Khattab & Zaharia SIGIR'20 — public literature — with an
     * EXACT integer token embedding in place of a learned one): every
     * token maps to an 8-dim integer vector read off its md5 hex digits
     * (digit − 8 per dim — deterministic, language-free, and exactly
     * replayable on any engine), and a candidate document scores
-    *   maxsim(q, d) = Σ_{query tokens} max_{doc tokens} ⟨qv, dv⟩.
+    *   maxsim(q, d) = Σ_{DISTINCT query tokens} max_{doc tokens} ⟨qv, dv⟩
+    * (a repeated query token contributes ONCE — the oracle-pinned
+    * convention; ColBERT's occurrence-summed variant differs only on
+    * queries with duplicate tokens).
     * Candidates are gated by a shared-token equi-join (swap in an
     * ANN/BM25 gate upstream at scale — the reranker takes whatever
     * candidate list arrives); only the first `maxDocTokens` tokens of
@@ -496,17 +507,12 @@ object Similarity {
     require(maxDocTokens >= 1 && topK >= 1, "maxDocTokens/topK >= 1")
     val spark = docs.sparkSession
     import org.apache.spark.sql.expressions.Window
-    // md5-digit embedding: dim j = hex digit j of md5(token), minus 8
-    def tokVec(tok: Column): Column =
-      transform(sequence(lit(1), lit(8)),
-        j => conv(substring(md5(tok), j, lit(1)), 16, 10)
-          .cast("long") - 8L)
     val qRows = queries.flatMap { case (qid, qtext) =>
-      qtext.toLowerCase.split("\\s+").filter(_.nonEmpty)
-        .zipWithIndex.map { case (t, i) => (qid, i, t) }
+      qtext.toLowerCase.split("\\s+").filter(_.nonEmpty).distinct
+        .map(t => (qid, t))
     }
     import spark.implicits._
-    val q = qRows.toDF("query_id", "qpos", "qtok")
+    val q = qRows.toDF("query_id", "qtok")
       .withColumn("qv", tokVec(col("qtok")))
       .localCheckpoint() // literal-sized; feeds gate + scoring
     val dtok = docs
@@ -524,7 +530,7 @@ object Similarity {
       .withColumn("dot", aggregate(
         zip_with(col("qv"), col("dv"), (a, b) => a * b),
         lit(0L), (acc, x) => acc + x))
-    val best = dots.groupBy(col("query_id"), col("doc_id"), col("qpos"))
+    val best = dots.groupBy(col("query_id"), col("doc_id"), col("qtok"))
       .agg(max(col("dot")).as("best"))
       .groupBy(col("query_id"), col("doc_id"))
       .agg(sum(col("best")).as("maxsim"))
@@ -564,10 +570,6 @@ object Similarity {
     val spark = docs.sparkSession
     import org.apache.spark.sql.expressions.Window
     import spark.implicits._
-    def tokVec(tok: Column): Column =
-      transform(sequence(lit(1), lit(8)),
-        j => conv(substring(md5(tok), j, lit(1)), 16, 10)
-          .cast("long") - 8L)
     // ---- gate: per-query BM25 over the postings shape ----
     val qTermRows = queries.flatMap { case (qid, qtext) =>
       qtext.toLowerCase.split("\\s+").filter(_.nonEmpty).distinct
@@ -583,12 +585,7 @@ object Similarity {
       .agg(countDistinct(col("doc_id")).as("df"))
     val contrib = tf.join(broadcast(qTerms), "term")
       .join(broadcast(dfreq), "term").crossJoin(broadcast(stats))
-      .withColumn("__idf",
-        log(lit(1.0) + (col("n_docs") - col("df") + 0.5) / (col("df") + 0.5)))
-      .withColumn("__contrib_u",
-        round(col("__idf") * col("tf") * lit(k1 + 1) /
-          (col("tf") + lit(k1) * (lit(1 - b) + lit(b) * col("dl") / col("avgdl"))) * 1e6, 0)
-          .cast("long"))
+      .withColumn("__contrib_u", Curation.bm25ContribU(k1, b))
     val gate = contrib.groupBy(col("query_id"), col("doc_id"))
       .agg(sum(col("__contrib_u")).as("bm25_u"))
       .withColumn("__g", row_number().over(
@@ -598,10 +595,10 @@ object Similarity {
       .select(col("query_id"), col("doc_id"), col("bm25_u"))
     // ---- rerank: MaxSim over the gated pairs only ----
     val qRows = queries.flatMap { case (qid, qtext) =>
-      qtext.toLowerCase.split("\\s+").filter(_.nonEmpty)
-        .zipWithIndex.map { case (t, i) => (qid, i, t) }
+      qtext.toLowerCase.split("\\s+").filter(_.nonEmpty).distinct
+        .map(t => (qid, t))
     }
-    val q = qRows.toDF("query_id", "qpos", "qtok")
+    val q = qRows.toDF("query_id", "qtok")
       .withColumn("qv", tokVec(col("qtok")))
     val dtok = docs
       .select(col(idColName).cast("long").as("doc_id"),
@@ -618,7 +615,7 @@ object Similarity {
         zip_with(col("qv"), tokVec(col("tok")), (a, b) => a * b),
         lit(0L), (acc, x) => acc + x))
     val best = dots.groupBy(col("query_id"), col("doc_id"),
-        col("bm25_u"), col("qpos"))
+        col("bm25_u"), col("qtok"))
       .agg(max(col("dot")).as("best"))
       .groupBy(col("query_id"), col("doc_id"), col("bm25_u"))
       .agg(sum(col("best")).as("maxsim"))

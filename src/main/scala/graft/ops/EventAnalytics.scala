@@ -1674,8 +1674,9 @@ object EventAnalytics {
     val r = c.groupBy(col("__s")).agg(sum(col("__c")).as("__r"))
       .localCheckpoint()
     val m = r.count()
-    val cells = c.count()
-    if (driverFastPath && m <= 4096L && cells <= 200000L) {
+    // the cell count is the LAST short-circuited conjunct: the
+    // distributed path must not pay a job for a gate it already failed
+    if (driverFastPath && m <= 4096L && c.count() <= 200000L) {
       // BOUNDED fast path: the transition matrix is |types|² ROWS,
       // not facts — collect it once and replay the exact integer
       // recurrence (pi·c div r, truncation dust and all) in memory.
@@ -1704,12 +1705,16 @@ object EventAnalytics {
             math.log(rr.toDouble / cc.toDouble) * 1e6 + 0.5).toLong) / rr
         }.sum
         (s0, piM.getOrElse(s0, 0L), hs)
-      }.sortBy(_._1)
+      }
       val rate = out.iterator.map { case (_, p, hs) => (p * hs) / 1000000L }.sum
       val spark = events.sparkSession
       import spark.implicits._
+      // ordering via Spark (UTF8String binary), not Java String sort —
+      // the two differ on supplementary-plane labels, and both paths
+      // must return the same row ORDER, not just the same row set
       return out.map { case (s0, p, hs) => (s0, p, hs, rate) }
         .toDF("state", "pi_ppm", "h_state_micro", "h_rate_micro")
+        .orderBy(col("state"))
     }
     var pi = r.select(col("__s").as("state"))
       .withColumn("pi_ppm", lit(1000000L / math.max(1L, m)))

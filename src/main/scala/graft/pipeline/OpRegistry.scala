@@ -294,6 +294,9 @@ object OpRegistry {
     "proximity_search" -> (p => df => graft.ext.Curation.proximitySearch(
       df, str(p, "text_col"), str(p, "id_col"),
       str(p, "terms").split(" ").toSeq, num(p, "window").toInt)),
+    // each entry runs the full low-point pass — a pipeline wanting
+    // BOTH halves pays it twice (bounded by the audit-slice cap;
+    // callers needing both should call cutVerticesAndBridges directly)
     "cut_vertices" -> (p => df => graft.ext.Graph.cutVerticesAndBridges(
       df, str(p, "src_col"), str(p, "dst_col"))._1),
     "bridges" -> (p => df => graft.ext.Graph.cutVerticesAndBridges(
