@@ -519,4 +519,94 @@ object TokenSmithWaterman {
       GraftSqlBridge.expression(a), GraftSqlBridge.expression(b),
       matchScore, mismatch, gap))
   }
+
+  /** GLOBAL (Needleman-Wunsch 1970, public literature) variant: no
+    * 0-clamp, boundary rows pay the gap, answer = H(m,n) — both
+    * sequences must be aligned END TO END. The SW kernel's sibling:
+    * SW asks "what is the strongest shared region", NW asks "how
+    * similar are these sequences as wholes" (trace/schema alignment,
+    * whole-document revision scoring). Empty vs length-n side scores
+    * n·gap; both empty = 0. */
+  def computeGlobal(a: ArrayData, b: ArrayData, ms: Int, mm: Int,
+      gp: Int): Long = {
+    val m = a.numElements()
+    val n = b.numElements()
+    val bs = new Array[UTF8String](n)
+    var j = 0
+    while (j < n) { bs(j) = if (b.isNullAt(j)) null else b.getUTF8String(j); j += 1 }
+    var prev = new Array[Long](n + 1)
+    var cur = new Array[Long](n + 1)
+    j = 0
+    while (j <= n) { prev(j) = j.toLong * gp; j += 1 }
+    var i = 0
+    while (i < m) {
+      val ai = if (a.isNullAt(i)) null else a.getUTF8String(i)
+      cur(0) = (i + 1).toLong * gp
+      j = 0
+      while (j < n) {
+        val diag = prev(j) +
+          (if (ai != null && bs(j) != null && ai.equals(bs(j))) ms else mm)
+        val up = prev(j + 1) + gp
+        val lft = cur(j) + gp
+        var h = diag
+        if (up > h) h = up
+        if (lft > h) h = lft
+        cur(j + 1) = h
+        j += 1
+      }
+      val t = prev; prev = cur; cur = t
+      i += 1
+    }
+    prev(n)
+  }
+}
+
+/** [[TokenSmithWaterman]]'s GLOBAL sibling — Needleman-Wunsch
+  * end-to-end alignment score. Same two-rolling-row integer DP,
+  * different boundary: gaps are charged from the first row/column and
+  * the answer is the corner cell, never clamped at 0. */
+case class TokenNeedlemanWunsch(left: Expression, right: Expression,
+    matchScore: Int, mismatch: Int, gap: Int)
+    extends BinaryExpression {
+  import org.apache.spark.sql.types.{ArrayType, LongType, StringType}
+  import org.apache.spark.sql.catalyst.util.ArrayData
+
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "token_needleman_wunsch"
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    val ok = Seq(left, right).forall(_.dataType match {
+      case ArrayType(StringType, _) => true
+      case _ => false
+    })
+    if (ok) org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+      .TypeCheckFailure("token_needleman_wunsch takes two array<string> arguments")
+  }
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    TokenSmithWaterman.computeGlobal(a.asInstanceOf[ArrayData],
+      b.asInstanceOf[ArrayData], matchScore, mismatch, gap)
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (x, y) =>
+      s"graft.ext.TokenSmithWaterman.computeGlobal($x, $y, $matchScore, $mismatch, $gap)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+object TokenNeedlemanWunsch {
+  /** Column-API entry point (same score-regime guard as SW). */
+  def tokenNeedlemanWunsch(a: Column, b: Column, matchScore: Int = 2,
+      mismatch: Int = -1, gap: Int = -1): Column = {
+    require(matchScore > 0 && mismatch <= 0 && gap <= 0,
+      "need matchScore > 0, mismatch <= 0, gap <= 0")
+    GraftSqlBridge.column(TokenNeedlemanWunsch(
+      GraftSqlBridge.expression(a), GraftSqlBridge.expression(b),
+      matchScore, mismatch, gap))
+  }
 }

@@ -654,6 +654,69 @@ object Analytics38 {
       "join beyond the pairing itself. Completes the alignment kernel " +
       "family (banded Levenshtein, DTW, LCS — now local alignment).")
 
+  /** q523 — X3/A-eval: NEEDLEMAN-WUNSCH global alignment over the
+    * same pairs as q522 — the end-to-end revision-similarity score
+    * beside SW's strongest-shared-region (gaps charged from the
+    * boundary, corner cell is the answer, no 0-clamp). Oracle: the
+    * q522 recursive-CTE device with the NW boundary and corner
+    * readout. */
+  val q523 = Declared(
+    "q523_needleman_wunsch", "X3,A-eval",
+    (s, dir) => {
+      val d = Tables.documents(s, dir)
+      def cut(c: org.apache.spark.sql.Column) =
+        slice(filter(split(lower(c), "\\s+"), x => x =!= ""), 1, 40)
+      val cand = d.filter(col("doc_id") < 40)
+        .select(col("doc_id").as("pair_id"), cut(col("text")).as("ct"))
+      val ref = d.filter(col("doc_id") >= 250 && col("doc_id") < 290)
+        .select((col("doc_id") - 250).as("pair_id"), cut(col("text")).as("rt"))
+      cand.join(ref, "pair_id")
+        .select(col("pair_id"),
+          graft.ext.TokenNeedlemanWunsch.tokenNeedlemanWunsch(
+            col("ct"), col("rt"), matchScore = 2, mismatch = -1, gap = -1)
+            .as("nw"))
+        .orderBy(col("pair_id"))
+    },
+    Some("""WITH RECURSIVE prs AS (
+           |  SELECT a.doc_id AS pair_id,
+           |    list_filter(regexp_split_to_array(lower(a.text), '\s+'),
+           |      x -> x <> '')[1:40] AS ct,
+           |    list_filter(regexp_split_to_array(lower(b.text), '\s+'),
+           |      x -> x <> '')[1:40] AS rt
+           |  FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 250
+           |  WHERE a.doc_id < 40),
+           |mx AS (SELECT max(len(ct)) AS mm FROM prs),
+           |nwr(step, pair_id, dp) AS (
+           |  SELECT 0, pair_id,
+           |    list_transform(range(0, len(rt) + 1), x -> CAST(-x AS BIGINT))
+           |  FROM prs
+           |  UNION ALL
+           |  SELECT step + 1, s.pair_id,
+           |    CASE WHEN step < len(p.ct) THEN
+           |      list_reduce(
+           |        list_prepend([CAST(-(s.step + 1) AS BIGINT)],
+           |          list_transform(range(1, len(p.rt) + 1),
+           |            j -> [CAST(j AS BIGINT)])),
+           |        (acc, x) -> list_append(acc,
+           |          greatest(
+           |            s.dp[CAST(x[1] AS INT)] +
+           |              CASE WHEN p.ct[s.step + 1] = p.rt[CAST(x[1] AS INT)]
+           |                THEN 2 ELSE -1 END,
+           |            s.dp[CAST(x[1] AS INT) + 1] - 1,
+           |            acc[-1] - 1)))
+           |    ELSE s.dp END
+           |  FROM nwr s JOIN prs p USING (pair_id) CROSS JOIN mx
+           |  WHERE s.step < mx.mm),
+           |fin AS (
+           |  SELECT l.pair_id, l.dp[len(p.rt) + 1] AS nw
+           |  FROM nwr l JOIN prs p USING (pair_id) CROSS JOIN mx
+           |  WHERE l.step = mx.mm)
+           |SELECT pair_id, CAST(nw AS BIGINT) AS nw
+           |FROM fin ORDER BY pair_id""".stripMargin),
+    "Same scan-side static-call economics as q522; together they " +
+      "close the alignment family — banded Levenshtein (edit), DTW " +
+      "(elastic), LCS (subsequence), SW (local), NW (global).")
+
   val all: Seq[Declared] = Seq(q512, q513, q514, q515, q516, q517, q518,
-    q519, q520, q521, q522)
+    q519, q520, q521, q522, q523)
 }

@@ -261,6 +261,38 @@ class Round11Spec extends AnyFunSuite {
     assert(got == want)
   }
 
+  // ---- Needleman-Wunsch global alignment ----------------------------------
+
+  test("X3: tokenNeedlemanWunsch anchors + codegen agrees with kernel") {
+    import graft.ext.TokenNeedlemanWunsch.tokenNeedlemanWunsch
+    def nw(a: Seq[String], b: Seq[String]): Long =
+      Seq((a, b)).toDF("a", "b")
+        .select(tokenNeedlemanWunsch(col("a"), col("b")).as("s"))
+        .head.getLong(0)
+    assert(nw(Seq("a", "b", "c"), Seq("a", "b", "c")) == 6L)
+    assert(nw(Seq("a", "b", "c"), Seq("a", "c")) == 3L)  // one gap
+    assert(nw(Seq("a", "b"), Seq("x", "y")) == -2L)      // two mismatches
+    assert(nw(Seq("a"), Seq.empty[String]) == -1L)       // all-gap column
+    // GLOBAL vs LOCAL divergence: flanking noise drags NW, not SW
+    assert(nw(Seq("x", "a", "b", "c", "y"), Seq("z", "a", "b", "c", "w")) == 4L)
+    val r = new scala.util.Random(13)
+    val vocab = Seq("p", "q", "r", "s")
+    val rows = (0 until 60).map { _ =>
+      (Seq.fill(r.nextInt(20))(vocab(r.nextInt(4))),
+        Seq.fill(r.nextInt(20))(vocab(r.nextInt(4))))
+    }
+    val got = rows.toDF("a", "b")
+      .select(tokenNeedlemanWunsch(col("a"), col("b"), 3, -2, -1).as("s"))
+      .collect().map(_.getLong(0)).toSeq
+    val want = rows.map { case (a, b) =>
+      def ad(x: Seq[String]) =
+        new org.apache.spark.sql.catalyst.util.GenericArrayData(
+          x.map(org.apache.spark.unsafe.types.UTF8String.fromString).toArray)
+      graft.ext.TokenSmithWaterman.computeGlobal(ad(a), ad(b), 3, -2, -1)
+    }
+    assert(got == want)
+  }
+
   // ---- largestRemainderByGroup degenerate groups -------------------------
 
   test("A1: largestRemainderByGroup sums to total with all-zero weights") {
