@@ -426,3 +426,77 @@ object ChangepointsExact {
     GraftSqlBridge.column(ChangepointsExact(
       GraftSqlBridge.expression(series), penalty))
 }
+
+/** Native LONGEST STRICTLY-INCREASING SUBSEQUENCE length over an
+  * integer series (patience sorting / Fredman 1975 — public
+  * literature): the trend-persistence readout of a per-key ordered
+  * value sequence — how long a monotone improvement run hides inside
+  * the noise. O(n log n) tails array with binary search, exact
+  * integers; provably equal to the O(n²) DP the oracle replays
+  * (each tails[k] is the smallest possible tail value of an
+  * increasing subsequence of length k+1). Null for null input or any
+  * null element; 0 for empty. */
+case class LisLength(child: Expression) extends UnaryExpression {
+  import org.apache.spark.sql.types.IntegerType
+
+  override def dataType: DataType = IntegerType
+  override def nullable: Boolean = true
+  override def prettyName: String = "lis_length"
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(LongType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other => org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+        .TypeCheckFailure(
+          s"lis_length needs ARRAY<BIGINT>, got ${other.catalogString}")
+    }
+
+  override def nullSafeEval(a: Any): Any =
+    LisLength.compute(a.asInstanceOf[ArrayData])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val r = ctx.freshName("lisRes")
+    nullSafeCodeGen(ctx, ev, x =>
+      s"""Object $r = graft.ext.LisLength.compute($x);
+         |if ($r == null) { ${ev.isNull} = true; }
+         |else { ${ev.value} = ((Integer) $r).intValue(); }""".stripMargin)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object LisLength {
+  import org.apache.spark.sql.catalyst.util.ArrayData
+
+  /** Static kernel: patience tails + binary search. Returns
+    * java.lang.Integer or null (null element). */
+  def compute(a: ArrayData): Any = {
+    val n = a.numElements()
+    if (n == 0) return Integer.valueOf(0)
+    val tails = new Array[Long](n)
+    var len = 0
+    var i = 0
+    while (i < n) {
+      if (a.isNullAt(i)) return null
+      val x = a.getLong(i)
+      // first k with tails(k) >= x — strict increase replaces it
+      var lo = 0
+      var hi = len
+      while (lo < hi) {
+        val mid = (lo + hi) >>> 1
+        if (tails(mid) < x) lo = mid + 1 else hi = mid
+      }
+      tails(lo) = x
+      if (lo == len) len += 1
+      i += 1
+    }
+    Integer.valueOf(len)
+  }
+
+  /** Column builder. */
+  def lisLength(series: Column): Column =
+    GraftSqlBridge.column(LisLength(GraftSqlBridge.expression(series)))
+}

@@ -717,6 +717,50 @@ object Analytics38 {
       "close the alignment family — banded Levenshtein (edit), DTW " +
       "(elastic), LCS (subsequence), SW (local), NW (global).")
 
+  /** q524 — X3/A-stat: per-user LONGEST STRICTLY-INCREASING
+    * SUBSEQUENCE of the event value series (cents, event-time order) —
+    * the trend-persistence readout, via the O(n log n) patience kernel
+    * ([[graft.ext.LisLength]]). The oracle replays the O(n²) DP as an
+    * in-row list fold — patience ≡ DP is the classic equivalence, and
+    * the hash compare proves it on every user. */
+  val q524 = Declared(
+    "q524_lis_trend", "X3,A-stat",
+    (s, dir) => {
+      val ev = Tables.events(s, dir)
+        .select(col("user_id").cast("long").as("user_id"),
+          struct(col("ts"), col("event_id").cast("long").as("e"),
+            floor(col("value") * 100 + 0.5).cast("long").as("c")).as("s"))
+      ev.groupBy(col("user_id"))
+        .agg(transform(array_sort(collect_list(col("s"))),
+          x => x.getField("c")).as("vals"))
+        .select(col("user_id"),
+          size(col("vals")).cast("long").as("n_events"),
+          graft.ext.LisLength.lisLength(col("vals")).cast("long")
+            .as("lis_len"))
+        .orderBy(col("user_id"))
+    },
+    Some("""WITH s AS (
+           |  SELECT user_id,
+           |    list(CAST(floor(value * 100 + 0.5) AS BIGINT)
+           |      ORDER BY ts, event_id) AS vals
+           |  FROM events GROUP BY user_id)
+           |SELECT CAST(user_id AS BIGINT) AS user_id,
+           |  CAST(len(vals) AS BIGINT) AS n_events,
+           |  CAST(coalesce(list_max(list_transform(
+           |    list_reduce(
+           |      list_prepend(CAST([] AS BIGINT[][]),
+           |        list_transform(vals, x -> [[x, CAST(0 AS BIGINT)]])),
+           |      (acc, e) -> list_append(acc, [e[1][1],
+           |        1 + coalesce(list_max(list_transform(
+           |          list_filter(acc, p -> p[1] < e[1][1]),
+           |          p -> p[2])), 0)])),
+           |    p -> p[2])), 0) AS BIGINT) AS lis_len
+           |FROM s ORDER BY user_id""".stripMargin),
+    "One user-keyed agg builds the ordered series (map-side partials); " +
+      "the kernel is one static codegen call per user, O(n log n) in " +
+      "the user's OWN event count — the 100 TB axis is users, and " +
+      "users shard. The O(n^2) DP exists only on the oracle side.")
+
   val all: Seq[Declared] = Seq(q512, q513, q514, q515, q516, q517, q518,
-    q519, q520, q521, q522, q523)
+    q519, q520, q521, q522, q523, q524)
 }

@@ -293,6 +293,33 @@ class Round11Spec extends AnyFunSuite {
     assert(got == want)
   }
 
+  // ---- LIS patience kernel -------------------------------------------------
+
+  test("X3: lisLength anchors + patience == O(n^2) DP on random series") {
+    import graft.ext.LisLength.lisLength
+    def lis(xs: Seq[Long]): Int =
+      Seq(Tuple1(xs)).toDF("v").select(lisLength(col("v")).as("l"))
+        .head.getInt(0)
+    assert(lis(Seq(1L, 2L, 3L)) == 3)
+    assert(lis(Seq(3L, 2L, 1L)) == 1)
+    assert(lis(Seq(2L, 2L, 2L)) == 1)             // STRICT increase
+    assert(lis(Seq(10L, 1L, 2L, 11L, 3L, 4L)) == 4) // 1 2 3 4
+    assert(lis(Seq.empty[Long]) == 0)
+    def dpRef(xs: Seq[Long]): Int =
+      if (xs.isEmpty) 0
+      else {
+        val dp = Array.fill(xs.length)(1)
+        for (i <- xs.indices; j <- 0 until i if xs(j) < xs(i))
+          dp(i) = math.max(dp(i), dp(j) + 1)
+        dp.max
+      }
+    val r = new scala.util.Random(17)
+    val rows = (0 until 80).map(_ => Seq.fill(r.nextInt(40))(r.nextInt(15).toLong))
+    val got = rows.map(Tuple1(_)).toDF("v")
+      .select(lisLength(col("v")).as("l")).collect().map(_.getInt(0)).toSeq
+    assert(got == rows.map(dpRef))
+  }
+
   // ---- largestRemainderByGroup degenerate groups -------------------------
 
   test("A1: largestRemainderByGroup sums to total with all-zero weights") {
