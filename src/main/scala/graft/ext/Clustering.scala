@@ -334,17 +334,47 @@ object Clustering {
     * Scale: the expensive pass is correlationMatrix's co-moment scan;
     * iteration runs on the dims² broadcast-sized cell frame —
     * driver-free, rounds × (join + agg) over ≤ dims² rows. */
-  def powerIterationInt(corr: DataFrame, dims: Int, rounds: Int): DataFrame = {
+  def powerIterationInt(corr: DataFrame, dims: Int, rounds: Int,
+      localDimsMax: Int = 128): DataFrame = {
     require(rounds >= 1, "rounds must be >= 1")
     val d38 = "decimal(38,0)"
     val cells = corr
       .select(col("i").cast("int").as("i"), col("j").cast("int").as("j"),
         round(col("corr") * 1e6, 0).cast("long").as("c_u"))
-    val full = cells.unionByName(
+    val fullPlan = cells.unionByName(
         cells.filter(col("i") =!= col("j"))
           .select(col("j").as("i"), col("i").as("j"), col("c_u")))
-      .localCheckpoint() // re-read every round
     val spark = corr.sparkSession
+    // DRIVER KERNEL under the dims gate (the q411/q497 audit-slice
+    // discipline — opt round 11): the chase state is dims² cells by
+    // CONSTRUCTION (a caller literal, not data), yet the distributed
+    // loop pays `rounds` join+agg+checkpoint stage barriers on a
+    // ≤localDimsMax²-row frame — pure scheduling latency. One collect
+    // of the quantized matrix, the identical integer recursion in
+    // BigInt (≡ decimal(38,0)), one parallelize back. Above the gate
+    // the distributed loop below runs unchanged (and a spec pins
+    // driver ≡ distributed on the same matrices).
+    if (dims <= localDimsMax) {
+      val (v, mx) = PowerKernel.chase(
+        PowerKernel.cellsOf(fullPlan.collect().toSeq), dims, rounds,
+        _ => BigInt(1000000), zeroGuard = false)
+      val lam = mx.map(m => (m / 1000000).toLong)
+      val out = v.toSeq.sortBy(_._1).map { case (j, vu) =>
+        org.apache.spark.sql.Row(j.toLong,
+          vu.map(x => java.lang.Long.valueOf(x.toLong)).orNull,
+          lam.map(java.lang.Long.valueOf).orNull)
+      }
+      return spark.createDataFrame(
+        spark.sparkContext.parallelize(out, 1),
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("j",
+            org.apache.spark.sql.types.LongType, nullable = false),
+          org.apache.spark.sql.types.StructField("v_u",
+            org.apache.spark.sql.types.LongType, nullable = true),
+          org.apache.spark.sql.types.StructField("lambda_u",
+            org.apache.spark.sql.types.LongType, nullable = true))))
+    }
+    val full = fullPlan.localCheckpoint() // re-read every round
     var v = spark.range(dims)
       .select(col("id").cast("int").as("j"), lit(1000000L).as("v_u"))
     var lambdaScale: DataFrame = null
@@ -384,17 +414,64 @@ object Clustering {
     * Scale: the corpus touches only the co-moment scan upstream
     * ([[correlationMatrix]]); both chases run on the dims² broadcast
     * frame — 2·rounds joins of a dims²-row table. */
-  def powerIterationTwo(corr: DataFrame, dims: Int, rounds: Int): DataFrame = {
+  def powerIterationTwo(corr: DataFrame, dims: Int, rounds: Int,
+      localDimsMax: Int = 128): DataFrame = {
     require(rounds >= 1, "rounds must be >= 1")
     val d38 = "decimal(38,0)"
     val spark = corr.sparkSession
     val cells = corr
       .select(col("i").cast("int").as("i"), col("j").cast("int").as("j"),
         round(col("corr") * 1e6, 0).cast("long").as("c_u"))
-    val full = cells.unionByName(
+    val fullPlan = cells.unionByName(
         cells.filter(col("i") =!= col("j"))
           .select(col("j").as("i"), col("i").as("j"), col("c_u")))
-      .localCheckpoint()
+    // DRIVER KERNEL under the dims gate — see [[powerIterationInt]]:
+    // 2·rounds join+agg+checkpoint barriers on a dims²-row frame are
+    // scheduling latency, not computation. Identical BigInt recursion
+    // incl. the CASE-guarded zero-mx hold, the exact rank-one
+    // deflation and the second tilted chase; distributed path
+    // unchanged above the gate; spec pins driver ≡ distributed.
+    if (dims <= localDimsMax) {
+      val fullCells = PowerKernel.cellsOf(fullPlan.collect().toSeq)
+      val (v1, mx1) = PowerKernel.chase(fullCells, dims, rounds,
+        _ => BigInt(1000000), zeroGuard = true)
+      val l1 = mx1.map(_ / 1000000)
+      val n2vals = v1.values.flatten.toSeq
+      val n2 = if (n2vals.isEmpty) None else Some(n2vals.map(x => x * x).sum)
+      val deflated = fullCells.flatMap { case (i, j, c) =>
+        // inner joins on v1(i) and v1(j): a missing key drops the row
+        for { v1i <- v1.get(i); v1j <- v1.get(j) } yield {
+          val sub = for { l <- l1; a <- v1i; b <- v1j; n <- n2 } yield {
+            if (n == 0) throw new ArithmeticException(
+              "[DIVIDE_BY_ZERO] Division by zero (rank-one deflation: " +
+                "zero first-eigenvector norm)") // ANSI IntegralDivide
+            l * a * b / n
+          }
+          (i, j, for { cv <- c; s <- sub } yield cv - s)
+        }
+      }
+      val (v2, mx2) = PowerKernel.chase(deflated, dims, rounds,
+        j => BigInt(1000000) + j, zeroGuard = true)
+      def rowsOf(comp: Int, v: Map[Int, Option[BigInt]],
+          mx: Option[BigInt]): Seq[org.apache.spark.sql.Row] = {
+        val lam = mx.map(m => java.lang.Long.valueOf((m / 1000000).toLong))
+        v.toSeq.sortBy(_._1).map { case (j, vu) =>
+          org.apache.spark.sql.Row(comp, j.toLong,
+            vu.map(x => java.lang.Long.valueOf(x.toLong)).orNull,
+            lam.orNull)
+        }
+      }
+      import org.apache.spark.sql.types._
+      return spark.createDataFrame(
+        spark.sparkContext.parallelize(
+          rowsOf(1, v1, mx1) ++ rowsOf(2, v2, mx2), 1),
+        StructType(Seq(
+          StructField("component", IntegerType, nullable = false),
+          StructField("j", LongType, nullable = false),
+          StructField("v_u", LongType, nullable = true),
+          StructField("lambda_u", LongType, nullable = true))))
+    }
+    val full = fullPlan.localCheckpoint()
     def chase(mat: DataFrame, init: Column): (DataFrame, DataFrame) = {
       var v = spark.range(dims)
         .select(col("id").cast("int").as("j"), init.as("v_u"))
@@ -610,5 +687,78 @@ object Clustering {
           .when(col("__border_cl").isNotNull, lit("border"))
           .otherwise(lit("noise")).as("role"),
         coalesce(col("__core_cl"), col("__border_cl")).as("cluster"))
+  }
+}
+
+/** Driver-side replica of the distributed power-iteration chase
+  * (opt round 11, the q411/q497 audit-slice discipline): EXACTLY the
+  * SQL semantics of the loop in [[Clustering.powerIterationInt]] /
+  * [[Clustering.powerIterationTwo]], in BigInt (≡ decimal(38,0)):
+  *
+  *   - a matrix cell with NULL c_u contributes a NULL product, which
+  *     SUM skips; a group whose every product is NULL sums to NULL;
+  *   - mx = MAX(ABS(w)) ignores NULLs and is NULL on an all-NULL w;
+  *   - `div` is integral division truncating toward zero (BigInt /);
+  *   - division by a NULL mx yields NULL; by a ZERO mx yields NULL
+  *     (non-ANSI IntegralDivide) unless `zeroGuard` replays the
+  *     explicit CASE WHEN __mx = 0 THEN 0L of the two-chase variant;
+  *   - each round's v covers exactly the j-groups the join produced.
+  *
+  * A property spec pins driver ≡ distributed on shared matrices
+  * (including NULL-cell and zero-matrix edges). */
+private[ext] object PowerKernel {
+  type Cells = Seq[(Int, Int, Option[BigInt])]
+
+  def cellsOf(rows: Seq[org.apache.spark.sql.Row]): Cells =
+    rows.map(r => (r.getInt(0), r.getInt(1),
+      if (r.isNullAt(2)) None else Some(BigInt(r.getLong(2)))))
+
+  /** One full chase; returns (final v by j, final mx). */
+  def chase(cells: Cells, dims: Int, rounds: Int,
+      init: Int => BigInt, zeroGuard: Boolean)
+      : (Map[Int, Option[BigInt]], Option[BigInt]) = {
+    var v: Map[Int, Option[BigInt]] =
+      (0 until dims).map(j => j -> Option(init(j))).toMap
+    var mxLast: Option[BigInt] = None
+    var r = 0
+    while (r < rounds) {
+      val w = scala.collection.mutable.Map.empty[Int, Option[Seq[BigInt]]]
+      cells.foreach { case (i, j, c) =>
+        v.get(i).foreach { vi => // join on i: row joins iff i has a v row
+          val term = for { cv <- c; x <- vi } yield cv * x
+          val cur = w.getOrElse(j, Some(Seq.empty[BigInt]))
+          w(j) = (cur, term) match {
+            case (Some(ts), Some(t)) => Some(ts :+ t)
+            case (Some(ts), None)    => Some(ts) // SUM skips NULL terms
+            case (None, t)           => t.map(Seq(_))
+          }
+        }
+      }
+      // SUM semantics: a group with zero non-NULL terms is NULL
+      val wSum: Map[Int, Option[BigInt]] = w.toMap.map { case (j, ts) =>
+        j -> ts.flatMap(s => if (s.isEmpty) None else Some(s.sum))
+      }
+      val present = wSum.values.flatten.toSeq
+      val mx: Option[BigInt] =
+        if (present.isEmpty) None else Some(present.map(_.abs).max)
+      v = wSum.map { case (j, wj) =>
+        j -> (mx match {
+          case Some(m) if m == 0 =>
+            // the two-chase variant CASE-guards mx = 0 to a zero hold;
+            // the single-chase variant divides and, under ANSI (the
+            // Spark 4 default), ERRORS — replicate both exactly (mx = 0
+            // implies at least one non-null w, so the divide is reached)
+            if (zeroGuard) Some(BigInt(0))
+            else throw new ArithmeticException(
+              "[DIVIDE_BY_ZERO] Division by zero (power-iteration max |w| " +
+                "is 0 — zero matrix)")
+          case Some(m) => wj.map(x => x * 1000000 / m)
+          case None => None
+        })
+      }
+      mxLast = mx
+      r += 1
+    }
+    (v, mxLast)
   }
 }

@@ -144,6 +144,26 @@ object Graph {
       raise_error(lit("graph ops require numeric node ids — hash string " +
         "ids (xxhash64) upstream"))).otherwise(c.cast("long"))
 
+  /** Pin a frame that an ITERATIVE loop equi-joins on `key` every
+    * round: one hash exchange + one in-partition sort paid ONCE, then
+    * kept as an operator cache (MEMORY_AND_DISK, released by the
+    * caller via OperatorCaches.releaseAll) so each round's sort-merge
+    * join consumes it exchange-free and sort-free. Replaces the
+    * previous per-iterable localCheckpoint: a checkpoint's LogicalRDD
+    * reports UnknownPartitioning, so EVERY round re-shuffled the full
+    * edge list — opt guide §2.4 ("two operations keyed the same way
+    * can share one exchange") and §3.1 (stats erasure defeats the
+    * planner). The cached InMemoryRelation keeps the child's
+    * outputPartitioning/outputOrdering, which a checkpoint erases. */
+  private def pinByKey(df: DataFrame, key: String): DataFrame =
+    graft.core.OperatorCaches.cached(
+      // explicit width (the q467 symClosed lesson): without it AQE
+      // coalesces the pinned frame to a handful of partitions and
+      // every later round runs under-parallelized
+      df.repartition(df.sparkSession.sparkContext.defaultParallelism,
+          col(key))
+        .sortWithinPartitions(key))
+
   /** Driver-side union-find with min-label roots, used by the bounded
     * fast paths below. `find` is ITERATIVE (walk to the root, then a
     * second pass path-compresses) — union-by-min-label can build an
@@ -195,7 +215,12 @@ object Graph {
         .as("e"))
       .select(col("e.src").as("src"), col("e.dst").as("dst"))
     val sym =
-      if (cache) graft.core.OperatorCaches.cached(symPlan)
+      // cache=true: pin in the layout of the per-round neighbor join
+      // (keyed on dst) so iterations re-shuffle only the node-sized
+      // label frame, never the edge list (guide §2.4); the one-time
+      // exchange is also what a 100 TB run wants. cache=false callers
+      // (no release point) keep the plain eager checkpoint.
+      if (cache) pinByKey(symPlan, "dst")
       else symPlan.localCheckpoint()
 
     // BOUNDED fast path (the knnAggregate adaptive-regime discipline):
@@ -414,9 +439,13 @@ object Graph {
         .as("e"))
       .select(col("e.src").as("src"), col("e.dst").as("dst"))
       .distinct()
-      .localCheckpoint() // read twice per round (contrib side + degree base)
-    val deg = sym.groupBy(col("src").as("node")).agg(count(lit(1)).as("deg"))
-      .localCheckpoint()
+    // pinned by the per-round join key: the src-side exchange+sort is
+    // paid once here instead of once per iteration (guide §2.4)
+    val symP = pinByKey(sym, "src")
+    // deg inherits symP's src-partitioning through the rename-only
+    // aggregate, so the per-round ranks join needs no deg-side exchange
+    val deg = graft.core.OperatorCaches.cached(
+      symP.groupBy(col("src").as("node")).agg(count(lit(1)).as("deg")))
     val base = unit - (dampNum.toLong * unit) / dampDen
     var ranks = deg.withColumn("rank_ppm", lit(unit))
     var i = 0
@@ -425,7 +454,7 @@ object Graph {
       // contribution r div deg is a scan-side projection, not a join
       val contrib = ranks.select(col("node").as("src"),
         expr("rank_ppm div deg").as("c"))
-      val inflow = sym.join(contrib, "src")
+      val inflow = symP.join(contrib, "src")
         .groupBy(col("dst").as("node")).agg(sum(col("c")).as("inflow"))
       ranks = deg.join(inflow, Seq("node"), "left")
         .select(col("node"), col("deg"),
@@ -466,11 +495,15 @@ object Graph {
     require(iters >= 1, "iters must be >= 1")
     require(alphaDen > 0 && alphaNum >= 0 && alphaNum < alphaDen,
       "attenuation must satisfy 0 <= num < den")
-    val e = edges.select(col(srcCol).cast("long").as("src"),
+    // pinned by the per-round join key (one exchange+sort, not iters);
+    // nodes keeps its distinct's node-hash partitioning through the
+    // cache, so the per-round left join is exchange-free on both sides
+    val e = pinByKey(edges.select(col(srcCol).cast("long").as("src"),
         col(dstCol).cast("long").as("dst"))
-      .distinct().localCheckpoint()
-    val nodes = e.select(col("src").as("node"))
-      .union(e.select(col("dst").as("node"))).distinct().localCheckpoint()
+      .distinct(), "src")
+    val nodes = graft.core.OperatorCaches.cached(
+      e.select(col("src").as("node"))
+        .union(e.select(col("dst").as("node"))).distinct())
     var ranks = nodes.withColumn("katz_ppm", lit(unit))
     var i = 0
     while (i < iters) {
@@ -515,20 +548,22 @@ object Graph {
         .as("e"))
       .select(col("e.src").as("src"), col("e.dst").as("dst"))
       .distinct()
-      .localCheckpoint()
+    val symP = pinByKey(sym, "src") // per-round join key (guide §2.4)
     val flag = sources.select(col(sourceIdCol).cast("long").as("node"))
       .distinct().withColumn("__s", lit(1L)).localCheckpoint()
-    val deg = sym.groupBy(col("src").as("node")).agg(count(lit(1)).as("deg"))
-      .join(broadcast(flag), Seq("node"), "left")
-      .withColumn("__s", coalesce(col("__s"), lit(0L)))
-      .localCheckpoint()
+    // broadcast-joining the flag preserves the agg's node partitioning,
+    // so the cached deg needs no per-round exchange either
+    val deg = graft.core.OperatorCaches.cached(
+      symP.groupBy(col("src").as("node")).agg(count(lit(1)).as("deg"))
+        .join(broadcast(flag), Seq("node"), "left")
+        .withColumn("__s", coalesce(col("__s"), lit(0L))))
     val base = unit - (dampNum.toLong * unit) / dampDen
     var ranks = deg.withColumn("rank_ppm", col("__s") * unit)
     var i = 0
     while (i < iters) {
       val contrib = ranks.select(col("node").as("src"),
         expr("rank_ppm div deg").as("c"))
-      val inflow = sym.join(contrib, "src")
+      val inflow = symP.join(contrib, "src")
         .groupBy(col("dst").as("node")).agg(sum(col("c")).as("inflow"))
       ranks = deg.join(inflow, Seq("node"), "left")
         .select(col("node"), col("deg"), col("__s"),
@@ -952,21 +987,29 @@ object Graph {
     * [[modularity]]) pays the explode+distinct once and passes
     * `symmetric = true` downstream. */
   def symmetrize(edges: DataFrame, srcCol: String, dstCol: String): DataFrame =
+    symmetrizePlan(edges, srcCol, dstCol).localCheckpoint()
+
+  /** [[symmetrize]] WITHOUT the materialization — for callers about to
+    * pin the result in a specific layout anyway (a checkpoint first
+    * would pay an extra eager pass for nothing). */
+  private def symmetrizePlan(edges: DataFrame, srcCol: String,
+      dstCol: String): DataFrame =
     edges.select(explode(array(
         struct(checkedLong(col(srcCol)).as("src"), checkedLong(col(dstCol)).as("dst")),
         struct(checkedLong(col(dstCol)).as("src"), checkedLong(col(srcCol)).as("dst"))))
         .as("e"))
       .select(col("e.src").as("src"), col("e.dst").as("dst"))
       .filter(col("src") =!= col("dst")).distinct()
-      .localCheckpoint()
 
   def labelPropagation(edges: DataFrame, srcCol: String, dstCol: String,
       iters: Int = 3, symmetric: Boolean = false): DataFrame = {
     require(iters >= 1, "iters must be >= 1")
-    val sym =
+    // pinned by the per-round join key — one exchange+sort instead of
+    // one per round (guide §2.4)
+    val sym = pinByKey(
       if (symmetric) edges.select(col(srcCol).cast("long").as("src"),
         col(dstCol).cast("long").as("dst"))
-      else symmetrize(edges, srcCol, dstCol)
+      else symmetrizePlan(edges, srcCol, dstCol), "src")
     // Round 1 specialization: with every node carrying its OWN id as
     // the initial label, neighbor labels are pairwise distinct, so
     // every count is provably 1 and the most-frequent-with-min-tie
@@ -1028,9 +1071,14 @@ object Graph {
     val e = edges.select(checkedLong(col(srcCol)).as("src"),
         checkedLong(col(dstCol)).as("dst"))
       .distinct().localCheckpoint() // read 2× per round
-    val nodes = e.select(col("src").as("node"))
-      .union(e.select(col("dst").as("node"))).distinct()
-      .localCheckpoint()
+    // the two half-rounds join on DIFFERENT keys — pin one copy per
+    // key so neither half re-shuffles the edge list (guide §2.4); two
+    // one-time materializations replace 2·iters edge exchanges
+    val eS = pinByKey(e, "src")
+    val eD = pinByKey(e, "dst")
+    val nodes = graft.core.OperatorCaches.cached(
+      eS.select(col("src").as("node"))
+        .union(eS.select(col("dst").as("node"))).distinct())
     var scores = nodes.withColumn("hub_u", lit(unit))
       .withColumn("auth_u", lit(unit))
     var i = 0
@@ -1038,14 +1086,14 @@ object Graph {
       // the raw half-round sums are node-sized and feed two consumers
       // (their max + the normalized frame) — materialize the expensive
       // join+agg once; the derived selects re-read the blocks
-      val authRaw = e.join(
+      val authRaw = eS.join(
           scores.select(col("node").as("src"), col("hub_u")), "src")
         .groupBy(col("dst").as("node")).agg(sum(col("hub_u")).as("__a"))
         .localCheckpoint()
       val aMax = authRaw.agg(max(col("__a")).as("__amax"))
       val auth = authRaw.crossJoin(broadcast(aMax))
         .select(col("node"), expr(s"(__a * ${unit}L) div __amax").as("auth_u"))
-      val hubRaw = e.join(
+      val hubRaw = eD.join(
           auth.select(col("node").as("dst"), col("auth_u")), "dst")
         .groupBy(col("src").as("node")).agg(sum(col("auth_u")).as("__h"))
         .localCheckpoint()
@@ -1096,11 +1144,17 @@ object Graph {
     val lab = labels.select(col(nodeCol).cast("long").as("node"),
       col(communityCol).cast("long").as("__c"))
       .localCheckpoint() // read by both endpoint joins + degree side
+    // node-sized side, edge-sized other side: count-gated broadcast
+    // (the checkpoint erased the stats Catalyst would have used — opt
+    // guide §3.1) keeps the edge list from being shuffled twice; above
+    // the gate the sort-merge plan below is unchanged
+    val labB = if (lab.count() <= 2000000L) (df: DataFrame) => broadcast(df)
+      else (df: DataFrame) => df
     // every sym row is one directed copy: m = |sym|/2; within-edges
     // counted directed then halved keeps everything integral ×2
     val tagged = sym
-      .join(lab.select(col("node").as("src"), col("__c").as("__cs")), "src")
-      .join(lab.select(col("node").as("dst"), col("__c").as("__cd")), "dst")
+      .join(labB(lab.select(col("node").as("src"), col("__c").as("__cs"))), "src")
+      .join(labB(lab.select(col("node").as("dst"), col("__c").as("__cd"))), "dst")
     val perC = tagged.groupBy(col("__cs").as("community")).agg(
       count(lit(1)).as("__deg2"), // Σ degrees in c (directed copies)
       sum(when(col("__cs") === col("__cd"), 1L).otherwise(0L)).as("__in2"))

@@ -442,11 +442,21 @@ object Similarity {
       .filter(col("__r") > 0)
       .groupBy(col("__u"), col("__i")).agg(sum(col("__r")).as("__r"))
       .localCheckpoint()
-    var v = e.select(col("__i")).distinct()
+    // the two half-steps join the edge rollup on DIFFERENT keys — pin
+    // one copy per key (exchange+sort paid once, not once per round;
+    // opt guide §2.4); the factor sides arrive already partitioned by
+    // their own groupBy key, so each half-step is exchange-free up to
+    // its node-sized aggregation
+    val np = e.sparkSession.sparkContext.defaultParallelism
+    val eI = graft.core.OperatorCaches.cached(
+      e.repartition(np, col("__i")).sortWithinPartitions("__i"))
+    val eU = graft.core.OperatorCaches.cached(
+      e.repartition(np, col("__u")).sortWithinPartitions("__u"))
+    var v = eI.select(col("__i")).distinct()
       .withColumn("__f", lit(1000000L))
     var it = 0
     while (it < iters) {
-      val u = e.join(v, "__i")
+      val u = eI.join(v, "__i")
         .groupBy(col("__u"))
         .agg(sum(col("__r").cast(d38) * col("__f").cast(d38)).cast(d38)
           .as("__num"),
@@ -454,7 +464,7 @@ object Similarity {
             .as("__den"))
         .select(col("__u"),
           expr("cast((__num * 1000000000000) div __den as long)").as("__f"))
-      v = e.join(u, "__u")
+      v = eU.join(u, "__u")
         .groupBy(col("__i"))
         .agg(sum(col("__r").cast(d38) * col("__f").cast(d38)).cast(d38)
           .as("__num"),
@@ -465,7 +475,7 @@ object Similarity {
       if ((it + 1) % 4 == 0 && it < iters - 1) v = v.localCheckpoint()
       it += 1
     }
-    val counts = e.groupBy(col("__i")).agg(count(lit(1)).as("n_users"))
+    val counts = eI.groupBy(col("__i")).agg(count(lit(1)).as("n_users"))
     v.join(counts, "__i")
       .select(col("__i").as("item"), col("__f").as("factor_micro"),
         col("n_users"))

@@ -321,12 +321,21 @@ object Evaluation {
       .join(wins, Seq("item"), "left")
       .select(col("item"), col("games"), coalesce(col("wins"), lit(0L)).as("wins"))
       .localCheckpoint() // node-sized; read every round + at finish
+    // The per-round strength frame is ITEM-sized while np is PAIR-sized
+    // (up to items²): broadcasting the former keeps the pair matrix
+    // from being re-shuffled twice per round (opt guide §3.1 — the
+    // checkpoint erased the stats that would have let Catalyst choose
+    // this itself). Count-gated on the already-materialized items frame
+    // (the q497 discipline): above the gate — strengths too big to
+    // ship — every join falls back to the sort-merge plan unchanged.
+    val broadcastable = items.count() <= 2000000L
+    def side(df: DataFrame): DataFrame = if (broadcastable) broadcast(df) else df
     var p = items.select(col("item"), lit(unit).as("p_u"))
     var r = 0
     while (r < iters) {
       val d = np
-        .join(p.select(col("item").as("i"), col("p_u").as("__pi")), "i")
-        .join(p.select(col("item").as("j"), col("p_u").as("__pj")), "j")
+        .join(side(p.select(col("item").as("i"), col("p_u").as("__pi"))), "i")
+        .join(side(p.select(col("item").as("j"), col("p_u").as("__pj"))), "j")
         .withColumn("__d", round(col("n").cast("double") * 1e12 /
           greatest(lit(1L), col("__pi") + col("__pj")).cast("double"), 0)
           .cast("long"))
@@ -336,7 +345,7 @@ object Evaluation {
         .select(col("e.item").as("item"), col("e.__d").as("__d"))
         .groupBy(col("item"))
         .agg(sum(col("__d").cast("decimal(38,0)")).as("__D"))
-      p = items.join(dsum, Seq("item"))
+      p = items.join(side(dsum), Seq("item"))
         .select(col("item"),
           expr("(cast(wins as decimal(38,0)) * 1000000000000)" +
             " div greatest(cast(1 as decimal(38,0)), __D)").as("p_u"))
@@ -344,7 +353,7 @@ object Evaluation {
       r += 1
     }
     val tot = p.agg(sum(col("p_u").cast("decimal(38,0)")).as("__tot"))
-    items.join(p, Seq("item")).crossJoin(broadcast(tot))
+    items.join(side(p), Seq("item")).crossJoin(broadcast(tot))
       .select(col("item"), col("games"), col("wins"),
         col("p_u").as("strength_u"),
         expr("(cast(p_u as decimal(38,0)) * 1000000)" +

@@ -1358,7 +1358,8 @@ object Experimentation {
     * driver holds a single 5-integer state row per round (the
     * k-means-centroid license). Percentile init is one bounded
     * rollup-sized cumulative window. */
-  def gmm2Em(df: DataFrame, valueCol: Column, iters: Int = 4): DataFrame = {
+  def gmm2Em(df: DataFrame, valueCol: Column, iters: Int = 4,
+      localRollupMax: Long = 500000L): DataFrame = {
     require(iters >= 1 && iters <= 64, "1 <= iters <= 64")
     val d38 = "decimal(38,0)"
     val spark = df.sparkSession
@@ -1366,27 +1367,60 @@ object Experimentation {
     val rk = df.select(valueCol.cast("long").as("__x"))
       .groupBy(col("__x")).agg(count(lit(1)).as("__c"))
       .localCheckpoint() // read iters+2 times
+    // DRIVER HISTOGRAM LOOP under a rollup-count gate (the q411/q497
+    // audit-slice discipline, opt round 11): the EM state already
+    // lives on the driver — the distributed path's only per-round
+    // work is one agg JOB over the (value, count) rollup, i.e. pure
+    // stage latency when the rollup is modest. Below the gate the
+    // histogram is collected ONCE and every round's six exact sums run
+    // in BigInt (≡ decimal(38,0), order-free) with the identical
+    // libm/floor per-row scoring; above it, the distributed aggs below
+    // run unchanged. A spec pins local ≡ distributed.
+    val localHist: Option[Array[(Long, Long)]] =
+      if (rk.count() <= localRollupMax)
+        Some(rk.collect().map(r => (r.getLong(0), r.getLong(1))))
+      else None
     // global moments + exact quartile values off the rollup
-    val mom = rk.agg(sum(col("__c")).as("n"),
-      sum(col("__x").cast(d38) * col("__c").cast(d38)).cast(d38).as("__sx"),
-      sum(col("__x").cast(d38) * col("__x").cast(d38) * col("__c").cast(d38))
-        .cast(d38).as("__sxx")).collect()(0)
-    val n = mom.getAs[Long]("n")
+    val (n, sx, sxx) = localHist match {
+      case Some(h) =>
+        (h.map(_._2).sum,
+          h.map { case (x, c) => BigInt(x) * c }.sum,
+          h.map { case (x, c) => BigInt(x) * x * c }.sum)
+      case None =>
+        val mom = rk.agg(sum(col("__c")).as("n"),
+          sum(col("__x").cast(d38) * col("__c").cast(d38)).cast(d38).as("__sx"),
+          sum(col("__x").cast(d38) * col("__x").cast(d38) * col("__c").cast(d38))
+            .cast(d38).as("__sxx")).collect()(0)
+        (mom.getAs[Long]("n"),
+          BigInt(mom.getAs[java.math.BigDecimal]("__sx").toBigInteger),
+          BigInt(mom.getAs[java.math.BigDecimal]("__sxx").toBigInteger))
+    }
     require(n >= 2, "gmm2Em needs at least 2 rows")
-    val sx = BigInt(mom.getAs[java.math.BigDecimal]("__sx").toBigInteger)
-    val sxx = BigInt(mom.getAs[java.math.BigDecimal]("__sxx").toBigInteger)
     val var0 = ((BigInt(n) * sxx - sx * sx) / (BigInt(n) * BigInt(n)))
       .max(BigInt(1)).toLong
-    val cumW = Window.orderBy(col("__x"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val quart = rk.withColumn("__cum", sum(col("__c")).over(cumW))
-      .filter(col("__cum") >= (n + 3) / 4)
-      .agg(min(col("__x")).as("q1"),
-        min(when(col("__cum") >= (3 * n + 3) / 4, col("__x"))).as("q3"))
-      .collect()(0)
+    val (q1v, q3v) = localHist match {
+      case Some(h) =>
+        val sorted = h.sortBy(_._1)
+        var cum = 0L; var q1: Option[Long] = None; var q3: Option[Long] = None
+        sorted.foreach { case (x, c) =>
+          cum += c
+          if (cum >= (n + 3) / 4 && q1.isEmpty) q1 = Some(x)
+          if (cum >= (3 * n + 3) / 4 && q3.isEmpty) q3 = Some(x)
+        }
+        (q1.get, q3.get)
+      case None =>
+        val cumW = Window.orderBy(col("__x"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val quart = rk.withColumn("__cum", sum(col("__c")).over(cumW))
+          .filter(col("__cum") >= (n + 3) / 4)
+          .agg(min(col("__x")).as("q1"),
+            min(when(col("__cum") >= (3 * n + 3) / 4, col("__x"))).as("q3"))
+          .collect()(0)
+        (quart.getAs[Long]("q1"), quart.getAs[Long]("q3"))
+    }
     var w1 = 500000L
-    var mu1 = quart.getAs[Long]("q1"); var v1 = var0
-    var mu2 = quart.getAs[Long]("q3"); var v2 = var0
+    var mu1 = q1v; var v1 = var0
+    var mu2 = q3v; var v2 = var0
     var it = 0
     while (it < iters) {
       // integer log-lik pieces: constants once per state, quadratic
@@ -1395,35 +1429,60 @@ object Experimentation {
       def logv(v: Long) = math.round(math.log(v.toDouble) * 1e6) / 2
       val c1 = lnw(w1) - logv(v1)
       val c2 = lnw(1000000L - w1) - logv(v2)
-      val scored = rk
-        .withColumn("__q1", expr(
-          s"cast((cast(__x - ${mu1}L as $d38) * (__x - ${mu1}L) * 1000000)" +
-            s" div ${2 * v1}L as long)"))
-        .withColumn("__q2", expr(
-          s"cast((cast(__x - ${mu2}L as $d38) * (__x - ${mu2}L) * 1000000)" +
-            s" div ${2 * v2}L as long)"))
-        .withColumn("__d", (lit(c1) - col("__q1")) - (lit(c2) - col("__q2")))
-        // floor(x + 0.5), not round(): identical tie semantics on both
-        // engines (math.round ≡ floor(x+0.5) for positive arguments)
-        .withColumn("__r1", floor(lit(1e6) /
-          (lit(1.0) + exp(-col("__d").cast("double") / 1e6)) + 0.5)
-          .cast("long"))
-      val s = scored.agg(
-        sum(col("__c").cast(d38) * col("__r1").cast(d38)).cast(d38).as("r1"),
-        sum(col("__c").cast(d38) * col("__r1").cast(d38) *
-          col("__x").cast(d38)).cast(d38).as("sx1"),
-        sum(col("__c").cast(d38) * col("__r1").cast(d38) *
-          col("__x").cast(d38) * col("__x").cast(d38)).cast(d38).as("sxx1"),
-        sum(col("__c").cast(d38) * (lit(1000000L) - col("__r1")).cast(d38))
-          .cast(d38).as("r2"),
-        sum(col("__c").cast(d38) * (lit(1000000L) - col("__r1")).cast(d38) *
-          col("__x").cast(d38)).cast(d38).as("sx2"),
-        sum(col("__c").cast(d38) * (lit(1000000L) - col("__r1")).cast(d38) *
-          col("__x").cast(d38) * col("__x").cast(d38)).cast(d38).as("sxx2"))
-        .collect()(0)
-      def big(i: Int) = BigInt(s.getAs[java.math.BigDecimal](i).toBigInteger)
-      val (r1m, sx1, sxx1, r2m, sx2, sxx2) =
-        (big(0), big(1), big(2), big(3), big(4), big(5))
+      val (r1m, sx1, sxx1, r2m, sx2, sxx2) = localHist match {
+        case Some(h) =>
+          // identical per-row arithmetic to the expr branch below:
+          // long subtraction (Java wrap semantics), decimal(38,0)
+          // quadratic, truncating integral divide, the same
+          // floor(x + 0.5) libm logistic; a quadratic term that would
+          // overflow the long cast is a NULL row there — skipped here
+          var (a1, b1s, g1, a2, b2s, g2) = (BigInt(0), BigInt(0), BigInt(0),
+            BigInt(0), BigInt(0), BigInt(0))
+          h.foreach { case (x, c) =>
+            val dx1 = x - mu1; val dx2 = x - mu2
+            val q1 = BigInt(dx1) * dx1 * 1000000 / (2 * v1)
+            val q2 = BigInt(dx2) * dx2 * 1000000 / (2 * v2)
+            if (q1.isValidLong && q2.isValidLong) {
+              val dd = (c1 - q1.toLong) - (c2 - q2.toLong)
+              val r1 = math.floor(
+                1e6 / (1.0 + math.exp(-dd.toDouble / 1e6)) + 0.5).toLong
+              val cc = BigInt(c)
+              a1 += cc * r1; b1s += cc * r1 * x; g1 += cc * r1 * x * x
+              val r2 = 1000000L - r1
+              a2 += cc * r2; b2s += cc * r2 * x; g2 += cc * r2 * x * x
+            }
+          }
+          (a1, b1s, g1, a2, b2s, g2)
+        case None =>
+          val scored = rk
+            .withColumn("__q1", expr(
+              s"cast((cast(__x - ${mu1}L as $d38) * (__x - ${mu1}L) * 1000000)" +
+                s" div ${2 * v1}L as long)"))
+            .withColumn("__q2", expr(
+              s"cast((cast(__x - ${mu2}L as $d38) * (__x - ${mu2}L) * 1000000)" +
+                s" div ${2 * v2}L as long)"))
+            .withColumn("__d", (lit(c1) - col("__q1")) - (lit(c2) - col("__q2")))
+            // floor(x + 0.5), not round(): identical tie semantics on both
+            // engines (math.round ≡ floor(x+0.5) for positive arguments)
+            .withColumn("__r1", floor(lit(1e6) /
+              (lit(1.0) + exp(-col("__d").cast("double") / 1e6)) + 0.5)
+              .cast("long"))
+          val s = scored.agg(
+            sum(col("__c").cast(d38) * col("__r1").cast(d38)).cast(d38).as("r1"),
+            sum(col("__c").cast(d38) * col("__r1").cast(d38) *
+              col("__x").cast(d38)).cast(d38).as("sx1"),
+            sum(col("__c").cast(d38) * col("__r1").cast(d38) *
+              col("__x").cast(d38) * col("__x").cast(d38)).cast(d38).as("sxx1"),
+            sum(col("__c").cast(d38) * (lit(1000000L) - col("__r1")).cast(d38))
+              .cast(d38).as("r2"),
+            sum(col("__c").cast(d38) * (lit(1000000L) - col("__r1")).cast(d38) *
+              col("__x").cast(d38)).cast(d38).as("sx2"),
+            sum(col("__c").cast(d38) * (lit(1000000L) - col("__r1")).cast(d38) *
+              col("__x").cast(d38) * col("__x").cast(d38)).cast(d38).as("sxx2"))
+            .collect()(0)
+          def big(i: Int) = BigInt(s.getAs[java.math.BigDecimal](i).toBigInteger)
+          (big(0), big(1), big(2), big(3), big(4), big(5))
+      }
       // variance around the TRUNCATED mean, exactly:
       // Σ r·c·(x−mu')² = sxx − 2·mu'·sx + mu'²·R — avoids the
       // m2 − mu'² bias (≈ 2·mu·frac) the coarse mu grid would inject
@@ -1477,7 +1536,7 @@ object Experimentation {
     * driver holds a single 2-integer state row per round (the
     * k-means-centroid license). */
   def logisticIrls(df: DataFrame, xCol: Column, yCol: Column,
-      iters: Int = 6): DataFrame = {
+      iters: Int = 6, localRollupMax: Long = 500000L): DataFrame = {
     require(iters >= 1 && iters <= 64, "1 <= iters <= 64")
     val d38 = "decimal(38,0)"
     val spark = df.sparkSession
@@ -1488,27 +1547,52 @@ object Experimentation {
     val n = rk.agg(sum(col("__c")).as("n")).collect()(0).getAs[Long]("n")
     require(n >= 2, "logisticIrls needs at least 2 rows")
     val clamp = 50000000L
+    // DRIVER HISTOGRAM LOOP under the rollup-count gate — the gmm2Em
+    // rationale verbatim: one collect of the (x, y, count) rollup
+    // replaces iters agg jobs of pure stage latency; identical libm
+    // logistic, integral divides and BigInt (≡ decimal(38,0)) sums;
+    // distributed path unchanged above the gate, spec-pinned equal.
+    val localHist: Option[Array[(Long, Long, Long)]] =
+      if (rk.count() <= localRollupMax)
+        Some(rk.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))))
+      else None
     var b0 = 0L; var b1 = 0L
     var it = 0
     while (it < iters) {
-      val scored = rk
-        .withColumn("__p", floor(lit(1e6) /
-          (lit(1.0) + exp(-(lit(b0) + lit(b1) * col("__x"))
-            .cast("double") / 1e6)) + 0.5).cast("long"))
-        .withColumn("__w", expr("(__p * (1000000L - __p)) div 1000000L"))
-        .withColumn("__r", col("__y") * lit(1000000L) - col("__p"))
-      val s = scored.agg(
-        sum(col("__c").cast(d38) * col("__r").cast(d38)).cast(d38).as("g0"),
-        sum(col("__c").cast(d38) * col("__r").cast(d38) *
-          col("__x").cast(d38)).cast(d38).as("g1"),
-        sum(col("__c").cast(d38) * col("__w").cast(d38)).cast(d38).as("h00"),
-        sum(col("__c").cast(d38) * col("__w").cast(d38) *
-          col("__x").cast(d38)).cast(d38).as("h01"),
-        sum(col("__c").cast(d38) * col("__w").cast(d38) *
-          col("__x").cast(d38) * col("__x").cast(d38)).cast(d38).as("h11"))
-        .collect()(0)
-      def big(i: Int) = BigInt(s.getAs[java.math.BigDecimal](i).toBigInteger)
-      val (g0, g1, h00, h01, h11) = (big(0), big(1), big(2), big(3), big(4))
+      val (g0, g1, h00, h01, h11) = localHist match {
+        case Some(h) =>
+          var (a0, a1, b00, b01, b11) =
+            (BigInt(0), BigInt(0), BigInt(0), BigInt(0), BigInt(0))
+          h.foreach { case (x, y, c) =>
+            val p = math.floor(1e6 / (1.0 +
+              math.exp(-(b0 + b1 * x).toDouble / 1e6)) + 0.5).toLong
+            val w = (p * (1000000L - p)) / 1000000L
+            val r = y * 1000000L - p
+            val cc = BigInt(c)
+            a0 += cc * r; a1 += cc * r * x
+            b00 += cc * w; b01 += cc * w * x; b11 += cc * w * x * x
+          }
+          (a0, a1, b00, b01, b11)
+        case None =>
+          val scored = rk
+            .withColumn("__p", floor(lit(1e6) /
+              (lit(1.0) + exp(-(lit(b0) + lit(b1) * col("__x"))
+                .cast("double") / 1e6)) + 0.5).cast("long"))
+            .withColumn("__w", expr("(__p * (1000000L - __p)) div 1000000L"))
+            .withColumn("__r", col("__y") * lit(1000000L) - col("__p"))
+          val s = scored.agg(
+            sum(col("__c").cast(d38) * col("__r").cast(d38)).cast(d38).as("g0"),
+            sum(col("__c").cast(d38) * col("__r").cast(d38) *
+              col("__x").cast(d38)).cast(d38).as("g1"),
+            sum(col("__c").cast(d38) * col("__w").cast(d38)).cast(d38).as("h00"),
+            sum(col("__c").cast(d38) * col("__w").cast(d38) *
+              col("__x").cast(d38)).cast(d38).as("h01"),
+            sum(col("__c").cast(d38) * col("__w").cast(d38) *
+              col("__x").cast(d38) * col("__x").cast(d38)).cast(d38).as("h11"))
+            .collect()(0)
+          def big(i: Int) = BigInt(s.getAs[java.math.BigDecimal](i).toBigInteger)
+          (big(0), big(1), big(2), big(3), big(4))
+      }
       val det = h00 * h11 - h01 * h01
       if (det > 0) {
         // δ_micro = 1e6·adj(H)·g / det: H is stored at 1e6× natural

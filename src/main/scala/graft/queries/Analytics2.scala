@@ -246,7 +246,9 @@ object Analytics2 {
         width = 512, depth = 4)
       Sketches.countMinEstimate(sketch, probes, col("l_partkey"),
           width = 512, depth = 4)
-        .join(probes.withColumnRenamed("l_partkey", "key"), "key")
+        // 20-row side: the checkpoint erased the limit's stats, so
+        // without the hint this is a two-exchange sort-merge join
+        .join(broadcast(probes.withColumnRenamed("l_partkey", "key")), "key")
         .select(col("key").as("l_partkey"), col("true_cnt"),
           col("est").as("est_cnt"))
         .orderBy(col("l_partkey"))
