@@ -1207,32 +1207,36 @@ object Curation {
       if (shingleSize == 1) org.apache.spark.sql.functions.split(
         lower(col(textCol)), "\\s+")
       else graft.ext.Dedup.wordShingles(col(textCol), shingleSize)
+    // ONE word-keyed pin of the (source, word) rollup (opt round 11,
+    // guide §2.4): every greedy round's anti-join keys on __w, so the
+    // exchange + in-partition sort are paid once here and each round's
+    // SortMergeJoin(LeftAnti) consumes BOTH sides exchange-free and
+    // sort-free — the covered set is just the chosen slice of this same
+    // pinned frame (duplicates are harmless to an anti join), which
+    // also deletes the old per-round union+distinct+checkpoint of the
+    // covered vocabulary. k driver rows per run, unchanged.
+    val np = docs.sparkSession.sparkContext.defaultParallelism
     val aw = docs.select(col(sourceCol).cast("string").as("__src"),
         explode(tok).as("__w"))
       .filter(length(col("__w")) > 0)
-      .select(col("__src"), col("__w")).distinct().localCheckpoint()
-    var covered = aw.sparkSession.emptyDataFrame
-      .sparkSession.createDataFrame(
-        aw.sparkSession.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-        org.apache.spark.sql.types.StructType(Seq(
-          org.apache.spark.sql.types.StructField("__w",
-            org.apache.spark.sql.types.StringType))))
+      .select(col("__src"), col("__w")).distinct()
+      .repartition(np, col("__w")).sortWithinPartitions("__w")
+      .localCheckpoint()
     var chosen = Vector.empty[(String, Long, Long)] // (src, gain, cum)
     var cum = 0L
     var i = 0
     while (i < k) {
-      val gains = aw
-        .filter(!col("__src").isin(chosen.map(_._1): _*))
-        .join(covered, Seq("__w"), "left_anti")
+      val remaining = aw.filter(!col("__src").isin(chosen.map(_._1): _*))
+      val gains = (if (chosen.isEmpty) remaining
+        else remaining.join(
+          aw.filter(col("__src").isin(chosen.map(_._1): _*))
+            .select(col("__w")), Seq("__w"), "left_anti"))
         .groupBy(col("__src")).agg(count(lit(1)).as("__g"))
         .orderBy(col("__g").desc, col("__src")).limit(1).collect()
       if (gains.nonEmpty) {
         val pick = gains(0).getString(0); val g = gains(0).getLong(1)
         cum += g
         chosen :+= ((pick, g, cum))
-        covered = covered.unionByName(
-          aw.filter(col("__src") === pick).select(col("__w")))
-          .distinct().localCheckpoint()
       }
       i += 1
     }

@@ -146,23 +146,37 @@ object Graph {
 
   /** Pin a frame that an ITERATIVE loop equi-joins on `key` every
     * round: one hash exchange + one in-partition sort paid ONCE, then
-    * kept as an operator cache (MEMORY_AND_DISK, released by the
-    * caller via OperatorCaches.releaseAll) so each round's sort-merge
-    * join consumes it exchange-free and sort-free. Replaces the
-    * previous per-iterable localCheckpoint: a checkpoint's LogicalRDD
-    * reports UnknownPartitioning, so EVERY round re-shuffled the full
-    * edge list — opt guide §2.4 ("two operations keyed the same way
-    * can share one exchange") and §3.1 (stats erasure defeats the
-    * planner). The cached InMemoryRelation keeps the child's
-    * outputPartitioning/outputOrdering, which a checkpoint erases. */
+    * localCheckpoint'd — the LogicalRDD KEEPS the checkpointed plan's
+    * outputPartitioning and outputOrdering (the measured symClosed /
+    * betweennessPivots device), so each round's sort-merge join
+    * consumes it exchange-free and sort-free. Opt guide §2.4 ("two
+    * operations keyed the same way can share one exchange") / §3.1
+    * (stats erasure defeats the planner). An earlier draft of this
+    * round pinned via `.cache()` instead: the InMemoryRelation's
+    * columnar encode at build + per-round decode cost MORE than the
+    * saved exchanges at 2-3-iteration depths (q223 +1.0, q398 +0.4
+    * normalized seconds in the batch-1 bench) — checkpointed
+    * UnsafeRows are read back as-is. */
   private def pinByKey(df: DataFrame, key: String): DataFrame =
-    graft.core.OperatorCaches.cached(
-      // explicit width (the q467 symClosed lesson): without it AQE
-      // coalesces the pinned frame to a handful of partitions and
-      // every later round runs under-parallelized
-      df.repartition(df.sparkSession.sparkContext.defaultParallelism,
-          col(key))
-        .sortWithinPartitions(key))
+    // explicit width (the q467 symClosed lesson): without it AQE
+    // coalesces the pinned frame to a handful of partitions and
+    // every later round runs under-parallelized
+    df.repartition(df.sparkSession.sparkContext.defaultParallelism,
+        col(key))
+      .sortWithinPartitions(key)
+      .localCheckpoint()
+
+  /** Node-count gate below which an iterative loop BROADCASTS its
+    * node-sized per-round frame (ranks/labels/scores) instead of
+    * sort-merge-joining it against the edge list: the edge list is
+    * then only ever SCANNED — zero per-round edge exchanges (guide
+    * §3.1; the checkpoint erased the stats that would have let
+    * Catalyst pick this itself, and the measured q226 bradleyTerry
+    * win is exactly this shape). ~2M (node, long) rows ≈ tens of MB
+    * framed — inside every broadcast comfort zone. Above the gate the
+    * loop falls back to [[pinByKey]]-layout sort-merge joins, which is
+    * also the 100 TB shape once node frames outgrow broadcast. */
+  private val BcastNodeMax = 2000000L
 
   /** Driver-side union-find with min-label roots, used by the bounded
     * fast paths below. `find` is ITERATIVE (walk to the root, then a
@@ -439,13 +453,18 @@ object Graph {
         .as("e"))
       .select(col("e.src").as("src"), col("e.dst").as("dst"))
       .distinct()
-    // pinned by the per-round join key: the src-side exchange+sort is
-    // paid once here instead of once per iteration (guide §2.4)
-    val symP = pinByKey(sym, "src")
-    // deg inherits symP's src-partitioning through the rename-only
-    // aggregate, so the per-round ranks join needs no deg-side exchange
-    val deg = graft.core.OperatorCaches.cached(
-      symP.groupBy(col("src").as("node")).agg(count(lit(1)).as("deg")))
+    // ONE materialization of the edge list; the per-round join
+    // strategy is then ADAPTIVE on the node count (BcastNodeMax):
+    // below the gate every round broadcasts the node-sized
+    // contribution frame and the edge list is only scanned; above it
+    // the pinByKey layout makes each round's sort-merge join
+    // exchange-free and sort-free on the edge side (guide §2.4/§3.1)
+    val symM = sym.localCheckpoint()
+    val deg = symM.groupBy(col("src").as("node"))
+      .agg(count(lit(1)).as("deg")).localCheckpoint()
+    val bcast = deg.count() <= BcastNodeMax
+    val symP = if (bcast) symM else pinByKey(symM, "src")
+    def side(df: DataFrame): DataFrame = if (bcast) broadcast(df) else df
     val base = unit - (dampNum.toLong * unit) / dampDen
     var ranks = deg.withColumn("rank_ppm", lit(unit))
     var i = 0
@@ -454,9 +473,9 @@ object Graph {
       // contribution r div deg is a scan-side projection, not a join
       val contrib = ranks.select(col("node").as("src"),
         expr("rank_ppm div deg").as("c"))
-      val inflow = symP.join(contrib, "src")
+      val inflow = symP.join(side(contrib), "src")
         .groupBy(col("dst").as("node")).agg(sum(col("c")).as("inflow"))
-      ranks = deg.join(inflow, Seq("node"), "left")
+      ranks = deg.join(side(inflow), Seq("node"), "left")
         .select(col("node"), col("deg"),
           expr(s"${base}L + (${dampNum}L * coalesce(inflow, 0L)) div ${dampDen}L")
             .as("rank_ppm"))
@@ -495,22 +514,25 @@ object Graph {
     require(iters >= 1, "iters must be >= 1")
     require(alphaDen > 0 && alphaNum >= 0 && alphaNum < alphaDen,
       "attenuation must satisfy 0 <= num < den")
-    // pinned by the per-round join key (one exchange+sort, not iters);
-    // nodes keeps its distinct's node-hash partitioning through the
-    // cache, so the per-round left join is exchange-free on both sides
-    val e = pinByKey(edges.select(col(srcCol).cast("long").as("src"),
+    // ONE materialization; adaptive per-round strategy (see pageRank):
+    // below BcastNodeMax broadcast the node-sized rank frame (edge
+    // list only scanned), above it pin the edge layout once
+    val eM = edges.select(col(srcCol).cast("long").as("src"),
         col(dstCol).cast("long").as("dst"))
-      .distinct(), "src")
-    val nodes = graft.core.OperatorCaches.cached(
-      e.select(col("src").as("node"))
-        .union(e.select(col("dst").as("node"))).distinct())
+      .distinct().localCheckpoint()
+    val nodes = eM.select(col("src").as("node"))
+      .union(eM.select(col("dst").as("node"))).distinct().localCheckpoint()
+    val bcast = nodes.count() <= BcastNodeMax
+    val e = if (bcast) eM else pinByKey(eM, "src")
+    def side(df: DataFrame): DataFrame = if (bcast) broadcast(df) else df
     var ranks = nodes.withColumn("katz_ppm", lit(unit))
     var i = 0
     while (i < iters) {
       val inflow = e.join(
-          ranks.select(col("node").as("src"), col("katz_ppm").as("k")), "src")
+          side(ranks.select(col("node").as("src"), col("katz_ppm").as("k"))),
+          "src")
         .groupBy(col("dst").as("node")).agg(sum(col("k")).as("inflow"))
-      ranks = nodes.join(inflow, Seq("node"), "left")
+      ranks = nodes.join(side(inflow), Seq("node"), "left")
         .select(col("node"),
           expr(s"${unit}L + (${alphaNum}L * coalesce(inflow, 0L)) " +
             s"div ${alphaDen}L").as("katz_ppm"))
@@ -548,24 +570,26 @@ object Graph {
         .as("e"))
       .select(col("e.src").as("src"), col("e.dst").as("dst"))
       .distinct()
-    val symP = pinByKey(sym, "src") // per-round join key (guide §2.4)
+    // ONE materialization; adaptive per-round strategy (see pageRank)
+    val symM = sym.localCheckpoint()
     val flag = sources.select(col(sourceIdCol).cast("long").as("node"))
       .distinct().withColumn("__s", lit(1L)).localCheckpoint()
-    // broadcast-joining the flag preserves the agg's node partitioning,
-    // so the cached deg needs no per-round exchange either
-    val deg = graft.core.OperatorCaches.cached(
-      symP.groupBy(col("src").as("node")).agg(count(lit(1)).as("deg"))
-        .join(broadcast(flag), Seq("node"), "left")
-        .withColumn("__s", coalesce(col("__s"), lit(0L))))
+    val deg = symM.groupBy(col("src").as("node")).agg(count(lit(1)).as("deg"))
+      .join(broadcast(flag), Seq("node"), "left")
+      .withColumn("__s", coalesce(col("__s"), lit(0L)))
+      .localCheckpoint()
+    val bcast = deg.count() <= BcastNodeMax
+    val symP = if (bcast) symM else pinByKey(symM, "src")
+    def side(df: DataFrame): DataFrame = if (bcast) broadcast(df) else df
     val base = unit - (dampNum.toLong * unit) / dampDen
     var ranks = deg.withColumn("rank_ppm", col("__s") * unit)
     var i = 0
     while (i < iters) {
       val contrib = ranks.select(col("node").as("src"),
         expr("rank_ppm div deg").as("c"))
-      val inflow = symP.join(contrib, "src")
+      val inflow = symP.join(side(contrib), "src")
         .groupBy(col("dst").as("node")).agg(sum(col("c")).as("inflow"))
-      ranks = deg.join(inflow, Seq("node"), "left")
+      ranks = deg.join(side(inflow), Seq("node"), "left")
         .select(col("node"), col("deg"), col("__s"),
           expr(s"__s * ${base}L + (${dampNum}L * coalesce(inflow, 0L)) div ${dampDen}L")
             .as("rank_ppm"))
@@ -947,12 +971,26 @@ object Graph {
       .select(col("e.src").as("src"), col("e.dst").as("dst"))
       .filter(col("src") =!= col("dst")).distinct()
       .localCheckpoint()
+    // NODE-sized survivor set vs EDGE-sized list (opt round 11, guide
+    // §3.1): the checkpoint erased the stats Catalyst would need to see
+    // that `keep` is broadcastable, so both per-round semi-joins ran as
+    // sort-merge — re-shuffling the (shrinking) edge list TWICE per
+    // peel round. Gate ONCE on the materialized edge count (nodes ≤
+    // edges, so an edge gate bounds the broadcast): below it each
+    // round is two broadcast-semi scans fed by one degree rollup — the
+    // edge list never shuffles, and the identical keep subtree under
+    // both broadcasts is built once (ReuseExchange). Above the gate
+    // the sort-merge plan runs unchanged. No per-round driver probe:
+    // the gate is decided before the loop, per the q134 A/B (a
+    // per-round checkpoint+count cost MORE than the saved exchanges).
+    val small = sym.count() <= BcastNodeMax
+    def side(df: DataFrame): DataFrame = if (small) broadcast(df) else df
     var i = 0
     while (i < rounds) {
       val keep = sym.groupBy(col("src")).agg(count(lit(1)).as("__deg"))
         .filter(col("__deg") >= k).select(col("src"))
-      sym = sym.join(keep, Seq("src"), "left_semi")
-        .join(keep.withColumnRenamed("src", "dst"), Seq("dst"), "left_semi")
+      sym = sym.join(side(keep), Seq("src"), "left_semi")
+        .join(side(keep.withColumnRenamed("src", "dst")), Seq("dst"), "left_semi")
         .select(col("src"), col("dst"))
         .localCheckpoint()
       i += 1
@@ -1006,10 +1044,14 @@ object Graph {
     require(iters >= 1, "iters must be >= 1")
     // pinned by the per-round join key — one exchange+sort instead of
     // one per round (guide §2.4)
-    val sym = pinByKey(
-      if (symmetric) edges.select(col(srcCol).cast("long").as("src"),
+    // ONE materialization; adaptive per-round strategy (see pageRank)
+    val symM = (if (symmetric) edges.select(
+        col(srcCol).cast("long").as("src"),
         col(dstCol).cast("long").as("dst"))
-      else symmetrizePlan(edges, srcCol, dstCol), "src")
+      else symmetrizePlan(edges, srcCol, dstCol)).localCheckpoint()
+    val bcast = symM.select(col("dst")).distinct().count() <= BcastNodeMax
+    val sym = if (bcast) symM else pinByKey(symM, "src")
+    def side(df: DataFrame): DataFrame = if (bcast) broadcast(df) else df
     // Round 1 specialization: with every node carrying its OWN id as
     // the initial label, neighbor labels are pairwise distinct, so
     // every count is provably 1 and the most-frequent-with-min-tie
@@ -1031,7 +1073,7 @@ object Graph {
       // faster here than a 3×-hash-agg max/filter/min rewrite, whose
       // two-consumer count frame forces either a 1M-row eager
       // materialization per round or an ReuseExchange gamble.
-      val counted = sym.join(labels, sym("src") === labels("node"))
+      val counted = sym.join(side(labels), sym("src") === labels("node"))
         .groupBy(col("dst"), col("lab")).agg(count(lit(1)).as("__c"))
       labels = counted
         .groupBy(col("dst").as("node"))
@@ -1071,14 +1113,17 @@ object Graph {
     val e = edges.select(checkedLong(col(srcCol)).as("src"),
         checkedLong(col(dstCol)).as("dst"))
       .distinct().localCheckpoint() // read 2× per round
-    // the two half-rounds join on DIFFERENT keys — pin one copy per
-    // key so neither half re-shuffles the edge list (guide §2.4); two
-    // one-time materializations replace 2·iters edge exchanges
-    val eS = pinByKey(e, "src")
-    val eD = pinByKey(e, "dst")
-    val nodes = graft.core.OperatorCaches.cached(
-      eS.select(col("src").as("node"))
-        .union(eS.select(col("dst").as("node"))).distinct())
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node"))).distinct().localCheckpoint()
+    // adaptive per-round strategy (see pageRank). The two half-rounds
+    // join on DIFFERENT keys, so above the broadcast gate the edge
+    // list is pinned once PER KEY (two materializations replace
+    // 2·iters edge exchanges); below it neither pin is built — the
+    // node-sized score frames broadcast and e is only scanned.
+    val bcast = nodes.count() <= BcastNodeMax
+    def side(df: DataFrame): DataFrame = if (bcast) broadcast(df) else df
+    val eS = if (bcast) e else pinByKey(e, "src")
+    val eD = if (bcast) e else pinByKey(e, "dst")
     var scores = nodes.withColumn("hub_u", lit(unit))
       .withColumn("auth_u", lit(unit))
     var i = 0
@@ -1087,14 +1132,14 @@ object Graph {
       // (their max + the normalized frame) — materialize the expensive
       // join+agg once; the derived selects re-read the blocks
       val authRaw = eS.join(
-          scores.select(col("node").as("src"), col("hub_u")), "src")
+          side(scores.select(col("node").as("src"), col("hub_u"))), "src")
         .groupBy(col("dst").as("node")).agg(sum(col("hub_u")).as("__a"))
         .localCheckpoint()
       val aMax = authRaw.agg(max(col("__a")).as("__amax"))
       val auth = authRaw.crossJoin(broadcast(aMax))
         .select(col("node"), expr(s"(__a * ${unit}L) div __amax").as("auth_u"))
       val hubRaw = eD.join(
-          auth.select(col("node").as("dst"), col("auth_u")), "dst")
+          side(auth.select(col("node").as("dst"), col("auth_u"))), "dst")
         .groupBy(col("src").as("node")).agg(sum(col("auth_u")).as("__h"))
         .localCheckpoint()
       val hMax = hubRaw.agg(max(col("__h")).as("__hmax"))
@@ -1104,8 +1149,8 @@ object Graph {
       // caller) and its parents are checkpointed — keep it lazy; the
       // raw-frame checkpoints above already bound re-execution
       scores = nodes
-        .join(hub, Seq("node"), "left")
-        .join(auth, Seq("node"), "left")
+        .join(side(hub), Seq("node"), "left")
+        .join(side(auth), Seq("node"), "left")
         .select(col("node"),
           coalesce(col("hub_u"), lit(0L)).as("hub_u"),
           coalesce(col("auth_u"), lit(0L)).as("auth_u"))

@@ -442,21 +442,29 @@ object Similarity {
       .filter(col("__r") > 0)
       .groupBy(col("__u"), col("__i")).agg(sum(col("__r")).as("__r"))
       .localCheckpoint()
-    // the two half-steps join the edge rollup on DIFFERENT keys — pin
-    // one copy per key (exchange+sort paid once, not once per round;
-    // opt guide §2.4); the factor sides arrive already partitioned by
-    // their own groupBy key, so each half-step is exchange-free up to
-    // its node-sized aggregation
+    // ADAPTIVE per-round strategy (the Graph.pageRank device): the
+    // factor frames are ITEM/USER-sized while the rollup is PAIR-sized
+    // — below a rollup-count gate (items and users are each ≤ the pair
+    // count) every half-step BROADCASTS its factor frame and the
+    // rollup is only scanned, zero per-round rollup exchanges (guide
+    // §3.1); above it the two half-steps join on DIFFERENT keys, so
+    // one checkpoint-pinned copy per key (localCheckpoint keeps the
+    // layout without the InMemoryRelation columnar tax) makes each
+    // sort-merge join exchange-free on the rollup side (guide §2.4).
+    val bcast = e.count() <= 2000000L
+    def side(df: DataFrame): DataFrame = if (bcast) broadcast(df) else df
     val np = e.sparkSession.sparkContext.defaultParallelism
-    val eI = graft.core.OperatorCaches.cached(
-      e.repartition(np, col("__i")).sortWithinPartitions("__i"))
-    val eU = graft.core.OperatorCaches.cached(
-      e.repartition(np, col("__u")).sortWithinPartitions("__u"))
+    val eI = if (bcast) e
+      else e.repartition(np, col("__i")).sortWithinPartitions("__i")
+        .localCheckpoint()
+    val eU = if (bcast) e
+      else e.repartition(np, col("__u")).sortWithinPartitions("__u")
+        .localCheckpoint()
     var v = eI.select(col("__i")).distinct()
       .withColumn("__f", lit(1000000L))
     var it = 0
     while (it < iters) {
-      val u = eI.join(v, "__i")
+      val u = eI.join(side(v), "__i")
         .groupBy(col("__u"))
         .agg(sum(col("__r").cast(d38) * col("__f").cast(d38)).cast(d38)
           .as("__num"),
@@ -464,7 +472,7 @@ object Similarity {
             .as("__den"))
         .select(col("__u"),
           expr("cast((__num * 1000000000000) div __den as long)").as("__f"))
-      v = eU.join(u, "__u")
+      v = eU.join(side(u), "__u")
         .groupBy(col("__i"))
         .agg(sum(col("__r").cast(d38) * col("__f").cast(d38)).cast(d38)
           .as("__num"),
