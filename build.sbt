@@ -11,6 +11,18 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Driver contract (VERDICT r11 item 1): the bench/verify mains print ONE
+// bare JSON line that the driver parses from the stdout tail. The default
+// LoggedOutput strategy prefixes every forked stdout line with "[info] "
+// and every stderr line with "[error] ", which defeated the driver's JSON
+// parse in all four recorded rounds (BENCH_r*.json parsed=null). Inherit
+// sbt's own streams instead so the line lands unprefixed; suppress the
+// trailing "[success] Total time: ..." line so the JSON is also the LAST
+// stdout line before exit.
+outputStrategy := Some(StdoutOutput)
+Global / showSuccess := false
+// showSuccess is consumed by sbt's command loop, not a task — lint can't see it
+Global / excludeLintKeys += showSuccess
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

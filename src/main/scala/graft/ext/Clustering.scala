@@ -699,9 +699,11 @@ object Clustering {
   *     SUM skips; a group whose every product is NULL sums to NULL;
   *   - mx = MAX(ABS(w)) ignores NULLs and is NULL on an all-NULL w;
   *   - `div` is integral division truncating toward zero (BigInt /);
-  *   - division by a NULL mx yields NULL; by a ZERO mx yields NULL
-  *     (non-ANSI IntegralDivide) unless `zeroGuard` replays the
-  *     explicit CASE WHEN __mx = 0 THEN 0L of the two-chase variant;
+  *   - division by a NULL mx yields NULL; by a ZERO mx REPLICATES the
+  *     ANSI error (throws DIVIDE_BY_ZERO, exactly as the distributed
+  *     IntegralDivide would under this session's ANSI mode) unless
+  *     `zeroGuard` replays the explicit CASE WHEN __mx = 0 THEN 0L of
+  *     the two-chase variant;
   *   - each round's v covers exactly the j-groups the join produced.
   *
   * A property spec pins driver ≡ distributed on shared matrices

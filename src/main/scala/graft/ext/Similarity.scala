@@ -451,7 +451,7 @@ object Similarity {
     // one checkpoint-pinned copy per key (localCheckpoint keeps the
     // layout without the InMemoryRelation columnar tax) makes each
     // sort-merge join exchange-free on the rollup side (guide §2.4).
-    val bcast = e.count() <= 2000000L
+    val bcast = e.count() <= graft.core.Gates.BcastRowsMax
     def side(df: DataFrame): DataFrame = if (bcast) broadcast(df) else df
     val np = e.sparkSession.sparkContext.defaultParallelism
     val eI = if (bcast) e

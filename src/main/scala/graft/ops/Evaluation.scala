@@ -328,7 +328,7 @@ object Evaluation {
     // this itself). Count-gated on the already-materialized items frame
     // (the q497 discipline): above the gate — strengths too big to
     // ship — every join falls back to the sort-merge plan unchanged.
-    val broadcastable = items.count() <= 2000000L
+    val broadcastable = items.count() <= graft.core.Gates.BcastRowsMax
     def side(df: DataFrame): DataFrame = if (broadcastable) broadcast(df) else df
     var p = items.select(col("item"), lit(unit).as("p_u"))
     var r = 0

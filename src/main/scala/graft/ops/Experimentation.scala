@@ -1383,9 +1383,16 @@ object Experimentation {
     // global moments + exact quartile values off the rollup
     val (n, sx, sxx) = localHist match {
       case Some(h) =>
-        (h.map(_._2).sum,
-          h.map { case (x, c) => BigInt(x) * c }.sum,
-          h.map { case (x, c) => BigInt(x) * x * c }.sum)
+        // same ANSI error surface as the decimal(38,0) agg below:
+        // per-product and per-sum d38 checks, long-sum overflow throws
+        var nn = 0L; var s1 = BigInt(0); var s2 = BigInt(0)
+        h.foreach { case (x, c) =>
+          import graft.core.AnsiNum.{d38 => ck}
+          nn = graft.core.AnsiNum.add(nn, c)
+          s1 = ck(s1 + ck(BigInt(x) * c))
+          s2 = ck(s2 + ck(ck(BigInt(x) * x) * c))
+        }
+        (nn, s1, s2)
       case None =>
         val mom = rk.agg(sum(col("__c")).as("n"),
           sum(col("__x").cast(d38) * col("__c").cast(d38)).cast(d38).as("__sx"),
@@ -1431,26 +1438,47 @@ object Experimentation {
       val c2 = lnw(1000000L - w1) - logv(v2)
       val (r1m, sx1, sxx1, r2m, sx2, sxx2) = localHist match {
         case Some(h) =>
-          // identical per-row arithmetic to the expr branch below:
-          // long subtraction (Java wrap semantics), decimal(38,0)
-          // quadratic, truncating integral divide, the same
-          // floor(x + 0.5) libm logistic; a quadratic term that would
-          // overflow the long cast is a NULL row there — skipped here
+          // identical per-row arithmetic to the expr branch below,
+          // INCLUDING the error surface (ADVICE r11): this session runs
+          // ANSI mode, so the distributed quadratic THROWS on a long
+          // subtraction overflow, on a decimal(38,0) product overflow,
+          // and on a long-cast overflow of the divided quadratic — the
+          // local path replicates each throw (the PowerKernel zero-mx
+          // discipline) instead of silently skipping or wrapping, so
+          // the query's outcome never depends on which side of
+          // localRollupMax the rollup lands.
           var (a1, b1s, g1, a2, b2s, g2) = (BigInt(0), BigInt(0), BigInt(0),
             BigInt(0), BigInt(0), BigInt(0))
+          val d38Max = BigInt(10).pow(38)
+          def quad(dx: Long, twoV: Long): Long = {
+            val prod = BigInt(dx) * dx * 1000000
+            if (prod.abs >= d38Max) throw new ArithmeticException(
+              "[NUMERIC_VALUE_OUT_OF_RANGE] decimal(38,0) overflow " +
+                "(gmm2Em quadratic) — replicates the ANSI error of the " +
+                "distributed branch")
+            val q = prod / twoV // BigInt / 0 throws, like ANSI div 0
+            if (!q.isValidLong) throw new ArithmeticException(
+              "[CAST_OVERFLOW] decimal to long overflow (gmm2Em " +
+                "quadratic) — replicates the ANSI error of the " +
+                "distributed branch")
+            q.toLong
+          }
           h.foreach { case (x, c) =>
-            val dx1 = x - mu1; val dx2 = x - mu2
-            val q1 = BigInt(dx1) * dx1 * 1000000 / (2 * v1)
-            val q2 = BigInt(dx2) * dx2 * 1000000 / (2 * v2)
-            if (q1.isValidLong && q2.isValidLong) {
-              val dd = (c1 - q1.toLong) - (c2 - q2.toLong)
-              val r1 = math.floor(
-                1e6 / (1.0 + math.exp(-dd.toDouble / 1e6)) + 0.5).toLong
-              val cc = BigInt(c)
-              a1 += cc * r1; b1s += cc * r1 * x; g1 += cc * r1 * x * x
-              val r2 = 1000000L - r1
-              a2 += cc * r2; b2s += cc * r2 * x; g2 += cc * r2 * x * x
-            }
+            val dx1 = graft.core.AnsiNum.sub(x, mu1); val dx2 = graft.core.AnsiNum.sub(x, mu2)
+            val q1 = quad(dx1, 2 * v1)
+            val q2 = quad(dx2, 2 * v2)
+            val dd = graft.core.AnsiNum.sub(graft.core.AnsiNum.sub(c1, q1), graft.core.AnsiNum.sub(c2, q2))
+            val r1 = math.floor(
+              1e6 / (1.0 + math.exp(-dd.toDouble / 1e6)) + 0.5).toLong
+            val cc = BigInt(c)
+            import graft.core.AnsiNum.{d38 => ck}
+            val cr1 = ck(cc * r1); val crx1 = ck(cr1 * x)
+            a1 = ck(a1 + cr1); b1s = ck(b1s + crx1)
+            g1 = ck(g1 + ck(crx1 * x))
+            val r2 = 1000000L - r1
+            val cr2 = ck(cc * r2); val crx2 = ck(cr2 * x)
+            a2 = ck(a2 + cr2); b2s = ck(b2s + crx2)
+            g2 = ck(g2 + ck(crx2 * x))
           }
           (a1, b1s, g1, a2, b2s, g2)
         case None =>
@@ -1563,14 +1591,23 @@ object Experimentation {
         case Some(h) =>
           var (a0, a1, b00, b01, b11) =
             (BigInt(0), BigInt(0), BigInt(0), BigInt(0), BigInt(0))
+          import graft.core.AnsiNum.{d38 => ck}
           h.foreach { case (x, y, c) =>
+            // η = b0 + b1·x with the ANSI error surface (ADVICE r11):
+            // the distributed expr throws on long overflow under ANSI,
+            // so the local path must too, never wrap; products and sums
+            // are d38-checked like the decimal(38,0) agg they replicate
             val p = math.floor(1e6 / (1.0 +
-              math.exp(-(b0 + b1 * x).toDouble / 1e6)) + 0.5).toLong
+              math.exp(-graft.core.AnsiNum.add(b0, graft.core.AnsiNum.mul(b1, x)).toDouble
+                / 1e6)) + 0.5).toLong
             val w = (p * (1000000L - p)) / 1000000L
             val r = y * 1000000L - p
             val cc = BigInt(c)
-            a0 += cc * r; a1 += cc * r * x
-            b00 += cc * w; b01 += cc * w * x; b11 += cc * w * x * x
+            val cr = ck(cc * r); val crx = ck(cr * x)
+            a0 = ck(a0 + cr); a1 = ck(a1 + crx)
+            val cw = ck(cc * w); val cwx = ck(cw * x)
+            b00 = ck(b00 + cw); b01 = ck(b01 + cwx)
+            b11 = ck(b11 + ck(cwx * x))
           }
           (a0, a1, b00, b01, b11)
         case None =>
