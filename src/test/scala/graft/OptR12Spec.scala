@@ -98,6 +98,23 @@ class OptR12Spec extends AnyFunSuite {
     assert(r.getAs[Long]("diameter_lb") == 4L)
   }
 
+  test("betweennessPivots: driver Brandes kernel ≡ distributed loop") {
+    import spark.implicits._
+    // diamond (two shortest 1→4 paths ⇒ σ = 2, split δ), a tail past
+    // the horizon, a duplicate + reversed edge and a self-loop (must
+    // collapse), and an isolated-by-distance node
+    val edges = Seq((1L, 2L), (2L, 1L), (1L, 3L), (2L, 4L), (3L, 4L),
+      (4L, 5L), (5L, 5L), (4L, 6L), (5L, 7L), (6L, 7L), (7L, 8L))
+      .toDF("src", "dst")
+    for ((np, mh) <- Seq((3, 3), (1, 2), (4, 8))) {
+      val fast = graft.ext.Graph.betweennessPivots(edges, "src", "dst",
+        numPivots = np, maxHops = mh)
+      val dist = graft.ext.Graph.betweennessPivots(edges, "src", "dst",
+        numPivots = np, maxHops = mh, driverEdgeMax = -1L)
+      assert(rows(fast) == rows(dist), s"pivots=$np hops=$mh")
+    }
+  }
+
   test("labelPropagation: gate probe change keeps results identical") {
     import spark.implicits._
     // two triangles bridged by one edge — 3 LPA rounds; the r12 gate
