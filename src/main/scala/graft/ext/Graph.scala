@@ -444,7 +444,8 @@ object Graph {
     * micro-units (1 000 000 = the uniform start mass). */
   def pageRank(edges: DataFrame, srcCol: String, dstCol: String,
       iters: Int = 3, dampNum: Int = 85, dampDen: Int = 100,
-      unit: Long = 1000000L): DataFrame = {
+      unit: Long = 1000000L,
+      bcastNodeMax: Long = BcastNodeMax): DataFrame = {
     require(iters >= 1, "iters must be >= 1")
     require(dampDen > 0 && dampNum >= 0 && dampNum <= dampDen,
       "damping must satisfy 0 <= num <= den")
@@ -463,7 +464,7 @@ object Graph {
     val symM = sym.localCheckpoint()
     val deg = symM.groupBy(col("src").as("node"))
       .agg(count(lit(1)).as("deg")).localCheckpoint()
-    val bcast = deg.count() <= BcastNodeMax
+    val bcast = deg.count() <= bcastNodeMax
     val symP = if (bcast) symM else pinByKey(symM, "src")
     def side(df: DataFrame): DataFrame = if (bcast) broadcast(df) else df
     val base = unit - (dampNum.toLong * unit) / dampDen
@@ -511,7 +512,8 @@ object Graph {
     * checkpointed edge list; fixed rounds, no driver traffic. */
   def katzCentrality(edges: DataFrame, srcCol: String, dstCol: String,
       iters: Int = 3, alphaNum: Int = 20, alphaDen: Int = 100,
-      unit: Long = 1000000L): DataFrame = {
+      unit: Long = 1000000L,
+      bcastNodeMax: Long = BcastNodeMax): DataFrame = {
     require(iters >= 1, "iters must be >= 1")
     require(alphaDen > 0 && alphaNum >= 0 && alphaNum < alphaDen,
       "attenuation must satisfy 0 <= num < den")
@@ -523,7 +525,7 @@ object Graph {
       .distinct().localCheckpoint()
     val nodes = eM.select(col("src").as("node"))
       .union(eM.select(col("dst").as("node"))).distinct().localCheckpoint()
-    val bcast = nodes.count() <= BcastNodeMax
+    val bcast = nodes.count() <= bcastNodeMax
     val e = if (bcast) eM else pinByKey(eM, "src")
     def side(df: DataFrame): DataFrame = if (bcast) broadcast(df) else df
     var ranks = nodes.withColumn("katz_ppm", lit(unit))
@@ -561,7 +563,8 @@ object Graph {
   def personalizedPageRank(edges: DataFrame, srcCol: String, dstCol: String,
       sources: DataFrame, sourceIdCol: String, iters: Int = 3,
       dampNum: Int = 85, dampDen: Int = 100,
-      unit: Long = 1000000L): DataFrame = {
+      unit: Long = 1000000L,
+      bcastNodeMax: Long = BcastNodeMax): DataFrame = {
     require(iters >= 1, "iters must be >= 1")
     require(dampDen > 0 && dampNum >= 0 && dampNum <= dampDen,
       "damping must satisfy 0 <= num <= den")
@@ -579,7 +582,7 @@ object Graph {
       .join(broadcast(flag), Seq("node"), "left")
       .withColumn("__s", coalesce(col("__s"), lit(0L)))
       .localCheckpoint()
-    val bcast = deg.count() <= BcastNodeMax
+    val bcast = deg.count() <= bcastNodeMax
     val symP = if (bcast) symM else pinByKey(symM, "src")
     def side(df: DataFrame): DataFrame = if (bcast) broadcast(df) else df
     val base = unit - (dampNum.toLong * unit) / dampDen
@@ -1070,7 +1073,8 @@ object Graph {
     * driver traffic; plan depth stays constant via per-round
     * localCheckpoint. */
   def kCore(edges: DataFrame, srcCol: String, dstCol: String,
-      k: Int, rounds: Int): DataFrame = {
+      k: Int, rounds: Int,
+      bcastNodeMax: Long = BcastNodeMax): DataFrame = {
     require(k >= 1 && rounds >= 1, "k and rounds must be >= 1")
     var sym = edges.select(explode(array(
         struct(checkedLong(col(srcCol)).as("src"), checkedLong(col(dstCol)).as("dst")),
@@ -1091,7 +1095,7 @@ object Graph {
     // the sort-merge plan runs unchanged. No per-round driver probe:
     // the gate is decided before the loop, per the q134 A/B (a
     // per-round checkpoint+count cost MORE than the saved exchanges).
-    val small = sym.count() <= BcastNodeMax
+    val small = sym.count() <= bcastNodeMax
     def side(df: DataFrame): DataFrame = if (small) broadcast(df) else df
     var i = 0
     while (i < rounds) {
@@ -1148,7 +1152,8 @@ object Graph {
       .filter(col("src") =!= col("dst")).distinct()
 
   def labelPropagation(edges: DataFrame, srcCol: String, dstCol: String,
-      iters: Int = 3, symmetric: Boolean = false): DataFrame = {
+      iters: Int = 3, symmetric: Boolean = false,
+      bcastNodeMax: Long = BcastNodeMax): DataFrame = {
     require(iters >= 1, "iters must be >= 1")
     // pinned by the per-round join key — one exchange+sort instead of
     // one per round (guide §2.4)
@@ -1172,7 +1177,7 @@ object Graph {
     // holds (one row per distinct dst = the node count in a symmetric
     // edge list): the old dedicated distinct().count() probe was a full
     // exchange over the edge list run solely for the gate (ADVICE r11).
-    val bcast = labels.count() <= BcastNodeMax
+    val bcast = labels.count() <= bcastNodeMax
     lazy val sym = if (bcast) symM else pinByKey(symM, "src")
     def side(df: DataFrame): DataFrame = if (bcast) broadcast(df) else df
     var i = 1
@@ -1220,7 +1225,8 @@ object Graph {
     * maxima broadcast as scalars. Degree × unit products stay ≤
     * 10¹⁵ for degrees to 10⁹. */
   def hits(edges: DataFrame, srcCol: String, dstCol: String,
-      iters: Int = 2, unit: Long = 1000000L): DataFrame = {
+      iters: Int = 2, unit: Long = 1000000L,
+      bcastNodeMax: Long = BcastNodeMax): DataFrame = {
     require(iters >= 1, "iters must be >= 1")
     val e = edges.select(checkedLong(col(srcCol)).as("src"),
         checkedLong(col(dstCol)).as("dst"))
@@ -1232,7 +1238,7 @@ object Graph {
     // list is pinned once PER KEY (two materializations replace
     // 2·iters edge exchanges); below it neither pin is built — the
     // node-sized score frames broadcast and e is only scanned.
-    val bcast = nodes.count() <= BcastNodeMax
+    val bcast = nodes.count() <= bcastNodeMax
     def side(df: DataFrame): DataFrame = if (bcast) broadcast(df) else df
     val eS = if (bcast) e else pinByKey(e, "src")
     val eD = if (bcast) e else pinByKey(e, "dst")

@@ -434,7 +434,8 @@ object Similarity {
     * traffic. The exact shuffle shape of [[graft.ext.Graph.pageRank]]
     * with a different numerator. */
   def als1Factor(ratings: DataFrame, userCol: Column, itemCol: Column,
-      valueCol: Column, iters: Int = 3): DataFrame = {
+      valueCol: Column, iters: Int = 3,
+      bcastPairMax: Long = graft.core.Gates.BcastRowsMax): DataFrame = {
     require(iters >= 1 && iters <= 32, "1 <= iters <= 32")
     val d38 = "decimal(38,0)"
     val e = ratings.select(userCol.cast("long").as("__u"),
@@ -451,7 +452,7 @@ object Similarity {
     // one checkpoint-pinned copy per key (localCheckpoint keeps the
     // layout without the InMemoryRelation columnar tax) makes each
     // sort-merge join exchange-free on the rollup side (guide §2.4).
-    val bcast = e.count() <= graft.core.Gates.BcastRowsMax
+    val bcast = e.count() <= bcastPairMax
     def side(df: DataFrame): DataFrame = if (bcast) broadcast(df) else df
     val np = e.sparkSession.sparkContext.defaultParallelism
     val eI = if (bcast) e
