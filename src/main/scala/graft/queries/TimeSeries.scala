@@ -412,6 +412,17 @@ object TimeSeries {
       // track state volume, not cores.
       val prev = s.conf.get("spark.sql.shuffle.partitions")
       s.conf.set("spark.sql.shuffle.partitions", "8")
+      // An INNER stream-stream join emits matches the moment both sides
+      // are present — batch 0 of the replay. The no-data micro-batch
+      // that follows exists only to advance the watermark (needed by
+      // OUTER joins and append-mode aggs to flush held results; q468
+      // keeps it) and here costs a full planning + 4-stores×partitions
+      // state-commit cycle for zero output rows (measured ~0.7-1.2 s of
+      // the ~2.6 s row — StreamProfile, opt round 12). Skipping it is
+      // result-identical by construction and oracle-proven.
+      val prevNoData = s.conf.get(
+        "spark.sql.streaming.noDataMicroBatches.enabled")
+      s.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
       try streamEventsToTable(s, dir, "q78", mode = "append") { ev =>{
         val clicks = ev.filter(col("event_type") === "click")
           .select(col("user_id"), col("event_id").as("click_id"), col("ts").as("l_ts"))
@@ -422,7 +433,11 @@ object TimeSeries {
           watermark = "3650 days", within = "30 minutes")
           .select(col("user_id"), col("click_id"), col("purchase_id"))
       }}.orderBy(col("user_id"), col("click_id"), col("purchase_id"))
-      finally s.conf.set("spark.sql.shuffle.partitions", prev)
+      finally {
+        s.conf.set("spark.sql.shuffle.partitions", prev)
+        s.conf.set("spark.sql.streaming.noDataMicroBatches.enabled",
+          prevNoData)
+      }
     },
     Some("""SELECT l.user_id, l.event_id AS click_id, r.event_id AS purchase_id
            |FROM events l JOIN events r
