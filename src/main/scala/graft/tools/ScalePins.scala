@@ -19,10 +19,12 @@ import graft.core.GraftSession
   *               (bcastNodeMax = Long.MaxValue → every round broadcasts
   *               the multi-million-row node frame).
   *
-  * `runMain graft.tools.ScalePins [nNodes=3000000]` */
+  * `runMain graft.tools.ScalePins [nNodes=3000000] [ops=pagerank,hits,als]` */
 object ScalePins {
   def main(args: Array[String]): Unit = {
     val n = args.headOption.map(_.toLong).getOrElse(3000000L)
+    val ops = if (args.length > 1) args(1).split(",").toSet
+      else Set("pagerank", "hits", "als")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = GraftSession.configure(
       SparkSession.builder().master(s"local[$cpus]").appName("graft-scalepins"))
@@ -68,20 +70,23 @@ object ScalePins {
     }
 
     val big = Long.MaxValue
+    if (ops("pagerank")) {
     val prPin = timed("pagerank above-gate PIN (default)")(
       graft.ext.Graph.pageRank(edges, "src", "dst", iters = 3))
     val prB = timed("pagerank above-gate BROADCAST-forced")(
       graft.ext.Graph.pageRank(edges, "src", "dst", iters = 3,
         bcastNodeMax = big))
     require(prPin._2 == prB._2, "pageRank variants diverge")
-
+    }
+    if (ops("hits")) {
     val hPin = timed("hits above-gate PIN (default)")(
       graft.ext.Graph.hits(edges, "src", "dst", iters = 2))
     val hB = timed("hits above-gate BROADCAST-forced")(
       graft.ext.Graph.hits(edges, "src", "dst", iters = 2,
         bcastNodeMax = big))
     require(hPin._2 == hB._2, "hits variants diverge")
-
+    }
+    if (ops("als")) {
     val aPin = timed("als_rank1 above-gate PIN (default)")(
       graft.ext.Similarity.als1Factor(ratings, col("u"), col("i"), col("r"),
         iters = 3))
@@ -89,7 +94,7 @@ object ScalePins {
       graft.ext.Similarity.als1Factor(ratings, col("u"), col("i"), col("r"),
         iters = 3, bcastPairMax = big))
     require(aPin._2 == aB._2, "als variants diverge")
-
+    }
     println("[scalepins] all variant pairs agree (count + checksum)")
     spark.stop()
   }
